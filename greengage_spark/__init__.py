@@ -1,0 +1,26 @@
+"""greengage_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of GreengageDB (Greenplum-lineage MPP OLAP DB).
+
+The reference (/root/reference, GreengageDB 6.0.0-beta.1) is a master/segment
+MPP database: a query dispatcher plans SQL, cuts the plan at Motion nodes and
+ships slices to segment executors.  That architecture maps 1:1 onto Spark
+(driver/Catalyst = QD, executors = QEs, shuffle = Motion), so this engine is a
+*surface* — dialect, function library, operator helpers, pipeline operators —
+over Spark SQL's distributed runtime, not a port of the C executor.
+
+Layout:
+  session    — SparkSession factory tuned for OLAP at scale
+  catalog    — table registry over parquet data + distribution metadata
+  dialect    — PostgreSQL/Greenplum SQL dialect → Spark SQL transpiler
+  functions  — PG/GP function surface (pg_proc parity) on Spark expressions
+  operators  — join/agg/window/setop/recursive/motion helpers
+  sources    — external-table readers/writers (COPY, gpfdist-style CSV, SREH)
+  pipeline   — LLM-data-pipeline operators (dedup, similarity, text, multimodal)
+  streaming  — Structured Streaming surface (net-new vs the batch-only reference)
+  plans      — the query corpus wired to the driver contract (__spark_entry__)
+"""
+
+__version__ = "0.1.0"
+
+from greengage_spark.session import get_spark  # noqa: F401
+from greengage_spark.catalog import Catalog, load_table, register_tables  # noqa: F401

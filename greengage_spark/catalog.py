@@ -1,0 +1,120 @@
+"""Table registry + distribution metadata.
+
+The reference stores a per-table distribution policy (GpPolicy,
+src/include/catalog/gp_policy.h:99-124): hash-distributed on key columns,
+round-robin ("DISTRIBUTED RANDOMLY"), or replicated to every segment
+(src/backend/parser/gram.y:4835-4851).  On Spark the same intent becomes:
+
+* hash distribution  -> hash-partitioned shuffle / bucketed write; we record
+  the keys and expose ``distribute()`` so joins/aggs on the key are
+  co-located (one shuffle, reused across stages).
+* randomly           -> round-robin ``repartition(n)``.
+* replicated         -> ``broadcast()`` hint at join sites.
+
+At 100 TB the distribution key choice is THE scale lever (it was for the
+reference too — every TPC-H table in its own test corpus declares one,
+src/test/regress/sql/tpch500GB.sql:49-60); we keep the same keys.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Distribution policy per table, mirroring the reference's TPC-H DDL
+# (tpch500GB.sql) adapted to the driver's simplified schemas.  "replicated"
+# marks broadcast-size dimensions (reference: DISTRIBUTED REPLICATED).
+@dataclass(frozen=True)
+class TableSpec:
+    name: str
+    dist_keys: tuple[str, ...] = ()  # empty + not replicated = random
+    replicated: bool = False
+    sort_keys: tuple[str, ...] = ()  # v5 AO tables can declare sort order
+
+
+TABLES: dict[str, TableSpec] = {
+    "region": TableSpec("region", replicated=True),
+    "nation": TableSpec("nation", replicated=True),
+    "customer": TableSpec("customer", ("c_custkey",)),
+    "supplier": TableSpec("supplier", ("s_suppkey",), replicated=True),
+    "part": TableSpec("part", ("p_partkey",)),
+    "orders": TableSpec("orders", ("o_orderkey",)),
+    "lineitem": TableSpec("lineitem", ("l_orderkey",)),
+    "events": TableSpec("events", ("user_id",), sort_keys=("ts",)),
+    "documents": TableSpec("documents", ("doc_id",)),
+    "embeddings": TableSpec("embeddings", ("vec_id",)),
+}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        # Driver session may not have nanosAsLong yet; set and retry.
+        from greengage_spark.session import apply_runtime_confs
+
+        apply_runtime_confs(spark)
+        return spark.read.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing physical quirks.
+
+    events.parquet stores INT64 TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` we get a long and convert to
+    timestamp_ntz at microsecond precision (same truncation DuckDB applies),
+    so event-time semantics agree across engines.
+    """
+    df = _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+class Catalog:
+    """Session-scoped table registry (the reference's QD-side catalog role)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = load_table(self.spark, self.sf_dir, name)
+        return self._cache[name]
+
+    def dim(self, name: str) -> DataFrame:
+        """A table with its distribution policy applied to a join site:
+        replicated tables come back broadcast-hinted (Motion-Broadcast
+        equivalent, nodeMotion.c MOTIONTYPE_FIXED broadcast)."""
+        spec = TABLES.get(name)
+        df = self.table(name)
+        return F.broadcast(df) if spec and spec.replicated else df
+
+    def distribute(self, name: str, num_partitions: int | None = None) -> DataFrame:
+        """Hash-redistribute on the declared distribution key
+        (Motion-Redistribute, MOTIONTYPE_HASH)."""
+        spec = TABLES.get(name)
+        df = self.table(name)
+        if spec and spec.dist_keys:
+            cols = [F.col(c) for c in spec.dist_keys]
+            return df.repartition(num_partitions, *cols) if num_partitions else df.repartition(*cols)
+        return df.repartition(num_partitions) if num_partitions else df
+
+    def register_views(self, names: list[str] | None = None) -> None:
+        for name in names or TABLES:
+            self.table(name).createOrReplaceTempView(name)
+
+
+def register_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> Catalog:
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(names)
+    return cat

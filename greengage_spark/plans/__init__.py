@@ -1,0 +1,1 @@
+"""Query corpus wired to the driver contract (__spark_entry__.py)."""

@@ -1,0 +1,113 @@
+"""Shared helpers for the query corpus.
+
+Cross-engine determinism rules (Spark result must hash-match the DuckDB
+oracle, order-insensitive):
+
+1. Money columns are stored as double but are 2-decimal values; we cast to
+   DECIMAL before any SUM so aggregation is exact and order-independent
+   (float sums are order-dependent and Spark/DuckDB reduce in different
+   orders).  This mirrors the reference's types anyway: TPC-H money columns
+   are ``decimal(15,2)`` in its own DDL
+   (/root/reference/src/test/regress/sql/tpch500GB.sql:49-60).
+2. Keep decimal precision small enough that intermediate products stay
+   ≤ 38 digits in BOTH engines (DuckDB silently converts >38 to double,
+   Spark rounds the scale — either would break exactness).
+3. Final aggregate outputs are cast to DOUBLE: a single deterministic
+   conversion of an exact value, avoiding decimal-scale representation
+   differences between engines.
+4. AVG over floats is order-dependent → always SUM(decimal)/COUNT, or
+   rewrite comparisons to multiply through by COUNT (exact integer algebra).
+5. Every ORDER BY ... LIMIT adds a unique tie-breaker column.
+6. Years/date-parts cast to INT on both sides (DuckDB EXTRACT returns
+   BIGINT, Spark year() returns INT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from greengage_spark.catalog import Catalog
+
+# Decimal shapes (see module docstring rule 2).
+D_MONEY = "decimal(12,2)"  # prices, balances, qty (< 10^10)
+D_RATE = "decimal(4,2)"  # discount/tax, values in [0, 1)
+
+
+def money(c: str | Column) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast(D_MONEY)
+
+
+def rate(c: str | Column) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast(D_RATE)
+
+
+def ts(s: str) -> Column:
+    """Timestamp literal matching the testdata's timestamp_ntz columns."""
+    if len(s) == 10:
+        s += " 00:00:00"
+    return F.lit(s).cast("timestamp_ntz")
+
+
+def disc_price() -> Column:
+    """l_extendedprice * (1 - l_discount), exact decimal."""
+    return money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+
+
+def charge() -> Column:
+    """l_extendedprice * (1 - l_discount) * (1 + l_tax), exact decimal."""
+    return disc_price() * (F.lit(1) + rate("l_tax"))
+
+
+# SQL fragments for the DuckDB oracle mirroring the helpers above.
+SQL_MONEY = "CAST({c} AS DECIMAL(12,2))"
+SQL_DISC_PRICE = (
+    "(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))"
+)
+SQL_CHARGE = SQL_DISC_PRICE + " * (1 + CAST(l_tax AS DECIMAL(4,2)))"
+
+
+@dataclass
+class Query:
+    """One driver-checkable query: Spark implementation + DuckDB oracle.
+
+    ``oracle`` is ANSI SQL DuckDB runs over the same parquet views; None
+    marks a non-SQL-expressible operator (driver falls back to a rows-only
+    check).
+    """
+
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = ()
+
+
+class Suite:
+    """A named collection of queries; suites compose into the registry."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.queries: dict[str, Query] = {}
+
+    def add(
+        self,
+        name: str,
+        oracle: str | None,
+        doc: str = "",
+        tags: tuple[str, ...] = (),
+    ):
+        def deco(fn: Callable[[SparkSession, str], DataFrame]):
+            self.queries[name] = Query(name, fn, oracle, doc, tags)
+            return fn
+
+        return deco
+
+
+def cat(spark: SparkSession, sf_dir: str) -> Catalog:
+    return Catalog(spark, sf_dir)

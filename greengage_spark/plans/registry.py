@@ -1,0 +1,40 @@
+"""Assemble all query suites into the driver contract dictionaries."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from greengage_spark.plans.common import Query, Suite
+
+
+def _suites() -> list[Suite]:
+    suites: list[Suite] = []
+    from greengage_spark.plans import tpch
+
+    suites.append(tpch.suite)
+    for mod_name in ("operators_suite", "functions_suite", "pipeline_suite", "streaming_suite"):
+        try:
+            mod = __import__(f"greengage_spark.plans.{mod_name}", fromlist=["suite"])
+            suites.append(mod.suite)
+        except ImportError:
+            pass
+    return suites
+
+
+def all_queries() -> dict[str, Query]:
+    out: dict[str, Query] = {}
+    for s in _suites():
+        for name, q in s.queries.items():
+            assert name not in out, f"duplicate query name {name}"
+            out[name] = q
+    return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in all_queries().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}

@@ -1,0 +1,896 @@
+"""TPC-H-derived query corpus, adapted to the driver's simplified schemas.
+
+The reference treats TPC-H as its canonical workload (ORCA plan replays
+/root/reference/src/backend/gporca/data/dxl/tpch/q1.mdp..q22.mdp, 500 GB
+stats snapshot src/test/regress/sql/tpch500GB.sql).  The driver testdata
+lacks partsupp and several columns (commitdate/receiptdate/shipmode/phone/
+comment), so q2/q11 are dropped and a few queries are re-targeted to the
+available columns while keeping the operator shape (exists/anti/having/
+correlated-scalar/top-k) intact.
+
+Every query is written DataFrame-first; Catalyst plans the distribution
+(broadcast for the replicated dims per catalog.TABLES, shuffle joins keyed
+on the distribution columns elsewhere) exactly where the reference's
+planner would insert Broadcast/Redistribute Motions
+(src/backend/cdb/cdbpath.c:922 cdbpath_motion_for_join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from greengage_spark.plans.common import (
+    SQL_CHARGE,
+    SQL_DISC_PRICE,
+    Suite,
+    cat,
+    charge,
+    disc_price,
+    money,
+    rate,
+    ts,
+)
+
+suite = Suite("tpch")
+
+
+# --------------------------------------------------------------------------
+# Q1 — pricing summary report: scan → filter → 2-stage hash agg → sort.
+# Reference path: SeqScan → HashAgg(partial) → Redistribute Motion →
+# HashAgg(final) → Sort (nodeAgg.c three-phase strategies, cdbgroup.c
+# 2-stage planning).  Spark: partial/final HashAggregate + Exchange, free.
+# --------------------------------------------------------------------------
+@suite.add(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE)                       AS sum_disc_price,
+           CAST(SUM({SQL_CHARGE}) AS DOUBLE)                           AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*)       AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1; multi-stage agg (reference nodeAgg.c + cdbgroup.c:96).",
+    tags=("agg", "scan"),
+)
+def q1_pricing_summary(spark, sf_dir):
+    l = cat(spark, sf_dir).table("lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(charge()).cast("double").alias("sum_charge"),
+            (F.sum(money("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(money("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(rate("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 — shipping priority: 3-way join + agg + top-k.
+# Reference: HashJoin ×2 with Redistribute/Broadcast Motions + HashAgg +
+# Limit(sort) (nodeLimit.c bounded sort).  Spark: TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+@suite.add(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3; join chain + top-k (nodeLimit.c bounded tuplesort).",
+    tags=("join", "agg", "topk"),
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    cust = c.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = c.table("orders").filter(F.col("o_orderdate") < ts("1998-03-15"))
+    line = c.table("lineitem").filter(F.col("l_shipdate") > ts("1998-03-15"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(line, F.col("o_orderkey") == line.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 — order priority with correlated EXISTS (adapted: no commitdate →
+# "shipped after order date").  Reference: semi-join via subselect pull-up
+# (src/backend/cdb/cdbsubselect.c); Spark: left_semi with join condition.
+# --------------------------------------------------------------------------
+@suite.add(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="correlated EXISTS → semi join (JOIN_SEMI, nodes.h:753).",
+    tags=("join", "semi", "subquery"),
+)
+def q4_order_priority(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    o = c.table("orders").filter(
+        (F.col("o_orderdate") >= ts("1996-01-01")) & (F.col("o_orderdate") < ts("1996-07-01"))
+    )
+    l = c.table("lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 — local supplier volume: 6-way join incl. replicated dims.
+# nation/region/supplier are DISTRIBUTED REPLICATED-equivalent (catalog) →
+# broadcast joins; customer⋈orders⋈lineitem shuffle on their dist keys.
+# --------------------------------------------------------------------------
+@suite.add(
+    "q5_local_supplier",
+    oracle=f"""
+    SELECT n_name, CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5; broadcast (replicated) dims + shuffle joins.",
+    tags=("join", "broadcast", "agg"),
+)
+def q5_local_supplier(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    orders = c.table("orders").filter(
+        (F.col("o_orderdate") >= ts("1996-01-01")) & (F.col("o_orderdate") < ts("1997-01-01"))
+    )
+    region = c.dim("region").filter(F.col("r_name") == "ASIA")
+    nation = c.dim("nation")
+    supplier = c.dim("supplier")
+    return (
+        c.table("customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(c.table("lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — revenue forecast: pure scan-filter-agg; predicates push to parquet.
+# --------------------------------------------------------------------------
+@suite.add(
+    "q6_revenue_forecast",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6; AGG_PLAIN no-group aggregate (plannodes.h:1047).",
+    tags=("scan", "agg", "pushdown"),
+)
+def q6_revenue_forecast(spark, sf_dir):
+    l = cat(spark, sf_dir).table("lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= ts("1996-01-01"))
+        & (F.col("l_shipdate") < ts("1997-01-01"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(money("l_extendedprice") * rate("l_discount")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations (self-join of nation dim on
+# different roles; disjunctive join predicate).
+# --------------------------------------------------------------------------
+@suite.add(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, l_year
+    """,
+    doc="TPC-H Q7; nation dim joined twice under different roles.",
+    tags=("join", "agg"),
+)
+def q7_volume_shipping(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    n1 = c.dim("nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = c.dim("nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    df = (
+        c.dim("supplier")
+        .join(c.table("lineitem"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c.table("orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c.table("customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+                | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+            )
+            & F.col("l_shipdate").between(ts("1996-01-01"), ts("1997-12-31"))
+        )
+    )
+    return (
+        df.withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — market share: conditional aggregation ratio.
+# --------------------------------------------------------------------------
+@suite.add(
+    "q8_market_share",
+    oracle=f"""
+    WITH all_nations AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             {SQL_DISC_PRICE} AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+    )
+    SELECT o_year,
+           CAST(SUM(volume) FILTER (WHERE nation = 'NATION_3') AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM all_nations GROUP BY o_year
+    """,
+    doc="TPC-H Q8; conditional agg ratio over an 8-way join.",
+    tags=("join", "agg", "case"),
+)
+def q8_market_share(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    n1 = c.dim("nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = c.dim("nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    df = (
+        c.table("part")
+        .filter(F.col("p_type") == "PROMO")
+        .join(c.table("lineitem"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(c.dim("supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            c.table("orders").filter(
+                F.col("o_orderdate").between(ts("1996-01-01"), ts("1997-12-31"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            c.dim("region").filter(F.col("r_name") == "ASIA"),
+            F.col("n1_region") == F.col("r_regionkey"),
+        )
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            disc_price().alias("volume"),
+            "nation",
+        )
+    )
+    return df.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume"))).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — profit by nation/year (adapted: no partsupp → profit = disc price).
+# LIKE predicate on p_name (reference like.c).
+# --------------------------------------------------------------------------
+@suite.add(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS sum_profit
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape; LIKE filter + multi-join + agg.",
+    tags=("join", "agg", "like"),
+)
+def q9_product_profit(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    return (
+        c.table("part")
+        .filter(F.col("p_name").like("%gear%"))
+        .join(c.table("lineitem"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(c.dim("supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c.table("orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c.dim("nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            disc_price().alias("volume"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("volume").cast("double").alias("sum_profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 — returned items: top-20 customers by lost revenue.
+# --------------------------------------------------------------------------
+@suite.add(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10; join + agg + top-k with tie-breaker.",
+    tags=("join", "agg", "topk"),
+)
+def q10_returned_items(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    orders = c.table("orders").filter(
+        (F.col("o_orderdate") >= ts("1996-01-01")) & (F.col("o_orderdate") < ts("1996-04-01"))
+    )
+    line = c.table("lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        c.table("customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(line, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.dim("nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — late shipments by priority (adapted: no shipmode/commitdate →
+# lateness = shipped > 60 days after order date).  Interval arithmetic.
+# --------------------------------------------------------------------------
+@suite.add(
+    "q12_late_shipments",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+           COUNT(*) AS total_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q12 shape; CASE agg + interval arithmetic (timestamp.c).",
+    tags=("join", "agg", "case", "datetime"),
+)
+def q12_late_shipments(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    o = c.table("orders").filter(
+        (F.col("o_orderdate") >= ts("1997-01-01")) & (F.col("o_orderdate") < ts("1998-01-01"))
+    )
+    return (
+        o.join(c.table("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late_count"),
+            F.count(F.lit(1)).alias("total_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order distribution: LEFT JOIN with join-clause filter,
+# two-level aggregation.
+# --------------------------------------------------------------------------
+@suite.add(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13; outer join + nested aggregation.",
+    tags=("join", "outer", "agg"),
+)
+def q13_customer_distribution(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    cust, orders = c.table("customer"), c.table("orders")
+    return (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus != "F"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 — promo revenue percentage: conditional agg with FILTER semantics.
+# --------------------------------------------------------------------------
+@suite.add(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.0 * CAST(SUM({SQL_DISC_PRICE}) FILTER (WHERE p_type = 'PROMO') AS DOUBLE)
+                 / CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14; FILTERed aggregate ratio.",
+    tags=("join", "agg", "case"),
+)
+def q14_promo_revenue(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    l = c.table("lineitem").filter(
+        (F.col("l_shipdate") >= ts("1997-09-01")) & (F.col("l_shipdate") < ts("1997-10-01"))
+    )
+    return (
+        l.join(c.table("part"), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc_price())).cast("double")
+                / F.sum(disc_price()).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier: CTE reused twice (ShareInputScan,
+# nodeShareInputScan.c:284) + scalar subquery max.  Exact decimal revenue →
+# equality against MAX is deterministic.
+# --------------------------------------------------------------------------
+@suite.add(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, SUM({SQL_DISC_PRICE}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="shared CTE + scalar subquery (ShareInputScan / AssertOp).",
+    tags=("cte", "subquery", "agg"),
+)
+def q15_top_supplier(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    revenue = (
+        c.table("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= ts("1997-01-01")) & (F.col("l_shipdate") < ts("1997-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(disc_price()).alias("total_revenue"))
+    )
+    # Shared-CTE materialization: reference streams one materialization to
+    # two consumers; Spark reuses the exchange, .cache() makes it explicit.
+    revenue = revenue.cache()
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        c.dim("supplier")
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(max_rev, F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — supplier count by part attrs (adapted via lineitem; no partsupp).
+# COUNT(DISTINCT) → 2-stage DQA (reference CXformSplitDQA.cpp).
+# --------------------------------------------------------------------------
+@suite.add(
+    "q16_parts_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="DQA: distinct-qualified aggregate (cdbgroup.c *_DQA_2STAGE).",
+    tags=("agg", "dqa"),
+)
+def q16_parts_supplier_cnt(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    p = c.table("part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    return (
+        p.join(c.table("lineitem"), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity order revenue; correlated scalar AVG subquery.
+# Decorrelated into a join against the per-part aggregate (the rewrite
+# ORCA's CSubqueryHandler would apply).  Predicate multiplied through by
+# COUNT to stay in exact integer/decimal algebra (see common.py rule 4):
+#   qty < 0.2 * SUM/CNT   ⟺   5 * qty * CNT < SUM
+# --------------------------------------------------------------------------
+@suite.add(
+    "q17_small_qty_revenue",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey AS agg_pk,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN per_part ON agg_pk = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND 5 * CAST(l_quantity AS DECIMAL(12,2)) * cnt < sum_qty
+    """,
+    doc="correlated scalar subquery, decorrelated (CSubqueryHandler).",
+    tags=("subquery", "join", "agg"),
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    l = c.table("lineitem")
+    per_part = l.groupBy(F.col("l_partkey").alias("agg_pk")).agg(
+        F.sum(money("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        l.join(c.table("part").filter(F.col("p_brand") == "Brand#3"),
+               F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("agg_pk") == F.col("l_partkey"))
+        .filter(F.lit(5) * money("l_quantity") * F.col("cnt") < F.col("sum_qty"))
+        .agg((F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 — large-volume customers: IN over GROUP BY ... HAVING subquery.
+# --------------------------------------------------------------------------
+@suite.add(
+    "q18_large_volume_customer",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="IN (grouped HAVING subquery) → semi join; top-k.",
+    tags=("subquery", "semi", "having", "topk"),
+)
+def q18_large_volume_customer(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    l = c.table("lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        c.table("customer")
+        .join(c.table("orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "big_ok"),
+              F.col("o_orderkey") == F.col("big_ok"), "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(money("l_quantity")).cast("double").alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"), "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — discounted revenue: disjunction of conjunctive predicates across
+# join inputs (reference: BitmapOr-style predicate combination).
+# --------------------------------------------------------------------------
+@suite.add(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="OR-of-AND predicates (BitmapAnd/BitmapOr semantics → filter).",
+    tags=("join", "predicate"),
+)
+def q19_discounted_revenue(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    j = c.table("lineitem").join(c.table("part"), F.col("p_partkey") == F.col("l_partkey"))
+    p = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(p).agg(F.sum(disc_price()).cast("double").alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# Q20 — suppliers with excess volume (adapted; semi join on aggregated
+# subquery).
+# --------------------------------------------------------------------------
+@suite.add(
+    "q20_excess_suppliers",
+    oracle="""
+    SELECT s_name, s_nationkey
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 100
+    )
+    """,
+    doc="TPC-H Q20 shape; IN over aggregated join subquery.",
+    tags=("subquery", "semi", "having"),
+)
+def q20_excess_suppliers(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    sub = (
+        c.table("lineitem")
+        .join(c.table("part").filter(F.col("p_type") == "PROMO"),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(money("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        c.table("supplier")
+        .join(sub, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — waiting suppliers (adapted to shipdate): EXISTS + NOT EXISTS with
+# inequality correlation — semi AND anti join on the same relation.
+# --------------------------------------------------------------------------
+@suite.add(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="correlated EXISTS + NOT EXISTS (semi + anti on same table).",
+    tags=("semi", "anti", "subquery", "topk"),
+)
+def q21_waiting_supplier(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    l = c.table("lineitem")
+    l1 = l.select(
+        F.col("l_orderkey").alias("k1_orderkey"),
+        F.col("l_suppkey").alias("k1_suppkey"),
+        F.col("l_shipdate").alias("k1_shipdate"),
+    )
+    l2 = l.select(F.col("l_orderkey").alias("k2_orderkey"), F.col("l_suppkey").alias("k2_suppkey"))
+    l3 = l.select(
+        F.col("l_orderkey").alias("k3_orderkey"),
+        F.col("l_suppkey").alias("k3_suppkey"),
+        F.col("l_shipdate").alias("k3_shipdate"),
+    )
+    base = (
+        c.dim("supplier")
+        .join(l1, F.col("s_suppkey") == F.col("k1_suppkey"))
+        .join(
+            c.table("orders").filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("k1_orderkey"),
+        )
+    )
+    with_other = base.join(
+        l2,
+        (F.col("k2_orderkey") == F.col("k1_orderkey"))
+        & (F.col("k2_suppkey") != F.col("k1_suppkey")),
+        "left_semi",
+    )
+    not_latest = with_other.join(
+        l3,
+        (F.col("k3_orderkey") == F.col("k1_orderkey"))
+        & (F.col("k3_suppkey") != F.col("k1_suppkey"))
+        & (F.col("k3_shipdate") > F.col("k1_shipdate")),
+        "left_anti",
+    )
+    return (
+        not_latest.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 — inactive high-balance customers (adapted: nationkey buckets instead
+# of phone prefixes).  Uncorrelated scalar AVG rewritten to exact algebra:
+#   bal > SUM_pos/CNT_pos  ⟺  bal * CNT_pos > SUM_pos   (CNT_pos > 0)
+# plus NOT EXISTS anti join.
+# --------------------------------------------------------------------------
+@suite.add(
+    "q22_inactive_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal, COUNT(*) AS cnt_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(12,2)) * cnt_bal > sum_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape; scalar agg subquery + NOT EXISTS anti join.",
+    tags=("anti", "subquery", "agg"),
+)
+def q22_inactive_customers(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    cust = c.table("customer")
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(money("c_acctbal")).alias("sum_bal"), F.count(F.lit(1)).alias("cnt_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(money("c_acctbal") * F.col("cnt_bal") > F.col("sum_bal"))
+        .join(
+            c.table("orders").filter(F.col("o_orderdate") >= ts("2000-01-01")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )

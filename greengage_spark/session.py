@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for distributed OLAP.
+
+The reference engine's runtime knobs (segment count, interconnect type,
+spill quotas — src/backend/cdb/cdbvars.h) map to Spark confs: shuffle
+partitioning, AQE, broadcast thresholds.  Defaults here are chosen so the
+same plan shape survives a 1000-executor / 100 TB deployment:
+
+* AQE on (runtime re-plan ≈ ORCA's cost-based choices, but with true stats),
+  with skew-join splitting (reference handles skew by hash-distribution
+  choice only; AQE is strictly stronger).
+* shuffle.partitions sized to cores locally; on a real cluster this should
+  be 2-3× total executor cores — AQE coalescing makes over-partitioning
+  cheap and under-partitioning is the only fatal choice at 100 TB.
+* parquet nanos tolerated (driver testdata writes ns timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs every entry point applies defensively, because the
+# driver may hand us a session we didn't build.
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # testdata events.parquet uses INT64 TIMESTAMP(NANOS); Spark 4 refuses
+    # them unless read as long (catalog.load_table converts back to ntz).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow transfer for pandas UDFs / toPandas — the only sane Python path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Set the confs that are legal to flip on a live session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not runtime-settable in this build — builder path covers it
+    return spark
+
+
+def get_spark(
+    app_name: str = "greengage-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)
