@@ -1,0 +1,109 @@
+"""Aggregate surface beyond pyspark.sql.functions built-ins.
+
+Covers the reference's ordered-set aggregates
+(src/backend/utils/adt/orderedsetaggs.c: percentile_disc/cont WITHIN
+GROUP, mode, hypothetical-set rank family), the gp compat aggs
+(gp_percentile_agg → median), pivot accumulators (pivot.c) and
+linear_interpolate (interpolate.c:234).
+
+Everything here is expressed over built-in JVM expressions (windows,
+struct-max, conditional counts) — no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def percentile_cont(col: str | Column, p: float) -> Column:
+    """Interpolated percentile (ordered-set agg, orderedsetaggs.c:542).
+    Spark's exact ``percentile`` implements the same linear interpolation."""
+    return F.percentile(F.col(col) if isinstance(col, str) else col, F.lit(p))
+
+
+def median(col: str | Column) -> Column:
+    """gpcontrib/gp_percentile_agg 'median' = percentile_cont(0.5)."""
+    return percentile_cont(col, 0.5)
+
+
+def percentile_disc(df: DataFrame, group_cols: list[str], value_col: str, p: float, out_col: str) -> DataFrame:
+    """Discrete percentile (orderedsetaggs.c:404): smallest value whose
+    cume_dist >= p.  Window formulation — one shuffle on the group key,
+    no per-group materialization, scales with groups × log(rows)."""
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col))
+    ranked = df.withColumn("__cd", F.cume_dist().over(w))
+    return (
+        ranked.filter(F.col("__cd") >= p)
+        .groupBy(*group_cols)
+        .agg(F.min(value_col).alias(out_col))
+    )
+
+
+def mode_det(df: DataFrame, group_cols: list[str], value_col: str, out_col: str) -> DataFrame:
+    """Deterministic mode(): most frequent value, ties broken by smallest
+    value (the reference's mode() takes the first in sort order,
+    orderedsetaggs.c).  max(struct(count, -value)) keeps it a pure 2-stage
+    aggregate — no window, no collect."""
+    counts = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    picked = counts.groupBy(*group_cols).agg(
+        F.max(F.struct(F.col("__c"), F.col(value_col).cast("double") * -1, F.col(value_col).alias("__v"))).alias("__m")
+    )
+    return picked.select(*group_cols, F.col("__m.__v").alias(out_col))
+
+
+def hypothetical_rank(df: DataFrame, group_cols: list[str], value_col: str, hypothetical, out_col: str) -> DataFrame:
+    """rank(x) WITHIN GROUP (ORDER BY v): 1 + count of rows with v < x
+    (orderedsetaggs.c:155 hypothetical-set kind) — a conditional count,
+    fully partial-aggregatable."""
+    return df.groupBy(*group_cols).agg(
+        (F.count(F.when(F.col(value_col) < hypothetical, 1)) + 1).alias(out_col)
+    )
+
+
+def hypothetical_dense_rank(df: DataFrame, group_cols: list[str], value_col: str, hypothetical, out_col: str) -> DataFrame:
+    """dense_rank(x) WITHIN GROUP: 1 + count of DISTINCT values < x."""
+    return df.groupBy(*group_cols).agg(
+        (
+            F.count_distinct(F.when(F.col(value_col) < hypothetical, F.col(value_col)))
+            + 1
+        ).alias(out_col)
+    )
+
+
+def linear_interpolate(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Fill NULL values by linear interpolation between the nearest
+    non-null neighbors in order (reference interpolate.c:234
+    linear_interpolate).  Two ordered windows (prev/next non-null carry),
+    then the standard two-point formula; endpoints stay NULL like the
+    reference."""
+    w_prev = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col(order_col))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    prev_v = F.last(v, ignorenulls=True).over(w_prev)
+    prev_x = F.last(F.when(v.isNotNull(), F.col(order_col)), ignorenulls=True).over(w_prev)
+    next_v = F.first(v, ignorenulls=True).over(w_next)
+    next_x = F.first(F.when(v.isNotNull(), F.col(order_col)), ignorenulls=True).over(w_next)
+    x = F.col(order_col)
+    interpolated = prev_v + (next_v - prev_v) * (x - prev_x) / (next_x - prev_x)
+    return df.withColumn(
+        out_col,
+        F.when(v.isNotNull(), v).otherwise(
+            F.when(prev_v.isNotNull() & next_v.isNotNull(), interpolated)
+        ),
+    )

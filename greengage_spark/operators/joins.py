@@ -1,0 +1,136 @@
+"""Join variants beyond Spark's built-in surface.
+
+The reference's JoinType enum (src/include/nodes/nodes.h:739-755) includes
+LASJ_NOTIN — anti join with SQL NOT IN null semantics — and its executor
+runs range/as-of predicates as theta nest-loop/merge joins.  Spark covers
+inner/outer/semi/anti natively; this module adds the rest as DataFrame
+compositions that stay shuffle-efficient at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def not_in_anti_join(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str
+) -> DataFrame:
+    """``left WHERE left_key NOT IN (SELECT right_key FROM right)`` with
+    PostgreSQL NOT IN null semantics (LASJ_NOTIN, nodes.h:755):
+
+    * if ANY right key is NULL → result is empty (NOT IN is never TRUE);
+    * left rows with NULL key never qualify;
+    * otherwise a plain anti join.
+
+    Implemented as an anti join guarded by a broadcast 1-row aggregate of
+    the right side — two jobs, no driver collect, no correctness cliff at
+    scale (the aggregate is a partial/final count, not a materialization).
+    """
+    stats = right.agg(
+        F.count(F.when(F.col(right_key).isNull(), 1)).alias("__null_cnt")
+    )
+    guarded = left.filter(F.col(left_key).isNotNull()).crossJoin(
+        F.broadcast(stats)
+    ).filter(F.col("__null_cnt") == 0).drop("__null_cnt")
+    rhs = right.select(F.col(right_key).alias("__rhs_key")).dropna()
+    return guarded.join(rhs, guarded[left_key] == rhs["__rhs_key"], "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    *,
+    direction: str = "backward",
+    right_values: list[str] | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` (backward) or earliest with ``>=`` (forward),
+    per equality key.
+
+    The reference expresses this as a theta merge join (SURVEY §2.3); a
+    naive theta join is O(n·m) per key.  This implementation uses the
+    union + ordered-window trick: one shuffle on the key, one sort, then
+    ``last(value, ignorenulls)`` carries the most recent right row to each
+    left row — linear work, no skew amplification, the plan a 100 TB
+    deployment wants.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    rv = right_values or [c for c in right.columns if c not in on and c != right_ts]
+
+    lhs = left.withColumn("__is_left", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rhs = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c) for c in rv],
+    ).withColumn("__is_left", F.lit(0))
+
+    lhs_cols = set(lhs.columns)
+    merged = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal ts so an exact match wins
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts").desc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    carried = merged.select(
+        *[c for c in merged.columns if c not in rv],
+        *[
+            F.last(F.when(F.col("__is_left") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(c)
+            for c in rv
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).drop("__is_left", "__ts")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lower: str,
+    right_upper: str,
+    *,
+    bucket_width: int,
+    extra_cond: Column | None = None,
+) -> DataFrame:
+    """Point-in-interval join (``lower <= point < upper``) without a
+    nest-loop: both sides are exploded onto fixed-width buckets and
+    equi-joined on the bucket id, then the exact predicate filters.
+
+    With intervals ≤ bucket_width this is O(1) buckets per right row —
+    the standard interval-join strategy; Spark's alternative is a
+    BroadcastNestedLoopJoin, which dies at scale.
+    """
+    lb = left.withColumn("__bucket", (F.col(left_point) / bucket_width).cast("long"))
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(right_lower) / bucket_width).cast("long"),
+                ((F.col(right_upper) - 1) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    cond = (
+        (lb["__bucket"] == rb["__bucket"])
+        & (F.col(left_point) >= F.col(right_lower))
+        & (F.col(left_point) < F.col(right_upper))
+    )
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return lb.join(rb, cond).drop("__bucket")

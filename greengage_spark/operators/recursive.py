@@ -1,0 +1,55 @@
+"""Recursive CTE (WITH RECURSIVE) — driver-side fixpoint loop.
+
+The reference executes recursion with a RecursiveUnion node feeding a
+WorkTableScan (/root/reference/src/backend/executor/nodeRecursiveunion.c,
+nodeWorktablescan.c; tests src/test/regress/sql/gp_recursive_cte.sql).
+Catalyst has no recursive operator, so the loop runs on the driver: each
+iteration is a distributed step over the previous frontier.
+
+Scale notes (100 TB): the frontier is localCheckpoint()ed every iteration
+— without it the logical plan doubles per step and Catalyst analysis goes
+quadratic; with it each step is an independent job over materialized
+partitions.  UNION-distinct mode shuffles once per iteration on all
+columns (same cost profile as the reference's dedup in RecursiveUnion).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def recursive_cte(
+    seed: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    *,
+    union_all: bool = False,
+    max_iterations: int = 100,
+) -> DataFrame:
+    """Fixpoint of ``seed UNION [ALL] step(frontier)``.
+
+    ``union_all=False`` (PG's ``UNION``): rows already seen are dropped and
+    recursion stops when the frontier adds nothing new — termination on
+    cyclic graphs.  ``union_all=True`` mirrors PG's ``UNION ALL``: caller
+    must guarantee termination (max_iterations is the backstop, matching
+    the reference's gp_recursive_cte guard behavior).
+    """
+    # Bound the accumulated result's partition count: unionAll concatenates
+    # partition lists, so without a coalesce the result grows by the
+    # frontier's partitions every iteration — O(iterations²) tasks total.
+    npart = seed.sparkSession.sparkContext.defaultParallelism
+
+    result = (seed if union_all else seed.dropDuplicates()).localCheckpoint(eager=True)
+    frontier = result
+    for _ in range(max_iterations):
+        nxt = step(frontier)
+        if not union_all:
+            # worktable semantics: only rows not already accumulated feed
+            # the next iteration (subtract = EXCEPT DISTINCT).
+            nxt = nxt.subtract(result)
+        frontier = nxt.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            return result
+        result = result.unionAll(frontier).coalesce(npart).localCheckpoint(eager=True)
+    raise RuntimeError(f"recursive_cte did not converge in {max_iterations} iterations")

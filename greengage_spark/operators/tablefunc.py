@@ -1,0 +1,54 @@
+"""GP table functions over ANYTABLE with SCATTER BY.
+
+The reference's TableFunction node (nodeTableFunction.c:54-109) runs a
+set-returning UDF over a relational input whose distribution the user
+controls with ``SCATTER BY expr`` / ``SCATTER RANDOMLY``
+(gram.y:14081-14082).  Spark equivalent is exact: repartition (the
+scatter) + mapInPandas (the function), Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Union
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+
+
+def table_function(
+    df: DataFrame,
+    fn: Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]],
+    schema: str,
+    *,
+    scatter_by: list[Union[str, Column]] | None = None,
+    scatter_randomly: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Run ``fn`` (iterator-of-pandas → iterator-of-pandas) over ``df``
+    with the requested scatter.
+
+    SCATTER BY cols  → hash repartition on cols: all rows of a key reach
+                       one partition, so per-key logic inside ``fn`` is
+                       correct (the reference's contract).
+    SCATTER RANDOMLY → round-robin repartition.
+    neither          → keep the input distribution (ON ANY semantics).
+    """
+    if scatter_by and scatter_randomly:
+        raise ValueError("scatter_by and scatter_randomly are mutually exclusive")
+    if scatter_by:
+        df = df.repartition(num_partitions, *scatter_by) if num_partitions else df.repartition(*scatter_by)
+    elif scatter_randomly:
+        df = df.repartition(num_partitions or df.sparkSession.sparkContext.defaultParallelism)
+    return df.mapInPandas(fn, schema)
+
+
+def grouped_table_function(
+    df: DataFrame,
+    group_cols: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+) -> DataFrame:
+    """Per-group variant (one pandas frame per key): SCATTER BY + a
+    function that assumes a whole group — applyInPandas keyed semantics."""
+    return df.groupBy(*group_cols).applyInPandas(fn, schema)

@@ -14,7 +14,14 @@ def _suites() -> list[Suite]:
     from greengage_spark.plans import tpch
 
     suites.append(tpch.suite)
-    for mod_name in ("operators_suite", "functions_suite", "pipeline_suite", "streaming_suite"):
+    for mod_name in (
+        "operators_suite",
+        "window_agg_suite",
+        "scan_misc_suite",
+        "functions_suite",
+        "pipeline_suite",
+        "streaming_suite",
+    ):
         try:
             mod = __import__(f"greengage_spark.plans.{mod_name}", fromlist=["suite"])
             suites.append(mod.suite)

@@ -1,0 +1,373 @@
+"""Scan-family, sort/limit, recursive CTE, table-function and external-table
+queries (SURVEY §2.1/§2.6/§2.7 RecursiveUnion/§2.11).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from greengage_spark.operators.aggregate import linear_interpolate
+from greengage_spark.operators.recursive import recursive_cte
+from greengage_spark.operators.tablefunc import grouped_table_function, table_function
+from greengage_spark.plans.common import Suite, cat, money, ts
+from greengage_spark.sources.external import ExternalTable, copy_to
+
+suite = Suite("scan_misc")
+
+
+# ========================= SCANS (§2.1) =========================
+
+@suite.add(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2001-10-01 00:00:00' AND l_returnflag = 'A'
+    """,
+    doc="SeqScan + qual + projection (nodeSeqscan.c / ExecQual); filter and "
+        "column pruning reach the parquet reader.",
+    tags=("scan", "pushdown"),
+)
+def scan_filter_project(spark, sf_dir):
+    l = cat(spark, sf_dir).table("lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= ts("2001-10-01")) & (F.col("l_returnflag") == "A")
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@suite.add(
+    "values_scan",
+    oracle="""
+    SELECT v.code, v.factor, r_name
+    FROM (VALUES (0, 1.5), (1, 2.0), (2, 2.5), (3, 3.0), (4, 3.5)) v(code, factor)
+    JOIN region ON r_regionkey = v.code
+    """,
+    doc="VALUES literal rows (nodeValuesscan.c) joined to a table.",
+    tags=("scan", "values"),
+)
+def values_scan(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    v = spark.createDataFrame(
+        [(0, 1.5), (1, 2.0), (2, 2.5), (3, 3.0), (4, 3.5)], "code int, factor double"
+    )
+    return v.join(c.dim("region"), F.col("r_regionkey") == F.col("code")).select(
+        "code", "factor", "r_name"
+    )
+
+
+@suite.add(
+    "function_scan_series",
+    oracle="""
+    SELECT g AS n, g * g AS n_sq, g % 7 AS n_mod
+    FROM generate_series(1, 1000) t(g)
+    """,
+    doc="set-returning function in FROM (generate_series, nodeFunctionscan.c).",
+    tags=("scan", "function"),
+)
+def function_scan_series(spark, sf_dir):
+    return spark.range(1, 1001).select(
+        F.col("id").alias("n"),
+        (F.col("id") * F.col("id")).alias("n_sq"),
+        (F.col("id") % 7).alias("n_mod"),
+    )
+
+
+@suite.add(
+    "unnest_explode",
+    oracle="""
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')[1:5]) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+    doc="unnest/explode of a computed array (arrayfuncs.c unnest → explode).",
+    tags=("scan", "array"),
+)
+def unnest_explode(spark, sf_dir):
+    d = cat(spark, sf_dir).table("documents")
+    return (
+        d.select(F.explode(F.slice(F.split(F.col("text"), " "), 1, 5)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@suite.add(
+    "external_csv_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_regionkey IN (0, 2)
+    """,
+    doc="writable+readable external table (fileam.c / copy.c): unload to "
+        "CSV, read back through the SREH-capable reader.",
+    tags=("scan", "external"),
+)
+def external_csv_roundtrip(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    loc = os.path.join(tempfile.gettempdir(), "gg_ext_nation_csv")
+    src = c.table("nation").filter(F.col("n_regionkey").isin(0, 2)).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    copy_to(src, loc, fmt="csv", header=False)
+    ext = ExternalTable(
+        location=loc,
+        schema="n_nationkey int, n_name string, n_regionkey int",
+        fmt="csv",
+        reject_limit=0,
+    )
+    return ext.read(spark)
+
+
+# ==================== SORT / LIMIT (§2.6) ====================
+
+@suite.add(
+    "sort_nulls_ordering",
+    oracle="""
+    SELECT o_orderkey, CASE WHEN o_orderstatus = 'P' THEN NULL
+                            ELSE CAST(o_totalprice AS DOUBLE) END AS price_or_null
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-07-01 00:00:00'
+    ORDER BY price_or_null ASC NULLS FIRST, o_orderkey
+    LIMIT 50
+    """,
+    doc="explicit NULLS FIRST/LAST ordering (PG default differs from "
+        "Spark's — always explicit, SURVEY §7 M4).",
+    tags=("sort", "nulls"),
+)
+def sort_nulls_ordering(spark, sf_dir):
+    o = cat(spark, sf_dir).table("orders").filter(F.col("o_orderdate") >= ts("2001-07-01"))
+    price_or_null = (
+        F.when(F.col("o_orderstatus") == "P", F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice").cast("double"))
+        .alias("price_or_null")
+    )
+    return (
+        o.select("o_orderkey", price_or_null)
+        .orderBy(F.col("price_or_null").asc_nulls_first(), F.col("o_orderkey").asc())
+        .limit(50)
+    )
+
+
+@suite.add(
+    "topk_offset",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15 OFFSET 5
+    """,
+    doc="LIMIT + OFFSET (nodeLimit.c) → df.offset().limit().",
+    tags=("sort", "topk"),
+)
+def topk_offset(spark, sf_dir):
+    o = cat(spark, sf_dir).table("orders")
+    return (
+        o.select("o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(5)
+        .limit(15)
+    )
+
+
+@suite.add(
+    "distinct_projection",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS ship_year
+    FROM lineitem
+    """,
+    doc="DISTINCT (nodeUnique.c / dedup HashAgg).",
+    tags=("distinct",),
+)
+def distinct_projection(spark, sf_dir):
+    l = cat(spark, sf_dir).table("lineitem")
+    return l.select(
+        "l_returnflag", "l_linestatus", F.year("l_shipdate").cast("int").alias("ship_year")
+    ).distinct()
+
+
+# ================= RECURSIVE CTE (§2.7) =================
+
+@suite.add(
+    "recursive_series",
+    oracle="""
+    WITH RECURSIVE r(n) AS (
+      SELECT 1
+      UNION ALL
+      SELECT n + 1 FROM r WHERE n < 60
+    )
+    SELECT n, n * n AS n_sq FROM r
+    """,
+    doc="WITH RECURSIVE UNION ALL (nodeRecursiveunion.c) — driver fixpoint.",
+    tags=("recursive",),
+)
+def recursive_series(spark, sf_dir):
+    seed = spark.createDataFrame([(1,)], "n int")
+    out = recursive_cte(
+        seed,
+        lambda f: f.filter(F.col("n") < 60).select((F.col("n") + 1).alias("n")),
+        union_all=True,
+        max_iterations=70,
+    )
+    return out.select("n", (F.col("n") * F.col("n")).alias("n_sq"))
+
+
+@suite.add(
+    "recursive_graph_closure",
+    oracle="""
+    WITH RECURSIVE reach(key) AS (
+      SELECT 24
+      UNION
+      SELECT e.dst FROM reach JOIN
+        (SELECT n_nationkey AS src, n_nationkey // 2 AS dst FROM nation WHERE n_nationkey > 0) e
+        ON e.src = reach.key
+    )
+    SELECT key FROM reach
+    """,
+    doc="transitive closure over a derived edge table (gp_recursive_cte.sql "
+        "pattern) with UNION-distinct termination.",
+    tags=("recursive", "join"),
+)
+def recursive_graph_closure(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    edges = (
+        c.dim("nation")
+        .filter(F.col("n_nationkey") > 0)
+        .select(
+            F.col("n_nationkey").alias("src"),
+            (F.col("n_nationkey") / 2).cast("int").alias("dst"),
+        )
+    )
+    seed = spark.createDataFrame([(24,)], "key int")
+    return recursive_cte(
+        seed,
+        lambda f: f.join(edges, f["key"] == edges["src"]).select(F.col("dst").alias("key")),
+        union_all=False,
+    )
+
+
+# ================ TABLE FUNCTIONS (§2.11) ================
+
+@suite.add(
+    "tablefunc_scatter_by",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND("value" * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+    doc="TableFunction over ANYTABLE SCATTER BY user_id "
+        "(nodeTableFunction.c:54) → repartition + mapInPandas; per-key math "
+        "in integer cents so pandas-side order can't matter.",
+    tags=("tablefunc", "udf"),
+)
+def tablefunc_scatter_by(spark, sf_dir):
+    ev = cat(spark, sf_dir).table("events")
+
+    def per_user_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "sum_cents": [int(cents.sum())],
+                "first_ts": [pdf["ts"].min()],
+                "last_ts": [pdf["ts"].max()],
+            }
+        )
+
+    return grouped_table_function(
+        ev,
+        ["user_id"],
+        per_user_stats,
+        "user_id long, n_events long, sum_cents long, first_ts timestamp_ntz, last_ts timestamp_ntz",
+    )
+
+
+@suite.add(
+    "tablefunc_mapinpandas",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROUND("value" * 100) AS BIGINT) AS cents,
+           UPPER(event_type) AS event_type_uc
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    """,
+    doc="row-stream table function (mapInPandas, Arrow-batched) — the "
+        "per-partition path with no scatter (ON ANY).",
+    tags=("tablefunc", "udf"),
+)
+def tablefunc_mapinpandas(spark, sf_dir):
+    ev = cat(spark, sf_dir).table("events").filter(F.col("event_type").isin("purchase", "signup"))
+
+    def transform(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "user_id": pdf["user_id"],
+                    "cents": (pdf["value"] * 100).round().astype("int64"),
+                    "event_type_uc": pdf["event_type"].str.upper(),
+                }
+            )
+            yield out
+
+    return table_function(
+        ev, transform, "event_id long, user_id long, cents long, event_type_uc string"
+    )
+
+
+# ================ INTERPOLATION (interpolate.c) ================
+
+@suite.add(
+    "linear_interpolate_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE "value" END AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), marked AS (
+      SELECT *,
+             MAX(CASE WHEN v IS NOT NULL THEN rn END) OVER
+               (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_rn,
+             MIN(CASE WHEN v IS NOT NULL THEN rn END) OVER
+               (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_rn
+      FROM seq
+    ), endpoints AS (
+      SELECT m.*,
+             pv.v AS prev_v, nx.v AS next_v
+      FROM marked m
+      LEFT JOIN seq pv ON pv.user_id = m.user_id AND pv.rn = m.prev_rn
+      LEFT JOIN seq nx ON nx.user_id = m.user_id AND nx.rn = m.next_rn
+    )
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                THEN prev_v + (next_v - prev_v) * (rn - prev_rn) / (next_rn - prev_rn)
+                END, 6) AS v_filled
+    FROM endpoints
+    """,
+    doc="linear_interpolate (interpolate.c:234): fill NULL runs between "
+        "non-null neighbors; endpoints stay NULL.",
+    tags=("window", "interpolate"),
+)
+def linear_interpolate_gaps(spark, sf_dir):
+    ev = cat(spark, sf_dir).table("events")
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id")))
+        .alias("rn"),
+    )
+    filled = linear_interpolate(seq, ["user_id"], "rn", "v", "v_filled")
+    return filled.select("event_id", "user_id", F.round(F.col("v_filled"), 6).alias("v_filled"))

@@ -1,0 +1,1 @@
+"""External data sources/sinks (reference: external tables + COPY)."""

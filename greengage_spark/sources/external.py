@@ -1,0 +1,131 @@
+"""External tables + COPY-style bulk load/unload.
+
+The reference reads/writes external data through CREATE EXTERNAL TABLE
+(gram.y:5432-5501) over file/gpfdist/http/EXECUTE protocols with TEXT/CSV
+parsing shared with COPY (access/external/fileam.c, commands/copy.c), and
+tolerates bad rows via single-row error handling with a reject limit
+(SREH, src/backend/cdb/cdbsreh.c: ``SEGMENT REJECT LIMIT n [PERCENT]``,
+bad rows to an error log).
+
+Spark mapping: DataFrameReader with PERMISSIVE mode; rejected rows are
+captured through ``columnNameOfCorruptRecord`` (≈ the SREH error log) and
+the reject limit is enforced with a distributed count — no driver-side
+row loop, so the check holds at any scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+class RejectLimitExceeded(Exception):
+    """SREH 'segment reject limit reached' (cdbsreh.c) equivalent."""
+
+
+@dataclass
+class ExternalTable:
+    """READABLE EXTERNAL TABLE: location + format + SREH options.
+
+    fmt: 'csv' | 'text' | 'json' (reference: 't'ext/'c'sv/'b'custom,
+    pg_exttable.h:124-126; json plays the custom-format role here).
+    """
+
+    location: str
+    schema: str | StructType
+    fmt: str = "csv"
+    delimiter: str = ","
+    null_str: str = ""
+    header: bool = False
+    reject_limit: int | None = None
+    reject_percent: bool = False
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        schema = self.schema
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        # corrupt-record column = SREH error log
+        full = StructType(schema.fields + [StructField(CORRUPT_COL, StringType(), True)])
+
+        if self.fmt == "csv":
+            df = (
+                spark.read.schema(full)
+                .option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", CORRUPT_COL)
+                .option("sep", self.delimiter)
+                .option("nullValue", self.null_str)
+                .option("header", str(self.header).lower())
+                .csv(self.location)
+            )
+        elif self.fmt == "json":
+            df = (
+                spark.read.schema(full)
+                .option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", CORRUPT_COL)
+                .json(self.location)
+            )
+        elif self.fmt == "text":
+            # TEXT protocol: delimiter-split line format, same parser family
+            # as COPY (copy.c); tab-delimited by default like PG.
+            df = (
+                spark.read.schema(full)
+                .option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", CORRUPT_COL)
+                .option("sep", self.delimiter if self.delimiter != "," else "\t")
+                .option("nullValue", self.null_str or "\\N")
+                .csv(self.location)
+            )
+        else:
+            raise ValueError(f"unsupported external format {self.fmt!r}")
+
+        if self.reject_limit is not None:
+            df = df.cache()
+            bad = df.filter(F.col(CORRUPT_COL).isNotNull()).count()
+            limit = self.reject_limit
+            if self.reject_percent:
+                total = df.count()
+                if total and 100.0 * bad / total > limit:
+                    raise RejectLimitExceeded(f"{bad}/{total} rows rejected > {limit}%")
+            elif bad > limit:
+                raise RejectLimitExceeded(f"{bad} rows rejected > limit {limit}")
+        return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+def read_with_errors(spark: SparkSession, table: ExternalTable) -> tuple[DataFrame, DataFrame]:
+    """(good_rows, error_log) in one pass — SREH's LOG ERRORS mode."""
+    schema = table.schema
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    full = StructType(schema.fields + [StructField(CORRUPT_COL, StringType(), True)])
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("sep", table.delimiter)
+        .option("header", str(table.header).lower())
+        .csv(table.location)
+        .cache()
+    )
+    return (
+        df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL),
+        df.filter(F.col(CORRUPT_COL).isNotNull()).select(F.col(CORRUPT_COL).alias("errdata")),
+    )
+
+
+def copy_to(df: DataFrame, location: str, fmt: str = "csv", *, header: bool = True, mode: str = "overwrite") -> None:
+    """WRITABLE EXTERNAL TABLE / COPY TO: parallel unload, one file per
+    partition (the reference's COPY ON SEGMENT, copy.c:2071)."""
+    w = df.write.mode(mode)
+    if fmt == "csv":
+        w.option("header", str(header).lower()).csv(location)
+    elif fmt == "json":
+        w.json(location)
+    elif fmt == "parquet":
+        w.parquet(location)
+    else:
+        raise ValueError(f"unsupported unload format {fmt!r}")

@@ -1,0 +1,116 @@
+"""Unit tests for operator helpers: edge semantics the suite queries
+don't isolate (NULL behavior, termination, reject limits)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from greengage_spark.operators.aggregate import linear_interpolate, mode_det
+from greengage_spark.operators.joins import asof_join, not_in_anti_join, range_join
+from greengage_spark.operators.recursive import recursive_cte
+from greengage_spark.sources.external import ExternalTable, RejectLimitExceeded
+
+
+class TestNotInAntiJoin:
+    def test_null_in_right_empties_result(self, spark):
+        left = spark.createDataFrame([(1,), (2,)], "k int")
+        right = spark.createDataFrame([(1,), (None,)], "k int")
+        assert not_in_anti_join(left, right, "k", "k").count() == 0
+
+    def test_null_left_rows_never_qualify(self, spark):
+        left = spark.createDataFrame([(1,), (None,), (3,)], "k int")
+        right = spark.createDataFrame([(1,)], "k int")
+        rows = [r.k for r in not_in_anti_join(left, right, "k", "k").collect()]
+        assert rows == [3]
+
+    def test_plain_anti_when_nullfree(self, spark):
+        left = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+        right = spark.createDataFrame([(2,)], "k int")
+        rows = sorted(r.k for r in not_in_anti_join(left, right, "k", "k").collect())
+        assert rows == [1, 3]
+
+
+class TestAsofJoin:
+    def test_backward_picks_latest_at_or_before(self, spark):
+        left = spark.createDataFrame([(1, 10), (1, 20), (1, 3)], "k int, t int")
+        right = spark.createDataFrame([(1, 5, "a"), (1, 15, "b")], "k int, t int, v string")
+        out = {
+            r.t: r.v
+            for r in asof_join(left, right, ["k"], "t", "t", direction="backward").collect()
+        }
+        assert out == {10: "a", 20: "b", 3: None}
+
+    def test_forward_picks_earliest_at_or_after(self, spark):
+        left = spark.createDataFrame([(1, 10), (1, 20)], "k int, t int")
+        right = spark.createDataFrame([(1, 15, "b")], "k int, t int, v string")
+        out = {
+            r.t: r.v
+            for r in asof_join(left, right, ["k"], "t", "t", direction="forward").collect()
+        }
+        assert out == {10: "b", 20: None}
+
+    def test_exact_timestamp_matches(self, spark):
+        left = spark.createDataFrame([(1, 15)], "k int, t int")
+        right = spark.createDataFrame([(1, 15, "x")], "k int, t int, v string")
+        out = asof_join(left, right, ["k"], "t", "t").collect()
+        assert out[0].v == "x"
+
+
+class TestRangeJoin:
+    def test_boundaries_half_open(self, spark):
+        pts = spark.createDataFrame([(0.0,), (49.9,), (50.0,), (99.0,)], "x double")
+        bands = spark.createDataFrame([("lo", 0.0, 50.0), ("hi", 50.0, 100.0)], "b string, lo double, hi double")
+        out = {(r.x, r.b) for r in range_join(pts, bands, "x", "lo", "hi", bucket_width=50).collect()}
+        assert out == {(0.0, "lo"), (49.9, "lo"), (50.0, "hi"), (99.0, "hi")}
+
+
+class TestRecursiveCte:
+    def test_union_distinct_terminates_on_cycle(self, spark):
+        edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src int, dst int")
+        seed = spark.createDataFrame([(1,)], "k int")
+        out = recursive_cte(
+            seed, lambda f: f.join(edges, f.k == edges.src).select(edges.dst.alias("k"))
+        )
+        assert sorted(r.k for r in out.collect()) == [1, 2, 3]
+
+    def test_union_all_raises_without_convergence(self, spark):
+        seed = spark.createDataFrame([(1,)], "n int")
+        with pytest.raises(RuntimeError, match="converge"):
+            recursive_cte(
+                seed,
+                lambda f: f.select((F.col("n") + 1).alias("n")),
+                union_all=True,
+                max_iterations=3,
+            )
+
+
+class TestExternalTable:
+    def test_reject_limit_exceeded(self, spark, tmp_path):
+        p = tmp_path / "bad.csv"
+        p.write_text("1,a\n2,b\nnot_an_int,c\nalso_bad,d\n")
+        ext = ExternalTable(str(p), "id int, s string", reject_limit=1)
+        with pytest.raises(RejectLimitExceeded):
+            ext.read(spark)
+
+    def test_bad_rows_dropped_within_limit(self, spark, tmp_path):
+        p = tmp_path / "some_bad.csv"
+        p.write_text("1,a\nX,b\n3,c\n")
+        ext = ExternalTable(str(p), "id int, s string", reject_limit=1)
+        rows = sorted(r.id for r in ext.read(spark).collect())
+        assert rows == [1, 3]
+
+
+class TestAggHelpers:
+    def test_mode_tie_breaks_to_smallest(self, spark):
+        df = spark.createDataFrame([("g", 5), ("g", 5), ("g", 2), ("g", 2), ("g", 9)], "g string, v int")
+        out = mode_det(df, ["g"], "v", "m").collect()
+        assert out[0].m == 2
+
+    def test_linear_interpolate_endpoints_stay_null(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, None), ("a", 2, 10.0), ("a", 3, None), ("a", 4, 30.0), ("a", 5, None)],
+            "g string, x int, v double",
+        )
+        out = {r.x: r.out for r in linear_interpolate(df, ["g"], "x", "v", "out").collect()}
+        assert out[1] is None and out[5] is None
+        assert out[3] == 20.0 and out[2] == 10.0 and out[4] == 30.0
