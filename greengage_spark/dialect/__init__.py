@@ -1,0 +1,11 @@
+"""PostgreSQL/Greenplum SQL dialect front-end.
+
+The reference parses PG 9.4 SQL + GP extensions (gram.y, 17,306 LoC).
+We don't re-implement the grammar — Spark SQL's parser covers the ANSI
+core — we transpile the PG-specific surface (operators like ``::``,
+``->``, ``~``, pattern dialects like to_char) into Spark SQL and hand the
+result to Catalyst.
+"""
+
+from greengage_spark.dialect.transpiler import pg_sql, transpile  # noqa: F401
+from greengage_spark.dialect.datetime_patterns import pg_pattern_to_java  # noqa: F401

@@ -1,0 +1,90 @@
+"""PG to_char/to_date pattern dialect → Java DateTimeFormatter patterns.
+
+The reference implements the template-pattern language in
+src/backend/utils/adt/formatting.c (to_char/to_date/to_timestamp).  Spark
+uses Java patterns (``yyyy-MM-dd``), so expressions like
+``to_char(ts, 'YYYY-MM-DD')`` need the pattern string translated before
+they can become ``date_format(ts, 'yyyy-MM-dd')``.
+
+Only datetime templates are handled; numeric to_char formatting (9,0,FM
+money templates) is out of scope for now.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Longest-match-first template tokens (formatting.c DCH_ keywords).
+_DCH_MAP: list[tuple[str, str]] = [
+    ("YYYY", "yyyy"),
+    ("YYY", "yyy"),
+    ("YY", "yy"),
+    ("Y", "y"),
+    ("IYYY", "YYYY"),  # ISO week-numbering year
+    ("IW", "ww"),
+    ("MONTH", "MMMM"),  # PG uppercases; Java keeps case — documented divergence
+    ("Month", "MMMM"),
+    ("month", "MMMM"),
+    ("MON", "MMM"),
+    ("Mon", "MMM"),
+    ("mon", "MMM"),
+    ("MM", "MM"),
+    ("DDD", "DDD"),
+    ("DD", "dd"),
+    ("DAY", "EEEE"),
+    ("Day", "EEEE"),
+    ("day", "EEEE"),
+    ("DY", "EEE"),
+    ("Dy", "EEE"),
+    ("dy", "EEE"),
+    ("HH24", "HH"),
+    ("HH12", "hh"),
+    ("HH", "hh"),
+    ("MI", "mm"),
+    ("SSSS", "ss"),  # seconds past midnight not supported; nearest
+    ("SS", "ss"),
+    ("MS", "SSS"),
+    ("US", "SSSSSS"),
+    ("AM", "a"),
+    ("PM", "a"),
+    ("A.M.", "a"),
+    ("P.M.", "a"),
+    ("am", "a"),
+    ("pm", "a"),
+    ("TZ", "zz"),
+    ("OF", "x"),
+    ("Q", "Q"),
+    ("WW", "ww"),
+    ("W", "W"),
+    ("J", "g"),  # Julian day ≈ modified julian; imperfect
+    ("CC", "yy"),  # century unsupported; degrade
+]
+
+_TOKEN_RE = re.compile(
+    "|".join(re.escape(k) for k, _ in sorted(_DCH_MAP, key=lambda kv: -len(kv[0])))
+    + r"|FM|TH|th|\"[^\"]*\"|."
+)
+
+_LOOKUP = dict(_DCH_MAP)
+
+
+def pg_pattern_to_java(pattern: str) -> str:
+    """Translate a PG datetime template into a Java pattern.
+
+    Unknown letters are quoted as literals (Java treats stray alphabetics
+    as pattern letters; PG treats them as literal text).
+    """
+    out: list[str] = []
+    for m in _TOKEN_RE.finditer(pattern):
+        tok = m.group(0)
+        if tok in ("FM", "TH", "th"):
+            continue  # fill/ordinal modifiers: no Java equivalent, drop
+        if tok in _LOOKUP:
+            out.append(_LOOKUP[tok])
+        elif tok.startswith('"') and tok.endswith('"'):
+            out.append("'" + tok[1:-1].replace("'", "''") + "'")
+        elif tok.isalpha():
+            out.append(f"'{tok}'")
+        else:
+            out.append(tok)
+    return "".join(out)

@@ -1,0 +1,419 @@
+"""PostgreSQL/Greenplum SQL → Spark SQL transpiler.
+
+Token-level rewriting of the PG-specific surface the reference's grammar
+accepts (src/backend/parser/gram.y) into Spark SQL:
+
+  expr::type            → CAST(expr AS sparktype)     (gram.y Typecast)
+  j -> 'k', j ->> 'k'   → get_json_object(j, '$.k')   (json.c operators)
+  j #> '{a,b}'          → get_json_object(j, '$.a.b')
+  s ~ 'p' / ~* / !~ / !~*  → [NOT] s RLIKE '(?i)p'    (regexp.c operators)
+  to_char(ts,'YYYY-MM') → date_format(ts,'yyyy-MM')   (formatting.c)
+  to_date/to_timestamp  → pattern-translated builtins
+  date_part('dow',x)    → PG day numbering (Sunday=0)
+  generate_series(a,b) in FROM → explode(sequence())  (nodeFunctionscan.c)
+  gp_segment_id         → spark_partition_id()
+  PG function aliases   → Spark names (strpos→instr, log→log10, …)
+
+ILIKE, ||, BETWEEN SYMMETRIC-less forms, EXTRACT, INTERVAL literals and
+LATERAL pass through — Spark SQL parses them natively.
+
+The tokenizer understands PG string literals (''-escaped, E''), quoted
+identifiers, comments and numbers, so rewrites never fire inside strings.
+"""
+
+from __future__ import annotations
+
+import re
+
+from greengage_spark.dialect.datetime_patterns import pg_pattern_to_java
+
+# ---------------------------------------------------------------- tokenizer
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<string>   [Ee]?'(?:[^']|'')*' )
+    | (?P<qident>   "[^"]*" )
+    | (?P<comment>  --[^\n]* | /\*.*?\*/ )
+    | (?P<number>   \d+\.\d*([Ee][+-]?\d+)? | \.\d+([Ee][+-]?\d+)? | \d+([Ee][+-]?\d+)? )
+    | (?P<ident>    [A-Za-z_][A-Za-z0-9_$]* )
+    | (?P<op>       ::|->>|->|\#>>|\#>|!~\*|!~|~\*|\|\||<=|>=|<>|!=|=> )
+    | (?P<ws>       \s+ )
+    | (?P<other>    . )
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def tokenize(sql: str) -> list[str]:
+    toks: list[str] = []
+    for m in _TOKEN_RE.finditer(sql):
+        if m.lastgroup in ("ws", "comment"):
+            continue
+        toks.append(m.group(0))
+    return toks
+
+
+def _is_string(t: str) -> bool:
+    return t.endswith("'") and (t.startswith("'") or t[:1] in "eE" and t[1:2] == "'")
+
+
+def _is_ident(t: str) -> bool:
+    return bool(re.match(r'^[A-Za-z_"]', t)) and not _is_string(t)
+
+
+def _is_operand_end(t: str) -> bool:
+    return t == ")" or t == "]" or _is_ident(t) or _is_string(t) or re.match(r"^[\d.]", t)
+
+
+# ------------------------------------------------------------- operand span
+
+# Keywords that can directly precede a parenthesized expression — never the
+# function name of a call (SELECT (a+b)::int, WHERE (x)~'p', ...).
+_NON_FUNC_KEYWORDS = {
+    "select", "from", "where", "and", "or", "not", "on", "as", "in", "is",
+    "by", "having", "when", "then", "else", "case", "end", "join", "union",
+    "all", "distinct", "between", "like", "ilike", "exists", "values",
+    "group", "order", "limit", "offset", "over", "partition", "interval",
+    "set", "returning",
+}
+
+
+def _operand_start(toks: list[str], end: int) -> int:
+    """Index of the first token of the operand that ends at toks[end]."""
+    i = end
+    if toks[i] in (")", "]"):
+        opener = "(" if toks[i] == ")" else "["
+        depth = 0
+        while i >= 0:
+            if toks[i] in (")", "]"):
+                depth += 1
+            elif toks[i] in ("(", "["):
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        # include a function name / array base before the paren
+        if i > 0 and _is_ident(toks[i - 1]) and toks[i - 1].lower() not in _NON_FUNC_KEYWORDS:
+            i -= 1
+    # qualified names: a.b.c
+    while i >= 2 and toks[i - 1] == "." and _is_ident(toks[i - 2]):
+        i -= 2
+    return i
+
+
+# ------------------------------------------------------------------- passes
+
+_TYPE_MAP = {
+    "int2": "SMALLINT", "smallint": "SMALLINT",
+    "int4": "INT", "int": "INT", "integer": "INT",
+    "int8": "BIGINT", "bigint": "BIGINT", "oid": "BIGINT",
+    "float4": "FLOAT", "real": "FLOAT",
+    "float8": "DOUBLE",
+    "bool": "BOOLEAN", "boolean": "BOOLEAN",
+    "text": "STRING", "varchar": "STRING", "char": "STRING",
+    "bpchar": "STRING", "name": "STRING", "citext": "STRING",
+    "bytea": "BINARY",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP_NTZ", "timestamptz": "TIMESTAMP",
+    "time": "STRING", "json": "STRING", "jsonb": "STRING",
+    "uuid": "STRING", "regclass": "STRING",
+    "numeric": "DECIMAL(38,18)", "decimal": "DECIMAL(38,18)",
+}
+
+_PARAMETERIZED = {"numeric", "decimal"}  # keep (p,s); others drop args
+
+
+def _pass_casts(toks: list[str]) -> list[str]:
+    while True:
+        try:
+            i = toks.index("::")
+        except ValueError:
+            return toks
+        start = _operand_start(toks, i - 1)
+        tname = toks[i + 1].lower()
+        end = i + 1
+        mapped = _TYPE_MAP.get(tname)
+        # double precision (two words)
+        if tname == "double" and i + 2 < len(toks) and toks[i + 2].lower() == "precision":
+            mapped, end = "DOUBLE", i + 2
+        elif mapped is None:
+            raise ValueError(f"unsupported cast target type: {tname}")
+        if end + 1 < len(toks) and toks[end + 1] == "(":
+            j = end + 1
+            depth = 0
+            while j < len(toks):
+                if toks[j] == "(":
+                    depth += 1
+                elif toks[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if tname in _PARAMETERIZED:
+                mapped = "DECIMAL" + "".join(toks[end + 1 : j + 1])
+            end = j
+        toks = (
+            toks[:start]
+            + ["CAST", "("] + toks[start:i] + ["AS", mapped, ")"]
+            + toks[end + 1 :]
+        )
+
+
+def _json_path_elem(tok: str) -> str:
+    if _is_string(tok):
+        return tok.strip("'")
+    return f"[{tok}]"
+
+
+def _pass_json_ops(toks: list[str]) -> list[str]:
+    while True:
+        idx = next((i for i, t in enumerate(toks) if t in ("->", "->>", "#>", "#>>")), None)
+        if idx is None:
+            return toks
+        op = toks[idx]
+        start = _operand_start(toks, idx - 1)
+        left = toks[start:idx]
+        rhs = toks[idx + 1]
+        if op in ("#>", "#>>"):
+            if not _is_string(rhs):
+                raise ValueError("#> requires a '{a,b}' path literal")
+            parts = rhs.strip("'").strip("{}").split(",")
+            path = "$." + ".".join(p.strip() for p in parts)
+        else:
+            if _is_string(rhs):
+                path = "$." + rhs.strip("'")
+            elif re.match(r"^\d+$", rhs):
+                path = f"$[{rhs}]"
+            else:
+                raise ValueError(f"json operator needs a literal key, got {rhs!r}")
+        # collapse an existing get_json_object(left, '$.a') chain into one path
+        if (
+            len(left) >= 4
+            and left[0] == "get_json_object"
+            and left[-1] == ")"
+            and _is_string(left[-2])
+        ):
+            base = left[:-2]
+            prev_path = left[-2].strip("'")
+            merged = prev_path + path[1:]  # drop the second '$'
+            new = base + [f"'{merged}'", ")"]
+        else:
+            new = ["get_json_object", "("] + left + [",", f"'{path}'", ")"]
+        toks = toks[:start] + new + toks[idx + 2 :]
+
+
+def _pass_regex_ops(toks: list[str]) -> list[str]:
+    while True:
+        idx = next((i for i, t in enumerate(toks) if t in ("~", "~*", "!~", "!~*")), None)
+        if idx is None:
+            return toks
+        op = toks[idx]
+        start = _operand_start(toks, idx - 1)
+        left = toks[start:idx]
+        rhs = toks[idx + 1]
+        ci = op.endswith("*")
+        neg = op.startswith("!")
+        if ci:
+            if _is_string(rhs):
+                pat = ["'(?i)" + rhs.strip("'").lstrip("eE") + "'"]
+            else:
+                pat = ["concat", "(", "'(?i)'", ",", rhs, ")"]
+        else:
+            pat = [rhs]
+        new = ["("] + left + ["RLIKE"] + pat + [")"]
+        if neg:
+            new = ["(", "NOT"] + new + [")"]
+        toks = toks[:start] + new + toks[idx + 2 :]
+
+
+_FUNC_RENAME = {
+    "strpos": "instr",
+    "char_length": "length",
+    "character_length": "length",
+    "octet_length": "octet_length",
+    "btrim": "trim",
+    "random": "rand",
+    "cardinality": "size",
+    "string_to_array": "split",
+    "array_to_string": "array_join",
+    "unnest": "explode",
+    "now": "current_timestamp",
+    "clock_timestamp": "current_timestamp",
+    "statement_timestamp": "current_timestamp",
+    "transaction_timestamp": "current_timestamp",
+    "json_array_length": "json_array_length",
+    "array_append": "array_append",
+    "array_cat": "concat",
+    "array_position": "array_position",
+    "ceiling": "ceil",
+}
+
+
+def _args_span(toks: list[str], open_paren: int) -> int:
+    depth = 0
+    j = open_paren
+    while j < len(toks):
+        if toks[j] == "(":
+            depth += 1
+        elif toks[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+        j += 1
+    raise ValueError("unbalanced parens")
+
+
+def _split_args(toks: list[str]) -> list[list[str]]:
+    args: list[list[str]] = []
+    cur: list[str] = []
+    depth = 0
+    for t in toks:
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        if t == "," and depth == 0:
+            args.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        args.append(cur)
+    return args
+
+
+def _pass_functions(toks: list[str]) -> list[str]:
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        low = t.lower() if _is_ident(t) else None
+        nxt = out[i + 1] if i + 1 < len(out) else None
+
+        if low == "gp_segment_id":
+            out[i : i + 1] = ["spark_partition_id", "(", ")"]
+            i += 3
+            continue
+
+        if low and nxt == "(":
+            close = _args_span(out, i + 1)
+            args = _split_args(out[i + 2 : close])
+
+            if low in ("to_char", "to_date", "to_timestamp") and len(args) == 2 and len(args[1]) == 1 and _is_string(args[1][0]):
+                java = pg_pattern_to_java(args[1][0].strip("'"))
+                fname = {"to_char": "date_format", "to_date": "to_date", "to_timestamp": "to_timestamp"}[low]
+                out[i : close + 1] = (
+                    [fname, "("] + args[0] + [",", f"'{java}'", ")"]
+                )
+                i += 2  # past fname+'(' — to_date maps to itself, don't re-match
+                continue
+            if low == "date_part" and len(args) == 2 and _is_string(args[0][0]):
+                field = args[0][0].strip("'").lower()
+                if field == "dow":
+                    # PG: Sunday=0 .. Saturday=6; Spark dayofweek: Sunday=1
+                    out[i : close + 1] = ["(", "dayofweek", "("] + args[1] + [")", "-", "1", ")"]
+                    continue
+                if field == "epoch":
+                    out[i : close + 1] = ["unix_timestamp", "("] + args[1] + [")"]
+                    continue
+            if low in ("array_length", "array_upper") and len(args) == 2:
+                out[i : close + 1] = ["size", "("] + args[0] + [")"]
+                continue
+            if low == "encode" and len(args) == 2 and args[1] == ["'hex'"]:
+                out[i : close + 1] = ["lower", "(", "hex", "("] + args[0] + [")", ")"]
+                continue
+            if low == "decode" and len(args) == 2 and args[1] == ["'hex'"]:
+                out[i : close + 1] = ["unhex", "("] + args[0] + [")"]
+                continue
+            if low == "json_extract_path_text":
+                path = "$." + ".".join(a[0].strip("'") for a in args[1:])
+                out[i : close + 1] = ["get_json_object", "("] + args[0] + [",", f"'{path}'", ")"]
+                continue
+            if low == "log" and len(args) == 1:
+                out[i] = "log10"
+                i += 1
+                continue
+            if low == "median" and len(args) == 1:
+                out[i : close + 1] = ["percentile", "("] + args[0] + [",", "0.5", ")"]
+                continue
+            if low == "div" and len(args) == 2:
+                out[i : close + 1] = ["("] + args[0] + ["DIV"] + args[1] + [")"]
+                continue
+            if low in _FUNC_RENAME:
+                out[i] = _FUNC_RENAME[low]
+                i += 1
+                continue
+        i += 1
+    return out
+
+
+def _pass_subscripts(toks: list[str]) -> list[str]:
+    """PG 1-based array subscripts/slices → element_at/slice.
+
+    ``arr[2]`` → element_at(arr, 2); ``arr[2:4]`` → slice(arr, 2, 3).
+    Spark's own ``[]`` operator is 0-based, so leaving subscripts untouched
+    would silently shift every access by one (arrayfuncs.c is 1-based).
+    """
+    while True:
+        idx = None
+        for i in range(len(toks) - 2):
+            if (
+                toks[i] == "["
+                and i > 0
+                and _is_operand_end(toks[i - 1])
+                and re.match(r"^\d+$", toks[i + 1])
+                and toks[i + 2] in ("]", ":")
+            ):
+                idx = i
+                break
+        if idx is None:
+            return toks
+        start = _operand_start(toks, idx - 1)
+        left = toks[start:idx]
+        lo = toks[idx + 1]
+        if toks[idx + 2] == "]":
+            new = ["element_at", "("] + left + [",", lo, ")"]
+            end = idx + 2
+        else:
+            hi = toks[idx + 3]
+            count = str(int(hi) - int(lo) + 1)
+            new = ["slice", "("] + left + [",", lo, ",", count, ")"]
+            end = idx + 4
+        toks = toks[:start] + new + toks[end + 1 :]
+
+
+_GENSERIES_FROM_RE = re.compile(
+    r"\bFROM\s+generate_series\s*\(([^()]*)\)\s*(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_from_generate_series(sql: str) -> str:
+    """FROM generate_series(a,b) [AS] t(x) → FROM (SELECT explode(sequence(a,b)) AS x) t"""
+    return _GENSERIES_FROM_RE.sub(
+        lambda m: f"FROM (SELECT explode(sequence({m.group(1)})) AS {m.group(3)}) {m.group(2)}",
+        sql,
+    )
+
+
+def transpile(sql: str) -> str:
+    """PG/Greenplum SQL → Spark SQL."""
+    if re.search(r"\bDISTINCT\s+ON\b", sql, re.IGNORECASE):
+        raise NotImplementedError(
+            "DISTINCT ON: rewrite as row_number() OVER (PARTITION BY ...) = 1"
+        )
+    sql = _rewrite_from_generate_series(sql)
+    toks = tokenize(sql)
+    toks = _pass_casts(toks)
+    toks = _pass_json_ops(toks)
+    toks = _pass_regex_ops(toks)
+    toks = _pass_functions(toks)
+    toks = _pass_subscripts(toks)
+    # re-join with spaces; '.' binds tight (qualified names)
+    return " ".join(toks).replace(" . ", ".")
+
+
+def pg_sql(spark, sql: str):
+    """Run PG-dialect SQL on Spark (the exec_simple_query entry point,
+    postgres.c:1622 — ours is transpile + Catalyst)."""
+    return spark.sql(transpile(sql))

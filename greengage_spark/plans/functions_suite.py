@@ -1,0 +1,352 @@
+"""Dialect + scalar-function queries (SURVEY §2.8, §7 M3).
+
+Each query enters through the PG-dialect front-end (``pg_sql`` =
+transpile → spark.sql), the path a reference user's SQL would take.  The
+oracle is the same PG-flavored statement in DuckDB's dialect (DuckDB
+natively accepts ``::``, ILIKE, ``->>``), so the check exercises both the
+transpiler and the function-surface semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from greengage_spark.catalog import register_tables
+from greengage_spark.dialect import pg_sql
+from greengage_spark.plans.common import Suite
+
+suite = Suite("functions")
+
+
+def _pg(spark, sf_dir, sql: str, tables: list[str]):
+    register_tables(spark, sf_dir, tables)
+    return pg_sql(spark, sql)
+
+
+@suite.add(
+    "dialect_casts",
+    oracle="""
+    SELECT o_orderkey::text AS key_str,
+           o_totalprice::decimal(12,2)::double AS price_dec,
+           o_orderstatus || '-' || o_orderpriority AS tagged,
+           o_orderdate::date AS odate
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    doc="::casts + || concat (gram.y Typecast / varlena textcat).",
+    tags=("dialect",),
+)
+def dialect_casts(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey::text AS key_str,
+               o_totalprice::numeric(12,2)::float8 AS price_dec,
+               o_orderstatus || '-' || o_orderpriority AS tagged,
+               o_orderdate::date AS odate
+        FROM orders WHERE o_orderkey < 1000
+        """,
+        ["orders"],
+    )
+
+
+@suite.add(
+    "dialect_json_ops",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM((props->>'k')::int) AS BIGINT) AS sum_k,
+           COUNT(*) FILTER (WHERE (props->>'k')::int > 50) AS cnt_high
+    FROM events GROUP BY event_type
+    """,
+    doc="-> / ->> json operators (json.c) → get_json_object.",
+    tags=("dialect", "json"),
+)
+def dialect_json_ops(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT event_type,
+               SUM((props->>'k')::int8) AS sum_k,
+               COUNT(CASE WHEN (props->>'k')::int8 > 50 THEN 1 END) AS cnt_high
+        FROM events GROUP BY event_type
+        """,
+        ["events"],
+    )
+
+
+@suite.add(
+    "dialect_ilike_regex",
+    oracle="""
+    SELECT p_name, p_type
+    FROM part
+    WHERE p_name ILIKE '%GEAR%' AND regexp_matches(p_type, '^(PRO|ECO)')
+      AND NOT regexp_matches(p_name, '(?i)WIDGET')
+    """,
+    doc="ILIKE + ~ / !~* regex operators (like.c, regexp.c).",
+    tags=("dialect", "regex"),
+)
+def dialect_ilike_regex(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT p_name, p_type
+        FROM part
+        WHERE p_name ILIKE '%GEAR%' AND p_type ~ '^(PRO|ECO)' AND p_name !~* 'WIDGET'
+        """,
+        ["part"],
+    )
+
+
+@suite.add(
+    "dialect_to_char",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month, COUNT(*) AS cnt
+    FROM orders GROUP BY 1
+    """,
+    doc="to_char PG datetime templates (formatting.c) → date_format.",
+    tags=("dialect", "datetime"),
+)
+def dialect_to_char(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        "SELECT to_char(o_orderdate, 'YYYY-MM') AS order_month, COUNT(*) AS cnt FROM orders GROUP BY 1",
+        ["orders"],
+    )
+
+
+@suite.add(
+    "dialect_date_funcs",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS y,
+           CAST(EXTRACT(dow FROM l_shipdate) AS INT) AS dow,
+           CAST(date_trunc('month', l_shipdate) AS DATE) AS month_start,
+           COUNT(*) AS cnt
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+    doc="extract/date_part/date_trunc (timestamp.c) incl. PG dow numbering.",
+    tags=("dialect", "datetime"),
+)
+def dialect_date_funcs(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT extract(year FROM l_shipdate)::int4 AS y,
+               date_part('dow', l_shipdate)::int4 AS dow,
+               date_trunc('month', l_shipdate)::date AS month_start,
+               COUNT(*) AS cnt
+        FROM lineitem WHERE l_shipdate < '1995-04-01'::timestamp
+        GROUP BY 1, 2, 3
+        """,
+        ["lineitem"],
+    )
+
+
+@suite.add(
+    "dialect_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           split_part(c_name, '#', 2) AS cust_num,
+           strpos(c_name, '#') AS hash_pos,
+           upper(substr(c_mktsegment, 1, 4)) AS seg4,
+           lpad(c_custkey::text, 10, '0') AS padded,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS transl,
+           md5(c_name) AS name_md5,
+           length(c_name) AS name_len
+    FROM customer WHERE c_custkey < 100
+    """,
+    doc="string surface (varlena.c, oracle_compat.c): split_part, strpos, "
+        "lpad, translate, md5.",
+    tags=("dialect", "string"),
+)
+def dialect_string_funcs(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey,
+               split_part(c_name, '#', 2) AS cust_num,
+               strpos(c_name, '#') AS hash_pos,
+               upper(substr(c_mktsegment, 1, 4)) AS seg4,
+               lpad(c_custkey::text, 10, '0') AS padded,
+               translate(c_mktsegment, 'AEIOU', 'aeiou') AS transl,
+               md5(c_name) AS name_md5,
+               length(c_name) AS name_len
+        FROM customer WHERE c_custkey < 100
+        """,
+        ["customer"],
+    )
+
+
+@suite.add(
+    "dialect_math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           abs(p_size - 25) AS dist25,
+           CAST(ceil(p_retailprice / 100) AS BIGINT) AS price_ceil,
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS price_floor,
+           round(p_retailprice / 7, 2) AS price_r2,
+           power(p_size, 2) AS size_sq,
+           round(sqrt(p_size), 6) AS size_sqrt,
+           round(ln(p_retailprice), 6) AS price_ln,
+           round(log(p_retailprice), 6) AS price_log10,
+           mod(p_partkey, 7) AS key_mod,
+           CAST(CASE WHEN p_retailprice < 0 THEN 0
+                     WHEN p_retailprice >= 2000 THEN 11
+                     ELSE FLOOR(p_retailprice / 200) + 1 END AS BIGINT) AS price_bucket
+    FROM part WHERE p_partkey < 100
+    """,
+    doc="math surface (float.c/numeric.c): PG log()=log10, width_bucket.",
+    tags=("dialect", "math"),
+)
+def dialect_math_funcs(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT p_partkey,
+               abs(p_size - 25) AS dist25,
+               ceil(p_retailprice / 100) AS price_ceil,
+               floor(p_retailprice / 100) AS price_floor,
+               round(p_retailprice / 7, 2) AS price_r2,
+               power(p_size, 2) AS size_sq,
+               round(sqrt(p_size), 6) AS size_sqrt,
+               round(ln(p_retailprice), 6) AS price_ln,
+               round(log(p_retailprice), 6) AS price_log10,
+               mod(p_partkey, 7) AS key_mod,
+               width_bucket(p_retailprice, 0, 2000, 10) AS price_bucket
+        FROM part WHERE p_partkey < 100
+        """,
+        ["part"],
+    )
+
+
+@suite.add(
+    "dialect_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           array_length(string_split(text, ' '), 1) AS n_tokens,
+           string_split(text, ' ')[1] AS first_token,
+           array_to_string(string_split(text, ' ')[1:3], '_') AS first3
+    FROM documents WHERE doc_id < 50
+    """,
+    doc="array surface (arrayfuncs.c): string_to_array, array_length, "
+        "array_to_string, 1-based subscripts/slices → element_at/slice.",
+    tags=("dialect", "array"),
+)
+def dialect_array_funcs(spark, sf_dir):
+    register_tables(spark, sf_dir, ["documents"])
+    return pg_sql(
+        spark,
+        """
+        SELECT doc_id,
+               array_length(string_to_array(text, ' '), 1) AS n_tokens,
+               string_to_array(text, ' ')[1] AS first_token,
+               array_to_string(string_to_array(text, ' ')[1:3], '_') AS first3
+        FROM documents WHERE doc_id < 50
+        """,
+    )
+
+
+@suite.add(
+    "dialect_generate_series",
+    oracle="""
+    SELECT g AS bucket_lo, g + 9 AS bucket_hi,
+           (SELECT COUNT(*) FROM part WHERE p_size >= g AND p_size < g + 10) AS n_parts
+    FROM generate_series(0, 49, 10) t(g)
+    """,
+    doc="generate_series in FROM (nodeFunctionscan.c) + correlated scalar "
+        "subquery per row.",
+    tags=("dialect", "function_scan"),
+)
+def dialect_generate_series(spark, sf_dir):
+    register_tables(spark, sf_dir, ["part"])
+    return pg_sql(
+        spark,
+        """
+        SELECT g AS bucket_lo, g + 9 AS bucket_hi,
+               (SELECT COUNT(*) FROM part WHERE p_size >= g AND p_size < g + 10) AS n_parts
+        FROM generate_series(0, 49, 10) t(g)
+        """,
+    )
+
+
+@suite.add(
+    "dialect_case_nullif",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(NULLIF(o_orderpriority, '5-LOW')) AS non_low,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_label,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY 1, 3
+    """,
+    doc="CASE/NULLIF/COALESCE conditional surface.",
+    tags=("dialect",),
+)
+def dialect_case_nullif(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderstatus,
+               COUNT(NULLIF(o_orderpriority, '5-LOW')) AS non_low,
+               COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_label,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 3
+        """,
+        ["orders"],
+    )
+
+
+@suite.add(
+    "dialect_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CAST(o_orderdate AS DATE) + 90 AS followup_date
+    FROM orders WHERE o_orderkey < 200
+    """,
+    doc="interval arithmetic + date+int (timestamp.c operators).",
+    tags=("dialect", "datetime"),
+)
+def dialect_interval_arith(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               o_orderdate + INTERVAL '30' DAY AS due_date,
+               date_add(o_orderdate::date, 90) AS followup_date
+        FROM orders WHERE o_orderkey < 200
+        """,
+        ["orders"],
+    )
+
+
+@suite.add(
+    "dialect_encode_hex",
+    oracle="""
+    SELECT n_nationkey,
+           lower(hex(n_name)) AS name_hex,
+           md5(n_name) AS name_md5
+    FROM nation
+    """,
+    doc="encode(...,'hex') (encode.c) → hex(); md5 (pgcrypto surface).",
+    tags=("dialect", "hash"),
+)
+def dialect_encode_hex(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT n_nationkey,
+               encode(n_name::bytea, 'hex') AS name_hex,
+               md5(n_name) AS name_md5
+        FROM nation
+        """,
+        ["nation"],
+    )

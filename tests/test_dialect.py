@@ -1,0 +1,132 @@
+"""Transpiler unit tests: PG surface → Spark SQL, checked at the string
+level (fast, no session) plus a few end-to-end sanity runs."""
+
+import pytest
+
+from greengage_spark.dialect.datetime_patterns import pg_pattern_to_java
+from greengage_spark.dialect.transpiler import pg_sql, transpile
+
+
+def norm(s: str) -> str:
+    return " ".join(s.split())
+
+
+class TestCasts:
+    def test_simple(self):
+        assert "CAST ( o_orderkey AS STRING )" in transpile("SELECT o_orderkey::text FROM t")
+
+    def test_parenthesized_expr(self):
+        assert "CAST ( ( a + b ) AS DOUBLE )" in transpile("SELECT (a + b)::float8 FROM t")
+
+    def test_function_call_operand(self):
+        assert "CAST ( sum ( x ) AS BIGINT )" in transpile("SELECT sum(x)::bigint FROM t")
+
+    def test_numeric_keeps_precision(self):
+        assert "DECIMAL(12,2)" in transpile("SELECT x::numeric(12,2) FROM t")
+
+    def test_qualified_column(self):
+        assert "CAST ( c.x AS INT )" in transpile("SELECT c.x::int4 FROM t")
+
+    def test_chained_cast(self):
+        out = transpile("SELECT x::numeric(10,2)::float8 FROM t")
+        assert "CAST ( CAST ( x AS DECIMAL(10,2) ) AS DOUBLE )" in out
+
+    def test_double_precision(self):
+        assert "AS DOUBLE" in transpile("SELECT x::double precision FROM t")
+
+    def test_string_literal_not_rewritten(self):
+        out = transpile("SELECT 'a::b' FROM t")
+        assert "'a::b'" in out and "CAST" not in out
+
+    def test_unknown_type_raises(self):
+        with pytest.raises(ValueError, match="unsupported cast"):
+            transpile("SELECT x::tsvector FROM t")
+
+
+class TestJsonOps:
+    def test_arrow_text(self):
+        assert "get_json_object ( props , '$.k' )" in transpile("SELECT props->>'k' FROM t")
+
+    def test_chain_collapses(self):
+        out = transpile("SELECT props->'a'->>'b' FROM t")
+        assert "get_json_object ( props , '$.a.b' )" in out
+
+    def test_hash_path(self):
+        out = transpile("SELECT j #>> '{a,b}' FROM t")
+        assert "get_json_object ( j , '$.a.b' )" in out
+
+    def test_int_index(self):
+        assert "'$[0]'" in transpile("SELECT j -> 0 FROM t")
+
+
+class TestRegexOps:
+    def test_case_sensitive(self):
+        assert "RLIKE" in transpile("SELECT x ~ 'p' FROM t")
+
+    def test_case_insensitive_merges_flag(self):
+        assert "'(?i)^foo'" in transpile("SELECT x ~* '^foo' FROM t")
+
+    def test_negated(self):
+        out = transpile("SELECT x !~ 'p' FROM t")
+        assert "NOT" in out and "RLIKE" in out
+
+
+class TestFunctions:
+    def test_to_char(self):
+        out = transpile("SELECT to_char(ts, 'YYYY-MM-DD') FROM t")
+        assert "date_format ( ts , 'yyyy-MM-dd' )" in out
+
+    def test_to_date_no_infinite_loop(self):
+        out = transpile("SELECT to_date(a, 'YYYY'), to_date(b, 'YYYY') FROM t")
+        assert out.count("to_date") == 2
+
+    def test_dow_is_pg_numbering(self):
+        assert "dayofweek" in transpile("SELECT date_part('dow', d) FROM t")
+
+    def test_log_is_log10(self):
+        assert "log10" in transpile("SELECT log(x) FROM t")
+        assert "log (" in transpile("SELECT log(2, x) FROM t")
+
+    def test_gp_segment_id(self):
+        assert "spark_partition_id" in transpile("SELECT gp_segment_id FROM t")
+
+    def test_generate_series_in_from(self):
+        out = transpile("SELECT g FROM generate_series(1, 10) t(g)")
+        assert "explode ( sequence ( 1 , 10 ) )" in out
+
+
+class TestSubscripts:
+    def test_index_is_one_based(self):
+        assert "element_at ( arr , 2 )" in transpile("SELECT arr[2] FROM t")
+
+    def test_slice(self):
+        assert "slice ( arr , 2 , 3 )" in transpile("SELECT arr[2:4] FROM t")
+
+    def test_distinct_on_rejected(self):
+        with pytest.raises(NotImplementedError):
+            transpile("SELECT DISTINCT ON (a) a, b FROM t")
+
+
+class TestPatterns:
+    @pytest.mark.parametrize(
+        "pg,java",
+        [
+            ("YYYY-MM-DD", "yyyy-MM-dd"),
+            ("HH24:MI:SS", "HH:mm:ss"),
+            ("Mon DD, YYYY", "MMM dd, yyyy"),
+            ("YYYY-MM-DD HH12:MI AM", "yyyy-MM-dd hh:mm a"),
+            ('"week" WW', "'week' ww"),
+        ],
+    )
+    def test_translation(self, pg, java):
+        assert pg_pattern_to_java(pg) == java
+
+
+class TestEndToEnd:
+    def test_pg_sql_runs(self, spark):
+        out = pg_sql(spark, "SELECT 42::int8 AS x, 'a'||'b' AS s, md5('q') AS h").collect()
+        assert out[0].x == 42 and out[0].s == "ab"
+
+    def test_subscript_semantics(self, spark):
+        row = pg_sql(spark, "SELECT (string_to_array('a b c', ' '))[1] AS first").collect()[0]
+        assert row.first == "a"
