@@ -1,0 +1,15 @@
+"""LLM-training-data pipeline operators (beyond-reference surface).
+
+The reference is a batch MPP RDBMS with no dedup/similarity/multimodal
+operators; these are net-new capabilities (BASELINE.json north star)
+built Spark-first and designed for 100 TB:
+
+  dedup       — exact, MinHash+LSH, SimHash, n-gram Jaccard
+  similarity  — brute-force cosine top-k + LSH-bucketed ANN
+  text        — language id, quality scoring, token counting, fingerprints
+  multimodal  — binary media columns: schema, batching, decode stubs
+
+Design rules: no O(n²) pair enumeration (LSH banding → equi-join on
+bucket), no Python in the hot path except Arrow-batched mapInPandas for
+media decode, everything else JVM expressions.
+"""

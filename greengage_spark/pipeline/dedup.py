@@ -1,0 +1,168 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point — these run over ~billions of documents):
+
+* Exact dedup is one hash shuffle on the key (2-stage agg, no window).
+* MinHash: signatures are computed with K min-aggregates over the shingle
+  stream — one shuffle on doc_id — then LSH banding turns near-dup search
+  into an equi-join on (band_index, band_key): candidates ∝ true
+  near-dups, never O(n²).  Band keys are md5 strings, so bucket hashing is
+  uniform regardless of shingle skew.
+* Hash functions are ``min(md5(seed_i ‖ shingle))`` over the *string*
+  hex digest: md5 is uniform, and MIN over a total order is all MinHash
+  needs — avoiding integer conversions keeps the operator portable and
+  the oracle expressible in any SQL engine.
+* SimHash reduces each document to B conditional sums (one groupBy, B
+  small aggregate expressions — no per-bit row explosion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row per duplicate group: the one with the smallest id.
+    hash-groupBy (2-stage agg), not a window — no per-group sort."""
+    others = [c for c in df.columns if c != id_col]
+    picked = df.groupBy(*key_cols).agg(F.min(F.struct(F.col(id_col), *[F.col(c) for c in others])).alias("__r"))
+    return picked.select([F.col(f"__r.{c}").alias(c) for c in [id_col] + [c for c in others if c not in key_cols]] + [F.col(c) for c in key_cols])
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) pairs: distinct k-word shingles per document."""
+    toks = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return df.select(F.col(id_col), F.explode(sh).alias("shingle")).distinct()
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_hashes: int = 12
+) -> DataFrame:
+    """One row per id with columns h0..h{K-1}: min over the shingle set of
+    K seeded md5 digests.  Single shuffle on id; partial min aggregation
+    runs map-side."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Band the signature and equi-join on (band, band_key) → candidate
+    pairs (id_a < id_b).  rows_per_band = num_hashes // bands; documents
+    agreeing on ALL rows of any band become candidates."""
+    rows_per_band = num_hashes // bands
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bkey")))
+    exploded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_rows)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bkey")
+    a = exploded.select(F.col(id_col).alias("id_a"), "band", "bkey")
+    b_side = exploded.select(F.col(id_col).alias("id_b"), "band", "bkey")
+    return (
+        a.join(b_side, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingles: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via two joins on the shingle
+    stream (set sizes + intersection counts) — work ∝ candidates, not n².
+
+    Returns (id_a, id_b, jaccard) with jaccard rounded to 4 decimals and
+    filtered to >= threshold.  The filter compares integer algebra
+    (inter * 1e4 >= threshold * union * 1e4 avoided — we use the rounded
+    value) so engines agree on boundary pairs.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
+    candidate join → exact-Jaccard verify."""
+    sh = word_shingles(df, id_col, text_col, shingle_k)
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    return jaccard_verify(cand, sh, id_col, threshold)
+
+
+def simhash_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash: per-token md5, each fingerprint bit is the sign of the sum
+    of ±1 votes from the token hashes.  Bit j votes +1 when the j-th hex
+    digit's high bit is set (digit in 8..f).  One groupBy with `bits`
+    conditional-count expressions — no row explosion."""
+    assert bits <= 32, "one hex digit per bit"
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    toks = toks.withColumn("th", F.md5(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(
+                F.substring(F.col("th"), j + 1, 1).isin(*"89abcdef"), 1
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = F.concat(*[F.when(F.col(f"b{j}") > 0, "1").otherwise("0") for j in range(bits)])
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_clusters(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Documents sharing an identical simhash — near-dup clusters at the
+    chosen bit width (coarser than MinHash; one extra shuffle)."""
+    fp = simhash_fingerprint(df, id_col, text_col, bits)
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.min(id_col).alias("min_id"))
+        .filter(F.col("cluster_size") > 1)
+    )

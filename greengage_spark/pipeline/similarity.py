@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: broadcast the query set,
+one pass over the corpus, per-query top-k via window — O(corpus × queries)
+with no shuffle of the corpus itself.
+
+The scale path is LSH bucketing (sign-pattern buckets): corpus and
+queries hash to buckets, candidates come from an equi-join on the bucket
+id, so each query scores only its bucket — the IVF-style trade of recall
+for a ~bucket-count speedup.  Everything is JVM expressions
+(zip_with/aggregate), no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential fold — deterministic summation order.  Inputs promote
+    to array<double> first: float32 math would drift ~1e-8 from any
+    engine accumulating in double."""
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k per query.  Queries broadcast; scores rounded so
+    ranking is reproducible across engines; ties broken by corpus id."""
+    cross = corpus.crossJoin(F.broadcast(queries))
+    scored = cross.select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(cosine(F.col(query_vec), F.col(corpus_vec)), round_to).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rk")
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """LSH bucket id: sign pattern of the first `bits` components.
+    Deterministic, engine-portable, and cheap; a production deployment
+    would use random hyperplanes — same plan shape, different hash."""
+    return F.concat(
+        *[F.when(F.element_at(vec, i + 1) >= 0, "1").otherwise("0") for i in range(bits)]
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+    bits: int = 8,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's bucket.
+    Equi-join on the bucket id — candidate work ∝ bucket size, the
+    100 TB-safe plan (brute force is the fallback for full recall)."""
+    cb = corpus.withColumn("__bucket", sign_bucket(F.col(corpus_vec), bits))
+    qb = queries.withColumn("__bucket", sign_bucket(F.col(query_vec), bits))
+    scored = cb.join(F.broadcast(qb), "__bucket").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(cosine(F.col(query_vec), F.col(corpus_vec)), round_to).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rk")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+    round_to: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine within a blocking key (label, LSH
+    bucket, …): the blocked self-join bounds pair enumeration."""
+    a = emb.select(
+        F.col(block_col).alias("__blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = emb.select(
+        F.col(block_col).alias("__blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), round_to).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

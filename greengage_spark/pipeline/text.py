@@ -1,0 +1,132 @@
+"""Text analysis operators: language id, quality scoring, token counting,
+document fingerprinting.  All JVM-side expressions (split/regexp/md5) —
+the hot path stays in whole-stage codegen, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lists (function-word heuristics).  Real
+# deployments swap in a proper n-gram model; the operator shape (explode →
+# broadcast join → argmax) is what matters at scale.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans"],
+    "es": ["el", "la", "los", "que", "es", "una", "en"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和"],
+}
+
+# BPE-ish token regex: letter runs, digit runs, single punctuation marks.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def language_scores(df: DataFrame, id_col: str, text_col: str, spark) -> DataFrame:
+    """Marker-hit counts per (doc, lang) via explode + broadcast join."""
+    marker_rows = [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws]
+    markers = spark.createDataFrame(marker_rows, "lang string, marker string")
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    return (
+        toks.join(F.broadcast(markers), toks.tok == markers.marker)
+        .groupBy(id_col, "lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str, spark) -> DataFrame:
+    """argmax(lang by hits), ties → lexicographically smallest lang; docs
+    with no marker hits → 'und' (undetermined)."""
+    scores = language_scores(df, id_col, text_col, spark)
+    best = scores.groupBy(id_col).agg(
+        F.max(F.struct(F.col("hits"), F.col("lang"))).alias("__m")
+    )
+    # max(struct(hits, lang)) breaks ties toward the LARGEST lang string;
+    # PG-style deterministic choice wants smallest — invert via a second
+    # struct field trick only when needed.  We pick largest-hits then
+    # smallest-lang explicitly:
+    ranked = scores.groupBy(id_col).agg(
+        F.max("hits").alias("__best_hits")
+    )
+    picked = (
+        scores.join(ranked, id_col)
+        .filter(F.col("hits") == F.col("__best_hits"))
+        .groupBy(id_col)
+        .agg(F.min("lang").alias("lang_guess"), F.max("hits").alias("marker_hits"))
+    )
+    return df.select(id_col).join(picked, id_col, "left").fillna(
+        {"lang_guess": "und", "marker_hits": 0}
+    )
+
+
+def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features (length/punct/digit/stopword ratios)
+    + a composite score.  Ratios are rounded to 6dp for cross-engine
+    reproducibility."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_digit = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0))
+    n_upper = F.size(F.regexp_extract_all(t, F.lit(r"[A-Z]"), 0))
+    avg_tok_len = F.round(
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)) / n_tokens, 6
+    )
+    punct_ratio = F.round(n_punct / n_chars, 6)
+    digit_ratio = F.round(n_digit / n_chars, 6)
+    upper_ratio = F.round(n_upper / n_chars, 6)
+    score = F.round(
+        F.lit(1.0)
+        - F.least(punct_ratio * 2, F.lit(0.5))
+        - F.least(digit_ratio * 2, F.lit(0.3))
+        - F.when(n_tokens < 5, 0.2).otherwise(0.0),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_tok_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens + distinct-token count."""
+    t = F.col(text_col)
+    ws = tokens(t)
+    bpe = F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(ws).alias("ws_tokens"),
+        F.size(bpe).alias("bpe_tokens"),
+        F.size(F.array_distinct(ws)).alias("distinct_tokens"),
+    )
+
+
+def doc_fingerprints(df: DataFrame, id_col: str, text_col: str, window: int = 8) -> DataFrame:
+    """Content fingerprints: md5 of the raw text, md5 of the canonical
+    token multiset (order-insensitive — catches shuffled near-dups), and
+    the minimum of rolling w-token window hashes (winnowing-style anchor,
+    robust to appends)."""
+    toks = tokens(F.col(text_col))
+    canonical = F.md5(F.concat_ws(" ", F.array_sort(toks)))
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (window - 1), F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))),
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("exact_fp"),
+        canonical.alias("canonical_fp"),
+        F.array_min(win_hashes).alias("min_window_fp"),
+    )

@@ -1,0 +1,457 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal columns (BASELINE.json north-star surface; no reference
+analog — SURVEY §2.10/§7 M5).
+
+The MinHash/SimHash oracles replicate the full pipeline in SQL — possible
+because signatures are built from md5 *strings* (MIN over a total order
+is all MinHash needs), so both engines compute byte-identical sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from greengage_spark.pipeline.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    minhash_dedup_pairs,
+    simhash_clusters,
+    word_shingles,
+)
+from greengage_spark.pipeline.multimodal import (
+    attach_media_column,
+    extract_features,
+    sample_frames,
+)
+from greengage_spark.pipeline.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+from greengage_spark.pipeline.text import (
+    doc_fingerprints,
+    language_id,
+    quality_metrics,
+    token_counts,
+)
+from greengage_spark.plans.common import Suite, cat
+
+suite = Suite("pipeline")
+
+# Shared SQL fragments for the DuckDB oracle (word shingles k=3, matching
+# pipeline.dedup.word_shingles semantics exactly — same edge handling).
+_SQL_SHINGLES = """
+  toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  sh0 AS (
+    SELECT doc_id, concat_ws(' ', t[u.i], t[u.i+1], t[u.i+2]) AS shingle
+    FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i) u
+  ),
+  sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)
+"""
+
+_MINHASH_COLS = ",\n".join(
+    f"min(md5('mh{i}:' || shingle)) AS h{i}" for i in range(12)
+)
+_BAND_ROWS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, md5(h{b*3} || '|' || h{b*3+1} || '|' || h{b*3+2}) AS bkey FROM sig"
+    for b in range(4)
+)
+
+
+# ========================== DEDUPLICATION ==========================
+
+@suite.add(
+    "dedup_exact",
+    oracle="""
+    SELECT canon, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+    FROM (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_filter(string_split(text, ' '), x -> x <> '')), ' ')) AS canon
+      FROM documents
+    )
+    GROUP BY canon HAVING COUNT(*) >= 1
+    """,
+    doc="exact dedup via hash-groupBy on a canonical key (min-id keeper).",
+    tags=("pipeline", "dedup", "bench"),
+)
+def dedup_exact(spark, sf_dir):
+    d = cat(spark, sf_dir).table("documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    keyed = d.withColumn("canon", F.md5(F.concat_ws(" ", F.array_sort(toks))))
+    return keyed.groupBy("canon").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper")
+    )
+
+
+@suite.add(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_BAND_ROWS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i_cnt
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i_cnt::DOUBLE / (za.sz + zb.sz - i_cnt), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    WHERE ROUND(i_cnt::DOUBLE / (za.sz + zb.sz - i_cnt), 4) >= 0.7
+    """,
+    doc="MinHash(12)+LSH(4 bands×3) near-dup pairs with exact-Jaccard "
+        "verify; banding makes candidates ∝ true dups, never O(n²).",
+    tags=("pipeline", "dedup", "bench"),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    d = cat(spark, sf_dir).table("documents")
+    return minhash_dedup_pairs(
+        d, "doc_id", "text", shingle_k=3, num_hashes=12, bands=4, threshold=0.7
+    )
+
+
+@suite.add(
+    "dedup_simhash",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    th AS (SELECT doc_id, md5(tok) AS h FROM tk),
+    v AS (
+      SELECT doc_id,
+    """
+    + ",\n".join(
+        f"SUM(CASE WHEN substr(h, {j+1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    )
+    + """
+      FROM th GROUP BY doc_id
+    )
+    SELECT simhash, COUNT(*) AS cluster_size, MIN(doc_id) AS min_id
+    FROM (SELECT doc_id, concat("""
+    + ", ".join(f"CASE WHEN b{j} > 0 THEN '1' ELSE '0' END" for j in range(16))
+    + """) AS simhash FROM v)
+    GROUP BY simhash HAVING COUNT(*) > 1
+    """,
+    doc="SimHash(16) clusters: ±1 bit votes from token md5 digests, one "
+        "groupBy with 16 conditional sums — no row explosion.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_simhash(spark, sf_dir):
+    d = cat(spark, sf_dir).table("documents")
+    return simhash_clusters(d, "doc_id", "text", bits=16)
+
+
+@suite.add(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    cand AS (
+      SELECT DISTINCT sa.doc_id AS id_a, sb.doc_id AS id_b
+      FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i_cnt
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i_cnt::DOUBLE / (za.sz + zb.sz - i_cnt), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    WHERE ROUND(i_cnt::DOUBLE / (za.sz + zb.sz - i_cnt), 4) >= 0.8
+    """,
+    doc="exact n-gram Jaccard pairs via shared-shingle candidate join "
+        "(work ∝ shingle collisions; LSH is the scale path above).",
+    tags=("pipeline", "dedup"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = cat(spark, sf_dir).table("documents")
+    sh = word_shingles(d, "doc_id", "text", 3)
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    cand = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(cand, sh, "doc_id", 0.8)
+
+
+@suite.add(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.35
+    """,
+    doc="embedding-cosine near-dup pairs, blocked by label (blocking "
+        "bounds the pair join; at scale the block key is an LSH bucket).",
+    tags=("pipeline", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    e = cat(spark, sf_dir).table("embeddings")
+    return embedding_near_dup_pairs(
+        e, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
+    )
+
+
+# ========================= SIMILARITY SEARCH =========================
+
+@suite.add(
+    "similarity_bruteforce_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3)
+    SELECT qid, vec_id, cos_sim, rk FROM (
+      SELECT q.qid, e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) DESC, e.vec_id
+             ) AS rk
+      FROM embeddings e, q
+    ) WHERE rk <= 5
+    """,
+    doc="exact cosine top-k (broadcast queries × corpus scan + window).",
+    tags=("pipeline", "similarity", "bench"),
+)
+def similarity_bruteforce_topk(spark, sf_dir):
+    e = cat(spark, sf_dir).table("embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return brute_force_topk(
+        e, q, corpus_id="vec_id", corpus_vec="embedding", query_id="qid", query_vec="qv", k=5
+    )
+
+
+@suite.add(
+    "similarity_lsh_topk",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM b WHERE vec_id < 20)
+    SELECT qid, vec_id, cos_sim, rk FROM (
+      SELECT q.qid, e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) DESC, e.vec_id
+             ) AS rk
+      FROM b e JOIN q ON e.bucket = q.bucket
+    ) WHERE rk <= 3
+    """,
+    doc="ANN top-k via sign-pattern LSH buckets: equi-join on bucket id, "
+        "candidates ∝ bucket size — the 100 TB plan (IVF-style).",
+    tags=("pipeline", "similarity", "bench"),
+)
+def similarity_lsh_topk(spark, sf_dir):
+    e = cat(spark, sf_dir).table("embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return lsh_bucketed_topk(
+        e, q, corpus_id="vec_id", corpus_vec="embedding", query_id="qid", query_vec="qv",
+        k=3, bits=8,
+    )
+
+
+# =========================== TEXT ANALYSIS ===========================
+
+@suite.add(
+    "text_language_id",
+    oracle="""
+    WITH markers(lang, marker) AS (VALUES
+      ('en','the'),('en','and'),('en','of'),('en','to'),('en','a'),('en','in'),('en','is'),
+      ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),('de','nicht'),('de','ein'),
+      ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),('fr','une'),('fr','dans'),
+      ('es','el'),('es','la'),('es','los'),('es','que'),('es','es'),('es','una'),('es','en'),
+      ('zh','的'),('zh','是'),('zh','了'),('zh','在'),('zh','我'),('zh','有'),('zh','和')),
+    tk AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, lang, COUNT(*) AS hits
+      FROM tk JOIN markers ON tok = marker GROUP BY doc_id, lang
+    ),
+    best AS (SELECT doc_id, MAX(hits) AS best_hits FROM scores GROUP BY doc_id),
+    picked AS (
+      SELECT s.doc_id, MIN(s.lang) AS lang_guess, MAX(s.hits) AS marker_hits
+      FROM scores s JOIN best b ON b.doc_id = s.doc_id AND s.hits = b.best_hits
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id, COALESCE(p.lang_guess, 'und') AS lang_guess,
+           COALESCE(p.marker_hits, 0) AS marker_hits
+    FROM documents d LEFT JOIN picked p ON p.doc_id = d.doc_id
+    """,
+    doc="language id: marker-token hits → argmax (explode + broadcast "
+        "join + 2-stage agg).",
+    tags=("pipeline", "text"),
+)
+def text_language_id(spark, sf_dir):
+    d = cat(spark, sf_dir).table("documents")
+    return language_id(d, "doc_id", "text", spark)
+
+
+@suite.add(
+    "text_quality_metrics",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+             len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+             list_sum(list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                                     x -> length(x))) AS tok_chars
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           ROUND(tok_chars / n_tokens, 6) AS avg_token_len,
+           ROUND(n_punct / n_chars::DOUBLE, 6) AS punct_ratio,
+           ROUND(n_digit / n_chars::DOUBLE, 6) AS digit_ratio,
+           ROUND(n_upper / n_chars::DOUBLE, 6) AS upper_ratio,
+           ROUND(1.0 - LEAST(ROUND(n_punct / n_chars::DOUBLE, 6) * 2, 0.5)
+                     - LEAST(ROUND(n_digit / n_chars::DOUBLE, 6) * 2, 0.3)
+                     - CASE WHEN n_tokens < 5 THEN 0.2 ELSE 0.0 END, 6) AS quality_score
+    FROM base
+    """,
+    doc="quality scoring: length/punct/digit/upper/stopword features + "
+        "composite score, all codegen expressions.",
+    tags=("pipeline", "text", "bench"),
+)
+def text_quality_metrics(spark, sf_dir):
+    d = cat(spark, sf_dir).table("documents")
+    return quality_metrics(d, "doc_id", "text")
+
+
+@suite.add(
+    "text_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+           len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS distinct_tokens
+    FROM documents
+    """,
+    doc="token counting: whitespace + BPE-ish regex + distinct.",
+    tags=("pipeline", "text"),
+)
+def text_token_counts(spark, sf_dir):
+    d = cat(spark, sf_dir).table("documents")
+    return token_counts(d, "doc_id", "text")
+
+
+@suite.add(
+    "text_fingerprints",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(text) AS exact_fp,
+           md5(array_to_string(list_sort(toks), ' ')) AS canonical_fp,
+           (SELECT MIN(md5(array_to_string(toks[i.i : i.i + 7], ' ')))
+            FROM (SELECT unnest(range(1, greatest(len(toks) - 7, 1) + 1)) AS i) i) AS min_window_fp
+    FROM t
+    """,
+    doc="document fingerprints: exact md5, canonical (sorted-token) md5, "
+        "min rolling 8-token window hash (winnowing anchor).",
+    tags=("pipeline", "text"),
+)
+def text_fingerprints(spark, sf_dir):
+    d = cat(spark, sf_dir).table("documents")
+    return doc_fingerprints(d, "doc_id", "text", window=8)
+
+
+# =========================== MULTIMODAL ===========================
+
+@suite.add(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS media_id, 'blob' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    doc="binary media column + typed metadata (schema plumbing; md5 over "
+        "the raw bytes).",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_metadata(spark, sf_dir):
+    d = cat(spark, sf_dir).table("documents")
+    media = attach_media_column(d, "doc_id", "text")
+    return media.select(
+        "media_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+@suite.add(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           octet_length(encode(text)) % 640 + 1 AS width,
+           octet_length(encode(text)) % 480 + 1 AS height
+    FROM documents
+    """,
+    doc="media decode/feature-extract via Arrow-batched mapInPandas; the "
+        "decode itself is a deterministic stub (no codecs in container — "
+        "see pipeline.multimodal._try_real_decode), plumbing is real.",
+    tags=("pipeline", "multimodal", "udf"),
+)
+def multimodal_decode_features(spark, sf_dir):
+    d = cat(spark, sf_dir).table("documents")
+    media = attach_media_column(d, "doc_id", "text")
+    return extract_features(media).select("media_id", "n_bytes", "width", "height")
+
+
+@suite.add(
+    "multimodal_frame_sampling",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(ceil(octet_length(encode(text)) / 1000.0) AS BIGINT) AS n_frames
+    FROM documents
+    """,
+    doc="frame-sampling plumbing: 1→N mapInPandas emit per media blob.",
+    tags=("pipeline", "multimodal", "udf"),
+)
+def multimodal_frame_sampling(spark, sf_dir):
+    d = cat(spark, sf_dir).table("documents")
+    media = attach_media_column(d, "doc_id", "text")
+    frames = sample_frames(media, every_n_bytes=1000)
+    return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))

@@ -1,0 +1,126 @@
+"""Event-time windowed queries (streaming semantics, batch-checkable).
+
+window()/session_window() are grouping expressions that behave
+identically under readStream — tests/test_streaming.py re-runs these
+same helpers as actual streams (availableNow trigger) and checks they
+match the batch results.  Oracles express the window algebra in plain
+SQL (tumble = epoch floor; session = gaps-and-islands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from greengage_spark.plans.common import Suite, cat, money
+from greengage_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+suite = Suite("streaming")
+
+
+@suite.add(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600)::TIMESTAMP AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="tumbling 1h event-time window (Structured Streaming window()).",
+    tags=("streaming", "window"),
+)
+def stream_tumbling_window(spark, sf_dir):
+    ev = cat(spark, sf_dir).table("events")
+    out = tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        ],
+    )
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@suite.add(
+    "stream_sliding_window",
+    oracle="""
+    WITH grid AS (
+      SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP AS w, * FROM events
+      UNION ALL
+      SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)::TIMESTAMP AS w, * FROM events
+    )
+    SELECT w AS window_start, COUNT(*) AS n_events
+    FROM grid GROUP BY 1
+    """,
+    doc="sliding window (1h every 30min): each event lands in 2 windows.",
+    tags=("streaming", "window"),
+)
+def stream_sliding_window(spark, sf_dir):
+    ev = cat(spark, sf_dir).table("events")
+    out = sliding_agg(
+        ev, "ts", "1 hour", "30 minutes", [], [F.count(F.lit(1)).alias("n_events")]
+    )
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"), "n_events"
+    )
+
+
+@suite.add(
+    "stream_session_window",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 10 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM seq
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="session windows, 10min gap (session_window vs gaps-and-islands "
+        "oracle — the rewrite a batch engine would need).",
+    tags=("streaming", "window", "session"),
+)
+def stream_session_window(spark, sf_dir):
+    ev = cat(spark, sf_dir).table("events")
+    out = session_agg(
+        ev, "ts", "10 minutes", ["user_id"], [F.count(F.lit(1)).alias("n_events")]
+    )
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        "n_events",
+    )
+
+
+@suite.add(
+    "stream_dedup_semantics",
+    oracle="""
+    SELECT user_id, event_type, MIN(ts) AS first_ts
+    FROM events GROUP BY user_id, event_type
+    """,
+    doc="streaming dedup semantics (dropDuplicates within watermark): "
+        "first event per (user, type); batch check = min-ts groupBy.",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_semantics(spark, sf_dir):
+    ev = cat(spark, sf_dir).table("events")
+    # deterministic batch equivalent of keep-first dedup
+    return ev.groupBy("user_id", "event_type").agg(F.min("ts").alias("first_ts"))

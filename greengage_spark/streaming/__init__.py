@@ -1,0 +1,18 @@
+"""Structured Streaming surface.
+
+The reference has NO streaming operators (SURVEY §2.10) — its closest
+analog is continuously-fed external web tables (url_execute.c/gpfdist)
+driving batch loads.  This package is net-new capability on the same
+table model: event-time windows (tumbling/sliding/session), watermarks,
+late-data handling, streaming dedup and custom stateful operators.
+
+Window helpers work identically in batch and streaming (Spark's window/
+session_window are grouping expressions), so every windowed computation
+is oracle-checkable in batch and re-usable unchanged under readStream.
+"""
+
+from greengage_spark.streaming.windows import (  # noqa: F401
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)

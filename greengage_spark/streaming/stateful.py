@@ -1,0 +1,64 @@
+"""Stateful streaming operators: dedup, custom per-key state.
+
+Streaming dedup = the pipeline dedup surface applied online:
+``dropDuplicates`` with a watermark bounds state by the lateness horizon.
+``running_stats_per_key`` shows the applyInPandasWithState shape for
+operators Spark lacks (online aggregates, CDC-style merge, feature
+accumulation) — the streaming sibling of the batch TableFunction
+(nodeTableFunction.c) surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_dedup(
+    df: DataFrame, key_cols: list[str], ts_col: str, watermark: str
+) -> DataFrame:
+    """Exactly-once rows per key within the watermark horizon."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+    return df.dropDuplicates(key_cols)
+
+
+def running_stats_per_key(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    *,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful operator: per-key running (count, sum-of-cents)
+    maintained in GroupState across micro-batches.
+
+    Integer cents keep the accumulation exact and order-independent, so
+    the result is comparable against a batch groupBy oracle.
+    """
+    schema = f"{key_col} long, n_events long, sum_cents long"
+    state_schema = "n long, s long"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += int((pdf[value_col] * 100).round().astype("int64").sum())
+        state.update((n, s))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "sum_cents": [s]})
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=getattr(GroupStateTimeout, timeout),
+        )
+    )

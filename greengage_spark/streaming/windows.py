@@ -1,0 +1,87 @@
+"""Event-time window aggregation: tumbling / sliding / session.
+
+Same code path for batch and streaming input (window()/session_window()
+are grouping expressions).  For streams, add a watermark first —
+``with_event_time`` handles the watermark + late-data contract.
+
+Scale notes: windowed aggregation shuffles on (window, keys) — partial
+aggregation runs map-side first; session windows additionally sort within
+partitions (gap merge), which Spark handles via the session-window
+exec — no driver state.  State-store size is bounded by the watermark
+horizon at stream time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_event_time(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    """Attach the event-time watermark when the input is a stream; no-op
+    for batch frames (watermarks are meaningless there)."""
+    if watermark and df.isStreaming:
+        return df.withWatermark(ts_col, watermark)
+    return df
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_cols: list[str],
+    aggs: list[Column],
+    *,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Non-overlapping event-time buckets (reference analog: none —
+    nearest batch idiom is date_trunc GROUP BY)."""
+    df = with_event_time(df, ts_col, watermark)
+    out = df.groupBy(F.window(F.col(ts_col), duration), *group_cols).agg(*aggs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[F.col(c) for c in group_cols],
+        *[F.col(f"`{f.name}`") for f in out.schema.fields if f.name != "window" and f.name not in group_cols],
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_cols: list[str],
+    aggs: list[Column],
+    *,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping windows: each event lands in duration/slide windows."""
+    df = with_event_time(df, ts_col, watermark)
+    out = df.groupBy(F.window(F.col(ts_col), duration, slide), *group_cols).agg(*aggs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[F.col(c) for c in group_cols],
+        *[F.col(f"`{f.name}`") for f in out.schema.fields if f.name != "window" and f.name not in group_cols],
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_cols: list[str],
+    aggs: list[Column],
+    *,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows: events within `gap` of each other merge into one
+    session per key (reference analog: none)."""
+    df = with_event_time(df, ts_col, watermark)
+    out = df.groupBy(F.session_window(F.col(ts_col), gap), *group_cols).agg(*aggs)
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        *[F.col(c) for c in group_cols],
+        *[F.col(f"`{f.name}`") for f in out.schema.fields if f.name != "session_window" and f.name not in group_cols],
+    )
