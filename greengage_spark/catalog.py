@@ -85,11 +85,44 @@ class Catalog:
         self.spark = spark
         self.sf_dir = sf_dir
         self._cache: dict[str, DataFrame] = {}
+        self._warmed: set[str] = set()
 
     def table(self, name: str) -> DataFrame:
+        """Load + apply the table's distribution policy.
+
+        The reference hash-distributes every non-replicated table across
+        segments at load time (GpPolicy, gp_policy.h:114-124) — queries
+        then run with full per-segment parallelism.  We do the same: the
+        driver's testdata is one single-row-group parquet file per table,
+        which Spark cannot split, so an un-distributed scan would run on
+        ONE core.  An explicit ``repartition(P, dist_keys)`` restores the
+        reference's layout: P-way parallelism and hash co-location on the
+        distribution key (joins/aggs on the key need no further shuffle).
+        Replicated (broadcast-size) dims stay unpartitioned.  At 100 TB
+        inputs arrive as many splittable files and this repartition
+        coalesces into normal scan parallelism — same plan, no penalty.
+        """
         if name not in self._cache:
-            self._cache[name] = load_table(self.spark, self.sf_dir, name)
+            df = load_table(self.spark, self.sf_dir, name)
+            spec = TABLES.get(name)
+            if spec is not None and not spec.replicated:
+                par = self.spark.sparkContext.defaultParallelism
+                if spec.dist_keys:
+                    df = df.repartition(par, *[F.col(c) for c in spec.dist_keys])
+                else:
+                    df = df.repartition(par)
+            self._cache[name] = df
         return self._cache[name]
+
+    def warm(self, names: list[str] | None = None) -> None:
+        """Persist + materialize tables (bench steady-state: the reference
+        equivalent is data already resident on segments before queries)."""
+        for name in names or TABLES:
+            df = self.table(name)
+            if name not in self._warmed:
+                df.persist()
+                df.count()
+                self._warmed.add(name)
 
     def dim(self, name: str) -> DataFrame:
         """A table with its distribution policy applied to a join site:
@@ -114,7 +147,21 @@ class Catalog:
             self.table(name).createOrReplaceTempView(name)
 
 
+_CATALOGS: dict[tuple[int, str], Catalog] = {}
+
+
+def shared_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Session-scoped memoized Catalog: parquet footers/schemas are read
+    once per (session, sf_dir), not once per query — the QD's relcache
+    role (the reference resolves tables against an in-memory catalog
+    cache, not by re-reading storage per statement)."""
+    key = (id(spark), sf_dir)
+    if key not in _CATALOGS:
+        _CATALOGS[key] = Catalog(spark, sf_dir)
+    return _CATALOGS[key]
+
+
 def register_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> Catalog:
-    cat = Catalog(spark, sf_dir)
+    cat = shared_catalog(spark, sf_dir)
     cat.register_views(names)
     return cat

@@ -125,8 +125,19 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
-    candidate join → exact-Jaccard verify."""
-    sh = word_shingles(df, id_col, text_col, shingle_k)
+    candidate join → exact-Jaccard verify.
+
+    The shingle stream is consumed four times (signatures, set sizes, and
+    both sides of the intersection join), so it is persisted — the Spark
+    analog of the reference's cross-slice shared-CTE materialization
+    (ShareInputScan, src/backend/executor/nodeShareInputScan.c:284-325).
+    Without it the tokenize+explode+distinct shuffle runs 4×.
+    """
+    from pyspark import StorageLevel
+
+    sh = word_shingles(df, id_col, text_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     return jaccard_verify(cand, sh, id_col, threshold)

@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from greengage_spark.catalog import Catalog
+from greengage_spark.catalog import Catalog, shared_catalog
 
 # Decimal shapes (see module docstring rule 2).
 D_MONEY = "decimal(12,2)"  # prices, balances, qty (< 10^10)
@@ -110,4 +110,5 @@ class Suite:
 
 
 def cat(spark: SparkSession, sf_dir: str) -> Catalog:
-    return Catalog(spark, sf_dir)
+    """Session-scoped memoized Catalog (see catalog.shared_catalog)."""
+    return shared_catalog(spark, sf_dir)

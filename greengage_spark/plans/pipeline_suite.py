@@ -180,8 +180,12 @@ def dedup_simhash(spark, sf_dir):
     tags=("pipeline", "dedup"),
 )
 def dedup_ngram_jaccard(spark, sf_dir):
+    from pyspark import StorageLevel
+
     d = cat(spark, sf_dir).table("documents")
-    sh = word_shingles(d, "doc_id", "text", 3)
+    # shingle stream feeds candidate join (2×) + verify (3×): persist it
+    # (ShareInputScan analog — see pipeline.dedup.minhash_dedup_pairs).
+    sh = word_shingles(d, "doc_id", "text", 3).persist(StorageLevel.MEMORY_AND_DISK)
     sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
     cand = (
