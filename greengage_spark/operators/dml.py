@@ -1,0 +1,119 @@
+"""DML over immutable parquet: INSERT / UPDATE / DELETE as copy-on-write.
+
+Reference semantics being reproduced:
+
+* ModifyTable (src/backend/executor/nodeModifyTable.c, ORCA path
+  nodeDML.c) — INSERT appends, UPDATE/DELETE mutate in place under MVCC.
+* SplitUpdate (src/backend/executor/nodeSplitUpdate.c:26) — an UPDATE
+  that changes the distribution key is split into DELETE + INSERT streams
+  so the row can move to its new owning segment.
+
+Spark/parquet has no in-place mutation, so every UPDATE/DELETE is a
+**copy-on-write version rewrite** (the Delta-Lake strategy): read current
+version → apply the change as a declarative transform → write version
+N+1 → flip the table pointer.  Two properties worth noting at 100 TB:
+
+* The rewrite is a full shuffle-free scan + write of surviving rows —
+  Catalyst pushes the predicate to the scan, so a partition-pruned
+  UPDATE touches only matching files (with a partitioned layout this is
+  the partition-overwrite fast path).
+* SplitUpdate needs no special operator: writing the new version through
+  ``repartition(dist_keys)`` re-homes moved rows in the same job the
+  rewrite runs — delete-stream and insert-stream collapse into one
+  exchange.
+
+Versions live under ``<root>/v{N}/``; the latest N wins.  Old versions
+are retained (time travel / vacuum left to the storage layer).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class WritableTable:
+    """A versioned copy-on-write parquet table (ModifyTable target)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        dist_keys: tuple[str, ...] = (),
+        num_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.root = root
+        self.dist_keys = dist_keys
+        self.num_partitions = num_partitions
+        self.version = self._latest_version()
+
+    # ---------------- storage plumbing ----------------
+
+    def _latest_version(self) -> int:
+        if not os.path.isdir(self.root):
+            return -1
+        vs = [
+            int(d[1:])
+            for d in os.listdir(self.root)
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+        return max(vs, default=-1)
+
+    def _path(self, version: int) -> str:
+        return os.path.join(self.root, f"v{version}")
+
+    def _write(self, df: DataFrame) -> None:
+        """Write the next version, applying the distribution policy
+        (hash on dist keys ≈ the reference's per-segment placement)."""
+        if self.dist_keys:
+            n = self.num_partitions or self.spark.sparkContext.defaultParallelism
+            df = df.repartition(n, *[F.col(c) for c in self.dist_keys])
+        df.write.mode("overwrite").parquet(self._path(self.version + 1))
+        self.version += 1
+
+    # ---------------- DML surface ----------------
+
+    def create(self, df: DataFrame) -> "WritableTable":
+        """CREATE TABLE AS — version 0."""
+        assert self.version == -1, f"table already exists at {self.root}"
+        self._write(df)
+        return self
+
+    def df(self) -> DataFrame:
+        assert self.version >= 0, f"no table at {self.root}"
+        return self.spark.read.parquet(self._path(self.version))
+
+    def insert(self, rows: DataFrame) -> "WritableTable":
+        """INSERT INTO — union + rewrite (at scale: plain append of new
+        files; rewritten here to keep the version chain linear)."""
+        self._write(self.df().unionByName(rows))
+        return self
+
+    def delete(self, cond: Column) -> "WritableTable":
+        """DELETE WHERE cond — keep the complement.  NULL cond rows are
+        kept (PG: WHERE NULL does not delete)."""
+        self._write(self.df().filter(~F.coalesce(cond, F.lit(False))))
+        return self
+
+    def update(self, set_map: dict[str, Column], cond: Column | None = None) -> "WritableTable":
+        """UPDATE SET ... WHERE cond — CASE-WHEN projection over all rows.
+
+        If a distribution key is in ``set_map`` this is the SplitUpdate
+        case (nodeSplitUpdate.c): the repartition inside ``_write``
+        re-homes changed rows — no separate delete+insert streams needed.
+        """
+        cur = self.df()
+        cond = F.lit(True) if cond is None else F.coalesce(cond, F.lit(False))
+        out = cur.select(
+            *[
+                F.when(cond, set_map[c]).otherwise(F.col(c)).alias(c)
+                if c in set_map
+                else F.col(c)
+                for c in cur.columns
+            ]
+        )
+        self._write(out)
+        return self

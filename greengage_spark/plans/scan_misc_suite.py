@@ -371,3 +371,75 @@ def linear_interpolate_gaps(spark, sf_dir):
     )
     filled = linear_interpolate(seq, ["user_id"], "rn", "v", "v_filled")
     return filled.select("event_id", "user_id", F.round(F.col("v_filled"), 6).alias("v_filled"))
+
+
+@suite.add(
+    "dml_update_delete",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 250000.0 THEN '0-URGENT'
+                ELSE o_orderpriority END AS o_orderpriority,
+           o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey < 2000 AND o_orderstatus <> 'F'
+    """,
+    doc="UPDATE + DELETE via copy-on-write version rewrite (ModifyTable "
+        "nodeModifyTable.c / SplitUpdate nodeSplitUpdate.c → operators."
+        "dml.WritableTable); runs real parquet writes in a temp table.",
+    tags=("dml",),
+)
+def dml_update_delete(spark, sf_dir):
+    from greengage_spark.operators.dml import WritableTable
+
+    base = cat(spark, sf_dir).table("orders").filter(F.col("o_orderkey") < 2000)
+    t = WritableTable(
+        spark, tempfile.mkdtemp(prefix="gg_dml_"), dist_keys=("o_orderkey",)
+    ).create(base)
+    t.update(
+        {"o_orderpriority": F.lit("0-URGENT")}, F.col("o_totalprice") > 250000.0
+    )
+    t.delete(F.col("o_orderstatus") == "F")
+    return t.df().select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+
+
+@suite.add(
+    "cte_shared_materialize",
+    oracle="""
+    WITH hot AS (
+      SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem GROUP BY l_partkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 100
+    ),
+    stats AS (SELECT AVG(CAST(qty AS DOUBLE)) AS avg_qty FROM hot)
+    SELECT h.l_partkey, CAST(h.qty AS DOUBLE) AS qty,
+           CASE WHEN CAST(h.qty AS DOUBLE) > s.avg_qty THEN 'above' ELSE 'at_or_below' END AS band
+    FROM hot h, stats s
+    """,
+    doc="shared CTE consumed twice (rows + its own aggregate): persisted "
+        "once, the ShareInputScan role (nodeShareInputScan.c:284-325 — "
+        "cross-slice materialization ≈ .persist + ReuseExchange).",
+    tags=("cte", "scan"),
+)
+def cte_shared_materialize(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    l = cat(spark, sf_dir).table("lineitem")
+    hot = (
+        l.groupBy("l_partkey")
+        .agg(F.sum(money("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 100)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats = hot.agg(F.avg(F.col("qty").cast("double")).alias("avg_qty"))
+    return hot.crossJoin(F.broadcast(stats)).select(
+        "l_partkey",
+        F.col("qty").cast("double").alias("qty"),
+        F.when(F.col("qty").cast("double") > F.col("avg_qty"), "above")
+        .otherwise("at_or_below")
+        .alias("band"),
+    )

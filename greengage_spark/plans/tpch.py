@@ -4,9 +4,10 @@ The reference treats TPC-H as its canonical workload (ORCA plan replays
 /root/reference/src/backend/gporca/data/dxl/tpch/q1.mdp..q22.mdp, 500 GB
 stats snapshot src/test/regress/sql/tpch500GB.sql).  The driver testdata
 lacks partsupp and several columns (commitdate/receiptdate/shipmode/phone/
-comment), so q2/q11 are dropped and a few queries are re-targeted to the
-available columns while keeping the operator shape (exists/anti/having/
-correlated-scalar/top-k) intact.
+comment), so q2/q11 run over a lineitem-derived partsupp (see bottom of
+file) and a few queries are re-targeted to the available columns while
+keeping the operator shape (exists/anti/having/correlated-scalar/top-k)
+intact — all 22 query shapes are covered.
 
 Every query is written DataFrame-first; Catalyst plans the distribution
 (broadcast for the replicated dims per catalog.TABLES, shuffle joins keyed
@@ -893,4 +894,141 @@ def q22_inactive_customers(spark, sf_dir):
             F.count(F.lit(1)).alias("numcust"),
             F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 / Q11 — the two queries that need partsupp, which the driver testdata
+# lacks.  We derive the same relation from lineitem: one row per
+# (partkey, suppkey) with ps_supplycost := MIN(l_extendedprice as decimal)
+# — keeping both operator shapes intact: Q2's correlated scalar-MIN
+# subquery (reference: ORCA CSubqueryHandler/CDecorrelator unnests it to a
+# join, gporca/libgpopt/src/xforms/CXformInnerApply2InnerJoin.cpp) and
+# Q11's HAVING-vs-global-total scalar subquery.
+# --------------------------------------------------------------------------
+_SQL_PS = """
+    ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+"""
+
+
+def _derived_partsupp(c):
+    l = c.table("lineitem")
+    return l.groupBy(
+        l.l_partkey.alias("ps_partkey"), l.l_suppkey.alias("ps_suppkey")
+    ).agg(F.min(money("l_extendedprice")).alias("ps_supplycost"))
+
+
+@suite.add(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_SQL_PS},
+    eu AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost,
+             s_name, s_acctbal, n_name
+      FROM ps
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    best AS (SELECT ps_partkey, MIN(ps_supplycost) AS min_cost FROM eu GROUP BY ps_partkey)
+    SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+           p_partkey, p_brand
+    FROM part
+    JOIN eu   ON eu.ps_partkey = p_partkey
+    JOIN best ON best.ps_partkey = p_partkey AND eu.ps_supplycost = best.min_cost
+    WHERE p_size = 5 AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape over a lineitem-derived partsupp; correlated "
+        "scalar-MIN subquery hand-decorrelated into a per-part min join "
+        "(what ORCA's CDecorrelator produces).",
+    tags=("join", "subquery", "topk"),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    ps = _derived_partsupp(c)
+    eu = (
+        ps.join(c.dim("supplier"), ps.ps_suppkey == F.col("s_suppkey"))
+        .join(c.dim("nation"), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            c.dim("region").filter(F.col("r_name") == "EUROPE"),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+    )
+    best = eu.groupBy(F.col("ps_partkey").alias("bp_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    part = c.table("part").filter((F.col("p_size") == 5) & (F.col("p_type") == "LARGE"))
+    return (
+        part.join(eu, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            best,
+            (F.col("bp_partkey") == F.col("p_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@suite.add(
+    "q11_important_stock",
+    oracle=f"""
+    WITH {_SQL_PS},
+    nat AS (
+      SELECT ps_partkey,
+             SUM(ps_supplycost * CAST(s_suppkey % 7 + 1 AS DECIMAL(4,0))) AS part_value
+      FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      GROUP BY ps_partkey
+    ),
+    tot AS (SELECT SUM(part_value) AS total FROM nat)
+    SELECT ps_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM nat, tot
+    WHERE part_value * 1000 > total
+    """,
+    doc="TPC-H Q11 shape over derived partsupp (availqty := suppkey%7+1, "
+        "deterministic); HAVING vs global-total scalar subquery, exact "
+        "decimal algebra (value*1000 > total avoids float boundaries).",
+    tags=("agg", "subquery"),
+)
+def q11_important_stock(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    ps = _derived_partsupp(c)
+    nat = (
+        ps.join(c.dim("supplier"), ps.ps_suppkey == F.col("s_suppkey"))
+        .join(
+            c.dim("nation").filter(
+                F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost")
+                * (F.col("s_suppkey") % 7 + 1).cast("decimal(4,0)")
+            ).alias("part_value")
+        )
+    )
+    tot = nat.agg(F.sum("part_value").alias("total"))
+    return (
+        nat.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") * 1000 > F.col("total"))
+        .select("ps_partkey", F.col("part_value").cast("double").alias("part_value"))
     )

@@ -462,3 +462,59 @@ def agg_hypothetical_rank(spark, sf_dir):
     r = hypothetical_rank(l, ["l_returnflag"], "l_quantity", 25, "hrank")
     d = hypothetical_dense_rank(l, ["l_returnflag"], "l_quantity", 25, "hdense")
     return r.join(d, "l_returnflag")
+
+
+@suite.add(
+    "agg_regr_family",
+    oracle="""
+    SELECT l_returnflag,
+           regr_count(l_extendedprice, l_quantity) AS r_n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS r_slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS r_icept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r_r2,
+           ROUND(regr_avgx(l_extendedprice, l_quantity), 4)      AS r_avgx,
+           ROUND(regr_avgy(l_extendedprice, l_quantity), 4)      AS r_avgy
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="regr_* linear-regression aggregate family (pg_aggregate.h regr_ "
+        "entries, utils/adt/float.c) — built-in since Spark 3.4.",
+    tags=("agg",),
+)
+def agg_regr_family(spark, sf_dir):
+    l = cat(spark, sf_dir).table("lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return l.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("r_n"),
+        F.round(F.regr_slope(y, x), 4).alias("r_slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("r_icept"),
+        F.round(F.regr_r2(y, x), 6).alias("r_r2"),
+        F.round(F.regr_avgx(y, x), 4).alias("r_avgx"),
+        F.round(F.regr_avgy(y, x), 4).alias("r_avgy"),
+    )
+
+
+@suite.add(
+    "agg_json_objects",
+    oracle="""
+    SELECT o_orderpriority,
+           to_json(list(struct_pack(k := o_orderkey, s := o_orderstatus)
+                        ORDER BY o_orderkey)) AS orders_json
+    FROM orders
+    WHERE o_orderkey < 200
+    GROUP BY o_orderpriority
+    """,
+    doc="json_agg / row_to_json (utils/adt/json.c): array-of-objects per "
+        "group; deterministic via array_sort before serialization.",
+    tags=("agg", "json"),
+)
+def agg_json_objects(spark, sf_dir):
+    o = cat(spark, sf_dir).table("orders").filter(F.col("o_orderkey") < 200)
+    return o.groupBy("o_orderpriority").agg(
+        F.to_json(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s"))
+                )
+            )
+        ).alias("orders_json")
+    )

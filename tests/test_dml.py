@@ -1,0 +1,65 @@
+"""WritableTable (copy-on-write DML) semantics — ModifyTable/SplitUpdate."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from greengage_spark.operators.dml import WritableTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", None)],
+        "id long, name string, val double",
+    )
+    return WritableTable(spark, str(tmp_path / "t"), dist_keys=("id",)).create(df)
+
+
+def rows(t):
+    return sorted((r.id, r.name, r.val) for r in t.df().collect())
+
+
+class TestDML:
+    def test_create_and_read(self, table):
+        assert rows(table) == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", None)]
+        assert table.version == 0
+
+    def test_insert_appends(self, spark, table):
+        table.insert(spark.createDataFrame([(5, "e", 50.0)], "id long, name string, val double"))
+        assert (5, "e", 50.0) in rows(table)
+        assert table.version == 1
+
+    def test_delete_keeps_complement(self, table):
+        table.delete(F.col("val") > 15.0)
+        assert [r[0] for r in rows(table)] == [1, 4]
+
+    def test_delete_null_cond_keeps_row(self, table):
+        # PG: WHERE NULL deletes nothing — row 4 (val NULL) must survive.
+        table.delete(F.col("val") > 0.0)
+        assert [r[0] for r in rows(table)] == [4]
+
+    def test_update_where(self, table):
+        table.update({"name": F.lit("X")}, F.col("id") >= 3)
+        assert rows(table) == [(1, "a", 10.0), (2, "b", 20.0), (3, "X", 30.0), (4, "X", None)]
+
+    def test_update_all_rows_when_no_cond(self, table):
+        table.update({"val": F.lit(0.0)})
+        assert all(r[2] == 0.0 for r in rows(table))
+
+    def test_split_update_moves_dist_key(self, table):
+        # UPDATE of the distribution key (SplitUpdate case): row re-homes
+        # to a new hash partition and no rows are lost or duplicated.
+        table.update({"id": F.col("id") + 100}, F.col("id") == 2)
+        assert [r[0] for r in rows(table)] == [1, 3, 4, 102]
+
+    def test_version_chain_is_linear(self, table):
+        table.delete(F.col("id") == 1)
+        table.update({"name": F.lit("z")}, None)
+        table.insert(
+            table.spark.createDataFrame([(9, "i", 9.0)], "id long, name string, val double")
+        )
+        assert table.version == 3
+        # reopening the root sees the latest version
+        reopened = WritableTable(table.spark, table.root, dist_keys=("id",))
+        assert reopened.version == 3
+        assert sorted(r.id for r in reopened.df().collect()) == [2, 3, 4, 9]

@@ -1,0 +1,105 @@
+"""True Structured Streaming runs (readStream → writeStream), not batch
+stand-ins: file source, availableNow trigger, memory sink.  Each test
+checks the streaming result equals the same operator run in batch — the
+contract greengage_spark.streaming promises (one code path, two modes).
+"""
+
+import uuid
+
+import pyspark.sql.functions as F
+import pytest
+
+from greengage_spark.streaming.stateful import running_stats_per_key, streaming_dedup
+from greengage_spark.streaming.windows import tumbling_agg
+
+SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+ROWS = [
+    (1, "2024-01-01 00:00:05", 1, 1.0),
+    (2, "2024-01-01 00:00:35", 1, 2.0),
+    (3, "2024-01-01 00:01:10", 2, 3.0),
+    (2, "2024-01-01 00:00:35", 1, 2.0),  # duplicate event_id
+    (4, "2024-01-01 00:02:20", 2, 4.5),
+    (5, "2024-01-01 00:02:45", 1, 0.5),
+]
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_src")
+    df = spark.createDataFrame(
+        [(i, F.lit(t).cast("timestamp"), u, v) for i, t, u, v in []] or ROWS,
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # two files → at least two input splits for the stream
+    df.filter(F.col("event_id") <= 2).write.parquet(str(d / "a"))
+    df.filter(F.col("event_id") > 2).write.parquet(str(d / "b"))
+    return str(d)
+
+
+def run_stream(df, output_mode="append"):
+    """Drain a streaming frame through a memory sink, return collected rows."""
+    name = "m" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = df.sparkSession.sql(f"SELECT * FROM {name}").collect()
+    q.stop()
+    return out
+
+
+def read_stream(spark, stream_dir):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_dir)
+    )
+
+
+class TestLiveStreaming:
+    def test_tumbling_window_matches_batch(self, spark, stream_dir):
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        ]
+        # complete mode: append would (correctly) withhold windows the
+        # watermark hasn't closed yet — here we want the full comparison.
+        stream_out = run_stream(
+            tumbling_agg(
+                read_stream(spark, stream_dir),
+                "ts", "1 minute", ["user_id"], aggs, watermark="10 seconds",
+            ),
+            output_mode="complete",
+        )
+        batch = spark.read.schema(SCHEMA).option("recursiveFileLookup", "true").parquet(stream_dir)
+        batch_out = tumbling_agg(batch, "ts", "1 minute", ["user_id"], aggs).collect()
+        key = lambda r: (r.window_start, r.user_id)
+        assert sorted((key(r), r.n, r.total) for r in stream_out) == sorted(
+            (key(r), r.n, r.total) for r in batch_out
+        )
+
+    def test_streaming_dedup_drops_duplicate_ids(self, spark, stream_dir):
+        out = run_stream(
+            streaming_dedup(read_stream(spark, stream_dir), ["event_id"], "ts", "1 minute")
+        )
+        ids = sorted(r.event_id for r in out)
+        assert ids == [1, 2, 3, 4, 5]
+
+    def test_stateful_running_stats(self, spark, stream_dir):
+        out = run_stream(
+            running_stats_per_key(read_stream(spark, stream_dir), "user_id", "value"),
+            output_mode="update",
+        )
+        # memory sink in update mode keeps every emitted update; the last
+        # row per key is the final state.
+        final = {}
+        for r in out:
+            final[r.user_id] = (r.n_events, r.sum_cents)
+        # user 1: events 1,2,dup2,5 → 4 events, (1.0+2.0+2.0+0.5)*100 cents
+        assert final[1] == (4, 550)
+        assert final[2] == (2, 750)
