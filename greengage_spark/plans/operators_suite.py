@@ -438,3 +438,129 @@ def setop_except(spark, sf_dir):
 def setop_except_all(spark, sf_dir):
     a, b = _setop_inputs(spark, sf_dir)
     return a.exceptAll(b).groupBy("nk").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@suite.add(
+    "merge_append_sorted",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderkey, o_totalprice, 'hi' AS src FROM orders WHERE o_totalprice > 300000.0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'lo' AS src FROM orders WHERE o_totalprice < 1000.0
+    ) ORDER BY o_orderkey LIMIT 500
+    """,
+    doc="MergeAppend (nodeMergeAppend.c): ordered union of sorted "
+        "children — Spark: union + range-partitioned global sort, same "
+        "semantics (SURVEY §2.6).",
+    tags=("setop", "sort"),
+)
+def merge_append_sorted(spark, sf_dir):
+    o = cat(spark, sf_dir).table("orders")
+    hi = o.filter(F.col("o_totalprice") > 300000.0).withColumn("src", F.lit("hi"))
+    lo = o.filter(F.col("o_totalprice") < 1000.0).withColumn("src", F.lit("lo"))
+    return (
+        hi.select("o_orderkey", "o_totalprice", "src")
+        .unionAll(lo.select("o_orderkey", "o_totalprice", "src"))
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+@suite.add(
+    "motion_colocated_agg",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS n_lines, 1 AS n_segments
+    FROM lineitem
+    WHERE l_orderkey < 500
+    GROUP BY l_orderkey
+    """,
+    doc="Redistribute Motion co-location invariant (MOTIONTYPE_HASH, "
+        "nodeMotion.c): after hash distribution on l_orderkey every "
+        "group lives on exactly one partition — n_segments counts the "
+        "distinct spark_partition_id per key and must be 1 everywhere "
+        "(gp_segment_id ≈ spark_partition_id, SURVEY §2.8).",
+    tags=("motion",),
+)
+def motion_colocated_agg(spark, sf_dir):
+    l = cat(spark, sf_dir).table("lineitem")  # already hash-distributed on l_orderkey
+    return (
+        l.filter(F.col("l_orderkey") < 500)
+        .withColumn("__seg", F.spark_partition_id())
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_distinct(F.col("__seg")).cast("int").alias("n_segments"),
+        )
+    )
+
+
+@suite.add(
+    "udaf_grouped_pandas",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="CREATE AGGREGATE equivalent (user-defined aggregate, SURVEY "
+        "§2.11): weighted average as an Arrow-batched GROUPED_AGG "
+        "pandas_udf — the partial/final combine the reference declares "
+        "via combinefn (pg_aggregate.h:38-40) is Spark's partial "
+        "aggregation of the UDAF.",
+    tags=("udf", "agg"),
+)
+def udaf_grouped_pandas(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    l = cat(spark, sf_dir).table("lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(wavg(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias("wavg_price")
+    )
+
+
+@suite.add(
+    "partition_pruned_scan",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS order_day,
+           COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY CAST(o_orderdate AS DATE)
+    """,
+    doc="RANGE-partitioned table + static partition elimination "
+        "(cdbpartition.c / CXformSelect2DynamicIndexGet → hive layout + "
+        "partition pruning): writes orders partitioned by month via the "
+        "DDL layer, reads back with a one-month filter — the scan "
+        "touches one partition directory only.",
+    tags=("partition", "scan", "ddl"),
+)
+def partition_pruned_scan(spark, sf_dir):
+    from greengage_spark.dialect.ddl import DDLCatalog
+
+    root = tempfile.mkdtemp(prefix="gg_part_")
+    ddlcat = DDLCatalog(spark, root)
+    ddlcat.create_table(
+        "CREATE TABLE orders_p (o_orderkey int8, o_totalprice float8, "
+        "o_orderdate timestamp) DISTRIBUTED BY (o_orderkey) "
+        "PARTITION BY RANGE (o_orderdate)"
+    )
+    src = cat(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    data_path = os.path.join(root, "orders_p_data")
+    ddlcat.write_partitioned("orders_p", src, data_path)
+    back = spark.read.parquet(data_path)
+    # __part = 'yyyy-MM' → the filter below prunes to a single directory
+    return (
+        back.filter(F.col("__part") == "1997-03")
+        .groupBy(F.col("o_orderdate").cast("date").alias("order_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("o_totalprice")).cast("double").alias("total"),
+        )
+    )
