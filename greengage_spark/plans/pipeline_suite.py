@@ -459,3 +459,65 @@ def multimodal_frame_sampling(spark, sf_dir):
     media = attach_media_column(d, "doc_id", "text")
     frames = sample_frames(media, every_n_bytes=1000)
     return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+@suite.add(
+    "similarity_ivf_topk",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent_vec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    corpus_assign AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT e.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cent_vec::DOUBLE[]), 4) DESC,
+                          c.cent_id
+               ) AS crk
+        FROM embeddings e, cents c
+      ) WHERE crk = 1
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id >= 100 AND vec_id < 110),
+    query_probe AS (
+      SELECT qid, cent_id AS cell FROM (
+        SELECT q.qid, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY ROUND(list_cosine_similarity(q.qv::DOUBLE[], c.cent_vec::DOUBLE[]), 4) DESC,
+                          c.cent_id
+               ) AS crk
+        FROM q, cents c
+      ) WHERE crk <= 2
+    )
+    SELECT qid, vec_id, cos_sim, rk FROM (
+      SELECT q.qid, e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) DESC, e.vec_id
+             ) AS rk
+      FROM embeddings e
+      JOIN corpus_assign ca ON ca.vec_id = e.vec_id
+      JOIN query_probe qp ON qp.cell = ca.cell
+      JOIN q ON q.qid = qp.qid
+    ) WHERE rk <= 5
+    """,
+    doc="IVF-style ANN: corpus partitioned into inverted-file cells by "
+        "nearest centroid, queries probe 2 cells — per-query work ∝ "
+        "corpus/cells × probes; the billion-vector scale path where the "
+        "cell id doubles as storage partition key (file pruning).",
+    tags=("pipeline", "similarity", "bench"),
+)
+def similarity_ivf_topk(spark, sf_dir):
+    from greengage_spark.pipeline.similarity import ivf_topk
+
+    e = cat(spark, sf_dir).table("embeddings")
+    q = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return ivf_topk(
+        e, q, corpus_id="vec_id", corpus_vec="embedding",
+        query_id="qid", query_vec="qv", k=5, n_cells=8, n_probe=2,
+    )
