@@ -307,6 +307,25 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 )
                 i += 2  # past fname+'(' — to_date maps to itself, don't re-match
                 continue
+            if low == "extract":
+                # EXTRACT(field FROM expr) keyword form: normalize dow /
+                # epoch to PG semantics (date.c: Sunday=0; epoch seconds);
+                # all other fields are Spark-native already.
+                inner = out[i + 2 : close]
+                from_idx = next(
+                    (j for j, tk in enumerate(inner) if tk.lower() == "from"), None
+                )
+                if from_idx is not None:
+                    field = inner[0].lower() if inner else ""
+                    expr = inner[from_idx + 1 :]
+                    if field == "dow":
+                        out[i : close + 1] = ["(", "dayofweek", "("] + expr + [")", "-", "1", ")"]
+                        continue
+                    if field == "epoch":
+                        out[i : close + 1] = ["unix_timestamp", "("] + expr + [")"]
+                        continue
+                i += 2
+                continue
             if low == "date_part" and len(args) == 2 and _is_string(args[0][0]):
                 field = args[0][0].strip("'").lower()
                 if field == "dow":

@@ -1,0 +1,117 @@
+"""Differential dialect testing: the SAME PostgreSQL SQL string runs
+through our front-end on Spark (dialect.pg_sql) and natively on DuckDB
+(whose SQL dialect is PG-compatible), over a table of adversarial values.
+Any divergence is a dialect-translation bug — this is the
+property/differential layer of the test strategy (SURVEY §5 item 3),
+playing the role of the reference's expression regression scripts
+(src/test/regress/sql/strings.sql, timestamp.sql, case.sql, …).
+"""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from greengage_spark.dialect.transpiler import pg_sql
+
+# Edge-case value table: empty strings, unicode, embedded delimiters,
+# negatives, zeros, extremes, NULLs.
+VALS = pd.DataFrame(
+    {
+        "i": [1, 2, 3, 4, 5, 6, 7, 8],
+        "n": [0, -7, 7, 2147483647, -2147483648, 42, -1, None],
+        "x": [0.0, -1.5, 2.5, 3.5, -2.5, 1e15, 1e-15, None],
+        "s": ["", "a,b,c", "Hello World", "  pad  ", "Ünïcødé", "a'b", "x,y,z,w", None],
+        "d": pd.to_datetime(
+            ["2024-01-01", "2024-02-29", "1999-12-31", "2024-06-15",
+             "2023-01-08", "2024-12-31", "1970-01-01", None]
+        ),
+    }
+)
+
+# Each case: one SELECT evaluated by both engines.  ORDER BY i makes the
+# comparison positional.
+CASES = [
+    # string surface (varlena.c / oracle_compat.c)
+    "SELECT i, s || '!' AS c FROM vals ORDER BY i",
+    "SELECT i, upper(s) AS c, lower(s) AS c2 FROM vals ORDER BY i",
+    "SELECT i, length(s) AS c FROM vals ORDER BY i",
+    "SELECT i, substr(s, 2, 3) AS c FROM vals ORDER BY i",
+    # split_part NULL input: PG returns NULL (we match); DuckDB returns ''
+    "SELECT i, split_part(s, ',', 2) AS c FROM vals WHERE s IS NOT NULL ORDER BY i",
+    # btrim/initcap/width_bucket exist on our side but not in this DuckDB,
+    # so they can't be differential-tested here (covered by unit tests;
+    # note: our initcap keeps Spark's whitespace-boundary semantics, PG
+    # capitalizes after ANY non-alphanumeric — documented divergence).
+    "SELECT i, trim(s) AS c FROM vals ORDER BY i",
+    "SELECT i, lpad(s, 8, '.') AS c, rpad(s, 8, '.') AS c2 FROM vals ORDER BY i",
+    "SELECT i, replace(s, ',', ';') AS c FROM vals ORDER BY i",
+    "SELECT i, reverse(s) AS c FROM vals ORDER BY i",
+    "SELECT i, strpos(s, 'b') AS c FROM vals ORDER BY i",
+    "SELECT i, md5(s) AS c FROM vals ORDER BY i",
+    "SELECT i, repeat(s, 2) AS c FROM vals ORDER BY i",
+    "SELECT i, left(s, 2) AS c, right(s, 2) AS c2 FROM vals ORDER BY i",
+    # math (int.c / float.c / numeric.c)
+    "SELECT i, abs(n) AS c FROM vals ORDER BY i",
+    "SELECT i, mod(n, 5) AS c FROM vals ORDER BY i",  # sign follows dividend in both
+    "SELECT i, floor(x) AS c, ceil(x) AS c2 FROM vals ORDER BY i",
+    "SELECT i, sign(x) AS c FROM vals ORDER BY i",
+    "SELECT i, power(2.0, 10.0) AS c FROM vals ORDER BY i",
+    "SELECT i, sqrt(abs(x)) AS c FROM vals ORDER BY i",
+    "SELECT i, exp(1.0) AS c, ln(2.718281828) AS c2 FROM vals ORDER BY i",
+    "SELECT i, greatest(n, 0) AS c, least(n, 0) AS c2 FROM vals ORDER BY i",
+    # date/time (timestamp.c / date.c)
+    "SELECT i, date_trunc('month', d) AS c FROM vals ORDER BY i",
+    "SELECT i, date_trunc('week', d) AS c FROM vals ORDER BY i",  # ISO Monday start
+    "SELECT i, extract(year FROM d)::int8 AS c, extract(month FROM d)::int8 AS c2 FROM vals ORDER BY i",
+    "SELECT i, extract(dow FROM d)::int8 AS c FROM vals ORDER BY i",  # PG: Sunday=0
+    "SELECT i, extract(doy FROM d)::int8 AS c FROM vals ORDER BY i",
+    "SELECT i, extract(epoch FROM d)::int8 AS c FROM vals ORDER BY i",
+    "SELECT i, d + interval '1 month' AS c FROM vals ORDER BY i",
+    "SELECT i, d - interval '36 hours' AS c FROM vals ORDER BY i",
+    # casts + case/coalesce/nullif
+    "SELECT i, n::float8 AS c, x::text AS c2 FROM vals WHERE i < 6 ORDER BY i",
+    "SELECT i, coalesce(s, '<null>') AS c, nullif(n, 42) AS c2 FROM vals ORDER BY i",
+    "SELECT i, CASE WHEN n > 0 THEN 'pos' WHEN n < 0 THEN 'neg' ELSE 'zero' END AS c FROM vals ORDER BY i",
+    # arrays (arrayfuncs.c)
+    "SELECT i, (string_to_array(s, ','))[1] AS c FROM vals ORDER BY i",
+    "SELECT i, array_length(string_to_array(s, ','), 1) AS c FROM vals ORDER BY i",
+    # like/ilike
+    "SELECT i, s LIKE '%b%' AS c, s ILIKE '%HELLO%' AS c2 FROM vals ORDER BY i",
+]
+
+
+@pytest.fixture(scope="module")
+def engines(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("diff") / "vals.parquet")
+    # microsecond timestamps: ns units would hit the nanosAsLong escape
+    # hatch our session enables for the driver's events table
+    VALS.to_parquet(p, coerce_timestamps="us", allow_truncated_timestamps=True)
+    spark.read.parquet(p).createOrReplaceTempView("vals")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW vals AS SELECT * FROM read_parquet('{p}')")
+    return spark, con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        # DuckDB date_trunc returns DATE where PG (and we) return
+        # TIMESTAMP — normalize both to a midnight-padded timestamp
+        iso = v.isoformat()
+        return iso + "T00:00:00" if len(iso) == 10 else iso[:19]
+    return v
+
+
+@pytest.mark.parametrize("sql", CASES, ids=lambda s: s[10:56].strip())
+def test_same_answer_as_duckdb(engines, sql):
+    spark, con = engines
+    got = [tuple(_norm(v) for v in row) for row in pg_sql(spark, sql).collect()]
+    want = [tuple(_norm(v) for v in row) for row in con.execute(sql).fetchall()]
+    assert got == want
