@@ -1,0 +1,80 @@
+"""Skew-mitigation: salted joins and salted aggregation.
+
+The reference's only skew lever is choosing a better distribution key
+(hash placement, cdbhash.c) — a hot join key still lands every matching
+tuple on one segment.  Spark AQE's skew-join split
+(spark.sql.adaptive.skewJoin, on in our session) handles sort-merge
+cases at runtime; explicit salting is the complementary, plan-level
+tool that also covers aggregations and broadcast-ineligible sides:
+
+* ``salted_join``: replicate the build side R times (one copy per salt),
+  scatter the probe side uniformly across salts — the hot key's rows
+  spread over R tasks instead of one straggler.  Results are
+  IDENTICAL to the unsalted join (the salt is join-local), which makes
+  the plain join the correctness oracle.
+* ``salted_agg``: two-stage group-by with a salt in the first stage —
+  the hot group partially aggregates in R shards before the final
+  combine (what the reference's 2-stage DQA planning does for DISTINCT,
+  cdbgroup.c MPP_GRP_TYPE_DQA_2STAGE, generalized to any hot key).
+
+At 100 TB pick R ≈ ceil(hot-key rows / target-partition rows); salting
+costs R× replication of ONLY the small side, so keep R ≤ ~64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: list[str],
+    *,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join, result-identical to ``probe.join(build, on, how)``.
+
+    probe rows get a deterministic uniform salt (hash of the whole row —
+    NOT the join key, which is exactly what's skewed); build rows are
+    replicated once per salt value via an explode (no driver loop).
+    """
+    salt = (F.hash(*[F.col(c) for c in probe.columns]) % salts + salts) % salts
+    p = probe.withColumn("__salt", salt)
+    b = build.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    out = p.join(b, on + ["__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, tuple[Column, str]],
+    *,
+    salts: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation for algebraic aggregates: stage 1
+    groups by (key, salt) — the hot key fans out over ``salts``
+    reducers — stage 2 combines the partials.
+
+    ``aggs`` maps output name → (stage-1 aggregate, combine) where
+    combine ∈ {'sum', 'min', 'max'} — SUM recombines sums AND counts
+    (count of partial counts would be wrong; sum of them is exact).
+    """
+    combiners = {"sum": F.sum, "min": F.min, "max": F.max}
+    salt = (F.hash(*[F.col(c) for c in df.columns]) % salts + salts) % salts
+    stage1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(*group_cols, "__salt")
+        .agg(*[expr.alias(f"__p_{name}") for name, (expr, _) in aggs.items()])
+    )
+    return stage1.groupBy(*group_cols).agg(
+        *[
+            combiners[combine](f"__p_{name}").alias(name)
+            for name, (_, combine) in aggs.items()
+        ]
+    )

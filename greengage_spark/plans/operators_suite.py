@@ -564,3 +564,39 @@ def partition_pruned_scan(spark, sf_dir):
             F.sum(money("o_totalprice")).cast("double").alias("total"),
         )
     )
+
+
+@suite.add(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM({SQL_MONEY.format(c='l_extendedprice')}) AS DOUBLE) AS total
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_quantity > 45.0
+    GROUP BY o_orderpriority
+    """,
+    doc="skew-safe salted join (operators.skew.salted_join): probe rows "
+        "take a uniform row-hash salt, build side replicates per salt — "
+        "the hot key spreads over N tasks.  Result-identical to the "
+        "plain join, so the unsalted SQL is the oracle (reference skew "
+        "story: distribution-key choice only; AQE skew-split + salting "
+        "are strictly stronger).",
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark, sf_dir):
+    from greengage_spark.operators.skew import salted_join
+
+    c = cat(spark, sf_dir)
+    l = c.table("lineitem").filter(F.col("l_quantity") > 45.0).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = c.table("orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        l, o.withColumnRenamed("o_orderkey", "l_orderkey"), ["l_orderkey"], salts=8
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(money("l_extendedprice")).cast("double").alias("total"),
+    )

@@ -1,0 +1,72 @@
+"""Salted join / salted agg must be result-identical to unsalted plans."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from greengage_spark.operators.skew import salted_agg, salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 10k rows on one hot key + a uniform tail
+    hot = spark.range(10_000).select(
+        F.lit(1).alias("k"), (F.col("id") % 97).alias("v")
+    )
+    tail = spark.range(1_000).select(
+        (F.col("id") % 50 + 2).alias("k"), F.col("id").alias("v")
+    )
+    return hot.unionAll(tail)
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.range(60).select(
+        (F.col("id") + 1).alias("k"), F.concat(F.lit("d"), F.col("id")).alias("label")
+    )
+
+
+class TestSaltedJoin:
+    def test_identical_to_plain_join(self, skewed, dim):
+        plain = skewed.join(dim, ["k"]).groupBy("k", "label").count()
+        salted = salted_join(skewed, dim, ["k"], salts=8).groupBy("k", "label").count()
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    def test_left_join_preserves_unmatched(self, spark, dim):
+        probe = spark.createDataFrame([(1, "x"), (999, "y")], "k long, tag string")
+        out = salted_join(probe, dim, ["k"], salts=4, how="left").collect()
+        by_k = {r.k: r.label for r in out}
+        assert by_k[1] == "d0" and by_k[999] is None
+
+    def test_hot_key_spreads_over_tasks(self, skewed, dim):
+        # the point of salting: the hot key's rows occupy >1 partition
+        # at the join, instead of one straggler task.
+        j = salted_join(skewed.repartition(8), dim, ["k"], salts=8)
+        parts = (
+            j.filter(F.col("k") == 1)
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        assert parts > 1
+
+
+class TestSaltedAgg:
+    def test_identical_to_plain_agg(self, skewed):
+        plain = skewed.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        salted = salted_agg(
+            skewed,
+            ["k"],
+            {
+                "n": (F.count(F.lit(1)), "sum"),  # partial counts SUM-combine
+                "s": (F.sum(F.col("v")), "sum"),
+                "mn": (F.min(F.col("v")), "min"),
+                "mx": (F.max(F.col("v")), "max"),
+            },
+            salts=16,
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))

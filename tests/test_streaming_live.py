@@ -103,3 +103,58 @@ class TestLiveStreaming:
         # user 1: events 1,2,dup2,5 → 4 events, (1.0+2.0+2.0+0.5)*100 cents
         assert final[1] == (4, 550)
         assert final[2] == (2, 750)
+
+
+class TestLateData:
+    def test_watermark_drops_late_event(self, spark, tmp_path):
+        """Two separate stream runs over one checkpoint: run 1 advances
+        the watermark past 00:09 and closes the 00:00 window; run 2
+        delivers an event for that long-closed window, which append mode
+        must DROP — the late-data contract (no reference analog; net-new
+        Structured Streaming semantics, SURVEY §2.10)."""
+        src = tmp_path / "late_src"
+        ckpt = str(tmp_path / "ckpt")
+        sink = str(tmp_path / "sink")
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .parquet(str(src))
+            )
+            agg = tumbling_agg(
+                stream, "ts", "1 minute", ["user_id"],
+                [F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")],
+                watermark="1 minute",
+            )
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+
+        base = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:20", 1, 1.0), (2, "2024-01-01 00:10:00", 1, 1.0)],
+            "event_id long, ts string, user_id long, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        base.coalesce(1).write.parquet(str(src / "b1"))
+        run_once()  # watermark after this run: 00:10:00 - 1 min = 00:09
+
+        late = spark.createDataFrame(
+            [(3, "2024-01-01 00:00:30", 1, 5.0)],
+            "event_id long, ts string, user_id long, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        late.coalesce(1).write.parquet(str(src / "b2"))
+        run_once()  # event 3 is ~9 min late → dropped
+
+        out = spark.read.parquet(sink).collect()
+        w0 = [r for r in out if r.window_start.hour == 0 and r.window_start.minute == 0]
+        # the 00:00 window closed with ONLY event 1; late event 3
+        # (value 5.0) contributed nothing and produced no second row
+        assert len(w0) == 1
+        assert w0[0].n == 1 and w0[0].total == 1.0
