@@ -350,3 +350,57 @@ def dialect_encode_hex(spark, sf_dir):
         """,
         ["nation"],
     )
+
+
+@suite.add(
+    "dialect_map_hstore",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, 'type=>' || event_type || ',uid=>' || user_id AS hs
+      FROM events WHERE event_id < 200
+    ),
+    pairs AS (
+      SELECT event_id, unnest(string_split(hs, ',')) AS kv FROM src
+    )
+    SELECT event_id, string_split(kv, '=>')[1] AS k, string_split(kv, '=>')[2] AS v
+    FROM pairs
+    """,
+    doc="hstore emulation via MapType (PG hstore is contrib/hstore/; no "
+        "map type in PG 9.4 core — SURVEY §1.2): parse 'k=>v' pairs with "
+        "str_to_map, explode map entries to rows.",
+    tags=("dialect", "map"),
+)
+def dialect_map_hstore(spark, sf_dir):
+    register_tables(spark, sf_dir, ["events"])
+    return spark.sql("""
+      SELECT event_id, k, v FROM (
+        SELECT event_id,
+               str_to_map(concat('type=>', event_type, ',uid=>', user_id), ',', '=>') AS m
+        FROM events WHERE event_id < 200
+      ) LATERAL VIEW explode(m) AS k, v
+    """)
+
+
+@suite.add(
+    "dialect_json_props_map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                THEN 'high' ELSE 'low' END AS band
+    FROM events WHERE event_id < 500
+    """,
+    doc="JSON property extraction on the events stream table "
+        "(json/jsonb ops, utils/adt/jsonfuncs.c → get_json_object).",
+    tags=("dialect", "json"),
+)
+def dialect_json_props_map(spark, sf_dir):
+    from greengage_spark.plans.common import cat as _cat
+
+    e = _cat(spark, sf_dir).table("events").filter(F.col("event_id") < 500)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.select(
+        "event_id",
+        k.alias("k_val"),
+        F.when(k >= 50, "high").otherwise("low").alias("band"),
+    )

@@ -114,3 +114,15 @@ class TestAggHelpers:
         out = {r.x: r.out for r in linear_interpolate(df, ["g"], "x", "v", "out").collect()}
         assert out[1] is None and out[5] is None
         assert out[3] == 20.0 and out[2] == 10.0 and out[4] == 30.0
+
+
+class TestAssertOp:
+    def test_scalar_subquery_multi_row_raises(self, spark):
+        """AssertOp parity (nodeAssertOp.c): a scalar subquery returning
+        more than one row must fail at runtime, same as the reference's
+        'more than one row returned by a subquery' assertion."""
+        import pytest as _pytest
+
+        spark.createDataFrame([(1,), (2,)], "x long").createOrReplaceTempView("two_rows")
+        with _pytest.raises(Exception, match="(?i)more than one row|MULTI_VALUE_SUBQUERY"):
+            spark.sql("SELECT (SELECT x FROM two_rows) AS v").collect()

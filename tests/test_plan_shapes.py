@@ -97,3 +97,36 @@ class TestPlanShapes:
         """DPP (PartitionSelector / nodeDynamicSeqscan.c analog) is on."""
         assert spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled") == "true"
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+class TestDynamicPartitionPruning:
+    def test_dpp_prunes_fact_partitions_at_runtime(self, spark, sf_dir, tmp_path):
+        """Runtime partition elimination through a join — the reference's
+        PartitionSelector + DynamicSeqScan pair (nodePartitionSelector.c,
+        nodeDynamicSeqscan.c): the fact scan's PartitionFilters must
+        carry a dynamicpruning expression fed by the filtered dim."""
+        from greengage_spark.dialect.ddl import DDLCatalog
+
+        ddlcat = DDLCatalog(spark, str(tmp_path))
+        ddlcat.create_table(
+            "CREATE TABLE fact (o_orderkey int8, o_totalprice float8, "
+            "o_orderdate timestamp) DISTRIBUTED BY (o_orderkey) "
+            "PARTITION BY RANGE (o_orderdate)"
+        )
+        src = cat(spark, sf_dir).table("orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        )
+        path = str(tmp_path / "fact_data")
+        ddlcat.write_partitioned("fact", src, path)
+
+        fact = spark.read.parquet(path)
+        months = [(f"1997-{m:02d}", 1 if m in (3, 4) else 0) for m in range(1, 13)]
+        dim = spark.createDataFrame(months, "__part string, flag int")
+        j = (
+            fact.join(dim.filter(F.col("flag") == 1), "__part")
+            .groupBy("__part")
+            .count()
+        )
+        j.collect()
+        plan = physical(j)
+        assert "dynamicpruningexpression(__part" in plan
