@@ -24,3 +24,4 @@ __version__ = "0.1.0"
 
 from greengage_spark.session import get_spark  # noqa: F401
 from greengage_spark.catalog import Catalog, load_table, register_tables  # noqa: F401
+from greengage_spark.engine import GreengageEngine  # noqa: F401

@@ -1,0 +1,195 @@
+"""The engine façade: route PostgreSQL/Greenplum statements end-to-end.
+
+This is our `exec_simple_query` (src/backend/tcop/postgres.c:1622): one
+entry point that parses a statement string, routes DDL to the catalog,
+DML to copy-on-write storage, COPY to the bulk loader, and queries to
+the dialect front-end + Catalyst.  A Greenplum user's session maps 1:1:
+
+    eng = GreengageEngine(spark, "/tmp/warehouse")
+    eng.execute("CREATE TABLE t (a int8, b text) DISTRIBUTED BY (a)")
+    eng.execute("INSERT INTO t VALUES (1, 'x'), (2, 'y')")
+    eng.execute("UPDATE t SET b = upper(b) WHERE a = 1")
+    eng.execute("DELETE FROM t WHERE a = 2")
+    df = eng.execute("SELECT a, b || '!' FROM t")
+
+Statement coverage: CREATE/DROP TABLE, INSERT .. VALUES / INSERT ..
+SELECT, UPDATE .. SET .. WHERE, DELETE FROM .. WHERE, COPY .. TO/FROM
+(csv), SELECT/WITH (full dialect surface via dialect.transpiler).
+Unsupported statements raise NotImplementedError with the closest
+DataFrame-level API named in the message.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from greengage_spark.dialect.ddl import DDLCatalog, parse_create_table
+from greengage_spark.dialect.transpiler import pg_sql, transpile
+
+
+class GreengageEngine:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.ddl = DDLCatalog(spark, warehouse)
+
+    # ---------------- statement router ----------------
+
+    def execute(self, sql: str) -> DataFrame | None:
+        stmt = sql.strip().rstrip(";")
+        head = stmt.split(None, 2)[0].lower() if stmt else ""
+        if head == "create" and re.match(r"(?is)^create\s+(temp(orary)?\s+)?table\b", stmt):
+            self.ddl.create_table(stmt)
+            self._register(parse_create_table(stmt).name)
+            return None
+        if head == "drop":
+            return self._drop(stmt)
+        if head == "insert":
+            return self._insert(stmt)
+        if head == "update":
+            return self._update(stmt)
+        if head == "delete":
+            return self._delete(stmt)
+        if head == "copy":
+            return self._copy(stmt)
+        if head in ("select", "with", "values", "table"):
+            self._register_all()
+            return pg_sql(self.spark, stmt)
+        raise NotImplementedError(
+            f"statement kind {head!r} not routed; use the DataFrame API "
+            f"(greengage_spark.operators / sources) directly"
+        )
+
+    # ---------------- helpers ----------------
+
+    def _register(self, name: str) -> None:
+        self.ddl.table(name).createOrReplaceTempView(name)
+
+    def _register_all(self) -> None:
+        for name in self.ddl.tables:
+            self._register(name)
+
+    def _storage(self, name: str):
+        if name not in self.ddl.tables:
+            raise ValueError(f"unknown table {name!r}")
+        return self.ddl._storage(self.ddl.tables[name])
+
+    def _drop(self, stmt: str) -> None:
+        m = re.match(r"(?is)^drop\s+table\s+(if\s+exists\s+)?([\w.]+)$", stmt)
+        if not m:
+            raise NotImplementedError("only DROP TABLE [IF EXISTS] name")
+        name = m.group(2)
+        if name not in self.ddl.tables:
+            if m.group(1):
+                return None
+            raise ValueError(f"unknown table {name!r}")
+        del self.ddl.tables[name]
+        self.spark.catalog.dropTempView(name)
+        return None
+
+    def _insert(self, stmt: str):
+        m = re.match(
+            r"(?is)^insert\s+into\s+([\w.]+)\s*(\([^)]*\))?\s*(values\s*\(.+|select\b.+|with\b.+)$",
+            stmt,
+        )
+        if not m:
+            raise NotImplementedError("INSERT INTO name [cols] VALUES(...) | SELECT ...")
+        name, cols_raw, body = m.group(1), m.group(2), m.group(3)
+        td = self.ddl.tables.get(name)
+        if td is None:
+            raise ValueError(f"unknown table {name!r}")
+        cols = (
+            [c.strip() for c in cols_raw.strip("()").split(",")]
+            if cols_raw
+            else [c.name for c in td.columns]
+        )
+        # both VALUES and SELECT bodies evaluate through the dialect layer
+        self._register_all()
+        src = pg_sql(self.spark, body).toDF(*cols)
+        # missing columns fill with NULL, then cast to declared types
+        full = src
+        for c in td.columns:
+            if c.name not in cols:
+                full = full.withColumn(c.name, F.lit(None))
+        self.ddl.insert(name, full.select([F.col(c.name) for c in td.columns]))
+        self._register(name)
+        return None
+
+    def _update(self, stmt: str):
+        m = re.match(
+            r"(?is)^update\s+([\w.]+)\s+set\s+(.+?)(?:\s+where\s+(.+))?$", stmt
+        )
+        if not m:
+            raise NotImplementedError("UPDATE name SET col = expr [, ...] [WHERE pred]")
+        name, set_raw, where_raw = m.group(1), m.group(2), m.group(3)
+        st = self._storage(name)
+        set_map = {}
+        for part in self._split_top(set_raw):
+            col, _, expr = part.partition("=")
+            set_map[col.strip()] = F.expr(transpile(expr.strip()))
+        cond = F.expr(transpile(where_raw.strip())) if where_raw else None
+        st.update(set_map, cond)
+        self._register(name)
+        return None
+
+    def _delete(self, stmt: str):
+        m = re.match(r"(?is)^delete\s+from\s+([\w.]+)(?:\s+where\s+(.+))?$", stmt)
+        if not m:
+            raise NotImplementedError("DELETE FROM name [WHERE pred]")
+        name, where_raw = m.group(1), m.group(2)
+        st = self._storage(name)
+        if where_raw is None:
+            st.delete(F.lit(True))
+        else:
+            st.delete(F.expr(transpile(where_raw.strip())))
+        self._register(name)
+        return None
+
+    def _copy(self, stmt: str):
+        """COPY name TO 'path' (unload) / COPY name FROM 'path' (load),
+        CSV WITH HEADER — commands/copy.c's surface over spark.read/write."""
+        m = re.match(
+            r"(?is)^copy\s+([\w.]+)\s+(to|from)\s+'([^']+)'(\s+.*)?$", stmt
+        )
+        if not m:
+            raise NotImplementedError("COPY name TO|FROM 'path' [CSV HEADER]")
+        name, direction, path = m.group(1), m.group(2).lower(), m.group(3)
+        if direction == "to":
+            self.ddl.table(name).write.mode("overwrite").option("header", True).csv(path)
+            return None
+        td = self.ddl.tables.get(name)
+        if td is None:
+            raise ValueError(f"unknown table {name!r}")
+        df = (
+            self.spark.read.schema(td.schema())
+            .option("header", True)
+            .csv(path)
+        )
+        self.ddl.insert(name, df)
+        self._register(name)
+        return None
+
+    @staticmethod
+    def _split_top(s: str) -> list[str]:
+        parts, depth, cur, in_str = [], 0, [], False
+        for ch in s:
+            if in_str:
+                cur.append(ch)
+                if ch == "'":
+                    in_str = False
+                continue
+            if ch == "'":
+                in_str = True
+            elif ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        return [p.strip() for p in parts if p.strip()]

@@ -1,0 +1,79 @@
+"""End-to-end engine façade: a Greenplum user's session, statement by
+statement (CREATE / INSERT / UPDATE / DELETE / COPY / SELECT)."""
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return GreengageEngine(spark, str(tmp_path / "wh"))
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+class TestEngine:
+    def test_full_session(self, eng):
+        eng.execute(
+            "CREATE TABLE emp (id int8, name text, sal numeric(10,2)) DISTRIBUTED BY (id);"
+        )
+        eng.execute("INSERT INTO emp VALUES (1, 'ada', 100.00), (2, 'bob', 200.00), (3, 'cyn', 300.00)")
+        eng.execute("UPDATE emp SET sal = sal * 1.10 WHERE id <> 2")
+        eng.execute("DELETE FROM emp WHERE name = 'bob'")
+        out = eng.execute("SELECT id, upper(name) || '!' AS tag, sal::float8 AS sal FROM emp")
+        assert rows(out) == [(1, "ADA!", 110.0), (3, "CYN!", 330.0)]
+
+    def test_insert_select_between_tables(self, eng):
+        eng.execute("CREATE TABLE src (a int8, b text) DISTRIBUTED BY (a)")
+        eng.execute("CREATE TABLE dst (a int8, b text) DISTRIBUTED BY (a)")
+        eng.execute("INSERT INTO src VALUES (1,'x'), (2,'y'), (3,'z')")
+        eng.execute("INSERT INTO dst SELECT a, b FROM src WHERE a >= 2")
+        assert rows(eng.execute("SELECT a, b FROM dst")) == [(2, "y"), (3, "z")]
+
+    def test_insert_partial_columns_fills_null(self, eng):
+        eng.execute("CREATE TABLE t (a int8, b text, c float8)")
+        eng.execute("INSERT INTO t (a, c) VALUES (7, 1.5)")
+        assert rows(eng.execute("SELECT a, b, c FROM t")) == [(7, None, 1.5)]
+
+    def test_copy_roundtrip(self, eng, tmp_path):
+        eng.execute("CREATE TABLE t (a int8, b text)")
+        eng.execute("INSERT INTO t VALUES (1,'x'), (2,'y')")
+        out = str(tmp_path / "unload")
+        eng.execute(f"COPY t TO '{out}'")
+        eng.execute("CREATE TABLE t2 (a int8, b text)")
+        eng.execute(f"COPY t2 FROM '{out}'")
+        assert rows(eng.execute("SELECT a, b FROM t2")) == [(1, "x"), (2, "y")]
+
+    def test_delete_without_where_empties(self, eng):
+        eng.execute("CREATE TABLE t (a int8)")
+        eng.execute("INSERT INTO t VALUES (1), (2)")
+        eng.execute("DELETE FROM t")
+        assert eng.execute("SELECT a FROM t").count() == 0
+
+    def test_drop_table(self, eng):
+        eng.execute("CREATE TABLE t (a int8)")
+        eng.execute("DROP TABLE t")
+        with pytest.raises(ValueError):
+            eng.execute("INSERT INTO t VALUES (1)")
+        eng.execute("DROP TABLE IF EXISTS t")  # no-op, no raise
+
+    def test_pg_dialect_reaches_select(self, eng):
+        eng.execute("CREATE TABLE t (a int8, s text)")
+        eng.execute("INSERT INTO t VALUES (1, 'a,b,c')")
+        out = eng.execute(
+            "SELECT a, split_part(s, ',', 2) AS p, s ~ 'b' AS rx, a::text AS at FROM t"
+        )
+        assert rows(out) == [(1, "b", True, "1")]
+
+    def test_unknown_statement_raises(self, eng):
+        with pytest.raises(NotImplementedError):
+            eng.execute("VACUUM ANALYZE t")
+
+    def test_distributed_by_respected(self, eng):
+        eng.execute("CREATE TABLE big (k int8, v int8) DISTRIBUTED BY (k)")
+        eng.execute("INSERT INTO big SELECT explode(sequence(1, 1000)) AS k, 1 AS v")
+        df = eng.execute("SELECT count(*) AS n FROM big")
+        assert df.collect()[0].n == 1000
