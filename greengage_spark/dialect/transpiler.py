@@ -235,6 +235,9 @@ _FUNC_RENAME = {
     "random": "rand",
     "cardinality": "size",
     "string_to_array": "split",
+    # string_agg(x, sep ORDER BY y) → listagg: Spark 4 supports the full
+    # WITHIN GROUP / inline ORDER BY ordered-aggregate syntax natively
+    "string_agg": "listagg",
     "array_to_string": "array_join",
     "unnest": "explode",
     "now": "current_timestamp",
@@ -415,12 +418,84 @@ def _rewrite_from_generate_series(sql: str) -> str:
     )
 
 
+def _scan_matching(s: str, open_idx: int) -> int:
+    depth, in_str = 0, False
+    for i in range(open_idx, len(s)):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parens")
+
+
+def _find_top_level(s: str, word: str, start: int = 0) -> int:
+    """Index of keyword `word` at paren-depth 0 (case-insensitive), -1 if absent."""
+    pat = re.compile(rf"\b{word}\b", re.IGNORECASE)
+    depth, in_str, i = 0, False, start
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(s, i)
+            if m:
+                return i
+        i += 1
+    return -1
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """PG ``SELECT DISTINCT ON (keys) ... ORDER BY keys, tiebreak`` →
+    row_number() OVER (PARTITION BY keys ORDER BY ...) = 1 subquery —
+    the rewrite the planner applies conceptually (PG keeps the first row
+    of each key group in ORDER BY order)."""
+    m = re.match(r"(?is)^(\s*)select\s+distinct\s+on\s*\(", sql)
+    if not m:
+        return sql
+    open_idx = sql.index("(", m.end() - 1)
+    close_idx = _scan_matching(sql, open_idx)
+    keys = sql[open_idx + 1 : close_idx].strip()
+    rest = sql[close_idx + 1 :]
+
+    from_idx = _find_top_level(rest, "from")
+    if from_idx < 0:
+        raise NotImplementedError("DISTINCT ON without FROM")
+    select_list = rest[:from_idx].strip()
+    body = rest[from_idx:]
+    order_idx = _find_top_level(body, "order")
+    if order_idx >= 0:
+        order_list = re.sub(r"(?is)^order\s+by\s+", "", body[order_idx:]).strip()
+        body = body[:order_idx].rstrip()
+    else:
+        order_list = keys
+    return (
+        f"SELECT * EXCEPT (__rn) FROM (SELECT {select_list}, "
+        f"row_number() OVER (PARTITION BY {keys} ORDER BY {order_list}) AS __rn "
+        f"{body}) WHERE __rn = 1"
+    )
+
+
 def transpile(sql: str) -> str:
     """PG/Greenplum SQL → Spark SQL."""
-    if re.search(r"\bDISTINCT\s+ON\b", sql, re.IGNORECASE):
-        raise NotImplementedError(
-            "DISTINCT ON: rewrite as row_number() OVER (PARTITION BY ...) = 1"
-        )
+    sql = _rewrite_distinct_on(sql)
     sql = _rewrite_from_generate_series(sql)
     toks = tokenize(sql)
     toks = _pass_casts(toks)

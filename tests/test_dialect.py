@@ -102,9 +102,36 @@ class TestSubscripts:
     def test_slice(self):
         assert "slice ( arr , 2 , 3 )" in transpile("SELECT arr[2:4] FROM t")
 
-    def test_distinct_on_rejected(self):
-        with pytest.raises(NotImplementedError):
-            transpile("SELECT DISTINCT ON (a) a, b FROM t")
+    def test_distinct_on_rewrites_to_row_number(self):
+        out = transpile("SELECT DISTINCT ON (a) a, b FROM t ORDER BY a, b DESC")
+        assert "row_number ( ) OVER ( PARTITION BY a ORDER BY a , b DESC )" in out
+        assert "__rn = 1" in out
+
+    def test_distinct_on_without_order_by(self):
+        out = transpile("SELECT DISTINCT ON (k) k, v FROM t")
+        assert "PARTITION BY k ORDER BY k" in out
+
+    def test_distinct_on_executes(self, spark):
+        spark.createDataFrame(
+            [(1, "a", 3), (1, "b", 1), (2, "c", 2)], "g int, s string, v int"
+        ).createOrReplaceTempView("don_t")
+        rows = sorted(
+            map(tuple, pg_sql(
+                spark, "SELECT DISTINCT ON (g) g, s FROM don_t ORDER BY g, v"
+            ).collect())
+        )
+        # per group, the row with the smallest v wins
+        assert rows == [(1, "b"), (2, "c")]
+
+    def test_string_agg_within_group(self, spark):
+        spark.createDataFrame(
+            [(1, "x", 2), (1, "y", 1)], "g int, s string, v int"
+        ).createOrReplaceTempView("sa_t")
+        rows = pg_sql(
+            spark,
+            "SELECT string_agg(s, ',') WITHIN GROUP (ORDER BY v) AS agg FROM sa_t GROUP BY g",
+        ).collect()
+        assert rows[0].agg == "y,x"
 
 
 class TestPatterns:
