@@ -133,6 +133,14 @@ def _pass_casts(toks: list[str]) -> list[str]:
         tname = toks[i + 1].lower()
         end = i + 1
         mapped = _TYPE_MAP.get(tname)
+        # '1 year'::interval → canonical Spark interval literal (gram.y
+        # Typecast on interval strings; Spark has no string→interval cast).
+        # Canonicalized to a single unit — MONTH for year-month, DAY/SECOND
+        # for day-time — because Spark requires both bounds of a RANGE frame
+        # to share one interval subtype (PG mixes '1 year' and '1 month').
+        if tname == "interval" and start == i - 1 and _is_string(toks[i - 1]):
+            toks = toks[:start] + _interval_literal(toks[i - 1]) + toks[i + 2 :]
+            continue
         # double precision (two words)
         if tname == "double" and i + 2 < len(toks) and toks[i + 2].lower() == "precision":
             mapped, end = "DOUBLE", i + 2
@@ -157,6 +165,80 @@ def _pass_casts(toks: list[str]) -> list[str]:
             + ["CAST", "("] + toks[start:i] + ["AS", mapped, ")"]
             + toks[end + 1 :]
         )
+
+
+_INTERVAL_UNITS = {
+    "year": ("ym", 12), "years": ("ym", 12), "yr": ("ym", 12),
+    "month": ("ym", 1), "months": ("ym", 1), "mon": ("ym", 1), "mons": ("ym", 1),
+    "week": ("dt", 7 * 86400), "weeks": ("dt", 7 * 86400),
+    "day": ("dt", 86400), "days": ("dt", 86400),
+    "hour": ("dt", 3600), "hours": ("dt", 3600),
+    "minute": ("dt", 60), "minutes": ("dt", 60), "min": ("dt", 60), "mins": ("dt", 60),
+    "second": ("dt", 1), "seconds": ("dt", 1), "sec": ("dt", 1), "secs": ("dt", 1),
+}
+
+
+def _interval_literal(str_tok: str) -> list[str]:
+    """PG interval string → canonical single-unit Spark interval tokens."""
+    text = str_tok.strip("'").strip()
+    parts = text.split()
+    if len(parts) % 2 != 0:
+        raise ValueError(f"unsupported interval literal: {text!r}")
+    months = 0
+    seconds = 0.0
+    for qty, unit in zip(parts[::2], parts[1::2]):
+        kind_mult = _INTERVAL_UNITS.get(unit.lower())
+        if kind_mult is None:
+            raise ValueError(f"unsupported interval unit: {unit!r}")
+        kind, mult = kind_mult
+        if kind == "ym":
+            months += int(qty) * mult
+        else:
+            seconds += float(qty) * mult
+    if months and seconds:
+        raise ValueError(f"mixed year-month/day-time interval: {text!r}")
+    if months:
+        return ["INTERVAL", f"'{months}'", "MONTH"]
+    if seconds == int(seconds) and int(seconds) % 86400 == 0:
+        return ["INTERVAL", f"'{int(seconds) // 86400}'", "DAY"]
+    return ["INTERVAL", f"'{seconds:g}'", "SECOND"]
+
+
+def _pass_group_by_empty(toks: list[str]) -> list[str]:
+    """Drop no-op ``()`` items from plain GROUP BY lists (gram.y grouping
+    extension: ``GROUP BY (), cn`` ≡ ``GROUP BY cn``; a lone ``GROUP BY ()``
+    ≡ no GROUP BY at all — reference regress olap_group.sql:14-29).
+    ``GROUPING SETS ((), ...)`` is untouched: its parens sit at depth > 0."""
+    i = 0
+    while i < len(toks) - 1:
+        if toks[i].lower() == "group" and toks[i + 1].lower() == "by":
+            j, depth = i + 2, 0
+            while j < len(toks):
+                t = toks[j]
+                if t == "(":
+                    if depth == 0 and j + 1 < len(toks) and toks[j + 1] == ")":
+                        if j + 2 < len(toks) and toks[j + 2] == ",":
+                            del toks[j : j + 3]
+                        elif toks[j - 1] == ",":
+                            del toks[j - 1 : j + 2]
+                            j -= 1
+                        else:  # lone () → scalar aggregate, drop GROUP BY
+                            del toks[i : j + 2]
+                            break
+                        continue
+                    depth += 1
+                elif t == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif depth == 0 and t.lower() in (
+                    "order", "having", "limit", "window",
+                    "union", "intersect", "except", ";",
+                ):
+                    break
+                j += 1
+        i += 1
+    return toks
 
 
 def _json_path_elem(tok: str) -> str:
@@ -498,6 +580,7 @@ def transpile(sql: str) -> str:
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_from_generate_series(sql)
     toks = tokenize(sql)
+    toks = _pass_group_by_empty(toks)
     toks = _pass_casts(toks)
     toks = _pass_json_ops(toks)
     toks = _pass_regex_ops(toks)

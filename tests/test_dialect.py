@@ -38,6 +38,35 @@ class TestCasts:
         out = transpile("SELECT 'a::b' FROM t")
         assert "'a::b'" in out and "CAST" not in out
 
+    def test_interval_cast_year_to_months(self):
+        assert "INTERVAL '12' MONTH" in transpile("SELECT dt + '1 year'::interval FROM t")
+
+    def test_interval_cast_days(self):
+        assert "INTERVAL '9' DAY" in transpile("SELECT dt + '1 week 2 days'::interval FROM t")
+
+    def test_interval_cast_seconds(self):
+        assert "INTERVAL '5400' SECOND" in transpile(
+            "SELECT ts + '1 hour 30 minutes'::interval FROM t"
+        )
+
+
+class TestGroupByEmpty:
+    def test_leading_empty_item(self):
+        out = transpile("SELECT cn, count(*) FROM sale GROUP BY (), cn")
+        assert norm(out).endswith("GROUP BY cn")
+
+    def test_middle_and_trailing(self):
+        out = transpile("SELECT cn, vn, count(*) FROM sale GROUP BY (), cn, (), vn, ()")
+        assert norm(out).endswith("GROUP BY cn , vn")
+
+    def test_lone_empty_drops_group_by(self):
+        out = transpile("SELECT count(*) FROM sale GROUP BY ()")
+        assert "GROUP" not in out.upper().replace("GROUPING", "")
+
+    def test_grouping_sets_untouched(self):
+        out = transpile("SELECT cn FROM sale GROUP BY GROUPING SETS ((), (cn))")
+        assert "( ) , ( cn )" in norm(out)
+
     def test_unknown_type_raises(self):
         with pytest.raises(ValueError, match="unsupported cast"):
             transpile("SELECT x::tsvector FROM t")

@@ -1,0 +1,364 @@
+"""Reference parity: the reference's OWN regression queries, run verbatim.
+
+Queries below are verbatim from ``/root/reference/src/test/regress/sql/``
+(cited per query) over the reference's own OLAP fixture — the star schema of
+``olap_setup.sql:12-127`` (customer/vendor/product/sale/sale_ord) plus
+``tbl_with_nulls`` (olap_window.sql:186-195).  Each query runs through the PG
+dialect front-end onto Spark AND through DuckDB (PG-dialect oracle); results
+must match as sorted multisets with float rounding.
+
+Only deterministic queries are included: the reference's own harness marks
+nondeterministic output with ``-- mvd`` annotations, and any query selecting
+columns that are not functions of its window ordering/partitioning keys is
+excluded (row_number over ties etc.).  Where the Greenplum grammar accepts
+syntax DuckDB does not (e.g. a no-op ``()`` item inside a plain GROUP BY,
+gram.y grouping extensions), the DuckDB side runs the reference's own
+documented equivalent from the same ``--start_equiv`` block.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from greengage_spark.dialect.transpiler import pg_sql
+
+# --------------------------------------------------------------------------
+# Fixture: olap_setup.sql star schema, built from one shared VALUES body per
+# table so Spark and DuckDB see byte-identical data.
+# --------------------------------------------------------------------------
+
+_CUSTOMER = """(1, 'Macbeth', 'Inverness'), (2, 'Duncan', 'Forres'),
+ (3, 'Lady Macbeth', 'Inverness'), (4, 'Witches, Inc', 'Lonely Heath')"""
+
+_VENDOR = """(10, 'Witches, Inc', 'Lonely Heath'), (20, 'Lady Macbeth', 'Inverness'),
+ (30, 'Duncan', 'Forres'), (40, 'Macbeth', 'Inverness'), (50, 'Macduff', 'Fife')"""
+
+_PRODUCT = """(100, 'Sword', 'Black'), (200, 'Dream', 'Black'),
+ (300, 'Castle', 'Grey'), (400, 'Justice', 'Clear'), (500, 'Donuts', 'Plain'),
+ (600, 'Donuts', 'Chocolate'), (700, 'Hamburger', 'Grey'), (800, 'Fries', 'Grey')"""
+
+_SALE = """(2, 40, 100, DATE '1401-01-01', 1100, 2400.0),
+ (1, 10, 200, DATE '1401-03-01', 1, 0.0),
+ (3, 40, 200, DATE '1401-04-01', 1, 0.0),
+ (1, 20, 100, DATE '1401-05-01', 1, 0.0),
+ (1, 30, 300, DATE '1401-05-02', 1, 0.0),
+ (1, 50, 400, DATE '1401-06-01', 1, 0.0),
+ (2, 50, 400, DATE '1401-06-01', 1, 0.0),
+ (1, 30, 500, DATE '1401-06-01', 12, 5.0),
+ (3, 30, 500, DATE '1401-06-01', 12, 5.0),
+ (3, 30, 600, DATE '1401-06-01', 12, 5.0),
+ (4, 40, 700, DATE '1401-06-01', 1, 1.0),
+ (4, 40, 800, DATE '1401-06-01', 1, 1.0)"""
+
+_SALE_ORD = """(1, 2, 40, 100, DATE '1401-01-01', 1100, 2400.0),
+ (2, 1, 10, 200, DATE '1401-03-01', 1, 0.0),
+ (3, 3, 40, 200, DATE '1401-04-01', 1, 0.0),
+ (4, 1, 20, 100, DATE '1401-05-01', 1, 0.0),
+ (5, 1, 30, 300, DATE '1401-05-02', 1, 0.0),
+ (6, 1, 50, 400, DATE '1401-06-01', 1, 0.0),
+ (7, 2, 50, 400, DATE '1401-06-01', 1, 0.0),
+ (8, 1, 30, 500, DATE '1401-06-01', 12, 5.0),
+ (9, 3, 30, 500, DATE '1401-06-01', 12, 5.0),
+ (10, 3, 30, 600, DATE '1401-06-01', 12, 5.0),
+ (11, 4, 40, 700, DATE '1401-06-01', 1, 1.0),
+ (12, 4, 40, 800, DATE '1401-06-01', 1, 1.0)"""
+
+_TBL_WITH_NULLS = """('a', 1, 10), ('b', 1, 10), ('c', 1, 10), ('d', 2, 10),
+ ('e', 2, 20), ('f', 2, 20), ('g', NULL, 20), ('h', NULL, 20), ('i', NULL, 30)"""
+
+_TABLES = {
+    "customer": ("cn int, cname string, cloc string", "cn, cname, cloc", _CUSTOMER),
+    "vendor": ("vn int, vname string, vloc string", "vn, vname, vloc", _VENDOR),
+    "product": ("pn int, pname string, pcolor string", "pn, pname, pcolor", _PRODUCT),
+    "sale": (
+        "cn int, vn int, pn int, dt date, qty int, prc double",
+        "cn, vn, pn, dt, qty, prc",
+        _SALE,
+    ),
+    "sale_ord": (
+        "ord int, cn int, vn int, pn int, dt date, qty int, prc double",
+        "ord, cn, vn, pn, dt, qty, prc",
+        _SALE_ORD,
+    ),
+    "tbl_with_nulls": ("t string, a int, b int", "t, a, b", _TBL_WITH_NULLS),
+}
+
+
+@pytest.fixture(scope="module")
+def olap(spark):
+    con = duckdb.connect()
+    for name, (_schema, cols, body) in _TABLES.items():
+        casted = ", ".join(c.strip() for c in cols.split(","))
+        spark.sql(
+            f"CREATE OR REPLACE TEMP VIEW {name} AS "
+            f"SELECT {casted} FROM (VALUES {body}) AS t({cols})"
+        )
+        con.execute(f"CREATE TABLE {name} AS SELECT {casted} FROM (VALUES {body}) t({cols})")
+    yield spark, con
+    con.close()
+    for name in _TABLES:
+        spark.catalog.dropTempView(name)
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        t = []
+        for v in r:
+            if isinstance(v, bool):
+                t.append(v)
+            elif isinstance(v, float):
+                t.append(round(v, 6))
+            elif hasattr(v, "isoformat"):
+                t.append(v.isoformat())
+            elif isinstance(v, int):
+                t.append(float(v) if abs(v) < 2**52 else v)
+            else:
+                t.append(v)
+        out.append(tuple(t))
+    return sorted(out, key=lambda t: tuple((x is not None, x) for x in t))
+
+
+def _check(olap, ref_sql: str, duck_sql: str | None = None):
+    spark, con = olap
+    got = _norm([tuple(r) for r in pg_sql(spark, ref_sql).collect()])
+    want = _norm(con.execute(duck_sql or ref_sql).fetchall())
+    assert got == want, f"\nspark={got[:8]}\nduck={want[:8]}"
+
+
+# --------------------------------------------------------------------------
+# olap_group.sql — grouping extensions (plangroupext.c)
+# --------------------------------------------------------------------------
+
+GROUP_QUERIES = {
+    # olap_group.sql:14-21 (start_equiv: () in a plain GROUP BY is a no-op)
+    "g_count_star": ("select count(*) from sale", None),
+    "g_by_key": ("select cn, count(*) from sale group by cn", None),
+    "g_empty_item": (
+        "select cn, count(*) from sale group by (), cn",
+        "select cn, count(*) from sale group by cn",
+    ),
+    # olap_group.sql:25-29
+    "g_two_keys": ("select cn, vn, count(*) from sale group by cn, vn", None),
+    "g_two_keys_empty": (
+        "select cn, vn, count(*) from sale group by cn, (), vn",
+        "select cn, vn, count(*) from sale group by cn, vn",
+    ),
+    # olap_group.sql:36-45 (start_equiv: rollup ≡ grouping sets ≡ union all)
+    "g_union_expansion": (
+        "select cn, vn, pn, sum(qty*prc) from sale group by cn, vn, pn "
+        "union all select cn, vn, null, sum(qty*prc) from sale group by cn, vn "
+        "union all select cn, null, null, sum(qty*prc) from sale group by cn "
+        "union all select null, null, null, sum(qty*prc) from sale",
+        None,
+    ),
+    "g_rollup": (
+        "select cn, vn, pn, sum(qty*prc) from sale group by rollup(cn,vn,pn)",
+        None,
+    ),
+    "g_grouping_sets": (
+        "select cn, vn, pn, sum(qty*prc) from sale "
+        "group by grouping sets((), (cn), (cn,vn), (cn,vn,pn))",
+        None,
+    ),
+    "g_grouping_sets_permuted": (
+        "select cn, vn, pn, sum(qty*prc) from sale "
+        "group by grouping sets((cn,vn), (), (cn,vn,pn), (cn))",
+        None,
+    ),
+    # olap_group.sql:64-65
+    "g_cube": (
+        "select cn, vn, pn, sum(qty*prc) from sale group by cube (cn, vn, pn)",
+        None,
+    ),
+    "g_cube_as_sets": (
+        "select cn, vn, pn, sum(qty*prc) from sale group by grouping sets "
+        "((), (cn), (vn), (pn), (cn,vn), (cn,pn), (vn,pn), (cn,vn,pn))",
+        None,
+    ),
+    # olap_group.sql:76-77 — DQA under grouping extensions (CXformSplitDQA)
+    "g_rollup_dqa": (
+        "select cn, vn, pn, count(distinct dt) from sale group by rollup(cn,vn,pn)",
+        None,
+    ),
+    "g_cube_dqa": (
+        "select cn, vn, pn, count(distinct dt) from sale "
+        "group by cube (cn, vn, pn) order by 1,2,3",
+        None,
+    ),
+}
+
+# --------------------------------------------------------------------------
+# olap_window.sql — window functions over the same fixture (nodeWindowAgg.c)
+# --------------------------------------------------------------------------
+
+WINDOW_QUERIES = {
+    # olap_window.sql:150-160 — rank/dense_rank, deterministic orderings
+    "w_rank_two_keys": ("select rank() over (order by pn, cn desc), cn, pn from sale", None),
+    "w_dense_rank": ("select dense_rank() over (order by cn), cn, pn from sale", None),
+    "w_dense_rank_desc": ("select dense_rank() over (order by pn desc), cn, pn from sale", None),
+    # olap_window.sql:163-165 — named WINDOW clause
+    "w_named_window": (
+        "select rank() over (w), cn, pn from sale window w as (order by cn)",
+        None,
+    ),
+    # olap_window.sql:288-290
+    "w_two_ranks": (
+        "select cn,vn, rank() over (order by cn), rank() over (order by cn,vn) from sale",
+        None,
+    ),
+    # olap_window.sql:299-302 — dense_rank over a 3-way join
+    "w_dense_rank_join": (
+        "select dense_rank() over (order by pname, cname), cname, pname "
+        "from sale s, customer c, product p where s.cn = c.cn and s.pn = p.pn",
+        None,
+    ),
+    # olap_window.sql:340-349 — ntile (tile multiset is order-key-functional)
+    "w_ntile": ("select ntile(3) over (order by cn) from sale", None),
+    "w_ntile_dt": ("select dt, ntile(5) over (order by dt) from sale", None),
+    "w_ntile_part": (
+        "select cn, dt, ntile(3) over (partition by cn order by dt) from sale",
+        None,
+    ),
+    # olap_window.sql:196-205 — NULLS FIRST/LAST interaction with frames
+    "w_nulls_first_last": (
+        "select t, a, b, first_value(t) over (order by a nulls first, t), "
+        "first_value(t) over (order by a nulls last, t), "
+        "first_value(t) over (partition by b order by a nulls first, t), "
+        "first_value(t) over (partition by b order by a nulls last, t) "
+        "from tbl_with_nulls order by t",
+        None,
+    ),
+    # olap_window.sql:398-400 — count(<col>) inversion special case
+    "w_count_col": (
+        "SELECT sale.pn, COUNT(sale.pn) OVER(order by sale.pn) FROM sale",
+        None,
+    ),
+    # olap_window.sql:492-495 — basic RANGE frame
+    "w_range_frame": (
+        "select pn, count(*) over (order by pn range between 1 preceding and 1 following) as c "
+        "from sale order by pn",
+        None,
+    ),
+    # olap_window.sql:501-505 — interval RANGE frame over date ordering
+    "w_range_interval": (
+        "select cn, dt, qty, sum(qty) over (order by dt "
+        "range between '1 year'::interval preceding and '1 month'::interval following) "
+        "from sale",
+        "select cn, dt, qty, sum(qty) over (order by dt "
+        "range between interval '1 year' preceding and interval '1 month' following) "
+        "from sale",
+    ),
+    # olap_window.sql:507-509 — float RANGE distance
+    "w_range_float": (
+        "select cn, dt, qty, prc, sum(qty) over "
+        "(order by prc range '314.15926535'::float8 preceding) as sum from sale",
+        "select cn, dt, qty, prc, sum(qty) over "
+        "(order by prc range between 314.15926535 preceding and current row) as sum from sale",
+    ),
+    # olap_window.sql:523 — FOLLOWING-only ROWS frame on the unique-keyed table
+    "w_rows_following": (
+        "select cn, prc, dt, sum(prc) over (order by ord,dt,cn "
+        "rows between 2 following and 3 following) as f from sale_ord",
+        None,
+    ),
+    # olap_window.sql:528-530 — cume_dist mixed with rank on one window
+    "w_cume_rank": (
+        "select cn, rank() over (w), cume_dist() over (w) from customer "
+        "window w as (order by cname)",
+        None,
+    ),
+    # olap_window.sql:576 — multi-key desc/asc ordering
+    "w_avg_desc_asc": (
+        "SELECT sale.cn,sale.dt, sale.vn,AVG(cast (sale.vn as int)) "
+        "OVER(order by sale.cn desc, sale.dt asc) as avg from sale",
+        None,
+    ),
+    # olap_window.sql:579-582 — MPP-1805 RANGE 4 preceding/following with expr agg
+    "w_range_expr_agg": (
+        "SELECT sale.cn,sale.prc,sale.qty, SUM(floor(sale.prc*sale.qty)) "
+        "OVER(order by sale.cn desc range between 4 preceding and 4 following) as foo "
+        "FROM sale",
+        None,
+    ),
+    # olap_window.sql:584-587 — RANGE CURRENT ROW shorthand
+    "w_range_current_row": (
+        "SELECT sale.pn,sale.vn, SUM(cast (sale.vn as int)) "
+        "OVER(order by sale.cn desc range current row) as sum, sale.cn from sale",
+        "SELECT sale.pn,sale.vn, SUM(cast (sale.vn as int)) "
+        "OVER(order by sale.cn desc range between current row and current row) as sum, "
+        "sale.cn from sale",
+    ),
+    # olap_window.sql:598-599 — first_value over FOLLOWING-only frame
+    "w_first_value_following": (
+        "select cn, prc, dt, first_value(prc) over (order by ord,dt rows between 1 following "
+        "and 4 following) as f from sale_ord",
+        None,
+    ),
+    # olap_window.sql:602 — RANGE shorthand N preceding
+    "w_range_shorthand": (
+        "select vn, first_value(vn) over(order by vn range 2 preceding) from vendor",
+        "select vn, first_value(vn) over(order by vn "
+        "range between 2 preceding and current row) from vendor",
+    ),
+    # olap_window.sql:923 — MPP-1915 running sum + cume_dist share an ordering
+    "w_sum_cume": (
+        "select cn, qty, sum(qty) over(order by cn) as sum, "
+        "cume_dist() over(order by cn) as cume1 from sale",
+        None,
+    ),
+    # olap_window.sql:932-933 — two wide RANGE frames in one select
+    "w_two_range_frames": (
+        "select pn, count(*) over (order by pn range between 100 preceding and 100 following), "
+        "count(*) over (order by pn range between 200 preceding and 200 following) from sale",
+        None,
+    ),
+    # olap_window.sql:936-938 — MPP-1923 cume_dist with compound partition
+    "w_cume_partition": (
+        "SELECT sale.cn,sale.pn,sale.vn, CUME_DIST() OVER(partition by sale.cn,sale.pn "
+        "order by sale.vn desc,sale.pn desc,sale.cn asc) FROM sale",
+        None,
+    ),
+    # olap_window.sql:940-942 — FOLLOWING..UNBOUNDED frame over modular expr
+    "w_rows_unbounded_following": (
+        "SELECT sale.cn,sale.vn,sale.pn, SUM((cn*100+pn/100)%100) "
+        "OVER(partition by sale.vn,sale.pn order by sale.pn asc "
+        "rows between 1 following and unbounded following) as sum from sale",
+        # NOTE: PG evaluates pn/100 as integer division; every pn in the
+        # fixture is a multiple of 100, so float division is value-identical
+        # here (int-division divergence documented in SURVEY §7 M4).
+        None,
+    ),
+    # olap_window.sql:945-947 — MPP-1924 degenerate FOLLOWING..FOLLOWING range
+    "w_range_followed_point": (
+        "SELECT sale.cn, COUNT(cn) OVER(order by sale.cn "
+        "range between 7 following and 7 following) as count FROM sale",
+        None,
+    ),
+    # olap_window.sql:674-682 — lead/lag with explicit offsets and defaults
+    "w_lead_default": (
+        "select cn, cname, lead(cname, 2, 'undefined') over (order by cn) from customer",
+        None,
+    ),
+    "w_lead2": ("select cn, cname, lead(cname, 2) over (order by cn) from customer", None),
+    "w_lead1": ("select cn, cname, lead(cname) over (order by cn) from customer", None),
+    "w_lag_default": (
+        "select cn, cname, lag(cname, 2, 'undefined') over (order by cn) from customer",
+        None,
+    ),
+    "w_lag2": ("select cn, cname, lag(cname, 2) over (order by cn) from customer", None),
+    "w_lag1": ("select cn, cname, lag(cname) over (order by cn) from customer", None),
+}
+
+
+@pytest.mark.parametrize("name", sorted(GROUP_QUERIES))
+def test_reference_group_query(olap, name):
+    ref, duck = GROUP_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+@pytest.mark.parametrize("name", sorted(WINDOW_QUERIES))
+def test_reference_window_query(olap, name):
+    ref, duck = WINDOW_QUERIES[name]
+    _check(olap, ref, duck)
