@@ -592,5 +592,10 @@ def transpile(sql: str) -> str:
 
 def pg_sql(spark, sql: str):
     """Run PG-dialect SQL on Spark (the exec_simple_query entry point,
-    postgres.c:1622 — ours is transpile + Catalyst)."""
+    postgres.c:1622 — ours is transpile + Catalyst; WITH RECURSIVE routes
+    to the fixpoint driver in dialect.recursive_sql)."""
+    if re.match(r"(?is)^\s*with\s+recursive\b", sql):
+        from greengage_spark.dialect.recursive_sql import run_recursive_sql
+
+        return run_recursive_sql(spark, sql)
     return spark.sql(transpile(sql))

@@ -82,6 +82,9 @@ _TABLES = {
         _SALE_ORD,
     ),
     "tbl_with_nulls": ("t string, a int, b int", "t, a, b", _TBL_WITH_NULLS),
+    # gp_recursive_cte.sql:8-9, 53-54
+    "recursive_table_1": ("id int", "id", "(1), (2), (100)"),
+    "recursive_table_2": ("id int", "id", "(11), (21), (31)"),
 }
 
 
@@ -352,6 +355,67 @@ WINDOW_QUERIES = {
 }
 
 
+# --------------------------------------------------------------------------
+# gp_recursive_cte.sql — WITH RECURSIVE (RecursiveUnion/WorkTableScan).
+# Only *bounded* recursions: the reference streams the worktable lazily, so
+# its unbounded-CTE-under-LIMIT cases terminate there but not under an eager
+# fixpoint (divergence documented in dialect/recursive_sql.py).
+# --------------------------------------------------------------------------
+
+RECURSIVE_QUERIES = {
+    # gp_recursive_cte.sql:57-62 — correlated IN over a recursive ref
+    "r_correlated_in": (
+        "with recursive r(i) as ( select * from recursive_table_2 union all "
+        "select r.i + 1 from r, recursive_table_2 where r.i = recursive_table_2.id ) "
+        "select recursive_table_1.id from recursive_table_1, recursive_table_2 "
+        "where recursive_table_1.id IN (select * from r where r.i = recursive_table_2.id)",
+        None,
+    ),
+    # gp_recursive_cte.sql:64-70 — correlated NOT IN
+    "r_correlated_not_in": (
+        "with recursive r(i) as ( select * from recursive_table_2 union all "
+        "select r.i + 1 from r, recursive_table_2 where r.i = recursive_table_2.id ) "
+        "select recursive_table_1.id from recursive_table_1, recursive_table_2 "
+        "where recursive_table_1.id NOT IN (select * from r where r.i = recursive_table_2.id)",
+        None,
+    ),
+    # gp_recursive_cte.sql:72-78 — EXISTS with correlation
+    "r_correlated_exists": (
+        "with recursive r(i) as ( select * from recursive_table_2 union all "
+        "select r.i + 1 from r, recursive_table_2 where r.i = recursive_table_2.id ) "
+        "select recursive_table_1.id from recursive_table_1, recursive_table_2 "
+        "where recursive_table_1.id = recursive_table_2.id "
+        "and EXISTS (select * from r where r.i = recursive_table_2.id)",
+        None,
+    ),
+    # gp_recursive_cte.sql:80-86 — NOT EXISTS with correlation
+    "r_correlated_not_exists": (
+        "with recursive r(i) as ( select * from recursive_table_2 union all "
+        "select r.i + 1 from r, recursive_table_2 where r.i = recursive_table_2.id ) "
+        "select recursive_table_1.id from recursive_table_1, recursive_table_2 "
+        "where recursive_table_1.id = recursive_table_2.id "
+        "and NOT EXISTS (select * from r where r.i = recursive_table_2.id)",
+        None,
+    ),
+    # gp_recursive_cte.sql:148-158 — recursive + plain CTE mix, EXISTS
+    "r_mixed_plain_cte": (
+        "with recursive r(i) as ( select 1 union all "
+        "select r.i + 1 from r, recursive_table_2 where i = recursive_table_2.id ), "
+        "y as ( select * from recursive_table_1 "
+        "where EXISTS (select * from r limit 10) ) select * from y",
+        None,
+    ),
+    # gp_recursive_cte.sql:172-181 — plain ref inside a recursive term
+    "r_plain_ref_in_recursion": (
+        "with recursive r as ( select * from recursive_table_2 ), "
+        "y(i) as ( select 1 union all select i + 1 from y, recursive_table_1 "
+        "where i = recursive_table_1.id and EXISTS (select * from r) ) "
+        "select * from y limit 10",
+        None,
+    ),
+}
+
+
 @pytest.mark.parametrize("name", sorted(GROUP_QUERIES))
 def test_reference_group_query(olap, name):
     ref, duck = GROUP_QUERIES[name]
@@ -361,4 +425,10 @@ def test_reference_group_query(olap, name):
 @pytest.mark.parametrize("name", sorted(WINDOW_QUERIES))
 def test_reference_window_query(olap, name):
     ref, duck = WINDOW_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+@pytest.mark.parametrize("name", sorted(RECURSIVE_QUERIES))
+def test_reference_recursive_query(olap, name):
+    ref, duck = RECURSIVE_QUERIES[name]
     _check(olap, ref, duck)
