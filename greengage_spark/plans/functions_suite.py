@@ -404,3 +404,28 @@ def dialect_json_props_map(spark, sf_dir):
         k.alias("k_val"),
         F.when(k >= 50, "high").otherwise("low").alias("band"),
     )
+
+
+@suite.add(
+    "dialect_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+    FROM orders WHERE o_custkey < 200
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+    """,
+    doc="DISTINCT ON (gram.y distinct_clause; PG keeps the first row per "
+        "key in ORDER BY order) → row_number() OVER (...) = 1 rewrite; "
+        "o_orderkey tie-break makes the kept row deterministic.",
+    tags=("dialect",),
+)
+def dialect_distinct_on(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+        FROM orders WHERE o_custkey < 200
+        ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+        """,
+        ["orders"],
+    )

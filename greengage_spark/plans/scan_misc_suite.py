@@ -218,6 +218,32 @@ def recursive_series(spark, sf_dir):
     return out.select("n", (F.col("n") * F.col("n")).alias("n_sq"))
 
 
+_RECURSIVE_SQL = """
+    WITH RECURSIVE chain(nationkey, hop) AS (
+      SELECT n_nationkey, 0 FROM nation WHERE n_nationkey = 0
+      UNION ALL
+      SELECT n.n_nationkey, c.hop + 1 FROM nation n, chain c
+      WHERE n.n_nationkey = c.nationkey + 5 AND c.hop < 10
+    )
+    SELECT nationkey, hop FROM chain
+    """
+
+
+@suite.add(
+    "recursive_sql_cte",
+    oracle=_RECURSIVE_SQL,
+    doc="WITH RECURSIVE through the SQL front-end (dialect.recursive_sql: "
+        "parse → seed/step split → fixpoint; gp_recursive_cte.sql surface).",
+    tags=("recursive", "dialect"),
+)
+def recursive_sql_cte(spark, sf_dir):
+    from greengage_spark.catalog import register_tables
+    from greengage_spark.dialect import pg_sql
+
+    register_tables(spark, sf_dir, ["nation"])
+    return pg_sql(spark, _RECURSIVE_SQL)
+
+
 @suite.add(
     "recursive_graph_closure",
     oracle="""
