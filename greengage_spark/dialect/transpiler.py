@@ -204,6 +204,119 @@ def _interval_literal(str_tok: str) -> list[str]:
     return ["INTERVAL", f"'{seconds:g}'", "SECOND"]
 
 
+_ORDERED_AGG_FNS = {"string_agg", "listagg", "array_agg", "collect_list"}
+
+
+def _split_top_commas(toks: list[str]) -> list[list[str]]:
+    parts, cur, depth = [], [], 0
+    for t in toks:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if t == "," and depth == 0:
+            parts.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    parts.append(cur)
+    return parts
+
+
+def _ordered_array_agg(args: list[str], keys: list[str]) -> list[str]:
+    """array_agg(x ORDER BY k...) → array_sort-based rewrite.  PG null
+    ordering (ASC: NULLS LAST, DESC: NULLS FIRST) matches Spark's
+    ``array_sort`` (nulls last) and its ``reverse`` (nulls first)."""
+    key_parts = _split_top_commas(keys)
+    dirs = []
+    cleaned = []
+    for kp in key_parts:
+        if kp and kp[-1].lower() in ("asc", "desc"):
+            dirs.append(kp[-1].lower())
+            cleaned.append(kp[:-1])
+        else:
+            dirs.append("asc")
+            cleaned.append(kp)
+    if len(set(dirs)) > 1:
+        raise NotImplementedError("array_agg ORDER BY with mixed ASC/DESC")
+    desc = dirs[0] == "desc"
+
+    def _wrap(sorted_expr: list[str]) -> list[str]:
+        return ["reverse", "("] + sorted_expr + [")"] if desc else sorted_expr
+
+    same_key = (
+        len(cleaned) == 1
+        and " ".join(t.lower() for t in cleaned[0])
+        == " ".join(t.lower() for t in args)
+    )
+    if same_key:
+        inner = ["array_sort", "(", "array_agg", "("] + args + [")", ")"]
+        return _wrap(inner)
+    fields: list[str] = []
+    for n, kp in enumerate(cleaned):
+        fields += kp + ["AS", f"_o{n}", ","]
+    fields += args + ["AS", "_x"]
+    inner = ["array_sort", "(", "array_agg", "(", "struct", "("] + fields + [")", ")", ")"]
+    return (
+        ["transform", "("] + _wrap(inner) + [",", "s", "->", "s", ".", "_x", ")"]
+    )
+
+
+def _pass_agg_order_by(toks: list[str]) -> list[str]:
+    """PG inline ordered-aggregate syntax ``agg(args ORDER BY keys)``
+    (gram.y func_arg_list opt_sort_clause; reference tests
+    gp_aggregates.sql:1-8, gpcontrib/gp_array_agg):
+      string_agg(x, sep ORDER BY k) → listagg(x, sep) WITHIN GROUP (ORDER BY k)
+      array_agg(x ORDER BY k [DESC]) → array_sort/struct-sort rewrite."""
+    i = 0
+    while i < len(toks):
+        if not (
+            _is_ident(toks[i])
+            and toks[i].lower() in _ORDERED_AGG_FNS
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+        ):
+            i += 1
+            continue
+        depth, close = 0, None
+        for j in range(i + 1, len(toks)):
+            if toks[j] == "(":
+                depth += 1
+            elif toks[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+        ob, depth = None, 0
+        for j in range(i + 2, close):
+            if toks[j] == "(":
+                depth += 1
+            elif toks[j] == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and toks[j].lower() == "order"
+                and j + 1 < close
+                and toks[j + 1].lower() == "by"
+            ):
+                ob = j
+                break
+        if ob is None:
+            i += 1
+            continue
+        args, keys = toks[i + 2 : ob], toks[ob + 2 : close]
+        if toks[i].lower() in ("string_agg", "listagg"):
+            repl = (
+                ["listagg", "("] + args
+                + [")", "WITHIN", "GROUP", "(", "ORDER", "BY"] + keys + [")"]
+            )
+        else:
+            repl = _ordered_array_agg(args, keys)
+        toks = toks[:i] + repl + toks[close + 1 :]
+        i += 1
+    return toks
+
+
 def _pass_group_by_empty(toks: list[str]) -> list[str]:
     """Drop no-op ``()`` items from plain GROUP BY lists (gram.y grouping
     extension: ``GROUP BY (), cn`` ≡ ``GROUP BY cn``; a lone ``GROUP BY ()``
@@ -584,6 +697,7 @@ def transpile(sql: str) -> str:
     toks = _pass_casts(toks)
     toks = _pass_json_ops(toks)
     toks = _pass_regex_ops(toks)
+    toks = _pass_agg_order_by(toks)
     toks = _pass_functions(toks)
     toks = _pass_subscripts(toks)
     # re-join with spaces; '.' binds tight (qualified names)

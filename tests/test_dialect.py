@@ -152,6 +152,54 @@ class TestSubscripts:
         # per group, the row with the smallest v wins
         assert rows == [(1, "b"), (2, "c")]
 
+    def test_string_agg_inline_order_by(self, spark):
+        spark.createDataFrame(
+            [(1, "x", 2), (1, "y", 1)], "g int, s string, v int"
+        ).createOrReplaceTempView("sa_inline_t")
+        rows = pg_sql(
+            spark,
+            "SELECT string_agg(s, ',' ORDER BY v) AS agg FROM sa_inline_t GROUP BY g",
+        ).collect()
+        assert rows[0].agg == "y,x"
+
+    def test_array_agg_order_by_self(self, spark):
+        spark.createDataFrame(
+            [(1, 3), (1, 1), (1, 2)], "g int, v int"
+        ).createOrReplaceTempView("aa_t")
+        rows = pg_sql(
+            spark, "SELECT array_agg(v ORDER BY v) AS a FROM aa_t GROUP BY g"
+        ).collect()
+        assert rows[0].a == [1, 2, 3]
+
+    def test_array_agg_order_by_self_desc(self, spark):
+        spark.createDataFrame(
+            [(1, 3), (1, 1), (1, 2)], "g int, v int"
+        ).createOrReplaceTempView("aa_t")
+        rows = pg_sql(
+            spark, "SELECT array_agg(v ORDER BY v DESC) AS a FROM aa_t GROUP BY g"
+        ).collect()
+        assert rows[0].a == [3, 2, 1]
+
+    def test_array_agg_order_by_other_column(self, spark):
+        spark.createDataFrame(
+            [(1, "x", 2), (1, "y", 1), (1, "z", 3)], "g int, s string, v int"
+        ).createOrReplaceTempView("aa2_t")
+        rows = pg_sql(
+            spark, "SELECT array_agg(s ORDER BY v) AS a FROM aa2_t GROUP BY g"
+        ).collect()
+        assert rows[0].a == ["y", "x", "z"]
+
+    def test_array_agg_order_by_multi_key_desc(self, spark):
+        spark.createDataFrame(
+            [(1, "a", 1, 2), (1, "b", 1, 1), (1, "c", 2, 9)],
+            "g int, s string, k1 int, k2 int",
+        ).createOrReplaceTempView("aa3_t")
+        rows = pg_sql(
+            spark,
+            "SELECT array_agg(s ORDER BY k1 DESC, k2 DESC) AS a FROM aa3_t GROUP BY g",
+        ).collect()
+        assert rows[0].a == ["c", "a", "b"]
+
     def test_string_agg_within_group(self, spark):
         spark.createDataFrame(
             [(1, "x", 2), (1, "y", 1)], "g int, s string, v int"

@@ -85,6 +85,13 @@ _TABLES = {
     # gp_recursive_cte.sql:8-9, 53-54
     "recursive_table_1": ("id int", "id", "(1), (2), (100)"),
     "recursive_table_2": ("id int", "id", "(11), (21), (31)"),
+    # create_table.sql:170 + data/agg.data (a int2, b float4; float4 kept as
+    # double here: DuckDB REAL→float32 vs Spark FLOAT round differently at 1e-6)
+    "aggtest": (
+        "a int, b double",
+        "a, b",
+        "(56, 7.8), (100, 99.097), (0, 0.09561), (42, 324.78)",
+    ),
 }
 
 
@@ -104,22 +111,22 @@ def olap(spark):
         spark.catalog.dropTempView(name)
 
 
+def _norm_val(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, int):
+        return float(v) if abs(v) < 2**52 else v
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_val(x) for x in v)
+    return v
+
+
 def _norm(rows):
-    out = []
-    for r in rows:
-        t = []
-        for v in r:
-            if isinstance(v, bool):
-                t.append(v)
-            elif isinstance(v, float):
-                t.append(round(v, 6))
-            elif hasattr(v, "isoformat"):
-                t.append(v.isoformat())
-            elif isinstance(v, int):
-                t.append(float(v) if abs(v) < 2**52 else v)
-            else:
-                t.append(v)
-        out.append(tuple(t))
+    out = [tuple(_norm_val(v) for v in r) for r in rows]
     return sorted(out, key=lambda t: tuple((x is not None, x) for x in t))
 
 
@@ -178,6 +185,16 @@ GROUP_QUERIES = {
     "g_cube_as_sets": (
         "select cn, vn, pn, sum(qty*prc) from sale group by grouping sets "
         "((), (cn), (vn), (pn), (cn,vn), (cn,pn), (vn,pn), (cn,vn,pn))",
+        None,
+    ),
+    # gp_aggregates.sql:1-8 — inline ordered aggregates (array_agg ORDER BY)
+    "g_array_agg_by_self": (
+        "SELECT array_agg(a order by a) as a_by_a from aggtest",
+        None,
+    ),
+    "g_array_agg_four_ways": (
+        "SELECT array_agg(a order by a) as a_by_a, array_agg(a order by b) as a_by_b, "
+        "array_agg(b order by a) as b_by_a, array_agg(b order by b) as b_by_b FROM aggtest",
         None,
     ),
     # olap_group.sql:76-77 — DQA under grouping extensions (CXformSplitDQA)
