@@ -280,6 +280,28 @@ class DDLCatalog:
         self.tables[td.name] = td
         return td
 
+    def create_table_as(
+        self,
+        name: str,
+        df: DataFrame,
+        distribution: str = "random",
+        dist_keys: tuple[str, ...] = (),
+    ) -> TableDef:
+        """CTAS (gram.y CREATE TABLE ... AS SELECT): schema comes from the
+        query result; the distribution clause applies to the stored data."""
+        if name in self.tables:
+            raise ValueError(f"table {name} already exists")
+        cols = [
+            ColumnDef(f.name, f.dataType.simpleString(), f.dataType.simpleString())
+            for f in df.schema.fields
+        ]
+        td = TableDef(
+            name=name, columns=cols, distribution=distribution, dist_keys=tuple(dist_keys)
+        )
+        self._storage(td).create(df)
+        self.tables[name] = td
+        return td
+
     def insert(self, name: str, df: DataFrame) -> None:
         td = self.tables[name]
         st = self._storage(td)

@@ -12,9 +12,12 @@ the dialect front-end + Catalyst.  A Greenplum user's session maps 1:1:
     eng.execute("DELETE FROM t WHERE a = 2")
     df = eng.execute("SELECT a, b || '!' FROM t")
 
-Statement coverage: CREATE/DROP TABLE, INSERT .. VALUES / INSERT ..
+Statement coverage: CREATE/DROP TABLE, CREATE TABLE .. AS SELECT
+[DISTRIBUTED ...], CREATE [OR REPLACE] VIEW / DROP VIEW (late-binding,
+re-derived per query like PG's rule rewrite), INSERT .. VALUES / INSERT ..
 SELECT, UPDATE .. SET .. WHERE, DELETE FROM .. WHERE, COPY .. TO/FROM
-(csv), SELECT/WITH (full dialect surface via dialect.transpiler).
+(csv), SELECT/WITH incl. WITH RECURSIVE (full dialect surface via
+dialect.transpiler).
 Unsupported statements raise NotImplementedError with the closest
 DataFrame-level API named in the message.
 """
@@ -34,12 +37,26 @@ class GreengageEngine:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.ddl = DDLCatalog(spark, warehouse)
+        self.views: dict[str, str] = {}  # name → PG-dialect defining query
 
     # ---------------- statement router ----------------
 
     def execute(self, sql: str) -> DataFrame | None:
         stmt = sql.strip().rstrip(";")
         head = stmt.split(None, 2)[0].lower() if stmt else ""
+        mv = re.match(
+            r"(?is)^create\s+(or\s+replace\s+)?(temp(orary)?\s+)?view\s+([\w.]+)\s+as\s+(.*)$",
+            stmt,
+        )
+        if mv:
+            return self._create_view(mv.group(4), mv.group(5), bool(mv.group(1)))
+        mc = re.match(
+            r"(?is)^create\s+(temp(orary)?\s+)?table\s+([\w.]+)\s+as\s+"
+            r"((?:select|with|values|table)\b.*)$",
+            stmt,
+        )
+        if mc:
+            return self._create_table_as(mc.group(3), mc.group(4))
         if head == "create" and re.match(r"(?is)^create\s+(temp(orary)?\s+)?table\b", stmt):
             self.ddl.create_table(stmt)
             self._register(parse_create_table(stmt).name)
@@ -70,6 +87,42 @@ class GreengageEngine:
     def _register_all(self) -> None:
         for name in self.ddl.tables:
             self._register(name)
+        # views are late-binding (PG rule rewrite over current table data):
+        # re-derive each from its defining query, in creation order so a
+        # view may reference earlier views.
+        for name, vsql in self.views.items():
+            pg_sql(self.spark, vsql).createOrReplaceTempView(name)
+
+    def _create_view(self, name: str, query: str, replace: bool):
+        if name in self.ddl.tables:
+            raise ValueError(f"{name!r} is a table")
+        if name in self.views and not replace:
+            raise ValueError(f"view {name} already exists")
+        self._register_all()
+        pg_sql(self.spark, query).createOrReplaceTempView(name)  # validate now
+        self.views[name] = query
+        return None
+
+    def _create_table_as(self, name: str, body: str):
+        """CTAS with optional trailing DISTRIBUTED clause (gram.y
+        CreateAsStmt + distributed_clause)."""
+        md = re.search(
+            r"(?is)\bdistributed\s+(randomly|replicated|by\s*\(([^)]*)\))\s*$", body
+        )
+        distribution, dist_keys = "random", ()
+        if md:
+            body = body[: md.start()].rstrip()
+            kind = md.group(1).lower()
+            if kind == "replicated":
+                distribution = "replicated"
+            elif kind.startswith("by"):
+                distribution = "hash"
+                dist_keys = tuple(k.strip() for k in md.group(2).split(","))
+        self._register_all()
+        df = pg_sql(self.spark, body)
+        self.ddl.create_table_as(name, df, distribution, dist_keys)
+        self._register(name)
+        return None
 
     def _storage(self, name: str):
         if name not in self.ddl.tables:
@@ -77,15 +130,16 @@ class GreengageEngine:
         return self.ddl._storage(self.ddl.tables[name])
 
     def _drop(self, stmt: str) -> None:
-        m = re.match(r"(?is)^drop\s+table\s+(if\s+exists\s+)?([\w.]+)$", stmt)
+        m = re.match(r"(?is)^drop\s+(table|view)\s+(if\s+exists\s+)?([\w.]+)$", stmt)
         if not m:
-            raise NotImplementedError("only DROP TABLE [IF EXISTS] name")
-        name = m.group(2)
-        if name not in self.ddl.tables:
-            if m.group(1):
+            raise NotImplementedError("only DROP TABLE/VIEW [IF EXISTS] name")
+        kind, name = m.group(1).lower(), m.group(3)
+        registry = self.views if kind == "view" else self.ddl.tables
+        if name not in registry:
+            if m.group(2):
                 return None
-            raise ValueError(f"unknown table {name!r}")
-        del self.ddl.tables[name]
+            raise ValueError(f"unknown {kind} {name!r}")
+        del registry[name]
         self.spark.catalog.dropTempView(name)
         return None
 

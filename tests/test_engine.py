@@ -77,3 +77,52 @@ class TestEngine:
         eng.execute("INSERT INTO big SELECT explode(sequence(1, 1000)) AS k, 1 AS v")
         df = eng.execute("SELECT count(*) AS n FROM big")
         assert df.collect()[0].n == 1000
+
+
+class TestViewsAndCTAS:
+    def test_ctas_with_distribution(self, eng):
+        eng.execute("CREATE TABLE base (a int8, b text) DISTRIBUTED BY (a)")
+        eng.execute("INSERT INTO base VALUES (1,'x'), (2,'y'), (3,'z')")
+        eng.execute(
+            "CREATE TABLE big AS SELECT a * 10 AS a10, b FROM base WHERE a > 1 "
+            "DISTRIBUTED BY (a10)"
+        )
+        assert rows(eng.execute("SELECT a10, b FROM big")) == [(20, "y"), (30, "z")]
+        td = eng.ddl.tables["big"]
+        assert td.distribution == "hash" and td.dist_keys == ("a10",)
+
+    def test_ctas_feeds_dml(self, eng):
+        eng.execute("CREATE TABLE base (a int8) DISTRIBUTED RANDOMLY")
+        eng.execute("INSERT INTO base VALUES (1), (2)")
+        eng.execute("CREATE TABLE copy2 AS SELECT a FROM base")
+        eng.execute("UPDATE copy2 SET a = a + 100")
+        assert rows(eng.execute("SELECT a FROM copy2")) == [(101,), (102,)]
+
+    def test_view_late_binding(self, eng):
+        # gp_aggregates.sql mpp2687: view over DISTINCT/GROUP BY; PG views
+        # re-resolve against current table contents.
+        eng.execute("CREATE TABLE mpp2687t (dk text, gk text) DISTRIBUTED BY (dk)")
+        eng.execute("CREATE VIEW mpp2687v AS SELECT DISTINCT gk FROM mpp2687t GROUP BY gk")
+        assert rows(eng.execute("SELECT * FROM mpp2687v")) == []
+        eng.execute("INSERT INTO mpp2687t VALUES ('a','g1'), ('b','g1'), ('c','g2')")
+        assert rows(eng.execute("SELECT * FROM mpp2687v")) == [("g1",), ("g2",)]
+
+    def test_view_over_view_and_drop(self, eng):
+        eng.execute("CREATE TABLE t (a int8)")
+        eng.execute("INSERT INTO t VALUES (1), (2), (3)")
+        eng.execute("CREATE VIEW v1 AS SELECT a * 2 AS a2 FROM t")
+        eng.execute("CREATE VIEW v2 AS SELECT sum(a2)::int8 AS s FROM v1")
+        assert rows(eng.execute("SELECT s FROM v2")) == [(12,)]
+        eng.execute("DROP VIEW v2")
+        eng.execute("DROP VIEW IF EXISTS v2")
+        with pytest.raises(ValueError):
+            eng.execute("DROP VIEW v2")
+
+    def test_create_or_replace_view(self, eng):
+        eng.execute("CREATE TABLE t (a int8)")
+        eng.execute("INSERT INTO t VALUES (5)")
+        eng.execute("CREATE VIEW v AS SELECT a FROM t")
+        with pytest.raises(ValueError):
+            eng.execute("CREATE VIEW v AS SELECT a + 1 AS a FROM t")
+        eng.execute("CREATE OR REPLACE VIEW v AS SELECT a + 1 AS a FROM t")
+        assert rows(eng.execute("SELECT a FROM v")) == [(6,)]
