@@ -429,3 +429,30 @@ def dialect_distinct_on(spark, sf_dir):
         """,
         ["orders"],
     )
+
+
+@suite.add(
+    "dialect_array_agg_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           to_json(array_agg(n_name ORDER BY n_name)) AS names_asc,
+           to_json(array_agg(n_nationkey ORDER BY n_name DESC)) AS keys_desc
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="inline ordered aggregates array_agg(x ORDER BY k [DESC]) "
+        "(gram.y func_arg_list opt_sort_clause, gp_aggregates.sql:1-8) → "
+        "array_sort / struct-sort rewrite; compared as canonical JSON.",
+    tags=("dialect", "agg", "array"),
+)
+def dialect_array_agg_ordered(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT n_regionkey,
+               to_json(array_agg(n_name ORDER BY n_name)) AS names_asc,
+               to_json(array_agg(n_nationkey ORDER BY n_name DESC)) AS keys_desc
+        FROM nation GROUP BY n_regionkey
+        """,
+        ["nation"],
+    )
