@@ -369,6 +369,39 @@ WINDOW_QUERIES = {
     ),
     "w_lag2": ("select cn, cname, lag(cname, 2) over (order by cn) from customer", None),
     "w_lag1": ("select cn, cname, lag(cname) over (order by cn) from customer", None),
+    # olap_window.sql:684-685 / 702-703 — expression (non-literal) defaults
+    "w_lead_expr_default": (
+        "select cn, vn, pn, lead(cn, 1, cn + 1) over (order by cn, vn, pn) from "
+        "sale order by 1, 2, 3",
+        None,
+    ),
+    "w_lag_expr_default": (
+        "select cn, vn, pn, lag(cn, 1, cn + 1) over (order by cn, vn, pn) from "
+        "sale order by 1, 2, 3",
+        None,
+    ),
+    # olap_window.sql:687-689 / 705-707 — offset fn over computed expression
+    "w_lead_computed": (
+        "select cn, vn, pn, qty * prc, lead(qty * prc) over (order by cn, vn, pn) "
+        "from sale order by 1, 2, 3",
+        None,
+    ),
+    "w_lag_computed": (
+        "select cn, vn, pn, qty * prc, lag(qty * prc) over (order by cn, vn, pn) "
+        "from sale order by 1, 2, 3",
+        None,
+    ),
+    # olap_window.sql:352-360 — ntile/percent_rank mixed with running sum
+    "w_ntile_with_sum": (
+        "select cn, dt, ntile(3) over (partition by cn order by dt), "
+        "sum(prc) over (order by cn, dt) from sale",
+        None,
+    ),
+    "w_percent_rank_with_sum": (
+        "select cn, dt, percent_rank() over (partition by cn order by dt), "
+        "sum(prc) over (order by cn, dt) from sale",
+        None,
+    ),
 }
 
 
