@@ -92,6 +92,23 @@ _TABLES = {
         "a, b",
         "(56, 7.8), (100, 99.097), (0, 0.09561), (42, 324.78)",
     ),
+    # notin.sql:11-71 fixture (t1=1..10, t2=1..5, l1 diagonal 1..10)
+    "t1": ("c1 int", "c1", ", ".join(f"({i})" for i in range(1, 11))),
+    "t2": ("c2 int", "c2", "(1), (2), (3), (4), (5)"),
+    "t3": ("c3 int", "c3", "(1), (2), (3)"),
+    "t4": ("c4 int", "c4", "(1), (2)"),
+    "t1n": ("c1n int", "c1n", "(1), (2), (3), (NULL), (5), (6), (7)"),
+    "g1": (
+        "a int, b int, c int",
+        "a, b, c",
+        "(1,1,1), (1,1,2), (1,2,2), (2,2,2), (2,2,3), (2,3,3), "
+        "(3,3,3), (3,3,3), (3,3,4), (3,4,4), (4,4,4)",
+    ),
+    "l1": (
+        "w int, x int, y int, z int",
+        "w, x, y, z",
+        ", ".join(f"({i},{i},{i},{i})" for i in range(1, 11)),
+    ),
 }
 
 
@@ -478,7 +495,113 @@ def test_reference_window_query(olap, name):
     _check(olap, ref, duck)
 
 
+# --------------------------------------------------------------------------
+# notin.sql — NOT IN / LASJ_NOTIN null semantics (nodes.h:755), verbatim
+# --------------------------------------------------------------------------
+
+NOTIN_QUERIES = {
+    # notin.sql q1
+    "n_basic": ("select c1 from t1 where c1 not in (select c2 from t2)", None),
+    # q2 — nested NOT IN
+    "n_nested": (
+        "select c1 from t1 where c1 not in (select c2 from t2 where c2 > 2 "
+        "and c2 not in (select c3 from t3))",
+        None,
+    ),
+    # q3 — triple nesting
+    "n_triple": (
+        "select c1 from t1 where c1 not in (select c2 from t2 where c2 not in "
+        "(select c3 from t3 where c3 not in (select c4 from t4)))",
+        None,
+    ),
+    # q10 — aggregate subquery
+    "n_agg_subquery": (
+        "select count(c1) from t1 where c1 not in (select sum(c2) from t2)",
+        None,
+    ),
+    # q11
+    "n_count_subquery": (
+        "select c1 from t1 where c1 not in (select count(*) from t1)",
+        None,
+    ),
+    # q12 — row-value NOT IN over self (empty result).  DuckDB lacks
+    # row-value NOT IN (subquery); oracles use the NOT EXISTS equivalent
+    # (valid here: fixtures are null-free, so LASJ_NOTIN ≡ anti join).
+    "n_rowvalue_self": (
+        "select a,b from g1 where (a,b) not in (select a,b from g1)",
+        "select a,b from g1 where not exists "
+        "(select 1 from g1 g2 where g2.a = g1.a and g2.b = g1.b)",
+    ),
+    # q13 — row-value NOT IN vs aggregated subquery
+    "n_rowvalue_agg": (
+        "select x,y from l1 where (x,y) not in (select distinct y, sum(x) from l1 "
+        "group by y having y < 4 order by y) order by 1,2",
+        "select x,y from l1 where not exists (select 1 from "
+        "(select distinct y as sy, sum(x) as sx from l1 group by y having y < 4) s "
+        "where s.sy = l1.x and s.sx = l1.y) order by 1,2",
+    ),
+    # q14 — 3-column row-value NOT IN
+    "n_rowvalue_three": (
+        "select * from g1 where (a,b,c) not in (select x,y,z from l1)",
+        "select * from g1 where not exists (select 1 from l1 "
+        "where l1.x = g1.a and l1.y = g1.b and l1.z = g1.c)",
+    ),
+    # q17 — NULL in the NOT IN set ⇒ empty (the LASJ_NOTIN distinction)
+    "n_null_set": (
+        "select c1 from t1 where c1 not in (select c1n from t1n)",
+        None,
+    ),
+    # q18 — null propagation through nesting
+    "n_null_nested": (
+        "select c1 from t1 where c1 not in (select c2 from t2 where c2 not in "
+        "(select c3 from t3 where c3 not in (select c1n from t1n)))",
+        None,
+    ),
+    # q21 — two NOT INs conjoined
+    "n_double": (
+        "select c1 from t1 where c1 not in (select c2 from t2) and c1 not in "
+        "(select c3 from t3)",
+        None,
+    ),
+    # q23/q24 — set-op subqueries
+    "n_union_subquery": (
+        "select c1 from t1 where c1 not in (select c2 from t2 union select c3 from t3)",
+        None,
+    ),
+    "n_union_all_subquery": (
+        "select c1 from t1 where c1 not in "
+        "(select c2 from t2 union all select c3 from t3)",
+        None,
+    ),
+    # q25 — CASE neutralizes the NULL
+    "n_case_null": (
+        "select c1 from t1 where c1 not in (select (case when c1n is null then 1 "
+        "else c1n end) as c1n from t1n)",
+        None,
+    ),
+    # q26 — NOT IN inside scalar subqueries under CASE
+    "n_case_scalar_subqueries": (
+        "select (case when c1%2 = 0 then (select sum(c2) from t2 where c2 not in "
+        "(select c3 from t3)) else (select sum(c3) from t3 where c3 not in "
+        "(select c4 from t4)) end) as foo from t1",
+        None,
+    ),
+    # q31 — LIMIT inside the subquery
+    "n_limit_subquery": (
+        "select c1 from t1 where c1 not in (select c2 from t2 order by c2 limit 3) "
+        "order by c1",
+        None,
+    ),
+}
+
+
 @pytest.mark.parametrize("name", sorted(RECURSIVE_QUERIES))
 def test_reference_recursive_query(olap, name):
     ref, duck = RECURSIVE_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+@pytest.mark.parametrize("name", sorted(NOTIN_QUERIES))
+def test_reference_notin_query(olap, name):
+    ref, duck = NOTIN_QUERIES[name]
     _check(olap, ref, duck)
