@@ -317,6 +317,70 @@ def _pass_agg_order_by(toks: list[str]) -> list[str]:
     return toks
 
 
+_QUANT_CMP = {"<", "<=", ">", ">="}
+# which aggregate makes `x op AGG(sub)` ≡ `x op QUANTIFIER(sub)` (null-free set)
+_QUANT_AGG = {
+    ("any", ">"): "MIN", ("any", ">="): "MIN",
+    ("any", "<"): "MAX", ("any", "<="): "MAX",
+    ("all", ">"): "MAX", ("all", ">="): "MAX",
+    ("all", "<"): "MIN", ("all", "<="): "MIN",
+}
+
+
+def _pass_quantified(toks: list[str]) -> list[str]:
+    """PG quantified comparisons over subqueries (gram.y SubLink; reference
+    tests notin.sql q27-q29), which Spark SQL lacks:
+
+      x = ANY/SOME (sub)   → x IN (sub)
+      x <> ALL (sub)       → x NOT IN (sub)
+      x <cmp> ANY/SOME(sub)→ x <cmp> (SELECT MIN/MAX(..) FROM (sub))
+      x <cmp> ALL (sub)    → x <cmp> (SELECT MAX/MIN(..) FROM (sub))
+
+    The min/max trick matches PG exactly on null-free subqueries; with NULLs
+    in the set PG yields NULL where this yields FALSE — visible only under
+    NOT (documented divergence, same family as int-division in SURVEY §7 M4).
+    ANY over *arrays* is left untouched (different feature).
+    """
+    i = 0
+    while i + 2 < len(toks):
+        quant = toks[i + 1].lower() if _is_ident(toks[i + 1]) else None
+        if quant in ("any", "some", "all") and toks[i + 2] == "(":
+            op = toks[i]
+            close = None
+            depth = 0
+            for j in range(i + 2, len(toks)):
+                if toks[j] == "(":
+                    depth += 1
+                elif toks[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = j
+                        break
+            sub = toks[i + 3 : close]
+            if not sub or sub[0].lower() not in ("select", "with"):
+                i += 1  # ANY(array) form — not a sublink
+                continue
+            kind = "any" if quant in ("any", "some") else "all"
+            if op == "=" and kind == "any":
+                repl = ["IN", "("] + sub + [")"]
+            elif op in ("<>", "!=") and kind == "all":
+                repl = ["NOT", "IN", "("] + sub + [")"]
+            elif op in _QUANT_CMP:
+                agg = _QUANT_AGG[(kind, op)]
+                repl = (
+                    [op, "(", "SELECT", agg, "(", "__v", ")", "FROM", "("]
+                    + sub
+                    + [")", "AS", "__q", "(", "__v", ")", ")"]
+                )
+            else:
+                raise NotImplementedError(
+                    f"quantified comparison {op} {quant.upper()} (subquery)"
+                )
+            toks = toks[:i] + repl + toks[close + 1 :]
+        i += 1
+    return toks
+
+
 def _pass_group_by_empty(toks: list[str]) -> list[str]:
     """Drop no-op ``()`` items from plain GROUP BY lists (gram.y grouping
     extension: ``GROUP BY (), cn`` ≡ ``GROUP BY cn``; a lone ``GROUP BY ()``
@@ -698,6 +762,7 @@ def transpile(sql: str) -> str:
     toks = _pass_json_ops(toks)
     toks = _pass_regex_ops(toks)
     toks = _pass_agg_order_by(toks)
+    toks = _pass_quantified(toks)
     toks = _pass_functions(toks)
     toks = _pass_subscripts(toks)
     # re-join with spaces; '.' binds tight (qualified names)

@@ -50,6 +50,36 @@ class TestCasts:
         )
 
 
+class TestQuantified:
+    def test_eq_any_becomes_in(self):
+        out = transpile("SELECT a FROM t WHERE a = ANY (SELECT b FROM u)")
+        assert "IN ( SELECT b FROM u )" in out and "=" not in out
+
+    def test_ne_all_becomes_not_in(self):
+        out = transpile("SELECT a FROM t WHERE a <> ALL (SELECT b FROM u)")
+        assert "NOT IN ( SELECT b FROM u )" in out
+
+    def test_ge_some_min(self):
+        out = transpile("SELECT a FROM t WHERE a >= SOME (SELECT b FROM u)")
+        assert ">= ( SELECT MIN ( __v )" in out
+
+    def test_lt_all_min(self):
+        out = transpile("SELECT a FROM t WHERE a < ALL (SELECT b FROM u)")
+        assert "< ( SELECT MIN ( __v )" in out
+
+    def test_gt_all_max(self):
+        out = transpile("SELECT a FROM t WHERE a > ALL (SELECT b FROM u)")
+        assert "> ( SELECT MAX ( __v )" in out
+
+    def test_array_any_untouched(self):
+        out = transpile("SELECT a FROM t WHERE x = ANY (arr_col)")
+        assert "ANY ( arr_col )" in out
+
+    def test_ne_any_raises(self):
+        with pytest.raises(NotImplementedError):
+            transpile("SELECT a FROM t WHERE a <> ANY (SELECT b FROM u)")
+
+
 class TestGroupByEmpty:
     def test_leading_empty_item(self):
         out = transpile("SELECT cn, count(*) FROM sale GROUP BY (), cn")

@@ -586,6 +586,15 @@ NOTIN_QUERIES = {
         "(select c4 from t4)) end) as foo from t1",
         None,
     ),
+    # q27/q28 — quantified comparisons (SOME/ALL sublinks)
+    "n_not_ge_some": (
+        "select c1 from t1 where not c1 >= some (select c2 from t2)",
+        None,
+    ),
+    "n_not_lt_all": (
+        "select c2 from t2 where not c2 < all (select c2 from t2)",
+        None,
+    ),
     # q31 — LIMIT inside the subquery
     "n_limit_subquery": (
         "select c1 from t1 where c1 not in (select c2 from t2 order by c2 limit 3) "
