@@ -668,11 +668,29 @@ _GENSERIES_FROM_RE = re.compile(
     re.IGNORECASE,
 )
 
+# bare forms: `FROM generate_series(a,b)` (PG column name = generate_series)
+# and `FROM generate_series(a,b) i` (PG: a bare SRF alias names the column
+# too, gram.y func_alias_clause).  A trailing keyword is not an alias.
+_GENSERIES_FROM_BARE_RE = re.compile(
+    r"\bFROM\s+generate_series\s*\(([^()]*)\)"
+    r"(?:\s+(?:AS\s+)?"
+    r"(?!WHERE\b|GROUP\b|ORDER\b|HAVING\b|LIMIT\b|OFFSET\b|UNION\b|INTERSECT\b"
+    r"|EXCEPT\b|JOIN\b|ON\b|USING\b|LEFT\b|RIGHT\b|FULL\b|INNER\b|CROSS\b|AS\b)"
+    r"(\w+))?",
+    re.IGNORECASE,
+)
+
 
 def _rewrite_from_generate_series(sql: str) -> str:
     """FROM generate_series(a,b) [AS] t(x) → FROM (SELECT explode(sequence(a,b)) AS x) t"""
-    return _GENSERIES_FROM_RE.sub(
+    sql = _GENSERIES_FROM_RE.sub(
         lambda m: f"FROM (SELECT explode(sequence({m.group(1)})) AS {m.group(3)}) {m.group(2)}",
+        sql,
+    )
+    return _GENSERIES_FROM_BARE_RE.sub(
+        lambda m: "FROM (SELECT explode(sequence({0})) AS {1}) {1}".format(
+            m.group(1), m.group(2) or "generate_series"
+        ),
         sql,
     )
 

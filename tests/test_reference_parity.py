@@ -18,6 +18,8 @@ documented equivalent from the same ``--start_equiv`` block.
 
 from __future__ import annotations
 
+from datetime import date, timedelta
+
 import duckdb
 import pytest
 
@@ -109,19 +111,84 @@ _TABLES = {
         "w, x, y, z",
         ", ".join(f"({i},{i},{i},{i})" for i in range(1, 11)),
     ),
+    # gp_dqa.sql:4-10 fixture — dqa_t1/dqa_t2 from generate_series(0,99),
+    # reproduced row-for-row (d=i%dm, i=i%im, c=i%10, dt='2009-06-10'+i%dtm)
+    "dqa_t1": (
+        "d int, i int, c string, dt date",
+        "d, i, c, dt",
+        ", ".join(
+            f"({i % 23}, {i % 12}, '{i % 10}', "
+            f"DATE '{date(2009, 6, 10) + timedelta(days=i % 34)}')"
+            for i in range(100)
+        ),
+    ),
+    "dqa_t2": (
+        "d int, i int, c string, dt date",
+        "d, i, c, dt",
+        ", ".join(
+            f"({i % 34}, {i % 45}, '{i % 10}', "
+            f"DATE '{date(2009, 6, 10) + timedelta(days=i % 56)}')"
+            for i in range(100)
+        ),
+    ),
+    # gp_dqa.sql:113-120 — each 20-row insert executed twice (duplicates matter)
+    "t1_mdqa": (
+        "a int, b int, c string",
+        "a, b, c",
+        ", ".join(
+            f"({i % 5}, {i % 10}, '{i}value')"
+            for i in list(range(1, 21)) + list(range(1, 21))
+        ),
+    ),
+    "t2_mdqa": (
+        "a int, b int, c string",
+        "a, b, c",
+        ", ".join(
+            f"({i % 10}, {i % 5}, '{i}value')"
+            for i in list(range(1, 21)) + list(range(1, 21))
+        ),
+    ),
+    # gp_dqa.sql:148-153
+    "gp_dqa_r": (
+        "a int, b int, c int",
+        "a, b, c",
+        ", ".join(f"({i}, {i % 10}, {i % 5})" for i in range(1, 21)),
+    ),
+    "gp_dqa_s": (
+        "d int, e int, f int",
+        "d, e, f",
+        ", ".join(f"({i}, {i % 15}, {i % 10})" for i in range(1, 31)),
+    ),
+    # gp_dqa.sql:205-211
+    "gp_dqa_t1": ("a int, b int", "a, b", ", ".join(f"({i}, {i % 5})" for i in range(1, 11))),
+    "gp_dqa_t2": ("a int, c int", "a, c", ", ".join(f"({i}, {i % 4})" for i in range(1, 11))),
+    # gp_dqa.sql:238-241 — NULL corner case
+    "dqa_f4": ("a int, b int, c int", "a, b, c", "(NULL, NULL, NULL), (1, 1, 1), (2, 2, 2)"),
+    # gp_dqa.sql:229 — empty table (DQA over zero rows under a join)
+    "foo_mdqa": ("x int, y int", "x, y", ""),
 }
 
 
 @pytest.fixture(scope="module")
 def olap(spark):
     con = duckdb.connect()
-    for name, (_schema, cols, body) in _TABLES.items():
+    for name, (schema, cols, body) in _TABLES.items():
         casted = ", ".join(c.strip() for c in cols.split(","))
+        if not body:
+            # empty table: one typed-NULL row filtered out (both dialects)
+            body = "(" + ", ".join(
+                f"CAST(NULL AS {c.strip().split()[1]})" for c in schema.split(",")
+            ) + ")"
+            suffix = " WHERE 1 = 0"
+        else:
+            suffix = ""
         spark.sql(
             f"CREATE OR REPLACE TEMP VIEW {name} AS "
-            f"SELECT {casted} FROM (VALUES {body}) AS t({cols})"
+            f"SELECT {casted} FROM (VALUES {body}) AS t({cols}){suffix}"
         )
-        con.execute(f"CREATE TABLE {name} AS SELECT {casted} FROM (VALUES {body}) t({cols})")
+        con.execute(
+            f"CREATE TABLE {name} AS SELECT {casted} FROM (VALUES {body}) t({cols}){suffix}"
+        )
     yield spark, con
     con.close()
     for name in _TABLES:
@@ -614,3 +681,203 @@ def test_reference_recursive_query(olap, name):
 def test_reference_notin_query(olap, name):
     ref, duck = NOTIN_QUERIES[name]
     _check(olap, ref, duck)
+
+
+# --------------------------------------------------------------------------
+# gp_dqa.sql — distinct-qualified aggregates (cdbgroup.c 2/3-stage DQA,
+# ORCA CXformSplitDQA).  Queries verbatim from gp_dqa.sql (line-cited);
+# EXPLAIN statements and the enable_hashagg/groupagg re-runs (identical
+# output) are skipped.
+# --------------------------------------------------------------------------
+
+DQA_QUERIES = {
+    # gp_dqa.sql:20-23 — distinct key = distribution key
+    "d_single": ("select count(distinct d) from dqa_t1", None),
+    "d_single_group": ("select count(distinct d) from dqa_t1 group by i", None),
+    # gp_dqa.sql:25-28 — multiple DQAs, no grouping
+    "d_two": ("select count(distinct d), count(distinct dt) from dqa_t1", None),
+    "d_three": (
+        "select count(distinct d), count(distinct c), count(distinct dt) from dqa_t1",
+        None,
+    ),
+    # gp_dqa.sql:30-33 — multiple DQAs with grouping
+    "d_two_group_c": (
+        "select count(distinct d), count(distinct dt) from dqa_t1 group by c",
+        None,
+    ),
+    "d_two_group_d": (
+        "select count(distinct d), count(distinct dt) from dqa_t1 group by d",
+        None,
+    ),
+    # gp_dqa.sql:35-38 — DQA over a join
+    "d_join": (
+        "select count(distinct dqa_t1.d) from dqa_t1, dqa_t2 where dqa_t1.d = dqa_t2.d",
+        None,
+    ),
+    "d_join_group": (
+        "select count(distinct dqa_t1.d) from dqa_t1, dqa_t2 "
+        "where dqa_t1.d = dqa_t2.d group by dqa_t2.dt",
+        None,
+    ),
+    # gp_dqa.sql:41-46 — distinct key is NOT the distribution key
+    "d_nondist": ("select count(distinct c) from dqa_t1", None),
+    "d_nondist_group_dt": ("select count(distinct c) from dqa_t1 group by dt", None),
+    "d_nondist_group_d": ("select count(distinct c) from dqa_t1 group by d", None),
+    # gp_dqa.sql:48-53
+    "d_nondist_two": (
+        "select count(distinct c), count(distinct dt) from dqa_t1",
+        None,
+    ),
+    "d_nondist_two_key": (
+        "select count(distinct c), count(distinct dt), i from dqa_t1 group by i",
+        None,
+    ),
+    "d_nondist_two_key2": (
+        "select count(distinct i), count(distinct c), d from dqa_t1 group by d",
+        None,
+    ),
+    # gp_dqa.sql:55-58 — DQA over a join on non-distribution key
+    "d_join_c": (
+        "select count(distinct dqa_t1.dt) from dqa_t1, dqa_t2 where dqa_t1.c = dqa_t2.c",
+        None,
+    ),
+    "d_join_c_group": (
+        "select count(distinct dqa_t1.dt) from dqa_t1, dqa_t2 "
+        "where dqa_t1.c = dqa_t2.c group by dqa_t2.dt",
+        None,
+    ),
+    # gp_dqa.sql:123-137 — MDQA (multiple distinct-qualified aggregates)
+    "m_simple": (
+        "select count(distinct t1.a), count(distinct t2.b), t1.c, t2.c "
+        "from t1_mdqa t1, t2_mdqa t2 where t1.c = t2.c group by t1.c, t2.c order by t1.c",
+        None,
+    ),
+    "m_distinct_over": (
+        "select distinct sum(distinct t1.a), avg(t2.a), sum(distinct t2.b), t1.a, t2.b "
+        "from t1_mdqa t1, t2_mdqa t2 where t1.a = t2.a group by t1.a, t2.b order by t1.a",
+        None,
+    ),
+    "m_avg_distinct": (
+        "select distinct sum (distinct t1.a), avg(distinct t2.a), sum(distinct t2.b), "
+        "t1.c from t1_mdqa t1, t2_mdqa t2 where t1.a = t2.a group by t1.c order by t1.c",
+        None,
+    ),
+    "m_group_key": (
+        "select distinct t1.c , sum(distinct t1.a), count(t2.b), sum(distinct t2.b) "
+        "from t1_mdqa t1, t2_mdqa t2 where t1.a = t2.a group by t1.c order by t1.c",
+        None,
+    ),
+    "m_mixed_plain": (
+        "select distinct sum(t1.a), avg(distinct t2.a), sum(distinct (t1.a + t2.a)), "
+        "t1.a, t2.b from t1_mdqa t1, t2_mdqa t2 where t1.a = t2.a "
+        "group by t1.a, t2.b order by t1.a",
+        None,
+    ),
+    "m_char_length": (
+        "select distinct avg(t1.a + t2.b), count(distinct t1.c), "
+        "count(distinct char_length(t1.c)), t1.a, t2.b "
+        "from t1_mdqa t1, t2_mdqa t2 where t1.a = t2.a group by t1.a, t2.b order by t1.a",
+        # DuckDB has no char_length; length() is its documented equivalent
+        "select distinct avg(t1.a + t2.b), count(distinct t1.c), "
+        "count(distinct length(t1.c)), t1.a, t2.b "
+        "from t1_mdqa t1, t2_mdqa t2 where t1.a = t2.a group by t1.a, t2.b order by t1.a",
+    ),
+    # gp_dqa.sql:155-200 — MPP-19037 family over gp_dqa_r/gp_dqa_s
+    "r_join_two": (
+        "select a, d, count(distinct b) as c1, count(distinct c) as c2 "
+        "from gp_dqa_r, gp_dqa_s where ( e = a ) group by d, a order by a,d",
+        None,
+    ),
+    "r_case_two": (
+        "select distinct "
+        "count(distinct case when b >= 1 or c >= 1 then b else NULL end ) as c1, "
+        "count(distinct case when b >= 1 then b else NULL end ) as c2, "
+        "d as c9 from gp_dqa_r, gp_dqa_s where ( e = a ) group by d order by c9",
+        None,
+    ),
+    "r_distinct_group": (
+        "select distinct count(distinct b) as c1, count(distinct c) as c2, d as c9 "
+        "from gp_dqa_r, gp_dqa_s where ( e = a ) group by d order by c9",
+        None,
+    ),
+    "r_cross_dup_col": (
+        "select distinct d, count(distinct b) as c1, count(distinct c) as c2, d as c9 "
+        "from gp_dqa_r, gp_dqa_s group by d order by c9",
+        None,
+    ),
+    "r_cross_finer_group": (
+        "select distinct d, count(distinct b) as c1, count(distinct c) as c2, d as c9 "
+        "from gp_dqa_r, gp_dqa_s group by d, a order by c9",
+        None,
+    ),
+    "r_cross_scalar": (
+        "select distinct count(distinct b) as c1, count(distinct c) as c2 "
+        "from gp_dqa_r, gp_dqa_s",
+        None,
+    ),
+    "r_single_scalar": (
+        "select distinct count(distinct b) as c1, count(distinct c) as c2 from gp_dqa_r",
+        None,
+    ),
+    "r_join_group_da": (
+        "select distinct count(distinct b) as c1, count(distinct c) as c2, d, a "
+        "from gp_dqa_r, gp_dqa_s where ( e = a)group by d, a order by a,d",
+        None,
+    ),
+    "r_cross_group_d": (
+        "select distinct count(distinct b) as c1, count(distinct c) as c2, d "
+        "from gp_dqa_r, gp_dqa_s group by d order by d",
+        None,
+    ),
+    # gp_dqa.sql:213-215 — DQA over outer joins
+    "o_left": (
+        "select distinct A.a, sum(distinct A.b), count(distinct B.c) from gp_dqa_t1 A "
+        "left join gp_dqa_t2 B on (A.a = B.a) group by A.a order by A.a",
+        None,
+    ),
+    "o_right": (
+        "select distinct A.a, sum(distinct A.b), count(distinct B.c) from gp_dqa_t1 A "
+        "right join gp_dqa_t2 B on (A.a = B.a) group by A.a order by A.a",
+        None,
+    ),
+    # gp_dqa.sql:229-233 — MDQA over an EMPTY table under a join (zero groups)
+    "f_empty_const": (
+        "SELECT distinct C.z, count(distinct FS.x), count(distinct FS.y) "
+        "FROM (SELECT 1 AS z FROM generate_series(1,10)) C, foo_mdqa FS GROUP BY z",
+        None,
+    ),
+    "f_empty_series": (
+        "SELECT distinct C.z, count(distinct FS.x), count(distinct FS.y) "
+        "FROM (SELECT i AS z FROM generate_series(1,10) i) C, foo_mdqa FS GROUP BY z",
+        # DuckDB's bare SRF alias names the table only (row-struct column);
+        # i(i) pins the column name the way PG's func_alias_clause does
+        "SELECT distinct C.z, count(distinct FS.x), count(distinct FS.y) "
+        "FROM (SELECT i AS z FROM generate_series(1,10) i(i)) C, foo_mdqa FS GROUP BY z",
+    ),
+    # gp_dqa.sql:243 — NULL corner case (NULL group + NULL-only distinct input)
+    "n4_null_group": (
+        "select count(distinct a), count(distinct b) from dqa_f4 group by c",
+        None,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(DQA_QUERIES))
+def test_reference_dqa_query(olap, name):
+    ref, duck = DQA_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+def test_reference_dqa_distinct_orderby_rejected(olap):
+    """gp_dqa.sql:1169 — the reference ERRORS: 'for SELECT DISTINCT, ORDER BY
+    expressions must appear in select list'.  Spark rejects it the same way
+    (unresolvable sort column above the Distinct)."""
+    spark, _ = olap
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        pg_sql(
+            spark,
+            "select distinct count(distinct b) as c1, count(distinct c) as c2, d "
+            "from gp_dqa_r, gp_dqa_s group by d, a order by d,a",
+        ).collect()
