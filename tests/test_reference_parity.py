@@ -19,6 +19,7 @@ documented equivalent from the same ``--start_equiv`` block.
 from __future__ import annotations
 
 from datetime import date, timedelta
+from decimal import Decimal
 
 import duckdb
 import pytest
@@ -166,6 +167,25 @@ _TABLES = {
     "dqa_f4": ("a int, b int, c int", "a, b, c", "(NULL, NULL, NULL), (1, 1, 1), (2, 2, 2)"),
     # gp_dqa.sql:229 — empty table (DQA over zero rows under a join)
     "foo_mdqa": ("x int, y int", "x, y", ""),
+    # aggregate_with_groupingsets.sql:9-17 (quantity NUMERIC kept as decimal)
+    "gsets_foo": (
+        "type int, prod string, quantity decimal(18,3)",
+        "type, prod, quantity",
+        "(1, 'Table', CAST(100 AS DECIMAL(18,3))), (2, 'Chair', CAST(250 AS DECIMAL(18,3))), "
+        "(3, 'Bed', CAST(300 AS DECIMAL(18,3)))",
+    ),
+    # aggregate_with_groupingsets.sql:38-53 — pfoo is the same rows stored in a
+    # RANGE-partitioned table; partitioning is a storage detail here
+    "pfoo": (
+        "type int, prod string, quantity decimal(18,3)",
+        "type, prod, quantity",
+        "(1, 'Table', CAST(100 AS DECIMAL(18,3))), (2, 'Chair', CAST(250 AS DECIMAL(18,3))), "
+        "(3, 'Bed', CAST(300 AS DECIMAL(18,3)))",
+    ),
+    # aggregate_with_groupingsets.sql:112-113
+    "foo_gset_const": ("a int", "a", "(0), (1)"),
+    # aggregate_with_groupingsets.sql:140-142
+    "foo_gset_dqa": ("i int, j int", "i, j", "(1,1), (2,1)"),
 }
 
 
@@ -198,6 +218,8 @@ def olap(spark):
 def _norm_val(v):
     if isinstance(v, bool):
         return v
+    if isinstance(v, Decimal):
+        return round(float(v), 6)
     if isinstance(v, float):
         return round(v, 6)
     if hasattr(v, "isoformat"):
@@ -881,3 +903,81 @@ def test_reference_dqa_distinct_orderby_rejected(olap):
             "select distinct count(distinct b) as c1, count(distinct c) as c2, d "
             "from gp_dqa_r, gp_dqa_s group by d, a order by d,a",
         ).collect()
+
+
+# --------------------------------------------------------------------------
+# aggregate_with_groupingsets.sql — GROUPING SETS planner fixes (verbatim,
+# line-cited; table `foo` renamed gsets_foo to avoid fixture collisions,
+# EXPLAIN-only statements run as plain SELECT value checks).
+# --------------------------------------------------------------------------
+
+GSETS_QUERIES = {
+    # aggregate_with_groupingsets.sql:22-28 — LIMIT 3 covers the whole
+    # 3-row table, so the subquery is deterministic
+    "gs_subq_limit": (
+        "SELECT type, prod, sum(quantity) s_quant FROM "
+        "(SELECT type, prod, quantity FROM gsets_foo F1 LIMIT 3) F2 "
+        "GROUP BY GROUPING SETS((type, prod), (prod)) ORDER BY type, s_quant",
+        None,
+    ),
+    # aggregate_with_groupingsets.sql:63-68 — over the partitioned table
+    "gs_partitioned": (
+        "SELECT type, prod, sum(quantity) s_quant FROM (SELECT * FROM pfoo) AS t "
+        "GROUP BY GROUPING SETS((type), (prod)) ORDER BY type, s_quant",
+        None,
+    ),
+    # aggregate_with_groupingsets.sql:75-99 — grouping sets under a CTE +
+    # coalesce + outer filter (reference runs EXPLAIN; values checked here)
+    "gs_cte_coalesce_filter": (
+        "WITH table1 AS (SELECT 2 AS city_id, 5 AS cnt UNION ALL "
+        "SELECT 2 AS city_id, 1 AS cnt UNION ALL SELECT 3 AS city_id, 2 AS cnt "
+        "UNION ALL SELECT 3 AS city_id, 7 AS cnt), "
+        "fin AS (SELECT coalesce(country_id, city_id) AS location_id, total FROM "
+        "(SELECT 1 as country_id, city_id, sum(cnt) as total FROM table1 "
+        "GROUP BY GROUPING SETS (1,2)) base) "
+        "SELECT * FROM fin WHERE location_id = 1",
+        None,
+    ),
+    # aggregate_with_groupingsets.sql:107 — constant over multiple empty sets.
+    # PG (and Spark) keep BOTH duplicate empty sets → two rows; DuckDB dedups
+    # duplicate grouping sets, so the oracle runs the documented expansion.
+    "gs_empty_sets": (
+        "select 1 from gsets_foo group by grouping sets ((), ())",
+        "select 1 from gsets_foo group by grouping sets (()) "
+        "union all select 1 from gsets_foo group by grouping sets (())",
+    ),
+    # aggregate_with_groupingsets.sql:117-133 — const + var by ordinal
+    "gs_const_var": (
+        "select 1, a from foo_gset_const group by grouping sets(1,2)",
+        None,
+    ),
+    "gs_const_dqa": (
+        "select 1, a, count(distinct(a)) from foo_gset_const group by grouping sets(1,2)",
+        None,
+    ),
+    "gs_const_filtered": (
+        "select * from (select 1 as x, a, sum(a) as sum from foo_gset_const "
+        "group by grouping sets(1, 2)) ss where x = 1 and sum = 1",
+        None,
+    ),
+    "gs_rollup_const": (
+        "select '' ,'' ,count(1) from foo_gset_const group by rollup(1,2)",
+        None,
+    ),
+    "gs_rollup_const_dqa": (
+        "select '' ,'' ,count(distinct(a)) from foo_gset_const group by rollup(1,2)",
+        None,
+    ),
+    # aggregate_with_groupingsets.sql:144-146 — DQA + grouping sets, no
+    # redundant sorts (value check)
+    "gs_dqa_two_sets": (
+        "select i, j, count(distinct j) from foo_gset_dqa GROUP BY grouping sets((i), (j))",
+        None,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(GSETS_QUERIES))
+def test_reference_groupingsets_query(olap, name):
+    ref, duck = GSETS_QUERIES[name]
+    _check(olap, ref, duck)
