@@ -160,11 +160,51 @@ def _pass_casts(toks: list[str]) -> list[str]:
             if tname in _PARAMETERIZED:
                 mapped = "DECIMAL" + "".join(toks[end + 1 : j + 1])
             end = j
+        # array-typed cast: type[] — '{…}' literals become ARRAY(…) (array.c
+        # array_in for the literal form; plain expressions cast to ARRAY<T>)
+        if end + 2 < len(toks) and toks[end + 1] == "[" and toks[end + 2] == "]":
+            if start == i - 1 and _is_string(toks[i - 1]):
+                elems = _pg_array_literal_items(toks[i - 1], mapped)
+                toks = (
+                    toks[:start]
+                    + ["CAST", "(", "ARRAY", "("] + elems
+                    + [")", "AS", f"ARRAY<{mapped}>", ")"]
+                    + toks[end + 3 :]
+                )
+                continue
+            mapped, end = f"ARRAY<{mapped}>", end + 2
         toks = (
             toks[:start]
             + ["CAST", "("] + toks[start:i] + ["AS", mapped, ")"]
             + toks[end + 1 :]
         )
+
+
+_NUMERIC_ITEM_RE = re.compile(r"^-?(\d+\.?\d*|\.\d+)([Ee][+-]?\d+)?$")
+
+
+def _pg_array_literal_items(str_tok: str, elem_type: str) -> list[str]:
+    """'{1,2,3}' / '{a,b}' (flat PG array literal, array.c array_in) →
+    comma-separated Spark literal tokens."""
+    body = str_tok[1:] if str_tok[:1].lower() == "e" else str_tok
+    body = body[1:-1].replace("''", "'").strip()
+    if not (body.startswith("{") and body.endswith("}")):
+        raise ValueError(f"unsupported array literal: {body!r}")
+    inner = body[1:-1].strip()
+    out: list[str] = []
+    if not inner:
+        return out
+    for part in inner.split(","):
+        p = part.strip().strip('"')
+        if out:
+            out.append(",")
+        if p.upper() == "NULL":
+            out.append("NULL")
+        elif elem_type == "STRING" or not _NUMERIC_ITEM_RE.match(p):
+            out.append("'" + p.replace("'", "''") + "'")
+        else:
+            out.append(p)
+    return out
 
 
 _INTERVAL_UNITS = {
@@ -317,66 +357,333 @@ def _pass_agg_order_by(toks: list[str]) -> list[str]:
     return toks
 
 
-_QUANT_CMP = {"<", "<=", ">", ">="}
-# which aggregate makes `x op AGG(sub)` ≡ `x op QUANTIFIER(sub)` (null-free set)
-_QUANT_AGG = {
-    ("any", ">"): "MIN", ("any", ">="): "MIN",
-    ("any", "<"): "MAX", ("any", "<="): "MAX",
-    ("all", ">"): "MAX", ("all", ">="): "MAX",
-    ("all", "<"): "MIN", ("all", "<="): "MIN",
-}
+_QUANT_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
+# which aggregate carries `x op QUANTIFIER(sub)` on the non-null subset
+_ORD_ANY_AGG = {"<": "MAX", "<=": "MAX", ">": "MIN", ">=": "MIN"}
+_ORD_ALL_AGG = {"<": "MIN", "<=": "MIN", ">": "MAX", ">=": "MAX"}
+
+# tokens that terminate a leftward scan for a comparison's left operand —
+# comparison binds tighter than these boolean/clause constructs
+_LEFT_STOP = _NON_FUNC_KEYWORDS | {"intersect", "symmetric", "cross", "lateral"}
+
+
+def _match_paren(toks: list[str], open_idx: int) -> int:
+    depth = 0
+    for j in range(open_idx, len(toks)):
+        if toks[j] == "(":
+            depth += 1
+        elif toks[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise ValueError("unbalanced parentheses")
+
+
+def _left_operand_span(toks: list[str], i: int) -> int:
+    """Start index of the left operand of the comparison at toks[i]."""
+    j = i - 1
+    depth = 0
+    while j >= 0:
+        t = toks[j]
+        if t in (")", "]"):
+            depth += 1
+        elif t in ("(", "["):
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0:
+            if t == ",":
+                break
+            if _is_ident(t) and t.lower() in _LEFT_STOP:
+                break
+        j -= 1
+    return j + 1
+
+
+def _has_top_comma(toks: list[str]) -> bool:
+    depth = 0
+    for t in toks:
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif t == "," and depth == 0:
+            return True
+    return False
+
+
+def _sub_top_from(sub: list[str]) -> int:
+    """Index of the top-level FROM in a SELECT token list, or -1."""
+    depth = 0
+    for k, t in enumerate(sub):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and _is_ident(t) and t.lower() == "from":
+            return k
+    return -1
+
+
+def _cnt_all(sub: list[str]) -> list[str]:
+    return ["(", "SELECT", "COUNT", "(", "*", ")", "FROM", "("] + sub + [")", "AS", "__q", ")"]
+
+
+def _cnt_nonnull(sub: list[str]) -> list[str]:
+    return (
+        ["(", "SELECT", "COUNT", "(", "__v", ")", "FROM", "("]
+        + sub + [")", "AS", "__q", "(", "__v", ")", ")"]
+    )
+
+
+def _agg_v(sub: list[str], agg: str) -> list[str]:
+    return (
+        ["(", "SELECT", agg, "(", "__v", ")", "FROM", "("]
+        + sub + [")", "AS", "__q", "(", "__v", ")", ")"]
+    )
+
+
+_NULL_BOOL = ["CAST", "(", "NULL", "AS", "BOOLEAN", ")"]
+
+
+def _all_case(xp: list[str], op: str, sub: list[str]) -> list[str]:
+    """Three-valued `x op ALL (sub)` as a CASE over scalar aggregates:
+    TRUE on empty set; FALSE if any non-null element fails the comparison;
+    NULL if nothing fails but the set has NULLs (or x is NULL).  PG
+    semantics per ExecSubPlan ALL_SUBLINK (nodeSubplan.c).  Catalyst's
+    MergeScalarSubqueries consolidates the repeated aggregate scans."""
+    if op == "=":
+        cmp_toks = (
+            xp + ["="] + _agg_v(sub, "MIN") + ["AND"] + xp + ["="] + _agg_v(sub, "MAX")
+        )
+    else:
+        cmp_toks = xp + [op] + _agg_v(sub, _ORD_ALL_AGG[op])
+    nulls_to = (
+        ["(", "CASE", "WHEN"] + _cnt_all(sub) + [">"] + _cnt_nonnull(sub)
+        + ["THEN"] + _NULL_BOOL + ["ELSE", "TRUE", "END", ")"]
+    )
+    return (
+        ["(", "CASE", "WHEN"] + _cnt_all(sub) + ["=", "0", "THEN", "TRUE"]
+        + ["WHEN", "("] + cmp_toks + [")", "THEN"] + nulls_to
+        + ["ELSE", "("] + cmp_toks + [")", "END", ")"]
+    )
+
+
+def _any_ord_case(xp: list[str], op: str, sub: list[str]) -> list[str]:
+    """Three-valued `x op ANY (sub)` for ordering ops: FALSE on empty set;
+    TRUE if the best non-null element satisfies it; NULL if not but the set
+    has NULLs (or x is NULL)."""
+    cmp_toks = xp + [op] + _agg_v(sub, _ORD_ANY_AGG[op])
+    return (
+        ["(", "CASE", "WHEN"] + _cnt_all(sub) + ["=", "0", "THEN", "FALSE"]
+        + ["WHEN", "("] + cmp_toks + [")", "THEN", "TRUE"]
+        + ["WHEN"] + _cnt_all(sub) + [">"] + _cnt_nonnull(sub)
+        + ["THEN"] + _NULL_BOOL
+        + ["ELSE", "("] + cmp_toks + [")", "END", ")"]
+    )
 
 
 def _pass_quantified(toks: list[str]) -> list[str]:
-    """PG quantified comparisons over subqueries (gram.y SubLink; reference
-    tests notin.sql q27-q29), which Spark SQL lacks:
+    """PG quantified comparisons (gram.y SubLink; ExecSubPlan ANY/ALL in
+    nodeSubplan.c), which Spark SQL lacks:
 
       x = ANY/SOME (sub)   → x IN (sub)
       x <> ALL (sub)       → x NOT IN (sub)
-      x <cmp> ANY/SOME(sub)→ x <cmp> (SELECT MIN/MAX(..) FROM (sub))
-      x <cmp> ALL (sub)    → x <cmp> (SELECT MAX/MIN(..) FROM (sub))
+      x <cmp> ANY/SOME(sub)→ CASE over (count/count-nonnull/MIN|MAX) scalar
+      x <cmp> ALL (sub)      aggregates of the subquery — exact three-valued
+      x  =  ALL (sub)        semantics incl. empty-set and NULL handling
+      x <> ANY (sub)       → NOT (x = ALL (sub))
+      x = ANY (array)      → array_contains(array, x)   (scalararrayop)
+      x <> ALL (array)     → NOT array_contains(array, x)
 
-    The min/max trick matches PG exactly on null-free subqueries; with NULLs
-    in the set PG yields NULL where this yields FALSE — visible only under
-    NOT (documented divergence, same family as int-division in SURVEY §7 M4).
-    ANY over *arrays* is left untouched (different feature).
+    Row-value forms ((a,b) op ALL (SELECT x,y …)) compare as single struct
+    columns; NULL struct *fields* then compare PG-row-wise only when both
+    sides are non-null (documented divergence).  The repeated aggregate
+    subqueries the CASE forms emit are merged by Catalyst
+    (MergeScalarSubqueries) into one scan for the uncorrelated case.
     """
     i = 0
     while i + 2 < len(toks):
         quant = toks[i + 1].lower() if _is_ident(toks[i + 1]) else None
-        if quant in ("any", "some", "all") and toks[i + 2] == "(":
+        if (
+            quant in ("any", "some", "all")
+            and toks[i + 2] == "("
+            and toks[i] in _QUANT_OPS
+        ):
             op = toks[i]
-            close = None
-            depth = 0
-            for j in range(i + 2, len(toks)):
-                if toks[j] == "(":
+            close = _match_paren(toks, i + 2)
+            sub = toks[i + 3 : close]
+            kind = "any" if quant in ("any", "some") else "all"
+            if not sub or sub[0].lower() not in ("select", "with"):
+                # scalar-array-op form: x op ANY/ALL(array-expression)
+                start = _left_operand_span(toks, i)
+                x = toks[start:i]
+                if op == "=" and kind == "any":
+                    repl = (
+                        ["ARRAY_CONTAINS", "(", "("] + sub + [")", ",", "("]
+                        + x + [")", ")"]
+                    )
+                elif op in ("<>", "!=") and kind == "all":
+                    repl = (
+                        ["(", "NOT", "ARRAY_CONTAINS", "(", "("] + sub
+                        + [")", ",", "("] + x + [")", ")", ")"]
+                    )
+                else:
+                    i += 1
+                    continue
+                toks = toks[:start] + repl + toks[close + 1 :]
+                i = start + len(repl)
+                continue
+            if op == "=" and kind == "any":
+                toks = toks[:i] + ["IN", "("] + sub + [")"] + toks[close + 1 :]
+                i += 1
+                continue
+            if op in ("<>", "!=") and kind == "all":
+                toks = toks[:i] + ["NOT", "IN", "("] + sub + [")"] + toks[close + 1 :]
+                i += 1
+                continue
+            start = _left_operand_span(toks, i)
+            x = toks[start:i]
+            # row-value left + multi-column subquery → struct on both sides
+            if (
+                x
+                and x[0] == "("
+                and x[-1] == ")"
+                and _match_paren(x, 0) == len(x) - 1
+                and _has_top_comma(x[1:-1])
+            ):
+                fidx = _sub_top_from(sub)
+                if fidx > 0 and _has_top_comma(sub[1:fidx]):
+                    sub = ["SELECT", "struct", "("] + sub[1:fidx] + [")"] + sub[fidx:]
+                    x = ["struct", "("] + x[1:-1] + [")"]
+            xp = ["("] + x + [")"]
+            if kind == "all":
+                repl = _all_case(xp, op, sub)
+            elif op in ("<>", "!="):
+                repl = ["(", "NOT"] + _all_case(xp, "=", sub) + [")"]
+            else:
+                repl = _any_ord_case(xp, op, sub)
+            toks = toks[:start] + repl + toks[close + 1 :]
+            i = start
+        i += 1
+    return toks
+
+
+def _pass_rowvalue_scalar(toks: list[str]) -> list[str]:
+    """(a, b) = (SELECT x, y …) → struct(a, b) = (SELECT struct(x, y) …)
+    (gram.y row_expr vs select_with_parens; Spark scalar subqueries must be
+    single-column, so both sides collapse into one struct column)."""
+    i = 0
+    while i < len(toks):
+        if (
+            toks[i] in ("=", "<>", "!=")
+            and i > 0
+            and toks[i - 1] == ")"
+            and i + 2 < len(toks)
+            and toks[i + 1] == "("
+            and _is_ident(toks[i + 2])
+            and toks[i + 2].lower() in ("select", "with")
+        ):
+            # left row value: scan back to the matching open paren
+            depth, lopen = 0, None
+            for j in range(i - 1, -1, -1):
+                if toks[j] == ")":
                     depth += 1
-                elif toks[j] == ")":
+                elif toks[j] == "(":
                     depth -= 1
                     if depth == 0:
-                        close = j
+                        lopen = j
                         break
-            sub = toks[i + 3 : close]
-            if not sub or sub[0].lower() not in ("select", "with"):
-                i += 1  # ANY(array) form — not a sublink
+            inner = toks[lopen + 1 : i - 1] if lopen is not None else []
+            if lopen is None or not _has_top_comma(inner):
+                i += 1
                 continue
-            kind = "any" if quant in ("any", "some") else "all"
-            if op == "=" and kind == "any":
-                repl = ["IN", "("] + sub + [")"]
-            elif op in ("<>", "!=") and kind == "all":
-                repl = ["NOT", "IN", "("] + sub + [")"]
-            elif op in _QUANT_CMP:
-                agg = _QUANT_AGG[(kind, op)]
-                repl = (
-                    [op, "(", "SELECT", agg, "(", "__v", ")", "FROM", "("]
-                    + sub
-                    + [")", "AS", "__q", "(", "__v", ")", ")"]
+            # skip function calls: ident directly before the open paren
+            if lopen > 0 and (
+                toks[lopen - 1] in (")", "]")
+                or (
+                    _is_ident(toks[lopen - 1])
+                    and toks[lopen - 1].lower() not in _NON_FUNC_KEYWORDS
                 )
-            else:
-                raise NotImplementedError(
-                    f"quantified comparison {op} {quant.upper()} (subquery)"
-                )
-            toks = toks[:i] + repl + toks[close + 1 :]
+            ):
+                i += 1
+                continue
+            rclose = _match_paren(toks, i + 1)
+            sub = toks[i + 2 : rclose]
+            fidx = _sub_top_from(sub)
+            if fidx < 0 or not _has_top_comma(sub[1:fidx]):
+                i += 1
+                continue
+            new_sub = ["SELECT", "struct", "("] + sub[1:fidx] + [")"] + sub[fidx:]
+            repl = (
+                ["struct", "("] + inner + [")", toks[i], "("] + new_sub + [")"]
+            )
+            toks = toks[:lopen] + repl + toks[rclose + 1 :]
+            i = lopen + 1
+            continue
+        i += 1
+    return toks
+
+
+_FROM_END_KEYWORDS = {
+    "where", "group", "order", "having", "limit", "offset", "union",
+    "intersect", "except", "returning", "window", "on", "using",
+}
+
+
+def _pass_from_srf_items(toks: list[str]) -> list[str]:
+    """generate_series as a non-initial comma-separated FROM item
+    (nodeFunctionscan.c) → LATERAL subquery; the FROM-initial position is
+    handled by the regex rewrites before tokenization.  LATERAL keeps
+    correlated arguments legal in Spark (3.2+ lateral subqueries); a bare
+    SRF alias names both the relation and the column (gram.y
+    func_alias_clause)."""
+    i = 0
+    depth = 0
+    in_from: dict[int, bool] = {}
+    while i < len(toks):
+        t = toks[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            in_from.pop(depth, None)
+            depth -= 1
+        elif _is_ident(t):
+            low = t.lower()
+            if low == "from":
+                in_from[depth] = True
+            elif low == "select" or low in _FROM_END_KEYWORDS:
+                in_from[depth] = False
+        if (
+            t == ","
+            and in_from.get(depth)
+            and i + 2 < len(toks)
+            and _is_ident(toks[i + 1])
+            and toks[i + 1].lower() == "generate_series"
+            and toks[i + 2] == "("
+        ):
+            close = _match_paren(toks, i + 2)
+            args = toks[i + 3 : close]
+            alias = None
+            k = close + 1
+            if k < len(toks) and _is_ident(toks[k]):
+                low = toks[k].lower()
+                if low == "as" and k + 1 < len(toks) and _is_ident(toks[k + 1]):
+                    alias, k = toks[k + 1], k + 2
+                elif low not in _FROM_END_KEYWORDS and low not in (
+                    "join", "left", "right", "full", "inner", "cross",
+                    "natural", "lateral",
+                ):
+                    alias, k = toks[k], k + 1
+            name = alias or "generate_series"
+            repl = (
+                [",", "LATERAL", "(", "SELECT", "explode", "(", "sequence", "("]
+                + args
+                + [")", ")", "AS", name, ")", "AS", name]
+            )
+            toks = toks[:i] + repl + toks[k:]
+            i += len(repl)
+            continue
         i += 1
     return toks
 
@@ -776,10 +1083,12 @@ def transpile(sql: str) -> str:
     sql = _rewrite_from_generate_series(sql)
     toks = tokenize(sql)
     toks = _pass_group_by_empty(toks)
+    toks = _pass_from_srf_items(toks)
     toks = _pass_casts(toks)
     toks = _pass_json_ops(toks)
     toks = _pass_regex_ops(toks)
     toks = _pass_agg_order_by(toks)
+    toks = _pass_rowvalue_scalar(toks)
     toks = _pass_quantified(toks)
     toks = _pass_functions(toks)
     toks = _pass_subscripts(toks)

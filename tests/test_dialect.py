@@ -71,13 +71,13 @@ class TestQuantified:
         out = transpile("SELECT a FROM t WHERE a > ALL (SELECT b FROM u)")
         assert "> ( SELECT MAX ( __v )" in out
 
-    def test_array_any_untouched(self):
+    def test_array_any_contains(self):
         out = transpile("SELECT a FROM t WHERE x = ANY (arr_col)")
-        assert "ANY ( arr_col )" in out
+        assert "ARRAY_CONTAINS" in out and "arr_col" in out
 
-    def test_ne_any_raises(self):
-        with pytest.raises(NotImplementedError):
-            transpile("SELECT a FROM t WHERE a <> ANY (SELECT b FROM u)")
+    def test_ne_any_rewrites_to_not_all_case(self):
+        out = transpile("SELECT a FROM t WHERE a <> ANY (SELECT b FROM u)")
+        assert "NOT" in out and "CASE" in out and "COUNT" in out
 
 
 class TestGroupByEmpty:

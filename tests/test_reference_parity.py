@@ -186,6 +186,115 @@ _TABLES = {
     "foo_gset_const": ("a int", "a", "(0), (1)"),
     # aggregate_with_groupingsets.sql:140-142
     "foo_gset_dqa": ("i int, j int", "i, j", "(1,1), (2,1)"),
+    # qp_correlated_query.sql:10-88 fixture (csq_heap_in setup)
+    "qp_csq_t1": ("a int, b int", "a, b", "(1,2), (3,4), (5,6), (7,8)"),
+    "qp_csq_t2": ("x int, y int", "x, y", "(1,1), (3,9), (5,25), (7,49)"),
+    "qp_csq_t3": ("c int, d string", "c, d", "(1,'one'), (3,'three'), (5,'five'), (7,'seven')"),
+    "a": ("i int, j int", "i, j", "(1,1), (19,5), (99,62), (1,1), (78,-1)"),
+    "b": ("i int, j int", "i, j", "(1,43), (88,1), (-1,62), (1,1), (32,5), (2,7)"),
+    "c": (
+        "i int, j int",
+        "i, j",
+        "(1,889), (288,1), (-1,625), (32,65), (32,62), (3,-1), (99,7), (78,62), (2,7)",
+    ),
+    "e": (
+        "i int, j int",
+        "i, j",
+        "(1,889), (288,1), (-1,625), (32,65), (32,62), (3,-1), (99,7), (78,62)",
+    ),
+    # qp_correlated_query.sql:379-383 (3-row csq_emp; renamed — the file later
+    # drops and recreates the 10-row version used by the Misc section)
+    "csq_emp3": (
+        "name string, department string, salary decimal(18,2)",
+        "name, department, salary",
+        "('a','adept',CAST(11200.00 AS DECIMAL(18,2))), "
+        "('b','adept',CAST(22222.00 AS DECIMAL(18,2))), "
+        "('c','bdept',CAST(99222.00 AS DECIMAL(18,2)))",
+    ),
+    # qp_correlated_query.sql:520-531
+    "csq_emp": (
+        "name string, department string, salary decimal(18,2)",
+        "name, department, salary",
+        ", ".join(
+            f"('{n}','{d}',CAST({s} AS DECIMAL(18,2)))"
+            for n, d, s in [
+                ("a", "adept", "11200.00"), ("b", "adept", "22222.00"),
+                ("c", "bdept", "99222.00"), ("d", "adept", "23211.00"),
+                ("e", "adept", "45222.00"), ("f", "adept", "992222.00"),
+                ("g", "adept", "90343.00"), ("h", "adept", "11200.00"),
+                ("i", "bdept", "11200.00"), ("j", "adept", "11200.00"),
+            ]
+        ),
+    ),
+    # qp_correlated_query.sql:398-424 (multi-row subquery fixtures)
+    "employee": (
+        "id string, first_name string, last_name string, start_date date, "
+        "end_date date, salary decimal(8,2), city string, description string",
+        "id, first_name, last_name, start_date, end_date, salary, city, description",
+        ", ".join(
+            f"('{i}','{f}','{l}',DATE '{sd}',DATE '{ed}',"
+            f"CAST({s} AS DECIMAL(8,2)),'{ci}','{de}')"
+            for i, f, l, sd, ed, s, ci, de in [
+                ("01", "Jason", "Martin", "1996-07-25", "2006-07-25", "1234.56", "Toronto", "Programmer"),
+                ("02", "Alison", "Mathews", "1976-03-21", "1986-02-21", "6661.78", "Vancouver", "Tester"),
+                ("03", "James", "Smith", "1978-12-12", "1990-03-15", "6544.78", "Vancouver", "Tester"),
+                ("04", "Celia", "Rice", "1982-10-24", "1999-04-21", "2344.78", "Vancouver", "Manager"),
+                ("05", "Robert", "Black", "1984-01-15", "1998-08-08", "2334.78", "Vancouver", "Tester"),
+                ("06", "Linda", "Green", "1987-07-30", "1996-01-04", "4322.78", "New York", "Tester"),
+                ("07", "David", "Larry", "1990-12-31", "1998-02-12", "7897.78", "New York", "Manager"),
+                ("08", "James", "Cat", "1996-09-17", "2002-04-15", "1232.78", "Vancouver", "Tester"),
+            ]
+        ),
+    ),
+    "job": (
+        "empno string, jobtitle string",
+        "empno, jobtitle",
+        "('01','Tester'), ('02','Accountant'), ('03','Developer'), ('04','COder'), "
+        "('05','Director'), ('06','Mediator'), ('07','Proffessor'), ('08','Programmer'), "
+        "('09','Developer')",
+    ),
+    # qp_correlated_query.sql:590-646 (tversion / tjoin COPY data)
+    "tversion": (
+        "rnum int, c1 int, cver string, cnnull int, ccnull string",
+        "rnum, c1, cver, cnnull, ccnull",
+        "(0, 1, '1.0   ', NULL, NULL)",
+    ),
+    "qp_tjoin1": ("rnum int, c1 int, c2 int", "rnum, c1, c2", "(1,20,25), (0,10,15), (2,NULL,50)"),
+    "qp_tjoin2": (
+        "rnum int, c1 int, c2 string",
+        "rnum, c1, c2",
+        "(1,15,'DD'), (0,10,'BB'), (3,10,'FF'), (2,NULL,'EE')",
+    ),
+    # qp_correlated_query.sql:664-669
+    "qp_tab1": ("a int, b int", "a, b", "(1,2)"),
+    "qp_tab2": ("c int, d int", "c, d", "(3,4)"),
+    "qp_tab3": ("e int, f int", "e, f", "(4,5)"),
+    # qp_correlated_query.sql:679-682
+    "qp_non_eq_a": ("i int, f double", "i, f", "(1, 0.0), (2, -0.0)"),
+    "qp_non_eq_b": ("i int, f double", "i, f", "(3, 0.0), (1, -0.0)"),
+    # qp_correlated_query.sql:702-705
+    "qp_nl_tab1": ("c1 int, c2 int", "c1, c2", "(1,0), (1,1)"),
+    "qp_nl_tab2": ("c1 int, c2 int", "c1, c2", "(1,1), (1,1)"),
+    # qp_correlated_query.sql:501-511 — generate_series inserts reproduced
+    # row-for-row (with_test2 = 1000 modular rows + the 10 aggregated rows)
+    "with_test1": (
+        "i int, t string, value int",
+        "i, t, value",
+        ", ".join(f"({i % 10},'text{i % 20}',{i % 30})" for i in range(100)),
+    ),
+    "with_test2": (
+        "i int, t string, value int",
+        "i, t, value",
+        ", ".join(f"({i % 100},'text{i % 200}',{i % 300})" for i in range(1000))
+        + ", "
+        + ", ".join(
+            f"({i},'{i}',{sum(k % 30 for k in range(100) if k % 10 == i)})"
+            for i in range(10)
+        ),
+    ),
+    # qp_correlated_query.sql:715-718 (t1 renamed tt1: name collides with the
+    # notin.sql fixture above)
+    "tt1": ("a int, b int", "a, b", "(1,1), (2,2), (3,3)"),
 }
 
 
@@ -981,3 +1090,241 @@ GSETS_QUERIES = {
 def test_reference_groupingsets_query(olap, name):
     ref, duck = GSETS_QUERIES[name]
     _check(olap, ref, duck)
+
+
+# --------------------------------------------------------------------------
+# qp_correlated_query.sql — correlated subqueries (CSQ) across IN / NOT IN /
+# ANY / ALL / EXISTS / NOT EXISTS / scalar / HAVING / multi-column forms
+# (verbatim, line-cited; `t1` renamed `tt1` and the 3-row `csq_emp` renamed
+# `csq_emp3` to avoid fixture collisions).  Where DuckDB lacks the form
+# (multi-column IN-subqueries, PG '{…}' array-literal casts, lateral
+# generate_series), the oracle runs a documented hand-derived equivalent.
+# --------------------------------------------------------------------------
+
+CSQ_QUERIES = {
+    # qp_correlated_query.sql:93-104 — basic IN
+    "in_nofrom": ("select a, x from qp_csq_t1, qp_csq_t2 where qp_csq_t1.a in (select x)", None),
+    "in_corr": ("select A.i from A where A.i in (select B.i from B where A.i = B.i) order by A.i", None),
+    "in_under_notexists2": ("select * from A where not exists (select * from C,B where C.j = A.j and B.i in (select C.i from C where C.i = B.i and C.i != 10))", None),
+    "scalar_in_nested": ("select A.i, B.i, C.j from A, B, C where A.j = (select C.j from C where C.j = A.j and C.i in (select B.i from B where C.i = B.i and B.i !=10)) order by A.i, B.i, C.j limit 10", None),
+    "in_in_nested": ("select A.i, B.i, C.j from A, B, C where A.j in (select C.j from C where C.j = A.j and C.i in (select B.i from B where C.i = B.i and B.i !=10)) order by A.i, B.i, C.j limit 10", None),
+    "any_sum_in": ("select A.i, B.i, C.j from A, B, C where A.j = any(select sum(C.j) from C where C.j = A.j and C.i in (select B.i from B where C.i = B.i and B.i !=10)) order by A.i, B.i, C.j limit 10", None),
+    "in_exists_uncorr": ("select A.i, B.i, C.j from A, B, C where A.j in ( select C.j from C where exists(select C.i from C,A where C.i = A.i and C.i =10)) order by A.i, B.i, C.j limit 10", None),
+    "in_notexists_sum": ("select A.i, B.i, C.j from A, B, C where A.j in (select C.j from C where C.j = A.j and not exists (select sum(B.i) from B where C.i = B.i and C.i !=10)) order by A.i, B.i, C.j limit 10", None),
+    # qp_correlated_query.sql:116 — ALL_SUBLINK pull-up
+    "exists_notin_pullup": ("select * from A,B where exists (select * from C where B.i not in (select C.i from C where C.i != 10))", None),
+    # qp_correlated_query.sql:121-143 — NOT IN
+    "notin_nofrom": ("select a, x from qp_csq_t1, qp_csq_t2 where qp_csq_t1.a not in (select x) order by a,x", None),
+    "notin_corr": ("select A.i from A where A.i not in (select B.i from B where A.i = B.i) order by A.i", None),
+    "notin_sum_under_exists": ("select * from A where exists (select * from B,C where C.j = A.j and B.i not in (select sum(C.i) from C where C.i = B.i and C.i != 10)) order by 1,2", None),
+    "notin_under_exists_e": ("select * from A,B where exists (select * from E where E.j = A.j and B.i not in (select E.i from E where E.i != 10)) order by 1,2,3,4", None),
+    "notin_max_under_notexists2": ("select * from A where not exists (select * from B,C where C.j = A.j and B.i not in (select max(C.i) from C where C.i = B.i and C.i != 10)) order by 1, 2", None),
+    "notin_notin_nested": ("select A.i, B.i, C.j from A, B, C where A.j not in (select C.j from C where C.j = A.j and C.i not in (select B.i from B where C.i = B.i and B.i !=10)) order by A.i, B.i, C.j limit 10", None),
+    "any_sum_notin": ("select A.i, B.i, C.j from A, B, C where A.j = any(select sum(C.j) from C where C.j = A.j and C.i not in (select B.i from B where C.i = B.i and B.i !=10)) order by A.i, B.i, C.j limit 10", None),
+    "notin_exists_uncorr": ("select A.i, B.i, C.j from A, B, C where A.j not in ( select C.j from C where exists(select C.i from C,A where C.i = A.i and C.i =10)) order by A.i, B.i, C.j limit 10", None),
+    "notin_notexists_sum": ("select A.i, B.i, C.j from A, B, C where A.j not in (select C.j from C where C.j = A.j and not exists (select sum(B.i) from B where C.i = B.i and C.i !=10)) order by A.i, B.i, C.j limit 10", None),
+    "scalar_in_nested_j": ("select A.j from A, B, C where A.j = (select C.j from C where C.j = A.j and C.i in (select B.i from B where C.i = B.i and B.i !=10)) order by A.j limit 10", None),
+    "mpp14222_1": ("select A.i, B.i, C.j from A, B, C where A.j = (select C.j from C where C.j = A.j and C.i not in (select B.i from B where C.i = B.i and B.i !=10)) order by A.i, B.i, C.j limit 10", None),
+    "mpp14222_2": ("select A.j from A, B, C where A.j = (select C.j from C where C.j = A.j and C.i not in (select B.i from B where C.i = B.i and B.i !=10)) order by A.j limit 10", None),
+    "scalar_any_nested": ("select A.i from A where A.j = (select C.j from C where C.j = A.j and C.i = any (select B.i from B where C.i = B.i and B.i !=10))", None),
+    # qp_correlated_query.sql:154-170 — ANY
+    "any_nofrom": ("select a, x from qp_csq_t1, qp_csq_t2 where qp_csq_t1.a = any (select x) order by a, x", None),
+    "any_corr": ("select A.i from A where A.i = any (select B.i from B where A.i = B.i) order by A.i", None),
+    "any_corr_j": ("select * from A where A.j = any (select C.j from C where C.j = A.j) order by 1,2", None),
+    "any_nested_uncorr": ("select * from A,B where A.j = any (select C.j from C where C.j = A.j and B.i = any (select C.i from C)) order by 1,2,3,4", None),
+    "any_nested_fromclause": ("select * from A where A.j = any (select C.j from C,B where C.j = A.j and B.i = any (select C.i from C)) order by 1,2", None),
+    "any_nested_corr": ("select * from A where A.j = any (select C.j from C,B where C.j = A.j and B.i = any (select C.i from C where C.i != 10 and C.i = B.i)) order by 1,2", None),
+    "scalar_any_nested2": ("select A.i, B.i, C.j from A, B, C where A.j = (select C.j from C where C.j = A.j and C.i = any (select B.i from B where C.i = B.i and B.i !=10)) order by A.i, B.i, C.j limit 10", None),
+    "any_notexists_uncorr": ("select A.i, B.i, C.j from A, B, C where A.j = any ( select C.j from C where not exists(select C.i from C,A where C.i = A.i and C.i =10)) order by A.i, B.i, C.j limit 10", None),
+    "any_notexists_sum": ("select A.i, B.i, C.j from A, B, C where A.j = any (select C.j from C where C.j = A.j and not exists (select sum(B.i) from B where C.i = B.i and C.i !=10)) order by A.i, B.i, C.j limit 10", None),
+    # qp_correlated_query.sql:181-192 — ALL
+    "all_nofrom": ("select a, x from qp_csq_t1, qp_csq_t2 where qp_csq_t1.a = all (select x) order by a", None),
+    "all_corr": ("select A.i from A where A.i = all (select B.i from B where A.i = B.i) order by A.i", None),
+    "all_min_uncorr": ("select * from A,B where exists (select * from C where C.j = A.j and B.i = all (select min(C.j) from C)) order by 1,2,3,4", None),
+    "all_min_filter": ("select * from A,B where exists (select * from C where C.j = A.j and B.i = all (select min(C.j) from C where C.j = 1)) order by 1,2,3,4", None),
+    "scalar_sum_all": ("select A.i, B.i, C.j from A, B, C where A.j = (select sum(C.j) from C where C.j = A.j and C.i = all (select B.i from B where C.i = B.i and B.i !=10)) order by A.i, B.i, C.j limit 10", None),
+    "lt_all_notexists": ("select A.i, B.i, C.j from A, B, C where A.j < all ( select C.j from C where not exists(select C.i from C,A where C.i = A.i and C.i =10)) order by A.i, B.i, C.j limit 10", None),
+    "all_notexists_sum": ("select A.i, B.i, C.j from A, B, C where A.j = all (select C.j from C where C.j = A.j and not exists (select sum(B.i) from B where C.i = B.i and C.i !=10)) order by A.i, B.i, C.j limit 10", None),
+    # qp_correlated_query.sql:203-227 — EXISTS
+    "exists_basic": ("select b from qp_csq_t1 where exists(select * from qp_csq_t2 where y=a) order by b", None),
+    "exists_corr": ("select A.i from A where exists(select B.i from B where A.i = B.i) order by A.i", None),
+    "exists_cte_unused": ("with t as (select 1) select b from qp_csq_t1 where exists(select * from qp_csq_t2 where y=a)", None),
+    "exists_cte_used": ("with t as (select * from qp_csq_t2) select b from qp_csq_t1 where exists(select * from t where y=a)", None),
+    "exists_j": ("select * from A where exists (select * from C where C.j = A.j) order by 1,2", None),
+    "exists_nested": ("select * from A where exists (select * from C,B where C.j = A.j and exists (select * from C where C.i = B.i)) order by 1,2", None),
+    "exists_sum_nested": ("select * from A where exists (select * from B, C where C.j = A.j and exists (select sum(C.i) from C where C.i != 10 and C.i = B.i)) order by 1, 2", None),
+    "scalar_exists_nested": ("select A.i, B.i, C.j from A, B, C where A.j = (select C.j from C where C.j = A.j and exists (select B.i from B where C.i = B.i and B.i !=10)) order by A.i, B.i, C.j limit 20", None),
+    "exists_exists_sum": ("select A.i, B.i, C.j from A, B, C where exists (select C.j from C where C.j = A.j and exists (select sum(B.i) from B where C.i = B.i and C.i !=10)) order by A.i, B.i, C.j limit 20", None),
+    "exists_notexists_sum": ("select * from A where exists (select * from C where C.j = A.j and not exists (select sum(B.i) from B where B.i = C.i))", None),
+    "exists_exists_b": ("select * from A where exists (select * from C where C.i = A.i and exists (select * from B where C.j = B.j and B.j < 10)) order by 1,2", None),
+    "exists_notexists_b": ("select * from A where exists (select * from C where C.i = A.i and not exists (select * from B where C.j = B.j and B.j < 10)) order by 1,2", None),
+    "exists_nofrom_multi": ("select * from A,B,C where C.i = A.i and exists (select C.j where C.j = B.j and A.j < 10)", None),
+    # qp_correlated_query.sql:231-263 — NOT EXISTS
+    "notexists_basic": ("select b from qp_csq_t1 where not exists(select * from qp_csq_t2 where y=a) order by b", None),
+    "notexists_corr": ("select A.i from A where not exists(select B.i from B where A.i = B.i) order by A.i", None),
+    "notexists_exists_nested": ("select * from A where not exists (select * from C,B where C.j = A.j and exists (select * from C where C.i = B.i and C.j < B.j)) order by 1,2", None),
+    "exists_notexists_nested": ("select * from A where exists (select * from C,B where C.j = A.j and not exists (select * from C where C.i = B.i and C.j < B.j)) order by 1,2", None),
+    "exists_exists_nested3": ("select * from A where exists (select * from C,B where C.j = A.j and exists (select * from C where C.i = B.i and C.j < B.j)) order by 1,2", None),
+    "scalar_notexists": ("select A.i, B.i, C.j from A, B, C where A.j = (select C.j from C where C.j = A.j and not exists (select B.i from B where C.i = B.i and B.i !=10)) order by A.i, B.i, C.j limit 10", None),
+    "scalar_notexists_sum": ("select A.i, B.i, C.j from A, B, C where A.j = (select C.j from C where C.j = A.j and not exists (select sum(B.i) from B where C.i = B.i and C.i !=10)) order by A.i, B.i, C.j limit 10", None),
+    "notexists_agg_always": ("select * from A where not exists (select sum(C.i) from C where C.i = A.i)", None),
+    "notexists_agg_limit0": ("select * from A where not exists (select sum(C.i) from C where C.i = A.i limit 0)", None),
+    "notexists_agg_limoff": ("select * from A where not exists (select sum(C.i) from C where C.i = A.i limit 5 offset 3)", None),
+    "notexists_agg_lim1": ("select * from A where not exists (select sum(C.i) from C where C.i = A.i limit 1 offset 0)", None),
+    "notexists_having": ("select C.j from C where not exists (select max(B.i) from B  where C.i = B.i having max(B.i) is not null) order by C.j", None),
+    "notexists_offset1000": ("select C.j from C where not exists (select max(B.i) from B  where C.i = B.i offset 1000) order by C.j", None),
+    "notexists_rank": ("select C.j from C where not exists (select rank() over (order by B.i) from B  where C.i = B.i) order by C.j", None),
+    "notexists_in_and": ("select A.i from A where not exists (select B.i from B where B.i in (select C.i from C) and B.i = A.i)", None),
+    "notexists_in_join": ("select * from B where not exists (select * from C,A where C.i in (select C.i from C where C.i = A.i and C.i != 10) AND B.i = C.i)", None),
+    "in_in_uncorr": ("select * from A where A.i in (select C.j from C,B where B.i in (select i from C))", None),
+    "notexists_group_having": ("select * from A where not exists (select sum(c.i) from C where C.i = A.i group by C.i having c.i > 3)", None),
+    # qp_correlated_query.sql:326-343 — scalar CSQ in WHERE / select list
+    "select_scalar_where": ("select a, (select y from qp_csq_t2 where x=a) from qp_csq_t1 where b < 8 order by a", None),
+    "scalar_nofrom_where": ("select a, x from qp_csq_t2, qp_csq_t1 where qp_csq_t1.a = (select x) order by a", None),
+    "bool_scalar_where": ("select a from qp_csq_t1 where (select (y*2)>b from qp_csq_t2 where a=x) order by a", None),
+    "sel_having_any_min": ("select A.i, (select C.j from C group by C.j having max(C.j) = any (select min(B.j) from B)) as C_j from A,B,C where A.i = 99 order by A.i, C_j limit 10", None),
+    "sel_avg_any_nofrom": ("select (select avg(x) from qp_csq_t1, qp_csq_t2 where qp_csq_t1.a = any (select x)) as avg_x from qp_csq_t1 order by 1", None),
+    # qp_correlated_query.sql:354-365 — multi-column CSQ (DuckDB lacks
+    # multi-column IN/=/ALL subqueries: oracles are conjunctive equivalents)
+    "multicol_scalar_row": (
+        "select A.i, B.i from A, B where (A.i,A.j) = (select min(B.i),min(B.j) from B where B.i = A.i) order by A.i, B.i",
+        "select A.i, B.i from A, B where A.i = (select min(B2.i) from B B2 where B2.i = A.i) and A.j = (select min(B2.j) from B B2 where B2.i = A.i) order by A.i, B.i",
+    ),
+    "multicol_all_row": (
+        "select A.i, B.i from A, B where (A.i,A.j) = all(select B.i,B.j from B where B.i = A.i) order by A.i, B.i",
+        "select A.i, B.i from A, B where A.i = all(select B2.i from B B2 where B2.i = A.i) and A.j = all(select B2.j from B B2 where B2.i = A.i) order by A.i, B.i",
+    ),
+    "multicol_notexists": ("select A.i, B.i from A, B where not exists (select B.i,B.j from B where B.i = A.i) order by A.i, B.i", None),
+    "multicol_in": (
+        "select A.i, B.i from A, B where (A.i,A.j) in (select B.i,B.j from B where B.i = A.i) order by A.i, B.i",
+        "select A.i, B.i from A, B where exists (select 1 from B B2 where B2.i = A.i and B2.i = A.i and B2.j = A.j) order by A.i, B.i",
+    ),
+    "multicol_any_2tab": (
+        "select A.i, B.i,C.i from A, B, C where (A.i,B.i) = any (select A.i, B.i from A,B where A.i = C.i and B.i = C.i) order by A.i, B.i, C.i",
+        "select A.i, B.i, C.i from A, B, C where exists (select 1 from A A2, B B2 where A2.i = C.i and B2.i = C.i and A2.i = A.i and B2.i = B.i) order by A.i, B.i, C.i",
+    ),
+    "multicol_notexists_2tab": ("select A.i, B.i,C.i from A, B, C where not exists (select A.i, B.i from A,B where A.i = C.i and B.i = C.i) order by A.i, B.i, C.i", None),
+    "multicol_in_2tab": (
+        "select A.i, B.i,C.i from A, B, C where (A.i,B.i) in (select A.i, B.i from A,B where A.i = C.i and B.i = C.i) order by A.i, B.i, C.i",
+        "select A.i, B.i, C.i from A, B, C where exists (select 1 from A A2, B B2 where A2.i = C.i and B2.i = C.i and A2.i = A.i and B2.i = B.i) order by A.i, B.i, C.i",
+    ),
+    "multicol_scalar_min2": (
+        "select A.i as A_i, B.i as B_i,C.i as C_i from A, B, C where (A.i,B.i) = (select min(A.i), min(B.i) from A,B where A.i = C.i and B.i = C.i) order by A_i, B_i, C_i",
+        "select A.i as A_i, B.i as B_i, C.i as C_i from A, B, C where A.i = (select min(A2.i) from A A2, B B2 where A2.i = C.i and B2.i = C.i) and B.i = (select min(B2.i) from A A2, B B2 where A2.i = C.i and B2.i = C.i) order by A_i, B_i, C_i",
+    ),
+    # qp_correlated_query.sql:374-388 — HAVING CSQ
+    "having_notin_corr": ("select A.i from A group by A.i having min(A.i) not in (select B.i from B where A.i = B.i) order by A.i", None),
+    "having_any_corr": ("select A.i, B.i, C.j from A, B, C group by A.j,A.i,B.i,C.j having max(A.j) = any(select max(C.j) from C where C.j = A.j) order by A.i, B.i, C.j limit 10", None),
+    "exists_having_all": ("select A.i, B.i, C.j from A, B, C where exists (select C.j from C group by C.j having max(C.j) = all (select min(B.j) from B)) order by A.i, B.i, C.j limit 10", None),
+    "having_scalar_emp3": ("SELECT name, department, salary FROM csq_emp3 ea group by name, department,salary HAVING avg(salary) > (SELECT MAX(salary) FROM csq_emp3 eb WHERE eb.department = ea.department)", None),
+    # qp_correlated_query.sql:443-454 — multi-row subqueries over employee/job
+    "emp_in_list": ("SELECT id, first_name FROM employee WHERE id IN (SELECT id FROM employee WHERE first_name LIKE '%e%') order by id", None),
+    "emp_multicol_in": (
+        "SELECT id, first_name, salary from employee where (id, salary) IN (SELECT id, MIN(salary) FROM employee GROUP BY id) order by id",
+        "SELECT id, first_name, salary from employee where exists (SELECT 1 FROM (SELECT id AS i2, MIN(salary) AS ms FROM employee GROUP BY id) s WHERE s.i2 = employee.id AND s.ms = employee.salary) order by id",
+    ),
+    "emp_notin_job": ("SELECT id, first_name, last_name FROM employee WHERE id NOT IN (SELECT empno FROM job)", None),
+    # qp_correlated_query.sql:513-517 — ANY/ALL over grouped correlated HAVING
+    "wt_lt_any_having": ("select with_test2.* from with_test2 where value < any (select sum(value) from with_test1 group by i having i = with_test2.i) order by i, t, value", None),
+    "wt_lt_all_having": ("select with_test2.* from with_test2 where value < all (select sum(value) from with_test1 group by i having i = with_test2.i) order by i, t, value", None),
+    # qp_correlated_query.sql:533-575 — csq_emp Misc section
+    "emp_in_max": ("SELECT name, department, salary FROM csq_emp ea WHERE salary IN (SELECT MAX(salary) FROM csq_emp eb WHERE eb.department = ea.department) order by name, department", None),
+    "emp_any_max": ("SELECT name, department, salary FROM csq_emp ea WHERE  salary = ANY (SELECT MAX(salary) FROM csq_emp eb WHERE eb.department = ea.department) order by name, department", None),
+    "emp_eq_max": ("SELECT name, department, salary FROM csq_emp ea WHERE salary = (SELECT MAX(salary) FROM csq_emp eb WHERE eb.department = ea.department) order by name, department, salary", None),
+    "emp_gt_max": ("SELECT name, department, salary FROM csq_emp ea WHERE salary > (SELECT MAX(salary) FROM csq_emp eb WHERE eb.department = ea.department) order by name, department, salary", None),
+    "emp_lt_max": ("SELECT name, department, salary FROM csq_emp ea WHERE salary < (SELECT MAX(salary) FROM csq_emp eb WHERE eb.department = ea.department) order by name, department, salary", None),
+    "emp_notin_max": ("SELECT name, department, salary FROM csq_emp ea WHERE salary NOT IN (SELECT MAX(salary) FROM csq_emp eb WHERE eb.department = ea.department) order by name, department, salary", None),
+    "emp_all_max": ("SELECT name, department, salary FROM csq_emp ea WHERE salary = ALL (SELECT MAX(salary) FROM csq_emp eb WHERE eb.department = ea.department) order by name, department, salary", None),
+    "emp_having_gt": ("SELECT name, department, salary FROM csq_emp ea group by name, department,salary HAVING avg(salary) > (SELECT MAX(salary) FROM csq_emp eb WHERE eb.department = ea.department) order by name, department, salary", None),
+    "emp_having_gt_all": ("SELECT name, department, salary FROM csq_emp ea group by name, department,salary HAVING avg(salary) > ALL (SELECT salary FROM csq_emp eb WHERE eb.department = ea.department) order by name, department, salary", None),
+    # qp_correlated_query.sql:654-674 — tversion/tjoin constants + NOT(bool subquery)
+    "tjoin_case_in": ("select qp_tjoin1.rnum, qp_tjoin1.c1, case when 10 in ( select 1 from tversion ) then 'yes' else 'no' end from qp_tjoin1 order by rnum", None),
+    "tjoin_notin_const": ("select rnum, c1, c2 from qp_tjoin2 where 50 not in ( select c2 from qp_tjoin1 where c2=25) order by rnum", None),
+    "tjoin_gtall_empty": ("select rnum, c1, c2 from qp_tjoin2 where 20 > all ( select c1 from qp_tjoin1 where c1 = 100) order by rnum", None),
+    "tjoin_gtall_c2": ("select rnum, c1, c2 from qp_tjoin2 where 75 > all ( select c2 from qp_tjoin1) order by rnum", None),
+    "tjoin_gtall_null": ("select rnum, c1, c2 from qp_tjoin2 where 20 > all ( select c1 from qp_tjoin1) order by rnum", None),
+    "not_bool_subq": ("SELECT DISTINCT a FROM qp_tab1 WHERE NOT (SELECT TRUE FROM qp_tab2 WHERE EXISTS (SELECT * FROM qp_tab3 WHERE qp_tab2.c = qp_tab3.e))", None),
+    # qp_correlated_query.sql:691-693 — scalararrayop over array literals
+    # (DuckDB cannot cast '{…}' to LIST: oracle uses the IN-list equivalent)
+    "noneq_any_intarray": (
+        "SELECT * FROM qp_non_eq_a, qp_non_eq_b WHERE qp_non_eq_a.i = qp_non_eq_b.i AND qp_non_eq_a.i = ANY('{1,2,3}'::integer[])",
+        "SELECT * FROM qp_non_eq_a, qp_non_eq_b WHERE qp_non_eq_a.i = qp_non_eq_b.i AND qp_non_eq_a.i IN (1,2,3)",
+    ),
+    "noneq_any_numarray": (
+        "SELECT * FROM qp_non_eq_a, qp_non_eq_b WHERE qp_non_eq_a.i = qp_non_eq_b.i AND qp_non_eq_a.i = ANY('{1,2,3}'::numeric[])",
+        "SELECT * FROM qp_non_eq_a, qp_non_eq_b WHERE qp_non_eq_a.i = qp_non_eq_b.i AND qp_non_eq_a.i IN (1,2,3)",
+    ),
+    # qp_correlated_query.sql:707 — nest-loop rescan under ANY+LIMIT
+    # (generate_series(1,1) contributes the constant 1; DuckDB lacks lateral
+    # TVF args, oracle inlines it)
+    "nl_any_limit": (
+        "SELECT * FROM qp_nl_tab1 t1 WHERE t1.c1 + 5 > ANY(SELECT t2.c2 FROM qp_nl_tab2 t2, generate_series(1, 1) i WHERE i = t1.c2 LIMIT 1)",
+        "SELECT * FROM qp_nl_tab1 t1 WHERE t1.c1 + 5 > ANY(SELECT t2.c2 FROM qp_nl_tab2 t2 WHERE 1 = t1.c2 LIMIT 1)",
+    ),
+    # qp_correlated_query.sql:726-737 — correlated SRF subqueries (DuckDB has
+    # no lateral generate_series: oracles use the closed forms count=a, 3a)
+    "tvf_corr_count": (
+        "select x1.a, (select count(*) from generate_series(1, x1.a)) from tt1 x1",
+        "select x1.a, len(generate_series(1, x1.a))::bigint from tt1 x1",
+    ),
+    "tvf_corr_join": (
+        "select tt1.*, (select count(*) as ct from generate_series(1, a), tt1) from tt1",
+        "select tt1.*, (a * 3)::bigint from tt1",
+    ),
+    "tvf_corr_where": (
+        "select * from tt1 where 0 < (select count(*) from generate_series(1, a), tt1)",
+        "select * from tt1 where 0 < a * 3",
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CSQ_QUERIES))
+def test_reference_csq_query(olap, name):
+    ref, duck = CSQ_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+# Skip-level correlation: an inner subquery referencing a table two or more
+# query levels up.  The reference's own fallback planner ERRORS on this class
+# ("Planner should fail due to skip-level correlation not supported",
+# qp_correlated_query.sql:162,331,345) — only ORCA's Apply machinery handles
+# it.  Spark's decorrelation rejects these too; assert they raise rather than
+# return wrong answers.
+CSQ_SKIPLEVEL_REJECTED = {
+    # qp_correlated_query.sql:95
+    "in_under_exists": "select * from B where exists (select * from C,A where C.j = A.j and B.i in (select C.i from C where C.i = A.i and C.i != 10)) order by 1, 2",
+    # qp_correlated_query.sql:97
+    "in_under_notexists": "select * from B where not exists (select * from C,A where C.j = A.j and B.i in (select C.i from C where C.i = A.i and C.i != 10)) order by 1,2",
+    # qp_correlated_query.sql:110
+    "exists_in_bothsides": "select * from A where exists (select * from B where A.i in (select C.i from C where C.i = B.i))",
+    # qp_correlated_query.sql:126-127
+    "in_max_under_notexists": "select * from B where not exists (select * from A,C where C.j = A.j and B.i in (select max(C.i) from C where C.i = A.i and C.i != 10)) order by 1, 2",
+    "notin_max_under_notexists": "select * from B where not exists (select * from A,C where C.j = A.j and B.i not in (select max(C.i) from C where C.i = A.i and C.i != 10)) order by 1, 2",
+    # qp_correlated_query.sql:163 (marked: planner should fail)
+    "any_skiplevel": "select * from A,B where A.j = any (select C.j from C where C.j = A.j and B.i = any (select C.i from C where C.i != 10 and C.i = A.i)) order by 1,2,3,4",
+    # qp_correlated_query.sql:186
+    "all_min_corr": "select * from A,B where exists (select * from C where C.j = A.j and B.i = all (select min(C.j) from C where C.j = B.j)) order by 1,2,3,4",
+    # qp_correlated_query.sql:213
+    "exists_nested2": "select * from A,B where exists (select * from C where C.j = A.j and exists (select * from C where C.i = B.i))",
+    # qp_correlated_query.sql:216
+    "exists_sum_skip": "select * from A where exists (select * from C where C.j = A.j and exists (select sum(C.i) from C where C.i !=10 and C.i = A.i)) order by 1, 2",
+    # qp_correlated_query.sql:224
+    "exists_exists_skip": "select * from A where exists (select * from C where C.i = A.i and exists (select * from B where C.j = B.j and A.j < 10))",
+    # qp_correlated_query.sql:255 — correlated GROUP BY outer column
+    "notexists_groupby_outer": "select * from A where not exists (select sum(C.i) from C where C.i = A.i group by a.i)",
+    # qp_correlated_query.sql:329 — correlated scalar under GROUP BY
+    "select_scalar_groupby": "SELECT a, (SELECT d FROM qp_csq_t3 WHERE a=c) FROM qp_csq_t1 GROUP BY a order by a",
+    # qp_correlated_query.sql:332 (marked: planner should fail)
+    "skip_scalar_scalar": "SELECT a, (SELECT (SELECT d FROM qp_csq_t3 WHERE a=c)) FROM qp_csq_t1 GROUP BY a order by a",
+    # qp_correlated_query.sql:363 — NOT IN correlated across two levels
+    "multicol_any_notin": "select * from A,B,C where (A.i,B.i) = any (select A.i, B.i from A,B where A.i < C.i and B.i = C.i and C.i not in (select A.i from A where A.j = 1 and A.j = B.j)) order by 1,2,3,4,5,6",
+    # qp_correlated_query.sql:730 — correlated LIMIT (Spark: constant only)
+    "corr_limit": "select tt1.a, (select count(*) c from (select city from (select 'a' as city union all select 'b') s limit tt1.a) x) from tt1",
+}
+
+
+@pytest.mark.parametrize("name", sorted(CSQ_SKIPLEVEL_REJECTED))
+def test_reference_csq_skiplevel_rejected(olap, name):
+    spark, _ = olap
+    with pytest.raises(Exception):
+        pg_sql(spark, CSQ_SKIPLEVEL_REJECTED[name]).collect()
