@@ -569,6 +569,51 @@ def _pass_quantified(toks: list[str]) -> list[str]:
     return toks
 
 
+_RANK_FAMILY = {"rank", "dense_rank", "percent_rank", "cume_dist", "row_number", "ntile"}
+
+
+def _pass_rank_needs_order(toks: list[str]) -> list[str]:
+    """PG allows rank-family window functions over an unordered window (all
+    rows are peers: rank()=1, windowfuncs.c window_rank); Spark requires an
+    ORDER BY.  Insert a constant `ORDER BY 1` — constant ordering makes every
+    row a peer, which is exactly the PG semantics."""
+    i = 0
+    while i + 3 < len(toks):
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() in _RANK_FAMILY
+            and toks[i + 1] == "("
+        ):
+            argc = _match_paren(toks, i + 1)
+            if (
+                argc + 2 < len(toks)
+                and _is_ident(toks[argc + 1])
+                and toks[argc + 1].lower() == "over"
+                and toks[argc + 2] == "("
+            ):
+                spec_close = _match_paren(toks, argc + 2)
+                spec = toks[argc + 3 : spec_close]
+                depth = 0
+                has_order = False
+                for t in spec:
+                    if t == "(":
+                        depth += 1
+                    elif t == ")":
+                        depth -= 1
+                    elif depth == 0 and _is_ident(t) and t.lower() == "order":
+                        has_order = True
+                        break
+                # a lone identifier is a named-window reference, which may
+                # carry its own ORDER BY — leave those untouched
+                is_window_ref = len(spec) == 1 and _is_ident(spec[0])
+                if not has_order and not is_window_ref:
+                    toks = (
+                        toks[:spec_close] + ["ORDER", "BY", "1"] + toks[spec_close:]
+                    )
+        i += 1
+    return toks
+
+
 def _pass_rowvalue_scalar(toks: list[str]) -> list[str]:
     """(a, b) = (SELECT x, y …) → struct(a, b) = (SELECT struct(x, y) …)
     (gram.y row_expr vs select_with_parens; Spark scalar subqueries must be
@@ -623,6 +668,55 @@ def _pass_rowvalue_scalar(toks: list[str]) -> list[str]:
             continue
         i += 1
     return toks
+
+
+def _pass_values_partial_alias(toks: list[str]) -> list[str]:
+    """PG allows a table alias naming only a prefix of a VALUES list's
+    columns — the rest keep their default columnN names (gram.y
+    alias_clause; rte names per addRangeTableEntryForValues).  Spark
+    requires full arity: pad the alias list."""
+    i = 0
+    while i + 1 < len(toks):
+        if (
+            toks[i] == "("
+            and _is_ident(toks[i + 1])
+            and toks[i + 1].lower() == "values"
+            and i + 2 < len(toks)
+            and toks[i + 2] == "("
+        ):
+            vclose = _match_paren(toks, i)
+            row_close = _match_paren(toks, i + 2)
+            arity = 1 + sum(
+                1 for t_idx in range(i + 3, row_close)
+                if toks[t_idx] == "," and _paren_depth(toks, i + 3, t_idx) == 0
+            )
+            k = vclose + 1
+            if k < len(toks) and _is_ident(toks[k]) and toks[k].lower() == "as":
+                k += 1
+            if (
+                k + 1 < len(toks)
+                and _is_ident(toks[k])
+                and toks[k + 1] == "("
+            ):
+                aclose = _match_paren(toks, k + 1)
+                cols = [t for t in toks[k + 2 : aclose] if t != ","]
+                if 0 < len(cols) < arity:
+                    pad = []
+                    for n in range(len(cols) + 1, arity + 1):
+                        pad += [",", f"column{n}"]
+                    toks = toks[:aclose] + pad + toks[aclose:]
+        i += 1
+    return toks
+
+
+def _paren_depth(toks: list[str], start: int, end: int) -> int:
+    depth = 0
+    for t in toks[start:end]:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+    return depth
 
 
 _FROM_END_KEYWORDS = {
@@ -1088,6 +1182,8 @@ def transpile(sql: str) -> str:
     toks = _pass_json_ops(toks)
     toks = _pass_regex_ops(toks)
     toks = _pass_agg_order_by(toks)
+    toks = _pass_rank_needs_order(toks)
+    toks = _pass_values_partial_alias(toks)
     toks = _pass_rowvalue_scalar(toks)
     toks = _pass_quantified(toks)
     toks = _pass_functions(toks)

@@ -18,6 +18,7 @@ documented equivalent from the same ``--start_equiv`` block.
 
 from __future__ import annotations
 
+import re
 from datetime import date, timedelta
 from decimal import Decimal
 
@@ -295,6 +296,32 @@ _TABLES = {
     # qp_correlated_query.sql:715-718 (t1 renamed tt1: name collides with the
     # notin.sql fixture above)
     "tt1": ("a int, b int", "a, b", "(1,1), (2,2), (3,3)"),
+    # bfv_olap.sql:80 — toy(id,val) = generate_series(1,5)
+    "toy": ("id int, val int", "id, val", ", ".join(f"({i},{i})" for i in range(1, 6))),
+    # bfv_olap.sql:164-173 — r stays EMPTY (renamed bfv_r; empty-input aggs)
+    "bfv_r": ("a int, b int, c string, d decimal(10,0), e date", "a, b, c, d, e", ""),
+    # bfv_olap.sql:296
+    "mpp23240": ("a int, b int, c int, d int, e int, f int", "a, b, c, d, e, f", ""),
+    # bfv_olap.sql:319-320 (renamed bfv_test1: avoid clash potential)
+    "bfv_test1": (
+        "x int, y int, z double",
+        "x, y, z",
+        ", ".join(f"({a},{b},{a * 10 + b}.0)" for a in range(1, 6) for b in range(1, 6)),
+    ),
+    # bfv_olap.sql:364-365
+    "testtab": ("a int", "a", "(1), (2)"),
+    # bfv_olap.sql:390-405 — github issue 10143 fixtures
+    "t1_gh10143": (
+        "base_ym string, code string, name string",
+        "base_ym, code, name",
+        "('a','acode','aname')",
+    ),
+    "t2_gh10143": (
+        "base_ym string, dong string, code string, salary decimal(18,0)",
+        "base_ym, dong, code, salary",
+        "('a','adong','acode',CAST(1000 AS DECIMAL(18,0))), "
+        "('b','bdong','bcode',CAST(1100 AS DECIMAL(18,0)))",
+    ),
 }
 
 
@@ -304,9 +331,11 @@ def olap(spark):
     for name, (schema, cols, body) in _TABLES.items():
         casted = ", ".join(c.strip() for c in cols.split(","))
         if not body:
-            # empty table: one typed-NULL row filtered out (both dialects)
+            # empty table: one typed-NULL row filtered out (both dialects);
+            # split on commas outside parens (decimal(10,0) etc.)
             body = "(" + ", ".join(
-                f"CAST(NULL AS {c.strip().split()[1]})" for c in schema.split(",")
+                f"CAST(NULL AS {c.strip().split(None, 1)[1]})"
+                for c in re.split(r",(?![^()]*\))", schema)
             ) + ")"
             suffix = " WHERE 1 = 0"
         else:
@@ -1328,3 +1357,79 @@ def test_reference_csq_skiplevel_rejected(olap, name):
     spark, _ = olap
     with pytest.raises(Exception):
         pg_sql(spark, CSQ_SKIPLEVEL_REJECTED[name]).collect()
+
+
+# --------------------------------------------------------------------------
+# bfv_olap.sql — bug-fix verification for OLAP queries (verbatim, line-cited;
+# `r`/`test1` renamed `bfv_r`/`bfv_test1` to avoid collisions).  The custom
+# C/plpgsql aggregate scenarios (mysum/ema) are covered by the UDAF surface
+# elsewhere; their window-frame query shape is kept with the built-in sum.
+# --------------------------------------------------------------------------
+
+BFV_OLAP_QUERIES = {
+    # bfv_olap.sql:85 — named WINDOW clause with a shorthand ROWS frame (the
+    # original also runs mysum1/mysum2 ≡ sum UDAs).  PG/DuckDB reject copying
+    # a framed window via (w); Greenplum accepts — oracle uses `over w`.
+    "named_window_frame": (
+        "select id, val, sum(val) over (w) from toy window w as (order by id rows 2 preceding)",
+        "select id, val, sum(val) over w from toy window w as (order by id rows 2 preceding)",
+    ),
+    # bfv_olap.sql:176-190 — grouped aggregates over an EMPTY table
+    "empty_max_by_b": ("SELECT MAX(a) AS m FROM bfv_r GROUP BY b ORDER BY m", None),
+    "empty_max_by_a": ("SELECT MAX(a) AS m FROM bfv_r GROUP BY a ORDER BY m", None),
+    "empty_max_multi": ("SELECT MAX(a),d,e AS m FROM bfv_r GROUP BY b,d,e ORDER BY m,e,d", None),
+    "empty_min_multi": ("SELECT MIN(a),d,e AS m FROM bfv_r GROUP BY b,e,d ORDER BY e,d", None),
+    "empty_max_date": ("SELECT MAX(e) AS m FROM bfv_r GROUP BY b ORDER BY m", None),
+    # bfv_olap.sql:284-288 — distribution matching type pass-through
+    "rank_dist_match": ("select cname, rank() over (partition by sale.cn order by vn) from sale, customer where sale.cn = customer.cn order by 1, 2", None),
+    # bfv_olap.sql:299-308 — logical window with no live window functions
+    "case_dead_window": ("select a, b, case 1 when 10 then sum(c) over(partition by a) when 20 then sum(d) over(partition by a) else 5 end as sum1 from (select * from mpp23240 where f > 10) x", None),
+    # bfv_olap.sql:322 — github issue 2236: two different PARTITION BYs
+    "two_partitions": ("select sum(z) over (partition by x) as sumx, sum(z) over (partition by y) as sumy from bfv_test1", None),
+    # bfv_olap.sql:331-334 — window function inside IN subquery (once raised
+    # "window functions not allowed in WHERE clause"); DuckDB names the SRF
+    # column generate_series, oracle aliases it
+    "rank_in_where_subq": (
+        "select sum(g) from generate_series(1, 5) g where g in ( select rank() over (order by x) from generate_series(1,5) x )",
+        "select sum(g) from generate_series(1, 5) t(g) where g in ( select rank() over (order by x) from generate_series(1,5) u(x) )",
+    ),
+    # bfv_olap.sql:340-348 — ROLLUP planning crash
+    "rollup_composite_crash": ("SELECT sale.vn FROM sale,vendor WHERE sale.vn=vendor.vn GROUP BY ROLLUP( (sale.dt,sale.cn),(sale.pn),(sale.vn))", None),
+    "rollup_composite_distinct": ("SELECT DISTINCT sale.vn FROM sale,vendor WHERE sale.vn=vendor.vn GROUP BY ROLLUP( (sale.dt,sale.cn),(sale.pn),(sale.vn))", None),
+    # bfv_olap.sql:355-358 — github issue 6754: rank over unordered window
+    # above GROUP BY ROLLUP (PG: all peers, rank()=1)
+    "rank_over_rollup": ("SELECT sale.vn, rank() over (partition by sale.vn) FROM vendor, sale WHERE sale.vn=vendor.vn GROUP BY ROLLUP( sale.vn)", None),
+    # bfv_olap.sql:366-374 — constant PARTITION BY, literal and deduced
+    "count_const_partition": ("SELECT count(*) OVER (PARTITION BY 1) AS count FROM testtab", None),
+    "const_partition_equiv": ("SELECT 1 FROM ( SELECT a, count(*) OVER (PARTITION BY a) FROM (VALUES (1,1)) AS foo(a) ) AS sup(c, d) WHERE c = 87", None),
+    # bfv_olap.sql:381-383 — HashAgg under Gather Merge ordering bug
+    "rollup_qty_sorted": ("SELECT sale.qty FROM sale GROUP BY ROLLUP((qty)) order by 1", None),
+    # bfv_olap.sql:419-421 — github issue 10143: window over agg + subquery
+    "window_over_agg_subq": ("select * from (select sum(a.salary) over(), count(*) from t2_gh10143 a group by a.salary) T", None),
+    # bfv_olap.sql:432-439 — row_number windows above GROUP BY, UNION ALL'd
+    "cte_rn_union": ("with cte as (select row_number() over (order by code) as rn1, code from t2_gh10143 group by code) select row_number() over (order by name) as rn2, name from t1_gh10143 group by name union all select * from cte", None),
+}
+
+
+@pytest.mark.parametrize("name", sorted(BFV_OLAP_QUERIES))
+def test_reference_bfv_olap_query(olap, name):
+    ref, duck = BFV_OLAP_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+# bfv_olap.sql:414-417, 423-430 (github issue 10143): a correlated scalar
+# subquery in the select list of a grouped query, correlated on the grouping
+# column.  Spark's CheckAnalysis requires the subquery itself to appear in
+# GROUP BY (SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION) — rejected,
+# not wrong results.
+BFV_OLAP_REJECTED = {
+    "corr_limit1_scalar_window": "select (select name from t1_gh10143 where code = a.code limit 1) as dongnm ,sum(sum(a.salary)) over() from t2_gh10143 a group by a.code",
+    "scalar_rn_group_window": "select (select rn from (select row_number() over () as rn, name from t1_gh10143 where code = a.code group by name) T ) as dongnm ,sum(sum(a.salary)) over() from t2_gh10143 a group by a.code",
+}
+
+
+@pytest.mark.parametrize("name", sorted(BFV_OLAP_REJECTED))
+def test_reference_bfv_olap_rejected(olap, name):
+    spark, _ = olap
+    with pytest.raises(Exception):
+        pg_sql(spark, BFV_OLAP_REJECTED[name]).collect()
