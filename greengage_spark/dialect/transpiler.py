@@ -670,6 +670,38 @@ def _pass_rowvalue_scalar(toks: list[str]) -> list[str]:
     return toks
 
 
+def _pass_array_constructor(toks: list[str]) -> list[str]:
+    """PG ARRAY[…] constructor (gram.y ARRAY '[' expr_list ']') → Spark
+    array(…).  Brackets may nest (ARRAY[ARRAY[1],ARRAY[2]]): each pass of
+    the scan converts the outermost occurrence and rescans."""
+    i = 0
+    while i + 1 < len(toks):
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() == "array"
+            and toks[i + 1] == "["
+        ):
+            depth = 0
+            close = None
+            for j in range(i + 1, len(toks)):
+                if toks[j] == "[":
+                    depth += 1
+                elif toks[j] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        close = j
+                        break
+            if close is None:
+                raise ValueError("unbalanced ARRAY[ constructor")
+            toks = (
+                toks[:i]
+                + ["array", "("] + toks[i + 2 : close] + [")"]
+                + toks[close + 1 :]
+            )
+        i += 1
+    return toks
+
+
 def _pass_values_partial_alias(toks: list[str]) -> list[str]:
     """PG allows a table alias naming only a prefix of a VALUES list's
     columns — the rest keep their default columnN names (gram.y
@@ -1177,6 +1209,7 @@ def transpile(sql: str) -> str:
     sql = _rewrite_from_generate_series(sql)
     toks = tokenize(sql)
     toks = _pass_group_by_empty(toks)
+    toks = _pass_array_constructor(toks)
     toks = _pass_from_srf_items(toks)
     toks = _pass_casts(toks)
     toks = _pass_json_ops(toks)

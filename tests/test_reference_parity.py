@@ -322,6 +322,41 @@ _TABLES = {
         "('a','adong','acode',CAST(1000 AS DECIMAL(18,0))), "
         "('b','bdong','bcode',CAST(1100 AS DECIMAL(18,0)))",
     ),
+    # bfv_subquery.sql:25-28 — bfv_subquery_ is RANGE-partitioned in the
+    # reference (storage detail); same 1..9 rows
+    "bfv_subquery_": ("a int, b int", "a, b", ", ".join(f"({i},{i})" for i in range(1, 10))),
+    "bfv_subquery_r": ("a int, b int", "a, b", ", ".join(f"({i},{i})" for i in range(1, 10))),
+    # bfv_subquery.sql:39-50
+    "bfv_subquery_r2": ("a int, b int", "a, b", "(1,1), (2,1), (2,NULL), (NULL,0), (NULL,NULL)"),
+    "bfv_subquery_s2": ("a int, b int", "a, b", "(2,2), (1,0), (1,1)"),
+    # bfv_subquery.sql:76-80
+    "bfv_subquery_t1": ("i int, j int", "i, j", ", ".join(f"({i},{i % 5})" for i in range(1, 11))),
+    "bfv_subquery_t2": ("i int, j int", "i, j", "(1, 10)"),
+    # bfv_subquery.sql:91-94 (s3 stays empty)
+    "bfv_subquery_t3": ("a int, b int", "a, b", "(1,4), (0,3)"),
+    "bfv_subquery_s3": ("i int, j int", "i, j", ""),
+    # bfv_subquery.sql:110-120
+    "bfv_subquery_a1": ("i int, j int", "i, j", ", ".join(f"({i},{i * i})" for i in range(1, 11))),
+    "bfv_subquery_b1": ("i int, j int", "i, j", ", ".join(f"({i},{i * i})" for i in range(1, 11))),
+    "bfv_subquery_a2": ("i int, j int", "i, j", ", ".join(f"({i},{i * i})" for i in range(1, 11))),
+    # bfv_subquery.sql:130-133
+    "bfv_subquery_foo1": ("a int, b int", "a, b", "(1,1), (2,2)"),
+    # bfv_subquery.sql:156-158 — all three stay empty (contradiction tests)
+    "mpp_t1": ("a int, b int", "a, b", ""),
+    "mpp_t2": ("a int, b int", "a, b", ""),
+    "mpp_t3": ("a int, b int", "a, b", ""),
+    # bfv_subquery.sql:182-183
+    "t_case_subquery1": ("a int, b int, c string", "a, b, c", "(1, 5, NULL), (1, 2, NULL)"),
+    # bfv_subquery.sql:206-208
+    "t_coalesce_count_subquery": ("a int, b int", "a, b", "(1, 1)"),
+    "t_coalesce_count_subquery_empty": ("c int, d int", "c, d", ""),
+    "t_coalesce_count_subquery_empty2": ("e int, f int", "e, f", ""),
+    # bfv_subquery.sql:258-259 (foo/bar renamed bfv_foo/bfv_bar)
+    "bfv_foo": ("a int, b string", "a, b", "(1, 'a'), (2, 'b')"),
+    "bfv_bar": ("c int, d string", "c, d", "(1, 'a'), (2, 'b')"),
+    # bfv_subquery.sql:275-276
+    "foo_rescan_result": ("a int, b int", "a, b", "(1, 2), (1, 1)"),
+    "bar_rescan_result": ("a int, b int", "a, b", "(1, 1)"),
 }
 
 
@@ -1433,3 +1468,62 @@ def test_reference_bfv_olap_rejected(olap, name):
     spark, _ = olap
     with pytest.raises(Exception):
         pg_sql(spark, BFV_OLAP_REJECTED[name]).collect()
+
+
+# --------------------------------------------------------------------------
+# bfv_subquery.sql — subquery planner bug fixes (verbatim, line-cited;
+# foo/bar renamed bfv_foo/bfv_bar).  ctid/tid scans and the plpythonu
+# plan-counting helper are storage/introspection-specific and out of scope.
+# --------------------------------------------------------------------------
+
+BFV_SUBQ_QUERIES = {
+    # bfv_subquery.sql:30 — scalar agg subquery over a partitioned table
+    "scalar_frac_sum": ("SELECT a FROM bfv_subquery_r WHERE b < ( SELECT 0.5 * sum(a) FROM bfv_subquery_ WHERE b >= 3) ORDER BY 1", None),
+    # bfv_subquery.sql:52-53 — DISTINCT + outer reference in derived table
+    "distinct_outer_ref": ("select * from bfv_subquery_r2 where a = (select x.a from (select distinct a from bfv_subquery_s2 where bfv_subquery_s2.b = bfv_subquery_r2.b) x)", None),
+    # bfv_subquery.sql:84 — outer reference in subquery select list
+    "outer_ref_select_list": ("select bfv_subquery_t1.i, (select bfv_subquery_t1.i from bfv_subquery_t2) from bfv_subquery_t1 order by 1, 2", None),
+    # bfv_subquery.sql:98-104 — ALL over an empty subquery, with LIMITs
+    "lt_all_empty_limit1": ("select * from bfv_subquery_t3 where a < all (select i from bfv_subquery_s3 limit 1) order by a", None),
+    "lt_all_empty": ("select * from bfv_subquery_t3 where a < all (select i from bfv_subquery_s3) order by a", None),
+    "lt_all_empty_limit2": ("select * from bfv_subquery_t3 where a < all (select i from bfv_subquery_s3 limit 2) order by a", None),
+    # bfv_subquery.sql:115-122 — NOT IN correlated through a join
+    "notin_corr_join": ("SELECT  bfv_subquery_a1.* FROM bfv_subquery_a1 INNER JOIN bfv_subquery_b1 ON  bfv_subquery_a1.i =  bfv_subquery_b1.i WHERE  bfv_subquery_a1.j NOT IN (SELECT j FROM bfv_subquery_a1 a2 where a2.j =  bfv_subquery_b1.j) and  bfv_subquery_a1.i = 1", None),
+    "notin_self_corr": ("SELECT bfv_subquery_a2.* FROM bfv_subquery_a2 WHERE bfv_subquery_a2.j NOT IN (SELECT j FROM bfv_subquery_a2 a2 where a2.j = bfv_subquery_a2.j) and bfv_subquery_a2.i = 1", None),
+    # bfv_subquery.sql:135-139 — scalar subquery = UNION of correlated branches
+    "scalar_union_corr": ("select (select a from  bfv_subquery_foo1 inner1 where inner1.a=outer1.a union select b from  bfv_subquery_foo1 inner2 where inner2.b=outer1.b) from  bfv_subquery_foo1 outer1", None),
+    # bfv_subquery.sql:143-149 — IN / NOT IN over unnest(ARRAY[...])
+    "unnest_notin": ("select 1 where 22 not in (SELECT unnest(array[1,2]))", None),
+    "unnest_in": ("select 1 where 22 in (SELECT unnest(array[1,2]))", None),
+    "unnest_in_hit": ("select 1 where 22  in (SELECT unnest(array[1,2,22]))", None),
+    "unnest_notin_hit": ("select 1 where 22 not in (SELECT unnest(array[1,2,22]))", None),
+    # bfv_subquery.sql:161-166 — contradictory predicates + empty scalars
+    "contradict_1": ("select * from mpp_t1 where a=1 and a=2 and a > (select mpp_t2.b from mpp_t2)", None),
+    "contradict_2": ("select * from mpp_t1 where a<1 and a>2 and a > (select mpp_t2.b from mpp_t2)", None),
+    "contradict_3": ("select * from mpp_t3 where a in ( select a from mpp_t1 where a<1 and a>2 and a > (select mpp_t2.b from mpp_t2))", None),
+    "contradict_4": ("select * from mpp_t3 where a <1 and a=1 and a in ( select a from mpp_t1 where a > (select mpp_t2.b from mpp_t2))", None),
+    "contradict_5": ("select * from mpp_t1 where a <1 and a=1 and a in ( select a from mpp_t1 where a > (select mpp_t2.b from mpp_t2))", None),
+    "contradict_6": ("select * from mpp_t1 where a = (select a FROM mpp_t2 where mpp_t2.b > (select max(b) from mpp_t3 group by b) and mpp_t2.b=1 and mpp_t2.b=2)", None),
+    # bfv_subquery.sql:185-191 — CASE clause inside a correlated join filter
+    "case_in_corr_agg": ("select t1.* from t_case_subquery1 t1 where t1.b = ( select max(b) from t_case_subquery1 t2 where t1.a = t2.a and t2.b < 5 and case when t1.c is not null and t2.c is not null then t1.c = t2.c end )", None),
+    # bfv_subquery.sql:211-223 — count over empty: 0 vs NULL distinctions
+    "coalesce_count_corr": ("SELECT (SELECT count(*) FROM t_coalesce_count_subquery_empty where c = a) FROM t_coalesce_count_subquery", None),
+    "count_group_limit_null": ("SELECT (SELECT COUNT(*) FROM t_coalesce_count_subquery_empty GROUP BY c LIMIT 1) FROM t_coalesce_count_subquery", None),
+    "count_union_limit_1": ("SELECT (SELECT a1 FROM (SELECT count(*) FROM t_coalesce_count_subquery_empty2 group by e union all SELECT count(*) from t_coalesce_count_subquery_empty group by c) x(a1) LIMIT 1) FROM t_coalesce_count_subquery", None),
+    "count_union_limit_2": ("SELECT (SELECT a1 FROM (SELECT count(*) from t_coalesce_count_subquery_empty group by c union all SELECT count(*) FROM t_coalesce_count_subquery_empty2 group by e) x(a1) LIMIT 1) FROM t_coalesce_count_subquery", None),
+    # bfv_subquery.sql:262-268 — NOT EXISTS with expression correlation (the
+    # planner once decorrelated these into wrong JOINs)
+    "notexists_expr_plus": ("select * from bfv_foo where not exists (select * from bfv_bar where bfv_foo.a + bfv_bar.c = 1)", None),
+    "notexists_expr_concat": ("select * from bfv_foo where not exists (select * from bfv_bar where bfv_foo.b || bfv_bar.d = 'hola')", None),
+    "notexists_outer_only_1": ("select * from bfv_foo where not exists (select * from bfv_bar where bfv_foo.a = bfv_foo.a + 1)", None),
+    "notexists_outer_only_2": ("select * from bfv_foo where not exists (select * from bfv_bar where bfv_foo.b = bfv_foo.b || 'a')", None),
+    "scalar_min_nonequi": ("select * from bfv_foo where bfv_foo.a = (select min(bfv_bar.c) from bfv_bar where bfv_foo.b || bfv_bar.d = 'bb')", None),
+    # bfv_subquery.sql:278-279 — rescan of a RESULT node
+    "rescan_result_outer_only": ("select * from foo_rescan_result t1 where (select count(*) from bar_rescan_result where t1.a=t1.b) > 0", None),
+}
+
+
+@pytest.mark.parametrize("name", sorted(BFV_SUBQ_QUERIES))
+def test_reference_bfv_subquery_query(olap, name):
+    ref, duck = BFV_SUBQ_QUERIES[name]
+    _check(olap, ref, duck)
