@@ -670,6 +670,22 @@ def _pass_rowvalue_scalar(toks: list[str]) -> list[str]:
     return toks
 
 
+def _pass_count_noargs(toks: list[str]) -> list[str]:
+    """Zero-argument COUNT() (Greenplum grammar extension ≡ COUNT(*)) —
+    Spark requires the star."""
+    i = 0
+    while i + 2 < len(toks):
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() == "count"
+            and toks[i + 1] == "("
+            and toks[i + 2] == ")"
+        ):
+            toks = toks[: i + 2] + ["*"] + toks[i + 2 :]
+        i += 1
+    return toks
+
+
 def _pass_array_constructor(toks: list[str]) -> list[str]:
     """PG ARRAY[…] constructor (gram.y ARRAY '[' expr_list ']') → Spark
     array(…).  Brackets may nest (ARRAY[ARRAY[1],ARRAY[2]]): each pass of
@@ -1209,6 +1225,7 @@ def transpile(sql: str) -> str:
     sql = _rewrite_from_generate_series(sql)
     toks = tokenize(sql)
     toks = _pass_group_by_empty(toks)
+    toks = _pass_count_noargs(toks)
     toks = _pass_array_constructor(toks)
     toks = _pass_from_srf_items(toks)
     toks = _pass_casts(toks)

@@ -357,6 +357,26 @@ _TABLES = {
     # bfv_subquery.sql:275-276
     "foo_rescan_result": ("a int, b int", "a, b", "(1, 2), (1, 1)"),
     "bar_rescan_result": ("a int, b int", "a, b", "(1, 1)"),
+    # bfv_cte.sql:7 (empty), 20-21
+    "test_group_window": ("c1 int, c2 int", "c1, c2", ""),
+    "bfv_cte_foo": ("a int, b int", "a, b", ", ".join(f"({i},{i + 1})" for i in range(1, 11))),
+    "bfv_cte_bar": ("c int, d int", "c, d", ", ".join(f"({i},{i + 1})" for i in range(1, 11))),
+    # bfv_cte.sql:223 (empty replicated table; renamed bfv_rep), 240-243
+    # (bigserial ≈ bigint, numeric kept as decimal), 263-268 (rep renamed
+    # bfv_rep_ab) — DISTRIBUTED REPLICATED is a placement detail
+    "bfv_rep": ("i string", "i", ""),
+    "rep1": ("id bigint, isc string, iscd string", "id, isc, iscd", "(1, 'cmn_bin_yes', 'cmn_bin_yes')"),
+    "rep2": (
+        "id decimal(18,0), rc string, ri decimal(18,0)",
+        "id, rc, ri",
+        "(CAST(113551 AS DECIMAL(18,0)),'cmn_bin_yes',CAST(101991 AS DECIMAL(18,0))), "
+        "(CAST(113552 AS DECIMAL(18,0)),'cmn_bin_no',CAST(101991 AS DECIMAL(18,0))), "
+        "(CAST(113553 AS DECIMAL(18,0)),'cmn_bin_err',CAST(101991 AS DECIMAL(18,0))), "
+        "(CAST(113554 AS DECIMAL(18,0)),'cmn_bin_null',CAST(101991 AS DECIMAL(18,0)))",
+    ),
+    "dist1": ("a int, b int", "a, b", ", ".join(f"(1,{i})" for i in range(1, 11))),
+    "dist2": ("a int, b int", "a, b", ", ".join(f"(1,{i})" for i in range(1, 21))),
+    "bfv_rep_ab": ("a int, b int", "a, b", "(1, 1)"),
 }
 
 
@@ -1526,4 +1546,41 @@ BFV_SUBQ_QUERIES = {
 @pytest.mark.parametrize("name", sorted(BFV_SUBQ_QUERIES))
 def test_reference_bfv_subquery_query(olap, name):
     ref, duck = BFV_SUBQ_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+# --------------------------------------------------------------------------
+# bfv_cte.sql — CTEs mixing window functions, grouping, and shared-scan
+# producer/consumer plans (verbatim, line-cited; rep/foo/bar renamed with a
+# bfv_ prefix).  The reference runs tests 1-5 twice, with CTE inlining off
+# and on — the SQL is identical, so each appears once; inline-vs-materialize
+# is Catalyst's call (ShareInputScan ≈ ReuseExchange / .persist, COVERAGE
+# §2.1).  The pg_class-based rescan test is catalog-specific, out of scope.
+# --------------------------------------------------------------------------
+
+BFV_CTE_QUERIES = {
+    # bfv_cte.sql:9-13 — zero-argument COUNT() (GP grammar) over a window
+    "count_noargs_window": ("WITH tt AS (SELECT * FROM test_group_window) SELECT tt.c1, COUNT() over () as fraction FROM tt GROUP BY tt.c1 ORDER BY tt.c1", None),
+    # bfv_cte.sql:31-46 — CTE over an outer join, grouped under count(*) over ()
+    "cte_test1": ("WITH t AS ( SELECT e.*,f.* FROM ( SELECT * FROM bfv_cte_foo WHERE a < 10 ) e LEFT OUTER JOIN ( SELECT * FROM bfv_cte_bar WHERE c < 10 ) f ON e.a = f.d ) SELECT t.a,t.d, count(*) over () AS window FROM t GROUP BY t.a,t.d ORDER BY t.a,t.d LIMIT 2", None),
+    # bfv_cte.sql:51-55 — column-aliased CTE, rank over grouped output
+    "cte_test2": ("WITH t(a,b,d) AS ( SELECT bfv_cte_foo.a,bfv_cte_foo.b,bfv_cte_bar.d FROM bfv_cte_foo,bfv_cte_bar WHERE bfv_cte_foo.a = bfv_cte_bar.d ) SELECT t.b,avg(t.a), rank() OVER (PARTITION BY t.a ORDER BY t.a) FROM bfv_cte_foo,t GROUP BY bfv_cte_foo.a,bfv_cte_foo.b,t.b,t.a ORDER BY 1,2,3 LIMIT 5", None),
+    # bfv_cte.sql:60-71 — two consumers of one CTE, nested window aggregates
+    "cte_test3": ("WITH t(a,b,d) AS ( SELECT bfv_cte_foo.a,bfv_cte_foo.b,bfv_cte_bar.d FROM bfv_cte_foo,bfv_cte_bar WHERE bfv_cte_foo.a = bfv_cte_bar.d ) SELECT cup.*, SUM(t.d) OVER(PARTITION BY t.b) FROM ( SELECT bfv_cte_bar.*, AVG(t.b) OVER(PARTITION BY t.a ORDER BY t.b desc) AS e FROM t,bfv_cte_bar ) AS cup, t WHERE cup.e < 10 GROUP BY cup.c,cup.d, cup.e ,t.d, t.b ORDER BY 1,2,3,4 LIMIT 10", None),
+    # bfv_cte.sql:76-85 — window inside derived table + HAVING over the CTE
+    "cte_test4": ("WITH t(a,b,d) AS ( SELECT bfv_cte_foo.a,bfv_cte_foo.b,bfv_cte_bar.d FROM bfv_cte_foo,bfv_cte_bar WHERE bfv_cte_foo.a = bfv_cte_bar.d ) SELECT cup.*, SUM(t.d) FROM ( SELECT bfv_cte_bar.*, count(*) OVER() AS e FROM t,bfv_cte_bar WHERE t.a = bfv_cte_bar.c ) AS cup, t GROUP BY cup.c,cup.d, cup.e,t.a HAVING AVG(t.d) < 10 ORDER BY 1,2,3,4 LIMIT 10", None),
+    # bfv_cte.sql:90-104 — doubly-nested derived tables over the CTE
+    "cte_test5": ("WITH t(a,b,d) AS ( SELECT bfv_cte_foo.a,bfv_cte_foo.b,bfv_cte_bar.d FROM bfv_cte_foo,bfv_cte_bar WHERE bfv_cte_foo.a = bfv_cte_bar.d ) SELECT cup.*, SUM(t.d) OVER(PARTITION BY t.b) FROM ( SELECT bfv_cte_bar.c as e,r.d FROM ( SELECT t.d, avg(t.a) over() FROM t ) r,bfv_cte_bar ) AS cup, t WHERE cup.e < 10 GROUP BY cup.d, cup.e, t.d, t.b ORDER BY 1,2,3 LIMIT 10", None),
+    # bfv_cte.sql:230-232 — producer/consumer matching on a replicated CTE
+    "rep_two_consumers": ("with cte1 as ( select *,row_number() over ( partition by i) as rank_desc from bfv_rep), cte2 as ( select 'col1' tblnm,count(*) diffcnt from ( select * from cte1) x) select * from ( select 'col1' tblnm from cte1) a left join cte2 c on a.tblnm=c.tblnm", None),
+    # bfv_cte.sql:250-253 — one CTE consumed twice through different joins
+    "rep_join_twice": ("with t1 as (select * from rep1), t2 as (select id, rc from rep2 where ri = 101991) select p.*from t1 p join t2 r on p.isc = r.rc join t2 r1 on p.iscd = r1.rc limit 1", None),
+    # bfv_cte.sql:279-285 — scalar CTE consumer inside duplicated CASE arms
+    "case_cte_scalar": ("with t1_cte as (select b from dist1), rep_cte as (select a from bfv_rep_ab) select case when (dist2.b in (1,2)) then (select rep_cte.a from rep_cte) when (dist2.b in (1,2)) then (select rep_cte.a from rep_cte) end as rep_cte_a from t1_cte join dist2 on t1_cte.b = dist2.b", None),
+}
+
+
+@pytest.mark.parametrize("name", sorted(BFV_CTE_QUERIES))
+def test_reference_bfv_cte_query(olap, name):
+    ref, duck = BFV_CTE_QUERIES[name]
     _check(olap, ref, duck)
