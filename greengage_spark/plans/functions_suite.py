@@ -456,3 +456,61 @@ def dialect_array_agg_ordered(spark, sf_dir):
         """,
         ["nation"],
     )
+
+
+@suite.add(
+    "dialect_quantified_all",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE s_acctbal >= ALL (SELECT s2.s_acctbal FROM supplier s2
+                            WHERE s2.s_nationkey = s.s_nationkey)
+      AND s_suppkey > ALL (SELECT s_suppkey FROM supplier WHERE s_suppkey < 0)
+    ORDER BY s_suppkey
+    """,
+    doc="quantified ALL comparisons (gram.y SubLink, ExecSubPlan ALL_SUBLINK "
+        "nodeSubplan.c): correlated >= ALL (per-nation max) plus > ALL over "
+        "an EMPTY set (⇒ TRUE) — exact three-valued CASE-over-aggregate "
+        "rewrite in dialect/transpiler.py _pass_quantified.",
+    tags=("dialect", "subquery"),
+)
+def dialect_quantified_all(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE s_acctbal >= ALL (SELECT s2.s_acctbal FROM supplier s2
+                                WHERE s2.s_nationkey = s.s_nationkey)
+          AND s_suppkey > ALL (SELECT s_suppkey FROM supplier WHERE s_suppkey < 0)
+        ORDER BY s_suppkey
+        """,
+        ["supplier"],
+    )
+
+
+@suite.add(
+    "dialect_array_anyall",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_regionkey IN (0, 2, 4) AND n_nationkey NOT IN (1, 3, 5)
+    ORDER BY n_nationkey
+    """,
+    doc="scalar-array-op ANY/ALL over array expressions (scalararrayop, "
+        "parse_oper.c): x = ANY('{…}'::integer[]) → array_contains, "
+        "x <> ALL(ARRAY[…]) → NOT array_contains; PG '{…}' literal and "
+        "ARRAY[…] constructor both transpiled.  Oracle uses the IN-list "
+        "equivalent (DuckDB cannot cast '{…}' varchar to LIST).",
+    tags=("dialect", "array"),
+)
+def dialect_array_anyall(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT n_nationkey, n_name FROM nation
+        WHERE n_regionkey = ANY('{0,2,4}'::integer[])
+          AND n_nationkey <> ALL(ARRAY[1,3,5])
+        ORDER BY n_nationkey
+        """,
+        ["nation"],
+    )
