@@ -101,37 +101,52 @@ def run_recursive_sql(spark, sql: str, *, max_iterations: int = 100):
     from greengage_spark.operators.recursive import recursive_cte
 
     ctes, main = _parse(sql)
-    for name, cols, body in ctes:
-        if not _is_self_ref(name, body):
-            df = _t.pg_sql(spark, body)
+    # CTE names are registered as session temp views while the fixpoint runs;
+    # a pre-existing temp view with the same name must survive the statement
+    # (CTE scope is per-query, parse_cte.c).  spark.table() resolves eagerly,
+    # so the captured DataFrame pins the OLD view's plan for restoration.
+    cte_names = {name for name, _cols, _body in ctes}
+    shadowed = {
+        t.name: spark.table(t.name)
+        for t in spark.catalog.listTables()
+        if t.isTemporary and t.name in cte_names
+    }
+    try:
+        for name, cols, body in ctes:
+            if not _is_self_ref(name, body):
+                df = _t.pg_sql(spark, body)
+                if cols:
+                    df = df.toDF(*cols)
+                df.createOrReplaceTempView(name)
+                continue
+            terms, flags = _split_union(body)
+            if len(terms) < 2 or not _is_self_ref(name, terms[-1]) or any(
+                _is_self_ref(name, t) for t in terms[:-1]
+            ):
+                raise NotImplementedError(
+                    "recursive CTE must be <seed terms> UNION [ALL] <one recursive term>"
+                )
+            seed_sql = terms[0]
+            for k in range(1, len(terms) - 1):
+                seed_sql += (" UNION ALL " if flags[k - 1] else " UNION ") + terms[k]
+            seed = _t.pg_sql(spark, seed_sql)
             if cols:
-                df = df.toDF(*cols)
-            df.createOrReplaceTempView(name)
-            continue
-        terms, flags = _split_union(body)
-        if len(terms) < 2 or not _is_self_ref(name, terms[-1]) or any(
-            _is_self_ref(name, t) for t in terms[:-1]
-        ):
-            raise NotImplementedError(
-                "recursive CTE must be <seed terms> UNION [ALL] <one recursive term>"
+                seed = seed.toDF(*cols)
+
+            def step(frontier, _name=name, _sql=terms[-1], _cols=cols):
+                frontier.createOrReplaceTempView(_name)
+                out = _t.pg_sql(spark, _sql)
+                return out.toDF(*_cols) if _cols else out
+
+            df = recursive_cte(
+                seed, step, union_all=flags[-1], max_iterations=max_iterations
             )
-        seed_sql = terms[0]
-        for k in range(1, len(terms) - 1):
-            seed_sql += (" UNION ALL " if flags[k - 1] else " UNION ") + terms[k]
-        seed = _t.pg_sql(spark, seed_sql)
-        if cols:
-            seed = seed.toDF(*cols)
-
-        def step(frontier, _name=name, _sql=terms[-1], _cols=cols):
-            frontier.createOrReplaceTempView(_name)
-            out = _t.pg_sql(spark, _sql)
-            return out.toDF(*_cols) if _cols else out
-
-        df = recursive_cte(
-            seed, step, union_all=flags[-1], max_iterations=max_iterations
-        )
-        df.createOrReplaceTempView(name)
-    out = _t.pg_sql(spark, main)
-    for name, _cols, _body in ctes:
-        spark.catalog.dropTempView(name)
+            df.createOrReplaceTempView(name)
+        out = _t.pg_sql(spark, main)
+    finally:
+        for name in cte_names:
+            if name in shadowed:
+                shadowed[name].createOrReplaceTempView(name)
+            else:
+                spark.catalog.dropTempView(name)
     return out

@@ -83,6 +83,25 @@ class TestRecursiveCte:
                 max_iterations=3,
             )
 
+    def test_cte_name_does_not_clobber_temp_view(self, spark):
+        """CTE scope is per-statement (parse_cte.c): a WITH RECURSIVE whose
+        CTE names collide with session temp views must leave those views
+        intact afterwards."""
+        from greengage_spark.dialect.recursive_sql import run_recursive_sql
+
+        spark.createDataFrame([(42,)], "v int").createOrReplaceTempView("r")
+        spark.createDataFrame([(7,)], "w int").createOrReplaceTempView("y")
+        out = run_recursive_sql(
+            spark,
+            "with recursive r(i) as ( select 1 union all select i + 1 from r "
+            "where i < 3 ), y as ( select i * 10 as j from r ) select * from y",
+        )
+        assert sorted(x.j for x in out.collect()) == [10, 20, 30]
+        assert [x.v for x in spark.table("r").collect()] == [42]
+        assert [x.w for x in spark.table("y").collect()] == [7]
+        spark.catalog.dropTempView("r")
+        spark.catalog.dropTempView("y")
+
 
 class TestExternalTable:
     def test_reject_limit_exceeded(self, spark, tmp_path):

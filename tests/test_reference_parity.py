@@ -377,6 +377,51 @@ _TABLES = {
     "dist1": ("a int, b int", "a, b", ", ".join(f"(1,{i})" for i in range(1, 11))),
     "dist2": ("a int, b int", "a, b", ", ".join(f"(1,{i})" for i in range(1, 21))),
     "bfv_rep_ab": ("a int, b int", "a, b", "(1, 1)"),
+    # bfv_joins.sql:7-17 — x/y are (i,i,i) 1..10; t1/t2/t3 renamed jt1/jt2/jt3
+    # (names collide with the notin.sql fixtures); jt3 stays empty
+    "x": ("a int, b int, c int", "a, b, c", ", ".join(f"({i},{i},{i})" for i in range(1, 11))),
+    "y": ("a int, b int, c int", "a, b, c", ", ".join(f"({i},{i},{i})" for i in range(1, 11))),
+    "jt1": ("a int, b int, c int", "a, b, c", "(1,1,1), (2,1,2), (3,NULL,3)"),
+    "jt2": ("a int, b int", "a, b", "(2,3)"),
+    "jt3": ("a int, b int, c int", "a, b, c", ""),
+    # bfv_joins.sql:27-29 — t (the CTAS join result) renamed bfv_joins_t
+    "bfv_joins_foo": ("a int, b int", "a, b", ", ".join(f"({i},{i + 1})" for i in range(1, 11))),
+    "bfv_joins_bar": ("c int, d int", "c, d", ", ".join(f"({i},{i + 1})" for i in range(1, 11))),
+    "bfv_joins_t": ("a int, b int, d int", "a, b, d", ", ".join(f"({i},{i + 1},{i})" for i in range(2, 11))),
+    # bfv_joins.sql:35-39 — x_part is RANGE-partitioned (storage detail)
+    "x_non_part": ("a int, b int, c int", "a, b, c", ", ".join(f"({i % 3},{i},{i})" for i in range(1, 11))),
+    "x_part": ("e int, f int, g int", "e, f, g", ", ".join(f"({i},{i * 3},{i % 6})" for i in range(1, 11))),
+    # bfv_joins.sql:162-187 — AO/columnar + bitmap-index storage details
+    # dropped; dimdate col2 (unused by the query) pinned to a fixed date
+    "mpp25537_facttable1": (
+        "col1 int, wk_id smallint, id int",
+        "col1, wk_id, id",
+        ", ".join(f"({i},{i},{i})" for i in range(1, 21)),
+    ),
+    "mpp25537_dimdate": (
+        "wk_id smallint, col2 date",
+        "wk_id, col2",
+        ", ".join(f"({i}, DATE '2024-01-01')" for i in range(1, 21, 2)),
+    ),
+    "mpp25537_dimtabl1": ("id int, col2 int", "id, col2", ", ".join(f"({i},{i})" for i in range(1, 21, 3))),
+    # bfv_joins.sql:207-213 (oid ≈ int)
+    "fjtest_a": ("aid int", "aid", "(0), (1), (2)"),
+    "fjtest_b": ("bid int", "bid", "(0), (2), (3)"),
+    "fjtest_c": ("cid int", "cid", "(0), (3), (4)"),
+    # bfv_joins.sql:258-262
+    "nlj1": ("a int, b int", "a, b", "(1, 1), (NULL, NULL)"),
+    "nlj2": ("a int, b int", "a, b", "(1, 5), (NULL, 6)"),
+    # bfv_joins.sql:290-296 — a/b/c renamed rnlj_* (collide with the CSQ
+    # fixtures); the index is a physical detail
+    "rnlj_a": ("i int", "i", "(1)"),
+    "rnlj_b": ("i int", "i", "(1)"),
+    "rnlj_c": ("i int, j int", "i, j", ", ".join(f"({i},{i})" for i in range(1, 101))),
+    # bfv_joins.sql:458-464
+    "o1": ("a1 int, b1 int", "a1, b1", ", ".join(f"({i},{i})" for i in range(1, 21))),
+    "o2": ("a2 int, b2 int", "a2, b2", ", ".join(f"({i},NULL)" for i in range(11, 31))),
+    "o3": ("a3 int, b3 int", "a3, b3", "(NULL, 20)"),
+    # bfv_joins.sql:475-476 — stays empty
+    "t_13722": ("id int, tt timestamp", "id, tt", ""),
 }
 
 
@@ -1583,4 +1628,81 @@ BFV_CTE_QUERIES = {
 @pytest.mark.parametrize("name", sorted(BFV_CTE_QUERIES))
 def test_reference_bfv_cte_query(olap, name):
     ref, duck = BFV_CTE_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+# --------------------------------------------------------------------------
+# bfv_joins.sql — join planner bug fixes (verbatim, line-cited; t1/t2/t3 →
+# jt1/jt2/jt3, a/b/c → rnlj_*, the CTAS `t` → bfv_joins_t to avoid fixture
+# collisions).  Out of scope: plpgsql-function join predicates, composite-
+# type columns, bpchar trailing-space joins (no CHAR(n) padding semantics in
+# either execution engine here), catalog/lateral-aclexplode, and
+# EXPLAIN-only distribution checks.
+# --------------------------------------------------------------------------
+
+BFV_JOINS_QUERIES = {
+    # bfv_joins.sql:47-59 — LOJ ON TRUE + null-filtering WHERE (LOJ→inner)
+    "loj_true_filter_gt": ("SELECT * from x left join y on True where y.a > 0", None),
+    "loj_true_filter_2": ("SELECT * from x left join y on True where y.a > 0 and y.b > 0", None),
+    "loj_true_in": ("SELECT * from x left join y on True where y.a in (1,2,3)", None),
+    "loj_true_eq_cols": ("SELECT * from x left join y on True where y.a = y.b", None),
+    "loj_true_isnull": ("SELECT * from x left join y on True where y.a is NULL", None),
+    "loj_true_notnull": ("SELECT * from x left join y on True where y.a is NOT NULL", None),
+    "loj_true_null_and": ("SELECT * from x left join y on True where y.a is NULL and Y.b > 0", None),
+    # bfv_joins.sql:63-71 — IS [NOT] DISTINCT FROM over LOJ output
+    "loj_idf_cols": ("SELECT * FROM jt1 LEFT OUTER JOIN jt2 ON jt1.a = jt2.a WHERE jt1.b IS DISTINCT FROM jt2.b", None),
+    "loj_idf_null_outer": ("SELECT * FROM jt1 LEFT OUTER JOIN jt2 ON jt1.a = jt2.a WHERE jt1.b IS DISTINCT FROM NULL", None),
+    "loj_idf_null_inner": ("SELECT * FROM jt1 LEFT OUTER JOIN jt2 ON jt1.a = jt2.a WHERE jt2.b IS DISTINCT FROM NULL", None),
+    "loj_indf_null_inner": ("SELECT * FROM jt1 LEFT OUTER JOIN jt2 ON jt1.a = jt2.a WHERE jt2.b IS NOT DISTINCT FROM NULL", None),
+    "loj_indf_null_outer": ("SELECT * FROM jt1 LEFT OUTER JOIN jt2 ON jt1.a = jt2.a WHERE jt1.b IS NOT DISTINCT FROM NULL", None),
+    # bfv_joins.sql:75-78 — LOJ condition on outer child only
+    "loj_outer_only_pred_b": ("select jt1.* from jt1 left outer join jt3 on jt1.b=1", None),
+    "loj_outer_only_pred_c": ("select jt1.* from jt1 left outer join jt3 on jt1.c=1", None),
+    # bfv_joins.sql:83-113 — (x = x) IS NULL self-check predicates must not
+    # be folded away on the nullable side of a LOJ
+    "loj_selfcheck_1": ("SELECT jt1.c FROM jt1 LEFT OUTER JOIN jt3 ON jt3.b > jt3.a WHERE (jt3.a = jt3.a) IS NULL", None),
+    "loj_selfcheck_2": ("SELECT jt1.c FROM jt1 LEFT OUTER JOIN jt3 ON jt3.b > jt3.a WHERE (jt1.c = jt1.c) IS NULL", None),
+    "loj_selfcheck_3": ("SELECT jt1.c FROM jt1 LEFT OUTER JOIN jt3 ON jt3.b > jt3.a WHERE (jt3.a = jt3.a) IS NULL and jt3.a=2", None),
+    "loj_selfcheck_4": ("SELECT jt1.c FROM jt1 LEFT OUTER JOIN jt3 ON jt3.b > jt3.a WHERE (jt3.a = jt3.a) IS NULL and jt1.b=1", None),
+    "loj_selfcheck_5": ("SELECT jt1.c FROM jt1 LEFT OUTER JOIN jt3 ON jt3.b > jt3.a WHERE (jt3.a = jt3.a) IS NULL or jt3.a is NULL", None),
+    "loj_selfcheck_6": ("SELECT jt1.c FROM jt1 LEFT OUTER JOIN jt3 ON jt3.b > jt3.a WHERE (jt3.a = jt3.a) IS NULL or jt3.b=2", None),
+    "loj_selfcheck_7": ("SELECT jt1.c FROM jt1 LEFT OUTER JOIN jt3 ON jt3.b > jt3.a WHERE (jt3.a = jt3.a) IS NULL or jt1.a=1", None),
+    "loj_selfcheck_8": ("SELECT t.c FROM (select jt1.*, jt1.a+jt1.b as cc from jt1)t LEFT OUTER JOIN jt3 ON (t.cc = t.cc) IS NULL", None),
+    "loj_selfcheck_9": ("SELECT t.c FROM (select jt1.*, jt1.a+jt1.b as cc from jt1)t LEFT OUTER JOIN jt3 ON jt3.a > jt3.b where (t.cc = t.cc) IS NULL", None),
+    "loj_selfcheck_10": ("SELECT jt1.c FROM jt1 LEFT OUTER JOIN (select jt3.*, jt3.a+jt3.b as cc from jt3)t ON (t.cc = t.cc) IS NULL", None),
+    "loj_selfcheck_11": ("SELECT jt1.c FROM jt1 LEFT OUTER JOIN (select jt3.*, jt3.a+jt3.b as cc from jt3)t ON t.b > t.a WHERE (t.cc = t.cc) IS NULL", None),
+    # bfv_joins.sql:122-148 — wrong results in window functions under joins
+    "window_under_join_1": ("select * from (SELECT bfv_joins_bar.*, AVG(t.b) OVER(PARTITION BY t.a ORDER BY t.b desc) AS e FROM bfv_joins_t t,bfv_joins_bar) bfv_joins_foo, bfv_joins_t t where e < 10 order by 1, 2, 3, 4, 5, 6", None),
+    "window_under_join_2": ("select * from ( SELECT cup.*, SUM(t.d) OVER(PARTITION BY t.b) FROM ( SELECT bfv_joins_bar.*, AVG(t.b) OVER(PARTITION BY t.a ORDER BY t.b desc) AS e FROM bfv_joins_t t,bfv_joins_bar ) AS cup, bfv_joins_t t WHERE cup.e < 10 GROUP BY cup.c,cup.d, cup.e ,t.d, t.b) i order by 1, 2, 3, 4", None),
+    "window_under_join_3": ("select * from ( WITH t(a,b,d) as (SELECT bfv_joins_foo.a,bfv_joins_foo.b,bfv_joins_bar.d FROM bfv_joins_foo,bfv_joins_bar WHERE bfv_joins_foo.a = bfv_joins_bar.d ) SELECT cup.*, SUM(t.d) OVER(PARTITION BY t.b) FROM ( SELECT bfv_joins_bar.*, AVG(t.b) OVER(PARTITION BY t.a ORDER BY t.b desc) AS e FROM t,bfv_joins_bar ) as cup, t WHERE cup.e < 10 GROUP BY cup.c,cup.d, cup.e ,t.d,t.b) i order by 1, 2, 3, 4", None),
+    # bfv_joins.sql:153-157 — range/inequality join predicates on a part key
+    "part_range_gt": ("select * from x_part, x_non_part where a > e", None),
+    "part_range_ne": ("select * from x_part, x_non_part where a <> e", None),
+    "part_range_le": ("select * from x_part, x_non_part where a <= e", None),
+    "part_range_loj": ("select * from x_part left join x_non_part on (a > e)", None),
+    "part_range_roj": ("select * from x_part right join x_non_part on (a > e)", None),
+    # bfv_joins.sql:197-200 — MPP-25537 star join count
+    "mpp25537_count": ("SELECT count(*) FROM mpp25537_facttable1 ft, mpp25537_dimdate dt, mpp25537_dimtabl1 dt1 WHERE ft.wk_id = dt.wk_id AND ft.id = dt1.id", None),
+    # bfv_joins.sql:215-219 — FULL JOIN over a derived inner join
+    "fulljoin_derived": ("select * from ( select * from fjtest_a a, fjtest_b b where (aid = bid) ) s full outer join fjtest_c on (s.aid = cid)", None),
+    # bfv_joins.sql:268-277 — NLJ with =, IS [NOT] DISTINCT FROM join conds
+    "nlj_eq": ("select * from nlj1, nlj2 where nlj1.a = nlj2.a", None),
+    "nlj_indf": ("select * from nlj1, nlj2 where nlj1.a is not distinct from nlj2.a", None),
+    "nlj_indf_nullcol": ("select * from nlj1, (select NULL a, b from nlj2) other where nlj1.a is not distinct from other.a", None),
+    "nlj_idf": ("select * from nlj1, nlj2 where nlj1.a is distinct from nlj2.a", None),
+    # bfv_joins.sql:349 — github issue 6769: NLJ inside NLJ with exec param
+    "nested_nlj_param": ("select * from rnlj_a a, rnlj_b b, rnlj_c c where b.i = a.i and (a.i + b.i) = c.j", None),
+    # bfv_joins.sql:466-468 — INDF join conditions through chained LOJs
+    "indf_loj_chain_1": ("select * from o1 left join o2 on a1 = a2 left join o3 on a2 is not distinct from a3", None),
+    "indf_loj_chain_2": ("select * from o1 left join o2 on a1 = a2 left join o3 on a2 is not distinct from a3 and b2 is distinct from b3", None),
+    "indf_loj_chain_3": ("select * from o1 left join o2 on a1 = a2 left join o3 on a2 is not distinct from a3 and b2 = b3", None),
+    # bfv_joins.sql:479-495 — github PR 13722: LASJ_NOTIN / anti join + scalar
+    "lasj_notin_scalar": ("select t1.* from t_13722 t1 where t1.id not in (select id from t_13722 where id != 4) and t1.tt = (select min(tt) from t_13722 where id = t1.id)", None),
+    "anti_scalar": ("select t1.* from t_13722 t1 where not exists (select id from t_13722 where id != 4 and id = t1.id) and t1.tt = (select min(tt) from t_13722 where id = t1.id)", None),
+}
+
+
+@pytest.mark.parametrize("name", sorted(BFV_JOINS_QUERIES))
+def test_reference_bfv_joins_query(olap, name):
+    ref, duck = BFV_JOINS_QUERIES[name]
     _check(olap, ref, duck)
