@@ -264,42 +264,69 @@ def _split_top_commas(toks: list[str]) -> list[list[str]]:
 
 
 def _ordered_array_agg(args: list[str], keys: list[str]) -> list[str]:
-    """array_agg(x ORDER BY k...) → array_sort-based rewrite.  PG null
-    ordering (ASC: NULLS LAST, DESC: NULLS FIRST) matches Spark's
-    ``array_sort`` (nulls last) and its ``reverse`` (nulls first)."""
+    """array_agg(x ORDER BY k...) → comparator-lambda array_sort rewrite.
+
+    Values are struct-wrapped so NULL *inputs* survive (PG array_agg keeps
+    them; Spark's bare array_agg drops nulls), and the comparator encodes
+    the full PG sort spec per key: ASC/DESC with NULLS FIRST/LAST
+    (defaults ASC→NULLS LAST, DESC→NULLS FIRST, nodeSort.c)."""
     key_parts = _split_top_commas(keys)
-    dirs = []
-    cleaned = []
+    dirs: list[str] = []
+    nulls: list[str] = []
+    cleaned: list[list[str]] = []
     for kp in key_parts:
-        if kp and kp[-1].lower() in ("asc", "desc"):
-            dirs.append(kp[-1].lower())
-            cleaned.append(kp[:-1])
-        else:
-            dirs.append("asc")
-            cleaned.append(kp)
-    if len(set(dirs)) > 1:
-        raise NotImplementedError("array_agg ORDER BY with mixed ASC/DESC")
-    desc = dirs[0] == "desc"
-
-    def _wrap(sorted_expr: list[str]) -> list[str]:
-        return ["reverse", "("] + sorted_expr + [")"] if desc else sorted_expr
-
-    same_key = (
-        len(cleaned) == 1
-        and " ".join(t.lower() for t in cleaned[0])
-        == " ".join(t.lower() for t in args)
-    )
-    if same_key:
-        inner = ["array_sort", "(", "array_agg", "("] + args + [")", ")"]
-        return _wrap(inner)
+        kp = list(kp)
+        null_pos = None
+        if (
+            len(kp) >= 2
+            and _is_ident(kp[-2])
+            and kp[-2].lower() == "nulls"
+            and kp[-1].lower() in ("first", "last")
+        ):
+            null_pos = kp[-1].lower()
+            kp = kp[:-2]
+        d = "asc"
+        if kp and _is_ident(kp[-1]) and kp[-1].lower() in ("asc", "desc"):
+            d = kp[-1].lower()
+            kp = kp[:-1]
+        if null_pos is None:
+            null_pos = "last" if d == "asc" else "first"
+        dirs.append(d)
+        nulls.append(null_pos)
+        cleaned.append(kp)
     fields: list[str] = []
     for n, kp in enumerate(cleaned):
         fields += kp + ["AS", f"_o{n}", ","]
     fields += args + ["AS", "_x"]
-    inner = ["array_sort", "(", "array_agg", "(", "struct", "("] + fields + [")", ")", ")"]
-    return (
-        ["transform", "("] + _wrap(inner) + [",", "s", "->", "s", ".", "_x", ")"]
+    agg = ["array_agg", "(", "struct", "("] + fields + [")", ")"]
+    # comparator: first non-zero per-key comparison wins
+    per_key: list[list[str]] = []
+    for n, (d, np) in enumerate(zip(dirs, nulls)):
+        nf = "-1" if np == "first" else "1"
+        lt = "-1" if d == "asc" else "1"
+        neg = lambda v: v[1:] if v.startswith("-") else "-" + v
+        lx = ["__l", ".", f"_o{n}"]
+        rx = ["__r", ".", f"_o{n}"]
+        per_key.append(
+            ["CASE", "WHEN"] + lx + ["IS", "NULL", "AND"] + rx + ["IS", "NULL", "THEN", "0"]
+            + ["WHEN"] + lx + ["IS", "NULL", "THEN", nf]
+            + ["WHEN"] + rx + ["IS", "NULL", "THEN", neg(nf)]
+            + ["WHEN"] + lx + ["<"] + rx + ["THEN", lt]
+            + ["WHEN"] + lx + [">"] + rx + ["THEN", neg(lt)]
+            + ["ELSE", "0", "END"]
+        )
+    if len(per_key) == 1:
+        cmp_toks = per_key[0]
+    else:
+        cmp_toks = ["CASE"]
+        for k in per_key[:-1]:
+            cmp_toks += ["WHEN", "("] + k + [")", "!=", "0", "THEN", "("] + k + [")"]
+        cmp_toks += ["ELSE", "("] + per_key[-1] + [")", "END"]
+    inner = (
+        ["array_sort", "("] + agg
+        + [",", "(", "__l", ",", "__r", ")", "->"] + cmp_toks + [")"]
     )
+    return ["transform", "("] + inner + [",", "s", "->", "s", ".", "_x", ")"]
 
 
 def _pass_agg_order_by(toks: list[str]) -> list[str]:
@@ -666,6 +693,35 @@ def _pass_rowvalue_scalar(toks: list[str]) -> list[str]:
             toks = toks[:lopen] + repl + toks[rclose + 1 :]
             i = lopen + 1
             continue
+        i += 1
+    return toks
+
+
+def _pass_avg_bigint_exact(toks: list[str]) -> list[str]:
+    """PG avg(int8) returns NUMERIC with exact accumulation (numeric_avg);
+    Spark's avg over BIGINT accumulates in double and loses precision on
+    huge values.  Where the operand's type is syntactically known —
+    avg(CAST(x AS BIGINT)) from an ::int8 cast — accumulate in decimal."""
+    i = 0
+    while i + 3 < len(toks):
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() == "avg"
+            and toks[i + 1] == "("
+            and toks[i + 2].upper() == "CAST"
+        ):
+            close = _match_paren(toks, i + 1)
+            inner_close = _match_paren(toks, i + 3)
+            if (
+                inner_close == close - 1
+                and toks[inner_close - 1].upper() == "BIGINT"
+                and toks[inner_close - 2].upper() == "AS"
+            ):
+                toks = (
+                    toks[: inner_close - 1]
+                    + ["DECIMAL(38,0)"]
+                    + toks[inner_close:]
+                )
         i += 1
     return toks
 
@@ -1232,6 +1288,7 @@ def transpile(sql: str) -> str:
     toks = _pass_json_ops(toks)
     toks = _pass_regex_ops(toks)
     toks = _pass_agg_order_by(toks)
+    toks = _pass_avg_bigint_exact(toks)
     toks = _pass_rank_needs_order(toks)
     toks = _pass_values_partial_alias(toks)
     toks = _pass_rowvalue_scalar(toks)

@@ -422,6 +422,31 @@ _TABLES = {
     "o3": ("a3 int, b3 int", "a3, b3", "(NULL, 20)"),
     # bfv_joins.sql:475-476 — stays empty
     "t_13722": ("id int, tt timestamp", "id, tt", ""),
+    # bfv_aggregate.sql:9-12
+    "x_outer": ("a int, b int, c int", "a, b, c", ", ".join(f"({i % 3},{i},{i})" for i in range(1, 11))),
+    "y_inner": ("d int, e int", "d, e", ", ".join(f"({i % 3},{i})" for i in range(1, 11))),
+    # bfv_aggregate.sql:34-35 (d renamed bfv_agg_d; to_date('2014-01-01',
+    # 'YYYY-DD-MM') resolves to 2014-01-01)
+    "bfv_agg_d": (
+        "col1 timestamp, col2 int",
+        "col1, col2",
+        ", ".join(f"(TIMESTAMP '2014-01-01 00:00:00',{i})" for i in range(1, 101)),
+    ),
+    # bfv_aggregate.sql:168-171 (foo renamed agg_foo)
+    "agg_foo": ("a int, b string", "a, b", "(1,'aaa'), (2,'bbb'), (3,'ccc')"),
+    # bfv_aggregate.sql:1358-1363 (t1 renamed agg_t1)
+    "agg_t1": (
+        "a string, b string",
+        "a, b",
+        "('aaaaaaa','cccccccccc'), ('aaaaaaa','ddddd'), ('bbbbbbb','eeee'), "
+        "('bbbbbbb','eeef'), ('bbbbb','dfafa')",
+    ),
+    # bfv_aggregate.sql:1370-1371
+    "aggordertest": ("a int, b int", "a, b", "(1,1), (2,2), (1,3), (3,4), (null,5), (2,null)"),
+    # bfv_aggregate.sql:1418-1420 (t renamed ec_t)
+    "ec_t": ("a int, b int, c int", "a, b, c", ", ".join(f"(1,{i},{i})" for i in range(1, 11))),
+    # bfv_aggregate.sql:1445-1446
+    "t_17028": ("a int, b int", "a, b", "(1, 1), (1, null), (null, 1)"),
 }
 
 
@@ -1706,3 +1731,80 @@ BFV_JOINS_QUERIES = {
 def test_reference_bfv_joins_query(olap, name):
     ref, duck = BFV_JOINS_QUERIES[name]
     _check(olap, ref, duck)
+
+
+# --------------------------------------------------------------------------
+# bfv_aggregate.sql — aggregate planner bug fixes (verbatim, line-cited;
+# d/foo/t1/t renamed bfv_agg_d/agg_foo/agg_t1/ec_t).  Out of scope: C/UDA
+# definitions (myaggp20a, mysum), plpython count_operator plan checks, the
+# memtuple null-save stress query, int2vector columns, gp_segment_id
+# distribution checks.
+# --------------------------------------------------------------------------
+
+BFV_AGG_QUERIES = {
+    # bfv_aggregate.sql:38 — median + to_char grouping (DuckDB has no
+    # to_char: oracle uses strftime)
+    "median_tochar": (
+        "select 1, to_char(col1, 'YYYY'), median(col2) from bfv_agg_d group by 1, 2",
+        "select 1, strftime(col1, '%Y'), median(col2) from bfv_agg_d group by 1, 2",
+    ),
+    # bfv_aggregate.sql:173-185 — string_agg as a window function (the
+    # reference exercises planner fallback; single-row partitions keep the
+    # concatenation order deterministic)
+    "stragg_win_part": ("select string_agg(b, '') over (partition by a) from agg_foo order by 1", None),
+    "stragg_win_part2": ("select string_agg(b, '') over (partition by a,b) from agg_foo order by 1", None),
+    "max_win_part": ("select max(b) over (partition by a) from agg_foo order by 1", None),
+    "stragg_win_expr": ("select string_agg(b, '') over (partition by a+1) from agg_foo order by 1", None),
+    "stragg_win_concat": ("select string_agg(b || 'txt', '') over (partition by a) from agg_foo order by 1", None),
+    "stragg_win_concat_expr": ("select string_agg(b || 'txt', '') over (partition by a+1) from agg_foo order by 1", None),
+    "stragg_win_order": ("select string_agg(b, '') over (partition by a order by a) from agg_foo order by 1", None),
+    "stragg_win_order2": ("select string_agg(b || 'txt', '') over (partition by a,b order by a,b) from agg_foo order by 1", None),
+    "stragg_win_prefix": ("select '1' || string_agg(b, '') over (partition by a+1 order by a+1) from agg_foo", None),
+    # bfv_aggregate.sql:1364-1365 — MPP-29042 multistage targetlists
+    "substr_nested_group": ("SELECT substr(a, 1) as a FROM (SELECT ('-'||a)::varchar as a FROM (SELECT a FROM agg_t1) t2) t3 GROUP BY a ORDER BY a", None),
+    "arragg_grouped_text": ("SELECT array_agg(f ORDER BY f)  FROM (SELECT b::text as f FROM agg_t1 GROUP BY b ORDER BY b) q", None),
+    # bfv_aggregate.sql:1373-1380 — aggregate ORDER BY NULLS FIRST/LAST
+    # (NULL inputs preserved: PG array_agg keeps them)
+    "aggorder_nf": ("select array_agg(a order by a nulls first) from aggordertest", None),
+    "aggorder_nl": ("select array_agg(a order by a nulls last) from aggordertest", None),
+    "aggorder_dnf": ("select array_agg(a order by a desc nulls first) from aggordertest", None),
+    "aggorder_dnl": ("select array_agg(a order by a desc nulls last) from aggordertest", None),
+    "aggorder_bnf": ("select array_agg(a order by b nulls first) from aggordertest", None),
+    "aggorder_bnl": ("select array_agg(a order by b nulls last) from aggordertest", None),
+    "aggorder_bdnf": ("select array_agg(a order by b desc nulls first) from aggordertest", None),
+    "aggorder_bdnl": ("select array_agg(a order by b desc nulls last) from aggordertest", None),
+    # bfv_aggregate.sql:1396 — int8 AVG must not lose precision in a float8
+    # accumulator (numeric_avg); avg(CAST(x AS BIGINT)) accumulates decimal
+    "avg_bigint_precise": ("select avg('1000000000000000000'::int8) from generate_series(1, 100000)", None),
+    # bfv_aggregate.sql:1424-1425 — equivalence class after grouping rewrite
+    "ec_group_ordinal": ("select c, count(*) from ec_t where a = 1 group by 1 order by 1", None),
+    # bfv_aggregate.sql:1448 — github issue 17028: ordered + DISTINCT string_agg
+    "stragg_order_distinct": ("select string_agg(a::text, ',' order by b), string_agg(distinct b::text, ',') from t_17028", None),
+}
+
+
+@pytest.mark.parametrize("name", sorted(BFV_AGG_QUERIES))
+def test_reference_bfv_aggregate_query(olap, name):
+    ref, duck = BFV_AGG_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+# bfv_aggregate.sql:17-27 — window functions whose PARTITION BY / ORDER BY /
+# frame bounds reference the OUTER query (the section's title feature) or use
+# variable frame bounds.  Spark's analyzer forbids outer references outside
+# WHERE/HAVING and requires foldable frame bounds — rejected, not wrong.
+BFV_AGG_REJECTED = {
+    "win_rownum_in": "select * from x_outer where a in (select row_number() over(partition by a) from y_inner) order by 1, 2",
+    "win_rank_in": "select * from x_outer where a in (select rank() over(order by a) from y_inner) order by 1, 2",
+    "win_rank_notin": "select * from x_outer where a not in (select rank() over(order by a) from y_inner) order by 1, 2",
+    "win_rank_exists": "select * from x_outer where exists (select rank() over(order by a) from y_inner where d = a) order by 1, 2",
+    "win_rank_notexists": "select * from x_outer where not exists (select rank() over(order by a) from y_inner where d = a) order by 1, 2",
+    "win_var_frame_in": "select * from x_outer where a in (select last_value(d) over(partition by b order by e rows between e preceding and e+1 following) from y_inner) order by 1, 2",
+}
+
+
+@pytest.mark.parametrize("name", sorted(BFV_AGG_REJECTED))
+def test_reference_bfv_aggregate_rejected(olap, name):
+    spark, _ = olap
+    with pytest.raises(Exception):
+        pg_sql(spark, BFV_AGG_REJECTED[name]).collect()
