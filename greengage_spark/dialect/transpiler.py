@@ -123,6 +123,47 @@ _TYPE_MAP = {
 _PARAMETERIZED = {"numeric", "decimal"}  # keep (p,s); others drop args
 
 
+def _pass_cast_typenames(toks: list[str]) -> list[str]:
+    """Normalize PG type names in explicit ``CAST(expr AS type)`` (gram.y
+    func_expr_common_subexpr) the same way the ``::`` pass does: float8 →
+    DOUBLE, int8 → BIGINT, numeric(p,s) → DECIMAL(p,s), varchar(n) → STRING
+    (length dropped), double precision → DOUBLE."""
+    i = 0
+    while i + 1 < len(toks):
+        if not (_is_ident(toks[i]) and toks[i].lower() == "cast" and toks[i + 1] == "("):
+            i += 1
+            continue
+        close = _args_span(toks, i + 1)
+        # the type name follows the LAST depth-1 AS inside the parens
+        depth, as_idx = 0, None
+        for j in range(i + 2, close):
+            t = toks[j]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and _is_ident(t) and t.lower() == "as":
+                as_idx = j
+        if as_idx is None:
+            i += 1
+            continue
+        k = as_idx + 1
+        tname = toks[k].lower() if k < close and _is_ident(toks[k]) else None
+        mapped = _TYPE_MAP.get(tname) if tname else None
+        if tname == "double" and k + 1 < close and toks[k + 1].lower() == "precision":
+            toks[k : k + 2] = ["DOUBLE"]
+        elif mapped:
+            end = k
+            if end + 1 < close and toks[end + 1] == "(":
+                pclose = _args_span(toks, end + 1)
+                if tname in _PARAMETERIZED:
+                    mapped = "DECIMAL" + "".join(toks[end + 1 : pclose + 1])
+                end = pclose
+            toks[k : end + 1] = [mapped]
+        i += 1
+    return toks
+
+
 def _pass_casts(toks: list[str]) -> list[str]:
     while True:
         try:
@@ -886,6 +927,45 @@ def _pass_from_srf_items(toks: list[str]) -> list[str]:
     return toks
 
 
+def _pass_single_grouping_set(toks: list[str]) -> list[str]:
+    """``GROUP BY GROUPING SETS ((a, b))`` with exactly one non-empty set ≡
+    ``GROUP BY a, b`` (PG parse_clause.c flattens it identically).  Spark
+    keeps single-set GROUPING SETS as an Expand node and then refuses to
+    ORDER BY a grouping column that is not in the select list — the plain
+    GROUP BY form sorts fine (reference regress percentile.sql:92).
+    Left untouched when the query calls grouping()/grouping_id(): those are
+    only legal under an Expand, which the collapse would remove."""
+    for j, t in enumerate(toks):
+        if (
+            _is_ident(t)
+            and t.lower() in ("grouping", "grouping_id")
+            and j + 1 < len(toks)
+            and toks[j + 1] == "("
+        ):
+            return toks
+    i = 0
+    while i + 2 < len(toks):
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() == "grouping"
+            and _is_ident(toks[i + 1])
+            and toks[i + 1].lower() == "sets"
+            and toks[i + 2] == "("
+        ):
+            close = _args_span(toks, i + 2)
+            sets = _split_args(toks[i + 3 : close])
+            if len(sets) == 1 and sets[0] and sets[0] != ["(", ")"]:
+                inner = sets[0]
+                if inner[0] == "(" and _args_span(inner, 0) == len(inner) - 1:
+                    inner = inner[1:-1]
+                if inner:
+                    toks = toks[:i] + inner + toks[close + 1 :]
+                    i += len(inner)
+                    continue
+        i += 1
+    return toks
+
+
 def _pass_group_by_empty(toks: list[str]) -> list[str]:
     """Drop no-op ``()`` items from plain GROUP BY lists (gram.y grouping
     extension: ``GROUP BY (), cn`` ≡ ``GROUP BY cn``; a lone ``GROUP BY ()``
@@ -1122,6 +1202,32 @@ def _pass_functions(toks: list[str]) -> list[str]:
             if low == "median" and len(args) == 1:
                 out[i : close + 1] = ["percentile", "("] + args[0] + [",", "0.5", ")"]
                 continue
+            if (
+                low in ("percentile_cont", "percentile_disc")
+                and len(args) == 1
+                and len(args[0]) == 1
+                and args[0][0].lower() == "null"
+            ):
+                # PG ordered-set aggs return NULL for a NULL fraction
+                # (orderedsetaggs.c); Spark and DuckDB both reject a NULL
+                # percentage, so fold the whole aggregate — including a
+                # trailing WITHIN GROUP (ORDER BY ...) — to a NULL-valued
+                # aggregate (max keeps scalar/grouped cardinality intact).
+                end = close
+                j = close + 1
+                if (
+                    j + 2 < len(out)
+                    and _is_ident(out[j])
+                    and out[j].lower() == "within"
+                    and _is_ident(out[j + 1])
+                    and out[j + 1].lower() == "group"
+                    and out[j + 2] == "("
+                ):
+                    end = _args_span(out, j + 2)
+                out[i : end + 1] = [
+                    "max", "(", "cast", "(", "null", "as", "double", ")", ")",
+                ]
+                continue
             if low == "div" and len(args) == 2:
                 out[i : close + 1] = ["("] + args[0] + ["DIV"] + args[1] + [")"]
                 continue
@@ -1177,8 +1283,9 @@ _GENSERIES_FROM_RE = re.compile(
 # and `FROM generate_series(a,b) i` (PG: a bare SRF alias names the column
 # too, gram.y func_alias_clause).  A trailing keyword is not an alias.
 _GENSERIES_FROM_BARE_RE = re.compile(
+    # gram.y accepts the alias glued to the close paren: generate_series(1,2)a
     r"\bFROM\s+generate_series\s*\(([^()]*)\)"
-    r"(?:\s+(?:AS\s+)?"
+    r"(?:\s*(?:AS\s+)?"
     r"(?!WHERE\b|GROUP\b|ORDER\b|HAVING\b|LIMIT\b|OFFSET\b|UNION\b|INTERSECT\b"
     r"|EXCEPT\b|JOIN\b|ON\b|USING\b|LEFT\b|RIGHT\b|FULL\b|INNER\b|CROSS\b|AS\b)"
     r"(\w+))?",
@@ -1281,10 +1388,12 @@ def transpile(sql: str) -> str:
     sql = _rewrite_from_generate_series(sql)
     toks = tokenize(sql)
     toks = _pass_group_by_empty(toks)
+    toks = _pass_single_grouping_set(toks)
     toks = _pass_count_noargs(toks)
     toks = _pass_array_constructor(toks)
     toks = _pass_from_srf_items(toks)
     toks = _pass_casts(toks)
+    toks = _pass_cast_typenames(toks)
     toks = _pass_json_ops(toks)
     toks = _pass_regex_ops(toks)
     toks = _pass_agg_order_by(toks)

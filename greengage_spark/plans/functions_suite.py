@@ -514,3 +514,37 @@ def dialect_array_anyall(spark, sf_dir):
         """,
         ["nation"],
     )
+
+
+@suite.add(
+    "dialect_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)::double AS p50_qty,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)::double AS p25_price,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice DESC)::double AS p90_price_desc,
+           median(l_tax)::double AS med_tax
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Ordered-set aggregates (orderedsetaggs.c, reference regress "
+        "percentile.sql): percentile_cont/percentile_disc WITHIN GROUP "
+        "(ORDER BY ... [DESC]) run natively on Spark 4; median(x) "
+        "transpiles to percentile(x, 0.5).  Order statistics are "
+        "deterministic under any partitioning (the sort defines them), so "
+        "no decimal-accumulator rules apply.",
+    tags=("dialect", "aggregate"),
+)
+def dialect_percentile(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag,
+               CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS float8) AS p50_qty,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS float8) AS p25_price,
+               CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice DESC) AS float8) AS p90_price_desc,
+               median(l_tax)::float8 AS med_tax
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        ["lineitem"],
+    )

@@ -447,6 +447,53 @@ _TABLES = {
     "ec_t": ("a int, b int, c int", "a, b, c", ", ".join(f"(1,{i},{i})" for i in range(1, 11))),
     # bfv_aggregate.sql:1445-1446
     "t_17028": ("a int, b int", "a, b", "(1, 1), (1, null), (null, 1)"),
+    # percentile.sql:1-8 — perct family, reproduced row-for-row with PG
+    # integer-division semantics (a / 10 on ints truncates: b = a // 10)
+    "perct": ("a int, b int", "a, b", ", ".join(f"({a}, {a // 10})" for a in range(1, 101))),
+    "perct2": (
+        "a int, b int",
+        "a, b",
+        ", ".join(f"({a}, {a // 10})" for a in range(1, 101) for _ in range(2)),
+    ),
+    # perct3: select a, b from perct, generate_series(1, 10)i where a % 7 < i
+    # → each (a, b) row appears (10 - a % 7) times
+    "perct3": (
+        "a int, b int",
+        "a, b",
+        ", ".join(f"({a}, {a // 10})" for a in range(1, 101) for _ in range(10 - a % 7)),
+    ),
+    # perct4: a%10=5 → NULL a; c is an all-NULL float column
+    "perct4": (
+        "a int, b int, c double",
+        "a, b, c",
+        ", ".join(
+            f"({'NULL' if a % 10 == 5 else a}, {a // 10}, CAST(NULL AS DOUBLE))"
+            for a in range(1, 101)
+        ),
+    ),
+    # percentile.sql:14-17 — mpp_22219 (char(2) col_a unused by the queries)
+    "mpp_22219": (
+        "col_a string, dkey_a string, value double",
+        "col_a, dkey_a, value",
+        ", ".join(f"('{i}', '{i}', CAST({i} AS DOUBLE))" for i in range(1, 21)),
+    ),
+    # percentile.sql:19-20
+    "mpp_21026": ("t1 string, t2 int", "t1, t2", ", ".join(f"('{i}', {i})" for i in range(1, 21))),
+    # percentile.sql:22-23 — to_timestamp(i) = epoch second i
+    "mpp_20076": (
+        "col1 timestamp, col2 int",
+        "col1, col2",
+        ", ".join(f"(TIMESTAMP '1970-01-01 00:00:{i:02d}', {i})" for i in range(1, 21)),
+    ),
+    # percentile.sql:25-39 — only d2 = '55' (i = 55) survives the queries' filter
+    "mpp_22413": (
+        "col_a string, d1 string, d2 string, d3 string, value1 double, value2 double",
+        "col_a, d1, d2, d3, value1, value2",
+        ", ".join(
+            f"('{i}', '{i}', '{i}', '{i}', CAST({i} AS DOUBLE), CAST({i} AS DOUBLE))"
+            for i in range(1, 100)
+        ),
+    ),
 }
 
 
@@ -1808,3 +1855,242 @@ def test_reference_bfv_aggregate_rejected(olap, name):
     spark, _ = olap
     with pytest.raises(Exception):
         pg_sql(spark, BFV_AGG_REJECTED[name]).collect()
+
+
+# --------------------------------------------------------------------------
+# percentile.sql — ordered-set aggregates: percentile_cont / percentile_disc
+# WITHIN GROUP (ORDER BY ...) and median() (orderedsetaggs, gp_percentile).
+# Spark 4 evaluates WITHIN GROUP percentiles natively; median routes through
+# the transpiler's percentile(x, 0.5) rewrite.  Timestamp/interval-ordered
+# percentiles are excluded: Spark's percentile_cont accepts only numeric and
+# interval inputs, and DuckDB's median(interval) truncates where PG
+# interpolates.  Queries with value-affecting int/int division stay verbatim
+# under the documented float-division divergence (SURVEY §7 M4): Spark and
+# DuckDB agree with each other.
+# --------------------------------------------------------------------------
+
+PERCENTILE_QUERIES = {
+    # percentile.sql:41-42
+    "p_basic": (
+        "select percentile_cont(0.5) within group (order by a), "
+        "median(a), percentile_disc(0.5) within group(order by a) from perct",
+        None,
+    ),
+    # percentile.sql:43-44
+    "p_basic_group": (
+        "select b, percentile_cont(0.5) within group (order by a), "
+        "median(a), percentile_disc(0.5) within group(order by a) from perct group by b order by b",
+        None,
+    ),
+    # percentile.sql:45 (DuckDB SRF alias names the relation, not the column)
+    "p_genseries": (
+        "select percentile_cont(0.2) within group (order by a) from generate_series(1, 100)a",
+        "select percentile_cont(0.2) within group (order by a) from generate_series(1, 100) t(a)",
+    ),
+    # percentile.sql:48-49
+    "p_cont_asc_desc": (
+        "select percentile_cont(0.2) within group (order by a), "
+        "percentile_cont(0.8) within group (order by a desc) from perct group by b order by b",
+        None,
+    ),
+    # percentile.sql:50-51
+    "p_with_count_sum_group": (
+        "select percentile_cont(0.1) within group (order by a), count(*), sum(a) from perct "
+        "group by b order by b",
+        None,
+    ),
+    # percentile.sql:52
+    "p_with_count_sum": (
+        "select percentile_cont(0.6) within group (order by a), count(*), sum(a) from perct",
+        None,
+    ),
+    # percentile.sql:53
+    "p_expr_plus_count": (
+        "select percentile_cont(0.3) within group (order by a) + count(*) from perct "
+        "group by b order by b",
+        None,
+    ),
+    # percentile.sql:54
+    "p_having_median": ("select median(a) from perct group by b having median(a) = 5", None),
+    # percentile.sql:55
+    "p_having_count": (
+        "select median(a), percentile_cont(0.6) within group (order by a desc) from perct "
+        "group by b having count(*) > 1 order by 1",
+        None,
+    ),
+    # percentile.sql:56
+    "p_median_const": ("select median(10)", None),
+    # percentile.sql:57-58
+    "p_median_having_in": (
+        "select count(*), median(b+1) from perct group by b+2 "
+        "having median(b+1) in (select avg(b+1) from perct group by b+2)",
+        None,
+    ),
+    # percentile.sql:59
+    "p_median_perct2": ("select median(a) from perct2", None),
+    # percentile.sql:60
+    "p_median_perct2_group": ("select median(a) from perct2 group by b order by b", None),
+    # percentile.sql:61
+    "p_perct3": (
+        "select b, count(*), count(distinct a), median(a) from perct3 group by b order by b",
+        None,
+    ),
+    # percentile.sql:62-64
+    "p_bplus1": (
+        "select b+1, count(*), count(distinct a), median(a), "
+        "percentile_cont(0.3) within group (order by a desc) from perct group by b+1 order by b+1",
+        None,
+    ),
+    # percentile.sql:65
+    "p_nulls": ("select median(a), median(c) from perct4", None),
+    # percentile.sql:66
+    "p_nulls_group": ("select median(a), median(c) from perct4 group by b", None),
+    # percentile.sql:67
+    "p_window_count": (
+        "select count(*) over (partition by b), median(a) from perct group by b order by b",
+        None,
+    ),
+    # percentile.sql:68
+    "p_window_sum_median": (
+        "select sum(median(a)) over (partition by b) from perct group by b order by b",
+        None,
+    ),
+    # percentile.sql:69
+    "p_disc_zero": ("select percentile_disc(0) within group (order by a) from perct", None),
+    # percentile.sql:74
+    "p_sum_scalar_subq": ("select sum((select median(a) from perct)) from perct", None),
+    # percentile.sql:75 — NULL fraction folds to a NULL aggregate (PG
+    # orderedsetaggs semantics; both engines reject a NULL percentage)
+    "p_null_frac": (
+        "select percentile_cont(null) within group (order by a) from perct",
+        "select max(cast(null as double)) from perct",
+    ),
+    # percentile.sql:76-77
+    "p_null_frac_group": (
+        "select percentile_cont(null) within group (order by a), "
+        "percentile_disc(null) within group (order by a desc) from perct group by b",
+        "select max(cast(null as double)), max(cast(null as double)) from perct group by b",
+    ),
+    # percentile.sql:90
+    "p_desc_group": ("select median(a), b from perct group by b order by b desc", None),
+    # percentile.sql:91
+    "p_group_empty": ("select count(*) from(select median(a) from perct group by ())s", None),
+    # percentile.sql:92
+    "p_gsets": ("select median(a) from perct group by grouping sets((b)) order by b", None),
+    # percentile.sql:93
+    "p_distinct": ("select distinct median(a), count(*) from perct", None),
+    # percentile.sql:94-99 — joined generate_series derived tables; b is
+    # float-divided in both engines (M4) and the HAVING filters all rows
+    # either way (b never exceeds 10)
+    "p_join_having": (
+        "select perct.a, 0.2*avg(perct2.a) as avga, "
+        "percentile_cont(0.34)within group(order by perct2.b) from "
+        "(select a, a / 10 b from generate_series(1, 100)a)perct, "
+        "(select a, a / 10 b from generate_series(1, 100)a)perct2 "
+        "where perct.a=perct2.a group by perct.a having median(perct.b) > 10",
+        "select perct.a, 0.2*avg(perct2.a) as avga, "
+        "percentile_cont(0.34) within group(order by perct2.b) from "
+        "(select a, a / 10 b from generate_series(1, 100) t(a))perct, "
+        "(select a, a / 10 b from generate_series(1, 100) t(a))perct2 "
+        "where perct.a=perct2.a group by perct.a having median(perct.b) > 10",
+    ),
+    # percentile.sql:101-102 — the percv view body (create view percv);
+    # the cont(0.4) ORDER BY a / 10 column follows M4 float division
+    "p_view_body": (
+        "select percentile_cont(0.4) within group (order by a / 10), "
+        "median(a), percentile_disc(0.51) within group (order by a desc) "
+        "from perct group by b order by b",
+        None,
+    ),
+    # percentile.sql:156-166 — MPP-22219
+    "p_mpp22219_median": (
+        "select count(*) from (SELECT b.dkey_a, MEDIAN(B.VALUE) "
+        "FROM mpp_22219 B GROUP BY b.dkey_a) s",
+        None,
+    ),
+    "p_mpp22219_cont": (
+        "select count(*) from (SELECT b.dkey_a, percentile_cont(0.5) "
+        "within group (order by b.VALUE) FROM mpp_22219 B GROUP BY b.dkey_a) s",
+        None,
+    ),
+    # percentile.sql:169
+    "p_mpp21026": ("select median(t2) from mpp_21026 group by t1", None),
+    # percentile.sql:172-175 — MPP-20076 (to_char → strftime on the DuckDB side)
+    "p_mpp20076_tochar": (
+        "select 1, to_char(col1, 'YYYY'), median(col2) from mpp_20076 group by 1, 2",
+        "select 1, strftime(col1, '%Y'), median(col2) from mpp_20076 group by 1, 2",
+    ),
+    "p_mpp20076_ts": ("select 1, col1, median(col2) from mpp_20076 group by 1, 2", None),
+    "p_mpp20076_alias": (
+        "select to_char(col1, 'YYYY') AS tstmp_column, median(col2) from mpp_20076 group by 1",
+        "select strftime(col1, '%Y') AS tstmp_column, median(col2) from mpp_20076 group by 1",
+    ),
+    "p_mpp20076_const": ("select 1, median(col2) from mpp_20076 group by 1", None),
+    # percentile.sql:178-208 — MPP-22413 grouping variants
+    "p_mpp22413_g4": (
+        "select median(value1), count(*) from mpp_22413 where d2 ='55' "
+        "group by d1, d2, d3, value2",
+        None,
+    ),
+    "p_mpp22413_g4int": (
+        "select median(value1), count(*) from mpp_22413 where d2 ='55' "
+        "group by d1, d2, d3, value2::int",
+        None,
+    ),
+    "p_mpp22413_g4varchar": (
+        "select median(value1), count(*) from mpp_22413 where d2 ='55' "
+        "group by d1, d2, d3, value2::varchar",
+        None,
+    ),
+    "p_mpp22413_g3": (
+        "select median(value1), count(*) from mpp_22413 where d2 ='55' "
+        "group by d1, d2, value2",
+        None,
+    ),
+    "p_mpp22413_g4b": (
+        "select median(value1), count(*) from mpp_22413 where d2 ='55' "
+        "group by d1, d2, value2, d3",
+        None,
+    ),
+    "p_mpp22413_g2": (
+        "select median(value1), count(*) from mpp_22413 where d2 ='55' group by d1, d2",
+        None,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PERCENTILE_QUERIES))
+def test_reference_percentile_query(olap, name):
+    ref, duck = PERCENTILE_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+# percentile.sql:106-131 — negative cases the reference itself rejects
+# (parse_agg.c checks); Spark's analyzer rejects the same shapes.  OVER-clause
+# and LIMIT/volatile-argument cases are excluded where Spark legitimately
+# accepts them (window percentile_cont is valid Spark SQL).
+PERCENTILE_REJECTED = {
+    # the argument must not contain variables
+    "p_err_var_frac": "select percentile_cont(a) within group (order by a) from perct",
+    # ungrouped column alongside an ordered-set aggregate
+    "p_err_ungrouped": "select b, percentile_disc(0.1) within group (order by a) from perct",
+    # nested aggregates
+    "p_err_nested_agg": "select percentile_cont(count(*)) within group (order by a) from perct",
+    "p_err_agg_of_agg": "select sum(percentile_cont(0.22) within group (order by a)) from perct",
+    "p_err_count_median": "select count(median(a)) from perct",
+    "p_err_median_count": "select median(count(*)) from perct",
+    # out-of-range fraction (checked at evaluation)
+    "p_err_neg_frac": "select percentile_cont(-0.1) within group (order by a) from perct",
+    "p_err_big_frac": "select percentile_cont(1.00000001) within group (order by a) from perct",
+    # multiple WITHIN GROUP sort keys
+    "p_err_multi_sort": "select percentile_cont(0.8) within group (order by a, a + 1, a + 2) from perct",
+    # wrong-type argument
+    "p_err_text_frac": "select percentile_disc('a') within group (order by a) from perct",
+}
+
+
+@pytest.mark.parametrize("name", sorted(PERCENTILE_REJECTED))
+def test_reference_percentile_rejected(olap, name):
+    spark, _ = olap
+    with pytest.raises(Exception):
+        pg_sql(spark, PERCENTILE_REJECTED[name]).collect()
