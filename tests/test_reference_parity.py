@@ -485,6 +485,19 @@ _TABLES = {
         "col1, col2",
         ", ".join(f"(TIMESTAMP '1970-01-01 00:00:{i:02d}', {i})" for i in range(1, 21)),
     ),
+    # qp_left_anti_semi_join.sql:4-19 — foo/bar (bar's x = i/10 is PG int
+    # division: x = i // 10)
+    "foo": (
+        "a int, b int",
+        "a, b",
+        "(1, 2), (12, 20), (NULL, 2), (15, 2), (NULL, NULL), (1, 12), (1, 102)",
+    ),
+    "bar": (
+        "x int, y int",
+        "x, y",
+        ", ".join(f"({i // 10}, {i})" for i in range(1, 101))
+        + ", (NULL, 101), (NULL, 102), (NULL, NULL)",
+    ),
     # percentile.sql:25-39 — only d2 = '55' (i = 55) survives the queries' filter
     "mpp_22413": (
         "col_a string, d1 string, d2 string, d3 string, value1 double, value2 double",
@@ -2094,3 +2107,111 @@ def test_reference_percentile_rejected(olap, name):
     spark, _ = olap
     with pytest.raises(Exception):
         pg_sql(spark, PERCENTILE_REJECTED[name]).collect()
+
+
+# --------------------------------------------------------------------------
+# qp_left_anti_semi_join.sql — LASJ / LASJ_NOTIN execution over nullable
+# keys (nodeHashjoin.c / nodeMergejoin.c LASJ paths).  The reference runs
+# every query twice (hash joins off, then on) and expects identical output;
+# Spark's physical strategy is Catalyst's choice, so each query appears
+# once.  DuckDB lacks row-value NOT IN (subquery); those oracles use the
+# exact three-valued NOT EXISTS expansion — an inner row blocks the outer
+# row when every column pair is equal OR involves a NULL (nulltestFuncs
+# LASJ_NOTIN semantics), which in WHERE context filters both FALSE and
+# UNKNOWN.
+# --------------------------------------------------------------------------
+
+LASJ_QUERIES = {
+    # qp_left_anti_semi_join.sql:26-27 — empty outer, non-empty inner
+    "lasj_all_empty_outer": (
+        "SELECT * FROM foo WHERE b = -1 AND a = ALL (SELECT x FROM bar WHERE y <= 100)",
+        None,
+    ),
+    # :29-30 — outer with nulls, non-empty inner
+    "lasj_all_nulls_outer": (
+        "SELECT * FROM foo WHERE b = 2 AND a = ALL (SELECT x FROM bar WHERE y >=10 AND y < 20)",
+        None,
+    ),
+    # :32-33 — outer with nulls, empty inner
+    "lasj_all_empty_inner": (
+        "SELECT * FROM foo WHERE b = 2 AND a = ALL (SELECT x FROM bar WHERE y = -1) order by 1, 2",
+        None,
+    ),
+    # :35-36 — outer with nulls, inner with nulls
+    "lasj_all_inner_nulls": (
+        "SELECT * FROM foo WHERE a = ALL (SELECT x FROM bar WHERE x = 1 OR x IS NULL)",
+        None,
+    ),
+    # :38-39 — FULL OUTER: empty outer side
+    "lasj_fo_empty_outer": (
+        "SELECT * FROM (SELECT * FROM foo WHERE b = -1) foo2 FULL OUTER JOIN bar ON (a = x)",
+        None,
+    ),
+    # :41-42 — FULL OUTER: empty inner side
+    "lasj_fo_empty_inner": (
+        "SELECT * FROM foo FULL OUTER JOIN (SELECT * FROM bar WHERE y = -1) bar2 ON (a = x)",
+        None,
+    ),
+    # :44-45 — FULL OUTER: both non-empty, null join keys
+    "lasj_fo_both": (
+        "SELECT * FROM (SELECT * FROM foo WHERE b = 2) foo2 FULL OUTER JOIN "
+        "(SELECT * FROM bar WHERE y BETWEEN 16 AND 22 OR x IS NULL) bar2 ON (a = x)",
+        None,
+    ),
+    # :47-48 — row-value NOT IN, empty outer
+    "lasj_rownotin_empty_outer": (
+        "SELECT * FROM foo WHERE b = -1 AND (a, b) NOT IN (SELECT x, y FROM bar WHERE y <= 100)",
+        "SELECT * FROM foo WHERE b = -1 AND NOT EXISTS (SELECT 1 FROM bar WHERE y <= 100 "
+        "AND (x = a OR x IS NULL OR a IS NULL) AND (y = b OR y IS NULL OR b IS NULL))",
+    ),
+    # :50-51 — row-value NOT IN, outer with nulls
+    "lasj_rownotin_nulls": (
+        "SELECT * FROM foo WHERE (a, b) NOT IN (SELECT x, y FROM bar WHERE y <= 100)",
+        "SELECT * FROM foo WHERE NOT EXISTS (SELECT 1 FROM bar WHERE y <= 100 "
+        "AND (x = a OR x IS NULL OR a IS NULL) AND (y = b OR y IS NULL OR b IS NULL))",
+    ),
+    # :53-54 — row-value NOT IN, empty inner
+    "lasj_rownotin_empty_inner": (
+        "SELECT * FROM foo WHERE (a, b) NOT IN (SELECT x, y FROM bar WHERE y = -1)",
+        "SELECT * FROM foo WHERE NOT EXISTS (SELECT 1 FROM bar WHERE y = -1 "
+        "AND (x = a OR x IS NULL OR a IS NULL) AND (y = b OR y IS NULL OR b IS NULL))",
+    ),
+    # :56-57 — row-value NOT IN, inner with partial nulls
+    "lasj_rownotin_partial_nulls": (
+        "SELECT * FROM foo WHERE (a, b) NOT IN (SELECT x, y FROM bar WHERE y IS NOT NULL)",
+        "SELECT * FROM foo WHERE NOT EXISTS (SELECT 1 FROM bar WHERE y IS NOT NULL "
+        "AND (x = a OR x IS NULL OR a IS NULL) AND (y = b OR y IS NULL OR b IS NULL))",
+    ),
+    # :59-60 — row-value NOT IN, inner with all-null tuples
+    "lasj_rownotin_null_tuples": (
+        "SELECT * FROM foo WHERE (a, b) NOT IN (SELECT x, y FROM bar)",
+        "SELECT * FROM foo WHERE NOT EXISTS (SELECT 1 FROM bar WHERE "
+        "(x = a OR x IS NULL OR a IS NULL) AND (y = b OR y IS NULL OR b IS NULL))",
+    ),
+    # :62-63 — scalar NOT IN, empty outer
+    "lasj_notin_empty_outer": (
+        "SELECT * FROM foo WHERE b = -1 AND a NOT IN (SELECT x FROM bar WHERE y <= 100)",
+        None,
+    ),
+    # :65-66 — scalar NOT IN, outer with nulls
+    "lasj_notin_nulls_outer": (
+        "SELECT * FROM foo WHERE b = 2 AND a NOT IN (SELECT x FROM bar WHERE y <= 100)",
+        None,
+    ),
+    # :68-69 — scalar NOT IN, empty inner
+    "lasj_notin_empty_inner": (
+        "SELECT * FROM foo WHERE b = 2 AND a NOT IN (SELECT x FROM bar WHERE y = -1) order by 1, 2",
+        None,
+    ),
+    # :71-72 — scalar NOT IN, inner with nulls
+    "lasj_notin_inner_nulls": (
+        "SELECT * FROM foo WHERE a NOT IN (SELECT x FROM bar)",
+        None,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(LASJ_QUERIES))
+def test_reference_lasj_query(olap, name):
+    ref, duck = LASJ_QUERIES[name]
+    _check(olap, ref, duck)
