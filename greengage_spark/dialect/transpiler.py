@@ -1239,6 +1239,87 @@ def _pass_functions(toks: list[str]) -> list[str]:
     return out
 
 
+_ORDER_KEY_END = {
+    "limit", "offset", "rows", "range", "groups", "fetch", "for",
+    "union", "intersect", "except", ";",
+}
+
+
+def _pass_order_by_nulls(toks: list[str]) -> list[str]:
+    """Make every ORDER BY key carry PG's default null placement
+    (nodeSort.c: ASC → NULLS LAST, DESC → NULLS FIRST); Spark's defaults
+    are the opposite (ASC → NULLS FIRST, DESC → NULLS LAST), which flips
+    results under LIMIT and inside window frames whenever a sort key is
+    nullable.  Keys with an explicit NULLS FIRST/LAST are untouched;
+    WITHIN GROUP (ORDER BY ...) is skipped (ordered-set aggregates ignore
+    nulls, and Spark's grammar does not take a nulls spec there)."""
+    out = list(toks)
+    # paren stack: True when the group is a WITHIN GROUP ( ... )
+    stack: list[bool] = []
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t == "(":
+            stack.append(
+                i >= 2
+                and _is_ident(out[i - 1])
+                and out[i - 1].lower() == "group"
+                and _is_ident(out[i - 2])
+                and out[i - 2].lower() == "within"
+            )
+        elif t == ")":
+            if stack:
+                stack.pop()
+        elif (
+            _is_ident(t)
+            and t.lower() == "order"
+            and i + 1 < len(out)
+            and _is_ident(out[i + 1])
+            and out[i + 1].lower() == "by"
+            and not (stack and stack[-1])
+        ):
+            j = i + 2
+            key_start = j
+            depth = 0
+            while True:
+                end_of_key = False
+                if j >= len(out):
+                    end_of_key = True
+                else:
+                    tk = out[j]
+                    if tk == "(":
+                        depth += 1
+                    elif tk == ")":
+                        if depth == 0:
+                            end_of_key = True
+                        else:
+                            depth -= 1
+                    elif depth == 0 and (
+                        tk == ","
+                        or (_is_ident(tk) and tk.lower() in _ORDER_KEY_END)
+                    ):
+                        end_of_key = True
+                if end_of_key:
+                    if j > key_start:
+                        key = [x.lower() if _is_ident(x) else x for x in out[key_start:j]]
+                        if "nulls" not in key:
+                            ins = (
+                                ["NULLS", "FIRST"]
+                                if key and key[-1] == "desc"
+                                else ["NULLS", "LAST"]
+                            )
+                            out[j:j] = ins
+                            j += 2
+                    if j >= len(out) or out[j] != ",":
+                        break
+                    key_start = j + 1
+                j += 1
+            i = j
+            continue
+        i += 1
+    return out
+
+
 def _pass_subscripts(toks: list[str]) -> list[str]:
     """PG 1-based array subscripts/slices → element_at/slice.
 
@@ -1403,6 +1484,7 @@ def transpile(sql: str) -> str:
     toks = _pass_rowvalue_scalar(toks)
     toks = _pass_quantified(toks)
     toks = _pass_functions(toks)
+    toks = _pass_order_by_nulls(toks)
     toks = _pass_subscripts(toks)
     # re-join with spaces; '.' binds tight (qualified names)
     return " ".join(toks).replace(" . ", ".")

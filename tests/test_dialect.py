@@ -163,7 +163,11 @@ class TestSubscripts:
 
     def test_distinct_on_rewrites_to_row_number(self):
         out = transpile("SELECT DISTINCT ON (a) a, b FROM t ORDER BY a, b DESC")
-        assert "row_number ( ) OVER ( PARTITION BY a ORDER BY a , b DESC )" in out
+        # sort keys carry PG default null placement (ASC→LAST, DESC→FIRST)
+        assert (
+            "row_number ( ) OVER ( PARTITION BY a ORDER BY a NULLS LAST , "
+            "b DESC NULLS FIRST )" in out
+        )
         assert "__rn = 1" in out
 
     def test_distinct_on_without_order_by(self):

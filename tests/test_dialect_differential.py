@@ -79,6 +79,12 @@ CASES = [
     "SELECT i, array_length(string_to_array(s, ','), 1) AS c FROM vals ORDER BY i",
     # like/ilike
     "SELECT i, s LIKE '%b%' AS c, s ILIKE '%HELLO%' AS c2 FROM vals ORDER BY i",
+    # PG default null placement (nodeSort.c: ASC→NULLS LAST, DESC→FIRST);
+    # Spark's opposite default flips these without _pass_order_by_nulls
+    "SELECT n FROM vals ORDER BY n LIMIT 3",
+    "SELECT n FROM vals ORDER BY n DESC LIMIT 2",
+    "SELECT i, n, row_number() OVER (ORDER BY n) AS rn FROM vals ORDER BY i",
+    "SELECT i, x, rank() OVER (ORDER BY x DESC) AS r FROM vals ORDER BY i",
 ]
 
 
@@ -90,6 +96,9 @@ def engines(spark, tmp_path_factory):
     VALS.to_parquet(p, coerce_timestamps="us", allow_truncated_timestamps=True)
     spark.read.parquet(p).createOrReplaceTempView("vals")
     con = duckdb.connect()
+    # PG null ordering (ASC→NULLS LAST, DESC→NULLS FIRST); DuckDB's own
+    # default is NULLS LAST on both directions
+    con.execute("SET default_null_order='nulls_last_on_asc_first_on_desc'")
     con.execute(f"CREATE VIEW vals AS SELECT * FROM read_parquet('{p}')")
     return spark, con
 

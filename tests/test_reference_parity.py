@@ -513,6 +513,9 @@ _TABLES = {
 @pytest.fixture(scope="module")
 def olap(spark):
     con = duckdb.connect()
+    # PG null ordering (ASC→NULLS LAST, DESC→NULLS FIRST); DuckDB's own
+    # default is NULLS LAST on both directions
+    con.execute("SET default_null_order='nulls_last_on_asc_first_on_desc'")
     for name, (schema, cols, body) in _TABLES.items():
         casted = ", ".join(c.strip() for c in cols.split(","))
         if not body:

@@ -27,6 +27,9 @@ TABLES = [
 
 def duck_connect(sf_dir: str):
     con = duckdb.connect()
+    # PG null ordering (ASC→NULLS LAST, DESC→NULLS FIRST); DuckDB's own
+    # default is NULLS LAST on both directions
+    con.execute("SET default_null_order='nulls_last_on_asc_first_on_desc'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
