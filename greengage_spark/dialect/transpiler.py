@@ -966,6 +966,108 @@ def _pass_single_grouping_set(toks: list[str]) -> list[str]:
     return toks
 
 
+_TARGETLIST_END = {
+    "from", "where", "group", "having", "order", "limit", "offset",
+    "union", "intersect", "except", "window", ";",
+}
+
+
+def _pass_targetlist_srf(toks: list[str]) -> list[str]:
+    """generate_series in a SELECT targetlist (ExecTargetList SRF
+    expansion) → column over an exploded-sequence FROM item.
+
+    PG runs targetlist SRFs in lockstep; with identical arguments — the
+    only form the reference's own suites use — that is exactly one
+    sequence cross-joined into the FROM clause.  Differing arguments
+    (LCM-period zipping) are rejected.  Only depth-0 occurrences are
+    rewritten; each SELECT scope is handled independently."""
+    out = list(toks)
+    i = 0
+    gen = 0
+    while i < len(out):
+        if not (_is_ident(out[i]) and out[i].lower() == "select"):
+            i += 1
+            continue
+        # targetlist span: depth-0 tokens until FROM / clause end
+        j = i + 1
+        depth = 0
+        occs: list[tuple[int, int]] = []  # (start, close) of each SRF call
+        while j < len(out):
+            t = out[j]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and _is_ident(t):
+                low = t.lower()
+                if low in _TARGETLIST_END:
+                    break
+                if (
+                    low == "generate_series"
+                    and j + 1 < len(out)
+                    and out[j + 1] == "("
+                ):
+                    close = _args_span(out, j + 1)
+                    occs.append((j, close))
+                    j = close + 1  # skip the balanced call tokens
+                    continue
+            j += 1
+        if not occs:
+            i += 1
+            continue
+        arg_lists = [out[s + 2 : c] for s, c in occs]
+        if any(a != arg_lists[0] for a in arg_lists[1:]):
+            raise NotImplementedError(
+                "targetlist SRFs with differing arguments (LCM zipping)"
+            )
+        args = arg_lists[0]
+        col = f"__gs{gen}"
+        gen += 1
+        # replace calls right-to-left; name a bare top-level item like PG does
+        for s, c in reversed(occs):
+            bare = (s == i + 1 or out[s - 1] == ",") and (
+                c + 1 >= len(out) or out[c + 1] == ","
+                or (_is_ident(out[c + 1]) and out[c + 1].lower() in _TARGETLIST_END)
+                or out[c + 1] == ")"
+            )
+            repl = [col, "AS", "generate_series"] if bare else [col]
+            out[s : c + 1] = repl
+        item = ["(", "SELECT", "explode", "(", "sequence", "("] + list(args) + [
+            ")", ")", "AS", col, ")", f"__gs_t{gen}",
+        ]
+        # locate this scope's FROM (depth-0); insert or synthesize it
+        j = i + 1
+        depth = 0
+        from_idx = None
+        while j < len(out):
+            t = out[j]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and _is_ident(t):
+                low = t.lower()
+                if low == "from":
+                    from_idx = j
+                    break
+                if low in (
+                    "where", "group", "having", "order", "limit", "offset",
+                    "union", "intersect", "except", "window", ";",
+                ):
+                    break
+            j += 1
+        if from_idx is not None:
+            out[from_idx + 1 : from_idx + 1] = item + [","]
+        else:
+            out[j:j] = ["FROM"] + item
+        i += 1
+    return out
+
+
 def _pass_group_by_empty(toks: list[str]) -> list[str]:
     """Drop no-op ``()`` items from plain GROUP BY lists (gram.y grouping
     extension: ``GROUP BY (), cn`` ≡ ``GROUP BY cn``; a lone ``GROUP BY ()``
@@ -1470,6 +1572,7 @@ def transpile(sql: str) -> str:
     toks = tokenize(sql)
     toks = _pass_group_by_empty(toks)
     toks = _pass_single_grouping_set(toks)
+    toks = _pass_targetlist_srf(toks)
     toks = _pass_count_noargs(toks)
     toks = _pass_array_constructor(toks)
     toks = _pass_from_srf_items(toks)

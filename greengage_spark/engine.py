@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from greengage_spark.dialect.ddl import DDLCatalog, parse_create_table
-from greengage_spark.dialect.transpiler import pg_sql, transpile
+from greengage_spark.dialect.transpiler import _find_top_level, pg_sql, transpile
 
 
 class GreengageEngine:
@@ -145,7 +145,9 @@ class GreengageEngine:
 
     def _insert(self, stmt: str):
         m = re.match(
-            r"(?is)^insert\s+into\s+([\w.]+)\s*(\([^)]*\))?\s*(values\s*\(.+|select\b.+|with\b.+)$",
+            r"(?is)^insert\s+into\s+([\w.]+)\s*"
+            r"(\((?!\s*(?:select|with)\b)[^)]*\))?\s*"
+            r"(values\s*\(.+|select\b.+|with\b.+|\(\s*(?:select|with)\b.+)$",
             stmt,
         )
         if not m:
@@ -154,14 +156,20 @@ class GreengageEngine:
         td = self.ddl.tables.get(name)
         if td is None:
             raise ValueError(f"unknown table {name!r}")
-        cols = (
-            [c.strip() for c in cols_raw.strip("()").split(",")]
-            if cols_raw
-            else [c.name for c in td.columns]
-        )
         # both VALUES and SELECT bodies evaluate through the dialect layer
         self._register_all()
-        src = pg_sql(self.spark, body).toDF(*cols)
+        src = pg_sql(self.spark, body)
+        if cols_raw:
+            cols = [c.strip() for c in cols_raw.strip("()").split(",")]
+        else:
+            # a short SELECT/VALUES list targets the leftmost columns, the
+            # rest default to NULL (rewriteTargetListIU)
+            cols = [c.name for c in td.columns][: len(src.columns)]
+        if len(src.columns) != len(cols):
+            raise ValueError(
+                f"INSERT has {len(src.columns)} expressions for {len(cols)} columns"
+            )
+        src = src.toDF(*cols)
         # missing columns fill with NULL, then cast to declared types
         full = src
         for c in td.columns:
@@ -172,32 +180,87 @@ class GreengageEngine:
         return None
 
     def _update(self, stmt: str):
-        m = re.match(
-            r"(?is)^update\s+([\w.]+)\s+set\s+(.+?)(?:\s+where\s+(.+))?$", stmt
-        )
+        m = re.match(r"(?is)^update\s+([\w.]+)\s+set\s+(.+)$", stmt)
         if not m:
             raise NotImplementedError("UPDATE name SET col = expr [, ...] [WHERE pred]")
-        name, set_raw, where_raw = m.group(1), m.group(2), m.group(3)
+        name, rest = m.group(1), m.group(2)
+        widx = _find_top_level(rest, "where")
+        set_raw = rest[:widx] if widx >= 0 else rest
+        where_raw = rest[widx + 5 :].strip() if widx >= 0 else None
         st = self._storage(name)
-        set_map = {}
-        for part in self._split_top(set_raw):
-            col, _, expr = part.partition("=")
-            set_map[col.strip()] = F.expr(transpile(expr.strip()))
-        cond = F.expr(transpile(where_raw.strip())) if where_raw else None
-        st.update(set_map, cond)
+        parts = self._split_top(set_raw)
+        texts = parts + ([where_raw] if where_raw else [])
+        if any(re.search(r"(?is)\(\s*select\b", t) for t in texts):
+            # subqueries in SET/WHERE evaluate through SQL (a scalar
+            # subquery over >1 row errors at runtime, as in PG); CASE
+            # keeps unmatched rows byte-identical
+            td = self.ddl.tables[name]
+            self._register_all()
+            sets = {}
+            for part in parts:
+                col, _, expr = part.partition("=")
+                sets[col.strip().lower()] = expr.strip()
+            cond = f"({where_raw})" if where_raw else "TRUE"
+            proj = ", ".join(
+                f"CASE WHEN ({cond}) IS TRUE THEN ({sets[c.name]}) "
+                f"ELSE {c.name} END AS {c.name}"
+                if c.name in sets
+                else c.name
+                for c in td.columns
+            )
+            out = pg_sql(self.spark, f"SELECT {proj} FROM {name}")
+            st.replace(
+                out.select([F.col(c.name).cast(c.spark_type) for c in td.columns])
+            )
+        else:
+            set_map = {}
+            for part in parts:
+                col, _, expr = part.partition("=")
+                set_map[col.strip()] = F.expr(transpile(expr.strip()))
+            cond = F.expr(transpile(where_raw)) if where_raw else None
+            st.update(set_map, cond)
         self._register(name)
         return None
 
     def _delete(self, stmt: str):
-        m = re.match(r"(?is)^delete\s+from\s+([\w.]+)(?:\s+where\s+(.+))?$", stmt)
+        m = re.match(r"(?is)^delete\s+from\s+([\w.]+)(\s+.*)?$", stmt)
         if not m:
-            raise NotImplementedError("DELETE FROM name [WHERE pred]")
-        name, where_raw = m.group(1), m.group(2)
+            raise NotImplementedError("DELETE FROM name [USING items] [WHERE pred]")
+        name, rest = m.group(1), (m.group(2) or "").strip()
+        using_raw = where_raw = None
+        if rest:
+            uidx = _find_top_level(rest, "using")
+            widx = _find_top_level(rest, "where")
+            if widx >= 0:
+                where_raw = rest[widx + 5 :].strip()
+            if uidx == 0:
+                using_raw = rest[uidx + 5 : widx if widx >= 0 else len(rest)].strip()
+            elif widx != 0:
+                raise NotImplementedError("DELETE FROM name [USING items] [WHERE pred]")
         st = self._storage(name)
-        if where_raw is None:
-            st.delete(F.lit(True))
+        td = self.ddl.tables[name]
+        if using_raw:
+            # nodeModifyTable.c: USING joins the target against the items;
+            # a target row dies when ANY joined row satisfies WHERE
+            pred = f"EXISTS (SELECT 1 FROM {using_raw} WHERE {where_raw or 'TRUE'})"
+        elif where_raw:
+            pred = f"({where_raw})"
         else:
-            st.delete(F.expr(transpile(where_raw.strip())))
+            st.delete(F.lit(True))
+            self._register(name)
+            return None
+        if using_raw or re.search(r"(?is)\(\s*select\b", pred):
+            # subquery predicates route through SQL; IS NOT TRUE keeps
+            # NULL-predicate rows (PG: WHERE NULL does not delete)
+            self._register_all()
+            keep = pg_sql(
+                self.spark, f"SELECT * FROM {name} WHERE ({pred}) IS NOT TRUE"
+            )
+            st.replace(
+                keep.select([F.col(c.name).cast(c.spark_type) for c in td.columns])
+            )
+        else:
+            st.delete(F.expr(transpile(where_raw)))
         self._register(name)
         return None
 

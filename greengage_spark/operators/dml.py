@@ -98,6 +98,12 @@ class WritableTable:
         self._write(self.df().filter(~F.coalesce(cond, F.lit(False))))
         return self
 
+    def replace(self, df: DataFrame) -> "WritableTable":
+        """Full-table rewrite: UPDATE/DELETE forms whose predicates or
+        assignments hold subqueries evaluate through SQL and land here."""
+        self._write(df)
+        return self
+
     def update(self, set_map: dict[str, Column], cond: Column | None = None) -> "WritableTable":
         """UPDATE SET ... WHERE cond — CASE-WHEN projection over all rows.
 

@@ -1,0 +1,513 @@
+"""Engine-facade parity: qp_union_intersect.sql, statement by statement.
+
+Every block below is verbatim from
+``/root/reference/src/test/regress/sql/qp_union_intersect.sql`` (cited per
+block): INSERT / DELETE / UPDATE whose source, predicate, or assignment is
+a UNION / INTERSECT / EXCEPT [ALL] query.  Each block runs through
+``GreengageEngine.execute`` on Spark AND through DuckDB; every SELECT's
+result must match as a sorted multiset.  The reference wraps blocks in
+begin..rollback — we rebuild the two tables per test instead (no
+transactions), which reproduces the same starting state.
+
+Excluded blocks, with reasons:
+- union_test27 (insert violating a NOT NULL constraint) — constraint
+  enforcement is metadata-only here, the INSERT succeeds;
+- union_test28 (scalar subquery returning >1 row) — covered as a
+  rejection test: both PG and Spark error at runtime;
+- union_delete_test16/17 — they address the partition child table
+  ``dml_union_s_1_prt_def`` by its generated name; per-partition child
+  relations are a storage detail the Spark build does not expose.
+
+DuckDB cannot run a set-returning function in a SELECT list (our dialect
+layer rewrites it to an exploded sequence in FROM — transpiler
+``_pass_targetlist_srf``), so those statements carry a FROM-form DuckDB
+equivalent.
+"""
+
+from __future__ import annotations
+
+import re
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+# qp_union_intersect.sql:15-42 — DDL + loads.  CHECK / NOT NULL / default /
+# DISTRIBUTED / PARTITION clauses are declarative metadata in the Spark
+# build; the DuckDB side drops the GP-only clauses.  bar's SRF loads use
+# the FROM form on DuckDB.
+_SETUP = [
+    (
+        "CREATE TABLE dml_union_r (a int, b int, c text, d numeric) DISTRIBUTED BY (a)",
+        "CREATE TABLE dml_union_r (a int, b int, c text, d numeric)",
+    ),
+    (
+        "CREATE TABLE dml_union_s (a int, b int, c text, d numeric) DISTRIBUTED BY (b)",
+        "CREATE TABLE dml_union_s (a int, b int, c text, d numeric)",
+    ),
+    (
+        "INSERT INTO dml_union_r SELECT generate_series(1,100), generate_series(1,100) * 3,'r', generate_series(1,100) % 6",
+        "INSERT INTO dml_union_r SELECT i, i * 3, 'r', i % 6 FROM generate_series(1,100) t(i)",
+    ),
+    (
+        "INSERT INTO dml_union_r VALUES(NULL,NULL,'text',NULL),(NULL,NULL,'text',NULL),(NULL,NULL,'text',NULL),(NULL,NULL,'text',NULL),(NULL,NULL,'text',NULL)",
+        None,
+    ),
+    (
+        "INSERT INTO dml_union_r VALUES(1,1,'text',1),(2,2,'text',2),(3,3,'text',3),(4,4,'text',4),(5,5,'text',5)",
+        None,
+    ),
+    (
+        "INSERT INTO dml_union_r VALUES(1,1,'text',1),(2,2,'text',2),(3,3,'text',3),(4,4,'text',4),(5,5,'text',5)",
+        None,
+    ),
+    (
+        "INSERT INTO dml_union_r VALUES(1,2,'text',3),(2,3,'text',4),(3,4,'text',5),(4,5,'text',6),(5,6,'text',7)",
+        None,
+    ),
+    (
+        "INSERT INTO dml_union_s SELECT generate_series(1,100), generate_series(1,100) * 3,'s', generate_series(1,100)",
+        "INSERT INTO dml_union_s SELECT i, i * 3, 's', i FROM generate_series(1,100) t(i)",
+    ),
+    (
+        "INSERT INTO dml_union_s VALUES(1,1,'text',1),(2,2,'text',2),(3,3,'text',3),(4,4,'text',4),(5,5,'text',5)",
+        None,
+    ),
+    (
+        "INSERT INTO dml_union_s VALUES(1,1,'text',1),(2,2,'text',2),(3,3,'text',3),(4,4,'text',4),(5,5,'text',5)",
+        None,
+    ),
+    (
+        "INSERT INTO dml_union_s VALUES(1,2,'text',3),(2,3,'text',4),(3,4,'text',5),(4,5,'text',6),(5,6,'text',7)",
+        None,
+    ),
+]
+
+_R = "SELECT COUNT(*) FROM dml_union_r"
+_S = "SELECT COUNT(*) FROM dml_union_s"
+
+# name → list of (statement, duckdb_override | None); verbatim per block
+BLOCKS: dict[str, list[tuple[str, str | None]]] = {
+    # qp_union_intersect.sql:46-52
+    "union_test1": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT dml_union_r.a, dml_union_r.b, dml_union_r.c, dml_union_r.d FROM dml_union_r INTERSECT SELECT dml_union_s.* FROM dml_union_s)foo", None),
+        ("INSERT INTO dml_union_r SELECT dml_union_r.a, dml_union_r.b, dml_union_r.c, dml_union_r.d FROM dml_union_r INTERSECT SELECT dml_union_s.* FROM dml_union_s", None),
+        (_R, None),
+    ],
+    # :54-60
+    "union_test2": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT dml_union_r.* FROM dml_union_r INTERSECT ALL SELECT dml_union_s.a, dml_union_s.b, dml_union_s.c, dml_union_s.d FROM dml_union_s)foo", None),
+        ("INSERT INTO dml_union_r SELECT dml_union_r.* FROM dml_union_r INTERSECT ALL SELECT dml_union_s.a, dml_union_s.b, dml_union_s.c, dml_union_s.d FROM dml_union_s", None),
+        (_R, None),
+    ],
+    # :62-68
+    "union_test3": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT generate_series(1,10) INTERSECT SELECT generate_series(1,100))foo",
+         "SELECT COUNT(*) FROM (SELECT i FROM generate_series(1,10) t(i) INTERSECT SELECT i FROM generate_series(1,100) t(i))foo"),
+        ("INSERT INTO dml_union_r SELECT generate_series(1,10) INTERSECT SELECT generate_series(1,100)",
+         "INSERT INTO dml_union_r (a) SELECT i FROM generate_series(1,10) t(i) INTERSECT SELECT i FROM generate_series(1,100) t(i)"),
+        (_R, None),
+    ],
+    # :70-76
+    "union_test4": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT generate_series(1,10) INTERSECT ALL  SELECT generate_series(1,100))foo",
+         "SELECT COUNT(*) FROM (SELECT i FROM generate_series(1,10) t(i) INTERSECT ALL SELECT i FROM generate_series(1,100) t(i))foo"),
+        ("INSERT INTO dml_union_r SELECT generate_series(1,10) INTERSECT ALL  SELECT generate_series(1,100)",
+         "INSERT INTO dml_union_r (a) SELECT i FROM generate_series(1,10) t(i) INTERSECT ALL SELECT i FROM generate_series(1,100) t(i)"),
+        (_R, None),
+    ],
+    # :78-84
+    "union_test5": [
+        (_S, None),
+        ("SELECT COUNT(*) FROM (SELECT dml_union_r.a, dml_union_r.b,'A' as c, 0 as d FROM dml_union_r INTERSECT SELECT dml_union_s.a, dml_union_s.b,'A' as C,0 as d FROM dml_union_s)foo", None),
+        ("INSERT INTO dml_union_s (SELECT dml_union_r.a, dml_union_r.b,'A' as c, 0 as d FROM dml_union_r INTERSECT SELECT dml_union_s.a, dml_union_s.b,'A' as C,0 as d FROM dml_union_s)", None),
+        (_S, None),
+    ],
+    # :86-92
+    "union_test6": [
+        (_S, None),
+        ("SELECT COUNT(*) FROM (SELECT dml_union_r.a, dml_union_r.b,'A' as c ,0 as d FROM dml_union_r INTERSECT ALL SELECT dml_union_s.a, dml_union_s.b,'A' as C,0 as d FROM dml_union_s)foo", None),
+        ("INSERT INTO dml_union_s (SELECT dml_union_r.a, dml_union_r.b,'A' as c ,0 as d FROM dml_union_r INTERSECT ALL SELECT dml_union_s.a, dml_union_s.b,'A' as C,0 as d FROM dml_union_s)", None),
+        (_S, None),
+    ],
+    # :94-100
+    "union_test7": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT distinct a,b,c,d FROM dml_union_r INTERSECT SELECT distinct a,b,c,d FROM dml_union_s)foo", None),
+        ("INSERT INTO dml_union_r SELECT distinct a,b,c,d FROM dml_union_r INTERSECT SELECT distinct a,b,c,d FROM dml_union_s", None),
+        (_R, None),
+    ],
+    # :102-108
+    "union_test8": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT distinct a,b,c,d FROM dml_union_r INTERSECT ALL SELECT distinct a,b,c,d FROM dml_union_s)foo", None),
+        ("INSERT INTO dml_union_r SELECT distinct a,b,c,d FROM dml_union_r INTERSECT ALL SELECT distinct a,b,c,d FROM dml_union_s", None),
+        (_R, None),
+    ],
+    # :110-116
+    "union_test9": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT dml_union_r.a, dml_union_r.b, dml_union_r.c, dml_union_r.d FROM dml_union_r EXCEPT SELECT * FROM dml_union_s)foo", None),
+        ("INSERT INTO dml_union_r SELECT dml_union_r.a, dml_union_r.b, dml_union_r.c, dml_union_r.d FROM dml_union_r EXCEPT SELECT * FROM dml_union_s", None),
+        (_R, None),
+    ],
+    # :118-124
+    "union_test10": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT * FROM dml_union_r EXCEPT ALL SELECT dml_union_s.* FROM dml_union_s)foo", None),
+        ("INSERT INTO dml_union_r SELECT * FROM dml_union_r EXCEPT ALL SELECT dml_union_s.* FROM dml_union_s", None),
+        (_R, None),
+    ],
+    # :126-132
+    "union_test12": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT generate_series(1,10) EXCEPT ALL SELECT generate_series(1,10))foo",
+         "SELECT COUNT(*) FROM (SELECT i FROM generate_series(1,10) t(i) EXCEPT ALL SELECT i FROM generate_series(1,10) t(i))foo"),
+        ("INSERT INTO dml_union_r SELECT generate_series(1,10) EXCEPT ALL SELECT generate_series(1,10)",
+         "INSERT INTO dml_union_r (a) SELECT i FROM generate_series(1,10) t(i) EXCEPT ALL SELECT i FROM generate_series(1,10) t(i)"),
+        (_R, None),
+    ],
+    # :134-140
+    "union_test13": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT * FROM (SELECT * FROM dml_union_r EXCEPT ALL SELECT * FROM dml_union_s) foo WHERE c='text')bar", None),
+        ("INSERT INTO dml_union_r SELECT * FROM (SELECT * FROM dml_union_r EXCEPT ALL SELECT * FROM dml_union_s) foo WHERE c='text'", None),
+        (_R, None),
+    ],
+    # :142-148
+    "union_test14": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT * FROM (SELECT * FROM dml_union_r EXCEPT SELECT * FROM dml_union_s) foo WHERE c='s')bar", None),
+        ("INSERT INTO dml_union_r SELECT * FROM (SELECT * FROM dml_union_r EXCEPT SELECT * FROM dml_union_s) foo WHERE c='s'", None),
+        (_R, None),
+    ],
+    # :150-156
+    "union_test15": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT dml_union_r.a, dml_union_r.b,'A' as c ,0 as d FROM dml_union_r EXCEPT ALL SELECT dml_union_s.a, dml_union_s.b,'A' as C,0 as d FROM dml_union_s)foo", None),
+        ("INSERT INTO dml_union_r (SELECT dml_union_r.a, dml_union_r.b,'A' as c ,0 as d FROM dml_union_r EXCEPT ALL SELECT dml_union_s.a, dml_union_s.b,'A' as C,0 as d FROM dml_union_s)", None),
+        (_R, None),
+    ],
+    # :158-164
+    "union_test16": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT distinct a,b,c,d FROM dml_union_r EXCEPT SELECT distinct a,b,c,d FROM dml_union_s)foo", None),
+        ("INSERT INTO dml_union_r SELECT distinct a,b,c,d FROM dml_union_r EXCEPT SELECT distinct a,b,c,d FROM dml_union_s", None),
+        (_R, None),
+    ],
+    # :166-172
+    "union_test17": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT distinct a,b,c,d FROM dml_union_r EXCEPT ALL SELECT distinct a,b,c,d FROM dml_union_s)foo", None),
+        ("INSERT INTO dml_union_r SELECT distinct a,b,c,d FROM dml_union_r EXCEPT ALL SELECT distinct a,b,c,d FROM dml_union_s", None),
+        (_R, None),
+    ],
+    # :174-180
+    "union_test18": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT dml_union_r.a, dml_union_r.b, dml_union_r.c, dml_union_r.d FROM dml_union_r UNION SELECT dml_union_s.* FROM dml_union_s)foo", None),
+        ("INSERT INTO dml_union_r SELECT dml_union_r.a, dml_union_r.b, dml_union_r.c, dml_union_r.d FROM dml_union_r UNION SELECT dml_union_s.* FROM dml_union_s", None),
+        (_R, None),
+    ],
+    # :182-188
+    "union_test19": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT dml_union_r.* FROM dml_union_r UNION All SELECT * FROM dml_union_s)foo", None),
+        ("INSERT INTO dml_union_r SELECT dml_union_r.* FROM dml_union_r UNION All SELECT * FROM dml_union_s", None),
+        (_R, None),
+    ],
+    # :190-196
+    "union_test20": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT generate_series(1,10) UNION SELECT generate_series(1,10))foo",
+         "SELECT COUNT(*) FROM (SELECT i FROM generate_series(1,10) t(i) UNION SELECT i FROM generate_series(1,10) t(i))foo"),
+        ("INSERT INTO dml_union_r SELECT generate_series(1,10) UNION SELECT generate_series(1,10)",
+         "INSERT INTO dml_union_r (a) SELECT i FROM generate_series(1,10) t(i) UNION SELECT i FROM generate_series(1,10) t(i)"),
+        (_R, None),
+    ],
+    # :198-204
+    "union_test21": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT generate_series(1,10) UNION ALL SELECT generate_series(1,10))foo",
+         "SELECT COUNT(*) FROM (SELECT i FROM generate_series(1,10) t(i) UNION ALL SELECT i FROM generate_series(1,10) t(i))foo"),
+        ("INSERT INTO dml_union_r SELECT generate_series(1,10) UNION ALL SELECT generate_series(1,10)",
+         "INSERT INTO dml_union_r (a) SELECT i FROM generate_series(1,10) t(i) UNION ALL SELECT i FROM generate_series(1,10) t(i)"),
+        (_R, None),
+    ],
+    # :206-213
+    "union_test22": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT * FROM dml_union_r UNION ALL SELECT * FROM dml_union_s ORDER BY 1,2,3,4) foo LIMIT 10", None),
+        (_R, None),
+        ("INSERT INTO dml_union_r SELECT * FROM (SELECT * FROM dml_union_r UNION ALL SELECT * FROM dml_union_s ORDER BY 1,2,3,4) foo LIMIT 10", None),
+        (_R, None),
+    ],
+    # :215-221
+    "union_test23": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT NULL,(SELECT NULL f1 FROM dml_union_r UNION SELECT NULL f1 FROM dml_union_s)::int, 'nullval',NULL)foo", None),
+        ("INSERT INTO dml_union_r SELECT NULL,(SELECT NULL f1 FROM dml_union_r UNION SELECT NULL f1 FROM dml_union_s)::int, 'nullval',NULL", None),
+        (_R, None),
+    ],
+    # :223-229
+    "union_test24": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT AVG(a),10,'avg',10 FROM dml_union_r WHERE exists (SELECT a FROM dml_union_r UNION ALL SELECT b FROM dml_union_s))foo", None),
+        ("INSERT INTO dml_union_r SELECT AVG(a),10,'avg',10 FROM dml_union_r WHERE exists (SELECT a FROM dml_union_r UNION ALL SELECT b FROM dml_union_s)", None),
+        (_R, None),
+    ],
+    # :231-237
+    "union_test25": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT distinct a,b,c,d FROM dml_union_r UNION SELECT distinct a,b,c,d FROM dml_union_s)foo", None),
+        ("INSERT INTO dml_union_r SELECT distinct a,b,c,d FROM dml_union_r UNION SELECT distinct a,b,c,d FROM dml_union_s", None),
+        (_R, None),
+    ],
+    # :239-245
+    "union_test26": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT * FROM (SELECT AVG(a) as a FROM dml_union_r UNION SELECT AVG(b) as a FROM dml_union_s) foo)bar", None),
+        ("INSERT INTO dml_union_r SELECT * FROM (SELECT AVG(a) as a FROM dml_union_r UNION SELECT AVG(b) as a FROM dml_union_s) foo",
+         "INSERT INTO dml_union_r (a) SELECT * FROM (SELECT AVG(a) as a FROM dml_union_r UNION SELECT AVG(b) as a FROM dml_union_s) foo"),
+        (_R, None),
+    ],
+    # :258-264
+    "union_test29": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT dml_union_r.* FROM dml_union_r INTERSECT (SELECT dml_union_r.* FROM dml_union_r UNION ALL SELECT dml_union_s.* FROM dml_union_s) EXCEPT SELECT dml_union_s.* FROM dml_union_s)foo", None),
+        ("INSERT INTO dml_union_r SELECT dml_union_r.* FROM dml_union_r INTERSECT (SELECT dml_union_r.* FROM dml_union_r UNION ALL SELECT dml_union_s.* FROM dml_union_s) EXCEPT SELECT dml_union_s.* FROM dml_union_s", None),
+        (_R, None),
+    ],
+    # :266-272
+    "union_test30": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT c,c+1,case when c = 1 then 'r' else 's' end,c+1 FROM (    SELECT COUNT(distinct c) c FROM (SELECT f1, f2 , COUNT(*) c FROM (SELECT 10 f1, 'r' f2 FROM dml_union_r UNION SELECT 40 f1, 's' f2 FROM dml_union_r UNION SELECT a, c FROM dml_union_r INTERSECT SELECT a, c FROM dml_union_s ORDER BY 1) foo group by f1,f2) foo)foo)bar", None),
+        ("INSERT INTO dml_union_r SELECT c,c+1,case when c = 1 then 'r' else 's' end,c+1 FROM (SELECT COUNT(distinct c) c FROM (SELECT f1, f2 , COUNT(*) c FROM (SELECT 10 f1, 'r' f2 FROM dml_union_r UNION SELECT 40 f1, 's' f2 FROM dml_union_r UNION SELECT a, c FROM dml_union_r INTERSECT SELECT a, c FROM dml_union_s ORDER BY 1) foo group by f1,f2) foo)foo", None),
+        (_R, None),
+    ],
+    # :274-280
+    "union_test31": [
+        (_R, None),
+        ("SELECT COUNT(*) FROM (SELECT * FROM dml_union_r WHERE a in (SELECT dml_union_r.d::int FROM dml_union_r INTERSECT SELECT dml_union_s.d FROM dml_union_s ORDER BY 1) UNION SELECT * FROM dml_union_s)bar", None),
+        ("INSERT INTO dml_union_r SELECT * FROM dml_union_r WHERE a in (SELECT dml_union_r.d::int FROM dml_union_r INTERSECT SELECT dml_union_s.d FROM dml_union_s ORDER BY 1) UNION SELECT * FROM dml_union_s", None),
+        (_R, None),
+    ],
+    # :283-345 — DELETE with set-op subqueries / predicates
+    "union_delete_test1": [
+        (_R, None),
+        ("DELETE FROM dml_union_r WHERE a in (SELECT a FROM dml_union_r UNION SELECT a FROM dml_union_s)", None),
+        (_R, None),
+    ],
+    "union_delete_test2": [
+        (_R, None),
+        ("DELETE FROM dml_union_r WHERE a in (SELECT a FROM dml_union_r UNION ALL SELECT a FROM dml_union_s)", None),
+        (_R, None),
+    ],
+    "union_delete_test3": [
+        (_R, None),
+        ("DELETE FROM dml_union_r WHERE a in (SELECT a FROM dml_union_r INTERSECT SELECT a FROM dml_union_s)", None),
+        (_R, None),
+    ],
+    "union_delete_test4": [
+        (_R, None),
+        ("DELETE FROM dml_union_r WHERE a in (SELECT a FROM dml_union_r INTERSECT ALL SELECT a FROM dml_union_s)", None),
+        (_R, None),
+    ],
+    "union_delete_test5": [
+        (_R, None),
+        ("DELETE FROM dml_union_r WHERE a in (SELECT a FROM dml_union_r EXCEPT SELECT a FROM dml_union_s)", None),
+        (_R, None),
+    ],
+    "union_delete_test6": [
+        (_R, None),
+        ("DELETE FROM dml_union_r WHERE a in (SELECT a FROM dml_union_r EXCEPT ALL SELECT a FROM dml_union_s)", None),
+        (_R, None),
+    ],
+    "union_delete_test7": [
+        (_R, None),
+        ("DELETE FROM dml_union_r WHERE a = (SELECT NULL UNION SELECT NULL)::int", None),
+        (_R, None),
+    ],
+    "union_delete_test8": [
+        (_R, None),
+        ("DELETE FROM dml_union_r WHERE a = (SELECT NULL INTERSECT SELECT NULL)::int", None),
+        (_R, None),
+    ],
+    "union_delete_test9": [
+        (_R, None),
+        ("DELETE FROM dml_union_r WHERE a = (SELECT NULL EXCEPT SELECT NULL)::int", None),
+        (_R, None),
+    ],
+    "union_delete_test10": [
+        (_R, None),
+        ("DELETE FROM dml_union_r WHERE a = (SELECT a FROM dml_union_r UNION SELECT a FROM dml_union_s ORDER BY a LIMIT 1)", None),
+        (_R, None),
+    ],
+    "union_delete_test11": [
+        (_R, None),
+        ("DELETE FROM dml_union_r WHERE a = (SELECT a FROM dml_union_r INTERSECT SELECT a FROM dml_union_s ORDER BY a LIMIT 1)", None),
+        (_R, None),
+    ],
+    "union_delete_test12": [
+        (_R, None),
+        ("DELETE FROM dml_union_r WHERE a = (SELECT a FROM dml_union_r EXCEPT SELECT a FROM dml_union_s ORDER BY a LIMIT 1)", None),
+        (_R, None),
+    ],
+    # :367-386 — DELETE USING
+    "union_delete_test13": [
+        (_R, None),
+        ("DELETE FROM dml_union_r USING (SELECT a FROM dml_union_r UNION SELECT a FROM dml_union_s) foo WHERE foo.a = dml_union_r.a", None),
+        (_R, None),
+    ],
+    "union_delete_test14": [
+        (_R, None),
+        ("DELETE FROM dml_union_r USING (SELECT a FROM dml_union_r INTERSECT SELECT a FROM dml_union_s) foo WHERE foo.a = dml_union_r.a", None),
+        (_R, None),
+    ],
+    "union_delete_test15": [
+        (_R, None),
+        ("DELETE FROM dml_union_r USING (SELECT a FROM dml_union_r EXCEPT SELECT a FROM dml_union_s) foo WHERE foo.a = dml_union_r.a", None),
+        (_R, None),
+    ],
+    # :402-487 — UPDATE with set-op scalar subqueries
+    "union_update_test1": [
+        ("SELECT COUNT(DISTINCT(a)) FROM dml_union_r", None),
+        ("SELECT a FROM dml_union_r UNION SELECT a FROM dml_union_s ORDER BY 1 LIMIT 1", None),
+        ("UPDATE dml_union_r SET a = (SELECT a FROM dml_union_r UNION SELECT a FROM dml_union_s ORDER BY 1 LIMIT 1)", None),
+        ("SELECT COUNT(DISTINCT(a)) FROM dml_union_r", None),
+    ],
+    "union_update_test2": [
+        ("SELECT COUNT(DISTINCT(a)) FROM dml_union_r", None),
+        ("UPDATE dml_union_r SET a = (SELECT a FROM dml_union_r UNION ALL SELECT a FROM dml_union_s ORDER BY 1 LIMIT 1)", None),
+        ("SELECT COUNT(DISTINCT(a)) FROM dml_union_r", None),
+        ("SELECT DISTINCT(a) FROM dml_union_r", None),
+    ],
+    "union_update_test3": [
+        ("SELECT COUNT(*) FROM dml_union_r WHERE a = 1", None),
+        ("SELECT COUNT(*) FROM (SELECT * FROM (SELECT a FROM dml_union_r order by a limit 1) foo INTERSECT SELECT a FROM dml_union_s)bar", None),
+        ("UPDATE dml_union_r SET a = ( SELECT * FROM (SELECT a FROM dml_union_r order by a limit 1) foo INTERSECT SELECT a FROM dml_union_s)", None),
+        ("SELECT COUNT(*) FROM dml_union_r WHERE a = 1", None),
+    ],
+    "union_update_test4": [
+        ("SELECT COUNT(*) FROM dml_union_r WHERE a = 1", None),
+        ("SELECT COUNT(*) FROM (SELECT * FROM (SELECT a FROM dml_union_r ORDER BY 1 limit 1) foo INTERSECT ALL SELECT a FROM dml_union_s)bar", None),
+        ("UPDATE dml_union_r SET a = ( SELECT * FROM (SELECT a FROM dml_union_r ORDER BY 1 limit 1) foo INTERSECT ALL SELECT a FROM dml_union_s)", None),
+        ("SELECT COUNT(*) FROM dml_union_r WHERE a = 1", None),
+    ],
+    # union_update_test5/6 use LIMIT 1 with no ORDER BY; the picked row is
+    # arbitrary but the outcome is not: every non-NULL r.a value occurs in
+    # s, so EXCEPT [ALL] leaves nothing either way and a becomes NULL.
+    "union_update_test5": [
+        ("SELECT SUM(a) FROM dml_union_r", None),
+        ("SELECT COUNT(*) FROM (SELECT * FROM (SELECT a FROM dml_union_r limit 1) foo EXCEPT SELECT a FROM dml_union_s)bar", None),
+        ("UPDATE dml_union_r SET a = ( SELECT * FROM (SELECT a FROM dml_union_r limit 1) foo EXCEPT SELECT a FROM dml_union_s)", None),
+        ("SELECT SUM(a) FROM dml_union_r", None),
+    ],
+    "union_update_test6": [
+        ("UPDATE dml_union_r SET a = ( SELECT * FROM (SELECT a FROM dml_union_r limit 1) foo EXCEPT ALL SELECT a FROM dml_union_s)", None),
+        ("SELECT DISTINCT(a) FROM dml_union_r", None),
+    ],
+    "union_update_test7": [
+        ("UPDATE dml_union_r SET a = (SELECT NULL UNION SELECT NULL)::int", None),
+        ("SELECT DISTINCT(a) FROM dml_union_r", None),
+    ],
+    "union_update_test8": [
+        ("UPDATE dml_union_r SET a = (SELECT NULL INTERSECT SELECT NULL)::int", None),
+        ("SELECT DISTINCT(a) FROM dml_union_r", None),
+    ],
+    "union_update_test9": [
+        ("UPDATE dml_union_r SET a = (SELECT NULL INTERSECT ALL SELECT NULL)::int", None),
+        ("SELECT DISTINCT(a) FROM dml_union_r", None),
+    ],
+    "union_update_test10": [
+        ("SELECT COUNT(DISTINCT(a)) FROM dml_union_r", None),
+        ("UPDATE dml_union_r SET a = (SELECT NULL EXCEPT SELECT NULL)::int", None),
+        ("SELECT COUNT(DISTINCT(a)) FROM dml_union_r", None),
+    ],
+    "union_update_test11": [
+        ("SELECT COUNT(DISTINCT(c)) FROM dml_union_r", None),
+        ("UPDATE dml_union_r SET c = (SELECT NULL EXCEPT ALL SELECT NULL)", None),
+        ("SELECT COUNT(DISTINCT(c)) FROM dml_union_r", None),
+    ],
+    "union_update_test12": [
+        ("SELECT COUNT(DISTINCT(d)) FROM dml_union_s", None),
+        ("UPDATE dml_union_s SET d = (SELECT NULL UNION SELECT NULL)::numeric", None),
+        ("SELECT COUNT(DISTINCT(d)) FROM dml_union_s", None),
+    ],
+    "union_update_test13": [
+        ("SELECT COUNT(DISTINCT(d)) FROM dml_union_s", None),
+        ("UPDATE dml_union_s SET d = (SELECT NULL INTERSECT SELECT NULL)::numeric", None),
+        ("SELECT COUNT(DISTINCT(d)) FROM dml_union_s", None),
+    ],
+    "union_update_test14": [
+        ("SELECT COUNT(DISTINCT(d)) FROM dml_union_s", None),
+        ("UPDATE dml_union_s SET d = (SELECT NULL INTERSECT ALL SELECT NULL)::numeric", None),
+        ("SELECT COUNT(DISTINCT(d)) FROM dml_union_s", None),
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def warehouse(tmp_path_factory):
+    return tmp_path_factory.mktemp("union_dml")
+
+
+@pytest.fixture()
+def engines(spark, warehouse, request):
+    # brackets in pytest node names are glob metacharacters to Spark paths
+    safe = re.sub(r"\W+", "_", request.node.name)
+    eng = GreengageEngine(spark, str(warehouse / safe))
+    con = duckdb.connect()
+    con.execute("SET default_null_order='nulls_last_on_asc_first_on_desc'")
+    for sql, duck in _SETUP:
+        eng.execute(sql)
+        con.execute(duck or sql)
+    yield eng, con
+    con.close()
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        nr = []
+        for v in r:
+            if isinstance(v, Decimal):
+                v = round(float(v), 6)
+            elif isinstance(v, float):
+                v = round(v, 6)
+            elif isinstance(v, int) and abs(v) < 2**52:
+                v = float(v)
+            nr.append(v)
+        out.append(tuple(nr))
+    return sorted(out, key=lambda t: tuple((x is not None, x) for x in t))
+
+
+@pytest.mark.parametrize("name", sorted(BLOCKS))
+def test_union_dml_block(engines, name):
+    eng, con = engines
+    for sql, duck in BLOCKS[name]:
+        if sql.lstrip().lower().startswith("select"):
+            got = _norm([tuple(r) for r in eng.execute(sql).collect()])
+            want = _norm(con.execute(duck or sql).fetchall())
+            assert got == want, f"{name}: {sql[:90]}...\nspark={got[:5]}\nduck={want[:5]}"
+        else:
+            eng.execute(sql)
+            con.execute(duck or sql)
+
+
+def test_union_test28_scalar_subquery_rejected(engines):
+    """qp_union_intersect.sql:253-256 — a scalar subquery producing more
+    than one row errors at runtime in PG and in Spark alike."""
+    eng, _ = engines
+    with pytest.raises(Exception):
+        eng.execute(
+            "INSERT INTO dml_union_r SELECT (SELECT dml_union_r.d::int FROM "
+            "dml_union_r INTERSECT SELECT dml_union_s.d FROM dml_union_s "
+            "ORDER BY 1),1,'newval',1.000"
+        )
