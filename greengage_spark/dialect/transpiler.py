@@ -108,7 +108,8 @@ _TYPE_MAP = {
     "int4": "INT", "int": "INT", "integer": "INT",
     "int8": "BIGINT", "bigint": "BIGINT", "oid": "BIGINT",
     "float4": "FLOAT", "real": "FLOAT",
-    "float8": "DOUBLE",
+    # bare `float` is float8 in PG (gram.y SimpleTypename; float(p) p>24 ≡ float8)
+    "float8": "DOUBLE", "float": "DOUBLE",
     "bool": "BOOLEAN", "boolean": "BOOLEAN",
     "text": "STRING", "varchar": "STRING", "char": "STRING",
     "bpchar": "STRING", "name": "STRING", "citext": "STRING",
@@ -780,6 +781,67 @@ def _pass_count_noargs(toks: list[str]) -> list[str]:
         ):
             toks = toks[: i + 2] + ["*"] + toks[i + 2 :]
         i += 1
+    return toks
+
+
+def _pass_agg_filter(toks: list[str]) -> list[str]:
+    """Aggregate FILTER clause (PG 9.4 gram.y filter_clause; parse_agg.c
+    aggfilter) — ``agg(args) FILTER (WHERE p)`` → ``agg(CASE WHEN p THEN
+    arg END)`` per argument.  The CASE rewrite is PG's own documented
+    equivalence for strict/null-skipping aggregates and — unlike Spark's
+    native FILTER syntax — also works under a window ``OVER`` clause,
+    which Spark does not support (nodeWindowAgg.c evaluates aggfilter
+    per-row; we pre-null the inputs instead).  ``count(*) FILTER`` counts
+    a CASE-guarded literal 1."""
+    i = 0
+    while i + 1 < len(toks):
+        if not (
+            _is_ident(toks[i])
+            and toks[i].lower() == "filter"
+            and toks[i + 1] == "("
+            and i >= 1
+            and toks[i - 1] == ")"
+        ):
+            i += 1
+            continue
+        fclose = _match_paren(toks, i + 1)
+        inner = toks[i + 2 : fclose]
+        if not inner or inner[0].lower() != "where":
+            i += 1
+            continue
+        pred = inner[1:]
+        # backward-match the aggregate's argument parens
+        depth = 0
+        aopen = None
+        for j in range(i - 1, -1, -1):
+            if toks[j] == ")":
+                depth += 1
+            elif toks[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    aopen = j
+                    break
+        if aopen is None or aopen == 0 or not _is_ident(toks[aopen - 1]):
+            i += 1
+            continue
+        args = toks[aopen + 1 : i - 1]
+        distinct = bool(args) and args[0].lower() == "distinct"
+        if distinct:
+            args = args[1:]
+        if args == ["*"]:
+            arg_lists = [["1"]]
+        else:
+            arg_lists = _split_args(args)
+        new_args: list[str] = []
+        for k, a in enumerate(arg_lists):
+            if k:
+                new_args.append(",")
+            new_args += ["case", "when"] + list(pred) + ["then"] + a + ["end"]
+        if distinct:
+            new_args = ["distinct"] + new_args
+        toks = toks[: aopen + 1] + new_args + [")"] + toks[fclose + 1 :]
+        # rescan from the aggregate head (predicate may itself hold FILTER)
+        i = aopen
     return toks
 
 
@@ -1574,6 +1636,7 @@ def transpile(sql: str) -> str:
     toks = _pass_single_grouping_set(toks)
     toks = _pass_targetlist_srf(toks)
     toks = _pass_count_noargs(toks)
+    toks = _pass_agg_filter(toks)
     toks = _pass_array_constructor(toks)
     toks = _pass_from_srf_items(toks)
     toks = _pass_casts(toks)

@@ -303,6 +303,39 @@ def dialect_case_nullif(spark, sf_dir):
 
 
 @suite.add(
+    "dialect_agg_filter",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS cnt_big,
+           COUNT(o_custkey) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+           MAX(o_totalprice::decimal(18,2)) FILTER (WHERE o_orderstatus = 'O') AS max_open,
+           SUM(o_totalprice::decimal(18,2)) FILTER (WHERE o_orderdate >= DATE '1995-01-01') AS sum_recent,
+           COUNT(*) AS cnt_all
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Aggregate FILTER clause (PG 9.4 filter_clause; reference "
+    "filter.sql) — transpiled to CASE-guarded inputs, so the same "
+    "rewrite also serves windowed aggregates Spark can't FILTER.",
+    tags=("dialect", "aggregate"),
+)
+def dialect_agg_filter(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_totalprice > 100000) AS cnt_big,
+               COUNT(o_custkey) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+               MAX(o_totalprice::numeric(18,2)) FILTER (WHERE o_orderstatus = 'O') AS max_open,
+               SUM(o_totalprice::numeric(18,2)) FILTER (WHERE o_orderdate >= DATE '1995-01-01') AS sum_recent,
+               COUNT(*) AS cnt_all
+        FROM orders GROUP BY o_orderpriority
+        """,
+        ["orders"],
+    )
+
+
+@suite.add(
     "dialect_interval_arith",
     oracle="""
     SELECT o_orderkey,

@@ -187,6 +187,13 @@ _TABLES = {
     "foo_gset_const": ("a int", "a", "(0), (1)"),
     # aggregate_with_groupingsets.sql:140-142
     "foo_gset_dqa": ("i int, j int", "i, j", "(1,1), (2,1)"),
+    # filter.sql:1-14 fixture — aggregate FILTER clause tests
+    "filter_test": (
+        "i int, j int",
+        "i, j",
+        "(1, 1), (2, 1), (3, 1), (4, 2), (NULL, 2), (6, 2), "
+        "(7, 3), (8, NULL), (9, 3), (10, NULL)",
+    ),
     # qp_correlated_query.sql:10-88 fixture (csq_heap_in setup)
     "qp_csq_t1": ("a int, b int", "a, b", "(1,2), (3,4), (5,6), (7,8)"),
     "qp_csq_t2": ("x int, y int", "x, y", "(1,1), (3,9), (5,25), (7,49)"),
@@ -2217,4 +2224,109 @@ LASJ_QUERIES = {
 @pytest.mark.parametrize("name", sorted(LASJ_QUERIES))
 def test_reference_lasj_query(olap, name):
     ref, duck = LASJ_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+# --------------------------------------------------------------------------
+# filter.sql — aggregate FILTER clause (PG 9.4 gram.y filter_clause), verbatim
+# over the filter_test fixture (filter.sql:1-14).  Spark has no FILTER on
+# window aggregates; transpiler rewrites to CASE-guarded inputs
+# (_pass_agg_filter) — PG's own documented equivalence.
+# --------------------------------------------------------------------------
+
+FILTER_QUERIES = {
+    # filter.sql:17-24 — COUNT(*)
+    "f_count_star": ("SELECT count(*) FROM filter_test", None),
+    "f_count_star_true": ("SELECT count(*) FILTER (WHERE TRUE) FROM filter_test", None),
+    "f_count_star_false": ("SELECT count(*) FILTER (WHERE FALSE) FROM filter_test", None),
+    "f_count_star_lt5": ("SELECT count(*) FILTER (WHERE i < 5) FROM filter_test", None),
+    "f_count_star_where": ("SELECT count(*) FROM filter_test WHERE i < 5", None),
+    "f_count_star_j1": ("SELECT count(*) FILTER (WHERE j = 1) FROM filter_test", None),
+    # filter.sql:26-33 — COUNT(i) (null-skipping arg + filter interplay)
+    "f_count_i": ("SELECT count(i) FROM filter_test", None),
+    "f_count_i_true": ("SELECT count(i) FILTER (WHERE TRUE) FROM filter_test", None),
+    "f_count_i_false": ("SELECT count(i) FILTER (WHERE FALSE) FROM filter_test", None),
+    "f_count_i_lt5": ("SELECT count(i) FILTER (WHERE i < 5) FROM filter_test", None),
+    "f_count_i_j1": ("SELECT count(i) FILTER (WHERE j = 1) FROM filter_test", None),
+    # filter.sql:41-63 — MIN/MAX/AVG/SUM
+    "f_max": ("SELECT max(i) FILTER (WHERE i < 5) FROM filter_test", None),
+    "f_min": ("SELECT min(i) FILTER (WHERE i < 5) FROM filter_test", None),
+    "f_avg": ("SELECT AVG(i) FILTER (WHERE i < 5) FROM filter_test", None),
+    "f_sum": ("SELECT sum(i) FILTER (WHERE i < 5) FROM filter_test", None),
+    # filter.sql:65-73 — SUM is non-strict for upconversion; every width
+    "f_sum_int2": ("SELECT sum(i::int2) FILTER (WHERE i < 5) FROM filter_test", None),
+    "f_sum_int4": ("SELECT sum(i::int4) FILTER (WHERE i < 5) FROM filter_test", None),
+    "f_sum_int8": ("SELECT sum(i::int8) FILTER (WHERE i < 5) FROM filter_test", None),
+    "f_sum_float": ("SELECT sum(i::float) FILTER (WHERE i < 5) FROM filter_test", None),
+    "f_sum_float8": ("SELECT sum(i::float8) FILTER (WHERE i < 5) FROM filter_test", None),
+    "f_sum_numeric": ("SELECT sum(i::numeric) FILTER (WHERE i < 5) FROM filter_test", None),
+    # filter.sql:75-78 — FILTER under a cumulative window aggregate
+    "f_cum_count": (
+        "SELECT i, j, count(j) OVER (order by i) FROM filter_test ORDER BY i",
+        None,
+    ),
+    "f_cum_count_filter": (
+        "SELECT i, j, count(j) FILTER (WHERE i % 2 = 1) OVER (order by i) "
+        "FROM filter_test ORDER BY i",
+        None,
+    ),
+    "f_cum_count_where": (
+        "SELECT i, j, count(j) OVER (order by i) FROM filter_test "
+        "WHERE i % 2 = 1 ORDER BY i",
+        None,
+    ),
+    # filter.sql:80-82 — FILTER under a partitioned window aggregate
+    "f_part_count": (
+        "select i, j, count(i) over (partition by j) from filter_test ORDER BY j, i",
+        None,
+    ),
+    "f_part_count_filter": (
+        "select i, j, count(i) filter (WHERE i % 2 = 1) over (partition by j) "
+        "from filter_test ORDER BY j, i",
+        None,
+    ),
+    # filter.sql:84-88 — FILTER under a rolling frame via a named WINDOW clause
+    "f_roll_count": (
+        "select i, j, count(i) over(w) from filter_test "
+        "window w as (order by i rows between 1 preceding and 1 following) ORDER BY i",
+        # DuckDB can't parenthesize a frame-bearing named window reference
+        "select i, j, count(i) over w from filter_test "
+        "window w as (order by i rows between 1 preceding and 1 following) ORDER BY i",
+    ),
+    "f_roll_count_filter": (
+        "select i, j, count(i) filter (where j = 2) over(w) from filter_test "
+        "window w as (order by i rows between 1 preceding and 1 following) ORDER BY i",
+        "select i, j, count(i) filter (where j = 2) over w from filter_test "
+        "window w as (order by i rows between 1 preceding and 1 following) ORDER BY i",
+    ),
+    # filter.sql:90-99 — FILTER inside a grouped subquery + running subtotal
+    "f_group_count": (
+        "select j, count(i) from filter_test group by j ORDER BY j",
+        None,
+    ),
+    "f_group_subtotal": (
+        "select o.*, sum(count_num) over (order by j) as count_subtotal "
+        "from (select j, count(i) filter (WHERE i%2 = 0) as count_even, "
+        "count(i) filter (WHERE i%2 = 1) as count_odd, "
+        "count(i) as count_num from filter_test group by j) o ORDER BY j",
+        None,
+    ),
+    # filter.sql:102-106 — multi-parameter aggregates (both args CASE-guarded)
+    "f_covar_pop": ("select covar_pop(i,j) from filter_test", None),
+    "f_covar_pop_where": ("select covar_pop(i,j) from filter_test where i < 5", None),
+    "f_covar_pop_filter": (
+        "select covar_pop(i,j) filter (where i < 5) from filter_test",
+        None,
+    ),
+    "f_covar_pop_where_in": ("select covar_pop(i,j) from filter_test where j in (1,2)", None),
+    "f_covar_pop_filter_in": (
+        "select covar_pop(i,j) filter (where j in (1,2)) from filter_test",
+        None,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(FILTER_QUERIES))
+def test_reference_filter_query(olap, name):
+    ref, duck = FILTER_QUERIES[name]
     _check(olap, ref, duck)
