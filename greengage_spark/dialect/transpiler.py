@@ -845,6 +845,136 @@ def _pass_agg_filter(toks: list[str]) -> list[str]:
     return toks
 
 
+def _pass_decode(toks: list[str]) -> list[str]:
+    """Oracle-style DECODE(expr, search, result …[, default]) (Greenplum
+    parse-time sugar, reference decode_expr.sql) → searched CASE with
+    null-safe matching: DECODE treats NULL as equal to NULL, so each arm
+    compares with ``<=>``.  Two-argument decode(data, format) is PG's
+    binary decode (encode.c) and is left untouched."""
+    i = 0
+    while i + 1 < len(toks):
+        if not (
+            _is_ident(toks[i]) and toks[i].lower() == "decode" and toks[i + 1] == "("
+        ):
+            i += 1
+            continue
+        close = _args_span(toks, i + 1)
+        args = _split_args(toks[i + 2 : close])
+        if len(args) < 3:
+            i += 1
+            continue
+        test = ["("] + args[0] + [")"]
+        pairs, default = args[1:], None
+        if len(pairs) % 2 == 1:
+            default = pairs[-1]
+            pairs = pairs[:-1]
+        out = ["case"]
+        for k in range(0, len(pairs), 2):
+            out += ["when"] + test + ["<=>", "("] + pairs[k] + [")", "then"] + pairs[k + 1]
+        if default is not None:
+            out += ["else"] + default
+        out += ["end"]
+        toks = toks[:i] + out + toks[close + 1 :]
+        # rescan at i: nested DECODEs inside args are still ahead
+    return toks
+
+
+def _case_segments(toks: list[str], start: int):
+    """Split a CASE body (tokens after ``case`` at ``start``) into
+    (testexpr, [(when_toks, then_toks)], else_toks, end_idx), honoring
+    nested parens and nested CASE…END."""
+    i = start
+    depth = 0
+    case_depth = 0
+    test: list[str] = []
+    whens: list[tuple[list[str], list[str]]] = []
+    else_toks: list[str] | None = None
+    cur_when: list[str] | None = None
+    cur_then: list[str] | None = None
+    bucket = test
+    while i < len(toks):
+        t = toks[i]
+        low = t.lower() if _is_ident(t) else t
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and low == "case":
+            case_depth += 1
+        elif depth == 0 and case_depth > 0 and low == "end":
+            case_depth -= 1
+        elif depth == 0 and case_depth == 0:
+            if low == "when":
+                if cur_when is not None:
+                    whens.append((cur_when, cur_then or []))
+                cur_when, cur_then = [], None
+                bucket = cur_when
+                i += 1
+                continue
+            if low == "then":
+                cur_then = []
+                bucket = cur_then
+                i += 1
+                continue
+            if low == "else":
+                if cur_when is not None:
+                    whens.append((cur_when, cur_then or []))
+                    cur_when = None
+                else_toks = []
+                bucket = else_toks
+                i += 1
+                continue
+            if low == "end":
+                if cur_when is not None:
+                    whens.append((cur_when, cur_then or []))
+                return test, whens, else_toks, i
+        bucket.append(t)
+        i += 1
+    raise ValueError("CASE without END")
+
+
+def _pass_case_notdistinct(toks: list[str]) -> list[str]:
+    """Greenplum grammar extension ``CASE x WHEN IS NOT DISTINCT FROM y
+    THEN …`` (gram.y when_clause; reference case_gp.sql) — a simple CASE
+    whose arms may match null-safely.  Rewritten to a searched CASE:
+    extension arms compare with ``<=>``, plain arms with ``=`` (PG simple
+    CASE semantics).  Only fires when the extension syntax is present."""
+    i = 0
+    while i < len(toks):
+        if not (_is_ident(toks[i]) and toks[i].lower() == "case"):
+            i += 1
+            continue
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        if nxt is None or (_is_ident(nxt) and nxt.lower() in ("when", "end")):
+            i += 1
+            continue
+        test, whens, else_toks, end_idx = _case_segments(toks, i + 1)
+        has_ext = any(
+            len(w) >= 4
+            and all(_is_ident(w[k]) for k in range(4))
+            and [w[0].lower(), w[1].lower(), w[2].lower(), w[3].lower()]
+            == ["is", "not", "distinct", "from"]
+            for w, _ in whens
+        )
+        if not has_ext:
+            i += 1
+            continue
+        out = ["case"]
+        for w, th in whens:
+            if [x.lower() for x in w[:4]] == ["is", "not", "distinct", "from"]:
+                out += (
+                    ["when", "("] + test + [")", "<=>", "("] + w[4:] + [")", "then"] + th
+                )
+            else:
+                out += ["when", "("] + test + [")", "=", "("] + w + [")", "then"] + th
+        if else_toks is not None:
+            out += ["else"] + else_toks
+        out += ["end"]
+        toks = toks[:i] + out + toks[end_idx + 1 :]
+        i += 1
+    return toks
+
+
 def _pass_array_constructor(toks: list[str]) -> list[str]:
     """PG ARRAY[…] constructor (gram.y ARRAY '[' expr_list ']') → Spark
     array(…).  Brackets may nest (ARRAY[ARRAY[1],ARRAY[2]]): each pass of
@@ -1637,6 +1767,8 @@ def transpile(sql: str) -> str:
     toks = _pass_targetlist_srf(toks)
     toks = _pass_count_noargs(toks)
     toks = _pass_agg_filter(toks)
+    toks = _pass_decode(toks)
+    toks = _pass_case_notdistinct(toks)
     toks = _pass_array_constructor(toks)
     toks = _pass_from_srf_items(toks)
     toks = _pass_casts(toks)
@@ -1652,6 +1784,14 @@ def transpile(sql: str) -> str:
     toks = _pass_functions(toks)
     toks = _pass_order_by_nulls(toks)
     toks = _pass_subscripts(toks)
+    # PG double-quoted identifiers (ALWAYS identifiers in PG — strings are
+    # single-quoted) → Spark backtick identifiers; '""' unescapes to '"'
+    toks = [
+        "`" + t[1:-1].replace('""', '"').replace("`", "``") + "`"
+        if len(t) >= 2 and t[0] == '"' and t[-1] == '"'
+        else t
+        for t in toks
+    ]
     # re-join with spaces; '.' binds tight (qualified names)
     return " ".join(toks).replace(" . ", ".")
 

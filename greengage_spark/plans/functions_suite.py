@@ -303,6 +303,39 @@ def dialect_case_nullif(spark, sf_dir):
 
 
 @suite.add(
+    "dialect_decode",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus IS NOT DISTINCT FROM 'F' THEN 'finished'
+                WHEN o_orderstatus IS NOT DISTINCT FROM 'O' THEN 'open'
+                WHEN o_orderstatus IS NOT DISTINCT FROM 'P' THEN 'pending'
+                ELSE 'other' END AS status_word,
+           CASE WHEN o_orderpriority IS NOT DISTINCT FROM '1-URGENT' THEN 1 ELSE 0
+                END AS is_urgent
+    FROM orders WHERE o_orderkey < 500
+    """,
+    doc="Oracle-style DECODE() sugar (reference decode_expr.sql) and the "
+    "GP CASE…WHEN IS NOT DISTINCT FROM extension (case_gp.sql) — both "
+    "lower to null-safe <=> searched CASE.",
+    tags=("dialect",),
+)
+def dialect_decode(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               DECODE(o_orderstatus, 'F', 'finished', 'O', 'open', 'P', 'pending',
+                      'other') AS status_word,
+               CASE o_orderpriority WHEN IS NOT DISTINCT FROM '1-URGENT' THEN 1
+                    ELSE 0 END AS is_urgent
+        FROM orders WHERE o_orderkey < 500
+        """,
+        ["orders"],
+    )
+
+
+@suite.add(
     "dialect_agg_filter",
     oracle="""
     SELECT o_orderpriority,

@@ -187,6 +187,78 @@ _TABLES = {
     "foo_gset_const": ("a int", "a", "(0), (1)"),
     # aggregate_with_groupingsets.sql:140-142
     "foo_gset_dqa": ("i int, j int", "i, j", "(1,1), (2,1)"),
+    # case.sql:6-26 fixtures — CASE expression tests
+    "case_tbl": (
+        "i int, f double",
+        "i, f",
+        "(1, 10.1), (2, 20.2), (3, -30.3), (4, NULL)",
+    ),
+    "case2_tbl": (
+        "i int, j int",
+        "i, j",
+        "(1, -1), (2, -2), (3, -3), (2, -4), (1, NULL), (NULL, -6)",
+    ),
+    # case_gp.sql:8-18 fixture — CASE WHEN IS NOT DISTINCT FROM extension
+    "mytable": (
+        "a int, b int, c string",
+        "a, b, c",
+        "(1,2,'t'), (2,3,'e'), (3,4,'o'), (4,5,'o'), (4,4,'o'), "
+        "(5,5,'t'), (6,6,'t'), (7,6,'a'), (8,7,'t'), (9,8,'a')",
+    ),
+    # case_gp.sql:75-80 fixture (serial ids made explicit)
+    "products": (
+        "id int, name string, price decimal(6,2)",
+        "id, name, price",
+        "(1, 'keyboard', CAST(124.99 AS DECIMAL(6,2))), "
+        "(2, 'monitor', CAST(299.99 AS DECIMAL(6,2))), "
+        "(3, 'mouse', CAST(45.59 AS DECIMAL(6,2)))",
+    ),
+    # decode_expr.sql:4-21 fixture — Oracle-style DECODE()
+    "decodeint": (
+        "a int, b int",
+        "a, b",
+        "(0,0), (1,1), (2,2), (3,3), (4,4), (5,5), (6,6), "
+        "(NULL,1), (1,1), (2,1), (3,1), (4,1), (5,1), (6,1)",
+    ),
+    # decode_expr.sql:31-54 (partitioning is a storage detail here)
+    "decodenum1": (
+        "numcol decimal(6,3), distcol int, ptcol int, name string",
+        "numcol, distcol, ptcol, name",
+        "(CAST(1.1 AS DECIMAL(6,3)), 100, 0, 'part0'), "
+        "(CAST(10.10 AS DECIMAL(6,3)), 100, 10, 'part1'), "
+        "(CAST(10.10 AS DECIMAL(6,3)), 200, 200, 'part2'), "
+        "(CAST(20.22 AS DECIMAL(6,3)), 200, 200, 'part2'), "
+        "(CAST(20.22 AS DECIMAL(6,3)), 100, 100, 'part1'), "
+        "(CAST(300.333 AS DECIMAL(6,3)), 300, 300, 'part3'), "
+        "(CAST(300.333 AS DECIMAL(6,3)), 300, 100, 'part1'), "
+        "(CAST(300.333 AS DECIMAL(6,3)), 300, 100, 'part1')",
+    ),
+    # decode_expr.sql:95-103
+    "decodecharao1": (
+        "country_code string, region string",
+        "country_code, region",
+        "('US', 'Americas'), ('CA', 'Americas'), ('UK', 'Europe'), ('FR', 'France')",
+    ),
+    # decode_expr.sql:135-151
+    "decodevarchar": (
+        "dayname string, dayid int",
+        "dayname, dayid",
+        "('Monday', 1), ('Tuesday', 2), ('Wednesday', 3), ('Thursday', 4), "
+        "('Friday', 5), ('Saturday', 6), ('Sunday', 7)",
+    ),
+    # decode_expr.sql:634-646
+    "genders": (
+        "gender string, student_id int",
+        "gender, student_id",
+        "('M', 11111), ('M', 12222), ('F', 22222), ('F', 33333), "
+        "('F', 44444), ('M', 55555), ('F', 55555), ('M', 66666)",
+    ),
+    # nested_case_null.sql:4-9 fixture (state left NULL by the 2-col insert)
+    "nested_case_t": (
+        "pid int, wid int, state string",
+        "pid, wid, state",
+        "(1, 1, CAST(NULL AS STRING))",
+    ),
     # filter.sql:1-14 fixture — aggregate FILTER clause tests
     "filter_test": (
         "i int, j int",
@@ -2329,4 +2401,236 @@ FILTER_QUERIES = {
 @pytest.mark.parametrize("name", sorted(FILTER_QUERIES))
 def test_reference_filter_query(olap, name):
     ref, duck = FILTER_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+# --------------------------------------------------------------------------
+# case.sql / case_gp.sql / nested_case_null.sql / decode_expr.sql — CASE
+# expressions, the Greenplum ``CASE x WHEN IS NOT DISTINCT FROM y`` grammar
+# extension (gram.y when_clause), and Oracle-style DECODE() sugar.  All
+# verbatim; DuckDB overrides spell the GP-only syntax as its searched-CASE
+# equivalent (the reference's own documented semantics).
+# --------------------------------------------------------------------------
+
+CASE_QUERIES = {
+    # case.sql:33-59 — constant CASE forms
+    "c_simple_when": (
+        "SELECT '3' AS \"One\", CASE WHEN 1 < 2 THEN 3 END AS \"Simple WHEN\"",
+        None,
+    ),
+    "c_simple_default": (
+        "SELECT '<NULL>' AS \"One\", CASE WHEN 1 > 2 THEN 3 END AS \"Simple default\"",
+        None,
+    ),
+    "c_simple_else": (
+        "SELECT '3' AS \"One\", CASE WHEN 1 < 2 THEN 3 ELSE 4 END AS \"Simple ELSE\"",
+        None,
+    ),
+    "c_else_default": (
+        "SELECT '4' AS \"One\", CASE WHEN 1 > 2 THEN 3 ELSE 4 END AS \"ELSE default\"",
+        None,
+    ),
+    "c_two_when": (
+        "SELECT '6' AS \"One\", CASE WHEN 1 > 2 THEN 3 WHEN 4 < 5 THEN 6 ELSE 7 END "
+        'AS "Two WHEN with default"',
+        None,
+    ),
+    # case.sql:62-63 — constant folding must not evaluate unreachable 1/0
+    "c_fold_searched": ("SELECT CASE WHEN 1=0 THEN 1/0 WHEN 1=1 THEN 1 ELSE 2/0 END", None),
+    "c_fold_simple": ("SELECT CASE 1 WHEN 0 THEN 1/0 WHEN 1 THEN 1 ELSE 2/0 END", None),
+    # case.sql:70 — untyped literal testexpr
+    "c_untyped_literal": ("SELECT CASE 'a' WHEN 'a' THEN 1 ELSE 2 END", None),
+    # case.sql:76-104 — table targets
+    "c_target_ge3": (
+        "SELECT '' AS \"Five\", CASE WHEN i >= 3 THEN i END AS \">= 3 or Null\" FROM CASE_TBL",
+        None,
+    ),
+    "c_simplest_math": (
+        "SELECT '' AS \"Five\", CASE WHEN i >= 3 THEN (i + i) ELSE i END "
+        'AS "Simplest Math" FROM CASE_TBL',
+        None,
+    ),
+    "c_category": (
+        "SELECT '' AS \"Five\", i AS \"Value\", CASE WHEN (i < 0) THEN 'small' "
+        "WHEN (i = 0) THEN 'zero' WHEN (i = 1) THEN 'one' WHEN (i = 2) THEN 'two' "
+        "ELSE 'big' END AS \"Category\" FROM CASE_TBL",
+        None,
+    ),
+    "c_category_or": (
+        "SELECT '' AS \"Five\", CASE WHEN ((i < 0) or (i < 0)) THEN 'small' "
+        "WHEN ((i = 0) or (i = 0)) THEN 'zero' WHEN ((i = 1) or (i = 1)) THEN 'one' "
+        "WHEN ((i = 2) or (i = 2)) THEN 'two' ELSE 'big' END AS \"Category\" FROM CASE_TBL",
+        None,
+    ),
+    # case.sql:116-133 — NULLIF() and COALESCE() shorthand forms
+    "c_coalesce_where": ("SELECT * FROM CASE_TBL WHERE COALESCE(f,i) = 4", None),
+    "c_nullif_where": ("SELECT * FROM CASE_TBL WHERE NULLIF(f,i) = 2", None),
+    "c_coalesce_cross": ("SELECT COALESCE(a.f, b.i, b.j) FROM CASE_TBL a, CASE2_TBL b", None),
+    "c_coalesce_cross_where": (
+        "SELECT * FROM CASE_TBL a, CASE2_TBL b WHERE COALESCE(a.f, b.i, b.j) = 2",
+        None,
+    ),
+    "c_nullif_pair": (
+        "SELECT '' AS Five, NULLIF(a.i,b.i) AS \"NULLIF(a.i,b.i)\", "
+        'NULLIF(b.i, 4) AS "NULLIF(b.i,4)" FROM CASE_TBL a, CASE2_TBL b',
+        None,
+    ),
+    "c_coalesce_mixed_where": (
+        "SELECT '' AS \"Two\", * FROM CASE_TBL a, CASE2_TBL b WHERE COALESCE(f,b.i) = 2",
+        None,
+    ),
+    # case_gp.sql:62-69 — GP WHEN IS NOT DISTINCT FROM, mixed with plain arms
+    # (negate() SQL UDF inlined as (b * -1), case_gp.sql:54-57)
+    "cgp_myview": (
+        "SELECT a,b, CASE a WHEN IS NOT DISTINCT FROM b THEN b*10 "
+        "WHEN IS NOT DISTINCT FROM b+1 THEN b*100 WHEN b-1 THEN b*1000 "
+        "WHEN b*10 THEN b*10000 WHEN (b * -1) THEN b*(-1.0) ELSE b END AS newb "
+        "FROM mytable ORDER BY a,b",
+        "SELECT a,b, CASE WHEN a IS NOT DISTINCT FROM b THEN b*10 "
+        "WHEN a IS NOT DISTINCT FROM b+1 THEN b*100 WHEN a = b-1 THEN b*1000 "
+        "WHEN a = b*10 THEN b*10000 WHEN a = (b * -1) THEN b*(-1.0) ELSE b END AS newb "
+        "FROM mytable ORDER BY a,b",
+    ),
+    # case_gp.sql:82-87
+    "cgp_products": (
+        "SELECT id,name,price as old_price, CASE name "
+        "WHEN IS NOT DISTINCT FROM 'keyboard' THEN products.price*1.5 "
+        "WHEN IS NOT DISTINCT FROM 'monitor' THEN price*1.2 "
+        "WHEN 'keyboard tray' THEN price*.9 END AS new_price FROM products",
+        "SELECT id,name,price as old_price, CASE "
+        "WHEN name IS NOT DISTINCT FROM 'keyboard' THEN products.price*1.5 "
+        "WHEN name IS NOT DISTINCT FROM 'monitor' THEN price*1.2 "
+        "WHEN name = 'keyboard tray' THEN price*0.9 END AS new_price FROM products",
+    ),
+    # nested_case_null.sql:14 — nested DECODE over a NULL state
+    "c_nested_decode_null": (
+        "SELECT DECODE(DECODE(state, '', NULL, state), '-', NULL, state) AS state "
+        "FROM nested_case_t",
+        "SELECT (CASE WHEN (CASE WHEN state IS NOT DISTINCT FROM '' THEN NULL "
+        "ELSE state END) IS NOT DISTINCT FROM '-' THEN NULL ELSE state END) AS state "
+        "FROM nested_case_t",
+    ),
+}
+
+# case_gp.sql:113-118 — the reference itself rejects these shapes (searched
+# CASE with the extension arm, and extension arms after a non-boolean plain
+# arm whose types can't unify); ours must reject them too.
+CASE_REJECTED = {
+    "cgp_rej_searched_ext": (
+        "SELECT a,b,CASE WHEN IS NOT DISTINCT FROM b THEN b*100 ELSE b*1000 END FROM mytable"
+    ),
+}
+
+DECODE_QUERIES = {
+    # decode_expr.sql:23-28 — int search/result lists, with and without default
+    "d_int": (
+        "select a, decode(a, 1, 'A', 2, 'B', 3, 'C', 4, 'D', 5, 'E') as decode "
+        "from decodeint order by a, b",
+        "select a, CASE WHEN a IS NOT DISTINCT FROM 1 THEN 'A' WHEN a IS NOT DISTINCT FROM 2 "
+        "THEN 'B' WHEN a IS NOT DISTINCT FROM 3 THEN 'C' WHEN a IS NOT DISTINCT FROM 4 "
+        "THEN 'D' WHEN a IS NOT DISTINCT FROM 5 THEN 'E' END as decode "
+        "from decodeint order by a, b",
+    ),
+    "d_int_default": (
+        "select a, decode(a, 1, 'A', 2, 'B', 3, 'C', 4, 'D', 5, 'E', 'Z') as decode "
+        "from decodeint order by a, b",
+        "select a, CASE WHEN a IS NOT DISTINCT FROM 1 THEN 'A' WHEN a IS NOT DISTINCT FROM 2 "
+        "THEN 'B' WHEN a IS NOT DISTINCT FROM 3 THEN 'C' WHEN a IS NOT DISTINCT FROM 4 "
+        "THEN 'D' WHEN a IS NOT DISTINCT FROM 5 THEN 'E' ELSE 'Z' END as decode "
+        "from decodeint order by a, b",
+    ),
+    "d_int_nomatch": (
+        "select a, decode(a, 10, 'J', 11, 'K', 12, 'L', 13, 'M', 14, 'N', 15, 'O', 16, 'P') "
+        "as decode_nomatch from decodeint order by a, b",
+        "select a, CASE WHEN a IS NOT DISTINCT FROM 10 THEN 'J' WHEN a IS NOT DISTINCT FROM 11 "
+        "THEN 'K' WHEN a IS NOT DISTINCT FROM 12 THEN 'L' WHEN a IS NOT DISTINCT FROM 13 "
+        "THEN 'M' WHEN a IS NOT DISTINCT FROM 14 THEN 'N' WHEN a IS NOT DISTINCT FROM 15 "
+        "THEN 'O' WHEN a IS NOT DISTINCT FROM 16 THEN 'P' END "
+        "as decode_nomatch from decodeint order by a, b",
+    ),
+    "d_int_nomatch_def": (
+        "select a, decode(a, 10, 'J', 11, 'K', 12, 'L', 13, 'M', 14, 'N', 15, 'O', 16, 'P', 'Z') "
+        "as decode_nomatch_def from decodeint order by a, b",
+        "select a, CASE WHEN a IS NOT DISTINCT FROM 10 THEN 'J' WHEN a IS NOT DISTINCT FROM 11 "
+        "THEN 'K' WHEN a IS NOT DISTINCT FROM 12 THEN 'L' WHEN a IS NOT DISTINCT FROM 13 "
+        "THEN 'M' WHEN a IS NOT DISTINCT FROM 14 THEN 'N' WHEN a IS NOT DISTINCT FROM 15 "
+        "THEN 'O' WHEN a IS NOT DISTINCT FROM 16 THEN 'P' ELSE 'Z' END "
+        "as decode_nomatch_def from decodeint order by a, b",
+    ),
+    # decode_expr.sql:57 — single search pair over numeric, quoted alias
+    "d_numeric_single": (
+        "select numcol, decode(numcol, 300.333, '300+') "
+        "as \"decode(numcol, 300.333, '300+')\" from decodenum1 order by numcol, distcol",
+        "select numcol, CASE WHEN numcol IS NOT DISTINCT FROM 300.333 THEN '300+' END "
+        "as \"decode(numcol, 300.333, '300+')\" from decodenum1 order by numcol, distcol",
+    ),
+    # decode_expr.sql:106
+    "d_char": (
+        "select country_code, decode(country_code, 'CA', 'Canada') as decode "
+        "from decodecharao1 order by country_code, region",
+        "select country_code, CASE WHEN country_code IS NOT DISTINCT FROM 'CA' "
+        "THEN 'Canada' END as decode from decodecharao1 order by country_code, region",
+    ),
+    # decode_expr.sql:153-158 — boolean results, with and without default
+    "d_varchar_bool": (
+        "select dayname, decode(dayname, 'Monday', true, 'Tuesday', true, 'Wednesday', true, "
+        "'Thursday', true, 'Friday', true, 'Saturday', false, 'Sunday', false) as is_workday "
+        "from decodevarchar order by dayid",
+        "select dayname, CASE WHEN dayname IS NOT DISTINCT FROM 'Monday' THEN true "
+        "WHEN dayname IS NOT DISTINCT FROM 'Tuesday' THEN true "
+        "WHEN dayname IS NOT DISTINCT FROM 'Wednesday' THEN true "
+        "WHEN dayname IS NOT DISTINCT FROM 'Thursday' THEN true "
+        "WHEN dayname IS NOT DISTINCT FROM 'Friday' THEN true "
+        "WHEN dayname IS NOT DISTINCT FROM 'Saturday' THEN false "
+        "WHEN dayname IS NOT DISTINCT FROM 'Sunday' THEN false END as is_workday "
+        "from decodevarchar order by dayid",
+    ),
+    "d_varchar_bool_def": (
+        "select dayname, decode(dayname, 'Monday', true, 'Tuesday', true, 'Wednesday', true, "
+        "'Thursday', true, 'Friday', true, false) as is_workday "
+        "from decodevarchar order by dayid",
+        "select dayname, CASE WHEN dayname IS NOT DISTINCT FROM 'Monday' THEN true "
+        "WHEN dayname IS NOT DISTINCT FROM 'Tuesday' THEN true "
+        "WHEN dayname IS NOT DISTINCT FROM 'Wednesday' THEN true "
+        "WHEN dayname IS NOT DISTINCT FROM 'Thursday' THEN true "
+        "WHEN dayname IS NOT DISTINCT FROM 'Friday' THEN true ELSE false END as is_workday "
+        "from decodevarchar order by dayid",
+    ),
+    # decode_expr.sql:653-655 — text search list over char(1)
+    "d_genders": (
+        "select gender,decode(gender, 'N/A', 'Unknown', 'M', 'Male', 'F', 'Female') "
+        "from genders order by gender,student_id",
+        "select gender, CASE WHEN gender IS NOT DISTINCT FROM 'N/A' THEN 'Unknown' "
+        "WHEN gender IS NOT DISTINCT FROM 'M' THEN 'Male' "
+        "WHEN gender IS NOT DISTINCT FROM 'F' THEN 'Female' END "
+        "from genders order by gender,student_id",
+    ),
+    # decode_expr.sql:945 — date search list, int results, unknown-literal
+    # default (PG resolves '2012' to int; Spark's CASE coercion agrees)
+    "d_dates": (
+        "select decode('2011-01-05'::date, '2011-01-01'::date, 2011, "
+        "'2010-12-30'::date, 2010, '2012')",
+        "select CASE WHEN DATE '2011-01-05' IS NOT DISTINCT FROM DATE '2011-01-01' "
+        "THEN 2011 WHEN DATE '2011-01-05' IS NOT DISTINCT FROM DATE '2010-12-30' "
+        "THEN 2010 ELSE CAST('2012' AS INT) END",
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASE_QUERIES))
+def test_reference_case_query(olap, name):
+    ref, duck = CASE_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+@pytest.mark.parametrize("name", sorted(CASE_REJECTED))
+def test_reference_case_rejected(olap, name):
+    spark, _ = olap
+    with pytest.raises(Exception):
+        pg_sql(spark, CASE_REJECTED[name]).collect()
+
+
+@pytest.mark.parametrize("name", sorted(DECODE_QUERIES))
+def test_reference_decode_query(olap, name):
+    ref, duck = DECODE_QUERIES[name]
     _check(olap, ref, duck)
