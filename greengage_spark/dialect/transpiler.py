@@ -845,6 +845,44 @@ def _pass_agg_filter(toks: list[str]) -> list[str]:
     return toks
 
 
+def _pass_grouping_plain(toks: list[str]) -> list[str]:
+    """GROUPING(…) under a PLAIN group by returns 0 in Greenplum
+    (plangroupext.c treats a non-extended GROUP BY as the single full
+    grouping set; reference qp_olap_group2.sql:199-330).  Spark rejects
+    grouping() outside GroupingSets/Cube/Rollup, so when the statement has
+    no grouping extension at all, fold GROUPING(…) — and GROUP_ID(),
+    which is likewise 0 outside duplicate sets — to the literal 0."""
+    has_ext = False
+    for i, t in enumerate(toks):
+        if not _is_ident(t):
+            continue
+        low = t.lower()
+        if low in ("rollup", "cube") and i + 1 < len(toks) and toks[i + 1] == "(":
+            has_ext = True
+            break
+        if (
+            low == "grouping"
+            and i + 1 < len(toks)
+            and _is_ident(toks[i + 1])
+            and toks[i + 1].lower() == "sets"
+        ):
+            has_ext = True
+            break
+    if has_ext:
+        return toks
+    i = 0
+    while i + 1 < len(toks):
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() in ("grouping", "group_id")
+            and toks[i + 1] == "("
+        ):
+            close = _args_span(toks, i + 1)
+            toks = toks[:i] + ["0"] + toks[close + 1 :]
+        i += 1
+    return toks
+
+
 def _pass_decode(toks: list[str]) -> list[str]:
     """Oracle-style DECODE(expr, search, result …[, default]) (Greenplum
     parse-time sugar, reference decode_expr.sql) → searched CASE with
@@ -1441,7 +1479,29 @@ def _pass_functions(toks: list[str]) -> list[str]:
             args = _split_args(out[i + 2 : close])
 
             if low in ("to_char", "to_date", "to_timestamp") and len(args) == 2 and len(args[1]) == 1 and _is_string(args[1][0]):
-                java = pg_pattern_to_java(args[1][0].strip("'"))
+                tmpl = args[1][0].strip("'")
+                m_num = re.fullmatch(r"(FM)?([9]+)(?:\.([9]+))?", tmpl)
+                if low == "to_char" and m_num:
+                    # numeric template (formatting.c NUM_9): right-align in
+                    # the template width with one sign column; FM strips
+                    # padding.  Decimal-cast renders the fixed scale.
+                    fm, ipart, dpart = m_num.groups()
+                    d = len(dpart) if dpart else 0
+                    p = len(ipart) + d
+                    cast = (
+                        ["CAST", "(", "round", "("]
+                        + args[0]
+                        + [",", str(d), ")", "AS", f"DECIMAL({p},{d})", ")"]
+                    )
+                    if fm:
+                        new = ["CAST", "("] + cast + ["AS", "STRING", ")"]
+                    else:
+                        width = 1 + len(ipart) + (1 + d if dpart else 0)
+                        new = ["lpad", "("] + cast + [",", str(width), ",", "' '", ")"]
+                    out[i : close + 1] = new
+                    i += 1
+                    continue
+                java = pg_pattern_to_java(tmpl)
                 fname = {"to_char": "date_format", "to_date": "to_date", "to_timestamp": "to_timestamp"}[low]
                 out[i : close + 1] = (
                     [fname, "("] + args[0] + [",", f"'{java}'", ")"]
@@ -1767,6 +1827,7 @@ def transpile(sql: str) -> str:
     toks = _pass_targetlist_srf(toks)
     toks = _pass_count_noargs(toks)
     toks = _pass_agg_filter(toks)
+    toks = _pass_grouping_plain(toks)
     toks = _pass_decode(toks)
     toks = _pass_case_notdistinct(toks)
     toks = _pass_array_constructor(toks)

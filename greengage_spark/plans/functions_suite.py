@@ -303,6 +303,34 @@ def dialect_case_nullif(spark, sf_dir):
 
 
 @suite.add(
+    "dialect_to_char_numeric",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%17.7f', o_totalprice) AS amt_tpl,
+           printf('%10.2f', o_totalprice) AS amt_2d,
+           CAST(o_orderkey AS VARCHAR) AS key_fm
+    FROM orders WHERE o_orderkey < 300
+    """,
+    doc="to_char numeric templates (formatting.c NUM_9): right-aligned "
+    "fixed-scale rendering with a sign column; FM strips padding.",
+    tags=("dialect",),
+)
+def dialect_to_char_numeric(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               to_char(o_totalprice, '99999999.9999999') AS amt_tpl,
+               to_char(o_totalprice, '999999.99') AS amt_2d,
+               to_char(o_orderkey, 'FM99999999') AS key_fm
+        FROM orders WHERE o_orderkey < 300
+        """,
+        ["orders"],
+    )
+
+
+@suite.add(
     "dialect_decode",
     oracle="""
     SELECT o_orderkey,

@@ -2634,3 +2634,67 @@ def test_reference_case_rejected(olap, name):
 def test_reference_decode_query(olap, name):
     ref, duck = DECODE_QUERIES[name]
     _check(olap, ref, duck)
+
+
+# --------------------------------------------------------------------------
+# qp_olap_group2.sql — GROUPING() correctness across grouping-set shapes,
+# including DUPLICATE grouping sets (GP planner regression territory: the
+# file exists to prove ORCA handles every combination without fallback).
+# The file is a generated cross-product of selector × group-spec (171
+# queries, qp_olap_group2.sql:9-497); we reproduce the cross-product the
+# same way.  ORDER BY is dropped: _check compares sorted multisets, and
+# the reference's ORDER BY variants only reorder identical result sets.
+# --------------------------------------------------------------------------
+
+_G2_SPECS = {
+    "gs": "GROUPING SETS (sale.pn, product.pname)",
+    "gs_dup": "GROUPING SETS (sale.pn, product.pname, sale.pn)",
+    "gs_pair": "GROUPING SETS ((sale.pn) ,(product.pname, sale.pn))",
+    "rollup1": "ROLLUP((sale.pn,product.pname))",
+    "rollup_dupcol": "ROLLUP((sale.pn,product.pname,sale.pn))",
+    "rollup3": "ROLLUP((sale.pn),(product.pname),(sale.pn))",
+    "plain": "sale.pn, product.pname",
+}
+
+_G2_SELECTORS = {
+    "gpname": "GROUPING(product.pname) as g1",
+    "gpn": "GROUPING(sale.pn) as g1",
+    "gpn_plus": "GROUPING(sale.pn) + 1 as g1",
+    "sum": "SUM(sale.pn) as g1",
+    "gpname_gpn": "GROUPING(product.pname) as g1, GROUPING(sale.pn) as g2",
+    "gpname_sum": "GROUPING(product.pname) as g1, SUM(sale.pn) as g2",
+    "gpn_const": "GROUPING(sale.pn) as g1, 'CONST' as g2",
+    "col_gpname": "sale.pn, GROUPING(product.pname) as g1",
+    "col_sum": "sale.pn, SUM(sale.pn) as g1",
+}
+
+G2_QUERIES = {
+    f"g2_{sel}_{spec}": (
+        f"SELECT {_G2_SELECTORS[sel]} FROM product, sale "
+        f"WHERE product.pn=sale.pn GROUP BY {_G2_SPECS[spec]}",
+        None,
+    )
+    for sel in _G2_SELECTORS
+    for spec in _G2_SPECS
+}
+
+# qp_olap_group2.sql:330-497 — grouping-sets subquery under UNION (distinct)
+G2_QUERIES["g2_union_self"] = (
+    "select 'a', * from ((SELECT GROUPING(product.pname) as g1 FROM product, sale "
+    "WHERE product.pn=sale.pn GROUP BY GROUPING SETS (sale.pn, product.pname) ORDER BY g1) "
+    "UNION (SELECT GROUPING(product.pname) as g1 FROM product, sale "
+    "WHERE product.pn=sale.pn GROUP BY GROUPING SETS (sale.pn, product.pname) ORDER BY g1))a",
+    None,
+)
+G2_QUERIES["g2_union_mixed"] = (
+    "select 'a', * from ((SELECT GROUPING(product.pname) as g1 FROM product, sale "
+    "WHERE product.pn=sale.pn GROUP BY GROUPING SETS (sale.pn, product.pname) ORDER BY g1) "
+    "UNION (SELECT sale.pn FROM sale)) as a",
+    None,
+)
+
+
+@pytest.mark.parametrize("name", sorted(G2_QUERIES))
+def test_reference_group2_query(olap, name):
+    ref, duck = G2_QUERIES[name]
+    _check(olap, ref, duck)
