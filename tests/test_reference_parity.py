@@ -259,6 +259,36 @@ _TABLES = {
         "pid, wid, state",
         "(1, 1, CAST(NULL AS STRING))",
     ),
+    # qp_union_intersect.sql:15-44 fixtures (begin/commit framing dropped;
+    # partitioning of dml_union_s is a storage detail)
+    "dml_union_r": (
+        "a int, b int, c string, d int",
+        "a, b, c, d",
+        ", ".join(f"({i}, {i * 3}, 'r', {i % 6})" for i in range(1, 101))
+        + ", " + ", ".join("(NULL, NULL, 'text', NULL)" for _ in range(5))
+        + ", " + ", ".join(f"({i}, {i}, 'text', {i})" for i in range(1, 6))
+        + ", " + ", ".join(f"({i}, {i}, 'text', {i})" for i in range(1, 6))
+        + ", " + ", ".join(f"({i}, {i + 1}, 'text', {i + 2})" for i in range(1, 6)),
+    ),
+    "dml_union_s": (
+        "a int, b int, c string, d int",
+        "a, b, c, d",
+        ", ".join(f"({i}, {i * 3}, 's', {i})" for i in range(1, 101))
+        + ", " + ", ".join(f"({i}, {i}, 'text', {i})" for i in range(1, 6))
+        + ", " + ", ".join(f"({i}, {i}, 'text', {i})" for i in range(1, 6))
+        + ", " + ", ".join(f"({i}, {i + 1}, 'text', {i + 2})" for i in range(1, 6)),
+    ),
+    # union_gp.sql:45-47 fixtures (CTAS from generate_series)
+    "union_quals1": (
+        "a int, b int",
+        "a, b",
+        ", ".join(f"({i}, {i % 2})" for i in range(1, 11)),
+    ),
+    "union_quals2": (
+        "a int, b int",
+        "a, b",
+        ", ".join(f"({i % 2}, {i})" for i in range(1, 11)),
+    ),
     # filter.sql:1-14 fixture — aggregate FILTER clause tests
     "filter_test": (
         "i int, j int",
@@ -2697,4 +2727,224 @@ G2_QUERIES["g2_union_mixed"] = (
 @pytest.mark.parametrize("name", sorted(G2_QUERIES))
 def test_reference_group2_query(olap, name):
     ref, duck = G2_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+# --------------------------------------------------------------------------
+# qp_union_intersect.sql — INTERSECT [ALL] / EXCEPT [ALL] / UNION [ALL]
+# over the dml_union_r/s fixtures (nodeSetOp.c, cdbsetop.c).  The file
+# wraps each set-op in an INSERT…rollback to exercise DML; the SELECT
+# COUNT(*) probes — taken verbatim — are the observable semantics.
+# --------------------------------------------------------------------------
+
+QPUI_QUERIES = {
+    # qp_union_intersect.sql:48-108 — INTERSECT family
+    "qpui_intersect": (
+        "SELECT COUNT(*) FROM (SELECT dml_union_r.a, dml_union_r.b, dml_union_r.c, "
+        "dml_union_r.d FROM dml_union_r INTERSECT SELECT dml_union_s.* FROM dml_union_s)foo",
+        None,
+    ),
+    "qpui_intersect_all": (
+        "SELECT COUNT(*) FROM (SELECT dml_union_r.* FROM dml_union_r INTERSECT ALL "
+        "SELECT dml_union_s.a, dml_union_s.b, dml_union_s.c, dml_union_s.d FROM dml_union_s)foo",
+        None,
+    ),
+    "qpui_intersect_gs": (
+        "SELECT COUNT(*) FROM (SELECT generate_series(1,10) INTERSECT "
+        "SELECT generate_series(1,100))foo",
+        # DuckDB has no targetlist SRF expansion: table-function form
+        "SELECT COUNT(*) FROM (SELECT * FROM generate_series(1,10) INTERSECT "
+        "SELECT * FROM generate_series(1,100))foo",
+    ),
+    "qpui_intersect_gs_all": (
+        "SELECT COUNT(*) FROM (SELECT generate_series(1,10) INTERSECT ALL "
+        "SELECT generate_series(1,100))foo",
+        "SELECT COUNT(*) FROM (SELECT * FROM generate_series(1,10) INTERSECT ALL "
+        "SELECT * FROM generate_series(1,100))foo",
+    ),
+    "qpui_intersect_const": (
+        "SELECT COUNT(*) FROM (SELECT dml_union_r.a, dml_union_r.b,'A' as c, 0 as d "
+        "FROM dml_union_r INTERSECT SELECT dml_union_s.a, dml_union_s.b,'A' as C,0 as d "
+        "FROM dml_union_s)foo",
+        None,
+    ),
+    "qpui_intersect_distinct": (
+        "SELECT COUNT(*) FROM (SELECT distinct a,b,c,d FROM dml_union_r INTERSECT "
+        "SELECT distinct a,b,c,d FROM dml_union_s)foo",
+        None,
+    ),
+    "qpui_intersect_distinct_all": (
+        "SELECT COUNT(*) FROM (SELECT distinct a,b,c,d FROM dml_union_r INTERSECT ALL "
+        "SELECT distinct a,b,c,d FROM dml_union_s)foo",
+        None,
+    ),
+    # qp_union_intersect.sql:110-172 — EXCEPT family
+    "qpui_except": (
+        "SELECT COUNT(*) FROM (SELECT dml_union_r.a, dml_union_r.b, dml_union_r.c, "
+        "dml_union_r.d FROM dml_union_r EXCEPT SELECT * FROM dml_union_s)foo",
+        None,
+    ),
+    "qpui_except_all": (
+        "SELECT COUNT(*) FROM (SELECT * FROM dml_union_r EXCEPT ALL "
+        "SELECT dml_union_s.* FROM dml_union_s)foo",
+        None,
+    ),
+    "qpui_except_gs": (
+        "SELECT COUNT(*) FROM (SELECT generate_series(1,10) EXCEPT ALL "
+        "SELECT generate_series(1,10))foo",
+        "SELECT COUNT(*) FROM (SELECT * FROM generate_series(1,10) EXCEPT ALL "
+        "SELECT * FROM generate_series(1,10))foo",
+    ),
+    "qpui_except_pred": (
+        "SELECT COUNT(*) FROM (SELECT * FROM (SELECT * FROM dml_union_r EXCEPT ALL "
+        "SELECT * FROM dml_union_s) foo WHERE c='text')bar",
+        None,
+    ),
+    "qpui_except_pred0": (
+        "SELECT COUNT(*) FROM (SELECT * FROM (SELECT * FROM dml_union_r EXCEPT "
+        "SELECT * FROM dml_union_s) foo WHERE c='s')bar",
+        None,
+    ),
+    "qpui_except_const": (
+        "SELECT COUNT(*) FROM (SELECT dml_union_r.a, dml_union_r.b,'A' as c ,0 as d "
+        "FROM dml_union_r EXCEPT ALL SELECT dml_union_s.a, dml_union_s.b,'A' as C,0 as d "
+        "FROM dml_union_s)foo",
+        None,
+    ),
+    "qpui_except_distinct": (
+        "SELECT COUNT(*) FROM (SELECT distinct a,b,c,d FROM dml_union_r EXCEPT "
+        "SELECT distinct a,b,c,d FROM dml_union_s)foo",
+        None,
+    ),
+    "qpui_except_distinct_all": (
+        "SELECT COUNT(*) FROM (SELECT distinct a,b,c,d FROM dml_union_r EXCEPT ALL "
+        "SELECT distinct a,b,c,d FROM dml_union_s)foo",
+        None,
+    ),
+    # qp_union_intersect.sql:174-245 — UNION family
+    "qpui_union": (
+        "SELECT COUNT(*) FROM (SELECT dml_union_r.a, dml_union_r.b, dml_union_r.c, "
+        "dml_union_r.d FROM dml_union_r UNION SELECT dml_union_s.* FROM dml_union_s)foo",
+        None,
+    ),
+    "qpui_union_all": (
+        "SELECT COUNT(*) FROM (SELECT dml_union_r.* FROM dml_union_r UNION All "
+        "SELECT * FROM dml_union_s)foo",
+        None,
+    ),
+    "qpui_union_gs": (
+        "SELECT COUNT(*) FROM (SELECT generate_series(1,10) UNION "
+        "SELECT generate_series(1,10))foo",
+        "SELECT COUNT(*) FROM (SELECT * FROM generate_series(1,10) UNION "
+        "SELECT * FROM generate_series(1,10))foo",
+    ),
+    "qpui_union_gs_all": (
+        "SELECT COUNT(*) FROM (SELECT generate_series(1,10) UNION ALL "
+        "SELECT generate_series(1,10))foo",
+        "SELECT COUNT(*) FROM (SELECT * FROM generate_series(1,10) UNION ALL "
+        "SELECT * FROM generate_series(1,10))foo",
+    ),
+    "qpui_union_limit": (
+        "SELECT COUNT(*) FROM (SELECT * FROM dml_union_r UNION ALL "
+        "SELECT * FROM dml_union_s ORDER BY 1,2,3,4) foo LIMIT 10",
+        None,
+    ),
+    "qpui_union_scalar_subq": (
+        "SELECT COUNT(*) FROM (SELECT NULL,(SELECT NULL f1 FROM dml_union_r UNION "
+        "SELECT NULL f1 FROM dml_union_s)::int, 'nullval',NULL)foo",
+        None,
+    ),
+    "qpui_union_exists": (
+        "SELECT COUNT(*) FROM (SELECT AVG(a),10,'avg',10 FROM dml_union_r WHERE exists "
+        "(SELECT a FROM dml_union_r UNION ALL SELECT b FROM dml_union_s))foo",
+        None,
+    ),
+    "qpui_union_distinct": (
+        "SELECT COUNT(*) FROM (SELECT distinct a,b,c,d FROM dml_union_r UNION "
+        "SELECT distinct a,b,c,d FROM dml_union_s)foo",
+        None,
+    ),
+    "qpui_union_avg": (
+        "SELECT COUNT(*) FROM (SELECT * FROM (SELECT AVG(a) as a FROM dml_union_r UNION "
+        "SELECT AVG(b) as a FROM dml_union_s) foo)bar",
+        None,
+    ),
+}
+
+
+# --------------------------------------------------------------------------
+# union_gp.sql — GPDB-added UNION tests: NULL-literal typing, set-op +
+# DISTINCT combinations (MPP-22266), qual pushdown below union (MPP-21075).
+# --------------------------------------------------------------------------
+
+UNION_GP_QUERIES = {
+    # union_gp.sql:9-15
+    "ug_int_null": ("select 1 union select distinct null::integer", None),
+    "ug_3col_nulls": (
+        "select 1 a, NULL b, NULL c UNION SELECT 2, 3, NULL UNION SELECT 3, NULL, 4",
+        None,
+    ),
+    "ug_array_null": ("select ARRAY[1, 2, 3] union select distinct null::integer[]", None),
+    "ug_rownum_const_part": (
+        "select 1 a, row_number() over (partition by 'a') union all (select 1 a , 2 b)",
+        None,
+    ),
+    # union_gp.sql:48-50 — MPP-21075: push quals below union
+    "ug_qual_pushdown": (
+        "SELECT * FROM (SELECT a, b from union_quals1 UNION SELECT b, a from union_quals2) "
+        "as foo(a,b) where a > b order by a",
+        None,
+    ),
+    "ug_qual_pushdown_window": (
+        "SELECT * FROM (SELECT a, max(b) over() from union_quals1 UNION SELECT * from "
+        "union_quals2) as foo(a,b) where b > 6 order by a,b",
+        None,
+    ),
+    # union_gp.sql:53-64 — MPP-22266: set operations and distinct
+    "ug_distinct_subq": (
+        "select * from ((select 1, 'A' from (select distinct 'B') as foo) union "
+        "(select 1, 'C')) as bar",
+        None,
+    ),
+    # PG types the unknown literal '10' as int from the union context;
+    # DuckDB would unify to varchar, so its side spells the int
+    "ug_unknown_int": (
+        "select 1 union (select distinct null::integer union select '10')",
+        "select 1 union (select distinct null::integer union select 10)",
+    ),
+    "ug_nested_distinct": (
+        "select 1 union (select 2 from (select distinct null::integer union select 1) as x)",
+        None,
+    ),
+    "ug_distinct_chain1": ("select distinct a from (select 'A' union select 'B') as foo(a)", None),
+    "ug_distinct_chain2": (
+        "select distinct a from (select distinct 'A' union select 'B') as foo(a)",
+        None,
+    ),
+    "ug_distinct_chain3": (
+        "select distinct a from (select distinct 'A' union select distinct 'B') as foo(a)",
+        None,
+    ),
+    "ug_distinct_chain4": (
+        "select distinct a from (select  'A' from (select distinct 'C' ) as bar union "
+        "select distinct 'B') as foo(a)",
+        None,
+    ),
+    "ug_distinct_chain5": (
+        "select distinct a from (select  distinct 'A' from (select 'C' from "
+        "(select distinct 'D') as bar1 ) as bar union select distinct 'B') as foo(a)",
+        None,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(QPUI_QUERIES))
+def test_reference_qpui_query(olap, name):
+    ref, duck = QPUI_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+@pytest.mark.parametrize("name", sorted(UNION_GP_QUERIES))
+def test_reference_union_gp_query(olap, name):
+    ref, duck = UNION_GP_QUERIES[name]
     _check(olap, ref, duck)
