@@ -1425,6 +1425,8 @@ _FUNC_RENAME = {
     "array_cat": "concat",
     "array_position": "array_position",
     "ceiling": "ceil",
+    # PG format() is printf-style (varlena format(); '%s'/'%I'/'%L')
+    "format": "format_string",
 }
 
 

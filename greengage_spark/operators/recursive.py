@@ -35,21 +35,31 @@ def recursive_cte(
     must guarantee termination (max_iterations is the backstop, matching
     the reference's gp_recursive_cte guard behavior).
     """
-    # Bound the accumulated result's partition count: unionAll concatenates
-    # partition lists, so without a coalesce the result grows by the
-    # frontier's partitions every iteration — O(iterations²) tasks total.
+    from functools import reduce
+
+    # Bound the final result's partition count: unionAll concatenates the
+    # per-iteration partition lists, so without a coalesce the result
+    # carries O(iterations × frontier-partitions) tasks downstream.
     npart = seed.sparkSession.sparkContext.defaultParallelism
 
-    result = (seed if union_all else seed.dropDuplicates()).localCheckpoint(eager=True)
-    frontier = result
+    # Only the per-iteration FRONTIER is checkpointed.  The accumulated
+    # result stays a plain Union over the checkpointed frontiers: its plan
+    # is linear in the iteration count (each leg is a materialized
+    # LogicalRDD), so there is no plan-doubling to cut — and avoiding a
+    # checkpoint of the Union sidesteps a Spark 4.1 localCheckpoint bug
+    # (NoSuchElementException on Union-of-LogicalRDD roots) while saving
+    # one materialization per iteration.
+    frontier = (seed if union_all else seed.dropDuplicates()).localCheckpoint(eager=True)
+    parts = [frontier]
     for _ in range(max_iterations):
+        acc = reduce(DataFrame.unionAll, parts)
         nxt = step(frontier)
         if not union_all:
             # worktable semantics: only rows not already accumulated feed
             # the next iteration (subtract = EXCEPT DISTINCT).
-            nxt = nxt.subtract(result)
+            nxt = nxt.subtract(acc)
         frontier = nxt.localCheckpoint(eager=True)
         if frontier.isEmpty():
-            return result
-        result = result.unionAll(frontier).coalesce(npart).localCheckpoint(eager=True)
+            return acc if len(parts) == 1 else acc.coalesce(npart)
+        parts.append(frontier)
     raise RuntimeError(f"recursive_cte did not converge in {max_iterations} iterations")

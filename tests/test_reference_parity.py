@@ -289,6 +289,129 @@ _TABLES = {
         "a, b",
         ", ".join(f"({i % 2}, {i})" for i in range(1, 11)),
     ),
+    # join_gp.sql fixtures (schema-qualified / colliding names prefixed jg_
+    # or pred_; cited per table)
+    # join_gp.sql:17-19 — numeric hash join
+    "nhtest": (
+        "i decimal(10,2)",
+        "i",
+        "(CAST(100000.22 AS DECIMAL(10,2))), (CAST(300000.19 AS DECIMAL(10,2)))",
+    ),
+    # join_gp.sql:24-25
+    "jg_l": ("a int", "a", "(1), (1), (2)"),
+    # join_gp.sql:31-32
+    "hjtest": ("i int, j int", "i, j", "(3, 4)"),
+    # join_gp.sql:76-80 — pred schema t1/t2 (renamed pred_t1/pred_t2)
+    "pred_t1": (
+        "x int, y int, z int",
+        "x, y, z",
+        ", ".join(f"({i}, {i}, {i})" for i in range(1, 101)),
+    ),
+    "pred_t2": (
+        "x int, y int, z int",
+        "x, y, z",
+        ", ".join(f"({i}, {i}, {i})" for i in range(1, 101)),
+    ),
+    # join_gp.sql:109-112 — MPP-18537
+    "hjn_test": ("i int, j int", "i, j", "(3, 4)"),
+    "int4_tbl": (
+        "f1 int",
+        "f1",
+        "(123456), (-2147483647), (0), (-123456), (2147483647)",
+    ),
+    # join_gp.sql:136-143
+    "tjoin1": ("dk int, id int", "dk, id", "(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (2, 3)"),
+    "tjoin2": (
+        "dk int, id int, t string",
+        "dk, id, t",
+        "(1, 1, '1-1'), (1, 2, '1-2'), (2, 1, '2-1'), (2, 2, '2-2')",
+    ),
+    "tjoin3": ("dk int, id int, t string", "dk, id, t", "(1, 1, '1-1'), (2, 1, '2-1')"),
+    # join_gp.sql:164-169 — LASJ foo/bar (renamed jg_foo/jg_bar: the
+    # qp_left_anti_semi_join fixture owns the bare names); only column a/c
+    # is filled by the generate_series insert
+    "jg_foo": (
+        "a int, b int",
+        "a, b",
+        ", ".join(f"({i}, CAST(NULL AS INT))" for i in range(1, 11)),
+    ),
+    "jg_bar": (
+        "c int, d int",
+        "c, d",
+        ", ".join(f"({i}, CAST(NULL AS INT))" for i in range(1, 11)),
+    ),
+    # join_gp.sql:189-199 — dept tree incl. the 14901 unreachable rows the
+    # spill tests need (name NULL where the 2-column inserts left it)
+    "dept": (
+        "id int, pid int, name string",
+        "id, pid, name",
+        "(3, 0, 'root'), (4, 3, '2<-1'), (5, 4, '3<-2<-1'), (6, 4, '4<-2<-1'), "
+        "(7, 3, '5<-1'), (8, 7, '5<-1'), "
+        + ", ".join(f"({i}, {i % 6 + 3}, CAST(NULL AS STRING))" for i in range(9, 51))
+        + ", "
+        + ", ".join(f"({i}, 99, CAST(NULL AS STRING))" for i in range(100, 15001)),
+    ),
+    # join_gp.sql:225-233 — MPP-29458 mixed date/timestamp join keys
+    "test_timestamp_t1": (
+        "id decimal(10,0), field_dt date",
+        "id, field_dt",
+        "(CAST(10 AS DECIMAL(10,0)), DATE '2018-01-10'), "
+        "(CAST(11 AS DECIMAL(10,0)), DATE '2018-01-11')",
+    ),
+    "test_timestamp_t2": (
+        "id decimal(10,0), field_tms timestamp",
+        "id, field_tms",
+        "(CAST(10 AS DECIMAL(10,0)), TIMESTAMP '2018-01-10 00:00:00'), "
+        "(CAST(11 AS DECIMAL(10,0)), TIMESTAMP '2018-01-11 00:00:00')",
+    ),
+    # join_gp.sql:290-297 — mixed-width float/int join keys
+    "test_float1": ("id int, data float", "id, data", "(1, CAST(10 AS FLOAT)), (2, CAST(20 AS FLOAT))"),
+    "test_float2": ("id int, data double", "id, data", "(3, CAST(10 AS DOUBLE)), (4, CAST(20 AS DOUBLE))"),
+    "test_int1": ("id int, data int", "id, data", "(1, 10), (2, 20)"),
+    "test_int2": ("id int, data bigint", "id, data", "(3, CAST(10 AS BIGINT)), (4, CAST(20 AS BIGINT))"),
+    # join_gp.sql:337-339 — merge full join on true
+    "t6215": ("f1 int", "f1", "(1), (2), (3)"),
+    # join_gp.sql:364-370 — LOJ/inner reorder tables (renamed jg_t1/2/3)
+    "jg_t1": (
+        "a int, b int, c int",
+        "a, b, c",
+        ", ".join(f"({i}, {i}, {i})" for i in range(1, 1001)),
+    ),
+    "jg_t2": (
+        "a int, b int, c int",
+        "a, b, c",
+        ", ".join(f"({i}, {i}, {i})" for i in range(2, 1001)),
+    ),
+    "jg_t3": ("a int, b int, c int", "a, b, c", "(1, 2, 3), (NULL, 2, 2)"),
+    # select_having.sql:6-16 fixture (char(8)/char(1) as string: the
+    # queries never depend on blank-padding)
+    "test_having": (
+        "a int, b int, c string, d string",
+        "a, b, c, d",
+        "(0, 1, 'XXXX', 'A'), (1, 2, 'AAAA', 'b'), (2, 2, 'AAAA', 'c'), "
+        "(3, 3, 'BBBB', 'D'), (4, 3, 'BBBB', 'e'), (5, 3, 'bbbb', 'F'), "
+        "(6, 4, 'cccc', 'g'), (7, 4, 'cccc', 'h'), (8, 4, 'CCCC', 'I'), "
+        "(9, 4, 'CCCC', 'j')",
+    ),
+    # select_implicit.sql:9-19 fixture
+    "test_missing_target": (
+        "a int, b int, c string, d string",
+        "a, b, c, d",
+        "(0, 1, 'XXXX', 'A'), (1, 2, 'ABAB', 'b'), (2, 2, 'ABAB', 'c'), "
+        "(3, 3, 'BBBB', 'D'), (4, 3, 'BBBB', 'e'), (5, 3, 'bbbb', 'F'), "
+        "(6, 4, 'cccc', 'g'), (7, 4, 'cccc', 'h'), (8, 4, 'CCCC', 'I'), "
+        "(9, 4, 'CCCC', 'j')",
+    ),
+    # select_distinct.sql:40-44 fixture
+    "disttable": ("f1 int", "f1", "(1), (2), (3), (NULL)"),
+    # select_distinct.sql:75-78 fixture
+    "sd_sales": (
+        "id int, date date, amt decimal(10,2)",
+        "id, date, amt",
+        "(1, DATE '2021-02-02', CAST(20 AS DECIMAL(10,2))), "
+        "(2, DATE '2021-06-02', CAST(9 AS DECIMAL(10,2))), "
+        "(3, DATE '2021-10-02', CAST(100 AS DECIMAL(10,2)))",
+    ),
     # filter.sql:1-14 fixture — aggregate FILTER clause tests
     "filter_test": (
         "i int, j int",
@@ -2947,4 +3070,364 @@ def test_reference_qpui_query(olap, name):
 @pytest.mark.parametrize("name", sorted(UNION_GP_QUERIES))
 def test_reference_union_gp_query(olap, name):
     ref, duck = UNION_GP_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+# --------------------------------------------------------------------------
+# join_gp.sql — GPDB-added join tests, verbatim (modulo the documented
+# fixture renames): numeric/mixed-type hash keys, MPP-18537 constant hash
+# clauses, nested outer joins, LASJ corner cases, LOJ/inner reordering.
+# --------------------------------------------------------------------------
+
+JOIN_GP_QUERIES = {
+    # join_gp.sql:20-21 — numeric hash join via USING
+    "jg_nhtest_using": ("select * from nhtest a join nhtest b using (i)", None),
+    # join_gp.sql:26 — 3-way self join, LOJ with constant-qualified ON
+    "jg_l_3way": (
+        "select * from jg_l l1 join jg_l l2 on l1.a = l2.a left join jg_l l3 "
+        "on l1.a = l3.a and l1.a = 2 order by 1,2,3",
+        None,
+    ),
+    # join_gp.sql:34
+    "jg_hjtest_least": (
+        "select count(*) from hjtest a1, hjtest a2 where a2.i = least (a1.i,4) and a2.j = 4",
+        None,
+    ),
+    # join_gp.sql:88-103 — predicate propagation over equalities
+    "jg_pred_eq": (
+        "select count(*) from pred_t1 t1, pred_t2 t2 where t1.x = 100 and t1.x = t2.x",
+        None,
+    ),
+    "jg_pred_ge": (
+        "select * from pred_t1 t1, pred_t2 t2 where t1.x = 100 and t2.x >= t1.x",
+        None,
+    ),
+    "jg_pred_multi": (
+        "select * from pred_t1 t1, pred_t2 t2 where t1.x = 100 and t1.x = t2.y "
+        "and t1.x <= t2.x",
+        None,
+    ),
+    # join_gp.sql:113-117 — MPP-18537: constant in hash clause
+    "jg_least_const": (
+        "select count(*) from hjn_test, (select 3 as bar) foo where "
+        "hjn_test.i = least (foo.bar,4) and hjn_test.j = 4",
+        None,
+    ),
+    "jg_least_array": (
+        "select count(*) from hjn_test, (select 3 as bar) foo where "
+        "hjn_test.i = least (foo.bar,(array[4])[1]) and hjn_test.j = (array[4])[1]",
+        None,
+    ),
+    "jg_least_array_flip": (
+        "select count(*) from hjn_test, (select 3 as bar) foo where "
+        "least (foo.bar,(array[4])[1]) = hjn_test.i and hjn_test.j = (array[4])[1]",
+        None,
+    ),
+    "jg_least_nested": (
+        "select count(*) from hjn_test, (select 3 as bar) foo where "
+        "hjn_test.i = least (foo.bar, least(4,10)) and hjn_test.j = least(4,10)",
+        None,
+    ),
+    # Spark disallows correlated scalar subqueries inside a join ON
+    # clause; for an INNER join the WHERE form is identical (the oracle
+    # runs the reference's ON form verbatim to prove result equivalence)
+    "jg_corr_scalar_join": (
+        "select * from int4_tbl a, int4_tbl b where "
+        "a.f1 = (select f1 from int4_tbl c where c.f1=b.f1)",
+        "select * from int4_tbl a join int4_tbl b on "
+        "(a.f1 = (select f1 from int4_tbl c where c.f1=b.f1))",
+    ),
+    # join_gp.sql:145-147 — Motion hash key not in final target list
+    "jg_tjoin_nested_loj": (
+        "select tjoin1.id, tjoin2.t, tjoin3.t from tjoin1 left outer join "
+        "(tjoin2 left outer join tjoin3 on tjoin2.id=tjoin3.id) on tjoin1.id=tjoin3.id",
+        None,
+    ),
+    # join_gp.sql:171-172 — LASJ with provably-empty left rel
+    "jg_lasj_empty_left": (
+        "select a from jg_foo where a<1 and a>1 and not exists "
+        "(select c from jg_bar where c=a)",
+        None,
+    ),
+    # join_gp.sql:184 — LASJ_NOTIN never merge-joined
+    "jg_lasj_notin": (
+        "select * from jg_foo where a not in (select c from jg_bar where c <= 5)",
+        None,
+    ),
+    # join_gp.sql:203-257 — rescannable hashjoin under WITH RECURSIVE
+    # (spill GUCs are executor details; the count is the semantics)
+    "jg_recursive_dept": (
+        "WITH RECURSIVE subdept(id, parent_department, name) AS ( "
+        "SELECT * FROM dept WHERE name = 'root' UNION ALL "
+        "SELECT d.* FROM dept AS d, subdept AS sd WHERE d.pid = sd.id ) "
+        "SELECT count(*) FROM subdept",
+        None,
+    ),
+    # join_gp.sql:263-284 — MPP-29458 mixed date/timestamp redistribution
+    "jg_ts_join_count": (
+        "select count(*) from test_timestamp_t1 t1 ,test_timestamp_t2 t2 "
+        "where T1.id = T2.id and T1.field_dt = t2.field_tms",
+        None,
+    ),
+    "jg_ts_foj": (
+        "select * from test_timestamp_t1 t1 full outer join test_timestamp_t2 t2 "
+        "on T1.id = T2.id and T1.field_dt = t2.field_tms",
+        None,
+    ),
+    # join_gp.sql:290-301 — mixed-width numeric join keys
+    "jg_float_mixed": (
+        "select t1.id, t1.data, t2.id, t2.data from test_float1 t1, test_float2 t2 "
+        "where t1.data = t2.data",
+        None,
+    ),
+    "jg_int_mixed": (
+        "select t1.id, t1.data, t2.id, t2.data from test_int1 t1, test_int2 t2 "
+        "where t1.data = t2.data",
+        None,
+    ),
+    # join_gp.sql:343-344 — merge full join on true
+    "jg_foj_on_true": ("select * from t6215 a full join t6215 b on true", None),
+    # join_gp.sql:373-404 — LOJ/inner join reordering predicates
+    "jg_loj_reorder_null_or": (
+        "select * from jg_t1 t1 left join jg_t2 t2 on (t1.a = t2.a) join jg_t3 t3 "
+        "on (t1.b = t3.b) where (t2.a IS NULL OR (t1.c = t3.c))",
+        None,
+    ),
+    "jg_loj_reorder_inner": (
+        "select * from jg_t1 t1 left join jg_t2 t2 on (t1.a = t2.a) join jg_t3 t3 "
+        "on (t1.b = t3.b) where (t2.a = t3.a)",
+        None,
+    ),
+    "jg_loj_reorder_distinct_from": (
+        "select * from jg_t1 t1 left join jg_t2 t2 on (t1.a = t2.a) join jg_t3 t3 "
+        "on (t1.b = t3.b) where (t2.a is distinct from t3.a)",
+        None,
+    ),
+    "jg_loj_derived": (
+        "select * from jg_t3 t3 join (select t1.a t1a, t1.b t1b, t1.c t1c, t2.a t2a, "
+        "t2.b t2b, t2.c t2c from jg_t1 t1 left join jg_t2 t2 on (t1.a = t2.a)) t "
+        "on (t1a = t3.a) WHERE (t2a IS NULL OR (t1c = t3.a))",
+        None,
+    ),
+    "jg_join_order": (
+        "select * from jg_t1 t1 join jg_t2 t2 on t1.a = t2.a join jg_t3 t3 on t1.b = t3.b",
+        None,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(JOIN_GP_QUERIES))
+def test_reference_join_gp_query(olap, name):
+    ref, duck = JOIN_GP_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+# --------------------------------------------------------------------------
+# select_having.sql / select_implicit.sql / select_distinct.sql — classic
+# PG SELECT semantics the reference inherits: HAVING (incl. degenerate
+# no-GROUP-BY forms), implicit/missing-target GROUP BY and ORDER BY,
+# DISTINCT and IS [NOT] DISTINCT FROM.
+# --------------------------------------------------------------------------
+
+HAVING_QUERIES = {
+    # select_having.sql:18-31
+    "hv_count1": (
+        "SELECT b, c FROM test_having GROUP BY b, c HAVING count(*) = 1 ORDER BY b, c",
+        None,
+    ),
+    "hv_where_equiv": (
+        "SELECT b, c FROM test_having GROUP BY b, c HAVING b = 3 ORDER BY b, c",
+        None,
+    ),
+    # Spark can't re-resolve a base-column expression in ORDER BY above a
+    # HAVING filter; ORDER BY 1 is the same sort key (and _check compares
+    # sorted multisets anyway) — oracle runs the verbatim form
+    "hv_lower_or": (
+        "SELECT lower(c), count(c) FROM test_having GROUP BY lower(c) "
+        "HAVING count(*) > 2 OR min(a) = max(a) ORDER BY 1",
+        "SELECT lower(c), count(c) FROM test_having GROUP BY lower(c) "
+        "HAVING count(*) > 2 OR min(a) = max(a) ORDER BY lower(c)",
+    ),
+    "hv_max_or": (
+        "SELECT c, max(a) FROM test_having GROUP BY c "
+        "HAVING count(*) > 2 OR min(a) = max(a) ORDER BY c",
+        None,
+    ),
+    # select_having.sql:36-37 — degenerate HAVING without GROUP BY: 0/1 row
+    "hv_degenerate_eq": ("SELECT min(a), max(a) FROM test_having HAVING min(a) = max(a)", None),
+    "hv_degenerate_lt": ("SELECT min(a), max(a) FROM test_having HAVING min(a) < max(a)", None),
+    # select_having.sql:44-48 — constant HAVING need not scan the table
+    "hv_const_false": ("SELECT 1 AS one FROM test_having HAVING 1 > 2", None),
+    # Spark follows the SQL spec here (HAVING without GROUP BY = one
+    # global group → 1 row, as PG); DuckDB treats it as WHERE and returns
+    # one row per input row, so its side spells the single-group form
+    "hv_const_true": (
+        "SELECT 1 AS one FROM test_having HAVING 1 < 2",
+        "SELECT 1 AS one FROM (SELECT count(*) FROM test_having) t",
+    ),
+    # select_having.sql:51-61 — placeholder var inside havingQual
+    "hv_placeholder": (
+        "select count(t2.b), count(t1c) t1c from test_having t2 left join "
+        "(select a, format('%s', c) t1c from test_having t1) tt on t2.a = tt.a "
+        "having count(t1c) is not null",
+        "select count(t2.b), count(t1c) t1c from test_having t2 left join "
+        "(select a, printf('%s', c) t1c from test_having t1) tt on t2.a = tt.a "
+        "having count(t1c) is not null",
+    ),
+}
+
+# select_having.sql:40-41 — ungrouped column references must be rejected
+HAVING_REJECTED = {
+    "hv_rej_ungrouped": "SELECT a FROM test_having HAVING min(a) < max(a)",
+    "hv_rej_bare_col": "SELECT 1 AS one FROM test_having HAVING a > 1",
+}
+
+IMPLICIT_QUERIES = {
+    # select_implicit.sql:22-31
+    "im_group_qualified": (
+        "SELECT c, count(*) FROM test_missing_target GROUP BY test_missing_target.c ORDER BY c",
+        None,
+    ),
+    "im_group_no_target": (
+        "SELECT count(*) FROM test_missing_target GROUP BY test_missing_target.c ORDER BY c",
+        None,
+    ),
+    "im_order_grouped": (
+        "SELECT count(*) FROM test_missing_target GROUP BY b ORDER BY b",
+        None,
+    ),
+    "im_target_and_order": (
+        "SELECT test_missing_target.b, count(*) FROM test_missing_target GROUP BY b ORDER BY b",
+        None,
+    ),
+    "im_order_missing_col": ("SELECT c FROM test_missing_target ORDER BY a", None),
+    "im_order_desc": (
+        "SELECT count(*) FROM test_missing_target GROUP BY b ORDER BY b desc",
+        None,
+    ),
+    "im_order_pos": ("SELECT count(*) FROM test_missing_target ORDER BY 1 desc", None),
+    "im_group_pos": ("SELECT c, count(*) FROM test_missing_target GROUP BY 1 ORDER BY 1", None),
+    # select_implicit.sql:60-73
+    "im_dup_target": ("SELECT a, a FROM test_missing_target ORDER BY a", None),
+    "im_dup_expr": ("SELECT a/2, a/2 FROM test_missing_target ORDER BY a/2", None),
+    "im_dup_expr_group": (
+        "SELECT a/2, a/2 FROM test_missing_target GROUP BY a/2 ORDER BY a/2",
+        None,
+    ),
+    "im_join_qualified": (
+        "SELECT x.b, count(*) FROM test_missing_target x, test_missing_target y "
+        "WHERE x.a = y.a GROUP BY x.b ORDER BY x.b",
+        None,
+    ),
+    "im_join_no_target": (
+        "SELECT count(*) FROM test_missing_target x, test_missing_target y "
+        "WHERE x.a = y.a GROUP BY x.b ORDER BY x.b",
+        None,
+    ),
+    # select_implicit.sql:87-100
+    "im_group_expr_mod": (
+        "SELECT a%2, count(b) FROM test_missing_target GROUP BY test_missing_target.a%2 "
+        "ORDER BY test_missing_target.a%2",
+        None,
+    ),
+    "im_group_lower": (
+        "SELECT count(c) FROM test_missing_target GROUP BY lower(test_missing_target.c) "
+        "ORDER BY lower(test_missing_target.c)",
+        None,
+    ),
+    "im_group_div": (
+        "SELECT count(b) FROM test_missing_target GROUP BY b/2 ORDER BY b/2",
+        None,
+    ),
+    "im_lower_target": (
+        "SELECT lower(test_missing_target.c), count(c) FROM test_missing_target "
+        "GROUP BY lower(c) ORDER BY lower(c)",
+        None,
+    ),
+    "im_order_func": ("SELECT a FROM test_missing_target ORDER BY upper(d)", None),
+    "im_group_complex": (
+        "SELECT count(b) FROM test_missing_target GROUP BY (b + 1) / 2 "
+        "ORDER BY (b + 1) / 2 desc",
+        None,
+    ),
+    "im_join_group_expr": (
+        "SELECT x.b/2, count(x.b) FROM test_missing_target x, test_missing_target y "
+        "WHERE x.a = y.a GROUP BY x.b/2 ORDER BY x.b/2",
+        None,
+    ),
+}
+
+# select_implicit.sql — shapes PG itself rejects (select_implicit.out:46,
+# 118, 126, 297, 316): ungrouped ORDER BY refs, out-of-range GROUP BY
+# position, ambiguous unqualified refs over a self join
+IMPLICIT_REJECTED = {
+    "im_rej_order_ungrouped": (
+        "SELECT count(*) FROM test_missing_target GROUP BY a ORDER BY b"
+    ),
+    "im_rej_group_pos": "SELECT c, count(*) FROM test_missing_target GROUP BY 3",
+    "im_rej_ambiguous": (
+        "SELECT count(*) FROM test_missing_target x, test_missing_target y "
+        "WHERE x.a = y.a GROUP BY b ORDER BY b"
+    ),
+}
+
+DISTINCT_QUERIES = {
+    # select_distinct.sql:47-50 — IS DISTINCT FROM over nullable column
+    "dt_basic_const": (
+        'SELECT f1, f1 IS DISTINCT FROM 2 as "not 2" FROM disttable',
+        None,
+    ),
+    "dt_basic_null": (
+        'SELECT f1, f1 IS DISTINCT FROM NULL as "not null" FROM disttable',
+        None,
+    ),
+    "dt_self": ('SELECT f1, f1 IS DISTINCT FROM f1 as "false" FROM disttable', None),
+    "dt_self_plus": (
+        'SELECT f1, f1 IS DISTINCT FROM f1+1 as "not null" FROM disttable',
+        None,
+    ),
+    # select_distinct.sql:53-62 — constant folding, both polarities
+    "dt_fold_yes": ('SELECT 1 IS DISTINCT FROM 2 as "yes"', None),
+    "dt_fold_no": ('SELECT 2 IS DISTINCT FROM 2 as "no"', None),
+    "dt_fold_null_yes": ('SELECT 2 IS DISTINCT FROM null as "yes"', None),
+    "dt_fold_null_no": ('SELECT null IS DISTINCT FROM null as "no"', None),
+    "dt_not_no": ('SELECT 1 IS NOT DISTINCT FROM 2 as "no"', None),
+    "dt_not_yes": ('SELECT 2 IS NOT DISTINCT FROM 2 as "yes"', None),
+    "dt_not_null_no": ('SELECT 2 IS NOT DISTINCT FROM null as "no"', None),
+    "dt_not_null_yes": ('SELECT null IS NOT DISTINCT FROM null as "yes"', None),
+    # select_distinct.sql:79-80 (sales renamed sd_sales; whole-row
+    # `select distinct sales from sales` is out of scope — no whole-row vars)
+    "dt_star": ("select distinct * from sd_sales order by 1", None),
+}
+
+
+@pytest.mark.parametrize("name", sorted(HAVING_QUERIES))
+def test_reference_having_query(olap, name):
+    ref, duck = HAVING_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+@pytest.mark.parametrize("name", sorted(HAVING_REJECTED))
+def test_reference_having_rejected(olap, name):
+    spark, _ = olap
+    with pytest.raises(Exception):
+        pg_sql(spark, HAVING_REJECTED[name]).collect()
+
+
+@pytest.mark.parametrize("name", sorted(IMPLICIT_QUERIES))
+def test_reference_implicit_query(olap, name):
+    ref, duck = IMPLICIT_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+@pytest.mark.parametrize("name", sorted(IMPLICIT_REJECTED))
+def test_reference_implicit_rejected(olap, name):
+    spark, _ = olap
+    with pytest.raises(Exception):
+        pg_sql(spark, IMPLICIT_REJECTED[name]).collect()
+
+
+@pytest.mark.parametrize("name", sorted(DISTINCT_QUERIES))
+def test_reference_distinct_query(olap, name):
+    ref, duck = DISTINCT_QUERIES[name]
     _check(olap, ref, duck)
