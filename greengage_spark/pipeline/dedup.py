@@ -44,13 +44,15 @@ def minhash_signatures(
     shingles: DataFrame, id_col: str, num_hashes: int = 12
 ) -> DataFrame:
     """One row per id with columns h0..h{K-1}: min over the shingle set of
-    K seeded md5 digests.  Single shuffle on id; partial min aggregation
-    runs map-side."""
+    K seeded md5 digests, plus the shingle-set size ``sz``.  Single
+    shuffle on id; partial min/count aggregation runs map-side.  Carrying
+    the count here means Jaccard verification never re-aggregates the
+    (much larger) shingle stream for set sizes."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return shingles.groupBy(id_col).agg(*aggs, F.count(F.lit(1)).alias("sz"))
 
 
 def lsh_candidate_pairs(
@@ -78,17 +80,26 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    pairs: DataFrame, shingles: DataFrame, id_col: str, threshold: float
+    pairs: DataFrame,
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs via two joins on the shingle
     stream (set sizes + intersection counts) — work ∝ candidates, not n².
+
+    ``sizes`` (id, sz) can be supplied by the caller (the signature pass
+    already counts shingles per id); otherwise it is derived here with an
+    extra aggregation over the shingle stream.
 
     Returns (id_a, id_b, jaccard) with jaccard rounded to 4 decimals and
     filtered to >= threshold.  The filter compares integer algebra
     (inter * 1e4 >= threshold * union * 1e4 avoided — we use the rounded
     value) so engines agree on boundary pairs.
     """
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if sizes is None:
+        sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -140,7 +151,8 @@ def minhash_dedup_pairs(
     )
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    return jaccard_verify(cand, sh, id_col, threshold)
+    sizes = sigs.select(id_col, "sz")
+    return jaccard_verify(cand, sh, id_col, threshold, sizes=sizes)
 
 
 def simhash_fingerprint(

@@ -808,18 +808,43 @@ def q20_excess_suppliers(spark, sf_dir):
     tags=("semi", "anti", "subquery", "topk"),
 )
 def q21_waiting_supplier(spark, sf_dir):
+    # The EXISTS (another supplier in the order) and NOT EXISTS (another
+    # supplier shipped later) subqueries are classically two extra
+    # lineitem self-joins — at 100 TB, two extra shuffles of the biggest
+    # table.  Instead, pre-aggregate lineitem once into per-order supplier
+    # stats: per (orderkey, suppkey) max shipdate (map-side combine), then
+    # per orderkey the supplier count and the top-2 (shipdate, suppkey)
+    # per-supplier maxima.  A row's "max shipdate among OTHER suppliers"
+    # is top1 when top1 is another supplier, else top2 — so
+    #   EXISTS      ≡ nsupp >= 2
+    #   NOT EXISTS  ≡ other_max IS NULL OR other_max <= own shipdate.
+    # Suppliers per order are bounded (≤7 in TPC-H), so the collected
+    # top-2 array is O(1) per order at any scale.
     c = cat(spark, sf_dir)
     l = c.table("lineitem")
+    per_supp = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_max_sd")
+    )
+    stats = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("nsupp"),
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct("supp_max_sd", "l_suppkey")), asc=False
+            ),
+            1,
+            2,
+        ).alias("top2"),
+    ).select(
+        F.col("l_orderkey").alias("st_orderkey"),
+        "nsupp",
+        F.col("top2")[0]["supp_max_sd"].alias("sd1"),
+        F.col("top2")[0]["l_suppkey"].alias("sk1"),
+        F.col("top2")[1]["supp_max_sd"].alias("sd2"),
+    )
     l1 = l.select(
         F.col("l_orderkey").alias("k1_orderkey"),
         F.col("l_suppkey").alias("k1_suppkey"),
         F.col("l_shipdate").alias("k1_shipdate"),
-    )
-    l2 = l.select(F.col("l_orderkey").alias("k2_orderkey"), F.col("l_suppkey").alias("k2_suppkey"))
-    l3 = l.select(
-        F.col("l_orderkey").alias("k3_orderkey"),
-        F.col("l_suppkey").alias("k3_suppkey"),
-        F.col("l_shipdate").alias("k3_shipdate"),
     )
     base = (
         c.dim("supplier")
@@ -828,19 +853,14 @@ def q21_waiting_supplier(spark, sf_dir):
             c.table("orders").filter(F.col("o_orderstatus") == "F"),
             F.col("o_orderkey") == F.col("k1_orderkey"),
         )
+        .join(stats, F.col("st_orderkey") == F.col("k1_orderkey"))
     )
-    with_other = base.join(
-        l2,
-        (F.col("k2_orderkey") == F.col("k1_orderkey"))
-        & (F.col("k2_suppkey") != F.col("k1_suppkey")),
-        "left_semi",
+    other_max = F.when(F.col("sk1") != F.col("k1_suppkey"), F.col("sd1")).otherwise(
+        F.col("sd2")
     )
-    not_latest = with_other.join(
-        l3,
-        (F.col("k3_orderkey") == F.col("k1_orderkey"))
-        & (F.col("k3_suppkey") != F.col("k1_suppkey"))
-        & (F.col("k3_shipdate") > F.col("k1_shipdate")),
-        "left_anti",
+    not_latest = base.filter(
+        (F.col("nsupp") >= 2)
+        & (other_max.isNull() | (other_max <= F.col("k1_shipdate")))
     )
     return (
         not_latest.groupBy("s_name")
