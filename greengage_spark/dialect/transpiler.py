@@ -845,6 +845,58 @@ def _pass_agg_filter(toks: list[str]) -> list[str]:
     return toks
 
 
+def _pass_offset_before_limit(toks: list[str]) -> list[str]:
+    """PG accepts ``OFFSET n LIMIT m`` in either order (gram.y
+    select_limit); Spark's grammar only parses ``LIMIT m OFFSET n`` —
+    swap when OFFSET precedes LIMIT at the same nesting depth."""
+    i = 0
+    while i < len(toks):
+        if _is_ident(toks[i]) and toks[i].lower() == "offset":
+            depth = 0
+            j = i + 1
+            off_end = None
+            while j < len(toks):
+                t = toks[j]
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif depth == 0 and _is_ident(t) and t.lower() == "limit":
+                    off_end = j
+                    break
+                elif depth == 0 and _is_ident(t) and t.lower() in (
+                    "union", "intersect", "except", "order", "window",
+                ):
+                    break
+                j += 1
+            if off_end is not None:
+                # find end of the LIMIT operand
+                k = off_end + 1
+                depth = 0
+                while k < len(toks):
+                    t = toks[k]
+                    if t == "(":
+                        depth += 1
+                    elif t == ")":
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    elif depth == 0 and _is_ident(t) and t.lower() in (
+                        "union", "intersect", "except", "order", "offset", "window",
+                    ):
+                        break
+                    k += 1
+                limit_clause = toks[off_end:k]
+                offset_clause = toks[i:off_end]
+                toks = toks[:i] + limit_clause + offset_clause + toks[k:]
+                i += len(limit_clause)
+                continue
+        i += 1
+    return toks
+
+
 def _pass_grouping_plain(toks: list[str]) -> list[str]:
     """GROUPING(…) under a PLAIN group by returns 0 in Greenplum
     (plangroupext.c treats a non-extended GROUP BY as the single full
@@ -1829,6 +1881,7 @@ def transpile(sql: str) -> str:
     toks = _pass_targetlist_srf(toks)
     toks = _pass_count_noargs(toks)
     toks = _pass_agg_filter(toks)
+    toks = _pass_offset_before_limit(toks)
     toks = _pass_grouping_plain(toks)
     toks = _pass_decode(toks)
     toks = _pass_case_notdistinct(toks)

@@ -383,6 +383,21 @@ _TABLES = {
         ", ".join(f"({i}, {i}, {i})" for i in range(2, 1001)),
     ),
     "jg_t3": ("a int, b int, c int", "a, b, c", "(1, 2, 3), (NULL, 2, 2)"),
+    # window.sql:5-22 fixture
+    "empsalary": (
+        "depname string, empno bigint, salary int, enroll_date date",
+        "depname, empno, salary, enroll_date",
+        "('develop', 10, 5200, DATE '2007-08-01'), "
+        "('sales', 1, 5000, DATE '2006-10-01'), "
+        "('personnel', 5, 3500, DATE '2007-12-10'), "
+        "('sales', 4, 4800, DATE '2007-08-08'), "
+        "('personnel', 2, 3900, DATE '2006-12-23'), "
+        "('develop', 7, 4200, DATE '2008-01-01'), "
+        "('develop', 9, 4500, DATE '2008-01-01'), "
+        "('sales', 3, 4800, DATE '2007-08-01'), "
+        "('develop', 8, 6000, DATE '2006-10-01'), "
+        "('develop', 11, 5200, DATE '2007-08-15')",
+    ),
     # select_having.sql:6-16 fixture (char(8)/char(1) as string: the
     # queries never depend on blank-padding)
     "test_having": (
@@ -748,6 +763,29 @@ def olap(spark):
     # PG null ordering (ASC→NULLS LAST, DESC→NULLS FIRST); DuckDB's own
     # default is NULLS LAST on both directions
     con.execute("SET default_null_order='nulls_last_on_asc_first_on_desc'")
+    # The reference's own standard fixtures (create_table.sql:37-54, loaded
+    # from data/tenk.data and data/onek.data by test_setup): registered
+    # straight from the reference's data files, tab-separated, 16 columns.
+    _data_dir = "/root/reference/src/test/regress/data"
+    _tenk_cols = [
+        ("unique1", "int"), ("unique2", "int"), ("two", "int"), ("four", "int"),
+        ("ten", "int"), ("twenty", "int"), ("hundred", "int"),
+        ("thousand", "int"), ("twothousand", "int"), ("fivethous", "int"),
+        ("tenthous", "int"), ("odd", "int"), ("even", "int"),
+        ("stringu1", "string"), ("stringu2", "string"), ("string4", "string"),
+    ]
+    _spark_schema = ", ".join(f"{n} {t}" for n, t in _tenk_cols)
+    _duck_cols = "{" + ", ".join(
+        f"'{n}': '{'INTEGER' if t == 'int' else 'VARCHAR'}'" for n, t in _tenk_cols
+    ) + "}"
+    for view, fname in (("tenk1", "tenk.data"), ("onek", "onek.data")):
+        spark.read.csv(
+            f"file:{_data_dir}/{fname}", sep="\t", schema=_spark_schema
+        ).createOrReplaceTempView(view)
+        con.execute(
+            f"CREATE TABLE {view} AS SELECT * FROM read_csv('{_data_dir}/{fname}', "
+            f"delim='\t', header=false, columns={_duck_cols})"
+        )
     for name, (schema, cols, body) in _TABLES.items():
         casted = ", ".join(c.strip() for c in cols.split(","))
         if not body:
@@ -769,7 +807,7 @@ def olap(spark):
         )
     yield spark, con
     con.close()
-    for name in _TABLES:
+    for name in list(_TABLES) + ["tenk1", "onek"]:
         spark.catalog.dropTempView(name)
 
 
@@ -3430,4 +3468,263 @@ def test_reference_implicit_rejected(olap, name):
 @pytest.mark.parametrize("name", sorted(DISTINCT_QUERIES))
 def test_reference_distinct_query(olap, name):
     ref, duck = DISTINCT_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+# --------------------------------------------------------------------------
+# window.sql — the PG window-function suite the reference inherits, over
+# empsalary and the standard tenk1 fixture (loaded from the reference's own
+# data/tenk.data).  Verbatim; queries selecting only columns functionally
+# dependent on the window ordering keys are multiset-deterministic.
+# --------------------------------------------------------------------------
+
+W2_QUERIES = {
+    # window.sql:24-26
+    "w2_sum_part": (
+        "SELECT depname, empno, salary, sum(salary) OVER (PARTITION BY depname) "
+        "FROM empsalary ORDER BY depname, salary",
+        None,
+    ),
+    "w2_rank_part": (
+        "SELECT depname, empno, salary, rank() OVER (PARTITION BY depname ORDER BY salary) "
+        "FROM empsalary",
+        None,
+    ),
+    # window.sql:29-30 — window over GROUP BY (nested aggregate)
+    "w2_nested_agg": (
+        "SELECT four, ten, SUM(SUM(four)) OVER (PARTITION BY four), AVG(ten) FROM tenk1 "
+        "GROUP BY four, ten ORDER BY four, ten",
+        None,
+    ),
+    # window.sql:32-34 — named WINDOW clause
+    "w2_named_window": (
+        "SELECT depname, empno, salary, sum(salary) OVER w FROM empsalary "
+        "WINDOW w AS (PARTITION BY depname)",
+        None,
+    ),
+    # Spark can't reference a named window from ORDER BY; the sort is
+    # cosmetic under multiset compare, oracle runs the verbatim form
+    "w2_named_window_rank": (
+        "SELECT depname, empno, salary, rank() OVER w FROM empsalary "
+        "WINDOW w AS (PARTITION BY depname ORDER BY salary)",
+        "SELECT depname, empno, salary, rank() OVER w FROM empsalary "
+        "WINDOW w AS (PARTITION BY depname ORDER BY salary) ORDER BY rank() OVER w",
+    ),
+    # window.sql:37-39 — empty window specification
+    "w2_empty_over": ("SELECT COUNT(*) OVER () FROM tenk1 WHERE unique2 < 10", None),
+    "w2_empty_named": (
+        "SELECT COUNT(*) OVER w FROM tenk1 WHERE unique2 < 10 WINDOW w AS ()",
+        None,
+    ),
+    # window.sql:42 — window declared but unused, empty input
+    "w2_unused_window": (
+        "SELECT four FROM tenk1 WHERE FALSE WINDOW w AS (PARTITION BY ten)",
+        None,
+    ),
+    # window.sql:45-75 — the full ranking/offset function battery
+    "w2_cumulative": (
+        "SELECT sum(four) OVER (PARTITION BY ten ORDER BY unique2) AS sum_1, ten, four "
+        "FROM tenk1 WHERE unique2 < 10",
+        None,
+    ),
+    "w2_row_number": (
+        "SELECT row_number() OVER (ORDER BY unique2) FROM tenk1 WHERE unique2 < 10",
+        None,
+    ),
+    "w2_rank": (
+        "SELECT rank() OVER (PARTITION BY four ORDER BY ten) AS rank_1, ten, four "
+        "FROM tenk1 WHERE unique2 < 10",
+        None,
+    ),
+    "w2_dense_rank": (
+        "SELECT dense_rank() OVER (PARTITION BY four ORDER BY ten), ten, four "
+        "FROM tenk1 WHERE unique2 < 10",
+        None,
+    ),
+    "w2_percent_rank": (
+        "SELECT percent_rank() OVER (PARTITION BY four ORDER BY ten), ten, four "
+        "FROM tenk1 WHERE unique2 < 10",
+        None,
+    ),
+    "w2_cume_dist": (
+        "SELECT cume_dist() OVER (PARTITION BY four ORDER BY ten), ten, four "
+        "FROM tenk1 WHERE unique2 < 10",
+        None,
+    ),
+    "w2_ntile": (
+        "SELECT ntile(3) OVER (ORDER BY ten, four), ten, four FROM tenk1 WHERE unique2 < 10",
+        None,
+    ),
+    "w2_lag": (
+        "SELECT lag(ten) OVER (PARTITION BY four ORDER BY ten), ten, four "
+        "FROM tenk1 WHERE unique2 < 10",
+        None,
+    ),
+    # PG allows per-ROW lag/lead/nth_value offsets; Spark requires
+    # constants.  The engine expresses the variable-offset form as a
+    # collect_list-over-frame + try_element_at composition (same window,
+    # same shuffle); the oracle runs the reference's spelling verbatim.
+    "w2_lag_offset": (
+        "SELECT CASE WHEN rn - four >= 1 THEN try_element_at(arr, rn - four) END, ten, four "
+        "FROM (SELECT ten, four, row_number() OVER (PARTITION BY four ORDER BY ten) AS rn, "
+        "collect_list(ten) OVER (PARTITION BY four ORDER BY ten ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND UNBOUNDED FOLLOWING) AS arr FROM tenk1 WHERE unique2 < 10) s",
+        "SELECT lag(ten, four) OVER (PARTITION BY four ORDER BY ten), ten, four "
+        "FROM tenk1 WHERE unique2 < 10",
+    ),
+    "w2_lag_default": (
+        "SELECT coalesce(CASE WHEN rn - four >= 1 THEN try_element_at(arr, rn - four) END, 0), "
+        "ten, four "
+        "FROM (SELECT ten, four, row_number() OVER (PARTITION BY four ORDER BY ten) AS rn, "
+        "collect_list(ten) OVER (PARTITION BY four ORDER BY ten ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND UNBOUNDED FOLLOWING) AS arr FROM tenk1 WHERE unique2 < 10) s",
+        "SELECT lag(ten, four, 0) OVER (PARTITION BY four ORDER BY ten), ten, four "
+        "FROM tenk1 WHERE unique2 < 10",
+    ),
+    "w2_lead": (
+        "SELECT lead(ten) OVER (PARTITION BY four ORDER BY ten), ten, four "
+        "FROM tenk1 WHERE unique2 < 10",
+        None,
+    ),
+    "w2_lead_expr": (
+        "SELECT lead(ten * 2, 1) OVER (PARTITION BY four ORDER BY ten), ten, four "
+        "FROM tenk1 WHERE unique2 < 10",
+        None,
+    ),
+    "w2_lead_default": (
+        "SELECT lead(ten * 2, 1, -1) OVER (PARTITION BY four ORDER BY ten), ten, four "
+        "FROM tenk1 WHERE unique2 < 10",
+        None,
+    ),
+    "w2_first_value": (
+        "SELECT first_value(ten) OVER (PARTITION BY four ORDER BY ten), ten, four "
+        "FROM tenk1 WHERE unique2 < 10",
+        None,
+    ),
+    "w2_last_value": (
+        "SELECT last_value(ten) OVER (ORDER BY ten), ten, four FROM tenk1 WHERE unique2 < 10",
+        None,
+    ),
+    "w2_last_value_part": (
+        "SELECT last_value(ten) OVER (PARTITION BY four ORDER BY ten), ten, four FROM "
+        "(SELECT * FROM tenk1 WHERE unique2 < 10 ORDER BY four, ten)s ORDER BY four, ten",
+        None,
+    ),
+    # variable nth_value(x, n): n-th row of the RANGE-to-current-row frame
+    # (peers included) — collect_list over the same frame + try_element_at
+    "w2_nth_value": (
+        "SELECT try_element_at(arr, four + 1), ten, four "
+        "FROM (SELECT ten, four, collect_list(ten) OVER (PARTITION BY four ORDER BY ten "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr "
+        "FROM tenk1 WHERE unique2 < 10) s order by four,ten",
+        "SELECT nth_value(ten, four + 1) OVER (PARTITION BY four ORDER BY ten), ten, four "
+        "FROM (SELECT * FROM tenk1 WHERE unique2 < 10 ORDER BY four, ten)s order by four,ten",
+    ),
+    # window.sql:88-115
+    "w2_gsum_wsum": (
+        "SELECT ten, two, sum(hundred) AS gsum, sum(sum(hundred)) OVER "
+        "(PARTITION BY two ORDER BY ten) AS wsum FROM tenk1 GROUP BY ten, two",
+        None,
+    ),
+    "w2_subquery_filter": (
+        "SELECT count(*) OVER (PARTITION BY four), four FROM "
+        "(SELECT * FROM tenk1 WHERE two = 1)s WHERE unique2 < 10",
+        None,
+    ),
+    "w2_cntsum_cast": (
+        "SELECT (count(*) OVER (PARTITION BY four ORDER BY ten) + "
+        "sum(hundred) OVER (PARTITION BY four ORDER BY ten))::varchar AS cntsum "
+        "FROM tenk1 WHERE unique2 < 10",
+        None,
+    ),
+    "w2_opexpr_two_windows": (
+        "SELECT * FROM( SELECT count(*) OVER (PARTITION BY four ORDER BY ten) + "
+        "sum(hundred) OVER (PARTITION BY two ORDER BY ten) AS total, "
+        "count(*) OVER (PARTITION BY four ORDER BY ten) AS fourcount, "
+        "sum(hundred) OVER (PARTITION BY two ORDER BY ten) AS twosum FROM tenk1 )sub "
+        "WHERE total <> fourcount + twosum",
+        None,
+    ),
+    "w2_avg_expr_order": (
+        "SELECT avg(four) OVER (PARTITION BY four ORDER BY thousand / 100) "
+        "FROM tenk1 WHERE unique2 < 10",
+        None,
+    ),
+    "w2_named_gsum": (
+        "SELECT ten, two, sum(hundred) AS gsum, sum(sum(hundred)) OVER win AS wsum "
+        "FROM tenk1 GROUP BY ten, two WINDOW win AS (PARTITION BY two ORDER BY ten)",
+        None,
+    ),
+    "w2_two_windows_group": (
+        "SELECT sum(salary), row_number() OVER (ORDER BY depname), "
+        "sum(sum(salary)) OVER (ORDER BY depname DESC) FROM empsalary GROUP BY depname",
+        None,
+    ),
+}
+
+
+# --------------------------------------------------------------------------
+# limit.sql — LIMIT/OFFSET over the standard onek fixture (nodeLimit.c,
+# bounded top-k), verbatim.
+# --------------------------------------------------------------------------
+
+LIMIT_QUERIES = {
+    # limit.sql:6-30
+    "lim_two": (
+        "SELECT ''::text AS two, unique1, unique2, stringu1 FROM onek "
+        "WHERE unique1 > 50 ORDER BY unique1 LIMIT 2",
+        None,
+    ),
+    "lim_five": (
+        "SELECT ''::text AS five, unique1, unique2, stringu1 FROM onek "
+        "WHERE unique1 > 60 ORDER BY unique1 LIMIT 5",
+        None,
+    ),
+    "lim_underfull": (
+        "SELECT ''::text AS two, unique1, unique2, stringu1 FROM onek "
+        "WHERE unique1 > 60 AND unique1 < 63 ORDER BY unique1 LIMIT 5",
+        None,
+    ),
+    "lim_offset": (
+        "SELECT ''::text AS three, unique1, unique2, stringu1 FROM onek "
+        "WHERE unique1 > 100 ORDER BY unique1 LIMIT 3 OFFSET 20",
+        None,
+    ),
+    "lim_offset_past_end": (
+        "SELECT ''::text AS zero, unique1, unique2, stringu1 FROM onek "
+        "WHERE unique1 < 50 ORDER BY unique1 DESC LIMIT 8 OFFSET 99",
+        None,
+    ),
+    "lim_offset_tail": (
+        "SELECT ''::text AS eleven, unique1, unique2, stringu1 FROM onek "
+        "WHERE unique1 < 50 ORDER BY unique1 DESC LIMIT 20 OFFSET 39",
+        None,
+    ),
+    "lim_offset_only": (
+        "SELECT ''::text AS ten, unique1, unique2, stringu1 FROM onek "
+        "ORDER BY unique1 OFFSET 990",
+        None,
+    ),
+    "lim_offset_then_limit": (
+        "SELECT ''::text AS five, unique1, unique2, stringu1 FROM onek "
+        "ORDER BY unique1 OFFSET 990 LIMIT 5",
+        None,
+    ),
+    "lim_limit_offset": (
+        "SELECT ''::text AS five, unique1, unique2, stringu1 FROM onek "
+        "ORDER BY unique1 LIMIT 5 OFFSET 900",
+        None,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(W2_QUERIES))
+def test_reference_window2_query(olap, name):
+    ref, duck = W2_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+@pytest.mark.parametrize("name", sorted(LIMIT_QUERIES))
+def test_reference_limit_query(olap, name):
+    ref, duck = LIMIT_QUERIES[name]
     _check(olap, ref, duck)
