@@ -845,6 +845,63 @@ def _pass_agg_filter(toks: list[str]) -> list[str]:
     return toks
 
 
+def _pass_inline_named_windows(toks: list[str]) -> list[str]:
+    """Inline ``WINDOW name AS (spec)`` definitions into their ``OVER``
+    references when the reference EXTENDS the named window with a frame
+    clause — ``OVER (w RANGE BETWEEN …)`` (gram.y over_clause copies the
+    base spec).  Spark's grammar only accepts a bare name inside the
+    parens, so extended references get the definition spliced in front of
+    the frame tokens.  Bare ``OVER w`` / ``OVER (w)`` references are left
+    for Spark's native named-window support."""
+    # collect WINDOW clauses: window <name> as ( … ) [, <name> as ( … )]*
+    defs: dict[str, list[str]] = {}
+    i = 0
+    while i < len(toks):
+        if not (_is_ident(toks[i]) and toks[i].lower() == "window" and i + 2 < len(toks)
+                and _is_ident(toks[i + 1]) and toks[i + 2].lower() == "as"):
+            i += 1
+            continue
+        j = i + 1
+        while (
+            j + 1 < len(toks)
+            and _is_ident(toks[j])
+            and toks[j + 1].lower() == "as"
+            and j + 2 < len(toks)
+            and toks[j + 2] == "("
+        ):
+            close = _match_paren(toks, j + 2)
+            defs[toks[j].lower()] = toks[j + 3 : close]
+            j = close + 1
+            if j < len(toks) and toks[j] == ",":
+                j += 1
+            else:
+                break
+        i = j
+    if not defs:
+        return toks
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            _is_ident(t)
+            and t.lower() == "over"
+            and i + 2 < len(toks)
+            and toks[i + 1] == "("
+            and _is_ident(toks[i + 2])
+            and toks[i + 2].lower() in defs
+        ):
+            close = _match_paren(toks, i + 1)
+            rest = toks[i + 3 : close]
+            if rest:  # extended reference — splice the definition in
+                out += ["over", "("] + defs[toks[i + 2].lower()] + rest + [")"]
+                i = close + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_offset_before_limit(toks: list[str]) -> list[str]:
     """PG accepts ``OFFSET n LIMIT m`` in either order (gram.y
     select_limit); Spark's grammar only parses ``LIMIT m OFFSET n`` —
@@ -1882,6 +1939,7 @@ def transpile(sql: str) -> str:
     toks = _pass_count_noargs(toks)
     toks = _pass_agg_filter(toks)
     toks = _pass_offset_before_limit(toks)
+    toks = _pass_inline_named_windows(toks)
     toks = _pass_grouping_plain(toks)
     toks = _pass_decode(toks)
     toks = _pass_case_notdistinct(toks)

@@ -3718,10 +3718,154 @@ LIMIT_QUERIES = {
 }
 
 
+W2B_QUERIES = {
+    # window.sql:122-123 — identical windows under different names
+    "w2b_same_window_twice": (
+        "SELECT sum(salary) OVER w1, count(*) OVER w2 FROM empsalary "
+        "WINDOW w1 AS (ORDER BY salary), w2 AS (ORDER BY salary)",
+        None,
+    ),
+    # window.sql:126-127 — subplan as lead offset: the correlated scalar
+    # subquery selects the row's own `two`, i.e. a per-row offset — Spark
+    # requires constant offsets, so the engine spells it as the
+    # collect_list + try_element_at composition (same window/shuffle)
+    "w2b_lead_subplan_offset": (
+        "SELECT CASE WHEN rn + two <= size(arr) THEN try_element_at(arr, rn + two) END "
+        "FROM (SELECT two, row_number() OVER (PARTITION BY four ORDER BY ten) AS rn, "
+        "collect_list(ten) OVER (PARTITION BY four ORDER BY ten ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND UNBOUNDED FOLLOWING) AS arr FROM tenk1 WHERE unique2 < 10) s",
+        "SELECT lead(ten, (SELECT two FROM tenk1 WHERE s.unique2 = unique2)) "
+        "OVER (PARTITION BY four ORDER BY ten) FROM tenk1 s WHERE unique2 < 10",
+    ),
+    # window.sql:130
+    "w2b_empty_input": (
+        "SELECT count(*) OVER (PARTITION BY four) FROM (SELECT * FROM tenk1 WHERE FALSE)s",
+        None,
+    ),
+    # window.sql:133
+    "w2b_agg_and_rank": (
+        "SELECT sum(salary) OVER w, rank() OVER w FROM empsalary "
+        "WINDOW w AS (PARTITION BY depname ORDER BY salary DESC)",
+        None,
+    ),
+    # window.sql:136-143 — strict aggs over computed columns
+    "w2b_strict_aggs": (
+        "SELECT empno, depname, salary, bonus, depadj, MIN(bonus) OVER (ORDER BY empno), "
+        "MAX(depadj) OVER () FROM( SELECT *, "
+        "CASE WHEN enroll_date < '2008-01-01' THEN 2008 - extract(YEAR FROM enroll_date) "
+        "END * 500 AS bonus, "
+        "CASE WHEN AVG(salary) OVER (PARTITION BY depname) < salary THEN 200 END AS depadj "
+        "FROM empsalary )s",
+        None,
+    ),
+    # window.sql:146 — window over ungrouped agg over empty rows (9.1 bug)
+    "w2b_sum_count_empty": ("SELECT SUM(COUNT(f1)) OVER () FROM int4_tbl WHERE f1=42", None),
+    # window.sql:149-154 — ORDER BY expression involving aggregates
+    "w2b_rank_agg_expr": (
+        "select ten, sum(unique1) + sum(unique2) as res, "
+        "rank() over (order by sum(unique1) + sum(unique2)) as rank "
+        "from tenk1 group by ten order by ten",
+        None,
+    ),
+    # window.sql:163-187 — non-default frame specifications
+    "w2b_frame_default": (
+        "SELECT four, ten, sum(ten) over (partition by four order by ten), "
+        "last_value(ten) over (partition by four order by ten) "
+        "FROM (select distinct ten, four from tenk1) ss",
+        None,
+    ),
+    "w2b_frame_range_current": (
+        "SELECT four, ten, sum(ten) over (partition by four order by ten range between "
+        "unbounded preceding and current row), last_value(ten) over (partition by four "
+        "order by ten range between unbounded preceding and current row) "
+        "FROM (select distinct ten, four from tenk1) ss",
+        None,
+    ),
+    "w2b_frame_range_unbounded": (
+        "SELECT four, ten, sum(ten) over (partition by four order by ten range between "
+        "unbounded preceding and unbounded following), last_value(ten) over (partition by "
+        "four order by ten range between unbounded preceding and unbounded following) "
+        "FROM (select distinct ten, four from tenk1) ss",
+        None,
+    ),
+    "w2b_frame_range_expr": (
+        "SELECT four, ten/4 as two, sum(ten/4) over (partition by four order by ten/4 "
+        "range between unbounded preceding and current row), last_value(ten/4) over "
+        "(partition by four order by ten/4 range between unbounded preceding and current row) "
+        "FROM (select distinct ten, four from tenk1) ss",
+        None,
+    ),
+    "w2b_frame_rows_expr": (
+        "SELECT four, ten/4 as two, sum(ten/4) over (partition by four order by ten/4 "
+        "rows between unbounded preceding and current row), last_value(ten/4) over "
+        "(partition by four order by ten/4 rows between unbounded preceding and current row) "
+        "FROM (select distinct ten, four from tenk1) ss",
+        None,
+    ),
+    "w2b_frame_current_to_end": (
+        "SELECT sum(unique1) over (order by four range between current row and unbounded "
+        "following), unique1, four FROM tenk1 WHERE unique1 < 10",
+        None,
+    ),
+    "w2b_frame_named_range": (
+        "SELECT sum(unique1) over (w range between current row and unbounded following), "
+        "unique1, four FROM tenk1 WHERE unique1 < 10 WINDOW w AS (order by four)",
+        None,
+    ),
+    # window.sql:204-206 — mixed-width integer range bounds (GPDB extension
+    # over PG: "fails on PostgreSQL, has been implemented in GPDB")
+    "w2b_frame_mixed_int_bounds": (
+        "SELECT sum(unique1) over (order by four range between 2::int8 preceding and "
+        "1::int2 preceding), unique1, four FROM tenk1 WHERE unique1 < 10",
+        None,
+    ),
+    # window.sql:219-224 — windowed view body as a plain query
+    "w2b_series_rows_frame": (
+        "SELECT i, sum(i) over (order by i rows between 1 preceding and 1 following) "
+        "as sum_rows FROM generate_series(1, 10) i",
+        # DuckDB treats the bare alias as a table alias, not the SRF's
+        # column alias as PG does
+        "SELECT i, sum(i) over (order by i rows between 1 preceding and 1 following) "
+        "as sum_rows FROM generate_series(1, 10) t(i)",
+    ),
+    # window.sql:232 — ordering by a non-integer constant is allowed
+    "w2b_rank_const_order": ("SELECT rank() OVER (ORDER BY length('abc'))", None),
+}
+
+# window.sql:238-246 — shapes the reference itself rejects: window
+# functions in WHERE / JOIN ON / GROUP BY, rank() as a FROM item
+W2B_REJECTED = {
+    "w2b_rej_where": (
+        "SELECT * FROM empsalary WHERE row_number() OVER (ORDER BY salary) < 10"
+    ),
+    "w2b_rej_join_on": (
+        "SELECT * FROM empsalary INNER JOIN tenk1 ON "
+        "row_number() OVER (ORDER BY salary) < 10"
+    ),
+    "w2b_rej_group_by": (
+        "SELECT rank() OVER (ORDER BY 1), count(*) FROM empsalary GROUP BY 1"
+    ),
+    "w2b_rej_from_item": "SELECT * FROM rank() OVER (ORDER BY random())",
+}
+
+
 @pytest.mark.parametrize("name", sorted(W2_QUERIES))
 def test_reference_window2_query(olap, name):
     ref, duck = W2_QUERIES[name]
     _check(olap, ref, duck)
+
+
+@pytest.mark.parametrize("name", sorted(W2B_QUERIES))
+def test_reference_window2b_query(olap, name):
+    ref, duck = W2B_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+@pytest.mark.parametrize("name", sorted(W2B_REJECTED))
+def test_reference_window2b_rejected(olap, name):
+    spark, _ = olap
+    with pytest.raises(Exception):
+        pg_sql(spark, W2B_REJECTED[name]).collect()
 
 
 @pytest.mark.parametrize("name", sorted(LIMIT_QUERIES))
