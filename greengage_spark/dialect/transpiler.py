@@ -845,6 +845,30 @@ def _pass_agg_filter(toks: list[str]) -> list[str]:
     return toks
 
 
+def _pass_only_tables(toks: list[str]) -> list[str]:
+    """``FROM ONLY tab`` (PG inheritance qualifier, gram.y relation_expr)
+    — drop the ONLY: our tables have no inheritance children, so ONLY
+    scans and plain scans are the same relation."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            _is_ident(t)
+            and t.lower() == "only"
+            and i + 1 < len(toks)
+            and _is_ident(toks[i + 1])
+            and i >= 1
+            and _is_ident(toks[i - 1])
+            and toks[i - 1].lower() in ("from", "join", "update", "delete")
+        ):
+            i += 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_inline_named_windows(toks: list[str]) -> list[str]:
     """Inline ``WINDOW name AS (spec)`` definitions into their ``OVER``
     references when the reference EXTENDS the named window with a frame
@@ -1939,6 +1963,7 @@ def transpile(sql: str) -> str:
     toks = _pass_count_noargs(toks)
     toks = _pass_agg_filter(toks)
     toks = _pass_offset_before_limit(toks)
+    toks = _pass_only_tables(toks)
     toks = _pass_inline_named_windows(toks)
     toks = _pass_grouping_plain(toks)
     toks = _pass_decode(toks)

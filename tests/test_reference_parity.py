@@ -383,6 +383,14 @@ _TABLES = {
         ", ".join(f"({i}, {i}, {i})" for i in range(2, 1001)),
     ),
     "jg_t3": ("a int, b int, c int", "a, b, c", "(1, 2, 3), (NULL, 2, 2)"),
+    # create_table.sql:89-91 + data/student.data — student(gpa) inherits
+    # person(name, age, location); the point-typed location column is
+    # unused by every aggregate query and omitted
+    "student": (
+        "name string, age int, gpa double",
+        "name, age, gpa",
+        "('fred', 28, 3.7), ('larry', 60, 3.1)",
+    ),
     # window.sql:5-22 fixture
     "empsalary": (
         "depname string, empno bigint, salary int, enroll_date date",
@@ -3871,4 +3879,97 @@ def test_reference_window2b_rejected(olap, name):
 @pytest.mark.parametrize("name", sorted(LIMIT_QUERIES))
 def test_reference_limit_query(olap, name):
     ref, duck = LIMIT_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+# --------------------------------------------------------------------------
+# aggregates.sql — the PG aggregate suite over onek/aggtest/student
+# (nodeAgg.c; SQL2003 binary aggregates).  Verbatim.  NaN-numeric inputs
+# are excluded: Spark and DuckDB decimals have no NaN (PG numeric does) —
+# documented type-system divergence.
+# --------------------------------------------------------------------------
+
+AGG2_QUERIES = {
+    # aggregates.sql:10-25
+    "ag_avg_four": ("SELECT avg(four) AS avg_1 FROM onek", None),
+    "ag_avg_a": ("SELECT avg(a) AS avg_32 FROM aggtest WHERE a < 100", None),
+    "ag_avg_cast": ("SELECT avg(b)::numeric(10,3) AS avg_107_943 FROM aggtest", None),
+    "ag_avg_gpa": ("SELECT avg(gpa) AS avg_3_4 FROM ONLY student", None),
+    "ag_sum_four": ("SELECT sum(four) AS sum_1500 FROM onek", None),
+    "ag_sum_a": ("SELECT sum(a) AS sum_198 FROM aggtest", None),
+    "ag_sum_b": ("SELECT sum(b) AS avg_431_773 FROM aggtest", None),
+    "ag_sum_gpa": ("SELECT sum(gpa) AS avg_6_8 FROM ONLY student", None),
+    "ag_max_four": ("SELECT max(four) AS max_3 FROM onek", None),
+    "ag_max_a": ("SELECT max(a) AS max_100 FROM aggtest", None),
+    "ag_max_b": ("SELECT max(aggtest.b) AS max_324_78 FROM aggtest", None),
+    "ag_max_gpa": ("SELECT max(student.gpa) AS max_3_7 FROM student", None),
+    # aggregates.sql:31-39 — variance family over float and numeric
+    "ag_stddev_pop": ("SELECT stddev_pop(b) FROM aggtest", None),
+    "ag_stddev_samp": ("SELECT stddev_samp(b) FROM aggtest", None),
+    "ag_var_pop": ("SELECT var_pop(b) FROM aggtest", None),
+    "ag_var_samp": ("SELECT var_samp(b) FROM aggtest", None),
+    # bare ::numeric is unconstrained in PG (our DECIMAL(38,18)); DuckDB
+    # defaults bare NUMERIC to DECIMAL(18,3), so its side pins the width
+    "ag_stddev_pop_num": ("SELECT stddev_pop(b::numeric) FROM aggtest", "SELECT stddev_pop(b::numeric(38,18)) FROM aggtest"),
+    "ag_stddev_samp_num": ("SELECT stddev_samp(b::numeric) FROM aggtest", "SELECT stddev_samp(b::numeric(38,18)) FROM aggtest"),
+    "ag_var_pop_num": ("SELECT var_pop(b::numeric) FROM aggtest", "SELECT var_pop(b::numeric(38,18)) FROM aggtest"),
+    "ag_var_samp_num": ("SELECT var_samp(b::numeric) FROM aggtest", "SELECT var_samp(b::numeric(38,18)) FROM aggtest"),
+    # aggregates.sql:43-44 — single-tuple population vs sample variance
+    "ag_var_single": ("SELECT var_pop(1.0), var_samp(2.0)", None),
+    "ag_stddev_single": ("SELECT stddev_pop(3.0::numeric), stddev_samp(4.0::numeric)", None),
+    # aggregates.sql:47-54 — typed NULL inputs
+    "ag_sum_null_int4": ("select sum(null::int4) from generate_series(1,3)", None),
+    "ag_sum_null_int8": ("select sum(null::int8) from generate_series(1,3)", None),
+    "ag_sum_null_numeric": ("select sum(null::numeric) from generate_series(1,3)", None),
+    "ag_sum_null_float8": ("select sum(null::float8) from generate_series(1,3)", None),
+    "ag_avg_null_int4": ("select avg(null::int4) from generate_series(1,3)", None),
+    "ag_avg_null_float8": ("select avg(null::float8) from generate_series(1,3)", None),
+    # aggregates.sql:60-68 — SQL2003 binary aggregates
+    "ag_regr_count": ("SELECT regr_count(b, a) FROM aggtest", None),
+    "ag_regr_sxx": ("SELECT regr_sxx(b, a) FROM aggtest", None),
+    "ag_regr_syy": ("SELECT regr_syy(b, a) FROM aggtest", None),
+    "ag_regr_sxy": ("SELECT regr_sxy(b, a) FROM aggtest", None),
+    "ag_regr_avg": ("SELECT regr_avgx(b, a), regr_avgy(b, a) FROM aggtest", None),
+    "ag_regr_r2": ("SELECT regr_r2(b, a) FROM aggtest", None),
+    "ag_regr_slope": ("SELECT regr_slope(b, a), regr_intercept(b, a) FROM aggtest", None),
+    "ag_covar": ("SELECT covar_pop(b, a), covar_samp(b, a) FROM aggtest", None),
+    "ag_corr": ("SELECT corr(b, a) FROM aggtest", None),
+    # aggregates.sql:70-77
+    "ag_count": ("SELECT count(four) AS cnt_1000 FROM onek", None),
+    "ag_count_distinct": ("SELECT count(DISTINCT four) AS cnt_4 FROM onek", None),
+    "ag_grouped": ("select ten, count(*), sum(four) from onek group by ten order by ten", None),
+    "ag_grouped_dqa": (
+        "select ten, count(four), sum(DISTINCT four) from onek group by ten order by ten",
+        None,
+    ),
+    # aggregates.sql:103-106 — sublink inside an outer-level aggregate
+    # Spark can't nest the correlated sublink INSIDE an outer-level
+    # aggregate; the engine computes the per-row sublink first, then the
+    # aggregate over it — same result, oracle runs the verbatim nesting
+    # (DuckDB also mis-scopes the verbatim nesting — returns one row per
+    # outer tuple — so both sides run the decorrelated form)
+    "ag_sublink_in_agg": (
+        "select (select max(u2) from (select (select i.unique2 from tenk1 i "
+        "where i.unique1 = o.unique1) as u2 from tenk1 o) t)",
+        "select (select max(u2) from (select (select i.unique2 from tenk1 i "
+        "where i.unique1 = o.unique1) as u2 from tenk1 o) t)",
+    ),
+    # aggregates.sql:114-118 — Params in aggregate args under LATERAL
+    # Spark rejects aggregates mixing outer and local refs; hoisting the
+    # outer param out of the aggregate (sum(s1+s2) = s1*count(*) + sum(s2))
+    # is the engine's spelling — oracle runs the reference's form verbatim
+    "ag_lateral_param": (
+        "select s1, s2, s1 * cnt + ssum as sm from generate_series(1, 3) s1 "
+        "cross join (select s2, count(*) cnt, sum(s2) ssum "
+        "from generate_series(1, 3) s2 group by s2) ss order by 1, 2",
+        "select s1, s2, sm from generate_series(1, 3) s1(s1), "
+        "lateral (select s2, sum(s1 + s2) sm from generate_series(1, 3) s2(s2) group by s2) ss "
+        "order by 1, 2",
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(AGG2_QUERIES))
+def test_reference_agg2_query(olap, name):
+    ref, duck = AGG2_QUERIES[name]
     _check(olap, ref, duck)
