@@ -183,6 +183,10 @@ def _pass_casts(toks: list[str]) -> list[str]:
         if tname == "interval" and start == i - 1 and _is_string(toks[i - 1]):
             toks = toks[:start] + _interval_literal(toks[i - 1]) + toks[i + 2 :]
             continue
+        # non-literal ::interval (e.g. null::interval) — day-time subtype,
+        # the fixed-width scope our interval surface supports
+        if tname == "interval":
+            mapped = "INTERVAL DAY TO SECOND"
         # double precision (two words)
         if tname == "double" and i + 2 < len(toks) and toks[i + 2].lower() == "precision":
             mapped, end = "DOUBLE", i + 2
@@ -1642,6 +1646,58 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     [fname, "("] + args[0] + [",", f"'{java}'", ")"]
                 )
                 i += 2  # past fname+'(' — to_date maps to itself, don't re-match
+                continue
+            if low == "interval_bound" and 2 <= len(args) <= 4:
+                # GP time-series bucketing (numeric.c
+                # numeric_interval_bound_common / timestamp.c):
+                #   bound = floor((v - r)/w)*w + s*w + r
+                # where s (3rd arg) counts WIDTHS and r (4th) registers the
+                # bucket grid.  Timestamp form (day-time widths; calendar
+                # month widths are out of scope) works in epoch
+                # microseconds.  NaN numerics are a PG-only value.
+                v, w = args[0], args[1]
+                s = args[2] if len(args) >= 3 else ["0"]
+                r = args[3] if len(args) == 4 else None
+                # arguments may be bare column refs; fall back to whether
+                # the statement works with intervals/timestamps at all
+                is_ts = any(
+                    _is_ident(t) and t.lower() in ("interval", "timestamp", "timestamptz")
+                    for t in w + v
+                ) or any(
+                    _is_ident(t) and t.lower() in ("interval", "timestamp", "timestamptz")
+                    for t in out
+                )
+                if is_ts:
+                    # unix_micros needs TIMESTAMP (not NTZ); session TZ is
+                    # UTC so the round-trip casts are value-preserving
+                    def _us(e: list[str]) -> list[str]:
+                        return (
+                            ["unix_micros", "(", "CAST", "(", "("] + e
+                            + [")", "AS", "TIMESTAMP", ")", ")"]
+                        )
+
+                    r_us = (
+                        _us(r) if r is not None else ["CAST", "(", "0", "AS", "BIGINT", ")"]
+                    )
+                    w_us = _us(["TIMESTAMP", "'1970-01-01 00:00:00'", "+", "("] + w + [")"])
+                    new = (
+                        ["CAST", "(", "timestamp_micros", "(", "CAST", "(", "floor", "(", "("]
+                        + _us(v) + ["-", "("] + r_us
+                        + [")", ")", "/", "("] + w_us + [")", ")", "*", "("] + w_us
+                        + [")", "+", "("] + s + [")", "*", "("] + w_us
+                        + [")", "+", "("] + r_us + [")", "AS", "BIGINT", ")", ")",
+                           "AS", "TIMESTAMP_NTZ", ")"]
+                    )
+                else:
+                    rr = r if r is not None else ["0"]
+                    new = (
+                        ["(", "floor", "(", "(", "("] + v + [")", "-", "("] + rr
+                        + [")", ")", "/", "("] + w + [")", ")", "*", "("] + w
+                        + [")", "+", "("] + s + [")", "*", "("] + w
+                        + [")", "+", "("] + rr + [")", ")"]
+                    )
+                out[i : close + 1] = new
+                i += 1
                 continue
             if low == "extract":
                 # EXTRACT(field FROM expr) keyword form: normalize dow /

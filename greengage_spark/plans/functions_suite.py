@@ -303,6 +303,34 @@ def dialect_case_nullif(spark, sf_dir):
 
 
 @suite.add(
+    "dialect_interval_bound",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(epoch_us(ts) / 14400000000) * 14400000000
+           AS BIGINT)) AS bucket_4h,
+           COUNT(*) AS cnt,
+           CAST(SUM(value::decimal(18,6)) AS DOUBLE) AS total
+    FROM events GROUP BY 1
+    """,
+    doc="GP interval_bound() time bucketing (timeseries.sql; numeric.c "
+    "numeric_interval_bound_common) — floor((v-r)/w)*w + s*w + r in epoch "
+    "microseconds; the hypertable-rollup primitive.",
+    tags=("dialect", "timeseries"),
+)
+def dialect_interval_bound(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT interval_bound(ts, interval '4 hours') AS bucket_4h,
+               COUNT(*) AS cnt,
+               SUM(value::numeric(18,6))::float8 AS total
+        FROM events GROUP BY 1
+        """,
+        ["events"],
+    )
+
+
+@suite.add(
     "dialect_to_char_numeric",
     oracle="""
     SELECT o_orderkey,

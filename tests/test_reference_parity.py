@@ -3973,3 +3973,112 @@ AGG2_QUERIES = {
 def test_reference_agg2_query(olap, name):
     ref, duck = AGG2_QUERIES[name]
     _check(olap, ref, duck)
+
+
+# --------------------------------------------------------------------------
+# timeseries.sql — GP time-series surface: timestamp generate_series and
+# interval_bound() bucketing (numeric.c numeric_interval_bound_common).
+# interval_bound lowers to floor((v-r)/w)*w + s*w + r (epoch-microsecond
+# arithmetic for timestamps).  Scope: fixed-width (day-time) interval
+# widths; calendar month/year widths and NaN numerics are PG-only
+# behaviors documented out of scope.  DuckDB has no interval_bound, so
+# the oracle spells the same formula in its own functions.
+# --------------------------------------------------------------------------
+
+# the bound formula in DuckDB's dialect, for the oracle side
+_DUCK_NB = (
+    "floor(({v} - {r})/({w}))*({w}) + ({s})*({w}) + ({r})"
+)
+_DUCK_TB = (
+    "make_timestamp(CAST(floor((epoch_us({v}) - epoch_us({r}))/(epoch_us("
+    "TIMESTAMP '1970-01-01 00:00:00' + ({w}))))*(epoch_us(TIMESTAMP "
+    "'1970-01-01 00:00:00' + ({w}))) + ({s})*(epoch_us(TIMESTAMP "
+    "'1970-01-01 00:00:00' + ({w}))) + epoch_us({r}) AS BIGINT))"
+)
+
+TS_QUERIES = {
+    # timeseries.sql:28-56 — generate_series over timestamps
+    "ts_series_single": (
+        "select * from generate_series( timestamp '2011-01-01 12:00:00', "
+        "timestamp '2011-01-01 12:00:00', interval '1 year')",
+        None,
+    ),
+    "ts_series_months": (
+        "select * from generate_series( timestamp '2011-01-01 12:00:00', "
+        "timestamp '2012-01-01 12:00:00', interval '1 month')",
+        None,
+    ),
+    "ts_series_leap": (
+        "select * from generate_series( timestamp '2012-01-01 12:00:00', "
+        "timestamp '2013-01-01 12:00:00', interval '1 month')",
+        None,
+    ),
+    "ts_series_weeks": (
+        "select * from generate_series( timestamp '2011-01-01 12:00:00', "
+        "timestamp '2011-01-31 12:00:00', interval '2 weeks')",
+        None,
+    ),
+    "ts_series_backward": (
+        "select * from generate_series( timestamp '2013-01-01 12:00:00', "
+        "timestamp '2011-01-01 12:00:00', interval '-2 months')",
+        None,
+    ),
+    # timeseries.sql:107-122 — numeric interval_bound (NaN rows excluded)
+    "ts_bound_numeric": (
+        "select v, w, r, s, interval_bound(v, w) as normal, "
+        "interval_bound(v, w, s) as shifted, "
+        "interval_bound(v, w, s, r) as registered "
+        "from ( values (10, 1, 0.5, 4), (10, 0.5, -100, null), (0.5, 10, -1, -1), "
+        "(-100, 100, 10, 1), (-101, 10, null, 10), (5, 2, -100.5, 1), "
+        "(null, 10, 0, 0), (55, null, 20, 0) ) r(v,w,r,s)",
+        "select v, w, r, s, "
+        + _DUCK_NB.format(v="v", w="w", s="0", r="0")
+        + " as normal, "
+        + _DUCK_NB.format(v="v", w="w", s="s", r="0")
+        + " as shifted, "
+        + _DUCK_NB.format(v="v", w="w", s="s", r="r")
+        + " as registered "
+        "from ( values (10, 1, 0.5, 4), (10, 0.5, -100, null), (0.5, 10, -1, -1), "
+        "(-100, 100, 10, 1), (-101, 10, null, 10), (5, 2, -100.5, 1), "
+        "(null, 10, 0, 0), (55, null, 20, 0) ) r(v,w,r,s)",
+    ),
+    # timeseries.sql:133-146 — timestamp interval_bound, fixed-width rows
+    "ts_bound_timestamp": (
+        "select v, w, r, s, interval_bound(v, w) as normal, "
+        "interval_bound(v, w, s) as shifted, "
+        "interval_bound(v, w, s, r) as registered "
+        "from ( values "
+        "(timestamp '2012-01-12 10:00:10', interval '1 week', "
+        "timestamp '2012-04-02 00:00:00', 4), "
+        "(timestamp '2100-03-01 11:11:11.11', interval '100 days', "
+        "timestamp '1929-10-29 22:33:44.55', 1), "
+        "(null::timestamp, interval '1 week', timestamp '1911-09-09 15:16:17', 3), "
+        "(timestamp '1999-10-30 13:01:01', null::interval, "
+        "timestamp '1970-04-05 12:00:00', 1), "
+        "(timestamp '1999-10-30 13:01:01', interval '1 day', null, 1) "
+        ") r(v,w,r,s)",
+        "select v, w, r, s, "
+        + _DUCK_TB.format(v="v", w="w", s="0", r="TIMESTAMP '1970-01-01 00:00:00'")
+        + " as normal, "
+        + _DUCK_TB.format(v="v", w="w", s="s", r="TIMESTAMP '1970-01-01 00:00:00'")
+        + " as shifted, "
+        + _DUCK_TB.format(v="v", w="w", s="s", r="r")
+        + " as registered "
+        "from ( values "
+        "(timestamp '2012-01-12 10:00:10', interval '1 week', "
+        "timestamp '2012-04-02 00:00:00', 4), "
+        "(timestamp '2100-03-01 11:11:11.11', interval '100 days', "
+        "timestamp '1929-10-29 22:33:44.55', 1), "
+        "(CAST(null AS timestamp), interval '1 week', timestamp '1911-09-09 15:16:17', 3), "
+        "(timestamp '1999-10-30 13:01:01', CAST(null AS interval), "
+        "timestamp '1970-04-05 12:00:00', 1), "
+        "(timestamp '1999-10-30 13:01:01', interval '1 day', null, 1) "
+        ") r(v,w,r,s)",
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(TS_QUERIES))
+def test_reference_timeseries_query(olap, name):
+    ref, duck = TS_QUERIES[name]
+    _check(olap, ref, duck)
