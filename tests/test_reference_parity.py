@@ -383,6 +383,17 @@ _TABLES = {
         ", ".join(f"({i}, {i}, {i})" for i in range(2, 1001)),
     ),
     "jg_t3": ("a int, b int, c int", "a, b, c", "(1, 2, 3), (NULL, 2, 2)"),
+    # with_clause.sql:21-27 fixtures
+    "with_test1": (
+        "i int, t string, value int",
+        "i, t, value",
+        ", ".join(f"({i % 10}, 'text{i % 20}', {i % 30})" for i in range(0, 100)),
+    ),
+    "with_test2": (
+        "i int, t string, value int",
+        "i, t, value",
+        ", ".join(f"({i % 100}, 'text{i % 200}', {i % 300})" for i in range(0, 1000)),
+    ),
     # create_table.sql:89-91 + data/student.data — student(gpa) inherits
     # person(name, age, location); the point-typed location column is
     # unused by every aggregate query and omitted
@@ -4082,3 +4093,130 @@ TS_QUERIES = {
 def test_reference_timeseries_query(olap, name):
     ref, duck = TS_QUERIES[name]
     _check(olap, ref, duck)
+
+
+# --------------------------------------------------------------------------
+# with_clause.sql — non-recursive CTE surface (ShareInputScan / inline
+# decision, nodeShareInputScan.c), verbatim over with_test1/with_test2.
+# --------------------------------------------------------------------------
+
+WITH_QUERIES = {
+    # with_clause.sql:30-33
+    "wc_single": (
+        "with my_sum(total) as (select sum(value) from with_test1) select * from my_sum",
+        None,
+    ),
+    # with_clause.sql:38-42
+    "wc_two_ctes": (
+        "with my_sum(total) as (select sum(value) from with_test1), "
+        "my_count(cnt) as (select count(*) from with_test1) "
+        "select cnt, total from my_sum, my_count",
+        None,
+    ),
+    # with_clause.sql:51-55 — one CTE referenced twice
+    "wc_ref_twice": (
+        "with my_group_sum(i, total) as (select i, sum(value) from with_test1 group by i) "
+        "select gs1.i, gs1.total, gs2.total from my_group_sum gs1, my_group_sum gs2 "
+        "where gs1.i = gs2.i + 1",
+        None,
+    ),
+    # with_clause.sql:64-68 — CTE referencing a previous CTE
+    "wc_chained": (
+        "with my_count(i, cnt) as (select i, count(*) from with_test1 group by i), "
+        "my_sum(total) as (select sum(cnt) from my_count) select * from my_sum",
+        None,
+    ),
+    # with_clause.sql:74-79 — WITH inside WITH
+    "wc_nested": (
+        "with my_sum(total) as ( with my_group_sum(total) as "
+        "(select sum(value) from with_test1 group by i) "
+        "select sum(total) from my_group_sum) select * from my_sum",
+        None,
+    ),
+    # with_clause.sql:85-88 — pathkeys through an ordered CTE
+    "wc_ordered": (
+        "with my_order as (select * from with_test1 order by i) "
+        "select i, count(*) from my_order group by i order by i",
+        None,
+    ),
+    # with_clause.sql:92-100 — CTE as InitPlan (scalar subquery)
+    "wc_initplan": (
+        "with my_max(maximum) as (select max(value) from with_test1) "
+        "select * from with_test2 where value < (select * from my_max)",
+        None,
+    ),
+    "wc_initplan_inner": (
+        "select * from with_test2 where value < "
+        "(with my_max(maximum) as (select max(value) from with_test1) "
+        "select * from my_max)",
+        None,
+    ),
+    # with_clause.sql:104-108 — CTE in InitPlan and main query together
+    "wc_initplan_and_main": (
+        "with my_max(maximum) as (select max(value) from with_test1) "
+        "select with_test2.* from with_test2, my_max "
+        "where value < (select * from my_max) and i < maximum and i > maximum - 10",
+        None,
+    ),
+    # with_clause.sql:116-119 — CTE under < ALL subplan
+    "wc_subplan_all": (
+        "with my_groupmax(i, maximum) as (select i, max(value) from with_test1 group by i) "
+        "select * from with_test2 where value < all (select maximum from my_groupmax)",
+        None,
+    ),
+    # with_clause.sql:127-131
+    "wc_subplan_and_main": (
+        "with my_groupmax(i, maximum) as (select i, max(value) from with_test1 group by i) "
+        "select * from with_test2, my_groupmax where with_test2.i = my_groupmax.i "
+        "and value < all (select maximum from my_groupmax)",
+        None,
+    ),
+    # with_clause.sql:138-139 — CTE referenced in HAVING-style filter
+    "wc_self_filter": (
+        "with my_groupmax(i, maximum) as (select i, max(value) from with_test1 group by i) "
+        "SELECT count(*) FROM my_groupmax WHERE maximum > "
+        "(SELECT sum(maximum)/100 FROM my_groupmax)",
+        None,
+    ),
+    # with_clause.sql:147-151 — inner WITH shadows the outer CTE name
+    "wc_shadowing": (
+        "with my_max(maximum) as (select max(value) from with_test2) "
+        "select * from with_test1, my_max where value < "
+        "(with my_max(maximum) as (select max(i) from with_test1) select * from my_max)",
+        None,
+    ),
+    # with_clause.sql:201-203 — CTE not referenced by the main query
+    "wc_unused": (
+        "with my_sum(total) as (select sum(value) from with_test1) "
+        "select count(*) from with_test2",
+        None,
+    ),
+    # with_clause.sql:224-228 — CTE under set operations
+    "wc_setop": (
+        "with my_sum(total) as (select sum(value) from with_test1) "
+        "select * from my_sum union all select * from my_sum",
+        None,
+    ),
+}
+
+# with_clause.sql:230-240 — the reference rejects these
+WITH_REJECTED = {
+    "wc_rej_duplicate_name": (
+        "with my_sum(total) as (select sum(value) from with_test1), "
+        "my_sum(group_total) as (select sum(value) from with_test1 group by i) "
+        "select * from my_sum"
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(WITH_QUERIES))
+def test_reference_with_query(olap, name):
+    ref, duck = WITH_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+@pytest.mark.parametrize("name", sorted(WITH_REJECTED))
+def test_reference_with_rejected(olap, name):
+    spark, _ = olap
+    with pytest.raises(Exception):
+        pg_sql(spark, WITH_REJECTED[name]).collect()
