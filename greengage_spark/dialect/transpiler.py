@@ -849,6 +849,45 @@ def _pass_agg_filter(toks: list[str]) -> list[str]:
     return toks
 
 
+def _pass_like_escape(toks: list[str]) -> list[str]:
+    """LIKE … ESCAPE: PG lets the escape precede ANY character (like.c
+    treats escape+c as literal c); Spark only allows it before a wildcard
+    or itself.  For literal pattern + literal escape, strip the escape
+    from escape+ordinary sequences — same match semantics, Spark-legal."""
+    i = 0
+    while i + 3 < len(toks):
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() in ("like", "ilike")
+            and _is_string(toks[i + 1])
+            and _is_ident(toks[i + 2])
+            and toks[i + 2].lower() == "escape"
+            and _is_string(toks[i + 3])
+        ):
+            esc = toks[i + 3][1:-1]
+            if len(esc) == 1:
+                pat = toks[i + 1][1:-1]
+                out_chars: list[str] = []
+                k = 0
+                while k < len(pat):
+                    c = pat[k]
+                    if c == esc and k + 1 < len(pat):
+                        nxt = pat[k + 1]
+                        if nxt in ("%", "_") or nxt == esc:
+                            out_chars += [c, nxt]
+                        else:
+                            out_chars.append(nxt)
+                        k += 2
+                    else:
+                        out_chars.append(c)
+                        k += 1
+                toks[i + 1] = "'" + "".join(out_chars) + "'"
+            i += 4
+            continue
+        i += 1
+    return toks
+
+
 def _pass_only_tables(toks: list[str]) -> list[str]:
     """``FROM ONLY tab`` (PG inheritance qualifier, gram.y relation_expr)
     — drop the ONLY: our tables have no inheritance children, so ONLY
@@ -1647,6 +1686,76 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 )
                 i += 2  # past fname+'(' — to_date maps to itself, don't re-match
                 continue
+            if low in ("ltrim", "rtrim", "btrim") and len(args) == 2:
+                # PG argument order is (string, characters) (varlena.c);
+                # Spark's two-argument trims take (trimStr, srcStr)
+                fname = "trim" if low == "btrim" else low
+                out[i : close + 1] = (
+                    [fname, "("] + args[1] + [","] + args[0] + [")"]
+                )
+                i += 1
+                continue
+            if low == "regexp_replace" and len(args) in (3, 4):
+                # PG regexp_replace (regexp.c): flags 'g' = all occurrences
+                # (Spark's only mode), 'i' = case-insensitive via (?i);
+                # replacement backrefs are \N where Spark wants $N
+                pat, rep = args[1], args[2]
+                changed = len(args) == 4
+                if len(rep) == 1 and _is_string(rep[0]) and "\\" in rep[0]:
+                    rep = [re.sub(r"\\(\d)", r"$\1", rep[0])]
+                    changed = True
+                if len(args) == 4 and len(args[3]) == 1 and _is_string(args[3][0]):
+                    if "i" in args[3][0].strip("'"):
+                        if len(pat) == 1 and _is_string(pat[0]):
+                            pat = ["'(?i)" + pat[0][1:]]
+                        else:
+                            pat = ["concat", "(", "'(?i)'", ","] + pat + [")"]
+                if changed:
+                    out[i : close + 1] = (
+                        ["regexp_replace", "("] + args[0] + [","] + pat + [","] + rep + [")"]
+                    )
+                    i += 1
+                    continue
+            if low == "regexp_split_to_array" and len(args) in (2, 3):
+                # regexp_split_to_table's array sibling → Spark split();
+                # optional 'i' flag folds into the pattern
+                pat = args[1]
+                if len(args) == 3 and len(args[2]) == 1 and _is_string(args[2][0]):
+                    if "i" in args[2][0].strip("'"):
+                        if len(pat) == 1 and _is_string(pat[0]):
+                            pat = ["'(?i)" + pat[0][1:]]
+                        else:
+                            pat = ["concat", "(", "'(?i)'", ","] + pat + [")"]
+                out[i : close + 1] = (
+                    ["split", "("] + args[0] + [","] + pat + [",", "-1", ")"]
+                )
+                i += 1
+                continue
+            if low in ("substring", "substr") and len(args) == 1:
+                # keyword form: SUBSTRING(x FROM y [FOR z]).  A string-
+                # literal y is PG's POSIX-regex substring (varlena.c
+                # textregexsubstr): result = first capture group if the
+                # pattern has one, else the whole match; NULL on no match.
+                inner = args[0]
+                from_idx = next(
+                    (k for k, tk in enumerate(inner)
+                     if _is_ident(tk) and tk.lower() == "from"
+                     and _paren_depth(inner, 0, k) == 0),
+                    None,
+                )
+                if from_idx is not None:
+                    xpr = inner[:from_idx]
+                    rest = inner[from_idx + 1 :]
+                    if len(rest) == 1 and _is_string(rest[0]):
+                        lit = rest[0]
+                        grp = "1" if "(" in lit else "0"
+                        out[i : close + 1] = (
+                            ["case", "when", "("] + xpr + [")", "rlike", lit,
+                             "then", "regexp_extract", "(", "("] + xpr
+                            + [")", ",", lit, ",", grp, ")", "end"]
+                        )
+                        i += 1
+                        continue
             if low == "interval_bound" and 2 <= len(args) <= 4:
                 # GP time-series bucketing (numeric.c
                 # numeric_interval_bound_common / timestamp.c):
@@ -2020,6 +2129,7 @@ def transpile(sql: str) -> str:
     toks = _pass_agg_filter(toks)
     toks = _pass_offset_before_limit(toks)
     toks = _pass_only_tables(toks)
+    toks = _pass_like_escape(toks)
     toks = _pass_inline_named_windows(toks)
     toks = _pass_grouping_plain(toks)
     toks = _pass_decode(toks)

@@ -32,6 +32,9 @@ RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow transfer for pandas UDFs / toPandas — the only sane Python path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # PG standard_conforming_strings: '\s' is backslash-s, not an escape —
+    # regex literals ('\s+', '\d{3}') must reach the engine verbatim.
+    "spark.sql.parser.escapedStringLiterals": "true",
 }
 
 

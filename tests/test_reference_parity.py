@@ -4209,6 +4209,173 @@ WITH_REJECTED = {
 }
 
 
+# --------------------------------------------------------------------------
+# strings.sql — PG string surface, verbatim: TRIM keyword forms, SUBSTRING
+# (positional and POSIX-regex), OVERLAY, POSITION, regexp_replace flags +
+# backrefs, regexp_split_to_array, and the systematic LIKE/ILIKE ESCAPE
+# battery.  Session runs with PG standard_conforming_strings semantics
+# (escapedStringLiterals) so '\s+' reaches the regex engine verbatim.
+# --------------------------------------------------------------------------
+
+STR_QUERIES = {
+    # strings.sql:138-144 — TRIM keyword forms
+    "st_trim_both": (
+        "SELECT TRIM(BOTH FROM '  bunch o blanks  ') = 'bunch o blanks' AS \"bunch o blanks\"",
+        None,
+    ),
+    "st_trim_leading": (
+        "SELECT TRIM(LEADING FROM '  bunch o blanks  ') = 'bunch o blanks  ' "
+        'AS "bunch o blanks  "',
+        None,
+    ),
+    "st_trim_trailing": (
+        "SELECT TRIM(TRAILING FROM '  bunch o blanks  ') = '  bunch o blanks' "
+        'AS "  bunch o blanks"',
+        None,
+    ),
+    "st_trim_chars": (
+        "SELECT TRIM(BOTH 'x' FROM 'xxxxxsome Xsxxxxx') = 'some Xs' AS \"some Xs\"",
+        None,
+    ),
+    # strings.sql:147-149 — SUBSTRING positional keyword form
+    "st_substr_from": (
+        "SELECT SUBSTRING('1234567890' FROM 3) = '34567890' AS \"34567890\"",
+        None,
+    ),
+    "st_substr_from_for": (
+        "SELECT SUBSTRING('1234567890' FROM 4 FOR 3) = '456' AS \"456\"",
+        None,
+    ),
+    # strings.sql:164-167 — POSIX regex SUBSTRING (whole match / group 1)
+    "st_substr_posix": (
+        "SELECT SUBSTRING('abcdefg' FROM 'c.e') AS \"cde\"",
+        "SELECT regexp_extract('abcdefg', 'c.e') AS \"cde\"",
+    ),
+    "st_substr_posix_group": (
+        "SELECT SUBSTRING('abcdefg' FROM 'b(.*)f') AS \"cde\"",
+        "SELECT regexp_extract('abcdefg', 'b(.*)f', 1) AS \"cde\"",
+    ),
+    # strings.sql:270-273 — regexp_replace flags and \N backrefs
+    "st_re_replace_backref": (
+        "SELECT regexp_replace('1112223333', '(\\d{3})(\\d{3})(\\d{4})', '(\\1) \\2-\\3', 'g')",
+        None,
+    ),
+    "st_re_replace_g": ("SELECT regexp_replace('AAA   BBB   CCC   ', '\\s+', ' ', 'g')", None),
+    "st_re_replace_anchors": ("SELECT regexp_replace('AAA', '^|$', 'Z', 'g')", None),
+    "st_re_replace_gi": ("SELECT regexp_replace('AAA aaa', 'A+', 'Z', 'gi')", None),
+    # strings.sql:312-327 — regexp_split_to_array
+    "st_re_split_ws": (
+        "SELECT regexp_split_to_array('the quick brown fox jumps over the lazy dog', '\\s+')",
+        None,
+    ),
+    "st_re_split_iflag": (
+        "SELECT regexp_split_to_array('thE QUick bROWn FOx jUMPs ovEr The lazy dOG', 'e', 'i')",
+        None,
+    ),
+    "st_re_split_nomatch": (
+        "SELECT regexp_split_to_array('the quick brown fox jumps over the lazy dog', 'nomatch')",
+        None,
+    ),
+    "st_re_split_first": ("SELECT regexp_split_to_array('123456','1')", None),
+    "st_re_split_last": ("SELECT regexp_split_to_array('123456','6')", None),
+    "st_re_split_all": ("SELECT regexp_split_to_array('123456','.')", None),
+    # strings.sql:343-354 — POSITION and OVERLAY (DuckDB lacks OVERLAY)
+    "st_position_4": ("SELECT POSITION('4' IN '1234567890') = '4' AS \"4\"", None),
+    "st_position_5": ("SELECT POSITION('5' IN '1234567890') = '5' AS \"5\"", None),
+    "st_overlay_mid": (
+        "SELECT OVERLAY('abcdef' PLACING '45' FROM 4) AS \"abc45f\"",
+        "SELECT substr('abcdef',1,3) || '45' || substr('abcdef',6) AS \"abc45f\"",
+    ),
+    "st_overlay_tail": (
+        "SELECT OVERLAY('yabadoo' PLACING 'daba' FROM 5) AS \"yabadaba\"",
+        "SELECT substr('yabadoo',1,4) || 'daba' || substr('yabadoo',9) AS \"yabadaba\"",
+    ),
+    "st_overlay_insert": (
+        "SELECT OVERLAY('yabadoo' PLACING 'daba' FROM 5 FOR 0) AS \"yabadabadoo\"",
+        "SELECT substr('yabadoo',1,4) || 'daba' || substr('yabadoo',5) AS \"yabadabadoo\"",
+    ),
+    "st_overlay_replace": (
+        "SELECT OVERLAY('babosa' PLACING 'ubb' FROM 2 FOR 4) AS \"bubba\"",
+        "SELECT substr('babosa',1,1) || 'ubb' || substr('babosa',6) AS \"bubba\"",
+    ),
+}
+
+STR_QUERIES.update({
+    # strings.sql:496-513 — scalar function value checks
+    "st_fn_length": ("SELECT length('abcdef') AS \"length_6\"", None),
+    "st_fn_strpos": ("SELECT strpos('abcdef', 'cd') AS \"pos_3\"", None),
+    "st_fn_strpos0": ("SELECT strpos('abcdef', 'xy') AS \"pos_0\"", None),
+    "st_fn_replace": ("SELECT replace('abcdef', 'de', '45') AS \"abc45f\"", None),
+    "st_fn_replace2": ("SELECT replace('yabadabadoo', 'ba', '123') AS \"ya123da123doo\"", None),
+    "st_fn_replace_empty": ("SELECT replace('yabadoo', 'bad', '') AS \"yaoo\"", None),
+    # strings.sql:611-637
+    # DuckDB has no initcap; the oracle pins the reference's expected
+    # output (strings.out)
+    "st_fn_initcap": ("SELECT initcap('hi THOMAS')", "SELECT 'Hi Thomas'"),
+    "st_fn_lpad": ("SELECT lpad('hi', 5, 'xy')", None),
+    "st_fn_lpad_default": ("SELECT lpad('hi', 5)", "SELECT lpad('hi', 5, ' ')"),
+    "st_fn_lpad_neg": ("SELECT lpad('hi', -5, 'xy')", None),
+    "st_fn_lpad_trunc": ("SELECT lpad('hello', 2)", "SELECT lpad('hello', 2, ' ')"),
+    "st_fn_rpad": ("SELECT rpad('hi', 5, 'xy')", None),
+    "st_fn_rpad_default": ("SELECT rpad('hi', 5)", "SELECT rpad('hi', 5, ' ')"),
+    "st_fn_rpad_neg": ("SELECT rpad('hi', -5, 'xy')", None),
+    "st_fn_rpad_trunc": ("SELECT rpad('hello', 2)", "SELECT rpad('hello', 2, ' ')"),
+    "st_fn_ltrim_chars": ("SELECT ltrim('zzzytrim', 'xyz')", None),
+    "st_fn_translate_empty": ("SELECT translate('', '14', 'ax')", None),
+    "st_fn_translate": ("SELECT translate('12345', '14', 'ax')", None),
+    "st_fn_ascii": ("SELECT ascii('x')", None),
+    "st_fn_chr": ("SELECT chr(65)", None),
+    "st_fn_repeat": ("SELECT repeat('Pg', 4)", None),
+    "st_fn_repeat_neg": ("SELECT repeat('Pg', -4)", None),
+})
+
+# strings.sql:363-430 — the LIKE / NOT LIKE / ESCAPE battery, verbatim
+_LIKE_CASES = [
+    "'hawkeye' LIKE 'h%'", "'hawkeye' NOT LIKE 'h%'",
+    "'hawkeye' LIKE 'H%'", "'hawkeye' NOT LIKE 'H%'",
+    "'hawkeye' LIKE 'indio%'", "'hawkeye' NOT LIKE 'indio%'",
+    "'hawkeye' LIKE 'h%eye'", "'hawkeye' NOT LIKE 'h%eye'",
+    "'indio' LIKE '_ndio'", "'indio' NOT LIKE '_ndio'",
+    "'indio' LIKE 'in__o'", "'indio' NOT LIKE 'in__o'",
+    "'indio' LIKE 'in_o'", "'indio' NOT LIKE 'in_o'",
+    "'hawkeye' LIKE 'h%' ESCAPE '#'", "'hawkeye' NOT LIKE 'h%' ESCAPE '#'",
+    "'indio' LIKE 'ind_o' ESCAPE '$'", "'indio' NOT LIKE 'ind_o' ESCAPE '$'",
+    "'h%' LIKE 'h#%' ESCAPE '#'", "'h%' NOT LIKE 'h#%' ESCAPE '#'",
+    "'h%wkeye' LIKE 'h#%' ESCAPE '#'", "'h%wkeye' NOT LIKE 'h#%' ESCAPE '#'",
+    "'h%wkeye' LIKE 'h#%%' ESCAPE '#'", "'h%wkeye' NOT LIKE 'h#%%' ESCAPE '#'",
+    "'h%awkeye' LIKE 'h#%a%k%e' ESCAPE '#'",
+    "'h%awkeye' NOT LIKE 'h#%a%k%e' ESCAPE '#'",
+    "'indio' LIKE '_ndio' ESCAPE '$'", "'indio' NOT LIKE '_ndio' ESCAPE '$'",
+    "'i_dio' LIKE 'i$_d_o' ESCAPE '$'", "'i_dio' NOT LIKE 'i$_d_o' ESCAPE '$'",
+    "'i_dio' LIKE 'i$_nd_o' ESCAPE '$'", "'i_dio' NOT LIKE 'i$_nd_o' ESCAPE '$'",
+    "'i_dio' LIKE 'i$_d%o' ESCAPE '$'", "'i_dio' NOT LIKE 'i$_d%o' ESCAPE '$'",
+    "'maca' LIKE 'm%aca' ESCAPE '%'", "'maca' NOT LIKE 'm%aca' ESCAPE '%'",
+    "'ma%a' LIKE 'm%a%%a' ESCAPE '%'", "'ma%a' NOT LIKE 'm%a%%a' ESCAPE '%'",
+    "'bear' LIKE 'b_ear' ESCAPE '_'", "'bear' NOT LIKE 'b_ear' ESCAPE '_'",
+    "'be_r' LIKE 'b_e__r' ESCAPE '_'", "'be_r' NOT LIKE 'b_e__r' ESCAPE '_'",
+    "'be_r' LIKE '__e__r' ESCAPE '_'", "'be_r' NOT LIKE '__e__r' ESCAPE '_'",
+    # strings.sql:439-449 — ILIKE
+    "'hawkeye' ILIKE 'h%'", "'hawkeye' NOT ILIKE 'h%'",
+    "'hawkeye' ILIKE 'H%'", "'hawkeye' NOT ILIKE 'H%'",
+    "'hawkeye' ILIKE 'H%Eye'", "'hawkeye' NOT ILIKE 'H%Eye'",
+    "'Hawkeye' ILIKE 'h%'", "'Hawkeye' NOT ILIKE 'h%'",
+    # strings.sql:455-461 — wildcard combinations
+    "'foo' LIKE '_%'", "'' LIKE '_%'",
+    "'foo' LIKE '%_'", "'' LIKE '%_'",
+    "'foo' LIKE '__%'", "'foo' LIKE '____%'",
+    "'foo' LIKE '%__'", "'foo' LIKE '%____'",
+    "'jack' LIKE '%____%'",
+]
+for _k, _expr in enumerate(_LIKE_CASES):
+    STR_QUERIES[f"st_like_{_k:02d}"] = (f"SELECT {_expr} AS r", None)
+
+
+@pytest.mark.parametrize("name", sorted(STR_QUERIES))
+def test_reference_strings_query(olap, name):
+    ref, duck = STR_QUERIES[name]
+    _check(olap, ref, duck)
+
+
 @pytest.mark.parametrize("name", sorted(WITH_QUERIES))
 def test_reference_with_query(olap, name):
     ref, duck = WITH_QUERIES[name]
