@@ -1686,6 +1686,15 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 )
                 i += 2  # past fname+'(' — to_date maps to itself, don't re-match
                 continue
+            if low in _TYPE_MAP and len(args) == 1 and low not in ("char",):
+                # PG type-name function-call casts: float8(x), int4(x),
+                # text(x) … (parse_func.c treats them as casts)
+                mapped_t = _TYPE_MAP[low]
+                out[i : close + 1] = (
+                    ["CAST", "("] + args[0] + ["AS", mapped_t, ")"]
+                )
+                i += 1
+                continue
             if low in ("ltrim", "rtrim", "btrim") and len(args) == 2:
                 # PG argument order is (string, characters) (varlena.c);
                 # Spark's two-argument trims take (trimStr, srcStr)
@@ -2093,7 +2102,17 @@ def _rewrite_distinct_on(sql: str) -> str:
     of each key group in ORDER BY order)."""
     m = re.match(r"(?is)^(\s*)select\s+distinct\s+on\s*\(", sql)
     if not m:
-        return sql
+        # nested occurrence: a DISTINCT ON subquery is always
+        # parenthesized — rewrite the inner text and splice it back
+        m2 = re.search(r"(?is)\(\s*(select\s+distinct\s+on\s*\()", sql)
+        if not m2:
+            return sql
+        open_idx = m2.start()
+        close_idx = _scan_matching(sql, open_idx)
+        inner = sql[open_idx + 1 : close_idx]
+        return _rewrite_distinct_on(
+            sql[: open_idx + 1] + _rewrite_distinct_on(inner) + sql[close_idx:]
+        )
     open_idx = sql.index("(", m.end() - 1)
     close_idx = _scan_matching(sql, open_idx)
     keys = sql[open_idx + 1 : close_idx].strip()

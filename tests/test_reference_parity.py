@@ -383,6 +383,23 @@ _TABLES = {
         ", ".join(f"({i}, {i}, {i})" for i in range(2, 1001)),
     ),
     "jg_t3": ("a int, b int, c int", "a, b, c", "(1, 2, 3), (NULL, 2, 2)"),
+    # subselect.sql:28-44 fixture
+    "subselect_tbl": (
+        "f1 int, f2 int, f3 double",
+        "f1, f2, f3",
+        "(1, 2, 3), (2, 3, 4), (3, 4, 5), (1, 1, 1), (2, 2, 2), (3, 3, 3), "
+        "(6, 7, 8), (8, 9, CAST(NULL AS DOUBLE))",
+    ),
+    # int8_tbl — the PG standard fixture (test_setup)
+    "int8_tbl": (
+        "q1 bigint, q2 bigint",
+        "q1, q2",
+        "(123, 456), (123, 4567890123456789), (4567890123456789, 123), "
+        "(4567890123456789, 4567890123456789), (4567890123456789, -4567890123456789)",
+    ),
+    # subselect.sql:130-137 fixture (foo/bar renamed: LASJ owns the names)
+    "ssfoo": ("id int", "id", "(1)"),
+    "ssbar": ("id1 int, id2 int", "id1, id2", "(1, 1), (2, 2), (3, 1)"),
     # with_clause.sql:21-27 fixtures
     "with_test1": (
         "i int, t string, value int",
@@ -4373,6 +4390,140 @@ for _k, _expr in enumerate(_LIKE_CASES):
 @pytest.mark.parametrize("name", sorted(STR_QUERIES))
 def test_reference_strings_query(olap, name):
     ref, duck = STR_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+# --------------------------------------------------------------------------
+# subselect.sql — the PG subquery battery the reference inherits
+# (SubPlan/InitPlan machinery; cdbsubselect.c pull-up), verbatim.
+# --------------------------------------------------------------------------
+
+SUBSEL_QUERIES = {
+    # subselect.sql:5-9 — constant IN
+    "ss_const_in": ("SELECT 1 AS one WHERE 1 IN (SELECT 1)", None),
+    "ss_const_not_in": ("SELECT 1 AS zero WHERE 1 NOT IN (SELECT 1)", None),
+    "ss_const_in_miss": ("SELECT 1 AS zero WHERE 1 IN (SELECT 2)", None),
+    # subselect.sql:13-24 — extra parens in assorted contexts
+    "ss_parens_sub": ("SELECT * FROM ((SELECT 1 AS x)) ss", None),
+    "ss_parens_union": ("((SELECT 2)) UNION SELECT 2", None),
+    "ss_parens_scalar_union": ("SELECT (((SELECT 2)) UNION SELECT 2)", None),
+    "ss_scalar_array_sub": ("SELECT (SELECT ARRAY[1,2,3])[1]", None),
+    # subselect.sql:46-60 — uncorrelated subselects
+    "ss_uncorr_const": (
+        "SELECT '' AS two, f1 AS \"Constant Select\" FROM SUBSELECT_TBL "
+        "WHERE f1 IN (SELECT 1)",
+        None,
+    ),
+    "ss_uncorr_field": (
+        "SELECT '' AS six, f1 AS \"Uncorrelated Field\" FROM SUBSELECT_TBL "
+        "WHERE f1 IN (SELECT f2 FROM SUBSELECT_TBL)",
+        None,
+    ),
+    "ss_uncorr_nested": (
+        "SELECT '' AS six, f1 AS \"Uncorrelated Field\" FROM SUBSELECT_TBL "
+        "WHERE f1 IN (SELECT f2 FROM SUBSELECT_TBL WHERE "
+        "f2 IN (SELECT f1 FROM SUBSELECT_TBL))",
+        None,
+    ),
+    # DuckDB has no multi-column IN subquery; with both sides non-null the
+    # [NOT] EXISTS forms are the oracle equivalents
+    "ss_row_not_in": (
+        "SELECT '' AS three, f1, f2 FROM SUBSELECT_TBL "
+        "WHERE (f1, f2) NOT IN (SELECT f2, CAST(f3 AS int4) FROM SUBSELECT_TBL "
+        "WHERE f3 IS NOT NULL)",
+        "SELECT '' AS three, f1, f2 FROM SUBSELECT_TBL t "
+        "WHERE NOT EXISTS (SELECT 1 FROM SUBSELECT_TBL s WHERE s.f3 IS NOT NULL "
+        "AND s.f2 = t.f1 AND CAST(s.f3 AS int4) = t.f2)",
+    ),
+    # subselect.sql:64-81 — correlated subselects
+    "ss_corr_eq": (
+        "SELECT '' AS six, f1 AS \"Correlated Field\", f2 AS \"Second Field\" "
+        "FROM SUBSELECT_TBL upper "
+        "WHERE f1 IN (SELECT f2 FROM SUBSELECT_TBL WHERE f1 = upper.f1)",
+        None,
+    ),
+    "ss_corr_cast": (
+        "SELECT '' AS six, f1 AS \"Correlated Field\", f3 AS \"Second Field\" "
+        "FROM SUBSELECT_TBL upper WHERE f1 IN "
+        "(SELECT f2 FROM SUBSELECT_TBL WHERE CAST(upper.f2 AS float) = f3)",
+        None,
+    ),
+    "ss_row_in": (
+        "SELECT '' AS five, f1 AS \"Correlated Field\" FROM SUBSELECT_TBL "
+        "WHERE (f1, f2) IN (SELECT f2, CAST(f3 AS int4) FROM SUBSELECT_TBL "
+        "WHERE f3 IS NOT NULL)",
+        "SELECT '' AS five, f1 AS \"Correlated Field\" FROM SUBSELECT_TBL t "
+        "WHERE EXISTS (SELECT 1 FROM SUBSELECT_TBL s WHERE s.f3 IS NOT NULL "
+        "AND s.f2 = t.f1 AND CAST(s.f3 AS int4) = t.f2)",
+    ),
+    # subselect.sql:97-103
+    "ss_not_in_corr": (
+        "SELECT '' AS eight, ss.f1 AS \"Correlated Field\", ss.f3 AS \"Second Field\" "
+        "FROM SUBSELECT_TBL ss WHERE f1 NOT IN (SELECT f1+1 FROM INT4_TBL "
+        "WHERE f1 != ss.f1 AND f1 < 2147483647)",
+        None,
+    ),
+    "ss_ratio": (
+        "select q1, float8(count(*)) / (select count(*) from int8_tbl) "
+        "from int8_tbl group by q1 order by q1",
+        "select q1, count(*)::float8 / (select count(*) from int8_tbl) "
+        "from int8_tbl group by q1 order by q1",
+    ),
+    # subselect.sql:109-120 — IN-join processing and subquery pullup
+    "ss_injoin_count": (
+        "select count(*) from (select 1 from tenk1 a "
+        "where unique1 IN (select hundred from tenk1 b)) ss",
+        None,
+    ),
+    "ss_injoin_distinct": (
+        "select count(distinct ss.ten) from (select ten from tenk1 a "
+        "where unique1 IN (select hundred from tenk1 b)) ss",
+        None,
+    ),
+    "ss_injoin_inner_distinct": (
+        "select count(*) from (select 1 from tenk1 a "
+        "where unique1 IN (select distinct hundred from tenk1 b)) ss",
+        None,
+    ),
+    # subselect.sql:140-155 — IN (SELECT DISTINCT …) overoptimization traps
+    "ss_dist_pair": (
+        "SELECT * FROM ssfoo WHERE id IN "
+        "(SELECT id2 FROM (SELECT DISTINCT id1, id2 FROM ssbar) AS s)",
+        None,
+    ),
+    "ss_dist_group": (
+        "SELECT * FROM ssfoo WHERE id IN "
+        "(SELECT id2 FROM (SELECT id1,id2 FROM ssbar GROUP BY id1,id2) AS s)",
+        None,
+    ),
+    "ss_dist_union": (
+        "SELECT * FROM ssfoo WHERE id IN (SELECT id2 FROM "
+        "(SELECT id1, id2 FROM ssbar UNION SELECT id1, id2 FROM ssbar) AS s)",
+        None,
+    ),
+    "ss_dist_on": (
+        "SELECT * FROM ssfoo WHERE id IN "
+        "(SELECT id2 FROM (SELECT DISTINCT ON (id2) id1, id2 FROM ssbar) AS s)",
+        "SELECT * FROM ssfoo WHERE id IN (SELECT id2 FROM "
+        "(SELECT id1, id2 FROM (SELECT id1, id2, row_number() OVER "
+        "(PARTITION BY id2 ORDER BY id2) rn FROM ssbar) t WHERE rn = 1) AS s)",
+    ),
+    "ss_group_single": (
+        "SELECT * FROM ssfoo WHERE id IN "
+        "(SELECT id2 FROM (SELECT id2 FROM ssbar GROUP BY id2) AS s)",
+        None,
+    ),
+    "ss_union_single": (
+        "SELECT * FROM ssfoo WHERE id IN (SELECT id2 FROM "
+        "(SELECT id2 FROM ssbar UNION SELECT id2 FROM ssbar) AS s)",
+        None,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SUBSEL_QUERIES))
+def test_reference_subselect_query(olap, name):
+    ref, duck = SUBSEL_QUERIES[name]
     _check(olap, ref, duck)
 
 
