@@ -400,6 +400,20 @@ _TABLES = {
     # subselect.sql:130-137 fixture (foo/bar renamed: LASJ owns the names)
     "ssfoo": ("id int", "id", "(1)"),
     "ssbar": ("id1 int, id2 int", "id1, id2", "(1, 1), (2, 2), (3, 1)"),
+    # gp_aggregates.sql:66-70 fixtures (l/ps renamed gp_l/gp_ps)
+    "gp_l": (
+        "ok bigint, pk int, sk int, quantity decimal(18,2)",
+        "ok, pk, sk, quantity",
+        ", ".join(
+            f"(CAST({g % 5} AS BIGINT), {50 - g}, {g}, CAST(5 AS DECIMAL(18,2)))"
+            for g in range(1, 51)
+        ),
+    ),
+    "gp_ps": (
+        "pk int, sk int, availqty int",
+        "pk, sk, availqty",
+        ", ".join(f"({g}, {50 - g}, 10)" for g in range(1, 26)),
+    ),
     # with_clause.sql:21-27 fixtures
     "with_test1": (
         "i int, t string, value int",
@@ -4525,6 +4539,84 @@ SUBSEL_QUERIES = {
 def test_reference_subselect_query(olap, name):
     ref, duck = SUBSEL_QUERIES[name]
     _check(olap, ref, duck)
+
+
+# --------------------------------------------------------------------------
+# gp_aggregates.sql — GP aggregate behaviors over tenk1/aggtest, verbatim:
+# DISTINCT interacting with windows and grouped aggregates, MDQA with a
+# computed first grouping key, aggregate-over-join with HAVING-style
+# predicate, plus the ordered-aggregate misuse rejection contract.
+# --------------------------------------------------------------------------
+
+AGG3_QUERIES = {
+    # gp_aggregates.sql:37-38 — MDQA with computed / duplicate group keys
+    "a3_mdqa_case_key": (
+        "select case when ten < 5 then ten else ten * 2 end, count(distinct two), "
+        "count(distinct four) from tenk1 group by 1",
+        None,
+    ),
+    "a3_mdqa_dup_key": (
+        "select ten, ten, count(distinct two), count(distinct four) from tenk1 group by 1,2",
+        None,
+    ),
+    # gp_aggregates.sql:42-53 — DISTINCT vs window functions
+    "a3_distinct_two": ("select distinct two from tenk1 order by two", None),
+    "a3_distinct_pair": ("select distinct two, four from tenk1 order by two, four", None),
+    "a3_distinct_window_max": (
+        "select distinct two, max(two) over() from tenk1 order by two",
+        None,
+    ),
+    "a3_distinct_window_sum": (
+        "select distinct two, sum(four) over() from tenk1 order by two",
+        None,
+    ),
+    "a3_distinct_grouped": (
+        "select distinct two, sum(four) from tenk1 group by two order by two",
+        None,
+    ),
+    "a3_distinct_having": (
+        "select distinct two, sum(four) from tenk1 group by two having sum(four) > 5000",
+        None,
+    ),
+    "a3_distinct_join": (
+        "select distinct t1.two, t2.two, t1.four, t2.four from tenk1 t1, tenk1 t2 "
+        "where t1.hundred=t2.hundred order by t1.two, t1.four",
+        None,
+    ),
+    "a3_distinct_window_ten": (
+        "select distinct ten, sum(ten) over() from tenk1 order by ten",
+        None,
+    ),
+    # gp_aggregates.sql:72-79 — aggregate subquery under a join predicate
+    "a3_agg_join_qty": (
+        "select g.pk, g.sk, ps.availqty from gp_ps ps, "
+        "(select sum(l.quantity) as qty_sum, l.pk, l.sk from gp_l l "
+        "group by l.pk, l.sk ) g "
+        "where g.pk = ps.pk and g.sk = ps.sk and ps.availqty > g.qty_sum",
+        None,
+    ),
+}
+
+# gp_aggregates.sql:17-27 — ordered-aggregate misuse the reference rejects
+AGG3_REJECTED = {
+    "a3_rej_zero_param": "SELECT count(order by a) from aggtest",
+    "a3_rej_regular_fn": "SELECT abs(a order by a) from aggtest",
+    "a3_rej_nosuchagg": "SELECT nosuchagg(a order by a) FROM aggtest",
+    "a3_rej_lag_no_window": "SELECT lag(a order by a) from aggtest",
+}
+
+
+@pytest.mark.parametrize("name", sorted(AGG3_QUERIES))
+def test_reference_agg3_query(olap, name):
+    ref, duck = AGG3_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+@pytest.mark.parametrize("name", sorted(AGG3_REJECTED))
+def test_reference_agg3_rejected(olap, name):
+    spark, _ = olap
+    with pytest.raises(Exception):
+        pg_sql(spark, AGG3_REJECTED[name]).collect()
 
 
 @pytest.mark.parametrize("name", sorted(WITH_QUERIES))
