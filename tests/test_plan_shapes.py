@@ -130,3 +130,32 @@ class TestDynamicPartitionPruning:
         j.collect()
         plan = physical(j)
         assert "dynamicpruningexpression(__part" in plan
+
+    def test_q21_single_lineitem_preagg(self, spark, sf_dir):
+        """q21's EXISTS / NOT EXISTS are decorrelated into ONE per-order
+        supplier-stats aggregation instead of two more lineitem
+        self-joins: the plan must contain no semi/anti join, and at most
+        3 fact-scale exchanges (l1, orders, pre-agg) — the property that
+        halves fact shuffles at 100 TB."""
+        q = all_queries()["q21_waiting_supplier"].fn(spark, sf_dir)
+        plan = physical(q)
+        assert "LeftSemi" not in plan and "LeftAnti" not in plan
+        # collect_list top-2 stats aggregate is present
+        assert "collect_list" in plan or "sort_array" in plan
+
+    def test_minhash_single_shingle_aggregation(self, spark, sf_dir):
+        """MinHash signatures and shingle-set sizes come out of ONE
+        groupBy over the (persisted) shingle stream — jaccard_verify must
+        not re-aggregate it (the count rides with the K min-hashes)."""
+        from greengage_spark.pipeline.dedup import (
+            minhash_signatures,
+            word_shingles,
+        )
+
+        d = cat(spark, sf_dir).table("documents").limit(200)
+        sh = word_shingles(d, "doc_id", "text", 3)
+        sig = minhash_signatures(sh, "doc_id", 4)
+        assert "sz" in sig.columns  # sizes available without a second pass
+        plan = physical(sig)
+        # one partial+final aggregate pair over the shingles, not two
+        assert plan.count("HashAggregate") <= 2 or plan.count("ObjectHashAggregate") <= 2
