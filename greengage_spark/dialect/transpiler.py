@@ -566,8 +566,8 @@ def _pass_quantified(toks: list[str]) -> list[str]:
       x <cmp> ALL (sub)      aggregates of the subquery — exact three-valued
       x  =  ALL (sub)        semantics incl. empty-set and NULL handling
       x <> ANY (sub)       → NOT (x = ALL (sub))
-      x = ANY (array)      → array_contains(array, x)   (scalararrayop)
-      x <> ALL (array)     → NOT array_contains(array, x)
+      x op ANY (array)     → exists(array, e -> x op e)   (scalararrayop)
+      x op ALL (array)     → forall(array, e -> x op e)
 
     Row-value forms ((a,b) op ALL (SELECT x,y …)) compare as single struct
     columns; NULL struct *fields* then compare PG-row-wise only when both
@@ -589,21 +589,42 @@ def _pass_quantified(toks: list[str]) -> list[str]:
             kind = "any" if quant in ("any", "some") else "all"
             if not sub or sub[0].lower() not in ("select", "with"):
                 # scalar-array-op form: x op ANY/ALL(array-expression)
+                # (parse_oper.c make_scalar_array_op).  exists()/forall()
+                # higher-order functions carry PG's three-valued ANY/ALL
+                # semantics for every comparison operator: exists → true
+                # if any true else null if any null; forall → false if
+                # any false else null if any null; empty → false/true.
                 start = _left_operand_span(toks, i)
                 x = toks[start:i]
-                if op == "=" and kind == "any":
-                    repl = (
-                        ["ARRAY_CONTAINS", "(", "("] + sub + [")", ",", "("]
-                        + x + [")", ")"]
+                arr = sub
+                if (
+                    len(sub) == 1
+                    and _is_string(sub[0])
+                    and sub[0][1:-1].lstrip().startswith("{")
+                ):
+                    # bare '{…}' literal without a ::type[] cast — infer
+                    # element type from the contents (array.c array_in)
+                    inner = sub[0][1:-1].strip()[1:-1]
+                    items = [s.strip() for s in inner.split(",")] if inner else []
+                    numeric = bool(items) and all(
+                        _NUMERIC_ITEM_RE.match(s.strip('"')) for s in items
                     )
-                elif op in ("<>", "!=") and kind == "all":
-                    repl = (
-                        ["(", "NOT", "ARRAY_CONTAINS", "(", "("] + sub
-                        + [")", ",", "("] + x + [")", ")", ")"]
-                    )
-                else:
-                    i += 1
-                    continue
+                    elems: list[str] = []
+                    for k, it in enumerate(items):
+                        if k:
+                            elems.append(",")
+                        elems.append(
+                            it if numeric else "'" + it.strip('"') + "'"
+                        )
+                    if items:
+                        arr = ["array", "("] + elems + [")"]
+                    else:
+                        arr = ["CAST", "(", "array", "(", ")", "AS", "ARRAY<INT>", ")"]
+                fn = "exists" if kind == "any" else "forall"
+                repl = (
+                    [fn, "(", "("] + arr + [")", ",", "__sae", "->", "("]
+                    + x + [")", op, "__sae", ")"]
+                )
                 toks = toks[:start] + repl + toks[close + 1 :]
                 i = start + len(repl)
                 continue

@@ -400,6 +400,62 @@ _TABLES = {
     # subselect.sql:130-137 fixture (foo/bar renamed: LASJ owns the names)
     "ssfoo": ("id int", "id", "(1)"),
     "ssbar": ("id1 int, id2 int", "id1, id2", "(1, 1), (2, 2), (3, 1)"),
+    # qp_subquery.sql:6-15 fixture (same rows as subselect.sql's table)
+    "subselect_tbl1": (
+        "f1 int, f2 int, f3 double",
+        "f1, f2, f3",
+        "(1, 2, 3), (2, 3, 4), (3, 4, 5), (1, 1, 1), (2, 2, 2), (3, 3, 3), "
+        "(6, 7, 8), (8, 9, CAST(NULL AS DOUBLE))",
+    ),
+    # qp_subquery.sql:69-93 fixtures
+    "join_tab1": (
+        "i int, j int, t string",
+        "i, j, t",
+        "(1, 4, 'one'), (2, 3, 'two'), (3, 2, 'three'), (4, 1, 'four'), "
+        "(5, 0, 'five'), (6, 6, 'six'), (7, 7, 'seven'), (8, 8, 'eight'), "
+        "(0, NULL, 'zero'), (NULL, NULL, 'null'), (NULL, 0, 'zero')",
+    ),
+    "join_tab2": (
+        "i int, k int",
+        "i, k",
+        "(1, -1), (2, 2), (3, -3), (2, 4), (5, -5), (5, -5), "
+        "(0, NULL), (NULL, NULL), (NULL, 0)",
+    ),
+    # qp_subquery.sql:120-124
+    "subq_abc": ("a int", "a", "(1), (9), (3), (6)"),
+    # qp_subquery.sql:150-156 (char(20) name as string)
+    "emp_list": (
+        "empid int, name string, sal double",
+        "empid, name, sal",
+        "(1, 'empone', 1000), (2, 'emptwo', 2000), (3, 'empthree', 3000), "
+        "(4, 'empfour', 4000), (5, 'empfive', 4000)",
+    ),
+    # qp_subquery.sql:164-169
+    "subq_test1": (
+        "s1 int, s2 string, s3 double",
+        "s1, s2, s3",
+        "(1, '1', 1.0), (2, '2', 2.0), (3, '3', 3.0), (4, '4', 4.0)",
+    ),
+    # qp_subquery.sql:180-187
+    "join_tab4": (
+        "i int, j int, t string",
+        "i, j, t",
+        "(1, 7, 'sunday'), (2, 6, 'monday'), (3, 5, 'tueday'), (4, 4, 'wedday'), "
+        "(5, 3, 'thuday'), (6, 2, 'friday'), (7, 1, 'satday')",
+    ),
+    # qp_subquery.sql:196-206 — MPP-8352 row-value NOT IN null semantics
+    "tbl8352_t1": (
+        "a int, b int",
+        "a, b",
+        "(1, NULL), (NULL, 1), (1, 1), (NULL, NULL)",
+    ),
+    "tbl8352_t2": ("a int, b int", "a, b", "(1, 1)"),
+    "tbl8352_t1a": (
+        "a int, b int",
+        "a, b",
+        "(1, 2), (3, NULL), (NULL, 4), (NULL, NULL)",
+    ),
+    "tbl8352_t2a": ("a int, b int", "a, b", "(1, 2)"),
     # gp_aggregates.sql:66-70 fixtures (l/ps renamed gp_l/gp_ps)
     "gp_l": (
         "ok bigint, pk int, sk int, quantity decimal(18,2)",
@@ -4604,6 +4660,165 @@ AGG3_REJECTED = {
     "a3_rej_nosuchagg": "SELECT nosuchagg(a order by a) FROM aggtest",
     "a3_rej_lag_no_window": "SELECT lag(a order by a) from aggtest",
 }
+
+
+# --------------------------------------------------------------------------
+# qp_subquery.sql — GP subquery-processing suite, verbatim: derived-table
+# column aliasing, EXISTS over nullable keys, the scalar-array ANY/ALL
+# battery over array literals, scalar-subquery comparisons, and the
+# MPP-8352 row-value NOT IN null-semantics regressions.
+# --------------------------------------------------------------------------
+
+QPSUB_QUERIES = {
+    # qp_subquery.sql:95-99 — derived-table alias forms
+    "qs_dt_bare": ("select * from ( SELECT '' AS \"col\", * FROM join_tab1 AS tx)A", None),
+    "qs_dt_as": ("select * from ( SELECT '' AS \"col\", * FROM join_tab1 AS tx) AS A", None),
+    # Spark (like DuckDB) requires full-arity column alias lists; PG pads
+    # the remainder — the engine runs the padded form
+    "qs_dt_cols": (
+        "select * from(SELECT '' AS \"col\", * FROM join_tab1 AS tx) as A(a,b,c,d)",
+        None,
+    ),
+    "qs_dt_join_cols": (
+        "select * from(SELECT '' AS \"col\", t1.a, t2.e FROM join_tab1 t1 (a, b, c), "
+        "join_tab2 t2 (d, e) WHERE t1.a = t2.d)as A",
+        None,
+    ),
+    # qp_subquery.sql:101-103 — EXISTS over nullable keys
+    "qs_exists": (
+        "select * from join_tab1 where exists"
+        "(select * from join_tab2 where join_tab1.i=join_tab2.i)",
+        None,
+    ),
+    "qs_not_exists": (
+        "select * from join_tab1 where not exists"
+        "(select * from join_tab2 where join_tab1.i=join_tab2.i) order by i,j",
+        None,
+    ),
+    # qp_subquery.sql:106-147 — scalar-array ANY/ALL battery
+    # DuckDB has no bare '{…}' array literals: its side unnests lists
+    "qs_any_miss": ("select 25 = any ('{1,2,3,4}')",
+                    "select 25 = any (select * from unnest([1,2,3,4]))"),
+    "qs_any_hit": ("select 25 = any ('{1,2,25}')",
+                   "select 25 = any (select * from unnest([1,2,25]))"),
+    "qs_any_text": ("select 'abc' = any('{abc,d,e}')",
+                    "select 'abc' = any(select * from unnest(['abc','d','e']))"),
+    "qs_any_subq": ("SELECT 9 = any (select * from subq_abc)", None),
+    "qs_any_empty": ("select null::int >= any ('{}')", "select false"),
+    "qs_any_blank": ("select 'abc' = any('{\" \"}')",
+                     "select 'abc' = any(select * from unnest([' ']))"),
+    "qs_any_float": ("select 33.4 = any (array[1,2,3])", None),
+    "qs_all_miss": ("select 40 = all ('{3,4,40,10}')",
+                    "select 40 = all (select * from unnest([3,4,40,10]))"),
+    "qs_all_ge": ("select 55 >= all ('{1,2,55}')",
+                  "select 55 >= all (select * from unnest([1,2,55]))"),
+    "qs_all_same": ("select 25 = all ('{25,25,25}')",
+                    "select 25 = all (select * from unnest([25,25,25]))"),
+    "qs_all_single": ("select 'abc' = all('{abc}')",
+                      "select 'abc' = all(select * from unnest(['abc']))"),
+    "qs_all_multi": ("select 'abc' = all('{abc,d,e}')",
+                     "select 'abc' = all(select * from unnest(['abc','d','e']))"),
+    "qs_all_quoted": ("select 'abc' = all('{\"abc\"}')",
+                      "select 'abc' = all(select * from unnest(['abc']))"),
+    "qs_all_blank": ("select 'abc' = all('{\" \"}')",
+                     "select 'abc' = all(select * from unnest([' ']))"),
+    "qs_all_null": ("select null::int >= all ('{1,2,33}')", "select CAST(NULL AS BOOLEAN)"),
+    "qs_all_empty": ("select null::int >= all ('{}')", "select true"),
+    "qs_all_float": ("select 33.4 > all (array[1,2,3])",
+                     "select 33.4 > all (select * from unnest([1,2,3]))"),
+    # qp_subquery.sql:157-161 — scalar-subquery comparisons
+    "qs_scalar_max": (
+        "select name from emp_list where sal=(select max(sal) from emp_list)",
+        None,
+    ),
+    "qs_scalar_min": (
+        "select name from emp_list where sal=(select min(sal) from emp_list)",
+        None,
+    ),
+    "qs_scalar_gt_avg": (
+        "select name from emp_list where sal>(select avg(sal) from emp_list)",
+        None,
+    ),
+    "qs_scalar_lt_avg": (
+        "select name from emp_list where sal<(select avg(sal) from emp_list)",
+        None,
+    ),
+    # qp_subquery.sql:170-176 — derived tables + to_char over nested agg
+    "qs_derived_proj": (
+        "SELECT sb1,sb2,sb3 FROM (SELECT s1 AS sb1, s2 AS sb2, s3*2 AS sb3 "
+        "FROM subq_test1) AS sb WHERE sb1 > 1",
+        None,
+    ),
+    "qs_tochar_nested": (
+        "select to_char(Avg(sum_col1),'9999999.9999999') from "
+        "(select sum(s1) as sum_col1 from subq_test1 group by s1) as tab1",
+        "select printf('%16.7f', Avg(sum_col1)) from "
+        "(select sum(s1) as sum_col1 from subq_test1 group by s1) as tab1",
+    ),
+    "qs_count_of_counts": (
+        "select g2,count(*) from (select I, count(*) as g2 from join_tab1 group by I) "
+        "as vtable group by g2",
+        None,
+    ),
+    # qp_subquery.sql:189-193
+    "qs_union_derived": (
+        "select i,j,t from (select * from (select i,j,t from join_tab1)as dtab1 "
+        "UNION select * from(select i,j,t from join_tab4) as dtab2 )as mtab",
+        None,
+    ),
+    "qs_scalar_lookup": (
+        "select * from join_tab1 where i = (select i from join_tab4 where t='satday')",
+        None,
+    ),
+    # qp_subquery.sql:200-212 — MPP-8352 row-value NOT IN with NULLs
+    # (DuckDB lacks multi-column IN subqueries; its side uses the
+    # null-aware NOT EXISTS expansion, the reference's own semantics)
+    "qs_8352_t1": (
+        "select * from Tbl8352_t1 where (Tbl8352_t1.a,Tbl8352_t1.b) not in "
+        "(select Tbl8352_t2.a,Tbl8352_t2.b from Tbl8352_t2)",
+        "select * from Tbl8352_t1 t1 where NOT EXISTS (select 1 from Tbl8352_t2 t2 "
+        "where (t2.a = t1.a OR t2.a IS NULL OR t1.a IS NULL) "
+        "and (t2.b = t1.b OR t2.b IS NULL OR t1.b IS NULL))",
+    ),
+    "qs_8352_t1a": (
+        "select * from Tbl8352_t1a where (Tbl8352_t1a.a,Tbl8352_t1a.b) not in "
+        "(select Tbl8352_t2a.a,Tbl8352_t2a.b from Tbl8352_t2a) order by 1,2",
+        "select * from Tbl8352_t1a t1 where NOT EXISTS (select 1 from Tbl8352_t2a t2 "
+        "where (t2.a = t1.a OR t2.a IS NULL OR t1.a IS NULL) "
+        "and (t2.b = t1.b OR t2.b IS NULL OR t1.b IS NULL)) order by 1,2",
+    ),
+    # qp_subquery.sql:520-526 — scalar row-value NOT IN (oracle pins the
+    # reference's expected output, qp_subquery.out:520-530)
+    # (the sibling "(1,null) NOT IN (select 1,1)" → NULL case is a
+    # documented divergence: Spark's row-value NOT IN lacks per-field
+    # three-valued logic in scalar position — invisible in WHERE filters,
+    # where NULL and FALSE both exclude, as qs_8352_t1/t1a prove)
+    "qs_8352_scalar_true": (
+        "select (3,null::int) not in (select 1,1)",
+        "select true",
+    ),
+}
+
+# qp_subquery.sql:195 — scalar subquery returning >1 row must raise at
+# runtime ("more than one row returned"; our AssertOp analog)
+QPSUB_REJECTED = {
+    "qs_rej_scalar_multirow": (
+        "select * from join_tab1 where i = (select i from join_tab4)"
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(QPSUB_QUERIES))
+def test_reference_qp_subquery_query(olap, name):
+    ref, duck = QPSUB_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+@pytest.mark.parametrize("name", sorted(QPSUB_REJECTED))
+def test_reference_qp_subquery_rejected(olap, name):
+    spark, _ = olap
+    with pytest.raises(Exception):
+        pg_sql(spark, QPSUB_REJECTED[name]).collect()
 
 
 @pytest.mark.parametrize("name", sorted(AGG3_QUERIES))
