@@ -400,6 +400,12 @@ _TABLES = {
     # subselect.sql:130-137 fixture (foo/bar renamed: LASJ owns the names)
     "ssfoo": ("id int", "id", "(1)"),
     "ssbar": ("id1 int, id2 int", "id1, id2", "(1, 1), (2, 2), (3, 1)"),
+    # qp_select.sql:5-7 fixture
+    "qp_select": (
+        "a int",
+        "a",
+        "(1), (2), (4), (8), (16), (32), (64), (128), (256)",
+    ),
     # qp_subquery.sql:6-15 fixture (same rows as subselect.sql's table)
     "subselect_tbl1": (
         "f1 int, f2 int, f3 double",
@@ -4806,6 +4812,47 @@ QPSUB_REJECTED = {
         "select * from join_tab1 where i = (select i from join_tab4)"
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# qp_select.sql — interval-constraint derivation battery (ORCA
+# PexprInferPredicates territory), verbatim: every combination of
+# +/- offsets, operator direction, argument order, AND/OR, and <>.
+# --------------------------------------------------------------------------
+
+_QPSEL_PREDICATES = [
+    "1 + 15 >= a AND 1 - 15 <= a", "a + 15 >= a AND a - 15 <= a",
+    "a + 15 <= a AND a - 15 >= a", "a + 0 <= a AND a - 0 >= a",
+    "1 - 15 <= a AND 1 + 15 >= a", "a - 15 <= a AND a + 15 >= a",
+    "a - 15 >= a AND a + 15 <= a", "a - 0 >= a AND a + 0 <= a",
+    "1 + 15 > a AND 1 - 15 < a", "a + 15 > a AND a - 15 < a",
+    "a + 15 < a AND a - 15 > a", "a + 0 < a AND a - 0 > a",
+    "1 + 15 >= a AND 1 - 15 <= a OR a > 5", "a + 15 >= a AND a - 15 <= a OR a > 5",
+    "a + 15 <= a AND a - 15 >= a OR a > 5", "a + 0 < a AND a - 0 > a OR a > 5",
+    "a > 5 OR 1 + 15 >= a AND 1 - 15 <= a", "a > 5 OR a + 15 >= a AND a - 15 <= a",
+    "a > 5 OR a + 15 <= a AND a - 15 >= a", "a > 5 OR a + 0 < a AND a - 0 > a",
+    "1 + 15 >= a OR 1 - 15 <= a", "a + 15 >= a OR a - 15 <= a",
+    "a + 15 <= a OR a - 15 >= a", "a + 0 <= a OR a - 0 >= a",
+    "1 + 15 = a OR 1 - 15 = a", "a + 15 = a OR a - 15 = a",
+    "a + 0 = a OR a - 0 = a",
+    "1 + 15 <= a AND 1 - 15 >= a", "a + 15 <= a AND a - 15 >= a",
+    "a + 15 >= a AND a - 15 <= a", "a + 0 >= a AND a - 0 <= a",
+    "a >= 1 + 15 AND a <= 1 - 15", "a >= a + 15 AND a <= a - 15",
+    "a <= a + 15 AND a >= a - 15", "a <= a + 0 AND a >= a - 0",
+    "1 + 15 <> a AND 1 - 15 <> a", "a + 15 <> a AND a - 15 <> a",
+    "a + 0 <> a AND a - 0 <> a",
+]
+
+QPSEL_QUERIES = {
+    f"qsel_{k:02d}": (f"SELECT * FROM qp_select WHERE {p}", None)
+    for k, p in enumerate(_QPSEL_PREDICATES)
+}
+
+
+@pytest.mark.parametrize("name", sorted(QPSEL_QUERIES))
+def test_reference_qp_select_query(olap, name):
+    ref, duck = QPSEL_QUERIES[name]
+    _check(olap, ref, duck)
 
 
 @pytest.mark.parametrize("name", sorted(QPSUB_QUERIES))
