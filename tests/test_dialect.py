@@ -71,9 +71,11 @@ class TestQuantified:
         out = transpile("SELECT a FROM t WHERE a > ALL (SELECT b FROM u)")
         assert "> ( SELECT MAX ( __v )" in out
 
-    def test_array_any_contains(self):
+    def test_array_any_exists_lambda(self):
+        # scalar-array ANY lowers to the exists() higher-order function,
+        # which keeps PG's three-valued semantics for every operator
         out = transpile("SELECT a FROM t WHERE x = ANY (arr_col)")
-        assert "ARRAY_CONTAINS" in out and "arr_col" in out
+        assert "exists" in out and "arr_col" in out and "__sae" in out
 
     def test_ne_any_rewrites_to_not_all_case(self):
         out = transpile("SELECT a FROM t WHERE a <> ANY (SELECT b FROM u)")
