@@ -870,6 +870,53 @@ def _pass_agg_filter(toks: list[str]) -> list[str]:
     return toks
 
 
+def _pg_parse_bool(lit: str) -> str:
+    """PG bool input parsing (bool.c parse_bool_with_len): trimmed,
+    case-insensitive, unique-prefix match of true/false/yes/no/on/off
+    plus exact '1'/'0'.  Raises on ambiguous or unknown input, exactly
+    where the reference errors."""
+    s = lit.strip().lower()
+    if s in ("1", "0"):
+        return "TRUE" if s == "1" else "FALSE"
+    if s:
+        matches = [w for w in ("true", "yes", "on", "false", "no", "off") if w.startswith(s)]
+        if len({"TRUE" if m in ("true", "yes", "on") else "FALSE" for m in matches}) == 1:
+            return "TRUE" if matches[0] in ("true", "yes", "on") else "FALSE"
+    raise ValueError(f"invalid input syntax for type boolean: {lit!r}")
+
+
+def _pass_typed_literals(toks: list[str]) -> list[str]:
+    """PG typed-literal prefixes ``typename 'value'`` (gram.y
+    AexprConst ConstTypename).  bool literals fold at transpile time via
+    PG's own parse rules (errors included); other mapped type names wrap
+    the literal in a CAST.  date/timestamp/interval stay untouched —
+    Spark parses those typed literals natively."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            _is_ident(t)
+            and i + 1 < len(toks)
+            and _is_string(toks[i + 1])
+            and t.lower() in _TYPE_MAP
+            and t.lower() not in ("date", "timestamp", "timestamptz", "char", "name")
+            and (not out or out[-1] not in (".",))
+            and not (out and _is_ident(out[-1]) and out[-1].lower() in ("as",))
+        ):
+            low = t.lower()
+            lit = toks[i + 1][1:-1]
+            if low in ("bool", "boolean"):
+                out.append(_pg_parse_bool(lit))
+            else:
+                out += ["CAST", "(", toks[i + 1], "AS", _TYPE_MAP[low], ")"]
+            i += 2
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_like_escape(toks: list[str]) -> list[str]:
     """LIKE … ESCAPE: PG lets the escape precede ANY character (like.c
     treats escape+c as literal c); Spark only allows it before a wildcard
@@ -2169,6 +2216,7 @@ def transpile(sql: str) -> str:
     toks = _pass_agg_filter(toks)
     toks = _pass_offset_before_limit(toks)
     toks = _pass_only_tables(toks)
+    toks = _pass_typed_literals(toks)
     toks = _pass_like_escape(toks)
     toks = _pass_inline_named_windows(toks)
     toks = _pass_grouping_plain(toks)

@@ -400,6 +400,10 @@ _TABLES = {
     # subselect.sql:130-137 fixture (foo/bar renamed: LASJ owns the names)
     "ssfoo": ("id int", "id", "(1)"),
     "ssbar": ("id1 int, id2 int", "id1, id2", "(1, 1), (2, 2), (3, 1)"),
+    # boolean.sql:44-58 / 61-67 fixtures (final table states: the 'XXX'
+    # insert errors in the reference and adds no row)
+    "booltbl1": ("f1 boolean", "f1", "(true), (true), (true), (false)"),
+    "booltbl2": ("f1 boolean", "f1", "(false), (false), (false), (false)"),
     # qp_select.sql:5-7 fixture
     "qp_select": (
         "a int",
@@ -4853,6 +4857,115 @@ QPSEL_QUERIES = {
 def test_reference_qp_select_query(olap, name):
     ref, duck = QPSEL_QUERIES[name]
     _check(olap, ref, duck)
+
+
+# --------------------------------------------------------------------------
+# boolean.sql — PG bool input parsing (bool.c parse_bool_with_len) folded
+# at transpile time, bool operators, IS [NOT] TRUE/FALSE.  Typed literals
+# run verbatim; DuckDB's side uses plain TRUE/FALSE (its bool casts
+# don't accept y/yes/on).
+# --------------------------------------------------------------------------
+
+BOOL_QUERIES = {}
+_BOOL_LITS = [
+    ("t", "true"), ("   f           ", "false"), ("true", "true"),
+    ("false", "false"), ("y", "true"), ("yes", "true"), ("n", "false"),
+    ("no", "false"), ("on", "true"), ("off", "false"), ("of", "false"),
+    ("1", "true"), ("0", "false"),
+]
+for _k, (_lit, _val) in enumerate(_BOOL_LITS):
+    BOOL_QUERIES[f"bool_lit_{_k:02d}"] = (
+        f"SELECT bool '{_lit}' AS r",
+        f"SELECT {_val} AS r",
+    )
+BOOL_QUERIES.update({
+    # boolean.sql:38-47 — operators over bool literals
+    "bool_or": ("SELECT bool 't' or bool 'f' AS r", "SELECT true or false AS r"),
+    "bool_and": ("SELECT bool 't' and bool 'f' AS r", "SELECT true and false AS r"),
+    "bool_not": ("SELECT not bool 'f' AS r", "SELECT not false AS r"),
+    "bool_eq": ("SELECT bool 't' = bool 'f' AS r", "SELECT true = false AS r"),
+    "bool_ne": ("SELECT bool 't' <> bool 'f' AS r", "SELECT true <> false AS r"),
+    "bool_gt": ("SELECT bool 't' > bool 'f' AS r", "SELECT true > false AS r"),
+    "bool_le": ("SELECT bool 'f' <= bool 't' AS r", "SELECT false <= true AS r"),
+    # boolean.sql:49-52 — text round-trips
+    "bool_text_cast": (
+        "SELECT 'TrUe'::text::boolean AS t, 'fAlse'::text::boolean AS f",
+        "SELECT true AS t, false AS f",
+    ),
+    "bool_text_ws": (
+        "SELECT '    true   '::text::boolean AS t, '     FALSE'::text::boolean AS f",
+        "SELECT true AS t, false AS f",
+    ),
+    "bool_to_text": (
+        "SELECT true::boolean::text AS t, false::boolean::text AS f",
+        None,
+    ),
+    # boolean.sql:59-84 — table predicates over bool columns
+    "bool_t1_eq": (
+        "SELECT '' AS t_3, BOOLTBL1.* FROM BOOLTBL1 WHERE f1 = bool 'true'",
+        "SELECT '' AS t_3, BOOLTBL1.* FROM BOOLTBL1 WHERE f1 = true",
+    ),
+    "bool_t1_ne": (
+        "SELECT '' AS t_3, BOOLTBL1.* FROM BOOLTBL1 WHERE f1 <> bool 'false'",
+        "SELECT '' AS t_3, BOOLTBL1.* FROM BOOLTBL1 WHERE f1 <> false",
+    ),
+    "bool_cross_ne": (
+        "SELECT '' AS tf_12, BOOLTBL1.*, BOOLTBL2.* FROM BOOLTBL1, BOOLTBL2 "
+        "WHERE BOOLTBL2.f1 <> BOOLTBL1.f1",
+        None,
+    ),
+    "bool_cross_and": (
+        "SELECT '' AS ff_4, BOOLTBL1.*, BOOLTBL2.* FROM BOOLTBL1, BOOLTBL2 "
+        "WHERE BOOLTBL2.f1 = BOOLTBL1.f1 and BOOLTBL1.f1 = bool 'false'",
+        "SELECT '' AS ff_4, BOOLTBL1.*, BOOLTBL2.* FROM BOOLTBL1, BOOLTBL2 "
+        "WHERE BOOLTBL2.f1 = BOOLTBL1.f1 and BOOLTBL1.f1 = false",
+    ),
+    "bool_cross_or": (
+        "SELECT '' AS tf_12_ff_4, BOOLTBL1.*, BOOLTBL2.* FROM BOOLTBL1, BOOLTBL2 "
+        "WHERE BOOLTBL2.f1 = BOOLTBL1.f1 or BOOLTBL1.f1 = bool 'true' "
+        "ORDER BY BOOLTBL1.f1, BOOLTBL2.f1",
+        "SELECT '' AS tf_12_ff_4, BOOLTBL1.*, BOOLTBL2.* FROM BOOLTBL1, BOOLTBL2 "
+        "WHERE BOOLTBL2.f1 = BOOLTBL1.f1 or BOOLTBL1.f1 = true "
+        "ORDER BY BOOLTBL1.f1, BOOLTBL2.f1",
+    ),
+    # boolean.sql:86-109 — IS [NOT] TRUE/FALSE
+    "bool_is_true": ('SELECT \'\' AS "True", f1 FROM BOOLTBL1 WHERE f1 IS TRUE', None),
+    "bool_is_not_false": (
+        'SELECT \'\' AS "Not False", f1 FROM BOOLTBL1 WHERE f1 IS NOT FALSE',
+        None,
+    ),
+    "bool_is_false": ('SELECT \'\' AS "False", f1 FROM BOOLTBL1 WHERE f1 IS FALSE', None),
+    "bool_is_not_true": (
+        'SELECT \'\' AS "Not True", f1 FROM BOOLTBL1 WHERE f1 IS NOT TRUE',
+        None,
+    ),
+    "bool_t2_is_true": ('SELECT \'\' AS "True", f1 FROM BOOLTBL2 WHERE f1 IS TRUE', None),
+    "bool_t2_is_not_false": (
+        'SELECT \'\' AS "Not False", f1 FROM BOOLTBL2 WHERE f1 IS NOT FALSE',
+        None,
+    ),
+})
+
+# boolean.sql — inputs PG's bool parser rejects (bool.c); ours must too
+BOOL_REJECTED = {
+    f"bool_rej_{k:02d}": f"SELECT bool '{bad}' AS error"
+    for k, bad in enumerate(
+        ["test", "foo", "yeah", "nay", "o", "on_", "off_", "11", "000", ""]
+    )
+}
+
+
+@pytest.mark.parametrize("name", sorted(BOOL_QUERIES))
+def test_reference_boolean_query(olap, name):
+    ref, duck = BOOL_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+@pytest.mark.parametrize("name", sorted(BOOL_REJECTED))
+def test_reference_boolean_rejected(olap, name):
+    spark, _ = olap
+    with pytest.raises(Exception):
+        pg_sql(spark, BOOL_REJECTED[name]).collect()
 
 
 @pytest.mark.parametrize("name", sorted(QPSUB_QUERIES))
