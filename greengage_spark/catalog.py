@@ -41,7 +41,11 @@ TABLES: dict[str, TableSpec] = {
     "region": TableSpec("region", replicated=True),
     "nation": TableSpec("nation", replicated=True),
     "customer": TableSpec("customer", ("c_custkey",)),
-    "supplier": TableSpec("supplier", ("s_suppkey",), replicated=True),
+    # supplier is hash-distributed like the reference's own DDL
+    # (tpch500GB.sql: distributed by (s_suppkey)); it grows with SF
+    # (~10k rows/SF), so a forced broadcast would ship multi-GB copies
+    # at SF≥1000 — AQE still broadcasts it when it actually fits.
+    "supplier": TableSpec("supplier", ("s_suppkey",)),
     "part": TableSpec("part", ("p_partkey",)),
     "orders": TableSpec("orders", ("o_orderkey",)),
     "lineitem": TableSpec("lineitem", ("l_orderkey",)),

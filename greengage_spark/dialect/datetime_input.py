@@ -1,0 +1,338 @@
+"""PG date/time INPUT literal parsing (reference: datetime.c ParseDateTime /
+DecodeDateTime / DecodeDate / DecodeNumber / DecodeNumberField /
+ValidateDate).
+
+PostgreSQL accepts many non-ISO date spellings — ``'1/8/1999'``,
+``'Jan-08-1999'``, ``'08 Jan 99'``, ``'19990108'``, ``'1999.008'``,
+``'J2451187'`` — disambiguated by the DateStyle field order (MDY default).
+Spark only parses ISO, so the transpiler folds every date literal to ISO at
+transpile time using the same decision procedure the reference implements,
+including its error cases (a form the reference rejects raises here too):
+
+* ParseDateTime-style field splitting: a digit-led field swallows
+  delimited digits/text into one DATE field only under the reference's
+  rules (matching delimiters; text month directly attached);
+* text month anywhere in a DATE field is unambiguous (DecodeDate);
+* a 3+-digit numeric field is a year; otherwise the first field follows
+  DateOrder (DecodeNumber ``case 0``) and later fields complete the
+  Y/M/D mask exactly as DecodeNumber's fmask switch does;
+* 1-2 digit years expand to 1970–2069 (ValidateDate is2digits);
+* concatenated YYYYMMDD / YYMMDD decode from the right
+  (DecodeNumberField; 5-digit year width rejected as with
+  gp_allow_date_field_width_5digits=off);
+* ``year.doy`` day-of-year and ``J<n>`` Julian day numbers;
+* specials (datetkntbl): epoch / infinity / -infinity / today /
+  tomorrow / yesterday / now.
+
+BC dates raise: Spark DateType has no negative years.  ``infinity`` maps
+to DateType min/max sentinels (documented divergence — comparisons still
+order correctly, but isfinite() semantics are lost).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import date, timedelta
+
+_MONTHS = {
+    "jan": 1, "january": 1, "feb": 2, "february": 2, "mar": 3, "march": 3,
+    "apr": 4, "april": 4, "may": 5, "jun": 6, "june": 6, "jul": 7,
+    "july": 7, "aug": 8, "august": 8, "sep": 9, "sept": 9, "september": 9,
+    "oct": 10, "october": 10, "nov": 11, "november": 11, "dec": 12,
+    "december": 12,
+}
+
+# weekday names are accepted and ignored in date input (DecodeSpecial DOW)
+_DOW = {
+    "sun", "sunday", "mon", "monday", "tue", "tues", "tuesday", "wed",
+    "wednesday", "weds", "thu", "thur", "thurs", "thursday", "fri",
+    "friday", "sat", "saturday",
+}
+
+SPECIALS = {"epoch", "infinity", "-infinity", "today", "tomorrow", "yesterday", "now"}
+
+# 0001-01-01 proleptic Gregorian = Julian day 1721426
+_JD_OFFSET = 1721425
+
+
+class PGDateError(ValueError):
+    pass
+
+
+def _bad(s: str) -> "PGDateError":
+    return PGDateError(f"invalid input syntax for type date: {s!r}")
+
+
+def _oor(s: str) -> "PGDateError":
+    return PGDateError(f"date/time field value out of range: {s!r}")
+
+
+# ------------------------------------------------- ParseDateTime (lite)
+
+_DATE, _TIME, _NUMBER, _STRING = "date", "time", "number", "string"
+
+
+def _split_fields(s: str) -> list[tuple[str, str]]:
+    """ParseDateTime field splitting, date-relevant subset."""
+    fields: list[tuple[str, str]] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c.isspace() or c == ",":
+            i += 1
+            continue
+        if c.isdigit():
+            j = i
+            while j < n and s[j].isdigit():
+                j += 1
+            if j < n and s[j] == ":":
+                # time field: digits : [digits :.]*
+                j += 1
+                while j < n and (s[j].isdigit() or s[j] in ":."):
+                    j += 1
+                fields.append((s[i:j], _TIME))
+            elif j < n and s[j] in "-/.":
+                delim = s[j]
+                k = j + 1
+                if k < n and s[k].isdigit():
+                    ftype = _NUMBER if delim == "." else _DATE
+                    while k < n and s[k].isdigit():
+                        k += 1
+                    # three-field date only with MATCHING delimiters
+                    if k < n and s[k] == delim:
+                        ftype = _DATE
+                        k += 1
+                        while k < n and (s[k].isdigit() or s[k] == delim):
+                            k += 1
+                    fields.append((s[i:k], ftype))
+                elif k < n and s[k].isalpha():
+                    while k < n and (s[k].isalnum() or s[k] == delim):
+                        k += 1
+                    fields.append((s[i:k], _DATE))
+                else:
+                    fields.append((s[i:k], _DATE))
+                j = k
+            else:
+                fields.append((s[i:j], _NUMBER))
+            i = j
+        elif c.isalpha():
+            j = i
+            while j < n and s[j].isalpha():
+                j += 1
+            # text with attached -/. date ('jan-08-99')
+            if j < n and s[j] in "-/." and j + 1 < n and s[j + 1].isalnum():
+                delim = s[j]
+                k = j + 1
+                while k < n and (s[k].isalnum() or s[k] == delim):
+                    k += 1
+                fields.append((s[i:k], _DATE))
+                j = k
+            else:
+                fields.append((s[i:j], _STRING))
+            i = j
+        else:
+            # other punctuation separates fields
+            i += 1
+    return fields
+
+
+# ------------------------------------------------- decode state machine
+
+
+class _State:
+    __slots__ = ("year", "month", "day", "is2digits", "have_text_month", "src", "order")
+
+    def __init__(self, src: str, order: str):
+        self.year = self.month = self.day = None
+        self.is2digits = False
+        self.have_text_month = False
+        self.src = src
+        self.order = order
+
+
+def _decode_number(st: _State, f: str) -> None:
+    """DecodeNumber: one plain numeric field against the Y/M/D mask."""
+    val, flen = int(f), len(f)
+    # day-of-year special case (flen==3, only year known)
+    if flen == 3 and st.year is not None and st.month is None and st.day is None \
+            and 1 <= val <= 366:
+        y = _expand_2digit_year(st.year) if st.is2digits else st.year
+        d0 = date(y, 1, 1) + timedelta(days=val - 1)
+        st.year, st.month, st.day = d0.year, d0.month, d0.day
+        st.is2digits = False
+        return
+    have = (st.year is not None, st.month is not None, st.day is not None)
+    if have == (False, False, False):
+        if flen >= 3 or st.order == "ymd":
+            st.year, st.is2digits = val, flen <= 2
+        elif st.order == "dmy":
+            st.day = val
+        else:
+            st.month = val
+    elif have == (True, False, False):
+        st.month = val
+    elif have == (False, True, False):
+        if st.have_text_month:
+            if flen >= 3 or st.order == "ymd":
+                st.year, st.is2digits = val, flen <= 2
+            else:
+                st.day = val
+        else:
+            st.day = val
+    elif have == (True, True, False):
+        if st.have_text_month and flen >= 3 and st.is2digits:
+            # first numeric guessed as year was actually the day
+            # (DD-MON-YYYY in YMD mode)
+            st.day, st.year, st.is2digits = st.year, val, False
+        else:
+            st.day = val
+    elif have == (False, False, True):
+        st.month = val
+    elif have == (False, True, True):
+        st.year, st.is2digits = val, flen <= 2
+    else:
+        raise _bad(st.src)
+
+
+def _decode_number_field(st: _State, f: str) -> None:
+    """DecodeNumberField: concatenated date (no separators), decoded from
+    the right: last 2 day, next 2 month, rest year."""
+    if st.year is not None or st.month is not None or st.day is not None:
+        # date already complete → would be a time field; ignore for dates
+        return
+    n = len(f)
+    if n >= 6:
+        st.day, st.month = int(f[-2:]), int(f[-4:-2])
+        ywidth = n - 4
+        if ywidth == 2:
+            st.year, st.is2digits = int(f[:-4]), True
+        elif ywidth == 3:
+            # 5-digit year width needs gp_allow_date_field_width_5digits
+            raise _bad(st.src)
+        else:
+            st.year = int(f[:-4])
+        return
+    raise _bad(st.src)
+
+
+def _decode_date_field(st: _State, f: str) -> None:
+    """DecodeDate: one delimited date field ('1999-jan-08', '99-08-')."""
+    parts = re.findall(r"[a-z]+|\d+", f)
+    if not parts:
+        raise _bad(st.src)
+    for p in parts:
+        if p.isalpha():
+            if p in _MONTHS:
+                if st.month is not None:
+                    raise _bad(st.src)
+                st.month = _MONTHS[p]
+                st.have_text_month = True
+            elif p in _DOW:
+                continue
+            else:
+                raise _bad(st.src)
+    for p in parts:
+        if p.isdigit():
+            _decode_number(st, p)
+    # DecodeDate requires a complete date from its own field(s)
+    if st.year is None or st.month is None or st.day is None:
+        raise _bad(st.src)
+
+
+def _expand_2digit_year(y: int) -> int:
+    # ValidateDate: 1-2 digit years land in 1970–2069
+    if y < 70:
+        return y + 2000
+    if y < 100:
+        return y + 1900
+    return y
+
+
+def _validate(st: _State) -> date:
+    if st.year is None or st.month is None or st.day is None:
+        raise _bad(st.src)
+    y = _expand_2digit_year(st.year) if st.is2digits else st.year
+    if y <= 0:
+        raise _oor(st.src)
+    if not 1 <= st.month <= 12 or not 1 <= st.day <= 31:
+        raise _oor(st.src)
+    try:
+        return date(y, st.month, st.day)
+    except ValueError as e:
+        raise _oor(st.src) from e
+
+
+def parse_pg_date(s: str, dateorder: str = "mdy") -> date | str:
+    """Parse a PG date input literal.  Returns a ``date`` or, for the
+    special values, the lowercase special name.  Raises PGDateError on
+    input the reference itself rejects (and on BC years, which Spark
+    cannot represent)."""
+    src = s.strip()
+    low = src.lower()
+    if low in SPECIALS:
+        return low
+    if re.search(r"\bbc\b", low):
+        raise PGDateError(f"BC dates are not representable in Spark DateType: {s!r}")
+    low = re.sub(r"\bad\b", " ", low).strip()
+
+    m = re.fullmatch(r"j(\d+)", low)
+    if m:  # Julian day number
+        try:
+            return date.fromordinal(int(m.group(1)) - _JD_OFFSET)
+        except (ValueError, OverflowError) as e:
+            raise _oor(src) from e
+
+    st = _State(src, dateorder.lower())
+    for f, ftype in _split_fields(low):
+        if ftype == _TIME:
+            continue  # date context: time-of-day truncates away
+        if ftype == _DATE:
+            _decode_date_field(st, f)
+        elif ftype == _NUMBER:
+            if "." in f:
+                # embedded decimal, no date yet → DecodeDate path (year.doy)
+                if st.year is None and st.month is None and st.day is None:
+                    _decode_date_field(st, f.replace(".", "-"))
+                # else: fractional seconds — irrelevant for date
+            elif len(f) >= 6:
+                _decode_number_field(st, f)
+            else:
+                _decode_number(st, f)
+        elif ftype == _STRING:
+            if f in _MONTHS:
+                if st.month is not None:
+                    # a prior NUMERIC month yields to a text month: the
+                    # number was really the day (DecodeDateTime MONTH case)
+                    if (not st.have_text_month and st.day is None
+                            and 1 <= st.month <= 31):
+                        st.day = st.month
+                    else:
+                        raise _bad(src)
+                st.month = _MONTHS[f]
+                st.have_text_month = True
+            elif f in _DOW:
+                continue
+            else:
+                raise _bad(src)
+    return _validate(st)
+
+
+def fold_pg_date(lit: str, dateorder: str = "mdy") -> str | None:
+    """Transpile-time folding: PG date literal content → Spark SQL
+    expression text, or None when the literal is already ISO (left
+    untouched for plan readability)."""
+    r = parse_pg_date(lit, dateorder)
+    if isinstance(r, str):
+        return {
+            "epoch": "DATE '1970-01-01'",
+            "infinity": "DATE '9999-12-31'",
+            "-infinity": "DATE '0001-01-01'",
+            "today": "current_date",
+            "now": "current_date",
+            "tomorrow": "date_add(current_date, 1)",
+            "yesterday": "date_add(current_date, -1)",
+        }[r]
+    iso = r.isoformat()
+    if lit.strip() == iso:
+        return None
+    return f"DATE '{iso}'"

@@ -61,6 +61,104 @@ def _is_ident(t: str) -> bool:
     return bool(re.match(r'^[A-Za-z_"]', t)) and not _is_string(t)
 
 
+_ESTRING_ESCAPES = {
+    "b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t",
+    "\\": "\\", "'": "'",
+}
+
+
+def _decode_estring(tok: str) -> str:
+    """Decode a PG E'' escape-string literal (scan.l xe rules) into a plain
+    quoted literal: \\n \\t \\b \\f \\r, octal \\o[oo], hex \\xh[h], unicode
+    \\uXXXX / \\UXXXXXXXX; any other \\c is c.  '' stays an escaped quote.
+    The session runs with escapedStringLiterals=true, so the emitted plain
+    literal is taken verbatim by Spark (backslashes inert)."""
+    body = tok[2:-1]  # strip E' ... '
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "'":  # doubled quote in source → one literal quote
+            out.append("'")
+            i += 2
+            continue
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        i += 1
+        if i >= len(body):
+            out.append("\\")
+            break
+        e = body[i]
+        if e in _ESTRING_ESCAPES:
+            out.append(_ESTRING_ESCAPES[e])
+            i += 1
+        elif e in "01234567":
+            j = i
+            while j < len(body) and j < i + 3 and body[j] in "01234567":
+                j += 1
+            out.append(chr(int(body[i:j], 8)))
+            i = j
+        elif e in "xX":
+            j = i + 1
+            while j < len(body) and j < i + 3 and body[j] in "0123456789abcdefABCDEF":
+                j += 1
+            if j > i + 1:
+                out.append(chr(int(body[i + 1 : j], 16)))
+            else:
+                out.append(e)
+            i = j
+        elif e in "uU":
+            width = 4 if e == "u" else 8
+            h = body[i + 1 : i + 1 + width]
+            if len(h) == width and all(ch in "0123456789abcdefABCDEF" for ch in h):
+                out.append(chr(int(h, 16)))
+                i += 1 + width
+            else:
+                out.append(e)
+                i += 1
+        else:
+            out.append(e)
+            i += 1
+    return "'" + "".join(out).replace("'", "''") + "'"
+
+
+def _pass_estrings(toks: list[str]) -> list[str]:
+    """PG E'' escape strings → decoded plain literals, so every later pass
+    (and Spark itself) sees ordinary quoted strings."""
+    return [
+        _decode_estring(t) if len(t) >= 3 and t[0] in "eE" and t[1] == "'" else t
+        for t in toks
+    ]
+
+
+def _count_capture_groups(pat: str) -> int:
+    """Count CAPTURING groups in a regex: unescaped ``(`` not followed by
+    ``?`` and not inside a bracket expression.  Escaped ``\\(`` and
+    non-capturing ``(?:`` / lookaround groups do not count (PG regexp.c
+    pg_regcomp re_nsub semantics)."""
+    n, i = 0, 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "[":  # bracket expression — '(' inside is literal
+            i += 1
+            if i < len(pat) and pat[i] == "^":
+                i += 1
+            if i < len(pat) and pat[i] == "]":
+                i += 1
+            while i < len(pat) and pat[i] != "]":
+                i += 1
+        elif c == "(":
+            if not (i + 1 < len(pat) and pat[i + 1] == "?"):
+                n += 1
+        i += 1
+    return n
+
+
 def _is_operand_end(t: str) -> bool:
     return t == ")" or t == "]" or _is_ident(t) or _is_string(t) or re.match(r"^[\d.]", t)
 
@@ -853,17 +951,53 @@ def _pass_agg_filter(toks: list[str]) -> list[str]:
         distinct = bool(args) and args[0].lower() == "distinct"
         if distinct:
             args = args[1:]
+        # a trailing in-aggregate ORDER BY (``string_agg(x, ',' ORDER BY y)
+        # FILTER (WHERE p)``) must stay OUTSIDE the per-argument CASE wrap —
+        # _pass_agg_order_by consumes it later.  Split it off here.
+        ob_tail: list[str] = []
+        depth2 = 0
+        for j2, t2 in enumerate(args):
+            if t2 == "(":
+                depth2 += 1
+            elif t2 == ")":
+                depth2 -= 1
+            elif (
+                depth2 == 0
+                and t2.lower() == "order"
+                and j2 + 1 < len(args)
+                and args[j2 + 1].lower() == "by"
+            ):
+                ob_tail = args[j2:]
+                args = args[:j2]
+                break
         if args == ["*"]:
             arg_lists = [["1"]]
         else:
             arg_lists = _split_args(args)
+        def _is_const_arg(a: list[str]) -> bool:
+            # single string/numeric literal — CASE-wrapping it breaks
+            # foldability requirements (e.g. listagg's delimiter) and adds
+            # nothing: nulling any non-constant argument of a strict
+            # aggregate already drops the row.
+            if len(a) != 1:
+                return False
+            t = a[0]
+            return t.startswith("'") or t.replace(".", "", 1).isdigit()
+
+        wrap = [not _is_const_arg(a) for a in arg_lists]
+        if not any(wrap):  # e.g. count(1) FILTER (...) — wrap something
+            wrap[0] = True
         new_args: list[str] = []
         for k, a in enumerate(arg_lists):
             if k:
                 new_args.append(",")
-            new_args += ["case", "when"] + list(pred) + ["then"] + a + ["end"]
+            if wrap[k]:
+                new_args += ["case", "when"] + list(pred) + ["then"] + a + ["end"]
+            else:
+                new_args += a
         if distinct:
             new_args = ["distinct"] + new_args
+        new_args += ob_tail
         toks = toks[: aopen + 1] + new_args + [")"] + toks[fclose + 1 :]
         # rescan from the aggregate head (predicate may itself hold FILTER)
         i = aopen
@@ -883,6 +1017,179 @@ def _pg_parse_bool(lit: str) -> str:
         if len({"TRUE" if m in ("true", "yes", "on") else "FALSE" for m in matches}) == 1:
             return "TRUE" if matches[0] in ("true", "yes", "on") else "FALSE"
     raise ValueError(f"invalid input syntax for type boolean: {lit!r}")
+
+
+_TS_SPECIAL_SQL = {
+    "epoch": ["TIMESTAMP", "'1970-01-01 00:00:00'"],
+    "infinity": ["TIMESTAMP", "'9999-12-31 23:59:59.999999'"],
+    "-infinity": ["TIMESTAMP", "'0001-01-01 00:00:00'"],
+    "now": ["now", "(", ")"],
+    "today": ["CAST", "(", "current_date", "AS", "TIMESTAMP", ")"],
+    "tomorrow": ["CAST", "(", "date_add", "(", "current_date", ",", "1", ")",
+                 "AS", "TIMESTAMP", ")"],
+    "yesterday": ["CAST", "(", "date_add", "(", "current_date", ",", "-1", ")",
+                  "AS", "TIMESTAMP", ")"],
+}
+
+
+def _fold_date_tokens(lit_tok: str, is_ts: bool) -> list[str] | None:
+    """Fold one PG date/timestamp input literal into Spark SQL tokens, or
+    None when it is already ISO (datetime_input.parse_pg_date — the
+    reference's datetime.c decision procedure).  Raises PGDateError on
+    input the reference itself rejects."""
+    from greengage_spark.dialect.datetime_input import SPECIALS, parse_pg_date
+
+    lit = lit_tok[1:-1].strip()
+    if is_ts:
+        low = lit.lower()
+        if low in SPECIALS:
+            return list(_TS_SPECIAL_SQL[low])
+        if re.fullmatch(r"\d{4}-\d{2}-\d{2}([ tT].*)?", lit):
+            return None  # ISO — Spark parses natively
+        d = parse_pg_date(lit)
+        m = re.search(r"\d+:\d[\d:.]*", lit)
+        time_part = m.group(0) if m else "00:00:00"
+        return ["TIMESTAMP", f"'{d.isoformat()} {time_part}'"]
+    from greengage_spark.dialect.datetime_input import fold_pg_date
+
+    folded = fold_pg_date(lit)
+    return tokenize(folded) if folded is not None else None
+
+
+def _pg_era_field(field: str, expr: list[str]) -> list[str]:
+    """EXTRACT(CENTURY/MILLENNIUM/DECADE) for AD dates (timestamp.c
+    timestamp_part): century 1901→20, millennium 1001→2, decade =
+    year/10.  BC inputs are unrepresentable in Spark, so the negative
+    branches are omitted."""
+    y = ["year", "("] + expr + [")"]
+    if field == "decade":
+        return ["CAST", "(", "floor", "(", "("] + y + [")", "/", "10", ")", "AS", "BIGINT", ")"]
+    div = "100" if field == "century" else "1000"
+    return (
+        ["CAST", "(", "floor", "(", "(", "("] + y
+        + [")", "-", "1", ")", "/", div, ")", "+", "1", "AS", "BIGINT", ")"]
+    )
+
+
+def _pass_date_minus(toks: list[str]) -> list[str]:
+    """PG ``date - date`` returns INTEGER days (date.c date_mi); Spark
+    returns an interval.  Lower to ``datediff(a, b)`` whenever either
+    operand is a date typed literal (the only token-level type signal);
+    date ± integer is Spark-native and left alone."""
+
+    def _is_date_lit_end(j: int) -> bool:
+        return (
+            j >= 1
+            and _is_string(toks[j])
+            and _is_ident(toks[j - 1])
+            and toks[j - 1].lower() == "date"
+        )
+
+    def _right_span(start: int) -> int | None:
+        """End index (inclusive) of a simple right operand."""
+        if start >= len(toks):
+            return None
+        if (
+            _is_ident(toks[start])
+            and toks[start].lower() == "date"
+            and start + 1 < len(toks)
+            and _is_string(toks[start + 1])
+        ):
+            return start + 1
+        j = start
+        if _is_ident(toks[j]):
+            while j + 2 < len(toks) and toks[j + 1] == "." and _is_ident(toks[j + 2]):
+                j += 2
+            if j + 1 < len(toks) and toks[j + 1] == "(":
+                return _match_paren(toks, j + 1)
+            return j
+        if toks[j] == "(":
+            return _match_paren(toks, j)
+        return None
+
+    i = 0
+    while i < len(toks):
+        if toks[i] != "-":
+            i += 1
+            continue
+        right_is_date = (
+            i + 2 < len(toks)
+            and _is_ident(toks[i + 1])
+            and toks[i + 1].lower() == "date"
+            and _is_string(toks[i + 2])
+        )
+        left_is_date = _is_date_lit_end(i - 1)
+        if not (right_is_date or left_is_date):
+            i += 1
+            continue
+        # binary minus only: something operand-like must precede
+        if i == 0 or not _is_operand_end(toks[i - 1]):
+            i += 1
+            continue
+        lstart = i - 2 if left_is_date else _operand_start(toks, i - 1)
+        rend = _right_span(i + 1)
+        if rend is None:
+            i += 1
+            continue
+        left = toks[lstart:i]
+        right = toks[i + 1 : rend + 1]
+        # don't fire on interval/timestamp arithmetic: a non-literal side
+        # is accepted only when the other side IS a date literal
+        toks = (
+            toks[:lstart]
+            + ["datediff", "("] + left + [","] + right + [")"]
+            + toks[rend + 1 :]
+        )
+        i = lstart + 1
+    return toks
+
+
+def _pass_date_input_literals(toks: list[str]) -> list[str]:
+    """PG date/timestamp INPUT formats (datetime.c ParseDateTime /
+    DecodeDate): fold non-ISO literals — ``date '1/8/1999'``,
+    ``date 'Jan-08-1999'``, ``'epoch'``, ``'19990108'`` … — to ISO at
+    transpile time, in both the typed-literal and CAST forms."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        # typed literal: date '...' / timestamp '...'
+        if (
+            _is_ident(t)
+            and t.lower() in ("date", "timestamp", "timestamptz")
+            and i + 1 < len(toks)
+            and _is_string(toks[i + 1])
+            and (not out or out[-1] not in (".",))
+            and not (out and _is_ident(out[-1]) and out[-1].lower() == "as")
+        ):
+            folded = _fold_date_tokens(toks[i + 1], t.lower() != "date")
+            if folded is not None:
+                out += folded
+                i += 2
+                continue
+        # CAST ( '...' AS DATE/TIMESTAMP )
+        if (
+            _is_ident(t)
+            and t.lower() == "cast"
+            and i + 6 < len(toks)
+            and toks[i + 1] == "("
+            and _is_string(toks[i + 2])
+            and _is_ident(toks[i + 3])
+            and toks[i + 3].lower() == "as"
+            and toks[i + 4].lower() in ("date", "timestamp", "timestamp_ntz")
+            and toks[i + 5] == ")"
+        ):
+            folded = _fold_date_tokens(toks[i + 2], toks[i + 4].lower() != "date")
+            if folded is not None:
+                if toks[i + 4].lower() == "date":
+                    out += folded
+                else:
+                    out += ["CAST", "("] + folded + ["AS", toks[i + 4], ")"]
+                i += 6
+                continue
+        out.append(t)
+        i += 1
+    return out
 
 
 def _pass_typed_literals(toks: list[str]) -> list[str]:
@@ -1773,26 +2080,70 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 i += 1
                 continue
             if low == "regexp_replace" and len(args) in (3, 4):
-                # PG regexp_replace (regexp.c): flags 'g' = all occurrences
-                # (Spark's only mode), 'i' = case-insensitive via (?i);
-                # replacement backrefs are \N where Spark wants $N
+                # PG regexp_replace (regexp.c RE_replace): the DEFAULT is
+                # first-occurrence-only; flag 'g' = all occurrences (Spark's
+                # only native mode), 'i' = case-insensitive.  Replacement
+                # backrefs are \N (\& = whole match) where Java wants $N.
                 pat, rep = args[1], args[2]
-                changed = len(args) == 4
-                if len(rep) == 1 and _is_string(rep[0]) and "\\" in rep[0]:
-                    rep = [re.sub(r"\\(\d)", r"$\1", rep[0])]
-                    changed = True
-                if len(args) == 4 and len(args[3]) == 1 and _is_string(args[3][0]):
-                    if "i" in args[3][0].strip("'"):
-                        if len(pat) == 1 and _is_string(pat[0]):
+                flags = ""
+                if len(args) == 4:
+                    if not (len(args[3]) == 1 and _is_string(args[3][0])):
+                        raise NotImplementedError(
+                            "regexp_replace: non-literal flags argument"
+                        )
+                    flags = args[3][0].strip("'")
+                lit_pat = len(pat) == 1 and _is_string(pat[0])
+                if "g" in flags:
+                    if len(rep) == 1 and _is_string(rep[0]) and "\\" in rep[0]:
+                        rep = [re.sub(r"\\(\d)", r"$\1", rep[0])]
+                    if "i" in flags:
+                        if lit_pat:
                             pat = ["'(?i)" + pat[0][1:]]
                         else:
                             pat = ["concat", "(", "'(?i)'", ","] + pat + [")"]
-                if changed:
                     out[i : close + 1] = (
-                        ["regexp_replace", "("] + args[0] + [","] + pat + [","] + rep + [")"]
+                        ["regexp_replace", "("] + args[0] + [","] + pat
+                        + [","] + rep + [")"]
                     )
                     i += 1
                     continue
+                # First-occurrence-only (PG default).  Lowering:
+                #   pat → (?s)[(?i)]^(.*?)(pat)     rep → $1<rep, \N→$(N+2)>
+                # The ^-anchored lazy prefix makes Java's replace-all fire
+                # exactly once (it cannot re-match ^ past position 0), and
+                # (?s) matches PG's newline-insensitive '.' default.
+                if not (
+                    lit_pat and len(rep) == 1 and _is_string(rep[0])
+                ):
+                    raise NotImplementedError(
+                        "first-occurrence regexp_replace (no 'g' flag) needs "
+                        "a literal pattern and replacement; pass the 'g' "
+                        "flag for replace-all"
+                    )
+                mods = "(?s)" + ("(?i)" if "i" in flags else "")
+                new_pat = (
+                    "'" + mods + "^(.*?)(" + pat[0][1:-1] + ")'"
+                )
+
+                def _conv_backref(m: "re.Match[str]") -> str:
+                    t = m.group(0)
+                    if t == "$":
+                        return "\\$"
+                    if t == "\\\\":
+                        return "\\\\"
+                    if t == "\\&":
+                        return "$2"
+                    return "$" + str(int(t[1]) + 2)
+
+                new_rep = "'$1" + re.sub(
+                    r"\\[0-9&\\]|\$", _conv_backref, rep[0][1:-1]
+                ) + "'"
+                out[i : close + 1] = (
+                    ["regexp_replace", "("] + args[0] + [",", new_pat, ",",
+                     new_rep, ")"]
+                )
+                i += 1
+                continue
             if low == "regexp_split_to_array" and len(args) in (2, 3):
                 # regexp_split_to_table's array sibling → Spark split();
                 # optional 'i' flag folds into the pattern
@@ -1825,7 +2176,7 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     rest = inner[from_idx + 1 :]
                     if len(rest) == 1 and _is_string(rest[0]):
                         lit = rest[0]
-                        grp = "1" if "(" in lit else "0"
+                        grp = "1" if _count_capture_groups(lit[1:-1]) else "0"
                         out[i : close + 1] = (
                             ["case", "when", "("] + xpr + [")", "rlike", lit,
                              "then", "regexp_extract", "(", "("] + xpr
@@ -1902,6 +2253,9 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     if field == "epoch":
                         out[i : close + 1] = ["unix_timestamp", "("] + expr + [")"]
                         continue
+                    if field in ("century", "millennium", "decade"):
+                        out[i : close + 1] = _pg_era_field(field, expr)
+                        continue
                 i += 2
                 continue
             if low == "date_part" and len(args) == 2 and _is_string(args[0][0]):
@@ -1912,6 +2266,32 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     continue
                 if field == "epoch":
                     out[i : close + 1] = ["unix_timestamp", "("] + args[1] + [")"]
+                    continue
+                if field in ("century", "millennium", "decade"):
+                    out[i : close + 1] = _pg_era_field(field, args[1])
+                    continue
+            if low == "date_trunc" and len(args) == 2 and _is_string(args[0][0]):
+                field = args[0][0].strip("'").lower()
+                if field in ("century", "millennium", "decade"):
+                    # timestamp.c timestamp_trunc: CENTURY xx01-01-01,
+                    # MILLENNIUM x001-01-01, DECADE xxx0-01-01 (AD branch)
+                    y = ["year", "(", "("] + args[1] + [")", ")"]
+                    if field == "decade":
+                        yr = (
+                            ["CAST", "(", "floor", "(", "("] + y
+                            + [")", "/", "10", ")", "*", "10", "AS", "INT", ")"]
+                        )
+                    else:
+                        d = "100" if field == "century" else "1000"
+                        yr = (
+                            ["CAST", "(", "floor", "(", "(", "("] + y
+                            + [")", "-", "1", ")", "/", d, ")", "*", d,
+                               "+", "1", "AS", "INT", ")"]
+                        )
+                    out[i : close + 1] = (
+                        ["CAST", "(", "make_date", "("] + yr
+                        + [",", "1", ",", "1", ")", "AS", "TIMESTAMP", ")"]
+                    )
                     continue
             if low in ("array_length", "array_upper") and len(args) == 2:
                 out[i : close + 1] = ["size", "("] + args[0] + [")"]
@@ -2209,6 +2589,7 @@ def transpile(sql: str) -> str:
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_from_generate_series(sql)
     toks = tokenize(sql)
+    toks = _pass_estrings(toks)
     toks = _pass_group_by_empty(toks)
     toks = _pass_single_grouping_set(toks)
     toks = _pass_targetlist_srf(toks)
@@ -2226,6 +2607,8 @@ def transpile(sql: str) -> str:
     toks = _pass_from_srf_items(toks)
     toks = _pass_casts(toks)
     toks = _pass_cast_typenames(toks)
+    toks = _pass_date_minus(toks)
+    toks = _pass_date_input_literals(toks)
     toks = _pass_json_ops(toks)
     toks = _pass_regex_ops(toks)
     toks = _pass_agg_order_by(toks)

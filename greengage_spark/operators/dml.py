@@ -8,30 +8,47 @@ Reference semantics being reproduced:
   that changes the distribution key is split into DELETE + INSERT streams
   so the row can move to its new owning segment.
 
-Spark/parquet has no in-place mutation, so every UPDATE/DELETE is a
-**copy-on-write version rewrite** (the Delta-Lake strategy): read current
-version → apply the change as a declarative transform → write version
-N+1 → flip the table pointer.  Two properties worth noting at 100 TB:
+Spark/parquet has no in-place mutation, so a table version is a
+**manifest**: a JSON file listing the parquet data files that make up
+that version (the Delta-Lake / Iceberg strategy).  The three properties
+that make this survive 100 TB:
 
-* The rewrite is a full shuffle-free scan + write of surviving rows —
-  Catalyst pushes the predicate to the scan, so a partition-pruned
-  UPDATE touches only matching files (with a partitioned layout this is
-  the partition-overwrite fast path).
-* SplitUpdate needs no special operator: writing the new version through
-  ``repartition(dist_keys)`` re-homes moved rows in the same job the
-  rewrite runs — delete-stream and insert-stream collapse into one
+* **INSERT is a pure append** — new rows land in a fresh segment
+  directory and the next manifest references old files + new files.  A
+  1-row INSERT writes 1 small file, never rewrites the table.
+* **UPDATE/DELETE rewrite only touched files.**  One predicate-pushdown
+  scan (parquet row-group min/max stats skip non-matching files) finds
+  the distinct ``input_file_name()``s holding matching rows; only those
+  files are re-read and rewritten.  Untouched files are carried into the
+  new manifest **by reference, byte-identical** — an UPDATE keyed to one
+  partition leaves every other partition's files untouched on disk
+  (asserted by tests/test_dml.py mtime/identity checks).
+* **SplitUpdate needs no special operator**: rewritten rows pass through
+  ``repartition(dist_keys)`` on the segment write, re-homing moved rows
+  in the same job — delete-stream and insert-stream collapse into one
   exchange.
 
-Versions live under ``<root>/v{N}/``; the latest N wins.  Old versions
-are retained (time travel / vacuum left to the storage layer).
+Driver-side state is file *names* only (the same metadata scale Delta's
+transaction log carries), never row data.  Old versions are retained
+(time travel / vacuum left to the storage layer).
 """
 
 from __future__ import annotations
 
+import json
 import os
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def _norm_file(p: str) -> str:
+    """input_file_name() URI → plain absolute path."""
+    if p.startswith("file:"):
+        p = urlparse(p).path
+    return unquote(p)
 
 
 class WritableTable:
@@ -56,70 +73,138 @@ class WritableTable:
         if not os.path.isdir(self.root):
             return -1
         vs = [
-            int(d[1:])
-            for d in os.listdir(self.root)
-            if d.startswith("v") and d[1:].isdigit()
+            int(f[1:-5])
+            for f in os.listdir(self.root)
+            if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
         ]
         return max(vs, default=-1)
 
-    def _path(self, version: int) -> str:
-        return os.path.join(self.root, f"v{version}")
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, f"v{version}.json")
 
-    def _write(self, df: DataFrame) -> None:
-        """Write the next version, applying the distribution policy
-        (hash on dist keys ≈ the reference's per-segment placement)."""
+    def _manifest(self) -> dict:
+        assert self.version >= 0, f"no table at {self.root}"
+        with open(self._manifest_path(self.version)) as fh:
+            return json.load(fh)
+
+    def files(self) -> list[str]:
+        return self._manifest()["files"]
+
+    def _schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self._manifest()["schema"]))
+
+    def _write_segment(self, df: DataFrame) -> list[str]:
+        """Write rows as a new immutable segment directory, applying the
+        distribution policy (hash on dist keys ≈ the reference's
+        per-segment placement), and return its data-file paths."""
         if self.dist_keys:
             n = self.num_partitions or self.spark.sparkContext.defaultParallelism
             df = df.repartition(n, *[F.col(c) for c in self.dist_keys])
-        df.write.mode("overwrite").parquet(self._path(self.version + 1))
+        seg = os.path.join(self.root, f"seg-{self.version + 1}")
+        df.write.mode("overwrite").parquet(seg)
+        return sorted(
+            os.path.join(seg, f)
+            for f in os.listdir(seg)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+
+    def _commit(self, files: list[str], schema: StructType) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        manifest = {"files": files, "schema": schema.json()}
+        tmp = self._manifest_path(self.version + 1) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path(self.version + 1))
         self.version += 1
+
+    def _read_files(self, files: list[str]) -> DataFrame:
+        if not files:
+            return self.spark.createDataFrame([], self._schema())
+        return self.spark.read.schema(self._schema()).parquet(*files)
+
+    def _touched_files(self, cond: Column) -> list[str]:
+        """One predicate-pushdown scan → the distinct data files holding
+        rows matching ``cond``.  Parquet min/max stats prune files that
+        cannot match; only file NAMES reach the driver."""
+        hits = (
+            self._read_files(self.files())
+            .filter(cond)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        touched = {_norm_file(r["f"]) for r in hits}
+        return [f for f in self.files() if f in touched]
 
     # ---------------- DML surface ----------------
 
     def create(self, df: DataFrame) -> "WritableTable":
         """CREATE TABLE AS — version 0."""
         assert self.version == -1, f"table already exists at {self.root}"
-        self._write(df)
+        self._commit(self._write_segment(df), df.schema)
         return self
 
     def df(self) -> DataFrame:
-        assert self.version >= 0, f"no table at {self.root}"
-        return self.spark.read.parquet(self._path(self.version))
+        return self._read_files(self.files())
 
     def insert(self, rows: DataFrame) -> "WritableTable":
-        """INSERT INTO — union + rewrite (at scale: plain append of new
-        files; rewritten here to keep the version chain linear)."""
-        self._write(self.df().unionByName(rows))
+        """INSERT INTO — append a new segment; existing files are
+        referenced unchanged (nodeModifyTable.c ExecInsert)."""
+        schema = self._schema()
+        new = self._write_segment(rows.select(*[c.name for c in schema.fields]))
+        self._commit(self.files() + new, schema)
         return self
 
     def delete(self, cond: Column) -> "WritableTable":
-        """DELETE WHERE cond — keep the complement.  NULL cond rows are
-        kept (PG: WHERE NULL does not delete)."""
-        self._write(self.df().filter(~F.coalesce(cond, F.lit(False))))
+        """DELETE WHERE cond — rewrite only files holding matching rows,
+        keeping each one's complement.  NULL cond rows are kept (PG:
+        WHERE NULL does not delete)."""
+        schema = self._schema()
+        cond = F.coalesce(cond, F.lit(False))
+        touched = self._touched_files(cond)
+        untouched = [f for f in self.files() if f not in set(touched)]
+        new: list[str] = []
+        if touched:
+            survivors = self._read_files(touched).filter(~cond)
+            new = self._write_segment(survivors)
+        self._commit(untouched + new, schema)
         return self
 
     def replace(self, df: DataFrame) -> "WritableTable":
         """Full-table rewrite: UPDATE/DELETE forms whose predicates or
         assignments hold subqueries evaluate through SQL and land here."""
-        self._write(df)
+        self._commit(self._write_segment(df), df.schema)
         return self
 
     def update(self, set_map: dict[str, Column], cond: Column | None = None) -> "WritableTable":
-        """UPDATE SET ... WHERE cond — CASE-WHEN projection over all rows.
+        """UPDATE SET ... WHERE cond — CASE-WHEN projection over only the
+        files holding matching rows; all other files carry over by
+        reference.
 
         If a distribution key is in ``set_map`` this is the SplitUpdate
-        case (nodeSplitUpdate.c): the repartition inside ``_write``
-        re-homes changed rows — no separate delete+insert streams needed.
+        case (nodeSplitUpdate.c): the repartition inside
+        ``_write_segment`` re-homes changed rows — no separate
+        delete+insert streams needed.
         """
-        cur = self.df()
-        cond = F.lit(True) if cond is None else F.coalesce(cond, F.lit(False))
-        out = cur.select(
-            *[
-                F.when(cond, set_map[c]).otherwise(F.col(c)).alias(c)
-                if c in set_map
-                else F.col(c)
-                for c in cur.columns
-            ]
-        )
-        self._write(out)
+        schema = self._schema()
+        if cond is None:
+            touched, untouched = self.files(), []
+            cond_f = F.lit(True)
+        else:
+            cond_f = F.coalesce(cond, F.lit(False))
+            touched = self._touched_files(cond_f)
+            untouched = [f for f in self.files() if f not in set(touched)]
+        new: list[str] = []
+        if touched:
+            cur = self._read_files(touched)
+            out = cur.select(
+                *[
+                    F.when(cond_f, set_map[c]).otherwise(F.col(c)).alias(c)
+                    if c in set_map
+                    else F.col(c)
+                    for c in cur.columns
+                ]
+            )
+            new = self._write_segment(out)
+        self._commit(untouched + new, schema)
         return self

@@ -43,13 +43,8 @@ def language_id(df: DataFrame, id_col: str, text_col: str, spark) -> DataFrame:
     """argmax(lang by hits), ties → lexicographically smallest lang; docs
     with no marker hits → 'und' (undetermined)."""
     scores = language_scores(df, id_col, text_col, spark)
-    best = scores.groupBy(id_col).agg(
-        F.max(F.struct(F.col("hits"), F.col("lang"))).alias("__m")
-    )
-    # max(struct(hits, lang)) breaks ties toward the LARGEST lang string;
-    # PG-style deterministic choice wants smallest — invert via a second
-    # struct field trick only when needed.  We pick largest-hits then
-    # smallest-lang explicitly:
+    # pick largest-hits then smallest-lang (a max(struct(hits, lang))
+    # one-shot would break ties toward the LARGEST lang string):
     ranked = scores.groupBy(id_col).agg(
         F.max("hits").alias("__best_hits")
     )

@@ -31,11 +31,28 @@ def _suites() -> list[Suite]:
 
 
 def all_queries() -> dict[str, Query]:
+    """All registered queries, round-robin interleaved across suites.
+
+    The driver's correctness gate samples the FIRST 50 queries in registry
+    order; a suite-by-suite concatenation meant only the first two suites
+    were ever driver-verified.  Interleaving one query per suite per round
+    guarantees every family (TPC-H, operators, window/agg, scans, dialect
+    functions, LLM-pipeline, streaming) lands multiple entries inside any
+    sampling window.
+    """
     out: dict[str, Query] = {}
-    for s in _suites():
-        for name, q in s.queries.items():
+    iters = [iter(s.queries.items()) for s in _suites()]
+    while iters:
+        remaining = []
+        for it in iters:
+            try:
+                name, q = next(it)
+            except StopIteration:
+                continue
             assert name not in out, f"duplicate query name {name}"
             out[name] = q
+            remaining.append(it)
+        iters = remaining
     return out
 
 

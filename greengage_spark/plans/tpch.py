@@ -837,9 +837,12 @@ def q21_waiting_supplier(spark, sf_dir):
     ).select(
         F.col("l_orderkey").alias("st_orderkey"),
         "nsupp",
-        F.col("top2")[0]["supp_max_sd"].alias("sd1"),
-        F.col("top2")[0]["l_suppkey"].alias("sk1"),
-        F.col("top2")[1]["supp_max_sd"].alias("sd2"),
+        # try_element_at: single-supplier orders have a 1-element top2;
+        # plain [1] indexing would raise under ANSI mode (Spark 4 default)
+        # if the optimizer ever evaluated it before the nsupp >= 2 filter.
+        F.try_element_at(F.col("top2"), F.lit(1))["supp_max_sd"].alias("sd1"),
+        F.try_element_at(F.col("top2"), F.lit(1))["l_suppkey"].alias("sk1"),
+        F.try_element_at(F.col("top2"), F.lit(2))["supp_max_sd"].alias("sd2"),
     )
     l1 = l.select(
         F.col("l_orderkey").alias("k1_orderkey"),

@@ -1,5 +1,7 @@
 """WritableTable (copy-on-write DML) semantics — ModifyTable/SplitUpdate."""
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -51,6 +53,72 @@ class TestDML:
         # to a new hash partition and no rows are lost or duplicated.
         table.update({"id": F.col("id") + 100}, F.col("id") == 2)
         assert [r[0] for r in rows(table)] == [1, 3, 4, 102]
+
+    def test_insert_appends_files_not_rewrite(self, spark, table):
+        # INSERT must be a pure file append: every pre-existing data file
+        # is carried into the new manifest byte-identical (same inode,
+        # mtime, size) — at 100 TB a 1-row INSERT writes one small file.
+        before = {f: os.stat(f) for f in table.files()}
+        table.insert(spark.createDataFrame([(5, "e", 50.0)], "id long, name string, val double"))
+        after = set(table.files())
+        assert set(before) <= after, "INSERT dropped pre-existing files"
+        for f, st in before.items():
+            st2 = os.stat(f)
+            assert (st.st_ino, st.st_mtime_ns, st.st_size) == (
+                st2.st_ino, st2.st_mtime_ns, st2.st_size,
+            ), f"INSERT rewrote {f}"
+        assert len(after) > len(before)
+
+    def test_update_rewrites_only_touched_files(self, spark, tmp_path):
+        # An UPDATE keyed to one value must leave files that cannot hold
+        # matching rows untouched on disk (copy-on-write at file
+        # granularity, the Delta/Iceberg strategy).
+        df = spark.createDataFrame(
+            [(i, f"n{i}", float(i)) for i in range(100)],
+            "id long, name string, val double",
+        )
+        t = WritableTable(
+            spark, str(tmp_path / "t"), dist_keys=("id",), num_partitions=8
+        ).create(df)
+        before = {f: os.stat(f) for f in t.files()}
+        t.update({"name": F.lit("X")}, F.col("id") == 7)
+        carried = [f for f in t.files() if f in before]
+        assert carried, "UPDATE rewrote every file — not partition-pruned"
+        for f in carried:
+            st, st2 = before[f], os.stat(f)
+            assert (st.st_ino, st.st_mtime_ns, st.st_size) == (
+                st2.st_ino, st2.st_mtime_ns, st2.st_size,
+            ), f"UPDATE modified untouched file {f}"
+        # correctness untouched by the pruning
+        got = sorted((r.id, r.name) for r in t.df().collect())
+        assert (7, "X") in got and len(got) == 100
+        assert sum(1 for _, n in got if n == "X") == 1
+
+    def test_delete_rewrites_only_touched_files(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, f"n{i}", float(i)) for i in range(100)],
+            "id long, name string, val double",
+        )
+        t = WritableTable(
+            spark, str(tmp_path / "t"), dist_keys=("id",), num_partitions=8
+        ).create(df)
+        before = {f: os.stat(f) for f in t.files()}
+        t.delete(F.col("id") == 42)
+        carried = [f for f in t.files() if f in before]
+        assert carried, "DELETE rewrote every file"
+        for f in carried:
+            st, st2 = before[f], os.stat(f)
+            assert (st.st_ino, st.st_mtime_ns, st.st_size) == (
+                st2.st_ino, st2.st_mtime_ns, st2.st_size,
+            )
+        assert sorted(r.id for r in t.df().collect()) == [
+            i for i in range(100) if i != 42
+        ]
+
+    def test_delete_all_rows_keeps_schema(self, table):
+        table.delete(F.lit(True))
+        assert table.df().count() == 0
+        assert [f.name for f in table.df().schema.fields] == ["id", "name", "val"]
 
     def test_version_chain_is_linear(self, table):
         table.delete(F.col("id") == 1)

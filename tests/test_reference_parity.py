@@ -5005,3 +5005,133 @@ def test_reference_with_rejected(olap, name):
     spark, _ = olap
     with pytest.raises(Exception):
         pg_sql(spark, WITH_REJECTED[name]).collect()
+
+
+# --------------------------------------------------------------------------
+# date.sql — PG date INPUT formats (datetime.c ParseDateTime/DecodeDate),
+# date arithmetic (date.c date_mi), era extract/trunc (timestamp.c).
+# Reference queries verbatim from src/test/regress/sql/date.sql (MDY
+# DateStyle, the PG default); duck side carries the reference's own
+# documented answer from expected/date.out where DuckDB's input parser
+# differs from PG's.
+# --------------------------------------------------------------------------
+
+DATE_QUERIES = {
+    # date.sql:37-49 (documented input formats, mdy block expected values)
+    "in_textmonth_comma": ("SELECT date 'January 8, 1999' AS d", "SELECT DATE '1999-01-08' AS d"),
+    "in_iso": ("SELECT date '1999-01-08' AS d", "SELECT DATE '1999-01-08' AS d"),
+    "in_iso_18": ("SELECT date '1999-01-18' AS d", "SELECT DATE '1999-01-18' AS d"),
+    "in_slash_mdy": ("SELECT date '1/8/1999' AS d", "SELECT DATE '1999-01-08' AS d"),
+    "in_slash_mdy_18": ("SELECT date '1/18/1999' AS d", "SELECT DATE '1999-01-18' AS d"),
+    "in_slash_2digit": ("SELECT date '01/02/03' AS d", "SELECT DATE '2003-01-02' AS d"),
+    "in_concat8": ("SELECT date '19990108' AS d", "SELECT DATE '1999-01-08' AS d"),
+    "in_concat6": ("SELECT date '990108' AS d", "SELECT DATE '1999-01-08' AS d"),
+    "in_year_doy": ("SELECT date '1999.008' AS d", "SELECT DATE '1999-01-08' AS d"),
+    "in_julian": ("SELECT date 'J2451187' AS d", "SELECT DATE '1999-01-08' AS d"),
+    # date.sql:52-59 text-month dashed forms
+    "in_yyyy_mon_dd": ("SELECT date '1999-Jan-08' AS d", "SELECT DATE '1999-01-08' AS d"),
+    "in_dd_mon_yyyy": ("SELECT date '08-Jan-1999' AS d", "SELECT DATE '1999-01-08' AS d"),
+    "in_mon_dd_yyyy": ("SELECT date 'Jan-08-1999' AS d", "SELECT DATE '1999-01-08' AS d"),
+    # date.sql:61-68 space-separated
+    "in_sp_dd_mon_yy": ("SELECT date '08 Jan 99' AS d", "SELECT DATE '1999-01-08' AS d"),
+    "in_sp_dd_mon_yyyy": ("SELECT date '08 Jan 1999' AS d", "SELECT DATE '1999-01-08' AS d"),
+    "in_sp_mon_dd_yyyy": ("SELECT date 'Jan 08 1999' AS d", "SELECT DATE '1999-01-08' AS d"),
+    "in_sp_yyyy_nn_mon": ("SELECT date '1999 08 Jan' AS d", "SELECT DATE '1999-01-08' AS d"),
+    # date.sql:70-77 numeric dashed (mdy)
+    "in_mm_dd_yy": ("SELECT date '01-08-99' AS d", "SELECT DATE '1999-01-08' AS d"),
+    "in_mm_dd_yyyy": ("SELECT date '01-08-1999' AS d", "SELECT DATE '1999-01-08' AS d"),
+    # cast form
+    "in_cast_slash": ("SELECT '1/8/1999'::date AS d", "SELECT DATE '1999-01-08' AS d"),
+    # date.sql:225-232 simple math (date_mi → integer days)
+    "mi_dates": (
+        "SELECT date '2000-04-03' - date '2000-01-01' AS days",
+        "SELECT 93 AS days",
+    ),
+    "mi_epoch": (
+        "SELECT date '2000-01-01' - date 'epoch' AS days",
+        "SELECT 10957 AS days",
+    ),
+    "mi_today_yesterday": (
+        "SELECT date 'today' - date 'yesterday' AS one",
+        "SELECT 1 AS one",
+    ),
+    "mi_yesterday_tomorrow": (
+        "SELECT date 'yesterday' - date 'tomorrow' AS two",
+        "SELECT -2 AS two",
+    ),
+    # date.sql:240-257 era extract (AD branch)
+    "ex_century_1900": ("SELECT EXTRACT(CENTURY FROM DATE '1900-12-31') AS c", "SELECT 19 AS c"),
+    "ex_century_1901": ("SELECT EXTRACT(CENTURY FROM DATE '1901-01-01') AS c", "SELECT 20 AS c"),
+    "ex_century_2000": ("SELECT EXTRACT(CENTURY FROM DATE '2000-12-31') AS c", "SELECT 20 AS c"),
+    "ex_century_2001": ("SELECT EXTRACT(CENTURY FROM DATE '2001-01-01') AS c", "SELECT 21 AS c"),
+    "ex_millennium_1000": ("SELECT EXTRACT(MILLENNIUM FROM DATE '1000-12-31') AS m", "SELECT 1 AS m"),
+    "ex_millennium_1001": ("SELECT EXTRACT(MILLENNIUM FROM DATE '1001-01-01') AS m", "SELECT 2 AS m"),
+    "ex_millennium_2001": ("SELECT EXTRACT(MILLENNIUM FROM DATE '2001-01-01') AS m", "SELECT 3 AS m"),
+    "ex_decade_1994": ("SELECT EXTRACT(DECADE FROM DATE '1994-12-25') AS d", "SELECT 199 AS d"),
+    "ex_decade_0010": ("SELECT EXTRACT(DECADE FROM DATE '0010-01-01') AS d", "SELECT 1 AS d"),
+    "ex_decade_0009": ("SELECT EXTRACT(DECADE FROM DATE '0009-12-31') AS d", "SELECT 0 AS d"),
+    # date.sql:276-283 era trunc
+    "tr_millennium_ts": (
+        "SELECT DATE_TRUNC('MILLENNIUM', TIMESTAMP '1970-03-20 04:30:00.00000') AS t",
+        "SELECT TIMESTAMP '1001-01-01 00:00:00' AS t",
+    ),
+    "tr_century_2004": (
+        "SELECT DATE_TRUNC('CENTURY', DATE '2004-08-10') AS t",
+        "SELECT TIMESTAMP '2001-01-01 00:00:00' AS t",
+    ),
+    "tr_century_1970": (
+        "SELECT DATE_TRUNC('CENTURY', DATE '1970-03-20') AS t",
+        "SELECT TIMESTAMP '1901-01-01 00:00:00' AS t",
+    ),
+    "tr_decade_1993": (
+        "SELECT DATE_TRUNC('DECADE', DATE '1993-12-25') AS t",
+        "SELECT TIMESTAMP '1990-01-01 00:00:00' AS t",
+    ),
+    # date.sql:286-288 infinity ordering (sentinel-mapped; comparisons hold)
+    "inf_gt_today": ("SELECT 'infinity'::date > 'today'::date AS t", "SELECT true AS t"),
+    "neg_inf_lt_today": ("SELECT '-infinity'::date < 'today'::date AS t", "SELECT true AS t"),
+    # date.sql:293 constructor
+    "make_date_ok": ("SELECT make_date(2013, 7, 15) AS d", "SELECT DATE '2013-07-15' AS d"),
+    # date.sql:24-28 over an inline DATE_TBL slice
+    "tbl_between": (
+        "SELECT f1 FROM (VALUES (date '1996-02-28'), (date '1996-03-01'), "
+        "(date '2000-04-01'), (date '2038-04-08')) AS t(f1) "
+        "WHERE f1 BETWEEN '2000-01-01' AND '2001-01-01'",
+        "SELECT DATE '2000-04-01' AS f1",
+    ),
+    "tbl_days_from_2k": (
+        "SELECT f1 - date '2000-01-01' AS days FROM (VALUES (date '2000-04-01'), "
+        "(date '1996-03-01')) AS t(f1)",
+        "SELECT 91 AS days UNION ALL SELECT -1401 AS days",
+    ),
+}
+
+# Forms the reference itself rejects under MDY (expected/date.out ERROR
+# rows) — the transpiler must raise, not silently mis-parse; plus forms
+# unrepresentable in Spark (BC years) that must fail loudly.
+DATE_REJECTED = {
+    "bad_dmy_slash": "SELECT date '18/1/1999'",  # month 18 out of range (mdy)
+    # yy-first forms need YMD; PG rejects them under MDY (date.out mdy block)
+    "bad_yy_mon_dd": "SELECT date '99-Jan-08'",
+    "bad_sp_yy_mon_dd": "SELECT date '99 Jan 08'",
+    "bad_yy_mm_dd": "SELECT date '99-01-08'",
+    "bad_yy_mm_dd2": "SELECT date '99-08-01'",
+    "bad_trailing_month": "SELECT date '99-08-Jan'",
+    "bad_trailing_month4": "SELECT date '1999-08-Jan'",
+    "bad_5digit_concat": "SELECT date '2020516'",
+    "bad_bc": "SELECT date 'January 8, 99 BC'",
+    "bad_make_date": "SELECT make_date(2013, 2, 30)",
+}
+
+
+@pytest.mark.parametrize("name", sorted(DATE_QUERIES))
+def test_reference_date_query(olap, name):
+    ref, duck = DATE_QUERIES[name]
+    _check(olap, ref, duck)
+
+
+@pytest.mark.parametrize("name", sorted(DATE_REJECTED))
+def test_reference_date_rejected(olap, name):
+    spark, _ = olap
+    with pytest.raises(Exception):
+        pg_sql(spark, DATE_REJECTED[name]).collect()
