@@ -32,12 +32,27 @@ from pyspark.sql import functions as F
 from greengage_spark.dialect.ddl import DDLCatalog, parse_create_table
 from greengage_spark.dialect.transpiler import _find_top_level, pg_sql, transpile
 
+# sequence function calls (sequence.c nextval/currval/setval SQL surface)
+_NEXTVAL = re.compile(r"(?is)\bnextval\s*\(\s*'([\w.]+)'\s*\)")
+_CURRVAL = re.compile(r"(?is)\bcurrval\s*\(\s*'([\w.]+)'\s*\)")
+_SETVAL = re.compile(
+    r"(?is)\bsetval\s*\(\s*'([\w.]+)'\s*,\s*(-?\d+)\s*(?:,\s*(true|false)\s*)?\)"
+)
+
+
+def _has_seq_call(stmt: str) -> bool:
+    return bool(_NEXTVAL.search(stmt) or _CURRVAL.search(stmt) or _SETVAL.search(stmt))
+
 
 class GreengageEngine:
     def __init__(self, spark: SparkSession, warehouse: str):
+        from greengage_spark.operators.sequence import SequenceManager
+
         self.spark = spark
         self.ddl = DDLCatalog(spark, warehouse)
         self.views: dict[str, str] = {}  # name → PG-dialect defining query
+        self.sequences = SequenceManager(warehouse)
+        self.functions: dict = {}  # name → FunctionDef (CREATE FUNCTION)
 
     # ---------------- statement router ----------------
 
@@ -61,6 +76,34 @@ class GreengageEngine:
             self.ddl.create_table(stmt)
             self._register(parse_create_table(stmt).name)
             return None
+        if re.match(r"(?is)^create\s+(or\s+replace\s+)?function\b", stmt):
+            return self._create_function(stmt)
+        if re.match(r"(?is)^create\s+(or\s+replace\s+)?(ordered\s+)?aggregate\b", stmt):
+            return self._create_aggregate(stmt)
+        if re.match(r"(?is)^drop\s+(function|aggregate)\b", stmt):
+            m = re.match(
+                r"(?is)^drop\s+(function|aggregate)\s+(if\s+exists\s+)?([\w.]+)\s*(\([^)]*\))?$",
+                stmt,
+            )
+            if not m:
+                raise NotImplementedError("DROP FUNCTION/AGGREGATE [IF EXISTS] name[(args)]")
+            if m.group(3) not in self.functions and not m.group(2):
+                raise ValueError(f"unknown function {m.group(3)!r}")
+            self.functions.pop(m.group(3), None)
+            return None
+        if re.match(r"(?is)^create\s+(temp(orary)?\s+)?sequence\b", stmt):
+            return self._create_sequence(stmt)
+        if re.match(r"(?is)^drop\s+sequence\b", stmt):
+            m = re.match(r"(?is)^drop\s+sequence\s+(if\s+exists\s+)?([\w.]+)$", stmt)
+            if not m:
+                raise NotImplementedError("DROP SEQUENCE [IF EXISTS] name")
+            self.sequences.drop(m.group(2), if_exists=bool(m.group(1)))
+            return None
+        if re.match(r"(?is)^alter\s+sequence\b", stmt):
+            return self._alter_sequence(stmt)
+        # sequence calls are driver-evaluated / lowered before routing
+        if _has_seq_call(stmt):
+            stmt = self._lower_sequences(stmt, head)
         if head == "drop":
             return self._drop(stmt)
         if head == "insert":
@@ -78,6 +121,148 @@ class GreengageEngine:
             f"statement kind {head!r} not routed; use the DataFrame API "
             f"(greengage_spark.operators / sources) directly"
         )
+
+    # ---------------- functions / aggregates ----------------
+
+    def _create_function(self, stmt: str):
+        from greengage_spark.operators.udf_ddl import (
+            parse_create_function,
+            register_function,
+        )
+
+        fd, replace = parse_create_function(stmt)
+        if fd.name in self.functions and not replace:
+            raise ValueError(f"function {fd.name!r} already exists")
+        register_function(self.spark, fd, transpile)
+        self.functions[fd.name] = fd
+        return None
+
+    def _create_aggregate(self, stmt: str):
+        from greengage_spark.operators.udf_ddl import (
+            parse_create_aggregate,
+            register_aggregate,
+            resolve_transition,
+        )
+
+        ad, replace = parse_create_aggregate(stmt)
+        if ad.name in self.functions and not replace:
+            raise ValueError(f"aggregate {ad.name!r} already exists")
+        register_aggregate(
+            self.spark, ad, lambda n: resolve_transition(n, self.functions)
+        )
+        self.functions[ad.name] = ad
+        return None
+
+    # ---------------- sequences ----------------
+
+    def _create_sequence(self, stmt: str):
+        from greengage_spark.operators.sequence import Sequence
+
+        m = re.match(
+            r"(?is)^create\s+(?:temp(?:orary)?\s+)?sequence\s+"
+            r"(if\s+not\s+exists\s+)?([\w.]+)(.*)$",
+            stmt,
+        )
+        if not m:
+            raise NotImplementedError("CREATE SEQUENCE [IF NOT EXISTS] name [options]")
+        name, opts = m.group(2), m.group(3) or ""
+        kw: dict = {}
+        mm = re.search(r"(?is)\bincrement\s+(?:by\s+)?(-?\d+)", opts)
+        if mm:
+            kw["increment"] = int(mm.group(1))
+        mm = re.search(r"(?is)\bstart\s+(?:with\s+)?(-?\d+)", opts)
+        if mm:
+            kw["start"] = int(mm.group(1))
+        mm = re.search(r"(?is)\bminvalue\s+(-?\d+)", opts)
+        if mm:
+            kw["minvalue"] = int(mm.group(1))
+        mm = re.search(r"(?is)\bmaxvalue\s+(-?\d+)", opts)
+        if mm:
+            kw["maxvalue"] = int(mm.group(1))
+        if re.search(r"(?is)(?<!no\s)\bcycle\b", opts):
+            kw["cycle"] = True
+        inc = kw.get("increment", 1)
+        if "start" not in kw and "minvalue" in kw and inc > 0:
+            kw["start"] = kw["minvalue"]
+        if "start" not in kw and "maxvalue" in kw and inc < 0:
+            kw["start"] = kw["maxvalue"]
+        if "start" not in kw and inc < 0:
+            kw["start"] = -1
+        self.sequences.create(Sequence(name=name, **kw), if_not_exists=bool(m.group(1)))
+        return None
+
+    def _alter_sequence(self, stmt: str):
+        m = re.match(
+            r"(?is)^alter\s+sequence\s+([\w.]+)\s+restart(?:\s+with\s+(-?\d+))?$", stmt
+        )
+        if not m:
+            raise NotImplementedError("ALTER SEQUENCE name RESTART [WITH n]")
+        seq = self.sequences.get(m.group(1))
+        seq.last_value = int(m.group(2)) if m.group(2) else seq.start
+        seq.is_called = False
+        self.sequences._save()
+        return None
+
+    def _lower_sequences(self, stmt: str, head: str) -> str:
+        """Driver-evaluate setval/currval; lower nextval.  Scalar contexts
+        (VALUES rows, FROM-less selects) substitute allocated literals in
+        PG's row-major, left-to-right call order; per-row nextval over a
+        FROM query counts rows once, reserves the whole range on the
+        driver (the reference's master sequence-server analog,
+        sequence.c nextval_internal cache), and emits a row_number
+        window — unique + monotonic, not gapless, as in PG."""
+        stmt = _SETVAL.sub(
+            lambda m: str(
+                self.sequences.setval(
+                    m.group(1),
+                    int(m.group(2)),
+                    m.group(3) is None or m.group(3).lower() == "true",
+                )
+            ),
+            stmt,
+        )
+        stmt = _CURRVAL.sub(lambda m: str(self.sequences.currval(m.group(1))), stmt)
+        if not _NEXTVAL.search(stmt):
+            return stmt
+        if head in ("update", "delete"):
+            raise NotImplementedError(
+                "nextval in UPDATE/DELETE is not supported; rewrite as "
+                "INSERT ... SELECT"
+            )
+        if head == "insert":
+            msel = re.search(r"(?is)\b(select|with)\b", stmt)
+            body_start = msel.start() if msel else -1
+            has_from = (
+                body_start >= 0 and _find_top_level(stmt[body_start:], "from") >= 0
+            )
+        else:
+            body_start = 0
+            has_from = head in ("select", "with") and _find_top_level(stmt, "from") >= 0
+        if not has_from:
+            return _NEXTVAL.sub(lambda m: str(self.sequences.nextval(m.group(1))), stmt)
+        self._register_all()
+        probe = _NEXTVAL.sub("CAST(NULL AS BIGINT)", stmt)
+        nrows = pg_sql(self.spark, probe[body_start:]).count()
+        per_seq: dict[str, int] = {}
+        for m in _NEXTVAL.finditer(stmt):
+            per_seq[m.group(1)] = per_seq.get(m.group(1), 0) + 1
+        if nrows == 0:
+            return probe
+        bases = {s: self.sequences.reserve(s, nrows * n) for s, n in per_seq.items()}
+        counters = {s: 0 for s in per_seq}
+
+        def _repl(m: "re.Match[str]") -> str:
+            s = m.group(1)
+            k = counters[s]
+            counters[s] += 1
+            seq = self.sequences.get(s)
+            return (
+                f"CAST({bases[s]} + {seq.increment} * ({k} + {per_seq[s]} * "
+                f"(row_number() OVER (ORDER BY monotonically_increasing_id()) - 1)) "
+                f"AS BIGINT)"
+            )
+
+        return _NEXTVAL.sub(_repl, stmt)
 
     # ---------------- helpers ----------------
 

@@ -151,7 +151,12 @@ class WritableTable:
         """INSERT INTO — append a new segment; existing files are
         referenced unchanged (nodeModifyTable.c ExecInsert)."""
         schema = self._schema()
-        new = self._write_segment(rows.select(*[c.name for c in schema.fields]))
+        # coerce to the declared column types (the pre-append equivalent of
+        # union type reconciliation): every segment must be read-compatible
+        # with the table schema
+        new = self._write_segment(
+            rows.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+        )
         self._commit(self.files() + new, schema)
         return self
 
@@ -197,9 +202,16 @@ class WritableTable:
         new: list[str] = []
         if touched:
             cur = self._read_files(touched)
+            types = {f.name: f.dataType for f in schema.fields}
+            # cast back to the declared type: CASE/arithmetic may widen
+            # (decimal(10,2) * 1.1 → decimal(13,3)) and every segment must
+            # stay read-compatible with the table schema
             out = cur.select(
                 *[
-                    F.when(cond_f, set_map[c]).otherwise(F.col(c)).alias(c)
+                    F.when(cond_f, set_map[c])
+                    .otherwise(F.col(c))
+                    .cast(types[c])
+                    .alias(c)
                     if c in set_map
                     else F.col(c)
                     for c in cur.columns

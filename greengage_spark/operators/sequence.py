@@ -1,0 +1,172 @@
+"""Sequences: CREATE SEQUENCE / nextval / currval / setval.
+
+Reference semantics (src/backend/commands/sequence.c):
+
+* ``nextval`` advances ``last_value`` by ``increment`` and returns it
+  (nextval_internal); the first call returns ``start_value`` because the
+  freshly-created sequence has ``is_called = false`` (DefineSequence sets
+  last_value = start_value, sequence.c:336).
+* ``currval`` returns the last value *this session* obtained with nextval
+  and errors if nextval was never called (currval_oid).
+* ``setval(seq, v [, is_called])`` repositions the sequence (do_setval).
+* MINVALUE/MAXVALUE bounds error on overrun unless CYCLE.
+
+In the reference, all segments fetch sequence ranges from a single
+**sequence server process on the master** (cdb/motion/... seqserver) —
+sequences are already a centralized, non-scalable resource there.  Our
+analog: the allocator lives on the Spark driver.
+
+Per-row ``nextval('s')`` inside a distributed query is lowered by the
+engine (engine.py _lower_sequences) to
+
+    base + increment * (occ + n_occ * (row_number() OVER (ORDER BY
+        monotonically_increasing_id()) - 1))
+
+which reproduces PG's per-row, left-to-right evaluation order and then
+advances the driver allocator by rows × occurrences.  The single-
+partition window this implies is the honest equivalent of the
+reference's sequence-server bottleneck; like PG, values are unique and
+monotonic but NOT gapless across failed statements.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+_SEQ_MAX = 2**63 - 1
+
+
+@dataclass
+class Sequence:
+    name: str
+    start: int = 1
+    increment: int = 1
+    minvalue: int | None = None
+    maxvalue: int | None = None
+    cycle: bool = False
+    last_value: int = 0  # set in __post_init__
+    is_called: bool = False
+
+    def __post_init__(self):
+        if self.minvalue is None:
+            self.minvalue = 1 if self.increment > 0 else -_SEQ_MAX
+        if self.maxvalue is None:
+            self.maxvalue = _SEQ_MAX if self.increment > 0 else -1
+        if not self.is_called and self.last_value == 0:
+            self.last_value = self.start
+
+    def nextval(self) -> int:
+        if not self.is_called:
+            self.is_called = True
+            return self.last_value
+        nxt = self.last_value + self.increment
+        if nxt > self.maxvalue or nxt < self.minvalue:
+            if not self.cycle:
+                raise ValueError(
+                    f'nextval: reached {"maximum" if self.increment > 0 else "minimum"} '
+                    f"value of sequence {self.name!r} "
+                    f"({self.maxvalue if self.increment > 0 else self.minvalue})"
+                )
+            nxt = self.minvalue if self.increment > 0 else self.maxvalue
+        self.last_value = nxt
+        return nxt
+
+    def reserve(self, n: int) -> int:
+        """Reserve n consecutive values; returns the FIRST.  Used by the
+        engine's distributed-query lowering (one driver round-trip per
+        statement, like the reference's cached sequence-server ranges)."""
+        if n <= 0:
+            raise ValueError("reserve needs n >= 1")
+        first = self.nextval()
+        if n > 1:
+            last = first + self.increment * (n - 1)
+            if last > self.maxvalue or last < self.minvalue:
+                if not self.cycle:
+                    raise ValueError(
+                        f"nextval: reached bound of sequence {self.name!r}"
+                    )
+            self.last_value = last
+        return first
+
+    def setval(self, v: int, is_called: bool = True) -> int:
+        if not self.minvalue <= v <= self.maxvalue:
+            raise ValueError(
+                f"setval: value {v} is out of bounds for sequence {self.name!r} "
+                f"({self.minvalue}..{self.maxvalue})"
+            )
+        self.last_value, self.is_called = v, is_called
+        return v
+
+
+class SequenceManager:
+    """Driver-side sequence catalog, persisted as JSON in the warehouse
+    (the reference keeps each sequence as a 1-row heap relation)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.path = os.path.join(root, "_sequences.json")
+        self.seqs: dict[str, Sequence] = {}
+        self.currvals: dict[str, int] = {}  # session-local (currval_oid)
+        self._load()
+
+    def _load(self) -> None:
+        if os.path.exists(self.path):
+            with open(self.path) as fh:
+                for d in json.load(fh):
+                    self.seqs[d["name"]] = Sequence(**d)
+
+    def _save(self) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        with open(self.path, "w") as fh:
+            json.dump([vars(s) for s in self.seqs.values()], fh)
+
+    def create(self, seq: Sequence, if_not_exists: bool = False) -> None:
+        if seq.name in self.seqs:
+            if if_not_exists:
+                return
+            raise ValueError(f"sequence {seq.name!r} already exists")
+        self.seqs[seq.name] = seq
+        self._save()
+
+    def drop(self, name: str, if_exists: bool = False) -> None:
+        if name not in self.seqs:
+            if if_exists:
+                return
+            raise ValueError(f"unknown sequence {name!r}")
+        del self.seqs[name]
+        self.currvals.pop(name, None)
+        self._save()
+
+    def get(self, name: str) -> Sequence:
+        if name not in self.seqs:
+            raise ValueError(f"relation {name!r} does not exist")
+        return self.seqs[name]
+
+    def nextval(self, name: str) -> int:
+        v = self.get(name).nextval()
+        self.currvals[name] = v
+        self._save()
+        return v
+
+    def reserve(self, name: str, n: int) -> int:
+        first = self.get(name).reserve(n)
+        seq = self.get(name)
+        self.currvals[name] = seq.last_value
+        self._save()
+        return first
+
+    def currval(self, name: str) -> int:
+        self.get(name)
+        if name not in self.currvals:
+            raise ValueError(
+                f"currval of sequence {name!r} is not yet defined in this session"
+            )
+        return self.currvals[name]
+
+    def setval(self, name: str, v: int, is_called: bool = True) -> int:
+        r = self.get(name).setval(v, is_called)
+        self.currvals[name] = v
+        self._save()
+        return r

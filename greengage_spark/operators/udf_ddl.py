@@ -1,0 +1,313 @@
+"""CREATE FUNCTION / CREATE AGGREGATE SQL DDL surface.
+
+Reference semantics being reproduced:
+
+* ``CREATE FUNCTION ... LANGUAGE sql`` (src/backend/catalog/pg_proc.c
+  fmgr SQL functions; regress create_function_*.sql) — a single-SELECT
+  body becomes a **Spark SQL-defined function** (``CREATE TEMPORARY
+  FUNCTION ... RETURN expr``), so calls inline into Catalyst and stay
+  JVM-side/whole-stage-codegen — the fastest possible lowering.
+* ``CREATE FUNCTION ... LANGUAGE plpythonu`` (src/pl/plpython/) — the
+  body compiles to a real Python function registered as a Spark Python
+  UDF.  Row-at-a-time, exactly like the reference's embedded
+  interpreter; keep these off the hot path just as you would in
+  Greenplum.
+* ``CREATE AGGREGATE name (basetype) (SFUNC=..., STYPE=..., [FINALFUNC],
+  [INITCOND])`` (src/backend/commands/aggregatecmds.c; regress
+  create_aggregate.sql) — lowered to an Arrow-batched pandas
+  GROUPED_AGG UDAF that folds SFUNC over the group and applies
+  FINALFUNC.  SFUNC resolves to a previously created plpythonu function
+  or one of the built-in transition functions the reference's own tests
+  use (int4pl, float8pl, int8larger, ...).  Strict transition semantics:
+  null inputs are skipped (advance_transition_function).
+
+Argument references: by name or positionally as ``$1``..``$n`` (PG SQL
+function convention).
+"""
+
+from __future__ import annotations
+
+import operator
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+# PG typename → Spark SQL type string (subset of transpiler._TYPE_MAP;
+# kept here so this module has no import cycle with the transpiler)
+_TYPES = {
+    "int2": "SMALLINT", "smallint": "SMALLINT",
+    "int4": "INT", "int": "INT", "integer": "INT",
+    "int8": "BIGINT", "bigint": "BIGINT",
+    "float4": "FLOAT", "real": "FLOAT",
+    "float8": "DOUBLE", "float": "DOUBLE", "double precision": "DOUBLE",
+    "bool": "BOOLEAN", "boolean": "BOOLEAN",
+    "text": "STRING", "varchar": "STRING", "char": "STRING", "bpchar": "STRING",
+    "date": "DATE", "timestamp": "TIMESTAMP_NTZ", "timestamptz": "TIMESTAMP",
+    "numeric": "DOUBLE", "decimal": "DOUBLE",  # UDAF state math in float
+}
+
+# built-in transition/final functions the reference's create_aggregate
+# tests use (pg_proc.h names) → Python equivalents
+_BUILTIN_FNS = {
+    "int2pl": operator.add, "int4pl": operator.add, "int8pl": operator.add,
+    "float4pl": operator.add, "float8pl": operator.add,
+    "numeric_add": operator.add,
+    "int2larger": max, "int4larger": max, "int8larger": max,
+    "float4larger": max, "float8larger": max, "numeric_larger": max,
+    "int2smaller": min, "int4smaller": min, "int8smaller": min,
+    "float4smaller": min, "float8smaller": min, "numeric_smaller": min,
+    "int8inc": lambda s, *_: s + 1,  # zero-arg count transition
+}
+
+
+def _spark_type(pg_type: str) -> str:
+    t = re.sub(r"\(.*\)", "", pg_type).strip().lower()
+    if t in _TYPES:
+        return _TYPES[t]
+    raise NotImplementedError(f"unsupported type in function DDL: {pg_type!r}")
+
+
+_PY_CASTS = {
+    "SMALLINT": int, "INT": int, "BIGINT": int,
+    "FLOAT": float, "DOUBLE": float,
+    "BOOLEAN": bool, "STRING": str,
+}
+
+
+@dataclass
+class FunctionDef:
+    name: str
+    arg_names: list[str]
+    arg_types: list[str]  # Spark SQL type strings
+    ret_type: str
+    language: str  # 'sql' | 'plpythonu'
+    body: str
+    pyfn: object | None = None  # compiled callable for plpythonu
+
+
+_CREATE_FN = re.compile(
+    r"(?is)^create\s+(or\s+replace\s+)?function\s+([\w.]+)\s*\(([^)]*)\)\s+"
+    r"returns\s+(setof\s+)?([\w ()\[\],]+?)\s+"
+    r"(?:as\s+(\$[\w]*\$(?P<dollar>.*?)\$[\w]*\$|'(?P<quoted>(?:[^']|'')*)')\s+)?"
+    r"language\s+['\"]?(\w+)['\"]?"
+    r"(?:\s+as\s+(\$[\w]*\$(?P<dollar2>.*?)\$[\w]*\$|'(?P<quoted2>(?:[^']|'')*)'))?"
+    r"\s*(immutable|stable|volatile|strict|\s)*$"
+)
+
+
+def parse_create_function(stmt: str) -> tuple[FunctionDef, bool]:
+    """Parse CREATE [OR REPLACE] FUNCTION; returns (def, or_replace)."""
+    m = _CREATE_FN.match(stmt.strip())
+    if not m:
+        raise NotImplementedError(
+            "CREATE [OR REPLACE] FUNCTION name(args) RETURNS type AS "
+            "$$ body $$ LANGUAGE sql|plpythonu"
+        )
+    if m.group(4):
+        raise NotImplementedError("RETURNS SETOF: use mapInPandas table functions")
+    body = (
+        m.group("dollar") or m.group("quoted")
+        or m.group("dollar2") or m.group("quoted2")
+    )
+    if body is None:
+        raise NotImplementedError("function body required")
+    if m.group("quoted") or m.group("quoted2"):
+        body = body.replace("''", "'")
+    arg_names, arg_types = [], []
+    args_raw = m.group(3).strip()
+    if args_raw:
+        for k, a in enumerate(args_raw.split(",")):
+            parts = a.strip().split()
+            if len(parts) >= 2:
+                arg_names.append(parts[0])
+                arg_types.append(_spark_type(" ".join(parts[1:])))
+            else:  # unnamed arg: positional only
+                arg_names.append(f"__a{k + 1}")
+                arg_types.append(_spark_type(parts[0]))
+    lang = m.group(9).lower()
+    if lang in ("plpythonu", "plpython3u", "plpython2u"):
+        lang = "plpythonu"
+    elif lang != "sql":
+        raise NotImplementedError(f"LANGUAGE {lang} not supported (sql, plpythonu)")
+    return (
+        FunctionDef(
+            name=m.group(2),
+            arg_names=arg_names,
+            arg_types=arg_types,
+            ret_type=_spark_type(m.group(5)),
+            language=lang,
+            body=body.strip(),
+        ),
+        bool(m.group(1)),
+    )
+
+
+def _substitute_positional(expr: str, arg_names: list[str]) -> str:
+    for i, n in enumerate(arg_names, 1):
+        expr = re.sub(rf"\${i}\b", n, expr)
+    return expr
+
+
+def register_function(spark: SparkSession, fd: FunctionDef, transpile) -> None:
+    """Register on the session: sql → Spark SQL-defined function (inlines
+    into Catalyst); plpythonu → Python UDF."""
+    if fd.language == "sql":
+        body = fd.body.rstrip(";").strip()
+        msel = re.match(r"(?is)^select\s+(.*)$", body)
+        if not msel:
+            raise NotImplementedError("LANGUAGE sql body must be a single SELECT expr")
+        expr = _substitute_positional(msel.group(1).strip(), fd.arg_names)
+        args = ", ".join(
+            f"{n} {t}" for n, t in zip(fd.arg_names, fd.arg_types)
+        )
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {fd.name}({args}) "
+            f"RETURNS {fd.ret_type} RETURN {transpile(expr)}"
+        )
+        return
+    # plpythonu: compile the body as a def with the declared arg names
+    indented = "\n".join("    " + ln for ln in fd.body.split("\n"))
+    src = f"def __gg_fn({', '.join(fd.arg_names)}):\n{indented}\n"
+    ns: dict = {}
+    exec(src, ns)  # noqa: S102 - the user's own CREATE FUNCTION body
+    fd.pyfn = ns["__gg_fn"]
+    cast = _PY_CASTS.get(fd.ret_type)
+    fn = fd.pyfn
+    if cast is not None:
+        def fn(*a, _f=fd.pyfn, _c=cast):  # noqa: E306
+            r = _f(*a)
+            return None if r is None else _c(r)
+    spark.udf.register(fd.name, fn, fd.ret_type)
+
+
+@dataclass
+class AggregateDef:
+    name: str
+    base_type: str | None  # Spark type string; None for (*)
+    sfunc: str
+    stype: str
+    finalfunc: str | None
+    initcond: object
+
+
+_CREATE_AGG = re.compile(
+    r"(?is)^create\s+(or\s+replace\s+)?(?:ordered\s+)?aggregate\s+([\w.]+)\s*(\(.*\))\s*$"
+)
+
+
+def _paren_groups(s: str) -> list[str]:
+    """Split trailing text into its top-level (...) groups."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "(":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start + 1 : i])
+    return groups
+
+
+def parse_create_aggregate(stmt: str) -> tuple[AggregateDef, bool]:
+    m = _CREATE_AGG.match(stmt.strip())
+    groups = _paren_groups(m.group(3)) if m else []
+    # new style: (basetype) (options); old style (create_aggregate.sql
+    # "old-style spelling"): (options incl. basetype =)
+    if m and len(groups) == 2:
+        base_grp, opts_grp = groups
+    elif m and len(groups) == 1:
+        base_grp, opts_grp = "", groups[0]
+    else:
+        raise NotImplementedError(
+            "CREATE AGGREGATE name (type|*) (SFUNC=..., STYPE=..., "
+            "[FINALFUNC=...], [INITCOND=...])"
+        )
+    opts: dict[str, str] = {}
+    for item in opts_grp.split(","):
+        k, _, v = item.partition("=")
+        if k.strip():
+            opts[k.strip().lower()] = v.strip().strip("'")
+    # obsolete spellings (create_aggregate.sql: sfunc1/stype1/initcond1,
+    # basetype in the option list)
+    sfunc = opts.get("sfunc") or opts.get("sfunc1")
+    stype = opts.get("stype") or opts.get("stype1")
+    if not sfunc or not stype:
+        raise NotImplementedError("CREATE AGGREGATE requires SFUNC and STYPE")
+    base_raw = base_grp.strip()
+    if base_raw == "*" or not base_raw:
+        base = None
+    else:
+        base = _spark_type(base_raw.split()[-1])
+    if base is None and "basetype" in opts and opts["basetype"].lower() != "any":
+        base = _spark_type(opts["basetype"])
+    init_raw = opts.get("initcond", opts.get("initcond1"))
+    init = None
+    if init_raw is not None:
+        try:
+            init = int(init_raw)
+        except ValueError:
+            try:
+                init = float(init_raw)
+            except ValueError:
+                init = init_raw
+    return (
+        AggregateDef(
+            name=m.group(2),
+            base_type=base,
+            sfunc=sfunc.lower(),
+            stype=_spark_type(re.sub(r"^_", "", stype)),
+            finalfunc=(opts.get("finalfunc") or "").lower() or None,
+            initcond=init,
+        ),
+        bool(m.group(1)),
+    )
+
+
+def register_aggregate(
+    spark: SparkSession,
+    ad: AggregateDef,
+    resolve,  # name -> python callable (engine-registered or builtin)
+) -> None:
+    """Register as an Arrow-batched pandas GROUPED_AGG UDAF folding SFUNC
+    over the group (advance_transition_function loop), then FINALFUNC."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    sfn = resolve(ad.sfunc)
+    ffn = resolve(ad.finalfunc) if ad.finalfunc else None
+    init = ad.initcond
+
+    def fold(col):
+        state = init
+        # strict transition: skip nulls (advance_transition_function)
+        for v in col.dropna():
+            state = v if state is None else sfn(state, v)
+        if state is not None and ffn is not None:
+            state = ffn(state)
+        return state
+
+    spark.udf.register(
+        ad.name, pandas_udf(fold, ad.stype, PandasUDFType.GROUPED_AGG)
+    )
+
+
+def resolve_transition(name: str, registry: dict[str, FunctionDef]):
+    """SFUNC/FINALFUNC lookup: engine-created plpythonu function, else a
+    built-in transition function (pg_proc.h arithmetic family)."""
+    fd = registry.get(name)
+    if fd is not None:
+        if fd.pyfn is None:
+            raise NotImplementedError(
+                f"aggregate transition {name!r} must be LANGUAGE plpythonu "
+                f"(sql-language functions inline into Catalyst and are not "
+                f"callable from the Python fold)"
+            )
+        return fd.pyfn
+    if name in _BUILTIN_FNS:
+        return _BUILTIN_FNS[name]
+    raise NotImplementedError(
+        f"unknown transition function {name!r}: CREATE FUNCTION it first "
+        f"(LANGUAGE plpythonu) or use a built-in (int4pl, float8pl, ...)"
+    )

@@ -469,3 +469,86 @@ def cte_shared_materialize(spark, sf_dir):
         .otherwise("at_or_below")
         .alias("band"),
     )
+
+
+@suite.add(
+    "sequence_nextval",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS seq_id
+    FROM orders WHERE o_orderkey < 500
+    """,
+    doc="CREATE SEQUENCE + per-row nextval over a FROM query (sequence.c "
+        "DefineSequence:336 / nextval_internal:632 → operators.sequence; "
+        "engine lowers nextval to a reserved range + row_number window). "
+        "Values are unique and contiguous 1..N; the row pairing is "
+        "arbitrary as in PG, so the query projects the id set only.",
+    tags=("sequence", "engine"),
+)
+def sequence_nextval(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_seq_"))
+    cat(spark, sf_dir).table("orders").filter(
+        F.col("o_orderkey") < 500
+    ).createOrReplaceTempView("seq_src_orders")
+    eng.execute("CREATE SEQUENCE order_ids")
+    return eng.execute("SELECT nextval('order_ids') AS seq_id FROM seq_src_orders")
+
+
+@suite.add(
+    "create_function_sql",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice * 1.07 AS DOUBLE) AS taxed
+    FROM orders WHERE o_orderkey < 200
+    """,
+    doc="CREATE FUNCTION ... LANGUAGE sql (pg_proc SQL functions; regress "
+        "create_function_*.sql) lowered to a Spark SQL-defined function "
+        "(CREATE TEMPORARY FUNCTION ... RETURN expr) — the call inlines "
+        "into Catalyst and stays inside whole-stage codegen.",
+    tags=("udf", "engine"),
+)
+def create_function_sql(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_fn_"))
+    cat(spark, sf_dir).table("orders").filter(
+        F.col("o_orderkey") < 200
+    ).createOrReplaceTempView("fn_src_orders")
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION with_tax(p float8) RETURNS float8 "
+        "AS 'SELECT $1 * 1.07' LANGUAGE sql"
+    )
+    return eng.execute(
+        "SELECT o_orderkey, with_tax(o_totalprice::float8) AS taxed "
+        "FROM fn_src_orders"
+    )
+
+
+@suite.add(
+    "create_aggregate_ddl",
+    oracle="""
+    SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders WHERE o_orderkey < 2000 GROUP BY o_custkey
+    """,
+    doc="CREATE AGGREGATE (aggregatecmds.c; create_aggregate.sql) with a "
+        "built-in transition function, lowered to an Arrow-batched pandas "
+        "GROUPED_AGG UDAF folding SFUNC over each group (strict "
+        "transition: nulls skipped, advance_transition_function).",
+    tags=("udaf", "engine"),
+)
+def create_aggregate_ddl(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_agg_"))
+    cat(spark, sf_dir).table("orders").filter(
+        F.col("o_orderkey") < 2000
+    ).createOrReplaceTempView("agg_src_orders")
+    eng.execute(
+        "CREATE OR REPLACE AGGREGATE my_total (int8) "
+        "(sfunc = int8pl, stype = int8, initcond = '0')"
+    )
+    # cents-integer fold: exact, order-independent (common.py rule 4)
+    return eng.execute(
+        "SELECT o_custkey, my_total(round(o_totalprice * 100)::int8) AS total_cents "
+        "FROM agg_src_orders GROUP BY o_custkey"
+    )

@@ -1,0 +1,123 @@
+"""Sequences: CREATE SEQUENCE / nextval / currval / setval semantics
+(reference: src/backend/commands/sequence.c; DefineSequence:336,
+nextval_internal:632, do_setval)."""
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+from greengage_spark.operators.sequence import Sequence, SequenceManager
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return GreengageEngine(spark, str(tmp_path / "wh"))
+
+
+class TestSequenceObject:
+    def test_first_nextval_is_start(self):
+        s = Sequence("s", start=10, increment=5)
+        assert s.nextval() == 10
+        assert s.nextval() == 15
+
+    def test_descending(self):
+        s = Sequence("s", increment=-1, start=-1)
+        assert s.nextval() == -1
+        assert s.nextval() == -2
+
+    def test_maxvalue_errors_without_cycle(self):
+        s = Sequence("s", start=1, maxvalue=2)
+        assert s.nextval() == 1
+        assert s.nextval() == 2
+        with pytest.raises(ValueError, match="maximum"):
+            s.nextval()
+
+    def test_cycle_wraps_to_minvalue(self):
+        s = Sequence("s", start=1, maxvalue=2, cycle=True)
+        s.nextval(), s.nextval()
+        assert s.nextval() == 1
+
+    def test_setval_repositions(self):
+        s = Sequence("s")
+        s.setval(41)
+        assert s.nextval() == 42
+
+    def test_setval_not_called(self):
+        s = Sequence("s")
+        s.setval(41, is_called=False)
+        assert s.nextval() == 41
+
+    def test_reserve_range(self):
+        s = Sequence("s", start=1, increment=2)
+        assert s.reserve(3) == 1  # values 1, 3, 5
+        assert s.nextval() == 7
+
+    def test_manager_persists(self, tmp_path):
+        m = SequenceManager(str(tmp_path))
+        m.create(Sequence("s"))
+        m.nextval("s")
+        m2 = SequenceManager(str(tmp_path))
+        assert m2.nextval("s") == 2
+
+    def test_currval_before_nextval_errors(self, tmp_path):
+        m = SequenceManager(str(tmp_path))
+        m.create(Sequence("s"))
+        with pytest.raises(ValueError, match="not yet defined"):
+            m.currval("s")
+
+
+class TestEngineSequences:
+    def test_scalar_nextval_currval(self, eng):
+        eng.execute("CREATE SEQUENCE s START 10 INCREMENT BY 5")
+        assert eng.execute("SELECT nextval('s') AS v").collect()[0].v == 10
+        # two calls in one row evaluate left-to-right
+        r = eng.execute("SELECT nextval('s') AS a, nextval('s') AS b").collect()[0]
+        assert (r.a, r.b) == (15, 20)
+        assert eng.execute("SELECT currval('s') AS v").collect()[0].v == 20
+
+    def test_insert_values_per_row(self, eng):
+        eng.execute("CREATE SEQUENCE s")
+        eng.execute("CREATE TABLE t (id int8, x text)")
+        eng.execute("INSERT INTO t VALUES (nextval('s'), 'a'), (nextval('s'), 'b')")
+        assert sorted(r.id for r in eng.execute("SELECT * FROM t").collect()) == [1, 2]
+
+    def test_insert_select_per_row(self, eng):
+        eng.execute("CREATE SEQUENCE s START 100")
+        eng.execute("CREATE TABLE t (x int8)")
+        eng.execute("INSERT INTO t VALUES (7), (8), (9)")
+        eng.execute("CREATE TABLE u (id int8, x int8)")
+        eng.execute("INSERT INTO u SELECT nextval('s'), x FROM t")
+        ids = sorted(r.id for r in eng.execute("SELECT * FROM u").collect())
+        assert ids == [100, 101, 102]
+        # allocator advanced past the whole range
+        assert eng.execute("SELECT nextval('s') AS v").collect()[0].v == 103
+
+    def test_select_from_table_unique_monotonic(self, eng):
+        eng.execute("CREATE SEQUENCE s")
+        eng.execute("CREATE TABLE t (x int8)")
+        eng.execute("INSERT INTO t VALUES (1), (2), (3), (4)")
+        vs = sorted(r.v for r in eng.execute("SELECT nextval('s') AS v FROM t").collect())
+        assert vs == [1, 2, 3, 4]
+
+    def test_setval_alter_restart_drop(self, eng):
+        eng.execute("CREATE SEQUENCE s")
+        eng.execute("SELECT setval('s', 41)")
+        assert eng.execute("SELECT nextval('s') AS v").collect()[0].v == 42
+        eng.execute("ALTER SEQUENCE s RESTART")
+        assert eng.execute("SELECT nextval('s') AS v").collect()[0].v == 1
+        eng.execute("ALTER SEQUENCE s RESTART WITH 77")
+        assert eng.execute("SELECT nextval('s') AS v").collect()[0].v == 77
+        eng.execute("DROP SEQUENCE s")
+        with pytest.raises(ValueError):
+            eng.execute("SELECT nextval('s')")
+
+    def test_create_if_not_exists_and_duplicate(self, eng):
+        eng.execute("CREATE SEQUENCE s")
+        eng.execute("CREATE SEQUENCE IF NOT EXISTS s")
+        with pytest.raises(ValueError, match="already exists"):
+            eng.execute("CREATE SEQUENCE s")
+
+    def test_nextval_in_update_rejected(self, eng):
+        eng.execute("CREATE SEQUENCE s")
+        eng.execute("CREATE TABLE t (x int8)")
+        with pytest.raises(NotImplementedError):
+            eng.execute("UPDATE t SET x = nextval('s')")

@@ -1,0 +1,151 @@
+"""CREATE FUNCTION / CREATE AGGREGATE SQL DDL (reference:
+src/backend/commands/aggregatecmds.c, src/pl/plpython/,
+src/test/regress/sql/create_aggregate.sql)."""
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+from greengage_spark.operators.udf_ddl import (
+    parse_create_aggregate,
+    parse_create_function,
+)
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return GreengageEngine(spark, str(tmp_path / "wh"))
+
+
+class TestParse:
+    def test_sql_function_quoted_body(self):
+        fd, rep = parse_create_function(
+            "CREATE FUNCTION add_em(a int4, b int4) RETURNS int4 "
+            "AS 'SELECT $1 + $2' LANGUAGE sql"
+        )
+        assert (fd.name, fd.language, rep) == ("add_em", "sql", False)
+        assert fd.arg_types == ["INT", "INT"] and fd.ret_type == "INT"
+
+    def test_plpython_dollar_body(self):
+        fd, _ = parse_create_function(
+            "CREATE OR REPLACE FUNCTION pymax (a integer, b integer) "
+            "RETURNS integer AS $$\nif a > b:\n    return a\nreturn b\n$$ "
+            "LANGUAGE plpythonu"
+        )
+        assert fd.language == "plpythonu" and "return b" in fd.body
+
+    def test_aggregate_new_style(self):
+        ad, _ = parse_create_aggregate(
+            "CREATE AGGREGATE cat_all (text) (sfunc = strcat2, stype = text, initcond = '')"
+        )
+        assert (ad.base_type, ad.sfunc, ad.stype, ad.initcond) == (
+            "STRING", "strcat2", "STRING", "",
+        )
+
+    def test_aggregate_old_style_spellings(self):
+        # create_aggregate.sql:17-20 (obsolete sfunc1/stype1/initcond1)
+        ad, _ = parse_create_aggregate(
+            "CREATE AGGREGATE newsum (sfunc1 = int4pl, basetype = int4, "
+            "stype1 = int4, initcond1 = '0')"
+        )
+        assert (ad.base_type, ad.sfunc, ad.initcond) == ("INT", "int4pl", 0)
+
+    def test_unknown_language_rejected(self):
+        with pytest.raises(NotImplementedError, match="LANGUAGE"):
+            parse_create_function(
+                "CREATE FUNCTION f(a int) RETURNS int AS 'x' LANGUAGE plperl"
+            )
+
+
+class TestEngineFunctions:
+    def test_sql_function_inlines(self, eng):
+        eng.execute(
+            "CREATE FUNCTION add_em(a int4, b int4) RETURNS int4 "
+            "AS 'SELECT $1 + $2' LANGUAGE sql"
+        )
+        assert eng.execute("SELECT add_em(1, 2) AS v").collect()[0].v == 3
+
+    def test_sql_function_pg_dialect_body(self, eng):
+        # body goes through the transpiler: PG operators work
+        eng.execute(
+            "CREATE FUNCTION shout(s text) RETURNS text "
+            "AS 'SELECT upper(s) || ''!''' LANGUAGE sql"
+        )
+        assert eng.execute("SELECT shout('hi') AS v").collect()[0].v == "HI!"
+
+    def test_plpython_function(self, eng):
+        eng.execute(
+            "CREATE FUNCTION pymax (a integer, b integer) RETURNS integer AS $$\n"
+            "if a > b:\n    return a\nreturn b\n$$ LANGUAGE plpythonu"
+        )
+        assert eng.execute("SELECT pymax(3, 7) AS v").collect()[0].v == 7
+
+    def test_function_over_table(self, eng):
+        eng.execute(
+            "CREATE FUNCTION double_it(x int8) RETURNS int8 "
+            "AS 'SELECT x * 2' LANGUAGE sql"
+        )
+        eng.execute("CREATE TABLE t (x int8)")
+        eng.execute("INSERT INTO t VALUES (1), (2), (3)")
+        got = sorted(r.v for r in eng.execute("SELECT double_it(x) AS v FROM t").collect())
+        assert got == [2, 4, 6]
+
+    def test_duplicate_requires_or_replace(self, eng):
+        eng.execute("CREATE FUNCTION f(a int4) RETURNS int4 AS 'SELECT a' LANGUAGE sql")
+        with pytest.raises(ValueError, match="already exists"):
+            eng.execute("CREATE FUNCTION f(a int4) RETURNS int4 AS 'SELECT a' LANGUAGE sql")
+        eng.execute(
+            "CREATE OR REPLACE FUNCTION f(a int4) RETURNS int4 "
+            "AS 'SELECT a + 1' LANGUAGE sql"
+        )
+        assert eng.execute("SELECT f(1) AS v").collect()[0].v == 2
+
+    def test_drop_function(self, eng):
+        eng.execute("CREATE FUNCTION f(a int4) RETURNS int4 AS 'SELECT a' LANGUAGE sql")
+        eng.execute("DROP FUNCTION f(int4)")
+        with pytest.raises(ValueError):
+            eng.execute("DROP FUNCTION f")
+        eng.execute("DROP FUNCTION IF EXISTS f")
+
+
+class TestEngineAggregates:
+    def test_builtin_sfunc_sum(self, eng):
+        eng.execute(
+            "CREATE AGGREGATE newsum (sfunc1 = int4pl, basetype = int4, "
+            "stype1 = int4, initcond1 = '0')"
+        )
+        eng.execute("CREATE TABLE t (g text, x int4)")
+        eng.execute("INSERT INTO t VALUES ('a', 1), ('a', 2), ('b', 5), ('b', NULL)")
+        got = sorted(
+            (r.g, r.s)
+            for r in eng.execute("SELECT g, newsum(x) AS s FROM t GROUP BY g").collect()
+        )
+        assert got == [("a", 3), ("b", 5)]
+
+    def test_python_sfunc(self, eng):
+        eng.execute(
+            "CREATE FUNCTION strcat2(s text, v text) RETURNS text AS $$\n"
+            "return s + v\n$$ LANGUAGE plpythonu"
+        )
+        eng.execute(
+            "CREATE AGGREGATE cat_all (text) (sfunc = strcat2, stype = text, "
+            "initcond = '')"
+        )
+        eng.execute("CREATE TABLE t (g text, x text)")
+        eng.execute("INSERT INTO t VALUES ('a', '1'), ('a', '2'), ('b', '5')")
+        got = sorted(
+            (r.g, r.s)
+            for r in eng.execute(
+                "SELECT g, cat_all(x) AS s FROM t GROUP BY g"
+            ).collect()
+        )
+        assert got == [("a", "12"), ("b", "5")]
+
+    def test_larger_family(self, eng):
+        eng.execute("CREATE AGGREGATE my_max (int8) (sfunc = int8larger, stype = int8)")
+        eng.execute("CREATE TABLE t (x int8)")
+        eng.execute("INSERT INTO t VALUES (3), (9), (4)")
+        assert eng.execute("SELECT my_max(x) AS m FROM t").collect()[0].m == 9
+
+    def test_unknown_sfunc_rejected(self, eng):
+        with pytest.raises(NotImplementedError, match="transition"):
+            eng.execute("CREATE AGGREGATE bad (int4) (sfunc = nosuchfn, stype = int4)")
