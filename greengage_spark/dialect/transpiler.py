@@ -1434,6 +1434,665 @@ def _pass_grouping_plain(toks: list[str]) -> list[str]:
     return toks
 
 
+def _gb_norm(tl: list[str]) -> str:
+    """Normalized key for a grouping expression (token text, idents folded)."""
+    return " ".join(t.lower() if _is_ident(t) else t for t in tl)
+
+
+def _gb_elems(toks: list[str]) -> list[list[list[str]]]:
+    """Contents of CUBE(...)/ROLLUP(...) → elements, each a list of exprs
+    (a composite ``(a, b)`` element is one multi-expr element)."""
+    elems: list[list[list[str]]] = []
+    for part in _split_args(toks):
+        part = [p for p in part]
+        if part and part[0] == "(" and _args_span(part, 0) == len(part) - 1:
+            elems.append([e for e in _split_args(part[1:-1]) if e])
+        else:
+            elems.append([part] if part else [])
+    return elems
+
+
+def _gb_expand_item(item: list[str]) -> list[list[list[str]]]:
+    """One GROUP BY item → its list of grouping sets (each a list of expr
+    token-lists), following gram.y group_elem / plangroupext.c expansion:
+    CUBE(k elems) → 2^k subsets; ROLLUP(k elems) → k+1 prefixes;
+    GROUPING SETS(items) → concatenation (recursing into nested
+    CUBE/ROLLUP/GS); ``(a,b)`` → one composite set; expr → one set."""
+    if (
+        len(item) >= 2
+        and _is_ident(item[0])
+        and item[0].lower() in ("cube", "rollup")
+        and item[1] == "("
+        and _args_span(item, 1) == len(item) - 1
+    ):
+        elems = _gb_elems(item[2:-1])
+        if item[0].lower() == "cube":
+            sets = []
+            for mask in range(1 << len(elems)):
+                s: list[list[str]] = []
+                for j, e in enumerate(elems):
+                    if mask & (1 << j):
+                        s.extend(e)
+                sets.append(s)
+            return sets
+        return [
+            [ex for e in elems[:j] for ex in e] for j in range(len(elems), -1, -1)
+        ]
+    if (
+        len(item) >= 3
+        and _is_ident(item[0])
+        and item[0].lower() == "grouping"
+        and _is_ident(item[1])
+        and item[1].lower() == "sets"
+        and item[2] == "("
+        and _args_span(item, 2) == len(item) - 1
+    ):
+        sets = []
+        for sub in _split_args(item[3:-1]):
+            if not sub:
+                continue
+            if sub[0] == "(" and _args_span(sub, 0) == len(sub) - 1:
+                # composite (a,b) or empty () — a single explicit set
+                sets.append([e for e in _split_args(sub[1:-1]) if e])
+            else:
+                sets.extend(_gb_expand_item(sub))
+        return sets
+    if item and item[0] == "(" and _args_span(item, 0) == len(item) - 1:
+        return [[e for e in _split_args(item[1:-1]) if e]]
+    return [[item]] if item else [[]]
+
+
+def _gb_scope_end(toks: list[str], i: int) -> int:
+    """End (exclusive) of the SELECT scope starting at toks[i] == 'select'."""
+    j, depth = i + 1, 0
+    while j < len(toks):
+        t = toks[j]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            if depth == 0:
+                return j
+            depth -= 1
+        elif t == ";":
+            return j
+        elif (
+            depth == 0
+            and _is_ident(t)
+            and t.lower() in ("union", "intersect", "except")
+        ):
+            return j
+        j += 1
+    return j
+
+
+def _gb_call_sites(toks, start, end, names):
+    """Indices in [start, end) where ``name (`` calls occur, skipping nested
+    SELECT subquery spans (they are their own scopes)."""
+    sites, j = [], start
+    while j < end:
+        t = toks[j]
+        if (
+            t == "("
+            and j + 1 < end
+            and _is_ident(toks[j + 1])
+            and toks[j + 1].lower() == "select"
+        ):
+            j = _args_span(toks, j) + 1
+            continue
+        if (
+            _is_ident(t)
+            and t.lower() in names
+            and j + 1 < end
+            and toks[j + 1] == "("
+        ):
+            sites.append(j)
+        j += 1
+    return sites
+
+
+_INTERVAL_UNIT_ALIASES = {
+    # datetime.c deltktbl abbreviations PG accepts inside interval input
+    "y": "year", "yr": "year", "yrs": "years",
+    "mon": "month", "mons": "months",
+    "d": "day",
+    "h": "hour", "hr": "hour", "hrs": "hours",
+    "min": "minute", "mins": "minutes", "m": "minute",
+    "s": "second", "sec": "second", "secs": "seconds",
+    "msec": "millisecond", "msecs": "milliseconds", "ms": "milliseconds",
+    "usec": "microsecond", "usecs": "microseconds", "us": "microseconds",
+}
+
+
+def _pass_interval_unit_aliases(toks: list[str]) -> list[str]:
+    """PG interval input accepts abbreviated unit names ('2 mins',
+    '3 hrs'; datetime.c DecodeUnits) that Spark's interval parser
+    rejects — normalize them to the full spellings inside
+    ``interval '<text>'`` literals."""
+    for i, t in enumerate(toks):
+        if (
+            _is_ident(t)
+            and t.lower() == "interval"
+            and i + 1 < len(toks)
+            and _is_string(toks[i + 1])
+        ):
+            body = toks[i + 1][1:-1]
+            words = [
+                _INTERVAL_UNIT_ALIASES.get(w.lower(), w)
+                for w in body.split(" ")
+            ]
+            toks[i + 1] = "'" + " ".join(words) + "'"
+    return toks
+
+
+def _pass_interval_add_timestamp(toks: list[str]) -> list[str]:
+    """PG ``date ± interval`` yields TIMESTAMP (timestamp.c
+    date_pl_interval via promotion); Spark keeps DATE for year-month
+    intervals.  For column operands (the only case whose type we cannot
+    see), wrap in CAST(x AS TIMESTAMP) — a no-op when the column is
+    already a timestamp, the PG result type when it is a date."""
+    i = 2
+    while i < len(toks):
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() == "interval"
+            and i + 1 < len(toks)
+            and _is_string(toks[i + 1])
+            and toks[i - 1] in ("+", "-")
+            and _is_ident(toks[i - 2])
+            and toks[i - 2].lower() not in _KEYWORDS_NONOPERAND
+        ):
+            # operand: walk back over qualified name  a.b.c
+            s = i - 2
+            while s - 2 >= 0 and toks[s - 1] == "." and _is_ident(toks[s - 2]):
+                s -= 2
+            toks[s : i - 1] = (
+                ["CAST", "("] + toks[s : i - 1] + ["AS", "TIMESTAMP", ")"]
+            )
+            i += 5
+        i += 1
+    return toks
+
+
+_KEYWORDS_NONOPERAND = {
+    "select", "when", "then", "else", "and", "or", "not", "case", "end",
+    "by", "as", "on", "where", "having", "from", "in", "between",
+}
+
+
+def _pass_group_by_aliases(toks: list[str]) -> list[str]:
+    """PG resolves output-column aliases inside GROUP BY — including inside
+    CUBE/ROLLUP/GROUPING SETS elements (parse_clause.c
+    findTargetlistEntrySQL92); Spark and DuckDB only resolve aliases in a
+    plain GROUP BY list.  When a grouping extension is present, substitute
+    each alias with its parenthesized defining expression."""
+    i = 0
+    while i < len(toks):
+        if not (_is_ident(toks[i]) and toks[i].lower() == "select"):
+            i += 1
+            continue
+        end = _gb_scope_end(toks, i)
+        # tlist span and alias map (depth-0 AS <ident>)
+        j, depth = i + 1, 0
+        tl_start = i + 1
+        if j < end and _is_ident(toks[j]) and toks[j].lower() == "distinct":
+            tl_start = j + 1
+        aliases: dict[str, list[str]] = {}
+        item_st = tl_start
+        j = tl_start
+        tl_end = end
+        while j < end:
+            t = toks[j]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0:
+                if t == ",":
+                    item_st = j + 1
+                elif _is_ident(t):
+                    low = t.lower()
+                    if low in _TARGETLIST_END:
+                        tl_end = j
+                        break
+                    if (
+                        low == "as"
+                        and j + 1 < end
+                        and _is_ident(toks[j + 1])
+                        and j > item_st
+                    ):
+                        aliases[toks[j + 1].lower()] = toks[item_st:j]
+            j += 1
+        if not aliases:
+            i += 1
+            continue
+        # locate a GROUP BY clause with a grouping extension
+        j, depth = tl_end, 0
+        gb_start = gb_end = None
+        while j < end:
+            t = toks[j]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and _is_ident(t):
+                low = t.lower()
+                if low == "group" and j + 1 < end and toks[j + 1].lower() == "by":
+                    gb_start = j + 2
+                    j += 2
+                    continue
+                if gb_start is not None and low in (
+                    "having", "order", "limit", "offset", "window",
+                ):
+                    gb_end = j
+                    break
+            j += 1
+        if gb_start is None:
+            i += 1
+            continue
+        gb_end = gb_end if gb_end is not None else end
+        region = toks[gb_start:gb_end]
+        has_ext = any(
+            _is_ident(t)
+            and t.lower() in ("cube", "rollup")
+            and k + 1 < len(region)
+            and region[k + 1] == "("
+            or (
+                _is_ident(t)
+                and t.lower() == "grouping"
+                and k + 1 < len(region)
+                and _is_ident(region[k + 1])
+                and region[k + 1].lower() == "sets"
+            )
+            for k, t in enumerate(region)
+        )
+        if not has_ext:
+            i += 1
+            continue
+        new_region: list[str] = []
+        for k, t in enumerate(region):
+            low = t.lower() if _is_ident(t) else None
+            prev = region[k - 1] if k else None
+            nxt = region[k + 1] if k + 1 < len(region) else None
+            if (
+                low in aliases
+                and prev != "."
+                and nxt not in (".", "(")
+            ):
+                new_region += ["("] + aliases[low] + [")"]
+            else:
+                new_region.append(t)
+        toks[gb_start:gb_end] = new_region
+        i += 1
+    return toks
+
+
+def _pass_group_extensions(toks: list[str], target: str = "spark") -> list[str]:
+    """Greenplum grouping-extension semantics missing from Spark/DuckDB
+    (plangroupext.c:45-77 canonical grouping-set representation):
+
+    * ``GROUPING(a, b, …)`` multi-argument form → the PG bitmask
+      (rightmost arg = least-significant bit, parse_agg.c) composed from
+      single-argument ``grouping()`` calls, which Spark and DuckDB share.
+    * ``GROUP_ID()`` (plangroupext.c duplicate-set numbering): duplicate
+      grouping sets produce identical rows, so GROUP_ID() assigns 0..m-1
+      within each duplicate family.  With no duplicate sets it folds to 0.
+      With duplicates the statement is restructured: the source is
+      cross-joined with a one-column id table of 0..max(m)-1, ``__gg_gid``
+      joins every (deduplicated) grouping set, and a HAVING conjunct keeps
+      ``__gg_gid < multiplicity(set)``, the set identified by its
+      grouping() bitmask.  Each (group, gid) cell sees every input row
+      exactly once, so aggregates — including DISTINCT-qualified ones —
+      are unchanged.
+
+    Spark and DuckDB both natively expand concatenated CUBE/ROLLUP/
+    GROUPING SETS cross products and preserve duplicate sets (verified),
+    so statements using neither GROUP_ID() nor multi-arg GROUPING() pass
+    through untouched.  ``target`` selects the id-table spelling
+    (Spark ``explode(sequence())`` / DuckDB ``unnest(range())``) so the
+    same rewrite can build the DuckDB oracle query.
+    """
+    i = 0
+    while i < len(toks):
+        if not (_is_ident(toks[i]) and toks[i].lower() == "select"):
+            i += 1
+            continue
+        end = _gb_scope_end(toks, i)
+        # ---- locate this scope's depth-0 GROUP BY clause
+        j, depth = i + 1, 0
+        gb_start = gb_end = having_at = having_end = from_end = None
+        from_kw = tail_at = None
+        while j < end:
+            t = toks[j]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and _is_ident(t):
+                low = t.lower()
+                if low == "group" and j + 1 < end and toks[j + 1].lower() == "by":
+                    if from_end is None:
+                        from_end = j
+                    gb_start = j + 2
+                    j += 2
+                    continue
+                if low == "from" and from_kw is None:
+                    from_kw = j
+                if low == "where" and from_end is None:
+                    from_end = j
+                if gb_start is not None and gb_end is None and low in (
+                    "having", "order", "limit", "offset", "window",
+                ):
+                    gb_end = j
+                if low == "having":
+                    having_at = j
+                if having_at is not None and having_end is None and low in (
+                    "order", "limit", "offset", "window",
+                ):
+                    having_end = j
+                if (
+                    gb_start is not None
+                    and tail_at is None
+                    and low in ("order", "limit", "offset", "window")
+                ):
+                    tail_at = j
+            j += 1
+        if gb_start is None:
+            i += 1
+            continue
+        gb_end = gb_end if gb_end is not None else end
+        having_end = having_end if having_end is not None else end
+        items = [it for it in _split_args(toks[gb_start:gb_end]) if it]
+        # PG gram.y group_elem: a parenthesized expression list in GROUP BY
+        # is a composite grouping element — GROUP BY (a, b) ≡ GROUP BY a, b.
+        # Spark parses it as a struct expression, so flatten depth-0
+        # composite items (scalar subqueries excepted); applied unless the
+        # whole clause is replaced by the GROUP_ID()/dedup machinery below.
+        flatten_edits: list[tuple[int, int, list[str]]] = []
+        p, depth, st = gb_start, 0, gb_start
+        spans = []
+        while p < gb_end:
+            t = toks[p]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif t == "," and depth == 0:
+                spans.append((st, p))
+                st = p + 1
+            p += 1
+        spans.append((st, gb_end))
+        for s, e in spans:
+            if (
+                e > s + 1
+                and toks[s] == "("
+                and _args_span(toks, s) == e - 1
+                and not (
+                    _is_ident(toks[s + 1]) and toks[s + 1].lower() == "select"
+                )
+            ):
+                flatten_edits.append((s, e, toks[s + 1 : e - 1]))
+        has_ext = any(
+            len(it) >= 2
+            and _is_ident(it[0])
+            and (
+                (it[0].lower() in ("cube", "rollup") and it[1] == "(")
+                or (
+                    it[0].lower() == "grouping"
+                    and _is_ident(it[1])
+                    and it[1].lower() == "sets"
+                )
+            )
+            for it in items
+        )
+        if not has_ext:
+            for s, e, repl in sorted(flatten_edits, reverse=True):
+                toks[s:e] = repl
+            i += 1
+            continue
+        # ---- expand to the full cross-product list of grouping sets
+        per_item = [_gb_expand_item(it) for it in items]
+        sets: list[list[list[str]]] = [[]]
+        for opts in per_item:
+            sets = [s + o for s in sets for o in opts]
+        # dedup exprs within a set (grouping by (pn, pn) ≡ by pn)
+        norm_sets: list[tuple[tuple[str, ...], list[list[str]]]] = []
+        for s in sets:
+            seen: dict[str, list[str]] = {}
+            for e in s:
+                seen.setdefault(_gb_norm(e), e)
+            norm_sets.append((tuple(sorted(seen)), list(seen.values())))
+        mult: dict[tuple[str, ...], int] = {}
+        reps: dict[tuple[str, ...], list[list[str]]] = {}
+        for key, exprs in norm_sets:
+            mult[key] = mult.get(key, 0) + 1
+            reps.setdefault(key, exprs)
+        # ordered union of grouped exprs across all sets
+        u_keys: list[str] = []
+        u_exprs: list[list[str]] = []
+        for _, exprs in norm_sets:
+            for e in exprs:
+                k = _gb_norm(e)
+                if k not in u_keys:
+                    u_keys.append(k)
+                    u_exprs.append(e)
+        gid_sites = _gb_call_sites(toks, i + 1, end, ("group_id",))
+        grouping_sites = _gb_call_sites(toks, i + 1, end, ("grouping",))
+        # keep only multi-arg GROUPING( ) calls (not GROUPING SETS)
+        multi_grouping = []
+        for s in grouping_sites:
+            close = _args_span(toks, s + 1)
+            args = _split_args(toks[s + 2 : close])
+            if len(args) > 1:
+                multi_grouping.append((s, close, args))
+        has_dups = any(m > 1 for m in mult.values())
+        # SELECT DISTINCT + duplicate sets + no GROUP_ID(): duplicates
+        # cannot affect the output (they produce identical rows that
+        # DISTINCT collapses), so emit the deduplicated GROUPING SETS —
+        # plangroupext.c's canonicalization; also keeps the Expand factor
+        # at the distinct-set count (mdqa cross products reach >14k raw
+        # sets, which OOMs DuckDB and overflows codegen method limits)
+        select_distinct = (
+            i + 1 < len(toks)
+            and _is_ident(toks[i + 1])
+            and toks[i + 1].lower() == "distinct"
+        )
+        need_dedup = select_distinct and has_dups and not gid_sites
+
+        def _in_having(p: int) -> bool:
+            return having_at is not None and having_at <= p < having_end
+
+        having_calls = any(_in_having(s) for s in gid_sites + grouping_sites)
+        if (
+            not gid_sites
+            and not multi_grouping
+            and not need_dedup
+            and not having_calls
+            and not (has_dups and not select_distinct)
+        ):
+            for s, e, repl in sorted(flatten_edits, reverse=True):
+                toks[s:e] = repl
+            i += 1
+            continue
+
+        def _grouping_bitmask(args: list[list[str]]) -> list[str]:
+            n = len(args)
+            out = ["("]
+            for k, a in enumerate(args):
+                if k:
+                    out.append("+")
+                out += ["CAST", "(", "grouping", "("] + list(a) + [
+                    ")", "AS", "INT", ")",
+                ]
+                w = 1 << (n - 1 - k)
+                if w > 1:
+                    out += ["*", str(w)]
+            out.append(")")
+            return out
+
+        def _rewrite_local(body: list[str], gid_repl: list[str]) -> list[str]:
+            body = list(body)
+            for s in reversed(_gb_call_sites(body, 0, len(body), ("group_id",))):
+                close = _args_span(body, s + 1)
+                body[s : close + 1] = list(gid_repl)
+            for s in reversed(_gb_call_sites(body, 0, len(body), ("grouping",))):
+                close = _args_span(body, s + 1)
+                args = _split_args(body[s + 2 : close])
+                if len(args) > 1:
+                    body[s : close + 1] = _grouping_bitmask(args)
+            return body
+
+        def _gid_edit(s: int, repl1: list[str]) -> tuple[int, int, list[str]]:
+            close = _args_span(toks, s + 1)
+            bare = (toks[s - 1] in (",",) or (
+                _is_ident(toks[s - 1])
+                and toks[s - 1].lower() in ("select", "distinct")
+            )) and (
+                close + 1 >= end
+                or toks[close + 1] == ","
+                or (
+                    _is_ident(toks[close + 1])
+                    and toks[close + 1].lower() in _TARGETLIST_END
+                )
+            )
+            repl = repl1 + ["AS", "group_id"] if bare else list(repl1)
+            return (s, close + 1, repl)
+
+        # A GROUPING()/GROUP_ID() call inside HAVING needs the wrap too:
+        # Spark resolves HAVING against the aggregate OUTPUT, so grouping()
+        # over a column the select list aliased (or omitted) fails there —
+        # legal in the select list, hence the keep-flag restructure.
+        #
+        # The gid table is needed whenever duplicate sets must survive:
+        # GROUP_ID() is referenced, or the query lacks SELECT DISTINCT (so
+        # PG emits the duplicate rows).  Expanding the deduplicated sets ×
+        # a gid join bounds the Expand factor at the distinct-set count —
+        # mdqa cross products reach >14k raw sets, which OOMs a native
+        # expansion in either engine.
+        need_gidtab = has_dups and (bool(gid_sites) or not select_distinct)
+        # Wrap the statement (keep-flag + outer WHERE) when duplicate-set
+        # numbering needs the gid table, or when HAVING uses grouping
+        # functions.  Carrying the flag through DISTINCT commutes with
+        # PG's HAVING-then-DISTINCT order: rows identical except the flag
+        # collapse to at most one kept + one dropped.
+        need_wrap = need_gidtab or having_calls
+        gid_repl = ["__gg_gid"] if need_gidtab else ["0"]
+
+        def _emit_sets(extra_gid: bool) -> list[str]:
+            out = ["GROUPING", "SETS", "("]
+            for k, key in enumerate(reps):
+                if k:
+                    out.append(",")
+                out.append("(")
+                for x, e in enumerate(reps[key]):
+                    if x:
+                        out.append(",")
+                    out += e
+                out.append(")")
+            out.append(")")
+            if extra_gid:
+                out += [",", "__gg_gid"]
+            return out
+
+        gb_replaced = need_dedup or need_gidtab
+        edits: list[tuple[int, int, list[str]]] = []  # (start, end, repl)
+
+        def _in_moved(p: int) -> bool:
+            if not need_wrap:
+                return False
+            return _in_having(p) or (
+                tail_at is not None and tail_at <= p < end
+            )
+
+        for s, close, args in multi_grouping:
+            if not _in_moved(s):
+                edits.append((s, close + 1, _grouping_bitmask(args)))
+        for s in gid_sites:
+            if not _in_moved(s):
+                edits.append(_gid_edit(s, gid_repl))
+        if need_dedup:
+            edits.append((gb_start, gb_end, _emit_sets(False)))
+        if need_gidtab:
+            maxm = max(mult.values())
+            edits.append((gb_start, gb_end, _emit_sets(True)))
+            # FROM: cross-join the gid table
+            if target == "duck":
+                dup = ["(", "SELECT", "unnest", "(", "range", "(", "0", ",",
+                       str(maxm), ")", ")", "AS", "__gg_gid", ")", "__gg_dup"]
+            else:
+                dup = ["(", "SELECT", "explode", "(", "sequence", "(", "0",
+                       ",", str(maxm - 1), ")", ")", "AS", "__gg_gid", ")",
+                       "__gg_dup"]
+            assert from_end is not None
+            edits.append((from_end, from_end, [","] + dup))
+        if need_wrap:
+            keep: list[str] = []
+            if need_gidtab:
+                # __gg_gid < multiplicity(set), the set identified by its
+                # grouping() bitmask over the union of grouped exprs
+                # (a lone duplicated empty set has no exprs: mask ≡ 0)
+                mask_expr = _grouping_bitmask(u_exprs) if u_exprs else ["0"]
+                keep = ["__gg_gid", "<", "CASE"] + mask_expr
+                n = len(u_keys)
+                for key, m in mult.items():
+                    if m > 1:
+                        mask = sum(
+                            1 << (n - 1 - x)
+                            for x, uk in enumerate(u_keys)
+                            if uk not in key
+                        )
+                        keep += ["WHEN", str(mask), "THEN", str(m)]
+                keep += ["ELSE", "1", "END"]
+            if having_at is not None:
+                body = _rewrite_local(
+                    toks[having_at + 1 : having_end], gid_repl
+                )
+                keep = (
+                    ["("] + body + [")", "AND"] + keep if keep
+                    else ["("] + body + [")"]
+                )
+                edits.append((having_at, having_end, []))
+            assert from_kw is not None
+            edits.append(
+                (from_kw, from_kw,
+                 [",", "("] + keep + [")", "AS", "__gg_keep"])
+            )
+            # wrap: SELECT * EXCEPT(__gg_keep) FROM ( … ) WHERE __gg_keep,
+            # moving any ORDER BY/LIMIT tail to the outer query
+            excl = "EXCLUDE" if target == "duck" else "EXCEPT"
+            tail: list[str] = []
+            if tail_at is not None:
+                tail = _rewrite_local(toks[tail_at:end], ["group_id"])
+                edits.append((tail_at, end, []))
+            edits.append(
+                (i, i,
+                 ["SELECT", "*", excl, "(", "__gg_keep", ")", "FROM", "("])
+            )
+            edits.append(
+                (end, end, [")", "__gg_q", "WHERE", "__gg_keep"] + tail)
+            )
+        if not gb_replaced:
+            edits += flatten_edits
+        for s, e, repl in sorted(edits, reverse=True):
+            toks[s:e] = repl
+        i += 1
+    return toks
+
+
+def duck_grouping_sql(sql: str) -> str:
+    """The DuckDB-oracle twin of ``_pass_group_extensions`` — same rewrite
+    with DuckDB spellings, applied to otherwise-verbatim PG SQL (DuckDB
+    natively shares PG's grouping-extension expansion and multi-arg
+    GROUPING bitmask; only GROUP_ID() needs the rewrite)."""
+    toks = tokenize(sql)
+    toks = _pass_group_by_empty(toks)
+    toks = _pass_group_by_aliases(toks)
+    toks = _pass_group_extensions(toks, target="duck")
+    # GROUPING()/GROUP_ID() under a plain (extension-free) GROUP BY fold
+    # to 0 (plangroupext.c) — DuckDB rejects them there just like Spark
+    toks = _pass_grouping_plain(toks)
+    return " ".join(toks).replace(" . ", ".")
+
+
 def _pass_decode(toks: list[str]) -> list[str]:
     """Oracle-style DECODE(expr, search, result …[, default]) (Greenplum
     parse-time sugar, reference decode_expr.sql) → searched CASE with
@@ -2037,15 +2696,31 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 if low == "to_char" and m_num:
                     # numeric template (formatting.c NUM_9): right-align in
                     # the template width with one sign column; FM strips
-                    # padding.  Decimal-cast renders the fixed scale.
+                    # padding.  Decimal-cast renders the fixed scale.  A 9
+                    # in the ones place drops a leading zero digit entirely
+                    # (NUM_processor: blank-padded 9s), so 0.5 → '.5' and
+                    # 0 with a decimal template → '.0000000'.
                     fm, ipart, dpart = m_num.groups()
                     d = len(dpart) if dpart else 0
                     p = len(ipart) + d
+                    # the argument is computed in DOUBLE first: Spark's
+                    # decimal aggregates stop at scale+4 (avg(decimal(5,0))
+                    # → decimal(9,4)), far below PG's unbounded numeric —
+                    # double carries the template's 7 digits exactly
                     cast = (
-                        ["CAST", "(", "round", "("]
+                        ["CAST", "(", "round", "(", "CAST", "("]
                         + args[0]
-                        + [",", str(d), ")", "AS", f"DECIMAL({p},{d})", ")"]
+                        + ["AS", "DOUBLE", ")", ",", str(d), ")",
+                           "AS", f"DECIMAL({p},{d})", ")"]
                     )
+                    if dpart:
+                        # PG-spelled call (later _pass_functions rewrite
+                        # converts flags + \1 backref to the Spark form)
+                        cast = (
+                            ["regexp_replace", "(", "CAST", "("] + cast
+                            + ["AS", "STRING", ")", ",",
+                               "'^(-?)0\\.'", ",", "'\\1.'", ",", "'g'", ")"]
+                        )
                     if fm:
                         new = ["CAST", "("] + cast + ["AS", "STRING", ")"]
                     else:
@@ -2592,6 +3267,10 @@ def transpile(sql: str) -> str:
     toks = _pass_estrings(toks)
     toks = _pass_group_by_empty(toks)
     toks = _pass_single_grouping_set(toks)
+    toks = _pass_interval_unit_aliases(toks)
+    toks = _pass_interval_add_timestamp(toks)
+    toks = _pass_group_by_aliases(toks)
+    toks = _pass_group_extensions(toks)
     toks = _pass_targetlist_srf(toks)
     toks = _pass_count_noargs(toks)
     toks = _pass_agg_filter(toks)

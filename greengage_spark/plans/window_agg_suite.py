@@ -245,6 +245,42 @@ def agg_cube(spark, sf_dir):
     )
 
 
+_GROUP_ID_PG = f"""
+    SELECT l_returnflag, l_linestatus, GROUP_ID() AS gid2,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gmask,
+           {_GSET_AGG} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE((l_returnflag), (l_returnflag, l_linestatus)),
+             ROLLUP((l_returnflag))
+    """
+
+
+def _group_id_oracle() -> str:
+    # the DuckDB twin of the same statement — duck_grouping_sql lowers
+    # GROUP_ID() (duplicate-set numbering, plangroupext.c:45-77) into the
+    # gid-table join DuckDB can run; computed from the PG text so the two
+    # sides can never drift
+    from greengage_spark.dialect.transpiler import duck_grouping_sql
+
+    return duck_grouping_sql(_GROUP_ID_PG)
+
+
+@suite.add(
+    "agg_group_id_dup_sets",
+    oracle=_group_id_oracle(),
+    doc="GROUP_ID() + duplicate grouping sets from concatenated CUBE×ROLLUP "
+    "cross products (plangroupext.c:45-77 canonical representation; "
+    "multi-arg GROUPING() bitmask, parse_agg.c).  Duplicate sets expand as "
+    "deduplicated GROUPING SETS × a broadcast gid join, so the Expand "
+    "factor stays at the distinct-set count at any scale.",
+    tags=("agg", "groupingsets"),
+)
+def agg_group_id_dup_sets(spark, sf_dir):
+    from greengage_spark.plans.functions_suite import _pg
+
+    return _pg(spark, sf_dir, _GROUP_ID_PG, ["lineitem"])
+
+
 @suite.add(
     "agg_pivot",
     oracle=f"""
