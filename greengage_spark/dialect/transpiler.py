@@ -2729,6 +2729,33 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     out[i : close + 1] = new
                     i += 1
                     continue
+                if low == "to_char":
+                    from greengage_spark.functions.pg_format import (
+                        dch_needs_engine,
+                    )
+
+                    esc = tmpl.replace("'", "''")
+                    if any(c in "90" for c in tmpl) or tmpl.upper().lstrip(
+                        "FM"
+                    ) in ("RN",):
+                        # advanced NUM template (0 S MI SG PR TH L G EEEE
+                        # RN …) → the full formatting.c engine, Arrow-
+                        # batched (pg_format.num_tochar)
+                        out[i : close + 1] = (
+                            ["pg_tochar_num", "("] + args[0]
+                            + [",", f"'{esc}'", ")"]
+                        )
+                        i += 2
+                        continue
+                    if dch_needs_engine(tmpl):
+                        # DCH fields the Java-pattern path cannot render
+                        # faithfully (ISO week dates, J, RM, TH, FM, …)
+                        out[i : close + 1] = (
+                            ["pg_tochar_dch", "("] + args[0]
+                            + [",", f"'{esc}'", ")"]
+                        )
+                        i += 2
+                        continue
                 java = pg_pattern_to_java(tmpl)
                 fname = {"to_char": "date_format", "to_date": "to_date", "to_timestamp": "to_timestamp"}[low]
                 out[i : close + 1] = (
@@ -3319,4 +3346,9 @@ def pg_sql(spark, sql: str):
         from greengage_spark.dialect.recursive_sql import run_recursive_sql
 
         return run_recursive_sql(spark, sql)
-    return spark.sql(transpile(sql))
+    out = transpile(sql)
+    if "pg_tochar_" in out:
+        from greengage_spark.functions.pg_format import register_udfs
+
+        register_udfs(spark)
+    return spark.sql(out)

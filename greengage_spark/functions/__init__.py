@@ -1,0 +1,5 @@
+"""Scalar function surface that has no Spark built-in equivalent.
+
+PG formatting templates (formatting.c) live in pg_format; everything
+else in the dialect layer lowers to pyspark.sql.functions built-ins.
+"""

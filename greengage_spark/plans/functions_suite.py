@@ -420,6 +420,51 @@ def dialect_to_char_numeric(spark, sf_dir):
 
 
 @suite.add(
+    "dialect_to_char_full",
+    oracle="""
+    SELECT o_orderkey,
+           concat(CASE WHEN o_totalprice >= 0 THEN '+' ELSE '-' END,
+                  printf('%012.2f', abs(o_totalprice))) AS amt_signed,
+           lpad(concat(format('{:,}', CAST(floor(round(o_totalprice, 2))
+                    AS BIGINT)),
+                printf('.%02d', CAST(round((round(o_totalprice, 2)
+                    - floor(round(o_totalprice, 2))) * 100) AS INT))),
+                13, ' ') AS amt_grouped,
+           concat(CAST(o_orderkey AS VARCHAR),
+                  CASE WHEN o_orderkey % 100 BETWEEN 11 AND 13 THEN 'th'
+                       WHEN o_orderkey % 10 = 1 THEN 'st'
+                       WHEN o_orderkey % 10 = 2 THEN 'nd'
+                       WHEN o_orderkey % 10 = 3 THEN 'rd'
+                       ELSE 'th' END) AS key_ordinal,
+           concat(strftime(o_orderdate, '%A'), ' wk', printf('%02d',
+                  CAST(strftime(o_orderdate, '%V') AS INT))) AS day_isoweek
+    FROM orders WHERE o_orderkey < 300
+    """,
+    doc="Full to_char template engine (formatting.c NUM_*/DCH_* sets): "
+    "anchored S sign + 0-forced zero padding, G group separators, th "
+    "ordinal suffixes, FM fill mode, weekday names and ISO week fields. "
+    "Advanced templates lower to an Arrow-batched pandas UDF validated "
+    "against the reference's numeric.out/int8.out/timestamp.out "
+    "to_char batteries (tests/test_pg_format.py).",
+    tags=("dialect",),
+)
+def dialect_to_char_full(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               to_char(o_totalprice, 'S000000000.99') AS amt_signed,
+               to_char(o_totalprice, '9G999G999D99') AS amt_grouped,
+               to_char(o_orderkey, 'FM9999999999th') AS key_ordinal,
+               to_char(o_orderdate, 'FMDay "wk"IW') AS day_isoweek
+        FROM orders WHERE o_orderkey < 300
+        """,
+        ["orders"],
+    )
+
+
+@suite.add(
     "dialect_decode",
     oracle="""
     SELECT o_orderkey,
