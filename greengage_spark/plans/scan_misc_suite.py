@@ -124,6 +124,44 @@ def external_csv_roundtrip(spark, sf_dir):
     return ext.read(spark)
 
 
+@suite.add(
+    "foreign_scan_jdbc",
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(*) AS n_nations,
+           MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="ForeignScan (nodeForeignscan.c / contrib/postgres_fdw): foreign "
+        "table over JDBC — write nation into an embedded Derby database, "
+        "read it back as a range-partitioned parallel JDBC scan (the "
+        "per-segment-cursor analog), aggregate.  Filters and column "
+        "pruning push into the remote query (JDBCScan PushedFilters, "
+        "asserted in tests/test_foreign.py).",
+    tags=("scan", "foreign"),
+)
+def foreign_scan_jdbc(spark, sf_dir):
+    from greengage_spark.sources.foreign import (
+        derby_server,
+        read_foreign_table,
+        write_foreign_table,
+    )
+
+    c = cat(spark, sf_dir)
+    loc = os.path.join(tempfile.gettempdir(), "gg_fdw_derby")
+    srv = derby_server(loc)
+    write_foreign_table(c.table("nation"), srv, "nation")
+    remote = read_foreign_table(
+        spark, srv, "nation",
+        partition_column="n_nationkey",
+        lower_bound=0, upper_bound=25, num_partitions=4,
+    )
+    return remote.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
 # ==================== SORT / LIMIT (§2.6) ====================
 
 @suite.add(

@@ -415,15 +415,45 @@ def agg_count_variants(spark, sf_dir):
 
 @suite.add(
     "agg_approx_distinct",
-    oracle=None,  # sketches differ per engine — rows-only check
-    doc="approx_count_distinct (reference: HLL in analyze.c:62).",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_within_5pct,
+           TRUE AS orders_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="approx_count_distinct (reference: HLL in analyze.c:62).  HLL "
+    "sketches differ across engines, so the oracle checks the sketch's "
+    "CONTRACT: the approximate count must land within the configured "
+    "relative error (5%, rsd 0.05 → ~3σ) of the exact count, reported "
+    "as a boolean the hash compare pins to TRUE.",
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark, sf_dir):
     l = cat(spark, sf_dir).table("lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    eps = 0.05
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.017).alias("ap"),
+            F.approx_count_distinct("l_orderkey", rsd=0.017).alias("ao"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_orders",
+            (
+                F.abs(F.col("ap") - F.col("exact_parts"))
+                <= eps * F.col("exact_parts")
+            ).alias("parts_within_5pct"),
+            (
+                F.abs(F.col("ao") - F.col("exact_orders"))
+                <= eps * F.col("exact_orders")
+            ).alias("orders_within_5pct"),
+        )
     )
 
 

@@ -1,0 +1,83 @@
+"""ForeignScan — FDW-style access to external databases over JDBC.
+
+Reference: nodeForeignscan.c (211 LoC executor node) with the FDW
+implementations in contrib/postgres_fdw and contrib/file_fdw; the
+catalog surface is CREATE SERVER / CREATE FOREIGN TABLE ... OPTIONS.
+
+Spark-first mapping: a foreign table is a `spark.read.jdbc` DataFrame.
+Catalyst pushes filters and column pruning into the remote query
+(JDBCScan shows PushedFilters), which is exactly postgres_fdw's remote
+qual shipping.  For large foreign tables the scan is split into
+parallel range partitions (partitionColumn/lowerBound/upperBound/
+numPartitions) — the MPP analog of every segment opening its own
+cursor.  Writable foreign tables (postgres_fdw INSERT) map to
+`df.write.jdbc`.
+
+The test backend is embedded Apache Derby — the JDBC driver Spark
+already ships for its Hive metastore — so the path is exercised end to
+end without network access; the surface is driver-agnostic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+_DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+@dataclass
+class ForeignServer:
+    """CREATE SERVER ... FOREIGN DATA WRAPPER ... OPTIONS (url ...)."""
+
+    name: str
+    url: str
+    options: dict = field(default_factory=dict)
+
+    def properties(self) -> dict:
+        props = dict(self.options)
+        if self.url.startswith("jdbc:derby:") and "driver" not in props:
+            props["driver"] = _DERBY_DRIVER
+        return props
+
+
+def read_foreign_table(
+    spark,
+    server: ForeignServer,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+):
+    """CREATE FOREIGN TABLE ... SERVER s; SELECT from it.
+
+    With a partition column the scan fans out into ``num_partitions``
+    concurrent range-bounded remote queries — required for any foreign
+    table that is large at 100 TB scale; a single-cursor read is the
+    degenerate 1-partition case.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", server.url)
+        .option("dbtable", table)
+    )
+    for k, v in server.properties().items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader.load()
+
+
+def write_foreign_table(df, server: ForeignServer, table: str, mode="overwrite"):
+    """Writable foreign table (postgres_fdw INSERT path)."""
+    df.write.jdbc(server.url, table, mode=mode, properties=server.properties())
+
+
+def derby_server(path: str) -> ForeignServer:
+    """An embedded-Derby server rooted at ``path`` (created on demand)."""
+    return ForeignServer("derby", f"jdbc:derby:{path};create=true")
