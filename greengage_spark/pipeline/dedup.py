@@ -149,7 +149,14 @@ def minhash_dedup_pairs(
     sh = word_shingles(df, id_col, text_col, shingle_k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sigs = minhash_signatures(sh, id_col, num_hashes)
+    # signatures feed two branches (banding and set sizes) whose column
+    # pruning produces different exchanges — ReuseExchange cannot merge
+    # them, so persist the (tiny: one ~200-byte row per document)
+    # signature table rather than re-running the K-min aggregation over
+    # the much larger shingle stream
+    sigs = minhash_signatures(sh, id_col, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     sizes = sigs.select(id_col, "sz")
     return jaccard_verify(cand, sh, id_col, threshold, sizes=sizes)

@@ -129,26 +129,35 @@ def ivf_topk(
     cell id also becomes the storage partition key, so a probe prunes
     files, not just rows.
     """
+    from pyspark import StorageLevel
+
+    # the centroid table is n_cells rows but its subplan is a TakeOrdered
+    # over the whole corpus — persist so the two broadcast consumers
+    # (corpus assignment, query assignment) trigger it once
     centroids = (
         corpus.orderBy(F.col(corpus_id)).limit(n_cells)
         .select(F.col(corpus_id).alias("__cent_id"), F.col(corpus_vec).alias("__cent_vec"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def assign(df: DataFrame, id_col: str, vec_col: str, top: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(centroids)).select(
-            F.col(id_col),
-            F.col("__cent_id"),
-            F.round(cosine(F.col(vec_col), F.col("__cent_vec")), round_to).alias("__cs"),
+        # carry the full row through the assignment window instead of
+        # re-joining the source with its own assignment — one pass over
+        # the input, no self-join shuffle
+        scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+            "__cs",
+            F.round(cosine(F.col(vec_col), F.col("__cent_vec")), round_to),
         )
         w = Window.partitionBy(id_col).orderBy(F.desc("__cs"), F.asc("__cent_id"))
         return (
             scored.withColumn("__crk", F.row_number().over(w))
             .filter(F.col("__crk") <= top)
-            .select(id_col, F.col("__cent_id").alias("__cell"))
+            .withColumn("__cell", F.col("__cent_id"))
+            .drop("__cent_id", "__cent_vec", "__cs", "__crk")
         )
 
-    corpus_cells = corpus.join(assign(corpus, corpus_id, corpus_vec, 1), corpus_id)
-    query_cells = queries.join(assign(queries, query_id, query_vec, n_probe), query_id)
+    corpus_cells = assign(corpus, corpus_id, corpus_vec, 1)
+    query_cells = assign(queries, query_id, query_vec, n_probe)
     scored = corpus_cells.join(F.broadcast(query_cells), "__cell").select(
         F.col(query_id),
         F.col(corpus_id),
