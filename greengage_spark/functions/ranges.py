@@ -1,0 +1,239 @@
+"""PG range types (int4range/int8range/numrange/daterange/tsrange).
+
+Reference: src/backend/utils/adt/rangetypes.c; regress rangetypes.sql.
+
+Spark-first mapping (SURVEY §1.2): a range value is a
+``STRUCT<lo, hi, lo_inc BOOLEAN, hi_inc BOOLEAN, empty BOOLEAN>``
+column.  A NULL ``lo``/``hi`` is an infinite bound (PG's RANGE_LB_INF /
+RANGE_UB_INF).  Discrete ranges (int, date) canonicalize to ``[lo, hi)``
+exactly as rangetypes.c does via the type's canonical function, so equal
+ranges compare equal as plain structs.  Every operation below is a pure
+Column expression — whole-stage codegen, no UDFs, and therefore usable
+in joins/filters that Catalyst can push and reorder (range-overlap joins
+stay expressible as theta joins on the bound columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def make_range(lo, hi, bounds: str = "[)", discrete: bool = False) -> Column:
+    """Range constructor (range_constructor2/3): ``bounds`` ∈ '[)','[]',
+    '(]','()'.  Discrete types canonicalize to [lo, hi) by shifting
+    exclusive lower / inclusive upper bounds one unit up (the int4range
+    canonical function)."""
+    lo, hi = F.lit(lo) if not isinstance(lo, Column) else lo, (
+        F.lit(hi) if not isinstance(hi, Column) else hi
+    )
+    lo_inc, hi_inc = bounds[0] == "[", bounds[1] == "]"
+    if discrete:
+        lo = F.when(lo.isNull(), lo).otherwise(lo + (0 if lo_inc else 1))
+        hi = F.when(hi.isNull(), hi).otherwise(hi + (1 if hi_inc else 0))
+        lo_inc, hi_inc = True, False
+    empty = (
+        lo.isNotNull()
+        & hi.isNotNull()
+        & (
+            (lo > hi)
+            | ((lo == hi) & F.lit(not (lo_inc and hi_inc)))
+        )
+    )
+    return F.struct(
+        F.when(empty, F.lit(None)).otherwise(lo).alias("lo"),
+        F.when(empty, F.lit(None)).otherwise(hi).alias("hi"),
+        (~empty & F.lit(lo_inc)).alias("lo_inc"),
+        (~empty & F.lit(hi_inc)).alias("hi_inc"),
+        empty.alias("empty"),
+    )
+
+
+def int4range(lo, hi, bounds: str = "[)") -> Column:
+    return make_range(lo, hi, bounds, discrete=True)
+
+
+def numrange(lo, hi, bounds: str = "[)") -> Column:
+    return make_range(lo, hi, bounds, discrete=False)
+
+
+def r_lower(r: Column) -> Column:
+    return r["lo"]
+
+
+def r_upper(r: Column) -> Column:
+    return r["hi"]
+
+
+def r_isempty(r: Column) -> Column:
+    return r["empty"]
+
+
+def r_lower_inc(r: Column) -> Column:
+    return r["lo_inc"]
+
+
+def r_upper_inc(r: Column) -> Column:
+    return r["hi_inc"]
+
+
+def r_lower_inf(r: Column) -> Column:
+    return ~r["empty"] & r["lo"].isNull()
+
+
+def r_upper_inf(r: Column) -> Column:
+    return ~r["empty"] & r["hi"].isNull()
+
+
+def _above_lower(r: Column, x) -> Column:
+    """x is above r's lower bound."""
+    return r["lo"].isNull() | (r["lo"] < x) | ((r["lo"] == x) & r["lo_inc"])
+
+
+def _below_upper(r: Column, x) -> Column:
+    return r["hi"].isNull() | (x < r["hi"]) | ((x == r["hi"]) & r["hi_inc"])
+
+
+def r_contains_elem(r: Column, x) -> Column:
+    """``r @> x`` (range_contains_elem)."""
+    x = F.lit(x) if not isinstance(x, Column) else x
+    return ~r["empty"] & _above_lower(r, x) & _below_upper(r, x)
+
+
+def _lower_le(a: Column, b: Column) -> Column:
+    """a's lower bound <= b's lower bound (infinite = smallest)."""
+    return (
+        a["lo"].isNull()
+        | (
+            b["lo"].isNotNull()
+            & (
+                (a["lo"] < b["lo"])
+                | ((a["lo"] == b["lo"]) & (a["lo_inc"] | ~b["lo_inc"]))
+            )
+        )
+    )
+
+
+def _upper_ge(a: Column, b: Column) -> Column:
+    """a's upper bound >= b's upper bound (infinite = largest)."""
+    return (
+        a["hi"].isNull()
+        | (
+            b["hi"].isNotNull()
+            & (
+                (a["hi"] > b["hi"])
+                | ((a["hi"] == b["hi"]) & (a["hi_inc"] | ~b["hi_inc"]))
+            )
+        )
+    )
+
+
+def r_contains_range(a: Column, b: Column) -> Column:
+    """``a @> b`` (range_contains)."""
+    return b["empty"] | (~a["empty"] & _lower_le(a, b) & _upper_ge(a, b))
+
+
+def r_overlaps(a: Column, b: Column) -> Column:
+    """``a && b`` (range_overlaps): both non-empty and each lower bound
+    is below the other's upper bound."""
+
+    def lo_before_hi(x, y):
+        return (
+            x["lo"].isNull()
+            | y["hi"].isNull()
+            | (x["lo"] < y["hi"])
+            | ((x["lo"] == y["hi"]) & x["lo_inc"] & y["hi_inc"])
+        )
+
+    return ~a["empty"] & ~b["empty"] & lo_before_hi(a, b) & lo_before_hi(b, a)
+
+
+def r_before(a: Column, b: Column) -> Column:
+    """``a << b`` strictly left of (range_before)."""
+    return (
+        ~a["empty"]
+        & ~b["empty"]
+        & a["hi"].isNotNull()
+        & b["lo"].isNotNull()
+        & (
+            (a["hi"] < b["lo"])
+            | ((a["hi"] == b["lo"]) & ~(a["hi_inc"] & b["lo_inc"]))
+        )
+    )
+
+
+def r_after(a: Column, b: Column) -> Column:
+    """``a >> b`` strictly right of."""
+    return r_before(b, a)
+
+
+def r_adjacent_discrete(a: Column, b: Column) -> Column:
+    """``a -|- b`` for canonicalized discrete [lo, hi) ranges."""
+    return (
+        ~a["empty"]
+        & ~b["empty"]
+        & ((a["hi"] == b["lo"]) | (b["hi"] == a["lo"]))
+    )
+
+
+def r_intersect(a: Column, b: Column) -> Column:
+    """``a * b`` (range_intersect): max lower bound, min upper bound."""
+    use_a_lo = ~_lower_le(a, b)
+    use_a_hi = ~_upper_ge(a, b)
+    lo = F.when(use_a_lo, a["lo"]).otherwise(b["lo"])
+    lo_inc = F.when(use_a_lo, a["lo_inc"]).otherwise(b["lo_inc"])
+    hi = F.when(use_a_hi, a["hi"]).otherwise(b["hi"])
+    hi_inc = F.when(use_a_hi, a["hi_inc"]).otherwise(b["hi_inc"])
+    no_overlap = a["empty"] | b["empty"] | ~r_overlaps(a, b)
+    empty = no_overlap | (
+        lo.isNotNull()
+        & hi.isNotNull()
+        & ((lo > hi) | ((lo == hi) & ~(lo_inc & hi_inc)))
+    )
+    return F.struct(
+        F.when(empty, F.lit(None)).otherwise(lo).alias("lo"),
+        F.when(empty, F.lit(None)).otherwise(hi).alias("hi"),
+        (~empty & lo_inc).alias("lo_inc"),
+        (~empty & hi_inc).alias("hi_inc"),
+        empty.alias("empty"),
+    )
+
+
+def r_union(a: Column, b: Column) -> Column:
+    """``a + b`` (range_union).  PG raises when the result would not be
+    contiguous; here the union of non-touching ranges is flagged by a
+    runtime error the same way (raise_error)."""
+    contiguous = (
+        a["empty"] | b["empty"] | r_overlaps(a, b)
+        | r_adjacent_discrete(a, b)
+    )
+    use_a_lo = _lower_le(a, b) & ~a["empty"]
+    use_a_hi = _upper_ge(a, b) & ~a["empty"]
+    lo = F.when(b["empty"] | use_a_lo, a["lo"]).otherwise(b["lo"])
+    lo_inc = F.when(b["empty"] | use_a_lo, a["lo_inc"]).otherwise(b["lo_inc"])
+    hi = F.when(b["empty"] | use_a_hi, a["hi"]).otherwise(b["hi"])
+    hi_inc = F.when(b["empty"] | use_a_hi, a["hi_inc"]).otherwise(b["hi_inc"])
+    both_empty = a["empty"] & b["empty"]
+    guard = F.when(
+        contiguous, F.lit(True)
+    ).otherwise(
+        F.raise_error(F.lit("result of range union would not be contiguous"))
+    )
+    return F.when(
+        guard,
+        F.struct(
+            F.when(both_empty, F.lit(None)).otherwise(
+                F.when(a["empty"], b["lo"]).otherwise(lo)
+            ).alias("lo"),
+            F.when(both_empty, F.lit(None)).otherwise(
+                F.when(a["empty"], b["hi"]).otherwise(hi)
+            ).alias("hi"),
+            F.when(both_empty, F.lit(False)).otherwise(
+                F.when(a["empty"], b["lo_inc"]).otherwise(lo_inc)
+            ).alias("lo_inc"),
+            F.when(both_empty, F.lit(False)).otherwise(
+                F.when(a["empty"], b["hi_inc"]).otherwise(hi_inc)
+            ).alias("hi_inc"),
+            both_empty.alias("empty"),
+        ),
+    )

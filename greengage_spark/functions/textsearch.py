@@ -1,0 +1,159 @@
+"""Full-text search surface: tsvector / tsquery ('simple' configuration).
+
+Reference: src/backend/utils/adt/{tsvector.c,tsquery.c,tsrank.c} and the
+``@@`` match operator; regress tstypes.sql / tsearch2.
+
+Scope: the ``simple`` text-search configuration (lowercase
+alphanumeric tokenization, no stemming or stopwords — PG's simple
+dictionary), which is also the configuration a language-agnostic 100 TB
+training-data pipeline wants.  Everything is pure Column expressions
+(split / transform / exists / aggregate — whole-stage codegen, no
+Python), so ``tsv @@ tsq`` filters push through Catalyst like any other
+predicate.
+
+* ``to_tsvector(text)`` → sorted distinct lexeme array (the tsvector's
+  lexeme set; positions carried separately where ranking needs them).
+* ``plainto_tsquery(q)`` → AND over the query's lexemes.
+* ``to_tsquery('a & (b | !c)')`` → compiled at plan time from the literal
+  query string into a boolean expression tree over array_contains —
+  supports & | ! and parentheses.
+* ``ts_rank`` → cover-density-free frequency rank: sum over matched
+  query lexemes of occ/(occ+1), normalized by document length — the
+  shape of PG's default ts_rank weighting without its cover machinery
+  (documented divergence; tsrank.c's exact formula depends on positional
+  covers).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _lexemes(text: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(text), _TOKEN_SPLIT), lambda t: t != ""
+    )
+
+
+def to_tsvector(text: Column) -> Column:
+    """tsvector lexeme set: sorted distinct simple-config tokens."""
+    return F.array_sort(F.array_distinct(_lexemes(text)))
+
+
+def to_tsvector_with_counts(text: Column) -> Column:
+    """array<struct<lexeme,occ>> — the tsvector with occurrence counts
+    (positions collapsed to counts; enough for frequency ranking)."""
+    toks = _lexemes(text)
+    uniq = F.array_sort(F.array_distinct(toks))
+    return F.transform(
+        uniq,
+        lambda u: F.struct(
+            u.alias("lexeme"),
+            F.size(F.filter(toks, lambda t: t == u)).alias("occ"),
+        ),
+    )
+
+
+def plainto_tsquery(q: str | Column) -> Column:
+    """plainto_tsquery('simple', q): lexeme array, matched as AND."""
+    q = F.lit(q) if not isinstance(q, Column) else q
+    return F.array_distinct(_lexemes(q))
+
+
+def ts_match_plain(tsv: Column, tsq: Column) -> Column:
+    """``tsv @@ plainto_tsquery(...)`` — every query lexeme present."""
+    return F.forall(tsq, lambda t: F.array_contains(tsv, t))
+
+
+# --------------------------- to_tsquery('a & (b | !c)') compilation
+
+_TSQ_TOKEN = re.compile(r"\s*([&|!()])\s*|\s*([^\s&|!()]+)\s*")
+
+
+def _tsq_parse(q: str):
+    toks = []
+    for m in _TSQ_TOKEN.finditer(q):
+        toks.append(m.group(1) or ("LEX", m.group(2)))
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def eat(t=None):
+        nonlocal pos
+        tok = toks[pos]
+        pos += 1
+        return tok
+
+    def parse_or():
+        node = parse_and()
+        while peek() == "|":
+            eat()
+            node = ("OR", node, parse_and())
+        return node
+
+    def parse_and():
+        node = parse_not()
+        while peek() == "&":
+            eat()
+            node = ("AND", node, parse_not())
+        return node
+
+    def parse_not():
+        if peek() == "!":
+            eat()
+            return ("NOT", parse_not())
+        if peek() == "(":
+            eat()
+            node = parse_or()
+            assert eat() == ")", "unbalanced tsquery parens"
+            return node
+        tok = eat()
+        assert isinstance(tok, tuple) and tok[0] == "LEX", f"bad tsquery at {tok}"
+        return ("LEX", tok[1].lower())
+
+    tree = parse_or()
+    assert pos == len(toks), "trailing tsquery tokens"
+    return tree
+
+
+def to_tsquery_match(tsv: Column, query: str) -> Column:
+    """``tsv @@ to_tsquery('simple', query)`` with & | ! and parens —
+    the query is a plan-time literal compiled to a boolean expression
+    tree over array_contains (tsquery.c's QueryItem tree, evaluated by
+    TS_execute; ours compiles straight into Catalyst)."""
+
+    def compile_(node) -> Column:
+        kind = node[0]
+        if kind == "LEX":
+            return F.array_contains(tsv, node[1])
+        if kind == "NOT":
+            return ~compile_(node[1])
+        if kind == "AND":
+            return compile_(node[1]) & compile_(node[2])
+        return compile_(node[1]) | compile_(node[2])
+
+    return compile_(_tsq_parse(query))
+
+
+def ts_rank(tsv_counts: Column, tsq: Column) -> Column:
+    """Frequency rank: Σ over matched query lexemes of occ/(occ+1),
+    scaled by 1/(1+log(doc lexeme count)) — ts_rank's term-frequency
+    saturation and length normalization without positional covers."""
+    matched = F.filter(
+        tsv_counts,
+        lambda s: F.array_contains(tsq, s["lexeme"]),
+    )
+    raw = F.aggregate(
+        matched,
+        F.lit(0.0),
+        lambda acc, s: acc + s["occ"] / (s["occ"] + F.lit(1.0)),
+    )
+    return F.round(
+        raw / (F.lit(1.0) + F.log(F.lit(1.0) + F.size(tsv_counts))), 6
+    )

@@ -162,6 +162,68 @@ def minhash_dedup_pairs(
     return jaccard_verify(cand, sh, id_col, threshold, sizes=sizes)
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate PAIRS → duplicate CLUSTERS: connected components by
+    iterative min-label propagation; every document gets the smallest id
+    of its component as ``cluster_id`` (the canonical document).
+
+    Scale design: each round is one equi-join of the (symmetrized) edge
+    list with the current labels plus a min-aggregation — all hash
+    shuffles on ids, no windows, no collect.  Rounds needed = component
+    diameter, and near-dup components are shallow (pairs come from LSH
+    buckets, so components are cliques-of-cliques — typically 2-4
+    rounds).  Convergence is detected with a 1-row aggregate (labels
+    only ever decrease, so an unchanged label-sum is a fixpoint) — one
+    cheap action per round, no change-join.  Labels persist per round
+    and the previous round unpersists, keeping lineage bounded exactly
+    like the recursive-CTE driver loop (operators/recursive.py).
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .union(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["s"] == labels["id"])
+            .groupBy("d")
+            .agg(F.min("lbl").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["d"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["lbl"], F.coalesce(neigh["nl"], labels["lbl"])
+                ).alias("lbl"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
+
+
 def simhash_fingerprint(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16
 ) -> DataFrame:

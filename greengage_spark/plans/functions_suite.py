@@ -465,6 +465,133 @@ def dialect_to_char_full(spark, sf_dir):
 
 
 @suite.add(
+    "range_type_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber >= q THEN NULL ELSE l_linenumber END AS lo,
+           CASE WHEN l_linenumber >= q THEN NULL ELSE q END AS hi,
+           l_linenumber >= q AS is_empty,
+           (l_linenumber < q AND l_linenumber <= 15 AND 15 < q) AS contains_15,
+           (l_linenumber < q AND l_linenumber < 30 AND 4 < q) AS ovl_base,
+           CASE WHEN l_linenumber >= q
+                     OR greatest(l_linenumber, 4) >= least(q, 30) THEN NULL
+                ELSE greatest(l_linenumber, 4) END AS inter_lo,
+           CASE WHEN l_linenumber >= q
+                     OR greatest(l_linenumber, 4) >= least(q, 30) THEN NULL
+                ELSE least(q, 30) END AS inter_hi
+    FROM (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS q
+          FROM lineitem WHERE l_orderkey < 200) t
+    """,
+    doc="Range types (rangetypes.c; SURVEY §1.2): canonicalized discrete "
+    "ranges as structs with @> (elem), && overlap and * intersection — "
+    "all pure codegen expressions (functions/ranges.py); full algebra "
+    "incl. union/adjacency/containment in tests/test_ranges.py against "
+    "rangetypes.out facts.",
+    tags=("dialect", "types"),
+)
+def range_type_ops(spark, sf_dir):
+    from greengage_spark.functions.ranges import (
+        int4range,
+        r_contains_elem,
+        r_intersect,
+        r_isempty,
+        r_lower,
+        r_overlaps,
+        r_upper,
+    )
+
+    from greengage_spark.plans.common import cat
+
+    l = (
+        cat(spark, sf_dir)
+        .table("lineitem")
+        .filter(F.col("l_orderkey") < 200)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("int").alias("q"),
+        )
+    )
+    r = int4range(F.col("l_linenumber"), F.col("q"))
+    base = int4range(F.lit(4), F.lit(30))
+    inter = r_intersect(r, base)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        r_lower(r).alias("lo"),
+        r_upper(r).alias("hi"),
+        r_isempty(r).alias("is_empty"),
+        r_contains_elem(r, 15).alias("contains_15"),
+        r_overlaps(r, base).alias("ovl_base"),
+        r_lower(inter).alias("inter_lo"),
+        r_upper(inter).alias("inter_hi"),
+    )
+
+
+@suite.add(
+    "text_search_tsvector",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks,
+             list_sort(list_distinct(
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''))) AS lex
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           len(lex) AS n_lexemes,
+           (list_contains(lex, 'the') AND list_contains(lex, 'data'))
+             AS m_plain,
+           (list_contains(lex, 'data')
+             AND (list_contains(lex, 'model') OR list_contains(lex, 'training'))
+             AND NOT list_contains(lex, 'zzznope')) AS m_bool,
+           round(CASE WHEN len(list_filter(toks, x -> x = 'data')) > 0
+                      THEN len(list_filter(toks, x -> x = 'data'))
+                           / (len(list_filter(toks, x -> x = 'data')) + 1.0)
+                      ELSE 0.0 END
+                 / (1.0 + ln(1.0 + len(lex))), 6) AS rank_data
+    FROM t
+    """,
+    doc="tsvector/tsquery surface, 'simple' config (tsvector.c, "
+    "tsquery.c, tsrank.c): to_tsvector lexeme sets, plainto_tsquery AND "
+    "match, to_tsquery boolean trees (& | ! parens) compiled at plan "
+    "time into codegen predicates, and a frequency ts_rank "
+    "(functions/textsearch.py; divergence from positional-cover ranking "
+    "documented).",
+    tags=("dialect", "types", "text"),
+)
+def text_search_tsvector(spark, sf_dir):
+    from greengage_spark.functions.textsearch import (
+        plainto_tsquery,
+        to_tsquery_match,
+        to_tsvector,
+        to_tsvector_with_counts,
+        ts_match_plain,
+        ts_rank,
+    )
+    from greengage_spark.plans.common import cat
+
+    d = (
+        cat(spark, sf_dir)
+        .table("documents")
+        .filter(F.col("doc_id") < 300)
+    )
+    tsv = to_tsvector(F.col("text"))
+    tsvc = to_tsvector_with_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(tsv).alias("n_lexemes"),
+        ts_match_plain(tsv, plainto_tsquery("The Data")).alias("m_plain"),
+        to_tsquery_match(tsv, "data & (model | training) & !zzznope").alias(
+            "m_bool"
+        ),
+        ts_rank(tsvc, plainto_tsquery("data")).alias("rank_data"),
+    )
+
+
+@suite.add(
     "dialect_decode",
     oracle="""
     SELECT o_orderkey,

@@ -120,6 +120,72 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @suite.add(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_BAND_ROWS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i_cnt
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.id_a
+      JOIN sizes zb ON zb.doc_id = i.id_b
+      WHERE ROUND(i_cnt::DOUBLE / (za.sz + zb.sz - i_cnt), 4) >= 0.7
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT cluster_id,
+           COUNT(*) AS cluster_size,
+           MIN(id) AS canonical_id,
+           MAX(id) AS last_id,
+           CAST(SUM(id) AS BIGINT) AS id_sum
+    FROM comp GROUP BY cluster_id
+    """,
+    doc="Near-dup pairs -> duplicate CLUSTERS (connected components by "
+    "iterative min-label propagation, rounds = component diameter) with "
+    "the smallest doc id as the canonical document — the step that turns "
+    "pairwise LSH output into keep/drop decisions for a training corpus. "
+    "Oracle: DuckDB WITH RECURSIVE transitive closure over the same "
+    "pairs.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    from greengage_spark.pipeline.dedup import dedup_clusters
+
+    d = cat(spark, sf_dir).table("documents")
+    pairs = minhash_dedup_pairs(
+        d, "doc_id", "text", shingle_k=3, num_hashes=12, bands=4, threshold=0.7
+    )
+    clusters = dedup_clusters(pairs)
+    return clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("id").alias("canonical_id"),
+        F.max("id").alias("last_id"),
+        F.sum("id").alias("id_sum"),
+    )
+
+
+@suite.add(
     "dedup_simhash",
     oracle="""
     WITH tk AS (

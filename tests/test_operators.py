@@ -145,3 +145,23 @@ class TestAssertOp:
         spark.createDataFrame([(1,), (2,)], "x long").createOrReplaceTempView("two_rows")
         with _pytest.raises(Exception, match="(?i)more than one row|MULTI_VALUE_SUBQUERY"):
             spark.sql("SELECT (SELECT x FROM two_rows) AS v").collect()
+
+
+def test_dedup_clusters_label_propagation(spark):
+    """Connected components over near-dup pairs (pipeline.dedup
+    .dedup_clusters): a 4-node chain needs multiple propagation rounds;
+    separate components keep separate canonical ids."""
+    from greengage_spark.pipeline.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(3, 4), (2, 3), (1, 2), (10, 11), (20, 21), (21, 22)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }

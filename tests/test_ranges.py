@@ -1,0 +1,114 @@
+"""Range-type algebra vs PG semantics (rangetypes.c / rangetypes.sql).
+
+Each expectation below mirrors a row of the reference's expected output
+(src/test/regress/expected/rangetypes.out, cited inline) — evaluated
+through Spark as one-row Column expressions so codegen is exercised.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from greengage_spark.functions.ranges import (
+    int4range,
+    make_range,
+    numrange,
+    r_adjacent_discrete,
+    r_before,
+    r_contains_elem,
+    r_contains_range,
+    r_intersect,
+    r_isempty,
+    r_lower,
+    r_lower_inc,
+    r_overlaps,
+    r_union,
+    r_upper,
+    r_upper_inc,
+)
+
+
+def _val(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0][0]
+
+
+def test_discrete_canonicalization(spark):
+    # rangetypes.out: select int4range(1, 2, '(]') → [2,3)
+    r = _val(spark, int4range(F.lit(1), F.lit(2), "(]"))
+    assert (r["lo"], r["hi"], r["lo_inc"], r["hi_inc"]) == (2, 3, True, False)
+    # int4range(5,5) → empty
+    assert _val(spark, r_isempty(int4range(F.lit(5), F.lit(5))))
+    # '[3,]' upper-infinite
+    r = _val(spark, int4range(F.lit(3), F.lit(None).cast("int")))
+    assert r["lo"] == 3 and r["hi"] is None and not r["empty"]
+
+
+def test_contains_elem(spark):
+    # rangetypes.out: '[3,7)'::int4range @> 4 → t ; @> 7 → f ; @> 3 → t
+    r = int4range(F.lit(3), F.lit(7))
+    assert _val(spark, r_contains_elem(r, 4))
+    assert not _val(spark, r_contains_elem(r, 7))
+    assert _val(spark, r_contains_elem(r, 3))
+    # empty contains nothing
+    assert not _val(spark, r_contains_elem(int4range(F.lit(5), F.lit(5)), 5))
+
+
+def test_contains_range(spark):
+    a = int4range(F.lit(2), F.lit(10))
+    assert _val(spark, r_contains_range(a, int4range(F.lit(3), F.lit(7))))
+    assert not _val(spark, r_contains_range(a, int4range(F.lit(3), F.lit(11))))
+    # every range contains the empty range (rangetypes.out range_contains)
+    assert _val(spark, r_contains_range(a, int4range(F.lit(5), F.lit(5))))
+
+
+def test_overlaps_and_before(spark):
+    # numrange(1.0,2.0) << numrange(3.0,4.0) → t  (rangetypes.out:435)
+    assert _val(
+        spark, r_before(numrange(F.lit(1.0), F.lit(2.0)),
+                        numrange(F.lit(3.0), F.lit(4.0)))
+    )
+    # numrange(1.0,3.0,'[]') << numrange(3.0,4.0,'[]') → f (:441 — touch)
+    assert not _val(
+        spark, r_before(numrange(F.lit(1.0), F.lit(3.0), "[]"),
+                        numrange(F.lit(3.0), F.lit(4.0), "[]"))
+    )
+    assert _val(
+        spark, r_overlaps(numrange(F.lit(1.0), F.lit(3.0), "[]"),
+                          numrange(F.lit(3.0), F.lit(4.0), "[]"))
+    )
+    assert not _val(
+        spark, r_overlaps(numrange(F.lit(1.0), F.lit(3.0)),
+                          numrange(F.lit(3.0), F.lit(4.0)))
+    )
+
+
+def test_intersect(spark):
+    r = _val(
+        spark, r_intersect(int4range(F.lit(1), F.lit(7)),
+                           int4range(F.lit(4), F.lit(12)))
+    )
+    assert (r["lo"], r["hi"]) == (4, 7)
+    r = _val(
+        spark, r_intersect(int4range(F.lit(1), F.lit(3)),
+                           int4range(F.lit(5), F.lit(9)))
+    )
+    assert r["empty"]
+
+
+def test_union_and_adjacent(spark):
+    # [1,3) -|- [3,5) → adjacent; union = [1,5)
+    a, b = int4range(F.lit(1), F.lit(3)), int4range(F.lit(3), F.lit(5))
+    assert _val(spark, r_adjacent_discrete(a, b))
+    u = _val(spark, r_union(a, b))
+    assert (u["lo"], u["hi"]) == (1, 5)
+    # non-contiguous union raises (range_union error in rangetypes.c)
+    with pytest.raises(Exception):
+        _val(spark, r_union(int4range(F.lit(1), F.lit(2)),
+                            int4range(F.lit(5), F.lit(6))))
+
+
+def test_accessors(spark):
+    r = make_range(F.lit(1.5), F.lit(2.5), "(]")
+    assert _val(spark, r_lower(r)) == 1.5
+    assert _val(spark, r_upper(r)) == 2.5
+    assert not _val(spark, r_lower_inc(r))
+    assert _val(spark, r_upper_inc(r))

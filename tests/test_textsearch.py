@@ -1,0 +1,70 @@
+"""tsvector/tsquery surface (tsvector.c, tsquery.c) — unit semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from greengage_spark.functions.textsearch import (
+    plainto_tsquery,
+    to_tsquery_match,
+    to_tsvector,
+    to_tsvector_with_counts,
+    ts_match_plain,
+    ts_rank,
+)
+
+
+def _val(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0][0]
+
+
+TEXT = "The quick brown Fox jumps over the lazy dog. The fox!"
+
+
+def test_to_tsvector_lexemes(spark):
+    lex = _val(spark, to_tsvector(F.lit(TEXT)))
+    assert lex == sorted(
+        {"the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog"}
+    )
+
+
+def test_plain_match(spark):
+    tsv = to_tsvector(F.lit(TEXT))
+    assert _val(spark, ts_match_plain(tsv, plainto_tsquery("Lazy FOX")))
+    assert not _val(spark, ts_match_plain(tsv, plainto_tsquery("lazy cat")))
+
+
+@pytest.mark.parametrize(
+    "q,expected",
+    [
+        ("fox & dog", True),
+        ("fox & cat", False),
+        ("fox | cat", True),
+        ("!cat", True),
+        ("!fox", False),
+        ("fox & (cat | dog)", True),
+        ("fox & !(cat | cow)", True),
+        ("(quick | slow) & !(cat & dog)", True),
+    ],
+)
+def test_to_tsquery_operators(spark, q, expected):
+    tsv = to_tsvector(F.lit(TEXT))
+    assert _val(spark, to_tsquery_match(tsv, q)) is expected
+
+
+def test_counts_and_rank(spark):
+    tsvc = _val(spark, to_tsvector_with_counts(F.lit(TEXT)))
+    counts = {r["lexeme"]: r["occ"] for r in tsvc}
+    assert counts["the"] == 3 and counts["fox"] == 2 and counts["dog"] == 1
+    r_fox = _val(
+        spark,
+        ts_rank(to_tsvector_with_counts(F.lit(TEXT)), plainto_tsquery("fox")),
+    )
+    r_dog = _val(
+        spark,
+        ts_rank(to_tsvector_with_counts(F.lit(TEXT)), plainto_tsquery("dog")),
+    )
+    assert r_fox > r_dog > 0
+    assert _val(
+        spark,
+        ts_rank(to_tsvector_with_counts(F.lit(TEXT)), plainto_tsquery("cat")),
+    ) == 0.0
