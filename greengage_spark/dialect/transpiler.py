@@ -36,7 +36,7 @@ _TOKEN_RE = re.compile(
     | (?P<comment>  --[^\n]* | /\*.*?\*/ )
     | (?P<number>   \d+\.\d*([Ee][+-]?\d+)? | \.\d+([Ee][+-]?\d+)? | \d+([Ee][+-]?\d+)? )
     | (?P<ident>    [A-Za-z_][A-Za-z0-9_$]* )
-    | (?P<op>       ::|->>|->|\#>>|\#>|!~\*|!~|~\*|\|\||<=|>=|<>|!=|=> )
+    | (?P<op>       ::|->>|->|\#>>|\#>|!~\*|!~|~\*|\|\|/|\|/|\|\||<=|>=|<>|!=|=>|<<|>> )
     | (?P<ws>       \s+ )
     | (?P<other>    . )
     """,
@@ -221,6 +221,12 @@ _TYPE_MAP = {
 
 _PARAMETERIZED = {"numeric", "decimal"}  # keep (p,s); others drop args
 
+# exact-case Spark type names our own passes emit — never re-mapped
+_SPARK_EMITTED_TYPES = {
+    "SMALLINT", "INT", "BIGINT", "TINYINT", "FLOAT", "DOUBLE", "BOOLEAN",
+    "STRING", "BINARY", "DATE", "TIMESTAMP", "TIMESTAMP_NTZ",
+}
+
 
 def _pass_cast_typenames(toks: list[str]) -> list[str]:
     """Normalize PG type names in explicit ``CAST(expr AS type)`` (gram.y
@@ -247,6 +253,12 @@ def _pass_cast_typenames(toks: list[str]) -> list[str]:
             i += 1
             continue
         k = as_idx + 1
+        if k < close and toks[k] in _SPARK_EMITTED_TYPES:
+            # already a Spark type emitted by an earlier pass (exact
+            # uppercase) — e.g. the FLOAT from a ::float4 rewrite must
+            # not be re-read as PG `float` (= float8 → DOUBLE)
+            i += 1
+            continue
         tname = toks[k].lower() if k < close and _is_ident(toks[k]) else None
         mapped = _TYPE_MAP.get(tname) if tname else None
         if tname == "double" and k + 1 < close and toks[k + 1].lower() == "precision":
@@ -290,6 +302,45 @@ def _pass_casts(toks: list[str]) -> list[str]:
             mapped, end = "DOUBLE", i + 2
         elif mapped is None:
             raise ValueError(f"unsupported cast target type: {tname}")
+        # PG float input range checks (float.c float8in/float4in):
+        # literal operands overflow/underflow at PARSE time — Spark's
+        # CAST would silently yield ±Inf/0 instead
+        if (
+            tname in ("float8", "float", "float4", "real")
+            and start == i - 1
+            and _is_string(toks[i - 1])
+        ):
+            lit = toks[i - 1].strip("'").strip()
+            try:
+                fv = float(lit)
+            except ValueError:
+                fv = None  # 'NaN'/'Infinity' spellings Spark accepts
+            if fv is not None and lit.lower() not in (
+                "nan", "infinity", "-infinity", "+infinity", "inf",
+                "-inf", "+inf",
+            ):
+                import math as _math
+
+                limit = 3.4028234663852886e38 if tname in (
+                    "float4", "real",
+                ) else float("inf")
+                if _math.isinf(fv) or abs(fv) > limit:
+                    raise ValueError(
+                        f'"{lit}" is out of range for type {tname}'
+                    )
+                if fv == 0.0 and re.search(r"[1-9]", lit.split("e")[0]):
+                    raise ValueError(
+                        f'"{lit}" is out of range for type {tname}'
+                    )
+        # PG numeric accepts NaN (numeric.c); DECIMAL cannot — fall back
+        # to DOUBLE for the literal spelling
+        if (
+            tname in ("numeric", "decimal")
+            and start == i - 1
+            and _is_string(toks[i - 1])
+            and toks[i - 1].strip("'").strip().lower() == "nan"
+        ):
+            mapped = "DOUBLE"
         if end + 1 < len(toks) and toks[end + 1] == "(":
             j = end + 1
             depth = 0
@@ -1434,6 +1485,24 @@ def _pass_grouping_plain(toks: list[str]) -> list[str]:
     return toks
 
 
+def _join_tokens(toks: list[str]) -> str:
+    """Tokens → SQL text.  ``.`` binds tight in qualified names, but only
+    at the TOKEN level — a naive text replace would corrupt string
+    literals containing ' . ' (e.g. spaced to_char templates)."""
+    out: list[str] = []
+    glue = False  # previous token was a standalone qualified-name dot
+    for t in toks:
+        if t == "." and out:
+            out[-1] = out[-1] + "."
+            glue = True
+        elif glue:
+            out[-1] = out[-1] + t
+            glue = False
+        else:
+            out.append(t)
+    return " ".join(out)
+
+
 def _gb_norm(tl: list[str]) -> str:
     """Normalized key for a grouping expression (token text, idents folded)."""
     return " ".join(t.lower() if _is_ident(t) else t for t in tl)
@@ -1617,6 +1686,142 @@ _KEYWORDS_NONOPERAND = {
     "select", "when", "then", "else", "and", "or", "not", "case", "end",
     "by", "as", "on", "where", "having", "from", "in", "between",
 }
+
+
+def _primary_left(toks: list[str], i: int) -> int:
+    """Start index of the primary expression ending at toks[i-1]:
+    a balanced paren group (with optional function name), a qualified
+    identifier chain, or a single literal."""
+    j = i - 1
+    if j >= 0 and toks[j] == ")":
+        depth = 0
+        while j >= 0:
+            if toks[j] == ")":
+                depth += 1
+            elif toks[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if (
+            j - 1 >= 0
+            and _is_ident(toks[j - 1])
+            and toks[j - 1].lower() not in _KEYWORDS_NONOPERAND
+        ):
+            j -= 1
+        return j
+    while j - 2 >= 0 and toks[j - 1] == "." and _is_ident(toks[j - 2]):
+        j -= 2
+    return j
+
+
+def _primary_right(toks: list[str], i: int) -> int:
+    """End index (exclusive) of the primary expression starting at
+    toks[i+1] (optional unary sign, then call/paren group/literal)."""
+    j = i + 1
+    if j < len(toks) and toks[j] in ("+", "-", "~"):
+        j += 1
+    if j < len(toks) and _is_ident(toks[j]) and j + 1 < len(toks) and toks[j + 1] == "(":
+        return _args_span(toks, j + 1) + 1
+    if j < len(toks) and toks[j] == "(":
+        return _args_span(toks, j) + 1
+    j += 1
+    while j + 1 < len(toks) and toks[j] == "." and _is_ident(toks[j + 1]):
+        j += 2
+    return j
+
+
+def _pass_pow_xor(toks: list[str]) -> list[str]:
+    """PG numeric operators Spark spells differently (int.c / float.c):
+    ``a # b`` is bitwise XOR → Spark ``^``; PG ``a ^ b`` is POWER (float
+    result) → ``power(a, b)``.  Operands are primaries (PG gives ^ the
+    tightest binary precedence), rewritten right-to-left so chained
+    forms nest left-associatively."""
+    # xor first: after this no '#' remains, and '^' sites are all power
+    for i in range(len(toks) - 1, -1, -1):
+        if toks[i] == "#" and 0 < i < len(toks) - 1:
+            toks[i] = "^"
+        elif toks[i] == "^":
+            ls = _primary_left(toks, i)
+            re_ = _primary_right(toks, i)
+            if ls < 0:
+                continue
+            new = (
+                ["power", "("]
+                + toks[ls:i]
+                + [","]
+                + toks[i + 1 : re_]
+                + [")"]
+            )
+            toks[ls:re_] = new
+    return toks
+
+
+def _pass_prefix_math_ops(toks: list[str]) -> list[str]:
+    """PG prefix math operators (float.c): ``|/ x`` square root,
+    ``||/ x`` cube root, ``@ x`` absolute value."""
+    i = 0
+    while i < len(toks):
+        fn = {"|/": "sqrt", "||/": "cbrt", "@": "abs"}.get(toks[i])
+        if fn is not None and not (
+            toks[i] == "@" and i + 1 < len(toks) and toks[i + 1] == ">"
+        ):
+            e = _primary_right(toks, i)
+            toks[i:e] = [fn, "("] + toks[i + 1 : e] + [")"]
+        i += 1
+    return toks
+
+
+def _pass_factorial(toks: list[str]) -> list[str]:
+    """PG factorial operators (int.c numeric_fac): postfix ``n !`` and
+    prefix ``!! n`` → factorial(n).  ``!=`` is a single token, so a bare
+    ``!`` here is always the operator."""
+    i = 0
+    while i < len(toks):
+        if toks[i] == "!":
+            if i + 1 < len(toks) and toks[i + 1] == "!":
+                # prefix !!
+                e = _primary_right(toks, i + 1)
+                toks[i:e] = (
+                    ["factorial", "("] + toks[i + 2 : e] + [")"]
+                )
+            else:
+                s = _primary_left(toks, i)
+                if s < i:
+                    toks[s : i + 1] = (
+                        ["factorial", "("] + toks[s:i] + [")"]
+                    )
+        i += 1
+    return toks
+
+
+def _pass_float_int_cast_round(toks: list[str]) -> list[str]:
+    """PG float→integer casts round half-even (rint); Spark truncates.
+    The operand's float-ness is only visible syntactically for chained
+    casts — ``CAST(CAST(x AS FLOAT) AS BIGINT)`` — so wrap those in
+    bround() (half-even, matching rint).  Bare column casts keep Spark
+    semantics (documented divergence: column types are invisible at
+    transpile time)."""
+    i = 0
+    while i + 1 < len(toks):
+        if toks[i].upper() == "CAST" and toks[i + 1] == "(":
+            close = _args_span(toks, i + 1)
+            if (
+                close - 2 >= 0
+                and toks[close - 1].upper() in ("INT", "SMALLINT", "BIGINT", "TINYINT")
+                and toks[close - 2].upper() == "AS"
+                and toks[i + 2].upper() == "CAST"
+            ):
+                inner_close = _args_span(toks, i + 3)
+                if (
+                    toks[inner_close - 1].upper() in ("FLOAT", "DOUBLE", "REAL")
+                    and inner_close == close - 3
+                ):
+                    toks[i + 2 : close - 2] = (
+                        ["bround", "("] + toks[i + 2 : close - 2] + [")"]
+                    )
+        i += 1
+    return toks
 
 
 def _pass_group_by_aliases(toks: list[str]) -> list[str]:
@@ -2090,7 +2295,7 @@ def duck_grouping_sql(sql: str) -> str:
     # GROUPING()/GROUP_ID() under a plain (extension-free) GROUP BY fold
     # to 0 (plangroupext.c) — DuckDB rejects them there just like Spark
     toks = _pass_grouping_plain(toks)
-    return " ".join(toks).replace(" . ", ".")
+    return _join_tokens(toks)
 
 
 def _pass_decode(toks: list[str]) -> list[str]:
@@ -2589,8 +2794,30 @@ def _pass_json_ops(toks: list[str]) -> list[str]:
 
 
 def _pass_regex_ops(toks: list[str]) -> list[str]:
+    def _is_infix(i: int) -> bool:
+        # `~` in PREFIX position is bitwise NOT (int.c int4not), which
+        # Spark spells the same — only infix `~` is the regex operator
+        if toks[i] != "~":
+            return True
+        if i == 0:
+            return False
+        p = toks[i - 1]
+        if p in (",", "(", "[") or not (
+            _is_ident(p) or _is_string(p) or p in (")", "]")
+            or p[:1].isdigit()
+        ):
+            return False
+        return not (_is_ident(p) and p.lower() in _KEYWORDS_NONOPERAND)
+
     while True:
-        idx = next((i for i, t in enumerate(toks) if t in ("~", "~*", "!~", "!~*")), None)
+        idx = next(
+            (
+                i
+                for i, t in enumerate(toks)
+                if t in ("~", "~*", "!~", "!~*") and _is_infix(i)
+            ),
+            None,
+        )
         if idx is None:
             return toks
         op = toks[idx]
@@ -2693,6 +2920,10 @@ def _pass_functions(toks: list[str]) -> list[str]:
             if low in ("to_char", "to_date", "to_timestamp") and len(args) == 2 and len(args[1]) == 1 and _is_string(args[1][0]):
                 tmpl = args[1][0].strip("'")
                 m_num = re.fullmatch(r"(FM)?([9]+)(?:\.([9]+))?", tmpl)
+                if m_num and m_num.group(1) and m_num.group(3):
+                    # FM with decimal positions strips trailing 9-zeros —
+                    # only the full engine renders that; skip fast path
+                    m_num = None
                 if low == "to_char" and m_num:
                     # numeric template (formatting.c NUM_9): right-align in
                     # the template width with one sign column; FM strips
@@ -2770,6 +3001,26 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 out[i : close + 1] = (
                     ["CAST", "("] + args[0] + ["AS", mapped_t, ")"]
                 )
+                i += 1
+                continue
+            if low in ("ceil", "ceiling", "floor", "trunc") and len(args) == 1:
+                # PG keeps the argument's type (float.c dceil/dfloor,
+                # numeric.c); Spark's ceil/floor return BIGINT, which
+                # clamps 1e200-scale doubles.  The mod-1 formula is
+                # type-generic and codegen-friendly; % follows the
+                # dividend's sign in both engines.
+                a = ["("] + args[0] + [")"]
+                frac = a + ["%", "1"]
+                if low == "trunc":
+                    new = ["("] + a + ["-", "("] + frac + [")", ")"]
+                else:
+                    cmp_, adj = (">", "1") if low != "floor" else ("<", "-1")
+                    new = (
+                        ["("] + a + ["-", "("] + frac + [")", "+",
+                         "CASE", "WHEN", "("] + frac + [")", cmp_, "0",
+                         "THEN", adj, "ELSE", "0", "END", ")"]
+                    )
+                out[i : close + 1] = new
                 i += 1
                 continue
             if low in ("ltrim", "rtrim", "btrim") and len(args) == 2:
@@ -3313,10 +3564,14 @@ def transpile(sql: str) -> str:
     toks = _pass_from_srf_items(toks)
     toks = _pass_casts(toks)
     toks = _pass_cast_typenames(toks)
+    toks = _pass_float_int_cast_round(toks)
     toks = _pass_date_minus(toks)
     toks = _pass_date_input_literals(toks)
     toks = _pass_json_ops(toks)
     toks = _pass_regex_ops(toks)
+    toks = _pass_pow_xor(toks)
+    toks = _pass_prefix_math_ops(toks)
+    toks = _pass_factorial(toks)
     toks = _pass_agg_order_by(toks)
     toks = _pass_avg_bigint_exact(toks)
     toks = _pass_rank_needs_order(toks)
@@ -3335,7 +3590,7 @@ def transpile(sql: str) -> str:
         for t in toks
     ]
     # re-join with spaces; '.' binds tight (qualified names)
-    return " ".join(toks).replace(" . ", ".")
+    return _join_tokens(toks)
 
 
 def pg_sql(spark, sql: str):

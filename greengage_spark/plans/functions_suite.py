@@ -187,8 +187,8 @@ def dialect_string_funcs(spark, sf_dir):
     oracle="""
     SELECT p_partkey,
            abs(p_size - 25) AS dist25,
-           CAST(ceil(p_retailprice / 100) AS BIGINT) AS price_ceil,
-           CAST(floor(p_retailprice / 100) AS BIGINT) AS price_floor,
+           CAST(ceil(p_retailprice / 100) AS DOUBLE) AS price_ceil,
+           CAST(floor(p_retailprice / 100) AS DOUBLE) AS price_floor,
            round(p_retailprice / 7, 2) AS price_r2,
            power(p_size, 2) AS size_sq,
            round(sqrt(p_size), 6) AS size_sqrt,
