@@ -1757,6 +1757,90 @@ def _pass_pow_xor(toks: list[str]) -> list[str]:
     return toks
 
 
+_TSVECTOR_SQL = (
+    "array_sort ( array_distinct ( filter ( split ( lower ( {x} ) , "
+    "'[^a-z0-9]+' ) , __t -> __t != '' ) ) )"
+)
+
+
+def _pass_text_search(toks: list[str]) -> list[str]:
+    """SQL surface for text search (tsvector.c / tsquery.c, 'simple'
+    config): ``to_tsvector([cfg,] x)`` → lexeme-array expression;
+    ``tsv @@ plainto_tsquery('...')`` → AND of array_contains;
+    ``tsv @@ to_tsquery('a & (b|!c)')`` → the query tree compiled to a
+    boolean expression (functions/textsearch.py holds the DataFrame
+    twin).  The tsvector operand must be on the LEFT of ``@@``."""
+    from greengage_spark.functions.textsearch import _tsq_parse
+
+    def _tsv(arg_toks: list[str]) -> list[str]:
+        return tokenize(_TSVECTOR_SQL.format(x=" ".join(arg_toks)))
+
+    # to_tsvector calls (drop an optional leading 'simple' config arg)
+    i = 0
+    while i < len(toks):
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() == "to_tsvector"
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+        ):
+            close = _args_span(toks, i + 1)
+            args = _split_args(toks[i + 2 : close])
+            if len(args) == 2 and _is_string(args[0][0]):
+                args = args[1:]
+            toks[i : close + 1] = _tsv(args[0])
+        i += 1
+    # infix @@ with a literal-query RHS
+    i = 0
+    while i + 1 < len(toks):
+        if toks[i] == "@" and toks[i + 1] == "@":
+            ls = _primary_left(toks, i)
+            j = i + 2
+            if (
+                ls < i
+                and j + 1 < len(toks)
+                and _is_ident(toks[j])
+                and toks[j].lower() in ("plainto_tsquery", "to_tsquery")
+                and toks[j + 1] == "("
+            ):
+                close = _args_span(toks, j + 1)
+                qargs = _split_args(toks[j + 2 : close])
+                if len(qargs) == 2 and _is_string(qargs[0][0]):
+                    qargs = qargs[1:]
+                if len(qargs) == 1 and len(qargs[0]) == 1 and _is_string(
+                    qargs[0][0]
+                ):
+                    tsv = " ".join(toks[ls:i])
+                    q = qargs[0][0].strip("'")
+
+                    def _sql(node) -> str:
+                        k = node[0]
+                        if k == "LEX":
+                            return f"array_contains ( {tsv} , '{node[1]}' )"
+                        if k == "NOT":
+                            return f"( NOT {_sql(node[1])} )"
+                        op = "AND" if k == "AND" else "OR"
+                        return f"( {_sql(node[1])} {op} {_sql(node[2])} )"
+
+                    if toks[j].lower() == "plainto_tsquery":
+                        lex = [
+                            t
+                            for t in re.split(r"[^a-z0-9]+", q.lower())
+                            if t
+                        ]
+                        sql = " AND ".join(
+                            f"array_contains ( {tsv} , '{t}' )" for t in lex
+                        ) or "TRUE"
+                        sql = f"( {sql} )"
+                    else:
+                        sql = _sql(_tsq_parse(q))
+                    toks[ls : close + 1] = tokenize(sql)
+                    i = ls
+                    continue
+        i += 1
+    return toks
+
+
 def _pass_prefix_math_ops(toks: list[str]) -> list[str]:
     """PG prefix math operators (float.c): ``|/ x`` square root,
     ``||/ x`` cube root, ``@ x`` absolute value."""
@@ -1764,8 +1848,10 @@ def _pass_prefix_math_ops(toks: list[str]) -> list[str]:
     while i < len(toks):
         fn = {"|/": "sqrt", "||/": "cbrt", "@": "abs"}.get(toks[i])
         if fn is not None and not (
-            toks[i] == "@" and i + 1 < len(toks) and toks[i + 1] == ">"
-        ):
+            toks[i] == "@"
+            and i + 1 < len(toks)
+            and toks[i + 1] in (">", "@")
+        ) and not (toks[i] == "@" and i > 0 and toks[i - 1] == "@"):
             e = _primary_right(toks, i)
             toks[i:e] = [fn, "("] + toks[i + 1 : e] + [")"]
         i += 1
@@ -3570,6 +3656,7 @@ def transpile(sql: str) -> str:
     toks = _pass_json_ops(toks)
     toks = _pass_regex_ops(toks)
     toks = _pass_pow_xor(toks)
+    toks = _pass_text_search(toks)
     toks = _pass_prefix_math_ops(toks)
     toks = _pass_factorial(toks)
     toks = _pass_agg_order_by(toks)

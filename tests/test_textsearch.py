@@ -68,3 +68,33 @@ def test_counts_and_rank(spark):
         spark,
         ts_rank(to_tsvector_with_counts(F.lit(TEXT)), plainto_tsquery("cat")),
     ) == 0.0
+
+
+def test_sql_surface_tsquery(spark):
+    """PG SQL text-search surface through the transpiler (@@ operator)."""
+    from greengage_spark.dialect.transpiler import pg_sql
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW ts_docs AS SELECT * FROM (VALUES "
+        "(1, 'the quick brown fox'), (2, 'lazy dogs sleep all day'), "
+        "(3, 'Fox and Dog together')) AS t(id, body)"
+    )
+    got = sorted(
+        r[0]
+        for r in pg_sql(
+            spark,
+            "SELECT id FROM ts_docs WHERE "
+            "to_tsvector('simple', body) @@ plainto_tsquery('FOX')",
+        ).collect()
+    )
+    assert got == [1, 3]
+    got = sorted(
+        r[0]
+        for r in pg_sql(
+            spark,
+            "SELECT id FROM ts_docs WHERE "
+            "to_tsvector(body) @@ to_tsquery('fox & !dog')",
+        ).collect()
+    )
+    assert got == [1]
+    spark.catalog.dropTempView("ts_docs")
