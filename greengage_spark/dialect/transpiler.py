@@ -221,12 +221,6 @@ _TYPE_MAP = {
 
 _PARAMETERIZED = {"numeric", "decimal"}  # keep (p,s); others drop args
 
-# exact-case Spark type names our own passes emit — never re-mapped
-_SPARK_EMITTED_TYPES = {
-    "SMALLINT", "INT", "BIGINT", "TINYINT", "FLOAT", "DOUBLE", "BOOLEAN",
-    "STRING", "BINARY", "DATE", "TIMESTAMP", "TIMESTAMP_NTZ",
-}
-
 
 def _pass_cast_typenames(toks: list[str]) -> list[str]:
     """Normalize PG type names in explicit ``CAST(expr AS type)`` (gram.y
@@ -253,12 +247,6 @@ def _pass_cast_typenames(toks: list[str]) -> list[str]:
             i += 1
             continue
         k = as_idx + 1
-        if k < close and toks[k] in _SPARK_EMITTED_TYPES:
-            # already a Spark type emitted by an earlier pass (exact
-            # uppercase) — e.g. the FLOAT from a ::float4 rewrite must
-            # not be re-read as PG `float` (= float8 → DOUBLE)
-            i += 1
-            continue
         tname = toks[k].lower() if k < close and _is_ident(toks[k]) else None
         mapped = _TYPE_MAP.get(tname) if tname else None
         if tname == "double" and k + 1 < close and toks[k + 1].lower() == "precision":
@@ -1097,9 +1085,26 @@ def _fold_date_tokens(lit_tok: str, is_ts: bool) -> list[str] | None:
             return list(_TS_SPECIAL_SQL[low])
         if re.fullmatch(r"\d{4}-\d{2}-\d{2}([ tT].*)?", lit):
             return None  # ISO — Spark parses natively
+        # meridian marker (datetime.c DecodeTime AM/PM): strip before the
+        # field walk, apply to the hour afterwards
+        mer = re.search(r"(?i)\b([ap])\.?m\.?(?=\s|$)", lit)
+        if mer:
+            lit = (lit[: mer.start()] + lit[mer.end():]).strip()
         d = parse_pg_date(lit)
         m = re.search(r"\d+:\d[\d:.]*", lit)
         time_part = m.group(0) if m else "00:00:00"
+        if mer and m:
+            bits = time_part.split(":")
+            hour = int(bits[0])
+            if not 1 <= hour <= 12:
+                raise ValueError(
+                    f"invalid input syntax for type timestamp: {lit!r}"
+                )
+            if mer.group(1).lower() == "p" and hour < 12:
+                hour += 12
+            elif mer.group(1).lower() == "a" and hour == 12:
+                hour = 0
+            time_part = ":".join([f"{hour:02d}"] + bits[1:])
         return ["TIMESTAMP", f"'{d.isoformat()} {time_part}'"]
     from greengage_spark.dialect.datetime_input import fold_pg_date
 
@@ -1171,6 +1176,17 @@ def _pass_date_minus(toks: list[str]) -> list[str]:
         )
         left_is_date = _is_date_lit_end(i - 1)
         if not (right_is_date or left_is_date):
+            i += 1
+            continue
+        # date ± interval/time/timestamp is timestamp arithmetic
+        # (date_pl_interval), NOT date_mi — leave it to Spark
+        if (
+            i + 1 < len(toks)
+            and _is_ident(toks[i + 1])
+            and toks[i + 1].lower() in (
+                "interval", "time", "timestamp", "timestamptz",
+            )
+        ):
             i += 1
             continue
         # binary minus only: something operand-like must precede
@@ -1735,16 +1751,19 @@ def _pass_pow_xor(toks: list[str]) -> list[str]:
     """PG numeric operators Spark spells differently (int.c / float.c):
     ``a # b`` is bitwise XOR → Spark ``^``; PG ``a ^ b`` is POWER (float
     result) → ``power(a, b)``.  Operands are primaries (PG gives ^ the
-    tightest binary precedence), rewritten right-to-left so chained
-    forms nest left-associatively."""
-    # xor first: after this no '#' remains, and '^' sites are all power
-    for i in range(len(toks) - 1, -1, -1):
+    tightest binary precedence); scanning left-to-right makes chains
+    nest LEFT-associatively — PG: 2 ^ 3 ^ 2 = (2^3)^2 = 64."""
+    # placeholder keeps XOR sites out of the power rewrite below
+    for i in range(len(toks)):
         if toks[i] == "#" and 0 < i < len(toks) - 1:
-            toks[i] = "^"
-        elif toks[i] == "^":
+            toks[i] = "\x00xor"
+    i = 0
+    while i < len(toks):
+        if toks[i] == "^":
             ls = _primary_left(toks, i)
             re_ = _primary_right(toks, i)
             if ls < 0:
+                i += 1
                 continue
             new = (
                 ["power", "("]
@@ -1754,7 +1773,11 @@ def _pass_pow_xor(toks: list[str]) -> list[str]:
                 + [")"]
             )
             toks[ls:re_] = new
-    return toks
+            # continue from the start of the rewritten call so a
+            # following ^ takes the whole power(...) as its left primary
+            i = ls
+        i += 1
+    return ["^" if t == "\x00xor" else t for t in toks]
 
 
 _TSVECTOR_SQL = (
@@ -1788,7 +1811,10 @@ def _pass_text_search(toks: list[str]) -> list[str]:
             args = _split_args(toks[i + 2 : close])
             if len(args) == 2 and _is_string(args[0][0]):
                 args = args[1:]
-            toks[i : close + 1] = _tsv(args[0])
+            if len(args) == 1:
+                toks[i : close + 1] = _tsv(args[0])
+            # non-literal config args fall through untouched (fails
+            # loudly at analysis rather than silently mis-tokenizing)
         i += 1
     # infix @@ with a literal-query RHS
     i = 0
@@ -1828,9 +1854,11 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                             for t in re.split(r"[^a-z0-9]+", q.lower())
                             if t
                         ]
+                        # an empty tsquery matches NOTHING in PG
+                        # (tsquery.c TS_execute on an empty tree)
                         sql = " AND ".join(
                             f"array_contains ( {tsv} , '{t}' )" for t in lex
-                        ) or "TRUE"
+                        ) or "FALSE"
                         sql = f"( {sql} )"
                     else:
                         sql = _sql(_tsq_parse(q))
@@ -1849,9 +1877,13 @@ def _pass_prefix_math_ops(toks: list[str]) -> list[str]:
         fn = {"|/": "sqrt", "||/": "cbrt", "@": "abs"}.get(toks[i])
         if fn is not None and not (
             toks[i] == "@"
-            and i + 1 < len(toks)
-            and toks[i + 1] in (">", "@")
-        ) and not (toks[i] == "@" and i > 0 and toks[i - 1] == "@"):
+            and (
+                (i + 1 < len(toks) and toks[i + 1] in (">", "@"))
+                # <@ containment: leave both tokens so the statement
+                # fails loudly at parse instead of computing `< abs(y)`
+                or (i > 0 and toks[i - 1] in ("@", "<"))
+            )
+        ):
             e = _primary_right(toks, i)
             toks[i:e] = [fn, "("] + toks[i + 1 : e] + [")"]
         i += 1
@@ -3648,8 +3680,11 @@ def transpile(sql: str) -> str:
     toks = _pass_case_notdistinct(toks)
     toks = _pass_array_constructor(toks)
     toks = _pass_from_srf_items(toks)
-    toks = _pass_casts(toks)
+    # user-written CAST(x AS pgtype) typenames map BEFORE ::casts emit
+    # Spark type tokens, so emissions are never re-read as PG names
+    # (PG `float` = float8, but our emitted FLOAT means float4)
     toks = _pass_cast_typenames(toks)
+    toks = _pass_casts(toks)
     toks = _pass_float_int_cast_round(toks)
     toks = _pass_date_minus(toks)
     toks = _pass_date_input_literals(toks)

@@ -391,8 +391,10 @@ def dch_needs_engine(tmpl: str) -> bool:
     case-variant names, TH ordinals, FM, SSSS, CC, …)."""
     for m in _DCH_RE.finditer(tmpl):
         t = m.group(0)
-        if t in _JAVA_EXACT or t.startswith('"') or not t.isalpha():
+        if t in _JAVA_EXACT or t.startswith('"'):
             continue
+        # membership FIRST: punctuated fields (Y,YYY / B.C. / a.m.)
+        # are DCH tokens too and must reach the engine
         if t in _DCH_TOKENS:
             return True
     return False

@@ -167,13 +167,27 @@ def r_after(a: Column, b: Column) -> Column:
     return r_before(b, a)
 
 
+def r_adjacent(a: Column, b: Column) -> Column:
+    """``a -|- b`` (range_adjacent): the ranges share a boundary point
+    that belongs to exactly one of them — bounds meet and exactly one
+    side includes the meeting point (rangetypes.c bounds_adjacent)."""
+
+    def meet(x, y):  # x's upper meets y's lower
+        return (
+            x["hi"].isNotNull()
+            & y["lo"].isNotNull()
+            & (x["hi"] == y["lo"])
+            & (x["hi_inc"] != y["lo_inc"])
+        )
+
+    return ~a["empty"] & ~b["empty"] & (meet(a, b) | meet(b, a))
+
+
 def r_adjacent_discrete(a: Column, b: Column) -> Column:
-    """``a -|- b`` for canonicalized discrete [lo, hi) ranges."""
-    return (
-        ~a["empty"]
-        & ~b["empty"]
-        & ((a["hi"] == b["lo"]) | (b["hi"] == a["lo"]))
-    )
+    """``a -|- b`` for canonicalized discrete [lo, hi) ranges (hi_inc is
+    always false and lo_inc true, so the general test reduces to bound
+    equality)."""
+    return r_adjacent(a, b)
 
 
 def r_intersect(a: Column, b: Column) -> Column:
@@ -204,8 +218,7 @@ def r_union(a: Column, b: Column) -> Column:
     contiguous; here the union of non-touching ranges is flagged by a
     runtime error the same way (raise_error)."""
     contiguous = (
-        a["empty"] | b["empty"] | r_overlaps(a, b)
-        | r_adjacent_discrete(a, b)
+        a["empty"] | b["empty"] | r_overlaps(a, b) | r_adjacent(a, b)
     )
     use_a_lo = _lower_le(a, b) & ~a["empty"]
     use_a_hi = _upper_ge(a, b) & ~a["empty"]

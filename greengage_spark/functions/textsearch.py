@@ -66,8 +66,12 @@ def plainto_tsquery(q: str | Column) -> Column:
 
 
 def ts_match_plain(tsv: Column, tsq: Column) -> Column:
-    """``tsv @@ plainto_tsquery(...)`` — every query lexeme present."""
-    return F.forall(tsq, lambda t: F.array_contains(tsv, t))
+    """``tsv @@ plainto_tsquery(...)`` — every query lexeme present.
+    An EMPTY tsquery matches nothing (tsquery.c TS_execute), unlike a
+    vacuous forall."""
+    return (F.size(tsq) > 0) & F.forall(
+        tsq, lambda t: F.array_contains(tsv, t)
+    )
 
 
 # --------------------------- to_tsquery('a & (b | !c)') compilation

@@ -46,7 +46,9 @@ class Sequence:
     minvalue: int | None = None
     maxvalue: int | None = None
     cycle: bool = False
-    last_value: int = 0  # set in __post_init__
+    # None = freshly created (DefineSequence sets last_value = start);
+    # an explicit 0 from setval(seq, 0, false) must survive a reload
+    last_value: int | None = None
     is_called: bool = False
 
     def __post_init__(self):
@@ -54,7 +56,7 @@ class Sequence:
             self.minvalue = 1 if self.increment > 0 else -_SEQ_MAX
         if self.maxvalue is None:
             self.maxvalue = _SEQ_MAX if self.increment > 0 else -1
-        if not self.is_called and self.last_value == 0:
+        if self.last_value is None:
             self.last_value = self.start
 
     def nextval(self) -> int:
@@ -87,6 +89,14 @@ class Sequence:
                     raise ValueError(
                         f"nextval: reached bound of sequence {self.name!r}"
                     )
+                # a cycled batch would need per-row modulo ids (and can
+                # reissue values already handed out) — fail loudly
+                # instead of emitting out-of-range ids
+                raise NotImplementedError(
+                    "batch nextval over a CYCLE sequence would wrap "
+                    f"within one statement (sequence {self.name!r}); "
+                    "documented divergence"
+                )
             self.last_value = last
         return first
 

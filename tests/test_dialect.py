@@ -270,3 +270,75 @@ class TestEndToEnd:
     def test_subscript_semantics(self, spark):
         row = pg_sql(spark, "SELECT (string_to_array('a b c', ' '))[1] AS first").collect()[0]
         assert row.first == "a"
+
+
+class TestReviewRegressions:
+    """Pinned fixes from the round-3 self-review."""
+
+    def test_date_minus_interval_left_alone(self, spark):
+        from greengage_spark.dialect.transpiler import pg_sql, transpile
+
+        assert "datediff" not in transpile(
+            "SELECT date '2001-09-28' - interval '1 hour'"
+        )
+        got = pg_sql(
+            spark, "SELECT date '2001-09-28' - interval '1 hour' AS t"
+        ).collect()[0][0]
+        assert str(got) == "2001-09-27 23:00:00"
+
+    def test_power_left_associative(self, spark):
+        from greengage_spark.dialect.transpiler import pg_sql
+
+        # PG: 2 ^ 3 ^ 2 = (2^3)^2 = 64
+        assert pg_sql(spark, "SELECT 2 ^ 3 ^ 2 AS v").collect()[0][0] == 64.0
+
+    def test_xor_not_power(self, spark):
+        from greengage_spark.dialect.transpiler import pg_sql
+
+        assert pg_sql(spark, "SELECT 5 # 3 AS v").collect()[0][0] == 6
+
+    def test_containment_op_not_abs(self):
+        from greengage_spark.dialect.transpiler import transpile
+
+        assert "abs" not in transpile("SELECT x <@ y FROM t")
+
+    def test_uppercase_float_cast_is_float8(self, spark):
+        from greengage_spark.dialect.transpiler import pg_sql
+
+        df = pg_sql(spark, "SELECT CAST(1.0000001 AS FLOAT) AS v")
+        assert dict(df.dtypes)["v"] == "double"
+
+    def test_punctuated_dch_templates_use_engine(self, spark):
+        from greengage_spark.dialect.transpiler import pg_sql
+
+        assert (
+            pg_sql(
+                spark, "SELECT to_char(DATE '1999-06-01', 'Y,YYY') AS v"
+            ).collect()[0][0]
+            == "1,999"
+        )
+        assert (
+            pg_sql(
+                spark, "SELECT to_char(DATE '1999-06-01', 'YYYY A.D.') AS v"
+            ).collect()[0][0]
+            == "1999 A.D."
+        )
+
+    def test_empty_tsquery_matches_nothing(self, spark):
+        from greengage_spark.dialect.transpiler import pg_sql
+
+        assert (
+            pg_sql(
+                spark,
+                "SELECT to_tsvector('abc def') @@ plainto_tsquery('') AS v",
+            ).collect()[0][0]
+            is False
+        )
+
+    def test_timestamp_meridian_literals(self, spark):
+        from greengage_spark.dialect.transpiler import pg_sql
+
+        got = pg_sql(
+            spark, "SELECT timestamp 'Jan 8 1999 04:05 PM' AS t"
+        ).collect()[0][0]
+        assert str(got) == "1999-01-08 16:05:00"

@@ -112,3 +112,24 @@ def test_accessors(spark):
     assert _val(spark, r_upper(r)) == 2.5
     assert not _val(spark, r_lower_inc(r))
     assert _val(spark, r_upper_inc(r))
+
+
+def test_union_noncontiguous_continuous_raises(spark):
+    # numrange (1,2) + (2,3): 2 belongs to neither — PG raises
+    with pytest.raises(Exception):
+        _val(
+            spark,
+            r_union(
+                numrange(F.lit(1.0), F.lit(2.0), "()"),
+                numrange(F.lit(2.0), F.lit(3.0), "()"),
+            ),
+        )
+    # [1,2) + [2,3): boundary covered by the second — contiguous
+    u = _val(
+        spark,
+        r_union(
+            numrange(F.lit(1.0), F.lit(2.0)),
+            numrange(F.lit(2.0), F.lit(3.0)),
+        ),
+    )
+    assert (u["lo"], u["hi"]) == (1.0, 3.0)

@@ -121,3 +121,24 @@ class TestEngineSequences:
         eng.execute("CREATE TABLE t (x int8)")
         with pytest.raises(NotImplementedError):
             eng.execute("UPDATE t SET x = nextval('s')")
+
+
+def test_setval_zero_survives_reload(tmp_path):
+    """setval(seq, 0, false) round-trips through JSON persistence."""
+    from greengage_spark.operators.sequence import Sequence, SequenceManager
+
+    m = SequenceManager(str(tmp_path))
+    m.create(Sequence(name="s", start=3, minvalue=-5))
+    m.setval("s", 0, is_called=False)
+    m2 = SequenceManager(str(tmp_path))
+    assert m2.nextval("s") == 0
+
+
+def test_cycle_batch_reserve_fails_loudly():
+    from greengage_spark.operators.sequence import Sequence
+
+    s = Sequence(name="c", maxvalue=5, cycle=True)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        s.reserve(10)
