@@ -3192,9 +3192,14 @@ def _pass_functions(toks: list[str]) -> list[str]:
                         "flag for replace-all"
                     )
                 mods = "(?s)" + ("(?i)" if "i" in flags else "")
-                new_pat = (
-                    "'" + mods + "^(.*?)(" + pat[0][1:-1] + ")'"
+                # the ^(.*?)( wrapper adds two capture groups, so
+                # backreferences INSIDE the pattern shift by 2 as well
+                inner_pat = re.sub(
+                    r"(?<!\\)\\(\d)",
+                    lambda m: "\\" + str(int(m.group(1)) + 2),
+                    pat[0][1:-1],
                 )
+                new_pat = "'" + mods + "^(.*?)(" + inner_pat + ")'"
 
                 def _conv_backref(m: "re.Match[str]") -> str:
                     t = m.group(0)

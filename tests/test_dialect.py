@@ -342,3 +342,15 @@ class TestReviewRegressions:
             spark, "SELECT timestamp 'Jan 8 1999 04:05 PM' AS t"
         ).collect()[0][0]
         assert str(got) == "1999-01-08 16:05:00"
+
+    def test_first_occurrence_regexp_pattern_backref(self, spark):
+        from greengage_spark.dialect.transpiler import pg_sql
+
+        # pattern-internal \1 must renumber past the wrapper's 2 groups
+        assert (
+            pg_sql(
+                spark,
+                r"SELECT regexp_replace('aa bb aa', '(a)\1', 'X') AS v",
+            ).collect()[0][0]
+            == "X bb aa"
+        )
