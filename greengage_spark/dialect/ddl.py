@@ -100,6 +100,7 @@ class ColumnDef:
     pg_type: str
     spark_type: str
     not_null: bool = False
+    default: str | None = None  # DEFAULT expression text (rewriteTargetListIU)
 
 
 @dataclass
@@ -190,13 +191,20 @@ def _parse_column(item: str) -> ColumnDef | None:
     # strip column constraints from the right: NOT NULL / NULL / DEFAULT ... /
     # PRIMARY KEY / UNIQUE / REFERENCES ... / ENCODING (...)
     not_null = bool(re.search(r"\bnot\s+null\b", rest, re.IGNORECASE))
+    md = re.search(
+        r"\bdefault\s+(.+?)(?:\s+(?:not\s+null|null|primary|unique|"
+        r"references|check|encoding)\b|$)",
+        rest,
+        re.IGNORECASE | re.DOTALL,
+    )
+    default = md.group(1).strip() if md else None
     rest = re.split(
         r"\b(?:not\s+null|null|default|primary|unique|references|check|encoding)\b",
         rest,
         maxsplit=1,
         flags=re.IGNORECASE,
     )[0].strip()
-    return ColumnDef(name, rest, map_pg_type(rest), not_null)
+    return ColumnDef(name, rest, map_pg_type(rest), not_null, default)
 
 
 def parse_create_table(ddl: str) -> TableDef:

@@ -355,25 +355,47 @@ class GreengageEngine:
                 f"INSERT has {len(src.columns)} expressions for {len(cols)} columns"
             )
         src = src.toDF(*cols)
-        # missing columns fill with NULL, then cast to declared types
+        # missing columns take their DEFAULT expression, else NULL
+        # (rewriteTargetListIU), then cast to declared types
         full = src
         for c in td.columns:
             if c.name not in cols:
-                full = full.withColumn(c.name, F.lit(None))
+                full = full.withColumn(
+                    c.name,
+                    F.expr(transpile(c.default)) if c.default else F.lit(None),
+                )
         self.ddl.insert(name, full.select([F.col(c.name) for c in td.columns]))
         self._register(name)
         return None
 
     def _update(self, stmt: str):
-        m = re.match(r"(?is)^update\s+([\w.]+)\s+set\s+(.+)$", stmt)
+        m = re.match(
+            r"(?is)^update\s+([\w.]+)(?:\s+(?:as\s+)?(?!set\b)(\w+))?"
+            r"\s+set\s+(.+)$",
+            stmt,
+        )
         if not m:
             raise NotImplementedError("UPDATE name SET col = expr [, ...] [WHERE pred]")
-        name, rest = m.group(1), m.group(2)
+        name, alias, rest = m.group(1), m.group(2), m.group(3)
+        if alias:
+            # with an alias the original table name is invalid
+            # (transformUpdateStmt: "invalid reference to FROM-clause
+            # entry"), then alias-qualified references resolve by
+            # dropping the qualifier (the working frame is bare columns)
+            if re.search(rf"(?i)\b{re.escape(name)}\s*\.", rest):
+                raise ValueError(
+                    f"invalid reference to table {name!r}: "
+                    f"use the alias {alias!r}"
+                )
+            rest = re.sub(rf"(?i)\b{alias}\s*\.\s*", "", rest)
+        fidx = _find_top_level(rest, "from")
         widx = _find_top_level(rest, "where")
+        if fidx >= 0 and (widx < 0 or fidx < widx):
+            return self._update_from(name, rest, fidx, widx)
         set_raw = rest[:widx] if widx >= 0 else rest
         where_raw = rest[widx + 5 :].strip() if widx >= 0 else None
         st = self._storage(name)
-        parts = self._split_top(set_raw)
+        parts = self._expand_set_parts(name, self._split_top(set_raw))
         texts = parts + ([where_raw] if where_raw else [])
         if any(re.search(r"(?is)\(\s*select\b", t) for t in texts):
             # subqueries in SET/WHERE evaluate through SQL (a scalar
@@ -404,6 +426,106 @@ class GreengageEngine:
                 set_map[col.strip()] = F.expr(transpile(expr.strip()))
             cond = F.expr(transpile(where_raw)) if where_raw else None
             st.update(set_map, cond)
+        self._register(name)
+        return None
+
+    def _expand_set_parts(self, name: str, parts: list[str]) -> list[str]:
+        """SET-clause normalization (rewriteTargetListIU):
+        ``(c, b) = (e1, e2)`` multi-assignments expand pairwise, and
+        ``col = DEFAULT`` takes the column's DEFAULT expression (NULL
+        without one).  Duplicate assignments to one column error."""
+        td = self.ddl.tables[name]
+        defaults = {c.name.lower(): c.default for c in td.columns}
+        out: list[str] = []
+        for part in parts:
+            part = part.strip()
+            if part.startswith("("):
+                close = part.index(")")
+                lhs = [c.strip() for c in part[1:close].split(",")]
+                rhs_raw = part[close + 1 :].strip()
+                if not rhs_raw.startswith("="):
+                    raise NotImplementedError(f"SET clause {part!r}")
+                rhs_raw = rhs_raw.lstrip("=").strip()
+                if re.match(r"(?is)^\(\s*select\b", rhs_raw):
+                    raise NotImplementedError(
+                        "multi-assignment from a subquery"
+                    )
+                rhs = self._split_top(rhs_raw.strip("()"))
+                if len(lhs) != len(rhs):
+                    raise ValueError(
+                        f"number of columns does not match number of values"
+                    )
+                out += [f"{c} = {e}" for c, e in zip(lhs, rhs)]
+            else:
+                out.append(part)
+        seen: set[str] = set()
+        final: list[str] = []
+        for part in out:
+            col, _, expr = part.partition("=")
+            cname = col.strip().lower()
+            if cname in seen:
+                raise ValueError(
+                    f"multiple assignments to same column {cname!r}"
+                )
+            seen.add(cname)
+            if expr.strip().lower() == "default":
+                expr = defaults.get(cname) or "NULL"
+            final.append(f"{col.strip()} = {expr.strip()}")
+        return final
+
+    def _update_from(self, name: str, rest: str, fidx: int, widx: int):
+        """UPDATE target SET ... FROM items WHERE cond
+        (nodeModifyTable.c joined UPDATE): each target row joining at
+        least one FROM row takes the SET expressions evaluated in the
+        joined context; one arbitrary-but-deterministic match wins when
+        several join (PG leaves the choice unspecified)."""
+        set_raw = rest[:fidx]
+        from_raw = rest[fidx + 4 : widx if widx >= 0 else len(rest)].strip()
+        where_raw = rest[widx + 5 :].strip() if widx >= 0 else "TRUE"
+        td = self.ddl.tables[name]
+        st = self._storage(name)
+        parts = self._expand_set_parts(name, self._split_top(set_raw))
+        sets = {}
+        for part in parts:
+            col, _, expr = part.partition("=")
+            sets[col.strip().lower()] = expr.strip()
+        self._register_all()
+        base = pg_sql(self.spark, f"SELECT * FROM {name}").withColumn(
+            "__rid", F.monotonically_increasing_id()
+        )
+        base.createOrReplaceTempView("__upd_target")
+        set_cols = ", ".join(
+            f"({sets[c.name.lower()]}) AS __set_{c.name}"
+            for c in td.columns
+            if c.name.lower() in sets
+        )
+        # the working copy re-aliases to the original name so SET/WHERE
+        # can keep their target-qualified references
+        matched = pg_sql(
+            self.spark,
+            f"SELECT * FROM (SELECT {name}.__rid AS __mrid, {set_cols}, "
+            f"row_number() OVER (PARTITION BY {name}.__rid ORDER BY 1) "
+            f"AS __mrn FROM __upd_target AS {name}, {from_raw} "
+            f"WHERE {where_raw}) WHERE __mrn = 1",
+        )
+        joined = base.join(
+            matched, base["__rid"] == matched["__mrid"], "left"
+        )
+        out = joined.select(
+            [
+                F.when(
+                    F.col("__mrid").isNotNull(), F.col(f"__set_{c.name}")
+                )
+                .otherwise(F.col(c.name))
+                .cast(c.spark_type)
+                .alias(c.name)
+                if c.name.lower() in sets
+                else F.col(c.name)
+                for c in td.columns
+            ]
+        )
+        st.replace(out)
+        self.spark.catalog.dropTempView("__upd_target")
         self._register(name)
         return None
 

@@ -5420,3 +5420,66 @@ def float8_tbl(spark):
 def test_reference_float8_query(float8_tbl, name):
     stmt, rows = FLOAT8_CASES[name]
     _run_out_driven(float8_tbl, stmt, rows, int_division=False)
+
+
+# --------------------------------------------------------------------------
+# update.sql — the UPDATE statement surface through the ENGINE's statement
+# router (nodeModifyTable.c): SET col = DEFAULT with column defaults,
+# target-table aliases, UPDATE ... FROM joined updates, multi-column
+# SET (c, b) = (...) syntax, and the duplicate-assignment /
+# wrong-datatype / subquery-multi-assignment error contracts.  Run as a
+# SCRIPT in file order against the expected .out (statements mutate the
+# table between SELECT checkpoints).
+# --------------------------------------------------------------------------
+
+
+def test_reference_update_script(spark, tmp_path):
+    from greengage_spark.engine import GreengageEngine
+
+    sql = open(f"{_REGRESS_SQL}/update.sql").read()
+    out = open(f"{_REGRESS_SQL.replace('/sql', '/expected')}/update.out").read()
+    sql = re.sub(r"--[^\n]*", "", sql)
+    eng = GreengageEngine(spark, str(tmp_path / "upd_wh"))
+    cursor = 0
+    n_checked = 0
+    for stmt in sql.split(";"):
+        stmt = stmt.strip()
+        if not stmt:
+            continue
+        if stmt.upper().startswith("DROP TABLE UPDATE_TEST"):
+            break  # the later sections check gp_segment_id placement
+        pos = out.find(stmt + ";", cursor)
+        expect_error = False
+        if pos >= 0:
+            cursor = pos + len(stmt)
+            rest = out[cursor + 1:].lstrip("\n")
+            expect_error = rest.lstrip().startswith("ERROR")
+        if stmt.lower().startswith("select"):
+            rows = None
+            if pos >= 0 and not expect_error:
+                lines = rest.split("\n")
+                end = next(
+                    (k for k, l in enumerate(lines)
+                     if re.match(r"\(\d+ rows?\)", l)),
+                    None,
+                )
+                rows = [
+                    tuple(c.strip() for c in l.split("|"))
+                    for l in lines[2:end]
+                ]
+            df = eng.execute(stmt)
+            got = sorted(
+                tuple(_pg_render(v, dt).strip() for v, dt in zip(r, [t for _, t in df.dtypes]))
+                for r in df.collect()
+            )
+            assert rows is not None and got == sorted(rows), (
+                f"\n{stmt}\ngot={got}\nexp={rows}"
+            )
+            n_checked += 1
+        else:
+            if expect_error:
+                with pytest.raises(Exception):
+                    eng.execute(stmt)
+            else:
+                eng.execute(stmt)
+    assert n_checked >= 8  # the section's SELECT checkpoints all ran
