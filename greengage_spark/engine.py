@@ -341,12 +341,18 @@ class GreengageEngine:
         td = self.ddl.tables.get(name)
         if td is None:
             raise ValueError(f"unknown table {name!r}")
-        # both VALUES and SELECT bodies evaluate through the dialect layer
-        self._register_all()
-        src = pg_sql(self.spark, body)
         if cols_raw:
             cols = [c.strip() for c in cols_raw.strip("()").split(",")]
         else:
+            cols = None  # leftmost-columns rule resolved below
+        if re.match(r"(?is)^values\b", body):
+            body, n_exprs = self._values_defaults(td, cols, body)
+        else:
+            n_exprs = None
+        # both VALUES and SELECT bodies evaluate through the dialect layer
+        self._register_all()
+        src = pg_sql(self.spark, body)
+        if cols is None:
             # a short SELECT/VALUES list targets the leftmost columns, the
             # rest default to NULL (rewriteTargetListIU)
             cols = [c.name for c in td.columns][: len(src.columns)]
@@ -364,7 +370,20 @@ class GreengageEngine:
                     c.name,
                     F.expr(transpile(c.default)) if c.default else F.lit(None),
                 )
-        self.ddl.insert(name, full.select([F.col(c.name) for c in td.columns]))
+        full = full.select([F.col(c.name) for c in td.columns])
+        nn = [c.name for c in td.columns if c.not_null]
+        if nn:
+            # ExecConstraints: reject NULL in a NOT NULL column
+            bad = full.filter(
+                " OR ".join(f"{c} IS NULL" for c in nn)
+            ).head(1)
+            if bad:
+                nulls = [c for c in nn if bad[0][c] is None]
+                raise ValueError(
+                    f'null value in column "{nulls[0]}" violates '
+                    f"not-null constraint"
+                )
+        self.ddl.insert(name, full)
         self._register(name)
         return None
 
@@ -428,6 +447,50 @@ class GreengageEngine:
             st.update(set_map, cond)
         self._register(name)
         return None
+
+    def _values_defaults(self, td, cols, body: str):
+        """VALUES-body normalization (rewriteValuesRTE): a bare DEFAULT
+        item takes the target column's DEFAULT expression (NULL without
+        one), and per-row expression counts must match the target list —
+        PG errors before evaluating anything."""
+        m = re.match(r"(?is)^values\b(.*)$", body)
+        rows_raw = m.group(1).strip()
+        rows = self._split_top(rows_raw)
+        target = cols if cols is not None else [c.name for c in td.columns]
+        defaults = {c.name.lower(): c.default for c in td.columns}
+        out_rows = []
+        n_items = None
+        for row in rows:
+            row = row.strip()
+            if not (row.startswith("(") and row.endswith(")")):
+                raise NotImplementedError(f"VALUES row {row!r}")
+            items = self._split_top(row[1:-1])
+            if n_items is None:
+                n_items = len(items)
+                if len(items) > len(target):
+                    raise ValueError(
+                        "INSERT has more expressions than target columns"
+                    )
+                if cols is not None and len(items) < len(target):
+                    raise ValueError(
+                        "INSERT has more target columns than expressions"
+                    )
+            new_items = []
+            for k, it in enumerate(items):
+                if it.strip().lower() == "default":
+                    cname = target[k].lower() if k < len(target) else None
+                    new_items.append(defaults.get(cname) or "NULL")
+                else:
+                    new_items.append(it.strip())
+            out_rows.append("(" + ", ".join(new_items) + ")")
+        if re.search(r"(?is)\(\s*select\b", " ".join(out_rows)):
+            # Spark VALUES rows cannot hold subqueries — lower to a
+            # UNION ALL of single-row SELECTs (same shape PG plans)
+            return (
+                " UNION ALL ".join(f"SELECT {r[1:-1]}" for r in out_rows),
+                n_items,
+            )
+        return "VALUES " + ", ".join(out_rows), n_items
 
     def _expand_set_parts(self, name: str, parts: list[str]) -> list[str]:
         """SET-clause normalization (rewriteTargetListIU):

@@ -5483,3 +5483,57 @@ def test_reference_update_script(spark, tmp_path):
             else:
                 eng.execute(stmt)
     assert n_checked >= 8  # the section's SELECT checkpoints all ran
+
+
+def test_reference_insert_script(spark, tmp_path):
+    """insert.sql first section through the engine (rewriteValuesRTE):
+    DEFAULT in VALUES target lists, expression/target count errors,
+    NOT NULL constraint enforcement, multi-row VALUES with scalar
+    subqueries, TOASTed values — against the expected .out."""
+    from greengage_spark.engine import GreengageEngine
+
+    sql = open(f"{_REGRESS_SQL}/insert.sql").read()
+    out = open(f"{_REGRESS_SQL.replace('/sql', '/expected')}/insert.out").read()
+    sql = re.sub(r"--[^\n]*", "", sql)
+    eng = GreengageEngine(spark, str(tmp_path / "ins_wh"))
+    cursor = 0
+    n_checked = 0
+    for stmt in sql.split(";"):
+        stmt = stmt.strip()
+        if not stmt:
+            continue
+        if stmt.lower().startswith("drop table inserttest"):
+            break  # later sections need ALTER TABLE ADD/DROP COLUMN
+        pos = out.find(stmt + ";", cursor)
+        expect_error = False
+        rest = ""
+        if pos >= 0:
+            cursor = pos + len(stmt)
+            rest = out[cursor + 1:].lstrip("\n")
+            expect_error = rest.lstrip().startswith("ERROR")
+        if stmt.lower().startswith("select"):
+            lines = rest.split("\n")
+            end = next(
+                (k for k, l in enumerate(lines)
+                 if re.match(r"\(\d+ rows?\)", l)),
+                None,
+            )
+            rows = [
+                tuple(c.strip() for c in l.split("|")) for l in lines[2:end]
+            ]
+            df = eng.execute(stmt)
+            got = sorted(
+                tuple(
+                    _pg_render(v, dt).strip()
+                    for v, dt in zip(r, [t for _, t in df.dtypes])
+                )
+                for r in df.collect()
+            )
+            assert got == sorted(rows), f"\n{stmt}\ngot={got}\nexp={rows}"
+            n_checked += 1
+        elif expect_error:
+            with pytest.raises(Exception):
+                eng.execute(stmt)
+        else:
+            eng.execute(stmt)
+    assert n_checked >= 4
