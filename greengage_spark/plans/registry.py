@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,29 +33,62 @@ def _suites() -> list[Suite]:
     return suites
 
 
-def all_queries() -> dict[str, Query]:
-    """All registered queries, round-robin interleaved across suites.
+def _driver_checked_names() -> set[str]:
+    """Query names that already have a green row in some CORRECTNESS_r*.json.
 
-    The driver's correctness gate samples the FIRST 50 queries in registry
-    order; a suite-by-suite concatenation meant only the first two suites
-    were ever driver-verified.  Interleaving one query per suite per round
-    guarantees every family (TPC-H, operators, window/agg, scans, dialect
-    functions, LLM-pipeline, streaming) lands multiple entries inside any
-    sampling window.
+    The driver's correctness gate samples only the FIRST 50 queries in
+    registry order, so to get every registered query a driver-verified row
+    over successive rounds we order never-yet-checked queries first.  Reading
+    the accumulated result files makes the rotation self-maintaining: each
+    round's window lands on entries no earlier round sampled.
     """
-    out: dict[str, Query] = {}
-    iters = [iter(s.queries.items()) for s in _suites()]
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            if isinstance(data, dict):
+                seen.update(data.keys())
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
+def _interleave(suites: list[Suite]) -> list[tuple[str, Query]]:
+    """Round-robin one query per suite so every family lands in any window."""
+    out: list[tuple[str, Query]] = []
+    iters = [iter(s.queries.items()) for s in suites]
     while iters:
         remaining = []
         for it in iters:
             try:
-                name, q = next(it)
+                out.append(next(it))
             except StopIteration:
                 continue
-            assert name not in out, f"duplicate query name {name}"
-            out[name] = q
             remaining.append(it)
         iters = remaining
+    return out
+
+
+def all_queries() -> dict[str, Query]:
+    """All registered queries: never-driver-checked first, interleaved.
+
+    Two-tier ordering: queries with no green row in any prior round's
+    CORRECTNESS_r*.json come first (so the driver's 50-query window verifies
+    them this round), previously-verified queries follow.  Within each tier
+    suites are round-robin interleaved so every family (TPC-H, operators,
+    window/agg, scans, dialect functions, LLM-pipeline, streaming) keeps
+    representation inside any sampling window.
+    """
+    checked = _driver_checked_names()
+    ordered = _interleave(_suites())
+    out: dict[str, Query] = {}
+    for name, q in [p for p in ordered if p[0] not in checked] + [
+        p for p in ordered if p[0] in checked
+    ]:
+        assert name not in out, f"duplicate query name {name}"
+        out[name] = q
     return out
 
 
