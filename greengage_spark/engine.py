@@ -513,7 +513,11 @@ class GreengageEngine:
                     raise NotImplementedError(
                         "multi-assignment from a subquery"
                     )
-                rhs = self._split_top(rhs_raw.strip("()"))
+                # row constructor: ROW(e1, e2) or (e1, e2) — strip the ROW
+                # keyword and exactly ONE balanced outer paren pair, so
+                # (a,b) = ((1+2), 3) keeps the inner parens intact
+                rhs_raw = re.sub(r"(?is)^row\s*\(", "(", rhs_raw)
+                rhs = self._split_top(self._strip_one_paren(rhs_raw))
                 if len(lhs) != len(rhs):
                     raise ValueError(
                         f"number of columns does not match number of values"
@@ -657,6 +661,30 @@ class GreengageEngine:
         self.ddl.insert(name, df)
         self._register(name)
         return None
+
+    @staticmethod
+    def _strip_one_paren(s: str) -> str:
+        """Strip exactly one balanced outer paren pair (quote-aware);
+        ``((1+2), 3)`` → ``(1+2), 3``, leaving inner parens alone."""
+        s = s.strip()
+        if not (s.startswith("(") and s.endswith(")")):
+            return s
+        depth, in_str = 0, False
+        for i, ch in enumerate(s):
+            if in_str:
+                if ch == "'":
+                    in_str = False
+                continue
+            if ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    # outer pair is balanced only if it closes at the end
+                    return s[1:-1].strip() if i == len(s) - 1 else s
+        return s
 
     @staticmethod
     def _split_top(s: str) -> list[str]:

@@ -107,9 +107,13 @@ def _parse(tmpl: str):
             items.append(("cur", ""))
             i += 1
         elif c in "Vv":
+            # V shifts the value by 10^n AND its trailing 9/0s are ordinary
+            # digit positions (formatting.c NUM_V: to_char(12.4,'99V999')
+            # -> ' 12400', not ' ##').
             i += 1
             while i < n and tmpl[i] in "90":
                 vshift += 1
+                items.append(("digit", tmpl[i]))
                 i += 1
         elif c == '"':
             j = i + 1

@@ -126,3 +126,40 @@ class TestViewsAndCTAS:
             eng.execute("CREATE VIEW v AS SELECT a + 1 AS a FROM t")
         eng.execute("CREATE OR REPLACE VIEW v AS SELECT a + 1 AS a FROM t")
         assert rows(eng.execute("SELECT a FROM v")) == [(6,)]
+
+
+class TestMultiAssignment:
+    """SET (a, b) = (e1, e2) row-constructor forms (rewriteTargetListIU)."""
+
+    def _t(self, eng):
+        eng.execute("CREATE TABLE t (a int8, b int8, c text)")
+        eng.execute("INSERT INTO t VALUES (1, 2, 'x'), (10, 20, 'y')")
+
+    def test_parenthesized_exprs_keep_inner_parens(self, eng):
+        self._t(eng)
+        eng.execute("UPDATE t SET (a, b) = ((1+2), 3) WHERE c = 'x'")
+        assert rows(eng.execute("SELECT a, b FROM t ORDER BY a")) == [
+            (3, 3),
+            (10, 20),
+        ]
+
+    def test_row_keyword_constructor(self, eng):
+        self._t(eng)
+        eng.execute("UPDATE t SET (a, b) = ROW(7, a + b) WHERE c = 'y'")
+        assert rows(eng.execute("SELECT a, b FROM t ORDER BY a")) == [
+            (1, 2),
+            (7, 30),
+        ]
+
+    def test_string_with_parens_inside(self, eng):
+        self._t(eng)
+        eng.execute("UPDATE t SET (c, a) = (') (', 99) WHERE a = 1")
+        assert rows(eng.execute("SELECT a, c FROM t ORDER BY a")) == [
+            (10, "y"),
+            (99, ") ("),
+        ]
+
+    def test_count_mismatch_errors(self, eng):
+        self._t(eng)
+        with pytest.raises(ValueError):
+            eng.execute("UPDATE t SET (a, b) = ((1+2)) WHERE c = 'x'")

@@ -63,6 +63,28 @@ _NUM_TEMPLATES = {
 }
 
 
+# NUM_V: formatting.c shifts the value by 10^n AND renders the n trailing
+# 9/0s as digit positions (PG docs: to_char(12.34,'99V999') -> ' 12340').
+# The reference regression suite has no V cases, so these are hand-written
+# from PostgreSQL-documented behavior.
+_V_CASES = [
+    ((Decimal("12.34"), "99V999"), " 12340"),
+    ((Decimal("12.4"), "99V999"), " 12400"),
+    ((Decimal("12.45"), "99V9"), " 125"),
+    ((Decimal("0.1"), "9V9"), "  1"),
+    ((Decimal("485"), "9V99"), " ###"),  # 48500 overflows 3 digit positions
+    ((Decimal("1.2"), "FM9V99"), "120"),
+    ((Decimal("-1.2"), "9V9"), "-12"),
+    ((Decimal("100"), "99V99"), " ####"),
+]
+
+
+@pytest.mark.parametrize("case", _V_CASES, ids=[t for (_, t), _ in _V_CASES])
+def test_num_tochar_v_shift(case):
+    (v, tmpl), exp = case
+    assert num_tochar(v, tmpl) == exp
+
+
 @pytest.mark.parametrize("name", sorted(_NUM_TEMPLATES))
 def test_num_tochar_vs_reference(name):
     tmpl = _NUM_TEMPLATES[name]
