@@ -314,6 +314,27 @@ class GreengageEngine:
             raise ValueError(f"unknown table {name!r}")
         return self.ddl._storage(self.ddl.tables[name])
 
+    def _touched_files_sql(self, name: str, st, match_pred: str) -> list[str]:
+        """Data files of ``name`` holding ≥1 row matching a SQL predicate
+        (which may hold subqueries / EXISTS over other registered tables).
+
+        The file name is projected with input_file_name() INSIDE the scan
+        subquery — below any join/exchange the predicate's decorrelation
+        introduces — so it is evaluated while the file context exists.
+        Only file names reach the driver; this is the SQL-path analog of
+        WritableTable._touched_files, and makes subquery DML rewrite only
+        the files it touches."""
+        from greengage_spark.operators.dml import _norm_file
+
+        hits = pg_sql(
+            self.spark,
+            f"SELECT DISTINCT __cow_f FROM "
+            f"(SELECT {name}.*, input_file_name() AS __cow_f FROM {name}) "
+            f"AS {name} WHERE ({match_pred}) IS TRUE",
+        ).collect()
+        touched = {_norm_file(r["__cow_f"]) for r in hits}
+        return [f for f in st.files() if f in touched]
+
     def _drop(self, stmt: str) -> None:
         m = re.match(r"(?is)^drop\s+(table|view)\s+(if\s+exists\s+)?([\w.]+)$", stmt)
         if not m:
@@ -419,7 +440,12 @@ class GreengageEngine:
         if any(re.search(r"(?is)\(\s*select\b", t) for t in texts):
             # subqueries in SET/WHERE evaluate through SQL (a scalar
             # subquery over >1 row errors at runtime, as in PG); CASE
-            # keeps unmatched rows byte-identical
+            # keeps unmatched rows byte-identical.  Copy-on-write: one
+            # input_file_name() pass finds the files holding matching
+            # rows, the CASE projection runs over only those files
+            # (aliased back to the table name so correlated references
+            # resolve; subqueries FROM the table still see the full view),
+            # every other file carries into the new manifest by reference.
             td = self.ddl.tables[name]
             self._register_all()
             sets = {}
@@ -427,6 +453,7 @@ class GreengageEngine:
                 col, _, expr = part.partition("=")
                 sets[col.strip().lower()] = expr.strip()
             cond = f"({where_raw})" if where_raw else "TRUE"
+            touched = self._touched_files_sql(name, st, cond)
             proj = ", ".join(
                 f"CASE WHEN ({cond}) IS TRUE THEN ({sets[c.name]}) "
                 f"ELSE {c.name} END AS {c.name}"
@@ -434,10 +461,12 @@ class GreengageEngine:
                 else c.name
                 for c in td.columns
             )
-            out = pg_sql(self.spark, f"SELECT {proj} FROM {name}")
-            st.replace(
-                out.select([F.col(c.name).cast(c.spark_type) for c in td.columns])
+            st._read_files(touched).createOrReplaceTempView("__cow_target")
+            out = pg_sql(
+                self.spark, f"SELECT {proj} FROM __cow_target AS {name}"
             )
+            st.rewrite_files(touched, out)
+            self.spark.catalog.dropTempView("__cow_target")
         else:
             set_map = {}
             for part in parts:
@@ -545,7 +574,15 @@ class GreengageEngine:
         (nodeModifyTable.c joined UPDATE): each target row joining at
         least one FROM row takes the SET expressions evaluated in the
         joined context; one arbitrary-but-deterministic match wins when
-        several join (PG leaves the choice unspecified)."""
+        several join (PG leaves the choice unspecified).
+
+        Copy-on-write: an EXISTS pass over the target finds the files
+        holding rows with ≥1 FROM match; only those files' rows enter the
+        join+rewrite, everything else carries by reference.  The working
+        row set is localCheckpoint-materialized so its row ids are
+        computed ONCE — both sides of the self-join read the same
+        materialized ids (a lineage recompute of monotonically_increasing
+        ids could silently pair wrong rows)."""
         set_raw = rest[:fidx]
         from_raw = rest[fidx + 4 : widx if widx >= 0 else len(rest)].strip()
         where_raw = rest[widx + 5 :].strip() if widx >= 0 else "TRUE"
@@ -557,8 +594,16 @@ class GreengageEngine:
             col, _, expr = part.partition("=")
             sets[col.strip().lower()] = expr.strip()
         self._register_all()
-        base = pg_sql(self.spark, f"SELECT * FROM {name}").withColumn(
-            "__rid", F.monotonically_increasing_id()
+        match_pred = f"EXISTS (SELECT 1 FROM {from_raw} WHERE {where_raw})"
+        touched = self._touched_files_sql(name, st, match_pred)
+        if not touched:
+            st.rewrite_files([], None)
+            self._register(name)
+            return None
+        base = (
+            st._read_files(touched)
+            .withColumn("__rid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
         )
         base.createOrReplaceTempView("__upd_target")
         set_cols = ", ".join(
@@ -567,7 +612,8 @@ class GreengageEngine:
             if c.name.lower() in sets
         )
         # the working copy re-aliases to the original name so SET/WHERE
-        # can keep their target-qualified references
+        # can keep their target-qualified references; subqueries that FROM
+        # the table by name still resolve to the full registered view
         matched = pg_sql(
             self.spark,
             f"SELECT * FROM (SELECT {name}.__rid AS __mrid, {set_cols}, "
@@ -591,7 +637,7 @@ class GreengageEngine:
                 for c in td.columns
             ]
         )
-        st.replace(out)
+        st.rewrite_files(touched, out)
         self.spark.catalog.dropTempView("__upd_target")
         self._register(name)
         return None
@@ -625,14 +671,23 @@ class GreengageEngine:
             return None
         if using_raw or re.search(r"(?is)\(\s*select\b", pred):
             # subquery predicates route through SQL; IS NOT TRUE keeps
-            # NULL-predicate rows (PG: WHERE NULL does not delete)
+            # NULL-predicate rows (PG: WHERE NULL does not delete).
+            # Copy-on-write: only files holding a to-delete row are
+            # rewritten (with their survivors); the rest carry by
+            # reference into the new manifest.
             self._register_all()
-            keep = pg_sql(
-                self.spark, f"SELECT * FROM {name} WHERE ({pred}) IS NOT TRUE"
-            )
-            st.replace(
-                keep.select([F.col(c.name).cast(c.spark_type) for c in td.columns])
-            )
+            touched = self._touched_files_sql(name, st, pred)
+            if touched:
+                st._read_files(touched).createOrReplaceTempView("__cow_target")
+                keep = pg_sql(
+                    self.spark,
+                    f"SELECT {name}.* FROM __cow_target AS {name} "
+                    f"WHERE ({pred}) IS NOT TRUE",
+                )
+                st.rewrite_files(touched, keep)
+                self.spark.catalog.dropTempView("__cow_target")
+            else:
+                st.rewrite_files([], None)
         else:
             st.delete(F.expr(transpile(where_raw)))
         self._register(name)

@@ -181,6 +181,28 @@ class WritableTable:
         self._commit(self._write_segment(df), df.schema)
         return self
 
+    def rewrite_files(
+        self, touched: list[str], new_rows: DataFrame | None
+    ) -> "WritableTable":
+        """Copy-on-write commit for an externally-computed rewrite: the
+        files in ``touched`` are replaced by ``new_rows`` (written as a new
+        segment); every other file carries into the new manifest by
+        reference, byte-identical.  This is the engine's entry point for
+        SQL-evaluated UPDATE ... FROM / subquery DML, giving those forms
+        the same file-pruned scaling as the plain-predicate paths."""
+        schema = self._schema()
+        touched_set = set(touched)
+        untouched = [f for f in self.files() if f not in touched_set]
+        new: list[str] = []
+        if touched and new_rows is not None:
+            new = self._write_segment(
+                new_rows.select(
+                    *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+                )
+            )
+        self._commit(untouched + new, schema)
+        return self
+
     def update(self, set_map: dict[str, Column], cond: Column | None = None) -> "WritableTable":
         """UPDATE SET ... WHERE cond — CASE-WHEN projection over only the
         files holding matching rows; all other files carry over by

@@ -131,3 +131,65 @@ class TestDML:
         reopened = WritableTable(table.spark, table.root, dist_keys=("id",))
         assert reopened.version == 3
         assert sorted(r.id for r in reopened.df().collect()) == [2, 3, 4, 9]
+
+
+class TestEngineSubqueryDMLPruning:
+    """UPDATE ... FROM and subquery UPDATE/DELETE through the engine must
+    be file-pruned copy-on-write too — a predicate touching one hash
+    bucket leaves every other file byte-identical on disk."""
+
+    def _eng(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        eng.execute("CREATE TABLE big (id int8, name text) DISTRIBUTED BY (id)")
+        eng.execute(
+            "INSERT INTO big SELECT id, 'n' || id::text FROM "
+            "(SELECT explode(sequence(0, 99)) AS id)"
+        )
+        eng.execute("CREATE TABLE ref (id int8, tag text) DISTRIBUTED BY (id)")
+        eng.execute("INSERT INTO ref VALUES (7, 'HIT')")
+        return eng
+
+    def _stat_map(self, st):
+        return {f: os.stat(f) for f in st.files()}
+
+    def _assert_carried(self, before, st, what):
+        carried = [f for f in st.files() if f in before]
+        assert carried, f"{what} rewrote every file — not file-pruned"
+        for f in carried:
+            s, s2 = before[f], os.stat(f)
+            assert (s.st_ino, s.st_mtime_ns, s.st_size) == (
+                s2.st_ino, s2.st_mtime_ns, s2.st_size,
+            ), f"{what} modified untouched file {f}"
+
+    def test_update_from_prunes_files(self, spark, tmp_path):
+        eng = self._eng(spark, tmp_path)
+        st = eng._storage("big")
+        before = self._stat_map(st)
+        eng.execute("UPDATE big SET name = ref.tag FROM ref WHERE big.id = ref.id")
+        self._assert_carried(before, st, "UPDATE ... FROM")
+        got = sorted((r.id, r.name) for r in eng.execute("SELECT * FROM big").collect())
+        assert (7, "HIT") in got and len(got) == 100
+        assert sum(1 for _, n in got if n == "HIT") == 1
+
+    def test_subquery_update_prunes_files(self, spark, tmp_path):
+        eng = self._eng(spark, tmp_path)
+        st = eng._storage("big")
+        before = self._stat_map(st)
+        eng.execute(
+            "UPDATE big SET name = (SELECT tag FROM ref WHERE ref.id = big.id) "
+            "WHERE id IN (SELECT id FROM ref)"
+        )
+        self._assert_carried(before, st, "subquery UPDATE")
+        got = sorted((r.id, r.name) for r in eng.execute("SELECT * FROM big").collect())
+        assert (7, "HIT") in got and len(got) == 100
+
+    def test_subquery_delete_prunes_files(self, spark, tmp_path):
+        eng = self._eng(spark, tmp_path)
+        st = eng._storage("big")
+        before = self._stat_map(st)
+        eng.execute("DELETE FROM big WHERE id IN (SELECT id FROM ref)")
+        self._assert_carried(before, st, "subquery DELETE")
+        ids = sorted(r.id for r in eng.execute("SELECT id FROM big").collect())
+        assert ids == [i for i in range(100) if i != 7]
