@@ -394,17 +394,38 @@ class GreengageEngine:
         full = full.select([F.col(c.name) for c in td.columns])
         nn = [c.name for c in td.columns if c.not_null]
         if nn:
-            # ExecConstraints: reject NULL in a NOT NULL column
-            bad = full.filter(
-                " OR ".join(f"{c} IS NULL" for c in nn)
-            ).head(1)
-            if bad:
-                nulls = [c for c in nn if bad[0][c] is None]
-                raise ValueError(
-                    f'null value in column "{nulls[0]}" violates '
-                    f"not-null constraint"
-                )
-        self.ddl.insert(name, full)
+            # ExecConstraints: reject NULL in a NOT NULL column.  The check
+            # is folded into the write projection (assert_true guards each
+            # NOT NULL column) so the source query evaluates ONCE — a
+            # pre-check pass would double-evaluate INSERT ... SELECT.
+            full = full.select(
+                [
+                    F.when(
+                        F.col(c.name).isNull(),
+                        F.raise_error(
+                            F.lit(
+                                f'null value in column "{c.name}" violates '
+                                f"not-null constraint"
+                            )
+                        ).cast(c.spark_type),
+                    )
+                    .otherwise(F.col(c.name))
+                    .alias(c.name)
+                    if c.name in nn
+                    else F.col(c.name)
+                    for c in td.columns
+                ]
+            )
+        try:
+            self.ddl.insert(name, full)
+        except Exception as e:  # surface the constraint as PG's error
+            m = re.search(
+                r'null value in column "[^"]+" violates not-null constraint',
+                str(e),
+            )
+            if m is None:
+                raise
+            raise ValueError(m.group(0)) from None
         self._register(name)
         return None
 

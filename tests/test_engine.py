@@ -163,3 +163,19 @@ class TestMultiAssignment:
         self._t(eng)
         with pytest.raises(ValueError):
             eng.execute("UPDATE t SET (a, b) = ((1+2)) WHERE c = 'x'")
+
+
+class TestInsertNotNull:
+    def test_violation_raises_pg_message(self, eng):
+        eng.execute("CREATE TABLE t (a int8 NOT NULL, b text)")
+        with pytest.raises(ValueError, match=r'null value in column "a"'):
+            eng.execute("INSERT INTO t VALUES (NULL, 'x')")
+        with pytest.raises(ValueError, match=r'null value in column "a"'):
+            eng.execute("INSERT INTO t SELECT NULL::int8, 'y'")
+        # failed INSERTs must not have committed anything
+        assert rows(eng.execute("SELECT * FROM t")) == []
+
+    def test_valid_insert_passes_guard(self, eng):
+        eng.execute("CREATE TABLE t (a int8 NOT NULL, b text)")
+        eng.execute("INSERT INTO t VALUES (1, 'x'), (2, NULL)")
+        assert rows(eng.execute("SELECT a FROM t")) == [(1,), (2,)]
