@@ -242,7 +242,18 @@ class GreengageEngine:
             return _NEXTVAL.sub(lambda m: str(self.sequences.nextval(m.group(1))), stmt)
         self._register_all()
         probe = _NEXTVAL.sub("CAST(NULL AS BIGINT)", stmt)
-        nrows = pg_sql(self.spark, probe[body_start:]).count()
+        # one planning pass collects PER-PARTITION row counts (replacing a
+        # plain count(*) probe at the same cost), so each partition can be
+        # assigned its own dense index span
+        pid_counts = {
+            r["__pid"]: r["__n"]
+            for r in pg_sql(
+                self.spark,
+                f"SELECT spark_partition_id() AS __pid, count(*) AS __n "
+                f"FROM ({probe[body_start:]}) __seq_probe GROUP BY __pid",
+            ).collect()
+        }
+        nrows = sum(pid_counts.values())
         per_seq: dict[str, int] = {}
         for m in _NEXTVAL.finditer(stmt):
             per_seq[m.group(1)] = per_seq.get(m.group(1), 0) + 1
@@ -250,6 +261,29 @@ class GreengageEngine:
             return probe
         bases = {s: self.sequences.reserve(s, nrows * n) for s, n in per_seq.items()}
         counters = {s: 0 for s in per_seq}
+        # dense per-row index WITHOUT a global window (a row_number() over
+        # all rows would funnel the whole INSERT through one task): each
+        # partition owns the span [offset[pid], offset[pid]+count[pid]) and
+        # the within-partition position comes from the low 33 bits of
+        # monotonically_increasing_id (pid<<33 | local row index) — pure
+        # per-row arithmetic, zero exchanges.  If the real run's partition
+        # layout ever deviated from the probe's (unknown pid, or more rows
+        # in a partition than probed), the guard raises rather than risk
+        # duplicate sequence values.
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(pid_counts):
+            offsets[pid] = acc
+            acc += pid_counts[pid]
+        cnt_map = ", ".join(f"{p}, {n}" for p, n in sorted(pid_counts.items()))
+        off_map = ", ".join(f"{p}, {o}" for p, o in sorted(offsets.items()))
+        local_ix = "(monotonically_increasing_id() % 8589934592)"
+        dense = (
+            f"(element_at(map({off_map}), spark_partition_id()) + {local_ix})"
+        )
+        guard = (
+            f"{local_ix} < element_at(map({cnt_map}), spark_partition_id())"
+        )
 
         def _repl(m: "re.Match[str]") -> str:
             s = m.group(1)
@@ -257,9 +291,10 @@ class GreengageEngine:
             counters[s] += 1
             seq = self.sequences.get(s)
             return (
-                f"CAST({bases[s]} + {seq.increment} * ({k} + {per_seq[s]} * "
-                f"(row_number() OVER (ORDER BY monotonically_increasing_id()) - 1)) "
-                f"AS BIGINT)"
+                f"CAST(IF({guard}, "
+                f"{bases[s]} + {seq.increment} * ({k} + {per_seq[s]} * {dense}), "
+                f"raise_error('nextval: partition layout changed between "
+                f"planning and execution; retry the statement')) AS BIGINT)"
             )
 
         return _NEXTVAL.sub(_repl, stmt)

@@ -142,3 +142,23 @@ def test_cycle_batch_reserve_fails_loudly():
 
     with _pytest.raises(NotImplementedError):
         s.reserve(10)
+
+
+def test_nextval_over_from_has_no_single_partition_exchange(spark, tmp_path):
+    """The per-row nextval lowering must not funnel the whole row set
+    through one task: per-partition span arithmetic replaces the old
+    global row_number() window (a SinglePartition exchange)."""
+    from greengage_spark.dialect.transpiler import pg_sql
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, str(tmp_path / "wh"))
+    eng.execute("CREATE SEQUENCE s")
+    eng.execute("CREATE TABLE t (x int8)")
+    eng.execute("INSERT INTO t SELECT explode(sequence(1, 1000)) AS x")
+    lowered = eng._lower_sequences("SELECT nextval('s') AS id, x FROM t", "select")
+    assert "row_number" not in lowered.lower()
+    plan = pg_sql(spark, lowered)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    # and the values really are unique + dense over the reserved range
+    vs = sorted(r.id for r in pg_sql(spark, lowered).collect())
+    assert vs == list(range(1, 1001))
