@@ -3042,6 +3042,11 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     # FM with decimal positions strips trailing 9-zeros —
                     # only the full engine renders that; skip fast path
                     m_num = None
+                if m_num and len(m_num.group(2)) + len(m_num.group(3) or "") > 15:
+                    # wider than double precision — the DOUBLE pre-cast
+                    # below would corrupt digits past ~15 significant
+                    # places; the pg_tochar_num engine stays exact
+                    m_num = None
                 if low == "to_char" and m_num:
                     # numeric template (formatting.c NUM_9): right-align in
                     # the template width with one sign column; FM strips

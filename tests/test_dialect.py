@@ -354,3 +354,25 @@ class TestReviewRegressions:
             ).collect()[0][0]
             == "X bb aa"
         )
+
+
+class TestToCharWideTemplates:
+    def test_wide_9_template_keeps_exact_digits(self, spark):
+        # templates past double precision (~15 significant digits) must
+        # not take the DOUBLE-precast fast path
+        from greengage_spark.dialect.transpiler import pg_sql
+
+        got = pg_sql(
+            spark,
+            "SELECT to_char(123456789012345678::numeric, "
+            "'999999999999999999') AS v",
+        ).collect()[0][0]
+        assert got == " 123456789012345678"
+
+    def test_narrow_template_still_fast_path(self, spark):
+        from greengage_spark.dialect.transpiler import pg_sql, transpile
+
+        out = transpile("SELECT to_char(x, '99.9') FROM t")
+        assert "pg_tochar_num" not in out  # codegen fast path retained
+        got = pg_sql(spark, "SELECT to_char(12.45, '99.9') AS v").collect()[0][0]
+        assert got == " 12.5"

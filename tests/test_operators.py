@@ -165,3 +165,39 @@ def test_dedup_clusters_label_propagation(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+
+
+def test_group_id_duplicate_sets_hand_expected(spark):
+    """GROUP_ID() duplicate-set numbering checked against hand-computed
+    rows (NOT the shared duck_grouping_sql rewrite, which also produces
+    the registry oracle and so can't catch its own bugs).
+
+    GROUP BY CUBE((a),(a,b)), ROLLUP((a)) concatenates
+    [(), (a), (a,b), (a,b)] x [(), (a)] into 8 sets: () x1, (a) x3,
+    (a,b) x4 — GROUP_ID() numbers each duplicate family 0..n-1
+    (plangroupext.c:45-77)."""
+    from greengage_spark.dialect.transpiler import pg_sql
+
+    spark.createDataFrame(
+        [("x", 1, 10.0), ("x", 2, 20.0), ("y", 1, 30.0)],
+        "a string, b int, v double",
+    ).createOrReplaceTempView("gt")
+    got = sorted(
+        map(
+            tuple,
+            pg_sql(
+                spark,
+                "SELECT a, b, GROUP_ID() AS gid, "
+                "CAST(GROUPING(a, b) AS INT) AS gmask, "
+                "CAST(SUM(v) AS DOUBLE) AS s "
+                "FROM gt GROUP BY CUBE((a), (a, b)), ROLLUP((a))",
+            ).collect(),
+        ),
+        key=str,
+    )
+    exp = [(None, None, 0, 3, 60.0)]
+    for gid in range(3):
+        exp += [("x", None, gid, 1, 30.0), ("y", None, gid, 1, 30.0)]
+    for gid in range(4):
+        exp += [("x", 1, gid, 0, 10.0), ("x", 2, gid, 0, 20.0), ("y", 1, gid, 0, 30.0)]
+    assert got == sorted(exp, key=str)
