@@ -13,11 +13,13 @@ the dialect front-end + Catalyst.  A Greenplum user's session maps 1:1:
     df = eng.execute("SELECT a, b || '!' FROM t")
 
 Statement coverage: CREATE/DROP TABLE, CREATE TABLE .. AS SELECT
-[DISTRIBUTED ...], CREATE [OR REPLACE] VIEW / DROP VIEW (late-binding,
-re-derived per query like PG's rule rewrite), INSERT .. VALUES / INSERT ..
-SELECT, UPDATE .. SET .. WHERE, DELETE FROM .. WHERE, COPY .. TO/FROM
-(csv), SELECT/WITH incl. WITH RECURSIVE (full dialect surface via
-dialect.transpiler).
+[DISTRIBUTED ...], ALTER TABLE (ADD/DROP/RENAME COLUMN, ALTER COLUMN
+TYPE/DEFAULT/NOT NULL, RENAME TO, SET DISTRIBUTED, metadata-only schema
+evolution — operators/alter.py), TRUNCATE, CREATE [OR REPLACE] VIEW /
+DROP VIEW (late-binding, re-derived per query like PG's rule rewrite),
+INSERT .. VALUES / INSERT .. SELECT, UPDATE .. SET .. WHERE, DELETE
+FROM .. WHERE, COPY .. TO/FROM (csv), SELECT/WITH incl. WITH RECURSIVE
+(full dialect surface via dialect.transpiler).
 Unsupported statements raise NotImplementedError with the closest
 DataFrame-level API named in the message.
 """
@@ -101,6 +103,14 @@ class GreengageEngine:
             return None
         if re.match(r"(?is)^alter\s+sequence\b", stmt):
             return self._alter_sequence(stmt)
+        if re.match(r"(?is)^alter\s+table\b", stmt):
+            from greengage_spark.operators.alter import execute_alter_table
+
+            return execute_alter_table(self, stmt)
+        if head == "truncate":
+            from greengage_spark.operators.alter import execute_truncate
+
+            return execute_truncate(self, stmt)
         # sequence calls are driver-evaluated / lowered before routing
         if _has_seq_call(stmt):
             stmt = self._lower_sequences(stmt, head)

@@ -1,0 +1,312 @@
+"""ALTER TABLE / TRUNCATE statement surface.
+
+Reference: gram.y AlterTableStmt / TruncateStmt; executor
+src/backend/commands/tablecmds.c (ATExecAddColumn, ATExecDropColumn,
+ATExecColumnDefault, ATPrepAlterColumnType, ExecuteTruncate) and the
+Greenplum distribution-policy path (ATExecSetDistributedBy,
+src/backend/commands/tablecmds.c; regression
+src/test/regress/sql/alter_distribution_policy.sql).
+
+Spark-first mapping — every form that PG/GP implements as a catalog
+update stays METADATA-ONLY here (a manifest commit, zero data files
+read or written), via WritableTable.evolve's schema-evolution log:
+
+* ADD COLUMN    → log entry; DEFAULT evaluated ONCE at ALTER time (PG11
+                  attmissingval fast path) and applied to pre-existing
+                  rows at read.  PG's own pre-11 behavior (and GP's) is a
+                  full-table rewrite — this is strictly better at scale.
+* DROP COLUMN   → log entry; the physical column is pruned by the read
+                  schema.  Dropping a distribution-key column forces a
+                  random policy (GP NOTICE "dropping a column that is
+                  part of the distribution policy forces a NULL
+                  distribution policy").
+* RENAME COLUMN → log entry; old files are read under the old physical
+                  name and renamed in-flight.
+* ALTER COLUMN TYPE [USING expr] → log entry; old files cast (optionally
+                  through USING) at read.  PG rewrites the table here —
+                  metadata-only is again the scale win.
+* SET/DROP DEFAULT, SET/DROP NOT NULL → pure TableDef metadata.
+* SET DISTRIBUTED BY/RANDOMLY/REPLICATED, SET WITH (REORGANIZE=true)
+                  → policy metadata update + one redistribution rewrite
+                  (exactly what GP does: movement is the point).
+* TRUNCATE      → empty-file-list manifest commit, O(1).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from greengage_spark.dialect.ddl import (
+    ColumnDef,
+    _parse_column,
+    _matching_paren,
+    _split_top_level,
+    map_pg_type,
+)
+
+
+def execute_truncate(eng, stmt: str) -> None:
+    """TRUNCATE [TABLE] name [, ...] [RESTART/CONTINUE IDENTITY]
+    [CASCADE|RESTRICT] — FK cascade analysis is moot (constraints are
+    accepted-and-ignored, as at CREATE time)."""
+    m = re.match(
+        r"(?is)^truncate\s+(?:table\s+)?(?:only\s+)?(.+?)"
+        r"(?:\s+(?:restart|continue)\s+identity)?(?:\s+(?:cascade|restrict))?$",
+        stmt,
+    )
+    if not m:
+        raise NotImplementedError("TRUNCATE [TABLE] name [, ...]")
+    names = [n.strip().strip('"') for n in m.group(1).split(",")]
+    for name in names:
+        if name not in eng.ddl.tables:
+            raise ValueError(f"unknown table {name!r}")
+    for name in names:
+        eng._storage(name).truncate()
+        eng._register(name)
+    return None
+
+
+def execute_alter_table(eng, stmt: str) -> None:
+    m = re.match(
+        r"(?is)^alter\s+table\s+(if\s+exists\s+)?(only\s+)?([\w.\"]+)\s+(.*)$",
+        stmt,
+    )
+    if not m:
+        raise NotImplementedError("ALTER TABLE [IF EXISTS] [ONLY] name action")
+    if_exists, name, rest = m.group(1), m.group(3).strip('"'), m.group(4)
+    if name not in eng.ddl.tables:
+        if if_exists:
+            return None
+        raise ValueError(f"unknown table {name!r}")
+    for action in _split_top_level(rest):
+        _apply_action(eng, name, action.strip())
+        # RENAME TO changes the routing key for subsequent actions
+        mr = re.match(r"(?is)^rename\s+to\s+([\w.\"]+)$", action.strip())
+        if mr:
+            name = mr.group(1).strip('"')
+    return None
+
+
+def _apply_action(eng, name: str, action: str) -> None:
+    td = eng.ddl.tables[name]
+    cols = {c.name.lower(): c for c in td.columns}
+
+    # ---- RENAME TO newname ------------------------------------------
+    m = re.match(r"(?is)^rename\s+to\s+([\w.\"]+)$", action)
+    if m:
+        return _rename_table(eng, name, m.group(1).strip('"'))
+
+    # ---- RENAME [COLUMN] a TO b -------------------------------------
+    m = re.match(
+        r'(?is)^rename\s+(?:column\s+)?("?\w+"?)\s+to\s+("?\w+"?)$', action
+    )
+    if m:
+        old, new = m.group(1).strip('"'), m.group(2).strip('"')
+        if old.lower() not in cols:
+            raise ValueError(f'column "{old}" does not exist')
+        if new.lower() in cols:
+            raise ValueError(f'column "{new}" already exists')
+        cd = cols[old.lower()]
+        cd.name = new
+        if td.dist_keys:
+            td.dist_keys = tuple(
+                new if k.lower() == old.lower() else k for k in td.dist_keys
+            )
+        if td.partition_col and td.partition_col.lower() == old.lower():
+            td.partition_col = new
+        eng._storage(name).evolve(
+            {"op": "rename", "from": old, "to": new}, td.schema()
+        )
+        eng._register(name)
+        return None
+
+    # ---- ADD [COLUMN] [IF NOT EXISTS] col type [...] ----------------
+    m = re.match(
+        r"(?is)^add\s+(?:column\s+)?(if\s+not\s+exists\s+)?(.+)$", action
+    )
+    if m and not re.match(
+        r"(?is)^(constraint|primary|unique|check|foreign|exclude)\b",
+        m.group(2),
+    ):
+        cd = _parse_column(m.group(2))
+        if cd.name.lower() in cols:
+            if m.group(1):
+                return None
+            raise ValueError(f'column "{cd.name}" already exists')
+        return _add_column(eng, name, td, cd)
+
+    # ---- ADD/DROP/ALTER CONSTRAINT and friends: accepted + ignored,
+    # consistent with CREATE TABLE constraint handling (no indexes) -----
+    if re.match(
+        r"(?is)^(add|drop|validate)\s+(constraint|primary|unique|check|"
+        r"foreign|exclude)\b",
+        action,
+    ):
+        return None
+
+    # ---- DROP [COLUMN] [IF EXISTS] col [RESTRICT|CASCADE] -----------
+    m = re.match(
+        r'(?is)^drop\s+(?:column\s+)?(if\s+exists\s+)?("?\w+"?)'
+        r"(?:\s+(?:restrict|cascade))?$",
+        action,
+    )
+    if m:
+        col = m.group(2).strip('"')
+        if col.lower() not in cols:
+            if m.group(1):
+                return None
+            raise ValueError(f'column "{col}" does not exist')
+        if len(td.columns) == 1:
+            raise ValueError("cannot drop the only column of a table")
+        if any(k.lower() == col.lower() for k in td.dist_keys):
+            # GP: "dropping a column that is part of the distribution
+            # policy forces a NULL distribution policy" (NOTICE, not error)
+            td.distribution = "random"
+            td.dist_keys = ()
+        td.columns = [c for c in td.columns if c.name.lower() != col.lower()]
+        eng._storage(name).evolve({"op": "drop", "name": col}, td.schema())
+        eng._register(name)
+        return None
+
+    # ---- ALTER [COLUMN] c TYPE t [USING expr] -----------------------
+    m = re.match(
+        r'(?is)^alter\s+(?:column\s+)?("?\w+"?)\s+(?:set\s+data\s+)?type\s+'
+        r"(.+?)(?:\s+using\s+(.+))?$",
+        action,
+    )
+    if m:
+        col = m.group(1).strip('"')
+        if col.lower() not in cols:
+            raise ValueError(f'column "{col}" does not exist')
+        cd = cols[col.lower()]
+        cd.pg_type = m.group(2).strip()
+        cd.spark_type = map_pg_type(cd.pg_type)
+        using = None
+        if m.group(3):
+            from greengage_spark.dialect.transpiler import transpile
+
+            using = transpile(m.group(3).strip())
+        eng._storage(name).evolve(
+            {"op": "retype", "name": cd.name, "type": cd.spark_type,
+             "using": using},
+            td.schema(),
+        )
+        eng._register(name)
+        return None
+
+    # ---- ALTER [COLUMN] c SET/DROP DEFAULT / NOT NULL ---------------
+    m = re.match(
+        r'(?is)^alter\s+(?:column\s+)?("?\w+"?)\s+'
+        r"(set\s+default\s+(.+)|drop\s+default|set\s+not\s+null|"
+        r"drop\s+not\s+null)$",
+        action,
+    )
+    if m:
+        col = m.group(1).strip('"')
+        if col.lower() not in cols:
+            raise ValueError(f'column "{col}" does not exist')
+        cd = cols[col.lower()]
+        sub = m.group(2).lower()
+        if sub.startswith("set default"):
+            cd.default = m.group(3).strip()
+        elif sub == "drop default":
+            cd.default = None
+        elif sub == "set not null":
+            if eng.ddl.table(name).filter(F.col(cd.name).isNull()).head(1):
+                raise ValueError(
+                    f'column "{cd.name}" contains null values'
+                )
+            cd.not_null = True
+        else:
+            cd.not_null = False
+        return None
+
+    # ---- SET DISTRIBUTED ... / SET WITH (REORGANIZE=true) -----------
+    m = re.match(
+        r"(?is)^set\s+(?:with\s*\(([^)]*)\)\s*)?"
+        r"(?:distributed\s+(randomly|replicated|by\s*\(([^)]*)\)))?$",
+        action,
+    )
+    if m and (m.group(1) or m.group(2)):
+        return _set_distributed(eng, name, td, m.group(2), m.group(3))
+
+    raise NotImplementedError(f"ALTER TABLE action {action!r} not supported")
+
+
+def _add_column(eng, name: str, td, cd: ColumnDef) -> None:
+    st = eng._storage(name)
+    value = None
+    if cd.default is not None:
+        from greengage_spark.dialect.transpiler import transpile
+
+        # evaluate the DEFAULT once on the driver (attmissingval — PG11
+        # fast-path ADD COLUMN): pre-existing rows read this literal
+        row = eng.spark.sql(
+            f"SELECT CAST(({transpile(cd.default)}) AS {cd.spark_type}) AS v"
+        ).collect()[0]
+        value = row["v"]
+        if value is not None and not isinstance(
+            value, (bool, int, float, str)
+        ):
+            value = str(value)
+    if cd.not_null and value is None and eng.ddl.table(name).head(1):
+        # PG ATExecAddColumn: NOT NULL with NULL backfill fails the
+        # constraint scan on a non-empty table
+        raise ValueError(
+            f'column "{cd.name}" of relation "{name}" contains null values'
+        )
+    td.columns.append(cd)
+    st.evolve(
+        {"op": "add", "name": cd.name, "type": cd.spark_type, "value": value},
+        td.schema(),
+    )
+    eng._register(name)
+    return None
+
+
+def _rename_table(eng, name: str, new: str) -> None:
+    import os
+
+    if new in eng.ddl.tables or new in eng.views:
+        raise ValueError(f"relation {new!r} already exists")
+    td = eng.ddl.tables.pop(name)
+    td.name = new
+    eng.ddl.tables[new] = td
+    old_root = f"{eng.ddl.root}/{name}"
+    if os.path.isdir(old_root):
+        new_root = f"{eng.ddl.root}/{new}"
+        # manifests hold absolute file paths — rewrite them for the move
+        os.rename(old_root, new_root)
+        for f in os.listdir(new_root):
+            if f.startswith("v") and f.endswith(".json"):
+                p = os.path.join(new_root, f)
+                with open(p) as fh:
+                    txt = fh.read()
+                with open(p, "w") as fh:
+                    fh.write(txt.replace(old_root + "/", new_root + "/"))
+    eng.spark.catalog.dropTempView(name)
+    eng._register(new)
+    return None
+
+
+def _set_distributed(eng, name: str, td, kind: str | None, keys: str | None):
+    """GP ATExecSetDistributedBy: update the policy, then redistribute —
+    one read + one policy-partitioned segment write (the data movement IS
+    the operation; GP does the same motion)."""
+    if kind:
+        k = kind.lower()
+        if k == "randomly":
+            td.distribution, td.dist_keys = "random", ()
+        elif k == "replicated":
+            td.distribution, td.dist_keys = "replicated", ()
+        else:
+            td.distribution = "hash"
+            td.dist_keys = tuple(
+                c.strip().strip('"') for c in _split_top_level(keys or "")
+            )
+    st_new = eng.ddl._storage(td)  # picks up the new dist keys
+    st_new.replace(st_new.df())
+    eng._register(name)
+    return None

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -108,19 +109,125 @@ class WritableTable:
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         )
 
-    def _commit(self, files: list[str], schema: StructType) -> None:
+    def _commit(
+        self,
+        files: list[str],
+        schema: StructType,
+        *,
+        reset: bool = False,
+        evolutions: list[dict] | None = None,
+    ) -> None:
+        """Write the next manifest version.  ``base_schema``/``evolutions``
+        (the ALTER TABLE schema-evolution log, see ``evolve``) carry
+        forward from the current manifest unless ``reset`` — a full-table
+        rewrite stores every row under the current schema, so the log
+        restarts empty."""
         os.makedirs(self.root, exist_ok=True)
         manifest = {"files": files, "schema": schema.json()}
+        if reset or self.version < 0:
+            manifest["base_schema"] = schema.json()
+            manifest["evolutions"] = evolutions or []
+        else:
+            prev = self._manifest()
+            manifest["base_schema"] = prev.get("base_schema", prev["schema"])
+            manifest["evolutions"] = (
+                evolutions
+                if evolutions is not None
+                else prev.get("evolutions", [])
+            )
         tmp = self._manifest_path(self.version + 1) + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, self._manifest_path(self.version + 1))
         self.version += 1
 
+    # ---------------- schema evolution (ALTER TABLE) ----------------
+
+    @staticmethod
+    def _seg_of(path: str) -> int:
+        m = re.search(r"/seg-(\d+)/", path)
+        return int(m.group(1)) if m else 0
+
+    def evolve(self, op: dict, new_schema: StructType) -> "WritableTable":
+        """Metadata-only ALTER TABLE commit (tablecmds.c ATExecCmd family):
+        no data file is read or written.  ``op`` records how rows in files
+        written BEFORE this version map to the new schema; ``_read_files``
+        replays the log per file era.  Ops:
+
+        * ``{"op": "add", "name", "type", "value"}`` — pre-evaluated
+          DEFAULT literal (PG attmissingval: computed once at ALTER time),
+          ``None`` for NULL backfill.
+        * ``{"op": "drop", "name"}`` — physical column pruned at read.
+        * ``{"op": "rename", "from", "to"}``.
+        * ``{"op": "retype", "name", "type", "using"}`` — optional USING
+          expression (Spark SQL) applied before the cast.
+        """
+        man = self._manifest()
+        entry = dict(op, ver=self.version + 1, schema=new_schema.json())
+        self._commit(
+            self.files(),
+            new_schema,
+            evolutions=man.get("evolutions", []) + [entry],
+        )
+        return self
+
+    def truncate(self) -> "WritableTable":
+        """TRUNCATE (tablecmds.c ExecuteTruncate): next manifest has no
+        data files; old versions keep theirs (O(1), no data touched)."""
+        self._commit([], self._schema(), reset=True)
+        return self
+
+    @staticmethod
+    def _apply_evolution(df: DataFrame, e: dict) -> DataFrame:
+        op = e["op"]
+        if op == "add":
+            v = e.get("value")
+            col = (
+                F.lit(v).cast(e["type"]) if v is not None
+                else F.lit(None).cast(e["type"])
+            )
+            return df.withColumn(e["name"], col)
+        if op == "drop":
+            return df.drop(e["name"])
+        if op == "rename":
+            return df.withColumnRenamed(e["from"], e["to"])
+        if op == "retype":
+            src = F.expr(e["using"]) if e.get("using") else F.col(e["name"])
+            return df.withColumn(e["name"], src.cast(e["type"]))
+        raise ValueError(f"unknown evolution op {op!r}")
+
     def _read_files(self, files: list[str]) -> DataFrame:
         if not files:
             return self.spark.createDataFrame([], self._schema())
-        return self.spark.read.schema(self._schema()).parquet(*files)
+        man = self._manifest()
+        evs = man.get("evolutions", [])
+        cur = StructType.fromJson(json.loads(man["schema"]))
+        if not evs:
+            return self.spark.read.schema(cur).parquet(*files)
+        # Files written before an ALTER lack its schema change physically.
+        # A file in seg-K was committed as version K, so evolutions with
+        # ver < K were already in effect when it was written.  Group files
+        # by era (how many log entries they predate), read each group with
+        # its era's physical schema, replay the remaining log, and union —
+        # group count is bounded by the number of ALTERs, not files.
+        eras = [man.get("base_schema", man["schema"])] + [e["schema"] for e in evs]
+        groups: dict[int, list[str]] = {}
+        for f in files:
+            k = self._seg_of(f)
+            era = sum(1 for e in evs if e["ver"] < k)
+            groups.setdefault(era, []).append(f)
+        parts = []
+        for era, fs in sorted(groups.items()):
+            df = self.spark.read.schema(
+                StructType.fromJson(json.loads(eras[era]))
+            ).parquet(*fs)
+            for e in evs[era:]:
+                df = self._apply_evolution(df, e)
+            parts.append(df.select([F.col(f.name) for f in cur.fields]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _touched_files(self, cond: Column) -> list[str]:
         """One predicate-pushdown scan → the distinct data files holding
@@ -176,9 +283,9 @@ class WritableTable:
         return self
 
     def replace(self, df: DataFrame) -> "WritableTable":
-        """Full-table rewrite: UPDATE/DELETE forms whose predicates or
-        assignments hold subqueries evaluate through SQL and land here."""
-        self._commit(self._write_segment(df), df.schema)
+        """Full-table rewrite (every row restored under the current
+        schema, so the schema-evolution log resets)."""
+        self._commit(self._write_segment(df), df.schema, reset=True)
         return self
 
     def rewrite_files(

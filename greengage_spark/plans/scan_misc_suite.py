@@ -590,3 +590,73 @@ def create_aggregate_ddl(spark, sf_dir):
         "SELECT o_custkey, my_total(round(o_totalprice * 100)::int8) AS total_cents "
         "FROM agg_src_orders GROUP BY o_custkey"
     )
+
+
+@suite.add(
+    "ddl_alter_table",
+    oracle="""
+    SELECT p_partkey, p_name AS part_name,
+           CAST(p_retailprice AS DOUBLE) AS p_retailprice, 'mid' AS band
+    FROM part WHERE p_partkey <= 200
+    UNION ALL
+    SELECT p_partkey, p_name AS part_name,
+           CAST(p_retailprice AS DOUBLE) AS p_retailprice, 'new' AS band
+    FROM part WHERE p_partkey > 200 AND p_partkey <= 250
+    """,
+    doc="ALTER TABLE surface (tablecmds.c ATExecAddColumn/ATExecDropColumn/"
+        "renameatt/ATPrepAlterColumnType; alter_distribution_policy.sql "
+        "MPP-5500): ADD COLUMN DEFAULT + RENAME COLUMN + ALTER TYPE + DROP "
+        "COLUMN as METADATA-ONLY manifest commits — pre-ALTER parquet files "
+        "are never rewritten; the schema-evolution log maps each file era "
+        "to the current schema at read.  Mixed-era scan (pre-ALTER backfill "
+        "rows + post-ALTER inserted rows) must match the oracle.",
+    tags=("ddl", "engine", "alter"),
+)
+def ddl_alter_table(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_alter_"))
+    cat(spark, sf_dir).table("part").createOrReplaceTempView("part")
+    eng.execute(
+        "CREATE TABLE alter_t AS SELECT p_partkey, p_name, p_brand, "
+        "p_retailprice FROM part WHERE p_partkey <= 200 DISTRIBUTED BY (p_partkey)"
+    )
+    eng.execute("ALTER TABLE alter_t ADD COLUMN band text DEFAULT 'mid'")
+    eng.execute("ALTER TABLE alter_t RENAME COLUMN p_name TO part_name")
+    eng.execute("ALTER TABLE alter_t ALTER COLUMN p_retailprice TYPE float8")
+    eng.execute("ALTER TABLE alter_t DROP COLUMN p_brand")
+    eng.execute(
+        "INSERT INTO alter_t SELECT p_partkey, p_name, p_retailprice, 'new' "
+        "FROM part WHERE p_partkey > 200 AND p_partkey <= 250"
+    )
+    return eng.execute(
+        "SELECT p_partkey, part_name, p_retailprice, band FROM alter_t"
+    )
+
+
+@suite.add(
+    "ddl_truncate",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 2
+    """,
+    doc="TRUNCATE (tablecmds.c ExecuteTruncate; truncate.sql): O(1) "
+        "empty-manifest commit — no data file read, written, or deleted "
+        "(old versions stay for time travel).  Table refills normally "
+        "afterwards.",
+    tags=("ddl", "engine", "truncate"),
+)
+def ddl_truncate(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_trunc_"))
+    cat(spark, sf_dir).table("nation").createOrReplaceTempView("nation")
+    eng.execute(
+        "CREATE TABLE trunc_t AS SELECT n_nationkey, n_name FROM nation "
+        "DISTRIBUTED BY (n_nationkey)"
+    )
+    eng.execute("TRUNCATE TABLE trunc_t")
+    eng.execute(
+        "INSERT INTO trunc_t SELECT n_nationkey, n_name FROM nation "
+        "WHERE n_regionkey = 2"
+    )
+    return eng.execute("SELECT n_nationkey, n_name FROM trunc_t")

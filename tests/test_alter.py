@@ -1,0 +1,297 @@
+"""ALTER TABLE / TRUNCATE through the engine (tablecmds.c surface;
+alter_distribution_policy.sql / alter_table.sql / truncate.sql shapes).
+
+Scale contract under test: ADD/DROP/RENAME COLUMN and ALTER COLUMN TYPE
+are METADATA-ONLY — a manifest commit, no data file read or written —
+verified by inode/mtime checks.  TRUNCATE is an O(1) empty manifest."""
+
+import os
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return GreengageEngine(spark, str(tmp_path / "wh"))
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _mk(eng, n=3):
+    eng.execute("CREATE TABLE t (a int8, b text) DISTRIBUTED BY (a)")
+    eng.execute(
+        "INSERT INTO t VALUES "
+        + ", ".join(f"({i}, 'r{i}')" for i in range(1, n + 1))
+    )
+
+
+def _stats(st):
+    return {f: os.stat(f) for f in st.files()}
+
+
+def _assert_untouched(before, st, what):
+    now = set(st.files())
+    assert set(before) == now, f"{what} changed the data file set"
+    for f, s in before.items():
+        s2 = os.stat(f)
+        assert (s.st_ino, s.st_mtime_ns, s.st_size) == (
+            s2.st_ino, s2.st_mtime_ns, s2.st_size,
+        ), f"{what} rewrote {f}"
+
+
+class TestAddColumn:
+    def test_add_with_default_backfills_old_rows(self, eng):
+        _mk(eng)
+        st = eng._storage("t")
+        before = _stats(st)
+        eng.execute("ALTER TABLE t ADD COLUMN c int4 DEFAULT 7")
+        _assert_untouched(before, st, "ADD COLUMN")
+        eng.execute("INSERT INTO t VALUES (4, 'r4', 40)")
+        assert rows(eng.execute("SELECT a, c FROM t")) == [
+            (1, 7), (2, 7), (3, 7), (4, 40),
+        ]
+
+    def test_add_without_default_is_null(self, eng):
+        _mk(eng)
+        eng.execute("ALTER TABLE t ADD COLUMN c float8")
+        assert rows(eng.execute("SELECT a, c FROM t")) == [
+            (1, None), (2, None), (3, None),
+        ]
+
+    def test_add_not_null_without_default_on_nonempty_errors(self, eng):
+        _mk(eng)
+        with pytest.raises(ValueError, match="contains null values"):
+            eng.execute("ALTER TABLE t ADD COLUMN c int4 NOT NULL")
+        # with a default it's fine; on an empty table both are fine
+        eng.execute("ALTER TABLE t ADD COLUMN c int4 NOT NULL DEFAULT 1")
+        eng.execute("CREATE TABLE e (x int8)")
+        eng.execute("ALTER TABLE e ADD COLUMN y int4 NOT NULL")
+
+    def test_add_if_not_exists_and_duplicate(self, eng):
+        _mk(eng)
+        eng.execute("ALTER TABLE t ADD COLUMN IF NOT EXISTS b text")
+        with pytest.raises(ValueError, match="already exists"):
+            eng.execute("ALTER TABLE t ADD COLUMN b text")
+
+    def test_add_text_default_expression(self, eng):
+        _mk(eng, 1)
+        eng.execute("ALTER TABLE t ADD COLUMN tag text DEFAULT 'x' || 'y'")
+        eng.execute("INSERT INTO t (a, b) VALUES (2, 'r2')")
+        # post-ALTER INSERT takes the declared DEFAULT too
+        assert rows(eng.execute("SELECT a, tag FROM t")) == [
+            (1, "xy"), (2, "xy"),
+        ]
+
+
+class TestDropRenameColumn:
+    def test_drop_column(self, eng):
+        _mk(eng)
+        st = eng._storage("t")
+        eng.execute("ALTER TABLE t ADD COLUMN c int4 DEFAULT 5")
+        before = _stats(st)
+        eng.execute("ALTER TABLE t DROP COLUMN b")
+        _assert_untouched(before, st, "DROP COLUMN")
+        assert rows(eng.execute("SELECT * FROM t")) == [
+            (1, 5), (2, 5), (3, 5),
+        ]
+
+    def test_drop_distribution_key_forces_random(self, eng):
+        _mk(eng)
+        eng.execute("ALTER TABLE t DROP COLUMN a")
+        td = eng.ddl.tables["t"]
+        assert td.distribution == "random" and td.dist_keys == ()
+        assert rows(eng.execute("SELECT * FROM t")) == [
+            ("r1",), ("r2",), ("r3",),
+        ]
+
+    def test_drop_only_column_errors(self, eng):
+        eng.execute("CREATE TABLE one (x int8)")
+        with pytest.raises(ValueError, match="only column"):
+            eng.execute("ALTER TABLE one DROP COLUMN x")
+
+    def test_drop_if_exists(self, eng):
+        _mk(eng)
+        eng.execute("ALTER TABLE t DROP COLUMN IF EXISTS nope")
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.execute("ALTER TABLE t DROP COLUMN nope")
+
+    def test_rename_column_reads_old_files(self, eng):
+        _mk(eng)
+        st = eng._storage("t")
+        before = _stats(st)
+        eng.execute("ALTER TABLE t RENAME COLUMN b TO label")
+        _assert_untouched(before, st, "RENAME COLUMN")
+        # old files hold physical column 'b'; new files write 'label'
+        eng.execute("INSERT INTO t VALUES (4, 'r4')")
+        assert rows(eng.execute("SELECT a, label FROM t")) == [
+            (1, "r1"), (2, "r2"), (3, "r3"), (4, "r4"),
+        ]
+        # dist-key rename keeps the policy on the renamed column
+        eng.execute("ALTER TABLE t RENAME COLUMN a TO id")
+        assert eng.ddl.tables["t"].dist_keys == ("id",)
+
+    def test_rename_table(self, eng):
+        _mk(eng)
+        eng.execute("ALTER TABLE t RENAME TO t2")
+        assert rows(eng.execute("SELECT a FROM t2")) == [(1,), (2,), (3,)]
+        eng.execute("INSERT INTO t2 VALUES (9, 'r9')")
+        with pytest.raises(Exception):
+            eng.execute("SELECT * FROM t")
+
+
+class TestAlterColumn:
+    def test_retype_metadata_only(self, eng):
+        _mk(eng)
+        st = eng._storage("t")
+        before = _stats(st)
+        eng.execute("ALTER TABLE t ALTER COLUMN a TYPE float8")
+        _assert_untouched(before, st, "ALTER COLUMN TYPE")
+        got = rows(eng.execute("SELECT a FROM t"))
+        assert got == [(1.0,), (2.0,), (3.0,)]
+        assert all(isinstance(v, float) for (v,) in got)
+
+    def test_retype_with_using(self, eng):
+        _mk(eng)
+        eng.execute("ALTER TABLE t ALTER COLUMN b TYPE int4 USING length(b)")
+        assert rows(eng.execute("SELECT a, b FROM t")) == [
+            (1, 2), (2, 2), (3, 2),
+        ]
+
+    def test_set_drop_default_and_not_null(self, eng):
+        _mk(eng)
+        eng.execute("ALTER TABLE t ALTER COLUMN b SET DEFAULT 'dflt'")
+        eng.execute("INSERT INTO t (a) VALUES (4)")
+        assert (4, "dflt") in rows(eng.execute("SELECT a, b FROM t"))
+        eng.execute("ALTER TABLE t ALTER COLUMN b DROP DEFAULT")
+        eng.execute("INSERT INTO t (a) VALUES (5)")
+        assert (5, None) in rows(eng.execute("SELECT a, b FROM t"))
+        with pytest.raises(ValueError, match="contains null values"):
+            eng.execute("ALTER TABLE t ALTER COLUMN b SET NOT NULL")
+        eng.execute("DELETE FROM t WHERE b IS NULL")
+        eng.execute("ALTER TABLE t ALTER COLUMN b SET NOT NULL")
+        with pytest.raises(ValueError, match="not-null constraint"):
+            eng.execute("INSERT INTO t (a) VALUES (6)")
+        eng.execute("ALTER TABLE t ALTER COLUMN b DROP NOT NULL")
+        eng.execute("INSERT INTO t (a) VALUES (6)")
+
+
+class TestSetDistributed:
+    def test_set_distributed_by(self, eng):
+        _mk(eng)
+        eng.execute("ALTER TABLE t SET DISTRIBUTED BY (b)")
+        td = eng.ddl.tables["t"]
+        assert td.distribution == "hash" and td.dist_keys == ("b",)
+        assert rows(eng.execute("SELECT a FROM t")) == [(1,), (2,), (3,)]
+
+    def test_set_distributed_randomly_and_reorganize(self, eng):
+        _mk(eng)
+        eng.execute("ALTER TABLE t SET DISTRIBUTED RANDOMLY")
+        assert eng.ddl.tables["t"].distribution == "random"
+        eng.execute("ALTER TABLE t SET WITH (REORGANIZE=true) DISTRIBUTED BY (a)")
+        assert eng.ddl.tables["t"].dist_keys == ("a",)
+        assert rows(eng.execute("SELECT a FROM t")) == [(1,), (2,), (3,)]
+
+
+class TestTruncate:
+    def test_truncate_is_o1_and_empties(self, eng, tmp_path):
+        _mk(eng)
+        st = eng._storage("t")
+        data_before = set(st.files())
+        eng.execute("TRUNCATE t")
+        st2 = eng._storage("t")
+        assert st2.files() == []
+        assert rows(eng.execute("SELECT * FROM t")) == []
+        # O(1): no data file was written or deleted, only a manifest
+        for f in data_before:
+            assert os.path.exists(f), "TRUNCATE must not delete old versions"
+        eng.execute("INSERT INTO t VALUES (1, 'back')")
+        assert rows(eng.execute("SELECT a FROM t")) == [(1,)]
+
+    def test_truncate_table_keyword_and_multi(self, eng):
+        _mk(eng)
+        eng.execute("CREATE TABLE u (x int8)")
+        eng.execute("INSERT INTO u VALUES (1)")
+        eng.execute("TRUNCATE TABLE t, u")
+        assert rows(eng.execute("SELECT * FROM t")) == []
+        assert rows(eng.execute("SELECT * FROM u")) == []
+
+    def test_truncate_options_and_unknown(self, eng):
+        _mk(eng)
+        eng.execute("TRUNCATE TABLE t RESTART IDENTITY CASCADE")
+        assert rows(eng.execute("SELECT * FROM t")) == []
+        with pytest.raises(ValueError, match="unknown table"):
+            eng.execute("TRUNCATE nope")
+
+
+class TestReferenceBattery:
+    def test_mpp5500_add_drop_rename_retype_reorganize(self, eng):
+        """alter_distribution_policy.sql:227-252 (MPP-5500) shape."""
+        eng.execute(
+            "CREATE TABLE tadr (text_col text, bigint_col bigint, "
+            "numeric_col numeric, int_col int4, drop_col numeric, "
+            "before_rename_col int4, change_datatype_col numeric, "
+            "date_column date) DISTRIBUTED RANDOMLY"
+        )
+        for i in range(3):
+            eng.execute(
+                f"INSERT INTO tadr VALUES ('{i}_zero', {i}, {i}, {i}, {i}, "
+                f"{i}, {i}, '200{i}-01-01')"
+            )
+        eng.execute("ALTER TABLE tadr ADD COLUMN added_col character varying(30)")
+        eng.execute("ALTER TABLE tadr DROP COLUMN drop_col")
+        eng.execute(
+            "ALTER TABLE tadr RENAME COLUMN before_rename_col TO after_rename_col"
+        )
+        eng.execute("ALTER TABLE tadr ALTER COLUMN change_datatype_col TYPE int4")
+        eng.execute(
+            "ALTER TABLE tadr SET WITH (REORGANIZE=true) DISTRIBUTED RANDOMLY"
+        )
+        out = eng.execute(
+            "SELECT text_col, bigint_col, after_rename_col, "
+            "change_datatype_col, added_col FROM tadr"
+        )
+        assert rows(out) == [
+            ("0_zero", 0, 0, 0, None),
+            ("1_zero", 1, 1, 1, None),
+            ("2_zero", 2, 2, 2, None),
+        ]
+        assert dict(out.dtypes)["change_datatype_col"] == "int"
+
+    def test_multiple_actions_one_statement(self, eng):
+        _mk(eng)
+        eng.execute(
+            "ALTER TABLE t ADD COLUMN c int4 DEFAULT 1, "
+            "ADD COLUMN d text DEFAULT 'dd'"
+        )
+        assert rows(eng.execute("SELECT a, c, d FROM t WHERE a = 1")) == [
+            (1, 1, "dd")
+        ]
+
+    def test_stacked_evolutions_across_inserts(self, eng):
+        """Interleaved ALTER/INSERT: every era of files reads correctly."""
+        eng.execute("CREATE TABLE ev (a int8)")
+        eng.execute("INSERT INTO ev VALUES (1)")
+        eng.execute("ALTER TABLE ev ADD COLUMN b text DEFAULT 'old'")
+        eng.execute("INSERT INTO ev VALUES (2, 'mid')")
+        eng.execute("ALTER TABLE ev RENAME COLUMN b TO c")
+        eng.execute("ALTER TABLE ev ADD COLUMN d int4 DEFAULT 9")
+        eng.execute("INSERT INTO ev VALUES (3, 'new', 30)")
+        eng.execute("ALTER TABLE ev ALTER COLUMN a TYPE float8")
+        assert rows(eng.execute("SELECT a, c, d FROM ev")) == [
+            (1.0, "old", 9), (2.0, "mid", 9), (3.0, "new", 30),
+        ]
+        # UPDATE/DELETE still work over the evolved, multi-era table
+        eng.execute("UPDATE ev SET d = 0 WHERE a = 1.0")
+        eng.execute("DELETE FROM ev WHERE c = 'mid'")
+        assert rows(eng.execute("SELECT a, d FROM ev")) == [
+            (1.0, 0), (3.0, 30),
+        ]
+
+    def test_if_exists_unknown_table(self, eng):
+        eng.execute("ALTER TABLE IF EXISTS nope ADD COLUMN x int4")
+        with pytest.raises(ValueError, match="unknown table"):
+            eng.execute("ALTER TABLE nope ADD COLUMN x int4")
