@@ -3117,6 +3117,16 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 )
                 i += 2  # past fname+'(' — to_date maps to itself, don't re-match
                 continue
+            if low == "to_number" and len(args) == 2 and len(args[1]) == 1 and _is_string(args[1][0]):
+                # reverse NUM_* engine (formatting.c numeric_to_number) —
+                # Arrow-batched pg_format.num_tonumber
+                esc = args[1][0].strip("'").replace("'", "''")
+                out[i : close + 1] = (
+                    ["pg_tonumber", "(", "CAST", "("] + args[0]
+                    + ["AS", "STRING", ")", ",", f"'{esc}'", ")"]
+                )
+                i += 2
+                continue
             if low in _TYPE_MAP and len(args) == 1 and low not in ("char",):
                 # PG type-name function-call casts: float8(x), int4(x),
                 # text(x) … (parse_func.c treats them as casts)
@@ -3734,7 +3744,7 @@ def pg_sql(spark, sql: str):
 
         return run_recursive_sql(spark, sql)
     out = transpile(sql)
-    if "pg_tochar_" in out:
+    if "pg_tochar_" in out or "pg_tonumber" in out:
         from greengage_spark.functions.pg_format import register_udfs
 
         register_udfs(spark)

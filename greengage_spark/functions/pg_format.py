@@ -567,6 +567,134 @@ def dch_tochar(dt, tmpl: str) -> str | None:
     return "".join(out)
 
 
+# ------------------------------------------------------------- to_number
+
+
+def num_tonumber(s, tmpl: str):
+    """PG to_number(text, text) — the reading direction of the NUM_*
+    engine (formatting.c numeric_to_number → NUM_processor with
+    is_to_char=false; per-node scan NUM_numpart_from_char:4219-4460).
+
+    The processor walks template nodes, consuming one input position per
+    node at the end of each action; digit/decimal nodes additionally
+    absorb one leading space, a pre-sign ('-', '+', '<' under PR, or the
+    locale sign when S precedes the digits), the digit or decimal point
+    itself, and a post-anchored sign (S after the last digit, or a bare
+    +/- when MI/PL make the format inexact).  This reproduces PG's
+    quirks: to_number('.-01','S99.99') → -0.01, to_number('5.01-',
+    'FM9.999999S') → -5.01, template-limited digit consumption, and the
+    V down-shift (inverse of the to_char multiplier)."""
+    if s is None:
+        return None
+    items, fm, pr, vshift = _parse(tmpl)
+    for kind, _ in items:
+        if kind in ("eeee", "rn"):
+            raise ValueError(
+                f'"{kind.upper()}" is not supported in to_number templates'
+            )
+    dot_idx = next((i for i, (k, _) in enumerate(items) if k == "dot"), None)
+    has_dec = dot_idx is not None
+    n_post = (
+        sum(1 for k, _ in items[dot_idx + 1 :] if k == "digit") if has_dec else 0
+    )
+    first_digit = next((i for i, (k, _) in enumerate(items) if k == "digit"), None)
+    sign_idx = next((i for i, (k, _) in enumerate(items) if k == "sign"), None)
+    is_lsign = sign_idx is not None
+    lsign_pre = (
+        is_lsign and first_digit is not None and sign_idx < first_digit
+    )
+    has_simple_sign = any(k in ("mi", "pl") for k, _ in items)
+
+    num: list[str] = []
+    sign: str | None = None
+    read_dec = False
+    read_pre = read_post = 0
+    ip, n = 0, len(s)
+    for kind, _pay in items:
+        if ip >= n:
+            break
+        if kind in ("digit", "dot"):
+            if s[ip] == " ":  # one leading space per node
+                ip += 1
+            if ip >= n:
+                break
+            if sign is None and read_pre + read_post == 0 and kind == "digit":
+                # sign before the number
+                if is_lsign:
+                    if lsign_pre and s[ip] in "-+":
+                        sign = s[ip]
+                        ip += 1
+                elif s[ip] == "-" or (pr and s[ip] == "<"):
+                    sign = "-"
+                    ip += 1
+                elif s[ip] == "+":
+                    sign = "+"
+                    ip += 1
+                if ip >= n:
+                    break
+            isread = False
+            ch = s[ip]
+            if ch.isdigit():
+                if not (read_dec and read_post == n_post):
+                    num.append(ch)
+                    if read_dec:
+                        read_post += 1
+                    else:
+                        read_pre += 1
+                    isread = True
+            elif has_dec and not read_dec and ch == ".":
+                num.append(".")
+                read_dec = True
+                isread = True
+            # sign anchored behind the last number
+            if sign is None and read_pre + read_post > 0:
+                if is_lsign and isread and ip + 1 < n and not s[ip + 1].isdigit():
+                    if s[ip + 1] in "-+":
+                        sign = s[ip + 1]
+                        ip += 1
+                elif (
+                    not isread
+                    and not is_lsign
+                    and has_simple_sign
+                    and ch in "-+"
+                ):
+                    sign = ch
+            ip += 1
+        elif kind == "sep":
+            if fm and read_pre + read_post == 0:
+                continue  # FM + no digits yet: node consumes nothing
+            ip += 1
+        elif kind == "cur":
+            pass  # C-locale currency symbol is empty
+        elif kind == "th":
+            if has_dec or sign == "-":
+                continue
+            ip += 2
+        elif kind == "mi":
+            if s[ip] == "-":
+                sign = "-"
+            ip += 1
+        elif kind == "pl":
+            if s[ip] == "+":
+                sign = "+"
+            ip += 1
+        elif kind == "sg":
+            if s[ip] in "-+":
+                sign = s[ip]
+            ip += 1
+        elif kind == "sign":
+            continue  # NUM_S acts at the digit nodes (locale-sign anchor)
+        else:  # literal
+            ip += 1
+    txt = "".join(num)
+    v = Decimal(txt) if txt not in ("", ".") else Decimal(0)
+    if sign == "-":
+        v = -v
+    if vshift:
+        v = v.scaleb(-vshift)
+    return v
+
+
 # --------------------------------------------------------------- Spark glue
 
 
@@ -603,12 +731,25 @@ def register_udfs(spark) -> None:
             dtype="object",
         )
 
+    def _tonum(vals, tmpls):
+        return pd.Series(
+            [
+                None if v is None or t is None else num_tonumber(v, t)
+                for v, t in zip(vals, tmpls)
+            ],
+            dtype="object",
+        )
+
     # annotations are set explicitly (PEP 563 string annotations would
     # not resolve `pd` from a nested scope inside pandas_udf's inspection)
     _num.__annotations__ = {
         "vals": pd.Series, "tmpls": pd.Series, "return": pd.Series,
     }
     _dch.__annotations__ = dict(_num.__annotations__)
+    _tonum.__annotations__ = dict(_num.__annotations__)
     spark.udf.register("pg_tochar_num", pandas_udf(_num, "string"))
     spark.udf.register("pg_tochar_dch", pandas_udf(_dch, "string"))
+    # PG numeric is unbounded; decimal(38,18) is the documented cap
+    # (same as map_pg_type's bare-numeric mapping)
+    spark.udf.register("pg_tonumber", pandas_udf(_tonum, "decimal(38,18)"))
     spark.conf.set("greengage.pg_format.registered", "1")

@@ -903,3 +903,37 @@ def dialect_percentile(spark, sf_dir):
         """,
         ["lineitem"],
     )
+
+
+@suite.add(
+    "dialect_to_number",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_rt,
+           -34338492.0 AS lit_grouped,
+           -564646.654564 AS lit_pr,
+           -5.01 AS lit_post_sign
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    doc="to_number (formatting.c numeric_to_number NUM_* reading engine → "
+        "functions/pg_format.num_tonumber, Arrow-batched UDF): "
+        "to_char→to_number round-trip over table data plus verbatim "
+        "numeric.sql:781-793 literal cases (group separators, PR angle "
+        "brackets, post-anchored S sign).",
+    tags=("dialect", "functions"),
+)
+def dialect_to_number(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               to_number(to_char(o_totalprice::numeric(12,2), '99999999.99'),
+                         '99999999.99')::float8 AS price_rt,
+               to_number('-34,338,492', '99G999G999')::float8 AS lit_grouped,
+               to_number('<564646.654564>', '999999.999999PR')::float8 AS lit_pr,
+               to_number('5.01-', 'FM9.999999S')::float8 AS lit_post_sign
+        FROM orders WHERE o_orderkey < 1000
+        """,
+        ["orders"],
+    )

@@ -236,3 +236,44 @@ def test_tochar_udf_end_to_end(spark):
     ).collect()[0][0]
     assert got == dch_tochar(ts, 'YYYYTH "wk" IW J SSSS FMMonth')
     assert got == "1997TH wk 07 2450490 63121 February"
+
+
+# ------------------------------------------------------------- to_number
+# Verbatim reference battery: every to_number call in numeric.sql:781-793
+# against its numeric.out expected value.
+_TONUM_CASES = re.findall(
+    r"AS (to_number_\d+),\s*to_number\('([^']*)',\s*'([^']*)'\)", _NUM_SQL
+)
+
+
+@pytest.mark.parametrize(
+    "case", _TONUM_CASES, ids=[f"{n}:{t}" for n, _, t in _TONUM_CASES]
+)
+def test_num_tonumber_vs_reference(case):
+    from greengage_spark.functions.pg_format import num_tonumber
+
+    name, val, tmpl = case
+    exp = _expected_rows(_NUM_OUT, name)[0].strip()
+    got = num_tonumber(val, tmpl)
+    assert got == Decimal(exp), f"{val!r} {tmpl!r}: {got} != {exp}"
+
+
+def test_num_tonumber_v_shift_and_none():
+    from greengage_spark.functions.pg_format import num_tonumber
+
+    assert num_tonumber("12400", "99V999") == Decimal("12.4")
+    assert num_tonumber(None, "999") is None
+    with pytest.raises(ValueError):
+        num_tonumber("1e3", "9EEEE")
+
+
+def test_to_number_end_to_end(spark):
+    from greengage_spark.dialect.transpiler import pg_sql
+
+    got = pg_sql(
+        spark,
+        "SELECT CAST(to_number('-34,338,492', '99G999G999') AS DOUBLE) AS a, "
+        "CAST(to_number('<564646.654564>', '999999.999999PR') AS DOUBLE) AS b",
+    ).collect()[0]
+    assert got.a == -34338492.0
+    assert got.b == -564646.654564
