@@ -128,8 +128,10 @@ def parse_create_function(stmt: str) -> tuple[FunctionDef, bool]:
     lang = m.group(9).lower()
     if lang in ("plpythonu", "plpython3u", "plpython2u"):
         lang = "plpythonu"
-    elif lang != "sql":
-        raise NotImplementedError(f"LANGUAGE {lang} not supported (sql, plpythonu)")
+    elif lang not in ("sql", "plpgsql"):
+        raise NotImplementedError(
+            f"LANGUAGE {lang} not supported (sql, plpgsql, plpythonu)"
+        )
     return (
         FunctionDef(
             name=m.group(2),
@@ -149,15 +151,100 @@ def _substitute_positional(expr: str, arg_names: list[str]) -> str:
     return expr
 
 
+def plpgsql_to_expr(body: str) -> str:
+    """Lower a restricted PL/pgSQL body (src/pl/plpgsql/ exec_stmt_return
+    / exec_stmt_if) to one SQL expression so the function inlines into
+    Catalyst exactly like a LANGUAGE sql function:
+
+    * ``BEGIN RETURN <expr>; END``                       → ``<expr>``
+    * ``BEGIN IF c THEN RETURN e; [ELSIF c2 THEN RETURN e2;]...
+      [ELSE RETURN e3;] END IF; END``                    → CASE chain;
+      a missing ELSE raises PL/pgSQL's own runtime error ("control
+      reached end of function without RETURN") via raise_error, matching
+      exec_stmt_block's fall-off-the-end behavior.
+
+    A DECLARE section is accepted when every entry is a pure parameter
+    alias — ``name ALIAS FOR $n;`` (the qp_functions.sql house style) —
+    which rewrites to the positional reference.  Everything else
+    (variables, assignments, loops, multiple statements) is rejected
+    loudly."""
+    b = body.strip().rstrip(";").strip()
+    aliases: dict[str, str] = {}
+    md = re.match(
+        r"(?is)^declare\s+(.*?)\bbegin\b(.*)\bend$", b, re.DOTALL
+    )
+    m = md or re.match(r"(?is)^begin\b(.*)\bend$", b, re.DOTALL)
+    if not m:
+        raise NotImplementedError(
+            "LANGUAGE plpgsql body must be [DECLARE aliases] BEGIN ... END"
+        )
+    if md:
+        for d in md.group(1).split(";"):
+            d = d.strip()
+            if not d:
+                continue
+            ma = re.match(r"(?is)^(\w+)\s+alias\s+for\s+(\$\d+)$", d)
+            if not ma:
+                raise NotImplementedError(
+                    f"plpgsql DECLARE supports only 'name ALIAS FOR $n' "
+                    f"entries, got {d!r}"
+                )
+            aliases[ma.group(1)] = ma.group(2)
+        inner = md.group(2).strip()
+    else:
+        inner = m.group(1).strip()
+    if aliases:
+        for alias, pos in aliases.items():
+            inner = re.sub(rf"(?i)\b{re.escape(alias)}\b", pos, inner)
+    mr = re.match(r"(?is)^return\s+(.+?);?$", inner, re.DOTALL)
+    if mr and mr.group(1).count(";") == 0:
+        return mr.group(1).strip()
+    mi = re.match(r"(?is)^if\s+(.*)\s+end\s+if;?$", inner, re.DOTALL)
+    if mi:
+        whens, else_expr = [], None
+        for k, part in enumerate(re.split(r"(?is)\belsif\s+", mi.group(1))):
+            mp = re.match(
+                r"(?is)^(.*?)\s+then\s+return\s+(.*?);"
+                r"(?:\s*else\s+return\s+(.*?);)?\s*$",
+                part,
+                re.DOTALL,
+            )
+            if not mp:
+                raise NotImplementedError(
+                    "plpgsql IF branches must each be THEN RETURN <expr>;"
+                )
+            whens.append((mp.group(1).strip(), mp.group(2).strip()))
+            if mp.group(3):
+                else_expr = mp.group(3).strip()
+        case = " ".join(f"WHEN ({c}) THEN ({e})" for c, e in whens)
+        tail = (
+            f"ELSE ({else_expr})"
+            if else_expr is not None
+            else "ELSE raise_error('control reached end of function "
+            "without RETURN')"
+        )
+        return f"CASE {case} {tail} END"
+    raise NotImplementedError(
+        "plpgsql subset: BEGIN RETURN expr; END or a single IF/ELSIF/ELSE "
+        "chain of RETURNs; use LANGUAGE plpythonu for procedural bodies"
+    )
+
+
 def register_function(spark: SparkSession, fd: FunctionDef, transpile) -> None:
-    """Register on the session: sql → Spark SQL-defined function (inlines
-    into Catalyst); plpythonu → Python UDF."""
-    if fd.language == "sql":
-        body = fd.body.rstrip(";").strip()
-        msel = re.match(r"(?is)^select\s+(.*)$", body)
-        if not msel:
-            raise NotImplementedError("LANGUAGE sql body must be a single SELECT expr")
-        expr = _substitute_positional(msel.group(1).strip(), fd.arg_names)
+    """Register on the session: sql/plpgsql → Spark SQL-defined function
+    (inlines into Catalyst); plpythonu → Python UDF."""
+    if fd.language in ("sql", "plpgsql"):
+        if fd.language == "plpgsql":
+            expr = plpgsql_to_expr(fd.body)
+        else:
+            body = fd.body.rstrip(";").strip()
+            msel = re.match(r"(?is)^select\s+(.*)$", body)
+            if not msel:
+                raise NotImplementedError(
+                    "LANGUAGE sql body must be a single SELECT expr"
+                )
+            expr = msel.group(1).strip()
+        expr = _substitute_positional(expr, fd.arg_names)
         args = ", ".join(
             f"{n} {t}" for n, t in zip(fd.arg_names, fd.arg_types)
         )

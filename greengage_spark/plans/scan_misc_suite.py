@@ -660,3 +660,46 @@ def ddl_truncate(spark, sf_dir):
         "WHERE n_regionkey = 2"
     )
     return eng.execute("SELECT n_nationkey, n_name FROM trunc_t")
+
+
+@suite.add(
+    "create_function_plpgsql",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000.0 THEN 'high'
+                WHEN o_totalprice > 100000.0 THEN 'mid'
+                ELSE 'low' END AS band,
+           CAST(o_totalprice * 0.06 AS DOUBLE) AS tax
+    FROM orders WHERE o_orderkey < 500
+    """,
+    doc="CREATE FUNCTION ... LANGUAGE plpgsql restricted subset "
+        "(src/pl/plpgsql/ exec_stmt_return/exec_stmt_if; qp_functions.sql "
+        "shapes): BEGIN RETURN expr; END and IF/ELSIF/ELSE chains of "
+        "RETURNs lower to SQL-defined functions that inline into Catalyst "
+        "(zero Python in the plan).",
+    tags=("udf", "engine", "plpgsql"),
+)
+def create_function_plpgsql(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_plpg_"))
+    cat(spark, sf_dir).table("orders").filter(
+        F.col("o_orderkey") < 500
+    ).createOrReplaceTempView("plpg_src_orders")
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION price_band(p float8) RETURNS text AS $$\n"
+        "BEGIN\n"
+        "  IF p > 300000.0 THEN RETURN 'high';\n"
+        "  ELSIF p > 100000.0 THEN RETURN 'mid';\n"
+        "  ELSE RETURN 'low';\n"
+        "  END IF;\n"
+        "END;\n$$ LANGUAGE plpgsql"
+    )
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION sales_tax(subtotal float8) RETURNS float8 "
+        "AS $$ BEGIN RETURN subtotal * 0.06; END; $$ LANGUAGE plpgsql"
+    )
+    return eng.execute(
+        "SELECT o_orderkey, price_band(o_totalprice::float8) AS band, "
+        "sales_tax(o_totalprice::float8) AS tax FROM plpg_src_orders"
+    )

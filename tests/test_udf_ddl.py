@@ -149,3 +149,91 @@ class TestEngineAggregates:
     def test_unknown_sfunc_rejected(self, eng):
         with pytest.raises(NotImplementedError, match="transition"):
             eng.execute("CREATE AGGREGATE bad (int4) (sfunc = nosuchfn, stype = int4)")
+
+
+class TestPlpgsql:
+    """LANGUAGE plpgsql restricted subset (src/pl/plpgsql/ exec_stmt_return
+    / exec_stmt_if; verbatim shapes from qp_functions.sql:180-225)."""
+
+    def test_simple_return(self, eng):
+        eng.execute(
+            "CREATE FUNCTION sales_tax(subtotal real) RETURNS real AS $$\n"
+            "BEGIN\n\tRETURN subtotal * 0.06;\nEND;\n$$ LANGUAGE plpgsql"
+        )
+        got = eng.execute("SELECT sales_tax(30) AS t").collect()[0].t
+        assert abs(got - 1.8) < 1e-6  # qp_functions.out:693-696
+
+    def test_positional_args_quoted_body(self, eng):
+        eng.execute(
+            "CREATE FUNCTION concat_text (text, text) RETURNS text AS '\n"
+            "\tBEGIN\n\t\tRETURN $1 || $2;\n\tEND;\n' LANGUAGE 'plpgsql'"
+        )
+        assert (
+            eng.execute("SELECT concat_text('Green','gage') AS c").collect()[0].c
+            == "Greengage"
+        )
+
+    def test_declare_alias_for(self, eng):
+        # 'instr' itself is a Spark builtin a SQL UDF cannot shadow, so
+        # the verbatim qp_functions.sql body registers under instr_gp
+        eng.execute(
+            "CREATE FUNCTION instr_gp(varchar, integer) RETURNS integer AS $$\n"
+            "DECLARE\n\tv_string ALIAS FOR $1;\n\tindex ALIAS FOR $2;\n"
+            "BEGIN\n\tRETURN index+10;\nEND;\n$$ LANGUAGE plpgsql"
+        )
+        assert eng.execute("SELECT instr_gp('next',3) AS i").collect()[0].i == 13
+
+    def test_if_elsif_else_chain(self, eng):
+        eng.execute(
+            "CREATE FUNCTION band(x int4) RETURNS text AS $$\n"
+            "BEGIN\n"
+            "  IF x < 0 THEN RETURN 'neg';\n"
+            "  ELSIF x = 0 THEN RETURN 'zero';\n"
+            "  ELSE RETURN 'pos';\n"
+            "  END IF;\n"
+            "END;\n$$ LANGUAGE plpgsql"
+        )
+        got = [
+            r.b
+            for r in eng.execute(
+                "SELECT band(v) AS b FROM (VALUES (-3), (0), (9)) t(v)"
+            ).collect()
+        ]
+        assert got == ["neg", "zero", "pos"]
+
+    def test_if_without_else_raises_at_runtime(self, eng):
+        eng.execute(
+            "CREATE FUNCTION only_pos(x int4) RETURNS text AS $$\n"
+            "BEGIN\n  IF x > 0 THEN RETURN 'pos';\n  END IF;\nEND;\n"
+            "$$ LANGUAGE plpgsql"
+        )
+        assert (
+            eng.execute("SELECT only_pos(1) AS v").collect()[0].v == "pos"
+        )
+        with pytest.raises(Exception, match="without RETURN"):
+            eng.execute("SELECT only_pos(-1) AS v").collect()
+
+    def test_procedural_bodies_rejected_loudly(self, eng):
+        with pytest.raises(NotImplementedError, match="plpgsql"):
+            eng.execute(
+                "CREATE FUNCTION looper(x int4) RETURNS int4 AS $$\n"
+                "BEGIN\n  FOR i IN 1..x LOOP x := x + 1; END LOOP;\n"
+                "  RETURN x;\nEND;\n$$ LANGUAGE plpgsql"
+            )
+        with pytest.raises(NotImplementedError, match="ALIAS FOR"):
+            eng.execute(
+                "CREATE FUNCTION decl(x int4) RETURNS int4 AS $$\n"
+                "DECLARE y int4 := 3;\nBEGIN\n  RETURN x + y;\nEND;\n"
+                "$$ LANGUAGE plpgsql"
+            )
+
+    def test_inlines_into_catalyst(self, eng):
+        """plpgsql lowers to a SQL-defined function — no Python UDF node."""
+        eng.execute(
+            "CREATE FUNCTION dbl(x int8) RETURNS int8 AS $$\n"
+            "BEGIN RETURN x * 2; END;\n$$ LANGUAGE plpgsql"
+        )
+        df = eng.execute("SELECT dbl(4) AS v")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert df.collect()[0].v == 8
