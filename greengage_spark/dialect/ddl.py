@@ -114,6 +114,19 @@ class TableDef:
     partition_spec_raw: str = ""
     storage_options: dict[str, str] = field(default_factory=dict)
 
+    def partition_bounds(self):
+        """Declared bounds parsed from the recorded spec (START/END/EVERY
+        expansion, parse_partition.c:1238); [] when the spec is empty."""
+        if not self.partition_spec_raw:
+            return []
+        from greengage_spark.operators.partitions import parse_partition_spec
+
+        col_type = next(
+            (c.spark_type for c in self.columns if c.name == self.partition_col),
+            "string",
+        )
+        return parse_partition_spec(self.partition_spec_raw, col_type)
+
     @property
     def schema_ddl(self) -> str:
         return ", ".join(f"{c.name} {c.spark_type}" for c in self.columns)
@@ -321,15 +334,24 @@ class DDLCatalog:
         return F.broadcast(df) if td.distribution == "replicated" else df
 
     def write_partitioned(self, name: str, df: DataFrame, path: str) -> None:
-        """Materialize with the declared PARTITION BY as a hive layout —
-        RANGE partitions bucket dates by month (EVERY '1 month' is the
-        reference's canonical spec, parse_partition.c:1238)."""
+        """Materialize with the declared PARTITION BY as a hive layout.
+        With a declared bound spec, ``__part`` is the DECLARED partition
+        name per the bounds (rows outside every bound take the DEFAULT
+        partition or raise GP's 'no partition for partitioning key');
+        without one, RANGE partitions bucket dates by month (EVERY
+        '1 month' is the reference's canonical spec,
+        parse_partition.c:1238)."""
         td = self.tables[name]
         if td.partition_kind is None:
             df.write.mode("overwrite").parquet(path)
             return
         col = td.partition_col
-        if td.partition_kind == "range":
+        bounds = td.partition_bounds()
+        if bounds:
+            from greengage_spark.operators.partitions import partition_name_expr
+
+            part = partition_name_expr(bounds, col).alias("__part")
+        elif td.partition_kind == "range":
             part = F.date_format(F.col(col), "yyyy-MM").alias("__part")
         else:
             part = F.col(col).cast("string").alias("__part")

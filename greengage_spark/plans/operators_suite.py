@@ -600,3 +600,70 @@ def join_salted_skew(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(money("l_extendedprice")).cast("double").alias("total"),
     )
+
+
+@suite.add(
+    "partition_declared_bounds",
+    oracle="""
+    SELECT CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mon,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY CAST(EXTRACT(month FROM o_orderdate) AS INT)
+    """,
+    doc="Declared RANGE partition bounds + static selector "
+        "(parse_partition.c:1238 START/END/EVERY expansion; "
+        "cdbpartition.c selection; partition_pruning.sql): the table "
+        "declares yearly partitions with a DEFAULT, __part is the "
+        "declared partition NAME per bounds, and the one-year predicate "
+        "statically selects exactly one declared partition (default "
+        "excluded: interval fully covered) — the scan reads only that "
+        "directory.",
+    tags=("partition", "ddl", "scan"),
+)
+def partition_declared_bounds(spark, sf_dir):
+    import tempfile
+
+    from greengage_spark.dialect.ddl import DDLCatalog
+    from greengage_spark.operators.partitions import select_range_partitions
+
+    root = tempfile.mkdtemp(prefix="gg_pdb_")
+    ddlcat = DDLCatalog(spark, root)
+    ddlcat.create_table(
+        "CREATE TABLE orders_db (o_orderkey int8, o_totalprice float8, "
+        "o_orderdate date) DISTRIBUTED BY (o_orderkey) "
+        "PARTITION BY RANGE (o_orderdate) "
+        "( START (date '1992-01-01') END (date '1999-01-01') "
+        "EVERY (INTERVAL '1 year'), DEFAULT PARTITION outliers )"
+    )
+    src = cat(spark, sf_dir).table("orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    import os as _os
+
+    data_path = _os.path.join(root, "orders_db_data")
+    ddlcat.write_partitioned("orders_db", src, data_path)
+    bounds = ddlcat.tables["orders_db"].partition_bounds()
+    import datetime as _dt
+
+    sel = select_range_partitions(
+        bounds, _dt.date(1996, 1, 1), _dt.date(1997, 1, 1), True, False
+    )
+    assert sel == ["p5"], sel  # 1996 partition only, default pruned
+    back = spark.read.parquet(data_path)
+    return (
+        back.filter(F.col("__part").isin(sel))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .groupBy(F.month("o_orderdate").alias("mon"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("o_totalprice")).cast("double").alias("total"),
+        )
+    )

@@ -1,0 +1,197 @@
+"""Declared RANGE/LIST partition bounds (parse_partition.c:1238 expansion,
+cdbpartition.c static selector) — selector expectations follow the
+partition_pruning.sql DATE_PARTS selected-parts battery (:695-738)."""
+
+import datetime
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from greengage_spark.operators.partitions import (
+    parse_partition_spec,
+    partition_name_expr,
+    select_list_partitions,
+    select_range_partitions,
+)
+
+# DATE_PARTS dimensions (partition_pruning.sql:698-712)
+YEAR = parse_partition_spec(
+    "( START (2002) END (2012) EVERY (4), DEFAULT PARTITION outlying_years )",
+    "int",
+)
+MONTH = parse_partition_spec(
+    "( SUBPARTITION Q1 VALUES (1, 2, 3), SUBPARTITION Q2 VALUES (4 ,5 ,6), "
+    "SUBPARTITION Q3 VALUES (7, 8, 9), SUBPARTITION Q4 VALUES (10, 11, 12), "
+    "DEFAULT SUBPARTITION other_months )",
+    "int",
+)
+DAY = parse_partition_spec(
+    "( START (1) END (31) EVERY (10), DEFAULT SUBPARTITION other_days )",
+    "int",
+)
+
+
+class TestParse:
+    def test_int_every_expansion(self):
+        rng = [b for b in YEAR if not b.is_default]
+        assert [(b.lo, b.hi) for b in rng] == [
+            (2002, 2006), (2006, 2010), (2010, 2012),
+        ]
+        assert all(b.lo_incl and not b.hi_incl for b in rng)
+        assert YEAR[-1].is_default and YEAR[-1].name == "outlying_years"
+
+    def test_list_quarters(self):
+        qs = [b for b in MONTH if not b.is_default]
+        assert [b.name for b in qs] == ["Q1", "Q2", "Q3", "Q4"]
+        assert qs[0].values == (1, 2, 3)
+
+    def test_date_interval_every(self):
+        # partition_pruning.sql:807-810 shape
+        bs = parse_partition_spec(
+            "( START (date '2011-01-01') INCLUSIVE END (date '2012-01-01') "
+            "EXCLUSIVE EVERY (INTERVAL '3 month'), "
+            "DEFAULT PARTITION outlying_dates )",
+            "date",
+        )
+        rng = [b for b in bs if not b.is_default]
+        assert len(rng) == 4
+        assert rng[0].lo == datetime.date(2011, 1, 1)
+        assert rng[3].hi == datetime.date(2012, 1, 1)
+
+    def test_named_range_and_inclusive_end(self):
+        bs = parse_partition_spec(
+            "( PARTITION early START ('1995-01-01') END ('1996-01-01') "
+            "INCLUSIVE, PARTITION late START ('1996-01-02') )",
+            "date",
+        )
+        assert bs[0].name == "early" and bs[0].hi_incl
+        assert bs[1].hi is None  # unbounded above
+
+
+class TestStaticSelector:
+    """Selected-parts parity with partition_pruning.sql:716-738."""
+
+    def test_month_between_1_3_selects_q1_only(self):
+        assert select_list_partitions(MONTH, range(1, 4)) == ["Q1"]
+
+    def test_month_between_1_4_selects_two_quarters(self):
+        assert select_list_partitions(MONTH, range(1, 5)) == ["Q1", "Q2"]
+
+    def test_year_1999_default_only(self):
+        assert select_range_partitions(YEAR, 1999, 1999) == ["outlying_years"]
+
+    def test_year_2003_single_no_default(self):
+        assert select_range_partitions(YEAR, 2003, 2003) == ["p1"]
+
+    def test_month_13_default_only(self):
+        assert select_list_partitions(MONTH, [13]) == ["other_months"]
+
+    def test_day_40_default_only(self):
+        assert select_range_partitions(DAY, 40, 40) == ["other_days"]
+
+    def test_unbounded_query_side_includes_default(self):
+        # year >= 2010: beyond declared END 2012 could live in DEFAULT
+        assert select_range_partitions(YEAR, 2010, None) == [
+            "p3", "outlying_years",
+        ]
+
+    def test_covered_span_excludes_default(self):
+        # fully inside [2002, 2012): every point covered by declared parts
+        assert select_range_partitions(YEAR, 2003, 2011) == [
+            "p1", "p2", "p3",
+        ]
+
+    def test_gap_between_declared_parts_pulls_default(self):
+        bs = parse_partition_spec(
+            "( PARTITION a START (0) END (10), PARTITION b START (20) "
+            "END (30), DEFAULT PARTITION d )",
+            "int",
+        )
+        assert select_range_partitions(bs, 5, 25) == ["a", "b", "d"]
+
+
+class TestEndToEnd:
+    def _write(self, spark, tmpdir, spec, rows):
+        from greengage_spark.dialect.ddl import DDLCatalog
+
+        ddlcat = DDLCatalog(spark, tmpdir)
+        ddlcat.create_table(
+            "CREATE TABLE pt (id int8, yr int4) DISTRIBUTED BY (id) "
+            f"PARTITION BY RANGE (yr) {spec}"
+        )
+        df = spark.createDataFrame(rows, "id long, yr int")
+        path = os.path.join(tmpdir, "pt_data")
+        ddlcat.write_partitioned("pt", df, path)
+        return ddlcat, path
+
+    def test_declared_names_and_empty_partition(self, spark, tmp_path):
+        ddlcat, path = self._write(
+            spark,
+            str(tmp_path),
+            "( START (2000) END (2030) EVERY (10), DEFAULT PARTITION other )",
+            [(1, 2005), (2, 2025), (3, 1990)],
+        )
+        dirs = {d for d in os.listdir(path) if d.startswith("__part=")}
+        # p2 ([2010,2020)) is declared but EMPTY — no directory, yet it
+        # exists in the table's bound metadata
+        assert dirs == {"__part=p1", "__part=p3", "__part=other"}
+        names = [b.name for b in ddlcat.tables["pt"].partition_bounds()]
+        assert names == ["p1", "p2", "p3", "other"]
+
+    def test_pruned_read_touches_selected_files_only(self, spark, tmp_path):
+        ddlcat, path = self._write(
+            spark,
+            str(tmp_path),
+            "( START (2000) END (2030) EVERY (10), DEFAULT PARTITION other )",
+            [(i, 1995 + i) for i in range(40)],
+        )
+        bounds = ddlcat.tables["pt"].partition_bounds()
+        back = spark.read.parquet(path)
+        sel = select_range_partitions(bounds, 2012, 2012)
+        assert sel == ["p2"]
+        pruned = back.filter(F.col("__part").isin(sel))
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "__part" in plan
+        # files actually read (input_file_name over the pruned scan) are a
+        # strict subset: only the selected partition's directory
+        read_files = {
+            r.f
+            for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+        }
+        all_files = set(back.inputFiles())
+        assert 0 < len(read_files) < len(all_files)
+        assert all("__part=p2" in f for f in read_files)
+        # the original row predicate composes on top of the selection
+        assert [r.yr for r in pruned.filter(F.col("yr") == 2012).collect()] == [2012]
+
+    def test_no_default_out_of_range_raises(self, spark, tmp_path):
+        with pytest.raises(Exception, match="no partition for partitioning"):
+            self._write(
+                spark,
+                str(tmp_path),
+                "( START (2000) END (2010) )",
+                [(1, 2005), (2, 1999)],
+            )
+
+    def test_list_partition_names(self, spark, tmp_path):
+        from greengage_spark.dialect.ddl import DDLCatalog
+
+        ddlcat = DDLCatalog(spark, str(tmp_path))
+        ddlcat.create_table(
+            "CREATE TABLE lt (id int8, region text) "
+            "PARTITION BY LIST (region) "
+            "( PARTITION amer VALUES ('US', 'CA'), "
+            "PARTITION emea VALUES ('DE', 'FR'), DEFAULT PARTITION rest )"
+        )
+        df = spark.createDataFrame(
+            [(1, "US"), (2, "DE"), (3, "JP")], "id long, region string"
+        )
+        path = os.path.join(str(tmp_path), "lt_data")
+        ddlcat.write_partitioned("lt", df, path)
+        dirs = {d for d in os.listdir(path) if d.startswith("__part=")}
+        assert dirs == {"__part=amer", "__part=emea", "__part=rest"}
+        assert select_list_partitions(
+            ddlcat.tables["lt"].partition_bounds(), ["US", "CA"]
+        ) == ["amer"]
