@@ -113,19 +113,33 @@ class TableDef:
     partition_col: str | None = None
     partition_spec_raw: str = ""
     storage_options: dict[str, str] = field(default_factory=dict)
+    # ALTER ... ADD/DROP/SPLIT PARTITION mutate the bound list in place
+    # (session-scoped, like the rest of the DDL catalog)
+    _bounds_override: list | None = None
+
+    def partition_col_type(self) -> str:
+        return next(
+            (c.spark_type for c in self.columns if c.name == self.partition_col),
+            "string",
+        )
 
     def partition_bounds(self):
         """Declared bounds parsed from the recorded spec (START/END/EVERY
-        expansion, parse_partition.c:1238); [] when the spec is empty."""
+        expansion, parse_partition.c:1238); [] when the spec is empty.
+        Partition-maintenance ALTERs replace the list via
+        set_partition_bounds."""
+        if self._bounds_override is not None:
+            return self._bounds_override
         if not self.partition_spec_raw:
             return []
         from greengage_spark.operators.partitions import parse_partition_spec
 
-        col_type = next(
-            (c.spark_type for c in self.columns if c.name == self.partition_col),
-            "string",
+        return parse_partition_spec(
+            self.partition_spec_raw, self.partition_col_type()
         )
-        return parse_partition_spec(self.partition_spec_raw, col_type)
+
+    def set_partition_bounds(self, bounds) -> None:
+        self._bounds_override = bounds
 
     @property
     def schema_ddl(self) -> str:

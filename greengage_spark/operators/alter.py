@@ -122,6 +122,13 @@ def _apply_action(eng, name: str, action: str) -> None:
         eng._register(name)
         return None
 
+    # ---- partition maintenance (cdbpartition.c; partition.sql) ------
+    if re.match(
+        r"(?is)^(add|drop|truncate|split|exchange)\s+(default\s+)?partition\b",
+        action,
+    ):
+        return _partition_maintenance(eng, name, td, action)
+
     # ---- ADD [COLUMN] [IF NOT EXISTS] col type [...] ----------------
     m = re.match(
         r"(?is)^add\s+(?:column\s+)?(if\s+not\s+exists\s+)?(.+)$", action
@@ -233,6 +240,155 @@ def _apply_action(eng, name: str, action: str) -> None:
         return _set_distributed(eng, name, td, m.group(2), m.group(3))
 
     raise NotImplementedError(f"ALTER TABLE action {action!r} not supported")
+
+
+def _partition_maintenance(eng, name: str, td, action: str) -> None:
+    """GP partition maintenance over a bounds-declared table
+    (src/backend/cdb/cdbpartition.c; regress partition.sql :81-:331):
+
+    * ADD PARTITION — new bound (overlap-checked); metadata-only.
+    * DROP PARTITION — bound removed AND its rows deleted (file-pruned).
+    * TRUNCATE PARTITION — rows deleted, bound kept.
+    * SPLIT PARTITION ... AT (v) INTO (a, b) — bound split at v;
+      metadata-only (rows re-bucket by the new bounds at the next
+      partitioned write).
+    * EXCHANGE PARTITION ... WITH TABLE u — the partition's rows and u's
+      rows swap wholesale; identical column definitions required, and
+      incoming rows must satisfy the bound unless WITHOUT VALIDATION.
+
+    Addressing: a name, FOR (value), or FOR (RANK(n)).  Bound mutations
+    are session-scoped catalog state, like the rest of DDLCatalog."""
+    from greengage_spark.operators.partitions import (
+        PartitionBound,
+        _overlaps,
+        bound_predicate,
+        parse_partition_spec,
+        resolve_partition,
+    )
+
+    if td.partition_col is None:
+        raise ValueError(f"table {name!r} is not partitioned")
+    bounds = list(td.partition_bounds())
+    col_t = td.partition_col_type()
+    sel = r"((?:for\s*\(.*?\)|\"?\w+\"?))"
+
+    m = re.match(r"(?is)^add\s+(default\s+)?partition\s+(.*)$", action)
+    if m:
+        spec = ("DEFAULT PARTITION " if m.group(1) else "PARTITION ") + m.group(2)
+        new = parse_partition_spec(f"( {spec} )", col_t)
+        for nb in new:
+            if nb.is_default and any(b.is_default for b in bounds):
+                raise ValueError("table already has a DEFAULT partition")
+            if any(b.name.lower() == nb.name.lower() for b in bounds):
+                raise ValueError(f'partition "{nb.name}" already exists')
+            if nb.values is None and not nb.is_default and any(
+                not b.is_default and b.values is None
+                and _overlaps(b, nb.lo, nb.hi, nb.lo_incl, nb.hi_incl)
+                for b in bounds
+            ):
+                raise ValueError(
+                    f'new partition "{nb.name}" overlaps an existing partition'
+                )
+        td.set_partition_bounds(bounds + new)
+        return None
+
+    m = re.match(
+        rf"(?is)^(drop|truncate)\s+partition\s+(if\s+exists\s+)?{sel}\s*"
+        r"(?:cascade|restrict)?$",
+        action,
+    )
+    if m:
+        op, if_exists = m.group(1).lower(), m.group(2)
+        try:
+            b = resolve_partition(bounds, m.group(3), col_t)
+        except ValueError:
+            if if_exists:
+                return None
+            raise
+        st = eng._storage(name)
+        st.delete(bound_predicate(b, td.partition_col))
+        if op == "drop":
+            if sum(1 for x in bounds if not x.is_default) <= 1 and not b.is_default:
+                raise ValueError("cannot drop the only partition")
+            td.set_partition_bounds([x for x in bounds if x is not b])
+        eng._register(name)
+        return None
+
+    m = re.match(
+        rf"(?is)^split\s+partition\s+{sel}\s+at\s*\((.*?)\)\s*"
+        r"(?:into\s*\(\s*partition\s+(\w+)\s*,\s*partition\s+(\w+)\s*\))?$",
+        action,
+    )
+    if m:
+        from greengage_spark.operators.partitions import _parse_value
+
+        b = resolve_partition(bounds, m.group(1), col_t)
+        if b.values is not None or b.is_default:
+            raise NotImplementedError(
+                "SPLIT supports range partitions (AT value) only"
+            )
+        v = _parse_value(m.group(2), col_t)
+        in_lo = b.lo is None or v > b.lo
+        in_hi = b.hi is None or v < b.hi
+        if not (in_lo and in_hi):
+            raise ValueError("AT value must fall inside the partition")
+        lo_name = m.group(3) or f"{b.name}_1"
+        hi_name = m.group(4) or f"{b.name}_2"
+        idx = bounds.index(b)
+        bounds[idx : idx + 1] = [
+            PartitionBound(
+                name=lo_name, lo=b.lo, hi=v, lo_incl=b.lo_incl, hi_incl=False
+            ),
+            PartitionBound(
+                name=hi_name, lo=v, hi=b.hi, lo_incl=True, hi_incl=b.hi_incl
+            ),
+        ]
+        td.set_partition_bounds(bounds)
+        return None
+
+    m = re.match(
+        rf"(?is)^exchange\s+partition\s+{sel}\s+with\s+table\s+([\w.]+)"
+        r"(\s+without\s+validation)?(\s+with\s+validation)?$",
+        action,
+    )
+    if m:
+        b = resolve_partition(bounds, m.group(1), col_t)
+        other = m.group(2)
+        if other not in eng.ddl.tables:
+            raise ValueError(f"unknown table {other!r}")
+        otd = eng.ddl.tables[other]
+        if [(c.name.lower(), c.spark_type) for c in td.columns] != [
+            (c.name.lower(), c.spark_type) for c in otd.columns
+        ]:
+            raise ValueError(
+                f'tables "{name}" and "{other}" have different column '
+                f"definitions"
+            )
+        pred = bound_predicate(b, td.partition_col)
+        st, ost = eng._storage(name), eng._storage(other)
+        incoming = ost.df()
+        outgoing = st.df().filter(pred)
+        if not m.group(3) and not b.is_default:
+            # WITH VALIDATION (the default): incoming rows must satisfy
+            # the partition bound (cdbpartition.c validation scan)
+            import pyspark.sql.functions as _F
+
+            bad = incoming.filter(~_F.coalesce(pred, _F.lit(False))).head(1)
+            if bad:
+                raise ValueError(
+                    f'row does not satisfy partition bound of "{b.name}" '
+                    f"(use WITHOUT VALIDATION to skip the check)"
+                )
+        # COW manifests never delete old files, so the lazy frames above
+        # stay valid across the commits below
+        st.delete(pred)
+        st.insert(incoming)
+        ost.replace(outgoing)
+        eng._register(name)
+        eng._register(other)
+        return None
+
+    raise NotImplementedError(f"partition maintenance action {action!r}")
 
 
 def _add_column(eng, name: str, td, cd: ColumnDef) -> None:

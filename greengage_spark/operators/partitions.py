@@ -232,6 +232,59 @@ def partition_name_expr(bounds: list[PartitionBound], col: str) -> Column:
     )
 
 
+def bound_predicate(b: PartitionBound, col: str) -> Column:
+    """Row-membership predicate for one partition (the complement of
+    partition_name_expr, used by DROP/TRUNCATE/EXCHANGE PARTITION)."""
+    c = F.col(col)
+    if b.values is not None:
+        return c.isin(list(b.values))
+    cond = F.lit(True)
+    if b.lo is not None:
+        cond = cond & (c >= _lit(b.lo) if b.lo_incl else c > _lit(b.lo))
+    if b.hi is not None:
+        cond = cond & (c <= _lit(b.hi) if b.hi_incl else c < _lit(b.hi))
+    return cond
+
+
+def resolve_partition(
+    bounds: list[PartitionBound], selector: str, col_type: str
+) -> PartitionBound:
+    """ALTER ... PARTITION selector → bound: a bare name, FOR (value)
+    (the partition containing the value), or FOR (RANK(n)) (nth
+    non-default range partition, 1-based — cdbpartition.c rank
+    addressing)."""
+    s = selector.strip()
+    mr = re.match(r"(?is)^for\s*\(\s*rank\s*\(\s*(\d+)\s*\)\s*\)$", s)
+    if mr:
+        ranked = [b for b in bounds if not b.is_default and b.values is None]
+        k = int(mr.group(1))
+        if not 1 <= k <= len(ranked):
+            raise ValueError(f"partition rank {k} does not exist")
+        return ranked[k - 1]
+    mv = re.match(r"(?is)^for\s*\((.*)\)$", s)
+    if mv:
+        v = _parse_value(mv.group(1), col_type)
+        for b in bounds:
+            if b.is_default:
+                continue
+            if b.values is not None and v in b.values:
+                return b
+            if b.values is None:
+                lo_ok = b.lo is None or v > b.lo or (v == b.lo and b.lo_incl)
+                hi_ok = b.hi is None or v < b.hi or (v == b.hi and b.hi_incl)
+                if lo_ok and hi_ok:
+                    return b
+        dflt = next((b for b in bounds if b.is_default), None)
+        if dflt is not None:
+            return dflt
+        raise ValueError(f"no partition for value {v!r}")
+    name = s.strip('"')
+    for b in bounds:
+        if b.name.lower() == name.lower():
+            return b
+    raise ValueError(f'partition "{name}" does not exist')
+
+
 # ------------------------------------------------------- static selector
 
 

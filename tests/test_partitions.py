@@ -195,3 +195,102 @@ class TestEndToEnd:
         assert select_list_partitions(
             ddlcat.tables["lt"].partition_bounds(), ["US", "CA"]
         ) == ["amer"]
+
+
+class TestPartitionMaintenance:
+    """ALTER TABLE ADD/DROP/TRUNCATE/SPLIT/EXCHANGE PARTITION
+    (cdbpartition.c; partition.sql:81-331 shapes)."""
+
+    def _eng(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        eng.execute(
+            "CREATE TABLE foo_p (i int4, j int4) DISTRIBUTED BY (i) "
+            "PARTITION BY RANGE (j) ( START (1) END (10) EVERY (3) )"
+        )
+        eng.execute(
+            "INSERT INTO foo_p SELECT v, v FROM "
+            "(SELECT explode(sequence(1, 9)) AS v)"
+        )
+        return eng
+
+    def _names(self, eng, t="foo_p"):
+        return [b.name for b in eng.ddl.tables[t].partition_bounds()]
+
+    def test_add_partition_and_overlap_rejected(self, spark, tmp_path):
+        eng = self._eng(spark, tmp_path)
+        assert self._names(eng) == ["p1", "p2", "p3"]
+        eng.execute("ALTER TABLE foo_p ADD PARTITION p4 START (10) END (13)")
+        assert self._names(eng) == ["p1", "p2", "p3", "p4"]
+        with pytest.raises(ValueError, match="overlaps"):
+            eng.execute("ALTER TABLE foo_p ADD PARTITION bad START (5) END (20)")
+        eng.execute("ALTER TABLE foo_p ADD DEFAULT PARTITION other")
+        with pytest.raises(ValueError, match="DEFAULT"):
+            eng.execute("ALTER TABLE foo_p ADD DEFAULT PARTITION other2")
+
+    def test_drop_partition_removes_rows_and_bound(self, spark, tmp_path):
+        eng = self._eng(spark, tmp_path)
+        eng.execute("ALTER TABLE foo_p DROP PARTITION FOR (RANK(1))")
+        assert self._names(eng) == ["p2", "p3"]
+        got = sorted(r.j for r in eng.execute("SELECT j FROM foo_p").collect())
+        assert got == [4, 5, 6, 7, 8, 9]
+        eng.execute("ALTER TABLE foo_p DROP PARTITION IF EXISTS nope")
+
+    def test_truncate_partition_keeps_bound(self, spark, tmp_path):
+        eng = self._eng(spark, tmp_path)
+        eng.execute("ALTER TABLE foo_p TRUNCATE PARTITION FOR (5)")
+        assert self._names(eng) == ["p1", "p2", "p3"]
+        got = sorted(r.j for r in eng.execute("SELECT j FROM foo_p").collect())
+        assert got == [1, 2, 3, 7, 8, 9]
+
+    def test_split_partition_at(self, spark, tmp_path):
+        eng = self._eng(spark, tmp_path)
+        eng.execute(
+            "ALTER TABLE foo_p SPLIT PARTITION FOR (RANK(1)) AT (2) "
+            "INTO (PARTITION prt_11, PARTITION prt_12)"
+        )
+        bs = eng.ddl.tables["foo_p"].partition_bounds()
+        assert [b.name for b in bs] == ["prt_11", "prt_12", "p2", "p3"]
+        assert (bs[0].lo, bs[0].hi, bs[1].lo, bs[1].hi) == (1, 2, 2, 4)
+        # rows intact
+        assert eng.execute("SELECT count(*) AS n FROM foo_p").collect()[0].n == 9
+
+    def test_exchange_partition_swaps_rows(self, spark, tmp_path):
+        eng = self._eng(spark, tmp_path)
+        eng.execute("CREATE TABLE bar_p (i int4, j int4) DISTRIBUTED BY (i)")
+        eng.execute("INSERT INTO bar_p VALUES (100, 4), (101, 5)")
+        eng.execute(
+            "ALTER TABLE foo_p EXCHANGE PARTITION FOR (RANK(2)) WITH TABLE bar_p"
+        )
+        foo = sorted((r.i, r.j) for r in eng.execute("SELECT * FROM foo_p").collect())
+        bar = sorted((r.i, r.j) for r in eng.execute("SELECT * FROM bar_p").collect())
+        assert foo == [(1, 1), (2, 2), (3, 3), (7, 7), (8, 8), (9, 9),
+                       (100, 4), (101, 5)]
+        assert bar == [(4, 4), (5, 5), (6, 6)]
+
+    def test_exchange_validation(self, spark, tmp_path):
+        eng = self._eng(spark, tmp_path)
+        eng.execute("CREATE TABLE bar_bad (i int4, j int4)")
+        eng.execute("INSERT INTO bar_bad VALUES (1, 99)")  # outside [4,7)
+        with pytest.raises(ValueError, match="partition bound"):
+            eng.execute(
+                "ALTER TABLE foo_p EXCHANGE PARTITION FOR (RANK(2)) "
+                "WITH TABLE bar_bad"
+            )
+        eng.execute(
+            "ALTER TABLE foo_p EXCHANGE PARTITION FOR (RANK(2)) "
+            "WITH TABLE bar_bad WITHOUT VALIDATION"
+        )
+        assert (99,) in {
+            (r.j,) for r in eng.execute("SELECT j FROM foo_p").collect()
+        }
+
+    def test_exchange_different_columns_rejected(self, spark, tmp_path):
+        eng = self._eng(spark, tmp_path)
+        eng.execute("CREATE TABLE bar_diff (i int4, j text)")
+        with pytest.raises(ValueError, match="different column"):
+            eng.execute(
+                "ALTER TABLE foo_p EXCHANGE PARTITION FOR (RANK(2)) "
+                "WITH TABLE bar_diff"
+            )
