@@ -1,0 +1,182 @@
+"""GP extension types: complex, svec (sparse vector), matrix_add.
+
+Reference surfaces being reproduced:
+
+* ``complex`` (src/backend/utils/adt/complex_type.c; src/include/utils/
+  complex_type.h) — constructor, re/im/mag/arg accessors, conjugate,
+  +/-/*/÷ arithmetic and dot product (complex_pl:637, complex_mul:672,
+  complex_div:695 — same-denominator formula, complex_dot_product:1331).
+* ``svec`` (gpcontrib/gp_sparse_vector/: sparse_vector.c, operators.c;
+  regress sql/gp_svec.sql) — run-length-encoded sparse vector
+  ``'{counts}:{values}'``, element-wise + - * / ^, dot (``%*%``),
+  l1norm/l2norm, vec_count_nonzero, gp_extract_feature_histogram
+  (gp_sfv.c), float8[] casts.
+* ``matrix_add`` (src/backend/utils/adt/matrix.c:46) — element-wise 2-D
+  array addition.
+
+Spark-first mapping: complex is ``STRUCT<re DOUBLE, im DOUBLE>`` and svec
+is the RLE itself, ``STRUCT<counts ARRAY<INT>, values ARRAY<DOUBLE>>``.
+Every operation registers as a SQL-defined temporary function whose body
+is pure higher-order-function expression code (zip_with / transform /
+aggregate / array_repeat) — no Python in the plan, norms and dot
+products stay inside whole-stage codegen.  Norm/count functions fold the
+RLE directly (cost ∝ runs, not logical length); element-wise ops densify
+via ``array_repeat`` + ``flatten`` and re-compress, with the reference's
+dimension-1 scalar broadcast (gp_svec.sql:33 ``svec ^ '{1}:{3.}'``).
+Operator spellings map to named functions (``+``→svec_plus, ``%*%``→
+svec_dot, ``^``→svec_pow); PG custom-operator syntax itself is not in
+the dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+_COMPLEX_T = "STRUCT<re: DOUBLE, im: DOUBLE>"
+_SVEC_T = "STRUCT<counts: ARRAY<INT>, values: ARRAY<DOUBLE>>"
+
+# ---- svec expression templates (composed textually so each function
+# body is self-contained — SQL-defined functions cannot call each other
+# at definition time in every resolution order) ----------------------
+
+_DENSE = "flatten(zip_with({s}.counts, {s}.values, (c, v) -> array_repeat(v, c)))"
+
+_COMPRESS = (
+    "aggregate({arr}, "
+    "named_struct('counts', CAST(array() AS ARRAY<INT>), "
+    "'values', CAST(array() AS ARRAY<DOUBLE>)), "
+    "(acc, x) -> IF(size(acc.values) > 0 AND (element_at(acc.values, -1) <=> x), "
+    "named_struct('counts', concat(slice(acc.counts, 1, size(acc.counts) - 1), "
+    "array(element_at(acc.counts, -1) + 1)), 'values', acc.values), "
+    "named_struct('counts', concat(acc.counts, array(1)), "
+    "'values', concat(acc.values, array(x)))))"
+)
+
+
+def _elementwise(op: str) -> str:
+    """Element-wise svec op with the reference's dim-1 scalar broadcast."""
+    da, db = _DENSE.format(s="a"), _DENSE.format(s="b")
+    zipped = (
+        f"CASE WHEN size({db}) = 1 THEN "
+        f"transform({da}, x -> {op.format(x='x', y=f'element_at({db}, 1)')}) "
+        f"WHEN size({da}) = 1 THEN "
+        f"transform({db}, y -> {op.format(x=f'element_at({da}, 1)', y='y')}) "
+        f"ELSE zip_with({da}, {db}, (x, y) -> {op.format(x='x', y='y')}) END"
+    )
+    return _COMPRESS.format(arr=zipped)
+
+
+_FUNCTIONS: dict[str, tuple[str, str, str]] = {
+    # name: (args DDL, return type, body)
+    # ---------------- complex ----------------
+    "complex": (
+        "re DOUBLE, im DOUBLE", _COMPLEX_T,
+        "named_struct('re', re, 'im', im)",
+    ),
+    "complex_re": (f"a {_COMPLEX_T}", "DOUBLE", "a.re"),
+    "complex_im": (f"a {_COMPLEX_T}", "DOUBLE", "a.im"),
+    "complex_mag": (f"a {_COMPLEX_T}", "DOUBLE", "sqrt(a.re*a.re + a.im*a.im)"),
+    "complex_arg": (f"a {_COMPLEX_T}", "DOUBLE", "atan2(a.im, a.re)"),
+    "complex_conj": (
+        f"a {_COMPLEX_T}", _COMPLEX_T, "named_struct('re', a.re, 'im', -a.im)",
+    ),
+    "complex_pl": (
+        f"a {_COMPLEX_T}, b {_COMPLEX_T}", _COMPLEX_T,
+        "named_struct('re', a.re + b.re, 'im', a.im + b.im)",
+    ),
+    "complex_mi": (
+        f"a {_COMPLEX_T}, b {_COMPLEX_T}", _COMPLEX_T,
+        "named_struct('re', a.re - b.re, 'im', a.im - b.im)",
+    ),
+    "complex_mul": (
+        f"a {_COMPLEX_T}, b {_COMPLEX_T}", _COMPLEX_T,
+        "named_struct('re', a.re*b.re - a.im*b.im, "
+        "'im', a.re*b.im + a.im*b.re)",
+    ),
+    "complex_div": (
+        # complex_type.c:695 — multiply by the conjugate over |b|^2
+        f"a {_COMPLEX_T}, b {_COMPLEX_T}", _COMPLEX_T,
+        "named_struct("
+        "'re', (a.re*b.re + a.im*b.im) / (b.re*b.re + b.im*b.im), "
+        "'im', (a.im*b.re - a.re*b.im) / (b.re*b.re + b.im*b.im))",
+    ),
+    "complex_dot_product": (
+        # complex_type.c:1331 — a · b = a * conj(b)
+        f"a {_COMPLEX_T}, b {_COMPLEX_T}", _COMPLEX_T,
+        "named_struct('re', a.re*b.re + a.im*b.im, "
+        "'im', a.im*b.re - a.re*b.im)",
+    ),
+    # ---------------- svec ----------------
+    "svec_in": (
+        # escape-free regexes (character classes, no backslashes): the
+        # body must parse identically under escapedStringLiterals on
+        # (the engine's PG-string mode) and off (a vanilla session)
+        "s STRING", _SVEC_T,
+        "named_struct("
+        "'counts', transform(split(regexp_extract(s, '^[^{]*[{]([^}]*)[}]', 1), ','), "
+        "x -> CAST(trim(x) AS INT)), "
+        "'values', transform(split(regexp_extract(s, ':[^{]*[{]([^}]*)[}]', 1), ','), "
+        "x -> CAST(trim(x) AS DOUBLE)))",
+    ),
+    "svec_to_array": (f"s {_SVEC_T}", "ARRAY<DOUBLE>", _DENSE.format(s="s")),
+    "svec_from_array": (
+        "arr ARRAY<DOUBLE>", _SVEC_T, _COMPRESS.format(arr="arr"),
+    ),
+    "svec_plus": (f"a {_SVEC_T}, b {_SVEC_T}", _SVEC_T, _elementwise("{x} + {y}")),
+    "svec_minus": (f"a {_SVEC_T}, b {_SVEC_T}", _SVEC_T, _elementwise("{x} - {y}")),
+    "svec_mult": (f"a {_SVEC_T}, b {_SVEC_T}", _SVEC_T, _elementwise("{x} * {y}")),
+    "svec_div": (f"a {_SVEC_T}, b {_SVEC_T}", _SVEC_T, _elementwise("{x} / {y}")),
+    "svec_pow": (
+        f"a {_SVEC_T}, b {_SVEC_T}", _SVEC_T, _elementwise("power({x}, {y})"),
+    ),
+    "svec_dot": (
+        f"a {_SVEC_T}, b {_SVEC_T}", "DOUBLE",
+        "aggregate(zip_with(" + _DENSE.format(s="a") + ", "
+        + _DENSE.format(s="b") + ", (x, y) -> x * y), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x)",
+    ),
+    # norms fold the RLE runs directly — cost ∝ distinct runs
+    "l1norm": (
+        f"s {_SVEC_T}", "DOUBLE",
+        "aggregate(zip_with(s.counts, s.values, (c, v) -> c * abs(v)), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+    ),
+    "l2norm": (
+        f"s {_SVEC_T}", "DOUBLE",
+        "sqrt(aggregate(zip_with(s.counts, s.values, (c, v) -> c * v * v), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x))",
+    ),
+    "vec_count_nonzero": (
+        f"s {_SVEC_T}", "BIGINT",
+        "aggregate(zip_with(s.counts, s.values, (c, v) -> "
+        "IF(v <> CAST(0 AS DOUBLE), c, 0)), CAST(0 AS BIGINT), "
+        "(acc, x) -> acc + x)",
+    ),
+    "gp_extract_feature_histogram": (
+        # gp_sfv.c: per-feature occurrence counts over the word list
+        "features ARRAY<STRING>, words ARRAY<STRING>", _SVEC_T,
+        _COMPRESS.format(
+            arr="transform(features, f -> "
+            "CAST(size(filter(words, w -> w = f)) AS DOUBLE))"
+        ),
+    ),
+    # ---------------- matrix ----------------
+    "matrix_add": (
+        "a ARRAY<ARRAY<DOUBLE>>, b ARRAY<ARRAY<DOUBLE>>",
+        "ARRAY<ARRAY<DOUBLE>>",
+        "zip_with(a, b, (r1, r2) -> zip_with(r1, r2, (x, y) -> x + y))",
+    ),
+}
+
+
+def register_gp_types(spark: SparkSession) -> None:
+    """Idempotently register the complex/svec/matrix function surface as
+    SQL-defined temporary functions (all codegen, zero Python)."""
+    if spark.conf.get("greengage.gp_types.registered", None) == "1":
+        return
+    for name, (args, ret, body) in _FUNCTIONS.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
+            f"RETURNS {ret} RETURN {body}"
+        )
+    spark.conf.set("greengage.gp_types.registered", "1")

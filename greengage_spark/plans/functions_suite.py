@@ -937,3 +937,43 @@ def dialect_to_number(spark, sf_dir):
         """,
         ["orders"],
     )
+
+
+@suite.add(
+    "gp_types_svec_complex",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS l1,
+           SQRT(SUM(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE))) AS l2,
+           COUNT(*) FILTER (WHERE l_discount <> 0) AS nnz,
+           SQRT(CAST(COUNT(*) * COUNT(*) AS DOUBLE)
+                + SUM(CAST(l_quantity AS DOUBLE)) * SUM(CAST(l_quantity AS DOUBLE))) AS cmag
+    FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey
+    """,
+    doc="GP extension types (SURVEY §2.8 'GP misc' final partial): svec "
+        "run-length sparse vectors (gpcontrib/gp_sparse_vector — "
+        "svec_from_array/l1norm/l2norm/vec_count_nonzero fold the RLE in "
+        "codegen higher-order functions) and complex arithmetic "
+        "(complex_type.c — struct<re,im> + mag) — all SQL-defined "
+        "functions, zero Python in the plan.  Quantities are "
+        "integer-valued so the norm folds are order-exact.",
+    tags=("dialect", "gp_types"),
+)
+def gp_types_svec_complex(spark, sf_dir):
+    from greengage_spark.functions.gp_types import register_gp_types
+
+    register_gp_types(spark)
+    register_tables(spark, sf_dir, ["lineitem"]).table("lineitem").filter(
+        F.col("l_orderkey") < 500
+    ).createOrReplaceTempView("gpt_lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               l1norm(svec_from_array(collect_list(CAST(l_quantity AS DOUBLE)))) AS l1,
+               l2norm(svec_from_array(collect_list(CAST(l_quantity AS DOUBLE)))) AS l2,
+               vec_count_nonzero(svec_from_array(collect_list(CAST(l_discount AS DOUBLE)))) AS nnz,
+               complex_mag(complex(CAST(COUNT(*) AS DOUBLE),
+                                   SUM(CAST(l_quantity AS DOUBLE)))) AS cmag
+        FROM gpt_lineitem GROUP BY l_orderkey
+        """
+    )

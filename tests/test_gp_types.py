@@ -1,0 +1,130 @@
+"""complex / svec / matrix_add surface (complex_type.c, gp_sparse_vector,
+matrix.c) — svec expectations are verbatim rows from
+gpcontrib/gp_sparse_vector/expected/gp_svec.out."""
+
+import math
+
+import pytest
+
+
+@pytest.fixture()
+def gp(spark):
+    from greengage_spark.functions.gp_types import register_gp_types
+
+    register_gp_types(spark)
+    return spark
+
+
+def one(spark, expr):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0].v
+
+
+FEATURES = "array('one','two','three','four','five','six')"
+
+
+class TestSvec:
+    def test_feature_histograms_match_gp_svec_out(self, gp):
+        # gp_svec.sql:8-10 inserts; expected dense rows gp_svec.out
+        # cross_product_equals: {2,1,1,1,1,1}, {0,0,1,0,0,0}, {2,2,1,1,1,1}
+        words = [
+            "array('twe','four','five','six','one','three','two','one')",
+            "array('the','brown','cat','ran','across','three','dogs')",
+            "array('two','four','five','six','one','three','two','one')",
+        ]
+        exp = [
+            [2.0, 1.0, 1.0, 1.0, 1.0, 1.0],
+            [0.0, 0.0, 1.0, 0.0, 0.0, 0.0],
+            [2.0, 2.0, 1.0, 1.0, 1.0, 1.0],
+        ]
+        for w, e in zip(words, exp):
+            got = one(
+                gp,
+                f"svec_to_array(gp_extract_feature_histogram({FEATURES}, {w}))",
+            )
+            assert got == e
+
+    def test_pow_with_scalar_broadcast(self, gp):
+        # gp_svec.sql:85 — ('{1,2}:{20.,10.}'::svec)^('{1}:{3.}'::svec)
+        # expected {1,2}:{8000,1000} (gp_svec.out:88)
+        r = one(
+            gp,
+            "svec_pow(svec_in('{1,2}:{20.,10.}'), svec_in('{1}:{3.}'))",
+        )
+        assert (r.counts, r.values) == ([1, 2], [8000.0, 1000.0])
+
+    def test_plus_and_sum_shapes(self, gp):
+        got = one(
+            gp,
+            "svec_to_array(svec_plus(svec_in('{2,1}:{1.,0.}'), "
+            "svec_in('{1,2}:{3.,4.}')))",
+        )
+        assert got == [4.0, 5.0, 4.0]
+
+    def test_norms_and_dot_fold_rle(self, gp):
+        # 10000-run svec: norms cost ∝ runs, not logical length
+        assert one(gp, "l1norm(svec_in('{10000,2}:{1.,-3.}'))") == 10006.0
+        assert one(gp, "l2norm(svec_in('{10000}:{2.}'))") == pytest.approx(
+            math.sqrt(4.0 * 10000)
+        )
+        assert (
+            one(gp, "svec_dot(svec_in('{3}:{2.}'), svec_in('{1,2}:{1.,5.}'))")
+            == 2.0 + 10.0 + 10.0
+        )
+
+    def test_count_nonzero_and_roundtrip(self, gp):
+        assert one(gp, "vec_count_nonzero(svec_in('{45,2,35,4,15,1}:{0,1,0,1,0,2}'))") == 7
+        r = one(
+            gp,
+            "svec_from_array(svec_to_array(svec_in('{45,2,35,4,15,1}:{0.,1.,0.,1.,0.,2.}')))",
+        )
+        assert r.counts == [45, 2, 35, 4, 15, 1]
+        assert r.values == [0.0, 1.0, 0.0, 1.0, 0.0, 2.0]
+
+    def test_div_by_sum_weights(self, gp):
+        # gp_svec.sql:26 shape: b / sum(b) — element-wise division
+        got = one(
+            gp,
+            "svec_to_array(svec_div(svec_in('{2}:{2.}'), svec_in('{2}:{4.}')))",
+        )
+        assert got == [0.5, 0.5]
+
+
+class TestComplex:
+    def test_arith_family(self, gp):
+        r = one(gp, "complex_pl(complex(1, 2), complex(3, -4))")
+        assert (r.re, r.im) == (4.0, -2.0)
+        r = one(gp, "complex_mul(complex(1, 2), complex(3, 4))")
+        assert (r.re, r.im) == (-5.0, 10.0)
+        r = one(gp, "complex_div(complex(1, 2), complex(3, 4))")
+        assert (r.re, r.im) == (pytest.approx(0.44), pytest.approx(0.08))
+        r = one(gp, "complex_dot_product(complex(1, 2), complex(3, 4))")
+        assert (r.re, r.im) == (11.0, 2.0)
+
+    def test_accessors(self, gp):
+        assert one(gp, "complex_re(complex(3, 4))") == 3.0
+        assert one(gp, "complex_im(complex(3, 4))") == 4.0
+        assert one(gp, "complex_mag(complex(3, 4))") == 5.0
+        assert one(gp, "complex_arg(complex(0, 1))") == pytest.approx(math.pi / 2)
+        r = one(gp, "complex_conj(complex(3, 4))")
+        assert (r.re, r.im) == (3.0, -4.0)
+
+
+class TestMatrix:
+    def test_matrix_add(self, gp):
+        got = one(
+            gp,
+            "matrix_add(array(array(1.0,2.0),array(3.0,4.0)), "
+            "array(array(10.0,20.0),array(30.0,40.0)))",
+        )
+        assert got == [[11.0, 22.0], [33.0, 44.0]]
+
+
+def test_all_codegen_no_python(gp):
+    """Every gp_types function is a SQL-defined function — the plan holds
+    no Python eval node."""
+    df = gp.sql(
+        "SELECT l2norm(svec_plus(svec_in('{2}:{1.}'), svec_in('{2}:{2.}'))) AS v"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert df.collect()[0].v == pytest.approx(math.sqrt(18.0))
