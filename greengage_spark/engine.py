@@ -75,6 +75,30 @@ class GreengageEngine:
         if mc:
             return self._create_table_as(mc.group(3), mc.group(4))
         if head == "create" and re.match(r"(?is)^create\s+(temp(orary)?\s+)?table\b", stmt):
+            # LIKE source_table (transformTableLikeClause): copy column
+            # names/types/NOT NULL; INCLUDING DEFAULTS copies defaults too
+            def _expand_like(m: "re.Match[str]") -> str:
+                src = self.ddl.tables.get(m.group(1))
+                if src is None:
+                    raise ValueError(f"unknown table {m.group(1)!r}")
+                with_defaults = bool(m.group(2))
+                return ", ".join(
+                    f"{c.name} {c.pg_type}"
+                    + (" NOT NULL" if c.not_null else "")
+                    + (
+                        f" DEFAULT {c.default}"
+                        if with_defaults and c.default
+                        else ""
+                    )
+                    for c in src.columns
+                )
+
+            stmt = re.sub(
+                r"(?is)\blike\s+([\w.]+)"
+                r"(\s+including\s+defaults)?(\s+excluding\s+\w+)?",
+                _expand_like,
+                stmt,
+            )
             self.ddl.create_table(stmt)
             self._register(parse_create_table(stmt).name)
             return None
@@ -391,6 +415,12 @@ class GreengageEngine:
                 return None
             raise ValueError(f"unknown {kind} {name!r}")
         del registry[name]
+        if kind == "table":
+            # PG drops the relation's storage; without this a later
+            # CREATE TABLE of the same name finds stale manifests
+            import shutil
+
+            shutil.rmtree(f"{self.ddl.root}/{name}", ignore_errors=True)
         self.spark.catalog.dropTempView(name)
         return None
 

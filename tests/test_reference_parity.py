@@ -5502,8 +5502,7 @@ def test_reference_insert_script(spark, tmp_path):
         stmt = stmt.strip()
         if not stmt:
             continue
-        if stmt.lower().startswith("drop table inserttest"):
-            break  # later sections need ALTER TABLE ADD/DROP COLUMN
+        # (the MPP-6775 ALTER ADD/DROP COLUMN + LIKE sections now run too)
         pos = out.find(stmt + ";", cursor)
         expect_error = False
         rest = ""
