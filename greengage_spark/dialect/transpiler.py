@@ -3018,6 +3018,70 @@ def _split_args(toks: list[str]) -> list[list[str]]:
     return args
 
 
+# hstore (contrib/hstore/ → MapType) and IPv4 inet/cidr (network.c →
+# the string representation map_pg_type assigns) function surfaces as
+# inline Spark expression templates — pure codegen, keyed by (name,
+# arity) so e.g. 2-arg hstore slice() never shadows Spark's 3-arg array
+# slice().  {0}/{1} substitute the argument token text.
+_IP2INT = (
+    "aggregate(transform(split(split({0}, '/')[1], '[.]'), "
+    "__p -> CAST(__p AS BIGINT)), CAST(0 AS BIGINT), "
+    "(__a, __p) -> __a * 256 + __p)"
+)
+_MASKLEN = "CAST(coalesce(try_element_at(split({0}, '/'), 2), '32') AS INT)"
+_MASKINT = (
+    "(shiftleft(CAST(4294967295 AS BIGINT), 32 - " + _MASKLEN
+    + ") & CAST(4294967295 AS BIGINT))"
+)
+
+
+def _int2ip(n: str) -> str:
+    return (
+        f"concat_ws('.', CAST((({n}) div 16777216) % 256 AS STRING), "
+        f"CAST((({n}) div 65536) % 256 AS STRING), "
+        f"CAST((({n}) div 256) % 256 AS STRING), "
+        f"CAST(({n}) % 256 AS STRING))"
+    )
+
+
+_INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
+    # ---- hstore (hstore_op.c names) ----
+    ("akeys", 1): "map_keys({0})",
+    ("avals", 1): "map_values({0})",
+    ("exist", 2): "map_contains_key({0}, {1})",
+    ("defined", 2): "(try_element_at({0}, {1}) IS NOT NULL)",
+    ("delete", 2): "map_filter({0}, (__k, __v) -> __k <> {1})",
+    ("slice", 2): "map_filter({0}, (__k, __v) -> array_contains({1}, __k))",
+    ("hstore_to_json", 1): "to_json({0})",
+    # ---- inet/cidr, IPv4 (network.c; inet is a string 'a.b.c.d[/m]') ----
+    ("host", 1): "split({0}, '/')[1]",
+    ("masklen", 1): _MASKLEN,
+    ("family", 1): "(CASE WHEN {0} LIKE '%:%' THEN 6 ELSE 4 END)",
+    ("abbrev", 1): "CAST({0} AS STRING)",
+    ("set_masklen", 2): "concat(split({0}, '/')[1], '/', CAST({1} AS STRING))",
+    ("netmask", 1): _int2ip(_MASKINT),
+    ("hostmask", 1): _int2ip("CAST(4294967295 AS BIGINT) ^ " + _MASKINT),
+    ("network", 1): (
+        "concat(" + _int2ip(_IP2INT + " & " + _MASKINT)
+        + ", '/', CAST(" + _MASKLEN + " AS STRING))"
+    ),
+    ("broadcast", 1): _int2ip(
+        "(" + _IP2INT + " & " + _MASKINT + ") | "
+        "(CAST(4294967295 AS BIGINT) ^ " + _MASKINT + ")"
+    ),
+    # a << b / inet_contains: a's network bits under b's mask match b's
+    ("inet_contained_by", 2): (
+        "((" + _IP2INT.format("{0}") + " & " + _MASKINT.format("{1}")
+        + ") = (" + _IP2INT.format("{1}") + " & " + _MASKINT.format("{1}")
+        + ") AND " + _MASKLEN.format("{0}") + " > " + _MASKLEN.format("{1}") + ")"
+    ),
+    ("inet_same_family", 2): (
+        "((CASE WHEN {0} LIKE '%:%' THEN 6 ELSE 4 END) = "
+        "(CASE WHEN {1} LIKE '%:%' THEN 6 ELSE 4 END))"
+    ),
+}
+
+
 def _pass_functions(toks: list[str]) -> list[str]:
     out = list(toks)
     i = 0
@@ -3126,6 +3190,12 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     + ["AS", "STRING", ")", ",", f"'{esc}'", ")"]
                 )
                 i += 2
+                continue
+            if (low, len(args)) in _INLINE_FN_TEMPLATES:
+                tmpl = _INLINE_FN_TEMPLATES[(low, len(args))]
+                new_sql = tmpl.format(*[" ".join(a) for a in args])
+                out[i : close + 1] = tokenize(new_sql)
+                i += 1
                 continue
             if low in _TYPE_MAP and len(args) == 1 and low not in ("char",):
                 # PG type-name function-call casts: float8(x), int4(x),

@@ -977,3 +977,61 @@ def gp_types_svec_complex(spark, sf_dir):
         FROM gpt_lineitem GROUP BY l_orderkey
         """
     )
+
+
+@suite.add(
+    "dialect_inet_funcs",
+    oracle="""
+    WITH src AS (
+      SELECT event_id,
+             CAST(event_id % 256 AS BIGINT) AS o2,
+             CAST(floor(event_id / 7) AS BIGINT) % 256 AS o3,
+             CAST(event_id * 3 AS BIGINT) % 256 AS o4,
+             CAST(8 + event_id % 25 AS INT) AS m
+      FROM events WHERE event_id < 300
+    ), ip AS (
+      SELECT event_id, o2, o3, o4, m,
+             10 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ipint,
+             ((CAST(4294967295 AS BIGINT) << (32 - m)) & CAST(4294967295 AS BIGINT)) AS maskint
+      FROM src
+    )
+    SELECT event_id,
+           '10.' || o2 || '.' || o3 || '.' || o4 AS h,
+           m AS mlen,
+           (CAST(floor((ipint & maskint) / 16777216) AS BIGINT) % 256) || '.'
+             || (CAST(floor((ipint & maskint) / 65536) AS BIGINT) % 256) || '.'
+             || (CAST(floor((ipint & maskint) / 256) AS BIGINT) % 256) || '.'
+             || ((ipint & maskint) % 256) || '/' || m AS net,
+           (CAST(floor((ipint | (4294967295 - maskint)) / 16777216) AS BIGINT) % 256) || '.'
+             || (CAST(floor((ipint | (4294967295 - maskint)) / 65536) AS BIGINT) % 256) || '.'
+             || (CAST(floor((ipint | (4294967295 - maskint)) / 256) AS BIGINT) % 256) || '.'
+             || ((ipint | (4294967295 - maskint)) % 256) AS bc
+    FROM ip
+    """,
+    doc="IPv4 inet/cidr function family (network.c host/masklen/network/"
+        "broadcast) lowered to pure codegen bit arithmetic over the "
+        "string representation — oracle recomputes the same network math "
+        "in DuckDB integer ops.",
+    tags=("dialect", "inet"),
+)
+def dialect_inet_funcs(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT event_id,
+               host(ip) AS h,
+               masklen(ip) AS mlen,
+               network(ip) AS net,
+               broadcast(ip) AS bc
+        FROM (
+          SELECT event_id,
+                 '10.' || (event_id % 256) || '.' ||
+                 (CAST(floor(event_id / 7) AS BIGINT) % 256) || '.' ||
+                 (CAST(event_id * 3 AS BIGINT) % 256) || '/' ||
+                 (8 + event_id % 25) AS ip
+          FROM events WHERE event_id < 300
+        ) t
+        """,
+        ["events"],
+    )

@@ -376,3 +376,64 @@ class TestToCharWideTemplates:
         assert "pg_tochar_num" not in out  # codegen fast path retained
         got = pg_sql(spark, "SELECT to_char(12.45, '99.9') AS v").collect()[0][0]
         assert got == " 12.5"
+
+
+class TestInetHstoreFunctions:
+    """IPv4 inet/cidr function surface (network.c; inet.sql shapes with
+    full dotted-quad literals — abbreviated CIDR input and IPv6 math are
+    out of scope, family() detects v6) and the hstore function surface
+    (contrib/hstore over MapType)."""
+
+    def _one(self, spark, expr):
+        from greengage_spark.dialect.transpiler import pg_sql
+
+        return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+    def test_inet_accessors(self, spark):
+        assert self._one(spark, "host('192.168.1.226/24')") == "192.168.1.226"
+        assert self._one(spark, "masklen('192.168.1.0/26')") == 26
+        assert self._one(spark, "masklen('10.1.2.3')") == 32
+        assert self._one(spark, "family('10:23::f1/64')") == 6
+        assert self._one(spark, "family('10.1.2.3/8')") == 4
+
+    def test_inet_network_math(self, spark):
+        # inet.out rows for the full-form entries
+        assert self._one(spark, "network('192.168.1.226/24')") == "192.168.1.0/24"
+        assert self._one(spark, "broadcast('192.168.1.226/24')") == "192.168.1.255"
+        assert self._one(spark, "broadcast('10.1.2.3/8')") == "10.255.255.255"
+        assert self._one(spark, "netmask('192.168.1.0/26')") == "255.255.255.192"
+        assert self._one(spark, "hostmask('192.168.23.20/30')") == "0.0.0.3"
+        assert (
+            self._one(spark, "set_masklen('192.168.1.226/24', 16)")
+            == "192.168.1.226/16"
+        )
+
+    def test_inet_containment(self, spark):
+        assert self._one(
+            spark, "inet_contained_by('192.168.1.226/32', '192.168.1.0/24')"
+        )
+        assert not self._one(
+            spark, "inet_contained_by('192.169.1.226/32', '192.168.1.0/24')"
+        )
+        assert self._one(spark, "inet_same_family('10.1.2.3', '9.1.2.3')")
+        assert not self._one(spark, "inet_same_family('10.1.2.3', '::1')")
+
+    def test_hstore_functions(self, spark):
+        h = "str_to_map('a=>1,b=>2,c=>3', ',', '=>')"
+        assert sorted(self._one(spark, f"akeys({h})")) == ["a", "b", "c"]
+        assert sorted(self._one(spark, f"avals({h})")) == ["1", "2", "3"]
+        assert self._one(spark, f"exist({h}, 'b')") is True
+        assert self._one(spark, f"defined({h}, 'z')") is False
+        assert sorted(self._one(spark, f"map_keys(delete({h}, 'a'))")) == ["b", "c"]
+        assert sorted(
+            self._one(spark, f"map_keys(slice({h}, array('a','c')))")
+        ) == ["a", "c"]
+        import json
+
+        assert json.loads(self._one(spark, f"hstore_to_json({h})")) == {
+            "a": "1", "b": "2", "c": "3",
+        }
+
+    def test_spark_3arg_slice_not_shadowed(self, spark):
+        # arity-keyed templates: Spark's slice(array, start, length) stays
+        assert self._one(spark, "slice(array(1,2,3,4), 2, 2)") == [2, 3]
