@@ -55,6 +55,7 @@ class GreengageEngine:
         self.views: dict[str, str] = {}  # name → PG-dialect defining query
         self.sequences = SequenceManager(warehouse)
         self.functions: dict = {}  # name → FunctionDef (CREATE FUNCTION)
+        self._txn: dict | None = None  # BEGIN snapshot (see _begin_txn)
 
     # ---------------- statement router ----------------
 
@@ -127,6 +128,14 @@ class GreengageEngine:
             return None
         if re.match(r"(?is)^alter\s+sequence\b", stmt):
             return self._alter_sequence(stmt)
+        if head in ("begin", "start"):
+            return self._begin_txn()
+        if head in ("commit", "end"):
+            return self._commit_txn()
+        if head in ("rollback", "abort"):
+            return self._rollback_txn()
+        if head == "savepoint" or re.match(r"(?is)^release\s+savepoint\b", stmt):
+            raise NotImplementedError("SAVEPOINT: only full-transaction rollback")
         if re.match(r"(?is)^alter\s+table\b", stmt):
             from greengage_spark.operators.alter import execute_alter_table
 
@@ -148,6 +157,8 @@ class GreengageEngine:
             return self._delete(stmt)
         if head == "copy":
             return self._copy(stmt)
+        if head == "explain":
+            return self._explain(stmt)
         if head in ("select", "with", "values", "table"):
             self._register_all()
             return pg_sql(self.spark, stmt)
@@ -155,6 +166,69 @@ class GreengageEngine:
             f"statement kind {head!r} not routed; use the DataFrame API "
             f"(greengage_spark.operators / sources) directly"
         )
+
+    # ---------------- transactions ----------------
+    #
+    # BEGIN/COMMIT/ROLLBACK over copy-on-write manifests (the xact.c
+    # surface a ported script actually uses).  Data files are immutable
+    # and never deleted mid-transaction, so ROLLBACK is O(1) per table:
+    # re-commit each table's pre-BEGIN manifest verbatim
+    # (WritableTable.restore) and restore the catalog snapshot.  DROP
+    # TABLE inside a transaction defers its storage removal to COMMIT so
+    # the data stays rollback-reachable.  Sequences are intentionally
+    # non-transactional, exactly as in PG (sequence.c: nextval is never
+    # rolled back).  SAVEPOINTs are not supported.
+
+    def _begin_txn(self):
+        import copy
+
+        if self._txn is not None:
+            return None  # PG: WARNING, transaction already in progress
+        self._txn = {
+            "tables": copy.deepcopy(self.ddl.tables),
+            "views": dict(self.views),
+            "functions": dict(self.functions),
+            "versions": {
+                name: self._storage(name).version for name in self.ddl.tables
+            },
+            "deferred_rm": [],
+        }
+        return None
+
+    def _commit_txn(self):
+        import shutil
+
+        if self._txn is None:
+            return None  # PG: WARNING, no transaction in progress
+        for path in self._txn["deferred_rm"]:
+            # a table dropped then re-created under the same name owns
+            # the path again — leave it alone
+            if path.rsplit("/", 1)[-1] not in self.ddl.tables:
+                shutil.rmtree(path, ignore_errors=True)
+        self._txn = None
+        return None
+
+    def _rollback_txn(self):
+        import shutil
+
+        if self._txn is None:
+            return None
+        snap = self._txn
+        self._txn = None
+        created = set(self.ddl.tables) - set(snap["tables"])
+        self.ddl.tables = snap["tables"]
+        self.views = snap["views"]
+        self.functions = snap["functions"]
+        for name in created:
+            shutil.rmtree(f"{self.ddl.root}/{name}", ignore_errors=True)
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+        for name, version in snap["versions"].items():
+            self._storage(name).restore(version)
+            self._register(name)
+        return None
 
     # ---------------- functions / aggregates ----------------
 
@@ -333,6 +407,33 @@ class GreengageEngine:
 
         return _NEXTVAL.sub(_repl, stmt)
 
+    def _explain(self, stmt: str) -> DataFrame:
+        """EXPLAIN [ANALYZE] [VERBOSE] query (commands/explain.c): one
+        'QUERY PLAN' text column, one row per plan line — here the Spark
+        physical plan (ANALYZE executes the query first so AQE's final
+        plan is shown; VERBOSE adds the full parsed/analyzed/optimized
+        chain)."""
+        m = re.match(
+            r"(?is)^explain\s+(?:\(([^)]*)\)\s+)?(analyze\s+)?(verbose\s+)?(.*)$",
+            stmt,
+        )
+        opts = (m.group(1) or "").lower()
+        analyze = bool(m.group(2)) or "analyze" in opts
+        verbose = bool(m.group(3)) or "verbose" in opts
+        inner = m.group(4).strip()
+        if inner.split(None, 1)[0].lower() not in ("select", "with", "values", "table"):
+            raise NotImplementedError("EXPLAIN supports queries, not DML")
+        self._register_all()
+        df = pg_sql(self.spark, inner)
+        qe = df._jdf.queryExecution()
+        if analyze:
+            df.collect()  # run it so AQE finalizes the executed plan
+        text = qe.toString() if verbose else qe.executedPlan().toString()
+        return self.spark.createDataFrame(
+            [(line,) for line in text.rstrip("\n").split("\n")],
+            "`QUERY PLAN` string",
+        )
+
     # ---------------- helpers ----------------
 
     def _register(self, name: str) -> None:
@@ -417,10 +518,15 @@ class GreengageEngine:
         del registry[name]
         if kind == "table":
             # PG drops the relation's storage; without this a later
-            # CREATE TABLE of the same name finds stale manifests
-            import shutil
+            # CREATE TABLE of the same name finds stale manifests.
+            # Inside a transaction the removal defers to COMMIT so
+            # ROLLBACK can resurrect the data (xact.c pending deletes).
+            if self._txn is not None:
+                self._txn["deferred_rm"].append(f"{self.ddl.root}/{name}")
+            else:
+                import shutil
 
-            shutil.rmtree(f"{self.ddl.root}/{name}", ignore_errors=True)
+                shutil.rmtree(f"{self.ddl.root}/{name}", ignore_errors=True)
         self.spark.catalog.dropTempView(name)
         return None
 

@@ -425,6 +425,11 @@ def _add_column(eng, name: str, td, cd: ColumnDef) -> None:
 def _rename_table(eng, name: str, new: str) -> None:
     import os
 
+    if getattr(eng, "_txn", None) is not None:
+        raise NotImplementedError(
+            "ALTER TABLE ... RENAME TO inside a transaction is not "
+            "supported (directory moves are not rollback-safe)"
+        )
     if new in eng.ddl.tables or new in eng.views:
         raise ValueError(f"relation {new!r} already exists")
     td = eng.ddl.tables.pop(name)

@@ -177,6 +177,22 @@ class WritableTable:
         self._commit([], self._schema(), reset=True)
         return self
 
+    def restore(self, version: int) -> "WritableTable":
+        """Commit a new version whose content is a verbatim copy of an
+        older version's manifest — the COW rollback primitive (data files
+        are immutable and never deleted, so every old version remains
+        reachable).  O(1): one manifest write, zero data I/O."""
+        if version == self.version:
+            return self
+        with open(self._manifest_path(version)) as fh:
+            man = json.load(fh)
+        tmp = self._manifest_path(self.version + 1) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(man, fh)
+        os.replace(tmp, self._manifest_path(self.version + 1))
+        self.version += 1
+        return self
+
     @staticmethod
     def _apply_evolution(df: DataFrame, e: dict) -> DataFrame:
         op = e["op"]

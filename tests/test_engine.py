@@ -179,3 +179,30 @@ class TestInsertNotNull:
         eng.execute("CREATE TABLE t (a int8 NOT NULL, b text)")
         eng.execute("INSERT INTO t VALUES (1, 'x'), (2, NULL)")
         assert rows(eng.execute("SELECT a FROM t")) == [(1,), (2,)]
+
+
+class TestExplain:
+    def test_explain_returns_plan_rows(self, eng):
+        eng.execute("CREATE TABLE t (a int8, b text)")
+        eng.execute("INSERT INTO t VALUES (1, 'x')")
+        out = eng.execute("EXPLAIN SELECT a FROM t WHERE a > 0")
+        assert out.columns == ["QUERY PLAN"]
+        text = "\n".join(r[0] for r in out.collect())
+        assert "FileScan" in text or "Scan" in text
+
+    def test_explain_analyze_and_verbose(self, eng):
+        eng.execute("CREATE TABLE t (a int8)")
+        eng.execute("INSERT INTO t VALUES (1), (2)")
+        text = "\n".join(
+            r[0] for r in eng.execute("EXPLAIN ANALYZE SELECT sum(a) AS s FROM t").collect()
+        )
+        assert "Adaptive" in text or "Aggregate" in text
+        vtext = "\n".join(
+            r[0] for r in eng.execute("EXPLAIN VERBOSE SELECT a FROM t").collect()
+        )
+        assert "Parsed Logical Plan" in vtext
+
+    def test_explain_dml_rejected(self, eng):
+        eng.execute("CREATE TABLE t (a int8)")
+        with pytest.raises(NotImplementedError):
+            eng.execute("EXPLAIN UPDATE t SET a = 1")

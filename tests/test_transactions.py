@@ -1,0 +1,119 @@
+"""BEGIN/COMMIT/ROLLBACK over copy-on-write manifests (xact.c surface;
+truncate.sql:6-15 BEGIN/TRUNCATE/ROLLBACK shape).  ROLLBACK is O(1) per
+table: re-commit the pre-BEGIN manifest (data files are immutable and
+never deleted mid-transaction)."""
+
+import os
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return GreengageEngine(spark, str(tmp_path / "wh"))
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+class TestRollback:
+    def test_truncate_rollback_then_commit(self, eng):
+        # truncate.sql:2-15 verbatim flow (minus FK sections)
+        eng.execute("CREATE TABLE truncate_a (col1 integer) DISTRIBUTED BY (col1)")
+        eng.execute("INSERT INTO truncate_a VALUES (1)")
+        eng.execute("INSERT INTO truncate_a VALUES (2)")
+        assert rows(eng.execute("SELECT * FROM truncate_a")) == [(1,), (2,)]
+        eng.execute("BEGIN")
+        eng.execute("TRUNCATE truncate_a")
+        eng.execute("ROLLBACK")
+        assert rows(eng.execute("SELECT * FROM truncate_a")) == [(1,), (2,)]
+        eng.execute("BEGIN")
+        eng.execute("TRUNCATE truncate_a")
+        eng.execute("COMMIT")
+        assert rows(eng.execute("SELECT * FROM truncate_a")) == []
+
+    def test_dml_rollback(self, eng):
+        eng.execute("CREATE TABLE t (a int8, b text)")
+        eng.execute("INSERT INTO t VALUES (1, 'x'), (2, 'y')")
+        eng.execute("BEGIN")
+        eng.execute("UPDATE t SET b = 'Z' WHERE a = 1")
+        eng.execute("DELETE FROM t WHERE a = 2")
+        eng.execute("INSERT INTO t VALUES (3, 'w')")
+        assert rows(eng.execute("SELECT * FROM t")) == [(1, "Z"), (3, "w")]
+        eng.execute("ROLLBACK")
+        assert rows(eng.execute("SELECT * FROM t")) == [(1, "x"), (2, "y")]
+
+    def test_ddl_rollback_create_and_alter(self, eng):
+        eng.execute("CREATE TABLE keep (a int8)")
+        eng.execute("INSERT INTO keep VALUES (1)")
+        eng.execute("BEGIN")
+        eng.execute("CREATE TABLE temp_t (x int8)")
+        eng.execute("ALTER TABLE keep ADD COLUMN c int4 DEFAULT 5")
+        eng.execute("ROLLBACK")
+        assert "temp_t" not in eng.ddl.tables
+        assert [c.name for c in eng.ddl.tables["keep"].columns] == ["a"]
+        assert rows(eng.execute("SELECT * FROM keep")) == [(1,)]
+
+    def test_drop_table_rollback_resurrects_data(self, eng):
+        eng.execute("CREATE TABLE t (a int8)")
+        eng.execute("INSERT INTO t VALUES (7)")
+        eng.execute("BEGIN")
+        eng.execute("DROP TABLE t")
+        with pytest.raises(Exception):
+            eng.execute("SELECT * FROM t")
+        eng.execute("ROLLBACK")
+        assert rows(eng.execute("SELECT * FROM t")) == [(7,)]
+        # and COMMITted drops really remove the storage
+        eng.execute("BEGIN")
+        eng.execute("DROP TABLE t")
+        eng.execute("COMMIT")
+        assert not os.path.isdir(f"{eng.ddl.root}/t")
+
+    def test_rollback_is_o1_no_data_io(self, eng):
+        eng.execute("CREATE TABLE big (a int8)")
+        eng.execute("INSERT INTO big SELECT explode(sequence(1, 10000)) AS a")
+        st = eng._storage("big")
+        before = {f: os.stat(f) for f in st.files()}
+        eng.execute("BEGIN")
+        eng.execute("DELETE FROM big WHERE a <= 5000")
+        eng.execute("ROLLBACK")
+        st2 = eng._storage("big")
+        assert set(st2.files()) == set(before)
+        for f, s in before.items():
+            s2 = os.stat(f)
+            assert (s.st_ino, s.st_mtime_ns) == (s2.st_ino, s2.st_mtime_ns)
+        assert eng.execute("SELECT count(*) AS n FROM big").collect()[0].n == 10000
+
+    def test_view_and_function_rollback(self, eng):
+        eng.execute("CREATE TABLE t (a int8)")
+        eng.execute("BEGIN")
+        eng.execute("CREATE VIEW v AS SELECT a + 1 AS b FROM t")
+        eng.execute(
+            "CREATE FUNCTION f(x int8) RETURNS int8 AS 'SELECT $1 * 2' LANGUAGE sql"
+        )
+        eng.execute("ROLLBACK")
+        assert "v" not in eng.views and "f" not in eng.functions
+
+    def test_sequences_are_non_transactional(self, eng):
+        # sequence.c: nextval never rolls back
+        eng.execute("CREATE SEQUENCE s")
+        eng.execute("BEGIN")
+        assert eng.execute("SELECT nextval('s') AS v").collect()[0].v == 1
+        eng.execute("ROLLBACK")
+        assert eng.execute("SELECT nextval('s') AS v").collect()[0].v == 2
+
+    def test_noop_commit_rollback_outside_txn(self, eng):
+        eng.execute("COMMIT")  # PG: WARNING, not an error
+        eng.execute("ROLLBACK")
+        eng.execute("BEGIN")
+        eng.execute("BEGIN")  # already in progress: WARNING, no nesting
+        eng.execute("COMMIT")
+
+    def test_savepoint_rejected(self, eng):
+        eng.execute("BEGIN")
+        with pytest.raises(NotImplementedError):
+            eng.execute("SAVEPOINT sp1")
+        eng.execute("ROLLBACK")
