@@ -18,8 +18,10 @@ TYPE/DEFAULT/NOT NULL, RENAME TO, SET DISTRIBUTED, metadata-only schema
 evolution — operators/alter.py), TRUNCATE, CREATE [OR REPLACE] VIEW /
 DROP VIEW (late-binding, re-derived per query like PG's rule rewrite),
 INSERT .. VALUES / INSERT .. SELECT, UPDATE .. SET .. WHERE, DELETE
-FROM .. WHERE, COPY .. TO/FROM (csv), SELECT/WITH incl. WITH RECURSIVE
-(full dialect surface via dialect.transpiler).
+FROM .. WHERE, COPY .. TO/FROM (csv), BEGIN/COMMIT/ROLLBACK (manifest
+snapshot transactions), EXPLAIN [ANALYZE] [VERBOSE], CREATE TABLE
+(LIKE t), SELECT/WITH incl. WITH RECURSIVE (full dialect surface via
+dialect.transpiler).
 Unsupported statements raise NotImplementedError with the closest
 DataFrame-level API named in the message.
 """

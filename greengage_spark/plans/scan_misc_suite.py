@@ -703,3 +703,36 @@ def create_function_plpgsql(spark, sf_dir):
         "SELECT o_orderkey, price_band(o_totalprice::float8) AS band, "
         "sales_tax(o_totalprice::float8) AS tax FROM plpg_src_orders"
     )
+
+
+@suite.add(
+    "txn_rollback_dml",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_regionkey = 0 THEN 'AFR' ELSE n_name END AS tagged
+    FROM nation
+    """,
+    doc="BEGIN/ROLLBACK/COMMIT over copy-on-write manifests (xact.c; "
+        "truncate.sql BEGIN/TRUNCATE/ROLLBACK flow): a rolled-back "
+        "UPDATE+DELETE leaves the table byte-identical (O(1) manifest "
+        "re-commit, no data I/O), a committed UPDATE sticks.",
+    tags=("engine", "txn"),
+)
+def txn_rollback_dml(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_txn_"))
+    cat(spark, sf_dir).table("nation").createOrReplaceTempView("nation")
+    eng.execute(
+        "CREATE TABLE nat_t AS SELECT n_nationkey, n_name, n_name AS tagged "
+        "FROM nation DISTRIBUTED BY (n_nationkey)"
+    )
+    eng.execute("BEGIN")
+    eng.execute("UPDATE nat_t SET tagged = 'GONE'")
+    eng.execute("DELETE FROM nat_t WHERE n_nationkey >= 0")
+    eng.execute("ROLLBACK")
+    eng.execute("BEGIN")
+    eng.execute("UPDATE nat_t SET tagged = 'AFR' WHERE n_nationkey IN "
+                "(SELECT n_nationkey FROM nation WHERE n_regionkey = 0)")
+    eng.execute("COMMIT")
+    return eng.execute("SELECT n_nationkey, n_name, tagged FROM nat_t")
