@@ -486,6 +486,27 @@ class GreengageEngine:
             raise ValueError(f"unknown table {name!r}")
         return self.ddl._storage(self.ddl.tables[name])
 
+    @staticmethod
+    def _split_returning(text: str) -> tuple[str, str | None]:
+        """Strip a trailing top-level RETURNING clause (gram.y
+        returning_clause); returns (text-without-it, exprs-or-None)."""
+        ridx = _find_top_level(text, "returning")
+        if ridx < 0:
+            return text, None
+        return text[:ridx].rstrip(), text[ridx + len("returning") :].strip()
+
+    def _returning_df(self, name: str, rows: DataFrame, exprs: str) -> DataFrame:
+        """Evaluate RETURNING expressions over the affected-rows set
+        (ExecProcessReturning): NEW values for INSERT/UPDATE, OLD for
+        DELETE — the caller passes the right rows.  COW manifests pin the
+        lazy plan to explicit file lists, so the result stays valid after
+        the commit."""
+        rows.createOrReplaceTempView("__returning_rows")
+        return pg_sql(
+            self.spark,
+            f"SELECT {exprs} FROM __returning_rows AS {name}",
+        )
+
     def _touched_files_sql(self, name: str, st, match_pred: str) -> list[str]:
         """Data files of ``name`` holding ≥1 row matching a SQL predicate
         (which may hold subqueries / EXISTS over other registered tables).
@@ -533,6 +554,7 @@ class GreengageEngine:
         return None
 
     def _insert(self, stmt: str):
+        stmt, ret = self._split_returning(stmt)
         m = re.match(
             r"(?is)^insert\s+into\s+([\w.]+)\s*"
             r"(\((?!\s*(?:select|with)\b)[^)]*\))?\s*"
@@ -599,6 +621,7 @@ class GreengageEngine:
                     for c in td.columns
                 ]
             )
+        before_files = set(self._storage(name).files()) if ret else None
         try:
             self.ddl.insert(name, full)
         except Exception as e:  # surface the constraint as PG's error
@@ -610,7 +633,13 @@ class GreengageEngine:
                 raise
             raise ValueError(m.group(0)) from None
         self._register(name)
-        return None
+        if ret is None:
+            return None
+        # RETURNING evaluates over exactly the rows just written: the
+        # files this commit added (ExecProcessReturning, NEW values)
+        st = self._storage(name)
+        new_files = [f for f in st.files() if f not in before_files]
+        return self._returning_df(name, st._read_files(new_files), ret)
 
     def _update(self, stmt: str):
         m = re.match(
@@ -632,9 +661,12 @@ class GreengageEngine:
                     f"use the alias {alias!r}"
                 )
             rest = re.sub(rf"(?i)\b{alias}\s*\.\s*", "", rest)
+        rest, ret = self._split_returning(rest)
         fidx = _find_top_level(rest, "from")
         widx = _find_top_level(rest, "where")
         if fidx >= 0 and (widx < 0 or fidx < widx):
+            if ret is not None:
+                raise NotImplementedError("RETURNING with UPDATE ... FROM")
             return self._update_from(name, rest, fidx, widx)
         set_raw = rest[:widx] if widx >= 0 else rest
         where_raw = rest[widx + 5 :].strip() if widx >= 0 else None
@@ -669,17 +701,43 @@ class GreengageEngine:
             out = pg_sql(
                 self.spark, f"SELECT {proj} FROM __cow_target AS {name}"
             )
+            ret_rows = None
+            if ret is not None:
+                # NEW values of matched rows; the plan pins the pre-commit
+                # touched-file list, so it survives the rewrite below
+                ret_rows = pg_sql(
+                    self.spark,
+                    f"SELECT {proj} FROM __cow_target AS {name} "
+                    f"WHERE ({cond}) IS TRUE",
+                )
             st.rewrite_files(touched, out)
             self.spark.catalog.dropTempView("__cow_target")
         else:
+            td = self.ddl.tables[name]
             set_map = {}
             for part in parts:
                 col, _, expr = part.partition("=")
                 set_map[col.strip()] = F.expr(transpile(expr.strip()))
             cond = F.expr(transpile(where_raw)) if where_raw else None
+            ret_rows = None
+            if ret is not None:
+                sm = {k.lower(): v for k, v in set_map.items()}
+                old = st.df().filter(
+                    F.coalesce(cond, F.lit(False)) if cond is not None else F.lit(True)
+                )
+                ret_rows = old.select(
+                    [
+                        sm[c.name.lower()].cast(c.spark_type).alias(c.name)
+                        if c.name.lower() in sm
+                        else F.col(c.name)
+                        for c in td.columns
+                    ]
+                )
             st.update(set_map, cond)
         self._register(name)
-        return None
+        if ret is None:
+            return None
+        return self._returning_df(name, ret_rows, ret)
 
     def _values_defaults(self, td, cols, body: str):
         """VALUES-body normalization (rewriteValuesRTE): a bare DEFAULT
