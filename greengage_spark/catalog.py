@@ -166,6 +166,15 @@ def shared_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
 
 
 def register_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> Catalog:
+    # The driver hands us ITS session: apply runtime confs unconditionally.
+    # (Previously only the nanos-read retry path applied them, so a session
+    # whose first queries touched nanos-free tables ran without
+    # escapedStringLiterals — regex literals like '\s+' were mis-parsed and
+    # CORRECTNESS_r04 flagged the two backslash-literal queries. Conf sets
+    # are cheap idempotent session-conf writes.)
+    from greengage_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
     cat = shared_catalog(spark, sf_dir)
     cat.register_views(names)
     return cat

@@ -112,6 +112,11 @@ class TableDef:
     partition_kind: str | None = None  # 'range' | 'list'
     partition_col: str | None = None
     partition_spec_raw: str = ""
+    # SUBPARTITION BY levels (parse_partition.c:155-226 depth machinery):
+    # [(kind, col, template_raw), ...] outermost-subpartition first.  Each
+    # level's TEMPLATE expands independently; the physical layout nests
+    # one hive directory per level (__part/__subpart/__subpart2/...).
+    subpartitions: list = field(default_factory=list)
     storage_options: dict[str, str] = field(default_factory=dict)
     # ALTER ... ADD/DROP/SPLIT PARTITION mutate the bound list in place
     # (session-scoped, like the rest of the DDL catalog)
@@ -140,6 +145,35 @@ class TableDef:
 
     def set_partition_bounds(self, bounds) -> None:
         self._bounds_override = bounds
+
+    def _col_type(self, col: str) -> str:
+        return next(
+            (c.spark_type for c in self.columns if c.name == col), "string"
+        )
+
+    def partition_levels(self):
+        """All partition levels as [(kind, col, bounds)], level 0 = the top
+        PARTITION BY, deeper levels from SUBPARTITION TEMPLATEs."""
+        from greengage_spark.operators.partitions import parse_partition_spec
+
+        if self.partition_kind is None:
+            return []
+        levels = [(self.partition_kind, self.partition_col, self.partition_bounds())]
+        for kind, col, template_raw in self.subpartitions:
+            bounds = (
+                parse_partition_spec(template_raw, self._col_type(col))
+                if template_raw
+                else []
+            )
+            levels.append((kind, col, bounds))
+        return levels
+
+    @staticmethod
+    def level_dir_col(i: int) -> str:
+        """Hive directory column for partition level i."""
+        if i == 0:
+            return "__part"
+        return "__subpart" if i == 1 else f"__subpart{i}"
 
     @property
     def schema_ddl(self) -> str:
@@ -280,12 +314,46 @@ def parse_create_table(ddl: str) -> TableDef:
         p_open = tail.index("(", mp.start())
         p_close = _matching_paren(tail, p_open)
         td.partition_col = tail[p_open + 1 : p_close].strip().strip('"')
-        # partition spec body (START/END/EVERY/VALUES...) recorded verbatim;
-        # hive-style layout derives partitions from data, not declarations.
-        ms = re.search(r"\(", tail[p_close + 1 :])
+        pos = p_close + 1
+        # SUBPARTITION BY kind (col) [SUBPARTITION TEMPLATE (...)], repeated
+        # per level (parse_partition.c:155-226).  Each level's TEMPLATE body
+        # is recorded verbatim, like the top-level spec.
+        while True:
+            msb = re.match(
+                r"(?is)\s*subpartition\s+by\s+(range|list)\s*\(", tail[pos:]
+            )
+            if not msb:
+                break
+            sb_open = pos + msb.end() - 1
+            sb_close = _matching_paren(tail, sb_open)
+            sub_kind = msb.group(1).lower()
+            sub_col = tail[sb_open + 1 : sb_close].strip().strip('"')
+            if "," in sub_col:
+                raise NotImplementedError(
+                    "multi-column SUBPARTITION BY keys are not supported"
+                )
+            pos = sb_close + 1
+            template_raw = ""
+            mt = re.match(r"(?is)\s*subpartition\s+template\s*\(", tail[pos:])
+            if mt:
+                t_open = pos + mt.end() - 1
+                t_close = _matching_paren(tail, t_open)
+                template_raw = tail[t_open : t_close + 1]
+                pos = t_close + 1
+            td.subpartitions.append((sub_kind, sub_col, template_raw))
+        # top-level partition spec body (START/END/EVERY/VALUES...) verbatim;
+        # hive-style layout derives partitions from data when absent.
+        ms = re.search(r"\(", tail[pos:])
         if ms:
-            s_open = p_close + 1 + ms.start()
+            s_open = pos + ms.start()
             td.partition_spec_raw = tail[s_open : _matching_paren(tail, s_open) + 1]
+            if td.subpartitions and re.search(
+                r"(?is)\bsubpartition\b", td.partition_spec_raw
+            ):
+                raise NotImplementedError(
+                    "inline per-partition SUBPARTITION specs are not "
+                    "supported; declare a SUBPARTITION TEMPLATE instead"
+                )
     return td
 
 
@@ -359,19 +427,23 @@ class DDLCatalog:
         if td.partition_kind is None:
             df.write.mode("overwrite").parquet(path)
             return
-        col = td.partition_col
-        bounds = td.partition_bounds()
-        if bounds:
-            from greengage_spark.operators.partitions import partition_name_expr
+        from greengage_spark.operators.partitions import partition_name_expr
 
-            part = partition_name_expr(bounds, col).alias("__part")
-        elif td.partition_kind == "range":
-            part = F.date_format(F.col(col), "yyyy-MM").alias("__part")
-        else:
-            part = F.col(col).cast("string").alias("__part")
+        levels = td.partition_levels()
+        dir_cols: list[str] = []
+        for i, (kind, col, bounds) in enumerate(levels):
+            dcol = TableDef.level_dir_col(i)
+            if bounds:
+                part = partition_name_expr(bounds, col).alias(dcol)
+            elif kind == "range":
+                part = F.date_format(F.col(col), "yyyy-MM").alias(dcol)
+            else:
+                part = F.col(col).cast("string").alias(dcol)
+            df = df.withColumn(dcol, part)
+            dir_cols.append(dcol)
         # repartition on the partition value first: one writer task per
-        # partition directory instead of tasks × partitions small files
+        # leaf directory instead of tasks × partitions small files
         # (the classic small-files failure mode at scale).
-        df.withColumn("__part", part).repartition(F.col("__part")).write.mode(
+        df.repartition(*[F.col(c) for c in dir_cols]).write.mode(
             "overwrite"
-        ).partitionBy("__part").parquet(path)
+        ).partitionBy(*dir_cols).parquet(path)

@@ -3809,6 +3809,10 @@ def pg_sql(spark, sql: str):
     """Run PG-dialect SQL on Spark (the exec_simple_query entry point,
     postgres.c:1622 — ours is transpile + Catalyst; WITH RECURSIVE routes
     to the fixpoint driver in dialect.recursive_sql)."""
+    # Emitted literals are verbatim-PG (backslashes inert); that contract
+    # holds only under escapedStringLiterals=true, so pin it here — the
+    # caller's session may not have passed through our session factory.
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     if re.match(r"(?is)^\s*with\s+recursive\b", sql):
         from greengage_spark.dialect.recursive_sql import run_recursive_sql
 

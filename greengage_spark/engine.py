@@ -58,6 +58,11 @@ class GreengageEngine:
         self.sequences = SequenceManager(warehouse)
         self.functions: dict = {}  # name → FunctionDef (CREATE FUNCTION)
         self._txn: dict | None = None  # BEGIN snapshot (see _begin_txn)
+        from greengage_spark.dialect.gucs import GucManager
+
+        self.gucs = GucManager(spark)
+        self.indexes: dict = {}  # name → IndexDef (metadata-only, no executor)
+        self.stats: dict = {}  # table → TableStats (ANALYZE results)
 
     # ---------------- statement router ----------------
 
@@ -130,14 +135,30 @@ class GreengageEngine:
             return None
         if re.match(r"(?is)^alter\s+sequence\b", stmt):
             return self._alter_sequence(stmt)
+        if head in ("set", "reset", "show"):
+            return self.gucs.execute(stmt, in_txn=self._txn is not None)
+        if re.match(r"(?is)^create\s+(unique\s+)?index\b", stmt) or head in (
+            "reindex",
+        ) or re.match(r"(?is)^drop\s+index\b", stmt):
+            from greengage_spark.operators.maintenance import execute_index_stmt
+
+            return execute_index_stmt(self, stmt)
+        if head in ("vacuum", "analyze", "analyse"):
+            from greengage_spark.operators.maintenance import execute_vacuum_analyze
+
+            return execute_vacuum_analyze(self, stmt)
         if head in ("begin", "start"):
             return self._begin_txn()
         if head in ("commit", "end"):
             return self._commit_txn()
+        if re.match(r"(?is)^rollback\s+to\b", stmt):
+            return self._rollback_to_savepoint(stmt)
         if head in ("rollback", "abort"):
             return self._rollback_txn()
-        if head == "savepoint" or re.match(r"(?is)^release\s+savepoint\b", stmt):
-            raise NotImplementedError("SAVEPOINT: only full-transaction rollback")
+        if head == "savepoint":
+            return self._savepoint(stmt)
+        if re.match(r"(?is)^release\b", stmt):
+            return self._release_savepoint(stmt)
         if re.match(r"(?is)^alter\s+table\b", stmt):
             from greengage_spark.operators.alter import execute_alter_table
 
@@ -181,42 +202,29 @@ class GreengageEngine:
     # non-transactional, exactly as in PG (sequence.c: nextval is never
     # rolled back).  SAVEPOINTs are not supported.
 
-    def _begin_txn(self):
+    def _snapshot_state(self) -> dict:
+        """Catalog + manifest-version snapshot — O(tables), no data I/O.
+
+        Data files are immutable, so a snapshot is just the manifest version
+        number per table plus catalog dict copies; restoring re-commits the
+        old manifest verbatim (xact.c's pending-deletes discipline without
+        ever touching data).  The same structure backs both BEGIN and
+        SAVEPOINT (subtransaction stack, xact.c PushTransaction)."""
         import copy
 
-        if self._txn is not None:
-            return None  # PG: WARNING, transaction already in progress
-        self._txn = {
+        return {
             "tables": copy.deepcopy(self.ddl.tables),
             "views": dict(self.views),
             "functions": dict(self.functions),
             "versions": {
                 name: self._storage(name).version for name in self.ddl.tables
             },
-            "deferred_rm": [],
+            "gucs": self.gucs.snapshot(),
         }
-        return None
 
-    def _commit_txn(self):
+    def _restore_state(self, snap: dict) -> None:
         import shutil
 
-        if self._txn is None:
-            return None  # PG: WARNING, no transaction in progress
-        for path in self._txn["deferred_rm"]:
-            # a table dropped then re-created under the same name owns
-            # the path again — leave it alone
-            if path.rsplit("/", 1)[-1] not in self.ddl.tables:
-                shutil.rmtree(path, ignore_errors=True)
-        self._txn = None
-        return None
-
-    def _rollback_txn(self):
-        import shutil
-
-        if self._txn is None:
-            return None
-        snap = self._txn
-        self._txn = None
         created = set(self.ddl.tables) - set(snap["tables"])
         self.ddl.tables = snap["tables"]
         self.views = snap["views"]
@@ -230,6 +238,80 @@ class GreengageEngine:
         for name, version in snap["versions"].items():
             self._storage(name).restore(version)
             self._register(name)
+        self.gucs.restore(snap["gucs"])
+
+    def _begin_txn(self):
+        if self._txn is not None:
+            return None  # PG: WARNING, transaction already in progress
+        self._txn = self._snapshot_state()
+        self._txn["deferred_rm"] = []
+        self._txn["savepoints"] = []  # [(name, snapshot, deferred_rm_len)]
+        return None
+
+    # ---------------- savepoints (xact.c subtransactions) ----------------
+
+    def _savepoint(self, stmt: str):
+        m = re.match(r"(?is)^savepoint\s+([\w]+)$", stmt)
+        if not m:
+            raise NotImplementedError("SAVEPOINT name")
+        if self._txn is None:
+            raise ValueError("SAVEPOINT can only be used in transaction blocks")
+        self._txn["savepoints"].append(
+            (m.group(1).lower(), self._snapshot_state(), len(self._txn["deferred_rm"]))
+        )
+        return None
+
+    def _find_savepoint(self, name: str) -> int:
+        for i in range(len(self._txn["savepoints"]) - 1, -1, -1):
+            if self._txn["savepoints"][i][0] == name:
+                return i
+        raise ValueError(f'savepoint "{name}" does not exist')
+
+    def _rollback_to_savepoint(self, stmt: str):
+        m = re.match(r"(?is)^rollback\s+to\s+(?:savepoint\s+)?([\w]+)$", stmt)
+        if not m:
+            raise NotImplementedError("ROLLBACK TO [SAVEPOINT] name")
+        if self._txn is None:
+            raise ValueError("ROLLBACK TO can only be used in transaction blocks")
+        i = self._find_savepoint(m.group(1).lower())
+        name, snap, rm_len = self._txn["savepoints"][i]
+        self._restore_state(snap)
+        self._txn["deferred_rm"] = self._txn["deferred_rm"][:rm_len]
+        # later savepoints die; the target survives (PG keeps it re-usable)
+        self._txn["savepoints"] = self._txn["savepoints"][: i + 1]
+        return None
+
+    def _release_savepoint(self, stmt: str):
+        m = re.match(r"(?is)^release\s+(?:savepoint\s+)?([\w]+)$", stmt)
+        if not m:
+            raise NotImplementedError("RELEASE [SAVEPOINT] name")
+        if self._txn is None:
+            raise ValueError("RELEASE can only be used in transaction blocks")
+        i = self._find_savepoint(m.group(1).lower())
+        # releases the savepoint and everything after it; changes are kept
+        self._txn["savepoints"] = self._txn["savepoints"][:i]
+        return None
+
+    def _commit_txn(self):
+        import shutil
+
+        if self._txn is None:
+            return None  # PG: WARNING, no transaction in progress
+        for path in self._txn["deferred_rm"]:
+            # a table dropped then re-created under the same name owns
+            # the path again — leave it alone
+            if path.rsplit("/", 1)[-1] not in self.ddl.tables:
+                shutil.rmtree(path, ignore_errors=True)
+        self.gucs.end_txn_commit(self._txn["gucs"])
+        self._txn = None
+        return None
+
+    def _rollback_txn(self):
+        if self._txn is None:
+            return None
+        snap = self._txn
+        self._txn = None
+        self._restore_state(snap)
         return None
 
     # ---------------- functions / aggregates ----------------

@@ -16,9 +16,14 @@ one ``when`` per child).  Static pruning then becomes
 directory, the same file-skipping GP's PartitionSelector achieves.  A row
 outside every bound lands in the DEFAULT partition, or raises GP's
 "no partition for partitioning key" error when none is declared.
-Single-level partitioning only (SUBPARTITION templates are not
-expanded); each level of the reference's specs can be validated
-independently against its selected-parts expectations.
+
+Multi-level: SUBPARTITION BY ... SUBPARTITION TEMPLATE clauses
+(parse_partition.c:155-226 depth machinery) nest one hive directory per
+level (``__part``/``__subpart``/``__subpart2``); static selection runs
+per level and composes as a product (select_multilevel), matching the
+DATE_PARTS selected-parts battery in partition_pruning.sql:695-760.
+Inline per-partition subpartition specs (a different template per
+parent) are not supported — only uniform TEMPLATEs.
 """
 
 from __future__ import annotations
@@ -344,6 +349,68 @@ def select_range_partitions(
     if not covered:
         names.append(default)
     return names
+
+
+def select_level_partitions(kind: str, bounds: list[PartitionBound], constraint):
+    """Static selection for ONE partition level under a single-column
+    constraint:
+
+    * ``None``                       — unconstrained: every part (incl. DEFAULT)
+    * ``('range', lo, hi, li, hi_i)`` — interval predicate
+    * ``('in', values)``             — equality / IN value set
+
+    RANGE levels route intervals to the coverage-walking range selector and
+    value sets to per-point interval probes; LIST levels route value sets to
+    membership and integer intervals to enumeration (the reference's
+    selector enumerates BETWEEN over int list keys the same way —
+    cdbpartition.c)."""
+    if constraint is None:
+        return [b.name for b in bounds]
+    tag = constraint[0]
+    if kind == "range":
+        if tag == "range":
+            return select_range_partitions(bounds, *constraint[1:])
+        names: list[str] = []
+        for v in constraint[1]:
+            for n in select_range_partitions(bounds, v, v, True, True):
+                if n not in names:
+                    names.append(n)
+        return names
+    if tag == "in":
+        return select_list_partitions(bounds, constraint[1])
+    lo, hi, lo_incl, hi_incl = constraint[1:]
+    if isinstance(lo, int) and isinstance(hi, int):
+        vals = list(range(lo + (0 if lo_incl else 1), hi + (1 if hi_incl else 0)))
+        return select_list_partitions(bounds, vals)
+    return [b.name for b in bounds]  # non-enumerable interval over LIST: all
+
+
+def select_multilevel(levels, constraints: dict) -> list[list[str]]:
+    """Static selection across every partition level (the multi-level
+    PartitionSelector, cdbpartition.c; validated against the DATE_PARTS
+    selected-parts battery, partition_pruning.sql:695-760: total selected
+    leaves = product of per-level selection counts).
+
+    ``levels`` is TableDef.partition_levels(); ``constraints`` maps
+    partition-column name → constraint (see select_level_partitions).
+    Returns the selected partition NAMES per level; the caller prunes with
+    ``AND_i(dir_col_i IN selected_i)`` — Spark's partition discovery then
+    skips every unselected directory subtree at that level."""
+    return [
+        select_level_partitions(kind, bounds, constraints.get(col))
+        for kind, col, bounds in levels
+    ]
+
+
+def multilevel_prune_predicate(levels, selections) -> Column:
+    """Directory-column predicate for the per-level selections (the scan
+    filter that makes Spark's partition pruning skip directories)."""
+    from greengage_spark.dialect.ddl import TableDef
+
+    pred = F.lit(True)
+    for i, names in enumerate(selections):
+        pred = pred & F.col(TableDef.level_dir_col(i)).isin(names)
+    return pred
 
 
 def select_list_partitions(bounds: list[PartitionBound], values) -> list[str]:

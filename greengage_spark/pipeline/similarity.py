@@ -37,6 +37,41 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def two_stage_topk(
+    scored: DataFrame, query_id: str, corpus_id: str, k: int
+) -> DataFrame:
+    """Per-query top-k without a single-task bottleneck.
+
+    A bare ``Window.partitionBy(query_id)`` serializes each query's entire
+    candidate list into one task — fine when queries are many and buckets
+    small, a straggler when one query's bucket is huge.  Two stages cap it:
+
+    1. local: rank within (query, physical-partition) — every task prunes
+       its own slice to ≤k rows per query (a row beaten by k others in its
+       own partition cannot be in the global top-k);
+    2. global: rank the ≤ k × num_partitions survivors per query.
+
+    The global window's input is bounded by k×P, independent of bucket or
+    corpus size — the property that survives a 100× scale-up.  Ordering is
+    total (score desc, corpus id asc), so results are deterministic and
+    identical to the single-window plan.
+    """
+    order = [F.desc("cos_sim"), F.asc(corpus_id)]
+    local = scored.withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy(query_id, "__pid").orderBy(*order)
+    pruned = (
+        local.withColumn("__lrk", F.row_number().over(w_local))
+        .filter(F.col("__lrk") <= k)
+        .drop("__pid", "__lrk")
+    )
+    w_global = Window.partitionBy(query_id).orderBy(*order)
+    return (
+        pruned.withColumn("rk", F.row_number().over(w_global))
+        .filter(F.col("rk") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rk")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -56,12 +91,7 @@ def brute_force_topk(
         F.col(corpus_id),
         F.round(cosine(F.col(query_vec), F.col(corpus_vec)), round_to).alias("cos_sim"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(query_id, corpus_id, "cos_sim", "rk")
-    )
+    return two_stage_topk(scored, query_id, corpus_id, k)
 
 
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
@@ -95,12 +125,7 @@ def lsh_bucketed_topk(
         F.col(corpus_id),
         F.round(cosine(F.col(query_vec), F.col(corpus_vec)), round_to).alias("cos_sim"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(query_id, corpus_id, "cos_sim", "rk")
-    )
+    return two_stage_topk(scored, query_id, corpus_id, k)
 
 
 def ivf_topk(
@@ -163,12 +188,7 @@ def ivf_topk(
         F.col(corpus_id),
         F.round(cosine(F.col(query_vec), F.col(corpus_vec)), round_to).alias("cos_sim"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(query_id, corpus_id, "cos_sim", "rk")
-    )
+    return two_stage_topk(scored, query_id, corpus_id, k)
 
 
 def embedding_near_dup_pairs(

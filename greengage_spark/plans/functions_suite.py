@@ -308,10 +308,11 @@ def dialect_case_nullif(spark, sf_dir):
     SELECT c_custkey,
            TRIM(BOTH 'C' FROM c_name) AS trimmed,
            substr(c_name, 1, 8) || '45' || substr(c_name, 11) AS overlaid,
-           POSITION('#' IN c_name) AS hashpos,
+           CAST(POSITION('#' IN c_name) AS BIGINT) AS hashpos,
            regexp_extract(c_name, '#(\\d+)', 1) AS custnum,
            c_name LIKE 'C%#0__0%' ESCAPE '#' AS esc_match
     FROM customer WHERE c_custkey < 200
+    ORDER BY c_custkey
     """,
     doc="SQL-standard string forms (strings.sql): TRIM BOTH/FROM, OVERLAY "
     "PLACING, POSITION IN, POSIX-regex SUBSTRING, LIKE ESCAPE with "
@@ -326,10 +327,11 @@ def dialect_string_sql_forms(spark, sf_dir):
         SELECT c_custkey,
                TRIM(BOTH 'C' FROM c_name) AS trimmed,
                OVERLAY(c_name PLACING '45' FROM 9 FOR 2) AS overlaid,
-               POSITION('#' IN c_name) AS hashpos,
+               CAST(POSITION('#' IN c_name) AS BIGINT) AS hashpos,
                SUBSTRING(c_name FROM '#(\\d+)') AS custnum,
                c_name LIKE 'C%#0__0%' ESCAPE '#' AS esc_match
         FROM customer WHERE c_custkey < 200
+        ORDER BY c_custkey
         """,
         ["customer"],
     )
@@ -343,6 +345,7 @@ def dialect_string_sql_forms(spark, sf_dir):
            regexp_replace(p_name, '(\\w+) (\\w+)', '\\2 \\1', 'g') AS swapped,
            array_to_string(regexp_split_to_array(p_name, '\\s+'), '|') AS tokens
     FROM part WHERE p_partkey < 150
+    ORDER BY p_partkey
     """,
     doc="regexp_replace flags + \\N backrefs, regexp_split_to_array "
     "(regexp.c) under PG standard_conforming_strings literals.",
@@ -358,6 +361,7 @@ def dialect_regexp_funcs(spark, sf_dir):
                regexp_replace(p_name, '(\\w+) (\\w+)', '\\2 \\1', 'g') AS swapped,
                array_to_string(regexp_split_to_array(p_name, '\\s+'), '|') AS tokens
         FROM part WHERE p_partkey < 150
+        ORDER BY p_partkey
         """,
         ["part"],
     )

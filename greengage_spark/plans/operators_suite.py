@@ -667,3 +667,68 @@ def partition_declared_bounds(spark, sf_dir):
             F.sum(money("o_totalprice")).cast("double").alias("total"),
         )
     )
+
+
+@suite.add(
+    "partition_subpartition_pruning",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1996
+      AND EXTRACT(month FROM o_orderdate) BETWEEN 1 AND 4
+    GROUP BY 1
+    """,
+    doc="Multi-level SUBPARTITION BY + TEMPLATE (parse_partition.c:155-226; "
+        "DATE_PARTS battery partition_pruning.sql:695-760): RANGE(year) × "
+        "LIST(month-quarter) nests __part/__subpart hive directories; the "
+        "static selector composes per-level (1 year-part × 2 quarter-parts, "
+        "defaults pruned: constraints fully covered) and the scan reads "
+        "only those directory subtrees.",
+    tags=("partition", "ddl", "scan"),
+)
+def partition_subpartition_pruning(spark, sf_dir):
+    import os as _os
+    import tempfile
+
+    from greengage_spark.dialect.ddl import DDLCatalog
+    from greengage_spark.operators.partitions import (
+        multilevel_prune_predicate,
+        select_multilevel,
+    )
+
+    root = tempfile.mkdtemp(prefix="gg_sub_")
+    ddlcat = DDLCatalog(spark, root)
+    ddlcat.create_table(
+        "CREATE TABLE orders_sub (o_orderkey int8, o_totalprice float8, "
+        "o_year int, o_month int) DISTRIBUTED BY (o_orderkey) "
+        "PARTITION BY RANGE (o_year) "
+        "SUBPARTITION BY LIST (o_month) SUBPARTITION TEMPLATE ( "
+        "SUBPARTITION q1 VALUES (1, 2, 3), SUBPARTITION q2 VALUES (4, 5, 6), "
+        "SUBPARTITION q3 VALUES (7, 8, 9), SUBPARTITION q4 VALUES (10, 11, 12) ) "
+        "( START (1992) END (1999) EVERY (1), DEFAULT PARTITION outliers )"
+    )
+    src = cat(spark, sf_dir).table("orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+    )
+    data_path = _os.path.join(root, "orders_sub_data")
+    ddlcat.write_partitioned("orders_sub", src, data_path)
+    levels = ddlcat.tables["orders_sub"].partition_levels()
+    sel = select_multilevel(
+        levels, {"o_year": ("in", [1996]), "o_month": ("range", 1, 4, True, True)}
+    )
+    assert [len(s) for s in sel] == [1, 2], sel  # p5(1996) × {q1,q2}; defaults pruned
+    back = spark.read.parquet(data_path)
+    return (
+        back.filter(multilevel_prune_predicate(levels, sel))
+        .filter((F.col("o_year") == 1996) & F.col("o_month").between(1, 4))
+        .groupBy(F.col("o_year").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("o_totalprice")).cast("double").alias("total"),
+        )
+    )

@@ -49,7 +49,18 @@ def _driver_checked_names() -> set[str]:
             with open(path) as f:
                 data = json.load(f)
             if isinstance(data, dict):
-                seen.update(data.keys())
+                for name, row in data.items():
+                    # Only fully-green rows count as "checked": a failed or
+                    # errored query must rotate back into the front tier so
+                    # the driver re-samples it after we fix it.
+                    if (
+                        isinstance(row, dict)
+                        and row.get("rows_match")
+                        and row.get("schema_match")
+                        and row.get("hash_match", True)
+                        and not row.get("err")
+                    ):
+                        seen.add(name)
         except (OSError, ValueError):
             continue
     return seen

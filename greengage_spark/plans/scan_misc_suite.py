@@ -736,3 +736,89 @@ def txn_rollback_dml(spark, sf_dir):
                 "(SELECT n_nationkey FROM nation WHERE n_regionkey = 0)")
     eng.execute("COMMIT")
     return eng.execute("SELECT n_nationkey, n_name, tagged FROM nat_t")
+
+
+@suite.add(
+    "script_set_index_analyze",
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(*) AS n_nations,
+           MIN(n_name) AS first_name
+    FROM nation WHERE n_nationkey <> 0
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    doc="pg_dump-preamble end-to-end script (gram.y:2069 VariableSetStmt, "
+        ":8719 IndexStmt, :11284/11386 Vacuum/AnalyzeStmt): SET GUC soup → "
+        "CREATE TABLE AS → CREATE INDEX (metadata no-op; parquet min/max + "
+        "pushdown subsume btree access paths) → DML → VACUUM ANALYZE "
+        "(stats: one map-side-combined agg pass) → query. ANALYZE stats "
+        "land in the engine catalog (pg_statistic analog).",
+    tags=("engine", "guc", "ddl"),
+)
+def script_set_index_analyze(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_guc_"))
+    cat(spark, sf_dir).table("nation").createOrReplaceTempView("nation")
+    script = [
+        # pg_dump preamble + regress-style planner knobs
+        "SET statement_timeout = 0",
+        "SET client_encoding = 'UTF8'",
+        "SET standard_conforming_strings = on",
+        "SET search_path = public, pg_catalog",
+        "SET optimizer = off",
+        "SET gp_autostats_mode = none",
+        "SET datestyle TO 'ISO, MDY'",
+        "CREATE TABLE nat_s AS SELECT n_nationkey, n_name, n_regionkey "
+        "FROM nation DISTRIBUTED BY (n_nationkey)",
+        "CREATE INDEX nat_s_rk_idx ON nat_s USING bitmap (n_regionkey)",
+        "CREATE UNIQUE INDEX ON nat_s (n_nationkey)",
+        "DELETE FROM nat_s WHERE n_nationkey = 0",
+        "VACUUM ANALYZE nat_s",
+        "REINDEX TABLE nat_s",
+        "RESET optimizer",
+        "SHOW datestyle",
+    ]
+    for stmt in script:
+        eng.execute(stmt)
+    assert eng.stats["nat_s"].row_count > 0  # ANALYZE populated catalog stats
+    assert "nat_s_rk_idx" in eng.indexes
+    return eng.execute(
+        "SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name "
+        "FROM nat_s GROUP BY n_regionkey ORDER BY n_regionkey"
+    )
+
+
+@suite.add(
+    "txn_savepoint_dml",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_regionkey = 1 THEN 'AME' ELSE n_name END AS tagged
+    FROM nation
+    """,
+    doc="SAVEPOINT / ROLLBACK TO / RELEASE (xact.c subtransaction stack): "
+        "per-savepoint manifest snapshots give O(1) partial rollback — a "
+        "rolled-back-to-savepoint UPDATE vanishes, work before the "
+        "savepoint and after RELEASE commits.",
+    tags=("engine", "txn"),
+)
+def txn_savepoint_dml(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_sp_"))
+    cat(spark, sf_dir).table("nation").createOrReplaceTempView("nation")
+    eng.execute(
+        "CREATE TABLE nat_sp AS SELECT n_nationkey, n_name, n_name AS tagged "
+        "FROM nation DISTRIBUTED BY (n_nationkey)"
+    )
+    eng.execute("BEGIN")
+    eng.execute("UPDATE nat_sp SET tagged = 'AME' WHERE n_nationkey IN "
+                "(SELECT n_nationkey FROM nation WHERE n_regionkey = 1)")
+    eng.execute("SAVEPOINT s1")
+    eng.execute("UPDATE nat_sp SET tagged = 'WRONG'")
+    eng.execute("DELETE FROM nat_sp WHERE n_nationkey > 10")
+    eng.execute("ROLLBACK TO SAVEPOINT s1")
+    eng.execute("RELEASE SAVEPOINT s1")
+    eng.execute("COMMIT")
+    return eng.execute("SELECT n_nationkey, n_name, tagged FROM nat_sp")

@@ -1,0 +1,175 @@
+"""SET/RESET/SHOW session GUCs (gram.y:2069 VariableSetStmt; guc.c),
+CREATE/DROP INDEX metadata no-ops (gram.y:8719 IndexStmt), and
+VACUUM/ANALYZE (gram.y:11284/11386; commands/analyze.c) — the statement
+surface every pg_dump preamble and regress-script header exercises."""
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return GreengageEngine(spark, str(tmp_path / "wh"))
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+class TestSetResetShow:
+    def test_pg_dump_preamble_runs(self, eng):
+        # The canonical pg_dump header (pg_dump.c setup block).
+        for stmt in [
+            "SET statement_timeout = 0",
+            "SET lock_timeout = 0",
+            "SET client_encoding = 'UTF8'",
+            "SET standard_conforming_strings = on",
+            "SET check_function_bodies = false",
+            "SET client_min_messages = warning",
+            "SET row_security = off",
+            "SET search_path = public, pg_catalog",
+            "SET default_tablespace = ''",
+        ]:
+            assert eng.execute(stmt) is None
+
+    def test_regress_header_gp_knobs(self, eng):
+        # Reference regress scripts' SET soup (optimizer/gp_* planner knobs).
+        for stmt in [
+            "SET optimizer = off",
+            "SET optimizer_trace_fallback = on",
+            "SET gp_autostats_mode = none",
+            "SET gp_create_table_random_default_distribution = off",
+            "SET enable_seqscan = off",
+            "SET enable_nestloop TO false",
+            "SET datestyle TO 'ISO, MDY'",
+            "SET extra_float_digits = 3",
+        ]:
+            assert eng.execute(stmt) is None
+
+    def test_show_returns_value(self, eng):
+        eng.execute("SET work_mem = '256MB'")
+        df = eng.execute("SHOW work_mem")
+        assert df.collect()[0][0] == "256MB"
+        assert df.columns == ["work_mem"]
+
+    def test_show_all_contains_set_values(self, eng):
+        eng.execute("SET application_name = 'gpload'")
+        all_rows = dict(rows(eng.execute("SHOW ALL")))
+        assert all_rows["application_name"] == "gpload"
+        assert all_rows["standard_conforming_strings"] == "on"
+
+    def test_reset_and_reset_all(self, eng):
+        eng.execute("SET work_mem = '1GB'")
+        eng.execute("RESET work_mem")
+        assert eng.execute("SHOW work_mem").collect()[0][0] == ""
+        eng.execute("SET statement_mem = '2GB'")
+        eng.execute("RESET ALL")
+        assert eng.gucs.values == {}
+
+    def test_timezone_maps_to_spark_conf(self, eng, spark):
+        eng.execute("SET TIME ZONE 'America/New_York'")
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        assert eng.execute("SHOW timezone").collect()[0][0] == "America/New_York"
+        eng.execute("RESET timezone")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+    def test_semantic_gucs_rejected_loudly(self, eng):
+        with pytest.raises(ValueError, match="standard_conforming_strings"):
+            eng.execute("SET standard_conforming_strings = off")
+        with pytest.raises(ValueError, match="datestyle"):
+            eng.execute("SET datestyle = 'SQL, DMY'")
+        with pytest.raises(ValueError, match="bytea_output"):
+            eng.execute("SET bytea_output = 'escape'")
+        with pytest.raises(ValueError, match="unrecognized"):
+            eng.execute("SET no_such_parameter = 1")
+
+    def test_custom_namespace_accepted(self, eng):
+        eng.execute("SET myext.knob = 'v1'")
+        assert eng.execute("SHOW myext.knob").collect()[0][0] == "v1"
+
+    def test_set_transaction_modes_noop(self, eng):
+        assert eng.execute("SET TRANSACTION ISOLATION LEVEL SERIALIZABLE") is None
+        assert (
+            eng.execute(
+                "SET SESSION CHARACTERISTICS AS TRANSACTION READ ONLY"
+            )
+            is None
+        )
+
+    def test_set_rolls_back_with_txn(self, eng):
+        eng.execute("SET work_mem = '64MB'")
+        eng.execute("BEGIN")
+        eng.execute("SET work_mem = '512MB'")
+        eng.execute("ROLLBACK")
+        assert eng.execute("SHOW work_mem").collect()[0][0] == "64MB"
+
+    def test_set_local_reverts_at_commit(self, eng):
+        eng.execute("SET work_mem = '64MB'")
+        eng.execute("BEGIN")
+        eng.execute("SET LOCAL work_mem = '512MB'")
+        assert eng.execute("SHOW work_mem").collect()[0][0] == "512MB"
+        eng.execute("COMMIT")
+        assert eng.execute("SHOW work_mem").collect()[0][0] == "64MB"
+
+
+class TestIndexes:
+    def test_create_drop_index_metadata_only(self, eng):
+        eng.execute("CREATE TABLE t (a int8, b text) DISTRIBUTED BY (a)")
+        eng.execute("INSERT INTO t VALUES (1, 'x')")
+        eng.execute("CREATE INDEX t_a_idx ON t (a)")
+        eng.execute("CREATE UNIQUE INDEX ON t (b)")
+        eng.execute("CREATE INDEX t_bm ON t USING bitmap (b, a)")
+        assert eng.indexes["t_a_idx"].method == "btree"
+        assert eng.indexes["t_bm"].keys == ["b", "a"]
+        unnamed = [i for i in eng.indexes.values() if i.unique]
+        assert len(unnamed) == 1
+        # data path untouched
+        assert rows(eng.execute("SELECT * FROM t")) == [(1, "x")]
+        eng.execute("REINDEX TABLE t")
+        eng.execute("DROP INDEX t_a_idx")
+        assert "t_a_idx" not in eng.indexes
+        eng.execute("DROP INDEX IF EXISTS nope")
+        with pytest.raises(ValueError):
+            eng.execute("DROP INDEX nope")
+
+    def test_create_index_unknown_table(self, eng):
+        with pytest.raises(ValueError, match="unknown table"):
+            eng.execute("CREATE INDEX x_idx ON missing (a)")
+
+
+class TestVacuumAnalyze:
+    def test_vacuum_noop_and_analyze_stats(self, eng):
+        eng.execute("CREATE TABLE t (a int8, b text)")
+        eng.execute("INSERT INTO t VALUES (1, 'x'), (2, NULL), (2, 'y')")
+        eng.execute("VACUUM t")
+        eng.execute("VACUUM FULL t")
+        eng.execute("ANALYZE t")
+        st = eng.stats["t"]
+        assert st.row_count == 3
+        assert st.columns["a"]["min"] == 1 and st.columns["a"]["max"] == 2
+        assert st.columns["a"]["n_distinct"] == 2
+        assert abs(st.columns["b"]["null_frac"] - 1 / 3) < 1e-9
+
+    def test_analyze_column_subset(self, eng):
+        eng.execute("CREATE TABLE t (a int8, b text)")
+        eng.execute("INSERT INTO t VALUES (1, 'x')")
+        eng.execute("ANALYZE t (a)")
+        assert list(eng.stats["t"].columns) == ["a"]
+        with pytest.raises(ValueError, match="unknown columns"):
+            eng.execute("ANALYZE t (zz)")
+
+    def test_vacuum_analyze_combined(self, eng):
+        eng.execute("CREATE TABLE t (a int8)")
+        eng.execute("INSERT INTO t VALUES (7)")
+        eng.execute("VACUUM ANALYZE t")
+        assert eng.stats["t"].row_count == 1
+
+    def test_analyze_all_tables(self, eng):
+        eng.execute("CREATE TABLE t1 (a int8)")
+        eng.execute("CREATE TABLE t2 (b int8)")
+        eng.execute("INSERT INTO t1 VALUES (1)")
+        eng.execute("INSERT INTO t2 VALUES (2), (3)")
+        eng.execute("ANALYZE")
+        assert eng.stats["t1"].row_count == 1
+        assert eng.stats["t2"].row_count == 2

@@ -294,3 +294,149 @@ class TestPartitionMaintenance:
                 "ALTER TABLE foo_p EXCHANGE PARTITION FOR (RANK(2)) "
                 "WITH TABLE bar_diff"
             )
+
+
+DATE_PARTS_DDL = """
+CREATE TABLE date_parts (id int, year int, month int, day int, region text)
+DISTRIBUTED BY (id)
+PARTITION BY RANGE (year)
+    SUBPARTITION BY LIST (month)
+       SUBPARTITION TEMPLATE (
+        SUBPARTITION Q1 VALUES (1, 2, 3),
+        SUBPARTITION Q2 VALUES (4 ,5 ,6),
+        SUBPARTITION Q3 VALUES (7, 8, 9),
+        SUBPARTITION Q4 VALUES (10, 11, 12),
+        DEFAULT SUBPARTITION other_months )
+        SUBPARTITION BY RANGE(day)
+                SUBPARTITION TEMPLATE (
+                START (1) END (31) EVERY (10),
+                DEFAULT SUBPARTITION other_days)
+( START (2002) END (2012) EVERY (4),
+  DEFAULT PARTITION outlying_years )
+"""
+
+
+class TestSubpartitions:
+    """Multi-level SUBPARTITION BY + TEMPLATE (parse_partition.c:155-226),
+    DATE_PARTS selected-parts battery (partition_pruning.sql:695-760):
+    total selected leaves = product of per-level selections."""
+
+    def _levels(self):
+        from greengage_spark.dialect.ddl import parse_create_table
+
+        td = parse_create_table(DATE_PARTS_DDL)
+        return td, td.partition_levels()
+
+    def test_parse_three_levels(self):
+        td, levels = self._levels()
+        assert [(k, c) for k, c, _ in levels] == [
+            ("range", "year"), ("list", "month"), ("range", "day"),
+        ]
+        # 3 declared + default, 4 lists + default, 3 ranges + default
+        assert [len(b) for _, _, b in levels] == [4, 5, 4]
+
+    def _counts(self, constraints):
+        from greengage_spark.operators.partitions import select_multilevel
+
+        _, levels = self._levels()
+        return [len(s) for s in select_multilevel(levels, constraints)]
+
+    def test_battery_counts(self):
+        # partition_pruning.sql:717-749 expected (pre-#141973839) counts
+        assert self._counts({"month": ("range", 1, 3, True, True)}) == [4, 1, 4]   # 16
+        assert self._counts({"month": ("range", 1, 4, True, True)}) == [4, 2, 4]   # 32
+        assert self._counts(
+            {"year": ("in", [2003]), "month": ("range", 1, 4, True, True)}
+        ) == [1, 2, 4]                                                             # 8
+        assert self._counts({"year": ("in", [1999])}) == [1, 5, 4]                 # default yr
+        assert self._counts({"month": ("in", [13])}) == [4, 1, 4]                  # default mo
+        assert self._counts({"year": ("in", [1999]), "month": ("in", [13])}) == [1, 1, 4]
+        assert self._counts({"day": ("in", [40])}) == [4, 5, 1]                    # default day
+
+    def test_default_names_selected(self):
+        from greengage_spark.operators.partitions import select_multilevel
+
+        _, levels = self._levels()
+        sel = select_multilevel(levels, {"year": ("in", [1999]), "month": ("in", [13])})
+        assert sel[0] == ["outlying_years"] and sel[1] == ["other_months"]
+
+    def test_write_and_prune_end_to_end(self, spark, tmp_path):
+        from greengage_spark.dialect.ddl import DDLCatalog, TableDef
+        from greengage_spark.operators.partitions import (
+            multilevel_prune_predicate,
+            select_multilevel,
+        )
+
+        ddlcat = DDLCatalog(spark, str(tmp_path / "wh"))
+        ddlcat.create_table(DATE_PARTS_DDL)
+        src = spark.range(0, 730).select(
+            F.col("id").cast("int"),
+            (2002 + (F.col("id") % 12)).cast("int").alias("year"),
+            (1 + (F.col("id") % 14)).cast("int").alias("month"),
+            (1 + (F.col("id") % 31)).cast("int").alias("day"),
+            F.lit(None).cast("string").alias("region"),
+        )
+        path = str(tmp_path / "date_parts_data")
+        ddlcat.write_partitioned("date_parts", src, path)
+        # nested hive layout exists: __part=<year part>/__subpart=<Q>/...
+        lvl0 = [d for d in os.listdir(path) if d.startswith("__part=")]
+        assert sorted(lvl0) == [
+            "__part=outlying_years", "__part=p1", "__part=p2", "__part=p3",
+        ]
+        some = os.path.join(path, "__part=p1")
+        assert any(d.startswith("__subpart=") for d in os.listdir(some))
+        back = spark.read.parquet(path)
+        levels = ddlcat.tables["date_parts"].partition_levels()
+        sel = select_multilevel(
+            levels,
+            {"year": ("in", [2003]), "month": ("range", 1, 4, True, True)},
+        )
+        pruned = back.filter(multilevel_prune_predicate(levels, sel)).filter(
+            (F.col("year") == 2003) & F.col("month").between(1, 4)
+        )
+        expect = src.filter((F.col("year") == 2003) & F.col("month").between(1, 4))
+        assert pruned.count() == expect.count() > 0
+        # the scan's partition filters hit ALL level directory columns
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "__part" in plan and "__subpart" in plan
+
+    def test_rows_route_to_declared_subpartition(self, spark, tmp_path):
+        from greengage_spark.dialect.ddl import DDLCatalog
+
+        ddlcat = DDLCatalog(spark, str(tmp_path / "wh"))
+        ddlcat.create_table(DATE_PARTS_DDL)
+        src = spark.createDataFrame(
+            [(1, 2003, 2, 15, None), (2, 1999, 13, 40, None)],
+            "id int, year int, month int, day int, region string",
+        )
+        path = str(tmp_path / "d2")
+        ddlcat.write_partitioned("date_parts", src, path)
+        back = spark.read.parquet(path)
+        got = {
+            (r["id"], r["__part"], r["__subpart"], r["__subpart2"])
+            for r in back.collect()
+        }
+        assert got == {
+            (1, "p1", "Q1", "p2"),          # 2003→[2002,2006); month 2→Q1; day 15→[11,21)
+            (2, "outlying_years", "other_months", "other_days"),
+        }
+
+    def test_inline_subpartition_spec_rejected(self):
+        from greengage_spark.dialect.ddl import parse_create_table
+
+        with pytest.raises(NotImplementedError, match="TEMPLATE"):
+            parse_create_table(
+                "CREATE TABLE t (a int, b int) PARTITION BY LIST (a) "
+                "SUBPARTITION BY LIST (b) "
+                "( PARTITION p1 VALUES (1) (SUBPARTITION s1 VALUES (2)) )"
+            )
+
+    def test_multicolumn_subpartition_key_rejected(self):
+        from greengage_spark.dialect.ddl import parse_create_table
+
+        with pytest.raises(NotImplementedError, match="multi-column"):
+            parse_create_table(
+                "CREATE TABLE t (a int, b int, c int) PARTITION BY LIST (a) "
+                "SUBPARTITION BY LIST (b, c) SUBPARTITION TEMPLATE "
+                "( SUBPARTITION s1 VALUES ((1,1)) ) ( PARTITION p1 VALUES (1) )"
+            )

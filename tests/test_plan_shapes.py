@@ -159,3 +159,18 @@ class TestDynamicPartitionPruning:
         plan = physical(sig)
         # one partial+final aggregate pair over the shingles, not two
         assert plan.count("HashAggregate") <= 2 or plan.count("ObjectHashAggregate") <= 2
+
+    def test_similarity_topk_two_stage_window(self, spark, sf_dir):
+        """Per-query top-k must NOT funnel a query's full candidate list
+        through one task: the plan carries a local window keyed by
+        (query, spark_partition_id) that prunes to <=k per task before the
+        small global per-query window (similarity.two_stage_topk)."""
+        from greengage_spark.plans.pipeline_suite import suite as ps
+
+        df = ps.queries["similarity_lsh_topk"].fn(spark, sf_dir)
+        plan = physical(df)
+        assert plan.count("Window") >= 2  # local prune + global rank
+        assert "SPARK_PARTITION_ID" in plan or "__pid" in plan
+        # the global window's input is the pruned stream, bounded by k*P
+        local_idx = plan.find("__pid")
+        assert local_idx != -1

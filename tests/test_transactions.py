@@ -112,8 +112,92 @@ class TestRollback:
         eng.execute("BEGIN")  # already in progress: WARNING, no nesting
         eng.execute("COMMIT")
 
-    def test_savepoint_rejected(self, eng):
+    def test_savepoint_bad_syntax_rejected(self, eng):
         eng.execute("BEGIN")
         with pytest.raises(NotImplementedError):
-            eng.execute("SAVEPOINT sp1")
+            eng.execute("SAVEPOINT")  # missing name
         eng.execute("ROLLBACK")
+
+
+class TestSavepoints:
+    """SAVEPOINT / ROLLBACK TO / RELEASE (xact.c subtransaction stack) via
+    per-savepoint manifest snapshots — same O(1) restore as full ROLLBACK."""
+
+    def test_rollback_to_savepoint(self, eng):
+        eng.execute("CREATE TABLE t (a int8)")
+        eng.execute("INSERT INTO t VALUES (1)")
+        eng.execute("BEGIN")
+        eng.execute("INSERT INTO t VALUES (2)")
+        eng.execute("SAVEPOINT s1")
+        eng.execute("INSERT INTO t VALUES (3)")
+        eng.execute("DELETE FROM t WHERE a = 1")
+        eng.execute("ROLLBACK TO SAVEPOINT s1")
+        assert rows(eng.execute("SELECT * FROM t")) == [(1,), (2,)]
+        eng.execute("COMMIT")
+        assert rows(eng.execute("SELECT * FROM t")) == [(1,), (2,)]
+
+    def test_savepoint_reusable_after_rollback_to(self, eng):
+        eng.execute("CREATE TABLE t (a int8)")
+        eng.execute("BEGIN")
+        eng.execute("SAVEPOINT s1")
+        eng.execute("INSERT INTO t VALUES (1)")
+        eng.execute("ROLLBACK TO s1")
+        eng.execute("INSERT INTO t VALUES (2)")
+        eng.execute("ROLLBACK TO s1")  # PG: target savepoint survives
+        eng.execute("COMMIT")
+        assert rows(eng.execute("SELECT * FROM t")) == []
+
+    def test_nested_savepoints(self, eng):
+        eng.execute("CREATE TABLE t (a int8)")
+        eng.execute("BEGIN")
+        eng.execute("INSERT INTO t VALUES (1)")
+        eng.execute("SAVEPOINT s1")
+        eng.execute("INSERT INTO t VALUES (2)")
+        eng.execute("SAVEPOINT s2")
+        eng.execute("INSERT INTO t VALUES (3)")
+        eng.execute("ROLLBACK TO s1")  # kills s2's work AND s2 itself
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="does not exist"):
+            eng.execute("ROLLBACK TO s2")
+        eng.execute("COMMIT")
+        assert rows(eng.execute("SELECT * FROM t")) == [(1,)]
+
+    def test_release_keeps_changes(self, eng):
+        eng.execute("CREATE TABLE t (a int8)")
+        eng.execute("BEGIN")
+        eng.execute("SAVEPOINT s1")
+        eng.execute("INSERT INTO t VALUES (7)")
+        eng.execute("RELEASE SAVEPOINT s1")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="does not exist"):
+            eng.execute("ROLLBACK TO s1")
+        eng.execute("COMMIT")
+        assert rows(eng.execute("SELECT * FROM t")) == [(7,)]
+
+    def test_savepoint_ddl_rollback(self, eng):
+        eng.execute("CREATE TABLE keep (a int8)")
+        eng.execute("BEGIN")
+        eng.execute("SAVEPOINT s1")
+        eng.execute("CREATE TABLE scratch (x int8)")
+        eng.execute("ALTER TABLE keep ADD COLUMN b int4")
+        eng.execute("ROLLBACK TO s1")
+        assert "scratch" not in eng.ddl.tables
+        assert [c.name for c in eng.ddl.tables["keep"].columns] == ["a"]
+        eng.execute("COMMIT")
+
+    def test_full_rollback_discards_savepoint_work(self, eng):
+        eng.execute("CREATE TABLE t (a int8)")
+        eng.execute("INSERT INTO t VALUES (1)")
+        eng.execute("BEGIN")
+        eng.execute("SAVEPOINT s1")
+        eng.execute("UPDATE t SET a = 99")
+        eng.execute("RELEASE s1")
+        eng.execute("ROLLBACK")
+        assert rows(eng.execute("SELECT * FROM t")) == [(1,)]
+
+    def test_savepoint_outside_txn_errors(self, eng):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="transaction blocks"):
+            eng.execute("SAVEPOINT s1")
+        with _pytest.raises(ValueError, match="transaction blocks"):
+            eng.execute("ROLLBACK TO s1")
