@@ -52,11 +52,11 @@ def main() -> None:
     for name in names:
         qs[name].fn(spark, sf_dir).collect()
 
-    # Two timed passes, best-of per query: a single pass is noise-bound on a
-    # shared 32-thread box (GC pauses, neighbor JVM teardown); the minimum is
-    # the steady-state number the plan actually costs.
+    # Three timed passes, best-of per query: a single pass is noise-bound on
+    # a shared 32-thread box (GC pauses, neighbor JVM teardown); the minimum
+    # is the steady-state number the plan actually costs.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in names:
             t0 = time.time()
             df = qs[name].fn(spark, sf_dir)

@@ -18,10 +18,16 @@ TYPE/DEFAULT/NOT NULL, RENAME TO, SET DISTRIBUTED, metadata-only schema
 evolution — operators/alter.py), TRUNCATE, CREATE [OR REPLACE] VIEW /
 DROP VIEW (late-binding, re-derived per query like PG's rule rewrite),
 INSERT .. VALUES / INSERT .. SELECT, UPDATE .. SET .. WHERE, DELETE
-FROM .. WHERE, COPY .. TO/FROM (csv), BEGIN/COMMIT/ROLLBACK (manifest
-snapshot transactions), EXPLAIN [ANALYZE] [VERBOSE], CREATE TABLE
-(LIKE t), SELECT/WITH incl. WITH RECURSIVE (full dialect surface via
-dialect.transpiler).
+FROM .. WHERE, COPY name|(query) TO/FROM (TEXT/CSV/BINARY PGCOPY,
+DELIMITER/NULL/HEADER opts), BEGIN/COMMIT/ROLLBACK (manifest snapshot
+transactions), SAVEPOINT / ROLLBACK TO / RELEASE (subtransaction
+stack), SET/SET LOCAL/RESET/SHOW session GUCs, CREATE/DROP INDEX +
+REINDEX (metadata no-ops), VACUUM (no-op) / ANALYZE (catalog stats),
+PREPARE/EXECUTE/DEALLOCATE, DECLARE/FETCH/MOVE/CLOSE cursors,
+CREATE [READABLE|WRITABLE] EXTERNAL TABLE (LOCATION file + EXECUTE
+protocols, SREH reject limits) / DROP EXTERNAL TABLE,
+EXPLAIN [ANALYZE] [VERBOSE], CREATE TABLE (LIKE t), SELECT/WITH incl.
+WITH RECURSIVE (full dialect surface via dialect.transpiler).
 Unsupported statements raise NotImplementedError with the closest
 DataFrame-level API named in the message.
 """
@@ -63,6 +69,9 @@ class GreengageEngine:
         self.gucs = GucManager(spark)
         self.indexes: dict = {}  # name → IndexDef (metadata-only, no executor)
         self.stats: dict = {}  # table → TableStats (ANALYZE results)
+        self.prepared: dict = {}  # name → PreparedStatement (prepare.c)
+        self.cursors: dict = {}  # name → Cursor portal (portalcmds.c)
+        self.external: dict = {}  # name → ExternalTableDef (fileam.c surface)
 
     # ---------------- statement router ----------------
 
@@ -82,6 +91,26 @@ class GreengageEngine:
         )
         if mc:
             return self._create_table_as(mc.group(3), mc.group(4))
+        if re.match(
+            r"(?is)^create\s+(readable\s+|writable\s+)?external\s+(web\s+)?table\b",
+            stmt,
+        ):
+            return self._create_external_table(stmt)
+        if re.match(r"(?is)^drop\s+external\s+(web\s+)?table\b", stmt):
+            m = re.match(
+                r"(?is)^drop\s+external\s+(?:web\s+)?table\s+(if\s+exists\s+)?([\w.]+)$",
+                stmt,
+            )
+            if not m:
+                raise NotImplementedError("DROP EXTERNAL TABLE [IF EXISTS] name")
+            if m.group(2) not in self.external and not m.group(1):
+                raise ValueError(f"unknown external table {m.group(2)!r}")
+            self.external.pop(m.group(2), None)
+            try:
+                self.spark.catalog.dropTempView(m.group(2))
+            except Exception:
+                pass
+            return None
         if head == "create" and re.match(r"(?is)^create\s+(temp(orary)?\s+)?table\b", stmt):
             # LIKE source_table (transformTableLikeClause): copy column
             # names/types/NOT NULL; INCLUDING DEFAULTS copies defaults too
@@ -137,6 +166,16 @@ class GreengageEngine:
             return self._alter_sequence(stmt)
         if head in ("set", "reset", "show"):
             return self.gucs.execute(stmt, in_txn=self._txn is not None)
+        if head in ("prepare", "deallocate") or (
+            head == "execute" and not re.match(r"(?is)^execute\s+(immediate)\b", stmt)
+        ):
+            from greengage_spark.operators.prepared import execute_prepare_stmt
+
+            return execute_prepare_stmt(self, stmt)
+        if head in ("declare", "fetch", "move", "close"):
+            from greengage_spark.operators.prepared import execute_cursor_stmt
+
+            return execute_cursor_stmt(self, stmt)
         if re.match(r"(?is)^create\s+(unique\s+)?index\b", stmt) or head in (
             "reindex",
         ) or re.match(r"(?is)^drop\s+index\b", stmt):
@@ -520,12 +559,26 @@ class GreengageEngine:
 
     # ---------------- helpers ----------------
 
+    def _create_external_table(self, stmt: str):
+        from greengage_spark.sources.external import parse_create_external
+
+        etd = parse_create_external(stmt)
+        if etd.name in self.ddl.tables or etd.name in self.external:
+            raise ValueError(f"table {etd.name!r} already exists")
+        self.external[etd.name] = etd
+        if not etd.writable:
+            etd.table.read(self.spark).createOrReplaceTempView(etd.name)
+        return None
+
     def _register(self, name: str) -> None:
         self.ddl.table(name).createOrReplaceTempView(name)
 
     def _register_all(self) -> None:
         for name in self.ddl.tables:
             self._register(name)
+        for name, etd in self.external.items():
+            if not etd.writable:
+                etd.table.read(self.spark).createOrReplaceTempView(name)
         # views are late-binding (PG rule rewrite over current table data):
         # re-derive each from its defining query, in creation order so a
         # view may reference earlier views.
@@ -646,6 +699,19 @@ class GreengageEngine:
         if not m:
             raise NotImplementedError("INSERT INTO name [cols] VALUES(...) | SELECT ...")
         name, cols_raw, body = m.group(1), m.group(2), m.group(3)
+        etd = self.external.get(name)
+        if etd is not None:
+            # INSERT ... SELECT into a WRITABLE EXTERNAL TABLE = parallel
+            # unload (fileam.c writable path / COPY ON SEGMENT shape: one
+            # output file per partition, appended).
+            if not etd.writable:
+                raise ValueError(f"cannot INSERT into READABLE external table {name!r}")
+            from greengage_spark.sources.external import copy_to
+
+            self._register_all()
+            src = pg_sql(self.spark, body)
+            copy_to(src, etd.location, etd.fmt, header=etd.header, mode="append")
+            return None
         td = self.ddl.tables.get(name)
         if td is None:
             raise ValueError(f"unknown table {name!r}")
@@ -1038,25 +1104,70 @@ class GreengageEngine:
         return None
 
     def _copy(self, stmt: str):
-        """COPY name TO 'path' (unload) / COPY name FROM 'path' (load),
-        CSV WITH HEADER — commands/copy.c's surface over spark.read/write."""
+        """COPY name|(query) TO 'path' / COPY name FROM 'path' with
+        [BINARY|CSV [HEADER]|TEXT] [DELIMITER 'c'] [NULL 's'] [ON SEGMENT]
+        — commands/copy.c's surface.  BINARY is the PGCOPY file format
+        (sources/pgbinary.py: one file per partition on unload, one
+        executor per file on load — the reference's ON SEGMENT
+        distribution, cdbcopy.c).  ON SEGMENT on text paths is the
+        default Spark behavior already (part-file per partition)."""
         m = re.match(
-            r"(?is)^copy\s+([\w.]+)\s+(to|from)\s+'([^']+)'(\s+.*)?$", stmt
+            r"(?is)^copy\s+(?:([\w.]+)|\((.+?)\))\s+(to|from)\s+'([^']+)'(.*)$",
+            stmt,
         )
         if not m:
-            raise NotImplementedError("COPY name TO|FROM 'path' [CSV HEADER]")
-        name, direction, path = m.group(1), m.group(2).lower(), m.group(3)
+            raise NotImplementedError(
+                "COPY name|(query) TO|FROM 'path' [BINARY|CSV HEADER|TEXT] "
+                "[DELIMITER 'c'] [NULL 's'] [ON SEGMENT]"
+            )
+        name, query, direction, path, opts_raw = m.groups()
+        direction = direction.lower()
+        opts = opts_raw or ""
+        binary = bool(re.search(r"(?is)\b(?:with\s+)?binary\b", opts))
+        header = bool(re.search(r"(?is)\bheader\b", opts))
+        is_csv = bool(re.search(r"(?is)\bcsv\b", opts))
+        mdel = re.search(r"(?is)delimiter\s+(?:as\s+)?(?:e)?'([^']*)'", opts)
+        sep = (mdel.group(1).replace("\\t", "\t") if mdel
+               else ("," if is_csv or header else "\t"))
+        mnull = re.search(r"(?is)null\s+(?:as\s+)?'([^']*)'", opts)
+        null_str = mnull.group(1) if mnull else ("" if is_csv else "\\N")
+
         if direction == "to":
-            self.ddl.table(name).write.mode("overwrite").option("header", True).csv(path)
+            if query is not None:
+                self._register_all()
+                df = pg_sql(self.spark, query)
+            else:
+                if name not in self.ddl.tables:
+                    raise ValueError(f"unknown table {name!r}")
+                df = self.ddl.table(name)
+            if binary:
+                from greengage_spark.sources.pgbinary import write_binary
+
+                write_binary(df, path)
+            else:
+                (df.write.mode("overwrite")
+                 .option("header", header)
+                 .option("sep", sep)
+                 .option("nullValue", null_str)
+                 .csv(path))
             return None
+        if query is not None:
+            raise NotImplementedError("COPY (query) FROM is not valid SQL")
         td = self.ddl.tables.get(name)
         if td is None:
             raise ValueError(f"unknown table {name!r}")
-        df = (
-            self.spark.read.schema(td.schema())
-            .option("header", True)
-            .csv(path)
-        )
+        if binary:
+            from greengage_spark.sources.pgbinary import read_binary
+
+            df = read_binary(self.spark, path, td.schema())
+        else:
+            df = (
+                self.spark.read.schema(td.schema())
+                .option("header", header)
+                .option("sep", sep)
+                .option("nullValue", null_str)
+                .csv(path)
+            )
         self.ddl.insert(name, df)
         self._register(name)
         return None

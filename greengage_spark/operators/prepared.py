@@ -1,0 +1,189 @@
+"""PREPARE/EXECUTE/DEALLOCATE and DECLARE/FETCH/MOVE/CLOSE cursors.
+
+Reference surface: gram.y PrepareStmt/ExecuteStmt/DeallocateStmt
+(commands/prepare.c) and DeclareCursorStmt/FetchStmt/ClosePortalStmt
+(commands/portalcmds.c) — the session plumbing a ported application uses
+around its queries.
+
+Prepared statements are textual templates with ``$n`` parameters; EXECUTE
+substitutes argument literals and routes the result through the normal
+engine entry point, so every statement kind PREPARE can wrap (SELECT, DML)
+keeps its usual path and plan.  Catalyst re-optimizes per EXECUTE — with
+literal parameters that is strictly better than a frozen generic plan
+(partition pruning and pushdown see the actual values; the reference's
+custom-plan-vs-generic-plan heuristic always picks the custom plan here).
+
+Cursors hold a ``toLocalIterator`` over the query result: rows stream to
+the driver one partition at a time (no full collect), which is exactly the
+portal-fetch contract — bounded driver memory at any corpus size.  FETCH n
+materializes the next n rows as a DataFrame with the cursor's schema.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+class PreparedStatement:
+    def __init__(self, name: str, body: str, n_params: int):
+        self.name = name
+        self.body = body
+        self.n_params = n_params
+
+
+class Cursor:
+    def __init__(self, name: str, df: DataFrame):
+        self.name = name
+        self.schema = df.schema
+        self._iter = df.toLocalIterator()
+        self.exhausted = False
+
+    def fetch(self, n: int | None) -> list:
+        out = []
+        while n is None or len(out) < n:
+            try:
+                out.append(next(self._iter))
+            except StopIteration:
+                self.exhausted = True
+                break
+        return out
+
+
+_STRING_SPAN = re.compile(r"'(?:[^']|'')*'")
+_PARAM = re.compile(r"\$(\d+)")
+
+
+def _substitute_params(body: str, args: list[str]) -> str:
+    """Replace $n outside string literals with the argument literal text."""
+    spans = [m.span() for m in _STRING_SPAN.finditer(body)]
+
+    def in_string(pos: int) -> bool:
+        return any(a <= pos < b for a, b in spans)
+
+    def repl(m: re.Match) -> str:
+        if in_string(m.start()):
+            return m.group(0)
+        idx = int(m.group(1))
+        if not 1 <= idx <= len(args):
+            raise ValueError(f"there is no parameter ${idx}")
+        return args[idx - 1]
+
+    return _PARAM.sub(repl, body)
+
+
+def _split_args(raw: str) -> list[str]:
+    parts, depth, cur, in_str = [], 0, [], False
+    for ch in raw:
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    return [p.strip() for p in parts] + ([tail] if tail else [])
+
+
+def execute_prepare_stmt(engine, stmt: str):
+    head = stmt.split(None, 1)[0].lower()
+    if head == "prepare":
+        m = re.match(
+            r"(?is)^prepare\s+([\w.]+)\s*(?:\(([^)]*)\))?\s+as\s+(.+)$", stmt
+        )
+        if not m:
+            raise NotImplementedError("PREPARE name [(types)] AS statement")
+        name = m.group(1).lower()
+        if name in engine.prepared:
+            raise ValueError(f'prepared statement "{name}" already exists')
+        body = m.group(3).strip()
+        n_params = max((int(p) for p in _PARAM.findall(body)), default=0)
+        engine.prepared[name] = PreparedStatement(name, body, n_params)
+        return None
+    if head == "execute":
+        m = re.match(r"(?is)^execute\s+([\w.]+)\s*(?:\((.*)\))?$", stmt)
+        if not m:
+            raise NotImplementedError("EXECUTE name [(args)]")
+        name = m.group(1).lower()
+        ps = engine.prepared.get(name)
+        if ps is None:
+            raise ValueError(f'prepared statement "{name}" does not exist')
+        args = _split_args(m.group(2)) if m.group(2) else []
+        if len(args) != ps.n_params:
+            raise ValueError(
+                f"wrong number of parameters for prepared statement "
+                f'"{name}": expected {ps.n_params}, got {len(args)}'
+            )
+        return engine.execute(_substitute_params(ps.body, args))
+    m = re.match(r"(?is)^deallocate\s+(?:prepare\s+)?(all|[\w.]+)$", stmt)
+    if not m:
+        raise NotImplementedError("DEALLOCATE [PREPARE] name|ALL")
+    target = m.group(1).lower()
+    if target == "all":
+        engine.prepared.clear()
+        return None
+    if target not in engine.prepared:
+        raise ValueError(f'prepared statement "{target}" does not exist')
+    del engine.prepared[target]
+    return None
+
+
+def execute_cursor_stmt(engine, stmt: str):
+    head = stmt.split(None, 1)[0].lower()
+    if head == "declare":
+        m = re.match(
+            r"(?is)^declare\s+([\w.]+)\s+(?:binary\s+)?(?:insensitive\s+)?"
+            r"(?:no\s+scroll\s+|scroll\s+)?cursor\s+(?:with(?:out)?\s+hold\s+)?"
+            r"for\s+(.+)$",
+            stmt,
+        )
+        if not m:
+            raise NotImplementedError("DECLARE name CURSOR FOR query")
+        name = m.group(1).lower()
+        if name in engine.cursors:
+            raise ValueError(f'cursor "{name}" already exists')
+        df = engine.execute(m.group(2).strip())
+        if df is None:
+            raise ValueError("DECLARE CURSOR requires a query")
+        engine.cursors[name] = Cursor(name, df)
+        return None
+    if head in ("fetch", "move"):
+        m = re.match(
+            r"(?is)^(fetch|move)\s+(?:forward\s+)?(all\s+|next\s+|\d+\s+)?"
+            r"(?:from\s+|in\s+)?([\w.]+)$",
+            stmt,
+        )
+        if not m:
+            raise NotImplementedError("FETCH [FORWARD] [n|ALL|NEXT] [FROM] cursor")
+        count_raw = (m.group(2) or "next").strip().lower()
+        name = m.group(3).lower()
+        cur = engine.cursors.get(name)
+        if cur is None:
+            raise ValueError(f'cursor "{name}" does not exist')
+        n = None if count_raw == "all" else 1 if count_raw == "next" else int(count_raw)
+        rows = cur.fetch(n)
+        if m.group(1).lower() == "move":
+            return None
+        return engine.spark.createDataFrame(rows, cur.schema)
+    m = re.match(r"(?is)^close\s+(all|[\w.]+)$", stmt)
+    if not m:
+        raise NotImplementedError("CLOSE name|ALL")
+    target = m.group(1).lower()
+    if target == "all":
+        engine.cursors.clear()
+        return None
+    if target not in engine.cursors:
+        raise ValueError(f'cursor "{target}" does not exist')
+    del engine.cursors[target]
+    return None

@@ -822,3 +822,28 @@ def txn_savepoint_dml(spark, sf_dir):
     eng.execute("RELEASE SAVEPOINT s1")
     eng.execute("COMMIT")
     return eng.execute("SELECT n_nationkey, n_name, tagged FROM nat_sp")
+
+
+@suite.add(
+    "external_execute_scan",
+    oracle="""
+    SELECT CAST(g AS BIGINT) AS n FROM generate_series(1, 20) t(g) ORDER BY n
+    """,
+    doc="EXECUTE-protocol external table (gram.y:5442; url_execute.c): the "
+        "command runs once per declared segment ON THE EXECUTORS inside "
+        "mapInPandas with the reference env contract (GP_SEGMENT_ID/"
+        "GP_SEGMENT_COUNT); each segment emits its own slice and TEXT "
+        "parsing is JVM-side from_csv. Fan-out ∝ segments, driver never "
+        "touches the data path.",
+    tags=("engine", "external", "scan"),
+)
+def external_execute_scan(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_exec_"))
+    eng.execute(
+        "CREATE EXTERNAL WEB TABLE seg_slices (n int8) EXECUTE "
+        "'seq $((GP_SEGMENT_ID * 5 + 1)) $((GP_SEGMENT_ID * 5 + 5))' "
+        "ON 4 FORMAT 'TEXT'"
+    )
+    return eng.execute("SELECT n FROM seg_slices ORDER BY n")

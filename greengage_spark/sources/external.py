@@ -15,6 +15,7 @@ row loop, so the check holds at any scale.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -96,6 +97,72 @@ class ExternalTable:
         return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
 
 
+@dataclass
+class ExecuteExternalTable:
+    """EXECUTE-protocol readable external table (gram.y:5442 EXECUTE
+    clause; url_execute.c): run a shell command per segment, parse its
+    stdout with the TEXT/CSV line parser.
+
+    Spark mapping: one task per declared segment (``repartition(n)`` over
+    the segment-id range), the command runs ON THE EXECUTORS inside
+    ``mapInPandas`` with the reference's environment contract
+    (GP_SEGMENT_ID / GP_SEGMENT_COUNT), and line parsing is ``from_csv``
+    — JVM-side, same family as the LOCATION parser.  ON MASTER maps to a
+    single segment.  At scale this is exactly gpfdist-EXECUTE's shape:
+    command fan-out ∝ segments, no driver involvement in the data path.
+    """
+
+    command: str
+    schema: str | StructType
+    fmt: str = "text"
+    delimiter: str | None = None
+    null_str: str = ""
+    n_segments: int = 8
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        schema = self.schema
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        sep = self.delimiter or ("\t" if self.fmt == "text" else ",")
+        cmd, nseg = self.command, self.n_segments
+
+        def run(batches):
+            import os
+            import subprocess
+
+            import pandas as pd
+
+            for pdf in batches:
+                for seg in pdf["seg"]:
+                    env = dict(
+                        os.environ,
+                        GP_SEGMENT_ID=str(int(seg)),
+                        GP_SEGMENT_COUNT=str(nseg),
+                    )
+                    res = subprocess.run(
+                        cmd, shell=True, capture_output=True, text=True, env=env
+                    )
+                    if res.returncode != 0:
+                        raise RuntimeError(
+                            f"external command failed on segment {seg}: "
+                            f"{res.stderr.strip() or res.returncode}"
+                        )
+                    lines = [ln for ln in res.stdout.splitlines() if ln]
+                    yield pd.DataFrame({"line": lines})
+
+        lines = (
+            spark.range(self.n_segments)
+            .select(F.col("id").cast("int").alias("seg"))
+            .repartition(self.n_segments, "seg")
+            .mapInPandas(run, "line string")
+        )
+        opts = {"sep": sep, "nullValue": self.null_str or "\\N"}
+        parsed = lines.select(
+            F.from_csv(F.col("line"), schema.simpleString(), opts).alias("r")
+        )
+        return parsed.select("r.*")
+
+
 def read_with_errors(spark: SparkSession, table: ExternalTable) -> tuple[DataFrame, DataFrame]:
     """(good_rows, error_log) in one pass — SREH's LOG ERRORS mode."""
     schema = table.schema
@@ -117,12 +184,138 @@ def read_with_errors(spark: SparkSession, table: ExternalTable) -> tuple[DataFra
     )
 
 
+@dataclass
+class ExternalTableDef:
+    """Parsed CREATE EXTERNAL TABLE statement (gram.y:5432-5501)."""
+
+    name: str
+    writable: bool
+    table: object  # ExternalTable | ExecuteExternalTable | None (writable)
+    location: str = ""  # writable target
+    fmt: str = "csv"
+    header: bool = False
+
+
+def _strip_file_uri(uri: str) -> str:
+    m = re.match(r"(?is)^file://[^/]*(/.*)$", uri)
+    if m:
+        return m.group(1)
+    if re.match(r"(?is)^(gpfdist|gpfdists|http|https)://", uri):
+        raise NotImplementedError(
+            f"external protocol in {uri!r}: only file:// and plain paths are "
+            "served locally (gpfdist serving needs the reference's daemon)"
+        )
+    return uri
+
+
+def parse_create_external(stmt: str) -> ExternalTableDef:
+    """CREATE [READABLE|WRITABLE] EXTERNAL [WEB] TABLE name (cols)
+    { LOCATION ('uri', ...) | EXECUTE 'cmd' [ON ALL|MASTER|n] }
+    FORMAT 'TEXT'|'CSV' [(DELIMITER 'c' [NULL 's'] [HEADER])]
+    [SEGMENT REJECT LIMIT n [ROWS|PERCENT]]"""
+    m = re.match(
+        r"(?is)^create\s+(?:(readable|writable)\s+)?external\s+(?:web\s+)?"
+        r"table\s+([\w.]+)\s*\((.*?)\)\s*"
+        r"(?:location\s*\(\s*(.*?)\s*\)|execute\s+'((?:[^']|'')*)'"
+        r"(?:\s+on\s+(all|master|\d+))?)\s*"
+        r"format\s+'(text|csv)'\s*(?:\(([^)]*)\))?"
+        r"(?:\s+log\s+errors)?"
+        r"(?:\s+segment\s+reject\s+limit\s+(\d+)\s*(rows|percent)?)?\s*$",
+        stmt.strip(),
+    )
+    if not m:
+        raise NotImplementedError(
+            "CREATE [READABLE|WRITABLE] EXTERNAL TABLE name (cols) "
+            "LOCATION (...)|EXECUTE '...' FORMAT 'TEXT'|'CSV' [(opts)] "
+            "[SEGMENT REJECT LIMIT n [ROWS|PERCENT]]"
+        )
+    (writable, name, cols, loc_raw, exec_cmd, exec_on, fmt, fmt_opts,
+     rej, rej_unit) = m.groups()
+    writable = (writable or "readable").lower() == "writable"
+    fmt = fmt.lower()
+    from greengage_spark.dialect.ddl import map_pg_type
+
+    schema = ", ".join(
+        f"{c.split()[0]} {map_pg_type(' '.join(c.split()[1:]))}"
+        for c in _split_cols(cols)
+    )
+    delimiter = None
+    null_str = ""
+    header = False
+    if fmt_opts:
+        md = re.search(r"(?is)delimiter\s+(?:as\s+)?(?:e)?'([^']*)'", fmt_opts)
+        if md:
+            delimiter = md.group(1).replace("\\t", "\t")
+        mn = re.search(r"(?is)null\s+(?:as\s+)?'([^']*)'", fmt_opts)
+        if mn:
+            null_str = mn.group(1)
+        header = bool(re.search(r"(?is)\bheader\b", fmt_opts))
+    if exec_cmd is not None:
+        if writable:
+            raise NotImplementedError("WRITABLE EXECUTE external tables")
+        on = (exec_on or "all").lower()
+        nseg = 1 if on == "master" else 8 if on == "all" else int(on)
+        tab = ExecuteExternalTable(
+            command=exec_cmd.replace("''", "'"),
+            schema=schema,
+            fmt=fmt,
+            delimiter=delimiter,
+            null_str=null_str,
+            n_segments=nseg,
+        )
+        return ExternalTableDef(name=name, writable=False, table=tab)
+    locations = [
+        _strip_file_uri(s.strip().strip("'"))
+        for s in loc_raw.split(",")
+        if s.strip()
+    ]
+    if writable:
+        return ExternalTableDef(
+            name=name,
+            writable=True,
+            table=None,
+            location=locations[0],
+            fmt=fmt,
+            header=header,
+        )
+    tab = ExternalTable(
+        location=locations[0] if len(locations) == 1 else ",".join(locations),
+        schema=schema,
+        fmt=fmt,
+        delimiter=delimiter or ("\t" if fmt == "text" else ","),
+        null_str=null_str,
+        header=header,
+        reject_limit=int(rej) if rej else None,
+        reject_percent=(rej_unit or "rows").lower() == "percent",
+    )
+    return ExternalTableDef(name=name, writable=False, table=tab)
+
+
+def _split_cols(raw: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in raw:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def copy_to(df: DataFrame, location: str, fmt: str = "csv", *, header: bool = True, mode: str = "overwrite") -> None:
     """WRITABLE EXTERNAL TABLE / COPY TO: parallel unload, one file per
     partition (the reference's COPY ON SEGMENT, copy.c:2071)."""
     w = df.write.mode(mode)
     if fmt == "csv":
         w.option("header", str(header).lower()).csv(location)
+    elif fmt == "text":
+        # TEXT protocol: tab-delimited, \N nulls (copy.c defaults)
+        w.option("sep", "\t").option("nullValue", "\\N").csv(location)
     elif fmt == "json":
         w.json(location)
     elif fmt == "parquet":

@@ -1,0 +1,171 @@
+"""CREATE/DROP EXTERNAL TABLE DDL (gram.y:5432-5501; fileam.c) and the
+EXECUTE protocol (url_execute.c): LOCATION file tables parse through the
+SREH reader, EXECUTE runs the command per segment ON THE EXECUTORS with
+GP_SEGMENT_ID/GP_SEGMENT_COUNT env, writable tables unload in parallel."""
+
+import os
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return GreengageEngine(spark, str(tmp_path / "wh"))
+
+
+def rows(df):
+    return sorted(
+        map(tuple, df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+
+class TestLocationExternal:
+    def test_readable_csv_location(self, eng, tmp_path):
+        p = tmp_path / "ext.csv"
+        p.write_text("a,b\n1,x\n2,y\n")
+        eng.execute(
+            f"CREATE EXTERNAL TABLE ext_t (a int8, b text) "
+            f"LOCATION ('file://{p}') FORMAT 'CSV' (HEADER)"
+        )
+        assert rows(eng.execute("SELECT * FROM ext_t")) == [(1, "x"), (2, "y")]
+        eng.execute("DROP EXTERNAL TABLE ext_t")
+        assert "ext_t" not in eng.external
+
+    def test_text_format_with_reject_limit(self, eng, tmp_path):
+        p = tmp_path / "ext.txt"
+        p.write_text("1\tx\n2\ty\nBADROW\n3\tz\n")
+        eng.execute(
+            f"CREATE EXTERNAL TABLE ext_txt (a int8, b text) "
+            f"LOCATION ('{p}') FORMAT 'TEXT' SEGMENT REJECT LIMIT 5"
+        )
+        assert rows(eng.execute("SELECT * FROM ext_txt")) == [
+            (1, "x"), (2, "y"), (3, "z"),
+        ]
+
+    def test_writable_external_unload(self, eng, tmp_path):
+        out = tmp_path / "unload"
+        eng.execute("CREATE TABLE src (a int8, b text)")
+        eng.execute("INSERT INTO src VALUES (1,'x'), (2,'y')")
+        eng.execute(
+            f"CREATE WRITABLE EXTERNAL TABLE ext_w (a int8, b text) "
+            f"LOCATION ('file://{out}') FORMAT 'CSV'"
+        )
+        eng.execute("INSERT INTO ext_w SELECT * FROM src")
+        files = [f for f in os.listdir(out) if f.endswith(".csv")]
+        assert files  # parallel unload produced part files
+        p = tmp_path / "r.csv"
+        p.write_text("1\n")
+        eng.execute(
+            f"CREATE EXTERNAL TABLE ext_r (a int8) LOCATION ('{p}') FORMAT 'CSV'"
+        )
+        with pytest.raises(ValueError, match="READABLE"):
+            eng.execute("INSERT INTO ext_r VALUES (1)")
+
+    def test_gpfdist_protocol_rejected_loudly(self, eng):
+        with pytest.raises(NotImplementedError, match="gpfdist"):
+            eng.execute(
+                "CREATE EXTERNAL TABLE g (a int8) "
+                "LOCATION ('gpfdist://etlhost:8081/x.txt') FORMAT 'TEXT'"
+            )
+
+
+class TestExecuteExternal:
+    def test_execute_on_master(self, eng):
+        eng.execute(
+            "CREATE EXTERNAL WEB TABLE seqs (n int8) "
+            "EXECUTE 'seq 1 5' ON MASTER FORMAT 'TEXT'"
+        )
+        assert rows(eng.execute("SELECT * FROM seqs")) == [
+            (1,), (2,), (3,), (4,), (5,),
+        ]
+
+    def test_execute_per_segment_env(self, eng):
+        # each declared segment contributes its own GP_SEGMENT_ID line —
+        # the reference's per-segment fan-out contract (url_execute.c)
+        eng.execute(
+            'CREATE EXTERNAL WEB TABLE segids (seg int8) '
+            'EXECUTE \'echo "$GP_SEGMENT_ID"\' ON 4 FORMAT \'TEXT\''
+        )
+        assert rows(eng.execute("SELECT * FROM segids")) == [
+            (0,), (1,), (2,), (3,),
+        ]
+
+    def test_execute_csv_parse(self, eng):
+        eng.execute(
+            "CREATE EXTERNAL WEB TABLE kv (k int8, v text) "
+            "EXECUTE 'printf \"1,a\\n2,b\\n\"' ON MASTER FORMAT 'CSV'"
+        )
+        assert rows(eng.execute("SELECT * FROM kv")) == [(1, "a"), (2, "b")]
+
+    def test_failing_command_raises(self, eng):
+        eng.execute(
+            "CREATE EXTERNAL WEB TABLE boom (a int8) "
+            "EXECUTE 'exit 3' ON MASTER FORMAT 'TEXT'"
+        )
+        with pytest.raises(Exception, match="external command failed|3"):
+            eng.execute("SELECT * FROM boom").collect()
+
+
+class TestCopyBinary:
+    """PGCOPY binary format (copy.c:2071; file-format spec): signature,
+    per-tuple field counts, int32 field lengths, network-order payloads;
+    one file per partition = the reference's ON SEGMENT distribution."""
+
+    def test_binary_roundtrip_all_types(self, eng, tmp_path):
+        eng.execute(
+            "CREATE TABLE bt (i2 int2, i4 int4, i8 int8, f4 float4, "
+            "f8 float8, b bool, s text, d date, ts timestamp)"
+        )
+        eng.execute(
+            "INSERT INTO bt VALUES "
+            "(1, 2, 3, 1.5, 2.5, true, 'x', date '2024-02-29', "
+            "timestamp '2024-02-29 12:34:56.789'), "
+            "(NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)"
+        )
+        out = str(tmp_path / "bt.bin")
+        eng.execute(f"COPY bt TO '{out}' BINARY")
+        import glob
+        import struct
+
+        files = glob.glob(out + "/*.bin")
+        assert files
+        head = open(files[0], "rb").read(11)
+        assert head == b"PGCOPY\n\xff\r\n\x00"  # on-disk format is real PGCOPY
+        eng.execute("CREATE TABLE bt2 (LIKE bt)")
+        eng.execute(f"COPY bt2 FROM '{out}' BINARY")
+        a = rows(eng.execute("SELECT * FROM bt"))
+        b = rows(eng.execute("SELECT * FROM bt2"))
+        assert a == b and len(a) == 2
+
+    def test_copy_query_to(self, eng, tmp_path):
+        eng.execute("CREATE TABLE src (a int8, b text)")
+        eng.execute("INSERT INTO src VALUES (1,'x'), (2,'y'), (3,'z')")
+        out = str(tmp_path / "q.csv")
+        eng.execute(
+            f"COPY (SELECT a * 10 AS a10, upper(b) AS ub FROM src WHERE a < 3) "
+            f"TO '{out}' CSV HEADER"
+        )
+        import glob
+        got = sorted(
+            ln for f in glob.glob(out + "/*.csv")
+            for ln in open(f).read().splitlines() if ln and ln != "a10,ub"
+        )
+        assert got == ["10,X", "20,Y"]
+
+    def test_copy_delimiter_null_options(self, eng, tmp_path):
+        eng.execute("CREATE TABLE t3 (a int8, b text)")
+        eng.execute("INSERT INTO t3 VALUES (1, NULL), (2, 'y')")
+        out = str(tmp_path / "pipe")
+        eng.execute(f"COPY t3 TO '{out}' DELIMITER '|' NULL 'NILL'")
+        import glob
+        lines = sorted(
+            ln for f in glob.glob(out + "/*.csv")
+            for ln in open(f).read().splitlines() if ln
+        )
+        assert lines == ["1|NILL", "2|y"]
+        eng.execute("CREATE TABLE t4 (LIKE t3)")
+        eng.execute(f"COPY t4 FROM '{out}' DELIMITER '|' NULL 'NILL'")
+        assert rows(eng.execute("SELECT * FROM t4")) == [(1, None), (2, "y")]

@@ -1,0 +1,91 @@
+"""PREPARE/EXECUTE/DEALLOCATE (commands/prepare.c) and DECLARE/FETCH/
+MOVE/CLOSE cursors (commands/portalcmds.c) — session plumbing a ported
+application wraps around its queries."""
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = GreengageEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE t (a int8, b text)")
+    e.execute("INSERT INTO t VALUES (1,'x'), (2,'y'), (3,'z'), (4,'w')")
+    return e
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+class TestPrepared:
+    def test_prepare_execute_params(self, eng):
+        eng.execute("PREPARE get_ab (int8) AS SELECT a, b FROM t WHERE a <= $1")
+        assert rows(eng.execute("EXECUTE get_ab (2)")) == [(1, "x"), (2, "y")]
+        assert rows(eng.execute("EXECUTE get_ab (3)")) == [
+            (1, "x"), (2, "y"), (3, "z"),
+        ]
+
+    def test_prepare_no_params(self, eng):
+        eng.execute("PREPARE cnt AS SELECT COUNT(*) AS n FROM t")
+        assert eng.execute("EXECUTE cnt").collect()[0][0] == 4
+
+    def test_prepared_dml(self, eng):
+        eng.execute("PREPARE ins (int8, text) AS INSERT INTO t VALUES ($1, $2)")
+        eng.execute("EXECUTE ins (9, 'q')")
+        assert (9, "q") in rows(eng.execute("SELECT * FROM t"))
+
+    def test_param_inside_string_untouched(self, eng):
+        eng.execute("PREPARE lit (int8) AS SELECT '$1' AS s, $1 AS v")
+        r = eng.execute("EXECUTE lit (5)").collect()[0]
+        assert r["s"] == "$1" and r["v"] == 5
+
+    def test_wrong_arity_and_unknown(self, eng):
+        eng.execute("PREPARE p1 (int8) AS SELECT $1 AS v")
+        with pytest.raises(ValueError, match="wrong number"):
+            eng.execute("EXECUTE p1 (1, 2)")
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.execute("EXECUTE nope")
+        with pytest.raises(ValueError, match="already exists"):
+            eng.execute("PREPARE p1 AS SELECT 1")
+
+    def test_deallocate(self, eng):
+        eng.execute("PREPARE p1 AS SELECT 1 AS one")
+        eng.execute("DEALLOCATE p1")
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.execute("EXECUTE p1")
+        eng.execute("PREPARE p2 AS SELECT 2 AS two")
+        eng.execute("DEALLOCATE ALL")
+        assert eng.prepared == {}
+
+
+class TestCursors:
+    def test_declare_fetch_close(self, eng):
+        eng.execute("BEGIN")
+        eng.execute("DECLARE c CURSOR FOR SELECT a, b FROM t ORDER BY a")
+        two = eng.execute("FETCH 2 FROM c")
+        assert [tuple(r) for r in two.collect()] == [(1, "x"), (2, "y")]
+        nxt = eng.execute("FETCH NEXT FROM c")
+        assert [tuple(r) for r in nxt.collect()] == [(3, "z")]
+        rest = eng.execute("FETCH ALL FROM c")
+        assert [tuple(r) for r in rest.collect()] == [(4, "w")]
+        empty = eng.execute("FETCH 5 FROM c")
+        assert empty.collect() == [] and empty.columns == ["a", "b"]
+        eng.execute("CLOSE c")
+        eng.execute("COMMIT")
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.execute("FETCH 1 FROM c")
+
+    def test_move_skips(self, eng):
+        eng.execute("DECLARE c2 NO SCROLL CURSOR FOR SELECT a FROM t ORDER BY a")
+        assert eng.execute("MOVE 2 c2") is None
+        got = eng.execute("FETCH ALL FROM c2")
+        assert [r[0] for r in got.collect()] == [3, 4]
+        eng.execute("CLOSE ALL")
+        assert eng.cursors == {}
+
+    def test_duplicate_cursor_rejected(self, eng):
+        eng.execute("DECLARE c CURSOR FOR SELECT 1 AS one")
+        with pytest.raises(ValueError, match="already exists"):
+            eng.execute("DECLARE c CURSOR FOR SELECT 2 AS two")
