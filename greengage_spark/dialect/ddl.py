@@ -53,6 +53,8 @@ _TYPE_MAP = {
     "text": "string", "name": "string", "uuid": "string",
     "json": "string", "jsonb": "string", "xml": "string",
     "inet": "string", "cidr": "string", "macaddr": "string",
+    # geometric types live as their PG literal text (functions/geometry.py)
+    "point": "string", "box": "string", "circle": "string",
     "money": "decimal(19,2)",
     "bytea": "binary",
     "date": "date",

@@ -217,6 +217,9 @@ _TYPE_MAP = {
     "time": "STRING", "json": "STRING", "jsonb": "STRING",
     "uuid": "STRING", "regclass": "STRING",
     "numeric": "DECIMAL(38,18)", "decimal": "DECIMAL(38,18)",
+    # geometric types are their PG literal text (functions/geometry.py);
+    # ::point etc. is an identity cast over that representation
+    "point": "STRING", "box": "STRING", "circle": "STRING",
 }
 
 _PARAMETERIZED = {"numeric", "decimal"}  # keep (p,s); others drop args
@@ -1259,6 +1262,340 @@ def _pass_date_input_literals(toks: list[str]) -> list[str]:
     return out
 
 
+_GEO_TYPES = {"point", "box", "circle"}
+_GEO_UNSUPPORTED = {"lseg", "path", "polygon", "line"}
+_GEO_FUNCS = {"center", "radius", "diameter", "area", "width", "height"}
+_GEO_CTORS = {"point": 2, "circle": 2, "box": 2}
+# operator spellings after the lexer: <-> splits to <,-> etc.; <<,>> are
+# single tokens already
+_GEO_OP2 = {
+    ("<", "->"): "distance",
+    ("@", ">"): "contains",
+    ("<", "@"): "within",
+    ("&", "&"): "overlaps",
+    ("~", "="): "same_as",
+    ("<", "^"): "below",
+    (">", "^"): "above",
+}
+_GEO_OP1 = {"<<": "strictly_left", ">>": "strictly_right"}
+
+
+def _geo_span_is_geo(toks: list[str], lo: int, hi: int) -> bool:
+    """Does toks[lo:hi+1] carry a geometric marker? (typed literal
+    ``point '...'``, constructor/function call, or ``::point`` cast)"""
+    for k in range(lo, hi + 1):
+        t = toks[k].lower() if _is_ident(toks[k]) else toks[k]
+        if t in _GEO_TYPES:
+            nxt = toks[k + 1] if k + 1 <= hi else ""
+            if _is_string(nxt) or nxt == "(" or (k > lo and toks[k - 1] == "::"):
+                return True
+        if t in _GEO_FUNCS and k + 1 <= hi and toks[k + 1] == "(":
+            return True
+    return False
+
+
+def _geo_right_end(toks: list[str], j: int) -> int | None:
+    if j >= len(toks):
+        return None
+    t = toks[j]
+    if _is_ident(t) and j + 1 < len(toks) and _is_string(toks[j + 1]):
+        return j + 1
+    if _is_ident(t) and j + 1 < len(toks) and toks[j + 1] == "(":
+        return _match_paren(toks, j + 1)
+    if _is_string(t):
+        return j
+    if t == "(":
+        return _match_paren(toks, j)
+    if _is_ident(t):
+        k = j
+        while k + 2 < len(toks) and toks[k + 1] == "." and _is_ident(toks[k + 2]):
+            k += 2
+        return k
+    return None
+
+
+def _geo_strip(toks: list[str]) -> str:
+    """Operand tokens → SQL text with geo typed-literal prefixes dropped
+    and geo constructor/function calls expanded."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        low = t.lower() if _is_ident(t) else t
+        if low in _GEO_TYPES and i + 1 < len(toks) and _is_string(toks[i + 1]):
+            out.append(toks[i + 1])
+            i += 2
+            continue
+        if (
+            low in (_GEO_CTORS.keys() | _GEO_FUNCS)
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+        ):
+            close = _match_paren(toks, i + 1)
+            inner = toks[i + 2 : close]
+            out.append(_geo_call(low, inner))
+            i = close + 1
+            continue
+        if t == "::" and i + 1 < len(toks) and toks[i + 1].lower() in _GEO_TYPES:
+            i += 2  # geo "casts" are identity over the text representation
+            continue
+        out.append(t)
+        i += 1
+    return _join_tokens(out)
+
+
+def _geo_call(fn: str, inner_toks: list[str]) -> str:
+    from greengage_spark.functions import geometry as geo
+
+    args: list[list[str]] = [[]]
+    depth = 0
+    for t in inner_toks:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if t == "," and depth == 0:
+            args.append([])
+        else:
+            args[-1].append(t)
+    sqls = [_geo_strip(a) for a in args if a]
+    if fn in _GEO_FUNCS:
+        return getattr(geo, fn)(sqls[0])
+    if fn == "point":
+        return geo.make_point(sqls[0], sqls[1])
+    if fn == "circle":
+        return geo.make_circle(sqls[0], sqls[1])
+    return geo.make_box(sqls[0], sqls[1])
+
+
+def _pass_geometry(toks: list[str]) -> list[str]:
+    """Geometric type surface (geo_ops.c subset; functions/geometry.py):
+    point/box/circle as their PG literal text, operators dispatched on
+    numeric arity at runtime.  Only expressions carrying a geo MARKER
+    (typed literal, constructor call, ::cast, geo function) are rewritten
+    — a textual front-end cannot know bare column types, so untyped
+    ``col <-> col`` passes through untouched (and fails loudly in
+    Catalyst rather than silently doing the wrong thing)."""
+    for i, t in enumerate(toks):
+        if (
+            _is_ident(t)
+            and t.lower() in _GEO_UNSUPPORTED
+            and i + 1 < len(toks)
+            and _is_string(toks[i + 1])
+        ):
+            raise NotImplementedError(
+                f"geometric type {t.lower()!r}: only point/box/circle are "
+                "routed (geo_ops.c paths/polygons are out of scope)"
+            )
+    from greengage_spark.functions import geometry as geo
+
+    changed = True
+    while changed:
+        changed = False
+        i = 0
+        while i < len(toks):
+            fn = None
+            oplen = 0
+            if toks[i] in _GEO_OP1:
+                fn, oplen = _GEO_OP1[toks[i]], 1
+            elif i + 1 < len(toks) and (toks[i], toks[i + 1]) in _GEO_OP2:
+                fn, oplen = _GEO_OP2[(toks[i], toks[i + 1])], 2
+            if fn is None or i == 0:
+                i += 1
+                continue
+            rstart = i + oplen
+            rend = _geo_right_end(toks, rstart)
+            if rend is None or not _is_operand_end(toks[i - 1]):
+                i += 1
+                continue
+            lstart = _operand_start(toks, i - 1)
+            # include a typed-literal prefix the operand scan missed
+            if (
+                lstart > 0
+                and _is_string(toks[lstart])
+                and _is_ident(toks[lstart - 1])
+                and toks[lstart - 1].lower() in _GEO_TYPES
+            ):
+                lstart -= 1
+            if not (
+                _geo_span_is_geo(toks, lstart, i - 1)
+                or _geo_span_is_geo(toks, rstart, rend)
+            ):
+                i += 1
+                continue
+            left_sql = _geo_strip(toks[lstart:i])
+            right_sql = _geo_strip(toks[rstart : rend + 1])
+            expansion = getattr(geo, fn)(left_sql, right_sql)
+            toks[lstart : rend + 1] = ["(" + expansion + ")"]
+            changed = True
+            break
+        if changed:
+            continue
+        # no operator rewrites left: expand remaining standalone geo
+        # typed literals / constructor & function calls
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            low = t.lower() if _is_ident(t) else t
+            if low in _GEO_TYPES and i + 1 < len(toks) and _is_string(toks[i + 1]):
+                prev = toks[i - 1] if i > 0 else ""
+                if prev != "." and not (
+                    _is_ident(prev) and prev.lower() == "as"
+                ):
+                    toks[i : i + 2] = [toks[i + 1]]
+                    changed = True
+                    break
+            if (
+                low in (_GEO_FUNCS | _GEO_CTORS.keys())
+                and i + 1 < len(toks)
+                and toks[i + 1] == "("
+                and (i == 0 or toks[i - 1] != ".")
+            ):
+                close = _match_paren(toks, i + 1)
+                # geo function and constructor names are PG-only — no Spark
+                # builtin shares them, so always rewrite the call
+                toks[i : close + 1] = [_geo_call(low, toks[i + 2 : close])]
+                changed = True
+                break
+            if t == "::" and i + 1 < len(toks) and toks[i + 1].lower() in _GEO_TYPES:
+                toks[i : i + 2] = []
+                changed = True
+                break
+            i += 1
+    return toks
+
+
+_XML_FUNCS = {"xmlelement", "xmlforest", "xmlconcat", "xmlcomment"}
+
+
+def _xml_split_args(inner: list[str]) -> list[list[str]]:
+    args: list[list[str]] = [[]]
+    depth = 0
+    for t in inner:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if t == "," and depth == 0:
+            args.append([])
+        else:
+            args[-1].append(t)
+    return [a for a in args if a]
+
+
+def _xml_name(tok: str) -> str:
+    return tok[1:-1] if tok.startswith('"') else tok.lower()
+
+
+def _xml_expand(fn: str, inner: list[str], generated: set[str]) -> str:
+    from greengage_spark.functions import xmlgen
+
+    def _is_xml_arg(a: list[str]) -> bool:
+        return len(a) == 1 and a[0] in generated
+
+    args = _xml_split_args(inner)
+    if fn == "xmlcomment":
+        return xmlgen.comment(_join_tokens(args[0]))
+    if fn == "xmlconcat":
+        return xmlgen.xml_concat([_join_tokens(a) for a in args])
+    if fn == "xmlforest":
+        items = []
+        for a in args:
+            if len(a) >= 3 and _is_ident(a[-2]) and a[-2].lower() == "as":
+                items.append((_xml_name(a[-1]), _join_tokens(a[:-2])))
+            else:
+                # default name: the column's own name (xml.c map_sql_identifier)
+                items.append((_xml_name(a[-1]), _join_tokens(a)))
+        return xmlgen.forest(items)
+    # xmlelement(name tag [, xmlattributes(...)] [, content ...])
+    if len(args[0]) < 2 or args[0][0].lower() != "name":
+        raise NotImplementedError("xmlelement(name tag, ...)")
+    tag = _xml_name(args[0][1])
+    attr_sqls: list[str] = []
+    content: list[str] = []
+    for a in args[1:]:
+        if (
+            _is_ident(a[0])
+            and a[0].lower() == "xmlattributes"
+            and len(a) > 1
+            and a[1] == "("
+        ):
+            for item in _xml_split_args(a[2:-1]):
+                if len(item) >= 3 and _is_ident(item[-2]) and item[-2].lower() == "as":
+                    attr_sqls.append(
+                        xmlgen.attribute(_xml_name(item[-1]), _join_tokens(item[:-2]))
+                    )
+                else:
+                    attr_sqls.append(
+                        xmlgen.attribute(_xml_name(item[-1]), _join_tokens(item))
+                    )
+        else:
+            content.append((_join_tokens(a), _is_xml_arg(a)))
+    from greengage_spark.functions.xmlgen import element
+
+    return element(tag, attr_sqls, content)
+
+
+def _pass_xml(toks: list[str]) -> list[str]:
+    """SQL/XML publishing functions (xml.c subset → functions/xmlgen.py):
+    innermost-first expansion so nested xmlelement/xmlforest compose.
+    xmlagg(e [ORDER BY ...]) lowers to string_agg(e, '' ...) upstream."""
+    generated: set[str] = set()  # expansions = XML-typed values (no re-escape)
+    changed = True
+    while changed:
+        changed = False
+        for i, t in enumerate(toks):
+            if not (_is_ident(t) and t.lower() in _XML_FUNCS):
+                continue
+            if i + 1 >= len(toks) or toks[i + 1] != "(":
+                continue
+            close = _match_paren(toks, i + 1)
+            inner = toks[i + 2 : close]
+            if any(
+                _is_ident(x) and x.lower() in _XML_FUNCS for x in inner
+            ):
+                continue  # expand innermost first
+            expansion = _xml_expand(t.lower(), inner, generated)
+            generated.add(expansion)
+            toks[i : close + 1] = [expansion]
+            changed = True
+            break
+    return toks
+
+
+def _pass_xmlagg(toks: list[str]) -> list[str]:
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            _is_ident(t)
+            and t.lower() == "xmlagg"
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+        ):
+            close = _match_paren(toks, i + 1)
+            inner = toks[i + 2 : close]
+            k = None
+            depth = 0
+            for j, x in enumerate(inner):
+                if x == "(":
+                    depth += 1
+                elif x == ")":
+                    depth -= 1
+                elif depth == 0 and _is_ident(x) and x.lower() == "order":
+                    k = j
+                    break
+            expr = inner[:k] if k is not None else inner
+            tail = inner[k:] if k is not None else []
+            out += ["string_agg", "("] + expr + [",", "''"] + tail + [")"]
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_typed_literals(toks: list[str]) -> list[str]:
     """PG typed-literal prefixes ``typename 'value'`` (gram.y
     AexprConst ConstTypename).  bool literals fold at transpile time via
@@ -1274,7 +1611,11 @@ def _pass_typed_literals(toks: list[str]) -> list[str]:
             and i + 1 < len(toks)
             and _is_string(toks[i + 1])
             and t.lower() in _TYPE_MAP
-            and t.lower() not in ("date", "timestamp", "timestamptz", "char", "name")
+            and t.lower() not in (
+                "date", "timestamp", "timestamptz", "char", "name",
+                # geo typed literals stay intact as _pass_geometry markers
+                "point", "box", "circle",
+            )
             and (not out or out[-1] not in (".",))
             and not (out and _is_ident(out[-1]) and out[-1].lower() in ("as",))
         ):
@@ -3778,6 +4119,11 @@ def transpile(sql: str) -> str:
     toks = _pass_float_int_cast_round(toks)
     toks = _pass_date_minus(toks)
     toks = _pass_date_input_literals(toks)
+    # geometry before json-ops (both route `->`-containing operators);
+    # xml after the cast passes so embedded ::text casts are already Spark
+    toks = _pass_geometry(toks)
+    toks = _pass_xml(toks)
+    toks = _pass_xmlagg(toks)
     toks = _pass_json_ops(toks)
     toks = _pass_regex_ops(toks)
     toks = _pass_pow_xor(toks)

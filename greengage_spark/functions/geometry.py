@@ -1,0 +1,222 @@
+"""Geometric type surface: point / box / circle (geo_ops.c subset).
+
+Representation: geo values are their PG literal TEXT — ``'(x,y)'``,
+``'(x1,y1),(x2,y2)'``, ``'<(x,y),r>'`` — and every operator parses the
+numbers JVM-side (``regexp_extract_all`` + cast) at use.  A textual
+dialect front-end cannot see column types, so the type of a geo value is
+dispatched at RUNTIME from its numeric arity: 2 numbers = point,
+3 = circle (x, y, r), 4 = box (x1, y1, x2, y2) — the same polymorphism
+geo_ops.c implements with pg_type OIDs.  Everything stays inside
+whole-stage codegen; no Python in any geo expression.
+
+The unified distance kernel treats every shape as a rectangle-with-radius
+(point: degenerate box r=0; circle: degenerate box r=R; box: r=0):
+``dist = max(0, hypot(gap_x, gap_y) - r_a - r_b)`` where ``gap_*`` are the
+axis gaps between the rectangles.  That single formula is EXACT for
+point-point, point-circle, circle-circle, point-box, and box-box
+(geo_ops.c's point_distance/dist_pc/circle_distance/dist_pb/box_distance),
+and overlap (&&) / left-right (<<, >>) / above-below (<^, >^) derive from
+the same bounds.  Paths/polygons/lsegs are not routed (transpile-time
+NotImplementedError), matching SURVEY's low-priority call.
+
+Supported SQL surface (dialect/transpiler _pass_geometry):
+  typed literals  point '...', box '...', circle '...'
+  operators       <-> distance, @> contains, <@ within, && overlap,
+                  << left, >> right, <^ below, >^ above, ~= same-as
+  functions       center(g), radius(g), diameter(g), area(g),
+                  width(b), height(b), point(x,y), circle(p,r),
+                  box(p1,p2)
+"""
+
+from __future__ import annotations
+
+# emitted into a SQL literal taken VERBATIM (escapedStringLiterals=true),
+# so a single backslash here is a single backslash in the regex engine
+_NUM_RE = r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?"
+
+
+def nums(sql: str) -> str:
+    """All numbers of a geo literal, in writing order, as array<double>."""
+    return (
+        f"transform(regexp_extract_all(cast(({sql}) as string), "
+        f"'{_NUM_RE}', 0), x -> cast(x as double))"
+    )
+
+
+# Bounds of the rectangle-with-radius view over a parsed number array g:
+# [xmin, xmax, ymin, ymax, r].
+def _bounds(g: str) -> dict[str, str]:
+    return {
+        "xmin": (
+            f"CASE size({g}) WHEN 4 THEN least({g}[0], {g}[2]) "
+            f"ELSE {g}[0] END"
+        ),
+        "xmax": (
+            f"CASE size({g}) WHEN 4 THEN greatest({g}[0], {g}[2]) "
+            f"ELSE {g}[0] END"
+        ),
+        "ymin": (
+            f"CASE size({g}) WHEN 4 THEN least({g}[1], {g}[3]) "
+            f"ELSE {g}[1] END"
+        ),
+        "ymax": (
+            f"CASE size({g}) WHEN 4 THEN greatest({g}[1], {g}[3]) "
+            f"ELSE {g}[1] END"
+        ),
+        "r": f"CASE size({g}) WHEN 3 THEN {g}[2] ELSE 0.0d END",
+    }
+
+
+def _with_pair(a_sql: str, b_sql: str, body_fn) -> str:
+    """Bind both operands' parsed arrays once via a 2-row-free lateral
+    trick: plain textual substitution — codegen CSE dedups repeats."""
+    ga, gb = nums(a_sql), nums(b_sql)
+    return body_fn(_bounds(f"({ga})"), _bounds(f"({gb})"))
+
+
+def distance(a_sql: str, b_sql: str) -> str:
+    def body(A, B):
+        gap_x = f"greatest(0.0d, {B['xmin']} - {A['xmax']}, {A['xmin']} - {B['xmax']})"
+        gap_y = f"greatest(0.0d, {B['ymin']} - {A['ymax']}, {A['ymin']} - {B['ymax']})"
+        return (
+            f"greatest(0.0d, sqrt(power({gap_x}, 2) + power({gap_y}, 2)) "
+            f"- {A['r']} - {B['r']})"
+        )
+
+    return _with_pair(a_sql, b_sql, body)
+
+
+def contains(a_sql: str, b_sql: str) -> str:
+    """a @> b: container a holds b entirely (box/circle over point/box/
+    circle, via bounding geometry — exact for every routed pair)."""
+
+    def body(A, B):
+        return (
+            f"(CASE WHEN {A['r']} > 0.0d THEN "
+            # circle container: farthest corner of b's rect + b's radius
+            f"sqrt(power(greatest(abs({B['xmin']} - ({A['xmin']}+{A['xmax']})/2), "
+            f"abs({B['xmax']} - ({A['xmin']}+{A['xmax']})/2)), 2) + "
+            f"power(greatest(abs({B['ymin']} - ({A['ymin']}+{A['ymax']})/2), "
+            f"abs({B['ymax']} - ({A['ymin']}+{A['ymax']})/2)), 2)) + {B['r']} "
+            f"<= {A['r']} "
+            f"ELSE {B['xmin']} - {B['r']} >= {A['xmin']} AND "
+            f"{B['xmax']} + {B['r']} <= {A['xmax']} AND "
+            f"{B['ymin']} - {B['r']} >= {A['ymin']} AND "
+            f"{B['ymax']} + {B['r']} <= {A['ymax']} END)"
+        )
+
+    return _with_pair(a_sql, b_sql, body)
+
+
+def within(a_sql: str, b_sql: str) -> str:
+    """a <@ b: a is contained in b."""
+    return contains(b_sql, a_sql)
+
+
+def overlaps(a_sql: str, b_sql: str) -> str:
+    return f"({distance(a_sql, b_sql)} = 0.0d)"
+
+
+def strictly_left(a_sql: str, b_sql: str) -> str:
+    def body(A, B):
+        return f"({A['xmax']} + {A['r']} < {B['xmin']} - {B['r']})"
+
+    return _with_pair(a_sql, b_sql, body)
+
+
+def strictly_right(a_sql: str, b_sql: str) -> str:
+    def body(A, B):
+        return f"({A['xmin']} - {A['r']} > {B['xmax']} + {B['r']})"
+
+    return _with_pair(a_sql, b_sql, body)
+
+
+def below(a_sql: str, b_sql: str) -> str:
+    """a <^ b — below, touching allowed (geo_ops.c point_below)."""
+
+    def body(A, B):
+        return f"({A['ymax']} + {A['r']} <= {B['ymin']} - {B['r']})"
+
+    return _with_pair(a_sql, b_sql, body)
+
+
+def above(a_sql: str, b_sql: str) -> str:
+    def body(A, B):
+        return f"({A['ymin']} - {A['r']} >= {B['ymax']} + {B['r']})"
+
+    return _with_pair(a_sql, b_sql, body)
+
+
+def same_as(a_sql: str, b_sql: str) -> str:
+    """a ~= b: numerically identical coordinate lists."""
+    return f"({nums(a_sql)} = {nums(b_sql)})"
+
+
+def _fmt(x: str) -> str:
+    """Format a double as PG does in geo output (no trailing .0 on ints)."""
+    return (
+        f"(CASE WHEN ({x}) = floor({x}) THEN cast(cast(({x}) as bigint) as string) "
+        f"ELSE cast(({x}) as string) END)"
+    )
+
+
+def point_text(x_sql: str, y_sql: str) -> str:
+    return f"concat('(', {_fmt(x_sql)}, ',', {_fmt(y_sql)}, ')')"
+
+
+def center(g_sql: str) -> str:
+    g = f"({nums(g_sql)})"
+    cx = f"(CASE size({g}) WHEN 4 THEN ({g}[0]+{g}[2])/2 ELSE {g}[0] END)"
+    cy = f"(CASE size({g}) WHEN 4 THEN ({g}[1]+{g}[3])/2 ELSE {g}[1] END)"
+    return point_text(cx, cy)
+
+
+def radius(g_sql: str) -> str:
+    g = f"({nums(g_sql)})"
+    return f"(CASE size({g}) WHEN 3 THEN {g}[2] ELSE 0.0d END)"
+
+
+def diameter(g_sql: str) -> str:
+    return f"(2.0d * {radius(g_sql)})"
+
+
+def area(g_sql: str) -> str:
+    g = f"({nums(g_sql)})"
+    return (
+        f"(CASE size({g}) WHEN 3 THEN pi() * power({g}[2], 2) "
+        f"WHEN 4 THEN abs({g}[2] - {g}[0]) * abs({g}[3] - {g}[1]) "
+        f"ELSE 0.0d END)"
+    )
+
+
+def width(g_sql: str) -> str:
+    g = f"({nums(g_sql)})"
+    return f"abs({g}[2] - {g}[0])"
+
+
+def height(g_sql: str) -> str:
+    g = f"({nums(g_sql)})"
+    return f"abs({g}[3] - {g}[1])"
+
+
+def make_point(x_sql: str, y_sql: str) -> str:
+    return point_text(f"cast(({x_sql}) as double)", f"cast(({y_sql}) as double)")
+
+
+def make_circle(p_sql: str, r_sql: str) -> str:
+    g = f"({nums(p_sql)})"
+    return (
+        f"concat('<(', {_fmt(f'{g}[0]')}, ',', {_fmt(f'{g}[1]')}, '),', "
+        f"{_fmt(f'cast(({r_sql}) as double)')}, '>')"
+    )
+
+
+def make_box(p1_sql: str, p2_sql: str) -> str:
+    a, b = f"({nums(p1_sql)})", f"({nums(p2_sql)})"
+    # normalize to (upper-right),(lower-left) like box_construct/box_fill
+    return (
+        f"concat('(', {_fmt(f'greatest({a}[0], {b}[0])')}, ',', "
+        f"{_fmt(f'greatest({a}[1], {b}[1])')}, '),(', "
+        f"{_fmt(f'least({a}[0], {b}[0])')}, ',', "
+        f"{_fmt(f'least({a}[1], {b}[1])')}, ')')"
+    )

@@ -1,0 +1,75 @@
+"""SQL/XML publishing functions (xml.c subset): xmlelement, xmlforest,
+xmlconcat, xmlcomment, xmlagg — lowered to JVM string expressions.
+
+The reference's xml type is text with well-formedness checks; its
+publishing functions are string builders with entity escaping
+(escape_xml, xml.c:2408: & < > in content, plus \" in attribute values).
+That maps 1:1 onto concat/replace expressions — zero Python, full
+codegen.  XPath/xmltable (query-side XML) stay out of scope, matching
+SURVEY's low-priority call.
+
+Semantics kept from xml.c:
+* NULL content arguments vanish (concat_ws skips NULLs);
+* an element whose entire content is empty prints ``<tag/>``;
+* a NULL attribute value drops the whole attribute;
+* xmlforest skips NULL items entirely.
+"""
+
+from __future__ import annotations
+
+
+def esc(sql: str) -> str:
+    """Content escaping (escape_xml): & first, then < >."""
+    return (
+        f"replace(replace(replace(cast(({sql}) as string), "
+        f"'&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    )
+
+
+def esc_attr(sql: str) -> str:
+    return f"replace({esc(sql)}, '\"', '&quot;')"
+
+
+def attribute(name: str, value_sql: str) -> str:
+    return (
+        f"CASE WHEN ({value_sql}) IS NULL THEN '' "
+        f"ELSE concat(' {name}=\"', {esc_attr(value_sql)}, '\"') END"
+    )
+
+
+def element(
+    tag: str, attr_sqls: list[str], content_sqls: list[tuple[str, bool]]
+) -> str:
+    """content_sqls: (sql, is_xml) — XML-typed content embeds verbatim,
+    text content entity-escapes (xml.c xmlelement: only non-XML arguments
+    pass through map_sql_value_to_xml_value's escaping)."""
+    attrs = f"concat({', '.join(attr_sqls)})" if attr_sqls else "''"
+    if not content_sqls:
+        return f"concat('<{tag}', {attrs}, '/>')"
+    content = (
+        f"concat_ws('', "
+        f"{', '.join(c if is_xml else esc(c) for c, is_xml in content_sqls)})"
+    )
+    return (
+        f"(CASE WHEN {content} = '' THEN concat('<{tag}', {attrs}, '/>') "
+        f"ELSE concat('<{tag}', {attrs}, '>', {content}, '</{tag}>') END)"
+    )
+
+
+def forest_item(name: str, value_sql: str) -> str:
+    return (
+        f"CASE WHEN ({value_sql}) IS NULL THEN '' "
+        f"ELSE concat('<{name}>', {esc(value_sql)}, '</{name}>') END"
+    )
+
+
+def forest(items: list[tuple[str, str]]) -> str:
+    return f"concat({', '.join(forest_item(n, v) for n, v in items)})"
+
+
+def xml_concat(sqls: list[str]) -> str:
+    return f"concat_ws('', {', '.join(sqls)})"
+
+
+def comment(sql: str) -> str:
+    return f"concat('<!--', cast(({sql}) as string), '-->')"

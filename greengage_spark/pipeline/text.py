@@ -8,16 +8,41 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Tiny per-language marker lists (function-word heuristics).  Real
-# deployments swap in a proper n-gram model; the operator shape (explode →
-# broadcast join → argmax) is what matters at scale.
+# Per-language function-word marker lists (the closed-class words language
+# identifiers key on — public stopword knowledge).  A production deployment
+# swaps in a trained character-n-gram model; the operator SHAPE (explode →
+# broadcast join → argmax, all JVM) is what matters at scale: the marker
+# table stays broadcast-small at any corpus size.  Tokens lowercase before
+# matching; ties break to the lexicographically smallest language code and
+# zero-hit documents report 'und', both deterministic across engines.
 LANG_MARKERS: dict[str, list[str]] = {
-    "en": ["the", "and", "of", "to", "a", "in", "is"],
-    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
-    "fr": ["le", "la", "les", "et", "est", "une", "dans"],
-    "es": ["el", "la", "los", "que", "es", "una", "en"],
-    "zh": ["的", "是", "了", "在", "我", "有", "和"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "was", "for", "with", "are", "not"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "auf", "für", "sich"],
+    "fr": ["le", "les", "et", "est", "une", "dans", "pour", "pas", "vous", "avec", "sur", "mais"],
+    "es": ["el", "los", "que", "una", "por", "para", "como", "está", "pero", "sus", "más", "muy"],
+    "pt": ["não", "uma", "para", "com", "por", "mais", "dos", "como", "mas", "foi", "ele", "são"],
+    "it": ["che", "di", "non", "per", "una", "sono", "della", "con", "anche", "come", "del", "più"],
+    "nl": ["het", "een", "van", "niet", "aan", "ook", "maar", "zijn", "voor", "naar", "dat", "met"],
+    "sv": ["och", "att", "det", "som", "en", "på", "är", "av", "för", "med", "till", "inte"],
+    "da": ["og", "det", "at", "en", "den", "til", "er", "som", "på", "de", "med", "ikke"],
+    "pl": ["nie", "się", "jest", "na", "do", "że", "jak", "ale", "po", "co", "tak", "jego"],
+    "cs": ["je", "se", "na", "že", "to", "ve", "jsou", "jako", "ale", "pro", "byl", "tak"],
+    "ru": ["и", "в", "не", "на", "что", "он", "это", "как", "его", "но", "она", "был"],
+    "tr": ["bir", "ve", "bu", "için", "ile", "da", "de", "olarak", "daha", "gibi", "çok", "ama"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "dalam", "akan", "pada"],
+    "vi": ["của", "và", "có", "trong", "là", "cho", "không", "được", "người", "những", "với", "các"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人", "都", "一个"],
+    "ja": ["の", "に", "は", "を", "た", "が", "で", "て", "と", "し", "です", "ます"],
+    "ar": ["في", "من", "على", "أن", "إلى", "عن", "هذا", "مع", "كان", "لا", "ما", "هو"],
 }
+
+
+def lang_markers_values_sql() -> str:
+    """The marker table as a SQL VALUES list — the DuckDB oracle embeds
+    THIS, so query and oracle can never drift."""
+    return ",".join(
+        f"('{lang}','{w}')" for lang, ws in LANG_MARKERS.items() for w in ws
+    )
 
 # BPE-ish token regex: letter runs, digit runs, single punctuation marks.
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -31,7 +56,9 @@ def language_scores(df: DataFrame, id_col: str, text_col: str, spark) -> DataFra
     """Marker-hit counts per (doc, lang) via explode + broadcast join."""
     marker_rows = [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws]
     markers = spark.createDataFrame(marker_rows, "lang string, marker string")
-    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("tok", F.lower(F.col("tok")))
     return (
         toks.join(F.broadcast(markers), toks.tok == markers.marker)
         .groupBy(id_col, "lang")

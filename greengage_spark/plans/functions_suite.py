@@ -1039,3 +1039,68 @@ def dialect_inet_funcs(spark, sf_dir):
         """,
         ["events"],
     )
+
+
+@suite.add(
+    "dialect_geometry_ops",
+    oracle="""
+    SELECT c_custkey,
+           sqrt(power(CAST(c_custkey % 100 AS DOUBLE) - 50, 2)
+              + power(CAST(c_custkey % 73 AS DOUBLE) - 36, 2)) AS dist,
+           (c_custkey % 100 BETWEEN 20 AND 80
+            AND c_custkey % 73 BETWEEN 10 AND 60) AS in_box,
+           sqrt(power(CAST(c_custkey % 100 AS DOUBLE) - 50, 2)
+              + power(CAST(c_custkey % 73 AS DOUBLE) - 36, 2)) <= 25 AS in_circle,
+           CAST(pi() * 625 AS DOUBLE) AS circ_area
+    FROM customer WHERE c_custkey < 300 ORDER BY c_custkey
+    """,
+    doc="Geometric type surface (geo_ops.c subset; functions/geometry.py): "
+        "point/box/circle as PG literal text, arity-dispatched JVM "
+        "expressions — <-> distance, <@/@> containment, area(); the "
+        "unified rect-with-radius kernel is exact for every routed pair. "
+        "Oracle re-derives each predicate with plain arithmetic.",
+    tags=("dialect", "geometry"),
+)
+def dialect_geometry_ops(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey,
+               point(c_custkey % 100, c_custkey % 73) <-> point '(50,36)' AS dist,
+               point(c_custkey % 100, c_custkey % 73) <@ box '(20,10,80,60)' AS in_box,
+               circle '<(50,36),25>' @> point(c_custkey % 100, c_custkey % 73) AS in_circle,
+               area(circle '<(50,36),25>') AS circ_area
+        FROM customer WHERE c_custkey < 300 ORDER BY c_custkey
+        """,
+        ["customer"],
+    )
+
+
+@suite.add(
+    "dialect_xml_publish",
+    oracle="""
+    SELECT n_nationkey,
+           '<nation id="' || n_nationkey || '"><name>' ||
+           replace(replace(replace(n_name, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+           || '</name><region>' || n_regionkey || '</region></nation>' AS doc
+    FROM nation ORDER BY n_nationkey
+    """,
+    doc="SQL/XML publishing (xml.c subset; functions/xmlgen.py): "
+        "xmlelement with xmlattributes + nested xmlforest lower to JVM "
+        "string builders with entity escaping; NULLs vanish, nested XML "
+        "embeds verbatim (no double-escape).",
+    tags=("dialect", "xml"),
+)
+def dialect_xml_publish(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT n_nationkey,
+               xmlelement(name nation, xmlattributes(n_nationkey AS id),
+                          xmlforest(n_name AS name, n_regionkey AS region)) AS doc
+        FROM nation ORDER BY n_nationkey
+        """,
+        ["nation"],
+    )

@@ -355,17 +355,15 @@ def similarity_lsh_topk(spark, sf_dir):
 
 # =========================== TEXT ANALYSIS ===========================
 
+from greengage_spark.pipeline.text import lang_markers_values_sql
+
+
 @suite.add(
     "text_language_id",
-    oracle="""
-    WITH markers(lang, marker) AS (VALUES
-      ('en','the'),('en','and'),('en','of'),('en','to'),('en','a'),('en','in'),('en','is'),
-      ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),('de','nicht'),('de','ein'),
-      ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),('fr','une'),('fr','dans'),
-      ('es','el'),('es','la'),('es','los'),('es','que'),('es','es'),('es','una'),('es','en'),
-      ('zh','的'),('zh','是'),('zh','了'),('zh','在'),('zh','我'),('zh','有'),('zh','和')),
+    oracle=f"""
+    WITH markers(lang, marker) AS (VALUES {lang_markers_values_sql()}),
     tk AS (
-      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      SELECT doc_id, lower(unnest(list_filter(string_split(text, ' '), x -> x <> ''))) AS tok
       FROM documents
     ),
     scores AS (

@@ -1,0 +1,149 @@
+"""Geometric type surface (geo_ops.c subset; functions/geometry.py):
+point/box/circle as PG literal text, arity-dispatched operators —
+battery shapes follow src/test/regress/sql/point.sql, circle.sql,
+box.sql."""
+
+import math
+
+import pytest
+
+from greengage_spark.dialect import pg_sql
+
+POINTS = "(0,0) (-10,0) (-3,4) (5.1,34.5) (-5,-12)".split()
+
+
+@pytest.fixture()
+def point_tbl(spark):
+    rows = [(p,) for p in POINTS]
+    spark.createDataFrame(rows, "f1 string").createOrReplaceTempView("point_tbl")
+    return spark
+
+
+def vals(df, col="f1"):
+    return sorted(r[col] for r in df.collect())
+
+
+class TestPointOps:
+    def test_left_of(self, point_tbl):
+        df = pg_sql(point_tbl,
+                    "SELECT f1 FROM point_tbl WHERE f1 << point '(0.0,0.0)'")
+        assert vals(df) == ["(-10,0)", "(-3,4)", "(-5,-12)"]
+
+    def test_right_of_literal_first(self, point_tbl):
+        df = pg_sql(point_tbl,
+                    "SELECT f1 FROM point_tbl WHERE point '(0.0,0.0)' >> f1")
+        assert vals(df) == ["(-10,0)", "(-3,4)", "(-5,-12)"]
+
+    def test_below_above(self, point_tbl):
+        below = pg_sql(point_tbl,
+                       "SELECT f1 FROM point_tbl WHERE f1 <^ point '(0.0,0.0)'")
+        assert vals(below) == ["(-10,0)", "(-5,-12)", "(0,0)"]
+        above = pg_sql(point_tbl,
+                       "SELECT f1 FROM point_tbl WHERE point '(0.0,0.0)' >^ f1")
+        assert vals(above) == ["(-10,0)", "(-5,-12)", "(0,0)"]
+
+    def test_same_as(self, point_tbl):
+        df = pg_sql(point_tbl,
+                    "SELECT f1 FROM point_tbl WHERE f1 ~= point '(5.1, 34.5)'")
+        assert vals(df) == ["(5.1,34.5)"]
+
+    def test_point_in_box(self, point_tbl):
+        df = pg_sql(
+            point_tbl,
+            "SELECT f1 FROM point_tbl WHERE f1 <@ box '(0,0,100,100)'",
+        )
+        assert vals(df) == ["(0,0)", "(5.1,34.5)"]
+        df2 = pg_sql(
+            point_tbl,
+            "SELECT f1 FROM point_tbl WHERE box '(0,0,100,100)' @> f1",
+        )
+        assert vals(df2) == vals(df)
+
+    def test_distance(self, point_tbl):
+        df = pg_sql(
+            point_tbl,
+            "SELECT f1, f1 <-> point '(0,0)' AS dist FROM point_tbl",
+        )
+        got = {r["f1"]: r["dist"] for r in df.collect()}
+        assert got["(0,0)"] == 0.0
+        assert got["(-10,0)"] == 10.0
+        assert got["(-3,4)"] == 5.0
+        assert got["(-5,-12)"] == 13.0
+        assert abs(got["(5.1,34.5)"] - math.hypot(5.1, 34.5)) < 1e-9
+
+    def test_point_constructor(self, spark):
+        df = pg_sql(spark, "SELECT point(3, 4) <-> point(0, 0) AS d")
+        assert df.collect()[0]["d"] == 5.0
+
+
+class TestCircle:
+    def test_center_radius_diameter_area(self, spark):
+        df = pg_sql(
+            spark,
+            "SELECT center(circle '<(5,1),3>') AS c, "
+            "radius(circle '<(5,1),3>') AS r, "
+            "diameter(circle '<(5,1),3>') AS d, "
+            "area(circle '<(5,1),3>') AS a",
+        )
+        row = df.collect()[0]
+        assert row["c"] == "(5,1)" and row["r"] == 3.0 and row["d"] == 6.0
+        assert abs(row["a"] - math.pi * 9) < 1e-9
+
+    def test_circle_contains_point(self, spark):
+        df = pg_sql(
+            spark,
+            "SELECT circle '<(0,0),5>' @> point '(3,4)' AS on_edge, "
+            "circle '<(0,0),5>' @> point '(3,5)' AS outside",
+        )
+        row = df.collect()[0]
+        assert row["on_edge"] is True and row["outside"] is False
+
+    def test_circle_distance_and_overlap(self, spark):
+        df = pg_sql(
+            spark,
+            "SELECT circle '<(0,0),2>' <-> circle '<(10,0),3>' AS d, "
+            "circle '<(0,0),2>' && circle '<(3,0),2>' AS ov",
+        )
+        row = df.collect()[0]
+        assert row["d"] == 5.0 and row["ov"] is True
+
+    def test_circle_constructor(self, spark):
+        df = pg_sql(spark, "SELECT circle(point(1, 2), 3) AS c")
+        assert df.collect()[0]["c"] == "<(1,2),3>"
+
+
+class TestBox:
+    def test_box_ops(self, spark):
+        df = pg_sql(
+            spark,
+            "SELECT area(box '(0,0,2,3)') AS a, "
+            "width(box '(0,0,2,3)') AS w, height(box '(0,0,2,3)') AS h, "
+            "center(box '(0,0,4,6)') AS c, "
+            "box '(0,0,3,3)' && box '(2,2,5,5)' AS ov, "
+            "box '(0,0,10,10)' @> box '(2,2,5,5)' AS cont, "
+            "box '(0,0,1,1)' << box '(5,0,6,1)' AS lft, "
+            "box '(0,0,1,1)' <-> box '(4,0,5,1)' AS d",
+        )
+        row = df.collect()[0]
+        assert row["a"] == 6.0 and row["w"] == 2.0 and row["h"] == 3.0
+        assert row["c"] == "(2,3)"
+        assert row["ov"] is True and row["cont"] is True and row["lft"] is True
+        assert row["d"] == 3.0
+
+    def test_box_constructor_normalizes(self, spark):
+        df = pg_sql(spark, "SELECT box(point(0, 5), point(3, 1)) AS b")
+        assert df.collect()[0]["b"] == "(3,5),(0,1)"
+
+
+class TestRejections:
+    def test_path_polygon_rejected(self, spark):
+        with pytest.raises(NotImplementedError, match="geometric type"):
+            pg_sql(spark, "SELECT f1 <@ path '[(0,0),(1,1)]' FROM point_tbl")
+
+    def test_untyped_operands_fail_loudly(self, spark):
+        # no geo marker → the pass leaves <-> alone; the `->` half then
+        # trips the json-op pass — a LOUD error, never a silent wrong answer
+        from greengage_spark.dialect.transpiler import transpile
+
+        with pytest.raises(ValueError):
+            transpile("SELECT a <-> b FROM t")

@@ -1,0 +1,97 @@
+"""SQL/XML publishing functions (xml.c subset; functions/xmlgen.py) —
+battery shapes follow src/test/regress/sql/xml.sql's xmlelement/
+xmlforest/xmlconcat/xmlagg sections."""
+
+import pytest
+
+from greengage_spark.dialect import pg_sql
+
+
+def one(spark, sql):
+    return pg_sql(spark, sql).collect()[0][0]
+
+
+class TestXmlElement:
+    def test_basic_element(self, spark):
+        assert one(spark, "SELECT xmlelement(name a, 'x') AS r") == "<a>x</a>"
+
+    def test_empty_element(self, spark):
+        assert one(spark, "SELECT xmlelement(name a) AS r") == "<a/>"
+        assert one(spark, "SELECT xmlelement(name a, NULL) AS r") == "<a/>"
+
+    def test_attributes(self, spark):
+        assert (
+            one(
+                spark,
+                "SELECT xmlelement(name a, xmlattributes(7 AS id), 'x') AS r",
+            )
+            == '<a id="7">x</a>'
+        )
+        # NULL attribute value drops the attribute (xml.c)
+        assert (
+            one(
+                spark,
+                "SELECT xmlelement(name a, "
+                "xmlattributes(CAST(NULL AS text) AS id)) AS r",
+            )
+            == "<a/>"
+        )
+
+    def test_content_escaping(self, spark):
+        assert (
+            one(spark, "SELECT xmlelement(name a, 'x<&>y') AS r")
+            == "<a>x&lt;&amp;&gt;y</a>"
+        )
+        assert (
+            one(
+                spark,
+                "SELECT xmlelement(name a, xmlattributes('\"q\"' AS t)) AS r",
+            )
+            == '<a t="&quot;q&quot;"/>'
+        )
+
+    def test_nested_elements(self, spark):
+        assert (
+            one(
+                spark,
+                "SELECT xmlelement(name o, xmlelement(name i, 1), "
+                "xmlelement(name i, 2)) AS r",
+            )
+            == "<o><i>1</i><i>2</i></o>"
+        )
+
+
+class TestXmlForestConcatAgg:
+    def test_forest(self, spark):
+        spark.createDataFrame([(1, "x")], "a int, b string").createOrReplaceTempView(
+            "fx"
+        )
+        assert (
+            one(spark, "SELECT xmlforest(a, b AS bee) AS r FROM fx")
+            == "<a>1</a><bee>x</bee>"
+        )
+
+    def test_forest_skips_nulls(self, spark):
+        spark.createDataFrame(
+            [(1, None)], "a int, b string"
+        ).createOrReplaceTempView("fn")
+        assert one(spark, "SELECT xmlforest(a, b) AS r FROM fn") == "<a>1</a>"
+
+    def test_concat_and_comment(self, spark):
+        assert (
+            one(
+                spark,
+                "SELECT xmlconcat(xmlelement(name a), xmlcomment('hi')) AS r",
+            )
+            == "<a/><!--hi-->"
+        )
+
+    def test_xmlagg_ordered(self, spark):
+        spark.createDataFrame(
+            [(2, "b"), (1, "a"), (3, "c")], "k int, v string"
+        ).createOrReplaceTempView("ax")
+        got = one(
+            spark,
+            "SELECT xmlagg(xmlelement(name i, v) ORDER BY k) AS r FROM ax",
+        )
+        assert got == "<i>a</i><i>b</i><i>c</i>"
