@@ -191,6 +191,37 @@ def ivf_topk(
     return two_stage_topk(scored, query_id, corpus_id, k)
 
 
+def normalize_quantize(
+    emb: DataFrame, *, id_col: str, vec_col: str
+) -> DataFrame:
+    """Embedding storage prep: L2 norm + int8 scalar quantization
+    (per-vector min/max affine codes, the standard SQ8 layout ANN stores
+    use — 4× smaller than float32 at ~1% recall cost).
+
+    Everything is a per-row JVM array expression: zero shuffles, stays in
+    codegen at any corpus size.  Quantized codes are summarized (sum /
+    lo / hi) rather than returned raw so the oracle compare is dtype-
+    stable across engines; rounding is floor(x+0.5) — identical in Spark
+    and DuckDB, unlike round()'s half-even/half-up divergence."""
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
+    )
+    vmin, vmax = F.array_min(v), F.array_max(v)
+    scale = F.greatest((vmax - vmin) / 255.0, F.lit(1e-12))
+    q = F.transform(v, lambda x: F.floor((x - vmin) / scale + 0.5) - 128)
+    return emb.select(
+        F.col(id_col),
+        F.size(v).cast("long").alias("dim"),
+        F.round(nrm, 6).alias("l2_norm"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, b: a + b.cast("long")).alias(
+            "q_sum"
+        ),
+        F.array_min(q).cast("long").alias("q_lo"),
+        F.array_max(q).cast("long").alias("q_hi"),
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     *,

@@ -135,6 +135,141 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# A conservative English stopword probe (the Gopher rules' "must contain
+# common English words" check uses a short closed list like this one).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    public filtering heuristics every large-scale text pipeline applies):
+    word count bounds, mean word length, symbol-to-word ratio, bullet /
+    ellipsis line fractions, duplicate-line fraction, stopword presence.
+    All JVM array/regexp expressions — one projection, no shuffle."""
+    t = F.col(text_col)
+    words = tokens(t)
+    n_words = F.size(words)
+    mean_word_len = F.round(
+        F.aggregate(words, F.lit(0), lambda a, x: a + F.length(x))
+        / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    n_symbols = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), 0))
+    symbol_ratio = F.round(n_symbols / F.greatest(n_words, F.lit(1)), 6)
+    lines = F.filter(F.split(t, "\n"), lambda ln: ln != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda ln: ln.rlike(r"^\s*[-*•]")))
+        / n_lines,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda ln: ln.rlike(r"\.\.\.\s*$"))) / n_lines, 6
+    )
+    dup_line_frac = F.round(
+        (F.size(lines) - F.size(F.array_distinct(lines))) / n_lines, 6
+    )
+    lowered = F.transform(words, F.lower)
+    stop_hits = F.size(
+        F.filter(lowered, lambda w: w.isin(GOPHER_STOPWORDS))
+    )
+    passes = (
+        n_words.between(10, 100000)
+        & mean_word_len.between(1.0, 12.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (dup_line_frac <= 0.3)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        dup_line_frac.alias("dup_line_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        passes.alias("gopher_pass"),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Repetition detection (the dup-n-gram family of filters): fraction
+    of duplicated word n-grams, plus the most-frequent-token share.
+
+    The n-gram fraction is a per-row array expression (no shuffle); the
+    top-token share is an explode → two-stage aggregation — the Spark
+    shape that survives any document length (a per-row O(distinct × n)
+    array scan would blow up on adversarially long documents)."""
+    t = F.col(text_col)
+    words = tokens(t)
+    sh = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array())
+    base = df.select(
+        F.col(id_col),
+        F.size(words).alias("n_tokens"),
+        F.round(
+            (F.size(sh) - F.size(F.array_distinct(sh)))
+            / F.greatest(F.size(sh), F.lit(1)),
+            6,
+        ).alias("dup_ngram_frac"),
+    )
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    top = (
+        tok.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("tot"))
+        .select(
+            F.col(id_col),
+            F.round(F.col("top_c") / F.col("tot"), 6).alias("top_token_frac"),
+        )
+    )
+    return base.join(top, id_col, "left").fillna({"top_token_frac": 0.0})
+
+
+# Conservative, engine-portable PII patterns (explicit classes only — no
+# \d/\w shorthand, so Java regex and RE2 agree byte-for-byte).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+    "card": r"[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}",
+    "phone": r"\+?[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}[ -]?[0-9]{0,4}",
+}
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction (training-data hygiene): replace each matched class
+    with a typed placeholder, report per-class counts.  One regexp chain
+    per document — JVM, order fixed (email before phone so the digits in
+    a local-part are not double-claimed)."""
+    t = F.col(text_col)
+    counts = {
+        k: F.size(F.regexp_extract_all(t, F.lit(p), 0)).cast("long")
+        for k, p in PII_PATTERNS.items()
+    }
+    scrubbed = t
+    for k in ("email", "card", "ipv4", "phone"):
+        scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS[k], f"[{k.upper()}]")
+    return df.select(
+        F.col(id_col),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["card"].alias("n_card"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
 def doc_fingerprints(df: DataFrame, id_col: str, text_col: str, window: int = 8) -> DataFrame:
     """Content fingerprints: md5 of the raw text, md5 of the canonical
     token multiset (order-insensitive — catches shuffled near-dups), and

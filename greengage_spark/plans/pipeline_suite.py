@@ -585,3 +585,160 @@ def similarity_ivf_topk(spark, sf_dir):
         e, q, corpus_id="vec_id", corpus_vec="embedding",
         query_id="qid", query_vec="qv", k=5, n_cells=8, n_probe=2,
     )
+
+
+# ===================== QUALITY / REPETITION / PII / VECTORS =====================
+
+@suite.add(
+    "text_gopher_quality",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words,
+             list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+      FROM documents
+    )
+    SELECT doc_id,
+           len(words) AS n_words,
+           ROUND(list_sum(list_transform(words, x -> length(x)))
+                 / greatest(len(words), 1), 6) AS mean_word_len,
+           ROUND(len(regexp_extract_all(text, '#|\.\.\.'))
+                 / greatest(len(words), 1), 6) AS symbol_ratio,
+           ROUND(len(list_filter(lines, ln -> regexp_matches(ln, '^\s*[-*•]')))
+                 / greatest(len(lines), 1), 6) AS bullet_frac,
+           ROUND((len(lines) - len(list_distinct(lines)))
+                 / greatest(len(lines), 1), 6) AS dup_line_frac,
+           CAST(len(list_filter(list_transform(words, x -> lower(x)),
+                w -> w IN ('the','be','to','of','and','that','have','with')))
+                AS BIGINT) AS stop_hits,
+           (len(words) BETWEEN 10 AND 100000
+            AND ROUND(list_sum(list_transform(words, x -> length(x)))
+                      / greatest(len(words), 1), 6) BETWEEN 1.0 AND 12.0
+            AND ROUND(len(regexp_extract_all(text, '#|\.\.\.'))
+                      / greatest(len(words), 1), 6) <= 0.1
+            AND ROUND(len(list_filter(lines, ln -> regexp_matches(ln, '^\s*[-*•]')))
+                      / greatest(len(lines), 1), 6) <= 0.9
+            AND ROUND((len(regexp_extract_all(text, '\.\.\.\s*' || chr(10) || '|\.\.\.\s*$')))
+                      / greatest(len(lines), 1), 6) <= 0.3
+            AND ROUND((len(lines) - len(list_distinct(lines)))
+                      / greatest(len(lines), 1), 6) <= 0.3
+            AND len(list_filter(list_transform(words, x -> lower(x)),
+                    w -> w IN ('the','be','to','of','and','that','have','with'))) >= 2
+           ) AS gopher_pass
+    FROM base
+    """,
+    doc="Gopher-style quality rules (Rae et al. 2021 §A1.1): word-count "
+        "bounds, mean word length, symbol ratio, bullet/duplicate-line "
+        "fractions, stopword presence → pass flag. One JVM projection, "
+        "no shuffle.",
+    tags=("pipeline", "text", "quality"),
+)
+def text_gopher_quality(spark, sf_dir):
+    from greengage_spark.pipeline.text import gopher_quality
+
+    d = cat(spark, sf_dir).table("documents")
+    return gopher_quality(d, "doc_id", "text")
+
+
+@suite.add(
+    "text_repetition_metrics",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN
+               list_transform(generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [] END AS grams,
+             len(w) AS n_tokens
+      FROM base
+    ),
+    tok AS (
+      SELECT doc_id, unnest(w) AS t FROM base
+    ),
+    top AS (
+      SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_token_frac
+      FROM (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens,
+           ROUND((len(grams) - len(list_distinct(grams)))
+                 / greatest(len(grams), 1), 6) AS dup_ngram_frac,
+           COALESCE(top.top_token_frac, 0.0) AS top_token_frac
+    FROM sh s LEFT JOIN top ON top.doc_id = s.doc_id
+    """,
+    doc="Repetition filters (dup-n-gram family): duplicated word-3-gram "
+        "fraction (per-row array expr) + most-frequent-token share "
+        "(explode → 2-stage agg — the shape that survives adversarially "
+        "long documents).",
+    tags=("pipeline", "text", "quality"),
+)
+def text_repetition_metrics(spark, sf_dir):
+    from greengage_spark.pipeline.text import repetition_metrics
+
+    d = cat(spark, sf_dir).table("documents")
+    return repetition_metrics(d, "doc_id", "text")
+
+
+@suite.add(
+    "text_pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+                '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text,
+                '[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}')) AS BIGINT) AS n_card,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                '[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}', '[CARD]', 'g'),
+                '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IPV4]', 'g'),
+                '\+?[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}[ -]?[0-9]{0,4}', '[PHONE]', 'g')
+           ) AS scrubbed_md5
+    FROM documents
+    """,
+    doc="PII redaction (training-data hygiene): email/IPv4/card/phone "
+        "patterns with explicit character classes (Java regex and RE2 "
+        "agree byte-for-byte), typed placeholders, per-class counts; "
+        "one JVM regexp chain per document.",
+    tags=("pipeline", "text", "quality"),
+)
+def text_pii_scrub(spark, sf_dir):
+    from greengage_spark.pipeline.text import pii_scrub
+
+    d = cat(spark, sf_dir).table("documents")
+    return pii_scrub(d, "doc_id", "text")
+
+
+@suite.add(
+    "embedding_normalize_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(e) AS BIGINT) AS dim,
+           ROUND(sqrt(list_sum(list_transform(e, x -> x * x))), 6) AS l2_norm,
+           CAST(list_sum(list_transform(e, x ->
+                floor((x - list_aggregate(e, 'min'))
+                      / greatest((list_aggregate(e, 'max') - list_aggregate(e, 'min')) / 255.0,
+                                 1e-12) + 0.5) - 128)) AS BIGINT) AS q_sum,
+           CAST(-128 AS BIGINT) AS q_lo,
+           CAST(127 AS BIGINT) AS q_hi
+    FROM v
+    """,
+    doc="Embedding storage prep: L2 norm + int8 scalar quantization "
+        "(per-vector affine SQ8 codes, 4x smaller than float32) — "
+        "per-row JVM array expressions, zero shuffles; floor(x+0.5) "
+        "rounding avoids round()'s half-even/half-up divergence.",
+    tags=("pipeline", "similarity"),
+)
+def embedding_normalize_quantize(spark, sf_dir):
+    from greengage_spark.pipeline.similarity import normalize_quantize
+
+    e = cat(spark, sf_dir).table("embeddings")
+    return normalize_quantize(e, id_col="vec_id", vec_col="embedding")

@@ -201,3 +201,64 @@ def test_group_id_duplicate_sets_hand_expected(spark):
     for gid in range(4):
         exp += [("x", 1, gid, 0, 10.0), ("x", 2, gid, 0, 20.0), ("y", 1, gid, 0, 30.0)]
     assert got == sorted(exp, key=str)
+
+
+class TestQualityPipeline:
+    """Gopher rules / repetition / PII / SQ8 quantization (pipeline.text,
+    pipeline.similarity) — the filters a training-data pipeline chains."""
+
+    def test_gopher_quality_flags(self, spark):
+        from greengage_spark.pipeline.text import gopher_quality
+
+        good = "the cat and the dog have been to the house of cards with style"
+        short = "too short"
+        symbols = "# ".join(["the of and to that have be with word"] * 2 + ["#"] * 9)
+        df = spark.createDataFrame(
+            [(1, good), (2, short), (3, symbols)], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r.asDict() for r in gopher_quality(df, "doc_id", "text").collect()}
+        assert got[1]["gopher_pass"] is True
+        assert got[2]["gopher_pass"] is False  # < 10 words
+        assert got[3]["symbol_ratio"] > 0.1 and got[3]["gopher_pass"] is False
+        assert got[1]["stop_hits"] >= 2
+
+    def test_repetition_metrics(self, spark):
+        from greengage_spark.pipeline.text import repetition_metrics
+
+        rep = "spam spam spam spam spam spam"
+        uniq = "one two three four five six"
+        df = spark.createDataFrame(
+            [(1, rep), (2, uniq)], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r.asDict() for r in repetition_metrics(df, "doc_id", "text").collect()}
+        assert got[1]["dup_ngram_frac"] == 0.75  # 4 grams, 1 distinct
+        assert got[1]["top_token_frac"] == 1.0
+        assert got[2]["dup_ngram_frac"] == 0.0
+        assert abs(got[2]["top_token_frac"] - round(1 / 6, 6)) < 1e-9
+
+    def test_pii_scrub(self, spark):
+        from greengage_spark.pipeline.text import pii_scrub
+
+        txt = ("mail bob@example.com or visit 10.0.0.1 and pay with "
+               "4111 1111 1111 1111 thanks")
+        df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+        row = pii_scrub(df, "doc_id", "text").collect()[0]
+        assert row["n_email"] == 1 and row["n_ipv4"] == 1 and row["n_card"] == 1
+        # scrub actually removed the raw values
+        from pyspark.sql import functions as F
+        import hashlib
+        assert row["scrubbed_md5"] != hashlib.md5(txt.encode()).hexdigest()
+
+    def test_normalize_quantize(self, spark):
+        from greengage_spark.pipeline.similarity import normalize_quantize
+
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, [0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        got = {r["vec_id"]: r.asDict() for r in normalize_quantize(
+            df, id_col="vec_id", vec_col="embedding").collect()}
+        assert got[1]["l2_norm"] == 5.0 and got[1]["dim"] == 2
+        assert got[1]["q_lo"] == -128 and got[1]["q_hi"] == 127
+        # constant vector: scale floor kicks in, codes all -128, no div0
+        assert got[2]["l2_norm"] == 0.0 and got[2]["q_lo"] == got[2]["q_hi"] == -128
