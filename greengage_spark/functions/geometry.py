@@ -9,6 +9,12 @@ dispatched at RUNTIME from its numeric arity: 2 numbers = point,
 geo_ops.c implements with pg_type OIDs.  Everything stays inside
 whole-stage codegen; no Python in any geo expression.
 
+Expression-size discipline: each operand's parsed number array is bound
+ONCE as a lambda variable (``transform(array(g), __g -> body)[0]``), so
+composed expressions grow additively, not multiplicatively — naive
+textual substitution repeated each operand ~15× per operator and made
+Catalyst analysis time explode on nested geo calls.
+
 The unified distance kernel treats every shape as a rectangle-with-radius
 (point: degenerate box r=0; circle: degenerate box r=R; box: r=0):
 ``dist = max(0, hypot(gap_x, gap_y) - r_a - r_b)`` where ``gap_*`` are the
@@ -30,9 +36,13 @@ Supported SQL surface (dialect/transpiler _pass_geometry):
 
 from __future__ import annotations
 
+import itertools
+
 # emitted into a SQL literal taken VERBATIM (escapedStringLiterals=true),
 # so a single backslash here is a single backslash in the regex engine
 _NUM_RE = r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?"
+
+_uid = itertools.count()
 
 
 def nums(sql: str) -> str:
@@ -43,35 +53,35 @@ def nums(sql: str) -> str:
     )
 
 
-# Bounds of the rectangle-with-radius view over a parsed number array g:
-# [xmin, xmax, ymin, ymax, r].
+def _bind1(g_sql: str, body_fn) -> str:
+    """Bind one operand's parsed array to a lambda variable, evaluate
+    body once: operand text appears exactly once in the expression."""
+    v = f"__g{next(_uid)}"
+    return f"transform(array(({nums(g_sql)})), {v} -> ({body_fn(v)}))[0]"
+
+
+def _bind2(a_sql: str, b_sql: str, body_fn) -> str:
+    va, vb = f"__ga{next(_uid)}", f"__gb{next(_uid)}"
+    return (
+        f"transform(array(({nums(a_sql)})), {va} -> "
+        f"transform(array(({nums(b_sql)})), {vb} -> ({body_fn(va, vb)}))[0])[0]"
+    )
+
+
+# Bounds of the rectangle-with-radius view over a bound number array g:
+# xmin, xmax, ymin, ymax, r.
 def _bounds(g: str) -> dict[str, str]:
     return {
-        "xmin": (
-            f"CASE size({g}) WHEN 4 THEN least({g}[0], {g}[2]) "
-            f"ELSE {g}[0] END"
-        ),
-        "xmax": (
-            f"CASE size({g}) WHEN 4 THEN greatest({g}[0], {g}[2]) "
-            f"ELSE {g}[0] END"
-        ),
-        "ymin": (
-            f"CASE size({g}) WHEN 4 THEN least({g}[1], {g}[3]) "
-            f"ELSE {g}[1] END"
-        ),
-        "ymax": (
-            f"CASE size({g}) WHEN 4 THEN greatest({g}[1], {g}[3]) "
-            f"ELSE {g}[1] END"
-        ),
+        "xmin": f"CASE size({g}) WHEN 4 THEN least({g}[0], {g}[2]) ELSE {g}[0] END",
+        "xmax": f"CASE size({g}) WHEN 4 THEN greatest({g}[0], {g}[2]) ELSE {g}[0] END",
+        "ymin": f"CASE size({g}) WHEN 4 THEN least({g}[1], {g}[3]) ELSE {g}[1] END",
+        "ymax": f"CASE size({g}) WHEN 4 THEN greatest({g}[1], {g}[3]) ELSE {g}[1] END",
         "r": f"CASE size({g}) WHEN 3 THEN {g}[2] ELSE 0.0d END",
     }
 
 
 def _with_pair(a_sql: str, b_sql: str, body_fn) -> str:
-    """Bind both operands' parsed arrays once via a 2-row-free lateral
-    trick: plain textual substitution — codegen CSE dedups repeats."""
-    ga, gb = nums(a_sql), nums(b_sql)
-    return body_fn(_bounds(f"({ga})"), _bounds(f"({gb})"))
+    return _bind2(a_sql, b_sql, lambda va, vb: body_fn(_bounds(va), _bounds(vb)))
 
 
 def distance(a_sql: str, b_sql: str) -> str:
@@ -132,24 +142,32 @@ def strictly_right(a_sql: str, b_sql: str) -> str:
 
 
 def below(a_sql: str, b_sql: str) -> str:
-    """a <^ b — below, touching allowed (geo_ops.c point_below)."""
+    """a <^ b — below.  STRICT for point pairs (geo_ops.c point_below:
+    y <), touching allowed for boxes (box_below_eq; point.out:59-64 —
+    only (-5,-12) is below (0,0))."""
 
     def body(A, B):
-        return f"({A['ymax']} + {A['r']} <= {B['ymin']} - {B['r']})"
+        strict = f"({A['ymax']} < {B['ymin']})"
+        touch = f"({A['ymax']} + {A['r']} <= {B['ymin']} - {B['r']})"
+        point_pair = f"({A['r']} = 0.0d AND {B['r']} = 0.0d AND {A['xmin']} = {A['xmax']} AND {B['xmin']} = {B['xmax']})"
+        return f"(CASE WHEN {point_pair} THEN {strict} ELSE {touch} END)"
 
     return _with_pair(a_sql, b_sql, body)
 
 
 def above(a_sql: str, b_sql: str) -> str:
     def body(A, B):
-        return f"({A['ymin']} - {A['r']} >= {B['ymax']} + {B['r']})"
+        strict = f"({A['ymin']} > {B['ymax']})"
+        touch = f"({A['ymin']} - {A['r']} >= {B['ymax']} + {B['r']})"
+        point_pair = f"({A['r']} = 0.0d AND {B['r']} = 0.0d AND {A['xmin']} = {A['xmax']} AND {B['xmin']} = {B['xmax']})"
+        return f"(CASE WHEN {point_pair} THEN {strict} ELSE {touch} END)"
 
     return _with_pair(a_sql, b_sql, body)
 
 
 def same_as(a_sql: str, b_sql: str) -> str:
     """a ~= b: numerically identical coordinate lists."""
-    return f"({nums(a_sql)} = {nums(b_sql)})"
+    return _bind2(a_sql, b_sql, lambda va, vb: f"{va} = {vb}")
 
 
 def _fmt(x: str) -> str:
@@ -160,63 +178,72 @@ def _fmt(x: str) -> str:
     )
 
 
-def point_text(x_sql: str, y_sql: str) -> str:
-    return f"concat('(', {_fmt(x_sql)}, ',', {_fmt(y_sql)}, ')')"
+def _point_text(x: str, y: str) -> str:
+    return f"concat('(', {_fmt(x)}, ',', {_fmt(y)}, ')')"
 
 
 def center(g_sql: str) -> str:
-    g = f"({nums(g_sql)})"
-    cx = f"(CASE size({g}) WHEN 4 THEN ({g}[0]+{g}[2])/2 ELSE {g}[0] END)"
-    cy = f"(CASE size({g}) WHEN 4 THEN ({g}[1]+{g}[3])/2 ELSE {g}[1] END)"
-    return point_text(cx, cy)
+    def body(g):
+        cx = f"(CASE size({g}) WHEN 4 THEN ({g}[0]+{g}[2])/2 ELSE {g}[0] END)"
+        cy = f"(CASE size({g}) WHEN 4 THEN ({g}[1]+{g}[3])/2 ELSE {g}[1] END)"
+        return _point_text(cx, cy)
+
+    return _bind1(g_sql, body)
 
 
 def radius(g_sql: str) -> str:
-    g = f"({nums(g_sql)})"
-    return f"(CASE size({g}) WHEN 3 THEN {g}[2] ELSE 0.0d END)"
+    return _bind1(
+        g_sql, lambda g: f"CASE size({g}) WHEN 3 THEN {g}[2] ELSE 0.0d END"
+    )
 
 
 def diameter(g_sql: str) -> str:
-    return f"(2.0d * {radius(g_sql)})"
+    return _bind1(
+        g_sql, lambda g: f"2.0d * (CASE size({g}) WHEN 3 THEN {g}[2] ELSE 0.0d END)"
+    )
 
 
 def area(g_sql: str) -> str:
-    g = f"({nums(g_sql)})"
-    return (
-        f"(CASE size({g}) WHEN 3 THEN pi() * power({g}[2], 2) "
-        f"WHEN 4 THEN abs({g}[2] - {g}[0]) * abs({g}[3] - {g}[1]) "
-        f"ELSE 0.0d END)"
+    return _bind1(
+        g_sql,
+        lambda g: (
+            f"CASE size({g}) WHEN 3 THEN pi() * power({g}[2], 2) "
+            f"WHEN 4 THEN abs({g}[2] - {g}[0]) * abs({g}[3] - {g}[1]) "
+            f"ELSE 0.0d END"
+        ),
     )
 
 
 def width(g_sql: str) -> str:
-    g = f"({nums(g_sql)})"
-    return f"abs({g}[2] - {g}[0])"
+    return _bind1(g_sql, lambda g: f"abs({g}[2] - {g}[0])")
 
 
 def height(g_sql: str) -> str:
-    g = f"({nums(g_sql)})"
-    return f"abs({g}[3] - {g}[1])"
+    return _bind1(g_sql, lambda g: f"abs({g}[3] - {g}[1])")
 
 
 def make_point(x_sql: str, y_sql: str) -> str:
-    return point_text(f"cast(({x_sql}) as double)", f"cast(({y_sql}) as double)")
+    return _point_text(f"cast(({x_sql}) as double)", f"cast(({y_sql}) as double)")
 
 
 def make_circle(p_sql: str, r_sql: str) -> str:
-    g = f"({nums(p_sql)})"
-    return (
-        f"concat('<(', {_fmt(f'{g}[0]')}, ',', {_fmt(f'{g}[1]')}, '),', "
-        f"{_fmt(f'cast(({r_sql}) as double)')}, '>')"
-    )
+    def body(g):
+        return (
+            f"concat('<(', {_fmt(f'{g}[0]')}, ',', {_fmt(f'{g}[1]')}, '),', "
+            f"{_fmt(f'cast(({r_sql}) as double)')}, '>')"
+        )
+
+    return _bind1(p_sql, body)
 
 
 def make_box(p1_sql: str, p2_sql: str) -> str:
-    a, b = f"({nums(p1_sql)})", f"({nums(p2_sql)})"
-    # normalize to (upper-right),(lower-left) like box_construct/box_fill
-    return (
-        f"concat('(', {_fmt(f'greatest({a}[0], {b}[0])')}, ',', "
-        f"{_fmt(f'greatest({a}[1], {b}[1])')}, '),(', "
-        f"{_fmt(f'least({a}[0], {b}[0])')}, ',', "
-        f"{_fmt(f'least({a}[1], {b}[1])')}, ')')"
-    )
+    def body(a, b):
+        # normalize to (upper-right),(lower-left) like box_construct/box_fill
+        return (
+            f"concat('(', {_fmt(f'greatest({a}[0], {b}[0])')}, ',', "
+            f"{_fmt(f'greatest({a}[1], {b}[1])')}, '),(', "
+            f"{_fmt(f'least({a}[0], {b}[0])')}, ',', "
+            f"{_fmt(f'least({a}[1], {b}[1])')}, ')')"
+        )
+
+    return _bind2(p1_sql, p2_sql, body)

@@ -35,12 +35,13 @@ class TestPointOps:
         assert vals(df) == ["(-10,0)", "(-3,4)", "(-5,-12)"]
 
     def test_below_above(self, point_tbl):
+        # strict for point pairs (geo_ops.c point_below; point.out:52-64)
         below = pg_sql(point_tbl,
                        "SELECT f1 FROM point_tbl WHERE f1 <^ point '(0.0,0.0)'")
-        assert vals(below) == ["(-10,0)", "(-5,-12)", "(0,0)"]
+        assert vals(below) == ["(-5,-12)"]
         above = pg_sql(point_tbl,
                        "SELECT f1 FROM point_tbl WHERE point '(0.0,0.0)' >^ f1")
-        assert vals(above) == ["(-10,0)", "(-5,-12)", "(0,0)"]
+        assert vals(above) == ["(-5,-12)"]
 
     def test_same_as(self, point_tbl):
         df = pg_sql(point_tbl,
@@ -147,3 +148,132 @@ class TestRejections:
 
         with pytest.raises(ValueError):
             transpile("SELECT a <-> b FROM t")
+
+
+def _coords(s):
+    import re as _re
+
+    return tuple(float(x) for x in _re.findall(r"[-+]?[0-9]*\.?[0-9]+", s))
+
+
+class TestPointSqlParity:
+    """point.sql / point.out verbatim battery (rows compared by parsed
+    coordinates — our geo text keeps the input spelling; PG normalizes
+    '10.0,10.0' to '(10,10)').  Typed literals stand in for the column
+    type PG's operator resolution sees."""
+
+    ROWS = ["(0.0,0.0)", "(-10.0,0.0)", "(-3.0,4.0)", "(5.1, 34.5)",
+            "(-5.0,-12.0)", "10.0,10.0"]
+
+    @pytest.fixture()
+    def ptbl(self, spark):
+        spark.createDataFrame(
+            [(p,) for p in self.ROWS], "f1 string"
+        ).createOrReplaceTempView("point_tbl")
+        return spark
+
+    def q(self, spark, sql):
+        return {_coords(r["f1"]) for r in pg_sql(spark, sql).collect()}
+
+    def test_left_right(self, ptbl):
+        # point.out:36-50
+        expect = {(-10.0, 0.0), (-3.0, 4.0), (-5.0, -12.0)}
+        assert self.q(
+            ptbl, "SELECT f1 FROM point_tbl WHERE f1 << point '(0.0, 0.0)'"
+        ) == expect
+        assert self.q(
+            ptbl, "SELECT f1 FROM point_tbl WHERE point '(0.0,0.0)' >> f1"
+        ) == expect
+
+    def test_above_below_strict(self, ptbl):
+        # point.out:52-64 — exactly ONE row each (strict point compare)
+        assert self.q(
+            ptbl, "SELECT f1 FROM point_tbl WHERE point '(0.0,0.0)' >^ f1"
+        ) == {(-5.0, -12.0)}
+        assert self.q(
+            ptbl, "SELECT f1 FROM point_tbl WHERE f1 <^ point '(0.0, 0.0)'"
+        ) == {(-5.0, -12.0)}
+
+    def test_same_as(self, ptbl):
+        assert self.q(
+            ptbl, "SELECT f1 FROM point_tbl WHERE f1 ~= point '(5.1, 34.5)'"
+        ) == {(5.1, 34.5)}
+
+    def test_point_in_box_three_ways(self, ptbl):
+        inside = {(0.0, 0.0), (5.1, 34.5), (10.0, 10.0)}
+        outside = {(-10.0, 0.0), (-3.0, 4.0), (-5.0, -12.0)}
+        assert self.q(
+            ptbl, "SELECT f1 FROM point_tbl WHERE f1 <@ box '(0,0,100,100)'"
+        ) == inside
+        assert self.q(
+            ptbl, "SELECT f1 FROM point_tbl WHERE box '(0,0,100,100)' @> f1"
+        ) == inside
+        assert self.q(
+            ptbl,
+            "SELECT f1 FROM point_tbl WHERE not (f1 <@ box '(0,0,100,100)')",
+        ) == outside
+
+    def test_distance_battery(self, ptbl):
+        # point.out:118-130 six distances from the origin
+        rows = pg_sql(
+            ptbl,
+            "SELECT f1, f1 <-> point '(0,0)' AS dist FROM point_tbl ORDER BY dist",
+        ).collect()
+        got = [round(r["dist"], 10) for r in rows]
+        assert got == [0.0, 5.0, 10.0, 13.0,
+                       round(14.142135623731, 10), round(34.8749193547455, 10)]
+
+    def test_cross_distance_gt3_is_thirty(self, ptbl):
+        # point.out:175+: 36 pairs minus 6 self-pairs (dist 0) = 30
+        # center(p) of a point IS the point — the geo marker a bare
+        # column pair lacks (a textual front-end cannot see column types)
+        n = pg_sql(
+            ptbl,
+            "SELECT p1.f1 AS a, p2.f1 AS b FROM point_tbl p1, point_tbl p2 "
+            "WHERE (p1.f1 <-> center(p2.f1)) > 3",
+        ).count()
+        assert n == 30
+
+
+class TestCircleSqlParity:
+    """circle.sql / circle.out battery over the 6 valid circle spellings
+    ('<(x,y),r>', 'x,y,r', '((x,y),r)' all parse by number order)."""
+
+    ROWS = ["<(5,1),3>", "<(1,2),100>", "1,3,5", "((1,2),3)",
+            "<(100,200),10>", "<(100,1),115>"]
+
+    @pytest.fixture()
+    def ctbl(self, spark):
+        spark.createDataFrame(
+            [(c,) for c in self.ROWS], "f1 string"
+        ).createOrReplaceTempView("circle_tbl")
+        return spark
+
+    def test_radius_diameter(self, ctbl):
+        rows = pg_sql(
+            ctbl, "SELECT radius(f1) AS r, diameter(f1) AS d FROM circle_tbl"
+        ).collect()
+        assert sorted(r["r"] for r in rows) == [3.0, 3.0, 5.0, 10.0, 100.0, 115.0]
+        assert sorted(r["d"] for r in rows) == [6.0, 6.0, 10.0, 20.0, 200.0, 230.0]
+
+    def test_radius_filters(self, ctbl):
+        assert pg_sql(
+            ctbl, "SELECT f1 FROM circle_tbl WHERE radius(f1) < 5"
+        ).count() == 2
+        assert pg_sql(
+            ctbl, "SELECT f1 FROM circle_tbl WHERE diameter(f1) >= 10"
+        ).count() == 4
+
+    def test_circle_distances(self, ctbl):
+        # circle.out:85-96 — the five positive pairwise distances
+        # circle(center, radius) rebuilds the circle WITH a geo marker
+        rows = pg_sql(
+            ctbl,
+            "SELECT (c1.f1 <-> circle(center(c2.f1), radius(c2.f1))) AS d "
+            "FROM circle_tbl c1, circle_tbl c2 "
+            "WHERE (c1.f1 <-> circle(center(c2.f1), radius(c2.f1))) > 0 ORDER BY d",
+        ).collect()
+        got = sorted({round(r["d"], 10) for r in rows})
+        assert got == [74.0, round(111.370729772479, 10),
+                       round(205.476756144497, 10), round(207.51303816328, 10),
+                       round(208.370729772479, 10)]
