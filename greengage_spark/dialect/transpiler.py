@@ -1264,7 +1264,10 @@ def _pass_date_input_literals(toks: list[str]) -> list[str]:
 
 _GEO_TYPES = {"point", "box", "circle"}
 _GEO_UNSUPPORTED = {"lseg", "path", "polygon", "line"}
-_GEO_FUNCS = {"center", "radius", "diameter", "area", "width", "height"}
+# `geo(x)` is the identity MARKER the engine wraps around columns it
+# KNOWS are geo-typed from the DDL catalog (a textual pass cannot see
+# column types; the engine can) — recognized here, stripped on emit.
+_GEO_FUNCS = {"center", "radius", "diameter", "area", "width", "height", "geo"}
 _GEO_CTORS = {"point": 2, "circle": 2, "box": 2}
 # operator spellings after the lexer: <-> splits to <,-> etc.; <<,>> are
 # single tokens already
@@ -1359,6 +1362,8 @@ def _geo_call(fn: str, inner_toks: list[str]) -> str:
         else:
             args[-1].append(t)
     sqls = [_geo_strip(a) for a in args if a]
+    if fn == "geo":
+        return f"({sqls[0]})"  # identity marker: strip on emit
     if fn in _GEO_FUNCS:
         return getattr(geo, fn)(sqls[0])
     if fn == "point":

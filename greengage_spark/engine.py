@@ -223,7 +223,7 @@ class GreengageEngine:
             return self._explain(stmt)
         if head in ("select", "with", "values", "table"):
             self._register_all()
-            return pg_sql(self.spark, stmt)
+            return pg_sql(self.spark, self._mark_geo_columns(stmt))
         raise NotImplementedError(
             f"statement kind {head!r} not routed; use the DataFrame API "
             f"(greengage_spark.operators / sources) directly"
@@ -558,6 +558,56 @@ class GreengageEngine:
         )
 
     # ---------------- helpers ----------------
+
+    def _geo_column_names(self) -> set:
+        """Column names the DDL catalog declares as geometric types.
+
+        The dialect layer is textual and cannot see column types; the
+        engine CAN — wrapping each such column reference in the identity
+        marker ``geo(...)`` lets the reference's verbatim geo queries
+        (``WHERE p.f1 << '(0,0)'``, point.sql) route through
+        _pass_geometry exactly as PG's operator resolution would."""
+        names = set()
+        for td in self.ddl.tables.values():
+            for c in td.columns:
+                if c.pg_type.lower() in ("point", "box", "circle"):
+                    names.add(c.name.lower())
+        return names
+
+    def _mark_geo_columns(self, stmt: str) -> str:
+        geo_cols = self._geo_column_names()
+        if not geo_cols:
+            return stmt
+        from greengage_spark.dialect.transpiler import (
+            _is_ident,
+            _join_tokens,
+            tokenize,
+        )
+
+        toks = tokenize(stmt)
+        out: list[str] = []
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if (
+                _is_ident(t)
+                and t.lower() in geo_cols
+                and (i + 1 >= len(toks) or toks[i + 1] != "(")
+                # not an alias definition (AS f1) or qualifier head (f1.x)
+                and not (out and _is_ident(out[-1]) and out[-1].lower() == "as")
+                and not (i + 1 < len(toks) and toks[i + 1] == ".")
+            ):
+                if out and out[-1] == "." and len(out) >= 2 and _is_ident(out[-2]):
+                    qual = out[-2]
+                    out = out[:-2]
+                    out += ["geo", "(", qual, ".", t, ")"]
+                else:
+                    out += ["geo", "(", t, ")"]
+                i += 1
+                continue
+            out.append(t)
+            i += 1
+        return _join_tokens(out)
 
     def _create_external_table(self, stmt: str):
         from greengage_spark.sources.external import parse_create_external

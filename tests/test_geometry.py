@@ -277,3 +277,66 @@ class TestCircleSqlParity:
         assert got == [74.0, round(111.370729772479, 10),
                        round(205.476756144497, 10), round(207.51303816328, 10),
                        round(208.370729772479, 10)]
+
+
+class TestEnginePointSqlVerbatim:
+    """point.sql VERBATIM through the engine: CREATE TABLE (f1 point) +
+    untyped-literal operator queries — the engine knows f1's type from
+    the DDL catalog and wraps it in the geo() marker, so the reference
+    script runs unmodified (operator resolution PG does with pg_type,
+    we do with the catalog)."""
+
+    @pytest.fixture()
+    def eng(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        e = GreengageEngine(spark, str(tmp_path / "wh"))
+        e.execute("CREATE TABLE POINT_TBL(f1 point)")
+        for lit in ["(0.0,0.0)", "(-10.0,0.0)", "(-3.0,4.0)",
+                    "(5.1, 34.5)", "(-5.0,-12.0)", "10.0,10.0"]:
+            e.execute(f"INSERT INTO POINT_TBL(f1) VALUES ('{lit}')")
+        return e
+
+    def c(self, eng, sql):
+        return {_coords(r["f1"]) for r in eng.execute(sql).collect()}
+
+    def test_verbatim_operator_queries(self, eng):
+        # point.sql:29-56 verbatim (six queries, untyped string literals)
+        assert self.c(
+            eng, "SELECT p.f1 FROM POINT_TBL p WHERE p.f1 << '(0.0, 0.0)'"
+        ) == {(-10.0, 0.0), (-3.0, 4.0), (-5.0, -12.0)}
+        assert self.c(
+            eng, "SELECT p.f1 FROM POINT_TBL p WHERE '(0.0,0.0)' >> p.f1"
+        ) == {(-10.0, 0.0), (-3.0, 4.0), (-5.0, -12.0)}
+        assert self.c(
+            eng, "SELECT p.f1 FROM POINT_TBL p WHERE '(0.0,0.0)' >^ p.f1"
+        ) == {(-5.0, -12.0)}
+        assert self.c(
+            eng, "SELECT p.f1 FROM POINT_TBL p WHERE p.f1 <^ '(0.0, 0.0)'"
+        ) == {(-5.0, -12.0)}
+        assert self.c(
+            eng, "SELECT p.f1 FROM POINT_TBL p WHERE p.f1 ~= '(5.1, 34.5)'"
+        ) == {(5.1, 34.5)}
+        assert self.c(
+            eng,
+            "SELECT p.f1 FROM POINT_TBL p WHERE p.f1 <@ box '(0,0,100,100)'",
+        ) == {(0.0, 0.0), (5.1, 34.5), (10.0, 10.0)}
+
+    def test_verbatim_distance_query(self, eng):
+        rows = eng.execute(
+            "SELECT p.f1, p.f1 <-> point '(0,0)' AS dist "
+            "FROM POINT_TBL p ORDER BY dist"
+        ).collect()
+        assert [round(r["dist"], 10) for r in rows] == [
+            0.0, 5.0, 10.0, 13.0,
+            round(14.142135623731, 10), round(34.8749193547455, 10),
+        ]
+
+    def test_column_column_distance(self, eng):
+        # p1.f1 <-> p2.f1 — BOTH operands bare columns (the case a
+        # textual-only front-end cannot route at all)
+        n = eng.execute(
+            "SELECT p1.f1 AS a, p2.f1 AS b FROM POINT_TBL p1, POINT_TBL p2 "
+            "WHERE (p1.f1 <-> p2.f1) > 3"
+        ).count()
+        assert n == 30
