@@ -223,6 +223,25 @@ class GreengageEngine:
             return self._explain(stmt)
         if head in ("select", "with", "values", "table"):
             self._register_all()
+            if re.search(
+                r"(?is)\b(pg_tables|pg_views|pg_indexes|pg_matviews|"
+                r"pg_catalog|information_schema)\b",
+                stmt,
+            ):
+                from greengage_spark.operators.introspection import (
+                    register_introspection_views,
+                )
+
+                register_introspection_views(self)
+                # Spark temp views cannot be schema-qualified: pg_catalog.
+                # drops (its members are plain views), information_schema.X
+                # maps to the __information_schema_X views.
+                stmt = re.sub(r"(?is)\bpg_catalog\s*\.\s*", "", stmt)
+                stmt = re.sub(
+                    r"(?is)\binformation_schema\s*\.\s*(\w+)",
+                    r"__information_schema_\1",
+                    stmt,
+                )
             return pg_sql(self.spark, self._mark_geo_columns(stmt))
         raise NotImplementedError(
             f"statement kind {head!r} not routed; use the DataFrame API "

@@ -1,0 +1,96 @@
+"""Catalog introspection views: pg_catalog + information_schema subset.
+
+Reference surface: system catalogs every ported application and tool
+touches — psql's ``\\d`` family expands to pg_catalog queries
+(src/bin/psql/describe.c), ORMs and migration tools read
+``information_schema.tables`` / ``columns``.  The engine materializes
+them as small session DataFrames derived from its own DDL catalog:
+
+* ``pg_tables``    (schemaname, tablename, tableowner, hasindexes)
+* ``pg_views``     (schemaname, viewname, definition)
+* ``pg_indexes``   (schemaname, tablename, indexname, indexdef)
+* ``pg_matviews``  (empty — no materialized views)
+* ``information_schema.tables``  / ``information_schema.columns``
+  (rewritten to ``__information_schema_tables`` / ``_columns`` views,
+  since Spark temp views cannot be schema-qualified; the dialect layer
+  strips ``pg_catalog.`` and maps ``information_schema.X`` the same way)
+
+These are driver-built rows over catalog METADATA (dozens of rows, not
+data) — rebuilding them per statement is O(tables) and irrelevant at any
+data scale.
+"""
+
+from __future__ import annotations
+
+
+def register_introspection_views(engine) -> None:
+    spark = engine.spark
+    tables = engine.ddl.tables
+
+    pg_tables = [
+        (
+            "public",
+            name,
+            "gpadmin",
+            any(ix.table == name for ix in engine.indexes.values()),
+        )
+        for name in sorted(tables)
+    ]
+    spark.createDataFrame(
+        pg_tables,
+        "schemaname string, tablename string, tableowner string, hasindexes boolean",
+    ).createOrReplaceTempView("pg_tables")
+
+    pg_views = [
+        ("public", name, defn) for name, defn in sorted(engine.views.items())
+    ]
+    spark.createDataFrame(
+        pg_views,
+        "schemaname string, viewname string, definition string",
+    ).createOrReplaceTempView("pg_views")
+
+    pg_indexes = [
+        (
+            "public",
+            ix.table,
+            ix.name,
+            f"CREATE {'UNIQUE ' if ix.unique else ''}INDEX {ix.name} "
+            f"ON {ix.table} USING {ix.method} ({', '.join(ix.keys)})",
+        )
+        for ix in sorted(engine.indexes.values(), key=lambda i: i.name)
+    ]
+    spark.createDataFrame(
+        pg_indexes,
+        "schemaname string, tablename string, indexname string, indexdef string",
+    ).createOrReplaceTempView("pg_indexes")
+
+    info_tables = [
+        ("spark", "public", name, "BASE TABLE") for name in sorted(tables)
+    ] + [
+        ("spark", "public", name, "VIEW") for name in sorted(engine.views)
+    ]
+    spark.createDataFrame(
+        info_tables,
+        "table_catalog string, table_schema string, table_name string, table_type string",
+    ).createOrReplaceTempView("__information_schema_tables")
+
+    info_columns = [
+        (
+            "spark",
+            "public",
+            name,
+            c.name,
+            i + 1,
+            c.pg_type.lower(),
+            "NO" if c.not_null else "YES",
+            c.default,
+        )
+        for name, td in sorted(tables.items())
+        for i, c in enumerate(td.columns)
+    ]
+    spark.createDataFrame(
+        info_columns,
+        "table_catalog string, table_schema string, table_name string, "
+        "column_name string, ordinal_position int, data_type string, "
+        "is_nullable string, column_default string",
+    ).createOrReplaceTempView("__information_schema_columns")

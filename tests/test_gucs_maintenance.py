@@ -173,3 +173,47 @@ class TestVacuumAnalyze:
         eng.execute("ANALYZE")
         assert eng.stats["t1"].row_count == 1
         assert eng.stats["t2"].row_count == 2
+
+
+class TestIntrospection:
+    """pg_catalog / information_schema views (describe.c's \\d targets;
+    the surface ORMs and migration tools read)."""
+
+    def test_pg_tables_and_indexes(self, eng):
+        eng.execute("CREATE TABLE t1 (a int8, b text)")
+        eng.execute("CREATE TABLE t2 (x int4)")
+        eng.execute("CREATE UNIQUE INDEX t1_a_idx ON t1 (a)")
+        got = rows(eng.execute(
+            "SELECT tablename, hasindexes FROM pg_tables ORDER BY tablename"
+        ))
+        assert got == [("t1", True), ("t2", False)]
+        idx = rows(eng.execute(
+            "SELECT indexname, tablename, indexdef FROM pg_catalog.pg_indexes"
+        ))
+        assert idx == [(
+            "t1_a_idx", "t1",
+            "CREATE UNIQUE INDEX t1_a_idx ON t1 USING btree (a)",
+        )]
+
+    def test_information_schema_columns(self, eng):
+        eng.execute("CREATE TABLE t3 (a int8 NOT NULL, b text DEFAULT 'x')")
+        got = rows(eng.execute(
+            "SELECT column_name, ordinal_position, data_type, is_nullable "
+            "FROM information_schema.columns WHERE table_name = 't3' "
+            "ORDER BY ordinal_position"
+        ))
+        assert got == [("a", 1, "int8", "NO"), ("b", 2, "text", "YES")]
+
+    def test_information_schema_tables_with_views(self, eng):
+        eng.execute("CREATE TABLE base_t (a int8)")
+        eng.execute("CREATE VIEW v_t AS SELECT a FROM base_t")
+        got = rows(eng.execute(
+            "SELECT table_name, table_type FROM information_schema.tables"
+        ))
+        assert ("base_t", "BASE TABLE") in got and ("v_t", "VIEW") in got
+
+    def test_pg_views_definition(self, eng):
+        eng.execute("CREATE TABLE src_v (a int8)")
+        eng.execute("CREATE VIEW vv AS SELECT a * 2 AS a2 FROM src_v")
+        got = rows(eng.execute("SELECT viewname, definition FROM pg_views"))
+        assert got[0][0] == "vv" and "a * 2" in got[0][1]
