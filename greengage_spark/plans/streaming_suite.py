@@ -124,3 +124,53 @@ def stream_dedup_semantics(spark, sf_dir):
     ev = cat(spark, sf_dir).table("events")
     # deterministic batch equivalent of keep-first dedup
     return ev.groupBy("user_id", "event_type").agg(F.min("ts").alias("first_ts"))
+
+
+@suite.add(
+    "stream_interval_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS click_id,
+           b.event_id AS r_event_id,
+           CAST(floor(epoch(b.ts) - epoch(a.ts)) AS BIGINT) AS lag_s
+    FROM events a JOIN events b
+      ON b.user_id = a.user_id
+     AND b.ts >= a.ts + INTERVAL 1 SECOND
+     AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+    doc="Stream-stream interval join (watermarked event-time bound): "
+        "click→purchase attribution within 30 min per user. State is "
+        "O(window × rate) under readStream — the canonical stream-stream "
+        "join shape; batch execution is the oracle (identical results by "
+        "construction).",
+    tags=("streaming", "join"),
+)
+def stream_interval_join(spark, sf_dir):
+    from greengage_spark.streaming.joins import interval_join
+
+    ev = cat(spark, sf_dir).table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id"), "ts"
+    )
+    j = interval_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lower="1 seconds",
+        upper="30 minutes",
+    )
+    return j.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("r_event_id"),
+        F.floor(
+            F.col("r_ts").cast("timestamp").cast("double")
+            - F.col("ts").cast("timestamp").cast("double")
+        ).alias("lag_s"),
+    )

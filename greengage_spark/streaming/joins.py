@@ -1,0 +1,59 @@
+"""Stream-stream joins (Structured Streaming's watermarked interval join).
+
+The reference has no streaming engine; this is part of the net-new
+streaming surface (SURVEY §2.10).  An interval join — rows from two
+streams matching on a key with their event times within a bound — is THE
+canonical stream-stream join: Spark keeps each side's state only until
+the watermark passes the interval bound, so state is O(window × rate),
+not O(stream).
+
+The same builder works in batch (the correctness oracle) and under
+``readStream`` (tests/test_streaming_live.py runs it live with
+availableNow) — identical results by construction, which is exactly the
+Structured Streaming contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """left ⋈ right on keys AND right_ts ∈ [left_ts + lower, left_ts + upper].
+
+    With ``watermark`` set and streaming inputs, both sides get event-time
+    watermarks — the condition Spark needs to bound join state and emit
+    eagerly.  Prefix the right side's non-key columns with ``r_`` so the
+    joined schema is stable either way.
+    """
+    lw = left
+    rw = right
+    if watermark is not None:
+        lw = lw.withWatermark(left_ts, watermark)
+        rw = rw.withWatermark(right_ts, watermark)
+    renames = {
+        c: f"r_{c}" for c in rw.columns if c not in keys
+    }
+    for old, new in renames.items():
+        rw = rw.withColumnRenamed(old, new)
+    r_ts = renames.get(right_ts, right_ts)
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (lw[k] == rw[k])
+    cond = (
+        cond
+        & (F.col(r_ts) >= F.col(left_ts) + F.expr(f"INTERVAL {lower}"))
+        & (F.col(r_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, "inner").drop(*[rw[k] for k in keys])

@@ -158,3 +158,32 @@ class TestLateData:
         # (value 5.0) contributed nothing and produced no second row
         assert len(w0) == 1
         assert w0[0].n == 1 and w0[0].total == 1.0
+
+
+class TestLiveIntervalJoin:
+    def test_stream_stream_interval_join_matches_batch(self, spark, stream_dir):
+        """Watermarked stream-stream interval join under a REAL
+        readStream (both sides streaming) equals the batch run — the
+        Structured Streaming contract streaming/joins.py promises."""
+        from greengage_spark.streaming.joins import interval_join
+
+        def build(left, right):
+            return interval_join(
+                left.select("user_id", "event_id", "ts"),
+                right.select("user_id", "event_id", "ts"),
+                keys=["user_id"],
+                left_ts="ts",
+                right_ts="ts",
+                lower="1 seconds",
+                upper="2 minutes",
+                watermark="10 minutes",
+            ).select("user_id", "event_id", "r_event_id")
+
+        s = read_stream(spark, stream_dir)
+        live = build(s, s)
+        got = sorted(map(tuple, run_stream(live, "append")))
+        batch_df = spark.read.schema(SCHEMA).option(
+            "recursiveFileLookup", "true"
+        ).parquet(stream_dir)
+        expect = sorted(map(tuple, build(batch_df, batch_df).collect()))
+        assert got == expect and len(got) > 0
