@@ -1637,6 +1637,176 @@ def _pass_typed_literals(toks: list[str]) -> list[str]:
     return out
 
 
+def _similar_to_regex(pat: str, esc: str) -> str:
+    """SQL SIMILAR TO pattern → POSIX/Java regex (regexp.c similar_escape).
+
+    ``%``→``.*``, ``_``→``.``; regex metas shared with SIMILAR TO
+    (``| * + ? { } ( ) [ ]``) pass through; regex-only metas
+    (``. ^ $ \\``) are escaped; escape-char + c is literal c; bracket
+    expressions pass through verbatim.  Wrapped ``^(?:…)$`` like PG.
+    """
+    out: list[str] = []
+    i = 0
+    n = len(pat)
+    while i < n:
+        c = pat[i]
+        if esc and c == esc:
+            if i + 1 < n:
+                out.append(re.escape(pat[i + 1]))
+                i += 2
+                continue
+            i += 1
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        elif c == "[":
+            # bracket expression: copy until the matching ']' ('[]a]' and
+            # '[^]a]' keep a leading ']' literal, as in POSIX)
+            j = i + 1
+            if j < n and pat[j] == "^":
+                j += 1
+            if j < n and pat[j] == "]":
+                j += 1
+            while j < n and pat[j] != "]":
+                j += 1
+            out.append(pat[i : j + 1])
+            i = j + 1
+            continue
+        elif c in ".^$\\":
+            out.append("\\" + c)
+        else:
+            out.append(c)
+        i += 1
+    return "^(?:" + "".join(out) + ")$"
+
+
+def _pass_similar_to(toks: list[str]) -> list[str]:
+    """``x [NOT] SIMILAR TO 'pat' [ESCAPE 'e']`` → ``x RLIKE '^(?:…)$'``
+    (gram.y a_expr SIMILAR TO; regexp.c similar_escape).  Literal
+    patterns only — PG itself folds these at plan time."""
+    while True:
+        idx = next(
+            (
+                i
+                for i, t in enumerate(toks)
+                if _is_ident(t)
+                and t.lower() == "similar"
+                and i + 2 < len(toks)
+                and _is_ident(toks[i + 1])
+                and toks[i + 1].lower() == "to"
+                and _is_string(toks[i + 2])
+            ),
+            None,
+        )
+        if idx is None:
+            return toks
+        neg = idx > 0 and _is_ident(toks[idx - 1]) and toks[idx - 1].lower() == "not"
+        op_end = idx - 2 if neg else idx - 1
+        start = _operand_start(toks, op_end)
+        left = toks[start : op_end + 1]
+        pat = toks[idx + 2][1:-1].replace("''", "'")
+        after = idx + 3
+        esc = "\\"
+        if (
+            after + 1 < len(toks)
+            and _is_ident(toks[after])
+            and toks[after].lower() == "escape"
+            and _is_string(toks[after + 1])
+        ):
+            esc = toks[after + 1][1:-1].replace("''", "'")
+            after += 2
+        regex = _similar_to_regex(pat, esc)
+        new = ["("] + left + ["RLIKE", "'" + regex.replace("'", "''") + "'", ")"]
+        if neg:
+            new = ["(", "NOT"] + new + [")"]
+        toks = toks[:start] + new + toks[after:]
+
+
+def _pass_overlaps(toks: list[str]) -> list[str]:
+    """``(s1, e1) OVERLAPS (s2, e2)`` → explicit predicate
+    (timestamp.c timestamp_overlaps): after normalizing each pair so
+    start<=end, true iff starts are equal OR each start precedes the
+    other's end (strictly)."""
+    while True:
+        idx = next(
+            (
+                i
+                for i, t in enumerate(toks)
+                if _is_ident(t)
+                and t.lower() == "overlaps"
+                and i > 0
+                and toks[i - 1] == ")"
+                and i + 1 < len(toks)
+                and toks[i + 1] == "("
+            ),
+            None,
+        )
+        if idx is None:
+            return toks
+        lstart = _operand_start(toks, idx - 1)
+        if toks[lstart] != "(":
+            return toks
+        rend = _match_paren(toks, idx + 1)
+        lpair = _split_top_commas(toks[lstart + 1 : idx - 1])
+        rpair = _split_top_commas(toks[idx + 2 : rend])
+        if len(lpair) != 2 or len(rpair) != 2:
+            return toks
+        s1 = lambda: ["least", "("] + lpair[0] + [","] + lpair[1] + [")"]
+        e1 = lambda: ["greatest", "("] + lpair[0] + [","] + lpair[1] + [")"]
+        s2 = lambda: ["least", "("] + rpair[0] + [","] + rpair[1] + [")"]
+        e2 = lambda: ["greatest", "("] + rpair[0] + [","] + rpair[1] + [")"]
+        new = (
+            ["(", "("]
+            + s1() + ["<"] + e2() + ["AND"] + s2() + ["<"] + e1()
+            + [")", "OR"]
+            + s1() + ["="] + s2()
+            + [")"]
+        )
+        toks = toks[:lstart] + new + toks[rend + 1 :]
+
+
+def _pass_at_time_zone(toks: list[str]) -> list[str]:
+    """``ts AT TIME ZONE 'zone'`` → ``to_utc_timestamp(ts, 'zone')``
+    (timestamp.c timestamp_zone): a zone-naive timestamp is interpreted
+    as zone-local wall time and becomes the corresponding instant,
+    rendered in the UTC session.  The timestamptz→naive direction is out
+    of scope — stored columns are zone-naive parquet timestamps."""
+    while True:
+        idx = next(
+            (
+                i
+                for i, t in enumerate(toks)
+                if _is_ident(t)
+                and t.lower() == "at"
+                and i + 2 < len(toks)
+                and _is_ident(toks[i + 1])
+                and toks[i + 1].lower() == "time"
+                and _is_ident(toks[i + 2])
+                and toks[i + 2].lower() == "zone"
+            ),
+            None,
+        )
+        if idx is None:
+            return toks
+        start = _operand_start(toks, idx - 1)
+        # include a typed-literal keyword (TIMESTAMP '…' folds as one operand)
+        if (
+            start > 0
+            and _is_ident(toks[start - 1])
+            and toks[start - 1].lower() in ("timestamp", "timestamp_ntz", "date")
+        ):
+            start -= 1
+        left = toks[start:idx]
+        zend = _geo_right_end(toks, idx + 3)
+        if zend is None:
+            return toks
+        zone = toks[idx + 3 : zend + 1]
+        new = ["to_utc_timestamp", "("] + left + [","] + zone + [")"]
+        toks = toks[:start] + new + toks[zend + 1 :]
+
+
 def _pass_like_escape(toks: list[str]) -> list[str]:
     """LIKE … ESCAPE: PG lets the escape precede ANY character (like.c
     treats escape+c as literal c); Spark only allows it before a wildcard
@@ -4113,6 +4283,8 @@ def transpile(sql: str) -> str:
     toks = _pass_inline_named_windows(toks)
     toks = _pass_grouping_plain(toks)
     toks = _pass_decode(toks)
+    toks = _pass_similar_to(toks)
+    toks = _pass_overlaps(toks)
     toks = _pass_case_notdistinct(toks)
     toks = _pass_array_constructor(toks)
     toks = _pass_from_srf_items(toks)
@@ -4124,6 +4296,7 @@ def transpile(sql: str) -> str:
     toks = _pass_float_int_cast_round(toks)
     toks = _pass_date_minus(toks)
     toks = _pass_date_input_literals(toks)
+    toks = _pass_at_time_zone(toks)
     # geometry before json-ops (both route `->`-containing operators);
     # xml after the cast passes so embedded ::text casts are already Spark
     toks = _pass_geometry(toks)

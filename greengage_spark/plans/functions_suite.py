@@ -1104,3 +1104,79 @@ def dialect_xml_publish(spark, sf_dir):
         """,
         ["nation"],
     )
+
+
+@suite.add(
+    "dialect_similar_to",
+    oracle="""
+    SELECT p_partkey,
+           regexp_matches(p_name, '^(?:.*(green|blue).*)$') AS has_color,
+           NOT regexp_matches(p_name, '^(?:.*steel.*)$') AS no_steel,
+           regexp_matches(p_type, '^(?:(SMALL|ECONOMY).*)$') AS type_alt,
+           regexp_matches(p_brand, '^(?:Brand#.[0-9])$') AS brand_pat,
+           regexp_matches(p_brand || '%' || p_type, '^(?:.*#2%.*)$') AS pct_literal
+    FROM part WHERE p_partkey < 500 ORDER BY p_partkey
+    """,
+    doc="SQL SIMILAR TO pattern language (gram.y a_expr; regexp.c "
+        "similar_escape): %/_ wildcards + regex alternation/classes/"
+        "quantifiers + ESCAPE, compiled to an anchored RLIKE.  Oracle "
+        "re-derives each pattern as a hand-written regex so the "
+        "conversion itself is cross-checked, not replayed.",
+    tags=("dialect",),
+)
+def dialect_similar_to(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT p_partkey,
+               p_name SIMILAR TO '%(green|blue)%' AS has_color,
+               p_name NOT SIMILAR TO '%steel%' AS no_steel,
+               p_type SIMILAR TO '(SMALL|ECONOMY)%' AS type_alt,
+               p_brand SIMILAR TO 'Brand#_[0-9]' AS brand_pat,
+               (p_brand || '%' || p_type) SIMILAR TO '%#2!%%' ESCAPE '!' AS pct_literal
+        FROM part WHERE p_partkey < 500 ORDER BY p_partkey
+        """,
+        ["part"],
+    )
+
+
+@suite.add(
+    "dialect_overlaps_attimezone",
+    oracle="""
+    SELECT o_orderkey,
+           ((least(o_orderdate, o_orderdate + INTERVAL 90 DAY)
+               < greatest(DATE '1995-01-01', DATE '1995-06-01')
+             AND least(DATE '1995-01-01', DATE '1995-06-01')
+               < greatest(o_orderdate, o_orderdate + INTERVAL 90 DAY))
+            OR least(o_orderdate, o_orderdate + INTERVAL 90 DAY)
+               = least(DATE '1995-01-01', DATE '1995-06-01')) AS ov,
+           CAST(epoch(o_orderdate::timestamp AT TIME ZONE 'America/New_York')
+                AS BIGINT) AS ny_epoch,
+           CAST(epoch(o_orderdate::timestamp AT TIME ZONE 'Asia/Tokyo')
+                AS BIGINT) AS tokyo_epoch
+    FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey
+    """,
+    doc="(s1,e1) OVERLAPS (s2,e2) row-pair predicate (timestamp.c "
+        "timestamp_overlaps: normalize each pair, equal starts overlap) "
+        "and AT TIME ZONE (timestamp.c timestamp_zone: zone-naive wall "
+        "time -> instant, incl. DST transitions via the named-zone DB).  "
+        "Epoch output keeps the comparison tz-dtype-free.",
+    tags=("dialect",),
+)
+def dialect_overlaps_attimezone(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               (o_orderdate, o_orderdate + interval '90 days')
+                 OVERLAPS (date '1995-01-01', date '1995-06-01') AS ov,
+               extract(epoch from o_orderdate::timestamp
+                       AT TIME ZONE 'America/New_York')::int8 AS ny_epoch,
+               extract(epoch from o_orderdate::timestamp
+                       AT TIME ZONE 'Asia/Tokyo')::int8 AS tokyo_epoch
+        FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey
+        """,
+        ["orders"],
+    )

@@ -437,3 +437,90 @@ class TestInetHstoreFunctions:
     def test_spark_3arg_slice_not_shadowed(self, spark):
         # arity-keyed templates: Spark's slice(array, start, length) stays
         assert self._one(spark, "slice(array(1,2,3,4), 2, 2)") == [2, 3]
+
+
+class TestSimilarTo:
+    """SIMILAR TO pattern language (regexp.c similar_escape)."""
+
+    def _one(self, spark, expr):
+        return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+    def test_transpile_anchored_rlike(self):
+        out = transpile("SELECT 'abc' SIMILAR TO 'a%'")
+        assert "RLIKE" in out and "^(?:a.*)$" in out
+
+    def test_wildcards(self, spark):
+        assert self._one(spark, "'abc' SIMILAR TO 'a%'") is True
+        assert self._one(spark, "'abc' SIMILAR TO '_b_'") is True
+        # unlike LIKE, the whole string must match even without anchors
+        assert self._one(spark, "'abc' SIMILAR TO 'b'") is False
+
+    def test_regex_metas_active(self, spark):
+        assert self._one(spark, "'abc' SIMILAR TO 'a(b|d)c'") is True
+        assert self._one(spark, "'az' SIMILAR TO 'a[x-z]'") is True
+        assert self._one(spark, "'aaab' SIMILAR TO 'a{2,}b'") is True
+        assert self._one(spark, "'ab' SIMILAR TO 'ax?b'") is True
+
+    def test_regex_only_metas_literal(self, spark):
+        # '.' '^' '$' are NOT special in SIMILAR TO
+        assert self._one(spark, "'a.c' SIMILAR TO 'a.c'") is True
+        assert self._one(spark, "'abc' SIMILAR TO 'a.c'") is False
+        assert self._one(spark, "'a$b' SIMILAR TO 'a$b'") is True
+
+    def test_not_and_escape(self, spark):
+        assert self._one(spark, "'abc' NOT SIMILAR TO '%d%'") is True
+        assert self._one(spark, "'a%c' SIMILAR TO 'a!%c' ESCAPE '!'") is True
+        assert self._one(spark, "'axc' SIMILAR TO 'a!%c' ESCAPE '!'") is False
+        # default escape is backslash
+        assert self._one(spark, r"'a_b' SIMILAR TO 'a\_b'") is True
+        assert self._one(spark, r"'axb' SIMILAR TO 'a\_b'") is False
+
+
+class TestOverlapsAtTimeZone:
+    def _one(self, spark, expr):
+        return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+    def test_overlaps_basic(self, spark):
+        assert self._one(
+            spark,
+            "(date '2024-01-01', date '2024-03-01')"
+            " OVERLAPS (date '2024-02-01', date '2024-04-01')",
+        ) is True
+        assert self._one(
+            spark,
+            "(date '2024-01-01', date '2024-02-01')"
+            " OVERLAPS (date '2024-02-01', date '2024-04-01')",
+        ) is False  # shared endpoint is NOT an overlap (strict <)
+
+    def test_overlaps_swapped_and_equal_start(self, spark):
+        # pairs normalize (start,end) regardless of written order
+        assert self._one(
+            spark,
+            "(date '2024-03-01', date '2024-01-01')"
+            " OVERLAPS (date '2024-02-01', date '2024-04-01')",
+        ) is True
+        # equal starts always overlap (timestamp.c timestamp_overlaps)
+        assert self._one(
+            spark,
+            "(date '2024-01-01', date '2024-01-01')"
+            " OVERLAPS (date '2024-01-01', date '2024-05-01')",
+        ) is True
+
+    def test_at_time_zone_dst(self, spark):
+        # 2024-03-10 12:00 EDT (DST active) = 16:00 UTC
+        v = self._one(
+            spark,
+            "extract(epoch from timestamp '2024-03-10 12:00:00'"
+            " AT TIME ZONE 'America/New_York')::int8",
+        )
+        import datetime
+
+        utc = datetime.timezone.utc
+        assert v == int(datetime.datetime(2024, 3, 10, 16, 0, tzinfo=utc).timestamp())
+        # 2024-01-10 12:00 EST (no DST) = 17:00 UTC
+        v2 = self._one(
+            spark,
+            "extract(epoch from timestamp '2024-01-10 12:00:00'"
+            " AT TIME ZONE 'America/New_York')::int8",
+        )
+        assert v2 == int(datetime.datetime(2024, 1, 10, 17, 0, tzinfo=utc).timestamp())
