@@ -116,14 +116,18 @@ class WritableTable:
         *,
         reset: bool = False,
         evolutions: list[dict] | None = None,
+        extra: dict | None = None,
     ) -> None:
         """Write the next manifest version.  ``base_schema``/``evolutions``
         (the ALTER TABLE schema-evolution log, see ``evolve``) carry
         forward from the current manifest unless ``reset`` — a full-table
         rewrite stores every row under the current schema, so the log
-        restarts empty."""
+        restarts empty.  ``extra`` keys ride the manifest atomically with
+        the commit (streaming sinks store their last batch id here)."""
         os.makedirs(self.root, exist_ok=True)
         manifest = {"files": files, "schema": schema.json()}
+        if extra:
+            manifest.update(extra)
         if reset or self.version < 0:
             manifest["base_schema"] = schema.json()
             manifest["evolutions"] = evolutions or []

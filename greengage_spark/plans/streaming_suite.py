@@ -9,6 +9,8 @@ SQL (tumble = epoch floor; session = gaps-and-islands).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from greengage_spark.plans.common import Suite, cat, money
@@ -173,4 +175,48 @@ def stream_interval_join(spark, sf_dir):
             F.col("r_ts").cast("timestamp").cast("double")
             - F.col("ts").cast("timestamp").cast("double")
         ).alias("lag_s"),
+    )
+
+
+@suite.add(
+    "stream_sink_upsert",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, "value",
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY (event_id % 3) DESC, ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, event_type,
+           CAST("value" AS DOUBLE) AS value
+    FROM ranked WHERE rn = 1
+    """,
+    doc="foreachBatch upsert sink (streaming/sinks.py): three micro-"
+        "batches (event_id mod 3) MERGE into a manifest-backed table "
+        "keyed by user_id, newest (ts, event_id) wins.  Exactly-once via "
+        "batch id in the manifest commit; per-batch work is O(batch + "
+        "touched files), table-size independent.  Final table contents "
+        "must equal last-writer-wins per key over the batch sequence.",
+    tags=("streaming", "sink"),
+)
+def stream_sink_upsert(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from greengage_spark.operators.dml import WritableTable
+    from greengage_spark.streaming.sinks import TableStreamSink
+
+    ev = cat(spark, sf_dir).table("events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    root = os.path.join(tempfile.gettempdir(), "gg_stream_sink_upsert")
+    shutil.rmtree(root, ignore_errors=True)
+    st = WritableTable(spark, root, dist_keys=("user_id",), num_partitions=8)
+    sink = TableStreamSink(st, keys=["user_id"], order_cols=["ts", "event_id"])
+    for i in range(3):
+        sink(ev.filter(F.col("event_id") % 3 == i), i)
+    return st.df().select(
+        "user_id", "event_id", "event_type", F.col("value").cast("double").alias("value")
     )

@@ -187,3 +187,86 @@ class TestLiveIntervalJoin:
         ).parquet(stream_dir)
         expect = sorted(map(tuple, build(batch_df, batch_df).collect()))
         assert got == expect and len(got) > 0
+
+
+class TestTableStreamSink:
+    """foreachBatch sink into a manifest-backed WritableTable
+    (streaming/sinks.py): live readStream, exactly-once, upsert MERGE."""
+
+    def _sink(self, spark, tmp_path, keys=None, order_cols=None):
+        from greengage_spark.operators.dml import WritableTable
+        from greengage_spark.streaming.sinks import TableStreamSink
+
+        st = WritableTable(spark, str(tmp_path / "sink_tbl"))
+        return st, TableStreamSink(st, keys=keys, order_cols=order_cols)
+
+    def test_live_append_stream(self, spark, stream_dir, tmp_path):
+        st, sink = self._sink(spark, tmp_path)
+        q = (
+            read_stream(spark, stream_dir)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        assert st.df().count() == len(ROWS)
+        assert st._manifest()["stream_batch_id"] >= 0
+
+    def test_live_upsert_stream_last_writer_wins(self, spark, stream_dir, tmp_path):
+        st, sink = self._sink(
+            spark, tmp_path, keys=["event_id"], order_cols=["ts", "value"]
+        )
+        q = (
+            read_stream(spark, stream_dir)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        rows = {r.event_id for r in st.df().collect()}
+        assert rows == {1, 2, 3, 4, 5}  # duplicate event_id 2 merged
+
+    def test_replayed_batch_id_is_dropped(self, spark, tmp_path):
+        st, sink = self._sink(
+            spark, tmp_path, keys=["user_id"], order_cols=["event_id"]
+        )
+        batch = spark.createDataFrame(
+            [(1, 10), (2, 20)], "user_id long, event_id long"
+        )
+        sink(batch, 0)
+        v_after_first = st.version
+        sink(batch, 0)  # replay: same batch id → no new commit
+        assert st.version == v_after_first
+        sink(spark.createDataFrame([(1, 99)], "user_id long, event_id long"), 1)
+        out = {r.user_id: r.event_id for r in st.df().collect()}
+        assert out == {1: 99, 2: 20}
+
+    def test_upsert_rewrites_only_touched_files(self, spark, tmp_path):
+        from greengage_spark.streaming.sinks import upsert_batch
+        from greengage_spark.operators.dml import WritableTable
+
+        st = WritableTable(
+            spark, str(tmp_path / "part_tbl"), dist_keys=("k",), num_partitions=4
+        )
+        base = spark.createDataFrame(
+            [(i, i * 10) for i in range(100)], "k long, v long"
+        )
+        st.create(base.repartition(4, "k"))
+        before = set(st.files())
+        # single-key batch: hash distribution puts it in one file
+        upsert_batch(
+            st,
+            spark.createDataFrame([(7, 777)], "k long, v long"),
+            ["k"],
+            ["v"],
+        )
+        after = set(st.files())
+        kept = before & after
+        assert kept, "untouched files must carry by reference"
+        assert len(before - after) <= len(before) - len(kept) + 1
+        out = {r.k: r.v for r in st.df().collect()}
+        assert out[7] == 777 and out[8] == 80 and len(out) == 100
