@@ -3742,6 +3742,15 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 out[i : close + 1] = new
                 i += 1
                 continue
+            if low == "timezone" and len(args) == 2:
+                # PG timezone(zone, ts) ≡ ts AT TIME ZONE zone
+                # (timestamp.c timestamp_zone; same naive→instant contract
+                # as _pass_at_time_zone — argument order swaps for Spark)
+                out[i : close + 1] = (
+                    ["to_utc_timestamp", "("] + args[1] + [","] + args[0] + [")"]
+                )
+                i += 1
+                continue
             if low in ("ltrim", "rtrim", "btrim") and len(args) == 2:
                 # PG argument order is (string, characters) (varlena.c);
                 # Spark's two-argument trims take (trimStr, srcStr)

@@ -524,3 +524,20 @@ class TestOverlapsAtTimeZone:
             " AT TIME ZONE 'America/New_York')::int8",
         )
         assert v2 == int(datetime.datetime(2024, 1, 10, 17, 0, tzinfo=utc).timestamp())
+
+    def test_timezone_function_form(self, spark):
+        # timezone(zone, ts) ≡ ts AT TIME ZONE zone
+        a = self._one(
+            spark,
+            "extract(epoch from timezone('Asia/Tokyo',"
+            " timestamp '2024-06-01 09:00:00'))::int8",
+        )
+        b = self._one(
+            spark,
+            "extract(epoch from timestamp '2024-06-01 09:00:00'"
+            " AT TIME ZONE 'Asia/Tokyo')::int8",
+        )
+        assert a == b
+        import datetime
+        assert a == int(datetime.datetime(2024, 6, 1, 0, 0,
+                                          tzinfo=datetime.timezone.utc).timestamp())
