@@ -54,6 +54,16 @@ def _has_seq_call(stmt: str) -> bool:
     return bool(_NEXTVAL.search(stmt) or _CURRVAL.search(stmt) or _SETVAL.search(stmt))
 
 
+def _strip_public_schema(stmt: str) -> str:
+    """pg_dump qualifies every object as ``public.x``; the engine's
+    namespace is flat, so the prefix drops — outside string literals."""
+    parts = re.split(r"('(?:[^']|'')*')", stmt)
+    return "".join(
+        p if i % 2 else re.sub(r"(?i)\bpublic\s*\.\s*", "", p)
+        for i, p in enumerate(parts)
+    )
+
+
 class GreengageEngine:
     def __init__(self, spark: SparkSession, warehouse: str):
         from greengage_spark.operators.sequence import SequenceManager
@@ -72,11 +82,14 @@ class GreengageEngine:
         self.prepared: dict = {}  # name → PreparedStatement (prepare.c)
         self.cursors: dict = {}  # name → Cursor portal (portalcmds.c)
         self.external: dict = {}  # name → ExternalTableDef (fileam.c surface)
+        from greengage_spark.operators.acl import AclCatalog
+
+        self.acl = AclCatalog()  # roles/grants/comments/schemas (recorded)
 
     # ---------------- statement router ----------------
 
     def execute(self, sql: str) -> DataFrame | None:
-        stmt = sql.strip().rstrip(";")
+        stmt = _strip_public_schema(sql.strip().rstrip(";"))
         head = stmt.split(None, 2)[0].lower() if stmt else ""
         mv = re.match(
             r"(?is)^create\s+(or\s+replace\s+)?(temp(orary)?\s+)?view\s+([\w.]+)\s+as\s+(.*)$",
@@ -164,6 +177,27 @@ class GreengageEngine:
             return None
         if re.match(r"(?is)^alter\s+sequence\b", stmt):
             return self._alter_sequence(stmt)
+        if (
+            re.match(r"(?is)^(create|alter|drop)\s+(role|user|group|schema)\b", stmt)
+            or re.match(r"(?is)^(create|alter|drop)\s+resource\s+(queue|group)\b", stmt)
+            or head in ("grant", "revoke", "comment")
+        ):
+            from greengage_spark.operators.acl import execute_acl_stmt
+
+            return execute_acl_stmt(self, stmt)
+        mo = re.match(
+            r"(?is)^alter\s+(table|view|sequence|function|aggregate)\s+"
+            r"(if\s+exists\s+)?([\w.\"]+)\s*(\([^)]*\))?\s+owner\s+to\s+"
+            r"(\"?[\w$]+\"?)$",
+            stmt,
+        )
+        if mo:
+            # ownership is recorded metadata (see operators/acl.py)
+            self.acl.set_owner(
+                f"{mo.group(1).lower()}:{mo.group(3).strip(chr(34))}",
+                mo.group(5).strip('"'),
+            )
+            return None
         if head in ("set", "reset", "show"):
             return self.gucs.execute(stmt, in_txn=self._txn is not None)
         if head in ("prepare", "deallocate") or (
@@ -225,7 +259,7 @@ class GreengageEngine:
             self._register_all()
             if re.search(
                 r"(?is)\b(pg_tables|pg_views|pg_indexes|pg_matviews|"
-                r"pg_catalog|information_schema)\b",
+                r"pg_roles|pg_namespace|pg_catalog|information_schema)\b",
                 stmt,
             ):
                 from greengage_spark.operators.introspection import (

@@ -10,6 +10,9 @@ them as small session DataFrames derived from its own DDL catalog:
 * ``pg_views``     (schemaname, viewname, definition)
 * ``pg_indexes``   (schemaname, tablename, indexname, indexdef)
 * ``pg_matviews``  (empty — no materialized views)
+* ``pg_roles``     (rolname + attribute flags + memberof, from the
+  recorded ACL catalog in operators/acl.py)
+* ``pg_namespace`` (nspname, nspowner — recorded schemas)
 * ``information_schema.tables``  / ``information_schema.columns``
   (rewritten to ``__information_schema_tables`` / ``_columns`` views,
   since Spark temp views cannot be schema-qualified; the dialect layer
@@ -31,7 +34,7 @@ def register_introspection_views(engine) -> None:
         (
             "public",
             name,
-            "gpadmin",
+            engine.acl.owners.get(f"table:{name}", "gpadmin"),
             any(ix.table == name for ix in engine.indexes.values()),
         )
         for name in sorted(tables)
@@ -63,6 +66,35 @@ def register_introspection_views(engine) -> None:
         pg_indexes,
         "schemaname string, tablename string, indexname string, indexdef string",
     ).createOrReplaceTempView("pg_indexes")
+
+    def _opt(opts: str, flag: str) -> bool:
+        low = " " + opts.lower() + " "
+        return f" {flag} " in low and f" no{flag} " not in low
+
+    pg_roles = [
+        (
+            r.name,
+            _opt(r.options, "superuser"),
+            _opt(r.options, "createdb"),
+            _opt(r.options, "createrole"),
+            _opt(r.options, "login"),
+            sorted(r.member_of),
+        )
+        for r in sorted(engine.acl.roles.values(), key=lambda r: r.name)
+    ]
+    spark.createDataFrame(
+        pg_roles,
+        "rolname string, rolsuper boolean, rolcreatedb boolean, "
+        "rolcreaterole boolean, rolcanlogin boolean, memberof array<string>",
+    ).createOrReplaceTempView("pg_roles")
+
+    pg_namespace = [
+        (s, engine.acl.owners.get(f"schema:{s}", "gpadmin"))
+        for s in sorted(engine.acl.schemas)
+    ]
+    spark.createDataFrame(
+        pg_namespace, "nspname string, nspowner string"
+    ).createOrReplaceTempView("pg_namespace")
 
     info_tables = [
         ("spark", "public", name, "BASE TABLE") for name in sorted(tables)

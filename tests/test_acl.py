@@ -1,0 +1,208 @@
+"""Roles / GRANT / COMMENT / schemas / resource queues — the recorded-
+metadata surface of operators/acl.py (gram.y CreateRoleStmt, GrantStmt,
+CommentStmt, CreateSchemaStmt; commands/user.c, catalog/aclchk.c), and
+the ``public.`` schema-qualification stripping every pg_dump needs."""
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return GreengageEngine(spark, str(tmp_path / "wh"))
+
+
+def run_script(eng, script):
+    for s in [x.strip() for x in script.split(";") if x.strip()]:
+        eng.execute(s)
+
+
+class TestRoles:
+    def test_create_alter_drop(self, eng):
+        eng.execute("CREATE ROLE analyst LOGIN CREATEDB")
+        eng.execute("ALTER ROLE analyst NOSUPERUSER")
+        assert "analyst" in eng.acl.roles
+        eng.execute("ALTER ROLE analyst RENAME TO senior_analyst")
+        assert "senior_analyst" in eng.acl.roles and "analyst" not in eng.acl.roles
+        eng.execute("DROP ROLE senior_analyst")
+        assert not eng.acl.roles
+
+    def test_user_implies_login(self, eng):
+        eng.execute("CREATE USER bob PASSWORD 'secret'")
+        assert "login" in eng.acl.roles["bob"].options.lower()
+
+    def test_group_membership(self, eng):
+        run_script(
+            eng,
+            """CREATE GROUP admins; CREATE USER bob;
+               ALTER GROUP admins ADD USER bob""",
+        )
+        assert "admins" in eng.acl.roles["bob"].member_of
+        eng.execute("ALTER GROUP admins DROP USER bob")
+        assert not eng.acl.roles["bob"].member_of
+
+    def test_grant_role_membership(self, eng):
+        run_script(eng, "CREATE ROLE r1; CREATE ROLE r2; GRANT r1 TO r2")
+        assert "r1" in eng.acl.roles["r2"].member_of
+        eng.execute("REVOKE r1 FROM r2")
+        assert not eng.acl.roles["r2"].member_of
+
+    def test_duplicate_and_missing_rejected(self, eng):
+        eng.execute("CREATE ROLE r")
+        with pytest.raises(ValueError, match="already exists"):
+            eng.execute("CREATE ROLE r")
+        with pytest.raises(ValueError, match="unknown role"):
+            eng.execute("DROP ROLE nosuch")
+        eng.execute("DROP ROLE IF EXISTS nosuch")  # no error
+
+
+class TestGrants:
+    def test_grant_revoke_table_privs(self, eng):
+        run_script(
+            eng,
+            """CREATE ROLE analyst;
+               CREATE TABLE t (a int4);
+               GRANT SELECT, INSERT ON t TO analyst;
+               REVOKE INSERT ON t FROM analyst""",
+        )
+        assert eng.acl.grants[("t", "analyst")] == {"select"}
+
+    def test_grant_all_and_revoke_all(self, eng):
+        run_script(
+            eng,
+            """CREATE ROLE r; CREATE TABLE t (a int4);
+               GRANT ALL PRIVILEGES ON t TO r""",
+        )
+        assert eng.acl.grants[("t", "r")] == {"all"}
+        eng.execute("REVOKE ALL ON t FROM r")
+        assert ("t", "r") not in eng.acl.grants
+
+    def test_grant_to_public(self, eng):
+        eng.execute("CREATE TABLE t (a int4)")
+        eng.execute("GRANT SELECT ON TABLE t TO PUBLIC")
+        assert eng.acl.grants[("t", "public")] == {"select"}
+
+    def test_unknown_privilege_rejected(self, eng):
+        eng.execute("CREATE TABLE t (a int4)")
+        with pytest.raises(ValueError, match="unknown privilege"):
+            eng.execute("GRANT FROBNICATE ON t TO PUBLIC")
+
+
+class TestCommentsOwnership:
+    def test_comment_set_and_clear(self, eng):
+        eng.execute("CREATE TABLE t (a int4)")
+        eng.execute("COMMENT ON TABLE t IS 'fact table'")
+        assert eng.acl.comments[("table", "t")] == "fact table"
+        eng.execute("COMMENT ON TABLE t IS NULL")
+        assert ("table", "t") not in eng.acl.comments
+
+    def test_comment_quote_unescape(self, eng):
+        eng.execute("CREATE TABLE t (a int4)")
+        eng.execute("COMMENT ON COLUMN t.a IS 'it''s a key'")
+        assert eng.acl.comments[("column", "t.a")] == "it's a key"
+
+    def test_owner_to(self, eng):
+        run_script(
+            eng,
+            "CREATE ROLE r; CREATE TABLE t (a int4); ALTER TABLE t OWNER TO r",
+        )
+        assert eng.acl.owners["table:t"] == "r"
+
+
+class TestSchemasAndQueues:
+    def test_schema_lifecycle(self, eng):
+        eng.execute("CREATE SCHEMA staging")
+        assert "staging" in eng.acl.schemas
+        eng.execute("CREATE SCHEMA IF NOT EXISTS staging")
+        eng.execute("DROP SCHEMA staging CASCADE")
+        assert "staging" not in eng.acl.schemas
+        with pytest.raises(ValueError, match="public"):
+            eng.execute("DROP SCHEMA public")
+
+    def test_resource_queue_and_group(self, eng):
+        eng.execute("CREATE RESOURCE QUEUE rq WITH (ACTIVE_STATEMENTS=3)")
+        eng.execute("ALTER RESOURCE QUEUE rq WITH (PRIORITY=HIGH)")
+        assert "PRIORITY" in eng.acl.queues["rq"]
+        eng.execute("CREATE RESOURCE GROUP rg WITH (CPU_RATE_LIMIT=20)")
+        eng.execute("DROP RESOURCE GROUP rg")
+        assert not eng.acl.resource_groups
+
+
+class TestPublicSchemaStripping:
+    def test_dump_style_ddl_dml_select(self, eng):
+        run_script(
+            eng,
+            """CREATE TABLE public.orders_s (id int4, v text);
+               INSERT INTO public.orders_s VALUES (1, 'a'), (2, 'public.x');
+               UPDATE public.orders_s SET v = 'b' WHERE id = 1""",
+        )
+        out = sorted(
+            map(tuple, eng.execute("SELECT id, v FROM public.orders_s").collect())
+        )
+        # string literal 'public.x' must NOT be rewritten
+        assert out == [(1, "b"), (2, "public.x")]
+
+
+class TestRoleIntrospection:
+    def test_pg_roles_and_namespace(self, eng):
+        run_script(
+            eng,
+            """CREATE ROLE admin SUPERUSER LOGIN;
+               CREATE USER bob;
+               CREATE GROUP g;
+               GRANT g TO bob;
+               CREATE SCHEMA staging AUTHORIZATION admin""",
+        )
+        roles = {
+            r.rolname: r
+            for r in eng.execute(
+                "SELECT * FROM pg_catalog.pg_roles ORDER BY rolname"
+            ).collect()
+        }
+        assert roles["admin"].rolsuper and roles["admin"].rolcanlogin
+        assert roles["bob"].rolcanlogin and not roles["bob"].rolsuper
+        assert roles["bob"].memberof == ["g"]
+        ns = {
+            r.nspname: r.nspowner
+            for r in eng.execute("SELECT * FROM pg_namespace").collect()
+        }
+        assert ns["staging"] == "admin" and "public" in ns
+
+    def test_pg_tables_owner_reflects_alter(self, eng):
+        run_script(
+            eng,
+            "CREATE ROLE r; CREATE TABLE t (a int4); ALTER TABLE t OWNER TO r",
+        )
+        row = eng.execute(
+            "SELECT tableowner FROM pg_tables WHERE tablename = 't'"
+        ).collect()
+        assert row[0].tableowner == "r"
+
+
+class TestDumpPreambleEndToEnd:
+    def test_full_preamble(self, eng):
+        """A condensed real-world pg_dump header + object section."""
+        run_script(
+            eng,
+            """
+            SET statement_timeout = 0;
+            SET client_encoding = 'UTF8';
+            SET standard_conforming_strings = on;
+            SET search_path = public, pg_catalog;
+            CREATE ROLE gpadmin SUPERUSER LOGIN;
+            CREATE ROLE etl_writer LOGIN;
+            CREATE RESOURCE QUEUE etl_queue WITH (ACTIVE_STATEMENTS=10);
+            ALTER ROLE etl_writer RESOURCE QUEUE etl_queue;
+            CREATE SCHEMA analytics AUTHORIZATION gpadmin;
+            CREATE TABLE public.dim_date (dt date, y int4) DISTRIBUTED BY (dt);
+            ALTER TABLE public.dim_date OWNER TO gpadmin;
+            GRANT SELECT ON TABLE public.dim_date TO etl_writer;
+            GRANT ALL ON TABLE public.dim_date TO gpadmin;
+            COMMENT ON TABLE public.dim_date IS 'date dimension';
+            INSERT INTO public.dim_date VALUES (DATE '2024-01-01', 2024)
+            """,
+        )
+        assert eng.execute("SELECT count(*) AS n FROM dim_date").collect()[0].n == 1
+        assert eng.acl.comments[("table", "dim_date")] == "date dimension"
+        assert eng.acl.grants[("dim_date", "etl_writer")] == {"select"}
