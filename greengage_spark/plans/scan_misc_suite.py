@@ -847,3 +847,59 @@ def external_execute_scan(spark, sf_dir):
         "ON 4 FORMAT 'TEXT'"
     )
     return eng.execute("SELECT n FROM seg_slices ORDER BY n")
+
+
+@suite.add(
+    "script_dump_restore_acl",
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(*) AS n_nations,
+           MIN(n_name) AS first_name
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    doc="Full pg_dump restore script with ACL preamble (gram.y "
+        "CreateRoleStmt/GrantStmt/CommentStmt/CreateSchemaStmt; "
+        "commands/user.c, aclchk.c, comment.c): roles + resource queue + "
+        "schema + schema-qualified DDL/DML + GRANT/COMMENT/OWNER all "
+        "execute as recorded metadata (operators/acl.py), the data "
+        "round-trips, and pg_roles/pg_tables introspection reflects the "
+        "recorded catalog.",
+    tags=("engine", "acl"),
+)
+def script_dump_restore_acl(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_acl_"))
+    cat(spark, sf_dir).table("nation").createOrReplaceTempView("nation")
+    script = [
+        "SET statement_timeout = 0",
+        "SET client_encoding = 'UTF8'",
+        "SET standard_conforming_strings = on",
+        "SET search_path = public, pg_catalog",
+        "CREATE ROLE gpadmin SUPERUSER LOGIN",
+        "CREATE ROLE etl_writer LOGIN",
+        "CREATE RESOURCE QUEUE etl_q WITH (ACTIVE_STATEMENTS=10)",
+        "ALTER ROLE etl_writer RESOURCE QUEUE etl_q",
+        "CREATE SCHEMA analytics AUTHORIZATION gpadmin",
+        "CREATE TABLE public.nat_acl AS SELECT n_nationkey, n_name, "
+        "n_regionkey FROM nation DISTRIBUTED BY (n_nationkey)",
+        "ALTER TABLE public.nat_acl OWNER TO gpadmin",
+        "GRANT SELECT ON TABLE public.nat_acl TO etl_writer",
+        "GRANT ALL ON TABLE public.nat_acl TO gpadmin",
+        "REVOKE ALL ON public.nat_acl FROM PUBLIC",
+        "COMMENT ON TABLE public.nat_acl IS 'nation snapshot'",
+    ]
+    for stmt in script:
+        eng.execute(stmt)
+    owner = eng.execute(
+        "SELECT tableowner FROM pg_tables WHERE tablename = 'nat_acl'"
+    ).collect()
+    assert owner and owner[0].tableowner == "gpadmin"
+    assert eng.acl.grants[("nat_acl", "etl_writer")] == {"select"}
+    assert eng.acl.comments[("table", "nat_acl")] == "nation snapshot"
+    return eng.execute(
+        "SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name "
+        "FROM public.nat_acl GROUP BY n_regionkey ORDER BY n_regionkey"
+    )
