@@ -1807,6 +1807,93 @@ def _pass_at_time_zone(toks: list[str]) -> list[str]:
         toks = toks[:start] + new + toks[zend + 1 :]
 
 
+def _rewrite_bit_literals(sql: str) -> str:
+    """``B'1010'`` / ``X'1F'`` bit-string literals (gram.y xb/xh states;
+    varbit.c) → plain 0/1 text, the engine's bit representation (the
+    same PG-literal-text approach as geometry).  Operates on the raw SQL
+    so literal adjacency survives; string segments are split out first
+    (with ``''`` doubling) so nothing inside a string is touched."""
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    out: list[str] = []
+    i = 0
+    while i < len(parts):
+        seg = parts[i]
+        m = re.search(r"(?:^|[^\w])([bBxX])$", seg) if i + 1 < len(parts) else None
+        if m and re.fullmatch(r"'[0-9A-Fa-f]*'", parts[i + 1]):
+            body = parts[i + 1][1:-1]
+            if m.group(1) in "bB":
+                if not re.fullmatch(r"[01]*", body):
+                    raise ValueError(f"invalid binary digit in B'{body}'")
+                bits = body
+            else:
+                bits = "".join(f"{int(c, 16):04b}" for c in body)
+            out.append(seg[: m.start(1)])
+            out.append("'" + bits + "'")
+            i += 2
+            continue
+        out.append(seg)
+        i += 1
+    return "".join(out)
+
+
+def _pass_bit_casts(toks: list[str]) -> list[str]:
+    """``::bit(n)`` / ``::varbit[(n)]`` / ``::bit varying[(n)]``
+    (varbit.c bit()/varbit()): bit strings are 0/1 text here, so bit(n)
+    zero-pads/truncates on the right to exactly n.  A string operand
+    (B-literal or quoted bits) gets the bit-string cast; any other
+    operand gets PG's int→bit(n) semantics — the rightmost n bits of the
+    64-bit two's-complement pattern (int4/int8 → bit in varbit.c).
+    Runs before the generic cast passes (``bit`` is not a Spark type)."""
+    while True:
+        idx = next(
+            (
+                i
+                for i, t in enumerate(toks)
+                if t == "::"
+                and i + 1 < len(toks)
+                and _is_ident(toks[i + 1])
+                and toks[i + 1].lower() in ("bit", "varbit")
+            ),
+            None,
+        )
+        if idx is None:
+            return toks
+        tlow = toks[idx + 1].lower()
+        j = idx + 2
+        varying = False
+        if tlow == "varbit":
+            varying = True
+        elif j < len(toks) and _is_ident(toks[j]) and toks[j].lower() == "varying":
+            varying = True
+            j += 1
+        n = None
+        if j + 2 < len(toks) and toks[j] == "(" and toks[j + 2] == ")":
+            n = toks[j + 1]
+            j += 3
+        start = _operand_start(toks, idx - 1)
+        left = toks[start:idx]
+        is_str = len(left) == 1 and _is_string(left[0])
+        if n is None:
+            new = ["("] + left + [")"] if len(left) > 1 else left
+        elif is_str or varying:
+            if varying:
+                # varbit(n) truncates only (varbit.c varbit())
+                new = ["substring", "(", "("] + left + [")", ",", "1", ",", n, ")"]
+            else:
+                new = [
+                    "rpad", "(", "substring", "(", "("] + left
+                new += [")", ",", "1", ",", n, ")", ",", n, ",", "'0'", ")"]
+        else:
+            # int → bit(n): rightmost n bits of the two's-complement word
+            new = [
+                "substring", "(", "lpad", "(", "bin", "(", "CAST", "(", "("
+            ] + left + [
+                ")", "AS", "BIGINT", ")", ")", ",", "64", ",", "'0'", ")",
+                ",", "-", n, ")",
+            ]
+        toks = toks[:start] + new + toks[j:]
+
+
 def _pass_like_escape(toks: list[str]) -> list[str]:
     """LIKE … ESCAPE: PG lets the escape precede ANY character (like.c
     treats escape+c as literal c); Spark only allows it before a wildcard
@@ -3742,6 +3829,58 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 out[i : close + 1] = new
                 i += 1
                 continue
+            if low in ("bitand", "bitor", "bitxor") and len(args) == 2:
+                # varbit.c bit_and/bit_or/bitxor over 0/1-text bit strings:
+                # value algebra through a 64-bit word (conv base-2), length
+                # preserved from the left operand (PG requires equal
+                # lengths; ≤63 significant bits — the practical range)
+                op = {"bitand": "&", "bitor": "|", "bitxor": "^"}[low]
+                def _c(a):
+                    return (
+                        ["CAST", "(", "conv", "(", "("] + a
+                        + [")", ",", "2", ",", "10", ")", "AS", "BIGINT", ")"]
+                    )
+                out[i : close + 1] = (
+                    ["substring", "(", "lpad", "(", "bin", "("]
+                    + _c(args[0]) + [op] + _c(args[1])
+                    + [")", ",", "64", ",", "'0'", ")", ",",
+                       "-", "length", "("] + args[0] + [")", ")"]
+                )
+                i += 1
+                continue
+            if low == "bitnot" and len(args) == 1:
+                # ~b flips every bit: pure char translate, any length
+                out[i : close + 1] = (
+                    ["translate", "(", "("] + args[0]
+                    + [")", ",", "'01'", ",", "'10'", ")"]
+                )
+                i += 1
+                continue
+            if low in ("bitshiftleft", "bitshiftright") and len(args) == 2:
+                # varbit.c bitshiftleft/right: zero-fill, length-preserving
+                a, nn = args[0], args[1]
+                if low == "bitshiftleft":
+                    out[i : close + 1] = (
+                        ["rpad", "(", "substring", "(", "("] + a
+                        + [")", ",", "("] + nn + [")", "+", "1", ")", ",",
+                           "length", "("] + a + [")", ",", "'0'", ")"]
+                    )
+                else:
+                    out[i : close + 1] = (
+                        ["lpad", "(", "substring", "(", "("] + a
+                        + [")", ",", "1", ",", "greatest", "(", "length", "("]
+                        + a + [")", "-", "("] + nn + [")", ",", "0", ")",
+                           ")", ",", "length", "("] + a + [")", ",", "'0'", ")"]
+                    )
+                i += 1
+                continue
+            if low == "bitcat" and len(args) == 2:
+                out[i : close + 1] = (
+                    ["concat", "(", "("] + args[0] + [")", ",", "("]
+                    + args[1] + [")", ")"]
+                )
+                i += 1
+                continue
             if low == "timezone" and len(args) == 2:
                 # PG timezone(zone, ts) ≡ ts AT TIME ZONE zone
                 # (timestamp.c timestamp_zone; same naive→instant contract
@@ -4274,6 +4413,7 @@ def transpile(sql: str) -> str:
     """PG/Greenplum SQL → Spark SQL."""
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_from_generate_series(sql)
+    sql = _rewrite_bit_literals(sql)
     toks = tokenize(sql)
     toks = _pass_estrings(toks)
     toks = _pass_group_by_empty(toks)
@@ -4300,6 +4440,7 @@ def transpile(sql: str) -> str:
     # user-written CAST(x AS pgtype) typenames map BEFORE ::casts emit
     # Spark type tokens, so emissions are never re-read as PG names
     # (PG `float` = float8, but our emitted FLOAT means float4)
+    toks = _pass_bit_casts(toks)
     toks = _pass_cast_typenames(toks)
     toks = _pass_casts(toks)
     toks = _pass_float_int_cast_round(toks)

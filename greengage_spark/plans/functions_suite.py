@@ -1180,3 +1180,48 @@ def dialect_overlaps_attimezone(spark, sf_dir):
         """,
         ["orders"],
     )
+
+
+@suite.add(
+    "dialect_bit_strings",
+    oracle="""
+    SELECT p_partkey,
+           (bitstring(bin(p_partkey % 256), 8)
+              & bitstring(bin(p_partkey % 64), 8))::VARCHAR AS band,
+           (bitstring(bin(p_partkey % 256), 8)
+              | bitstring(bin(p_partkey % 64), 8))::VARCHAR AS bor,
+           xor(bitstring(bin(p_partkey % 256), 8),
+               bitstring(bin(p_partkey % 64), 8))::VARCHAR AS bxor,
+           (~bitstring(bin(p_partkey % 256), 8))::VARCHAR AS bnot,
+           (bitstring(bin(p_partkey % 256), 8)
+              << CAST(p_partkey % 5 AS INT))::VARCHAR AS shl,
+           (bitstring(bin(p_partkey % 256), 8)
+              >> CAST(p_partkey % 3 AS INT))::VARCHAR AS shr,
+           bitstring(bin(p_partkey % 256), 8)::VARCHAR || '10' AS cat
+    FROM part WHERE p_partkey < 500 ORDER BY p_partkey
+    """,
+    doc="bit/varbit surface (varbit.c; regress bit.sql shapes): B''/X'' "
+        "literals, int→bit(n) two's-complement casts, bitand/bitor/"
+        "bitxor/bitnot, zero-fill length-preserving shifts, concat — all "
+        "JVM expressions over 0/1 text.  Oracle is DuckDB's native "
+        "BITSTRING type: an independent implementation of the same "
+        "PG-inherited semantics.",
+    tags=("dialect", "bit"),
+)
+def dialect_bit_strings(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT p_partkey,
+               bitand((p_partkey % 256)::bit(8), (p_partkey % 64)::bit(8)) AS band,
+               bitor((p_partkey % 256)::bit(8), (p_partkey % 64)::bit(8)) AS bor,
+               bitxor((p_partkey % 256)::bit(8), (p_partkey % 64)::bit(8)) AS bxor,
+               bitnot((p_partkey % 256)::bit(8)) AS bnot,
+               bitshiftleft((p_partkey % 256)::bit(8), (p_partkey % 5)::int4) AS shl,
+               bitshiftright((p_partkey % 256)::bit(8), (p_partkey % 3)::int4) AS shr,
+               (p_partkey % 256)::bit(8) || B'10' AS cat
+        FROM part WHERE p_partkey < 500 ORDER BY p_partkey
+        """,
+        ["part"],
+    )

@@ -541,3 +541,58 @@ class TestOverlapsAtTimeZone:
         import datetime
         assert a == int(datetime.datetime(2024, 6, 1, 0, 0,
                                           tzinfo=datetime.timezone.utc).timestamp())
+
+
+class TestBitStrings:
+    """bit/varbit surface (varbit.c; regress bit.sql shapes): 0/1-text
+    representation, B''/X'' literals, bitwise ops, casts, shifts."""
+
+    def _one(self, spark, expr):
+        return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+    def test_literals(self, spark):
+        assert self._one(spark, "B'1010'") == "1010"
+        assert self._one(spark, "X'1F'") == "00011111"
+        assert self._one(spark, "B''") == ""
+
+    def test_literal_inside_string_untouched(self):
+        # a B'..'-looking sequence inside a string literal must survive
+        # (quote-doubling rendering itself is the estring pass's concern)
+        out = transpile("SELECT 'see B''10'' here' AS s")
+        assert "B''10''" in out
+
+    def test_bad_binary_digit_rejected(self):
+        with pytest.raises(ValueError, match="invalid binary digit"):
+            transpile("SELECT B'102'")
+
+    def test_ops(self, spark):
+        # expected values verified against PG varbit.c semantics
+        assert self._one(spark, "bitand(B'1010', B'0110')") == "0010"
+        assert self._one(spark, "bitor(B'1010', B'0110')") == "1110"
+        assert self._one(spark, "bitxor(B'1010', B'0110')") == "1100"
+        assert self._one(spark, "bitnot(B'1010')") == "0101"
+
+    def test_shifts_zero_fill_length_preserving(self, spark):
+        assert self._one(spark, "bitshiftleft(B'1010', 2)") == "1000"
+        assert self._one(spark, "bitshiftright(B'1010', 1)") == "0101"
+        assert self._one(spark, "bitshiftleft(B'1010', 9)") == "0000"
+        assert self._one(spark, "bitshiftright(B'1010', 9)") == "0000"
+
+    def test_concat_substring_length(self, spark):
+        assert self._one(spark, "B'1010' || B'01'") == "101001"
+        assert self._one(spark, "bitcat(B'10', B'01')") == "1001"
+        assert self._one(spark, "substring(B'110101' from 2 for 3)") == "101"
+        assert self._one(spark, "length(B'1010')") == 4
+
+    def test_casts(self, spark):
+        # int → bit(n): rightmost n bits of the two's-complement word
+        assert self._one(spark, "10::bit(4)") == "1010"
+        assert self._one(spark, "(-2)::bit(4)") == "1110"
+        assert self._one(spark, "0::bit(4)") == "0000"
+        assert self._one(spark, "259::bit(8)") == "00000011"
+        # bit-string → bit(n): zero-pad / truncate on the right
+        assert self._one(spark, "B'10'::bit(4)") == "1000"
+        assert self._one(spark, "B'110101'::bit(4)") == "1101"
+        # varbit(n) truncates only
+        assert self._one(spark, "B'110101'::varbit(3)") == "110"
+        assert self._one(spark, "B'10'::varbit(4)") == "10"
