@@ -1,0 +1,91 @@
+"""Deterministic sampling & dataset splitting for training pipelines.
+
+A 100 TB corpus is re-split many times as a pipeline evolves; random
+sampling (``rand()``, TABLESAMPLE) assigns a row differently on every
+run and every repartition, silently leaking held-out documents into
+training.  These operators derive the assignment from a **content key**
+instead: ``bucket = first-8-hex-bytes(md5(salt ‖ key)) mod 10_000``.
+Properties that matter at scale:
+
+* **key-stable** — the same document lands in the same split on every
+  run, cluster size, and partitioning; adding data never reshuffles
+  existing assignments;
+* **engine-portable** — md5 is bit-identical everywhere, so the DuckDB
+  oracle reproduces the exact assignment (and a downstream system can
+  verify membership without Spark);
+* **zero-shuffle** — assignment is a per-row JVM projection; only the
+  optional count aggregation shuffles.
+
+The salt namespaces independent splits (new salt ⇒ fresh independent
+assignment, the re-randomization knob).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, salt: str) -> Column:
+    """Uniform bucket in [0, 10000) from md5(salt ‖ key)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt + ":"), key)), 1, 8), 16, 10)
+        .cast("bigint")
+        % _BUCKETS
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    *,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split with the given weights.
+
+    ``weights`` maps split name → fraction (must sum to ≤ 1; any
+    remainder becomes the last split's overflow — pass exact fractions).
+    Rows are labeled by cumulative bucket thresholds, so a {train: .8,
+    val: .1, test: .1} split is exact to 1/10000.
+    """
+    total = sum(weights.values())
+    if not 0 < total <= 1.0001:
+        raise ValueError(f"split weights sum to {total}, expected (0, 1]")
+    bucket = hash_bucket(F.col(key_col).cast("string"), salt)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names:
+        acc += weights[name]
+        hi = round(acc * _BUCKETS)
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    assert expr is not None
+    return df.withColumn("bucket", bucket).withColumn(
+        "split", expr.otherwise(names[-1])
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    fraction: float,
+    *,
+    key_col: str,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample within every stratum.
+
+    The bucket is keyed on (strata ‖ ':' ‖ key) — an explicit separator,
+    so adjacent strata/key text cannot collide — and each stratum draws an
+    independent uniform sample; membership is stable across runs.  Exact
+    to 1/10000 of each stratum in expectation (md5 uniformity), with no
+    per-stratum count pass — one projection, no shuffle.
+    """
+    if not 0 < fraction <= 1:
+        raise ValueError("fraction must be in (0, 1]")
+    key = F.concat_ws(":", *strata_cols, F.col(key_col).cast("string"))
+    return df.filter(hash_bucket(key, salt) < round(fraction * _BUCKETS))

@@ -742,3 +742,77 @@ def embedding_normalize_quantize(spark, sf_dir):
 
     e = cat(spark, sf_dir).table("embeddings")
     return normalize_quantize(e, id_col="vec_id", vec_col="embedding")
+
+
+@suite.add(
+    "pipeline_train_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('corpusv1:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % 10000 AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM b GROUP BY 1, 2
+    """,
+    doc="Deterministic train/val/test split (pipeline/sampling.py): "
+        "content-key md5 bucket, 80/10/10 exact to 1/10000.  Key-stable "
+        "— the same doc lands in the same split on every run, cluster "
+        "size, and partitioning, so held-out data never leaks into "
+        "training when the 100 TB corpus is re-split.  Assignment is a "
+        "zero-shuffle per-row projection; md5 is bit-identical across "
+        "engines (the oracle reproduces exact membership).",
+    tags=("pipeline", "sampling", "bench"),
+)
+def pipeline_train_split(spark, sf_dir):
+    from greengage_spark.pipeline.sampling import hash_split
+
+    docs = cat(spark, sf_dir).table("documents")
+    out = hash_split(
+        docs,
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="corpusv1",
+    )
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@suite.add(
+    "pipeline_stratified_sample",
+    oracle="""
+    SELECT source, COUNT(*) AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('qa10:' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               % 10000 AS BIGINT) < 1000
+    GROUP BY source
+    """,
+    doc="Deterministic stratified sampling (pipeline/sampling.py): ~10% "
+        "of every source stratum via a (stratum ‖ key)-salted md5 "
+        "bucket — independent uniform draw per stratum, stable "
+        "membership, one filter projection, no per-stratum count pass "
+        "and no shuffle before the verification aggregate.",
+    tags=("pipeline", "sampling"),
+)
+def pipeline_stratified_sample(spark, sf_dir):
+    from greengage_spark.pipeline.sampling import stratified_sample
+
+    docs = cat(spark, sf_dir).table("documents")
+    out = stratified_sample(
+        docs, ["source"], 0.10, key_col="doc_id", salt="qa10"
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("id_sum"),
+    )

@@ -1,0 +1,90 @@
+"""Deterministic sampling/split operators (pipeline/sampling.py):
+key-stability across runs and partitionings, md5-exact assignment, and
+the train/test-leakage guarantees the docstrings promise."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from greengage_spark.pipeline.sampling import (
+    _BUCKETS,
+    hash_bucket,
+    hash_split,
+    stratified_sample,
+)
+
+
+def expected_bucket(salt: str, key: str) -> int:
+    return int(hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:8], 16) % _BUCKETS
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"src{i % 7}") for i in range(1000)], "doc_id long, source string"
+    )
+
+
+class TestHashBucket:
+    def test_matches_reference_md5(self, spark):
+        df = spark.createDataFrame([("k1",), ("k2",)], "k string")
+        out = {r.k: r.b for r in df.select("k", hash_bucket(F.col("k"), "s").alias("b")).collect()}
+        assert out == {k: expected_bucket("s", k) for k in ("k1", "k2")}
+
+
+class TestHashSplit:
+    def test_assignment_is_key_stable(self, docs):
+        a = {r.doc_id: r.split for r in hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+        b = {
+            r.doc_id: r.split
+            for r in hash_split(
+                docs.repartition(13), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+            ).collect()
+        }
+        assert a == b  # partitioning never changes the assignment
+
+    def test_adding_data_never_moves_existing_rows(self, spark, docs):
+        before = {r.doc_id: r.split for r in hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1}).collect()}
+        grown = docs.union(
+            spark.createDataFrame([(10_000 + i, "new") for i in range(200)], "doc_id long, source string")
+        )
+        after = {r.doc_id: r.split for r in hash_split(grown, "doc_id", {"train": 0.9, "test": 0.1}).collect()}
+        assert all(after[k] == v for k, v in before.items())
+
+    def test_weights_are_exact_thresholds(self, docs):
+        out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+        for r in out:
+            want = "train" if r.bucket < 8000 else ("val" if r.bucket < 9000 else "test")
+            assert r.split == want
+
+    def test_salt_gives_independent_assignment(self, docs):
+        a = {r.doc_id: r.split for r in hash_split(docs, "doc_id", {"x": 0.5, "y": 0.5}, salt="s1").collect()}
+        b = {r.doc_id: r.split for r in hash_split(docs, "doc_id", {"x": 0.5, "y": 0.5}, salt="s2").collect()}
+        moved = sum(1 for k in a if a[k] != b[k])
+        assert 300 < moved < 700  # ~50% expected to differ
+
+    def test_bad_weights_rejected(self, docs):
+        with pytest.raises(ValueError, match="weights sum"):
+            hash_split(docs, "doc_id", {"a": 0.9, "b": 0.4})
+
+
+class TestStratifiedSample:
+    def test_membership_stable_and_fractional(self, docs):
+        s1 = {r.doc_id for r in stratified_sample(docs, ["source"], 0.2, key_col="doc_id").collect()}
+        s2 = {r.doc_id for r in stratified_sample(docs.repartition(7), ["source"], 0.2, key_col="doc_id").collect()}
+        assert s1 == s2
+        assert 120 < len(s1) < 280  # ~200 of 1000
+
+    def test_every_stratum_represented(self, docs):
+        out = stratified_sample(docs, ["source"], 0.3, key_col="doc_id")
+        per = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert len(per) == 7  # ~43 expected per stratum at 30%
+
+    def test_bad_fraction_rejected(self, docs):
+        with pytest.raises(ValueError, match="fraction"):
+            stratified_sample(docs, ["source"], 0.0, key_col="doc_id")
+
+    def test_no_shuffle_in_plan(self, docs):
+        plan = stratified_sample(docs, ["source"], 0.1, key_col="doc_id")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
