@@ -85,12 +85,44 @@ class GreengageEngine:
         from greengage_spark.operators.acl import AclCatalog
 
         self.acl = AclCatalog()  # roles/grants/comments/schemas (recorded)
+        # name → {"query": defining PG SQL, "populated": bool}
+        # (matview.c; storage is a regular versioned table)
+        self.matviews: dict[str, dict] = {}
 
     # ---------------- statement router ----------------
 
     def execute(self, sql: str) -> DataFrame | None:
         stmt = _strip_public_schema(sql.strip().rstrip(";"))
         head = stmt.split(None, 2)[0].lower() if stmt else ""
+        mmv = re.match(
+            r"(?is)^create\s+materialized\s+view\s+([\w.]+)\s+as\s+(.*?)"
+            r"(\s+with\s+(no\s+)?data)?$",
+            stmt,
+        )
+        if mmv:
+            return self._create_matview(
+                mmv.group(1), mmv.group(2), with_data=not mmv.group(4)
+            )
+        mrf = re.match(
+            r"(?is)^refresh\s+materialized\s+view\s+(concurrently\s+)?([\w.]+)"
+            r"(\s+with\s+(no\s+)?data)?$",
+            stmt,
+        )
+        if mrf:
+            return self._refresh_matview(mrf.group(2), with_data=not mrf.group(4))
+        if re.match(r"(?is)^drop\s+materialized\s+view\b", stmt):
+            m = re.match(
+                r"(?is)^drop\s+materialized\s+view\s+(if\s+exists\s+)?([\w.]+)$",
+                stmt,
+            )
+            if not m:
+                raise NotImplementedError("DROP MATERIALIZED VIEW [IF EXISTS] name")
+            if m.group(2) not in self.matviews:
+                if m.group(1):
+                    return None
+                raise ValueError(f"unknown materialized view {m.group(2)!r}")
+            self.matviews.pop(m.group(2))
+            return self._drop(f"DROP TABLE {m.group(2)}")
         mv = re.match(
             r"(?is)^create\s+(or\s+replace\s+)?(temp(orary)?\s+)?view\s+([\w.]+)\s+as\s+(.*)$",
             stmt,
@@ -257,6 +289,13 @@ class GreengageEngine:
             return self._explain(stmt)
         if head in ("select", "with", "values", "table"):
             self._register_all()
+            for nm, mvd in self.matviews.items():
+                if not mvd["populated"] and re.search(
+                    rf"(?i)\b{re.escape(nm)}\b", stmt
+                ):
+                    raise ValueError(
+                        f'materialized view "{nm}" has not been populated'
+                    )
             if re.search(
                 r"(?is)\b(pg_tables|pg_views|pg_indexes|pg_matviews|"
                 r"pg_roles|pg_namespace|pg_catalog|information_schema)\b",
@@ -307,6 +346,7 @@ class GreengageEngine:
         return {
             "tables": copy.deepcopy(self.ddl.tables),
             "views": dict(self.views),
+            "matviews": copy.deepcopy(self.matviews),
             "functions": dict(self.functions),
             "versions": {
                 name: self._storage(name).version for name in self.ddl.tables
@@ -320,6 +360,7 @@ class GreengageEngine:
         created = set(self.ddl.tables) - set(snap["tables"])
         self.ddl.tables = snap["tables"]
         self.views = snap["views"]
+        self.matviews = snap.get("matviews", {})
         self.functions = snap["functions"]
         for name in created:
             shutil.rmtree(f"{self.ddl.root}/{name}", ignore_errors=True)
@@ -717,6 +758,35 @@ class GreengageEngine:
         df = pg_sql(self.spark, body)
         self.ddl.create_table_as(name, df, distribution, dist_keys)
         self._register(name)
+        return None
+
+    def _create_matview(self, name: str, body: str, *, with_data: bool):
+        """CREATE MATERIALIZED VIEW (gram.y CreateMatViewStmt; matview.c):
+        the defining query snapshots into a versioned storage table; WITH
+        NO DATA leaves it unpopulated — unscannable until REFRESH, exactly
+        the ExecRefreshMatView contract."""
+        if name in self.matviews or name in self.ddl.tables:
+            raise ValueError(f"relation {name!r} already exists")
+        self._register_all()
+        df = pg_sql(self.spark, body)
+        self.ddl.create_table_as(name, df if with_data else df.limit(0))
+        self._register(name)
+        self.matviews[name] = {"query": body, "populated": bool(with_data)}
+        return None
+
+    def _refresh_matview(self, name: str, *, with_data: bool):
+        """REFRESH MATERIALIZED VIEW: re-run the stored defining query and
+        swap the storage in one manifest commit (full-table replace — the
+        non-CONCURRENTLY path; readers of the old version keep their
+        pinned file lists)."""
+        mv = self.matviews.get(name)
+        if mv is None:
+            raise ValueError(f"unknown materialized view {name!r}")
+        self._register_all()
+        df = pg_sql(self.spark, mv["query"])
+        self._storage(name).replace(df if with_data else df.limit(0))
+        self._register(name)
+        mv["populated"] = with_data
         return None
 
     def _storage(self, name: str):

@@ -9,7 +9,8 @@ them as small session DataFrames derived from its own DDL catalog:
 * ``pg_tables``    (schemaname, tablename, tableowner, hasindexes)
 * ``pg_views``     (schemaname, viewname, definition)
 * ``pg_indexes``   (schemaname, tablename, indexname, indexdef)
-* ``pg_matviews``  (empty — no materialized views)
+* ``pg_matviews``  (schemaname, matviewname, matviewowner, ispopulated,
+  definition — from the engine's matview catalog)
 * ``pg_roles``     (rolname + attribute flags + memberof, from the
   recorded ACL catalog in operators/acl.py)
 * ``pg_namespace`` (nspname, nspowner — recorded schemas)
@@ -38,6 +39,7 @@ def register_introspection_views(engine) -> None:
             any(ix.table == name for ix in engine.indexes.values()),
         )
         for name in sorted(tables)
+        if name not in engine.matviews  # matviews list separately
     ]
     spark.createDataFrame(
         pg_tables,
@@ -66,6 +68,22 @@ def register_introspection_views(engine) -> None:
         pg_indexes,
         "schemaname string, tablename string, indexname string, indexdef string",
     ).createOrReplaceTempView("pg_indexes")
+
+    pg_matviews = [
+        (
+            "public",
+            name,
+            engine.acl.owners.get(f"table:{name}", "gpadmin"),
+            mv["populated"],
+            mv["query"],
+        )
+        for name, mv in sorted(engine.matviews.items())
+    ]
+    spark.createDataFrame(
+        pg_matviews,
+        "schemaname string, matviewname string, matviewowner string, "
+        "ispopulated boolean, definition string",
+    ).createOrReplaceTempView("pg_matviews")
 
     def _opt(opts: str, flag: str) -> bool:
         low = " " + opts.lower() + " "

@@ -903,3 +903,44 @@ def script_dump_restore_acl(spark, sf_dir):
         "SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name "
         "FROM public.nat_acl GROUP BY n_regionkey ORDER BY n_regionkey"
     )
+
+
+@suite.add(
+    "ddl_matview_refresh",
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(*) AS n_nations,
+           MIN(n_name) AS first_name
+    FROM nation WHERE n_nationkey <> 3
+    GROUP BY n_regionkey
+    """,
+    doc="Materialized views (gram.y CreateMatViewStmt; matview.c): CREATE "
+        "snapshots the defining query into a versioned storage table; the "
+        "snapshot is STALE after base DML until REFRESH re-runs the query "
+        "and swaps storage in one manifest commit; WITH NO DATA is "
+        "unscannable until populated.  pg_matviews reflects the catalog.",
+    tags=("engine", "ddl"),
+)
+def ddl_matview_refresh(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_mv_"))
+    cat(spark, sf_dir).table("nation").createOrReplaceTempView("nation")
+    eng.execute(
+        "CREATE TABLE nat_mv_base AS SELECT n_nationkey, n_name, n_regionkey "
+        "FROM nation DISTRIBUTED BY (n_nationkey)"
+    )
+    eng.execute(
+        "CREATE MATERIALIZED VIEW nat_mv AS "
+        "SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name "
+        "FROM nat_mv_base GROUP BY n_regionkey"
+    )
+    # base DML must not show through until REFRESH (snapshot semantics)
+    eng.execute("DELETE FROM nat_mv_base WHERE n_nationkey = 3")
+    stale = eng.execute("SELECT SUM(n_nations) AS s FROM nat_mv").collect()[0].s
+    eng.execute("REFRESH MATERIALIZED VIEW nat_mv")
+    fresh = eng.execute("SELECT SUM(n_nations) AS s FROM nat_mv").collect()[0].s
+    assert stale == fresh + 1, (stale, fresh)
+    return eng.execute(
+        "SELECT n_regionkey, n_nations, first_name FROM nat_mv"
+    )

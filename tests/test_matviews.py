@@ -1,0 +1,81 @@
+"""Materialized views (gram.y CreateMatViewStmt; commands/matview.c):
+snapshot-on-create, REFRESH swap, WITH NO DATA unpopulated contract,
+transactional rollback, pg_matviews introspection."""
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = GreengageEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE base (k int4, v int4)")
+    e.execute("INSERT INTO base VALUES (1, 10), (2, 20), (3, 30)")
+    return e
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+class TestMatviews:
+    def test_create_snapshots_data(self, eng):
+        eng.execute(
+            "CREATE MATERIALIZED VIEW mv AS SELECT k, v * 2 AS v2 FROM base"
+        )
+        assert rows(eng.execute("SELECT k, v2 FROM mv")) == [(1, 20), (2, 40), (3, 60)]
+        # a matview is a SNAPSHOT: base changes don't show until REFRESH
+        eng.execute("INSERT INTO base VALUES (4, 40)")
+        assert len(eng.execute("SELECT * FROM mv").collect()) == 3
+        eng.execute("REFRESH MATERIALIZED VIEW mv")
+        assert rows(eng.execute("SELECT k, v2 FROM mv"))[-1] == (4, 80)
+
+    def test_with_no_data_unscannable(self, eng):
+        eng.execute(
+            "CREATE MATERIALIZED VIEW mv2 AS SELECT k FROM base WITH NO DATA"
+        )
+        with pytest.raises(ValueError, match="has not been populated"):
+            eng.execute("SELECT * FROM mv2")
+        eng.execute("REFRESH MATERIALIZED VIEW mv2")
+        assert len(eng.execute("SELECT * FROM mv2").collect()) == 3
+        # REFRESH ... WITH NO DATA de-populates again (matview.c)
+        eng.execute("REFRESH MATERIALIZED VIEW mv2 WITH NO DATA")
+        with pytest.raises(ValueError, match="has not been populated"):
+            eng.execute("SELECT k FROM mv2")
+
+    def test_drop(self, eng):
+        eng.execute("CREATE MATERIALIZED VIEW mv3 AS SELECT k FROM base")
+        eng.execute("DROP MATERIALIZED VIEW mv3")
+        assert "mv3" not in eng.matviews
+        with pytest.raises(ValueError, match="unknown materialized view"):
+            eng.execute("DROP MATERIALIZED VIEW mv3")
+        eng.execute("DROP MATERIALIZED VIEW IF EXISTS mv3")
+
+    def test_duplicate_name_rejected(self, eng):
+        with pytest.raises(ValueError, match="already exists"):
+            eng.execute("CREATE MATERIALIZED VIEW base AS SELECT 1 AS x")
+
+    def test_rollback_restores_matview_catalog(self, eng):
+        eng.execute("BEGIN")
+        eng.execute("CREATE MATERIALIZED VIEW mvtx AS SELECT k FROM base")
+        assert "mvtx" in eng.matviews
+        eng.execute("ROLLBACK")
+        assert "mvtx" not in eng.matviews
+
+    def test_pg_matviews_introspection(self, eng):
+        eng.execute("CREATE MATERIALIZED VIEW mva AS SELECT k FROM base")
+        eng.execute(
+            "CREATE MATERIALIZED VIEW mvb AS SELECT v FROM base WITH NO DATA"
+        )
+        out = {
+            r.matviewname: r.ispopulated
+            for r in eng.execute("SELECT * FROM pg_matviews").collect()
+        }
+        assert out == {"mva": True, "mvb": False}
+        # matviews are not listed as plain tables (describe.c separation)
+        tabs = {
+            r.tablename
+            for r in eng.execute("SELECT tablename FROM pg_tables").collect()
+        }
+        assert "mva" not in tabs and "base" in tabs
