@@ -3293,6 +3293,65 @@ def _pass_from_srf_items(toks: list[str]) -> list[str]:
     return toks
 
 
+def _pass_with_ordinality(toks: list[str]) -> list[str]:
+    """``unnest(X) WITH ORDINALITY [AS t(v, ord)]`` (gram.y
+    func_table WITH_LA ORDINALITY, PG 9.4) → a posexplode subquery:
+    ordinality is the 1-based element position.  Default column names
+    are PG's (``unnest``, ``ordinality``)."""
+    while True:
+        idx = next(
+            (
+                i
+                for i, t in enumerate(toks)
+                if _is_ident(t)
+                and t.lower() == "unnest"
+                and i + 1 < len(toks)
+                and toks[i + 1] == "("
+            ),
+            None,
+        )
+        if idx is None:
+            return toks
+        close = _match_paren(toks, idx + 1)
+        if not (
+            close + 2 < len(toks)
+            and _is_ident(toks[close + 1])
+            and toks[close + 1].lower() == "with"
+            and _is_ident(toks[close + 2])
+            and toks[close + 2].lower() == "ordinality"
+        ):
+            # plain unnest: the function rename pass handles it
+            return _pass_with_ordinality_rest(toks, idx)
+        args = toks[idx + 2 : close]
+        k = close + 3
+        alias, cols = "unnest_t", None
+        if k < len(toks) and _is_ident(toks[k]) and toks[k].lower() == "as":
+            k += 1
+        if k < len(toks) and _is_ident(toks[k]) and toks[k].lower() not in _FROM_END_KEYWORDS:
+            alias = toks[k]
+            k += 1
+            if k < len(toks) and toks[k] == "(":
+                aclose = _match_paren(toks, k)
+                cols = [c[0] for c in _split_top_commas(toks[k + 1 : aclose])]
+                k = aclose + 1
+        vcol, ocol = (cols + ["ordinality"])[:2] if cols else ("unnest", "ordinality")
+        repl = (
+            ["(", "SELECT", "__po_v", "AS", vcol, ",",
+             "CAST", "(", "__po_p", "+", "1", "AS", "BIGINT", ")", "AS", ocol,
+             "FROM", "(", "SELECT", "posexplode", "("] + args
+            + [")", "AS", "(", "__po_p", ",", "__po_v", ")", ")", "__po", ")",
+               "AS", alias]
+        )
+        toks = toks[:idx] + repl + toks[k:]
+
+
+def _pass_with_ordinality_rest(toks: list[str], after: int) -> list[str]:
+    """Continue scanning past a plain (no-ORDINALITY) unnest call."""
+    head = toks[: after + 1]
+    tail = _pass_with_ordinality(toks[after + 1 :])
+    return head + tail
+
+
 def _pass_single_grouping_set(toks: list[str]) -> list[str]:
     """``GROUP BY GROUPING SETS ((a, b))`` with exactly one non-empty set ≡
     ``GROUP BY a, b`` (PG parse_clause.c flattens it identically).  Spark
@@ -4422,6 +4481,7 @@ def transpile(sql: str) -> str:
     toks = _pass_interval_add_timestamp(toks)
     toks = _pass_group_by_aliases(toks)
     toks = _pass_group_extensions(toks)
+    toks = _pass_with_ordinality(toks)
     toks = _pass_targetlist_srf(toks)
     toks = _pass_count_noargs(toks)
     toks = _pass_agg_filter(toks)

@@ -596,3 +596,35 @@ class TestBitStrings:
         # varbit(n) truncates only
         assert self._one(spark, "B'110101'::varbit(3)") == "110"
         assert self._one(spark, "B'10'::varbit(4)") == "10"
+
+
+class TestWithOrdinality:
+    """unnest(X) WITH ORDINALITY (gram.y func_table, PG 9.4)."""
+
+    def _rows(self, spark, sql):
+        return [tuple(r) for r in pg_sql(spark, sql).collect()]
+
+    def test_basic(self, spark):
+        out = self._rows(
+            spark,
+            "SELECT * FROM unnest(ARRAY[10,20,30]) WITH ORDINALITY AS t(v, ord)",
+        )
+        assert out == [(10, 1), (20, 2), (30, 3)]
+
+    def test_filter_on_ordinality(self, spark):
+        out = self._rows(
+            spark,
+            "SELECT ord, v FROM unnest(ARRAY['a','b']) WITH ORDINALITY "
+            "AS t(v, ord) WHERE ord = 2",
+        )
+        assert out == [(2, "b")]
+
+    def test_default_column_names(self, spark):
+        row = pg_sql(
+            spark, "SELECT * FROM unnest(ARRAY[5]) WITH ORDINALITY"
+        ).collect()[0]
+        assert row.unnest == 5 and row.ordinality == 1
+
+    def test_plain_unnest_unchanged(self, spark):
+        out = self._rows(spark, "SELECT unnest(ARRAY[1,2]) AS u")
+        assert out == [(1,), (2,)]
