@@ -298,7 +298,8 @@ class GreengageEngine:
                     )
             if re.search(
                 r"(?is)\b(pg_tables|pg_views|pg_indexes|pg_matviews|"
-                r"pg_roles|pg_namespace|pg_catalog|information_schema)\b",
+                r"pg_roles|pg_namespace|pg_class|pg_attribute|"
+                r"pg_catalog|information_schema)\b",
                 stmt,
             ):
                 from greengage_spark.operators.introspection import (

@@ -144,3 +144,62 @@ def register_introspection_views(engine) -> None:
         "column_name string, ordinal_position int, data_type string, "
         "is_nullable string, column_default string",
     ).createOrReplaceTempView("__information_schema_columns")
+
+    spark.createDataFrame(
+        [("spark", s, engine.acl.owners.get(f"schema:{s}", "gpadmin"))
+         for s in sorted(engine.acl.schemas)],
+        "catalog_name string, schema_name string, schema_owner string",
+    ).createOrReplaceTempView("__information_schema_schemata")
+
+    # NOT NULL column constraints — the kind the engine enforces
+    # (single-pass INSERT check); PG spells them CHECK in this view
+    constraints = [
+        ("spark", "public", f"{name}_{c.name}_not_null", "public", name, "CHECK")
+        for name, td in sorted(tables.items())
+        for c in td.columns
+        if c.not_null
+    ]
+    spark.createDataFrame(
+        constraints,
+        "constraint_catalog string, constraint_schema string, "
+        "constraint_name string, table_schema string, table_name string, "
+        "constraint_type string",
+    ).createOrReplaceTempView("__information_schema_table_constraints")
+
+    # pg_class / pg_attribute: enough surface for the catalog joins
+    # regress scripts and ORMs issue (relkind r/v/m, oid join key).
+    # Oids are synthesized deterministically from the sorted catalog —
+    # stable within a session snapshot, which is all a join needs.
+    rels = (
+        [(n, "m" if n in engine.matviews else "r") for n in sorted(tables)]
+        + [(n, "v") for n in sorted(engine.views)]
+    )
+    oid_of = {n: 16384 + i for i, (n, _) in enumerate(rels)}
+    pg_class = [
+        (
+            oid_of[n],
+            n,
+            "public",
+            kind,
+            float(engine.stats[n].row_count)
+            if kind == "r" and n in engine.stats
+            else 0.0,
+        )
+        for n, kind in rels
+    ]
+    spark.createDataFrame(
+        pg_class,
+        "oid bigint, relname string, relnamespace string, relkind string, "
+        "reltuples double",
+    ).createOrReplaceTempView("pg_class")
+
+    pg_attribute = [
+        (oid_of[name], c.name, i + 1, c.pg_type.lower(), c.not_null)
+        for name, td in sorted(tables.items())
+        for i, c in enumerate(td.columns)
+    ]
+    spark.createDataFrame(
+        pg_attribute,
+        "attrelid bigint, attname string, attnum int, atttypname string, "
+        "attnotnull boolean",
+    ).createOrReplaceTempView("pg_attribute")

@@ -206,3 +206,58 @@ class TestDumpPreambleEndToEnd:
         assert eng.execute("SELECT count(*) AS n FROM dim_date").collect()[0].n == 1
         assert eng.acl.comments[("table", "dim_date")] == "date dimension"
         assert eng.acl.grants[("dim_date", "etl_writer")] == {"select"}
+
+
+class TestCatalogJoins:
+    """pg_class/pg_attribute + information_schema schemata/constraints:
+    the catalog-join shapes regress scripts and ORMs issue."""
+
+    def test_pg_class_attribute_join(self, eng):
+        eng.execute("CREATE TABLE tj (a int4 NOT NULL, b text)")
+        eng.execute("CREATE VIEW vj AS SELECT a FROM tj")
+        rows = eng.execute(
+            "SELECT c.relname, c.relkind, a.attname, a.attnotnull "
+            "FROM pg_class c JOIN pg_attribute a ON a.attrelid = c.oid "
+            "WHERE c.relname = 'tj' ORDER BY a.attnum"
+        ).collect()
+        assert [(r.attname, r.attnotnull) for r in rows] == [("a", True), ("b", False)]
+        assert rows[0].relkind == "r"
+        kinds = {
+            r.relname: r.relkind
+            for r in eng.execute("SELECT relname, relkind FROM pg_class").collect()
+        }
+        assert kinds["vj"] == "v"
+
+    def test_matview_relkind_m(self, eng):
+        eng.execute("CREATE TABLE tm (a int4)")
+        eng.execute("CREATE MATERIALIZED VIEW mvm AS SELECT a FROM tm")
+        kinds = {
+            r.relname: r.relkind
+            for r in eng.execute("SELECT relname, relkind FROM pg_class").collect()
+        }
+        assert kinds["mvm"] == "m"
+
+    def test_reltuples_after_analyze(self, eng):
+        eng.execute("CREATE TABLE ta (a int4)")
+        eng.execute("INSERT INTO ta VALUES (1), (2), (3)")
+        eng.execute("ANALYZE ta")
+        row = eng.execute(
+            "SELECT reltuples FROM pg_class WHERE relname = 'ta'"
+        ).collect()[0]
+        assert row.reltuples == 3.0
+
+    def test_information_schema_schemata_and_constraints(self, eng):
+        eng.execute("CREATE SCHEMA staging")
+        eng.execute("CREATE TABLE tc (a int4 NOT NULL)")
+        schemas = {
+            r.schema_name
+            for r in eng.execute(
+                "SELECT schema_name FROM information_schema.schemata"
+            ).collect()
+        }
+        assert {"public", "staging"} <= schemas
+        cons = eng.execute(
+            "SELECT constraint_name, constraint_type "
+            "FROM information_schema.table_constraints WHERE table_name = 'tc'"
+        ).collect()
+        assert cons and cons[0].constraint_type == "CHECK"
