@@ -769,7 +769,7 @@ def embedding_normalize_quantize(spark, sf_dir):
         "training when the 100 TB corpus is re-split.  Assignment is a "
         "zero-shuffle per-row projection; md5 is bit-identical across "
         "engines (the oracle reproduces exact membership).",
-    tags=("pipeline", "sampling", "bench"),
+    tags=("pipeline", "sampling"),
 )
 def pipeline_train_split(spark, sf_dir):
     from greengage_spark.pipeline.sampling import hash_split
