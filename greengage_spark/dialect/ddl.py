@@ -103,6 +103,10 @@ class ColumnDef:
     spark_type: str
     not_null: bool = False
     default: str | None = None  # DEFAULT expression text (rewriteTargetListIU)
+    # CHECK expression over this column (domain constraint, typecmds.c):
+    # PG-dialect text with VALUE already replaced by the column name;
+    # enforced in the INSERT write projection alongside NOT NULL
+    check: str | None = None
 
 
 @dataclass

@@ -88,12 +88,19 @@ class GreengageEngine:
         # name → {"query": defining PG SQL, "populated": bool}
         # (matview.c; storage is a regular versioned table)
         self.matviews: dict[str, dict] = {}
+        self.clustered: dict[str, str] = {}  # table → clustering index
+        # name → {"base": pg type, "not_null": bool, "default": str|None,
+        #         "check": str|None}  (typecmds.c DefineDomain)
+        self.domains: dict[str, dict] = {}
+        self._pending_domain_checks: dict[str, str] = {}
 
     # ---------------- statement router ----------------
 
     def execute(self, sql: str) -> DataFrame | None:
         stmt = _strip_public_schema(sql.strip().rstrip(";"))
         head = stmt.split(None, 2)[0].lower() if stmt else ""
+        if self.domains and not re.match(r"(?is)^(create|drop)\s+domain\b", stmt):
+            stmt = self._resolve_domains(stmt, head)
         mmv = re.match(
             r"(?is)^create\s+materialized\s+view\s+([\w.]+)\s+as\s+(.*?)"
             r"(\s+with\s+(no\s+)?data)?$",
@@ -182,7 +189,14 @@ class GreengageEngine:
                 stmt,
             )
             self.ddl.create_table(stmt)
-            self._register(parse_create_table(stmt).name)
+            tname = parse_create_table(stmt).name
+            if self._pending_domain_checks:
+                # graft domain CHECKs onto the created columns
+                for c in self.ddl.tables[tname].columns:
+                    if c.name in self._pending_domain_checks:
+                        c.check = self._pending_domain_checks[c.name]
+                self._pending_domain_checks = {}
+            self._register(tname)
             return None
         if re.match(r"(?is)^create\s+(or\s+replace\s+)?function\b", stmt):
             return self._create_function(stmt)
@@ -252,6 +266,60 @@ class GreengageEngine:
             from greengage_spark.operators.maintenance import execute_vacuum_analyze
 
             return execute_vacuum_analyze(self, stmt)
+        if head in ("lock", "checkpoint", "listen", "unlisten", "notify"):
+            # LOCK: snapshot-isolated single-writer manifests — every
+            # reader pins a manifest version, so table locks are no-ops
+            # (lockcmds.c semantics trivially hold).  CHECKPOINT: commits
+            # are already durable at manifest rename.  LISTEN/NOTIFY:
+            # no async message bus; accepted so scripts keep running.
+            return None
+        if head == "discard":
+            m = re.match(r"(?is)^discard\s+(all|plans|sequences|temp(orary)?)$", stmt)
+            if not m:
+                raise NotImplementedError("DISCARD ALL|PLANS|SEQUENCES|TEMP")
+            if m.group(1).lower() == "all":
+                # discard.c: RESET ALL + DEALLOCATE ALL + close portals
+                self.gucs.execute("RESET ALL", in_txn=self._txn is not None)
+                self.prepared.clear()
+                self.cursors.clear()
+            elif m.group(1).lower() == "plans":
+                self.prepared.clear()
+            return None
+        mx = re.match(
+            r"(?is)^(create|drop)\s+(extension|(?:trusted\s+)?(?:procedural\s+)?"
+            r"language|database|tablespace)\s+(if\s+(?:not\s+)?exists\s+)?"
+            r"(\"?[\w$]+\"?)",
+            stmt,
+        )
+        if mx:
+            # recorded metadata, like roles/queues (operators/acl.py):
+            # extensions gate nothing here (hstore/citext/text-search
+            # surfaces are built in), languages are checked at CREATE
+            # FUNCTION, databases/tablespaces are deployment topology
+            kind = re.sub(r"\s+", " ", mx.group(2).lower()).split()[-1]
+            store = self.acl.recorded.setdefault(kind, set())
+            name = mx.group(4).strip('"')
+            if mx.group(1).lower() == "create":
+                store.add(name)
+            else:
+                store.discard(name)
+            return None
+        if head == "cluster":
+            return self._cluster(stmt)
+        if re.match(r"(?is)^create\s+domain\b", stmt):
+            return self._create_domain(stmt)
+        if re.match(r"(?is)^drop\s+domain\b", stmt):
+            m = re.match(
+                r"(?is)^drop\s+domain\s+(if\s+exists\s+)?([\w.]+)"
+                r"(\s+cascade|\s+restrict)?$",
+                stmt,
+            )
+            if not m:
+                raise NotImplementedError("DROP DOMAIN [IF EXISTS] name")
+            if m.group(2) not in self.domains and not m.group(1):
+                raise ValueError(f"unknown domain {m.group(2)!r}")
+            self.domains.pop(m.group(2), None)
+            return None
         if head in ("begin", "start"):
             return self._begin_txn()
         if head in ("commit", "end"):
@@ -348,6 +416,7 @@ class GreengageEngine:
             "tables": copy.deepcopy(self.ddl.tables),
             "views": dict(self.views),
             "matviews": copy.deepcopy(self.matviews),
+            "domains": copy.deepcopy(self.domains),
             "functions": dict(self.functions),
             "versions": {
                 name: self._storage(name).version for name in self.ddl.tables
@@ -362,6 +431,7 @@ class GreengageEngine:
         self.ddl.tables = snap["tables"]
         self.views = snap["views"]
         self.matviews = snap.get("matviews", {})
+        self.domains = snap.get("domains", {})
         self.functions = snap["functions"]
         for name in created:
             shutil.rmtree(f"{self.ddl.root}/{name}", ignore_errors=True)
@@ -761,6 +831,144 @@ class GreengageEngine:
         self._register(name)
         return None
 
+    def _create_domain(self, stmt: str):
+        """CREATE DOMAIN name [AS] basetype [DEFAULT d] [NOT NULL]
+        [CHECK (expr)] (gram.y CreateDomainStmt; typecmds.c
+        DefineDomain).  The domain resolves to its base type wherever it
+        appears as a type (column defs, ::casts); NOT NULL / DEFAULT /
+        CHECK become per-column constraints on tables that use it,
+        enforced in the INSERT write projection."""
+        m = re.match(
+            r"(?is)^create\s+domain\s+([\w.]+)\s+(?:as\s+)?"
+            r"([a-z_][\w ]*?(?:\s*\(\s*[\d, ]+\s*\))?)"
+            r"(?=\s+default\b|\s+not\s+null\b|\s+null\b|\s+check\b|"
+            r"\s+constraint\b|\s*$)(.*)$",
+            stmt,
+        )
+        if not m:
+            raise NotImplementedError(
+                "CREATE DOMAIN name [AS] type [DEFAULT d] [NOT NULL] [CHECK (e)]"
+            )
+        name, base, rest = m.group(1), m.group(2).strip(), m.group(3)
+        if name in self.domains:
+            raise ValueError(f"domain {name!r} already exists")
+        # domain over domain resolves to the ultimate base (typcmds.c)
+        seen_base = self.domains.get(base)
+        spec = {
+            "base": seen_base["base"] if seen_base else base,
+            "not_null": bool(re.search(r"(?is)\bnot\s+null\b", rest)),
+            "default": None,
+            "check": seen_base["check"] if seen_base else None,
+        }
+        md = re.search(
+            r"(?is)\bdefault\s+((?:'(?:[^']|'')*'|[^\s])+)", rest
+        )
+        if md:
+            spec["default"] = md.group(1)
+        mc = re.search(r"(?is)(?:constraint\s+[\w]+\s+)?check\s*\(", rest)
+        if mc:
+            # balance parens to the end of the CHECK expression
+            depth, i = 0, rest.index("(", mc.start())
+            start = i
+            while i < len(rest):
+                if rest[i] == "(":
+                    depth += 1
+                elif rest[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i += 1
+            own = rest[start + 1 : i]
+            spec["check"] = (
+                f"({spec['check']}) AND ({own})" if spec["check"] else own
+            )
+        self.domains[name] = spec
+        return None
+
+    def _resolve_domains(self, stmt: str, head: str) -> str:
+        """Substitute recorded domain names with their base types:
+        ``::dom`` casts anywhere, standalone words in CREATE TABLE /
+        CREATE DOMAIN bodies (type positions).  String literals are
+        never touched.  CREATE TABLE substitutions also graft the
+        domain's NOT NULL / DEFAULT / CHECK onto the column definition
+        so existing constraint machinery enforces them."""
+        is_ct = bool(re.match(r"(?is)^create\s+(temp(orary)?\s+)?table\b", stmt))
+        col_checks: dict[str, str] = {}
+        parts = re.split(r"('(?:[^']|'')*')", stmt)
+        for k in range(0, len(parts), 2):
+            seg = parts[k]
+            for dom, spec in self.domains.items():
+                seg = re.sub(
+                    rf"(?is)::\s*{re.escape(dom)}\b", f"::{spec['base']}", seg
+                )
+                if is_ct:
+                    repl = spec["base"]
+                    if spec["default"]:
+                        repl += f" DEFAULT {spec['default']}"
+                    if spec["not_null"]:
+                        repl += " NOT NULL"
+
+                    def _sub(mm: "re.Match[str]") -> str:
+                        if spec["check"]:
+                            col_checks[mm.group(1)] = re.sub(
+                                r"(?i)\bVALUE\b", mm.group(1), spec["check"]
+                            )
+                        return mm.group(1) + " " + repl
+
+                    # a type position: the word after a column name
+                    seg = re.sub(
+                        rf"(?is)\b(\w+)\s+{re.escape(dom)}\b", _sub, seg
+                    )
+            parts[k] = seg
+        self._pending_domain_checks = col_checks
+        return "".join(parts)
+
+    def _cluster(self, stmt: str):
+        """CLUSTER table [USING index] (cluster.c): physically reorder the
+        table by the index keys.  The Spark-native payoff is parquet
+        min/max pruning: a range repartition + in-partition sort makes
+        every data file cover a NARROW key range, so key predicates skip
+        whole files at the scan — the same I/O win a clustered B-tree
+        gives the reference, achieved with statistics instead of an
+        access method.  A bare CLUSTER re-clusters every previously
+        clustered table, like PG."""
+        m = re.match(
+            r"(?is)^cluster\s*(verbose\s+)?(?:([\w.]+)"
+            r"(?:\s+(?:using|on)\s+([\w.]+))?)?$",
+            stmt,
+        )
+        if not m:
+            raise NotImplementedError("CLUSTER [VERBOSE] [table [USING index]]")
+        if not m.group(2):
+            for tbl in list(self.clustered):
+                self._cluster(f"CLUSTER {tbl}")
+            return None
+        table = m.group(2)
+        if table not in self.ddl.tables:
+            raise ValueError(f"unknown table {table!r}")
+        idx_name = m.group(3) or self.clustered.get(table)
+        if idx_name is None:
+            raise ValueError(
+                f"there is no previously clustered index for table {table!r}"
+            )
+        idx = self.indexes.get(idx_name)
+        if idx is None or idx.table != table:
+            raise ValueError(f"unknown index {idx_name!r} on table {table!r}")
+        st = self._storage(table)
+        n = st.num_partitions or self.spark.sparkContext.defaultParallelism
+        keys = list(idx.keys)
+        from pyspark.sql import functions as F
+
+        df = (
+            st.df()
+            .repartitionByRange(n, *[F.col(k) for k in keys])
+            .sortWithinPartitions(*keys)
+        )
+        st.replace(df)
+        self.clustered[table] = idx_name
+        self._register(table)
+        return None
+
     def _create_matview(self, name: str, body: str, *, with_data: bool):
         """CREATE MATERIALIZED VIEW (gram.y CreateMatViewStmt; matview.c):
         the defining query snapshots into a versioned storage table; WITH
@@ -919,6 +1127,29 @@ class GreengageEngine:
                     F.expr(transpile(c.default)) if c.default else F.lit(None),
                 )
         full = full.select([F.col(c.name) for c in td.columns])
+        checks = {c.name: c.check for c in td.columns if c.check}
+        if checks:
+            # domain CHECK constraints (typecmds.c domain_check): raise
+            # only when the predicate is FALSE — NULL passes, as in PG
+            full = full.select(
+                [
+                    F.when(
+                        F.expr(transpile(checks[c.name])).isNotNull()
+                        & ~F.expr(transpile(checks[c.name])),
+                        F.raise_error(
+                            F.lit(
+                                f'value for domain column "{c.name}" violates '
+                                f"check constraint"
+                            )
+                        ).cast(c.spark_type),
+                    )
+                    .otherwise(F.col(c.name))
+                    .alias(c.name)
+                    if c.name in checks
+                    else F.col(c.name)
+                    for c in td.columns
+                ]
+            )
         nn = [c.name for c in td.columns if c.not_null]
         if nn:
             # ExecConstraints: reject NULL in a NOT NULL column.  The check

@@ -43,6 +43,8 @@ class AclCatalog:
         self.queues: dict[str, str] = {}
         self.resource_groups: dict[str, str] = {}
         self.owners: dict[str, str] = {}
+        # extension/language/database/tablespace names (recorded no-ops)
+        self.recorded: dict[str, set[str]] = {}
 
     # ---------------- roles ----------------
 

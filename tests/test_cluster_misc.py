@@ -1,0 +1,142 @@
+"""CLUSTER physical reordering (cluster.c → range-repartition + sort for
+parquet min/max file skipping), plus the routed session no-ops: LOCK /
+CHECKPOINT / DISCARD / CREATE EXTENSION|LANGUAGE|DATABASE."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return GreengageEngine(spark, str(tmp_path / "wh"))
+
+
+class TestCluster:
+    def _key_ranges(self, eng, table):
+        """(min, max) of column k per data file, via parquet footers."""
+        st = eng._storage(table)
+        out = []
+        for f in st.files():
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)
+                assert col.path_in_schema == "k"
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            if mins:
+                out.append((min(mins), max(maxs)))
+        return out
+
+    def test_cluster_narrows_file_key_ranges(self, eng):
+        eng.execute("CREATE TABLE tc (k int4, v int4) DISTRIBUTED RANDOMLY")
+        # insert keys round-robin so every file spans ~the full key range
+        vals = ", ".join(f"({(i * 37) % 1000}, {i})" for i in range(1000))
+        eng.execute(f"INSERT INTO tc VALUES {vals}")
+        before = self._key_ranges(eng, "tc")
+        assert any(hi - lo > 500 for lo, hi in before), before
+        eng.execute("CREATE INDEX tc_k_idx ON tc (k)")
+        eng.execute("CLUSTER tc USING tc_k_idx")
+        after = sorted(self._key_ranges(eng, "tc"))
+        # files now cover disjoint narrow ranges: sorted ranges don't overlap
+        for (lo1, hi1), (lo2, hi2) in zip(after, after[1:]):
+            assert hi1 <= lo2, after
+        # data intact
+        n = eng.execute("SELECT COUNT(*) AS n FROM tc").collect()[0].n
+        assert n == 1000
+
+    def test_bare_cluster_reclusters_remembered(self, eng):
+        eng.execute("CREATE TABLE t1 (k int4)")
+        eng.execute("INSERT INTO t1 VALUES (3), (1), (2)")
+        eng.execute("CREATE INDEX i1 ON t1 (k)")
+        eng.execute("CLUSTER t1 USING i1")
+        v = eng._storage("t1").version
+        eng.execute("CLUSTER")  # re-cluster everything previously clustered
+        assert eng._storage("t1").version > v
+
+    def test_cluster_requires_index(self, eng):
+        eng.execute("CREATE TABLE t2 (k int4)")
+        with pytest.raises(ValueError, match="no previously clustered index"):
+            eng.execute("CLUSTER t2")
+        with pytest.raises(ValueError, match="unknown index"):
+            eng.execute("CLUSTER t2 USING nosuch")
+
+
+class TestSessionNoops:
+    def test_lock_checkpoint_listen(self, eng):
+        eng.execute("CREATE TABLE tl (a int4)")
+        eng.execute("LOCK TABLE tl IN ACCESS EXCLUSIVE MODE")
+        eng.execute("CHECKPOINT")
+        eng.execute("LISTEN chan")
+        eng.execute("NOTIFY chan")
+
+    def test_discard_all_clears_session_state(self, eng):
+        eng.execute("CREATE TABLE td (a int4)")
+        eng.execute("INSERT INTO td VALUES (1)")
+        eng.execute("PREPARE p1 AS SELECT a FROM td")
+        eng.execute("SET optimizer = off")
+        eng.execute("DISCARD ALL")
+        assert not eng.prepared
+        with pytest.raises(Exception):
+            eng.execute("EXECUTE p1")
+
+    def test_extension_language_database_recorded(self, eng):
+        eng.execute("CREATE EXTENSION IF NOT EXISTS hstore")
+        eng.execute("CREATE LANGUAGE plpythonu")
+        eng.execute("CREATE DATABASE warehouse_db")
+        assert "hstore" in eng.acl.recorded["extension"]
+        assert "plpythonu" in eng.acl.recorded["language"]
+        assert "warehouse_db" in eng.acl.recorded["database"]
+        eng.execute("DROP EXTENSION hstore")
+        assert "hstore" not in eng.acl.recorded["extension"]
+
+
+class TestDomains:
+    """CREATE DOMAIN (gram.y CreateDomainStmt; typecmds.c): base-type
+    resolution, DEFAULT/NOT NULL grafting, CHECK enforcement on INSERT."""
+
+    def test_domain_as_column_type(self, eng):
+        eng.execute("CREATE DOMAIN posint AS int4 CHECK (VALUE > 0)")
+        eng.execute("CREATE TABLE td1 (id posint, note text)")
+        eng.execute("INSERT INTO td1 VALUES (5, 'ok')")
+        assert eng.execute("SELECT id FROM td1").collect()[0].id == 5
+        with pytest.raises(Exception, match="check constraint"):
+            eng.execute("INSERT INTO td1 VALUES (-1, 'bad')")
+
+    def test_check_null_passes_unless_not_null(self, eng):
+        eng.execute("CREATE DOMAIN pctval AS float8 CHECK (VALUE BETWEEN 0 AND 1)")
+        eng.execute("CREATE TABLE td2 (p pctval)")
+        eng.execute("INSERT INTO td2 VALUES (NULL)")  # NULL passes CHECK (PG)
+        assert eng.execute("SELECT COUNT(*) AS n FROM td2").collect()[0].n == 1
+
+    def test_not_null_and_default_graft(self, eng):
+        eng.execute("CREATE DOMAIN code AS text DEFAULT 'UNK' NOT NULL")
+        eng.execute("CREATE TABLE td3 (c code, x int4)")
+        eng.execute("INSERT INTO td3 (x) VALUES (1)")
+        assert eng.execute("SELECT c FROM td3").collect()[0].c == "UNK"
+        with pytest.raises(Exception, match="not-null"):
+            eng.execute("INSERT INTO td3 VALUES (NULL, 2)")
+
+    def test_domain_cast(self, eng):
+        eng.execute("CREATE DOMAIN d8 AS int8")
+        row = eng.execute("SELECT 7::d8 AS v").collect()[0]
+        assert row.v == 7
+
+    def test_domain_over_domain(self, eng):
+        eng.execute("CREATE DOMAIN pos2 AS int4 CHECK (VALUE > 0)")
+        eng.execute("CREATE DOMAIN small_pos AS pos2 CHECK (VALUE < 100)")
+        eng.execute("CREATE TABLE td4 (v small_pos)")
+        eng.execute("INSERT INTO td4 VALUES (50)")
+        with pytest.raises(Exception, match="check constraint"):
+            eng.execute("INSERT INTO td4 VALUES (200)")
+        with pytest.raises(Exception, match="check constraint"):
+            eng.execute("INSERT INTO td4 VALUES (-5)")
+
+    def test_drop_domain(self, eng):
+        eng.execute("CREATE DOMAIN dtmp AS int4")
+        eng.execute("DROP DOMAIN dtmp")
+        with pytest.raises(ValueError, match="unknown domain"):
+            eng.execute("DROP DOMAIN dtmp")
+        eng.execute("DROP DOMAIN IF EXISTS dtmp")

@@ -69,8 +69,12 @@ class TestEngine:
         assert rows(out) == [(1, "b", True, "1")]
 
     def test_unknown_statement_raises(self, eng):
+        # CREATE RULE is query-rewrite machinery (rewriteDefine.c) — out
+        # of scope, must reject loudly rather than silently no-op
         with pytest.raises(NotImplementedError):
-            eng.execute("LISTEN some_channel")
+            eng.execute(
+                "CREATE RULE r AS ON INSERT TO t DO INSTEAD NOTHING"
+            )
 
     def test_distributed_by_respected(self, eng):
         eng.execute("CREATE TABLE big (k int8, v int8) DISTRIBUTED BY (k)")
