@@ -944,3 +944,50 @@ def ddl_matview_refresh(spark, sf_dir):
     return eng.execute(
         "SELECT n_regionkey, n_nations, first_name FROM nat_mv"
     )
+
+
+@suite.add(
+    "script_domain_cluster",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_regionkey >= 0
+    ORDER BY n_nationkey
+    """,
+    doc="CREATE DOMAIN (typecmds.c: base-type resolution + CHECK "
+        "enforcement in the INSERT projection) and CLUSTER (cluster.c -> "
+        "range-repartition + sort so parquet min/max skips files on key "
+        "predicates), driven through the engine script path with "
+        "extension/language no-ops in the preamble.",
+    tags=("engine", "ddl"),
+)
+def script_domain_cluster(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_dom_"))
+    cat(spark, sf_dir).table("nation").createOrReplaceTempView("nation")
+    script = [
+        "CREATE EXTENSION IF NOT EXISTS plpgsql",
+        "CREATE LANGUAGE plpythonu",
+        "CREATE DOMAIN regionkey_t AS int8 CHECK (VALUE >= 0)",
+        "CREATE TABLE nat_dom (n_nationkey int8, n_name text, "
+        "n_regionkey regionkey_t) DISTRIBUTED BY (n_nationkey)",
+        "INSERT INTO nat_dom SELECT n_nationkey, n_name, n_regionkey "
+        "FROM nation",
+        "CREATE INDEX nat_dom_k ON nat_dom (n_nationkey)",
+        "CLUSTER nat_dom USING nat_dom_k",
+        "LOCK TABLE nat_dom IN SHARE MODE",
+    ]
+    for stmt in script:
+        eng.execute(stmt)
+    # domain CHECK must reject a violating row
+    try:
+        eng.execute("INSERT INTO nat_dom VALUES (999, 'bad', -1)")
+        raise AssertionError("domain CHECK did not fire")
+    except AssertionError:
+        raise
+    except Exception:
+        pass
+    return eng.execute(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nat_dom "
+        "ORDER BY n_nationkey"
+    )
