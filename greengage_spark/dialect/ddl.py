@@ -107,6 +107,9 @@ class ColumnDef:
     # PG-dialect text with VALUE already replaced by the column name;
     # enforced in the INSERT write projection alongside NOT NULL
     check: str | None = None
+    # declaring domain name, when the column was declared with one —
+    # ALTER DOMAIN propagates constraint changes to these columns
+    domain: str | None = None
 
 
 @dataclass

@@ -191,10 +191,14 @@ class GreengageEngine:
             self.ddl.create_table(stmt)
             tname = parse_create_table(stmt).name
             if self._pending_domain_checks:
-                # graft domain CHECKs onto the created columns
+                # tag columns with their declaring domain + graft CHECKs
                 for c in self.ddl.tables[tname].columns:
-                    if c.name in self._pending_domain_checks:
-                        c.check = self._pending_domain_checks[c.name]
+                    dom = self._pending_domain_checks.get(c.name)
+                    if dom:
+                        c.domain = dom
+                        chk = self.domains[dom]["check"]
+                        if chk:
+                            c.check = re.sub(r"(?i)\bVALUE\b", c.name, chk)
                 self._pending_domain_checks = {}
             self._register(tname)
             return None
@@ -308,6 +312,8 @@ class GreengageEngine:
             return self._cluster(stmt)
         if re.match(r"(?is)^create\s+domain\b", stmt):
             return self._create_domain(stmt)
+        if re.match(r"(?is)^alter\s+domain\b", stmt):
+            return self._alter_domain(stmt)
         if re.match(r"(?is)^drop\s+domain\b", stmt):
             m = re.match(
                 r"(?is)^drop\s+domain\s+(if\s+exists\s+)?([\w.]+)"
@@ -885,6 +891,110 @@ class GreengageEngine:
         self.domains[name] = spec
         return None
 
+    def _alter_domain(self, stmt: str):
+        """ALTER DOMAIN (gram.y AlterDomainStmt; typecmds.c): constraint
+        changes PROPAGATE to every existing column declared with the
+        domain — PG's domains are dynamic, not copied at CREATE TABLE.
+        SET NOT NULL and ADD CHECK validate existing rows first (one
+        pushdown scan per affected table), like AlterDomainNotNull /
+        AlterDomainAddConstraint."""
+        m = re.match(r"(?is)^alter\s+domain\s+([\w.]+)\s+(.*)$", stmt)
+        if not m:
+            raise NotImplementedError("ALTER DOMAIN name action")
+        name, action = m.group(1), m.group(2).strip()
+        spec = self.domains.get(name)
+        if spec is None:
+            raise ValueError(f"unknown domain {name!r}")
+        low = re.sub(r"\s+", " ", action.lower())
+
+        def _cols():
+            for tname, td in self.ddl.tables.items():
+                for c in td.columns:
+                    if c.domain == name:
+                        yield tname, c
+
+        def _validate(pred_fmt: str, errwhat: str):
+            for tname, c in _cols():
+                self._register(tname)
+                bad = pg_sql(
+                    self.spark,
+                    f"SELECT count(*) AS n FROM {tname} "
+                    f"WHERE {pred_fmt.format(col=c.name)}",
+                ).collect()[0].n
+                if bad:
+                    raise ValueError(
+                        f'column "{c.name}" of table "{tname}" contains '
+                        f"{bad} row(s) violating the new {errwhat}"
+                    )
+
+        mr = re.match(r"(?is)^rename\s+to\s+([\w.]+)$", action)
+        if mr:
+            new = mr.group(1)
+            self.domains[new] = self.domains.pop(name)
+            for _, c in list(_cols()):
+                c.domain = new
+            return None
+        if low == "set not null":
+            _validate("{col} IS NULL", "NOT NULL constraint")
+            spec["not_null"] = True
+            for _, c in _cols():
+                c.not_null = True
+            return None
+        if low == "drop not null":
+            spec["not_null"] = False
+            for _, c in _cols():
+                c.not_null = False
+            return None
+        md = re.match(r"(?is)^set\s+default\s+(.+)$", action)
+        if md:
+            spec["default"] = md.group(1)
+            for _, c in _cols():
+                c.default = md.group(1)
+            return None
+        if low == "drop default":
+            spec["default"] = None
+            for _, c in _cols():
+                c.default = None
+            return None
+        ma = re.match(
+            r"(?is)^add\s+(?:constraint\s+([\w]+)\s+)?check\s*\((.*)\)\s*"
+            r"(not\s+valid)?$",
+            action,
+        )
+        if ma:
+            own = ma.group(2)
+            if not ma.group(3):
+                _validate(
+                    "NOT (" + re.sub(r"(?i)\bVALUE\b", "{col}", own) + ")",
+                    "CHECK constraint",
+                )
+            spec["check"] = (
+                f"({spec['check']}) AND ({own})" if spec["check"] else own
+            )
+            if ma.group(1):
+                spec["check_name"] = ma.group(1)
+            for _, c in _cols():
+                c.check = re.sub(r"(?i)\bVALUE\b", c.name, spec["check"])
+            return None
+        mdc = re.match(r"(?is)^drop\s+constraint\s+(if\s+exists\s+)?([\w]+)$", action)
+        if mdc:
+            known = spec.get("check_name") or f"{name}_check"
+            if mdc.group(2).lower() != known.lower():
+                if mdc.group(1):
+                    return None
+                raise ValueError(
+                    f"constraint {mdc.group(2)!r} of domain {name!r} does not exist"
+                )
+            spec["check"] = None
+            spec.pop("check_name", None)
+            for _, c in _cols():
+                c.check = None
+            return None
+        if re.match(r"(?is)^owner\s+to\s+", action):
+            self.acl.set_owner(f"domain:{name}", action.split()[-1].strip('"'))
+            return None
+        raise NotImplementedError(f"ALTER DOMAIN action {action[:40]!r}")
+
     def _resolve_domains(self, stmt: str, head: str) -> str:
         """Substitute recorded domain names with their base types:
         ``::dom`` casts anywhere, standalone words in CREATE TABLE /
@@ -909,10 +1019,7 @@ class GreengageEngine:
                         repl += " NOT NULL"
 
                     def _sub(mm: "re.Match[str]") -> str:
-                        if spec["check"]:
-                            col_checks[mm.group(1)] = re.sub(
-                                r"(?i)\bVALUE\b", mm.group(1), spec["check"]
-                            )
+                        col_checks[mm.group(1)] = dom
                         return mm.group(1) + " " + repl
 
                     # a type position: the word after a column name

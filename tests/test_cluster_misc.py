@@ -140,3 +140,52 @@ class TestDomains:
         with pytest.raises(ValueError, match="unknown domain"):
             eng.execute("DROP DOMAIN dtmp")
         eng.execute("DROP DOMAIN IF EXISTS dtmp")
+
+
+class TestAlterDomain:
+    """ALTER DOMAIN propagates to existing columns (typecmds.c — domains
+    are dynamic, not copied at CREATE TABLE)."""
+
+    def test_add_check_validates_and_propagates(self, eng):
+        eng.execute("CREATE DOMAIN qty AS int4")
+        eng.execute("CREATE TABLE ta1 (q qty)")
+        eng.execute("INSERT INTO ta1 VALUES (5), (50)")
+        # existing rows violate → rejected with a count
+        with pytest.raises(ValueError, match="violating the new CHECK"):
+            eng.execute("ALTER DOMAIN qty ADD CHECK (VALUE < 10)")
+        eng.execute("ALTER DOMAIN qty ADD CHECK (VALUE < 100)")
+        with pytest.raises(Exception, match="check constraint"):
+            eng.execute("INSERT INTO ta1 VALUES (500)")
+
+    def test_set_not_null_validates(self, eng):
+        eng.execute("CREATE DOMAIN tag AS text")
+        eng.execute("CREATE TABLE ta2 (t tag)")
+        eng.execute("INSERT INTO ta2 VALUES (NULL)")
+        with pytest.raises(ValueError, match="NOT NULL"):
+            eng.execute("ALTER DOMAIN tag SET NOT NULL")
+        eng.execute("DELETE FROM ta2 WHERE t IS NULL")
+        eng.execute("ALTER DOMAIN tag SET NOT NULL")
+        with pytest.raises(Exception, match="not-null"):
+            eng.execute("INSERT INTO ta2 VALUES (NULL)")
+
+    def test_set_drop_default(self, eng):
+        eng.execute("CREATE DOMAIN st AS text")
+        eng.execute("CREATE TABLE ta3 (s st, x int4)")
+        eng.execute("ALTER DOMAIN st SET DEFAULT 'none'")
+        eng.execute("INSERT INTO ta3 (x) VALUES (1)")
+        assert eng.execute("SELECT s FROM ta3").collect()[0].s == "none"
+        eng.execute("ALTER DOMAIN st DROP DEFAULT")
+        eng.execute("INSERT INTO ta3 (x) VALUES (2)")
+        out = {r.x: r.s for r in eng.execute("SELECT x, s FROM ta3").collect()}
+        assert out[2] is None
+
+    def test_rename_and_drop_constraint(self, eng):
+        eng.execute("CREATE DOMAIN d1 AS int4")
+        eng.execute("ALTER DOMAIN d1 ADD CONSTRAINT d1_pos CHECK (VALUE > 0)")
+        eng.execute("CREATE TABLE ta4 (v d1)")
+        with pytest.raises(Exception, match="check constraint"):
+            eng.execute("INSERT INTO ta4 VALUES (-1)")
+        eng.execute("ALTER DOMAIN d1 DROP CONSTRAINT d1_pos")
+        eng.execute("INSERT INTO ta4 VALUES (-1)")  # constraint gone
+        eng.execute("ALTER DOMAIN d1 RENAME TO d1x")
+        assert "d1x" in eng.domains and "d1" not in eng.domains
