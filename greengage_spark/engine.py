@@ -1179,6 +1179,17 @@ class GreengageEngine:
 
     def _insert(self, stmt: str):
         stmt, ret = self._split_returning(stmt)
+        mdv = re.match(
+            r"(?is)^insert\s+into\s+([\w.]+)\s+default\s+values$", stmt
+        )
+        if mdv:
+            # gram.y DEFAULT VALUES ≡ one row of per-column defaults
+            # (rewriteValuesRTE handles the DEFAULT item below)
+            td = self.ddl.tables.get(mdv.group(1))
+            if td is None:
+                raise ValueError(f"unknown table {mdv.group(1)!r}")
+            first = td.columns[0].name
+            stmt = f"INSERT INTO {mdv.group(1)} ({first}) VALUES (DEFAULT)"
         m = re.match(
             r"(?is)^insert\s+into\s+([\w.]+)\s*"
             r"(\((?!\s*(?:select|with)\b)[^)]*\))?\s*"

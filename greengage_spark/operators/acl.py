@@ -186,7 +186,8 @@ class AclCatalog:
     def comment(self, stmt: str) -> None:
         m = re.match(
             r"(?is)^comment\s+on\s+(table|column|view|schema|function|"
-            r"aggregate|sequence|index|database|role)\s+([\w.\"]+)"
+            r"aggregate|sequence|index|database|role|domain|type|"
+            r"extension|language|materialized\s+view)\s+([\w.\"]+)"
             r"(?:\s*\([^)]*\))?\s+is\s+(null|'(?:[^']|'')*')$",
             stmt,
         )

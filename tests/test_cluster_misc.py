@@ -189,3 +189,69 @@ class TestAlterDomain:
         eng.execute("INSERT INTO ta4 VALUES (-1)")  # constraint gone
         eng.execute("ALTER DOMAIN d1 RENAME TO d1x")
         assert "d1x" in eng.domains and "d1" not in eng.domains
+
+
+class TestDomainReferenceParity:
+    """Verbatim statements from the reference's domain battery
+    (src/test/regress/sql/domain.sql:174-196 nulltest; :5-16 drop;
+    expected outcomes from domain.out).  varchar-length coercion rows
+    are out of scope (length is not enforced on STRING columns)."""
+
+    def test_nulltest_battery(self, eng):
+        eng.execute("create domain dnotnull varchar(15) NOT NULL")
+        eng.execute("create domain dnull    varchar(15)")
+        eng.execute(
+            "create domain dcheck   varchar(15) NOT NULL "
+            "CHECK (VALUE = 'a' OR VALUE = 'c' OR VALUE = 'd')"
+        )
+        eng.execute(
+            """create table nulltest
+               ( col1 dnotnull
+               , col2 dnotnull NULL  -- NOT NULL in the domain cannot be overridden
+               , col3 dnull    NOT NULL
+               , col4 dnull
+               , col5 dcheck
+               )"""
+        )
+        good = [
+            "INSERT INTO nulltest values ('a', 'b', 'c', 'd', 'c')",
+            "INSERT INTO nulltest values ('a', 'b', 'c', NULL, 'd')",
+        ]
+        bad = [
+            "INSERT INTO nulltest DEFAULT VALUES",                      # col1 NOT NULL
+            "insert into nulltest values ('a', 'b', 'c', 'd', NULL)",   # dcheck NOT NULL
+            "insert into nulltest values ('a', 'b', 'c', 'd', 'b')",    # dcheck CHECK
+            "INSERT INTO nulltest values (NULL, 'b', 'c', 'd', 'd')",   # col1
+            "INSERT INTO nulltest values ('a', NULL, 'c', 'd', 'c')",   # col2 (domain wins)
+            "INSERT INTO nulltest values ('a', 'b', NULL, 'd', 'c')",   # col3 column NOT NULL
+        ]
+        for s in good:
+            eng.execute(s)
+        for s in bad:
+            with pytest.raises(Exception):
+                eng.execute(s)
+        rows = sorted(
+            map(tuple, eng.execute("select * from nulltest").collect()),
+            key=lambda t: [x or "" for x in t],
+        )
+        assert rows == [("a", "b", "c", None, "d"), ("a", "b", "c", "d", "c")]
+
+    def test_drop_battery(self, eng):
+        # domain.sql:5-16 — comment + domain-over-domain + drop
+        eng.execute("create domain domaindroptest int4")
+        eng.execute("comment on domain domaindroptest is 'About to drop this..'")
+        eng.execute("create domain dependenttypetest domaindroptest")
+        eng.execute("drop domain domaindroptest cascade")
+        with pytest.raises(ValueError):
+            eng.execute("drop domain domaindroptest cascade")
+
+    def test_default_battery(self, eng):
+        # domain.sql ddef1/ddef3 shapes
+        eng.execute("create domain ddef1 int4 DEFAULT 3")
+        eng.execute("create table defaulttest (col1 ddef1)")
+        eng.execute("INSERT INTO defaulttest (col1) VALUES (42)")
+        eng.execute("INSERT INTO defaulttest DEFAULT VALUES")
+        vals = sorted(
+            r.col1 for r in eng.execute("select col1 from defaulttest").collect()
+        )
+        assert vals == [3, 42]
