@@ -312,6 +312,49 @@ class GreengageEngine:
             return self._cluster(stmt)
         if re.match(r"(?is)^create\s+domain\b", stmt):
             return self._create_domain(stmt)
+        men = re.match(
+            r"(?is)^create\s+type\s+([\w.]+)\s+as\s+enum\s*\((.*)\)\s*$", stmt
+        )
+        if men:
+            # CREATE TYPE AS ENUM (gram.y CreateEnumStmt; pg_enum.c),
+            # realized on the domain machinery: text base + membership
+            # CHECK, so enum-typed columns validate labels on INSERT and
+            # ::enumtype casts resolve.  DIVERGENCE (documented): PG
+            # orders enum values by declaration position; here they
+            # compare as text.  Label list is preserved for
+            # introspection/round-trip.
+            name = men.group(1)
+            labels = [
+                x.strip()[1:-1].replace("''", "'")
+                for x in self._split_top(men.group(2))
+                if x.strip()
+            ]
+            if name in self.domains:
+                raise ValueError(f"type {name!r} already exists")
+            in_list = ", ".join(
+                "'" + lab.replace("'", "''") + "'" for lab in labels
+            )
+            self.domains[name] = {
+                "base": "text",
+                "not_null": False,
+                "default": None,
+                "check": f"VALUE IN ({in_list})",
+                "enum_labels": labels,
+            }
+            return None
+        if re.match(r"(?is)^drop\s+type\b", stmt):
+            m = re.match(
+                r"(?is)^drop\s+type\s+(if\s+exists\s+)?([\w.]+)"
+                r"(\s+cascade|\s+restrict)?$",
+                stmt,
+            )
+            if m and (m.group(2) in self.domains or m.group(1)):
+                self.domains.pop(m.group(2), None)
+                return None
+            raise NotImplementedError(
+                "only enum types are droppable (composite/base types are "
+                "not routed)"
+            )
         if re.match(r"(?is)^alter\s+domain\b", stmt):
             return self._alter_domain(stmt)
         if re.match(r"(?is)^drop\s+domain\b", stmt):

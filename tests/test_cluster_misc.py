@@ -255,3 +255,40 @@ class TestDomainReferenceParity:
             r.col1 for r in eng.execute("select col1 from defaulttest").collect()
         )
         assert vals == [3, 42]
+
+
+class TestEnumTypes:
+    """CREATE TYPE AS ENUM (gram.y CreateEnumStmt; pg_enum.c) on the
+    domain machinery: label validation on INSERT and casts.  Ordering
+    compares as text here (documented divergence from enum position
+    order)."""
+
+    def test_enum_column_validates_labels(self, eng):
+        eng.execute("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+        eng.execute("CREATE TABLE person (pname text, current_mood mood)")
+        eng.execute("INSERT INTO person VALUES ('Moe', 'happy')")
+        with pytest.raises(Exception, match="check constraint"):
+            eng.execute("INSERT INTO person VALUES ('Larry', 'ecstatic')")
+        assert (
+            eng.execute("SELECT current_mood FROM person").collect()[0]
+            .current_mood == "happy"
+        )
+
+    def test_enum_cast_and_null(self, eng):
+        eng.execute("CREATE TYPE rgb AS ENUM ('red', 'green', 'blue')")
+        row = eng.execute("SELECT 'red'::rgb AS c").collect()[0]
+        assert row.c == "red"
+        eng.execute("CREATE TABLE pal (c rgb)")
+        eng.execute("INSERT INTO pal VALUES (NULL)")  # NULL always valid
+
+    def test_quoted_label(self, eng):
+        eng.execute("CREATE TYPE st AS ENUM ('it''s', 'ok')")
+        assert eng.domains["st"]["enum_labels"] == ["it's", "ok"]
+
+    def test_drop_type(self, eng):
+        eng.execute("CREATE TYPE tmp_e AS ENUM ('a')")
+        eng.execute("DROP TYPE tmp_e")
+        assert "tmp_e" not in eng.domains
+        eng.execute("DROP TYPE IF EXISTS tmp_e")
+        with pytest.raises(NotImplementedError):
+            eng.execute("DROP TYPE nosuch_composite")
