@@ -188,6 +188,7 @@ class GreengageEngine:
                 _expand_like,
                 stmt,
             )
+            stmt = self._expand_serial(stmt)
             self.ddl.create_table(stmt)
             tname = parse_create_table(stmt).name
             if self._pending_domain_checks:
@@ -389,6 +390,11 @@ class GreengageEngine:
             from greengage_spark.operators.alter import execute_truncate
 
             return execute_truncate(self, stmt)
+        # sequence-DEFAULT columns surface into the statement text first,
+        # so the lowering below sees every nextval (serial columns,
+        # DEFAULT nextval(...)) — rewriteTargetListIU before lowering
+        if head == "insert":
+            stmt = self._expand_seq_defaults(stmt)
         # sequence calls are driver-evaluated / lowered before routing
         if _has_seq_call(stmt):
             stmt = self._lower_sequences(stmt, head)
@@ -1220,6 +1226,105 @@ class GreengageEngine:
         self.spark.catalog.dropTempView(name)
         return None
 
+    def _expand_serial(self, stmt: str) -> str:
+        """serial/bigserial pseudo-types (gram.y SimpleTypename →
+        transformColumnDefinition): expand to int NOT NULL DEFAULT
+        nextval('<table>_<col>_seq') and create the owned sequence."""
+        if not re.search(r"(?is)\b(small|big)?serial[248]?\b", stmt):
+            return stmt
+        mt = re.match(r"(?is)^create\s+(?:temp(?:orary)?\s+)?table\s+([\w.]+)", stmt)
+        if not mt:
+            return stmt
+        tname = mt.group(1)
+        bases = {
+            "smallserial": "int2", "serial2": "int2",
+            "serial": "int4", "serial4": "int4",
+            "bigserial": "int8", "serial8": "int8",
+        }
+        created: list[str] = []
+
+        def _repl(mm: "re.Match[str]") -> str:
+            seq = f"{tname}_{mm.group(1)}_seq"
+            created.append(seq)
+            return (
+                f"{mm.group(1)} {bases[mm.group(2).lower()]} NOT NULL "
+                f"DEFAULT nextval('{seq}')"
+            )
+
+        parts = re.split(r"('(?:[^']|'')*')", stmt)
+        for k in range(0, len(parts), 2):
+            parts[k] = re.sub(
+                r"(?is)\b(\w+)\s+(smallserial|bigserial|serial[248]?)\b",
+                _repl,
+                parts[k],
+            )
+        if created:
+            from greengage_spark.operators.sequence import Sequence
+
+            for seq in created:
+                self.sequences.create(Sequence(seq), if_not_exists=True)
+        return "".join(parts)
+
+    def _expand_seq_defaults(self, stmt: str) -> str:
+        """Surface sequence-backed column DEFAULTs (serial columns,
+        ``DEFAULT nextval(...)``) into the INSERT text, so the statement
+        lowering assigns per-row values through the sequence manager —
+        a DataFrame-side default would evaluate ONE value for all rows."""
+        m = re.match(
+            r"(?is)^insert\s+into\s+([\w.]+)\s*"
+            r"(\((?!\s*(?:select|with)\b)[^)]*\))?\s*(.*)$",
+            stmt,
+        )
+        if not m:
+            return stmt
+        td = self.ddl.tables.get(m.group(1))
+        if td is None:
+            return stmt
+        seq_cols = [
+            c for c in td.columns if c.default and _NEXTVAL.search(c.default)
+        ]
+        if not seq_cols:
+            return stmt
+        name, colspec, body = m.group(1), m.group(2), m.group(3).strip()
+        if re.match(r"(?is)^default\s+values$", body):
+            colspec, body = f"({td.columns[0].name})", "VALUES (DEFAULT)"
+        cols = (
+            [c.strip().strip('"').lower() for c in colspec[1:-1].split(",")]
+            if colspec
+            else None
+        )
+        mb = re.match(r"(?is)^values\b(.*)$", body)
+        if mb:
+            rows = self._split_top(mb.group(1).strip())
+            if not rows or not rows[0].strip().startswith("("):
+                return stmt
+            if cols is None:
+                n_items = len(self._split_top(rows[0].strip()[1:-1]))
+                cols = [c.name.lower() for c in td.columns[:n_items]]
+            missing = [c for c in seq_cols if c.name.lower() not in cols]
+            if not missing:
+                return stmt
+            exp = ", ".join(c.default for c in missing)
+            new_rows = [
+                "(" + r.strip()[1:-1] + ", " + exp + ")" for r in rows
+            ]
+            new_cols = cols + [c.name.lower() for c in missing]
+            return (
+                f"INSERT INTO {name} ({', '.join(new_cols)}) "
+                f"VALUES {', '.join(new_rows)}"
+            )
+        if cols is not None and re.match(r"(?is)^(select|with|\()", body):
+            missing = [c for c in seq_cols if c.name.lower() not in cols]
+            if not missing:
+                return stmt
+            new_cols = cols + [c.name.lower() for c in missing]
+            sel = ", ".join(c.default for c in missing)
+            return (
+                f"INSERT INTO {name} ({', '.join(new_cols)}) "
+                f"SELECT __sd.*, {sel} FROM ({body}) __sd"
+            )
+        return stmt
+
     def _insert(self, stmt: str):
         stmt, ret = self._split_returning(stmt)
         mdv = re.match(
@@ -1484,7 +1589,18 @@ class GreengageEngine:
             for k, it in enumerate(items):
                 if it.strip().lower() == "default":
                     cname = target[k].lower() if k < len(target) else None
-                    new_items.append(defaults.get(cname) or "NULL")
+                    d = defaults.get(cname) or "NULL"
+                    if _has_seq_call(d):
+                        # DEFAULT substitution happens after statement
+                        # lowering — a VALUES item is a scalar context,
+                        # so driver-evaluate here (same call order)
+                        d = _CURRVAL.sub(
+                            lambda m: str(self.sequences.currval(m.group(1))), d
+                        )
+                        d = _NEXTVAL.sub(
+                            lambda m: str(self.sequences.nextval(m.group(1))), d
+                        )
+                    new_items.append(d)
                 else:
                     new_items.append(it.strip())
             out_rows.append("(" + ", ".join(new_items) + ")")

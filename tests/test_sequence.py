@@ -162,3 +162,45 @@ def test_nextval_over_from_has_no_single_partition_exchange(spark, tmp_path):
     # and the values really are unique + dense over the reserved range
     vs = sorted(r.id for r in pg_sql(spark, lowered).collect())
     assert vs == list(range(1, 1001))
+
+
+class TestSerialColumns:
+    """serial/bigserial pseudo-types (transformColumnDefinition) and
+    sequence-backed column DEFAULTs surfaced into the statement before
+    lowering, so per-row values flow through the sequence manager."""
+
+    def test_serial_autoincrements(self, eng):
+        eng.execute("CREATE TABLE st (id serial, v text)")
+        eng.execute("INSERT INTO st (v) VALUES ('a'), ('b')")
+        eng.execute("INSERT INTO st (v) VALUES ('c')")
+        out = sorted(map(tuple, eng.execute("SELECT id, v FROM st").collect()))
+        assert out == [(1, "a"), (2, "b"), (3, "c")]
+        # serial implies NOT NULL
+        with pytest.raises(Exception, match="not-null"):
+            eng.execute("INSERT INTO st (id, v) VALUES (NULL, 'd')")
+
+    def test_serial_insert_select_unique(self, eng):
+        eng.execute("CREATE TABLE src (x text)")
+        eng.execute("INSERT INTO src VALUES ('p'), ('q'), ('r')")
+        eng.execute("CREATE TABLE st2 (id bigserial, v text)")
+        eng.execute("INSERT INTO st2 (v) SELECT x FROM src")
+        eng.execute("INSERT INTO st2 (v) SELECT x FROM src")
+        ids = [r.id for r in eng.execute("SELECT id FROM st2").collect()]
+        assert len(ids) == 6 and len(set(ids)) == 6
+
+    def test_default_nextval_and_default_keyword(self, eng):
+        eng.execute("CREATE SEQUENCE myseq START 100")
+        eng.execute(
+            "CREATE TABLE t2 (id int8 DEFAULT nextval('myseq'), v text)"
+        )
+        eng.execute("INSERT INTO t2 (v) VALUES ('x'), ('y')")
+        eng.execute("INSERT INTO t2 (id, v) VALUES (DEFAULT, 'z')")
+        out = sorted(map(tuple, eng.execute("SELECT id, v FROM t2").collect()))
+        assert out == [(100, "x"), (101, "y"), (102, "z")]
+
+    def test_explicit_value_wins_over_serial(self, eng):
+        eng.execute("CREATE TABLE st3 (id serial, v text)")
+        eng.execute("INSERT INTO st3 (id, v) VALUES (42, 'x')")
+        eng.execute("INSERT INTO st3 (v) VALUES ('y')")  # seq unaffected: 1
+        out = sorted(map(tuple, eng.execute("SELECT id, v FROM st3").collect()))
+        assert out == [(1, "y"), (42, "x")]
