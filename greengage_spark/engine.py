@@ -54,6 +54,78 @@ def _has_seq_call(stmt: str) -> bool:
     return bool(_NEXTVAL.search(stmt) or _CURRVAL.search(stmt) or _SETVAL.search(stmt))
 
 
+def split_statements(sql: str) -> list[str]:
+    """Split a SQL script into statements at top-level semicolons.
+
+    Respects single-quoted strings (with '' doubling), double-quoted
+    identifiers, dollar-quoted bodies ($$…$$ and $tag$…$tag$ — psql's
+    function-body quoting), and ``--`` line comments.  Empty statements
+    (stray semicolons, comment-only lines) are dropped."""
+    out: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if c == '"':
+            j = sql.find('"', i + 1)
+            j = n - 1 if j < 0 else j
+            buf.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if c == "$":
+            m = re.match(r"\$([A-Za-z_]\w*)?\$", sql[i:])
+            if m:
+                tag = m.group(0)
+                end = sql.find(tag, i + len(tag))
+                end = n if end < 0 else end + len(tag)
+                buf.append(sql[i:end])
+                i = end
+                continue
+        if c == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            buf.append(sql[i:j])
+            i = j
+            continue
+        if c == ";":
+            stmt = _strip_leading_comments("".join(buf))
+            if re.sub(r"(?m)--[^\n]*", "", stmt).strip():
+                out.append(stmt)
+            buf = []
+            i += 1
+            continue
+        buf.append(c)
+        i += 1
+    stmt = _strip_leading_comments("".join(buf))
+    if re.sub(r"(?m)--[^\n]*", "", stmt).strip():
+        out.append(stmt)
+    return out
+
+
+def _strip_leading_comments(stmt: str) -> str:
+    """Drop comment-only lines before the first SQL token, so the
+    statement router sees the real head keyword."""
+    lines = stmt.strip().splitlines()
+    k = 0
+    while k < len(lines) and (
+        not lines[k].strip() or lines[k].lstrip().startswith("--")
+    ):
+        k += 1
+    return "\n".join(lines[k:]).strip()
+
+
 def _strip_public_schema(stmt: str) -> str:
     """pg_dump qualifies every object as ``public.x``; the engine's
     namespace is flat, so the prefix drops — outside string literals."""
@@ -95,6 +167,18 @@ class GreengageEngine:
         self._pending_domain_checks: dict[str, str] = {}
 
     # ---------------- statement router ----------------
+
+    def run_script(self, sql: str) -> DataFrame | None:
+        """Execute a multi-statement script (the psql / simple-query
+        batch form, postgres.c exec_simple_query over a multi-command
+        string): statements split on top-level semicolons — quoted
+        strings, dollar-quoted bodies ($$…$$ / $tag$…$tag$), and
+        line comments never split.  Returns the LAST statement's result
+        (PG returns the last command tag)."""
+        out: DataFrame | None = None
+        for stmt in split_statements(sql):
+            out = self.execute(stmt)
+        return out
 
     def execute(self, sql: str) -> DataFrame | None:
         stmt = _strip_public_schema(sql.strip().rstrip(";"))

@@ -210,3 +210,45 @@ class TestExplain:
         eng.execute("CREATE TABLE t (a int8)")
         with pytest.raises(NotImplementedError):
             eng.execute("EXPLAIN UPDATE t SET a = 1")
+
+
+class TestRunScript:
+    """Multi-statement scripts (postgres.c exec_simple_query over a
+    multi-command string; engine.split_statements)."""
+
+    def test_script_end_to_end(self, eng):
+        out = eng.run_script(
+            """
+            -- a ported script with comments; strings hold semicolons
+            CREATE TABLE rs (a int4, b text);
+            INSERT INTO rs VALUES (1, 'x;y'), (2, 'a -- not a comment');
+            UPDATE rs SET b = 'z' WHERE a = 1;
+            SELECT a, b FROM rs ORDER BY a
+            """
+        )
+        assert [tuple(r) for r in out.collect()] == [
+            (1, "z"), (2, "a -- not a comment"),
+        ]
+
+    def test_dollar_quoted_body_not_split(self, eng):
+        eng.run_script(
+            """
+            CREATE FUNCTION f_semis(x int) RETURNS int AS $$
+              SELECT x + 1;
+            $$ LANGUAGE sql;
+            CREATE TABLE rs2 (v int4);
+            INSERT INTO rs2 SELECT f_semis(41) AS v;
+            """
+        )
+        assert eng.execute("SELECT v FROM rs2").collect()[0].v == 42
+
+    def test_split_statements_shapes(self):
+        from greengage_spark.engine import split_statements
+
+        assert split_statements("SELECT 1; SELECT 2;") == ["SELECT 1", "SELECT 2"]
+        assert split_statements("SELECT ';'") == ["SELECT ';'"]
+        assert split_statements("-- only a comment\n;") == []
+        assert split_statements('SELECT 1 AS ";" -- c') == ['SELECT 1 AS ";" -- c']
+        assert split_statements("SELECT $tag$ a; b $tag$") == [
+            "SELECT $tag$ a; b $tag$"
+        ]
