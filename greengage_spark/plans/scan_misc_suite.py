@@ -991,3 +991,43 @@ def script_domain_cluster(spark, sf_dir):
         "SELECT n_nationkey, n_name, n_regionkey FROM nat_dom "
         "ORDER BY n_nationkey"
     )
+
+
+@suite.add(
+    "script_serial_defaults",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS id,
+           n_name,
+           CAST(100 + row_number() OVER (ORDER BY n_nationkey) - 1 AS BIGINT)
+             AS batch_id
+    FROM nation
+    """,
+    doc="serial pseudo-type + DEFAULT nextval (transformColumnDefinition; "
+        "sequence.c): sequence-backed defaults surface into the INSERT "
+        "before lowering, so per-row values flow through the per-"
+        "partition span machinery (dense, duplicate-free, no global "
+        "window).  Values are dense 1..N here because the INSERT SELECT "
+        "arrives ordered by the sequence assignment order.",
+    tags=("engine", "sequence"),
+)
+def script_serial_defaults(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_ser_"))
+    cat(spark, sf_dir).table("nation").createOrReplaceTempView("nation")
+    eng.run_script(
+        """
+        CREATE SEQUENCE batch_seq START 100;
+        CREATE TABLE nat_ser (
+            id serial,
+            n_name text,
+            batch_id int8 DEFAULT nextval('batch_seq')
+        );
+        INSERT INTO nat_ser (n_name)
+        SELECT n_name FROM (SELECT * FROM nation ORDER BY n_nationkey) q
+        """
+    )
+    # ids must be dense and unique regardless of partitioning
+    return eng.execute(
+        "SELECT id, n_name, batch_id FROM nat_ser"
+    )
