@@ -1,0 +1,194 @@
+"""Document chunking, sequence packing, and benchmark decontamination —
+the operators between a cleaned corpus and a tokenized training run.
+
+All three are engine-portable by construction (whitespace tokens, md5,
+integer arithmetic), so the DuckDB oracles replicate them exactly.
+
+* :func:`chunk_documents` — sliding-window token chunks with overlap.
+  Per-row JVM array expressions + one ``posexplode``; no shuffle, output
+  size ∝ input tokens × (1 + overlap/stride).
+* :func:`packed_sequences` — concat-and-pack: documents are laid end to
+  end (one separator token between docs, the GPT-style pretraining
+  layout) and cut into fixed ``budget``-token context windows.  The
+  global token offset is an **explicit two-stage prefix sum** — never a
+  single-partition global window: per-bucket subtotals (one tiny row per
+  bucket) get a running offset, then each bucket computes its local
+  cumsum in parallel.  At 100 TB the only serial state is the bucket
+  subtotal list (~thousands of rows).
+* :func:`decontaminate` — flag training documents sharing any word
+  n-gram with a held-out eval set (the n-gram-overlap decontamination
+  every published pretraining corpus applies; production uses n=8..13,
+  the parameter is free).  Eval n-grams are DISTINCT-deduped and
+  broadcast; the training side never shuffles its exploded n-grams —
+  work is ∝ corpus tokens with a broadcast-hash probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from greengage_spark.pipeline.text import tokens
+
+
+def _chunk_starts(toks: Column, chunk: int, overlap: int) -> Column:
+    """1-based chunk start offsets: 1, 1+stride, ... while start covers
+    new tokens (stride = chunk - overlap; the final chunk may be short)."""
+    stride = chunk - overlap
+    return F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(stride)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split each document into ``chunk_tokens``-token windows advancing
+    by ``chunk_tokens - overlap``; consecutive chunks share ``overlap``
+    tokens so no span longer than the stride is ever cut in half.
+
+    Returns (id, chunk_idx, chunk_start, n_chunk_tokens, chunk_md5) —
+    the md5 stands in for the chunk text downstream so the wide string
+    is never carried through later shuffles.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    toks = tokens(F.col(text_col))
+    stride = chunk_tokens - overlap
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(_chunk_starts(toks, chunk_tokens, overlap)).alias(
+            "chunk_idx", "chunk_start"
+        ),
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_start"), chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
+    )
+
+
+def packed_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    *,
+    budget: int = 2048,
+    bucket_span: int = 1024,
+) -> DataFrame:
+    """Concat-and-pack documents (ordered by ``id_col``) into
+    ``budget``-token context windows with one separator token per doc.
+
+    ``seq_id`` is which window the document *starts* in; ``seq_offset``
+    its start position inside that window; ``crosses_boundary`` whether
+    its tokens spill into the next window (the concat-and-chunk layout —
+    no padding waste, documents may straddle windows).
+
+    Two-stage prefix sum: bucket = id // bucket_span keeps buckets
+    contiguous in pack order, so running bucket offsets (a window over
+    ~n/bucket_span tiny subtotal rows) + a per-bucket parallel cumsum
+    reconstruct the exact global offset with no full-data global sort.
+    """
+    doc_len = (F.col(len_col) + 1).alias("__len")  # +1 separator token
+    b = df.select(
+        F.col(id_col),
+        doc_len,
+        F.floor(F.col(id_col) / bucket_span).cast("bigint").alias("__bucket"),
+    )
+    totals = b.groupBy("__bucket").agg(F.sum("__len").alias("__btot"))
+    w_b = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__bucket", F.coalesce(F.sum("__btot").over(w_b), F.lit(0)).alias("__boff")
+    )
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gstart = (
+        F.col("__boff") + F.coalesce(F.sum("__len").over(w_in), F.lit(0))
+    ).alias("__gstart")
+    placed = b.join(F.broadcast(offsets), "__bucket").select(
+        F.col(id_col), F.col("__len"), gstart
+    )
+    return placed.select(
+        F.col(id_col),
+        (F.col("__len") - 1).alias("doc_tokens"),
+        F.floor(F.col("__gstart") / budget).cast("bigint").alias("seq_id"),
+        (F.col("__gstart") % budget).cast("bigint").alias("seq_offset"),
+        ((F.col("__gstart") % budget) + F.col("__len") - 1 > budget).alias(
+            "crosses_boundary"
+        ),
+    )
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty array below n tokens."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Per training document: how many of its DISTINCT word n-grams also
+    occur anywhere in the eval set, and a contaminated flag.
+
+    The eval n-gram set is deduplicated then broadcast — eval corpora
+    are small by definition; the training side streams through a
+    broadcast-hash semi-probe, so no shuffle touches the exploded
+    training n-grams.  Zero-match documents are preserved via the final
+    left join back onto the id spine.
+    """
+    eval_grams = (
+        eval_df.select(
+            F.explode(_ngrams(tokens(F.col(text_col)), n)).alias("g")
+        )
+        .distinct()
+    )
+    train_grams = train_df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_ngrams(tokens(F.col(text_col)), n))).alias(
+            "g"
+        ),
+    )
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matched_ngrams"))
+    )
+    return (
+        train_df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_matched_ngrams"), F.lit(0)).alias(
+                "n_matched_ngrams"
+            ),
+            (F.coalesce(F.col("n_matched_ngrams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

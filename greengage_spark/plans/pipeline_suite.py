@@ -816,3 +816,146 @@ def pipeline_stratified_sample(spark, sf_dir):
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+
+@suite.add(
+    "pipeline_chunk_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             u.i AS chunk_start,
+             CAST((u.i - 1) / 40 AS BIGINT) AS chunk_idx,
+             t[u.i : u.i + 49] AS piece
+      FROM toks,
+           LATERAL unnest(generate_series(1, greatest(len(t) - 10, 1), 40))
+           AS u(i)
+    )
+    SELECT doc_id,
+           chunk_idx,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(len(piece) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(piece, ' ')) AS chunk_md5
+    FROM c
+    """,
+    doc="Sliding-window token chunking (pipeline/chunking.py): 50-token "
+        "windows advancing by 40 (10-token overlap) so no 40-token span "
+        "is ever cut.  Per-row JVM array expressions + one posexplode — "
+        "no shuffle; chunk text leaves the operator as an md5 so wide "
+        "strings never ride later shuffles.  Output ∝ tokens × 1.25 at "
+        "any corpus size.",
+    tags=("pipeline", "chunking"),
+)
+def pipeline_chunk_documents(spark, sf_dir):
+    from greengage_spark.pipeline.chunking import chunk_documents
+
+    docs = cat(spark, sf_dir).table("documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=50, overlap=10)
+
+
+@suite.add(
+    "pipeline_pack_sequences",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS doc_tokens
+      FROM documents
+    ), placed AS (
+      SELECT doc_id, doc_tokens,
+             COALESCE(SUM(doc_tokens + 1) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS gstart
+      FROM d
+    ), rows_out AS (
+      SELECT doc_id, doc_tokens,
+             gstart // 2048 AS seq_id,
+             gstart % 2048 AS seq_offset,
+             gstart % 2048 + doc_tokens > 2048 AS crosses_boundary
+      FROM placed
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(CASE WHEN crosses_boundary THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_crossing,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM rows_out GROUP BY seq_id
+    """,
+    doc="Concat-and-pack sequence packing (pipeline/chunking.py): docs "
+        "laid end to end with a separator token, cut into 2048-token "
+        "context windows (GPT-style pretraining layout, zero padding "
+        "waste).  The global token offset is an explicit two-stage "
+        "prefix sum — per-bucket subtotals (tiny) get a running offset, "
+        "buckets cumsum in parallel — never a single-partition global "
+        "window; the only serial state at 100 TB is one subtotal row "
+        "per 1024 docs.",
+    tags=("pipeline", "chunking"),
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    from greengage_spark.pipeline.chunking import packed_sequences
+    from greengage_spark.pipeline.text import tokens
+
+    docs = cat(spark, sf_dir).table("documents")
+    sized = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("doc_tokens")
+    )
+    placed = packed_sequences(
+        sized, "doc_id", "doc_tokens", budget=2048, bucket_span=1024
+    )
+    return placed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_tokens").alias("sum_tokens"),
+        F.sum(F.when(F.col("crosses_boundary"), 1).otherwise(0)).alias(
+            "n_crossing"
+        ),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@suite.add(
+    "pipeline_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> array_to_string(t[i : i + 2], ' ')))) AS g
+      FROM toks
+    ), ev AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT grams.doc_id, COUNT(*) AS n_matched_ngrams
+      FROM grams JOIN ev USING (g)
+      WHERE grams.doc_id % 97 <> 0
+      GROUP BY grams.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_matched_ngrams, 0) AS BIGINT)
+             AS n_matched_ngrams,
+           COALESCE(h.n_matched_ngrams, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """,
+    doc="Benchmark decontamination (pipeline/chunking.py): flag training "
+        "documents sharing any word n-gram with the held-out eval set "
+        "(the overlap filter every published pretraining corpus "
+        "applies; n=3 here for the synthetic corpus, n=8..13 in "
+        "production).  Eval n-grams dedup then broadcast; the training "
+        "side streams through a broadcast-hash probe — the exploded "
+        "100 TB n-gram stream is never shuffled.",
+    tags=("pipeline", "chunking"),
+)
+def pipeline_decontaminate(spark, sf_dir):
+    from greengage_spark.pipeline.chunking import decontaminate
+
+    docs = cat(spark, sf_dir).table("documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(train, ev, "doc_id", "text", n=3)

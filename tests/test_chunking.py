@@ -1,0 +1,132 @@
+"""Chunking / packing / decontamination operators (pipeline/chunking.py):
+window coverage invariants, exact prefix-sum packing across bucket
+boundaries, and n-gram overlap semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from greengage_spark.pipeline.chunking import (
+    chunk_documents,
+    decontaminate,
+    packed_sequences,
+)
+
+
+def doc(i, n_tokens):
+    return (i, " ".join(f"w{i}t{j}" for j in range(n_tokens)))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [doc(1, 100), doc(2, 50), doc(3, 51), doc(4, 5), doc(5, 0)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestChunkDocuments:
+    def test_coverage_and_overlap(self, spark, docs):
+        out = chunk_documents(
+            docs, "doc_id", "text", chunk_tokens=50, overlap=10
+        ).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # 100 tokens, stride 40 -> starts 1,41,81
+        starts = sorted(r.chunk_start for r in by_doc[1])
+        assert starts == [1, 41, 81]
+        assert [r.n_chunk_tokens for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)] == [50, 50, 20]
+        # every token index 1..100 covered
+        covered = set()
+        for r in by_doc[1]:
+            covered.update(range(r.chunk_start, r.chunk_start + r.n_chunk_tokens))
+        assert covered == set(range(1, 101))
+        # exactly at chunk size -> one chunk
+        assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 50
+        # one over -> second (overlapping) chunk carries the tail
+        assert len(by_doc[3]) == 2
+        # short and empty docs still emit one row each
+        assert len(by_doc[4]) == 1 and by_doc[4][0].n_chunk_tokens == 5
+        assert len(by_doc[5]) == 1 and by_doc[5][0].n_chunk_tokens == 0
+
+    def test_chunk_idx_dense(self, spark, docs):
+        out = chunk_documents(docs, "doc_id", "text").filter("doc_id = 1")
+        assert [r.chunk_idx for r in out.orderBy("chunk_idx").collect()] == [0, 1, 2]
+
+    def test_rejects_bad_overlap(self, docs):
+        with pytest.raises(ValueError):
+            chunk_documents(docs, "doc_id", "text", chunk_tokens=10, overlap=10)
+
+
+class TestPackedSequences:
+    def _sized(self, spark, lens, start_id=0):
+        return spark.createDataFrame(
+            [(start_id + i, n) for i, n in enumerate(lens)],
+            "doc_id long, n long",
+        )
+
+    def test_matches_serial_prefix_sum(self, spark):
+        lens = [100, 2000, 30, 512, 7, 900, 2048, 1]
+        out = packed_sequences(
+            self._sized(spark, lens), "doc_id", "n", budget=1024, bucket_span=3
+        ).orderBy("doc_id").collect()
+        gstart = 0
+        for r, n in zip(out, lens):
+            assert r.doc_tokens == n
+            assert r.seq_id == gstart // 1024
+            assert r.seq_offset == gstart % 1024
+            assert r.crosses_boundary == (gstart % 1024 + n > 1024)
+            gstart += n + 1  # separator
+
+    def test_bucket_span_invariance(self, spark):
+        lens = [37] * 50
+        a = packed_sequences(
+            self._sized(spark, lens), "doc_id", "n", budget=256, bucket_span=7
+        )
+        b = packed_sequences(
+            self._sized(spark, lens), "doc_id", "n", budget=256, bucket_span=1000
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_sparse_ids_pack_in_id_order(self, spark):
+        df = spark.createDataFrame(
+            [(10_000, 5), (3, 10), (99, 2)], "doc_id long, n long"
+        )
+        out = {r.doc_id: r for r in packed_sequences(df, "doc_id", "n", budget=16).collect()}
+        assert out[3].seq_offset == 0
+        assert out[99].seq_offset == 11  # 10 + separator
+        assert out[10_000].seq_id == (11 + 3) // 16
+
+
+class TestDecontaminate:
+    def test_overlap_flags(self, spark):
+        train = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),      # contains eval 3-gram
+                (2, "beta gamma alpha beta"),       # shares words, no 3-gram
+                (3, "x y z"),                       # clean
+                (4, "al"),                          # shorter than n
+            ],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, "zzz alpha beta gamma zzz")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in decontaminate(train, ev, "doc_id", "text", n=3).collect()}
+        assert out[1].contaminated and out[1].n_matched_ngrams == 1
+        assert not out[2].contaminated
+        assert not out[3].contaminated and out[3].n_matched_ngrams == 0
+        assert not out[4].contaminated
+
+    def test_distinct_grams_counted_once(self, spark):
+        train = spark.createDataFrame(
+            [(1, "a b c a b c a b c")], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+        row = decontaminate(train, ev, "doc_id", "text", n=3).collect()[0]
+        # repeated 'a b c' in the training doc counts once (distinct grams)
+        assert row.n_matched_ngrams == 1
+
+    def test_eval_side_broadcast(self, spark):
+        train = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        ev = spark.createDataFrame([(9, "b c d")], "doc_id long, text string")
+        plan = decontaminate(train, ev, "doc_id", "text", n=3)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
