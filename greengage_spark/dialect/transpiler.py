@@ -31,7 +31,7 @@ from greengage_spark.dialect.datetime_patterns import pg_pattern_to_java
 
 _TOKEN_RE = re.compile(
     r"""
-      (?P<string>   [Ee]?'(?:[^']|'')*' )
+      (?P<string>   [Ee]'(?:[^'\\]|\\.|'')*' | '(?:[^']|'')*' )
     | (?P<qident>   "[^"]*" )
     | (?P<comment>  --[^\n]* | /\*.*?\*/ )
     | (?P<number>   \d+\.\d*([Ee][+-]?\d+)? | \.\d+([Ee][+-]?\d+)? | \d+([Ee][+-]?\d+)? )
@@ -3741,6 +3741,42 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
         "((CASE WHEN {0} LIKE '%:%' THEN 6 ELSE 4 END) = "
         "(CASE WHEN {1} LIKE '%:%' THEN 6 ELSE 4 END))"
     ),
+    # ---- identifier/literal quoting (quote.c; ruleutils.c quote_identifier:
+    # quote only when not already a safe lowercase identifier) ----
+    ("quote_ident", 1): (
+        "(CASE WHEN {0} RLIKE '^[a-z_][a-z0-9_]*$' THEN {0} "
+        "ELSE concat('\"', replace({0}, '\"', '\"\"'), '\"') END)"
+    ),
+    # chr(39) = the quote char — spelled numerically so the PG-estring
+    # quote-doubling pass can never reinterpret the template's own quotes
+    ("quote_literal", 1): (
+        "concat(chr(39), replace(CAST({0} AS STRING), chr(39), "
+        "repeat(chr(39), 2)), chr(39))"
+    ),
+    ("quote_nullable", 1): (
+        "(CASE WHEN ({0}) IS NULL THEN 'NULL' "
+        "ELSE concat(chr(39), replace(CAST({0} AS STRING), chr(39), "
+        "repeat(chr(39), 2)), chr(39)) END)"
+    ),
+    # ---- array mutation (arrayfuncs.c array_remove/array_replace, PG 9.3;
+    # NULL-safe equality so array_remove(a, NULL) strips NULLs as PG does) ----
+    ("array_remove", 2): "filter({0}, __e -> NOT equal_null(__e, ({1})))",
+    ("array_replace", 3): (
+        "transform({0}, __e -> CASE WHEN equal_null(__e, ({1})) "
+        "THEN ({2}) ELSE __e END)"
+    ),
+    ("array_lower", 2): "(CASE WHEN size({0}) > 0 THEN 1 END)",
+    ("array_ndims", 1): "(CASE WHEN size({0}) > 0 THEN 1 END)",
+    # 1-D arrays only (the repo's array model throughout)
+    ("generate_subscripts", 2): "explode(sequence(1, size({0})))",
+    # ---- json composition aggregates (json.c json_agg/json_object_agg;
+    # object keys render sorted — PG emits aggregation order, which is
+    # partition-dependent, so the deterministic form is the scalable one) ----
+    ("json_agg", 1): "to_json(collect_list({0}))",
+    ("json_object_agg", 2): (
+        "to_json(map_from_entries(sort_array(collect_list("
+        "struct(CAST({0} AS STRING), {1})))))"
+    ),
 }
 
 
@@ -4186,6 +4222,43 @@ def _pass_functions(toks: list[str]) -> list[str]:
             if low == "decode" and len(args) == 2 and args[1] == ["'hex'"]:
                 out[i : close + 1] = ["unhex", "("] + args[0] + [")"]
                 continue
+            if (
+                low in ("json_build_object", "jsonb_build_object")
+                and args
+                and len(args) % 2 == 0
+            ):
+                # json.c json_build_object: alternating key/value arguments
+                # → to_json(named_struct(...)).  Keys must be foldable
+                # strings (the overwhelmingly common literal-key form);
+                # named_struct rejects non-literal keys loudly.
+                inner: list[str] = []
+                for a in args:
+                    inner += a + [","]
+                out[i : close + 1] = (
+                    ["to_json", "(", "named_struct", "("]
+                    + inner[:-1]
+                    + [")", ")"]
+                )
+                continue
+            if low in ("json_build_array", "jsonb_build_array") and args:
+                # homogeneous element types only (Spark arrays are typed)
+                inner = []
+                for a in args:
+                    inner += a + [","]
+                out[i : close + 1] = (
+                    ["to_json", "(", "array", "("] + inner[:-1] + [")", ")"]
+                )
+                continue
+            if low == "row_to_json" and len(args) == 1:
+                a0 = args[0]
+                if len(a0) == 1 and _is_ident(a0[0]):
+                    # row_to_json(alias) over a FROM-item → whole-row struct
+                    out[i : close + 1] = [
+                        "to_json", "(", "struct", "(", a0[0], ".", "*", ")", ")",
+                    ]
+                else:
+                    out[i : close + 1] = ["to_json", "("] + a0 + [")"]
+                continue
             if low == "json_extract_path_text":
                 path = "$." + ".".join(a[0].strip("'") for a in args[1:])
                 out[i : close + 1] = ["get_json_object", "("] + args[0] + [",", f"'{path}'", ")"]
@@ -4535,6 +4608,28 @@ def transpile(sql: str) -> str:
         else t
         for t in toks
     ]
+    # PG ''-doubling inside plain literals (scan.l xq rules; E-strings also
+    # decode to this form): under escapedStringLiterals Spark reads 'a''b'
+    # as the four chars a''b, so re-emit such literals as double-quoted
+    # Spark strings — or, when the value also holds a '"' or a backslash
+    # (both live inside double quotes), a chr(39)-concat expression.
+    fixed: list[str] = []
+    for t in toks:
+        if len(t) >= 2 and t[0] == "'" and t[-1] == "'" and "''" in t[1:-1]:
+            val = t[1:-1].replace("''", "'")
+            if '"' not in val and "\\" not in val:
+                fixed.append('"' + val + '"')
+            else:
+                parts: list[str] = []
+                for k, piece in enumerate(val.split("'")):
+                    if k:
+                        parts.append("chr(39)")
+                    if piece:
+                        parts.append("'" + piece + "'")
+                fixed.extend(tokenize("concat(" + " , ".join(parts) + ")"))
+        else:
+            fixed.append(t)
+    toks = fixed
     # re-join with spaces; '.' binds tight (qualified names)
     return _join_tokens(toks)
 

@@ -1225,3 +1225,44 @@ def dialect_bit_strings(spark, sf_dir):
         """,
         ["part"],
     )
+
+
+@suite.add(
+    "dialect_quote_json_funcs",
+    oracle="""
+    SELECT c_custkey,
+           '''' || c_name || '''' AS qlit,
+           '"' || c_mktsegment || '"' AS qid,
+           '{"id":' || c_custkey || ',"seg":"' || c_mktsegment || '"}' AS j,
+           array_to_string(list_filter(string_split(c_name, '#'),
+                           x -> x <> 'Customer'), ',') AS arr,
+           array_to_string(list_transform(string_split(c_name, '#'),
+                           x -> CASE WHEN x = 'Customer' THEN 'C' ELSE x END),
+                           ',') AS repl
+    FROM customer WHERE c_custkey < 100
+    ORDER BY c_custkey
+    """,
+    doc="quote_literal/quote_ident (quote.c), json_build_object (json.c "
+        "PG 9.4) lowered to to_json(named_struct(...)), array_remove / "
+        "array_replace (arrayfuncs.c PG 9.3) as NULL-safe filter/transform "
+        "lambdas — all single-projection JVM codegen, no UDFs.",
+    tags=("dialect", "string"),
+)
+def dialect_quote_json_funcs(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey,
+               quote_literal(c_name) AS qlit,
+               quote_ident(c_mktsegment) AS qid,
+               json_build_object('id', c_custkey, 'seg', c_mktsegment) AS j,
+               array_to_string(array_remove(string_to_array(c_name, '#'),
+                               'Customer'), ',') AS arr,
+               array_to_string(array_replace(string_to_array(c_name, '#'),
+                               'Customer', 'C'), ',') AS repl
+        FROM customer WHERE c_custkey < 100
+        ORDER BY c_custkey
+        """,
+        ["customer"],
+    )

@@ -555,11 +555,12 @@ class TestBitStrings:
         assert self._one(spark, "X'1F'") == "00011111"
         assert self._one(spark, "B''") == ""
 
-    def test_literal_inside_string_untouched(self):
-        # a B'..'-looking sequence inside a string literal must survive
-        # (quote-doubling rendering itself is the estring pass's concern)
-        out = transpile("SELECT 'see B''10'' here' AS s")
-        assert "B''10''" in out
+    def test_literal_inside_string_untouched(self, spark):
+        # a B'..'-looking sequence inside a string literal must survive as
+        # TEXT — no bit-literal rewrite — and the ''-doubling must decode
+        # to single quotes (scan.l xq rules)
+        out = pg_sql(spark, "SELECT 'see B''10'' here' AS s").collect()[0].s
+        assert out == "see B'10' here"
 
     def test_bad_binary_digit_rejected(self):
         with pytest.raises(ValueError, match="invalid binary digit"):
@@ -628,3 +629,76 @@ class TestWithOrdinality:
     def test_plain_unnest_unchanged(self, spark):
         out = self._rows(spark, "SELECT unnest(ARRAY[1,2]) AS u")
         assert out == [(1,), (2,)]
+
+
+class TestQuoteAndJsonComposition:
+    """quote_ident/quote_literal (quote.c), array_remove/array_replace
+    (arrayfuncs.c), json_build_object/json_agg/row_to_json (json.c), and
+    the scan.l ''-doubling / E'' backslash-quote literal rules."""
+
+    def _one(self, spark, expr):
+        return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+    def test_quote_ident(self, spark):
+        assert self._one(spark, "quote_ident('simple')") == "simple"
+        assert self._one(spark, "quote_ident('Mixed Case')") == '"Mixed Case"'
+        assert self._one(spark, "quote_ident('we\"ird')") == '"we""ird"'
+
+    def test_quote_literal_column(self, spark):
+        spark.createDataFrame([("O'Brien",)], "name string").createOrReplaceTempView(
+            "__qlit"
+        )
+        row = pg_sql(
+            spark, "SELECT quote_literal(name) AS q FROM __qlit"
+        ).collect()[0]
+        assert row.q == "'O''Brien'"
+        assert self._one(spark, "quote_literal(42)") == "'42'"
+        assert self._one(spark, "quote_nullable(NULL)") == "NULL"
+        assert self._one(spark, "quote_nullable('x')") == "'x'"
+
+    def test_array_mutation(self, spark):
+        assert self._one(spark, "array_remove(ARRAY[1,2,3,2], 2)") == [1, 3]
+        assert self._one(spark, "array_remove(ARRAY[1,NULL,2], NULL)") == [1, 2]
+        assert self._one(spark, "array_replace(ARRAY[1,2,3,2], 2, 9)") == [1, 9, 3, 9]
+        assert self._one(spark, "array_lower(ARRAY[7], 1)") == 1
+        assert self._one(spark, "array_ndims(ARRAY[7,8])") == 1
+
+    def test_json_builders(self, spark):
+        assert (
+            self._one(spark, "json_build_object('a', 1, 'b', 'x')")
+            == '{"a":1,"b":"x"}'
+        )
+        assert self._one(spark, "json_build_array(1, 2, 3)") == "[1,2,3]"
+        r = pg_sql(
+            spark, "SELECT row_to_json(t) AS v FROM (SELECT 1 AS a, 'x' AS b) t"
+        ).collect()[0]
+        assert r.v == '{"a":1,"b":"x"}'
+
+    def test_json_aggregates(self, spark):
+        r = pg_sql(
+            spark,
+            "SELECT json_agg(x) AS v FROM (VALUES (1),(2),(3)) t(x)",
+        ).collect()[0]
+        assert r.v == "[1,2,3]"
+        r = pg_sql(
+            spark,
+            "SELECT json_object_agg(k, n) AS v FROM (VALUES ('b',2),('a',1)) t(k,n)",
+        ).collect()[0]
+        assert r.v == '{"a":1,"b":2}'
+
+    def test_generate_subscripts(self, spark):
+        r = pg_sql(
+            spark,
+            "SELECT generate_subscripts(ARRAY['a','b','c'], 1) AS i",
+        ).collect()
+        assert sorted(x.i for x in r) == [1, 2, 3]
+
+    def test_doubled_quote_literals(self, spark):
+        assert self._one(spark, "'O''Brien'") == "O'Brien"
+        assert self._one(spark, "''''") == "'"
+        assert self._one(spark, "length('a''b')") == 3
+        assert self._one(spark, "'a''\"b'") == "a'\"b"
+
+    def test_estring_backslash_quote(self, spark):
+        assert self._one(spark, r"E'it\'s'") == "it's"
+        assert self._one(spark, r"E'dq''d'") == "dq'd"

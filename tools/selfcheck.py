@@ -47,7 +47,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.astype("datetime64[us]")
         elif s.dtype == object:
             # Decimal / list columns → canonical string
-            df[c] = s.map(lambda v: repr(v) if isinstance(v, list) else v)
+            import numpy as np
+
+            df[c] = s.map(
+                lambda v: repr(list(v))
+                if isinstance(v, (list, np.ndarray))
+                else v
+            )
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("float64") if s.isna().any() else s.astype("int64")
         elif pd.api.types.is_float_dtype(s):
