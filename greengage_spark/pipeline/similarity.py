@@ -147,42 +147,60 @@ def ivf_topk(
     Centroids here are the ``n_cells`` lowest-id corpus vectors — a
     deterministic, engine-portable stand-in for k-means (same plan
     shape; production swaps in trained centroids without touching the
-    dataflow).  Assignment and probing are broadcast joins (centroid set
-    is tiny); candidate scoring is an equi-join on cell id, so per-query
-    work ∝ corpus/n_cells × n_probe instead of the full corpus — the
-    structure that keeps ANN tractable at 10^9+ vectors.  At 100 TB the
-    cell id also becomes the storage partition key, so a probe prunes
-    files, not just rows.
+    dataflow).  Assignment is MAP-ONLY: the centroid set folds into a
+    single broadcast array row, and each input row picks its nearest
+    cell(s) with an array_sort over per-centroid scores — no shuffle of
+    the corpus or the query set (a window keyed on the row id would
+    reshuffle the entire input just to rank 8 candidates per row).
+    Candidate scoring is an equi-join on cell id, so per-query work ∝
+    corpus/n_cells × n_probe instead of the full corpus — the structure
+    that keeps ANN tractable at 10^9+ vectors.  At 100 TB the cell id
+    also becomes the storage partition key, so a probe prunes files,
+    not just rows.
     """
     from pyspark import StorageLevel
 
     # the centroid table is n_cells rows but its subplan is a TakeOrdered
-    # over the whole corpus — persist so the two broadcast consumers
-    # (corpus assignment, query assignment) trigger it once
-    centroids = (
+    # over the whole corpus — fold to ONE row holding the centroid array
+    # and persist so the two broadcast consumers trigger it once
+    cent_arr = (
         corpus.orderBy(F.col(corpus_id)).limit(n_cells)
         .select(F.col(corpus_id).alias("__cent_id"), F.col(corpus_vec).alias("__cent_vec"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__cent_id"), F.col("__cent_vec")))
+            ).alias("__cents")
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    def assign(df: DataFrame, id_col: str, vec_col: str, top: int) -> DataFrame:
-        # carry the full row through the assignment window instead of
-        # re-joining the source with its own assignment — one pass over
-        # the input, no self-join shuffle
-        scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-            "__cs",
-            F.round(cosine(F.col(vec_col), F.col("__cent_vec")), round_to),
+    def assign(df: DataFrame, vec_col: str, top: int) -> DataFrame:
+        # nearest-centroid(s) per row as a pure array expression:
+        # score every centroid, sort by (-cos, centroid id) via struct
+        # field order, take `top`, explode to one row per probed cell
+        ranked = F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("__cents"),
+                    lambda c: F.struct(
+                        (-F.round(cosine(F.col(vec_col), c["__cent_vec"]), round_to)).alias(
+                            "__negcs"
+                        ),
+                        c["__cent_id"].alias("__cent_id"),
+                    ),
+                )
+            ),
+            1,
+            top,
         )
-        w = Window.partitionBy(id_col).orderBy(F.desc("__cs"), F.asc("__cent_id"))
         return (
-            scored.withColumn("__crk", F.row_number().over(w))
-            .filter(F.col("__crk") <= top)
-            .withColumn("__cell", F.col("__cent_id"))
-            .drop("__cent_id", "__cent_vec", "__cs", "__crk")
+            df.crossJoin(F.broadcast(cent_arr))
+            .withColumn("__cell", F.explode(F.transform(ranked, lambda r: r["__cent_id"])))
+            .drop("__cents")
         )
 
-    corpus_cells = assign(corpus, corpus_id, corpus_vec, 1)
-    query_cells = assign(queries, query_id, query_vec, n_probe)
+    corpus_cells = assign(corpus, corpus_vec, 1)
+    query_cells = assign(queries, query_vec, n_probe)
     scored = corpus_cells.join(F.broadcast(query_cells), "__cell").select(
         F.col(query_id),
         F.col(corpus_id),

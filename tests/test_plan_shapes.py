@@ -174,3 +174,27 @@ class TestDynamicPartitionPruning:
         # the global window's input is the pruned stream, bounded by k*P
         local_idx = plan.find("__pid")
         assert local_idx != -1
+
+    def test_ivf_assignment_map_only(self, spark, sf_dir):
+        """IVF cell assignment must be a pure array expression over the
+        broadcast centroid array — NO shuffle of the corpus or query set
+        (a window keyed on the row id would reshuffle the whole input to
+        rank 8 candidates per row).  The only exchanges allowed in the
+        plan are the two top-k stages and the tiny centroid fold."""
+        from greengage_spark.pipeline.similarity import ivf_topk
+
+        corpus = cat(spark, sf_dir).table("embeddings")
+        queries = corpus.limit(5).selectExpr("vec_id AS qid", "embedding AS qvec")
+        df = ivf_topk(
+            corpus, queries,
+            corpus_id="vec_id", corpus_vec="embedding",
+            query_id="qid", query_vec="qvec", k=5,
+        )
+        plan = physical(df)
+        # assignment itself adds no Window; the two Window nodes present
+        # are the two_stage_topk local+global rank ("Window [" excludes
+        # the WindowGroupLimit pushdown nodes Spark derives from them)
+        assert plan.count("Window [") == 2
+        # every join in the plan is broadcast (centroid fold + probe join
+        # + query-side candidate join) — no shuffle joins
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
