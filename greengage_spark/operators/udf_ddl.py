@@ -151,58 +151,132 @@ def _substitute_positional(expr: str, arg_names: list[str]) -> str:
     return expr
 
 
+def _split_stmts(s: str) -> list[str]:
+    """Split a statement list on top-level ';' (quote- and paren-aware)."""
+    out: list[str] = []
+    buf: list[str] = []
+    depth, q = 0, None
+    for ch in s:
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in ("'", '"'):
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == ";" and depth == 0:
+            if "".join(buf).strip():
+                out.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    if "".join(buf).strip():
+        out.append("".join(buf).strip())
+    return out
+
+
 def plpgsql_to_expr(body: str) -> str:
     """Lower a restricted PL/pgSQL body (src/pl/plpgsql/ exec_stmt_return
-    / exec_stmt_if) to one SQL expression so the function inlines into
-    Catalyst exactly like a LANGUAGE sql function:
+    / exec_stmt_if / exec_stmt_assign) to ONE SQL expression so the
+    function inlines into Catalyst exactly like a LANGUAGE sql function:
 
     * ``BEGIN RETURN <expr>; END``                       → ``<expr>``
-    * ``BEGIN IF c THEN RETURN e; [ELSIF c2 THEN RETURN e2;]...
-      [ELSE RETURN e3;] END IF; END``                    → CASE chain;
+    * ``DECLARE v type [:= e | DEFAULT e]; ...`` plus ``v := e;``
+      assignment statements — straight-line code is symbolically
+      evaluated: each assignment binds the variable to its (typed-cast)
+      value expression with all earlier bindings substituted in, so the
+      final RETURN folds to a single pure expression.  Assignment casts
+      to the declared type mirror exec_assign_value's coercion.
+    * a terminal ``IF c THEN RETURN e; [ELSIF ...] [ELSE RETURN e;]
+      END IF;``                                          → CASE chain;
       a missing ELSE raises PL/pgSQL's own runtime error ("control
       reached end of function without RETURN") via raise_error, matching
       exec_stmt_block's fall-off-the-end behavior.
 
-    A DECLARE section is accepted when every entry is a pure parameter
-    alias — ``name ALIAS FOR $n;`` (the qp_functions.sql house style) —
-    which rewrites to the positional reference.  Everything else
-    (variables, assignments, loops, multiple statements) is rejected
-    loudly."""
+    DECLARE also accepts pure parameter aliases — ``name ALIAS FOR $n;``
+    (the qp_functions.sql house style).  Loops and non-terminal control
+    flow are rejected loudly (LANGUAGE plpythonu is the procedural
+    escape hatch)."""
     b = body.strip().rstrip(";").strip()
     aliases: dict[str, str] = {}
+    env: dict[str, str] = {}  # var → fully-substituted value expression
+    decls: dict[str, str] = {}  # var → declared Spark type
     md = re.match(
         r"(?is)^declare\s+(.*?)\bbegin\b(.*)\bend$", b, re.DOTALL
     )
     m = md or re.match(r"(?is)^begin\b(.*)\bend$", b, re.DOTALL)
     if not m:
         raise NotImplementedError(
-            "LANGUAGE plpgsql body must be [DECLARE aliases] BEGIN ... END"
+            "LANGUAGE plpgsql body must be [DECLARE ...] BEGIN ... END"
         )
+
+    def subst(e: str) -> str:
+        for v, val in env.items():
+            e = re.sub(rf"(?i)\b{re.escape(v)}\b", val, e)
+        return e
+
     if md:
-        for d in md.group(1).split(";"):
-            d = d.strip()
-            if not d:
-                continue
+        for d in _split_stmts(md.group(1)):
             ma = re.match(r"(?is)^(\w+)\s+alias\s+for\s+(\$\d+)$", d)
-            if not ma:
+            if ma:
+                aliases[ma.group(1)] = ma.group(2)
+                continue
+            mv = re.match(
+                r"(?is)^(\w+)\s+([a-z_][\w ]*?(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+                r"(?:\s*(?::=|default)\s*(.+))?$",
+                d,
+                re.DOTALL,
+            )
+            if not mv:
                 raise NotImplementedError(
-                    f"plpgsql DECLARE supports only 'name ALIAS FOR $n' "
-                    f"entries, got {d!r}"
+                    f"plpgsql DECLARE entry not understood: {d!r}"
                 )
-            aliases[ma.group(1)] = ma.group(2)
+            name, typ, init = mv.group(1), _spark_type(mv.group(2)), mv.group(3)
+            decls[name.lower()] = typ
+            val = subst(init.strip()) if init else "NULL"
+            env[name] = f"CAST(({val}) AS {typ})"
         inner = md.group(2).strip()
     else:
         inner = m.group(1).strip()
     if aliases:
         for alias, pos in aliases.items():
             inner = re.sub(rf"(?i)\b{re.escape(alias)}\b", pos, inner)
-    mr = re.match(r"(?is)^return\s+(.+?);?$", inner, re.DOTALL)
-    if mr and mr.group(1).count(";") == 0:
-        return mr.group(1).strip()
-    mi = re.match(r"(?is)^if\s+(.*)\s+end\s+if;?$", inner, re.DOTALL)
+
+    stmts = _split_stmts(inner)
+    k = 0
+    while k < len(stmts):
+        st = stmts[k]
+        if re.match(r"(?is)^if\b", st):
+            break  # terminal IF chain handled below
+        ma = re.match(r"(?is)^(\w+)\s*:=\s*(.+)$", st, re.DOTALL)
+        if ma:
+            name = ma.group(1)
+            if name.lower() not in decls:
+                raise NotImplementedError(
+                    f"plpgsql assignment to undeclared variable {name!r}"
+                )
+            val = subst(ma.group(2).strip())
+            env[name] = f"CAST(({val}) AS {decls[name.lower()]})"
+            k += 1
+            continue
+        mr = re.match(r"(?is)^return\s+(.+)$", st, re.DOTALL)
+        if mr and k == len(stmts) - 1:
+            return subst(mr.group(1).strip())
+        raise NotImplementedError(
+            "plpgsql subset: straight-line 'v := expr;' assignments ending "
+            "in RETURN expr or a terminal IF chain; use LANGUAGE plpythonu "
+            "for loops and procedural bodies"
+        )
+    chain = subst("; ".join(stmts[k:]))
+    mi = re.match(r"(?is)^if\s+(.*)\s+end\s+if;?$", chain, re.DOTALL)
     if mi:
         whens, else_expr = [], None
-        for k, part in enumerate(re.split(r"(?is)\belsif\s+", mi.group(1))):
+        branches = mi.group(1).rstrip().rstrip(";") + ";"
+        for part in re.split(r"(?is)\belsif\s+", branches):
             mp = re.match(
                 r"(?is)^(.*?)\s+then\s+return\s+(.*?);"
                 r"(?:\s*else\s+return\s+(.*?);)?\s*$",
@@ -225,8 +299,9 @@ def plpgsql_to_expr(body: str) -> str:
         )
         return f"CASE {case} {tail} END"
     raise NotImplementedError(
-        "plpgsql subset: BEGIN RETURN expr; END or a single IF/ELSIF/ELSE "
-        "chain of RETURNs; use LANGUAGE plpythonu for procedural bodies"
+        "plpgsql subset: [assignments +] RETURN expr or a single "
+        "IF/ELSIF/ELSE chain of RETURNs; use LANGUAGE plpythonu for "
+        "procedural bodies"
     )
 
 

@@ -706,6 +706,55 @@ def create_function_plpgsql(spark, sf_dir):
 
 
 @suite.add(
+    "create_function_plpgsql_vars",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice * (1 + 0.07) AS DOUBLE)
+                - CAST(o_totalprice * 0.02 AS DOUBLE) AS DOUBLE) AS net,
+           CASE WHEN o_totalprice > 200000.0 THEN 'over' ELSE 'under' END
+             AS flag
+    FROM orders WHERE o_orderkey < 400
+    """,
+    doc="plpgsql declared variables + := assignment chains "
+        "(src/pl/plpgsql/ exec_stmt_assign): straight-line variable code "
+        "folds to one Catalyst expression via bind-time substitution with "
+        "assignment casts — still zero Python in the plan.",
+    tags=("udf", "engine", "plpgsql"),
+)
+def create_function_plpgsql_vars(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_plpgv_"))
+    cat(spark, sf_dir).table("orders").filter(
+        F.col("o_orderkey") < 400
+    ).createOrReplaceTempView("plpgv_src_orders")
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION net_price(p float8) RETURNS float8 AS $$\n"
+        "DECLARE rate float8 := 0.07;\n"
+        "  total float8;\n"
+        "  discount float8;\n"
+        "BEGIN\n"
+        "  total := p * (1 + rate);\n"
+        "  discount := p * 0.02;\n"
+        "  RETURN total - discount;\n"
+        "END;\n$$ LANGUAGE plpgsql"
+    )
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION over_under(p float8) RETURNS text AS $$\n"
+        "DECLARE pivot float8 := 200000.0;\n"
+        "BEGIN\n"
+        "  IF p > pivot THEN RETURN 'over';\n"
+        "  ELSE RETURN 'under';\n"
+        "  END IF;\n"
+        "END;\n$$ LANGUAGE plpgsql"
+    )
+    return eng.execute(
+        "SELECT o_orderkey, net_price(o_totalprice::float8) AS net, "
+        "over_under(o_totalprice::float8) AS flag FROM plpgv_src_orders"
+    )
+
+
+@suite.add(
     "txn_rollback_dml",
     oracle="""
     SELECT n_nationkey, n_name,

@@ -220,12 +220,53 @@ class TestPlpgsql:
                 "BEGIN\n  FOR i IN 1..x LOOP x := x + 1; END LOOP;\n"
                 "  RETURN x;\nEND;\n$$ LANGUAGE plpgsql"
             )
-        with pytest.raises(NotImplementedError, match="ALIAS FOR"):
+        with pytest.raises(NotImplementedError, match="plpgsql"):
             eng.execute(
-                "CREATE FUNCTION decl(x int4) RETURNS int4 AS $$\n"
-                "DECLARE y int4 := 3;\nBEGIN\n  RETURN x + y;\nEND;\n"
+                "CREATE FUNCTION midret(x int4) RETURNS int4 AS $$\n"
+                "BEGIN\n  RETURN x;\n  x := x + 1;\nEND;\n"
                 "$$ LANGUAGE plpgsql"
             )
+
+    def test_declared_variables_and_assignments(self, eng):
+        """exec_stmt_assign subset: straight-line variable code folds to
+        one Catalyst expression (initializers, := chains, typed casts)."""
+        eng.execute(
+            "CREATE FUNCTION decl(x int4) RETURNS int4 AS $$\n"
+            "DECLARE y int4 := 3;\nBEGIN\n  RETURN x + y;\nEND;\n"
+            "$$ LANGUAGE plpgsql"
+        )
+        assert eng.execute("SELECT decl(4) AS v").collect()[0].v == 7
+        eng.execute(
+            "CREATE FUNCTION chainv(x int8) RETURNS int8 AS $$\n"
+            "DECLARE v int8;\n  w int8 DEFAULT 3;\nBEGIN\n"
+            "  v := x + w;\n  v := v * v;\n  RETURN v - 1;\nEND;\n"
+            "$$ LANGUAGE plpgsql"
+        )
+        assert eng.execute("SELECT chainv(2) AS v").collect()[0].v == 24
+        eng.execute(
+            "CREATE FUNCTION taxed(amt numeric) RETURNS numeric AS $$\n"
+            "DECLARE rate numeric := 0.5;\n  total numeric;\nBEGIN\n"
+            "  total := amt * (1 + rate);\n  RETURN total;\nEND;\n"
+            "$$ LANGUAGE plpgsql"
+        )
+        assert eng.execute("SELECT taxed(10.0) AS v").collect()[0].v == 15.0
+        # variables substitute inside a terminal IF chain too
+        eng.execute(
+            "CREATE FUNCTION cmp2(x int4) RETURNS text AS $$\n"
+            "DECLARE pivot int4 := 2;\nBEGIN\n"
+            "  IF x > pivot THEN RETURN 'big';\n"
+            "  ELSIF x = pivot THEN RETURN 'eq';\n"
+            "  ELSE RETURN 'small';\n  END IF;\nEND;\n$$ LANGUAGE plpgsql"
+        )
+        got = [
+            eng.execute(f"SELECT cmp2({n}) AS v").collect()[0].v
+            for n in (1, 2, 3)
+        ]
+        assert got == ["small", "eq", "big"]
+        # still inlines: no Python eval node
+        df = eng.execute("SELECT chainv(CAST(7 AS int8)) AS v")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
     def test_inlines_into_catalyst(self, eng):
         """plpgsql lowers to a SQL-defined function — no Python UDF node."""
