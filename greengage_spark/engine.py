@@ -496,6 +496,10 @@ class GreengageEngine:
             return self._explain(stmt)
         if head in ("select", "with", "values", "table"):
             self._register_all()
+            if any(getattr(f, "setof", False) for f in self.functions.values()):
+                from greengage_spark.operators.udf_ddl import expand_table_macros
+
+                stmt = expand_table_macros(stmt, self.functions)
             for nm, mvd in self.matviews.items():
                 if not mvd["populated"] and re.search(
                     rf"(?i)\b{re.escape(nm)}\b", stmt

@@ -81,9 +81,10 @@ class FunctionDef:
     arg_names: list[str]
     arg_types: list[str]  # Spark SQL type strings
     ret_type: str
-    language: str  # 'sql' | 'plpythonu'
+    language: str  # 'sql' | 'plpgsql' | 'plpythonu'
     body: str
     pyfn: object | None = None  # compiled callable for plpythonu
+    setof: bool = False  # RETURNS SETOF / RETURNS TABLE: body is a query
 
 
 _CREATE_FN = re.compile(
@@ -104,8 +105,9 @@ def parse_create_function(stmt: str) -> tuple[FunctionDef, bool]:
             "CREATE [OR REPLACE] FUNCTION name(args) RETURNS type AS "
             "$$ body $$ LANGUAGE sql|plpythonu"
         )
-    if m.group(4):
-        raise NotImplementedError("RETURNS SETOF: use mapInPandas table functions")
+    setof = bool(m.group(4)) or bool(
+        re.match(r"(?is)^\s*table\s*\(", m.group(5))
+    )
     body = (
         m.group("dollar") or m.group("quoted")
         or m.group("dollar2") or m.group("quoted2")
@@ -132,14 +134,60 @@ def parse_create_function(stmt: str) -> tuple[FunctionDef, bool]:
         raise NotImplementedError(
             f"LANGUAGE {lang} not supported (sql, plpgsql, plpythonu)"
         )
+    body = body.strip()
+    if setof:
+        # SETOF/TABLE: the body IS a query.  LANGUAGE sql bodies are the
+        # query verbatim; plpgsql bodies are BEGIN RETURN QUERY <q>;
+        # [RETURN QUERY <q>;]... END — appended result sets, i.e. UNION
+        # ALL (exec_stmt_return_query).  The stored body becomes an
+        # inline-expandable table macro (optimizer/util/clauses.c
+        # inline_set_returning_function).
+        if lang == "plpythonu":
+            raise NotImplementedError(
+                "RETURNS SETOF LANGUAGE plpythonu: use mapInPandas table "
+                "functions (operators.tablefunc)"
+            )
+        if lang == "plpgsql":
+            mb = re.match(
+                r"(?is)^begin\b(.*)\bend$", body.rstrip(";").strip(), re.DOTALL
+            )
+            if not mb:
+                raise NotImplementedError(
+                    "SETOF plpgsql body must be BEGIN RETURN QUERY ...; END"
+                )
+            queries = []
+            for st in _split_stmts(mb.group(1)):
+                mq = re.match(r"(?is)^return\s+query\s+(.+)$", st, re.DOTALL)
+                if mq:
+                    queries.append(mq.group(1).strip())
+                elif re.match(r"(?is)^return$", st):
+                    continue  # bare RETURN ends the function
+                else:
+                    raise NotImplementedError(
+                        "SETOF plpgsql supports only RETURN QUERY statements"
+                    )
+            if not queries:
+                raise NotImplementedError("SETOF plpgsql body has no RETURN QUERY")
+            body = (
+                queries[0]
+                if len(queries) == 1
+                else " UNION ALL ".join(
+                    f"SELECT * FROM ({q}) __ggq{k}" for k, q in enumerate(queries)
+                )
+            )
+        elif not re.match(r"(?is)^\s*(select|with|values|table)\b", body):
+            raise NotImplementedError(
+                "RETURNS SETOF LANGUAGE sql body must be a query"
+            )
     return (
         FunctionDef(
             name=m.group(2),
             arg_names=arg_names,
             arg_types=arg_types,
-            ret_type=_spark_type(m.group(5)),
+            ret_type="SETOF" if setof else _spark_type(m.group(5)),
             language=lang,
-            body=body.strip(),
+            body=body,
+            setof=setof,
         ),
         bool(m.group(1)),
     )
@@ -305,9 +353,104 @@ def plpgsql_to_expr(body: str) -> str:
     )
 
 
+def _split_call_args(s: str) -> list[str]:
+    """Split a call's argument text on top-level commas."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth, q = 0, None
+    for ch in s:
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in ("'", '"'):
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+_FROM_KEYWORDS = frozenset(
+    "on using where group order limit offset inner left right full cross "
+    "join union intersect except having window natural lateral".split()
+)
+
+
+def expand_table_macros(sql: str, functions: dict) -> str:
+    """Expand FROM-position calls to RETURNS SETOF functions into inline
+    subqueries — PG's inline_set_returning_function
+    (optimizer/util/clauses.c): ``FROM f(a, b) AS t(c1, c2)`` becomes
+    ``FROM (<body with $1→a, $2→b>) AS t(c1, c2)``.  Arguments
+    substitute positionally ($n) and by declared name; expansion
+    iterates so SETOF functions may call other SETOF functions (depth
+    capped at 10, PG's own check_stack_depth analog)."""
+    macros = {
+        n.lower(): f for n, f in functions.items() if getattr(f, "setof", False)
+    }
+    if not macros:
+        return sql
+    for _ in range(10):
+        changed = False
+        for name, fd in macros.items():
+            m = re.search(rf"(?is)\b(from|join|,)\s+{re.escape(name)}\s*\(", sql)
+            if not m:
+                continue
+            i, depth, q = m.end(), 1, None
+            while i < len(sql) and depth:
+                ch = sql[i]
+                if q:
+                    if ch == q:
+                        q = None
+                elif ch in ("'", '"'):
+                    q = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                i += 1
+            args = _split_call_args(sql[m.end() : i - 1])
+            rest = sql[i:]
+            alias, collist = None, ""
+            mal = re.match(r"(?is)^\s+(?:as\s+)?(\w+)(\s*\(\s*\w+(?:\s*,\s*\w+)*\s*\))?", rest)
+            if mal and mal.group(1).lower() not in _FROM_KEYWORDS:
+                alias, collist = mal.group(1), mal.group(2) or ""
+                rest = rest[mal.end() :]
+            body = fd.body
+            for j, a in enumerate(args, 1):
+                body = re.sub(rf"\${j}\b", f"({a})", body)
+            for j, an in enumerate(fd.arg_names):
+                if j < len(args):
+                    body = re.sub(rf"(?i)\b{re.escape(an)}\b", f"({args[j]})", body)
+            sql = (
+                sql[: m.start(1)]
+                + m.group(1)
+                + f" ({body}) AS {alias or name}{collist}"
+                + rest
+            )
+            changed = True
+        if not changed:
+            break
+    return sql
+
+
 def register_function(spark: SparkSession, fd: FunctionDef, transpile) -> None:
     """Register on the session: sql/plpgsql → Spark SQL-defined function
-    (inlines into Catalyst); plpythonu → Python UDF."""
+    (inlines into Catalyst); plpythonu → Python UDF.  SETOF table macros
+    have no session-side object — they expand inline at query time
+    (expand_table_macros)."""
+    if fd.setof:
+        return
     if fd.language in ("sql", "plpgsql"):
         if fd.language == "plpgsql":
             expr = plpgsql_to_expr(fd.body)

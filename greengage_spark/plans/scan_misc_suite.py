@@ -755,6 +755,41 @@ def create_function_plpgsql_vars(spark, sf_dir):
 
 
 @suite.add(
+    "create_function_setof",
+    oracle="""
+    SELECT t.n_name, t.n_regionkey
+    FROM (SELECT n_name, n_regionkey FROM nation WHERE n_regionkey = 1
+          UNION ALL
+          SELECT n_name, n_regionkey FROM nation WHERE n_regionkey = 3) t
+    ORDER BY t.n_regionkey, t.n_name
+    """,
+    doc="RETURNS SETOF / RETURN QUERY table functions expanded inline at "
+        "the call site (optimizer/util/clauses.c "
+        "inline_set_returning_function; pl_exec.c exec_stmt_return_query "
+        "appends result sets) — the FunctionScan becomes a plain subquery "
+        "Catalyst optimizes through.",
+    tags=("udf", "engine", "plpgsql"),
+)
+def create_function_setof(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_setof_"))
+    cat(spark, sf_dir).table("nation").createOrReplaceTempView("nation")
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION nations_in(r1 int4, r2 int4) "
+        "RETURNS SETOF record AS $$\nBEGIN\n"
+        "  RETURN QUERY SELECT n_name, n_regionkey FROM nation "
+        "WHERE n_regionkey = r1;\n"
+        "  RETURN QUERY SELECT n_name, n_regionkey FROM nation "
+        "WHERE n_regionkey = r2;\n  RETURN;\nEND;\n$$ LANGUAGE plpgsql"
+    )
+    return eng.execute(
+        "SELECT t.n_name, t.n_regionkey FROM nations_in(1, 3) t "
+        "ORDER BY t.n_regionkey, t.n_name"
+    )
+
+
+@suite.add(
     "txn_rollback_dml",
     oracle="""
     SELECT n_nationkey, n_name,

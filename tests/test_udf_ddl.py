@@ -268,6 +268,76 @@ class TestPlpgsql:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+
+class TestSetofTableMacros:
+    """RETURNS SETOF / RETURNS TABLE functions expand inline at the call
+    site (inline_set_returning_function, optimizer/util/clauses.c) — the
+    FunctionScan becomes a plain subquery, so Catalyst optimizes through
+    it (pushdown into the body, no opaque boundary)."""
+
+    @pytest.fixture()
+    def seng(self, eng):
+        eng.execute(
+            "CREATE TABLE st AS SELECT * FROM "
+            "(VALUES (1,'a'),(2,'b'),(3,'c')) v(k, s) DISTRIBUTED BY (k)"
+        )
+        return eng
+
+    def test_sql_setof_with_column_aliases(self, seng):
+        seng.execute(
+            "CREATE FUNCTION topn(n int4) RETURNS SETOF record AS "
+            "$$ SELECT k, s FROM st WHERE k <= n $$ LANGUAGE sql"
+        )
+        rows = seng.execute(
+            "SELECT * FROM topn(2) AS t(kk, ss) ORDER BY kk"
+        ).collect()
+        assert [(r.kk, r.ss) for r in rows] == [(1, "a"), (2, "b")]
+
+    def test_plpgsql_return_query_appends(self, seng):
+        """Multiple RETURN QUERY statements append result sets
+        (exec_stmt_return_query) — UNION ALL semantics."""
+        seng.execute(
+            "CREATE FUNCTION ends(lo int4, hi int4) RETURNS SETOF record AS "
+            "$$\nBEGIN\n  RETURN QUERY SELECT k, s FROM st WHERE k = lo;\n"
+            "  RETURN QUERY SELECT k, s FROM st WHERE k = hi;\n  RETURN;\n"
+            "END;\n$$ LANGUAGE plpgsql"
+        )
+        rows = seng.execute("SELECT * FROM ends(1, 3) ORDER BY 1").collect()
+        assert [(r.k, r.s) for r in rows] == [(1, "a"), (3, "c")]
+
+    def test_returns_table_form(self, seng):
+        seng.execute(
+            "CREATE FUNCTION series2(a int4, b int4) RETURNS TABLE(v int4) "
+            "AS $$ SELECT k AS v FROM st WHERE k BETWEEN a AND b $$ "
+            "LANGUAGE sql"
+        )
+        rows = seng.execute(
+            "SELECT v * 10 AS x FROM series2(1, 2) ORDER BY 1"
+        ).collect()
+        assert [r.x for r in rows] == [10, 20]
+
+    def test_nested_macro_and_join_position(self, seng):
+        seng.execute(
+            "CREATE FUNCTION topn(n int4) RETURNS SETOF record AS "
+            "$$ SELECT k, s FROM st WHERE k <= n $$ LANGUAGE sql"
+        )
+        seng.execute(
+            "CREATE FUNCTION allrows() RETURNS SETOF record AS "
+            "$$ SELECT * FROM topn(3) t $$ LANGUAGE sql"
+        )
+        assert seng.execute("SELECT count(*) AS c FROM allrows()").collect()[0].c == 3
+        rows = seng.execute(
+            "SELECT a.k, b.s FROM st a JOIN topn(2) b ON a.k = b.k ORDER BY 1"
+        ).collect()
+        assert [(r.k, r.s) for r in rows] == [(1, "a"), (2, "b")]
+
+    def test_setof_plpythonu_rejected(self, seng):
+        with pytest.raises(NotImplementedError, match="SETOF"):
+            seng.execute(
+                "CREATE FUNCTION pyset() RETURNS SETOF int4 AS "
+                "$$ return [1] $$ LANGUAGE plpythonu"
+            )
+
     def test_inlines_into_catalyst(self, eng):
         """plpgsql lowers to a SQL-defined function — no Python UDF node."""
         eng.execute(
