@@ -3769,6 +3769,33 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
     ("array_ndims", 1): "(CASE WHEN size({0}) > 0 THEN 1 END)",
     # 1-D arrays only (the repo's array model throughout)
     ("generate_subscripts", 2): "explode(sequence(1, size({0})))",
+    # ---- introspection (misc.c pgsql_version; format_type.c via typeof) ----
+    ("version", 0): (
+        "'PostgreSQL 9.4.26 (Greengage Database 6) on spark, "
+        "64-bit'"
+    ),
+    ("pg_typeof", 1): (
+        "(CASE WHEN typeof({0}) IN ('int', 'integer') THEN 'integer' "
+        "WHEN typeof({0}) IN ('smallint', 'tinyint') THEN 'smallint' "
+        "WHEN typeof({0}) = 'bigint' THEN 'bigint' "
+        "WHEN typeof({0}) = 'string' THEN 'text' "
+        "WHEN typeof({0}) = 'double' THEN 'double precision' "
+        "WHEN typeof({0}) = 'float' THEN 'real' "
+        "WHEN typeof({0}) = 'boolean' THEN 'boolean' "
+        "WHEN typeof({0}) = 'date' THEN 'date' "
+        "WHEN typeof({0}) = 'binary' THEN 'bytea' "
+        "WHEN typeof({0}) LIKE 'timestamp_ntz%' "
+        "THEN 'timestamp without time zone' "
+        "WHEN typeof({0}) LIKE 'timestamp%' THEN 'timestamp with time zone' "
+        "WHEN typeof({0}) LIKE 'decimal%' THEN 'numeric' "
+        "WHEN typeof({0}) LIKE 'interval%' THEN 'interval' "
+        "WHEN typeof({0}) = 'array<string>' THEN 'text[]' "
+        "WHEN typeof({0}) IN ('array<int>', 'array<integer>') "
+        "THEN 'integer[]' "
+        "WHEN typeof({0}) = 'array<bigint>' THEN 'bigint[]' "
+        "WHEN typeof({0}) = 'array<double>' THEN 'double precision[]' "
+        "ELSE typeof({0}) END)"
+    ),
     # ---- json composition aggregates (json.c json_agg/json_object_agg;
     # object keys render sorted — PG emits aggregation order, which is
     # partition-dependent, so the deterministic form is the scalable one) ----
@@ -3778,6 +3805,129 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
         "struct(CAST({0} AS STRING), {1})))))"
     ),
 }
+
+
+_FORMAT_CONV_RE = re.compile(r"%(?:(\d+)\$)?([sIL%])")
+
+
+def _lower_pg_format(args: list[list[str]]) -> list[str]:
+    """Lower PG format() (varlena.c text_format: %s/%I/%L conversions,
+    n$ positional refs, %% escape) to format_string with the conversion
+    semantics moved into the argument expressions: %s coalesces NULL to
+    '' (PG treats null as empty string), %I quote_ident's, %L
+    quote_nullable's (renders NULL as unquoted NULL).  Width/flag
+    specifiers are rejected loudly."""
+    fmt = args[0][0][1:-1]  # strip quotes
+    out_fmt: list[str] = []
+    out_args: list[list[str]] = []
+    pos = 0
+    next_seq = 1
+    for m in _FORMAT_CONV_RE.finditer(fmt):
+        between = fmt[pos : m.start()]
+        if "%" in between.replace("%%", ""):
+            raise NotImplementedError(
+                f"format() width/flag specifiers not supported: {fmt!r}"
+            )
+        out_fmt.append(between)
+        pos = m.end()
+        conv = m.group(2)
+        if conv == "%":
+            out_fmt.append("%%")
+            continue
+        idx = int(m.group(1)) if m.group(1) else next_seq
+        next_seq = idx + 1
+        if idx >= len(args):
+            raise ValueError(
+                f"format() references argument {idx} but only "
+                f"{len(args) - 1} supplied"
+            )
+        a = args[idx]
+        out_fmt.append("%s")
+        if conv == "s":
+            out_args.append(
+                ["coalesce", "(", "CAST", "(", "("] + a
+                + [")", "AS", "STRING", ")", ",", "''", ")"]
+            )
+        elif conv == "I":
+            out_args.append(
+                ["quote_ident", "(", "CAST", "(", "("] + a
+                + [")", "AS", "STRING", ")", ")"]
+            )
+        else:  # L
+            out_args.append(["quote_nullable", "(", "("] + a + [")", ")"])
+    tail = fmt[pos:]
+    if "%" in tail.replace("%%", ""):
+        raise NotImplementedError(
+            f"format() width/flag specifiers not supported: {fmt!r}"
+        )
+    out_fmt.append(tail)
+    new = ["format_string", "(", "'" + "".join(out_fmt) + "'"]
+    for a in out_args:
+        new += [","] + a
+    return new + [")"]
+
+
+def _count_capture_groups(pattern: str) -> int:
+    """Capturing groups in a regex literal: '(' not escaped, not a
+    character-class member, and not opening a (?...) non-capturing /
+    lookaround construct."""
+    n, i, in_class = 0, 0, False
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "(":
+            if not pattern.startswith("(?", i):
+                n += 1
+        i += 1
+    return n
+
+
+def _lower_regexp_matches(args: list[list[str]]) -> list[str]:
+    """Lower regexp_matches(s, pat [, flags]) — adt/regexp.c, SETOF
+    text[] — to ``explode(<array of per-match group arrays>)``: zero
+    rows when no match (PG's SETOF contract), one row without the 'g'
+    flag, one row per match with it.  Spark accepts generators in the
+    targetlist, which is where the reference's regress suites call it.
+    Literal patterns only (group count must be known at plan time)."""
+    pat_tok = args[1][0]
+    pat = pat_tok[1:-1].replace("''", "'")
+    flags = ""
+    if len(args) == 3:
+        if len(args[2]) != 1 or not _is_string(args[2][0]):
+            raise NotImplementedError("regexp_matches flags must be a literal")
+        flags = args[2][0][1:-1]
+        for f in flags:
+            if f not in "gi":
+                raise NotImplementedError(
+                    f"regexp_matches flag {f!r} not supported (g, i)"
+                )
+    if "i" in flags:
+        pat_tok = "'(?i)" + pat_tok[1:].lstrip("eE").lstrip("'")
+    s = " ".join(args[0])
+    ngroups = _count_capture_groups(pat)
+    if ngroups == 0:
+        all_matches = (
+            f"transform(regexp_extract_all(({s}), {pat_tok}, 0), __m -> array(__m))"
+        )
+    else:
+        elems = ", ".join(
+            f"element_at(regexp_extract_all(({s}), {pat_tok}, {g}), __i)"
+            for g in range(1, ngroups + 1)
+        )
+        all_matches = (
+            f"transform(sequence(1, size(regexp_extract_all(({s}), {pat_tok}, 1))), "
+            f"__i -> array({elems}))"
+        )
+    if "g" not in flags:
+        all_matches = f"slice({all_matches}, 1, 1)"
+    return tokenize(f"explode({all_matches})")
 
 
 def _pass_functions(toks: list[str]) -> list[str]:
@@ -3791,6 +3941,12 @@ def _pass_functions(toks: list[str]) -> list[str]:
         if low == "gp_segment_id":
             out[i : i + 1] = ["spark_partition_id", "(", ")"]
             i += 3
+            continue
+
+        if low == "using" and nxt in ("<", ">"):
+            # ORDER BY expr USING op (gram.y sortby_using): the btree
+            # '<' ordering is ASC, '>' is DESC
+            out[i : i + 2] = ["ASC" if nxt == "<" else "DESC"]
             continue
 
         if low and nxt == "(":
@@ -4298,6 +4454,22 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 continue
             if low == "div" and len(args) == 2:
                 out[i : close + 1] = ["("] + args[0] + ["DIV"] + args[1] + [")"]
+                continue
+            if (
+                low == "format"
+                and len(args) >= 1
+                and len(args[0]) == 1
+                and _is_string(args[0][0])
+            ):
+                out[i : close + 1] = _lower_pg_format(args)
+                continue
+            if (
+                low == "regexp_matches"
+                and len(args) in (2, 3)
+                and len(args[1]) == 1
+                and _is_string(args[1][0])
+            ):
+                out[i : close + 1] = _lower_regexp_matches(args)
                 continue
             if low in _FUNC_RENAME:
                 out[i] = _FUNC_RENAME[low]

@@ -1266,3 +1266,40 @@ def dialect_quote_json_funcs(spark, sf_dir):
         """,
         ["customer"],
     )
+
+
+@suite.add(
+    "dialect_format_introspect",
+    oracle="""
+    SELECT c_custkey,
+           '"' || c_mktsegment || '" says ''' ||
+             replace(c_name, '''', '''''') || '''' AS msg,
+           'bigint' AS kt,
+           m AS num
+    FROM (SELECT c_custkey, c_mktsegment, c_name,
+                 unnest(regexp_extract_all(c_name, '[0-9]+')) AS m
+          FROM customer WHERE c_custkey <= 50) t
+    ORDER BY c_custkey, num
+    """,
+    doc="format() %I/%L conversions (varlena.c text_format) lowered to "
+        "format_string over quote_ident/quote_nullable args; pg_typeof "
+        "via typeof-name mapping; regexp_matches (adt/regexp.c SETOF "
+        "text[]) as a targetlist generator — all JVM expressions.",
+    tags=("dialect", "string"),
+)
+def dialect_format_introspect(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey,
+               format('%I says %L', c_mktsegment, c_name) AS msg,
+               pg_typeof(c_custkey) AS kt,
+               m[1] AS num
+        FROM (SELECT c_custkey, c_mktsegment, c_name,
+                     regexp_matches(c_name, '[0-9]+', 'g') AS m
+              FROM customer WHERE c_custkey <= 50) t
+        ORDER BY c_custkey, num
+        """,
+        ["customer"],
+    )

@@ -702,3 +702,69 @@ class TestQuoteAndJsonComposition:
     def test_estring_backslash_quote(self, spark):
         assert self._one(spark, r"E'it\'s'") == "it's"
         assert self._one(spark, r"E'dq''d'") == "dq'd"
+
+
+class TestFormatAndIntrospection:
+    """format() (varlena.c text_format), pg_typeof (misc_utils),
+    version(), ORDER BY USING op (gram.y sortby_using), and
+    regexp_matches (adt/regexp.c SETOF text[])."""
+
+    def _one(self, spark, expr):
+        return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+    def test_format_conversions(self, spark):
+        assert (
+            self._one(spark, "format('INSERT INTO %I VALUES(%L)', 'my tbl', 'O''x')")
+            == "INSERT INTO \"my tbl\" VALUES('O''x')"
+        )
+        assert self._one(spark, "format('%1$s %1$s %2$s', 'a', 'b')") == "a a b"
+        # PG: %s renders NULL as '', %L as unquoted NULL
+        assert self._one(spark, "format('[%s] [%L]', NULL, NULL)") == "[] [NULL]"
+        assert self._one(spark, "format('100%% of %s', 'it')") == "100% of it"
+
+    def test_pg_typeof(self, spark):
+        row = pg_sql(
+            spark,
+            "SELECT pg_typeof(1) AS a, pg_typeof('x'::text) AS b, "
+            "pg_typeof(1.5::float8) AS c, pg_typeof(ARRAY[1,2]) AS d, "
+            "pg_typeof(DATE '2020-01-01') AS e",
+        ).collect()[0]
+        assert (row.a, row.b, row.c, row.d, row.e) == (
+            "integer", "text", "double precision", "integer[]", "date",
+        )
+
+    def test_version_is_pg_style(self, spark):
+        assert self._one(spark, "version()").startswith("PostgreSQL 9.4")
+
+    def test_order_by_using(self, spark):
+        asc = pg_sql(
+            spark, "SELECT x FROM (VALUES (3),(1),(2)) t(x) ORDER BY x USING <"
+        ).collect()
+        dsc = pg_sql(
+            spark, "SELECT x FROM (VALUES (3),(1),(2)) t(x) ORDER BY x USING >"
+        ).collect()
+        assert [r.x for r in asc] == [1, 2, 3]
+        assert [r.x for r in dsc] == [3, 2, 1]
+
+    def test_regexp_matches(self, spark):
+        rows = pg_sql(
+            spark, "SELECT regexp_matches('foo123bar456', '[0-9]+') AS m"
+        ).collect()
+        assert [r.m for r in rows] == [["123"]]  # first match only, SETOF
+        rows = pg_sql(
+            spark,
+            "SELECT regexp_matches('foobarbequebaz', '(b[^b]+)(b[^b]+)') AS m",
+        ).collect()
+        assert [r.m for r in rows] == [["bar", "beque"]]
+        rows = pg_sql(
+            spark, "SELECT regexp_matches('foo123bar456', '[0-9]+', 'g') AS m"
+        ).collect()
+        assert [r.m for r in rows] == [["123"], ["456"]]
+        assert (
+            pg_sql(spark, "SELECT regexp_matches('foo', 'zzz') AS m").collect()
+            == []
+        )
+        rows = pg_sql(
+            spark, "SELECT regexp_matches('FOO', 'foo', 'i') AS m"
+        ).collect()
+        assert [r.m for r in rows] == [["FOO"]]
