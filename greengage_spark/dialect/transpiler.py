@@ -3769,6 +3769,17 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
     ("array_ndims", 1): "(CASE WHEN size({0}) > 0 THEN 1 END)",
     # 1-D arrays only (the repo's array model throughout)
     ("generate_subscripts", 2): "explode(sequence(1, size({0})))",
+    # ---- misc utils (utils/adt/misc.c PG 9.4+/9.6 additions) ----
+    ("starts_with", 2): "startswith({0}, {1})",
+    # parse_ident subset: split on dots, strip ident quoting (misc.c
+    # parse_ident; invalid-identifier errors not reproduced)
+    ("parse_ident", 1): (
+        "transform(split(CAST({0} AS STRING), '[.]'), "
+        "__x -> replace(trim(__x), '\"', ''))"
+    ),
+    # datetime.c: this engine has no 'infinity' datetimes, so every
+    # non-NULL value is finite
+    ("isfinite", 1): "(CASE WHEN ({0}) IS NULL THEN NULL ELSE TRUE END)",
     # ---- introspection (misc.c pgsql_version; format_type.c via typeof) ----
     ("version", 0): (
         "'PostgreSQL 9.4.26 (Greengage Database 6) on spark, "
@@ -4326,6 +4337,10 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     if field == "dow":
                         out[i : close + 1] = ["(", "dayofweek", "("] + expr + [")", "-", "1", ")"]
                         continue
+                    if field == "isodow":
+                        # ISO numbering: Monday=1 .. Sunday=7 (date.c)
+                        out[i : close + 1] = ["(", "weekday", "("] + expr + [")", "+", "1", ")"]
+                        continue
                     if field == "epoch":
                         out[i : close + 1] = ["unix_timestamp", "("] + expr + [")"]
                         continue
@@ -4339,6 +4354,9 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 if field == "dow":
                     # PG: Sunday=0 .. Saturday=6; Spark dayofweek: Sunday=1
                     out[i : close + 1] = ["(", "dayofweek", "("] + args[1] + [")", "-", "1", ")"]
+                    continue
+                if field == "isodow":
+                    out[i : close + 1] = ["(", "weekday", "("] + args[1] + [")", "+", "1", ")"]
                     continue
                 if field == "epoch":
                     out[i : close + 1] = ["unix_timestamp", "("] + args[1] + [")"]
@@ -4470,6 +4488,15 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 and _is_string(args[1][0])
             ):
                 out[i : close + 1] = _lower_regexp_matches(args)
+                continue
+            if low in ("num_nonnulls", "num_nulls") and args:
+                # variadic NULL counters (misc.c, PG 9.6)
+                neg = "NOT " if low == "num_nonnulls" else ""
+                body = " + ".join(
+                    f"(CASE WHEN ({' '.join(a)}) IS {neg}NULL THEN 1 ELSE 0 END)"
+                    for a in args
+                )
+                out[i : close + 1] = tokenize(f"CAST(({body}) AS INT)")
                 continue
             if low in _FUNC_RENAME:
                 out[i] = _FUNC_RENAME[low]

@@ -496,6 +496,26 @@ class GreengageEngine:
             return self._explain(stmt)
         if head in ("select", "with", "values", "table"):
             self._register_all()
+            if head == "select":
+                iidx = _find_top_level(stmt, "into")
+                if iidx >= 0:
+                    # SELECT ... INTO [TEMP|UNLOGGED] [TABLE] name
+                    # (parse_clause.c transformIntoClause) ≡ CREATE TABLE
+                    # name AS <select-without-INTO>
+                    tail = stmt[iidx + 4 :]
+                    mi = re.match(
+                        r"(?is)^\s*(?:temp(?:orary)?\s+|unlogged\s+)?"
+                        r"(?:table\s+)?([\w.]+)\s*",
+                        tail,
+                    )
+                    if not mi:
+                        raise NotImplementedError(
+                            "SELECT ... INTO [TEMP] [TABLE] name"
+                        )
+                    sel = stmt[:iidx] + " " + tail[mi.end() :]
+                    return self.execute(
+                        f"CREATE TABLE {mi.group(1)} AS {sel}"
+                    )
             if any(getattr(f, "setof", False) for f in self.functions.values()):
                 from greengage_spark.operators.udf_ddl import expand_table_macros
 
@@ -1823,6 +1843,7 @@ class GreengageEngine:
         return None
 
     def _delete(self, stmt: str):
+        stmt, ret = self._split_returning(stmt)
         m = re.match(r"(?is)^delete\s+from\s+([\w.]+)(\s+.*)?$", stmt)
         if not m:
             raise NotImplementedError("DELETE FROM name [USING items] [WHERE pred]")
@@ -1846,9 +1867,24 @@ class GreengageEngine:
         elif where_raw:
             pred = f"({where_raw})"
         else:
+            victims = None
+            if ret:
+                victims = st.df().localCheckpoint(eager=True)
             st.delete(F.lit(True))
             self._register(name)
-            return None
+            return self._returning_df(name, victims, ret) if ret else None
+        victims = None
+        if ret:
+            # RETURNING projects the rows being deleted (nodeModifyTable.c
+            # ExecDelete → ExecProcessReturning): capture them eagerly
+            # BEFORE the manifest advances
+            self._register_all()
+            st.df().createOrReplaceTempView("__del_target")
+            victims = pg_sql(
+                self.spark,
+                f"SELECT {name}.* FROM __del_target AS {name} WHERE {pred}",
+            ).localCheckpoint(eager=True)
+            self.spark.catalog.dropTempView("__del_target")
         if using_raw or re.search(r"(?is)\(\s*select\b", pred):
             # subquery predicates route through SQL; IS NOT TRUE keeps
             # NULL-predicate rows (PG: WHERE NULL does not delete).
@@ -1871,7 +1907,7 @@ class GreengageEngine:
         else:
             st.delete(F.expr(transpile(where_raw)))
         self._register(name)
-        return None
+        return self._returning_df(name, victims, ret) if ret else None
 
     def _copy(self, stmt: str):
         """COPY name|(query) TO 'path' / COPY name FROM 'path' with

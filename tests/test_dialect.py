@@ -768,3 +768,17 @@ class TestFormatAndIntrospection:
             spark, "SELECT regexp_matches('FOO', 'foo', 'i') AS m"
         ).collect()
         assert [r.m for r in rows] == [["FOO"]]
+
+    def test_misc_utils(self, spark):
+        row = pg_sql(
+            spark,
+            "SELECT extract(isodow FROM DATE '2020-01-05') AS sun, "
+            "date_part('isodow', DATE '2020-01-06') AS mon, "
+            "num_nonnulls(1, NULL, 2) AS nn, num_nulls(1, NULL, NULL) AS nl, "
+            "parse_ident('\"Mixed\".c') AS pi, starts_with('abc', 'ab') AS sw, "
+            "isfinite(DATE '2020-01-01') AS fin, isfinite(NULL::date) AS nfin",
+        ).collect()[0]
+        assert (row.sun, row.mon) == (7, 1)
+        assert (row.nn, row.nl) == (2, 2)
+        assert row.pi == ["Mixed", "c"]
+        assert row.sw is True and row.fin is True and row.nfin is None

@@ -193,3 +193,49 @@ class TestEngineSubqueryDMLPruning:
         self._assert_carried(before, st, "subquery DELETE")
         ids = sorted(r.id for r in eng.execute("SELECT id FROM big").collect())
         assert ids == [i for i in range(100) if i != 7]
+
+
+class TestDeleteReturningSelectInto:
+    """DELETE ... RETURNING (ExecDelete → ExecProcessReturning projects
+    the OLD rows) and SELECT ... INTO (transformIntoClause ≡ CTAS)."""
+
+    @pytest.fixture()
+    def eng(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        eng.execute(
+            "CREATE TABLE drt AS SELECT * FROM "
+            "(VALUES (1,'a'),(2,'b'),(3,'c')) v(k, s) DISTRIBUTED BY (k)"
+        )
+        return eng
+
+    def test_delete_returning_old_rows(self, eng):
+        got = eng.execute("DELETE FROM drt WHERE k >= 2 RETURNING k, s").collect()
+        assert sorted((r.k, r.s) for r in got) == [(2, "b"), (3, "c")]
+        left = eng.execute("SELECT k FROM drt").collect()
+        assert [r.k for r in left] == [1]
+
+    def test_delete_all_returning(self, eng):
+        got = eng.execute("DELETE FROM drt RETURNING k").collect()
+        assert sorted(r.k for r in got) == [1, 2, 3]
+        assert eng.execute("SELECT count(*) AS c FROM drt").collect()[0].c == 0
+
+    def test_delete_returning_expression(self, eng):
+        got = eng.execute(
+            "DELETE FROM drt WHERE k = 2 RETURNING k * 10 AS kk, upper(s) AS up"
+        ).collect()
+        assert [(r.kk, r.up) for r in got] == [(20, "B")]
+
+    def test_select_into(self, eng):
+        eng.execute("SELECT k, s INTO drt2 FROM drt WHERE k <= 2")
+        got = eng.execute("SELECT * FROM drt2 ORDER BY k").collect()
+        assert [(r.k, r.s) for r in got] == [(1, "a"), (2, "b")]
+
+    def test_select_into_temp_with_exprs(self, eng):
+        eng.execute("SELECT k * 10 AS kk INTO TEMP TABLE drt3 FROM drt")
+        got = eng.execute("SELECT kk FROM drt3 ORDER BY kk").collect()
+        assert [r.kk for r in got] == [10, 20, 30]
+        # INTO target participates in later DML like any table
+        eng.execute("DELETE FROM drt3 WHERE kk = 20")
+        assert eng.execute("SELECT count(*) AS c FROM drt3").collect()[0].c == 2
