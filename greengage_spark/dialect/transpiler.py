@@ -3627,7 +3627,6 @@ _FUNC_RENAME = {
     "btrim": "trim",
     "random": "rand",
     "cardinality": "size",
-    "string_to_array": "split",
     # string_agg(x, sep ORDER BY y) → listagg: Spark 4 supports the full
     # WITHIN GROUP / inline ORDER BY ordered-aggregate syntax natively
     "string_agg": "listagg",
@@ -3767,6 +3766,38 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
     ),
     ("array_lower", 2): "(CASE WHEN size({0}) > 0 THEN 1 END)",
     ("array_ndims", 1): "(CASE WHEN size({0}) > 0 THEN 1 END)",
+    # PG arg order is (elem, arr); Spark's builtin is (arr, elem)
+    ("array_prepend", 2): "array_prepend({1}, {0})",
+    # 1-D array_fill(value, ARRAY[n])
+    ("array_fill", 2): (
+        "transform(sequence(1, element_at(({1}), 1)), __x -> ({0}))"
+    ),
+    ("array_positions", 2): (
+        "filter(transform(sequence(1, size({0})), "
+        "__i -> CASE WHEN equal_null(element_at({0}, __i), ({1})) "
+        "THEN __i END), __p -> __p IS NOT NULL)"
+    ),
+    # string_to_array (varlena.c text_to_array): delimiter is LITERAL
+    # (\\Q..\\E regex-quotes it for Spark's regex split); '' input → {},
+    # empty delimiter → whole string, NULL delimiter → per-char split —
+    # the arrays.sql:425-438 battery verbatim
+    ("string_to_array", 2): (
+        "(CASE WHEN ({0}) IS NULL THEN NULL "
+        "WHEN ({0}) = '' THEN CAST(array() AS ARRAY<STRING>) "
+        "WHEN ({1}) IS NULL THEN split({0}, '') "
+        "WHEN ({1}) = '' THEN array({0}) "
+        "ELSE split({0}, concat('\\Q', {1}, '\\E')) END)"
+    ),
+    # 3-arg form: third arg is the NULL-string
+    ("string_to_array", 3): (
+        "transform("
+        "(CASE WHEN ({0}) IS NULL THEN NULL "
+        "WHEN ({0}) = '' THEN CAST(array() AS ARRAY<STRING>) "
+        "WHEN ({1}) IS NULL THEN split({0}, '') "
+        "WHEN ({1}) = '' THEN array({0}) "
+        "ELSE split({0}, concat('\\Q', {1}, '\\E')) END), "
+        "__x -> nullif(__x, {2}))"
+    ),
     # 1-D arrays only (the repo's array model throughout)
     ("generate_subscripts", 2): "explode(sequence(1, size({0})))",
     # ---- misc utils (utils/adt/misc.c PG 9.4+/9.6 additions) ----
@@ -3939,6 +3970,87 @@ def _lower_regexp_matches(args: list[list[str]]) -> list[str]:
     if "g" not in flags:
         all_matches = f"slice({all_matches}, 1, 1)"
     return tokenize(f"explode({all_matches})")
+
+
+def _operand_end(toks: list[str], start: int) -> int:
+    """Index of the last token of the operand that starts at toks[start]:
+    a (qualified, possibly called or subscripted) identifier, a
+    parenthesized expression, or a single literal token."""
+    i = start
+    if i >= len(toks):
+        return start
+    if _is_ident(toks[i]):
+        while i + 2 < len(toks) and toks[i + 1] == "." and _is_ident(toks[i + 2]):
+            i += 2
+        if i + 1 < len(toks) and toks[i + 1] == "(":
+            return _match_paren(toks, i + 1)
+        while i + 1 < len(toks) and toks[i + 1] == "[":
+            depth, j = 0, i + 1
+            while j < len(toks):
+                if toks[j] == "[":
+                    depth += 1
+                elif toks[j] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            i = j
+        return i
+    if toks[i] == "(":
+        return _match_paren(toks, i)
+    return i
+
+
+def _pass_array_ops(toks: list[str]) -> list[str]:
+    """PG array operators left over after the geometry/text-search passes
+    claimed their typed spans (arrayfuncs.c arraycontains / arrayoverlap):
+
+    * ``x @> y`` → every element of y is in x (forall + array_contains)
+    * ``x <@ y`` → reverse containment
+    * ``x && y`` → arrays_overlap
+    * ``array || elem`` / ``elem || array`` → the scalar side wraps in a
+      one-element array so Spark's || (concat) applies; detected when
+      exactly one operand is an array(...) constructor (the literal form
+      the regress suites use).
+    """
+    i = 1
+    while i < len(toks) - 1:
+        pair = (toks[i], toks[i + 1])
+        if pair in ((("@", ">")), ("<", "@"), ("&", "&")):
+            lstart = _operand_start(toks, i - 1)
+            rend = _operand_end(toks, i + 2)
+            left = toks[lstart:i]
+            right = toks[i + 2 : rend + 1]
+            if pair == ("&", "&"):
+                new = ["arrays_overlap", "("] + left + [","] + right + [")"]
+            else:
+                arr, sub = (left, right) if pair == ("@", ">") else (right, left)
+                new = (
+                    ["forall", "("] + sub
+                    + [",", "__e", "->", "array_contains", "("]
+                    + arr + [",", "__e", ")", ")"]
+                )
+            toks[lstart : rend + 1] = new
+            i = lstart + 1
+            continue
+        i += 1
+    i = 1
+    while i < len(toks) - 1:
+        if toks[i] == "||":
+            lstart = _operand_start(toks, i - 1)
+            rend = _operand_end(toks, i + 1)
+            l_arr = _is_ident(toks[lstart]) and toks[lstart].lower() == "array"
+            r_arr = _is_ident(toks[i + 1]) and toks[i + 1].lower() == "array"
+            if l_arr != r_arr:
+                if l_arr:
+                    toks[i + 1 : rend + 1] = (
+                        ["array", "("] + toks[i + 1 : rend + 1] + [")"]
+                    )
+                else:
+                    toks[lstart:i] = ["array", "("] + toks[lstart:i] + [")"]
+                    i += 3
+        i += 1
+    return toks
 
 
 def _pass_functions(toks: list[str]) -> list[str]:
@@ -4388,7 +4500,12 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     )
                     continue
             if low in ("array_length", "array_upper") and len(args) == 2:
-                out[i : close + 1] = ["size", "("] + args[0] + [")"]
+                # PG returns NULL (not 0) for an empty array
+                # (arrayfuncs.c array_length: no dimension → NULL)
+                a = " ".join(args[0])
+                out[i : close + 1] = tokenize(
+                    f"(CASE WHEN size({a}) > 0 THEN size({a}) END)"
+                )
                 continue
             if low == "encode" and len(args) == 2 and args[1] == ["'hex'"]:
                 out[i : close + 1] = ["lower", "(", "hex", "("] + args[0] + [")", ")"]
@@ -4796,6 +4913,7 @@ def transpile(sql: str) -> str:
     toks = _pass_values_partial_alias(toks)
     toks = _pass_rowvalue_scalar(toks)
     toks = _pass_quantified(toks)
+    toks = _pass_array_ops(toks)
     toks = _pass_functions(toks)
     toks = _pass_order_by_nulls(toks)
     toks = _pass_subscripts(toks)

@@ -74,9 +74,14 @@ CASES = [
     "SELECT i, n::float8 AS c, x::text AS c2 FROM vals WHERE i < 6 ORDER BY i",
     "SELECT i, coalesce(s, '<null>') AS c, nullif(n, 42) AS c2 FROM vals ORDER BY i",
     "SELECT i, CASE WHEN n > 0 THEN 'pos' WHEN n < 0 THEN 'neg' ELSE 'zero' END AS c FROM vals ORDER BY i",
-    # arrays (arrayfuncs.c)
-    "SELECT i, (string_to_array(s, ','))[1] AS c FROM vals ORDER BY i",
-    "SELECT i, array_length(string_to_array(s, ','), 1) AS c FROM vals ORDER BY i",
+    # arrays (arrayfuncs.c).  The empty-string row is excluded: PG's
+    # string_to_array('', d) → {} (arrays.out:425ff — the verbatim
+    # battery in test_reference_parity covers it) while DuckDB's
+    # string_split('', d) → [''] — DuckDB is the divergent engine here.
+    "SELECT i, (string_to_array(s, ','))[1] AS c FROM vals "
+    "WHERE s IS NULL OR s <> '' ORDER BY i",
+    "SELECT i, array_length(string_to_array(s, ','), 1) AS c FROM vals "
+    "WHERE s IS NULL OR s <> '' ORDER BY i",
     # like/ilike
     "SELECT i, s LIKE '%b%' AS c, s ILIKE '%HELLO%' AS c2 FROM vals ORDER BY i",
     # PG default null placement (nodeSort.c: ASC→NULLS LAST, DESC→FIRST);

@@ -5536,3 +5536,163 @@ def test_reference_insert_script(spark, tmp_path):
         else:
             eng.execute(stmt)
     assert n_checked >= 4
+
+
+# --------------------------------------------------------------------------
+# arrays.sql — 1-D array function/operator battery, verbatim
+# (src/test/regress/sql/arrays.sql; expected values from
+# expected/arrays.out).  DuckDB side uses list literals where its
+# operator spellings differ from PG's.
+# --------------------------------------------------------------------------
+
+ARRAYS_QUERIES = {
+    # arrays.sql:194-196
+    "a_append": ("SELECT array_append(array[42], 6) AS v", "SELECT [42, 6] AS v"),
+    "a_prepend": ("SELECT array_prepend(6, array[42]) AS v", "SELECT [6, 42] AS v"),
+    "a_cat": (
+        "SELECT array_cat(ARRAY[1,2], ARRAY[3,4]) AS v",
+        "SELECT [1, 2, 3, 4] AS v",
+    ),
+    # arrays.sql:202-209 (element/array || forms)
+    "a_ne": (
+        "SELECT NOT ARRAY[1.1,1.2,1.3] = ARRAY[1.1,1.2,1.3] AS \"FALSE\"",
+        "SELECT false AS \"FALSE\"",
+    ),
+    "a_concat_r": ("SELECT ARRAY[1,2] || 3 AS v", "SELECT [1, 2, 3] AS v"),
+    "a_concat_l": ("SELECT 0 || ARRAY[1,2] AS v", "SELECT [0, 1, 2] AS v"),
+    "a_concat_aa": (
+        "SELECT ARRAY[1,2] || ARRAY[3,4] AS v",
+        "SELECT [1, 2, 3, 4] AS v",
+    ),
+    "a_concat_chain": (
+        "SELECT ARRAY[0,0] || ARRAY[1,1] || ARRAY[2,2] AS v",
+        "SELECT [0, 0, 1, 1, 2, 2] AS v",
+    ),
+    "a_concat_mixed": (
+        "SELECT 0 || ARRAY[1,2] || 3 AS v",
+        "SELECT [0, 1, 2, 3] AS v",
+    ),
+    # arrays.sql:425-438 (string_to_array battery, text_to_array semantics)
+    "sta_basic": (
+        "select string_to_array('1|2|3', '|') AS v",
+        "SELECT ['1','2','3'] AS v",
+    ),
+    "sta_trailing": (
+        "select string_to_array('1|2|3|', '|') AS v",
+        "SELECT ['1','2','3',''] AS v",
+    ),
+    "sta_multichar": (
+        "select string_to_array('1||2|3||', '||') AS v",
+        "SELECT ['1','2|3',''] AS v",
+    ),
+    "sta_empty_delim": (
+        "select string_to_array('1|2|3', '') AS v",
+        "SELECT ['1|2|3'] AS v",
+    ),
+    "sta_empty_input": (
+        "select string_to_array('', '|') AS v",
+        "SELECT CAST([] AS VARCHAR[]) AS v",
+    ),
+    "sta_null_delim": (
+        "select string_to_array('1|2|3', NULL) AS v",
+        "SELECT ['1','|','2','|','3'] AS v",
+    ),
+    "sta_null_input": (
+        "select string_to_array(NULL, '|') IS NULL AS v",
+        "SELECT true AS v",
+    ),
+    "sta_abc_empty": (
+        "select string_to_array('abc', '') AS v",
+        "SELECT ['abc'] AS v",
+    ),
+    "sta_abc_empty_null": (
+        "select string_to_array('abc', '', 'abc') AS v",
+        "SELECT [NULL] AS v",
+    ),
+    "sta_abc_comma": (
+        "select string_to_array('abc', ',') AS v",
+        "SELECT ['abc'] AS v",
+    ),
+    "sta_abc_comma_null": (
+        "select string_to_array('abc', ',', 'abc') AS v",
+        "SELECT CAST([NULL] AS VARCHAR[]) AS v",
+    ),
+    "sta_gap": (
+        "select string_to_array('1,2,3,4,,6', ',') AS v",
+        "SELECT ['1','2','3','4','','6'] AS v",
+    ),
+    "sta_gap_null": (
+        "select string_to_array('1,2,3,4,,6', ',', '') AS v",
+        "SELECT ['1','2','3','4',NULL,'6'] AS v",
+    ),
+    "sta_star_null": (
+        "select string_to_array('1,2,3,4,*,6', ',', '*') AS v",
+        "SELECT ['1','2','3','4',NULL,'6'] AS v",
+    ),
+    # arrays.sql:447
+    "sta_roundtrip": (
+        "select array_to_string(string_to_array('1|2|3', '|'), '|') AS v",
+        "SELECT '1|2|3' AS v",
+    ),
+    # arrays.sql:475-486 (array_remove / array_replace, PG 9.3)
+    "arem_mid": (
+        "select array_remove(array[1,2,2,3], 2) AS v",
+        "SELECT [1, 3] AS v",
+    ),
+    "arem_none": (
+        "select array_remove(array[1,2,2,3], 5) AS v",
+        "SELECT [1, 2, 2, 3] AS v",
+    ),
+    "arem_null": (
+        "select array_remove(array[1,NULL,NULL,3], NULL) AS v",
+        "SELECT [1, 3] AS v",
+    ),
+    "arem_text": (
+        "select array_remove(array['A','CC','D','C','RR'], 'RR') AS v",
+        "SELECT ['A','CC','D','C'] AS v",
+    ),
+    "arep_int": (
+        "select array_replace(array[1,2,5,4],5,3) AS v",
+        "SELECT [1, 2, 3, 4] AS v",
+    ),
+    "arep_to_null": (
+        "select array_replace(array[1,2,5,4],5,NULL) AS v",
+        "SELECT [1, 2, NULL, 4] AS v",
+    ),
+    "arep_from_null": (
+        "select array_replace(array[1,2,NULL,4,NULL],NULL,5) AS v",
+        "SELECT [1, 2, 5, 4, 5] AS v",
+    ),
+    "arep_text": (
+        "select array_replace(array['A','B','DD','B'],'B','CC') AS v",
+        "SELECT ['A','CC','DD','CC'] AS v",
+    ),
+    "arep_null_null": (
+        "select array_replace(array[1,NULL,3],NULL,NULL) AS v",
+        "SELECT [1, NULL, 3] AS v",
+    ),
+    "arep_null_text": (
+        "select array_replace(array['AB',NULL,'CDE'],NULL,'12') AS v",
+        "SELECT ['AB','12','CDE'] AS v",
+    ),
+    # containment / overlap operator semantics (arrays.sql:211-224 shapes,
+    # scalar form — the table-driven battery uses array_op_test)
+    "aop_contains": (
+        "SELECT ARRAY[1,2,3] @> ARRAY[2] AS a, ARRAY[1,2] @> ARRAY[9] AS b",
+        "SELECT true AS a, false AS b",
+    ),
+    "aop_contained": (
+        "SELECT ARRAY[2] <@ ARRAY[1,2,3] AS a, ARRAY[9] <@ ARRAY[1,2] AS b",
+        "SELECT true AS a, false AS b",
+    ),
+    "aop_overlap": (
+        "SELECT ARRAY[1,2] && ARRAY[2,9] AS a, ARRAY[1,2] && ARRAY[8,9] AS b",
+        "SELECT true AS a, false AS b",
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(ARRAYS_QUERIES))
+def test_reference_arrays_query(olap, name):
+    ref, duck = ARRAYS_QUERIES[name]
+    _check(olap, ref, duck)
