@@ -564,7 +564,20 @@ def _pass_agg_order_by(toks: list[str]) -> list[str]:
                 + [")", "WITHIN", "GROUP", "(", "ORDER", "BY"] + keys + [")"]
             )
         else:
-            repl = _ordered_array_agg(args, keys)
+            dargs = args
+            distinct = (
+                bool(dargs)
+                and _is_ident(dargs[0])
+                and dargs[0].lower() == "distinct"
+            )
+            if distinct:
+                dargs = dargs[1:]
+            repl = _ordered_array_agg(dargs, keys)
+            if distinct:
+                # array_agg(DISTINCT x ORDER BY ...): dedup after the
+                # ordered extraction — sorted first-occurrence ≡ PG's
+                # sorted distinct set
+                repl = ["array_distinct", "("] + repl + [")"]
         toks = toks[:i] + repl + toks[close + 1 :]
         i += 1
     return toks
@@ -3800,6 +3813,9 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
     ),
     # 1-D arrays only (the repo's array model throughout)
     ("generate_subscripts", 2): "explode(sequence(1, size({0})))",
+    # regexp_split_to_table = SETOF form of regexp_split_to_array
+    # (adt/regexp.c); -1 keeps trailing empty fields like PG
+    ("regexp_split_to_table", 2): "explode(split({0}, {1}, -1))",
     # ---- misc utils (utils/adt/misc.c PG 9.4+/9.6 additions) ----
     ("starts_with", 2): "startswith({0}, {1})",
     # parse_ident subset: split on dots, strip ident quoting (misc.c
@@ -3972,6 +3988,113 @@ def _lower_regexp_matches(args: list[list[str]]) -> list[str]:
     return tokenize(f"explode({all_matches})")
 
 
+def _pass_like_op_spellings(toks: list[str]) -> list[str]:
+    """PG operator spellings of LIKE (like.c: ``~~``, ``~~*``, ``!~~``,
+    ``!~~*``): the lexer splits them into (~ ~), (~ ~*), (!~ ~), (!~ ~*)
+    pairs.  Folded to LIKE/ILIKE only when the right operand looks like a
+    pattern (string/ident/paren), so prefix bitwise-not chains such as
+    ``~ ~ 5`` stay intact."""
+    out = list(toks)
+    i = 0
+    while i < len(out) - 2:
+        a, b, c = out[i], out[i + 1], out[i + 2]
+        if (
+            a in ("~", "!~")
+            and b in ("~", "~*")
+            and (_is_string(c) or _is_ident(c) or c == "(")
+        ):
+            repl = (["NOT"] if a == "!~" else []) + (
+                ["ILIKE"] if b == "~*" else ["LIKE"]
+            )
+            out[i : i + 2] = repl
+        i += 1
+    return out
+
+
+def _pass_between_symmetric(toks: list[str]) -> list[str]:
+    """``a [NOT] BETWEEN SYMMETRIC b AND c`` (parse_expr.c
+    transformAExpr AEXPR_BETWEEN_SYM: swap bounds when b > c) →
+    ``a >= least(b,c) AND a <= greatest(b,c)``."""
+    i = 1
+    while i < len(toks) - 3:
+        if not (
+            _is_ident(toks[i])
+            and toks[i].lower() == "between"
+            and _is_ident(toks[i + 1])
+            and toks[i + 1].lower() == "symmetric"
+        ):
+            i += 1
+            continue
+        neg = _is_ident(toks[i - 1]) and toks[i - 1].lower() == "not"
+        a_end = i - 2 if neg else i - 1
+        lstart = _operand_start(toks, a_end)
+        depth, j = 0, i + 2
+        while j < len(toks):
+            t = toks[j]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and _is_ident(t) and t.lower() == "and":
+                break
+            j += 1
+        cend = _operand_end(toks, j + 1)
+        a = " ".join(toks[lstart : a_end + 1])
+        b = " ".join(toks[i + 2 : j])
+        c = " ".join(toks[j + 1 : cend + 1])
+        expr = (
+            f"(({a}) >= least({b}, {c}) AND ({a}) <= greatest({b}, {c}))"
+        )
+        if neg:
+            expr = f"(NOT {expr})"
+        toks[lstart : cend + 1] = tokenize(expr)
+        i = lstart + 1
+    return toks
+
+
+def _pass_tablesample(toks: list[str]) -> list[str]:
+    """TABLESAMPLE SYSTEM|BERNOULLI(p) [REPEATABLE(seed)] (gram.y
+    opt_tablesample / tablesample.c): both map to Spark's row-Bernoulli
+    ``TABLESAMPLE (p PERCENT)`` — SYSTEM's page-level granularity has no
+    parquet analog; REPEATABLE passes through (Spark spells it the
+    same)."""
+    i = 0
+    while i < len(toks) - 3:
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() == "tablesample"
+            and _is_ident(toks[i + 1])
+            and toks[i + 1].lower() in ("system", "bernoulli")
+            and toks[i + 2] == "("
+        ):
+            close = _match_paren(toks, i + 2)
+            new = (
+                ["TABLESAMPLE", "("]
+                + toks[i + 3 : close]
+                + ["PERCENT", ")"]
+            )
+            # PG places TABLESAMPLE after the alias, Spark before it:
+            # `FROM t [AS] a TABLESAMPLE ...` → `FROM t TABLESAMPLE ... a`
+            ins = i
+            clause_kw = {"from", "join", "lateral", "only", "using", "on"}
+            if i >= 2 and _is_ident(toks[i - 1]):
+                p2 = toks[i - 2]
+                if _is_ident(p2) and p2.lower() == "as" and i >= 3:
+                    ins = i - 2  # name AS alias TABLESAMPLE
+                elif (
+                    _is_ident(p2)
+                    and p2.lower() not in clause_kw
+                    and p2.lower() not in _NON_FUNC_KEYWORDS
+                ):
+                    ins = i - 1  # name alias TABLESAMPLE
+            toks[i : close + 1] = []
+            toks[ins:ins] = new
+            i = ins + len(new) + (i - ins)
+            continue
+        i += 1
+    return toks
+
+
 def _operand_end(toks: list[str], start: int) -> int:
     """Index of the last token of the operand that starts at toks[start]:
     a (qualified, possibly called or subscripted) identifier, a
@@ -4070,6 +4193,12 @@ def _pass_functions(toks: list[str]) -> list[str]:
             # ORDER BY expr USING op (gram.y sortby_using): the btree
             # '<' ordering is ASC, '>' is DESC
             out[i : i + 2] = ["ASC" if nxt == "<" else "DESC"]
+            continue
+
+        if low == "row" and nxt == "(":
+            # ROW(...) constructor (gram.y row:) → struct
+            out[i] = "struct"
+            i += 1
             continue
 
         if low and nxt == "(":
@@ -4902,6 +5031,9 @@ def transpile(sql: str) -> str:
     toks = _pass_xml(toks)
     toks = _pass_xmlagg(toks)
     toks = _pass_json_ops(toks)
+    toks = _pass_like_op_spellings(toks)
+    toks = _pass_between_symmetric(toks)
+    toks = _pass_tablesample(toks)
     toks = _pass_regex_ops(toks)
     toks = _pass_pow_xor(toks)
     toks = _pass_text_search(toks)

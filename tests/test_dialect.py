@@ -782,3 +782,65 @@ class TestFormatAndIntrospection:
         assert (row.nn, row.nl) == (2, 2)
         assert row.pi == ["Mixed", "c"]
         assert row.sw is True and row.fin is True and row.nfin is None
+
+    def test_regexp_split_to_table(self, spark):
+        rows = pg_sql(
+            spark, "SELECT regexp_split_to_table('a,b,,c', ',') AS v"
+        ).collect()
+        assert [r.v for r in rows] == ["a", "b", "", "c"]
+
+    def test_row_constructor(self, spark):
+        assert self._one(spark, "ROW(1, 'x') = ROW(1, 'x')") is True
+        assert self._one(spark, "ROW(1, 2) < ROW(1, 3)") is True
+
+    def test_like_operator_spellings(self, spark):
+        """like.c operator names: ~~ / ~~* / !~~ / !~~* (the lexer splits
+        them; the fold must not touch prefix bitwise-not or regex ops)."""
+        row = pg_sql(
+            spark,
+            "SELECT 'ABC' ~~* 'abc' AS a, 'ABC' ~~ 'ABC' AS b, "
+            "'A' !~~ 'B' AS c, 'A' !~~* 'a%' AS d, ~ 5 AS e, "
+            "'abc' ~ 'b' AS f, 'ABC' ~* 'abc' AS g",
+        ).collect()[0]
+        assert (row.a, row.b, row.c, row.d) == (True, True, True, False)
+        assert row.e == -6 and row.f is True and row.g is True
+
+    def test_between_symmetric(self, spark):
+        row = pg_sql(
+            spark,
+            "SELECT 2 BETWEEN SYMMETRIC 3 AND 1 AS a, "
+            "5 BETWEEN SYMMETRIC 3 AND 1 AS b, "
+            "2 NOT BETWEEN SYMMETRIC 3 AND 1 AS c, "
+            "2 BETWEEN 1 AND 3 AS d",
+        ).collect()[0]
+        assert (row.a, row.b, row.c, row.d) == (True, False, False, True)
+
+    def test_tablesample(self, spark):
+        spark.createDataFrame([(i,) for i in range(50)], "x int") \
+            .createOrReplaceTempView("ts_probe")
+        assert self._one(
+            spark,
+            "(SELECT count(*) FROM ts_probe TABLESAMPLE BERNOULLI(100))",
+        ) == 50
+        assert self._one(
+            spark,
+            "(SELECT count(*) FROM ts_probe AS a TABLESAMPLE SYSTEM(100))",
+        ) == 50
+        sampled = self._one(
+            spark,
+            "(SELECT count(*) FROM ts_probe TABLESAMPLE BERNOULLI(50) "
+            "REPEATABLE(42))",
+        )
+        assert 0 <= sampled <= 50
+
+    def test_array_agg_distinct_ordered(self, spark):
+        assert self._one(
+            spark,
+            "(SELECT array_agg(DISTINCT x ORDER BY x) "
+            "FROM (VALUES (2),(1),(2),(3)) t(x))",
+        ) == [1, 2, 3]
+        assert self._one(
+            spark,
+            "(SELECT array_agg(DISTINCT x ORDER BY x DESC) "
+            "FROM (VALUES (2),(1),(2)) t(x))",
+        ) == [2, 1]
