@@ -3249,6 +3249,103 @@ _FROM_END_KEYWORDS = {
 }
 
 
+def _srf_item_to_array(item: list[str]) -> list[str]:
+    """One rows_from_item (unnest(a) / generate_series(x,y[,s])) → the
+    array-expression tokens that hold its output sequence."""
+    if not item or item[1:2] != ["("]:
+        raise NotImplementedError(
+            "ROWS FROM items must be unnest(...) or generate_series(...)"
+        )
+    fn = item[0].lower()
+    close = _match_paren(item, 1)
+    args = item[2:close]
+    if fn == "unnest":
+        return args  # may itself be multiple arrays (split by caller)
+    if fn == "generate_series":
+        return ["sequence", "("] + args + [")"]
+    raise NotImplementedError(f"ROWS FROM item {fn}() not supported")
+
+
+def _pass_unnest_from(toks: list[str]) -> list[str]:
+    """FROM-position SRF forms beyond the single-array unnest rename:
+
+    * multi-argument ``unnest(a, b, ...)`` and ``ROWS FROM (unnest(a),
+      unnest(b), generate_series(...))`` (gram.y rows_from_item;
+      nodeFunctionscan.c zips the functions' outputs, NULL-padding to
+      the longest) → ``inline(arrays_zip(...))`` — identical semantics;
+    * non-initial comma FROM items get LATERAL: PG set-returning FROM
+      items are implicitly lateral (parse_clause.c), Spark requires the
+      keyword for correlated table-function arguments.
+    """
+    out = list(toks)
+    i = 0
+    depth = 0
+    in_from: dict[int, bool] = {}
+    while i < len(out):
+        t = out[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            in_from.pop(depth, None)
+            depth -= 1
+        elif _is_ident(t):
+            low = t.lower()
+            if low == "from" and (i == 0 or out[i - 1].lower() != "rows"):
+                in_from[depth] = True
+            elif low == "select" or low in _FROM_END_KEYWORDS:
+                in_from[depth] = False
+        if not in_from.get(depth):
+            i += 1
+            continue
+        after_comma = i > 0 and out[i - 1] == ","
+        after_from = i > 0 and _is_ident(out[i - 1]) and out[i - 1].lower() == "from"
+        if not (after_comma or after_from) or not _is_ident(t):
+            i += 1
+            continue
+        low = t.lower()
+        if (
+            low == "rows"
+            and i + 2 < len(out)
+            and _is_ident(out[i + 1])
+            and out[i + 1].lower() == "from"
+            and out[i + 2] == "("
+        ):
+            close = _match_paren(out, i + 2)
+            arrays: list[list[str]] = []
+            for item in _split_top_commas(out[i + 3 : close]):
+                if item and _is_ident(item[0]) and item[0].lower() == "unnest":
+                    arrays.extend(_split_top_commas(_srf_item_to_array(item)))
+                else:
+                    arrays.append(_srf_item_to_array(item))
+            repl = ["inline", "(", "arrays_zip", "("]
+            for k, a in enumerate(arrays):
+                repl += ([","] if k else []) + a
+            repl += [")", ")"]
+            if after_comma:
+                repl = ["LATERAL"] + repl
+            out[i : close + 1] = repl
+            i += len(repl)
+            continue
+        if low == "unnest" and i + 1 < len(out) and out[i + 1] == "(":
+            close = _match_paren(out, i + 1)
+            args = _split_top_commas(out[i + 2 : close])
+            if len(args) > 1:
+                repl = ["inline", "(", "arrays_zip", "("]
+                for k, a in enumerate(args):
+                    repl += ([","] if k else []) + a
+                repl += [")", ")"]
+                out[i : close + 1] = repl
+            else:
+                repl = out[i : close + 1]
+            if after_comma:
+                out[i:i] = ["LATERAL"]
+                i += 1
+            i += len(repl)
+            continue
+        i += 1
+    return out
+
+
 def _pass_from_srf_items(toks: list[str]) -> list[str]:
     """generate_series as a non-initial comma-separated FROM item
     (nodeFunctionscan.c) → LATERAL subquery; the FROM-initial position is
@@ -5014,6 +5111,7 @@ def transpile(sql: str) -> str:
     toks = _pass_overlaps(toks)
     toks = _pass_case_notdistinct(toks)
     toks = _pass_array_constructor(toks)
+    toks = _pass_unnest_from(toks)
     toks = _pass_from_srf_items(toks)
     # user-written CAST(x AS pgtype) typenames map BEFORE ::casts emit
     # Spark type tokens, so emissions are never re-read as PG names

@@ -844,3 +844,25 @@ class TestFormatAndIntrospection:
             "(SELECT array_agg(DISTINCT x ORDER BY x DESC) "
             "FROM (VALUES (2),(1),(2)) t(x))",
         ) == [2, 1]
+
+    def test_unnest_multi_and_rows_from(self, spark):
+        """Multi-argument unnest / ROWS FROM zip their outputs with NULL
+        padding (nodeFunctionscan.c); SRF FROM items are implicitly
+        lateral (parse_clause.c)."""
+        rows = pg_sql(
+            spark,
+            "SELECT * FROM unnest(ARRAY[1,2], ARRAY['a']) AS t(a, b)",
+        ).collect()
+        assert [(r.a, r.b) for r in rows] == [(1, "a"), (2, None)]
+        rows = pg_sql(
+            spark,
+            "SELECT * FROM ROWS FROM (unnest(ARRAY['x','y']), "
+            "generate_series(1,3)) AS t(s, n)",
+        ).collect()
+        assert [(r.s, r.n) for r in rows] == [("x", 1), ("y", 2), (None, 3)]
+        rows = pg_sql(
+            spark,
+            "SELECT d, u FROM (SELECT ARRAY[1,2] AS a, 7 AS d) s, "
+            "unnest(s.a) AS t(u)",
+        ).collect()
+        assert sorted((r.d, r.u) for r in rows) == [(7, 1), (7, 2)]
