@@ -34,9 +34,20 @@ def is_recursive(sql: str) -> bool:
     return bool(_RECURSIVE_RE.match(sql))
 
 
-def _parse(sql: str):
+_WITH_RE = re.compile(r"(?is)^\s*with\s+(?:recursive\s+)?")
+
+
+def parse_with_clauses(sql: str):
+    """Generic WITH-clause splitter: → ([(name, cols|None, body)],
+    main_sql).  Used by the recursive fixpoint driver AND the engine's
+    data-modifying-CTE route (both need the same gram.y with_clause
+    shape)."""
+    return _parse(sql, head_re=_WITH_RE)
+
+
+def _parse(sql: str, head_re=None):
     """→ ([(name, cols|None, body)], main_sql)."""
-    m = _RECURSIVE_RE.match(sql)
+    m = (head_re or _RECURSIVE_RE).match(sql)
     i = m.end()
     ctes = []
     while True:

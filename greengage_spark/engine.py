@@ -42,6 +42,10 @@ from pyspark.sql import functions as F
 from greengage_spark.dialect.ddl import DDLCatalog, parse_create_table
 from greengage_spark.dialect.transpiler import _find_top_level, pg_sql, transpile
 
+# sentinel: "this WITH statement has no data-modifying CTE" (vs a wCTE
+# whose final statement legitimately returns None)
+_NOT_WCTE = object()
+
 # sequence function calls (sequence.c nextval/currval/setval SQL surface)
 _NEXTVAL = re.compile(r"(?is)\bnextval\s*\(\s*'([\w.]+)'\s*\)")
 _CURRVAL = re.compile(r"(?is)\bcurrval\s*\(\s*'([\w.]+)'\s*\)")
@@ -494,6 +498,10 @@ class GreengageEngine:
             return self._copy(stmt)
         if head == "explain":
             return self._explain(stmt)
+        if head == "with" and not re.match(r"(?is)^\s*with\s+recursive\b", stmt):
+            wcte = self._try_wcte(stmt)
+            if wcte is not _NOT_WCTE:
+                return wcte
         if head in ("select", "with", "values", "table"):
             self._register_all()
             if head == "select":
@@ -680,6 +688,51 @@ class GreengageEngine:
         self._txn = None
         self._restore_state(snap)
         return None
+
+    def _try_wcte(self, stmt: str):
+        """Data-modifying CTEs (gram.y common_table_expr with DML body;
+        PG 9.1 wCTE, rewriteHandler.c): each INSERT/UPDATE/DELETE CTE
+        runs exactly once in statement order, its RETURNING set becomes
+        the CTE's rows; plain CTEs re-attach to the final statement.
+        Returns _NOT_WCTE when no CTE body is DML (plain WITH query)."""
+        from greengage_spark.dialect.recursive_sql import parse_with_clauses
+
+        try:
+            ctes, main = parse_with_clauses(stmt)
+        except ValueError:
+            return _NOT_WCTE
+        if not any(
+            c[2].lstrip().split(None, 1)[0].lower()
+            in ("insert", "update", "delete")
+            for c in ctes
+        ):
+            return _NOT_WCTE
+        registered: list[str] = []
+        plain: list[str] = []
+        try:
+            for name, cols, body in ctes:
+                bhead = body.lstrip().split(None, 1)[0].lower()
+                if bhead in ("insert", "update", "delete"):
+                    df = self.execute(body)
+                    if df is None:
+                        continue  # no RETURNING → not referencable (PG)
+                    df = df.localCheckpoint(eager=True)
+                    if cols:
+                        df = df.toDF(*cols)
+                    df.createOrReplaceTempView(name)
+                    registered.append(name)
+                else:
+                    collist = f"({', '.join(cols)})" if cols else ""
+                    plain.append(f"{name}{collist} AS ({body})")
+            final = (f"WITH {', '.join(plain)} {main}") if plain else main
+            out = self.execute(final)
+            if out is not None and registered:
+                # the result must survive the temp-view cleanup below
+                out = out.localCheckpoint(eager=True)
+            return out
+        finally:
+            for name in registered:
+                self.spark.catalog.dropTempView(name)
 
     # ---------------- functions / aggregates ----------------
 
@@ -975,7 +1028,8 @@ class GreengageEngine:
 
     def _create_table_as(self, name: str, body: str):
         """CTAS with optional trailing DISTRIBUTED clause (gram.y
-        CreateAsStmt + distributed_clause)."""
+        CreateAsStmt + distributed_clause) and WITH [NO] DATA
+        (createas.c: NO DATA creates the shape, populates nothing)."""
         md = re.search(
             r"(?is)\bdistributed\s+(randomly|replicated|by\s*\(([^)]*)\))\s*$", body
         )
@@ -988,6 +1042,15 @@ class GreengageEngine:
             elif kind.startswith("by"):
                 distribution = "hash"
                 dist_keys = tuple(k.strip() for k in md.group(2).split(","))
+        mnd = re.search(r"(?is)\s+with\s+(no\s+)?data\s*$", body)
+        if mnd:
+            if mnd.group(1):
+                body = (
+                    f"SELECT * FROM ({body[: mnd.start()].rstrip()}) "
+                    f"__gg_nd LIMIT 0"
+                )
+            else:
+                body = body[: mnd.start()].rstrip()
         self._register_all()
         df = pg_sql(self.spark, body)
         self.ddl.create_table_as(name, df, distribution, dist_keys)

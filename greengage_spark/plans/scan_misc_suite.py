@@ -1115,3 +1115,33 @@ def script_serial_defaults(spark, sf_dir):
     return eng.execute(
         "SELECT id, n_name, batch_id FROM nat_ser"
     )
+
+
+@suite.add(
+    "wcte_move_rows",
+    oracle="""
+    SELECT k, s FROM (SELECT n_nationkey AS k, n_name AS s FROM nation
+                      WHERE n_regionkey = 2) t
+    ORDER BY k
+    """,
+    doc="Data-modifying CTEs (PG 9.1 wCTE, rewriteHandler.c): "
+        "DELETE ... RETURNING feeding an INSERT in one statement — the "
+        "archive-move idiom; DML bodies execute exactly once in "
+        "statement order.",
+    tags=("engine", "dml"),
+)
+def wcte_move_rows(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_wcte_"))
+    cat(spark, sf_dir).table("nation").createOrReplaceTempView("nation")
+    eng.execute(
+        "CREATE TABLE wcte_src AS SELECT n_nationkey AS k, n_name AS s, "
+        "n_regionkey AS r FROM nation DISTRIBUTED BY (k)"
+    )
+    eng.execute("CREATE TABLE wcte_arch AS SELECT k, s FROM wcte_src WITH NO DATA")
+    eng.execute(
+        "WITH moved AS (DELETE FROM wcte_src WHERE r = 2 RETURNING k, s) "
+        "INSERT INTO wcte_arch SELECT k, s FROM moved"
+    )
+    return eng.execute("SELECT k, s FROM wcte_arch ORDER BY k")

@@ -239,3 +239,59 @@ class TestDeleteReturningSelectInto:
         # INTO target participates in later DML like any table
         eng.execute("DELETE FROM drt3 WHERE kk = 20")
         assert eng.execute("SELECT count(*) AS c FROM drt3").collect()[0].c == 2
+
+
+class TestDataModifyingCTE:
+    """wCTE (PG 9.1, rewriteHandler.c): DML CTE bodies run exactly once,
+    RETURNING sets feed the CTE; CTAS WITH [NO] DATA (createas.c)."""
+
+    @pytest.fixture()
+    def eng(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        eng.execute(
+            "CREATE TABLE wt AS SELECT * FROM "
+            "(VALUES (1,'a'),(2,'b'),(3,'c')) v(k, s) DISTRIBUTED BY (k)"
+        )
+        return eng
+
+    def test_ctas_with_no_data(self, eng):
+        eng.execute("CREATE TABLE wt_nd AS SELECT * FROM wt WITH NO DATA")
+        assert eng.execute("SELECT count(*) AS c FROM wt_nd").collect()[0].c == 0
+        eng.execute("CREATE TABLE wt_wd AS SELECT * FROM wt WITH DATA")
+        assert eng.execute("SELECT count(*) AS c FROM wt_wd").collect()[0].c == 3
+
+    def test_wcte_delete_feeding_select(self, eng):
+        got = eng.execute(
+            "WITH moved AS (DELETE FROM wt WHERE k = 2 RETURNING *) "
+            "SELECT count(*) AS c FROM moved"
+        ).collect()
+        assert got[0].c == 1
+        assert sorted(
+            r.k for r in eng.execute("SELECT k FROM wt").collect()
+        ) == [1, 3]
+
+    def test_wcte_move_rows_between_tables(self, eng):
+        eng.execute("CREATE TABLE wt_arch AS SELECT * FROM wt WITH NO DATA")
+        eng.execute(
+            "WITH moved AS (DELETE FROM wt WHERE k >= 2 RETURNING *) "
+            "INSERT INTO wt_arch SELECT * FROM moved"
+        )
+        assert sorted(
+            r.k for r in eng.execute("SELECT k FROM wt_arch").collect()
+        ) == [2, 3]
+        assert sorted(
+            r.k for r in eng.execute("SELECT k FROM wt").collect()
+        ) == [1]
+
+    def test_wcte_mixed_plain_and_dml(self, eng):
+        got = eng.execute(
+            "WITH del AS (DELETE FROM wt WHERE k = 99 RETURNING k), "
+            "keep AS (SELECT k FROM wt) SELECT count(*) AS c FROM keep"
+        ).collect()
+        assert got[0].c == 3
+
+    def test_plain_with_unaffected(self, eng):
+        got = eng.execute("WITH x AS (SELECT 1 AS a) SELECT a FROM x").collect()
+        assert got[0].a == 1
