@@ -156,6 +156,7 @@ class GreengageEngine:
         self.indexes: dict = {}  # name → IndexDef (metadata-only, no executor)
         self.stats: dict = {}  # table → TableStats (ANALYZE results)
         self.prepared: dict = {}  # name → PreparedStatement (prepare.c)
+        self.notices: list[str] = []  # RAISE NOTICE/INFO output (elog.c)
         self.cursors: dict = {}  # name → Cursor portal (portalcmds.c)
         self.external: dict = {}  # name → ExternalTableDef (fileam.c surface)
         from greengage_spark.operators.acl import AclCatalog
@@ -556,10 +557,68 @@ class GreengageEngine:
                     stmt,
                 )
             return pg_sql(self.spark, self._mark_geo_columns(stmt))
+        if re.match(r"(?is)^create\s+(constraint\s+)?trigger\b", stmt):
+            # trigger.c: row/statement triggers change DML semantics —
+            # accepting one silently would hide behavior, so reject
+            # specifically (the reference itself restricts triggers on
+            # distributed tables)
+            raise NotImplementedError(
+                "CREATE TRIGGER: triggers are not supported; move the "
+                "logic into the loading pipeline or a wCTE"
+            )
+        if re.match(r"(?is)^create\s+(or\s+replace\s+)?rule\b", stmt):
+            raise NotImplementedError(
+                "CREATE RULE: query rewrite rules are not supported; use "
+                "views or data-modifying CTEs"
+            )
+        if head == "do":
+            return self._do_block(stmt)
         raise NotImplementedError(
             f"statement kind {head!r} not routed; use the DataFrame API "
             f"(greengage_spark.operators / sources) directly"
         )
+
+    def _do_block(self, stmt: str):
+        """DO $$ ... $$ anonymous blocks (gram.y DoStmt).  Supported
+        subset: NULL statements, RAISE NOTICE/INFO (recorded to
+        self.notices — PG sends them to the client, not the result), and
+        EXECUTE 'sql' / PERFORM f(...) of statements this engine can run.
+        Conditional/procedural bodies are rejected loudly."""
+        m = re.match(
+            r"(?is)^do\s+(?:language\s+plpgsql\s+)?\$[\w]*\$(.*)\$[\w]*\$"
+            r"(?:\s+language\s+plpgsql)?\s*$",
+            stmt,
+            re.DOTALL,
+        )
+        if not m:
+            raise NotImplementedError("DO $$ body $$ [LANGUAGE plpgsql]")
+        body = m.group(1).strip().rstrip(";")
+        mb = re.match(r"(?is)^(?:declare\b.*?)?begin\b(.*)\bend$", body, re.DOTALL)
+        if not mb:
+            raise NotImplementedError("DO body must be [DECLARE ...] BEGIN ... END")
+        from greengage_spark.operators.udf_ddl import _split_stmts
+
+        for st in _split_stmts(mb.group(1)):
+            low = st.lower()
+            if low == "null":
+                continue
+            mr = re.match(r"(?is)^raise\s+(notice|info|log|debug)\s+(.*)$", st)
+            if mr:
+                self.notices.append(mr.group(2).strip().strip("'"))
+                continue
+            me = re.match(r"(?is)^execute\s+'((?:[^']|'')*)'$", st)
+            if me:
+                self.execute(me.group(1).replace("''", "'"))
+                continue
+            mp = re.match(r"(?is)^perform\s+(.*)$", st)
+            if mp:
+                self.execute(f"SELECT {mp.group(1)}").collect()
+                continue
+            raise NotImplementedError(
+                f"DO block statement not supported: {st[:60]!r} (subset: "
+                "NULL, RAISE NOTICE, EXECUTE 'sql', PERFORM expr)"
+            )
+        return None
 
     # ---------------- transactions ----------------
     #

@@ -252,3 +252,36 @@ class TestRunScript:
         assert split_statements("SELECT $tag$ a; b $tag$") == [
             "SELECT $tag$ a; b $tag$"
         ]
+
+
+class TestDoBlocksAndRejections:
+    """DO $$ ... $$ anonymous blocks (gram.y DoStmt) — NULL / RAISE
+    NOTICE / EXECUTE 'sql' / PERFORM subset; trigger/rule DDL rejects
+    with specific messages (trigger.c / rewriteDefine.c)."""
+
+    @pytest.fixture()
+    def deng(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        return GreengageEngine(spark, str(tmp_path / "wh"))
+
+    def test_do_block_subset(self, deng):
+        deng.execute("DO $$ BEGIN NULL; END $$")
+        deng.execute("DO $$ BEGIN RAISE NOTICE 'hi there'; END $$")
+        assert deng.notices == ["hi there"]
+        deng.execute("DO $$ BEGIN EXECUTE 'CREATE TABLE do_t (x int)'; END $$")
+        assert deng.execute("SELECT count(*) AS c FROM do_t").collect()[0].c == 0
+
+    def test_do_block_procedural_rejected(self, deng):
+        with pytest.raises(NotImplementedError, match="DO block"):
+            deng.execute("DO $$ BEGIN IF true THEN NULL; END IF; END $$")
+
+    def test_trigger_and_rule_rejected_specifically(self, deng):
+        deng.execute("CREATE TABLE trj (x int)")
+        with pytest.raises(NotImplementedError, match="TRIGGER"):
+            deng.execute(
+                "CREATE TRIGGER trg BEFORE INSERT ON trj "
+                "FOR EACH ROW EXECUTE PROCEDURE f()"
+            )
+        with pytest.raises(NotImplementedError, match="RULE"):
+            deng.execute("CREATE RULE r AS ON INSERT TO trj DO NOTHING")
