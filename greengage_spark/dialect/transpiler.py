@@ -2264,6 +2264,101 @@ _INTERVAL_UNIT_ALIASES = {
 }
 
 
+_MULTIWORD_TYPES = [
+    (["timestamp", "without", "time", "zone"], "timestamp"),
+    (["timestamp", "with", "time", "zone"], "timestamptz"),
+    (["time", "without", "time", "zone"], "time"),
+    (["time", "with", "time", "zone"], "timetz"),
+]
+
+
+def _pass_multiword_types(toks: list[str]) -> list[str]:
+    """SQL-standard multi-word type names (gram.y SimpleTypename:
+    ``timestamp without time zone`` etc.) fold to their single-token
+    aliases so typed literals and ::casts see one type token.  AT TIME
+    ZONE is unaffected (its ``time`` is preceded by ``at``)."""
+    i = 0
+    while i < len(toks):
+        low = toks[i].lower() if _is_ident(toks[i]) else None
+        for words, repl in _MULTIWORD_TYPES:
+            if low == words[0] and [
+                t.lower() if _is_ident(t) else t
+                for t in toks[i : i + len(words)]
+            ] == words:
+                toks[i : i + len(words)] = [repl]
+                break
+        i += 1
+    return toks
+
+
+_YM_UNITS = {
+    "year", "years", "month", "months", "decade", "decades",
+    "century", "centuries", "millennium", "millenniums", "millennia",
+}
+_DT_UNITS = {
+    "week", "weeks", "day", "days", "hour", "hours", "minute", "minutes",
+    "second", "seconds", "millisecond", "milliseconds",
+    "microsecond", "microseconds",
+}
+
+
+def _split_interval_body(body: str):
+    """Split a mixed year-month + day-time interval text into its two
+    parts → (ym_text, dt_text), or None when single-kind/unparseable."""
+    parts = body.replace("-", " - ").replace("+", " + ").split()
+    items: list[tuple[str, str]] = []
+    sign, qty = "", None
+    for w in parts:
+        if w in ("-", "+"):
+            sign = w if w == "-" else ""
+            continue
+        if re.match(r"^\d+(\.\d+)?$", w):
+            qty = sign + w
+            sign = ""
+            continue
+        if qty is None:
+            return None
+        items.append((qty, w.lower()))
+        qty = None
+    if qty is not None or not items:
+        return None
+    ym = [(q, u) for q, u in items if u in _YM_UNITS]
+    dt = [(q, u) for q, u in items if u in _DT_UNITS]
+    if not ym or not dt or len(ym) + len(dt) != len(items):
+        return None
+    return (
+        " ".join(f"{q} {u}" for q, u in ym),
+        " ".join(f"{q} {u}" for q, u in dt),
+    )
+
+
+def _pass_interval_mixed(toks: list[str]) -> list[str]:
+    """``ts ± interval '<ym and dt units mixed>'`` (timestamp.c
+    timestamp_pl_interval adds months, then days, then time): Spark has
+    no mixed interval type, so decompose into two chained literals —
+    ``ts ± interval '<ym>' ± interval '<dt>'`` — which applies the parts
+    in exactly PG's order."""
+    i = 1
+    while i < len(toks) - 1:
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() == "interval"
+            and _is_string(toks[i + 1])
+            and toks[i - 1] in ("+", "-")
+        ):
+            split = _split_interval_body(toks[i + 1][1:-1])
+            if split:
+                op = toks[i - 1]
+                repl = [
+                    "interval", f"'{split[0]}'", op, "interval", f"'{split[1]}'",
+                ]
+                toks[i : i + 2] = repl
+                i += len(repl)
+                continue
+        i += 1
+    return toks
+
+
 def _pass_interval_unit_aliases(toks: list[str]) -> list[str]:
     """PG interval input accepts abbreviated unit names ('2 mins',
     '3 hrs'; datetime.c DecodeUnits) that Spark's interval parser
@@ -2299,17 +2394,31 @@ def _pass_interval_add_timestamp(toks: list[str]) -> list[str]:
             and i + 1 < len(toks)
             and _is_string(toks[i + 1])
             and toks[i - 1] in ("+", "-")
-            and _is_ident(toks[i - 2])
-            and toks[i - 2].lower() not in _KEYWORDS_NONOPERAND
         ):
-            # operand: walk back over qualified name  a.b.c
-            s = i - 2
-            while s - 2 >= 0 and toks[s - 1] == "." and _is_ident(toks[s - 2]):
-                s -= 2
-            toks[s : i - 1] = (
-                ["CAST", "("] + toks[s : i - 1] + ["AS", "TIMESTAMP", ")"]
-            )
-            i += 5
+            if (
+                _is_string(toks[i - 2])
+                and i >= 3
+                and _is_ident(toks[i - 3])
+                and toks[i - 3].lower() == "date"
+            ):
+                # date 'lit' ± interval → TIMESTAMP (date.c
+                # date_pl_interval promotes through timestamp)
+                toks[i - 3 : i - 1] = (
+                    ["CAST", "("] + toks[i - 3 : i - 1] + ["AS", "TIMESTAMP", ")"]
+                )
+                i += 4
+            elif (
+                _is_ident(toks[i - 2])
+                and toks[i - 2].lower() not in _KEYWORDS_NONOPERAND
+            ):
+                # operand: walk back over qualified name  a.b.c
+                s = i - 2
+                while s - 2 >= 0 and toks[s - 1] == "." and _is_ident(toks[s - 2]):
+                    s -= 2
+                toks[s : i - 1] = (
+                    ["CAST", "("] + toks[s : i - 1] + ["AS", "TIMESTAMP", ")"]
+                )
+                i += 5
         i += 1
     return toks
 
@@ -5092,7 +5201,9 @@ def transpile(sql: str) -> str:
     toks = _pass_estrings(toks)
     toks = _pass_group_by_empty(toks)
     toks = _pass_single_grouping_set(toks)
+    toks = _pass_multiword_types(toks)
     toks = _pass_interval_unit_aliases(toks)
+    toks = _pass_interval_mixed(toks)
     toks = _pass_interval_add_timestamp(toks)
     toks = _pass_group_by_aliases(toks)
     toks = _pass_group_extensions(toks)

@@ -5696,3 +5696,55 @@ ARRAYS_QUERIES = {
 def test_reference_arrays_query(olap, name):
     ref, duck = ARRAYS_QUERIES[name]
     _check(olap, ref, duck)
+
+
+# --------------------------------------------------------------------------
+# horology.sql / timestamp.sql — datetime arithmetic, verbatim
+# (expected values from expected/horology.out, timestamp.out).  Mixed
+# year-month + day-time interval literals exercise the PG
+# add-months-then-days-then-time order (timestamp.c
+# timestamp_pl_interval) through the transpiler's decomposition.
+# --------------------------------------------------------------------------
+
+HOROLOGY_QUERIES = {
+    # horology.sql:271 (date - ym interval promotes to timestamp)
+    "h_sub_two_years": (
+        "SELECT date '2001-12-13' - interval '2 years' AS v",
+        "SELECT TIMESTAMP '1999-12-13 00:00:00' AS v",
+    ),
+    # horology.sql:280-283
+    "h_feb29_1996": (
+        "SELECT timestamp without time zone '1996-03-01' - interval '1 second' AS v",
+        "SELECT TIMESTAMP '1996-02-29 23:59:59' AS v",
+    ),
+    "h_feb28_1999": (
+        "SELECT timestamp without time zone '1999-03-01' - interval '1 second' AS v",
+        "SELECT TIMESTAMP '1999-02-28 23:59:59' AS v",
+    ),
+    "h_feb29_2000": (
+        "SELECT timestamp without time zone '2000-03-01' - interval '1 second' AS v",
+        "SELECT TIMESTAMP '2000-02-29 23:59:59' AS v",
+    ),
+    "h_dec31": (
+        "SELECT timestamp without time zone '1999-12-01' "
+        "+ interval '1 month - 1 second' AS v",
+        "SELECT TIMESTAMP '1999-12-31 23:59:59' AS v",
+    ),
+    # timestamp.sql:166
+    "h_trunc_week": (
+        "SELECT date_trunc('week', timestamp '2004-02-29 15:44:17.71393') "
+        "AS week_trunc",
+        "SELECT TIMESTAMP '2004-02-23 00:00:00' AS week_trunc",
+    ),
+    # month-clamp then day subtraction order
+    "h_clamp_then_day": (
+        "SELECT timestamp '2000-03-31' - interval '1 month 1 day' AS v",
+        "SELECT TIMESTAMP '2000-02-28 00:00:00' AS v",
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(HOROLOGY_QUERIES))
+def test_reference_horology_query(olap, name):
+    ref, duck = HOROLOGY_QUERIES[name]
+    _check(olap, ref, duck)
