@@ -3845,6 +3845,7 @@ _FUNC_RENAME = {
     "octet_length": "octet_length",
     "btrim": "trim",
     "random": "rand",
+    "gen_random_uuid": "uuid",  # pgcrypto gen_random_uuid → Spark uuid()
     "cardinality": "size",
     # string_agg(x, sep ORDER BY y) → listagg: Spark 4 supports the full
     # WITHIN GROUP / inline ORDER BY ordered-aggregate syntax natively
@@ -4019,6 +4020,16 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
     ),
     # 1-D arrays only (the repo's array model throughout)
     ("generate_subscripts", 2): "explode(sequence(1, size({0})))",
+    # ---- numeric.c utility forms Spark lacks ----
+    # scale(numeric): count of fractional digits in the canonical text form
+    ("scale", 1): (
+        "length(regexp_extract(CAST(({0}) AS STRING), '[.]([0-9]+)$', 1))"
+    ),
+    ("to_hex", 1): "lower(hex({0}))",
+    # pg_sleep/setseed: session-side effects with no Spark analog —
+    # typed NULL no-ops so scripts keep running (they return void)
+    ("pg_sleep", 1): "(CASE WHEN ({0}) IS NULL THEN NULL END)",
+    ("setseed", 1): "(CASE WHEN ({0}) IS NULL THEN NULL END)",
     # regexp_split_to_table = SETOF form of regexp_split_to_array
     # (adt/regexp.c); -1 keeps trailing empty fields like PG
     ("regexp_split_to_table", 2): "explode(split({0}, {1}, -1))",
@@ -4924,6 +4935,20 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 continue
             if low == "div" and len(args) == 2:
                 out[i : close + 1] = ["("] + args[0] + ["DIV"] + args[1] + [")"]
+                continue
+            if (
+                low == "trunc"
+                and len(args) == 2
+                and not (len(args[1]) == 1 and _is_string(args[1][0]))
+            ):
+                # numeric.c trunc(v, s): truncate toward zero at scale s
+                # (string second arg is Spark's own trunc(date, fmt) —
+                # untouched)
+                v, s = " ".join(args[0]), " ".join(args[1])
+                out[i : close + 1] = tokenize(
+                    f"(CASE WHEN ({v}) >= 0 THEN floor(({v}) * power(10, ({s}))) "
+                    f"ELSE ceil(({v}) * power(10, ({s}))) END / power(10, ({s})))"
+                )
                 continue
             if (
                 low == "format"

@@ -866,3 +866,15 @@ class TestFormatAndIntrospection:
             "unnest(s.a) AS t(u)",
         ).collect()
         assert sorted((r.d, r.u) for r in rows) == [(7, 1), (7, 2)]
+
+    def test_numeric_utilities(self, spark):
+        row = pg_sql(
+            spark,
+            "SELECT trunc(42.4382, 2) AS t1, trunc(-42.4382, 2) AS t2, "
+            "scale(8.41) AS sc, to_hex(255) AS hx, "
+            "length(CAST(gen_random_uuid() AS text)) AS ul, "
+            "pg_sleep(0) AS slp",
+        ).collect()[0]
+        assert float(row.t1) == 42.43 and float(row.t2) == -42.43
+        assert row.sc == 2 and row.hx == "ff" and row.ul == 36
+        assert row.slp is None
