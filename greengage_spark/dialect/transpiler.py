@@ -4800,7 +4800,19 @@ def _pass_functions(toks: list[str]) -> list[str]:
                         out[i : close + 1] = ["(", "weekday", "("] + expr + [")", "+", "1", ")"]
                         continue
                     if field == "epoch":
-                        out[i : close + 1] = ["unix_timestamp", "("] + expr + [")"]
+                        if expr and _is_ident(expr[0]) and expr[0].lower() == "interval":
+                            # epoch of a day-time interval = total seconds
+                            # (timestamp.c interval_part); anchor at the
+                            # epoch and read the timestamp back
+                            out[i : close + 1] = (
+                                ["unix_timestamp", "(",
+                                 "TIMESTAMP", "'1970-01-01 00:00:00'", "+"]
+                                + expr + [")"]
+                            )
+                        else:
+                            out[i : close + 1] = (
+                                ["unix_timestamp", "("] + expr + [")"]
+                            )
                         continue
                     if field in ("century", "millennium", "decade"):
                         out[i : close + 1] = _pg_era_field(field, expr)

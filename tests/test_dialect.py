@@ -878,3 +878,12 @@ class TestFormatAndIntrospection:
         assert float(row.t1) == 42.43 and float(row.t2) == -42.43
         assert row.sc == 2 and row.hx == "ff" and row.ul == 36
         assert row.slp is None
+
+    def test_extract_epoch_from_interval(self, spark):
+        row = pg_sql(
+            spark,
+            "SELECT extract(epoch FROM interval '1 hour') AS a, "
+            "extract(epoch FROM interval '90 seconds') AS b, "
+            "extract(epoch FROM TIMESTAMP '2020-01-01 00:00:00') AS c",
+        ).collect()[0]
+        assert (row.a, row.b, row.c) == (3600, 90, 1577836800)
