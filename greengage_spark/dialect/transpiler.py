@@ -4033,6 +4033,40 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
     # regexp_split_to_table = SETOF form of regexp_split_to_array
     # (adt/regexp.c); -1 keeps trailing empty fields like PG
     ("regexp_split_to_table", 2): "explode(split({0}, {1}, -1))",
+    # ---- json SRFs (json.c/jsonfuncs.c PG 9.3/9.4) ----
+    # elements via json-path index walk (works for any element type;
+    # scalar strings come back unquoted — the _text semantics)
+    ("json_array_elements_text", 1): (
+        "explode(CASE WHEN json_array_length({0}) = 0 "
+        "THEN CAST(array() AS ARRAY<STRING>) "
+        "ELSE transform(sequence(0, json_array_length({0}) - 1), "
+        "__i -> get_json_object({0}, concat('$[', __i, ']'))) END)"
+    ),
+    ("jsonb_array_elements_text", 1): (
+        "explode(CASE WHEN json_array_length({0}) = 0 "
+        "THEN CAST(array() AS ARRAY<STRING>) "
+        "ELSE transform(sequence(0, json_array_length({0}) - 1), "
+        "__i -> get_json_object({0}, concat('$[', __i, ']'))) END)"
+    ),
+    # keys sorted (jsonb semantics; json's appearance order is not
+    # recoverable from Spark's map parse)
+    ("json_object_keys", 1): (
+        "explode(array_sort(map_keys(from_json({0}, 'map<string,string>'))))"
+    ),
+    ("jsonb_object_keys", 1): (
+        "explode(array_sort(map_keys(from_json({0}, 'map<string,string>'))))"
+    ),
+    # (key, value) rows: exploding a map yields exactly PG's two columns
+    ("json_each_text", 1): "explode(from_json({0}, 'map<string,string>'))",
+    ("jsonb_each_text", 1): "explode(from_json({0}, 'map<string,string>'))",
+    ("json_typeof", 1): (
+        "(CASE WHEN ({0}) IS NULL THEN NULL "
+        "WHEN trim({0}) LIKE '{{%' THEN 'object' "
+        "WHEN trim({0}) LIKE '[%' THEN 'array' "
+        "WHEN trim({0}) LIKE '\"%' THEN 'string' "
+        "WHEN trim({0}) IN ('true', 'false') THEN 'boolean' "
+        "WHEN trim({0}) = 'null' THEN 'null' ELSE 'number' END)"
+    ),
     # ---- misc utils (utils/adt/misc.c PG 9.4+/9.6 additions) ----
     ("starts_with", 2): "startswith({0}, {1})",
     # parse_ident subset: split on dots, strip ident quoting (misc.c

@@ -887,3 +887,30 @@ class TestFormatAndIntrospection:
             "extract(epoch FROM TIMESTAMP '2020-01-01 00:00:00') AS c",
         ).collect()[0]
         assert (row.a, row.b, row.c) == (3600, 90, 1577836800)
+
+    def test_json_srfs(self, spark):
+        """json.c/jsonfuncs.c SRFs: array elements (text), object keys
+        (sorted, jsonb semantics), each_text (key,value rows), typeof."""
+        rows = pg_sql(
+            spark,
+            'SELECT json_array_elements_text(\'[1,"x",{"y":2}]\') AS v',
+        ).collect()
+        assert [r.v for r in rows] == ["1", "x", '{"y":2}']
+        assert pg_sql(
+            spark, "SELECT json_array_elements_text('[]') AS v"
+        ).collect() == []
+        rows = pg_sql(
+            spark, "SELECT json_object_keys('{\"b\":1,\"a\":2}') AS v"
+        ).collect()
+        assert [r.v for r in rows] == ["a", "b"]
+        rows = pg_sql(
+            spark,
+            "SELECT * FROM (SELECT json_each_text('{\"a\":\"1\",\"b\":\"2\"}')) t",
+        ).collect()
+        assert sorted(tuple(r) for r in rows) == [("a", "1"), ("b", "2")]
+        row = pg_sql(
+            spark,
+            "SELECT json_typeof('{\"a\":1}') AS o, json_typeof('[1]') AS a, "
+            "json_typeof('\"s\"') AS s, json_typeof('3.4') AS n",
+        ).collect()[0]
+        assert (row.o, row.a, row.s, row.n) == ("object", "array", "string", "number")
