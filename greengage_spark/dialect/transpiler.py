@@ -4033,6 +4033,23 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
     # regexp_split_to_table = SETOF form of regexp_split_to_array
     # (adt/regexp.c); -1 keeps trailing empty fields like PG
     ("regexp_split_to_table", 2): "explode(split({0}, {1}, -1))",
+    # pg_size_pretty (dbsize.c): unit steps at 10×1024 of the next unit,
+    # half-up rounding at each division
+    ("pg_size_pretty", 1): (
+        "(CASE WHEN abs(CAST({0} AS BIGINT)) < 10240 "
+        "THEN concat(CAST({0} AS BIGINT), ' bytes') "
+        "WHEN abs((CAST({0} AS BIGINT) + 512) DIV 1024) < 10240 "
+        "THEN concat((CAST({0} AS BIGINT) + 512) DIV 1024, ' kB') "
+        "WHEN abs(((CAST({0} AS BIGINT) + 512) DIV 1024 + 512) DIV 1024) "
+        "< 10240 THEN concat(((CAST({0} AS BIGINT) + 512) DIV 1024 + 512) "
+        "DIV 1024, ' MB') "
+        "WHEN abs((((CAST({0} AS BIGINT) + 512) DIV 1024 + 512) DIV 1024 "
+        "+ 512) DIV 1024) < 10240 "
+        "THEN concat((((CAST({0} AS BIGINT) + 512) DIV 1024 + 512) DIV 1024 "
+        "+ 512) DIV 1024, ' GB') "
+        "ELSE concat(((((CAST({0} AS BIGINT) + 512) DIV 1024 + 512) DIV 1024 "
+        "+ 512) DIV 1024 + 512) DIV 1024, ' TB') END)"
+    ),
     # ---- json SRFs (json.c/jsonfuncs.c PG 9.3/9.4) ----
     # elements via json-path index walk (works for any element type;
     # scalar strings come back unquoted — the _text semantics)

@@ -34,6 +34,7 @@ DataFrame-level API named in the message.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -505,6 +506,16 @@ class GreengageEngine:
                 return wcte
         if head in ("select", "with", "values", "table"):
             self._register_all()
+            if re.search(r"(?is)\bpg_(relation|table|total_relation)_size\s*\(", stmt):
+                stmt = self._fold_relation_sizes(stmt)
+            stmt = re.sub(
+                # gp_dist_random('t') scans t without a gather motion
+                # (cdbutil.c); with Spark's execution model the plain
+                # table read IS the per-partition scan
+                r"(?is)\bgp_dist_random\s*\(\s*'([\w.]+)'\s*\)",
+                r"\1",
+                stmt,
+            )
             if head == "select":
                 iidx = _find_top_level(stmt, "into")
                 if iidx >= 0:
@@ -747,6 +758,33 @@ class GreengageEngine:
         self._txn = None
         self._restore_state(snap)
         return None
+
+    def _fold_relation_sizes(self, stmt: str) -> str:
+        """pg_relation_size / pg_table_size / pg_total_relation_size
+        (dbsize.c): fold to the literal byte total of the table's current
+        manifest data files — the on-disk truth for a COW parquet table
+        (all three coincide: no separate FSM/VM/toast/index forks)."""
+
+        def repl(m):
+            name = m.group(2).strip("'\"")
+            try:
+                st = self._storage(name)
+                total = 0
+                for f in st.files():
+                    try:
+                        total += os.path.getsize(f)
+                    except OSError:
+                        pass
+                return str(total)
+            except Exception:
+                return m.group(0)  # unknown table: let analysis error
+
+        return re.sub(
+            r"(?is)\bpg_(relation|table|total_relation)_size\s*\(\s*"
+            r"('[\w.]+'|\"[\w.]+\")\s*\)",
+            repl,
+            stmt,
+        )
 
     def _try_wcte(self, stmt: str):
         """Data-modifying CTEs (gram.y common_table_expr with DML body;

@@ -285,3 +285,31 @@ class TestDoBlocksAndRejections:
             )
         with pytest.raises(NotImplementedError, match="RULE"):
             deng.execute("CREATE RULE r AS ON INSERT TO trj DO NOTHING")
+
+
+class TestRelationSizes:
+    """pg_relation_size family folds to manifest byte totals (dbsize.c);
+    pg_size_pretty unit steps; gp_dist_random('t') reads the table."""
+
+    def test_sizes_and_pretty(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        eng.execute(
+            "CREATE TABLE szt AS SELECT * FROM "
+            "(VALUES (1,'a'),(2,'b')) v(k, s) DISTRIBUTED BY (k)"
+        )
+        row = eng.execute(
+            "SELECT pg_relation_size('szt') AS sz, "
+            "pg_total_relation_size('szt') = pg_table_size('szt') AS eq, "
+            "pg_size_pretty(CAST(16384 AS BIGINT)) AS p1, "
+            "pg_size_pretty(CAST(10485760 AS BIGINT)) AS p2"
+        ).collect()[0]
+        assert row.sz > 0 and row.eq is True
+        assert (row.p1, row.p2) == ("16 kB", "10 MB")
+        assert (
+            eng.execute(
+                "SELECT count(*) AS c FROM gp_dist_random('szt')"
+            ).collect()[0].c
+            == 2
+        )
