@@ -508,6 +508,31 @@ class GreengageEngine:
             self._register_all()
             if re.search(r"(?is)\bpg_(relation|table|total_relation)_size\s*\(", stmt):
                 stmt = self._fold_relation_sizes(stmt)
+            # current_setting / set_config (guc.c) fold through the GUC
+            # manager; set_config applies its side effect now
+            def _cur(m):
+                v = self.gucs.current(m.group(1).strip("'"))
+                return "'" + str(v).replace("'", "''") + "'"
+
+            stmt = re.sub(
+                r"(?is)\bcurrent_setting\s*\(\s*('[^']+')\s*\)", _cur, stmt
+            )
+
+            def _setcfg(m):
+                name, val = m.group(1).strip("'"), m.group(2).strip("'")
+                local = m.group(3).strip().lower() in ("true", "'t'", "1")
+                self.gucs.execute(
+                    f"SET {'LOCAL ' if local else ''}{name} = '{val}'",
+                    in_txn=self._txn is not None,
+                )
+                return "'" + val.replace("'", "''") + "'"
+
+            stmt = re.sub(
+                r"(?is)\bset_config\s*\(\s*('[^']+')\s*,\s*('[^']*')\s*,\s*"
+                r"(\w+|'[tf]')\s*\)",
+                _setcfg,
+                stmt,
+            )
             stmt = re.sub(
                 # gp_dist_random('t') scans t without a gather motion
                 # (cdbutil.c); with Spark's execution model the plain

@@ -217,3 +217,29 @@ class TestIntrospection:
         eng.execute("CREATE VIEW vv AS SELECT a * 2 AS a2 FROM src_v")
         got = rows(eng.execute("SELECT viewname, definition FROM pg_views"))
         assert got[0][0] == "vv" and "a * 2" in got[0][1]
+
+
+class TestSettingFunctions:
+    """current_setting / set_config (guc.c SQL-callable forms) fold
+    through the GUC manager at statement rewrite time."""
+
+    def test_set_config_and_current_setting(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        assert (
+            eng.execute(
+                "SELECT set_config('search_path', 'ana', false) AS v"
+            ).collect()[0].v
+            == "ana"
+        )
+        assert (
+            eng.execute("SELECT current_setting('search_path') AS v")
+            .collect()[0].v
+            == "ana"
+        )
+        assert (
+            eng.execute("SELECT current_setting('datestyle') AS v")
+            .collect()[0].v
+            == "ISO, MDY"
+        )
