@@ -1303,3 +1303,36 @@ def dialect_format_introspect(spark, sf_dir):
         """,
         ["customer"],
     )
+
+
+@suite.add(
+    "dialect_json_srfs",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey, 'nat' AS k, CAST(c_nationkey AS VARCHAR) AS v
+      FROM customer WHERE c_custkey <= 30
+      UNION ALL
+      SELECT c_custkey, 'seg', c_mktsegment
+      FROM customer WHERE c_custkey <= 30
+    ) t
+    ORDER BY c_custkey, k
+    """,
+    doc="JSON SRFs (jsonfuncs.c): json_each_text explodes an object into "
+        "(key, value) rows — JVM from_json map parse + generator, no "
+        "Python; keys sorted by the ORDER BY for determinism.",
+    tags=("dialect", "json"),
+)
+def dialect_json_srfs(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, key AS k, value AS v
+        FROM (SELECT c_custkey,
+                     json_each_text(concat('{"seg":"', c_mktsegment,
+                                           '","nat":"', c_nationkey, '"}'))
+              FROM customer WHERE c_custkey <= 30) t
+        ORDER BY c_custkey, k
+        """,
+        ["customer"],
+    )
