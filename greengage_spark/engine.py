@@ -158,6 +158,9 @@ class GreengageEngine:
         self.stats: dict = {}  # table → TableStats (ANALYZE results)
         self.prepared: dict = {}  # name → PreparedStatement (prepare.c)
         self.notices: list[str] = []  # RAISE NOTICE/INFO output (elog.c)
+        # recorded DDL with no executor semantics here (composite types,
+        # casts, operators, default privileges) — keyed (kind, name)
+        self.misc_ddl: dict = {}
         self.cursors: dict = {}  # name → Cursor portal (portalcmds.c)
         self.external: dict = {}  # name → ExternalTableDef (fileam.c surface)
         from greengage_spark.operators.acl import AclCatalog
@@ -339,6 +342,29 @@ class GreengageEngine:
                 mo.group(5).strip('"'),
             )
             return None
+        mvr = re.match(
+            r"(?is)^alter\s+view\s+(if\s+exists\s+)?([\w.]+)\s+rename\s+to\s+"
+            r"([\w.]+)$",
+            stmt,
+        )
+        if mvr:
+            old, new = mvr.group(2), mvr.group(3)
+            if old not in self.views:
+                if mvr.group(1):
+                    return None
+                raise ValueError(f"unknown view {old!r}")
+            self.views[new] = self.views.pop(old)
+            self._register_all()
+            try:
+                self.spark.catalog.dropTempView(old)
+            except Exception:
+                pass
+            return None
+        if re.match(r"(?is)^alter\s+default\s+privileges\b", stmt):
+            # ALTER DEFAULT PRIVILEGES (aclchk.c): recorded — privileges
+            # are metadata-only here (operators/acl.py)
+            self.misc_ddl[("stmt", f"default_privileges#{len(self.misc_ddl)}")] = stmt
+            return None
         if head in ("set", "reset", "show"):
             return self.gucs.execute(stmt, in_txn=self._txn is not None)
         if head in ("prepare", "deallocate") or (
@@ -432,6 +458,23 @@ class GreengageEngine:
                 "check": f"VALUE IN ({in_list})",
                 "enum_labels": labels,
             }
+            return None
+        mct = re.match(r"(?is)^create\s+type\s+([\w.]+)\s+as\s*\((.*)\)\s*$", stmt)
+        if mct:
+            # composite type (CompositeTypeStmt; typecmds.c
+            # DefineCompositeType): recorded metadata so dumps restore and
+            # introspection can list it; using it as a column type errors
+            # at the use site (no struct-column storage mapping yet)
+            self.misc_ddl[("composite_type", mct.group(1))] = mct.group(2).strip()
+            return None
+        if re.match(r"(?is)^create\s+(or\s+replace\s+)?cast\b", stmt) or re.match(
+            r"(?is)^create\s+operator\b", stmt
+        ):
+            # CREATE CAST (functions/cast.c) / CREATE OPERATOR [CLASS]
+            # (operatorcmds.c): recorded — resolution happens at use sites,
+            # which error loudly if the op/cast is actually exercised
+            key = " ".join(stmt.split(None, 3)[:3]).lower()
+            self.misc_ddl[("stmt", key + f"#{len(self.misc_ddl)}")] = stmt
             return None
         if re.match(r"(?is)^drop\s+type\b", stmt):
             m = re.match(
@@ -929,13 +972,29 @@ class GreengageEngine:
         m = re.match(
             r"(?is)^alter\s+sequence\s+([\w.]+)\s+restart(?:\s+with\s+(-?\d+))?$", stmt
         )
-        if not m:
-            raise NotImplementedError("ALTER SEQUENCE name RESTART [WITH n]")
-        seq = self.sequences.get(m.group(1))
-        seq.last_value = int(m.group(2)) if m.group(2) else seq.start
-        seq.is_called = False
-        self.sequences._save()
-        return None
+        if m:
+            seq = self.sequences.get(m.group(1))
+            seq.last_value = int(m.group(2)) if m.group(2) else seq.start
+            seq.is_called = False
+            self.sequences._save()
+            return None
+        mo = re.match(
+            r"(?is)^alter\s+sequence\s+([\w.]+)\s+"
+            r"(?:owner\s+to\s+([\w\"]+)|owned\s+by\s+([\w.]+|none))\s*$",
+            stmt,
+        )
+        if mo:
+            # pg_dump pairing metadata (sequence.c): ownership recorded,
+            # no executor effect (serial columns already bind through
+            # _expand_serial)
+            self.sequences.get(mo.group(1))  # validate it exists
+            self.acl.set_owner(
+                f"sequence:{mo.group(1)}", mo.group(2) or mo.group(3)
+            )
+            return None
+        raise NotImplementedError(
+            "ALTER SEQUENCE name RESTART [WITH n] | OWNER TO r | OWNED BY t.c"
+        )
 
     def _lower_sequences(self, stmt: str, head: str) -> str:
         """Driver-evaluate setval/currval; lower nextval.  Scalar contexts

@@ -288,6 +288,25 @@ def execute_acl_stmt(engine, stmt: str):
         acl.comment(stmt)
     elif re.match(r"(?is)^create\s+schema\b", stmt):
         acl.create_schema(stmt)
+    elif re.match(r"(?is)^alter\s+schema\b", stmt):
+        m = re.match(
+            r"(?is)^alter\s+schema\s+(\"?[\w$]+\"?)\s+"
+            r"(?:rename\s+to\s+(\"?[\w$]+\"?)|owner\s+to\s+(\"?[\w$]+\"?))\s*$",
+            stmt,
+        )
+        if not m:
+            raise NotImplementedError("ALTER SCHEMA name RENAME TO x | OWNER TO r")
+        name = m.group(1).strip('"')
+        if name not in acl.schemas:
+            raise ValueError(f"unknown schema {name!r}")
+        if m.group(2):
+            new = m.group(2).strip('"')
+            acl.schemas.discard(name)
+            acl.schemas.add(new)
+            if f"schema:{name}" in acl.owners:
+                acl.owners[f"schema:{new}"] = acl.owners.pop(f"schema:{name}")
+        else:
+            acl.owners[f"schema:{name}"] = m.group(3).strip('"')
     elif re.match(r"(?is)^drop\s+schema\b", stmt):
         acl.drop_schema(stmt)
     elif re.match(r"(?is)^(create|alter|drop)\s+resource\b", stmt):

@@ -261,3 +261,54 @@ class TestCatalogJoins:
             "FROM information_schema.table_constraints WHERE table_name = 'tc'"
         ).collect()
         assert cons and cons[0].constraint_type == "CHECK"
+
+
+class TestPgDumpMetadataRoutes:
+    """pg_dump-preamble statements accepted as recorded metadata: ALTER
+    SEQUENCE OWNER/OWNED BY (sequence.c pairing), ALTER VIEW RENAME,
+    ALTER SCHEMA RENAME/OWNER, composite CREATE TYPE AS (...), CREATE
+    CAST / CREATE OPERATOR, ALTER DEFAULT PRIVILEGES."""
+
+    @pytest.fixture()
+    def meng(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        eng.execute("CREATE TABLE mt (x int)")
+        eng.execute("INSERT INTO mt VALUES (5)")
+        eng.execute("CREATE VIEW mv AS SELECT x FROM mt")
+        eng.execute("CREATE SEQUENCE ms")
+        eng.execute(
+            "CREATE FUNCTION mf(a int4) RETURNS int4 AS 'SELECT $1' LANGUAGE sql"
+        )
+        return eng
+
+    def test_sequence_ownership(self, meng):
+        meng.execute("ALTER SEQUENCE ms OWNER TO bob")
+        meng.execute("ALTER SEQUENCE ms OWNED BY mt.x")
+        assert meng.acl.owners["sequence:ms"] == "mt.x"
+
+    def test_view_rename(self, meng):
+        meng.execute("ALTER VIEW mv RENAME TO mv2")
+        assert meng.execute("SELECT x FROM mv2").collect()[0].x == 5
+        with pytest.raises(Exception):
+            meng.execute("SELECT x FROM mv").collect()
+
+    def test_schema_rename(self, meng):
+        meng.execute("CREATE SCHEMA sca")
+        meng.execute("ALTER SCHEMA sca RENAME TO scb")
+        assert "scb" in meng.acl.schemas and "sca" not in meng.acl.schemas
+
+    def test_recorded_ddl(self, meng):
+        meng.execute("CREATE TYPE pair AS (a int4, b text)")
+        assert ("composite_type", "pair") in meng.misc_ddl
+        meng.execute("CREATE CAST (int4 AS text) WITH INOUT AS IMPLICIT")
+        meng.execute(
+            "CREATE OPERATOR === (LEFTARG = int4, RIGHTARG = int4, "
+            "PROCEDURE = mf)"
+        )
+        meng.execute(
+            "ALTER DEFAULT PRIVILEGES IN SCHEMA public GRANT SELECT "
+            "ON TABLES TO bob"
+        )
+        assert len(meng.misc_ddl) == 4
