@@ -43,6 +43,40 @@ from pyspark.sql import functions as F
 from greengage_spark.dialect.ddl import DDLCatalog, parse_create_table
 from greengage_spark.dialect.transpiler import _find_top_level, pg_sql, transpile
 
+_PG_TEXT_ESCAPES = {
+    "t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f", "v": "\v",
+    "\\": "\\",
+}
+
+
+def _pg_text_unescape(field: str) -> str:
+    """COPY text-format backslash escapes (copy.c CopyReadAttributesText:
+    \\t \\n \\r \\b \\f \\v \\\\ and octal \\ooo)."""
+    if "\\" not in field:
+        return field
+    out: list[str] = []
+    i = 0
+    while i < len(field):
+        ch = field[i]
+        if ch == "\\" and i + 1 < len(field):
+            c2 = field[i + 1]
+            if c2 in _PG_TEXT_ESCAPES:
+                out.append(_PG_TEXT_ESCAPES[c2])
+                i += 2
+                continue
+            mo = re.match(r"[0-7]{1,3}", field[i + 1 :])
+            if mo:
+                out.append(chr(int(mo.group(0), 8)))
+                i += 1 + len(mo.group(0))
+                continue
+            out.append(c2)
+            i += 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 # sentinel: "this WITH statement has no data-modifying CTE" (vs a wCTE
 # whose final statement legitimately returns None)
 _NOT_WCTE = object()
@@ -177,17 +211,90 @@ class GreengageEngine:
 
     # ---------------- statement router ----------------
 
+    _COPY_STDIN_RE = re.compile(
+        r"(?im)^[ \t]*(copy\s+[^;\n]+?\bfrom\s+stdin[^;\n]*);[ \t]*\n"
+        r"((?:.*\n)*?)\\\.[ \t]*(?:\n|$)"
+    )
+
     def run_script(self, sql: str) -> DataFrame | None:
         """Execute a multi-statement script (the psql / simple-query
         batch form, postgres.c exec_simple_query over a multi-command
         string): statements split on top-level semicolons — quoted
         strings, dollar-quoted bodies ($$…$$ / $tag$…$tag$), and
-        line comments never split.  Returns the LAST statement's result
-        (PG returns the last command tag)."""
+        line comments never split.  ``COPY ... FROM stdin`` blocks (the
+        pg_dump data-section form, copy.c CopyFrom) consume their inline
+        rows up to the ``\\.`` terminator.  Returns the LAST statement's
+        result (PG returns the last command tag)."""
         out: DataFrame | None = None
-        for stmt in split_statements(sql):
+        pos = 0
+        for m in self._COPY_STDIN_RE.finditer(sql):
+            for stmt in split_statements(sql[pos : m.start()]):
+                out = self.execute(stmt)
+            out = self._copy_from_stdin(m.group(1), m.group(2))
+            pos = m.end()
+        for stmt in split_statements(sql[pos:]):
             out = self.execute(stmt)
         return out
+
+    def _copy_from_stdin(self, stmt: str, data: str):
+        """Load pg_dump inline COPY data (copy.c text/csv formats: tab
+        delimiter, ``\\N`` null, backslash escapes by default)."""
+        m = re.match(
+            r"(?is)^copy\s+([\w.\"]+)\s*(\(([^)]*)\))?\s+from\s+stdin(.*)$",
+            stmt.strip(),
+        )
+        if not m:
+            raise NotImplementedError("COPY name [(cols)] FROM stdin")
+        name = m.group(1).strip('"')
+        td = self.ddl.tables.get(name)
+        if td is None:
+            raise ValueError(f"unknown table {name!r}")
+        opts = m.group(4) or ""
+        is_csv = bool(re.search(r"(?is)\bcsv\b", opts))
+        mdel = re.search(r"(?is)delimiter\s+(?:as\s+)?(?:e)?'([^']*)'", opts)
+        sep = (mdel.group(1).replace("\\t", "\t") if mdel
+               else ("," if is_csv else "\t"))
+        mnull = re.search(r"(?is)null\s+(?:as\s+)?'([^']*)'", opts)
+        null_str = mnull.group(1) if mnull else ("" if is_csv else "\\N")
+        schema = td.schema()
+        cols = (
+            [c.strip().strip('"') for c in m.group(3).split(",")]
+            if m.group(3)
+            else [f.name for f in schema.fields]
+        )
+        rows = []
+        for line in data.splitlines():
+            if not line:
+                continue
+            fields = line.split(sep)
+            if len(fields) != len(cols):
+                raise ValueError(
+                    f"COPY row has {len(fields)} fields, expected {len(cols)}"
+                )
+            rows.append(
+                tuple(
+                    None
+                    if f == null_str
+                    else (f if is_csv else _pg_text_unescape(f))
+                    for f in fields
+                )
+            )
+        raw = self.spark.createDataFrame(
+            rows or [], ", ".join(f"`{c}` string" for c in cols)
+        )
+        by_name = {f.name: f for f in schema.fields}
+        typed = raw.select(
+            *[F.col(c).cast(by_name[c].dataType).alias(c) for c in cols]
+        )
+        for f in schema.fields:
+            if f.name not in cols:
+                typed = typed.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        typed = typed.select(*[f.name for f in schema.fields])
+        self.ddl.insert(name, typed)
+        self._register(name)
+        return None
 
     def execute(self, sql: str) -> DataFrame | None:
         stmt = _strip_public_schema(sql.strip().rstrip(";"))

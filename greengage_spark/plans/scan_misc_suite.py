@@ -1145,3 +1145,33 @@ def wcte_move_rows(spark, sf_dir):
         "INSERT INTO wcte_arch SELECT k, s FROM moved"
     )
     return eng.execute("SELECT k, s FROM wcte_arch ORDER BY k")
+
+
+@suite.add(
+    "script_copy_stdin",
+    oracle="""
+    SELECT id, dname, headcount FROM (VALUES
+      (10, 'engineering', 40), (20, 'operations', 15), (30, 'sales', 25)
+    ) t(id, dname, headcount)
+    ORDER BY id
+    """,
+    doc="pg_dump data sections: COPY ... FROM stdin consumes inline rows "
+        "to the \\. terminator (copy.c text format — tab delimiter, \\N "
+        "null, backslash escapes) inside run_script, so a full plain-"
+        "format dump restores end-to-end.",
+    tags=("engine", "copy"),
+)
+def script_copy_stdin(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_stdin_"))
+    eng.run_script(
+        "CREATE TABLE depts (id int4, dname text, headcount int4) "
+        "DISTRIBUTED BY (id);\n"
+        "COPY depts (id, dname, headcount) FROM stdin;\n"
+        "10\tengineering\t40\n"
+        "20\toperations\t15\n"
+        "30\tsales\t25\n"
+        "\\.\n"
+    )
+    return eng.execute("SELECT id, dname, headcount FROM depts ORDER BY id")

@@ -313,3 +313,52 @@ class TestRelationSizes:
             ).collect()[0].c
             == 2
         )
+
+
+class TestCopyFromStdin:
+    """pg_dump data sections: COPY ... FROM stdin with inline rows to the
+    \\. terminator (copy.c text format: tab delimiter, \\N null,
+    backslash escapes)."""
+
+    def test_restore_script(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        eng.run_script(
+            "CREATE TABLE emp (id int4, name text, pay numeric(10,2), "
+            "active bool);\n"
+            "COPY emp (id, name, pay, active) FROM stdin;\n"
+            "1\tAda\t100.50\tt\n"
+            "2\tTab\\tIn\t\\N\tf\n"
+            "\\.\n"
+            "COPY emp FROM stdin;\n"
+            "3\t\\N\t7.25\tt\n"
+            "\\.\n"
+        )
+        rows = eng.execute(
+            "SELECT id, name, CAST(pay AS STRING) AS p, active FROM emp "
+            "ORDER BY id"
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            (1, "Ada", "100.50", True),
+            (2, "Tab\tIn", None, False),
+            (3, None, "7.25", True),
+        ]
+
+    def test_csv_variant_and_empty(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        eng.run_script(
+            "CREATE TABLE t2 (a int4, b text);\n"
+            "COPY t2 FROM stdin WITH CSV;\n"
+            "1,x\n"
+            "2,\n"
+            "\\.\n"
+            "CREATE TABLE t3 (z int4);\n"
+            "COPY t3 FROM stdin;\n"
+            "\\.\n"
+        )
+        rows = eng.execute("SELECT a, b FROM t2 ORDER BY a").collect()
+        assert [tuple(r) for r in rows] == [(1, "x"), (2, None)]
+        assert eng.execute("SELECT count(*) AS c FROM t3").collect()[0].c == 0
