@@ -228,13 +228,25 @@ class GreengageEngine:
         out: DataFrame | None = None
         pos = 0
         for m in self._COPY_STDIN_RE.finditer(sql):
-            for stmt in split_statements(sql[pos : m.start()]):
+            for stmt in split_statements(self._strip_psql_meta(sql[pos : m.start()])):
                 out = self.execute(stmt)
             out = self._copy_from_stdin(m.group(1), m.group(2))
             pos = m.end()
-        for stmt in split_statements(sql[pos:]):
+        for stmt in split_statements(self._strip_psql_meta(sql[pos:])):
             out = self.execute(stmt)
         return out
+
+    def _strip_psql_meta(self, chunk: str) -> str:
+        """psql meta-commands (\\connect, \\set, \\echo, ... — psql's
+        client-side commands, not SQL) are recorded and dropped so a
+        plain dump taken with -C or psql headers still restores."""
+        kept: list[str] = []
+        for line in chunk.split("\n"):
+            if re.match(r"^\\[A-Za-z]", line.lstrip()):
+                self.notices.append(f"psql meta-command skipped: {line.strip()}")
+                continue
+            kept.append(line)
+        return "\n".join(kept)
 
     def _copy_from_stdin(self, stmt: str, data: str):
         """Load pg_dump inline COPY data (copy.c text/csv formats: tab

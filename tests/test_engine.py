@@ -362,3 +362,16 @@ class TestCopyFromStdin:
         rows = eng.execute("SELECT a, b FROM t2 ORDER BY a").collect()
         assert [tuple(r) for r in rows] == [(1, "x"), (2, None)]
         assert eng.execute("SELECT count(*) AS c FROM t3").collect()[0].c == 0
+
+    def test_psql_meta_commands_skipped(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        eng.run_script(
+            "\\connect mydb\n\\set ON_ERROR_STOP on\n"
+            "CREATE TABLE pm (x int4);\n"
+            "COPY pm FROM stdin;\n1\n\\.\n"
+            "\\echo done\n"
+        )
+        assert eng.execute("SELECT count(*) AS c FROM pm").collect()[0].c == 1
+        assert any("connect" in n for n in eng.notices)
