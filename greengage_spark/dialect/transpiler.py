@@ -4320,6 +4320,95 @@ def _pass_between_symmetric(toks: list[str]) -> list[str]:
     return toks
 
 
+def _pass_lock_clauses(toks: list[str]) -> list[str]:
+    """FOR UPDATE / FOR NO KEY UPDATE / FOR SHARE / FOR KEY SHARE
+    [OF tables] [NOWAIT | SKIP LOCKED] (gram.y for_locking_item): row
+    locks are no-ops under snapshot-isolated manifests — stripped."""
+    i = 0
+    while i < len(toks):
+        if not (
+            _is_ident(toks[i])
+            and toks[i].lower() == "for"
+            and i + 1 < len(toks)
+            and _is_ident(toks[i + 1])
+            and toks[i + 1].lower() in ("update", "share", "no", "key")
+        ):
+            i += 1
+            continue
+        low = toks[i + 1].lower()
+        if low == "no":  # FOR NO KEY UPDATE
+            k = i + 4
+        elif low == "key":  # FOR KEY SHARE
+            k = i + 3
+        else:  # FOR UPDATE / FOR SHARE
+            k = i + 2
+        if k < len(toks) and _is_ident(toks[k]) and toks[k].lower() == "of":
+            k += 1
+            while k < len(toks) and (
+                (_is_ident(toks[k]) and toks[k].lower() not in ("nowait", "skip"))
+                or toks[k] in (",", ".")
+            ):
+                k += 1
+        if k < len(toks) and _is_ident(toks[k]) and toks[k].lower() == "nowait":
+            k += 1
+        elif (
+            k + 1 < len(toks)
+            and _is_ident(toks[k])
+            and toks[k].lower() == "skip"
+            and toks[k + 1].lower() == "locked"
+        ):
+            k += 2
+        toks[i:k] = []
+    return toks
+
+
+def _pass_fetch_first(toks: list[str]) -> list[str]:
+    """ANSI ``FETCH FIRST|NEXT [n] ROW|ROWS ONLY`` → LIMIT n (gram.y
+    limit_clause); the ``ROW|ROWS`` noise word after OFFSET n also
+    drops."""
+    i = 0
+    while i < len(toks):
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() == "fetch"
+            and i + 1 < len(toks)
+            and _is_ident(toks[i + 1])
+            and toks[i + 1].lower() in ("first", "next")
+        ):
+            j = i + 2
+            n = "1"
+            if j < len(toks) and re.match(r"^\d+$", toks[j]):
+                n = toks[j]
+                j += 1
+            if (
+                j + 1 < len(toks)
+                and _is_ident(toks[j])
+                and toks[j].lower() in ("row", "rows")
+                and toks[j + 1].lower() == "only"
+            ):
+                toks[i : j + 2] = []
+                ins = i
+                if (
+                    i >= 2
+                    and _is_ident(toks[i - 2])
+                    and toks[i - 2].lower() == "offset"
+                ):
+                    ins = i - 2  # Spark wants LIMIT before OFFSET
+                toks[ins:ins] = ["LIMIT", n]
+                continue
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() == "offset"
+            and i + 2 < len(toks)
+            and re.match(r"^\d+$", toks[i + 1])
+            and _is_ident(toks[i + 2])
+            and toks[i + 2].lower() in ("row", "rows")
+        ):
+            del toks[i + 2]
+        i += 1
+    return toks
+
+
 def _pass_tablesample(toks: list[str]) -> list[str]:
     """TABLESAMPLE SYSTEM|BERNOULLI(p) [REPEATABLE(seed)] (gram.y
     opt_tablesample / tablesample.c): both map to Spark's row-Bernoulli
@@ -5331,6 +5420,8 @@ def transpile(sql: str) -> str:
     toks = _pass_like_op_spellings(toks)
     toks = _pass_between_symmetric(toks)
     toks = _pass_tablesample(toks)
+    toks = _pass_lock_clauses(toks)
+    toks = _pass_fetch_first(toks)
     toks = _pass_regex_ops(toks)
     toks = _pass_pow_xor(toks)
     toks = _pass_text_search(toks)

@@ -670,6 +670,20 @@ class GreengageEngine:
             self._register_all()
             if re.search(r"(?is)\bpg_(relation|table|total_relation)_size\s*\(", stmt):
                 stmt = self._fold_relation_sizes(stmt)
+            def _vdef(m):
+                nm = m.group(1).strip("'")
+                src = self.views.get(nm) or self.matviews.get(nm, {}).get("query")
+                if src is None:
+                    return m.group(0)
+                return "'" + src.replace("'", "''") + "'"
+
+            # pg_get_viewdef (ruleutils.c): fold to the recorded defining
+            # query text
+            stmt = re.sub(
+                r"(?is)\bpg_get_viewdef\s*\(\s*('[\w.]+')\s*(?:,\s*\w+\s*)?\)",
+                _vdef,
+                stmt,
+            )
             # current_setting / set_config (guc.c) fold through the GUC
             # manager; set_config applies its side effect now
             def _cur(m):

@@ -914,3 +914,31 @@ class TestFormatAndIntrospection:
             "json_typeof('\"s\"') AS s, json_typeof('3.4') AS n",
         ).collect()[0]
         assert (row.o, row.a, row.s, row.n) == ("object", "array", "string", "number")
+
+    def test_lock_clauses_and_fetch_first(self, spark):
+        """FOR UPDATE/SHARE row locks strip (snapshot isolation no-ops);
+        ANSI FETCH FIRST/NEXT → LIMIT with Spark clause ordering."""
+        spark.sql("SELECT * FROM VALUES (1),(2),(3) t(x)") \
+            .createOrReplaceTempView("lk_probe")
+        rows = pg_sql(
+            spark, "SELECT x FROM lk_probe WHERE x = 1 FOR UPDATE"
+        ).collect()
+        assert [r.x for r in rows] == [1]
+        rows = pg_sql(
+            spark, "SELECT x FROM lk_probe FOR NO KEY UPDATE SKIP LOCKED"
+        ).collect()
+        assert sorted(r.x for r in rows) == [1, 2, 3]
+        rows = pg_sql(
+            spark,
+            "SELECT x FROM lk_probe ORDER BY x FETCH FIRST 2 ROWS ONLY",
+        ).collect()
+        assert [r.x for r in rows] == [1, 2]
+        rows = pg_sql(
+            spark,
+            "SELECT x FROM lk_probe ORDER BY x OFFSET 1 ROW FETCH NEXT ROW ONLY",
+        ).collect()
+        assert [r.x for r in rows] == [2]
+        # SUBSTRING ... FOR must survive the lock-clause strip
+        assert pg_sql(
+            spark, "SELECT substring('hello' FROM 2 FOR 3) AS v"
+        ).collect()[0].v == "ell"

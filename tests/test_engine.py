@@ -375,3 +375,14 @@ class TestCopyFromStdin:
         )
         assert eng.execute("SELECT count(*) AS c FROM pm").collect()[0].c == 1
         assert any("connect" in n for n in eng.notices)
+
+    def test_pg_get_viewdef(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        eng.execute("CREATE TABLE vt (x int4)")
+        eng.execute("CREATE VIEW vv AS SELECT x FROM vt WHERE x > 1")
+        assert (
+            eng.execute("SELECT pg_get_viewdef('vv') AS v").collect()[0].v
+            == "SELECT x FROM vt WHERE x > 1"
+        )
