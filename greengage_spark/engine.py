@@ -2294,14 +2294,19 @@ class GreengageEngine:
         executor per file on load — the reference's ON SEGMENT
         distribution, cdbcopy.c).  ON SEGMENT on text paths is the
         default Spark behavior already (part-file per partition)."""
+        ms = re.match(
+            r"(?is)^copy\s+(?:([\w.]+)|\((.+?)\))\s+to\s+stdout(.*)$", stmt
+        )
+        if ms:
+            return self._copy_to_stdout(ms.group(1), ms.group(2), ms.group(3) or "")
         m = re.match(
             r"(?is)^copy\s+(?:([\w.]+)|\((.+?)\))\s+(to|from)\s+'([^']+)'(.*)$",
             stmt,
         )
         if not m:
             raise NotImplementedError(
-                "COPY name|(query) TO|FROM 'path' [BINARY|CSV HEADER|TEXT] "
-                "[DELIMITER 'c'] [NULL 's'] [ON SEGMENT]"
+                "COPY name|(query) TO|FROM 'path'|STDOUT [BINARY|CSV HEADER|"
+                "TEXT] [DELIMITER 'c'] [NULL 's'] [ON SEGMENT]"
             )
         name, query, direction, path, opts_raw = m.groups()
         direction = direction.lower()
@@ -2354,6 +2359,45 @@ class GreengageEngine:
         self.ddl.insert(name, df)
         self._register(name)
         return None
+
+    def _copy_to_stdout(self, name: str | None, query: str | None, opts: str):
+        """COPY ... TO STDOUT (copy.c CopyTo text format): returns one
+        ``line`` per row in PG's text serialization — tab delimiter, \\N
+        nulls, backslash escapes, t/f booleans — the stream a client (or
+        a COPY FROM stdin round-trip) would receive.  Rendering is one
+        JVM projection; rows stay distributed until the caller collects."""
+        from pyspark.sql.types import BooleanType, DateType, TimestampType
+
+        if query is not None:
+            self._register_all()
+            df = pg_sql(self.spark, query)
+        else:
+            if name not in self.ddl.tables:
+                raise ValueError(f"unknown table {name!r}")
+            df = self.ddl.table(name)
+        mdel = re.search(r"(?is)delimiter\s+(?:as\s+)?(?:e)?'([^']*)'", opts)
+        sep = mdel.group(1).replace("\\t", "\t") if mdel else "\t"
+        mnull = re.search(r"(?is)null\s+(?:as\s+)?'([^']*)'", opts)
+        null_str = mnull.group(1) if mnull else "\\N"
+
+        def render(field) -> "F.Column":
+            c = F.col(field.name)
+            if isinstance(field.dataType, BooleanType):
+                s = F.when(c, "t").otherwise("f")
+            elif isinstance(field.dataType, TimestampType):
+                s = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+            elif isinstance(field.dataType, DateType):
+                s = F.date_format(c, "yyyy-MM-dd")
+            else:
+                s = c.cast("string")
+                for lit, esc in (("\\", "\\\\"), ("\t", "\\t"),
+                                 ("\n", "\\n"), ("\r", "\\r")):
+                    s = F.replace(s, F.lit(lit), F.lit(esc))
+            return F.coalesce(s, F.lit(null_str))
+
+        return df.select(
+            F.concat_ws(sep, *[render(f) for f in df.schema.fields]).alias("line")
+        )
 
     @staticmethod
     def _strip_one_paren(s: str) -> str:

@@ -386,3 +386,28 @@ class TestCopyFromStdin:
             eng.execute("SELECT pg_get_viewdef('vv') AS v").collect()[0].v
             == "SELECT x FROM vt WHERE x > 1"
         )
+
+    def test_copy_to_stdout_roundtrip(self, spark, tmp_path):
+        """COPY TO STDOUT renders PG text format (t/f bools, \\N nulls,
+        backslash escapes); feeding it back through COPY FROM stdin is
+        lossless."""
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        eng.run_script(
+            "CREATE TABLE rt (id int4, name text, ok bool);\n"
+            "COPY rt FROM stdin;\n"
+            "1\tAda\tt\n2\tTab\\tIn\tf\n\\.\n"
+        )
+        lines = sorted(
+            r.line for r in eng.execute("COPY rt TO STDOUT").collect()
+        )
+        assert lines == ["1\tAda\tt", "2\tTab\\tIn\tf"]
+        eng.execute("CREATE TABLE rt2 (id int4, name text, ok bool)")
+        eng.run_script(
+            "COPY rt2 FROM stdin;\n" + "\n".join(lines) + "\n\\.\n"
+        )
+        back = eng.execute(
+            "SELECT id, name, ok FROM rt2 ORDER BY id"
+        ).collect()
+        assert [tuple(r) for r in back] == [(1, "Ada", True), (2, "Tab\tIn", False)]
