@@ -5118,6 +5118,22 @@ def _pass_functions(toks: list[str]) -> list[str]:
             ):
                 out[i : close + 1] = _lower_regexp_matches(args)
                 continue
+            if low == "age" and len(args) == 2:
+                # timestamp.c timestamp_age — symbolic interval, rendered
+                # as PG text (functions/horology.py documents the
+                # mixed-interval type divergence)
+                a0, a1 = " ".join(args[0]), " ".join(args[1])
+                out[i : close + 1] = tokenize(
+                    f"pg_age(CAST(({a0}) AS TIMESTAMP_NTZ), "
+                    f"CAST(({a1}) AS TIMESTAMP_NTZ))"
+                )
+                continue
+            if low in (
+                "justify_days", "justify_hours", "justify_interval"
+            ) and len(args) == 1:
+                a0 = " ".join(args[0])
+                out[i : close + 1] = tokenize(f"pg_{low}(({a0}))")
+                continue
             if low in ("num_nonnulls", "num_nulls") and args:
                 # variadic NULL counters (misc.c, PG 9.6)
                 neg = "NOT " if low == "num_nonnulls" else ""
@@ -5488,4 +5504,8 @@ def pg_sql(spark, sql: str):
         from greengage_spark.functions.pg_format import register_udfs
 
         register_udfs(spark)
+    if "pg_age" in out or "pg_justify_" in out:
+        from greengage_spark.functions import horology
+
+        horology.register_udfs(spark)
     return spark.sql(out)

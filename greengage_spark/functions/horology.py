@@ -1,0 +1,178 @@
+"""PG symbolic datetime arithmetic: age() and the justify_* family.
+
+Reference semantics (src/backend/utils/adt/timestamp.c):
+
+* ``timestamp_age(t1, t2)`` — field-by-field subtraction with borrows
+  (seconds from minutes, ..., days from the month length of the EARLIER
+  operand, months from years), yielding the symbolic
+  years/months/days/time difference — NOT the elapsed-seconds delta.
+* ``interval_justify_days/hours/interval`` — re-bucket 30-day months and
+  24-hour days.
+
+PG's result type is a MIXED year-month + day-time interval, which
+Spark's type system cannot represent in one value (YearMonthIntervalType
+and DayTimeIntervalType are disjoint).  These functions therefore return
+PG's canonical *text* rendering (EncodeInterval, postgres IntervalStyle:
+``-43 years -9 mons -27 days -00:00:01``) — the value a psql user sees,
+bit-identical to the reference's output, usable in comparisons and
+round-trippable through the interval input parser.  The type divergence
+(text instead of interval) is documented here and in COVERAGE.md.
+
+Evaluation is an Arrow-batched pandas UDF — per-row calendar borrowing
+is inherently scalar work (the same loop shape as the reference's C),
+and the batch transfer keeps it off the row-at-a-time path, exactly like
+the to_char template engine in functions/pg_format.py.
+"""
+
+from __future__ import annotations
+
+import calendar
+import datetime as dt
+
+
+def _render_interval(
+    years: int, months: int, days: int, us_time: int
+) -> str:
+    """EncodeInterval, postgres style: plural units, zero parts omitted,
+    all-zero → '00:00:00'; negative fields carry their own sign."""
+    parts: list[str] = []
+    if years:
+        parts.append(f"{years} year" + ("s" if abs(years) != 1 else ""))
+    if months:
+        parts.append(f"{months} mon" + ("s" if abs(months) != 1 else ""))
+    if days:
+        parts.append(f"{days} day" + ("s" if abs(days) != 1 else ""))
+    if us_time or not parts:
+        sign = "-" if us_time < 0 else ""
+        a = abs(us_time)
+        h, rem = divmod(a, 3_600_000_000)
+        mi, rem = divmod(rem, 60_000_000)
+        s, us = divmod(rem, 1_000_000)
+        t = f"{sign}{h:02d}:{mi:02d}:{s:02d}"
+        if us:
+            t += f".{us:06d}".rstrip("0")
+        parts.append(t)
+    return " ".join(parts)
+
+
+def timestamp_age(t1: dt.datetime, t2: dt.datetime) -> str:
+    """timestamp.c timestamp_age: symbolic t1 - t2 with calendar
+    borrows, rendered as PG interval text."""
+    neg = t1 < t2
+    if neg:
+        t1, t2 = t2, t1
+    years = t1.year - t2.year
+    months = t1.month - t2.month
+    days = t1.day - t2.day
+    hours = t1.hour - t2.hour
+    minutes = t1.minute - t2.minute
+    seconds = t1.second - t2.second
+    micros = t1.microsecond - t2.microsecond
+    if micros < 0:
+        micros += 1_000_000
+        seconds -= 1
+    if seconds < 0:
+        seconds += 60
+        minutes -= 1
+    if minutes < 0:
+        minutes += 60
+        hours -= 1
+    if hours < 0:
+        hours += 24
+        days -= 1
+    while days < 0:
+        # borrow the month length of the EARLIER operand (timestamp.c
+        # uses day_tab[isleap(tm2->tm_year)][tm2->tm_mon - 1])
+        days += calendar.monthrange(t2.year, t2.month)[1]
+        months -= 1
+    if months < 0:
+        months += 12
+        years -= 1
+    us_time = ((hours * 60 + minutes) * 60 + seconds) * 1_000_000 + micros
+    if neg:
+        years, months, days, us_time = -years, -months, -days, -us_time
+    return _render_interval(years, months, days, us_time)
+
+
+def justify_interval_parts(
+    td: dt.timedelta, *, days_from_hours: bool, months_from_days: bool
+) -> str:
+    """interval_justify_*: re-bucket a day-time interval (30-day months,
+    24-hour days) and render.  Spark day-time intervals arrive as
+    timedelta; year-month inputs never reach here (they stay symbolic in
+    the engine's decomposed-literal form)."""
+    total_us = round(td.total_seconds() * 1_000_000)
+    days, rem = divmod(total_us, 86_400_000_000)
+    if not days_from_hours:
+        # keep the original day count, only months re-bucket
+        days = td.days
+        rem = total_us - days * 86_400_000_000
+    months = 0
+    if months_from_days:
+        months, days = divmod(days, 30)
+    return _render_interval(0, int(months), int(days), int(rem))
+
+
+def register_udfs(spark) -> None:
+    """Idempotently register pg_age / pg_justify_* (Arrow-batched)."""
+    if spark.conf.get("greengage.horology.registered", None) == "1":
+        return
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _age(a, b):
+        return pd.Series(
+            [
+                None if x is None or y is None else timestamp_age(x, y)
+                for x, y in zip(a, b)
+            ],
+            dtype="object",
+        )
+
+    def _jd(v):
+        return pd.Series(
+            [
+                None
+                if x is None
+                else justify_interval_parts(
+                    x, days_from_hours=False, months_from_days=True
+                )
+                for x in v
+            ],
+            dtype="object",
+        )
+
+    def _jh(v):
+        return pd.Series(
+            [
+                None
+                if x is None
+                else justify_interval_parts(
+                    x, days_from_hours=True, months_from_days=False
+                )
+                for x in v
+            ],
+            dtype="object",
+        )
+
+    def _ji(v):
+        return pd.Series(
+            [
+                None
+                if x is None
+                else justify_interval_parts(
+                    x, days_from_hours=True, months_from_days=True
+                )
+                for x in v
+            ],
+            dtype="object",
+        )
+
+    _age.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    for f in (_jd, _jh, _ji):
+        f.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    spark.udf.register("pg_age", pandas_udf(_age, "string"))
+    spark.udf.register("pg_justify_days", pandas_udf(_jd, "string"))
+    spark.udf.register("pg_justify_hours", pandas_udf(_jh, "string"))
+    spark.udf.register("pg_justify_interval", pandas_udf(_ji, "string"))
+    spark.conf.set("greengage.horology.registered", "1")

@@ -942,3 +942,31 @@ class TestFormatAndIntrospection:
         assert pg_sql(
             spark, "SELECT substring('hello' FROM 2 FOR 3) AS v"
         ).collect()[0].v == "ell"
+
+    def test_age_and_justify(self, spark):
+        """timestamp.c timestamp_age / interval_justify_* — symbolic
+        calendar difference with PG's exact text rendering (the
+        mixed-interval result type has no Spark analog; documented in
+        functions/horology.py).  43y/9m/27d is PG's own doc example."""
+        row = pg_sql(
+            spark,
+            "SELECT age(TIMESTAMP '2001-04-10', TIMESTAMP '1957-06-13') AS a, "
+            "age(TIMESTAMP '1957-06-13', TIMESTAMP '2001-04-10') AS b, "
+            "age(TIMESTAMP '2020-01-01', TIMESTAMP '2020-01-01') AS c, "
+            "age(TIMESTAMP '2020-03-01', TIMESTAMP '2020-01-31') AS d, "
+            "age(TIMESTAMP '2020-01-02 03:04:05.5', TIMESTAMP '2020-01-01') AS e",
+        ).collect()[0]
+        assert row.a == "43 years 9 mons 27 days"
+        assert row.b == "-43 years -9 mons -27 days"
+        assert row.c == "00:00:00"
+        assert row.d == "1 mon 1 day"
+        assert row.e == "1 day 03:04:05.5"
+        row = pg_sql(
+            spark,
+            "SELECT justify_days(interval '35 days') AS jd, "
+            "justify_hours(interval '27 hours') AS jh, "
+            "justify_interval(interval '755 hours') AS ji",
+        ).collect()[0]
+        assert row.jd == "1 mon 5 days"
+        assert row.jh == "1 day 03:00:00"
+        assert row.ji == "1 mon 1 day 11:00:00"
