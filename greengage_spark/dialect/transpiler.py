@@ -5118,6 +5118,39 @@ def _pass_functions(toks: list[str]) -> list[str]:
             ):
                 out[i : close + 1] = _lower_regexp_matches(args)
                 continue
+            if low == "concat" and args:
+                # varlena.c text_concat is variadic and SKIPS NULLs
+                # (Spark's concat returns NULL on any NULL input);
+                # concat_ws('') has PG's skip semantics
+                new = ["concat_ws", "(", "''"]
+                for a in args:
+                    new += [","] + a
+                out[i : close + 1] = new + [")"]
+                continue
+            if low == "make_interval" and len(args) <= 7:
+                # timestamp.c make_interval: (years, months, weeks, days,
+                # hours, mins, secs).  Spark splits interval types, so
+                # the literal-argument form routes to make_ym_interval /
+                # make_dt_interval; a genuinely mixed call has no
+                # representable result type
+                vals = [" ".join(a) for a in args] + ["0"] * (7 - len(args))
+                ym_zero = all(v.strip() == "0" for v in vals[:2])
+                dt_zero = all(v.strip() == "0" for v in vals[2:])
+                if ym_zero:
+                    d = f"({vals[3]}) + 7 * ({vals[2]})"
+                    out[i : close + 1] = tokenize(
+                        f"make_dt_interval({d}, {vals[4]}, {vals[5]}, {vals[6]})"
+                    )
+                    continue
+                if dt_zero:
+                    out[i : close + 1] = tokenize(
+                        f"make_ym_interval({vals[0]}, {vals[1]})"
+                    )
+                    continue
+                raise NotImplementedError(
+                    "make_interval mixing year-month and day-time parts "
+                    "has no Spark interval type"
+                )
             if low == "age" and len(args) == 2:
                 # timestamp.c timestamp_age — symbolic interval, rendered
                 # as PG text (functions/horology.py documents the

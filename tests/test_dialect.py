@@ -970,3 +970,27 @@ class TestFormatAndIntrospection:
         assert row.jd == "1 mon 5 days"
         assert row.jh == "1 day 03:00:00"
         assert row.ji == "1 mon 1 day 11:00:00"
+
+    def test_concat_skips_nulls(self, spark):
+        """varlena.c text_concat is variadic and skips NULLs (|| does
+        not) — Spark's concat nulls-out, so the lowering uses
+        concat_ws('')."""
+        row = pg_sql(
+            spark,
+            "SELECT concat('a', 1, NULL, 'b') AS a, concat(NULL, NULL) AS b, "
+            "'a' || NULL AS c",
+        ).collect()[0]
+        assert (row.a, row.b, row.c) == ("a1b", "", None)
+
+    def test_make_interval_split_types(self, spark):
+        row = pg_sql(
+            spark,
+            "SELECT make_interval(0, 0, 0, 2, 3) AS dt, "
+            "TIMESTAMP '2020-01-01' + make_interval(0, 0, 1, 1) AS w, "
+            "TIMESTAMP '2020-01-01' + make_interval(1, 2) AS ym",
+        ).collect()[0]
+        import datetime
+
+        assert row.dt == datetime.timedelta(days=2, hours=3)
+        assert row.w == datetime.datetime(2020, 1, 9)
+        assert row.ym == datetime.datetime(2021, 3, 1)
