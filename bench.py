@@ -52,11 +52,13 @@ def main() -> None:
     for name in names:
         qs[name].fn(spark, sf_dir).collect()
 
-    # Three timed passes, best-of per query: a single pass is noise-bound on
+    # Five timed passes, best-of per query: a single pass is noise-bound on
     # a shared 32-thread box (GC pauses, neighbor JVM teardown); the minimum
-    # is the steady-state number the plan actually costs.
+    # is the steady-state number the plan actually costs.  (Observed: on a
+    # loaded box best-of-3 totals swing ~8% on unchanged code; best-of-5
+    # halves that.)
     timings: dict[str, float] = {}
-    for _ in range(3):
+    for _ in range(5):
         for name in names:
             t0 = time.time()
             df = qs[name].fn(spark, sf_dir)
