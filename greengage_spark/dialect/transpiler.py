@@ -4126,10 +4126,16 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
     # object keys render sorted — PG emits aggregation order, which is
     # partition-dependent, so the deterministic form is the scalable one) ----
     ("json_agg", 1): "to_json(collect_list({0}))",
+    ("jsonb_agg", 1): "to_json(collect_list({0}))",
     ("json_object_agg", 2): (
         "to_json(map_from_entries(sort_array(collect_list("
         "struct(CAST({0} AS STRING), {1})))))"
     ),
+    ("jsonb_object_agg", 2): (
+        "to_json(map_from_entries(sort_array(collect_list("
+        "struct(CAST({0} AS STRING), {1})))))"
+    ),
+    ("array_to_json", 1): "to_json({0})",
 }
 
 
@@ -5151,6 +5157,30 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     "make_interval mixing year-month and day-time parts "
                     "has no Spark interval type"
                 )
+            if low in ("to_json", "to_jsonb") and len(args) == 1:
+                # json.c to_json renders ANY value; Spark's only takes
+                # complex types.  Wrap in a one-element array and strip
+                # the brackets — scalars render as JSON scalars (strings
+                # keep their quotes, unlike get_json_object), complex
+                # values pass through unchanged.  An arg that is already
+                # an array constructor needs no wrap (and skipping it
+                # terminates the rewrite's own recursion).
+                head0 = (
+                    args[0][0].lower()
+                    if args[0] and _is_ident(args[0][0])
+                    else None
+                )
+                if head0 == "array":
+                    out[i] = "to_json"
+                    i += 1
+                    continue
+                a0 = " ".join(args[0])
+                wrapped = f"to_json(array(({a0})))"
+                out[i : close + 1] = tokenize(
+                    f"(CASE WHEN ({a0}) IS NULL THEN NULL ELSE "
+                    f"substr({wrapped}, 2, length({wrapped}) - 2) END)"
+                )
+                continue
             if low == "age" and len(args) == 2:
                 # timestamp.c timestamp_age — symbolic interval, rendered
                 # as PG text (functions/horology.py documents the

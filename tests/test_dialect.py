@@ -994,3 +994,25 @@ class TestFormatAndIntrospection:
         assert row.dt == datetime.timedelta(days=2, hours=3)
         assert row.w == datetime.datetime(2020, 1, 9)
         assert row.ym == datetime.datetime(2021, 3, 1)
+
+    def test_to_json_scalar_and_jsonb_aliases(self, spark):
+        """json.c to_json renders ANY value (Spark's complex-only to_json
+        is wrapped); jsonb_* aggregate aliases."""
+        row = pg_sql(
+            spark,
+            "SELECT to_json(5) AS n, to_json('abc'::text) AS s, "
+            "to_jsonb(true) AS b, to_json(NULL::int4) AS nl, "
+            "array_to_json(ARRAY[1,2]) AS a",
+        ).collect()[0]
+        assert (row.n, row.s, row.b, row.nl, row.a) == (
+            "5", '"abc"', "true", None, "[1,2]",
+        )
+        r = pg_sql(
+            spark, "SELECT jsonb_agg(x) AS v FROM (VALUES (1),(2)) t(x)"
+        ).collect()[0]
+        assert r.v == "[1,2]"
+        r = pg_sql(
+            spark,
+            "SELECT jsonb_object_agg(k, n) AS v FROM (VALUES ('a',1)) t(k,n)",
+        ).collect()[0]
+        assert r.v == '{"a":1}'
