@@ -291,6 +291,15 @@ def _pass_casts(toks: list[str]) -> list[str]:
         # double precision (two words)
         if tname == "double" and i + 2 < len(toks) and toks[i + 2].lower() == "precision":
             mapped, end = "DOUBLE", i + 2
+        elif tname == "hstore":
+            # 'k=>v'::hstore → the hstore() input parser (hstore_io.c);
+            # lowered to a MapType expression by the function templates
+            toks = (
+                toks[:start]
+                + ["hstore", "("] + toks[start:i] + [")"]
+                + toks[i + 2 :]
+            )
+            continue
         elif mapped is None:
             raise ValueError(f"unsupported cast target type: {tname}")
         # PG float input range checks (float.c float8in/float4in):
@@ -3756,6 +3765,22 @@ def _json_path_elem(tok: str) -> str:
 
 
 def _pass_json_ops(toks: list[str]) -> list[str]:
+    # hstore ? key (hstore_op.c hstore_exists) — handled before the json
+    # arrow family so `?` never reaches Spark (where it is invalid)
+    i = 1
+    while i < len(toks) - 1:
+        if toks[i] == "?":
+            start = _operand_start(toks, i - 1)
+            left = toks[start:i]
+            if any(_is_ident(t) and t.lower() == "hstore" for t in left):
+                rend = _operand_end(toks, i + 1)
+                toks[start : rend + 1] = (
+                    ["map_contains_key", "("] + left + [","]
+                    + toks[i + 1 : rend + 1] + [")"]
+                )
+                i = start
+                continue
+        i += 1
     while True:
         idx = next((i for i, t in enumerate(toks) if t in ("->", "->>", "#>", "#>>")), None)
         if idx is None:
@@ -3764,6 +3789,19 @@ def _pass_json_ops(toks: list[str]) -> list[str]:
         start = _operand_start(toks, idx - 1)
         left = toks[start:idx]
         rhs = toks[idx + 1]
+        if (
+            op == "->"
+            and any(_is_ident(t) and t.lower() == "hstore" for t in left)
+        ):
+            # hstore -> key (hstore_op.c hstore_fetchval): the left
+            # operand is MapType (the ::hstore cast already lowered to an
+            # hstore(...) call), so fetch is element access, not json
+            toks = (
+                toks[:start]
+                + ["try_element_at", "("] + left + [",", rhs, ")"]
+                + toks[idx + 2 :]
+            )
+            continue
         if op in ("#>", "#>>"):
             if not _is_string(rhs):
                 raise ValueError("#> requires a '{a,b}' path literal")
@@ -3927,6 +3965,16 @@ def _int2ip(n: str) -> str:
 
 _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
     # ---- hstore (hstore_op.c names) ----
+    # hstore input parser (hstore_io.c hstore_in): 'k=>v, ...' with
+    # optional "quoting"; NULL values stay NULL
+    ("hstore", 1): (
+        "transform_values(transform_keys("
+        "str_to_map(CAST({0} AS STRING), '\\s*,\\s*', '\\s*=>\\s*'), "
+        "(__k, __v) -> replace(trim(__k), '\"', '')), "
+        "(__k, __v) -> CASE WHEN trim(__v) = 'NULL' THEN NULL "
+        "ELSE replace(trim(__v), '\"', '') END)"
+    ),
+    ("hstore", 2): "map(CAST({0} AS STRING), CAST({1} AS STRING))",
     ("akeys", 1): "map_keys({0})",
     ("avals", 1): "map_values({0})",
     ("exist", 2): "map_contains_key({0}, {1})",

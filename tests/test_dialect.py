@@ -1016,3 +1016,19 @@ class TestFormatAndIntrospection:
             "SELECT jsonb_object_agg(k, n) AS v FROM (VALUES ('a',1)) t(k,n)",
         ).collect()[0]
         assert r.v == '{"a":1}'
+
+    def test_hstore_literal_casts_and_operators(self, spark):
+        """hstore_io.c input parser via ::hstore / hstore(text); -> fetch
+        and ? exists route to map access (not the json arrow family)."""
+        row = pg_sql(
+            spark,
+            "SELECT ('a=>1, b=>2'::hstore) -> 'b' AS f, "
+            "('a=>1'::hstore) ? 'a' AS e1, ('a=>1'::hstore) ? 'z' AS e0, "
+            "('\"x y\"=>\"q r\"'::hstore) -> 'x y' AS q, "
+            "('a=>NULL'::hstore) -> 'a' AS nl, "
+            "hstore('k', 'v') -> 'k' AS f2, "
+            "'{\"a\": 1}' -> 'a' AS j",
+        ).collect()[0]
+        assert (row.f, row.e1, row.e0, row.q, row.nl, row.f2, row.j) == (
+            "2", True, False, "q r", None, "v", "1",
+        )
