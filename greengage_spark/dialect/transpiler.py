@@ -3865,7 +3865,8 @@ def _pass_regex_ops(toks: list[str]) -> list[str]:
         neg = op.startswith("!")
         if ci:
             if _is_string(rhs):
-                pat = ["'(?i)" + rhs.strip("'").lstrip("eE") + "'"]
+                body = rhs[2:-1] if rhs[0] in "eE" else rhs[1:-1]
+                pat = ["'(?i)" + body + "'"]
             else:
                 pat = ["concat", "(", "'(?i)'", ",", rhs, ")"]
         else:
@@ -4010,15 +4011,18 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
     ),
     # ---- identifier/literal quoting (quote.c; ruleutils.c quote_identifier:
     # quote only when not already a safe lowercase identifier) ----
+    # || (strict in PG and Spark) instead of concat so the user-concat
+    # NULL-skip rewrite in _pass_functions never touches the template's
+    # own emission: quote_ident(NULL) must stay NULL, not become '""'
     ("quote_ident", 1): (
         "(CASE WHEN {0} RLIKE '^[a-z_][a-z0-9_]*$' THEN {0} "
-        "ELSE concat('\"', replace({0}, '\"', '\"\"'), '\"') END)"
+        "ELSE ('\"' || replace({0}, '\"', '\"\"') || '\"') END)"
     ),
     # chr(39) = the quote char — spelled numerically so the PG-estring
     # quote-doubling pass can never reinterpret the template's own quotes
     ("quote_literal", 1): (
-        "concat(chr(39), replace(CAST({0} AS STRING), chr(39), "
-        "repeat(chr(39), 2)), chr(39))"
+        "(chr(39) || replace(CAST({0} AS STRING), chr(39), "
+        "repeat(chr(39), 2)) || chr(39))"
     ),
     ("quote_nullable", 1): (
         "(CASE WHEN ({0}) IS NULL THEN 'NULL' "
@@ -4229,9 +4233,14 @@ def _lower_pg_format(args: list[list[str]]) -> list[str]:
                 + [")", "AS", "STRING", ")", ",", "''", ")"]
             )
         elif conv == "I":
+            # PG errors on a NULL %I argument (text_format: "null values
+            # cannot be formatted as an SQL identifier"); format_string
+            # would render the literal "null" instead, so raise in-row
             out_args.append(
-                ["quote_ident", "(", "CAST", "(", "("] + a
-                + [")", "AS", "STRING", ")", ")"]
+                ["quote_ident", "(", "coalesce", "(", "CAST", "(", "("] + a
+                + [")", "AS", "STRING", ")", ",", "raise_error", "(",
+                   "'null values cannot be formatted as an SQL identifier'",
+                   ")", ")", ")"]
             )
         else:  # L
             out_args.append(["quote_nullable", "(", "("] + a + [")", ")"])
@@ -4277,6 +4286,8 @@ def _lower_regexp_matches(args: list[list[str]]) -> list[str]:
     targetlist, which is where the reference's regress suites call it.
     Literal patterns only (group count must be known at plan time)."""
     pat_tok = args[1][0]
+    if pat_tok[0] in "eE":  # E'...' escape-string prefix
+        pat_tok = pat_tok[1:]
     pat = pat_tok[1:-1].replace("''", "'")
     flags = ""
     if len(args) == 3:
@@ -4289,7 +4300,9 @@ def _lower_regexp_matches(args: list[list[str]]) -> list[str]:
                     f"regexp_matches flag {f!r} not supported (g, i)"
                 )
     if "i" in flags:
-        pat_tok = "'(?i)" + pat_tok[1:].lstrip("eE").lstrip("'")
+        # pat_tok's E-prefix was already stripped above; keep the body
+        # verbatim (don't lstrip pattern chars that happen to be e/E).
+        pat_tok = "'(?i)" + pat_tok[1:]
     s = " ".join(args[0])
     ngroups = _count_capture_groups(pat)
     if ngroups == 0:

@@ -992,6 +992,10 @@ class GreengageEngine:
         PG 9.1 wCTE, rewriteHandler.c): each INSERT/UPDATE/DELETE CTE
         runs exactly once in statement order, its RETURNING set becomes
         the CTE's rows; plain CTEs re-attach to the final statement.
+        Documented divergence (COVERAGE.md): PG evaluates all wCTE
+        bodies against one shared pre-statement snapshot; here they run
+        sequentially, so a later body re-reading a table an earlier body
+        modified sees the modification.
         Returns _NOT_WCTE when no CTE body is DML (plain WITH query)."""
         from greengage_spark.dialect.recursive_sql import parse_with_clauses
 
@@ -1308,6 +1312,19 @@ class GreengageEngine:
         from greengage_spark.sources.external import parse_create_external
 
         etd = parse_create_external(stmt)
+        from greengage_spark.sources.external import ExecuteExternalTable
+
+        if isinstance(etd.table, ExecuteExternalTable) and self.gucs.current(
+            "greengage.enable_external_execute"
+        ).lower() not in ("on", "true", "1"):
+            # Trust boundary: EXECUTE-protocol tables run shell commands on
+            # executors.  The reference restricts creation to superusers
+            # (src/backend/catalog/pg_exttable.c); here the analog is an
+            # explicit session opt-in.
+            raise PermissionError(
+                "EXECUTE-protocol external tables run shell commands; "
+                "enable with SET greengage.enable_external_execute = on"
+            )
         if etd.name in self.ddl.tables or etd.name in self.external:
             raise ValueError(f"table {etd.name!r} already exists")
         self.external[etd.name] = etd

@@ -36,12 +36,14 @@ def _render_interval(
     """EncodeInterval, postgres style: plural units, zero parts omitted,
     all-zero → '00:00:00'; negative fields carry their own sign."""
     parts: list[str] = []
+    # datetime.c AddPostgresIntPart pluralizes on value != 1, so negative
+    # singulars read "-1 days" exactly as psql prints them
     if years:
-        parts.append(f"{years} year" + ("s" if abs(years) != 1 else ""))
+        parts.append(f"{years} year" + ("s" if years != 1 else ""))
     if months:
-        parts.append(f"{months} mon" + ("s" if abs(months) != 1 else ""))
+        parts.append(f"{months} mon" + ("s" if months != 1 else ""))
     if days:
-        parts.append(f"{days} day" + ("s" if abs(days) != 1 else ""))
+        parts.append(f"{days} day" + ("s" if days != 1 else ""))
     if us_time or not parts:
         sign = "-" if us_time < 0 else ""
         a = abs(us_time)
@@ -102,14 +104,20 @@ def justify_interval_parts(
     timedelta; year-month inputs never reach here (they stay symbolic in
     the engine's decomposed-literal form)."""
     total_us = round(td.total_seconds() * 1_000_000)
-    days, rem = divmod(total_us, 86_400_000_000)
-    if not days_from_hours:
-        # keep the original day count, only months re-bucket
-        days = td.days
-        rem = total_us - days * 86_400_000_000
+    # PG's TMODULO (timestamp.c) truncates toward zero, so every bucket
+    # shares the interval's sign (-25 hours → -1 day -1 hour, never
+    # -2 days +23).  Python's divmod floors; compute on abs + re-sign.
+    # Spark day-time intervals are one collapsed microsecond count, so
+    # the truncating split IS the interval's day field here — the
+    # days_from_hours distinction only exists with separate PG fields.
+    sign = -1 if total_us < 0 else 1
+    days, rem = divmod(abs(total_us), 86_400_000_000)
+    days, rem = sign * days, sign * rem
     months = 0
     if months_from_days:
-        months, days = divmod(days, 30)
+        dsign = -1 if days < 0 else 1
+        months, days = divmod(abs(days), 30)
+        months, days = dsign * months, dsign * days
     return _render_interval(0, int(months), int(days), int(rem))
 
 

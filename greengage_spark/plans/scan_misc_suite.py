@@ -925,6 +925,7 @@ def external_execute_scan(spark, sf_dir):
     from greengage_spark.engine import GreengageEngine
 
     eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_exec_"))
+    eng.execute("SET greengage.enable_external_execute = on")
     eng.execute(
         "CREATE EXTERNAL WEB TABLE seg_slices (n int8) EXECUTE "
         "'seq $((GP_SEGMENT_ID * 5 + 1)) $((GP_SEGMENT_ID * 5 + 5))' "

@@ -644,6 +644,13 @@ class TestQuoteAndJsonComposition:
         assert self._one(spark, "quote_ident('Mixed Case')") == '"Mixed Case"'
         assert self._one(spark, "quote_ident('we\"ird')") == '"we""ird"'
 
+    def test_quote_funcs_are_strict(self, spark):
+        """quote.c quote_ident/quote_literal are STRICT — NULL in, NULL
+        out; the template must not pick up the user-concat NULL-skip
+        rewrite (which would return '""' / '''''')."""
+        assert self._one(spark, "quote_ident(CAST(NULL AS STRING))") is None
+        assert self._one(spark, "quote_literal(CAST(NULL AS STRING))") is None
+
     def test_quote_literal_column(self, spark):
         spark.createDataFrame([("O'Brien",)], "name string").createOrReplaceTempView(
             "__qlit"
@@ -721,6 +728,12 @@ class TestFormatAndIntrospection:
         # PG: %s renders NULL as '', %L as unquoted NULL
         assert self._one(spark, "format('[%s] [%L]', NULL, NULL)") == "[] [NULL]"
         assert self._one(spark, "format('100%% of %s', 'it')") == "100% of it"
+        # %I with NULL raises, as text_format does
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="SQL identifier"):
+            pg_sql(
+                spark, "SELECT format('%I', CAST(NULL AS STRING)) AS v"
+            ).collect()
 
     def test_pg_typeof(self, spark):
         row = pg_sql(
@@ -768,6 +781,12 @@ class TestFormatAndIntrospection:
             spark, "SELECT regexp_matches('FOO', 'foo', 'i') AS m"
         ).collect()
         assert [r.m for r in rows] == [["FOO"]]
+        # 'i' flag must not eat leading e/E pattern chars (advice r5)
+        rows = pg_sql(
+            spark,
+            "SELECT regexp_matches('go EAST then west', 'east|west', 'gi') AS m",
+        ).collect()
+        assert [r.m for r in rows] == [["EAST"], ["west"]]
 
     def test_misc_utils(self, spark):
         row = pg_sql(
@@ -970,6 +989,20 @@ class TestFormatAndIntrospection:
         assert row.jd == "1 mon 5 days"
         assert row.jh == "1 day 03:00:00"
         assert row.ji == "1 mon 1 day 11:00:00"
+
+    def test_justify_negative_intervals(self, spark):
+        """timestamp.c TMODULO truncates toward zero, so every bucket
+        shares the interval's sign: -25 hours justifies to
+        -1 days -01:00:00, never -2 days +23 (advice r5)."""
+        row = pg_sql(
+            spark,
+            "SELECT justify_hours(interval '-25 hours') AS jh, "
+            "justify_days(interval '-35 days') AS jd, "
+            "justify_interval(interval '-755 hours') AS ji",
+        ).collect()[0]
+        assert row.jh == "-1 days -01:00:00"
+        assert row.jd == "-1 mons -5 days"
+        assert row.ji == "-1 mons -1 days -11:00:00"
 
     def test_concat_skips_nulls(self, spark):
         """varlena.c text_concat is variadic and skips NULLs (|| does

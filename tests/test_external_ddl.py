@@ -73,7 +73,17 @@ class TestLocationExternal:
 
 
 class TestExecuteExternal:
+    def test_execute_requires_opt_in(self, eng):
+        # trust boundary: shell execution is gated off by default, the
+        # analog of the reference's superuser-only EXECUTE protocol
+        with pytest.raises(PermissionError, match="enable_external_execute"):
+            eng.execute(
+                "CREATE EXTERNAL WEB TABLE nope (n int8) "
+                "EXECUTE 'seq 1 5' ON MASTER FORMAT 'TEXT'"
+            )
+
     def test_execute_on_master(self, eng):
+        eng.execute("SET greengage.enable_external_execute = on")
         eng.execute(
             "CREATE EXTERNAL WEB TABLE seqs (n int8) "
             "EXECUTE 'seq 1 5' ON MASTER FORMAT 'TEXT'"
@@ -85,6 +95,7 @@ class TestExecuteExternal:
     def test_execute_per_segment_env(self, eng):
         # each declared segment contributes its own GP_SEGMENT_ID line —
         # the reference's per-segment fan-out contract (url_execute.c)
+        eng.execute("SET greengage.enable_external_execute = on")
         eng.execute(
             'CREATE EXTERNAL WEB TABLE segids (seg int8) '
             'EXECUTE \'echo "$GP_SEGMENT_ID"\' ON 4 FORMAT \'TEXT\''
@@ -94,6 +105,7 @@ class TestExecuteExternal:
         ]
 
     def test_execute_csv_parse(self, eng):
+        eng.execute("SET greengage.enable_external_execute = on")
         eng.execute(
             "CREATE EXTERNAL WEB TABLE kv (k int8, v text) "
             "EXECUTE 'printf \"1,a\\n2,b\\n\"' ON MASTER FORMAT 'CSV'"
@@ -101,6 +113,7 @@ class TestExecuteExternal:
         assert rows(eng.execute("SELECT * FROM kv")) == [(1, "a"), (2, "b")]
 
     def test_failing_command_raises(self, eng):
+        eng.execute("SET greengage.enable_external_execute = on")
         eng.execute(
             "CREATE EXTERNAL WEB TABLE boom (a int8) "
             "EXECUTE 'exit 3' ON MASTER FORMAT 'TEXT'"
