@@ -5391,8 +5391,14 @@ def _pass_subscripts(toks: list[str]) -> list[str]:
         toks = toks[:start] + new + toks[end + 1 :]
 
 
+# argument text may nest parens two levels deep (parenthesized macro
+# args, function calls) — e.g. generate_series(($1), ($2)) from an
+# expanded SETOF plpgsql FOR loop
+_PARENS2 = r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*"
+
 _GENSERIES_FROM_RE = re.compile(
-    r"\bFROM\s+generate_series\s*\(([^()]*)\)\s*(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\)",
+    r"\bFROM\s+generate_series\s*\((" + _PARENS2 + r")\)\s*"
+    r"(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\)",
     re.IGNORECASE,
 )
 
@@ -5401,7 +5407,7 @@ _GENSERIES_FROM_RE = re.compile(
 # too, gram.y func_alias_clause).  A trailing keyword is not an alias.
 _GENSERIES_FROM_BARE_RE = re.compile(
     # gram.y accepts the alias glued to the close paren: generate_series(1,2)a
-    r"\bFROM\s+generate_series\s*\(([^()]*)\)"
+    r"\bFROM\s+generate_series\s*\((" + _PARENS2 + r")\)"
     r"(?:\s*(?:AS\s+)?"
     r"(?!WHERE\b|GROUP\b|ORDER\b|HAVING\b|LIMIT\b|OFFSET\b|UNION\b|INTERSECT\b"
     r"|EXCEPT\b|JOIN\b|ON\b|USING\b|LEFT\b|RIGHT\b|FULL\b|INNER\b|CROSS\b|AS\b)"

@@ -1,0 +1,1082 @@
+"""Interpreter for the procedural PL/pgSQL subset.
+
+Reference semantics being reproduced (src/pl/plpgsql/src/pl_exec.c,
+pl_gram.y; regress battery src/test/regress/sql/plpgsql.sql):
+
+* ``FOR i IN [REVERSE] a .. b [BY s] LOOP`` (exec_stmt_fori) — bounds
+  evaluated once, BY must be > 0, REVERSE iterates downward, zero
+  iterations when the range is empty in the iteration direction.
+* ``FOREACH x IN ARRAY expr LOOP`` (exec_stmt_foreach_a).
+* ``WHILE cond LOOP`` / bare ``LOOP`` (exec_stmt_while / exec_stmt_loop)
+  with ``EXIT [WHEN cond]`` and ``CONTINUE [WHEN cond]``.
+* ``IF / ELSIF / ELSE`` with full statement bodies (exec_stmt_if).
+* Nested ``BEGIN ... [EXCEPTION WHEN cond [OR cond] THEN ...] END``
+  blocks (exec_stmt_block:3245): handlers match by condition name,
+  ``others`` catches everything, division by zero maps to
+  ``division_by_zero`` exactly as errcodes.h assigns it.
+* ``RAISE [EXCEPTION|NOTICE|...] 'fmt' [, arg...]`` (exec_stmt_raise)
+  with ``%`` placeholder substitution; non-error levels are no-ops here
+  (there is no client to send notices to from an executor).
+
+Bodies that fold to a single SQL expression never reach this module —
+``operators.udf_ddl.plpgsql_to_expr`` lowers those into Catalyst (the
+fast JVM path, including bounded FOR loops as ``aggregate(sequence())``
+folds).  This interpreter is the fallback for genuinely procedural
+bodies and registers as a row-at-a-time Python UDF — the same
+execution model as the reference's own interpreted PL/pgSQL, and just
+like there, keep it off the hot path.
+
+Expressions compile once (at CREATE FUNCTION time) to closure trees
+with SQL three-valued logic; variables live in a per-call dict env.
+An iteration cap guards runaway WHILE loops on executors.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+_ITERATION_CAP = 10_000_000  # runaway-loop guard per loop statement
+
+
+class PlPgSQLError(Exception):
+    """A raised / caught PL error with its condition name (errcodes.h)."""
+
+    def __init__(self, condition: str, message: str):
+        super().__init__(message)
+        self.condition = condition
+        self.message = message
+
+
+class _Return(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+class _Exit(Exception):
+    pass
+
+
+class _Continue(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+|--[^\n]*)
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+    | (?P<dots>\.\.)
+    | (?P<param>\$\d+)
+    | (?P<ident>[a-zA-Z_][\w$]*)
+    | (?P<op>:=|<>|!=|<=|>=|\|\||::|[-+*/%<>=(),;\[\].])
+    """,
+    re.X,
+)
+
+
+def _tokenize(src: str) -> list[str]:
+    src = re.sub(r"/\*.*?\*/", " ", src, flags=re.DOTALL)
+    toks: list[str] = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise NotImplementedError(
+                f"plpgsql: cannot tokenize at {src[pos:pos + 20]!r}"
+            )
+        pos = m.end()
+        if m.lastgroup == "ws":
+            continue
+        toks.append(m.group(0))
+    return toks
+
+
+def _is_ident(t: str) -> bool:
+    return bool(re.match(r"^[a-zA-Z_]", t))
+
+
+# ---------------------------------------------------------------------------
+# SQL value helpers: three-valued logic, PG arithmetic
+# ---------------------------------------------------------------------------
+
+
+def _to_text(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+def _num2(a, b, op):
+    if a is None or b is None:
+        return None
+    return op(a, b)
+
+
+def _div(a, b):
+    if a is None or b is None:
+        return None
+    if isinstance(a, int) and isinstance(b, int):
+        if b == 0:
+            raise ZeroDivisionError("division by zero")
+        q = abs(a) // abs(b)  # int4div truncates toward zero
+        return q if (a >= 0) == (b >= 0) else -q
+    return a / b  # float division raises ZeroDivisionError itself
+
+
+def _mod(a, b):
+    if a is None or b is None:
+        return None
+    if b == 0:
+        raise ZeroDivisionError("division by zero")
+    r = abs(a) % abs(b)  # int4mod: sign of the dividend
+    return r if a >= 0 else -r
+
+
+def _cat(a, b):
+    # PG textcat is strict; array || element/array concatenates
+    if a is None or b is None:
+        return None
+    if isinstance(a, list) and isinstance(b, list):
+        return a + b
+    if isinstance(a, list):
+        return a + [b]
+    if isinstance(b, list):
+        return [a] + b
+    return _to_text(a) + _to_text(b)
+
+
+def _cmp(a, b, op):
+    if a is None or b is None:
+        return None
+    if isinstance(a, bool) != isinstance(b, bool) and not (
+        isinstance(a, (int, float)) and isinstance(b, (int, float))
+    ):
+        a, b = _to_text(a), _to_text(b)
+    return op(a, b)
+
+
+def _and(a, b):
+    if a is False or b is False:
+        return False
+    if a is None or b is None:
+        return None
+    return True
+
+
+def _or(a, b):
+    if a is True or b is True:
+        return True
+    if a is None or b is None:
+        return None
+    return False
+
+
+def _not(a):
+    return None if a is None else (not a)
+
+
+def _round_half_away(v, s=0):
+    # numeric round: half away from zero (PG), not banker's
+    if v is None:
+        return None
+    m = 10 ** s
+    x = v * m
+    r = math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+    return r / m if s else int(r)
+
+
+def _cast_int(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, str):
+        return int(v.strip())
+    if isinstance(v, float):
+        return int(_round_half_away(v))  # numeric→int rounds half away
+    return int(v)
+
+
+def _cast_float(v):
+    if v is None:
+        return None
+    return float(v.strip()) if isinstance(v, str) else float(v)
+
+
+def _cast_bool(v):
+    if v is None:
+        return None
+    if isinstance(v, str):
+        s = v.strip().lower()
+        if s in ("t", "true", "yes", "on", "1"):
+            return True
+        if s in ("f", "false", "no", "off", "0"):
+            return False
+        raise PlPgSQLError(
+            "invalid_text_representation",
+            f"invalid input syntax for type boolean: {v!r}",
+        )
+    return bool(v)
+
+
+_CASTS = {
+    "int": _cast_int, "int2": _cast_int, "int4": _cast_int,
+    "int8": _cast_int, "integer": _cast_int, "bigint": _cast_int,
+    "smallint": _cast_int,
+    "float4": _cast_float, "float8": _cast_float, "real": _cast_float,
+    "numeric": _cast_float, "decimal": _cast_float, "float": _cast_float,
+    "double": _cast_float,
+    "text": _to_text, "varchar": _to_text, "char": _to_text,
+    "bpchar": _to_text,
+    "bool": _cast_bool, "boolean": _cast_bool,
+}
+
+
+def _strict(f):
+    def g(*a):
+        if any(x is None for x in a):
+            return None
+        return f(*a)
+
+    return g
+
+
+def _pg_substr(s, i, n=None):
+    # varlena.c text_substr: 1-based, negative starts clip
+    if n is None:
+        start = max(i - 1, 0)
+        return s[start:]
+    if n < 0:
+        raise PlPgSQLError(
+            "substring_error", "negative substring length not allowed"
+        )
+    start, end = i - 1, i - 1 + n
+    return s[max(start, 0) : max(end, 0)]
+
+
+def _least(*a):
+    vs = [x for x in a if x is not None]
+    return min(vs) if vs else None
+
+
+def _greatest(*a):
+    vs = [x for x in a if x is not None]
+    return max(vs) if vs else None
+
+
+def _coalesce(*a):
+    for x in a:
+        if x is not None:
+            return x
+    return None
+
+
+_FUNCS = {
+    "abs": _strict(abs),
+    "mod": _strict(_mod),
+    "length": _strict(len),
+    "char_length": _strict(len),
+    "character_length": _strict(len),
+    "upper": _strict(str.upper),
+    "lower": _strict(str.lower),
+    "substr": _strict(_pg_substr),
+    "substring": _strict(_pg_substr),
+    "strpos": _strict(lambda s, sub: s.find(sub) + 1),
+    "position": _strict(lambda sub, s: s.find(sub) + 1),
+    "replace": _strict(lambda s, a, b: s.replace(a, b)),
+    "repeat": _strict(lambda s, n: s * max(n, 0)),
+    "left": _strict(lambda s, n: s[:n] if n >= 0 else s[: len(s) + n]),
+    "right": _strict(lambda s, n: (s[-n:] if n else "") if n >= 0 else s[-n:]),
+    "trim": _strict(str.strip),
+    "btrim": _strict(lambda s, c=None: s.strip(c)),
+    "ltrim": _strict(lambda s, c=None: s.lstrip(c)),
+    "rtrim": _strict(lambda s, c=None: s.rstrip(c)),
+    "reverse": _strict(lambda s: s[::-1]),
+    "initcap": _strict(lambda s: re.sub(r"\w+", lambda m: m.group(0).capitalize(), s)),
+    "chr": _strict(chr),
+    "ascii": _strict(ord),
+    "coalesce": _coalesce,
+    "nullif": lambda a, b: None if a == b else a,
+    "least": _least,
+    "greatest": _greatest,
+    "floor": _strict(lambda v: float(math.floor(v))),
+    "ceil": _strict(lambda v: float(math.ceil(v))),
+    "ceiling": _strict(lambda v: float(math.ceil(v))),
+    "round": _strict(_round_half_away),
+    "trunc": _strict(lambda v, s=0: math.trunc(v * 10 ** s) / 10 ** s if s else math.trunc(v)),
+    "power": _strict(lambda a, b: float(a) ** b),
+    "pow": _strict(lambda a, b: float(a) ** b),
+    "sqrt": _strict(math.sqrt),
+    "exp": _strict(math.exp),
+    "ln": _strict(math.log),
+    "log": _strict(math.log10),  # PG single-arg log = log10
+    "sign": _strict(lambda v: float((v > 0) - (v < 0))),
+    "pi": lambda: math.pi,
+    "array_length": _strict(lambda a, d: len(a) if d == 1 and a else None),
+    "array_upper": _strict(lambda a, d: len(a) if d == 1 and a else None),
+    "array_lower": _strict(lambda a, d: 1 if d == 1 and a else None),
+    "cardinality": _strict(len),
+    "array_append": lambda a, x: (a or []) + [x],
+    "array_prepend": lambda x, a: [x] + (a or []),
+    "concat": lambda *a: "".join(_to_text(x) for x in a if x is not None),
+}
+
+
+# ---------------------------------------------------------------------------
+# expression compiler (Pratt): token stream -> closure(env) -> value
+# ---------------------------------------------------------------------------
+
+_CMP_OPS = {
+    "=": lambda a, b: _cmp(a, b, lambda x, y: x == y),
+    "<>": lambda a, b: _cmp(a, b, lambda x, y: x != y),
+    "!=": lambda a, b: _cmp(a, b, lambda x, y: x != y),
+    "<": lambda a, b: _cmp(a, b, lambda x, y: x < y),
+    "<=": lambda a, b: _cmp(a, b, lambda x, y: x <= y),
+    ">": lambda a, b: _cmp(a, b, lambda x, y: x > y),
+    ">=": lambda a, b: _cmp(a, b, lambda x, y: x >= y),
+}
+
+_ADD_OPS = {
+    "+": lambda a, b: _num2(a, b, lambda x, y: x + y),
+    "-": lambda a, b: _num2(a, b, lambda x, y: x - y),
+}
+
+_MUL_OPS = {
+    "*": lambda a, b: _num2(a, b, lambda x, y: x * y),
+    "/": _div,
+    "%": _mod,
+}
+
+
+class _ExprParser:
+    """Pratt parser over the shared token list; returns closures."""
+
+    def __init__(self, toks: list[str], pos: int):
+        self.toks = toks
+        self.pos = pos
+
+    def peek(self) -> str | None:
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def peek_low(self) -> str | None:
+        t = self.peek()
+        return t.lower() if t is not None and _is_ident(t) else t
+
+    def take(self) -> str:
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def expect(self, tok: str) -> None:
+        t = self.take()
+        if (t.lower() if _is_ident(t) else t) != tok:
+            raise NotImplementedError(
+                f"plpgsql expression: expected {tok!r}, got {t!r}"
+            )
+
+    # precedence climbing ---------------------------------------------------
+
+    def parse(self):
+        return self._or()
+
+    def _or(self):
+        left = self._and()
+        while self.peek_low() == "or":
+            self.take()
+            right = self._and()
+            left = (lambda l, r: lambda env: _or(l(env), r(env)))(left, right)
+        return left
+
+    def _and(self):
+        left = self._not()
+        while self.peek_low() == "and":
+            self.take()
+            right = self._not()
+            left = (lambda l, r: lambda env: _and(l(env), r(env)))(left, right)
+        return left
+
+    def _not(self):
+        if self.peek_low() == "not":
+            self.take()
+            inner = self._not()
+            return lambda env: _not(inner(env))
+        return self._comparison()
+
+    def _comparison(self):
+        left = self._additive()
+        t = self.peek()
+        if t in _CMP_OPS:
+            op = _CMP_OPS[self.take()]
+            right = self._additive()
+            return (lambda l, r, o: lambda env: o(l(env), r(env)))(left, right, op)
+        if self.peek_low() == "is":
+            self.take()
+            neg = False
+            if self.peek_low() == "not":
+                self.take()
+                neg = True
+            nxt = self.peek_low()
+            if nxt == "null":
+                self.take()
+                return (
+                    (lambda l: lambda env: l(env) is not None)(left)
+                    if neg
+                    else (lambda l: lambda env: l(env) is None)(left)
+                )
+            raise NotImplementedError("plpgsql: IS supports only [NOT] NULL")
+        if self.peek_low() == "between":
+            self.take()
+            lo = self._additive()
+            self.expect("and")
+            hi = self._additive()
+            return (
+                lambda l, a, b: lambda env: _and(
+                    _cmp(l(env), a(env), lambda x, y: x >= y),
+                    _cmp(l(env), b(env), lambda x, y: x <= y),
+                )
+            )(left, lo, hi)
+        return left
+
+    def _additive(self):
+        left = self._multiplicative()
+        while True:
+            t = self.peek()
+            if t == "||":
+                self.take()
+                right = self._multiplicative()
+                left = (lambda l, r: lambda env: _cat(l(env), r(env)))(left, right)
+            elif t in _ADD_OPS:
+                op = _ADD_OPS[self.take()]
+                right = self._multiplicative()
+                left = (lambda l, r, o: lambda env: o(l(env), r(env)))(
+                    left, right, op
+                )
+            else:
+                return left
+
+    def _multiplicative(self):
+        left = self._unary()
+        while self.peek() in _MUL_OPS:
+            op = _MUL_OPS[self.take()]
+            right = self._unary()
+            left = (lambda l, r, o: lambda env: o(l(env), r(env)))(left, right, op)
+        return left
+
+    def _unary(self):
+        t = self.peek()
+        if t == "-":
+            self.take()
+            inner = self._unary()
+            return lambda env: None if inner(env) is None else -inner(env)
+        if t == "+":
+            self.take()
+            return self._unary()
+        return self._postfix()
+
+    def _postfix(self):
+        e = self._primary()
+        while True:
+            t = self.peek()
+            if t == "::":
+                self.take()
+                tname = self.take().lower()
+                # swallow precision/length parens and [] array suffix
+                if self.peek() == "(":
+                    depth = 0
+                    while True:
+                        tk = self.take()
+                        depth += tk == "(" and 1 or (tk == ")" and -1 or 0)
+                        if depth == 0:
+                            break
+                if self.peek() == "[":
+                    self.take()
+                    self.expect("]")
+                    e = (lambda inner: lambda env: inner(env))(e)
+                    continue
+                cast = _CASTS.get(tname)
+                if cast is None:
+                    raise NotImplementedError(
+                        f"plpgsql: cast to {tname!r} not supported"
+                    )
+                e = (lambda inner, c: lambda env: c(inner(env)))(e, cast)
+            elif t == "[":
+                self.take()
+                idx = self.parse()
+                self.expect("]")
+                e = (
+                    lambda inner, ix: lambda env: _subscript(inner(env), ix(env))
+                )(e, idx)
+            else:
+                return e
+
+    def _primary(self):
+        t = self.peek()
+        if t is None:
+            raise NotImplementedError("plpgsql: unexpected end of expression")
+        if t == "(":
+            self.take()
+            e = self.parse()
+            self.expect(")")
+            return e
+        if t.startswith("'"):
+            self.take()
+            s = t[1:-1].replace("''", "'")
+            return lambda env, _s=s: _s
+        if re.match(r"^\d", t):
+            self.take()
+            v = float(t) if ("." in t or "e" in t.lower()) else int(t)
+            return lambda env, _v=v: _v
+        if t.startswith("$"):
+            self.take()
+            return lambda env, _n=t: env[_n]
+        low = t.lower()
+        if low == "null":
+            self.take()
+            return lambda env: None
+        if low in ("true", "false"):
+            self.take()
+            return lambda env, _v=(low == "true"): _v
+        if low == "case":
+            return self._case()
+        if low == "array" and self.pos + 1 < len(self.toks) and self.toks[self.pos + 1] == "[":
+            self.take()
+            self.take()  # [
+            items = []
+            if self.peek() != "]":
+                items.append(self.parse())
+                while self.peek() == ",":
+                    self.take()
+                    items.append(self.parse())
+            self.expect("]")
+            return lambda env, _it=items: [f(env) for f in _it]
+        if _is_ident(t):
+            self.take()
+            if self.peek() == "(":
+                self.take()
+                args = []
+                if self.peek() != ")":
+                    args.append(self.parse())
+                    while self.peek() == ",":
+                        self.take()
+                        args.append(self.parse())
+                self.expect(")")
+                fn = _FUNCS.get(low)
+                if fn is None:
+                    raise NotImplementedError(
+                        f"plpgsql interpreter: function {low!r} not in the "
+                        "supported subset"
+                    )
+                return lambda env, _f=fn, _a=args: _f(*(g(env) for g in _a))
+            return lambda env, _n=low: _lookup(env, _n)
+        raise NotImplementedError(f"plpgsql expression: unexpected token {t!r}")
+
+    def _case(self):
+        self.expect("case")
+        whens = []
+        while self.peek_low() == "when":
+            self.take()
+            c = self.parse()
+            self.expect("then")
+            v = self.parse()
+            whens.append((c, v))
+        els = None
+        if self.peek_low() == "else":
+            self.take()
+            els = self.parse()
+        self.expect("end")
+
+        def run(env, _w=whens, _e=els):
+            for c, v in _w:
+                if c(env) is True:
+                    return v(env)
+            return _e(env) if _e is not None else None
+
+        return run
+
+
+def _subscript(arr, i):
+    if arr is None or i is None:
+        return None
+    return arr[i - 1] if 1 <= i <= len(arr) else None  # 1-based, OOB → NULL
+
+
+def _lookup(env, name):
+    try:
+        return env[name]
+    except KeyError:
+        raise PlPgSQLError(
+            "undefined_column", f'column "{name}" does not exist'
+        ) from None
+
+
+# ---------------------------------------------------------------------------
+# statement parser
+# ---------------------------------------------------------------------------
+
+_LEVELS = ("exception", "notice", "warning", "info", "log", "debug")
+
+
+class _StmtParser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.pos = 0
+        self.casts: dict[str, object] = {}  # var -> declared-type cast fn
+
+    def peek_low(self, off: int = 0) -> str | None:
+        i = self.pos + off
+        if i >= len(self.toks):
+            return None
+        t = self.toks[i]
+        return t.lower() if _is_ident(t) else t
+
+    def take(self) -> str:
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def expect(self, *words: str) -> None:
+        for w in words:
+            t = self.take()
+            if (t.lower() if _is_ident(t) else t) != w:
+                raise NotImplementedError(
+                    f"plpgsql: expected {w!r}, got {t!r}"
+                )
+
+    def expr(self):
+        ep = _ExprParser(self.toks, self.pos)
+        e = ep.parse()
+        self.pos = ep.pos
+        return e
+
+    def opt_semi(self) -> None:
+        if self.peek_low() == ";":
+            self.take()
+
+    # ---- block & statements ----
+
+    def parse_block(self):
+        decls = []
+        if self.peek_low() == "declare":
+            self.take()
+            while self.peek_low() != "begin":
+                decls.append(self._decl())
+        self.expect("begin")
+        body = self._stmts(until=("exception", "end"))
+        handlers = []
+        if self.peek_low() == "exception":
+            self.take()
+            while self.peek_low() == "when":
+                self.take()
+                conds = [self.take().lower()]
+                while self.peek_low() == "or":
+                    self.take()
+                    conds.append(self.take().lower())
+                self.expect("then")
+                hbody = self._stmts(until=("when", "end"))
+                handlers.append((frozenset(conds), hbody))
+        self.expect("end")
+        self.opt_semi()
+        return ("block", decls, body, handlers)
+
+    def _decl(self):
+        name = self.take().lower()
+        if self.peek_low() == "alias":
+            self.expect("alias", "for")
+            param = self.take()
+            self.expect(";")
+            return ("alias", name, param)
+        if self.peek_low() == "constant":
+            self.take()
+        tname = self.take().lower()
+        if tname == "double" and self.peek_low() == "precision":
+            self.take()
+        if self.peek() == "(":  # varchar(10), numeric(10,2)
+            while self.take() != ")":
+                pass
+        is_array = False
+        if self.peek() == "[":
+            self.take()
+            self.expect("]")
+            is_array = True
+        if self.peek_low() == "not":
+            self.expect("not", "null")
+        init = None
+        if self.peek_low() in (":=", "=", "default"):
+            self.take()
+            init = self.expr()
+        self.expect(";")
+        cast = (lambda v: v) if is_array else _CASTS.get(tname)
+        if cast is None:
+            raise NotImplementedError(
+                f"plpgsql: declared type {tname!r} not supported"
+            )
+        self.casts[name] = cast
+        return ("var", name, cast, init)
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def _stmts(self, until: tuple[str, ...]):
+        out = []
+        while True:
+            t = self.peek_low()
+            if t is None:
+                raise NotImplementedError(
+                    f"plpgsql: unexpected end, wanted one of {until}"
+                )
+            if t in until:
+                return out
+            out.append(self._stmt())
+
+    def _stmt(self):
+        t = self.peek_low()
+        if t == "return":
+            self.take()
+            if self.peek_low() in ("next", "query"):
+                raise NotImplementedError(
+                    "plpgsql interpreter: RETURN NEXT/QUERY — SETOF bodies "
+                    "lower to inline table macros (udf_ddl)"
+                )
+            if self.peek_low() == ";":
+                self.take()
+                return ("return", None)
+            e = self.expr()
+            self.expect(";")
+            return ("return", e)
+        if t == "if":
+            return self._if()
+        if t == "for":
+            return self._for()
+        if t == "foreach":
+            return self._foreach()
+        if t == "while":
+            self.take()
+            cond = self.expr()
+            self.expect("loop")
+            body = self._stmts(until=("end",))
+            self.expect("end", "loop")
+            self.opt_semi()
+            return ("while", cond, body)
+        if t == "loop":
+            self.take()
+            body = self._stmts(until=("end",))
+            self.expect("end", "loop")
+            self.opt_semi()
+            return ("while", lambda env: True, body)
+        if t in ("exit", "continue"):
+            self.take()
+            cond = None
+            if self.peek_low() == "when":
+                self.take()
+                cond = self.expr()
+            self.expect(";")
+            return (t, cond)
+        if t == "raise":
+            return self._raise()
+        if t == "null":
+            self.take()
+            self.expect(";")
+            return ("null",)
+        if t in ("begin", "declare"):
+            return self.parse_block()
+        if t in ("perform", "select", "insert", "update", "delete", "execute",
+                 "get", "open", "fetch", "close"):
+            raise NotImplementedError(
+                f"plpgsql interpreter: {t.upper()} needs the SQL engine — "
+                "not available inside a row UDF; use LANGUAGE sql or a "
+                "SETOF table macro"
+            )
+        # assignment: name := expr  (also the SQL-standard = spelling)
+        name = self.take().lower()
+        if self.peek_low() not in (":=", "="):
+            raise NotImplementedError(f"plpgsql: statement not understood at {name!r}")
+        self.take()
+        e = self.expr()
+        self.expect(";")
+        cast = self.casts.get(name)
+        return ("assign", name, e, cast)
+
+    def _if(self):
+        self.expect("if")
+        arms = []
+        cond = self.expr()
+        self.expect("then")
+        body = self._stmts(until=("elsif", "elseif", "else", "end"))
+        arms.append((cond, body))
+        while self.peek_low() in ("elsif", "elseif"):
+            self.take()
+            c = self.expr()
+            self.expect("then")
+            b = self._stmts(until=("elsif", "elseif", "else", "end"))
+            arms.append((c, b))
+        els = []
+        if self.peek_low() == "else":
+            self.take()
+            els = self._stmts(until=("end",))
+        self.expect("end", "if")
+        self.opt_semi()
+        return ("if", arms, els)
+
+    def _for(self):
+        self.expect("for")
+        var = self.take().lower()
+        self.expect("in")
+        reverse = False
+        if self.peek_low() == "reverse":
+            self.take()
+            reverse = True
+        lo = self.expr()
+        if self.peek() != "..":
+            raise NotImplementedError(
+                "plpgsql interpreter: FOR-over-query needs the SQL engine; "
+                "only FOR var IN [REVERSE] a .. b [BY s] is interpretable"
+            )
+        self.take()
+        hi = self.expr()
+        step = None
+        if self.peek_low() == "by":
+            self.take()
+            step = self.expr()
+        self.expect("loop")
+        body = self._stmts(until=("end",))
+        self.expect("end", "loop")
+        self.opt_semi()
+        return ("forrange", var, lo, hi, step, reverse, body)
+
+    def _foreach(self):
+        self.expect("foreach")
+        var = self.take().lower()
+        if self.peek_low() == "slice":
+            raise NotImplementedError(
+                "plpgsql: FOREACH ... SLICE (multi-dim arrays are 1-D here)"
+            )
+        self.expect("in", "array")
+        arr = self.expr()
+        self.expect("loop")
+        body = self._stmts(until=("end",))
+        self.expect("end", "loop")
+        self.opt_semi()
+        return ("foreach", var, arr, body)
+
+    def _raise(self):
+        self.expect("raise")
+        level = "exception"
+        if self.peek_low() in _LEVELS:
+            level = self.take().lower()
+        fmt = None
+        args = []
+        if self.peek_low() != ";":
+            ft = self.take()
+            if not ft.startswith("'"):
+                # RAISE division_by_zero; — condition-name form
+                self.expect(";")
+                return ("raise", level, None, [], ft.lower())
+            fmt = ft[1:-1].replace("''", "'")
+            while self.peek_low() == ",":
+                self.take()
+                args.append(self.expr())
+            if self.peek_low() == "using":
+                raise NotImplementedError("plpgsql: RAISE ... USING")
+        self.expect(";")
+        return ("raise", level, fmt, args, "raise_exception")
+
+
+# ---------------------------------------------------------------------------
+# executor
+# ---------------------------------------------------------------------------
+
+
+def _exec_stmts(stmts, env):
+    for s in stmts:
+        _exec_stmt(s, env)
+
+
+def _exec_stmt(s, env):  # noqa: C901 - one dispatch switch, pl_exec.c style
+    kind = s[0]
+    if kind == "assign":
+        _, name, e, cast = s
+        v = e(env)
+        env[name] = cast(v) if cast is not None else v
+    elif kind == "return":
+        raise _Return(s[1](env) if s[1] is not None else None)
+    elif kind == "if":
+        _, arms, els = s
+        for cond, body in arms:
+            if cond(env) is True:
+                _exec_stmts(body, env)
+                return
+        _exec_stmts(els, env)
+    elif kind == "forrange":
+        _, var, lo_e, hi_e, step_e, reverse, body = s
+        lo, hi = lo_e(env), hi_e(env)
+        if lo is None or hi is None:
+            raise PlPgSQLError(
+                "null_value_not_allowed",
+                "lower/upper bound of FOR loop cannot be null",
+            )
+        step = step_e(env) if step_e is not None else 1
+        if step is None or step <= 0:
+            raise PlPgSQLError(
+                "invalid_parameter_value", "BY value of FOR loop must be greater than zero"
+            )
+        it = range(int(lo), int(hi) - 1, -int(step)) if reverse else range(
+            int(lo), int(hi) + 1, int(step)
+        )
+        _run_loop(it, var, body, env)
+    elif kind == "foreach":
+        _, var, arr_e, body = s
+        arr = arr_e(env)
+        _run_loop(arr or [], var, body, env)
+    elif kind == "while":
+        _, cond, body = s
+        n = 0
+        while cond(env) is True:
+            n += 1
+            if n > _ITERATION_CAP:
+                raise PlPgSQLError(
+                    "statement_too_complex",
+                    f"loop exceeded {_ITERATION_CAP} iterations (runaway guard)",
+                )
+            try:
+                _exec_stmts(body, env)
+            except _Continue:
+                continue
+            except _Exit:
+                break
+    elif kind == "exit":
+        if s[1] is None or s[1](env) is True:
+            raise _Exit()
+    elif kind == "continue":
+        if s[1] is None or s[1](env) is True:
+            raise _Continue()
+    elif kind == "raise":
+        _, level, fmt, args, cond = s
+        if fmt is not None:
+            vals = [a(env) for a in args]
+            msg = ""
+            ai = 0
+            i = 0
+            while i < len(fmt):
+                ch = fmt[i]
+                if ch == "%":
+                    if i + 1 < len(fmt) and fmt[i + 1] == "%":
+                        msg += "%"
+                        i += 2
+                        continue
+                    msg += _to_text(vals[ai]) if ai < len(vals) and vals[ai] is not None else "<NULL>"
+                    ai += 1
+                    i += 1
+                    continue
+                msg += ch
+                i += 1
+        else:
+            msg = cond
+        if level == "exception":
+            raise PlPgSQLError(cond, msg)
+        env.setdefault("__notices__", []).append((level, msg))
+    elif kind == "null":
+        pass
+    elif kind == "block":
+        _exec_block(s, env)
+    else:  # pragma: no cover
+        raise NotImplementedError(f"plpgsql: statement {kind!r}")
+
+
+def _run_loop(it, var, body, env):
+    n = 0
+    for v in it:
+        n += 1
+        if n > _ITERATION_CAP:
+            raise PlPgSQLError(
+                "statement_too_complex",
+                f"loop exceeded {_ITERATION_CAP} iterations (runaway guard)",
+            )
+        env[var] = v
+        try:
+            _exec_stmts(body, env)
+        except _Continue:
+            continue
+        except _Exit:
+            break
+
+
+def _condition_of(exc) -> str:
+    if isinstance(exc, PlPgSQLError):
+        return exc.condition
+    if isinstance(exc, ZeroDivisionError):
+        return "division_by_zero"
+    if isinstance(exc, (OverflowError,)):
+        return "numeric_value_out_of_range"
+    return "internal_error"
+
+
+def _exec_block(block, env):
+    _, decls, body, handlers = block
+    for d in decls:
+        if d[0] == "alias":
+            env[d[1]] = env[d[2]]
+        else:
+            _, name, cast, init = d
+            env[name] = cast(init(env)) if init is not None else None
+    if not handlers:
+        _exec_stmts(body, env)
+        return
+    # exec_stmt_block: handlers see variable state as of the error point
+    try:
+        _exec_stmts(body, env)
+    except (_Return, _Exit, _Continue):
+        raise
+    except Exception as e:  # noqa: BLE001 - WHEN others is the contract
+        cond = _condition_of(e)
+        for conds, hbody in handlers:
+            if "others" in conds or cond in conds:
+                env["sqlerrm"] = str(e)
+                env["sqlstate"] = cond
+                _exec_stmts(hbody, env)
+                return
+        raise
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+def compile_plpgsql(body: str, arg_names: list[str]):
+    """Compile a procedural PL/pgSQL body to a Python callable (the
+    Python-UDF slow path).  Parsed once; each call runs the statement
+    tree against a fresh env seeded with the arguments (by name and as
+    $n positional params)."""
+    toks = _tokenize(body.strip().rstrip(";"))
+    p = _StmtParser(toks)
+    block = p.parse_block()
+    if p.pos != len(p.toks):
+        raise NotImplementedError(
+            f"plpgsql: trailing tokens after END: {p.toks[p.pos:p.pos + 5]}"
+        )
+    lowered = [a.lower() for a in arg_names]
+
+    def call(*args):
+        env = {}
+        for i, (n, v) in enumerate(zip(lowered, args), 1):
+            env[f"${i}"] = v
+            env[n] = v
+        try:
+            _exec_block(block, env)
+        except _Return as r:
+            return r.value
+        raise PlPgSQLError(
+            "routine_exception",
+            "control reached end of function without RETURN",
+        )
+
+    return call

@@ -63,6 +63,10 @@ _BUILTIN_FNS = {
 
 def _spark_type(pg_type: str) -> str:
     t = re.sub(r"\(.*\)", "", pg_type).strip().lower()
+    if t.endswith("[]"):
+        return f"ARRAY<{_spark_type(t[:-2])}>"
+    if t.startswith("_"):  # pg internal array-type spelling (_int4)
+        return f"ARRAY<{_spark_type(t[1:])}>"
     if t in _TYPES:
         return _TYPES[t]
     raise NotImplementedError(f"unsupported type in function DDL: {pg_type!r}")
@@ -149,23 +153,80 @@ def parse_create_function(stmt: str) -> tuple[FunctionDef, bool]:
             )
         if lang == "plpgsql":
             mb = re.match(
-                r"(?is)^begin\b(.*)\bend$", body.rstrip(";").strip(), re.DOTALL
+                r"(?is)^(?:declare\b.*?)?\bbegin\b(.*)\bend$",
+                body.rstrip(";").strip(),
+                re.DOTALL,
             )
             if not mb:
                 raise NotImplementedError(
-                    "SETOF plpgsql body must be BEGIN RETURN QUERY ...; END"
+                    "SETOF plpgsql body must be [DECLARE ...] BEGIN "
+                    "RETURN QUERY / FOR ... RETURN NEXT ...; END"
                 )
             queries = []
-            for st in _split_stmts(mb.group(1)):
+            colname = m.group(2).rsplit(".", 1)[-1]
+            sts = _split_stmts(mb.group(1))
+            j = 0
+            while j < len(sts):
+                st = sts[j]
                 mq = re.match(r"(?is)^return\s+query\s+(.+)$", st, re.DOTALL)
                 if mq:
                     queries.append(mq.group(1).strip())
-                elif re.match(r"(?is)^return$", st):
-                    continue  # bare RETURN ends the function
-                else:
-                    raise NotImplementedError(
-                        "SETOF plpgsql supports only RETURN QUERY statements"
+                    j += 1
+                    continue
+                if re.match(r"(?is)^return$", st):
+                    j += 1  # bare RETURN ends the function
+                    continue
+                # FOR v IN a .. b LOOP RETURN NEXT expr; END LOOP —
+                # exec_stmt_fori + exec_stmt_return_next, lowered to a
+                # generate_series scan (plpgsql.sql test_ret_set_scalar);
+                # FOR rec IN <query> LOOP RETURN NEXT rec; END LOOP is the
+                # query itself (test_table_func_rec/_row)
+                mfr = re.match(
+                    r"(?is)^for\s+(\w+)\s+in\s+(reverse\s+)?(.+?)\s+loop\s+"
+                    r"return\s+next\s+(.+)$",
+                    st,
+                    re.DOTALL,
+                )
+                if (
+                    mfr
+                    and j + 1 < len(sts)
+                    and re.match(r"(?is)^end\s+loop$", sts[j + 1])
+                ):
+                    var = mfr.group(1)
+                    rev = bool(mfr.group(2))
+                    src = mfr.group(3).strip()
+                    retex = mfr.group(4).strip()
+                    mrange = re.match(
+                        r"(?is)^(.+?)\s*\.\.\s*(.+?)(?:\s+by\s+(.+))?$", src
                     )
+                    if mrange:
+                        lo, hi = mrange.group(1).strip(), mrange.group(2).strip()
+                        stp = (mrange.group(3) or "1").strip()
+                        if rev:
+                            stp = f"-({stp})"
+                        queries.append(
+                            f"SELECT ({retex}) AS {colname} FROM "
+                            f"generate_series(({lo}), ({hi}), ({stp})) "
+                            f"AS __ggfor({var})"
+                        )
+                    else:
+                        if retex.rstrip(";").strip().lower() != var.lower():
+                            raise NotImplementedError(
+                                "SETOF plpgsql FOR-over-query must RETURN "
+                                "NEXT the loop record itself"
+                            )
+                        if not re.match(r"(?is)^\(?\s*select\b", src):
+                            raise NotImplementedError(
+                                "SETOF plpgsql FOR source must be a range "
+                                "a .. b or a SELECT"
+                            )
+                        queries.append(src)
+                    j += 2
+                    continue
+                raise NotImplementedError(
+                    "SETOF plpgsql supports RETURN QUERY and "
+                    "FOR ... LOOP RETURN NEXT ...; END LOOP bodies"
+                )
             if not queries:
                 raise NotImplementedError("SETOF plpgsql body has no RETURN QUERY")
             body = (
@@ -197,6 +258,45 @@ def _substitute_positional(expr: str, arg_names: list[str]) -> str:
     for i, n in enumerate(arg_names, 1):
         expr = re.sub(rf"\${i}\b", n, expr)
     return expr
+
+
+def _replace_vars(e: str, mapping: dict[str, str]) -> str:
+    """Replace identifier occurrences of mapping keys (case-insensitive)
+    in ONE pass: replacement text is never re-scanned, string literals
+    are skipped, and ``.field`` references are left alone.  Sequential
+    re.sub per variable corrupts emitted expressions whose text contains
+    other variables' names (struct keys, field refs)."""
+    if not mapping:
+        return e
+    lmap = {k.lower(): v for k, v in mapping.items()}
+    ident_re = re.compile(r"[A-Za-z_]\w*")
+    out: list[str] = []
+    i, n = 0, len(e)
+    while i < n:
+        ch = e[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if e[j] == "'":
+                    if j + 1 < n and e[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(e[i : j + 1])
+            i = j + 1
+            continue
+        m = ident_re.match(e, i)
+        if m:
+            word = m.group(0)
+            prev = e[i - 1] if i > 0 else ""
+            repl = lmap.get(word.lower())
+            out.append(repl if repl is not None and prev != "." else word)
+            i = m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _split_stmts(s: str) -> list[str]:
@@ -245,10 +345,17 @@ def plpgsql_to_expr(body: str) -> str:
       reached end of function without RETURN") via raise_error, matching
       exec_stmt_block's fall-off-the-end behavior.
 
+    * ``FOR v IN [REVERSE] a .. b [BY s] LOOP`` / ``FOREACH v IN ARRAY``
+      whose body is assignments to declared variables — folded to a
+      JVM-side ``aggregate(sequence(...))`` with the loop-carried
+      variables as the accumulator (exec_stmt_fori re-expressed as a
+      fold; stays in whole-stage codegen).
+
     DECLARE also accepts pure parameter aliases — ``name ALIAS FOR $n;``
-    (the qp_functions.sql house style).  Loops and non-terminal control
-    flow are rejected loudly (LANGUAGE plpythonu is the procedural
-    escape hatch)."""
+    (the qp_functions.sql house style).  Anything beyond this subset
+    (WHILE, EXIT/CONTINUE, nested IF bodies, EXCEPTION blocks) raises
+    NotImplementedError and register_function falls back to the
+    row-at-a-time interpreter in operators/plpgsql_interp.py."""
     b = body.strip().rstrip(";").strip()
     aliases: dict[str, str] = {}
     env: dict[str, str] = {}  # var → fully-substituted value expression
@@ -263,9 +370,7 @@ def plpgsql_to_expr(body: str) -> str:
         )
 
     def subst(e: str) -> str:
-        for v, val in env.items():
-            e = re.sub(rf"(?i)\b{re.escape(v)}\b", val, e)
-        return e
+        return _replace_vars(e, env)
 
     if md:
         for d in _split_stmts(md.group(1)):
@@ -294,12 +399,136 @@ def plpgsql_to_expr(body: str) -> str:
         for alias, pos in aliases.items():
             inner = re.sub(rf"(?i)\b{re.escape(alias)}\b", pos, inner)
 
+    def _set_var(name: str, value: str) -> None:
+        for key in [k_ for k_ in env if k_.lower() == name.lower()]:
+            del env[key]
+        env[name] = value
+
+    def _fold_loop(stmts: list[str], k: int) -> int:
+        """Lower ``FOR v IN [REVERSE] a .. b [BY s] LOOP <assignments>
+        END LOOP`` / ``FOREACH x IN ARRAY a LOOP ...`` (exec_stmt_fori /
+        exec_stmt_foreach_a) to a JVM-side ``aggregate()`` fold: the
+        loop-carried variables become the accumulator (a struct when
+        more than one), each body assignment rewrites the accumulator,
+        and the bounds build a guarded ``sequence()`` — empty when the
+        range is empty in the iteration direction, as in PG.  Returns
+        the index after END LOOP; raises NotImplementedError for bodies
+        with nested control flow (those take the interpreter path)."""
+        st = stmts[k]
+        mfor = re.match(
+            r"(?is)^for\s+(\w+)\s+in\s+(reverse\s+)?(.+?)\s*\.\.\s*(.+?)"
+            r"(?:\s+by\s+(.+?))?\s+loop\s+(.*)$",
+            st,
+            re.DOTALL,
+        )
+        mfe = re.match(
+            r"(?is)^foreach\s+(\w+)\s+in\s+array\s+(.+?)\s+loop\s+(.*)$",
+            st,
+            re.DOTALL,
+        )
+        if not mfor and not mfe:
+            raise NotImplementedError(
+                "plpgsql SQL path: only FOR v IN a .. b and FOREACH v IN "
+                "ARRAY loops fold to expressions (interpreter handles the rest)"
+            )
+        loopvar = (mfor or mfe).group(1).lower()
+        body_frags = [(mfor.group(6) if mfor else mfe.group(3)).strip()]
+        k += 1
+        while k < len(stmts) and not re.match(r"(?is)^end\s+loop$", stmts[k]):
+            body_frags.append(stmts[k])
+            k += 1
+        if k >= len(stmts):
+            raise NotImplementedError("plpgsql: END LOOP not found")
+        k += 1
+        assigns: list[tuple[str, str]] = []
+        for frag in body_frags:
+            if not frag:
+                continue
+            ma = re.match(r"(?is)^(\w+)\s*:=\s*(.+)$", frag, re.DOTALL)
+            if not ma or ma.group(1).lower() not in decls:
+                raise NotImplementedError(
+                    "plpgsql SQL path: loop bodies fold only when every "
+                    "statement is an assignment to a declared variable"
+                )
+            assigns.append((ma.group(1).lower(), ma.group(2).strip()))
+        if not assigns:
+            raise NotImplementedError("plpgsql SQL path: empty loop body")
+        carried: list[str] = []
+        for n, _ in assigns:
+            if n == loopvar:
+                raise NotImplementedError(
+                    "plpgsql SQL path: assignment to the loop variable"
+                )
+            if n not in carried:
+                carried.append(n)
+
+        def env_val(name: str) -> str:
+            for key, v in env.items():
+                if key.lower() == name:
+                    return v
+            return "NULL"
+
+        acc = "__gga"
+        local = {
+            v: (acc if len(carried) == 1 else f"{acc}.{v}") for v in carried
+        }
+
+        def subst_body(e: str) -> str:
+            # carried vars -> accumulator refs; other declared vars ->
+            # their outer values; the loop var stays as the lambda param
+            mapping = {
+                k: v
+                for k, v in env.items()
+                if k.lower() not in carried and k.lower() != loopvar
+            }
+            mapping.update({v: f"({val})" for v, val in local.items()})
+            return _replace_vars(e, mapping)
+
+        for v, e in assigns:
+            local[v] = f"CAST(({subst_body(e)}) AS {decls[v]})"
+        if len(carried) == 1:
+            step_fn = local[carried[0]]
+            init = env_val(carried[0])
+        else:
+            step_fn = "named_struct(" + ", ".join(
+                f"'{v}', {local[v]}" for v in carried
+            ) + ")"
+            init = "named_struct(" + ", ".join(
+                f"'{v}', {env_val(v)}" for v in carried
+            ) + ")"
+        if mfor:
+            lo, hi = subst(mfor.group(3).strip()), subst(mfor.group(4).strip())
+            stp = subst(mfor.group(5).strip()) if mfor.group(5) else "1"
+            rev = bool(mfor.group(2))
+            cmp_op, neg = ("<", "-") if rev else (">", "")
+            seq = (
+                f"(CASE WHEN CAST(({lo}) AS BIGINT) {cmp_op} "
+                f"CAST(({hi}) AS BIGINT) "
+                f"THEN slice(sequence(CAST(0 AS BIGINT), CAST(0 AS BIGINT)), 1, 0) "
+                f"ELSE sequence(CAST(({lo}) AS BIGINT), CAST(({hi}) AS BIGINT), "
+                f"CAST({neg}({stp}) AS BIGINT)) END)"
+            )
+        else:
+            seq = f"({subst(mfe.group(2).strip())})"
+        # __GG_ARROW__ survives the transpiler's JSON -> pass verbatim;
+        # register_function restores the lambda arrow post-transpile
+        fold = (
+            f"aggregate({seq}, {init}, ({acc}, {loopvar}) "
+            f"__GG_ARROW__ {step_fn})"
+        )
+        for v in carried:
+            _set_var(v, fold if len(carried) == 1 else f"({fold}).{v}")
+        return k
+
     stmts = _split_stmts(inner)
     k = 0
     while k < len(stmts):
         st = stmts[k]
         if re.match(r"(?is)^if\b", st):
             break  # terminal IF chain handled below
+        if re.match(r"(?is)^(for|foreach)\b", st):
+            k = _fold_loop(stmts, k)
+            continue
         ma = re.match(r"(?is)^(\w+)\s*:=\s*(.+)$", st, re.DOTALL)
         if ma:
             name = ma.group(1)
@@ -453,7 +682,26 @@ def register_function(spark: SparkSession, fd: FunctionDef, transpile) -> None:
         return
     if fd.language in ("sql", "plpgsql"):
         if fd.language == "plpgsql":
-            expr = plpgsql_to_expr(fd.body)
+            try:
+                expr = plpgsql_to_expr(fd.body)
+            except NotImplementedError:
+                # procedural body (WHILE / EXIT / CONTINUE / nested IF /
+                # EXCEPTION): interpret it — the slow row-at-a-time path,
+                # the same execution model as the reference's own
+                # interpreted PL/pgSQL (pl_exec.c)
+                from greengage_spark.operators.plpgsql_interp import (
+                    compile_plpgsql,
+                )
+
+                fd.pyfn = compile_plpgsql(fd.body, fd.arg_names)
+                cast = _PY_CASTS.get(fd.ret_type)
+                fn = fd.pyfn
+                if cast is not None:
+                    def fn(*a, _f=fd.pyfn, _c=cast):  # noqa: E306
+                        r = _f(*a)
+                        return None if r is None else _c(r)
+                spark.udf.register(fd.name, fn, fd.ret_type)
+                return
         else:
             body = fd.body.rstrip(";").strip()
             msel = re.match(r"(?is)^select\s+(.*)$", body)
@@ -466,9 +714,10 @@ def register_function(spark: SparkSession, fd: FunctionDef, transpile) -> None:
         args = ", ".join(
             f"{n} {t}" for n, t in zip(fd.arg_names, fd.arg_types)
         )
+        lowered = transpile(expr).replace("__GG_ARROW__", "->")
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {fd.name}({args}) "
-            f"RETURNS {fd.ret_type} RETURN {transpile(expr)}"
+            f"RETURNS {fd.ret_type} RETURN {lowered}"
         )
         return
     # plpythonu: compile the body as a def with the declared arg names

@@ -755,6 +755,48 @@ def create_function_plpgsql_vars(spark, sf_dir):
 
 
 @suite.add(
+    "create_function_plpgsql_loop",
+    oracle="""
+    SELECT o_orderkey,
+           CAST((o_orderkey % 20) * ((o_orderkey % 20) + 1) / 2 AS BIGINT)
+             AS tri_sum,
+           CAST(power(2, o_orderkey % 10) AS BIGINT) AS pow2
+    FROM orders WHERE o_orderkey < 300
+    """,
+    doc="plpgsql loops (pl_exec.c:117-125): the bounded FOR-range body "
+        "folds to a JVM-side aggregate(sequence()) accumulator — zero "
+        "Python, stays in codegen — while the WHILE body takes the "
+        "row-at-a-time interpreter slow path (plpgsql_interp.py), the "
+        "reference's own execution model for procedural bodies. Oracle "
+        "uses the closed forms.",
+    tags=("udf", "engine", "plpgsql"),
+)
+def create_function_plpgsql_loop(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_plpgl_"))
+    cat(spark, sf_dir).table("orders").filter(
+        F.col("o_orderkey") < 300
+    ).createOrReplaceTempView("plpgl_src_orders")
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION tri(n int8) RETURNS int8 AS $$\n"
+        "DECLARE s int8 := 0;\nBEGIN\n"
+        "  FOR i IN 1 .. n LOOP\n    s := s + i;\n  END LOOP;\n"
+        "  RETURN s;\nEND;\n$$ LANGUAGE plpgsql"
+    )
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION pow2(e int8) RETURNS int8 AS $$\n"
+        "DECLARE r int8 := 1;\n  k int8 := 0;\nBEGIN\n"
+        "  WHILE k < e LOOP\n    r := r * 2;\n    k := k + 1;\n"
+        "  END LOOP;\n  RETURN r;\nEND;\n$$ LANGUAGE plpgsql"
+    )
+    return eng.execute(
+        "SELECT o_orderkey, tri(o_orderkey % 20) AS tri_sum, "
+        "pow2(o_orderkey % 10) AS pow2 FROM plpgl_src_orders"
+    )
+
+
+@suite.add(
     "create_function_setof",
     oracle="""
     SELECT t.n_name, t.n_regionkey

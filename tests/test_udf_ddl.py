@@ -213,18 +213,13 @@ class TestPlpgsql:
         with pytest.raises(Exception, match="without RETURN"):
             eng.execute("SELECT only_pos(-1) AS v").collect()
 
-    def test_procedural_bodies_rejected_loudly(self, eng):
+    def test_unsupported_bodies_rejected_loudly(self, eng):
+        # statements needing the SQL engine can't run inside a row UDF
         with pytest.raises(NotImplementedError, match="plpgsql"):
             eng.execute(
-                "CREATE FUNCTION looper(x int4) RETURNS int4 AS $$\n"
-                "BEGIN\n  FOR i IN 1..x LOOP x := x + 1; END LOOP;\n"
-                "  RETURN x;\nEND;\n$$ LANGUAGE plpgsql"
-            )
-        with pytest.raises(NotImplementedError, match="plpgsql"):
-            eng.execute(
-                "CREATE FUNCTION midret(x int4) RETURNS int4 AS $$\n"
-                "BEGIN\n  RETURN x;\n  x := x + 1;\nEND;\n"
-                "$$ LANGUAGE plpgsql"
+                "CREATE FUNCTION qsel(x int4) RETURNS int4 AS $$\n"
+                "DECLARE v int4;\nBEGIN\n  SELECT INTO v max(a) FROM t;\n"
+                "  RETURN v;\nEND;\n$$ LANGUAGE plpgsql"
             )
 
     def test_declared_variables_and_assignments(self, eng):
@@ -267,6 +262,148 @@ class TestPlpgsql:
         df = eng.execute("SELECT chainv(CAST(7 AS int8)) AS v")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestPlpgsqlLoops:
+    """FOR/FOREACH folds (exec_stmt_fori re-expressed as JVM-side
+    aggregate(sequence()) — pl_exec.c:117-125) plus the interpreter slow
+    path for WHILE/EXIT/CONTINUE/EXCEPTION (exec_stmt_while,
+    exec_stmt_block:3245; battery shapes from
+    src/test/regress/sql/plpgsql.sql:1513-1524, 3966-3990)."""
+
+    def test_for_range_fold_inlines(self, eng):
+        eng.execute(
+            "CREATE FUNCTION sum_to(n int) RETURNS int AS $$\n"
+            "DECLARE s int := 0;\nBEGIN\n"
+            "  FOR i IN 1 .. n LOOP\n    s := s + i;\n  END LOOP;\n"
+            "  RETURN s;\nEND;\n$$ LANGUAGE plpgsql"
+        )
+        row = eng.execute("SELECT sum_to(10) AS a, sum_to(0) AS b").collect()[0]
+        assert (row.a, row.b) == (55, 0)  # empty range → zero iterations
+        df = eng.execute("SELECT sum_to(100) AS v")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_for_reverse_by_step(self, eng):
+        eng.execute(
+            "CREATE FUNCTION rsum(n int) RETURNS int AS $$\n"
+            "DECLARE s int := 0;\nBEGIN\n"
+            "  FOR i IN REVERSE n .. 1 BY 3 LOOP\n    s := s + i;\n"
+            "  END LOOP;\n  RETURN s;\nEND;\n$$ LANGUAGE plpgsql"
+        )
+        assert eng.execute("SELECT rsum(10) AS v").collect()[0].v == 22
+
+    def test_for_multiple_carried_vars(self, eng):
+        eng.execute(
+            "CREATE FUNCTION fib(n int) RETURNS bigint AS $$\n"
+            "DECLARE a bigint := 0;\n  b bigint := 1;\n  t bigint;\nBEGIN\n"
+            "  FOR i IN 1 .. n LOOP\n    t := a + b;\n    a := b;\n"
+            "    b := t;\n  END LOOP;\n  RETURN a;\nEND;\n$$ LANGUAGE plpgsql"
+        )
+        got = [
+            eng.execute(f"SELECT fib({n}) AS v").collect()[0].v
+            for n in (0, 1, 10)
+        ]
+        assert got == [0, 1, 55]
+
+    def test_foreach_array_fold(self, eng):
+        eng.execute(
+            "CREATE FUNCTION arr_sum(xs int[]) RETURNS int AS $$\n"
+            "DECLARE s int := 0;\n  x int;\nBEGIN\n"
+            "  FOREACH x IN ARRAY xs LOOP\n    s := s + x;\n  END LOOP;\n"
+            "  RETURN s;\nEND;\n$$ LANGUAGE plpgsql"
+        )
+        assert (
+            eng.execute("SELECT arr_sum(ARRAY[1,2,3,4]) AS v").collect()[0].v
+            == 10
+        )
+
+    def test_while_exit_continue_interpreted(self, eng):
+        eng.execute(
+            "CREATE FUNCTION odd_sum(n int) RETURNS int AS $$\n"
+            "DECLARE i int := 0;\n  s int := 0;\nBEGIN\n"
+            "  WHILE true LOOP\n    i := i + 1;\n"
+            "    EXIT WHEN i > n;\n    CONTINUE WHEN i % 2 = 0;\n"
+            "    s := s + i;\n  END LOOP;\n  RETURN s;\nEND;\n"
+            "$$ LANGUAGE plpgsql"
+        )
+        assert eng.execute("SELECT odd_sum(10) AS v").collect()[0].v == 25
+
+    def test_nested_if_bodies_interpreted(self, eng):
+        eng.execute(
+            "CREATE FUNCTION collatz_steps(n int) RETURNS int AS $$\n"
+            "DECLARE steps int := 0;\n  v int := n;\nBEGIN\n"
+            "  WHILE v <> 1 LOOP\n"
+            "    IF v % 2 = 0 THEN\n      v := v / 2;\n"
+            "    ELSE\n      v := 3 * v + 1;\n    END IF;\n"
+            "    steps := steps + 1;\n  END LOOP;\n"
+            "  RETURN steps;\nEND;\n$$ LANGUAGE plpgsql"
+        )
+        assert eng.execute("SELECT collatz_steps(6) AS v").collect()[0].v == 8
+
+    def test_exception_division_by_zero(self, eng):
+        eng.execute(
+            "CREATE FUNCTION safe_div(a int, b int) RETURNS int AS $$\n"
+            "BEGIN\n  RETURN a / b;\n"
+            "EXCEPTION WHEN division_by_zero THEN\n  RETURN -1;\nEND;\n"
+            "$$ LANGUAGE plpgsql"
+        )
+        row = eng.execute(
+            "SELECT safe_div(10, 2) AS a, safe_div(5, 0) AS b"
+        ).collect()[0]
+        assert (row.a, row.b) == (5, -1)
+
+    def test_raise_exception_and_others_handler(self, eng):
+        eng.execute(
+            "CREATE FUNCTION checked(v int) RETURNS text AS $$\n"
+            "BEGIN\n  BEGIN\n"
+            "    IF v < 0 THEN\n      RAISE EXCEPTION 'bad value %', v;\n"
+            "    END IF;\n    RETURN 'ok';\n"
+            "  EXCEPTION WHEN others THEN\n"
+            "    RETURN 'caught: ' || sqlerrm;\n  END;\nEND;\n"
+            "$$ LANGUAGE plpgsql"
+        )
+        row = eng.execute(
+            "SELECT checked(1) AS a, checked(-7) AS b"
+        ).collect()[0]
+        assert row.a == "ok" and row.b == "caught: bad value -7"
+
+    def test_unreserved_keyword_variable(self, eng):
+        # verbatim plpgsql.sql:3966 unreserved_test
+        eng.execute(
+            "create function unreserved_test() returns int as $$\n"
+            "declare\n  forward int := 21;\nbegin\n"
+            "  forward := forward * 2;\n  return forward;\nend\n"
+            "$$ language plpgsql"
+        )
+        assert eng.execute("select unreserved_test() AS v").collect()[0].v == 42
+
+    def test_setof_for_range_return_next(self, eng):
+        # verbatim plpgsql.sql:1513 test_ret_set_scalar
+        eng.execute(
+            "create function test_ret_set_scalar(int,int) returns setof int "
+            "as '\nDECLARE\n\ti int;\nBEGIN\n"
+            "\tFOR i IN $1 .. $2 LOOP\n\t\tRETURN NEXT i + 1;\n"
+            "\tEND LOOP;\n\tRETURN;\nEND;' language plpgsql"
+        )
+        rows = eng.execute(
+            "select * from test_ret_set_scalar(1,10)"
+        ).collect()
+        assert sorted(r[0] for r in rows) == list(range(2, 12))
+
+    def test_setof_for_over_query_return_next(self, eng):
+        # plpgsql.sql:1491 test_table_func_rec shape
+        eng.execute("CREATE TABLE found_t (a int8)")
+        eng.execute("INSERT INTO found_t VALUES (1), (2), (3)")
+        eng.execute(
+            "create function tf_rec() returns setof int8 as '\n"
+            "DECLARE\n\trec RECORD;\nBEGIN\n"
+            "\tFOR rec IN select * from found_t LOOP\n"
+            "\t\tRETURN NEXT rec;\n\tEND LOOP;\n\tRETURN;\nEND;'"
+            " language plpgsql"
+        )
+        rows = eng.execute("select * from tf_rec()").collect()
+        assert sorted(r[0] for r in rows) == [1, 2, 3]
 
 
 class TestSetofTableMacros:
