@@ -2532,6 +2532,91 @@ def _pass_text_search(toks: list[str]) -> list[str]:
     def _tsv(arg_toks: list[str]) -> list[str]:
         return tokenize(_TSVECTOR_SQL.format(x=" ".join(arg_toks)))
 
+    def _drop_cfg(args: list[list[str]]) -> list[list[str]]:
+        if len(args) >= 2 and len(args[0]) == 1 and _is_string(args[0][0]):
+            return args[1:]
+        return args
+
+    def _unwrap_call(arg: list[str]):
+        if (
+            len(arg) >= 3
+            and _is_ident(arg[0])
+            and arg[1] == "("
+            and _args_span(arg, 1) == len(arg) - 1
+        ):
+            return arg[0].lower(), _split_args(arg[2:-1])
+        return None, None
+
+    def _query_literal(arg: list[str]) -> str | None:
+        """to_tsquery/plainto_tsquery('q') or a bare 'q' literal → token."""
+        fn, inner = _unwrap_call(arg)
+        if fn in ("to_tsquery", "plainto_tsquery"):
+            inner = _drop_cfg(inner)
+            if len(inner) == 1 and len(inner[0]) == 1 and _is_string(inner[0][0]):
+                return inner[0][0]
+            return None
+        if len(arg) == 1 and _is_string(arg[0]):
+            return arg[0]
+        return None
+
+    # ts_rank_cd / ts_headline FIRST — their to_tsvector args must reach
+    # the pandas UDF as raw text, not the lexeme-array lowering below
+    # (tsrank.c calc_rank_cd; wparser_def.c prsd_headline)
+    i = 0
+    while i < len(toks):
+        low = toks[i].lower() if _is_ident(toks[i]) else None
+        if low in ("ts_rank_cd", "ts_headline") and i + 1 < len(toks) and toks[i + 1] == "(":
+            close = _args_span(toks, i + 1)
+            args = _split_args(toks[i + 2 : close])
+            if low == "ts_headline":
+                if len(args) == 3:  # (config, document, query)
+                    args = args[1:]
+                q = _query_literal(args[1]) if len(args) == 2 else None
+                if q is None:
+                    raise NotImplementedError(
+                        "ts_headline(text, to_tsquery('...')) needs a "
+                        "literal query"
+                    )
+                toks[i : close + 1] = (
+                    ["pg_ts_headline", "(", "("] + args[0] + [")", ",", q, ")"]
+                )
+                i += 1
+                continue
+            if len(args) != 2:
+                raise NotImplementedError(
+                    "ts_rank_cd(tsvector, tsquery) — the weights[]/"
+                    "normalization forms are out of the subset"
+                )
+            q = _query_literal(args[1])
+            if q is None:
+                raise NotImplementedError(
+                    "ts_rank_cd needs a literal to_tsquery('...') argument"
+                )
+            fn, inner = _unwrap_call(args[0])
+            weight = "'D'"
+            if fn == "setweight" and len(inner) == 2 and _is_string(inner[1][0]):
+                weight = inner[1][0]
+                fn, inner = _unwrap_call(inner[0])
+            if fn == "strip":
+                # stripped tsvectors carry no positions: rank is 0
+                toks[i : close + 1] = tokenize("CAST(0.0 AS DOUBLE)")
+                i += 1
+                continue
+            if fn != "to_tsvector":
+                raise NotImplementedError(
+                    "ts_rank_cd subset: to_tsvector(x) / setweight(...) / "
+                    "strip(...) vector arguments"
+                )
+            inner = _drop_cfg(inner)
+            toks[i : close + 1] = (
+                ["pg_ts_rank_cd", "(", "CAST", "(", "("]
+                + inner[0]
+                + [")", "AS", "STRING", ")", ",", q, ",", weight, ")"]
+            )
+            i += 1
+            continue
+        i += 1
+
     # to_tsvector calls (drop an optional leading 'simple' config arg)
     i = 0
     while i < len(toks):
@@ -5638,4 +5723,8 @@ def pg_sql(spark, sql: str):
         from greengage_spark.functions import horology
 
         horology.register_udfs(spark)
+    if "pg_ts_rank_cd" in out or "pg_ts_headline" in out:
+        from greengage_spark.functions import textsearch
+
+        textsearch.register_udfs(spark)
     return spark.sql(out)

@@ -22,6 +22,15 @@ predicate.
   shape of PG's default ts_rank weighting without its cover machinery
   (documented divergence; tsrank.c's exact formula depends on positional
   covers).
+* ``ts_rank_cd`` → the REAL cover-density algorithm (tsrank.c
+  calc_rank_cd + Cover()): positional tsvectors, {D,C,B,A} position
+  weights via ``setweight``, ``strip`` zeroing ranks, ``||`` position
+  shifting.  The cover scan is a per-row loop, so ranking runs as an
+  Arrow-batched pandas UDF — everything else here stays JVM-side.
+* ``ts_headline`` → simplified best-cover headline (wparser_def.c
+  prsd_headline): smallest cover widened to Min/MaxWords, matches
+  wrapped in StartSel/StopSel; whitespace re-joins with single spaces
+  (documented divergence).
 """
 
 from __future__ import annotations
@@ -161,3 +170,262 @@ def ts_rank(tsv_counts: Column, tsq: Column) -> Column:
     return F.round(
         raw / (F.lit(1.0) + F.log(F.lit(1.0) + F.size(tsv_counts))), 6
     )
+
+
+# --------------------------- cover-density ranking (tsrank.c calc_rank_cd)
+
+# weight lookup {D,C,B,A} — tsrank.c's static const float weights[]
+_WEIGHTS = {"D": 0.1, "C": 0.2, "B": 0.4, "A": 1.0}
+
+
+def _calc_rank_cd(events: list[tuple[int, int, str]], nlex: int) -> float:
+    """tsrank.c calc_rank_cd over (position, query-lexeme-id, weight)
+    events: find successive minimal covers (Cover()), each contributing
+    count/InvSum scaled by 1/(1+noise words inside the cover); the next
+    search resumes just after the previous cover's start, so covers may
+    overlap exactly as in the reference."""
+    if nlex == 0 or not events:
+        return 0.0
+    events = sorted(events)
+    wdoc = 0.0
+    start = 0
+    while True:
+        need = set(range(nlex))
+        q_idx = None
+        for i in range(start, len(events)):
+            need.discard(events[i][1])
+            if not need:
+                q_idx = i
+                break
+        if q_idx is None:
+            return wdoc
+        need = set(range(nlex))
+        p_idx = q_idx
+        for i in range(q_idx, -1, -1):
+            need.discard(events[i][1])
+            if not need:
+                p_idx = i
+                break
+        cover = events[p_idx : q_idx + 1]
+        inv_sum = sum(1.0 / _WEIGHTS[w] for _, _, w in cover)
+        cpos = len(cover) / inv_sum
+        n_noise = (events[q_idx][0] - events[p_idx][0]) - (q_idx - p_idx)
+        if n_noise < 0:
+            n_noise = 0
+        wdoc += cpos / (1 + n_noise)
+        start = p_idx + 1
+
+
+def _query_and_lexemes(query: str) -> list[str]:
+    """Parse the tsquery literal and require a pure AND-of-lexemes tree
+    (what calc_rank_cd's DocRepresentation covers here); | and ! rank
+    forms raise loudly."""
+    def flat(node) -> list[str]:
+        if node[0] == "LEX":
+            return [node[1]]
+        if node[0] == "AND":
+            return flat(node[1]) + flat(node[2])
+        raise NotImplementedError(
+            "ts_rank_cd supports AND-of-lexeme queries (a & b & ...); "
+            "| and ! covers are out of the implemented subset"
+        )
+    return flat(_tsq_parse(query))
+
+
+_TOKEN_SPLIT_PY = re.compile(r"[^a-z0-9]+")
+
+
+def _positions(text: str) -> list[tuple[str, int]]:
+    """(lexeme, 1-based position) pairs, simple-config tokenization —
+    the Python twin of _lexemes for the ranking/headline UDF path."""
+    toks = [t for t in _TOKEN_SPLIT_PY.split(text.lower()) if t]
+    return [(t, i + 1) for i, t in enumerate(toks)]
+
+
+def rank_cd_text(text: str | None, query: str, weight: str = "D") -> float | None:
+    """ts_rank_cd(to_tsvector(text), to_tsquery(query)) with every
+    position carrying the given weight label (setweight folds to this
+    for the whole-document case)."""
+    if text is None:
+        return None
+    lex = _query_and_lexemes(query)
+    idx = {l: i for i, l in enumerate(lex)}
+    events = [
+        (pos, idx[t], weight) for t, pos in _positions(text) if t in idx
+    ]
+    return _calc_rank_cd(events, len(lex))
+
+
+def rank_cd_entries(entries, query: str) -> float:
+    """ts_rank_cd over a positional tsvector value (list of
+    {lexeme, positions, weight} dicts/Rows) — the composed-vector path
+    (setweight / strip / || applied upstream).  Stripped entries carry
+    no positions and so can never appear in a cover, matching PG's 0
+    result for stripped inputs."""
+    lex = _query_and_lexemes(query)
+    idx = {l: i for i, l in enumerate(lex)}
+    events = []
+    for e in entries or []:
+        d = e.asDict() if hasattr(e, "asDict") else e
+        i = idx.get(d["lexeme"])
+        if i is None:
+            continue
+        for p in d["positions"] or []:
+            events.append((p, i, d.get("weight") or "D"))
+    return _calc_rank_cd(events, len(lex))
+
+
+def headline_text(
+    text: str | None,
+    query: str,
+    max_words: int = 35,
+    min_words: int = 15,
+    start_sel: str = "<b>",
+    stop_sel: str = "</b>",
+) -> str | None:
+    """ts_headline (wparser_def.c prsd_headline, simplified): pick the
+    best (smallest, then earliest) cover of the query over the token
+    stream, widen it to min_words/max_words, and wrap query-word tokens
+    in StartSel/StopSel.  Output words re-join with single spaces — the
+    reference reproduces original inter-word text; documented
+    divergence."""
+    if text is None:
+        return None
+    lex = _query_and_lexemes(query)
+    idx = {l: i for i, l in enumerate(lex)}
+    words = text.split()
+    norm = [
+        " ".join(t for t in _TOKEN_SPLIT_PY.split(w.lower()) if t) for w in words
+    ]
+    events = [(i, idx[n]) for i, n in enumerate(norm) if n in idx]
+    # find the smallest cover over word indices
+    best = None  # (width, start, end)
+    for s in range(len(events)):
+        need = set(range(len(lex)))
+        for e in range(s, len(events)):
+            need.discard(events[e][1])
+            if not need:
+                w = events[e][0] - events[s][0]
+                if best is None or w < best[0]:
+                    best = (w, events[s][0], events[e][0])
+                break
+    if best is None:
+        # no cover: PG shows the document head trimmed to min_words
+        shown = words[:min_words]
+        return " ".join(shown)
+    _, b, e = best
+    # widen the window to at least min_words, at most max_words
+    while (e - b + 1) < min_words and (b > 0 or e < len(words) - 1):
+        if e < len(words) - 1:
+            e += 1
+        if (e - b + 1) < min_words and b > 0:
+            b -= 1
+    e = min(e, b + max_words - 1)
+    out = []
+    for i in range(b, e + 1):
+        if norm[i] in idx:
+            out.append(f"{start_sel}{words[i]}{stop_sel}")
+        else:
+            out.append(words[i])
+    return " ".join(out)
+
+
+# --------------------------- positional tsvector Column API
+
+
+def to_tsvector_positional(text: Column, weight: str = "D") -> Column:
+    """array<struct<lexeme,positions,weight>> — the full tsvector shape
+    (tsvector.c WordEntryPos), 1-based positions per lexeme."""
+    toks = _lexemes(text)
+    entries = F.transform(
+        toks, lambda t, i: F.struct(t.alias("lexeme"), (i + 1).alias("pos"))
+    )
+    uniq = F.array_sort(F.array_distinct(toks))
+    return F.transform(
+        uniq,
+        lambda u: F.struct(
+            u.alias("lexeme"),
+            F.transform(
+                F.filter(entries, lambda s: s["lexeme"] == u),
+                lambda s: s["pos"],
+            ).alias("positions"),
+            F.lit(weight).alias("weight"),
+        ),
+    )
+
+
+def setweight(tsv: Column, weight: str) -> Column:
+    """setweight(tsvector, 'A'|'B'|'C'|'D') — every position takes the
+    label (tsvector_op.c tsvector_setweight)."""
+    if weight.upper() not in _WEIGHTS:
+        raise ValueError(f"unrecognized weight: {weight!r}")
+    return F.transform(
+        tsv,
+        lambda e: F.struct(
+            e["lexeme"].alias("lexeme"),
+            e["positions"].alias("positions"),
+            F.lit(weight.upper()).alias("weight"),
+        ),
+    )
+
+
+def strip_tsvector(tsv: Column) -> Column:
+    """strip(tsvector): drop positions and weights (tsvector_op.c
+    tsvector_strip) — ranking over the result is 0, as in PG."""
+    return F.transform(
+        tsv,
+        lambda e: F.struct(
+            e["lexeme"].alias("lexeme"),
+            F.slice(e["positions"], 1, 0).alias("positions"),
+            F.lit("D").alias("weight"),
+        ),
+    )
+
+
+def tsvector_concat(a: Column, b: Column) -> Column:
+    """tsvector || tsvector (tsvector_op.c tsvector_concat): the right
+    vector's positions shift by the left's maximum position.  Entries
+    for a lexeme present in both sides stay separate here (ranking
+    flattens them identically to PG's merged form)."""
+    shift = F.coalesce(
+        F.array_max(F.flatten(F.transform(a, lambda e: e["positions"]))),
+        F.lit(0),
+    )
+    shifted = F.transform(
+        b,
+        lambda e: F.struct(
+            e["lexeme"].alias("lexeme"),
+            F.transform(e["positions"], lambda p: p + shift).alias("positions"),
+            e["weight"].alias("weight"),
+        ),
+    )
+    return F.concat(a, shifted)
+
+
+def register_udfs(spark) -> None:
+    """Idempotently register pg_ts_rank_cd / pg_ts_rank_cd_tsv /
+    pg_ts_headline (Arrow-batched pandas UDFs — ranking needs the cover
+    scan, a per-row loop no Column expression expresses)."""
+    if spark.conf.get("greengage.textsearch.registered", None) == "1":
+        return
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _rank(text, query, weight):
+        return pd.Series(
+            [
+                None if t is None else rank_cd_text(t, q, w or "D")
+                for t, q, w in zip(text, query, weight)
+            ],
+            dtype="float64",
+        )
+
+    def _headline(text, query):
+        return pd.Series(
+            [headline_text(t, q) for t, q in zip(text, query)],
+            dtype="object",
+        )
+
+    spark.udf.register("pg_ts_rank_cd", pandas_udf(_rank, "double"))
+    spark.udf.register("pg_ts_headline", pandas_udf(_headline, "string"))
+    spark.conf.set("greengage.textsearch.registered", "1")

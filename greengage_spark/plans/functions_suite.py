@@ -596,6 +596,49 @@ def text_search_tsvector(spark, sf_dir):
 
 
 @suite.add(
+    "text_search_rank",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           round(0.1 * len(list_filter(toks, x -> x = 'data')), 6)
+             AS rank_data,
+           round(1.0 * len(list_filter(toks, x -> x = 'model')), 6)
+             AS rank_model_a
+    FROM t
+    """,
+    doc="ts_rank_cd cover-density ranking (tsrank.c calc_rank_cd + "
+    "Cover(); weights {D,C,B,A} via setweight, tsvector_op.c). "
+    "Single-lexeme queries make every occurrence its own cover, so the "
+    "oracle's closed form is weight × occurrences; multi-term covers "
+    "are pinned by the tsearch.sql battery in tests/test_textsearch.py. "
+    "Ranking runs as an Arrow-batched pandas UDF (the cover scan is a "
+    "per-row loop no Column expression expresses).",
+    tags=("dialect", "types", "text"),
+)
+def text_search_rank(spark, sf_dir):
+    from greengage_spark.dialect import pg_sql
+    from greengage_spark.plans.common import cat
+
+    cat(spark, sf_dir).table("documents").filter(
+        F.col("doc_id") < 300
+    ).createOrReplaceTempView("tsrank_docs")
+    return pg_sql(
+        spark,
+        "SELECT doc_id, "
+        "round(ts_rank_cd(to_tsvector(text), to_tsquery('data')), 6) "
+        "  AS rank_data, "
+        "round(ts_rank_cd(setweight(to_tsvector(text), 'A'), "
+        "      to_tsquery('model')), 6) AS rank_model_a "
+        "FROM tsrank_docs",
+    )
+
+
+@suite.add(
     "dialect_decode",
     oracle="""
     SELECT o_orderkey,

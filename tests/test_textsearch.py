@@ -98,3 +98,155 @@ def test_sql_surface_tsquery(spark):
     )
     assert got == [1]
     spark.catalog.dropTempView("ts_docs")
+
+
+class TestRankCD:
+    """ts_rank_cd cover-density (tsrank.c calc_rank_cd, Cover()) —
+    battery shapes from src/test/regress/sql/tsearch.sql:166-209 adapted
+    to the 'simple' configuration (no stemming/stopwords), plus
+    hand-computed covers."""
+
+    POEM = """
+    Day after day, day after day,
+      We stuck, nor breath nor motion,
+    As idle as a painted Ship
+      Upon a painted Ocean.
+    Water, water, every where
+      And all the boards did shrink;
+    Water, water, every where,
+      Nor any drop to drink.
+    S. T. Coleridge (1772-1834)
+    """
+
+    def test_single_lexeme_covers(self):
+        from greengage_spark.functions.textsearch import rank_cd_text
+
+        # each occurrence is its own cover: count/InvSum = 1/10 = 0.1
+        # (tsearch.out:740 prints 0.1 for the single 'ocean')
+        assert abs(rank_cd_text(self.POEM, "ocean") - 0.1) < 1e-9
+        assert abs(rank_cd_text(self.POEM, "water") - 0.4) < 1e-9
+        assert rank_cd_text(self.POEM, "zzznope") == 0.0
+
+    def test_multi_lexeme_overlapping_covers(self):
+        from greengage_spark.functions.textsearch import rank_cd_text
+
+        # 'a b c a', query a&c: cover [a1..c3] noise 1 → 0.05, then
+        # restart at index 1: cover [c3..a4] noise 0 → 0.1; total 0.15
+        assert abs(rank_cd_text("a b c a", "a & c") - 0.15) < 1e-9
+        # adjacent pair: single cover, no noise → 0.1
+        assert abs(rank_cd_text("x y", "x & y") - 0.1) < 1e-9
+        # one word of noise inside the cover halves it
+        assert abs(rank_cd_text("x q y", "x & y") - 0.05) < 1e-9
+
+    def test_weights(self):
+        from greengage_spark.functions.textsearch import rank_cd_text
+
+        # weight A: InvSum = 1 → a lone cover scores 1.0
+        assert abs(rank_cd_text("hello world", "world", "A") - 1.0) < 1e-9
+        assert abs(rank_cd_text("hello world", "world", "B") - 0.4) < 1e-9
+
+    def test_or_not_queries_rejected(self):
+        from greengage_spark.functions.textsearch import rank_cd_text
+
+        with pytest.raises(NotImplementedError, match="AND-of-lexeme"):
+            rank_cd_text("a b", "a | b")
+
+    def test_stripped_ranks_zero(self, spark):
+        # tsearch.sql:203-207: strip() drops positions → rank 0
+        from greengage_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT ts_rank_cd(strip(to_tsvector('both stripped')), "
+            "to_tsquery('both & stripped')) AS r",
+        ).collect()[0]
+        assert row.r == 0.0
+
+    def test_sql_surface(self, spark):
+        from greengage_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT ts_rank_cd(to_tsvector('a b c a'), "
+            "to_tsquery('a & c')) AS r1, "
+            "ts_rank_cd(setweight(to_tsvector('hello world'), 'A'), "
+            "to_tsquery('world')) AS r2",
+        ).collect()[0]
+        assert abs(row.r1 - 0.15) < 1e-9 and abs(row.r2 - 1.0) < 1e-9
+
+    def test_positional_column_api(self, spark):
+        from greengage_spark.functions.textsearch import (
+            rank_cd_entries,
+            setweight,
+            strip_tsvector,
+            to_tsvector_positional,
+            tsvector_concat,
+        )
+
+        df = spark.range(1).select(
+            to_tsvector_positional(F.lit("a b c a")).alias("tsv"),
+            strip_tsvector(
+                to_tsvector_positional(F.lit("both stripped"))
+            ).alias("stripped"),
+            tsvector_concat(
+                to_tsvector_positional(F.lit("unstripped")),
+                strip_tsvector(to_tsvector_positional(F.lit("stripped"))),
+            ).alias("mixed"),
+            setweight(
+                to_tsvector_positional(F.lit("hello world")), "A"
+            ).alias("weighted"),
+        )
+        row = df.collect()[0]
+        assert abs(rank_cd_entries(row.tsv, "a & c") - 0.15) < 1e-9
+        # tsearch.sql:203-208: both stripped → 0; mixed → 0 (the
+        # stripped lexeme can never join a cover)
+        assert rank_cd_entries(row.stripped, "both & stripped") == 0.0
+        assert rank_cd_entries(row.mixed, "unstripped & stripped") == 0.0
+        assert abs(rank_cd_entries(row.weighted, "world") - 1.0) < 1e-9
+
+    def test_concat_shifts_positions(self, spark):
+        from greengage_spark.functions.textsearch import (
+            rank_cd_entries,
+            to_tsvector_positional,
+            tsvector_concat,
+        )
+
+        row = spark.range(1).select(
+            tsvector_concat(
+                to_tsvector_positional(F.lit("alpha beta")),
+                to_tsvector_positional(F.lit("gamma")),
+            ).alias("tsv")
+        ).collect()[0]
+        by_lex = {e["lexeme"]: e["positions"] for e in row.tsv}
+        assert by_lex["gamma"] == [3]  # shifted past the left vector
+        # adjacent across the seam: beta@2, gamma@3 → one cover, 0.1
+        assert abs(rank_cd_entries(row.tsv, "beta & gamma") - 0.1) < 1e-9
+
+
+class TestHeadline:
+    def test_headline_wraps_cover(self, spark):
+        from greengage_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT ts_headline('english', "
+            "'Day after day we stuck nor breath nor motion', "
+            "to_tsquery('breath & motion')) AS h",
+        ).collect()[0]
+        assert "<b>breath</b>" in row.h and "<b>motion</b>" in row.h
+
+    def test_headline_no_match_shows_head(self):
+        from greengage_spark.functions.textsearch import headline_text
+
+        h = headline_text("one two three four", "zzznope", min_words=2)
+        assert h == "one two"
+
+    def test_headline_window_bounds(self):
+        from greengage_spark.functions.textsearch import headline_text
+
+        words = " ".join(f"w{i}" for i in range(60)) + " target " + " ".join(
+            f"v{i}" for i in range(60)
+        )
+        h = headline_text(words, "target", max_words=5, min_words=3)
+        assert "<b>target</b>" in h
+        assert len(h.split()) <= 5
