@@ -55,6 +55,7 @@ _TYPE_MAP = {
     "inet": "string", "cidr": "string", "macaddr": "string",
     # geometric types live as their PG literal text (functions/geometry.py)
     "point": "string", "box": "string", "circle": "string",
+    "lseg": "string", "path": "string", "polygon": "string",
     "money": "decimal(19,2)",
     "bytea": "binary",
     "date": "date",

@@ -267,13 +267,19 @@ def _pass_cast_typenames(toks: list[str]) -> list[str]:
 
 
 def _pass_casts(toks: list[str]) -> list[str]:
+    pos = 0
     while True:
         try:
-            i = toks.index("::")
+            i = toks.index("::", pos)
         except ValueError:
             return toks
-        start = _operand_start(toks, i - 1)
         tname = toks[i + 1].lower()
+        if tname in ("lseg", "path", "polygon"):
+            # statically-dispatched geo types: the ::cast IS the type
+            # marker _pass_geometry (which runs later) dispatches on
+            pos = i + 1
+            continue
+        start = _operand_start(toks, i - 1)
         end = i + 1
         mapped = _TYPE_MAP.get(tname)
         # '1 year'::interval → canonical Spark interval literal (gram.y
@@ -1285,12 +1291,37 @@ def _pass_date_input_literals(toks: list[str]) -> list[str]:
 
 
 _GEO_TYPES = {"point", "box", "circle"}
-_GEO_UNSUPPORTED = {"lseg", "path", "polygon", "line"}
+# lseg/path/polygon dispatch STATICALLY (their literals collide with
+# box/point numeric arities); line remains out of scope
+_GEO_TYPES2 = {"lseg", "path", "polygon"}
+_GEO_UNSUPPORTED = {"line"}
 # `geo(x)` is the identity MARKER the engine wraps around columns it
 # KNOWS are geo-typed from the DDL catalog (a textual pass cannot see
 # column types; the engine can) — recognized here, stripped on emit.
+# geo_lseg/geo_path/geo_polygon carry the static type for the
+# arity-ambiguous family.
 _GEO_FUNCS = {"center", "radius", "diameter", "area", "width", "height", "geo"}
+_GEO_MARKERS2 = {"geo_lseg": "lseg", "geo_path": "path", "geo_polygon": "polygon"}
+# typed-only function names; `length`/`area`/`center`/`npoints` rewrite
+# ONLY when the argument is statically lseg/path/polygon (length must
+# stay Spark's string length otherwise)
+_GEO_FUNCS2 = {"isopen", "isclosed", "pclose", "popen", "npoints", "length"}
 _GEO_CTORS = {"point": 2, "circle": 2, "box": 2}
+
+# (function, static type) → geometry.py kernel name
+_GEO_TYPED_FN = {
+    ("length", "lseg"): "lseg_length",
+    ("length", "path"): "path_length",
+    ("isopen", "path"): "path_isopen",
+    ("isclosed", "path"): "path_isclosed",
+    ("pclose", "path"): "path_close",
+    ("popen", "path"): "path_open",
+    ("npoints", "path"): "path_npoints",
+    ("npoints", "polygon"): "poly_npoints",
+    ("area", "polygon"): "poly_area",
+    ("center", "polygon"): "poly_center",
+    ("center", "lseg"): "lseg_center",
+}
 # operator spellings after the lexer: <-> splits to <,-> etc.; <<,>> are
 # single tokens already
 _GEO_OP2 = {
@@ -1301,41 +1332,108 @@ _GEO_OP2 = {
     ("~", "="): "same_as",
     ("<", "^"): "below",
     (">", "^"): "above",
+    ("?", "#"): "intersects",  # lseg ?# lseg (lseg_intersect)
+    ("&", "<"): "overleft",  # poly &< poly (poly_overleft)
+    ("&", ">"): "overright",
 }
 _GEO_OP1 = {"<<": "strictly_left", ">>": "strictly_right"}
+# single-token ops that dispatch ONLY on statically-typed operands
+# (otherwise they are ordinary comparisons / json-path ops)
+_GEO_OP1_TYPED = {"#": "interpt", "<": "lt", "<=": "le", ">": "gt",
+                  ">=": "ge", "=": "eq"}
+
+# (operator name, left type, right type) → geometry.py kernel; 'rect' is
+# the point/box/circle family, '*' matches anything (incl. None).
+_GEO_TYPED_OP = {
+    ("distance", "lseg", "lseg"): ("lseg_distance", False),
+    ("distance", "lseg", "*"): ("lseg_point_distance", False),
+    ("distance", "*", "lseg"): ("lseg_point_distance", True),
+    ("intersects", "lseg", "lseg"): ("lseg_intersects", False),
+    ("interpt", "lseg", "lseg"): ("lseg_interpt", False),
+    ("contains", "lseg", "*"): ("lseg_contains_point", False),
+    ("within", "*", "lseg"): ("lseg_contains_point", True),
+    # untyped '*' operands coerce to polygon for the unambiguous
+    # operators, exactly PG's unknown-literal resolution in the
+    # polygon.sql battery (f1 && '(3,1),(3,3),(1,0)')
+    ("overlaps", "polygon", "polygon"): ("poly_overlap", False),
+    ("overlaps", "polygon", "*"): ("poly_overlap", False),
+    ("overlaps", "*", "polygon"): ("poly_overlap", False),
+    ("contains", "polygon", "polygon"): ("poly_contains", False),
+    ("contains", "polygon", "*"): ("poly_contains_point", False),
+    ("within", "polygon", "polygon"): ("poly_contains", True),
+    ("within", "*", "polygon"): ("poly_contains_point", True),
+    ("strictly_left", "polygon", "polygon"): ("poly_left", False),
+    ("strictly_left", "polygon", "*"): ("poly_left", False),
+    ("strictly_left", "*", "polygon"): ("poly_left", False),
+    ("strictly_right", "polygon", "polygon"): ("poly_right", False),
+    ("strictly_right", "polygon", "*"): ("poly_right", False),
+    ("strictly_right", "*", "polygon"): ("poly_right", False),
+    ("overleft", "polygon", "polygon"): ("poly_overleft", False),
+    ("overleft", "polygon", "*"): ("poly_overleft", False),
+    ("overleft", "*", "polygon"): ("poly_overleft", False),
+    ("overright", "polygon", "polygon"): ("poly_overright", False),
+    ("overright", "polygon", "*"): ("poly_overright", False),
+    ("overright", "*", "polygon"): ("poly_overright", False),
+    ("same_as", "polygon", "polygon"): ("poly_same", False),
+    ("same_as", "polygon", "*"): ("poly_same", False),
+    ("same_as", "*", "polygon"): ("poly_same", False),
+}
 
 
 def _geo_span_is_geo(toks: list[str], lo: int, hi: int) -> bool:
     """Does toks[lo:hi+1] carry a geometric marker? (typed literal
     ``point '...'``, constructor/function call, or ``::point`` cast)"""
+    return _geo_span_type(toks, lo, hi) is not None
+
+
+def _geo_span_type(toks: list[str], lo: int, hi: int) -> str | None:
+    """Static geo type of a span: 'rect' for the arity-dispatched
+    point/box/circle family, 'lseg'/'path'/'polygon' for the statically
+    routed one, None when unmarked."""
     for k in range(lo, hi + 1):
         t = toks[k].lower() if _is_ident(toks[k]) else toks[k]
+        nxt = toks[k + 1] if k + 1 <= hi else ""
         if t in _GEO_TYPES:
-            nxt = toks[k + 1] if k + 1 <= hi else ""
             if _is_string(nxt) or nxt == "(" or (k > lo and toks[k - 1] == "::"):
-                return True
-        if t in _GEO_FUNCS and k + 1 <= hi and toks[k + 1] == "(":
-            return True
-    return False
+                return "rect"
+        if t in _GEO_TYPES2:
+            if _is_string(nxt) or (k > lo and toks[k - 1] == "::"):
+                return t
+        if t in _GEO_MARKERS2 and nxt == "(":
+            return _GEO_MARKERS2[t]
+        if t in _GEO_FUNCS and nxt == "(":
+            return "rect"
+    return None
 
 
 def _geo_right_end(toks: list[str], j: int) -> int | None:
+    def _cast_tail(end: int) -> int:
+        # absorb a trailing ::type cast — ('...' || x)::lseg is the
+        # dynamic-literal spelling that statically types an expression
+        while (
+            end + 2 < len(toks)
+            and toks[end + 1] == "::"
+            and _is_ident(toks[end + 2])
+        ):
+            end += 2
+        return end
+
     if j >= len(toks):
         return None
     t = toks[j]
     if _is_ident(t) and j + 1 < len(toks) and _is_string(toks[j + 1]):
         return j + 1
     if _is_ident(t) and j + 1 < len(toks) and toks[j + 1] == "(":
-        return _match_paren(toks, j + 1)
+        return _cast_tail(_match_paren(toks, j + 1))
     if _is_string(t):
-        return j
+        return _cast_tail(j)
     if t == "(":
-        return _match_paren(toks, j)
+        return _cast_tail(_match_paren(toks, j))
     if _is_ident(t):
         k = j
         while k + 2 < len(toks) and toks[k + 1] == "." and _is_ident(toks[k + 2]):
             k += 2
-        return k
+        return _cast_tail(k)
     return None
 
 
@@ -1347,12 +1445,16 @@ def _geo_strip(toks: list[str]) -> str:
     while i < len(toks):
         t = toks[i]
         low = t.lower() if _is_ident(t) else t
-        if low in _GEO_TYPES and i + 1 < len(toks) and _is_string(toks[i + 1]):
+        if (
+            low in (_GEO_TYPES | _GEO_TYPES2)
+            and i + 1 < len(toks)
+            and _is_string(toks[i + 1])
+        ):
             out.append(toks[i + 1])
             i += 2
             continue
         if (
-            low in (_GEO_CTORS.keys() | _GEO_FUNCS)
+            low in (_GEO_CTORS.keys() | _GEO_FUNCS | _GEO_MARKERS2.keys())
             and i + 1 < len(toks)
             and toks[i + 1] == "("
         ):
@@ -1361,7 +1463,9 @@ def _geo_strip(toks: list[str]) -> str:
             out.append(_geo_call(low, inner))
             i = close + 1
             continue
-        if t == "::" and i + 1 < len(toks) and toks[i + 1].lower() in _GEO_TYPES:
+        if t == "::" and i + 1 < len(toks) and toks[i + 1].lower() in (
+            _GEO_TYPES | _GEO_TYPES2
+        ):
             i += 2  # geo "casts" are identity over the text representation
             continue
         out.append(t)
@@ -1384,8 +1488,8 @@ def _geo_call(fn: str, inner_toks: list[str]) -> str:
         else:
             args[-1].append(t)
     sqls = [_geo_strip(a) for a in args if a]
-    if fn == "geo":
-        return f"({sqls[0]})"  # identity marker: strip on emit
+    if fn == "geo" or fn in _GEO_MARKERS2:
+        return f"({sqls[0]})"  # identity markers: strip on emit
     if fn in _GEO_FUNCS:
         return getattr(geo, fn)(sqls[0])
     if fn == "point":
@@ -1395,14 +1499,26 @@ def _geo_call(fn: str, inner_toks: list[str]) -> str:
     return geo.make_box(sqls[0], sqls[1])
 
 
+def _geo_typed_lookup(fn: str, lt: str | None, rt: str | None):
+    """Resolve (op, left-type, right-type) against _GEO_TYPED_OP with
+    '*' wildcards; returns (kernel name, swap args) or None."""
+    for key in ((fn, lt, rt), (fn, lt, "*"), (fn, "*", rt)):
+        hit = _GEO_TYPED_OP.get(key)
+        if hit is not None:
+            return hit
+    return None
+
+
 def _pass_geometry(toks: list[str]) -> list[str]:
-    """Geometric type surface (geo_ops.c subset; functions/geometry.py):
-    point/box/circle as their PG literal text, operators dispatched on
-    numeric arity at runtime.  Only expressions carrying a geo MARKER
-    (typed literal, constructor call, ::cast, geo function) are rewritten
-    — a textual front-end cannot know bare column types, so untyped
-    ``col <-> col`` passes through untouched (and fails loudly in
-    Catalyst rather than silently doing the wrong thing)."""
+    """Geometric type surface (geo_ops.c; functions/geometry.py):
+    point/box/circle as PG literal text with operators dispatched on
+    numeric arity at runtime; lseg/path/polygon (whose literals collide
+    with box/point arities) dispatched STATICALLY from typed literals,
+    ::casts, and the engine's geo_<type>() DDL markers.  Only expressions
+    carrying a geo marker are rewritten — a textual front-end cannot know
+    bare column types, so untyped ``col <-> col`` passes through untouched
+    (and fails loudly in Catalyst rather than silently doing the wrong
+    thing)."""
     for i, t in enumerate(toks):
         if (
             _is_ident(t)
@@ -1411,22 +1527,67 @@ def _pass_geometry(toks: list[str]) -> list[str]:
             and _is_string(toks[i + 1])
         ):
             raise NotImplementedError(
-                f"geometric type {t.lower()!r}: only point/box/circle are "
-                "routed (geo_ops.c paths/polygons are out of scope)"
+                f"geometric type {t.lower()!r} is not routed (geo_ops.c "
+                "line family is out of scope)"
             )
     from greengage_spark.functions import geometry as geo
 
     changed = True
     while changed:
         changed = False
+        # prefix operators first: @-@ (length) and @@ (center) bind one
+        # operand to their right (geo_ops.c lseg_length/path_length,
+        # lseg_center/poly_center)
+        def _prefix_pos(k: int) -> bool:
+            if k == 0:
+                return True
+            p = toks[k - 1]
+            if _is_ident(p):
+                return p.lower() in (
+                    "select", "where", "and", "or", "not", "when", "then",
+                    "else", "case", "on", "having", "by", "distinct", "all",
+                    "union", "intersect", "except", "return", "from",
+                )
+            return not _is_operand_end(p)
+
+        i = 0
+        while i + 1 < len(toks):
+            if toks[i] == "@" and _prefix_pos(i):
+                if toks[i + 1] == "-" and i + 2 < len(toks) and toks[i + 2] == "@":
+                    rstart, kind = i + 3, "length"
+                elif toks[i + 1] == "@":
+                    rstart, kind = i + 2, "center"
+                else:
+                    i += 1
+                    continue
+                rend = _geo_right_end(toks, rstart)
+                if rend is None:
+                    i += 1
+                    continue
+                typ = _geo_span_type(toks, rstart, rend)
+                fn_name = _GEO_TYPED_FN.get((kind, typ))
+                if fn_name is None:
+                    i += 1
+                    continue
+                expansion = getattr(geo, fn_name)(
+                    _geo_strip(toks[rstart : rend + 1])
+                )
+                toks[i : rend + 1] = ["(" + expansion + ")"]
+                changed = True
+                break
+            i += 1
+        if changed:
+            continue
         i = 0
         while i < len(toks):
             fn = None
             oplen = 0
-            if toks[i] in _GEO_OP1:
-                fn, oplen = _GEO_OP1[toks[i]], 1
-            elif i + 1 < len(toks) and (toks[i], toks[i + 1]) in _GEO_OP2:
+            if i + 1 < len(toks) and (toks[i], toks[i + 1]) in _GEO_OP2:
                 fn, oplen = _GEO_OP2[(toks[i], toks[i + 1])], 2
+            elif toks[i] in _GEO_OP1:
+                fn, oplen = _GEO_OP1[toks[i]], 1
+            elif toks[i] in _GEO_OP1_TYPED:
+                fn, oplen = _GEO_OP1_TYPED[toks[i]], 1
             if fn is None or i == 0:
                 i += 1
                 continue
@@ -1436,23 +1597,50 @@ def _pass_geometry(toks: list[str]) -> list[str]:
                 i += 1
                 continue
             lstart = _operand_start(toks, i - 1)
+            # walk left through ::casts — for `(expr)::polygon @> x` the
+            # operand scan stops at the bare type name
+            while lstart > 0 and toks[lstart - 1] == "::":
+                lstart = _operand_start(toks, lstart - 2)
             # include a typed-literal prefix the operand scan missed
             if (
                 lstart > 0
                 and _is_string(toks[lstart])
                 and _is_ident(toks[lstart - 1])
-                and toks[lstart - 1].lower() in _GEO_TYPES
+                and toks[lstart - 1].lower() in (_GEO_TYPES | _GEO_TYPES2)
             ):
                 lstart -= 1
-            if not (
-                _geo_span_is_geo(toks, lstart, i - 1)
-                or _geo_span_is_geo(toks, rstart, rend)
-            ):
+            lt = _geo_span_type(toks, lstart, i - 1)
+            rt = _geo_span_type(toks, rstart, rend)
+            if lt is None and rt is None:
                 i += 1
                 continue
             left_sql = _geo_strip(toks[lstart:i])
             right_sql = _geo_strip(toks[rstart : rend + 1])
-            expansion = getattr(geo, fn)(left_sql, right_sql)
+            if lt in _GEO_TYPES2 or rt in _GEO_TYPES2:
+                if fn in ("lt", "le", "gt", "ge", "eq"):
+                    if "lseg" not in (lt, rt):
+                        i += 1  # ordinary comparison on path/polygon text
+                        continue
+                    op = {"lt": "<", "le": "<=", "gt": ">", "ge": ">=",
+                          "eq": "="}[fn]
+                    expansion = geo.lseg_cmp(left_sql, right_sql, op)
+                else:
+                    hit = _geo_typed_lookup(fn, lt, rt)
+                    if hit is None:
+                        raise NotImplementedError(
+                            f"geometric operator {fn!r} for types "
+                            f"({lt}, {rt}) is not routed (geo_ops.c subset)"
+                        )
+                    kernel, swap = hit
+                    a, b = (right_sql, left_sql) if swap else (left_sql, right_sql)
+                    expansion = getattr(geo, kernel)(a, b)
+            elif fn in _GEO_OP1_TYPED.values() or fn in (
+                "intersects", "overleft", "overright", "interpt",
+            ):
+                i += 1  # typed-only ops never fire on rect operands
+                continue
+            else:
+                expansion = getattr(geo, fn)(left_sql, right_sql)
             toks[lstart : rend + 1] = ["(" + expansion + ")"]
             changed = True
             break
@@ -1464,7 +1652,11 @@ def _pass_geometry(toks: list[str]) -> list[str]:
         while i < len(toks):
             t = toks[i]
             low = t.lower() if _is_ident(t) else t
-            if low in _GEO_TYPES and i + 1 < len(toks) and _is_string(toks[i + 1]):
+            if (
+                low in (_GEO_TYPES | _GEO_TYPES2)
+                and i + 1 < len(toks)
+                and _is_string(toks[i + 1])
+            ):
                 prev = toks[i - 1] if i > 0 else ""
                 if prev != "." and not (
                     _is_ident(prev) and prev.lower() == "as"
@@ -1473,18 +1665,48 @@ def _pass_geometry(toks: list[str]) -> list[str]:
                     changed = True
                     break
             if (
-                low in (_GEO_FUNCS | _GEO_CTORS.keys())
+                low in _GEO_FUNCS2
                 and i + 1 < len(toks)
                 and toks[i + 1] == "("
                 and (i == 0 or toks[i - 1] != ".")
             ):
                 close = _match_paren(toks, i + 1)
-                # geo function and constructor names are PG-only — no Spark
-                # builtin shares them, so always rewrite the call
-                toks[i : close + 1] = [_geo_call(low, toks[i + 2 : close])]
+                typ = _geo_span_type(toks, i + 2, close - 1)
+                fn_name = _GEO_TYPED_FN.get((low, typ))
+                if fn_name is not None:
+                    expansion = getattr(geo, fn_name)(
+                        _geo_strip(toks[i + 2 : close])
+                    )
+                    toks[i : close + 1] = ["(" + expansion + ")"]
+                    changed = True
+                    break
+                i = close + 1  # untyped: leave (length() is also string)
+                continue
+            if (
+                low in (_GEO_FUNCS | _GEO_CTORS.keys() | _GEO_MARKERS2.keys())
+                and i + 1 < len(toks)
+                and toks[i + 1] == "("
+                and (i == 0 or toks[i - 1] != ".")
+            ):
+                close = _match_paren(toks, i + 1)
+                # typed area/center route via _GEO_TYPED_FN; the rect
+                # versions remain the arity-dispatched default
+                typ = _geo_span_type(toks, i + 2, close - 1)
+                fn_name = _GEO_TYPED_FN.get((low, typ))
+                if fn_name is not None:
+                    expansion = getattr(geo, fn_name)(
+                        _geo_strip(toks[i + 2 : close])
+                    )
+                    toks[i : close + 1] = ["(" + expansion + ")"]
+                else:
+                    # geo function and constructor names are PG-only — no
+                    # Spark builtin shares them, so always rewrite the call
+                    toks[i : close + 1] = [_geo_call(low, toks[i + 2 : close])]
                 changed = True
                 break
-            if t == "::" and i + 1 < len(toks) and toks[i + 1].lower() in _GEO_TYPES:
+            if t == "::" and i + 1 < len(toks) and toks[i + 1].lower() in (
+                _GEO_TYPES | _GEO_TYPES2
+            ):
                 toks[i : i + 2] = []
                 changed = True
                 break

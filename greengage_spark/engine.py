@@ -1258,19 +1258,25 @@ class GreengageEngine:
 
     # ---------------- helpers ----------------
 
-    def _geo_column_names(self) -> set:
-        """Column names the DDL catalog declares as geometric types.
+    def _geo_column_names(self) -> dict:
+        """Column name → geo marker for columns the DDL catalog declares
+        as geometric types.
 
         The dialect layer is textual and cannot see column types; the
-        engine CAN — wrapping each such column reference in the identity
-        marker ``geo(...)`` lets the reference's verbatim geo queries
-        (``WHERE p.f1 << '(0,0)'``, point.sql) route through
+        engine CAN — wrapping each such column reference in an identity
+        marker (``geo(...)`` for the arity-dispatched point/box/circle
+        family, ``geo_lseg/geo_path/geo_polygon(...)`` for the statically
+        routed one) lets the reference's verbatim geo queries
+        (``WHERE p.f1 << '(0,0)'``, point.sql/polygon.sql) route through
         _pass_geometry exactly as PG's operator resolution would."""
-        names = set()
+        names = {}
         for td in self.ddl.tables.values():
             for c in td.columns:
-                if c.pg_type.lower() in ("point", "box", "circle"):
-                    names.add(c.name.lower())
+                t = c.pg_type.lower()
+                if t in ("point", "box", "circle"):
+                    names[c.name.lower()] = "geo"
+                elif t in ("lseg", "path", "polygon"):
+                    names[c.name.lower()] = "geo_" + t
         return names
 
     def _mark_geo_columns(self, stmt: str) -> str:
@@ -1296,12 +1302,13 @@ class GreengageEngine:
                 and not (out and _is_ident(out[-1]) and out[-1].lower() == "as")
                 and not (i + 1 < len(toks) and toks[i + 1] == ".")
             ):
+                marker = geo_cols[t.lower()]
                 if out and out[-1] == "." and len(out) >= 2 and _is_ident(out[-2]):
                     qual = out[-2]
                     out = out[:-2]
-                    out += ["geo", "(", qual, ".", t, ")"]
+                    out += [marker, "(", qual, ".", t, ")"]
                 else:
-                    out += ["geo", "(", t, ")"]
+                    out += [marker, "(", t, ")"]
                 i += 1
                 continue
             out.append(t)

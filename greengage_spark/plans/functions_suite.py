@@ -1121,6 +1121,52 @@ def dialect_geometry_ops(spark, sf_dir):
 
 
 @suite.add(
+    "dialect_geometry_lseg_poly",
+    oracle="""
+    SELECT c_custkey,
+           sqrt(power(CAST(c_custkey % 10 AS DOUBLE), 2)
+              + power(CAST(c_custkey % 7 AS DOUBLE), 2)) AS seg_len,
+           CAST((c_custkey % 10 + 1) * (c_custkey % 7 + 1) AS DOUBLE) / 2.0
+             AS tri_area,
+           (1.0 / (c_custkey % 10 + 1) + 1.0 / (c_custkey % 7 + 1)) <= 1.0
+             AS p_in,
+           CAST((c_custkey % 10) + (c_custkey % 7) AS DOUBLE) AS path_len,
+           '(2,2)' AS ipt
+    FROM customer WHERE c_custkey < 300 ORDER BY c_custkey
+    """,
+    doc="lseg/path/polygon surface (geo_ops.c:53,1596,2134; "
+        "functions/geometry.py): statically-dispatched types whose "
+        "literals collide with box/point arities — lseg length and # "
+        "intersection point, open-path length, shoelace polygon area, "
+        "ray-cast + boundary point containment. Dynamic values spell as "
+        "('...' || x)::type casts; every kernel is a pure JVM expression. "
+        "Oracle re-derives each with closed-form arithmetic.",
+    tags=("dialect", "geometry"),
+)
+def dialect_geometry_lseg_poly(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey,
+               length(('[(0,0),(' || (c_custkey % 10) || ',' ||
+                       (c_custkey % 7) || ')]')::lseg) AS seg_len,
+               area(('((0,0),(' || (c_custkey % 10 + 1) || ',0),(0,' ||
+                     (c_custkey % 7 + 1) || '))')::polygon) AS tri_area,
+               ('((0,0),(' || (c_custkey % 10 + 1) || ',0),(0,' ||
+                 (c_custkey % 7 + 1) || '))')::polygon @> point '(1,1)'
+                 AS p_in,
+               length(('[(0,0),(' || (c_custkey % 10) || ',0),(' ||
+                       (c_custkey % 10) || ',' || (c_custkey % 7) ||
+                       ')]')::path) AS path_len,
+               lseg '[(0,0),(4,4)]' # lseg '[(0,4),(4,0)]' AS ipt
+        FROM customer WHERE c_custkey < 300 ORDER BY c_custkey
+        """,
+        ["customer"],
+    )
+
+
+@suite.add(
     "dialect_xml_publish",
     oracle="""
     SELECT n_nationkey,

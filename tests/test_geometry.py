@@ -137,9 +137,17 @@ class TestBox:
 
 
 class TestRejections:
-    def test_path_polygon_rejected(self, spark):
+    def test_line_rejected(self, spark):
         with pytest.raises(NotImplementedError, match="geometric type"):
-            pg_sql(spark, "SELECT f1 <@ path '[(0,0),(1,1)]' FROM point_tbl")
+            pg_sql(spark, "SELECT f1 <@ line '{1,-1,0}' FROM point_tbl")
+
+    def test_unrouted_typed_op_rejected(self, spark):
+        # path has no && kernel: loud rejection, never a silent wrong answer
+        with pytest.raises(NotImplementedError, match="geometric operator"):
+            pg_sql(
+                spark,
+                "SELECT path '[(0,0),(1,1)]' && path '[(2,2),(3,3)]'",
+            )
 
     def test_untyped_operands_fail_loudly(self, spark):
         # no geo marker → the pass leaves <-> alone; the `->` half then
@@ -340,3 +348,171 @@ class TestEnginePointSqlVerbatim:
             "WHERE (p1.f1 <-> p2.f1) > 3"
         ).count()
         assert n == 30
+
+
+@pytest.fixture()
+def geo_eng(spark, tmp_path):
+    from greengage_spark.engine import GreengageEngine
+
+    return GreengageEngine(spark, str(tmp_path / "wh"))
+
+
+class TestLseg:
+    """lseg (geo_ops.c:53 family) — battery shapes from lseg.sql; the
+    engine marks lseg DDL columns with geo_lseg() for static dispatch."""
+
+    def test_lseg_sql_battery(self, geo_eng):
+        geo_eng.execute("CREATE TABLE lseg_tbl (s lseg)")
+        geo_eng.execute(
+            "INSERT INTO lseg_tbl VALUES ('[(1,2),(3,4)]'), "
+            "('[(0,0),(6,6)]'), ('[(10,-10),(-3,-4)]')"
+        )
+        # lseg.sql:18 — <= orders by segment LENGTH (lseg_le)
+        rows = geo_eng.execute(
+            "SELECT * FROM lseg_tbl WHERE s <= lseg '[(1,2),(3,4)]'"
+        ).collect()
+        assert [r[0] for r in rows] == ["[(1,2),(3,4)]"]
+        # lseg.sql:19 — distance filter keeps all three
+        rows = geo_eng.execute(
+            "SELECT * FROM lseg_tbl WHERE (s <-> lseg '[(1,2),(3,4)]') < 10"
+        ).collect()
+        assert len(rows) == 3
+
+    def test_lseg_operators(self, geo_eng):
+        r = geo_eng.execute(
+            "SELECT lseg '[(0,0),(4,0)]' <-> point '(2,3)' AS d, "
+            "lseg '[(0,0),(4,4)]' ?# lseg '[(0,4),(4,0)]' AS ix, "
+            "lseg '[(0,0),(4,4)]' ?# lseg '[(5,5),(6,6)]' AS nix, "
+            "lseg '[(0,0),(4,4)]' # lseg '[(0,4),(4,0)]' AS ipt, "
+            "lseg '[(0,0),(4,4)]' # lseg '[(5,0),(6,1)]' AS nopt, "
+            "@-@ lseg '[(0,0),(3,4)]' AS seg_len, "
+            "@@ lseg '[(0,0),(4,6)]' AS ctr"
+        ).collect()[0]
+        assert abs(r.d - 3.0) < 1e-9
+        assert r.ix is True and r.nix is False
+        assert r.ipt == "(2,2)" and r.nopt is None
+        assert abs(r.seg_len - 5.0) < 1e-9 and r.ctr == "(2,3)"
+
+    def test_point_on_segment(self, geo_eng):
+        r = geo_eng.execute(
+            "SELECT lseg '[(0,0),(2,2)]' @> point '(1,1)' AS onseg, "
+            "point '(1,2)' <@ lseg '[(0,0),(2,2)]' AS offseg"
+        ).collect()[0]
+        assert r.onseg is True and r.offseg is False
+
+    def test_segment_distance_parallel(self, geo_eng):
+        r = geo_eng.execute(
+            "SELECT lseg '[(0,0),(4,0)]' <-> lseg '[(0,3),(4,3)]' AS d"
+        ).collect()[0]
+        assert abs(r.d - 3.0) < 1e-9
+
+
+class TestPath:
+    """path (geo_ops.c:1596) — battery shapes from path.sql; '[' opens,
+    '(' closes, exactly path_in's convention."""
+
+    def test_path_sql_battery(self, geo_eng):
+        geo_eng.execute("CREATE TABLE path_tbl (f1 path)")
+        geo_eng.execute(
+            "INSERT INTO path_tbl VALUES ('[(1,2),(3,4)]'), "
+            "('((1,2),(3,4))'), ('[(0,0),(3,0),(4,5),(1,6)]')"
+        )
+        rows = geo_eng.execute(
+            "SELECT f1 FROM path_tbl WHERE isopen(f1)"
+        ).collect()
+        assert sorted(r[0] for r in rows) == [
+            "[(0,0),(3,0),(4,5),(1,6)]", "[(1,2),(3,4)]",
+        ]
+        rows = geo_eng.execute(
+            "SELECT f1 FROM path_tbl WHERE isclosed(f1)"
+        ).collect()
+        assert [r[0] for r in rows] == ["((1,2),(3,4))"]
+        rows = geo_eng.execute(
+            "SELECT pclose(f1) AS c FROM path_tbl"
+        ).collect()
+        assert sorted(r.c for r in rows) == [
+            "((0,0),(3,0),(4,5),(1,6))", "((1,2),(3,4))", "((1,2),(3,4))",
+        ]
+
+    def test_path_functions(self, geo_eng):
+        r = geo_eng.execute(
+            "SELECT npoints(path '[(0,0),(3,0),(4,5),(1,6)]') AS n, "
+            "popen(path '((1,2),(3,4))') AS o, "
+            "length(path '[(0,0),(3,4)]') AS lo, "
+            "length(path '((0,0),(3,0),(3,4))') AS lc, "
+            "@-@ path '[(0,0),(3,4)]' AS lop"
+        ).collect()[0]
+        assert r.n == 4 and r.o == "[(1,2),(3,4)]"
+        assert abs(r.lo - 5.0) < 1e-9  # open: one segment
+        assert abs(r.lc - 12.0) < 1e-9  # closed: 3 + 4 + 5 wrap
+        assert abs(r.lop - 5.0) < 1e-9
+
+    def test_length_still_string_length(self, spark):
+        # length() must stay Spark's string length on untyped args
+        r = pg_sql(spark, "SELECT length('hello') AS n").collect()[0]
+        assert r.n == 5
+
+
+class TestPolygon:
+    """polygon (geo_ops.c:2134) — the polygon.sql battery: overlap via
+    edge intersection + vertex containment, bbox <</>>/&</&>, ray-cast
+    point containment with boundary inclusion."""
+
+    Q = "'((3,1),(3,3),(1,0))'"
+
+    @pytest.fixture()
+    def poly_tbl(self, geo_eng):
+        geo_eng.execute("CREATE TABLE polygon_tbl (f1 polygon)")
+        geo_eng.execute(
+            "INSERT INTO polygon_tbl VALUES ('((2,0),(2,4),(0,0))'), "
+            "('((3,1),(3,3),(1,0))'), ('((0,0))'), ('((0,1),(0,1))')"
+        )
+        return geo_eng
+
+    def test_overlap_untyped_literal(self, poly_tbl):
+        rows = poly_tbl.execute(
+            f"SELECT f1 FROM polygon_tbl WHERE f1 && {self.Q}"
+        ).collect()
+        assert sorted(r[0] for r in rows) == [
+            "((2,0),(2,4),(0,0))", "((3,1),(3,3),(1,0))",
+        ]
+
+    def test_left_right(self, poly_tbl):
+        rows = poly_tbl.execute(
+            f"SELECT f1 FROM polygon_tbl WHERE f1 << {self.Q}"
+        ).collect()
+        assert sorted(r[0] for r in rows) == ["((0,0))", "((0,1),(0,1))"]
+        rows = poly_tbl.execute(
+            f"SELECT f1 FROM polygon_tbl WHERE f1 >> {self.Q}"
+        ).collect()
+        assert rows == []
+
+    def test_same_and_contain(self, poly_tbl):
+        rows = poly_tbl.execute(
+            f"SELECT f1 FROM polygon_tbl WHERE f1 ~= polygon {self.Q}"
+        ).collect()
+        assert [r[0] for r in rows] == ["((3,1),(3,3),(1,0))"]
+        rows = poly_tbl.execute(
+            f"SELECT f1 FROM polygon_tbl WHERE f1 @> polygon {self.Q}"
+        ).collect()
+        assert [r[0] for r in rows] == ["((3,1),(3,3),(1,0))"]
+
+    def test_polygon_expressions(self, geo_eng):
+        r = geo_eng.execute(
+            "SELECT polygon '((0,0),(4,0),(4,4),(0,4))' @> "
+            "polygon '((1,1),(2,1),(2,2))' AS cont, "
+            "polygon '((1,1),(2,1),(2,2))' <@ "
+            "polygon '((0,0),(4,0),(4,4),(0,4))' AS winn, "
+            "polygon '((0,0),(4,0),(4,4),(0,4))' @> point '(2,2)' AS pin, "
+            "polygon '((0,0),(4,0),(4,4),(0,4))' @> point '(4,2)' AS pedge, "
+            "polygon '((0,0),(4,0),(4,4),(0,4))' @> point '(9,9)' AS pout, "
+            "area(polygon '((0,0),(4,0),(4,4),(0,4))') AS ar, "
+            "area(polygon '((2,0),(2,4),(0,0))') AS tri, "
+            "npoints(polygon '((2,0),(2,4),(0,0))') AS np, "
+            "polygon '((0,0),(1,0),(1,1))' && "
+            "polygon '((5,5),(6,5),(6,6))' AS disjoint"
+        ).collect()[0]
+        assert r.cont is True and r.winn is True
+        assert r.pin is True and r.pedge is True and r.pout is False
+        assert abs(r.ar - 16.0) < 1e-9 and abs(r.tri - 4.0) < 1e-9
+        assert r.np == 3 and r.disjoint is False
