@@ -140,14 +140,28 @@ def ivf_topk(
     n_cells: int = 8,
     n_probe: int = 2,
     round_to: int = 4,
+    centroids: str = "first",
+    seed: int = 42,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into inverted-file cells by
     nearest centroid, probe only ``n_probe`` cells per query.
 
-    Centroids here are the ``n_cells`` lowest-id corpus vectors — a
-    deterministic, engine-portable stand-in for k-means (same plan
-    shape; production swaps in trained centroids without touching the
-    dataflow).  Assignment is MAP-ONLY: the centroid set folds into a
+    ``centroids`` picks the training rule; BOTH feed the same dataflow —
+    the centroid set is a constant folded into one broadcast array row,
+    so the plan shape (and every claim below) is identical:
+
+    * ``"first"`` — the ``n_cells`` lowest-id corpus vectors.  A
+      deterministic, engine-portable stand-in that a DuckDB oracle can
+      replicate exactly; the registry entry uses it.
+    * ``"kmeans"`` — k-means|| via pyspark.ml.clustering.KMeans (the
+      distributed Bahmani et al. init), optionally over a
+      ``train_fraction`` sample.  Better-balanced cells → better recall
+      at the same probe count; seeded, so still deterministic per Spark
+      version, but not re-derivable in an external oracle (the recall
+      gate in tests/test_similarity_recall.py covers it instead).
+
+    Assignment is MAP-ONLY: the centroid set folds into a
     single broadcast array row, and each input row picks its nearest
     cell(s) with an array_sort over per-centroid scores — no shuffle of
     the corpus or the query set (a window keyed on the row id would
@@ -160,19 +174,44 @@ def ivf_topk(
     """
     from pyspark import StorageLevel
 
-    # the centroid table is n_cells rows but its subplan is a TakeOrdered
-    # over the whole corpus — fold to ONE row holding the centroid array
-    # and persist so the two broadcast consumers trigger it once
-    cent_arr = (
-        corpus.orderBy(F.col(corpus_id)).limit(n_cells)
-        .select(F.col(corpus_id).alias("__cent_id"), F.col(corpus_vec).alias("__cent_vec"))
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("__cent_id"), F.col("__cent_vec")))
-            ).alias("__cents")
+    if centroids == "kmeans":
+        # k-means|| (pyspark.ml, distributed init) on an optional sample;
+        # centers come back as a plain Python list (n_cells × dim — tiny)
+        # and re-enter the SAME one-row broadcast-array dataflow below
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = corpus if train_fraction >= 1.0 else corpus.sample(
+            fraction=train_fraction, seed=seed
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+        feats = train.select(
+            array_to_vector(F.col(corpus_vec).cast("array<double>")).alias(
+                "features"
+            )
+        )
+        model = KMeans(k=n_cells, seed=seed, initMode="k-means||").fit(feats)
+        spark = corpus.sparkSession
+        cent_arr = spark.createDataFrame(
+            [([(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],)],
+            "__cents array<struct<__cent_id: bigint, __cent_vec: array<double>>>",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    elif centroids == "first":
+        # the centroid table is n_cells rows but its subplan is a
+        # TakeOrdered over the whole corpus — fold to ONE row holding the
+        # centroid array and persist so the two broadcast consumers
+        # trigger it once
+        cent_arr = (
+            corpus.orderBy(F.col(corpus_id)).limit(n_cells)
+            .select(F.col(corpus_id).alias("__cent_id"), F.col(corpus_vec).alias("__cent_vec"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__cent_id"), F.col("__cent_vec")))
+                ).alias("__cents")
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        raise ValueError(f"centroids must be 'first' or 'kmeans': {centroids!r}")
 
     def assign(df: DataFrame, vec_col: str, top: int) -> DataFrame:
         # nearest-centroid(s) per row as a pure array expression:

@@ -1,0 +1,120 @@
+"""ANN quality gate: recall@k of the approximate similarity paths vs
+the exact brute-force baseline, on the sf0.01 embeddings table.
+
+Floors were MEASURED first (seeded, deterministic data → deterministic
+recall), then pinned with margin:
+
+  measured on sf0.01, k=5, 20 queries:
+    lsh_bucketed_topk  bits=8              0.21
+    ivf_topk           first,  8 cells/2p  0.52
+    ivf_topk           kmeans, 8 cells/2p  0.73
+    ivf_topk           kmeans, 8 cells/3p  0.84
+
+The gate guards against silent recall regressions (a bucketing or
+assignment bug usually craters recall long before it breaks row
+counts); it also pins the k-means|| centroid mode beating the
+deterministic lowest-id stand-in — the reason to train centroids at
+all."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+K = 5
+
+
+@pytest.fixture(scope="module")
+def corpus_queries(spark):
+    import os
+
+    if not os.path.exists(f"{SF_DIR}/embeddings.parquet"):
+        pytest.skip("sf0.01 testdata not present")
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return e, q
+
+
+KW = dict(
+    corpus_id="vec_id", corpus_vec="embedding",
+    query_id="qid", query_vec="qv", k=K,
+)
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["qid"], set()).add(r["vec_id"])
+    return out
+
+
+@pytest.fixture(scope="module")
+def exact(corpus_queries):
+    from greengage_spark.pipeline.similarity import brute_force_topk
+
+    e, q = corpus_queries
+    return _topk_sets(brute_force_topk(e, q, **KW))
+
+
+def _recall(df, exact):
+    approx = _topk_sets(df)
+    vals = [len(approx.get(qid, set()) & s) / len(s) for qid, s in exact.items()]
+    return sum(vals) / len(vals)
+
+
+def test_exact_baseline_is_self_consistent(exact):
+    assert len(exact) == 20
+    assert all(len(s) == K for s in exact.values())
+
+
+def test_lsh_recall_floor(corpus_queries, exact):
+    from greengage_spark.pipeline.similarity import lsh_bucketed_topk
+
+    e, q = corpus_queries
+    r = _recall(lsh_bucketed_topk(e, q, bits=8, **KW), exact)
+    # sign-pattern buckets trade recall hard for a 2^bits speedup;
+    # 0.21 measured — the floor catches a broken bucket join (≈0)
+    assert r >= 0.15, f"lsh recall@{K} collapsed: {r:.2f}"
+
+
+def test_ivf_first_recall_floor(corpus_queries, exact):
+    from greengage_spark.pipeline.similarity import ivf_topk
+
+    e, q = corpus_queries
+    r = _recall(ivf_topk(e, q, n_cells=8, n_probe=2, **KW), exact)
+    assert r >= 0.40, f"ivf(first) recall@{K} below floor: {r:.2f}"  # 0.52 measured
+
+
+def test_ivf_kmeans_recall_floor_and_beats_first(corpus_queries, exact):
+    from greengage_spark.pipeline.similarity import ivf_topk
+
+    e, q = corpus_queries
+    r_first = _recall(ivf_topk(e, q, n_cells=8, n_probe=2, **KW), exact)
+    r_kmeans = _recall(
+        ivf_topk(e, q, n_cells=8, n_probe=2, centroids="kmeans", **KW), exact
+    )
+    assert r_kmeans >= 0.60, f"ivf(kmeans) recall@{K} below floor: {r_kmeans:.2f}"
+    # trained, balanced cells must beat the lowest-id stand-in
+    assert r_kmeans > r_first, (r_kmeans, r_first)
+
+
+def test_ivf_more_probes_more_recall(corpus_queries, exact):
+    from greengage_spark.pipeline.similarity import ivf_topk
+
+    e, q = corpus_queries
+    r2 = _recall(
+        ivf_topk(e, q, n_cells=8, n_probe=2, centroids="kmeans", **KW), exact
+    )
+    r3 = _recall(
+        ivf_topk(e, q, n_cells=8, n_probe=3, centroids="kmeans", **KW), exact
+    )
+    assert r3 >= r2, (r3, r2)
+
+
+def test_bad_centroid_mode_rejected(corpus_queries):
+    from greengage_spark.pipeline.similarity import ivf_topk
+
+    e, q = corpus_queries
+    with pytest.raises(ValueError, match="centroids"):
+        ivf_topk(e, q, centroids="nope", **KW)
