@@ -365,15 +365,24 @@ def _pass_casts(toks: list[str]) -> list[str]:
         # array_in for the literal form; plain expressions cast to ARRAY<T>)
         if end + 2 < len(toks) and toks[end + 1] == "[" and toks[end + 2] == "]":
             if start == i - 1 and _is_string(toks[i - 1]):
-                elems = _pg_array_literal_items(toks[i - 1], mapped)
+                # literal form: nesting depth comes from the literal
+                # itself — PG's T[] is dimension-agnostic (array.c)
+                arr_toks, depth = _pg_array_literal(toks[i - 1], mapped)
+                typ = mapped
+                for _ in range(depth):
+                    typ = f"ARRAY<{typ}>"
                 toks = (
                     toks[:start]
-                    + ["CAST", "(", "ARRAY", "("] + elems
-                    + [")", "AS", f"ARRAY<{mapped}>", ")"]
+                    + ["CAST", "("] + arr_toks
+                    + ["AS", typ, ")"]
                     + toks[end + 3 :]
                 )
                 continue
-            mapped, end = f"ARRAY<{mapped}>", end + 2
+            # non-literal operand: PG's T[] is dimension-agnostic, so take
+            # the depth from the expression shape (nested constructors)
+            for _ in range(_md_array_depth(toks[start:i])):
+                mapped = f"ARRAY<{mapped}>"
+            end = end + 2
         toks = (
             toks[:start]
             + ["CAST", "("] + toks[start:i] + ["AS", mapped, ")"]
@@ -385,27 +394,97 @@ _NUMERIC_ITEM_RE = re.compile(r"^-?(\d+\.?\d*|\.\d+)([Ee][+-]?\d+)?$")
 
 
 def _pg_array_literal_items(str_tok: str, elem_type: str) -> list[str]:
-    """'{1,2,3}' / '{a,b}' (flat PG array literal, array.c array_in) →
-    comma-separated Spark literal tokens."""
+    """Back-compat flat wrapper over _pg_array_literal (1-D only)."""
+    toks, depth = _pg_array_literal(str_tok, elem_type)
+    if depth != 1:
+        raise ValueError(f"expected a 1-D array literal: {str_tok!r}")
+    return toks[2:-1]  # strip the outer ARRAY ( ... )
+
+
+def _pg_array_literal(str_tok: str, elem_type: str) -> tuple[list[str], int]:
+    """'{1,2,3}' / '{{1,2},{3,4}}' (PG array literal, array.c array_in,
+    any dimensionality) → Spark ``ARRAY(...)`` constructor tokens plus
+    the nesting depth.  Elements may be double-quoted (commas and braces
+    inside quotes are data, as in array_in's scanner)."""
     body = str_tok[1:] if str_tok[:1].lower() == "e" else str_tok
     body = body[1:-1].replace("''", "'").strip()
     if not (body.startswith("{") and body.endswith("}")):
         raise ValueError(f"unsupported array literal: {body!r}")
-    inner = body[1:-1].strip()
-    out: list[str] = []
-    if not inner:
-        return out
-    for part in inner.split(","):
-        p = part.strip().strip('"')
-        if out:
-            out.append(",")
+
+    def emit_elem(p: str, out: list[str]) -> None:
         if p.upper() == "NULL":
             out.append("NULL")
         elif elem_type == "STRING" or not _NUMERIC_ITEM_RE.match(p):
             out.append("'" + p.replace("'", "''") + "'")
         else:
             out.append(p)
-    return out
+
+    def parse(i: int) -> tuple[list[str], int, int]:
+        """parse a '{...}' starting at i; returns (tokens, end+1, depth)."""
+        assert body[i] == "{"
+        out: list[str] = ["ARRAY", "("]
+        depth = 1
+        i += 1
+        first = True
+        buf: list[str] = []
+        in_quotes = False
+        quoted = False
+
+        def flush() -> None:
+            nonlocal buf, quoted
+            p = "".join(buf).strip()
+            if p or quoted:
+                if not first_ref[0]:
+                    out.append(",")
+                first_ref[0] = False
+                emit_elem("".join(buf).strip() if not quoted else "".join(buf), out)
+            buf = []
+            quoted = False
+
+        first_ref = [True]
+        while i < len(body):
+            ch = body[i]
+            if in_quotes:
+                if ch == "\\" and i + 1 < len(body):
+                    buf.append(body[i + 1])
+                    i += 2
+                    continue
+                if ch == '"':
+                    in_quotes = False
+                    i += 1
+                    continue
+                buf.append(ch)
+                i += 1
+                continue
+            if ch == '"':
+                in_quotes = True
+                quoted = True
+                i += 1
+                continue
+            if ch == "{":
+                sub, i, sub_depth = parse(i)
+                if not first_ref[0]:
+                    out.append(",")
+                first_ref[0] = False
+                out += sub
+                depth = max(depth, sub_depth + 1)
+                continue
+            if ch == ",":
+                flush()
+                i += 1
+                continue
+            if ch == "}":
+                flush()
+                out.append(")")
+                return out, i + 1, depth
+            buf.append(ch)
+            i += 1
+        raise ValueError(f"unterminated array literal: {body!r}")
+
+    toks, end, depth = parse(0)
+    if body[end:].strip():
+        raise ValueError(f"trailing text in array literal: {body!r}")
+    return toks, depth
 
 
 _INTERVAL_UNITS = {
@@ -3610,9 +3689,34 @@ def _pass_array_constructor(toks: list[str]) -> list[str]:
                         break
             if close is None:
                 raise ValueError("unbalanced ARRAY[ constructor")
+            # multi-dim sugar ARRAY[[1,2],[3,4]] (gram.y array_expr_list
+            # without the ARRAY keyword on inner rows): a '[' at element
+            # position is an implicit nested constructor; a '[' after an
+            # operand is a subscript and stays for the subscript pass
+            inner: list[str] = []
+            prev: str | None = None
+            stack: list[str] = []
+            for t in toks[i + 2 : close]:
+                if t == "[":
+                    if prev is not None and _is_ident(prev) and prev.lower() == "array":
+                        inner.append("(")
+                        stack.append("ctor")
+                    elif prev is None or prev in (",", "(") or (
+                        _is_ident(prev) and prev.lower() == "array"
+                    ):
+                        inner += ["array", "("]
+                        stack.append("ctor")
+                    else:
+                        inner.append(t)
+                        stack.append("sub")
+                elif t == "]":
+                    inner.append(")" if stack and stack.pop() == "ctor" else t)
+                else:
+                    inner.append(t)
+                prev = t
             toks = (
                 toks[:i]
-                + ["array", "("] + toks[i + 2 : close] + [")"]
+                + ["array", "("] + inner + [")"]
                 + toks[close + 1 :]
             )
         i += 1
@@ -4343,8 +4447,8 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
         "transform({0}, __e -> CASE WHEN equal_null(__e, ({1})) "
         "THEN ({2}) ELSE __e END)"
     ),
-    ("array_lower", 2): "(CASE WHEN size({0}) > 0 THEN 1 END)",
-    ("array_ndims", 1): "(CASE WHEN size({0}) > 0 THEN 1 END)",
+    # array_lower/array_ndims are handled in _pass_functions directly —
+    # they are dimension-aware (_md_array_fn) and must see the arg shape
     # PG arg order is (elem, arr); Spark's builtin is (arr, elem)
     ("array_prepend", 2): "array_prepend({1}, {0})",
     # 1-D array_fill(value, ARRAY[n])
@@ -4907,6 +5011,70 @@ def _pass_array_ops(toks: list[str]) -> list[str]:
     return toks
 
 
+def _md_array_depth(arg: list[str]) -> int:
+    """Static dimensionality of an array expression: the deepest
+    ``ARRAY<ARRAY<...`` cast type token, or the run of nested
+    ``array ( array (`` constructor heads.  1 for plain arrays; a
+    textual front-end cannot see column types, so md columns must pass
+    through a literal/cast site to be recognized (documented subset)."""
+    depth = 1
+    for t in arg:
+        c = t.upper().count("ARRAY<")
+        depth = max(depth, c)
+    low = [x.lower() for x in arg]
+    j = 0
+    while j < len(low):
+        if low[j] == "array" and j + 1 < len(low) and low[j + 1] == "(":
+            run, k = 0, j
+            while k + 1 < len(low) and low[k] == "array" and low[k + 1] == "(":
+                run += 1
+                k += 2
+            depth = max(depth, run)
+            j = k
+        else:
+            j += 1
+    return depth
+
+
+def _md_array_fn(fn: str, a: str, depth: int, args: list[list[str]]) -> str:
+    """Lower a dimension-aware array function over a depth-``depth``
+    nested array (arrayfuncs.c): cardinality counts every scalar element,
+    array_dims renders '[1:n][1:m]...', array_upper/length/lower take the
+    requested dimension via first-element descent (rectangular arrays,
+    array_in's invariant)."""
+    def dim_size(n: int) -> str:
+        e = a
+        for _ in range(n - 1):
+            e = f"element_at(({e}), 1)"
+        return f"size({e})"
+
+    if fn == "cardinality":
+        e = a
+        for _ in range(depth - 1):
+            e = f"flatten({e})"
+        return f"size({e})"
+    if fn == "array_ndims":
+        return f"(CASE WHEN size({a}) > 0 THEN {depth} END)"
+    if fn == "array_dims":
+        if depth > 4:
+            raise NotImplementedError("array_dims beyond 4 dimensions")
+        parts = ", ".join(
+            f"'[1:', {dim_size(n)}, ']'" for n in range(1, depth + 1)
+        )
+        return f"(CASE WHEN size({a}) > 0 THEN concat({parts}) END)"
+    # dimension-addressed forms: second arg must be a literal dimension
+    if len(args) != 2 or not re.match(r"^\d+$", " ".join(args[1]).strip()):
+        raise NotImplementedError(
+            f"{fn} on a multi-dim array needs a literal dimension argument"
+        )
+    n = int(" ".join(args[1]).strip())
+    if n < 1 or n > depth:
+        return "NULL"  # out-of-range dimension → NULL (arrayfuncs.c)
+    if fn == "array_lower":
+        return f"(CASE WHEN size({a}) > 0 THEN 1 END)"
+    return f"(CASE WHEN size({a}) > 0 THEN {dim_size(n)} END)"
+
+
 def _pass_functions(toks: list[str]) -> list[str]:
     out = list(toks)
     i = 0
@@ -5371,12 +5539,43 @@ def _pass_functions(toks: list[str]) -> list[str]:
                         + [",", "1", ",", "1", ")", "AS", "TIMESTAMP", ")"]
                     )
                     continue
+            if (
+                low in ("array_length", "array_upper", "array_lower",
+                        "array_ndims", "array_dims", "cardinality")
+                and args
+                and (md := _md_array_depth(args[0])) >= 2
+            ):
+                # multi-dimensional argument (arrayfuncs.c; arrays.sql
+                # md rows): nested array<array<T>> representation, depth
+                # known statically from the cast type / constructor shape
+                a = " ".join(args[0])
+                out[i : close + 1] = tokenize(_md_array_fn(low, a, md, args))
+                continue
             if low in ("array_length", "array_upper") and len(args) == 2:
                 # PG returns NULL (not 0) for an empty array
                 # (arrayfuncs.c array_length: no dimension → NULL)
                 a = " ".join(args[0])
                 out[i : close + 1] = tokenize(
                     f"(CASE WHEN size({a}) > 0 THEN size({a}) END)"
+                )
+                continue
+            if low == "array_dims" and len(args) == 1:
+                a = " ".join(args[0])
+                out[i : close + 1] = tokenize(
+                    f"(CASE WHEN size({a}) > 0 "
+                    f"THEN concat('[1:', size({a}), ']') END)"
+                )
+                continue
+            if low == "array_ndims" and len(args) == 1:
+                a = " ".join(args[0])
+                out[i : close + 1] = tokenize(
+                    f"(CASE WHEN size({a}) > 0 THEN 1 END)"
+                )
+                continue
+            if low == "array_lower" and len(args) == 2:
+                a = " ".join(args[0])
+                out[i : close + 1] = tokenize(
+                    f"(CASE WHEN size({a}) > 0 THEN 1 END)"
                 )
                 continue
             if low == "encode" and len(args) == 2 and args[1] == ["'hex'"]:

@@ -5689,6 +5689,43 @@ ARRAYS_QUERIES = {
         "SELECT ARRAY[1,2] && ARRAY[2,9] AS a, ARRAY[1,2] && ARRAY[8,9] AS b",
         "SELECT true AS a, false AS b",
     ),
+    # ---- multi-dimensional rows (array<array<T>> emulation; arrayfuncs.c,
+    # arrays.sql:242, 318-329, 459-461) ----
+    "amd_literal_cast": (
+        "SELECT '{{1,2},{3,4}}'::int[] AS v",
+        "SELECT [[1, 2], [3, 4]] AS v",
+    ),
+    "amd_ctor_sugar": (
+        "SELECT ARRAY[[1,2],[3,4]] AS v",
+        "SELECT [[1, 2], [3, 4]] AS v",
+    ),
+    "amd_text_nested": (
+        "SELECT ARRAY[['a','bc'],['def','hijk']]::text[] AS v",
+        "SELECT [['a', 'bc'], ['def', 'hijk']] AS v",
+    ),
+    "amd_subscript": (
+        "SELECT ('{{1,2},{3,4}}'::int[])[2][1] AS v",
+        "SELECT 3 AS v",
+    ),
+    # arrays.sql:459-461 — cardinality counts every scalar element
+    "amd_cardinality": (
+        "SELECT cardinality('{{1,2}}'::int[]) AS a, "
+        "cardinality('{{1,2},{3,4},{5,6}}'::int[]) AS b, "
+        "cardinality('{{{1,9},{5,6}},{{2,3},{3,4}}}'::int[]) AS c",
+        "SELECT 2 AS a, 6 AS b, 8 AS c",
+    ),
+    "amd_dims": (
+        "SELECT array_dims('{{1,2},{3,4},{5,6}}'::int[]) AS d2, "
+        "array_dims('{1,2,3}'::int[]) AS d1, "
+        "array_ndims('{{1,2},{3,4}}'::int[]) AS nd, "
+        "array_upper('{{1,2},{3,4},{5,6}}'::int[], 2) AS u2, "
+        "array_lower('{{1,2},{3,4}}'::int[], 2) AS l2",
+        "SELECT '[1:3][1:2]' AS d2, '[1:3]' AS d1, 2 AS nd, 2 AS u2, 1 AS l2",
+    ),
+    "amd_empty_nested": (
+        "SELECT '{{},{}}'::text[] AS v",
+        "SELECT [CAST([] AS VARCHAR[]), []] AS v",
+    ),
 }
 
 
