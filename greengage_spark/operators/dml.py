@@ -52,6 +52,12 @@ def _norm_file(p: str) -> str:
     return unquote(p)
 
 
+class SerializationError(Exception):
+    """Concurrent-update commit conflict — the analog of PG's
+    ERRCODE_T_R_SERIALIZATION_FAILURE (40001, 'could not serialize
+    access due to concurrent update')."""
+
+
 class WritableTable:
     """A versioned copy-on-write parquet table (ModifyTable target)."""
 
@@ -101,7 +107,15 @@ class WritableTable:
         if self.dist_keys:
             n = self.num_partitions or self.spark.sparkContext.defaultParallelism
             df = df.repartition(n, *[F.col(c) for c in self.dist_keys])
-        seg = os.path.join(self.root, f"seg-{self.version + 1}")
+        # unique per ATTEMPT, not per version: two sessions racing to
+        # version n+1 must never share a directory — the commit CAS picks
+        # the winner, but a shared path would let the loser clobber the
+        # winner's data files before its commit even fails
+        import uuid
+
+        seg = os.path.join(
+            self.root, f"seg-{self.version + 1}-{uuid.uuid4().hex[:8]}"
+        )
         df.write.mode("overwrite").parquet(seg)
         return sorted(
             os.path.join(seg, f)
@@ -139,17 +153,32 @@ class WritableTable:
                 if evolutions is not None
                 else prev.get("evolutions", [])
             )
-        tmp = self._manifest_path(self.version + 1) + ".tmp"
+        tmp = self._manifest_path(self.version + 1) + f".tmp.{os.getpid()}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.replace(tmp, self._manifest_path(self.version + 1))
+        target = self._manifest_path(self.version + 1)
+        try:
+            # compare-and-swap: link(2) fails atomically when the target
+            # version already exists — a concurrent session committed a
+            # manifest this write never saw.  PG reports the same race as
+            # ERRCODE_T_R_SERIALIZATION_FAILURE (40001); os.replace would
+            # silently clobber the other session's commit (lost update).
+            os.link(tmp, target)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise SerializationError(
+                f"could not serialize access due to concurrent update: "
+                f"{target} was committed by another session (this write "
+                f"is based on version {self.version})"
+            ) from None
+        os.unlink(tmp)
         self.version += 1
 
     # ---------------- schema evolution (ALTER TABLE) ----------------
 
     @staticmethod
     def _seg_of(path: str) -> int:
-        m = re.search(r"/seg-(\d+)/", path)
+        m = re.search(r"/seg-(\d+)[^/]*/", path)
         return int(m.group(1)) if m else 0
 
     def evolve(self, op: dict, new_schema: StructType) -> "WritableTable":

@@ -201,3 +201,63 @@ class TestSavepoints:
             eng.execute("SAVEPOINT s1")
         with _pytest.raises(ValueError, match="transaction blocks"):
             eng.execute("ROLLBACK TO s1")
+
+
+class TestConcurrentSessions:
+    """Two sessions, one warehouse (the simplest isolation2 scenarios):
+    writer/writer commit conflict raises the serialization-failure
+    analog instead of silently losing an update; a reader's snapshot is
+    stable across another session's commit."""
+
+    def test_writer_writer_conflict(self, spark, tmp_path):
+        from greengage_spark.operators.dml import (
+            SerializationError,
+            WritableTable,
+        )
+
+        root = str(tmp_path / "t")
+        a = WritableTable(spark, root)
+        a.create(spark.createDataFrame([(1,)], "x long"))
+        # both sessions open at the same committed version
+        b = WritableTable(spark, root)
+        c = WritableTable(spark, root)
+        assert b.version == c.version == a.version
+        b.insert(spark.createDataFrame([(2,)], "x long"))
+        with pytest.raises(SerializationError, match="concurrent update"):
+            c.insert(spark.createDataFrame([(3,)], "x long"))
+        # the first committer's write is intact — no lost update
+        fresh = WritableTable(spark, root)
+        assert sorted(r.x for r in fresh.df().collect()) == [1, 2]
+
+    def test_reader_snapshot_stable(self, spark, tmp_path):
+        from greengage_spark.operators.dml import WritableTable
+
+        root = str(tmp_path / "t")
+        a = WritableTable(spark, root)
+        a.create(spark.createDataFrame([(1,)], "x long"))
+        reader = WritableTable(spark, root)
+        snapshot = reader.df()  # resolves the manifest at open version
+        a.insert(spark.createDataFrame([(2,)], "x long"))
+        # the reader keeps seeing its version; a NEW session sees both
+        assert sorted(r.x for r in snapshot.collect()) == [1]
+        assert sorted(r.x for r in reader.df().collect()) == [1]
+        assert sorted(
+            r.x for r in WritableTable(spark, root).df().collect()
+        ) == [1, 2]
+
+    def test_engine_level_conflict_message(self, spark, tmp_path):
+        # the engine surfaces the conflict like PG's 40001 text
+        from greengage_spark.operators.dml import (
+            SerializationError,
+            WritableTable,
+        )
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        eng.execute("CREATE TABLE shared (a int8)")
+        eng.execute("INSERT INTO shared VALUES (1)")
+        # a second session writes the same table out from under a stale
+        # handle opened at the current version
+        stale = WritableTable(spark, str(tmp_path / "wh" / "shared"))
+        eng.execute("INSERT INTO shared VALUES (2)")
+        with pytest.raises(SerializationError, match="could not serialize"):
+            stale.insert(spark.createDataFrame([(3,)], "a long"))
