@@ -29,8 +29,11 @@ HEADLINE = [
 
 
 def main() -> None:
+    import re
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    m = re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else 0.1
 
     from greengage_spark.session import get_spark
     from greengage_spark.plans.registry import all_queries
@@ -57,8 +60,11 @@ def main() -> None:
     # is the steady-state number the plan actually costs.  (Observed: on a
     # loaded box best-of-3 totals swing ~8% on unchanged code; best-of-5
     # halves that.)
+    # SPARK_GRAFT_BENCH_PASSES overrides for big local fixtures (sf1 runs
+    # long enough per pass that 3 passes already beat sf0.1's 5 on noise)
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
     timings: dict[str, float] = {}
-    for _ in range(5):
+    for _ in range(passes):
         for name in names:
             t0 = time.time()
             df = qs[name].fn(spark, sf_dir)

@@ -34,21 +34,113 @@ class PreparedStatement:
 
 
 class Cursor:
-    def __init__(self, name: str, df: DataFrame):
+    """Portal over a streamed result (portalcmds.c).
+
+    Forward-only cursors stream via ``toLocalIterator`` with nothing
+    retained — bounded driver memory at any corpus size.  ``SCROLL``
+    cursors additionally retain the rows fetched so far (PG materializes
+    scrollable portals into a tuplestore; ours keeps the fetched extent
+    in driver memory — the backward window is bounded by how far the
+    client actually scanned, never by corpus size).  Position follows
+    PG: 0 = before first, k = on row k, len+1 = after last."""
+
+    def __init__(self, name: str, df: DataFrame, scroll: bool = False):
         self.name = name
         self.schema = df.schema
         self._iter = df.toLocalIterator()
+        self.scroll = scroll
+        self._buf: list = []  # rows 1..len consumed so far (scroll only)
+        self._pos = 0
         self.exhausted = False
 
+    def _pull(self) -> bool:
+        try:
+            self._buf.append(next(self._iter))
+            return True
+        except StopIteration:
+            self.exhausted = True
+            return False
+
     def fetch(self, n: int | None) -> list:
-        out = []
+        """FETCH FORWARD n (None = ALL)."""
+        if not self.scroll:
+            out = []
+            while n is None or len(out) < n:
+                try:
+                    out.append(next(self._iter))
+                except StopIteration:
+                    self.exhausted = True
+                    break
+            return out
+        out: list = []
         while n is None or len(out) < n:
-            try:
-                out.append(next(self._iter))
-            except StopIteration:
-                self.exhausted = True
+            if self._pos < len(self._buf):
+                self._pos += 1
+                out.append(self._buf[self._pos - 1])
+            elif self._pull():
+                self._pos += 1
+                out.append(self._buf[-1])
+            else:
+                self._pos = len(self._buf) + 1  # after last
                 break
         return out
+
+    def fetch_backward(self, n: int | None) -> list:
+        """FETCH BACKWARD n: prior rows in reverse scan order."""
+        if not self.scroll:
+            raise ValueError(
+                f'cursor "{self.name}" can only scan forward '
+                "(declare it with SCROLL)"
+            )
+        if self._pos > len(self._buf):
+            self._pos = len(self._buf)  # step off after-last onto last...
+            # ...which IS the first backward row (PG: BACKWARD from the
+            # end returns the last row first)
+            if self._pos > 0:
+                out = [self._buf[self._pos - 1]]
+                more = self.fetch_backward(None if n is None else n - 1)
+                return out + more
+        out: list = []
+        while (n is None or len(out) < n) and self._pos > 1:
+            self._pos -= 1
+            out.append(self._buf[self._pos - 1])
+        if (n is None or len(out) < n) and self._pos == 1:
+            self._pos = 0  # stepped before the first row
+        return out
+
+    def fetch_absolute(self, k: int) -> list:
+        """FETCH ABSOLUTE k (negative = from end); returns the row."""
+        if not self.scroll:
+            raise ValueError(
+                f'cursor "{self.name}" can only scan forward '
+                "(declare it with SCROLL)"
+            )
+        if k < 0:
+            while self._pull():
+                pass
+            k = len(self._buf) + 1 + k
+        if k <= 0:
+            self._pos = 0
+            return []
+        while len(self._buf) < k and self._pull():
+            pass
+        if k > len(self._buf):
+            self._pos = len(self._buf) + 1
+            return []
+        self._pos = k
+        return [self._buf[k - 1]]
+
+    def fetch_relative(self, k: int) -> list:
+        """FETCH RELATIVE k; 0 re-returns the current row (PG)."""
+        if k > 0:
+            rows = self.fetch(k)
+            return rows[-1:]
+        if k < 0:
+            rows = self.fetch_backward(-k)
+            return rows[-1:]
+        if self.scroll and 1 <= self._pos <= len(self._buf):
+            return [self._buf[self._pos - 1]]
+        return []
 
 
 _STRING_SPAN = re.compile(r"'(?:[^']|'')*'")
@@ -144,7 +236,7 @@ def execute_cursor_stmt(engine, stmt: str):
     if head == "declare":
         m = re.match(
             r"(?is)^declare\s+([\w.]+)\s+(?:binary\s+)?(?:insensitive\s+)?"
-            r"(?:no\s+scroll\s+|scroll\s+)?cursor\s+(?:with(?:out)?\s+hold\s+)?"
+            r"(no\s+scroll\s+|scroll\s+)?cursor\s+(?:with(?:out)?\s+hold\s+)?"
             r"for\s+(.+)$",
             stmt,
         )
@@ -153,26 +245,51 @@ def execute_cursor_stmt(engine, stmt: str):
         name = m.group(1).lower()
         if name in engine.cursors:
             raise ValueError(f'cursor "{name}" already exists')
-        df = engine.execute(m.group(2).strip())
+        scroll = bool(m.group(2)) and m.group(2).strip().lower() == "scroll"
+        df = engine.execute(m.group(3).strip())
         if df is None:
             raise ValueError("DECLARE CURSOR requires a query")
-        engine.cursors[name] = Cursor(name, df)
+        engine.cursors[name] = Cursor(name, df, scroll=scroll)
         return None
     if head in ("fetch", "move"):
         m = re.match(
-            r"(?is)^(fetch|move)\s+(?:forward\s+)?(all\s+|next\s+|\d+\s+)?"
-            r"(?:from\s+|in\s+)?([\w.]+)$",
+            r"(?is)^(fetch|move)\s+"
+            r"(?:(forward|backward|absolute|relative|prior|first|last|next)\s+)?"
+            r"(?:((?:[+-]?\d+|all))\s+)?(?:from\s+|in\s+)?([\w.]+)$",
             stmt,
         )
         if not m:
-            raise NotImplementedError("FETCH [FORWARD] [n|ALL|NEXT] [FROM] cursor")
-        count_raw = (m.group(2) or "next").strip().lower()
-        name = m.group(3).lower()
+            raise NotImplementedError(
+                "FETCH [FORWARD|BACKWARD|ABSOLUTE|RELATIVE|PRIOR|FIRST|"
+                "LAST|NEXT] [n|ALL] [FROM] cursor"
+            )
+        kw = (m.group(2) or "").lower()
+        cnt = (m.group(3) or "").lower()
+        name = m.group(4).lower()
         cur = engine.cursors.get(name)
         if cur is None:
             raise ValueError(f'cursor "{name}" does not exist')
-        n = None if count_raw == "all" else 1 if count_raw == "next" else int(count_raw)
-        rows = cur.fetch(n)
+        if kw in ("absolute", "relative"):
+            if not cnt or cnt == "all":
+                raise NotImplementedError(f"FETCH {kw.upper()} needs a count")
+            rows = (
+                cur.fetch_absolute(int(cnt))
+                if kw == "absolute"
+                else cur.fetch_relative(int(cnt))
+            )
+        elif kw == "prior":
+            rows = cur.fetch_backward(1)
+        elif kw == "first":
+            rows = cur.fetch_absolute(1)
+        elif kw == "last":
+            rows = cur.fetch_absolute(-1)
+        elif kw == "backward":
+            rows = cur.fetch_backward(None if cnt == "all" else int(cnt or 1))
+        else:  # forward / next / bare count — negative counts scan backward
+            n = None if cnt == "all" else 1 if not cnt else int(cnt)
+            if kw == "next":
+                n = 1
+            rows = cur.fetch_backward(-n) if n is not None and n < 0 else cur.fetch(n)
         if m.group(1).lower() == "move":
             return None
         return engine.spark.createDataFrame(rows, cur.schema)

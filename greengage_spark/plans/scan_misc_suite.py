@@ -755,6 +755,51 @@ def create_function_plpgsql_vars(spark, sf_dir):
 
 
 @suite.add(
+    "cursor_scroll_fetch",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 0), (2, 1), (3, 2), (4, 3), (5, 4), (6, 5), (7, 6), (8, 7),
+      (9, 8), (10, 9),
+      (11, 8), (12, 7), (13, 6),
+      (14, 14),
+      (15, 12),
+      (16, 24)
+    ) AS t(seq, n_nationkey)
+    """,
+    doc="SCROLL cursor portal (portalcmds.c PerformPortalFetch): FETCH "
+        "FORWARD streams via toLocalIterator; BACKWARD/ABSOLUTE/RELATIVE/"
+        "LAST replay the retained fetched extent (PG materializes "
+        "scrollable portals in a tuplestore; ours keeps the scanned "
+        "prefix — bounded by scan depth, not corpus size). The oracle is "
+        "the hand-computed portal walk over nation ORDER BY n_nationkey.",
+    tags=("engine", "cursor"),
+)
+def cursor_scroll_fetch(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_cur_"))
+    cat(spark, sf_dir).table("nation").createOrReplaceTempView("cur_nation")
+    eng.execute(
+        "DECLARE sc SCROLL CURSOR FOR "
+        "SELECT n_nationkey FROM cur_nation ORDER BY n_nationkey"
+    )
+    steps = [
+        "FETCH 10 FROM sc",
+        "FETCH BACKWARD 3 FROM sc",
+        "FETCH ABSOLUTE 15 FROM sc",
+        "FETCH RELATIVE -2 FROM sc",
+        "FETCH LAST FROM sc",
+    ]
+    rows = []
+    seq = 0
+    for s in steps:
+        for r in eng.execute(s).collect():
+            seq += 1
+            rows.append((seq, int(r[0])))
+    return spark.createDataFrame(rows, "seq int, n_nationkey int")
+
+
+@suite.add(
     "create_function_plpgsql_loop",
     oracle="""
     SELECT o_orderkey,

@@ -89,3 +89,51 @@ class TestCursors:
         eng.execute("DECLARE c CURSOR FOR SELECT 1 AS one")
         with pytest.raises(ValueError, match="already exists"):
             eng.execute("DECLARE c CURSOR FOR SELECT 2 AS two")
+
+
+class TestScrollCursors:
+    """SCROLL cursors (portalcmds.c PerformPortalFetch; portals.sql
+    shapes): BACKWARD/PRIOR/ABSOLUTE/RELATIVE/FIRST/LAST over the
+    retained fetched extent; forward-only cursors reject backward scans
+    exactly as PG does."""
+
+    def test_backward_and_prior(self, eng):
+        eng.execute("DECLARE sc SCROLL CURSOR FOR SELECT a FROM t ORDER BY a")
+        got = eng.execute("FETCH 3 FROM sc")
+        assert [r[0] for r in got.collect()] == [1, 2, 3]
+        back = eng.execute("FETCH BACKWARD 2 FROM sc")
+        assert [r[0] for r in back.collect()] == [2, 1]
+        prior = eng.execute("FETCH PRIOR FROM sc")  # before first now
+        assert prior.collect() == []
+        fwd = eng.execute("FETCH NEXT FROM sc")  # back to the first row
+        assert [r[0] for r in fwd.collect()] == [1]
+        eng.execute("CLOSE sc")
+
+    def test_absolute_first_last_relative(self, eng):
+        eng.execute("DECLARE sa SCROLL CURSOR FOR SELECT a FROM t ORDER BY a")
+        assert [r[0] for r in eng.execute("FETCH ABSOLUTE 3 FROM sa").collect()] == [3]
+        assert [r[0] for r in eng.execute("FETCH FIRST FROM sa").collect()] == [1]
+        assert [r[0] for r in eng.execute("FETCH LAST FROM sa").collect()] == [4]
+        assert [r[0] for r in eng.execute("FETCH RELATIVE -2 FROM sa").collect()] == [2]
+        assert [r[0] for r in eng.execute("FETCH RELATIVE 0 FROM sa").collect()] == [2]
+        # beyond the end: positions after last, returns nothing
+        assert eng.execute("FETCH ABSOLUTE 99 FROM sa").collect() == []
+        # backward from after-last returns the last row first
+        assert [r[0] for r in eng.execute("FETCH BACKWARD 2 FROM sa").collect()] == [4, 3]
+        eng.execute("CLOSE sa")
+
+    def test_negative_count_scans_backward(self, eng):
+        eng.execute("DECLARE sn SCROLL CURSOR FOR SELECT a FROM t ORDER BY a")
+        eng.execute("MOVE 3 sn")
+        got = eng.execute("FETCH -2 FROM sn")
+        assert [r[0] for r in got.collect()] == [2, 1]
+        eng.execute("CLOSE sn")
+
+    def test_forward_only_rejects_backward(self, eng):
+        eng.execute("DECLARE fo CURSOR FOR SELECT a FROM t ORDER BY a")
+        eng.execute("FETCH 2 FROM fo")
+        with pytest.raises(ValueError, match="only scan forward"):
+            eng.execute("FETCH BACKWARD 1 FROM fo")
+        with pytest.raises(ValueError, match="only scan forward"):
+            eng.execute("FETCH LAST FROM fo")
+        eng.execute("CLOSE fo")

@@ -1,0 +1,65 @@
+"""Scale the driver's sf0.1 testdata to sf1 for LOCAL benching.
+
+The driver only ships sf0.001/0.01/0.1 and /root/testdata is read-only;
+at sf0.1 the bench's best-of-5 numbers swing ±19% on unchanged code
+(shared box), so local optimization needs a bigger fixture.  This tool
+builds a ~10× set by KEY-SHIFTED REPLICATION of sf0.1: ten copies of
+each table with every join key offset by i*OFFSET, so schemas, value
+distributions, selectivities, and join fan-outs are preserved exactly
+while row counts grow 10× (lineitem ~6M rows).  region/nation are fixed
+dimensions and copy through.
+
+Usage: python tools/make_sf1.py [outdir]   (default /tmp/gg_sf1)
+Then:  SPARK_GRAFT_SF_DIR=/tmp/gg_sf1 python bench.py
+"""
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+OFFSET = 100_000_000
+COPIES = 10
+
+# table -> columns to shift per copy
+SHIFTS = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def main(out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for table, keys in SHIFTS.items():
+        src = f"{SRC}/{table}.parquet"
+        dst = f"{out}/{table}.parquet"
+        if not keys:
+            sql = f"SELECT * FROM '{src}'"
+        else:
+            cols = [c[0] for c in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
+            parts = []
+            for i in range(COPIES):
+                off = i * OFFSET
+                sel = ", ".join(
+                    f"{c} + {off} AS {c}" if c in keys else c for c in cols
+                )
+                parts.append(f"SELECT {sel} FROM '{src}'")
+            sql = " UNION ALL ".join(parts)
+        con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
+        n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+        print(f"{table}: {n} rows")
+    print(f"done -> {out}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/gg_sf1")
