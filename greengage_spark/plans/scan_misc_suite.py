@@ -842,6 +842,41 @@ def create_function_plpgsql_loop(spark, sf_dir):
 
 
 @suite.add(
+    "create_function_plpgsql_exception",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey % 5 = 0 THEN -1
+                     ELSE 100 // (o_orderkey % 5) END AS INTEGER) AS sd
+    FROM orders WHERE o_orderkey < 300
+    """,
+    doc="plpgsql EXCEPTION blocks (exec_stmt_block:3245): a handler list "
+        "catches by condition name — division_by_zero here — with the "
+        "interpreter slow path (plpgsql_interp.py), the reference's own "
+        "execution model. Oracle re-derives the guarded division with a "
+        "CASE (PG int division truncates; all operands positive so // "
+        "matches).",
+    tags=("udf", "engine", "plpgsql"),
+)
+def create_function_plpgsql_exception(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_plpge_"))
+    cat(spark, sf_dir).table("orders").filter(
+        F.col("o_orderkey") < 300
+    ).createOrReplaceTempView("plpge_src_orders")
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION safe_div(a int4, b int4) RETURNS int4 "
+        "AS $$\nBEGIN\n  RETURN a / b;\n"
+        "EXCEPTION WHEN division_by_zero THEN\n  RETURN -1;\nEND;\n"
+        "$$ LANGUAGE plpgsql"
+    )
+    return eng.execute(
+        "SELECT o_orderkey, safe_div(100, (o_orderkey % 5)::int4) AS sd "
+        "FROM plpge_src_orders"
+    )
+
+
+@suite.add(
     "create_function_setof",
     oracle="""
     SELECT t.n_name, t.n_regionkey
@@ -1019,6 +1054,44 @@ def external_execute_scan(spark, sf_dir):
         "ON 4 FORMAT 'TEXT'"
     )
     return eng.execute("SELECT n FROM seg_slices ORDER BY n")
+
+
+@suite.add(
+    "external_gpfdist_scan",
+    oracle="""
+    SELECT CAST(g AS BIGINT) AS k, 'row-' || g AS v
+    FROM generate_series(0, 59) t(g) ORDER BY k
+    """,
+    doc="gpfdist:// wire protocol (gpfdist.c; url_curl.c): each declared "
+        "segment opens its own HTTP connection ON THE EXECUTORS with the "
+        "X-GP-SEGMENT-ID/COUNT header contract and parses the PROTO-1 "
+        "block framing (type + network-order length, zero-length 'D' "
+        "terminator). The serving side here is the bundled "
+        "gpfdist-compatible daemon (sources/gpfdist.serve_directory) over "
+        "a generated file; fan-out ∝ segments, driver off the data path.",
+    tags=("engine", "external", "scan"),
+)
+def external_gpfdist_scan(spark, sf_dir):
+    import os
+
+    from greengage_spark.engine import GreengageEngine
+    from greengage_spark.sources.gpfdist import serve_directory
+
+    root = tempfile.mkdtemp(prefix="gg_gpfd_")
+    with open(os.path.join(root, "rows.txt"), "w") as fh:
+        fh.write("".join(f"{i}\trow-{i}\n" for i in range(60)))
+    srv, port = serve_directory(root)
+    try:
+        eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_gpfw_"))
+        eng.execute(
+            f"CREATE EXTERNAL TABLE gpfd_rows (k int8, v text) LOCATION "
+            f"('gpfdist://127.0.0.1:{port}/rows.txt') FORMAT 'TEXT'"
+        )
+        # materialize before the server shuts down (the view is lazy)
+        rows = eng.execute("SELECT k, v FROM gpfd_rows ORDER BY k").collect()
+    finally:
+        srv.shutdown()
+    return spark.createDataFrame(rows, "k bigint, v string")
 
 
 @suite.add(

@@ -200,10 +200,10 @@ def _strip_file_uri(uri: str) -> str:
     m = re.match(r"(?is)^file://[^/]*(/.*)$", uri)
     if m:
         return m.group(1)
-    if re.match(r"(?is)^(gpfdist|gpfdists|http|https)://", uri):
+    if re.match(r"(?is)^(gpfdists|http|https)://", uri):
         raise NotImplementedError(
-            f"external protocol in {uri!r}: only file:// and plain paths are "
-            "served locally (gpfdist serving needs the reference's daemon)"
+            f"external protocol in {uri!r}: file://, plain paths, and "
+            "gpfdist:// are served (gpfdists TLS is not)"
         )
     return uri
 
@@ -264,11 +264,27 @@ def parse_create_external(stmt: str) -> ExternalTableDef:
             n_segments=nseg,
         )
         return ExternalTableDef(name=name, writable=False, table=tab)
-    locations = [
-        _strip_file_uri(s.strip().strip("'"))
-        for s in loc_raw.split(",")
-        if s.strip()
-    ]
+    raw_uris = [s.strip().strip("'") for s in loc_raw.split(",") if s.strip()]
+    if any(u.lower().startswith("gpfdist://") for u in raw_uris):
+        # gpfdist wire protocol (url_curl.c client side): one HTTP
+        # connection per declared segment, opened on the executors
+        if not all(u.lower().startswith("gpfdist://") for u in raw_uris):
+            raise NotImplementedError(
+                "LOCATION lists cannot mix gpfdist:// with other protocols"
+            )
+        if writable:
+            raise NotImplementedError("WRITABLE gpfdist external tables")
+        from greengage_spark.sources.gpfdist import GpfdistExternalTable
+
+        gtab = GpfdistExternalTable(
+            uris=raw_uris,
+            schema=schema,
+            fmt=fmt,
+            delimiter=delimiter,
+            null_str=null_str,
+        )
+        return ExternalTableDef(name=name, writable=False, table=gtab)
+    locations = [_strip_file_uri(u) for u in raw_uris]
     if writable:
         return ExternalTableDef(
             name=name,
