@@ -791,11 +791,12 @@ class GreengageEngine:
         )
 
     def _do_block(self, stmt: str):
-        """DO $$ ... $$ anonymous blocks (gram.y DoStmt).  Supported
-        subset: NULL statements, RAISE NOTICE/INFO (recorded to
+        """DO $$ ... $$ anonymous blocks (gram.y DoStmt), run driver-side
+        through the full plpgsql interpreter (plpgsql_interp.run_block):
+        loops, IF, EXCEPTION handlers, RAISE NOTICE (recorded to
         self.notices — PG sends them to the client, not the result), and
-        EXECUTE 'sql' / PERFORM f(...) of statements this engine can run.
-        Conditional/procedural bodies are rejected loudly."""
+        the SQL statements — PERFORM, SELECT INTO, INSERT/UPDATE/DELETE,
+        EXECUTE expr, FOR rec IN <query> — executed through this engine."""
         m = re.match(
             r"(?is)^do\s+(?:language\s+plpgsql\s+)?\$[\w]*\$(.*)\$[\w]*\$"
             r"(?:\s+language\s+plpgsql)?\s*$",
@@ -804,32 +805,16 @@ class GreengageEngine:
         )
         if not m:
             raise NotImplementedError("DO $$ body $$ [LANGUAGE plpgsql]")
-        body = m.group(1).strip().rstrip(";")
-        mb = re.match(r"(?is)^(?:declare\b.*?)?begin\b(.*)\bend$", body, re.DOTALL)
-        if not mb:
-            raise NotImplementedError("DO body must be [DECLARE ...] BEGIN ... END")
-        from greengage_spark.operators.udf_ddl import _split_stmts
+        body = m.group(1).strip()
+        from greengage_spark.operators.plpgsql_interp import run_block
 
-        for st in _split_stmts(mb.group(1)):
-            low = st.lower()
-            if low == "null":
-                continue
-            mr = re.match(r"(?is)^raise\s+(notice|info|log|debug)\s+(.*)$", st)
-            if mr:
-                self.notices.append(mr.group(2).strip().strip("'"))
-                continue
-            me = re.match(r"(?is)^execute\s+'((?:[^']|'')*)'$", st)
-            if me:
-                self.execute(me.group(1).replace("''", "'"))
-                continue
-            mp = re.match(r"(?is)^perform\s+(.*)$", st)
-            if mp:
-                self.execute(f"SELECT {mp.group(1)}").collect()
-                continue
-            raise NotImplementedError(
-                f"DO block statement not supported: {st[:60]!r} (subset: "
-                "NULL, RAISE NOTICE, EXECUTE 'sql', PERFORM expr)"
-            )
+        def hook(sql: str):
+            df = self.execute(sql)
+            return df.collect() if df is not None else []
+
+        notices: list = []
+        run_block(body, hook, notices)
+        self.notices.extend(msg for _lvl, msg in notices)
         return None
 
     # ---------------- transactions ----------------

@@ -515,6 +515,14 @@ class _ExprParser:
                 e = (
                     lambda inner, ix: lambda env: _subscript(inner(env), ix(env))
                 )(e, idx)
+            elif (
+                t == "."
+                and self.pos + 1 < len(self.toks)
+                and _is_ident(self.toks[self.pos + 1])
+            ):
+                self.take()
+                name = self.take().lower()
+                e = (lambda inner, n: lambda env: _field(inner(env), n))(e, name)
             else:
                 return e
 
@@ -609,6 +617,25 @@ def _subscript(arr, i):
     return arr[i - 1] if 1 <= i <= len(arr) else None  # 1-based, OOB → NULL
 
 
+def _field(obj, name):
+    """rec.field access on a result Row (case-insensitive, plpgsql
+    lowercases unquoted identifiers)."""
+    if obj is None:
+        return None
+    try:
+        return obj[name]
+    except Exception:  # noqa: BLE001 - fall through to case-insens scan
+        fields = getattr(obj, "__fields__", None) or (
+            list(obj.keys()) if hasattr(obj, "keys") else []
+        )
+        for f in fields:
+            if f.lower() == name:
+                return obj[f]
+        raise PlPgSQLError(
+            "undefined_column", f'record has no field "{name}"'
+        ) from None
+
+
 def _lookup(env, name):
     try:
         return env[name]
@@ -626,10 +653,12 @@ _LEVELS = ("exception", "notice", "warning", "info", "log", "debug")
 
 
 class _StmtParser:
-    def __init__(self, toks: list[str]):
+    def __init__(self, toks: list[str], allow_sql: bool = False):
         self.toks = toks
         self.pos = 0
+        self.allow_sql = allow_sql  # driver-side (DO block): SQL hook ok
         self.casts: dict[str, object] = {}  # var -> declared-type cast fn
+        self.records: set[str] = set()  # vars declared RECORD
 
     def peek_low(self, off: int = 0) -> str | None:
         i = self.pos + off
@@ -697,6 +726,13 @@ class _StmtParser:
         if self.peek_low() == "constant":
             self.take()
         tname = self.take().lower()
+        if tname == "record":
+            # RECORD vars hold whole result rows (pl_comp.c); only the
+            # SQL-hook statements can populate them
+            self.expect(";")
+            self.casts[name] = lambda v: v
+            self.records.add(name)
+            return ("var", name, lambda v: v, None)
         if tname == "double" and self.peek_low() == "precision":
             self.take()
         if self.peek() == "(":  # varchar(10), numeric(10,2)
@@ -790,11 +826,13 @@ class _StmtParser:
             return self.parse_block()
         if t in ("perform", "select", "insert", "update", "delete", "execute",
                  "get", "open", "fetch", "close"):
-            raise NotImplementedError(
-                f"plpgsql interpreter: {t.upper()} needs the SQL engine — "
-                "not available inside a row UDF; use LANGUAGE sql or a "
-                "SETOF table macro"
-            )
+            if not self.allow_sql or t in ("get", "open", "fetch", "close"):
+                raise NotImplementedError(
+                    f"plpgsql interpreter: {t.upper()} needs the SQL engine "
+                    "— not available inside a row UDF; use LANGUAGE sql, a "
+                    "SETOF table macro, or a DO block (driver-side)"
+                )
+            return self._sql_stmt(t)
         # assignment: name := expr  (also the SQL-standard = spelling)
         name = self.take().lower()
         if self.peek_low() not in (":=", "="):
@@ -826,6 +864,73 @@ class _StmtParser:
         self.opt_semi()
         return ("if", arms, els)
 
+    def _raw_until(self, stops: set[str]) -> tuple[str, str | None]:
+        """Collect raw statement text up to a top-level stop token (the
+        token itself is NOT consumed).  Strings are single tokens, so
+        space-rejoin round-trips the SQL."""
+        out: list[str] = []
+        depth = 0
+        while self.pos < len(self.toks):
+            t = self.toks[self.pos]
+            low = t.lower() if _is_ident(t) else t
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            if depth == 0 and low in stops:
+                return " ".join(out), low
+            out.append(t)
+            self.pos += 1
+        return " ".join(out), None
+
+    def _into_vars(self) -> tuple[list[tuple[str, bool]], bool]:
+        """Parse [STRICT] var[, var...] after INTO."""
+        strict = False
+        if self.peek_low() == "strict":
+            self.take()
+            strict = True
+        out = [(self.take().lower(), False)]
+        while self.peek_low() == ",":
+            self.take()
+            out.append((self.take().lower(), False))
+        return [(n, n in self.records) for n, _ in out], strict
+
+    def _sql_stmt(self, head: str):
+        """Driver-side SQL statements (DO blocks only): PERFORM,
+        SELECT ... INTO, INSERT/UPDATE/DELETE, EXECUTE expr [INTO]
+        (pl_exec.c exec_stmt_perform/_execsql/_dynexecute).  Variable
+        references interpolate as literals at run time — PG binds them
+        as params; same values, different mechanism."""
+        if head == "perform":
+            self.take()
+            text, _ = self._raw_until({";"})
+            self.expect(";")
+            return ("sql_perform", "SELECT " + text)
+        if head in ("insert", "update", "delete"):
+            text, _ = self._raw_until({";"})
+            self.expect(";")
+            return ("sql_perform", text)
+        if head == "execute":
+            self.take()
+            e = self.expr()
+            vars_, strict = ([], False)
+            if self.peek_low() == "into":
+                self.take()
+                vars_, strict = self._into_vars()
+            self.expect(";")
+            return ("sql_execute", e, vars_, strict)
+        # SELECT [cols] INTO [STRICT] vars [rest...]
+        pre, stop = self._raw_until({"into", ";"})
+        if stop != "into":
+            raise NotImplementedError(
+                "plpgsql SELECT without INTO — use PERFORM to discard rows"
+            )
+        self.expect("into")
+        vars_, strict = self._into_vars()
+        post, _ = self._raw_until({";"})
+        self.expect(";")
+        return ("sql_select_into", (pre + " " + post).strip(), vars_, strict)
+
     def _for(self):
         self.expect("for")
         var = self.take().lower()
@@ -834,6 +939,20 @@ class _StmtParser:
         if self.peek_low() == "reverse":
             self.take()
             reverse = True
+        if self.peek_low() in ("select", "with", "values", "table") and not reverse:
+            # FOR rec IN <query> LOOP (exec_stmt_fors) — SQL hook path
+            if not self.allow_sql:
+                raise NotImplementedError(
+                    "plpgsql interpreter: FOR-over-query needs the SQL "
+                    "engine — available in DO blocks (driver-side)"
+                )
+            sql, _ = self._raw_until({"loop"})
+            self.expect("loop")
+            body = self._stmts(until=("end",))
+            self.expect("end", "loop")
+            self.opt_semi()
+            self.records.add(var)  # loop target behaves as a record
+            return ("forquery", var, sql, body)
         lo = self.expr()
         if self.peek() != "..":
             raise NotImplementedError(
@@ -987,8 +1106,127 @@ def _exec_stmt(s, env):  # noqa: C901 - one dispatch switch, pl_exec.c style
         pass
     elif kind == "block":
         _exec_block(s, env)
+    elif kind == "sql_perform":
+        _sql_hook(env)(_interpolate(s[1], env))
+    elif kind == "sql_select_into":
+        _, sql, vars_, strict = s
+        rows = _sql_hook(env)(_interpolate(sql, env))
+        _assign_into(rows, vars_, strict, env)
+    elif kind == "sql_execute":
+        _, e, vars_, strict = s
+        sql = e(env)
+        if sql is None:
+            raise PlPgSQLError(
+                "null_value_not_allowed", "EXECUTE of a null query string"
+            )
+        rows = _sql_hook(env)(sql)
+        if vars_:
+            _assign_into(rows, vars_, strict, env)
+    elif kind == "forquery":
+        _, var, sql, body = s
+        rows = _sql_hook(env)(_interpolate(sql, env))
+        _run_loop(rows, var, body, env)
     else:  # pragma: no cover
         raise NotImplementedError(f"plpgsql: statement {kind!r}")
+
+
+def _sql_hook(env):
+    h = env.get("__sql__")
+    if h is None:
+        raise PlPgSQLError(
+            "feature_not_supported",
+            "SQL statements are only available driver-side (DO blocks)",
+        )
+    return h
+
+
+def _assign_into(rows, vars_, strict, env):
+    """INTO assignment (exec_stmt_execsql): STRICT demands exactly one
+    row; otherwise zero rows leave NULLs; a single RECORD target takes
+    the whole row, scalars take columns positionally."""
+    if strict and len(rows) != 1:
+        raise PlPgSQLError(
+            "no_data_found" if not rows else "too_many_rows",
+            "query returned no rows" if not rows else "query returned more than one row",
+        )
+    row = rows[0] if rows else None
+    if len(vars_) == 1 and vars_[0][1]:
+        env[vars_[0][0]] = row
+        return
+    for i, (name, _is_rec) in enumerate(vars_):
+        env[name] = None if row is None else row[i]
+
+
+def _interpolate(sql: str, env) -> str:
+    """Substitute plpgsql variables referenced in a SQL statement with
+    literals (PG binds them as executor params — same values).  Scalar
+    env entries only; quote-aware, one pass."""
+    mapping = {}
+    rec_map = {}
+    for k, v in env.items():
+        if k.startswith("__") or k.startswith("$"):
+            continue
+        if v is None or isinstance(v, (bool, int, float, str)):
+            mapping[k] = _sql_literal(v)
+        elif hasattr(v, "__fields__") or hasattr(v, "keys"):
+            rec_map[k] = v  # RECORD vars: rec.field references inline
+    if not mapping and not rec_map:
+        return sql
+    ident_re = re.compile(r"[A-Za-z_]\w*")
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        m = ident_re.match(sql, i)
+        if m:
+            word = m.group(0)
+            prev = sql[i - 1] if i > 0 else ""
+            low = word.lower()
+            if prev != "." and low in rec_map:
+                # rec.field → the field's literal value
+                j = m.end()
+                while j < n and sql[j] in " \t":
+                    j += 1
+                if j < n and sql[j] == ".":
+                    j += 1
+                    while j < n and sql[j] in " \t":
+                        j += 1
+                    fm = ident_re.match(sql, j)
+                    if fm:
+                        out.append(
+                            _sql_literal(_field(rec_map[low], fm.group(0).lower()))
+                        )
+                        i = fm.end()
+                        continue
+            repl = mapping.get(low)
+            out.append(repl if repl is not None and prev != "." else word)
+            i = m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
 
 
 def _run_loop(it, var, body, env):
@@ -1016,6 +1254,12 @@ def _condition_of(exc) -> str:
         return "division_by_zero"
     if isinstance(exc, (OverflowError,)):
         return "numeric_value_out_of_range"
+    msg = str(exc)
+    # engine-raised errors from the SQL hook (Spark SQLSTATE classes)
+    if "DIVIDE_BY_ZERO" in msg or "division by zero" in msg.lower():
+        return "division_by_zero"
+    if "CAST_INVALID_INPUT" in msg or "NUMERIC_VALUE_OUT_OF_RANGE" in msg:
+        return "invalid_text_representation"
     return "internal_error"
 
 
@@ -1049,6 +1293,31 @@ def _exec_block(block, env):
 # ---------------------------------------------------------------------------
 # public entry
 # ---------------------------------------------------------------------------
+
+
+def run_block(body: str, sql_hook, notices: list | None = None) -> None:
+    """Execute a DO-block body driver-side (commands/functioncmds.c
+    ExecuteDoStmt → plpgsql): full interpreter plus the SQL statements —
+    PERFORM, SELECT INTO [STRICT], INSERT/UPDATE/DELETE, EXECUTE expr
+    [INTO], FOR rec IN <query> — via ``sql_hook(sql) -> list[Row]``.
+    Variable references in SQL interpolate as literals (PG binds params;
+    conflict resolution follows use_variable, not PG's default error —
+    documented divergence).  RAISE NOTICE/... levels append to
+    ``notices`` as (level, message).  A bare RETURN ends the block."""
+    toks = _tokenize(body.strip().rstrip(";"))
+    p = _StmtParser(toks, allow_sql=True)
+    block = p.parse_block()
+    if p.pos != len(p.toks):
+        raise NotImplementedError(
+            f"plpgsql: trailing tokens after END: {p.toks[p.pos:p.pos + 5]}"
+        )
+    env = {"__sql__": sql_hook}
+    if notices is not None:
+        env["__notices__"] = notices
+    try:
+        _exec_block(block, env)
+    except _Return:
+        pass  # DO blocks discard RETURN
 
 
 def compile_plpgsql(body: str, arg_names: list[str]):

@@ -755,6 +755,34 @@ def create_function_plpgsql_vars(spark, sf_dir):
 
 
 @suite.add(
+    "script_do_block_loop",
+    oracle="""
+    SELECT CAST(g AS BIGINT) AS k, CAST(g * g AS BIGINT) AS sq
+    FROM generate_series(1, 10) t(g) ORDER BY k
+    """,
+    doc="DO $$ ... $$ anonymous blocks through the full plpgsql "
+        "interpreter driver-side (functioncmds.c ExecuteDoStmt; "
+        "plpgsql_interp.run_block): FOR-range loop whose body INSERTs "
+        "through the engine with variable interpolation — procedural "
+        "migration-script shapes end-to-end. Oracle recomputes the "
+        "squares in closed form.",
+    tags=("engine", "plpgsql", "script"),
+)
+def script_do_block_loop(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_dob_"))
+    eng.execute("CREATE TABLE squares (k int8, sq int8)")
+    eng.execute(
+        "DO $$\nDECLARE i int8;\nBEGIN\n"
+        "  FOR i IN 1 .. 10 LOOP\n"
+        "    INSERT INTO squares VALUES (i, i * i);\n"
+        "  END LOOP;\nEND $$"
+    )
+    return eng.execute("SELECT k, sq FROM squares ORDER BY k")
+
+
+@suite.add(
     "cursor_scroll_fetch",
     oracle="""
     SELECT * FROM (VALUES

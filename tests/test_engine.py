@@ -272,9 +272,35 @@ class TestDoBlocksAndRejections:
         deng.execute("DO $$ BEGIN EXECUTE 'CREATE TABLE do_t (x int)'; END $$")
         assert deng.execute("SELECT count(*) AS c FROM do_t").collect()[0].c == 0
 
-    def test_do_block_procedural_rejected(self, deng):
-        with pytest.raises(NotImplementedError, match="DO block"):
-            deng.execute("DO $$ BEGIN IF true THEN NULL; END IF; END $$")
+    def test_do_block_procedural(self, deng):
+        # round 6: DO bodies run through the full interpreter — IF,
+        # loops, SELECT INTO, FOR rec IN <query>, EXCEPTION handlers
+        deng.execute("CREATE TABLE do_src (a int8)")
+        deng.execute("INSERT INTO do_src VALUES (1), (2), (3)")
+        deng.execute(
+            "DO $$\nDECLARE total int8 := 0;\n  rec RECORD;\nBEGIN\n"
+            "  FOR rec IN SELECT a FROM do_src ORDER BY a LOOP\n"
+            "    IF rec.a % 2 = 1 THEN\n      total := total + rec.a;\n"
+            "    END IF;\n  END LOOP;\n"
+            "  RAISE NOTICE 'odd total %', total;\nEND $$"
+        )
+        assert deng.notices[-1] == "odd total 4"
+        deng.execute(
+            "DO $$\nDECLARE n int8;\nBEGIN\n"
+            "  SELECT count(*) INTO n FROM do_src;\n"
+            "  BEGIN\n    PERFORM 1 / (n - 3);\n"
+            "  EXCEPTION WHEN division_by_zero THEN\n"
+            "    RAISE NOTICE 'guarded %', n;\n  END;\nEND $$"
+        )
+        assert deng.notices[-1] == "guarded 3"
+
+    def test_do_block_select_into_strict(self, deng):
+        deng.execute("CREATE TABLE do_one (a int8)")
+        with pytest.raises(Exception, match="no rows"):
+            deng.execute(
+                "DO $$ DECLARE v int8; BEGIN "
+                "SELECT a INTO STRICT v FROM do_one; END $$"
+            )
 
     def test_trigger_and_rule_rejected_specifically(self, deng):
         deng.execute("CREATE TABLE trj (x int)")
