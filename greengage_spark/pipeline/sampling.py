@@ -89,3 +89,34 @@ def stratified_sample(
         raise ValueError("fraction must be in (0, 1]")
     key = F.concat_ws(":", *strata_cols, F.col(key_col).cast("string"))
     return df.filter(hash_bucket(key, salt) < round(fraction * _BUCKETS))
+
+
+def domain_mix(
+    df: DataFrame,
+    *,
+    source_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted domain/source mixing: keep each row with its source's
+    sampling rate (the standard pretraining-mixture move — upweight
+    high-quality sources by downsampling the rest; e.g. web 0.3,
+    wikipedia 1.0, code 0.8).
+
+    Selection is the same content-key hash as hash_split — key-stable
+    (re-running on a grown corpus never flips existing rows in or out),
+    engine-portable (md5), and zero-shuffle (one per-row projection +
+    filter, pushed to the scan).  Sources absent from ``rates`` keep
+    ``default_rate``."""
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0, 1]: {r}")
+    bucket = hash_bucket(F.col(key_col).cast("string"), salt)
+    thresh: Column = F.lit(int(default_rate * _BUCKETS))
+    for name, r in rates.items():
+        thresh = F.when(
+            F.col(source_col) == name, F.lit(int(r * _BUCKETS))
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)

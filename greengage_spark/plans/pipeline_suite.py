@@ -789,6 +789,50 @@ def pipeline_train_split(spark, sf_dir):
 
 
 @suite.add(
+    "pipeline_domain_mix",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5('mixv1:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % 10000 AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM b
+    WHERE bucket < CASE source WHEN 'src0' THEN 10000
+                               WHEN 'src1' THEN 5000
+                               WHEN 'src2' THEN 2500
+                               ELSE 1000 END
+    GROUP BY source
+    """,
+    doc="Weighted pretraining domain mix (pipeline/sampling.domain_mix): "
+        "per-source sampling rates (src0 1.0, src1 0.5, src2 0.25, rest "
+        "0.1) via the content-key md5 bucket — key-stable (re-running on "
+        "a grown corpus never flips existing rows), engine-portable, and "
+        "zero-shuffle (one projection + filter at the scan). The "
+        "standard upweight-quality-sources mixture move at 100 TB.",
+    tags=("pipeline", "sampling"),
+)
+def pipeline_domain_mix(spark, sf_dir):
+    from greengage_spark.pipeline.sampling import domain_mix
+
+    docs = cat(spark, sf_dir).table("documents")
+    out = domain_mix(
+        docs,
+        source_col="source",
+        key_col="doc_id",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+        salt="mixv1",
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+@suite.add(
     "pipeline_stratified_sample",
     oracle="""
     SELECT source, COUNT(*) AS n_sampled,
