@@ -1661,7 +1661,12 @@ def _pass_geometry(toks: list[str]) -> list[str]:
         while i < len(toks):
             fn = None
             oplen = 0
-            if i + 1 < len(toks) and (toks[i], toks[i + 1]) in _GEO_OP2:
+            if (
+                i + 2 < len(toks)
+                and (toks[i], toks[i + 1], toks[i + 2]) == ("<", "@", ">")
+            ):
+                fn, oplen = "earth_distance", 3  # contrib/earthdistance
+            elif i + 1 < len(toks) and (toks[i], toks[i + 1]) in _GEO_OP2:
                 fn, oplen = _GEO_OP2[(toks[i], toks[i + 1])], 2
             elif toks[i] in _GEO_OP1:
                 fn, oplen = _GEO_OP1[toks[i]], 1
@@ -1695,6 +1700,16 @@ def _pass_geometry(toks: list[str]) -> list[str]:
                 continue
             left_sql = _geo_strip(toks[lstart:i])
             right_sql = _geo_strip(toks[rstart : rend + 1])
+            if fn == "earth_distance":
+                from greengage_spark.functions.trgm import (
+                    earth_distance_miles_sql,
+                )
+
+                toks[lstart : rend + 1] = [
+                    "(" + earth_distance_miles_sql(left_sql, right_sql) + ")"
+                ]
+                changed = True
+                break
             if lt in _GEO_TYPES2 or rt in _GEO_TYPES2:
                 if fn in ("lt", "le", "gt", "ge", "eq"):
                     if "lseg" not in (lt, rt):
@@ -5690,6 +5705,34 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 and _is_string(args[1][0])
             ):
                 out[i : close + 1] = _lower_regexp_matches(args)
+                continue
+            if low in ("similarity", "show_trgm", "difference") and args:
+                # contrib/pg_trgm trgm_op.c; fuzzystrmatch difference
+                from greengage_spark.functions import trgm
+
+                if low == "similarity" and len(args) == 2:
+                    expansion = trgm.similarity_sql(
+                        " ".join(args[0]), " ".join(args[1])
+                    )
+                elif low == "show_trgm" and len(args) == 1:
+                    expansion = trgm.trigrams_sql(" ".join(args[0]))
+                elif low == "difference" and len(args) == 2:
+                    expansion = trgm.difference_sql(
+                        " ".join(args[0]), " ".join(args[1])
+                    )
+                else:
+                    i += 1
+                    continue
+                out[i : close + 1] = ["(" + expansion + ")"]
+                continue
+            if low == "levenshtein_less_equal" and len(args) == 3:
+                # fuzzystrmatch: exact only up to k, anything larger may
+                # report k+1 (the documented contract)
+                a, b, k = (" ".join(x) for x in args)
+                out[i : close + 1] = tokenize(
+                    f"(CASE WHEN levenshtein(({a}), ({b})) <= ({k}) "
+                    f"THEN levenshtein(({a}), ({b})) ELSE ({k}) + 1 END)"
+                )
                 continue
             if low == "concat" and args:
                 # varlena.c text_concat is variadic and SKIPS NULLs

@@ -1167,6 +1167,64 @@ def dialect_geometry_lseg_poly(spark, sf_dir):
 
 
 @suite.add(
+    "dialect_contrib_trgm_earth",
+    oracle="""
+    WITH tg AS (
+      SELECT n_nationkey, n_name,
+             list_sort(list_distinct(flatten(list_transform(
+               list_filter(string_split_regex(lower(n_name), '[^a-z0-9]+'),
+                           w -> w <> ''),
+               w -> list_transform(range(1, length(w) + 2),
+                    i -> substr('  ' || w || ' ', CAST(i AS INT), 3))))))
+               AS t1
+      FROM nation
+    ), q AS (
+      SELECT list_sort(list_distinct(flatten(list_transform(
+               list_filter(string_split_regex('united states', '[^a-z0-9]+'),
+                           w -> w <> ''),
+               w -> list_transform(range(1, length(w) + 2),
+                    i -> substr('  ' || w || ' ', CAST(i AS INT), 3))))))
+               AS t2
+    )
+    SELECT n_nationkey,
+           CAST(CASE WHEN len(t1) = 0 OR len(t2) = 0 THEN 0.0
+                ELSE len(list_filter(t1, x -> list_contains(t2, x))) * 1.0
+                     / len(list_distinct(list_concat(t1, t2))) END AS FLOAT)
+             AS sim,
+           CAST(levenshtein(lower(n_name), 'united states') AS INTEGER)
+             AS lev,
+           round(2 * 3958.747558 * asin(least(1.0,
+             sqrt(pow(sin((0 - radians(n_nationkey * 3 - 30)) / 2), 2)
+                + cos(radians(n_nationkey * 3 - 30)) * cos(0)
+                  * pow(sin((0 - radians(n_nationkey * 10 - 120)) / 2), 2)))),
+             6) AS dist_mi
+    FROM tg, q ORDER BY n_nationkey
+    """,
+    doc="contrib surface (pg_trgm trgm_op.c, fuzzystrmatch, "
+        "earthdistance): trigram similarity (padded word trigrams, "
+        "shared/union over distinct sets), levenshtein, and the <@> "
+        "great-circle statute-mile operator — every kernel a JVM "
+        "expression; the oracle re-derives trigrams with DuckDB list "
+        "lambdas and the haversine in closed form.",
+    tags=("dialect", "contrib", "text"),
+)
+def dialect_contrib_trgm_earth(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT n_nationkey,
+               similarity(n_name, 'united states') AS sim,
+               levenshtein(lower(n_name), 'united states')::int4 AS lev,
+               round(point(n_nationkey * 10 - 120, n_nationkey * 3 - 30)
+                     <@> point '(0,0)', 6) AS dist_mi
+        FROM nation ORDER BY n_nationkey
+        """,
+        ["nation"],
+    )
+
+
+@suite.add(
     "dialect_xml_publish",
     oracle="""
     SELECT n_nationkey,

@@ -1065,3 +1065,46 @@ class TestFormatAndIntrospection:
         assert (row.f, row.e1, row.e0, row.q, row.nl, row.f2, row.j) == (
             "2", True, False, "q r", None, "v", "1",
         )
+
+
+class TestContribFunctions:
+    """contrib modules the reference ships: pg_trgm (trgm_op.c),
+    fuzzystrmatch, earthdistance — all pure JVM expressions."""
+
+    def _one(self, spark, expr):
+        return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+    def test_trgm_similarity(self, spark):
+        # the pg_trgm doc example: similarity('word','two words') = 0.36...
+        assert abs(self._one(spark, "similarity('word', 'two words')") - 0.36363637) < 1e-6
+        assert self._one(spark, "similarity('hello', 'hello')") == 1.0
+        assert self._one(spark, "similarity('abc', 'xyz')") == 0.0
+        assert self._one(spark, "similarity('', 'x')") == 0.0
+
+    def test_show_trgm(self, spark):
+        # trgm_op.c generate_trgm: two leading + one trailing pad, sorted
+        assert self._one(spark, "show_trgm('cat')") == ["  c", " ca", "at ", "cat"]
+        assert self._one(spark, "show_trgm('two words')") == [
+            "  t", "  w", " tw", " wo", "ds ", "ord", "rds", "two", "wo ", "wor",
+        ]
+
+    def test_fuzzystrmatch(self, spark):
+        row = pg_sql(
+            spark,
+            "SELECT levenshtein('kitten', 'sitting') AS lev, "
+            "levenshtein_less_equal('kitten', 'sitting', 2) AS lev2, "
+            "soundex('Robert') AS sx, difference('Robert', 'Rupert') AS d1, "
+            "difference('Ann', 'Zach') AS d2",
+        ).collect()[0]
+        assert row.lev == 3
+        assert row.lev2 == 3  # > k may report k+1 (documented contract)
+        assert row.sx == "R163" and row.d1 == 4
+        assert row.d2 <= 2
+
+    def test_earth_distance_operator(self, spark):
+        # Chicago -> NYC great-circle ≈ 713 statute miles (earthdistance)
+        d = self._one(
+            spark, "point '(-87.6,41.8)' <@> point '(-73.9,40.7)'"
+        )
+        assert 700 < d < 730
+        assert self._one(spark, "point '(0,0)' <@> point '(0,0)'") == 0.0
