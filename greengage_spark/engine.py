@@ -737,6 +737,10 @@ class GreengageEngine:
                     return self.execute(
                         f"CREATE TABLE {mi.group(1)} AS {sel}"
                     )
+            if re.search(r"(?i)\bcrosstab\s*\(", stmt):
+                from greengage_spark.operators.crosstab import expand_crosstab
+
+                stmt = expand_crosstab(self, stmt)
             if any(getattr(f, "setof", False) for f in self.functions.values()):
                 from greengage_spark.operators.udf_ddl import expand_table_macros
 

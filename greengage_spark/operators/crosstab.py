@@ -1,0 +1,102 @@
+"""contrib/tablefunc crosstab() — FROM-position pivot.
+
+Reference: contrib/tablefunc/tablefunc.c (crosstab / crosstab_hash):
+
+* ``crosstab('source_sql')`` — source rows are (row_name, category,
+  value) ORDER BY 1,2; each output row takes the first N values **in
+  query order** for its row_name, where N is the declared output column
+  count minus one; missing → NULL, extras ignored.
+* ``crosstab('source_sql', 'category_sql')`` — values land in the
+  column matching their category; the category query defines the column
+  order.
+
+Both forms must be called with a column definition list
+(``AS ct(row_name text, c1 int, ...)``) because the output shape is not
+derivable from the source — exactly PG's requirement.
+
+Execution shape: the SOURCE stays a distributed DataFrame; the pivot is
+``groupBy(row).pivot(...).agg(first(...))`` — Spark's two-phase pivot
+(partial per-partition maps, one shuffle on the row key).  Only the
+2-form's category list is collected (it is small by definition — it
+becomes the output schema).  The 1-form's "query order" ordinal is
+derived by ranking within row_name on the category column, which is
+well-defined because the source contract already demands ORDER BY 1,2.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_uid = itertools.count()
+
+_CROSSTAB_RE = re.compile(
+    r"(?is)\bcrosstab\s*\(\s*'(?P<src>(?:[^']|'')*)'\s*"
+    r"(?:,\s*'(?P<cat>(?:[^']|'')*)'\s*)?\)\s*"
+    r"(?:as\s+)?(?P<alias>\w+)\s*\(\s*(?P<cols>[^()]*)\s*\)"
+)
+
+
+def expand_crosstab(engine, stmt: str) -> str:
+    """Replace FROM-position crosstab(...) AS alias(cols) calls with
+    materialized pivot views (one per call)."""
+    from greengage_spark.dialect.ddl import map_pg_type
+
+    def repl(m: re.Match) -> str:
+        src = m.group("src").replace("''", "'")
+        cat_sql = m.group("cat")
+        alias = m.group("alias")
+        cols = []
+        for c in m.group("cols").split(","):
+            parts = c.strip().split()
+            if len(parts) < 2:
+                raise ValueError(
+                    "crosstab requires a column definition list: "
+                    "AS ct(row_name type, c1 type, ...)"
+                )
+            cols.append((parts[0], map_pg_type(" ".join(parts[1:]))))
+        if len(cols) < 2:
+            raise ValueError("crosstab needs a row column and ≥1 value column")
+        df = engine.execute(src)
+        rcol, ccol, vcol = df.columns[0], df.columns[1], df.columns[-1]
+        n_out = len(cols) - 1
+        if cat_sql is not None:
+            cats = [
+                r[0] for r in engine.execute(cat_sql.replace("''", "'")).collect()
+            ]
+            if len(cats) != n_out:
+                raise ValueError(
+                    f"crosstab category query returned {len(cats)} rows but "
+                    f"the column list declares {n_out} value columns"
+                )
+            piv = (
+                df.groupBy(F.col(rcol).alias("__r"))
+                .pivot(ccol, cats)
+                .agg(F.first(F.col(vcol), ignorenulls=False))
+            )
+            srcs = [str(c) for c in cats]
+        else:
+            w = Window.partitionBy(rcol).orderBy(ccol)
+            piv = (
+                df.withColumn("__ord", F.row_number().over(w))
+                .filter(F.col("__ord") <= n_out)
+                .groupBy(F.col(rcol).alias("__r"))
+                .pivot("__ord", list(range(1, n_out + 1)))
+                .agg(F.first(F.col(vcol), ignorenulls=False))
+            )
+            srcs = [str(i) for i in range(1, n_out + 1)]
+        out = piv.select(
+            F.col("__r").cast(cols[0][1]).alias(cols[0][0]),
+            *[
+                F.col(f"`{s}`").cast(t).alias(nm)
+                for s, (nm, t) in zip(srcs, cols[1:])
+            ],
+        )
+        view = f"__gg_crosstab_{next(_uid)}"
+        out.createOrReplaceTempView(view)
+        return f"{view} AS {alias}"
+
+    return _CROSSTAB_RE.sub(repl, stmt)

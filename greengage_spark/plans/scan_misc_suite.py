@@ -755,6 +755,45 @@ def create_function_plpgsql_vars(spark, sf_dir):
 
 
 @suite.add(
+    "function_crosstab_pivot",
+    oracle="""
+    WITH r AS (
+      SELECT n_regionkey, n_name,
+             row_number() OVER (PARTITION BY n_regionkey
+                                ORDER BY n_nationkey) AS ord
+      FROM nation
+    )
+    SELECT CAST(n_regionkey AS INTEGER) AS region,
+           MAX(CASE WHEN ord = 1 THEN n_name END) AS n1,
+           MAX(CASE WHEN ord = 2 THEN n_name END) AS n2,
+           MAX(CASE WHEN ord = 3 THEN n_name END) AS n3,
+           MAX(CASE WHEN ord = 4 THEN n_name END) AS n4,
+           MAX(CASE WHEN ord = 5 THEN n_name END) AS n5
+    FROM r GROUP BY n_regionkey ORDER BY region
+    """,
+    doc="contrib/tablefunc crosstab() (tablefunc.c): FROM-position pivot "
+        "with a column definition list. The source stays a distributed "
+        "DataFrame; the pivot is Spark's two-phase groupBy().pivot() "
+        "(partial maps per partition, one shuffle on the row key) — "
+        "nothing is collected in the 1-form. Oracle re-derives with a "
+        "ranked conditional aggregation.",
+    tags=("engine", "function", "pivot"),
+)
+def function_crosstab_pivot(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_ctab_"))
+    cat(spark, sf_dir).table("nation").createOrReplaceTempView("ctab_nation")
+    return eng.execute(
+        "SELECT * FROM crosstab("
+        "'select n_regionkey, n_nationkey, n_name from ctab_nation "
+        "order by 1,2') "
+        "AS x(region int4, n1 text, n2 text, n3 text, n4 text, n5 text) "
+        "ORDER BY region"
+    )
+
+
+@suite.add(
     "script_do_block_loop",
     oracle="""
     SELECT CAST(g AS BIGINT) AS k, CAST(g * g AS BIGINT) AS sq

@@ -437,3 +437,63 @@ class TestCopyFromStdin:
             "SELECT id, name, ok FROM rt2 ORDER BY id"
         ).collect()
         assert [tuple(r) for r in back] == [(1, "Ada", True), (2, "Tab\tIn", False)]
+
+
+class TestCrosstab:
+    """contrib/tablefunc crosstab() (tablefunc.c) — the tablefunc.sql
+    battery shapes: 1-form fills output columns in query order per
+    row_name; 2-form matches categories from the category query."""
+
+    @pytest.fixture()
+    def ct(self, eng):
+        eng.execute("CREATE TABLE ctt (id int8, rowid text, att text, val text)")
+        eng.execute(
+            "INSERT INTO ctt VALUES "
+            "(1,'test1','att1','val1'), (2,'test1','att2','val2'), "
+            "(3,'test1','att3','val3'), (4,'test1','att4','val4'), "
+            "(5,'test2','att1','val5'), (6,'test2','att2','val6'), "
+            "(7,'test2','att3','val7'), (8,'test2','att4','val8')"
+        )
+        return eng
+
+    def test_crosstab_ordinal_form(self, ct):
+        rows = ct.execute(
+            "SELECT * FROM crosstab("
+            "'select rowid, att, val from ctt where att = ''att2'' "
+            "or att = ''att3'' order by 1,2') "
+            "AS x(row_name text, c1 text, c2 text, c3 text) ORDER BY row_name"
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            ("test1", "val2", "val3", None),
+            ("test2", "val6", "val7", None),
+        ]
+
+    def test_crosstab_category_form(self, ct):
+        rows = ct.execute(
+            "SELECT * FROM crosstab("
+            "'select rowid, att, val from ctt order by 1,2', "
+            "'select distinct att from ctt order by 1') "
+            "AS x(row_name text, a1 text, a2 text, a3 text, a4 text) "
+            "ORDER BY row_name"
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            ("test1", "val1", "val2", "val3", "val4"),
+            ("test2", "val5", "val6", "val7", "val8"),
+        ]
+
+    def test_crosstab_category_count_mismatch(self, ct):
+        with pytest.raises(ValueError, match="category query returned"):
+            ct.execute(
+                "SELECT * FROM crosstab("
+                "'select rowid, att, val from ctt order by 1,2', "
+                "'select distinct att from ctt order by 1') "
+                "AS x(row_name text, a1 text) ORDER BY row_name"
+            )
+
+    def test_crosstab_requires_coldef(self, ct):
+        # without AS x(cols) the call can't be expanded — loud failure
+        with pytest.raises(Exception):
+            ct.execute(
+                "SELECT * FROM crosstab("
+                "'select rowid, att, val from ctt order by 1,2')"
+            ).collect()
