@@ -4466,6 +4466,22 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
     # they are dimension-aware (_md_array_fn) and must see the arg shape
     # PG arg order is (elem, arr); Spark's builtin is (arr, elem)
     ("array_prepend", 2): "array_prepend({1}, {0})",
+    # ---- contrib/intarray (_int.sql surface; _int_op.c) ----
+    ("idx", 2): "coalesce(array_position({0}, {1}), 0)",  # 0 when absent
+    ("icount", 1): "size({0})",
+    ("sort", 1): "array_sort({0})",
+    ("sort_asc", 1): "array_sort({0})",
+    ("sort_desc", 1): "reverse(array_sort({0}))",
+    # uniq collapses ADJACENT duplicates only (like uniq(1))
+    ("uniq", 1): (
+        "filter({0}, (__ux, __ui) -> __ui = 0 "
+        "OR __ux != element_at({0}, __ui))"
+    ),
+    ("subarray", 2): "slice({0}, {1}, size({0}))",
+    ("subarray", 3): "slice({0}, {1}, {2})",
+    # ---- contrib/pgcrypto digest (px.c): bytea out → binary ----
+    ("digest_md5", 1): "unhex(md5({0}))",
+    ("digest_sha1", 1): "unhex(sha1({0}))",
     # 1-D array_fill(value, ARRAY[n])
     ("array_fill", 2): (
         "transform(sequence(1, element_at(({1}), 1)), __x -> ({0}))"
@@ -5724,6 +5740,28 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     i += 1
                     continue
                 out[i : close + 1] = ["(" + expansion + ")"]
+                continue
+            if (
+                low == "digest"
+                and len(args) == 2
+                and len(args[1]) == 1
+                and _is_string(args[1][0])
+            ):
+                # contrib/pgcrypto digest(data, algo) → bytea (px.c)
+                algo = args[1][0].strip("'").lower()
+                x = " ".join(args[0])
+                if algo == "md5":
+                    expr = f"unhex(md5(({x})))"
+                elif algo == "sha1":
+                    expr = f"unhex(sha1(({x})))"
+                elif algo in ("sha224", "sha256", "sha384", "sha512"):
+                    expr = f"unhex(sha2(({x}), {algo[3:]}))"
+                else:
+                    raise NotImplementedError(
+                        f"digest algorithm {algo!r} (md5, sha1, sha224, "
+                        "sha256, sha384, sha512)"
+                    )
+                out[i : close + 1] = tokenize(expr)
                 continue
             if low == "levenshtein_less_equal" and len(args) == 3:
                 # fuzzystrmatch: exact only up to k, anything larger may

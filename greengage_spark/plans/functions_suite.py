@@ -1225,6 +1225,40 @@ def dialect_contrib_trgm_earth(spark, sf_dir):
 
 
 @suite.add(
+    "dialect_contrib_intarray_crypto",
+    oracle="""
+    SELECT c_custkey,
+           CAST(CASE WHEN c_custkey % 5 = 3 THEN 1 ELSE 2 END AS INTEGER)
+             AS p3,
+           list_sort([c_custkey % 5, 3, 7]) AS so,
+           [c_custkey % 5, CAST(7 AS BIGINT)] AS un,
+           sha256(c_name) AS h
+    FROM customer WHERE c_custkey < 200 ORDER BY c_custkey
+    """,
+    doc="contrib/intarray (_int_op.c: idx/icount/sort/uniq/subarray — "
+        "uniq collapses ADJACENT duplicates only, like uniq(1)) and "
+        "pgcrypto digest (px.c: md5/sha1/sha2 family → bytea). All JVM "
+        "builtins; oracle re-derives with DuckDB list functions and "
+        "sha256.",
+    tags=("dialect", "contrib"),
+)
+def dialect_contrib_intarray_crypto(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey,
+               idx(ARRAY[c_custkey % 5, 3, 7], 3)::int4 AS p3,
+               sort(ARRAY[c_custkey % 5, 3, 7]) AS so,
+               uniq(ARRAY[c_custkey % 5, c_custkey % 5, 7]) AS un,
+               encode(digest(c_name, 'sha256'), 'hex') AS h
+        FROM customer WHERE c_custkey < 200 ORDER BY c_custkey
+        """,
+        ["customer"],
+    )
+
+
+@suite.add(
     "dialect_xml_publish",
     oracle="""
     SELECT n_nationkey,

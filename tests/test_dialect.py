@@ -1108,3 +1108,34 @@ class TestContribFunctions:
         )
         assert 700 < d < 730
         assert self._one(spark, "point '(0,0)' <@> point '(0,0)'") == 0.0
+
+
+class TestIntarrayPgcrypto:
+    """contrib/intarray (_int_op.c) and pgcrypto digest (px.c)."""
+
+    def test_intarray(self, spark):
+        row = pg_sql(
+            spark,
+            "SELECT idx(ARRAY[10,20,30], 20) AS ix, idx(ARRAY[10], 99) AS ix0, "
+            "icount(ARRAY[1,2,3]) AS ic, sort(ARRAY[3,1,2]) AS so, "
+            "uniq(ARRAY[1,1,2,2,1]) AS un, "
+            "subarray(ARRAY[1,2,3,4,5], 2, 3) AS s3, "
+            "subarray(ARRAY[1,2,3,4,5], 4) AS s2",
+        ).collect()[0]
+        assert row.ix == 2 and row.ix0 == 0 and row.ic == 3
+        assert row.so == [1, 2, 3]
+        assert row.un == [1, 2, 1]  # uniq collapses ADJACENT dups only
+        assert row.s3 == [2, 3, 4] and row.s2 == [4, 5]
+
+    def test_digest(self, spark):
+        row = pg_sql(
+            spark,
+            "SELECT encode(digest('hello', 'sha256'), 'hex') AS h, "
+            "encode(digest('hello', 'md5'), 'hex') AS m",
+        ).collect()[0]
+        assert row.h == (
+            "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824"
+        )
+        assert row.m == "5d41402abc4b2a76b9719d911017c592"
+        with pytest.raises(NotImplementedError, match="digest algorithm"):
+            pg_sql(spark, "SELECT digest('x', 'crc32')")
