@@ -198,3 +198,45 @@ class TestDynamicPartitionPruning:
         # every join in the plan is broadcast (centroid fold + probe join
         # + query-side candidate join) — no shuffle joins
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    def test_domain_mix_zero_shuffle(self, spark, sf_dir):
+        """domain_mix is one projection + filter at the scan — ANY
+        exchange in the plan means the sampler started shuffling a
+        100 TB corpus to throw most of it away."""
+        from greengage_spark.pipeline.sampling import domain_mix
+
+        docs = cat(spark, sf_dir).table("documents")
+        df = domain_mix(
+            docs, source_col="source", key_col="doc_id",
+            rates={"src0": 1.0, "src1": 0.5}, default_rate=0.1,
+        )
+        plan = physical(df)
+        base = physical(docs)
+        # the loader's dist-key repartition may appear in both plans; the
+        # SAMPLER itself must add no exchange on top of the source
+        assert plan.count("Exchange") == base.count("Exchange")
+        assert "Filter" in plan
+
+    def test_crosstab_pivot_two_phase(self, spark, sf_dir, tmp_path):
+        """crosstab's pivot must be Spark's partial-aggregation pivot —
+        the row key is the only shuffle key and nothing is collected in
+        the 1-form."""
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        cat(spark, sf_dir).table("nation").createOrReplaceTempView(
+            "ct_plan_nation"
+        )
+        df = eng.execute(
+            "SELECT * FROM crosstab("
+            "'select n_regionkey, n_nationkey, n_name from ct_plan_nation "
+            "order by 1,2') AS x(region int4, n1 text, n2 text)"
+        )
+        plan = physical(df)
+        # pivot compiles to conditional firsts with a PARTIAL stage before
+        # the row-key exchange (map-side combine), and the ordinal window
+        # gets the WindowGroupLimit top-k pushdown on both sides of the
+        # shuffle — each task prunes to N rows per row_name before moving
+        assert "partial_first" in plan
+        assert "WindowGroupLimit" in plan
+        assert "SortMergeJoin" not in plan
