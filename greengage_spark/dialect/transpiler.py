@@ -2885,8 +2885,24 @@ def _pass_text_search(toks: list[str]) -> list[str]:
             close = _args_span(toks, i + 1)
             args = _split_args(toks[i + 2 : close])
             if low == "ts_headline":
-                if len(args) == 3:  # (config, document, query)
-                    args = args[1:]
+                # [config,] document, query [, options] — config and
+                # options disambiguate by position (ts_headline has 2-4
+                # args; a 3-arg call is (cfg, doc, q) when arg0 is a bare
+                # literal and arg2 a tsquery, else (doc, q, opts))
+                opts = "''"
+                if len(args) == 4:
+                    opts = args[3][0]
+                    args = args[1:3]
+                elif len(args) == 3:
+                    # (cfg, doc, query) only when the LAST arg is an
+                    # explicit to_tsquery()/plainto_tsquery() call — a
+                    # bare trailing literal is the options string
+                    last_fn, _ = _unwrap_call(args[2])
+                    if last_fn in ("to_tsquery", "plainto_tsquery"):
+                        args = args[1:]
+                    else:
+                        opts = args[2][0]
+                        args = args[:2]
                 q = _query_literal(args[1]) if len(args) == 2 else None
                 if q is None:
                     raise NotImplementedError(
@@ -2894,7 +2910,8 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                         "literal query"
                     )
                 toks[i : close + 1] = (
-                    ["pg_ts_headline", "(", "("] + args[0] + [")", ",", q, ")"]
+                    ["pg_ts_headline", "(", "("] + args[0]
+                    + [")", ",", q, ",", opts, ")"]
                 )
                 i += 1
                 continue

@@ -420,12 +420,43 @@ def register_udfs(spark) -> None:
             dtype="float64",
         )
 
-    def _headline(text, query):
+    def _headline(text, query, opts):
         return pd.Series(
-            [headline_text(t, q) for t, q in zip(text, query)],
+            [
+                headline_text(t, q, **parse_headline_options(o))
+                for t, q, o in zip(text, query, opts)
+            ],
             dtype="object",
         )
 
     spark.udf.register("pg_ts_rank_cd", pandas_udf(_rank, "double"))
     spark.udf.register("pg_ts_headline", pandas_udf(_headline, "string"))
+
+
+def parse_headline_options(opts: str | None) -> dict:
+    """ts_headline's option string (wparser_def.c prsd_headline:
+    'StartSel=<b>, StopSel=</b>, MaxWords=35, MinWords=15').  Unknown
+    keys reject loudly; HighlightAll/fragments are out of the subset."""
+    out: dict = {}
+    if not opts:
+        return out
+    for item in opts.split(","):
+        if not item.strip():
+            continue
+        k, _, v = item.partition("=")
+        k, v = k.strip().lower(), v.strip().strip('"')
+        if k == "startsel":
+            out["start_sel"] = v
+        elif k == "stopsel":
+            out["stop_sel"] = v
+        elif k == "maxwords":
+            out["max_words"] = int(v)
+        elif k == "minwords":
+            out["min_words"] = int(v)
+        else:
+            raise ValueError(
+                f"ts_headline option {k!r} not supported "
+                "(StartSel, StopSel, MaxWords, MinWords)"
+            )
+    return out
     spark.conf.set("greengage.textsearch.registered", "1")
