@@ -1,0 +1,87 @@
+"""Multimodal codec tests: real pure-stdlib PNG/WAV/BMP decode."""
+
+import pytest
+
+class TestRealCodecs:
+    """pipeline/codecs.py: REAL pure-stdlib decode — PNG pixels (all
+    five scanline filters on encode-side filter 0 + synthetic others),
+    PCM WAV statistics, 24-bit BMP; JPEG rejects loudly."""
+
+    def test_png_roundtrip_solid_and_gradient(self):
+        from greengage_spark.pipeline.codecs import decode_png, encode_png
+
+        d = decode_png(encode_png(16, 8, (10, 20, 30)))
+        assert (d["width"], d["height"], d["channels"]) == (16, 8, 3)
+        assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (10.0, 20.0, 30.0)
+        d2 = decode_png(encode_png(4, 2, lambda x, y: (x * 10, y * 100, 255)))
+        assert (d2["mean_r"], d2["mean_g"], d2["mean_b"]) == (15.0, 50.0, 255.0)
+
+    def test_png_filtered_scanlines(self):
+        # hand-build a 2x2 RGB PNG using Sub(1) and Up(2) filters: the
+        # decoder must reconstruct the same pixels a filter-0 image has
+        import struct
+        import zlib
+
+        from greengage_spark.pipeline.codecs import decode_png
+
+        def chunk(ctype, body):
+            return (
+                struct.pack("!I", len(body)) + ctype + body
+                + struct.pack("!I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        # target pixels: row0 = (5,5,5),(10,10,10); row1 = (5,5,5),(10,10,10)
+        row0 = bytes([1]) + bytes([5, 5, 5]) + bytes([5, 5, 5])  # Sub deltas
+        row1 = bytes([2]) + bytes([0] * 6)  # Up: same as row above
+        ihdr = struct.pack("!IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(row0 + row1))
+            + chunk(b"IEND", b"")
+        )
+        d = decode_png(png)
+        assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (7.5, 7.5, 7.5)
+
+    def test_wav_statistics(self):
+        from greengage_spark.pipeline.codecs import decode_wav, encode_wav
+
+        w = decode_wav(encode_wav([1000] * 800, sample_rate=8000))
+        assert w["sample_rate"] == 8000 and w["duration_ms"] == 100
+        assert w["peak"] == 1000 and abs(w["rms"] - 1000.0) < 1e-9
+
+    def test_bmp_decode(self):
+        import struct
+
+        from greengage_spark.pipeline.codecs import decode_bmp
+
+        # 2x1 24-bit BMP, pixels (BGR): (30,20,10), (60,50,40); stride pads to 8
+        px = bytes([30, 20, 10, 60, 50, 40, 0, 0])
+        header = (
+            b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(px), 0, 0, 0, 0)
+        )
+        d = decode_bmp(header + px)
+        assert (d["width"], d["height"]) == (2, 1)
+        assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (25.0, 35.0, 45.0)
+
+    def test_jpeg_rejects_loudly(self):
+        from greengage_spark.pipeline.codecs import decode_media
+
+        with pytest.raises(NotImplementedError, match="libjpeg"):
+            decode_media(b"\xff\xd8\xff\xe0JFIF")
+
+    def test_decode_features_distributed(self, spark):
+        from greengage_spark.pipeline.codecs import encode_png, encode_wav
+        from greengage_spark.pipeline.multimodal import decode_features
+
+        rows = [
+            (1, bytearray(encode_png(4, 4, (100, 150, 200)))),
+            (2, bytearray(encode_wav([500] * 160, sample_rate=8000))),
+        ]
+        media = spark.createDataFrame(rows, "media_id long, content binary")
+        got = {r.media_id: r for r in decode_features(media).collect()}
+        assert got[1].kind == "png" and got[1].width == 4
+        assert got[1].mean_r == 100.0 and got[1].mean_b == 200.0
+        assert got[2].kind == "wav" and got[2].peak == 500
+        assert got[2].duration_ms == 20
