@@ -790,6 +790,8 @@ class _StmtParser:
             return ("return", e)
         if t == "if":
             return self._if()
+        if t == "case":
+            return self._case_stmt()
         if t == "for":
             return self._for()
         if t == "foreach":
@@ -833,8 +835,20 @@ class _StmtParser:
                     "SETOF table macro, or a DO block (driver-side)"
                 )
             return self._sql_stmt(t)
-        # assignment: name := expr  (also the SQL-standard = spelling)
+        # assignment: name[:=|=] expr; also a[i] := expr element update
         name = self.take().lower()
+        if self.peek_low() == "[":
+            self.take()
+            idx = self.expr()
+            self.expect("]")
+            if self.peek_low() not in (":=", "="):
+                raise NotImplementedError(
+                    f"plpgsql: statement not understood at {name!r}["
+                )
+            self.take()
+            e = self.expr()
+            self.expect(";")
+            return ("assign_idx", name, idx, e)
         if self.peek_low() not in (":=", "="):
             raise NotImplementedError(f"plpgsql: statement not understood at {name!r}")
         self.take()
@@ -842,6 +856,32 @@ class _StmtParser:
         self.expect(";")
         cast = self.casts.get(name)
         return ("assign", name, e, cast)
+
+    def _case_stmt(self):
+        """Statement-level CASE (pl_gram.y stmt_case): searched or with
+        a subject expression; no matching arm and no ELSE raises
+        case_not_found, unlike the expression form."""
+        self.expect("case")
+        subject = None
+        if self.peek_low() != "when":
+            subject = self.expr()
+        arms = []
+        while self.peek_low() == "when":
+            self.take()
+            conds = [self.expr()]
+            while self.peek_low() == ",":
+                self.take()
+                conds.append(self.expr())
+            self.expect("then")
+            body = self._stmts(until=("when", "else", "end"))
+            arms.append((conds, body))
+        els = None
+        if self.peek_low() == "else":
+            self.take()
+            els = self._stmts(until=("end",))
+        self.expect("end", "case")
+        self.opt_semi()
+        return ("case_stmt", subject, arms, els)
 
     def _if(self):
         self.expect("if")
@@ -953,6 +993,21 @@ class _StmtParser:
             self.opt_semi()
             self.records.add(var)  # loop target behaves as a record
             return ("forquery", var, sql, body)
+        if self.peek_low() == "execute" and not reverse:
+            # FOR rec IN EXECUTE expr LOOP (exec_stmt_dynfors)
+            if not self.allow_sql:
+                raise NotImplementedError(
+                    "plpgsql interpreter: FOR-over-EXECUTE needs the SQL "
+                    "engine — available in DO blocks (driver-side)"
+                )
+            self.take()
+            e = self.expr()
+            self.expect("loop")
+            body = self._stmts(until=("end",))
+            self.expect("end", "loop")
+            self.opt_semi()
+            self.records.add(var)
+            return ("forquery_dyn", var, e, body)
         lo = self.expr()
         if self.peek() != "..":
             raise NotImplementedError(
@@ -1126,6 +1181,54 @@ def _exec_stmt(s, env):  # noqa: C901 - one dispatch switch, pl_exec.c style
         _, var, sql, body = s
         rows = _sql_hook(env)(_interpolate(sql, env))
         _run_loop(rows, var, body, env)
+    elif kind == "forquery_dyn":
+        _, var, e, body = s
+        sql = e(env)
+        if sql is None:
+            raise PlPgSQLError(
+                "null_value_not_allowed", "EXECUTE of a null query string"
+            )
+        rows = _sql_hook(env)(sql)
+        _run_loop(rows, var, body, env)
+    elif kind == "assign_idx":
+        _, name, idx_e, e = s
+        idx = idx_e(env)
+        if idx is None or idx < 1:
+            raise PlPgSQLError(
+                "array_subscript_error", f"invalid array subscript {idx}"
+            )
+        cur = _lookup(env, name)
+        arr = list(cur) if cur is not None else []
+        if idx > len(arr):
+            arr.extend([None] * (idx - len(arr)))  # PG NULL-pads growth
+        arr[idx - 1] = e(env)
+        env[name] = arr
+    elif kind == "case_stmt":
+        _, subject, arms, els = s
+        matched = False
+        if subject is not None:
+            sv = subject(env)
+            for conds, body in arms:
+                if any(
+                    sv is not None and c(env) is not None and sv == c(env)
+                    for c in conds
+                ):
+                    _exec_stmts(body, env)
+                    matched = True
+                    break
+        else:
+            for conds, body in arms:
+                if any(c(env) is True for c in conds):
+                    _exec_stmts(body, env)
+                    matched = True
+                    break
+        if not matched:
+            if els is None:
+                raise PlPgSQLError(
+                    "case_not_found",
+                    "case not found; CASE statement is missing ELSE part",
+                )
+            _exec_stmts(els, env)
     else:  # pragma: no cover
         raise NotImplementedError(f"plpgsql: statement {kind!r}")
 

@@ -485,3 +485,44 @@ class TestSetofTableMacros:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert df.collect()[0].v == 8
+
+
+class TestPlpgsqlCaseAndArrays:
+    """Statement CASE (pl_gram.y stmt_case: multi-value WHEN, simple +
+    searched forms, case_not_found without ELSE) and array-element
+    assignment with PG's NULL-padded growth."""
+
+    def test_case_statement_simple_form(self, eng):
+        eng.execute(
+            "CREATE FUNCTION band3(v int4) RETURNS text AS $$\n"
+            "BEGIN\n  CASE v\n    WHEN 1, 2 THEN RETURN 'low';\n"
+            "    WHEN 3 THEN RETURN 'mid';\n    ELSE RETURN 'high';\n"
+            "  END CASE;\nEND;\n$$ LANGUAGE plpgsql"
+        )
+        got = [
+            eng.execute(f"SELECT band3({n}) AS v").collect()[0].v
+            for n in (1, 2, 3, 9)
+        ]
+        assert got == ["low", "low", "mid", "high"]
+
+    def test_case_not_found_raises(self, eng):
+        eng.execute(
+            "CREATE FUNCTION only_big(v int4) RETURNS text AS $$\n"
+            "BEGIN\n  CASE WHEN v > 10 THEN RETURN 'big';\n  END CASE;\n"
+            "  RETURN 'unreached';\nEND;\n$$ LANGUAGE plpgsql"
+        )
+        assert eng.execute("SELECT only_big(11) AS v").collect()[0].v == "big"
+        with pytest.raises(Exception, match="case not found"):
+            eng.execute("SELECT only_big(1) AS v").collect()
+
+    def test_array_element_assignment(self, eng):
+        eng.execute(
+            "CREATE FUNCTION build_sq(n int4) RETURNS int4 AS $$\n"
+            "DECLARE a int[];\n  s int := 0;\n  i int;\n  x int;\nBEGIN\n"
+            "  FOR i IN 1 .. n LOOP\n    a[i] := i * i;\n  END LOOP;\n"
+            "  a[n + 2] := 100;\n"  # NULL-padded growth
+            "  FOREACH x IN ARRAY a LOOP\n"
+            "    s := s + coalesce(x, 0);\n  END LOOP;\n  RETURN s;\nEND;\n"
+            "$$ LANGUAGE plpgsql"
+        )
+        assert eng.execute("SELECT build_sq(4) AS v").collect()[0].v == 130
