@@ -220,3 +220,36 @@ def stream_sink_upsert(spark, sf_dir):
     return st.df().select(
         "user_id", "event_id", "event_type", F.col("value").cast("double").alias("value")
     )
+
+
+@suite.add(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+           CAST(e.value AS DOUBLE) AS value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'purchase'
+    """,
+    doc="Stream-static enrichment (streaming/joins.static_enrich): the "
+        "canonical ingest step — attach dimension metadata to each "
+        "arriving event. STATELESS under readStream (no watermark, no "
+        "join state; each micro-batch joins the dim as-of that batch), "
+        "and the dim side broadcasts so the stream never shuffles. Live "
+        "availableNow run in tests/test_streaming_live.py; batch is the "
+        "oracle (identical by construction).",
+    tags=("streaming", "join"),
+)
+def stream_static_enrich(spark, sf_dir):
+    from greengage_spark.streaming.joins import static_enrich
+
+    ev = cat(spark, sf_dir).table("events").filter(
+        F.col("event_type") == "purchase"
+    )
+    dim = cat(spark, sf_dir).table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return static_enrich(ev, dim, keys=["user_id"]).select(
+        "event_id", "user_id",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("value").cast("double").alias("value"),
+    )

@@ -57,3 +57,28 @@ def interval_join(
         & (F.col(r_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
     return lw.join(rw, cond, "inner").drop(*[rw[k] for k in keys])
+
+
+def static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    keys: list[str],
+    how: str = "inner",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment: join a (possibly streaming) fact side
+    to a static dimension table — the canonical ingest-enrichment step
+    of a training-data pipeline (attach source/user/quality metadata to
+    each arriving event).
+
+    Stream-static joins are STATELESS in Structured Streaming: no
+    watermark, no join state — each micro-batch joins against the
+    dimension as of that batch, which is exactly the semantics a slowly-
+    changing enrichment table wants.  ``broadcast`` (default) hints the
+    dim side, so at 100 TB of stream the plan is a map-side hash join:
+    no shuffle of the stream, ever; a dimension too big to broadcast
+    flips to a shuffled join by passing False.  Works identically in
+    batch — the correctness oracle."""
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, on=keys, how=how)

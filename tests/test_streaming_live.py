@@ -270,3 +270,27 @@ class TestTableStreamSink:
         assert len(before - after) <= len(before) - len(kept) + 1
         out = {r.k: r.v for r in st.df().collect()}
         assert out[7] == 777 and out[8] == 80 and len(out) == 100
+
+
+class TestStreamStaticEnrich:
+    def test_stream_static_enrich_matches_batch(self, spark, stream_dir):
+        from greengage_spark.streaming.joins import static_enrich
+
+        dim = spark.createDataFrame(
+            [(1, "gold"), (2, "bronze")], "user_id long, tier string"
+        )
+        batch_src = spark.read.schema(SCHEMA).option(
+            "recursiveFileLookup", "true"
+        ).parquet(stream_dir)
+
+        def build(src):
+            return static_enrich(src, dim, keys=["user_id"]).select(
+                "event_id", "user_id", "tier", "value"
+            )
+
+        live = sorted(map(tuple, run_stream(build(read_stream(spark, stream_dir)))))
+        batch = sorted(map(tuple, build(batch_src).collect()))
+        assert live == batch and len(live) == len(ROWS)
+        # stateless: the streaming plan must carry NO watermark state
+        plan = build(read_stream(spark, stream_dir))._jdf.queryExecution().analyzed().toString()
+        assert "EventTimeWatermark" not in plan
