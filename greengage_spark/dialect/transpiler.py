@@ -4782,6 +4782,59 @@ def _lower_regexp_matches(args: list[list[str]]) -> list[str]:
     return tokenize(f"explode({all_matches})")
 
 
+def _pass_collate_strip(toks: list[str]) -> list[str]:
+    """Strip COLLATE clauses (gram.y a_expr COLLATE any_name): PG's "C"/
+    "POSIX"/locale collations order by byte value, which is Spark's
+    default UTF8_BINARY — same comparisons, so the clause drops.  Spark's
+    own collation names are different and PG's would all be invalid."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() == "collate"
+            and i + 1 < len(toks)
+            and (_is_ident(toks[i + 1]) or toks[i + 1].startswith('"'))
+        ):
+            i += 2
+            continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
+def _pass_like_escape_backslash(toks: list[str]) -> list[str]:
+    """``LIKE 'p' ESCAPE '\\'`` — Spark's parser rejects a lone-backslash
+    escape literal under escapedStringLiterals, so translate the PATTERN
+    to use '#' as the escape character instead (like.c semantics
+    preserved: escaped wildcards stay escaped, literal '#' doubles)."""
+    i = 0
+    while i + 2 < len(toks):
+        if (
+            _is_ident(toks[i + 1])
+            and toks[i + 1].lower() == "escape"
+            and toks[i + 2] == "'\\'"
+        ):
+            if not _is_string(toks[i]):
+                raise NotImplementedError(
+                    "LIKE ... ESCAPE '\\' needs a literal pattern here"
+                )
+            body = toks[i][1:-1]
+            out = []
+            j = 0
+            while j < len(body):
+                ch = body[j]
+                if ch == "\\" and j + 1 < len(body):
+                    out.append("#" + body[j + 1])
+                    j += 2
+                    continue
+                out.append("##" if ch == "#" else ch)
+                j += 1
+            toks[i : i + 3] = ["'" + "".join(out) + "'", "ESCAPE", "'#'"]
+        i += 1
+    return toks
+
+
 def _pass_like_op_spellings(toks: list[str]) -> list[str]:
     """PG operator spellings of LIKE (like.c: ``~~``, ``~~*``, ``!~~``,
     ``!~~*``): the lexer splits them into (~ ~), (~ ~*), (!~ ~), (!~ ~*)
@@ -6167,6 +6220,8 @@ def transpile(sql: str) -> str:
     toks = _pass_xml(toks)
     toks = _pass_xmlagg(toks)
     toks = _pass_json_ops(toks)
+    toks = _pass_collate_strip(toks)
+    toks = _pass_like_escape_backslash(toks)
     toks = _pass_like_op_spellings(toks)
     toks = _pass_between_symmetric(toks)
     toks = _pass_tablesample(toks)

@@ -1139,3 +1139,23 @@ class TestIntarrayPgcrypto:
         assert row.m == "5d41402abc4b2a76b9719d911017c592"
         with pytest.raises(NotImplementedError, match="digest algorithm"):
             pg_sql(spark, "SELECT digest('x', 'crc32')")
+
+
+class TestCollateAndLikeEscape:
+    def test_collate_clause_strips(self, spark):
+        # PG "C"/"POSIX" order by byte value = Spark's UTF8_BINARY default
+        r = pg_sql(
+            spark, 'SELECT \'abc\' COLLATE "C" < \'abd\' AS v'
+        ).collect()[0]
+        assert r.v is True
+
+    def test_like_escape_backslash(self, spark):
+        r = pg_sql(
+            spark,
+            r"SELECT 'a_b' LIKE 'a\_b' ESCAPE '\' AS e1, "
+            r"'axb' LIKE 'a\_b' ESCAPE '\' AS e2, "
+            r"'50%' LIKE '%\%%' ESCAPE '\' AS e3, "
+            "'a#b' LIKE 'a#_b' ESCAPE '#' AS e4",
+        ).collect()[0]
+        assert (r.e1, r.e2, r.e3) == (True, False, True)
+        assert r.e4 is False  # non-backslash escapes pass through natively
