@@ -217,6 +217,9 @@ _TYPE_MAP = {
     "time": "STRING", "json": "STRING", "jsonb": "STRING",
     "uuid": "STRING", "regclass": "STRING",
     "numeric": "DECIMAL(38,18)", "decimal": "DECIMAL(38,18)",
+    # cash.c: money is a fixed-point 2-dp value; plain-number literals
+    # cast directly ($/comma input forms are out of the subset)
+    "money": "DECIMAL(19,2)",
     # geometric types are their PG literal text (functions/geometry.py);
     # ::point etc. is an identity cast over that representation
     "point": "STRING", "box": "STRING", "circle": "STRING",
@@ -4496,6 +4499,14 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
     ),
     ("subarray", 2): "slice({0}, {1}, size({0}))",
     ("subarray", 3): "slice({0}, {1}, {2})",
+    # ---- bytea byte accessors (varlena.c byteaGetByte/byteaSetByte) ----
+    ("get_byte", 2): (
+        "CAST(conv(substring(hex({0}), 2 * ({1}) + 1, 2), 16, 10) AS INT)"
+    ),
+    ("set_byte", 3): (
+        "unhex(concat(substring(hex({0}), 1, 2 * ({1})), "
+        "lpad(hex({2}), 2, '0'), substring(hex({0}), 2 * ({1}) + 3)))"
+    ),
     # ---- contrib/pgcrypto digest (px.c): bytea out → binary ----
     ("digest_md5", 1): "unhex(md5({0}))",
     ("digest_sha1", 1): "unhex(sha1({0}))",

@@ -1159,3 +1159,19 @@ class TestCollateAndLikeEscape:
         ).collect()[0]
         assert (r.e1, r.e2, r.e3) == (True, False, True)
         assert r.e4 is False  # non-backslash escapes pass through natively
+
+
+class TestByteaMoney:
+    def test_get_set_byte(self, spark):
+        row = pg_sql(
+            spark,
+            "SELECT get_byte('abc'::bytea, 1) AS gb, "
+            "encode(set_byte('abc'::bytea, 1, 64), 'hex') AS sb",
+        ).collect()[0]
+        assert row.gb == 98 and row.sb == "614063"
+
+    def test_money_cast(self, spark):
+        row = pg_sql(
+            spark, "SELECT ('12.5'::money)::float8 AS m"
+        ).collect()[0]
+        assert row.m == 12.5
