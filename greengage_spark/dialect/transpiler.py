@@ -4499,6 +4499,17 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
     ),
     ("subarray", 2): "slice({0}, {1}, size({0}))",
     ("subarray", 3): "slice({0}, {1}, {2})",
+    # ---- left/right with PG's negative-count semantics (varlena.c
+    # text_left/text_right: -n = all but the last/first n) ----
+    ("left", 2): (
+        "(CASE WHEN ({1}) >= 0 THEN substring({0}, 1, ({1})) "
+        "ELSE substring({0}, 1, greatest(length({0}) + ({1}), 0)) END)"
+    ),
+    ("right", 2): (
+        "(CASE WHEN ({1}) > 0 THEN substring({0}, -({1})) "
+        "WHEN ({1}) = 0 THEN '' "
+        "ELSE substring({0}, 1 - ({1})) END)"
+    ),
     # ---- bytea byte accessors (varlena.c byteaGetByte/byteaSetByte) ----
     ("get_byte", 2): (
         "CAST(conv(substring(hex({0}), 2 * ({1}) + 1, 2), 16, 10) AS INT)"

@@ -1175,3 +1175,17 @@ class TestByteaMoney:
             spark, "SELECT ('12.5'::money)::float8 AS m"
         ).collect()[0]
         assert row.m == 12.5
+
+
+class TestLeftRightNegative:
+    def test_pg_negative_counts(self, spark):
+        # varlena.c text_left/text_right: -n = all but the last/first n
+        row = pg_sql(
+            spark,
+            "SELECT left('hello', -2) AS l, right('hello', -2) AS r, "
+            "left('hello', 2) AS lp, right('hello', 2) AS rp, "
+            "right('hello', 0) AS rz",
+        ).collect()[0]
+        assert (row.l, row.r, row.lp, row.rp, row.rz) == (
+            "hel", "llo", "he", "lo", "",
+        )
