@@ -158,6 +158,11 @@ class GucManager:
         # SET TRANSACTION ISOLATION LEVEL ... — transaction-mode no-ops
         if re.match(r"(?is)^(characteristics\s+as\s+)?transaction\b", body):
             return None
+        # SET CONSTRAINTS {ALL | name...} {DEFERRED | IMMEDIATE}
+        # (trigger.c) — constraints here check eagerly at write time, so
+        # deferral is a no-op (there is nothing to defer)
+        if re.match(r"(?is)^constraints\b", body):
+            return None
         # SET TIME ZONE <value | LOCAL | DEFAULT> (special gram.y production)
         m = re.match(r"(?is)^time\s+zone\s+(.*)$", body)
         if m:

@@ -375,14 +375,26 @@ class GreengageEngine:
             except Exception:
                 pass
             return None
-        if head == "create" and re.match(r"(?is)^create\s+(temp(orary)?\s+)?table\b", stmt):
+        if head == "create" and re.match(
+            r"(?is)^create\s+(?:(?:temp(?:orary)?|unlogged|global|local)\s+)*table\b",
+            stmt,
+        ):
+            # UNLOGGED / GLOBAL / LOCAL are WAL/compat hints with no
+            # analog here (storage is always the versioned parquet COW)
+            stmt = re.sub(
+                r"(?is)^(create\s+)(?:(?:unlogged|global|local)\s+)+", r"\1", stmt
+            )
             # LIKE source_table (transformTableLikeClause): copy column
             # names/types/NOT NULL; INCLUDING DEFAULTS copies defaults too
             def _expand_like(m: "re.Match[str]") -> str:
                 src = self.ddl.tables.get(m.group(1))
                 if src is None:
                     raise ValueError(f"unknown table {m.group(1)!r}")
-                with_defaults = bool(m.group(2))
+                with_defaults = bool(m.group(2)) or bool(
+                    re.search(
+                        r"(?i)including\s+(all|defaults)", m.group(3) or ""
+                    )
+                )
                 return ", ".join(
                     f"{c.name} {c.pg_type}"
                     + (" NOT NULL" if c.not_null else "")
@@ -396,7 +408,8 @@ class GreengageEngine:
 
             stmt = re.sub(
                 r"(?is)\blike\s+([\w.]+)"
-                r"(\s+including\s+defaults)?(\s+excluding\s+\w+)?",
+                r"(\s+including\s+defaults)?"
+                r"((?:\s+(?:including|excluding)\s+\w+)*)",
                 _expand_like,
                 stmt,
             )

@@ -497,3 +497,24 @@ class TestCrosstab:
                 "SELECT * FROM crosstab("
                 "'select rowid, att, val from ctt order by 1,2')"
             ).collect()
+
+
+class TestDdlCompatForms:
+    def test_unlogged_table(self, eng):
+        # WAL hint, no analog over versioned parquet — accepted
+        eng.execute("CREATE UNLOGGED TABLE ul (a int8)")
+        eng.execute("INSERT INTO ul VALUES (1)")
+        assert eng.execute("SELECT a FROM ul").collect()[0].a == 1
+
+    def test_like_including_all_carries_defaults(self, eng):
+        eng.execute("CREATE TABLE src (a int8 NOT NULL DEFAULT 7, b text)")
+        eng.execute("CREATE TABLE dst (LIKE src INCLUDING ALL)")
+        eng.execute("INSERT INTO dst (b) VALUES ('x')")
+        row = eng.execute("SELECT a, b FROM dst").collect()[0]
+        assert (row.a, row.b) == (7, "x")
+        eng.execute("CREATE TABLE dst2 (LIKE src EXCLUDING INDEXES)")
+
+    def test_set_constraints_noop(self, eng):
+        # constraints check eagerly at write time; deferral is a no-op
+        eng.execute("SET CONSTRAINTS ALL DEFERRED")
+        eng.execute("SET CONSTRAINTS ALL IMMEDIATE")
