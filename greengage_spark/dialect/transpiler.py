@@ -831,7 +831,10 @@ def _pass_quantified(toks: list[str]) -> list[str]:
         if (
             quant in ("any", "some", "all")
             and toks[i + 2] == "("
-            and toks[i] in _QUANT_OPS
+            and (
+                toks[i] in _QUANT_OPS
+                or (_is_ident(toks[i]) and toks[i].lower() in ("like", "ilike"))
+            )
         ):
             op = toks[i]
             close = _match_paren(toks, i + 2)
@@ -2226,11 +2229,13 @@ def _pass_bit_casts(toks: list[str]) -> list[str]:
                 new += [")", ",", "1", ",", n, ")", ",", n, ",", "'0'", ")"]
         else:
             # int → bit(n): rightmost n bits of the two's-complement word
+            # (positive start — the padded width is exactly 64; the substr
+            # PG-clip guard re-rewrites emitted negative starts)
             new = [
                 "substring", "(", "lpad", "(", "bin", "(", "CAST", "(", "("
             ] + left + [
                 ")", "AS", "BIGINT", ")", ")", ",", "64", ",", "'0'", ")",
-                ",", "-", n, ")",
+                ",", "65", "-", n, ")",
             ]
         toks = toks[:start] + new + toks[j:]
 
@@ -4506,7 +4511,10 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
         "ELSE substring({0}, 1, greatest(length({0}) + ({1}), 0)) END)"
     ),
     ("right", 2): (
-        "(CASE WHEN ({1}) > 0 THEN substring({0}, -({1})) "
+        # positive start only — the substr PG-clip guard in
+        # _pass_functions re-rewrites any emitted negative start
+        "(CASE WHEN ({1}) > 0 "
+        "THEN substring({0}, greatest(length({0}) - ({1}) + 1, 1)) "
         "WHEN ({1}) = 0 THEN '' "
         "ELSE substring({0}, 1 - ({1})) END)"
     ),
@@ -5369,7 +5377,7 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     ["substring", "(", "lpad", "(", "bin", "("]
                     + _c(args[0]) + [op] + _c(args[1])
                     + [")", ",", "64", ",", "'0'", ")", ",",
-                       "-", "length", "("] + args[0] + [")", ")"]
+                       "65", "-", "length", "("] + args[0] + [")", ")"]
                 )
                 i += 1
                 continue
@@ -5921,15 +5929,42 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     f"substr({wrapped}, 2, length({wrapped}) - 2) END)"
                 )
                 continue
-            if low == "age" and len(args) == 2:
+            if low == "age" and len(args) in (1, 2):
                 # timestamp.c timestamp_age — symbolic interval, rendered
                 # as PG text (functions/horology.py documents the
-                # mixed-interval type divergence)
-                a0, a1 = " ".join(args[0]), " ".join(args[1])
+                # mixed-interval type divergence).  The 1-arg form ages
+                # against today's midnight (timestamptz_age vs
+                # CURRENT_DATE, gram.y func_expr)
+                if len(args) == 2:
+                    a0, a1 = " ".join(args[0]), " ".join(args[1])
+                else:
+                    a0, a1 = "CAST(current_date() AS STRING)", " ".join(args[0])
                 out[i : close + 1] = tokenize(
                     f"pg_age(CAST(({a0}) AS TIMESTAMP_NTZ), "
                     f"CAST(({a1}) AS TIMESTAMP_NTZ))"
                 )
+                continue
+            if (
+                low in ("substr", "substring")
+                and len(args) in (2, 3)
+                and not (len(args[1]) == 1 and _is_string(args[1][0]))
+                and args[1][:1] != ["greatest"]  # already rewritten
+            ):
+                # varlena.c text_substr: a start below 1 clips from
+                # position 1 with the window shortened (substr('hello',
+                # -1, 3) = 'h'); Spark's negative start counts from the
+                # END — silently different rows, so always guard
+                s0, s1 = " ".join(args[0]), " ".join(args[1])
+                if len(args) == 3:
+                    s2 = " ".join(args[2])
+                    out[i : close + 1] = tokenize(
+                        f"substring(({s0}), greatest(({s1}), 1), "
+                        f"greatest(({s1}) + ({s2}) - greatest(({s1}), 1), 0))"
+                    )
+                else:
+                    out[i : close + 1] = tokenize(
+                        f"substring(({s0}), greatest(({s1}), 1))"
+                    )
                 continue
             if low in (
                 "justify_days", "justify_hours", "justify_interval"

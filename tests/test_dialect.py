@@ -1189,3 +1189,32 @@ class TestLeftRightNegative:
         assert (row.l, row.r, row.lp, row.rp, row.rz) == (
             "hel", "llo", "he", "lo", "",
         )
+
+
+class TestSubstrLikeAnyAge:
+    def test_substr_nonpositive_start(self, spark):
+        # varlena.c text_substr: start < 1 clips from position 1 with the
+        # window shortened — Spark's negative start counts from the END
+        row = pg_sql(
+            spark,
+            "SELECT substr('hello', -1, 3) AS a, substr('hello', 0, 2) AS b, "
+            "substr('hello', 2, 2) AS c, substr('hello', -2) AS d",
+        ).collect()[0]
+        assert (row.a, row.b, row.c, row.d) == ("h", "h", "el", "hello")
+
+    def test_like_any_all_over_arrays(self, spark):
+        row = pg_sql(
+            spark,
+            "SELECT 'FOO' ILIKE any(ARRAY['f%','z%']) AS a, "
+            "'FOO' LIKE any(ARRAY['f%','z%']) AS b, "
+            "'foo' LIKE ALL(ARRAY['f%','%o']) AS c",
+        ).collect()[0]
+        assert (row.a, row.b, row.c) == (True, False, True)
+
+    def test_age_one_arg(self, spark):
+        # ages against today's midnight — just pin shape + determinism
+        row = pg_sql(
+            spark,
+            "SELECT age(TIMESTAMP '2001-04-10') = age(TIMESTAMP '2001-04-10') AS same",
+        ).collect()[0]
+        assert row.same is True
