@@ -3904,6 +3904,14 @@ def _pass_unnest_from(toks: list[str]) -> list[str]:
                     repl += ([","] if k else []) + a
                 repl += [")", ")"]
                 out[i : close + 1] = repl
+            elif (md := _md_array_depth(args[0])) >= 2:
+                # multi-dim arrays unnest to SCALARS in storage order
+                # (arrayfuncs.c array_unnest walks the flat data array)
+                inner = list(args[0])
+                for _ in range(md - 1):
+                    inner = ["flatten", "("] + inner + [")"]
+                repl = ["unnest", "("] + inner + [")"]
+                out[i : close + 1] = repl
             else:
                 repl = out[i : close + 1]
             if after_comma:
@@ -4504,6 +4512,13 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
     ),
     ("subarray", 2): "slice({0}, {1}, size({0}))",
     ("subarray", 3): "slice({0}, {1}, {2})",
+    # ---- json.c json_object: text[] pairs / (keys, values) → json ----
+    ("json_object", 1): (
+        "to_json(map_from_arrays("
+        "filter({0}, (__jx, __ji) -> __ji % 2 = 0), "
+        "filter({0}, (__jx, __ji) -> __ji % 2 = 1)))"
+    ),
+    ("json_object", 2): "to_json(map_from_arrays({0}, {1}))",
     # ---- left/right with PG's negative-count semantics (varlena.c
     # text_left/text_right: -n = all but the last/first n) ----
     ("left", 2): (
@@ -5821,6 +5836,18 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 and _is_string(args[1][0])
             ):
                 out[i : close + 1] = _lower_regexp_matches(args)
+                continue
+            if (
+                low == "unnest"
+                and len(args) == 1
+                and (md := _md_array_depth(args[0])) >= 2
+            ):
+                # multi-dim arrays unnest to SCALARS in storage order
+                # (arrayfuncs.c array_unnest walks the flat data array)
+                inner = " ".join(args[0])
+                for _ in range(md - 1):
+                    inner = f"flatten({inner})"
+                out[i : close + 1] = tokenize(f"explode({inner})")
                 continue
             if low in ("similarity", "show_trgm", "difference") and args:
                 # contrib/pg_trgm trgm_op.c; fuzzystrmatch difference

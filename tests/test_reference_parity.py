@@ -5722,6 +5722,14 @@ ARRAYS_QUERIES = {
         "array_lower('{{1,2},{3,4}}'::int[], 2) AS l2",
         "SELECT '[1:3][1:2]' AS d2, '[1:3]' AS d1, 2 AS nd, 2 AS u2, 1 AS l2",
     ),
+    "amd_unnest_flattens": (
+        "SELECT unnest(ARRAY[[1,2],[3,4]]) AS v",
+        "SELECT unnest([1, 2, 3, 4]) AS v",
+    ),
+    "a_json_object": (
+        "SELECT json_object(ARRAY['a','1','b','2']) AS v",
+        "SELECT '{\"a\":\"1\",\"b\":\"2\"}' AS v",
+    ),
     "amd_empty_nested": (
         "SELECT '{{},{}}'::text[] AS v",
         "SELECT [CAST([] AS VARCHAR[]), []] AS v",
