@@ -4512,6 +4512,8 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
     ),
     ("subarray", 2): "slice({0}, {1}, size({0}))",
     ("subarray", 3): "slice({0}, {1}, {2})",
+    # single-role session: every oid maps to the session user (acl.c)
+    ("pg_get_userbyid", 1): "current_user()",
     # ---- json.c json_object: text[] pairs / (keys, values) → json ----
     ("json_object", 1): (
         "to_json(map_from_arrays("

@@ -697,6 +697,30 @@ class GreengageEngine:
                 _vdef,
                 stmt,
             )
+            # obj_description / col_description (commands/comment.c) fold
+            # from the recorded COMMENT ON metadata; NULL when unset
+            def _objdesc(m):
+                name = m.group(1).strip("'").split(".")[-1]
+                for kind in ("table", "view", "materialized view", "schema"):
+                    c = self.acl.comments.get((kind, name))
+                    if c is not None:
+                        return "'" + c.replace("'", "''") + "'"
+                return "CAST(NULL AS STRING)"
+
+            stmt = re.sub(
+                r"(?is)\bobj_description\s*\(\s*('[\w.]+')\s*"
+                r"(?:::\s*regclass\s*)?(?:,\s*'[\w ]+'\s*)?\)",
+                _objdesc,
+                stmt,
+            )
+            # has_*_privilege: the single-role engine always grants
+            # (aclchk.c; ACLs are recorded metadata here)
+            stmt = re.sub(
+                r"(?is)\bhas_(table|schema|database|function|column)"
+                r"_privilege\s*\((?:[^()]|\([^()]*\))*\)",
+                "true",
+                stmt,
+            )
             # current_setting / set_config (guc.c) fold through the GUC
             # manager; set_config applies its side effect now
             def _cur(m):

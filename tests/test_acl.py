@@ -312,3 +312,32 @@ class TestPgDumpMetadataRoutes:
             "ON TABLES TO bob"
         )
         assert len(meng.misc_ddl) == 4
+
+
+class TestDescriptionAndPrivilegeFolds:
+    def test_obj_description_folds_comments(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        eng.execute("CREATE TABLE t (a int8)")
+        eng.execute("COMMENT ON TABLE t IS 'the table'")
+        row = eng.execute(
+            "SELECT obj_description('t'::regclass) AS c, "
+            "obj_description('nope'::regclass) AS n"
+        ).collect()[0]
+        assert row.c == "the table" and row.n is None
+        eng.execute("COMMENT ON TABLE t IS NULL")
+        assert eng.execute(
+            "SELECT obj_description('t'::regclass) AS c"
+        ).collect()[0].c is None
+
+    def test_has_privilege_always_true(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        eng.execute("CREATE TABLE t (a int8)")
+        row = eng.execute(
+            "SELECT has_table_privilege('t', 'SELECT') AS p, "
+            "has_schema_privilege('public', 'USAGE') AS s"
+        ).collect()[0]
+        assert row.p is True and row.s is True
