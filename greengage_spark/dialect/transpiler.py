@@ -5236,6 +5236,12 @@ def _pass_functions(toks: list[str]) -> list[str]:
             i += 3
             continue
 
+        if low == "localtimestamp" and nxt != "(" and (i == 0 or out[i - 1] != "."):
+            # bare LOCALTIMESTAMP keyword (gram.y func_expr_common_subexpr)
+            out[i : i + 1] = ["localtimestamp", "(", ")"]
+            i += 3
+            continue
+
         if low == "using" and nxt in ("<", ">"):
             # ORDER BY expr USING op (gram.y sortby_using): the btree
             # '<' ordering is ASC, '>' is DESC
@@ -5629,6 +5635,15 @@ def _pass_functions(toks: list[str]) -> list[str]:
                         # ISO numbering: Monday=1 .. Sunday=7 (date.c)
                         out[i : close + 1] = ["(", "weekday", "("] + expr + [")", "+", "1", ")"]
                         continue
+                    if field == "isoyear":
+                        # year of the ISO week = year of that week's
+                        # Thursday (timestamp.c ISOYEAR via date2isoyear)
+                        out[i : close + 1] = tokenize(
+                            "year(date_add(CAST((" + " ".join(expr)
+                            + ") AS DATE), 3 - weekday(" + " ".join(expr)
+                            + ")))"
+                        )
+                        continue
                     if field == "epoch":
                         if expr and _is_ident(expr[0]) and expr[0].lower() == "interval":
                             # epoch of a day-time interval = total seconds
@@ -5657,6 +5672,13 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     continue
                 if field == "isodow":
                     out[i : close + 1] = ["(", "weekday", "("] + args[1] + [")", "+", "1", ")"]
+                    continue
+                if field == "isoyear":
+                    a1 = " ".join(args[1])
+                    out[i : close + 1] = tokenize(
+                        f"year(date_add(CAST(({a1}) AS DATE), "
+                        f"3 - weekday({a1})))"
+                    )
                     continue
                 if field == "epoch":
                     out[i : close + 1] = ["unix_timestamp", "("] + args[1] + [")"]

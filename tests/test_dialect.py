@@ -1218,3 +1218,21 @@ class TestSubstrLikeAnyAge:
             "SELECT age(TIMESTAMP '2001-04-10') = age(TIMESTAMP '2001-04-10') AS same",
         ).collect()[0]
         assert row.same is True
+
+
+class TestIsoyearLocaltimestamp:
+    def test_isoyear(self, spark):
+        # date2isoyear: the ISO year is the year of that week's Thursday
+        row = pg_sql(
+            spark,
+            "SELECT extract(isoyear FROM date '2020-01-01') AS a, "
+            "extract(isoyear FROM date '2021-01-01') AS b, "
+            "date_part('isoyear', date '2005-01-01') AS c",
+        ).collect()[0]
+        assert (row.a, row.b, row.c) == (2020, 2020, 2004)
+
+    def test_bare_localtimestamp(self, spark):
+        row = pg_sql(
+            spark, "SELECT localtimestamp IS NOT NULL AS v"
+        ).collect()[0]
+        assert row.v is True
