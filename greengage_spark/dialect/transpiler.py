@@ -414,10 +414,12 @@ def _pg_array_literal(str_tok: str, elem_type: str) -> tuple[list[str], int]:
     if not (body.startswith("{") and body.endswith("}")):
         raise ValueError(f"unsupported array literal: {body!r}")
 
-    def emit_elem(p: str, out: list[str]) -> None:
-        if p.upper() == "NULL":
+    def emit_elem(p: str, out: list[str], quoted: bool = False) -> None:
+        # array_in: only an UNQUOTED bare NULL is SQL NULL; a quoted
+        # "NULL" element is the four-character string (array.c scanner)
+        if not quoted and p.upper() == "NULL":
             out.append("NULL")
-        elif elem_type == "STRING" or not _NUMERIC_ITEM_RE.match(p):
+        elif quoted or elem_type == "STRING" or not _NUMERIC_ITEM_RE.match(p):
             out.append("'" + p.replace("'", "''") + "'")
         else:
             out.append(p)
@@ -440,7 +442,11 @@ def _pg_array_literal(str_tok: str, elem_type: str) -> tuple[list[str], int]:
                 if not first_ref[0]:
                     out.append(",")
                 first_ref[0] = False
-                emit_elem("".join(buf).strip() if not quoted else "".join(buf), out)
+                emit_elem(
+                    "".join(buf).strip() if not quoted else "".join(buf),
+                    out,
+                    quoted,
+                )
             buf = []
             quoted = False
 

@@ -431,6 +431,7 @@ def register_udfs(spark) -> None:
 
     spark.udf.register("pg_ts_rank_cd", pandas_udf(_rank, "double"))
     spark.udf.register("pg_ts_headline", pandas_udf(_headline, "string"))
+    spark.conf.set("greengage.textsearch.registered", "1")
 
 
 def parse_headline_options(opts: str | None) -> dict:
@@ -459,4 +460,3 @@ def parse_headline_options(opts: str | None) -> dict:
                 "(StartSel, StopSel, MaxWords, MinWords)"
             )
     return out
-    spark.conf.set("greengage.textsearch.registered", "1")

@@ -61,6 +61,13 @@ def expand_crosstab(engine, stmt: str) -> str:
         if len(cols) < 2:
             raise ValueError("crosstab needs a row column and ≥1 value column")
         df = engine.execute(src)
+        if len(df.columns) != 3:
+            # tablefunc.c get_crosstab_tuplestore: the source query must
+            # return exactly (row_name, category, value)
+            raise ValueError(
+                "invalid crosstab source data SQL statement: must return "
+                f"3 columns (row_name, category, value), got {len(df.columns)}"
+            )
         rcol, ccol, vcol = df.columns[0], df.columns[1], df.columns[-1]
         n_out = len(cols) - 1
         if cat_sql is not None:

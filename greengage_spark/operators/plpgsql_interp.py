@@ -1421,6 +1421,14 @@ def run_block(body: str, sql_hook, notices: list | None = None) -> None:
         _exec_block(block, env)
     except _Return:
         pass  # DO blocks discard RETURN
+    except _Exit:
+        raise PlPgSQLError(
+            "syntax_error", "EXIT cannot be used outside a loop"
+        ) from None
+    except _Continue:
+        raise PlPgSQLError(
+            "syntax_error", "CONTINUE cannot be used outside a loop"
+        ) from None
 
 
 def compile_plpgsql(body: str, arg_names: list[str]):
@@ -1446,6 +1454,14 @@ def compile_plpgsql(body: str, arg_names: list[str]):
             _exec_block(block, env)
         except _Return as r:
             return r.value
+        except _Exit:
+            raise PlPgSQLError(
+                "syntax_error", "EXIT cannot be used outside a loop"
+            ) from None
+        except _Continue:
+            raise PlPgSQLError(
+                "syntax_error", "CONTINUE cannot be used outside a loop"
+            ) from None
         raise PlPgSQLError(
             "routine_exception",
             "control reached end of function without RETURN",

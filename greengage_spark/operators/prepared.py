@@ -134,10 +134,13 @@ class Cursor:
         """FETCH RELATIVE k; 0 re-returns the current row (PG)."""
         if k > 0:
             rows = self.fetch(k)
-            return rows[-1:]
+            # fewer than k rows remained: portal is positioned after the
+            # last row and the result is EMPTY (portalcmds.c semantics),
+            # not the last available row
+            return rows[-1:] if len(rows) == k else []
         if k < 0:
             rows = self.fetch_backward(-k)
-            return rows[-1:]
+            return rows[-1:] if len(rows) == -k else []
         if self.scroll and 1 <= self._pos <= len(self._buf):
             return [self._buf[self._pos - 1]]
         return []

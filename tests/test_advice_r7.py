@@ -1,0 +1,131 @@
+"""Round-7 ADVICE regression battery — one test per finding:
+
+1. array_in: a double-quoted "NULL" element is the string 'NULL', only an
+   unquoted bare NULL is SQL NULL (src/backend/utils/adt/arrayfuncs.c
+   array_in / ReadArrayStr scanner).
+2. textsearch register_udfs idempotency guard actually engages.
+3. EXIT/CONTINUE outside any loop reports PG's error, never leaks the
+   internal control-flow exception (pl_exec.c exec_stmt_exit).
+4. FETCH RELATIVE k with fewer than k rows remaining returns EMPTY with
+   the portal after the last row (commands/portalcmds.c DoPortalRewind /
+   PortalRunFetch semantics).
+5. crosstab() rejects a source query that does not return exactly 3
+   columns (contrib/tablefunc/tablefunc.c get_crosstab_tuplestore:
+   "invalid source data SQL statement").
+"""
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return GreengageEngine(spark, str(tmp_path / "wh"))
+
+
+class TestQuotedNullArrayElement:
+    def _one(self, spark, expr):
+        from greengage_spark.dialect.transpiler import pg_sql
+
+        return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+    def test_quoted_null_is_the_string(self, spark):
+        got = self._one(spark, """'{"NULL",NULL}'::text[]""")
+        assert list(got) == ["NULL", None]
+
+    def test_unquoted_null_still_sql_null(self, spark):
+        assert list(self._one(spark, "'{a,NULL,c}'::text[]")) == ["a", None, "c"]
+
+    def test_quoted_numeric_element_still_casts(self, spark):
+        assert list(self._one(spark, '\'{1,"2",3}\'::int4[]')) == [1, 2, 3]
+
+
+class TestTextsearchRegisterGuard:
+    def test_conf_flag_set_after_register(self, spark):
+        from greengage_spark.functions import textsearch
+
+        spark.conf.unset("greengage.textsearch.registered")
+        textsearch.register_udfs(spark)
+        assert spark.conf.get("greengage.textsearch.registered") == "1"
+        # second call is a no-op (guard short-circuits before any UDF work)
+        textsearch.register_udfs(spark)
+
+
+class TestExitOutsideLoop:
+    def test_do_block_exit(self, eng):
+        from greengage_spark.operators.plpgsql_interp import PlPgSQLError
+
+        with pytest.raises(PlPgSQLError, match="EXIT cannot be used outside a loop"):
+            eng.execute("DO $$ BEGIN EXIT; END $$")
+
+    def test_do_block_continue(self, eng):
+        from greengage_spark.operators.plpgsql_interp import PlPgSQLError
+
+        with pytest.raises(
+            PlPgSQLError, match="CONTINUE cannot be used outside a loop"
+        ):
+            eng.execute("DO $$ BEGIN CONTINUE; END $$")
+
+    def test_exit_inside_loop_still_works(self, eng, spark):
+        notices: list = []
+        from greengage_spark.operators.plpgsql_interp import run_block
+
+        run_block(
+            "BEGIN FOR i IN 1..5 LOOP EXIT WHEN i = 3; END LOOP; "
+            "RAISE NOTICE 'done'; END",
+            lambda sql: [],
+            notices,
+        )
+        assert notices == [("notice", "done")]
+
+
+class TestFetchRelativeOvershoot:
+    def test_relative_past_end_is_empty(self, eng):
+        eng.execute("CREATE TABLE frt (a int8)")
+        eng.execute("INSERT INTO frt VALUES (1),(2),(3),(4),(5)")
+        eng.execute("DECLARE fr SCROLL CURSOR FOR SELECT a FROM frt ORDER BY a")
+        assert [
+            r[0] for r in eng.execute("FETCH 3 FROM fr").collect()
+        ] == [1, 2, 3]  # position at row 3
+        # only 2 rows remain: PG returns EMPTY, portal after the last row
+        assert eng.execute("FETCH RELATIVE 10 FROM fr").collect() == []
+        # backward from after-last sees the last row first
+        assert [
+            r[0] for r in eng.execute("FETCH BACKWARD 1 FROM fr").collect()
+        ] == [5]
+        # symmetric: RELATIVE -10 from position 5 lands before the first row
+        assert eng.execute("FETCH RELATIVE -10 FROM fr").collect() == []
+        assert [
+            r[0] for r in eng.execute("FETCH NEXT FROM fr").collect()
+        ] == [1]
+        eng.execute("CLOSE fr")
+
+    def test_relative_exact_remaining_returns_row(self, eng):
+        eng.execute("CREATE TABLE frt2 (a int8)")
+        eng.execute("INSERT INTO frt2 VALUES (1),(2),(3)")
+        eng.execute("DECLARE fr2 SCROLL CURSOR FOR SELECT a FROM frt2 ORDER BY a")
+        assert [
+            r[0] for r in eng.execute("FETCH RELATIVE 3 FROM fr2").collect()
+        ] == [3]
+        eng.execute("CLOSE fr2")
+
+
+class TestCrosstabArity:
+    def test_wide_source_rejected(self, eng):
+        eng.execute("CREATE TABLE ct4 (rowid text, att text, extra text, val text)")
+        eng.execute("INSERT INTO ct4 VALUES ('r1','a','x','v1')")
+        with pytest.raises(ValueError, match="3 columns"):
+            eng.execute(
+                "SELECT * FROM crosstab('select rowid, att, extra, val from ct4') "
+                "AS x(row_name text, c1 text)"
+            )
+
+    def test_narrow_source_rejected(self, eng):
+        eng.execute("CREATE TABLE ct2 (rowid text, val text)")
+        eng.execute("INSERT INTO ct2 VALUES ('r1','v1')")
+        with pytest.raises(ValueError, match="3 columns"):
+            eng.execute(
+                "SELECT * FROM crosstab('select rowid, val from ct2') "
+                "AS x(row_name text, c1 text)"
+            )
