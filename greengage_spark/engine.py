@@ -192,6 +192,11 @@ class GreengageEngine:
         self.stats: dict = {}  # table → TableStats (ANALYZE results)
         self.prepared: dict = {}  # name → PreparedStatement (prepare.c)
         self.notices: list[str] = []  # RAISE NOTICE/INFO output (elog.c)
+        # GET DIAGNOSTICS row_count support: DML paths record the
+        # processed-row count ONLY while a DO block runs (the count costs
+        # an extra Spark job, so it is off on the normal path)
+        self.last_rowcount: int | None = None
+        self._track_rowcount = False
         # recorded DDL with no executor semantics here (composite types,
         # casts, operators, default privileges) — keyed (kind, name)
         self.misc_ddl: dict = {}
@@ -850,11 +855,32 @@ class GreengageEngine:
         from greengage_spark.operators.plpgsql_interp import run_block
 
         def hook(sql: str):
+            # rowcount feeds GET DIAGNOSTICS row_count: len(rows) for
+            # row-returning statements, the engine's tracked DML count
+            # otherwise (None = shape whose count we refuse to guess)
+            self.last_rowcount = None
             df = self.execute(sql)
-            return df.collect() if df is not None else []
+            if df is not None:
+                rows = df.collect()
+                hook.rowcount = len(rows)
+                return rows
+            hook.rowcount = self.last_rowcount
+            return []
+
+        def cursor_factory(sql: str):
+            # engine-backed portal: streams via toLocalIterator with the
+            # retained-extent scroll machinery (operators/prepared.py)
+            from greengage_spark.operators.prepared import Cursor
+
+            return Cursor("__plpgsql__", self.execute(sql), scroll=True)
 
         notices: list = []
-        run_block(body, hook, notices)
+        prev = self._track_rowcount
+        self._track_rowcount = True
+        try:
+            run_block(body, hook, notices, cursor_factory=cursor_factory)
+        finally:
+            self._track_rowcount = prev
         self.notices.extend(msg for _lvl, msg in notices)
         return None
 
@@ -1975,7 +2001,10 @@ class GreengageEngine:
                     for c in td.columns
                 ]
             )
-        before_files = set(self._storage(name).files()) if ret else None
+        track = self._track_rowcount
+        before_files = (
+            set(self._storage(name).files()) if (ret or track) else None
+        )
         try:
             self.ddl.insert(name, full)
         except Exception as e:  # surface the constraint as PG's error
@@ -1987,6 +2016,12 @@ class GreengageEngine:
                 raise
             raise ValueError(m.group(0)) from None
         self._register(name)
+        if track:
+            st = self._storage(name)
+            new_files = [f for f in st.files() if f not in before_files]
+            self.last_rowcount = (
+                st._read_files(new_files).count() if new_files else 0
+            )
         if ret is None:
             return None
         # RETURNING evaluates over exactly the rows just written: the
@@ -2043,6 +2078,11 @@ class GreengageEngine:
                 col, _, expr = part.partition("=")
                 sets[col.strip().lower()] = expr.strip()
             cond = f"({where_raw})" if where_raw else "TRUE"
+            if self._track_rowcount:
+                self.last_rowcount = pg_sql(
+                    self.spark,
+                    f"SELECT count(*) AS c FROM {name} WHERE ({cond}) IS TRUE",
+                ).collect()[0].c
             touched = self._touched_files_sql(name, st, cond)
             proj = ", ".join(
                 f"CASE WHEN ({cond}) IS TRUE THEN ({sets[c.name]}) "
@@ -2073,6 +2113,10 @@ class GreengageEngine:
                 col, _, expr = part.partition("=")
                 set_map[col.strip()] = F.expr(transpile(expr.strip()))
             cond = F.expr(transpile(where_raw)) if where_raw else None
+            if self._track_rowcount:
+                self.last_rowcount = st.df().filter(
+                    cond if cond is not None else F.lit(True)
+                ).count()
             ret_rows = None
             if ret is not None:
                 sm = {k.lower(): v for k, v in set_map.items()}
@@ -2297,6 +2341,8 @@ class GreengageEngine:
             victims = None
             if ret:
                 victims = st.df().localCheckpoint(eager=True)
+            if self._track_rowcount:
+                self.last_rowcount = st.df().count()
             st.delete(F.lit(True))
             self._register(name)
             return self._returning_df(name, victims, ret) if ret else None
@@ -2319,6 +2365,11 @@ class GreengageEngine:
             # rewritten (with their survivors); the rest carry by
             # reference into the new manifest.
             self._register_all()
+            if self._track_rowcount:
+                self.last_rowcount = pg_sql(
+                    self.spark,
+                    f"SELECT count(*) AS c FROM {name} WHERE ({pred}) IS TRUE",
+                ).collect()[0].c
             touched = self._touched_files_sql(name, st, pred)
             if touched:
                 st._read_files(touched).createOrReplaceTempView("__cow_target")
@@ -2332,6 +2383,10 @@ class GreengageEngine:
             else:
                 st.rewrite_files([], None)
         else:
+            if self._track_rowcount:
+                self.last_rowcount = (
+                    st.df().filter(F.expr(transpile(where_raw))).count()
+                )
             st.delete(F.expr(transpile(where_raw)))
         self._register(name)
         return self._returning_df(name, victims, ret) if ret else None

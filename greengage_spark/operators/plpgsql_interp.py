@@ -61,6 +61,80 @@ class _Continue(Exception):
     pass
 
 
+class _PlCursor:
+    """A plpgsql cursor variable (pl_exec.c exec_stmt_open / exec_stmt_fetch
+    / exec_stmt_close).  Bound cursors carry their query text and declared
+    parameter names from the DECLARE section; unbound ``refcursor``
+    variables get their query from ``OPEN ... FOR``.  The portal itself is
+    created at OPEN time through the engine-supplied cursor factory
+    (streams via toLocalIterator, retained-extent scrolling) or the
+    materialized fallback."""
+
+    def __init__(self, name: str, query: str | None = None,
+                 arg_names: list[str] | None = None):
+        self.name = name
+        self.query = query
+        self.arg_names = arg_names or []
+        self.portal = None  # set by OPEN, cleared by CLOSE
+
+
+class _ListPortal:
+    """Materialized fallback portal (no cursor factory supplied): full
+    scroll support over pre-collected rows, same position contract as
+    operators.prepared.Cursor — 0 = before first, len+1 = after last."""
+
+    def __init__(self, rows):
+        self._buf = list(rows)
+        self._pos = 0
+
+    def fetch(self, n):
+        out = []
+        while n is None or len(out) < n:
+            if self._pos < len(self._buf):
+                self._pos += 1
+                out.append(self._buf[self._pos - 1])
+            else:
+                self._pos = len(self._buf) + 1
+                break
+        return out
+
+    def fetch_backward(self, n):
+        out = []
+        if self._pos > len(self._buf):
+            self._pos = len(self._buf)
+            if self._pos > 0:
+                out.append(self._buf[self._pos - 1])
+        while (n is None or len(out) < n) and self._pos > 1:
+            self._pos -= 1
+            out.append(self._buf[self._pos - 1])
+        if (n is None or len(out) < n) and self._pos == 1:
+            self._pos = 0
+        return out
+
+    def fetch_absolute(self, k):
+        if k < 0:
+            k = len(self._buf) + 1 + k
+        if k <= 0:
+            self._pos = 0
+            return []
+        if k > len(self._buf):
+            self._pos = len(self._buf) + 1
+            return []
+        self._pos = k
+        return [self._buf[k - 1]]
+
+    def fetch_relative(self, k):
+        if k > 0:
+            rows = self.fetch(k)
+            return rows[-1:] if len(rows) == k else []
+        if k < 0:
+            rows = self.fetch_backward(-k)
+            return rows[-1:] if len(rows) == -k else []
+        if 1 <= self._pos <= len(self._buf):
+            return [self._buf[self._pos - 1]]
+        return []
+
+
 # ---------------------------------------------------------------------------
 # tokenizer
 # ---------------------------------------------------------------------------
@@ -280,7 +354,77 @@ def _coalesce(*a):
     return None
 
 
+_SIMPLE_IDENT = re.compile(r"^[a-z_][a-z0-9_]*$")
+
+
+def _q_ident(s) -> str:
+    """quote_ident (ruleutils.c quote_identifier): quote unless the name
+    is already a safe lower-case identifier."""
+    s = str(s)
+    if _SIMPLE_IDENT.match(s):
+        return s
+    return '"' + s.replace('"', '""') + '"'
+
+
+def _q_literal(v) -> str:
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _fn_format(fmt, *args):
+    """format() (varlena.c text_format): %s / %I / %L / %%; positional
+    %n$ is out of the subset (loud)."""
+    if fmt is None:
+        return None
+    out, ai, i, n = [], 0, 0, len(fmt)
+    while i < n:
+        ch = fmt[i]
+        if ch != "%":
+            out.append(ch)
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise PlPgSQLError(
+                "invalid_parameter_value", "unterminated format() specifier"
+            )
+        spec = fmt[i + 1]
+        if spec == "%":
+            out.append("%")
+            i += 2
+            continue
+        if spec.isdigit():
+            raise NotImplementedError("plpgsql format(): positional %n$")
+        if ai >= len(args):
+            raise PlPgSQLError(
+                "invalid_parameter_value",
+                "too few arguments for format()",
+            )
+        v = args[ai]
+        ai += 1
+        if spec == "s":
+            out.append("" if v is None else _to_text(v))
+        elif spec == "I":
+            if v is None:
+                raise PlPgSQLError(
+                    "null_value_not_allowed",
+                    "null values cannot be formatted as an SQL identifier",
+                )
+            out.append(_q_ident(v))
+        elif spec == "L":
+            out.append("NULL" if v is None else _q_literal(_to_text(v)))
+        else:
+            raise PlPgSQLError(
+                "invalid_parameter_value",
+                f'unrecognized format() type specifier "{spec}"',
+            )
+        i += 2
+    return "".join(out)
+
+
 _FUNCS = {
+    "quote_ident": _strict(_q_ident),
+    "quote_literal": _strict(lambda v: _q_literal(_to_text(v))),
+    "quote_nullable": lambda v: "NULL" if v is None else _q_literal(_to_text(v)),
+    "format": _fn_format,
     "abs": _strict(abs),
     "mod": _strict(_mod),
     "length": _strict(len),
@@ -723,9 +867,62 @@ class _StmtParser:
             param = self.take()
             self.expect(";")
             return ("alias", name, param)
+        # cursor declarations (pl_gram.y decl_cursor_query):
+        #   name [NO SCROLL | SCROLL] CURSOR [(argname type, ...)] FOR|IS q
+        nxt = self.peek_low()
+        if nxt == "cursor" or (
+            nxt in ("scroll", "no") and self.peek_low(1) in ("cursor", "scroll")
+        ):
+            if nxt == "no":
+                self.take()
+                self.expect("scroll")  # retained-extent portals scroll anyway
+            elif nxt == "scroll":
+                self.take()
+            self.expect("cursor")
+            if not self.allow_sql:
+                raise NotImplementedError(
+                    "plpgsql interpreter: cursors need the SQL engine — "
+                    "not available inside a row UDF; use a DO block "
+                    "(driver-side)"
+                )
+            params: list[str] = []
+            if self.peek() == "(":
+                self.take()
+                while True:
+                    params.append(self.take().lower())
+                    depth = 0
+                    while True:  # skip the declared type tokens
+                        t = self.peek()
+                        if t is None:
+                            raise NotImplementedError(
+                                "plpgsql: unterminated cursor argument list"
+                            )
+                        if depth == 0 and t in (",", ")"):
+                            break
+                        if t == "(":
+                            depth += 1
+                        elif t == ")":
+                            depth -= 1
+                        self.take()
+                    if self.take() == ")":
+                        break
+            if self.peek_low() not in ("for", "is"):
+                raise NotImplementedError(
+                    "plpgsql: bound cursor declaration needs FOR <query>"
+                )
+            self.take()
+            sql, _ = self._raw_until({";"})
+            self.expect(";")
+            return ("cursor_decl", name, params, sql)
         if self.peek_low() == "constant":
             self.take()
         tname = self.take().lower()
+        if tname == "refcursor":
+            # unbound cursor variable (pl_comp.c REFCURSOR): OPEN ... FOR
+            # binds the query later
+            self.expect(";")
+            self.casts[name] = lambda v: v
+            return ("cursor_decl", name, [], None)
         if tname == "record":
             # RECORD vars hold whole result rows (pl_comp.c); only the
             # SQL-hook statements can populate them
@@ -826,14 +1023,18 @@ class _StmtParser:
             return ("null",)
         if t in ("begin", "declare"):
             return self.parse_block()
+        if t == "get":
+            return self._get_diag()
         if t in ("perform", "select", "insert", "update", "delete", "execute",
-                 "get", "open", "fetch", "close"):
-            if not self.allow_sql or t in ("get", "open", "fetch", "close"):
+                 "open", "fetch", "close", "move"):
+            if not self.allow_sql:
                 raise NotImplementedError(
                     f"plpgsql interpreter: {t.upper()} needs the SQL engine "
                     "— not available inside a row UDF; use LANGUAGE sql, a "
                     "SETOF table macro, or a DO block (driver-side)"
                 )
+            if t in ("open", "fetch", "close", "move"):
+                return self._cursor_stmt(t)
             return self._sql_stmt(t)
         # assignment: name[:=|=] expr; also a[i] := expr element update
         name = self.take().lower()
@@ -971,6 +1172,116 @@ class _StmtParser:
         self.expect(";")
         return ("sql_select_into", (pre + " " + post).strip(), vars_, strict)
 
+    def _cursor_stmt(self, head: str):
+        """OPEN / FETCH / MOVE / CLOSE (pl_exec.c exec_stmt_open:1479,
+        exec_stmt_fetch, exec_stmt_close — dispatch :1479-1483)."""
+        self.take()
+        if head == "open":
+            name = self.take().lower()
+            if self.peek_low() == "for":
+                self.take()
+                if self.peek_low() == "execute":
+                    self.take()
+                    e = self.expr()
+                    using = []
+                    if self.peek_low() == "using":
+                        self.take()
+                        using.append(self.expr())
+                        while self.peek_low() == ",":
+                            self.take()
+                            using.append(self.expr())
+                    self.expect(";")
+                    return ("open_dyn", name, e, using)
+                sql, _ = self._raw_until({";"})
+                self.expect(";")
+                return ("open_query", name, sql)
+            args: list = []
+            if self.peek() == "(":
+                self.take()
+                while True:
+                    argname = None
+                    if (
+                        self.peek() is not None
+                        and _is_ident(self.peek())
+                        and self.peek_low(1) == ":="
+                    ):
+                        argname = self.take().lower()
+                        self.take()
+                    args.append((argname, self.expr()))
+                    t = self.take()
+                    if t == ")":
+                        break
+                    if t != ",":
+                        raise NotImplementedError(
+                            f"plpgsql: OPEN argument list, got {t!r}"
+                        )
+            self.opt_semi()
+            return ("open", name, args)
+        if head == "close":
+            name = self.take().lower()
+            self.expect(";")
+            return ("close", name)
+        # FETCH / MOVE [direction [FROM|IN]] cursor [INTO vars]
+        direction, count = self._fetch_direction()
+        name = self.take().lower()
+        vars_, _strict = [], False
+        if head == "fetch":
+            self.expect("into")
+            vars_, _strict = self._into_vars()
+        self.expect(";")
+        return ("fetch" if head == "fetch" else "move", name, direction,
+                count, vars_)
+
+    def _fetch_direction(self):
+        """pl_gram.y read_fetch_direction: plpgsql FETCH moves at most one
+        row — NEXT/PRIOR/FIRST/LAST/ABSOLUTE n/RELATIVE n/FORWARD/
+        BACKWARD; the multi-row SQL count forms are rejected."""
+        t = self.peek_low()
+        direction, count = "next", None
+        if t in ("next", "prior", "first", "last", "forward", "backward"):
+            self.take()
+            direction = t
+        elif t in ("absolute", "relative"):
+            self.take()
+            direction = t
+            count = self.expr()
+        elif t is not None and (t.isdigit() or t == "all"):
+            raise NotImplementedError(
+                "plpgsql FETCH fetches one row — multi-row count "
+                "directions are SQL-level FETCH only (pl_gram.y "
+                "complain_invalid_fetch)"
+            )
+        if self.peek_low() in ("from", "in"):
+            self.take()
+        return direction, count
+
+    def _get_diag(self):
+        """GET [CURRENT|STACKED] DIAGNOSTICS var = item [, ...]
+        (pl_exec.c:109 exec_stmt_getdiag)."""
+        self.expect("get")
+        stacked = False
+        if self.peek_low() == "current":
+            self.take()
+        elif self.peek_low() == "stacked":
+            self.take()
+            stacked = True
+        self.expect("diagnostics")
+        items = []
+        while True:
+            var = self.take().lower()
+            if self.peek_low() not in (":=", "="):
+                raise NotImplementedError(
+                    "plpgsql: GET DIAGNOSTICS var = item"
+                )
+            self.take()
+            items.append((var, self.take().lower()))
+            if self.peek_low() == ",":
+                self.take()
+                continue
+            break
+        self.expect(";")
+        return ("getdiag", stacked, items)
+
     def _for(self):
         self.expect("for")
         var = self.take().lower()
@@ -1105,11 +1416,12 @@ def _exec_stmt(s, env):  # noqa: C901 - one dispatch switch, pl_exec.c style
         it = range(int(lo), int(hi) - 1, -int(step)) if reverse else range(
             int(lo), int(hi) + 1, int(step)
         )
-        _run_loop(it, var, body, env)
+        # exec_set_found: every FOR statement sets FOUND on ≥1 iteration
+        env["found"] = _run_loop(it, var, body, env) > 0
     elif kind == "foreach":
         _, var, arr_e, body = s
         arr = arr_e(env)
-        _run_loop(arr or [], var, body, env)
+        env["found"] = _run_loop(arr or [], var, body, env) > 0
     elif kind == "while":
         _, cond, body = s
         n = 0
@@ -1162,10 +1474,13 @@ def _exec_stmt(s, env):  # noqa: C901 - one dispatch switch, pl_exec.c style
     elif kind == "block":
         _exec_block(s, env)
     elif kind == "sql_perform":
-        _sql_hook(env)(_interpolate(s[1], env))
+        rows, rc = _run_sql(env, _interpolate(s[1], env))
+        # exec_set_found: PERFORM/DML set FOUND from rows processed
+        env["found"] = (rc > 0) if rc is not None else bool(rows)
     elif kind == "sql_select_into":
         _, sql, vars_, strict = s
-        rows = _sql_hook(env)(_interpolate(sql, env))
+        rows, _rc = _run_sql(env, _interpolate(sql, env))
+        env["found"] = bool(rows)
         _assign_into(rows, vars_, strict, env)
     elif kind == "sql_execute":
         _, e, vars_, strict = s
@@ -1174,13 +1489,16 @@ def _exec_stmt(s, env):  # noqa: C901 - one dispatch switch, pl_exec.c style
             raise PlPgSQLError(
                 "null_value_not_allowed", "EXECUTE of a null query string"
             )
-        rows = _sql_hook(env)(sql)
+        # EXECUTE updates GET DIAGNOSTICS row_count but NOT FOUND
+        # (pl_exec.c exec_stmt_dynexecute)
+        rows, _rc = _run_sql(env, sql)
         if vars_:
             _assign_into(rows, vars_, strict, env)
     elif kind == "forquery":
         _, var, sql, body = s
-        rows = _sql_hook(env)(_interpolate(sql, env))
-        _run_loop(rows, var, body, env)
+        rows, _rc = _run_sql(env, _interpolate(sql, env))
+        n = _run_loop(rows, var, body, env)
+        env["found"] = n > 0  # exec_stmt_fors sets FOUND on ≥1 iteration
     elif kind == "forquery_dyn":
         _, var, e, body = s
         sql = e(env)
@@ -1188,8 +1506,73 @@ def _exec_stmt(s, env):  # noqa: C901 - one dispatch switch, pl_exec.c style
             raise PlPgSQLError(
                 "null_value_not_allowed", "EXECUTE of a null query string"
             )
-        rows = _sql_hook(env)(sql)
-        _run_loop(rows, var, body, env)
+        rows, _rc = _run_sql(env, sql)
+        n = _run_loop(rows, var, body, env)
+        env["found"] = n > 0
+    elif kind in ("open", "open_query", "open_dyn"):
+        _exec_open(s, env)
+    elif kind in ("fetch", "move"):
+        _, name, direction, count_e, vars_ = s
+        portal = _portal_of(env, name)
+        if direction in ("next", "forward"):
+            rows = portal.fetch(1)
+        elif direction in ("prior", "backward"):
+            rows = portal.fetch_backward(1)
+        elif direction == "first":
+            rows = portal.fetch_absolute(1)
+        elif direction == "last":
+            rows = portal.fetch_absolute(-1)
+        else:
+            k = count_e(env)
+            if k is None:
+                raise PlPgSQLError(
+                    "null_value_not_allowed",
+                    "FETCH direction count cannot be null",
+                )
+            rows = (
+                portal.fetch_absolute(int(k))
+                if direction == "absolute"
+                else portal.fetch_relative(int(k))
+            )
+        env["found"] = bool(rows)  # exec_stmt_fetch sets FOUND per row
+        env["__rowcount__"] = len(rows)
+        if kind == "fetch":
+            _assign_into(rows[:1], vars_, False, env)
+    elif kind == "close":
+        cur = _cursor_of(env, s[1])
+        if cur.portal is None:
+            raise PlPgSQLError(
+                "invalid_cursor_state", f'cursor "{s[1]}" is not open'
+            )
+        cur.portal = None
+    elif kind == "getdiag":
+        _, stacked, items = s
+        for var, item in items:
+            if stacked:
+                # GET STACKED DIAGNOSTICS (valid inside EXCEPTION blocks;
+                # sqlerrm/sqlstate are set by the handler entry)
+                if item == "message_text":
+                    v = env.get("sqlerrm")
+                elif item == "returned_sqlstate":
+                    v = env.get("sqlstate")
+                else:
+                    raise NotImplementedError(
+                        f"plpgsql: GET STACKED DIAGNOSTICS {item.upper()}"
+                    )
+            elif item == "row_count":
+                v = env.get("__rowcount__", 0)
+                if v is None:
+                    raise NotImplementedError(
+                        "plpgsql: ROW_COUNT is unavailable for the last "
+                        "statement's DML shape (UPDATE...FROM / USING)"
+                    )
+            elif item == "result_oid":
+                v = 0  # always 0 since PG 12; we never had OIDs
+            else:
+                raise NotImplementedError(
+                    f"plpgsql: GET DIAGNOSTICS {item.upper()}"
+                )
+            env[var] = v
     elif kind == "assign_idx":
         _, name, idx_e, e = s
         idx = idx_e(env)
@@ -1241,6 +1624,109 @@ def _sql_hook(env):
             "SQL statements are only available driver-side (DO blocks)",
         )
     return h
+
+
+def _run_sql(env, sql):
+    """Run one SQL statement through the hook; returns (rows, rowcount).
+    rowcount is the processed-row count when the hook reports one
+    (engine DO-block hooks set ``hook.rowcount`` per call — None means
+    the DML shape's count is unknown), else len(rows).  Feeds GET
+    DIAGNOSTICS row_count (pl_exec.c exec_stmt_getdiag)."""
+    hook = _sql_hook(env)
+    rows = hook(sql)
+    rc = hook.rowcount if hasattr(hook, "rowcount") else len(rows)
+    env["__rowcount__"] = rc
+    return rows, rc
+
+
+def _cursor_of(env, name) -> _PlCursor:
+    v = _lookup(env, name)
+    if isinstance(v, _PlCursor):
+        return v
+    raise PlPgSQLError(
+        "datatype_mismatch", f'"{name}" is not a cursor variable'
+    )
+
+
+def _portal_of(env, name):
+    cur = _cursor_of(env, name)
+    if cur.portal is None:
+        raise PlPgSQLError(
+            "invalid_cursor_state", f'cursor "{name}" is not open'
+        )
+    return cur.portal
+
+
+def _make_portal(env, sql):
+    factory = env.get("__cursor_factory__")
+    if factory is not None:
+        return factory(sql)
+    return _ListPortal(_sql_hook(env)(sql))
+
+
+def _exec_open(s, env):
+    """OPEN bound / OPEN FOR query / OPEN FOR EXECUTE (pl_exec.c
+    exec_stmt_open:127-129)."""
+    kind, name = s[0], s[1]
+    cur = _cursor_of(env, name)
+    if cur.portal is not None:
+        raise PlPgSQLError(
+            "duplicate_cursor", f'cursor "{name}" already in use'
+        )
+    if kind == "open":
+        args = s[2]
+        if cur.query is None:
+            raise PlPgSQLError(
+                "invalid_cursor_definition",
+                f'cursor "{name}" has no query bound to it — '
+                "use OPEN ... FOR",
+            )
+        if len(args) != len(cur.arg_names):
+            raise PlPgSQLError(
+                "syntax_error",
+                f'cursor "{name}" takes {len(cur.arg_names)} argument(s), '
+                f"{len(args)} given",
+            )
+        local = dict(env)
+        pos = 0
+        for argname, e in args:
+            pname = argname if argname is not None else cur.arg_names[pos]
+            if pname not in cur.arg_names:
+                raise PlPgSQLError(
+                    "syntax_error",
+                    f'cursor "{name}" has no argument named "{pname}"',
+                )
+            local[pname] = e(env)
+            pos += 1
+        sql = _interpolate(cur.query, local)
+    elif kind == "open_query":
+        sql = _interpolate(s[2], env)
+    else:  # open_dyn: OPEN c FOR EXECUTE expr [USING ...]
+        sql = s[2](env)
+        if sql is None:
+            raise PlPgSQLError(
+                "null_value_not_allowed", "EXECUTE of a null query string"
+            )
+        using = [e(env) for e in s[3]]
+        for i, v in enumerate(using, 1):
+            # USING params substitute as literals ($n → value), outside
+            # string spans — PG binds them as executor params
+            sql = _substitute_dollar_param(sql, i, _sql_literal(v))
+    cur.portal = _make_portal(env, sql)
+
+
+_STR_SPAN_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _substitute_dollar_param(sql: str, n: int, lit: str) -> str:
+    spans = [m.span() for m in _STR_SPAN_RE.finditer(sql)]
+
+    def repl(m: re.Match) -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)
+        return lit
+
+    return re.sub(rf"\${n}\b", repl, sql)
 
 
 def _assign_into(rows, vars_, strict, env):
@@ -1348,6 +1834,7 @@ def _run_loop(it, var, body, env):
             continue
         except _Exit:
             break
+    return n
 
 
 def _condition_of(exc) -> str:
@@ -1371,6 +1858,9 @@ def _exec_block(block, env):
     for d in decls:
         if d[0] == "alias":
             env[d[1]] = env[d[2]]
+        elif d[0] == "cursor_decl":
+            _, name, params, query = d
+            env[name] = _PlCursor(name, query, params)
         else:
             _, name, cast, init = d
             env[name] = cast(init(env)) if init is not None else None
@@ -1398,7 +1888,12 @@ def _exec_block(block, env):
 # ---------------------------------------------------------------------------
 
 
-def run_block(body: str, sql_hook, notices: list | None = None) -> None:
+def run_block(
+    body: str,
+    sql_hook,
+    notices: list | None = None,
+    cursor_factory=None,
+) -> None:
     """Execute a DO-block body driver-side (commands/functioncmds.c
     ExecuteDoStmt → plpgsql): full interpreter plus the SQL statements —
     PERFORM, SELECT INTO [STRICT], INSERT/UPDATE/DELETE, EXECUTE expr
@@ -1414,9 +1909,11 @@ def run_block(body: str, sql_hook, notices: list | None = None) -> None:
         raise NotImplementedError(
             f"plpgsql: trailing tokens after END: {p.toks[p.pos:p.pos + 5]}"
         )
-    env = {"__sql__": sql_hook}
+    env = {"__sql__": sql_hook, "found": False, "__rowcount__": 0}
     if notices is not None:
         env["__notices__"] = notices
+    if cursor_factory is not None:
+        env["__cursor_factory__"] = cursor_factory
     try:
         _exec_block(block, env)
     except _Return:
@@ -1446,7 +1943,7 @@ def compile_plpgsql(body: str, arg_names: list[str]):
     lowered = [a.lower() for a in arg_names]
 
     def call(*args):
-        env = {}
+        env = {"found": False, "__rowcount__": 0}
         for i, (n, v) in enumerate(zip(lowered, args), 1):
             env[f"${i}"] = v
             env[n] = v

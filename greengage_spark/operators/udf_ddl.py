@@ -89,6 +89,10 @@ class FunctionDef:
     body: str
     pyfn: object | None = None  # compiled callable for plpythonu
     setof: bool = False  # RETURNS SETOF / RETURNS TABLE: body is a query
+    # RETURN QUERY EXECUTE (pl_exec.c:145 exec_stmt_return_query dynamic
+    # form): (query-string expression text, [USING expression texts]);
+    # evaluated at macro-expansion time with the call-site arguments
+    dyn_query: tuple | None = None
 
 
 _CREATE_FN = re.compile(
@@ -139,6 +143,7 @@ def parse_create_function(stmt: str) -> tuple[FunctionDef, bool]:
             f"LANGUAGE {lang} not supported (sql, plpgsql, plpythonu)"
         )
     body = body.strip()
+    dyn_query_val = None
     if setof:
         # SETOF/TABLE: the body IS a query.  LANGUAGE sql bodies are the
         # query verbatim; plpgsql bodies are BEGIN RETURN QUERY <q>;
@@ -163,13 +168,34 @@ def parse_create_function(stmt: str) -> tuple[FunctionDef, bool]:
                     "RETURN QUERY / FOR ... RETURN NEXT ...; END"
                 )
             queries = []
+            dyn = None
             colname = m.group(2).rsplit(".", 1)[-1]
             sts = _split_stmts(mb.group(1))
             j = 0
             while j < len(sts):
                 st = sts[j]
+                mdq = re.match(
+                    r"(?is)^return\s+query\s+execute\s+(.+)$", st, re.DOTALL
+                )
+                if mdq:
+                    # pl_exec.c:145 exec_stmt_return_query (dynamic form):
+                    # the query-string expression resolves at macro
+                    # expansion time against the call-site arguments
+                    if dyn is not None or queries:
+                        raise NotImplementedError(
+                            "SETOF plpgsql: a dynamic RETURN QUERY EXECUTE "
+                            "must be the body's only result statement"
+                        )
+                    dyn = _split_using(mdq.group(1).strip())
+                    j += 1
+                    continue
                 mq = re.match(r"(?is)^return\s+query\s+(.+)$", st, re.DOTALL)
                 if mq:
+                    if dyn is not None:
+                        raise NotImplementedError(
+                            "SETOF plpgsql: mixing RETURN QUERY and "
+                            "RETURN QUERY EXECUTE is not supported"
+                        )
                     queries.append(mq.group(1).strip())
                     j += 1
                     continue
@@ -227,15 +253,20 @@ def parse_create_function(stmt: str) -> tuple[FunctionDef, bool]:
                     "SETOF plpgsql supports RETURN QUERY and "
                     "FOR ... LOOP RETURN NEXT ...; END LOOP bodies"
                 )
-            if not queries:
+            if dyn is not None:
+                dyn_query_val = dyn
+                body = ""  # resolved per call site (expand_table_macros)
+            elif not queries:
                 raise NotImplementedError("SETOF plpgsql body has no RETURN QUERY")
-            body = (
-                queries[0]
-                if len(queries) == 1
-                else " UNION ALL ".join(
-                    f"SELECT * FROM ({q}) __ggq{k}" for k, q in enumerate(queries)
+            else:
+                body = (
+                    queries[0]
+                    if len(queries) == 1
+                    else " UNION ALL ".join(
+                        f"SELECT * FROM ({q}) __ggq{k}"
+                        for k, q in enumerate(queries)
+                    )
                 )
-            )
         elif not re.match(r"(?is)^\s*(select|with|values|table)\b", body):
             raise NotImplementedError(
                 "RETURNS SETOF LANGUAGE sql body must be a query"
@@ -249,6 +280,7 @@ def parse_create_function(stmt: str) -> tuple[FunctionDef, bool]:
             language=lang,
             body=body,
             setof=setof,
+            dyn_query=dyn_query_val,
         ),
         bool(m.group(1)),
     )
@@ -616,6 +648,95 @@ _FROM_KEYWORDS = frozenset(
 )
 
 
+def _split_using(rest: str) -> tuple[str, list[str]]:
+    """Split 'expr [USING a, b, ...]' at the top-level USING keyword
+    (quote- and paren-aware)."""
+    depth, i, n, q = 0, 0, len(rest), None
+    while i < n:
+        ch = rest[i]
+        if q:
+            if ch == q:
+                if q == "'" and i + 1 < n and rest[i + 1] == "'":
+                    i += 2
+                    continue
+                q = None
+        elif ch in ("'", '"'):
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and rest[i : i + 5].lower() == "using":
+            before = rest[i - 1] if i > 0 else " "
+            after = rest[i + 5] if i + 5 < n else " "
+            if not (before.isalnum() or before == "_") and not (
+                after.isalnum() or after == "_"
+            ):
+                return (
+                    rest[:i].strip(),
+                    [a.strip() for a in _split_call_args(rest[i + 5 :])],
+                )
+        i += 1
+    return rest.strip(), []
+
+
+def _eval_const_expr(text: str):
+    """Evaluate a plpgsql expression that must be constant-foldable after
+    call-site argument substitution (literals, ||, format/quote_ident,
+    arithmetic) — the RETURN QUERY EXECUTE resolution path."""
+    from greengage_spark.operators import plpgsql_interp as P
+
+    toks = P._tokenize(text)
+    ep = P._ExprParser(toks, 0)
+    e = ep.parse()
+    if ep.pos != len(toks):
+        raise NotImplementedError(
+            f"RETURN QUERY EXECUTE: trailing tokens in {text!r}"
+        )
+    return e({})
+
+
+def _resolve_dyn_query(fd, args: list[str]) -> str:
+    """Resolve a RETURN QUERY EXECUTE body at macro-expansion time: the
+    call-site argument texts substitute for $n / parameter names, the
+    query-string expression constant-folds to SQL text, and USING values
+    substitute for $n inside that text as literals.  Column-dependent
+    arguments cannot fold — loud reject (the macro architecture inlines
+    one query per call site, exactly PG's
+    inline_set_returning_function contract)."""
+    from greengage_spark.operators import plpgsql_interp as P
+
+    expr_text, using_texts = fd.dyn_query
+
+    def subst(t: str) -> str:
+        # quote-aware: $n / names inside the quoted query text are DATA
+        # ($n there belongs to USING, substituted after evaluation)
+        for j, a in enumerate(args, 1):
+            t = P._substitute_dollar_param(t, j, f"({a})")
+        mapping = {
+            an: f"({args[j]})"
+            for j, an in enumerate(fd.arg_names)
+            if j < len(args)
+        }
+        return _replace_vars(t, mapping)
+
+    try:
+        sql = _eval_const_expr(subst(expr_text))
+        if sql is None:
+            raise ValueError("EXECUTE of a null query string")
+        for i, ut in enumerate(using_texts, 1):
+            v = _eval_const_expr(subst(ut))
+            sql = P._substitute_dollar_param(sql, i, P._sql_literal(v))
+    except NotImplementedError:
+        raise
+    except Exception as e:
+        raise NotImplementedError(
+            f"RETURN QUERY EXECUTE in {fd.name!r}: the query string must "
+            f"constant-fold from the call-site arguments ({e})"
+        ) from None
+    return sql
+
+
 def expand_table_macros(sql: str, functions: dict) -> str:
     """Expand FROM-position calls to RETURNS SETOF functions into inline
     subqueries — PG's inline_set_returning_function
@@ -655,12 +776,17 @@ def expand_table_macros(sql: str, functions: dict) -> str:
             if mal and mal.group(1).lower() not in _FROM_KEYWORDS:
                 alias, collist = mal.group(1), mal.group(2) or ""
                 rest = rest[mal.end() :]
-            body = fd.body
-            for j, a in enumerate(args, 1):
-                body = re.sub(rf"\${j}\b", f"({a})", body)
-            for j, an in enumerate(fd.arg_names):
-                if j < len(args):
-                    body = re.sub(rf"(?i)\b{re.escape(an)}\b", f"({args[j]})", body)
+            if getattr(fd, "dyn_query", None):
+                body = _resolve_dyn_query(fd, args)
+            else:
+                body = fd.body
+                for j, a in enumerate(args, 1):
+                    body = re.sub(rf"\${j}\b", f"({a})", body)
+                for j, an in enumerate(fd.arg_names):
+                    if j < len(args):
+                        body = re.sub(
+                            rf"(?i)\b{re.escape(an)}\b", f"({args[j]})", body
+                        )
             sql = (
                 sql[: m.start(1)]
                 + m.group(1)

@@ -867,6 +867,64 @@ def cursor_scroll_fetch(spark, sf_dir):
 
 
 @suite.add(
+    "create_function_plpgsql_cursor",
+    oracle="""
+    SELECT CAST(seq AS BIGINT) AS seq,
+           CAST(n_nationkey AS BIGINT) AS nkey, n_name
+    FROM (
+      SELECT row_number() OVER (ORDER BY n_nationkey) AS seq,
+             n_nationkey, n_name
+      FROM nation WHERE n_nationkey > 10
+    ) t WHERE seq <= 5
+    UNION ALL
+    SELECT 99, (SELECT count(*) FROM nation WHERE n_regionkey = 2),
+           'rowcount'
+    ORDER BY seq
+    """,
+    doc="PL/pgSQL cursor statements (pl_exec.c:127-129 exec_stmt_open/"
+        "exec_stmt_fetch/exec_stmt_close; regress plpgsql.sql:1950-2019 "
+        "parameter-binding shapes) + GET DIAGNOSTICS ROW_COUNT "
+        "(pl_exec.c:109): a bound cursor with an argument is OPENed, "
+        "FETCHed in a LOOP guarded by EXIT WHEN NOT FOUND, and CLOSEd; "
+        "the portal streams through the retained-extent Cursor "
+        "(operators/prepared.py, toLocalIterator — bounded driver "
+        "memory). Oracle recomputes the walk with row_number and the "
+        "diagnostics count in closed form.",
+    tags=("udf", "engine", "plpgsql", "cursor"),
+)
+def create_function_plpgsql_cursor(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_plcur_"))
+    cat(spark, sf_dir).table("nation").createOrReplaceTempView("plcur_nation")
+    eng.execute("CREATE TABLE plcur_out (seq int8, nkey int8, n_name text)")
+    eng.execute(
+        "DO $$\n"
+        "DECLARE\n"
+        "  c CURSOR (lo int8) FOR SELECT n_nationkey, n_name "
+        "FROM plcur_nation WHERE n_nationkey > lo ORDER BY n_nationkey;\n"
+        "  r record;\n  i int8 := 0;\n  n int8;\n"
+        "BEGIN\n"
+        "  OPEN c(10);\n"
+        "  LOOP\n"
+        "    FETCH c INTO r;\n"
+        "    EXIT WHEN NOT found;\n"
+        "    i := i + 1;\n"
+        "    EXIT WHEN i > 5;\n"
+        "    INSERT INTO plcur_out VALUES (i, r.n_nationkey, r.n_name);\n"
+        "  END LOOP;\n"
+        "  CLOSE c;\n"
+        "  PERFORM n_nationkey FROM plcur_nation WHERE n_regionkey = 2;\n"
+        "  GET DIAGNOSTICS n = ROW_COUNT;\n"
+        "  INSERT INTO plcur_out VALUES (99, n, 'rowcount');\n"
+        "END $$"
+    )
+    return eng.execute(
+        "SELECT seq, nkey, n_name FROM plcur_out ORDER BY seq"
+    )
+
+
+@suite.add(
     "create_function_plpgsql_loop",
     oracle="""
     SELECT o_orderkey,

@@ -1,0 +1,279 @@
+"""PL/pgSQL cursor statements, GET DIAGNOSTICS, FOUND, and RETURN QUERY
+EXECUTE (src/pl/plpgsql/src/pl_exec.c:109,127-129,145 —
+exec_stmt_getdiag / exec_stmt_open / exec_stmt_fetch / exec_stmt_close /
+exec_stmt_return_query; battery shapes from
+src/test/regress/sql/plpgsql.sql:1950-2019,3668)."""
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = GreengageEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE rc_test (a int8, b text)")
+    e.execute(
+        "INSERT INTO rc_test VALUES (5,'five'), (10,'ten'), "
+        "(50,'fifty'), (100,'hundred'), (500,'fivehundred')"
+    )
+    return e
+
+
+class TestBoundCursors:
+    def test_parameterized_cursor_loop(self, eng):
+        # plpgsql.sql:1950-2019 shape: bound cursor with an argument,
+        # FETCH in a LOOP with EXIT WHEN NOT FOUND
+        eng.execute("CREATE TABLE got (a int8)")
+        eng.execute(
+            "DO $$\n"
+            "DECLARE\n"
+            "  c CURSOR (p1 int8) FOR SELECT a FROM rc_test "
+            "WHERE a > p1 ORDER BY a;\n"
+            "  v int8;\n"
+            "BEGIN\n"
+            "  OPEN c(10);\n"
+            "  LOOP\n"
+            "    FETCH c INTO v;\n"
+            "    EXIT WHEN NOT FOUND;\n"
+            "    INSERT INTO got VALUES (v);\n"
+            "  END LOOP;\n"
+            "  CLOSE c;\n"
+            "END $$"
+        )
+        assert [
+            r[0] for r in eng.execute("SELECT a FROM got ORDER BY a").collect()
+        ] == [50, 100, 500]
+
+    def test_named_argument_open(self, eng):
+        eng.execute("CREATE TABLE got2 (a int8)")
+        eng.execute(
+            "DO $$\n"
+            "DECLARE c CURSOR (hi int8) FOR SELECT a FROM rc_test "
+            "WHERE a < hi ORDER BY a;\n"
+            "  v int8;\n"
+            "BEGIN\n"
+            "  OPEN c(hi := 50);\n"
+            "  FETCH c INTO v;\n"
+            "  INSERT INTO got2 VALUES (v);\n"
+            "  CLOSE c;\n"
+            "END $$"
+        )
+        assert [r[0] for r in eng.execute("SELECT a FROM got2").collect()] == [5]
+
+    def test_open_already_open_errors(self, eng):
+        from greengage_spark.operators.plpgsql_interp import PlPgSQLError
+
+        with pytest.raises(PlPgSQLError, match="already in use"):
+            eng.execute(
+                "DO $$ DECLARE c CURSOR FOR SELECT 1 AS x;\n"
+                "BEGIN OPEN c; OPEN c; END $$"
+            )
+
+    def test_fetch_not_open_errors(self, eng):
+        from greengage_spark.operators.plpgsql_interp import PlPgSQLError
+
+        with pytest.raises(PlPgSQLError, match="is not open"):
+            eng.execute(
+                "DO $$ DECLARE c CURSOR FOR SELECT 1 AS x; v int8;\n"
+                "BEGIN FETCH c INTO v; END $$"
+            )
+
+    def test_close_not_open_errors(self, eng):
+        from greengage_spark.operators.plpgsql_interp import PlPgSQLError
+
+        with pytest.raises(PlPgSQLError, match="is not open"):
+            eng.execute(
+                "DO $$ DECLARE c CURSOR FOR SELECT 1 AS x;\n"
+                "BEGIN CLOSE c; END $$"
+            )
+
+
+class TestRefcursorAndDirections:
+    def test_open_for_and_scroll_directions(self, eng):
+        eng.execute("CREATE TABLE walk (seq int8, a int8)")
+        eng.execute(
+            "DO $$\n"
+            "DECLARE rc refcursor; v int8;\n"
+            "BEGIN\n"
+            "  OPEN rc FOR SELECT a FROM rc_test ORDER BY a;\n"
+            "  FETCH LAST FROM rc INTO v; INSERT INTO walk VALUES (1, v);\n"
+            "  FETCH PRIOR FROM rc INTO v; INSERT INTO walk VALUES (2, v);\n"
+            "  FETCH FIRST FROM rc INTO v; INSERT INTO walk VALUES (3, v);\n"
+            "  FETCH ABSOLUTE 3 FROM rc INTO v; "
+            "INSERT INTO walk VALUES (4, v);\n"
+            "  FETCH RELATIVE -1 FROM rc INTO v; "
+            "INSERT INTO walk VALUES (5, v);\n"
+            "  MOVE FORWARD FROM rc;\n"
+            "  FETCH rc INTO v; INSERT INTO walk VALUES (6, v);\n"
+            "  CLOSE rc;\n"
+            "END $$"
+        )
+        got = [
+            tuple(r)
+            for r in eng.execute("SELECT seq, a FROM walk ORDER BY seq").collect()
+        ]
+        assert got == [
+            (1, 500), (2, 100), (3, 5), (4, 50), (5, 10), (6, 100),
+        ]
+
+    def test_fetch_past_end_nulls_and_found(self, eng):
+        eng.execute("CREATE TABLE fe (v int8, f boolean)")
+        eng.execute(
+            "DO $$\n"
+            "DECLARE rc refcursor; v int8;\n"
+            "BEGIN\n"
+            "  OPEN rc FOR SELECT a FROM rc_test WHERE a = 5;\n"
+            "  FETCH rc INTO v; INSERT INTO fe VALUES (v, found);\n"
+            "  FETCH rc INTO v; INSERT INTO fe VALUES (v, found);\n"
+            "  CLOSE rc;\n"
+            "END $$"
+        )
+        got = [tuple(r) for r in eng.execute("SELECT v, f FROM fe").collect()]
+        assert sorted(got, key=lambda t: (t[0] is None, t[0])) == [
+            (5, True), (None, False),
+        ]
+
+    def test_open_for_execute_using(self, eng):
+        eng.execute("CREATE TABLE dyn (a int8)")
+        eng.execute(
+            "DO $$\n"
+            "DECLARE rc refcursor; v int8;\n"
+            "BEGIN\n"
+            "  OPEN rc FOR EXECUTE "
+            "'SELECT a FROM rc_test WHERE a > $1 ORDER BY a' USING 50;\n"
+            "  FETCH rc INTO v; INSERT INTO dyn VALUES (v);\n"
+            "  FETCH rc INTO v; INSERT INTO dyn VALUES (v);\n"
+            "  CLOSE rc;\n"
+            "END $$"
+        )
+        assert [
+            r[0] for r in eng.execute("SELECT a FROM dyn ORDER BY a").collect()
+        ] == [100, 500]
+
+
+class TestGetDiagnostics:
+    def test_row_count_after_dml(self, eng):
+        # plpgsql.sql:3668 shape: GET DIAGNOSTICS after each DML kind
+        eng.execute("CREATE TABLE diag (op text, n int8)")
+        eng.execute(
+            "DO $$\nDECLARE n int8;\nBEGIN\n"
+            "  UPDATE rc_test SET b = b || '!' WHERE a >= 50;\n"
+            "  GET DIAGNOSTICS n = ROW_COUNT;\n"
+            "  INSERT INTO diag VALUES ('upd', n);\n"
+            "  DELETE FROM rc_test WHERE a = 5;\n"
+            "  GET DIAGNOSTICS n = ROW_COUNT;\n"
+            "  INSERT INTO diag VALUES ('del', n);\n"
+            "  INSERT INTO rc_test VALUES (7,'seven'),(8,'eight');\n"
+            "  GET DIAGNOSTICS n = ROW_COUNT;\n"
+            "  INSERT INTO diag VALUES ('ins', n);\n"
+            "END $$"
+        )
+        got = dict(
+            (r.op, r.n) for r in eng.execute("SELECT op, n FROM diag").collect()
+        )
+        assert got == {"upd": 3, "del": 1, "ins": 2}
+
+    def test_row_count_after_select_into_and_execute(self, eng):
+        eng.execute("CREATE TABLE diag2 (n int8)")
+        eng.execute(
+            "DO $$\nDECLARE n int8; v int8;\nBEGIN\n"
+            "  SELECT a INTO v FROM rc_test WHERE a = 10;\n"
+            "  GET DIAGNOSTICS n = ROW_COUNT;\n"
+            "  INSERT INTO diag2 VALUES (n);\n"
+            "  EXECUTE 'SELECT a FROM rc_test WHERE a > 5';\n"
+            "  GET DIAGNOSTICS n = ROW_COUNT;\n"
+            "  INSERT INTO diag2 VALUES (n);\n"
+            "END $$"
+        )
+        assert sorted(
+            r[0] for r in eng.execute("SELECT n FROM diag2").collect()
+        ) == [1, 4]
+
+    def test_stacked_diagnostics_in_handler(self, eng):
+        eng.execute("CREATE TABLE diag3 (msg text, state text)")
+        eng.execute(
+            "DO $$\nDECLARE m text; s text;\nBEGIN\n"
+            "  RAISE EXCEPTION 'boom %', 42;\n"
+            "EXCEPTION WHEN others THEN\n"
+            "  GET STACKED DIAGNOSTICS m = MESSAGE_TEXT, "
+            "s = RETURNED_SQLSTATE;\n"
+            "  INSERT INTO diag3 VALUES (m, s);\n"
+            "END $$"
+        )
+        row = eng.execute("SELECT msg, state FROM diag3").collect()[0]
+        assert row.msg == "boom 42"
+        assert row.state == "raise_exception"
+
+
+class TestFound:
+    def test_found_after_statements(self, eng):
+        eng.execute("CREATE TABLE fnd (step text, f boolean)")
+        eng.execute(
+            "DO $$\nDECLARE v int8; i int8;\nBEGIN\n"
+            "  INSERT INTO fnd VALUES ('init', found);\n"
+            "  SELECT a INTO v FROM rc_test WHERE a = 10;\n"
+            "  INSERT INTO fnd VALUES ('hit', found);\n"
+            "  SELECT a INTO v FROM rc_test WHERE a = -1;\n"
+            "  INSERT INTO fnd VALUES ('miss', found);\n"
+            "  PERFORM a FROM rc_test WHERE a > 5;\n"
+            "  INSERT INTO fnd VALUES ('perform', found);\n"
+            "  FOR i IN 1 .. 3 LOOP NULL; END LOOP;\n"
+            "  INSERT INTO fnd VALUES ('forloop', found);\n"
+            "  UPDATE rc_test SET b = b WHERE a = -1;\n"
+            "  INSERT INTO fnd VALUES ('upd0', found);\n"
+            "END $$"
+        )
+        got = dict(
+            (r.step, r.f) for r in eng.execute("SELECT step, f FROM fnd").collect()
+        )
+        assert got == {
+            "init": False,
+            "hit": True,
+            "miss": False,
+            "perform": True,
+            "forloop": True,
+            "upd0": False,
+        }
+
+
+class TestReturnQueryExecute:
+    def test_dynamic_setof_with_using(self, eng):
+        eng.execute(
+            "CREATE FUNCTION dyn_pick(tbl text, lo int8) "
+            "RETURNS SETOF rc_test AS $$\n"
+            "BEGIN\n"
+            "  RETURN QUERY EXECUTE 'SELECT * FROM ' || quote_ident(tbl) "
+            "|| ' WHERE a >= $1 ORDER BY a' USING lo;\n"
+            "END;\n$$ LANGUAGE plpgsql"
+        )
+        got = [
+            tuple(r)
+            for r in eng.execute("SELECT * FROM dyn_pick('rc_test', 100)").collect()
+        ]
+        assert got == [(100, "hundred"), (500, "fivehundred")]
+
+    def test_dynamic_setof_with_format(self, eng):
+        eng.execute(
+            "CREATE FUNCTION dyn_eq(tbl text, want text) "
+            "RETURNS SETOF rc_test AS $$\n"
+            "BEGIN\n"
+            "  RETURN QUERY EXECUTE format("
+            "'SELECT * FROM %I WHERE b = %L', tbl, want);\n"
+            "END;\n$$ LANGUAGE plpgsql"
+        )
+        got = [
+            tuple(r)
+            for r in eng.execute("SELECT * FROM dyn_eq('rc_test', 'ten')").collect()
+        ]
+        assert got == [(10, "ten")]
+
+    def test_column_dependent_arg_rejects_loudly(self, eng):
+        eng.execute(
+            "CREATE FUNCTION dyn_bad(tbl text) RETURNS SETOF rc_test AS $$\n"
+            "BEGIN\n"
+            "  RETURN QUERY EXECUTE 'SELECT * FROM ' || tbl;\n"
+            "END;\n$$ LANGUAGE plpgsql"
+        )
+        with pytest.raises(NotImplementedError, match="constant-fold"):
+            eng.execute("SELECT * FROM rc_test t, dyn_bad(t.b)").collect()
