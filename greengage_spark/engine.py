@@ -783,6 +783,14 @@ class GreengageEngine:
                 from greengage_spark.operators.crosstab import expand_crosstab
 
                 stmt = expand_crosstab(self, stmt)
+            if re.search(
+                r"(?i)\b(ts_stat|connectby|normal_rand)\s*\(", stmt
+            ):
+                from greengage_spark.operators.contrib_srf import (
+                    expand_contrib_srfs,
+                )
+
+                stmt = expand_contrib_srfs(self, stmt)
             if any(getattr(f, "setof", False) for f in self.functions.values()):
                 from greengage_spark.operators.udf_ddl import expand_table_macros
 

@@ -1,0 +1,271 @@
+"""FROM-position set-returning functions: ts_stat, contrib/tablefunc
+connectby() and normal_rand().
+
+Reference surfaces:
+
+* ``ts_stat('sqlquery')`` — src/backend/utils/adt/tsvector_op.c:854
+  (ts_stat_sql → ts_accum): word / ndoc (documents containing the word)
+  / nentry (total occurrences).  Distributes as a plain explode →
+  2-stage groupBy — one shuffle on the word, partial aggregation
+  map-side; this is also the vocab-stats operator an LLM data pipeline
+  wants over a tokenized corpus.  The optional weight-filter argument
+  ('A'/'B'/'C'/'D') is out of the subset (our tsvector collapses
+  positions to counts) — loud reject.
+* ``connectby(rel, key, parent, start, max_depth [, delim])`` —
+  contrib/tablefunc/tablefunc.c:59 (build_tuplestore_recursively):
+  hierarchy walk emitting keyid / parent_keyid / level [/ branch].
+  Executed as a distributed level-synchronous BFS: each round joins the
+  frontier against the edge table (one hash join per level, frontier
+  broadcast when small); PG's walk is depth-first so ROW ORDER differs —
+  the result SET is identical (regress queries ORDER BY anyway).
+  Cycle detection compares path ELEMENTS (tablefunc.c checks the branch
+  string but with delimiter framing — substring matching would falsely
+  fire on '1' vs '11', the regress "falsely detected recursion" case);
+  max_depth > 0 bounds levels inclusively, matching the regress
+  depth-4 expected output.
+* ``normal_rand(n, mean, stddev)`` — tablefunc.c:174: n gaussian draws;
+  lowered to ``randn()`` over ``range(n)`` (distributed, no collect).
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType, StructType
+
+_uid = itertools.count()
+
+_TS_STAT_RE = re.compile(
+    r"(?is)\bts_stat\s*\(\s*'(?P<src>(?:[^']|'')*)'\s*"
+    r"(?:,\s*'(?P<w>[^']*)'\s*)?\)"
+    r"(?:\s+(?:as\s+)?(?P<alias>\w+)\s*(?:\(\s*(?P<cols>[^()]*)\))?)?"
+)
+
+_CONNECTBY_RE = re.compile(
+    r"(?is)\bconnectby\s*\(\s*"
+    r"'(?P<rel>(?:[^']|'')*)'\s*,\s*"
+    r"'(?P<key>(?:[^']|'')*)'\s*,\s*"
+    r"'(?P<parent>(?:[^']|'')*)'\s*,\s*"
+    r"(?:'(?P<orderby>(?:[^']|'')*)'\s*,\s*)?"
+    r"'(?P<start>(?:[^']|'')*)'\s*,\s*"
+    r"(?P<depth>\d+)\s*"
+    r"(?:,\s*'(?P<delim>(?:[^']|'')*)'\s*)?\)\s*"
+    r"(?:as\s+)?(?P<alias>\w+)\s*\(\s*(?P<cols>[^()]*)\)"
+)
+
+_NORMAL_RAND_RE = re.compile(
+    r"(?is)\bnormal_rand\s*\(\s*(?P<n>\d+)\s*,\s*(?P<mean>[-\d.eE+]+)\s*,\s*"
+    r"(?P<sd>[-\d.eE+]+)\s*\)"
+    r"(?:\s+(?:as\s+)?(?P<alias>\w+)\s*(?:\(\s*(?P<col>\w+)\s*\))?)?"
+)
+
+_MAX_LEVELS = 200  # runaway guard past any real hierarchy
+
+from greengage_spark.operators.udf_ddl import _FROM_KEYWORDS  # noqa: E402
+
+
+def _split_alias(m: re.Match) -> tuple[str | None, str]:
+    """The optional bare alias regex can swallow a following keyword
+    (ORDER, WHERE, ...) — give it back as trailing text."""
+    alias = m.group("alias")
+    if alias and alias.lower() in _FROM_KEYWORDS:
+        # the regex's trailing \s* ate the following whitespace too
+        return None, " " + alias + " "
+    return alias, ""
+
+
+def expand_contrib_srfs(engine, stmt: str) -> str:
+    stmt = _NORMAL_RAND_RE.sub(_normal_rand_repl, stmt)
+    if re.search(r"(?i)\bts_stat\s*\(", stmt):
+        stmt = _TS_STAT_RE.sub(lambda m: _ts_stat_repl(engine, m), stmt)
+    if re.search(r"(?i)\bconnectby\s*\(", stmt):
+        stmt = _CONNECTBY_RE.sub(lambda m: _connectby_repl(engine, m), stmt)
+    return stmt
+
+
+def _normal_rand_repl(m: re.Match) -> str:
+    alias, trailing = _split_alias(m)
+    alias = alias or f"__gg_nr_{next(_uid)}"
+    col = m.group("col") or "normal_rand"
+    return (
+        f"(SELECT randn() * ({m.group('sd')}) + ({m.group('mean')}) "
+        f"AS {col} FROM range({m.group('n')})) AS {alias}{trailing} "
+    )
+
+
+def _ts_stat_repl(engine, m: re.Match) -> str:
+    if m.group("w"):
+        raise NotImplementedError(
+            "ts_stat weight filter: positions collapse to counts here "
+            "(tsvector subset) — drop the weights argument"
+        )
+    src = m.group("src").replace("''", "'")
+    # canonical form: the inner to_tsvector upgrades to the counted
+    # variant so nentry reflects true occurrence totals (ts_accum counts
+    # positions; the plain SQL to_tsvector is the stripped lexeme set)
+    mc = re.match(
+        r"(?is)^\s*select\s+to_tsvector\s*\((.+)\)\s+(from\s+.+)$", src
+    )
+    if mc:
+        from greengage_spark.functions.textsearch import (
+            to_tsvector_with_counts,
+        )
+
+        base = engine.execute(f"SELECT ({mc.group(1)}) AS __txt {mc.group(2)}")
+        df = base.select(to_tsvector_with_counts(F.col("__txt")).alias("tsv"))
+    else:
+        df = engine.execute(src)
+    if len(df.columns) != 1:
+        raise ValueError("ts_stat query must return one tsvector column")
+    col, dt = df.columns[0], df.schema[0].dataType
+    if isinstance(dt, ArrayType) and isinstance(dt.elementType, StructType):
+        names = {f.name for f in dt.elementType.fields}
+        if not {"lexeme", "occ"} <= names:
+            raise ValueError(
+                "ts_stat: array<struct> column must carry (lexeme, occ)"
+            )
+        ex = df.select(F.explode(F.col(col)).alias("e"))
+        out = ex.groupBy(F.col("e.lexeme").alias("word")).agg(
+            F.count("*").cast("int").alias("ndoc"),
+            F.sum("e.occ").cast("int").alias("nentry"),
+        )
+    elif isinstance(dt, ArrayType) and isinstance(dt.elementType, StringType):
+        # stripped tsvector: each distinct lexeme counts once per doc
+        ex = df.select(F.explode(F.col(col)).alias("word"))
+        out = ex.groupBy("word").agg(
+            F.count("*").cast("int").alias("ndoc"),
+            F.count("*").cast("int").alias("nentry"),
+        )
+    else:
+        raise ValueError(
+            f"ts_stat: column {col!r} is not a tsvector "
+            "(use to_tsvector / to_tsvector_with_counts)"
+        )
+    cols = m.group("cols")
+    if cols:
+        wanted = [c.strip().split()[0] for c in cols.split(",")]
+        if len(wanted) != 3:
+            raise ValueError(
+                "ts_stat returns (word, ndoc, nentry) — 3 columns"
+            )
+        out = out.toDF(*wanted)
+    view = f"__gg_tsstat_{next(_uid)}"
+    out.createOrReplaceTempView(view)
+    alias, trailing = _split_alias(m)
+    # the alias regex's \s* ate following whitespace — re-emit one
+    return f"{view} AS {alias or view}{trailing} "
+
+
+def _connectby_repl(engine, m: re.Match) -> str:
+    if m.group("orderby"):
+        raise NotImplementedError(
+            "connectby orderby_fld/pos variant: the serial position of a "
+            "depth-first walk is inherently sequential — use ORDER BY on "
+            "the branch column instead"
+        )
+    rel, key, parent = m.group("rel"), m.group("key"), m.group("parent")
+    start = m.group("start").replace("''", "'")
+    max_depth = int(m.group("depth"))
+    delim = (m.group("delim") or "~").replace("''", "'")
+    cols = [c.strip().split() for c in m.group("cols").split(",") if c.strip()]
+    want_branch = len(cols) >= 4
+    if len(cols) not in (3, 4):
+        raise ValueError(
+            "connectby column list must be (keyid, parent_keyid, level"
+            "[, branch])"
+        )
+    from greengage_spark.dialect.ddl import map_pg_type
+
+    if len(cols[0]) < 2 or len(cols[1]) < 2 or map_pg_type(
+        " ".join(cols[0][1:])
+    ) != map_pg_type(" ".join(cols[1][1:])):
+        raise ValueError(
+            "invalid return type: first two columns must be the same type"
+        )
+    key_type = map_pg_type(" ".join(cols[0][1:]))
+
+    edges = engine.execute(
+        f"SELECT {key} AS __k, {parent} AS __p FROM {rel}"
+    ).select(
+        F.col("__k").cast(key_type).alias("__k"),
+        F.col("__p").cast(key_type).alias("__p"),
+    )
+    edges = edges.persist()
+    try:
+        root = edges.sparkSession.createDataFrame(
+            [(start,)], "__k string"
+        ).select(
+            F.col("__k").cast(key_type).alias("__k"),
+            F.lit(None).cast(key_type).alias("__p"),
+            F.lit(0).cast("int").alias("level"),
+            F.array(F.col("__k").cast("string")).alias("__path"),
+        )
+        levels = [root]
+        frontier = root
+        depth = 0
+        while True:
+            depth += 1
+            if max_depth > 0 and depth > max_depth:
+                break
+            if depth > _MAX_LEVELS:
+                raise ValueError("infinite recursion detected")
+            nxt = (
+                edges.join(
+                    F.broadcast(
+                        frontier.select(
+                            F.col("__k").alias("__fk"), "__path"
+                        )
+                    ),
+                    edges["__p"] == F.col("__fk"),
+                )
+                .select(
+                    "__k",
+                    "__p",
+                    F.lit(depth).cast("int").alias("level"),
+                    F.concat(
+                        F.col("__path"),
+                        F.array(F.col("__k").cast("string")),
+                    ).alias("__path"),
+                )
+            ).persist()
+            # element-wise cycle check (NOT substring: '1' vs '11' must
+            # not falsely fire — the regress "falsely detected recursion").
+            # The key is the path's LAST element, so an earlier first
+            # occurrence means the branch revisited it (tablefunc.c
+            # build_tuplestore_recursively's branch check).
+            n_cyc = nxt.filter(
+                F.array_position(
+                    F.col("__path"), F.col("__k").cast("string")
+                )
+                < F.size(F.col("__path"))
+            ).count()
+            if n_cyc > 0:
+                raise ValueError("infinite recursion detected")
+            if nxt.isEmpty():
+                break
+            levels.append(nxt)
+            frontier = nxt
+        out = levels[0]
+        for lv in levels[1:]:
+            out = out.unionByName(lv)
+        sel = [
+            F.col("__k").alias(cols[0][0]),
+            F.col("__p").alias(cols[1][0]),
+            F.col("level").alias(cols[2][0]),
+        ]
+        if want_branch:
+            sel.append(
+                F.array_join(F.col("__path"), delim).alias(cols[3][0])
+            )
+        # pin the result (executor-side checkpoint) so the per-level
+        # caches can be released below
+        res = out.select(sel).localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+        for lv in levels[1:]:
+            lv.unpersist()
+    view = f"__gg_connectby_{next(_uid)}"
+    res.createOrReplaceTempView(view)
+    return f"{view} AS {m.group('alias')}"

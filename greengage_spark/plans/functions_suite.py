@@ -639,6 +639,49 @@ def text_search_rank(spark, sf_dir):
 
 
 @suite.add(
+    "text_search_stat",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS word
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT word, CAST(count(DISTINCT doc_id) AS INTEGER) AS ndoc,
+           CAST(count(*) AS INTEGER) AS nentry
+    FROM toks GROUP BY word
+    HAVING count(DISTINCT doc_id) >= 5 ORDER BY word
+    """,
+    doc="ts_stat corpus statistics (tsvector_op.c:854 ts_stat_sql → "
+        "ts_accum; regress tsearch.sql:118-119): word / ndoc / nentry "
+        "over the documents corpus — one explode + a single 2-stage "
+        "groupBy shuffle on the word (map-side partial aggregation), "
+        "which is also the vocab-frequency operator an LLM data "
+        "pipeline runs at corpus scale. The canonical "
+        "ts_stat('SELECT to_tsvector(...)') form upgrades to counted "
+        "lexemes so nentry is true occurrence totals. Oracle re-derives "
+        "with DuckDB list lambdas + unnest.",
+    tags=("dialect", "text", "pipeline"),
+)
+def text_search_stat(spark, sf_dir):
+    import tempfile
+
+    from greengage_spark.engine import GreengageEngine
+    from greengage_spark.plans.common import cat
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_tsstat_"))
+    cat(spark, sf_dir).table("documents").filter(
+        F.col("doc_id") < 200
+    ).createOrReplaceTempView("tsstat_docs")
+    return eng.execute(
+        "SELECT word, ndoc, nentry "
+        "FROM ts_stat('SELECT to_tsvector(text) FROM tsstat_docs') t "
+        "WHERE ndoc >= 5 ORDER BY word"
+    )
+
+
+@suite.add(
     "dialect_decode",
     oracle="""
     SELECT o_orderkey,

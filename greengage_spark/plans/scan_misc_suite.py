@@ -867,6 +867,59 @@ def cursor_scroll_fetch(spark, sf_dir):
 
 
 @suite.add(
+    "function_connectby_tree",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT 'root' AS keyid, CAST(NULL AS VARCHAR) AS parent_keyid,
+             0 AS level, 'root' AS branch
+      UNION ALL
+      SELECT c.keyid, c.parent_keyid, t.level + 1,
+             t.branch || '/' || c.keyid
+      FROM (SELECT 'R' || r_regionkey AS keyid, 'root' AS parent_keyid
+            FROM region
+            UNION ALL
+            SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation) c
+      JOIN t ON c.parent_keyid = t.keyid
+    )
+    SELECT keyid, parent_keyid, CAST(level AS INTEGER) AS level, branch
+    FROM t ORDER BY keyid
+    """,
+    doc="contrib/tablefunc connectby() (tablefunc.c:59 "
+        "build_tuplestore_recursively): hierarchy walk emitting keyid/"
+        "parent_keyid/level/branch, executed as a level-synchronous "
+        "distributed BFS — one broadcast hash join per level against "
+        "the edge table, element-wise cycle detection on the path array "
+        "(substring checks falsely fire on '1' vs '11', the regress "
+        "trap). Row ORDER differs from PG's depth-first walk; the SET "
+        "is identical. Oracle is DuckDB's recursive CTE over the same "
+        "region→nation tree.",
+    tags=("engine", "function", "recursive"),
+)
+def function_connectby_tree(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_cby_"))
+    cat(spark, sf_dir).table("region").createOrReplaceTempView("cby_region")
+    cat(spark, sf_dir).table("nation").createOrReplaceTempView("cby_nation")
+    eng.execute("CREATE TABLE cby_tree (keyid text, parent_keyid text)")
+    eng.execute("INSERT INTO cby_tree VALUES ('root', NULL)")
+    eng.execute(
+        "INSERT INTO cby_tree SELECT 'R' || r_regionkey, 'root' "
+        "FROM cby_region"
+    )
+    eng.execute(
+        "INSERT INTO cby_tree SELECT 'N' || n_nationkey, "
+        "'R' || n_regionkey FROM cby_nation"
+    )
+    return eng.execute(
+        "SELECT * FROM connectby('cby_tree', 'keyid', 'parent_keyid', "
+        "'root', 0, '/') "
+        "AS t(keyid text, parent_keyid text, level int, branch text) "
+        "ORDER BY keyid"
+    )
+
+
+@suite.add(
     "create_function_plpgsql_cursor",
     oracle="""
     SELECT CAST(seq AS BIGINT) AS seq,

@@ -1,0 +1,156 @@
+"""ts_stat + contrib/tablefunc connectby()/normal_rand() —
+src/backend/utils/adt/tsvector_op.c:854 (ts_stat_sql) and
+contrib/tablefunc/tablefunc.c:59,174; battery shapes verbatim from
+contrib/tablefunc/sql/tablefunc.sql:142-210 and the regress expected
+output (row ORDER differs: our connectby walks level-synchronous BFS,
+PG depth-first — the regress queries compare as sets / ORDER BY)."""
+
+import math
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return GreengageEngine(spark, str(tmp_path / "wh"))
+
+
+class TestConnectby:
+    @pytest.fixture()
+    def text_tree(self, eng):
+        # tablefunc data/connectby_text.data
+        eng.execute("CREATE TABLE cbt (keyid text, parent_keyid text)")
+        eng.execute(
+            "INSERT INTO cbt VALUES ('row1',NULL),('row2','row1'),"
+            "('row3','row1'),('row4','row2'),('row5','row2'),"
+            "('row6','row4'),('row7','row3'),('row8','row6'),"
+            "('row9','row5')"
+        )
+        return eng
+
+    def test_text_hierarchy_with_branch(self, text_tree):
+        rows = text_tree.execute(
+            "SELECT * FROM connectby('cbt','keyid','parent_keyid',"
+            "'row2',0,'~') AS t(keyid text, parent_keyid text, "
+            "level int, branch text) ORDER BY branch"
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            ("row2", None, 0, "row2"),
+            ("row4", "row2", 1, "row2~row4"),
+            ("row6", "row4", 2, "row2~row4~row6"),
+            ("row8", "row6", 3, "row2~row4~row6~row8"),
+            ("row5", "row2", 1, "row2~row5"),
+            ("row9", "row5", 2, "row2~row5~row9"),
+        ]
+
+    def test_without_branch_three_columns(self, text_tree):
+        rows = text_tree.execute(
+            "SELECT * FROM connectby('cbt','keyid','parent_keyid',"
+            "'row2',0) AS t(keyid text, parent_keyid text, level int) "
+            "ORDER BY keyid"
+        ).collect()
+        assert sorted(r[0] for r in rows) == [
+            "row2", "row4", "row5", "row6", "row8", "row9",
+        ]
+        assert len(rows[0]) == 3
+
+    def test_int_cycle_detection(self, eng):
+        eng.execute("CREATE TABLE cbi (keyid int4, parent_keyid int4)")
+        eng.execute(
+            "INSERT INTO cbi VALUES (1,NULL),(2,1),(3,1),(4,2),(5,2),"
+            "(6,4),(7,3),(8,6),(9,5),(10,9),(11,10),(9,11)"
+        )
+        with pytest.raises(ValueError, match="infinite recursion detected"):
+            eng.execute(
+                "SELECT * FROM connectby('cbi','keyid','parent_keyid',"
+                "'2',0,'~') AS t(keyid int, parent_keyid int, level int, "
+                "branch text)"
+            ).collect()
+        # depth limit avoids the failure (regress: 8 rows, levels ≤ 4)
+        rows = eng.execute(
+            "SELECT * FROM connectby('cbi','keyid','parent_keyid',"
+            "'2',4,'~') AS t(keyid int, parent_keyid int, level int, "
+            "branch text)"
+        ).collect()
+        assert sorted(r[0] for r in rows) == [2, 4, 5, 6, 8, 9, 10, 11]
+        assert max(r[2] for r in rows) == 4
+
+    def test_no_false_recursion_on_prefix_keys(self, eng):
+        # regress "falsely detected recursion": '1' must not match '11'
+        eng.execute("CREATE TABLE cbf (keyid int4, parent_keyid int4)")
+        eng.execute(
+            "INSERT INTO cbf VALUES (11,NULL),(10,11),(111,11),(1,111)"
+        )
+        rows = eng.execute(
+            "SELECT * FROM connectby('cbf','keyid','parent_keyid',"
+            "'11',0,'-') AS t(keyid int, parent_keyid int, level int, "
+            "branch text) ORDER BY branch"
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            (11, None, 0, "11"),
+            (10, 11, 1, "11-10"),
+            (111, 11, 1, "11-111"),
+            (1, 111, 2, "11-111-1"),
+        ]
+
+    def test_mismatched_key_types_rejected(self, eng):
+        eng.execute("CREATE TABLE cbm (keyid int4, parent_keyid int4)")
+        with pytest.raises(ValueError, match="same type"):
+            eng.execute(
+                "SELECT * FROM connectby('cbm','keyid','parent_keyid',"
+                "'2',0,'~') AS t(keyid text, parent_keyid int, level int, "
+                "branch text)"
+            )
+
+
+class TestTsStat:
+    def test_word_doc_entry_counts(self, eng, spark):
+        spark.createDataFrame(
+            [(1, "the quick fox the"), (2, "fox runs the mile")],
+            "doc_id int, body string",
+        ).createOrReplaceTempView("tsst_docs")
+        rows = eng.execute(
+            "SELECT * FROM ts_stat('SELECT to_tsvector(body) FROM "
+            "tsst_docs') ORDER BY ndoc DESC, nentry DESC, word"
+        ).collect()
+        # canonical form counts true occurrences: 'the' 3 entries
+        assert [tuple(r) for r in rows] == [
+            ("the", 2, 3),
+            ("fox", 2, 2),
+            ("mile", 1, 1),
+            ("quick", 1, 1),
+            ("runs", 1, 1),
+        ]
+
+    def test_weight_filter_rejected(self, eng, spark):
+        spark.createDataFrame(
+            [(1, "a b")], "doc_id int, body string"
+        ).createOrReplaceTempView("tsst_w")
+        with pytest.raises(NotImplementedError, match="weight"):
+            eng.execute(
+                "SELECT * FROM ts_stat('SELECT to_tsvector(body) FROM "
+                "tsst_w', 'AB')"
+            )
+
+    def test_column_list_renames(self, eng, spark):
+        spark.createDataFrame(
+            [(1, "x y x")], "doc_id int, body string"
+        ).createOrReplaceTempView("tsst_c")
+        rows = eng.execute(
+            "SELECT * FROM ts_stat('SELECT to_tsvector(body) FROM "
+            "tsst_c') AS s(w text, nd int, ne int) ORDER BY w"
+        ).collect()
+        assert rows[0].asDict() == {"w": "x", "nd": 1, "ne": 2}
+
+
+class TestNormalRand:
+    def test_moments_and_count(self, eng):
+        r = eng.execute(
+            "SELECT avg(v) AS m, stddev(v) AS s, count(*) AS n "
+            "FROM normal_rand(20000, 5.0, 2.0) AS nr(v)"
+        ).collect()[0]
+        assert r.n == 20000
+        assert math.isclose(r.m, 5.0, abs_tol=0.15)
+        assert math.isclose(r.s, 2.0, abs_tol=0.15)
