@@ -5920,6 +5920,44 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     )
                 out[i : close + 1] = tokenize(expr)
                 continue
+            if (
+                low == "hmac"
+                and len(args) == 3
+                and len(args[2]) == 1
+                and _is_string(args[2][0])
+            ):
+                # contrib/pgcrypto hmac(data, key, type) → bytea
+                # (pgcrypto.c:161); Arrow-batched UDF — no JVM builtin
+                algo = args[2][0].strip("'").lower()
+                if algo not in (
+                    "md5", "sha1", "sha224", "sha256", "sha384", "sha512"
+                ):
+                    raise NotImplementedError(
+                        f"hmac algorithm {algo!r} (md5, sha1, sha224, "
+                        "sha256, sha384, sha512)"
+                    )
+                a, k = (" ".join(x) for x in args[:2])
+                out[i : close + 1] = tokenize(
+                    f"pg_hmac(CAST(({a}) AS STRING), "
+                    f"CAST(({k}) AS STRING), '{algo}')"
+                )
+                continue
+            if low == "crypt" and len(args) == 2:
+                # pgcrypto.c:204 crypt(password, salt) — md5-crypt scheme
+                a, b = (" ".join(x) for x in args)
+                out[i : close + 1] = tokenize(f"pg_crypt(({a}), ({b}))")
+                continue
+            if low == "gen_salt" and len(args) in (1, 2):
+                # pgcrypto.c:232 gen_salt(type [, iter]) — md5 has no
+                # iteration count; reject a second arg loudly
+                if len(args) == 2:
+                    raise NotImplementedError(
+                        "gen_salt iteration count applies to bf/xdes "
+                        "only — md5 is the implemented scheme"
+                    )
+                a = " ".join(args[0])
+                out[i : close + 1] = tokenize(f"pg_gen_salt(({a}))")
+                continue
             if low == "levenshtein_less_equal" and len(args) == 3:
                 # fuzzystrmatch: exact only up to k, anything larger may
                 # report k+1 (the documented contract)
@@ -6415,4 +6453,8 @@ def pg_sql(spark, sql: str):
         from greengage_spark.functions import textsearch
 
         textsearch.register_udfs(spark)
+    if "pg_hmac" in out or "pg_crypt" in out or "pg_gen_salt" in out:
+        from greengage_spark.functions import pgcrypto
+
+        pgcrypto.register_udfs(spark)
     return spark.sql(out)

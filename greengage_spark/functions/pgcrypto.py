@@ -1,0 +1,146 @@
+"""contrib/pgcrypto beyond the digest family: hmac(), crypt(),
+gen_salt().
+
+Reference surface: contrib/pgcrypto/pgcrypto.c:161 (pg_hmac),
+:204-253 (pg_crypt / pg_gen_salt) over px-crypt.c / crypt-md5.c.
+
+No JVM builtin computes HMAC or crypt schemes, so these run as
+Arrow-batched pandas UDFs over the stdlib ``hmac``/``hashlib`` — the
+per-row kernel is a few microseconds and the Arrow batch transfer keeps
+it off the row-at-a-time Python path.  Of crypt's four schemes the
+md5-crypt one ($1$, crypt-md5.c) is implemented (pure stdlib, verified
+against ``openssl passwd -1``); des/xdes/bf reject loudly — they need
+cipher primitives the container does not ship.
+
+gen_salt() is nondeterministic by contract (PG reads the kernel RNG).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac as _hmac
+import secrets
+
+_ALGOS = {
+    "md5": hashlib.md5,
+    "sha1": hashlib.sha1,
+    "sha224": hashlib.sha224,
+    "sha256": hashlib.sha256,
+    "sha384": hashlib.sha384,
+    "sha512": hashlib.sha512,
+}
+
+_ITOA64 = "./0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+
+def hmac_bytes(data, key, algo: str) -> bytes | None:
+    if data is None or key is None:
+        return None
+    fn = _ALGOS.get(algo.lower())
+    if fn is None:
+        raise ValueError(f"hmac algorithm {algo!r} (md5, sha1, sha224, "
+                         "sha256, sha384, sha512)")
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    if isinstance(key, str):
+        key = key.encode("utf-8")
+    return _hmac.new(key, data, fn).digest()
+
+
+def md5_crypt(password: str, salt: str) -> str:
+    """crypt-md5.c: the FreeBSD md5-crypt scheme ($1$salt$hash)."""
+    magic = "$1$"
+    if salt.startswith(magic):
+        salt = salt[len(magic):]
+    salt = salt.split("$")[0][:8]
+    pw = password.encode("utf-8")
+    sb = salt.encode("utf-8")
+    ctx = hashlib.md5(pw + magic.encode() + sb)
+    alt = hashlib.md5(pw + sb + pw).digest()
+    for i in range(len(pw)):
+        ctx.update(alt[i % 16 : i % 16 + 1])
+    i = len(pw)
+    while i:
+        ctx.update(b"\x00" if i & 1 else pw[0:1])
+        i >>= 1
+    final = ctx.digest()
+    for i in range(1000):
+        c = hashlib.md5()
+        c.update(pw if i & 1 else final)
+        if i % 3:
+            c.update(sb)
+        if i % 7:
+            c.update(pw)
+        c.update(final if i & 1 else pw)
+        final = c.digest()
+
+    def b64(b2: int, b1: int, b0: int, n: int) -> str:
+        w = (b2 << 16) | (b1 << 8) | b0
+        out = []
+        for _ in range(n):
+            out.append(_ITOA64[w & 0x3F])
+            w >>= 6
+        return "".join(out)
+
+    enc = (
+        b64(final[0], final[6], final[12], 4)
+        + b64(final[1], final[7], final[13], 4)
+        + b64(final[2], final[8], final[14], 4)
+        + b64(final[3], final[9], final[15], 4)
+        + b64(final[4], final[10], final[5], 4)
+        + b64(0, 0, final[11], 2)
+    )
+    return f"$1${salt}${enc}"
+
+
+def crypt(password, salt) -> str | None:
+    """px-crypt.c px_crypt: dispatch on the salt prefix."""
+    if password is None or salt is None:
+        return None
+    if salt.startswith("$1$"):
+        return md5_crypt(password, salt)
+    if salt.startswith(("$2", "_")) or len(salt) == 2:
+        raise NotImplementedError(
+            "crypt scheme for salt prefix "
+            f"{salt[:3]!r}: only md5-crypt ($1$) is implemented — "
+            "bf/des/xdes need cipher primitives not shipped here"
+        )
+    raise ValueError(f"invalid salt {salt!r}")
+
+
+def gen_salt(scheme: str) -> str:
+    """pg_gen_salt (px-crypt.c px_gen_salt): md5 scheme only."""
+    if scheme.lower() != "md5":
+        raise NotImplementedError(
+            f"gen_salt scheme {scheme!r}: only 'md5' is implemented"
+        )
+    return "$1$" + "".join(secrets.choice(_ITOA64) for _ in range(8))
+
+
+def register_udfs(spark) -> None:
+    """Idempotently register pg_hmac / pg_crypt / pg_gen_salt as
+    Arrow-batched pandas UDFs."""
+    if spark.conf.get("greengage.pgcrypto.registered", None) == "1":
+        return
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _hmac_udf(data, key, algo):
+        return pd.Series(
+            [hmac_bytes(d, k, a) for d, k, a in zip(data, key, algo)],
+            dtype="object",
+        )
+
+    def _crypt_udf(pw, salt):
+        return pd.Series(
+            [crypt(p, s) for p, s in zip(pw, salt)], dtype="object"
+        )
+
+    def _gen_salt_udf(scheme):
+        return pd.Series([gen_salt(s) for s in scheme], dtype="object")
+
+    spark.udf.register("pg_hmac", pandas_udf(_hmac_udf, "binary"))
+    spark.udf.register("pg_crypt", pandas_udf(_crypt_udf, "string"))
+    gs = pandas_udf(_gen_salt_udf, "string").asNondeterministic()
+    spark.udf.register("pg_gen_salt", gs)
+    spark.conf.set("greengage.pgcrypto.registered", "1")

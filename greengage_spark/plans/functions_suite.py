@@ -1304,6 +1304,59 @@ def dialect_contrib_intarray_crypto(spark, sf_dir):
     )
 
 
+def _crypto2_oracle() -> str:
+    """Closed-form expected table for dialect_contrib_crypto2: TPC-H
+    customer names are the deterministic 'Customer#%09d' convention, so
+    the hmac values come from an INDEPENDENT implementation (stdlib
+    hmac) and the crypt values from the openssl-verified md5-crypt
+    (tests/test_pgcrypto.py pins the $1$abcdefgh vector against
+    ``openssl passwd -1``)."""
+    import hashlib
+    import hmac as _hm
+
+    from greengage_spark.functions.pgcrypto import md5_crypt
+
+    rows = []
+    for k in range(30):
+        name = f"Customer#{k:09d}"
+        hs = _hm.new(b"gg_key", name.encode(), hashlib.sha256).hexdigest()
+        hm = _hm.new(b"gg_key", name.encode(), hashlib.md5).hexdigest()
+        cr = md5_crypt("pw", "$1$" + hashlib.md5(name.encode()).hexdigest()[:8])
+        rows.append(f"({k}, '{hs}', '{hm}', '{cr}')")
+    return (
+        "SELECT CAST(c_custkey AS INTEGER) AS c_custkey, hs256, hmd5, cr "
+        "FROM (VALUES " + ", ".join(rows) + ") AS t(c_custkey, hs256, "
+        "hmd5, cr) ORDER BY c_custkey"
+    )
+
+
+@suite.add(
+    "dialect_contrib_crypto2",
+    oracle=_crypto2_oracle(),
+    doc="contrib/pgcrypto beyond digest (pgcrypto.c:161,204-253): "
+        "hmac(data, key, md5|sha*) → bytea and crypt()/md5-crypt over "
+        "deterministic per-row salts — Arrow-batched pandas UDFs over "
+        "stdlib hmac/hashlib (no JVM builtin; the batch transfer keeps "
+        "them off the row-at-a-time path). The oracle is the closed-form "
+        "expected table from the TPC-H name convention: hmac via stdlib "
+        "hmac independently, crypt via the openssl-verified md5-crypt.",
+    tags=("dialect", "contrib"),
+)
+def dialect_contrib_crypto2(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey::int4 AS c_custkey,
+               encode(hmac(c_name, 'gg_key', 'sha256'), 'hex') AS hs256,
+               encode(hmac(c_name, 'gg_key', 'md5'), 'hex') AS hmd5,
+               crypt('pw', '$1$' || substr(md5(c_name), 1, 8)) AS cr
+        FROM customer WHERE c_custkey < 30 ORDER BY c_custkey
+        """,
+        ["customer"],
+    )
+
+
 @suite.add(
     "dialect_xml_publish",
     oracle="""

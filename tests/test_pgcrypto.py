@@ -1,0 +1,80 @@
+"""contrib/pgcrypto hmac() / crypt() / gen_salt()
+(contrib/pgcrypto/pgcrypto.c:161,204-253; crypt-md5.c).
+
+The md5-crypt vector is pinned against ``openssl passwd -1 -salt
+abcdefgh password`` → $1$abcdefgh$G//4keteveJp0qb8z2DxG/ (generated
+once, recorded here — openssl is an independent implementation)."""
+
+import hashlib
+import hmac as _hmac
+
+import pytest
+
+from greengage_spark.dialect.transpiler import pg_sql
+from greengage_spark.functions.pgcrypto import gen_salt, hmac_bytes, md5_crypt
+
+
+class TestKernels:
+    def test_md5_crypt_openssl_vector(self):
+        assert (
+            md5_crypt("password", "$1$abcdefgh")
+            == "$1$abcdefgh$G//4keteveJp0qb8z2DxG/"
+        )
+
+    def test_md5_crypt_salt_forms(self):
+        # bare salt, $-terminated salt, and >8-char clipping all
+        # normalize to the same 8-char salt (crypt-md5.c)
+        full = md5_crypt("pw", "$1$saltsalt$ignored")
+        assert full == md5_crypt("pw", "saltsalt")
+        assert full == md5_crypt("pw", "$1$saltsaltEXTRA")
+
+    def test_hmac_matches_stdlib(self):
+        for algo in ("md5", "sha1", "sha224", "sha256", "sha384", "sha512"):
+            assert hmac_bytes("data", "key", algo) == _hmac.new(
+                b"key", b"data", getattr(hashlib, algo)
+            ).digest()
+
+    def test_hmac_null_propagates(self):
+        assert hmac_bytes(None, "k", "md5") is None
+        assert hmac_bytes("d", None, "md5") is None
+
+    def test_gen_salt_shape(self):
+        s = gen_salt("md5")
+        assert s.startswith("$1$") and len(s) == 11
+        with pytest.raises(NotImplementedError):
+            gen_salt("bf")
+
+
+class TestSql:
+    def test_hmac_sql(self, spark):
+        r = pg_sql(
+            spark,
+            "SELECT encode(hmac('data', 'key', 'sha256'), 'hex') AS h",
+        ).collect()[0]
+        assert r.h == _hmac.new(b"key", b"data", hashlib.sha256).hexdigest()
+
+    def test_hmac_bad_algo_rejects_at_transpile(self, spark):
+        with pytest.raises(NotImplementedError, match="hmac algorithm"):
+            pg_sql(spark, "SELECT hmac('d', 'k', 'crc32') AS h")
+
+    def test_crypt_roundtrip_sql(self, spark):
+        row = pg_sql(
+            spark,
+            "SELECT crypt('secret', gen_salt('md5')) AS stored",
+        ).collect()[0]
+        ok = pg_sql(
+            spark,
+            f"SELECT crypt('secret', '{row.stored}') = '{row.stored}' AS ok, "
+            f"crypt('wrong', '{row.stored}') = '{row.stored}' AS bad",
+        ).collect()[0]
+        assert ok.ok is True and ok.bad is False
+
+    def test_crypt_bf_rejects_loudly(self, spark):
+        with pytest.raises(Exception, match="md5-crypt"):
+            pg_sql(
+                spark, "SELECT crypt('x', '$2a$06$saltsaltsaltsaltsalts') AS c"
+            ).collect()
+
+    def test_gen_salt_iteration_count_rejects(self, spark):
+        with pytest.raises(NotImplementedError, match="iteration"):
+            pg_sql(spark, "SELECT gen_salt('bf', 8) AS s")
