@@ -5942,6 +5942,20 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     f"CAST(({k}) AS STRING), '{algo}')"
                 )
                 continue
+            if low in ("xpath", "xpath_exists") and len(args) in (2, 3):
+                # xml.c:4082,4132 — child/attribute/text() subset over an
+                # Arrow-batched ElementTree UDF (functions/xmlquery.py)
+                if len(args) == 3:
+                    raise NotImplementedError(
+                        "xpath namespace-array argument is out of the "
+                        "subset (prefixed names reject with it)"
+                    )
+                p, x = (" ".join(a) for a in args)
+                fn = "pg_xpath" if low == "xpath" else "pg_xpath_exists"
+                out[i : close + 1] = tokenize(
+                    f"{fn}(CAST(({p}) AS STRING), CAST(({x}) AS STRING))"
+                )
+                continue
             if low == "crypt" and len(args) == 2:
                 # pgcrypto.c:204 crypt(password, salt) — md5-crypt scheme
                 a, b = (" ".join(x) for x in args)
@@ -6457,4 +6471,8 @@ def pg_sql(spark, sql: str):
         from greengage_spark.functions import pgcrypto
 
         pgcrypto.register_udfs(spark)
+    if "pg_xpath" in out:
+        from greengage_spark.functions import xmlquery
+
+        xmlquery.register_udfs(spark)
     return spark.sql(out)

@@ -1,0 +1,154 @@
+"""Query-side XML: xpath() / xpath_exists()
+(src/backend/utils/adt/xml.c:4082 xpath, :4132 xpath_exists; regress
+shapes src/test/regress/sql/xml.sql:179-194).
+
+Subset evaluator over stdlib ElementTree, run as Arrow-batched pandas
+UDFs (XML parsing is inherently per-row; the Arrow batches keep it off
+the row-at-a-time path):
+
+* absolute paths ``/a/b``, descendant paths ``//b`` (leading only),
+  wildcard ``*``, positional predicates ``[n]``;
+* terminal ``text()`` (document-order text nodes) and ``@attr``;
+* relative paths evaluate from the root element (the regress
+  ``xpath('text()', doc)`` shape).
+
+Out of the subset — all reject loudly: the namespace-array argument
+(prefixed names need it anyway), XPath functions (count()/name()/...),
+mid-path ``//``, attribute/value predicates.  Results are the PG
+contract: an array of serialized nodes (elements re-serialized without
+their tail text, text/attribute nodes as their string value); no match
+is an EMPTY array, NULL input is NULL.
+"""
+
+from __future__ import annotations
+
+import copy
+import re
+import xml.etree.ElementTree as ET
+
+_STEP_RE = re.compile(r"^(\w+|\*)(?:\[(\d+)\])?$")
+
+
+def _doc_order_text(el) -> list[str]:
+    """All text nodes under el (inclusive), document order."""
+    out = []
+    if el.text is not None:
+        out.append(el.text)
+    for c in el:
+        out.extend(_doc_order_text(c))
+        if c.tail is not None:
+            out.append(c.tail)
+    return out
+
+
+def _direct_text(el) -> list[str]:
+    """Text nodes that are DIRECT children of el, document order."""
+    out = []
+    if el.text is not None:
+        out.append(el.text)
+    for c in el:
+        if c.tail is not None:
+            out.append(c.tail)
+    return out
+
+
+def _serialize(el) -> str:
+    e2 = copy.copy(el)
+    e2.tail = None
+    return ET.tostring(e2, encoding="unicode")
+
+
+def xpath_eval(path: str | None, xml: str | None) -> list[str] | None:
+    if path is None or xml is None:
+        return None
+    path = path.strip()
+    if not path:
+        raise ValueError("empty XPath expression")
+    if re.match(r"^\w+\s*\(", path) and not path.startswith("text()"):
+        raise NotImplementedError(
+            f"XPath function form {path.split('(')[0]!r}(...) is out of "
+            "the child/attribute/text subset"
+        )
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError as e:
+        raise ValueError(f"invalid XML document: {e}") from None
+
+    descendant = path.startswith("//")
+    absolute = path.startswith("/") and not descendant
+    body = path.lstrip("/")
+    steps = body.split("/") if body else []
+    if any(s == "" for s in steps):
+        raise NotImplementedError("mid-path '//' is out of the subset")
+
+    # terminal text() / @attr
+    want_text = want_attr = None
+    if steps and steps[-1] == "text()":
+        want_text = True
+        steps = steps[:-1]
+    elif steps and steps[-1].startswith("@"):
+        want_attr = steps[-1][1:]
+        steps = steps[:-1]
+        if not re.match(r"^\w+$", want_attr):
+            raise NotImplementedError(f"attribute step @{want_attr!r}")
+    for s in steps:
+        if ":" in s:
+            raise NotImplementedError(
+                "namespace-prefixed XPath steps (xpath's nsarray "
+                "argument is out of the subset)"
+            )
+        if not _STEP_RE.match(s):
+            raise NotImplementedError(f"XPath step {s!r} is out of the subset")
+
+    # selection context: a synthetic wrapper makes absolute paths
+    # address the root element by name, as XPath does
+    wrapper = ET.Element("__gg_doc__")
+    wrapper.append(root)
+    if descendant:
+        if not steps:
+            # '//text()' or '//@attr': every element in the document
+            nodes = list(root.iter())
+        else:
+            nodes = wrapper.findall(".//" + "/".join(steps))
+    elif absolute:
+        nodes = wrapper.findall("/".join(steps)) if steps else []
+    else:
+        # relative: evaluate from the root element context
+        nodes = [root] if not steps else root.findall("/".join(steps))
+
+    if want_text:
+        if descendant and not steps:
+            return _doc_order_text(root)  # '//text()': whole document
+        out: list[str] = []
+        for n in nodes:
+            out.extend(_direct_text(n))
+        return out
+    if want_attr is not None:
+        return [n.attrib[want_attr] for n in nodes if want_attr in n.attrib]
+    return [_serialize(n) for n in nodes]
+
+
+def xpath_exists(path: str | None, xml: str | None) -> bool | None:
+    res = xpath_eval(path, xml)
+    return None if res is None else len(res) > 0
+
+
+def register_udfs(spark) -> None:
+    if spark.conf.get("greengage.xmlquery.registered", None) == "1":
+        return
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _xpath(p, x):
+        return pd.Series(
+            [xpath_eval(a, b) for a, b in zip(p, x)], dtype="object"
+        )
+
+    def _exists(p, x):
+        return pd.Series(
+            [xpath_exists(a, b) for a, b in zip(p, x)], dtype="object"
+        )
+
+    spark.udf.register("pg_xpath", pandas_udf(_xpath, "array<string>"))
+    spark.udf.register("pg_xpath_exists", pandas_udf(_exists, "boolean"))
+    spark.conf.set("greengage.xmlquery.registered", "1")

@@ -1387,6 +1387,44 @@ def dialect_xml_publish(spark, sf_dir):
 
 
 @suite.add(
+    "dialect_xml_query",
+    oracle="""
+    SELECT n_nationkey, n_name AS nm,
+           CAST(n_nationkey AS VARCHAR) AS id_attr,
+           TRUE AS has_region, FALSE AS has_bogus
+    FROM nation ORDER BY n_nationkey
+    """,
+    doc="query-side XML: xpath()/xpath_exists() (xml.c:4082,4132; "
+        "regress xml.sql:179-194 shapes) — child/attribute/text() "
+        "subset over an Arrow-batched ElementTree pandas UDF "
+        "(functions/xmlquery.py); namespace arrays and XPath functions "
+        "reject loudly. The documents round-trip through xmlelement "
+        "publishing, so the oracle is the original nation columns.",
+    tags=("dialect", "xml"),
+)
+def dialect_xml_query(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT n_nationkey,
+               array_to_string(xpath('/nation/name/text()', doc), ',') AS nm,
+               array_to_string(xpath('/nation/@id', doc), ',') AS id_attr,
+               xpath_exists('/nation/region', doc) AS has_region,
+               xpath_exists('//bogus', doc) AS has_bogus
+        FROM (
+          SELECT n_nationkey,
+                 xmlelement(name nation, xmlattributes(n_nationkey AS id),
+                            xmlforest(n_name AS name, n_regionkey AS region))
+                   AS doc
+          FROM nation
+        ) t ORDER BY n_nationkey
+        """,
+        ["nation"],
+    )
+
+
+@suite.add(
     "dialect_similar_to",
     oracle="""
     SELECT p_partkey,

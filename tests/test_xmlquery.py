@@ -1,0 +1,99 @@
+"""xpath() / xpath_exists() subset (xml.c:4082,4132) — regress battery
+verbatim from src/test/regress/sql/xml.sql:179-194 where the subset
+covers it; out-of-subset forms assert loud rejection."""
+
+import pytest
+
+from greengage_spark.dialect.transpiler import pg_sql
+from greengage_spark.functions.xmlquery import xpath_eval, xpath_exists
+
+
+class TestKernel:
+    def test_absolute_element(self):
+        # xml.sql:179
+        assert xpath_eval("/value", "<value>one</value>") == [
+            "<value>one</value>"
+        ]
+
+    def test_null_propagates(self):
+        # xml.sql:180
+        assert xpath_eval(None, None) is None
+        assert xpath_exists(None, "<a/>") is None
+
+    def test_descendant_elements(self):
+        # xml.sql:186
+        assert xpath_eval("//b", "<a>one <b>two</b> three <b>etc</b></a>") == [
+            "<b>two</b>",
+            "<b>etc</b>",
+        ]
+
+    def test_entity_unescape_text_and_attr(self):
+        # xml.sql:187-188
+        assert xpath_eval("//text()", "<root>&lt;</root>") == ["<"]
+        assert xpath_eval("//@value", '<root value="&lt;"/>') == ["<"]
+
+    def test_doc_order_text_nodes(self):
+        assert xpath_eval(
+            "//text()", "<a>one <b>two</b> three <b>etc</b></a>"
+        ) == ["one ", "two", " three ", "etc"]
+
+    def test_no_match_empty_array(self):
+        # xml.sql:194
+        assert xpath_eval("/nosuchtag", "<root/>") == []
+        assert xpath_exists("/nosuchtag", "<root/>") is False
+
+    def test_relative_text(self):
+        # xml.sql:214 shape
+        assert xpath_eval("text()", "<r>hi</r>") == ["hi"]
+
+    def test_positional_predicate(self):
+        assert xpath_eval("/a/b[2]", "<a><b>x</b><b>y</b></a>") == ["<b>y</b>"]
+
+    def test_attr_step(self):
+        assert xpath_eval(
+            "/data/piece/@id", '<data><piece id="1"/><piece id="2"/></data>'
+        ) == ["1", "2"]
+
+    def test_invalid_xml_rejects(self):
+        # xml.sql:181 (xpath over a non-document errors)
+        with pytest.raises(ValueError, match="invalid XML"):
+            xpath_eval("/x", "<!-- error -->")
+
+    def test_function_forms_reject(self):
+        # xml.sql:190-193
+        for p in ("count(//*)", "name(/*)"):
+            with pytest.raises(NotImplementedError):
+                xpath_eval(p, "<root><sub/><sub/></root>")
+
+    def test_namespace_prefix_rejects(self):
+        # xml.sql:183 needs the nsarray — out of the subset
+        with pytest.raises(NotImplementedError, match="namespace"):
+            xpath_eval("//loc:piece", "<a/>")
+
+    def test_empty_path_rejects(self):
+        with pytest.raises(ValueError, match="empty XPath"):
+            xpath_eval("", "<root/>")
+
+
+class TestSql:
+    def test_xpath_sql(self, spark):
+        r = pg_sql(
+            spark,
+            "SELECT xpath('/a/b/text()', '<a><b>hi</b><b>yo</b></a>') AS t",
+        ).collect()[0]
+        assert list(r.t) == ["hi", "yo"]
+
+    def test_xpath_exists_sql(self, spark):
+        r = pg_sql(
+            spark,
+            "SELECT xpath_exists('//b', '<a><b/></a>') AS e1, "
+            "xpath_exists('//c', '<a><b/></a>') AS e2",
+        ).collect()[0]
+        assert r.e1 is True and r.e2 is False
+
+    def test_nsarray_rejects_at_transpile(self, spark):
+        with pytest.raises(NotImplementedError, match="namespace-array"):
+            pg_sql(
+                spark,
+                "SELECT xpath('//x', '<a/>', ARRAY[ARRAY['p','u']]) AS t",
+            )
