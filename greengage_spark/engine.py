@@ -952,6 +952,9 @@ class GreengageEngine:
         self._txn = self._snapshot_state()
         self._txn["deferred_rm"] = []
         self._txn["savepoints"] = []  # [(name, snapshot, deferred_rm_len)]
+        # portals opened inside the txn close at COMMIT unless WITH HOLD
+        # (portalcmds.c PersistHoldablePortal) and always at ROLLBACK
+        self._txn["cursors_at_begin"] = set(self.cursors)
         return None
 
     # ---------------- savepoints (xact.c subtransactions) ----------------
@@ -1003,6 +1006,18 @@ class GreengageEngine:
 
         if self._txn is None:
             return None  # PG: WARNING, no transaction in progress
+        # persist/close portals FIRST: a held portal over a table dropped
+        # in this txn must materialize before its storage is removed
+        pre = self._txn.get("cursors_at_begin", set())
+        for cname in list(self.cursors):
+            if cname in pre:
+                continue
+            cur = self.cursors[cname]
+            if getattr(cur, "holdable", False):
+                # PersistHoldablePortal: materialize, keep position
+                cur.persist()
+            else:
+                del self.cursors[cname]  # non-holdable portals die here
         for path in self._txn["deferred_rm"]:
             # a table dropped then re-created under the same name owns
             # the path again — leave it alone
@@ -1018,6 +1033,12 @@ class GreengageEngine:
         snap = self._txn
         self._txn = None
         self._restore_state(snap)
+        # every portal opened inside the aborted txn dies, WITH HOLD too
+        # (portalcmds.c: hold only survives successful COMMIT)
+        pre = snap.get("cursors_at_begin", set())
+        for cname in list(self.cursors):
+            if cname not in pre:
+                del self.cursors[cname]
         return None
 
     def _fold_relation_sizes(self, stmt: str) -> str:

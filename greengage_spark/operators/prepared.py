@@ -44,13 +44,50 @@ class Cursor:
     client actually scanned, never by corpus size).  Position follows
     PG: 0 = before first, k = on row k, len+1 = after last."""
 
-    def __init__(self, name: str, df: DataFrame, scroll: bool = False):
+    def __init__(
+        self,
+        name: str,
+        df: DataFrame,
+        scroll: bool = False,
+        holdable: bool = False,
+    ):
         self.name = name
         self.schema = df.schema
+        self._df = df
         self._iter = df.toLocalIterator()
         self.scroll = scroll
+        self.holdable = holdable  # DECLARE ... WITH HOLD (portalcmds.c)
         self._buf: list = []  # rows 1..len consumed so far (scroll only)
         self._pos = 0
+        self._n_fetched = 0  # forward-only position (persist replay)
+        self.exhausted = False
+
+    def persist(self) -> None:
+        """PersistHoldablePortal (commands/portalcmds.c:424): at COMMIT a
+        WITH HOLD portal's result set is materialized so later FETCHes no
+        longer depend on the transaction's snapshot.  ``localCheckpoint``
+        pins the full result executor-side (PG's tuplestore analog —
+        distributed, not driver memory); the replay fast-forwards the
+        fresh iterator to the current position, deterministic because it
+        re-reads the already-materialized partitions."""
+        df2 = self._df.localCheckpoint(eager=True)
+        it = df2.toLocalIterator()
+        if self.scroll:
+            n = len(self._buf)
+            self._buf = []
+            for _ in range(n):
+                try:
+                    self._buf.append(next(it))
+                except StopIteration:
+                    break
+        else:
+            for _ in range(self._n_fetched):
+                try:
+                    next(it)
+                except StopIteration:
+                    break
+        self._iter = it
+        self._df = df2
         self.exhausted = False
 
     def _pull(self) -> bool:
@@ -68,6 +105,7 @@ class Cursor:
             while n is None or len(out) < n:
                 try:
                     out.append(next(self._iter))
+                    self._n_fetched += 1
                 except StopIteration:
                     self.exhausted = True
                     break
@@ -239,8 +277,8 @@ def execute_cursor_stmt(engine, stmt: str):
     if head == "declare":
         m = re.match(
             r"(?is)^declare\s+([\w.]+)\s+(?:binary\s+)?(?:insensitive\s+)?"
-            r"(no\s+scroll\s+|scroll\s+)?cursor\s+(?:with(?:out)?\s+hold\s+)?"
-            r"for\s+(.+)$",
+            r"(no\s+scroll\s+|scroll\s+)?cursor\s+(with\s+hold\s+|"
+            r"without\s+hold\s+)?for\s+(.+)$",
             stmt,
         )
         if not m:
@@ -249,10 +287,11 @@ def execute_cursor_stmt(engine, stmt: str):
         if name in engine.cursors:
             raise ValueError(f'cursor "{name}" already exists')
         scroll = bool(m.group(2)) and m.group(2).strip().lower() == "scroll"
-        df = engine.execute(m.group(3).strip())
+        holdable = bool(m.group(3)) and m.group(3).split()[0].lower() == "with"
+        df = engine.execute(m.group(4).strip())
         if df is None:
             raise ValueError("DECLARE CURSOR requires a query")
-        engine.cursors[name] = Cursor(name, df, scroll=scroll)
+        engine.cursors[name] = Cursor(name, df, scroll=scroll, holdable=holdable)
         return None
     if head in ("fetch", "move"):
         m = re.match(

@@ -830,15 +830,20 @@ def script_do_block_loop(spark, sf_dir):
       (11, 8), (12, 7), (13, 6),
       (14, 14),
       (15, 12),
-      (16, 24)
+      (16, 24),
+      (17, 0), (18, 1),
+      (19, 2), (20, 3), (21, 4), (22, 5)
     ) AS t(seq, n_nationkey)
     """,
     doc="SCROLL cursor portal (portalcmds.c PerformPortalFetch): FETCH "
         "FORWARD streams via toLocalIterator; BACKWARD/ABSOLUTE/RELATIVE/"
         "LAST replay the retained fetched extent (PG materializes "
         "scrollable portals in a tuplestore; ours keeps the scanned "
-        "prefix — bounded by scan depth, not corpus size). The oracle is "
-        "the hand-computed portal walk over nation ORDER BY n_nationkey.",
+        "prefix — bounded by scan depth, not corpus size). Steps 17-22 "
+        "are a WITH HOLD portal (portalcmds.c:424 PersistHoldablePortal): "
+        "declared and half-fetched inside BEGIN, materialized at COMMIT "
+        "with its position kept, drained after. The oracle is the "
+        "hand-computed portal walk over nation ORDER BY n_nationkey.",
     tags=("engine", "cursor"),
 )
 def cursor_scroll_fetch(spark, sf_dir):
@@ -861,6 +866,19 @@ def cursor_scroll_fetch(spark, sf_dir):
     seq = 0
     for s in steps:
         for r in eng.execute(s).collect():
+            seq += 1
+            rows.append((seq, int(r[0])))
+    # WITH HOLD: survive COMMIT with position kept (PersistHoldablePortal)
+    eng.execute("BEGIN")
+    eng.execute(
+        "DECLARE hc CURSOR WITH HOLD FOR SELECT n_nationkey "
+        "FROM cur_nation WHERE n_nationkey < 6 ORDER BY n_nationkey"
+    )
+    for s in ["FETCH 2 FROM hc", "COMMIT", "FETCH ALL FROM hc"]:
+        df = eng.execute(s)
+        if df is None:
+            continue
+        for r in df.collect():
             seq += 1
             rows.append((seq, int(r[0])))
     return spark.createDataFrame(rows, "seq int, n_nationkey int")

@@ -137,3 +137,61 @@ class TestScrollCursors:
         with pytest.raises(ValueError, match="only scan forward"):
             eng.execute("FETCH LAST FROM fo")
         eng.execute("CLOSE fo")
+
+
+class TestHoldableCursors:
+    """DECLARE ... WITH HOLD (portalcmds.c:424 PersistHoldablePortal):
+    held portals survive COMMIT (materialized, position kept);
+    non-holdable portals close at COMMIT; ROLLBACK closes both."""
+
+    def test_with_hold_survives_commit(self, eng):
+        eng.execute("BEGIN")
+        eng.execute(
+            "DECLARE hc CURSOR WITH HOLD FOR SELECT a FROM t ORDER BY a"
+        )
+        got = [r[0] for r in eng.execute("FETCH 2 FROM hc").collect()]
+        assert got == [1, 2]
+        eng.execute("COMMIT")
+        # position survived the persist
+        got = [r[0] for r in eng.execute("FETCH ALL FROM hc").collect()]
+        assert got == [3, 4]
+        eng.execute("CLOSE hc")
+
+    def test_held_result_is_snapshot_of_declare_time(self, eng):
+        eng.execute("BEGIN")
+        eng.execute(
+            "DECLARE hs SCROLL CURSOR WITH HOLD FOR "
+            "SELECT a FROM t ORDER BY a"
+        )
+        eng.execute("COMMIT")
+        # post-commit DML must not leak into the held result set
+        eng.execute("DELETE FROM t WHERE a > 1")
+        got = [r[0] for r in eng.execute("FETCH ALL FROM hs").collect()]
+        assert got == [1, 2, 3, 4]
+        back = [r[0] for r in eng.execute("FETCH BACKWARD 2 FROM hs").collect()]
+        assert back == [4, 3]
+        eng.execute("CLOSE hs")
+
+    def test_non_holdable_dies_at_commit(self, eng):
+        eng.execute("BEGIN")
+        eng.execute("DECLARE nh CURSOR FOR SELECT a FROM t ORDER BY a")
+        eng.execute("COMMIT")
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.execute("FETCH 1 FROM nh")
+
+    def test_rollback_closes_even_with_hold(self, eng):
+        eng.execute("BEGIN")
+        eng.execute(
+            "DECLARE hr CURSOR WITH HOLD FOR SELECT a FROM t ORDER BY a"
+        )
+        eng.execute("ROLLBACK")
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.execute("FETCH 1 FROM hr")
+
+    def test_pre_txn_cursor_unaffected_by_commit(self, eng):
+        eng.execute("DECLARE pc CURSOR FOR SELECT a FROM t ORDER BY a")
+        eng.execute("BEGIN")
+        eng.execute("COMMIT")
+        got = [r[0] for r in eng.execute("FETCH 1 FROM pc").collect()]
+        assert got == [1]
+        eng.execute("CLOSE pc")
