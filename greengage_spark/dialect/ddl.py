@@ -51,6 +51,9 @@ _TYPE_MAP = {
     "float4": "float", "real": "float",
     "float8": "double",
     "text": "string", "name": "string", "uuid": "string",
+    # contrib/citext: stored as string, case-insensitive semantics folded
+    # at statement level (operators/citext.py)
+    "citext": "string",
     "json": "string", "jsonb": "string", "xml": "string",
     "inet": "string", "cidr": "string", "macaddr": "string",
     # geometric types live as their PG literal text (functions/geometry.py)

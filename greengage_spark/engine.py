@@ -668,6 +668,19 @@ class GreengageEngine:
         # sequence calls are driver-evaluated / lowered before routing
         if _has_seq_call(stmt):
             stmt = self._lower_sequences(stmt, head)
+        if head in ("select", "with", "values", "table", "update", "delete"):
+            # contrib/citext: fold comparisons/grouping on declared
+            # citext columns through lower() (operators/citext.py)
+            cit_cols = {
+                c.name.lower()
+                for td in self.ddl.tables.values()
+                for c in td.columns
+                if c.pg_type.strip().lower() == "citext"
+            }
+            if cit_cols:
+                from greengage_spark.operators.citext import fold_citext_stmt
+
+                stmt = fold_citext_stmt(stmt, cit_cols)
         if head == "drop":
             return self._drop(stmt)
         if head == "insert":

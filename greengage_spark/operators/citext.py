@@ -1,0 +1,307 @@
+"""contrib/citext semantics for declared citext columns.
+
+Reference: contrib/citext/citext.c — the type's operators lowercase both
+sides before comparing (citextcmp / citext_eq), while stored values keep
+their original case.  Since Spark has no per-column collation hook for
+this, the engine folds the semantics at statement level for columns the
+DDL catalog declares as ``citext``:
+
+* comparisons (``= <> != < <= > >=``) where either side is a citext
+  column wrap BOTH operands in ``lower()`` — WHERE, JOIN ON, HAVING;
+* ``IN (...)`` lists on a citext column lower the column and every item;
+* ``GROUP BY col`` becomes ``GROUP BY lower(col)``, and bare select-list
+  references to that column become ``min(col) AS col`` — PG returns an
+  arbitrary-case representative per group, min() is a deterministic one
+  (documented divergence, same value set);
+* ``ORDER BY col`` becomes ``ORDER BY lower(col)`` (ties keep arbitrary
+  order, as in PG);
+* ``SELECT DISTINCT`` over a bare citext column rejects loudly — fold it
+  yourself with GROUP BY (the rewrite cannot pick a representative
+  without restructuring the query).
+
+The fold is token-based (quote-aware via the transpiler's tokenizer) and
+applies only to statements that reference a declared citext column.
+"""
+
+from __future__ import annotations
+
+from greengage_spark.dialect.transpiler import _is_ident, _is_string, tokenize
+
+_CMP_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
+# contexts where a following bare column ref must NOT be treated as a
+# comparison operand (SET col = ..., INSERT (col, ...))
+_SKIP_HEADS = ("insert", "create", "alter", "copy")
+
+
+def _operand_span(toks: list[str], i: int, direction: int) -> tuple[int, int]:
+    """Span [a, b) of the simple operand adjacent to position i, scanning
+    forward (direction=1, i = first token) or backward (direction=-1,
+    i = last token).  Simple = literal / number / [qualified] identifier
+    / function call / parenthesized group; anything else returns an
+    empty span (no fold)."""
+    n = len(toks)
+    if direction == 1:
+        if i >= n:
+            return (i, i)
+        t = toks[i]
+        if t == "(":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if toks[j] == "(":
+                    depth += 1
+                elif toks[j] == ")":
+                    depth -= 1
+                j += 1
+            return (i, j)
+        if _is_string(t) or not _is_ident(t):
+            # literal / number
+            return (i, i + 1) if t not in (",", ")", ";") else (i, i)
+        # identifier [. identifier] [( args )]
+        j = i + 1
+        while j + 1 < n and toks[j] == "." and _is_ident(toks[j + 1]):
+            j += 2
+        if j < n and toks[j] == "(":
+            depth, j = 1, j + 1
+            while j < n and depth:
+                if toks[j] == "(":
+                    depth += 1
+                elif toks[j] == ")":
+                    depth -= 1
+                j += 1
+        return (i, j)
+    # backward
+    if i < 0:
+        return (0, 0)
+    t = toks[i]
+    if t == ")":
+        depth, j = 1, i - 1
+        while j >= 0 and depth:
+            if toks[j] == ")":
+                depth += 1
+            elif toks[j] == "(":
+                depth -= 1
+            j -= 1
+        # include a function name / qualifier before the parens
+        k = j
+        while k >= 0 and _is_ident(toks[k]):
+            if k - 1 >= 0 and toks[k - 1] == ".":
+                k -= 2
+            else:
+                k -= 1
+                break
+        start = k + 1 if k + 1 <= j else j + 1
+        return (start, i + 1)
+    if _is_string(t) or not _is_ident(t):
+        return (i, i + 1)
+    j = i
+    while j - 1 >= 0 and toks[j - 1] == "." and j - 2 >= 0 and _is_ident(toks[j - 2]):
+        j -= 2
+    return (j, i + 1)
+
+
+def _is_citext_ref(toks, a, b, cols: set[str]) -> bool:
+    """Span is a bare or qualified reference to a citext column."""
+    span = toks[a:b]
+    if len(span) == 1 and _is_ident(span[0]) and span[0].lower() in cols:
+        return True
+    return (
+        len(span) == 3
+        and span[1] == "."
+        and _is_ident(span[2])
+        and span[2].lower() in cols
+    )
+
+
+def fold_citext_stmt(stmt: str, cols: set[str]) -> str:
+    """Statement-level entry: queries fold fully; UPDATE/DELETE fold only
+    their top-level WHERE predicate (a SET assignment's ``=`` must stay
+    untouched); everything else passes through."""
+    head = stmt.lstrip().split(None, 1)[0].lower() if stmt.strip() else ""
+    if head in ("select", "with", "values", "table"):
+        return fold_citext(stmt, cols)
+    if head in ("update", "delete"):
+        toks = tokenize(stmt)
+        low = [t.lower() if _is_ident(t) else t for t in toks]
+        if not any(t in cols for t in low):
+            return stmt
+        depth = 0
+        widx = -1
+        for i, t in enumerate(toks):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and low[i] == "where":
+                widx = i
+        if widx < 0:
+            return stmt
+        end = len(toks)
+        for i in range(widx + 1, len(toks)):
+            if low[i] == "returning" and toks[i - 1] != ".":
+                end = i
+                break
+        pred = fold_citext(" ".join(toks[widx + 1 : end]), cols)
+        return " ".join(toks[: widx + 1]) + " " + pred + (
+            " " + " ".join(toks[end:]) if end < len(toks) else ""
+        )
+    return stmt
+
+
+def fold_citext(stmt: str, cols: set[str]) -> str:
+    head = stmt.lstrip().split(None, 1)[0].lower() if stmt.strip() else ""
+    if head in _SKIP_HEADS:
+        return stmt
+    toks = tokenize(stmt)
+    low = [t.lower() if _is_ident(t) else t for t in toks]
+    if not any(t in cols for t in low):
+        return stmt
+
+    # SELECT DISTINCT over a bare citext column: loud reject
+    for i, t in enumerate(low):
+        if t == "distinct" and i > 0 and low[i - 1] == "select":
+            j = i + 1
+            while j < len(low) and low[j] not in ("from",):
+                if low[j] in cols and (j == 0 or low[j - 1] != "."):
+                    raise NotImplementedError(
+                        f"SELECT DISTINCT over citext column {low[j]!r}: "
+                        "use GROUP BY (the citext fold cannot pick a "
+                        "case representative inside DISTINCT)"
+                    )
+                j += 1
+
+    out = list(toks)
+
+    def wrap(a: int, b: int) -> None:
+        out[a] = "lower(" + out[a]
+        out[b - 1] = out[b - 1] + ")"
+
+    # 1) comparisons + IN lists
+    i = 0
+    grouped_cols: set[str] = set()
+    while i < len(low):
+        t = low[i]
+        if t in _CMP_OPS:
+            la, lb = _operand_span(toks, i - 1, -1)
+            ra, rb = _operand_span(toks, i + 1, 1)
+            # ANY/ALL/SOME array comparisons keep their own pass
+            quantified = i + 1 < len(low) and low[i + 1] in (
+                "any", "all", "some"
+            )
+            if not quantified and (
+                lb == i and ra == i + 1 and lb > la and rb > ra
+            ) and (
+                _is_citext_ref(toks, la, lb, cols)
+                or _is_citext_ref(toks, ra, rb, cols)
+            ):
+                wrap(ra, rb)
+                wrap(la, lb)
+            i = rb if rb > i else i + 1
+            continue
+        if t == "in" and i > 0:
+            la, lb = _operand_span(toks, i - 1, -1)
+            if lb == i and _is_citext_ref(toks, la, lb, cols):
+                # lower the column and each top-level list item
+                if i + 1 < len(toks) and toks[i + 1] == "(":
+                    depth, j = 1, i + 2
+                    item_start = i + 2
+                    while j < len(toks) and depth:
+                        if toks[j] == "(":
+                            depth += 1
+                        elif toks[j] == ")":
+                            depth -= 1
+                            if depth == 0 and j > item_start:
+                                wrap(item_start, j)
+                        elif toks[j] == "," and depth == 1:
+                            wrap(item_start, j)
+                            item_start = j + 1
+                        j += 1
+                    wrap(la, lb)
+        i += 1
+
+    # absolute paren depth per token (to scope a GROUP BY to its SELECT)
+    depths = []
+    d = 0
+    for t in toks:
+        if t == ")":
+            d -= 1
+        depths.append(d)
+        if t == "(":
+            d += 1
+
+    # 2) GROUP BY / ORDER BY items that are exactly a citext ref
+    grouped_segments: list[tuple[int, int, str]] = []
+    i = 0
+    while i < len(low) - 1:
+        if low[i] in ("group", "order") and low[i + 1] == "by":
+            j = i + 2
+            item_start = j
+            depth = 0
+            stops = {"having", "order", "limit", "offset", "window", ")",
+                     "union", "intersect", "except", ";"}
+            while j <= len(low):
+                end_item = j == len(low) or (
+                    depth == 0
+                    and (low[j] == "," or low[j] in stops)
+                )
+                if j < len(low):
+                    if toks[j] == "(":
+                        depth += 1
+                    elif toks[j] == ")" and depth > 0:
+                        depth -= 1
+                        j += 1
+                        continue
+                if end_item:
+                    a, b = item_start, j
+                    # strip ASC/DESC/NULLS FIRST|LAST tail for the check
+                    bb = b
+                    while bb > a and low[bb - 1] in (
+                        "asc", "desc", "nulls", "first", "last"
+                    ):
+                        bb -= 1
+                    if bb > a and _is_citext_ref(toks, a, bb, cols):
+                        wrap(a, bb)
+                        if low[i] == "group":
+                            col = low[bb - 1]
+                            grouped_cols.add(col)
+                            # owning SELECT: nearest preceding 'select'
+                            # at this GROUP BY's depth; list ends at the
+                            # matching 'from'
+                            gd = depths[i]
+                            sel = -1
+                            for p in range(i - 1, -1, -1):
+                                if low[p] == "select" and depths[p] == gd:
+                                    sel = p
+                                    break
+                            if sel >= 0:
+                                frm = len(low)
+                                for p in range(sel + 1, i):
+                                    if low[p] == "from" and depths[p] == gd:
+                                        frm = p
+                                        break
+                                grouped_segments.append((sel, frm, col))
+                    if j == len(low) or low[j] in stops:
+                        break
+                    item_start = j + 1
+                j += 1
+        i += 1
+
+    # 3) grouped citext columns: bare select-list refs of the OWNING
+    # select become min(col) AS col (PG returns an arbitrary-case
+    # representative; min() is a deterministic one)
+    for sel, frm, col in grouped_segments:
+        gd = depths[sel]
+        for j in range(sel + 1, frm):
+            if (
+                depths[j] == gd
+                and low[j] == col
+                and toks[j - 1] != "."
+                and (j + 1 >= len(low) or toks[j + 1] != "(")
+                and not out[j].startswith("lower(")
+                and not out[j].startswith("min(")
+            ):
+                prev_ok = j == sel + 1 or low[j - 1] in (",", "select")
+                nxt = low[j + 1] if j + 1 < len(low) else ","
+                nxt_ok = nxt in (",", "from", "as")
+                if prev_ok and nxt_ok:
+                    out[j] = f"min({toks[j]}) AS {toks[j]}"
+    return " ".join(out)

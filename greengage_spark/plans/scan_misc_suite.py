@@ -885,6 +885,56 @@ def cursor_scroll_fetch(spark, sf_dir):
 
 
 @suite.add(
+    "dialect_citext",
+    oracle="""
+    WITH cu AS (
+      SELECT n_nationkey AS id, n_name AS nick FROM nation
+      UNION ALL
+      SELECT n_nationkey + 100, lower(n_name) FROM nation
+      WHERE n_nationkey < 10
+    )
+    SELECT 'eq' AS part, CAST(id AS BIGINT) AS k, nick FROM cu
+    WHERE lower(nick) = 'algeria'
+    UNION ALL
+    SELECT 'grp', CAST(count(*) AS BIGINT), min(nick) FROM cu
+    GROUP BY lower(nick) HAVING count(*) > 1
+    ORDER BY part, k, nick
+    """,
+    doc="contrib/citext (citext.c citext_eq/citextcmp): a column "
+        "declared citext keeps its stored case but compares, joins, and "
+        "groups case-insensitively — the engine folds comparisons and "
+        "GROUP BY items through lower() at statement level "
+        "(operators/citext.py), so the fold stays a JVM expression and "
+        "Catalyst still pushes the lowered predicate to the scan. "
+        "GROUP BY returns min() as the deterministic case "
+        "representative (PG's is arbitrary). Oracle applies the same "
+        "lower() folds explicitly.",
+    tags=("dialect", "contrib", "engine"),
+)
+def dialect_citext(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_cit_"))
+    cat(spark, sf_dir).table("nation").createOrReplaceTempView("cit_nation")
+    eng.execute("CREATE TABLE cit_users (id int8, nick citext)")
+    eng.execute(
+        "INSERT INTO cit_users SELECT n_nationkey, n_name FROM cit_nation"
+    )
+    eng.execute(
+        "INSERT INTO cit_users SELECT n_nationkey + 100, lower(n_name) "
+        "FROM cit_nation WHERE n_nationkey < 10"
+    )
+    return eng.execute(
+        "SELECT 'eq' AS part, id::int8 AS k, nick FROM cit_users "
+        "WHERE nick = 'aLgErIa' "
+        "UNION ALL "
+        "SELECT 'grp' AS part, count(*)::int8 AS k, min(nick) AS nick "
+        "FROM cit_users GROUP BY nick HAVING count(*) > 1 "
+        "ORDER BY part, k, nick"
+    )
+
+
+@suite.add(
     "function_connectby_tree",
     oracle="""
     WITH RECURSIVE t AS (

@@ -1,0 +1,128 @@
+"""contrib/citext semantics for declared citext columns
+(contrib/citext/citext.c citext_eq/citextcmp; battery shapes from
+contrib/citext/sql/citext.sql): values keep their case, every
+comparison/grouping folds through lower()."""
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = GreengageEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE users (id int8, nick citext, email text)")
+    e.execute(
+        "INSERT INTO users VALUES (1,'Larry','l@x.com'),(2,'Tom','t@x.com'),"
+        "(3,'larry','l2@x.com'),(4,'DAMIAN','d@x.com')"
+    )
+    return e
+
+
+class TestCitextComparisons:
+    def test_equality_insensitive(self, eng):
+        got = [
+            r[0]
+            for r in eng.execute(
+                "SELECT id FROM users WHERE nick = 'LARRY' ORDER BY id"
+            ).collect()
+        ]
+        assert got == [1, 3]
+
+    def test_inequality_insensitive(self, eng):
+        got = [
+            r[0]
+            for r in eng.execute(
+                "SELECT id FROM users WHERE nick <> 'larry' ORDER BY id"
+            ).collect()
+        ]
+        assert got == [2, 4]
+
+    def test_in_list_insensitive(self, eng):
+        got = [
+            r[0]
+            for r in eng.execute(
+                "SELECT id FROM users WHERE nick IN ('TOM','damian') "
+                "ORDER BY id"
+            ).collect()
+        ]
+        assert got == [2, 4]
+
+    def test_range_comparison_insensitive(self, eng):
+        # citext.sql: 'B'::citext > 'a'::citext — lower-folded ordering
+        got = [
+            r[0]
+            for r in eng.execute(
+                "SELECT id FROM users WHERE nick < 'M' ORDER BY id"
+            ).collect()
+        ]
+        assert got == [1, 3, 4]  # Larry, larry, DAMIAN < 'm'
+
+    def test_case_preserved_on_output(self, eng):
+        got = [
+            r[0]
+            for r in eng.execute(
+                "SELECT nick FROM users WHERE nick = 'damian'"
+            ).collect()
+        ]
+        assert got == ["DAMIAN"]
+
+    def test_text_column_stays_sensitive(self, eng):
+        assert (
+            eng.execute("SELECT id FROM users WHERE email = 'L@X.COM'")
+            .collect()
+            == []
+        )
+
+
+class TestCitextGroupJoinOrder:
+    def test_group_by_insensitive(self, eng):
+        got = [
+            tuple(r)
+            for r in eng.execute(
+                "SELECT nick, count(*) AS n FROM users GROUP BY nick "
+                "ORDER BY n DESC, nick"
+            ).collect()
+        ]
+        # min() picks the deterministic representative ('Larry' < 'larry')
+        assert got == [("Larry", 2), ("DAMIAN", 1), ("Tom", 1)]
+
+    def test_join_on_citext(self, eng):
+        eng.execute("CREATE TABLE aliases (nick citext, alias text)")
+        eng.execute("INSERT INTO aliases VALUES ('LARRY','the bird')")
+        got = [
+            tuple(r)
+            for r in eng.execute(
+                "SELECT u.id, a.alias FROM users u JOIN aliases a "
+                "ON u.nick = a.nick ORDER BY u.id"
+            ).collect()
+        ]
+        assert got == [(1, "the bird"), (3, "the bird")]
+
+    def test_order_by_insensitive(self, eng):
+        got = [
+            r[0]
+            for r in eng.execute(
+                "SELECT nick FROM users WHERE id IN (2, 4) ORDER BY nick"
+            ).collect()
+        ]
+        assert got == ["DAMIAN", "Tom"]  # case-insensitive: d < t
+
+    def test_distinct_rejects_loudly(self, eng):
+        with pytest.raises(NotImplementedError, match="DISTINCT"):
+            eng.execute("SELECT DISTINCT nick FROM users")
+
+
+class TestCitextDml:
+    def test_update_where_folds_set_untouched(self, eng):
+        eng.execute("UPDATE users SET email = 'CASE@Kept' WHERE nick = 'tom'")
+        got = eng.execute("SELECT email FROM users WHERE id = 2").collect()
+        assert got[0][0] == "CASE@Kept"
+
+    def test_delete_where_folds(self, eng):
+        eng.execute("DELETE FROM users WHERE nick = 'LaRrY'")
+        got = [
+            r[0]
+            for r in eng.execute("SELECT id FROM users ORDER BY id").collect()
+        ]
+        assert got == [2, 4]
