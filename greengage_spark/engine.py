@@ -804,6 +804,13 @@ class GreengageEngine:
                 )
 
                 stmt = expand_contrib_srfs(self, stmt)
+            if re.search(r"(?i)\bdblink", stmt):
+                from greengage_spark.sources import dblink as _dbl
+
+                handled = _dbl.maybe_handle_call(self, stmt)
+                if handled is not None:
+                    return handled
+                stmt = _dbl.expand_dblink(self, stmt)
             if any(getattr(f, "setof", False) for f in self.functions.values()):
                 from greengage_spark.operators.udf_ddl import expand_table_macros
 

@@ -162,6 +162,48 @@ def foreign_scan_jdbc(spark, sf_dir):
     )
 
 
+@suite.add(
+    "foreign_dblink_query",
+    oracle="""
+    SELECT CAST(n_regionkey AS INTEGER) AS rk,
+           CAST(count(*) AS BIGINT) AS n, MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY rk
+    """,
+    doc="contrib/dblink (dblink.c:652-654) over the JDBC foreign layer: "
+        "dblink_connect names a remote, dblink() ships the WHOLE query "
+        "text to it (the remote aggregates; only 5 rows come back — "
+        "dblink's contract, vs the foreign-table path's qual pushdown), "
+        "the column definition list types the result. Remote is the "
+        "embedded Derby the foreign layer already exercises. A dblink "
+        "call is one remote cursor by design — bulk reads belong to the "
+        "range-partitioned foreign-table scan.",
+    tags=("scan", "foreign", "contrib"),
+)
+def foreign_dblink_query(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+    from greengage_spark.sources.foreign import derby_server, write_foreign_table
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_dblq_"))
+    loc = os.path.join(tempfile.gettempdir(), "gg_dblink_derby_reg")
+    srv = derby_server(loc)
+    write_foreign_table(cat(spark, sf_dir).table("nation"), srv, "nation")
+    eng.execute(f"SELECT dblink_connect('reg', '{srv.url}')")
+    try:
+        # Derby uppercases unquoted names and the JDBC layer re-selects
+        # by name, so the shipped text quotes identifiers and aliases
+        # every expression — the dblink contract is unchanged (the
+        # remote runs this text verbatim)
+        return eng.execute(
+            'SELECT * FROM dblink(\'reg\', '
+            "'SELECT \"n_regionkey\" AS rk, COUNT(*) AS n, "
+            "MIN(CAST(\"n_name\" AS VARCHAR(64))) AS first_name FROM nation "
+            "GROUP BY \"n_regionkey\"') "
+            "AS t(rk int4, n int8, first_name text) ORDER BY rk"
+        )
+    finally:
+        eng.execute("SELECT dblink_disconnect('reg')")
+
+
 # ==================== SORT / LIMIT (§2.6) ====================
 
 @suite.add(

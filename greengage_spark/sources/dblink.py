@@ -1,0 +1,161 @@
+"""contrib/dblink modeled over the JDBC foreign layer.
+
+Reference: contrib/dblink/dblink.c:652-654 (dblink_record_internal —
+the SELECT-shipping core), dblink_connect / dblink_exec /
+dblink_disconnect.  The reference speaks libpq to a remote Postgres;
+ours ships the query text over JDBC — same contract (remote executes
+the SQL verbatim, rows come back typed by the caller's column
+definition list), driver-agnostic, exercised end-to-end against the
+embedded Derby backend the foreign layer already uses.
+
+* ``SELECT dblink_connect('cname', '<jdbc url>')`` — record a named
+  connection (returns 'OK', as PG does).
+* ``FROM dblink('cname' | '<jdbc url>', 'sql') AS t(col type, ...)`` —
+  the remote query runs remotely (Spark JDBC ``query`` pushdown; the
+  result is ONLY what the remote returns — dblink ships the whole query,
+  unlike a foreign table whose quals push down piecemeal), then casts to
+  the declared column list.
+* ``SELECT dblink_exec('cname', 'ddl/dml')`` — runs through
+  java.sql.DriverManager on the driver (utility statements return no
+  rowset; PG returns the command status text).
+* ``SELECT dblink_disconnect('cname')``.
+
+Scale note: a dblink() call is a single remote cursor by design (PG's
+is too) — bulk foreign reads should use the foreign-table path, which
+range-partitions into parallel cursors (sources/foreign.py).
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+from pyspark.sql import functions as F
+
+_uid = itertools.count()
+
+_CALL_RE = re.compile(
+    r"(?is)^\s*select\s+dblink_(connect|exec|disconnect)\s*\(\s*"
+    r"'(?P<a>(?:[^']|'')*)'\s*(?:,\s*'(?P<b>(?:[^']|'')*)'\s*)?\)\s*"
+    r"(?:as\s+\w+\s*)?;?\s*$"
+)
+
+_DBLINK_RE = re.compile(
+    r"(?is)\bdblink\s*\(\s*'(?P<conn>(?:[^']|'')*)'\s*,\s*"
+    r"'(?P<sql>(?:[^']|'')*)'\s*\)\s*"
+    r"(?:as\s+)?(?P<alias>\w+)\s*\(\s*(?P<cols>[^()]*)\)"
+)
+
+
+def _conns(engine) -> dict:
+    return engine.misc_ddl.setdefault(("dblink", "connections"), {})
+
+
+def _resolve(engine, name_or_url: str) -> str:
+    if name_or_url.startswith("jdbc:"):
+        return name_or_url
+    conns = _conns(engine)
+    if name_or_url not in conns:
+        raise ValueError(f'connection "{name_or_url}" not available')
+    return conns[name_or_url]
+
+
+def _jdbc_props(url: str) -> dict:
+    from greengage_spark.sources.foreign import ForeignServer
+
+    return ForeignServer("dblink", url).properties()
+
+
+def maybe_handle_call(engine, stmt: str):
+    """dblink_connect / dblink_exec / dblink_disconnect as top-level
+    SELECTs; returns a status DataFrame or None (not a dblink call)."""
+    m = _CALL_RE.match(stmt)
+    if not m:
+        return None
+    kind = m.group(1).lower()
+    a = m.group("a").replace("''", "'")
+    b = (m.group("b") or "").replace("''", "'")
+    spark = engine.spark
+    if kind == "connect":
+        if not b:
+            # single-arg form: the connstr IS the argument, unnamed
+            a, b = "__unnamed__", a
+        if not b.startswith("jdbc:"):
+            raise NotImplementedError(
+                "dblink_connect: connection strings are JDBC URLs here "
+                "(the libpq conninfo form needs a Postgres wire driver)"
+            )
+        conns = _conns(engine)
+        if a in conns:
+            raise ValueError(f'duplicate connection name "{a}"')
+        conns[a] = b
+        return spark.createDataFrame([("OK",)], "dblink_connect string")
+    if kind == "disconnect":
+        conns = _conns(engine)
+        if a not in conns:
+            raise ValueError(f'connection "{a}" not available')
+        del conns[a]
+        return spark.createDataFrame([("OK",)], "dblink_disconnect string")
+    # dblink_exec: remote utility/DML through DriverManager (dblink.c
+    # dblink_exec returns the command status)
+    url = _resolve(engine, a)
+    if not b:
+        raise ValueError("dblink_exec requires a SQL argument")
+    jvm = spark._jvm
+    props = _jdbc_props(url)
+    if "driver" in props:
+        jvm.java.lang.Class.forName(props["driver"])
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        st.execute(b)
+        n = st.getUpdateCount()
+        st.close()
+    finally:
+        conn.close()
+    status = b.strip().split(None, 1)[0].upper() + (
+        f" {n}" if n > 0 else ""
+    )
+    return spark.createDataFrame([(status,)], "dblink_exec string")
+
+
+def expand_dblink(engine, stmt: str) -> str:
+    """Replace FROM-position dblink('conn','sql') AS t(cols) with a
+    remote-executed JDBC query view."""
+    from greengage_spark.dialect.ddl import map_pg_type
+
+    def repl(m: re.Match) -> str:
+        url = _resolve(engine, m.group("conn").replace("''", "'"))
+        sql = m.group("sql").replace("''", "'")
+        cols = [
+            c.strip().split() for c in m.group("cols").split(",") if c.strip()
+        ]
+        if any(len(c) < 2 for c in cols):
+            raise ValueError(
+                "dblink requires a column definition list: "
+                "AS t(col type, ...)"
+            )
+        reader = (
+            engine.spark.read.format("jdbc")
+            .option("url", url)
+            .option("query", sql)
+        )
+        for k, v in _jdbc_props(url).items():
+            reader = reader.option(k, v)
+        df = reader.load()
+        if len(df.columns) != len(cols):
+            raise ValueError(
+                f"remote query returned {len(df.columns)} columns, the "
+                f"definition list declares {len(cols)}"
+            )
+        out = df.select(
+            [
+                F.col(c).cast(map_pg_type(" ".join(spec[1:]))).alias(spec[0])
+                for c, spec in zip(df.columns, cols)
+            ]
+        )
+        view = f"__gg_dblink_{next(_uid)}"
+        out.createOrReplaceTempView(view)
+        return f"{view} AS {m.group('alias')}"
+
+    return _DBLINK_RE.sub(repl, stmt)

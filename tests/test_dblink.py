@@ -1,0 +1,98 @@
+"""contrib/dblink over the JDBC foreign layer
+(contrib/dblink/dblink.c:652-654 dblink_record_internal, dblink_connect
+/ dblink_exec / dblink_disconnect) — exercised end-to-end against
+embedded Derby."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_dblw_"))
+
+
+@pytest.fixture(scope="module")
+def remote(eng):
+    loc = tempfile.mkdtemp(prefix="gg_dbl_derby_") + "/db"
+    eng.execute(
+        f"SELECT dblink_connect('r1', 'jdbc:derby:{loc};create=true')"
+    )
+    eng.execute(
+        "SELECT dblink_exec('r1', "
+        "'CREATE TABLE emp (id INT, name VARCHAR(20), sal INT)')"
+    )
+    eng.execute(
+        "SELECT dblink_exec('r1', 'INSERT INTO emp VALUES "
+        "(1, ''ada'', 100), (2, ''bob'', 200), (3, ''cyn'', 300)')"
+    )
+    yield "r1"
+    shutil.rmtree(loc, ignore_errors=True)
+
+
+class TestDblink:
+    def test_query_with_coldef_list(self, eng, remote):
+        rows = eng.execute(
+            f"SELECT * FROM dblink('{remote}', "
+            "'SELECT id, name FROM emp WHERE sal > 100') "
+            "AS t(id int4, name text) ORDER BY id"
+        ).collect()
+        assert [tuple(r) for r in rows] == [(2, "bob"), (3, "cyn")]
+
+    def test_remote_query_runs_remotely(self, eng, remote):
+        # the WHOLE query text ships (dblink contract): the remote does
+        # the aggregation, we receive one row.  Remote expressions carry
+        # aliases — the JDBC layer re-selects columns by name
+        rows = eng.execute(
+            f"SELECT * FROM dblink('{remote}', "
+            "'SELECT COUNT(*) AS n, SUM(sal) AS total FROM emp') "
+            "AS t(n int8, total int8)"
+        ).collect()
+        assert [tuple(r) for r in rows] == [(3, 600)]
+
+    def test_exec_status_text(self, eng, remote):
+        got = eng.execute(
+            f"SELECT dblink_exec('{remote}', "
+            "'UPDATE emp SET sal = sal WHERE id = 1')"
+        ).collect()[0][0]
+        assert got == "UPDATE 1"
+
+    def test_inline_jdbc_url_form(self, eng):
+        loc = tempfile.mkdtemp(prefix="gg_dbl2_") + "/db"
+        url = f"jdbc:derby:{loc};create=true"
+        eng.execute(f"SELECT dblink_exec('{url}', 'CREATE TABLE x (a INT)')")
+        eng.execute(f"SELECT dblink_exec('{url}', 'INSERT INTO x VALUES (7)')")
+        rows = eng.execute(
+            f"SELECT * FROM dblink('{url}', 'SELECT a FROM x') AS t(a int4)"
+        ).collect()
+        assert [r[0] for r in rows] == [7]
+        shutil.rmtree(loc, ignore_errors=True)
+
+    def test_unknown_connection_rejects(self, eng):
+        with pytest.raises(ValueError, match="not available"):
+            eng.execute(
+                "SELECT * FROM dblink('nope', 'SELECT 1') AS t(x int4)"
+            )
+
+    def test_column_count_mismatch_rejects(self, eng, remote):
+        with pytest.raises(ValueError, match="definition list declares"):
+            eng.execute(
+                f"SELECT * FROM dblink('{remote}', 'SELECT id FROM emp') "
+                "AS t(id int4, name text)"
+            )
+
+    def test_duplicate_connection_name_rejects(self, eng, remote):
+        with pytest.raises(ValueError, match="duplicate"):
+            eng.execute(
+                f"SELECT dblink_connect('{remote}', 'jdbc:derby:memory:z')"
+            )
+
+    def test_libpq_conninfo_rejects_loudly(self, eng):
+        with pytest.raises(NotImplementedError, match="JDBC"):
+            eng.execute(
+                "SELECT dblink_connect('pq', 'dbname=postgres host=x')"
+            )
