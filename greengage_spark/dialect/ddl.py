@@ -54,6 +54,9 @@ _TYPE_MAP = {
     # contrib/citext: stored as string, case-insensitive semantics folded
     # at statement level (operators/citext.py)
     "citext": "string",
+    # contrib/ltree: label paths stored as their text form; operators and
+    # functions lower to JVM expressions (functions/ltree_ops.py)
+    "ltree": "string", "lquery": "string",
     "json": "string", "jsonb": "string", "xml": "string",
     "inet": "string", "cidr": "string", "macaddr": "string",
     # geometric types live as their PG literal text (functions/geometry.py)

@@ -211,6 +211,8 @@ _TYPE_MAP = {
     "bool": "BOOLEAN", "boolean": "BOOLEAN",
     "text": "STRING", "varchar": "STRING", "char": "STRING",
     "bpchar": "STRING", "name": "STRING", "citext": "STRING",
+    # contrib/ltree: label paths as their text form (functions/ltree_ops)
+    "ltree": "STRING", "lquery": "STRING",
     "bytea": "BINARY",
     "date": "DATE",
     "timestamp": "TIMESTAMP_NTZ", "timestamptz": "TIMESTAMP",
@@ -5113,6 +5115,77 @@ def _operand_end(toks: list[str], start: int) -> int:
     return i
 
 
+def _pass_ltree(toks: list[str]) -> list[str]:
+    """contrib/ltree operators (ltree_op.c; functions/ltree_ops.py).
+
+    ``::ltree`` / ``::lquery`` casts mark their operand; a comparison
+    with a marked operand lowers to the JVM emitters: ``@>``/``<@`` →
+    isparent, ``~`` literal-lquery → compiled RLIKE, ``||`` →
+    empty-aware path concat.  Leftover markers unwrap to plain strings.
+    Runs BEFORE the cast/regex/array passes so those never see the
+    claimed spans."""
+    if not any(
+        _is_ident(t) and t.lower() in ("ltree", "lquery") for t in toks
+    ):
+        return toks
+    from greengage_spark.functions import ltree_ops as L
+
+    i = 1
+    while i < len(toks) - 1:
+        if (
+            toks[i] == "::"
+            and _is_ident(toks[i + 1])
+            and toks[i + 1].lower() in ("ltree", "lquery")
+        ):
+            lstart = _operand_start(toks, i - 1)
+            toks[lstart : i + 2] = (
+                ["__ggltr__", "("] + toks[lstart:i] + [")"]
+            )
+            i = lstart
+        i += 1
+
+    def unwrap(ts: list[str]) -> list[str]:
+        return [t for t in ts if t != "__ggltr__"]
+
+    i = 1
+    while i < len(toks) - 1:
+        pair = (toks[i], toks[i + 1]) if i + 1 < len(toks) else ("", "")
+        if pair in (("@", ">"), ("<", "@")):
+            op_len, opk = 2, ("isparent" if pair == ("@", ">") else "risparent")
+        elif toks[i] == "~":
+            op_len, opk = 1, "match"
+        elif toks[i] == "||":
+            op_len, opk = 1, "concat"
+        else:
+            i += 1
+            continue
+        lstart = _operand_start(toks, i - 1)
+        rend = _operand_end(toks, i + op_len)
+        left, right = toks[lstart:i], toks[i + op_len : rend + 1]
+        if "__ggltr__" not in left and "__ggltr__" not in right:
+            i += 1
+            continue
+        lh = "(" + " ".join(unwrap(left)) + ")"
+        rh = "(" + " ".join(unwrap(right)) + ")"
+        if opk == "isparent":
+            new = L.isparent_sql(lh, rh)
+        elif opk == "risparent":
+            new = L.isparent_sql(rh, lh)
+        elif opk == "concat":
+            new = L.concat_sql(lh, rh)
+        else:
+            lit = [t for t in unwrap(right) if t not in ("(", ")")]
+            if len(lit) != 1 or not _is_string(lit[0]):
+                raise NotImplementedError(
+                    "ltree ~ needs a literal lquery pattern "
+                    "(compiled to a regex at transpile time)"
+                )
+            new = L.match_sql(lh, lit[0][1:-1].replace("''", "'"))
+        toks[lstart : rend + 1] = tokenize(new)
+        i = lstart if lstart > 0 else 1
+    return [t for t in toks if t != "__ggltr__"]
+
+
 def _pass_array_ops(toks: list[str]) -> list[str]:
     """PG array operators left over after the geometry/text-search passes
     claimed their typed spans (arrayfuncs.c arraycontains / arrayoverlap):
@@ -5942,6 +6015,42 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     f"CAST(({k}) AS STRING), '{algo}')"
                 )
                 continue
+            if low in (
+                "nlevel", "subltree", "subpath", "lca",
+                "text2ltree", "ltree2text",
+            ) or (low == "index" and len(args) in (2, 3)):
+                # contrib/ltree function surface (ltree_op.c; emitters in
+                # functions/ltree_ops.py — all JVM array expressions)
+                from greengage_spark.functions import ltree_ops as L
+
+                a = ["(" + " ".join(x) + ")" for x in args]
+                if low == "nlevel" and len(a) == 1:
+                    expr = L.nlevel_sql(a[0])
+                elif low == "subltree" and len(a) == 3:
+                    expr = L.subltree_sql(*a)
+                elif low == "subpath" and len(a) in (2, 3):
+                    expr = L.subpath_sql(*a)
+                elif low == "index":
+                    expr = L.index_sql(*a)
+                elif low == "lca" and len(a) in (1, 2):
+                    if len(a) == 1 and args[0] and _is_string(args[0][0]) \
+                            and args[0][0].lstrip("'").startswith("{"):
+                        raise NotImplementedError(
+                            "lca('{...}') array form — pass the paths as "
+                            "separate arguments (2 supported)"
+                        )
+                    expr = L.lca_sql(*a)
+                elif low == "lca":
+                    raise NotImplementedError(
+                        "lca over more than 2 paths is out of the subset"
+                    )
+                elif low in ("text2ltree", "ltree2text") and len(a) == 1:
+                    expr = a[0]  # identity: ltree IS its text form
+                else:
+                    i += 1
+                    continue
+                out[i : close + 1] = tokenize(expr)
+                continue
             if low in ("xpath", "xpath_exists") and len(args) in (2, 3):
                 # xml.c:4082,4132 — child/attribute/text() subset over an
                 # Arrow-batched ElementTree UDF (functions/xmlquery.py)
@@ -6373,6 +6482,7 @@ def transpile(sql: str) -> str:
     # user-written CAST(x AS pgtype) typenames map BEFORE ::casts emit
     # Spark type tokens, so emissions are never re-read as PG names
     # (PG `float` = float8, but our emitted FLOAT means float4)
+    toks = _pass_ltree(toks)
     toks = _pass_bit_casts(toks)
     toks = _pass_cast_typenames(toks)
     toks = _pass_casts(toks)

@@ -1,0 +1,163 @@
+"""contrib/ltree — hierarchical label paths emulated over strings.
+
+Reference: contrib/ltree/ltree_op.c (ltree_isparent / ltree_addltree /
+_lca), ltree_gist.c is index plumbing (subsumed by parquet pushdown),
+lquery matching ltxtquery.c/lquery_op.c; expected semantics pinned to
+contrib/ltree/expected/ltree.out (subpath negative offsets/lengths, the
+index() offset battery, lca's strict-ancestor cap).
+
+An ltree value is its text form ('Top.Science.Astronomy'); every kernel
+below EMITS a JVM expression string (split / slice / array_join /
+zip_with — whole-stage codegen, no Python).  lquery patterns compile to
+an RLIKE regex at transpile time over the '.'-terminated path form.
+
+Subset rejects loudly: lquery ``%`` word matching and ``!`` negation,
+ltxtquery ``@`` operator, lca over >2 paths / the '{...}' array form,
+``?`` lquery-array matching.
+"""
+
+from __future__ import annotations
+
+import re
+
+_LABEL_RE = re.compile(r"^(\w+)([@*%]*)$")
+_STAR_RE = re.compile(r"^\*(?:\{(\d*)(?:(,)(\d*))?\})?$")
+
+
+def lquery_to_regex(lq: str) -> str:
+    """lquery → Java regex over the path's ``label.label.`` form
+    (trailing separator; empty path → empty string)."""
+    parts: list[str] = []
+    for item in lq.split("."):
+        item = item.strip()
+        if not item:
+            raise ValueError(f"bad lquery: empty item in {lq!r}")
+        ms = _STAR_RE.match(item)
+        if ms:
+            lo = ms.group(1) or "0"
+            if ms.group(2) is None:  # *{n} exactly n
+                hi = lo if ms.group(1) else ""
+            else:
+                hi = ms.group(3) or ""
+            parts.append(r"(?:[^.]+\.){%s,%s}" % (lo, hi))
+            continue
+        if item.startswith("!"):
+            raise NotImplementedError(
+                "lquery '!' negation is out of the subset"
+            )
+        alts = []
+        for alt in item.split("|"):
+            m = _LABEL_RE.match(alt)
+            if m is None:
+                raise NotImplementedError(
+                    f"lquery item {alt!r} is out of the subset"
+                )
+            name, mods = m.group(1), m.group(2)
+            if "%" in mods:
+                raise NotImplementedError(
+                    "lquery '%' word matching is out of the subset"
+                )
+            base = re.escape(name)
+            if "*" in mods:
+                base += r"[^.]*"  # prefix match
+            if "@" in mods:
+                base = "(?i:" + base + ")"
+            alts.append(base)
+        parts.append("(?:" + "|".join(alts) + r")\.")
+    return "^" + "".join(parts) + "$"
+
+
+# ---- SQL emitters (x/y/... are already-parenthesized SQL fragments) ----
+
+
+def _labels(x: str) -> str:
+    return f"split({x}, '[.]')"
+
+
+def nlevel_sql(x: str) -> str:
+    return f"(CASE WHEN {x} = '' THEN 0 ELSE size({_labels(x)}) END)"
+
+
+def isparent_sql(a: str, b: str) -> str:
+    """a @> b — is a an ancestor of b or equal (ltree_isparent)."""
+    return (
+        f"({a} = '' OR {a} = {b} OR startswith({b}, concat({a}, '.')))"
+    )
+
+
+def concat_sql(a: str, b: str) -> str:
+    return (
+        f"(CASE WHEN {a} = '' THEN {b} WHEN {b} = '' THEN {a} "
+        f"ELSE concat({a}, '.', {b}) END)"
+    )
+
+
+def subltree_sql(x: str, a: str, b: str) -> str:
+    return f"array_join(slice({_labels(x)}, ({a}) + 1, ({b}) - ({a})), '.')"
+
+
+def subpath_sql(x: str, off: str, n: str | None = None) -> str:
+    sa = _labels(x)
+    pos = (
+        f"(CASE WHEN ({off}) >= 0 THEN ({off}) + 1 "
+        f"ELSE GREATEST(size({sa}) + ({off}) + 1, 1) END)"
+    )
+    if n is None:
+        length = f"GREATEST(size({sa}) - {pos} + 1, 0)"
+    else:
+        length = (
+            f"GREATEST(CASE WHEN ({n}) >= 0 THEN ({n}) "
+            f"ELSE size({sa}) - {pos} + 1 + ({n}) END, 0)"
+        )
+    return f"array_join(slice({sa}, {pos}, {length}), '.')"
+
+
+def index_sql(a: str, b: str, off: str | None = None) -> str:
+    """index(a, b [, offset]) — first label position of subpath b in a
+    (0-based, -1 absent); negative offsets count from the end, clamped
+    (ltree_op.c ltree_index battery in ltree.out)."""
+    sa, sb = _labels(a), _labels(b)
+    norm = (
+        "0"
+        if off is None
+        else (
+            f"(CASE WHEN ({off}) >= 0 THEN ({off}) "
+            f"ELSE GREATEST(size({sa}) + ({off}), 0) END)"
+        )
+    )
+    return (
+        f"(CASE WHEN size({sb}) > size({sa}) THEN -1 ELSE "
+        f"coalesce(try_element_at(filter("
+        f"sequence(0, size({sa}) - size({sb})), "
+        f"k -> k >= {norm} AND slice({sa}, k + 1, size({sb})) = {sb}), "
+        f"1), -1) END)"
+    )
+
+
+def lca_sql(a: str, b: str | None = None) -> str:
+    """lca: longest common prefix capped at one label SHORT of the
+    shortest path (ltree.out: lca('1.2.3','1.2.3') = '1.2',
+    lca('1.2.3') = '1.2')."""
+    sa = _labels(a)
+    if b is None:
+        return f"array_join(slice({sa}, 1, size({sa}) - 1), '.')"
+    sb = _labels(b)
+    mism = (
+        f"array_position(zip_with({sa}, {sb}, "
+        f"(x, y) -> coalesce(x = y, false)), false)"
+    )
+    minsz = f"LEAST(size({sa}), size({sb}))"
+    shared = f"(CASE WHEN {mism} = 0 THEN {minsz} ELSE int({mism}) - 1 END)"
+    return (
+        f"array_join(slice({sa}, 1, "
+        f"GREATEST(LEAST({shared}, {minsz} - 1), 0)), '.')"
+    )
+
+
+def match_sql(x: str, lquery: str) -> str:
+    """x ~ 'lquery' — compiled to RLIKE over the '.'-terminated form."""
+    rx = lquery_to_regex(lquery).replace("'", "''")
+    return (
+        f"((CASE WHEN {x} = '' THEN '' ELSE concat({x}, '.') END) "
+        f"RLIKE '{rx}')"
+    )

@@ -1387,6 +1387,55 @@ def dialect_xml_publish(spark, sf_dir):
 
 
 @suite.add(
+    "dialect_ltree",
+    oracle="""
+    WITH t AS (
+      SELECT n_nationkey,
+             'top.r' || n_regionkey || '.n' || n_nationkey AS path,
+             n_regionkey
+      FROM nation
+    )
+    SELECT n_nationkey,
+           CAST(3 AS INTEGER) AS depth,
+           'top.r' || n_regionkey AS region_path,
+           (n_regionkey = 2) AS in_r2,
+           CASE WHEN n_regionkey = 2 THEN 'top.r2' ELSE 'top' END AS lca_p,
+           (n_nationkey IN (3, 4, 5)) AS is_345
+    FROM t ORDER BY n_nationkey
+    """,
+    doc="contrib/ltree (ltree_op.c; expected semantics pinned to "
+        "contrib/ltree/expected/ltree.out): label paths as text — "
+        "nlevel/subpath/lca lower to JVM split/slice/zip_with "
+        "expressions, @> ancestry is a boundary-safe prefix test, and "
+        "~ lquery patterns (labels, |, @ case-fold, * quantifiers) "
+        "compile to ONE RLIKE regex at transpile time — all inside "
+        "whole-stage codegen, no Python, predicates pushable. Oracle "
+        "recomputes each value in closed form from the key structure.",
+    tags=("dialect", "contrib", "types"),
+)
+def dialect_ltree(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        WITH t AS (
+          SELECT n_nationkey,
+                 'top.r' || n_regionkey || '.n' || n_nationkey AS path
+          FROM nation
+        )
+        SELECT n_nationkey,
+               nlevel(path)::int4 AS depth,
+               subpath(path, 0, 2) AS region_path,
+               'top.r2'::ltree @> path AS in_r2,
+               lca(path, 'top.r2.n5') AS lca_p,
+               path::ltree ~ 'top.*{1}.n3|n4|n5' AS is_345
+        FROM t ORDER BY n_nationkey
+        """,
+        ["nation"],
+    )
+
+
+@suite.add(
     "dialect_xml_query",
     oracle="""
     SELECT n_nationkey, n_name AS nm,

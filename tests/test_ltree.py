@@ -1,0 +1,147 @@
+"""contrib/ltree over string emulation (contrib/ltree/ltree_op.c;
+battery rows verbatim from contrib/ltree/expected/ltree.out)."""
+
+import pytest
+
+from greengage_spark.dialect.transpiler import pg_sql
+from greengage_spark.functions.ltree_ops import lquery_to_regex
+
+
+@pytest.fixture()
+def one(spark):
+    def _one(expr):
+        return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+    return _one
+
+
+class TestPathFunctions:
+    def test_subltree(self, one):
+        assert one("subltree('Top.Child1.Child2',1,2)") == "Child1"
+
+    def test_subpath_battery(self, one):
+        # ltree.out:47-85
+        assert one("subpath('Top.Child1.Child2',1,2)") == "Child1.Child2"
+        assert one("subpath('Top.Child1.Child2',-1,1)") == "Child2"
+        assert one("subpath('Top.Child1.Child2',0,-2)") == "Top"
+        assert one("subpath('Top.Child1.Child2',0,-1)") == "Top.Child1"
+        assert one("subpath('Top.Child1.Child2',0,0)") == ""
+        assert one("subpath('Top.Child1.Child2',0)") == "Top.Child1.Child2"
+        assert one("subpath('Top.Child1.Child2',1)") == "Child1.Child2"
+
+    def test_nlevel(self, one):
+        assert one("nlevel('Top.Child1.Child2')") == 3
+        assert one("nlevel('')") == 0
+
+    def test_index_battery(self, one):
+        # ltree.out:92-200 (including negative offsets and clamping)
+        assert one("index('1.2.3.4.5.6','1.2')") == 0
+        assert one("index('a.1.2.3.4.5.6','1.2.3')") == 1
+        assert one("index('a.1.2.3.4.5.6','1.2.3.j')") == -1
+        assert one("index('a.1.2.3.4.5.6','6')") == 6
+        assert one("index('a.1.2.3.4.5.6','6.1')") == -1
+        assert one("index('0.1.2.3.5.4.5.6.8.5.6.8','5.6',3)") == 6
+        assert one("index('0.1.2.3.5.4.5.6.8.5.6.8','5.6',7)") == 9
+        assert one("index('0.1.2.3.5.4.5.6.8.5.6.8','5.6',-7)") == 6
+        assert one("index('0.1.2.3.5.4.5.6.8.5.6.8','5.6',-4)") == 9
+        assert one("index('0.1.2.3.5.4.5.6.8.5.6.8','5.6',-2)") == -1
+        assert one("index('0.1.2.3.5.4.5.6.8.5.6.8','5.6',-20000)") == 6
+
+    def test_concat(self, one):
+        # ltree.out:203-228 — empty paths vanish, no stray separator
+        assert (
+            one("'Top.Child1.Child2'::ltree || 'Child3'::ltree")
+            == "Top.Child1.Child2.Child3"
+        )
+        assert one("'Top.Child1.Child2'::ltree || ''::ltree") == (
+            "Top.Child1.Child2"
+        )
+        assert one("''::ltree || 'Top.Child1.Child2'::ltree") == (
+            "Top.Child1.Child2"
+        )
+
+    def test_lca(self, one):
+        # ltree.out:242-261 — capped one label short of the shortest path
+        assert one("lca('1.la.2.3','1.2.3.4.5.6')") == "1"
+        assert one("lca('1.2.3','1.2.3.4.5.6')") == "1.2"
+        assert one("lca('1.2.3')") == "1.2"
+        assert one("lca('1')") == ""
+
+    def test_identity_casts(self, one):
+        assert one("ltree2text('1.2.3.34.sdf')") == "1.2.3.34.sdf"
+        assert one("text2ltree('1.2.3.34.sdf')") == "1.2.3.34.sdf"
+
+
+class TestAncestry:
+    def test_isparent(self, one):
+        # ltree.sql:94-97
+        assert one("'1.2.3'::ltree @> '1.2.3.4'::ltree") is True
+        assert one("'1.2.3.4'::ltree @> '1.2.3.4'::ltree") is True
+        assert one("'1.2.3.4.5'::ltree @> '1.2.3.4'::ltree") is False
+        assert one("'1.3.3'::ltree @> '1.2.3.4'::ltree") is False
+
+    def test_risparent(self, one):
+        assert one("'1.2.3.4'::ltree <@ '1.2.3'::ltree") is True
+        assert one("'1.2'::ltree <@ '1.2.3'::ltree") is False
+
+    def test_root_is_ancestor(self, one):
+        assert one("''::ltree @> '1.2'::ltree") is True
+
+    def test_no_prefix_false_positive(self, one):
+        # '1.2' must not claim ancestry over '1.22.3'
+        assert one("'1.2'::ltree @> '1.22.3'::ltree") is False
+
+
+class TestLquery:
+    def test_match_battery(self, one):
+        # ltree.sql:99-109
+        assert one("'a.b.c.d.e'::ltree ~ 'a.b.c.d.e'") is True
+        assert one("'a.b.c.d.e'::ltree ~ 'A.b.c.d.e'") is False
+        assert one("'a.b.c.d.e'::ltree ~ 'A@.b.c.d.e'") is True
+        assert one("'aa.b.c.d.e'::ltree ~ 'A@.b.c.d.e'") is False
+        assert one("'aa.b.c.d.e'::ltree ~ 'A*.b.c.d.e'") is False
+        assert one("'aa.b.c.d.e'::ltree ~ 'A*@.b.c.d.e'") is True
+        assert one("'g.b.c.d.e'::ltree ~ 'A*@|g.b.c.d.e'") is True
+
+    def test_star_quantifiers(self, one):
+        assert one("'a.b.c.d.e'::ltree ~ 'a.*.e'") is True
+        assert one("'a.b.c.d.e'::ltree ~ 'a.*{3}.e'") is True
+        assert one("'a.b.c.d.e'::ltree ~ 'a.*{4}.e'") is False
+        assert one("'a.b.c.d.e'::ltree ~ 'a.*{2,3}.e'") is True
+        assert one("'a.b.c.d.e'::ltree ~ '*.e'") is True
+        assert one("'a.b.c.d.e'::ltree ~ '*.d.*'") is True
+
+    def test_out_of_subset_rejects(self, one):
+        with pytest.raises(NotImplementedError):
+            lquery_to_regex("a.!b.c")
+        with pytest.raises(NotImplementedError):
+            lquery_to_regex("a.b%.c")
+        with pytest.raises(NotImplementedError):
+            one("'a.b'::ltree ~ nlevel('x') || ''")  # non-literal pattern
+
+
+class TestLtreeColumns:
+    def test_declared_column_and_where(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        eng.execute("CREATE TABLE taxo (id int8, path ltree)")
+        eng.execute(
+            "INSERT INTO taxo VALUES (1,'Top'),(2,'Top.Science'),"
+            "(3,'Top.Science.Astronomy'),(4,'Top.Hobbies')"
+        )
+        got = [
+            r[0]
+            for r in eng.execute(
+                "SELECT id FROM taxo WHERE 'Top.Science'::ltree @> path "
+                "ORDER BY id"
+            ).collect()
+        ]
+        assert got == [2, 3]
+        got = [
+            r[0]
+            for r in eng.execute(
+                "SELECT id FROM taxo WHERE nlevel(path) = 2 ORDER BY id"
+            ).collect()
+        ]
+        assert got == [2, 4]
