@@ -1,0 +1,144 @@
+"""Bloom-filter prefiltered decontamination — the scale path when the
+eval/contamination n-gram set is too large to broadcast-hash-join.
+
+The broadcast-probe decontaminate (pipeline/chunking.py) is right when
+the eval set is small (benchmarks).  When the "do not train on this"
+set is itself huge (all benchmark suites + opted-out content + previous
+eval epochs — billions of n-grams), a broadcast hash set no longer
+fits, and shuffling the full exploded 100 TB training n-gram stream
+against it is the cost to avoid.  The classic answer is a Bloom
+prefilter:
+
+1. **Build** (distributed, one shuffle over the EVAL set only): k
+   xxhash64 positions per key explode to (word, bitmask) pairs and
+   bit_or-aggregate per 64-bit word.  The collected bitmap is bounded
+   by the FILTER size (n_bits/64 longs — 2 MB for 16M bits), never by
+   the data.
+2. **Probe** (map-only): the bitmap rides the same one-row
+   broadcast-array dataflow as the IVF centroids
+   (pipeline/similarity.py) — each training n-gram tests k bits inside
+   whole-stage codegen, zero exchanges.
+3. **Verify** (exact): only bloom-POSITIVE candidates (true matches +
+   the fp-rate sliver) shuffle into the exact equi-join, so the final
+   answer is EXACT — the Bloom filter buys the prefilter, it never
+   decides membership.  That is why the DuckDB oracle can be the plain
+   exact recompute.
+
+With defaults (n_bits=2^20, k=5) the fp rate at 50k eval grams is
+~0.009%; size n_bits ≈ 10×|eval grams| to hold that at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _positions(key: Column, n_bits: int, k: int) -> list[Column]:
+    return [
+        F.pmod(F.xxhash64(key, F.lit(j)), F.lit(n_bits)) for j in range(k)
+    ]
+
+
+def build_bloom(keys_df: DataFrame, key_col: str, *, n_bits: int = 1 << 20,
+                k: int = 5) -> DataFrame:
+    """Distributed Bloom build → ONE row holding the array<long> bitmap.
+    The only collect is n_bits/64 (word, mask) rows — filter-sized."""
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+    n_words = n_bits // 64
+    pos = F.explode(
+        F.array(*_positions(F.col(key_col), n_bits, k))
+    ).alias("p")
+    words = (
+        keys_df.select(pos)
+        .select(
+            F.expr("cast(p / 64 as int)").alias("w"),
+            # SQL shiftleft takes a column shift amount (the PySpark
+            # helper only accepts a literal)
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("m"))
+    )
+    arr = [0] * n_words
+    for r in words.collect():  # bounded by n_bits/64, not by data
+        arr[r.w] = r.m
+    return keys_df.sparkSession.createDataFrame(
+        [(arr,)],
+        T.StructType([T.StructField("__bloom", T.ArrayType(T.LongType()))]),
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    key_col: str,
+    bloom_df: DataFrame,
+    *,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Map-only probe: broadcast the one-row bitmap, test k bits per key
+    as JVM expressions (no lambda, no Python, no shuffle)."""
+    out = df.crossJoin(F.broadcast(bloom_df))
+    tmp = []
+    for j, p in enumerate(_positions(F.col(key_col), n_bits, k)):
+        tmp.append(f"__gg_bp{j}")
+        out = out.withColumn(tmp[-1], p)
+    cond = " AND ".join(
+        f"(element_at(__bloom, cast({c} / 64 as int) + 1) & "
+        f"shiftleft(1L, cast({c} % 64 as int))) != 0"
+        for c in tmp
+    )
+    return out.withColumn(out_col, F.expr(cond)).drop("__bloom", *tmp)
+
+
+def decontaminate_bloom(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Same output contract as chunking.decontaminate (n_matched_ngrams
+    + contaminated per training doc, EXACT values), built bloom-first:
+    eval grams → bitmap; training grams probe map-side; only candidates
+    reach the exact verification join."""
+    from greengage_spark.pipeline.chunking import _ngrams
+    from greengage_spark.pipeline.text import tokens
+
+    eval_grams = (
+        eval_df.select(
+            F.explode(_ngrams(tokens(F.col(text_col)), n)).alias("g")
+        ).distinct()
+    )
+    bloom = build_bloom(eval_grams, "g", n_bits=n_bits, k=k)
+    train_grams = train_df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_ngrams(tokens(F.col(text_col)), n))).alias(
+            "g"
+        ),
+    )
+    candidates = bloom_might_contain(
+        train_grams, "g", bloom, n_bits=n_bits, k=k
+    ).filter(F.col("might_contain")).drop("might_contain")
+    hits = (
+        candidates.join(eval_grams, "g")  # exact verify: candidates only
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched_ngrams"))
+    )
+    spine = train_df.select(id_col)
+    return spine.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_matched_ngrams"), F.lit(0)).alias(
+            "n_matched_ngrams"
+        ),
+        (F.coalesce(F.col("n_matched_ngrams"), F.lit(0)) > 0).alias(
+            "contaminated"
+        ),
+    )

@@ -287,3 +287,43 @@ def doc_fingerprints(df: DataFrame, id_col: str, text_col: str, window: int = 8)
         canonical.alias("canonical_fp"),
         F.array_min(win_hashes).alias("min_window_fp"),
     )
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-fit unigram language-model scoring — the cheap perplexity
+    proxy pretraining pipelines use to rank document "typicality"
+    (surprisal under the corpus's own token distribution; unusually low
+    average log-prob flags gibberish/boilerplate, unusually high flags
+    degenerate repetition).
+
+    Fully distributed: one 2-stage groupBy builds the vocab counts, the
+    corpus total is a 1-row broadcast, per-token log-probs join back on
+    the token (plain shuffle equi-join — the vocab is unbounded at
+    corpus scale, so no broadcast assumption; AQE may still choose one),
+    then a 2-stage per-doc aggregate.  Per-token log-probs round to 9dp
+    and sum as DECIMAL so the aggregate is order-independent across
+    engines (the float-sum rule in plans/common.py).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))
+    lp = counts.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("c") / F.col("n")), 9)
+        .cast("decimal(28,12)")
+        .alias("lp"),
+    )
+    per_doc = (
+        toks.join(lp, "tok")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("lp").alias("s"))
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(
+            (F.col("s") / F.col("n_tokens")).cast("double"), 6
+        ).alias("avg_logprob"),
+    )

@@ -1065,3 +1065,91 @@ def pipeline_decontaminate(spark, sf_dir):
     train = docs.filter(F.col("doc_id") % 97 != 0)
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     return decontaminate(train, ev, "doc_id", "text", n=3)
+
+
+@suite.add(
+    "pipeline_bloom_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> array_to_string(t[i : i + 2], ' ')))) AS g
+      FROM toks
+    ), ev AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0
+    ), hits AS (
+      SELECT grams.doc_id, COUNT(*) AS n_matched_ngrams
+      FROM grams JOIN ev USING (g)
+      WHERE grams.doc_id % 37 <> 0
+      GROUP BY grams.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_matched_ngrams, 0) AS BIGINT)
+             AS n_matched_ngrams,
+           COALESCE(h.n_matched_ngrams, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 37 <> 0
+    """,
+    doc="Bloom-prefiltered decontamination (pipeline/bloom.py) — the "
+        "scale path when the eval/opt-out n-gram set is too big to "
+        "broadcast-hash-join: the eval set aggregates into a bitmap "
+        "bounded by the FILTER size (bit_or over k xxhash64 positions, "
+        "n_bits/64 longs), training n-grams probe it map-only via the "
+        "one-row broadcast-array dataflow (IVF-centroid pattern, zero "
+        "exchanges, whole-stage codegen), and only bloom-positive "
+        "candidates shuffle into the exact verification join — the "
+        "output is EXACT (the oracle is the plain exact recompute); "
+        "the Bloom filter only buys the prefilter.",
+    tags=("pipeline", "chunking", "bloom"),
+)
+def pipeline_bloom_decontaminate(spark, sf_dir):
+    from greengage_spark.pipeline.bloom import decontaminate_bloom
+
+    docs = cat(spark, sf_dir).table("documents")
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    ev = docs.filter(F.col("doc_id") % 37 == 0)
+    return decontaminate_bloom(train, ev, "doc_id", "text", n=3)
+
+
+@suite.add(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS tok
+      FROM documents
+    ), counts AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT sum(c) AS n FROM counts
+    ), lp AS (
+      SELECT tok, CAST(round(ln(c / n), 9) AS DECIMAL(28,12)) AS lp
+      FROM counts, tot
+    ), pd AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(lp) AS s
+      FROM toks JOIN lp USING (tok) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(s / n_tokens AS DOUBLE), 6) AS avg_logprob
+    FROM pd
+    """,
+    doc="Corpus-fit unigram LM scoring (pipeline/text.py "
+        "unigram_logprob) — the cheap perplexity proxy for ranking "
+        "document typicality: vocab counts in one 2-stage groupBy, "
+        "1-row corpus total broadcast, per-token log-probs join back on "
+        "the token (plain shuffle equi-join — no broadcast assumption "
+        "on an unbounded vocab), 2-stage per-doc aggregate. Per-token "
+        "log-probs round to 9dp and sum as DECIMAL so the result is "
+        "order-independent across engines.",
+    tags=("pipeline", "text"),
+)
+def text_unigram_logprob(spark, sf_dir):
+    from greengage_spark.pipeline.text import unigram_logprob
+
+    docs = cat(spark, sf_dir).table("documents")
+    return unigram_logprob(docs, "doc_id", "text")

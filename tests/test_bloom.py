@@ -1,0 +1,87 @@
+"""Bloom-prefiltered decontamination (pipeline/bloom.py): bitmap build,
+map-only probe, exactness vs the broadcast-join decontaminate."""
+
+from pyspark.sql import functions as F
+
+from greengage_spark.pipeline.bloom import (
+    bloom_might_contain,
+    build_bloom,
+    decontaminate_bloom,
+)
+
+
+def test_no_false_negatives_and_low_fp(spark):
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(0, 2000, 2)], "g string"
+    )
+    bloom = build_bloom(keys, "g", n_bits=1 << 16, k=5)
+    probe = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(2000)], "g string"
+    )
+    got = bloom_might_contain(probe, "g", bloom, n_bits=1 << 16, k=5)
+    rows = {r.g: r.might_contain for r in got.collect()}
+    # every inserted key MUST hit (no false negatives, the Bloom law)
+    assert all(rows[f"key-{i}"] for i in range(0, 2000, 2))
+    # absent keys: only the fp-rate sliver may hit (~0.04% at this size)
+    fps = sum(1 for i in range(1, 2000, 2) if rows[f"key-{i}"])
+    assert fps <= 5
+
+
+def test_probe_is_map_only(spark):
+    keys = spark.createDataFrame([("a",), ("b",)], "g string")
+    bloom = build_bloom(keys, "g", n_bits=1 << 10, k=3)
+    probe = spark.createDataFrame([("a",), ("z",)], "g string")
+    plan = (
+        bloom_might_contain(probe, "g", bloom, n_bits=1 << 10, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the bitmap rides a broadcast; the probe side never shuffles
+    assert "Broadcast" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_exact_vs_broadcast_decontaminate(spark, sf_dir):
+    from greengage_spark.pipeline.chunking import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 11 != 0)
+    ev = docs.filter(F.col("doc_id") % 11 == 0)
+    a = sorted(
+        map(tuple, decontaminate(train, ev, "doc_id", "text", n=3).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            decontaminate_bloom(train, ev, "doc_id", "text", n=3).collect(),
+        )
+    )
+    # the Bloom filter is ONLY a prefilter — results are identical
+    assert a == b
+
+
+def test_bitmap_is_filter_sized(spark):
+    big = spark.range(0, 50_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("g")
+    )
+    bloom = build_bloom(big, "g", n_bits=1 << 20, k=5)
+    row = bloom.collect()[0]
+    assert len(row.__bloom if hasattr(row, "__bloom") else row[0]) == (
+        1 << 20
+    ) // 64
+
+
+def test_unigram_logprob_basics(spark):
+    from greengage_spark.pipeline.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b c d")], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in unigram_logprob(df, "doc_id", "text").collect()
+    }
+    assert got[1].n_tokens == 4 and got[2].n_tokens == 4
+    # doc 1 is all high-frequency tokens → higher (less negative) avg
+    assert got[1].avg_logprob > got[2].avg_logprob
