@@ -11,9 +11,10 @@ below EMITS a JVM expression string (split / slice / array_join /
 zip_with — whole-stage codegen, no Python).  lquery patterns compile to
 an RLIKE regex at transpile time over the '.'-terminated path form.
 
-Subset rejects loudly: lquery ``%`` word matching and ``!`` negation,
-ltxtquery ``@`` operator, lca over >2 paths / the '{...}' array form,
-``?`` lquery-array matching.
+Subset rejects loudly: lquery ``%`` word matching, the ltxtquery ``@``
+operator, lca over >2 paths / the '{...}' array form, ``?``
+lquery-array matching.  ``!`` negation compiles to a negative
+lookahead plus a one-label consume.
 """
 
 from __future__ import annotations
@@ -41,10 +42,9 @@ def lquery_to_regex(lq: str) -> str:
                 hi = ms.group(3) or ""
             parts.append(r"(?:[^.]+\.){%s,%s}" % (lo, hi))
             continue
-        if item.startswith("!"):
-            raise NotImplementedError(
-                "lquery '!' negation is out of the subset"
-            )
+        negated = item.startswith("!")
+        if negated:
+            item = item[1:]
         alts = []
         for alt in item.split("|"):
             m = _LABEL_RE.match(alt)
@@ -63,7 +63,12 @@ def lquery_to_regex(lq: str) -> str:
             if "@" in mods:
                 base = "(?i:" + base + ")"
             alts.append(base)
-        parts.append("(?:" + "|".join(alts) + r")\.")
+        alt_rx = "(?:" + "|".join(alts) + ")"
+        if negated:
+            # !foo: any ONE label that is not foo (ltxtquery semantics)
+            parts.append(r"(?!" + alt_rx + r"\.)[^.]+\.")
+        else:
+            parts.append(alt_rx + r"\.")
     return "^" + "".join(parts) + "$"
 
 

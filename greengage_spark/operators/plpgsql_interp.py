@@ -803,6 +803,7 @@ class _StmtParser:
         self.allow_sql = allow_sql  # driver-side (DO block): SQL hook ok
         self.casts: dict[str, object] = {}  # var -> declared-type cast fn
         self.records: set[str] = set()  # vars declared RECORD
+        self.cursor_names: set[str] = set()  # declared bound cursors
 
     def peek_low(self, off: int = 0) -> str | None:
         i = self.pos + off
@@ -913,6 +914,7 @@ class _StmtParser:
             self.take()
             sql, _ = self._raw_until({";"})
             self.expect(";")
+            self.cursor_names.add(name)
             return ("cursor_decl", name, params, sql)
         if self.peek_low() == "constant":
             self.take()
@@ -1290,6 +1292,35 @@ class _StmtParser:
         if self.peek_low() == "reverse":
             self.take()
             reverse = True
+        if (
+            not reverse
+            and self.peek_low() in self.cursor_names
+            and self.peek_low(1) in ("loop", "(")
+        ):
+            # FOR rec IN boundcursor [(args)] LOOP (pl_gram.y
+            # stmt_for → exec_stmt_forc): opens, iterates, closes
+            cname = self.take().lower()
+            args: list = []
+            if self.peek() == "(":
+                self.take()
+                while True:
+                    argname = None
+                    if (
+                        self.peek() is not None
+                        and _is_ident(self.peek())
+                        and self.peek_low(1) == ":="
+                    ):
+                        argname = self.take().lower()
+                        self.take()
+                    args.append((argname, self.expr()))
+                    if self.take() == ")":
+                        break
+            self.expect("loop")
+            body = self._stmts(until=("end",))
+            self.expect("end", "loop")
+            self.opt_semi()
+            self.records.add(var)
+            return ("forcursor", var, cname, args, body)
         if self.peek_low() in ("select", "with", "values", "table") and not reverse:
             # FOR rec IN <query> LOOP (exec_stmt_fors) — SQL hook path
             if not self.allow_sql:
@@ -1509,6 +1540,26 @@ def _exec_stmt(s, env):  # noqa: C901 - one dispatch switch, pl_exec.c style
         rows, _rc = _run_sql(env, sql)
         n = _run_loop(rows, var, body, env)
         env["found"] = n > 0
+    elif kind == "forcursor":
+        _, var, cname, args, body = s
+        cur = _cursor_of(env, cname)
+        if cur.portal is not None:
+            raise PlPgSQLError(
+                "duplicate_cursor", f'cursor "{cname}" already in use'
+            )
+        _exec_open(("open", cname, args), env)
+
+        def _rows(portal=cur.portal):
+            while True:
+                r = portal.fetch(1)
+                if not r:
+                    return
+                yield r[0]
+
+        try:
+            env["found"] = _run_loop(_rows(), var, body, env) > 0
+        finally:
+            cur.portal = None  # exec_stmt_forc closes the portal after
     elif kind in ("open", "open_query", "open_dyn"):
         _exec_open(s, env)
     elif kind in ("fetch", "move"):

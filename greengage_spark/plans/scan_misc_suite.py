@@ -946,8 +946,10 @@ def cursor_scroll_fetch(spark, sf_dir):
         "declared citext keeps its stored case but compares, joins, and "
         "groups case-insensitively — the engine folds comparisons and "
         "GROUP BY items through lower() at statement level "
-        "(operators/citext.py), so the fold stays a JVM expression and "
-        "Catalyst still pushes the lowered predicate to the scan. "
+        "(operators/citext.py), so the fold stays a codegen'd JVM "
+        "filter in the scan stage (a function-of-column predicate "
+        "cannot reach parquet PushedFilters, but no UDF barrier and no "
+        "extra stage appear). "
         "GROUP BY returns min() as the deterministic case "
         "representative (PG's is arbitrary). Oracle applies the same "
         "lower() folds explicitly.",

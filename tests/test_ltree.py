@@ -113,8 +113,6 @@ class TestLquery:
 
     def test_out_of_subset_rejects(self, one):
         with pytest.raises(NotImplementedError):
-            lquery_to_regex("a.!b.c")
-        with pytest.raises(NotImplementedError):
             lquery_to_regex("a.b%.c")
         with pytest.raises(NotImplementedError):
             one("'a.b'::ltree ~ nlevel('x') || ''")  # non-literal pattern
@@ -145,3 +143,15 @@ class TestLtreeColumns:
             ).collect()
         ]
         assert got == [2, 4]
+
+
+class TestLqueryNegation:
+    def test_negated_label(self, one):
+        assert one("'a.b.c'::ltree ~ 'a.!x.c'") is True
+        assert one("'a.x.c'::ltree ~ 'a.!x.c'") is False
+        # boundary-safe: 'xx' is not 'x'
+        assert one("'a.xx.c'::ltree ~ 'a.!x.c'") is True
+
+    def test_negated_first_label(self, one):
+        assert one("'a.b.c'::ltree ~ '!x.*'") is True
+        assert one("'x.b.c'::ltree ~ '!x.*'") is False

@@ -277,3 +277,56 @@ class TestReturnQueryExecute:
         )
         with pytest.raises(NotImplementedError, match="constant-fold"):
             eng.execute("SELECT * FROM rc_test t, dyn_bad(t.b)").collect()
+
+
+class TestForOverCursor:
+    """FOR rec IN boundcursor [(args)] LOOP (pl_gram.y stmt_for →
+    exec_stmt_forc): opens the cursor, iterates, closes it after —
+    reopenable, FOUND set on ≥1 iteration."""
+
+    def test_for_over_parameterized_cursor(self, eng):
+        eng.execute("CREATE TABLE fc_out (a int8)")
+        eng.execute(
+            "DO $$\n"
+            "DECLARE\n"
+            "  c CURSOR (lo int8) FOR SELECT a FROM rc_test "
+            "WHERE a > lo ORDER BY a;\n"
+            "  r record;\n"
+            "BEGIN\n"
+            "  FOR r IN c(10) LOOP\n"
+            "    INSERT INTO fc_out VALUES (r.a);\n"
+            "  END LOOP;\n"
+            "  FOR r IN c(100) LOOP\n"  # closed by the first FOR: reopens
+            "    INSERT INTO fc_out VALUES (r.a * 10);\n"
+            "  END LOOP;\n"
+            "END $$"
+        )
+        got = sorted(
+            r[0] for r in eng.execute("SELECT a FROM fc_out").collect()
+        )
+        assert got == [50, 100, 500, 5000]
+
+    def test_for_cursor_sets_found(self, eng):
+        eng.execute("CREATE TABLE fc_f (f boolean)")
+        eng.execute(
+            "DO $$\nDECLARE c CURSOR FOR SELECT a FROM rc_test "
+            "WHERE a > 1000;\n  r record;\nBEGIN\n"
+            "  FOR r IN c LOOP NULL; END LOOP;\n"
+            "  INSERT INTO fc_f VALUES (found);\n"
+            "END $$"
+        )
+        assert [
+            r[0] for r in eng.execute("SELECT f FROM fc_f").collect()
+        ] == [False]
+
+    def test_for_over_already_open_cursor_errors(self, eng):
+        from greengage_spark.operators.plpgsql_interp import PlPgSQLError
+
+        with pytest.raises(PlPgSQLError, match="already in use"):
+            eng.execute(
+                "DO $$\nDECLARE c CURSOR FOR SELECT a FROM rc_test;\n"
+                "  r record;\nBEGIN\n"
+                "  OPEN c;\n"
+                "  FOR r IN c LOOP NULL; END LOOP;\n"
+                "END $$"
+            )
