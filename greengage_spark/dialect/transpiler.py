@@ -6032,18 +6032,14 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     expr = L.subpath_sql(*a)
                 elif low == "index":
                     expr = L.index_sql(*a)
-                elif low == "lca" and len(a) in (1, 2):
+                elif low == "lca" and 1 <= len(a) <= 8:
                     if len(a) == 1 and args[0] and _is_string(args[0][0]) \
                             and args[0][0].lstrip("'").startswith("{"):
                         raise NotImplementedError(
                             "lca('{...}') array form — pass the paths as "
-                            "separate arguments (2 supported)"
+                            "separate arguments (up to 8, as in PG)"
                         )
                     expr = L.lca_sql(*a)
-                elif low == "lca":
-                    raise NotImplementedError(
-                        "lca over more than 2 paths is out of the subset"
-                    )
                 elif low in ("text2ltree", "ltree2text") and len(a) == 1:
                     expr = a[0]  # identity: ltree IS its text form
                 else:

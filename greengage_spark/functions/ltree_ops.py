@@ -139,20 +139,32 @@ def index_sql(a: str, b: str, off: str | None = None) -> str:
     )
 
 
-def lca_sql(a: str, b: str | None = None) -> str:
-    """lca: longest common prefix capped at one label SHORT of the
-    shortest path (ltree.out: lca('1.2.3','1.2.3') = '1.2',
-    lca('1.2.3') = '1.2')."""
-    sa = _labels(a)
-    if b is None:
+def lca_sql(*paths: str) -> str:
+    """lca: longest common prefix of ALL paths, capped at one label
+    SHORT of the shortest (ltree.out: lca('1.2.3','1.2.3') = '1.2',
+    lca('1.2.3') = '1.2'); any arity ≥ 1 (PG allows up to 8)."""
+    sa = _labels(paths[0])
+    if len(paths) == 1:
         return f"array_join(slice({sa}, 1, size({sa}) - 1), '.')"
-    sb = _labels(b)
-    mism = (
-        f"array_position(zip_with({sa}, {sb}, "
-        f"(x, y) -> coalesce(x = y, false)), false)"
+    shareds = []
+    sizes = [f"size({sa})"]
+    for p in paths[1:]:
+        sp = _labels(p)
+        sizes.append(f"size({sp})")
+        mism = (
+            f"array_position(zip_with({sa}, {sp}, "
+            f"(x, y) -> coalesce(x = y, false)), false)"
+        )
+        pair_min = f"LEAST(size({sa}), size({sp}))"
+        shareds.append(
+            f"(CASE WHEN {mism} = 0 THEN {pair_min} "
+            f"ELSE int({mism}) - 1 END)"
+        )
+    shared = (
+        shareds[0] if len(shareds) == 1
+        else "LEAST(" + ", ".join(shareds) + ")"
     )
-    minsz = f"LEAST(size({sa}), size({sb}))"
-    shared = f"(CASE WHEN {mism} = 0 THEN {minsz} ELSE int({mism}) - 1 END)"
+    minsz = "LEAST(" + ", ".join(sizes) + ")"
     return (
         f"array_join(slice({sa}, 1, "
         f"GREATEST(LEAST({shared}, {minsz} - 1), 0)), '.')"

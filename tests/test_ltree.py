@@ -155,3 +155,12 @@ class TestLqueryNegation:
     def test_negated_first_label(self, one):
         assert one("'a.b.c'::ltree ~ '!x.*'") is True
         assert one("'x.b.c'::ltree ~ '!x.*'") is False
+
+
+class TestLcaMultiArg:
+    def test_three_and_more_paths(self, one):
+        assert one("lca('1.2.3','1.2.4','1.2.5')") == "1.2"
+        assert one("lca('1.2.3','1.2.3','1.2.3')") == "1.2"
+        assert one("lca('a.b.c','a.b.d','x.y')") == ""
+        # the strict-ancestor cap applies to the SHORTEST path
+        assert one("lca('a.b.c','a.b.c.d','a.b')") == "a"
