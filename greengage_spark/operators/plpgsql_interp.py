@@ -54,11 +54,15 @@ class _Return(Exception):
 
 
 class _Exit(Exception):
-    pass
+    def __init__(self, label: str | None = None):
+        super().__init__()
+        self.label = label
 
 
 class _Continue(Exception):
-    pass
+    def __init__(self, label: str | None = None):
+        super().__init__()
+        self.label = label
 
 
 class _PlCursor:
@@ -974,6 +978,26 @@ class _StmtParser:
 
     def _stmt(self):
         t = self.peek_low()
+        # <<label>> before a loop or block (pl_gram.y opt_loop_label)
+        if (
+            t == "<"
+            and self.peek_low(1) == "<"
+            and self.peek_low(3) == ">"
+            and self.peek_low(4) == ">"
+        ):
+            self.take()
+            self.take()
+            label = self.take().lower()
+            self.expect(">", ">")
+            inner = self._stmt()
+            if inner[0] not in (
+                "while", "forrange", "foreach", "forquery",
+                "forquery_dyn", "forcursor", "block",
+            ):
+                raise NotImplementedError(
+                    "plpgsql: <<label>> applies to loops and blocks"
+                )
+            return ("labeled", label, inner)
         if t == "return":
             self.take()
             if self.peek_low() in ("next", "query"):
@@ -1011,12 +1035,19 @@ class _StmtParser:
             return ("while", lambda env: True, body)
         if t in ("exit", "continue"):
             self.take()
+            label = None
+            if (
+                self.peek() is not None
+                and _is_ident(self.peek())
+                and self.peek_low() != "when"
+            ):
+                label = self.take().lower()
             cond = None
             if self.peek_low() == "when":
                 self.take()
                 cond = self.expr()
             self.expect(";")
-            return (t, cond)
+            return (t, cond, label)
         if t == "raise":
             return self._raise()
         if t == "null":
@@ -1416,8 +1447,20 @@ def _exec_stmts(stmts, env):
         _exec_stmt(s, env)
 
 
-def _exec_stmt(s, env):  # noqa: C901 - one dispatch switch, pl_exec.c style
+def _exec_stmt(s, env, label=None):  # noqa: C901 - pl_exec.c dispatch
     kind = s[0]
+    if kind == "labeled":
+        _, lbl, inner = s
+        if inner[0] == "block":
+            try:
+                _exec_block(inner, env)
+            except _Exit as e:
+                # EXIT <blocklabel> leaves the block (pl_exec.c)
+                if e.label != lbl:
+                    raise
+            return
+        _exec_stmt(inner, env, label=lbl)
+        return
     if kind == "assign":
         _, name, e, cast = s
         v = e(env)
@@ -1448,11 +1491,11 @@ def _exec_stmt(s, env):  # noqa: C901 - one dispatch switch, pl_exec.c style
             int(lo), int(hi) + 1, int(step)
         )
         # exec_set_found: every FOR statement sets FOUND on ≥1 iteration
-        env["found"] = _run_loop(it, var, body, env) > 0
+        env["found"] = _run_loop(it, var, body, env, label) > 0
     elif kind == "foreach":
         _, var, arr_e, body = s
         arr = arr_e(env)
-        env["found"] = _run_loop(arr or [], var, body, env) > 0
+        env["found"] = _run_loop(arr or [], var, body, env, label) > 0
     elif kind == "while":
         _, cond, body = s
         n = 0
@@ -1465,16 +1508,20 @@ def _exec_stmt(s, env):  # noqa: C901 - one dispatch switch, pl_exec.c style
                 )
             try:
                 _exec_stmts(body, env)
-            except _Continue:
+            except _Continue as c:
+                if c.label is not None and c.label != label:
+                    raise
                 continue
-            except _Exit:
+            except _Exit as e:
+                if e.label is not None and e.label != label:
+                    raise
                 break
     elif kind == "exit":
         if s[1] is None or s[1](env) is True:
-            raise _Exit()
+            raise _Exit(s[2] if len(s) > 2 else None)
     elif kind == "continue":
         if s[1] is None or s[1](env) is True:
-            raise _Continue()
+            raise _Continue(s[2] if len(s) > 2 else None)
     elif kind == "raise":
         _, level, fmt, args, cond = s
         if fmt is not None:
@@ -1528,7 +1575,7 @@ def _exec_stmt(s, env):  # noqa: C901 - one dispatch switch, pl_exec.c style
     elif kind == "forquery":
         _, var, sql, body = s
         rows, _rc = _run_sql(env, _interpolate(sql, env))
-        n = _run_loop(rows, var, body, env)
+        n = _run_loop(rows, var, body, env, label)
         env["found"] = n > 0  # exec_stmt_fors sets FOUND on ≥1 iteration
     elif kind == "forquery_dyn":
         _, var, e, body = s
@@ -1538,7 +1585,7 @@ def _exec_stmt(s, env):  # noqa: C901 - one dispatch switch, pl_exec.c style
                 "null_value_not_allowed", "EXECUTE of a null query string"
             )
         rows, _rc = _run_sql(env, sql)
-        n = _run_loop(rows, var, body, env)
+        n = _run_loop(rows, var, body, env, label)
         env["found"] = n > 0
     elif kind == "forcursor":
         _, var, cname, args, body = s
@@ -1557,7 +1604,7 @@ def _exec_stmt(s, env):  # noqa: C901 - one dispatch switch, pl_exec.c style
                 yield r[0]
 
         try:
-            env["found"] = _run_loop(_rows(), var, body, env) > 0
+            env["found"] = _run_loop(_rows(), var, body, env, label) > 0
         finally:
             cur.portal = None  # exec_stmt_forc closes the portal after
     elif kind in ("open", "open_query", "open_dyn"):
@@ -1869,7 +1916,7 @@ def _sql_literal(v) -> str:
     return repr(v)
 
 
-def _run_loop(it, var, body, env):
+def _run_loop(it, var, body, env, label=None):
     n = 0
     for v in it:
         n += 1
@@ -1881,9 +1928,13 @@ def _run_loop(it, var, body, env):
         env[var] = v
         try:
             _exec_stmts(body, env)
-        except _Continue:
+        except _Continue as c:
+            if c.label is not None and c.label != label:
+                raise
             continue
-        except _Exit:
+        except _Exit as e:
+            if e.label is not None and e.label != label:
+                raise
             break
     return n
 

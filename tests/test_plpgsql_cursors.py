@@ -330,3 +330,54 @@ class TestForOverCursor:
                 "  FOR r IN c LOOP NULL; END LOOP;\n"
                 "END $$"
             )
+
+
+class TestLoopLabels:
+    """<<label>> loops/blocks + EXIT/CONTINUE label (pl_gram.y
+    opt_loop_label / stmt_exit; regress plpgsql.sql label shapes)."""
+
+    def test_exit_outer_from_inner(self, eng):
+        from greengage_spark.operators.plpgsql_interp import run_block
+
+        notices: list = []
+        run_block(
+            "BEGIN\n<<outer>>\nFOR i IN 1..5 LOOP\n"
+            "  FOR j IN 1..5 LOOP\n"
+            "    EXIT outer WHEN i * j > 6;\n"
+            "    RAISE NOTICE '%-%', i, j;\n"
+            "  END LOOP;\nEND LOOP;\nEND",
+            lambda s: [],
+            notices,
+        )
+        assert [m for _l, m in notices] == [
+            "1-1", "1-2", "1-3", "1-4", "1-5", "2-1", "2-2", "2-3",
+        ]
+
+    def test_continue_outer_label(self, eng):
+        from greengage_spark.operators.plpgsql_interp import run_block
+
+        notices: list = []
+        run_block(
+            "BEGIN\n<<o>>\nFOR i IN 1..3 LOOP\n"
+            "  FOR j IN 1..3 LOOP\n"
+            "    CONTINUE o WHEN j = 2;\n"
+            "    RAISE NOTICE '%.%', i, j;\n"
+            "  END LOOP;\nEND LOOP;\nEND",
+            lambda s: [],
+            notices,
+        )
+        assert [m for _l, m in notices] == ["1.1", "2.1", "3.1"]
+
+    def test_exit_labeled_block(self, eng):
+        from greengage_spark.operators.plpgsql_interp import run_block
+
+        notices: list = []
+        run_block(
+            "BEGIN\n<<blk>>\nBEGIN\n"
+            "  RAISE NOTICE 'before';\n  EXIT blk;\n"
+            "  RAISE NOTICE 'unreached';\nEND;\n"
+            "RAISE NOTICE 'after';\nEND",
+            lambda s: [],
+            notices,
+        )
+        assert [m for _l, m in notices] == ["before", "after"]
