@@ -1070,7 +1070,19 @@ class _StmtParser:
                 return self._cursor_stmt(t)
             return self._sql_stmt(t)
         # assignment: name[:=|=] expr; also a[i] := expr element update
+        # and rec.field := expr record-field update (pl_gram.y assign_var)
         name = self.take().lower()
+        if self.peek() == "." and self.peek_low(1) is not None:
+            self.take()
+            field = self.take().lower()
+            if self.peek_low() not in (":=", "="):
+                raise NotImplementedError(
+                    f"plpgsql: statement not understood at {name!r}."
+                )
+            self.take()
+            e = self.expr()
+            self.expect(";")
+            return ("assign_field", name, field, e)
         if self.peek_low() == "[":
             self.take()
             idx = self.expr()
@@ -1671,6 +1683,24 @@ def _exec_stmt(s, env, label=None):  # noqa: C901 - pl_exec.c dispatch
                     f"plpgsql: GET DIAGNOSTICS {item.upper()}"
                 )
             env[var] = v
+    elif kind == "assign_field":
+        _, name, field, e = s
+        cur = _lookup(env, name)
+        # records normalize to dicts on first field write (Rows are
+        # immutable); _field reads dicts and Rows alike
+        if cur is None:
+            rec: dict = {}
+        elif hasattr(cur, "asDict"):
+            rec = {k.lower(): v for k, v in cur.asDict().items()}
+        elif hasattr(cur, "keys"):
+            rec = dict(cur)
+        else:
+            raise PlPgSQLError(
+                "datatype_mismatch",
+                f'"{name}" is not a record, cannot assign field "{field}"',
+            )
+        rec[field] = e(env)
+        env[name] = rec
     elif kind == "assign_idx":
         _, name, idx_e, e = s
         idx = idx_e(env)

@@ -381,3 +381,28 @@ class TestLoopLabels:
             notices,
         )
         assert [m for _l, m in notices] == ["before", "after"]
+
+
+class TestRecordFieldAssignment:
+    def test_assign_fields_then_insert(self, eng):
+        eng.execute("CREATE TABLE rfo (a int8, b text)")
+        eng.execute(
+            "DO $$\nDECLARE r record;\nBEGIN\n"
+            "  SELECT a, b INTO r FROM rc_test WHERE a = 10;\n"
+            "  r.a := r.a + 100;\n"
+            "  r.b := upper(r.b);\n"
+            "  INSERT INTO rfo VALUES (r.a, r.b);\n"
+            "END $$"
+        )
+        assert [
+            tuple(r) for r in eng.execute("SELECT * FROM rfo").collect()
+        ] == [(110, "TEN")]
+
+    def test_assign_field_on_scalar_errors(self, eng):
+        from greengage_spark.operators.plpgsql_interp import PlPgSQLError
+
+        with pytest.raises(PlPgSQLError, match="is not a record"):
+            eng.execute(
+                "DO $$\nDECLARE v int8 := 3;\nBEGIN\n"
+                "  v.x := 1;\nEND $$"
+            )
