@@ -1200,11 +1200,19 @@ class _StmtParser:
             self.take()
             e = self.expr()
             vars_, strict = ([], False)
-            if self.peek_low() == "into":
-                self.take()
-                vars_, strict = self._into_vars()
+            using: list = []
+            while self.peek_low() in ("into", "using"):
+                if self.peek_low() == "into":
+                    self.take()
+                    vars_, strict = self._into_vars()
+                else:  # USING e1, e2 (exec_stmt_dynexecute params)
+                    self.take()
+                    using.append(self.expr())
+                    while self.peek_low() == ",":
+                        self.take()
+                        using.append(self.expr())
             self.expect(";")
-            return ("sql_execute", e, vars_, strict)
+            return ("sql_execute", e, vars_, strict, using)
         # SELECT [cols] INTO [STRICT] vars [rest...]
         pre, stop = self._raw_until({"into", ";"})
         if stop != "into":
@@ -1387,12 +1395,19 @@ class _StmtParser:
                 )
             self.take()
             e = self.expr()
+            using: list = []
+            if self.peek_low() == "using":
+                self.take()
+                using.append(self.expr())
+                while self.peek_low() == ",":
+                    self.take()
+                    using.append(self.expr())
             self.expect("loop")
             body = self._stmts(until=("end",))
             self.expect("end", "loop")
             self.opt_semi()
             self.records.add(var)
-            return ("forquery_dyn", var, e, body)
+            return ("forquery_dyn", var, e, body, using)
         lo = self.expr()
         if self.peek() != "..":
             raise NotImplementedError(
@@ -1573,12 +1588,16 @@ def _exec_stmt(s, env, label=None):  # noqa: C901 - pl_exec.c dispatch
         env["found"] = bool(rows)
         _assign_into(rows, vars_, strict, env)
     elif kind == "sql_execute":
-        _, e, vars_, strict = s
+        _, e, vars_, strict, using = s[0], s[1], s[2], s[3], (
+            s[4] if len(s) > 4 else []
+        )
         sql = e(env)
         if sql is None:
             raise PlPgSQLError(
                 "null_value_not_allowed", "EXECUTE of a null query string"
             )
+        for i, ue in enumerate(using, 1):
+            sql = _substitute_dollar_param(sql, i, _sql_literal(ue(env)))
         # EXECUTE updates GET DIAGNOSTICS row_count but NOT FOUND
         # (pl_exec.c exec_stmt_dynexecute)
         rows, _rc = _run_sql(env, sql)
@@ -1590,12 +1609,15 @@ def _exec_stmt(s, env, label=None):  # noqa: C901 - pl_exec.c dispatch
         n = _run_loop(rows, var, body, env, label)
         env["found"] = n > 0  # exec_stmt_fors sets FOUND on ≥1 iteration
     elif kind == "forquery_dyn":
-        _, var, e, body = s
+        _, var, e, body = s[0], s[1], s[2], s[3]
+        using = s[4] if len(s) > 4 else []
         sql = e(env)
         if sql is None:
             raise PlPgSQLError(
                 "null_value_not_allowed", "EXECUTE of a null query string"
             )
+        for i, ue in enumerate(using, 1):
+            sql = _substitute_dollar_param(sql, i, _sql_literal(ue(env)))
         rows, _rc = _run_sql(env, sql)
         n = _run_loop(rows, var, body, env, label)
         env["found"] = n > 0

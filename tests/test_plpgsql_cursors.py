@@ -406,3 +406,37 @@ class TestRecordFieldAssignment:
                 "DO $$\nDECLARE v int8 := 3;\nBEGIN\n"
                 "  v.x := 1;\nEND $$"
             )
+
+
+class TestExecuteUsing:
+    """EXECUTE expr [INTO] [USING ...] and FOR-over-EXECUTE USING
+    (pl_exec.c exec_stmt_dynexecute / exec_stmt_dynfors): USING values
+    substitute for $n outside string spans."""
+
+    def test_execute_into_using_both_orders(self, eng):
+        eng.execute("CREATE TABLE eu_out (a int8)")
+        eng.execute(
+            "DO $$\nDECLARE v int8;\nBEGIN\n"
+            "  EXECUTE 'SELECT a FROM rc_test WHERE a = $1' INTO v USING 50;\n"
+            "  INSERT INTO eu_out VALUES (v);\n"
+            "  EXECUTE 'SELECT a FROM rc_test WHERE b = $1' "
+            "USING 'ten' INTO v;\n"
+            "  INSERT INTO eu_out VALUES (v);\n"
+            "END $$"
+        )
+        assert sorted(
+            r[0] for r in eng.execute("SELECT a FROM eu_out").collect()
+        ) == [10, 50]
+
+    def test_for_over_execute_using(self, eng):
+        eng.execute("CREATE TABLE eu_for (a int8)")
+        eng.execute(
+            "DO $$\nDECLARE r record;\nBEGIN\n"
+            "  FOR r IN EXECUTE "
+            "'SELECT a FROM rc_test WHERE a > $1 ORDER BY a' USING 50 LOOP\n"
+            "    INSERT INTO eu_for VALUES (r.a);\n"
+            "  END LOOP;\nEND $$"
+        )
+        assert sorted(
+            r[0] for r in eng.execute("SELECT a FROM eu_for").collect()
+        ) == [100, 500]
