@@ -5115,6 +5115,181 @@ def _operand_end(toks: list[str], start: int) -> int:
     return i
 
 
+def _pass_range_casts(toks: list[str]) -> list[str]:
+    """'[1,5)'::int4range literal casts → range constructor calls
+    (rangetypes.c range_in).  Runs BEFORE _pass_casts so the unmapped
+    range typenames never reach the generic cast lowering.  Only
+    string-literal operands are in the subset — column-typed ranges
+    stay on the DataFrame API (functions/ranges.py)."""
+    from greengage_spark.functions import ranges as R
+
+    i = 1
+    while i < len(toks) - 1:
+        if (
+            toks[i] == "::"
+            and _is_ident(toks[i + 1])
+            and toks[i + 1].lower() in R.RANGE_ELEM_TYPES
+        ):
+            tname = toks[i + 1].lower()
+            if not _is_string(toks[i - 1]):
+                raise NotImplementedError(
+                    f"::{tname} casts apply to range literals here — "
+                    "column-typed ranges use the DataFrame API "
+                    "(functions/ranges.py)"
+                )
+            lit = toks[i - 1]
+            body = lit[1:] if lit[:1].lower() == "e" else lit
+            lo, hi, bounds = R.parse_range_literal(
+                body[1:-1].replace("''", "'")
+            )
+            if bounds == "empty":
+                new = f"{tname}(1, 1, '()')"  # canonical empty range
+            else:
+                lo_s = f"'{lo}'" if lo is not None else "NULL"
+                hi_s = f"'{hi}'" if hi is not None else "NULL"
+                new = f"{tname}({lo_s}, {hi_s}, '{bounds}')"
+            toks[i - 1 : i + 2] = tokenize(new)
+            i -= 1
+        i += 1
+    return toks
+
+
+_RANGE_ACCESSORS = (
+    "lower", "upper", "isempty", "lower_inc", "upper_inc",
+    "lower_inf", "upper_inf",
+)
+
+
+def _pass_ranges(toks: list[str]) -> list[str]:
+    """PG range types at expression level (rangetypes.c; regress
+    rangetypes.sql): constructors int4range/int8range/numrange/
+    daterange/tsrange/tstzrange(lo, hi [, 'bounds']) lower to the
+    struct<lo,hi,lo_inc,hi_inc,empty> emitters in functions/ranges.py
+    (discrete canonicalization to [lo,hi) included); operators
+    @> <@ && << >> -|- * + dispatch when either operand is a marked
+    range span; lower/upper/isempty/... accessors on marked spans.
+    Runs AFTER _pass_json_ops (the emitted lambdas' ``->`` must not be
+    claimed) and BEFORE _pass_array_ops (which would claim ``@>``)."""
+    from greengage_spark.functions import ranges as R
+
+    if not any(
+        _is_ident(t) and t.lower() in R.RANGE_ELEM_TYPES for t in toks
+    ):
+        return toks
+
+    # 1) constructors → marker-wrapped struct SQL
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            _is_ident(t)
+            and t.lower() in R.RANGE_ELEM_TYPES
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+        ):
+            close = _match_paren(toks, i + 1)
+            args = _split_args(toks[i + 2 : close])
+            elem, disc = R.RANGE_ELEM_TYPES[t.lower()]
+            if len(args) == 3 and len(args[2]) == 1 and _is_string(args[2][0]):
+                bounds = args[2][0][1:-1]
+            elif len(args) == 2:
+                bounds = "[)"
+            else:
+                raise NotImplementedError(
+                    f"{t}(lo, hi [, '[)']) — bounds must be a literal"
+                )
+            if bounds not in ("[)", "[]", "(]", "()"):
+                raise ValueError(f"invalid range bounds flags {bounds!r}")
+            sql = R.mk_range_sql(
+                " ".join(args[0]), " ".join(args[1]), bounds, elem, disc
+            )
+            toks[i : close + 1] = ["__ggrng__", "("] + tokenize(sql) + [")"]
+        i += 1
+
+    def unwrap(ts: list[str]) -> list[str]:
+        return [t for t in ts if t != "__ggrng__"]
+
+    # 2) operators with a marked operand
+    i = 1
+    while i < len(toks) - 1:
+        pair = (toks[i], toks[i + 1]) if i + 1 < len(toks) else ("", "")
+        trip = (
+            (toks[i], toks[i + 1], toks[i + 2])
+            if i + 2 < len(toks)
+            else ("", "", "")
+        )
+        if trip == ("-", "|", "-"):
+            op, op_len = "-|-", 3
+        elif pair in (("@", ">"), ("<", "@"), ("&", "&")):
+            op, op_len = "".join(pair), 2
+        elif toks[i] in ("*", "+", "<<", ">>"):
+            op, op_len = toks[i], 1
+        else:
+            i += 1
+            continue
+        lstart = _operand_start(toks, i - 1)
+        rend = _operand_end(toks, i + op_len)
+        left, right = toks[lstart:i], toks[i + op_len : rend + 1]
+        lmark = "__ggrng__" in left
+        rmark = "__ggrng__" in right
+        if not (lmark or rmark):
+            i += 1
+            continue
+        lh = "(" + " ".join(unwrap(left)) + ")"
+        rh = "(" + " ".join(unwrap(right)) + ")"
+        if op == "@>":
+            new = (
+                R.contains_range_sql(lh, rh)
+                if rmark
+                else R.contains_elem_sql(lh, rh)
+            )
+        elif op == "<@":
+            new = (
+                R.contains_range_sql(rh, lh)
+                if lmark
+                else R.contains_elem_sql(rh, lh)
+            )
+        elif op == "&&":
+            new = R.overlaps_sql(lh, rh)
+        elif op == "<<":
+            new = R.before_sql(lh, rh)
+        elif op == ">>":
+            new = R.after_sql(lh, rh)
+        elif op == "-|-":
+            new = R.adjacent_sql(lh, rh)
+        else:  # * intersection / + union produce ranges: keep the marker
+            body = (
+                R.intersect_sql(lh, rh) if op == "*" else R.union_sql(lh, rh)
+            )
+            toks[lstart : rend + 1] = (
+                ["__ggrng__", "("] + tokenize(body) + [")"]
+            )
+            i = lstart if lstart > 0 else 1
+            continue
+        toks[lstart : rend + 1] = tokenize(new)
+        i = lstart if lstart > 0 else 1
+
+    # 3) accessor functions over marked spans
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            _is_ident(t)
+            and t.lower() in _RANGE_ACCESSORS
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+        ):
+            close = _match_paren(toks, i + 1)
+            inner = toks[i + 2 : close]
+            if "__ggrng__" in inner:
+                sql = R.accessor_sql(
+                    t.lower(), " ".join(unwrap(inner))
+                )
+                toks[i : close + 1] = tokenize(sql)
+        i += 1
+    return [t for t in toks if t != "__ggrng__"]
+
+
 def _pass_ltree(toks: list[str]) -> list[str]:
     """contrib/ltree operators (ltree_op.c; functions/ltree_ops.py).
 
@@ -6479,6 +6654,7 @@ def transpile(sql: str) -> str:
     # Spark type tokens, so emissions are never re-read as PG names
     # (PG `float` = float8, but our emitted FLOAT means float4)
     toks = _pass_ltree(toks)
+    toks = _pass_range_casts(toks)
     toks = _pass_bit_casts(toks)
     toks = _pass_cast_typenames(toks)
     toks = _pass_casts(toks)
@@ -6492,6 +6668,7 @@ def transpile(sql: str) -> str:
     toks = _pass_xml(toks)
     toks = _pass_xmlagg(toks)
     toks = _pass_json_ops(toks)
+    toks = _pass_ranges(toks)
     toks = _pass_collate_strip(toks)
     toks = _pass_like_escape_backslash(toks)
     toks = _pass_like_op_spellings(toks)

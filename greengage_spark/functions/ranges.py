@@ -250,3 +250,246 @@ def r_union(a: Column, b: Column) -> Column:
             both_empty.alias("empty"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-text emitters — the same semantics as the Column API above, rendered
+# as Spark SQL for the transpiler's range pass (dialect/transpiler.py
+# _pass_ranges).  Binary operators bind their operands ONCE via a
+# one-element zip_with lambda (a, b are the two range structs); unary
+# forms bind via transform.  Everything stays a JVM expression.
+# ---------------------------------------------------------------------------
+
+RANGE_ELEM_TYPES = {
+    "int4range": ("int", True),
+    "int8range": ("bigint", True),
+    "numrange": ("decimal(38,18)", False),
+    "daterange": ("date", True),
+    "tsrange": ("timestamp_ntz", False),
+    "tstzrange": ("timestamp", False),
+}
+
+
+def mk_range_sql(lo: str, hi: str, bounds: str, elem_type: str,
+                 discrete: bool) -> str:
+    """range_constructor2/3 as SQL text; discrete types canonicalize to
+    [lo, hi) exactly like make_range above."""
+    li, ui = bounds[0] == "[", bounds[1] == "]"
+    lo_c = f"CAST(({lo}) AS {elem_type})"
+    hi_c = f"CAST(({hi}) AS {elem_type})"
+    if discrete:
+        lo_adj = (
+            lo_c if li else
+            f"CASE WHEN {lo_c} IS NULL THEN NULL ELSE {lo_c} + 1 END"
+        )
+        hi_adj = (
+            f"CASE WHEN {hi_c} IS NULL THEN NULL ELSE {hi_c} + 1 END"
+            if ui else hi_c
+        )
+        li, ui = True, False
+    else:
+        lo_adj, hi_adj = lo_c, hi_c
+    li_s, ui_s = ("true" if li else "false"), ("true" if ui else "false")
+    strict = "false" if (li and ui) else "true"
+    empty = (
+        "(x.l IS NOT NULL AND x.h IS NOT NULL AND "
+        f"(x.l > x.h OR (x.l = x.h AND {strict})))"
+    )
+    return (
+        f"element_at(transform(array(named_struct('l', {lo_adj}, "
+        f"'h', {hi_adj})), "
+        f"x -> named_struct("
+        f"'lo', CASE WHEN {empty} THEN NULL ELSE x.l END, "
+        f"'hi', CASE WHEN {empty} THEN NULL ELSE x.h END, "
+        f"'lo_inc', (NOT {empty}) AND {li_s}, "
+        f"'hi_inc', (NOT {empty}) AND {ui_s}, "
+        f"'empty', {empty})), 1)"
+    )
+
+
+def parse_range_literal(text: str) -> tuple[str | None, str | None, str]:
+    """'[1,5)' / '(,5]' / 'empty' → (lo_text, hi_text, bounds); rangetypes.c
+    range_parse.  NULL/omitted bounds are infinite."""
+    t = text.strip()
+    if t.lower() == "empty":
+        return None, None, "empty"
+    if len(t) < 3 or t[0] not in "[(" or t[-1] not in ")]":
+        raise ValueError(f"malformed range literal: {text!r}")
+    body = t[1:-1]
+    parts = body.split(",")
+    if len(parts) != 2:
+        raise ValueError(f"malformed range literal: {text!r}")
+    lo = parts[0].strip().strip('"') or None
+    hi = parts[1].strip().strip('"') or None
+    return lo, hi, t[0] + t[-1]
+
+
+_LOWER_LE = (
+    "({a}.lo IS NULL OR ({b}.lo IS NOT NULL AND ({a}.lo < {b}.lo OR "
+    "({a}.lo = {b}.lo AND ({a}.lo_inc OR NOT {b}.lo_inc)))))"
+)
+_UPPER_GE = (
+    "({a}.hi IS NULL OR ({b}.hi IS NOT NULL AND ({a}.hi > {b}.hi OR "
+    "({a}.hi = {b}.hi AND ({a}.hi_inc OR NOT {b}.hi_inc)))))"
+)
+_LO_BEFORE_HI = (
+    "({x}.lo IS NULL OR {y}.hi IS NULL OR {x}.lo < {y}.hi OR "
+    "({x}.lo = {y}.hi AND {x}.lo_inc AND {y}.hi_inc))"
+)
+
+
+def _bind2(a_sql: str, b_sql: str, body: str) -> str:
+    return (
+        f"element_at(zip_with(array(({a_sql})), array(({b_sql})), "
+        f"(a, b) -> {body}), 1)"
+    )
+
+
+def _bind1(r_sql: str, body: str) -> str:
+    return f"element_at(transform(array(({r_sql})), a -> {body}), 1)"
+
+
+def contains_range_sql(a: str, b: str) -> str:
+    body = (
+        "(b.empty OR ((NOT a.empty) AND "
+        + _LOWER_LE.format(a="a", b="b")
+        + " AND "
+        + _UPPER_GE.format(a="a", b="b")
+        + "))"
+    )
+    return _bind2(a, b, body)
+
+
+def contains_elem_sql(r: str, x: str) -> str:
+    body = (
+        "((NOT a.empty) AND "
+        "(a.lo IS NULL OR a.lo < b OR (a.lo = b AND a.lo_inc)) AND "
+        "(a.hi IS NULL OR b < a.hi OR (b = a.hi AND a.hi_inc)))"
+    )
+    return _bind2(r, x, body)
+
+
+def overlaps_sql(a: str, b: str) -> str:
+    body = (
+        "((NOT a.empty) AND (NOT b.empty) AND "
+        + _LO_BEFORE_HI.format(x="a", y="b")
+        + " AND "
+        + _LO_BEFORE_HI.format(x="b", y="a")
+        + ")"
+    )
+    return _bind2(a, b, body)
+
+
+_BEFORE = (
+    "((NOT {a}.empty) AND (NOT {b}.empty) AND {a}.hi IS NOT NULL AND "
+    "{b}.lo IS NOT NULL AND ({a}.hi < {b}.lo OR "
+    "({a}.hi = {b}.lo AND NOT ({a}.hi_inc AND {b}.lo_inc))))"
+)
+
+
+def before_sql(a: str, b: str) -> str:
+    return _bind2(a, b, _BEFORE.format(a="a", b="b"))
+
+
+def after_sql(a: str, b: str) -> str:
+    return _bind2(a, b, _BEFORE.format(a="b", b="a"))
+
+
+def adjacent_sql(a: str, b: str) -> str:
+    meet = (
+        "({x}.hi IS NOT NULL AND {y}.lo IS NOT NULL AND "
+        "{x}.hi = {y}.lo AND {x}.hi_inc != {y}.lo_inc)"
+    )
+    body = (
+        "((NOT a.empty) AND (NOT b.empty) AND ("
+        + meet.format(x="a", y="b")
+        + " OR "
+        + meet.format(x="b", y="a")
+        + "))"
+    )
+    return _bind2(a, b, body)
+
+
+def intersect_sql(a: str, b: str) -> str:
+    """range_intersect as SQL — bound fields picked by the bound
+    comparisons, emptiness re-derived (mirrors r_intersect)."""
+    use_a_lo = "(NOT " + _LOWER_LE.format(a="a", b="b") + ")"
+    use_a_hi = "(NOT " + _UPPER_GE.format(a="a", b="b") + ")"
+    lo = f"(CASE WHEN {use_a_lo} THEN a.lo ELSE b.lo END)"
+    lo_inc = f"(CASE WHEN {use_a_lo} THEN a.lo_inc ELSE b.lo_inc END)"
+    hi = f"(CASE WHEN {use_a_hi} THEN a.hi ELSE b.hi END)"
+    hi_inc = f"(CASE WHEN {use_a_hi} THEN a.hi_inc ELSE b.hi_inc END)"
+    no_ov = (
+        "(a.empty OR b.empty OR NOT ("
+        + _LO_BEFORE_HI.format(x="a", y="b")
+        + " AND "
+        + _LO_BEFORE_HI.format(x="b", y="a")
+        + "))"
+    )
+    empty = (
+        f"({no_ov} OR ({lo} IS NOT NULL AND {hi} IS NOT NULL AND "
+        f"({lo} > {hi} OR ({lo} = {hi} AND NOT ({lo_inc} AND {hi_inc})))))"
+    )
+    body = (
+        f"named_struct("
+        f"'lo', CASE WHEN {empty} THEN NULL ELSE {lo} END, "
+        f"'hi', CASE WHEN {empty} THEN NULL ELSE {hi} END, "
+        f"'lo_inc', (NOT {empty}) AND {lo_inc}, "
+        f"'hi_inc', (NOT {empty}) AND {hi_inc}, "
+        f"'empty', {empty})"
+    )
+    return _bind2(a, b, body)
+
+
+def union_sql(a: str, b: str) -> str:
+    """range_union as SQL; non-contiguous unions raise, as in PG."""
+    contiguous = (
+        "(a.empty OR b.empty OR ((NOT a.empty) AND (NOT b.empty) AND ("
+        + _LO_BEFORE_HI.format(x="a", y="b")
+        + " AND "
+        + _LO_BEFORE_HI.format(x="b", y="a")
+        + ")) OR ((a.hi IS NOT NULL AND b.lo IS NOT NULL AND a.hi = b.lo "
+        "AND a.hi_inc != b.lo_inc) OR (b.hi IS NOT NULL AND a.lo IS NOT "
+        "NULL AND b.hi = a.lo AND b.hi_inc != a.lo_inc)))"
+    )
+    use_a_lo = "(" + _LOWER_LE.format(a="a", b="b") + " AND NOT a.empty)"
+    use_a_hi = "(" + _UPPER_GE.format(a="a", b="b") + " AND NOT a.empty)"
+    lo = f"(CASE WHEN b.empty OR {use_a_lo} THEN a.lo ELSE b.lo END)"
+    lo_inc = (
+        f"(CASE WHEN b.empty OR {use_a_lo} THEN a.lo_inc ELSE b.lo_inc END)"
+    )
+    hi = f"(CASE WHEN b.empty OR {use_a_hi} THEN a.hi ELSE b.hi END)"
+    hi_inc = (
+        f"(CASE WHEN b.empty OR {use_a_hi} THEN a.hi_inc ELSE b.hi_inc END)"
+    )
+    be = "(a.empty AND b.empty)"
+    body = (
+        f"(CASE WHEN {contiguous} THEN named_struct("
+        f"'lo', CASE WHEN {be} THEN NULL WHEN a.empty THEN b.lo "
+        f"ELSE {lo} END, "
+        f"'hi', CASE WHEN {be} THEN NULL WHEN a.empty THEN b.hi "
+        f"ELSE {hi} END, "
+        f"'lo_inc', CASE WHEN {be} THEN false WHEN a.empty THEN b.lo_inc "
+        f"ELSE {lo_inc} END, "
+        f"'hi_inc', CASE WHEN {be} THEN false WHEN a.empty THEN b.hi_inc "
+        f"ELSE {hi_inc} END, "
+        f"'empty', {be}) "
+        f"ELSE raise_error('result of range union would not be "
+        f"contiguous') END)"
+    )
+    return _bind2(a, b, body)
+
+
+def accessor_sql(fn: str, r: str) -> str:
+    """lower/upper/isempty/lower_inc/upper_inc/lower_inf/upper_inf."""
+    simple = {
+        "lower": "a.lo", "upper": "a.hi", "isempty": "a.empty",
+        "lower_inc": "a.lo_inc", "upper_inc": "a.hi_inc",
+    }
+    if fn in simple:
+        return _bind1(r, simple[fn])
+    if fn == "lower_inf":
+        return _bind1(r, "((NOT a.empty) AND a.lo IS NULL)")
+    if fn == "upper_inf":
+        return _bind1(r, "((NOT a.empty) AND a.hi IS NULL)")
+    raise ValueError(fn)

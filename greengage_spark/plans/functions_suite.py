@@ -1387,6 +1387,53 @@ def dialect_xml_publish(spark, sf_dir):
 
 
 @suite.add(
+    "dialect_range_sql",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, CAST(o_orderkey % 10 AS INTEGER) AS a
+      FROM orders WHERE o_orderkey < 300
+    )
+    SELECT o_orderkey,
+           (a < a % 7 + 5 AND a <= 4 AND 4 < a % 7 + 5) AS c_elem,
+           (a <= 8) AS c_rng,
+           (a < 8) AS ovl,
+           CAST(greatest(a, 5) AS INTEGER) AS ilo,
+           CAST(15 AS INTEGER) AS ihi,
+           (a >= 5) AS emp
+    FROM t ORDER BY o_orderkey
+    """,
+    doc="SQL-level range types (rangetypes.c; regress rangetypes.sql "
+        "shapes): int4range constructors with discrete [lo,hi) "
+        "canonicalization, @> element and range containment, && "
+        "overlap, * intersection, isempty — all lower to "
+        "struct<lo,hi,lo_inc,hi_inc,empty> JVM expressions "
+        "(functions/ranges.py emitters; one-element zip_with binds each "
+        "operand once, whole-stage codegen, no UDFs). Oracle recomputes "
+        "every value in closed form from the key arithmetic.",
+    tags=("dialect", "types", "range"),
+)
+def dialect_range_sql(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               int4range(o_orderkey % 10, o_orderkey % 7 + 5) @> 4 AS c_elem,
+               int4range(0, 10) @>
+                 int4range(o_orderkey % 10, o_orderkey % 10 + 2) AS c_rng,
+               int4range(o_orderkey % 10, 8) && int4range(5, 12) AS ovl,
+               lower(int4range(o_orderkey % 10, 20) * int4range(5, 15))::int4
+                 AS ilo,
+               upper(int4range(o_orderkey % 10, 20) * int4range(5, 15))::int4
+                 AS ihi,
+               isempty(int4range(o_orderkey % 10, 5)) AS emp
+        FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+        """,
+        ["orders"],
+    )
+
+
+@suite.add(
     "dialect_ltree",
     oracle="""
     WITH t AS (

@@ -1,0 +1,102 @@
+"""SQL-level range types (rangetypes.c; regress rangetypes.sql shapes):
+constructors, literal casts, operators, and accessors lower to the
+struct emitters in functions/ranges.py — pure JVM expressions.
+Column-typed ranges remain the DataFrame API (tests/test_ranges.py)."""
+
+import pytest
+
+from greengage_spark.dialect.transpiler import pg_sql
+
+
+@pytest.fixture()
+def one(spark):
+    def _one(expr):
+        return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+    return _one
+
+
+class TestConstructorsAndCasts:
+    def test_discrete_canonicalization(self, one):
+        # rangetypes.sql: (1,5] canonicalizes to [2,6)
+        assert one("lower('(1,5]'::int4range)") == 2
+        assert one("upper('(1,5]'::int4range)") == 6
+        assert one("lower_inc('(1,5]'::int4range)") is True
+        assert one("upper_inc('(1,5]'::int4range)") is False
+
+    def test_empty_forms(self, one):
+        assert one("isempty('empty'::int4range)") is True
+        assert one("isempty(int4range(5,5))") is True
+        assert one("isempty(numrange(1.5,1.5,'[]'))") is False
+
+    def test_infinite_bounds(self, one):
+        assert one("lower_inf('(,5)'::int4range)") is True
+        assert one("upper_inf('[5,)'::int4range)") is True
+        assert one("lower('(,5)'::int4range)") is None
+
+    def test_bad_bounds_flags_reject(self, one):
+        with pytest.raises(ValueError, match="bounds flags"):
+            one("int4range(1,5,'ab')")
+
+    def test_column_typed_cast_rejects_loudly(self, one):
+        with pytest.raises(NotImplementedError, match="DataFrame API"):
+            one("(SELECT x::int4range FROM (SELECT '[1,2)' AS x) t)")
+
+
+class TestOperators:
+    def test_contains_elem(self, one):
+        assert one("int4range(1,5) @> 3") is True
+        assert one("int4range(1,5) @> 5") is False
+        assert one("int4range(1,5) @> 1") is True
+        assert one("3 <@ int4range(1,5)") is True
+        assert one("numrange(1.0,2.5) @> 2.5") is False
+        assert one("numrange(1.0,2.5,'(]') @> 2.5") is True
+
+    def test_contains_range(self, one):
+        assert one("int4range(1,10) @> int4range(3,5)") is True
+        assert one("int4range(3,5) @> int4range(1,10)") is False
+        assert one("int4range(1,10) @> 'empty'::int4range") is True
+        assert one("int4range(3,5) <@ int4range(1,10)") is True
+
+    def test_overlap_before_after_adjacent(self, one):
+        assert one("int4range(1,5) && int4range(4,8)") is True
+        assert one("int4range(1,5) && int4range(5,8)") is False
+        assert one("int4range(1,3) << int4range(5,8)") is True
+        assert one("int4range(5,8) >> int4range(1,3)") is True
+        assert one("int4range(1,5) -|- int4range(5,8)") is True
+        assert one("int4range(1,4) -|- int4range(5,8)") is False
+
+    def test_intersection_and_union(self, one):
+        r = one("int4range(1,5) * int4range(3,8)")
+        assert (r.lo, r.hi) == (3, 5)
+        assert one("isempty(int4range(1,3) * int4range(5,8))") is True
+        assert one("lower(int4range(1,5) + int4range(3,8))") == 1
+        assert one("upper(int4range(1,5) + int4range(3,8))") == 8
+
+    def test_union_raises_when_not_contiguous(self, one):
+        with pytest.raises(Exception, match="contiguous"):
+            one("int4range(1,3) + int4range(5,8)")
+
+    def test_range_equality_as_structs(self, one):
+        # canonicalized discrete ranges compare equal as plain structs
+        assert one("int4range(2,6) = '(1,5]'::int4range") is True
+
+    def test_daterange(self, one):
+        assert (
+            one("daterange('2024-01-01','2024-02-01') @> '2024-01-15'::date")
+            is True
+        )
+        assert (
+            one("daterange('2024-01-01','2024-02-01') @> '2024-02-01'::date")
+            is False
+        )
+        # discrete over dates: (lo, hi] canonicalizes by day
+        assert (
+            str(one("lower('(2024-01-01,2024-02-01]'::daterange)"))
+            == "2024-01-02"
+        )
+
+    def test_plain_arithmetic_untouched(self, one):
+        assert one("5 * 3") == 15
+        assert one("2 + 2") == 4
+        assert one("shiftleft(1, 3)") == 8
