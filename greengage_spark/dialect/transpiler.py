@@ -5115,6 +5115,86 @@ def _operand_end(toks: list[str], start: int) -> int:
     return i
 
 
+def _pass_inet_ops(toks: list[str]) -> list[str]:
+    """inet/cidr casts and subnet operators (network.c network_sub /
+    network_subeq / network_overlap).  An inet value IS its text form;
+    ``::inet`` / ``::cidr`` casts mark their operand, and <<, <<=, >>,
+    >>=, && with a marked operand lower onto the inet_contained_by /
+    equality kernels (the function templates expand later in
+    _pass_functions)."""
+    if not any(
+        _is_ident(t) and t.lower() in ("inet", "cidr") for t in toks
+    ):
+        return toks
+    # typed-literal prefix form: inet '1.2.3.4' (gram.y AexprConst)
+    i = 0
+    while i < len(toks) - 1:
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() in ("inet", "cidr")
+            and _is_string(toks[i + 1])
+            and (i == 0 or toks[i - 1] != ".")
+            and not (
+                i > 0 and _is_ident(toks[i - 1])
+                and toks[i - 1].lower() == "as"
+            )
+        ):
+            toks[i : i + 2] = ["__gginet__", "(", toks[i + 1], ")"]
+        i += 1
+    i = 1
+    while i < len(toks) - 1:
+        if (
+            toks[i] == "::"
+            and _is_ident(toks[i + 1])
+            and toks[i + 1].lower() in ("inet", "cidr")
+        ):
+            lstart = _operand_start(toks, i - 1)
+            toks[lstart : i + 2] = (
+                ["__gginet__", "("] + toks[lstart:i] + [")"]
+            )
+            i = lstart
+        i += 1
+
+    def unwrap(ts: list[str]) -> list[str]:
+        return [t for t in ts if t != "__gginet__"]
+
+    i = 1
+    while i < len(toks) - 1:
+        nxt_eq = i + 1 < len(toks) and toks[i + 1] == "="
+        if toks[i] in ("<<", ">>"):
+            op = toks[i] + ("=" if nxt_eq else "")
+            op_len = 2 if nxt_eq else 1
+        elif (toks[i], toks[i + 1]) == ("&", "&"):
+            op, op_len = "&&", 2
+        else:
+            i += 1
+            continue
+        lstart = _operand_start(toks, i - 1)
+        rend = _operand_end(toks, i + op_len)
+        left, right = toks[lstart:i], toks[i + op_len : rend + 1]
+        if "__gginet__" not in left and "__gginet__" not in right:
+            i += 1
+            continue
+        a = "(" + " ".join(unwrap(left)) + ")"
+        b = "(" + " ".join(unwrap(right)) + ")"
+        if op == "<<":
+            new = f"inet_contained_by({a}, {b})"
+        elif op == "<<=":
+            new = f"({a} = {b} OR inet_contained_by({a}, {b}))"
+        elif op == ">>":
+            new = f"inet_contained_by({b}, {a})"
+        elif op == ">>=":
+            new = f"({a} = {b} OR inet_contained_by({b}, {a}))"
+        else:  # && overlap: either contains the other or equal
+            new = (
+                f"({a} = {b} OR inet_contained_by({a}, {b}) "
+                f"OR inet_contained_by({b}, {a}))"
+            )
+        toks[lstart : rend + 1] = tokenize(new)
+        i = lstart if lstart > 0 else 1
+    return [t for t in toks if t != "__gginet__"]
+
+
 def _pass_range_casts(toks: list[str]) -> list[str]:
     """'[1,5)'::int4range literal casts → range constructor calls
     (rangetypes.c range_in).  Runs BEFORE _pass_casts so the unmapped
@@ -6654,6 +6734,7 @@ def transpile(sql: str) -> str:
     # Spark type tokens, so emissions are never re-read as PG names
     # (PG `float` = float8, but our emitted FLOAT means float4)
     toks = _pass_ltree(toks)
+    toks = _pass_inet_ops(toks)
     toks = _pass_range_casts(toks)
     toks = _pass_bit_casts(toks)
     toks = _pass_cast_typenames(toks)

@@ -100,3 +100,36 @@ class TestOperators:
         assert one("5 * 3") == 15
         assert one("2 + 2") == 4
         assert one("shiftleft(1, 3)") == 8
+
+
+class TestInetOperators:
+    """inet/cidr subnet operators (network.c network_sub/subeq/overlap):
+    ::inet casts and the typed-literal prefix form mark operands; the
+    operators lower onto the inet_contained_by kernel."""
+
+    def test_subnet_containment(self, one):
+        assert one("'192.168.1.5'::inet << '192.168.1.0/24'::cidr") is True
+        assert one("'192.168.2.5'::inet << '192.168.1.0/24'::cidr") is False
+        # strict: a network is not inside itself
+        assert (
+            one("'192.168.1.0/24'::cidr << '192.168.1.0/24'::cidr") is False
+        )
+        assert (
+            one("'192.168.1.0/24'::cidr <<= '192.168.1.0/24'::cidr") is True
+        )
+
+    def test_contains_and_overlap(self, one):
+        assert one("'192.168.1.0/24'::cidr >> '192.168.1.5'::inet") is True
+        assert (
+            one("'192.168.1.0/24'::cidr >>= '192.168.1.0/24'::cidr") is True
+        )
+        assert (
+            one("'192.168.1.0/24'::cidr && '192.168.1.128/25'::cidr") is True
+        )
+        assert (
+            one("'192.168.1.0/24'::cidr && '192.168.2.0/24'::cidr") is False
+        )
+
+    def test_typed_literal_prefix_form(self, one):
+        assert one("inet '192.168.1.5' << cidr '192.168.1.0/24'") is True
+        assert one("masklen(inet '192.168.1.0/26')") == 26
