@@ -258,3 +258,72 @@ def simhash_clusters(df: DataFrame, id_col: str, text_col: str, bits: int = 16) 
         .agg(F.count(F.lit(1)).alias("cluster_size"), F.min(id_col).alias("min_id"))
         .filter(F.col("cluster_size") > 1)
     )
+
+
+def paragraph_dedup(
+    df: DataFrame, id_col: str, text_col: str, *, window: int = 12
+) -> DataFrame:
+    """Segment-level exact dedup — the C4-style repeated-line scrub
+    (every published pretraining corpus drops boilerplate lines/spans
+    that recur across documents, keeping one occurrence).
+
+    Segments are newline-delimited lines when the text has them, else
+    fixed ``window``-token chunks (synthetic corpora).  The globally
+    FIRST occurrence of each distinct segment survives — "first" is the
+    deterministic min (doc id, position), chosen by a min(struct(...))
+    aggregate, NOT a window (no per-group sort, no skew on viral
+    boilerplate segments that appear millions of times).  Documents
+    reassemble from their surviving segments in order.
+
+    Shuffle shape at 100 TB: one groupBy on the segment hash (2-stage,
+    map-side partial min), one shuffle join back on the hash, one
+    per-document reassembly groupBy — all hash exchanges, candidates
+    never fan out quadratically.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda s: s != "")
+    n_chunks = F.ceil(F.size(toks) / F.lit(window)).cast("int")
+    chunked = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, (i - F.lit(1)) * window + 1, window)
+        ),
+    )
+    segs_col = F.when(F.size(lines) > 1, lines).otherwise(chunked)
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(segs_col).alias("pos", "seg"),
+    ).withColumn("h", F.md5(F.col("seg")))
+    winners = segs.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w")
+    )
+    kept = (
+        segs.join(winners, "h")
+        .filter(
+            (F.col("w")[id_col] == F.col(id_col))
+            & (F.col("w")["pos"] == F.col("pos"))
+        )
+        .drop("w", "h")
+    )
+    out = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("seg")))
+                ),
+                lambda s: s["seg"],
+            ),
+        ).alias("text_dedup"),
+    )
+    spine = df.select(
+        F.col(id_col),
+        F.size(segs_col).alias("n_segments"),
+    )
+    return spine.join(out, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_segments"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+    )

@@ -61,6 +61,57 @@ _BAND_ROWS = "\nUNION ALL\n".join(
 # ========================== DEDUPLICATION ==========================
 
 @suite.add(
+    "dedup_paragraph",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), segs AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(t[(i-1)*12+1 : (i-1)*12+12], ' ') AS seg
+      FROM toks, LATERAL unnest(generate_series(1,
+        greatest(CAST(ceil(len(t) / 12.0) AS INTEGER), 1))) AS u(i)
+    ), kept AS (
+      SELECT doc_id, pos, seg FROM (
+        SELECT *, row_number() OVER (PARTITION BY seg
+                                     ORDER BY doc_id, pos) AS rn
+        FROM segs
+      ) WHERE rn = 1
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(seg, chr(10) ORDER BY pos) AS text_dedup
+      FROM kept GROUP BY doc_id
+    )
+    SELECT ns.doc_id, CAST(ns.n_segments AS INTEGER) AS n_segments,
+           CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
+           coalesce(a.text_dedup, '') AS text_dedup
+    FROM (SELECT doc_id,
+                 greatest(CAST(ceil(len(t) / 12.0) AS INTEGER), 1)
+                   AS n_segments
+          FROM toks) ns
+    LEFT JOIN agg a ON ns.doc_id = a.doc_id
+    """,
+    doc="Segment-level exact dedup (pipeline/dedup.py paragraph_dedup) "
+        "— the C4-style repeated-line scrub: the globally FIRST "
+        "occurrence of each distinct segment survives (deterministic "
+        "min(doc,pos) via a 2-stage min-struct aggregate, NOT a window "
+        "— no per-group sort, no skew on viral boilerplate that recurs "
+        "millions of times), documents reassemble from survivors in "
+        "order. One hash shuffle on the segment digest, one join back, "
+        "one per-doc reassembly — nothing quadratic. Newline-delimited "
+        "lines when present; fixed 12-token chunks on this synthetic "
+        "corpus. Oracle re-derives with row_number over the same "
+        "segmentation.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_paragraph(spark, sf_dir):
+    from greengage_spark.pipeline.dedup import paragraph_dedup
+
+    docs = cat(spark, sf_dir).table("documents")
+    return paragraph_dedup(docs, "doc_id", "text", window=12)
+
+
+@suite.add(
     "dedup_exact",
     oracle="""
     SELECT canon, COUNT(*) AS n_docs, MIN(doc_id) AS keeper

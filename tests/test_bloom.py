@@ -85,3 +85,39 @@ def test_unigram_logprob_basics(spark):
     assert got[1].n_tokens == 4 and got[2].n_tokens == 4
     # doc 1 is all high-frequency tokens → higher (less negative) avg
     assert got[1].avg_logprob > got[2].avg_logprob
+
+
+class TestParagraphDedup:
+    def test_newline_segments_first_occurrence_wins(self, spark):
+        from greengage_spark.pipeline.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha line\nshared boilerplate\nbeta line"),
+                (2, "shared boilerplate\ngamma line"),
+                (3, "delta line\nshared boilerplate"),
+            ],
+            "doc_id int, text string",
+        )
+        got = {
+            r.doc_id: r
+            for r in paragraph_dedup(df, "doc_id", "text").collect()
+        }
+        assert got[1].n_segments == 3 and got[1].n_kept == 3
+        # doc 2 and 3 lose the boilerplate line (doc 1 holds the first
+        # occurrence), keep their own lines in order
+        assert got[2].n_kept == 1 and got[2].text_dedup == "gamma line"
+        assert got[3].n_kept == 1 and got[3].text_dedup == "delta line"
+
+    def test_token_window_fallback(self, spark):
+        from greengage_spark.pipeline.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d")], "doc_id int, text string"
+        )
+        got = {
+            r.doc_id: r
+            for r in paragraph_dedup(df, "doc_id", "text", window=2).collect()
+        }
+        assert got[1].n_segments == 2 and got[1].n_kept == 2
+        assert got[2].n_kept == 0 and got[2].text_dedup == ""
