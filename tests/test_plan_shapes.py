@@ -240,3 +240,65 @@ class TestDynamicPartitionPruning:
         assert "partial_first" in plan
         assert "WindowGroupLimit" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestRound7PlanShapes:
+    def test_paragraph_dedup_no_window(self, spark, sf_dir):
+        """The first-occurrence keeper is a min(struct) aggregate, never
+        a window — a window would sort every segment group and melt on
+        viral boilerplate keys."""
+        from greengage_spark.pipeline.dedup import paragraph_dedup
+
+        docs = cat(spark, sf_dir).table("documents")
+        plan = physical(paragraph_dedup(docs, "doc_id", "text"))
+        assert "Window" not in plan
+        assert "min(" in plan
+
+    def test_bloom_probe_no_hash_exchange(self, spark):
+        """The Bloom probe is map-only: the bitmap broadcasts, the
+        probe side never shuffles."""
+        from greengage_spark.pipeline.bloom import (
+            bloom_might_contain,
+            build_bloom,
+        )
+
+        keys = spark.createDataFrame([("a",), ("b",)], "g string")
+        bloom = build_bloom(keys, "g", n_bits=1 << 10, k=3)
+        probe = spark.createDataFrame([("a",), ("z",)], "g string")
+        plan = physical(
+            bloom_might_contain(probe, "g", bloom, n_bits=1 << 10, k=3)
+        )
+        assert "Exchange hashpartitioning" not in plan
+        assert "Broadcast" in plan
+
+    def test_citext_filter_stays_in_scan_stage(self, spark, tmp_path):
+        """The citext fold emits a plain lower() JVM predicate — no UDF
+        barrier, no extra exchange before the filter."""
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        eng.execute("CREATE TABLE ppl (id int8, nick citext)")
+        eng.execute("INSERT INTO ppl VALUES (1,'Ann'),(2,'BOB')")
+        df = eng.execute("SELECT id FROM ppl WHERE nick = 'ann'")
+        plan = physical(df)
+        assert "Python" not in plan  # pure JVM predicate
+        assert "lower(" in plan.lower()
+
+    def test_range_ops_no_python_no_exchange(self, spark, sf_dir):
+        """SQL range operators are struct expressions — a filter over
+        them is map-only and UDF-free."""
+        from greengage_spark.dialect.transpiler import pg_sql
+
+        # plain source: the catalog's DISTRIBUTED BY load repartition
+        # would add its own (unrelated) exchange
+        spark.range(0, 1000).selectExpr(
+            "id AS o_orderkey"
+        ).createOrReplaceTempView("rng_orders")
+        df = pg_sql(
+            spark,
+            "SELECT o_orderkey FROM rng_orders "
+            "WHERE int4range(0, 10) @> (o_orderkey % 12)::int4",
+        )
+        plan = physical(df)
+        assert "Python" not in plan
+        assert "Exchange" not in plan  # map-only filter
