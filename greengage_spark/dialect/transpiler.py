@@ -4472,6 +4472,14 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
         + ") = (" + _IP2INT.format("{1}") + " & " + _MASKINT.format("{1}")
         + ") AND " + _MASKLEN.format("{0}") + " > " + _MASKLEN.format("{1}") + ")"
     ),
+    # a <<= b / network_subeq (network.c): first masklen(b) bits equal
+    # AND masklen(a) >= masklen(b) — NOT text equality ('a/24' <<= 'b/24'
+    # is true whenever they share the /24 network; round-7 advice)
+    ("inet_contained_by_eq", 2): (
+        "((" + _IP2INT.format("{0}") + " & " + _MASKINT.format("{1}")
+        + ") = (" + _IP2INT.format("{1}") + " & " + _MASKINT.format("{1}")
+        + ") AND " + _MASKLEN.format("{0}") + " >= " + _MASKLEN.format("{1}") + ")"
+    ),
     ("inet_same_family", 2): (
         "((CASE WHEN {0} LIKE '%:%' THEN 6 ELSE 4 END) = "
         "(CASE WHEN {1} LIKE '%:%' THEN 6 ELSE 4 END))"
@@ -5094,6 +5102,14 @@ def _operand_end(toks: list[str], start: int) -> int:
     if i >= len(toks):
         return start
     if _is_ident(toks[i]):
+        # typed literal: DATE '2024-01-01' / TIMESTAMP '...' / INTERVAL
+        # '...' is ONE operand (gram.y AexprConst)
+        if (
+            toks[i].lower() in ("date", "timestamp", "time", "interval")
+            and i + 1 < len(toks)
+            and _is_string(toks[i + 1])
+        ):
+            return i + 1
         while i + 2 < len(toks) and toks[i + 1] == "." and _is_ident(toks[i + 2]):
             i += 2
         if i + 1 < len(toks) and toks[i + 1] == "(":
@@ -5180,15 +5196,15 @@ def _pass_inet_ops(toks: list[str]) -> list[str]:
         if op == "<<":
             new = f"inet_contained_by({a}, {b})"
         elif op == "<<=":
-            new = f"({a} = {b} OR inet_contained_by({a}, {b}))"
+            new = f"inet_contained_by_eq({a}, {b})"
         elif op == ">>":
             new = f"inet_contained_by({b}, {a})"
         elif op == ">>=":
-            new = f"({a} = {b} OR inet_contained_by({b}, {a}))"
-        else:  # && overlap: either contains the other or equal
+            new = f"inet_contained_by_eq({b}, {a})"
+        else:  # && overlap: network bits match under the shorter mask
             new = (
-                f"({a} = {b} OR inet_contained_by({a}, {b}) "
-                f"OR inet_contained_by({b}, {a}))"
+                f"(inet_contained_by_eq({a}, {b}) "
+                f"OR inet_contained_by_eq({b}, {a}))"
             )
         toks[lstart : rend + 1] = tokenize(new)
         i = lstart if lstart > 0 else 1
@@ -5223,7 +5239,10 @@ def _pass_range_casts(toks: list[str]) -> list[str]:
                 body[1:-1].replace("''", "'")
             )
             if bounds == "empty":
-                new = f"{tname}(1, 1, '()')"  # canonical empty range
+                # keep the constructor form so _pass_ranges marks the
+                # span; it recognizes the 'empty' flag and emits
+                # type-correct NULL bounds (round-7 advice)
+                new = f"{tname}(NULL, NULL, 'empty')"
             else:
                 lo_s = f"'{lo}'" if lo is not None else "NULL"
                 hi_s = f"'{hi}'" if hi is not None else "NULL"
@@ -5278,11 +5297,14 @@ def _pass_ranges(toks: list[str]) -> list[str]:
                 raise NotImplementedError(
                     f"{t}(lo, hi [, '[)']) — bounds must be a literal"
                 )
-            if bounds not in ("[)", "[]", "(]", "()"):
+            if bounds == "empty":
+                sql = R.mk_empty_range_sql(elem)
+            elif bounds not in ("[)", "[]", "(]", "()"):
                 raise ValueError(f"invalid range bounds flags {bounds!r}")
-            sql = R.mk_range_sql(
-                " ".join(args[0]), " ".join(args[1]), bounds, elem, disc
-            )
+            else:
+                sql = R.mk_range_sql(
+                    " ".join(args[0]), " ".join(args[1]), bounds, elem, disc
+                )
             toks[i : close + 1] = ["__ggrng__", "("] + tokenize(sql) + [")"]
         i += 1
 

@@ -307,6 +307,18 @@ def mk_range_sql(lo: str, hi: str, bounds: str, elem_type: str,
     )
 
 
+def mk_empty_range_sql(elem_type: str) -> str:
+    """'empty'::<rangetype> — emitted directly with NULL bounds CAST to
+    the element type.  (A numeric dummy bound would render
+    CAST(1 AS DATE)/CAST(1 AS TIMESTAMP_NTZ), which Spark rejects —
+    round-7 advice, transpiler.py:5226.)"""
+    n = f"CAST(NULL AS {elem_type})"
+    return (
+        f"named_struct('lo', {n}, 'hi', {n}, 'lo_inc', false, "
+        f"'hi_inc', false, 'empty', true)"
+    )
+
+
 def parse_range_literal(text: str) -> tuple[str | None, str | None, str]:
     """'[1,5)' / '(,5]' / 'empty' → (lo_text, hi_text, bounds); rangetypes.c
     range_parse.  NULL/omitted bounds are infinite."""

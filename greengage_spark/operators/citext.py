@@ -175,9 +175,23 @@ def fold_citext(stmt: str, cols: set[str]) -> str:
         out[a] = "lower(" + out[a]
         out[b - 1] = out[b - 1] + ")"
 
+    _SQ_HEADS = ("select", "with", "values", "table")
+
+    def wrap_item(a: int, b: int) -> None:
+        """Lower an IN-list item.  A scalar item gets lower(item); a
+        subquery item (c IN (SELECT v FROM u)) is rewritten so the
+        subquery's single output column is lowered — lower(SELECT ...)
+        is not valid SQL (round-7 advice, citext.py:203)."""
+        if low[a] in _SQ_HEADS:
+            out[a] = (
+                "SELECT lower(__gg_csq.__gg_c0) FROM ( " + out[a]
+            )
+            out[b - 1] = out[b - 1] + " ) AS __gg_csq(__gg_c0)"
+        else:
+            wrap(a, b)
+
     # 1) comparisons + IN lists
     i = 0
-    grouped_cols: set[str] = set()
     while i < len(low):
         t = low[i]
         if t in _CMP_OPS:
@@ -198,8 +212,11 @@ def fold_citext(stmt: str, cols: set[str]) -> str:
             i = rb if rb > i else i + 1
             continue
         if t == "in" and i > 0:
-            la, lb = _operand_span(toks, i - 1, -1)
-            if lb == i and _is_citext_ref(toks, la, lb, cols):
+            opi = i - 1
+            if low[opi] == "not" and opi > 0:
+                opi -= 1  # col NOT IN (...) — operand sits before NOT
+            la, lb = _operand_span(toks, opi, -1)
+            if lb == opi + 1 and _is_citext_ref(toks, la, lb, cols):
                 # lower the column and each top-level list item
                 if i + 1 < len(toks) and toks[i + 1] == "(":
                     depth, j = 1, i + 2
@@ -210,9 +227,9 @@ def fold_citext(stmt: str, cols: set[str]) -> str:
                         elif toks[j] == ")":
                             depth -= 1
                             if depth == 0 and j > item_start:
-                                wrap(item_start, j)
+                                wrap_item(item_start, j)
                         elif toks[j] == "," and depth == 1:
-                            wrap(item_start, j)
+                            wrap_item(item_start, j)
                             item_start = j + 1
                         j += 1
                     wrap(la, lb)
@@ -262,7 +279,6 @@ def fold_citext(stmt: str, cols: set[str]) -> str:
                         wrap(a, bb)
                         if low[i] == "group":
                             col = low[bb - 1]
-                            grouped_cols.add(col)
                             # owning SELECT: nearest preceding 'select'
                             # at this GROUP BY's depth; list ends at the
                             # matching 'from'

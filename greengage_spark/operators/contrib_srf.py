@@ -63,6 +63,11 @@ _NORMAL_RAND_RE = re.compile(
 
 _MAX_LEVELS = 200  # runaway guard past any real hierarchy
 
+# Frontier rows above which the per-level join stops broadcasting the
+# frontier (with its path arrays) and falls back to a shuffle hash join.
+# Tests monkeypatch this to pin the large-frontier plan shape.
+_BROADCAST_FRONTIER_MAX = 100_000
+
 from greengage_spark.operators.udf_ddl import _FROM_KEYWORDS  # noqa: E402
 
 
@@ -193,6 +198,7 @@ def _connectby_repl(engine, m: re.Match) -> str:
         F.col("__p").cast(key_type).alias("__p"),
     )
     edges = edges.persist()
+    levels: list = []  # assigned before try: the finally below iterates it
     try:
         root = edges.sparkSession.createDataFrame(
             [(start,)], "__k string"
@@ -204,6 +210,7 @@ def _connectby_repl(engine, m: re.Match) -> str:
         )
         levels = [root]
         frontier = root
+        frontier_rows = 1
         depth = 0
         while True:
             depth += 1
@@ -211,15 +218,15 @@ def _connectby_repl(engine, m: re.Match) -> str:
                 break
             if depth > _MAX_LEVELS:
                 raise ValueError("infinite recursion detected")
+            fr = frontier.select(F.col("__k").alias("__fk"), "__path")
+            # Scale: broadcast the frontier (with its path arrays) only
+            # while it is small; a wide hierarchy level falls back to a
+            # plain shuffle hash join so the per-level broadcast never
+            # becomes the 100 TB bottleneck (round-7 verdict item #2).
+            if frontier_rows <= _BROADCAST_FRONTIER_MAX:
+                fr = F.broadcast(fr)
             nxt = (
-                edges.join(
-                    F.broadcast(
-                        frontier.select(
-                            F.col("__k").alias("__fk"), "__path"
-                        )
-                    ),
-                    edges["__p"] == F.col("__fk"),
-                )
+                edges.join(fr, edges["__p"] == F.col("__fk"))
                 .select(
                     "__k",
                     "__p",
@@ -230,23 +237,32 @@ def _connectby_repl(engine, m: re.Match) -> str:
                     ).alias("__path"),
                 )
             ).persist()
-            # element-wise cycle check (NOT substring: '1' vs '11' must
-            # not falsely fire — the regress "falsely detected recursion").
-            # The key is the path's LAST element, so an earlier first
-            # occurrence means the branch revisited it (tablefunc.c
-            # build_tuplestore_recursively's branch check).
-            n_cyc = nxt.filter(
-                F.array_position(
-                    F.col("__path"), F.col("__k").cast("string")
-                )
-                < F.size(F.col("__path"))
-            ).count()
-            if n_cyc > 0:
+            # ONE action per level: row count + cycle count together.
+            # Cycle check is element-wise (NOT substring: '1' vs '11'
+            # must not falsely fire — the regress "falsely detected
+            # recursion").  The key is the path's LAST element, so an
+            # earlier first occurrence means the branch revisited it
+            # (tablefunc.c build_tuplestore_recursively's branch check).
+            stats = nxt.agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.sum(
+                    F.when(
+                        F.array_position(
+                            F.col("__path"), F.col("__k").cast("string")
+                        )
+                        < F.size(F.col("__path")),
+                        1,
+                    ).otherwise(0)
+                ).alias("__cyc"),
+            ).first()
+            if (stats["__cyc"] or 0) > 0:
                 raise ValueError("infinite recursion detected")
-            if nxt.isEmpty():
+            if stats["__n"] == 0:
+                nxt.unpersist()
                 break
             levels.append(nxt)
             frontier = nxt
+            frontier_rows = stats["__n"]
         out = levels[0]
         for lv in levels[1:]:
             out = out.unionByName(lv)

@@ -1,0 +1,188 @@
+"""Round-8 ADVICE regression battery — one test per finding:
+
+1. (high) citext IN (subquery): the fold must not wrap the subquery in
+   lower() — 'lower(SELECT ...)' is invalid SQL.  The subquery's single
+   output column is lowered instead, so case-insensitive membership
+   still holds (contrib/citext citext_eq semantics).
+2. (medium) 'empty'::daterange / 'empty'::tsrange must lower to a
+   type-correct empty range struct — CAST(1 AS DATE) is rejected by
+   Spark (rangetypes.c range_in 'empty').
+3. (medium) inet <<= / >>= / && follow network.c network_subeq /
+   network_overlap: first masklen(b) bits equal AND masklen(a) >=
+   masklen(b) — NOT text equality.  '192.168.1.5/24' <<=
+   '192.168.1.9/24' is TRUE in PG.
+4. (low) connectby(): a failure before level construction must raise
+   the ORIGINAL error, not NameError from the cleanup block.
+5. (low) citext fold: dead grouped_cols state removed (covered by the
+   module simply importing + full citext battery staying green).
+"""
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return GreengageEngine(spark, str(tmp_path / "wh"))
+
+
+class TestCitextInSubquery:
+    @pytest.fixture()
+    def ceng(self, spark, tmp_path):
+        e = GreengageEngine(spark, str(tmp_path / "wh2"))
+        e.execute("CREATE TABLE users (id int8, nick citext)")
+        e.execute(
+            "INSERT INTO users VALUES (1,'Larry'),(2,'Tom'),(3,'DAMIAN')"
+        )
+        e.execute("CREATE TABLE vips (who text)")
+        e.execute("INSERT INTO vips VALUES ('LARRY'),('damian')")
+        return e
+
+    def test_in_subquery_folds_both_sides(self, ceng):
+        got = [
+            r[0]
+            for r in ceng.execute(
+                "SELECT id FROM users WHERE nick IN "
+                "(SELECT who FROM vips) ORDER BY id"
+            ).collect()
+        ]
+        assert got == [1, 3]
+
+    def test_not_in_subquery(self, ceng):
+        got = [
+            r[0]
+            for r in ceng.execute(
+                "SELECT id FROM users WHERE nick NOT IN "
+                "(SELECT who FROM vips) ORDER BY id"
+            ).collect()
+        ]
+        assert got == [2]
+
+    def test_scalar_in_list_still_folds(self, ceng):
+        got = [
+            r[0]
+            for r in ceng.execute(
+                "SELECT id FROM users WHERE nick IN ('larry', 'tom') "
+                "ORDER BY id"
+            ).collect()
+        ]
+        assert got == [1, 2]
+
+    def test_fold_text_shape(self):
+        from greengage_spark.operators.citext import fold_citext
+
+        out = fold_citext(
+            "SELECT id FROM users WHERE nick IN ( SELECT who FROM vips )",
+            {"nick"},
+        )
+        assert "lower( SELECT" not in out and "lower(SELECT" not in out
+        assert "lower(nick)" in out
+        assert "__gg_csq" in out
+
+
+class TestEmptyRangeCasts:
+    def _one(self, spark, expr):
+        from greengage_spark.dialect.transpiler import pg_sql
+
+        return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+    @pytest.mark.parametrize(
+        "rt", ["int4range", "int8range", "numrange", "daterange",
+               "tsrange", "tstzrange"]
+    )
+    def test_empty_isempty_all_types(self, spark, rt):
+        assert self._one(spark, f"isempty('empty'::{rt})") is True
+
+    def test_empty_daterange_operators(self, spark):
+        # empty range contains nothing and overlaps nothing
+        assert self._one(
+            spark,
+            "'empty'::daterange @> DATE '2024-01-01'",
+        ) is False
+        assert self._one(
+            spark,
+            "'empty'::tsrange && '[2024-01-01,2024-02-01)'::tsrange",
+        ) is False
+
+    def test_empty_upper_lower_null(self, spark):
+        assert self._one(spark, "lower('empty'::daterange)") is None
+        assert self._one(spark, "upper('empty'::tsrange)") is None
+
+
+class TestInetSubnetEqSemantics:
+    def _one(self, spark, expr):
+        from greengage_spark.dialect.transpiler import pg_sql
+
+        return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+    def test_subeq_same_masklen_same_net(self, spark):
+        # PG: true — both are in 192.168.1.0/24 with equal masklen
+        assert self._one(
+            spark, "'192.168.1.5/24'::inet <<= '192.168.1.9/24'::inet"
+        ) is True
+
+    def test_subeq_reflexive(self, spark):
+        assert self._one(
+            spark, "'10.0.0.1/8'::inet <<= '10.0.0.1/8'::inet"
+        ) is True
+
+    def test_subeq_shorter_mask_false(self, spark):
+        # a /16 is NOT contained-or-equal in a /24
+        assert self._one(
+            spark, "'192.168.1.0/16'::inet <<= '192.168.1.0/24'::inet"
+        ) is False
+
+    def test_subeq_different_network_false(self, spark):
+        assert self._one(
+            spark, "'192.169.1.5/24'::inet <<= '192.168.1.9/24'::inet"
+        ) is False
+
+    def test_supeq(self, spark):
+        assert self._one(
+            spark, "'192.168.1.9/24'::inet >>= '192.168.1.5/24'::inet"
+        ) is True
+        assert self._one(
+            spark, "'192.168.0.0/16'::inet >>= '192.168.1.5/24'::inet"
+        ) is True
+
+    def test_overlap_same_masklen(self, spark):
+        # network.c network_overlap: true when either net contains the
+        # other under the shorter mask — equal /24s of one network
+        assert self._one(
+            spark, "'192.168.1.5/24'::inet && '192.168.1.200/24'::inet"
+        ) is True
+
+    def test_overlap_disjoint_false(self, spark):
+        assert self._one(
+            spark, "'192.168.1.0/24'::inet && '10.0.0.0/24'::inet"
+        ) is False
+
+    def test_strict_containment_unchanged(self, spark):
+        assert self._one(
+            spark, "'192.168.1.5'::inet << '192.168.1.0/24'::inet"
+        ) is True
+        assert self._one(
+            spark, "'192.168.1.5/24'::inet << '192.168.1.0/24'::inet"
+        ) is False
+
+
+class TestConnectbyEarlyFailure:
+    def test_bad_source_raises_original_error(self, eng):
+        # source relation does not exist: the error must be about the
+        # relation, never a NameError from the cleanup block
+        with pytest.raises(Exception) as ei:
+            eng.execute(
+                "SELECT * FROM connectby('no_such_tbl', 'k', 'p', '1', 0) "
+                "AS t(k int, p int, lvl int)"
+            ).collect()
+        assert not isinstance(ei.value, NameError)
+
+
+class TestCitextDeadStateRemoved:
+    def test_no_grouped_cols_symbol(self):
+        import inspect
+
+        from greengage_spark.operators import citext
+
+        assert "grouped_cols" not in inspect.getsource(citext)

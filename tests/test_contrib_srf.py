@@ -154,3 +154,62 @@ class TestNormalRand:
         assert r.n == 20000
         assert math.isclose(r.m, 5.0, abs_tol=0.15)
         assert math.isclose(r.s, 2.0, abs_tol=0.15)
+
+
+class TestConnectbyLargeFrontier:
+    """Round-8 de-cliff (round-7 verdict item #2): above
+    _BROADCAST_FRONTIER_MAX the per-level join must NOT broadcast the
+    frontier — wide hierarchy levels fall back to a shuffle hash join."""
+
+    def test_shuffle_fallback_correct_and_broadcast_free(
+        self, eng, monkeypatch
+    ):
+        import pyspark.sql.functions as F
+
+        from greengage_spark.operators import contrib_srf
+
+        eng.execute("CREATE TABLE cbw (keyid text, parent_keyid text)")
+        eng.execute(
+            "INSERT INTO cbw VALUES ('r',NULL),('a','r'),('b','r'),"
+            "('c','a'),('d','a'),('e','b')"
+        )
+        q = (
+            "SELECT * FROM connectby('cbw','keyid','parent_keyid','r',0) "
+            "AS t(keyid text, parent_keyid text, level int) "
+            "ORDER BY level, keyid"
+        )
+        expected = [tuple(r) for r in eng.execute(q).collect()]
+
+        calls = []
+        real_broadcast = F.broadcast
+
+        def spy(df):
+            calls.append(1)
+            return real_broadcast(df)
+
+        monkeypatch.setattr(contrib_srf.F, "broadcast", spy)
+        monkeypatch.setattr(contrib_srf, "_BROADCAST_FRONTIER_MAX", 0)
+        got = [tuple(r) for r in eng.execute(q).collect()]
+        assert got == expected
+        assert calls == []  # large-frontier path never broadcasts
+
+    def test_small_frontier_still_broadcasts(self, eng, monkeypatch):
+        import pyspark.sql.functions as F
+
+        from greengage_spark.operators import contrib_srf
+
+        eng.execute("CREATE TABLE cbs (keyid text, parent_keyid text)")
+        eng.execute("INSERT INTO cbs VALUES ('r',NULL),('a','r')")
+        calls = []
+        real_broadcast = F.broadcast
+
+        def spy(df):
+            calls.append(1)
+            return real_broadcast(df)
+
+        monkeypatch.setattr(contrib_srf.F, "broadcast", spy)
+        eng.execute(
+            "SELECT * FROM connectby('cbs','keyid','parent_keyid','r',0) "
+            "AS t(keyid text, parent_keyid text, level int)"
+        ).collect()
+        assert len(calls) >= 1
