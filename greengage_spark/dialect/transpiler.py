@@ -4352,6 +4352,8 @@ _FUNC_RENAME = {
     "btrim": "trim",
     "random": "rand",
     "gen_random_uuid": "uuid",  # pgcrypto gen_random_uuid → Spark uuid()
+    # uuid-ossp.c:128 uuid_generate_v4 — random; Spark uuid() IS a v4
+    "uuid_generate_v4": "uuid",
     "cardinality": "size",
     # string_agg(x, sep ORDER BY y) → listagg: Spark 4 supports the full
     # WITHIN GROUP / inline ORDER BY ordered-aggregate syntax natively
@@ -4484,6 +4486,35 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
         "((CASE WHEN {0} LIKE '%:%' THEN 6 ELSE 4 END) = "
         "(CASE WHEN {1} LIKE '%:%' THEN 6 ELSE 4 END))"
     ),
+    # ---- uuid-ossp (uuid-ossp.c; RFC 4122) ----
+    # v3/v5 are deterministic name-based digests: hash(ns_bytes || name),
+    # then set the version nibble and the RFC variant bits — pure JVM
+    # string surgery, bound once via the one-element transform idiom
+    ("uuid_generate_v3", 2): (
+        "element_at(transform(array("
+        "md5(concat(unhex(replace(CAST(({0}) AS STRING), '-', '')), "
+        "encode(CAST(({1}) AS STRING), 'utf-8')))"
+        "), __h -> concat(substr(__h, 1, 8), '-', substr(__h, 9, 4), "
+        "'-3', substr(__h, 14, 3), '-', "
+        "lower(hex((CAST(conv(substr(__h, 17, 1), 16, 10) AS INT) % 4) + 8)), "
+        "substr(__h, 18, 3), '-', substr(__h, 21, 12))), 1)"
+    ),
+    ("uuid_generate_v5", 2): (
+        "element_at(transform(array("
+        "sha1(concat(unhex(replace(CAST(({0}) AS STRING), '-', '')), "
+        "encode(CAST(({1}) AS STRING), 'utf-8')))"
+        "), __h -> concat(substr(__h, 1, 8), '-', substr(__h, 9, 4), "
+        "'-5', substr(__h, 14, 3), '-', "
+        "lower(hex((CAST(conv(substr(__h, 17, 1), 16, 10) AS INT) % 4) + 8)), "
+        "substr(__h, 18, 3), '-', substr(__h, 21, 12))), 1)"
+    ),
+    ("uuid_nil", 0): "'00000000-0000-0000-0000-000000000000'",
+    ("uuid_ns_dns", 0): "'6ba7b810-9dad-11d1-80b4-00c04fd430c8'",
+    ("uuid_ns_url", 0): "'6ba7b811-9dad-11d1-80b4-00c04fd430c8'",
+    ("uuid_ns_oid", 0): "'6ba7b812-9dad-11d1-80b4-00c04fd430c8'",
+    ("uuid_ns_x500", 0): "'6ba7b814-9dad-11d1-80b4-00c04fd430c8'",
+    ("uuid_generate_v1", 0): "pg_uuid_v1(false)",
+    ("uuid_generate_v1mc", 0): "pg_uuid_v1(true)",
     # ---- identifier/literal quoting (quote.c; ruleutils.c quote_identifier:
     # quote only when not already a safe lowercase identifier) ----
     # || (strict in PG and Spark) instead of concat so the user-concat
@@ -6104,6 +6135,35 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     f"(CASE WHEN size({a}) > 0 THEN 1 END)"
                 )
                 continue
+            if low in ("convert_from", "convert_to") and len(args) == 2:
+                # mbutils.c pg_convert_from/to: bytea ↔ text in a named
+                # encoding.  Spark's encode/decode accept a fixed charset
+                # list with exact names, so the PG encoding name (almost
+                # always a literal) maps here; non-literals reject.
+                if len(args[1]) != 1 or not _is_string(args[1][0]):
+                    raise NotImplementedError(
+                        f"{low}: the encoding name must be a literal"
+                    )
+                enc = args[1][0].strip("'").lower().replace("-", "").replace("_", "")
+                cmap = {
+                    "utf8": "utf-8", "unicode": "utf-8",
+                    "latin1": "iso-8859-1", "iso88591": "iso-8859-1",
+                    "sqlascii": "us-ascii", "ascii": "us-ascii",
+                    "utf16": "utf-16",
+                }
+                if enc not in cmap:
+                    raise NotImplementedError(
+                        f"{low} encoding {args[1][0]}: UTF8/LATIN1/"
+                        "SQL_ASCII/UTF16 are the supported names"
+                    )
+                a = " ".join(args[0])
+                if low == "convert_from":
+                    new = f"decode(({a}), '{cmap[enc]}')"
+                else:
+                    new = f"encode(CAST(({a}) AS STRING), '{cmap[enc]}')"
+                out[i : close + 1] = tokenize(new)
+                i += 1
+                continue
             if low == "encode" and len(args) == 2 and args[1] == ["'hex'"]:
                 out[i : close + 1] = ["lower", "(", "hex", "("] + args[0] + [")", ")"]
                 continue
@@ -6342,6 +6402,68 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 # pgcrypto.c:204 crypt(password, salt) — md5-crypt scheme
                 a, b = (" ".join(x) for x in args)
                 out[i : close + 1] = tokenize(f"pg_crypt(({a}), ({b}))")
+                continue
+            if low in ("encrypt", "decrypt") and len(args) == 3:
+                # pgcrypto.h:43-44 encrypt/decrypt(data, key, type) —
+                # zero-IV block cipher (functions/pgcipher.py AES core)
+                a, k, t = ("(" + " ".join(x) + ")" for x in args)
+                out[i : close + 1] = tokenize(
+                    f"pg_{low}(CAST({a} AS BINARY), CAST({k} AS BINARY), "
+                    f"CAST({t} AS STRING))"
+                )
+                continue
+            if low in ("encrypt_iv", "decrypt_iv") and len(args) == 4:
+                # pgcrypto.h:45 — explicit IV variant
+                a, k, v, t = ("(" + " ".join(x) + ")" for x in args)
+                out[i : close + 1] = tokenize(
+                    f"pg_{low}(CAST({a} AS BINARY), CAST({k} AS BINARY), "
+                    f"CAST({v} AS BINARY), CAST({t} AS STRING))"
+                )
+                continue
+            if low == "pgp_sym_encrypt" and len(args) in (2, 3):
+                # pgp-pgsql.c:538 — RFC 4880 SymKey-ESK + SEIPD subset
+                a = ["(" + " ".join(x) + ")" for x in args]
+                opts = f"CAST({a[2]} AS STRING)" if len(a) == 3 else "NULL"
+                out[i : close + 1] = tokenize(
+                    f"pg_pgp_sym_encrypt(CAST({a[0]} AS STRING), "
+                    f"CAST({a[1]} AS STRING), {opts})"
+                )
+                continue
+            if low in (
+                "pgp_sym_decrypt", "pgp_sym_decrypt_bytea"
+            ) and len(args) in (2, 3):
+                a = ["(" + " ".join(x) + ")" for x in args]
+                opts = f"CAST({a[2]} AS STRING)" if len(a) == 3 else "NULL"
+                fn = (
+                    "pg_pgp_sym_decrypt_bytea"
+                    if low.endswith("bytea")
+                    else "pg_pgp_sym_decrypt"
+                )
+                out[i : close + 1] = tokenize(
+                    f"{fn}(CAST({a[0]} AS BINARY), "
+                    f"CAST({a[1]} AS STRING), {opts})"
+                )
+                continue
+            if low == "pgp_sym_encrypt_bytea" and len(args) in (2, 3):
+                a = ["(" + " ".join(x) + ")" for x in args]
+                opts = f"CAST({a[2]} AS STRING)" if len(a) == 3 else "NULL"
+                out[i : close + 1] = tokenize(
+                    f"pg_pgp_sym_encrypt(CAST({a[0]} AS BINARY), "
+                    f"CAST({a[1]} AS STRING), {opts})"
+                )
+                continue
+            if low == "armor" and len(args) == 1:
+                # pgp-armor.c — base64 + CRC-24 framing
+                a = " ".join(args[0])
+                out[i : close + 1] = tokenize(
+                    f"pg_armor(CAST(({a}) AS BINARY))"
+                )
+                continue
+            if low == "dearmor" and len(args) == 1:
+                a = " ".join(args[0])
+                out[i : close + 1] = tokenize(
+                    f"pg_dearmor(CAST(({a}) AS STRING))"
+                )
                 continue
             if low == "gen_salt" and len(args) in (1, 2):
                 # pgcrypto.c:232 gen_salt(type [, iter]) — md5 has no
@@ -6861,4 +6983,11 @@ def pg_sql(spark, sql: str):
         from greengage_spark.functions import xmlquery
 
         xmlquery.register_udfs(spark)
+    if (
+        "pg_encrypt" in out or "pg_decrypt" in out or "pg_pgp_sym" in out
+        or "pg_armor" in out or "pg_dearmor" in out or "pg_uuid_v1" in out
+    ):
+        from greengage_spark.functions import pgcipher
+
+        pgcipher.register_udfs(spark)
     return spark.sql(out)

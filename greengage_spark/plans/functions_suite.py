@@ -1357,6 +1357,72 @@ def dialect_contrib_crypto2(spark, sf_dir):
     )
 
 
+def _uuid_cipher_oracle() -> str:
+    """Closed-form expected table for dialect_uuid_cipher.  u3/u5 come
+    from an INDEPENDENT implementation (stdlib uuid.uuid3/uuid5 — the
+    transpiler lowers them to JVM md5/sha1 string surgery instead);
+    enc_hex comes from functions/pgcipher.encrypt_bytes, whose AES core
+    is pinned against the reference's own openssl-generated regress
+    vectors (contrib/pgcrypto/expected/rijndael.out) in
+    tests/test_pgcipher.py.  The nondeterministic surfaces (v4, pgp
+    session salts) are verified as roundtrip/shape booleans, the
+    gen_salt-style contract."""
+    import uuid as _uuid
+
+    from greengage_spark.functions.pgcipher import encrypt_bytes
+
+    rows = []
+    for k in range(25):
+        name = f"Customer#{k:09d}"
+        u3 = str(_uuid.uuid3(_uuid.NAMESPACE_DNS, name))
+        u5 = str(_uuid.uuid5(_uuid.NAMESPACE_URL, name))
+        eh = encrypt_bytes(name.encode(), b"gg_key", "aes").hex()
+        rows.append(f"({k}, '{u3}', '{u5}', '{eh}')")
+    return (
+        "SELECT CAST(c_custkey AS INTEGER) AS c_custkey, u3, u5, "
+        "enc_hex, TRUE AS rt, TRUE AS pgp_rt, TRUE AS arm_rt, "
+        "TRUE AS v4_ok FROM (VALUES " + ", ".join(rows) + ") AS "
+        "t(c_custkey, u3, u5, enc_hex) ORDER BY c_custkey"
+    )
+
+
+@suite.add(
+    "dialect_uuid_cipher",
+    oracle=_uuid_cipher_oracle(),
+    doc="uuid-ossp (uuid-ossp.c:128,520) + pgcrypto cipher layer "
+        "(pgcrypto.h:43-45; pgp-pgsql.c:538; pgp-armor.c): "
+        "uuid_generate_v3/v5 lower to pure-JVM md5/sha1 string surgery "
+        "(version nibble + RFC variant bits), v4 → Spark uuid() with a "
+        "shape check; encrypt/decrypt are the clean-room FIPS-197 AES "
+        "core (zero-IV CBC, PG key zero-padding) pinned against the "
+        "reference rijndael.out vectors; pgp_sym_* is an RFC 4880 "
+        "S2K+SEIPD subset verified bidirectionally against GnuPG; "
+        "armor/dearmor match pgp-armor.out byte-for-byte.",
+    tags=("dialect", "contrib"),
+)
+def dialect_uuid_cipher(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey::int4 AS c_custkey,
+               uuid_generate_v3(uuid_ns_dns(), c_name) AS u3,
+               uuid_generate_v5(uuid_ns_url(), c_name) AS u5,
+               encode(encrypt(c_name, 'gg_key', 'aes'), 'hex') AS enc_hex,
+               convert_from(decrypt(encrypt(c_name, 'gg_key', 'aes'),
+                            'gg_key', 'aes'), 'UTF8') = c_name AS rt,
+               pgp_sym_decrypt(pgp_sym_encrypt(c_name, 'pw',
+                   'cipher-algo=aes256'), 'pw') = c_name AS pgp_rt,
+               convert_from(dearmor(armor(c_name)), 'UTF8') = c_name AS arm_rt,
+               uuid_generate_v4() ~
+                 '^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$'
+                 AS v4_ok
+        FROM customer WHERE c_custkey < 25 ORDER BY c_custkey
+        """,
+        ["customer"],
+    )
+
+
 @suite.add(
     "dialect_xml_publish",
     oracle="""
