@@ -2891,6 +2891,74 @@ def _pass_text_search(toks: list[str]) -> list[str]:
             return arg[0]
         return None
 
+    def _tsq_arg_text(arg: list[str]) -> str | None:
+        """A tsquery-valued literal argument in any spelling —
+        to_tsquery('...'), plainto_tsquery('...'), 'lit'::tsquery, bare
+        'lit' — normalized to to_tsquery input text (plainto lexemes
+        joined with &)."""
+        if (
+            len(arg) == 3
+            and _is_string(arg[0])
+            and arg[1] == "::"
+            and _is_ident(arg[2])
+            and arg[2].lower() == "tsquery"
+        ):
+            return arg[0].strip("'")
+        fn, inner = _unwrap_call(arg)
+        if fn in ("to_tsquery", "plainto_tsquery"):
+            inner = _drop_cfg(inner)
+            if len(inner) == 1 and len(inner[0]) == 1 and _is_string(inner[0][0]):
+                body = inner[0][0].strip("'")
+                if fn == "plainto_tsquery":
+                    lex = [t for t in re.split(r"[^a-z0-9]+", body.lower()) if t]
+                    return " & ".join(lex)
+                return body
+            return None
+        if len(arg) == 1 and _is_string(arg[0]):
+            return arg[0].strip("'")
+        return None
+
+    # ts_rewrite(query, target, substitute) with literal tsquery args
+    # (tsquery_rewrite.c:280 tsquery_rewrite_query) — evaluated at plan
+    # time over the canonical tree machinery; nested calls resolve
+    # innermost-first.  The result re-emits as to_tsquery('...') so a
+    # following @@ compiles it, and the scalar-position fallback below
+    # renders it in PG display form.
+    changed = True
+    while changed:
+        changed = False
+        i = 0
+        while i < len(toks):
+            if (
+                _is_ident(toks[i])
+                and toks[i].lower() == "ts_rewrite"
+                and i + 1 < len(toks)
+                and toks[i + 1] == "("
+            ):
+                close = _args_span(toks, i + 1)
+                args = _split_args(toks[i + 2 : close])
+                if len(args) == 3:
+                    parts = [_tsq_arg_text(a) for a in args]
+                    if all(p is not None for p in parts):
+                        from greengage_spark.functions.textsearch import (
+                            ts_rewrite_literal,
+                        )
+
+                        res = ts_rewrite_literal(*parts)
+                        toks[i : close + 1] = [
+                            "to_tsquery", "(", f"'{res}'", ")"
+                        ]
+                        changed = True
+                        i += 1
+                        continue
+                if len(args) == 2:
+                    raise NotImplementedError(
+                        "ts_rewrite(query, 'SELECT ...') runs through the "
+                        "engine (operators/tsrewrite.py) — plain pg_sql "
+                        "sees only the 3-argument literal form"
+                    )
+            i += 1
+
     # ts_rank_cd / ts_headline FIRST — their to_tsvector args must reach
     # the pandas UDF as raw text, not the lexeme-array lowering below
     # (tsrank.c calc_rank_cd; wparser_def.c prsd_headline)
@@ -3028,11 +3096,43 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                             f"array_contains ( {tsv} , '{t}' )" for t in lex
                         ) or "FALSE"
                         sql = f"( {sql} )"
+                    elif not q.strip():
+                        # empty tsquery matches NOTHING (TS_execute)
+                        sql = "FALSE"
                     else:
                         sql = _sql(_tsq_parse(q))
                     toks[ls : close + 1] = tokenize(sql)
                     i = ls
                     continue
+        i += 1
+    # scalar-position to_tsquery('lit') / plainto_tsquery('lit') left
+    # after the @@ pass render to PG's tsquery display text — the form
+    # psql prints for SELECT to_tsquery(...) / SELECT ts_rewrite(...)
+    from greengage_spark.functions.textsearch import (
+        ts_rewrite_parse,
+        tsq_render,
+    )
+
+    i = 0
+    while i < len(toks):
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() in ("to_tsquery", "plainto_tsquery")
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+        ):
+            close = _args_span(toks, i + 1)
+            args = _drop_cfg(_split_args(toks[i + 2 : close]))
+            if len(args) == 1 and len(args[0]) == 1 and _is_string(args[0][0]):
+                body = args[0][0].strip("'")
+                if toks[i].lower() == "plainto_tsquery":
+                    lex = [
+                        t for t in re.split(r"[^a-z0-9]+", body.lower()) if t
+                    ]
+                    body = " & ".join(lex)
+                txt = tsq_render(ts_rewrite_parse(body), quoted=True)
+                esc = txt.replace("'", "''")
+                toks[i : close + 1] = [f"'{esc}'"]
         i += 1
     return toks
 

@@ -402,6 +402,124 @@ def tsvector_concat(a: Column, b: Column) -> Column:
     return F.concat(a, shifted)
 
 
+# --------------------------- ts_rewrite (tsquery_rewrite.c:280)
+#
+# tsquery_rewrite_query: canonicalize both trees (QTNTernary flattens
+# AND/OR to n-ary, QTNSort orders children), then every subtree that
+# matches the target — whole-node equality, or a sub-multiset of an
+# n-ary AND/OR's children — is spliced out and the substitute spliced
+# in.  An empty substitute deletes the matched nodes (dropvoidsubtree).
+# Display ordering of our canonical render may differ from PG's
+# QTNSort order for deep mixed trees; the query SEMANTICS (match set)
+# are identical, which is what the regress queries verify via @@.
+
+
+def tsq_canon(node):
+    """Flatten AND/OR to sorted n-ary tuples (QTNTernary + QTNSort)."""
+    if node is None:
+        return None
+    k = node[0]
+    if k in ("AND", "OR"):
+        kids = []
+        for ch in node[1:]:
+            c = tsq_canon(ch)
+            if c is None:
+                continue
+            if c[0] == k:
+                kids.extend(c[1:])
+            else:
+                kids.append(c)
+        kids.sort(key=repr)
+        if not kids:
+            return None
+        if len(kids) == 1:
+            return kids[0]
+        return (k, *kids)
+    if k == "NOT":
+        inner = tsq_canon(node[1])
+        return None if inner is None else ("NOT", inner)
+    return node
+
+
+def _tsq_subst(node, target, sub):
+    """Bottom-up single pass of dofindsubquery over canonical trees."""
+    if node is None:
+        return None
+    if node == target:
+        return sub
+    k = node[0]
+    if k in ("AND", "OR"):
+        kids = [_tsq_subst(c, target, sub) for c in node[1:]]
+        node = tsq_canon((k, *[c for c in kids if c is not None]))
+        if node is None or node == target:
+            return sub if node == target else None
+        if node[0] == k == target[0]:
+            tkids, nkids = list(target[1:]), list(node[1:])
+            if all(tkids.count(t) <= nkids.count(t) for t in tkids):
+                for t in tkids:
+                    nkids.remove(t)
+                if sub is not None:
+                    nkids.append(sub)
+                return tsq_canon((k, *nkids))
+        return node
+    if k == "NOT":
+        inner = _tsq_subst(node[1], target, sub)
+        n = None if inner is None else ("NOT", inner)
+        return sub if n == target else n
+    return node
+
+
+def ts_rewrite_parse(q: str):
+    """tsquery literal → canonical tree (empty → None, with PG's
+    empty-query semantics downstream)."""
+    if not q.strip():
+        return None
+    return tsq_canon(_tsq_parse(q))
+
+
+def ts_rewrite_apply(query, target, sub):
+    """One (target, substitute) rewrite over canonical trees."""
+    if query is None or target is None:
+        return query
+    return tsq_canon(_tsq_subst(query, target, sub))
+
+
+def tsq_render(node, quoted: bool = True) -> str:
+    """Infix output (tsquery.c infix()): quoted=True gives PG's display
+    form ('a' & !( 'b' | 'c' )); quoted=False gives a form _tsq_parse
+    re-reads (internal pipe format between passes)."""
+    if node is None:
+        return ""
+    prio = {"OR": 1, "AND": 2, "NOT": 3, "LEX": 4}
+
+    def rend(n, parent: int) -> str:
+        k = n[0]
+        if k == "LEX":
+            return f"'{n[1]}'" if quoted else n[1]
+        if k == "NOT":
+            inner = n[1]
+            s = rend(inner, prio["NOT"])
+            if prio[inner[0]] < prio["NOT"]:
+                return f"!( {s} )" if quoted else f"!({s})"
+            return f"!{s}"
+        op = " & " if k == "AND" else " | "
+        body = op.join(rend(c, prio[k]) for c in n[1:])
+        if prio[k] < parent:
+            return f"( {body} )" if quoted else f"({body})"
+        return body
+
+    return rend(node, 0)
+
+
+def ts_rewrite_literal(q: str, target: str, sub: str,
+                       quoted: bool = False) -> str:
+    """ts_rewrite('q', 't', 's') over literals → rendered result."""
+    out = ts_rewrite_apply(
+        ts_rewrite_parse(q), ts_rewrite_parse(target), ts_rewrite_parse(sub)
+    )
+    return tsq_render(out, quoted=quoted)
+
+
 def register_udfs(spark) -> None:
     """Idempotently register pg_ts_rank_cd / pg_ts_rank_cd_tsv /
     pg_ts_headline (Arrow-batched pandas UDFs — ranking needs the cover
