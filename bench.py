@@ -63,8 +63,11 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_PASSES overrides for big local fixtures (sf1 runs
     # long enough per pass that 3 passes already beat sf0.1's 5 on noise)
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
+    loadavg_before = os.getloadavg()
     timings: dict[str, float] = {}
+    pass_totals: list[float] = []
     for _ in range(passes):
+        pass_t0 = time.time()
         for name in names:
             t0 = time.time()
             df = qs[name].fn(spark, sf_dir)
@@ -72,7 +75,12 @@ def main() -> None:
             elapsed = round(time.time() - t0, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
+        pass_totals.append(round(time.time() - pass_t0, 3))
 
+    # Contention telemetry: loadavg before/after plus every per-pass total,
+    # so a slow artifact is adjudicable from the JSON alone (an idle box
+    # shows loadavg ~<= cpus and tight pass spread; a contended box shows
+    # high loadavg and a wide spread while the best-of "value" stays honest).
     print(
         json.dumps(
             {
@@ -81,6 +89,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "passes": pass_totals,
+                "loadavg_before": [round(x, 2) for x in loadavg_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                "cpus": os.cpu_count(),
             }
         )
     )

@@ -6245,10 +6245,17 @@ def _pass_functions(toks: list[str]) -> list[str]:
                         f"{low}: the encoding name must be a literal"
                     )
                 enc = args[1][0].strip("'").lower().replace("-", "").replace("_", "")
+                # SQL_ASCII in PG performs NO conversion — bytes pass
+                # through verbatim (mbutils.c pg_do_encoding_conversion
+                # short-circuits).  Java's us-ascii would replace >=0x80
+                # bytes with U+FFFD, so pick the byte-transparent charset
+                # per direction: bytea→text reads each byte as one char
+                # (iso-8859-1); text→bytea emits the internal utf-8 bytes
+                # unchanged, exactly what PG's UTF8 server encoding holds.
                 cmap = {
                     "utf8": "utf-8", "unicode": "utf-8",
                     "latin1": "iso-8859-1", "iso88591": "iso-8859-1",
-                    "sqlascii": "us-ascii", "ascii": "us-ascii",
+                    "sqlascii": "iso-8859-1", "ascii": "iso-8859-1",
                     "utf16": "utf-16",
                 }
                 if enc not in cmap:
@@ -6260,7 +6267,8 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 if low == "convert_from":
                     new = f"decode(({a}), '{cmap[enc]}')"
                 else:
-                    new = f"encode(CAST(({a}) AS STRING), '{cmap[enc]}')"
+                    to_cs = "utf-8" if enc in ("sqlascii", "ascii") else cmap[enc]
+                    new = f"encode(CAST(({a}) AS STRING), '{to_cs}')"
                 out[i : close + 1] = tokenize(new)
                 i += 1
                 continue
@@ -6545,10 +6553,12 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 )
                 continue
             if low == "pgp_sym_encrypt_bytea" and len(args) in (2, 3):
+                # writes literal-format 'b' (pgp-encrypt.c:387) where the
+                # text variant writes 't'
                 a = ["(" + " ".join(x) + ")" for x in args]
                 opts = f"CAST({a[2]} AS STRING)" if len(a) == 3 else "NULL"
                 out[i : close + 1] = tokenize(
-                    f"pg_pgp_sym_encrypt(CAST({a[0]} AS BINARY), "
+                    f"pg_pgp_sym_encrypt_bytea(CAST({a[0]} AS BINARY), "
                     f"CAST({a[1]} AS STRING), {opts})"
                 )
                 continue

@@ -355,7 +355,17 @@ def _parse_pgp_options(options: str | None) -> tuple[int, int]:
                 )
             algo = _PGP_AES_NAMES[v]
         elif k == "s2k-count":
-            count = int(v)
+            try:
+                count = int(v)
+            except ValueError:
+                raise ValueError(f"pgp: Illegal value {v!r} for parameter s2k-count") from None
+            # pgp.c pgp_set_s2k_count: PG rejects counts outside this range
+            # rather than clamping.
+            if not (1024 <= count <= 65011712):
+                raise ValueError(
+                    f"pgp: Illegal value {count} for parameter s2k-count "
+                    "(must be between 1024 and 65011712)"
+                )
         elif k == "compress-algo":
             if v not in ("0",):
                 raise NotImplementedError(
@@ -393,9 +403,11 @@ def pgp_sym_encrypt(data, psw, options=None, *, binary=False):
     )
     # tag 3: version 4, cipher algo, S2K(type 3, SHA1, salt, count)
     esk = _new_packet(3, bytes([4, algo, 3, 2]) + salt + bytes([c_oct]))
-    # literal packet: 'b', no name, zero timestamp
+    # literal packet: format 't' for the text variant, 'b' for _bytea
+    # (pgp-encrypt.c:387 sets PGP_LIT_TEXT unless pgp_sym_encrypt_bytea);
+    # no name, zero timestamp.
     lit = _new_packet(
-        11, b"b\x00" + struct.pack(">I", 0) + raw
+        11, (b"b" if binary else b"t") + b"\x00" + struct.pack(">I", 0) + raw
     )
     prefix = os.urandom(16)
     body = prefix + prefix[-2:] + lit
@@ -494,7 +506,13 @@ def pgp_sym_decrypt(msg, psw, options=None, *, binary=False):
         )
     fmt, nlen = lit[0:1], lit[1]
     raw = lit[2 + nlen + 4 :]
-    return raw if binary else raw.decode("utf-8")
+    if binary:
+        return raw
+    # pgp-decrypt.c:806: the text-returning pgp_sym_decrypt refuses
+    # binary-format literal data rather than decoding it opportunistically.
+    if fmt == b"b":
+        raise ValueError("Not text data")
+    return raw.decode("utf-8")
 
 
 # ---------------------------------------------------------------------------
@@ -611,10 +629,12 @@ def register_udfs(spark) -> None:
             dtype="object",
         )
 
+    # encrypt_iv/decrypt_iv are STRICT in PG: a NULL iv yields NULL, never
+    # a zero-IV ciphertext (pgcrypto--1.3.sql declares them STRICT).
     def _enc_iv(data, key, iv, ctype):
         return pd.Series(
             [
-                encrypt_bytes(d, k, t, iv=_as_bytes(v) if v is not None else None)
+                encrypt_bytes(d, k, t, iv=_as_bytes(v)) if v is not None else None
                 for d, k, v, t in zip(data, key, iv, ctype)
             ],
             dtype="object",
@@ -623,7 +643,7 @@ def register_udfs(spark) -> None:
     def _dec_iv(data, key, iv, ctype):
         return pd.Series(
             [
-                decrypt_bytes(d, k, t, iv=_as_bytes(v) if v is not None else None)
+                decrypt_bytes(d, k, t, iv=_as_bytes(v)) if v is not None else None
                 for d, k, v, t in zip(data, key, iv, ctype)
             ],
             dtype="object",
@@ -633,6 +653,15 @@ def register_udfs(spark) -> None:
         return pd.Series(
             [
                 pgp_sym_encrypt(d, p, o)
+                for d, p, o in zip(data, psw, opts)
+            ],
+            dtype="object",
+        )
+
+    def _pgp_enc_bytea(data, psw, opts):
+        return pd.Series(
+            [
+                pgp_sym_encrypt(d, p, o, binary=True)
                 for d, p, o in zip(data, psw, opts)
             ],
             dtype="object",
@@ -672,6 +701,10 @@ def register_udfs(spark) -> None:
     spark.udf.register(
         "pg_pgp_sym_encrypt",
         pandas_udf(_pgp_enc, "binary").asNondeterministic(),
+    )
+    spark.udf.register(
+        "pg_pgp_sym_encrypt_bytea",
+        pandas_udf(_pgp_enc_bytea, "binary").asNondeterministic(),
     )
     spark.udf.register("pg_pgp_sym_decrypt", pandas_udf(_pgp_dec, "string"))
     spark.udf.register(

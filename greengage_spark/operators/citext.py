@@ -181,8 +181,14 @@ def fold_citext(stmt: str, cols: set[str]) -> str:
         """Lower an IN-list item.  A scalar item gets lower(item); a
         subquery item (c IN (SELECT v FROM u)) is rewritten so the
         subquery's single output column is lowered — lower(SELECT ...)
-        is not valid SQL (round-7 advice, citext.py:203)."""
-        if low[a] in _SQ_HEADS:
+        is not valid SQL (round-7 advice, citext.py:203).  The subquery
+        head may sit behind extra parens (c IN ((SELECT ...))) — peel
+        them before the head check, else the scalar wrap would emit
+        lower((SELECT ...)), a 1-row scalar subquery, not membership."""
+        head = a
+        while head < b and toks[head] == "(":
+            head += 1
+        if head < b and low[head] in _SQ_HEADS:
             out[a] = (
                 "SELECT lower(__gg_csq.__gg_c0) FROM ( " + out[a]
             )

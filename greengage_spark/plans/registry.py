@@ -33,37 +33,52 @@ def _suites() -> list[Suite]:
     return suites
 
 
-def _driver_checked_names() -> set[str]:
-    """Query names that already have a green row in some CORRECTNESS_r*.json.
+def _round_of(path: str) -> int:
+    """Parse the round number from a CORRECTNESS_r<NN>.json filename (0 if odd)."""
+    base = os.path.basename(path)
+    digits = "".join(ch for ch in base if ch.isdigit())
+    try:
+        return int(digits)
+    except ValueError:
+        return 0
+
+
+def _green_history() -> tuple[dict[str, int], dict[str, int]]:
+    """Per-query (last fully-green round, last sampled round) from CORRECTNESS_r*.json.
 
     The driver's correctness gate samples only the FIRST 50 queries in
-    registry order, so to get every registered query a driver-verified row
-    over successive rounds we order never-yet-checked queries first.  Reading
-    the accumulated result files makes the rotation self-maintaining: each
-    round's window lands on entries no earlier round sampled.
+    registry order.  To keep every registered query on a rolling re-check
+    cadence (instead of freezing once everything has been green once), we
+    track WHEN each query was last green so the ordering can put the
+    least-recently-verified queries at the front of the next window.
     """
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    seen: set[str] = set()
+    last_green: dict[str, int] = {}
+    last_seen: dict[str, int] = {}
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = _round_of(path)
         try:
             with open(path) as f:
                 data = json.load(f)
-            if isinstance(data, dict):
-                for name, row in data.items():
-                    # Only fully-green rows count as "checked": a failed or
-                    # errored query must rotate back into the front tier so
-                    # the driver re-samples it after we fix it.
-                    if (
-                        isinstance(row, dict)
-                        and row.get("rows_match")
-                        and row.get("schema_match")
-                        and row.get("hash_match", True)
-                        and not row.get("err")
-                    ):
-                        seen.add(name)
         except (OSError, ValueError):
             continue
-    return seen
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            last_seen[name] = max(last_seen.get(name, 0), rnd)
+            # Only fully-green rows count as "checked": a failed or errored
+            # query must rotate back into the front tier so the driver
+            # re-samples it after we fix it.
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match", True)
+                and not row.get("err")
+            ):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return last_green, last_seen
 
 
 def _interleave(suites: list[Suite]) -> list[tuple[str, Query]]:
@@ -83,21 +98,37 @@ def _interleave(suites: list[Suite]) -> list[tuple[str, Query]]:
 
 
 def all_queries() -> dict[str, Query]:
-    """All registered queries: never-driver-checked first, interleaved.
+    """All registered queries, ordered for the driver's 50-query window.
 
-    Two-tier ordering: queries with no green row in any prior round's
-    CORRECTNESS_r*.json come first (so the driver's 50-query window verifies
-    them this round), previously-verified queries follow.  Within each tier
-    suites are round-robin interleaved so every family (TPC-H, operators,
-    window/agg, scans, dialect functions, LLM-pipeline, streaming) keeps
-    representation inside any sampling window.
+    Three-tier ordering so the window is a rolling re-verification cadence
+    rather than a frozen set:
+
+    1. Queries with no fully-green driver row ever, OR whose most recent
+       driver sample failed (last_seen > last_green) — these need a green
+       row most urgently.
+    2. Previously-green queries, sorted by last-green round ASCENDING, so the
+       least-recently-verified 50 rotate into each round's window; a
+       regression anywhere in the registry surfaces within ~4 rounds.
+
+    Within each tier the stable base order is a round-robin interleave across
+    suites, so every family (TPC-H, operators, window/agg, scans, dialect
+    functions, LLM-pipeline, streaming) keeps representation inside any
+    sampling window.
     """
-    checked = _driver_checked_names()
+    last_green, last_seen = _green_history()
     ordered = _interleave(_suites())
+    front = [
+        p
+        for p in ordered
+        if last_green.get(p[0], 0) == 0 or last_seen.get(p[0], 0) > last_green.get(p[0], 0)
+    ]
+    front_names = {p[0] for p in front}
+    back = sorted(
+        (p for p in ordered if p[0] not in front_names),
+        key=lambda p: last_green[p[0]],
+    )
     out: dict[str, Query] = {}
-    for name, q in [p for p in ordered if p[0] not in checked] + [
-        p for p in ordered if p[0] in checked
-    ]:
+    for name, q in front + back:
         assert name not in out, f"duplicate query name {name}"
         out[name] = q
     return out

@@ -1,0 +1,150 @@
+"""Round-9 ADVICE regression battery — one test class per finding:
+
+1. (medium) pgp_sym_encrypt writes literal-data format 't' for text
+   input (pgp-encrypt.c:387); pgp_sym_encrypt_bytea writes 'b'; the
+   text-returning pgp_sym_decrypt rejects 'b'-format data with
+   'Not text data' (pgp-decrypt.c:806) instead of decoding it.
+2. (low) encrypt_iv/decrypt_iv are STRICT: NULL iv -> NULL, never a
+   zero-IV ciphertext.
+3. (low) convert_from(..., 'SQL_ASCII') is byte-transparent (PG does
+   NO conversion for SQL_ASCII) — 0xE9 must not become U+FFFD.
+4. (low) s2k-count outside [1024, 65011712] errors (pgp.c
+   pgp_set_s2k_count), as does a non-numeric value.
+5. (low) citext fold: a parenthesized IN-subquery item
+   (c IN ((SELECT ...))) takes the derived-table rewrite, not the
+   scalar lower() wrap that errors on multi-row subqueries.
+"""
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+from greengage_spark.functions import pgcipher
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return GreengageEngine(spark, str(tmp_path / "wh"))
+
+
+class TestPgpLiteralFormat:
+    def test_text_encrypt_writes_t_format(self):
+        msg = pgcipher.pgp_sym_encrypt("Secret.", "key")
+        plain = pgcipher.pgp_sym_decrypt(msg, "key")
+        assert plain == "Secret."
+
+    def test_bytea_encrypt_writes_b_format(self):
+        msg = pgcipher.pgp_sym_encrypt(b"\x01\x02hello", "key", binary=True)
+        raw = pgcipher.pgp_sym_decrypt(msg, "key", binary=True)
+        assert raw == b"\x01\x02hello"
+
+    def test_text_decrypt_rejects_binary_format(self):
+        # pgp-decrypt.c:806: text decrypt of binary-format data errors
+        # even when the payload happens to be valid UTF-8.
+        msg = pgcipher.pgp_sym_encrypt(b"utf8 ok", "key", binary=True)
+        with pytest.raises(ValueError, match="Not text data"):
+            pgcipher.pgp_sym_decrypt(msg, "key")
+
+    def test_bytea_decrypt_accepts_text_format(self):
+        # PG's pgp_sym_decrypt_bytea returns the bytes for either format.
+        msg = pgcipher.pgp_sym_encrypt("textmsg", "key")
+        assert pgcipher.pgp_sym_decrypt(msg, "key", binary=True) == b"textmsg"
+
+    def test_sql_bytea_variant_roundtrip_and_text_reject(self, eng):
+        row = eng.execute(
+            "SELECT pgp_sym_decrypt_bytea("
+            "pgp_sym_encrypt_bytea('payload'::bytea, 'pw'), 'pw') AS r"
+        ).collect()[0]
+        assert bytes(row.r) == b"payload"
+        with pytest.raises(Exception, match="Not text data"):
+            eng.execute(
+                "SELECT pgp_sym_decrypt("
+                "pgp_sym_encrypt_bytea('payload'::bytea, 'pw'), 'pw') AS r"
+            ).collect()
+
+
+class TestEncryptIvStrict:
+    def test_null_iv_yields_null(self, eng):
+        rows = eng.execute(
+            "SELECT encrypt_iv('data'::bytea, 'k'::bytea, NULL::bytea, "
+            "'aes') AS e, decrypt_iv('dddddddddddddddd'::bytea, "
+            "'k'::bytea, NULL::bytea, 'aes') AS d"
+        ).collect()
+        assert rows[0].e is None and rows[0].d is None
+
+    def test_present_iv_still_works(self, eng):
+        row = eng.execute(
+            "SELECT decrypt_iv(encrypt_iv('data'::bytea, '0123456789012345'"
+            "::bytea, 'iviviviviviviviv'::bytea, 'aes'), "
+            "'0123456789012345'::bytea, 'iviviviviviviviv'::bytea, 'aes')"
+            " AS r"
+        ).collect()[0]
+        assert bytes(row.r) == b"data"
+
+
+class TestSqlAsciiPassthrough:
+    def test_convert_from_high_bytes_pass_through(self, eng):
+        # 0xE9 ('é' in latin-1): PG SQL_ASCII passes the byte through;
+        # us-ascii would produce U+FFFD.
+        row = eng.execute(
+            "SELECT convert_from(decode('e9', 'hex'), 'SQL_ASCII') AS r"
+        ).collect()[0]
+        assert row.r == "\xe9"
+        assert "�" not in row.r
+
+    def test_convert_to_sql_ascii_emits_internal_bytes(self, eng):
+        row = eng.execute(
+            "SELECT convert_to('héllo', 'SQL_ASCII') AS r"
+        ).collect()[0]
+        assert bytes(row.r) == "héllo".encode("utf-8")
+
+
+class TestS2kCountValidation:
+    def test_below_range_errors(self):
+        with pytest.raises(ValueError, match="s2k-count"):
+            pgcipher.pgp_sym_encrypt("x", "pw", "s2k-count=10")
+
+    def test_above_range_errors(self):
+        with pytest.raises(ValueError, match="s2k-count"):
+            pgcipher.pgp_sym_encrypt("x", "pw", "s2k-count=65011713")
+
+    def test_non_numeric_errors_with_pg_style_message(self):
+        with pytest.raises(ValueError, match="Illegal value"):
+            pgcipher.pgp_sym_encrypt("x", "pw", "s2k-count=banana")
+
+    def test_range_bounds_accepted(self):
+        for c in (1024, 65011712):
+            msg = pgcipher.pgp_sym_encrypt("x", "pw", f"s2k-count={c}")
+            assert pgcipher.pgp_sym_decrypt(msg, "pw") == "x"
+
+
+class TestCitextParenthesizedSubquery:
+    @pytest.fixture()
+    def ceng(self, spark, tmp_path):
+        e = GreengageEngine(spark, str(tmp_path / "whc"))
+        e.execute("CREATE TABLE users (id int8, nick citext)")
+        e.execute("INSERT INTO users VALUES (1,'Larry'),(2,'Tom'),(3,'DAMIAN')")
+        e.execute("CREATE TABLE vips (who text)")
+        e.execute("INSERT INTO vips VALUES ('LARRY'),('damian')")
+        return e
+
+    def test_double_paren_subquery_is_membership(self, ceng):
+        # The vips table has TWO rows: the scalar lower((SELECT ...))
+        # miscompile would error at runtime here.
+        got = [
+            r[0]
+            for r in ceng.execute(
+                "SELECT id FROM users WHERE nick IN "
+                "((SELECT who FROM vips)) ORDER BY id"
+            ).collect()
+        ]
+        assert got == [1, 3]
+
+    def test_not_in_double_paren(self, ceng):
+        got = [
+            r[0]
+            for r in ceng.execute(
+                "SELECT id FROM users WHERE nick NOT IN "
+                "((SELECT who FROM vips)) ORDER BY id"
+            ).collect()
+        ]
+        assert got == [2]

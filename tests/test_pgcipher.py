@@ -212,6 +212,28 @@ class TestGnupgInterop:
             env={"GNUPGHOME": str(gnupg)},
         )
         assert p.returncode == 0, p.stderr.decode()
+        # gpg on binary stdin writes literal format 'b': the bytea decrypt
+        # returns the payload; the TEXT decrypt must reject it exactly like
+        # PG's pgp_sym_decrypt (pgp-decrypt.c:806 "Not text data").
+        msg = out.read_bytes()
+        assert pgp_sym_decrypt(msg, "pw2", binary=True) == b"from gnupg"
+        with pytest.raises(ValueError, match="Not text data"):
+            pgp_sym_decrypt(msg, "pw2")
+
+    def test_we_decrypt_gpgs_textmode(self, tmp_path):
+        gnupg = tmp_path / "gnupg"
+        gnupg.mkdir()
+        gnupg.chmod(0o700)
+        out = tmp_path / "t.pgp"
+        p = subprocess.run(
+            ["gpg", "--batch", "--yes", "--passphrase", "pw2",
+             "--symmetric", "--cipher-algo", "AES256", "--s2k-mode", "3",
+             "--s2k-digest-algo", "SHA1", "--compress-algo", "none",
+             "--rfc4880", "--textmode", "-o", str(out)],
+            input=b"from gnupg", capture_output=True,
+            env={"GNUPGHOME": str(gnupg)},
+        )
+        assert p.returncode == 0, p.stderr.decode()
         assert pgp_sym_decrypt(out.read_bytes(), "pw2") == "from gnupg"
 
 

@@ -1,0 +1,100 @@
+"""Registry ordering: the driver's 50-query window must rotate, not freeze.
+
+The driver samples the FIRST 50 queries of ``registry.all_queries()`` each
+round.  These tests pin the least-recently-green rotation contract:
+
+* never-green (or most-recently-FAILED) queries come first,
+* previously-green queries are ordered by last-green round ascending,
+* against the real accumulated CORRECTNESS_r*.json files, the round-9 window
+  shares almost nothing with round 8's (the frozen-window regression the
+  round-8 verdict flagged).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from greengage_spark.plans import registry
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_round_of_parses_round_numbers():
+    assert registry._round_of("/x/CORRECTNESS_r08.json") == 8
+    assert registry._round_of("CORRECTNESS_r12.json") == 12
+    assert registry._round_of("CORRECTNESS_r.json") == 0
+
+
+def test_green_history_tracks_last_green_and_last_seen():
+    last_green, last_seen = registry._green_history()
+    # Every query in the real r08 artifact was green there.
+    r8 = json.load(open(os.path.join(REPO, "CORRECTNESS_r08.json")))
+    for name in r8:
+        assert last_green.get(name, 0) >= 8
+        assert last_seen.get(name, 0) >= 8
+    # History covers far more than one round's window.
+    assert len(last_green) > 150
+
+
+def test_window_rotates_away_from_previous_round():
+    """First-50 ordering must NOT be the same window the driver just checked."""
+    names = list(registry.all_queries().keys())
+    rounds = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")), key=registry._round_of
+    )
+    latest = json.load(open(rounds[-1]))
+    latest_green = {
+        n
+        for n, row in latest.items()
+        if isinstance(row, dict) and row.get("hash_match", True) and not row.get("err")
+    }
+    window = set(names[:50])
+    # At least 40 of the upcoming window were absent from the latest round's
+    # sample (the verdict's acceptance bar for the rotation fix).
+    assert len(window - latest_green) >= 40
+
+
+def test_checked_tier_sorted_by_last_green_ascending():
+    last_green, last_seen = registry._green_history()
+    names = list(registry.all_queries().keys())
+    greens = [
+        last_green[n]
+        for n in names
+        if last_green.get(n, 0) > 0 and last_seen.get(n, 0) <= last_green.get(n, 0)
+    ]
+    assert greens == sorted(greens)
+    # The front of the checked tier is the LONGEST-unchecked cohort.
+    assert greens[0] == min(last_green.values())
+
+
+def test_failed_latest_sample_rotates_to_front(tmp_path, monkeypatch):
+    """A query green in r05 but failed in r08 must re-enter the front tier."""
+    fake_repo = tmp_path
+    (fake_repo / "CORRECTNESS_r05.json").write_text(
+        json.dumps(
+            {
+                "alpha": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+                "beta": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+            }
+        )
+    )
+    (fake_repo / "CORRECTNESS_r08.json").write_text(
+        json.dumps(
+            {"alpha": {"rows_match": False, "schema_match": True, "hash_match": False, "err": None}}
+        )
+    )
+
+    real_glob = glob.glob
+    monkeypatch.setattr(
+        registry.glob,
+        "glob",
+        lambda pat: real_glob(os.path.join(str(fake_repo), "CORRECTNESS_r*.json")),
+    )
+    last_green, last_seen = registry._green_history()
+    assert last_green == {"alpha": 5, "beta": 5}
+    assert last_seen == {"alpha": 8, "beta": 5}
+    # alpha: last_seen > last_green -> front tier per all_queries() rule.
+    assert last_seen["alpha"] > last_green["alpha"]
+    assert last_seen["beta"] <= last_green["beta"]
