@@ -225,6 +225,10 @@ _TYPE_MAP = {
     # geometric types are their PG literal text (functions/geometry.py);
     # ::point etc. is an identity cast over that representation
     "point": "STRING", "box": "STRING", "circle": "STRING",
+    # text-search types are their text form (functions/textsearch.py);
+    # literal ::tsquery casts are consumed by _pass_text_search — these
+    # identity casts cover the non-literal column form
+    "tsquery": "STRING", "tsvector": "STRING",
 }
 
 _PARAMETERIZED = {"numeric", "decimal"}  # keep (p,s); others drop args
@@ -2948,14 +2952,27 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                         toks[i : close + 1] = [
                             "to_tsquery", "(", f"'{res}'", ")"
                         ]
-                        changed = True
-                        i += 1
-                        continue
+                    else:
+                        # non-literal argument(s): per-row rewrite via the
+                        # pandas UDF (pg_sql registers it on sight)
+                        q, t, s = (
+                            f"CAST(({_join_tokens(a)}) AS STRING)"
+                            for a in args
+                        )
+                        toks[i : close + 1] = tokenize(
+                            f"pg_ts_rewrite3({q}, {t}, {s})"
+                        )
+                    changed = True
+                    i += 1
+                    continue
                 if len(args) == 2:
+                    # the literal-SELECT form was folded by
+                    # fold_ts_rewrite_select (pg_sql) before this pass ran
                     raise NotImplementedError(
-                        "ts_rewrite(query, 'SELECT ...') runs through the "
-                        "engine (operators/tsrewrite.py) — plain pg_sql "
-                        "sees only the 3-argument literal form"
+                        "ts_rewrite(query, select_text): the SELECT text "
+                        "must be a string literal — it is executed on the "
+                        "driver like PG's SPI cursor, so a non-literal "
+                        "second argument is out of the subset"
                     )
             i += 1
 
@@ -3133,6 +3150,18 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                 txt = tsq_render(ts_rewrite_parse(body), quoted=True)
                 esc = txt.replace("'", "''")
                 toks[i : close + 1] = [f"'{esc}'"]
+        elif (
+            _is_string(toks[i])
+            and i + 2 < len(toks)
+            and toks[i + 1] == "::"
+            and toks[i + 2].lower() == "tsquery"
+        ):
+            # scalar 'a & b'::tsquery left after the @@ pass: render the
+            # PG display form, same as the to_tsquery('lit') branch above
+            body = toks[i][1:-1].replace("''", "'")
+            txt = tsq_render(ts_rewrite_parse(body), quoted=True)
+            esc = txt.replace("'", "''")
+            toks[i : i + 3] = [f"'{esc}'"]
         i += 1
     return toks
 
@@ -7060,6 +7089,128 @@ def transpile(sql: str) -> str:
     return _join_tokens(toks)
 
 
+def _tsq_literal_text(arg: list[str]) -> str | None:
+    """Literal tsquery argument → its text: ``'lit'``, ``'lit'::tsquery``,
+    ``to_tsquery('lit')`` / ``plainto_tsquery('lit')`` (with optional
+    config arg).  Non-literal expressions return None."""
+    if arg and _is_string(arg[0]):
+        rest = arg[1:]
+        if not rest or (
+            len(rest) == 2 and rest[0] == "::" and rest[1].lower() == "tsquery"
+        ):
+            return arg[0][1:-1].replace("''", "'")
+        return None
+    if (
+        len(arg) >= 4
+        and _is_ident(arg[0])
+        and arg[0].lower() in ("to_tsquery", "plainto_tsquery")
+        and arg[1] == "("
+        and arg[-1] == ")"
+    ):
+        inner = _split_args(arg[2:-1])
+        if len(inner) == 2:  # (config, text)
+            inner = inner[1:]
+        if len(inner) == 1 and len(inner[0]) == 1 and _is_string(inner[0][0]):
+            body = inner[0][0][1:-1].replace("''", "'")
+            if arg[0].lower() == "plainto_tsquery":
+                lex = [t for t in re.split(r"[^a-z0-9]+", body.lower()) if t]
+                return " & ".join(lex)
+            return body
+    return None
+
+
+_TS_REWRITE_RE = re.compile(r"(?i)\bts_rewrite\b")
+
+
+def fold_ts_rewrite_select(spark, sql: str) -> str:
+    """``ts_rewrite(query, 'SELECT target, sample FROM ...')`` — the
+    2-argument SELECT form (tsquery_rewrite.c:280 tsquery_rewrite_query).
+
+    PG runs the SELECT over SPI and applies each returned (target,
+    substitute) row IN ORDER to the canonicalized query tree; rows with a
+    NULL target or NULL substitute are skipped; an empty target is a no-op;
+    an empty substitute deletes the matched nodes.  The rewrite table is a
+    bounded synonym dimension, so executing it on the driver is the same
+    bounded collect PG's SPI cursor does:
+
+    * literal query  → fully constant-folded to ``to_tsquery('<result>')``
+      (the scalar/@@ passes then render or compile it);
+    * column query   → ``pg_ts_rewrite(<q>, '<json pairs>')`` — an
+      Arrow-batched pandas UDF applying the collected pairs per row.
+    """
+    if not _TS_REWRITE_RE.search(sql):
+        return sql
+    toks = tokenize(sql)
+    changed = False
+    i = 0
+    while i < len(toks):
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() == "ts_rewrite"
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+        ):
+            close = _args_span(toks, i + 1)
+            args = _split_args(toks[i + 2 : close])
+            sel = None
+            if len(args) == 2:
+                a1 = args[1]
+                # allow a trailing ::text/::varchar cast on the SELECT text
+                if (
+                    len(a1) == 3
+                    and a1[1] == "::"
+                    and a1[2].lower() in ("text", "varchar")
+                ):
+                    a1 = a1[:1]
+                if len(a1) == 1 and _is_string(a1[0]):
+                    body = a1[0][1:-1].replace("''", "'")
+                    if re.match(r"(?is)^\s*select\b", body):
+                        sel = body
+            if sel is not None:
+                from greengage_spark.functions.textsearch import (
+                    ts_rewrite_apply,
+                    ts_rewrite_parse,
+                    tsq_render,
+                )
+
+                df = pg_sql(spark, sel)
+                if len(df.columns) != 2:
+                    raise ValueError(
+                        "ts_rewrite query must return two tsquery columns"
+                    )
+                pairs = [
+                    (str(r[0]), str(r[1]))
+                    for r in df.collect()
+                    if r[0] is not None and r[1] is not None
+                ]
+                qtext = _tsq_literal_text(args[0])
+                if qtext is not None:
+                    tree = ts_rewrite_parse(qtext)
+                    if tree is not None:
+                        for t, s in pairs:
+                            tree = ts_rewrite_apply(
+                                tree, ts_rewrite_parse(t), ts_rewrite_parse(s)
+                            )
+                    res = tsq_render(tree, quoted=False).replace("'", "''")
+                    toks[i : close + 1] = ["to_tsquery", "(", f"'{res}'", ")"]
+                else:
+                    import json as _json
+
+                    from greengage_spark.functions import textsearch
+
+                    textsearch.register_udfs(spark)
+                    pj = _json.dumps(pairs).replace("'", "''")
+                    qexpr = _join_tokens(args[0])
+                    toks[i : close + 1] = tokenize(
+                        f"pg_ts_rewrite(CAST(({qexpr}) AS STRING), '{pj}')"
+                    )
+                changed = True
+                i += 1
+                continue
+        i += 1
+    return _join_tokens(toks) if changed else sql
+
+
 def pg_sql(spark, sql: str):
     """Run PG-dialect SQL on Spark (the exec_simple_query entry point,
     postgres.c:1622 — ours is transpile + Catalyst; WITH RECURSIVE routes
@@ -7072,6 +7223,7 @@ def pg_sql(spark, sql: str):
         from greengage_spark.dialect.recursive_sql import run_recursive_sql
 
         return run_recursive_sql(spark, sql)
+    sql = fold_ts_rewrite_select(spark, sql)
     out = transpile(sql)
     if "pg_tochar_" in out or "pg_tonumber" in out:
         from greengage_spark.functions.pg_format import register_udfs
@@ -7081,7 +7233,7 @@ def pg_sql(spark, sql: str):
         from greengage_spark.functions import horology
 
         horology.register_udfs(spark)
-    if "pg_ts_rank_cd" in out or "pg_ts_headline" in out:
+    if "pg_ts_rank_cd" in out or "pg_ts_headline" in out or "pg_ts_rewrite" in out:
         from greengage_spark.functions import textsearch
 
         textsearch.register_udfs(spark)

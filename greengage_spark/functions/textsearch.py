@@ -128,7 +128,12 @@ def _tsq_parse(q: str):
             return node
         tok = eat()
         assert isinstance(tok, tuple) and tok[0] == "LEX", f"bad tsquery at {tok}"
-        return ("LEX", tok[1].lower())
+        # quoted lexemes ('foo') are the same lexeme as foo — PG's display
+        # form always quotes, and must re-parse to the identical tree
+        lex = tok[1].lower()
+        if len(lex) >= 2 and lex[0] == "'" and lex[-1] == "'":
+            lex = lex[1:-1]
+        return ("LEX", lex)
 
     tree = parse_or()
     assert pos == len(toks), "trailing tsquery tokens"
@@ -547,8 +552,38 @@ def register_udfs(spark) -> None:
             dtype="object",
         )
 
+    def _rewrite_pairs(q, pairs):
+        import json
+
+        out = []
+        for qv, pv in zip(q, pairs):
+            if qv is None or pv is None:
+                out.append(None)
+                continue
+            tree = ts_rewrite_parse(qv)
+            for t, s in json.loads(pv):
+                tree = ts_rewrite_apply(
+                    tree, ts_rewrite_parse(t), ts_rewrite_parse(s)
+                )
+            out.append(tsq_render(tree, quoted=True))
+        return pd.Series(out, dtype="object")
+
+    def _rewrite3(q, t, s):
+        out = []
+        for qv, tv, sv in zip(q, t, s):
+            if qv is None or tv is None or sv is None:
+                out.append(None)
+                continue
+            out.append(ts_rewrite_literal(qv, tv, sv, quoted=True))
+        return pd.Series(out, dtype="object")
+
     spark.udf.register("pg_ts_rank_cd", pandas_udf(_rank, "double"))
     spark.udf.register("pg_ts_headline", pandas_udf(_headline, "string"))
+    # ts_rewrite over non-literal tsquery values (tsquery_rewrite.c):
+    # pg_ts_rewrite applies a collected (target, substitute) pair list
+    # (2-arg SELECT form); pg_ts_rewrite3 one pair per row (3-arg form)
+    spark.udf.register("pg_ts_rewrite", pandas_udf(_rewrite_pairs, "string"))
+    spark.udf.register("pg_ts_rewrite3", pandas_udf(_rewrite3, "string"))
     spark.conf.set("greengage.textsearch.registered", "1")
 
 

@@ -596,6 +596,49 @@ def text_search_tsvector(spark, sf_dir):
 
 
 @suite.add(
+    "text_search_rewrite",
+    oracle="""
+    SELECT seg,
+           '''' || seg || ''' & ( ''discount'' | ''sale'' )' AS rewritten,
+           '''web'' & ( ''discount'' | ''sale'' )' AS lit_rw,
+           n
+    FROM (
+      SELECT lower(c_mktsegment) AS seg, CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1
+    ) t ORDER BY seg
+    """,
+    doc="ts_rewrite query rewriting (tsquery_rewrite.c:280 "
+    "tsquery_rewrite_query; regress tsearch.sql:347-361): the per-row "
+    "3-argument form over a column tsquery (Arrow-batched pg_ts_rewrite3 "
+    "pandas UDF over canonical QTN trees) plus the 2-argument SELECT form "
+    "whose synonym table — a bounded dimension, PG reads it via an SPI "
+    "cursor — is executed on the driver and constant-folded into the "
+    "plan. Display form canonical-sorts AND/OR operands (documented "
+    "divergence from QTNSort order; match semantics identical). Oracle "
+    "is the closed-form expected display per market segment.",
+    tags=("dialect", "text"),
+)
+def text_search_rewrite(spark, sf_dir):
+    from greengage_spark.dialect import pg_sql
+    from greengage_spark.plans.common import cat
+
+    cat(spark, sf_dir).table("customer").createOrReplaceTempView(
+        "tsrw_cust"
+    )
+    return pg_sql(
+        spark,
+        "SELECT seg, "
+        "ts_rewrite((seg || ' & promo')::tsquery, 'promo'::tsquery, "
+        "           'sale | discount'::tsquery) AS rewritten, "
+        "ts_rewrite('promo & web', "
+        "  'SELECT k, s FROM (VALUES (''promo'', ''sale | discount'')) "
+        "AS t(k, s)') AS lit_rw, "
+        "n FROM (SELECT lower(c_mktsegment) AS seg, count(*) AS n "
+        "        FROM tsrw_cust GROUP BY 1) t ORDER BY seg",
+    )
+
+
+@suite.add(
     "text_search_rank",
     oracle="""
     WITH t AS (

@@ -101,7 +101,13 @@ class TestGroupByEmpty:
 
     def test_unknown_type_raises(self):
         with pytest.raises(ValueError, match="unsupported cast"):
+            transpile("SELECT x::macaddr8 FROM t")
+
+    def test_tsquery_cast_is_string_identity(self):
+        # ::tsquery/::tsvector over columns map to the text form
+        assert "CAST ( x AS STRING )" in norm(
             transpile("SELECT x::tsvector FROM t")
+        )
 
 
 class TestJsonOps:

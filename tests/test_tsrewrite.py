@@ -1,0 +1,170 @@
+"""ts_rewrite parity battery — vectors from the reference's own regress
+suite (src/test/regress/sql/tsearch.sql:347-361 / expected/tsearch.out:
+1006-1060, tsquery_rewrite.c).
+
+Display divergence note: our renderer canonical-sorts AND/OR children
+(tsq_canon's QTNSort analog orders by repr, PG's by CRC), so the printed
+operand ORDER can differ from PG's while the query semantics are equal.
+Comparisons here therefore go through the canonical tree (``canon``),
+which is exactly the equality PG's own QTNEq uses.
+"""
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+from greengage_spark.functions.textsearch import (
+    ts_rewrite_literal,
+    ts_rewrite_parse,
+)
+
+
+def canon(qtext: str):
+    return ts_rewrite_parse(qtext)
+
+
+def same(a: str, b: str) -> bool:
+    return canon(a) == canon(b)
+
+
+class TestLiteralForm:
+    def test_tsearch_out_1006(self):
+        # tsearch.out:1006 — 'foo & bar & qq & (city & new & york |
+        # (nyc | big & apple))'
+        got = ts_rewrite_literal(
+            "foo & bar & qq & new & york",
+            "new & york",
+            "big & apple | nyc | new & york & city",
+        )
+        assert same(
+            got,
+            "'foo' & 'bar' & 'qq' & "
+            "( 'city' & 'new' & 'york' | ( 'nyc' | 'big' & 'apple' ) )",
+        )
+
+    def test_nested_rewrite(self):
+        # tsearch.out:1012 — ts_rewrite(ts_rewrite('new & !york', 'york',
+        # '!jersey'), 'jersey', 'mexico') = 'new' & !( !'mexico' )
+        inner = ts_rewrite_literal("new & !york", "york", "!jersey")
+        got = ts_rewrite_literal(inner, "jersey", "mexico")
+        assert same(got, "'new' & !( !'mexico' )")
+
+    def test_empty_substitute_deletes(self):
+        # tsearch.out:1049 — ts_rewrite('5 & (6 | 5)', '5', '') = '6'
+        assert same(ts_rewrite_literal("5 & (6 | 5)", "5", ""), "'6'")
+
+    def test_empty_substitute_whole_tree(self):
+        # tsearch.out:1056 — ts_rewrite('!5', '5', '') = empty tsquery
+        assert ts_rewrite_literal("!5", "5", "") == ""
+
+    def test_no_match_returns_query(self):
+        assert same(ts_rewrite_literal("a & b", "zz", "yy"), "'a' & 'b'")
+
+    def test_or_submultiset_splice(self):
+        # sub-multiset of an n-ary OR's children is spliced
+        assert same(ts_rewrite_literal("a | b | c", "a | c", "x"), "'x' | 'b'")
+
+
+@pytest.fixture()
+def teng(spark, tmp_path):
+    """test_tsquery per tsearch.sql:313-327, with the english-stemmed
+    tsquery text inserted directly (to_tsquery('english', ...) output —
+    we exercise the rewrite machinery, not the snowball stemmer)."""
+    e = GreengageEngine(spark, str(tmp_path / "wh"))
+    e.execute(
+        "CREATE TABLE test_tsquery (txtkeyword text, txtsample text, "
+        "keyword text, sample text)"
+    )
+    rows = [
+        ("'New York'", "new & york | big & apple | nyc",
+         "new & york", "new & york | big & appl | nyc"),
+        ("Moscow", "moskva | moscow", "moscow", "moskva | moscow"),
+        ("'Sanct Peter'", "Peterburg | peter | 'Sanct Peterburg'",
+         "sanct & peter", "peterburg | peter | sanct & peterburg"),
+        ("'foo bar qq'", "foo & (bar | qq) & city",
+         "foo & bar & qq", "foo & ( bar | qq ) & citi"),
+    ]
+    vals = ", ".join(
+        "(" + ", ".join("'" + c.replace("'", "''") + "'" for c in r) + ")"
+        for r in rows
+    )
+    e.execute(f"INSERT INTO test_tsquery VALUES {vals}")
+    return e
+
+
+class TestSelectForm:
+    def _one(self, eng, sql: str) -> str:
+        return eng.execute(sql).collect()[0][0]
+
+    def test_moscow(self, teng):
+        # tsearch.out:1020
+        got = self._one(
+            teng,
+            "SELECT ts_rewrite('moscow', "
+            "'SELECT keyword, sample FROM test_tsquery'::text) AS r",
+        )
+        assert same(got, "'moskva' | 'moscow'")
+
+    def test_moscow_hotel(self, teng):
+        # tsearch.out:1026
+        got = self._one(
+            teng,
+            "SELECT ts_rewrite('moscow & hotel', "
+            "'SELECT keyword, sample FROM test_tsquery') AS r",
+        )
+        assert same(got, "'hotel' & ( 'moskva' | 'moscow' )")
+
+    def test_five_term_multi_rule(self, teng):
+        # tsearch.out:1032 — two rules both fire
+        got = self._one(
+            teng,
+            "SELECT ts_rewrite('bar & new & qq & foo & york', "
+            "'SELECT keyword, sample FROM test_tsquery') AS r",
+        )
+        assert same(
+            got,
+            "'citi' & 'foo' & ( 'bar' | 'qq' ) & "
+            "( 'nyc' | ( 'big' & 'appl' | 'new' & 'york' ) )",
+        )
+
+    def test_column_query_per_row_udf(self, teng):
+        # non-literal first arg routes through the pg_ts_rewrite pandas UDF
+        rows = teng.execute(
+            "SELECT txtkeyword, ts_rewrite(keyword::tsquery, "
+            "'SELECT keyword, sample FROM test_tsquery') AS r "
+            "FROM test_tsquery ORDER BY txtkeyword"
+        ).collect()
+        by_kw = {r[0]: r[1] for r in rows}
+        assert same(by_kw["Moscow"], "'moskva' | 'moscow'")
+        assert same(
+            by_kw["'New York'"], "'new' & 'york' | 'big' & 'appl' | 'nyc'"
+        )
+
+    def test_wrong_column_count_errors(self, teng):
+        with pytest.raises(Exception, match="two tsquery columns"):
+            teng.execute(
+                "SELECT ts_rewrite('moscow', "
+                "'SELECT keyword FROM test_tsquery') AS r"
+            ).collect()
+
+    def test_nonliteral_select_text_rejects(self, teng):
+        with pytest.raises(NotImplementedError, match="string literal"):
+            teng.execute(
+                "SELECT ts_rewrite(keyword::tsquery, txtsample) AS r "
+                "FROM test_tsquery"
+            ).collect()
+
+    def test_three_arg_nonliteral_column(self, teng):
+        rows = teng.execute(
+            "SELECT ts_rewrite(keyword::tsquery, 'peter'::tsquery, "
+            "'pete'::tsquery) AS r FROM test_tsquery "
+            "WHERE txtkeyword = '''Sanct Peter'''"
+        ).collect()
+        assert same(rows[0][0], "'sanct' & 'pete'")
+
+    def test_empty_rewrite_table_is_noop(self, teng):
+        got = self._one(
+            teng,
+            "SELECT ts_rewrite('moscow & hotel', "
+            "'SELECT keyword, sample FROM test_tsquery WHERE 1=0') AS r",
+        )
+        assert same(got, "'moscow' & 'hotel'")
