@@ -3166,6 +3166,114 @@ def _pass_text_search(toks: list[str]) -> list[str]:
     return toks
 
 
+_EARTH_FN_ARITY = {
+    "ll_to_earth": 2, "earth_distance": 2, "earth_box": 2,
+    "sec_to_gc": 1, "gc_to_sec": 1, "latitude": 1, "longitude": 1,
+    "cube_distance": 2,
+}
+
+
+def _pass_earthdistance(toks: list[str]) -> list[str]:
+    """contrib/earthdistance cube half (earthdistance--1.0.sql:9-78;
+    emitters in functions/earthdist.py — earth = array<double>[3],
+    earth_box = array<double>[6]).
+
+    1. the radius-search idiom ``expr <@ earth_box(...)`` lowers to the
+       cube point-in-box predicate (bounding-box prefilter; the exact
+       verify is an earth_distance comparison, both map-only);
+    2. earth()/ll_to_earth/earth_distance/earth_box/latitude/longitude/
+       sec_to_gc/gc_to_sec/cube_distance calls expand to Column
+       templates — outermost-first, emitted arg text re-expands on
+       subsequent sweeps.
+
+    Runs before _pass_geometry (its ``<@>`` miles operator is the point
+    half of the extension and keeps its own lowering) and before the
+    array-ops pass so this ``<@`` never reads as array containment.
+    """
+    if not any(
+        _is_ident(t) and (t.lower() in _EARTH_FN_ARITY or t.lower() == "earth")
+        for t in toks
+    ):
+        return toks
+    from greengage_spark.functions import earthdist as E
+
+    # 1) `x <@ earth_box(...)` containment
+    i = 0
+    while i + 3 < len(toks):
+        if (
+            toks[i] == "<"
+            and toks[i + 1] == "@"
+            and _is_ident(toks[i + 2])
+            and toks[i + 2].lower() == "earth_box"
+            and toks[i + 3] == "("
+            and i > 0
+        ):
+            close = _args_span(toks, i + 3)
+            lstart = _operand_start(toks, i - 1)
+            left = toks[lstart:i]
+            box = toks[i + 2 : close + 1]
+            toks[lstart : close + 1] = (
+                ["__gg_earth_contains", "("] + left + [","] + box + [")"]
+            )
+            i = lstart
+            continue
+        i += 1
+
+    # 2) function expansion sweeps — INNERMOST first, each expansion
+    # spliced as ONE opaque token (the emitted `->` lambdas must never
+    # reach the json-ops pass; same single-token trick _pass_geometry
+    # uses).  An outer call expands on a later sweep once its args hold
+    # only opaque tokens.
+    def _has_earth_call(span: list[str]) -> bool:
+        return any(
+            _is_ident(x)
+            and (
+                x.lower() in _EARTH_FN_ARITY
+                or x.lower() in ("earth", "__gg_earth_contains")
+            )
+            for x in span
+        )
+
+    changed = True
+    while changed:
+        changed = False
+        i = 0
+        while i < len(toks):
+            t = toks[i].lower() if _is_ident(toks[i]) else None
+            if (
+                t == "earth"
+                and i + 2 < len(toks)
+                and toks[i + 1] == "("
+                and toks[i + 2] == ")"
+            ):
+                toks[i : i + 3] = [E.earth_sql()]
+                changed = True
+                i += 1
+                continue
+            if (
+                t in _EARTH_FN_ARITY or t == "__gg_earth_contains"
+            ) and i + 1 < len(toks) and toks[i + 1] == "(":
+                close = _args_span(toks, i + 1)
+                args = _split_args(toks[i + 2 : close])
+                arity = 2 if t == "__gg_earth_contains" else _EARTH_FN_ARITY[t]
+                if len(args) == arity and not _has_earth_call(
+                    toks[i + 2 : close]
+                ):
+                    fn = (
+                        E.earth_contains_sql
+                        if t == "__gg_earth_contains"
+                        else getattr(E, f"{t}_sql")
+                    )
+                    toks[i : close + 1] = [
+                        "(" + fn(*[_join_tokens(a) for a in args]) + ")"
+                    ]
+                    changed = True
+                i += 1
+                continue
+            i += 1
+    return toks
+
+
 def _pass_prefix_math_ops(toks: list[str]) -> list[str]:
     """PG prefix math operators (float.c): ``|/ x`` square root,
     ``||/ x`` cube root, ``@ x`` absolute value."""
@@ -6535,6 +6643,38 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     f"{fn}(CAST(({p}) AS STRING), CAST(({x}) AS STRING))"
                 )
                 continue
+            if low == "unaccent" and len(args) in (1, 2):
+                # contrib/unaccent unaccent.c:262 unaccent_dict — the
+                # 2-arg form names a dictionary; only the stock one
+                # exists.  Lowered to one JVM translate() (every stock
+                # rule is single-char → single-char).
+                if len(args) == 2:
+                    d = args[0]
+                    dname = (
+                        d[0].strip("'").lower().split(".")[-1]
+                        if len(d) == 1 and _is_string(d[0])
+                        else None
+                    )
+                    # tolerate a ::regdictionary cast on the literal
+                    if dname is None and (
+                        len(d) == 3
+                        and _is_string(d[0])
+                        and d[1] == "::"
+                        and d[2].lower() == "regdictionary"
+                    ):
+                        dname = d[0].strip("'").lower().split(".")[-1]
+                    if dname != "unaccent":
+                        raise NotImplementedError(
+                            "unaccent: only the stock 'unaccent' "
+                            "dictionary is available"
+                        )
+                    args = args[1:]
+                from greengage_spark.functions.unaccent import unaccent_sql
+
+                out[i : close + 1] = tokenize(
+                    unaccent_sql(" ".join(args[0]))
+                )
+                continue
             if low == "crypt" and len(args) == 2:
                 # pgcrypto.c:204 crypt(password, salt) — md5-crypt scheme
                 a, b = (" ".join(x) for x in args)
@@ -7028,6 +7168,7 @@ def transpile(sql: str) -> str:
     toks = _pass_at_time_zone(toks)
     # geometry before json-ops (both route `->`-containing operators);
     # xml after the cast passes so embedded ::text casts are already Spark
+    toks = _pass_earthdistance(toks)
     toks = _pass_geometry(toks)
     toks = _pass_xml(toks)
     toks = _pass_xmlagg(toks)

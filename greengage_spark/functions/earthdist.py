@@ -1,0 +1,129 @@
+"""contrib/earthdistance — the cube half (earth / ll_to_earth /
+earth_distance / earth_box / latitude / longitude / sec_to_gc /
+gc_to_sec and the ``point <@ earth_box(...)`` radius-search idiom).
+
+Reference: contrib/earthdistance/earthdistance--1.0.sql:9-78 — there the
+``earth`` domain is a 3-D cube point on the sphere of radius earth() =
+6378168 m, and every function is plain SQL over cube primitives.  Here an
+earth value is ``array<double>[3]`` (x, y, z) and an earth_box is
+``array<double>[6]`` (ll x/y/z then ur x/y/z, cube_enlarge's layout for a
+point).  Every emitter below is a Column-expression template — one-element
+``transform(array(...), v -> ...)`` bindings keep each operand evaluated
+once — so the whole surface stays inside whole-stage codegen: the
+earth_box radius filter is a map-only scan predicate at any scale, with
+the exact great-circle verify (earth_distance < r) equally map-only.
+
+No cube generality beyond what earthdistance uses is implemented
+(cube_distance is the point-point form earth_distance needs).
+"""
+
+from itertools import count
+
+_uid = count()
+
+EARTH_R = "6378168.0D"
+
+
+def earth_sql() -> str:
+    """earth() — sphere radius in meters (earthdistance--1.0.sql:11)."""
+    return f"({EARTH_R})"
+
+
+def _bind(expr_sql: str, var: str, body: str, cast: str | None = None) -> str:
+    """Evaluate expr_sql once as `var` inside body (one-element transform)."""
+    inner = f"CAST(({expr_sql}) AS {cast})" if cast else f"({expr_sql})"
+    return f"transform(array({inner}), {var} -> ({body}))[0]"
+
+
+def sec_to_gc_sql(d_sql: str) -> str:
+    """Chord (secant) length → great-circle length
+    (earthdistance--1.0.sql:36)."""
+    v = f"__sg{next(_uid)}"
+    body = (
+        f"CASE WHEN {v} < 0D THEN 0D "
+        f"WHEN {v} / (2D * {EARTH_R}) > 1D THEN pi() * {EARTH_R} "
+        f"ELSE 2D * {EARTH_R} * asin({v} / (2D * {EARTH_R})) END"
+    )
+    return _bind(d_sql, v, body, cast="DOUBLE")
+
+
+def gc_to_sec_sql(d_sql: str) -> str:
+    """Great-circle length → chord length (earthdistance--1.0.sql:42)."""
+    v = f"__gs{next(_uid)}"
+    body = (
+        f"CASE WHEN {v} < 0D THEN 0D "
+        f"WHEN {v} / {EARTH_R} > pi() THEN 2D * {EARTH_R} "
+        f"ELSE 2D * {EARTH_R} * sin({v} / (2D * {EARTH_R})) END"
+    )
+    return _bind(d_sql, v, body, cast="DOUBLE")
+
+
+def ll_to_earth_sql(lat_sql: str, lon_sql: str) -> str:
+    """(latitude, longitude) degrees → earth point
+    (earthdistance--1.0.sql:48)."""
+    a, o = f"__lat{next(_uid)}", f"__lon{next(_uid)}"
+    body = (
+        f"array({EARTH_R} * cos(radians({a})) * cos(radians({o})), "
+        f"{EARTH_R} * cos(radians({a})) * sin(radians({o})), "
+        f"{EARTH_R} * sin(radians({a})))"
+    )
+    return _bind(lat_sql, a, _bind(lon_sql, o, body, cast="DOUBLE"),
+                 cast="DOUBLE")
+
+
+def latitude_sql(e_sql: str) -> str:
+    """earth → latitude degrees, asin clamped (earthdistance--1.0.sql:54)."""
+    v = f"__ela{next(_uid)}"
+    body = (
+        f"CASE WHEN {v}[2] / {EARTH_R} < -1D THEN -90D "
+        f"WHEN {v}[2] / {EARTH_R} > 1D THEN 90D "
+        f"ELSE degrees(asin({v}[2] / {EARTH_R})) END"
+    )
+    return _bind(e_sql, v, body)
+
+
+def longitude_sql(e_sql: str) -> str:
+    """earth → longitude degrees (earthdistance--1.0.sql:60)."""
+    v = f"__elo{next(_uid)}"
+    return _bind(e_sql, v, f"degrees(atan2({v}[1], {v}[0]))")
+
+
+def cube_distance_sql(a_sql: str, b_sql: str) -> str:
+    """Point-point euclidean distance — the cube_distance form
+    earth_distance uses (cube.c cube_distance on two points)."""
+    va, vb = f"__ca{next(_uid)}", f"__cb{next(_uid)}"
+    chord = (
+        f"sqrt(power({va}[0] - {vb}[0], 2) + power({va}[1] - {vb}[1], 2) "
+        f"+ power({va}[2] - {vb}[2], 2))"
+    )
+    return _bind(a_sql, va, _bind(b_sql, vb, chord))
+
+
+def earth_distance_sql(a_sql: str, b_sql: str) -> str:
+    """earth_distance(earth, earth) = sec_to_gc(cube_distance(a, b))
+    (earthdistance--1.0.sql:66) — great-circle meters."""
+    return sec_to_gc_sql(cube_distance_sql(a_sql, b_sql))
+
+
+def earth_box_sql(e_sql: str, radius_sql: str) -> str:
+    """earth_box(earth, radius_m) = cube_enlarge(e, gc_to_sec(r), 3)
+    (earthdistance--1.0.sql:72) → [llx,lly,llz,urx,ury,urz]."""
+    ve, vd = f"__ebe{next(_uid)}", f"__ebd{next(_uid)}"
+    body = (
+        f"array({ve}[0] - {vd}, {ve}[1] - {vd}, {ve}[2] - {vd}, "
+        f"{ve}[0] + {vd}, {ve}[1] + {vd}, {ve}[2] + {vd})"
+    )
+    return _bind(e_sql, ve, _bind(gc_to_sec_sql(radius_sql), vd, body))
+
+
+def earth_contains_sql(p_sql: str, box_sql: str) -> str:
+    """``point <@ earth_box(...)`` — cube containment for a point in a
+    box (cube.c cube_contains): the bounding-box prefilter of the
+    radius-search idiom."""
+    vp, vb = f"__ecp{next(_uid)}", f"__ecb{next(_uid)}"
+    body = (
+        f"{vp}[0] BETWEEN {vb}[0] AND {vb}[3] "
+        f"AND {vp}[1] BETWEEN {vb}[1] AND {vb}[4] "
+        f"AND {vp}[2] BETWEEN {vb}[2] AND {vb}[5]"
+    )
+    return _bind(p_sql, vp, _bind(box_sql, vb, body))

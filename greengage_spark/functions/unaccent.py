@@ -1,0 +1,64 @@
+"""contrib/unaccent — accent (diacritic) folding.
+
+Reference: contrib/unaccent/unaccent.c:262-318 (unaccent_dict /
+unaccent_lexize) with the stock contrib/unaccent/unaccent.rules table:
+187 single-character rules over Latin-1 Supplement / Latin Extended-A
+plus Cyrillic ё.  Rather than transcribing the table, the decomposable
+rules are GENERATED from Unicode NFKD (strip combining marks, keep a
+single ASCII letter base) — tests/test_unaccent.py asserts the generated
+table equals the reference's rules file byte-for-byte — and the
+non-decomposable letters (Æ, Ø, Œ, ß, Đ, Ł, ...) are the explicit
+exception map below, with the reference file's own (quirky) targets:
+this vintage maps Æ→A, Œ→E, ß→S rather than AE/OE/ss.
+
+Every rule is one char → one char, so the Spark lowering is a single
+JVM ``translate(expr, SRC, DST)`` — whole-stage codegen, no UDF, and
+therefore free to sit in a 100 TB scan predicate or dedup key.
+"""
+
+import unicodedata
+
+# the reference's rules for letters NFKD cannot decompose
+_EXCEPTIONS = {
+    "Æ": "A", "æ": "a", "Đ": "D", "đ": "d", "Ħ": "H", "ħ": "h",
+    "ı": "i", "Ĳ": "I", "ĳ": "i", "ĸ": "k", "Ŀ": "L", "ŀ": "l",
+    "Ł": "L", "ł": "l", "ŉ": "n", "Ŋ": "N", "ŋ": "n", "Œ": "E",
+    "œ": "e", "Ø": "O", "ø": "o", "ß": "S", "Ŧ": "T", "ŧ": "t",
+    "ё": "е", "Ё": "Е",
+}
+
+
+def _build_rules() -> dict[str, str]:
+    rules: dict[str, str] = {}
+    # U+00C0..U+017E — the block the stock rules file covers (U+017F ſ is
+    # NFKD-decomposable but absent from the reference file, so the range
+    # excludes it)
+    for cp in range(0xC0, 0x17F):
+        ch = chr(cp)
+        if ch in _EXCEPTIONS:
+            continue
+        decomp = unicodedata.normalize("NFKD", ch)
+        base = "".join(c for c in decomp if not unicodedata.combining(c))
+        if base != ch and len(base) == 1 and base.isascii() and base.isalpha():
+            rules[ch] = base
+    rules.update(_EXCEPTIONS)
+    return rules
+
+
+RULES = _build_rules()
+SRC = "".join(RULES)
+DST = "".join(RULES.values())
+
+
+def unaccent(text: str | None) -> str | None:
+    """Driver-side fold (same table the SQL lowering uses)."""
+    if text is None:
+        return None
+    return text.translate(str.maketrans(RULES))
+
+
+def unaccent_sql(arg_sql: str) -> str:
+    """unaccent(text) → translate(text, SRC, DST) — pure JVM expression."""
+    src = SRC.replace("'", "''")
+    dst = DST.replace("'", "''")
+    return f"translate(({arg_sql}), '{src}', '{dst}')"

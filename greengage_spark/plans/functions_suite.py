@@ -1252,6 +1252,118 @@ def dialect_geometry_lseg_poly(spark, sf_dir):
     )
 
 
+def _unaccent_oracle() -> str:
+    from greengage_spark.functions.unaccent import DST, SRC
+
+    return f"""
+    WITH v AS (
+      SELECT n_nationkey, 'Café-' || n_name AS s FROM nation
+      UNION ALL
+      SELECT n_nationkey, 'Cafe-' || n_name AS s FROM nation
+    )
+    SELECT translate(lower(s), '{SRC}', '{DST}') AS folded,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT s) AS BIGINT) AS variants
+    FROM v GROUP BY 1 ORDER BY folded
+    """
+
+
+@suite.add(
+    "text_unaccent_dedup",
+    oracle=_unaccent_oracle(),
+    doc="unaccent accent folding as a dedup key (contrib/unaccent "
+        "unaccent.c:262 with the stock rules table, generated from NFKD "
+        "+ the non-decomposable exception map — parity-pinned against "
+        "the reference's unaccent.rules in tests/test_unaccent.py). "
+        "Lowered to ONE JVM translate(), so normalize-then-group is a "
+        "single 2-stage hash aggregate — the canonical "
+        "normalization-before-dedup step of an LLM text pipeline. "
+        "Accented/plain spelling variants collapse to one group.",
+    tags=("dialect", "text", "pipeline"),
+)
+def text_unaccent_dedup(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        WITH v AS (
+          SELECT n_nationkey, 'Café-' || n_name AS s FROM nation
+          UNION ALL
+          SELECT n_nationkey, 'Cafe-' || n_name AS s FROM nation
+        )
+        SELECT unaccent(lower(s)) AS folded,
+               count(*) AS n,
+               count(DISTINCT s) AS variants
+        FROM v GROUP BY 1 ORDER BY folded
+        """,
+        ["nation"],
+    )
+
+
+@suite.add(
+    "dialect_earthdistance_cube",
+    oracle="""
+    WITH pts AS (
+      SELECT n_nationkey,
+             radians(CAST(n_nationkey * 3 - 30 AS DOUBLE)) AS la,
+             radians(CAST(n_nationkey * 10 - 120 AS DOUBLE)) AS lo
+      FROM nation
+    ), xyz AS (
+      SELECT n_nationkey,
+             6378168.0 * cos(la) * cos(lo) AS x,
+             6378168.0 * cos(la) * sin(lo) AS y,
+             6378168.0 * sin(la) AS z
+      FROM pts
+    ), d AS (
+      SELECT n_nationkey, x, y, z,
+             sqrt(pow(x - 6378168.0, 2) + pow(y, 2) + pow(z, 2)) AS chord,
+             2 * 6378168.0 * sin(5000000.0 / (2 * 6378168.0)) AS half
+      FROM xyz
+    )
+    SELECT n_nationkey,
+           round(CASE WHEN chord / (2 * 6378168.0) > 1
+                      THEN pi() * 6378168.0
+                      ELSE 2 * 6378168.0 * asin(chord / (2 * 6378168.0))
+                 END, 4) AS dist_m,
+           (x BETWEEN 6378168.0 - half AND 6378168.0 + half
+            AND y BETWEEN -half AND half
+            AND z BETWEEN -half AND half) AS in_box,
+           round(degrees(asin(z / 6378168.0)), 6) AS lat_rt,
+           round(degrees(atan2(y, x)), 6) AS lon_rt
+    FROM d ORDER BY n_nationkey
+    """,
+    doc="earthdistance cube half (earthdistance--1.0.sql:48-78; "
+        "functions/earthdist.py): ll_to_earth → 3-double point, "
+        "earth_distance great-circle meters, the point <@ earth_box "
+        "radius idiom (bounding-box prefilter — map-only scan predicate, "
+        "plan-pinned in tests/test_earthdistance.py), latitude/longitude "
+        "round-trips. All JVM Column expressions; the oracle re-derives "
+        "the sphere geometry in closed form.",
+    tags=("dialect", "contrib"),
+)
+def dialect_earthdistance_cube(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT n_nationkey,
+               round(earth_distance(
+                 ll_to_earth(n_nationkey * 3 - 30, n_nationkey * 10 - 120),
+                 ll_to_earth(0, 0)), 4) AS dist_m,
+               ll_to_earth(n_nationkey * 3 - 30, n_nationkey * 10 - 120)
+                 <@ earth_box(ll_to_earth(0, 0), 5000000) AS in_box,
+               round(latitude(ll_to_earth(n_nationkey * 3 - 30,
+                                          n_nationkey * 10 - 120)), 6)
+                 AS lat_rt,
+               round(longitude(ll_to_earth(n_nationkey * 3 - 30,
+                                           n_nationkey * 10 - 120)), 6)
+                 AS lon_rt
+        FROM nation ORDER BY n_nationkey
+        """,
+        ["nation"],
+    )
+
+
 @suite.add(
     "dialect_contrib_trgm_earth",
     oracle="""

@@ -1,0 +1,127 @@
+"""earthdistance cube-half parity — vectors from the reference's own
+regress output (contrib/earthdistance/expected/earthdistance.out) over
+the array<double> earth representation (functions/earthdist.py;
+earthdistance--1.0.sql:9-78).
+
+Everything lowers to Column expressions (no UDFs) — the plan-shape test
+pins that the radius idiom stays a map-only scan filter.
+"""
+
+import pytest
+
+from greengage_spark.dialect.transpiler import pg_sql
+
+
+def _val(spark, expr: str):
+    return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+
+class TestEarthDistance:
+    # earthdistance.out:486-552
+    @pytest.mark.parametrize(
+        "a,b,expected",
+        [
+            ((0, 0), (0, 0), 0.0),
+            ((0, 0), (0, 180), 20037605.73216),
+            ((0, 0), (90, 0), 10018802.86608),
+            ((0, 0), (0, 90), 10018802.86608),
+            ((0, 0), (0, 1), 111320.03185),
+            ((0, 0), (1, 0), 111320.03185),
+            ((30, 0), (30, 1), 96405.66962),
+            ((30, 0), (31, 0), 111320.03185),
+            ((60, 0), (60, 1), 55659.48608),
+            ((60, 0), (61, 0), 111320.03185),
+            ((41.8, 87.6), (35.1, 106.7), 1819303.21265),
+        ],
+    )
+    def test_vectors(self, spark, a, b, expected):
+        got = _val(
+            spark,
+            f"earth_distance(ll_to_earth({a[0]},{a[1]}),"
+            f"ll_to_earth({b[0]},{b[1]}))",
+        )
+        assert got == pytest.approx(expected, abs=5e-5)
+
+    def test_earth_radius(self, spark):
+        assert _val(spark, "earth()") == 6378168.0
+
+    def test_sec_gc_roundtrip(self, spark):
+        # sec_to_gc/gc_to_sec are inverses inside their domain
+        assert _val(spark, "sec_to_gc(gc_to_sec(1234567.0))") == pytest.approx(
+            1234567.0, rel=1e-12
+        )
+        # clamps (earthdistance--1.0.sql:36-42)
+        assert _val(spark, "sec_to_gc(-1.0)") == 0.0
+        assert _val(spark, "gc_to_sec(-1.0)") == 0.0
+
+
+class TestLatitudeLongitude:
+    # earthdistance.out:232-330 (representative grid)
+    @pytest.mark.parametrize(
+        "lat,lon",
+        [(0, 0), (45, 0), (90, 0), (-45, 0), (-90, 0),
+         (45, 90), (-45, 180), (30, -60)],
+    )
+    def test_latitude_roundtrip(self, spark, lat, lon):
+        got = _val(spark, f"latitude(ll_to_earth({lat},{lon}))")
+        assert got == pytest.approx(lat, abs=1e-9)
+
+    @pytest.mark.parametrize(
+        "lat,lon", [(0, 0), (0, 90), (0, 180), (45, 90), (30, -60)]
+    )
+    def test_longitude_roundtrip(self, spark, lat, lon):
+        got = _val(spark, f"longitude(ll_to_earth({lat},{lon}))")
+        assert got == pytest.approx(lon, abs=1e-9)
+
+
+class TestEarthBoxRadiusIdiom:
+    def test_contains_within_radius(self, spark):
+        # ~96.4 km apart (vector above): inside a 100 km box, outside 90 km
+        assert _val(
+            spark,
+            "ll_to_earth(30,1) <@ earth_box(ll_to_earth(30,0), 100000)",
+        ) is True
+
+    def test_box_prefilter_is_conservative(self, spark):
+        # the bounding box CAN over-approximate but never under-
+        # approximates: a point within the radius is always contained
+        assert _val(
+            spark,
+            "ll_to_earth(30,1) <@ earth_box(ll_to_earth(30,0), 96406)",
+        ) is True
+
+    def test_not_contained_far_outside(self, spark):
+        assert _val(
+            spark,
+            "ll_to_earth(31,1) <@ earth_box(ll_to_earth(30,0), 50000)",
+        ) is False
+
+    def test_radius_query_over_table(self, spark):
+        spark.createDataFrame(
+            [(1, 30.0, 0.5), (2, 30.0, 1.5), (3, 45.0, 45.0)],
+            "id int, lat double, lon double",
+        ).createOrReplaceTempView("places")
+        rows = pg_sql(
+            spark,
+            "SELECT id FROM places "
+            "WHERE ll_to_earth(lat, lon) <@ "
+            "      earth_box(ll_to_earth(30,0), 150000) "
+            "  AND earth_distance(ll_to_earth(lat, lon), "
+            "                     ll_to_earth(30,0)) < 150000 "
+            "ORDER BY id",
+        ).collect()
+        assert [r.id for r in rows] == [1, 2]
+
+    def test_radius_filter_is_map_only(self, spark):
+        spark.createDataFrame(
+            [(1, 30.0, 0.5)], "id int, lat double, lon double"
+        ).createOrReplaceTempView("places_plan")
+        plan = pg_sql(
+            spark,
+            "SELECT id FROM places_plan "
+            "WHERE ll_to_earth(lat, lon) <@ "
+            "      earth_box(ll_to_earth(30,0), 150000)",
+        )._jdf.queryExecution().executedPlan().toString()
+        # no shuffle, no python UDF: a pure scan+filter plan
+        assert "Exchange" not in plan
+        assert "Python" not in plan

@@ -1,0 +1,80 @@
+"""contrib/unaccent parity — the generated rule table must equal the
+reference's stock unaccent.rules byte-for-byte, and the SQL surface must
+fold through a single JVM translate() (no UDF, no shuffle).
+"""
+
+import os
+
+import pytest
+
+from greengage_spark.dialect.transpiler import pg_sql, transpile
+from greengage_spark.functions.unaccent import RULES, unaccent
+
+_RULES_FILE = "/root/reference/contrib/unaccent/unaccent.rules"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_RULES_FILE), reason="reference checkout absent"
+)
+def test_generated_table_matches_reference_rules():
+    ref = {}
+    with open(_RULES_FILE, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line:
+                src, dst = line.split("\t")
+                ref[src] = dst
+    assert RULES == ref
+
+
+class TestPython:
+    def test_basic_fold(self):
+        assert unaccent("Hôtel São Müller") == "Hotel Sao Muller"
+
+    def test_reference_quirks(self):
+        # this rules-file vintage maps Æ→A, Œ→E, ß→S (not AE/OE/ss)
+        assert unaccent("Æther Œuvre straße") == "Ather Euvre straSe"
+
+    def test_unmapped_pass_through(self):
+        assert unaccent("Ω λ 中文 ſ") == "Ω λ 中文 ſ"
+
+    def test_cyrillic_yo(self):
+        assert unaccent("ёлка Ёж") == "елка Еж"
+
+    def test_none(self):
+        assert unaccent(None) is None
+
+
+class TestSql:
+    def _val(self, spark, expr):
+        return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+    def test_one_arg(self, spark):
+        assert self._val(spark, "unaccent('Ĥéllø Wörld')") == "Hello World"
+
+    def test_two_arg_dictionary(self, spark):
+        assert self._val(spark, "unaccent('unaccent', 'José')") == "Jose"
+        assert (
+            self._val(spark, "unaccent('public.unaccent', 'Ñandú')") == "Nandu"
+        )
+
+    def test_unknown_dictionary_rejects(self, spark):
+        with pytest.raises(NotImplementedError, match="dictionary"):
+            transpile("SELECT unaccent('mydict', 'x')")
+
+    def test_lowering_is_translate_no_udf(self, spark):
+        out = transpile("SELECT unaccent(name) FROM t")
+        assert "translate" in out
+        assert "udf" not in out.lower()
+
+    def test_column_fold_plan_is_map_only(self, spark):
+        spark.createDataFrame(
+            [("Crème brûlée",), ("Smörgåsbord",)], "s string"
+        ).createOrReplaceTempView("ua_t")
+        df = pg_sql(spark, "SELECT unaccent(s) AS f FROM ua_t")
+        assert sorted(r.f for r in df.collect()) == [
+            "Creme brulee",
+            "Smorgasbord",
+        ]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
