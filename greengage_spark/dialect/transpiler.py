@@ -6745,15 +6745,16 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 )
                 continue
             if low == "gen_salt" and len(args) in (1, 2):
-                # pgcrypto.c:232 gen_salt(type [, iter]) — md5 has no
-                # iteration count; reject a second arg loudly
-                if len(args) == 2:
-                    raise NotImplementedError(
-                        "gen_salt iteration count applies to bf/xdes "
-                        "only — md5 is the implemented scheme"
-                    )
+                # pgcrypto.c:232 gen_salt(type [, iter]) — md5 takes no
+                # iteration count; bf's is the log2 cost (px-crypt.c)
                 a = " ".join(args[0])
-                out[i : close + 1] = tokenize(f"pg_gen_salt(({a}))")
+                if len(args) == 2:
+                    b = " ".join(args[1])
+                    out[i : close + 1] = tokenize(
+                        f"pg_gen_salt2(({a}), CAST(({b}) AS INT))"
+                    )
+                else:
+                    out[i : close + 1] = tokenize(f"pg_gen_salt(({a}))")
                 continue
             if low == "levenshtein_less_equal" and len(args) == 3:
                 # fuzzystrmatch: exact only up to k, anything larger may

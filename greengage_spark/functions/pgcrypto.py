@@ -94,27 +94,41 @@ def md5_crypt(password: str, salt: str) -> str:
 
 
 def crypt(password, salt) -> str | None:
-    """px-crypt.c px_crypt: dispatch on the salt prefix."""
+    """px-crypt.c px_crypt: dispatch on the salt prefix — $1$ md5-crypt
+    (crypt-md5.c) and $2a$/$2b$/$2y$ bcrypt (crypt-blowfish.c,
+    functions/bcrypt.py); des/xdes stay loud rejects."""
     if password is None or salt is None:
         return None
     if salt.startswith("$1$"):
         return md5_crypt(password, salt)
-    if salt.startswith(("$2", "_")) or len(salt) == 2:
+    if salt.startswith("$2"):
+        from greengage_spark.functions.bcrypt import bf_crypt
+
+        return bf_crypt(password, salt)
+    if salt.startswith("_") or len(salt) == 2:
         raise NotImplementedError(
             "crypt scheme for salt prefix "
-            f"{salt[:3]!r}: only md5-crypt ($1$) is implemented — "
-            "bf/des/xdes need cipher primitives not shipped here"
+            f"{salt[:3]!r}: md5-crypt ($1$) and bcrypt ($2a$) are "
+            "implemented — des/xdes need DES primitives not shipped here"
         )
     raise ValueError(f"invalid salt {salt!r}")
 
 
-def gen_salt(scheme: str) -> str:
-    """pg_gen_salt (px-crypt.c px_gen_salt): md5 scheme only."""
-    if scheme.lower() != "md5":
-        raise NotImplementedError(
-            f"gen_salt scheme {scheme!r}: only 'md5' is implemented"
-        )
-    return "$1$" + "".join(secrets.choice(_ITOA64) for _ in range(8))
+def gen_salt(scheme: str, rounds: int | None = None) -> str:
+    """pg_gen_salt (px-crypt.c px_gen_salt): md5 and bf schemes."""
+    s = scheme.lower()
+    if s == "md5":
+        if rounds is not None:
+            raise ValueError("gen_salt: md5 has no iteration count")
+        return "$1$" + "".join(secrets.choice(_ITOA64) for _ in range(8))
+    if s == "bf":
+        from greengage_spark.functions.bcrypt import gen_salt_bf
+
+        return gen_salt_bf(6 if rounds is None else int(rounds))
+    raise NotImplementedError(
+        f"gen_salt scheme {scheme!r}: 'md5' and 'bf' are implemented "
+        "(des/xdes need DES primitives not shipped here)"
+    )
 
 
 def register_udfs(spark) -> None:
@@ -139,8 +153,19 @@ def register_udfs(spark) -> None:
     def _gen_salt_udf(scheme):
         return pd.Series([gen_salt(s) for s in scheme], dtype="object")
 
+    def _gen_salt2_udf(scheme, rounds):
+        return pd.Series(
+            [
+                gen_salt(s, None if r is None else int(r))
+                for s, r in zip(scheme, rounds)
+            ],
+            dtype="object",
+        )
+
     spark.udf.register("pg_hmac", pandas_udf(_hmac_udf, "binary"))
     spark.udf.register("pg_crypt", pandas_udf(_crypt_udf, "string"))
     gs = pandas_udf(_gen_salt_udf, "string").asNondeterministic()
     spark.udf.register("pg_gen_salt", gs)
+    gs2 = pandas_udf(_gen_salt2_udf, "string").asNondeterministic()
+    spark.udf.register("pg_gen_salt2", gs2)
     spark.conf.set("greengage.pgcrypto.registered", "1")

@@ -204,6 +204,57 @@ def foreign_dblink_query(spark, sf_dir):
         eng.execute("SELECT dblink_disconnect('reg')")
 
 
+@suite.add(
+    "foreign_dblink_async",
+    oracle="""
+    SELECT CAST(r_regionkey AS INTEGER) AS rk, r_name,
+           CAST(1 AS INTEGER) AS sent, CAST(0 AS INTEGER) AS busy_after
+    FROM region ORDER BY rk
+    """,
+    doc="contrib/dblink async surface (dblink.c:659-688 "
+        "dblink_send_query / dblink_is_busy / dblink_get_result): the "
+        "query ships to the remote and runs on a driver-side executor "
+        "slot (one in-flight per named connection, libpq's rule); "
+        "get_result blocks like PQgetResult and the column definition "
+        "list types the rows. sent/busy_after pin the protocol ints "
+        "(send accepted = 1; settled busy flag = 0).",
+    tags=("scan", "foreign", "contrib"),
+)
+def foreign_dblink_async(spark, sf_dir):
+    import time
+
+    from greengage_spark.engine import GreengageEngine
+    from greengage_spark.sources.foreign import derby_server, write_foreign_table
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_dbla_"))
+    loc = os.path.join(tempfile.gettempdir(), "gg_dblink_derby_async")
+    srv = derby_server(loc)
+    write_foreign_table(cat(spark, sf_dir).table("region"), srv, "region")
+    eng.execute(f"SELECT dblink_connect('areg', '{srv.url}')")
+    try:
+        sent = eng.execute(
+            "SELECT dblink_send_query('areg', "
+            "'SELECT \"r_regionkey\" AS rk, "
+            "CAST(\"r_name\" AS VARCHAR(32)) AS r_name FROM region')"
+        ).collect()[0][0]
+        for _ in range(200):
+            if (
+                eng.execute("SELECT dblink_is_busy('areg')").collect()[0][0]
+                == 0
+            ):
+                break
+            time.sleep(0.05)
+        busy = eng.execute("SELECT dblink_is_busy('areg')").collect()[0][0]
+        return eng.execute(
+            "SELECT rk, r_name, "
+            f"{int(sent)}::int4 AS sent, {int(busy)}::int4 AS busy_after "
+            "FROM dblink_get_result('areg') AS t(rk int4, r_name text) "
+            "ORDER BY rk"
+        )
+    finally:
+        eng.execute("SELECT dblink_disconnect('areg')")
+
+
 # ==================== SORT / LIMIT (§2.6) ====================
 
 @suite.add(

@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 _uid = itertools.count()
 
 _CALL_RE = re.compile(
-    r"(?is)^\s*select\s+dblink_(connect|exec|disconnect)\s*\(\s*"
+    r"(?is)^\s*select\s+dblink_(connect|exec|disconnect|send_query|"
+    r"is_busy|cancel_query|error_message)\s*\(\s*"
     r"'(?P<a>(?:[^']|'')*)'\s*(?:,\s*'(?P<b>(?:[^']|'')*)'\s*)?\)\s*"
     r"(?:as\s+\w+\s*)?;?\s*$"
 )
@@ -43,6 +44,11 @@ _CALL_RE = re.compile(
 _DBLINK_RE = re.compile(
     r"(?is)\bdblink\s*\(\s*'(?P<conn>(?:[^']|'')*)'\s*,\s*"
     r"'(?P<sql>(?:[^']|'')*)'\s*\)\s*"
+    r"(?:as\s+)?(?P<alias>\w+)\s*\(\s*(?P<cols>[^()]*)\)"
+)
+
+_GET_RESULT_RE = re.compile(
+    r"(?is)\bdblink_get_result\s*\(\s*'(?P<conn>(?:[^']|'')*)'\s*\)\s*"
     r"(?:as\s+)?(?P<alias>\w+)\s*\(\s*(?P<cols>[^()]*)\)"
 )
 
@@ -66,6 +72,123 @@ def _jdbc_props(url: str) -> dict:
     return ForeignServer("dblink", url).properties()
 
 
+def _async_state(engine) -> dict:
+    """Per-connection async slots (dblink.c:659-688 dblink_send_query /
+    dblink_get_result over libpq's one-in-flight-per-connection rule)."""
+    return engine.misc_ddl.setdefault(("dblink", "async"), {})
+
+
+def _run_remote(jvm, url: str, props: dict, sql: str, slot: dict):
+    """Worker: own JDBC connection, fetch all columns as strings (the
+    declared column-definition list casts on materialize, exactly like
+    the sync dblink path).  A dblink call is one bounded remote cursor
+    by contract, so the driver-side collect is the same cost PG pays."""
+    if "driver" in props:
+        jvm.java.lang.Class.forName(props["driver"])
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        slot["stmt"] = st  # for dblink_cancel_query
+        rs = st.executeQuery(sql)
+        md = rs.getMetaData()
+        ncols = md.getColumnCount()
+        rows = []
+        while rs.next():
+            rows.append(tuple(rs.getString(i + 1) for i in range(ncols)))
+        rs.close()
+        st.close()
+        return ncols, rows
+    finally:
+        slot.pop("stmt", None)
+        conn.close()
+
+
+def handle_send_query(engine, conname: str, sql: str):
+    """dblink_send_query → 1 sent / 0 refused (PQsendQuery contract:
+    refuse — with a notice, not an error — while a query is in flight)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    state = _async_state(engine)
+    slot = state.get(conname)
+    if slot is not None and not slot["future"].done():
+        # libpq: "another command is already in progress"
+        return 0
+    if slot is not None and not slot.get("consumed", False):
+        # an unread result is still pending on the wire
+        return 0
+    url = _resolve(engine, conname)  # raises like DBLINK_GET_NAMED_CONN
+    pool = engine.misc_ddl.setdefault(
+        ("dblink", "pool"), ThreadPoolExecutor(max_workers=4)
+    )
+    slot = {"consumed": False, "error": None}
+    slot["future"] = pool.submit(
+        _run_remote, engine.spark._jvm, url, _jdbc_props(url), sql, slot
+    )
+    state[conname] = slot
+    return 1
+
+
+def handle_is_busy(engine, conname: str) -> int:
+    _resolve(engine, conname)
+    slot = _async_state(engine).get(conname)
+    return int(slot is not None and not slot["future"].done())
+
+
+def handle_cancel_query(engine, conname: str) -> str:
+    _resolve(engine, conname)
+    slot = _async_state(engine).get(conname)
+    if slot is None:
+        return "OK"
+    if slot["future"].done():
+        # result already on the wire: cancel discards it (PQcancel after
+        # completion is a no-op; the result queue is simply dropped)
+        slot["consumed"] = True
+        return "OK"
+    st = slot.get("stmt")
+    if st is not None:
+        try:
+            st.cancel()
+        except Exception as exc:  # remote refused: PG reports the message
+            return str(exc)
+    slot["consumed"] = True
+    return "OK"
+
+
+def handle_error_message(engine, conname: str) -> str:
+    _resolve(engine, conname)
+    slot = _async_state(engine).get(conname)
+    if slot is None or not slot["future"].done():
+        return "OK"
+    exc = slot["future"].exception()
+    return "OK" if exc is None else str(exc)
+
+
+def get_result_df(engine, conname: str, cols: list[list[str]]):
+    """dblink_get_result('conn') AS t(col type, ...) — blocks until the
+    async query finishes (PQgetResult semantics); a second call after
+    the result was consumed returns an EMPTY set of the declared shape,
+    exactly like draining libpq's result queue."""
+    from greengage_spark.dialect.ddl import map_pg_type
+
+    spark = engine.spark
+    schema = ", ".join(f"{c[0]} string" for c in cols)
+    out_casts = [
+        F.col(c[0]).cast(map_pg_type(" ".join(c[1:]))).alias(c[0])
+        for c in cols
+    ]
+    slot = _async_state(engine).get(conname)
+    if slot is None or slot.get("consumed", False):
+        return spark.createDataFrame([], schema).select(out_casts)
+    ncols, rows = slot["future"].result()  # waits; re-raises remote errors
+    slot["consumed"] = True
+    if ncols != len(cols):
+        raise ValueError(
+            f"remote query returned {ncols} columns, the definition "
+            f"list declares {len(cols)}"
+        )
+    return spark.createDataFrame(rows, schema).select(out_casts)
+
+
 def maybe_handle_call(engine, stmt: str):
     """dblink_connect / dblink_exec / dblink_disconnect as top-level
     SELECTs; returns a status DataFrame or None (not a dblink call)."""
@@ -76,6 +199,25 @@ def maybe_handle_call(engine, stmt: str):
     a = m.group("a").replace("''", "'")
     b = (m.group("b") or "").replace("''", "'")
     spark = engine.spark
+    if kind == "send_query":
+        if not b:
+            raise ValueError("dblink_send_query requires a SQL argument")
+        return spark.createDataFrame(
+            [(handle_send_query(engine, a, b),)], "dblink_send_query int"
+        )
+    if kind == "is_busy":
+        return spark.createDataFrame(
+            [(handle_is_busy(engine, a),)], "dblink_is_busy int"
+        )
+    if kind == "cancel_query":
+        return spark.createDataFrame(
+            [(handle_cancel_query(engine, a),)], "dblink_cancel_query string"
+        )
+    if kind == "error_message":
+        return spark.createDataFrame(
+            [(handle_error_message(engine, a),)],
+            "dblink_error_message string",
+        )
     if kind == "connect":
         if not b:
             # single-arg form: the connstr IS the argument, unnamed
@@ -158,4 +300,21 @@ def expand_dblink(engine, stmt: str) -> str:
         out.createOrReplaceTempView(view)
         return f"{view} AS {m.group('alias')}"
 
+    def repl_get_result(m: re.Match) -> str:
+        cols = [
+            c.strip().split() for c in m.group("cols").split(",") if c.strip()
+        ]
+        if any(len(c) < 2 for c in cols):
+            raise ValueError(
+                "dblink_get_result requires a column definition list: "
+                "AS t(col type, ...)"
+            )
+        out = get_result_df(
+            engine, m.group("conn").replace("''", "'"), cols
+        )
+        view = f"__gg_dblink_{next(_uid)}"
+        out.createOrReplaceTempView(view)
+        return f"{view} AS {m.group('alias')}"
+
+    stmt = _GET_RESULT_RE.sub(repl_get_result, stmt)
     return _DBLINK_RE.sub(repl, stmt)

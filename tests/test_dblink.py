@@ -96,3 +96,121 @@ class TestDblink:
             eng.execute(
                 "SELECT dblink_connect('pq', 'dbname=postgres host=x')"
             )
+
+
+class TestDblinkAsync:
+    """dblink.c:659-688 dblink_send_query / dblink_is_busy /
+    dblink_get_result / dblink_cancel_query / dblink_error_message —
+    one async slot per named connection, driver-side executor."""
+
+    def _one(self, eng, sql):
+        return eng.execute(sql).collect()[0][0]
+
+    def test_send_then_get_result(self, eng, remote):
+        assert self._one(
+            eng,
+            f"SELECT dblink_send_query('{remote}', "
+            "'SELECT id, name FROM emp ORDER BY id')",
+        ) == 1
+        rows = eng.execute(
+            f"SELECT * FROM dblink_get_result('{remote}') "
+            "AS t(id int, name text) ORDER BY id"
+        ).collect()
+        assert [(r.id, r.name) for r in rows] == [
+            (1, "ada"), (2, "bob"), (3, "cyn"),
+        ]
+
+    def test_result_consumed_second_call_empty(self, eng, remote):
+        self._one(
+            eng,
+            f"SELECT dblink_send_query('{remote}', 'SELECT id FROM emp')",
+        )
+        assert (
+            len(
+                eng.execute(
+                    f"SELECT * FROM dblink_get_result('{remote}') AS t(id int)"
+                ).collect()
+            )
+            == 3
+        )
+        # PQgetResult drained: next call yields the empty set
+        assert (
+            eng.execute(
+                f"SELECT * FROM dblink_get_result('{remote}') AS t(id int)"
+            ).collect()
+            == []
+        )
+
+    def test_second_send_while_busy_refused(self, eng, remote):
+        # libpq: one in-flight command per connection — a send while the
+        # previous result is unread returns 0, not an error
+        assert self._one(
+            eng,
+            f"SELECT dblink_send_query('{remote}', 'SELECT sal FROM emp')",
+        ) == 1
+        assert self._one(
+            eng,
+            f"SELECT dblink_send_query('{remote}', 'SELECT id FROM emp')",
+        ) == 0
+        # drain
+        eng.execute(
+            f"SELECT * FROM dblink_get_result('{remote}') AS t(sal int)"
+        ).collect()
+
+    def test_is_busy_settles_to_zero(self, eng, remote):
+        import time
+
+        self._one(
+            eng,
+            f"SELECT dblink_send_query('{remote}', 'SELECT id FROM emp')",
+        )
+        for _ in range(100):
+            if self._one(eng, f"SELECT dblink_is_busy('{remote}')") == 0:
+                break
+            time.sleep(0.05)
+        assert self._one(eng, f"SELECT dblink_is_busy('{remote}')") == 0
+        eng.execute(
+            f"SELECT * FROM dblink_get_result('{remote}') AS t(id int)"
+        ).collect()
+
+    def test_error_message_surfaces_remote_failure(self, eng, remote):
+        self._one(
+            eng,
+            f"SELECT dblink_send_query('{remote}', "
+            "'SELECT nope FROM emp')",
+        )
+        import time
+
+        for _ in range(100):
+            if self._one(eng, f"SELECT dblink_is_busy('{remote}')") == 0:
+                break
+            time.sleep(0.05)
+        msg = self._one(eng, f"SELECT dblink_error_message('{remote}')")
+        assert msg != "OK"
+        # get_result re-raises the remote error (dblink's async path
+        # reports it at result-gathering time)
+        with pytest.raises(Exception):
+            eng.execute(
+                f"SELECT * FROM dblink_get_result('{remote}') AS t(x int)"
+            ).collect()
+
+    def test_send_on_unknown_connection_rejects(self, eng):
+        with pytest.raises(ValueError, match="not available"):
+            eng.execute("SELECT dblink_send_query('nope', 'SELECT 1')")
+
+    def test_cancel_query_ok(self, eng, remote):
+        self._one(
+            eng,
+            f"SELECT dblink_send_query('{remote}', 'SELECT id FROM emp')",
+        )
+        assert self._one(
+            eng, f"SELECT dblink_cancel_query('{remote}')"
+        ) == "OK"
+        # slot is reusable after cancel
+        assert self._one(
+            eng,
+            f"SELECT dblink_send_query('{remote}', 'SELECT id FROM emp')",
+        ) == 1
+        eng.execute(
+            f"SELECT * FROM dblink_get_result('{remote}') AS t(id int)"
+        ).collect()

@@ -41,8 +41,10 @@ class TestKernels:
     def test_gen_salt_shape(self):
         s = gen_salt("md5")
         assert s.startswith("$1$") and len(s) == 11
+        b = gen_salt("bf")
+        assert b.startswith("$2a$06$") and len(b) == 29
         with pytest.raises(NotImplementedError):
-            gen_salt("bf")
+            gen_salt("xdes")
 
 
 class TestSql:
@@ -69,12 +71,75 @@ class TestSql:
         ).collect()[0]
         assert ok.ok is True and ok.bad is False
 
-    def test_crypt_bf_rejects_loudly(self, spark):
-        with pytest.raises(Exception, match="md5-crypt"):
-            pg_sql(
-                spark, "SELECT crypt('x', '$2a$06$saltsaltsaltsaltsalts') AS c"
-            ).collect()
+    def test_crypt_des_rejects_loudly(self, spark):
+        with pytest.raises(Exception, match="des"):
+            pg_sql(spark, "SELECT crypt('x', 'ab') AS c").collect()
 
-    def test_gen_salt_iteration_count_rejects(self, spark):
-        with pytest.raises(NotImplementedError, match="iteration"):
-            pg_sql(spark, "SELECT gen_salt('bf', 8) AS s")
+    def test_gen_salt_md5_iteration_count_rejects(self, spark):
+        with pytest.raises(Exception, match="iteration count"):
+            pg_sql(spark, "SELECT gen_salt('md5', 8) AS s").collect()
+
+
+class TestBcrypt:
+    """crypt-blowfish.c parity — vectors from
+    contrib/pgcrypto/expected/crypt-blowfish.out (generated-tables
+    Blowfish in functions/bcrypt.py)."""
+
+    def test_regress_vector_empty_password(self):
+        from greengage_spark.functions.pgcrypto import crypt
+
+        assert crypt("", "$2a$06$RQiOJ.3ELirrXwxIZY8q0O") == (
+            "$2a$06$RQiOJ.3ELirrXwxIZY8q0OlGbBEpDmx7IRZlNYvGJ1SHXwNi2cEKK"
+        )
+
+    def test_regress_vector_foox(self):
+        from greengage_spark.functions.pgcrypto import crypt
+
+        assert crypt("foox", "$2a$06$RQiOJ.3ELirrXwxIZY8q0O") == (
+            "$2a$06$RQiOJ.3ELirrXwxIZY8q0OR3CVJrAfda1z26CCHPnB6mmVZD8p0/C"
+        )
+
+    def test_full_hash_as_salt_verifies(self):
+        # the verification idiom: crypt(pw, stored) = stored
+        from greengage_spark.functions.pgcrypto import crypt
+
+        stored = "$2a$06$RQiOJ.3ELirrXwxIZY8q0OR3CVJrAfda1z26CCHPnB6mmVZD8p0/C"
+        assert crypt("foox", stored) == stored
+        assert crypt("wrong", stored) != stored
+
+    @pytest.mark.parametrize(
+        "salt",
+        [
+            "$2a$",  # too short
+            "$2a$40$RQiOJ.3ELirrXwxIZY8q0O",  # first count digit invalid
+            "$2a$00$RQiOJ.3ELirrXwxIZY8q0O",  # count too small
+        ],
+    )
+    def test_invalid_salts(self, salt):
+        from greengage_spark.functions.pgcrypto import crypt
+
+        with pytest.raises(ValueError, match="invalid salt"):
+            crypt("foox", salt)
+
+    def test_2x_variant_rejects(self):
+        from greengage_spark.functions.pgcrypto import crypt
+
+        with pytest.raises(NotImplementedError, match="2x"):
+            crypt("foox", "$2x$06$RQiOJ.3ELirrXwxIZY8q0O")
+
+    def test_gen_salt_bf_roundtrip_sql(self, spark):
+        # the regress ctest pattern: gen_salt('bf', N) then verify
+        row = pg_sql(
+            spark, "SELECT crypt('password', gen_salt('bf', 4)) AS stored"
+        ).collect()[0]
+        assert row.stored.startswith("$2a$04$") and len(row.stored) == 60
+        ok = pg_sql(
+            spark,
+            f"SELECT crypt('password', '{row.stored}') = '{row.stored}' "
+            f"AS ok, crypt('nope', '{row.stored}') = '{row.stored}' AS bad",
+        ).collect()[0]
+        assert ok.ok is True and ok.bad is False
+
+    def test_gen_salt_bf_default_rounds(self, spark):
+        s = pg_sql(spark, "SELECT gen_salt('bf') AS s").collect()[0].s
+        assert s.startswith("$2a$06$") and len(s) == 29
