@@ -327,3 +327,87 @@ def paragraph_dedup(
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
         F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
     )
+
+
+def substring_span_dedup(
+    df: DataFrame, id_col: str, text_col: str, *, window: int = 8
+) -> DataFrame:
+    """Span-level exact-substring dedup — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better") scrub:
+    find every token span that occurs verbatim more than once in the
+    corpus and report the merged duplicate spans per document.
+
+    Shape (never all-pairs, no corpus-global sort):
+
+    1. each document emits its ``window``-token rolling windows with
+       positions — one posexplode, all Column expressions;
+    2. windows repeated anywhere (count >= 2 over the md5 of the window
+       text) are found with ONE 2-stage hash aggregate, then joined back
+       — candidates ∝ true duplicates, exactly the suffix-array
+       economics of the paper but in relational form;
+    3. overlapping duplicate windows merge into maximal spans with a
+       lag/sum gaps-and-islands pass partitioned BY DOCUMENT (bounded
+       partitions — there is no corpus-wide Window).
+
+    Output: (id, n_spans, dup_tokens, spans "start-end,...") for every
+    document containing duplicated text, span bounds in token positions.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("t"))
+    wins = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size("t") >= window,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - window),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("t"), i + 1, window)
+                    ),
+                ),
+            ).otherwise(F.expr("array()").cast("array<string>"))
+        ).alias("pos", "win"),
+    ).select(F.col(id_col), F.col("pos"), F.md5("win").alias("h"))
+
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    hits = wins.join(dup, "h").select(id_col, "pos")
+
+    from pyspark.sql import Window as W
+
+    byd = W.partitionBy(id_col).orderBy("pos")
+    spans = (
+        hits.withColumn(
+            "brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(byd) <= window, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("island", F.sum("brk").over(byd))
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + window).alias("e"),
+        )
+    )
+    return (
+        spans.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s")).cast("bigint").alias("dup_tokens"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "e"))),
+                    lambda x: F.concat_ws("-", x["s"], x["e"]),
+                ),
+            ).alias("spans"),
+        )
+        .orderBy(id_col)
+    )

@@ -112,6 +112,61 @@ def dedup_paragraph(spark, sf_dir):
 
 
 @suite.add(
+    "dedup_substring_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(t, i + 1, i + 8), ' ') AS win
+      FROM toks, unnest(range(0, greatest(len(t) - 8 + 1, 0))) AS u(i)
+    ), dup AS (
+      SELECT win FROM wins GROUP BY win HAVING count(*) >= 2
+    ), hits AS (
+      SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (win)
+    ), brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM brks
+    ), spans AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans,
+           CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+           string_agg(s || '-' || e, ',' ORDER BY s) AS spans
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Span-level exact-substring dedup (pipeline/dedup.py "
+        "substring_span_dedup) — the Lee et al. 2022 scrub: every "
+        "8-token window repeated verbatim anywhere in the corpus is "
+        "found with ONE 2-stage hash aggregate over window digests "
+        "(candidates ∝ true duplicates — the suffix-array economics in "
+        "relational form, never all-pairs), joined back, and merged "
+        "into maximal per-document spans with a gaps-and-islands pass "
+        "partitioned BY DOCUMENT (bounded partitions; no corpus-wide "
+        "Window, plan-pinned in tests/test_dedup_spans.py). Output: "
+        "merged duplicate span bounds + covered token counts per "
+        "affected document.",
+    tags=("pipeline", "dedup", "bench"),
+)
+def dedup_substring_spans(spark, sf_dir):
+    from greengage_spark.pipeline.dedup import substring_span_dedup
+
+    docs = cat(spark, sf_dir).table("documents")
+    return substring_span_dedup(docs, "doc_id", "text", window=8)
+
+
+@suite.add(
     "dedup_exact",
     oracle="""
     SELECT canon, COUNT(*) AS n_docs, MIN(doc_id) AS keeper

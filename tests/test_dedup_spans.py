@@ -1,0 +1,78 @@
+"""Span-level exact-substring dedup (pipeline/dedup.py
+substring_span_dedup — the Lee et al. 2022 scrub in relational form).
+"""
+
+from greengage_spark.pipeline.dedup import substring_span_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repeated_substring_found_and_merged(spark):
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, "intro words here " + shared + " trailing tail words"),
+        (3, "completely unrelated text with no duplicate spans at all ok"),
+    ]
+    out = substring_span_dedup(_docs(spark, rows), "doc_id", "text", window=8)
+    got = {r.doc_id: r for r in out.collect()}
+    # docs 1 and 2 share a 10-token substring -> both get one merged span
+    assert set(got) == {1, 2}
+    assert got[1].n_spans == 1 and got[2].n_spans == 1
+    # the shared run is 10 tokens: 3 overlapping 8-windows merge to one
+    # span of exactly 10 tokens in each document
+    assert got[1].dup_tokens == 10 and got[2].dup_tokens == 10
+    # doc 1: shared text starts at token 2 -> span 2-12
+    assert got[1].spans == "2-12"
+    # doc 2: starts at token 3 -> span 3-13
+    assert got[2].spans == "3-13"
+
+
+def test_within_document_repeat_counts(spark):
+    seg = "one two three four five six seven eight"
+    rows = [(7, seg + " filler words in middle " + seg)]
+    out = substring_span_dedup(_docs(spark, rows), "doc_id", "text", window=8)
+    r = out.collect()[0]
+    # the 8-token segment occurs twice IN THE SAME doc -> two spans
+    assert r.n_spans == 2
+    assert r.dup_tokens == 16
+    # "filler words in middle" is 4 tokens: second occurrence at 12
+    assert r.spans == "0-8,12-20"
+
+
+def test_disjoint_spans_not_merged(spark):
+    a = "aa bb cc dd ee ff gg hh"
+    b = "pp qq rr ss tt uu vv ww"
+    rows = [
+        (1, a + " xx yy zz only here one two three four five " + b),
+        (2, a + " completely different middle section words here " + b),
+    ]
+    out = substring_span_dedup(_docs(spark, rows), "doc_id", "text", window=8)
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].n_spans == 2 and got[2].n_spans == 2
+
+
+def test_short_docs_emit_nothing(spark):
+    rows = [(1, "too short"), (2, "too short")]
+    out = substring_span_dedup(_docs(spark, rows), "doc_id", "text", window=8)
+    assert out.collect() == []
+
+
+def test_plan_no_corpus_wide_window(spark):
+    rows = [(i, f"doc {i} words " * 5) for i in range(10)]
+    df = substring_span_dedup(_docs(spark, rows), "doc_id", "text", window=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the islands pass must be partitioned by document: a corpus-wide
+    # Window would funnel everything through one partition
+    assert "SinglePartition" not in plan
+    import re
+
+    # every windowspecdefinition must carry the doc partition column
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the gaps-and-islands window in the plan"
+    for spec in specs:
+        assert "doc_id" in spec
+    # no cartesian products anywhere
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
