@@ -6631,12 +6631,22 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 continue
             if low in ("xpath", "xpath_exists") and len(args) in (2, 3):
                 # xml.c:4082,4132 — child/attribute/text() subset over an
-                # Arrow-batched ElementTree UDF (functions/xmlquery.py)
+                # Arrow-batched ElementTree UDF (functions/xmlquery.py);
+                # the 3-arg namespace array resolves prefixed steps and
+                # results serialize with the document's own prefixes
                 if len(args) == 3:
-                    raise NotImplementedError(
-                        "xpath namespace-array argument is out of the "
-                        "subset (prefixed names reject with it)"
+                    p, x, n = (" ".join(a) for a in args)
+                    fn = (
+                        "pg_xpath_ns"
+                        if low == "xpath"
+                        else "pg_xpath_exists_ns"
                     )
+                    out[i : close + 1] = tokenize(
+                        f"{fn}(CAST(({p}) AS STRING), "
+                        f"CAST(({x}) AS STRING), "
+                        f"CAST(({n}) AS ARRAY<ARRAY<STRING>>))"
+                    )
+                    continue
                 p, x = (" ".join(a) for a in args)
                 fn = "pg_xpath" if low == "xpath" else "pg_xpath_exists"
                 out[i : close + 1] = tokenize(

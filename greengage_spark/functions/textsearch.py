@@ -140,6 +140,37 @@ def _tsq_parse(q: str):
     return tree
 
 
+_TSVEC_ITEM = re.compile(r"'((?:[^']|'')*)'(?::([0-9]+[A-Da-d]?(?:,[0-9]+[A-Da-d]?)*))?")
+
+
+def parse_tsvector_literal(
+    s: str | None, weights: str | None = None
+) -> list | None:
+    """tsvector input syntax (``'lex':1A,2 'other'``) → [(lexeme, occ)]
+    (tsvector_parse.c).  ``occ`` counts the positions whose weight is in
+    ``weights`` (None = all); a position without an explicit weight is D
+    (tsvector.h WEP_GETWEIGHT default); a stripped lexeme (no positions)
+    counts one entry and never matches a weight filter — the
+    ts_stat_sql/ts_accum accounting (tsvector_op.c:854)."""
+    if s is None:
+        return None
+    out: dict[str, int] = {}
+    for m in _TSVEC_ITEM.finditer(s):
+        lex = m.group(1).replace("''", "'")
+        pos = m.group(2)
+        if pos is None:
+            occ = 1 if weights is None else 0
+        else:
+            occ = 0
+            for p in pos.split(","):
+                w = p[-1].upper() if p[-1].upper() in "ABC" else "D"
+                if weights is None or w in weights:
+                    occ += 1
+        if occ:
+            out[lex] = out.get(lex, 0) + occ
+    return [{"lexeme": k, "occ": v} for k, v in out.items()]
+
+
 def to_tsquery_match(tsv: Column, query: str) -> Column:
     """``tsv @@ to_tsquery('simple', query)`` with & | ! and parens —
     the query is a plan-time literal compiled to a boolean expression

@@ -1,6 +1,7 @@
 """Query-side XML: xpath() / xpath_exists()
 (src/backend/utils/adt/xml.c:4082 xpath, :4132 xpath_exists; regress
-shapes src/test/regress/sql/xml.sql:179-194).
+shapes src/test/regress/sql/xml.sql:179-194 incl. the namespace-array
+forms at :183-185).
 
 Subset evaluator over stdlib ElementTree, run as Arrow-batched pandas
 UDFs (XML parsing is inherently per-row; the Arrow batches keep it off
@@ -10,23 +11,27 @@ the row-at-a-time path):
   wildcard ``*``, positional predicates ``[n]``;
 * terminal ``text()`` (document-order text nodes) and ``@attr``;
 * relative paths evaluate from the root element (the regress
-  ``xpath('text()', doc)`` shape).
+  ``xpath('text()', doc)`` shape);
+* the namespace array ``ARRAY[ARRAY['prefix','uri'], ...]`` — prefixed
+  steps/attributes resolve through it, and element results serialize
+  with the DOCUMENT's original prefixes plus the namespace declarations
+  the fragment needs, libxml-style (xml.c xml_xmlnodetoxmltype →
+  xmlNodeDump format=1: element-only content indents 2 spaces/level,
+  mixed content stays verbatim, empty elements close as ``<x/>``).
 
-Out of the subset — all reject loudly: the namespace-array argument
-(prefixed names need it anyway), XPath functions (count()/name()/...),
-mid-path ``//``, attribute/value predicates.  Results are the PG
-contract: an array of serialized nodes (elements re-serialized without
-their tail text, text/attribute nodes as their string value); no match
-is an EMPTY array, NULL input is NULL.
+Out of the subset — all reject loudly: XPath functions
+(count()/name()/...), mid-path ``//``, attribute/value predicates.
+Results are the PG contract: an array of serialized nodes, no match is
+an EMPTY array, NULL input is NULL.
 """
 
 from __future__ import annotations
 
-import copy
 import re
 import xml.etree.ElementTree as ET
+from xml.sax.saxutils import escape
 
-_STEP_RE = re.compile(r"^(\w+|\*)(?:\[(\d+)\])?$")
+_STEP_RE = re.compile(r"^((?:\w+:)?\w+|\*)(?:\[(\d+)\])?$")
 
 
 def _doc_order_text(el) -> list[str]:
@@ -52,13 +57,119 @@ def _direct_text(el) -> list[str]:
     return out
 
 
-def _serialize(el) -> str:
-    e2 = copy.copy(el)
-    e2.tail = None
-    return ET.tostring(e2, encoding="unicode")
+def _parse_with_ns(xml: str):
+    """→ (root, decls) where decls is the document's (prefix, uri) list
+    in declaration order (ElementTree resolves tags to {uri}name; the
+    declaration list lets serialization restore the original prefixes)."""
+    parser = ET.XMLPullParser(["start-ns", "start"])
+    decls, root = [], None
+    try:
+        parser.feed(xml)
+        for kind, payload in parser.read_events():
+            if kind == "start-ns":
+                decls.append(payload)
+            elif root is None:
+                root = payload
+        parser.close()
+    except ET.ParseError as e:
+        raise ValueError(f"invalid XML document: {e}") from None
+    if root is None:
+        raise ValueError("invalid XML document: no root element")
+    return root, decls
 
 
-def xpath_eval(path: str | None, xml: str | None) -> list[str] | None:
+def _split_uri(name: str) -> tuple[str | None, str]:
+    if name.startswith("{"):
+        uri, _, local = name[1:].partition("}")
+        return uri, local
+    return None, name
+
+
+def _used_uris(el) -> list[str]:
+    """Namespace URIs used anywhere in the subtree, first-use order."""
+    seen: list[str] = []
+
+    def walk(e):
+        for name in [e.tag, *e.attrib]:
+            uri, _ = _split_uri(name)
+            if uri is not None and uri not in seen:
+                seen.append(uri)
+        for c in e:
+            walk(c)
+
+    walk(el)
+    return seen
+
+
+def _serialize(el, decls: list[tuple[str, str]] | None = None) -> str:
+    """Serialize one result element like libxml's xmlNodeDump(format=1):
+    original document prefixes, needed xmlns declarations on the top
+    element (document declaration order), 2-space indent for
+    element-only content, ``<x/>`` empty-element close."""
+    decls = decls or []
+    pfx = {}
+    for p, uri in decls:
+        pfx.setdefault(uri, p)
+
+    def name_of(qname: str) -> str:
+        uri, local = _split_uri(qname)
+        if uri is None:
+            return local
+        p = pfx.get(uri)
+        if p is None:
+            raise ValueError(
+                f"undeclared namespace {uri!r} in serialized fragment"
+            )
+        return f"{p}:{local}" if p else local
+
+    used = _used_uris(el)
+    ns_attrs = []
+    for p, uri in decls:
+        if uri in used:
+            ns_attrs.append(
+                (f"xmlns:{p}" if p else "xmlns", uri)
+            )
+            used.remove(uri)  # declare once, first prefix wins
+
+    def attr_str(e, extra) -> str:
+        parts = []
+        for k, v in extra:
+            parts.append(f' {k}="{escape(v, {chr(34): "&quot;"})}"')
+        for k, v in e.attrib.items():
+            parts.append(
+                f' {name_of(k)}="{escape(v, {chr(34): "&quot;"})}"'
+            )
+        return "".join(parts)
+
+    def dump(e, level: int, top: bool) -> str:
+        name = name_of(e.tag)
+        attrs = attr_str(e, ns_attrs if top else [])
+        kids = list(e)
+        if not kids and e.text is None:
+            return f"<{name}{attrs}/>"
+        mixed = e.text is not None or any(c.tail is not None for c in kids)
+        out = [f"<{name}{attrs}>"]
+        if mixed or not kids:
+            if e.text is not None:
+                out.append(escape(e.text))
+            for c in kids:
+                out.append(dump(c, level + 1, False))
+                if c.tail is not None:
+                    out.append(escape(c.tail))
+        else:
+            pad = "  " * (level + 1)
+            for c in kids:
+                out.append("\n" + pad + dump(c, level + 1, False))
+            out.append("\n" + "  " * level)
+        out.append(f"</{name}>")
+        return "".join(out)
+
+    return dump(el, 0, True)
+
+
+def xpath_eval(
+    path: str | None, xml: str | None, ns: list | None = None
+) -> list[str] | None:
     if path is None or xml is None:
         return None
     path = path.strip()
@@ -69,10 +180,29 @@ def xpath_eval(path: str | None, xml: str | None) -> list[str] | None:
             f"XPath function form {path.split('(')[0]!r}(...) is out of "
             "the child/attribute/text subset"
         )
-    try:
-        root = ET.fromstring(xml)
-    except ET.ParseError as e:
-        raise ValueError(f"invalid XML document: {e}") from None
+    root, decls = _parse_with_ns(xml)
+    nsmap: dict[str, str] = {}
+    if ns is not None:
+        for pair in ns:
+            pair = list(pair)
+            if len(pair) != 2:
+                raise ValueError(
+                    "empty XPath namespace array entry (each element "
+                    "needs [prefix, uri])"
+                )
+            nsmap[pair[0]] = pair[1]
+
+    def resolve(step_name: str) -> str:
+        """prefix:name → {uri}name via the nsarray."""
+        if ":" not in step_name:
+            return step_name
+        p, _, local = step_name.partition(":")
+        if p not in nsmap:
+            raise ValueError(
+                f"there is no XPath namespace registered with prefix "
+                f"{p!r} (pass it in the namespace array argument)"
+            )
+        return "{" + nsmap[p] + "}" + local
 
     descendant = path.startswith("//")
     absolute = path.startswith("/") and not descendant
@@ -87,18 +217,20 @@ def xpath_eval(path: str | None, xml: str | None) -> list[str] | None:
         want_text = True
         steps = steps[:-1]
     elif steps and steps[-1].startswith("@"):
-        want_attr = steps[-1][1:]
+        want_attr = resolve(steps[-1][1:])
         steps = steps[:-1]
-        if not re.match(r"^\w+$", want_attr):
+        if not re.match(r"^(\{[^}]*\})?\w+$", want_attr):
             raise NotImplementedError(f"attribute step @{want_attr!r}")
     for s in steps:
-        if ":" in s:
-            raise NotImplementedError(
-                "namespace-prefixed XPath steps (xpath's nsarray "
-                "argument is out of the subset)"
-            )
         if not _STEP_RE.match(s):
             raise NotImplementedError(f"XPath step {s!r} is out of the subset")
+
+    def et_step(s: str) -> str:
+        m = _STEP_RE.match(s)
+        name = resolve(m.group(1)) if m.group(1) != "*" else "*"
+        return name + (f"[{m.group(2)}]" if m.group(2) else "")
+
+    et_steps = [et_step(s) for s in steps]
 
     # selection context: a synthetic wrapper makes absolute paths
     # address the root element by name, as XPath does
@@ -109,12 +241,12 @@ def xpath_eval(path: str | None, xml: str | None) -> list[str] | None:
             # '//text()' or '//@attr': every element in the document
             nodes = list(root.iter())
         else:
-            nodes = wrapper.findall(".//" + "/".join(steps))
+            nodes = wrapper.findall(".//" + "/".join(et_steps))
     elif absolute:
-        nodes = wrapper.findall("/".join(steps)) if steps else []
+        nodes = wrapper.findall("/".join(et_steps)) if steps else []
     else:
         # relative: evaluate from the root element context
-        nodes = [root] if not steps else root.findall("/".join(steps))
+        nodes = [root] if not steps else root.findall("/".join(et_steps))
 
     if want_text:
         if descendant and not steps:
@@ -125,11 +257,13 @@ def xpath_eval(path: str | None, xml: str | None) -> list[str] | None:
         return out
     if want_attr is not None:
         return [n.attrib[want_attr] for n in nodes if want_attr in n.attrib]
-    return [_serialize(n) for n in nodes]
+    return [_serialize(n, decls) for n in nodes]
 
 
-def xpath_exists(path: str | None, xml: str | None) -> bool | None:
-    res = xpath_eval(path, xml)
+def xpath_exists(
+    path: str | None, xml: str | None, ns: list | None = None
+) -> bool | None:
+    res = xpath_eval(path, xml, ns)
     return None if res is None else len(res) > 0
 
 
@@ -149,6 +283,28 @@ def register_udfs(spark) -> None:
             [xpath_exists(a, b) for a, b in zip(p, x)], dtype="object"
         )
 
+    def _xpath_ns(p, x, ns):
+        return pd.Series(
+            [
+                xpath_eval(a, b, None if n is None else list(n))
+                for a, b, n in zip(p, x, ns)
+            ],
+            dtype="object",
+        )
+
+    def _exists_ns(p, x, ns):
+        return pd.Series(
+            [
+                xpath_exists(a, b, None if n is None else list(n))
+                for a, b, n in zip(p, x, ns)
+            ],
+            dtype="object",
+        )
+
     spark.udf.register("pg_xpath", pandas_udf(_xpath, "array<string>"))
     spark.udf.register("pg_xpath_exists", pandas_udf(_exists, "boolean"))
+    spark.udf.register("pg_xpath_ns", pandas_udf(_xpath_ns, "array<string>"))
+    spark.udf.register(
+        "pg_xpath_exists_ns", pandas_udf(_exists_ns, "boolean")
+    )
     spark.conf.set("greengage.xmlquery.registered", "1")

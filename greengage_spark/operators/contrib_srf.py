@@ -101,10 +101,16 @@ def _normal_rand_repl(m: re.Match) -> str:
 
 
 def _ts_stat_repl(engine, m: re.Match) -> str:
-    if m.group("w"):
-        raise NotImplementedError(
-            "ts_stat weight filter: positions collapse to counts here "
-            "(tsvector subset) — drop the weights argument"
+    # weight filter (tsvector_op.c:854 ts_stat_sql 2-arg form): count
+    # only positions carrying one of the given weights.  Exact for
+    # tsvector-LITERAL columns (parsed with per-position weights); for
+    # our collapsed count vectors every position is weight D, so a
+    # filter without D yields the empty set.
+    w = (m.group("w") or "").upper() or None
+    if w is not None and (not w or not set(w) <= set("ABCD")):
+        raise ValueError(
+            f"ts_stat: unrecognized weight in {m.group('w')!r} "
+            "(A, B, C, D)"
         )
     src = m.group("src").replace("''", "'")
     # canonical form: the inner to_tsvector upgrades to the counted
@@ -125,6 +131,27 @@ def _ts_stat_repl(engine, m: re.Match) -> str:
     if len(df.columns) != 1:
         raise ValueError("ts_stat query must return one tsvector column")
     col, dt = df.columns[0], df.schema[0].dataType
+    weight_applied = False
+    if isinstance(dt, StringType):
+        # a tsvector-literal text column ('lex':1A,2 ...): parse with
+        # per-position weights — the exact ts_stat weight semantics
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from greengage_spark.functions.textsearch import (
+            parse_tsvector_literal,
+        )
+
+        def _parse(vals):
+            return pd.Series(
+                [parse_tsvector_literal(v, w) for v in vals],
+                dtype="object",
+            )
+
+        parse_udf = pandas_udf(_parse, "array<struct<lexeme string, occ int>>")
+        df = df.select(parse_udf(F.col(col)).alias("tsv"))
+        col, dt = "tsv", df.schema[0].dataType
+        weight_applied = True
     if isinstance(dt, ArrayType) and isinstance(dt.elementType, StructType):
         names = {f.name for f in dt.elementType.fields}
         if not {"lexeme", "occ"} <= names:
@@ -148,6 +175,9 @@ def _ts_stat_repl(engine, m: re.Match) -> str:
             f"ts_stat: column {col!r} is not a tsvector "
             "(use to_tsvector / to_tsvector_with_counts)"
         )
+    if w is not None and not weight_applied and "D" not in w:
+        # collapsed count vectors carry implicit weight D everywhere
+        out = out.where(F.lit(False))
     cols = m.group("cols")
     if cols:
         wanted = [c.strip().split()[0] for c in cols.split(",")]

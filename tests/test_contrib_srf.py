@@ -124,14 +124,69 @@ class TestTsStat:
             ("runs", 1, 1),
         ]
 
-    def test_weight_filter_rejected(self, eng, spark):
+    def test_weight_filter_on_collapsed_vector(self, eng, spark):
+        # our collapsed count vectors carry implicit weight D: a filter
+        # without D is empty, one with D is the unfiltered stats
         spark.createDataFrame(
-            [(1, "a b")], "doc_id int, body string"
+            [(1, "a b a")], "doc_id int, body string"
         ).createOrReplaceTempView("tsst_w")
-        with pytest.raises(NotImplementedError, match="weight"):
+        assert (
             eng.execute(
                 "SELECT * FROM ts_stat('SELECT to_tsvector(body) FROM "
                 "tsst_w', 'AB')"
+            ).collect()
+            == []
+        )
+        rows = eng.execute(
+            "SELECT * FROM ts_stat('SELECT to_tsvector(body) FROM "
+            "tsst_w', 'D') ORDER BY word"
+        ).collect()
+        assert [tuple(r) for r in rows] == [("a", 1, 2), ("b", 1, 1)]
+
+    def test_weight_filter_on_literal_vectors(self, eng, spark):
+        # tsearch.sql:119 shape: per-position weights in tsvector
+        # literals filter exactly (tsvector_op.c:854 ts_stat_sql)
+        spark.createDataFrame(
+            [
+                ("'DFG':1A,2B 'x':3 'qq':4C",),
+                ("'x':1 'qq':2",),
+                ("'strip'",),
+            ],
+            "a string",
+        ).createOrReplaceTempView("tsst_lit")
+        rows = eng.execute(
+            "SELECT * FROM ts_stat('SELECT a FROM tsst_lit', 'AB') "
+            "ORDER BY ndoc DESC, nentry DESC, word"
+        ).collect()
+        assert [tuple(r) for r in rows] == [("DFG", 1, 2)]
+        rows = eng.execute(
+            "SELECT * FROM ts_stat('SELECT a FROM tsst_lit') "
+            "ORDER BY ndoc DESC, nentry DESC, word"
+        ).collect()
+        # unfiltered: stripped lexeme counts one entry
+        assert [tuple(r) for r in rows] == [
+            ("qq", 2, 2),
+            ("x", 2, 2),
+            ("DFG", 1, 2),
+            ("strip", 1, 1),
+        ]
+        # weight filters never match a stripped (positionless) lexeme
+        rows = eng.execute(
+            "SELECT * FROM ts_stat('SELECT a FROM tsst_lit', 'CD') "
+            "ORDER BY ndoc DESC, nentry DESC, word"
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            ("qq", 2, 2),
+            ("x", 2, 2),
+        ]
+
+    def test_weight_filter_bad_letter_rejects(self, eng, spark):
+        spark.createDataFrame([("'a':1",)], "a string").createOrReplaceTempView(
+            "tsst_bad"
+        )
+        with pytest.raises(ValueError, match="unrecognized weight"):
+            eng.execute(
+                "SELECT * FROM ts_stat('SELECT a FROM tsst_bad', 'AZ')"
             )
 
     def test_column_list_renames(self, eng, spark):

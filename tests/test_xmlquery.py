@@ -65,9 +65,9 @@ class TestKernel:
             with pytest.raises(NotImplementedError):
                 xpath_eval(p, "<root><sub/><sub/></root>")
 
-    def test_namespace_prefix_rejects(self):
-        # xml.sql:183 needs the nsarray — out of the subset
-        with pytest.raises(NotImplementedError, match="namespace"):
+    def test_namespace_prefix_without_nsarray_errors(self):
+        # xml.sql:183: a prefixed step needs the nsarray argument
+        with pytest.raises(ValueError, match="no XPath namespace"):
             xpath_eval("//loc:piece", "<a/>")
 
     def test_empty_path_rejects(self):
@@ -91,9 +91,72 @@ class TestSql:
         ).collect()[0]
         assert r.e1 is True and r.e2 is False
 
-    def test_nsarray_rejects_at_transpile(self, spark):
-        with pytest.raises(NotImplementedError, match="namespace-array"):
-            pg_sql(
-                spark,
-                "SELECT xpath('//x', '<a/>', ARRAY[ARRAY['p','u']]) AS t",
-            )
+    def test_nsarray_form_compiles_to_ns_udf(self, spark):
+        from greengage_spark.dialect.transpiler import transpile
+
+        out = transpile(
+            "SELECT xpath('//x', '<a/>', ARRAY[ARRAY['p','u']]) AS t"
+        )
+        assert "pg_xpath_ns" in out
+
+
+class TestNamespaceArray:
+    """xml.sql:183-185 / xml.out:627-645 — the xpath namespace-array
+    forms, byte-exact including libxml's format=1 serialization."""
+
+    DOC = (
+        '<local:data xmlns:local="http://127.0.0.1">'
+        '<local:piece id="1">number one</local:piece>'
+        '<local:piece id="2" /></local:data>'
+    )
+    NS = [["loc", "http://127.0.0.1"]]
+
+    def test_prefixed_attribute_step(self):
+        assert xpath_eval("//loc:piece/@id", self.DOC, self.NS) == ["1", "2"]
+
+    def test_prefixed_element_serialization(self):
+        # xml.out:636 — original prefixes restored + needed xmlns decls
+        assert xpath_eval("//loc:piece", self.DOC, self.NS) == [
+            '<local:piece xmlns:local="http://127.0.0.1" id="1">'
+            "number one</local:piece>",
+            '<local:piece xmlns:local="http://127.0.0.1" id="2"/>',
+        ]
+
+    def test_default_namespace_and_indent(self):
+        # xml.out:642-645 — element-only content indents 2 spaces/level,
+        # the default namespace declaration carries into the fragment
+        doc = (
+            '<local:data xmlns:local="http://127.0.0.1" '
+            'xmlns="http://127.0.0.2"><local:piece id="1">'
+            "<internal>number one</internal><internal2/></local:piece>"
+            '<local:piece id="2" /></local:data>'
+        )
+        assert xpath_eval("//loc:piece", doc, self.NS) == [
+            '<local:piece xmlns:local="http://127.0.0.1" '
+            'xmlns="http://127.0.0.2" id="1">\n'
+            "  <internal>number one</internal>\n"
+            "  <internal2/>\n"
+            "</local:piece>",
+            '<local:piece xmlns:local="http://127.0.0.1" id="2"/>',
+        ]
+
+    def test_unknown_prefix_errors(self):
+        with pytest.raises(ValueError, match="no XPath namespace"):
+            xpath_eval("//nope:piece", self.DOC, self.NS)
+
+    def test_exists_with_ns(self):
+        assert xpath_exists("//loc:piece", self.DOC, self.NS) is True
+        assert xpath_exists("//loc:nope", self.DOC, self.NS) is False
+
+    def test_sql_surface_ns(self, spark):
+        from greengage_spark.dialect.transpiler import pg_sql
+
+        doc = self.DOC.replace("'", "''")
+        rows = pg_sql(
+            spark,
+            f"SELECT xpath('//loc:piece/@id', '{doc}', "
+            "ARRAY[ARRAY['loc', 'http://127.0.0.1']]) AS ids, "
+            f"xpath_exists('//loc:piece', '{doc}', "
+            "ARRAY[ARRAY['loc', 'http://127.0.0.1']]) AS ok",
+        ).collect()
+        assert list(rows[0].ids) == ["1", "2"] and rows[0].ok is True
