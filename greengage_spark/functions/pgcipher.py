@@ -33,8 +33,9 @@ The PGP subset implements RFC 4880 (public spec): S2K type 3
 (iterated+salted, SHA-1), SymKey-ESK packet (tag 3) with the session
 key derived directly from the passphrase, and the SEIPD v1 packet
 (tag 18) holding a Literal Data packet (tag 11) plus the SHA-1 MDC
-(tag 19), AES-CFB128.  ``compress-algo`` other than 0 and non-AES
-``cipher-algo`` options reject loudly.
+(tag 19), AES-CFB128.  ``compress-algo`` 1 (ZIP) / 2 (ZLIB) wrap the
+literal packet in a tag-8 compressed-data packet via stdlib zlib
+(pgp-compress.c); bzip2 and non-AES ``cipher-algo`` reject loudly.
 """
 
 from __future__ import annotations
@@ -337,11 +338,13 @@ def _encode_s2k_count(count: int) -> int:
     return 255
 
 
-def _parse_pgp_options(options: str | None) -> tuple[int, int]:
-    """(cipher_algo_octet, s2k_count); the supported option subset."""
-    algo, count = 7, _S2K_COUNT_DEFAULT
+def _parse_pgp_options(options: str | None) -> tuple[int, int, int]:
+    """(cipher_algo_octet, s2k_count, compress_algo); the supported
+    option subset.  compress-algo per RFC 4880 §9.3: 0 none, 1 ZIP
+    (raw deflate), 2 ZLIB — both stdlib zlib here (pgp-compress.c)."""
+    algo, count, compress = 7, _S2K_COUNT_DEFAULT, 0
     if not options:
-        return algo, count
+        return algo, count, compress
     for item in options.split(","):
         item = item.strip()
         if not item:
@@ -367,9 +370,16 @@ def _parse_pgp_options(options: str | None) -> tuple[int, int]:
                     "(must be between 1024 and 65011712)"
                 )
         elif k == "compress-algo":
-            if v not in ("0",):
+            if v not in ("0", "1", "2"):
                 raise NotImplementedError(
-                    "pgp compress-algo: only 0 (none) is in the subset"
+                    "pgp compress-algo: 0 (none), 1 (ZIP), 2 (ZLIB) — "
+                    "bzip2 needs a codec out of the subset"
+                )
+            compress = int(v)
+        elif k == "compress-level":
+            if not (v.isdigit() and 0 <= int(v) <= 9):
+                raise ValueError(
+                    f"pgp: Illegal value {v!r} for parameter compress-level"
                 )
         elif k in ("s2k-mode", "s2k-digest-algo", "unicode-mode",
                    "sess-key", "convert-crlf"):
@@ -384,7 +394,7 @@ def _parse_pgp_options(options: str | None) -> tuple[int, int]:
                 )
         else:
             raise NotImplementedError(f"pgp option {k!r} out of subset")
-    return algo, count
+    return algo, count, compress
 
 
 def pgp_sym_encrypt(data, psw, options=None, *, binary=False):
@@ -393,7 +403,7 @@ def pgp_sym_encrypt(data, psw, options=None, *, binary=False):
     if data is None or psw is None:
         return None
     raw = _as_bytes(data)
-    algo, count = _parse_pgp_options(options)
+    algo, count, compress = _parse_pgp_options(options)
     keylen = _PGP_AES[algo]
     salt = os.urandom(8)
     c_oct = _encode_s2k_count(count)
@@ -409,6 +419,17 @@ def pgp_sym_encrypt(data, psw, options=None, *, binary=False):
     lit = _new_packet(
         11, (b"b" if binary else b"t") + b"\x00" + struct.pack(">I", 0) + raw
     )
+    if compress:
+        # tag 8 compressed-data wrapper (RFC 4880 §5.6; pgp-compress.c):
+        # algo 1 = ZIP (raw deflate), 2 = ZLIB
+        import zlib
+
+        if compress == 1:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            packed = co.compress(lit) + co.flush()
+        else:
+            packed = zlib.compress(lit, 6)
+        lit = _new_packet(8, bytes([compress]) + packed)
     prefix = os.urandom(16)
     body = prefix + prefix[-2:] + lit
     mdc_input = body + b"\xd3\x14"
@@ -450,7 +471,10 @@ def _read_packet(buf: bytes, pos: int) -> tuple[int, bytes, int]:
             n = struct.unpack(">I", buf[pos + 1 : pos + 5])[0]
             off = 5
         else:
-            raise NotImplementedError("pgp indeterminate packet length")
+            # indeterminate length (RFC 4880 §4.2.2.4): the packet runs
+            # to the end of the enclosing data — how gpg frames inner
+            # compressed-data packets
+            n, off = len(buf) - pos - 1, 1
     start = pos + off
     return tag, buf[start : start + n], start + n
 
@@ -499,10 +523,24 @@ def pgp_sym_decrypt(msg, psw, options=None, *, binary=False):
     ):
         raise ValueError("pgp MDC hash mismatch (corrupt data)")
     tag, lit, _ = _read_packet(plain, 18)
+    if tag == 8:
+        # compressed-data packet: first octet is the algorithm
+        import zlib
+
+        calgo, cdata = lit[0], lit[1:]
+        if calgo == 1:
+            inner = zlib.decompress(cdata, -15)
+        elif calgo == 2:
+            inner = zlib.decompress(cdata)
+        else:
+            raise NotImplementedError(
+                f"pgp compression algorithm {calgo}: ZIP/ZLIB only "
+                "(bzip2 is out of the subset)"
+            )
+        tag, lit, _ = _read_packet(inner, 0)
     if tag != 11:
         raise NotImplementedError(
-            f"pgp inner packet tag {tag}: literal data only "
-            "(compressed messages are out of the subset)"
+            f"pgp inner packet tag {tag}: literal data only"
         )
     fmt, nlen = lit[0:1], lit[1]
     raw = lit[2 + nlen + 4 :]

@@ -173,9 +173,9 @@ class TestPgpSubset:
     def test_nondeterministic_salt(self):
         assert pgp_sym_encrypt("x", "k") != pgp_sym_encrypt("x", "k")
 
-    def test_compress_rejects(self):
+    def test_compress_bzip2_rejects(self):
         with pytest.raises(NotImplementedError, match="compress"):
-            pgp_sym_encrypt("x", "k", "compress-algo=1")
+            pgp_sym_encrypt("x", "k", "compress-algo=3")
 
     def test_unknown_option_rejects(self):
         with pytest.raises(NotImplementedError):
@@ -346,3 +346,51 @@ class TestCipherSql:
     def test_convert_from_rejects_unknown_encoding(self, spark):
         with pytest.raises(NotImplementedError, match="encoding"):
             self._row(spark, "convert_from(dearmor(armor('x')), 'BIG5')")
+
+
+class TestPgpCompression:
+    """RFC 4880 §5.6 tag-8 compressed-data (pgp-compress.c):
+    compress-algo 1 (ZIP raw deflate) and 2 (ZLIB) via stdlib zlib."""
+
+    def test_roundtrip_zip_and_zlib(self):
+        for algo in (1, 2):
+            msg = pgp_sym_encrypt(
+                "compress me " * 50, "pw", f"compress-algo={algo}"
+            )
+            assert pgp_sym_decrypt(msg, "pw") == "compress me " * 50
+
+    def test_compression_shrinks_repetitive_payload(self):
+        plain = "abcdef " * 200
+        raw = pgp_sym_encrypt(plain, "pw")
+        packed = pgp_sym_encrypt(plain, "pw", "compress-algo=2")
+        assert len(packed) < len(raw) / 2
+
+    def test_bzip2_rejects(self):
+        with pytest.raises(NotImplementedError, match="compress-algo"):
+            pgp_sym_encrypt("x", "pw", "compress-algo=3")
+
+    def test_bad_compress_level_rejects(self):
+        with pytest.raises(ValueError, match="compress-level"):
+            pgp_sym_encrypt("x", "pw", "compress-level=banana")
+
+    def test_we_decrypt_gpg_compressed(self, tmp_path):
+        import subprocess
+
+        gnupg = tmp_path / "gnupg"
+        gnupg.mkdir()
+        gnupg.chmod(0o700)
+        for calgo in ("1", "2"):
+            out = tmp_path / f"c{calgo}.pgp"
+            p = subprocess.run(
+                ["gpg", "--batch", "--yes", "--passphrase", "pw2",
+                 "--symmetric", "--cipher-algo", "AES256", "--s2k-mode",
+                 "3", "--s2k-digest-algo", "SHA1", "--compress-algo",
+                 calgo, "--rfc4880", "--textmode", "-o", str(out)],
+                input=b"zip zip zip from gnupg", capture_output=True,
+                env={"GNUPGHOME": str(gnupg)},
+            )
+            assert p.returncode == 0, p.stderr.decode()
+            assert (
+                pgp_sym_decrypt(out.read_bytes(), "pw2")
+                == "zip zip zip from gnupg"
+            )
