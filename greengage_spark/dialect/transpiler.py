@@ -3016,10 +3016,54 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                 )
                 i += 1
                 continue
+            # tsrank.c ts_rank_cd forms: ([weights,] tsv, q [, method]).
+            # A leading '{d,c,b,a}' float4[] literal (or lowered
+            # ARRAY(...) of numeric literals) overrides {D,C,B,A}; a
+            # trailing integer literal is the normalization bitmask.
+            weights_lit = "NULL"
+            if len(args) in (3, 4):
+                a0 = args[0]
+                nums = None
+                if (
+                    len(a0) == 1
+                    and _is_string(a0[0])
+                    and a0[0].strip("'").lstrip().startswith("{")
+                ):
+                    nums = [
+                        x.strip()
+                        for x in a0[0].strip("'").strip().strip("{}").split(",")
+                    ]
+                elif a0 and _is_ident(a0[0]) and a0[0].lower() == "array":
+                    nums = [
+                        t for t in a0
+                        if re.match(r"^-?[\d.]+[dD]?$", t)
+                    ]
+                    nums = [n.rstrip("dD") for n in nums]
+                if nums is not None:
+                    if not all(
+                        re.match(r"^-?[\d.]+$", n) for n in nums
+                    ):
+                        raise NotImplementedError(
+                            "ts_rank_cd weights must be a numeric "
+                            "array literal"
+                        )
+                    weights_lit = "'[" + ",".join(nums) + "]'"
+                    args = args[1:]
+            method_lit = "0"
+            if len(args) == 3:
+                last = args[2]
+                if len(last) == 1 and re.match(r"^\d+$", last[0]):
+                    method_lit = last[0]
+                    args = args[:2]
+                else:
+                    raise NotImplementedError(
+                        "ts_rank_cd normalization must be an integer "
+                        "literal"
+                    )
             if len(args) != 2:
                 raise NotImplementedError(
-                    "ts_rank_cd(tsvector, tsquery) — the weights[]/"
-                    "normalization forms are out of the subset"
+                    "ts_rank_cd([weights,] tsvector, tsquery "
+                    "[, normalization]) — argument shape not recognized"
                 )
             q = _query_literal(args[1])
             if q is None:
@@ -3042,11 +3086,20 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                     "strip(...) vector arguments"
                 )
             inner = _drop_cfg(inner)
-            toks[i : close + 1] = (
-                ["pg_ts_rank_cd", "(", "CAST", "(", "("]
-                + inner[0]
-                + [")", "AS", "STRING", ")", ",", q, ",", weight, ")"]
-            )
+            if weights_lit == "NULL" and method_lit == "0":
+                toks[i : close + 1] = (
+                    ["pg_ts_rank_cd", "(", "CAST", "(", "("]
+                    + inner[0]
+                    + [")", "AS", "STRING", ")", ",", q, ",", weight, ")"]
+                )
+            else:
+                toks[i : close + 1] = (
+                    ["pg_ts_rank_cd_full", "(", "CAST", "(", "("]
+                    + inner[0]
+                    + [")", "AS", "STRING", ")", ",", q, ",", weight, ","]
+                    + tokenize(f"{weights_lit}, {method_lit}")
+                    + [")"]
+                )
             i += 1
             continue
         i += 1
@@ -4981,16 +5034,24 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
 }
 
 
-_FORMAT_CONV_RE = re.compile(r"%(?:(\d+)\$)?([sIL%])")
+_FORMAT_CONV_RE = re.compile(
+    r"%(?:(\d+)\$)?(-)?(\d+|\*(?:\d+\$)?)?([sIL%])"
+)
 
 
 def _lower_pg_format(args: list[list[str]]) -> list[str]:
     """Lower PG format() (varlena.c text_format: %s/%I/%L conversions,
-    n$ positional refs, %% escape) to format_string with the conversion
-    semantics moved into the argument expressions: %s coalesces NULL to
-    '' (PG treats null as empty string), %I quote_ident's, %L
-    quote_nullable's (renders NULL as unquoted NULL).  Width/flag
-    specifiers are rejected loudly."""
+    n$ positional refs, %% escape, [-][width] specifiers) to
+    format_string with the conversion semantics moved into the argument
+    expressions: %s coalesces NULL to '' (PG treats null as empty
+    string), %I quote_ident's, %L quote_nullable's (renders NULL as
+    unquoted NULL).
+
+    Widths: a literal width maps straight onto the Java formatter's
+    ``%[-]Ns`` (identical pad-don't-truncate semantics); a ``*`` /
+    ``*n$`` width reads the width from an argument (negative =
+    left-justify, NULL = 0, per text_format) and lowers to a
+    lpad/rpad CASE since the Java formatter has no runtime widths."""
     fmt = args[0][0][1:-1]  # strip quotes
     out_fmt: list[str] = []
     out_args: list[list[str]] = []
@@ -4999,26 +5060,42 @@ def _lower_pg_format(args: list[list[str]]) -> list[str]:
     for m in _FORMAT_CONV_RE.finditer(fmt):
         between = fmt[pos : m.start()]
         if "%" in between.replace("%%", ""):
-            raise NotImplementedError(
-                f"format() width/flag specifiers not supported: {fmt!r}"
+            raise ValueError(
+                f"unrecognized format() type specifier in {fmt!r}"
             )
         out_fmt.append(between)
         pos = m.end()
-        conv = m.group(2)
+        conv = m.group(4)
+        flag, width = m.group(2), m.group(3)
         if conv == "%":
+            if flag or width or m.group(1):
+                raise ValueError(
+                    "format(): %% accepts no flags, width, or position"
+                )
             out_fmt.append("%%")
             continue
-        idx = int(m.group(1)) if m.group(1) else next_seq
-        next_seq = idx + 1
-        if idx >= len(args):
-            raise ValueError(
-                f"format() references argument {idx} but only "
-                f"{len(args) - 1} supplied"
-            )
-        a = args[idx]
-        out_fmt.append("%s")
+
+        def take(posref: str | None) -> list[str]:
+            # n$ repositions the cursor; either way the next sequential
+            # conversion continues from idx+1 (text_format's arg pointer)
+            nonlocal next_seq
+            idx = int(posref) if posref else next_seq
+            next_seq = idx + 1
+            if idx >= len(args):
+                raise ValueError(
+                    f"format() references argument {idx} but only "
+                    f"{len(args) - 1} supplied"
+                )
+            return args[idx]
+
+        # a '*' width consumes its argument BEFORE the value argument
+        # (text_format reads the width first)
+        width_arg = None
+        if width and width.startswith("*"):
+            width_arg = take(width[1:-1] if len(width) > 1 else None)
+        a = take(m.group(1))
         if conv == "s":
-            out_args.append(
+            converted = (
                 ["coalesce", "(", "CAST", "(", "("] + a
                 + [")", "AS", "STRING", ")", ",", "''", ")"]
             )
@@ -5026,18 +5103,35 @@ def _lower_pg_format(args: list[list[str]]) -> list[str]:
             # PG errors on a NULL %I argument (text_format: "null values
             # cannot be formatted as an SQL identifier"); format_string
             # would render the literal "null" instead, so raise in-row
-            out_args.append(
+            converted = (
                 ["quote_ident", "(", "coalesce", "(", "CAST", "(", "("] + a
                 + [")", "AS", "STRING", ")", ",", "raise_error", "(",
                    "'null values cannot be formatted as an SQL identifier'",
                    ")", ")", ")"]
             )
         else:  # L
-            out_args.append(["quote_nullable", "(", "("] + a + [")", ")"])
+            converted = ["quote_nullable", "(", "("] + a + [")", ")"]
+        if width_arg is not None:
+            s = " ".join(converted)
+            w = f"coalesce(CAST(({' '.join(width_arg)}) AS INT), 0)"
+            left = "true" if flag else f"({w} < 0)"
+            out_args.append(tokenize(
+                f"(CASE WHEN length({s}) >= abs({w}) THEN {s} "
+                f"WHEN {left} THEN rpad({s}, abs({w}), ' ') "
+                f"ELSE lpad({s}, abs({w}), ' ') END)"
+            ))
+            out_fmt.append("%s")
+        else:
+            out_args.append(converted)
+            # '-' without a width is a no-op in PG; Java's Formatter
+            # rejects a bare '%-s', so drop the flag there
+            out_fmt.append(
+                f"%{flag or ''}{width}s" if width else "%s"
+            )
     tail = fmt[pos:]
     if "%" in tail.replace("%%", ""):
-        raise NotImplementedError(
-            f"format() width/flag specifiers not supported: {fmt!r}"
+        raise ValueError(
+            f"unrecognized format() type specifier in {fmt!r}"
         )
     out_fmt.append(tail)
     new = ["format_string", "(", "'" + "".join(out_fmt) + "'"]

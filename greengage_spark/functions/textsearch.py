@@ -214,16 +214,47 @@ def ts_rank(tsv_counts: Column, tsq: Column) -> Column:
 _WEIGHTS = {"D": 0.1, "C": 0.2, "B": 0.4, "A": 1.0}
 
 
-def _calc_rank_cd(events: list[tuple[int, int, str]], nlex: int) -> float:
+def _inv_weights(weights: list[float] | None) -> dict[str, float]:
+    """tsrank.c calc_rank_cd weight handling: the optional float4[]
+    overrides {D,C,B,A} positionally, negative entries fall back to the
+    defaults, entries > 1.0 error, 0 gives an infinite inverse (the
+    position contributes nothing)."""
+    import math
+
+    ws = dict(_WEIGHTS)
+    if weights is not None:
+        if len(weights) < 4:
+            raise ValueError("array of weight is too short")
+        for letter, w in zip("DCBA", weights):
+            if w is None:
+                raise ValueError("array of weight must not contain nulls")
+            if w > 1.0:
+                raise ValueError("weight out of range")
+            if w >= 0:
+                ws[letter] = float(w)
+    return {
+        k: (math.inf if v == 0 else 1.0 / v) for k, v in ws.items()
+    }
+
+
+def _calc_rank_cd(
+    events: list[tuple[int, int, str]],
+    nlex: int,
+    weights: list[float] | None = None,
+) -> tuple[float, int, float]:
     """tsrank.c calc_rank_cd over (position, query-lexeme-id, weight)
     events: find successive minimal covers (Cover()), each contributing
     count/InvSum scaled by 1/(1+noise words inside the cover); the next
     search resumes just after the previous cover's start, so covers may
-    overlap exactly as in the reference."""
+    overlap exactly as in the reference.  → (Wdoc, NExtent, SumDist)
+    so callers can apply the RANK_NORM_EXTDIST normalization."""
     if nlex == 0 or not events:
-        return 0.0
+        return 0.0, 0, 0.0
+    invws = _inv_weights(weights)
     events = sorted(events)
     wdoc = 0.0
+    n_extent = 0
+    sum_dist = prev_ext = 0.0
     start = 0
     while True:
         need = set(range(nlex))
@@ -234,7 +265,7 @@ def _calc_rank_cd(events: list[tuple[int, int, str]], nlex: int) -> float:
                 q_idx = i
                 break
         if q_idx is None:
-            return wdoc
+            return wdoc, n_extent, sum_dist
         need = set(range(nlex))
         p_idx = q_idx
         for i in range(q_idx, -1, -1):
@@ -243,13 +274,42 @@ def _calc_rank_cd(events: list[tuple[int, int, str]], nlex: int) -> float:
                 p_idx = i
                 break
         cover = events[p_idx : q_idx + 1]
-        inv_sum = sum(1.0 / _WEIGHTS[w] for _, _, w in cover)
-        cpos = len(cover) / inv_sum
+        inv_sum = sum(invws[w] for _, _, w in cover)
+        cpos = len(cover) / inv_sum if inv_sum else 0.0
         n_noise = (events[q_idx][0] - events[p_idx][0]) - (q_idx - p_idx)
         if n_noise < 0:
-            n_noise = 0
+            # positional info exhausted: approximate as half the cover
+            # (tsrank.c "we approximate number of noise word")
+            n_noise = (q_idx - p_idx) // 2
         wdoc += cpos / (1 + n_noise)
+        cur_ext = (events[q_idx][0] + events[p_idx][0]) / 2.0
+        if n_extent > 0 and cur_ext > prev_ext:
+            sum_dist += 1.0 / (cur_ext - prev_ext)
+        prev_ext = cur_ext
+        n_extent += 1
         start = p_idx + 1
+
+
+def _apply_rank_norm(
+    wdoc: float, method: int, doclen: int, uniq: int,
+    n_extent: int, sum_dist: float,
+) -> float:
+    """tsrank.c calc_rank_cd normalization bits (RANK_NORM_*)."""
+    import math
+
+    if (method & 0x01) and uniq > 0:
+        wdoc /= math.log(doclen + 1)
+    if method & 0x02 and doclen > 0:
+        wdoc /= doclen
+    if (method & 0x04) and n_extent > 0 and sum_dist > 0:
+        wdoc /= n_extent / sum_dist
+    if (method & 0x08) and uniq > 0:
+        wdoc /= uniq
+    if (method & 0x10) and uniq > 0:
+        wdoc /= math.log(uniq + 1) / math.log(2.0)
+    if method & 0x20:
+        wdoc /= wdoc + 1
+    return wdoc
 
 
 def _query_and_lexemes(query: str) -> list[str]:
@@ -278,21 +338,34 @@ def _positions(text: str) -> list[tuple[str, int]]:
     return [(t, i + 1) for i, t in enumerate(toks)]
 
 
-def rank_cd_text(text: str | None, query: str, weight: str = "D") -> float | None:
-    """ts_rank_cd(to_tsvector(text), to_tsquery(query)) with every
-    position carrying the given weight label (setweight folds to this
-    for the whole-document case)."""
+def rank_cd_text(
+    text: str | None,
+    query: str,
+    weight: str = "D",
+    weights: list[float] | None = None,
+    method: int = 0,
+) -> float | None:
+    """ts_rank_cd([weights,] to_tsvector(text), to_tsquery(query)
+    [, normalization]) with every position carrying the given weight
+    label (setweight folds to this for the whole-document case)."""
     if text is None:
         return None
     lex = _query_and_lexemes(query)
     idx = {l: i for i, l in enumerate(lex)}
-    events = [
-        (pos, idx[t], weight) for t, pos in _positions(text) if t in idx
-    ]
-    return _calc_rank_cd(events, len(lex))
+    pos_all = _positions(text)
+    events = [(pos, idx[t], weight) for t, pos in pos_all if t in idx]
+    wdoc, n_ext, sum_dist = _calc_rank_cd(events, len(lex), weights)
+    return _apply_rank_norm(
+        wdoc, method, len(pos_all), len({t for t, _ in pos_all}),
+        n_ext, sum_dist,
+    )
 
 
-def rank_cd_entries(entries, query: str) -> float:
+def rank_cd_entries(
+    entries, query: str,
+    weights: list[float] | None = None,
+    method: int = 0,
+) -> float:
     """ts_rank_cd over a positional tsvector value (list of
     {lexeme, positions, weight} dicts/Rows) — the composed-vector path
     (setweight / strip / || applied upstream).  Stripped entries carry
@@ -301,14 +374,20 @@ def rank_cd_entries(entries, query: str) -> float:
     lex = _query_and_lexemes(query)
     idx = {l: i for i, l in enumerate(lex)}
     events = []
+    doclen = 0
     for e in entries or []:
         d = e.asDict() if hasattr(e, "asDict") else e
+        positions = d["positions"] or []
+        doclen += len(positions)
         i = idx.get(d["lexeme"])
         if i is None:
             continue
-        for p in d["positions"] or []:
+        for p in positions:
             events.append((p, i, d.get("weight") or "D"))
-    return _calc_rank_cd(events, len(lex))
+    wdoc, n_ext, sum_dist = _calc_rank_cd(events, len(lex), weights)
+    return _apply_rank_norm(
+        wdoc, method, doclen, len(entries or []), n_ext, sum_dist
+    )
 
 
 def headline_text(
@@ -608,7 +687,27 @@ def register_udfs(spark) -> None:
             out.append(ts_rewrite_literal(qv, tv, sv, quoted=True))
         return pd.Series(out, dtype="object")
 
+    def _rank_full(text, query, weight, weights_json, method):
+        import json
+
+        return pd.Series(
+            [
+                None
+                if t is None
+                else rank_cd_text(
+                    t, q, w or "D",
+                    weights=json.loads(ws) if ws else None,
+                    method=int(m or 0),
+                )
+                for t, q, w, ws, m in zip(
+                    text, query, weight, weights_json, method
+                )
+            ],
+            dtype="float64",
+        )
+
     spark.udf.register("pg_ts_rank_cd", pandas_udf(_rank, "double"))
+    spark.udf.register("pg_ts_rank_cd_full", pandas_udf(_rank_full, "double"))
     spark.udf.register("pg_ts_headline", pandas_udf(_headline, "string"))
     # ts_rewrite over non-literal tsquery values (tsquery_rewrite.c):
     # pg_ts_rewrite applies a collected (target, substitute) pair list

@@ -741,6 +741,52 @@ class TestFormatAndIntrospection:
                 spark, "SELECT format('%I', CAST(NULL AS STRING)) AS v"
             ).collect()
 
+    def test_format_width_specifiers(self, spark):
+        # text.sql:112-128 / text.out:413-459 vectors
+        assert self._one(spark, "format('>>%10s<<', 'Hello')") == (
+            ">>     Hello<<"
+        )
+        assert self._one(spark, "format('>>%10s<<', NULL)") == (
+            ">>          <<"
+        )
+        assert self._one(spark, "format('>>%-10s<<', 'Hello')") == (
+            ">>Hello     <<"
+        )
+        assert self._one(spark, "format('>>%1$10s<<', 'Hello')") == (
+            ">>     Hello<<"
+        )
+        assert self._one(spark, "format('>>%1$-10I<<', 'Hello')") == (
+            '>>"Hello"   <<'
+        )
+        assert self._one(spark, "format('>>%-s<<', 'Hello')") == ">>Hello<<"
+        assert self._one(spark, "format('>>%10L<<', NULL)") == (
+            ">>      NULL<<"
+        )
+
+    def test_format_star_widths(self, spark):
+        # runtime widths: negative left-justifies, NULL is width 0
+        assert self._one(spark, "format('>>%2$*1$L<<', 10, 'Hello')") == (
+            ">>   'Hello'<<"
+        )
+        assert self._one(spark, "format('>>%2$*1$L<<', 10, NULL)") == (
+            ">>      NULL<<"
+        )
+        assert self._one(spark, "format('>>%2$*1$L<<', -10, NULL)") == (
+            ">>NULL      <<"
+        )
+        assert self._one(spark, "format('>>%*s<<', 10, 'Hello')") == (
+            ">>     Hello<<"
+        )
+        assert self._one(spark, "format('>>%*1$s<<', 10, 'Hello')") == (
+            ">>     Hello<<"
+        )
+        assert self._one(
+            spark, "format('>>%2$*1$L<<', CAST(NULL AS INT), 'Hello')"
+        ) == ">>'Hello'<<"
+        assert self._one(spark, "format('>>%2$*1$L<<', 0, 'Hello')") == (
+            ">>'Hello'<<"
+        )
+
     def test_pg_typeof(self, spark):
         row = pg_sql(
             spark,

@@ -250,3 +250,85 @@ class TestHeadline:
         h = headline_text(words, "target", max_words=5, min_words=3)
         assert "<b>target</b>" in h
         assert len(h.split()) <= 5
+
+
+class TestRankCDWeightsAndNormalization:
+    """tsrank.c calc_rank_cd optional float4[] weights + normalization
+    bitmask.  Hand-computed vectors for 'a b c a' @@ 'a & c':
+    two covers — [a@1..c@3] (1 noise word) and [c@3..a@4] (0 noise) —
+    each cpos = 2/(2·invw) so defaults give 0.05 + 0.10 = 0.15."""
+
+    def _val(self, spark, expr):
+        from greengage_spark.dialect.transpiler import pg_sql
+
+        return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+    def test_default_baseline(self, spark):
+        got = self._val(
+            spark,
+            "ts_rank_cd(to_tsvector('a b c a'), to_tsquery('a & c'))",
+        )
+        assert got == pytest.approx(0.15)
+
+    def test_weights_array_literal(self, spark):
+        # weight 0.5 for D: cpos per cover = 2/(2/0.5) = 0.5
+        got = self._val(
+            spark,
+            "ts_rank_cd('{0.5,0.5,0.5,0.5}', to_tsvector('a b c a'), "
+            "to_tsquery('a & c'))",
+        )
+        assert got == pytest.approx(0.75)
+
+    def test_weights_negative_falls_back_to_default(self, spark):
+        got = self._val(
+            spark,
+            "ts_rank_cd('{-1,-1,-1,-1}', to_tsvector('a b c a'), "
+            "to_tsquery('a & c'))",
+        )
+        assert got == pytest.approx(0.15)
+
+    def test_weight_out_of_range_errors(self, spark):
+        with pytest.raises(Exception, match="weight out of range"):
+            self._val(
+                spark,
+                "ts_rank_cd('{2,0.2,0.4,1}', to_tsvector('a b'), "
+                "to_tsquery('a'))",
+            )
+
+    @pytest.mark.parametrize(
+        "method,expected",
+        [
+            (0, 0.15),
+            (1, 0.15 / 1.6094379124341003),   # /ln(4+1)
+            (2, 0.15 / 4),                    # /doclen
+            (4, 0.05),                        # /(NExtent/SumDist) = /3
+            (8, 0.15 / 3),                    # /uniq
+            (16, 0.15 / 2.0),                 # /log2(3+1)
+            (32, 0.15 / 1.15),
+        ],
+    )
+    def test_normalization_bits(self, spark, method, expected):
+        got = self._val(
+            spark,
+            "ts_rank_cd(to_tsvector('a b c a'), to_tsquery('a & c'), "
+            f"{method})",
+        )
+        assert got == pytest.approx(expected)
+
+    def test_weights_and_method_combined(self, spark):
+        got = self._val(
+            spark,
+            "ts_rank_cd('{0.5,0.5,0.5,0.5}', to_tsvector('a b c a'), "
+            "to_tsquery('a & c'), 32)",
+        )
+        assert got == pytest.approx(0.75 / 1.75)
+
+    def test_setweight_with_weights_array(self, spark):
+        # all positions weight A, array scales A to 0.2 → cpos = 2/10
+        got = self._val(
+            spark,
+            "ts_rank_cd('{0.1,0.2,0.4,0.2}', "
+            "setweight(to_tsvector('a b c a'), 'A'), "
+            "to_tsquery('a & c'))",
+        )
+        assert got == pytest.approx(0.2 / 2 + 0.2)
