@@ -2982,7 +2982,7 @@ def _pass_text_search(toks: list[str]) -> list[str]:
     i = 0
     while i < len(toks):
         low = toks[i].lower() if _is_ident(toks[i]) else None
-        if low in ("ts_rank_cd", "ts_headline") and i + 1 < len(toks) and toks[i + 1] == "(":
+        if low in ("ts_rank_cd", "ts_rank", "ts_headline") and i + 1 < len(toks) and toks[i + 1] == "(":
             close = _args_span(toks, i + 1)
             args = _split_args(toks[i + 2 : close])
             if low == "ts_headline":
@@ -3072,21 +3072,38 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                 )
             fn, inner = _unwrap_call(args[0])
             weight = "'D'"
+            stripped = False
             if fn == "setweight" and len(inner) == 2 and _is_string(inner[1][0]):
                 weight = inner[1][0]
                 fn, inner = _unwrap_call(inner[0])
             if fn == "strip":
-                # stripped tsvectors carry no positions: rank is 0
-                toks[i : close + 1] = tokenize("CAST(0.0 AS DOUBLE)")
-                i += 1
-                continue
+                if low == "ts_rank_cd":
+                    # stripped tsvectors carry no positions: cover rank 0
+                    toks[i : close + 1] = tokenize("CAST(0.0 AS DOUBLE)")
+                    i += 1
+                    continue
+                # plain ts_rank ranks stripped entries at the POSNULL
+                # pseudo-position (tsrank.c POSNULL)
+                stripped = True
+                fn, inner = _unwrap_call(inner[0])
             if fn != "to_tsvector":
                 raise NotImplementedError(
-                    "ts_rank_cd subset: to_tsvector(x) / setweight(...) / "
+                    f"{low} subset: to_tsvector(x) / setweight(...) / "
                     "strip(...) vector arguments"
                 )
             inner = _drop_cfg(inner)
-            if weights_lit == "NULL" and method_lit == "0":
+            if low == "ts_rank":
+                toks[i : close + 1] = (
+                    ["pg_ts_rank_txt", "(", "CAST", "(", "("]
+                    + inner[0]
+                    + [")", "AS", "STRING", ")", ",", q, ",", weight, ","]
+                    + tokenize(
+                        f"{weights_lit}, {method_lit}, "
+                        f"{'true' if stripped else 'false'}"
+                    )
+                    + [")"]
+                )
+            elif weights_lit == "NULL" and method_lit == "0":
                 toks[i : close + 1] = (
                     ["pg_ts_rank_cd", "(", "CAST", "(", "("]
                     + inner[0]
@@ -7479,7 +7496,7 @@ def pg_sql(spark, sql: str):
         from greengage_spark.functions import horology
 
         horology.register_udfs(spark)
-    if "pg_ts_rank_cd" in out or "pg_ts_headline" in out or "pg_ts_rewrite" in out:
+    if "pg_ts_rank" in out or "pg_ts_headline" in out or "pg_ts_rewrite" in out:
         from greengage_spark.functions import textsearch
 
         textsearch.register_udfs(spark)

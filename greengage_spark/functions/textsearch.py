@@ -390,6 +390,125 @@ def rank_cd_entries(
     )
 
 
+def _query_lexemes_any(query: str) -> tuple[list[str], bool]:
+    """All distinct lexemes of the tsquery (SortAndUniqItems) plus
+    whether the ROOT operator is AND — calc_rank dispatches and/or on
+    the root alone and otherwise ignores boolean structure."""
+    tree = _tsq_parse(query)
+    out: list[str] = []
+
+    def walk(n):
+        if n[0] == "LEX":
+            if n[1] not in out:
+                out.append(n[1])
+        else:
+            for c in n[1:]:
+                walk(c)
+
+    walk(tree)
+    return out, tree[0] == "AND"
+
+
+def _word_distance(d: int) -> float:
+    """tsrank.c word_distance: collocation weight by position gap."""
+    import math
+
+    if d > 100:
+        return 1e-30
+    return 1.0 / (1.005 + 0.05 * math.exp(d / 1.5 - 2))
+
+
+_MAXENTRYPOS = 1 << 14
+
+
+def rank_text(
+    text: str | None,
+    query: str,
+    weight: str = "D",
+    weights: list[float] | None = None,
+    method: int = 0,
+    stripped: bool = False,
+) -> float | None:
+    """ts_rank([weights,] tsv, q [, normalization]) — tsrank.c
+    calc_rank: the AND form multiplies pairwise collocation weights
+    (calc_rank_and), the OR form sums per-lexeme occurrence series
+    scaled by pi^2/6 (calc_rank_or).  A stripped vector collapses each
+    lexeme to the POSNULL pseudo-position, as the reference does."""
+    import math
+
+    if text is None:
+        return None
+    lex, root_and = _query_lexemes_any(query)
+    if not lex:
+        return 0.0
+    invw = _inv_weights(weights)
+    w = {k: (0.0 if v == math.inf else 1.0 / v) for k, v in invw.items()}
+    occs: dict[str, list[tuple[int, str]]] = {}
+    for t, pos in _positions(text):
+        if t in {l for l in lex}:
+            occs.setdefault(t, []).append((pos, weight))
+    if stripped:
+        occs = {
+            t: [(_MAXENTRYPOS - 1, "D")] for t in occs
+        }
+    if not occs:
+        res = 0.0
+    elif root_and and len(lex) >= 2:
+        res = -1.0
+        plist = [occs.get(l) for l in lex]
+        for i in range(len(lex)):
+            if plist[i] is None:
+                continue
+            for k in range(i):
+                if plist[k] is None:
+                    continue
+                for lp, lw in plist[i]:
+                    for pp, pw in plist[k]:
+                        dist = abs(lp - pp)
+                        if dist or (dist == 0 and stripped):
+                            if not dist:
+                                dist = _MAXENTRYPOS
+                            curw = math.sqrt(
+                                w[lw] * w[pw] * _word_distance(dist)
+                            )
+                            res = (
+                                curw
+                                if res < 0
+                                else 1.0 - (1.0 - res) * (1.0 - curw)
+                            )
+    else:
+        res = 0.0
+        for l in lex:
+            posts = occs.get(l)
+            if not posts:
+                continue
+            resj, wjm, jm = 0.0, -1.0, 0
+            for j, (_, pw) in enumerate(posts):
+                resj += w[pw] / ((j + 1) * (j + 1))
+                if w[pw] > wjm:
+                    wjm, jm = w[pw], j
+            res += (wjm + resj - wjm / ((jm + 1) * (jm + 1))) / 1.64493406685
+        res /= len(lex)
+    if res < 0:
+        res = 1e-20
+    # calc_rank normalization: LOGLENGTH/LOGUNIQ use log2 here (unlike
+    # calc_rank_cd's natural log); EXTDIST is not applicable
+    pos_all = _positions(text)
+    doclen = len(pos_all)
+    uniq = len({t for t, _ in pos_all})
+    if (method & 0x01) and uniq > 0:
+        res /= math.log(doclen + 1) / math.log(2.0)
+    if method & 0x02 and doclen > 0:
+        res /= doclen
+    if (method & 0x08) and uniq > 0:
+        res /= uniq
+    if (method & 0x10) and uniq > 0:
+        res /= math.log(uniq + 1) / math.log(2.0)
+    if method & 0x20:
+        res /= res + 1
+    return res
+
+
 def headline_text(
     text: str | None,
     query: str,
@@ -706,8 +825,29 @@ def register_udfs(spark) -> None:
             dtype="float64",
         )
 
+    def _rank_plain(text, query, weight, weights_json, method, stripped):
+        import json
+
+        return pd.Series(
+            [
+                None
+                if t is None
+                else rank_text(
+                    t, q, w or "D",
+                    weights=json.loads(ws) if ws else None,
+                    method=int(m or 0),
+                    stripped=bool(st),
+                )
+                for t, q, w, ws, m, st in zip(
+                    text, query, weight, weights_json, method, stripped
+                )
+            ],
+            dtype="float64",
+        )
+
     spark.udf.register("pg_ts_rank_cd", pandas_udf(_rank, "double"))
     spark.udf.register("pg_ts_rank_cd_full", pandas_udf(_rank_full, "double"))
+    spark.udf.register("pg_ts_rank_txt", pandas_udf(_rank_plain, "double"))
     spark.udf.register("pg_ts_headline", pandas_udf(_headline, "string"))
     # ts_rewrite over non-literal tsquery values (tsquery_rewrite.c):
     # pg_ts_rewrite applies a collected (target, substitute) pair list

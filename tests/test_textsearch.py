@@ -332,3 +332,83 @@ class TestRankCDWeightsAndNormalization:
             "to_tsquery('a & c'))",
         )
         assert got == pytest.approx(0.2 / 2 + 0.2)
+
+
+class TestTsRankPlain:
+    """SQL ts_rank (tsrank.c calc_rank_and / calc_rank_or) — hand-derived
+    vectors from the reference formulas over 'a b c a':
+    occurrences a@{1,4}, c@{3}, all weight D (0.1)."""
+
+    def _val(self, spark, expr):
+        from greengage_spark.dialect.transpiler import pg_sql
+
+        return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+    def test_or_query(self, spark):
+        # a: (0.1 + 0.125 - 0.1)/K, c: (0.1 + 0.1 - 0.1)/K, /2
+        got = self._val(
+            spark, "ts_rank(to_tsvector('a b c a'), to_tsquery('a | c'))"
+        )
+        k = 1.64493406685
+        assert got == pytest.approx((0.125 / k + 0.1 / k) / 2, rel=1e-6)
+
+    def test_single_lexeme(self, spark):
+        got = self._val(
+            spark, "ts_rank(to_tsvector('a b c a'), to_tsquery('a'))"
+        )
+        assert got == pytest.approx(0.125 / 1.64493406685, rel=1e-6)
+
+    def test_and_query_collocation(self, spark):
+        import math
+
+        def wd(d):
+            return 1.0 / (1.005 + 0.05 * math.exp(d / 1.5 - 2))
+
+        c1 = 0.1 * math.sqrt(wd(2))   # c@3 vs a@1
+        c2 = 0.1 * math.sqrt(wd(1))   # c@3 vs a@4
+        expected = 1 - (1 - c1) * (1 - c2)
+        got = self._val(
+            spark, "ts_rank(to_tsvector('a b c a'), to_tsquery('a & c'))"
+        )
+        assert got == pytest.approx(expected, rel=1e-6)
+
+    def test_no_match_is_zero(self, spark):
+        got = self._val(
+            spark, "ts_rank(to_tsvector('a b'), to_tsquery('zz'))"
+        )
+        assert got == 0.0
+
+    def test_and_single_found_is_epsilon(self, spark):
+        # AND with one side missing: no collocation pairs -> 1e-20
+        got = self._val(
+            spark, "ts_rank(to_tsvector('a b'), to_tsquery('a & zz'))"
+        )
+        assert got == pytest.approx(1e-20)
+
+    def test_normalization_log2_length(self, spark):
+        import math
+
+        base = 0.125 / 1.64493406685
+        got = self._val(
+            spark, "ts_rank(to_tsvector('a b c a'), to_tsquery('a'), 1)"
+        )
+        assert got == pytest.approx(base / (math.log(5) / math.log(2)),
+                                    rel=1e-6)
+
+    def test_weights_array(self, spark):
+        # D weight overridden to 1.0: single-lexeme series scales 10x
+        got = self._val(
+            spark,
+            "ts_rank('{1.0,0.2,0.4,1.0}', to_tsvector('a b c a'), "
+            "to_tsquery('a'))",
+        )
+        assert got == pytest.approx(1.25 / 1.64493406685, rel=1e-6)
+
+    def test_stripped_vector_ranks_posnull(self, spark):
+        # strip(): each found lexeme collapses to POSNULL; OR form gives
+        # w_D/K per lexeme
+        got = self._val(
+            spark,
+            "ts_rank(strip(to_tsvector('a b c a')), to_tsquery('a'))",
+        )
+        assert got == pytest.approx(0.1 / 1.64493406685, rel=1e-6)
