@@ -2868,6 +2868,95 @@ def _pass_text_search(toks: list[str]) -> list[str]:
     def _tsv(arg_toks: list[str]) -> list[str]:
         return tokenize(_TSVECTOR_SQL.format(x=" ".join(arg_toks)))
 
+    # --- english configuration normalization (snowball_en.py) -------
+    # to_tsquery/plainto_tsquery('english', 'lit') stem at PLAN time
+    # (queries are literals — the snowball dictionary costs nothing at
+    # runtime); to_tsvector('english', x) becomes the __gg_tsv_en
+    # marker the downstream passes dispatch on.  Configurations other
+    # than simple/english reject loudly.
+    i = 0
+    while i < len(toks):
+        low = toks[i].lower() if _is_ident(toks[i]) else None
+        if (
+            low in ("to_tsvector", "to_tsquery", "plainto_tsquery")
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+        ):
+            close = _args_span(toks, i + 1)
+            args = _split_args(toks[i + 2 : close])
+            if len(args) == 2 and len(args[0]) == 1 and _is_string(args[0][0]):
+                cfg = args[0][0].strip("'").lower().split(".")[-1]
+                if cfg == "english":
+                    if low == "to_tsvector":
+                        toks[i : close + 1] = (
+                            ["__gg_tsv_en", "("] + args[1] + [")"]
+                        )
+                    elif len(args[1]) == 1 and _is_string(args[1][0]):
+                        from greengage_spark.functions.textsearch import (
+                            stem_tsquery,
+                        )
+
+                        body = args[1][0][1:-1].replace("''", "'")
+                        stemmed = stem_tsquery(
+                            body, plain=(low == "plainto_tsquery")
+                        )
+                        esc = stemmed.replace("'", "''")
+                        toks[i : close + 1] = [
+                            "to_tsquery", "(", f"'{esc}'", ")"
+                        ]
+                    else:
+                        raise NotImplementedError(
+                            f"{low}('english', q): q must be a literal "
+                            "(the snowball dictionary runs at plan time)"
+                        )
+                elif cfg != "simple":
+                    raise NotImplementedError(
+                        f"text search configuration {cfg!r}: 'simple' "
+                        "and 'english' are implemented"
+                    )
+        elif (
+            low == "ts_lexize"
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+        ):
+            # ts_lexize(dict, token) (ts_utils.c): the english_stem /
+            # simple dictionaries; literal tokens fold at plan time
+            close = _args_span(toks, i + 1)
+            args = _split_args(toks[i + 2 : close])
+            if (
+                len(args) == 2
+                and len(args[0]) == 1
+                and _is_string(args[0][0])
+                and len(args[1]) == 1
+                and _is_string(args[1][0])
+            ):
+                dname = args[0][0].strip("'").lower().split(".")[-1]
+                word = args[1][0][1:-1].replace("''", "'").lower()
+                if dname == "english_stem":
+                    from greengage_spark.functions.snowball_en import (
+                        STOPWORDS,
+                        stem,
+                    )
+
+                    lex = [] if word in STOPWORDS else [stem(word)]
+                elif dname == "simple":
+                    lex = [word]
+                else:
+                    raise NotImplementedError(
+                        f"ts_lexize dictionary {dname!r}: english_stem "
+                        "and simple are implemented"
+                    )
+                items = ", ".join(
+                    "'" + x.replace("'", "''") + "'" for x in lex
+                )
+                toks[i : close + 1] = tokenize(f"array({items})")
+            else:
+                raise NotImplementedError(
+                    "ts_lexize(dict, token): both arguments must be "
+                    "literals (plan-time dictionary lookup)"
+                )
+        i += 1
+
     def _drop_cfg(args: list[list[str]]) -> list[list[str]]:
         if len(args) >= 2 and len(args[0]) == 1 and _is_string(args[0][0]):
             return args[1:]
@@ -2991,6 +3080,18 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                 # args; a 3-arg call is (cfg, doc, q) when arg0 is a bare
                 # literal and arg2 a tsquery, else (doc, q, opts))
                 opts = "''"
+                hl_cfg = "'simple'"
+                if (
+                    args
+                    and len(args[0]) == 1
+                    and _is_string(args[0][0])
+                    and args[0][0].strip("'").lower().split(".")[-1]
+                    == "english"
+                ):
+                    # english: match STEMMED document tokens, wrap the
+                    # original words (wparser_def.c hlparsetext runs the
+                    # dictionary chain over the document)
+                    hl_cfg = "'english'"
                 if len(args) == 4:
                     opts = args[3][0]
                     args = args[1:3]
@@ -3010,10 +3111,16 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                         "ts_headline(text, to_tsquery('...')) needs a "
                         "literal query"
                     )
-                toks[i : close + 1] = (
-                    ["pg_ts_headline", "(", "("] + args[0]
-                    + [")", ",", q, ",", opts, ")"]
-                )
+                if hl_cfg == "'simple'":
+                    toks[i : close + 1] = (
+                        ["pg_ts_headline", "(", "("] + args[0]
+                        + [")", ",", q, ",", opts, ")"]
+                    )
+                else:
+                    toks[i : close + 1] = (
+                        ["pg_ts_headline_cfg", "(", "("] + args[0]
+                        + [")", ",", q, ",", opts, ",", hl_cfg, ")"]
+                    )
                 i += 1
                 continue
             # tsrank.c ts_rank_cd forms: ([weights,] tsv, q [, method]).
@@ -3086,11 +3193,12 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                 # pseudo-position (tsrank.c POSNULL)
                 stripped = True
                 fn, inner = _unwrap_call(inner[0])
-            if fn != "to_tsvector":
+            if fn not in ("to_tsvector", "__gg_tsv_en"):
                 raise NotImplementedError(
                     f"{low} subset: to_tsvector(x) / setweight(...) / "
                     "strip(...) vector arguments"
                 )
+            cfg_lit = "'english'" if fn == "__gg_tsv_en" else "'simple'"
             inner = _drop_cfg(inner)
             if low == "ts_rank":
                 toks[i : close + 1] = (
@@ -3099,11 +3207,15 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                     + [")", "AS", "STRING", ")", ",", q, ",", weight, ","]
                     + tokenize(
                         f"{weights_lit}, {method_lit}, "
-                        f"{'true' if stripped else 'false'}"
+                        f"{'true' if stripped else 'false'}, {cfg_lit}"
                     )
                     + [")"]
                 )
-            elif weights_lit == "NULL" and method_lit == "0":
+            elif (
+                weights_lit == "NULL"
+                and method_lit == "0"
+                and cfg_lit == "'simple'"
+            ):
                 toks[i : close + 1] = (
                     ["pg_ts_rank_cd", "(", "CAST", "(", "("]
                     + inner[0]
@@ -3114,19 +3226,20 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                     ["pg_ts_rank_cd_full", "(", "CAST", "(", "("]
                     + inner[0]
                     + [")", "AS", "STRING", ")", ",", q, ",", weight, ","]
-                    + tokenize(f"{weights_lit}, {method_lit}")
+                    + tokenize(f"{weights_lit}, {method_lit}, {cfg_lit}")
                     + [")"]
                 )
             i += 1
             continue
         i += 1
 
-    # to_tsvector calls (drop an optional leading 'simple' config arg)
+    # to_tsvector calls (drop an optional leading 'simple' config arg);
+    # the english marker lowers to the Arrow-batched snowball UDF
     i = 0
     while i < len(toks):
+        low = toks[i].lower() if _is_ident(toks[i]) else None
         if (
-            _is_ident(toks[i])
-            and toks[i].lower() == "to_tsvector"
+            low in ("to_tsvector", "__gg_tsv_en")
             and i + 1 < len(toks)
             and toks[i + 1] == "("
         ):
@@ -3135,7 +3248,14 @@ def _pass_text_search(toks: list[str]) -> list[str]:
             if len(args) == 2 and _is_string(args[0][0]):
                 args = args[1:]
             if len(args) == 1:
-                toks[i : close + 1] = _tsv(args[0])
+                if low == "__gg_tsv_en":
+                    toks[i : close + 1] = (
+                        ["pg_to_tsvector_en", "(", "CAST", "(", "("]
+                        + args[0]
+                        + [")", "AS", "STRING", ")", ")"]
+                    )
+                else:
+                    toks[i : close + 1] = _tsv(args[0])
             # non-literal config args fall through untouched (fails
             # loudly at analysis rather than silently mis-tokenizing)
         i += 1
@@ -7496,7 +7616,10 @@ def pg_sql(spark, sql: str):
         from greengage_spark.functions import horology
 
         horology.register_udfs(spark)
-    if "pg_ts_rank" in out or "pg_ts_headline" in out or "pg_ts_rewrite" in out:
+    if (
+        "pg_ts_rank" in out or "pg_ts_headline" in out
+        or "pg_ts_rewrite" in out or "pg_to_tsvector_en" in out
+    ):
         from greengage_spark.functions import textsearch
 
         textsearch.register_udfs(spark)

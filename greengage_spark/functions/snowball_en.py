@@ -1,0 +1,272 @@
+"""English Snowball stemmer ("Porter2") + the english stopword list —
+the 'english' text-search configuration's dictionary chain.
+
+Reference surface: src/backend/snowball/ (PG embeds the stock Snowball
+english stemmer) with src/backend/snowball/stopwords/english.stop (127
+words).  The stemmer here is a clean-room implementation of the PUBLIC
+Porter2 algorithm as published at snowballstem.org ("The English
+(Porter2) stemming algorithm") — written from the algorithm
+description, not the generated C; tests pin it against the reference's
+own regress outputs (ts_lexize('english_stem', ...) and
+to_tsvector('english', ...) expected vectors in tsearch.out).
+
+The stopword list is the semantic contract of the 'english' config and
+is embedded verbatim as DATA (tests assert byte-equality with the
+reference's english.stop file).
+"""
+
+from __future__ import annotations
+
+# src/backend/snowball/stopwords/english.stop — 127 words, verbatim
+STOPWORDS = frozenset("""
+i me my myself we our ours ourselves you your yours yourself yourselves
+he him his himself she her hers herself it its itself they them their
+theirs themselves what which who whom this that these those am is are
+was were be been being have has had having do does did doing a an the
+and but if or because as until while of at by for with about against
+between into through during before after above below to from up down
+in out on off over under again further then once here there when where
+why how all any both each few more most other some such no nor not
+only own same so than too very s t can will just don should now
+""".split())
+
+_VOWELS = frozenset("aeiouy")
+_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_LI_END = frozenset("cdeghkmnrt")
+
+_EXCEPTIONS = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+
+_EXCEPTIONS_1A = frozenset(
+    ("inning", "outing", "canning", "herring", "earring",
+     "proceed", "exceed", "succeed")
+)
+
+
+def _is_vowel(word: str, i: int) -> bool:
+    return word[i] in _VOWELS and word[i] != "Y"
+
+
+def _mark_regions(word: str) -> tuple[int, int]:
+    """(R1, R2) start offsets per the Porter2 definition, with the
+    gener-/commun-/arsen- exceptional R1 prefixes."""
+    n = len(word)
+    r1 = n
+    for pre in ("gener", "commun", "arsen"):
+        if word.startswith(pre):
+            r1 = len(pre)
+            break
+    else:
+        for i in range(1, n):
+            if not _is_vowel(word, i) and _is_vowel(word, i - 1):
+                r1 = i + 1
+                break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if not _is_vowel(word, i) and _is_vowel(word, i - 1):
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def _short_syllable_at(word: str, i: int) -> bool:
+    """A short syllable ending at index i (inclusive)."""
+    if i == 1:
+        return _is_vowel(word, 0) and not _is_vowel(word, 1)
+    if 1 < i < len(word):
+        return (
+            _is_vowel(word, i - 1)
+            and not _is_vowel(word, i)
+            and word[i] not in "wxY"
+            and not _is_vowel(word, i - 2)
+        )
+    return False
+
+
+def _is_short(word: str, r1: int) -> bool:
+    return r1 >= len(word) and _short_syllable_at(word, len(word) - 1)
+
+
+def _has_vowel(word: str, end: int) -> bool:
+    return any(_is_vowel(word, i) for i in range(end))
+
+
+def stem(token: str) -> str:
+    """Porter2 stem of a lowercase token."""
+    word = token.lower()
+    if len(word) <= 2:
+        return word
+    if word.startswith("'"):
+        word = word[1:]
+    if word in _EXCEPTIONS:
+        return _EXCEPTIONS[word]
+    # mark consonant y's as Y
+    chars = list(word)
+    if chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _VOWELS and chars[i - 1] != "Y":
+            chars[i] = "Y"
+    word = "".join(chars)
+    r1, r2 = _mark_regions(word)
+
+    # step 0
+    for suf in ("'s'", "'s", "'"):
+        if word.endswith(suf):
+            word = word[: -len(suf)]
+            break
+
+    # step 1a
+    if word.endswith("sses"):
+        word = word[:-2]
+    elif word.endswith(("ied", "ies")):
+        word = word[:-2] if len(word) > 4 else word[:-1]
+    elif word.endswith(("us", "ss")):
+        pass
+    elif word.endswith("s"):
+        if _has_vowel(word, len(word) - 2):
+            word = word[:-1]
+
+    if word in _EXCEPTIONS_1A:
+        return word.lower()
+
+    # step 1b — eed/eedly (longest match) replace by ee when in R1;
+    # otherwise ed/edly/ing/ingly delete when the stem has a vowel
+    ed_ing_done = False
+    for suf in ("eedly", "eed"):
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                word = word[: -len(suf)] + "ee"
+            ed_ing_done = True
+            break
+    if not ed_ing_done:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if word.endswith(suf):
+                stem_part = word[: -len(suf)]
+                if _has_vowel(stem_part, len(stem_part)):
+                    word = stem_part
+                    if word.endswith(("at", "bl", "iz")):
+                        word += "e"
+                    elif word.endswith(_DOUBLES):
+                        word = word[:-1]
+                    elif _is_short(word, r1):
+                        word += "e"
+                break
+
+    # step 1c
+    if (
+        len(word) > 2
+        and word[-1] in "yY"
+        and word[-2] not in _VOWELS
+    ):
+        word = word[:-1] + "i"
+
+    # step 2 (suffix must lie in R1)
+    def in_r1(suf: str) -> bool:
+        return len(word) - len(suf) >= r1
+
+    def in_r2(suf: str) -> bool:
+        return len(word) - len(suf) >= r2
+
+    step2 = (
+        ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+        ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+        ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+        ("ation", "ate"), ("alism", "al"), ("aliti", "al"),
+        ("ousli", "ous"), ("iviti", "ive"), ("fulli", "ful"),
+        ("enci", "ence"), ("anci", "ance"), ("abli", "able"),
+        ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+        ("bli", "ble"),
+    )
+    done2 = False
+    for suf, rep in step2:
+        if word.endswith(suf):
+            if in_r1(suf):
+                word = word[: -len(suf)] + rep
+            done2 = True
+            break
+    if not done2:
+        if word.endswith("ogi"):
+            if in_r1("ogi") and len(word) >= 4 and word[-4] == "l":
+                word = word[:-1]
+        elif word.endswith("li"):
+            if in_r1("li") and len(word) >= 3 and word[-3] in _LI_END:
+                word = word[:-2]
+
+    # step 3 (regions stay the offsets marked after the prelude —
+    # the Snowball program never re-marks them)
+    step3 = (
+        ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+        ("icate", "ic"), ("iciti", "ic"), ("ical", "ic"),
+        ("ness", ""), ("ful", ""),
+    )
+    done3 = False
+    for suf, rep in step3:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                word = word[: -len(suf)] + rep
+            done3 = True
+            break
+    if not done3 and word.endswith("ative"):
+        if len(word) - 5 >= r1 and len(word) - 5 >= r2:
+            word = word[:-5]
+
+    # step 4 (suffix must lie in R2)
+    step4 = (
+        "ement", "ance", "ence", "able", "ible", "ment",
+        "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
+        "al", "er", "ic",
+    )
+    done4 = False
+    for suf in step4:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r2:
+                word = word[: -len(suf)]
+            done4 = True
+            break
+    if not done4 and word.endswith("ion"):
+        if len(word) - 3 >= r2 and len(word) >= 4 and word[-4] in "st":
+            word = word[:-3]
+
+    # step 5
+    if word.endswith("e"):
+        if len(word) - 1 >= r2 or (
+            len(word) - 1 >= r1
+            and not _short_syllable_at(word, len(word) - 2)
+        ):
+            word = word[:-1]
+    elif word.endswith("l"):
+        if len(word) - 1 >= r2 and len(word) >= 2 and word[-2] == "l":
+            word = word[:-1]
+
+    return word.lower()
+
+
+def lexize(token: str) -> str | None:
+    """english_stem dictionary behavior: stopwords lexize to nothing."""
+    low = token.lower()
+    if low in STOPWORDS:
+        return None
+    return stem(low)
+
+
+def english_tokens(text: str) -> list[tuple[str, int]]:
+    """(lexeme, 1-based position) pairs for the 'english' config:
+    simple tokenization, stopwords removed but STILL consuming their
+    positions — exactly PG's 'brown':3 numbering for
+    to_tsvector('english', 'The quick brown fox')."""
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9']+", text.lower()) if t]
+    out = []
+    for i, t in enumerate(toks):
+        t = t.strip("'")
+        if not t or t in STOPWORDS:
+            continue
+        out.append((stem(t), i + 1))
+    return out

@@ -344,6 +344,7 @@ def rank_cd_text(
     weight: str = "D",
     weights: list[float] | None = None,
     method: int = 0,
+    config: str = "simple",
 ) -> float | None:
     """ts_rank_cd([weights,] to_tsvector(text), to_tsquery(query)
     [, normalization]) with every position carrying the given weight
@@ -352,7 +353,7 @@ def rank_cd_text(
         return None
     lex = _query_and_lexemes(query)
     idx = {l: i for i, l in enumerate(lex)}
-    pos_all = _positions(text)
+    pos_all = _positions_for(config, text)
     events = [(pos, idx[t], weight) for t, pos in pos_all if t in idx]
     wdoc, n_ext, sum_dist = _calc_rank_cd(events, len(lex), weights)
     return _apply_rank_norm(
@@ -409,6 +410,56 @@ def _query_lexemes_any(query: str) -> tuple[list[str], bool]:
     return out, tree[0] == "AND"
 
 
+def to_tsvector_en(text: str | None) -> list[str] | None:
+    """to_tsvector('english', text) → sorted distinct stemmed lexeme
+    set (stopwords removed) — the english twin of the simple-config
+    array shape the @@ compiler consumes."""
+    if text is None:
+        return None
+    from greengage_spark.functions.snowball_en import english_tokens
+
+    return sorted({lex for lex, _ in english_tokens(text)})
+
+
+def stem_tsquery(body: str, plain: bool = False) -> str:
+    """to_tsquery('english', body) / plainto_tsquery('english', body)
+    applied at PLAN time (queries are literals): every lexeme runs the
+    english_stem dictionary; stopword operands drop out of the tree
+    exactly as PG's notice-and-drop does.  Returns the re-parseable
+    simple-form query text ('' = empty tsquery, matches nothing)."""
+    from greengage_spark.functions.snowball_en import lexize
+
+    if plain:
+        lex = [t for t in _TOKEN_SPLIT_PY.split(body.lower()) if t]
+        return " & ".join([k for k in (lexize(t) for t in lex) if k])
+
+    def m(n):
+        if n is None:
+            return None
+        if n[0] == "LEX":
+            k = lexize(n[1])
+            return ("LEX", k) if k else None
+        if n[0] == "NOT":
+            inner = m(n[1])
+            return ("NOT", inner) if inner else None
+        kids = [c for c in (m(x) for x in n[1:]) if c]
+        if not kids:
+            return None
+        if len(kids) == 1:
+            return kids[0]
+        return (n[0], *kids)
+
+    return tsq_render(tsq_canon(m(ts_rewrite_parse(body))), quoted=False)
+
+
+def _positions_for(config: str, text: str) -> list[tuple[str, int]]:
+    if config == "english":
+        from greengage_spark.functions.snowball_en import english_tokens
+
+        return english_tokens(text)
+    return _positions(text)
+
+
 def _word_distance(d: int) -> float:
     """tsrank.c word_distance: collocation weight by position gap."""
     import math
@@ -428,6 +479,7 @@ def rank_text(
     weights: list[float] | None = None,
     method: int = 0,
     stripped: bool = False,
+    config: str = "simple",
 ) -> float | None:
     """ts_rank([weights,] tsv, q [, normalization]) — tsrank.c
     calc_rank: the AND form multiplies pairwise collocation weights
@@ -444,7 +496,7 @@ def rank_text(
     invw = _inv_weights(weights)
     w = {k: (0.0 if v == math.inf else 1.0 / v) for k, v in invw.items()}
     occs: dict[str, list[tuple[int, str]]] = {}
-    for t, pos in _positions(text):
+    for t, pos in _positions_for(config, text):
         if t in {l for l in lex}:
             occs.setdefault(t, []).append((pos, weight))
     if stripped:
@@ -493,7 +545,7 @@ def rank_text(
         res = 1e-20
     # calc_rank normalization: LOGLENGTH/LOGUNIQ use log2 here (unlike
     # calc_rank_cd's natural log); EXTDIST is not applicable
-    pos_all = _positions(text)
+    pos_all = _positions_for(config, text)
     doclen = len(pos_all)
     uniq = len({t for t, _ in pos_all})
     if (method & 0x01) and uniq > 0:
@@ -516,12 +568,15 @@ def headline_text(
     min_words: int = 15,
     start_sel: str = "<b>",
     stop_sel: str = "</b>",
+    config: str = "simple",
 ) -> str | None:
     """ts_headline (wparser_def.c prsd_headline, simplified): pick the
     best (smallest, then earliest) cover of the query over the token
     stream, widen it to min_words/max_words, and wrap query-word tokens
-    in StartSel/StopSel.  Output words re-join with single spaces — the
-    reference reproduces original inter-word text; documented
+    in StartSel/StopSel.  The english config matches STEMMED document
+    tokens against the (already-stemmed) query lexemes while the output
+    wraps the ORIGINAL words.  Output words re-join with single spaces —
+    the reference reproduces original inter-word text; documented
     divergence."""
     if text is None:
         return None
@@ -531,6 +586,10 @@ def headline_text(
     norm = [
         " ".join(t for t in _TOKEN_SPLIT_PY.split(w.lower()) if t) for w in words
     ]
+    if config == "english":
+        from greengage_spark.functions.snowball_en import stem
+
+        norm = [stem(n) if n else n for n in norm]
     events = [(i, idx[n]) for i, n in enumerate(norm) if n in idx]
     # find the smallest cover over word indices
     best = None  # (width, start, end)
@@ -781,6 +840,18 @@ def register_udfs(spark) -> None:
             dtype="object",
         )
 
+    def _headline_cfg(text, query, opts, config):
+        return pd.Series(
+            [
+                headline_text(
+                    t, q, config=c or "simple",
+                    **parse_headline_options(o),
+                )
+                for t, q, o, c in zip(text, query, opts, config)
+            ],
+            dtype="object",
+        )
+
     def _rewrite_pairs(q, pairs):
         import json
 
@@ -806,7 +877,7 @@ def register_udfs(spark) -> None:
             out.append(ts_rewrite_literal(qv, tv, sv, quoted=True))
         return pd.Series(out, dtype="object")
 
-    def _rank_full(text, query, weight, weights_json, method):
+    def _rank_full(text, query, weight, weights_json, method, config):
         import json
 
         return pd.Series(
@@ -817,15 +888,17 @@ def register_udfs(spark) -> None:
                     t, q, w or "D",
                     weights=json.loads(ws) if ws else None,
                     method=int(m or 0),
+                    config=c or "simple",
                 )
-                for t, q, w, ws, m in zip(
-                    text, query, weight, weights_json, method
+                for t, q, w, ws, m, c in zip(
+                    text, query, weight, weights_json, method, config
                 )
             ],
             dtype="float64",
         )
 
-    def _rank_plain(text, query, weight, weights_json, method, stripped):
+    def _rank_plain(text, query, weight, weights_json, method, stripped,
+                    config):
         import json
 
         return pd.Series(
@@ -837,18 +910,31 @@ def register_udfs(spark) -> None:
                     weights=json.loads(ws) if ws else None,
                     method=int(m or 0),
                     stripped=bool(st),
+                    config=c or "simple",
                 )
-                for t, q, w, ws, m, st in zip(
-                    text, query, weight, weights_json, method, stripped
+                for t, q, w, ws, m, st, c in zip(
+                    text, query, weight, weights_json, method, stripped,
+                    config
                 )
             ],
             dtype="float64",
         )
 
+    def _tsv_en(text):
+        return pd.Series(
+            [to_tsvector_en(t) for t in text], dtype="object"
+        )
+
     spark.udf.register("pg_ts_rank_cd", pandas_udf(_rank, "double"))
     spark.udf.register("pg_ts_rank_cd_full", pandas_udf(_rank_full, "double"))
     spark.udf.register("pg_ts_rank_txt", pandas_udf(_rank_plain, "double"))
+    spark.udf.register(
+        "pg_to_tsvector_en", pandas_udf(_tsv_en, "array<string>")
+    )
     spark.udf.register("pg_ts_headline", pandas_udf(_headline, "string"))
+    spark.udf.register(
+        "pg_ts_headline_cfg", pandas_udf(_headline_cfg, "string")
+    )
     # ts_rewrite over non-literal tsquery values (tsquery_rewrite.c):
     # pg_ts_rewrite applies a collected (target, substitute) pair list
     # (2-arg SELECT form); pg_ts_rewrite3 one pair per row (3-arg form)

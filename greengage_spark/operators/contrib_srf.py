@@ -124,8 +124,45 @@ def _ts_stat_repl(engine, m: re.Match) -> str:
             to_tsvector_with_counts,
         )
 
-        base = engine.execute(f"SELECT ({mc.group(1)}) AS __txt {mc.group(2)}")
-        df = base.select(to_tsvector_with_counts(F.col("__txt")).alias("tsv"))
+        arg, cfg = mc.group(1), None
+        m2 = re.match(r"(?is)^\s*'(\w+)'\s*,\s*(.+)$", arg)
+        if m2:
+            cfg, arg = m2.group(1).lower(), m2.group(2)
+        if cfg not in (None, "simple", "english"):
+            raise NotImplementedError(
+                f"text search configuration {cfg!r}: 'simple' and "
+                "'english' are implemented"
+            )
+        base = engine.execute(f"SELECT ({arg}) AS __txt {mc.group(2)}")
+        if cfg == "english":
+            # counted english lexemes (snowball stem + stopword drop)
+            import pandas as pd
+            from pyspark.sql.functions import pandas_udf
+
+            from greengage_spark.functions.snowball_en import english_tokens
+
+            def _counts_en(vals):
+                out = []
+                for v in vals:
+                    if v is None:
+                        out.append(None)
+                        continue
+                    counts: dict[str, int] = {}
+                    for lex, _pos in english_tokens(v):
+                        counts[lex] = counts.get(lex, 0) + 1
+                    out.append(
+                        [{"lexeme": k, "occ": n} for k, n in counts.items()]
+                    )
+                return pd.Series(out, dtype="object")
+
+            en_udf = pandas_udf(
+                _counts_en, "array<struct<lexeme string, occ int>>"
+            )
+            df = base.select(en_udf(F.col("__txt")).alias("tsv"))
+        else:
+            df = base.select(
+                to_tsvector_with_counts(F.col("__txt")).alias("tsv")
+            )
     else:
         df = engine.execute(src)
     if len(df.columns) != 1:

@@ -1252,6 +1252,57 @@ def dialect_geometry_lseg_poly(spark, sf_dir):
     )
 
 
+_EN_STEM_PAIRS = [
+    # published Porter2 sample pairs (snowballstem.org spec page) +
+    # the reference's ts_lexize regress vectors (tsearch.out:371-381)
+    ("consigning", "consign"), ("consistency", "consist"),
+    ("consolations", "consol"), ("consolatory", "consolatori"),
+    ("consolidated", "consolid"), ("conspicuously", "conspicu"),
+    ("conspirators", "conspir"), ("constables", "constabl"),
+    ("generate", "generat"), ("generously", "generous"),
+    ("generically", "generic"), ("knightly", "knight"),
+    ("skies", "sky"), ("identity", "ident"), ("dying", "die"),
+    ("hopping", "hop"), ("hoping", "hope"), ("agreed", "agre"),
+    ("beautifully", "beauti"), ("electricity", "electr"),
+    ("controlled", "control"), ("nationally", "nation"),
+]
+
+
+@suite.add(
+    "text_search_english",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{w}', '{s}', '{s}', TRUE)" for w, s in _EN_STEM_PAIRS
+    )
+    + ") AS t(word, lexeme, expected, matched) ORDER BY word",
+    doc="'english' text-search configuration (src/backend/snowball + "
+        "english.stop; functions/snowball_en.py): clean-room Porter2 "
+        "stemmer + stopword dictionary chain, wired through "
+        "to_tsvector('english', ...) (Arrow-batched doc side) and "
+        "to_tsquery('english', ...) (stemmed at PLAN time — query "
+        "literals cost nothing at runtime). Expected lexemes are the "
+        "PUBLISHED Porter2 sample pairs plus the reference's own "
+        "ts_lexize regress vectors — an implementation-independent "
+        "oracle. 'matched' pins the stemmed @@ path end-to-end "
+        "(inflected document vs differently-inflected query).",
+    tags=("dialect", "text"),
+)
+def text_search_english(spark, sf_dir):
+    from greengage_spark.dialect import pg_sql
+
+    vals = ", ".join(f"('{w}', '{s}')" for w, s in _EN_STEM_PAIRS)
+    return pg_sql(
+        spark,
+        f"WITH t(word, expected) AS (VALUES {vals}) "
+        "SELECT word, "
+        "array_to_string(to_tsvector('english', word), ',') AS lexeme, "
+        "expected, "
+        "array_contains(to_tsvector('english', 'the ' || word || ' ok'), "
+        "expected) AS matched "
+        "FROM t ORDER BY word",
+    )
+
+
 def _unaccent_oracle() -> str:
     from greengage_spark.functions.unaccent import DST, SRC
 

@@ -1,0 +1,194 @@
+"""The 'english' text-search configuration: Porter2 snowball stemmer +
+stopwords (functions/snowball_en.py) wired through to_tsvector /
+to_tsquery / plainto_tsquery / @@ / ts_rank[_cd] / ts_lexize / ts_stat.
+
+Stemmer vectors are the published Porter2 sample pairs from the
+snowballstem.org spec page plus the reference's own regress outputs
+(tsearch.out ts_lexize vectors); the stopword list is asserted
+byte-equal to src/backend/snowball/stopwords/english.stop.
+"""
+
+import os
+
+import pytest
+
+from greengage_spark.dialect.transpiler import pg_sql, transpile
+from greengage_spark.functions.snowball_en import STOPWORDS, lexize, stem
+
+_STOP_FILE = "/root/reference/src/backend/snowball/stopwords/english.stop"
+
+# published sample pairs from the Porter2 specification page
+_SPEC_PAIRS = {
+    "consign": "consign", "consigned": "consign", "consigning": "consign",
+    "consignment": "consign", "consist": "consist", "consisted": "consist",
+    "consistency": "consist", "consistent": "consist",
+    "consistently": "consist", "consisting": "consist", "consists": "consist",
+    "consolation": "consol", "consolations": "consol",
+    "consolatory": "consolatori", "console": "consol", "consoled": "consol",
+    "consoles": "consol", "consolidate": "consolid",
+    "consolidated": "consolid", "consolidating": "consolid",
+    "consoling": "consol", "consolingly": "consol", "consols": "consol",
+    "consonant": "conson", "consort": "consort", "consorted": "consort",
+    "consorting": "consort", "conspicuous": "conspicu",
+    "conspicuously": "conspicu", "conspiracy": "conspiraci",
+    "conspirator": "conspir", "conspirators": "conspir",
+    "conspire": "conspir", "conspired": "conspir", "conspiring": "conspir",
+    "constable": "constabl", "constables": "constabl",
+    "constance": "constanc", "constancy": "constanc", "constant": "constant",
+    "generate": "generat", "generates": "generat", "generated": "generat",
+    "generating": "generat", "general": "general", "generally": "general",
+    "generic": "generic", "generically": "generic", "generous": "generous",
+    "generously": "generous",
+    "knightly": "knight", "skies": "sky", "skis": "ski", "dying": "die",
+    "sky": "sky", "news": "news",
+}
+
+_EDGE_PAIRS = {
+    "hopping": "hop", "hoping": "hope", "hopped": "hop", "hoped": "hope",
+    "cry": "cri", "crying": "cri", "cries": "cri",
+    "agreed": "agre", "agreement": "agreement",
+    "feed": "feed", "freed": "freed",
+    "happy": "happi", "happily": "happili",
+    "exceed": "exceed", "proceed": "proceed", "succeeding": "succeed",
+    "inning": "inning", "outing": "outing",
+    "dogs": "dog", "cats": "cat", "running": "run", "runner": "runner",
+    "beautiful": "beauti", "beautifully": "beauti",
+    "nationally": "nation", "nation": "nation", "national": "nation",
+    "electricity": "electr", "electrical": "electr",
+    "argument": "argument", "arguments": "argument",
+    "controlled": "control", "controlling": "control",
+    "communism": "communism", "communal": "communal", "arsenal": "arsenal",
+    "luxuriated": "luxuri", "luxury": "luxuri",
+    "identity": "ident",  # tsearch.out:377
+}
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_STOP_FILE), reason="reference checkout absent"
+)
+def test_stopwords_match_reference_file():
+    ref = set()
+    with open(_STOP_FILE, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                ref.add(line)
+    assert set(STOPWORDS) == ref
+
+
+class TestStemmer:
+    @pytest.mark.parametrize("word,expected", sorted(_SPEC_PAIRS.items()))
+    def test_spec_pairs(self, word, expected):
+        assert stem(word) == expected
+
+    @pytest.mark.parametrize("word,expected", sorted(_EDGE_PAIRS.items()))
+    def test_edge_pairs(self, word, expected):
+        assert stem(word) == expected
+
+    def test_lexize_drops_stopwords(self):
+        assert lexize("the") is None
+        assert lexize("having") is None
+        assert lexize("foxes") == "fox"
+
+
+class TestSqlSurface:
+    def _val(self, spark, expr):
+        return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+    def test_to_tsvector_english(self, spark):
+        got = self._val(
+            spark,
+            "to_tsvector('english', 'The quick brown foxes were jumping')",
+        )
+        assert list(got) == ["brown", "fox", "jump", "quick"]
+
+    def test_match_stemmed(self, spark):
+        assert self._val(
+            spark,
+            "to_tsvector('english', 'the foxes are jumping') @@ "
+            "to_tsquery('english', 'fox & jump')",
+        ) is True
+        assert self._val(
+            spark,
+            "to_tsvector('english', 'the foxes are jumping') @@ "
+            "to_tsquery('english', 'dog')",
+        ) is False
+
+    def test_plainto_english(self, spark):
+        assert self._val(
+            spark,
+            "to_tsvector('english', 'consolidated statements') @@ "
+            "plainto_tsquery('english', 'the consolidation statement')",
+        ) is True
+
+    def test_stopword_only_query_matches_nothing(self, spark):
+        assert self._val(
+            spark,
+            "to_tsvector('english', 'anything at all') @@ "
+            "to_tsquery('english', 'the & is')",
+        ) is False
+
+    def test_ts_lexize(self, spark):
+        # tsearch.out:371-381
+        assert list(self._val(
+            spark, "ts_lexize('english_stem', 'skies')"
+        )) == ["sky"]
+        assert list(self._val(
+            spark, "ts_lexize('english_stem', 'identity')"
+        )) == ["ident"]
+        assert list(self._val(
+            spark, "ts_lexize('english_stem', 'the')"
+        )) == []
+        assert list(self._val(
+            spark, "ts_lexize('simple', 'Foxes')"
+        )) == ["foxes"]
+
+    def test_rank_cd_english_config(self, spark):
+        # stopwords consume positions: quick@2 brown@3 fox@4, query
+        # quick&fox → one cover [2..4] with 1 noise word → 0.1/2
+        got = self._val(
+            spark,
+            "ts_rank_cd(to_tsvector('english', 'the quick brown foxes'), "
+            "to_tsquery('english', 'quick & foxes'))",
+        )
+        assert got == pytest.approx(0.05)
+
+    def test_ts_rank_english_config(self, spark):
+        got = self._val(
+            spark,
+            "ts_rank(to_tsvector('english', 'the foxes and the fox'), "
+            "to_tsquery('english', 'fox'))",
+        )
+        # fox occurs twice: (0.1 + (0.1 + 0.1/4) - 0.1)/K
+        assert got == pytest.approx(0.125 / 1.64493406685, rel=1e-6)
+
+    def test_unknown_config_rejects(self, spark):
+        with pytest.raises(NotImplementedError, match="configuration"):
+            transpile("SELECT to_tsvector('french', 'le chat')")
+
+    def test_headline_english_stemmed_match(self, spark):
+        # query lexeme 'jump' (stemmed) highlights the inflected word
+        row = self._val(
+            spark,
+            "ts_headline('english', 'The foxes were jumping over logs', "
+            "to_tsquery('english', 'jumping'))",
+        )
+        assert "<b>jumping</b>" in row
+
+    def test_ts_stat_english(self, eng, spark):
+        spark.createDataFrame(
+            [(1, "the foxes jumped"), (2, "a fox jumps")],
+            "id int, body string",
+        ).createOrReplaceTempView("snowstat_docs")
+        rows = eng.execute(
+            "SELECT * FROM ts_stat('SELECT to_tsvector(''english'', body) "
+            "FROM snowstat_docs') ORDER BY word"
+        ).collect()
+        assert [tuple(r) for r in rows] == [("fox", 2, 2), ("jump", 2, 2)]
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    from greengage_spark.engine import GreengageEngine
+
+    return GreengageEngine(spark, str(tmp_path / "wh"))
