@@ -6244,8 +6244,24 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 # varbit.c bit_and/bit_or/bitxor over 0/1-text bit strings:
                 # value algebra through a 64-bit word (conv base-2), length
                 # preserved from the left operand (PG requires equal
-                # lengths; ≤63 significant bits — the practical range)
+                # lengths; ≤63 significant bits — the practical range).
+                # orafce overloads bitand(bigint, bigint): plainly
+                # numeric arguments take the integer form.
                 op = {"bitand": "&", "bitor": "|", "bitxor": "^"}[low]
+                if low == "bitand" and all(
+                    all(re.match(r"^(-?\d+|\(|\)|[-+*/%])$", t) for t in a)
+                    for a in args
+                ):
+                    x, y = (" ".join(a) for a in args)
+                    out[i : close + 1] = (
+                        ["("]
+                        + ["CAST", "(", "(", x, ")", "AS", "BIGINT", ")"]
+                        + ["&"]
+                        + ["CAST", "(", "(", y, ")", "AS", "BIGINT", ")"]
+                        + [")"]
+                    )
+                    i += 1
+                    continue
                 def _c(a):
                     return (
                         ["CAST", "(", "conv", "(", "("] + a
@@ -6883,6 +6899,51 @@ def _pass_functions(toks: list[str]) -> list[str]:
                 out[i : close + 1] = tokenize(
                     f"{fn}(CAST(({p}) AS STRING), CAST(({x}) AS STRING))"
                 )
+                continue
+            if low == "instr" and len(args) in (3, 4):
+                # orafce plvstr.c instr(str, sub, pos [, nth]) — Spark's
+                # 2-arg instr passes through untouched
+                from greengage_spark.functions.orafce import instr_sql
+
+                a = [" ".join(x) for x in args]
+                nth = a[3] if len(a) == 4 else "1"
+                out[i : close + 1] = [
+                    "(" + instr_sql(a[0], a[1], a[2], nth) + ")"
+                ]
+                continue
+            if low == "lnnvl" and len(args) == 1:
+                # orafce lnnvl: TRUE when the condition is FALSE or NULL
+                a = " ".join(args[0])
+                out[i : close + 1] = tokenize(f"(({a}) IS NOT TRUE)")
+                continue
+            if low == "nanvl" and len(args) == 2:
+                a, b = (" ".join(x) for x in args)
+                out[i : close + 1] = tokenize(
+                    f"(CASE WHEN isnan(CAST(({a}) AS DOUBLE)) "
+                    f"THEN ({b}) ELSE ({a}) END)"
+                )
+                continue
+            if low == "wm_concat" and len(args) == 1:
+                a = " ".join(args[0])
+                out[i : close + 1] = tokenize(
+                    f"string_agg(CAST(({a}) AS STRING), ',')"
+                )
+                continue
+            if (
+                low == "round"
+                and len(args) == 2
+                and len(args[1]) == 1
+                and _is_string(args[1][0])
+            ):
+                # orafce ROUND(date, 'fmt') — numeric round keeps its
+                # normal lowering (second arg numeric)
+                from greengage_spark.functions.orafce import round_date_sql
+
+                out[i : close + 1] = [
+                    "("
+                    + round_date_sql(" ".join(args[0]), args[1][0])
+                    + ")"
+                ]
                 continue
             if low == "unaccent" and len(args) in (1, 2):
                 # contrib/unaccent unaccent.c:262 unaccent_dict — the

@@ -1,0 +1,102 @@
+"""orafce (Oracle-compatibility) function surface not covered by Spark
+built-ins.
+
+Reference: gpcontrib/orafce (orafce--*.sql; plvstr.c instr, datefce.c
+ora_date_round/trunc).  Most of the orafce surface maps 1:1 onto Spark
+SQL built-ins and simply passes through the transpiler (nvl, nvl2,
+add_months, last_day, months_between, next_day, trunc(date, fmt),
+median, listagg WITHIN GROUP) — tests pin those.  This module holds the
+emitters for the rest; everything is a Column-expression template
+(whole-stage codegen, no UDFs), operands bound once via one-element
+transform lambdas.
+"""
+
+from itertools import count
+
+_uid = count()
+
+
+def _bind(expr_sql: str, var: str, body: str, cast: str | None = None) -> str:
+    inner = f"CAST(({expr_sql}) AS {cast})" if cast else f"({expr_sql})"
+    return f"transform(array({inner}), {var} -> ({body}))[0]"
+
+
+def instr_sql(s: str, sub: str, start: str, nth: str) -> str:
+    """Oracle instr(string, substring, position, occurrence)
+    (plvstr.c plvstr_instr): positive position searches forward from
+    it; NEGATIVE position counts from the end and searches BACKWARD for
+    occurrences STARTING at or before that point; `occurrence` picks
+    the nth hit in the search direction.  0 = not found.
+
+    Forward nth-occurrence: a fold over sequence(1, nth), each step
+    locate()-ing after the previous hit (NULL short-circuits a miss).
+    Backward: the same fold over the REVERSED strings with the start
+    point mapped into reversed coordinates, hit position mapped back.
+    """
+    vs, vb, vp, vn = (f"__oi{next(_uid)}{c}" for c in "sbpn")
+
+    def fold(hay: str, needle: str, from_pos: str) -> str:
+        acc0 = f"({from_pos}) - 1"
+        step = (
+            f"(__oacc, __oi) -> CASE WHEN __oacc IS NULL THEN NULL "
+            f"ELSE nullif(locate({needle}, {hay}, __oacc + 1), 0) END"
+        )
+        return (
+            f"coalesce(aggregate(sequence(1, {vn}), "
+            f"CAST({acc0} AS INT), {step}), 0)"
+        )
+
+    fwd = fold(vs, vb, vp)
+    # reversed coordinates: an occurrence starting (1-based) at s in the
+    # original starts at rpos = len - s - L + 2 reversed; the backward
+    # start bound P = len + pos + 1 maps to rpos_min = 1 - L - pos
+    rev_from = f"1 - length({vb}) - {vp}"
+    rev_hit = fold(f"reverse({vs})", f"reverse({vb})", rev_from)
+    bwd = (
+        f"transform(array({rev_hit}), __orp -> CASE WHEN __orp = 0 THEN 0 "
+        f"ELSE length({vs}) - __orp - length({vb}) + 2 END)[0]"
+    )
+    body = f"CASE WHEN {vp} > 0 THEN {fwd} WHEN {vp} < 0 THEN {bwd} ELSE 0 END"
+    return _bind(
+        s, vs,
+        _bind(
+            sub, vb,
+            _bind(start, vp, _bind(nth, vn, body, cast="INT"), cast="INT"),
+            cast="STRING",
+        ),
+        cast="STRING",
+    )
+
+
+def round_date_sql(d: str, fmt: str) -> str:
+    """Oracle ROUND(date, fmt) (datefce.c ora_date_round): YYYY rounds
+    up from July 1, MM from the 16th, Q from the 16th of the quarter's
+    second month, DD is the identity for pure dates."""
+    f = fmt.strip("'").upper()
+    v = f"__ord{next(_uid)}"
+    if f in ("YYYY", "YYY", "YY", "Y", "YEAR", "SYYYY"):
+        body = (
+            f"CASE WHEN month({v}) >= 7 "
+            f"THEN add_months(trunc({v}, 'YEAR'), 12) "
+            f"ELSE trunc({v}, 'YEAR') END"
+        )
+    elif f in ("MM", "MON", "MONTH", "RM"):
+        body = (
+            f"CASE WHEN day({v}) >= 16 "
+            f"THEN add_months(trunc({v}, 'MM'), 1) "
+            f"ELSE trunc({v}, 'MM') END"
+        )
+    elif f == "Q":
+        body = (
+            f"CASE WHEN {v} >= add_months(trunc({v}, 'QUARTER'), 1) + "
+            f"INTERVAL '15' DAY "
+            f"THEN add_months(trunc({v}, 'QUARTER'), 3) "
+            f"ELSE trunc({v}, 'QUARTER') END"
+        )
+    elif f in ("DD", "DDD", "J"):
+        body = v
+    else:
+        raise NotImplementedError(
+            f"ROUND(date, {fmt}): YYYY/MM/Q/DD formats are implemented"
+        )
+    return _bind(d, v, body, cast="DATE")

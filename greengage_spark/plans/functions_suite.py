@@ -1252,6 +1252,71 @@ def dialect_geometry_lseg_poly(spark, sf_dir):
     )
 
 
+@suite.add(
+    "dialect_orafce",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(CAST(CASE WHEN o_orderstatus = 'P' THEN NULL
+                              ELSE o_totalprice END AS DOUBLE),
+                    -1.0) AS nvl_price,
+           CASE WHEN o_orderstatus = 'P' THEN 'open' ELSE 'final'
+                END AS nvl2_state,
+           (o_orderstatus = 'P') AS ln_flag,
+           CAST(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 14
+                     ELSE 0 END AS INTEGER) AS second_e,
+           CASE WHEN day(o_orderdate) >= 16
+                THEN date_trunc('month', o_orderdate) + INTERVAL 1 MONTH
+                ELSE date_trunc('month', o_orderdate)
+           END::DATE AS rnd_mm,
+           (o_orderdate + CAST(
+              (CASE WHEN (5 - isodow(o_orderdate) + 7) % 7 = 0 THEN 7
+                    ELSE (5 - isodow(o_orderdate) + 7) % 7 END)
+              || ' days' AS INTERVAL))::DATE AS next_fri,
+           last_day(o_orderdate) AS lday,
+           (date_trunc('month', o_orderdate) + INTERVAL 14 DAY
+            + INTERVAL 3 MONTH)::DATE AS addm,
+           round((1998 - year(o_orderdate)) * 12
+                 + (12 - month(o_orderdate))
+                 + (1 - day(o_orderdate)) / 31.0, 6) AS mbetween
+    FROM orders WHERE o_orderkey < 800 ORDER BY o_orderkey
+    """,
+    doc="orafce Oracle-compatibility surface (gpcontrib/orafce): "
+        "nvl/nvl2/lnnvl, instr(str, sub, pos, nth) incl. the negative "
+        "backward-search form (plvstr.c — fold over sequence(), pure "
+        "JVM), ROUND(date, fmt) (datefce.c rules), next_day/last_day/"
+        "add_months/months_between (Spark built-ins share Oracle's "
+        "semantics — pinned in tests/test_orafce.py along with "
+        "median/listagg/bitand/nanvl/wm_concat). add_months anchors "
+        "mid-month here: the Oracle end-of-month snap (which Spark "
+        "implements and DuckDB's interval add does not) is pinned in "
+        "tests instead.",
+    tags=("dialect", "contrib"),
+)
+def dialect_orafce(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               nvl(CAST(CASE WHEN o_orderstatus = 'P' THEN NULL
+                        ELSE o_totalprice END AS float8), -1.0)
+                 AS nvl_price,
+               nvl2(CASE WHEN o_orderstatus = 'P' THEN NULL ELSE 1 END,
+                    'final', 'open') AS nvl2_state,
+               lnnvl(o_orderstatus <> 'P') AS ln_flag,
+               instr(o_orderpriority, 'E', 1, 2) AS second_e,
+               round(o_orderdate, 'MM') AS rnd_mm,
+               next_day(o_orderdate, 'FRIDAY') AS next_fri,
+               last_day(o_orderdate) AS lday,
+               add_months(trunc(o_orderdate, 'MM') + 14, 3) AS addm,
+               round(months_between(DATE '1998-12-01', o_orderdate), 6)
+                 AS mbetween
+        FROM orders WHERE o_orderkey < 800 ORDER BY o_orderkey
+        """,
+        ["orders"],
+    )
+
+
 _EN_STEM_PAIRS = [
     # published Porter2 sample pairs (snowballstem.org spec page) +
     # the reference's ts_lexize regress vectors (tsearch.out:371-381)

@@ -1,0 +1,127 @@
+"""orafce (Oracle-compatibility) surface — gpcontrib/orafce.
+
+Most functions map onto Spark built-ins and pass through the transpiler
+(pinned here); instr 3/4-arg, integer bitand, lnnvl, nanvl, wm_concat
+and ROUND(date, fmt) have their own lowerings (functions/orafce.py).
+Vectors are the Oracle documentation examples orafce reproduces.
+"""
+
+import pytest
+
+from greengage_spark.dialect.transpiler import pg_sql
+
+
+def _val(spark, expr):
+    return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+
+class TestPassthroughs:
+    def test_nvl_nvl2(self, spark):
+        assert _val(spark, "nvl(NULL, 'x')") == "x"
+        assert _val(spark, "nvl('a', 'x')") == "a"
+        assert _val(spark, "nvl2('a', 'yes', 'no')") == "yes"
+        assert _val(spark, "nvl2(NULL, 'yes', 'no')") == "no"
+
+    def test_date_family(self, spark):
+        assert str(_val(spark, "add_months(DATE'2020-01-31', 1)")) == (
+            "2020-02-29"
+        )
+        assert str(_val(spark, "last_day(DATE'2020-02-10')")) == "2020-02-29"
+        assert _val(
+            spark, "months_between(DATE'2020-03-31', DATE'2020-02-29')"
+        ) == 1.0
+        assert str(
+            _val(spark, "next_day(DATE'2020-01-01', 'MONDAY')")
+        ) == "2020-01-06"
+        assert str(_val(spark, "trunc(DATE'2020-05-15', 'MM')")) == (
+            "2020-05-01"
+        )
+
+    def test_median_and_listagg(self, spark):
+        assert pg_sql(
+            spark, "SELECT median(c) AS v FROM (VALUES (1),(2),(9)) t(c)"
+        ).collect()[0].v == 2.0
+        assert pg_sql(
+            spark,
+            "SELECT listagg(c, '/') WITHIN GROUP (ORDER BY c) AS v "
+            "FROM (VALUES ('b'),('a'),('c')) t(c)",
+        ).collect()[0].v == "a/b/c"
+
+
+class TestInstr:
+    # Oracle documentation examples
+    def test_forward_nth(self, spark):
+        assert _val(spark, "instr('CORPORATE FLOOR','OR', 3, 2)") == 14
+
+    def test_backward_nth(self, spark):
+        assert _val(spark, "instr('CORPORATE FLOOR','OR', -3, 2)") == 2
+
+    def test_forward_first(self, spark):
+        assert _val(spark, "instr('CORPORATE FLOOR','OR', 3)") == 5
+
+    def test_backward_first(self, spark):
+        assert _val(spark, "instr('CORPORATE FLOOR','OR', -3)") == 5
+
+    def test_not_found_and_two_arg(self, spark):
+        assert _val(spark, "instr('abc','zz', 1)") == 0
+        assert _val(spark, "instr('abc','b')") == 2
+
+    def test_zero_position(self, spark):
+        assert _val(spark, "instr('abc','a', 0)") == 0
+
+
+class TestScalars:
+    def test_bitand_integer_form(self, spark):
+        assert _val(spark, "bitand(12, 10)") == 8
+
+    def test_bitand_bitstring_form_still_works(self, spark):
+        assert _val(spark, "bitand('1100', '1010')") == "1000"
+
+    def test_lnnvl(self, spark):
+        assert _val(spark, "lnnvl(NULL)") is True
+        assert _val(spark, "lnnvl(1 = 2)") is True
+        assert _val(spark, "lnnvl(1 = 1)") is False
+
+    def test_nanvl(self, spark):
+        assert _val(spark, "nanvl(CAST('NaN' AS DOUBLE), 0.0)") == 0.0
+        assert _val(spark, "nanvl(2.5::float8, 0.0)") == 2.5
+
+    def test_wm_concat(self, spark):
+        got = pg_sql(
+            spark,
+            "SELECT wm_concat(c) AS v FROM (VALUES ('a'),('b')) t(c)",
+        ).collect()[0].v
+        assert sorted(got.split(",")) == ["a", "b"]
+
+
+class TestRoundDate:
+    def test_round_year(self, spark):
+        assert str(_val(spark, "round(DATE'2020-07-01', 'YYYY')")) == (
+            "2021-01-01"
+        )
+        assert str(_val(spark, "round(DATE'2020-06-30', 'YYYY')")) == (
+            "2020-01-01"
+        )
+
+    def test_round_month(self, spark):
+        assert str(_val(spark, "round(DATE'2020-05-16', 'MM')")) == (
+            "2020-06-01"
+        )
+        assert str(_val(spark, "round(DATE'2020-05-15', 'MM')")) == (
+            "2020-05-01"
+        )
+
+    def test_round_quarter(self, spark):
+        assert str(_val(spark, "round(DATE'2020-05-16', 'Q')")) == (
+            "2020-07-01"
+        )
+        assert str(_val(spark, "round(DATE'2020-05-15', 'Q')")) == (
+            "2020-04-01"
+        )
+
+    def test_round_numeric_unaffected(self, spark):
+        assert float(_val(spark, "round(14.567, 1)")) == 14.6
+
+    def test_unknown_format_rejects(self, spark):
+        with pytest.raises(NotImplementedError, match="ROUND"):
+            pg_sql(spark, "SELECT round(DATE'2020-05-15', 'WW') AS v")
