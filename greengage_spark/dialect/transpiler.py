@@ -629,7 +629,44 @@ def _pass_agg_order_by(toks: list[str]) -> list[str]:
     (gram.y func_arg_list opt_sort_clause; reference tests
     gp_aggregates.sql:1-8, gpcontrib/gp_array_agg):
       string_agg(x, sep ORDER BY k) → listagg(x, sep) WITHIN GROUP (ORDER BY k)
-      array_agg(x ORDER BY k [DESC]) → array_sort/struct-sort rewrite."""
+      array_agg(x ORDER BY k [DESC]) → array_sort/struct-sort rewrite.
+
+    Pre-step: contrib aliases — intagg's int_array_aggregate IS
+    array_agg (intagg--1.1.sql), and gp_legacy_string_agg's 1-arg
+    string_agg(x) concatenates with no delimiter."""
+    i = 0
+    while i < len(toks):
+        if _is_ident(toks[i]):
+            low = toks[i].lower()
+            if low == "int_array_aggregate":
+                toks[i] = "array_agg"
+            elif (
+                low == "string_agg"
+                and i + 1 < len(toks)
+                and toks[i + 1] == "("
+            ):
+                close = _args_span(toks, i + 1)
+                args = _split_args(toks[i + 2 : close])
+                if len(args) == 1:
+                    # append the empty delimiter BEFORE any ORDER BY
+                    a = args[0]
+                    ob = next(
+                        (
+                            k
+                            for k in range(len(a))
+                            if _is_ident(a[k])
+                            and a[k].lower() == "order"
+                            and k + 1 < len(a)
+                            and a[k + 1].lower() == "by"
+                        ),
+                        None,
+                    )
+                    if ob is None:
+                        toks[close:close] = [",", "''"]
+                    else:
+                        at = i + 2 + ob
+                        toks[at:at] = [",", "''"]
+        i += 1
     i = 0
     while i < len(toks):
         if not (
@@ -4307,6 +4344,25 @@ def _pass_unnest_from(toks: list[str]) -> list[str]:
             i += 1
             continue
         low = t.lower()
+        if low == "unnest" and i + 1 < len(out) and out[i + 1] == "(":
+            # bare-alias SRF item: PG's `FROM unnest(x) AS u` names BOTH
+            # the table and the column u (parse_relation.c); Spark's
+            # explode would call the column `col`, so re-emit the
+            # explicit column list u(u)
+            close = _args_span(out, i + 1)
+            j = close + 1
+            if j < len(out) and _is_ident(out[j]) and out[j].lower() == "as":
+                j += 1
+            if (
+                j < len(out)
+                and _is_ident(out[j])
+                and out[j].lower() not in _FROM_END_KEYWORDS
+                and out[j].lower()
+                not in ("join", "left", "right", "full", "inner",
+                        "cross", "lateral", "as", "with")
+                and (j + 1 >= len(out) or out[j + 1] != "(")
+            ):
+                out[j + 1 : j + 1] = ["(", out[j], ")"]
         if (
             low == "rows"
             and i + 2 < len(out)
@@ -7454,6 +7510,11 @@ def transpile(sql: str) -> str:
     toks = _pass_overlaps(toks)
     toks = _pass_case_notdistinct(toks)
     toks = _pass_array_constructor(toks)
+    # contrib/intagg: int_array_enum(int[]) IS unnest (intagg--1.1.sql)
+    toks = [
+        "unnest" if _is_ident(t) and t.lower() == "int_array_enum" else t
+        for t in toks
+    ]
     toks = _pass_unnest_from(toks)
     toks = _pass_from_srf_items(toks)
     # user-written CAST(x AS pgtype) typenames map BEFORE ::casts emit

@@ -125,3 +125,41 @@ class TestRoundDate:
     def test_unknown_format_rejects(self, spark):
         with pytest.raises(NotImplementedError, match="ROUND"):
             pg_sql(spark, "SELECT round(DATE'2020-05-15', 'WW') AS v")
+
+
+class TestIntaggAndLegacyStringAgg:
+    """contrib/intagg (intagg--1.1.sql: int_array_aggregate IS
+    array_agg, int_array_enum IS unnest) and gpcontrib/
+    gp_legacy_string_agg's 1-argument string_agg (no delimiter)."""
+
+    def test_int_array_aggregate(self, spark):
+        got = pg_sql(
+            spark,
+            "SELECT sort(int_array_aggregate(c)) AS v "
+            "FROM (VALUES (3),(1),(2)) t(c)",
+        ).collect()[0].v
+        assert list(got) == [1, 2, 3]
+
+    def test_int_array_enum_bare_alias(self, spark):
+        rows = pg_sql(
+            spark,
+            "SELECT u FROM int_array_enum(ARRAY[5,6,7]) AS u ORDER BY u",
+        ).collect()
+        assert [r.u for r in rows] == [5, 6, 7]
+
+    def test_unnest_bare_alias_names_column(self, spark):
+        rows = pg_sql(
+            spark, "SELECT u FROM unnest(ARRAY[2,1]) u ORDER BY u"
+        ).collect()
+        assert [r.u for r in rows] == [1, 2]
+
+    def test_string_agg_one_arg(self, spark):
+        assert pg_sql(
+            spark,
+            "SELECT string_agg(c ORDER BY c) AS v "
+            "FROM (VALUES ('b'),('a')) t(c)",
+        ).collect()[0].v == "ab"
+        assert pg_sql(
+            spark,
+            "SELECT string_agg(c) AS v FROM (VALUES ('x')) t(c)",
+        ).collect()[0].v == "x"
