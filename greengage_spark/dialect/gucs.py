@@ -192,6 +192,20 @@ class GucManager:
                 )
             self._store(name, val, is_local and in_txn)
             return None
+        if name == "default_text_search_config":
+            # ts_cache.c: bare to_tsvector/to_tsquery pick this config
+            # up; pg_sql reads the spark conf at transpile time
+            cfg = val.lower().split(".")[-1]
+            if cfg not in ("simple", "english"):
+                raise NotImplementedError(
+                    f"default_text_search_config = {val!r}: 'simple' "
+                    "and 'english' are the implemented configurations"
+                )
+            self._store(name, val, is_local and in_txn)
+            self.spark.conf.set(
+                "greengage.default_text_search_config", cfg
+            )
+            return None
         if name in _CONSTRAINED:
             default, accepted = _CONSTRAINED[name]
             if val.lower() not in accepted:
@@ -219,6 +233,10 @@ class GucManager:
         if body.lower() == "all":
             if "timezone" in self.values:
                 self._apply_timezone(_SPECIAL_SHOW_DEFAULTS["timezone"])
+            if "default_text_search_config" in self.values:
+                self.spark.conf.set(
+                    "greengage.default_text_search_config", "simple"
+                )
             self.values.clear()
             self._txn_local.clear()
             return None
@@ -230,7 +248,8 @@ class GucManager:
             name in _NOOP_NAMES
             or name in _CONSTRAINED
             or name in _SPECIAL_SHOW_DEFAULTS
-            or name in ("timezone", "datestyle")
+            or name in ("timezone", "datestyle",
+                        "default_text_search_config")
             or _is_gp_knob(name)
             or "." in name
         )
@@ -240,6 +259,10 @@ class GucManager:
         self._txn_local.discard(name)
         if name == "timezone":
             self._apply_timezone(_SPECIAL_SHOW_DEFAULTS["timezone"])
+        elif name == "default_text_search_config":
+            self.spark.conf.set(
+                "greengage.default_text_search_config", "simple"
+            )
         return None
 
     def current(self, name: str) -> str:

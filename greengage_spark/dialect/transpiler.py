@@ -7627,6 +7627,35 @@ def _tsq_literal_text(arg: list[str]) -> str | None:
 _TS_REWRITE_RE = re.compile(r"(?i)\bts_rewrite\b")
 
 
+_TS_FN_RE = re.compile(r"(?i)\b(?:to_tsvector|to_tsquery|plainto_tsquery)\b")
+
+
+def _apply_default_ts_config(sql: str, cfg: str) -> str:
+    """Insert the session default_text_search_config into bare 1-argument
+    to_tsvector/to_tsquery/plainto_tsquery calls, so the normalize pass
+    sees the explicit-config form."""
+    if not _TS_FN_RE.search(sql):
+        return sql
+    toks = tokenize(sql)
+    changed = False
+    i = 0
+    while i < len(toks):
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower()
+            in ("to_tsvector", "to_tsquery", "plainto_tsquery")
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+        ):
+            close = _args_span(toks, i + 1)
+            if len(_split_args(toks[i + 2 : close])) == 1:
+                toks[i + 2 : i + 2] = [f"'{cfg}'", ","]
+                changed = True
+                i += 2
+        i += 1
+    return _join_tokens(toks) if changed else sql
+
+
 def fold_ts_rewrite_select(spark, sql: str) -> str:
     """``ts_rewrite(query, 'SELECT target, sample FROM ...')`` — the
     2-argument SELECT form (tsquery_rewrite.c:280 tsquery_rewrite_query).
@@ -7729,6 +7758,14 @@ def pg_sql(spark, sql: str):
 
         return run_recursive_sql(spark, sql)
     sql = fold_ts_rewrite_select(spark, sql)
+    # default_text_search_config (ts_cache.c getTSCurrentConfig): bare
+    # to_tsvector/to_tsquery/plainto_tsquery pick up the session config
+    try:
+        _dtsc = spark.conf.get("greengage.default_text_search_config", None)
+    except Exception:
+        _dtsc = None
+    if _dtsc and _dtsc != "simple":
+        sql = _apply_default_ts_config(sql, _dtsc)
     out = transpile(sql)
     if "pg_tochar_" in out or "pg_tonumber" in out:
         from greengage_spark.functions.pg_format import register_udfs

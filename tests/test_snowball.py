@@ -192,3 +192,40 @@ def eng(spark, tmp_path):
     from greengage_spark.engine import GreengageEngine
 
     return GreengageEngine(spark, str(tmp_path / "wh"))
+
+
+class TestDefaultTextSearchConfig:
+    """SET default_text_search_config (guc.c / ts_cache.c): bare
+    to_tsvector/to_tsquery pick up the session configuration."""
+
+    def test_set_english_changes_bare_calls(self, eng):
+        eng.execute("SET default_text_search_config = 'english'")
+        try:
+            got = eng.execute(
+                "SELECT to_tsvector('the quick foxes') @@ "
+                "to_tsquery('fox') AS v"
+            ).collect()[0].v
+            assert got is True
+            shown = eng.execute(
+                "SHOW default_text_search_config"
+            ).collect()[0][0]
+            assert "english" in shown
+        finally:
+            eng.execute("RESET default_text_search_config")
+
+    def test_reset_restores_simple(self, eng):
+        eng.execute(
+            "SET default_text_search_config = 'pg_catalog.english'"
+        )
+        eng.execute("RESET default_text_search_config")
+        got = eng.execute(
+            "SELECT to_tsvector('the quick foxes') @@ "
+            "to_tsquery('fox') AS v"
+        ).collect()[0].v
+        assert got is False  # simple config: no stemming
+
+    def test_unsupported_config_rejects(self, eng):
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="configuration"):
+            eng.execute("SET default_text_search_config = 'german'")
