@@ -569,15 +569,20 @@ def headline_text(
     start_sel: str = "<b>",
     stop_sel: str = "</b>",
     config: str = "simple",
+    max_fragments: int = 0,
+    fragment_delimiter: str = " ... ",
 ) -> str | None:
     """ts_headline (wparser_def.c prsd_headline, simplified): pick the
     best (smallest, then earliest) cover of the query over the token
     stream, widen it to min_words/max_words, and wrap query-word tokens
-    in StartSel/StopSel.  The english config matches STEMMED document
-    tokens against the (already-stemmed) query lexemes while the output
-    wraps the ORIGINAL words.  Output words re-join with single spaces —
-    the reference reproduces original inter-word text; documented
-    divergence."""
+    in StartSel/StopSel.  MaxFragments > 0 switches to the fragment
+    generator (mark_hl_fragments): up to N non-overlapping covers —
+    smallest, then earliest — each padded toward max_words and joined
+    with FragmentDelimiter, emitted in document order.  The english
+    config matches STEMMED document tokens against the
+    (already-stemmed) query lexemes while the output wraps the ORIGINAL
+    words.  Output words re-join with single spaces — the reference
+    reproduces original inter-word text; documented divergence."""
     if text is None:
         return None
     lex = _query_and_lexemes(query)
@@ -591,22 +596,53 @@ def headline_text(
 
         norm = [stem(n) if n else n for n in norm]
     events = [(i, idx[n]) for i, n in enumerate(norm) if n in idx]
-    # find the smallest cover over word indices
-    best = None  # (width, start, end)
+    # all minimal covers over word indices, as (width, start, end)
+    covers: list[tuple[int, int, int]] = []
     for s in range(len(events)):
         need = set(range(len(lex)))
         for e in range(s, len(events)):
             need.discard(events[e][1])
             if not need:
-                w = events[e][0] - events[s][0]
-                if best is None or w < best[0]:
-                    best = (w, events[s][0], events[e][0])
+                covers.append(
+                    (events[e][0] - events[s][0], events[s][0], events[e][0])
+                )
                 break
-    if best is None:
+
+    def wrap(b: int, e: int) -> str:
+        out = []
+        for i in range(b, e + 1):
+            if norm[i] in idx:
+                out.append(f"{start_sel}{words[i]}{stop_sel}")
+            else:
+                out.append(words[i])
+        return " ".join(out)
+
+    if max_fragments > 0:
+        if not covers:
+            return " ".join(words[:min_words])
+        chosen: list[tuple[int, int]] = []
+        for _w, b, e in sorted(covers):
+            if len(chosen) >= max_fragments:
+                break
+            if any(not (e < cb or b > ce) for cb, ce in chosen):
+                continue  # overlaps an already-chosen fragment
+            # pad both sides toward max_words total
+            pad = max(0, (max_words - (e - b + 1)) // 2)
+            chosen.append((max(0, b - pad), min(len(words) - 1, e + pad)))
+        # merge padded fragments that now touch, emit in document order
+        chosen.sort()
+        merged: list[list[int]] = []
+        for b, e in chosen:
+            if merged and b <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([b, e])
+        return fragment_delimiter.join(wrap(b, e) for b, e in merged)
+
+    if not covers:
         # no cover: PG shows the document head trimmed to min_words
-        shown = words[:min_words]
-        return " ".join(shown)
-    _, b, e = best
+        return " ".join(words[:min_words])
+    _, b, e = min(covers)
     # widen the window to at least min_words, at most max_words
     while (e - b + 1) < min_words and (b > 0 or e < len(words) - 1):
         if e < len(words) - 1:
@@ -614,13 +650,7 @@ def headline_text(
         if (e - b + 1) < min_words and b > 0:
             b -= 1
     e = min(e, b + max_words - 1)
-    out = []
-    for i in range(b, e + 1):
-        if norm[i] in idx:
-            out.append(f"{start_sel}{words[i]}{stop_sel}")
-        else:
-            out.append(words[i])
-    return " ".join(out)
+    return wrap(b, e)
 
 
 # --------------------------- positional tsvector Column API
@@ -963,9 +993,18 @@ def parse_headline_options(opts: str | None) -> dict:
             out["max_words"] = int(v)
         elif k == "minwords":
             out["min_words"] = int(v)
+        elif k == "maxfragments":
+            out["max_fragments"] = int(v)
+        elif k == "fragmentdelimiter":
+            out["fragment_delimiter"] = v
+        elif k == "shortword":
+            # boundary-trim tuning only affects whitespace cosmetics in
+            # this simplified generator; accepted and ignored
+            pass
         else:
             raise ValueError(
                 f"ts_headline option {k!r} not supported "
-                "(StartSel, StopSel, MaxWords, MinWords)"
+                "(StartSel, StopSel, MaxWords, MinWords, MaxFragments, "
+                "FragmentDelimiter, ShortWord)"
             )
     return out

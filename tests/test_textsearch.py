@@ -412,3 +412,62 @@ class TestTsRankPlain:
             "ts_rank(strip(to_tsvector('a b c a')), to_tsquery('a'))",
         )
         assert got == pytest.approx(0.1 / 1.64493406685, rel=1e-6)
+
+
+class TestHeadlineFragments:
+    from greengage_spark.functions.textsearch import headline_text
+
+    headline_text = staticmethod(headline_text)
+    """ts_headline MaxFragments mode (wparser_def.c mark_hl_fragments):
+    up to N non-overlapping covers in document order, each padded toward
+    MaxWords, joined by FragmentDelimiter."""
+
+    DOC = (
+        "alpha target beta filler filler filler filler filler filler "
+        "filler filler filler filler filler gamma target delta end"
+    )
+
+    def test_two_fragments(self):
+        got = self.headline_text(
+            self.DOC, "target", max_words=3, max_fragments=2
+        )
+        assert got.count("<b>target</b>") == 2
+        assert " ... " in got
+
+    def test_fragment_limit_one(self):
+        got = self.headline_text(
+            self.DOC, "target", max_words=3, max_fragments=1
+        )
+        assert got.count("<b>target</b>") == 1
+        assert " ... " not in got
+
+    def test_custom_delimiter(self):
+        got = self.headline_text(
+            self.DOC, "target", max_words=3, max_fragments=2,
+            fragment_delimiter=" ~~~ ",
+        )
+        assert " ~~~ " in got
+
+    def test_touching_fragments_merge(self):
+        doc = "a target b target c"
+        got = self.headline_text(doc, "target", max_words=5, max_fragments=2)
+        # both covers pad into one contiguous window: no delimiter
+        assert " ... " not in got
+        assert got.count("<b>target</b>") == 2
+
+    def test_no_cover_shows_head(self):
+        got = self.headline_text(
+            "nothing here at all", "zz", min_words=2, max_fragments=2
+        )
+        assert got == "nothing here"
+
+    def test_sql_options_string(self, spark):
+        from greengage_spark.dialect import pg_sql
+
+        doc = self.DOC
+        row = pg_sql(
+            spark,
+            f"SELECT ts_headline('{doc}', to_tsquery('target'), "
+            "'MaxWords=3, MaxFragments=2, FragmentDelimiter=\" | \"') AS h",
+        ).collect()[0]
+        assert row.h.count("<b>target</b>") == 2 and " | " in row.h
