@@ -123,6 +123,14 @@ class GucManager:
         self.values = dict(snap)
         self._txn_local.clear()
         self._apply_timezone(self.values.get("timezone", _SPECIAL_SHOW_DEFAULTS["timezone"]))
+        self._apply_ts_config()
+
+    def _apply_ts_config(self) -> None:
+        cfg = self.values.get("default_text_search_config", "simple")
+        self.spark.conf.set(
+            "greengage.default_text_search_config",
+            cfg.lower().split(".")[-1],
+        )
 
     def end_txn_commit(self, snap: dict[str, str]) -> None:
         """SET LOCAL reverts at COMMIT; plain SET survives (guc.c AtEOXact)."""
@@ -133,6 +141,8 @@ class GucManager:
                 self.values.pop(name, None)
             if name == "timezone":
                 self._apply_timezone(self.values.get("timezone", _SPECIAL_SHOW_DEFAULTS["timezone"]))
+            elif name == "default_text_search_config":
+                self._apply_ts_config()
         self._txn_local.clear()
 
     # ---- statement entry points ----

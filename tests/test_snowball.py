@@ -229,3 +229,24 @@ class TestDefaultTextSearchConfig:
 
         with _pytest.raises(NotImplementedError, match="configuration"):
             eng.execute("SET default_text_search_config = 'german'")
+
+
+class TestTsConfigGucTransactions:
+    def test_rollback_restores_config(self, eng):
+        eng.execute("BEGIN")
+        eng.execute("SET LOCAL default_text_search_config = 'english'")
+        assert eng.execute(
+            "SELECT to_tsvector('foxes') @@ to_tsquery('fox') AS v"
+        ).collect()[0].v is True
+        eng.execute("ROLLBACK")
+        assert eng.execute(
+            "SELECT to_tsvector('foxes') @@ to_tsquery('fox') AS v"
+        ).collect()[0].v is False
+
+    def test_set_local_reverts_at_commit(self, eng):
+        eng.execute("BEGIN")
+        eng.execute("SET LOCAL default_text_search_config = 'english'")
+        eng.execute("COMMIT")
+        assert eng.execute(
+            "SELECT to_tsvector('foxes') @@ to_tsquery('fox') AS v"
+        ).collect()[0].v is False
