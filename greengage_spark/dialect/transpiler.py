@@ -7001,6 +7001,40 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     + ")"
                 ]
                 continue
+            if low in (
+                "xpath_string", "xpath_number", "xpath_bool"
+            ) and len(args) == 2:
+                # contrib/xml2 (xpath.c): (document, query) — argument
+                # order REVERSED vs xpath(query, document)
+                d, p = (" ".join(x) for x in args)
+                out[i : close + 1] = tokenize(
+                    f"pg_{low}(CAST(({d}) AS STRING), CAST(({p}) AS STRING))"
+                )
+                continue
+            if low == "xpath_list" and len(args) in (2, 3):
+                d, p = (" ".join(x) for x in args[:2])
+                sep = " ".join(args[2]) if len(args) == 3 else "','"
+                out[i : close + 1] = tokenize(
+                    f"pg_xpath_list(CAST(({d}) AS STRING), "
+                    f"CAST(({p}) AS STRING), CAST(({sep}) AS STRING))"
+                )
+                continue
+            if low == "xpath_nodeset" and len(args) in (2, 3, 4):
+                a = [" ".join(x) for x in args]
+                top = a[2] if len(a) >= 3 else "''"
+                item = a[3] if len(a) == 4 else "''"
+                out[i : close + 1] = tokenize(
+                    f"pg_xpath_nodeset(CAST(({a[0]}) AS STRING), "
+                    f"CAST(({a[1]}) AS STRING), CAST(({top}) AS STRING), "
+                    f"CAST(({item}) AS STRING))"
+                )
+                continue
+            if low in ("xml_valid", "xml_is_well_formed") and len(args) == 1:
+                a = " ".join(args[0])
+                out[i : close + 1] = tokenize(
+                    f"pg_xml_valid(CAST(({a}) AS STRING))"
+                )
+                continue
             if low == "unaccent" and len(args) in (1, 2):
                 # contrib/unaccent unaccent.c:262 unaccent_dict — the
                 # 2-arg form names a dictionary; only the stock one
@@ -7786,7 +7820,7 @@ def pg_sql(spark, sql: str):
         from greengage_spark.functions import pgcrypto
 
         pgcrypto.register_udfs(spark)
-    if "pg_xpath" in out:
+    if "pg_xpath" in out or "pg_xml_valid" in out:
         from greengage_spark.functions import xmlquery
 
         xmlquery.register_udfs(spark)

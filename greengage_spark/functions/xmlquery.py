@@ -267,6 +267,72 @@ def xpath_exists(
     return None if res is None else len(res) > 0
 
 
+def _string_value(serialized: str) -> str:
+    """XPath string-value of one result node: text nodes / attribute
+    values come back as-is, a serialized element yields its
+    concatenated text content (xpath.c xpath_string over
+    xmlXPathCastToString)."""
+    if serialized.startswith("<"):
+        el = ET.fromstring(serialized)
+        return "".join(_doc_order_text(el))
+    return serialized
+
+
+def xpath_string(doc: str | None, path: str | None) -> str | None:
+    """contrib/xml2 xpath_string(document, query) — NOTE the reversed
+    argument order vs xpath(query, document)."""
+    res = xpath_eval(path, doc)
+    if not res:
+        return None if res is None else ""
+    return _string_value(res[0])
+
+
+def xpath_number(doc: str | None, path: str | None) -> float | None:
+    s = xpath_string(doc, path)
+    if not s:
+        return None
+    try:
+        return float(s.strip())
+    except ValueError:
+        return None  # xmlXPathCastToNumber yields NaN → SQL NULL here
+
+
+def xpath_bool(doc: str | None, path: str | None) -> bool | None:
+    res = xpath_eval(path, doc)
+    return None if res is None else len(res) > 0
+
+
+def xpath_list(doc: str | None, path: str | None, sep: str = ",") -> str | None:
+    res = xpath_eval(path, doc)
+    if res is None:
+        return None
+    return sep.join(_string_value(r) for r in res)
+
+
+def xpath_nodeset(
+    doc: str | None, path: str | None,
+    toptag: str = "", itemtag: str = "",
+) -> str | None:
+    res = xpath_eval(path, doc)
+    if res is None:
+        return None
+    items = [
+        f"<{itemtag}>{r}</{itemtag}>" if itemtag else r for r in res
+    ]
+    body = "".join(items)
+    return f"<{toptag}>{body}</{toptag}>" if toptag else body
+
+
+def xml_valid(doc: str | None) -> bool | None:
+    if doc is None:
+        return None
+    try:
+        ET.fromstring(doc)
+        return True
+    except ET.ParseError:
+        return False
+
+
 def register_udfs(spark) -> None:
     if spark.conf.get("greengage.xmlquery.registered", None) == "1":
         return
@@ -301,8 +367,34 @@ def register_udfs(spark) -> None:
             dtype="object",
         )
 
+    def _mk(fn, n):
+        def _f(*cols):
+            return pd.Series(
+                [fn(*vals) for vals in zip(*cols)], dtype="object"
+            )
+
+        return _f
+
     spark.udf.register("pg_xpath", pandas_udf(_xpath, "array<string>"))
     spark.udf.register("pg_xpath_exists", pandas_udf(_exists, "boolean"))
+    spark.udf.register(
+        "pg_xpath_string", pandas_udf(_mk(xpath_string, 2), "string")
+    )
+    spark.udf.register(
+        "pg_xpath_number", pandas_udf(_mk(xpath_number, 2), "double")
+    )
+    spark.udf.register(
+        "pg_xpath_bool", pandas_udf(_mk(xpath_bool, 2), "boolean")
+    )
+    spark.udf.register(
+        "pg_xpath_list", pandas_udf(_mk(xpath_list, 3), "string")
+    )
+    spark.udf.register(
+        "pg_xpath_nodeset", pandas_udf(_mk(xpath_nodeset, 4), "string")
+    )
+    spark.udf.register(
+        "pg_xml_valid", pandas_udf(_mk(xml_valid, 1), "boolean")
+    )
     spark.udf.register("pg_xpath_ns", pandas_udf(_xpath_ns, "array<string>"))
     spark.udf.register(
         "pg_xpath_exists_ns", pandas_udf(_exists_ns, "boolean")

@@ -160,3 +160,51 @@ class TestNamespaceArray:
             "ARRAY[ARRAY['loc', 'http://127.0.0.1']]) AS ok",
         ).collect()
         assert list(rows[0].ids) == ["1", "2"] and rows[0].ok is True
+
+
+class TestXml2Wrappers:
+    """contrib/xml2 scalar wrappers (xpath.c): (document, query)
+    argument order, XPath string-values for elements."""
+
+    DOC = "<a><b n='5'>one</b><b n='6'>two</b><c>3.5</c></a>"
+
+    def _val(self, spark, expr):
+        from greengage_spark.dialect.transpiler import pg_sql
+
+        return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+    def test_xpath_string_element_value(self, spark):
+        doc = self.DOC.replace("'", "''")
+        assert self._val(spark, f"xpath_string('{doc}', '/a/b')") == "one"
+        assert self._val(spark, f"xpath_string('{doc}', '/a/b/@n')") == "5"
+        assert self._val(spark, f"xpath_string('{doc}', '/a/zz')") == ""
+
+    def test_xpath_number(self, spark):
+        doc = self.DOC.replace("'", "''")
+        assert self._val(spark, f"xpath_number('{doc}', '/a/c')") == 3.5
+        assert self._val(spark, f"xpath_number('{doc}', '/a/b/@n')") == 5.0
+        assert self._val(spark, f"xpath_number('{doc}', '/a/b')") is None
+
+    def test_xpath_bool(self, spark):
+        doc = self.DOC.replace("'", "''")
+        assert self._val(spark, f"xpath_bool('{doc}', '/a/b')") is True
+        assert self._val(spark, f"xpath_bool('{doc}', '/a/zz')") is False
+
+    def test_xpath_list(self, spark):
+        doc = self.DOC.replace("'", "''")
+        assert self._val(
+            spark, f"xpath_list('{doc}', '/a/b', '|')"
+        ) == "one|two"
+        assert self._val(spark, f"xpath_list('{doc}', '/a/b')") == "one,two"
+
+    def test_xpath_nodeset(self, spark):
+        doc = self.DOC.replace("'", "''")
+        got = self._val(
+            spark, f"xpath_nodeset('{doc}', '/a/c', 'top', 'item')"
+        )
+        assert got == "<top><item><c>3.5</c></item></top>"
+
+    def test_xml_valid(self, spark):
+        assert self._val(spark, "xml_valid('<a/>')") is True
+        assert self._val(spark, "xml_valid('<a>')") is False
+        assert self._val(spark, "xml_is_well_formed('<a><b/></a>')") is True
