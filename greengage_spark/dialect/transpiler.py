@@ -3501,6 +3501,72 @@ def _pass_earthdistance(toks: list[str]) -> list[str]:
     return toks
 
 
+def _pass_trgm_ops(toks: list[str]) -> list[str]:
+    """pg_trgm operators (trgm_op.c): ``a % b`` (similar within the
+    pg_trgm.similarity_threshold limit) and ``a <-> b`` (1 -
+    similarity).  `%` doubles as modulo and `<->` as geometric distance,
+    so the trigram reading applies only when an operand is a plain
+    string literal (the `name % 'search term'` idiom); the limit is the
+    __gg_trgm_limit__ marker pg_sql substitutes with the session value
+    (set_limit/show_limit)."""
+
+    def _is_plain_string(span: list[str]) -> bool:
+        return len(span) == 1 and _is_string(span[0])
+
+    i = 0
+    while i < len(toks):
+        op = None
+        oplen = 0
+        if toks[i] == "%":
+            op, oplen = "pct", 1
+        elif (
+            i + 1 < len(toks)
+            and (toks[i], toks[i + 1]) == ("<", "->")
+        ):
+            op, oplen = "dist", 2
+        if op is None or i == 0 or i + oplen >= len(toks):
+            i += 1
+            continue
+        lstart = _operand_start(toks, i - 1)
+        rend = _geo_right_end(toks, i + oplen)
+        if rend is None:
+            i += 1
+            continue
+        left = toks[lstart:i]
+        right = toks[i + oplen : rend + 1]
+        def _is_number(span: list[str]) -> bool:
+            return len(span) == 1 and re.match(r"^-?[\d.]+$", span[0])
+
+        if not (_is_plain_string(left) or _is_plain_string(right)):
+            i += 1
+            continue
+        # `'5' % 2`: PG coerces the unknown literal to int → modulo
+        if _is_number(left) or _is_number(right):
+            i += 1
+            continue
+        ls, rs = " ".join(left), " ".join(right)
+        if op == "pct":
+            new = f"( similarity ( {ls} , {rs} ) >= __gg_trgm_limit__ )"
+        else:
+            new = f"( 1 - similarity ( {ls} , {rs} ) )"
+        toks[lstart : rend + 1] = tokenize(new)
+        i = lstart + 1
+    # show_limit() → the marker (cast keeps float4 shape)
+    i = 0
+    while i + 2 < len(toks):
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() == "show_limit"
+            and toks[i + 1] == "("
+            and toks[i + 2] == ")"
+        ):
+            toks[i : i + 3] = tokenize(
+                "CAST ( __gg_trgm_limit__ AS FLOAT )"
+            )
+        i += 1
+    return toks
+
+
 def _pass_prefix_math_ops(toks: list[str]) -> list[str]:
     """PG prefix math operators (float.c): ``|/ x`` square root,
     ``||/ x`` cube root, ``@ x`` absolute value."""
@@ -7568,6 +7634,9 @@ def transpile(sql: str) -> str:
     # xml after the cast passes so embedded ::text casts are already Spark
     toks = _pass_earthdistance(toks)
     toks = _pass_geometry(toks)
+    # trgm % / <-> after geometry (geo-typed operands won), before the
+    # json pass (whose -> would eat the <-> arrow)
+    toks = _pass_trgm_ops(toks)
     toks = _pass_xml(toks)
     toks = _pass_xmlagg(toks)
     toks = _pass_json_ops(toks)
@@ -7792,6 +7861,16 @@ def pg_sql(spark, sql: str):
 
         return run_recursive_sql(spark, sql)
     sql = fold_ts_rewrite_select(spark, sql)
+    # pg_trgm set_limit()/similarity_threshold (trgm_op.c): the session
+    # limit substitutes into % / show_limit() lowerings at plan time
+    m_sl = re.match(
+        r"(?is)^\s*select\s+set_limit\s*\(\s*([0-9.]+)\s*\)"
+        r"\s*(?:as\s+\w+\s*)?;?\s*$",
+        sql,
+    )
+    if m_sl:
+        spark.conf.set("greengage.trgm_limit", m_sl.group(1))
+        sql = f"SELECT CAST({m_sl.group(1)} AS FLOAT) AS set_limit"
     # default_text_search_config (ts_cache.c getTSCurrentConfig): bare
     # to_tsvector/to_tsquery/plainto_tsquery pick up the session config
     try:
@@ -7801,6 +7880,12 @@ def pg_sql(spark, sql: str):
     if _dtsc and _dtsc != "simple":
         sql = _apply_default_ts_config(sql, _dtsc)
     out = transpile(sql)
+    if "__gg_trgm_limit__" in out:
+        try:
+            lim = spark.conf.get("greengage.trgm_limit", "0.3")
+        except Exception:
+            lim = "0.3"
+        out = out.replace("__gg_trgm_limit__", lim)
     if "pg_tochar_" in out or "pg_tonumber" in out:
         from greengage_spark.functions.pg_format import register_udfs
 

@@ -163,3 +163,32 @@ class TestIntaggAndLegacyStringAgg:
             spark,
             "SELECT string_agg(c) AS v FROM (VALUES ('x')) t(c)",
         ).collect()[0].v == "x"
+
+
+class TestTrgmOperators:
+    """pg_trgm % / <-> operators + set_limit/show_limit (trgm_op.c):
+    the trigram reading applies when an operand is a string literal;
+    numeric modulo and json -> are untouched."""
+
+    def test_percent_uses_session_limit(self, spark):
+        assert _val(spark, "'word' % 'words'") is True
+        try:
+            assert pg_sql(
+                spark, "SELECT set_limit(0.9)"
+            ).collect()[0][0] == pytest.approx(0.9)
+            assert _val(spark, "'word' % 'words'") is False
+        finally:
+            pg_sql(spark, "SELECT set_limit(0.3)").collect()
+
+    def test_show_limit_default(self, spark):
+        spark.conf.set("greengage.trgm_limit", "0.3")
+        assert _val(spark, "show_limit()") == pytest.approx(0.3)
+
+    def test_distance_operator(self, spark):
+        assert _val(spark, "'word' <-> 'word'") == pytest.approx(0.0)
+        assert _val(spark, "'word' <-> 'zzzz'") == pytest.approx(1.0)
+
+    def test_modulo_and_json_untouched(self, spark):
+        assert _val(spark, "7 % 3") == 1
+        assert _val(spark, "'5' % 2") == 1
+        assert _val(spark, """'{"a": 1}' -> 'a'""") == "1"
