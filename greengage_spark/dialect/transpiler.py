@@ -7101,6 +7101,23 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     f"pg_xml_valid(CAST(({a}) AS STRING))"
                 )
                 continue
+            if low == "timeofday" and len(args) == 0:
+                # misc.c timeofday(): wall clock as PG's asctime-style
+                # text ('Wed Aug 15 17:00:00.000000 2026 UTC')
+                out[i : close + 1] = tokenize(
+                    "date_format(now(), "
+                    "'EEE MMM dd HH:mm:ss.SSSSSS yyyy zz')"
+                )
+                continue
+            if low == "to_ascii" and len(args) in (1, 2):
+                # ascii.c to_ascii: LATIN-block accent fold to ASCII —
+                # the unaccent translate table covers the same block
+                from greengage_spark.functions.unaccent import unaccent_sql
+
+                out[i : close + 1] = tokenize(
+                    unaccent_sql(" ".join(args[0]))
+                )
+                continue
             if low == "unaccent" and len(args) in (1, 2):
                 # contrib/unaccent unaccent.c:262 unaccent_dict — the
                 # 2-arg form names a dictionary; only the stock one

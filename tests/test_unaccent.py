@@ -78,3 +78,23 @@ class TestSql:
         ]
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_to_ascii_maps_to_unaccent(spark):
+    # ascii.c to_ascii folds the LATIN accent block
+    row = pg_sql(
+        spark,
+        "SELECT to_ascii('Karél') AS a, to_ascii('Karél', 'LATIN1') AS b",
+    ).collect()[0]
+    assert row.a == "Karel" and row.b == "Karel"
+
+
+def test_timeofday_text_shape(spark):
+    import re
+
+    v = pg_sql(spark, "SELECT timeofday() AS v").collect()[0].v
+    # 'Wed Aug 15 17:00:00.000000 2026 UTC' shape (misc.c asctime style)
+    assert re.match(
+        r"^[A-Z][a-z]{2} [A-Z][a-z]{2} \d{2} \d{2}:\d{2}:\d{2}\.\d{6} "
+        r"\d{4} ", v
+    )
