@@ -6655,6 +6655,14 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     if field in ("century", "millennium", "decade"):
                         out[i : close + 1] = _pg_era_field(field, expr)
                         continue
+                    if field in ("microseconds", "milliseconds"):
+                        # timestamp.c: seconds INCLUDING fraction scaled
+                        mul = "1e6" if field == "microseconds" else "1e3"
+                        e = " ".join(expr)
+                        out[i : close + 1] = tokenize(
+                            f"CAST(round((second({e}) + (unix_micros(CAST(({e}) AS TIMESTAMP)) % 1000000) / 1e6) * {mul}) AS DOUBLE)"
+                        )
+                        continue
                 i += 2
                 continue
             if low == "date_part" and len(args) == 2 and _is_string(args[0][0]):
@@ -6678,6 +6686,13 @@ def _pass_functions(toks: list[str]) -> list[str]:
                     continue
                 if field in ("century", "millennium", "decade"):
                     out[i : close + 1] = _pg_era_field(field, args[1])
+                    continue
+                if field in ("microseconds", "milliseconds"):
+                    mul = "1e6" if field == "microseconds" else "1e3"
+                    e = " ".join(args[1])
+                    out[i : close + 1] = tokenize(
+                        f"CAST(round((second({e}) + (unix_micros(CAST(({e}) AS TIMESTAMP)) % 1000000) / 1e6) * {mul}) AS DOUBLE)"
+                    )
                     continue
             if low == "date_trunc" and len(args) == 2 and _is_string(args[0][0]):
                 field = args[0][0].strip("'").lower()

@@ -1288,3 +1288,29 @@ class TestIsoyearLocaltimestamp:
             spark, "SELECT localtimestamp IS NOT NULL AS v"
         ).collect()[0]
         assert row.v is True
+
+
+class TestExtractSubsecondFields:
+    """timestamp.c: microseconds/milliseconds are SECONDS INCLUDING
+    the fraction, scaled (float8 like date_part)."""
+
+    def _one(self, spark, expr):
+        return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+    def test_microseconds(self, spark):
+        assert self._one(
+            spark,
+            "extract(microseconds FROM TIMESTAMP '2020-01-01 01:02:03.5')",
+        ) == 3500000.0
+
+    def test_milliseconds(self, spark):
+        assert self._one(
+            spark,
+            "extract(milliseconds FROM TIMESTAMP '2020-01-01 01:02:03.5')",
+        ) == 3500.0
+
+    def test_date_part_form(self, spark):
+        assert self._one(
+            spark,
+            "date_part('microseconds', TIMESTAMP '2020-01-01 01:02:03.25')",
+        ) == 3250000.0
