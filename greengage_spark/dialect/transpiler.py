@@ -641,6 +641,28 @@ def _pass_agg_order_by(toks: list[str]) -> list[str]:
             if low == "int_array_aggregate":
                 toks[i] = "array_agg"
             elif (
+                low in ("json_agg", "jsonb_agg")
+                and i + 1 < len(toks)
+                and toks[i + 1] == "("
+            ):
+                # json_agg(x ORDER BY k) rides the ordered array_agg
+                # rewrite below, wrapped in to_json
+                close = _args_span(toks, i + 1)
+                inner = toks[i + 2 : close]
+                has_ob = any(
+                    _is_ident(t)
+                    and t.lower() == "order"
+                    and j + 1 < len(inner)
+                    and inner[j + 1].lower() == "by"
+                    for j, t in enumerate(inner)
+                )
+                if has_ob:
+                    toks[i : close + 1] = (
+                        ["to_json", "(", "array_agg", "("]
+                        + inner
+                        + [")", ")"]
+                    )
+            elif (
                 low == "string_agg"
                 and i + 1 < len(toks)
                 and toks[i + 1] == "("
@@ -6847,6 +6869,61 @@ def _pass_functions(toks: list[str]) -> list[str]:
             if low == "median" and len(args) == 1:
                 out[i : close + 1] = ["percentile", "("] + args[0] + [",", "0.5", ")"]
                 continue
+            if (
+                low in ("rank", "dense_rank", "percent_rank", "cume_dist")
+                and len(args) == 1
+                and args[0]
+                and close + 3 < len(out)
+                and _is_ident(out[close + 1])
+                and out[close + 1].lower() == "within"
+                and _is_ident(out[close + 2])
+                and out[close + 2].lower() == "group"
+                and out[close + 3] == "("
+            ):
+                # hypothetical-set aggregates (orderedsetaggs.c:155):
+                # rank(h) = count(v < h) + 1 over the group, etc. —
+                # conditional counts, fully partial-aggregatable (the
+                # DataFrame twins live in operators/aggregate.py)
+                wend = _args_span(out, close + 3)
+                spec = out[close + 4 : wend]
+                if (
+                    len(spec) >= 3
+                    and _is_ident(spec[0])
+                    and spec[0].lower() == "order"
+                    and spec[1].lower() == "by"
+                ):
+                    body = spec[2:]
+                    desc = False
+                    if body and _is_ident(body[-1]) and body[-1].lower() in (
+                        "asc", "desc"
+                    ):
+                        desc = body[-1].lower() == "desc"
+                        body = body[:-1]
+                    v = "( " + _join_tokens(body) + " )"
+                    h = "( " + " ".join(args[0]) + " )"
+                    lt = ">" if desc else "<"
+                    le = ">=" if desc else "<="
+                    if low == "rank":
+                        new = (
+                            f"(count(CASE WHEN {v} {lt} {h} THEN 1 END) + 1)"
+                        )
+                    elif low == "dense_rank":
+                        new = (
+                            f"(count(DISTINCT CASE WHEN {v} {lt} {h} "
+                            f"THEN {v} END) + 1)"
+                        )
+                    elif low == "percent_rank":
+                        new = (
+                            f"(CAST(count(CASE WHEN {v} {lt} {h} THEN 1 "
+                            f"END) AS DOUBLE) / greatest(count(1), 1))"
+                        )
+                    else:  # cume_dist
+                        new = (
+                            f"(CAST(count(CASE WHEN {v} {le} {h} THEN 1 "
+                            f"END) + 1 AS DOUBLE) / (count(1) + 1))"
+                        )
+                    out[i : wend + 1] = tokenize(new)
+                    continue
             if (
                 low in ("percentile_cont", "percentile_disc")
                 and len(args) == 1

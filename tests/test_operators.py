@@ -262,3 +262,54 @@ class TestQualityPipeline:
         assert got[1]["q_lo"] == -128 and got[1]["q_hi"] == 127
         # constant vector: scale floor kicks in, codes all -128, no div0
         assert got[2]["l2_norm"] == 0.0 and got[2]["q_lo"] == got[2]["q_hi"] == -128
+
+
+class TestHypotheticalSetSql:
+    """SQL-form hypothetical-set aggregates (orderedsetaggs.c:155):
+    rank/dense_rank/percent_rank/cume_dist(h) WITHIN GROUP."""
+
+    def _one(self, spark, q):
+        from greengage_spark.dialect.transpiler import pg_sql
+
+        return pg_sql(spark, q).collect()[0][0]
+
+    def test_rank_asc_desc(self, spark):
+        base = "FROM (VALUES (1),(3),(1)) t(x)"
+        assert self._one(
+            spark, f"SELECT rank(2) WITHIN GROUP (ORDER BY x) AS v {base}"
+        ) == 3
+        assert self._one(
+            spark,
+            f"SELECT rank(2) WITHIN GROUP (ORDER BY x DESC) AS v {base}",
+        ) == 2
+
+    def test_dense_percent_cume(self, spark):
+        import pytest as _p
+
+        base = "FROM (VALUES (1),(3),(1)) t(x)"
+        assert self._one(
+            spark,
+            f"SELECT dense_rank(2) WITHIN GROUP (ORDER BY x) AS v {base}",
+        ) == 2
+        assert self._one(
+            spark,
+            f"SELECT percent_rank(2) WITHIN GROUP (ORDER BY x) AS v {base}",
+        ) == _p.approx(2 / 3)
+        assert self._one(
+            spark,
+            f"SELECT cume_dist(2) WITHIN GROUP (ORDER BY x) AS v {base}",
+        ) == _p.approx(0.75)
+
+    def test_window_rank_untouched(self, spark):
+        assert self._one(
+            spark,
+            "SELECT rank() OVER (ORDER BY x) AS v "
+            "FROM (VALUES (5),(7)) t(x) ORDER BY v LIMIT 1",
+        ) == 1
+
+    def test_json_agg_order_by(self, spark):
+        assert self._one(
+            spark,
+            "SELECT json_agg(x ORDER BY x DESC) AS v "
+            "FROM (VALUES (2),(1),(3)) t(x)",
+        ) == "[3,2,1]"
