@@ -1321,11 +1321,21 @@ def _pass_date_minus(toks: list[str]) -> list[str]:
     date ± integer is Spark-native and left alone."""
 
     def _is_date_lit_end(j: int) -> bool:
-        return (
+        if (
             j >= 1
             and _is_string(toks[j])
             and _is_ident(toks[j - 1])
             and toks[j - 1].lower() == "date"
+        ):
+            return True
+        # CAST ( ... AS DATE ) — what an ::date cast lowered to
+        return (
+            j >= 4
+            and toks[j] == ")"
+            and _is_ident(toks[j - 1])
+            and toks[j - 1].lower() == "date"
+            and _is_ident(toks[j - 2])
+            and toks[j - 2].lower() == "as"
         )
 
     def _right_span(start: int) -> int | None:
@@ -1355,12 +1365,29 @@ def _pass_date_minus(toks: list[str]) -> list[str]:
         if toks[i] != "-":
             i += 1
             continue
+        def _right_is_cast_date(j: int) -> bool:
+            if not (
+                j + 1 < len(toks)
+                and _is_ident(toks[j])
+                and toks[j].lower() == "cast"
+                and toks[j + 1] == "("
+            ):
+                return False
+            c = _match_paren(toks, j + 1)
+            return (
+                c >= 2
+                and _is_ident(toks[c - 1])
+                and toks[c - 1].lower() == "date"
+                and _is_ident(toks[c - 2])
+                and toks[c - 2].lower() == "as"
+            )
+
         right_is_date = (
             i + 2 < len(toks)
             and _is_ident(toks[i + 1])
             and toks[i + 1].lower() == "date"
             and _is_string(toks[i + 2])
-        )
+        ) or _right_is_cast_date(i + 1)
         left_is_date = _is_date_lit_end(i - 1)
         if not (right_is_date or left_is_date):
             i += 1
@@ -1380,7 +1407,18 @@ def _pass_date_minus(toks: list[str]) -> list[str]:
         if i == 0 or not _is_operand_end(toks[i - 1]):
             i += 1
             continue
-        lstart = i - 2 if left_is_date else _operand_start(toks, i - 1)
+        if left_is_date and _is_string(toks[i - 1]):
+            lstart = i - 2  # DATE 'lit'
+        else:
+            lstart = _operand_start(toks, i - 1)
+            # absorb the CAST head the paren-scan stopped at
+            if (
+                left_is_date
+                and lstart > 0
+                and _is_ident(toks[lstart - 1])
+                and toks[lstart - 1].lower() == "cast"
+            ):
+                lstart -= 1
         rend = _right_span(i + 1)
         if rend is None:
             i += 1
@@ -2811,6 +2849,18 @@ def _pass_interval_add_timestamp(toks: list[str]) -> list[str]:
                     ["CAST", "("] + toks[i - 3 : i - 1] + ["AS", "TIMESTAMP", ")"]
                 )
                 i += 4
+            elif (
+                i >= 4
+                and _is_ident(toks[i - 2])
+                and toks[i - 3] == "::"
+            ):
+                # `expr::type ± interval`: wrap the WHOLE cast operand
+                # (leaving the :: dangling would mis-lower later)
+                s = _operand_start(toks, i - 4)
+                toks[s : i - 1] = (
+                    ["CAST", "("] + toks[s : i - 1] + ["AS", "TIMESTAMP", ")"]
+                )
+                i += 5
             elif (
                 _is_ident(toks[i - 2])
                 and toks[i - 2].lower() not in _KEYWORDS_NONOPERAND

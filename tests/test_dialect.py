@@ -1314,3 +1314,35 @@ class TestExtractSubsecondFields:
             spark,
             "date_part('microseconds', TIMESTAMP '2020-01-01 01:02:03.25')",
         ) == 3250000.0
+
+
+class TestDateArithmeticCastForms:
+    """date.c date_mi / date_pl_interval over ::date cast operands —
+    previously only the DATE 'lit' typed-literal form lowered."""
+
+    def _one(self, spark, expr):
+        return pg_sql(spark, f"SELECT {expr} AS v").collect()[0].v
+
+    def test_date_minus_date_cast_form(self, spark):
+        assert self._one(
+            spark, "'2020-01-10'::date - '2020-01-01'::date"
+        ) == 9
+
+    def test_column_minus_date_cast(self, spark):
+        spark.createDataFrame(
+            [("2020-01-04",)], "s string"
+        ).createOrReplaceTempView("dmc_t")
+        assert pg_sql(
+            spark,
+            "SELECT s::date - '2020-01-01'::date AS v FROM dmc_t",
+        ).collect()[0].v == 3
+
+    def test_date_cast_plus_interval_promotes(self, spark):
+        assert str(self._one(
+            spark, "'2020-01-10'::date - INTERVAL '1 day'"
+        )).startswith("2020-01-09")
+
+    def test_date_plus_int_unaffected(self, spark):
+        assert str(self._one(spark, "'2020-01-10'::date + 5")) == (
+            "2020-01-15"
+        )
