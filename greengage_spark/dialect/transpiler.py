@@ -317,6 +317,18 @@ def _pass_casts(toks: list[str]) -> list[str]:
             continue
         elif mapped is None:
             raise ValueError(f"unsupported cast target type: {tname}")
+        # bool.c boolin accepts on/off (and prefixes) that Spark's
+        # boolean cast rejects — normalize literal spellings
+        if (
+            tname in ("bool", "boolean")
+            and start == i - 1
+            and _is_string(toks[i - 1])
+        ):
+            lv = toks[i - 1].strip("'").strip().lower()
+            # unique prefixes only: bare 'o' is ambiguous and errors in PG
+            if lv in ("on", "of", "off"):
+                toks[start : i + 2] = ["TRUE" if lv == "on" else "FALSE"]
+                continue
         # PG float input range checks (float.c float8in/float4in):
         # literal operands overflow/underflow at PARSE time — Spark's
         # CAST would silently yield ±Inf/0 instead
@@ -622,6 +634,71 @@ def _ordered_array_agg(args: list[str], keys: list[str]) -> list[str]:
         + [",", "(", "__l", ",", "__r", ")", "->"] + cmp_toks + [")"]
     )
     return ["transform", "("] + inner + [",", "s", "->", "s", ".", "_x", ")"]
+
+
+def _pass_array_subquery(toks: list[str]) -> list[str]:
+    """``ARRAY(SELECT ...)`` (gram.y ARRAY select_with_parens — the
+    subquery array constructor): lower to a scalar subquery aggregating
+    the rows.  A plain ``SELECT expr FROM ... ORDER BY keys`` shape
+    inlines as ``(SELECT array_agg((expr) ORDER BY keys) FROM ...)`` so
+    PG's ordered-array contract holds; other shapes (GROUP BY/DISTINCT/
+    LIMIT/set ops) wrap as an unordered collect over the subquery —
+    exactly PG's unspecified order without ORDER BY."""
+    i = 0
+    while i < len(toks):
+        if not (
+            _is_ident(toks[i])
+            and toks[i].lower() == "array"
+            and i + 2 < len(toks)
+            and toks[i + 1] == "("
+            and _is_ident(toks[i + 2])
+            and toks[i + 2].lower() == "select"
+        ):
+            i += 1
+            continue
+        close = _match_paren(toks, i + 1)
+        inner = toks[i + 2 : close]
+        depth = 0
+        ob = frm = None
+        banned = False
+        for j, t in enumerate(inner):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and _is_ident(t):
+                tl = t.lower()
+                if (
+                    tl == "order"
+                    and j + 1 < len(inner)
+                    and inner[j + 1].lower() == "by"
+                    and ob is None
+                ):
+                    ob = j
+                elif tl == "from" and frm is None:
+                    frm = j
+                elif tl in (
+                    "group", "distinct", "limit", "union",
+                    "intersect", "except", "having", "offset",
+                ):
+                    banned = True
+        if ob is not None and frm is not None and not banned and ob > frm:
+            expr = inner[1:frm]
+            rest = inner[frm:ob]
+            keys = inner[ob + 2 :]
+            new = (
+                ["(", "SELECT", "array_agg", "(", "("] + expr
+                + [")", "ORDER", "BY"] + keys + [")"] + rest + [")"]
+            )
+        else:
+            new = (
+                ["(", "SELECT", "collect_list", "(", "__gg_av", ")",
+                 "FROM", "("] + inner
+                + [")", "AS", "__gg_arrsub", "(", "__gg_av", ")", ")"]
+            )
+        toks[i : close + 1] = new
+        i += 1
+    return toks
 
 
 def _pass_agg_order_by(toks: list[str]) -> list[str]:
@@ -7812,6 +7889,7 @@ def transpile(sql: str) -> str:
     toks = _pass_text_search(toks)
     toks = _pass_prefix_math_ops(toks)
     toks = _pass_factorial(toks)
+    toks = _pass_array_subquery(toks)
     toks = _pass_agg_order_by(toks)
     toks = _pass_avg_bigint_exact(toks)
     toks = _pass_rank_needs_order(toks)

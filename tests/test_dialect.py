@@ -1346,3 +1346,47 @@ class TestDateArithmeticCastForms:
         assert str(self._one(spark, "'2020-01-10'::date + 5")) == (
             "2020-01-15"
         )
+
+
+class TestArraySubqueryConstructor:
+    """ARRAY(SELECT ...) (gram.y ARRAY select_with_parens)."""
+
+    def _one(self, spark, q):
+        return pg_sql(spark, q).collect()[0][0]
+
+    def test_ordered(self, spark):
+        got = self._one(
+            spark,
+            "SELECT ARRAY(SELECT x FROM (VALUES (2),(1)) t(x) "
+            "ORDER BY x) AS v",
+        )
+        assert list(got) == [1, 2]
+
+    def test_ordered_desc_on_other_shape(self, spark):
+        got = self._one(
+            spark,
+            "SELECT ARRAY(SELECT x FROM (VALUES (2),(1),(3)) t(x) "
+            "WHERE x > 1 ORDER BY x DESC) AS v",
+        )
+        assert list(got) == [3, 2]
+
+    def test_distinct_falls_to_unordered_collect(self, spark):
+        got = self._one(
+            spark,
+            "SELECT ARRAY(SELECT DISTINCT x FROM (VALUES (1),(1)) t(x)) "
+            "AS v",
+        )
+        assert list(got) == [1]
+
+    def test_array_literal_ctor_unaffected(self, spark):
+        assert list(self._one(spark, "SELECT ARRAY[3,1] AS v")) == [3, 1]
+
+
+class TestBooleanSpellings:
+    def test_on_off_prefixes(self, spark):
+        row = pg_sql(
+            spark,
+            "SELECT 'on'::boolean AS a, 'off'::boolean AS b, "
+            "'of'::bool AS c, 't'::boolean AS d",
+        ).collect()[0]
+        assert (row.a, row.b, row.c, row.d) == (True, False, False, True)
