@@ -1905,7 +1905,10 @@ class GreengageEngine:
         )
         mb = re.match(r"(?is)^values\b(.*)$", body)
         if mb:
-            rows = self._split_top(mb.group(1).strip())
+            # peel a trailing RETURNING clause first — it would otherwise
+            # corrupt the per-row default append on multi-row VALUES
+            vals_text, returning = self._split_returning(mb.group(1))
+            rows = self._split_top(vals_text.strip())
             if not rows or not rows[0].strip().startswith("("):
                 return stmt
             if cols is None:
@@ -1919,9 +1922,10 @@ class GreengageEngine:
                 "(" + r.strip()[1:-1] + ", " + exp + ")" for r in rows
             ]
             new_cols = cols + [c.name.lower() for c in missing]
+            tail = f" RETURNING {returning}" if returning else ""
             return (
                 f"INSERT INTO {name} ({', '.join(new_cols)}) "
-                f"VALUES {', '.join(new_rows)}"
+                f"VALUES {', '.join(new_rows)}{tail}"
             )
         if cols is not None and re.match(r"(?is)^(select|with|\()", body):
             missing = [c for c in seq_cols if c.name.lower() not in cols]

@@ -295,3 +295,24 @@ class TestDataModifyingCTE:
     def test_plain_with_unaffected(self, eng):
         got = eng.execute("WITH x AS (SELECT 1 AS a) SELECT a FROM x").collect()
         assert got[0].a == 1
+
+
+class TestSerialInsertReturning:
+    """Multi-row INSERT with a serial column AND a RETURNING clause:
+    the per-row sequence default must append to EVERY row (the trailing
+    RETURNING used to corrupt the row split)."""
+
+    def test_multirow_returning(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh_sret"))
+        eng.execute("CREATE TABLE sret (id serial, name text)")
+        r = eng.execute(
+            "INSERT INTO sret (name) VALUES ('a'), ('b') "
+            "RETURNING id, name"
+        )
+        assert sorted(map(tuple, r.collect())) == [(1, "a"), (2, "b")]
+        rows = eng.execute(
+            "SELECT id, name FROM sret ORDER BY id"
+        ).collect()
+        assert [tuple(x) for x in rows] == [(1, "a"), (2, "b")]
