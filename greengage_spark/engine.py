@@ -313,8 +313,30 @@ class GreengageEngine:
         self._register(name)
         return None
 
+    def _flatten_schemas(self, stmt: str) -> str:
+        """Custom schemas over the flat namespace: a qualified name
+        ``myschema.obj`` flattens to ``myschema__obj`` for every schema
+        registered via CREATE SCHEMA (namespace.c semantics are
+        emulated by name mangling; an alias that shadows a schema name
+        is the documented edge)."""
+        customs = [
+            n for n in getattr(self.acl, "schemas", ()) if n.lower() != "public"
+        ]
+        if not customs:
+            return stmt
+        pat = re.compile(
+            r"(?i)\b(" + "|".join(re.escape(n) for n in customs)
+            + r")\s*\.\s*(?=[\w\"])"
+        )
+        parts = re.split(r"('(?:[^']|'')*')", stmt)
+        return "".join(
+            p if i % 2 else pat.sub(lambda m: m.group(1).lower() + "__", p)
+            for i, p in enumerate(parts)
+        )
+
     def execute(self, sql: str) -> DataFrame | None:
         stmt = _strip_public_schema(sql.strip().rstrip(";"))
+        stmt = self._flatten_schemas(stmt)
         head = stmt.split(None, 2)[0].lower() if stmt else ""
         if self.domains and not re.match(r"(?is)^(create|drop)\s+domain\b", stmt):
             stmt = self._resolve_domains(stmt, head)

@@ -341,3 +341,45 @@ class TestDescriptionAndPrivilegeFolds:
             "has_schema_privilege('public', 'USAGE') AS s"
         ).collect()[0]
         assert row.p is True and row.s is True
+
+
+class TestSchemaQualifiedObjects:
+    """CREATE SCHEMA + schema-qualified DDL/DML/queries: the flat
+    namespace emulates namespace.c by name-flattening registered
+    schemas (myschema.obj -> myschema__obj)."""
+
+    def test_schema_qualified_lifecycle(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh_sch"))
+        eng.execute("CREATE SCHEMA app")
+        eng.execute("CREATE TABLE app.events (id int, kind text)")
+        eng.execute("INSERT INTO app.events VALUES (1, 'x'), (2, 'y')")
+        got = eng.execute(
+            "SELECT count(*) AS n FROM app.events"
+        ).collect()[0].n
+        assert got == 2
+        # joins across schemas and with the default namespace
+        eng.execute("CREATE TABLE plain (id int)")
+        eng.execute("INSERT INTO plain VALUES (1)")
+        rows = eng.execute(
+            "SELECT e.kind FROM app.events e JOIN plain p ON e.id = p.id"
+        ).collect()
+        assert [r.kind for r in rows] == ["x"]
+        eng.execute("DROP TABLE app.events")
+
+    def test_unregistered_qualifier_untouched(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+        import pytest as _p
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh_sch2"))
+        with _p.raises(Exception):
+            eng.execute("SELECT * FROM nosuchschema.t")
+
+    def test_string_literals_untouched(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh_sch3"))
+        eng.execute("CREATE SCHEMA app")
+        got = eng.execute("SELECT 'app.events' AS s").collect()[0].s
+        assert got == "app.events"
