@@ -1253,6 +1253,51 @@ def dialect_geometry_lseg_poly(spark, sf_dir):
 
 
 @suite.add(
+    "dialect_hypothetical_mix",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) FILTER (WHERE c_acctbal < 5000.0) + 1 AS BIGINT)
+             AS hr,
+           round(CAST(count(*) FILTER (WHERE c_acctbal <= 5000.0) + 1
+                      AS DOUBLE) / (count(*) + 1), 6) AS cd,
+           (SELECT string_agg(r_name, '|' ORDER BY r_name) FROM region)
+             AS regions,
+           CAST(min(DATE '1998-12-31' - DATE '1995-01-01') AS INTEGER)
+             AS min_gap
+    FROM customer
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="Round-9 SQL-surface mix with a direct DuckDB oracle: "
+        "hypothetical-set rank/cume_dist(h) WITHIN GROUP "
+        "(orderedsetaggs.c:155 — conditional counts, "
+        "partial-aggregatable), the ARRAY(SELECT ... ORDER BY) subquery "
+        "constructor (scalar array_agg inline), and date - date over "
+        "typed literals returning integer days (date.c date_mi).",
+    tags=("dialect", "agg"),
+)
+def dialect_hypothetical_mix(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT c_mktsegment,
+               CAST(rank(5000.0) WITHIN GROUP (ORDER BY c_acctbal)
+                    AS int8) AS hr,
+               round(cume_dist(5000.0) WITHIN GROUP (ORDER BY c_acctbal),
+                     6) AS cd,
+               array_to_string(
+                 ARRAY(SELECT r_name FROM region ORDER BY r_name), '|')
+                 AS regions,
+               CAST(min(DATE '1998-12-31' - DATE '1995-01-01') AS int4)
+                 AS min_gap
+        FROM customer
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        ["customer", "region"],
+    )
+
+
+@suite.add(
     "dialect_orafce",
     oracle="""
     SELECT o_orderkey,
