@@ -345,9 +345,10 @@ def substring_span_dedup(
        text) are found with ONE 2-stage hash aggregate, then joined back
        — candidates ∝ true duplicates, exactly the suffix-array
        economics of the paper but in relational form;
-    3. overlapping duplicate windows merge into maximal spans with a
-       lag/sum gaps-and-islands pass partitioned BY DOCUMENT (bounded
-       partitions — there is no corpus-wide Window).
+    3. overlapping duplicate windows merge into maximal spans inside
+       ONE per-document aggregation (array_sort + an aggregate() fold
+       over the positions — no Window operator anywhere; per-document
+       arrays are bounded by document length).
 
     Output: (id, n_spans, dup_tokens, spans "start-end,...") for every
     document containing duplicated text, span bounds in token positions.
@@ -379,32 +380,45 @@ def substring_span_dedup(
     )
     hits = wins.join(dup, "h").select(id_col, "pos")
 
-    from pyspark.sql import Window as W
-
-    byd = W.partitionBy(id_col).orderBy("pos")
-    spans = (
-        hits.withColumn(
-            "brk",
-            F.when(
-                F.col("pos") - F.lag("pos").over(byd) <= window, F.lit(0)
-            ).otherwise(F.lit(1)),
-        )
-        .withColumn("island", F.sum("brk").over(byd))
-        .groupBy(id_col, "island")
-        .agg(
-            F.min("pos").alias("s"),
-            (F.max("pos") + window).alias("e"),
-        )
+    # interval merge as ONE per-document aggregation: sort the hit
+    # positions and fold them into merged spans with a JVM aggregate()
+    # lambda — no Window operator anywhere, a single hash exchange on
+    # the document id (positions per document are bounded by document
+    # length, so the collected array is small by construction)
+    merged = hits.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("ps")
     )
+    spans_expr = F.expr(
+        f"""
+        aggregate(
+          ps,
+          CAST(array() AS array<struct<s:int, e:int>>),
+          (acc, p) -> CASE
+            WHEN size(acc) > 0 AND p <= element_at(acc, -1).e THEN
+              concat(
+                slice(acc, 1, size(acc) - 1),
+                array(named_struct(
+                  's', element_at(acc, -1).s,
+                  'e', greatest(element_at(acc, -1).e, p + {window}))))
+            ELSE concat(acc, array(named_struct(
+                   's', p, 'e', p + {window})))
+          END)
+        """
+    ).alias("spans_arr")
     return (
-        spans.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_spans"),
-            F.sum(F.col("e") - F.col("s")).cast("bigint").alias("dup_tokens"),
+        merged.select(F.col(id_col), spans_expr)
+        .select(
+            F.col(id_col),
+            F.size("spans_arr").cast("int").alias("n_spans"),
+            F.aggregate(
+                "spans_arr",
+                F.lit(0).cast("bigint"),
+                lambda acc, sp: acc + sp["e"] - sp["s"],
+            ).alias("dup_tokens"),
             F.concat_ws(
                 ",",
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("s", "e"))),
+                    "spans_arr",
                     lambda x: F.concat_ws("-", x["s"], x["e"]),
                 ),
             ).alias("spans"),

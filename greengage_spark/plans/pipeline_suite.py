@@ -152,9 +152,10 @@ def dedup_paragraph(spark, sf_dir):
         "found with ONE 2-stage hash aggregate over window digests "
         "(candidates ∝ true duplicates — the suffix-array economics in "
         "relational form, never all-pairs), joined back, and merged "
-        "into maximal per-document spans with a gaps-and-islands pass "
-        "partitioned BY DOCUMENT (bounded partitions; no corpus-wide "
-        "Window, plan-pinned in tests/test_dedup_spans.py). Output: "
+        "into maximal per-document spans inside ONE per-document "
+        "aggregation (JVM aggregate() fold over sorted positions — no "
+        "Window operator at all, plan-pinned in "
+        "tests/test_dedup_spans.py). Output: "
         "merged duplicate span bounds + covered token counts per "
         "affected document.",
     tags=("pipeline", "dedup", "bench"),

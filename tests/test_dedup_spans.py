@@ -64,15 +64,9 @@ def test_plan_no_corpus_wide_window(spark):
     rows = [(i, f"doc {i} words " * 5) for i in range(10)]
     df = substring_span_dedup(_docs(spark, rows), "doc_id", "text", window=8)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the islands pass must be partitioned by document: a corpus-wide
-    # Window would funnel everything through one partition
+    # the interval merge folds inside ONE per-document aggregation:
+    # no Window operator at all, no single-partition funnel, and no
+    # cartesian products anywhere
     assert "SinglePartition" not in plan
-    import re
-
-    # every windowspecdefinition must carry the doc partition column
-    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-    assert specs, "expected the gaps-and-islands window in the plan"
-    for spec in specs:
-        assert "doc_id" in spec
-    # no cartesian products anywhere
+    assert "windowspecdefinition" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
