@@ -953,7 +953,33 @@ class _StmtParser:
             self.take()
             init = self.expr()
         self.expect(";")
-        cast = (lambda v: v) if is_array else _CASTS.get(tname)
+        if is_array:
+            # array-typed vars parse PG array-literal strings ('{}',
+            # '{1,2}') through the element cast (arrayfuncs.c array_in
+            # — the simple unnested/unquoted-comma subset)
+            base = _CASTS.get(tname) or (lambda v: v)
+
+            def _arr_cast(v, _b=base):
+                if v is None or isinstance(v, list):
+                    return v
+                s = v.strip() if isinstance(v, str) else None
+                if s is not None and s.startswith("{") and s.endswith("}"):
+                    body = s[1:-1].strip()
+                    if not body:
+                        return []
+                    out = []
+                    for item in body.split(","):
+                        item = item.strip()
+                        if item.upper() == "NULL":
+                            out.append(None)
+                        else:
+                            out.append(_b(item.strip('"')))
+                    return out
+                return v
+
+            cast = _arr_cast
+        else:
+            cast = _CASTS.get(tname)
         if cast is None:
             raise NotImplementedError(
                 f"plpgsql: declared type {tname!r} not supported"

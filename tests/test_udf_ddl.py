@@ -526,3 +526,25 @@ class TestPlpgsqlCaseAndArrays:
             "$$ LANGUAGE plpgsql"
         )
         assert eng.execute("SELECT build_sq(4) AS v").collect()[0].v == 130
+
+
+class TestPlpgsqlArrayLiterals:
+    """Array-typed DECLARE defaults parse PG array-literal strings
+    through the element cast (arrayfuncs.c array_in subset)."""
+
+    def test_empty_and_valued_literals(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh_arr"))
+        eng.execute(
+            "CREATE FUNCTION arrfn() RETURNS int[] AS $$\n"
+            "DECLARE a int[] := '{}'; b int[] := '{1,2}';\n"
+            "BEGIN\n"
+            "  a := array_append(a, 7);\n"
+            "  RETURN a || b;\n"
+            "END $$ LANGUAGE plpgsql"
+        )
+        got = eng.execute(
+            "SELECT array_to_string(arrfn(), ',') AS v"
+        ).collect()[0].v
+        assert got == "7,1,2"
