@@ -988,6 +988,13 @@ def _pass_quantified(toks: list[str]) -> list[str]:
             close = _match_paren(toks, i + 2)
             sub = toks[i + 3 : close]
             kind = "any" if quant in ("any", "some") else "all"
+            if sub and _is_ident(sub[0]) and sub[0].lower() == "values":
+                # ANY/ALL (VALUES ...) is the subquery form too
+                # (gram.y select_with_parens includes values_clause)
+                sub = (
+                    ["SELECT", "*", "FROM", "("] + sub
+                    + [")", "AS", "__gg_vq"]
+                )
             if not sub or sub[0].lower() not in ("select", "with"):
                 # scalar-array-op form: x op ANY/ALL(array-expression)
                 # (parse_oper.c make_scalar_array_op).  exists()/forall()

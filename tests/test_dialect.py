@@ -1390,3 +1390,19 @@ class TestBooleanSpellings:
             "'of'::bool AS c, 't'::boolean AS d",
         ).collect()[0]
         assert (row.a, row.b, row.c, row.d) == (True, False, False, True)
+
+
+class TestQuantifiedValues:
+    """x op ANY/ALL (VALUES ...) — the values_clause subquery form."""
+
+    def test_any_all_values(self, spark):
+        base = "SELECT a FROM (VALUES (1),(2)) t(a) WHERE a"
+        assert len(pg_sql(
+            spark, f"{base} = ANY(VALUES (1), (3))"
+        ).collect()) == 1
+        assert len(pg_sql(
+            spark, f"{base} <> ALL(VALUES (3), (4))"
+        ).collect()) == 2
+        assert len(pg_sql(
+            spark, f"{base} > ALL(VALUES (0), (1))"
+        ).collect()) == 1
