@@ -2219,6 +2219,51 @@ def _similar_to_regex(pat: str, esc: str) -> str:
     return "^(?:" + "".join(out) + ")$"
 
 
+def _similar_substring_regex(pat: str, esc: str) -> tuple[str, bool]:
+    """SIMILAR substring pattern (similar_escape with escape-double-quote
+    group markers) → (anchored Java regex, has_group).  esc+'\"' pairs
+    become the capture parens; other escape uses stay literal."""
+    out: list[str] = ["^(?:"]
+    i, n = 0, len(pat)
+    marker = 0
+    while i < n:
+        c = pat[i]
+        if esc and c == esc and i + 1 < n and pat[i + 1] == '"':
+            out.append("(" if marker % 2 == 0 else ")")
+            marker += 1
+            i += 2
+            continue
+        if esc and c == esc:
+            if i + 1 < n:
+                out.append(re.escape(pat[i + 1]))
+                i += 2
+                continue
+            i += 1
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        elif c == "[":
+            j = i + 1
+            if j < n and pat[j] == "^":
+                j += 1
+            if j < n and pat[j] == "]":
+                j += 1
+            while j < n and pat[j] != "]":
+                j += 1
+            out.append(pat[i : j + 1])
+            i = j + 1
+            continue
+        elif c in ".^$\\":
+            out.append("\\" + c)
+        else:
+            out.append(c)
+        i += 1
+    out.append(")$")
+    return "".join(out), marker >= 2
+
+
 def _pass_similar_to(toks: list[str]) -> list[str]:
     """``x [NOT] SIMILAR TO 'pat' [ESCAPE 'e']`` → ``x RLIKE '^(?:…)$'``
     (gram.y a_expr SIMILAR TO; regexp.c similar_escape).  Literal
@@ -6711,6 +6756,30 @@ def _pass_functions(toks: list[str]) -> list[str]:
                             ["case", "when", "("] + xpr + [")", "rlike", lit,
                              "then", "regexp_extract", "(", "("] + xpr
                             + [")", ",", lit, ",", grp, ")", "end"]
+                        )
+                        i += 1
+                        continue
+                    if (
+                        len(rest) == 3
+                        and _is_string(rest[0])
+                        and _is_ident(rest[1])
+                        and rest[1].lower() == "for"
+                        and _is_string(rest[2])
+                    ):
+                        # SUBSTRING(x FROM pat FOR esc) — the SQL-standard
+                        # SIMILAR substring (varlena.c textregexsubstr via
+                        # similar_escape): esc+" pairs delimit the
+                        # returned portion; the pattern must cover the
+                        # whole string
+                        pat = rest[0][1:-1].replace("''", "'")
+                        esc = rest[2][1:-1].replace("''", "'")
+                        rx, has_group = _similar_substring_regex(pat, esc)
+                        rx_lit = "'" + rx.replace("'", "''") + "'"
+                        grp = "1" if has_group else "0"
+                        out[i : close + 1] = (
+                            ["case", "when", "("] + xpr + [")", "rlike",
+                             rx_lit, "then", "regexp_extract", "(", "("]
+                            + xpr + [")", ",", rx_lit, ",", grp, ")", "end"]
                         )
                         i += 1
                         continue

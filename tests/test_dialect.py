@@ -1406,3 +1406,39 @@ class TestQuantifiedValues:
         assert len(pg_sql(
             spark, f"{base} > ALL(VALUES (0), (1))"
         ).collect()) == 1
+
+
+class TestSimilarSubstring:
+    """SUBSTRING(x FROM pat FOR esc) — the SQL-standard SIMILAR
+    substring (varlena.c textregexsubstr via similar_escape): esc+'\"'
+    pairs mark the returned portion, the pattern covers the whole
+    string, no markers returns the whole match."""
+
+    def _one(self, spark, q):
+        return pg_sql(spark, q).collect()[0][0]
+
+    def test_doc_example(self, spark):
+        assert self._one(
+            spark,
+            '''SELECT substring('foobar' from '%#"o_b#"%' for '#') AS v''',
+        ) == "oob"
+
+    def test_whole_string_anchor(self, spark):
+        assert self._one(
+            spark,
+            '''SELECT substring('foobar' from '#"o_b#"%' for '#') AS v''',
+        ) is None
+
+    def test_no_markers_whole_match(self, spark):
+        assert self._one(
+            spark,
+            "SELECT substring('foobar' from 'f%' for '#') AS v",
+        ) == "foobar"
+
+    def test_positional_and_posix_unaffected(self, spark):
+        assert self._one(
+            spark, "SELECT substring('Thomas' from 2 for 3) AS v"
+        ) == "hom"
+        assert self._one(
+            spark, "SELECT substring('foobar' from 'o.b') AS v"
+        ) == "oob"
