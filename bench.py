@@ -27,6 +27,26 @@ HEADLINE = [
     "q21_waiting_supplier",
 ]
 
+# Frozen r6-r8 membership: "value_14q" sums exactly these so round-over-round
+# deltas stay one-variable even as new bench-tagged queries join the headline
+# set (r9 added dedup_substring_spans, making raw "value" non-comparable).
+STABLE_14Q = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_revenue_forecast",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
+    "q21_waiting_supplier",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_bruteforce_topk",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    "text_quality_metrics",
+]
+
 
 def main() -> None:
     import re
@@ -86,6 +106,9 @@ def main() -> None:
             {
                 "metric": "headline_query_wall_clock",
                 "value": round(sum(timings.values()), 3),
+                "value_14q": round(
+                    sum(timings[n] for n in STABLE_14Q if n in timings), 3
+                ),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
