@@ -1436,6 +1436,52 @@ def external_gpfdist_scan(spark, sf_dir):
 
 
 @suite.add(
+    "external_http_scan",
+    oracle="""
+    SELECT CAST(g AS BIGINT) AS k, 'row-' || g AS v
+    FROM generate_series(0, 59) t(g) ORDER BY k
+    """,
+    doc="http:// external table (url_curl.c; createplan.c:1437 '1 URI : "
+        "1 segdb' mapping): each LOCATION URI is fetched WHOLE by exactly "
+        "one executor task with the X-GP request-header contract; the "
+        "plain web server (sources/http_ext.serve_files) ignores them and "
+        "answers a raw proto-0 body. HEADER skips each uri's first line; "
+        "one deliberately corrupt line per file exercises SREH "
+        "(SEGMENT REJECT LIMIT) through the distributed corrupt-record "
+        "count. Parsing is JVM-side from_csv; the driver never touches "
+        "the data path.",
+    tags=("engine", "external", "scan"),
+)
+def external_http_scan(spark, sf_dir):
+    import os
+
+    from greengage_spark.engine import GreengageEngine
+    from greengage_spark.sources.http_ext import serve_files
+
+    root = tempfile.mkdtemp(prefix="gg_http_")
+    half = 30
+    for fname, lo in (("a.csv", 0), ("b.csv", half)):
+        with open(os.path.join(root, fname), "w") as fh:
+            fh.write("k,v\n")  # HEADER line
+            fh.write("".join(f"{i},row-{i}\n" for i in range(lo, lo + half)))
+            fh.write("notanint,bad-row\n")  # SREH-rejected
+    srv, port = serve_files(root)
+    try:
+        eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_httpw_"))
+        eng.execute(
+            f"CREATE EXTERNAL WEB TABLE http_rows (k int8, v text) LOCATION "
+            f"('http://127.0.0.1:{port}/a.csv', "
+            f"'http://127.0.0.1:{port}/b.csv') "
+            f"FORMAT 'CSV' (HEADER) SEGMENT REJECT LIMIT 2 ROWS"
+        )
+        # materialize before the server shuts down (the view is lazy)
+        rows = eng.execute("SELECT k, v FROM http_rows ORDER BY k").collect()
+    finally:
+        srv.shutdown()
+    return spark.createDataFrame(rows, "k bigint, v string")
+
+
+@suite.add(
     "script_dump_restore_acl",
     oracle="""
     SELECT n_regionkey,

@@ -200,10 +200,11 @@ def _strip_file_uri(uri: str) -> str:
     m = re.match(r"(?is)^file://[^/]*(/.*)$", uri)
     if m:
         return m.group(1)
-    if re.match(r"(?is)^(gpfdists|http|https)://", uri):
+    if re.match(r"(?is)^gpfdists://", uri):
         raise NotImplementedError(
-            f"external protocol in {uri!r}: file://, plain paths, and "
-            "gpfdist:// are served (gpfdists TLS is not)"
+            f"external protocol in {uri!r}: file://, plain paths, "
+            "gpfdist://, and http(s):// are served (gpfdists "
+            "client-certificate TLS is not)"
         )
     return uri
 
@@ -284,6 +285,31 @@ def parse_create_external(stmt: str) -> ExternalTableDef:
             null_str=null_str,
         )
         return ExternalTableDef(name=name, writable=False, table=gtab)
+    if any(re.match(r"(?i)^https?://", u) for u in raw_uris):
+        # http protocol: each URI maps to exactly one segment and is
+        # fetched whole (createplan.c:1437 mapping rule)
+        if not all(re.match(r"(?i)^https?://", u) for u in raw_uris):
+            raise NotImplementedError(
+                "LOCATION lists cannot mix http(s):// with other protocols"
+            )
+        if writable:
+            raise NotImplementedError(
+                "WRITABLE http external tables (the reference writes only "
+                "through gpfdist, url_curl.c forwrite POST path)"
+            )
+        from greengage_spark.sources.http_ext import HttpExternalTable
+
+        htab = HttpExternalTable(
+            uris=raw_uris,
+            schema=schema,
+            fmt=fmt,
+            delimiter=delimiter,
+            null_str=null_str,
+            header=header,
+            reject_limit=int(rej) if rej else None,
+            reject_percent=(rej_unit or "rows").lower() == "percent",
+        )
+        return ExternalTableDef(name=name, writable=False, table=htab)
     locations = [_strip_file_uri(u) for u in raw_uris]
     if writable:
         return ExternalTableDef(

@@ -198,6 +198,9 @@ def serve_directory(root: str, port: int = 0):
                 share += b"\n"
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
+            # the real daemon echoes the negotiated proto in the response;
+            # url_curl.c's header_callback keys the framing off it
+            self.send_header("X-GP-PROTO", proto)
             if proto == "0":
                 self.send_header("Content-Length", str(len(share)))
                 self.end_headers()

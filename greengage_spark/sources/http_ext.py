@@ -1,0 +1,178 @@
+"""http(s):// external tables.
+
+Reference: src/backend/access/external/url_curl.c (the segment-side
+curl client, shared with gpfdist) and the planner's mapping rule in
+src/backend/optimizer/plan/createplan.c:1437 — ``'http' protocol: each
+location (URI of http server) gets mapped to one and one only primary
+segdb``.  So unlike gpfdist (where every segment asks one server for
+its share), each http URI is fetched WHOLE by exactly one segment and
+parallelism comes from listing multiple URIs.
+
+Protocol details mirrored from url_curl.c:
+
+- the client sends the X-GP-* request-header contract to http servers
+  too (url_curl.c:1332-1339 sets X-GP-SEGMENT-ID/COUNT/PROTO
+  unconditionally for reads); a plain web server ignores them.
+- the RESPONSE decides the framing: header_callback (url_curl.c:367)
+  parses ``X-GP-PROTO`` out of the response headers — if the server
+  answers with proto 1 (a gpfdist daemon addressed via http://), the
+  body is the block stream; absent the header, gp_proto stays 0 and
+  the body is raw content.
+- non-2xx responses abort the scan (url_curl.c:575 "http response
+  code ... from gpfdist").
+
+Spark mapping: one task per URI (``repartition(n)`` over the URI
+list), the GET runs ON THE EXECUTORS inside ``mapInPandas``, and line
+parsing is JVM-side ``from_csv`` with a corrupt-record column so SREH
+(``SEGMENT REJECT LIMIT n [PERCENT]``, cdbsreh.c) enforces with a
+distributed count — the driver never touches the data path.  https://
+rides urllib's TLS; gpfdists:// (client-certificate TLS to a gpfdist
+daemon) stays a loud reject in external.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from greengage_spark.sources.external import CORRUPT_COL, RejectLimitExceeded
+
+
+def fetch_url_lines(url: str, seg_id: int, seg_count: int) -> list[str]:
+    """Fetch one http(s) URI whole — the url_curl.c GET with the X-GP
+    request-header contract; framing decided by the response's
+    X-GP-PROTO header (block stream if the server is a gpfdist daemon,
+    raw body otherwise)."""
+    from urllib.error import HTTPError
+    from urllib.request import Request, urlopen
+
+    req = Request(
+        url,
+        headers={
+            "X-GP-PROTO": "1",
+            "X-GP-SEGMENT-ID": str(seg_id),
+            "X-GP-SEGMENT-COUNT": str(seg_count),
+            "X-GP-XID": "1",
+            "X-GP-CID": "1",
+            "X-GP-SN": "1",
+        },
+    )
+    try:
+        with urlopen(req, timeout=60) as resp:
+            proto = (resp.headers.get("X-GP-PROTO") or "0").strip()
+            if proto == "1":
+                from greengage_spark.sources.gpfdist import _read_proto1_stream
+
+                data = b"".join(_read_proto1_stream(resp))
+            else:
+                data = resp.read()
+    except HTTPError as e:  # url_curl.c:575 non-2xx abort
+        raise IOError(f"http response code {e.code} from {url}: {e.reason}")
+    return [ln for ln in data.decode("utf-8", "replace").split("\n") if ln]
+
+
+@dataclass
+class HttpExternalTable:
+    """READABLE EXTERNAL [WEB] TABLE ... LOCATION ('http://host/path',
+    ...) (gram.y:5432-5501; url_curl.c).  Each URI maps to exactly one
+    segment/task (createplan.c:1437); HEADER skips the first line of
+    EACH uri's content (copy.c header_line is per-source)."""
+
+    uris: list[str]
+    schema: str | StructType
+    fmt: str = "csv"
+    delimiter: str | None = None
+    null_str: str = ""
+    header: bool = False
+    reject_limit: int | None = None
+    reject_percent: bool = False
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        schema = self.schema
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        sep = self.delimiter or ("\t" if self.fmt == "text" else ",")
+        uris, skip_header = list(self.uris), self.header
+
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for seg in pdf["seg"]:
+                    seg = int(seg)
+                    lines = fetch_url_lines(uris[seg], seg, len(uris))
+                    if skip_header and lines:
+                        lines = lines[1:]
+                    yield pd.DataFrame({"line": lines})
+
+        lines = (
+            spark.range(len(uris))
+            .select(F.col("id").cast("int").alias("seg"))
+            .repartition(len(uris), "seg")
+            .mapInPandas(run, "line string")
+        )
+        # corrupt-record column = the SREH error log (cdbsreh.c)
+        full = StructType(
+            schema.fields + [StructField(CORRUPT_COL, StringType(), True)]
+        )
+        opts = {
+            "sep": sep,
+            "nullValue": self.null_str or ("\\N" if self.fmt == "text" else ""),
+            "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": CORRUPT_COL,
+        }
+        df = lines.select(
+            F.from_csv(F.col("line"), full.simpleString(), opts).alias("r")
+        ).select("r.*")
+        if self.reject_limit is not None:
+            df = df.cache()
+            bad = df.filter(F.col(CORRUPT_COL).isNotNull()).count()
+            limit = self.reject_limit
+            if self.reject_percent:
+                total = df.count()
+                if total and 100.0 * bad / total > limit:
+                    raise RejectLimitExceeded(
+                        f"{bad}/{total} rows rejected > {limit}%"
+                    )
+            elif bad > limit:
+                raise RejectLimitExceeded(f"{bad} rows rejected > limit {limit}")
+        return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+def serve_files(root: str, port: int = 0):
+    """Plain-HTTP static file server over ``root`` (test fixture /
+    local serving): the ordinary web-server side of an http://
+    external table — NO X-GP awareness, raw bodies (proto 0), 404 for
+    missing paths.  Returns (server, port)."""
+    import os
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):  # noqa: N802 - http.server API
+            path = os.path.normpath(self.path.lstrip("/"))
+            full = os.path.join(root, path)
+            if not os.path.isfile(full) or not os.path.realpath(full).startswith(
+                os.path.realpath(root)
+            ):
+                self.send_response(404)
+                self.end_headers()
+                return
+            with open(full, "rb") as fh:
+                content = fh.read()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(content)))
+            self.end_headers()
+            self.wfile.write(content)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]

@@ -1,0 +1,169 @@
+"""http(s):// external tables (url_curl.c; createplan.c:1437 mapping).
+
+Each LOCATION URI is fetched whole by exactly one task; the response's
+X-GP-PROTO header decides framing (raw body from a plain server, block
+stream from a gpfdist daemon addressed via http://); SREH reject limits
+enforce over the corrupt-record count.
+"""
+
+import os
+import tempfile
+
+import pytest
+
+from greengage_spark.sources.external import (
+    RejectLimitExceeded,
+    parse_create_external,
+)
+from greengage_spark.sources.http_ext import (
+    HttpExternalTable,
+    fetch_url_lines,
+    serve_files,
+)
+
+
+@pytest.fixture(scope="module")
+def http_root():
+    root = tempfile.mkdtemp(prefix="gg_http_test_")
+    with open(os.path.join(root, "a.csv"), "w") as fh:
+        fh.write("k,v\n")
+        fh.write("".join(f"{i},row-{i}\n" for i in range(5)))
+    with open(os.path.join(root, "b.csv"), "w") as fh:
+        fh.write("k,v\n")
+        fh.write("".join(f"{i},row-{i}\n" for i in range(5, 10)))
+    with open(os.path.join(root, "bad.csv"), "w") as fh:
+        fh.write("1,ok\nnope,bad1\n2,ok\nalso,bad2\n")
+    with open(os.path.join(root, "tabs.txt"), "w") as fh:
+        fh.write("1\tx\n2\t\\N\n")
+    srv, port = serve_files(root)
+    yield port
+    srv.shutdown()
+
+
+class TestHttpScan:
+    def test_one_uri_per_task_whole_file(self, spark, http_root):
+        tab = HttpExternalTable(
+            uris=[
+                f"http://127.0.0.1:{http_root}/a.csv",
+                f"http://127.0.0.1:{http_root}/b.csv",
+            ],
+            schema="k int, v string",
+            fmt="csv",
+            header=True,
+        )
+        rows = sorted((r.k, r.v) for r in tab.read(spark).collect())
+        assert rows == [(i, f"row-{i}") for i in range(10)]
+
+    def test_header_skipped_per_uri(self, spark, http_root):
+        # without header=True the 'k,v' line of EACH uri parses as corrupt
+        tab = HttpExternalTable(
+            uris=[
+                f"http://127.0.0.1:{http_root}/a.csv",
+                f"http://127.0.0.1:{http_root}/b.csv",
+            ],
+            schema="k int, v string",
+            fmt="csv",
+            header=False,
+            reject_limit=2,
+        )
+        assert tab.read(spark).count() == 10  # 2 header lines rejected
+
+    def test_text_format_defaults(self, spark, http_root):
+        tab = HttpExternalTable(
+            uris=[f"http://127.0.0.1:{http_root}/tabs.txt"],
+            schema="k int, v string",
+            fmt="text",
+        )
+        rows = sorted(
+            ((r.k, r.v) for r in tab.read(spark).collect()),
+            key=lambda t: t[0],
+        )
+        assert rows == [(1, "x"), (2, None)]  # \N null, tab delimiter
+
+    def test_sreh_within_limit_filters(self, spark, http_root):
+        tab = HttpExternalTable(
+            uris=[f"http://127.0.0.1:{http_root}/bad.csv"],
+            schema="k int, v string",
+            fmt="csv",
+            reject_limit=2,
+        )
+        assert tab.read(spark).count() == 2
+
+    def test_sreh_limit_exceeded(self, spark, http_root):
+        tab = HttpExternalTable(
+            uris=[f"http://127.0.0.1:{http_root}/bad.csv"],
+            schema="k int, v string",
+            fmt="csv",
+            reject_limit=1,
+        )
+        with pytest.raises(RejectLimitExceeded):
+            tab.read(spark).count()
+
+    def test_404_aborts(self, spark, http_root):
+        with pytest.raises(Exception, match="(?i)http response code 404"):
+            fetch_url_lines(
+                f"http://127.0.0.1:{http_root}/missing.csv", 0, 1
+            )
+
+    def test_proto1_response_honored(self, http_root):
+        """A gpfdist daemon addressed via http:// answers X-GP-PROTO 1;
+        the client parses the block framing (url_curl.c header_callback
+        → gp_proto1_read)."""
+        from greengage_spark.sources.gpfdist import serve_directory
+
+        root = tempfile.mkdtemp(prefix="gg_httpd1_")
+        with open(os.path.join(root, "r.txt"), "w") as fh:
+            fh.write("a\nb\nc\n")
+        srv, port = serve_directory(root)
+        try:
+            lines = fetch_url_lines(f"http://127.0.0.1:{port}/r.txt", 0, 1)
+        finally:
+            srv.shutdown()
+        assert lines == ["a", "b", "c"]
+
+
+class TestHttpDDL:
+    def test_parse_location_http(self):
+        etd = parse_create_external(
+            "CREATE EXTERNAL WEB TABLE t (k int, v text) LOCATION "
+            "('http://h1/a.csv', 'https://h2/b.csv') FORMAT 'CSV' (HEADER) "
+            "SEGMENT REJECT LIMIT 5 PERCENT"
+        )
+        tab = etd.table
+        assert isinstance(tab, HttpExternalTable)
+        assert tab.uris == ["http://h1/a.csv", "https://h2/b.csv"]
+        assert tab.header and tab.reject_limit == 5 and tab.reject_percent
+
+    def test_mixed_protocols_reject(self):
+        with pytest.raises(NotImplementedError, match="mix"):
+            parse_create_external(
+                "CREATE EXTERNAL TABLE t (k int) LOCATION "
+                "('http://h/a.csv', 'file:///tmp/b.csv') FORMAT 'CSV'"
+            )
+
+    def test_writable_http_reject(self):
+        with pytest.raises(NotImplementedError, match="WRITABLE http"):
+            parse_create_external(
+                "CREATE WRITABLE EXTERNAL TABLE t (k int) LOCATION "
+                "('http://h/a.csv') FORMAT 'CSV'"
+            )
+
+    def test_gpfdists_still_rejects(self):
+        with pytest.raises(NotImplementedError, match="gpfdists"):
+            parse_create_external(
+                "CREATE EXTERNAL TABLE t (k int) LOCATION "
+                "('gpfdists://h:8080/a.csv') FORMAT 'CSV'"
+            )
+
+    def test_engine_end_to_end(self, spark, http_root):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_httpe_"))
+        eng.execute(
+            f"CREATE EXTERNAL WEB TABLE http_t (k int8, v text) LOCATION "
+            f"('http://127.0.0.1:{http_root}/a.csv') FORMAT 'CSV' (HEADER)"
+        )
+        rows = eng.execute("SELECT k, v FROM http_t ORDER BY k").collect()
+        assert [(r.k, r.v) for r in rows] == [
+            (i, f"row-{i}") for i in range(5)
+        ]
