@@ -285,6 +285,32 @@ def parse_create_external(stmt: str) -> ExternalTableDef:
             null_str=null_str,
         )
         return ExternalTableDef(name=name, writable=False, table=gtab)
+    if any(re.match(r"(?i)^s3://", u) for u in raw_uris):
+        # gpcloud protocol (gpcontrib/gpcloud): exactly one LOCATION URI
+        # (gpcloud.cpp single-url contract); options ride the URI string
+        if len(raw_uris) != 1:
+            raise NotImplementedError(
+                "s3 external tables take exactly one LOCATION URI"
+            )
+        if writable:
+            raise NotImplementedError(
+                "WRITABLE s3 external tables (gpwriter.cpp): unload via "
+                "copy_to(df, 's3a://bucket/prefix', ...) once hadoop-aws "
+                "jars are present"
+            )
+        from greengage_spark.sources.s3_ext import S3ExternalTable, parse_s3_url
+
+        stab = S3ExternalTable(
+            location=parse_s3_url(raw_uris[0]),
+            schema=schema,
+            fmt=fmt,
+            delimiter=delimiter,
+            null_str=null_str,
+            header=header,
+            reject_limit=int(rej) if rej else None,
+            reject_percent=(rej_unit or "rows").lower() == "percent",
+        )
+        return ExternalTableDef(name=name, writable=False, table=stab)
     if any(re.match(r"(?i)^https?://", u) for u in raw_uris):
         # http protocol: each URI maps to exactly one segment and is
         # fetched whole (createplan.c:1437 mapping rule)

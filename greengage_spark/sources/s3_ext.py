@@ -1,0 +1,209 @@
+"""s3:// external tables — gpcloud LOCATION/config mapped onto Spark s3a.
+
+Reference: gpcontrib/gpcloud (the reference's S3 connector).  Its URL
+surface (src/s3url.cpp) is
+
+    s3://host/bucket/prefix [config=/path/s3.conf] [section=name]
+                            [region=r]
+
+— note the PATH-STYLE layout: the URL host is the S3 endpoint and the
+bucket is the first path component.  ``version`` selects the address
+dialect (src/s3url.cpp:8-17): version 1 derives the endpoint from the
+region (``s3-<region>.amazonaws.com``), version 2 uses the URL host
+verbatim.  Credentials and transfer knobs live in an INI config file
+(src/s3conf.cpp:84-137): accessid / secret / token, encryption
+(https, default true), threadnum, chunksize, low_speed_limit/_time,
+proxy, autocompress, verifycert, server_side_encryption,
+version.
+
+Spark mapping: Spark/Hadoop already speaks S3 natively through the
+``s3a`` filesystem, so this is a URI + option translation, NOT a
+protocol port — the connector's 4,000 lines of curl/SIGV4/multipart
+machinery are hadoop-aws's job.  ``s3a_options`` emits PER-BUCKET
+``fs.s3a.bucket.<bucket>.*`` keys so two external tables with
+different credentials coexist in one session.  When the hadoop-aws
+jars are absent from the Spark build (they are not bundled with
+pyspark), ``read`` rejects loudly up front instead of failing deep in
+a task.
+"""
+
+from __future__ import annotations
+
+import configparser
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class S3Location:
+    """Parsed gpcloud LOCATION string (s3url.cpp + GetOptS3 options)."""
+
+    endpoint: str  # URL host[:port] — the S3 endpoint in path-style
+    bucket: str
+    prefix: str
+    region: str = ""
+    config_path: str = "s3/s3.conf"  # s3conf.cpp:56 default
+    section: str = "default"
+    version: str = ""  # "" = auto (s3url.cpp: region-in-host => 1)
+
+
+def parse_s3_url(url_with_options: str) -> S3Location:
+    """Split ``s3://host/bucket/prefix opt=val ...`` exactly as
+    gpcloud's GetOptS3 + S3Url do: whitespace separates the URL from
+    ``config=``/``section=``/``region=`` options; the host is the
+    endpoint, first path segment the bucket, remainder the prefix."""
+    parts = url_with_options.strip().split()
+    url = parts[0]
+    opts = {}
+    for tok in parts[1:]:
+        m = re.match(r"(?i)^(config|section|region|version)=(.*)$", tok)
+        if not m:
+            raise ValueError(f"unrecognized s3 LOCATION option {tok!r}")
+        opts[m.group(1).lower()] = m.group(2)
+    m = re.match(r"(?is)^s3://([^/\s]+)(?:/([^/\s]+))?(?:/(\S*))?$", url)
+    if not m or not m.group(2):
+        raise ValueError(
+            f"illegal s3 URL {url!r}: expected s3://endpoint/bucket[/prefix]"
+        )
+    endpoint, bucket, prefix = m.group(1), m.group(2), m.group(3) or ""
+    region = opts.get("region", "")
+    version = opts.get("version", "")
+    # s3url.cpp extractRegionFromUrl: an s3[-.]<region>.amazonaws.com
+    # host implies version-1 addressing and carries the region
+    hm = re.match(r"(?i)^s3[-.]?([a-z0-9-]*)\.amazonaws\.com(?::\d+)?$", endpoint)
+    if hm and not version:
+        version = "1"
+        if not region:
+            region = hm.group(1) or "us-east-1"
+    return S3Location(
+        endpoint=endpoint,
+        bucket=bucket,
+        prefix=prefix,
+        region=region,
+        config_path=opts.get("config", "s3/s3.conf"),
+        section=opts.get("section", "default"),
+        version=version or "2",
+    )
+
+
+def parse_s3_config(path: str, section: str = "default") -> dict:
+    """Read gpcloud's INI config (s3conf.cpp key set)."""
+    cp = configparser.ConfigParser()
+    if not cp.read(path):
+        raise FileNotFoundError(
+            f"Failed to parse config file '{path}', or it doesn't exist"
+        )
+    if not cp.has_section(section):
+        raise KeyError(f"Selected section '{section}' does not exist")
+    return dict(cp.items(section))
+
+
+def s3a_options(loc: S3Location, conf: dict) -> tuple[str, dict]:
+    """(s3a path, hadoop per-bucket option dict) for one external table.
+
+    Per-bucket ``fs.s3a.bucket.<name>.*`` keys so different tables can
+    carry different credentials/endpoints in one session."""
+    b = f"fs.s3a.bucket.{loc.bucket}"
+    opts: dict[str, str] = {}
+    https = conf.get("encryption", "true").strip().lower() in ("true", "1", "on")
+    if loc.version == "1":
+        region = loc.region or conf.get("region", "")
+        host = (
+            "s3.amazonaws.com"
+            if region in ("", "us-east-1", "external-1")
+            else f"s3-{region}.amazonaws.com"
+        )
+    else:
+        host = loc.endpoint
+    opts[f"{b}.endpoint"] = ("https://" if https else "http://") + host
+    opts[f"{b}.connection.ssl.enabled"] = str(https).lower()
+    # gpcloud is path-style by construction (endpoint/bucket/prefix)
+    opts[f"{b}.path.style.access"] = "true"
+    if conf.get("accessid"):
+        opts[f"{b}.access.key"] = conf["accessid"]
+    if conf.get("secret"):
+        opts[f"{b}.secret.key"] = conf["secret"]
+    if conf.get("token"):
+        opts[f"{b}.session.token"] = conf["token"]
+        opts[f"{b}.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+        )
+    if conf.get("proxy"):
+        # proxy=[http://]host[:port] (s3conf.cpp setProxy)
+        pm = re.match(
+            r"(?i)^(?:https?://)?([^:/]+)(?::(\d+))?/?$", conf["proxy"].strip()
+        )
+        if pm:
+            opts[f"{b}.proxy.host"] = pm.group(1)
+            if pm.group(2):
+                opts[f"{b}.proxy.port"] = pm.group(2)
+    if conf.get("threadnum"):
+        opts[f"{b}.threads.max"] = conf["threadnum"]
+    if conf.get("chunksize"):
+        opts[f"{b}.multipart.size"] = conf["chunksize"]
+    if conf.get("server_side_encryption", "").strip().lower() == "sse-s3":
+        opts[f"{b}.server-side-encryption-algorithm"] = "AES256"
+    path = f"s3a://{loc.bucket}/{loc.prefix}" if loc.prefix else f"s3a://{loc.bucket}/"
+    return path, opts
+
+
+def s3a_available(spark: SparkSession) -> bool:
+    """True when the hadoop-aws S3AFileSystem is on the Spark classpath
+    (not bundled with pyspark; clusters add hadoop-aws + aws sdk jars)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 - jar probe
+            "org.apache.hadoop.fs.s3a.S3AFileSystem"
+        )
+        return True
+    except Exception:
+        return False
+
+
+@dataclass
+class S3ExternalTable:
+    """READABLE EXTERNAL TABLE ... LOCATION ('s3://endpoint/bucket/prefix
+    config=...') (gpcloud gpreader.cpp surface).  Listing/splitting of
+    the prefix's objects is the s3a reader's job — the analog of
+    s3bucket_reader.cpp's key list fanned across segments."""
+
+    location: S3Location
+    schema: str
+    fmt: str = "csv"
+    delimiter: str | None = None
+    null_str: str = ""
+    header: bool = False
+    reject_limit: int | None = None
+    reject_percent: bool = False
+    _conf_override: dict = field(default_factory=dict)  # tests
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if not s3a_available(spark):
+            raise NotImplementedError(
+                "s3:// external tables need the hadoop-aws jars on the "
+                "Spark classpath (spark.jars.packages "
+                "org.apache.hadoop:hadoop-aws:<hadoop version>); they are "
+                "not bundled with this sandbox's pyspark build"
+            )
+        conf = self._conf_override or parse_s3_config(
+            self.location.config_path, self.location.section
+        )
+        if not conf.get("accessid") and not self._conf_override:
+            raise ValueError("FATAL: access id not set")  # s3conf.cpp:162
+        path, opts = s3a_options(self.location, conf)
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+        for k, v in opts.items():
+            hconf.set(k, v)
+        from greengage_spark.sources.external import ExternalTable
+
+        return ExternalTable(
+            location=path,
+            schema=self.schema,
+            fmt=self.fmt,
+            delimiter=self.delimiter or ("\t" if self.fmt == "text" else ","),
+            null_str=self.null_str,
+            header=self.header,
+            reject_limit=self.reject_limit,
+            reject_percent=self.reject_percent,
+        ).read(spark)
