@@ -206,10 +206,14 @@ class GucManager:
             # ts_cache.c: bare to_tsvector/to_tsquery pick this config
             # up; pg_sql reads the spark conf at transpile time
             cfg = val.lower().split(".")[-1]
-            if cfg not in ("simple", "english"):
+            if cfg not in (
+                "simple", "english", "french", "german", "spanish",
+                "russian",
+            ):
                 raise NotImplementedError(
-                    f"default_text_search_config = {val!r}: 'simple' "
-                    "and 'english' are the implemented configurations"
+                    f"default_text_search_config = {val!r}: 'simple', "
+                    "'english', 'french', 'german', 'spanish', and "
+                    "'russian' are the implemented configurations"
                 )
             self._store(name, val, is_local and in_txn)
             self.spark.conf.set(

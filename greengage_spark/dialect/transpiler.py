@@ -3124,11 +3124,19 @@ def _pass_text_search(toks: list[str]) -> list[str]:
             args = _split_args(toks[i + 2 : close])
             if len(args) == 2 and len(args[0]) == 1 and _is_string(args[0][0]):
                 cfg = args[0][0].strip("'").lower().split(".")[-1]
-                if cfg == "english":
+                from greengage_spark.functions.snowball import LANGS
+
+                if cfg == "english" or cfg in LANGS:
                     if low == "to_tsvector":
-                        toks[i : close + 1] = (
-                            ["__gg_tsv_en", "("] + args[1] + [")"]
-                        )
+                        if cfg == "english":
+                            toks[i : close + 1] = (
+                                ["__gg_tsv_en", "("] + args[1] + [")"]
+                            )
+                        else:
+                            toks[i : close + 1] = (
+                                ["__gg_tsv_cfg", "(", f"'{cfg}'", ","]
+                                + args[1] + [")"]
+                            )
                     elif len(args[1]) == 1 and _is_string(args[1][0]):
                         from greengage_spark.functions.textsearch import (
                             stem_tsquery,
@@ -3136,7 +3144,9 @@ def _pass_text_search(toks: list[str]) -> list[str]:
 
                         body = args[1][0][1:-1].replace("''", "'")
                         stemmed = stem_tsquery(
-                            body, plain=(low == "plainto_tsquery")
+                            body,
+                            plain=(low == "plainto_tsquery"),
+                            config=cfg,
                         )
                         esc = stemmed.replace("'", "''")
                         toks[i : close + 1] = [
@@ -3144,13 +3154,14 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                         ]
                     else:
                         raise NotImplementedError(
-                            f"{low}('english', q): q must be a literal "
+                            f"{low}({cfg!r}, q): q must be a literal "
                             "(the snowball dictionary runs at plan time)"
                         )
                 elif cfg != "simple":
                     raise NotImplementedError(
-                        f"text search configuration {cfg!r}: 'simple' "
-                        "and 'english' are implemented"
+                        f"text search configuration {cfg!r}: 'simple', "
+                        "'english', 'french', 'german', 'spanish', and "
+                        "'russian' are implemented"
                     )
         elif (
             low == "ts_lexize"
@@ -3179,10 +3190,18 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                     lex = [] if word in STOPWORDS else [stem(word)]
                 elif dname == "simple":
                     lex = [word]
+                elif dname.endswith("_stem") and dname[:-5] in (
+                    "french", "german", "spanish", "russian"
+                ):
+                    from greengage_spark.functions.snowball import lexize
+
+                    k = lexize(dname[:-5], word)
+                    lex = [] if k is None else [k]
                 else:
                     raise NotImplementedError(
-                        f"ts_lexize dictionary {dname!r}: english_stem "
-                        "and simple are implemented"
+                        f"ts_lexize dictionary {dname!r}: simple and the "
+                        "english/french/german/spanish/russian _stem "
+                        "dictionaries are implemented"
                     )
                 items = ", ".join(
                     "'" + x.replace("'", "''") + "'" for x in lex
@@ -3319,17 +3338,16 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                 # literal and arg2 a tsquery, else (doc, q, opts))
                 opts = "''"
                 hl_cfg = "'simple'"
-                if (
-                    args
-                    and len(args[0]) == 1
-                    and _is_string(args[0][0])
-                    and args[0][0].strip("'").lower().split(".")[-1]
-                    == "english"
-                ):
-                    # english: match STEMMED document tokens, wrap the
-                    # original words (wparser_def.c hlparsetext runs the
-                    # dictionary chain over the document)
-                    hl_cfg = "'english'"
+                if args and len(args[0]) == 1 and _is_string(args[0][0]):
+                    _c = args[0][0].strip("'").lower().split(".")[-1]
+                    from greengage_spark.functions.snowball import LANGS
+
+                    if _c == "english" or _c in LANGS:
+                        # stemmed config: match STEMMED document tokens,
+                        # wrap the original words (wparser_def.c
+                        # hlparsetext runs the dictionary chain over the
+                        # document)
+                        hl_cfg = f"'{_c}'"
                 if len(args) == 4:
                     opts = args[3][0]
                     args = args[1:3]
@@ -3431,12 +3449,18 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                 # pseudo-position (tsrank.c POSNULL)
                 stripped = True
                 fn, inner = _unwrap_call(inner[0])
-            if fn not in ("to_tsvector", "__gg_tsv_en"):
+            if fn not in ("to_tsvector", "__gg_tsv_en", "__gg_tsv_cfg"):
                 raise NotImplementedError(
                     f"{low} subset: to_tsvector(x) / setweight(...) / "
                     "strip(...) vector arguments"
                 )
-            cfg_lit = "'english'" if fn == "__gg_tsv_en" else "'simple'"
+            if fn == "__gg_tsv_en":
+                cfg_lit = "'english'"
+            elif fn == "__gg_tsv_cfg":
+                cfg_lit = inner[0][0]  # the spliced config literal
+                inner = inner[1:]
+            else:
+                cfg_lit = "'simple'"
             inner = _drop_cfg(inner)
             if low == "ts_rank":
                 toks[i : close + 1] = (
@@ -3477,18 +3501,27 @@ def _pass_text_search(toks: list[str]) -> list[str]:
     while i < len(toks):
         low = toks[i].lower() if _is_ident(toks[i]) else None
         if (
-            low in ("to_tsvector", "__gg_tsv_en")
+            low in ("to_tsvector", "__gg_tsv_en", "__gg_tsv_cfg")
             and i + 1 < len(toks)
             and toks[i + 1] == "("
         ):
             close = _args_span(toks, i + 1)
             args = _split_args(toks[i + 2 : close])
+            cfg_arg = None
             if len(args) == 2 and _is_string(args[0][0]):
+                cfg_arg = args[0][0]
                 args = args[1:]
             if len(args) == 1:
                 if low == "__gg_tsv_en":
                     toks[i : close + 1] = (
                         ["pg_to_tsvector_en", "(", "CAST", "(", "("]
+                        + args[0]
+                        + [")", "AS", "STRING", ")", ")"]
+                    )
+                elif low == "__gg_tsv_cfg":
+                    toks[i : close + 1] = (
+                        ["pg_to_tsvector_cfg", "(", cfg_arg, ",",
+                         "CAST", "(", "("]
                         + args[0]
                         + [")", "AS", "STRING", ")", ")"]
                     )
@@ -8210,6 +8243,7 @@ def pg_sql(spark, sql: str):
     if (
         "pg_ts_rank" in out or "pg_ts_headline" in out
         or "pg_ts_rewrite" in out or "pg_to_tsvector_en" in out
+        or "pg_to_tsvector_cfg" in out
     ):
         from greengage_spark.functions import textsearch
 

@@ -1,0 +1,177 @@
+"""Multi-language text-search configurations — the snowball
+dictionary registry.
+
+Reference surface: src/backend/snowball/ (PG builds one text-search
+configuration per embedded snowball language: <lang>_stem dictionary +
+src/backend/snowball/stopwords/<lang>.stop).  Each stemmer module here
+is a clean-room implementation of the published snowballstem.org
+algorithm, pinned against the reference build's behavior
+(tests/data/snowball_<lang>.tsv); the stopword lists are the configs'
+semantic contract and are embedded verbatim as DATA (tests assert
+byte-equality with the reference's .stop files).
+
+'english' and 'simple' predate this module (snowball_en.py); this
+registry adds french / german / spanish / russian and is the single
+lookup the rest of the engine uses for any non-english config.
+"""
+
+from __future__ import annotations
+
+import re
+
+# src/backend/snowball/stopwords/french.stop — 155 words, verbatim
+STOPWORDS_FRENCH = frozenset("""
+au aux avec ce ces dans de des du elle en et eux il je la le leur
+lui ma mais me même mes moi mon ne nos notre nous on ou par pas
+pour qu que qui sa se ses son sur ta te tes toi ton tu un une vos
+votre vous c d j l à m n s t y été étée étées étés étant étante
+étants étantes suis es est sommes êtes sont serai seras sera
+serons serez seront serais serait serions seriez seraient étais
+était étions étiez étaient fus fut fûmes fûtes furent sois soit
+soyons soyez soient fusse fusses fût fussions fussiez fussent
+ayant ayante ayantes ayants eu eue eues eus ai as avons avez ont
+aurai auras aura aurons aurez auront aurais aurait aurions auriez
+auraient avais avait avions aviez avaient eut eûmes eûtes eurent
+aie aies ait ayons ayez aient eusse eusses eût eussions eussiez
+eussent
+""".split())
+
+# src/backend/snowball/stopwords/german.stop — 231 words, verbatim
+STOPWORDS_GERMAN = frozenset("""
+aber alle allem allen aller alles als also am an ander andere
+anderem anderen anderer anderes anderm andern anderr anders auch
+auf aus bei bin bis bist da damit dann der den des dem die das daß
+derselbe derselben denselben desselben demselben dieselbe
+dieselben dasselbe dazu dein deine deinem deinen deiner deines
+denn derer dessen dich dir du dies diese diesem diesen dieser
+dieses doch dort durch ein eine einem einen einer eines einig
+einige einigem einigen einiger einiges einmal er ihn ihm es etwas
+euer eure eurem euren eurer eures für gegen gewesen hab habe haben
+hat hatte hatten hier hin hinter ich mich mir ihr ihre ihrem ihren
+ihrer ihres euch im in indem ins ist jede jedem jeden jeder jedes
+jene jenem jenen jener jenes jetzt kann kein keine keinem keinen
+keiner keines können könnte machen man manche manchem manchen
+mancher manches mein meine meinem meinen meiner meines mit muss
+musste nach nicht nichts noch nun nur ob oder ohne sehr sein seine
+seinem seinen seiner seines selbst sich sie ihnen sind so solche
+solchem solchen solcher solches soll sollte sondern sonst über um
+und uns unse unsem unsen unser unses unter viel vom von vor
+während war waren warst was weg weil weiter welche welchem welchen
+welcher welches wenn werde werden wie wieder will wir wird wirst
+wo wollen wollte würde würden zu zum zur zwar zwischen
+""".split())
+
+# src/backend/snowball/stopwords/spanish.stop — 313 words, verbatim
+STOPWORDS_SPANISH = frozenset("""
+de la que el en y a los del se las por un para con no una su al lo
+como más pero sus le ya o este sí porque esta entre cuando muy sin
+sobre también me hasta hay donde quien desde todo nos durante
+todos uno les ni contra otros ese eso ante ellos e esto mí antes
+algunos qué unos yo otro otras otra él tanto esa estos mucho
+quienes nada muchos cual poco ella estar estas algunas algo
+nosotros mi mis tú te ti tu tus ellas nosotras vosostros vosostras
+os mío mía míos mías tuyo tuya tuyos tuyas suyo suya suyos suyas
+nuestro nuestra nuestros nuestras vuestro vuestra vuestros
+vuestras esos esas estoy estás está estamos estáis están esté
+estés estemos estéis estén estaré estarás estará estaremos
+estaréis estarán estaría estarías estaríamos estaríais estarían
+estaba estabas estábamos estabais estaban estuve estuviste estuvo
+estuvimos estuvisteis estuvieron estuviera estuvieras estuviéramos
+estuvierais estuvieran estuviese estuvieses estuviésemos
+estuvieseis estuviesen estando estado estada estados estadas estad
+he has ha hemos habéis han haya hayas hayamos hayáis hayan habré
+habrás habrá habremos habréis habrán habría habrías habríamos
+habríais habrían había habías habíamos habíais habían hube hubiste
+hubo hubimos hubisteis hubieron hubiera hubieras hubiéramos
+hubierais hubieran hubiese hubieses hubiésemos hubieseis hubiesen
+habiendo habido habida habidos habidas soy eres es somos sois son
+sea seas seamos seáis sean seré serás será seremos seréis serán
+sería serías seríamos seríais serían era eras éramos erais eran
+fui fuiste fue fuimos fuisteis fueron fuera fueras fuéramos
+fuerais fueran fuese fueses fuésemos fueseis fuesen sintiendo
+sentido sentida sentidos sentidas siente sentid tengo tienes tiene
+tenemos tenéis tienen tenga tengas tengamos tengáis tengan tendré
+tendrás tendrá tendremos tendréis tendrán tendría tendrías
+tendríamos tendríais tendrían tenía tenías teníamos teníais tenían
+tuve tuviste tuvo tuvimos tuvisteis tuvieron tuviera tuvieras
+tuviéramos tuvierais tuvieran tuviese tuvieses tuviésemos
+tuvieseis tuviesen teniendo tenido tenida tenidos tenidas tened
+""".split())
+
+# src/backend/snowball/stopwords/russian.stop — 151 words, verbatim
+STOPWORDS_RUSSIAN = frozenset("""
+и в во не что он на я с со как а то все она так его но да ты к у
+же вы за бы по только ее мне было вот от меня еще нет о из ему
+теперь когда даже ну вдруг ли если уже или ни быть был него до вас
+нибудь опять уж вам ведь там потом себя ничего ей может они тут
+где есть надо ней для мы тебя их чем была сам чтоб без будто чего
+раз тоже себе под будет ж тогда кто этот того потому этого какой
+совсем ним здесь этом один почти мой тем чтобы нее сейчас были
+куда зачем всех никогда можно при наконец два об другой хоть после
+над больше тот через эти нас про всего них какая много разве три
+эту моя впрочем хорошо свою этой перед иногда лучше чуть том
+нельзя такой им более всегда конечно всю между
+""".split())
+
+
+_LANG_STEM = {}
+
+
+def _stemmers():
+    global _LANG_STEM
+    if not _LANG_STEM:
+        from greengage_spark.functions import (
+            snowball_de,
+            snowball_es,
+            snowball_fr,
+            snowball_ru,
+        )
+
+        _LANG_STEM = {
+            "french": snowball_fr.stem,
+            "german": snowball_de.stem,
+            "spanish": snowball_es.stem,
+            "russian": snowball_ru.stem,
+        }
+    return _LANG_STEM
+
+
+STOPWORDS = {
+    "french": STOPWORDS_FRENCH,
+    "german": STOPWORDS_GERMAN,
+    "spanish": STOPWORDS_SPANISH,
+    "russian": STOPWORDS_RUSSIAN,
+}
+
+#: configs this registry serves (english/simple live in snowball_en)
+LANGS = ("french", "german", "spanish", "russian")
+
+# token characters: latin + latin-1/latin-extended letters, cyrillic,
+# digits and apostrophe — the word class PG's default parser accepts
+# for these configs
+_TOKEN_RE = re.compile(r"[^0-9a-z\u00c0-\u024f\u0400-\u04ff']+")
+
+
+def stem(lang: str, token: str) -> str:
+    return _stemmers()[lang](token)
+
+
+def lexize(lang: str, token: str) -> str | None:
+    """<lang>_stem dictionary behavior: stopwords lexize to nothing."""
+    low = token.lower()
+    if low in STOPWORDS[lang]:
+        return None
+    return stem(lang, low)
+
+
+def tokens(lang: str, text: str) -> list[tuple[str, int]]:
+    """(lexeme, 1-based position) pairs: simple tokenization, stopwords
+    removed but STILL consuming their positions (PG numbering)."""
+    toks = [t for t in _TOKEN_RE.split(text.lower()) if t]
+    out = []
+    for i, t in enumerate(toks):
+        t = t.strip("'")
+        if not t or t in STOPWORDS[lang]:
+            continue
+        out.append((stem(lang, t), i + 1))
+    return out

@@ -1,0 +1,145 @@
+"""German Snowball stemmer — the 'german' text-search configuration's
+dictionary.
+
+Reference surface: src/backend/snowball/ (PG embeds the stock Snowball
+german stemmer) with src/backend/snowball/stopwords/german.stop.  This
+is a clean-room implementation of the PUBLIC algorithm as published at
+snowballstem.org ("The German stemming algorithm") — written from the
+algorithm description, not the generated C; tests pin it against the
+behavior of the reference's own embedded stemmer build
+(tests/data/snowball_german.tsv).  The reference embeds the classic
+revision (no 'niss' undoubling, no 'system' exception — verified
+against its build).
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiouyäöü")
+_S_ENDING = frozenset("bdfghklmnrt")
+_ST_ENDING = frozenset("bdfghklmnt")
+
+
+def _prelude(word: str) -> str:
+    """ß → ss, then mark u/y between vowels as consonants (upper
+    case).  The scan anchors at the PRECEDING vowel and resumes at the
+    marked letter, with replacements visible to later positions — so
+    in 'oyu' the y is marked and the u (now after a consonant) is not."""
+    word = word.replace("ß", "ss")
+    out = list(word)
+    n = len(out)
+    i = 0
+    while i < n:
+        if (
+            out[i] in _VOWELS
+            and i + 2 < n
+            and out[i + 1] in ("u", "y")
+            and out[i + 2] in _VOWELS
+        ):
+            out[i + 1] = out[i + 1].upper()
+            i += 2  # following vowel tested, not consumed
+            continue
+        i += 1
+    return "".join(out)
+
+
+def _mark_regions(word: str) -> tuple[int, int]:
+    """Standard R1/R2, with R1 adjusted so at least 3 letters precede it."""
+    n = len(word)
+    r1 = n
+    for i in range(n - 1):
+        if word[i] in _VOWELS and word[i + 1] not in _VOWELS:
+            r1 = i + 2
+            break
+    r2 = n
+    for i in range(r1, n - 1):
+        if word[i] in _VOWELS and word[i + 1] not in _VOWELS:
+            r2 = i + 2
+            break
+    if r1 < 3:
+        r1 = 3
+    return r1, r2
+
+
+def stem(token: str) -> str:
+    word = _prelude(token.lower())
+    r1, r2 = _mark_regions(word)
+
+    def in_r1(suf: str) -> bool:
+        return len(word) - len(suf) >= r1
+
+    def in_r2(suf: str) -> bool:
+        return len(word) - len(suf) >= r2
+
+    # Step 1: longest of (em ern er) / (e en es) / (s after valid s-ending)
+    for suf in ("ern", "em", "er"):
+        if word.endswith(suf):
+            if in_r1(suf):
+                word = word[: -len(suf)]
+            break
+    else:
+        for suf in ("en", "es", "e"):
+            if word.endswith(suf):
+                if in_r1(suf):
+                    word = word[: -len(suf)]
+                break
+        else:
+            if (
+                word.endswith("s")
+                and in_r1("s")
+                and len(word) >= 2
+                and word[-2] in _S_ENDING
+            ):
+                word = word[:-1]
+
+    # Step 2: longest of (en er est) / (st after valid st-ending, 3+ before)
+    for suf in ("est", "en", "er"):
+        if word.endswith(suf):
+            if in_r1(suf):
+                word = word[: -len(suf)]
+            break
+    else:
+        if (
+            word.endswith("st")
+            and in_r1("st")
+            and len(word) >= 6  # valid st-ending preceded by >= 3 letters
+            and word[-3] in _ST_ENDING
+        ):
+            word = word[:-2]
+
+    # Step 3: d-suffixes
+    if word.endswith(("end", "ung")):
+        if in_r2("end"):
+            word = word[:-3]
+            if (
+                word.endswith("ig")
+                and in_r2("ig")
+                and not word.endswith("eig")
+            ):
+                word = word[:-2]
+    elif word.endswith("isch"):
+        if in_r2("isch") and not word.endswith("eisch"):
+            word = word[:-4]
+    elif word.endswith(("ig", "ik")):
+        if in_r2(word[-2:]) and word[-3:] not in ("eig", "eik"):
+            word = word[:-2]
+    elif word.endswith(("lich", "heit")):
+        if in_r2("lich"):
+            word = word[:-4]
+            if word.endswith(("er", "en")) and in_r1("er"):
+                word = word[:-2]
+    elif word.endswith("keit"):
+        if in_r2("keit"):
+            word = word[:-4]
+            if word.endswith("lich") and in_r2("lich"):
+                word = word[:-4]
+            elif word.endswith("ig") and in_r2("ig"):
+                word = word[:-2]
+
+    # Finally: unmark consonant u/y, fold umlauts
+    return (
+        word.replace("U", "u")
+        .replace("Y", "y")
+        .replace("ä", "a")
+        .replace("ö", "o")
+        .replace("ü", "u")
+    )

@@ -1,0 +1,251 @@
+"""Spanish Snowball stemmer — the 'spanish' text-search configuration's
+dictionary.
+
+Reference surface: src/backend/snowball/ (PG embeds the stock Snowball
+spanish stemmer) with src/backend/snowball/stopwords/spanish.stop.
+Clean-room implementation of the PUBLIC algorithm as published at
+snowballstem.org ("The Spanish stemming algorithm") — written from the
+algorithm description, not the generated C; tests pin it against the
+behavior of the reference's own embedded stemmer build
+(tests/data/snowball_spanish.tsv).
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiouáéíóúü")
+
+_STEP0_PRON = ("selas", "selos", "sela", "selo", "las", "les", "los", "nos",
+               "me", "se", "la", "le", "lo")
+_STEP0_A = ("iéndo", "ándo", "ár", "ér", "ír")
+_STEP0_B = ("iendo", "ando", "ar", "er", "ir")
+_ACCENT_FOLD = str.maketrans("áéíóú", "aeiou")
+
+_STEP2A = ("yeron", "yendo", "yamos", "yais", "yan", "yen", "yas", "yes",
+           "ya", "ye", "yo", "yó")
+
+_STEP2B_GU = ("éis", "emos", "en", "es")
+_STEP2B = (
+    "aríamos", "eríamos", "iríamos", "iéramos", "iésemos", "ábamos",
+    "áramos", "ásemos", "aríais", "aseis", "eríais", "iríais", "ieseis",
+    "asteis", "isteis", "ierais", "arais", "íamos", "imos", "arían",
+    "arías", "aréis", "erían", "erías", "eréis", "irían", "irías", "iréis",
+    "ieran", "iesen", "ieron", "iendo", "ieras", "ieses", "íais", "aban",
+    "arán", "arás", "aren", "ando", "abas", "adas", "idas", "aras", "ases",
+    "ían", "ado", "ido", "ases", "íos",  # íos not in spec; kept out below
+    "erán", "erás", "irán", "irás", "aron", "ados", "idos", "amos",
+    "emos", "ará", "aré", "erá", "eré", "irá", "iré", "aba", "ada", "ida",
+    "ara", "ase", "ían", "ase", "aré",
+    "an", "ad", "ed", "id", "an", "ió", "ar", "er", "ir", "as",
+    "ías", "ás", "éis", "ía", "ad", "ed", "id", "as", "ís", "áis",
+    "ste",  # placeholder trimmed below
+)
+# exact spec list (de-duplicated, as published):
+_STEP2B = (
+    "arían", "arías", "arán", "arás", "aríais", "aría", "aréis",
+    "aríamos", "aremos", "ará", "aré", "erían", "erías", "erán", "erás",
+    "eríais", "ería", "eréis", "eríamos", "eremos", "erá", "eré",
+    "irían", "irías", "irán", "irás", "iríais", "iría", "iréis",
+    "iríamos", "iremos", "irá", "iré", "aba", "ada", "ida", "ía", "ara",
+    "iera", "ad", "ed", "id", "ase", "iese", "aste", "iste", "an",
+    "aban", "ían", "aran", "ieran", "asen", "iesen", "aron", "ieron",
+    "ado", "ido", "ando", "iendo", "ió", "ar", "er", "ir", "as", "abas",
+    "adas", "idas", "ías", "aras", "ieras", "ases", "ieses", "ís", "áis",
+    "abais", "íais", "arais", "ierais", "aseis", "ieseis", "asteis",
+    "isteis", "ados", "idos", "amos", "ábamos", "íamos", "imos",
+    "áramos", "iéramos", "iésemos", "ásemos",
+)
+
+_STEP1_DEL_R2 = (
+    "anza", "anzas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+    "able", "ables", "ible", "ibles", "ista", "istas", "oso", "osa",
+    "osos", "osas", "amiento", "amientos", "imiento", "imientos",
+)
+_STEP1_ADOR = ("adora", "ador", "ación", "adoras", "adores", "aciones",
+               "ante", "antes", "ancia", "ancias")
+_STEP1_IVA = ("iva", "ivo", "ivas", "ivos")
+_STEP1_IDAD = ("idad", "idades")
+
+
+def _mark_rv(word: str) -> int:
+    n = len(word)
+    if n < 3:
+        return n
+    if word[1] not in _VOWELS:
+        # region after the next following vowel
+        for i in range(2, n):
+            if word[i] in _VOWELS:
+                return i + 1
+        return n
+    if word[0] in _VOWELS and word[1] in _VOWELS:
+        # region after the next consonant
+        for i in range(2, n):
+            if word[i] not in _VOWELS:
+                return i + 1
+        return n
+    # consonant-vowel: region after the third letter
+    return 3
+
+
+def _mark_r(word: str, start: int) -> int:
+    n = len(word)
+    for i in range(start, n - 1):
+        if word[i] in _VOWELS and word[i + 1] not in _VOWELS:
+            return i + 2
+    return n
+
+
+def stem(token: str) -> str:  # noqa: C901 - the algorithm is a rule table
+    word = token.lower()
+    rv = _mark_rv(word)
+    r1 = _mark_r(word, 0)
+    r2 = _mark_r(word, r1)
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    def in_rv(pos: int) -> bool:
+        return pos >= rv
+
+    # ---- step 0: attached pronoun after a gerund/infinitive base in RV
+    best = ""
+    for suf in _STEP0_PRON:
+        if word.endswith(suf) and len(suf) > len(best):
+            best = suf
+    if best:
+        base_end = len(word) - len(best)
+        base = word[:base_end]
+        for pre in _STEP0_A:
+            if base.endswith(pre) and in_rv(base_end - len(pre)):
+                word = base.translate(_ACCENT_FOLD)  # remove the accent
+                break
+        else:
+            for pre in _STEP0_B:
+                if base.endswith(pre) and in_rv(base_end - len(pre)):
+                    word = base
+                    break
+            else:
+                if (
+                    base.endswith("yendo")
+                    and in_rv(base_end - 5)
+                    and base_end >= 6
+                    and base[base_end - 6] == "u"
+                ):
+                    word = base
+
+    # ---- step 1: standard suffix removal (longest match decides)
+    removed_1 = False
+    w = word
+    best, kind = "", ""
+
+    def consider(sufs, k):
+        nonlocal best, kind
+        for s in sufs:
+            if w.endswith(s) and len(s) > len(best):
+                best, kind = s, k
+
+    consider(_STEP1_DEL_R2, "del_r2")
+    consider(_STEP1_ADOR, "ador")
+    consider(("logía", "logías"), "logia")
+    consider(("ución", "uciones"), "ucion")
+    consider(("encia", "encias"), "encia")
+    consider(("amente",), "amente")
+    consider(("mente",), "mente")
+    consider(_STEP1_IDAD, "idad")
+    consider(_STEP1_IVA, "iva")
+    if best:
+        p = len(w) - len(best)
+        if kind == "del_r2":
+            if in_r2(p):
+                word = w[:p]
+        elif kind == "ador":
+            if in_r2(p):
+                word = w[:p]
+                if word.endswith("ic") and in_r2(len(word) - 2):
+                    word = word[:-2]
+        elif kind == "logia":
+            if in_r2(p):
+                word = w[:p] + "log"
+        elif kind == "ucion":
+            if in_r2(p):
+                word = w[:p] + "u"
+        elif kind == "encia":
+            if in_r2(p):
+                word = w[:p] + "ente"
+        elif kind == "amente":
+            if in_r1(p):
+                word = w[:p]
+                if word.endswith("iv") and in_r2(len(word) - 2):
+                    word = word[:-2]
+                    if word.endswith("at") and in_r2(len(word) - 2):
+                        word = word[:-2]
+                elif (
+                    word.endswith(("os", "ic", "ad"))
+                    and in_r2(len(word) - 2)
+                ):
+                    word = word[:-2]
+        elif kind == "mente":
+            if in_r2(p):
+                word = w[:p]
+                if (
+                    word.endswith(("ante", "able", "ible"))
+                    and in_r2(len(word) - 4)
+                ):
+                    word = word[:-4]
+        elif kind == "idad":
+            if in_r2(p):
+                word = w[:p]
+                if word.endswith("abil") and in_r2(len(word) - 4):
+                    word = word[:-4]
+                elif word.endswith(("ic", "iv")) and in_r2(len(word) - 2):
+                    word = word[:-2]
+        elif kind == "iva":
+            if in_r2(p):
+                word = w[:p]
+                if word.endswith("at") and in_r2(len(word) - 2):
+                    word = word[:-2]
+        removed_1 = word != w
+
+    # ---- step 2a: verb suffixes beginning y, preceded by u
+    removed_2a = False
+    if not removed_1:
+        rv_word = word[rv:]
+        best = ""
+        for suf in _STEP2A:
+            if rv_word.endswith(suf) and len(suf) > len(best):
+                best = suf
+        if best:
+            p = len(word) - len(best)
+            if p >= 1 and word[p - 1] == "u":  # the u need not be in RV
+                word = word[:p]
+                removed_2a = True
+
+    # ---- step 2b: other verb suffixes, in RV
+    if not removed_1 and not removed_2a:
+        rv_word = word[rv:]
+        best, gu = "", False
+        for suf in _STEP2B_GU:
+            if rv_word.endswith(suf) and len(suf) > len(best):
+                best, gu = suf, True
+        for suf in _STEP2B:
+            if rv_word.endswith(suf) and len(suf) > len(best):
+                best, gu = suf, False
+        if best:
+            word = word[: len(word) - len(best)]
+            if gu and word.endswith("gu"):  # the u need not be in RV
+                word = word[:-1]
+
+    # ---- step 3: residual suffix, in RV
+    rv_word = word[rv:]
+    if rv_word.endswith(("os",)):
+        word = word[:-2]
+    elif rv_word and rv_word[-1] in "aoáíó":
+        word = word[:-1]
+    elif rv_word and rv_word[-1] in "eé":
+        word = word[:-1]
+        if word.endswith("gu") and len(word) - 1 >= rv:  # u in RV
+            word = word[:-1]
+
+    return word.translate(_ACCENT_FOLD)

@@ -1,0 +1,319 @@
+"""French Snowball stemmer — the 'french' text-search configuration's
+dictionary.
+
+Reference surface: src/backend/snowball/ (PG embeds the stock Snowball
+french stemmer) with src/backend/snowball/stopwords/french.stop.  This
+is a clean-room implementation of the PUBLIC algorithm as published at
+snowballstem.org ("The French stemming algorithm") — written from the
+algorithm description, not the generated C; tests pin it against the
+behavior of the reference's own embedded stemmer build
+(tests/data/snowball_french.tsv).  The reference embeds the classic
+revision (no H-markers for ë/ï — verified against its build).
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiouyâàëéêèïîôûù")
+
+
+def _prelude(word: str) -> str:
+    """u/i between vowels and y next to a vowel become consonant marks
+    (upper case); u after q likewise.  Emulates the algorithm's
+    left-to-right scan anchored at the PRECEDING vowel: at a vowel v,
+    a following u/i is marked when another vowel follows it, a
+    following y is marked unconditionally — so in 'pyui' the y acts as
+    the vowel before u (marking U) and itself stays a vowel.  After a
+    match the scan resumes past the consumed region."""
+    out = list(word)
+    n = len(out)
+    i = 0
+    while i < n:
+        c = out[i]
+        if c in _VOWELS and i + 1 < n:
+            nxt = out[i + 1]
+            if nxt in ("u", "i") and i + 2 < n and out[i + 2] in _VOWELS:
+                out[i + 1] = nxt.upper()
+                i += 2  # the following vowel is tested, not consumed
+                continue
+            if nxt == "y":
+                out[i + 1] = "Y"
+                i += 2
+                continue
+        if c == "y" and i + 1 < n and out[i + 1] in _VOWELS:
+            out[i] = "Y"
+            i += 1
+            continue
+        if c == "q" and i + 1 < n and out[i + 1] == "u":
+            out[i + 1] = "U"
+            i += 2
+            continue
+        i += 1
+    return "".join(out)
+
+
+def _mark_rv(word: str) -> int:
+    n = len(word)
+    if n >= 3 and word[0] in _VOWELS and word[1] in _VOWELS:
+        return 3
+    if word[:3] in ("par", "col", "tap"):
+        return 3
+    for i in range(1, n):
+        if word[i] in _VOWELS:
+            return i + 1
+    return n
+
+
+def _mark_r(word: str, start: int) -> int:
+    n = len(word)
+    for i in range(start, n - 1):
+        if word[i] in _VOWELS and word[i + 1] not in _VOWELS:
+            return i + 2
+    return n
+
+
+# step-1 suffix table: suffix → rule key (longest match wins)
+_STEP1 = {}
+for _s in ("ance", "iqUe", "isme", "able", "iste", "eux",
+           "ances", "iqUes", "ismes", "ables", "istes"):
+    _STEP1[_s] = "del_r2"
+for _s in ("atrice", "ateur", "ation", "atrices", "ateurs", "ations"):
+    _STEP1[_s] = "at_family"
+for _s in ("logie", "logies"):
+    _STEP1[_s] = "logie"
+for _s in ("usion", "ution", "usions", "utions"):
+    _STEP1[_s] = "usion"
+for _s in ("ence", "ences"):
+    _STEP1[_s] = "ence"
+for _s in ("ement", "ements"):
+    _STEP1[_s] = "ement"
+for _s in ("ité", "ités"):
+    _STEP1[_s] = "ite"
+for _s in ("if", "ive", "ifs", "ives"):
+    _STEP1[_s] = "if"
+_STEP1["eaux"] = "eaux"
+_STEP1["aux"] = "aux"
+for _s in ("euse", "euses"):
+    _STEP1[_s] = "euse"
+for _s in ("issement", "issements"):
+    _STEP1[_s] = "issement"
+_STEP1["amment"] = "amment"
+_STEP1["emment"] = "emment"
+for _s in ("ment", "ments"):
+    _STEP1[_s] = "ment"
+
+_STEP2A = (
+    "îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai", "iraIent",
+    "irais", "irait", "iras", "irent", "irez", "iriez", "irions", "irons",
+    "iront", "is", "issaIent", "issais", "issait", "issant", "issante",
+    "issantes", "issants", "isse", "issent", "isses", "issez", "issiez",
+    "issions", "issons", "it",
+)
+
+_STEP2B_DEL = (
+    "é", "ée", "ées", "és", "èrent", "er", "era", "erai", "eraIent",
+    "erais", "erait", "eras", "erez", "eriez", "erions", "erons", "eront",
+    "ez", "iez",
+)
+_STEP2B_E = (
+    "âmes", "ât", "âtes", "a", "ai", "aIent", "ais", "ait", "ant", "ante",
+    "antes", "ants", "as", "asse", "assent", "asses", "assiez", "assions",
+)
+
+
+def stem(token: str) -> str:  # noqa: C901 - the algorithm is a rule table
+    word = _prelude(token.lower())
+    rv = _mark_rv(word)
+    r1 = _mark_r(word, 0)
+    r2 = _mark_r(word, r1)
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_rv(pos: int) -> bool:
+        return pos >= rv
+
+    altered = False
+    did_step1_removal = False
+    found_ment = False
+
+    # ---- step 1: longest matching standard suffix decides the action
+    best = ""
+    for suf in _STEP1:
+        if word.endswith(suf) and len(suf) > len(best):
+            best = suf
+    if best:
+        kind = _STEP1[best]
+        p = len(word) - len(best)
+        w = word
+        if kind == "del_r2":
+            if in_r2(p):
+                word = w[:p]
+        elif kind == "at_family":
+            if in_r2(p):
+                word = w[:p]
+                if word.endswith("ic"):
+                    q = len(word) - 2
+                    word = word[:q] if in_r2(q) else word[:q] + "iqU"
+        elif kind == "logie":
+            if in_r2(p):
+                word = w[:p] + "log"
+        elif kind == "usion":
+            if in_r2(p):
+                word = w[:p] + "u"
+        elif kind == "ence":
+            if in_r2(p):
+                word = w[:p] + "ent"
+        elif kind == "ement":
+            if in_rv(p):
+                word = w[:p]
+                if word.endswith("iv") and in_r2(len(word) - 2):
+                    word = word[:-2]
+                    if word.endswith("at") and in_r2(len(word) - 2):
+                        word = word[:-2]
+                elif word.endswith("eus"):
+                    q = len(word) - 3
+                    if in_r2(q):
+                        word = word[:q]
+                    elif in_r1(q):
+                        word = word[:q] + "eux"
+                elif word.endswith(("abl", "iqU")) and in_r2(len(word) - 3):
+                    word = word[:-3]
+                elif word.endswith(("ièr", "Ièr")) and in_rv(len(word) - 3):
+                    word = word[:-3] + "i"
+        elif kind == "ite":
+            if in_r2(p):
+                word = w[:p]
+                if word.endswith("abil"):
+                    q = len(word) - 4
+                    word = word[:q] if in_r2(q) else word[:q] + "abl"
+                elif word.endswith("ic"):
+                    q = len(word) - 2
+                    word = word[:q] if in_r2(q) else word[:q] + "iqU"
+                elif word.endswith("iv") and in_r2(len(word) - 2):
+                    word = word[:-2]
+        elif kind == "if":
+            if in_r2(p):
+                word = w[:p]
+                if word.endswith("at") and in_r2(len(word) - 2):
+                    word = word[:-2]
+                    if word.endswith("ic"):
+                        q = len(word) - 2
+                        word = word[:q] if in_r2(q) else word[:q] + "iqU"
+        elif kind == "eaux":
+            word = w[:p] + "eau"
+        elif kind == "aux":
+            if in_r1(p):
+                word = w[:p] + "al"
+        elif kind == "euse":
+            if in_r2(p):
+                word = w[:p]
+            elif in_r1(p):
+                word = w[:p] + "eux"
+        elif kind == "issement":
+            if in_r1(p) and p > 0 and w[p - 1] not in _VOWELS:
+                word = w[:p]
+        elif kind == "amment":
+            if in_rv(p):
+                word = w[:p] + "ant"
+        elif kind == "emment":
+            if in_rv(p):
+                word = w[:p] + "ent"
+        elif kind == "ment":
+            if p > 0 and w[p - 1] in _VOWELS and in_rv(p - 1):
+                word = w[:p]
+        if word != w:
+            altered = True
+            did_step1_removal = True
+        if kind in ("amment", "emment", "ment"):
+            found_ment = True
+
+    # ---- steps 2a/2b: verb suffixes, all tests confined to RV
+    if not did_step1_removal or found_ment:
+        rv_word = word[rv:]
+        best = ""
+        for suf in _STEP2A:
+            if rv_word.endswith(suf) and len(suf) > len(best):
+                best = suf
+        removed_2a = False
+        if best:
+            p = len(word) - len(best)
+            # preceded by a non-vowel, itself in RV
+            if p - 1 >= rv and word[p - 1] not in _VOWELS and word[p - 1] not in "UIY":
+                pass  # marked consonants count as non-vowels too
+            if p - 1 >= rv and word[p - 1] not in _VOWELS:
+                word = word[:p]
+                removed_2a = True
+                altered = True
+        if not removed_2a:
+            rv_word = word[rv:]
+            best, kind = "", ""
+            if rv_word.endswith("ions") and len("ions") > len(best):
+                best, kind = "ions", "ions"
+            for suf in _STEP2B_DEL:
+                if rv_word.endswith(suf) and len(suf) > len(best):
+                    best, kind = suf, "del"
+            for suf in _STEP2B_E:
+                if rv_word.endswith(suf) and len(suf) > len(best):
+                    best, kind = suf, "e_del"
+            if best:
+                p = len(word) - len(best)
+                if kind == "ions":
+                    if in_r2(p):
+                        word = word[:p]
+                        altered = True
+                elif kind == "del":
+                    word = word[:p]
+                    altered = True
+                else:  # e_del
+                    word = word[:p]
+                    altered = True
+                    if word.endswith("e") and len(word) - 1 >= rv:
+                        word = word[:-1]
+
+    # ---- step 3 (word altered) / step 4 (not altered)
+    if altered:
+        if word.endswith("Y"):
+            word = word[:-1] + "i"
+        elif word.endswith("ç"):
+            word = word[:-1] + "c"
+    else:
+        # step 4: final s not preceded by a i o u è or s
+        if word.endswith("s") and len(word) >= 2 and word[-2] not in "aiouès":
+            word = word[:-1]
+        rv_word = word[rv:]
+        if rv_word.endswith("ion"):
+            p = len(word) - 3
+            if in_r2(p) and p - 1 >= rv and word[p - 1] in "st":
+                word = word[:p]
+        else:
+            best = ""
+            for suf in ("ier", "ière", "Ier", "Ière"):
+                if rv_word.endswith(suf) and len(suf) > len(best):
+                    best = suf
+            if best:
+                word = word[: len(word) - len(best)] + "i"
+            elif rv_word.endswith("e"):
+                word = word[:-1]
+            elif rv_word.endswith("ë") and word.endswith("guë") and len(word) - 3 >= rv:
+                word = word[:-1]
+
+    # ---- step 5: undouble
+    if word.endswith(("enn", "onn", "ett", "ell", "eill")):
+        word = word[:-1]
+
+    # ---- step 6: un-accent — é/è followed by only non-vowels
+    i = len(word) - 1
+    seen_cons = False
+    while i >= 0:
+        c = word[i]
+        if c in _VOWELS:
+            if seen_cons and c in "éè":
+                word = word[:i] + "e" + word[i + 1:]
+            break
+        seen_cons = True
+        i -= 1
+
+    return word.replace("I", "i").replace("U", "u").replace("Y", "y")

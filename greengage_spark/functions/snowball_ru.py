@@ -1,0 +1,173 @@
+"""Russian Snowball stemmer — the 'russian' text-search configuration's
+dictionary.
+
+Reference surface: src/backend/snowball/ (PG embeds the stock Snowball
+russian stemmer, UTF-8 variant) with
+src/backend/snowball/stopwords/russian.stop.  Clean-room implementation
+of the PUBLIC algorithm as published at snowballstem.org ("The Russian
+stemming algorithm") — written from the algorithm description, not the
+generated C; tests pin it against the behavior of the reference's own
+embedded stemmer build (tests/data/snowball_russian.tsv).
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("аеиоуыэюя")
+
+# perfective gerund: group 1 requires a preceding а/я (which remains)
+_PGERUND_1 = ("вшись", "вши", "в")
+_PGERUND_2 = ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+
+_ADJECTIVE = (
+    "ими", "ыми", "его", "ого", "ему", "ому", "ее", "ие", "ые", "ое",
+    "ей", "ий", "ый", "ой", "ем", "им", "ым", "ом", "их", "ых", "ую",
+    "юю", "ая", "яя", "ою", "ею",
+)
+
+_PARTICIPLE_1 = ("ем", "нн", "вш", "ющ", "щ")
+_PARTICIPLE_2 = ("ивш", "ывш", "ующ")
+
+_REFLEXIVE = ("ся", "сь")
+
+_VERB_1 = (
+    "ешь", "нно", "ете", "йте", "ла", "на", "ли", "ем", "ло", "но",
+    "ет", "ют", "ны", "ть", "й", "л", "н",
+)
+_VERB_2 = (
+    "ейте", "уйте", "ила", "ыла", "ена", "ите", "или", "ыли", "ило",
+    "ыло", "ено", "ует", "уют", "ены", "ить", "ыть", "ишь", "ишь",
+    "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ят", "ит", "ыт", "ую",
+    "ю",
+)
+
+_NOUN = (
+    "иями", "ями", "ами", "ией", "иям", "ием", "иях", "ев", "ов", "ие",
+    "ье", "еи", "ии", "ей", "ой", "ий", "ям", "ем", "ам", "ом", "ах",
+    "ях", "ию", "ью", "ия", "ья", "а", "е", "и", "й", "о", "у", "ы",
+    "ь", "ю", "я",
+)
+
+_SUPERLATIVE = ("ейше", "ейш")
+_DERIVATIONAL = ("ость", "ост")
+
+
+def _mark_rv(word: str) -> int:
+    for i, c in enumerate(word):
+        if c in _VOWELS:
+            return i + 1
+    return len(word)
+
+
+def _mark_r(word: str, start: int) -> int:
+    n = len(word)
+    for i in range(start, n - 1):
+        if word[i] in _VOWELS and word[i + 1] not in _VOWELS:
+            return i + 2
+    return n
+
+
+def _longest(word: str, rv: int, sufs) -> str:
+    best = ""
+    tail = word[rv:]
+    for s in sufs:
+        if tail.endswith(s) and len(s) > len(best):
+            best = s
+    return best
+
+
+def stem(token: str) -> str:
+    word = token.lower()
+    rv = _mark_rv(word)
+    r1 = _mark_r(word, 0)
+    r2 = _mark_r(word, r1)
+
+    # ---- step 1
+    # perfective gerund: longest over both groups; group 1 needs а/я
+    # before the suffix (the а/я itself stays, and must be in RV)
+    best, g1 = "", False
+    tail = word[rv:]
+    for s in _PGERUND_2:
+        if tail.endswith(s) and len(s) > len(best):
+            best, g1 = s, False
+    for s in _PGERUND_1:
+        p = len(word) - len(s)
+        if (
+            tail.endswith(s)
+            and p - 1 >= rv
+            and word[p - 1] in "ая"
+            and len(s) > len(best)
+        ):
+            best, g1 = s, True
+    if best:
+        word = word[: len(word) - len(best)]
+    else:
+        ref = _longest(word, rv, _REFLEXIVE)
+        if ref:
+            word = word[: len(word) - len(ref)]
+        # adjectival = adjective [optionally preceded by participle]
+        adj = _longest(word, rv, _ADJECTIVE)
+        if adj:
+            word = word[: len(word) - len(adj)]
+            best = ""
+            tail = word[rv:]
+            for s in _PARTICIPLE_2:
+                if tail.endswith(s) and len(s) > len(best):
+                    best = s
+            for s in _PARTICIPLE_1:
+                p = len(word) - len(s)
+                if (
+                    tail.endswith(s)
+                    and p - 1 >= rv
+                    and word[p - 1] in "ая"
+                    and len(s) > len(best)
+                ):
+                    best = s
+            if best:
+                word = word[: len(word) - len(best)]
+        else:
+            best, g1 = "", False
+            tail = word[rv:]
+            for s in _VERB_2:
+                if tail.endswith(s) and len(s) > len(best):
+                    best, g1 = s, False
+            for s in _VERB_1:
+                p = len(word) - len(s)
+                if (
+                    tail.endswith(s)
+                    and p - 1 >= rv
+                    and word[p - 1] in "ая"
+                    and len(s) > len(best)
+                ):
+                    best, g1 = s, True
+            if best:
+                word = word[: len(word) - len(best)]
+            else:
+                noun = _longest(word, rv, _NOUN)
+                if noun:
+                    word = word[: len(word) - len(noun)]
+
+    # ---- step 2: final и
+    if word[rv:].endswith("и"):
+        word = word[:-1]
+
+    # ---- step 3: derivational ending entirely in R2
+    best = ""
+    for s in _DERIVATIONAL:
+        if word.endswith(s) and len(word) - len(s) >= r2 and len(s) > len(best):
+            best = s
+    if best:
+        word = word[: len(word) - len(best)]
+
+    # ---- step 4: undouble н / superlative / soft sign (in RV)
+    tail = word[rv:]
+    if tail.endswith("нн"):
+        word = word[:-1]
+    else:
+        sup = _longest(word, rv, _SUPERLATIVE)
+        if sup:
+            word = word[: len(word) - len(sup)]
+            if word[rv:].endswith("нн"):
+                word = word[:-1]
+        elif tail.endswith("ь"):
+            word = word[:-1]
+    return word

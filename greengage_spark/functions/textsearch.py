@@ -328,7 +328,7 @@ def _query_and_lexemes(query: str) -> list[str]:
     return flat(_tsq_parse(query))
 
 
-_TOKEN_SPLIT_PY = re.compile(r"[^a-z0-9]+")
+_TOKEN_SPLIT_PY = re.compile(r"[^a-z0-9À-ɏЀ-ӿ]+")
 
 
 def _positions(text: str) -> list[tuple[str, int]]:
@@ -421,13 +421,36 @@ def to_tsvector_en(text: str | None) -> list[str] | None:
     return sorted({lex for lex, _ in english_tokens(text)})
 
 
-def stem_tsquery(body: str, plain: bool = False) -> str:
-    """to_tsquery('english', body) / plainto_tsquery('english', body)
+def to_tsvector_cfg(config: str, text: str | None) -> list[str] | None:
+    """to_tsvector('<lang>', text) for any stemmed configuration —
+    sorted distinct stemmed lexeme set (stopwords removed), the same
+    array shape the @@ compiler consumes."""
+    if text is None:
+        return None
+    if config == "english":
+        return to_tsvector_en(text)
+    from greengage_spark.functions.snowball import tokens
+
+    return sorted({lex for lex, _ in tokens(config, text)})
+
+
+def _lexize_for(config: str):
+    if config == "english":
+        from greengage_spark.functions.snowball_en import lexize
+
+        return lexize
+    from greengage_spark.functions.snowball import lexize
+
+    return lambda t: lexize(config, t)
+
+
+def stem_tsquery(body: str, plain: bool = False, config: str = "english") -> str:
+    """to_tsquery('<lang>', body) / plainto_tsquery('<lang>', body)
     applied at PLAN time (queries are literals): every lexeme runs the
-    english_stem dictionary; stopword operands drop out of the tree
+    config's stem dictionary; stopword operands drop out of the tree
     exactly as PG's notice-and-drop does.  Returns the re-parseable
     simple-form query text ('' = empty tsquery, matches nothing)."""
-    from greengage_spark.functions.snowball_en import lexize
+    lexize = _lexize_for(config)
 
     if plain:
         lex = [t for t in _TOKEN_SPLIT_PY.split(body.lower()) if t]
@@ -457,6 +480,10 @@ def _positions_for(config: str, text: str) -> list[tuple[str, int]]:
         from greengage_spark.functions.snowball_en import english_tokens
 
         return english_tokens(text)
+    from greengage_spark.functions.snowball import LANGS, tokens
+
+    if config in LANGS:
+        return tokens(config, text)
     return _positions(text)
 
 
@@ -595,6 +622,12 @@ def headline_text(
         from greengage_spark.functions.snowball_en import stem
 
         norm = [stem(n) if n else n for n in norm]
+    else:
+        from greengage_spark.functions.snowball import LANGS
+        from greengage_spark.functions.snowball import stem as stem_lang
+
+        if config in LANGS:
+            norm = [stem_lang(config, n) if n else n for n in norm]
     events = [(i, idx[n]) for i, n in enumerate(norm) if n in idx]
     # all minimal covers over word indices, as (width, start, end)
     covers: list[tuple[int, int, int]] = []
@@ -955,11 +988,20 @@ def register_udfs(spark) -> None:
             [to_tsvector_en(t) for t in text], dtype="object"
         )
 
+    def _tsv_cfg(cfg, text):
+        return pd.Series(
+            [to_tsvector_cfg(c, t) for c, t in zip(cfg, text)],
+            dtype="object",
+        )
+
     spark.udf.register("pg_ts_rank_cd", pandas_udf(_rank, "double"))
     spark.udf.register("pg_ts_rank_cd_full", pandas_udf(_rank_full, "double"))
     spark.udf.register("pg_ts_rank_txt", pandas_udf(_rank_plain, "double"))
     spark.udf.register(
         "pg_to_tsvector_en", pandas_udf(_tsv_en, "array<string>")
+    )
+    spark.udf.register(
+        "pg_to_tsvector_cfg", pandas_udf(_tsv_cfg, "array<string>")
     )
     spark.udf.register("pg_ts_headline", pandas_udf(_headline, "string"))
     spark.udf.register(

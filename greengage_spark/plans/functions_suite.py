@@ -1413,6 +1413,84 @@ def text_search_english(spark, sf_dir):
     )
 
 
+# (config, word, stem) triples verified against the reference's own
+# embedded snowball build (tests/data/snowball_<lang>.tsv) — behavior
+# data generated from the reference's stemmers, not code
+_ML_STEM_TRIPLES = [
+    ("french", "continuations", "continu"),
+    ("french", "majestueusement", "majestu"),
+    ("french", "châteaux", "château"),
+    ("french", "animaux", "animal"),
+    ("french", "heureusement", "heureux"),
+    ("french", "gouvernement", "gouvern"),
+    ("french", "volontairement", "volontair"),
+    ("french", "connaissances", "connaiss"),
+    ("german", "aufeinanderfolgenden", "aufeinanderfolg"),
+    ("german", "bücher", "buch"),
+    ("german", "wissenschaftlich", "wissenschaft"),
+    ("german", "regierungen", "regier"),
+    ("german", "möglichkeit", "moglich"),
+    ("german", "krankheiten", "krankheit"),
+    ("spanish", "continuaciones", "continu"),
+    ("spanish", "trabajadores", "trabaj"),
+    ("spanish", "rápidamente", "rapid"),
+    ("spanish", "organizaciones", "organiz"),
+    ("spanish", "películas", "pelicul"),
+    ("spanish", "vergüenza", "vergüenz"),
+    ("russian", "деятельность", "деятельн"),
+    ("russian", "правительство", "правительств"),
+    ("russian", "работающий", "работа"),
+    ("russian", "строительство", "строительств"),
+    ("russian", "организациях", "организац"),
+    ("russian", "говорила", "говор"),
+]
+
+# a stopword per config, prepended to the document to pin stopword
+# removal (each lexizes to nothing in its config's dictionary chain)
+_ML_STOP = {"french": "les", "german": "und", "spanish": "las",
+            "russian": "не"}
+
+
+@suite.add(
+    "text_search_multilang",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{c}', '{w}', '{s}', '{s}', TRUE)"
+        for c, w, s in _ML_STEM_TRIPLES
+    )
+    + ") AS t(config, word, lexeme, expected, matched) "
+    "ORDER BY config, word",
+    doc="Multi-language text-search configurations (src/backend/snowball "
+        "french/german/spanish/russian + their .stop lists; "
+        "functions/snowball_{fr,de,es,ru}.py): clean-room stemmers from "
+        "the published snowballstem.org algorithms, parity-pinned "
+        "against the reference's own embedded stemmer build "
+        "(tests/data/snowball_<lang>.tsv). Query literals stem at PLAN "
+        "time; documents pay one Arrow-batched UDF "
+        "(pg_to_tsvector_cfg). 'matched' pins the stemmed @@ path with "
+        "a config stopword prepended (stopword removal included).",
+    tags=("dialect", "text"),
+)
+def text_search_multilang(spark, sf_dir):
+    from greengage_spark.dialect import pg_sql
+
+    # one UNION ALL over literal rows keeps it a single plan
+    parts = []
+    for cfg, w, s in _ML_STEM_TRIPLES:
+        stop = _ML_STOP[cfg]
+        parts.append(
+            f"SELECT '{cfg}' AS config, '{w}' AS word, "
+            f"array_to_string(to_tsvector('{cfg}', '{w}'), ',') AS lexeme, "
+            f"'{s}' AS expected, "
+            f"array_contains(to_tsvector('{cfg}', '{stop} {w}'), '{s}') "
+            "AS matched"
+        )
+    return pg_sql(
+        spark,
+        " UNION ALL ".join(parts) + " ORDER BY config, word",
+    )
+
+
 def _unaccent_oracle() -> str:
     from greengage_spark.functions.unaccent import DST, SRC
 

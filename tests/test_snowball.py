@@ -163,8 +163,10 @@ class TestSqlSurface:
         assert got == pytest.approx(0.125 / 1.64493406685, rel=1e-6)
 
     def test_unknown_config_rejects(self, spark):
+        # french/german/spanish/russian landed in round 10; turkish is
+        # still out of the implemented set
         with pytest.raises(NotImplementedError, match="configuration"):
-            transpile("SELECT to_tsvector('french', 'le chat')")
+            transpile("SELECT to_tsvector('turkish', 'kitaplar')")
 
     def test_headline_english_stemmed_match(self, spark):
         # query lexeme 'jump' (stemmed) highlights the inflected word
@@ -228,7 +230,7 @@ class TestDefaultTextSearchConfig:
         import pytest as _pytest
 
         with _pytest.raises(NotImplementedError, match="configuration"):
-            eng.execute("SET default_text_search_config = 'german'")
+            eng.execute("SET default_text_search_config = 'turkish'")
 
 
 class TestTsConfigGucTransactions:
