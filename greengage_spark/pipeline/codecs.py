@@ -2,9 +2,10 @@
 
 The container has no PIL/librosa/ffmpeg, but PNG, WAV, and BMP are
 fully decodable with ``zlib``/``wave``/``struct`` — so decode here is
-REAL: actual pixels and PCM samples, not a stand-in.  Formats that
-genuinely need native codec libraries (JPEG, MP4, ...) raise
-NotImplementedError with the rationale.
+REAL: actual pixels and PCM samples, not a stand-in.  Baseline JPEG
+decodes via the clean-room ITU-T T.81 codec in ``pipeline/jpeg.py``.
+Formats that genuinely need native codec libraries (MP4/video,
+progressive JPEG) raise NotImplementedError with the rationale.
 
 Decoders return plain dicts; the Spark side (pipeline/multimodal.py)
 wraps them in Arrow-batched mapInPandas so bytes cross the JVM↔Python
@@ -242,9 +243,11 @@ def decode_bmp(data: bytes) -> dict:
 
 
 def decode_media(data: bytes) -> dict:
-    """Dispatch by magic bytes.  JPEG/video genuinely need native codec
-    libraries that are not in this container — loud rejection, never a
-    fake answer."""
+    """Dispatch by magic bytes.  PNG/WAV/BMP decode here; baseline JPEG
+    decodes via the clean-room T.81 codec in pipeline/jpeg.py
+    (progressive/arithmetic/12-bit reject inside it).  Video genuinely
+    needs native codec libraries that are not in this container — loud
+    rejection, never a fake answer."""
     if data.startswith(_PNG_SIG):
         return decode_png(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
@@ -252,5 +255,9 @@ def decode_media(data: bytes) -> dict:
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG decode requires libjpeg (not bundled)")
+        from greengage_spark.pipeline.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        raise NotImplementedError("MP4/ISO-BMFF decode requires ffmpeg (not bundled)")
     raise NotImplementedError(f"unknown media magic {data[:4]!r}")

@@ -5,10 +5,11 @@ decode/feature-extraction runs in Arrow-batched ``mapInPandas`` so bytes
 cross the JVM↔Python boundary once per batch, not per row.
 
 Decode is REAL for PNG / WAV / BMP via the pure-stdlib codecs in
-``pipeline/codecs.py`` (actual pixels, actual PCM samples —
-``decode_features``).  Formats that genuinely need native codec
-libraries absent from this container (JPEG, MP4, PIL/librosa/ffmpeg
-backends) raise NotImplementedError loudly; ``extract_features`` keeps
+``pipeline/codecs.py`` and for baseline JPEG via the clean-room
+ITU-T T.81 codec in ``pipeline/jpeg.py`` (actual pixels, actual PCM
+samples — ``decode_features``).  Formats that genuinely need native
+codec libraries absent from this container (MP4/video, progressive
+JPEG) raise NotImplementedError loudly; ``extract_features`` keeps
 the codec-free byte-arithmetic path for opaque blobs.
 """
 

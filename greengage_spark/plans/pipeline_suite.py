@@ -658,6 +658,70 @@ def multimodal_real_decode(spark, sf_dir):
 
 
 @suite.add(
+    "multimodal_jpeg_decode",
+    oracle="""
+    SELECT CAST(g AS BIGINT) AS media_id, 'jpeg' AS kind,
+           CAST(g % 20 + 4 AS BIGINT) AS width,
+           CAST(g % 12 + 3 AS BIGINT) AS height,
+           CAST(CASE WHEN g % 2 = 1 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+           CAST(CASE WHEN g % 2 = 1 THEN (g * 37) % 256
+                     ELSE (g * 11) % 256 END AS DOUBLE) AS mean_r,
+           CAST(CASE WHEN g % 2 = 1 THEN (g * 37) % 256
+                     ELSE (g * 11) % 256 END AS DOUBLE) AS mean_g,
+           CAST(CASE WHEN g % 2 = 1 THEN (g * 37) % 256
+                     ELSE (g * 11) % 256 END AS DOUBLE) AS mean_b
+    FROM generate_series(1, 30) t(g) ORDER BY media_id
+    """,
+    doc="REAL baseline JPEG decode (pipeline/jpeg.py — clean-room ITU-T "
+        "T.81: marker parse, canonical Huffman entropy decode with "
+        "byte de-stuffing, DC prediction/EXTEND, dequantize, zigzag, "
+        "orthonormal IDCT, 4:2:0/4:4:4 chroma upsampling, JFIF "
+        "YCbCr->RGB). The query fabricates real JPEG bytes ON THE "
+        "EXECUTORS — odd ids grayscale, even ids RGB alternating "
+        "4:4:4/4:2:0 — with a DC-8 quantization table so solid-color "
+        "round trips are pixel-EXACT; the oracle knows the closed-form "
+        "dimensions and per-channel means. Progressive/arithmetic/"
+        "12-bit still reject loudly.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_jpeg_decode(spark, sf_dir):
+    from greengage_spark.pipeline.multimodal import decode_features
+
+    def fabricate(batches):
+        import numpy as np
+        import pandas as pd
+
+        from greengage_spark.pipeline.jpeg import encode_jpeg
+
+        dc8 = np.ones((8, 8), dtype=np.int32)
+        dc8[0, 0] = 8
+        for pdf in batches:
+            rows = []
+            for g in pdf["id"]:
+                g = int(g)
+                w, h = g % 20 + 4, g % 12 + 3
+                if g % 2 == 1:
+                    img = np.full((h, w), (g * 37) % 256, dtype=np.uint8)
+                    blob = encode_jpeg(img, qtables=(dc8, dc8))
+                else:
+                    img = np.full((h, w, 3), (g * 11) % 256, dtype=np.uint8)
+                    samp = "4:2:0" if g % 4 == 0 else "4:4:4"
+                    blob = encode_jpeg(img, subsampling=samp, qtables=(dc8, dc8))
+                rows.append((g, blob))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = (
+        spark.range(1, 31)
+        .repartition(8)
+        .mapInPandas(fabricate, "media_id long, content binary")
+    )
+    return decode_features(media).select(
+        "media_id", "kind", "width", "height", "channels",
+        "mean_r", "mean_g", "mean_b",
+    ).orderBy("media_id")
+
+
+@suite.add(
     "multimodal_decode_features",
     oracle="""
     SELECT doc_id AS media_id,

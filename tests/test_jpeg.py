@@ -1,0 +1,238 @@
+"""Clean-room baseline JPEG codec tests (ITU-T T.81).
+
+Pins: exact solid-color round trips (identity-friendly quant tables),
+an INDEPENDENT IDCT computed in this file from the A.3.3 formula
+(decoder must match it bit-for-bit through the Huffman/dequant path),
+subsampling exactness on constant chroma, restart markers, Huffman
+table validity (Kraft), and the loud non-baseline rejects.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from greengage_spark.pipeline.jpeg import (
+    HuffTable,
+    ZIGZAG,
+    decode_jpeg,
+    decode_jpeg_pixels,
+    encode_jpeg,
+    package_merge_lengths,
+)
+
+IDENTITY_Q = np.ones((8, 8), dtype=np.int32)
+# DC quantizer 8 makes solid-color blocks round-trip EXACTLY:
+# DC coeff of a constant block is 8*(v-128), so /8 then *8 is lossless.
+DC8_Q = np.ones((8, 8), dtype=np.int32)
+DC8_Q[0, 0] = 8
+
+
+def ref_idct(coeffs):
+    """Independent 8x8 IDCT straight from T.81 A.3.3 (quadruple loop,
+    no shared code with the codec's matrix formulation)."""
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coeffs[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[x, y] = s / 4.0
+    return out
+
+
+class TestHuffman:
+    def test_package_merge_respects_limit_and_kraft(self):
+        freqs = {s: (s + 1) ** 3 for s in range(40)}
+        lengths = package_merge_lengths(freqs, 16)
+        assert set(lengths) == set(freqs)
+        assert max(lengths.values()) <= 16
+        assert sum(2.0 ** -ln for ln in lengths.values()) <= 1.0 + 1e-12
+
+    def test_package_merge_two_symbols(self):
+        assert package_merge_lengths({7: 1, 9: 100}, 16) == {7: 1, 9: 1}
+
+    def test_package_merge_forced_limit(self):
+        # wildly skewed freqs would want depth > 4; limit must bind
+        freqs = {s: 1 << (2 * s) for s in range(10)}
+        lengths = package_merge_lengths(freqs, 4)
+        assert max(lengths.values()) <= 4
+        assert sum(2.0 ** -ln for ln in lengths.values()) <= 1.0 + 1e-12
+
+    def test_canonical_table_prefix_free(self):
+        tab = HuffTable.from_freqs({s: s + 1 for s in range(20)})
+        codes = {
+            format(code, f"0{ln}b") for code, ln in tab.encode_map.values()
+        }
+        assert len(codes) == 20
+        for a in codes:
+            for b in codes:
+                if a != b:
+                    assert not b.startswith(a)
+
+    def test_all_ones_code_reserved(self):
+        tab = HuffTable.from_freqs({s: 1 for s in range(11)})
+        maxlen = max(ln for _c, ln in tab.encode_map.values())
+        all_ones = (1 << maxlen) - 1
+        assert (all_ones, maxlen) not in tab.encode_map.values()
+
+
+class TestExactRoundTrips:
+    @pytest.mark.parametrize("v", [0, 1, 51, 127, 128, 200, 254, 255])
+    def test_solid_gray_exact(self, v):
+        img = np.full((24, 17), v, dtype=np.uint8)  # non-multiple-of-8 width
+        blob = encode_jpeg(img, qtables=(DC8_Q, DC8_Q))
+        out = decode_jpeg_pixels(blob)
+        assert out.shape == (24, 17)
+        assert (out == v).all()
+
+    def test_solid_rgb_neutral_exact(self):
+        # r=g=b=v => Y=v, Cb=Cr=128 exactly; conversion is lossless both ways
+        img = np.full((16, 16, 3), 77, dtype=np.uint8)
+        blob = encode_jpeg(img, qtables=(DC8_Q, DC8_Q))
+        out = decode_jpeg_pixels(blob)
+        assert out.shape == (16, 16, 3)
+        assert (out == 77).all()
+
+    @pytest.mark.parametrize("samp", ["4:2:0", "4:2:2", "4:4:4"])
+    def test_subsampled_constant_chroma_exact(self, samp):
+        img = np.full((21, 13, 3), 130, dtype=np.uint8)
+        blob = encode_jpeg(img, subsampling=samp, qtables=(DC8_Q, DC8_Q))
+        out = decode_jpeg_pixels(blob)
+        assert out.shape == (21, 13, 3)
+        assert (out == 130).all()
+
+    def test_identity_quant_gradient_within_one(self):
+        # all-ones quant: the only loss is coefficient rounding; T.81's
+        # round trip then stays within 1 LSB of the source.
+        x = np.arange(32)[None, :] * 3
+        y = np.arange(24)[:, None] * 5
+        img = ((x + y) % 256).astype(np.uint8)
+        blob = encode_jpeg(img, qtables=(IDENTITY_Q, IDENTITY_Q))
+        out = decode_jpeg_pixels(blob)
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+    def test_checkerboard_rgb_within_two(self):
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[::2, ::2] = (250, 10, 60)
+        img[1::2, 1::2] = (250, 10, 60)
+        img[::2, 1::2] = (10, 240, 200)
+        img[1::2, ::2] = (10, 240, 200)
+        blob = encode_jpeg(img, qtables=(IDENTITY_Q, IDENTITY_Q))
+        out = decode_jpeg_pixels(blob)
+        # color transform adds one more rounding layer than grayscale
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+class TestIndependentIdctPin:
+    def test_decoder_matches_quadruple_loop_idct(self):
+        # craft an image whose quantized coefficients we know, then check
+        # the decoder's pixels equal the spec IDCT computed independently
+        rng_vals = [(3 * i * i + 7 * i + 1) % 256 for i in range(64)]
+        img = np.array(rng_vals, dtype=np.uint8).reshape(8, 8)
+        blob = encode_jpeg(img, qtables=(IDENTITY_Q, IDENTITY_Q))
+        out = decode_jpeg_pixels(blob)
+
+        # independent forward path: spec FDCT (A.3.3) + round = coeffs
+        shifted = img.astype(float) - 128.0
+        coeffs = np.zeros((8, 8))
+        for u in range(8):
+            for v in range(8):
+                cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                s = 0.0
+                for x in range(8):
+                    for y in range(8):
+                        s += (
+                            shifted[x, y]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                coeffs[u, v] = cu * cv * s / 4.0
+        expected = np.clip(np.round(ref_idct(np.round(coeffs)) + 128.0), 0, 255)
+        assert (out == expected.astype(np.uint8)).all()
+
+
+class TestRestartAndStructure:
+    def test_restart_interval_roundtrip(self):
+        img = ((np.arange(40)[:, None] * 11 + np.arange(48)[None, :] * 7) % 256).astype(
+            np.uint8
+        )
+        blob = encode_jpeg(img, qtables=(IDENTITY_Q, IDENTITY_Q), restart_interval=2)
+        assert b"\xff\xdd" in blob  # DRI marker
+        assert b"\xff\xd0" in blob  # at least RST0
+        out = decode_jpeg_pixels(blob)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+    def test_quality_knob_monotone_size(self):
+        img = ((np.arange(64)[:, None] * np.arange(64)[None, :]) % 256).astype(np.uint8)
+        small = encode_jpeg(img, quality=10)
+        big = encode_jpeg(img, quality=95)
+        assert len(small) < len(big)
+        # lossy but sane: means within a few levels
+        out = decode_jpeg_pixels(big)
+        assert abs(float(out.mean()) - float(img.mean())) < 4.0
+
+    def test_zrl_long_zero_runs(self):
+        # one lonely high-frequency coefficient forces ZRL emission
+        img = np.full((8, 8), 128, dtype=np.uint8)
+        img[7, 7] = 255
+        blob = encode_jpeg(img, qtables=(IDENTITY_Q, IDENTITY_Q))
+        out = decode_jpeg_pixels(blob)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+class TestDispatchAndRejects:
+    def test_decode_media_dispatches_jpeg(self):
+        from greengage_spark.pipeline.codecs import decode_media
+
+        img = np.full((9, 11), 42, dtype=np.uint8)
+        d = decode_media(encode_jpeg(img, qtables=(DC8_Q, DC8_Q)))
+        assert d["kind"] == "jpeg"
+        assert (d["width"], d["height"], d["channels"]) == (11, 9, 1)
+        assert d["mean_r"] == pytest.approx(42.0)
+
+    def test_decode_jpeg_rgb_means(self):
+        img = np.full((8, 8, 3), 200, dtype=np.uint8)
+        d = decode_jpeg(encode_jpeg(img, qtables=(DC8_Q, DC8_Q)))
+        assert d["channels"] == 3
+        assert d["mean_g"] == pytest.approx(200.0)
+
+    def test_progressive_rejects(self):
+        blob = bytearray(encode_jpeg(np.full((8, 8), 1, dtype=np.uint8)))
+        i = blob.find(b"\xff\xc0")
+        blob[i + 1] = 0xC2  # flip SOF0 -> SOF2
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg_pixels(bytes(blob))
+
+    def test_twelve_bit_rejects(self):
+        blob = bytearray(encode_jpeg(np.full((8, 8), 1, dtype=np.uint8)))
+        i = blob.find(b"\xff\xc0")
+        blob[i + 4] = 12  # precision byte inside SOF
+        with pytest.raises(NotImplementedError, match="precision 12"):
+            decode_jpeg_pixels(bytes(blob))
+
+    def test_mp4_still_rejects(self):
+        from greengage_spark.pipeline.codecs import decode_media
+
+        with pytest.raises(NotImplementedError, match="MP4"):
+            decode_media(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16)
+
+    def test_truncated_stream_loud(self):
+        blob = encode_jpeg(np.full((16, 16), 9, dtype=np.uint8))
+        with pytest.raises(ValueError):
+            decode_jpeg_pixels(blob[: len(blob) // 2])
+
+    def test_zigzag_is_the_spec_order(self):
+        flat = [r * 8 + c for r, c in ZIGZAG]
+        assert flat[:10] == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+        assert flat[-4:] == [53, 60, 61, 54] or flat[-1] == 63
+        assert flat[-1] == 63 and sorted(flat) == list(range(64))
