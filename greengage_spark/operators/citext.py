@@ -15,9 +15,14 @@ DDL catalog declares as ``citext``:
   (documented divergence, same value set);
 * ``ORDER BY col`` becomes ``ORDER BY lower(col)`` (ties keep arbitrary
   order, as in PG);
-* ``SELECT DISTINCT`` over a bare citext column rejects loudly — fold it
-  yourself with GROUP BY (the rewrite cannot pick a representative
-  without restructuring the query).
+* ``SELECT DISTINCT`` over bare citext columns rewrites to the same
+  GROUP BY fold: the citext item becomes ``min(col) AS col`` grouped on
+  ``lower(col)`` and other items group on themselves, so dedup is
+  case-insensitive with a deterministic min() representative (PG's
+  choice is arbitrary — same documented divergence as GROUP BY);
+  ``ORDER BY col`` on the rewritten select becomes
+  ``lower(min(col))``.  citext inside a larger DISTINCT expression
+  (``DISTINCT col || 'x'``) still rejects loudly.
 
 The fold is token-based (quote-aware via the transpiler's tokenizer) and
 applies only to statements that reference a declared citext column.
@@ -147,6 +152,166 @@ def fold_citext_stmt(stmt: str, cols: set[str]) -> str:
     return stmt
 
 
+def _rewrite_distinct(toks: list[str], low: list[str], cols: set[str]):
+    """Rewrite ``SELECT DISTINCT`` selects whose list contains bare
+    citext refs into the GROUP BY min-representative fold
+    (contrib/citext/expected/citext.out keeps DISTINCT insensitive —
+    one group per lower(value), arbitrary-case representative; min()
+    is our deterministic choice).  Returns the rewritten statement
+    string, or None if nothing changed.  citext inside a larger
+    DISTINCT expression keeps the loud reject."""
+    # paren depth per token
+    depths = []
+    d = 0
+    for t in toks:
+        if t == ")":
+            d -= 1
+        depths.append(d)
+        if t == "(":
+            d += 1
+
+    hits = [
+        i
+        for i in range(1, len(low))
+        if low[i] == "distinct" and low[i - 1] == "select"
+    ]
+    if not hits:
+        return None
+    changed = False
+    # rightmost-first keeps earlier indices valid across splices
+    for i in reversed(hits):
+        gd = depths[i]
+        if i + 1 < len(low) and low[i + 1] == "on":
+            continue  # DISTINCT ON has its own transpiler pass
+        # select list span: distinct+1 .. matching same-depth FROM
+        frm = -1
+        for j in range(i + 1, len(low)):
+            if depths[j] < gd:
+                break
+            if depths[j] == gd and low[j] == "from":
+                frm = j
+                break
+        if frm < 0:
+            continue
+        # split items on same-depth commas
+        items: list[tuple[int, int]] = []
+        a = i + 1
+        for j in range(i + 1, frm + 1):
+            if j == frm or (depths[j] == gd and toks[j] == ","):
+                if j > a:
+                    items.append((a, j))
+                a = j + 1
+        cit_items: dict[int, tuple[int, int]] = {}  # item idx -> ref span
+        for k, (ia, ib) in enumerate(items):
+            bb = ib
+            if bb - ia >= 3 and low[bb - 2] == "as" and _is_ident(toks[bb - 1]):
+                bb -= 2
+            if _is_citext_ref(toks, ia, bb, cols):
+                cit_items[k] = (ia, bb)
+            elif any(
+                low[j] in cols and toks[j - 1] != "." for j in range(ia, ib)
+            ):
+                raise NotImplementedError(
+                    "SELECT DISTINCT over an expression containing a "
+                    "citext column: fold the case yourself (bare citext "
+                    "columns inside DISTINCT rewrite automatically)"
+                )
+        if not cit_items:
+            continue
+        # an existing same-depth GROUP BY on this select: out of scope
+        tail_end = len(low)
+        for j in range(frm + 1, len(low)):
+            if depths[j] < gd:
+                tail_end = j
+                break
+            if depths[j] == gd and low[j] in (
+                "order", "limit", "offset", "union", "intersect",
+                "except", ";",
+            ):
+                tail_end = j
+                break
+            if depths[j] == gd and low[j] == "group":
+                raise NotImplementedError(
+                    "SELECT DISTINCT ... GROUP BY with citext columns: "
+                    "drop the DISTINCT (the grouped fold already "
+                    "deduplicates case-insensitively)"
+                )
+
+        new = list(toks)
+        keys: list[str] = []
+        aliases: set[str] = set()
+        for k, (ia, ib) in enumerate(items):
+            if k in cit_items:
+                ra, rb = cit_items[k]
+                ref = " ".join(toks[ra:rb])
+                alias = toks[ib - 1] if rb < ib else toks[rb - 1]
+                aliases.add(alias.lower())
+                for p in range(ia, ib):
+                    new[p] = ""
+                new[ia] = f"min({ref}) AS {alias}"
+                keys.append(f"lower({ref})")
+            else:
+                expr_end = ib
+                if (
+                    ib - ia >= 3
+                    and low[ib - 2] == "as"
+                    and _is_ident(toks[ib - 1])
+                ):
+                    expr_end = ib - 2
+                keys.append(" ".join(toks[ia:expr_end]))
+        new[i] = ""  # drop DISTINCT
+
+        # ORDER BY items that are exactly a citext ref from this select
+        # become lower(<output alias>): the alias carries the min()
+        # representative, so lower() of it is the group key — citext
+        # ordering is case-insensitive
+        j = tail_end
+        if j + 1 < len(low) and low[j] == "order" and low[j + 1] == "by":
+            p = j + 2
+            seg = p
+            while p <= len(low):
+                boundary = p == len(low) or depths[p] < gd or (
+                    depths[p] == gd
+                    and (toks[p] == "," or low[p] in ("limit", "offset", ";"))
+                )
+                if boundary:
+                    bb = p
+                    while bb > seg and low[bb - 1] in (
+                        "asc", "desc", "nulls", "first", "last"
+                    ):
+                        bb -= 1
+                    name = low[bb - 1] if bb > seg else ""
+                    if (
+                        bb > seg
+                        and _is_citext_ref(toks, seg, bb, cols)
+                        and name in aliases
+                    ):
+                        for q in range(seg, bb):
+                            new[q] = ""
+                        new[seg] = f"lower({toks[bb - 1]})"
+                    if p == len(low) or depths[p] < gd or toks[p] != ",":
+                        break
+                    seg = p + 1
+                p += 1
+
+        group_clause = " GROUP BY " + ", ".join(keys) + " "
+        pieces = [t for t in new[:tail_end] if t] + [group_clause] + [
+            t for t in new[tail_end:] if t
+        ]
+        toks = tokenize(" ".join(pieces))
+        low = [t.lower() if _is_ident(t) else t for t in toks]
+        depths = []
+        d = 0
+        for t in toks:
+            if t == ")":
+                d -= 1
+            depths.append(d)
+            if t == "(":
+                d += 1
+        changed = True
+    return " ".join(toks) if changed else None
+
+
 def fold_citext(stmt: str, cols: set[str]) -> str:
     head = stmt.lstrip().split(None, 1)[0].lower() if stmt.strip() else ""
     if head in _SKIP_HEADS:
@@ -156,18 +321,10 @@ def fold_citext(stmt: str, cols: set[str]) -> str:
     if not any(t in cols for t in low):
         return stmt
 
-    # SELECT DISTINCT over a bare citext column: loud reject
-    for i, t in enumerate(low):
-        if t == "distinct" and i > 0 and low[i - 1] == "select":
-            j = i + 1
-            while j < len(low) and low[j] not in ("from",):
-                if low[j] in cols and (j == 0 or low[j - 1] != "."):
-                    raise NotImplementedError(
-                        f"SELECT DISTINCT over citext column {low[j]!r}: "
-                        "use GROUP BY (the citext fold cannot pick a "
-                        "case representative inside DISTINCT)"
-                    )
-                j += 1
+    rewritten = _rewrite_distinct(toks, low, cols)
+    if rewritten is not None:
+        toks = tokenize(rewritten)
+        low = [t.lower() if _is_ident(t) else t for t in toks]
 
     out = list(toks)
 

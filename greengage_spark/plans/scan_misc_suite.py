@@ -991,6 +991,9 @@ def cursor_scroll_fetch(spark, sf_dir):
     UNION ALL
     SELECT 'grp', CAST(count(*) AS BIGINT), min(nick) FROM cu
     GROUP BY lower(nick) HAVING count(*) > 1
+    UNION ALL
+    SELECT 'dst', CAST(0 AS BIGINT), min(nick) FROM cu
+    WHERE lower(nick) < lower('c') GROUP BY lower(nick)
     ORDER BY part, k, nick
     """,
     doc="contrib/citext (citext.c citext_eq/citextcmp): a column "
@@ -1002,8 +1005,10 @@ def cursor_scroll_fetch(spark, sf_dir):
         "cannot reach parquet PushedFilters, but no UDF barrier and no "
         "extra stage appear). "
         "GROUP BY returns min() as the deterministic case "
-        "representative (PG's is arbitrary). Oracle applies the same "
-        "lower() folds explicitly.",
+        "representative (PG's is arbitrary); SELECT DISTINCT rewrites "
+        "to the same grouped fold (one row per lower(value), min() "
+        "representative). Oracle applies the same lower() folds "
+        "explicitly.",
     tags=("dialect", "contrib", "engine"),
 )
 def dialect_citext(spark, sf_dir):
@@ -1025,6 +1030,9 @@ def dialect_citext(spark, sf_dir):
         "UNION ALL "
         "SELECT 'grp' AS part, count(*)::int8 AS k, min(nick) AS nick "
         "FROM cit_users GROUP BY nick HAVING count(*) > 1 "
+        "UNION ALL "
+        "SELECT 'dst' AS part, 0::int8 AS k, nick FROM "
+        "(SELECT DISTINCT nick FROM cit_users WHERE nick < 'c') d "
         "ORDER BY part, k, nick"
     )
 

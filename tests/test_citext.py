@@ -108,9 +108,55 @@ class TestCitextGroupJoinOrder:
         ]
         assert got == ["DAMIAN", "Tom"]  # case-insensitive: d < t
 
-    def test_distinct_rejects_loudly(self, eng):
-        with pytest.raises(NotImplementedError, match="DISTINCT"):
-            eng.execute("SELECT DISTINCT nick FROM users")
+    def test_distinct_insensitive_min_representative(self, eng):
+        got = [
+            r[0]
+            for r in eng.execute(
+                "SELECT DISTINCT nick FROM users ORDER BY nick"
+            ).collect()
+        ]
+        # one group per lower(nick); min() representative; order by lower
+        assert got == ["DAMIAN", "Larry", "Tom"]
+
+    def test_distinct_mixed_columns(self, eng):
+        got = [
+            tuple(r)
+            for r in eng.execute(
+                "SELECT DISTINCT nick, email FROM users "
+                "WHERE nick = 'larry' ORDER BY email"
+            ).collect()
+        ]
+        # emails differ, so both rows survive with their original case
+        assert got == [("larry", "l2@x.com"), ("Larry", "l@x.com")]
+
+    def test_distinct_count_subquery(self, eng):
+        got = eng.execute(
+            "SELECT count(*) AS n FROM (SELECT DISTINCT nick FROM users) t"
+        ).collect()
+        assert got[0][0] == 3
+
+    def test_distinct_with_alias(self, eng):
+        got = [
+            r[0]
+            for r in eng.execute(
+                "SELECT DISTINCT nick AS who FROM users ORDER BY who"
+            ).collect()
+        ]
+        assert got == ["DAMIAN", "Larry", "Tom"]
+
+    def test_distinct_expression_still_rejects(self, eng):
+        with pytest.raises(NotImplementedError, match="expression"):
+            eng.execute("SELECT DISTINCT nick || 'x' FROM users")
+
+    def test_distinct_non_citext_untouched(self, eng):
+        got = [
+            r[0]
+            for r in eng.execute(
+                "SELECT DISTINCT email FROM users WHERE nick = 'LARRY' "
+                "ORDER BY email"
+            ).collect()
+        ]
+        assert got == ["l2@x.com", "l@x.com"]
 
 
 class TestCitextDml:
