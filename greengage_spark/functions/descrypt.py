@@ -1,0 +1,299 @@
+"""Clean-room DES and the crypt(3) des/xdes password schemes.
+
+DES itself is implemented straight from FIPS PUB 46-3 (all permutation
+and S-box tables below are that standard's published data; FP and E are
+generated rather than transcribed).  The two crypt schemes follow the
+classic public crypt(3) contract (documented in the CRYPT(3) man page
+and Schneier ch. 8; behavioral reference
+/root/reference/contrib/pgcrypto/crypt-des.c px_crypt_des):
+
+* traditional — salt = 2 itoa64 chars -> 12 bits; key = first 8
+  password bytes each shifted left one bit; DES iterated 25 times over
+  a zero block with the salt perturbing the E-box (salt bit i set
+  swaps E-output bits i+1 and i+25); output = salt + 11 itoa64 chars
+  of the 66-bit (64 + 2 zero pad) result, 6 bits per char MSB-first.
+* extended (xdes) — setting '_' + 4 count chars + 4 salt chars, both
+  little-endian 6-bit groups; keys longer than 8 bytes fold by
+  encrypting the key buffer with itself (salt 0, one iteration) and
+  XOR-ing in the next <=8 shifted bytes; DES iterated `count` times
+  over a zero block with the 24-bit salt; count 0 is an error
+  ("crypt(3) returned NULL", matching the reference regress).
+
+Characters outside the itoa64 alphabet decode to 0 (the classic
+ascii_to_bin contract), so '_/!!!!!!!' is a valid setting with count 1
+and salt 0 — pinned by contrib/pgcrypto/expected/crypt-xdes.out.
+
+Implementation shape: permutations are compiled once into shift lists
+over Python ints, S+P fold into eight precomputed 64-entry -> 32-bit
+tables, and the salt swap is two masked XORs — nothing here mirrors
+the reference's byte-indexed mask-table architecture.
+"""
+
+from __future__ import annotations
+
+_ITOA64 = "./0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_A2B = {c: i for i, c in enumerate(_ITOA64)}
+
+# --- FIPS 46-3 tables (published standard data) ---------------------------
+
+_IP = (
+    58, 50, 42, 34, 26, 18, 10, 2, 60, 52, 44, 36, 28, 20, 12, 4,
+    62, 54, 46, 38, 30, 22, 14, 6, 64, 56, 48, 40, 32, 24, 16, 8,
+    57, 49, 41, 33, 25, 17, 9, 1, 59, 51, 43, 35, 27, 19, 11, 3,
+    61, 53, 45, 37, 29, 21, 13, 5, 63, 55, 47, 39, 31, 23, 15, 7,
+)
+# FP is IP's inverse — generate, don't transcribe
+_FP = tuple(_IP.index(i) + 1 for i in range(1, 65))
+# E: eight sliding 6-bit windows over R with wraparound
+_E = tuple((4 * i + j - 1) % 32 + 1 for i in range(8) for j in range(6))
+_P = (
+    16, 7, 20, 21, 29, 12, 28, 17, 1, 15, 23, 26, 5, 18, 31, 10,
+    2, 8, 24, 14, 32, 27, 3, 9, 19, 13, 30, 6, 22, 11, 4, 25,
+)
+_PC1 = (
+    57, 49, 41, 33, 25, 17, 9, 1, 58, 50, 42, 34, 26, 18,
+    10, 2, 59, 51, 43, 35, 27, 19, 11, 3, 60, 52, 44, 36,
+    63, 55, 47, 39, 31, 23, 15, 7, 62, 54, 46, 38, 30, 22,
+    14, 6, 61, 53, 45, 37, 29, 21, 13, 5, 28, 20, 12, 4,
+)
+_PC2 = (
+    14, 17, 11, 24, 1, 5, 3, 28, 15, 6, 21, 10,
+    23, 19, 12, 4, 26, 8, 16, 7, 27, 20, 13, 2,
+    41, 52, 31, 37, 47, 55, 30, 40, 51, 45, 33, 48,
+    44, 49, 39, 56, 34, 53, 46, 42, 50, 36, 29, 32,
+)
+_SHIFTS = (1, 1, 2, 2, 2, 2, 2, 2, 1, 2, 2, 2, 2, 2, 2, 1)
+_SBOX = (
+    (14, 4, 13, 1, 2, 15, 11, 8, 3, 10, 6, 12, 5, 9, 0, 7,
+     0, 15, 7, 4, 14, 2, 13, 1, 10, 6, 12, 11, 9, 5, 3, 8,
+     4, 1, 14, 8, 13, 6, 2, 11, 15, 12, 9, 7, 3, 10, 5, 0,
+     15, 12, 8, 2, 4, 9, 1, 7, 5, 11, 3, 14, 10, 0, 6, 13),
+    (15, 1, 8, 14, 6, 11, 3, 4, 9, 7, 2, 13, 12, 0, 5, 10,
+     3, 13, 4, 7, 15, 2, 8, 14, 12, 0, 1, 10, 6, 9, 11, 5,
+     0, 14, 7, 11, 10, 4, 13, 1, 5, 8, 12, 6, 9, 3, 2, 15,
+     13, 8, 10, 1, 3, 15, 4, 2, 11, 6, 7, 12, 0, 5, 14, 9),
+    (10, 0, 9, 14, 6, 3, 15, 5, 1, 13, 12, 7, 11, 4, 2, 8,
+     13, 7, 0, 9, 3, 4, 6, 10, 2, 8, 5, 14, 12, 11, 15, 1,
+     13, 6, 4, 9, 8, 15, 3, 0, 11, 1, 2, 12, 5, 10, 14, 7,
+     1, 10, 13, 0, 6, 9, 8, 7, 4, 15, 14, 3, 11, 5, 2, 12),
+    (7, 13, 14, 3, 0, 6, 9, 10, 1, 2, 8, 5, 11, 12, 4, 15,
+     13, 8, 11, 5, 6, 15, 0, 3, 4, 7, 2, 12, 1, 10, 14, 9,
+     10, 6, 9, 0, 12, 11, 7, 13, 15, 1, 3, 14, 5, 2, 8, 4,
+     3, 15, 0, 6, 10, 1, 13, 8, 9, 4, 5, 11, 12, 7, 2, 14),
+    (2, 12, 4, 1, 7, 10, 11, 6, 8, 5, 3, 15, 13, 0, 14, 9,
+     14, 11, 2, 12, 4, 7, 13, 1, 5, 0, 15, 10, 3, 9, 8, 6,
+     4, 2, 1, 11, 10, 13, 7, 8, 15, 9, 12, 5, 6, 3, 0, 14,
+     11, 8, 12, 7, 1, 14, 2, 13, 6, 15, 0, 9, 10, 4, 5, 3),
+    (12, 1, 10, 15, 9, 2, 6, 8, 0, 13, 3, 4, 14, 7, 5, 11,
+     10, 15, 4, 2, 7, 12, 9, 5, 6, 1, 13, 14, 0, 11, 3, 8,
+     9, 14, 15, 5, 2, 8, 12, 3, 7, 0, 4, 10, 1, 13, 11, 6,
+     4, 3, 2, 12, 9, 5, 15, 10, 11, 14, 1, 7, 6, 0, 8, 13),
+    (4, 11, 2, 14, 15, 0, 8, 13, 3, 12, 9, 7, 5, 10, 6, 1,
+     13, 0, 11, 7, 4, 9, 1, 10, 14, 3, 5, 12, 2, 15, 8, 6,
+     1, 4, 11, 13, 12, 3, 7, 14, 10, 15, 6, 8, 0, 5, 9, 2,
+     6, 11, 13, 8, 1, 4, 10, 7, 9, 5, 0, 15, 14, 2, 3, 12),
+    (13, 2, 8, 4, 6, 15, 11, 1, 10, 9, 3, 14, 5, 0, 12, 7,
+     1, 15, 13, 8, 10, 3, 7, 4, 12, 5, 6, 11, 0, 14, 9, 2,
+     7, 11, 4, 1, 9, 12, 14, 2, 0, 6, 10, 13, 15, 3, 5, 8,
+     2, 1, 14, 7, 4, 10, 8, 13, 15, 12, 9, 0, 3, 5, 6, 11),
+)
+
+
+def _compile_perm(table, in_width: int):
+    """Permutation table (1-indexed source positions, MSB-first) -> a
+    function over Python ints."""
+    out_w = len(table)
+    shifts = tuple(
+        (in_width - src, out_w - 1 - i) for i, src in enumerate(table)
+    )
+
+    def perm(x: int) -> int:
+        v = 0
+        for s, d in shifts:
+            v |= ((x >> s) & 1) << d
+        return v
+
+    return perm
+
+
+_ip = _compile_perm(_IP, 64)
+_fp = _compile_perm(_FP, 64)
+_e = _compile_perm(_E, 32)
+_pc1 = _compile_perm(_PC1, 64)
+_pc2 = _compile_perm(_PC2, 56)
+
+
+def _build_sp():
+    """Fold S-box + P permutation into eight 64-entry 32-bit tables.
+    S-box row = bits 1 and 6 of the 6-bit chunk, column = bits 2-5."""
+    p = _compile_perm(_P, 32)
+    tables = []
+    for i in range(8):
+        tab = []
+        for six in range(64):
+            row = ((six >> 4) & 2) | (six & 1)
+            col = (six >> 1) & 0xF
+            s_out = _SBOX[i][row * 16 + col]
+            tab.append(p(s_out << (28 - 4 * i)))
+        tables.append(tuple(tab))
+    return tuple(tables)
+
+
+_SP = _build_sp()
+
+
+def des_subkeys(key8: bytes) -> tuple[int, ...]:
+    """16 round subkeys (48-bit ints) per FIPS 46-3 (PC-1, left rotates,
+    PC-2); parity bits are dropped by PC-1."""
+    cd = _pc1(int.from_bytes(key8, "big"))
+    c, d = cd >> 28, cd & 0xFFFFFFF
+    keys = []
+    for sh in _SHIFTS:
+        c = ((c << sh) | (c >> (28 - sh))) & 0xFFFFFFF
+        d = ((d << sh) | (d >> (28 - sh))) & 0xFFFFFFF
+        keys.append(_pc2((c << 28) | d))
+    return tuple(keys)
+
+
+def des_crypt_block(block: int, subkeys, salt_mask: int = 0,
+                    iterations: int = 1, decrypt: bool = False) -> int:
+    """DES over a 64-bit int.  `salt_mask` (24-bit) swaps E-output bit
+    pairs (i+1, i+25) — the crypt(3) perturbation; 0 = standard DES.
+    `iterations` composes the full cipher with itself (IP/FP cancel
+    between iterations, so only one IP and one FP run)."""
+    keys = tuple(reversed(subkeys)) if decrypt else subkeys
+    x = _ip(block)
+    left, right = x >> 32, x & 0xFFFFFFFF
+    for _ in range(iterations):
+        for k in keys:
+            e = _e(right)
+            if salt_mask:
+                f = ((e >> 24) ^ e) & salt_mask
+                e ^= (f << 24) | f
+            e ^= k
+            out = (
+                _SP[0][(e >> 42) & 0x3F] | _SP[1][(e >> 36) & 0x3F]
+                | _SP[2][(e >> 30) & 0x3F] | _SP[3][(e >> 24) & 0x3F]
+                | _SP[4][(e >> 18) & 0x3F] | _SP[5][(e >> 12) & 0x3F]
+                | _SP[6][(e >> 6) & 0x3F] | _SP[7][e & 0x3F]
+            )
+            left, right = right, left ^ out
+        # final swap of each complete 16-round pass
+        left, right = right, left
+    return _fp((left << 32) | right)
+
+
+def des_encrypt(block8: bytes, key8: bytes) -> bytes:
+    """Single-block standard DES (known-answer-test surface)."""
+    return des_crypt_block(
+        int.from_bytes(block8, "big"), des_subkeys(key8)
+    ).to_bytes(8, "big")
+
+
+def des_decrypt(block8: bytes, key8: bytes) -> bytes:
+    return des_crypt_block(
+        int.from_bytes(block8, "big"), des_subkeys(key8), decrypt=True
+    ).to_bytes(8, "big")
+
+
+# --- crypt(3) schemes ------------------------------------------------------
+
+
+def _a2b(ch: str) -> int:
+    """Classic ascii_to_bin: itoa64 chars map to 0..63, everything else
+    to 0 (the published crypt(3) contract)."""
+    return _A2B.get(ch, 0)
+
+
+def _shifted_key(password: bytes) -> tuple[bytes, int]:
+    """First 8 password bytes each shifted left one bit, zero-padded;
+    returns (key8, number of password bytes consumed)."""
+    used = min(len(password), 8)
+    key = bytes((b << 1) & 0xFF for b in password[:used]) + b"\x00" * (8 - used)
+    return key, used
+
+
+def _encode64(result: int) -> str:
+    """64-bit result + 2 zero pad bits -> 11 itoa64 chars, MSB-first."""
+    v = result << 2
+    return "".join(_ITOA64[(v >> (60 - 6 * i)) & 0x3F] for i in range(11))
+
+
+def crypt_des(password: str, setting: str) -> str:
+    """Traditional DES crypt: 2-char salt, 25 iterations, first 8 key
+    bytes.  Vectors: crypt('','NB') = 'NBPx/38Y48kHg' (crypt-des.out)."""
+    if len(setting) < 2:
+        raise ValueError("invalid salt")
+    salt = (_a2b(setting[1]) << 6) | _a2b(setting[0])
+    key, _ = _shifted_key(password.encode("utf-8"))
+    result = des_crypt_block(0, des_subkeys(key), salt_mask=_salt_mask(salt),
+                             iterations=25)
+    return setting[0] + setting[1] + _encode64(result)
+
+
+def crypt_xdes(password: str, setting: str) -> str:
+    """Extended (BSDi) DES crypt: '_' + 4 count + 4 salt chars, unlimited
+    key length via encrypt-and-fold.  Vectors: crypt('','_J9..j2zz') =
+    '_J9..j2zzR/nIRDK3pPc' (crypt-xdes.out)."""
+    if len(setting) < 9:
+        raise ValueError("invalid salt")
+    count = 0
+    for i in range(1, 5):
+        count |= _a2b(setting[i]) << ((i - 1) * 6)
+    salt = 0
+    for i in range(5, 9):
+        salt |= _a2b(setting[i]) << ((i - 5) * 6)
+    if count == 0:
+        # iterating zero times would return the seed verbatim — the
+        # classic implementation refuses, PG surfaces it as:
+        raise ValueError("crypt(3) returned NULL")
+    pw = password.encode("utf-8")
+    key, used = _shifted_key(pw)
+    rest = pw[used:]
+    while rest:
+        # fold: encrypt the key buffer with itself, then XOR in the
+        # next <=8 shifted password bytes
+        folded = des_crypt_block(
+            int.from_bytes(key, "big"), des_subkeys(key)
+        ).to_bytes(8, "big")
+        chunk = rest[:8]
+        rest = rest[8:]
+        key = bytes(
+            f ^ ((c << 1) & 0xFF)
+            for f, c in zip(folded, chunk + b"\x00" * (8 - len(chunk)))
+        )
+    result = des_crypt_block(0, des_subkeys(key), salt_mask=_salt_mask(salt),
+                             iterations=count)
+    return setting[:9] + _encode64(result)
+
+
+def _salt_mask(salt: int) -> int:
+    """Salt bit i (LSB-first) perturbs E-output bit pair (i+1, i+25) —
+    i.e. maps to bit (23 - i) of the 24-bit half mask."""
+    mask = 0
+    for i in range(24):
+        if (salt >> i) & 1:
+            mask |= 1 << (23 - i)
+    return mask
+
+
+def gen_salt_des(rand: bytes) -> str:
+    """gen_salt('des'): two itoa64 chars from two random bytes
+    (crypt-gensalt.c _crypt_gensalt_traditional_rn)."""
+    return _ITOA64[rand[0] & 0x3F] + _ITOA64[rand[1] & 0x3F]
+
+
+def gen_salt_xdes(rand: bytes, rounds: int | None = None) -> str:
+    """gen_salt('xdes'[, rounds]): rounds must be odd and <= 0xffffff
+    (even counts would expose weak keys — crypt-gensalt.c comment);
+    default 725 (px-crypt.h PX_XDES_ROUNDS)."""
+    count = 725 if rounds is None else int(rounds)
+    if count > 0xFFFFFF or count < 1 or not (count & 1):
+        raise ValueError(f"gen_salt: incorrect number of rounds {count}")
+    value = rand[0] | (rand[1] << 8) | (rand[2] << 16)
+    out = ["_"]
+    for i in range(4):
+        out.append(_ITOA64[(count >> (6 * i)) & 0x3F])
+    for i in range(4):
+        out.append(_ITOA64[(value >> (6 * i)) & 0x3F])
+    return "".join(out)

@@ -7,10 +7,11 @@ Reference surface: contrib/pgcrypto/pgcrypto.c:161 (pg_hmac),
 No JVM builtin computes HMAC or crypt schemes, so these run as
 Arrow-batched pandas UDFs over the stdlib ``hmac``/``hashlib`` — the
 per-row kernel is a few microseconds and the Arrow batch transfer keeps
-it off the row-at-a-time Python path.  Of crypt's four schemes the
-md5-crypt one ($1$, crypt-md5.c) is implemented (pure stdlib, verified
-against ``openssl passwd -1``); des/xdes/bf reject loudly — they need
-cipher primitives the container does not ship.
+it off the row-at-a-time Python path.  All four crypt schemes land:
+md5-crypt ($1$, crypt-md5.c; verified against ``openssl passwd -1``),
+bcrypt ($2a$/$2b$/$2y$, functions/bcrypt.py), and traditional des +
+extended xdes via the clean-room FIPS 46-3 DES in functions/descrypt.py
+(pinned to crypt-des.out / crypt-xdes.out vectors).
 
 gen_salt() is nondeterministic by contract (PG reads the kernel RNG).
 """
@@ -95,8 +96,9 @@ def md5_crypt(password: str, salt: str) -> str:
 
 def crypt(password, salt) -> str | None:
     """px-crypt.c px_crypt: dispatch on the salt prefix — $1$ md5-crypt
-    (crypt-md5.c) and $2a$/$2b$/$2y$ bcrypt (crypt-blowfish.c,
-    functions/bcrypt.py); des/xdes stay loud rejects."""
+    (crypt-md5.c), $2a$/$2b$/$2y$ bcrypt (crypt-blowfish.c,
+    functions/bcrypt.py), _ extended DES, and 2-char traditional DES
+    (crypt-des.c px_crypt_des, functions/descrypt.py)."""
     if password is None or salt is None:
         return None
     if salt.startswith("$1$"):
@@ -105,17 +107,21 @@ def crypt(password, salt) -> str | None:
         from greengage_spark.functions.bcrypt import bf_crypt
 
         return bf_crypt(password, salt)
-    if salt.startswith("_") or len(salt) == 2:
-        raise NotImplementedError(
-            "crypt scheme for salt prefix "
-            f"{salt[:3]!r}: md5-crypt ($1$) and bcrypt ($2a$) are "
-            "implemented — des/xdes need DES primitives not shipped here"
-        )
-    raise ValueError(f"invalid salt {salt!r}")
+    if salt.startswith("_"):
+        from greengage_spark.functions.descrypt import crypt_xdes
+
+        return crypt_xdes(password, salt)
+    if salt.startswith("$"):
+        raise ValueError(f"invalid salt {salt!r}")
+    if len(salt) < 2:
+        raise ValueError("invalid salt")
+    from greengage_spark.functions.descrypt import crypt_des
+
+    return crypt_des(password, salt)
 
 
 def gen_salt(scheme: str, rounds: int | None = None) -> str:
-    """pg_gen_salt (px-crypt.c px_gen_salt): md5 and bf schemes."""
+    """pg_gen_salt (px-crypt.c px_gen_salt): md5, bf, des, xdes."""
     s = scheme.lower()
     if s == "md5":
         if rounds is not None:
@@ -125,9 +131,19 @@ def gen_salt(scheme: str, rounds: int | None = None) -> str:
         from greengage_spark.functions.bcrypt import gen_salt_bf
 
         return gen_salt_bf(6 if rounds is None else int(rounds))
-    raise NotImplementedError(
-        f"gen_salt scheme {scheme!r}: 'md5' and 'bf' are implemented "
-        "(des/xdes need DES primitives not shipped here)"
+    if s == "des":
+        from greengage_spark.functions.descrypt import gen_salt_des
+
+        if rounds is not None and rounds != 25:
+            raise ValueError(f"gen_salt: incorrect number of rounds {rounds}")
+        return gen_salt_des(secrets.token_bytes(2))
+    if s == "xdes":
+        from greengage_spark.functions.descrypt import gen_salt_xdes
+
+        return gen_salt_xdes(secrets.token_bytes(3), rounds)
+    raise ValueError(
+        f"gen_salt: unknown salt algorithm {scheme!r} "
+        "(des, xdes, md5, bf)"
     )
 
 

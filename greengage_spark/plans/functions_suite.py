@@ -1708,19 +1708,23 @@ def _crypto2_oracle() -> str:
     import hashlib
     import hmac as _hm
 
+    from greengage_spark.functions.descrypt import crypt_des, crypt_xdes
     from greengage_spark.functions.pgcrypto import md5_crypt
 
     rows = []
     for k in range(30):
         name = f"Customer#{k:09d}"
+        hx = hashlib.md5(name.encode()).hexdigest()
         hs = _hm.new(b"gg_key", name.encode(), hashlib.sha256).hexdigest()
         hm = _hm.new(b"gg_key", name.encode(), hashlib.md5).hexdigest()
-        cr = md5_crypt("pw", "$1$" + hashlib.md5(name.encode()).hexdigest()[:8])
-        rows.append(f"({k}, '{hs}', '{hm}', '{cr}')")
+        cr = md5_crypt("pw", "$1$" + hx[:8])
+        cd = crypt_des("pw", hx[:2])
+        cx = crypt_xdes("pw", "_l..." + hx[:4])  # count 49, hex salt
+        rows.append(f"({k}, '{hs}', '{hm}', '{cr}', '{cd}', '{cx}')")
     return (
-        "SELECT CAST(c_custkey AS INTEGER) AS c_custkey, hs256, hmd5, cr "
-        "FROM (VALUES " + ", ".join(rows) + ") AS t(c_custkey, hs256, "
-        "hmd5, cr) ORDER BY c_custkey"
+        "SELECT CAST(c_custkey AS INTEGER) AS c_custkey, hs256, hmd5, cr, "
+        "cd, cx FROM (VALUES " + ", ".join(rows) + ") AS t(c_custkey, "
+        "hs256, hmd5, cr, cd, cx) ORDER BY c_custkey"
     )
 
 
@@ -1728,12 +1732,16 @@ def _crypto2_oracle() -> str:
     "dialect_contrib_crypto2",
     oracle=_crypto2_oracle(),
     doc="contrib/pgcrypto beyond digest (pgcrypto.c:161,204-253): "
-        "hmac(data, key, md5|sha*) → bytea and crypt()/md5-crypt over "
-        "deterministic per-row salts — Arrow-batched pandas UDFs over "
-        "stdlib hmac/hashlib (no JVM builtin; the batch transfer keeps "
-        "them off the row-at-a-time path). The oracle is the closed-form "
-        "expected table from the TPC-H name convention: hmac via stdlib "
-        "hmac independently, crypt via the openssl-verified md5-crypt.",
+        "hmac(data, key, md5|sha*) → bytea and all four crypt() schemes "
+        "over deterministic per-row salts — md5-crypt, traditional DES "
+        "and extended xdes (clean-room FIPS 46-3 DES in "
+        "functions/descrypt.py, pinned to crypt-des.out/crypt-xdes.out "
+        "regress vectors and FIPS known-answer tests) — Arrow-batched "
+        "pandas UDFs over stdlib + pure-Python kernels (no JVM builtin; "
+        "the batch transfer keeps them off the row-at-a-time path). The "
+        "oracle is the closed-form expected table from the TPC-H name "
+        "convention: hmac via stdlib hmac independently, crypt via the "
+        "pinned kernels.",
     tags=("dialect", "contrib"),
 )
 def dialect_contrib_crypto2(spark, sf_dir):
@@ -1744,7 +1752,9 @@ def dialect_contrib_crypto2(spark, sf_dir):
         SELECT c_custkey::int4 AS c_custkey,
                encode(hmac(c_name, 'gg_key', 'sha256'), 'hex') AS hs256,
                encode(hmac(c_name, 'gg_key', 'md5'), 'hex') AS hmd5,
-               crypt('pw', '$1$' || substr(md5(c_name), 1, 8)) AS cr
+               crypt('pw', '$1$' || substr(md5(c_name), 1, 8)) AS cr,
+               crypt('pw', substr(md5(c_name), 1, 2)) AS cd,
+               crypt('pw', '_l...' || substr(md5(c_name), 1, 4)) AS cx
         FROM customer WHERE c_custkey < 30 ORDER BY c_custkey
         """,
         ["customer"],
