@@ -170,8 +170,8 @@ class AES:
 # ---------------------------------------------------------------------------
 
 
-def _parse_cipher_type(ctype: str) -> tuple[str, str]:
-    """'aes-cbc/pad:pkcs' → (mode, padding); px_find_combo grammar."""
+def _parse_cipher_type(ctype: str) -> tuple[str, str, str]:
+    """'aes-cbc/pad:pkcs' → (algo, mode, padding); px_find_combo grammar."""
     spec = ctype.strip().lower()
     pad = "pkcs"
     if "/" in spec:
@@ -183,20 +183,24 @@ def _parse_cipher_type(ctype: str) -> tuple[str, str]:
             raise ValueError(f"unknown padding {pad!r} (pkcs, none)")
     algo, _, mode = spec.partition("-")
     mode = mode or "cbc"
-    if algo in ("bf", "blowfish", "3des", "des", "cast5"):
+    if algo == "blowfish":
+        algo = "bf"
+    if algo == "rijndael":
+        algo = "aes"
+    if algo == "cast5":
         raise NotImplementedError(
-            f"cipher {algo!r}: only 'aes' is in the subset — bf/des/3des/"
-            "cast5 need primitives the container does not ship"
+            "cipher 'cast5': aes/bf/des/3des are implemented — cast5 "
+            "(RFC 2144) is not"
         )
-    if algo not in ("aes", "rijndael"):
+    if algo not in ("aes", "bf", "des", "3des"):
         raise ValueError(f"unknown cipher {algo!r}")
     if mode not in ("cbc", "ecb"):
         raise ValueError(f"unknown cipher mode {mode!r} (cbc, ecb)")
-    return mode, pad
+    return algo, mode, pad
 
 
 def _pg_key(key: bytes) -> bytes:
-    """px.c: zero-pad the key UP to the next supported length."""
+    """px.c: zero-pad the key UP to the next supported AES length."""
     if len(key) <= 16:
         return key.ljust(16, b"\x00")
     if len(key) <= 24:
@@ -204,6 +208,128 @@ def _pg_key(key: bytes) -> bytes:
     if len(key) <= 32:
         return key.ljust(32, b"\x00")
     raise ValueError("encryption key too long for AES (max 32 bytes)")
+
+
+class _DES:
+    """8-byte-block adapter over the clean-room FIPS 46-3 core
+    (functions/descrypt.py).  px.c combo_init: key zero-padded to 8,
+    longer keys truncated."""
+
+    block_size = 8
+
+    def __init__(self, key: bytes):
+        from greengage_spark.functions.descrypt import des_subkeys
+
+        self._keys = des_subkeys(key[:8].ljust(8, b"\x00"))
+
+    def encrypt_block(self, block: bytes) -> bytes:
+        from greengage_spark.functions.descrypt import des_crypt_block
+
+        return des_crypt_block(
+            int.from_bytes(block, "big"), self._keys
+        ).to_bytes(8, "big")
+
+    def decrypt_block(self, block: bytes) -> bytes:
+        from greengage_spark.functions.descrypt import des_crypt_block
+
+        return des_crypt_block(
+            int.from_bytes(block, "big"), self._keys, decrypt=True
+        ).to_bytes(8, "big")
+
+
+class _TDES:
+    """Triple-DES EDE (keying option by key length: zero-pad to 24,
+    truncate longer — px.c combo_init with ks=24).  Encrypt is
+    E_k1(D_k2(E_k3(...))) composed so that k2=k3=0 collapses to single
+    DES, which is exactly what the reference regress pins
+    (3des('foo') == des('foo') in 3des.out)."""
+
+    block_size = 8
+
+    def __init__(self, key: bytes):
+        from greengage_spark.functions.descrypt import des_subkeys
+
+        key = key[:24].ljust(24, b"\x00")
+        self._k = [des_subkeys(key[i : i + 8]) for i in (0, 8, 16)]
+
+    def encrypt_block(self, block: bytes) -> bytes:
+        from greengage_spark.functions.descrypt import des_crypt_block
+
+        v = int.from_bytes(block, "big")
+        v = des_crypt_block(v, self._k[0])
+        v = des_crypt_block(v, self._k[1], decrypt=True)
+        v = des_crypt_block(v, self._k[2])
+        return v.to_bytes(8, "big")
+
+    def decrypt_block(self, block: bytes) -> bytes:
+        from greengage_spark.functions.descrypt import des_crypt_block
+
+        v = int.from_bytes(block, "big")
+        v = des_crypt_block(v, self._k[2], decrypt=True)
+        v = des_crypt_block(v, self._k[1])
+        v = des_crypt_block(v, self._k[0], decrypt=True)
+        return v.to_bytes(8, "big")
+
+
+class _Blowfish:
+    """Standard Blowfish (Schneier 1994) reusing the bcrypt module's
+    pi-generated boxes and round function: the classic key schedule is
+    ExpandKey with no data words and the key cycled into 18 words.
+    Keys use their actual length (1..56 bytes, truncated longer) —
+    px.c passes klen through to bf_init."""
+
+    block_size = 8
+
+    def __init__(self, key: bytes):
+        from greengage_spark.functions.bcrypt import (
+            _P_INIT,
+            _S_INIT,
+            _expand_key,
+        )
+
+        key = key[:56]
+        if not key:
+            raise ValueError("empty Blowfish key")
+        kw = [
+            int.from_bytes(
+                bytes(key[(4 * i + j) % len(key)] for j in range(4)), "big"
+            )
+            for i in range(18)
+        ]
+        self._P = list(_P_INIT)
+        self._S = [list(s) for s in _S_INIT]
+        _expand_key(self._P, self._S, None, kw)
+        self._Pdec = list(reversed(self._P))
+
+    def encrypt_block(self, block: bytes) -> bytes:
+        from greengage_spark.functions.bcrypt import _encrypt
+
+        left, right = _encrypt(
+            self._P, *self._S,
+            int.from_bytes(block[:4], "big"),
+            int.from_bytes(block[4:], "big"),
+        )
+        return left.to_bytes(4, "big") + right.to_bytes(4, "big")
+
+    def decrypt_block(self, block: bytes) -> bytes:
+        from greengage_spark.functions.bcrypt import _encrypt
+
+        left, right = _encrypt(
+            self._Pdec, *self._S,
+            int.from_bytes(block[:4], "big"),
+            int.from_bytes(block[4:], "big"),
+        )
+        return left.to_bytes(4, "big") + right.to_bytes(4, "big")
+
+
+def _make_cipher(algo: str, key: bytes):
+    if algo == "aes":
+        return AES(_pg_key(key))
+    if algo == "des":
+        return _DES(key)
+    if algo == "3des":
+        return _TDES(key)
+    return _Blowfish(key)
 
 
 def _as_bytes(v) -> bytes:
@@ -216,22 +342,23 @@ def encrypt_bytes(data, key, ctype: str, iv: bytes | None = None):
     if data is None or key is None or ctype is None:
         return None
     data, key = _as_bytes(data), _as_bytes(key)
-    mode, pad = _parse_cipher_type(ctype)
-    aes = AES(_pg_key(key))
+    algo, mode, pad = _parse_cipher_type(ctype)
+    ciph = _make_cipher(algo, key)
+    bs = getattr(ciph, "block_size", 16)
     if pad == "pkcs":
-        n = 16 - len(data) % 16
+        n = bs - len(data) % bs
         data = data + bytes([n]) * n
-    elif len(data) % 16:
+    elif len(data) % bs:
         raise ValueError("data not a multiple of block size (pad:none)")
     out = bytearray()
     if mode == "ecb":
-        for i in range(0, len(data), 16):
-            out += aes.encrypt_block(data[i : i + 16])
+        for i in range(0, len(data), bs):
+            out += ciph.encrypt_block(data[i : i + bs])
     else:
-        prev = (iv or b"\x00" * 16)[:16].ljust(16, b"\x00")
-        for i in range(0, len(data), 16):
-            prev = aes.encrypt_block(
-                bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = (iv or b"\x00" * bs)[:bs].ljust(bs, b"\x00")
+        for i in range(0, len(data), bs):
+            prev = ciph.encrypt_block(
+                bytes(a ^ b for a, b in zip(data[i : i + bs], prev))
             )
             out += prev
     return bytes(out)
@@ -241,27 +368,28 @@ def decrypt_bytes(data, key, ctype: str, iv: bytes | None = None):
     if data is None or key is None or ctype is None:
         return None
     data, key = _as_bytes(data), _as_bytes(key)
-    mode, pad = _parse_cipher_type(ctype)
-    if len(data) % 16:
+    algo, mode, pad = _parse_cipher_type(ctype)
+    ciph = _make_cipher(algo, key)
+    bs = getattr(ciph, "block_size", 16)
+    if len(data) % bs:
         raise ValueError("ciphertext not a multiple of block size")
-    aes = AES(_pg_key(key))
     out = bytearray()
     if mode == "ecb":
-        for i in range(0, len(data), 16):
-            out += aes.decrypt_block(data[i : i + 16])
+        for i in range(0, len(data), bs):
+            out += ciph.decrypt_block(data[i : i + bs])
     else:
-        prev = (iv or b"\x00" * 16)[:16].ljust(16, b"\x00")
-        for i in range(0, len(data), 16):
-            blk = data[i : i + 16]
+        prev = (iv or b"\x00" * bs)[:bs].ljust(bs, b"\x00")
+        for i in range(0, len(data), bs):
+            blk = data[i : i + bs]
             out += bytes(
-                a ^ b for a, b in zip(aes.decrypt_block(blk), prev)
+                a ^ b for a, b in zip(ciph.decrypt_block(blk), prev)
             )
             prev = blk
     if pad == "pkcs":
         if not out:
             raise ValueError("invalid pkcs padding (empty)")
         n = out[-1]
-        if not 1 <= n <= 16 or out[-n:] != bytes([n]) * n:
+        if not 1 <= n <= bs or out[-n:] != bytes([n]) * n:
             raise ValueError("invalid pkcs padding")
         del out[-n:]
     return bytes(out)

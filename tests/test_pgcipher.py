@@ -117,13 +117,141 @@ class TestRijndaelVectors:
         with pytest.raises(ValueError):
             decrypt_bytes(c, b"wrong-key-here", "aes")
 
-    def test_bf_rejects_loudly(self):
-        with pytest.raises(NotImplementedError, match="bf"):
-            encrypt_bytes(b"x", b"k", "bf-cbc")
+    def test_cast5_rejects_loudly(self):
+        with pytest.raises(NotImplementedError, match="cast5"):
+            encrypt_bytes(b"x", b"k", "cast5-cbc")
 
     def test_key_too_long(self):
         with pytest.raises(ValueError, match="too long"):
             encrypt_bytes(b"x", b"k" * 33, "aes")
+
+
+class TestDesBfCipherVectors:
+    """encrypt()/decrypt() des / 3des / bf — every vector is the
+    reference's own regress data (contrib/pgcrypto/expected/des.out,
+    3des.out, blowfish.out); the Blowfish core is the bcrypt module's
+    pi-generated boxes with the classic key schedule, the DES core is
+    functions/descrypt.py (FIPS known-answer-pinned)."""
+
+    def _enc(self, data, key, ctype, iv=None):
+        return encrypt_bytes(data, key, ctype, iv).hex()
+
+    def test_des_vectors(self):
+        assert self._enc(
+            bytes.fromhex("0123456789abcdef"),
+            bytes.fromhex("fedcba9876543210"),
+            "des-ecb/pad:none",
+        ) == "ed39d950fa74bcc4"
+        assert self._enc(b"", b"foo", "des") == "752111e37a2d7ac3"
+        assert self._enc(b"foo", b"01234589", "des") == "dec0f9c602b647a8"
+        assert self._enc(
+            b"Lets try a longer message.", b"01234567", "des"
+        ) == "5ad146043e5f30967e06a0fcbae602daf4ff2a5fd0ed12d6c5913cf85f1e36ca"
+
+    def test_des_iv(self):
+        assert self._enc(b"foo", b"0123456", "des", b"abcd") == (
+            "50735067b073bb93"
+        )
+        assert decrypt_bytes(
+            bytes.fromhex("50735067b073bb93"), b"0123456", "des", b"abcd"
+        ) == b"foo"
+
+    def test_3des_vectors(self):
+        assert self._enc(
+            bytes.fromhex("8000000000000000"),
+            bytes.fromhex("01" * 24),
+            "3des-ecb/pad:none",
+        ) == "95f8a5e5dd31d900"
+        # k2=k3=0 collapses 3des to des (zero-padded 'foo' key)
+        assert self._enc(b"", b"foo", "3des") == "752111e37a2d7ac3"
+        assert self._enc(b"foo", b"0123456789", "3des") == (
+            "d2fb8baa1717cb02"
+        )
+        assert self._enc(
+            b"foo", b"0123456789012345678901", "3des"
+        ) == "a44360e699269817"
+        assert self._enc(
+            b"Lets try a longer message.", b"0123456789012345678901", "3des"
+        ) == "b71e3422269d0ded19468f33d65cd663c28e0871984792a7b3ba0ddcecec8d2c"
+        assert decrypt_bytes(
+            encrypt_bytes(b"foo", b"0123456", "3des"), b"0123456", "3des"
+        ) == b"foo"
+
+    def test_bf_schneier_vectors(self):
+        for pt, key, want in (
+            ("0000000000000000", "0000000000000000", "4ef997456198dd78"),
+            ("ffffffffffffffff", "ffffffffffffffff", "51866fd5b85ecb8a"),
+            ("1000000000000001", "3000000000000000", "7d856f9a613063f2"),
+            ("1111111111111111", "1111111111111111", "2466dd878b963c9d"),
+            ("0123456789abcdef", "fedcba9876543210", "0aceab0fc6a0a28d"),
+            ("01a1d6d039776742", "fedcba9876543210", "3273b8badc9e9e15"),
+            ("ffffffffffffffff", "0000000000000000", "014933e0cdaff6e4"),
+            # 16-byte setkey
+            ("fedcba9876543210",
+             "f0e1d2c3b4a5968778695a4b3c2d1e0f", "93142887ee3be15c"),
+            # blowfish-448 (56-byte key)
+            ("fedcba9876543210",
+             "f0e1d2c3b4a5968778695a4b3c2d1e0f001122334455667704689104"
+             "c2fd3b2f584023641aba61761f1f1f1f0e0e0e0effffffffffffffff",
+             "c04504012e4e1f53"),
+        ):
+            assert self._enc(
+                bytes.fromhex(pt), bytes.fromhex(key), "bf-ecb/pad:none"
+            ) == want
+
+    def test_bf_padding_cbc_and_odd_keys(self):
+        assert self._enc(
+            bytes.fromhex("01234567890123456789"),
+            bytes.fromhex("33443344334433443344334433443344"),
+            "bf-ecb",
+        ) == "0d04a43a20456dee5ede6ed9e4dcaaa6"
+        assert self._enc(
+            bytes.fromhex(
+                "6b77b4d63006dee605b156e27403979358deb9e7154616d959f1652bd5"
+            ),
+            bytes.fromhex(
+                "37363534333231204e6f77206973207468652074696d6520666f7220"
+            ),
+            "bf-cbc",
+        ) == (
+            "4f2beb748c4f689ec755edb9dc252a41"
+            "b93a3786850b4c75d6a702b6a8e48825"
+        )
+        # 29-byte key
+        assert self._enc(
+            bytes.fromhex(
+                "6b77b4d63006dee605b156e27403979358deb9e7154616d959f1652b"
+                "d5ff92cc"
+            ),
+            bytes.fromhex(
+                "37363534333231204e6f77206973207468652074696d6520666f722000"
+            ),
+            "bf-cbc",
+        ) == (
+            "3ea6357a0ee7fad6d0c4b63464f2aafa"
+            "40c2e91b4b7e1bba8114932fd92b5c8f111e7e50e7b2e541"
+        )
+
+    def test_bf_text_vectors(self):
+        assert self._enc(b"", b"foo", "bf") == "1871949bb2311c8e"
+        assert self._enc(b"foo", b"0123456789", "bf") == "42f58af3b2c03f46"
+        assert self._enc(
+            b"foo", b"0123456789012345678901", "bf"
+        ) == "86ab6f0bc72b5f22"
+        assert self._enc(b"foo", b"0123456", "bf", b"abcd") == (
+            "95c7e89322525d59"
+        )
+        assert self._enc(
+            b"Lets try a longer message.", b"0123456789", "bf"
+        ) == (
+            "a76059f7a1b627b5b84080d9beb33771"
+            "4c7a7f8b70300023e5feb6dfa6813536"
+        )
+        assert decrypt_bytes(
+            encrypt_bytes(b"Lets try a longer message.", b"0123456789", "bf"),
+            b"0123456789",
+            "bf",
+        ) == b"Lets try a longer message."
 
 
 @pytest.mark.skipif(shutil.which("openssl") is None, reason="no openssl")

@@ -82,8 +82,14 @@ def frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from greengage_spark.session import get_spark
@@ -94,6 +100,7 @@ def main():
     oracles = entrymod.oracle_sql()
 
     n_pass = n_fail = n_weak = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -102,28 +109,54 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"status": "fail", "detail": f"spark error: {e}"}
             n_fail += 1
             continue
         if name not in oracles:
             ok = len(sdf) >= 0
             print(f"weak {name}: rows={len(sdf)} ({time.time()-t0:.1f}s) [no oracle]")
+            results[name] = {"status": "weak", "rows": len(sdf)}
             n_weak += 1
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"status": "fail", "detail": f"duckdb error: {e}"}
             n_fail += 1
             continue
         ok, msg = frames_equal(normalize(sdf), normalize(odf))
         if ok:
-            print(f"PASS {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            dt = time.time() - t0
+            print(f"PASS {name}: rows={len(sdf)} ({dt:.1f}s)")
+            results[name] = {"status": "pass", "rows": len(sdf),
+                             "sec": round(dt, 2)}
             n_pass += 1
         else:
             print(f"FAIL {name}: {msg}")
+            results[name] = {"status": "fail", "detail": msg}
             n_fail += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "total": len(results),
+                    "pass": n_pass,
+                    "fail": n_fail,
+                    "weak": n_weak,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 
