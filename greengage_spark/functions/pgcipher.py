@@ -399,8 +399,33 @@ def decrypt_bytes(data, key, ctype: str, iv: bytes | None = None):
 # RFC 4880 subset: pgp_sym_encrypt / pgp_sym_decrypt (pgp-pgsql.c:538)
 # ---------------------------------------------------------------------------
 
-_PGP_AES = {7: 16, 8: 24, 9: 32}  # cipher-algo octet → key bytes
-_PGP_AES_NAMES = {"aes": 7, "aes128": 7, "aes192": 8, "aes256": 9}
+# cipher-algo octet (RFC 4880 §9.2) → (algo, key bytes); block size
+# comes from the cipher object itself
+_PGP_CIPHERS = {
+    2: ("3des", 24),
+    4: ("bf", 16),
+    7: ("aes", 16),
+    8: ("aes", 24),
+    9: ("aes", 32),
+}
+_PGP_CIPHER_NAMES = {
+    "3des": 2, "bf": 4, "blowfish": 4,
+    "aes": 7, "aes128": 7, "aes192": 8, "aes256": 9,
+}
+
+
+def _pgp_cipher(algo_octet: int):
+    """Cipher instance factory keyed by the RFC 4880 algo octet."""
+    algo, keylen = _PGP_CIPHERS[algo_octet]
+
+    def make(key: bytes):
+        if algo == "aes":
+            return AES(key)
+        if algo == "3des":
+            return _TDES(key)
+        return _Blowfish(key)
+
+    return make, keylen
 
 
 def _s2k_iterated(passphrase: bytes, salt: bytes, count: int,
@@ -419,24 +444,26 @@ def _s2k_iterated(passphrase: bytes, salt: bytes, count: int,
     return out[:keylen]
 
 
-def _cfb_encrypt(aes: AES, data: bytes) -> bytes:
+def _cfb_encrypt(ciph, data: bytes) -> bytes:
+    bs = getattr(ciph, "block_size", 16)
     out = bytearray()
-    prev = b"\x00" * 16
-    for i in range(0, len(data), 16):
-        ks = aes.encrypt_block(prev)
-        chunk = data[i : i + 16]
+    prev = b"\x00" * bs
+    for i in range(0, len(data), bs):
+        ks = ciph.encrypt_block(prev)
+        chunk = data[i : i + bs]
         enc = bytes(a ^ b for a, b in zip(chunk, ks))
         out += enc
-        prev = enc.ljust(16, b"\x00") if len(enc) == 16 else enc
+        prev = enc.ljust(bs, b"\x00") if len(enc) == bs else enc
     return bytes(out)
 
 
-def _cfb_decrypt(aes: AES, data: bytes) -> bytes:
+def _cfb_decrypt(ciph, data: bytes) -> bytes:
+    bs = getattr(ciph, "block_size", 16)
     out = bytearray()
-    prev = b"\x00" * 16
-    for i in range(0, len(data), 16):
-        ks = aes.encrypt_block(prev)
-        chunk = data[i : i + 16]
+    prev = b"\x00" * bs
+    for i in range(0, len(data), bs):
+        ks = ciph.encrypt_block(prev)
+        chunk = data[i : i + bs]
         out += bytes(a ^ b for a, b in zip(chunk, ks))
         prev = chunk
     return bytes(out)
@@ -480,11 +507,16 @@ def _parse_pgp_options(options: str | None) -> tuple[int, int, int]:
         k, _, v = item.partition("=")
         k, v = k.strip().lower(), v.strip().lower()
         if k == "cipher-algo":
-            if v not in _PGP_AES_NAMES:
+            if v == "cast5":
                 raise NotImplementedError(
-                    f"pgp cipher-algo {v!r}: aes128/aes192/aes256 only"
+                    "pgp cipher-algo cast5: 3des/bf/aes128/aes192/aes256 "
+                    "are implemented — cast5 (RFC 2144) is not"
                 )
-            algo = _PGP_AES_NAMES[v]
+            if v not in _PGP_CIPHER_NAMES:
+                raise NotImplementedError(
+                    f"pgp cipher-algo {v!r}: 3des/bf/aes128/aes192/aes256"
+                )
+            algo = _PGP_CIPHER_NAMES[v]
         elif k == "s2k-count":
             try:
                 count = int(v)
@@ -532,7 +564,7 @@ def pgp_sym_encrypt(data, psw, options=None, *, binary=False):
         return None
     raw = _as_bytes(data)
     algo, count, compress = _parse_pgp_options(options)
-    keylen = _PGP_AES[algo]
+    make_cipher, keylen = _pgp_cipher(algo)
     salt = os.urandom(8)
     c_oct = _encode_s2k_count(count)
     key = _s2k_iterated(
@@ -558,12 +590,13 @@ def pgp_sym_encrypt(data, psw, options=None, *, binary=False):
         else:
             packed = zlib.compress(lit, 6)
         lit = _new_packet(8, bytes([compress]) + packed)
-    prefix = os.urandom(16)
+    ciph = make_cipher(key)
+    bs = getattr(ciph, "block_size", 16)
+    prefix = os.urandom(bs)
     body = prefix + prefix[-2:] + lit
     mdc_input = body + b"\xd3\x14"
     mdc = b"\xd3\x14" + hashlib.sha1(mdc_input).digest()
-    aes = AES(key)
-    seipd = _new_packet(18, b"\x01" + _cfb_encrypt(aes, body + mdc))
+    seipd = _new_packet(18, b"\x01" + _cfb_encrypt(ciph, body + mdc))
     return esk + seipd
 
 
@@ -620,18 +653,19 @@ def pgp_sym_decrypt(msg, psw, options=None, *, binary=False):
             "pgp SymKey-ESK: version-4 iterated+salted S2K only"
         )
     algo = body[1]
-    if algo not in _PGP_AES:
+    if algo not in _PGP_CIPHERS:
         raise NotImplementedError(
-            f"pgp cipher algo octet {algo}: AES only"
+            f"pgp cipher algo octet {algo}: 3des/bf/aes only"
         )
     if body[3] != 2:
         raise NotImplementedError("pgp S2K hash: SHA-1 only")
     salt, c_oct = body[4:12], body[12]
     if len(body) > 13:
         raise NotImplementedError("pgp encrypted session key form")
+    make_cipher, keylen = _pgp_cipher(algo)
     key = _s2k_iterated(
         _as_bytes(psw), salt,
-        (16 + (c_oct & 15)) << ((c_oct >> 4) + 6), _PGP_AES[algo],
+        (16 + (c_oct & 15)) << ((c_oct >> 4) + 6), keylen,
     )
     tag, body, pos = _read_packet(buf, pos)
     if tag != 18 or body[0] != 1:
@@ -639,8 +673,10 @@ def pgp_sym_decrypt(msg, psw, options=None, *, binary=False):
             "pgp data packet: SEIPD v1 (tag 18) only — no-MDC tag 9 "
             "messages are out of the subset"
         )
-    plain = _cfb_decrypt(AES(key), body[1:])
-    if plain[14:16] != plain[16:18]:
+    ciph = make_cipher(key)
+    bs = getattr(ciph, "block_size", 16)
+    plain = _cfb_decrypt(ciph, body[1:])
+    if plain[bs - 2 : bs] != plain[bs : bs + 2]:
         raise ValueError("Wrong key or corrupt data")
     mdc_at = len(plain) - 22
     if plain[mdc_at : mdc_at + 2] != b"\xd3\x14":
@@ -650,7 +686,7 @@ def pgp_sym_decrypt(msg, psw, options=None, *, binary=False):
         != plain[mdc_at + 2 :]
     ):
         raise ValueError("pgp MDC hash mismatch (corrupt data)")
-    tag, lit, _ = _read_packet(plain, 18)
+    tag, lit, _ = _read_packet(plain, bs + 2)
     if tag == 8:
         # compressed-data packet: first octet is the algorithm
         import zlib

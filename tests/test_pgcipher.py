@@ -283,10 +283,16 @@ class TestPgpSubset:
         m = pgp_sym_encrypt("Secret message", "pw123")
         assert pgp_sym_decrypt(m, "pw123") == "Secret message"
 
-    @pytest.mark.parametrize("algo", ["aes128", "aes192", "aes256"])
-    def test_roundtrip_all_key_sizes(self, algo):
+    @pytest.mark.parametrize(
+        "algo", ["aes128", "aes192", "aes256", "3des", "bf", "blowfish"]
+    )
+    def test_roundtrip_all_ciphers(self, algo):
         m = pgp_sym_encrypt("S", "k", f"cipher-algo={algo}")
         assert pgp_sym_decrypt(m, "k") == "S"
+
+    def test_cast5_rejects(self):
+        with pytest.raises(NotImplementedError, match="cast5"):
+            pgp_sym_encrypt("S", "k", "cipher-algo=cast5")
 
     def test_binary_roundtrip_long(self):
         data = bytes(range(256)) * 40  # crosses the 2-octet length form
@@ -363,6 +369,39 @@ class TestGnupgInterop:
         )
         assert p.returncode == 0, p.stderr.decode()
         assert pgp_sym_decrypt(out.read_bytes(), "pw2") == "from gnupg"
+
+    @pytest.mark.parametrize(
+        "ours,theirs", [("3des", "3DES"), ("bf", "BLOWFISH")]
+    )
+    def test_pgp_3des_bf_interop_both_ways(self, tmp_path, ours, theirs):
+        # pgp.h PGP_SYM_DES3/PGP_SYM_BLOWFISH (octets 2/4) over 8-byte
+        # CFB blocks: quickcheck, MDC offsets, and S2K key sizes all
+        # shift with the block/key size — interop is the proof.
+        gnupg = tmp_path / "gnupg"
+        gnupg.mkdir()
+        gnupg.chmod(0o700)
+        env = {"GNUPGHOME": str(gnupg)}
+        msg = tmp_path / "m.pgp"
+        msg.write_bytes(
+            pgp_sym_encrypt(f"interop {ours}", "pw3", f"cipher-algo={ours}")
+        )
+        p = subprocess.run(
+            ["gpg", "--batch", "--yes", "--passphrase", "pw3",
+             "--decrypt", str(msg)],
+            capture_output=True, env=env,
+        )
+        assert p.returncode == 0, p.stderr.decode()
+        assert p.stdout == f"interop {ours}".encode()
+        out = tmp_path / "g.pgp"
+        p = subprocess.run(
+            ["gpg", "--batch", "--yes", "--passphrase", "pw3",
+             "--symmetric", "--cipher-algo", theirs, "--s2k-mode", "3",
+             "--s2k-digest-algo", "SHA1", "--compress-algo", "none",
+             "--rfc4880", "--textmode", "-o", str(out)],
+            input=b"from gnupg", capture_output=True, env=env,
+        )
+        assert p.returncode == 0, p.stderr.decode()
+        assert pgp_sym_decrypt(out.read_bytes(), "pw3") == "from gnupg"
 
 
 class TestArmor:
