@@ -206,14 +206,13 @@ class GucManager:
             # ts_cache.c: bare to_tsvector/to_tsquery pick this config
             # up; pg_sql reads the spark conf at transpile time
             cfg = val.lower().split(".")[-1]
-            if cfg not in (
-                "simple", "english", "french", "german", "spanish",
-                "russian",
-            ):
+            from greengage_spark.functions.snowball import LANGS
+
+            if cfg not in ("simple", "english") and cfg not in LANGS:
                 raise NotImplementedError(
                     f"default_text_search_config = {val!r}: 'simple', "
-                    "'english', 'french', 'german', 'spanish', and "
-                    "'russian' are the implemented configurations"
+                    "'english', and the snowball configurations "
+                    f"({'/'.join(LANGS)}) are implemented"
                 )
             self._store(name, val, is_local and in_txn)
             self.spark.conf.set(

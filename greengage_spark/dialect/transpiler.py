@@ -3160,8 +3160,10 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                 elif cfg != "simple":
                     raise NotImplementedError(
                         f"text search configuration {cfg!r}: 'simple', "
-                        "'english', 'french', 'german', 'spanish', and "
-                        "'russian' are implemented"
+                        "'english', and the snowball configs "
+                        "(french/german/spanish/russian/danish/"
+                        "norwegian/swedish/italian/portuguese/dutch) "
+                        "are implemented"
                     )
         elif (
             low == "ts_lexize"
@@ -3190,18 +3192,20 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                     lex = [] if word in STOPWORDS else [stem(word)]
                 elif dname == "simple":
                     lex = [word]
-                elif dname.endswith("_stem") and dname[:-5] in (
-                    "french", "german", "spanish", "russian"
-                ):
+                elif dname.endswith("_stem") and dname[:-5] in __import__(
+                    "greengage_spark.functions.snowball",
+                    fromlist=["LANGS"],
+                ).LANGS:
                     from greengage_spark.functions.snowball import lexize
 
                     k = lexize(dname[:-5], word)
                     lex = [] if k is None else [k]
                 else:
                     raise NotImplementedError(
-                        f"ts_lexize dictionary {dname!r}: simple and the "
-                        "english/french/german/spanish/russian _stem "
-                        "dictionaries are implemented"
+                        f"ts_lexize dictionary {dname!r}: simple, "
+                        "english_stem, and the snowball <lang>_stem "
+                        "dictionaries (functions/snowball.py LANGS) "
+                        "are implemented"
                     )
                 items = ", ".join(
                     "'" + x.replace("'", "''") + "'" for x in lex

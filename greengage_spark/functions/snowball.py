@@ -11,7 +11,8 @@ semantic contract and are embedded verbatim as DATA (tests assert
 byte-equality with the reference's .stop files).
 
 'english' and 'simple' predate this module (snowball_en.py); this
-registry adds french / german / spanish / russian and is the single
+registry adds french / german / spanish / russian / danish /
+norwegian / swedish / italian / portuguese / dutch and is the single
 lookup the rest of the engine uses for any non-english config.
 """
 
@@ -113,6 +114,108 @@ STOPWORDS_RUSSIAN = frozenset("""
 нельзя такой им более всегда конечно всю между
 """.split())
 
+# src/backend/snowball/stopwords/danish.stop — 94 words, verbatim
+STOPWORDS_DANISH = frozenset("""
+og i jeg det at en den til er som på de med han af for ikke der var
+mig sig men et har om vi min havde ham hun nu over da fra du ud sin
+dem os op man hans hvor eller hvad skal selv her alle vil blev kunne
+ind når være dog noget ville jo deres efter ned skulle denne end
+dette mit også under have dig anden hende mine alt meget sit sine
+vor mod disse hvis din nogle hos blive mange ad bliver hendes været
+thi jer sådan
+""".split())
+
+# src/backend/snowball/stopwords/norwegian.stop — 176 words, verbatim
+STOPWORDS_NORWEGIAN = frozenset("""
+og i jeg det at en et den til er som på de med han av ikke ikkje der
+så var meg seg men ett har om vi min mitt ha hadde hun nå over da
+ved fra du ut sin dem oss opp man kan hans hvor eller hva skal selv
+sjøl her alle vil bli ble blei blitt kunne inn når være kom noen noe
+ville dere som deres kun ja etter ned skulle denne for deg si sine
+sitt mot å meget hvorfor dette disse uten hvordan ingen din ditt
+blir samme hvilken hvilke sånn inni mellom vår hver hvem vors hvis
+både bare enn fordi før mange også slik vært være båe begge siden
+dykk dykkar dei deira deires deim di då eg ein eit eitt elles honom
+hjå ho hoe henne hennar hennes hoss hossen ikkje ingi inkje korleis
+korso kva kvar kvarhelst kven kvi kvifor me medan mi mine mykje no
+nokon noka nokor noko nokre si sia sidan so somt somme um upp vere
+vore verte vort varte vart
+""".split())
+
+# src/backend/snowball/stopwords/swedish.stop — 114 words, verbatim
+STOPWORDS_SWEDISH = frozenset("""
+och det att i en jag hon som han på den med var sig för så till är
+men ett om hade de av icke mig du henne då sin nu har inte hans
+honom skulle hennes där min man ej vid kunde något från ut när efter
+upp vi dem vara vad över än dig kan sina här ha mot alla under någon
+eller allt mycket sedan ju denna själv detta åt utan varit hur ingen
+mitt ni bli blev oss din dessa några deras blir mina samma vilken er
+sådan vår blivit dess inom mellan sådant varför varje vilka ditt vem
+vilket sitta sådana vart dina vars vårt våra ert era vilkas
+""".split())
+
+# src/backend/snowball/stopwords/italian.stop — 279 words, verbatim
+STOPWORDS_ITALIAN = frozenset("""
+ad al allo ai agli all agl alla alle con col coi da dal dallo dai
+dagli dall dagl dalla dalle di del dello dei degli dell degl della
+delle in nel nello nei negli nell negl nella nelle su sul sullo sui
+sugli sull sugl sulla sulle per tra contro io tu lui lei noi voi
+loro mio mia miei mie tuo tua tuoi tue suo sua suoi sue nostro
+nostra nostri nostre vostro vostra vostri vostre mi ti ci vi lo la
+li le gli ne il un uno una ma ed se perché anche come dov dove che
+chi cui non più quale quanto quanti quanta quante quello quelli
+quella quelle questo questi questa queste si tutto tutti a c e i l o
+ho hai ha abbiamo avete hanno abbia abbiate abbiano avrò avrai avrà
+avremo avrete avranno avrei avresti avrebbe avremmo avreste
+avrebbero avevo avevi aveva avevamo avevate avevano ebbi avesti ebbe
+avemmo aveste ebbero avessi avesse avessimo avessero avendo avuto
+avuta avuti avute sono sei è siamo siete sia siate siano sarò sarai
+sarà saremo sarete saranno sarei saresti sarebbe saremmo sareste
+sarebbero ero eri era eravamo eravate erano fui fosti fu fummo foste
+furono fossi fosse fossimo fossero essendo faccio fai facciamo fanno
+faccia facciate facciano farò farai farà faremo farete faranno farei
+faresti farebbe faremmo fareste farebbero facevo facevi faceva
+facevamo facevate facevano feci facesti fece facemmo faceste fecero
+facessi facesse facessimo facessero facendo sto stai sta stiamo
+stanno stia stiate stiano starò starai starà staremo starete
+staranno starei staresti starebbe staremmo stareste starebbero stavo
+stavi stava stavamo stavate stavano stetti stesti stette stemmo
+steste stettero stessi stesse stessimo stessero stando
+""".split())
+
+# src/backend/snowball/stopwords/portuguese.stop — 203 words, verbatim
+STOPWORDS_PORTUGUESE = frozenset("""
+de a o que e do da em um para com não uma os no se na por mais as
+dos como mas ao ele das à seu sua ou quando muito nos já eu também
+só pelo pela até isso ela entre depois sem mesmo aos seus quem nas
+me esse eles você essa num nem suas meu às minha numa pelos elas
+qual nós lhe deles essas esses pelas este dele tu te vocês vos lhes
+meus minhas teu tua teus tuas nosso nossa nossos nossas dela delas
+esta estes estas aquele aquela aqueles aquelas isto aquilo estou
+está estamos estão estive esteve estivemos estiveram estava
+estávamos estavam estivera estivéramos esteja estejamos estejam
+estivesse estivéssemos estivessem estiver estivermos estiverem hei
+há havemos hão houve houvemos houveram houvera houvéramos haja
+hajamos hajam houvesse houvéssemos houvessem houver houvermos
+houverem houverei houverá houveremos houverão houveria houveríamos
+houveriam sou somos são era éramos eram fui foi fomos foram fora
+fôramos seja sejamos sejam fosse fôssemos fossem for formos forem
+serei será seremos serão seria seríamos seriam tenho tem temos tém
+tinha tínhamos tinham tive teve tivemos tiveram tivera tivéramos
+tenha tenhamos tenham tivesse tivéssemos tivessem tiver tivermos
+tiverem terei terá teremos terão teria teríamos teriam
+""".split())
+
+# src/backend/snowball/stopwords/dutch.stop — 101 words, verbatim
+STOPWORDS_DUTCH = frozenset("""
+de en van ik te dat die in een hij het niet zijn is was op aan met
+als voor had er maar om hem dan zou of wat mijn men dit zo door over
+ze zich bij ook tot je mij uit der daar haar naar heb hoe heeft
+hebben deze u want nog zal me zij nu ge geen omdat iets worden toch
+al waren veel meer doen toen moet ben zonder kan hun dus alles onder
+ja eens hier wie werd altijd doch wordt wezen kunnen ons zelf tegen
+na reeds wil kon niets uw iemand geweest andere
+""".split())
 
 _LANG_STEM = {}
 
@@ -121,10 +224,16 @@ def _stemmers():
     global _LANG_STEM
     if not _LANG_STEM:
         from greengage_spark.functions import (
+            snowball_da,
             snowball_de,
             snowball_es,
             snowball_fr,
+            snowball_it,
+            snowball_nl,
+            snowball_no,
+            snowball_pt,
             snowball_ru,
+            snowball_sv,
         )
 
         _LANG_STEM = {
@@ -132,6 +241,12 @@ def _stemmers():
             "german": snowball_de.stem,
             "spanish": snowball_es.stem,
             "russian": snowball_ru.stem,
+            "danish": snowball_da.stem,
+            "norwegian": snowball_no.stem,
+            "swedish": snowball_sv.stem,
+            "italian": snowball_it.stem,
+            "portuguese": snowball_pt.stem,
+            "dutch": snowball_nl.stem,
         }
     return _LANG_STEM
 
@@ -141,10 +256,19 @@ STOPWORDS = {
     "german": STOPWORDS_GERMAN,
     "spanish": STOPWORDS_SPANISH,
     "russian": STOPWORDS_RUSSIAN,
+    "danish": STOPWORDS_DANISH,
+    "norwegian": STOPWORDS_NORWEGIAN,
+    "swedish": STOPWORDS_SWEDISH,
+    "italian": STOPWORDS_ITALIAN,
+    "portuguese": STOPWORDS_PORTUGUESE,
+    "dutch": STOPWORDS_DUTCH,
 }
 
 #: configs this registry serves (english/simple live in snowball_en)
-LANGS = ("french", "german", "spanish", "russian")
+LANGS = (
+    "french", "german", "spanish", "russian", "danish", "norwegian",
+    "swedish", "italian", "portuguese", "dutch",
+)
 
 # token characters: latin + latin-1/latin-extended letters, cyrillic,
 # digits and apostrophe — the word class PG's default parser accepts

@@ -1,0 +1,94 @@
+"""Danish Snowball stemmer — the 'danish' text-search configuration's
+dictionary.
+
+Reference surface: src/backend/snowball/ (PG embeds the stock Snowball
+danish stemmer) with src/backend/snowball/stopwords/danish.stop.  This
+is a clean-room implementation of the PUBLIC algorithm as published at
+snowballstem.org ("The Danish stemming algorithm") — written from the
+algorithm description, not the generated C; tests pin it against the
+behavior of the reference's own embedded stemmer build
+(tests/data/snowball_danish.tsv).
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiouyæåø")
+_S_ENDING = frozenset("abcdfghjklmnoprtvyzå")
+
+# step 1 suffixes, longest-match order
+_STEP1 = (
+    "erendes", "erende", "hedens", "ethed", "erede", "heden", "heder",
+    "endes", "ernes", "erens", "erets", "ered", "ende", "erne", "eren",
+    "erer", "heds", "enes", "eres", "eret", "hed", "ene", "ere", "ens",
+    "ers", "ets", "en", "er", "es", "et", "e",
+)
+
+_STEP3 = ("elig", "lig", "els", "ig")
+
+
+def _r1(word: str) -> int:
+    """Standard R1 with the Scandinavian 3-letter minimum."""
+    n = len(word)
+    r1 = n
+    for i in range(n - 1):
+        if word[i] in _VOWELS and word[i + 1] not in _VOWELS:
+            r1 = i + 2
+            break
+    return max(r1, 3)
+
+
+def stem(token: str) -> str:
+    word = token.lower()
+    r1 = _r1(word)
+
+    def in_r1(suf: str) -> bool:
+        return len(word) - len(suf) >= r1
+
+    # Step 1: longest matching suffix deleted if in R1; else s after a
+    # valid s-ending
+    for suf in _STEP1:
+        if word.endswith(suf) and in_r1(suf):
+            word = word[: -len(suf)]
+            break
+    else:
+        if (
+            word.endswith("s")
+            and in_r1("s")
+            and len(word) >= 2
+            and word[-2] in _S_ENDING
+        ):
+            word = word[:-1]
+
+    # Step 2: if the word ends gd dt gt kt with the suffix in R1,
+    # delete the last letter
+    def step2(w: str) -> str:
+        if len(w) >= 2 and w[-2:] in ("gd", "dt", "gt", "kt") and (
+            len(w) - 2 >= r1
+        ):
+            return w[:-1]
+        return w
+
+    word = step2(word)
+
+    # Step 3: igst loses st; then lig/elig/els/ig in R1 delete (and step
+    # 2 repeats); løst becomes løs
+    if word.endswith("igst"):
+        word = word[:-2]
+    for suf in _STEP3:
+        if word.endswith(suf) and in_r1(suf):
+            word = word[: -len(suf)]
+            word = step2(word)
+            break
+    else:
+        if word.endswith("løst") and len(word) - 4 >= r1:
+            word = word[:-1]
+
+    # Step 4 (undouble): final double consonant in R1 loses a letter
+    if (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and word[-1] not in _VOWELS
+        and len(word) - 1 >= r1
+    ):
+        word = word[:-1]
+    return word

@@ -1,0 +1,201 @@
+"""Italian Snowball stemmer — the 'italian' text-search configuration's
+dictionary.
+
+Reference surface: src/backend/snowball/ (PG embeds the stock Snowball
+italian stemmer) with src/backend/snowball/stopwords/italian.stop.
+Clean-room from the PUBLIC algorithm as published at snowballstem.org
+("The Italian stemming algorithm") — written from the algorithm
+description, not the generated C; pinned against the reference build
+(tests/data/snowball_italian.tsv).
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiouàèìòù")
+
+_ACUTE = {"á": "à", "é": "è", "í": "ì", "ó": "ò", "ú": "ù"}
+
+_PRONOUNS = (
+    "gliela", "gliele", "glieli", "glielo", "gliene", "sene", "mela",
+    "mele", "meli", "melo", "mene", "tela", "tele", "teli", "telo",
+    "tene", "cela", "cele", "celi", "celo", "cene", "vela", "vele",
+    "veli", "velo", "vene", "gli", "ci", "la", "le", "li", "lo", "mi",
+    "ne", "si", "ti", "vi",
+)
+
+_STEP1_DELETE_R2 = (
+    "atrice", "atrici", "abile", "abili", "ibile", "ibili", "mente",
+    "anza", "anze", "iche", "ichi", "ismo", "ismi", "ista", "iste",
+    "isti", "istà", "istè", "istì", "ante", "anti", "ico", "ici",
+    "ica", "ice", "oso", "osi", "osa", "ose",
+)
+
+_STEP2 = (
+    "erebbero", "irebbero", "assero", "assimo", "eranno", "erebbe",
+    "eremmo", "ereste", "eresti", "essero", "iranno", "irebbe",
+    "iremmo", "ireste", "iresti", "iscano", "iscono", "issero",
+    "arono", "avamo", "avano", "avate", "eremo", "erete", "erono",
+    "evamo", "evano", "evate", "iremo", "irete", "irono", "ivamo",
+    "ivano", "ivate", "ammo", "ando", "asse", "assi", "emmo", "enda",
+    "ende", "endi", "endo", "erai", "erei", "Yamo", "iamo", "immo",
+    "irai", "irei", "isca", "isce", "isci", "isco", "ano", "are",
+    "ata", "ate", "ati", "ato", "ava", "avi", "avo", "erà", "ere",
+    "erò", "ete", "eva", "evi", "evo", "irà", "ire", "irò", "ita",
+    "ite", "iti", "ito", "iva", "ivi", "ivo", "ono", "uta", "ute",
+    "uti", "uto", "ar", "ir",
+)
+
+
+def _prelude(word: str) -> str:
+    """Acute accents become grave; u after q and i/u between vowels are
+    marked as consonants (upper case)."""
+    for a, g in _ACUTE.items():
+        word = word.replace(a, g)
+    out = list(word)
+    n = len(out)
+    for i in range(n):
+        if out[i] == "q" and i + 1 < n and out[i + 1] == "u":
+            out[i + 1] = "U"
+        elif (
+            out[i] in ("i", "u")
+            and 0 < i < n - 1
+            and out[i - 1] in _VOWELS
+            and out[i + 1] in _VOWELS
+        ):
+            out[i] = out[i].upper()
+    return "".join(out)
+
+
+def _regions(word: str) -> tuple[int, int, int]:
+    """Standard R1/R2 and the Romance RV."""
+    n = len(word)
+    r1 = n
+    for i in range(n - 1):
+        if word[i] in _VOWELS and word[i + 1] not in _VOWELS:
+            r1 = i + 2
+            break
+    r2 = n
+    for i in range(r1, n - 1):
+        if word[i] in _VOWELS and word[i + 1] not in _VOWELS:
+            r2 = i + 2
+            break
+    rv = n
+    if n >= 2:
+        if word[1] not in _VOWELS:  # X C ...: after the next vowel
+            for i in range(2, n):
+                if word[i] in _VOWELS:
+                    rv = i + 1
+                    break
+        elif word[0] in _VOWELS:  # V V ...: after the next consonant
+            for i in range(2, n):
+                if word[i] not in _VOWELS:
+                    rv = i + 1
+                    break
+        else:  # C V: after the third letter
+            rv = 3
+    return r1, r2, rv
+
+
+def stem(token: str) -> str:
+    word = _prelude(token.lower())
+    r1, r2, rv = _regions(word)
+
+    def in_r(pos_from_end: int, region: int) -> bool:
+        return len(word) - pos_from_end >= region
+
+    # Step 0: attached pronoun after ando/endo (delete) or ar/er/ir
+    # (replace with e), all in RV
+    for pron in _PRONOUNS:
+        if word.endswith(pron):
+            stemend = word[: -len(pron)]
+            if (
+                stemend.endswith(("ando", "endo"))
+                and len(stemend) - 4 >= rv
+                and len(word) - len(pron) - 4 >= 0
+            ):
+                word = stemend
+            elif (
+                stemend.endswith(("ar", "er", "ir"))
+                and len(stemend) - 2 >= rv
+            ):
+                word = stemend + "e"
+            break
+
+    changed = False
+
+    # Step 1: standard suffixes (longest match governs — ordered checks)
+    w = word
+    if w.endswith("amente") and in_r(6, r1):
+        word = w[:-6]
+        changed = True
+        # in_r reads the CURRENT word, so secondary suffixes count
+        # from the truncated end
+        if word.endswith("iv") and in_r(2, r2):
+            word = word[:-2]
+            if word.endswith("at") and in_r(2, r2):
+                word = word[:-2]
+        elif word.endswith(("os", "ic")) and in_r(2, r2):
+            word = word[:-2]
+        elif word.endswith("abil") and in_r(4, r2):
+            word = word[:-4]
+    elif w.endswith(("amento", "amenti", "imento", "imenti")) and in_r(6, rv):
+        word = w[:-6]
+        changed = True
+    elif w.endswith(("azione", "azioni")) and in_r(6, r2):
+        word = w[:-6]
+        changed = True
+        if word.endswith("ic") and in_r(2, r2):
+            word = word[:-2]
+    elif w.endswith(("uzione", "uzioni", "usione", "usioni")) and in_r(6, r2):
+        word = w[:-5]
+        changed = True
+    elif w.endswith(("atore", "atori")) and in_r(5, r2):
+        word = w[:-5]
+        changed = True
+        if word.endswith("ic") and in_r(2, r2):
+            word = word[:-2]
+    elif w.endswith(("logia", "logie")) and in_r(5, r2):
+        word = w[:-2]
+        changed = True
+    elif w.endswith(("enza", "enze")) and in_r(4, r2):
+        word = w[:-2] + "te"
+        changed = True
+    elif w.endswith("ità") and in_r(3, r2):
+        word = w[:-3]
+        changed = True
+        if word.endswith("abil") and in_r(4, r2):
+            word = word[:-4]
+        elif word.endswith(("ic", "iv")) and in_r(2, r2):
+            word = word[:-2]
+    elif w.endswith(("ivo", "ivi", "iva", "ive")) and in_r(3, r2):
+        word = w[:-3]
+        changed = True
+        if word.endswith("at") and in_r(2, r2):
+            word = word[:-2]
+            if word.endswith("ic") and in_r(2, r2):
+                word = word[:-2]
+    else:
+        for suf in _STEP1_DELETE_R2:
+            if w.endswith(suf) and in_r(len(suf), r2):
+                word = w[: -len(suf)]
+                changed = True
+                break
+
+    # Step 2: verb suffixes in RV, only if step 1 removed nothing
+    if not changed:
+        for suf in _STEP2:
+            if word.endswith(suf) and in_r(len(suf), rv):
+                word = word[: -len(suf)]
+                break
+
+    # Step 3a: final vowel (and a preceding i) in RV
+    if word and word[-1] in "aeioàèìò" and len(word) - 1 >= rv:
+        word = word[:-1]
+        if word.endswith("i") and len(word) - 1 >= rv:
+            word = word[:-1]
+
+    # Step 3b: ch/gh lose the h in RV
+    if word.endswith(("ch", "gh")) and len(word) - 2 >= rv:
+        word = word[:-1]
+
+    return word.replace("I", "i").replace("U", "u")

@@ -1,0 +1,158 @@
+"""Dutch Snowball stemmer — the 'dutch' text-search configuration's
+dictionary.
+
+Reference surface: src/backend/snowball/ (PG embeds the stock Snowball
+dutch stemmer) with src/backend/snowball/stopwords/dutch.stop.
+Clean-room from the PUBLIC algorithm as published at snowballstem.org
+("The Dutch stemming algorithm") — written from the algorithm
+description, not the generated C; pinned against the reference build
+(tests/data/snowball_dutch.tsv).
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiouyè")
+
+_UMLAUT = {
+    "ä": "a", "ë": "e", "ï": "i", "ö": "o", "ü": "u",
+    "á": "a", "é": "e", "í": "i", "ó": "o", "ú": "u",
+}
+
+
+def _prelude(word: str) -> str:
+    for k, v in _UMLAUT.items():
+        word = word.replace(k, v)
+    out = list(word)
+    n = len(out)
+    for i in range(n):
+        if out[i] == "y" and (i == 0 or out[i - 1] in _VOWELS):
+            out[i] = "Y"
+        elif (
+            out[i] == "i"
+            and 0 < i < n - 1
+            and out[i - 1] in _VOWELS
+            and out[i + 1] in _VOWELS
+        ):
+            out[i] = "I"
+    return "".join(out)
+
+
+def _mark_regions(word: str) -> tuple[int, int]:
+    """Standard R1/R2 as BYTE offsets, with R1 clamped to minimum 3
+    BYTES — the reference's generated UTF-8 stemmer applies its
+    "at least 3 letters before R1" adjustment to the byte cursor, so a
+    2-byte letter early in the word shifts where the rule bites
+    (verified against its build: 'aàe' stems to 'aà', 'ade' stays)."""
+    n = len(word)
+    boff = [0] * (n + 1)
+    for i, ch in enumerate(word):
+        boff[i + 1] = boff[i] + len(ch.encode("utf-8"))
+    r1 = boff[n]
+    for i in range(n - 1):
+        if word[i] in _VOWELS and word[i + 1] not in _VOWELS:
+            r1 = boff[i + 2]
+            break
+    r2 = boff[n]
+    started = False
+    for i in range(n - 1):
+        if not started and boff[i] < r1:
+            continue
+        started = True
+        if word[i] in _VOWELS and word[i + 1] not in _VOWELS:
+            r2 = boff[i + 2]
+            break
+    return max(r1, 3), r2
+
+
+def _undouble(word: str) -> str:
+    """kk/dd/tt endings lose a letter."""
+    if word.endswith(("kk", "dd", "tt")):
+        return word[:-1]
+    return word
+
+
+def stem(token: str) -> str:
+    word = _prelude(token.lower())
+    r1, r2 = _mark_regions(word)
+
+    def in_r1(suf_len: int) -> bool:
+        # suffixes tested here are pure ASCII, so their byte length is
+        # their length; word positions are byte offsets
+        return len(word.encode("utf-8")) - suf_len >= r1
+
+    def in_r2(suf_len: int) -> bool:
+        return len(word.encode("utf-8")) - suf_len >= r2
+
+    def del_en() -> str:
+        """en/ene delete in R1 after a valid en-ending (a non-vowel not
+        part of 'gem'), then undouble.  Longest match governs — a
+        failed condition on the longer form does NOT fall back."""
+        nonlocal word
+        suf = "ene" if word.endswith("ene") else (
+            "en" if word.endswith("en") else ""
+        )
+        if suf and in_r1(len(suf)):
+            pre = word[: -len(suf)]
+            if pre and pre[-1] not in _VOWELS and not pre.endswith("gem"):
+                word = _undouble(pre)
+        return word
+
+    # Step 1 (longest among governs; conditions tested after the match)
+    if word.endswith("heden"):
+        if in_r1(5):
+            word = word[:-5] + "heid"
+    elif word.endswith(("ene", "en")):
+        del_en()
+    elif word.endswith(("se", "s")):
+        suf = "se" if word.endswith("se") else "s"
+        if in_r1(len(suf)):
+            pre = word[: -len(suf)]
+            if pre and pre[-1] not in _VOWELS and pre[-1] != "j":
+                word = pre
+
+    # Step 2: e after a non-vowel, in R1
+    e_found = False
+    if word.endswith("e") and in_r1(1) and len(word) >= 2 and (
+        word[-2] not in _VOWELS
+    ):
+        word = _undouble(word[:-1])
+        e_found = True
+
+    # Step 3a: heid (not after c) in R2, then the en rule again
+    if word.endswith("heid") and in_r2(4) and not word.endswith("cheid"):
+        word = word[:-4]
+        del_en()
+
+    # Step 3b: d-suffixes
+    if word.endswith(("end", "ing")) and in_r2(3):
+        word = word[:-3]
+        if word.endswith("ig") and in_r2(2) and not word.endswith("eig"):
+            word = word[:-2]
+        else:
+            word = _undouble(word)
+    elif word.endswith("ig") and in_r2(2) and not word.endswith("eig"):
+        word = word[:-2]
+    elif word.endswith("lijk") and in_r2(4):
+        word = word[:-4]
+        # repeat step 2
+        if word.endswith("e") and in_r1(1) and len(word) >= 2 and (
+            word[-2] not in _VOWELS
+        ):
+            word = _undouble(word[:-1])
+    elif word.endswith("baar") and in_r2(4):
+        word = word[:-4]
+    elif word.endswith("bar") and in_r2(3) and e_found:
+        word = word[:-3]
+
+    # Step 4 (undouble vowel): C aa|ee|oo|uu D -> single vowel, D != I
+    if (
+        len(word) >= 4
+        and word[-1] not in _VOWELS
+        and word[-1] != "I"
+        and word[-2] == word[-3]
+        and word[-2] in "aeou"
+        and word[-4] not in _VOWELS
+    ):
+        word = word[:-2] + word[-1]
+
+    return word.replace("Y", "y").replace("I", "i")

@@ -1,0 +1,77 @@
+"""Norwegian (Bokmål) Snowball stemmer — the 'norwegian' text-search
+configuration's dictionary.
+
+Reference surface: src/backend/snowball/ (PG embeds the stock Snowball
+norwegian stemmer) with src/backend/snowball/stopwords/norwegian.stop.
+Clean-room from the PUBLIC algorithm as published at snowballstem.org
+("The Norwegian stemming algorithm") — written from the algorithm
+description, not the generated C; pinned against the reference build
+(tests/data/snowball_norwegian.tsv).
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiouyæåø")
+# s deletes after one of these, or after k not preceded by a vowel
+_S_ENDING = frozenset("bcdfghjlmnoprtvyz")
+
+_STEP1 = (
+    "hetenes", "hetene", "hetens", "heten", "heter", "endes", "enes",
+    "edes", "ende", "ande", "ene", "ane", "ede", "ens", "ers", "ets",
+    "het", "ast", "en", "ar", "er", "as", "es", "et", "a", "e",
+)
+
+_STEP3 = (
+    "hetslov", "eleg", "elig", "elov", "slov", "leg", "eig", "lig",
+    "els", "lov", "ig",
+)
+
+
+def _r1(word: str) -> int:
+    n = len(word)
+    r1 = n
+    for i in range(n - 1):
+        if word[i] in _VOWELS and word[i + 1] not in _VOWELS:
+            r1 = i + 2
+            break
+    return max(r1, 3)
+
+
+def stem(token: str) -> str:
+    word = token.lower()
+    r1 = _r1(word)
+
+    def in_r1(suf: str) -> bool:
+        return len(word) - len(suf) >= r1
+
+    # Step 1: longest of the suffix list deleted in R1; erte/ert become
+    # er; s after a valid s-ending (k counts only after a non-vowel)
+    if word.endswith("erte") and in_r1("erte"):
+        word = word[:-2]
+    elif word.endswith("ert") and in_r1("ert"):
+        word = word[:-1]
+    else:
+        for suf in _STEP1:
+            if word.endswith(suf) and in_r1(suf):
+                word = word[: -len(suf)]
+                break
+        else:
+            if word.endswith("s") and in_r1("s") and len(word) >= 2 and (
+                word[-2] in _S_ENDING
+                or (
+                    word[-2] == "k"
+                    and (len(word) < 3 or word[-3] not in _VOWELS)
+                )
+            ):
+                word = word[:-1]
+
+    # Step 2: dt/vt endings in R1 lose the t
+    if len(word) >= 2 and word[-2:] in ("dt", "vt") and len(word) - 2 >= r1:
+        word = word[:-1]
+
+    # Step 3: longest derivational suffix in R1 deleted
+    for suf in _STEP3:
+        if word.endswith(suf) and in_r1(suf):
+            word = word[: -len(suf)]
+            break
+    return word

@@ -1,0 +1,175 @@
+"""Portuguese Snowball stemmer — the 'portuguese' text-search
+configuration's dictionary.
+
+Reference surface: src/backend/snowball/ (PG embeds the stock Snowball
+portuguese stemmer) with src/backend/snowball/stopwords/portuguese.stop.
+Clean-room from the PUBLIC algorithm as published at snowballstem.org
+("The Portuguese stemming algorithm") — written from the algorithm
+description, not the generated C; pinned against the reference build
+(tests/data/snowball_portuguese.tsv).  The reference embeds the classic
+revision — no "uça~o -> u" rule (its build keeps revoluçã/revoluçõ),
+verified directly against that build.
+
+The nasalized vowels travel through the algorithm as the two-character
+forms a~/o~ (the published prelude), restored in the postlude.
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiouáéíóúâêô")
+
+_STEP1_DELETE_R2 = (
+    "amentos", "imentos", "adoras", "adores", "amento", "imento",
+    "aço~es", "âncias", "adora", "aça~o", "antes", "ância", "ismos",
+    "istas", "ador", "ante", "ezas", "icos", "icas", "ismo", "ável",
+    "ível", "ista", "osos", "osas", "eza", "ico", "ica", "oso", "osa",
+)
+
+_STEP2 = (
+    "aríamos", "eríamos", "iríamos", "ássemos", "êssemos", "íssemos",
+    "aríeis", "eríeis", "iríeis", "ásseis", "ésseis", "ísseis",
+    "áramos", "éramos", "íramos", "ávamos", "aremos", "eremos",
+    "iremos", "ariam", "eriam", "iriam", "assem", "essem", "issem",
+    "ara~o", "era~o", "ira~o", "arias", "erias", "irias", "ardes",
+    "erdes", "irdes", "asses", "esses", "isses", "astes", "estes",
+    "istes", "áreis", "areis", "éreis", "ereis", "íreis", "ireis",
+    "áveis", "íamos", "armos", "ermos", "irmos", "aria", "eria",
+    "iria", "asse", "esse", "isse", "aste", "este", "iste", "arei",
+    "erei", "irei", "aram", "eram", "iram", "avam", "arem", "erem",
+    "irem", "ando", "endo", "indo", "adas", "idas", "arás", "aras",
+    "erás", "eras", "irás", "avas", "ares", "eres", "ires", "íeis",
+    "ados", "idos", "ámos", "amos", "emos", "imos", "iras", "ada",
+    "ida", "ará", "ara", "erá", "era", "irá", "ava", "iam", "ado",
+    "ido", "ias", "ais", "eis", "ira", "ia", "ei", "am", "em", "ar",
+    "er", "ir", "as", "es", "is", "eu", "iu", "ou",
+)
+
+
+def _regions(word: str) -> tuple[int, int, int]:
+    n = len(word)
+    r1 = n
+    for i in range(n - 1):
+        if word[i] in _VOWELS and word[i + 1] not in _VOWELS:
+            r1 = i + 2
+            break
+    r2 = n
+    for i in range(r1, n - 1):
+        if word[i] in _VOWELS and word[i + 1] not in _VOWELS:
+            r2 = i + 2
+            break
+    rv = n
+    if n >= 2:
+        if word[1] not in _VOWELS:
+            for i in range(2, n):
+                if word[i] in _VOWELS:
+                    rv = i + 1
+                    break
+        elif word[0] in _VOWELS:
+            for i in range(2, n):
+                if word[i] not in _VOWELS:
+                    rv = i + 1
+                    break
+        else:
+            rv = 3
+    return r1, r2, rv
+
+
+def stem(token: str) -> str:
+    word = token.lower().replace("ã", "a~").replace("õ", "o~")
+    r1, r2, rv = _regions(word)
+
+    def in_r(suf_len: int, region: int) -> bool:
+        return len(word) - suf_len >= region
+
+    changed = False
+    w = word
+
+    # Step 1: standard suffix removal (longest match; ordered checks)
+    if w.endswith("amente") and in_r(6, r1):
+        word = w[:-6]
+        changed = True
+        if word.endswith("iv") and len(word) - 2 >= r2:
+            word = word[:-2]
+            if word.endswith("at") and len(word) - 2 >= r2:
+                word = word[:-2]
+        elif word.endswith(("os", "ic", "ad")) and len(word) - 2 >= r2:
+            word = word[:-2]
+    elif w.endswith("mente") and in_r(5, r2):
+        word = w[:-5]
+        changed = True
+        if word.endswith("ante") and len(word) - 4 >= r2:
+            word = word[:-4]
+        elif word.endswith(("avel", "ível")) and len(word) - 4 >= r2:
+            word = word[:-4]
+    elif w.endswith(("idades", "idade")) and in_r(
+        6 if w.endswith("idades") else 5, r2
+    ):
+        word = w[: -(6 if w.endswith("idades") else 5)]
+        changed = True
+        if word.endswith("abil") and len(word) - 4 >= r2:
+            word = word[:-4]
+        elif word.endswith(("ic", "iv")) and len(word) - 2 >= r2:
+            word = word[:-2]
+    elif w.endswith(("logias", "logia")) and in_r(
+        6 if w.endswith("logias") else 5, r2
+    ):
+        word = w[: -(3 if w.endswith("logia") else 4)]
+        changed = True
+    elif w.endswith(("ências", "ência")) and in_r(
+        6 if w.endswith("ências") else 5, r2
+    ):
+        word = w[: -(6 if w.endswith("ências") else 5)] + "ente"
+        changed = True
+    elif w.endswith(("ivas", "ivos", "iva", "ivo")) and in_r(
+        4 if w.endswith(("ivas", "ivos")) else 3, r2
+    ):
+        word = w[: -(4 if w.endswith(("ivas", "ivos")) else 3)]
+        changed = True
+        if word.endswith("at") and len(word) - 2 >= r2:
+            word = word[:-2]
+    elif w.endswith(("eiras", "eira")) and (
+        len(w) - (3 if w.endswith("eira") else 4) >= rv
+    ):
+        # ira/iras preceded by e -> ir
+        word = w[: -(1 if w.endswith("eira") else 2)]
+        changed = True
+    else:
+        for suf in _STEP1_DELETE_R2:
+            if w.endswith(suf) and in_r(len(suf), r2):
+                word = w[: -len(suf)]
+                changed = True
+                break
+
+    # Step 2: verb suffixes in RV, only if step 1 changed nothing
+    step2_changed = False
+    if not changed:
+        for suf in _STEP2:
+            if word.endswith(suf) and len(word) - len(suf) >= rv:
+                word = word[: -len(suf)]
+                changed = True
+                step2_changed = True
+                break
+
+    # Step 3: i preceded by c, in RV (only if step 1 or 2 fired)
+    if changed:
+        if word.endswith("ci") and len(word) - 1 >= rv:
+            word = word[:-1]
+    else:
+        # Step 4: residual suffix
+        for suf in ("os", "a", "i", "o", "á", "í", "ó"):
+            if word.endswith(suf) and len(word) - len(suf) >= rv:
+                word = word[: -len(suf)]
+                break
+
+    # Step 5: residual e/é/ê; gu/ci lose the u/i before it
+    if word and word[-1] in "eéê" and len(word) - 1 >= rv:
+        word = word[:-1]
+        if (
+            word.endswith(("gu", "ci"))
+            and len(word) - 1 >= rv
+        ):
+            word = word[:-1]
+    elif word.endswith("ç"):
+        word = word[:-1] + "c"
+
+    return word.replace("a~", "ã").replace("o~", "õ")

@@ -1,0 +1,74 @@
+"""Swedish Snowball stemmer — the 'swedish' text-search configuration's
+dictionary.
+
+Reference surface: src/backend/snowball/ (PG embeds the stock Snowball
+swedish stemmer) with src/backend/snowball/stopwords/swedish.stop.
+Clean-room from the PUBLIC algorithm as published at snowballstem.org
+("The Swedish stemming algorithm") — written from the algorithm
+description, not the generated C; pinned against the reference build
+(tests/data/snowball_swedish.tsv).
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiouyäåö")
+_S_ENDING = frozenset("bcdfghjklmnoprtvy")
+
+_STEP1 = (
+    "heterna", "hetens", "arens", "heter", "heten", "anden", "andet",
+    "andes", "arnas", "ernas", "ornas", "arna", "erna", "orna", "ande",
+    "arne", "aste", "aren", "ades", "erns", "ade", "are", "ern", "ens",
+    "het", "ast", "ad", "en", "ar", "er", "or", "as", "es", "at",
+    "a", "e",
+)
+
+_STEP2 = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+
+
+def _r1(word: str) -> int:
+    n = len(word)
+    r1 = n
+    for i in range(n - 1):
+        if word[i] in _VOWELS and word[i + 1] not in _VOWELS:
+            r1 = i + 2
+            break
+    return max(r1, 3)
+
+
+def stem(token: str) -> str:
+    word = token.lower()
+    r1 = _r1(word)
+
+    def in_r1(suf: str) -> bool:
+        return len(word) - len(suf) >= r1
+
+    # Step 1: longest of the suffix list deleted in R1; else s after a
+    # valid s-ending
+    for suf in _STEP1:
+        if word.endswith(suf) and in_r1(suf):
+            word = word[: -len(suf)]
+            break
+    else:
+        if (
+            word.endswith("s")
+            and in_r1("s")
+            and len(word) >= 2
+            and word[-2] in _S_ENDING
+        ):
+            word = word[:-1]
+
+    # Step 2: double-consonant endings in R1 lose the last letter
+    if len(word) >= 2 and word[-2:] in _STEP2 and len(word) - 2 >= r1:
+        word = word[:-1]
+
+    # Step 3: lig/ig/els delete in R1; löst -> lös; fullt -> full
+    for suf in ("lig", "els", "ig"):
+        if word.endswith(suf) and in_r1(suf):
+            word = word[: -len(suf)]
+            break
+    else:
+        if word.endswith("löst") and len(word) - 4 >= r1:
+            word = word[:-1]
+        elif word.endswith("fullt") and len(word) - 5 >= r1:
+            word = word[:-1]
+    return word

@@ -1443,12 +1443,39 @@ _ML_STEM_TRIPLES = [
     ("russian", "строительство", "строительств"),
     ("russian", "организациях", "организац"),
     ("russian", "говорила", "говор"),
+    ("danish", "undersøgelse", "undersøg"),
+    ("danish", "betydningen", "betydning"),
+    ("danish", "arbejderne", "arbejd"),
+    ("danish", "mulighederne", "mulighed"),
+    ("danish", "kærlighed", "kær"),
+    ("norwegian", "hemmelighetene", "hemm"),
+    ("norwegian", "undersøkelsen", "undersøk"),
+    ("norwegian", "regjeringen", "regjering"),
+    ("norwegian", "avgjørelsen", "avgjør"),
+    ("swedish", "undersökningen", "undersökning"),
+    ("swedish", "utvecklingen", "utveckling"),
+    ("swedish", "möjligheterna", "möj"),
+    ("swedish", "vetenskapliga", "vetenskap"),
+    ("italian", "continuazione", "continu"),
+    ("italian", "caratteristiche", "caratterist"),
+    ("italian", "possibilità", "possibil"),
+    ("italian", "organizzazione", "organizz"),
+    ("portuguese", "continuação", "continu"),
+    ("portuguese", "desenvolvimento", "desenvolv"),
+    ("portuguese", "possibilidades", "possibil"),
+    ("portuguese", "trabalhadores", "trabalh"),
+    ("dutch", "lichamelijkheden", "licham"),
+    ("dutch", "mogelijkheden", "mogelijk"),
+    ("dutch", "wetenschappelijke", "wetenschapp"),
+    ("dutch", "onmiddellijk", "onmiddel"),
 ]
 
 # a stopword per config, prepended to the document to pin stopword
 # removal (each lexizes to nothing in its config's dictionary chain)
 _ML_STOP = {"french": "les", "german": "und", "spanish": "las",
-            "russian": "не"}
+            "russian": "не", "danish": "og", "norwegian": "og",
+            "swedish": "och", "italian": "di", "portuguese": "de",
+            "dutch": "de"}
 
 
 @suite.add(
@@ -1461,8 +1488,10 @@ _ML_STOP = {"french": "les", "german": "und", "spanish": "las",
     + ") AS t(config, word, lexeme, expected, matched) "
     "ORDER BY config, word",
     doc="Multi-language text-search configurations (src/backend/snowball "
-        "french/german/spanish/russian + their .stop lists; "
-        "functions/snowball_{fr,de,es,ru}.py): clean-room stemmers from "
+        "french/german/spanish/russian/danish/norwegian/swedish/"
+        "italian/portuguese/dutch + their .stop lists; "
+        "functions/snowball_{fr,de,es,ru,da,no,sv,it,pt,nl}.py): "
+        "clean-room stemmers from "
         "the published snowballstem.org algorithms, parity-pinned "
         "against the reference's own embedded stemmer build "
         "(tests/data/snowball_<lang>.tsv). Query literals stem at PLAN "

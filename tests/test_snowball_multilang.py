@@ -48,6 +48,15 @@ class TestStemmerParity:
         assert snowball.stem("german", "größte") == "grosst"  # ß → ss
         assert snowball.stem("spanish", "comiéndoselo") == "com"
         assert snowball.stem("russian", "строительство") == "строительств"
+        assert snowball.stem("danish", "kærlighed") == "kær"
+        assert snowball.stem("norwegian", "hemmelighetene") == "hemm"
+        assert snowball.stem("swedish", "undersökningen") == "undersökning"
+        assert snowball.stem("italian", "continuazione") == "continu"
+        assert snowball.stem("portuguese", "desenvolvimento") == "desenvolv"
+        assert snowball.stem("dutch", "lichamelijkheden") == "licham"
+        # the reference embeds the classic portuguese revision: no
+        # "uça~o -> u" rule
+        assert snowball.stem("portuguese", "revolução") == "revoluçã"
 
 
 class TestStopwords:
