@@ -11,8 +11,10 @@ semantic contract and are embedded verbatim as DATA (tests assert
 byte-equality with the reference's .stop files).
 
 'english' and 'simple' predate this module (snowball_en.py); this
-registry adds french / german / spanish / russian / danish /
-norwegian / swedish / italian / portuguese / dutch and is the single
+registry adds ALL 14 embedded snowball languages (french german
+spanish russian danish norwegian swedish italian portuguese dutch
+romanian finnish hungarian turkish — romanian ships with an empty
+stopword list, exactly like the reference) and is the single
 lookup the rest of the engine uses for any non-english config.
 """
 
@@ -216,6 +218,66 @@ al waren veel meer doen toen moet ben zonder kan hun dus alles onder
 ja eens hier wie werd altijd doch wordt wezen kunnen ons zelf tegen
 na reeds wil kon niets uw iemand geweest andere
 """.split())
+# src/backend/snowball/stopwords/finnish.stop — 235 words, verbatim
+STOPWORDS_FINNISH = frozenset("""
+olla olen olet on olemme olette ovat ole oli olisi olisit olisin
+olisimme olisitte olisivat olit olin olimme olitte olivat ollut
+olleet en et ei emme ette eivät minä minun minut minua minussa
+minusta minuun minulla minulta minulle sinä sinun sinut sinua
+sinussa sinusta sinuun sinulla sinulta sinulle hän hänen hänet häntä
+hänessä hänestä häneen hänellä häneltä hänelle me meidän meidät
+meitä meissä meistä meihin meillä meiltä meille te teidän teidät
+teitä teissä teistä teihin teillä teiltä teille he heidän heidät
+heitä heissä heistä heihin heillä heiltä heille tämä tämän tätä
+tässä tästä tähän tallä tältä tälle tänä täksi tuo tuon tuotä tuossa
+tuosta tuohon tuolla tuolta tuolle tuona tuoksi se sen sitä siinä
+siitä siihen sillä siltä sille sinä siksi nämä näiden näitä näissä
+näistä näihin näillä näiltä näille näinä näiksi nuo noiden noita
+noissa noista noihin noilla noilta noille noina noiksi ne niiden
+niitä niissä niistä niihin niillä niiltä niille niinä niiksi kuka
+kenen kenet ketä kenessä kenestä keneen kenellä keneltä kenelle
+kenenä keneksi ketkä keiden ketkä keitä keissä keistä keihin keillä
+keiltä keille keinä keiksi mikä minkä minkä mitä missä mistä mihin
+millä miltä mille minä miksi mitkä joka jonka jota jossa josta johon
+jolla jolta jolle jona joksi jotka joiden joita joissa joista joihin
+joilla joilta joille joina joiksi että ja jos koska kuin mutta niin
+sekä sillä tai vaan vai vaikka kanssa mukaan noin poikki yli kun
+niin nyt itse
+""".split())
+
+# src/backend/snowball/stopwords/hungarian.stop — 199 words, verbatim
+STOPWORDS_HUNGARIAN = frozenset("""
+a ahogy ahol aki akik akkor alatt által általában amely amelyek
+amelyekben amelyeket amelyet amelynek ami amit amolyan amíg amikor
+át abban ahhoz annak arra arról az azok azon azt azzal azért aztán
+azután azonban bár be belül benne cikk cikkek cikkeket csak de e
+eddig egész egy egyes egyetlen egyéb egyik egyre ekkor el elég ellen
+elő először előtt első én éppen ebben ehhez emilyen ennek erre ez
+ezt ezek ezen ezzel ezért és fel felé hanem hiszen hogy hogyan igen
+így illetve ill. ill ilyen ilyenkor ison ismét itt jó jól jobban
+kell kellett keresztül keressünk ki kívül között közül legalább
+lehet lehetett legyen lenne lenni lesz lett maga magát majd majd már
+más másik meg még mellett mert mely melyek mi mit míg miért milyen
+mikor minden mindent mindenki mindig mint mintha mivel most nagy
+nagyobb nagyon ne néha nekem neki nem néhány nélkül nincs olyan ott
+össze ő ők őket pedig persze rá s saját sem semmi sok sokat sokkal
+számára szemben szerint szinte talán tehát teljes tovább továbbá
+több úgy ugyanis új újabb újra után utána utolsó vagy vagyis valaki
+valami valamint való vagyok van vannak volt voltam voltak voltunk
+vissza vele viszont volna
+""".split())
+
+# src/backend/snowball/stopwords/turkish.stop — 53 words, verbatim
+STOPWORDS_TURKISH = frozenset("""
+acaba ama aslında az bazı belki biri birkaç birşey biz bu çok çünkü
+da daha de defa diye eğer en gibi hem hep hepsi her hiç için ile ise
+kez ki kim mı mu mü nasıl ne neden nerde nerede nereye niçin niye o
+sanki şey siz şu tüm ve veya ya yani
+""".split())
+
+# the reference ships NO romanian.stop — its config has an empty
+# stopword list (snowball/Makefile omits the StopWords clause)
+STOPWORDS_ROMANIAN: frozenset = frozenset()
 
 _LANG_STEM = {}
 
@@ -231,9 +293,13 @@ def _stemmers():
             snowball_it,
             snowball_nl,
             snowball_no,
+            snowball_fi,
+            snowball_hu,
             snowball_pt,
+            snowball_ro,
             snowball_ru,
             snowball_sv,
+            snowball_tr,
         )
 
         _LANG_STEM = {
@@ -247,6 +313,10 @@ def _stemmers():
             "italian": snowball_it.stem,
             "portuguese": snowball_pt.stem,
             "dutch": snowball_nl.stem,
+            "romanian": snowball_ro.stem,
+            "finnish": snowball_fi.stem,
+            "hungarian": snowball_hu.stem,
+            "turkish": snowball_tr.stem,
         }
     return _LANG_STEM
 
@@ -262,12 +332,17 @@ STOPWORDS = {
     "italian": STOPWORDS_ITALIAN,
     "portuguese": STOPWORDS_PORTUGUESE,
     "dutch": STOPWORDS_DUTCH,
+    "romanian": STOPWORDS_ROMANIAN,
+    "finnish": STOPWORDS_FINNISH,
+    "hungarian": STOPWORDS_HUNGARIAN,
+    "turkish": STOPWORDS_TURKISH,
 }
 
 #: configs this registry serves (english/simple live in snowball_en)
 LANGS = (
     "french", "german", "spanish", "russian", "danish", "norwegian",
-    "swedish", "italian", "portuguese", "dutch",
+    "swedish", "italian", "portuguese", "dutch", "romanian",
+    "finnish", "hungarian", "turkish",
 )
 
 # token characters: latin + latin-1/latin-extended letters, cyrillic,

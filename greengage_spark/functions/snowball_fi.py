@@ -1,0 +1,213 @@
+"""Finnish Snowball stemmer — the 'finnish' text-search
+configuration's dictionary.
+
+Reference surface: src/backend/snowball/ (PG embeds the stock Snowball
+finnish stemmer) with src/backend/snowball/stopwords/finnish.stop.
+Clean-room control flow from the PUBLIC algorithm as published at
+snowballstem.org ("The Finnish stemming algorithm"); suffix tables are
+the algorithm's published data (cross-checked against the reference
+build's among tables — data, not code); pinned against that build
+(tests/data/snowball_finnish.tsv).
+"""
+
+from __future__ import annotations
+
+_V1 = frozenset("aeiouyäö")
+_V2 = frozenset("aeiouäö")
+_PARTICLE_END = _V1 | {"n", "t"}
+_AEI = frozenset("aeiä")
+_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+_PARTICLES = ("kään", "kaan", "hän", "han", "kin", "kö", "ko", "pä", "pa")
+_POSS_AN_PRE = ("lla", "na", "ssa", "ta", "lta", "sta")
+_POSS_AEN_PRE = ("llä", "nä", "ssä", "tä", "ltä", "stä")
+_POSS_EN_PRE = ("lle", "ine")
+
+# case endings: (suffix, kind) — kind: '' plain delete; 'h' = hVn with
+# the matching vowel required before; 'long_or_ie' = n with optional
+# extra char; 'cv' = a/ä after consonant+vowel; 'e' = tta/ttä after e;
+# 'VI'/'LONG' = among-time conditions that backtrack on failure
+_CASES = (
+    ("seen", "LONG"), ("tten", "VI"), ("siin", "VI"), ("den", "VI"),
+    ("han", "h:a"), ("hen", "h:e"), ("hin", "h:i"), ("hon", "h:o"),
+    ("hän", "h:ä"), ("hön", "h:ö"), ("tta", "e"), ("ttä", "e"),
+    ("lla", ""), ("lle", ""), ("lta", ""), ("llä", ""), ("ltä", ""),
+    ("ssa", ""), ("sta", ""), ("ssä", ""), ("stä", ""), ("ine", ""),
+    ("ksi", ""), ("na", ""), ("ta", ""), ("nä", ""), ("tä", ""),
+    ("n", "n"), ("a", "cv"), ("ä", "cv"),
+)
+
+_OTHER = (
+    ("impi", ""), ("impa", ""), ("immi", ""), ("imma", ""),
+    ("impä", ""), ("immä", ""), ("eja", ""), ("ejä", ""),
+    ("mpi", "po"), ("mpa", "po"), ("mmi", "po"), ("mma", "po"),
+    ("mpä", "po"), ("mmä", "po"),
+)
+
+
+def _regions(word: str) -> tuple[int, int]:
+    """p1/p2: after the first non-vowel following the first vowel,
+    twice over."""
+    n = len(word)
+    p1 = p2 = n
+    i = 0
+    while i < n and word[i] not in _V1:
+        i += 1
+    while i < n and word[i] in _V1:
+        i += 1
+    if i < n or (i and word[i - 1] not in _V1):
+        pass
+    # i is at the first non-vowel after the first vowel run
+    if i < n:
+        p1 = i + 1
+    else:
+        return p1, p2
+    i = p1
+    while i < n and word[i] not in _V1:
+        i += 1
+    while i < n and word[i] in _V1:
+        i += 1
+    if i < n:
+        p2 = i + 1
+    return p1, p2
+
+
+def stem(token: str) -> str:
+    word = token.lower()
+    p1, p2 = _regions(word)
+    ending_removed = False
+
+    def fits(suf: str, region: int) -> bool:
+        return word.endswith(suf) and len(word) - len(suf) >= region
+
+    # --- particle etc (limit p1) -----------------------------------
+    if fits("sti", p1):
+        if len(word) - 3 >= p2:
+            word = word[:-3]
+    else:
+        for suf in _PARTICLES:
+            if fits(suf, p1):
+                pre = len(word) - len(suf) - 1
+                if pre >= 0 and word[pre] in _PARTICLE_END:
+                    word = word[: -len(suf)]
+                break
+
+    # --- possessive (limit p1) -------------------------------------
+    for suf in ("nsa", "nsä", "mme", "nne", "ni", "si", "an", "en", "än"):
+        if fits(suf, p1):
+            pre = word[: -len(suf)]
+            if suf == "si":
+                if not pre.endswith("k"):
+                    word = pre
+            elif suf == "ni":
+                word = pre
+                if word.endswith("kse"):
+                    word = word[:-3] + "ksi"
+            elif suf in ("nsa", "nsä", "mme", "nne"):
+                word = pre
+            elif suf == "an":
+                if pre.endswith(_POSS_AN_PRE):
+                    word = pre
+            elif suf == "än":
+                if pre.endswith(_POSS_AEN_PRE):
+                    word = pre
+            elif suf == "en":
+                if pre.endswith(_POSS_EN_PRE):
+                    word = pre
+            break
+
+    # --- case ending (limit p1; VI/LONG conditions backtrack) -------
+    for suf, kind in _CASES:
+        if not fits(suf, p1):
+            continue
+        pre = word[: -len(suf)]
+        if kind == "LONG":
+            if not pre.endswith(_LONG):
+                continue  # among-time condition: backtrack
+        elif kind == "VI":
+            # preceded by i itself preceded by a V2 vowel
+            if not (
+                pre.endswith("i")
+                and len(pre) >= 2
+                and pre[-2] in _V2
+            ):
+                continue
+        elif kind.startswith("h:"):
+            if not pre.endswith(kind[2:]):
+                break  # switch-case condition: no backtracking
+            word = pre
+            ending_removed = True
+            break
+        elif kind == "e":
+            if not pre.endswith("e"):
+                break
+            word = pre
+            ending_removed = True
+            break
+        elif kind == "n":
+            # delete n, plus one more char after LONG or 'ie'
+            if pre.endswith(_LONG) or pre.endswith("ie"):
+                pre = pre[:-1]
+            word = pre
+            ending_removed = True
+            break
+        elif kind == "cv":
+            if not (
+                len(pre) >= 2
+                and pre[-1] in _V1
+                and pre[-2] not in _V1
+            ):
+                break
+            word = pre
+            ending_removed = True
+            break
+        word = pre
+        ending_removed = True
+        break
+
+    # --- other endings (limit p2) ----------------------------------
+    for suf, cond in _OTHER:
+        if fits(suf, p2):
+            pre = word[: -len(suf)]
+            if cond == "po" and pre.endswith("po"):
+                break
+            word = pre
+            break
+
+    # --- i-plural (if an ending was removed) or t-plural ------------
+    if ending_removed:
+        if fits("i", p1) or fits("j", p1):
+            word = word[:-1]
+    else:
+        if fits("t", p1) and len(word) >= 2 and word[-2] in _V1:
+            word = word[:-1]
+            for suf, cond in (("imma", ""), ("mma", "po")):
+                if fits(suf, p2):
+                    pre = word[: -len(suf)]
+                    if cond == "po" and pre.endswith("po"):
+                        break
+                    word = pre
+                    break
+
+    # --- tidy (limit p1) --------------------------------------------
+    if word[p1:].endswith(_LONG):
+        word = word[:-1]
+    # both tested characters must sit inside the p1 limit
+    if (
+        len(word) >= 2
+        and word[-1] in _AEI
+        and word[-2] not in _V1
+        and len(word) - 2 >= p1
+    ):
+        word = word[:-1]
+    if word.endswith(("oj", "uj")) and len(word) - 2 >= p1:
+        word = word[:-1]
+    if word.endswith("jo") and len(word) - 2 >= p1:
+        word = word[:-1]
+    # undouble a final double consonant followed by trailing vowels
+    i = len(word)
+    while i > 0 and word[i - 1] in _V1:
+        i -= 1
+    if i >= 2 and word[i - 1] == word[i - 2] and word[i - 1] not in _V1:
+        word = word[: i - 1] + word[i:]
+    return word

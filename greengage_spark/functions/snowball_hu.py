@@ -1,0 +1,160 @@
+"""Hungarian Snowball stemmer — the 'hungarian' text-search
+configuration's dictionary.
+
+Reference surface: src/backend/snowball/ (PG embeds the stock Snowball
+hungarian stemmer) with src/backend/snowball/stopwords/hungarian.stop.
+Clean-room control flow from the PUBLIC algorithm as published at
+snowballstem.org ("The Hungarian stemming algorithm"); suffix tables
+are the algorithm's published data (cross-checked against the
+reference build's among tables — data, not code); pinned against that
+build (tests/data/snowball_hungarian.tsv).
+
+The embedded revision predates the ő/ű (double-acute) spelling switch:
+its vowel set uses õ (U+00F5) and û (U+00FB), matching the stopword
+file's encoding.
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aáeéiíoóöõuúüû")
+_DIGRAPHS = ("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_DOUBLES = (
+    "ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs", "bb", "cc", "dd",
+    "ff", "gg", "jj", "kk", "ll", "mm", "nn", "pp", "rr", "ss", "tt",
+    "vv", "zz",
+)
+
+# (suffix, action) — action '' means delete, otherwise the replacement
+_CASE = tuple(
+    (s, "")
+    for s in (
+        "anként", "enként", "onként", "képpen", "ként", "képp", "ban",
+        "ben", "nak", "nek", "val", "vel", "tól", "tõl", "ról", "rõl",
+        "ból", "bõl", "hoz", "hez", "höz", "nál", "nél", "ért", "kor",
+        "ba", "be", "ra", "re", "ig", "at", "et", "ot", "öt", "ul",
+        "ül", "vá", "vé", "an", "en", "on", "ön", "n", "t",
+    )
+)
+_CASE_SPECIAL = (("ánként", "a"), ("án", "a"), ("én", "e"))
+_CASE_OTHER = (
+    ("ástul", "a"), ("éstül", "e"), ("astul", ""), ("estül", ""),
+    ("stul", ""), ("stül", ""),
+)
+_OWNED = (
+    ("áéi", "a"), ("ééi", "e"), ("éi", ""), ("áké", "a"), ("éké", "e"),
+    ("aké", ""), ("eké", ""), ("oké", ""), ("öké", ""), ("ké", ""),
+    ("éé", "e"), ("é", ""),
+)
+_SING_OWNER = (
+    ("ánk", "a"), ("énk", "e"), ("unk", ""), ("ünk", ""), ("nk", ""),
+    ("ájuk", "a"), ("éjük", "e"), ("juk", ""), ("jük", ""), ("uk", ""),
+    ("ük", ""), ("ám", "a"), ("ém", "e"), ("am", ""), ("em", ""),
+    ("om", ""), ("m", ""), ("ád", "a"), ("éd", "e"), ("ad", ""),
+    ("ed", ""), ("od", ""), ("öd", ""), ("d", ""), ("ja", ""),
+    ("je", ""), ("a", ""), ("e", ""), ("o", ""), ("á", "a"),
+    ("é", "e"),
+)
+_PLUR_OWNER = (
+    ("jaim", ""), ("jeim", ""), ("áim", "a"), ("éim", "e"),
+    ("aim", ""), ("eim", ""), ("im", ""), ("jaid", ""), ("jeid", ""),
+    ("áid", "a"), ("éid", "e"), ("aid", ""), ("eid", ""), ("id", ""),
+    ("jai", ""), ("jei", ""), ("ái", "a"), ("éi", "e"), ("ai", ""),
+    ("ei", ""), ("i", ""), ("jaink", ""), ("jeink", ""), ("áink", "a"),
+    ("éink", "e"), ("aink", ""), ("eink", ""), ("ink", ""),
+    ("jaitok", ""), ("jeitek", ""), ("áitok", "a"), ("éitek", "e"),
+    ("aitok", ""), ("eitek", ""), ("itek", ""), ("jaik", ""),
+    ("jeik", ""), ("áik", "a"), ("éik", "e"), ("aik", ""),
+    ("eik", ""), ("ik", ""),
+)
+_PLURAL = (
+    ("ák", "a"), ("ék", "e"), ("ök", ""), ("ok", ""), ("ek", ""),
+    ("ak", ""), ("k", ""),
+)
+
+
+def _r1(word: str) -> int:
+    """Vowel-start: after the first consonant or digraph; consonant-
+    start: after the first vowel."""
+    n = len(word)
+    if not n:
+        return n
+    if word[0] in _VOWELS:
+        i = 1
+        while i < n and word[i] in _VOWELS:
+            i += 1
+        if i >= n:
+            return n
+        for d in _DIGRAPHS:
+            if word.startswith(d, i):
+                return i + len(d)
+        return i + 1
+    for i in range(1, n):
+        if word[i] in _VOWELS:
+            return i + 1
+    return n
+
+
+def _longest(word: str, cands):
+    best = None
+    for suf, rep in cands:
+        if word.endswith(suf) and (best is None or len(suf) > len(best[0])):
+            best = (suf, rep)
+    return best
+
+
+def _undouble(word: str) -> str:
+    """Remove the second-to-last character (tt -> t, ssz -> sz)."""
+    if len(word) >= 2:
+        return word[:-2] + word[-1]
+    return word
+
+
+def _ends_double(word: str) -> bool:
+    return any(word.endswith(d) for d in _DOUBLES)
+
+
+def _v_ending(word: str, r1: int) -> str:
+    """Trailing á -> a, é -> e if in R1."""
+    if word.endswith("á") and len(word) - 1 >= r1:
+        return word[:-1] + "a"
+    if word.endswith("é") and len(word) - 1 >= r1:
+        return word[:-1] + "e"
+    return word
+
+
+def stem(token: str) -> str:
+    word = token.lower()
+    r1 = _r1(word)
+
+    def apply(cands):
+        """Longest match, R1 test, replacement; returns True on change."""
+        nonlocal word
+        hit = _longest(word, cands)
+        if hit and len(word) - len(hit[0])  >= r1:
+            word = word[: -len(hit[0])] + hit[1]
+            return True
+        return False
+
+    # instrumental case: al/el in R1 after a double consonant,
+    # delete + undouble
+    hit = _longest(word, (("al", ""), ("el", "")))
+    if hit and len(word) - 2 >= r1 and _ends_double(word[:-2]):
+        word = _undouble(word[:-2])
+
+    # frequent cases; then a trailing á/é normalizes
+    if apply(_CASE):
+        word = _v_ending(word, r1)
+
+    apply(_CASE_SPECIAL)
+    apply(_CASE_OTHER)
+
+    # factive case: á/é in R1 after a double consonant, delete + undouble
+    hit = _longest(word, (("á", ""), ("é", "")))
+    if hit and len(word) - 1 >= r1 and _ends_double(word[:-1]):
+        word = _undouble(word[:-1])
+
+    apply(_OWNED)
+    apply(_SING_OWNER)
+    apply(_PLUR_OWNER)
+    apply(_PLURAL)
+    return word

@@ -1,0 +1,216 @@
+"""Romanian Snowball stemmer — the 'romanian' text-search
+configuration's dictionary.
+
+Reference surface: src/backend/snowball/ (PG embeds the stock Snowball
+romanian stemmer) with src/backend/snowball/stopwords/romanian.stop.
+Clean-room control flow from the PUBLIC algorithm as published at
+snowballstem.org ("The Romanian stemming algorithm"); the suffix
+tables are the algorithm's published data (cross-checked against the
+reference build's among tables — data, not code); pinned against that
+build (tests/data/snowball_romanian.tsv).
+
+The reference embeds the pre-2008 revision that spells the comma-below
+letters with cedillas (ş/ţ U+015F/U+0163), matching Romanian text as
+PG's regress encodes it.
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aăâeiîou")
+
+# step 0 (plural/article, in R1): suffix -> replacement
+_STEP0 = (
+    ("iilor", "i"), ("ilor", "i"), ("iile", "i"), ("ului", ""),
+    ("elor", "e"), ("atei", "at"), ("aţia", "aţi"), ("aţie", "aţi"),
+    ("aua", "a"), ("iua", "i"), ("ele", "e"), ("ile", "i"),
+    ("iei", "i"), ("ea", "e"), ("ii", "i"), ("ul", ""),
+)
+
+# step 1 (combining suffixes, in R1, repeated): suffix -> replacement
+_STEP1 = (
+    ("abilitate", "abil"), ("abilitati", "abil"), ("abilităi", "abil"),
+    ("abilităţi", "abil"), ("ibilitate", "ibil"), ("ivitate", "iv"),
+    ("ivitati", "iv"), ("ivităi", "iv"), ("ivităţi", "iv"),
+    ("icitate", "ic"), ("icitati", "ic"), ("icităi", "ic"),
+    ("icităţi", "ic"), ("icatori", "ic"), ("icator", "ic"),
+    ("iciva", "ic"), ("icive", "ic"), ("icivi", "ic"), ("icivă", "ic"),
+    ("icala", "ic"), ("icale", "ic"), ("icali", "ic"), ("icală", "ic"),
+    ("iciv", "ic"), ("ical", "ic"), ("ativa", "at"), ("ative", "at"),
+    ("ativi", "at"), ("ativă", "at"), ("aţiune", "at"),
+    ("atoare", "at"), ("atori", "at"), ("ătoare", "at"),
+    ("ători", "at"), ("ativ", "at"), ("ator", "at"), ("ător", "at"),
+    ("itiva", "it"), ("itive", "it"), ("itivi", "it"), ("itivă", "it"),
+    ("iţiune", "it"), ("itoare", "it"), ("itori", "it"), ("itor", "it"),
+    ("itiv", "it"),
+)
+
+# step 2 (standard suffixes, in R2): plain deletions
+_STEP2_DELETE = (
+    "abila", "abile", "abili", "abilă", "ibila", "ibile", "ibili",
+    "ibilă", "itate", "itati", "ităţi", "ităi", "atori", "oasa",
+    "oasă", "oase", "anta", "ante", "anti", "antă", "ator", "abil",
+    "ibil", "ata", "ată", "ati", "ate", "uta", "ută", "uti", "ute",
+    "ita", "ită", "iti", "ite", "ica", "ice", "ici", "ică", "iva",
+    "ive", "ivi", "ivă", "oşi", "osi", "ant", "at",
+    "ut", "it", "ic", "os", "iv",
+)
+# within step 2: ism/ist family -> 'ist'; iune/iuni after ţ -> ţ->t + i
+_STEP2_IST = ("isme", "iste", "isti", "istă", "işti", "ista", "ism", "ist")
+
+# step 3 (verb suffixes, in RV): True -> needs preceding consonant or u
+_STEP3 = (
+    ("seserăţi", False), ("aserăţi", True), ("iserăţi", True),
+    ("userăţi", True), ("âserăţi", True), ("serăţi", False),
+    ("seseră", False), ("seserăm", False), ("aserăm", True),
+    ("iserăm", True), ("userăm", True), ("âserăm", True),
+    ("serăm", False), ("aseră", True), ("iseră", True), ("useră", True),
+    ("âseră", True), ("arăţi", True), ("irăţi", True), ("urăţi", True),
+    ("ârăţi", True), ("aseşi", True), ("seseşi", False),
+    ("iseşi", True), ("useşi", True), ("âseşi", True), ("seşi", False),
+    ("sesem", False), ("asem", True), ("isem", True), ("usem", True),
+    ("âsem", True), ("arăm", True), ("irăm", True), ("urăm", True),
+    ("ârăm", True), ("ească", True), ("eaţi", True), ("iaţi", True),
+    ("ează", True), ("eşte", True), ("ăşte", True), ("eşti", True),
+    ("ăşti", True), ("seră", False), ("iră", True), ("ură", True),
+    ("âră", True), ("ară", True), ("sese", False), ("ase", True),
+    ("ise", True), ("use", True), ("âse", True), ("indu", True),
+    ("ându", True), ("eze", True), ("ezi", True), ("esc", True),
+    ("ăsc", True), ("ind", True), ("ând", True), ("are", True),
+    ("ere", True), ("ire", True), ("âre", True), ("sei", False),
+    ("eai", True), ("iai", True), ("aşi", True), ("işi", True),
+    ("uşi", True), ("âşi", True), ("eam", True), ("iam", True),
+    ("eau", True), ("iau", True), ("aţi", False), ("eţi", False),
+    ("iţi", False), ("âţi", False), ("se", False), ("ai", True),
+    ("ui", True), ("âi", True), ("am", True), ("em", False),
+    ("im", False), ("ăm", False), ("âm", False), ("au", True),
+    ("ez", True), ("ea", True), ("ia", True),
+)
+
+
+def _prelude(word: str) -> str:
+    out = list(word)
+    n = len(out)
+    for i in range(1, n - 1):
+        if out[i] in ("i", "u") and out[i - 1] in _VOWELS and (
+            out[i + 1] in _VOWELS
+        ):
+            out[i] = out[i].upper()
+    return "".join(out)
+
+
+def _regions(word: str) -> tuple[int, int, int]:
+    n = len(word)
+    r1 = n
+    for i in range(n - 1):
+        if word[i] in _VOWELS and word[i + 1] not in _VOWELS:
+            r1 = i + 2
+            break
+    r2 = n
+    for i in range(r1, n - 1):
+        if word[i] in _VOWELS and word[i + 1] not in _VOWELS:
+            r2 = i + 2
+            break
+    rv = n
+    if n >= 2:
+        if word[1] not in _VOWELS:
+            for i in range(2, n):
+                if word[i] in _VOWELS:
+                    rv = i + 1
+                    break
+        elif word[0] in _VOWELS:
+            for i in range(2, n):
+                if word[i] not in _VOWELS:
+                    rv = i + 1
+                    break
+        else:
+            rv = 3
+    return r1, r2, rv
+
+
+def _longest(word, cands):
+    """Longest matching candidate suffix (among semantics: the match is
+    chosen first; a failed region test afterwards ends the step)."""
+    best = None
+    for item in cands:
+        suf = item[0]
+        if word.endswith(suf) and (best is None or len(suf) > len(best[0])):
+            best = item
+    return best
+
+
+def _longest_in(word, cands, region):
+    """Longest candidate suffix lying wholly within the region — used
+    by the verb step, whose among runs under a setlimit, so a longer
+    suffix crossing the region boundary cannot match and a shorter
+    in-region one is taken."""
+    best = None
+    for item in cands:
+        suf = item[0]
+        if word.endswith(suf) and len(word) - len(suf) >= region:
+            if best is None or len(suf) > len(best[0]):
+                best = item
+    return best
+
+
+def stem(token: str) -> str:
+    word = _prelude(token.lower())
+    r1, r2, rv = _regions(word)
+
+    # Step 0: plurals / articles — longest match, then the R1 test
+    hit = _longest(word, _STEP0)
+    if hit and len(word) - len(hit[0]) >= r1:
+        suf, rep = hit
+        if suf == "ile":
+            if not word.endswith("abile"):  # 'ile' not after 'ab'
+                word = word[:-3] + "i"
+        else:
+            word = word[: -len(suf)] + rep
+
+    # Step 1: combining suffixes in R1, repeated until none applies
+    standard_removed = False
+    while True:
+        hit = _longest(word, _STEP1)
+        if hit and len(word) - len(hit[0]) >= r1:
+            word = word[: -len(hit[0])] + hit[1]
+            standard_removed = True
+            continue
+        break
+
+    # Step 2: standard suffixes — longest match, then the R2 test
+    cands = [(s, "") for s in _STEP2_DELETE]
+    cands += [(s, "ist") for s in _STEP2_IST]
+    cands += [("iune", None), ("iuni", None)]
+    hit = _longest(word, cands)
+    if hit and len(word) - len(hit[0]) >= r2:
+        suf, rep = hit
+        if rep is None:  # iune/iuni: only after ţ, which becomes t
+            pre = word[: -len(suf)]
+            if pre.endswith("ţ"):
+                word = pre[:-1] + "ti"
+                standard_removed = True
+        else:
+            word = word[: -len(suf)] + rep
+            standard_removed = True
+
+    # Step 3: verb suffixes in RV, only if steps 1-2 removed nothing;
+    # a failed precondition does not fall back to a shorter suffix
+    if not standard_removed:
+        hit = _longest_in(word, _STEP3, rv)
+        if hit:
+            suf, need_cons = hit
+            pre_i = len(word) - len(suf) - 1
+            if not need_cons or (
+                pre_i >= rv
+                and (word[pre_i] not in _VOWELS or word[pre_i] == "u")
+            ):
+                word = word[: -len(suf)]
+
+    # Step 4: final vowel — longest of (ie, a, e, i, ă) governs, then
+    # the RV test; a failed test does not fall back to a shorter form
+    for suf in ("ie", "a", "e", "i", "ă"):
+        if word.endswith(suf):
+            if len(word) - len(suf) >= rv:
+                word = word[: -len(suf)]
+            break
+
+    return word.replace("I", "i").replace("U", "u")

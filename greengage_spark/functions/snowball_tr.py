@@ -1,0 +1,464 @@
+"""Turkish Snowball stemmer — the 'turkish' text-search
+configuration's dictionary.
+
+Reference surface: src/backend/snowball/ (PG embeds the stock Snowball
+turkish stemmer, Evren (Kapusuz) Çilden's algorithm) with
+src/backend/snowball/stopwords/turkish.stop.  Clean-room control flow
+from the PUBLIC algorithm as published at snowballstem.org ("The
+Turkish stemming algorithm"); suffix tables are the algorithm's
+published data (cross-checked against the reference build's among
+tables — data, not code); pinned against that build
+(tests/data/snowball_turkish.tsv).
+
+Shape notes: suffixes strip from the end through two chains (nominal
+verb suffixes, then noun suffixes with the recursive ki-chain); vowel
+harmony is checked against the whole remaining word; optional leading
+letters (y/s/n consonants, U vowels) are consumed only in the
+published phonetic contexts; deletions persist even when a chained
+continuation fails (snowball slices are not undone by backtracking).
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiouöüı")
+_U = frozenset("ıiuü")
+# vowel-harmony classes: last suffix vowel -> allowed preceding vowels
+_HARMONY = {
+    "a": frozenset("aouı"), "e": frozenset("eiöü"),
+    "ı": frozenset("aı"), "i": frozenset("ei"),
+    "o": frozenset("ou"), "u": frozenset("ou"),
+    "ö": frozenset("öü"), "ü": frozenset("öü"),
+}
+
+
+def _harmony(w: str) -> bool:
+    """The word's last vowel must be preceded (anywhere earlier) by a
+    vowel of its harmony class."""
+    i = len(w) - 1
+    while i >= 0 and w[i] not in _VOWELS:
+        i -= 1
+    if i < 0:
+        return False
+    cls = _HARMONY[w[i]]
+    return any(c in cls for c in w[:i])
+
+
+def _opt_letter(s: str, letter: str):
+    """Optional y/s/n consonant before a suffix: consumed only after a
+    vowel; when absent, the second char back must be a vowel.  Returns
+    extra consumed chars (1/0) or None."""
+    if s.endswith(letter):
+        if len(s) >= 2 and s[-2] in _VOWELS:
+            return 1
+        return None
+    if len(s) >= 2 and s[-2] in _VOWELS:
+        return 0
+    return None
+
+
+def _opt_u(s: str):
+    """Optional U vowel: consumed only after a consonant; when absent,
+    the second char back must be a consonant."""
+    if s and s[-1] in _U:
+        if len(s) >= 2 and s[-2] not in _VOWELS:
+            return 1
+        return None
+    if len(s) >= 2 and s[-2] not in _VOWELS:
+        return 0
+    return None
+
+
+def _among(w: str, sufs) -> str | None:
+    best = None
+    for s in sufs:
+        if w.endswith(s) and (best is None or len(s) > len(best)):
+            best = s
+    return best
+
+
+def _plain(sufs, harmony=True):
+    def mark(w: str):
+        if harmony and not _harmony(w):
+            return None
+        s = _among(w, sufs)
+        return len(s) if s else None
+
+    return mark
+
+
+def _with_opt(sufs, letter, harmony=True):
+    def mark(w: str):
+        if harmony and not _harmony(w):
+            return None
+        s = _among(w, sufs)
+        if not s:
+            return None
+        extra = (
+            _opt_u(w[: -len(s)])
+            if letter == "U"
+            else _opt_letter(w[: -len(s)], letter)
+        )
+        if extra is None:
+            return None
+        return len(s) + extra
+
+    return mark
+
+
+_m_possessives = _with_opt(
+    ("miz", "niz", "muz", "nuz", "mız", "nız", "müz", "nüz", "m", "n"),
+    "U", harmony=False,
+)
+_m_lArI = _plain(("leri", "ları"), harmony=False)
+_m_sU = _with_opt(("i", "u", "ı", "ü"), "s")
+_m_yU = _with_opt(("i", "u", "ı", "ü"), "y")
+_m_nU = _plain(("ni", "nu", "nı", "nü"))
+_m_nUn = _with_opt(("in", "un", "ın", "ün"), "n")
+_m_nA = _plain(("na", "ne"))
+_m_yA = _with_opt(("a", "e"), "y")
+_m_DA = _plain(("da", "ta", "de", "te"))
+_m_ndA = _plain(("nda", "nde"))
+_m_DAn = _plain(("dan", "tan", "den", "ten"))
+_m_ndAn = _plain(("ndan", "nden"))
+_m_ylA = _with_opt(("la", "le"), "y")
+_m_ncA = _with_opt(("ca", "ce"), "n")
+_m_yUm = _with_opt(("im", "um", "ım", "üm"), "y")
+_m_sUn = _plain(("sin", "sun", "sın", "sün"))
+_m_yUz = _with_opt(("iz", "uz", "ız", "üz"), "y")
+_m_sUnUz = _plain(("siniz", "sunuz", "sınız", "sünüz"), harmony=False)
+_m_lAr = _plain(("lar", "ler"))
+_m_nUz = _plain(("niz", "nuz", "nız", "nüz"))
+_m_DUr = _plain(("dir", "tir", "dur", "tur", "dır", "tır", "dür", "tür"))
+_m_cAsInA = _plain(("casına", "cesine"), harmony=False)
+_m_yDU = _with_opt(
+    ("dik", "tik", "duk", "tuk", "dık", "tık", "dük", "tük",
+     "dim", "tim", "dum", "tum", "dım", "tım", "düm", "tüm",
+     "din", "tin", "dun", "tun", "dın", "tın", "dün", "tün",
+     "di", "ti", "du", "tu", "dı", "tı", "dü", "tü"),
+    "y",
+)
+_m_ysA = _with_opt(
+    ("sak", "sek", "sam", "sem", "san", "sen", "sa", "se"),
+    "y", harmony=False,
+)
+_m_yken = _with_opt(("ken",), "y", harmony=False)
+_m_ymUs = _with_opt(("miş", "muş", "mış", "müş"), "y")
+
+
+def _m_ki(w: str):
+    return 2 if w.endswith("ki") else None
+
+
+def _first(w: str, *marks):
+    for m in marks:
+        n = m(w)
+        if n is not None:
+            return n
+    return None
+
+
+def _nominal_verb(w: str) -> tuple[str, bool]:
+    """-> (word, continue_with_noun_suffixes)"""
+    n = _first(w, _m_ymUs, _m_yDU, _m_ysA, _m_yken)
+    if n is not None:
+        return w[:-n], True
+
+    n = _m_cAsInA(w)
+    if n is not None:
+        rest = w[:-n]
+        mid = _first(rest, _m_sUnUz, _m_lAr, _m_yUm, _m_sUn, _m_yUz) or 0
+        n3 = _m_ymUs(rest[: len(rest) - mid] if mid else rest)
+        if n3 is not None:
+            return w[: -(n + mid + n3)], True
+        # fall through to the next alternative with nothing consumed
+
+    n = _m_lAr(w)
+    if n is not None:
+        w = w[:-n]  # deletion persists
+        n2 = _first(w, _m_DUr, _m_yDU, _m_ysA, _m_ymUs)
+        if n2 is not None:
+            w = w[:-n2]
+        return w, False  # unset continue_stemming_noun_suffixes
+
+    n = _m_nUz(w)
+    if n is not None:
+        rest = w[:-n]
+        n2 = _first(rest, _m_yDU, _m_ysA)
+        if n2 is not None:
+            return w[: -(n + n2)], True
+        # else this alternative fails; fall through
+
+    n = _first(w, _m_sUnUz, _m_yUz, _m_sUn, _m_yUm)
+    if n is not None:
+        w = w[:-n]
+        n2 = _m_ymUs(w)
+        if n2 is not None:
+            w = w[:-n2]
+        return w, True
+
+    n = _m_DUr(w)
+    if n is not None:
+        w = w[:-n]
+        mid = _first(w, _m_sUnUz, _m_lAr, _m_yUm, _m_sUn, _m_yUz) or 0
+        n3 = _m_ymUs(w[: len(w) - mid] if mid else w)
+        if n3 is not None:
+            w = w[: -(mid + n3)]
+        return w, True
+    return w, True
+
+
+def _chain_ki(w: str) -> tuple[str, bool]:
+    n = _m_ki(w)
+    if n is None:
+        return w, False
+    base = w[:-2]  # pending 'ki' strip, realized with the case suffix
+
+    m = _m_DA(base)
+    if m is not None:
+        w2 = base[:-m]
+        m2 = _m_lAr(w2)
+        if m2 is not None:
+            w3 = w2[:-m2]
+            w4, ok = _chain_ki(w3)
+            return (w4 if ok else w3), True
+        m2 = _m_possessives(w2)
+        if m2 is not None:
+            w3 = w2[:-m2]
+            m3 = _m_lAr(w3)
+            if m3 is not None:
+                w4 = w3[:-m3]
+                w5, ok = _chain_ki(w4)
+                return (w5 if ok else w4), True
+            return w3, True
+        return w2, True
+
+    m = _m_nUn(base)
+    if m is not None:
+        w2 = base[:-m]
+        m2 = _m_lArI(w2)
+        if m2 is not None:
+            return w2[:-m2], True
+        m2 = _first(w2, _m_possessives, _m_sU)
+        if m2 is not None:
+            w3 = w2[:-m2]
+            m3 = _m_lAr(w3)
+            if m3 is not None:
+                w4 = w3[:-m3]
+                w5, ok = _chain_ki(w4)
+                return (w5 if ok else w4), True
+            return w3, True
+        w3, ok = _chain_ki(w2)
+        return (w3 if ok else w2), True
+
+    m = _m_ndA(base)
+    if m is not None:
+        w2 = base[:-m]
+        m2 = _m_lArI(w2)
+        if m2 is not None:
+            return w2[:-m2], True
+        m2 = _m_sU(w2)
+        if m2 is not None:
+            w3 = w2[:-m2]
+            m3 = _m_lAr(w3)
+            if m3 is not None:
+                w4 = w3[:-m3]
+                w5, ok = _chain_ki(w4)
+                return (w5 if ok else w4), True
+            return w3, True
+        # recursive chain runs BEFORE the (kept, undeleted) ndA+ki
+        # suffix: its slices happen mid-word, the tail stays
+        w3, ok = _chain_ki(w2)
+        if ok:
+            return w3 + w[len(w2):], True
+        return w, False  # nothing was deleted on this path
+    return w, False
+
+
+def _noun_suffixes(w: str) -> tuple[str, bool]:
+    n = _m_lAr(w)
+    if n is not None:
+        w = w[:-n]
+        w2, ok = _chain_ki(w)
+        return (w2 if ok else w), True
+
+    n = _m_ncA(w)
+    if n is not None:
+        w = w[:-n]
+        m = _m_lArI(w)
+        if m is not None:
+            return w[:-m], True
+        m = _first(w, _m_possessives, _m_sU)
+        if m is not None:
+            w2 = w[:-m]
+            m2 = _m_lAr(w2)
+            if m2 is not None:
+                w3 = w2[:-m2]
+                w4, ok = _chain_ki(w3)
+                return (w4 if ok else w3), True
+            return w2, True
+        m = _m_lAr(w)
+        if m is not None:
+            w2 = w[:-m]
+            w3, ok = _chain_ki(w2)
+            if ok:
+                return w3, True
+            # chain required here; restore to before the lAr delete?
+            # (snowball: the try wraps mark+delete+chain — the delete
+            # persists, only the cursor restores)
+            return w2, True
+        return w, True
+
+    n = _first(w, _m_ndA, _m_nA)
+    if n is not None:
+        rest = w[:-n]
+        m = _m_lArI(rest)
+        if m is not None:
+            return rest[:-m], True
+        m = _m_sU(rest)
+        if m is not None:
+            w2 = rest[:-m]
+            m2 = _m_lAr(w2)
+            if m2 is not None:
+                w3 = w2[:-m2]
+                w4, ok = _chain_ki(w3)
+                return (w4 if ok else w3), True
+            return w2, True
+        # chain runs before the (kept, undeleted) ndA/nA suffix
+        w2, ok = _chain_ki(rest)
+        if ok:
+            return w2 + w[len(rest):], True
+        # none of the inner alternatives fired: this branch fails
+        # WITHOUT deleting ndA/nA; fall through
+
+    n = _first(w, _m_ndAn, _m_nU)
+    if n is not None:
+        rest = w[:-n]
+        m = _m_sU(rest)
+        if m is not None:
+            w2 = rest[:-m]
+            m2 = _m_lAr(w2)
+            if m2 is not None:
+                w3 = w2[:-m2]
+                w4, ok = _chain_ki(w3)
+                return (w4 if ok else w3), True
+            return w2, True
+        m = _m_lArI(rest)
+        if m is not None:
+            return rest[:-m], True
+        # branch fails undeleted; fall through
+
+    n = _m_DAn(w)
+    if n is not None:
+        w = w[:-n]
+        m = _m_possessives(w)
+        if m is not None:
+            w2 = w[:-m]
+            m2 = _m_lAr(w2)
+            if m2 is not None:
+                w3 = w2[:-m2]
+                w4, ok = _chain_ki(w3)
+                return (w4 if ok else w3), True
+            return w2, True
+        m = _m_lAr(w)
+        if m is not None:
+            w2 = w[:-m]
+            w3, ok = _chain_ki(w2)
+            return (w3 if ok else w2), True
+        w2, ok = _chain_ki(w)
+        return (w2 if ok else w), True
+
+    n = _first(w, _m_nUn, _m_ylA)
+    if n is not None:
+        w = w[:-n]
+        m = _m_lAr(w)
+        if m is not None:
+            w = w[:-m]  # the lAr slice persists even if the chain fails
+            w3, ok = _chain_ki(w)
+            if ok:
+                return w3, True
+            # chain failed: continue with the next alternative on the
+            # lAr-stripped word (snowball restores only the cursor)
+        m = _first(w, _m_possessives, _m_sU)
+        if m is not None:
+            w2 = w[:-m]
+            m2 = _m_lAr(w2)
+            if m2 is not None:
+                w3 = w2[:-m2]
+                w4, ok = _chain_ki(w3)
+                return (w4 if ok else w3), True
+            return w2, True
+        w2, ok = _chain_ki(w)
+        return (w2 if ok else w), True
+
+    n = _m_lArI(w)
+    if n is not None:
+        return w[:-n], True
+
+    w2, ok = _chain_ki(w)
+    if ok:
+        return w2, True
+
+    n = _first(w, _m_DA, _m_yU, _m_yA)
+    if n is not None:
+        w = w[:-n]
+        m = _m_possessives(w)
+        if m is not None:
+            w2 = w[:-m]
+            m2 = _m_lAr(w2) or 0
+            w3 = w2[: len(w2) - m2] if m2 else w2
+            w4, ok = _chain_ki(w3)
+            return (w4 if ok else w3), True
+        m = _m_lAr(w)
+        if m is not None:
+            w2 = w[:-m]
+            w3, ok = _chain_ki(w2)
+            return (w3 if ok else w2), True
+        return w, True
+
+    n = _first(w, _m_possessives, _m_sU)
+    if n is not None:
+        w = w[:-n]
+        m = _m_lAr(w)
+        if m is not None:
+            w2 = w[:-m]
+            w3, ok = _chain_ki(w2)
+            return (w3 if ok else w2), True
+        return w, True
+    return w, False
+
+
+def _append_u(w: str) -> str:
+    if not w.endswith(("d", "g")):
+        return w
+    i = len(w) - 1
+    while i >= 0 and w[i] not in _VOWELS:
+        i -= 1
+    if i < 0:
+        return w
+    v = w[i]
+    if v in "aı":
+        return w + "ı"
+    if v in "ei":
+        return w + "i"
+    if v in "ou":
+        return w + "u"
+    return w + "ü"
+
+
+_LAST_CONSONANT = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}
+
+
+def stem(token: str) -> str:
+    w = token.lower()
+    if sum(ch in _VOWELS for ch in w) < 2:
+        return w  # more_than_one_syllable_word gate
+    w, cont = _nominal_verb(w)
+    if not cont:
+        return w  # lAr branch stops before noun suffixes AND postlude
+    w, _ = _noun_suffixes(w)
+    if w in ("ad", "soyad"):  # reserved words skip the postlude
+        return w
+    w = _append_u(w)
+    if w and w[-1] in _LAST_CONSONANT:
+        w = w[:-1] + _LAST_CONSONANT[w[-1]]
+    return w

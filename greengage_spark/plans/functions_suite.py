@@ -1465,6 +1465,19 @@ _ML_STEM_TRIPLES = [
     ("portuguese", "possibilidades", "possibil"),
     ("portuguese", "trabalhadores", "trabalh"),
     ("dutch", "lichamelijkheden", "licham"),
+    ("romanian", "lucrurile", "lucrur"),
+    ("romanian", "dezvoltarea", "dezvolt"),
+    ("romanian", "caracteristicile", "caracterist"),
+    ("romanian", "muncitorii", "muncit"),
+    ("finnish", "edellytyksellä", "edellytyks"),
+    ("finnish", "tutkimuksen", "tutkimuks"),
+    ("finnish", "työntekijöiden", "työntekijö"),
+    ("hungarian", "lehetőségeket", "lehetőség"),
+    ("hungarian", "kérdésekre", "kérdés"),
+    ("hungarian", "munkavállalókkal", "munkavállaló"),
+    ("turkish", "kitaplardan", "kitap"),
+    ("turkish", "araştırmaların", "araştırma"),
+    ("turkish", "insanlara", "insan"),
     ("dutch", "mogelijkheden", "mogelijk"),
     ("dutch", "wetenschappelijke", "wetenschapp"),
     ("dutch", "onmiddellijk", "onmiddel"),
@@ -1475,7 +1488,11 @@ _ML_STEM_TRIPLES = [
 _ML_STOP = {"french": "les", "german": "und", "spanish": "las",
             "russian": "не", "danish": "og", "norwegian": "og",
             "swedish": "och", "italian": "di", "portuguese": "de",
-            "dutch": "de"}
+            "dutch": "de", "finnish": "että", "hungarian": "hogy",
+            "turkish": "için",
+            # the reference ships no romanian stopwords: the prepended
+            # word is NOT removed, which is itself the pinned behavior
+            "romanian": "pentru"}
 
 
 @suite.add(
@@ -1488,9 +1505,8 @@ _ML_STOP = {"french": "les", "german": "und", "spanish": "las",
     + ") AS t(config, word, lexeme, expected, matched) "
     "ORDER BY config, word",
     doc="Multi-language text-search configurations (src/backend/snowball "
-        "french/german/spanish/russian/danish/norwegian/swedish/"
-        "italian/portuguese/dutch + their .stop lists; "
-        "functions/snowball_{fr,de,es,ru,da,no,sv,it,pt,nl}.py): "
+        "ALL 14 embedded languages + their .stop lists (romanian: "
+        "faithfully empty); functions/snowball_*.py): "
         "clean-room stemmers from "
         "the published snowballstem.org algorithms, parity-pinned "
         "against the reference's own embedded stemmer build "

@@ -163,10 +163,10 @@ class TestSqlSurface:
         assert got == pytest.approx(0.125 / 1.64493406685, rel=1e-6)
 
     def test_unknown_config_rejects(self, spark):
-        # french/german/spanish/russian landed in round 10; turkish is
-        # still out of the implemented set
+        # all 14 embedded snowball languages are in; arabic has no
+        # embedded stemmer in the reference
         with pytest.raises(NotImplementedError, match="configuration"):
-            transpile("SELECT to_tsvector('turkish', 'kitaplar')")
+            transpile("SELECT to_tsvector('arabic', 'x')")
 
     def test_headline_english_stemmed_match(self, spark):
         # query lexeme 'jump' (stemmed) highlights the inflected word
@@ -229,8 +229,10 @@ class TestDefaultTextSearchConfig:
     def test_unsupported_config_rejects(self, eng):
         import pytest as _pytest
 
+        # every embedded snowball language now works; arabic has no
+        # embedded stemmer in the reference
         with _pytest.raises(NotImplementedError, match="configuration"):
-            eng.execute("SET default_text_search_config = 'turkish'")
+            eng.execute("SET default_text_search_config = 'arabic'")
 
 
 class TestTsConfigGucTransactions:

@@ -57,6 +57,10 @@ class TestStemmerParity:
         # the reference embeds the classic portuguese revision: no
         # "uça~o -> u" rule
         assert snowball.stem("portuguese", "revolução") == "revoluçã"
+        assert snowball.stem("romanian", "lucrurile") == "lucrur"
+        assert snowball.stem("finnish", "edellytyksellä") == "edellytyks"
+        assert snowball.stem("hungarian", "lehetőségeket") == "lehetőség"
+        assert snowball.stem("turkish", "kitaplardan") == "kitap"
 
 
 class TestStopwords:
@@ -64,7 +68,14 @@ class TestStopwords:
     def test_byte_equal_to_reference(self, lang):
         if not os.path.isdir(STOP_DIR):
             pytest.skip("reference stopword files unavailable")
-        with open(os.path.join(STOP_DIR, f"{lang}.stop")) as fh:
+        path = os.path.join(STOP_DIR, f"{lang}.stop")
+        if not os.path.exists(path):
+            # the reference ships no romanian.stop: its config has an
+            # EMPTY stopword list (snowball/Makefile drops StopWords)
+            assert lang == "romanian"
+            assert snowball.STOPWORDS[lang] == frozenset()
+            return
+        with open(path) as fh:
             ref = {w.strip() for w in fh if w.strip()}
         assert snowball.STOPWORDS[lang] == frozenset(ref)
 
@@ -137,8 +148,19 @@ class TestSqlSurface:
     def test_unknown_config_still_rejects(self, spark):
         from greengage_spark.dialect import pg_sql
 
+        # arabic has no embedded snowball stemmer in the reference
         with pytest.raises(NotImplementedError, match="configuration"):
-            pg_sql(spark, "SELECT to_tsvector('turkish', 'kitaplar')")
+            pg_sql(spark, "SELECT to_tsvector('arabic', 'x')")
+
+    def test_turkish_config_works(self, spark):
+        from greengage_spark.dialect import pg_sql
+
+        r = pg_sql(
+            spark,
+            "SELECT array_to_string("
+            "to_tsvector('turkish', 'kitaplardan'), ',') AS v",
+        ).collect()
+        assert r[0].v == "kitap"
 
     def test_guc_accepts_new_configs(self, spark):
         import tempfile
@@ -151,6 +173,11 @@ class TestSqlSurface:
             "SELECT array_to_string(to_tsvector('continuations'), ',') AS v"
         ).collect()
         assert r[0].v == "continu"
+        eng.execute("SET default_text_search_config = 'turkish'")
+        r = eng.execute(
+            "SELECT array_to_string(to_tsvector('kitaplardan'), ',') AS v"
+        ).collect()
+        assert r[0].v == "kitap"
         eng.execute("RESET default_text_search_config")
         with pytest.raises(NotImplementedError):
-            eng.execute("SET default_text_search_config = 'turkish'")
+            eng.execute("SET default_text_search_config = 'arabic'")
