@@ -275,6 +275,193 @@ def _pass_cast_typenames(toks: list[str]) -> list[str]:
     return toks
 
 
+_ISN_TYPES = (
+    "ean13", "isbn13", "ismn13", "issn13", "isbn", "ismn", "issn", "upc",
+)
+_ISN_WEAK = {"on": False}  # module-level session flag (isn.c g_weak)
+
+
+def _pass_isn(toks: list[str]) -> list[str]:
+    """contrib/isn (isn.c): ``expr::isbn`` et al. become the bigint
+    ean13<<1|invalid representation — PG's own — so comparisons across
+    isn types are plain bigint compares.  String literals parse at PLAN
+    time (errors surface like PG's); columns go through Arrow-batched
+    UDFs.  A ``__gg_isn(value, 'type')`` marker carries the declared
+    type; _pass_isn_resolve later display-wraps select-list outputs and
+    strips the marker everywhere else.  isn_weak(bool) flips the weak
+    input mode (a module flag, like the reference's C global)."""
+    if not any(
+        _is_ident(t) and t.lower() in (
+            "isn_weak", "is_valid", "make_valid", *_ISN_TYPES,
+        )
+        for t in toks
+    ):
+        return toks
+    from greengage_spark.functions.isn import display as _idisplay
+    from greengage_spark.functions.isn import parse as _iparse
+    from greengage_spark.functions.isn import recast as _irecast
+
+    # isn_weak(bool) — plan-time session flag
+    i = 0
+    while i + 3 < len(toks):
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() == "isn_weak"
+            and toks[i + 1] == "("
+            and toks[i + 3] == ")"
+            and toks[i + 2].lower() in ("true", "false")
+        ):
+            _ISN_WEAK["on"] = toks[i + 2].lower() == "true"
+            toks[i : i + 4] = [toks[i + 2].upper()]
+        i += 1
+
+    weak = _ISN_WEAK["on"]
+    # innermost-first cast rewriting (repeat until no ::isntype remains)
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(toks) - 1):
+            if toks[i] != "::" or toks[i + 1].lower() not in _ISN_TYPES:
+                continue
+            t = toks[i + 1].lower()
+            start = _operand_start(toks, i - 1)
+            operand = toks[start:i]
+            if len(operand) == 1 and _is_string(operand[0]):
+                v = _iparse(
+                    operand[0][1:-1].replace("''", "'"), t, weak=weak
+                )
+                repl = ["__gg_isn", "(", f"{v}L", ",", f"'{t}'", ")"]
+            elif (
+                operand
+                and operand[0] == "__gg_isn"
+            ):
+                inner = operand[2:-1]
+                comma = len(inner) - 2  # [..., ',', "'type'"]
+                val = inner[:comma]
+                if len(val) == 1 and val[0].endswith("L"):
+                    v = _irecast(int(val[0][:-1]), t)
+                    repl = ["__gg_isn", "(", f"{v}L", ",", f"'{t}'", ")"]
+                else:
+                    repl = (
+                        ["__gg_isn", "(", "pg_isn_recast", "("]
+                        + val + [",", f"'{t}'", ")", ",", f"'{t}'", ")"]
+                    )
+            else:
+                repl = (
+                    ["__gg_isn", "(", "pg_isn_parse", "("]
+                    + operand
+                    + [",", f"'{t}'", ",", "TRUE" if weak else "FALSE",
+                       ")", ",", f"'{t}'", ")"]
+                )
+            toks = toks[:start] + repl + toks[i + 2 :]
+            changed = True
+            break
+
+    # is_valid / make_valid over marker values
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(toks) - 1):
+            low = toks[i].lower() if _is_ident(toks[i]) else ""
+            if low not in ("is_valid", "make_valid") or toks[i + 1] != "(":
+                continue
+            close = _args_span(toks, i + 1)
+            inner = toks[i + 2 : close]
+            if not inner or inner[0] != "__gg_isn":
+                continue
+            body = inner[2:-1]
+            comma = len(body) - 2
+            val, typ = body[:comma], body[comma + 1]
+            if low == "is_valid":
+                repl = ["(", "("] + val + [")", "%", "2", "=", "0", ")"]
+            else:
+                repl = (
+                    ["__gg_isn", "(", "("] + val + [")", "-", "(", "("]
+                    + val + [")", "%", "2", ")", ",", typ, ")"]
+                )
+            toks = toks[:i] + repl + toks[close + 1 :]
+            changed = True
+            break
+
+    return _pass_isn_resolve(toks, _idisplay)
+
+
+def _pass_isn_resolve(toks: list[str], idisplay) -> list[str]:
+    """Display-wrap __gg_isn markers that ARE a select-list item (PG's
+    type output function runs on projection); strip markers elsewhere
+    (joins/filters/grouping compare the bigint)."""
+    depths = []
+    d = 0
+    for t in toks:
+        if t == ")":
+            d -= 1
+        depths.append(d)
+        if t == "(":
+            d += 1
+
+    # collect select-list item spans whose whole expr is one marker call
+    wrap: set[int] = set()
+    for i, t in enumerate(toks):
+        if not (_is_ident(t) and t.lower() == "select"):
+            continue
+        gd = depths[i]
+        j = i + 1
+        if j < len(toks) and _is_ident(toks[j]) and toks[j].lower() == "distinct":
+            j += 1
+        item_start = j
+        while j <= len(toks):
+            boundary = j == len(toks) or depths[j] < gd or (
+                depths[j] == gd
+                and (
+                    toks[j] == ","
+                    or (_is_ident(toks[j]) and toks[j].lower() in ("from", "union", "intersect", "except"))
+                    or toks[j] == ";"
+                )
+            )
+            if boundary:
+                a, b = item_start, j
+                # strip [AS] alias tail
+                if b - a >= 2 and _is_ident(toks[b - 1]):
+                    if b - a >= 3 and _is_ident(toks[b - 2]) and toks[b - 2].lower() == "as":
+                        b -= 2
+                    elif toks[b - 1].lower() not in ("from",) and toks[b - 2] == ")":
+                        b -= 1
+                if (
+                    b > a
+                    and toks[a] == "__gg_isn"
+                    and a + 1 < len(toks)
+                    and toks[a + 1] == "("
+                    and _args_span(toks, a + 1) == b - 1
+                ):
+                    wrap.add(a)
+                if j == len(toks) or depths[j] < gd or toks[j] != ",":
+                    break
+                item_start = j + 1
+            j += 1
+
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if toks[i] == "__gg_isn":
+            close = _args_span(toks, i + 1)
+            body = toks[i + 2 : close]
+            comma = len(body) - 2
+            val, typ = body[:comma], body[comma + 1]
+            if i in wrap:
+                if len(val) == 1 and val[0].endswith("L"):
+                    disp = idisplay(int(val[0][:-1]), typ.strip("'"))
+                    out.append("'" + disp.replace("'", "''") + "'")
+                else:
+                    out += ["pg_isn_display", "(", *val, ",", typ, ")"]
+            else:
+                out += ["(", *val, ")"]
+            i = close + 1
+            continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
 def _pass_casts(toks: list[str]) -> list[str]:
     pos = 0
     while True:
@@ -7974,6 +8161,7 @@ def transpile(sql: str) -> str:
     toks = _pass_range_casts(toks)
     toks = _pass_bit_casts(toks)
     toks = _pass_cast_typenames(toks)
+    toks = _pass_isn(toks)
     toks = _pass_casts(toks)
     toks = _pass_float_int_cast_round(toks)
     toks = _pass_date_minus(toks)
@@ -8256,6 +8444,10 @@ def pg_sql(spark, sql: str):
         from greengage_spark.functions import pgcrypto
 
         pgcrypto.register_udfs(spark)
+    if "pg_isn_" in out:
+        from greengage_spark.functions import isn
+
+        isn.register_udfs(spark)
     if "pg_xpath" in out or "pg_xml_valid" in out:
         from greengage_spark.functions import xmlquery
 

@@ -1,0 +1,370 @@
+"""contrib/isn — EAN13/UPC/ISBN(13)/ISMN(13)/ISSN(13) product numbers.
+
+Reference surface: contrib/isn/isn.c (string2ean, ean2string, ean2ISBN/
+ISMN/ISSN/UPC, checkdig/weight_checkdig, hyphenate) with the published
+registration-group range data from contrib/isn/*.h (isn_ranges.py).
+Pinned against contrib/isn/expected/isn.out.
+
+Representation is PG's own: a BIGINT holding ``ean13 << 1 | invalid``
+— so =/<>/ordering/grouping across any two isn types are plain bigint
+comparisons exactly like the reference ('12345679'::ISSN =
+'9771234567003'::EAN13 is true).  Display is a function of (value,
+declared type): EAN13 shows the hyphenated long form with the subtype's
+group ranges, the short types show their classic forms (ISBN-10 with a
+recomputed mod-11 check digit, M-prefixed ISMN, 8-digit ISSN, 12-digit
+UPC); numbers flagged invalid render with a '!' suffix.
+
+Weak input mode (isn_weak GUC) stores bad-check-digit input with the
+invalid flag instead of erroring; make_valid clears the flag,
+is_valid inspects it.
+"""
+
+from __future__ import annotations
+
+from greengage_spark.functions.isn_ranges import (
+    EAN13_range,
+    ISBN_range,
+    ISBN_range_new,
+    ISMN_range,
+    ISSN_range,
+    UPC_range,
+)
+
+_TYPES = ("ean13", "isbn", "ismn", "issn", "upc", "isbn13", "ismn13", "issn13")
+# error-message names (isn.c isn_names)
+_NAMES = {
+    "ean13": "EAN13", "upc": "UPC", "isbn": "ISBN", "ismn": "ISMN",
+    "issn": "ISSN", "isbn13": "ISBN", "ismn13": "ISMN", "issn13": "ISSN",
+    "any": "ISN",
+}
+
+
+def _checkdig(digits: str, size: int) -> int:
+    """EAN13 mod-10 check (isn.c checkdig); 'M' counts as 3*3."""
+    check = check3 = 0
+    pos = 0
+    i = 0
+    if digits[:1] == "M":
+        check3 = 3
+        pos = 1
+        i = 1
+    remaining = size - 1
+    while i < len(digits) and remaining > 0:
+        ch = digits[i]
+        if ch.isdigit():
+            if pos % 2:
+                check3 += int(ch)
+            else:
+                check += int(ch)
+            pos += 1
+            remaining -= 1
+        i += 1
+    check = (check + 3 * check3) % 10
+    return 0 if check == 0 else 10 - check
+
+
+def _weight_checkdig(digits: str, size: int) -> int:
+    """mod-11 check for ISBN-10 / ISSN-8 (isn.c weight_checkdig)."""
+    weight = 0
+    size_left = size
+    for ch in digits:
+        if size_left <= 1:
+            break  # the check-digit position itself is not weighted
+        if ch.isdigit():
+            weight += size_left * int(ch)
+            size_left -= 1
+    weight %= 11
+    return 0 if weight == 0 else 11 - weight
+
+
+def _subtype(d13: str) -> str:
+    if d13[0] == "0":
+        return "upc"
+    if d13.startswith("977"):
+        return "issn"
+    if d13.startswith("9790"):
+        return "ismn"
+    if d13.startswith(("978", "979")):
+        return "isbn"
+    return "ean13"
+
+
+def parse(text: str, accept: str = "any", weak: bool = False) -> int:
+    """string2ean: text (any isn form, hyphens/spaces ignored, 'X'
+    mod-11 check, '?' magic digit, '!' invalid suffix) -> bigint
+    ean13<<1|invalid; errors follow the reference messages."""
+    aux: list[str] = []
+    tname = _NAMES[accept]
+    type_ = None
+    magic = False
+    valid = True
+    length = 0
+    s = text
+    i = 0
+
+    def bad_syntax():
+        raise ValueError(
+            f"invalid input syntax for {tname} number: \"{text}\""
+        )
+
+    while i < len(s) and length <= 13:
+        ch = s[i]
+        last = i + 1 >= len(s) or s[i + 1] == "!"
+        digit = ch.isdigit()
+        if ch == "?" and last:
+            magic = digit = True
+        if length == 0 and ch in ("M", "m"):
+            if type_ is not None:
+                bad_syntax()
+            type_ = "ismn"
+            aux.append("M")
+            length += 1
+        elif length == 7 and (digit or ch in "Xx") and last:
+            if type_ is not None:
+                bad_syntax()
+            type_ = "issn"
+            aux.append(ch.upper())
+            length += 1
+        elif length == 9 and (digit or ch in "Xx") and last:
+            if type_ is not None and type_ != "ismn":
+                bad_syntax()
+            if type_ is None:
+                type_ = "isbn"
+            aux.append(ch.upper())
+            length += 1
+        elif length == 11 and digit and last:
+            if type_ is not None:
+                bad_syntax()
+            type_ = "upc"
+            aux.append(ch)
+            length += 1
+        elif ch in ("-", " "):
+            pass
+        elif ch == "!" and i + 1 == len(s):
+            if not magic:
+                valid = False
+            magic = True
+        elif not digit:
+            bad_syntax()
+        else:
+            aux.append("0" if ch == "?" else ch)
+            length += 1
+            if length > 13:
+                raise ValueError(f"numeric value out of range: \"{text}\"")
+        i += 1
+    num = "".join(aux)
+
+    if length == 13:
+        if type_ is not None:
+            bad_syntax()
+        type_ = "ean13"
+        check = int(num[12]) if num[12].isdigit() else 0
+    elif length == 12:
+        if type_ != "upc":
+            bad_syntax()
+        check = int(num[11]) if num[11].isdigit() else 0
+    elif length == 10:
+        if type_ not in ("isbn", "ismn"):
+            bad_syntax()
+        check = 10 if num[9] == "X" else (int(num[9]) if num[9].isdigit() else 0)
+    elif length == 8:
+        if type_ is not None and type_ != "issn":
+            bad_syntax()
+        type_ = "issn"
+        check = 10 if num[7] == "X" else (int(num[7]) if num[7].isdigit() else 0)
+    else:
+        bad_syntax()
+
+    accept_base = (
+        accept[:-2]
+        if accept.endswith("13") and accept != "ean13"
+        else accept
+    )
+
+    def wrongtype(actual: str):
+        raise ValueError(
+            f"cannot cast {_NAMES[actual]} to {tname} for number: "
+            f"\"{text}\""
+        )
+
+    if accept_base == "ean13" and type_ != "ean13":
+        wrongtype(type_)
+    if accept_base != "any" and type_ not in ("ean13", accept_base):
+        wrongtype(type_)
+
+    rcheck = None
+    if type_ == "ean13":
+        rcheck = _checkdig(num, 13)
+        valid = valid and (rcheck == check or magic)
+        type_ = _subtype(num)
+        if accept_base not in ("ean13", "any") and type_ != accept_base:
+            wrongtype(type_)
+        full = num
+    elif type_ == "ismn":
+        full = "9790" + num[1:]  # replace leading M
+        rcheck = _checkdig(full, 13)
+        valid = valid and (rcheck == check or magic)
+    elif type_ == "isbn":
+        full = "978" + num
+        rcheck = _weight_checkdig(num, 10)
+        valid = valid and (rcheck == check or magic)
+    elif type_ == "issn":
+        full = "977" + num[:7] + "00" + num[7:8]
+        rcheck = _weight_checkdig(num, 8)
+        valid = valid and (rcheck == check or magic)
+    else:  # upc
+        full = "0" + num
+        rcheck = _checkdig(full, 13)
+        valid = valid and (rcheck == check or magic)
+
+    # fix the EAN13 check digit on the stored number
+    full = full[:12] + str(_checkdig(full[:12] + "0", 13))
+    if not valid and not magic and not weak:
+        raise ValueError(
+            f"invalid check digit for {tname} number: \"{text}\", "
+            f"should be {'X' if rcheck == 10 else rcheck}"
+        )
+    ean = int(full)
+    return (ean << 1) | (0 if valid else 1)
+
+
+def _hyphen_format(digits: str, table) -> str | None:
+    """Find the range entry containing the digit string and return the
+    digits with that entry's hyphen pattern applied, plus a trailing
+    hyphen position marker (isn.c hyphenate)."""
+    for lo, hi in table:
+        lo_d = lo.replace("-", "")
+        hi_d = hi.replace("-", "")
+        n = len(lo_d)
+        if len(digits) < n:
+            continue
+        pref = digits[:n]
+        if lo_d <= pref <= hi_d:
+            out = []
+            di = 0
+            for ch in lo:
+                if ch == "-":
+                    out.append("-")
+                else:
+                    out.append(digits[di])
+                    di += 1
+            out.append("-")
+            out.append(digits[di:])
+            return "".join(out)
+    return None
+
+
+def display(value: int, type_: str = "ean13") -> str:
+    """ean2string + the short-form converters."""
+    invalid = value & 1
+    ean = value >> 1
+    d13 = f"{ean:013d}"
+    sub = _subtype(d13)
+
+    # long EAN13 form: prefix-3, range-hyphenated body, check digit
+    pre = _hyphen_format(d13, EAN13_range)
+    if pre is None:
+        body = d13[:12]
+        long_form = body + "-" + d13[12]
+    else:
+        # pre = 'ddd-' + remaining; now hyphenate the body by subtype
+        head, rest = pre.split("-", 1)
+        rest_digits = rest[:-1] if rest.endswith("-") else rest
+        rest_digits = d13[3:12]
+        table = {
+            "isbn": ISBN_range if d13.startswith("978") else ISBN_range_new,
+            "issn": ISSN_range,
+            "ismn": ISMN_range,
+            "upc": UPC_range,
+        }.get(sub)
+        mid = _hyphen_format(rest_digits, table) if table is not None else None
+        if mid is None:
+            long_form = head + "-" + rest_digits + "-" + d13[12]
+        else:
+            long_form = head + "-" + mid + "-" + d13[12]
+
+    t = type_.lower()
+    if t in ("ean13", "isbn13", "ismn13", "issn13"):
+        out = long_form
+    elif t == "isbn" and d13.startswith("978"):
+        # strip 978-, recompute the mod-11 check over the 10-digit form
+        short = long_form[4:]
+        digits10 = [c for c in short if c.isdigit() or c == "X"]
+        check = _weight_checkdig("".join(digits10), 10)
+        out = short[: len(short) - 1] + ("X" if check == 10 else str(check))
+    elif t == "ismn" and d13.startswith("9790"):
+        out = "M" + long_form[5:]
+    elif t == "issn" and d13.startswith("977"):
+        body = d13[3:10]  # 7 digits
+        check = _weight_checkdig(body + "0", 8)
+        out = body[:4] + "-" + body[4:] + ("X" if check == 10 else str(check))
+    elif t == "upc" and d13[0] == "0":
+        out = d13[1:]
+    else:
+        out = long_form
+    return out + ("!" if invalid else "")
+
+
+def recast(value: int, to_type: str) -> int:
+    """Cast between isn types (the source type is recoverable from the
+    stored digits — subtype by prefix, like the reference)."""
+    d13 = f"{value >> 1:013d}"
+    sub = _subtype(d13)
+    base = to_type[:-2] if to_type.endswith("13") else to_type
+    if base == "ean13" or base == "any":
+        return value
+    if sub != base:
+        raise ValueError(
+            f"cannot cast {_NAMES[sub]} to {_NAMES[to_type]} for number: "
+            f"\"{display(value)}\""
+        )
+    return value
+
+
+def is_valid(value: int) -> bool:
+    return (value & 1) == 0
+
+
+def make_valid(value: int) -> int:
+    return value & ~1
+
+
+def register_udfs(spark) -> None:
+    """Idempotently register the isn column-lane pandas UDFs (literal
+    casts fold at plan time and never reach these)."""
+    if spark.conf.get("greengage.isn.registered", None) == "1":
+        return
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _parse_udf(text, typ, weak):
+        return pd.Series(
+            [
+                None if t is None else parse(t, ty, bool(w))
+                for t, ty, w in zip(text, typ, weak)
+            ],
+            dtype="object",
+        )
+
+    def _display_udf(val, typ):
+        return pd.Series(
+            [
+                None if v is None else display(int(v), ty)
+                for v, ty in zip(val, typ)
+            ],
+            dtype="object",
+        )
+
+    def _recast_udf(val, typ):
+        return pd.Series(
+            [
+                None if v is None else recast(int(v), ty)
+                for v, ty in zip(val, typ)
+            ],
+            dtype="object",
+        )
+
+    spark.udf.register("pg_isn_parse", pandas_udf(_parse_udf, "long"))
+    spark.udf.register("pg_isn_display", pandas_udf(_display_udf, "string"))
+    spark.udf.register("pg_isn_recast", pandas_udf(_recast_udf, "long"))
+    spark.conf.set("greengage.isn.registered", "1")

@@ -1297,6 +1297,67 @@ def dialect_hypothetical_mix(spark, sf_dir):
     )
 
 
+# (input, cast target, expected display) — the reference's OWN regress
+# vectors (contrib/isn/expected/isn.out), an independent origin for the
+# oracle's VALUES table
+_ISN_VECTORS = [
+    ("9780123456786", "EAN13", "978-0-12-345678-6"),
+    ("9790123456785", "EAN13", "979-0-1234-5678-5"),
+    ("9791234567896", "EAN13", "979-123456789-6"),
+    ("9771234567898", "EAN13", "977-1234-567-89-8"),
+    ("0123456789012", "EAN13", "012-345678901-2"),
+    ("1234567890128", "EAN13", "123-456789012-8"),
+    ("9780123456786", "ISBN", "0-12-345678-9"),
+    ("123456789X", "ISBN", "1-234-56789-X"),
+    ("9791234567896", "ISBN", "979-123456789-6"),
+    ("123456789X", "ISBN13", "978-1-234-56789-7"),
+    ("M123456785", "ISMN", "M-1234-5678-5"),
+    ("M123456785", "ISMN13", "979-0-1234-5678-5"),
+    ("12345679", "ISSN", "1234-5679"),
+    ("12345679", "ISSN13", "977-1234-567-00-3"),
+    ("0123456789012", "UPC", "123456789012"),
+]
+
+
+@suite.add(
+    "dialect_isn",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(
+        f"({k}, '{inp}', '{t}', '{want}', '{want}', TRUE)"
+        for k, (inp, t, want) in enumerate(_ISN_VECTORS)
+    )
+    + ") AS t(k, input, target, lit_form, col_form, eq_ok) ORDER BY k",
+    doc="contrib/isn (isn.c string2ean/ean2string/ean2ISBN..UPC + the "
+        "published registration-group range tables from contrib/isn/*.h"
+        "): EAN13/UPC/ISBN(13)/ISMN(13)/ISSN(13) casts with check-digit "
+        "validation and range-driven hyphenation. Values are stored as "
+        "PG's own bigint ean13<<1|invalid, so cross-type comparisons "
+        "are plain bigint equality ('12345679'::ISSN = "
+        "'9771234567003'::EAN13). lit_form exercises plan-time literal "
+        "folding, col_form the Arrow-batched UDF column lane, eq_ok the "
+        "ISSN=EAN13 cross-type compare; the oracle is the reference's "
+        "own isn.out vectors as a VALUES table (independent origin).",
+    tags=("dialect", "contrib"),
+)
+def dialect_isn(spark, sf_dir):
+    from greengage_spark.dialect.transpiler import pg_sql
+
+    rows = " UNION ALL ".join(
+        f"SELECT {k} AS k, '{inp}' AS input, '{t}' AS target"
+        for k, (inp, t, _w) in enumerate(_ISN_VECTORS)
+    )
+    spark.sql(rows).createOrReplaceTempView("isn_inputs")
+    parts = []
+    for k, (inp, t, _want) in enumerate(_ISN_VECTORS):
+        parts.append(
+            f"SELECT {k} AS k, '{inp}' AS input, '{t}' AS target, "
+            f"'{inp}'::{t} AS lit_form, "
+            f"(SELECT input::{t} FROM isn_inputs WHERE k = {k}) AS col_form, "
+            "'12345679'::ISSN = '9771234567003'::EAN13 AS eq_ok"
+        )
+    return pg_sql(spark, " UNION ALL ".join(parts) + " ORDER BY k")
+
+
 @suite.add(
     "dialect_orafce",
     oracle="""

@@ -1,0 +1,127 @@
+"""contrib/isn — every vector is the reference's own regress data
+(contrib/isn/expected/isn.out); hyphenation uses the published
+registration-group range tables extracted verbatim from the
+contrib/isn/*.h headers."""
+
+import pytest
+
+from greengage_spark.dialect.transpiler import pg_sql
+from greengage_spark.functions.isn import display, is_valid, make_valid, parse
+
+
+class TestKernels:
+    @pytest.mark.parametrize("inp,acc,dt,want", [
+        ("9780123456786", "ean13", "ean13", "978-0-12-345678-6"),
+        ("9790123456785", "ean13", "ean13", "979-0-1234-5678-5"),
+        ("9791234567896", "ean13", "ean13", "979-123456789-6"),
+        ("9771234567898", "ean13", "ean13", "977-1234-567-89-8"),
+        ("0123456789012", "ean13", "ean13", "012-345678901-2"),
+        ("1234567890128", "ean13", "ean13", "123-456789012-8"),
+        ("9780123456786", "isbn", "isbn", "0-12-345678-9"),
+        ("123456789X", "isbn", "isbn", "1-234-56789-X"),
+        ("9791234567896", "isbn", "isbn", "979-123456789-6"),
+        ("9780123456786", "isbn13", "isbn13", "978-0-12-345678-6"),
+        ("123456789X", "isbn13", "isbn13", "978-1-234-56789-7"),
+        ("9790123456785", "ismn", "ismn", "M-1234-5678-5"),
+        ("M123456785", "ismn", "ismn", "M-1234-5678-5"),
+        ("M-1234-5678-5", "ismn", "ismn", "M-1234-5678-5"),
+        ("M123456785", "ismn13", "ismn13", "979-0-1234-5678-5"),
+        ("9771234567003", "issn", "issn", "1234-5679"),
+        ("12345679", "issn", "issn", "1234-5679"),
+        ("12345679", "issn13", "issn13", "977-1234-567-00-3"),
+        ("9771234567898", "issn13", "issn13", "977-1234-567-89-8"),
+        ("0123456789012", "upc", "upc", "123456789012"),
+    ])
+    def test_regress_displays(self, inp, acc, dt, want):
+        assert display(parse(inp, acc), dt) == want
+
+    def test_cross_type_equality(self):
+        # isn.out "test some comparisons": the bigint ean13<<1 value is
+        # the equality basis across types
+        assert parse("12345679", "issn") == parse("9771234567003", "ean13")
+        assert parse("M-1234-5678-5", "ismn") == parse(
+            "9790123456785", "ean13"
+        )
+        assert parse("9791234567896", "ean13") != parse("123456789X", "isbn")
+
+    @pytest.mark.parametrize("inp,acc,msg", [
+        ("1234567890", "isbn", "should be X"),
+        ("M123456780", "ismn", "should be 5"),
+        ("12345670", "issn", "should be 9"),
+        ("9780123456780", "isbn", "should be 6"),
+        ("9791234567890", "isbn13", "should be 6"),
+        ("0123456789010", "upc", "should be 2"),
+        ("1234567890120", "ean13", "should be 8"),
+        ("9790123456785", "isbn", "cannot cast ISMN to ISBN"),
+        ("9771234567898", "isbn", "cannot cast ISSN to ISBN"),
+        ("0123456789012", "isbn", "cannot cast UPC to ISBN"),
+        ("9790123456785", "isbn13", "cannot cast ISMN to ISBN"),
+        ("9780123456786", "ismn", "cannot cast ISBN to ISMN"),
+        ("9791234567896", "ismn", "cannot cast ISBN to ISMN"),
+        ("9780123456786", "issn", "cannot cast ISBN to ISSN"),
+        ("9780123456786", "upc", "cannot cast ISBN to UPC"),
+        ("9791234567896", "upc", "cannot cast ISBN to UPC"),
+        ("postgresql...", "ean13", "invalid input syntax for EAN13"),
+        ("postgresql...", "isbn", "invalid input syntax for ISBN"),
+    ])
+    def test_regress_errors(self, inp, acc, msg):
+        with pytest.raises(ValueError, match=msg):
+            parse(inp, acc)
+
+    def test_weak_magic_bang(self):
+        v = parse("1234567890", "isbn", weak=True)
+        assert not is_valid(v)
+        assert display(v, "isbn") == "1-234-56789-X!"
+        assert display(make_valid(v), "isbn") == "1-234-56789-X"
+        assert display(parse("123456789?", "isbn"), "isbn") == "1-234-56789-X"
+        assert display(parse("9780123456786!", "ean13"), "ean13") == (
+            "978-0-12-345678-6!"
+        )
+
+
+class TestSql:
+    def test_cast_chain_sql(self, spark):
+        r = pg_sql(
+            spark,
+            "SELECT '9780123456786'::EAN13 AS a, "
+            "'9780123456786'::ISBN13::ISBN AS b, "
+            "'9780123456786'::EAN13::ISBN AS c",
+        ).collect()[0]
+        assert r.a == "978-0-12-345678-6"
+        assert r.b == r.c == "0-12-345678-9"
+
+    def test_comparison_sql(self, spark):
+        r = pg_sql(
+            spark,
+            "SELECT '12345679'::ISSN = '9771234567003'::EAN13 AS ok, "
+            "'9791234567896'::EAN13 != '123456789X'::ISBN AS nope",
+        ).collect()[0]
+        assert r.ok is True and r.nope is True
+
+    def test_plan_time_errors(self, spark):
+        with pytest.raises(ValueError, match="cannot cast ISMN to ISBN"):
+            pg_sql(spark, "SELECT '9790123456785'::ISBN AS x")
+        with pytest.raises(ValueError, match="should be 6"):
+            pg_sql(spark, "SELECT '9780123456780'::ISBN AS x")
+
+    def test_weak_mode_sql(self, spark):
+        pg_sql(spark, "SELECT isn_weak(true) AS w").collect()
+        try:
+            r = pg_sql(
+                spark,
+                "SELECT '1234567890'::ISBN AS bad, "
+                "is_valid('1234567890'::ISBN) AS iv, "
+                "make_valid('1234567890'::ISBN) AS fixed",
+            ).collect()[0]
+            assert r.bad == "1-234-56789-X!"
+            assert r.iv is False
+            assert r.fixed == "1-234-56789-X"
+        finally:
+            pg_sql(spark, "SELECT isn_weak(false) AS w").collect()
+
+    def test_column_lane_udf(self, spark):
+        spark.sql(
+            "SELECT '9780123456786' AS s UNION ALL SELECT '123456789X'"
+        ).createOrReplaceTempView("isn_col_t")
+        r = pg_sql(spark, "SELECT s::ISBN AS i FROM isn_col_t").collect()
+        assert sorted(x.i for x in r) == ["0-12-345678-9", "1-234-56789-X"]
