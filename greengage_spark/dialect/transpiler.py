@@ -6633,7 +6633,15 @@ def _pass_functions(toks: list[str]) -> list[str]:
         low = t.lower() if _is_ident(t) else None
         nxt = out[i + 1] if i + 1 < len(out) else None
 
-        if low == "gp_segment_id":
+        if low == "gp_segment_id" and not any(
+            _is_ident(t2) and t2.lower() in (
+                "gp_endpoints", "gp_session_endpoints",
+            )
+            for t2 in out
+        ):
+            # the pseudo-column on user tables; the endpoint views
+            # (gp_parallel_retrieve_cursor) carry a REAL column of
+            # this name
             out[i : i + 1] = ["spark_partition_id", "(", ")"]
             i += 3
             continue

@@ -532,10 +532,30 @@ class GreengageEngine:
             from greengage_spark.operators.prepared import execute_prepare_stmt
 
             return execute_prepare_stmt(self, stmt)
-        if head in ("declare", "fetch", "move", "close"):
+        if head in ("declare", "fetch", "move", "close", "retrieve"):
             from greengage_spark.operators.prepared import execute_cursor_stmt
 
             return execute_cursor_stmt(self, stmt)
+        # gp_parallel_retrieve_cursor's wait function (the extension's
+        # gp_wait_parallel_retrieve_cursor): materialization is eager
+        # here, so it reports the retrieval state without blocking
+        m_wait = re.match(
+            r"(?is)^select\s+(?:\*\s+from\s+)?"
+            r"gp_wait_parallel_retrieve_cursor\s*\(\s*'(\w+)'\s*"
+            r"(?:,\s*(-?\d+)\s*)?\)\s*;?\s*$",
+            stmt,
+        )
+        if m_wait:
+            cur = getattr(self, "parallel_cursors", {}).get(
+                m_wait.group(1).lower()
+            )
+            if cur is None:
+                raise ValueError(
+                    f"cursor \"{m_wait.group(1)}\" does not exist"
+                )
+            return self.spark.createDataFrame(
+                [(cur.finished(),)], "finished boolean"
+            )
         if re.match(r"(?is)^create\s+(unique\s+)?index\b", stmt) or head in (
             "reindex",
         ) or re.match(r"(?is)^drop\s+index\b", stmt):

@@ -272,9 +272,136 @@ def execute_prepare_stmt(engine, stmt: str):
     return None
 
 
+class ParallelRetrieveCursor:
+    """DECLARE ... PARALLEL RETRIEVE CURSOR (gram.y:11946
+    CURSOR_OPT_PARALLEL_RETRIEVE; gpcontrib/gp_parallel_retrieve_cursor).
+
+    The reference parks each segment's slice of the result at a
+    per-segment ENDPOINT that a retrieve-mode session drains with
+    ``RETRIEVE n FROM ENDPOINT name``.  Here the query result is
+    checkpointed executor-side and each PARTITION is an endpoint:
+    RETRIEVE pulls rows from exactly one partition
+    (``sparkContext.runJob`` on that partition only — no full collect),
+    which is the same partition-parallel retrieval contract.  hostname/
+    port are informational (everything is one Spark app); auth tokens
+    are real per-endpoint secrets in the reference, deterministic ids
+    here."""
+
+    def __init__(self, name: str, df: DataFrame, session_id: int):
+        import hashlib
+
+        self.name = name
+        self._df = df.localCheckpoint(eager=True)
+        self.schema = self._df.schema
+        self._rdd = self._df.rdd
+        n = self._rdd.getNumPartitions()
+        self.session_id = session_id
+        self.endpoints = {}
+        for pid in range(n):
+            ep = f"prc_{session_id}_{name}_{pid}"
+            self.endpoints[ep] = {
+                "gp_segment_id": pid,
+                "auth_token": hashlib.md5(
+                    f"{session_id}/{name}/{pid}".encode()
+                ).hexdigest(),
+                "cursorname": name,
+                "sessionid": session_id,
+                "hostname": "localhost",
+                "port": 7000 + pid,
+                "username": "spark",
+                "state": "READY",
+                "endpointname": ep,
+            }
+        self._buffers: dict[str, list] = {}
+
+    def retrieve(self, endpoint: str, n: int | None) -> list:
+        ep = self.endpoints.get(endpoint)
+        if ep is None:
+            raise ValueError(
+                f"the endpoint {endpoint} does not exist in the session"
+            )
+        if endpoint not in self._buffers:
+            # drain exactly this endpoint's partition, nothing else
+            pid = ep["gp_segment_id"]
+            sc = self._rdd.context
+            rows = sc.runJob(self._rdd, lambda it: list(it), [pid])
+            self._buffers[endpoint] = list(rows)
+            ep["state"] = "ATTACHED"
+        buf = self._buffers[endpoint]
+        out = buf if n is None else buf[:n]
+        self._buffers[endpoint] = [] if n is None else buf[n:]
+        if not self._buffers[endpoint]:
+            ep["state"] = "FINISHED"
+        return out
+
+    def finished(self) -> bool:
+        return all(e["state"] == "FINISHED" for e in self.endpoints.values())
+
+
+_EP_SCHEMA = (
+    "gp_segment_id int, auth_token string, cursorname string, "
+    "sessionid int, hostname string, port int, username string, "
+    "state string, endpointname string"
+)
+_EP_COLS = (
+    "gp_segment_id", "auth_token", "cursorname", "sessionid",
+    "hostname", "port", "username", "state", "endpointname",
+)
+
+
+def refresh_endpoint_views(engine) -> None:
+    """gp_endpoints / gp_session_endpoints (the extension's views over
+    gp_get_endpoints()): temp views refreshed on every state change."""
+    rows = [
+        tuple(ep[c] for c in _EP_COLS)
+        for cur in getattr(engine, "parallel_cursors", {}).values()
+        for ep in cur.endpoints.values()
+    ]
+    df = engine.spark.createDataFrame(rows, _EP_SCHEMA) if rows else (
+        engine.spark.createDataFrame([], _EP_SCHEMA)
+    )
+    df.createOrReplaceTempView("gp_endpoints")
+    df.createOrReplaceTempView("gp_session_endpoints")
+
+
 def execute_cursor_stmt(engine, stmt: str):
     head = stmt.split(None, 1)[0].lower()
+    if head == "retrieve":
+        m = re.match(
+            r"(?is)^retrieve\s+(all|\d+)\s+from\s+endpoint\s+([\w.]+)$",
+            stmt,
+        )
+        if not m:
+            raise NotImplementedError("RETRIEVE n|ALL FROM ENDPOINT name")
+        cnt, ep = m.group(1).lower(), m.group(2)
+        for cur in getattr(engine, "parallel_cursors", {}).values():
+            if ep in cur.endpoints:
+                rows = cur.retrieve(ep, None if cnt == "all" else int(cnt))
+                refresh_endpoint_views(engine)
+                return engine.spark.createDataFrame(rows, cur.schema)
+        raise ValueError(
+            f"the endpoint {ep} does not exist in the session"
+        )
     if head == "declare":
+        mp = re.match(
+            r"(?is)^declare\s+([\w.]+)\s+parallel\s+retrieve\s+cursor\s+"
+            r"for\s+(.+)$",
+            stmt,
+        )
+        if mp:
+            name = mp.group(1).lower()
+            if not hasattr(engine, "parallel_cursors"):
+                engine.parallel_cursors = {}
+            if name in engine.parallel_cursors or name in engine.cursors:
+                raise ValueError(f'cursor "{name}" already exists')
+            df = engine.execute(mp.group(2).strip())
+            if df is None:
+                raise ValueError("DECLARE CURSOR requires a query")
+            engine.parallel_cursors[name] = ParallelRetrieveCursor(
+                name, df, session_id=id(engine) % 100000
+            )
+            refresh_endpoint_views(engine)
+            return None
         m = re.match(
             r"(?is)^declare\s+([\w.]+)\s+(?:binary\s+)?(?:insensitive\s+)?"
             r"(no\s+scroll\s+|scroll\s+)?cursor\s+(with\s+hold\s+|"
@@ -339,8 +466,16 @@ def execute_cursor_stmt(engine, stmt: str):
     if not m:
         raise NotImplementedError("CLOSE name|ALL")
     target = m.group(1).lower()
+    pcs = getattr(engine, "parallel_cursors", {})
     if target == "all":
         engine.cursors.clear()
+        if pcs:
+            pcs.clear()
+            refresh_endpoint_views(engine)
+        return None
+    if target in pcs:
+        del pcs[target]
+        refresh_endpoint_views(engine)
         return None
     if target not in engine.cursors:
         raise ValueError(f'cursor "{target}" does not exist')

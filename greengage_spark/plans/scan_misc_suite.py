@@ -915,6 +915,54 @@ def script_do_block_loop(spark, sf_dir):
 
 
 @suite.add(
+    "gp_parallel_retrieve_cursor",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(TRUE AS BOOLEAN) AS finished
+    FROM nation ORDER BY n_nationkey
+    """,
+    doc="DECLARE ... PARALLEL RETRIEVE CURSOR + RETRIEVE FROM ENDPOINT "
+        "(gram.y:11946 CURSOR_OPT_PARALLEL_RETRIEVE, gram.y:12004 "
+        "RetrieveStmt; gpcontrib/gp_parallel_retrieve_cursor views). "
+        "Each result PARTITION is an endpoint; RETRIEVE drains exactly "
+        "one partition via sparkContext.runJob on that partition alone "
+        "(never a full collect) — the reference's per-segment endpoint "
+        "retrieval mapped onto Spark's partitioning. The query drains "
+        "every endpoint listed by gp_endpoints, unions the slices, and "
+        "pins gp_wait_parallel_retrieve_cursor flipping to finished. "
+        "Oracle is the underlying query itself.",
+    tags=("engine", "cursor"),
+)
+def gp_parallel_retrieve_cursor(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_prc_"))
+    cat(spark, sf_dir).table("nation").createOrReplaceTempView("prc_nation")
+    eng.execute(
+        "DECLARE prcq PARALLEL RETRIEVE CURSOR FOR "
+        "SELECT n_nationkey, n_name FROM prc_nation"
+    )
+    eps = eng.execute(
+        "SELECT endpointname FROM gp_endpoints WHERE cursorname = 'prcq' "
+        "ORDER BY gp_segment_id"
+    ).collect()
+    parts = []
+    for ep in eps:
+        df = eng.execute(f"RETRIEVE ALL FROM ENDPOINT {ep.endpointname}")
+        if df is not None:
+            parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    fin = eng.execute(
+        "SELECT * FROM gp_wait_parallel_retrieve_cursor('prcq', 10)"
+    ).collect()[0].finished
+    return out.selectExpr(
+        "CAST(n_nationkey AS INT) AS n_nationkey", "n_name",
+        f"CAST({'TRUE' if fin else 'FALSE'} AS BOOLEAN) AS finished",
+    ).orderBy("n_nationkey")
+
+
+@suite.add(
     "cursor_scroll_fetch",
     oracle="""
     SELECT * FROM (VALUES

@@ -65,10 +65,22 @@ class TestRealCodecs:
         assert (d["width"], d["height"]) == (2, 1)
         assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (25.0, 35.0, 45.0)
 
-    def test_jpeg_rejects_loudly(self):
-        from greengage_spark.pipeline.codecs import decode_media
+    def test_jpeg_decodes_for_real(self):
+        # baseline JPEG now decodes via the clean-room T.81 codec
+        # (pipeline/jpeg.py); truncated garbage still errors loudly
+        import numpy as np
 
-        with pytest.raises(NotImplementedError, match="libjpeg"):
+        from greengage_spark.pipeline.codecs import decode_media
+        from greengage_spark.pipeline.jpeg import encode_jpeg
+
+        dc8 = np.ones((8, 8), dtype=np.int32)
+        dc8[0, 0] = 8
+        d = decode_media(
+            encode_jpeg(np.full((3, 5), 77, dtype=np.uint8), qtables=(dc8, dc8))
+        )
+        assert d["kind"] == "jpeg" and (d["width"], d["height"]) == (5, 3)
+        assert d["mean_r"] == pytest.approx(77.0)
+        with pytest.raises(ValueError):
             decode_media(b"\xff\xd8\xff\xe0JFIF")
 
     def test_decode_features_distributed(self, spark):

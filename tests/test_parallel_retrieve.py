@@ -1,0 +1,114 @@
+"""DECLARE ... PARALLEL RETRIEVE CURSOR + RETRIEVE FROM ENDPOINT
+(gram.y:11946 CURSOR_OPT_PARALLEL_RETRIEVE, gram.y:12004 RetrieveStmt;
+gpcontrib/gp_parallel_retrieve_cursor views/functions).  Each result
+partition is an endpoint; RETRIEVE drains exactly one partition."""
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = GreengageEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE prct (k int8, v text)")
+    e.execute(
+        "INSERT INTO prct SELECT g, 'v' || g FROM generate_series(1, 50) g"
+    )
+    return e
+
+
+class TestParallelRetrieveCursor:
+    def test_declare_creates_endpoints(self, eng):
+        eng.execute("DECLARE pc PARALLEL RETRIEVE CURSOR FOR "
+                    "SELECT k FROM prct")
+        eps = eng.execute(
+            "SELECT endpointname, state, cursorname FROM gp_endpoints "
+            "ORDER BY endpointname"
+        ).collect()
+        assert len(eps) >= 1
+        assert all(e.state == "READY" and e.cursorname == "pc" for e in eps)
+
+    def test_retrieve_drains_each_endpoint_once(self, eng):
+        eng.execute("DECLARE pc PARALLEL RETRIEVE CURSOR FOR "
+                    "SELECT k FROM prct")
+        eps = eng.execute("SELECT endpointname FROM gp_endpoints").collect()
+        got = []
+        for ep in eps:
+            got += [
+                r.k
+                for r in eng.execute(
+                    f"RETRIEVE ALL FROM ENDPOINT {ep.endpointname}"
+                ).collect()
+            ]
+        assert sorted(got) == list(range(1, 51))
+
+    def test_partial_retrieve_and_states(self, eng):
+        eng.execute("DECLARE pc PARALLEL RETRIEVE CURSOR FOR "
+                    "SELECT k FROM prct WHERE k <= 5")
+        eps = eng.execute(
+            "SELECT endpointname FROM gp_session_endpoints"
+        ).collect()
+        got = []
+        for ep in eps:
+            got += [
+                r.k
+                for r in eng.execute(
+                    f"RETRIEVE 2 FROM ENDPOINT {ep.endpointname}"
+                ).collect()
+            ]
+            got += [
+                r.k
+                for r in eng.execute(
+                    f"RETRIEVE ALL FROM ENDPOINT {ep.endpointname}"
+                ).collect()
+            ]
+        assert sorted(got) == [1, 2, 3, 4, 5]
+        states = {
+            r.state
+            for r in eng.execute("SELECT state FROM gp_endpoints").collect()
+        }
+        assert states == {"FINISHED"}
+
+    def test_wait_function(self, eng):
+        eng.execute("DECLARE pc PARALLEL RETRIEVE CURSOR FOR "
+                    "SELECT k FROM prct")
+        r = eng.execute(
+            "SELECT * FROM gp_wait_parallel_retrieve_cursor('pc', 10)"
+        ).collect()
+        assert r[0].finished is False
+        for ep in eng.execute("SELECT endpointname FROM gp_endpoints").collect():
+            eng.execute(f"RETRIEVE ALL FROM ENDPOINT {ep.endpointname}")
+        r = eng.execute(
+            "SELECT * FROM gp_wait_parallel_retrieve_cursor('pc', 10)"
+        ).collect()
+        assert r[0].finished is True
+
+    def test_close_releases_endpoints(self, eng):
+        eng.execute("DECLARE pc PARALLEL RETRIEVE CURSOR FOR "
+                    "SELECT k FROM prct")
+        eng.execute("CLOSE pc")
+        n = eng.execute("SELECT count(*) AS n FROM gp_endpoints").collect()
+        assert n[0].n == 0
+
+    def test_unknown_endpoint_errors(self, eng):
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.execute("RETRIEVE ALL FROM ENDPOINT nope_0")
+
+    def test_duplicate_cursor_errors(self, eng):
+        eng.execute("DECLARE pc PARALLEL RETRIEVE CURSOR FOR "
+                    "SELECT k FROM prct")
+        with pytest.raises(ValueError, match="already exists"):
+            eng.execute("DECLARE pc PARALLEL RETRIEVE CURSOR FOR "
+                        "SELECT k FROM prct")
+
+    def test_plain_cursor_unaffected(self, eng):
+        eng.execute("DECLARE oc CURSOR FOR SELECT k FROM prct "
+                    "WHERE k <= 3 ORDER BY k")
+        rows = eng.execute("FETCH 2 FROM oc").collect()
+        assert [r.k for r in rows] == [1, 2]
+        # the pseudo-column rewrite still works on user tables
+        r = eng.execute(
+            "SELECT DISTINCT gp_segment_id >= 0 AS ok FROM prct"
+        ).collect()
+        assert r[0].ok is True
