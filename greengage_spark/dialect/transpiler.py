@@ -3388,12 +3388,26 @@ def _pass_text_search(toks: list[str]) -> list[str]:
                     k = lexize(dname[:-5], word)
                     lex = [] if k is None else [k]
                 else:
-                    raise NotImplementedError(
-                        f"ts_lexize dictionary {dname!r}: simple, "
-                        "english_stem, and the snowball <lang>_stem "
-                        "dictionaries (functions/snowball.py LANGS) "
-                        "are implemented"
-                    )
+                    from greengage_spark.functions import tsdicts
+
+                    if dname in tsdicts.REGISTRY:
+                        lex = tsdicts.lexize(dname, word)
+                        if lex is None:
+                            # PG: no match is NULL, distinct from the
+                            # all-filtered empty array
+                            toks[i : close + 1] = tokenize(
+                                "CAST(NULL AS ARRAY<STRING>)"
+                            )
+                            i += 1
+                            continue
+                    else:
+                        raise NotImplementedError(
+                            f"ts_lexize dictionary {dname!r}: simple, "
+                            "english_stem, the snowball <lang>_stem "
+                            "dictionaries, and CREATE TEXT SEARCH "
+                            "DICTIONARY intdict/xsyn templates are "
+                            "implemented"
+                        )
                 items = ", ".join(
                     "'" + x.replace("'", "''") + "'" for x in lex
                 )

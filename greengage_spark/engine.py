@@ -402,6 +402,39 @@ class GreengageEngine:
             except Exception:
                 pass
             return None
+        m_tsd = re.match(
+            r"(?is)^(create|alter|drop)\s+text\s+search\s+dictionary\s+"
+            r"(?:if\s+exists\s+)?([\w.]+)\s*(?:\((.*)\))?\s*$",
+            stmt,
+        )
+        if m_tsd:
+            from greengage_spark.functions import tsdicts
+
+            action = m_tsd.group(1).lower()
+            name = m_tsd.group(2).split(".")[-1]
+            opts: dict = {}
+            template = None
+            for item in (m_tsd.group(3) or "").split(","):
+                if not item.strip():
+                    continue
+                k, _, v = item.partition("=")
+                k, v = k.strip().lower(), v.strip()
+                if k == "template":
+                    template = v
+                else:
+                    opts[k] = v
+            if action == "create":
+                if template is None:
+                    raise ValueError(
+                        "text search template is required for CREATE "
+                        "TEXT SEARCH DICTIONARY"
+                    )
+                tsdicts.create_dictionary(name, template, opts)
+            elif action == "alter":
+                tsdicts.alter_dictionary(name, opts)
+            else:
+                tsdicts.drop_dictionary(name)
+            return None
         if head == "create" and re.match(
             r"(?is)^create\s+(?:(?:temp(?:orary)?|unlogged|global|local)\s+)*table\b",
             stmt,

@@ -1,0 +1,115 @@
+"""contrib/dict_int and contrib/dict_xsyn — configurable text-search
+dictionary templates.
+
+Reference surface: contrib/dict_int/dict_int.c (intdict_lexize:
+MAXLEN truncation, REJECTLONG) and contrib/dict_xsyn/dict_xsyn.c
+(xsyn_lexize: KEEPORIG/MATCHORIG/KEEPSYNONYMS/MATCHSYNONYMS over a
+rules file); pinned against their regress outputs
+(expected/dict_int.out, expected/dict_xsyn.out).
+
+Dictionaries are session state created with CREATE TEXT SEARCH
+DICTIONARY (TEMPLATE = intdict_template | xsyn_template) and tuned
+with ALTER; ts_lexize consults this registry at PLAN time, so lexize
+calls over literals cost nothing at runtime.  The sample rules file
+(xsyn_sample.rules) is embedded as data — PG distinguishes a no-match
+(NULL) from an all-filtered match ({}), and so do we.
+"""
+
+from __future__ import annotations
+
+# xsyn_sample.rules, verbatim (data): word -> synonyms
+XSYN_RULES = {
+    "supernova": ["sn", "sne", "1987a"],
+}
+
+#: name -> {"template": "intdict"|"xsyn", **options}
+REGISTRY: dict[str, dict] = {}
+
+
+def create_dictionary(name: str, template: str, options: dict) -> None:
+    t = template.lower().removesuffix("_template")
+    if t == "intdict":
+        cfg = {"template": "intdict", "maxlen": 6, "rejectlong": False}
+    elif t == "xsyn":
+        cfg = {
+            "template": "xsyn", "rules": "xsyn_sample",
+            "keeporig": True, "matchorig": True,
+            "keepsynonyms": True, "matchsynonyms": False,
+        }
+    else:
+        raise NotImplementedError(
+            f"text search template {template!r}: intdict_template and "
+            "xsyn_template are implemented (snowball/simple dictionaries "
+            "are built in)"
+        )
+    REGISTRY[name.lower()] = cfg
+    alter_dictionary(name, options)
+
+
+def alter_dictionary(name: str, options: dict) -> None:
+    cfg = REGISTRY.get(name.lower())
+    if cfg is None:
+        raise ValueError(f'text search dictionary "{name}" does not exist')
+    for k, v in options.items():
+        k = k.lower()
+        if cfg["template"] == "intdict":
+            if k == "maxlen":
+                if int(v) < 1:
+                    raise ValueError("maxlen value has to be >= 1")
+                cfg["maxlen"] = int(v)
+            elif k == "rejectlong":
+                cfg["rejectlong"] = str(v).strip("'").lower() in (
+                    "true", "t", "on", "1", "yes",
+                )
+            else:
+                raise ValueError(
+                    f'unexpected parameter "{k}" for intdict'
+                )
+        else:
+            if k == "rules":
+                rules = str(v).strip("'")
+                if rules != "xsyn_sample":
+                    raise NotImplementedError(
+                        f"xsyn rules file {rules!r}: the embedded "
+                        "xsyn_sample rules are the implemented set"
+                    )
+                cfg["rules"] = rules
+            elif k in ("keeporig", "matchorig", "keepsynonyms",
+                       "matchsynonyms"):
+                cfg[k] = str(v).strip("'").lower() in (
+                    "true", "t", "on", "1", "yes",
+                )
+            else:
+                raise ValueError(f'unexpected parameter "{k}" for xsyn')
+
+
+def drop_dictionary(name: str) -> None:
+    REGISTRY.pop(name.lower(), None)
+
+
+def lexize(name: str, word: str) -> list[str] | None:
+    """None = no match (PG NULL); [] = matched but all output filtered
+    (PG's empty array)."""
+    cfg = REGISTRY.get(name.lower())
+    if cfg is None:
+        return None
+    if cfg["template"] == "intdict":
+        if len(word) > cfg["maxlen"]:
+            if cfg["rejectlong"]:
+                return []  # dict_int.c: rejectlong makes it a stopword
+            return [word[: cfg["maxlen"]]]
+        return [word]
+    # xsyn
+    low = word.lower()
+    for orig, syns in XSYN_RULES.items():
+        matched = (cfg["matchorig"] and low == orig) or (
+            cfg["matchsynonyms"] and low in syns
+        )
+        if matched:
+            out: list[str] = []
+            if cfg["keeporig"]:
+                out.append(orig)
+            if cfg["keepsynonyms"]:
+                out.extend(syns)
+            return out
+    return None

@@ -1297,6 +1297,58 @@ def dialect_hypothetical_mix(spark, sf_dir):
     )
 
 
+@suite.add(
+    "text_search_dict_templates",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'intdict', '511673', '511673'),
+      (2, 'intdict', '40865854', '408658'),
+      (3, 'intdict', '09810106', '098101'),
+      (4, 'intdict', '6532082986', '653208'),
+      (5, 'intdict', '313425', '313425'),
+      (6, 'xsyn', 'supernova', 'supernova,sn,sne,1987a'),
+      (7, 'xsyn', 'sn', NULL),
+      (8, 'xsyn', 'grb', NULL)
+    ) AS t(k, dict, word, lexemes) ORDER BY k
+    """,
+    doc="contrib/dict_int + contrib/dict_xsyn dictionary templates "
+        "(dict_int.c intdict_lexize MAXLEN/REJECTLONG; dict_xsyn.c "
+        "xsyn_lexize KEEPORIG/MATCHORIG/KEEPSYNONYMS/MATCHSYNONYMS over "
+        "the embedded xsyn_sample rules): CREATE/ALTER TEXT SEARCH "
+        "DICTIONARY drive a session registry that ts_lexize consults at "
+        "PLAN time (literal lexize costs nothing at runtime); PG's "
+        "NULL-vs-{} distinction preserved. Oracle is the dictionaries' "
+        "own regress expectations as a VALUES table.",
+    tags=("dialect", "contrib", "text"),
+)
+def text_search_dict_templates(spark, sf_dir):
+    import tempfile
+
+    from greengage_spark.engine import GreengageEngine
+    from greengage_spark.functions import tsdicts
+
+    tsdicts.REGISTRY.pop("intdict", None)
+    tsdicts.REGISTRY.pop("xsyn", None)
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_tsd_"))
+    eng.execute(
+        "CREATE TEXT SEARCH DICTIONARY intdict "
+        "(TEMPLATE = intdict_template, MAXLEN = 6, REJECTLONG = false)"
+    )
+    eng.execute("CREATE TEXT SEARCH DICTIONARY xsyn (TEMPLATE = xsyn_template)")
+    cases = [
+        (1, "intdict", "511673"), (2, "intdict", "40865854"),
+        (3, "intdict", "09810106"), (4, "intdict", "6532082986"),
+        (5, "intdict", "313425"), (6, "xsyn", "supernova"),
+        (7, "xsyn", "sn"), (8, "xsyn", "grb"),
+    ]
+    parts = [
+        f"SELECT {k} AS k, '{d}' AS dict, '{w}' AS word, "
+        f"array_to_string(ts_lexize('{d}', '{w}'), ',') AS lexemes"
+        for k, d, w in cases
+    ]
+    return eng.execute(" UNION ALL ".join(parts) + " ORDER BY k")
+
+
 # (input, cast target, expected display) — the reference's OWN regress
 # vectors (contrib/isn/expected/isn.out), an independent origin for the
 # oracle's VALUES table

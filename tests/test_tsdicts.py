@@ -1,0 +1,125 @@
+"""contrib/dict_int + contrib/dict_xsyn dictionary templates — every
+vector is the reference's own regress data (expected/dict_int.out,
+expected/dict_xsyn.out)."""
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+from greengage_spark.functions import tsdicts
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    tsdicts.REGISTRY.clear()
+    e = GreengageEngine(spark, str(tmp_path / "wh"))
+    e.execute(
+        "CREATE TEXT SEARCH DICTIONARY intdict "
+        "(TEMPLATE = intdict_template, MAXLEN = 6, REJECTLONG = false)"
+    )
+    e.execute(
+        "CREATE TEXT SEARCH DICTIONARY xsyn (TEMPLATE = xsyn_template)"
+    )
+    return e
+
+
+def _lex(eng, dic, word):
+    r = eng.execute(f"SELECT ts_lexize('{dic}', '{word}') AS v").collect()
+    v = r[0].v
+    return None if v is None else list(v)
+
+
+class TestDictInt:
+    @pytest.mark.parametrize("word,want", [
+        ("511673", ["511673"]),
+        ("129", ["129"]),
+        ("40865854", ["408658"]),
+        ("654980341", ["654980"]),
+        ("09810106", ["098101"]),  # leading zeros kept, plain truncation
+        ("6532082986", ["653208"]),
+        ("0150061", ["015006"]),
+        ("7778", ["7778"]),
+        ("593556010144", ["593556"]),
+        ("313425", ["313425"]),
+    ])
+    def test_regress_vectors(self, eng, word, want):
+        assert _lex(eng, "intdict", word) == want
+
+    def test_maxlen_alter(self, eng):
+        eng.execute("ALTER TEXT SEARCH DICTIONARY intdict (MAXLEN = 3)")
+        assert _lex(eng, "intdict", "511673") == ["511"]
+
+    def test_rejectlong_stopword(self, eng):
+        eng.execute(
+            "ALTER TEXT SEARCH DICTIONARY intdict (REJECTLONG = true)"
+        )
+        assert _lex(eng, "intdict", "40865854") == []
+        assert _lex(eng, "intdict", "129") == ["129"]
+
+    def test_bad_maxlen_rejects(self, eng):
+        with pytest.raises(ValueError, match="maxlen value has to be"):
+            eng.execute(
+                "ALTER TEXT SEARCH DICTIONARY intdict (MAXLEN = -214783648)"
+            )
+
+
+class TestDictXsyn:
+    def _configure(self, eng, **kw):
+        opts = ", ".join(
+            f"{k.upper()}={'true' if v else 'false'}" for k, v in kw.items()
+        )
+        eng.execute(
+            "ALTER TEXT SEARCH DICTIONARY xsyn "
+            f"(RULES='xsyn_sample', {opts})"
+        )
+
+    def test_default_keep_orig_match_orig(self, eng):
+        self._configure(eng, keeporig=True, matchorig=True,
+                        keepsynonyms=True, matchsynonyms=False)
+        assert _lex(eng, "xsyn", "supernova") == [
+            "supernova", "sn", "sne", "1987a",
+        ]
+        assert _lex(eng, "xsyn", "sn") is None
+        assert _lex(eng, "xsyn", "grb") is None
+
+    def test_synonyms_only(self, eng):
+        self._configure(eng, keeporig=False, matchorig=True,
+                        keepsynonyms=True, matchsynonyms=False)
+        assert _lex(eng, "xsyn", "supernova") == ["sn", "sne", "1987a"]
+        assert _lex(eng, "xsyn", "sn") is None
+
+    def test_match_any_return_all(self, eng):
+        self._configure(eng, keeporig=True, matchorig=True,
+                        keepsynonyms=True, matchsynonyms=True)
+        assert _lex(eng, "xsyn", "supernova") == [
+            "supernova", "sn", "sne", "1987a",
+        ]
+        assert _lex(eng, "xsyn", "sn") == [
+            "supernova", "sn", "sne", "1987a",
+        ]
+        assert _lex(eng, "xsyn", "grb") is None
+
+    def test_match_any_return_nothing(self, eng):
+        # "match any word but return nothing": matched -> {} (empty
+        # array), unmatched -> NULL — the regress pins the distinction
+        self._configure(eng, keeporig=False, matchorig=True,
+                        keepsynonyms=False, matchsynonyms=True)
+        assert _lex(eng, "xsyn", "supernova") == []
+        assert _lex(eng, "xsyn", "sn") == []
+        assert _lex(eng, "xsyn", "grb") is None
+
+
+class TestDdl:
+    def test_unknown_template_rejects(self, eng):
+        with pytest.raises(NotImplementedError, match="template"):
+            eng.execute(
+                "CREATE TEXT SEARCH DICTIONARY d2 (TEMPLATE = thesaurus)"
+            )
+
+    def test_drop_then_lexize_rejects(self, eng):
+        eng.execute("DROP TEXT SEARCH DICTIONARY intdict")
+        with pytest.raises(NotImplementedError, match="ts_lexize"):
+            eng.execute("SELECT ts_lexize('intdict', '1') AS v")
+
+    def test_alter_unknown_rejects(self, eng):
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.execute("ALTER TEXT SEARCH DICTIONARY nope (MAXLEN = 2)")
