@@ -275,6 +275,123 @@ def _pass_cast_typenames(toks: list[str]) -> list[str]:
     return toks
 
 
+def _pass_chkpass(toks: list[str]) -> list[str]:
+    """contrib/chkpass (chkpass.c): ``expr::chkpass`` crypt(3)s the
+    password with a random 2-char DES salt (':'-prefixed input stores
+    verbatim); ``=``/``<>`` against text re-crypts the candidate with
+    the stored salt (never string equality); raw() drops the colon.
+    Literal input with a ':' prefix folds at plan time; plain literals
+    stay runtime (the salt is random per evaluation, like PG's input
+    function)."""
+    if not any(_is_ident(t) and t.lower() == "chkpass" for t in toks):
+        return toks
+    # expr::chkpass -> __gg_chk(<string expr>)
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(toks) - 1):
+            if toks[i] != "::" or toks[i + 1].lower() != "chkpass":
+                continue
+            start = _operand_start(toks, i - 1)
+            operand = toks[start:i]
+            if (
+                len(operand) == 1
+                and _is_string(operand[0])
+                and operand[0][1:-1].startswith(":")
+            ):
+                from greengage_spark.functions.chkpass import chkpass_in
+
+                v = chkpass_in(operand[0][1:-1])
+                repl = ["__gg_chk", "(", f"'{v}'", ")"]
+            else:
+                repl = (
+                    ["__gg_chk", "(", "pg_chkpass_in", "("]
+                    + operand + [")", ")"]
+                )
+            toks = toks[:start] + repl + toks[i + 2 :]
+            changed = True
+            break
+    # __gg_chk(X) = Y  /  Y = __gg_chk(X)  ->  pg_chkpass_eq(X, Y)
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(toks)):
+            if toks[i] not in ("=", "<>", "!="):
+                continue
+            neg = toks[i] != "="
+            la, ra = _operand_start(toks, i - 1), i + 1
+            left = toks[la:i]
+            rclose = (
+                _args_span(toks, ra + 1) if toks[ra] == "__gg_chk" else None
+            )
+            if left and left[0] == "__gg_chk":
+                inner = left[2:-1]
+                rb = _operand_start  # noqa: F841
+                rend = ra
+                # right operand span
+                if toks[ra] == "(" or _is_ident(toks[ra]) or _is_string(toks[ra]):
+                    # reuse generic operand scan: find end by balance
+                    depth = 0
+                    j = ra
+                    while j < len(toks):
+                        if toks[j] == "(":
+                            depth += 1
+                        elif toks[j] == ")":
+                            if depth == 0:
+                                break
+                            depth -= 1
+                        elif depth == 0 and j > ra and not (
+                            toks[j] == "." or toks[j - 1] == "."
+                            or toks[j] == "("
+                        ):
+                            break
+                        j += 1
+                    rend = j
+                right = toks[ra:rend]
+                expr = (
+                    ["pg_chkpass_eq", "("] + inner + [","] + right + [")"]
+                )
+                if neg:
+                    expr = ["NOT", "("] + expr + [")"]
+                toks = toks[:la] + expr + toks[rend:]
+                changed = True
+                break
+            if rclose is not None:
+                inner = toks[ra + 2 : rclose]
+                expr = (
+                    ["pg_chkpass_eq", "("] + inner + [","] + left + [")"]
+                )
+                if neg:
+                    expr = ["NOT", "("] + expr + [")"]
+                toks = toks[:la] + expr + toks[rclose + 1 :]
+                changed = True
+                break
+    # raw(__gg_chk(X)) / remaining markers
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() == "raw"
+            and i + 2 < len(toks)
+            and toks[i + 1] == "("
+            and toks[i + 2] == "__gg_chk"
+        ):
+            close = _args_span(toks, i + 1)
+            inner = toks[i + 4 : close - 1]
+            out += ["pg_chkpass_raw", "(", *inner, ")"]
+            i = close + 1
+            continue
+        if toks[i] == "__gg_chk":
+            close = _args_span(toks, i + 1)
+            out += ["(", *toks[i + 2 : close], ")"]
+            i = close + 1
+            continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
 _ISN_TYPES = (
     "ean13", "isbn13", "ismn13", "issn13", "isbn", "ismn", "issn", "upc",
 )
@@ -8184,6 +8301,7 @@ def transpile(sql: str) -> str:
     toks = _pass_bit_casts(toks)
     toks = _pass_cast_typenames(toks)
     toks = _pass_isn(toks)
+    toks = _pass_chkpass(toks)
     toks = _pass_casts(toks)
     toks = _pass_float_int_cast_round(toks)
     toks = _pass_date_minus(toks)
@@ -8470,6 +8588,10 @@ def pg_sql(spark, sql: str):
         from greengage_spark.functions import isn
 
         isn.register_udfs(spark)
+    if "pg_chkpass_" in out:
+        from greengage_spark.functions import chkpass
+
+        chkpass.register_udfs(spark)
     if "pg_xpath" in out or "pg_xml_valid" in out:
         from greengage_spark.functions import xmlquery
 

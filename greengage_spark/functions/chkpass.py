@@ -1,0 +1,77 @@
+"""contrib/chkpass — the self-encrypting password type.
+
+Reference surface: contrib/chkpass/chkpass.c (chkpass_in/out/rout,
+chkpass_eq/ne): input crypt(3)s the password with a random 2-char
+traditional-DES salt and stores ':'+hash; a leading ':' on input means
+"already encrypted, store verbatim (13 chars)"; equality re-crypts the
+candidate (truncated to 8 chars, crypt's own limit) against the stored
+salt.  The DES core is the clean-room FIPS 46-3 implementation in
+functions/descrypt.py.
+"""
+
+from __future__ import annotations
+
+import secrets
+
+_SALT_CHARS = (
+    "./0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+)
+
+
+def chkpass_in(password: str) -> str:
+    """-> the stored/display form ':xxxxxxxxxxxxx'."""
+    from greengage_spark.functions.descrypt import crypt_des
+
+    if password.startswith(":"):
+        return ":" + password[1:14]
+    salt = (
+        _SALT_CHARS[secrets.randbelow(64)] + _SALT_CHARS[secrets.randbelow(64)]
+    )
+    return ":" + crypt_des(password[:8], salt)
+
+
+def chkpass_raw(stored: str) -> str:
+    """raw(chkpass): the hash without the leading colon."""
+    return stored[1:] if stored.startswith(":") else stored
+
+
+def chkpass_eq(stored: str, candidate: str) -> bool:
+    from greengage_spark.functions.descrypt import crypt_des
+
+    h = chkpass_raw(stored)
+    return crypt_des(candidate[:8], h[:2]) == h
+
+
+def register_udfs(spark) -> None:
+    if spark.conf.get("greengage.chkpass.registered", None) == "1":
+        return
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _in(pw):
+        return pd.Series(
+            [None if p is None else chkpass_in(p) for p in pw],
+            dtype="object",
+        )
+
+    def _raw(st):
+        return pd.Series(
+            [None if s is None else chkpass_raw(s) for s in st],
+            dtype="object",
+        )
+
+    def _eq(st, cand):
+        return pd.Series(
+            [
+                None if s is None or c is None else chkpass_eq(s, c)
+                for s, c in zip(st, cand)
+            ],
+            dtype="object",
+        )
+
+    spark.udf.register(
+        "pg_chkpass_in", pandas_udf(_in, "string").asNondeterministic()
+    )
+    spark.udf.register("pg_chkpass_raw", pandas_udf(_raw, "string"))
+    spark.udf.register("pg_chkpass_eq", pandas_udf(_eq, "boolean"))
+    spark.conf.set("greengage.chkpass.registered", "1")

@@ -1298,6 +1298,37 @@ def dialect_hypothetical_mix(spark, sf_dir):
 
 
 @suite.add(
+    "dialect_chkpass",
+    oracle="""
+    SELECT CAST(c_custkey AS INTEGER) AS c_custkey,
+           TRUE AS self_ok, FALSE AS wrong_ok, TRUE AS shape_ok
+    FROM customer WHERE c_custkey < 20 ORDER BY c_custkey
+    """,
+    doc="contrib/chkpass (chkpass.c): the self-encrypting password "
+        "type over the clean-room DES crypt — input crypt(3)s with a "
+        "random 2-char salt (so the stored form is nondeterministic; "
+        "the oracle checks the CONTRACT: re-crypting the right "
+        "password matches, a wrong one does not, the stored form is "
+        "':'+13 chars), ':' input stores verbatim, equality re-crypts "
+        "against the stored salt, raw() drops the colon.",
+    tags=("dialect", "contrib"),
+)
+def dialect_chkpass(spark, sf_dir):
+    return _pg(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey::int4 AS c_custkey,
+               c_name::chkpass = c_name AS self_ok,
+               c_name::chkpass = 'WRONG!' AS wrong_ok,
+               length(raw(c_name::chkpass)) = 13 AS shape_ok
+        FROM customer WHERE c_custkey < 20 ORDER BY c_custkey
+        """,
+        ["customer"],
+    )
+
+
+@suite.add(
     "text_search_dict_templates",
     oracle="""
     SELECT * FROM (VALUES

@@ -1,0 +1,69 @@
+"""contrib/chkpass (chkpass.c chkpass_in/out/rout/eq/ne) over the
+clean-room DES crypt.  No regress ships in the reference; behavior is
+pinned from chkpass.c directly: random 2-char salt on input, ':' means
+already-encrypted, equality re-crypts the candidate (8-char crypt
+limit), raw() drops the colon."""
+
+import pytest
+
+from greengage_spark.dialect.transpiler import pg_sql
+from greengage_spark.functions.chkpass import chkpass_eq, chkpass_in, chkpass_raw
+
+
+class TestKernels:
+    def test_input_crypts_with_random_salt(self):
+        a, b = chkpass_in("hello"), chkpass_in("hello")
+        assert a.startswith(":") and len(a) == 14
+        assert chkpass_eq(a, "hello") and chkpass_eq(b, "hello")
+        assert not chkpass_eq(a, "other")
+
+    def test_colon_input_stored_verbatim(self):
+        # precomputed: crypt_des('test', 'xy')
+        from greengage_spark.functions.descrypt import crypt_des
+
+        h = crypt_des("test", "xy")
+        assert chkpass_in(":" + h) == ":" + h
+        assert chkpass_eq(":" + h, "test")
+        assert not chkpass_eq(":" + h, "Test")
+
+    def test_eight_char_crypt_limit(self):
+        # chkpass_eq buffers 8 chars (text_to_cstring_buffer(str, 9))
+        v = chkpass_in("longpassword")
+        assert chkpass_eq(v, "longpass")
+        assert chkpass_eq(v, "longpassword")
+
+    def test_raw_drops_colon(self):
+        v = chkpass_in("x")
+        assert chkpass_raw(v) == v[1:]
+
+
+class TestSql:
+    def test_cast_eq_ne(self, spark):
+        r = pg_sql(
+            spark,
+            "SELECT 'hello'::chkpass = 'hello' AS ok, "
+            "'hello'::chkpass = 'nope' AS bad, "
+            "'hello'::chkpass <> 'nope' AS ne",
+        ).collect()[0]
+        assert r.ok is True and r.bad is False and r.ne is True
+
+    def test_colon_literal_and_raw(self, spark):
+        from greengage_spark.functions.descrypt import crypt_des
+
+        h = crypt_des("test", "ab")
+        r = pg_sql(
+            spark,
+            f"SELECT ':{h}'::chkpass AS stored, "
+            f"raw(':{h}'::chkpass) AS rw, "
+            f"':{h}'::chkpass = 'test' AS m",
+        ).collect()[0]
+        assert r.stored == ":" + h and r.rw == h and r.m is True
+
+    def test_column_lane(self, spark):
+        spark.sql(
+            "SELECT 'secret1' AS pw UNION ALL SELECT 'pw2xyz'"
+        ).createOrReplaceTempView("chk_col_t")
+        r = pg_sql(
+            spark, "SELECT pw::chkpass = pw AS ok FROM chk_col_t"
+        ).collect()
+        assert all(x.ok for x in r)
