@@ -402,6 +402,97 @@ class GreengageEngine:
             except Exception:
                 pass
             return None
+        # contrib/file_fdw: CREATE SERVER ... FOREIGN DATA WRAPPER
+        # file_fdw + CREATE FOREIGN TABLE ... OPTIONS (filename ...) —
+        # lowered onto the (tested) external-table machinery; the
+        # postgres_fdw DDL form points at the JDBC surface
+        m_srv = re.match(
+            r"(?is)^create\s+server\s+(?:if\s+not\s+exists\s+)?([\w.]+)\s+"
+            r"foreign\s+data\s+wrapper\s+([\w.]+)\s*(?:options\s*\(.*\))?\s*$",
+            stmt,
+        )
+        if m_srv:
+            fdw = m_srv.group(2).lower()
+            if fdw != "file_fdw":
+                raise NotImplementedError(
+                    f"foreign data wrapper {fdw!r}: file_fdw is served "
+                    "via DDL; postgres_fdw-style remote tables use the "
+                    "JDBC surface (greengage_spark.sources.foreign)"
+                )
+            if not hasattr(self, "servers"):
+                self.servers = {}
+            self.servers[m_srv.group(1).lower()] = fdw
+            return None
+        if re.match(r"(?is)^drop\s+server\b", stmt):
+            m = re.match(
+                r"(?is)^drop\s+server\s+(?:if\s+exists\s+)?([\w.]+)"
+                r"\s*(?:cascade|restrict)?\s*$",
+                stmt,
+            )
+            if m and hasattr(self, "servers"):
+                self.servers.pop(m.group(1).lower(), None)
+            return None
+        m_ft = re.match(
+            r"(?is)^create\s+foreign\s+table\s+(?:if\s+not\s+exists\s+)?"
+            r"([\w.]+)\s*\((.*)\)\s*server\s+([\w.]+)\s*"
+            r"(?:options\s*\((.*)\))?\s*$",
+            stmt,
+        )
+        if m_ft:
+            name, cols, srv = (
+                m_ft.group(1).lower(), m_ft.group(2), m_ft.group(3).lower(),
+            )
+            if getattr(self, "servers", {}).get(srv) != "file_fdw":
+                raise ValueError(f'server "{srv}" does not exist')
+            opts = dict(
+                re.findall(
+                    r"(\w+)\s+E?'((?:[^']|'')*)'", m_ft.group(4) or ""
+                )
+            )
+            opts = {k.lower(): v.replace("''", "'") for k, v in opts.items()}
+            filename = opts.get("filename")
+            if not filename:
+                raise ValueError(
+                    "file_fdw foreign tables require a filename option"
+                )
+            fmt = opts.get("format", "text").lower()
+            if fmt == "binary":
+                raise NotImplementedError(
+                    "file_fdw format 'binary': csv and text are served"
+                )
+            if fmt not in ("csv", "text"):
+                raise ValueError(f"file_fdw format {fmt!r}")
+            pieces = [f"FORMAT '{fmt.upper()}' ("]
+            delim = opts.get("delimiter")
+            if delim:
+                pieces.append(
+                    "DELIMITER E'\\t'" if delim == "\t"
+                    else f"DELIMITER '{delim}'"
+                )
+            if "null" in opts:
+                pieces.append(f"NULL '{opts['null']}'")
+            if opts.get("header", "").lower() in ("true", "on", "1"):
+                pieces.append("HEADER")
+            fmt_clause = pieces[0] + " ".join(pieces[1:]) + ")"
+            ext = (
+                f"CREATE READABLE EXTERNAL TABLE {name} ({cols}) "
+                f"LOCATION ('file://{filename}') {fmt_clause}"
+            )
+            return self._create_external_table(ext)
+        if re.match(r"(?is)^drop\s+foreign\s+table\b", stmt):
+            m = re.match(
+                r"(?is)^drop\s+foreign\s+table\s+(?:if\s+exists\s+)?"
+                r"([\w.]+)\s*$",
+                stmt,
+            )
+            if not m:
+                raise NotImplementedError("DROP FOREIGN TABLE [IF EXISTS] name")
+            self.external.pop(m.group(1).lower(), None)
+            try:
+                self.spark.catalog.dropTempView(m.group(1).lower())
+            except Exception:
+                pass
+            return None
         m_tsd = re.match(
             r"(?is)^(create|alter|drop)\s+text\s+search\s+dictionary\s+"
             r"(?:if\s+exists\s+)?([\w.]+)\s*(?:\((.*)\))?\s*$",

@@ -915,6 +915,41 @@ def script_do_block_loop(spark, sf_dir):
 
 
 @suite.add(
+    "foreign_file_fdw",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'ann', 10), (2, 'bob', 20), (3, NULL, 30)
+    ) AS t(id, name, amt) ORDER BY id
+    """,
+    doc="contrib/file_fdw (file_fdw.c fileGetOptions/fileBeginForeignScan"
+        "): CREATE SERVER ... FOREIGN DATA WRAPPER file_fdw + CREATE "
+        "FOREIGN TABLE ... OPTIONS (filename, format, header, delimiter, "
+        "null) lowered onto the external-table reader — the same "
+        "COPY-family CSV/TEXT parser, so SREH/pushdown behavior is "
+        "shared; the foreign table joins/projects like any relation. "
+        "postgres_fdw DDL points at the JDBC surface.",
+    tags=("scan", "foreign"),
+)
+def foreign_file_fdw(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    wh = tempfile.mkdtemp(prefix="gg_ffdw_")
+    path = os.path.join(wh, "people.csv")
+    with open(path, "w") as fh:
+        fh.write("id,name,amt\n1,ann,10\n2,bob,20\n3,,30\n")
+    eng = GreengageEngine(spark, wh)
+    eng.execute("CREATE SERVER files FOREIGN DATA WRAPPER file_fdw")
+    eng.execute(
+        f"CREATE FOREIGN TABLE ffdw_people (id int4, name text, amt int4) "
+        f"SERVER files OPTIONS (filename '{path}', format 'csv', "
+        f"header 'true', delimiter ',', null '')"
+    )
+    return eng.execute(
+        "SELECT id, name, amt FROM ffdw_people ORDER BY id"
+    )
+
+
+@suite.add(
     "gp_parallel_retrieve_cursor",
     oracle="""
     SELECT n_nationkey, n_name, CAST(TRUE AS BOOLEAN) AS finished

@@ -1,0 +1,87 @@
+"""contrib/file_fdw (file_fdw.c): CREATE SERVER/FOREIGN TABLE DDL over
+server-local files, lowered onto the external-table reader (same CSV/
+TEXT parser family as COPY)."""
+
+import os
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = GreengageEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE SERVER files FOREIGN DATA WRAPPER file_fdw")
+    return e
+
+
+class TestFileFdw:
+    def test_csv_with_header(self, eng, tmp_path):
+        p = tmp_path / "people.csv"
+        p.write_text("id,name\n1,ann\n2,bob\n3,\n")
+        eng.execute(
+            f"CREATE FOREIGN TABLE people (id int4, name text) "
+            f"SERVER files OPTIONS (filename '{p}', format 'csv', "
+            f"header 'true', delimiter ',', null '')"
+        )
+        rows = eng.execute("SELECT id, name FROM people ORDER BY id").collect()
+        assert [(r.id, r.name) for r in rows] == [
+            (1, "ann"), (2, "bob"), (3, None),
+        ]
+
+    def test_text_format_defaults(self, eng, tmp_path):
+        p = tmp_path / "vals.txt"
+        p.write_text("1\tx\n2\t\\N\n")
+        eng.execute(
+            f"CREATE FOREIGN TABLE vals (k int4, v text) SERVER files "
+            f"OPTIONS (filename '{p}', format 'text')"
+        )
+        rows = eng.execute("SELECT k, v FROM vals ORDER BY k").collect()
+        assert [(r.k, r.v) for r in rows] == [(1, "x"), (2, None)]
+
+    def test_foreign_table_joins_with_regular(self, eng, tmp_path):
+        p = tmp_path / "dims.csv"
+        p.write_text("1,one\n2,two\n")
+        eng.execute(
+            f"CREATE FOREIGN TABLE dims (k int4, label text) SERVER files "
+            f"OPTIONS (filename '{p}', format 'csv')"
+        )
+        eng.execute("CREATE TABLE facts (k int4, amt int4)")
+        eng.execute("INSERT INTO facts VALUES (1, 10), (2, 20), (1, 5)")
+        rows = eng.execute(
+            "SELECT d.label, sum(f.amt) AS s FROM facts f "
+            "JOIN dims d ON d.k = f.k GROUP BY d.label ORDER BY d.label"
+        ).collect()
+        assert [(r.label, r.s) for r in rows] == [("one", 15), ("two", 20)]
+
+    def test_unknown_server_rejects(self, eng, tmp_path):
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.execute(
+                "CREATE FOREIGN TABLE t (k int4) SERVER nope "
+                "OPTIONS (filename '/x')"
+            )
+
+    def test_binary_format_rejects(self, eng, tmp_path):
+        with pytest.raises(NotImplementedError, match="binary"):
+            eng.execute(
+                "CREATE FOREIGN TABLE t (k int4) SERVER files "
+                "OPTIONS (filename '/x', format 'binary')"
+            )
+
+    def test_postgres_fdw_points_to_jdbc(self, eng):
+        with pytest.raises(NotImplementedError, match="JDBC"):
+            eng.execute(
+                "CREATE SERVER remote FOREIGN DATA WRAPPER postgres_fdw"
+            )
+
+    def test_drop_foreign_table_and_server(self, eng, tmp_path):
+        p = tmp_path / "a.csv"
+        p.write_text("1\n")
+        eng.execute(
+            f"CREATE FOREIGN TABLE a (k int4) SERVER files "
+            f"OPTIONS (filename '{p}', format 'csv')"
+        )
+        eng.execute("DROP FOREIGN TABLE a")
+        eng.execute("DROP SERVER files")
+        assert not os.path.exists(str(tmp_path / "nonsense"))
