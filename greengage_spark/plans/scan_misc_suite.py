@@ -915,6 +915,48 @@ def script_do_block_loop(spark, sf_dir):
 
 
 @suite.add(
+    "external_fixedwidth",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('ann', 12, 'london'), ('bob', 3, 'paris'),
+      (NULL, 7, NULL)
+    ) AS t(name, qty, city) ORDER BY qty
+    """,
+    doc="contrib/formatter_fixedwidth (fixedwidth.c extract_field): "
+        "FORMAT 'CUSTOM' (formatter='fixedwidth_in', col='width'...) "
+        "external tables — fields are fixed byte slices per line, "
+        "trailing blanks strip unless preserve_blanks, the null option "
+        "compares blank-padded. The whole read lowers to JVM substring/"
+        "rtrim column expressions over spark.read.text (plan-pinned: no "
+        "Python eval in tests/test_fixedwidth.py), so it scales like "
+        "any text scan; fixedwidth_out (writable) rejects loudly.",
+    tags=("scan", "external"),
+)
+def external_fixedwidth(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    wh = tempfile.mkdtemp(prefix="gg_fw_")
+    path = os.path.join(wh, "fixed.dat")
+
+    def line(name, qty, city):
+        return name.ljust(12) + str(qty).rjust(3) + city.ljust(10)
+
+    with open(path, "w") as fh:
+        fh.write("\n".join([
+            line("ann", 12, "london"), line("bob", 3, "paris"),
+            line("NULL", 7, "NULL"),
+        ]) + "\n")
+    eng = GreengageEngine(spark, wh)
+    eng.execute(
+        f"CREATE READABLE EXTERNAL TABLE fw_reg (name text, qty int4, "
+        f"city text) LOCATION ('file://{path}') "
+        f"FORMAT 'CUSTOM' (formatter='fixedwidth_in', name='12', "
+        f"qty='3', city='10', null='NULL')"
+    )
+    return eng.execute("SELECT name, qty, city FROM fw_reg ORDER BY qty")
+
+
+@suite.add(
     "foreign_file_fdw",
     oracle="""
     SELECT * FROM (VALUES

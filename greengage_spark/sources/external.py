@@ -163,6 +163,53 @@ class ExecuteExternalTable:
         return parsed.select("r.*")
 
 
+@dataclass
+class FixedWidthExternalTable:
+    """FORMAT 'CUSTOM' (formatter='fixedwidth_in', col='width', ...) —
+    contrib/formatter_fixedwidth/fixedwidth.c.
+
+    Fields are fixed byte slices of each line; trailing blanks strip
+    unless preserve_blanks (extract_field); the null option compares
+    against the blank-stripped field (make_null_val_with_blanks pads
+    the null with blanks to the field size, which is the same test).
+    The whole read is JVM-side substring/rtrim column expressions over
+    spark.read.text — no UDF, so it scales like any text scan.
+    """
+
+    location: str
+    schema: str
+    widths: list  # [(colname, width), ...] in declared column order
+    preserve_blanks: bool = False
+    null_str: str | None = None
+    line_delim: str = "\n"
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        schema = StructType.fromDDL(self.schema)
+        names = [f.name.lower() for f in schema.fields]
+        if [n for n, _w in self.widths] != names:
+            raise ValueError(
+                "fixedwidth formatter options must name every table "
+                f"column in order (table: {names}, options: "
+                f"{[n for n, _w in self.widths]})"
+            )
+        reader = spark.read
+        if self.line_delim != "\n":
+            reader = reader.option("lineSep", self.line_delim)
+        df = reader.text(self.location)
+        cols = []
+        offset = 1
+        for field, (_n, w) in zip(schema.fields, self.widths):
+            raw = F.substring(F.col("value"), offset, w)
+            val = raw if self.preserve_blanks else F.rtrim(raw)
+            if self.null_str is not None:
+                val = F.when(
+                    F.rtrim(raw) == F.lit(self.null_str), F.lit(None)
+                ).otherwise(val)
+            cols.append(val.cast(field.dataType).alias(field.name))
+            offset += w
+        return df.select(cols)
+
+
 def read_with_errors(spark: SparkSession, table: ExternalTable) -> tuple[DataFrame, DataFrame]:
     """(good_rows, error_log) in one pass — SREH's LOG ERRORS mode."""
     schema = table.schema
@@ -219,7 +266,7 @@ def parse_create_external(stmt: str) -> ExternalTableDef:
         r"table\s+([\w.]+)\s*\((.*?)\)\s*"
         r"(?:location\s*\(\s*(.*?)\s*\)|execute\s+'((?:[^']|'')*)'"
         r"(?:\s+on\s+(all|master|\d+))?)\s*"
-        r"format\s+'(text|csv)'\s*(?:\(([^)]*)\))?"
+        r"format\s+'(text|csv|custom)'\s*(?:\(([^)]*)\))?"
         r"(?:\s+log\s+errors)?"
         r"(?:\s+segment\s+reject\s+limit\s+(\d+)\s*(rows|percent)?)?\s*$",
         stmt.strip(),
@@ -227,8 +274,8 @@ def parse_create_external(stmt: str) -> ExternalTableDef:
     if not m:
         raise NotImplementedError(
             "CREATE [READABLE|WRITABLE] EXTERNAL TABLE name (cols) "
-            "LOCATION (...)|EXECUTE '...' FORMAT 'TEXT'|'CSV' [(opts)] "
-            "[SEGMENT REJECT LIMIT n [ROWS|PERCENT]]"
+            "LOCATION (...)|EXECUTE '...' FORMAT 'TEXT'|'CSV'|'CUSTOM' "
+            "[(opts)] [SEGMENT REJECT LIMIT n [ROWS|PERCENT]]"
         )
     (writable, name, cols, loc_raw, exec_cmd, exec_on, fmt, fmt_opts,
      rej, rej_unit) = m.groups()
@@ -240,6 +287,52 @@ def parse_create_external(stmt: str) -> ExternalTableDef:
         f"{c.split()[0]} {map_pg_type(' '.join(c.split()[1:]))}"
         for c in _split_cols(cols)
     )
+    if fmt == "custom":
+        # contrib/formatter_fixedwidth: the only custom formatter the
+        # reference ships in-tree
+        opts = {
+            k.lower(): v
+            for k, v in re.findall(
+                r"(\w+)\s*=\s*E?'((?:[^']|'')*)'", fmt_opts or ""
+            )
+        }
+        formatter = opts.pop("formatter", None)
+        if writable or formatter == "fixedwidth_out":
+            raise NotImplementedError(
+                "WRITABLE fixedwidth external tables (fixedwidth_out): "
+                "unload via copy_to with rpad-formatted columns"
+            )
+        if formatter != "fixedwidth_in":
+            raise NotImplementedError(
+                f"custom formatter {formatter!r}: fixedwidth_in is the "
+                "formatter the reference ships (contrib/"
+                "formatter_fixedwidth)"
+            )
+        if exec_cmd is not None or rej is not None:
+            raise NotImplementedError(
+                "fixedwidth formatter supports LOCATION file tables "
+                "without SREH"
+            )
+        preserve = opts.pop("preserve_blanks", "off").lower() in (
+            "on", "true", "1",
+        )
+        null_v = opts.pop("null", None)
+        line_delim = opts.pop("line_delim", "\n").replace("\\n", "\n")
+        widths = [(k, int(v)) for k, v in opts.items()]
+        uris = [s.strip().strip("'") for s in loc_raw.split(",") if s.strip()]
+        if len(uris) != 1:
+            raise NotImplementedError(
+                "fixedwidth external tables take one LOCATION URI"
+            )
+        ftab = FixedWidthExternalTable(
+            location=_strip_file_uri(uris[0]),
+            schema=schema,
+            widths=widths,
+            preserve_blanks=preserve,
+            null_str=null_v,
+            line_delim=line_delim,
+        )
+        return ExternalTableDef(name=name, writable=False, table=ftab)
     delimiter = None
     null_str = ""
     header = False

@@ -1,0 +1,89 @@
+"""contrib/formatter_fixedwidth (fixedwidth.c): the fixed-width custom
+external-table formatter — FORMAT 'CUSTOM' (formatter='fixedwidth_in',
+col='width', ...)."""
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+
+def _line(name, qty, city):
+    return name.ljust(12) + str(qty).rjust(3) + city.ljust(10)
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = GreengageEngine(spark, str(tmp_path / "wh"))
+    p = tmp_path / "fixed.dat"
+    p.write_text(
+        "\n".join(
+            [_line("ann", 12, "london"), _line("bob", 3, "paris"),
+             _line("NULL", 7, "NULL")]
+        )
+        + "\n"
+    )
+    e.fixture_path = str(p)
+    return e
+
+
+class TestFixedWidth:
+    def test_read_strips_trailing_blanks(self, eng):
+        eng.execute(
+            f"CREATE READABLE EXTERNAL TABLE fw (name text, qty int4, "
+            f"city text) LOCATION ('file://{eng.fixture_path}') "
+            f"FORMAT 'CUSTOM' (formatter='fixedwidth_in', name='12', "
+            f"qty='3', city='10', null='NULL')"
+        )
+        r = eng.execute("SELECT name, qty, city FROM fw ORDER BY qty").collect()
+        assert [(x.name, x.qty, x.city) for x in r] == [
+            ("bob", 3, "paris"), (None, 7, None), ("ann", 12, "london"),
+        ]
+
+    def test_preserve_blanks(self, eng):
+        eng.execute(
+            f"CREATE READABLE EXTERNAL TABLE fwp (name text, qty int4, "
+            f"city text) LOCATION ('file://{eng.fixture_path}') "
+            f"FORMAT 'CUSTOM' (formatter='fixedwidth_in', name='12', "
+            f"qty='3', city='10', preserve_blanks='on')"
+        )
+        r = eng.execute("SELECT name FROM fwp WHERE qty = 3").collect()
+        assert r[0].name == "bob         "
+
+    def test_no_udf_in_plan(self, eng):
+        # the whole read is substring/rtrim column expressions — plan
+        # must stay JVM-side (no BatchEvalPython / ArrowEvalPython)
+        eng.execute(
+            f"CREATE READABLE EXTERNAL TABLE fwplan (name text, qty int4, "
+            f"city text) LOCATION ('file://{eng.fixture_path}') "
+            f"FORMAT 'CUSTOM' (formatter='fixedwidth_in', name='12', "
+            f"qty='3', city='10')"
+        )
+        df = eng.execute("SELECT name, qty FROM fwplan")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+    def test_column_name_mismatch_rejects(self, eng):
+        with pytest.raises(ValueError, match="in order"):
+            eng.execute(
+                f"CREATE READABLE EXTERNAL TABLE fwbad (name text, "
+                f"qty int4) LOCATION ('file://{eng.fixture_path}') "
+                f"FORMAT 'CUSTOM' (formatter='fixedwidth_in', qty='3', "
+                f"name='12')"
+            )
+            eng.execute("SELECT * FROM fwbad")
+
+    def test_writable_rejects(self, eng):
+        with pytest.raises(NotImplementedError, match="fixedwidth_out"):
+            eng.execute(
+                "CREATE WRITABLE EXTERNAL TABLE fww (k int4) "
+                "LOCATION ('file:///tmp/x') "
+                "FORMAT 'CUSTOM' (formatter='fixedwidth_out', k='4')"
+            )
+
+    def test_unknown_formatter_rejects(self, eng):
+        with pytest.raises(NotImplementedError, match="formatter"):
+            eng.execute(
+                "CREATE READABLE EXTERNAL TABLE fwu (k int4) "
+                "LOCATION ('file:///tmp/x') "
+                "FORMAT 'CUSTOM' (formatter='myfmt_in', k='4')"
+            )
