@@ -275,6 +275,119 @@ def _pass_cast_typenames(toks: list[str]) -> list[str]:
     return toks
 
 
+_SEG_OPS = (
+    # multi-token glyphs first (longest match); name keys into pg_seg_*
+    (("@", ">"), "contains", None), (("<", "@"), "contained", None),
+    (("&", "&"), "overlap", None), (("<<",), "left", None),
+    ((">>",), "right", None), (("&", "<"), "overleft", None),
+    (("&", ">"), "overright", None),
+    (("<", "="), None, "<="), ((">", "="), None, ">="),
+    (("<>",), None, "<>"), (("!", "="), None, "<>"),
+    (("=",), None, "="), (("<",), None, "<"), ((">",), None, ">"),
+)
+
+
+def _pass_seg(toks: list[str]) -> list[str]:
+    """contrib/seg (seg.c, segparse.y): ``expr::seg`` canonicalizes the
+    interval text (plan time for literals — input errors surface like
+    PG's); the interval operators (@> <@ && << >> &< &>) and ordering
+    run between two seg values via the parsed-bounds kernels; the
+    canonical string is both the stored value and the display form, so
+    no output wrapping is needed.  seg_size/center/upper/lower lower
+    to their kernels."""
+    if not any(_is_ident(t) and t.lower() == "seg" for t in toks):
+        return toks
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(toks) - 1):
+            if toks[i] != "::" or toks[i + 1].lower() != "seg":
+                continue
+            start = _operand_start(toks, i - 1)
+            operand = toks[start:i]
+            if len(operand) == 1 and _is_string(operand[0]):
+                from greengage_spark.functions.seg import canonical
+
+                v = canonical(operand[0][1:-1].replace("''", "'"))
+                repl = ["__gg_seg", "(", "'" + v.replace("'", "''") + "'", ")"]
+            elif operand and operand[0] == "__gg_seg":
+                repl = operand
+            else:
+                repl = (
+                    ["__gg_seg", "(", "pg_seg_in", "("]
+                    + operand + [")", ")"]
+                )
+            toks = toks[:start] + repl + toks[i + 2 :]
+            changed = True
+            break
+    # binary operators between two seg markers
+    changed = True
+    while changed:
+        changed = False
+        i = 0
+        while i < len(toks):
+            if toks[i] != "__gg_seg":
+                i += 1
+                continue
+            lclose = _args_span(toks, i + 1)
+            for glyph, name, cmpop in _SEG_OPS:
+                g = list(glyph)
+                j = lclose + 1
+                if toks[j : j + len(g)] != g:
+                    continue
+                k = j + len(g)
+                if k >= len(toks) or toks[k] != "__gg_seg":
+                    continue
+                rclose = _args_span(toks, k + 1)
+                left = toks[i + 2 : lclose]
+                right = toks[k + 2 : rclose]
+                if name is not None:
+                    expr = (
+                        [f"pg_seg_{name}", "("] + left + [","]
+                        + right + [")"]
+                    )
+                else:
+                    expr = (
+                        ["(", "pg_seg_cmp", "("] + left + [","] + right
+                        + [")", cmpop if cmpop != "<>" else "!=", "0", ")"]
+                    )
+                toks = toks[:i] + expr + toks[rclose + 1 :]
+                changed = True
+                break
+            else:
+                i += 1
+                continue
+            break
+    # seg functions + leftover markers
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        low = toks[i].lower() if _is_ident(toks[i]) else ""
+        if (
+            low in ("seg_size", "seg_center", "seg_upper", "seg_lower")
+            and i + 2 < len(toks)
+            and toks[i + 1] == "("
+            and toks[i + 2] == "__gg_seg"
+        ):
+            close = _args_span(toks, i + 1)
+            inner = toks[i + 4 : close - 1]
+            fn = {
+                "seg_size": "pg_seg_size", "seg_center": "pg_seg_center",
+                "seg_upper": "pg_seg_upperf", "seg_lower": "pg_seg_lowerf",
+            }[low]
+            out += [fn, "(", *inner, ")"]
+            i = close + 1
+            continue
+        if toks[i] == "__gg_seg":
+            close = _args_span(toks, i + 1)
+            out += ["(", *toks[i + 2 : close], ")"]
+            i = close + 1
+            continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
 def _pass_chkpass(toks: list[str]) -> list[str]:
     """contrib/chkpass (chkpass.c): ``expr::chkpass`` crypt(3)s the
     password with a random 2-char DES salt (':'-prefixed input stores
@@ -8301,6 +8414,7 @@ def transpile(sql: str) -> str:
     toks = _pass_bit_casts(toks)
     toks = _pass_cast_typenames(toks)
     toks = _pass_isn(toks)
+    toks = _pass_seg(toks)
     toks = _pass_chkpass(toks)
     toks = _pass_casts(toks)
     toks = _pass_float_int_cast_round(toks)
@@ -8592,6 +8706,10 @@ def pg_sql(spark, sql: str):
         from greengage_spark.functions import chkpass
 
         chkpass.register_udfs(spark)
+    if "pg_seg_" in out:
+        from greengage_spark.functions import seg as _segmod
+
+        _segmod.register_udfs(spark)
     if "pg_xpath" in out or "pg_xml_valid" in out:
         from greengage_spark.functions import xmlquery
 

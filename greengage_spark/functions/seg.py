@@ -1,0 +1,323 @@
+"""contrib/seg — line segments / floating-point intervals.
+
+Reference surface: contrib/seg/seg.c (seg_in/seg_out, restore(),
+significant_digits(), the interval operators), segparse.y (the input
+grammar: 'a .. b', 'a ..', '.. b', 'a', 'a(+-)d', with <, >, ~ boundary
+extensions), segscan.l (tokens).  The display-side restore() is ported
+statement-for-statement and differential-tested against a standalone
+build of the reference's own function (see tests/test_seg.py) — its
+significant-digit behavior is idiosyncratic ('12345'::seg prints
+1.2345e4, '100' with 3 digits prints 1.00e2) and is reproduced exactly.
+
+A seg value travels as its canonical display string; operators parse
+both sides (plan-time for literals).  Extensions <, >, ~ are
+display-only, exactly like the reference ("these notations are
+preserved on output but play no role in computations").
+"""
+
+from __future__ import annotations
+
+import re
+
+FLT_DIG = 6
+
+# segscan.l: real requires digits on BOTH sides of the dot, so '1..2'
+# lexes as integer/RANGE/integer; RANGE tolerates a third dot
+_FLOAT = r"[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+_TOKEN = re.compile(
+    rf"\s*(?:(?P<plumin>\(\+-\)|'\+-')|(?P<range>\.\.\.?)|(?P<ext>[<>~])"
+    rf"|(?P<float>{_FLOAT}))"
+)
+
+
+class Seg:
+    __slots__ = ("lower", "upper", "l_sigd", "u_sigd", "l_ext", "u_ext")
+
+    def __init__(self, lower, upper, l_sigd, u_sigd, l_ext="", u_ext=""):
+        self.lower = lower
+        self.upper = upper
+        self.l_sigd = l_sigd
+        self.u_sigd = u_sigd
+        self.l_ext = l_ext
+        self.u_ext = u_ext
+
+
+def significant_digits(s: str) -> int:
+    """seg.c significant_digits: leading zeroes count as one if nothing
+    else follows."""
+    p = 0
+    zeroes = 1
+    while p < len(s) and s[p] in "0+-":
+        p += 1
+    while p < len(s) and s[p] in "0.":
+        if s[p] != ".":
+            zeroes += 1
+        p += 1
+    n = 0
+    while p < len(s):
+        c = s[p]
+        if not (c.isdigit() or c == "."):
+            break
+        if c != ".":
+            n += 1
+        p += 1
+    return n if n else zeroes
+
+
+def _f4(x: float) -> float:
+    """Round-trip through float32 like the reference's float4 storage."""
+    import struct as _s
+
+    return _s.unpack("f", _s.pack("f", x))[0]
+
+
+def restore(val: float, n: int) -> str:
+    """seg.c restore(): print val with n significant digits, positional
+    when the exponent is within ±4 (with its exact truncation and
+    zero-fill quirks), %e otherwise."""
+    n = min(n, FLT_DIG)
+    s = f"%.{n - 1}e" % val
+    mant, _, exps = s.partition("e")
+    exp = int(exps)
+    if exp == 0:
+        return mant
+    if abs(exp) > 4:
+        return s
+    sign = mant.startswith("-")
+    digits = mant.lstrip("+-").replace(".", "")[:n]
+    if exp > 0:
+        if 1 + exp >= n:
+            # decimal point lands at/behind the last significant digit:
+            # re-normalize with the point after the first digit
+            newexp = 1 + exp - n
+            if n > 1:
+                out = digits[0] + "." + digits[1:n] + f"e{newexp + n - 1}"
+            else:
+                out = digits[0] + f"e{newexp + n - 1}"
+        else:
+            intlen = 1 + exp
+            out = digits[:intlen] + "." + digits[intlen:n]
+    else:
+        zeros = -exp - 1
+        out = "0." + "0" * zeros + digits
+    return ("-" + out) if sign else out
+
+
+def seg_in(text: str) -> Seg:
+    """segparse.y grammar over segscan.l tokens."""
+    toks = []
+    pos = 0
+    s = text
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m:
+            if s[pos:].strip():
+                raise ValueError(f'bad seg representation: "{text}"')
+            break
+        pos = m.end()
+        for kind in ("plumin", "range", "ext", "float"):
+            if m.group(kind) is not None:
+                toks.append((kind, m.group(kind)))
+                break
+
+    def boundary(i):
+        ext = ""
+        if i < len(toks) and toks[i][0] == "ext":
+            ext = toks[i][1]
+            i += 1
+        if i >= len(toks) or toks[i][0] != "float":
+            raise ValueError(f'bad seg representation: "{text}"')
+        lit = toks[i][1]
+        return (_f4(float(lit)), significant_digits(lit), ext), i + 1
+
+    if not toks:
+        raise ValueError(f'bad seg representation: "{text}"')
+
+    if toks[0][0] == "range":  # .. b
+        (val, sigd, ext), i = boundary(1)
+        if i != len(toks):
+            raise ValueError(f'bad seg representation: "{text}"')
+        return Seg(float("-inf"), val, 0, sigd, "-", ext or "")
+
+    (lval, lsigd, lext), i = boundary(0)
+    if i == len(toks):  # single point
+        return Seg(lval, lval, lsigd, lsigd, lext, lext)
+    kind = toks[i][0]
+    if kind == "plumin":  # a(+-)d
+        (dval, dsigd, _e), i = boundary(i + 1)
+        if i != len(toks) or lext:
+            raise ValueError(f'bad seg representation: "{text}"')
+        lower = _f4(lval - dval)
+        upper = _f4(lval + dval)
+        lo_sig = max(min(6, significant_digits("%g" % lower)),
+                     max(lsigd, dsigd))
+        up_sig = max(min(6, significant_digits("%g" % upper)),
+                     max(lsigd, dsigd))
+        return Seg(lower, upper, lo_sig, up_sig, "", "")
+    if kind == "range":
+        if i + 1 == len(toks):  # a ..
+            return Seg(lval, float("inf"), lsigd, 0, lext, "-")
+        (uval, usigd, uext), j = boundary(i + 1)
+        if j != len(toks):
+            raise ValueError(f'bad seg representation: "{text}"')
+        if lval > uval:
+            raise ValueError(
+                f"swapped boundaries: {lval:g} is greater than {uval:g}"
+            )
+        return Seg(lval, uval, lsigd, usigd, lext, uext)
+    raise ValueError(f'bad seg representation: "{text}"')
+
+
+def seg_out(seg: Seg) -> str:
+    p = []
+    if seg.l_ext in (">", "<", "~"):
+        p.append(seg.l_ext)
+    if seg.lower == seg.upper and seg.l_ext == seg.u_ext:
+        p.append(restore(seg.lower, seg.l_sigd))
+    else:
+        if seg.l_ext != "-":
+            p.append(restore(seg.lower, seg.l_sigd))
+            p.append(" ")
+        p.append("..")
+        if seg.u_ext != "-":
+            p.append(" ")
+            if seg.u_ext in (">", "<") or seg.l_ext == "~":
+                p.append(seg.u_ext)
+            p.append(restore(seg.upper, seg.u_sigd))
+    return "".join(p)
+
+
+def canonical(text: str) -> str:
+    return seg_out(seg_in(text))
+
+
+# --- operators (seg.c seg_contains/contained/overlap/left/right/...) ---
+
+
+def _pair(a: str, b: str):
+    return seg_in(a), seg_in(b)
+
+
+def seg_contains(a, b) -> bool:
+    x, y = _pair(a, b)
+    return x.lower <= y.lower and x.upper >= y.upper
+
+
+def seg_contained(a, b) -> bool:
+    return seg_contains(b, a)
+
+
+def seg_overlap(a, b) -> bool:
+    x, y = _pair(a, b)
+    return (x.upper >= y.upper and x.lower <= y.upper) or (
+        y.upper >= x.upper and y.lower <= x.upper
+    )
+
+
+def seg_left(a, b) -> bool:
+    x, y = _pair(a, b)
+    return x.upper < y.lower
+
+
+def seg_right(a, b) -> bool:
+    x, y = _pair(a, b)
+    return x.lower > y.upper
+
+
+def seg_over_left(a, b) -> bool:
+    """&< — does not extend to the right of b (seg.c seg_over_left)."""
+    x, y = _pair(a, b)
+    return x.upper <= y.upper
+
+
+def seg_over_right(a, b) -> bool:
+    """&> — does not extend to the left of b."""
+    x, y = _pair(a, b)
+    return x.lower >= y.lower
+
+
+def _cmp(a, b) -> int:
+    x, y = _pair(a, b)
+    if x.lower != y.lower:
+        return -1 if x.lower < y.lower else 1
+    if x.upper != y.upper:
+        return -1 if x.upper < y.upper else 1
+    return 0
+
+
+def seg_size(a: str) -> float:
+    x = seg_in(a)
+    return _f4(x.upper - x.lower)
+
+
+def seg_center(a: str) -> float:
+    x = seg_in(a)
+    return _f4((x.lower + x.upper) / 2.0)
+
+
+def seg_upper(a: str) -> float:
+    return seg_in(a).upper
+
+
+def seg_lower(a: str) -> float:
+    return seg_in(a).lower
+
+
+def register_udfs(spark) -> None:
+    if spark.conf.get("greengage.seg.registered", None) == "1":
+        return
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk_bool(fn):
+        def udf(a, b):
+            return pd.Series(
+                [
+                    None if x is None or y is None else fn(x, y)
+                    for x, y in zip(a, b)
+                ],
+                dtype="object",
+            )
+
+        return udf
+
+    def _mk_float(fn):
+        def udf(a):
+            return pd.Series(
+                [None if x is None else fn(x) for x in a], dtype="object"
+            )
+
+        return udf
+
+    def _canon(a):
+        return pd.Series(
+            [None if x is None else canonical(x) for x in a], dtype="object"
+        )
+
+    def _cmp_udf(a, b):
+        return pd.Series(
+            [
+                None if x is None or y is None else _cmp(x, y)
+                for x, y in zip(a, b)
+            ],
+            dtype="object",
+        )
+
+    spark.udf.register("pg_seg_in", pandas_udf(_canon, "string"))
+    for name, fn in [
+        ("contains", seg_contains), ("contained", seg_contained),
+        ("overlap", seg_overlap), ("left", seg_left), ("right", seg_right),
+        ("overleft", seg_over_left), ("overright", seg_over_right),
+    ]:
+        spark.udf.register(
+            f"pg_seg_{name}", pandas_udf(_mk_bool(fn), "boolean")
+        )
+    spark.udf.register("pg_seg_cmp", pandas_udf(_cmp_udf, "int"))
+    for name, fn in [
+        ("size", seg_size), ("center", seg_center),
+        ("upperf", seg_upper), ("lowerf", seg_lower),
+    ]:
+        spark.udf.register(
+            f"pg_seg_{name}", pandas_udf(_mk_float(fn), "float")
+        )
+    spark.conf.set("greengage.seg.registered", "1")

@@ -1298,6 +1298,47 @@ def dialect_hypothetical_mix(spark, sf_dir):
 
 
 @suite.add(
+    "dialect_seg",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, '1 .. 2',        TRUE,  CAST(2.0 AS FLOAT)),
+      (2, '4.7 .. 5.3',    FALSE, CAST(5.3 AS FLOAT)),
+      (3, '<5',            FALSE, CAST(5.0 AS FLOAT)),
+      (4, '~3.5',          TRUE,  CAST(3.5 AS FLOAT)),
+      (5, '1.2345e4',      FALSE, CAST(12345.0 AS FLOAT)),
+      (6, '6.25',          FALSE, CAST(6.25 AS FLOAT)),
+      (7, '0.0001000',     FALSE, CAST(0.0001 AS FLOAT))
+    ) AS t(k, canon, overlaps_1_4, upperf) ORDER BY k
+    """,
+    doc="contrib/seg (seg.c, segparse.y): the floating-interval type — "
+        "input grammar (ranges, (+-) deviations, </>/~ display-only "
+        "extensions), the restore() significant-digit display ported "
+        "statement-for-statement and pinned against a standalone build "
+        "of the reference's own function over 300 committed vectors "
+        "(tests/data/seg_restore.tsv — '12345' really does print "
+        "1.2345e4), and the interval operators (@> <@ && << >> &< &> "
+        "plus bound-ordering comparisons). Literal casts fold at plan "
+        "time; oracle is the expected canonical forms as VALUES.",
+    tags=("dialect", "contrib"),
+)
+def dialect_seg(spark, sf_dir):
+    from greengage_spark.dialect.transpiler import pg_sql
+
+    inputs = [
+        (1, "1 .. 2"), (2, "5.0(+-)0.3"), (3, "<5"), (4, "~3.5"),
+        (5, "12345"), (6, "6.25"), (7, "0.0001000"),
+    ]
+    parts = []
+    for k, v in inputs:
+        parts.append(
+            f"SELECT {k} AS k, '{v}'::seg AS canon, "
+            f"'{v}'::seg && '1 .. 4'::seg AS overlaps_1_4, "
+            f"seg_upper('{v}'::seg) AS upperf"
+        )
+    return pg_sql(spark, " UNION ALL ".join(parts) + " ORDER BY k")
+
+
+@suite.add(
     "dialect_chkpass",
     oracle="""
     SELECT CAST(c_custkey AS INTEGER) AS c_custkey,

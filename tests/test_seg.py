@@ -1,0 +1,134 @@
+"""contrib/seg — input grammar (segparse.y/segscan.l), the restore()
+significant-digit display (pinned against a standalone build of the
+reference's own function via tests/data/seg_restore.tsv), and the
+interval operators (seg.c)."""
+
+import os
+import struct
+
+import pytest
+
+from greengage_spark.dialect.transpiler import pg_sql
+from greengage_spark.functions.seg import canonical, restore, significant_digits
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+class TestRestoreParity:
+    def test_reference_vectors(self):
+        bad = []
+        with open(os.path.join(DATA, "seg_restore.tsv")) as fh:
+            for line in fh:
+                if line.startswith("#"):
+                    continue
+                v, n, want = line.rstrip("\n").split("\t")
+                v = struct.unpack("f", struct.pack("f", float(v)))[0]
+                got = restore(v, int(n))
+                if got != want:
+                    bad.append((v, n, got, want))
+        assert bad == []
+
+    def test_quirks(self):
+        # the reference's own significant-digit idiosyncrasies
+        assert restore(12345.0, 5) == "1.2345e4"
+        assert restore(100.0, 3) == "1.00e2"
+        assert restore(0.0001, 4) == "0.0001000"
+
+    def test_significant_digits(self):
+        assert significant_digits("12345") == 5
+        assert significant_digits("0.001") == 1
+        assert significant_digits("0") == 1
+        assert significant_digits("-1.0") == 2
+        assert significant_digits("00012") == 2
+
+
+class TestInputOutput:
+    @pytest.mark.parametrize("text,want", [
+        ("1 .. 2", "1 .. 2"),
+        ("1..2", "1 .. 2"),
+        ("5.0(+-)0.3", "4.7 .. 5.3"),
+        ("<5", "<5"),
+        (">4", ">4"),
+        ("~3.5", "~3.5"),
+        (".. 4", ".. 4"),
+        ("4 ..", "4 .."),
+        ("12345", "1.2345e4"),
+        ("6.25", "6.25"),
+        ("-1.0 .. 1.0", "-1.0 .. 1.0"),
+    ])
+    def test_canonical(self, text, want):
+        assert canonical(text) == want
+
+    def test_swapped_boundaries(self):
+        with pytest.raises(ValueError, match="swapped boundaries"):
+            canonical("5 .. 2")
+
+    def test_bad_input(self):
+        with pytest.raises(ValueError, match="bad seg"):
+            canonical("postgres")
+
+
+class TestSqlOperators:
+    def test_interval_ops(self, spark):
+        r = pg_sql(
+            spark,
+            "SELECT '1 .. 5'::seg @> '2 .. 3'::seg AS contains, "
+            "'2 .. 3'::seg <@ '1 .. 5'::seg AS contained, "
+            "'1 .. 3'::seg && '2 .. 4'::seg AS overlaps, "
+            "'1 .. 3'::seg && '4 .. 5'::seg AS no_overlap, "
+            "'1 .. 2'::seg << '3 .. 4'::seg AS left, "
+            "'3 .. 4'::seg >> '1 .. 2'::seg AS right, "
+            "'1 .. 3'::seg &< '0 .. 4'::seg AS overleft, "
+            "'2 .. 3'::seg &> '1 .. 2'::seg AS overright",
+        ).collect()[0]
+        assert all([
+            r.contains, r.contained, r.overlaps, not r.no_overlap,
+            r.left, r.right, r.overleft, r.overright,
+        ])
+
+    def test_ordering_ops(self, spark):
+        r = pg_sql(
+            spark,
+            "SELECT '1 .. 2'::seg = '1 .. 2'::seg AS eq, "
+            "'1 .. 2'::seg <> '1 .. 3'::seg AS ne, "
+            "'1 .. 2'::seg < '1 .. 3'::seg AS lt, "
+            "'2 .. 3'::seg > '1 .. 9'::seg AS gt, "
+            "'1 .. 2'::seg <= '1 .. 2'::seg AS le",
+        ).collect()[0]
+        assert r.eq and r.ne and r.lt and r.gt and r.le
+
+    def test_functions_and_unbounded(self, spark):
+        r = pg_sql(
+            spark,
+            "SELECT seg_size('4 .. 10'::seg) AS sz, "
+            "seg_center('4 .. 10'::seg) AS ce, "
+            "seg_upper('4 .. 10'::seg) AS up, "
+            "seg_lower('.. 10'::seg) AS lo",
+        ).collect()[0]
+        assert (r.sz, r.ce, r.up) == (6.0, 7.0, 10.0)
+        assert r.lo == float("-inf")
+
+    def test_extensions_display_only(self, spark):
+        # '<' / '>' / '~' annotations play no role in computations
+        r = pg_sql(
+            spark,
+            "SELECT '<5'::seg = '5'::seg AS eq, "
+            "'~3 .. 4'::seg && '3.5'::seg AS ov",
+        ).collect()[0]
+        assert r.eq and r.ov
+
+    def test_column_lane(self, spark):
+        spark.sql(
+            "SELECT '1 .. 3' AS s UNION ALL SELECT '5.0(+-)0.5'"
+        ).createOrReplaceTempView("seg_col_t")
+        r = pg_sql(
+            spark,
+            "SELECT s::seg AS c, s::seg && '2 .. 5'::seg AS ov "
+            "FROM seg_col_t",
+        ).collect()
+        got = {x.c: x.ov for x in r}
+        assert got == {"1 .. 3": True, "4.5 .. 5.5": True}
+
+    def test_plan_time_error(self, spark):
+        with pytest.raises(ValueError, match="swapped"):
+            pg_sql(spark, "SELECT '9 .. 2'::seg AS x")
