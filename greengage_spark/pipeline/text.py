@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 # identifiers key on — public stopword knowledge).  A production deployment
 # swaps in a trained character-n-gram model; the operator SHAPE (explode →
 # broadcast join → argmax, all JVM) is what matters at scale: the marker
-# table stays broadcast-small at any corpus size.  Tokens lowercase before
+# table stays broadcast-small at any corpus size.  The 14 snowball
+# languages use their FULL embedded stopword vocabularies (the same
+# byte-verified lists the text-search configs ship); the rest keep
+# 12-word starter lists.  Tokens lowercase before
 # matching; ties break to the lexicographically smallest language code and
 # zero-hit documents report 'und', both deterministic across engines.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -36,12 +39,39 @@ LANG_MARKERS: dict[str, list[str]] = {
     "ar": ["في", "من", "على", "أن", "إلى", "عن", "هذا", "مع", "كان", "لا", "ما", "هو"],
 }
 
+# For the 14 languages whose full function-word vocabularies the engine
+# already embeds (the snowball stopword lists, byte-equal to the
+# reference's .stop files), the 12-word starter lists above are replaced
+# by the complete lists — ~2,400 markers total, still broadcast-tiny.
+_SNOWBALL_ISO = {
+    "french": "fr", "german": "de", "spanish": "es", "russian": "ru",
+    "danish": "da", "norwegian": "no", "swedish": "sv", "italian": "it",
+    "portuguese": "pt", "dutch": "nl", "finnish": "fi",
+    "hungarian": "hu", "turkish": "tr",
+}
+
+
+def _load_snowball_markers() -> None:
+    from greengage_spark.functions import snowball
+    from greengage_spark.functions.snowball_en import STOPWORDS as _EN
+
+    LANG_MARKERS["en"] = sorted(_EN)
+    for lang, code in _SNOWBALL_ISO.items():
+        ws = snowball.STOPWORDS.get(lang)
+        if ws:
+            LANG_MARKERS[code] = sorted(ws)
+
+
+_load_snowball_markers()
+
 
 def lang_markers_values_sql() -> str:
     """The marker table as a SQL VALUES list — the DuckDB oracle embeds
     THIS, so query and oracle can never drift."""
     return ",".join(
-        f"('{lang}','{w}')" for lang, ws in LANG_MARKERS.items() for w in ws
+        "('%s','%s')" % (lang, w.replace("'", "''"))
+        for lang, ws in LANG_MARKERS.items()
+        for w in ws
     )
 
 # BPE-ish token regex: letter runs, digit runs, single punctuation marks.

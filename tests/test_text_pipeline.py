@@ -1,0 +1,28 @@
+"""Text-pipeline language identification (pipeline/text.py): the 14
+snowball-backed languages use their full embedded stopword
+vocabularies as marker lists; detection stays an explode → broadcast
+join → argmax plan."""
+
+
+def test_snowball_backed_language_id(spark):
+    from greengage_spark.pipeline.text import LANG_MARKERS, language_id
+
+    # full vocabularies loaded for the snowball-backed languages
+    assert len(LANG_MARKERS["es"]) == 313 and len(LANG_MARKERS["da"]) == 94
+    assert len(LANG_MARKERS["en"]) == 127 and len(LANG_MARKERS["fi"]) == 229
+    docs = spark.createDataFrame(
+        [
+            (1, "el gobierno ha dicho que no puede hacer nada por ahora"),
+            (2, "regeringen har sagt at den ikke kan gøre noget"),
+            (3, "hallitus on sanonut että se ei voi tehdä mitään"),
+            (4, "the government said that it cannot do anything for now"),
+            (5, "a kormány azt mondta hogy most nem tehet semmit"),
+            (6, "zzz qqq xxx"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r.lang_guess
+        for r in language_id(docs, "doc_id", "text", spark).collect()
+    }
+    assert out == {1: "es", 2: "da", 3: "fi", 4: "en", 5: "hu", 6: "und"}
