@@ -439,7 +439,6 @@ def _pass_chkpass(toks: list[str]) -> list[str]:
             )
             if left and left[0] == "__gg_chk":
                 inner = left[2:-1]
-                rb = _operand_start  # noqa: F841
                 rend = ra
                 # right operand span
                 if toks[ra] == "(" or _is_ident(toks[ra]) or _is_string(toks[ra]):
