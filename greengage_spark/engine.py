@@ -660,6 +660,28 @@ class GreengageEngine:
             from greengage_spark.operators.prepared import execute_cursor_stmt
 
             return execute_cursor_stmt(self, stmt)
+        # contrib/pg_prewarm (pg_prewarm.c): load a relation into cache.
+        # Spark's buffer cache analog is the block manager — cacheTable
+        # + an eager materialization; returns the number of cached
+        # partitions (the "blocks prewarmed" analog, documented).
+        m_warm = re.match(
+            r"(?is)^select\s+pg_prewarm\s*\(\s*'([\w.]+)'\s*"
+            r"(?:,\s*'(\w+)'\s*)?(?:,\s*'(\w+)'\s*)?\)\s*"
+            r"(?:as\s+\w+\s*)?;?\s*$",
+            stmt,
+        )
+        if m_warm:
+            name = m_warm.group(1).split(".")[-1].lower()
+            mode = (m_warm.group(2) or "buffer").lower()
+            if mode not in ("buffer", "read", "prefetch"):
+                raise ValueError(f'invalid prewarm mode "{mode}"')
+            df = self.execute(f"SELECT * FROM {name}")
+            df = df.cache()
+            df.count()  # eager load into the block manager
+            nparts = df.rdd.getNumPartitions()
+            return self.spark.createDataFrame(
+                [(nparts,)], "pg_prewarm bigint"
+            )
         # gp_parallel_retrieve_cursor's wait function (the extension's
         # gp_wait_parallel_retrieve_cursor): materialization is eager
         # here, so it reports the retrieval state without blocking

@@ -243,3 +243,30 @@ class TestSettingFunctions:
             .collect()[0].v
             == "ISO, MDY"
         )
+
+
+class TestPgPrewarm:
+    """contrib/pg_prewarm (pg_prewarm.c): load a relation into the
+    cache; our buffer cache is Spark's block manager, and the returned
+    count is cached partitions (the blocks analog, documented)."""
+
+    def test_prewarm_caches_table(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        eng.execute("CREATE TABLE warmme (k int8)")
+        eng.execute("INSERT INTO warmme SELECT g FROM generate_series(1, 100) g")
+        r = eng.execute("SELECT pg_prewarm('warmme')").collect()
+        assert r[0].pg_prewarm >= 1
+        r2 = eng.execute("SELECT pg_prewarm('warmme', 'read')").collect()
+        assert r2[0].pg_prewarm >= 1
+
+    def test_invalid_mode_rejects(self, spark, tmp_path):
+        import pytest as _p
+
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path / "wh"))
+        eng.execute("CREATE TABLE warmx (k int8)")
+        with _p.raises(ValueError, match="invalid prewarm mode"):
+            eng.execute("SELECT pg_prewarm('warmx', 'osmosis')")
