@@ -281,8 +281,8 @@ _SEG_OPS = (
     (("&", "&"), "overlap", None), (("<<",), "left", None),
     ((">>",), "right", None), (("&", "<"), "overleft", None),
     (("&", ">"), "overright", None),
-    (("<", "="), None, "<="), ((">", "="), None, ">="),
-    (("<>",), None, "<>"), (("!", "="), None, "<>"),
+    (("<=",), None, "<="), ((">=",), None, ">="),
+    (("<>",), None, "<>"), (("!=",), None, "<>"),
     (("=",), None, "="), (("<",), None, "<"), ((">",), None, ">"),
 )
 

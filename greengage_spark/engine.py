@@ -462,21 +462,25 @@ class GreengageEngine:
                 )
             if fmt not in ("csv", "text"):
                 raise ValueError(f"file_fdw format {fmt!r}")
+            # option values were unescaped ('' -> ') above; re-escape when
+            # re-embedding into the generated DDL or a quote in a value
+            # (delimiter '''', a filename with ') misparses downstream
+            q = lambda v: v.replace("'", "''")
             pieces = [f"FORMAT '{fmt.upper()}' ("]
             delim = opts.get("delimiter")
             if delim:
                 pieces.append(
                     "DELIMITER E'\\t'" if delim == "\t"
-                    else f"DELIMITER '{delim}'"
+                    else f"DELIMITER '{q(delim)}'"
                 )
             if "null" in opts:
-                pieces.append(f"NULL '{opts['null']}'")
+                pieces.append(f"NULL '{q(opts['null'])}'")
             if opts.get("header", "").lower() in ("true", "on", "1"):
                 pieces.append("HEADER")
             fmt_clause = pieces[0] + " ".join(pieces[1:]) + ")"
             ext = (
                 f"CREATE READABLE EXTERNAL TABLE {name} ({cols}) "
-                f"LOCATION ('file://{filename}') {fmt_clause}"
+                f"LOCATION ('file://{q(filename)}') {fmt_clause}"
             )
             return self._create_external_table(ext)
         if re.match(r"(?is)^drop\s+foreign\s+table\b", stmt):

@@ -23,7 +23,16 @@ def chkpass_in(password: str) -> str:
     from greengage_spark.functions.descrypt import crypt_des
 
     if password.startswith(":"):
-        return ":" + password[1:14]
+        # verbatim form must be exactly a 13-char crypt(3) hash from the
+        # itoa64 alphabet (chkpass.c chkpass_in rejects malformed input
+        # rather than storing junk that eq() would later mis-verify)
+        h = password[1:]
+        if len(h) != 13 or any(c not in _SALT_CHARS for c in h):
+            raise ValueError(
+                f"invalid encrypted chkpass input {password!r}: expected "
+                "':' + 13 characters from [./0-9A-Za-z]"
+            )
+        return ":" + h
     salt = (
         _SALT_CHARS[secrets.randbelow(64)] + _SALT_CHARS[secrets.randbelow(64)]
     )

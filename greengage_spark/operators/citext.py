@@ -209,7 +209,11 @@ def _rewrite_distinct(toks: list[str], low: list[str], cols: set[str]):
             if _is_citext_ref(toks, ia, bb, cols):
                 cit_items[k] = (ia, bb)
             elif any(
-                low[j] in cols and toks[j - 1] != "." for j in range(ia, ib)
+                low[j] in cols
+                # flag bare refs AND qualified refs (t.col); skip only the
+                # qualifier token itself (an ident immediately before '.')
+                and not (j + 1 < ib and toks[j + 1] == ".")
+                for j in range(ia, ib)
             ):
                 raise NotImplementedError(
                     "SELECT DISTINCT over an expression containing a "

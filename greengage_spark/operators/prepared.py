@@ -349,19 +349,53 @@ _EP_COLS = (
 )
 
 
+import itertools
+import weakref
+
+# monotonic session ids (the reference's are backend pids — unique per
+# session); id(engine)%N could collide across engine lifetimes
+_SESSION_IDS = itertools.count(1)
+# engines that have declared parallel cursors, grouped by SparkSession:
+# temp views are session-global, so the listing must aggregate every
+# engine sharing the session instead of stomping with the last writer
+_SESSION_ENGINES: dict[int, "weakref.WeakSet"] = {}
+
+
+def prc_session_id(engine) -> int:
+    sid = getattr(engine, "_prc_session_id", None)
+    if sid is None:
+        sid = next(_SESSION_IDS)
+        engine._prc_session_id = sid
+    return sid
+
+
 def refresh_endpoint_views(engine) -> None:
     """gp_endpoints / gp_session_endpoints (the extension's views over
-    gp_get_endpoints()): temp views refreshed on every state change."""
+    gp_get_endpoints() / gp_get_session_endpoints()): temp views
+    refreshed on every state change.  gp_endpoints lists every live
+    engine on this SparkSession; gp_session_endpoints only the calling
+    engine's (the reference's per-backend filter)."""
+    peers = _SESSION_ENGINES.setdefault(id(engine.spark), weakref.WeakSet())
+    peers.add(engine)
     rows = [
         tuple(ep[c] for c in _EP_COLS)
-        for cur in getattr(engine, "parallel_cursors", {}).values()
+        for eng in peers
+        for cur in getattr(eng, "parallel_cursors", {}).values()
         for ep in cur.endpoints.values()
     ]
     df = engine.spark.createDataFrame(rows, _EP_SCHEMA) if rows else (
         engine.spark.createDataFrame([], _EP_SCHEMA)
     )
     df.createOrReplaceTempView("gp_endpoints")
-    df.createOrReplaceTempView("gp_session_endpoints")
+    own = [
+        tuple(ep[c] for c in _EP_COLS)
+        for cur in getattr(engine, "parallel_cursors", {}).values()
+        for ep in cur.endpoints.values()
+    ]
+    own_df = engine.spark.createDataFrame(own, _EP_SCHEMA) if own else (
+        engine.spark.createDataFrame([], _EP_SCHEMA)
+    )
+    own_df.createOrReplaceTempView("gp_session_endpoints")
 
 
 def execute_cursor_stmt(engine, stmt: str):
@@ -398,7 +432,7 @@ def execute_cursor_stmt(engine, stmt: str):
             if df is None:
                 raise ValueError("DECLARE CURSOR requires a query")
             engine.parallel_cursors[name] = ParallelRetrieveCursor(
-                name, df, session_id=id(engine) % 100000
+                name, df, session_id=prc_session_id(engine)
             )
             refresh_endpoint_views(engine)
             return None

@@ -337,12 +337,14 @@ def parse_create_external(stmt: str) -> ExternalTableDef:
     null_str = ""
     header = False
     if fmt_opts:
-        md = re.search(r"(?is)delimiter\s+(?:as\s+)?(?:e)?'([^']*)'", fmt_opts)
+        md = re.search(
+            r"(?is)delimiter\s+(?:as\s+)?(?:e)?'((?:[^']|'')*)'", fmt_opts
+        )
         if md:
-            delimiter = md.group(1).replace("\\t", "\t")
-        mn = re.search(r"(?is)null\s+(?:as\s+)?'([^']*)'", fmt_opts)
+            delimiter = md.group(1).replace("''", "'").replace("\\t", "\t")
+        mn = re.search(r"(?is)null\s+(?:as\s+)?'((?:[^']|'')*)'", fmt_opts)
         if mn:
-            null_str = mn.group(1)
+            null_str = mn.group(1).replace("''", "'")
         header = bool(re.search(r"(?is)\bheader\b", fmt_opts))
     if exec_cmd is not None:
         if writable:

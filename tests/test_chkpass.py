@@ -36,6 +36,15 @@ class TestKernels:
         v = chkpass_in("x")
         assert chkpass_raw(v) == v[1:]
 
+    def test_malformed_encrypted_input_rejected(self):
+        # chkpass.c errors on malformed pre-encrypted input rather than
+        # silently truncating/accepting it
+        import pytest
+
+        for bad in (":short", ":" + "x" * 14, ":abc!efghijklm", ":"):
+            with pytest.raises(ValueError, match="invalid encrypted"):
+                chkpass_in(bad)
+
 
 class TestSql:
     def test_cast_eq_ne(self, spark):

@@ -148,6 +148,21 @@ class TestCitextGroupJoinOrder:
         with pytest.raises(NotImplementedError, match="expression"):
             eng.execute("SELECT DISTINCT nick || 'x' FROM users")
 
+    def test_distinct_qualified_expression_rejects_too(self, eng):
+        # qualified refs must reject exactly like bare ones — otherwise
+        # u.nick || 'x' would silently run case-SENSITIVE
+        with pytest.raises(NotImplementedError, match="expression"):
+            eng.execute("SELECT DISTINCT u.nick || 'x' FROM users u")
+
+    def test_distinct_qualified_bare_ref_folds(self, eng):
+        got = [
+            r[0]
+            for r in eng.execute(
+                "SELECT DISTINCT u.nick FROM users u ORDER BY nick"
+            ).collect()
+        ]
+        assert got == ["DAMIAN", "Larry", "Tom"]
+
     def test_distinct_non_citext_untouched(self, eng):
         got = [
             r[0]

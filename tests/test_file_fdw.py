@@ -55,6 +55,18 @@ class TestFileFdw:
         ).collect()
         assert [(r.label, r.s) for r in rows] == [("one", 15), ("two", 20)]
 
+    def test_quote_delimiter_reescaped(self, eng, tmp_path):
+        # delimiter '''' (a single-quote char) must survive the lowering
+        # into external-table DDL without misparsing the statement
+        p = tmp_path / "q.txt"
+        p.write_text("1'ann\n2'bob\n")
+        eng.execute(
+            f"CREATE FOREIGN TABLE qd (id int4, name text) SERVER files "
+            f"OPTIONS (filename '{p}', format 'csv', delimiter '''')"
+        )
+        rows = eng.execute("SELECT id, name FROM qd ORDER BY id").collect()
+        assert [(r.id, r.name) for r in rows] == [(1, "ann"), (2, "bob")]
+
     def test_unknown_server_rejects(self, eng, tmp_path):
         with pytest.raises(ValueError, match="does not exist"):
             eng.execute(

@@ -102,6 +102,40 @@ class TestParallelRetrieveCursor:
             eng.execute("DECLARE pc PARALLEL RETRIEVE CURSOR FOR "
                         "SELECT k FROM prct")
 
+    def test_two_engines_share_endpoint_listing(self, eng, spark, tmp_path):
+        # gp_endpoints is session-global: two engines on one SparkSession
+        # must both appear (and get distinct session ids) instead of the
+        # last refresher stomping the other's listing
+        eng2 = GreengageEngine(spark, str(tmp_path / "wh2"))
+        eng2.execute("CREATE TABLE prct2 (k int8)")
+        eng2.execute("INSERT INTO prct2 VALUES (1), (2)")
+        eng.execute("DECLARE pca PARALLEL RETRIEVE CURSOR FOR "
+                    "SELECT k FROM prct")
+        eng2.execute("DECLARE pcb PARALLEL RETRIEVE CURSOR FOR "
+                     "SELECT k FROM prct2")
+        names = {
+            r.cursorname
+            for r in eng.execute(
+                "SELECT cursorname FROM gp_endpoints"
+            ).collect()
+        }
+        assert names == {"pca", "pcb"}
+        sids = {
+            r.sessionid
+            for r in eng2.execute(
+                "SELECT sessionid FROM gp_endpoints"
+            ).collect()
+        }
+        assert len(sids) == 2
+        # gp_session_endpoints keeps the per-backend filter
+        own = {
+            r.cursorname
+            for r in eng2.execute(
+                "SELECT cursorname FROM gp_session_endpoints"
+            ).collect()
+        }
+        assert own == {"pcb"}
+
     def test_plain_cursor_unaffected(self, eng):
         eng.execute("DECLARE oc CURSOR FOR SELECT k FROM prct "
                     "WHERE k <= 3 ORDER BY k")

@@ -93,9 +93,16 @@ class TestSqlOperators:
             "'1 .. 2'::seg <> '1 .. 3'::seg AS ne, "
             "'1 .. 2'::seg < '1 .. 3'::seg AS lt, "
             "'2 .. 3'::seg > '1 .. 9'::seg AS gt, "
-            "'1 .. 2'::seg <= '1 .. 2'::seg AS le",
+            "'1 .. 2'::seg <= '1 .. 2'::seg AS le, "
+            "'2 .. 3'::seg <= '10 .. 20'::seg AS le2, "
+            "'10 .. 20'::seg >= '2 .. 3'::seg AS ge2, "
+            "'2 .. 3'::seg != '10 .. 20'::seg AS ne2, "
+            "'10 .. 20'::seg <= '2 .. 3'::seg AS le3",
         ).collect()[0]
         assert r.eq and r.ne and r.lt and r.gt and r.le
+        # asymmetric ordering: multi-digit bounds exercise numeric (not
+        # string) comparison — '2 .. 3' <= '10 .. 20' is TRUE in seg.c
+        assert r.le2 and r.ge2 and r.ne2 and not r.le3
 
     def test_functions_and_unbounded(self, spark):
         r = pg_sql(
