@@ -2160,10 +2160,15 @@ class GreengageEngine:
             # output file per partition, appended).
             if not etd.writable:
                 raise ValueError(f"cannot INSERT into READABLE external table {name!r}")
-            from greengage_spark.sources.external import copy_to
-
             self._register_all()
             src = pg_sql(self.spark, body)
+            if etd.table is not None:
+                # gpfdist:// unload: per-partition POST streams to the
+                # daemon (url_curl.c forwrite)
+                etd.table.write(src)
+                return None
+            from greengage_spark.sources.external import copy_to
+
             copy_to(src, etd.location, etd.fmt, header=etd.header, mode="append")
             return None
         td = self.ddl.tables.get(name)

@@ -1569,6 +1569,56 @@ def external_gpfdist_scan(spark, sf_dir):
 
 
 @suite.add(
+    "external_gpfdist_unload",
+    oracle="""
+    SELECT n_nationkey AS k, n_name AS v FROM nation ORDER BY k
+    """,
+    doc="WRITABLE gpfdist:// external table — parallel unload "
+        "(gram.y:5432-5501 WRITABLE; url_curl.c forwrite POST with "
+        "X-GP-PROTO 0 / X-GP-SEQ / X-GP-DONE; gpfdist.c "
+        "handle_post_request; fileam.c external_insert): INSERT INTO the "
+        "external table streams each input partition out through its own "
+        "POST session to the daemon (chunked ~64 KB, duplicate-sequence "
+        "retries dropped server-side), then the result reads back through "
+        "the READABLE gpfdist path — a full daemon round trip. The driver "
+        "never touches the data; its only result is one count row per "
+        "partition.",
+    tags=("engine", "external", "unload"),
+)
+def external_gpfdist_unload(spark, sf_dir):
+    import os
+
+    from greengage_spark.engine import GreengageEngine
+    from greengage_spark.sources.gpfdist import serve_directory
+
+    root = tempfile.mkdtemp(prefix="gg_gpfd_w_")
+    srv, port = serve_directory(root)
+    try:
+        eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_gpfw2_"))
+        nation = cat(spark, sf_dir).table("nation").select(
+            F.col("n_nationkey").cast("long"), "n_name"
+        )
+        nation.createOrReplaceTempView("nation_src")
+        eng.execute(
+            f"CREATE WRITABLE EXTERNAL TABLE nation_out (k int8, v text) "
+            f"LOCATION ('gpfdist://127.0.0.1:{port}/nation.txt') "
+            f"FORMAT 'TEXT' DISTRIBUTED BY (k)"
+        )
+        eng.execute("INSERT INTO nation_out SELECT * FROM nation_src")
+        eng.execute(
+            f"CREATE EXTERNAL TABLE nation_back (k int8, v text) LOCATION "
+            f"('gpfdist://127.0.0.1:{port}/nation.txt') FORMAT 'TEXT'"
+        )
+        # materialize before the server shuts down (the view is lazy)
+        rows = eng.execute(
+            "SELECT k, v FROM nation_back ORDER BY k"
+        ).collect()
+    finally:
+        srv.shutdown()
+    return spark.createDataFrame(rows, "k bigint, v string")
+
+
+@suite.add(
     "external_http_scan",
     oracle="""
     SELECT CAST(g AS BIGINT) AS k, 'row-' || g AS v

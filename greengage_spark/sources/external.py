@@ -268,7 +268,10 @@ def parse_create_external(stmt: str) -> ExternalTableDef:
         r"(?:\s+on\s+(all|master|\d+))?)\s*"
         r"format\s+'(text|csv|custom)'\s*(?:\(([^)]*)\))?"
         r"(?:\s+log\s+errors)?"
-        r"(?:\s+segment\s+reject\s+limit\s+(\d+)\s*(rows|percent)?)?\s*$",
+        r"(?:\s+segment\s+reject\s+limit\s+(\d+)\s*(rows|percent)?)?"
+        # writable tables commonly declare a distribution (gram.y
+        # OptDistributedBy); informational here — partitioning is Spark's
+        r"(?:\s+distributed\s+(?:randomly|replicated|by\s*\([^)]*\)))?\s*$",
         stmt.strip(),
     )
     if not m:
@@ -369,7 +372,21 @@ def parse_create_external(stmt: str) -> ExternalTableDef:
                 "LOCATION lists cannot mix gpfdist:// with other protocols"
             )
         if writable:
-            raise NotImplementedError("WRITABLE gpfdist external tables")
+            # parallel unload (url_curl.c forwrite POST; fileam.c
+            # external_insert): INSERT streams each partition out through
+            # its own daemon connection
+            from greengage_spark.sources.gpfdist import GpfdistWritableTable
+
+            wtab = GpfdistWritableTable(
+                uris=raw_uris,
+                schema=schema,
+                fmt=fmt,
+                delimiter=delimiter,
+                null_str=null_str,
+            )
+            return ExternalTableDef(
+                name=name, writable=True, table=wtab, fmt=fmt, header=header
+            )
         from greengage_spark.sources.gpfdist import GpfdistExternalTable
 
         gtab = GpfdistExternalTable(

@@ -150,6 +150,180 @@ class GpfdistExternalTable:
         return parsed.select("r.*")
 
 
+def post_segment_chunks(
+    url: str, seg_id: int, seg_count: int, chunks, xid: str = "1"
+) -> int:
+    """One segment's unload stream — the url_curl.c forwrite POST
+    contract (url_curl.c:1343-1358 write headers; gp_proto0_write /
+    gp_proto0_write_done): X-GP-PROTO 0, X-GP-SEQ counting up from 1,
+    one POST per buffered chunk, then a final empty POST carrying
+    X-GP-DONE: 1.  Returns the number of data POSTs sent."""
+    from urllib.request import Request, urlopen
+
+    http_url = "http://" + url[len("gpfdist://"):]
+    base = {
+        "X-GP-PROTO": "0",
+        "X-GP-SEGMENT-ID": str(seg_id),
+        "X-GP-SEGMENT-COUNT": str(seg_count),
+        "X-GP-XID": xid,
+        "X-GP-CID": "1",
+        "X-GP-SN": "1",
+        "Content-Type": "text/xml",
+    }
+    seq = 0
+    for chunk in chunks:
+        if not chunk:
+            continue
+        seq += 1
+        hdrs = dict(base)
+        hdrs["X-GP-SEQ"] = str(seq)
+        req = Request(http_url, data=chunk, headers=hdrs, method="POST")
+        with urlopen(req, timeout=60) as resp:
+            resp.read()
+    hdrs = dict(base)
+    # write_done keeps the last data seq (url_curl.c gp_proto0_write_done
+    # adds X-GP-DONE without bumping the counter)
+    hdrs["X-GP-SEQ"] = str(max(seq, 1))
+    hdrs["X-GP-DONE"] = "1"
+    req = Request(http_url, data=b"", headers=hdrs, method="POST")
+    with urlopen(req, timeout=60) as resp:
+        resp.read()
+    return seq
+
+
+def render_unload_lines(df: DataFrame, fmt: str, delimiter: str | None,
+                        null_str: str | None) -> DataFrame:
+    """Serialize rows to TEXT/CSV wire lines in ONE JVM projection
+    (copy.c CopyTo serialization: tab delimiter + \\N nulls + backslash
+    escapes for TEXT, quoted CSV otherwise).  Rows stay distributed —
+    the caller decides where the lines go."""
+    from pyspark.sql.types import BooleanType, DateType, TimestampType
+
+    if fmt == "csv":
+        sep = delimiter or ","
+        opts = {"sep": sep, "nullValue": null_str or ""}
+        return df.select(
+            F.to_csv(F.struct(*df.columns), opts).alias("line")
+        )
+    sep = delimiter or "\t"
+    nullv = null_str if null_str else "\\N"
+
+    def render(field):
+        c = F.col(field.name)
+        if isinstance(field.dataType, BooleanType):
+            s = F.when(c, "t").otherwise("f")
+        elif isinstance(field.dataType, TimestampType):
+            s = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+        elif isinstance(field.dataType, DateType):
+            s = F.date_format(c, "yyyy-MM-dd")
+        else:
+            s = c.cast("string")
+            for lit, esc in (("\\", "\\\\"), ("\t", "\\t"),
+                             ("\n", "\\n"), ("\r", "\\r")):
+                s = F.replace(s, F.lit(lit), F.lit(esc))
+        return F.coalesce(s, F.lit(nullv))
+
+    return df.select(
+        F.concat_ws(sep, *[render(f) for f in df.schema.fields]).alias("line")
+    )
+
+
+@dataclass
+class GpfdistWritableTable:
+    """WRITABLE EXTERNAL TABLE ... LOCATION ('gpfdist://host:port/file')
+    (gram.y:5432-5501 WRITABLE; fileam.c external_insert; url_curl.c
+    forwrite).  INSERT streams rows out in parallel: each input
+    partition is a writing segment that opens ITS OWN POST session to
+    its round-robin URI (the reference's location-list assignment) and
+    pushes ~64 KB buffered chunks — the driver never touches the data
+    path; the only driver-side result is one count row per partition
+    (the rowcount report, bounded by partition count)."""
+
+    uris: list[str]
+    schema: str | StructType
+    fmt: str = "text"
+    delimiter: str | None = None
+    null_str: str = ""
+
+    # url_curl.c buffers writable_external_table_bufsize (default 64KB)
+    CHUNK_BYTES = 64 * 1024
+
+    def write(self, df: DataFrame) -> int:
+        """Unload ``df`` through the daemon; returns the row count."""
+        schema = self.schema
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        if len(df.columns) != len(schema.fields):
+            raise ValueError(
+                f"INSERT has {len(df.columns)} expressions for "
+                f"{len(schema.fields)} columns"
+            )
+        aligned = df.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(df.columns, schema.fields)
+            ]
+        )
+        lines = render_unload_lines(
+            aligned, self.fmt, self.delimiter, self.null_str
+        )
+        import uuid
+
+        uris = list(self.uris)
+        # one writer per input partition — no repartition shuffle in the
+        # common case; the true partition id is the segment id (the
+        # daemon's retry dedupe keys on XID+segment, so ids must not
+        # collide within one INSERT).  When the input has fewer
+        # partitions than declared URIs, widen so every daemon receives
+        # a share (the reference requires #segments >= #location URIs
+        # for writable gpfdist, fileam.c/createplan.c)
+        nseg = max(lines.rdd.getNumPartitions(), 1)
+        if nseg < len(uris):
+            nseg = len(uris)
+            lines = lines.repartition(nseg)
+        xid = uuid.uuid4().hex  # one transaction id per INSERT (GP_XID)
+        chunk_bytes = self.CHUNK_BYTES
+
+        def run(batches):
+            import pandas as pd
+            from pyspark import TaskContext
+
+            # the task's partition id IS the segment id — taken from the
+            # TaskContext, not a spark_partition_id() column (a column
+            # would constant-fold to 0 on LocalRelation/VALUES plans and
+            # collide every writer onto one daemon session)
+            seg = TaskContext.get().partitionId()
+            url = uris[seg % len(uris)]
+            sent = 0
+
+            def chunks():
+                nonlocal sent
+                buf, size = [], 0
+                for pdf in batches:
+                    for ln in pdf["line"]:
+                        b = (ln + "\n").encode("utf-8")
+                        buf.append(b)
+                        size += len(b)
+                        sent += 1
+                        if size >= chunk_bytes:
+                            yield b"".join(buf)
+                            buf, size = [], 0
+                if buf:
+                    yield b"".join(buf)
+
+            post_segment_chunks(url, seg, nseg, chunks(), xid=xid)
+            if sent:
+                yield pd.DataFrame({"seg": [seg], "rows": [sent]})
+
+        counts = (
+            lines.mapInPandas(run, "seg int, rows long")
+            .groupBy()
+            .agg(F.coalesce(F.sum("rows"), F.lit(0)).alias("n"))
+            .collect()
+        )
+        return int(counts[0]["n"])
+
+
 # ---------------------------------------------------------------------------
 # minimal gpfdist-compatible server (test fixture / local serving)
 # ---------------------------------------------------------------------------
@@ -168,9 +342,60 @@ def serve_directory(root: str, port: int = 0):
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    # write-session dedupe: (xid, cid, sn, seg, path) -> last X-GP-SEQ
+    # accepted (the real daemon drops retried duplicate sequences)
+    write_lock = threading.Lock()
+    write_seqs: dict[tuple, int] = {}
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
+
+        def _resolve(self):
+            path = os.path.normpath(self.path.lstrip("/"))
+            full = os.path.join(root, path)
+            inside = os.path.realpath(full).startswith(os.path.realpath(root))
+            return path, full, inside
+
+        def do_POST(self):  # noqa: N802 - http.server API
+            """gpfdist write side (gpfdist.c handle_post_request): append
+            each body to the target file — gfile.c opens O_WRONLY|O_CREAT|
+            O_APPEND — dropping duplicate X-GP-SEQ retries; X-GP-DONE
+            closes the segment's stream."""
+            path, full, inside = self._resolve()
+            if not inside:
+                self.send_response(404)
+                self.end_headers()
+                return
+            if self.headers.get("X-GP-PROTO") != "0":
+                self.send_response(400, "write requires X-GP-PROTO 0")
+                self.end_headers()
+                return
+            length = int(self.headers.get("Content-Length", "0") or 0)
+            body = self.rfile.read(length) if length else b""
+            key = (
+                self.headers.get("X-GP-XID", ""),
+                self.headers.get("X-GP-CID", ""),
+                self.headers.get("X-GP-SN", ""),
+                self.headers.get("X-GP-SEGMENT-ID", ""),
+                path,
+            )
+            seq = int(self.headers.get("X-GP-SEQ", "1") or 1)
+            if body and not self.headers.get("X-GP-DONE"):
+                with write_lock:
+                    if seq > write_seqs.get(key, 0):
+                        with open(full, "ab") as fh:
+                            fh.write(body)
+                        write_seqs[key] = seq
+            elif self.headers.get("X-GP-DONE"):
+                # the daemon opens the target at session open, so an
+                # empty segment still leaves the (empty) file behind
+                with write_lock:
+                    open(full, "ab").close()
+            self.send_response(200)
+            self.send_header("X-GP-PROTO", "0")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
 
         def do_GET(self):  # noqa: N802 - http.server API
             path = os.path.normpath(self.path.lstrip("/"))

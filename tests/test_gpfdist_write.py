@@ -1,0 +1,188 @@
+"""WRITABLE gpfdist:// external tables — parallel unload through the
+daemon (gram.y:5432-5501 WRITABLE; url_curl.c forwrite POST path with
+X-GP-PROTO 0 / X-GP-SEQ / X-GP-DONE; gpfdist.c handle_post_request;
+fileam.c external_insert).  INSERT INTO the external table streams each
+input partition out through its own POST session; the daemon appends
+bodies in arrival order and drops duplicate retried sequences."""
+
+import os
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+from greengage_spark.sources.gpfdist import (
+    post_segment_chunks,
+    serve_directory,
+)
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return GreengageEngine(spark, str(tmp_path / "wh"))
+
+
+@pytest.fixture()
+def served(tmp_path):
+    root = tmp_path / "gpfd"
+    root.mkdir()
+    srv, port = serve_directory(str(root))
+    yield str(root), port
+    srv.shutdown()
+
+
+class TestPostProtocol:
+    def test_post_appends_chunks_then_done(self, served):
+        root, port = served
+        n = post_segment_chunks(
+            f"gpfdist://127.0.0.1:{port}/out.txt", 0, 1,
+            [b"1\ta\n2\tb\n", b"3\tc\n"],
+        )
+        assert n == 2
+        assert (
+            open(os.path.join(root, "out.txt")).read()
+            == "1\ta\n2\tb\n3\tc\n"
+        )
+
+    def test_duplicate_seq_retry_dropped(self, served):
+        root, port = served
+        from urllib.request import Request, urlopen
+
+        url = f"http://127.0.0.1:{port}/dup.txt"
+        hdrs = {
+            "X-GP-PROTO": "0", "X-GP-SEGMENT-ID": "0",
+            "X-GP-SEGMENT-COUNT": "1", "X-GP-XID": "7",
+            "X-GP-CID": "1", "X-GP-SN": "1", "X-GP-SEQ": "1",
+        }
+        for _ in range(2):  # the retry re-sends the SAME sequence number
+            with urlopen(Request(url, data=b"once\n", headers=hdrs,
+                                 method="POST")) as r:
+                r.read()
+        assert open(os.path.join(root, "dup.txt")).read() == "once\n"
+
+    def test_concurrent_segments_interleave_whole_bodies(self, served):
+        root, port = served
+        import threading
+
+        url = f"gpfdist://127.0.0.1:{port}/multi.txt"
+
+        def seg(i):
+            post_segment_chunks(
+                url, i, 4, [f"{i}\tseg-{i}\n".encode()], xid=str(i)
+            )
+
+        ts = [threading.Thread(target=seg, args=(i,)) for i in range(4)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        lines = sorted(open(os.path.join(root, "multi.txt")).read().splitlines())
+        assert lines == [f"{i}\tseg-{i}" for i in range(4)]
+
+    def test_write_requires_proto0(self, served):
+        root, port = served
+        from urllib.error import HTTPError
+        from urllib.request import Request, urlopen
+
+        req = Request(
+            f"http://127.0.0.1:{port}/x.txt", data=b"n",
+            headers={"X-GP-PROTO": "1"}, method="POST",
+        )
+        with pytest.raises(HTTPError):
+            urlopen(req).read()
+
+
+class TestWritableGpfdistDdl:
+    def test_insert_select_roundtrip_text(self, eng, served, spark):
+        root, port = served
+        eng.execute("CREATE TABLE src (k int8, v text)")
+        eng.execute(
+            "INSERT INTO src SELECT g, 'row-' || g "
+            "FROM generate_series(0, 49) g"
+        )
+        eng.execute(
+            f"CREATE WRITABLE EXTERNAL TABLE wext (k int8, v text) "
+            f"LOCATION ('gpfdist://127.0.0.1:{port}/unload.txt') "
+            f"FORMAT 'TEXT' DISTRIBUTED BY (k)"
+        )
+        eng.execute("INSERT INTO wext SELECT k, v FROM src")
+        got = sorted(
+            tuple(ln.split("\t"))
+            for ln in open(os.path.join(root, "unload.txt")).read().splitlines()
+        )
+        assert got == sorted((str(i), f"row-{i}") for i in range(50))
+
+    def test_roundtrip_through_readable_table(self, eng, served):
+        root, port = served
+        eng.execute("CREATE TABLE src2 (k int8, v text)")
+        eng.execute("INSERT INTO src2 VALUES (1, 'a'), (2, 'b'), (3, NULL)")
+        eng.execute(
+            f"CREATE WRITABLE EXTERNAL TABLE wx2 (k int8, v text) LOCATION "
+            f"('gpfdist://127.0.0.1:{port}/rt.txt') FORMAT 'TEXT'"
+        )
+        eng.execute("INSERT INTO wx2 SELECT k, v FROM src2")
+        eng.execute(
+            f"CREATE EXTERNAL TABLE rx2 (k int8, v text) LOCATION "
+            f"('gpfdist://127.0.0.1:{port}/rt.txt') FORMAT 'TEXT'"
+        )
+        got = sorted(
+            map(tuple, eng.execute("SELECT k, v FROM rx2").collect())
+        )
+        assert got == [(1, "a"), (2, "b"), (3, None)]
+
+    def test_csv_format_write(self, eng, served):
+        root, port = served
+        eng.execute(
+            f"CREATE WRITABLE EXTERNAL TABLE wcsv (k int8, v text) LOCATION "
+            f"('gpfdist://127.0.0.1:{port}/out.csv') FORMAT 'CSV'"
+        )
+        eng.execute(
+            "INSERT INTO wcsv VALUES (1, 'plain'), (2, 'with,comma')"
+        )
+        content = sorted(
+            open(os.path.join(root, "out.csv")).read().splitlines()
+        )
+        assert content == ['1,plain', '2,"with,comma"']
+
+    def test_multi_uri_round_robin_unload(self, eng, served, tmp_path):
+        root, port = served
+        root2 = tmp_path / "gpfd2"
+        root2.mkdir()
+        srv2, port2 = serve_directory(str(root2))
+        try:
+            eng.execute("CREATE TABLE srcm (k int8)")
+            eng.execute(
+                "INSERT INTO srcm SELECT g FROM generate_series(1, 40) g"
+            )
+            eng.execute(
+                f"CREATE WRITABLE EXTERNAL TABLE wm (k int8) LOCATION ("
+                f"'gpfdist://127.0.0.1:{port}/part.txt', "
+                f"'gpfdist://127.0.0.1:{port2}/part.txt') FORMAT 'TEXT'"
+            )
+            eng.execute("INSERT INTO wm SELECT k FROM srcm")
+            a = os.path.join(root, "part.txt")
+            b = os.path.join(str(root2), "part.txt")
+            got = []
+            for f in (a, b):
+                if os.path.exists(f):
+                    got += [int(x) for x in open(f).read().split()]
+            assert sorted(got) == list(range(1, 41))
+            # both servers received a share (round-robin assignment)
+            assert os.path.exists(a) and os.path.exists(b)
+        finally:
+            srv2.shutdown()
+
+    def test_select_from_writable_rejects(self, eng, served):
+        _, port = served
+        eng.execute(
+            f"CREATE WRITABLE EXTERNAL TABLE wsel (k int8) LOCATION "
+            f"('gpfdist://127.0.0.1:{port}/w.txt') FORMAT 'TEXT'"
+        )
+        with pytest.raises(Exception):
+            eng.execute("SELECT * FROM wsel").collect()
+
+    def test_column_count_mismatch_rejects(self, eng, served):
+        _, port = served
+        eng.execute(
+            f"CREATE WRITABLE EXTERNAL TABLE wmm (k int8, v text) LOCATION "
+            f"('gpfdist://127.0.0.1:{port}/mm.txt') FORMAT 'TEXT'"
+        )
+        with pytest.raises(ValueError, match="expressions"):
+            eng.execute("INSERT INTO wmm SELECT 1")
