@@ -84,6 +84,34 @@ def main() -> None:
     # long enough per pass that 3 passes already beat sf0.1's 5 on noise)
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
     loadavg_before = os.getloadavg()
+
+    # Box-speed calibration probe: a fixed CPU workload (seeded 1024^2
+    # float64 matmul) and a fixed Spark workload (count over a cached
+    # 10M-row range), both best-of-3 wall-clock.  Cross-session box-speed
+    # swings of ~40% have been observed on unchanged code; dividing a
+    # query timing by (calibration / its historical value) normalizes
+    # artifacts against each other without rerunning old commits (the
+    # normalization rule is documented in SCALE.md).
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.random((1024, 1024))
+    b = rng.random((1024, 1024))
+    numpy_ms = min(
+        (lambda t0: ((a @ b).sum(), (time.time() - t0) * 1000)[1])(time.time())
+        for _ in range(3)
+    )
+    cal_df = spark.range(10_000_000).cache()
+    cal_df.count()  # materialize the cache outside the timed window
+    spark_ms = min(
+        (lambda t0: (cal_df.count(), (time.time() - t0) * 1000)[1])(time.time())
+        for _ in range(3)
+    )
+    cal_df.unpersist()
+    calibration = {
+        "numpy_matmul_ms": round(numpy_ms, 1),
+        "spark_count_ms": round(spark_ms, 1),
+    }
     timings: dict[str, float] = {}
     pass_totals: list[float] = []
     for _ in range(passes):
@@ -113,6 +141,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "passes": pass_totals,
+                "calibration": calibration,
                 "loadavg_before": [round(x, 2) for x in loadavg_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "cpus": os.cpu_count(),
