@@ -322,20 +322,15 @@ def _block_symbols(zz: np.ndarray, pred: int) -> tuple[int, list, list]:
     return int(zz[0]), (t, raw), ac
 
 
-def encode_jpeg(
+def _prep_components(
     pixels: np.ndarray,
-    quality: int = 85,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-    qtables: tuple[np.ndarray, np.ndarray] | None = None,
-) -> bytes:
-    """Baseline JFIF encoder.
-
-    pixels: uint8 array, shape (H, W) for grayscale or (H, W, 3) RGB.
-    subsampling: '4:4:4', '4:2:2', or '4:2:0' (3-component only).
-    qtables: optional explicit (luma, chroma) 8x8 int tables — tests use
-    e.g. a DC-8 table for exact solid-color round trips.
-    """
+    quality: int,
+    subsampling: str,
+    qtables: tuple[np.ndarray, np.ndarray] | None,
+):
+    """Shared encoder front half: color transform, subsampling, DCT +
+    quantization.  Returns (gray, h, w, comps, comp_blocks, comp_bw,
+    qluma, qchroma, mcux, mcuy) — comps is (cid, h, v, tq, plane)."""
     pixels = np.asarray(pixels)
     if pixels.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8 pixels")
@@ -354,7 +349,6 @@ def encode_jpeg(
         raise ValueError(f"unknown subsampling {subsampling!r}")
     hs, vs = (1, 1) if gray else samp
 
-    # --- component planes -> quantized zigzag block streams -------------
     if gray:
         comps = [(1, 1, 1, 0, pixels.astype(np.float64))]
     else:
@@ -384,6 +378,27 @@ def encode_jpeg(
         q = _quantized_blocks(padded, qluma if tq == 0 else qchroma)
         comp_blocks.append(q[:, zz_rc[0], zz_rc[1]])  # zigzag vectors
         comp_bw.append(padded.shape[1] // 8)
+    return gray, h, w, comps, comp_blocks, comp_bw, qluma, qchroma, mcux, mcuy
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+    qtables: tuple[np.ndarray, np.ndarray] | None = None,
+) -> bytes:
+    """Baseline JFIF encoder.
+
+    pixels: uint8 array, shape (H, W) for grayscale or (H, W, 3) RGB.
+    subsampling: '4:4:4', '4:2:2', or '4:2:0' (3-component only).
+    qtables: optional explicit (luma, chroma) 8x8 int tables — tests use
+    e.g. a DC-8 table for exact solid-color round trips.
+    """
+    (gray, h, w, comps, comp_blocks, comp_bw,
+     qluma, qchroma, mcux, mcuy) = _prep_components(
+        pixels, quality, subsampling, qtables
+    )
 
     # --- MCU-ordered symbol stream (two passes: stats, then bits) -------
     def mcu_stream():
@@ -477,6 +492,237 @@ def encode_jpeg(
     return bytes(out)
 
 
+class _ProgressiveWriter:
+    """Entropy writer for one progressive AC scan: EOB-run accumulation
+    plus the refinement correction-bit buffer (T.81 G.1.2.2-G.1.2.3:
+    buffered bits are emitted after the symbol that flushes them)."""
+
+    def __init__(self, bw: "_BitWriter"):
+        self.bw = bw
+        self.eobrun = 0
+        self.be: list[int] = []  # correction bits riding the EOB run
+        self.table: HuffTable | None = None
+        self.freqs: dict[int, int] = {}
+
+    def symbol(self, sym: int) -> None:
+        if self.table is None:  # stats pass
+            self.freqs[sym] = self.freqs.get(sym, 0) + 1
+        else:
+            code, ln = self.table.encode_map[sym]
+            self.bw.write(code, ln)
+
+    def bits(self, value: int, n: int) -> None:
+        if self.table is not None and n:
+            self.bw.write(value, n)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.symbol(nbits << 4)
+            self.bits(self.eobrun, nbits)  # low bits; top bit implied
+            self.eobrun = 0
+            for b in self.be:
+                self.bits(b, 1)
+            self.be = []
+
+
+def _encode_dc_scan(writer, comps_idx, comp_blocks, comp_bw, mcux, mcuy, al, ah):
+    """DC scan over all components, interleaved (first pass: Huffman-coded
+    diffs of DC >> al; refinement: one raw bit per block)."""
+    preds = [0] * len(comps_idx)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (tclass, ch, cv) in enumerate(comps_idx):
+                for by in range(cv):
+                    for bx in range(ch):
+                        bi = (my * cv + by) * comp_bw[ci] + (mx * ch + bx)
+                        dc = int(comp_blocks[ci][bi][0])
+                        if ah == 0:
+                            v = dc >> al  # arithmetic shift, like the spec
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            t = _category(diff)
+                            raw = diff if diff >= 0 else diff + (1 << t) - 1
+                            writer[tclass].symbol(t)
+                            writer[tclass].bits(raw, t)
+                        else:
+                            writer[tclass].bits((dc >> al) & 1, 1)
+
+
+def _encode_ac_first(w: _ProgressiveWriter, blocks, bw_stride, hb, wb, ss, se, al):
+    """AC first pass for one component (G.1.2.2): band values scaled by
+    2^al, zero runs + EOB-run coding across blocks."""
+    for by in range(hb):
+        for bx in range(wb):
+            zz = blocks[by * bw_stride + bx]
+            r = 0
+            for k in range(ss, se + 1):
+                coef = int(zz[k])
+                t = (-coef if coef < 0 else coef) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                w.flush_eobrun()
+                while r > 15:
+                    w.symbol(0xF0)
+                    r -= 16
+                s = t.bit_length()
+                raw = t if coef >= 0 else (1 << s) - 1 - t
+                w.symbol((r << 4) | s)
+                w.bits(raw, s)
+                r = 0
+            if r > 0:
+                w.eobrun += 1
+                if w.eobrun == 0x7FFF:
+                    w.flush_eobrun()
+    w.flush_eobrun()
+
+
+def _encode_ac_refine(w: _ProgressiveWriter, blocks, bw_stride, hb, wb, ss, se, al):
+    """AC refinement pass (G.1.2.3): newly-nonzero coefficients emit
+    (zero-run, 1) symbols + a sign bit; already-nonzero history positions
+    contribute one correction bit each, buffered and emitted after the
+    symbol (or EOB run) that flushes them."""
+    for by in range(hb):
+        for bx in range(wb):
+            zz = blocks[by * bw_stride + bx]
+            absv = [
+                (-int(zz[k]) if zz[k] < 0 else int(zz[k])) >> al
+                for k in range(ss, se + 1)
+            ]
+            eob = 0  # band offset AFTER the last newly-nonzero coef
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i + 1
+            r = 0
+            br: list[int] = []  # correction bits since the last symbol
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                # ZRLs precede this coef, but never past the last newly-
+                # nonzero one (those zeros fold into the EOB run instead)
+                while r > 15 and i < eob:
+                    w.flush_eobrun()
+                    w.symbol(0xF0)
+                    r -= 16
+                    for b in br:
+                        w.bits(b, 1)
+                    br = []
+                if t > 1:  # already nonzero: next magnitude bit
+                    br.append(t & 1)
+                    continue
+                w.flush_eobrun()
+                w.symbol((r << 4) | 1)
+                w.bits(0 if int(zz[ss + i]) < 0 else 1, 1)
+                for b in br:
+                    w.bits(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                w.eobrun += 1
+                w.be.extend(br)
+                if w.eobrun == 0x7FFF or len(w.be) > 900:
+                    w.flush_eobrun()
+    w.flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "4:4:4",
+    qtables: tuple[np.ndarray, np.ndarray] | None = None,
+) -> bytes:
+    """Progressive (SOF2) JFIF encoder — T.81 G.1: a DC-first scan at
+    Al=1 interleaving all components, a DC refinement bit-scan, then per
+    component an AC spectral scan (1..63, Al=1) and an AC refinement
+    scan (Ah=1, Al=0).  Exercises every progressive decode procedure;
+    coefficients are identical to the baseline encoder's, so a
+    progressive round trip reconstructs pixel-identically to baseline."""
+    (gray, h, w, comps, comp_blocks, comp_bw,
+     qluma, qchroma, mcux, mcuy) = _prep_components(
+        pixels, quality, subsampling, qtables
+    )
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    nclasses = 1 if gray else 2
+    comps_idx = [(0 if i == 0 else 1, c[1], c[2]) for i, c in enumerate(comps)]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(tc: int, th: int, tab: HuffTable) -> bytes:
+        return seg(
+            0xC4, bytes(((tc << 4) | th,)) + bytes(tab.bits) + bytes(tab.huffval)
+        )
+
+    def sos(comp_specs: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        body = bytearray((len(comp_specs),))
+        for cid, td, ta in comp_specs:
+            body += bytes((cid, (td << 4) | ta))
+        body += bytes((ss, se, (ah << 4) | al))
+        return seg(0xDA, bytes(body))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    zz_luma = bytes(int(qluma[r, c]) for r, c in ZIGZAG)
+    out += seg(0xDB, b"\x00" + zz_luma)
+    if not gray:
+        zz_chroma = bytes(int(qchroma[r, c]) for r, c in ZIGZAG)
+        out += seg(0xDB, b"\x01" + zz_chroma)
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, len(comps)))
+    for cid, ch, cv, tq, _p in comps:
+        sof += bytes((cid, (ch << 4) | cv, tq))
+    out += seg(0xC2, bytes(sof))
+
+    # ---- scan 1: DC first, Al=1, all components interleaved -------------
+    writers = [_ProgressiveWriter(None) for _ in range(nclasses)]
+    _encode_dc_scan(writers, comps_idx, comp_blocks, comp_bw, mcux, mcuy, 1, 0)
+    dc_tabs = [HuffTable.from_freqs(wr.freqs or {0: 1}) for wr in writers]
+    bw_ = _BitWriter()
+    for wr, tab in zip(writers, dc_tabs):
+        wr.bw, wr.table = bw_, tab
+    for tclass in range(nclasses):
+        out += dht(0, tclass, dc_tabs[tclass])
+    out += sos([(c[0], 0 if i == 0 else 1, 0) for i, c in enumerate(comps)],
+               0, 0, 0, 1)
+    _encode_dc_scan(writers, comps_idx, comp_blocks, comp_bw, mcux, mcuy, 1, 0)
+    bw_.flush()
+    out += bw_.out
+
+    # ---- scan 2: DC refinement, Al=0 (raw bits, no Huffman) --------------
+    bw_ = _BitWriter()
+    writers = [_ProgressiveWriter(bw_) for _ in range(nclasses)]
+    for wr in writers:
+        wr.table = HuffTable([0] * 16, [])  # bits-only scan
+    out += sos([(c[0], 0, 0) for c in comps], 0, 0, 1, 0)
+    _encode_dc_scan(writers, comps_idx, comp_blocks, comp_bw, mcux, mcuy, 0, 1)
+    bw_.flush()
+    out += bw_.out
+
+    # ---- per component: AC first (Al=1) then AC refinement (Ah=1) -------
+    for pass_fn, ah, al in ((_encode_ac_first, 0, 1), (_encode_ac_refine, 1, 0)):
+        for ci, (cid, ch, cv, _tq, _p) in enumerate(comps):
+            class _FakeComp:
+                h, v = ch, cv
+
+            hb, wb = _used_blocks(_FakeComp, w, h, hmax, vmax)
+            stats = _ProgressiveWriter(None)
+            pass_fn(stats, comp_blocks[ci], comp_bw[ci], hb, wb, 1, 63, al)
+            tab = HuffTable.from_freqs(stats.freqs or {0: 1})
+            out += dht(1, 0, tab)
+            out += sos([(cid, 0, 0)], 1, 63, ah, al)
+            bw_ = _BitWriter()
+            wr = _ProgressiveWriter(bw_)
+            wr.table = tab
+            pass_fn(wr, comp_blocks[ci], comp_bw[ci], hb, wb, 1, 63, al)
+            bw_.flush()
+            out += bw_.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
@@ -493,7 +739,12 @@ class _Component:
 
 
 def decode_jpeg_pixels(data: bytes) -> np.ndarray:
-    """Full baseline decode -> uint8 array (H, W) gray or (H, W, 3) RGB."""
+    """Full decode -> uint8 array (H, W) gray or (H, W, 3) RGB.
+
+    Baseline (SOF0/SOF1) and progressive (SOF2, T.81 G.1.2: spectral
+    selection + successive approximation, DC and AC first/refinement
+    scans, EOB runs) are both served; arithmetic/lossless/hierarchical
+    keep loud rejects."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -503,6 +754,7 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
     width = height = 0
     restart_interval = 0
     frame_seen = False
+    progressive = False
     rgb_out: np.ndarray | None = None
 
     while pos + 4 <= len(data):
@@ -541,11 +793,12 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
                 vals = list(body[p + 17 : p + 17 + n])
                 htabs[(tc, th)] = HuffTable(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, height, width, nf = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} (8-bit only)")
             frame_seen = True
+            progressive = marker == 0xC2
             p = 6
             for _ in range(nf):
                 cid, hv, tq = body[p], body[p + 1], body[p + 2]
@@ -553,8 +806,6 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
                 p += 3
             if nf not in (1, 3):
                 raise NotImplementedError(f"JPEG with {nf} components (CMYK/Adobe unsupported)")
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported; baseline only")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF{marker - 0xC0} (non-baseline) not supported")
         elif marker == 0xDD:  # DRI
@@ -571,11 +822,18 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
                 comp.td, comp.ta = tdta >> 4, tdta & 0xF
                 scan_comps.append(comp)
                 p += 2
-            if ns != len(comps):
-                raise NotImplementedError("multi-scan sequential JPEG (one interleaved scan only)")
-            pos = _decode_scan(
-                data, pos, scan_comps, comps, htabs, restart_interval, width, height
-            )
+            if progressive:
+                ss, se, ahal = body[p], body[p + 1], body[p + 2]
+                pos = _decode_scan_progressive(
+                    data, pos, scan_comps, comps, htabs, restart_interval,
+                    width, height, ss, se, ahal >> 4, ahal & 0xF,
+                )
+            else:
+                if ns != len(comps):
+                    raise NotImplementedError("multi-scan sequential JPEG (one interleaved scan only)")
+                pos = _decode_scan(
+                    data, pos, scan_comps, comps, htabs, restart_interval, width, height
+                )
         elif marker in (0xEE,) and body[:5] == b"Adobe" and len(body) >= 12 and body[11] == 2:
             raise NotImplementedError("Adobe YCCK/CMYK JPEG not supported")
         # APPn / COM / others: skipped
@@ -613,18 +871,9 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
     return np.clip(np.round(rgb_out), 0, 255).astype(np.uint8)
 
 
-def _decode_scan(data, pos, scan_comps, comps, htabs, restart_interval, width, height):
-    """Entropy-decode one interleaved baseline scan; fills comp.blocks."""
-    hmax = max(c.h for c in comps)
-    vmax = max(c.v for c in comps)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-    for c in comps:
-        c.bw = mcux * c.h
-        c.bh = mcuy * c.v
-        c.blocks = np.zeros((c.bw * c.bh, 64), dtype=np.int32)
-
-    # split entropy data into restart segments, de-stuffing as we go
+def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy data into restart segments, de-stuffing
+    0xFF00 as we go; returns (segments, position of the ending marker)."""
     segments: list[bytes] = []
     cur = bytearray()
     p = pos
@@ -645,7 +894,21 @@ def _decode_scan(data, pos, scan_comps, comps, htabs, restart_interval, width, h
         else:  # next real marker ends the scan
             break
     segments.append(bytes(cur))
-    end_pos = p
+    return segments, p
+
+
+def _decode_scan(data, pos, scan_comps, comps, htabs, restart_interval, width, height):
+    """Entropy-decode one interleaved baseline scan; fills comp.blocks."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    for c in comps:
+        c.bw = mcux * c.h
+        c.bh = mcuy * c.v
+        c.blocks = np.zeros((c.bw * c.bh, 64), dtype=np.int32)
+
+    segments, end_pos = _entropy_segments(data, pos)
 
     seg_iter = iter(segments)
     reader = _BitReader(next(seg_iter))
@@ -685,6 +948,162 @@ def _decode_scan(data, pos, scan_comps, comps, htabs, restart_interval, width, h
                             zz[k] = _extend(reader.read_bits(s), s)
                             k += 1
     return end_pos
+
+
+def _decode_scan_progressive(
+    data, pos, scan_comps, comps, htabs, restart_interval,
+    width, height, ss, se, ah, al,
+):
+    """Entropy-decode one progressive scan (T.81 G.1.2, the G.3-G.7
+    decode procedures): spectral band [ss, se], successive-approximation
+    bit positions ah (prior) / al (this scan).  DC scans (ss == 0) may
+    interleave components; AC scans are single-component with EOB-run
+    coding.  Coefficient state accumulates in comp.blocks across scans."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    for c in comps:  # allocate once; later scans refine in place
+        if c.blocks is None:
+            c.bw = mcux * c.h
+            c.bh = mcuy * c.v
+            c.blocks = np.zeros((c.bw * c.bh, 64), dtype=np.int32)
+
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC (Ss=0 needs Se=0)")
+    if ss != 0 and len(scan_comps) != 1:
+        raise ValueError("progressive AC scans are single-component")
+
+    segments, end_pos = _entropy_segments(data, pos)
+    seg_iter = iter(segments)
+    reader = _BitReader(next(seg_iter))
+    p1, m1 = 1 << al, -1 << al
+
+    if ss == 0:  # ---- DC scan -----------------------------------------
+        interleaved = len(scan_comps) > 1
+        preds = {id(c): 0 for c in scan_comps}
+
+        def dc_unit(c, zz):
+            if ah == 0:  # first pass: Huffman diff, scaled up by 2^al
+                t = reader.decode_symbol(htabs[(0, c.td)])
+                preds[id(c)] += _extend(reader.read_bits(t), t)
+                zz[0] = preds[id(c)] << al
+            else:  # refinement: one raw bit ORed into bit al
+                if reader.read_bit():
+                    zz[0] |= p1
+
+        unit = 0
+        if interleaved:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        reader = _BitReader(next(seg_iter))
+                        for c in scan_comps:
+                            preds[id(c)] = 0
+                    unit += 1
+                    for c in scan_comps:
+                        for by in range(c.v):
+                            for bx in range(c.h):
+                                i = (my * c.v + by) * c.bw + (mx * c.h + bx)
+                                dc_unit(c, c.blocks[i])
+        else:
+            c = scan_comps[0]
+            hb, wb = _used_blocks(c, width, height, hmax, vmax)
+            for by in range(hb):
+                for bx in range(wb):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        reader = _BitReader(next(seg_iter))
+                        preds[id(c)] = 0
+                    unit += 1
+                    dc_unit(c, c.blocks[by * c.bw + bx])
+        return end_pos
+
+    # ---- AC scan (single component, non-interleaved) --------------------
+    c = scan_comps[0]
+    ac_tab = htabs[(1, c.ta)]
+    hb, wb = _used_blocks(c, width, height, hmax, vmax)
+    eobrun = 0
+    unit = 0
+    for by in range(hb):
+        for bx in range(wb):
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader = _BitReader(next(seg_iter))
+                eobrun = 0
+            unit += 1
+            zz = c.blocks[by * c.bw + bx]
+            if ah == 0:  # ---- first pass (G.3: EOB runs, values << al)
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = reader.decode_symbol(ac_tab)
+                    r, s = sym >> 4, sym & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC coefficient overrun")
+                    zz[k] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+                continue
+            # ---- refinement pass (G.7): correction bits interleave with
+            # newly-nonzero (run, 1) symbols; runs count only still-zero
+            # history positions
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = reader.decode_symbol(ac_tab)
+                    r, s = sym >> 4, sym & 0xF
+                    val = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError("bad AC refinement symbol")
+                        val = p1 if reader.read_bit() else m1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    # advance over r zero-history positions, applying
+                    # correction bits to nonzero-history ones on the way
+                    while k <= se:
+                        coef = int(zz[k])
+                        if coef:
+                            if reader.read_bit() and (coef & p1) == 0:
+                                zz[k] = coef + (p1 if coef >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        zz[k] = val
+                    k += 1
+            if eobrun > 0:
+                # the rest of the band rides the EOB run: correction bits
+                # only, for every nonzero-history position
+                while k <= se:
+                    coef = int(zz[k])
+                    if coef and reader.read_bit() and (coef & p1) == 0:
+                        zz[k] = coef + (p1 if coef >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return end_pos
+
+
+def _used_blocks(c, width, height, hmax, vmax) -> tuple[int, int]:
+    """Non-interleaved block geometry (T.81 A.2.2): ceil of the
+    component's sample dimensions over 8 — NOT the padded MCU grid."""
+    cw = -(-width * c.h // hmax)
+    ch = -(-height * c.v // vmax)
+    return -(-ch // 8), -(-cw // 8)
 
 
 def decode_jpeg(data: bytes) -> dict:

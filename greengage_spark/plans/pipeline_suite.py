@@ -669,19 +669,22 @@ def multimodal_real_decode(spark, sf_dir):
            CAST(CASE WHEN g % 2 = 1 THEN (g * 37) % 256
                      ELSE (g * 11) % 256 END AS DOUBLE) AS mean_g,
            CAST(CASE WHEN g % 2 = 1 THEN (g * 37) % 256
-                     ELSE (g * 11) % 256 END AS DOUBLE) AS mean_b
+                     ELSE (g * 11) % 256 END AS DOUBLE) AS mean_b,
+           (g % 5 = 0) AS progressive
     FROM generate_series(1, 30) t(g) ORDER BY media_id
     """,
-    doc="REAL baseline JPEG decode (pipeline/jpeg.py — clean-room ITU-T "
-        "T.81: marker parse, canonical Huffman entropy decode with "
-        "byte de-stuffing, DC prediction/EXTEND, dequantize, zigzag, "
+    doc="REAL JPEG decode (pipeline/jpeg.py — clean-room ITU-T T.81: "
+        "marker parse, canonical Huffman entropy decode with byte "
+        "de-stuffing, DC prediction/EXTEND, dequantize, zigzag, "
         "orthonormal IDCT, 4:2:0/4:4:4 chroma upsampling, JFIF "
-        "YCbCr->RGB). The query fabricates real JPEG bytes ON THE "
+        "YCbCr->RGB; PLUS progressive SOF2 per T.81 G.1 — spectral "
+        "selection, successive approximation, EOB runs, correction-bit "
+        "refinement). The query fabricates real JPEG bytes ON THE "
         "EXECUTORS — odd ids grayscale, even ids RGB alternating "
-        "4:4:4/4:2:0 — with a DC-8 quantization table so solid-color "
-        "round trips are pixel-EXACT; the oracle knows the closed-form "
-        "dimensions and per-channel means. Progressive/arithmetic/"
-        "12-bit still reject loudly.",
+        "4:4:4/4:2:0, every 5th id encoded PROGRESSIVELY — with a DC-8 "
+        "quantization table so solid-color round trips are pixel-EXACT; "
+        "the progressive column is a JVM contains() probe for the SOF2 "
+        "marker. Arithmetic/12-bit still reject loudly.",
     tags=("pipeline", "multimodal"),
 )
 def multimodal_jpeg_decode(spark, sf_dir):
@@ -691,7 +694,10 @@ def multimodal_jpeg_decode(spark, sf_dir):
         import numpy as np
         import pandas as pd
 
-        from greengage_spark.pipeline.jpeg import encode_jpeg
+        from greengage_spark.pipeline.jpeg import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
 
         dc8 = np.ones((8, 8), dtype=np.int32)
         dc8[0, 0] = 8
@@ -700,13 +706,14 @@ def multimodal_jpeg_decode(spark, sf_dir):
             for g in pdf["id"]:
                 g = int(g)
                 w, h = g % 20 + 4, g % 12 + 3
+                enc = encode_jpeg_progressive if g % 5 == 0 else encode_jpeg
                 if g % 2 == 1:
                     img = np.full((h, w), (g * 37) % 256, dtype=np.uint8)
-                    blob = encode_jpeg(img, qtables=(dc8, dc8))
+                    blob = enc(img, qtables=(dc8, dc8))
                 else:
                     img = np.full((h, w, 3), (g * 11) % 256, dtype=np.uint8)
                     samp = "4:2:0" if g % 4 == 0 else "4:4:4"
-                    blob = encode_jpeg(img, subsampling=samp, qtables=(dc8, dc8))
+                    blob = enc(img, subsampling=samp, qtables=(dc8, dc8))
                 rows.append((g, blob))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
@@ -715,9 +722,15 @@ def multimodal_jpeg_decode(spark, sf_dir):
         .repartition(8)
         .mapInPandas(fabricate, "media_id long, content binary")
     )
-    return decode_features(media).select(
+    # SOF2 marker probe — JVM-side over the binary column; entropy bytes
+    # can't alias it (0xFF is always stuffed/restart-escaped in scans)
+    flags = media.select(
+        "media_id",
+        F.expr("contains(content, X'FFC2')").alias("progressive"),
+    )
+    return decode_features(media).join(flags, "media_id").select(
         "media_id", "kind", "width", "height", "channels",
-        "mean_r", "mean_g", "mean_b",
+        "mean_r", "mean_g", "mean_b", "progressive",
     ).orderBy("media_id")
 
 

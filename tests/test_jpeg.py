@@ -206,13 +206,6 @@ class TestDispatchAndRejects:
         assert d["channels"] == 3
         assert d["mean_g"] == pytest.approx(200.0)
 
-    def test_progressive_rejects(self):
-        blob = bytearray(encode_jpeg(np.full((8, 8), 1, dtype=np.uint8)))
-        i = blob.find(b"\xff\xc0")
-        blob[i + 1] = 0xC2  # flip SOF0 -> SOF2
-        with pytest.raises(NotImplementedError, match="progressive"):
-            decode_jpeg_pixels(bytes(blob))
-
     def test_twelve_bit_rejects(self):
         blob = bytearray(encode_jpeg(np.full((8, 8), 1, dtype=np.uint8)))
         i = blob.find(b"\xff\xc0")

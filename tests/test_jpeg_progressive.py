@@ -1,0 +1,139 @@
+"""Progressive JPEG (SOF2, ITU-T T.81 G.1) — spectral selection +
+successive approximation, both directions.
+
+The progressive encoder (scan script: DC first at Al=1 interleaved, a
+DC refinement bit-scan, per-component AC 1..63 at Al=1, then AC
+refinement at Ah=1/Al=0) produces the SAME quantized coefficients as
+the baseline encoder, so a progressive decode must reconstruct
+PIXEL-IDENTICALLY to the baseline decode of the same source — that
+equality pins every decode procedure (DC first/refine, AC first with
+EOB runs, the G.7 correction-bit refinement) against the already
+IDCT-pinned baseline path."""
+
+import numpy as np
+import pytest
+
+from greengage_spark.pipeline.jpeg import (
+    decode_jpeg_pixels,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
+
+IDENTITY_Q = np.ones((8, 8), dtype=np.int32)
+DC8_Q = np.ones((8, 8), dtype=np.int32)
+DC8_Q[0, 0] = 8
+
+
+def _noise(h, w, ch=None, seed=7):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch is None else (h, w, ch)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+class TestProgressiveEqualsBaseline:
+    def test_gray_noise_pixel_identical(self):
+        img = _noise(24, 40)
+        base = decode_jpeg_pixels(encode_jpeg(img, quality=75))
+        prog = decode_jpeg_pixels(encode_jpeg_progressive(img, quality=75))
+        assert np.array_equal(base, prog)
+
+    def test_rgb_noise_pixel_identical(self):
+        img = _noise(17, 29, 3)
+        base = decode_jpeg_pixels(encode_jpeg(img, quality=85))
+        prog = decode_jpeg_pixels(encode_jpeg_progressive(img, quality=85))
+        assert np.array_equal(base, prog)
+
+    @pytest.mark.parametrize("samp", ["4:2:2", "4:2:0"])
+    def test_subsampled_pixel_identical(self, samp):
+        img = _noise(21, 35, 3, seed=11)
+        base = decode_jpeg_pixels(encode_jpeg(img, subsampling=samp))
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive(img, subsampling=samp)
+        )
+        assert np.array_equal(base, prog)
+
+    def test_solid_gray_exact(self):
+        img = np.full((16, 16), 137, dtype=np.uint8)
+        px = decode_jpeg_pixels(
+            encode_jpeg_progressive(img, qtables=(DC8_Q, DC8_Q))
+        )
+        assert np.array_equal(px, img)
+
+    def test_identity_quant_gradient_within_one(self):
+        x = np.linspace(0, 255, 32, dtype=np.uint8)
+        img = np.tile(x, (16, 1))
+        px = decode_jpeg_pixels(
+            encode_jpeg_progressive(img, qtables=(IDENTITY_Q, IDENTITY_Q))
+        )
+        assert np.abs(px.astype(int) - img.astype(int)).max() <= 1
+
+    def test_quality_sweep_identical(self):
+        img = _noise(16, 16, 3, seed=3)
+        for q in (30, 55, 95):
+            base = decode_jpeg_pixels(encode_jpeg(img, quality=q))
+            prog = decode_jpeg_pixels(encode_jpeg_progressive(img, quality=q))
+            assert np.array_equal(base, prog), f"quality {q}"
+
+    def test_non_multiple_of_8_dimensions(self):
+        img = _noise(13, 9, seed=5)
+        base = decode_jpeg_pixels(encode_jpeg(img))
+        prog = decode_jpeg_pixels(encode_jpeg_progressive(img))
+        assert prog.shape == (13, 9)
+        assert np.array_equal(base, prog)
+
+    def test_sparse_coefficients_exercise_eob_runs(self):
+        # mostly-flat image: nearly every AC block is all-zero, driving
+        # long EOB runs (including the >1-block EOBn extra-bits form)
+        img = np.full((64, 64), 128, dtype=np.uint8)
+        img[5, 5] = 255
+        img[40, 33] = 0
+        base = decode_jpeg_pixels(encode_jpeg(img, quality=50))
+        prog = decode_jpeg_pixels(encode_jpeg_progressive(img, quality=50))
+        assert np.array_equal(base, prog)
+
+    def test_long_zero_runs_exercise_zrl_refinement(self):
+        # one large coefficient late in the zigzag forces ZRL symbols in
+        # both the AC first pass and the refinement pass
+        img = np.zeros((8, 8), dtype=np.uint8)
+        img[::2, :] = 255  # high vertical frequency
+        base = decode_jpeg_pixels(encode_jpeg(img, qtables=(IDENTITY_Q, IDENTITY_Q)))
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive(img, qtables=(IDENTITY_Q, IDENTITY_Q))
+        )
+        assert np.array_equal(base, prog)
+
+
+class TestProgressiveStructure:
+    def test_emits_sof2_and_multiple_scans(self):
+        blob = encode_jpeg_progressive(_noise(8, 8, 3))
+        assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob
+        # 1 DC + 1 DC-refine + 3 AC + 3 AC-refine = 8 SOS markers
+        assert blob.count(b"\xff\xda") == 8
+
+    def test_gray_scan_count(self):
+        blob = encode_jpeg_progressive(_noise(8, 8))
+        assert blob.count(b"\xff\xda") == 4  # DC, DC-refine, AC, AC-refine
+
+    def test_mixed_dc_ac_band_rejects(self):
+        # Ss=0 with Se>0 is illegal in progressive (G.1.1.1.1)
+        blob = bytearray(encode_jpeg_progressive(np.full((8, 8), 9, np.uint8)))
+        i = blob.find(b"\xff\xda")
+        ln = int.from_bytes(blob[i + 2 : i + 4], "big")
+        blob[i + 2 + ln - 2] = 63  # first scan's Se byte: 0 -> 63
+        with pytest.raises(ValueError, match="Ss=0 needs Se=0"):
+            decode_jpeg_pixels(bytes(blob))
+
+    def test_arithmetic_still_rejects(self):
+        blob = bytearray(encode_jpeg_progressive(np.full((8, 8), 9, np.uint8)))
+        i = blob.find(b"\xff\xc2")
+        blob[i + 1] = 0xCA  # SOF10: progressive arithmetic
+        with pytest.raises(NotImplementedError, match="SOF10"):
+            decode_jpeg_pixels(bytes(blob))
+
+    def test_decode_jpeg_feature_dict(self):
+        from greengage_spark.pipeline.jpeg import decode_jpeg
+
+        img = np.full((10, 12, 3), 200, dtype=np.uint8)
+        d = decode_jpeg(encode_jpeg_progressive(img, qtables=(DC8_Q, DC8_Q)))
+        assert (d["width"], d["height"], d["channels"]) == (12, 10, 3)
+        assert d["mean_g"] == pytest.approx(200.0)
