@@ -14,8 +14,11 @@ from pyspark.sql import functions as F
 # broadcast join → argmax, all JVM) is what matters at scale: the marker
 # table stays broadcast-small at any corpus size.  The 14 snowball
 # languages use their FULL embedded stopword vocabularies (the same
-# byte-verified lists the text-search configs ship); the rest keep
-# 12-word starter lists.  Tokens lowercase before
+# byte-verified lists the text-search configs ship); pl/cs/id/vi carry
+# full public function-word inventories below; zh/ja/ar/ko classify by
+# Unicode-script features BEFORE the marker join (no whitespace
+# tokenization exists for them — see SCRIPT_BLOCKS), with small marker
+# lists kept as a fallback for mixed text.  Tokens lowercase before
 # matching; ties break to the lexicographically smallest language code and
 # zero-hit documents report 'und', both deterministic across engines.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -28,15 +31,86 @@ LANG_MARKERS: dict[str, list[str]] = {
     "nl": ["het", "een", "van", "niet", "aan", "ook", "maar", "zijn", "voor", "naar", "dat", "met"],
     "sv": ["och", "att", "det", "som", "en", "på", "är", "av", "för", "med", "till", "inte"],
     "da": ["og", "det", "at", "en", "den", "til", "er", "som", "på", "de", "med", "ikke"],
-    "pl": ["nie", "się", "jest", "na", "do", "że", "jak", "ale", "po", "co", "tak", "jego"],
-    "cs": ["je", "se", "na", "že", "to", "ve", "jsou", "jako", "ale", "pro", "byl", "tak"],
+    # full public function-word inventories for the four Latin-script
+    # languages outside the snowball set:
+    "pl": [
+        "aby", "albo", "ale", "ani", "bardzo", "bez", "była", "było",
+        "byli", "być", "będzie", "będą", "choć", "ciebie", "czy",
+        "często", "dla", "dlaczego", "dlatego", "dobrze", "dużo", "gdy",
+        "gdyby", "gdzie", "ich", "inne", "innych", "jak", "jakie",
+        "jako", "jednak", "jego", "jej", "jest", "jestem", "jeszcze",
+        "jeśli", "jeżeli", "już", "kiedy", "kilka", "komu", "kto",
+        "która", "które", "którego", "której", "który", "których",
+        "którym", "lat", "lub", "mają", "mamy", "miał", "mnie", "mogą",
+        "może", "można", "musi", "nad", "nam", "nami", "nas", "nasz",
+        "nawet", "nic", "nich", "nie", "niej", "nim", "niż", "nowe",
+        "oraz", "pan", "pod", "ponad", "ponieważ", "poza", "przed",
+        "przede", "przez", "przy", "również", "sam", "sama", "się",
+        "skąd", "sobie", "swoje", "są", "tak", "taka", "taki", "takie",
+        "także", "tam", "tego", "tej", "temu", "ten", "teraz", "też",
+        "tobą", "tobie", "trzeba", "twoja", "twoje", "tych", "tylko",
+        "tym", "wam", "wasz", "według", "wie", "więc", "wszystko",
+        "wtedy", "właśnie", "żaden", "że", "żeby",
+    ],
+    "cs": [
+        "aby", "ale", "ani", "ano", "asi", "bez", "bude", "budem",
+        "budeš", "byl", "byla", "byli", "bylo", "být", "což", "další",
+        "dnes", "jak", "jako", "jeho", "jej", "její", "jejich", "jen",
+        "jenž", "ještě", "jiné", "již", "jsem", "jsi", "jsme", "jsou",
+        "jste", "kam", "kde", "kdo", "kdy", "když", "která", "které",
+        "kterou", "který", "kteří", "mezi", "mohl", "mohou", "musí",
+        "máme", "mít", "můj", "může", "naše", "nebo", "nejsou", "není",
+        "než", "nic", "nich", "ním", "nové", "nový", "pak", "pod",
+        "podle", "pokud", "pouze", "právě", "pro", "proč", "proto",
+        "protože", "první", "před", "přes", "při", "sice", "stejně",
+        "své", "svých", "svým", "tak", "také", "takže", "tam", "tato",
+        "tedy", "ten", "tento", "této", "tím", "tímto", "tohle",
+        "toho", "tohoto", "tom", "tomto", "tomu", "tuto", "tyto", "více",
+        "však", "všechno", "vaše", "zda", "zde", "že",
+    ],
+    "id": [
+        "ada", "adalah", "agar", "akan", "aku", "anda", "antara", "apa",
+        "atau", "bagi", "bahkan", "bahwa", "banyak", "baru", "beberapa",
+        "begitu", "belum", "bisa", "bukan", "dalam", "dan", "dapat",
+        "dari", "dengan", "dia", "dua", "hanya", "harus", "hingga",
+        "ini", "itu", "jadi", "jika", "juga", "kalau", "kami", "kamu",
+        "karena", "kepada", "kemudian", "ketika", "kita", "lagi",
+        "lain", "lebih", "maka", "masih", "melalui", "memiliki",
+        "mengapa", "mereka", "merupakan", "namun", "oleh", "pada",
+        "para", "pernah", "saat", "saja", "sama", "sampai", "sangat",
+        "saya", "sebagai", "sebuah", "sedang", "sehingga", "selain",
+        "seluruh", "semua", "seperti", "serta", "sesuatu", "setelah",
+        "setiap", "suatu", "sudah", "tanpa", "telah", "tentang",
+        "terhadap", "tersebut", "tetapi", "tidak", "untuk", "yaitu",
+        "yang",
+    ],
+    "vi": [
+        "anh", "bằng", "bị", "bởi", "cho", "chưa", "chỉ", "chúng",
+        "các", "cách", "cái", "có", "còn", "cùng", "cũng", "của", "gì",
+        "hay", "hơn", "khi", "không", "luôn", "là", "làm", "lên",
+        "lúc", "lại", "mà", "mình", "mỗi", "một", "nhiều", "như",
+        "nhưng", "những", "nào", "này", "nên", "nếu", "người", "ngày",
+        "ngoài", "phải", "qua", "ra", "rất", "rằng", "rồi", "sau",
+        "sẽ", "sự", "theo", "thì", "thêm", "trên", "trong", "trước",
+        "tại", "từ", "tôi", "việc", "và", "vào", "vì", "vẫn", "về",
+        "với", "vừa", "được", "đang", "đã", "đây", "đó", "đến", "đều",
+        "để", "điều", "đi",
+    ],
     "ru": ["и", "в", "не", "на", "что", "он", "это", "как", "его", "но", "она", "был"],
     "tr": ["bir", "ve", "bu", "için", "ile", "da", "de", "olarak", "daha", "gibi", "çok", "ama"],
-    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "dalam", "akan", "pada"],
-    "vi": ["của", "và", "có", "trong", "là", "cho", "không", "được", "người", "những", "với", "các"],
     "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人", "都", "一个"],
     "ja": ["の", "に", "は", "を", "た", "が", "で", "て", "と", "し", "です", "ます"],
     "ar": ["في", "من", "على", "أن", "إلى", "عن", "هذا", "مع", "كان", "لا", "ما", "هو"],
+}
+
+# Unicode script blocks (published Unicode ranges, all BMP so Spark's
+# UTF-16 length() and DuckDB's codepoint length() agree).  Patterns are
+# JVM regexp character classes — counting is length(t) − length(strip).
+SCRIPT_BLOCKS: dict[str, str] = {
+    "han": "一-鿿㐀-䶿",
+    "kana": "぀-ゟ゠-ヿ",
+    "hangul": "가-힯ᄀ-ᇿ㄰-㆏",
+    "arabic": "؀-ۿݐ-ݿ",
 }
 
 # For the 14 languages whose full function-word vocabularies the engine
@@ -63,6 +137,35 @@ def _load_snowball_markers() -> None:
 
 
 _load_snowball_markers()
+
+
+# Multilingual fixture documents for the registry row (ids far above any
+# synthetic doc_id): one per script-identified language, one per upgraded
+# Latin-script inventory, plus controls for the fallback path.
+LANGID_FIXTURES: list[tuple[int, str]] = [
+    (9000001, "我们在这个世界上有很多人都不知道这些事情的真相"),
+    (9000002, "これは日本語のテストです。私たちはデータを処理します"),
+    (9000003, "هذا نص باللغة العربية من أجل اختبار النظام الجديد"),
+    (9000004, "이것은 한국어 텍스트입니다 우리는 데이터를 처리합니다"),
+    (9000005, "to jest bardzo ważne ponieważ wszystko można zrobić "
+              "tylko wtedy kiedy jest dobrze"),
+    (9000006, "toto je velmi důležité protože všechno může být pouze "
+              "tehdy když je to také dobře"),
+    (9000007, "saya tidak akan pergi karena mereka sudah ada di sana "
+              "dengan semua orang yang lain"),
+    (9000008, "tôi không biết vì sao nhưng chúng ta phải làm việc này "
+              "cùng với những người khác"),
+    (9000009, "the quick brown fox jumps over the lazy dog and that "
+              "was not for nothing"),
+    (9000010, "The word 中文 appears here but the text is mostly not "
+              "that script at all"),
+]
+
+
+def langid_fixtures_values_sql() -> str:
+    return ",".join(
+        "(%d,'%s')" % (i, t.replace("'", "''")) for i, t in LANGID_FIXTURES
+    )
 
 
 def lang_markers_values_sql() -> str:
@@ -96,9 +199,71 @@ def language_scores(df: DataFrame, id_col: str, text_col: str, spark) -> DataFra
     )
 
 
+def _script_count(t: Column, block: str) -> Column:
+    """Characters of ``t`` inside a Unicode block — one JVM
+    regexp_replace, counted as a length difference (codegen, no UDF)."""
+    return F.length(t) - F.length(
+        F.regexp_replace(t, f"[{SCRIPT_BLOCKS[block]}]", "")
+    )
+
+
+def script_language(t: Column) -> tuple[Column, Column]:
+    """Unicode-script classification for the languages whitespace
+    tokenization can't reach (zh/ja/ar/ko): (lang or NULL, script char
+    count).  Integer-only threshold arithmetic so a SQL oracle
+    reproduces it exactly — Japanese needs ≥5% kana (Han alone is
+    ambiguous with Chinese); the others need ≥30% of non-space chars."""
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    han = _script_count(t, "han")
+    kana = _script_count(t, "kana")
+    hangul = _script_count(t, "hangul")
+    arabic = _script_count(t, "arabic")
+    lang = (
+        F.when((kana > 0) & (kana * 20 >= nonspace), F.lit("ja"))
+        .when((han > 0) & (han * 10 >= nonspace * 3), F.lit("zh"))
+        .when((hangul > 0) & (hangul * 10 >= nonspace * 3), F.lit("ko"))
+        .when((arabic > 0) & (arabic * 10 >= nonspace * 3), F.lit("ar"))
+    )
+    hits = (
+        F.when(lang == "ja", han + kana)
+        .when(lang == "zh", han)
+        .when(lang == "ko", hangul)
+        .when(lang == "ar", arabic)
+    )
+    return lang, hits
+
+
+def script_language_sql(text_expr: str) -> str:
+    """The script stage as portable SQL (DuckDB RE2) — embedded by the
+    registry oracle so query and oracle share one rule table."""
+
+    def cnt(block: str) -> str:
+        return (
+            f"(length({text_expr}) - length(regexp_replace({text_expr}, "
+            f"'[{SCRIPT_BLOCKS[block]}]', '', 'g')))"
+        )
+
+    ns = f"length(regexp_replace({text_expr}, '\\s', '', 'g'))"
+    return (
+        f"CASE WHEN {cnt('kana')} > 0 AND {cnt('kana')} * 20 >= {ns} THEN 'ja' "
+        f"WHEN {cnt('han')} > 0 AND {cnt('han')} * 10 >= {ns} * 3 THEN 'zh' "
+        f"WHEN {cnt('hangul')} > 0 AND {cnt('hangul')} * 10 >= {ns} * 3 THEN 'ko' "
+        f"WHEN {cnt('arabic')} > 0 AND {cnt('arabic')} * 10 >= {ns} * 3 THEN 'ar' "
+        f"END",
+        f"CASE WHEN {cnt('kana')} > 0 AND {cnt('kana')} * 20 >= {ns} "
+        f"THEN {cnt('han')} + {cnt('kana')} "
+        f"WHEN {cnt('han')} > 0 AND {cnt('han')} * 10 >= {ns} * 3 THEN {cnt('han')} "
+        f"WHEN {cnt('hangul')} > 0 AND {cnt('hangul')} * 10 >= {ns} * 3 THEN {cnt('hangul')} "
+        f"WHEN {cnt('arabic')} > 0 AND {cnt('arabic')} * 10 >= {ns} * 3 THEN {cnt('arabic')} "
+        f"END",
+    )
+
+
 def language_id(df: DataFrame, id_col: str, text_col: str, spark) -> DataFrame:
-    """argmax(lang by hits), ties → lexicographically smallest lang; docs
-    with no marker hits → 'und' (undetermined)."""
+    """Two-stage language id, all JVM: Unicode-script classification
+    first (zh/ja/ar/ko — whitespace markers can't see them), then
+    marker-hit argmax over the broadcast function-word table.  Ties →
+    lexicographically smallest lang; nothing hit → 'und'."""
     scores = language_scores(df, id_col, text_col, spark)
     # pick largest-hits then smallest-lang (a max(struct(hits, lang))
     # one-shot would break ties toward the LARGEST lang string):
@@ -109,10 +274,25 @@ def language_id(df: DataFrame, id_col: str, text_col: str, spark) -> DataFrame:
         scores.join(ranked, id_col)
         .filter(F.col("hits") == F.col("__best_hits"))
         .groupBy(id_col)
-        .agg(F.min("lang").alias("lang_guess"), F.max("hits").alias("marker_hits"))
+        .agg(F.min("lang").alias("__mk_lang"), F.max("hits").alias("__mk_hits"))
     )
-    return df.select(id_col).join(picked, id_col, "left").fillna(
-        {"lang_guess": "und", "marker_hits": 0}
+    s_lang, s_hits = script_language(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        s_lang.alias("__sc_lang"),
+        s_hits.alias("__sc_hits"),
+    )
+    return (
+        base.join(picked, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("__sc_lang", "__mk_lang", F.lit("und")).alias("lang_guess"),
+            F.coalesce(
+                F.when(F.col("__sc_lang").isNotNull(), F.col("__sc_hits")),
+                F.col("__mk_hits"),
+                F.lit(0),
+            ).cast("long").alias("marker_hits"),
+        )
     )
 
 

@@ -465,13 +465,23 @@ def similarity_lsh_topk(spark, sf_dir):
 from greengage_spark.pipeline.text import lang_markers_values_sql
 
 
-@suite.add(
-    "text_language_id",
-    oracle=f"""
-    WITH markers(lang, marker) AS (VALUES {lang_markers_values_sql()}),
+def _langid_oracle() -> str:
+    from greengage_spark.pipeline.text import (
+        langid_fixtures_values_sql,
+        script_language_sql,
+    )
+
+    sc_lang, sc_hits = script_language_sql("text")
+    return f"""
+    WITH fixtures(doc_id, text) AS (VALUES {langid_fixtures_values_sql()}),
+    docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM fixtures
+    ),
+    markers(lang, marker) AS (VALUES {lang_markers_values_sql()}),
     tk AS (
       SELECT doc_id, lower(unnest(list_filter(string_split(text, ' '), x -> x <> ''))) AS tok
-      FROM documents
+      FROM docs
     ),
     scores AS (
       SELECT doc_id, lang, COUNT(*) AS hits
@@ -482,18 +492,42 @@ from greengage_spark.pipeline.text import lang_markers_values_sql
       SELECT s.doc_id, MIN(s.lang) AS lang_guess, MAX(s.hits) AS marker_hits
       FROM scores s JOIN best b ON b.doc_id = s.doc_id AND s.hits = b.best_hits
       GROUP BY s.doc_id
+    ),
+    script AS (
+      SELECT doc_id, {sc_lang} AS sc_lang, {sc_hits} AS sc_hits FROM docs
     )
-    SELECT d.doc_id, COALESCE(p.lang_guess, 'und') AS lang_guess,
-           COALESCE(p.marker_hits, 0) AS marker_hits
-    FROM documents d LEFT JOIN picked p ON p.doc_id = d.doc_id
-    """,
-    doc="language id: marker-token hits → argmax (explode + broadcast "
-        "join + 2-stage agg).",
+    SELECT d.doc_id,
+           COALESCE(s.sc_lang, p.lang_guess, 'und') AS lang_guess,
+           CAST(COALESCE(CASE WHEN s.sc_lang IS NOT NULL THEN s.sc_hits END,
+                         p.marker_hits, 0) AS BIGINT) AS marker_hits
+    FROM docs d
+    LEFT JOIN picked p ON p.doc_id = d.doc_id
+    LEFT JOIN script s ON s.doc_id = d.doc_id
+    """
+
+
+@suite.add(
+    "text_language_id",
+    oracle=_langid_oracle(),
+    doc="two-stage language id, all JVM: Unicode-script classification "
+        "for zh/ja/ar/ko (regexp char-class counts over published block "
+        "ranges — whitespace markers can't see scripts without word "
+        "boundaries), then marker-token argmax (explode + broadcast join "
+        "+ 2-stage agg) over full function-word inventories (snowball "
+        "stopword vocabularies for the 14 embedded languages; full "
+        "public lists for pl/cs/id/vi). The query unions in multilingual "
+        "fixture docs so every path is exercised; the oracle embeds the "
+        "same marker table, script rules, and fixtures, so they cannot "
+        "drift.",
     tags=("pipeline", "text"),
 )
 def text_language_id(spark, sf_dir):
-    d = cat(spark, sf_dir).table("documents")
-    return language_id(d, "doc_id", "text", spark)
+    from greengage_spark.pipeline.text import LANGID_FIXTURES
+
+    d = cat(spark, sf_dir).table("documents").select("doc_id", "text")
+    fx = spark.createDataFrame(LANGID_FIXTURES, "doc_id long, text string")
+    docs = d.select(F.col("doc_id").cast("long"), "text").unionByName(fx)
+    return language_id(docs, "doc_id", "text", spark)
 
 
 @suite.add(

@@ -26,3 +26,47 @@ def test_snowball_backed_language_id(spark):
         for r in language_id(docs, "doc_id", "text", spark).collect()
     }
     assert out == {1: "es", 2: "da", 3: "fi", 4: "en", 5: "hu", 6: "und"}
+
+
+def test_script_based_language_id(spark):
+    """zh/ja/ar/ko classify by Unicode-script features (regexp counts
+    over published block ranges) — whitespace tokenization never sees
+    them; the marker path still handles everything else."""
+    from greengage_spark.pipeline.text import LANGID_FIXTURES, language_id
+
+    docs = spark.createDataFrame(LANGID_FIXTURES, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.lang_guess, r.marker_hits)
+        for r in language_id(docs, "doc_id", "text", spark).collect()
+    }
+    langs = {k: v[0] for k, v in out.items()}
+    assert langs == {
+        9000001: "zh", 9000002: "ja", 9000003: "ar", 9000004: "ko",
+        9000005: "pl", 9000006: "cs", 9000007: "id", 9000008: "vi",
+        9000009: "en", 9000010: "en",  # sub-threshold CJK → marker path
+    }
+    # script-identified docs report script char counts as hits
+    assert out[9000001][1] > 10 and out[9000004][1] > 10
+
+
+def test_latin_inventories_full(spark):
+    from greengage_spark.pipeline.text import LANG_MARKERS
+
+    for code in ("pl", "cs", "id", "vi"):
+        assert len(LANG_MARKERS[code]) >= 70, code
+        # every marker must survive lowercase round trip (match path
+        # lowercases tokens before the join)
+        assert all(w == w.lower() for w in LANG_MARKERS[code]), code
+
+
+def test_empty_and_space_only_docs_are_und(spark):
+    from greengage_spark.pipeline.text import language_id
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\t\n")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.lang_guess
+        for r in language_id(docs, "doc_id", "text", spark).collect()
+    }
+    assert out == {1: "und", 2: "und", 3: "und"}
