@@ -1,0 +1,160 @@
+"""CAST-128 (CAST5) — clean-room from RFC 2144 (C. Adams, 1997).
+
+Reference surface: contrib/pgcrypto routes cast5 through OpenSSL
+(pgp.c:92 ``{"cast5", PGP_SYM_CAST5, "cast5-ecb", 128/8, 64/8}``;
+expected/cast5.out); this is the in-repo implementation of the same
+published algorithm.
+
+Structure (RFC 2144 §2): a 16-round Feistel network on 64-bit blocks
+with three alternating round-function types (add/xor/sub combining,
+rotate by the round's 5-bit rotation key, then a 4-S-box mix whose
+operator pattern differs per type), and a key schedule that runs the
+key bytes through S5..S8 twice to derive 16 masking keys and 16
+rotation keys.  Keys of 40..128 bits are zero-padded to 16 bytes;
+keys of 80 bits or less use 12 rounds (§2.5).  The S-boxes are the
+fixed published tables in cast5_data.py; Appendix B's test vectors
+for all three key lengths are pinned in tests/test_cast5.py, plus
+random cross-checks against the system OpenSSL build.
+"""
+
+from __future__ import annotations
+
+from greengage_spark.functions.cast5_data import S1, S2, S3, S4, S5, S6, S7, S8
+
+_M = 0xFFFFFFFF
+
+
+def _rol(v: int, n: int) -> int:
+    n &= 31
+    return ((v << n) | (v >> (32 - n))) & _M if n else v
+
+
+def _f1(d: int, km: int, kr: int) -> int:
+    i = _rol((km + d) & _M, kr)
+    return (((S1[i >> 24] ^ S2[(i >> 16) & 0xFF]) - S3[(i >> 8) & 0xFF]
+             + S4[i & 0xFF]) & _M)
+
+
+def _f2(d: int, km: int, kr: int) -> int:
+    i = _rol(km ^ d, kr)
+    return (((S1[i >> 24] - S2[(i >> 16) & 0xFF] + S3[(i >> 8) & 0xFF]) & _M)
+            ^ S4[i & 0xFF])
+
+
+def _f3(d: int, km: int, kr: int) -> int:
+    i = _rol((km - d) & _M, kr)
+    return ((((S1[i >> 24] + S2[(i >> 16) & 0xFF]) & _M) ^ S3[(i >> 8) & 0xFF])
+            - S4[i & 0xFF]) & _M
+
+
+_ROUND_F = (_f1, _f2, _f3)
+
+
+def _schedule(key: bytes) -> tuple[list[int], list[int], int]:
+    """RFC 2144 §2.4: derive K1..K32 (16 masking + 16 rotation keys).
+    The pattern alternates z-from-x and x-from-z mixing paragraphs; the
+    whole 16-key block runs twice, continuing from the evolved x."""
+    # RFC 2144 §2.5 specifies 40..128-bit keys; the OpenSSL build the
+    # reference routes through accepts any 1..16 bytes, zero-padding the
+    # schedule input while choosing rounds from the GIVEN length (this
+    # is what makes cast5.out's 3-byte 'foo' key work)
+    if not 1 <= len(key) <= 16:
+        raise ValueError("CAST5 key must be 1..16 bytes")
+    rounds = 12 if len(key) <= 10 else 16
+    x = list(key.ljust(16, b"\x00"))
+    z = [0] * 16
+
+    def w(b, i):  # 32-bit word from 4 consecutive bytes of a list
+        return (b[i] << 24) | (b[i + 1] << 16) | (b[i + 2] << 8) | b[i + 3]
+
+    def putw(b, i, v):
+        b[i], b[i + 1], b[i + 2], b[i + 3] = (
+            (v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF,
+        )
+
+    K: list[int] = []
+    for _half in range(2):
+        putw(z, 0x0, w(x, 0x0) ^ S5[x[0xD]] ^ S6[x[0xF]] ^ S7[x[0xC]]
+             ^ S8[x[0xE]] ^ S7[x[0x8]])
+        putw(z, 0x4, w(x, 0x8) ^ S5[z[0x0]] ^ S6[z[0x2]] ^ S7[z[0x1]]
+             ^ S8[z[0x3]] ^ S8[x[0xA]])
+        putw(z, 0x8, w(x, 0xC) ^ S5[z[0x7]] ^ S6[z[0x6]] ^ S7[z[0x5]]
+             ^ S8[z[0x4]] ^ S5[x[0x9]])
+        putw(z, 0xC, w(x, 0x4) ^ S5[z[0xA]] ^ S6[z[0x9]] ^ S7[z[0xB]]
+             ^ S8[z[0x8]] ^ S6[x[0xB]])
+        K += [
+            S5[z[0x8]] ^ S6[z[0x9]] ^ S7[z[0x7]] ^ S8[z[0x6]] ^ S5[z[0x2]],
+            S5[z[0xA]] ^ S6[z[0xB]] ^ S7[z[0x5]] ^ S8[z[0x4]] ^ S6[z[0x6]],
+            S5[z[0xC]] ^ S6[z[0xD]] ^ S7[z[0x3]] ^ S8[z[0x2]] ^ S7[z[0x9]],
+            S5[z[0xE]] ^ S6[z[0xF]] ^ S7[z[0x1]] ^ S8[z[0x0]] ^ S8[z[0xC]],
+        ]
+        putw(x, 0x0, w(z, 0x8) ^ S5[z[0x5]] ^ S6[z[0x7]] ^ S7[z[0x4]]
+             ^ S8[z[0x6]] ^ S7[z[0x0]])
+        putw(x, 0x4, w(z, 0x0) ^ S5[x[0x0]] ^ S6[x[0x2]] ^ S7[x[0x1]]
+             ^ S8[x[0x3]] ^ S8[z[0x2]])
+        putw(x, 0x8, w(z, 0x4) ^ S5[x[0x7]] ^ S6[x[0x6]] ^ S7[x[0x5]]
+             ^ S8[x[0x4]] ^ S5[z[0x1]])
+        putw(x, 0xC, w(z, 0xC) ^ S5[x[0xA]] ^ S6[x[0x9]] ^ S7[x[0xB]]
+             ^ S8[x[0x8]] ^ S6[z[0x3]])
+        K += [
+            S5[x[0x3]] ^ S6[x[0x2]] ^ S7[x[0xC]] ^ S8[x[0xD]] ^ S5[x[0x8]],
+            S5[x[0x1]] ^ S6[x[0x0]] ^ S7[x[0xE]] ^ S8[x[0xF]] ^ S6[x[0xD]],
+            S5[x[0x7]] ^ S6[x[0x6]] ^ S7[x[0x8]] ^ S8[x[0x9]] ^ S7[x[0x3]],
+            S5[x[0x5]] ^ S6[x[0x4]] ^ S7[x[0xA]] ^ S8[x[0xB]] ^ S8[x[0x7]],
+        ]
+        putw(z, 0x0, w(x, 0x0) ^ S5[x[0xD]] ^ S6[x[0xF]] ^ S7[x[0xC]]
+             ^ S8[x[0xE]] ^ S7[x[0x8]])
+        putw(z, 0x4, w(x, 0x8) ^ S5[z[0x0]] ^ S6[z[0x2]] ^ S7[z[0x1]]
+             ^ S8[z[0x3]] ^ S8[x[0xA]])
+        putw(z, 0x8, w(x, 0xC) ^ S5[z[0x7]] ^ S6[z[0x6]] ^ S7[z[0x5]]
+             ^ S8[z[0x4]] ^ S5[x[0x9]])
+        putw(z, 0xC, w(x, 0x4) ^ S5[z[0xA]] ^ S6[z[0x9]] ^ S7[z[0xB]]
+             ^ S8[z[0x8]] ^ S6[x[0xB]])
+        K += [
+            S5[z[0x3]] ^ S6[z[0x2]] ^ S7[z[0xC]] ^ S8[z[0xD]] ^ S5[z[0x9]],
+            S5[z[0x1]] ^ S6[z[0x0]] ^ S7[z[0xE]] ^ S8[z[0xF]] ^ S6[z[0xC]],
+            S5[z[0x7]] ^ S6[z[0x6]] ^ S7[z[0x8]] ^ S8[z[0x9]] ^ S7[z[0x2]],
+            S5[z[0x5]] ^ S6[z[0x4]] ^ S7[z[0xA]] ^ S8[z[0xB]] ^ S8[z[0x6]],
+        ]
+        putw(x, 0x0, w(z, 0x8) ^ S5[z[0x5]] ^ S6[z[0x7]] ^ S7[z[0x4]]
+             ^ S8[z[0x6]] ^ S7[z[0x0]])
+        putw(x, 0x4, w(z, 0x0) ^ S5[x[0x0]] ^ S6[x[0x2]] ^ S7[x[0x1]]
+             ^ S8[x[0x3]] ^ S8[z[0x2]])
+        putw(x, 0x8, w(z, 0x4) ^ S5[x[0x7]] ^ S6[x[0x6]] ^ S7[x[0x5]]
+             ^ S8[x[0x4]] ^ S5[z[0x1]])
+        putw(x, 0xC, w(z, 0xC) ^ S5[x[0xA]] ^ S6[x[0x9]] ^ S7[x[0xB]]
+             ^ S8[x[0x8]] ^ S6[z[0x3]])
+        K += [
+            S5[x[0x8]] ^ S6[x[0x9]] ^ S7[x[0x7]] ^ S8[x[0x6]] ^ S5[x[0x3]],
+            S5[x[0xA]] ^ S6[x[0xB]] ^ S7[x[0x5]] ^ S8[x[0x4]] ^ S6[x[0x7]],
+            S5[x[0xC]] ^ S6[x[0xD]] ^ S7[x[0x3]] ^ S8[x[0x2]] ^ S7[x[0x8]],
+            S5[x[0xE]] ^ S6[x[0xF]] ^ S7[x[0x1]] ^ S8[x[0x0]] ^ S8[x[0xD]],
+        ]
+    km = K[:16]
+    kr = [k & 31 for k in K[16:]]
+    return km, kr, rounds
+
+
+class Cast5:
+    """Block cipher object matching pgcipher.py's adapter protocol."""
+
+    block_size = 8
+
+    def __init__(self, key: bytes):
+        self._km, self._kr, self._rounds = _schedule(bytes(key))
+
+    def encrypt_block(self, block: bytes) -> bytes:
+        left = int.from_bytes(block[:4], "big")
+        right = int.from_bytes(block[4:], "big")
+        for i in range(self._rounds):
+            f = _ROUND_F[i % 3]
+            left, right = right, left ^ f(right, self._km[i], self._kr[i])
+        return right.to_bytes(4, "big") + left.to_bytes(4, "big")
+
+    def decrypt_block(self, block: bytes) -> bytes:
+        right = int.from_bytes(block[:4], "big")
+        left = int.from_bytes(block[4:], "big")
+        for i in reversed(range(self._rounds)):
+            f = _ROUND_F[i % 3]
+            right, left = left, right ^ f(left, self._km[i], self._kr[i])
+        return left.to_bytes(4, "big") + right.to_bytes(4, "big")

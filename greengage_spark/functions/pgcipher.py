@@ -187,12 +187,7 @@ def _parse_cipher_type(ctype: str) -> tuple[str, str, str]:
         algo = "bf"
     if algo == "rijndael":
         algo = "aes"
-    if algo == "cast5":
-        raise NotImplementedError(
-            "cipher 'cast5': aes/bf/des/3des are implemented — cast5 "
-            "(RFC 2144) is not"
-        )
-    if algo not in ("aes", "bf", "des", "3des"):
+    if algo not in ("aes", "bf", "des", "3des", "cast5"):
         raise ValueError(f"unknown cipher {algo!r}")
     if mode not in ("cbc", "ecb"):
         raise ValueError(f"unknown cipher mode {mode!r} (cbc, ecb)")
@@ -329,6 +324,13 @@ def _make_cipher(algo: str, key: bytes):
         return _DES(key)
     if algo == "3des":
         return _TDES(key)
+    if algo == "cast5":
+        # OpenSSL CAST_set_key semantics (what the reference routes
+        # through): the RAW key length picks 12 vs 16 rounds, longer
+        # keys truncate to 16 — cast5.out's RFC vectors depend on this
+        from greengage_spark.functions.cast5 import Cast5
+
+        return Cast5(key[:16])
     return _Blowfish(key)
 
 
@@ -403,13 +405,14 @@ def decrypt_bytes(data, key, ctype: str, iv: bytes | None = None):
 # comes from the cipher object itself
 _PGP_CIPHERS = {
     2: ("3des", 24),
+    3: ("cast5", 16),
     4: ("bf", 16),
     7: ("aes", 16),
     8: ("aes", 24),
     9: ("aes", 32),
 }
 _PGP_CIPHER_NAMES = {
-    "3des": 2, "bf": 4, "blowfish": 4,
+    "3des": 2, "cast5": 3, "bf": 4, "blowfish": 4,
     "aes": 7, "aes128": 7, "aes192": 8, "aes256": 9,
 }
 
@@ -423,6 +426,10 @@ def _pgp_cipher(algo_octet: int):
             return AES(key)
         if algo == "3des":
             return _TDES(key)
+        if algo == "cast5":
+            from greengage_spark.functions.cast5 import Cast5
+
+            return Cast5(key)
         return _Blowfish(key)
 
     return make, keylen
@@ -507,14 +514,10 @@ def _parse_pgp_options(options: str | None) -> tuple[int, int, int]:
         k, _, v = item.partition("=")
         k, v = k.strip().lower(), v.strip().lower()
         if k == "cipher-algo":
-            if v == "cast5":
-                raise NotImplementedError(
-                    "pgp cipher-algo cast5: 3des/bf/aes128/aes192/aes256 "
-                    "are implemented — cast5 (RFC 2144) is not"
-                )
             if v not in _PGP_CIPHER_NAMES:
                 raise NotImplementedError(
-                    f"pgp cipher-algo {v!r}: 3des/bf/aes128/aes192/aes256"
+                    f"pgp cipher-algo {v!r}: "
+                    "3des/cast5/bf/aes128/aes192/aes256"
                 )
             algo = _PGP_CIPHER_NAMES[v]
         elif k == "s2k-count":
@@ -530,10 +533,9 @@ def _parse_pgp_options(options: str | None) -> tuple[int, int, int]:
                     "(must be between 1024 and 65011712)"
                 )
         elif k == "compress-algo":
-            if v not in ("0", "1", "2"):
-                raise NotImplementedError(
-                    "pgp compress-algo: 0 (none), 1 (ZIP), 2 (ZLIB) — "
-                    "bzip2 needs a codec out of the subset"
+            if v not in ("0", "1", "2", "3"):
+                raise ValueError(
+                    f"pgp: Illegal value {v!r} for parameter compress-algo"
                 )
             compress = int(v)
         elif k == "compress-level":
@@ -587,6 +589,11 @@ def pgp_sym_encrypt(data, psw, options=None, *, binary=False):
         if compress == 1:
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             packed = co.compress(lit) + co.flush()
+        elif compress == 3:
+            # RFC 4880 §9.3 algo 3 = BZip2 (pgp-compress.c HAVE_BZ2 lane)
+            import bz2
+
+            packed = bz2.compress(lit, 6)
         else:
             packed = zlib.compress(lit, 6)
         lit = _new_packet(8, bytes([compress]) + packed)
@@ -655,7 +662,7 @@ def pgp_sym_decrypt(msg, psw, options=None, *, binary=False):
     algo = body[1]
     if algo not in _PGP_CIPHERS:
         raise NotImplementedError(
-            f"pgp cipher algo octet {algo}: 3des/bf/aes only"
+            f"pgp cipher algo octet {algo}: 3des/cast5/bf/aes only"
         )
     if body[3] != 2:
         raise NotImplementedError("pgp S2K hash: SHA-1 only")
@@ -696,10 +703,14 @@ def pgp_sym_decrypt(msg, psw, options=None, *, binary=False):
             inner = zlib.decompress(cdata, -15)
         elif calgo == 2:
             inner = zlib.decompress(cdata)
+        elif calgo == 3:
+            import bz2
+
+            inner = bz2.decompress(cdata)
         else:
             raise NotImplementedError(
-                f"pgp compression algorithm {calgo}: ZIP/ZLIB only "
-                "(bzip2 is out of the subset)"
+                f"pgp compression algorithm {calgo}: "
+                "ZIP/ZLIB/BZip2 only"
             )
         tag, lit, _ = _read_packet(inner, 0)
     if tag != 11:

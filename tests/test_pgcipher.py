@@ -117,9 +117,14 @@ class TestRijndaelVectors:
         with pytest.raises(ValueError):
             decrypt_bytes(c, b"wrong-key-here", "aes")
 
-    def test_cast5_rejects_loudly(self):
-        with pytest.raises(NotImplementedError, match="cast5"):
-            encrypt_bytes(b"x", b"k", "cast5-cbc")
+    def test_cast5_cbc_roundtrip(self):
+        ct = encrypt_bytes(b"x", b"k", "cast5-cbc")
+        from greengage_spark.functions.pgcipher import decrypt_bytes
+        assert decrypt_bytes(ct, b"k", "cast5-cbc") == b"x"
+
+    def test_unknown_cipher_rejects_loudly(self):
+        with pytest.raises(ValueError, match="unknown cipher"):
+            encrypt_bytes(b"x", b"k", "idea-cbc")
 
     def test_key_too_long(self):
         with pytest.raises(ValueError, match="too long"):
@@ -284,15 +289,16 @@ class TestPgpSubset:
         assert pgp_sym_decrypt(m, "pw123") == "Secret message"
 
     @pytest.mark.parametrize(
-        "algo", ["aes128", "aes192", "aes256", "3des", "bf", "blowfish"]
+        "algo",
+        ["aes128", "aes192", "aes256", "3des", "bf", "blowfish", "cast5"],
     )
     def test_roundtrip_all_ciphers(self, algo):
         m = pgp_sym_encrypt("S", "k", f"cipher-algo={algo}")
         assert pgp_sym_decrypt(m, "k") == "S"
 
-    def test_cast5_rejects(self):
-        with pytest.raises(NotImplementedError, match="cast5"):
-            pgp_sym_encrypt("S", "k", "cipher-algo=cast5")
+    def test_unknown_cipher_rejects(self):
+        with pytest.raises(NotImplementedError, match="cipher-algo"):
+            pgp_sym_encrypt("S", "k", "cipher-algo=idea")
 
     def test_binary_roundtrip_long(self):
         data = bytes(range(256)) * 40  # crosses the 2-octet length form
@@ -307,9 +313,9 @@ class TestPgpSubset:
     def test_nondeterministic_salt(self):
         assert pgp_sym_encrypt("x", "k") != pgp_sym_encrypt("x", "k")
 
-    def test_compress_bzip2_rejects(self):
-        with pytest.raises(NotImplementedError, match="compress"):
-            pgp_sym_encrypt("x", "k", "compress-algo=3")
+    def test_compress_bzip2_roundtrip(self):
+        m = pgp_sym_encrypt("x" * 500, "k", "compress-algo=3")
+        assert pgp_sym_decrypt(m, "k") == "x" * 500
 
     def test_unknown_option_rejects(self):
         with pytest.raises(NotImplementedError):
@@ -370,8 +376,37 @@ class TestGnupgInterop:
         assert p.returncode == 0, p.stderr.decode()
         assert pgp_sym_decrypt(out.read_bytes(), "pw2") == "from gnupg"
 
+    def test_pgp_bzip2_interop_both_ways(self, tmp_path):
+        # RFC 4880 §9.3 algo 3 = BZip2 (pgp-compress.c HAVE_BZ2 lane)
+        gnupg = tmp_path / "gnupg"
+        gnupg.mkdir()
+        gnupg.chmod(0o700)
+        env = {"GNUPGHOME": str(gnupg)}
+        msg = tmp_path / "m.pgp"
+        msg.write_bytes(
+            pgp_sym_encrypt("bzip2 interop " * 20, "pwb", "compress-algo=3")
+        )
+        p = subprocess.run(
+            ["gpg", "--batch", "--yes", "--passphrase", "pwb",
+             "--decrypt", str(msg)],
+            capture_output=True, env=env,
+        )
+        assert p.returncode == 0, p.stderr.decode()
+        assert p.stdout == ("bzip2 interop " * 20).encode()
+        out = tmp_path / "g.pgp"
+        p = subprocess.run(
+            ["gpg", "--batch", "--yes", "--passphrase", "pwb",
+             "--symmetric", "--cipher-algo", "AES", "--s2k-mode", "3",
+             "--s2k-digest-algo", "SHA1", "--compress-algo", "BZIP2",
+             "--rfc4880", "--textmode", "-o", str(out)],
+            input=b"bz from gnupg", capture_output=True, env=env,
+        )
+        assert p.returncode == 0, p.stderr.decode()
+        assert pgp_sym_decrypt(out.read_bytes(), "pwb") == "bz from gnupg"
+
     @pytest.mark.parametrize(
-        "ours,theirs", [("3des", "3DES"), ("bf", "BLOWFISH")]
+        "ours,theirs",
+        [("3des", "3DES"), ("bf", "BLOWFISH"), ("cast5", "CAST5")],
     )
     def test_pgp_3des_bf_interop_both_ways(self, tmp_path, ours, theirs):
         # pgp.h PGP_SYM_DES3/PGP_SYM_BLOWFISH (octets 2/4) over 8-byte
@@ -532,9 +567,15 @@ class TestPgpCompression:
         packed = pgp_sym_encrypt(plain, "pw", "compress-algo=2")
         assert len(packed) < len(raw) / 2
 
-    def test_bzip2_rejects(self):
-        with pytest.raises(NotImplementedError, match="compress-algo"):
-            pgp_sym_encrypt("x", "pw", "compress-algo=3")
+    def test_bzip2_shrinks_repetitive_payload(self):
+        plain = "abcdef " * 200
+        raw = pgp_sym_encrypt(plain, "pw")
+        packed = pgp_sym_encrypt(plain, "pw", "compress-algo=3")
+        assert len(packed) < len(raw) / 2
+
+    def test_bad_compress_algo_rejects(self):
+        with pytest.raises(ValueError, match="compress-algo"):
+            pgp_sym_encrypt("x", "pw", "compress-algo=9")
 
     def test_bad_compress_level_rejects(self):
         with pytest.raises(ValueError, match="compress-level"):
