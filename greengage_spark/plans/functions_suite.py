@@ -2013,13 +2013,15 @@ def _uuid_cipher_oracle() -> str:
         eh = encrypt_bytes(name.encode(), b"gg_key", "aes").hex()
         bh = encrypt_bytes(name.encode(), b"gg_key", "bf").hex()
         th = encrypt_bytes(name.encode(), b"gg_key", "3des").hex()
-        rows.append(f"({k}, '{u3}', '{u5}', '{eh}', '{bh}', '{th}')")
+        ch = encrypt_bytes(name.encode(), b"gg_key", "cast5").hex()
+        rows.append(f"({k}, '{u3}', '{u5}', '{eh}', '{bh}', '{th}', '{ch}')")
     return (
         "SELECT CAST(c_custkey AS INTEGER) AS c_custkey, u3, u5, "
-        "enc_hex, bf_hex, tdes_hex, TRUE AS rt, TRUE AS pgp_rt, "
-        "TRUE AS pgp_bf_rt, TRUE AS arm_rt, "
+        "enc_hex, bf_hex, tdes_hex, cast5_hex, TRUE AS rt, TRUE AS pgp_rt, "
+        "TRUE AS pgp_bf_rt, TRUE AS pgp_c5_rt, TRUE AS arm_rt, "
         "TRUE AS v4_ok FROM (VALUES " + ", ".join(rows) + ") AS "
-        "t(c_custkey, u3, u5, enc_hex, bf_hex, tdes_hex) ORDER BY c_custkey"
+        "t(c_custkey, u3, u5, enc_hex, bf_hex, tdes_hex, cast5_hex) "
+        "ORDER BY c_custkey"
     )
 
 
@@ -2034,7 +2036,9 @@ def _uuid_cipher_oracle() -> str:
         "core (zero-IV CBC, PG key zero-padding) pinned against the "
         "reference rijndael.out vectors; pgp_sym_* is an RFC 4880 "
         "S2K+SEIPD subset verified bidirectionally against GnuPG "
-        "(aes/3des/bf over 16- and 8-byte CFB blocks); "
+        "(aes/3des/bf/cast5 over 16- and 8-byte CFB blocks, ZIP/ZLIB/"
+        "BZip2 compression); the cast5 core is clean-room RFC 2144 "
+        "(functions/cast5.py) pinned to cast5.out and Appendix B; "
         "armor/dearmor match pgp-armor.out byte-for-byte.",
     tags=("dialect", "contrib"),
 )
@@ -2049,12 +2053,16 @@ def dialect_uuid_cipher(spark, sf_dir):
                encode(encrypt(c_name, 'gg_key', 'aes'), 'hex') AS enc_hex,
                encode(encrypt(c_name, 'gg_key', 'bf'), 'hex') AS bf_hex,
                encode(encrypt(c_name, 'gg_key', '3des'), 'hex') AS tdes_hex,
+               encode(encrypt(c_name, 'gg_key', 'cast5'), 'hex') AS cast5_hex,
                convert_from(decrypt(encrypt(c_name, 'gg_key', 'aes'),
                             'gg_key', 'aes'), 'UTF8') = c_name AS rt,
                pgp_sym_decrypt(pgp_sym_encrypt(c_name, 'pw',
                    'cipher-algo=aes256'), 'pw') = c_name AS pgp_rt,
                pgp_sym_decrypt(pgp_sym_encrypt(c_name, 'pw',
                    'cipher-algo=bf'), 'pw') = c_name AS pgp_bf_rt,
+               pgp_sym_decrypt(pgp_sym_encrypt(c_name, 'pw',
+                   'cipher-algo=cast5, compress-algo=3'), 'pw') = c_name
+                   AS pgp_c5_rt,
                convert_from(dearmor(armor(c_name)), 'UTF8') = c_name AS arm_rt,
                uuid_generate_v4() ~
                  '^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$'
