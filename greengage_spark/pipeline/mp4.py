@@ -1,0 +1,313 @@
+"""MP4 / ISO Base Media File Format — clean-room from ISO/IEC 14496-12
+(the published ISOBMFF specification; box layouts are public).
+
+The reference has no video codec either — this closes the repo's
+multimodal video gap at the honest level: REAL container parsing
+(box walk, movie/track/media headers, the full sample-table machinery
+stsd/stts/stsc/stsz/stco/stss) and REAL keyframe byte extraction,
+with pixel decode delegated to the existing clean-room JPEG lane for
+motion-JPEG tracks ('jpeg' sample entries).  Compressed-codec tracks
+(avc1/hev1/vp09...) parse to metadata and raw sample bytes; their
+BITSTREAM decode rejects loudly (a clean-room H.264 decoder is out of
+scope, never faked).
+
+``encode_mp4_mjpeg`` fabricates a valid single-track motion-JPEG file
+(ftyp + mdat + moov) so executors can build test corpora; round trips
+through ``extract_keyframes`` + the JPEG decoder are pixel-exact.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(fourcc, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+
+_MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+
+def encode_mp4_mjpeg(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    timescale: int = 1000,
+    frame_delta: int = 40,
+    sync_every: int = 3,
+) -> bytes:
+    """Single-track motion-JPEG MP4: every ``sync_every``-th frame is
+    marked as a sync sample in stss (all MJPEG frames ARE
+    independently decodable; a sparse stss exercises the keyframe
+    machinery the way an inter-coded track would)."""
+    if not frames:
+        raise ValueError("encode_mp4_mjpeg needs at least one frame")
+    n = len(frames)
+    duration = n * frame_delta
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(frames))
+    chunk_offset = len(ftyp) + 8  # first sample byte inside mdat
+
+    # --- stbl ------------------------------------------------------------
+    sample_entry = _box(
+        b"jpeg",
+        b"\x00" * 6 + struct.pack(">H", 1)      # reserved, data_ref_index
+        + b"\x00" * 16                            # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4 + struct.pack(">H", 1)      # reserved, frame_count
+        + b"\x00" * 32                            # compressorname
+        + struct.pack(">Hh", 0x0018, -1),         # depth, pre_defined
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, frame_delta))
+    syncs = list(range(1, n + 1, sync_every))
+    stss = _full(
+        b"stss", 0, 0,
+        struct.pack(">I", len(syncs)) + b"".join(struct.pack(">I", s) for s in syncs),
+    )
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
+    stbl = _box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
+
+    # --- minf / mdia / trak / moov ----------------------------------------
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = _box(b"dinf", _full(
+        b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")
+    ))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
+    )
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd", 0, 3,
+        struct.pack(">IIII", 0, 0, 1, 0)          # times, track_ID, reserved
+        + struct.pack(">I", duration) + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)        # layer, group, volume, rsv
+        + _MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate, volume, rsv
+        + b"\x00" * 8 + _MATRIX + b"\x00" * 24
+        + struct.pack(">I", 2),                   # next_track_ID
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def _walk(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for each box in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        fourcc = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body = pos + 16
+        elif size == 0:  # to end of enclosing container
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"mp4: bad box size {size} at {pos}")
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _find(data: bytes, start: int, end: int, fourcc: bytes):
+    for fc, a, b in _walk(data, start, end):
+        if fc == fourcc:
+            return a, b
+    return None
+
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf", b"edts"}
+
+
+def parse_mp4(data: bytes) -> dict:
+    """Container metadata: movie duration/timescale, per-track codec,
+    dimensions, sample/sync counts.  Fragmented files (moof) and
+    encrypted tracks reject loudly."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF file (missing ftyp)")
+    if _find(data, 0, len(data), b"moof") is not None:
+        raise NotImplementedError(
+            "fragmented MP4 (moof): progressive moov-indexed files only"
+        )
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    out: dict = {"brand": data[8:12].decode("latin1"), "tracks": []}
+    mvhd = _find(data, *moov, b"mvhd")
+    if mvhd:
+        a, _b = mvhd
+        version = data[a]
+        if version == 1:
+            ts, dur = struct.unpack_from(">IQ", data, a + 4 + 16)
+        else:
+            _c, _m, ts, dur = struct.unpack_from(">IIII", data, a + 4)
+        out["timescale"] = ts
+        out["duration_ms"] = int(dur * 1000 // ts) if ts else 0
+    for fc, a, b in _walk(data, *moov):
+        if fc != b"trak":
+            continue
+        out["tracks"].append(_parse_trak(data, a, b))
+    return out
+
+
+def _parse_trak(data: bytes, start: int, end: int) -> dict:
+    tr: dict = {}
+    tkhd = _find(data, start, end, b"tkhd")
+    if tkhd:
+        a, _ = tkhd
+        version = data[a]
+        base = a + 4 + (8 if version == 0 else 16)
+        (tr["track_id"],) = struct.unpack_from(">I", data, base)
+        # §8.3.2: times + track_ID + reserved + duration (20 bytes in v0,
+        # 32 in v1), reserved[8], layer/group/volume/reserved (8),
+        # matrix (36), then width/height as 16.16 fixed point
+        dim_at = a + 4 + (20 if version == 0 else 32) + 8 + 8 + 36
+        w, h = struct.unpack_from(">II", data, dim_at)
+        tr["width"], tr["height"] = w >> 16, h >> 16
+    mdia = _find(data, start, end, b"mdia")
+    if not mdia:
+        return tr
+    hdlr = _find(data, *mdia, b"hdlr")
+    if hdlr:
+        a, _ = hdlr
+        tr["handler"] = data[a + 8 : a + 12].decode("latin1")
+    minf = _find(data, *mdia, b"minf")
+    stbl = _find(data, *minf, b"stbl") if minf else None
+    if stbl:
+        stsd = _find(data, *stbl, b"stsd")
+        if stsd:
+            a, b = stsd
+            (n_entries,) = struct.unpack_from(">I", data, a + 4)
+            if n_entries >= 1:
+                tr["codec"] = data[a + 12 : a + 16].decode("latin1")
+        stsz = _find(data, *stbl, b"stsz")
+        if stsz:
+            a, _ = stsz
+            fixed, cnt = struct.unpack_from(">II", data, a + 4)
+            tr["n_samples"] = cnt
+        stss = _find(data, *stbl, b"stss")
+        if stss:
+            a, _ = stss
+            (cnt,) = struct.unpack_from(">I", data, a + 4)
+            tr["n_sync_samples"] = cnt
+        elif "n_samples" in tr:
+            # no stss box => every sample is a sync sample (§8.6.2)
+            tr["n_sync_samples"] = tr["n_samples"]
+    return tr
+
+
+def _sample_table(data: bytes, stbl_a: int, stbl_b: int):
+    """Resolve per-sample (offset, size) from stsc/stsz/stco|co64."""
+    stsz = _find(data, stbl_a, stbl_b, b"stsz")
+    a, _ = stsz
+    fixed, cnt = struct.unpack_from(">II", data, a + 4)
+    sizes = (
+        [fixed] * cnt
+        if fixed
+        else list(struct.unpack_from(f">{cnt}I", data, a + 12))
+    )
+    stco = _find(data, stbl_a, stbl_b, b"stco")
+    if stco:
+        a, _ = stco
+        (nch,) = struct.unpack_from(">I", data, a + 4)
+        offsets = list(struct.unpack_from(f">{nch}I", data, a + 8))
+    else:
+        a, _ = _find(data, stbl_a, stbl_b, b"co64")
+        (nch,) = struct.unpack_from(">I", data, a + 4)
+        offsets = list(struct.unpack_from(f">{nch}Q", data, a + 8))
+    stsc = _find(data, stbl_a, stbl_b, b"stsc")
+    a, _ = stsc
+    (nruns,) = struct.unpack_from(">I", data, a + 4)
+    runs = [
+        struct.unpack_from(">III", data, a + 8 + 12 * i) for i in range(nruns)
+    ]
+    # expand stsc runs: chunk index -> samples per chunk (§8.7.4)
+    samples = []
+    si = 0
+    for ri, (first, per, _desc) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < nruns else len(offsets)
+        for ch in range(first, last + 1):
+            off = offsets[ch - 1]
+            for _ in range(per):
+                if si >= cnt:
+                    break
+                samples.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+    return samples
+
+
+def extract_keyframes(data: bytes, track_index: int = 0) -> list[bytes]:
+    """Sync-sample bytes of one track (stss indices over the resolved
+    chunk layout; no stss = every sample, §8.6.2)."""
+    if _find(data, 0, len(data), b"moof") is not None:
+        raise NotImplementedError("fragmented MP4 (moof)")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    traks = [(a, b) for fc, a, b in _walk(data, *moov) if fc == b"trak"]
+    if track_index >= len(traks):
+        raise ValueError(f"mp4: no track {track_index}")
+    mdia = _find(data, *traks[track_index], b"mdia")
+    minf = _find(data, *mdia, b"minf")
+    stbl = _find(data, *minf, b"stbl")
+    samples = _sample_table(data, *stbl)
+    stss = _find(data, *stbl, b"stss")
+    if stss:
+        a, _ = stss
+        (cnt,) = struct.unpack_from(">I", data, a + 4)
+        sync = struct.unpack_from(f">{cnt}I", data, a + 8)
+    else:
+        sync = range(1, len(samples) + 1)
+    out = []
+    for s in sync:  # 1-based sample numbers
+        off, size = samples[s - 1]
+        out.append(data[off : off + size])
+    return out
+
+
+def decode_mp4_keyframe_features(data: bytes) -> list[dict]:
+    """Decode each keyframe through the clean-room image lane; only
+    motion-JPEG tracks decode to pixels (compressed codecs raise)."""
+    meta = parse_mp4(data)
+    video = [t for t in meta["tracks"] if t.get("handler") == "vide"]
+    if not video:
+        raise ValueError("mp4: no video track")
+    codec = video[0].get("codec", "")
+    if codec != "jpeg":
+        raise NotImplementedError(
+            f"mp4 codec {codec!r}: motion-JPEG tracks decode; compressed "
+            "bitstreams (avc1/hev1/...) parse to metadata + sample bytes "
+            "only"
+        )
+    from greengage_spark.pipeline.jpeg import decode_jpeg
+
+    return [decode_jpeg(k) for k in extract_keyframes(data)]

@@ -769,6 +769,88 @@ def multimodal_jpeg_decode(spark, sf_dir):
 
 
 @suite.add(
+    "multimodal_mp4_metadata",
+    oracle="""
+    SELECT CAST(g AS BIGINT) AS media_id,
+           CAST((g % 6 + 2) * 40 AS BIGINT) AS duration_ms,
+           CAST((g % 8 + 2) * 8 AS BIGINT) AS width,
+           CAST((g % 5 + 2) * 8 AS BIGINT) AS height,
+           'jpeg' AS codec,
+           CAST(g % 6 + 2 AS BIGINT) AS n_samples,
+           CAST(CAST(ceil((g % 6 + 2) / 3.0) AS INTEGER) AS BIGINT)
+               AS n_sync_samples,
+           CAST((g * 17) % 256 AS DOUBLE) AS first_kf_mean
+    FROM generate_series(1, 20) t(g) ORDER BY media_id
+    """,
+    doc="MP4 / ISO BMFF container (pipeline/mp4.py — clean-room ISO/IEC "
+        "14496-12): box walk, mvhd/tkhd/mdhd/hdlr headers, the full "
+        "stsd/stts/stsc/stsz/stco/stss sample-table machinery, and "
+        "sync-sample (keyframe) byte extraction, with motion-JPEG "
+        "keyframes decoding to pixels through the pinned JPEG lane. The "
+        "query fabricates real single-track MJPEG files ON THE EXECUTORS "
+        "(solid-color frames, DC-8 tables → exact means), parses them "
+        "back, and decodes the first keyframe; the oracle knows the "
+        "closed-form durations, dimensions, sample/sync counts, and "
+        "frame-0 mean. Fragmented (moof) files and compressed bitstreams "
+        "(avc1/hev1) keep loud rejects — container metadata and sample "
+        "bytes are served for those, pixels are not.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_mp4_metadata(spark, sf_dir):
+    def fabricate_and_parse(batches):
+        import numpy as np
+        import pandas as pd
+
+        from greengage_spark.pipeline.jpeg import encode_jpeg
+        from greengage_spark.pipeline.mp4 import (
+            decode_mp4_keyframe_features,
+            encode_mp4_mjpeg,
+            parse_mp4,
+        )
+
+        dc8 = np.ones((8, 8), dtype=np.int32)
+        dc8[0, 0] = 8
+        for pdf in batches:
+            rows = []
+            for g in pdf["id"]:
+                g = int(g)
+                n = g % 6 + 2
+                w, h = (g % 8 + 2) * 8, (g % 5 + 2) * 8
+                frames = [
+                    encode_jpeg(
+                        np.full((h, w), (g * 17 + j * 30) % 256, np.uint8),
+                        qtables=(dc8, dc8),
+                    )
+                    for j in range(n)
+                ]
+                blob = encode_mp4_mjpeg(frames, w, h, frame_delta=40)
+                meta = parse_mp4(blob)
+                t = meta["tracks"][0]
+                kf0 = decode_mp4_keyframe_features(blob)[0]
+                rows.append((
+                    g, meta["duration_ms"], t["width"], t["height"],
+                    t["codec"], t["n_samples"], t["n_sync_samples"],
+                    kf0["mean_r"],
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "duration_ms", "width", "height", "codec",
+                "n_samples", "n_sync_samples", "first_kf_mean",
+            ])
+
+    return (
+        spark.range(1, 21)
+        .repartition(8)
+        .mapInPandas(
+            fabricate_and_parse,
+            "media_id long, duration_ms long, width long, height long, "
+            "codec string, n_samples long, n_sync_samples long, "
+            "first_kf_mean double",
+        )
+        .orderBy("media_id")
+    )
+
+
+@suite.add(
     "multimodal_decode_features",
     oracle="""
     SELECT doc_id AS media_id,

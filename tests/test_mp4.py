@@ -1,0 +1,83 @@
+"""ISO BMFF / MP4 container (pipeline/mp4.py — clean-room ISO/IEC
+14496-12): box walk, movie/track headers, the stsd/stts/stsc/stsz/
+stco/stss sample-table machinery, sync-sample (keyframe) extraction,
+and motion-JPEG keyframe decode through the pinned JPEG lane."""
+
+import numpy as np
+import pytest
+
+from greengage_spark.pipeline.jpeg import decode_jpeg_pixels, encode_jpeg
+from greengage_spark.pipeline.mp4 import (
+    decode_mp4_keyframe_features,
+    encode_mp4_mjpeg,
+    extract_keyframes,
+    parse_mp4,
+)
+
+DC8 = np.ones((8, 8), dtype=np.int32)
+DC8[0, 0] = 8
+
+
+def _mjpeg(n, w=24, h=16, shade0=5, step=10):
+    return [
+        encode_jpeg(np.full((h, w), (shade0 + step * i) % 256, np.uint8),
+                    qtables=(DC8, DC8))
+        for i in range(n)
+    ]
+
+
+class TestContainer:
+    def test_metadata_roundtrip(self):
+        mp4 = encode_mp4_mjpeg(_mjpeg(7), 24, 16, frame_delta=40)
+        m = parse_mp4(mp4)
+        assert m["brand"] == "isom"
+        assert m["timescale"] == 1000 and m["duration_ms"] == 280
+        (t,) = m["tracks"]
+        assert (t["width"], t["height"]) == (24, 16)
+        assert t["handler"] == "vide" and t["codec"] == "jpeg"
+        assert t["n_samples"] == 7 and t["n_sync_samples"] == 3
+
+    def test_keyframes_byte_exact(self):
+        frames = _mjpeg(9)
+        mp4 = encode_mp4_mjpeg(frames, 24, 16, sync_every=3)
+        kf = extract_keyframes(mp4)
+        assert kf == [frames[0], frames[3], frames[6]]
+
+    def test_keyframe_decode_pixel_exact(self):
+        mp4 = encode_mp4_mjpeg(_mjpeg(4, shade0=50, step=60), 24, 16)
+        kf = extract_keyframes(mp4)
+        px = decode_jpeg_pixels(kf[1])  # frame 3 (sync_every=3): shade 230
+        assert (px == 230).all()
+        feats = decode_mp4_keyframe_features(mp4)
+        assert [f["mean_r"] for f in feats] == [50.0, 230.0]
+
+    def test_sync_every_one_marks_all(self):
+        frames = _mjpeg(5)
+        mp4 = encode_mp4_mjpeg(frames, 24, 16, sync_every=1)
+        assert extract_keyframes(mp4) == frames
+
+    def test_not_bmff_rejects(self):
+        with pytest.raises(ValueError, match="ftyp"):
+            parse_mp4(b"\x00" * 32)
+
+    def test_fragmented_rejects(self):
+        mp4 = bytearray(encode_mp4_mjpeg(_mjpeg(2), 24, 16))
+        import struct
+
+        mp4 += struct.pack(">I", 8) + b"moof"
+        with pytest.raises(NotImplementedError, match="fragmented"):
+            parse_mp4(bytes(mp4))
+
+    def test_compressed_codec_rejects_decode_but_parses(self):
+        mp4 = bytearray(encode_mp4_mjpeg(_mjpeg(2), 24, 16))
+        i = bytes(mp4).find(b"jpeg", 100)  # the stsd sample-entry fourcc
+        mp4[i : i + 4] = b"avc1"
+        meta = parse_mp4(bytes(mp4))
+        assert meta["tracks"][0]["codec"] == "avc1"
+        with pytest.raises(NotImplementedError, match="avc1"):
+            decode_mp4_keyframe_features(bytes(mp4))
+
+    def test_truncated_box_loud(self):
+        mp4 = encode_mp4_mjpeg(_mjpeg(2), 24, 16)
+        with pytest.raises(ValueError, match="bad box size"):
+            parse_mp4(mp4[: len(mp4) - 40])
