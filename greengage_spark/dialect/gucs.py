@@ -230,6 +230,10 @@ class GucManager:
             return None
         if name in _NOOP_NAMES or _is_gp_knob(name) or "." in name:
             self._store(name, val, is_local and in_txn)
+            if name.startswith("greengage."):
+                # engine-owned knobs (gpfdists TLS paths, feature gates)
+                # are read from the Spark conf at plan time
+                self.spark.conf.set(name, val)
             return None
         raise ValueError(f'unrecognized configuration parameter "{name}"')
 
@@ -276,6 +280,11 @@ class GucManager:
             self.spark.conf.set(
                 "greengage.default_text_search_config", "simple"
             )
+        elif name.startswith("greengage."):
+            try:
+                self.spark.conf.unset(name)
+            except Exception:
+                pass
         return None
 
     def current(self, name: str) -> str:

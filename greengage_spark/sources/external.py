@@ -247,12 +247,6 @@ def _strip_file_uri(uri: str) -> str:
     m = re.match(r"(?is)^file://[^/]*(/.*)$", uri)
     if m:
         return m.group(1)
-    if re.match(r"(?is)^gpfdists://", uri):
-        raise NotImplementedError(
-            f"external protocol in {uri!r}: file://, plain paths, "
-            "gpfdist://, and http(s):// are served (gpfdists "
-            "client-certificate TLS is not)"
-        )
     return uri
 
 
@@ -364,10 +358,14 @@ def parse_create_external(stmt: str) -> ExternalTableDef:
         )
         return ExternalTableDef(name=name, writable=False, table=tab)
     raw_uris = [s.strip().strip("'") for s in loc_raw.split(",") if s.strip()]
-    if any(u.lower().startswith("gpfdist://") for u in raw_uris):
+    if any(u.lower().startswith(("gpfdist://", "gpfdists://")) for u in raw_uris):
         # gpfdist wire protocol (url_curl.c client side): one HTTP
-        # connection per declared segment, opened on the executors
-        if not all(u.lower().startswith("gpfdist://") for u in raw_uris):
+        # connection per declared segment, opened on the executors;
+        # gpfdists:// adds mutual TLS from SET greengage.gpfdists.*
+        if not all(
+            u.lower().startswith(("gpfdist://", "gpfdists://"))
+            for u in raw_uris
+        ):
             raise NotImplementedError(
                 "LOCATION lists cannot mix gpfdist:// with other protocols"
             )

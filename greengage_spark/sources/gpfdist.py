@@ -81,14 +81,67 @@ def _read_proto1_stream(resp) -> list[bytes]:
             raise IOError(f"gpfdist error: unknown packet type {typ!r}")
 
 
-def fetch_segment_lines(url: str, seg_id: int, seg_count: int) -> list[str]:
+def _http_url(url: str) -> str:
+    """gpfdist:// → http://, gpfdists:// → https:// (url_curl.c maps the
+    secure scheme onto TLS with a client certificate)."""
+    if url.lower().startswith("gpfdists://"):
+        return "https://" + url[len("gpfdists://"):]
+    return "http://" + url[len("gpfdist://"):]
+
+
+def tls_options(spark) -> dict:
+    """Client TLS material for gpfdists:// — the analog of the
+    reference's $PGDATA/gpfdists/{client.crt,client.key,root.crt} files
+    (url_curl.c CURLOPT_SSLCERT/SSLKEY/CAINFO) and the
+    verify_gpfdists_cert GUC, carried as session configuration:
+
+        SET greengage.gpfdists.cert = '/path/client.crt'
+        SET greengage.gpfdists.key  = '/path/client.key'
+        SET greengage.gpfdists.ca   = '/path/root.crt'
+        SET greengage.gpfdists.verify = on|off
+
+    Returns a plain dict of paths so executors rebuild the SSLContext
+    locally (contexts don't pickle); on a multi-node cluster the files
+    must be present on every executor, exactly like the reference's
+    per-segment cert directories."""
+
+    def get(k):
+        try:
+            return spark.conf.get(f"greengage.gpfdists.{k}")
+        except Exception:
+            return None
+
+    return {
+        "cert": get("cert"),
+        "key": get("key"),
+        "ca": get("ca"),
+        "verify": (get("verify") or "on").lower() not in ("off", "false", "0"),
+    }
+
+
+def _ssl_context(tls: dict | None):
+    if tls is None:
+        return None
+    import ssl
+
+    ctx = ssl.create_default_context(cafile=tls.get("ca"))
+    if not tls.get("verify", True):
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+    if tls.get("cert"):
+        ctx.load_cert_chain(tls["cert"], tls.get("key"))
+    return ctx
+
+
+def fetch_segment_lines(
+    url: str, seg_id: int, seg_count: int, tls: dict | None = None
+) -> list[str]:
     """One segment's share of a gpfdist URL — the url_curl.c request with
     the X-GP header contract, PROTO 1."""
     from urllib.request import Request, urlopen
 
-    http_url = "http://" + url[len("gpfdist://"):]
     req = Request(
-        http_url,
+        _http_url(url),
         headers={
             "X-GP-PROTO": "1",
             "X-GP-SEGMENT-ID": str(seg_id),
@@ -98,7 +151,8 @@ def fetch_segment_lines(url: str, seg_id: int, seg_count: int) -> list[str]:
             "X-GP-SN": "1",
         },
     )
-    with urlopen(req, timeout=60) as resp:
+    ctx = _ssl_context(tls) if url.lower().startswith("gpfdists://") else None
+    with urlopen(req, timeout=60, context=ctx) as resp:
         data = b"".join(_read_proto1_stream(resp))
     return [ln for ln in data.decode("utf-8").split("\n") if ln]
 
@@ -122,6 +176,11 @@ class GpfdistExternalTable:
             schema = StructType.fromDDL(schema)
         sep = self.delimiter or ("\t" if self.fmt == "text" else ",")
         uris, nseg = list(self.uris), self.n_segments
+        tls = (
+            tls_options(spark)
+            if any(u.lower().startswith("gpfdists://") for u in uris)
+            else None
+        )
 
         def run(batches):
             import pandas as pd
@@ -134,7 +193,7 @@ class GpfdistExternalTable:
                     # sees a dense 0..count-1 id space (url_curl.c)
                     rel_id = seg // len(uris)
                     rel_count = (nseg - (seg % len(uris)) + len(uris) - 1) // len(uris)
-                    lines = fetch_segment_lines(url, rel_id, rel_count)
+                    lines = fetch_segment_lines(url, rel_id, rel_count, tls)
                     yield pd.DataFrame({"line": lines})
 
         lines = (
@@ -151,7 +210,8 @@ class GpfdistExternalTable:
 
 
 def post_segment_chunks(
-    url: str, seg_id: int, seg_count: int, chunks, xid: str = "1"
+    url: str, seg_id: int, seg_count: int, chunks, xid: str = "1",
+    tls: dict | None = None,
 ) -> int:
     """One segment's unload stream — the url_curl.c forwrite POST
     contract (url_curl.c:1343-1358 write headers; gp_proto0_write /
@@ -160,7 +220,8 @@ def post_segment_chunks(
     X-GP-DONE: 1.  Returns the number of data POSTs sent."""
     from urllib.request import Request, urlopen
 
-    http_url = "http://" + url[len("gpfdist://"):]
+    http_url = _http_url(url)
+    ctx = _ssl_context(tls) if url.lower().startswith("gpfdists://") else None
     base = {
         "X-GP-PROTO": "0",
         "X-GP-SEGMENT-ID": str(seg_id),
@@ -178,7 +239,7 @@ def post_segment_chunks(
         hdrs = dict(base)
         hdrs["X-GP-SEQ"] = str(seq)
         req = Request(http_url, data=chunk, headers=hdrs, method="POST")
-        with urlopen(req, timeout=60) as resp:
+        with urlopen(req, timeout=60, context=ctx) as resp:
             resp.read()
     hdrs = dict(base)
     # write_done keeps the last data seq (url_curl.c gp_proto0_write_done
@@ -186,7 +247,7 @@ def post_segment_chunks(
     hdrs["X-GP-SEQ"] = str(max(seq, 1))
     hdrs["X-GP-DONE"] = "1"
     req = Request(http_url, data=b"", headers=hdrs, method="POST")
-    with urlopen(req, timeout=60) as resp:
+    with urlopen(req, timeout=60, context=ctx) as resp:
         resp.read()
     return seq
 
@@ -270,6 +331,11 @@ class GpfdistWritableTable:
         import uuid
 
         uris = list(self.uris)
+        tls = (
+            tls_options(df.sparkSession)
+            if any(u.lower().startswith("gpfdists://") for u in uris)
+            else None
+        )
         # one writer per input partition — no repartition shuffle in the
         # common case; the true partition id is the segment id (the
         # daemon's retry dedupe keys on XID+segment, so ids must not
@@ -311,7 +377,7 @@ class GpfdistWritableTable:
                 if buf:
                     yield b"".join(buf)
 
-            post_segment_chunks(url, seg, nseg, chunks(), xid=xid)
+            post_segment_chunks(url, seg, nseg, chunks(), xid=xid, tls=tls)
             if sent:
                 yield pd.DataFrame({"seg": [seg], "rows": [sent]})
 
@@ -329,7 +395,7 @@ class GpfdistWritableTable:
 # ---------------------------------------------------------------------------
 
 
-def serve_directory(root: str, port: int = 0):
+def serve_directory(root: str, port: int = 0, tls: dict | None = None):
     """Start a daemon-thread gpfdist-compatible server over ``root``.
 
     Implements GET with PROTO 0 (raw content) and PROTO 1 (block
@@ -337,7 +403,11 @@ def serve_directory(root: str, port: int = 0):
     ``line_no % X-GP-SEGMENT-COUNT == X-GP-SEGMENT-ID`` — deterministic
     disjoint shares (the real daemon distributes chunks
     first-come-first-served).  Returns (server, port); call
-    ``server.shutdown()`` when done."""
+    ``server.shutdown()`` when done.
+
+    ``tls`` turns it into a gpfdists daemon (gpfdist --ssl): a dict of
+    certfile/keyfile/cafile; a client certificate signed by cafile is
+    REQUIRED, like the real daemon's mutual-TLS contract."""
     import os
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -443,6 +513,15 @@ def serve_directory(root: str, port: int = 0):
             self.wfile.write(body)
 
     srv = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    if tls:
+        import ssl
+
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(tls["certfile"], tls["keyfile"])
+        if tls.get("cafile"):
+            ctx.load_verify_locations(tls["cafile"])
+            ctx.verify_mode = ssl.CERT_REQUIRED  # mutual TLS
+        srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, srv.server_address[1]

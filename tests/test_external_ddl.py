@@ -64,12 +64,15 @@ class TestLocationExternal:
         with pytest.raises(ValueError, match="READABLE"):
             eng.execute("INSERT INTO ext_r VALUES (1)")
 
-    def test_gpfdists_tls_rejected_loudly(self, eng):
-        with pytest.raises(NotImplementedError, match="gpfdists"):
-            eng.execute(
-                "CREATE EXTERNAL TABLE g (a int8) "
-                "LOCATION ('gpfdists://etlhost:8081/x.txt') FORMAT 'TEXT'"
-            )
+    def test_gpfdists_now_served(self, eng):
+        # gpfdists:// is the gpfdist protocol over mutual TLS — DDL
+        # parses into the gpfdist table family (the full end-to-end TLS
+        # round trip lives in tests/test_gpfdists_tls.py)
+        eng.execute(
+            "CREATE EXTERNAL TABLE g (a int8) "
+            "LOCATION ('gpfdists://etlhost:8081/x.txt') FORMAT 'TEXT'"
+        )
+        assert "g" in eng.external
 
 
 class TestGpfdist:

@@ -1,0 +1,142 @@
+"""gpfdists:// — mutual-TLS gpfdist (url_curl.c CURLOPT_SSLCERT/SSLKEY/
+CAINFO client-certificate path; gpfdist --ssl serving side).  The
+client certificate material is session configuration
+(SET greengage.gpfdists.cert/key/ca — the analog of the reference's
+$PGDATA/gpfdists/ directory); the bundled daemon requires a client
+certificate signed by the CA, the real daemon's contract."""
+
+import shutil
+import subprocess
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+from greengage_spark.sources.gpfdist import serve_directory
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("openssl") is None, reason="no openssl CLI"
+)
+
+
+def _gen_certs(d):
+    """Self-signed CA + server cert (SAN IP:127.0.0.1) + client cert."""
+    def run(*args, **kw):
+        p = subprocess.run(args, capture_output=True, **kw)
+        assert p.returncode == 0, p.stderr.decode()
+
+    ca_key, ca_crt = str(d / "ca.key"), str(d / "ca.crt")
+    run("openssl", "req", "-x509", "-newkey", "rsa:2048", "-keyout", ca_key,
+        "-out", ca_crt, "-days", "2", "-nodes", "-subj", "/CN=gg-test-ca")
+    for name, cn, ext in (
+        ("server", "127.0.0.1", "subjectAltName=IP:127.0.0.1"),
+        ("client", "gg-client", None),
+    ):
+        key, csr, crt = (str(d / f"{name}.{s}") for s in ("key", "csr", "crt"))
+        run("openssl", "req", "-newkey", "rsa:2048", "-keyout", key,
+            "-out", csr, "-nodes", "-subj", f"/CN={cn}")
+        args = ["openssl", "x509", "-req", "-in", csr, "-CA", ca_crt,
+                "-CAkey", ca_key, "-CAcreateserial", "-out", crt,
+                "-days", "2"]
+        if ext:
+            extf = d / f"{name}.ext"
+            extf.write_text(ext + "\n")
+            args += ["-extfile", str(extf)]
+        run(*args)
+    return d
+
+
+@pytest.fixture(scope="module")
+def certs(tmp_path_factory):
+    return _gen_certs(tmp_path_factory.mktemp("gpfdists_certs"))
+
+
+@pytest.fixture()
+def eng(spark, tmp_path, certs):
+    e = GreengageEngine(spark, str(tmp_path / "wh"))
+    e.execute(f"SET greengage.gpfdists.cert = '{certs / 'client.crt'}'")
+    e.execute(f"SET greengage.gpfdists.key = '{certs / 'client.key'}'")
+    e.execute(f"SET greengage.gpfdists.ca = '{certs / 'ca.crt'}'")
+    return e
+
+
+@pytest.fixture()
+def served(tmp_path, certs):
+    root = tmp_path / "data"
+    root.mkdir()
+    (root / "d.txt").write_text(
+        "".join(f"{i}\tsecure-{i}\n" for i in range(20))
+    )
+    srv, port = serve_directory(
+        str(root),
+        tls={
+            "certfile": str(certs / "server.crt"),
+            "keyfile": str(certs / "server.key"),
+            "cafile": str(certs / "ca.crt"),  # client certs REQUIRED
+        },
+    )
+    yield str(root), port
+    srv.shutdown()
+
+
+class TestGpfdistsTls:
+    def test_mutual_tls_read(self, eng, served):
+        _, port = served
+        eng.execute(
+            f"CREATE EXTERNAL TABLE gsx (k int8, v text) LOCATION "
+            f"('gpfdists://127.0.0.1:{port}/d.txt') FORMAT 'TEXT'"
+        )
+        got = sorted(
+            map(tuple, eng.execute("SELECT k, v FROM gsx").collect())
+        )
+        assert got == [(i, f"secure-{i}") for i in range(20)]
+
+    def test_missing_client_cert_refused(self, spark, tmp_path, served):
+        _, port = served
+        e2 = GreengageEngine(spark, str(tmp_path / "wh2"))
+        e2.execute("RESET greengage.gpfdists.cert")
+        e2.execute("RESET greengage.gpfdists.key")
+        e2.execute("RESET greengage.gpfdists.ca")
+        e2.execute(
+            f"CREATE EXTERNAL TABLE gsx2 (k int8, v text) LOCATION "
+            f"('gpfdists://127.0.0.1:{port}/d.txt') FORMAT 'TEXT'"
+        )
+        with pytest.raises(Exception):
+            e2.execute("SELECT k, v FROM gsx2").collect()
+
+    def test_writable_gpfdists_unload(self, eng, served):
+        import os
+
+        root, port = served
+        eng.execute("CREATE TABLE tsrc (k int8, v text)")
+        eng.execute("INSERT INTO tsrc VALUES (1, 'a'), (2, 'b')")
+        eng.execute(
+            f"CREATE WRITABLE EXTERNAL TABLE wsx (k int8, v text) LOCATION "
+            f"('gpfdists://127.0.0.1:{port}/out.txt') FORMAT 'TEXT'"
+        )
+        eng.execute("INSERT INTO wsx SELECT k, v FROM tsrc")
+        lines = sorted(
+            open(os.path.join(root, "out.txt")).read().splitlines()
+        )
+        assert lines == ["1\ta", "2\tb"]
+
+    def test_mixed_gpfdist_schemes_allowed(self, eng, served, tmp_path):
+        # plain and TLS daemons can share a LOCATION list (url.c treats
+        # both as the gpfdist protocol family)
+        root2 = tmp_path / "plain"
+        root2.mkdir()
+        (root2 / "d.txt").write_text("100\tplain-row\n")
+        srv2, port2 = serve_directory(str(root2))
+        try:
+            _, port = served
+            eng.execute(
+                f"CREATE EXTERNAL TABLE gmix (k int8, v text) LOCATION ("
+                f"'gpfdists://127.0.0.1:{port}/d.txt', "
+                f"'gpfdist://127.0.0.1:{port2}/d.txt') FORMAT 'TEXT'"
+            )
+            got = sorted(
+                map(tuple, eng.execute("SELECT k, v FROM gmix").collect())
+            )
+            assert (100, "plain-row") in got
+            assert (0, "secure-0") in got
+        finally:
+            srv2.shutdown()
