@@ -1619,6 +1619,78 @@ def external_gpfdist_unload(spark, sf_dir):
 
 
 @suite.add(
+    "external_gpfdists_scan",
+    oracle="""
+    SELECT CAST(g AS BIGINT) AS k, 'tls-' || g AS v
+    FROM generate_series(0, 29) t(g) ORDER BY k
+    """,
+    doc="gpfdists:// mutual-TLS gpfdist (url_curl.c CURLOPT_SSLCERT/"
+        "SSLKEY/CAINFO client-certificate path; gpfdist --ssl): the "
+        "client certificate material rides session configuration (SET "
+        "greengage.gpfdists.cert/key/ca — the reference's per-segment "
+        "$PGDATA/gpfdists/ directory analog) and executors rebuild the "
+        "SSL context from the configured paths; the bundled daemon "
+        "REQUIRES a CA-signed client certificate (mutual TLS). Certs are "
+        "openssl-generated per run; the data path is otherwise the "
+        "standard PROTO-1 block framing on executors.",
+    tags=("engine", "external", "scan"),
+)
+def external_gpfdists_scan(spark, sf_dir):
+    import os
+    import subprocess
+
+    from greengage_spark.engine import GreengageEngine
+    from greengage_spark.sources.gpfdist import serve_directory
+
+    certs = tempfile.mkdtemp(prefix="gg_tls_")
+
+    def ossl(*args):
+        p = subprocess.run(["openssl", *args], capture_output=True)
+        if p.returncode != 0:
+            raise RuntimeError(p.stderr.decode())
+
+    ossl("req", "-x509", "-newkey", "rsa:2048",
+         "-keyout", f"{certs}/ca.key", "-out", f"{certs}/ca.crt",
+         "-days", "2", "-nodes", "-subj", "/CN=gg-ca")
+    with open(f"{certs}/ext", "w") as fh:
+        fh.write("subjectAltName=IP:127.0.0.1\n")
+    for name, cn, ext in (("server", "127.0.0.1", f"{certs}/ext"),
+                          ("client", "gg-client", None)):
+        ossl("req", "-newkey", "rsa:2048", "-keyout", f"{certs}/{name}.key",
+             "-out", f"{certs}/{name}.csr", "-nodes", "-subj", f"/CN={cn}")
+        args = ["x509", "-req", "-in", f"{certs}/{name}.csr",
+                "-CA", f"{certs}/ca.crt", "-CAkey", f"{certs}/ca.key",
+                "-CAcreateserial", "-out", f"{certs}/{name}.crt",
+                "-days", "2"]
+        if ext:
+            args += ["-extfile", ext]
+        ossl(*args)
+
+    root = tempfile.mkdtemp(prefix="gg_tlsd_")
+    with open(os.path.join(root, "rows.txt"), "w") as fh:
+        fh.write("".join(f"{i}\ttls-{i}\n" for i in range(30)))
+    srv, port = serve_directory(root, tls={
+        "certfile": f"{certs}/server.crt",
+        "keyfile": f"{certs}/server.key",
+        "cafile": f"{certs}/ca.crt",
+    })
+    try:
+        eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_tlsw_"))
+        eng.execute(f"SET greengage.gpfdists.cert = '{certs}/client.crt'")
+        eng.execute(f"SET greengage.gpfdists.key = '{certs}/client.key'")
+        eng.execute(f"SET greengage.gpfdists.ca = '{certs}/ca.crt'")
+        eng.execute(
+            f"CREATE EXTERNAL TABLE tls_rows (k int8, v text) LOCATION "
+            f"('gpfdists://127.0.0.1:{port}/rows.txt') FORMAT 'TEXT'"
+        )
+        # materialize before the server shuts down (the view is lazy)
+        rows = eng.execute("SELECT k, v FROM tls_rows ORDER BY k").collect()
+    finally:
+        srv.shutdown()
+    return spark.createDataFrame(rows, "k bigint, v string")
+
+
+@suite.add(
     "external_http_scan",
     oracle="""
     SELECT CAST(g AS BIGINT) AS k, 'row-' || g AS v
