@@ -1,0 +1,239 @@
+"""PL/Perl and PL/Tcl — REAL system interpreters as per-executor
+coprocesses.
+
+Reference surface: src/pl/plperl/plperl.c and src/pl/tcl/pltcl.c embed
+libperl/libtcl in every backend and compile each function into the
+interpreter once, then call it per row.  The Spark analog: one
+``perl``/``tclsh`` process per (python worker, function body), the
+body compiled once at spawn, rows streamed over a pipe — the same
+compile-once / call-per-row execution model, with the interpreter a
+child process instead of an embedded library.
+
+Language contracts honored:
+
+* plperl (plperl.c plperl_call_perl_func): arguments in ``@_``, NULL ↔
+  ``undef``, the body wrapped as ``sub { ... }``; ``die`` surfaces as
+  the query error.  Booleans cross as 1/0.
+* pltcl (pltcl.c pltcl_func_handler): arguments named ``$1..$n``
+  (the proc is created with numeric formal names, exactly how the
+  reference builds its proc), NULL arguments arrive as empty strings,
+  the return value is a string cast to the declared type; a Tcl error
+  surfaces as the query error.
+
+Wire protocols: perl speaks JSON lines (JSON::PP, core since 5.14);
+tcl speaks base64-framed fields ('-' marks NULL) so values with
+newlines/spaces survive line framing.  Both drivers print a READY
+line after compiling the body, so CREATE FUNCTION fails eagerly with
+the interpreter's own compile error.
+
+Scale note: these are row-at-a-time UDFs over a pipe round trip — the
+deliberate slow path, same tier as plpythonu here and as the
+reference's own per-call PL dispatch.  Hot paths belong in LANGUAGE
+sql (inlines into Catalyst).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import tempfile
+
+_PERL_DRIVER = r"""
+use JSON::PP;
+my $json = JSON::PP->new->allow_nonref->canonical;
+my $path = shift @ARGV;
+open(my $fh, '<', $path) or die "cannot read body: $!";
+my $body = do { local $/; <$fh> };
+close $fh;
+my $fn = eval "sub { $body }";
+if ($@) { print STDERR "compile: $@"; exit 3; }
+$| = 1;
+print "READY\n";
+while (defined(my $line = <STDIN>)) {
+    chomp $line;
+    my $args = $json->decode($line);
+    my $ret = eval { $fn->(@$args) };
+    if ($@) { my $e = "$@"; $e =~ s/\s+/ /g; print $json->encode({e => $e}), "\n"; }
+    else { print $json->encode({r => $ret}), "\n"; }
+}
+"""
+
+_TCL_DRIVER = r"""
+set path [lindex $argv 0]
+set n [lindex $argv 1]
+set fh [open $path r]
+set body [read $fh]
+close $fh
+set formals {}
+for {set i 1} {$i <= $n} {incr i} { lappend formals $i }
+if {[catch {proc __ggfn $formals $body} err]} {
+    puts stderr "compile: $err"
+    exit 3
+}
+fconfigure stdout -buffering line
+puts "READY"
+while {[gets stdin line] >= 0} {
+    set vals {}
+    foreach f $line {
+        if {$f eq "-"} {
+            lappend vals ""
+        } else {
+            lappend vals [encoding convertfrom utf-8 [binary decode base64 $f]]
+        }
+    }
+    if {[catch {__ggfn {*}$vals} result]} {
+        puts "![binary encode base64 [encoding convertto utf-8 $result]]"
+    } else {
+        puts "=[binary encode base64 [encoding convertto utf-8 $result]]"
+    }
+}
+"""
+
+# (lang, body, nargs, pid) -> Popen; pid keys the cache per forked
+# python worker so executors never share a pipe
+_PROCS: dict = {}
+
+
+def _spawn(lang: str, body: str, nargs: int):
+    bf = tempfile.NamedTemporaryFile(
+        "w", suffix=".body", delete=False, encoding="utf-8"
+    )
+    bf.write(body)
+    bf.close()
+    df = tempfile.NamedTemporaryFile(
+        "w", suffix=".drv", delete=False, encoding="utf-8"
+    )
+    df.write(_PERL_DRIVER if lang == "plperl" else _TCL_DRIVER)
+    df.close()
+    cmd = (
+        ["perl", df.name, bf.name]
+        if lang == "plperl"
+        else ["tclsh", df.name, bf.name, str(nargs)]
+    )
+    try:
+        p = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True, encoding="utf-8",
+        )
+    except FileNotFoundError:
+        raise NotImplementedError(
+            f"LANGUAGE {lang} needs the {cmd[0]!r} interpreter on every "
+            "executor (the reference embeds it via libperl/libtcl)"
+        ) from None
+    ready = p.stdout.readline()
+    if ready.strip() != "READY":
+        err = p.stderr.read()
+        p.kill()
+        raise ValueError(f"{lang} function failed to compile: {err.strip()}")
+    return p
+
+
+def _coproc(lang: str, body: str, nargs: int):
+    key = (lang, body, nargs, os.getpid())
+    p = _PROCS.get(key)
+    if p is None or p.poll() is not None:
+        p = _spawn(lang, body, nargs)
+        _PROCS[key] = p
+    return p
+
+
+def _plain(v):
+    """JSON/pipe-safe native value (numpy scalars, datetimes, Decimal)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return 1 if v else 0  # plperl's boolean representation
+    if hasattr(v, "item"):
+        v = v.item()
+    if isinstance(v, (int, float, str)):
+        return v
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (datetime.date, datetime.datetime, datetime.time)):
+        return v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("utf-8", "replace")
+    return str(v)
+
+
+def _call_perl(p, args) -> object:
+    p.stdin.write(json.dumps([_plain(a) for a in args]) + "\n")
+    p.stdin.flush()
+    line = p.stdout.readline()
+    if not line:
+        err = p.stderr.read()
+        raise RuntimeError(f"plperl interpreter died: {err.strip()}")
+    d = json.loads(line)
+    if "e" in d:
+        raise RuntimeError(f"plperl: {d['e']}")
+    return d.get("r")
+
+
+def _call_tcl(p, args) -> str | None:
+    import base64
+
+    fields = [
+        "-" if a is None
+        else base64.b64encode(str(_plain(a)).encode()).decode()
+        for a in args
+    ]
+    p.stdin.write(" ".join(fields) + "\n")
+    p.stdin.flush()
+    line = p.stdout.readline()
+    if not line:
+        err = p.stderr.read()
+        raise RuntimeError(f"pltcl interpreter died: {err.strip()}")
+    line = line.strip()
+    import base64 as b64
+
+    payload = b64.b64decode(line[1:]).decode() if len(line) > 1 else ""
+    if line.startswith("!"):
+        raise RuntimeError(f"pltcl: {payload}")
+    return payload
+
+
+_TRUTHY = {"t", "true", "1", "y", "yes", "on"}
+_FALSY = {"f", "false", "0", "n", "no", "off", ""}
+
+
+def _cast_return(v, ret_type: str):
+    if v is None:
+        return None
+    t = ret_type.upper()
+    if t in ("SMALLINT", "INT", "BIGINT"):
+        return int(float(v)) if isinstance(v, str) else int(v)
+    if t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
+        return float(v)
+    if t == "BOOLEAN":
+        if isinstance(v, str):
+            low = v.strip().lower()
+            if low in _TRUTHY:
+                return True
+            if low in _FALSY:
+                return False
+            raise ValueError(f"invalid boolean return {v!r}")
+        return bool(v)
+    return str(v)
+
+
+def compile_foreign(lang: str, body: str, nargs: int, ret_type: str):
+    """→ a row callable for spark.udf.register.  Compiles EAGERLY on the
+    driver (CREATE FUNCTION surfaces the interpreter's compile error,
+    like plperl.c's validator); executors re-compile lazily in their own
+    coprocess on first call."""
+    _coproc(lang, body, nargs)  # eager validation
+    call = _call_perl if lang == "plperl" else _call_tcl
+
+    def fn(*args):
+        p = _coproc(lang, body, nargs)
+        r = call(p, args)
+        # pltcl returns "" for a proc that returns nothing → NULL analog
+        if lang == "pltcl" and r == "" and ret_type.upper() != "STRING":
+            return None
+        return _cast_return(r, ret_type)
+
+    return fn

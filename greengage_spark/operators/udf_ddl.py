@@ -138,9 +138,14 @@ def parse_create_function(stmt: str) -> tuple[FunctionDef, bool]:
     lang = m.group(9).lower()
     if lang in ("plpythonu", "plpython3u", "plpython2u"):
         lang = "plpythonu"
+    elif lang in ("plperl", "plperlu"):
+        lang = "plperl"
+    elif lang in ("pltcl", "pltclu"):
+        lang = "pltcl"
     elif lang not in ("sql", "plpgsql"):
         raise NotImplementedError(
-            f"LANGUAGE {lang} not supported (sql, plpgsql, plpythonu)"
+            f"LANGUAGE {lang} not supported (sql, plpgsql, plpythonu, "
+            "plperl, pltcl)"
         )
     body = body.strip()
     dyn_query_val = None
@@ -151,9 +156,9 @@ def parse_create_function(stmt: str) -> tuple[FunctionDef, bool]:
         # ALL (exec_stmt_return_query).  The stored body becomes an
         # inline-expandable table macro (optimizer/util/clauses.c
         # inline_set_returning_function).
-        if lang == "plpythonu":
+        if lang in ("plpythonu", "plperl", "pltcl"):
             raise NotImplementedError(
-                "RETURNS SETOF LANGUAGE plpythonu: use mapInPandas table "
+                f"RETURNS SETOF LANGUAGE {lang}: use mapInPandas table "
                 "functions (operators.tablefunc)"
             )
         if lang == "plpgsql":
@@ -845,6 +850,16 @@ def register_function(spark: SparkSession, fd: FunctionDef, transpile) -> None:
             f"CREATE OR REPLACE TEMPORARY FUNCTION {fd.name}({args}) "
             f"RETURNS {fd.ret_type} RETURN {lowered}"
         )
+        return
+    if fd.language in ("plperl", "pltcl"):
+        # real interpreter coprocess (operators/plforeign.py — the
+        # libperl/libtcl-embedding analog); compile errors surface NOW
+        from greengage_spark.operators.plforeign import compile_foreign
+
+        fd.pyfn = compile_foreign(
+            fd.language, fd.body, len(fd.arg_names), fd.ret_type
+        )
+        spark.udf.register(fd.name, fd.pyfn, fd.ret_type)
         return
     # plpythonu: compile the body as a def with the declared arg names
     indented = "\n".join("    " + ln for ln in fd.body.split("\n"))

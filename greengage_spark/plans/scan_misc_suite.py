@@ -656,6 +656,47 @@ def create_function_sql(spark, sf_dir):
 
 
 @suite.add(
+    "create_function_plforeign",
+    oracle="""
+    SELECT c_custkey,
+           reverse(c_name) AS rev_name,
+           CAST(c_custkey * 2 + length(c_name) AS BIGINT) AS tcl_calc
+    FROM customer WHERE c_custkey < 60 ORDER BY c_custkey
+    """,
+    doc="CREATE FUNCTION ... LANGUAGE plperl / pltcl (src/pl/plperl/"
+        "plperl.c; src/pl/tcl/pltcl.c): the REAL system interpreter runs "
+        "as a per-worker coprocess (the libperl/libtcl-embedding "
+        "analog), the body compiles once at spawn (compile errors "
+        "surface at CREATE like the reference's validators), rows "
+        "stream over a pipe — perl takes @_/undef-NULL/JSON lines, tcl "
+        "takes $1..$n positional args over base64 framing. Row-at-a-time "
+        "by design, the same tier as the reference's per-call PL "
+        "dispatch; hot paths belong in LANGUAGE sql.",
+    tags=("udf", "engine"),
+)
+def create_function_plforeign(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_plf_"))
+    cat(spark, sf_dir).table("customer").filter(
+        F.col("c_custkey") < 60
+    ).createOrReplaceTempView("plf_src_customer")
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION perl_rev(text) RETURNS text AS "
+        "$$ return scalar reverse shift; $$ LANGUAGE plperl"
+    )
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION tcl_calc(k int8, s text) RETURNS int8 "
+        "AS 'return [expr {$1 * 2 + [string length $2]}]' LANGUAGE pltcl"
+    )
+    return eng.execute(
+        "SELECT c_custkey, perl_rev(c_name) AS rev_name, "
+        "tcl_calc(c_custkey, c_name) AS tcl_calc "
+        "FROM plf_src_customer ORDER BY c_custkey"
+    )
+
+
+@suite.add(
     "create_aggregate_ddl",
     oracle="""
     SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents

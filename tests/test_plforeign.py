@@ -1,0 +1,171 @@
+"""PL/Perl + PL/Tcl (operators/plforeign.py — the src/pl/plperl/
+plperl.c and src/pl/tcl/pltcl.c analog): the REAL system interpreter
+runs as a per-worker coprocess, the body compiles once at spawn, rows
+stream over a pipe.  Language contracts pinned: @_ args / undef NULLs /
+die errors for perl; $1..$n args / empty-string NULLs / string returns
+for tcl."""
+
+import shutil
+
+import pytest
+
+from greengage_spark.engine import GreengageEngine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return GreengageEngine(spark, str(tmp_path / "wh"))
+
+
+@pytest.mark.skipif(shutil.which("perl") is None, reason="no perl")
+class TestPlPerl:
+    def test_scalar_function(self, eng):
+        eng.execute(
+            "CREATE FUNCTION perl_max (integer, integer) RETURNS integer "
+            "AS $$ my ($x, $y) = @_; return $x > $y ? $x : $y; $$ "
+            "LANGUAGE plperl"
+        )
+        assert eng.execute("SELECT perl_max(3, 7) AS v").collect()[0].v == 7
+
+    def test_string_manipulation(self, eng):
+        eng.execute(
+            "CREATE FUNCTION perl_rev(text) RETURNS text AS $$ "
+            "return scalar reverse shift; $$ LANGUAGE plperl"
+        )
+        got = eng.execute("SELECT perl_rev('hello') AS v").collect()[0].v
+        assert got == "olleh"
+
+    def test_regex_and_sprintf(self, eng):
+        eng.execute(
+            "CREATE FUNCTION perl_fmt(a text, b float8) RETURNS text AS $$ "
+            "my ($s, $n) = @_; $s =~ s/\\s+/_/g; "
+            "return sprintf('%s=%.2f', $s, $n); $$ LANGUAGE plperl"
+        )
+        got = eng.execute(
+            "SELECT perl_fmt('a b  c', 2.5) AS v"
+        ).collect()[0].v
+        assert got == "a_b_c=2.50"
+
+    def test_null_is_undef_both_ways(self, eng):
+        eng.execute(
+            "CREATE FUNCTION perl_nullish(a integer) RETURNS integer AS $$ "
+            "my $x = shift; return undef unless defined $x; "
+            "return $x + 1; $$ LANGUAGE plperl"
+        )
+        rows = eng.execute(
+            "SELECT perl_nullish(1) AS a, perl_nullish(NULL) AS b"
+        ).collect()[0]
+        assert rows.a == 2 and rows.b is None
+
+    def test_over_table_rows(self, eng):
+        eng.execute("CREATE TABLE pt (x int8)")
+        eng.execute("INSERT INTO pt SELECT g FROM generate_series(1, 20) g")
+        eng.execute(
+            "CREATE FUNCTION perl_sq(bigint) RETURNS bigint AS "
+            "'my $v = shift; return $v * $v;' LANGUAGE plperl"
+        )
+        got = eng.execute(
+            "SELECT sum(perl_sq(x)) AS s FROM pt"
+        ).collect()[0].s
+        assert got == sum(i * i for i in range(1, 21))
+
+    def test_compile_error_surfaces_at_create(self, eng):
+        with pytest.raises(ValueError, match="compile"):
+            eng.execute(
+                "CREATE FUNCTION perl_bad(integer) RETURNS integer AS "
+                "'return 1 +++;' LANGUAGE plperl"
+            )
+
+    def test_runtime_die_surfaces(self, eng):
+        eng.execute(
+            "CREATE FUNCTION perl_die(integer) RETURNS integer AS "
+            "$$ die 'boom' if $_[0] > 0; return 0; $$ LANGUAGE plperl"
+        )
+        with pytest.raises(Exception, match="boom"):
+            eng.execute("SELECT perl_die(1) AS v").collect()
+
+    def test_plperlu_alias(self, eng):
+        eng.execute(
+            "CREATE FUNCTION perl_len(text) RETURNS integer AS "
+            "'return length(shift);' LANGUAGE plperlu"
+        )
+        assert eng.execute("SELECT perl_len('abcd') AS v").collect()[0].v == 4
+
+    def test_boolean_return(self, eng):
+        eng.execute(
+            "CREATE FUNCTION perl_even(integer) RETURNS boolean AS "
+            "'return (shift() % 2) == 0 ? 1 : 0;' LANGUAGE plperl"
+        )
+        r = eng.execute(
+            "SELECT perl_even(4) AS a, perl_even(3) AS b"
+        ).collect()[0]
+        assert r.a is True and r.b is False
+
+
+@pytest.mark.skipif(shutil.which("tclsh") is None, reason="no tclsh")
+class TestPlTcl:
+    def test_positional_dollar_args(self, eng):
+        eng.execute(
+            "CREATE FUNCTION tcl_max(integer, integer) RETURNS integer AS "
+            "$$ if {$1 > $2} { return $1 } else { return $2 } $$ "
+            "LANGUAGE pltcl"
+        )
+        assert eng.execute("SELECT tcl_max(9, 4) AS v").collect()[0].v == 9
+
+    def test_string_ops(self, eng):
+        eng.execute(
+            "CREATE FUNCTION tcl_up(text) RETURNS text AS "
+            "'return [string toupper $1]' LANGUAGE pltcl"
+        )
+        got = eng.execute("SELECT tcl_up('spark') AS v").collect()[0].v
+        assert got == "SPARK"
+
+    def test_value_with_spaces_and_newlines(self, eng):
+        # base64 field framing must survive whitespace in values
+        eng.execute(
+            "CREATE FUNCTION tcl_len(text) RETURNS integer AS "
+            "'return [string length $1]' LANGUAGE pltcl"
+        )
+        got = eng.execute(
+            "SELECT tcl_len(E'a b\\nc') AS v"  # E'': real newline, 5 chars
+        ).collect()[0].v
+        assert got == 5
+
+    def test_null_in_becomes_empty(self, eng):
+        # pltcl.c passes NULL arguments as empty strings
+        eng.execute(
+            "CREATE FUNCTION tcl_isempty(text) RETURNS boolean AS "
+            "$$ if {$1 eq {}} { return t } else { return f } $$ "
+            "LANGUAGE pltcl"
+        )
+        r = eng.execute(
+            "SELECT tcl_isempty(NULL) AS a, tcl_isempty('x') AS b"
+        ).collect()[0]
+        assert r.a is True and r.b is False
+
+    def test_over_table(self, eng):
+        eng.execute("CREATE TABLE tt (x int8)")
+        eng.execute("INSERT INTO tt VALUES (2), (5), (11)")
+        eng.execute(
+            "CREATE FUNCTION tcl_dbl(bigint) RETURNS bigint AS "
+            "'return [expr {$1 * 2}]' LANGUAGE pltcl"
+        )
+        got = sorted(
+            r.v for r in eng.execute("SELECT tcl_dbl(x) AS v FROM tt").collect()
+        )
+        assert got == [4, 10, 22]
+
+    def test_tcl_error_surfaces(self, eng):
+        eng.execute(
+            "CREATE FUNCTION tcl_err(integer) RETURNS integer AS "
+            "'error {tcl boom}' LANGUAGE pltcl"
+        )
+        with pytest.raises(Exception, match="tcl boom"):
+            eng.execute("SELECT tcl_err(1) AS v").collect()
+
+    def test_setof_rejects(self, eng):
+        with pytest.raises(NotImplementedError, match="SETOF"):
+            eng.execute(
+                "CREATE FUNCTION tcl_set() RETURNS SETOF integer AS "
+                "'return 1' LANGUAGE pltcl"
+            )

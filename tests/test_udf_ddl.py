@@ -52,8 +52,20 @@ class TestParse:
     def test_unknown_language_rejected(self):
         with pytest.raises(NotImplementedError, match="LANGUAGE"):
             parse_create_function(
-                "CREATE FUNCTION f(a int) RETURNS int AS 'x' LANGUAGE plperl"
+                "CREATE FUNCTION f(a int) RETURNS int AS 'x' LANGUAGE pljava"
             )
+
+    def test_plperl_pltcl_parse(self):
+        fd, _ = parse_create_function(
+            "CREATE FUNCTION f(a int) RETURNS int AS 'return 1;' "
+            "LANGUAGE plperl"
+        )
+        assert fd.language == "plperl"
+        fd, _ = parse_create_function(
+            "CREATE FUNCTION g(a int) RETURNS int AS 'return 1' "
+            "LANGUAGE pltclu"
+        )
+        assert fd.language == "pltcl"
 
 
 class TestEngineFunctions:
