@@ -148,12 +148,14 @@ class TestHttpDDL:
                 "('http://h/a.csv') FORMAT 'CSV'"
             )
 
-    def test_gpfdists_still_rejects(self):
-        with pytest.raises(NotImplementedError, match="gpfdists"):
-            parse_create_external(
-                "CREATE EXTERNAL TABLE t (k int) LOCATION "
-                "('gpfdists://h:8080/a.csv') FORMAT 'CSV'"
-            )
+    def test_gpfdists_parses_into_gpfdist_family(self):
+        # mutual-TLS gpfdist is served now (tests/test_gpfdists_tls.py
+        # has the end-to-end round trip)
+        etd = parse_create_external(
+            "CREATE EXTERNAL TABLE t (k int) LOCATION "
+            "('gpfdists://h:8080/a.csv') FORMAT 'CSV'"
+        )
+        assert etd.table.uris == ["gpfdists://h:8080/a.csv"]
 
     def test_engine_end_to_end(self, spark, http_root):
         from greengage_spark.engine import GreengageEngine
