@@ -388,6 +388,287 @@ def _pass_seg(toks: list[str]) -> list[str]:
     return out
 
 
+_CUBE_OPS = (
+    # multi-token glyphs first (longest match); name keys into pg_cube_*
+    (("@", ">"), "contains", None), (("<", "@"), "contained", None),
+    (("&", "&"), "overlap", None),
+    (("@",), "contains", None), (("~",), "contained", None),  # deprecated
+    (("<=",), None, "<="), ((">=",), None, ">="),
+    (("<>",), None, "<>"), (("!=",), None, "<>"),
+    (("=",), None, "="), (("<",), None, "<"), ((">",), None, ">"),
+)
+
+_CUBE_FNS = {
+    # name -> (pg_cube_* kernel, returns-cube?)
+    "cube_dim": ("pg_cube_dim", False),
+    "cube_ll_coord": ("pg_cube_ll_coord", False),
+    "cube_ur_coord": ("pg_cube_ur_coord", False),
+    "cube_is_point": ("pg_cube_is_point", False),
+    "cube_size": ("pg_cube_size", False),
+    "cube_distance": ("pg_cube_distance", False),
+    "cube_union": ("pg_cube_union", True),
+    "cube_inter": ("pg_cube_inter", True),
+    "cube_enlarge": ("pg_cube_enlarge", True),
+    "cube_subset": ("pg_cube_subset", True),
+}
+
+
+def _grouping_cube_spans(toks, low) -> set[int]:
+    """Token indexes belonging to GROUP BY clauses — CUBE there is the
+    grouping construct (gram.y reserves it), never the contrib type."""
+    spans: set[int] = set()
+    depths = []
+    d = 0
+    for t in toks:
+        if t == ")":
+            d -= 1
+        depths.append(d)
+        if t == "(":
+            d += 1
+    enders = {"having", "order", "limit", "offset", "window",
+              "union", "intersect", "except", ";"}
+    i = 0
+    while i < len(low) - 1:
+        if low[i] == "group" and low[i + 1] == "by":
+            gd = depths[i]
+            j = i + 2
+            while j < len(low):
+                if depths[j] < gd or (depths[j] == gd and low[j] in enders):
+                    break
+                spans.add(j)
+                j += 1
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def _cube_arg_is_array(arg: list[str]) -> bool:
+    """Lexical array detection for the cube(float8[]...) constructor
+    forms: ARRAY[...]/array(...) expressions or a ::float[]-style cast."""
+    low = [t.lower() if _is_ident(t) else t for t in arg]
+    if "array" in low:
+        return True
+    for k in range(len(arg) - 1):
+        if arg[k] == "[" or (arg[k] == "::" and k + 1 < len(arg)
+                             and low[k + 1] in ("float", "float8", "float4",
+                                                "real", "numeric", "double")
+                             and "[" in arg[k + 1:]):
+            return True
+    return False
+
+
+def _pass_cube(toks: list[str]) -> list[str]:
+    """contrib/cube (cube.c, cubeparse.y): ``expr::cube`` canonicalizes
+    the n-dimensional interval text (plan time for literals); the
+    ``cube(...)`` constructors dispatch on argument shape (scalar point/
+    interval, cube+dimension append, float8[] forms); the operators
+    (@> <@ && and ordering) and the cube_* function family run via the
+    parsed-corner kernels in functions/pgcube.py.  GROUP BY CUBE is the
+    grouping construct and is never touched."""
+    low0 = [t.lower() if _is_ident(t) else "" for t in toks]
+    if "cube" not in low0 and not any(c.startswith("cube_") for c in low0):
+        return toks
+    grouping = _grouping_cube_spans(toks, low0)
+
+    # ::cube casts -> markers (literals fold at plan time)
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(toks) - 1):
+            if toks[i] != "::" or toks[i + 1].lower() != "cube":
+                continue
+            start = _operand_start(toks, i - 1)
+            # extend left over chained casts ('(0)'::text::cube)
+            while start >= 2 and toks[start - 1] == "::":
+                start = _operand_start(toks, start - 2)
+            operand = toks[start:i]
+            # a text-cast chain on a literal is still the input function
+            while (
+                len(operand) >= 3
+                and operand[-2] == "::"
+                and operand[-1].lower() in ("text", "varchar", "cstring")
+            ):
+                operand = operand[:-2]
+            if len(operand) == 1 and _is_string(operand[0]):
+                from greengage_spark.functions.pgcube import canonical
+
+                v = canonical(operand[0][1:-1].replace("''", "'"))
+                repl = ["__gg_cube", "(", "'" + v.replace("'", "''") + "'", ")"]
+            elif operand and operand[0] == "__gg_cube":
+                repl = operand
+            else:
+                repl = (
+                    ["__gg_cube", "(", "pg_cube_in", "("]
+                    + operand + [")", ")"]
+                )
+            toks = toks[:start] + repl + toks[i + 2 :]
+            changed = True
+            break
+    # cube(...) constructors (innermost-first so chains resolve) and the
+    # cube_* function family
+    changed = True
+    while changed:
+        changed = False
+        low = [t.lower() if _is_ident(t) else "" for t in toks]
+        grouping = _grouping_cube_spans(toks, low)
+        for i in range(len(toks) - 1):
+            name = low[i]
+            if toks[i : i + 1] == ["__gg_cube"] or toks[i + 1] != "(":
+                continue
+            if name == "cube" and i not in grouping:
+                close = _args_span(toks, i + 1)
+                inner = toks[i + 2 : close]
+                if any(
+                    t.lower() == "cube" or t.lower().startswith("cube_")
+                    for t in inner if _is_ident(t)
+                ):
+                    continue  # resolve nested cube expressions first
+                args = _split_fn_args(inner)
+                repl = _lower_cube_ctor(args)
+                if repl is None:
+                    continue
+                toks = toks[:i] + repl + toks[close + 1 :]
+                changed = True
+                break
+            if name in _CUBE_FNS:
+                close = _args_span(toks, i + 1)
+                inner = toks[i + 2 : close]
+                if any(
+                    t.lower() == "cube" or t.lower().startswith("cube_")
+                    for t in inner if _is_ident(t)
+                ):
+                    continue
+                args = _split_fn_args(inner)
+                kern, ret_cube = _CUBE_FNS[name]
+                flat: list[str] = []
+                for k, a in enumerate(args):
+                    if k:
+                        flat.append(",")
+                    flat += _unwrap_cube(a)
+                repl = [kern, "(", *flat, ")"]
+                if ret_cube:
+                    repl = ["__gg_cube", "(", *repl, ")"]
+                toks = toks[:i] + repl + toks[close + 1 :]
+                changed = True
+                break
+    # binary operators between two cube markers
+    changed = True
+    while changed:
+        changed = False
+        i = 0
+        while i < len(toks):
+            if toks[i] != "__gg_cube":
+                i += 1
+                continue
+            lclose = _args_span(toks, i + 1)
+            for glyph, name, cmpop in _CUBE_OPS:
+                g = list(glyph)
+                j = lclose + 1
+                if toks[j : j + len(g)] != g:
+                    continue
+                k = j + len(g)
+                if k >= len(toks) or toks[k] != "__gg_cube":
+                    continue
+                rclose = _args_span(toks, k + 1)
+                left = toks[i + 2 : lclose]
+                right = toks[k + 2 : rclose]
+                if name is not None:
+                    expr = (
+                        [f"pg_cube_{name}", "("] + left + [","]
+                        + right + [")"]
+                    )
+                else:
+                    expr = (
+                        ["(", "pg_cube_cmp", "("] + left + [","] + right
+                        + [")", cmpop if cmpop != "<>" else "!=", "0", ")"]
+                    )
+                toks = toks[:i] + expr + toks[rclose + 1 :]
+                changed = True
+                break
+            else:
+                i += 1
+                continue
+            break
+    # leftover markers unwrap to their canonical-string expression
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if toks[i] == "__gg_cube":
+            close = _args_span(toks, i + 1)
+            out += ["(", *toks[i + 2 : close], ")"]
+            i = close + 1
+            continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
+def _split_fn_args(inner: list[str]) -> list[list[str]]:
+    args: list[list[str]] = []
+    depth = 0
+    cur: list[str] = []
+    for t in inner:
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        if t == "," and depth == 0:
+            args.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        args.append(cur)
+    return args
+
+
+def _unwrap_cube(arg: list[str]) -> list[str]:
+    if arg and arg[0] == "__gg_cube":
+        return arg[2 : _args_span(arg, 1)]
+    return arg
+
+
+def _lower_cube_ctor(args: list[list[str]]) -> list[str] | None:
+    """cube(...) constructor dispatch (cube--1.0.sql's six forms)."""
+    if not args or len(args) > 3:
+        return None
+    first_is_cube = args[0] and args[0][0] == "__gg_cube"
+    if len(args) == 1:
+        if first_is_cube:  # cube(cube) is the identity cast
+            return list(args[0])
+        if _cube_arg_is_array(args[0]):
+            return ["__gg_cube", "(", "pg_cube_arr", "(", *args[0], ")", ")"]
+        # cube(text) is the input function; strip a ::text cast first
+        a0 = list(args[0])
+        while (
+            len(a0) >= 3 and a0[-2] == "::"
+            and a0[-1].lower() in ("text", "varchar", "cstring")
+        ):
+            a0 = a0[:-2]
+        args = [a0] + list(args[1:])
+        if len(args[0]) == 1 and _is_string(args[0][0]):
+            # cube('text') = the input function
+            from greengage_spark.functions.pgcube import canonical
+
+            v = canonical(args[0][0][1:-1].replace("''", "'"))
+            return ["__gg_cube", "(", "'" + v.replace("'", "''") + "'", ")"]
+        return ["__gg_cube", "(", "pg_cube_point", "(", *args[0], ")", ")"]
+    if len(args) == 2:
+        if first_is_cube:
+            return ["__gg_cube", "(", "pg_cube_add_point", "(",
+                    *_unwrap_cube(args[0]), ",", *args[1], ")", ")"]
+        if _cube_arg_is_array(args[0]) and _cube_arg_is_array(args[1]):
+            return ["__gg_cube", "(", "pg_cube_arr", "(",
+                    *args[0], ",", *args[1], ")", ")"]
+        return ["__gg_cube", "(", "pg_cube_interval", "(",
+                *args[0], ",", *args[1], ")", ")"]
+    if not first_is_cube:
+        return None
+    return ["__gg_cube", "(", "pg_cube_add_interval", "(",
+            *_unwrap_cube(args[0]), ",", *args[1], ",", *args[2], ")", ")"]
+
+
 def _pass_chkpass(toks: list[str]) -> list[str]:
     """contrib/chkpass (chkpass.c): ``expr::chkpass`` crypt(3)s the
     password with a random 2-char DES salt (':'-prefixed input stores
@@ -8414,6 +8695,7 @@ def transpile(sql: str) -> str:
     toks = _pass_cast_typenames(toks)
     toks = _pass_isn(toks)
     toks = _pass_seg(toks)
+    toks = _pass_cube(toks)
     toks = _pass_chkpass(toks)
     toks = _pass_casts(toks)
     toks = _pass_float_int_cast_round(toks)
@@ -8709,6 +8991,10 @@ def pg_sql(spark, sql: str):
         from greengage_spark.functions import seg as _segmod
 
         _segmod.register_udfs(spark)
+    if "pg_cube_" in out:
+        from greengage_spark.functions import pgcube as _cubemod
+
+        _cubemod.register_udfs(spark)
     if "pg_xpath" in out or "pg_xml_valid" in out:
         from greengage_spark.functions import xmlquery
 

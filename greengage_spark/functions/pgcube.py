@@ -1,0 +1,440 @@
+"""contrib/cube — the n-dimensional interval ("hypercube") type.
+
+Reference surface: contrib/cube/cube.c (all operators and functions of
+cube--1.0.sql), cubeparse.y (input grammar: ``n, ...``, ``(list)``,
+``(list),(list)``, ``[(list),(list)]``), cubescan.l.  A cube value
+travels as its canonical display string (cube_out: ``%.15g`` per
+coordinate, the point form collapsing to one corner); operators parse
+both sides — plan time for literals.
+
+Semantic pins carried over statement-for-statement (the regress file
+contrib/cube/expected/cube.out is replayed in tests/test_pgcube.py):
+
+* corners are stored AS GIVEN (no lo/hi normalization) — comparisons
+  use min/max per dimension instead;
+* mixed dimensionality zero-extends the smaller cube (cmp, contains,
+  overlap, distance, union, inter all have explicit extra-dimension
+  rules, each different — see the per-function comments);
+* cube_cmp orders by per-dimension minima first, then maxima, with
+  excess dimensions compared to zero and more-dimensions-wins ties;
+* CUBE_MAX_DIM = 100 (cubedata.h); exceeding it is the reference's
+  "array is too long" / "can't extend cube" error.
+"""
+
+from __future__ import annotations
+
+import re
+
+CUBE_MAX_DIM = 100
+
+_NUM = r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+_LIST = rf"{_NUM}(?:\s*,\s*{_NUM})*"
+_PAREN = rf"\(\s*(?:{_LIST})?\s*\)"
+_GRAMMAR = re.compile(
+    rf"^\s*(?:\[\s*({_PAREN})\s*,\s*({_PAREN})\s*\]"
+    rf"|({_PAREN})\s*,\s*({_PAREN})"
+    rf"|({_PAREN})"
+    rf"|({_LIST}))\s*$"
+)
+
+
+class Cube:
+    __slots__ = ("ll", "ur")
+
+    def __init__(self, ll: list[float], ur: list[float]):
+        self.ll = ll
+        self.ur = ur
+
+    @property
+    def dim(self) -> int:
+        return len(self.ll)
+
+    def is_point(self) -> bool:
+        return all(a == b for a, b in zip(self.ll, self.ur))
+
+
+def _nums(paren: str) -> list[float]:
+    inner = paren.strip()[1:-1]
+    return [float(x) for x in re.findall(_NUM, inner)]
+
+
+def cube_in(text: str) -> Cube:
+    """cubeparse.y: number list, one paren corner, two corners, or the
+    bracketed two-corner form; corner dimensionalities must match."""
+    m = _GRAMMAR.match(text)
+    if not m:
+        raise ValueError(f'bad cube representation: "{text}"')
+    if m.group(6) is not None:  # bare list = point
+        vals = [float(x) for x in re.findall(_NUM, m.group(6))]
+        c = Cube(vals, list(vals))
+    elif m.group(5) is not None:  # one paren corner = point
+        vals = _nums(m.group(5))
+        c = Cube(vals, list(vals))
+    else:
+        a = _nums(m.group(1) or m.group(3))
+        b = _nums(m.group(2) or m.group(4))
+        if len(a) != len(b):
+            raise ValueError(
+                f'bad cube representation: "{text}" '
+                "(different point dimensions)"
+            )
+        c = Cube(a, b)
+    if c.dim > CUBE_MAX_DIM:
+        raise ValueError(
+            f"bad cube representation: more than {CUBE_MAX_DIM} dimensions"
+        )
+    if not c.dim:
+        raise ValueError(f'bad cube representation: "{text}"')
+    return c
+
+
+def _g(v: float) -> str:
+    """cube_out's %.15g (DBL_DIG) coordinate formatting."""
+    s = f"{v:.15g}"
+    return "0" if s == "-0" else s
+
+
+def cube_out(c: Cube) -> str:
+    ll = "(" + ", ".join(_g(v) for v in c.ll) + ")"
+    if c.is_point():
+        return ll
+    return ll + ",(" + ", ".join(_g(v) for v in c.ur) + ")"
+
+
+def canonical(text: str) -> str:
+    return cube_out(cube_in(text))
+
+
+def _lo(c: Cube, i: int) -> float:
+    return min(c.ll[i], c.ur[i]) if i < c.dim else 0.0
+
+
+def _hi(c: Cube, i: int) -> float:
+    return max(c.ll[i], c.ur[i]) if i < c.dim else 0.0
+
+
+def cube_cmp(a: Cube, b: Cube) -> int:
+    """cube.c cube_cmp_v0."""
+    d = min(a.dim, b.dim)
+    for i in range(d):
+        if _lo(a, i) != _lo(b, i):
+            return 1 if _lo(a, i) > _lo(b, i) else -1
+    for i in range(d):
+        if _hi(a, i) != _hi(b, i):
+            return 1 if _hi(a, i) > _hi(b, i) else -1
+    if a.dim > b.dim:
+        for i in range(d, a.dim):
+            if _lo(a, i) != 0:
+                return 1 if _lo(a, i) > 0 else -1
+        for i in range(d, a.dim):
+            if _hi(a, i) != 0:
+                return 1 if _hi(a, i) > 0 else -1
+        return 1  # more dimensions wins
+    if a.dim < b.dim:
+        for i in range(d, b.dim):
+            if _lo(b, i) != 0:
+                return -1 if _lo(b, i) > 0 else 1
+        for i in range(d, b.dim):
+            if _hi(b, i) != 0:
+                return -1 if _hi(b, i) > 0 else 1
+        return -1
+    return 0
+
+
+def cube_contains(a: Cube, b: Cube) -> bool:
+    """cube.c cube_contains_v0: b's excess dimensions must be exactly
+    zero; within common dimensions a's interval must cover b's."""
+    if a.dim < b.dim:
+        for i in range(a.dim, b.dim):
+            if b.ll[i] != 0 or b.ur[i] != 0:
+                return False
+    for i in range(min(a.dim, b.dim)):
+        if _lo(a, i) > _lo(b, i) or _hi(a, i) < _hi(b, i):
+            return False
+    return True
+
+
+def cube_overlap(a: Cube, b: Cube) -> bool:
+    """cube.c cube_overlap_v0: larger-dim cube's excess dimensions must
+    touch zero."""
+    if a.dim < b.dim:
+        a, b = b, a
+    for i in range(b.dim):
+        if _lo(a, i) > _hi(b, i) or _hi(a, i) < _lo(b, i):
+            return False
+    for i in range(b.dim, a.dim):
+        if _lo(a, i) > 0 or _hi(a, i) < 0:
+            return False
+    return True
+
+
+def _distance_1d(a1, a2, b1, b2) -> float:
+    if a1 <= b1 and a2 <= b1 and a1 <= b2 and a2 <= b2:
+        return min(b1, b2) - max(a1, a2)
+    if a1 > b1 and a2 > b1 and a1 > b2 and a2 > b2:
+        return min(a1, a2) - max(b1, b2)
+    return 0.0
+
+
+def cube_distance(a: Cube, b: Cube) -> float:
+    """Per-axis projection distances, excess dims measured to zero."""
+    if a.dim < b.dim:
+        a, b = b, a
+    dist = 0.0
+    for i in range(b.dim):
+        d = _distance_1d(a.ll[i], a.ur[i], b.ll[i], b.ur[i])
+        dist += d * d
+    for i in range(b.dim, a.dim):
+        d = _distance_1d(a.ll[i], a.ur[i], 0.0, 0.0)
+        dist += d * d
+    return dist ** 0.5
+
+
+def cube_size(a: Cube) -> float:
+    result = 1.0
+    for i in range(a.dim):
+        result *= abs(a.ll[i] - a.ur[i])
+    return result
+
+
+def cube_union(a: Cube, b: Cube) -> Cube:
+    """cube.c cube_union_v0: excess dimensions union with [0, 0]."""
+    if a.dim < b.dim:
+        a, b = b, a
+    ll = [min(_lo(a, i), _lo(b, i)) for i in range(b.dim)]
+    ur = [max(_hi(a, i), _hi(b, i)) for i in range(b.dim)]
+    for i in range(b.dim, a.dim):
+        ll.append(min(0.0, _lo(a, i)))
+        ur.append(max(0.0, _hi(a, i)))
+    return Cube(ll, ur)
+
+
+def cube_inter(a: Cube, b: Cube) -> Cube:
+    """cube.c cube_inter: excess dimensions intersect with [0, 0]; a
+    non-overlapping intersection comes back inverted (the reference
+    keeps the question 'Is it OK?' in a comment — behavior preserved)."""
+    if a.dim < b.dim:
+        a, b = b, a
+    ll = [max(_lo(a, i), _lo(b, i)) for i in range(b.dim)]
+    ur = [min(_hi(a, i), _hi(b, i)) for i in range(b.dim)]
+    for i in range(b.dim, a.dim):
+        ll.append(max(0.0, _lo(a, i)))
+        ur.append(min(0.0, _hi(a, i)))
+    return Cube(ll, ur)
+
+
+def cube_enlarge(a: Cube, r: float, n: int) -> Cube:
+    """cube.c cube_enlarge: grow every radius by r (shrinking collapses
+    to the midpoint), extending to n dimensions when r > 0."""
+    if n > CUBE_MAX_DIM:
+        n = CUBE_MAX_DIM
+    dim = n if (r > 0 and n > 0) else 0
+    dim = max(dim, a.dim)
+    ll, ur = [], []
+    for i in range(a.dim):
+        if a.ll[i] >= a.ur[i]:
+            lo, hi = a.ur[i] - r, a.ll[i] + r
+        else:
+            lo, hi = a.ll[i] - r, a.ur[i] + r
+        if lo > hi:
+            lo = hi = (lo + hi) / 2
+        ll.append(lo)
+        ur.append(hi)
+    for _ in range(a.dim, dim):
+        ll.append(-r)
+        ur.append(r)
+    return Cube(ll, ur)
+
+
+def cube_subset(a: Cube, idx: list[int]) -> Cube:
+    """cube.c cube_subset: 1-based dimension picks; out of range is the
+    reference's 'Index out of bounds'; > CUBE_MAX_DIM picks is its
+    'array is too long'."""
+    if len(idx) > CUBE_MAX_DIM:
+        raise ValueError("array is too long")
+    ll, ur = [], []
+    for i in idx:
+        if i is None or not 1 <= int(i) <= a.dim:
+            raise ValueError("Index out of bounds")
+        ll.append(a.ll[int(i) - 1])
+        ur.append(a.ur[int(i) - 1])
+    return Cube(ll, ur)
+
+
+def cube_from_arrays(ll, ur=None) -> Cube:
+    """cube(float8[][, float8[]]); corners stored as given."""
+    ll = [float(x) for x in ll]
+    if ur is None:
+        c = Cube(ll, list(ll))
+    else:
+        ur = [float(x) for x in ur]
+        if len(ll) != len(ur):
+            raise ValueError("UR and LL arrays must be of same length")
+        c = Cube(ll, ur)
+    if c.dim > CUBE_MAX_DIM:
+        raise ValueError("array is too long")
+    if not c.dim:
+        raise ValueError("cannot work with empty arrays")
+    return c
+
+
+def cube_add(a: Cube, f1: float, f2: float | None = None) -> Cube:
+    """cube(cube, f8[, f8]): append one dimension (cube_c_f8[_f8])."""
+    if a.dim + 1 > CUBE_MAX_DIM:
+        raise ValueError("can't extend cube")
+    return Cube(a.ll + [f1], a.ur + [f1 if f2 is None else f2])
+
+
+def register_udfs(spark) -> None:
+    """pg_cube_* UDFs over canonical strings (Arrow-batched), mirroring
+    the seg registration pattern."""
+    if spark.conf.get("greengage.cube.registered", None) == "1":
+        return
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _series(fn, cols, dtype="object"):
+        return pd.Series(
+            [
+                None if any(v is None for v in vals) else fn(*vals)
+                for vals in zip(*cols)
+            ],
+            dtype=dtype,
+        )
+
+    def _u(fn):
+        def run(*cols):
+            return _series(fn, cols)
+
+        return run
+
+    spark.udf.register(
+        "pg_cube_in", pandas_udf(_u(canonical), "string")
+    )
+    for name, fn in (
+        ("contains", cube_contains),
+        ("contained", lambda a, b: cube_contains(b, a)),
+        ("overlap", cube_overlap),
+    ):
+        spark.udf.register(
+            f"pg_cube_{name}",
+            pandas_udf(
+                _u(lambda a, b, _f=fn: bool(_f(cube_in(a), cube_in(b)))),
+                "boolean",
+            ),
+        )
+    spark.udf.register(
+        "pg_cube_cmp",
+        pandas_udf(
+            _u(lambda a, b: cube_cmp(cube_in(a), cube_in(b))), "int"
+        ),
+    )
+    for name, fn in (
+        ("distance", cube_distance),
+        ("size", cube_size),
+    ):
+        spark.udf.register(
+            f"pg_cube_{name}",
+            pandas_udf(
+                _u(lambda a, b=None, _f=fn: float(
+                    _f(cube_in(a), cube_in(b)) if b is not None else _f(cube_in(a))
+                )),
+                "double",
+            ) if name == "distance" else pandas_udf(
+                _u(lambda a, _f=fn: float(_f(cube_in(a)))), "double"
+            ),
+        )
+    for name, fn in (
+        ("union", cube_union),
+        ("inter", cube_inter),
+    ):
+        spark.udf.register(
+            f"pg_cube_{name}",
+            pandas_udf(
+                _u(lambda a, b, _f=fn: cube_out(_f(cube_in(a), cube_in(b)))),
+                "string",
+            ),
+        )
+    spark.udf.register(
+        "pg_cube_enlarge",
+        pandas_udf(
+            _u(lambda a, r, n: cube_out(
+                cube_enlarge(cube_in(a), float(r), int(n))
+            )),
+            "string",
+        ),
+    )
+    spark.udf.register(
+        "pg_cube_subset",
+        pandas_udf(
+            _u(lambda a, idx: cube_out(cube_subset(cube_in(a), list(idx)))),
+            "string",
+        ),
+    )
+    spark.udf.register(
+        "pg_cube_dim",
+        pandas_udf(_u(lambda a: cube_in(a).dim), "int"),
+    )
+    # cube.c cube_ll_coord/ur_coord return the per-dimension MIN/MAX
+    # (corners are stored as given, so these normalize); out of range -> 0
+    for name, pick in (("ll_coord", min), ("ur_coord", max)):
+        def _coord(a, n, _p=pick):
+            c = cube_in(a)
+            n = int(n)
+            if not 1 <= n <= c.dim:
+                return 0.0
+            return float(_p(c.ll[n - 1], c.ur[n - 1]))
+
+        spark.udf.register(
+            f"pg_cube_{name}", pandas_udf(_u(_coord), "double")
+        )
+    spark.udf.register(
+        "pg_cube_is_point",
+        pandas_udf(_u(lambda a: bool(cube_in(a).is_point())), "boolean"),
+    )
+    spark.udf.register(
+        "pg_cube_point",
+        pandas_udf(
+            _u(lambda f: cube_out(Cube([float(f)], [float(f)]))), "string"
+        ),
+    )
+    spark.udf.register(
+        "pg_cube_interval",
+        pandas_udf(
+            _u(lambda f1, f2: cube_out(Cube([float(f1)], [float(f2)]))),
+            "string",
+        ),
+    )
+    spark.udf.register(
+        "pg_cube_add_point",
+        pandas_udf(
+            _u(lambda a, f: cube_out(cube_add(cube_in(a), float(f)))),
+            "string",
+        ),
+    )
+    spark.udf.register(
+        "pg_cube_add_interval",
+        pandas_udf(
+            _u(lambda a, f1, f2: cube_out(
+                cube_add(cube_in(a), float(f1), float(f2))
+            )),
+            "string",
+        ),
+    )
+
+    def _from_arrays(*cols):
+        ll_col = cols[0]
+        ur_col = cols[1] if len(cols) > 1 else [None] * len(ll_col)
+        two = len(cols) > 1
+        out = []
+        for ll, ur in zip(ll_col, ur_col):
+            if ll is None or (two and ur is None):
+                out.append(None)  # strict: NULL array -> NULL cube
+                continue
+            out.append(
+                cube_out(cube_from_arrays(list(ll), list(ur) if two else None))
+            )
+        return pd.Series(out, dtype="object")
+
+    spark.udf.register("pg_cube_arr", pandas_udf(_from_arrays, "string"))
+    spark.conf.set("greengage.cube.registered", "1")

@@ -1339,6 +1339,52 @@ def dialect_seg(spark, sf_dir):
 
 
 @suite.add(
+    "dialect_cube",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, '(1, 2),(3, 4)',   FALSE, FALSE, 2, CAST(4.0  AS DOUBLE), CAST(2.2360679774998 AS DOUBLE)),
+      (2, '(1.37)',          FALSE, TRUE,  1, CAST(0.0  AS DOUBLE), CAST(1.37 AS DOUBLE)),
+      (3, '(0, 0),(5, 5)',   TRUE,  FALSE, 2, CAST(25.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      (4, '(-1, -1),(1, 1)', TRUE,  FALSE, 2, CAST(4.0  AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      (5, '(2, 3, 5)',       FALSE, TRUE,  3, CAST(0.0  AS DOUBLE), CAST(6.1644140029690 AS DOUBLE))
+    ) AS t(k, canon, overlaps_unit, is_point, dim, size, dist0)
+    ORDER BY k
+    """,
+    doc="contrib/cube (cube.c, cubeparse.y): the n-dimensional interval "
+        "type — input grammar (number lists, paren corners, bracketed "
+        "form), %.15g canonical display with point collapse, all six "
+        "cube(...) constructor forms, @>/<@/&&/ordering operators with "
+        "the zero-extension mixed-dimensionality rules, and the cube_* "
+        "function family (dim/coords/size/distance/union/inter/enlarge/"
+        "subset). The ENTIRE scalar half of the reference's own regress "
+        "file (contrib/cube/expected/cube.out, ~178 statements incl. "
+        "error contracts) replays verbatim in tests/test_pgcube.py; "
+        "GROUP BY CUBE stays the grouping construct. Literal casts fold "
+        "at plan time; column-side values run Arrow-batched kernels.",
+    tags=("dialect", "contrib"),
+)
+def dialect_cube(spark, sf_dir):
+    from greengage_spark.dialect.transpiler import pg_sql
+
+    inputs = [
+        (1, "(1,2),(3,4)"), (2, "1.37"), (3, "(0,0),(5,5)"),
+        (4, "(-1,-1),(1,1)"), (5, "(2,3,5)"),
+    ]
+    parts = []
+    for k, v in inputs:
+        parts.append(
+            f"SELECT {k} AS k, '{v}'::cube AS canon, "
+            f"'{v}'::cube && '(0,0),(1,1)'::cube AS overlaps_unit, "
+            f"cube_is_point('{v}'::cube) AS is_point, "
+            f"cube_dim('{v}'::cube) AS dim, "
+            f"cube_size('{v}'::cube) AS size, "
+            f"round(cube_distance('{v}'::cube, '(0)'::cube)::numeric, 13)"
+            f"::float8 AS dist0"
+        )
+    return pg_sql(spark, " UNION ALL ".join(parts) + " ORDER BY k")
+
+
+@suite.add(
     "dialect_chkpass",
     oracle="""
     SELECT CAST(c_custkey AS INTEGER) AS c_custkey,

@@ -1,0 +1,173 @@
+"""contrib/cube (cube.c, cubeparse.y) — the n-dimensional interval
+type, replayed against the reference's OWN regress expectations: every
+scalar SELECT in contrib/cube/expected/cube.out (input/output grammar,
+all six constructors, comparison/containment/overlap operators, the
+cube_* function family, error contracts) runs through pg_sql and the
+text output is compared verbatim.  GROUP BY CUBE stays the grouping
+construct."""
+
+import os
+import re
+
+import pytest
+
+from greengage_spark.dialect.transpiler import pg_sql
+
+CUBE_OUT = "/root/reference/contrib/cube/expected/cube.out"
+
+# statements whose surface is deliberately out of scope here
+_SKIP = re.compile(
+    r"(?is)\bfrom\b|\binto\b|^\s*(create|insert|copy|explain|set|reset|drop|"
+    r"vacuum|analyze)\b|\\copy"
+)
+
+
+def _parse_regress(path):
+    """(sql, expected_value | ValueError) pairs for single-column
+    single-row scalar SELECTs."""
+    if not os.path.exists(path):
+        return []
+    lines = open(path).read().split("\n")
+    cases = []
+    i = 0
+    while i < len(lines):
+        ln = lines[i]
+        if not re.match(r"(?i)^select\b", ln):
+            i += 1
+            continue
+        sql = [ln]
+        while not re.search(r";\s*(--.*)?$", sql[-1]):
+            i += 1
+            sql.append(lines[i])
+        stmt = re.sub(r";\s*(--.*)?$", "", " ".join(sql)).strip()
+        i += 1
+        if _SKIP.search(stmt):
+            continue
+        if i < len(lines) and lines[i].startswith("ERROR"):
+            cases.append((stmt, ValueError))
+            i += 1
+            continue
+        # header, ----- line, value row(s), (N rows)
+        if i + 2 >= len(lines) or not lines[i + 1].startswith("-"):
+            continue
+        value_rows = []
+        j = i + 2
+        while j < len(lines) and not re.match(r"^\(\d+ rows?\)", lines[j]):
+            value_rows.append(lines[j].strip())
+            j += 1
+        i = j + 1
+        if len(value_rows) == 1:
+            cases.append((stmt, value_rows[0]))
+    return cases
+
+
+_CASES = _parse_regress(CUBE_OUT)
+
+
+def _fmt(v):
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, float):
+        s = f"{v:.15g}"
+        return "0" if s == "-0" else s
+    return str(v)
+
+
+@pytest.mark.skipif(not _CASES, reason="reference cube.out unavailable")
+def test_replay_reference_cube_regress(spark):
+    assert len(_CASES) >= 150, f"only {len(_CASES)} cases parsed"
+    failures = []
+    for stmt, expect in _CASES:
+        try:
+            rows = pg_sql(spark, stmt).collect()
+            got = _fmt(rows[0][0]) if rows else "<no rows>"
+        except Exception as e:
+            got = e
+        if expect is ValueError:
+            if not isinstance(got, Exception):
+                failures.append(f"{stmt!r}: expected error, got {got!r}")
+        elif isinstance(got, Exception):
+            failures.append(f"{stmt!r}: raised {got}")
+        elif got != expect:
+            failures.append(f"{stmt!r}: got {got!r} want {expect!r}")
+    assert not failures, (
+        f"{len(failures)}/{len(_CASES)} mismatches:\n" + "\n".join(failures[:25])
+    )
+
+
+class TestCubeSemantics:
+    def test_group_by_cube_is_grouping(self, spark):
+        rows = pg_sql(
+            spark,
+            "SELECT g % 2 AS a, count(*) AS n FROM generate_series(1, 10) g "
+            "GROUP BY CUBE(g % 2) ORDER BY a NULLS LAST",
+        ).collect()
+        assert [(r.a, r.n) for r in rows] == [(0, 5), (1, 5), (None, 10)]
+
+    def test_constructor_chain(self, spark):
+        r = pg_sql(
+            spark,
+            "SELECT cube(cube(cube(1,2),3,4),5) AS a, "
+            "cube(cube(cube(1,2),3,4),5,6) AS b",
+        ).collect()[0]
+        assert r.a == "(1, 3, 5),(2, 4, 5)"
+        assert r.b == "(1, 3, 5),(2, 4, 6)"
+
+    def test_array_constructors(self, spark):
+        r = pg_sql(
+            spark,
+            "SELECT cube('{0,1,2}'::float[], '{3,4,5}'::float[]) AS ab, "
+            "cube('{5,6,7,8}'::float[]) AS p, "
+            "cube(array[1.0, 2.0]) AS arr",
+        ).collect()[0]
+        assert r.ab == "(0, 1, 2),(3, 4, 5)"
+        assert r.p == "(5, 6, 7, 8)"
+        assert r.arr == "(1, 2)"
+
+    def test_operators_over_column_data(self, spark):
+        df = pg_sql(
+            spark,
+            "SELECT g, cube(g, g + 2) AS c FROM generate_series(0, 9) g",
+        )
+        df.createOrReplaceTempView("cubes")
+        rows = pg_sql(
+            spark,
+            "SELECT g FROM cubes WHERE (c)::cube && '(4),(5)'::cube "
+            "ORDER BY g",
+        ).collect()
+        assert [r.g for r in rows] == [2, 3, 4, 5]
+
+    def test_mixed_dimension_rules(self, spark):
+        r = pg_sql(
+            spark,
+            "SELECT '(0),(1)'::cube @> '(0.5, 0)'::cube AS c1, "
+            "'(0),(1)'::cube @> '(0.5, 0.1)'::cube AS c2, "
+            "cube_union('(1)'::cube, '(2, 2)'::cube) AS un, "
+            "cube_inter('(0),(4)'::cube, '(2),(6)'::cube) AS iv",
+        ).collect()[0]
+        assert r.c1 is True and r.c2 is False
+        assert r.un == "(1, 0),(2, 2)"
+        assert r.iv == "(2),(4)"
+
+    def test_deprecated_contain_spellings(self, spark):
+        r = pg_sql(
+            spark,
+            "SELECT '(0),(2)'::cube @ '(1)'::cube AS a, "
+            "'(1)'::cube ~ '(0),(2)'::cube AS b",
+        ).collect()[0]
+        assert r.a is True and r.b is True
+
+    def test_bad_input_fails_at_plan_time(self, spark):
+        with pytest.raises(ValueError, match="bad cube representation"):
+            pg_sql(spark, "SELECT '(1,2),(3)'::cube AS c")
+        with pytest.raises(ValueError, match="bad cube representation"):
+            pg_sql(spark, "SELECT 'nonsense'::cube AS c")
+
+    def test_max_dim_enforced(self, spark):
+        ok = ",".join(["0"] * 100)
+        assert pg_sql(spark, f"SELECT '({ok})'::cube AS c").collect()
+        bad = ",".join(["0"] * 101)
+        with pytest.raises(ValueError, match="100"):
+            pg_sql(spark, f"SELECT '({bad})'::cube AS c")
