@@ -165,6 +165,24 @@ def _strip_leading_comments(stmt: str) -> str:
     return "\n".join(lines[k:]).strip()
 
 
+def _normalize_statement(sql: str) -> str:
+    """pg_stat_statements-style query normalization: string and numeric
+    literals become $n placeholders, whitespace collapses."""
+    out = []
+    n = 0
+
+    def sub_str(m):
+        nonlocal n
+        n += 1
+        return f"${n}"
+
+    s = re.sub(r"'(?:[^']|'')*'", sub_str, sql.strip().rstrip(";"))
+    # don't re-match the digits of an already-placed $n placeholder (or
+    # digits embedded in identifiers)
+    s = re.sub(r"(?<![$\w])\d+(?:\.\d+)?(?:[eE][+-]?\d+)?\b", sub_str, s)
+    return re.sub(r"\s+", " ", s)
+
+
 def _strip_public_schema(stmt: str) -> str:
     """pg_dump qualifies every object as ``public.x``; the engine's
     namespace is flat, so the prefix drops — outside string literals."""
@@ -335,6 +353,73 @@ class GreengageEngine:
         )
 
     def execute(self, sql: str) -> DataFrame | None:
+        """Statement entry point; wraps _execute_stmt with the
+        contrib/pg_stat_statements collector (pg_stat_statements.c):
+        top-level statements only (track=top — nested engine-internal
+        executes are guarded out), literals normalized to $n, timing in
+        milliseconds.  The view refreshes lazily when queried."""
+        import time as _time
+
+        if getattr(self, "_in_execute", False):
+            return self._execute_stmt(sql)
+        if re.search(r"(?is)\bpg_stat_statements_reset\s*\(", sql):
+            self._stmt_stats = {}
+            self._refresh_stat_statements()
+            return None
+        if re.search(r"(?is)\bpg_stat_statements\b", sql):
+            self._refresh_stat_statements()
+        self._in_execute = True
+        t0 = _time.perf_counter()
+        try:
+            result = self._execute_stmt(sql)
+        finally:
+            self._in_execute = False
+        self._record_statement(sql, (_time.perf_counter() - t0) * 1e3)
+        return result
+
+    def _record_statement(self, sql: str, ms: float) -> None:
+        import hashlib
+
+        norm = _normalize_statement(sql)
+        stats = getattr(self, "_stmt_stats", None)
+        if stats is None:
+            stats = self._stmt_stats = {}
+        st = stats.get(norm)
+        if st is None:
+            qid = int.from_bytes(
+                hashlib.md5(norm.encode()).digest()[:8], "big", signed=True
+            )
+            st = stats[norm] = {
+                "queryid": qid, "calls": 0, "total": 0.0,
+                "min": float("inf"), "max": 0.0,
+            }
+        st["calls"] += 1
+        st["total"] += ms
+        st["min"] = min(st["min"], ms)
+        st["max"] = max(st["max"], ms)
+
+    def _refresh_stat_statements(self) -> None:
+        rows = [
+            (
+                st["queryid"], q, st["calls"], round(st["total"], 3),
+                round(st["min"], 3), round(st["max"], 3),
+                round(st["total"] / st["calls"], 3),
+            )
+            for q, st in getattr(self, "_stmt_stats", {}).items()
+        ]
+        schema = (
+            "queryid bigint, query string, calls bigint, "
+            "total_exec_time double, min_exec_time double, "
+            "max_exec_time double, mean_exec_time double"
+        )
+        df = (
+            self.spark.createDataFrame(rows, schema)
+            if rows
+            else self.spark.createDataFrame([], schema)
+        )
+        df.createOrReplaceTempView("pg_stat_statements")
+
+    def _execute_stmt(self, sql: str) -> DataFrame | None:
         stmt = _strip_public_schema(sql.strip().rstrip(";"))
         stmt = self._flatten_schemas(stmt)
         head = stmt.split(None, 2)[0].lower() if stmt else ""

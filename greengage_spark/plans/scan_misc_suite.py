@@ -697,6 +697,43 @@ def create_function_plforeign(spark, sf_dir):
 
 
 @suite.add(
+    "stat_statements",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('SELECT c_custkey FROM stat_src WHERE c_custkey > $1', CAST(3 AS BIGINT)),
+      ('SELECT count(*) AS n FROM stat_src', CAST(1 AS BIGINT)),
+      ('SELECT upper($1) AS u', CAST(2 AS BIGINT))
+    ) AS t(query, calls) ORDER BY query
+    """,
+    doc="contrib/pg_stat_statements (pg_stat_statements.c): per-statement "
+        "execution statistics — literal normalization to $n placeholders "
+        "(strings and numerics; digits of placed placeholders and "
+        "identifiers are protected), track=top semantics (nested "
+        "engine-internal executes guarded out by a reentrancy flag), "
+        "calls/total/min/max/mean timing columns, and "
+        "pg_stat_statements_reset(). The view materializes lazily from "
+        "the driver-side stats dict only when queried — zero cost on the "
+        "data path.",
+    tags=("engine", "introspection"),
+)
+def stat_statements(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_pss_"))
+    cat(spark, sf_dir).table("customer").limit(50).createOrReplaceTempView(
+        "stat_src"
+    )
+    for v in (5, 10, 20):
+        eng.execute(f"SELECT c_custkey FROM stat_src WHERE c_custkey > {v}")
+    eng.execute("SELECT count(*) AS n FROM stat_src")
+    eng.execute("SELECT upper('a') AS u")
+    eng.execute("SELECT upper('b') AS u")
+    return eng.execute(
+        "SELECT query, calls FROM pg_stat_statements ORDER BY query"
+    )
+
+
+@suite.add(
     "create_aggregate_ddl",
     oracle="""
     SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
