@@ -669,6 +669,157 @@ def _lower_cube_ctor(args: list[list[str]]) -> list[str] | None:
             *_unwrap_cube(args[0]), ",", *args[1], ",", *args[2], ")", ")"]
 
 
+_INTARR_TYPES = ("int", "int2", "int4", "int8", "integer", "smallint", "bigint")
+# heads our own rewrites emit — lets chained ops (a | b | c) keep matching
+_INTARR_EMITTED = ("array_sort", "array_remove", "flatten", "filter")
+
+
+def _intarrayish(span: list[str]) -> bool:
+    """Lexical int-array evidence: a ::int[]-family cast anywhere in the
+    span, an ARRAY constructor head, or one of our own emitted heads.
+    A textual front-end cannot see column types, so bare columns must
+    pass through a cast site ((col)::int[] | 5) — the documented subset,
+    same rule as the md-array functions."""
+    low = [t.lower() if _is_ident(t) else t for t in span]
+    if low and (low[0] == "array" or low[0] in _INTARR_EMITTED):
+        return True
+    for k in range(len(low) - 2):
+        if low[k] == "::" and low[k + 1] in _INTARR_TYPES and low[k + 2] == "[":
+            return True
+    # the earlier cast passes may already have lowered '{..}'::int[] to
+    # CAST(ARRAY(..) AS ARRAY<INT>) — the type token is the evidence
+    return any(
+        t.upper() in ("ARRAY<INT>", "ARRAY<BIGINT>", "ARRAY<SMALLINT>")
+        for t in span
+    )
+
+
+def _extend_cast_left(toks: list[str], lstart: int) -> int:
+    """Extend an operand start leftward over ``expr :: type [ ]`` casts
+    (the plain _operand_start stops at the type name)."""
+    while lstart >= 2 and toks[lstart - 1] == "::":
+        lstart = _operand_start(toks, lstart - 2)
+    return lstart
+
+
+def _extend_cast_right(toks: list[str], rend: int) -> int:
+    """Extend an operand end rightward over ``:: type [ ]`` suffixes."""
+    while (
+        rend + 2 < len(toks)
+        and toks[rend + 1] == "::"
+        and _is_ident(toks[rend + 2])
+    ):
+        rend += 2
+        while (
+            rend + 2 < len(toks)
+            and toks[rend + 1] == "["
+            and toks[rend + 2] == "]"
+        ):
+            rend += 2
+    return rend
+
+
+def _pass_intarray_ops(toks: list[str]) -> list[str]:
+    """contrib/intarray operators (_int_op.c; _int_bool.c):
+
+    * ``a + e`` append / ``a + b`` concatenate (order kept, dups kept)
+    * ``a - e`` remove every occurrence / ``a - b`` remove members of b
+      (a's order and remaining dups kept)
+    * ``a | e`` / ``a | b`` union → SORTED distinct
+    * ``a & b`` intersection → sorted distinct
+    * ``a @@ 'query'`` / ``'query' ~~ a`` — the query_int boolean match,
+      folded at plan time into pure JVM array_contains logic
+    * ``'...'::query_int`` → the canonical infix display
+
+    All JVM expressions, zero UDFs.  Runs before the cast passes so the
+    ::int[] evidence is still visible.
+    """
+    low0 = [t.lower() if _is_ident(t) else t for t in toks]
+    if not (
+        "query_int" in low0
+        or any(
+            t.upper() in ("ARRAY<INT>", "ARRAY<BIGINT>", "ARRAY<SMALLINT>")
+            for t in toks
+        )
+        or any(
+            low0[k] == "::" and low0[k + 1] in _INTARR_TYPES
+            and k + 2 < len(low0) and low0[k + 2] == "["
+            for k in range(len(low0) - 2)
+        )
+    ):
+        return toks
+    from greengage_spark.functions.intquery import (
+        canonical as qi_canon,
+        parse_query_int,
+        to_sql as qi_sql,
+    )
+
+    # ::query_int casts fold to the canonical display string
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(toks) - 1):
+            if toks[i] != "::" or toks[i + 1].lower() != "query_int":
+                continue
+            start = _operand_start(toks, i - 1)
+            operand = toks[start:i]
+            if len(operand) == 1 and _is_string(operand[0]):
+                v = qi_canon(operand[0][1:-1].replace("''", "'"))
+                toks = (
+                    toks[:start]
+                    + ["__gg_qint", "(", "'" + v.replace("'", "''") + "'", ")"]
+                    + toks[i + 2 :]
+                )
+                changed = True
+                break
+            raise NotImplementedError(
+                "query_int values must be literals (the reference has no "
+                "query_int columns in its regress either)"
+            )
+    # @@ / ~~ match operators
+    changed = True
+    while changed:
+        changed = False
+        i = 1
+        while i < len(toks) - 2:
+            is_at = toks[i] == "@" and toks[i + 1] == "@"
+            is_tld = toks[i] == "~" and toks[i + 1] == "~"
+            if not (is_at or is_tld):
+                i += 1
+                continue
+            lstart = _extend_cast_left(toks, _operand_start(toks, i - 1))
+            rend = _extend_cast_right(toks, _operand_end(toks, i + 2))
+            left = toks[lstart:i]
+            right = toks[i + 2 : rend + 1]
+            arr, q = (left, right) if is_at else (right, left)
+            if q and q[0] == "__gg_qint":
+                qtext = q[2][1:-1].replace("''", "'")
+            elif (
+                len(q) == 1 and _is_string(q[0])
+                and (_intarrayish(arr) or is_tld)
+            ):
+                qtext = q[0][1:-1].replace("''", "'")
+            else:
+                i += 1
+                continue
+            expr = qi_sql(parse_query_int(qtext), "(" + " ".join(arr) + ")")
+            toks = toks[:lstart] + tokenize(expr) + toks[rend + 1 :]
+            changed = True
+            break
+    # leftover query_int markers unwrap to their display literal
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if toks[i] == "__gg_qint":
+            close = _args_span(toks, i + 1)
+            out += toks[i + 2 : close]
+            i = close + 1
+            continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
 def _pass_chkpass(toks: list[str]) -> list[str]:
     """contrib/chkpass (chkpass.c): ``expr::chkpass`` crypt(3)s the
     password with a random 2-char DES salt (':'-prefixed input stores
@@ -7033,6 +7184,101 @@ def _pass_ltree(toks: list[str]) -> list[str]:
     return [t for t in toks if t != "__ggltr__"]
 
 
+def _intarr_braces_literal(span: list[str]) -> list[str] | None:
+    """A single '{1,2,3}' string literal as ARRAY(...) tokens, or None."""
+    if len(span) == 1 and _is_string(span[0]):
+        body = span[0][1:-1].strip()
+        if body.startswith("{") and body.endswith("}"):
+            inner = body[1:-1].strip()
+            if re.fullmatch(r"[-+0-9,\s]*", inner):
+                return tokenize(f"array({inner})")
+    return None
+
+
+def _pass_intarray_binops(toks: list[str]) -> list[str]:
+    """contrib/intarray binary operators (_int_op.c) — runs AFTER
+    _pass_json_ops so the emitted lambda ``->`` survives:
+
+    * ``a + e`` append / ``a + b`` concatenate (order and dups kept)
+    * ``a - e`` remove every occurrence / ``a - b`` remove b's members
+    * ``a | e`` / ``a | b`` union -> SORTED distinct
+    * ``a & b`` intersection -> sorted distinct
+
+    Dispatch needs lexical int-array evidence on the LEFT operand (a
+    cast site or constructor — the documented textual-front-end subset);
+    by this point ::int[] has lowered to CAST(.. AS ARRAY<INT>), which
+    is the evidence token."""
+    if not any(
+        t.upper() in ("ARRAY<INT>", "ARRAY<BIGINT>", "ARRAY<SMALLINT>")
+        for t in toks
+    ) and not any(_is_ident(t) and t.lower() == "array" for t in toks):
+        return toks
+    # '#' prefix = icount (element count); only with array evidence and
+    # not as the infix bit-ops / geometry uses of '#'
+    i = 0
+    while i < len(toks) - 1:
+        if toks[i] == "#" and (i == 0 or toks[i - 1] in ("(", ",", "select", "SELECT", "where", "WHERE", "and", "or")):
+            rend = _extend_cast_right(toks, _operand_end(toks, i + 1))
+            arg = toks[i + 1 : rend + 1]
+            if _intarrayish(arg):
+                toks[i : rend + 1] = tokenize(f"size({' '.join(arg)})")
+        i += 1
+    changed = True
+    while changed:
+        changed = False
+        i = 1
+        while i < len(toks) - 1:
+            op = toks[i]
+            if op not in ("+", "-", "|", "&"):
+                i += 1
+                continue
+            if op == "&" and (toks[i + 1] == "&" or toks[i - 1] == "&"):
+                i += 1
+                continue
+            lstart = _extend_cast_left(toks, _operand_start(toks, i - 1))
+            rend = _extend_cast_right(toks, _operand_end(toks, i + 1))
+            left = toks[lstart:i]
+            right = toks[i + 1 : rend + 1]
+            l_arr, r_arr = _intarrayish(left), _intarrayish(right)
+            if not l_arr:
+                i += 1
+                continue
+            if not r_arr:
+                # PG coerces a bare '{..}' unknown literal by the
+                # operator's declared type (parse_coerce.c)
+                lit = _intarr_braces_literal(right)
+                if lit is not None:
+                    right, r_arr = lit, True
+            ls = " ".join(left)
+            rs = " ".join(right)
+            if op == "+":
+                # flatten(array(a, b)) = concatenation with order and
+                # dups kept (a bare concat() would be claimed by the PG
+                # string-concat pass downstream)
+                rr = rs if r_arr else f"array({rs})"
+                new = f"flatten(array({ls}, {rr}))"
+            elif op == "-":
+                new = (
+                    f"filter({ls}, __ie -> NOT array_contains({rs}, __ie))"
+                    if r_arr
+                    else f"array_remove({ls}, {rs})"
+                )
+            elif op == "|":
+                new = (
+                    f"array_sort(array_union({ls}, "
+                    f"{rs if r_arr else f'array({rs})'}))"
+                )
+            else:  # &
+                if not r_arr:
+                    i += 1
+                    continue
+                new = f"array_sort(array_intersect({ls}, {rs}))"
+            toks = toks[:lstart] + tokenize(new) + toks[rend + 1 :]
+            changed = True
+            break
+    return toks
+
+
 def _pass_array_ops(toks: list[str]) -> list[str]:
     """PG array operators left over after the geometry/text-search passes
     claimed their typed spans (arrayfuncs.c arraycontains / arrayoverlap):
@@ -8696,6 +8942,7 @@ def transpile(sql: str) -> str:
     toks = _pass_isn(toks)
     toks = _pass_seg(toks)
     toks = _pass_cube(toks)
+    toks = _pass_intarray_ops(toks)
     toks = _pass_chkpass(toks)
     toks = _pass_casts(toks)
     toks = _pass_float_int_cast_round(toks)
@@ -8712,6 +8959,7 @@ def transpile(sql: str) -> str:
     toks = _pass_xml(toks)
     toks = _pass_xmlagg(toks)
     toks = _pass_json_ops(toks)
+    toks = _pass_intarray_binops(toks)
     toks = _pass_ranges(toks)
     toks = _pass_collate_strip(toks)
     toks = _pass_like_escape_backslash(toks)

@@ -1,0 +1,133 @@
+"""contrib/intarray query_int — the boolean query language over int
+arrays.
+
+Reference surface: contrib/intarray/_int_bool.c (makepol/infix — the
+parser and the canonical infix display) and the ``@@``/``~~`` match
+operators.  Grammar: ``expr := or; or := and ('|' and)*;
+and := not ('&' not)*; not := '!' not | int | '(' expr ')'``.
+
+A query_int literal folds at PLAN time: the display form for the cast,
+and a pure JVM boolean expression (array_contains conjunctions) for
+``@@`` — no UDF is ever involved, so query_int predicates push straight
+into whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+class _Val:
+    __slots__ = ("v",)
+
+    def __init__(self, v: int):
+        self.v = v
+
+
+class _Not:
+    __slots__ = ("x",)
+
+    def __init__(self, x):
+        self.x = x
+
+
+class _Op:
+    __slots__ = ("op", "l", "r")
+
+    def __init__(self, op: str, l, r):  # noqa: E741
+        self.op = op
+        self.l = l
+        self.r = r
+
+
+_TOK = re.compile(r"\s*([0-9]+|[!&|()])")
+
+
+def parse_query_int(text: str):
+    """→ expression tree; errors mirror the reference's 'bad query'."""
+    toks: list[str] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOK.match(text, pos)
+        if not m:
+            if text[pos:].strip():
+                raise ValueError(f'bad query_int representation: "{text}"')
+            break
+        toks.append(m.group(1))
+        pos = m.end()
+    i = 0
+
+    def peek():
+        return toks[i] if i < len(toks) else None
+
+    def take():
+        nonlocal i
+        t = peek()
+        i += 1
+        return t
+
+    def atom():
+        t = take()
+        if t == "!":
+            return _Not(atom())
+        if t == "(":
+            e = or_()
+            if take() != ")":
+                raise ValueError(f'bad query_int representation: "{text}"')
+            return e
+        if t is None or not t.isdigit():
+            raise ValueError(f'bad query_int representation: "{text}"')
+        return _Val(int(t))
+
+    def and_():
+        e = atom()
+        while peek() == "&":
+            take()
+            e = _Op("&", e, atom())
+        return e
+
+    def or_():
+        e = and_()
+        while peek() == "|":
+            take()
+            e = _Op("|", e, and_())
+        return e
+
+    e = or_()
+    if i != len(toks):
+        raise ValueError(f'bad query_int representation: "{text}"')
+    return e
+
+
+def infix(node) -> str:
+    """_int_bool.c infix(), faithfully: parentheses wrap ONLY '|' nodes
+    that are not 'first' (the root, or the direct operand of '!', whose
+    own '( ... )' already delimits it); '&' is never parenthesized and
+    '!' binds bare to values."""
+
+    def render(n, first: bool) -> str:
+        if isinstance(n, _Val):
+            return str(n.v)
+        if isinstance(n, _Not):
+            inner = n.x
+            if isinstance(inner, (_Val, _Not)):
+                return f"!{render(inner, False)}"
+            return f"!( {render(inner, True)} )"
+        s = f"{render(n.l, False)} {n.op} {render(n.r, False)}"
+        return f"( {s} )" if (n.op == "|" and not first) else s
+
+    return render(node, True)
+
+
+def to_sql(node, arr_sql: str) -> str:
+    """The match predicate as a pure JVM boolean expression."""
+    if isinstance(node, _Val):
+        return f"array_contains({arr_sql}, {node.v})"
+    if isinstance(node, _Not):
+        return f"(NOT {to_sql(node.x, arr_sql)})"
+    op = "AND" if node.op == "&" else "OR"
+    return f"({to_sql(node.l, arr_sql)} {op} {to_sql(node.r, arr_sql)})"
+
+
+def canonical(text: str) -> str:
+    return infix(parse_query_int(text))

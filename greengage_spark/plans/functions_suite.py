@@ -1385,6 +1385,43 @@ def dialect_cube(spark, sf_dir):
 
 
 @suite.add(
+    "dialect_intarray_query",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, ARRAY[123,623,445,1245], ARRAY[123,445],
+       ARRAY[123,445,623,1623], ARRAY[623], TRUE,  '1 & ( 2 | 4 )'),
+      (2, ARRAY[123,623,445,1245], ARRAY[123,445],
+       ARRAY[123,445,623,1623], ARRAY[623], FALSE, '1 & ( 2 | 4 )')
+    ) AS t(k, plus, minus, uni, inter, m, q) ORDER BY k
+    """,
+    doc="contrib/intarray operators + query_int (_int_op.c, "
+        "_int_bool.c): array +/-/|/& with the reference's order/dup and "
+        "sorted-distinct rules, the '#' icount prefix, the query_int "
+        "grammar with its exact infix display (only '|' parenthesizes, "
+        "per the reference's infix()), and @@/~~ matches folded at plan "
+        "time into pure JVM array_contains logic (plan-pinned no-UDF in "
+        "tests). The scalar half of the reference's own _int.out regress "
+        "(48 statements) replays verbatim in tests/test_intarray_ops.py.",
+    tags=("dialect", "contrib"),
+)
+def dialect_intarray_query(spark, sf_dir):
+    from greengage_spark.dialect.transpiler import pg_sql
+
+    parts = []
+    for k, probe in ((1, "'{1,2,3}'"), (2, "'{1,3,5}'")):
+        parts.append(
+            f"SELECT {k} AS k, "
+            f"'{{123,623,445}}'::int[] + 1245 AS plus, "
+            f"'{{123,623,445}}'::int[] - 623 AS minus, "
+            f"'{{123,623,445}}'::int[] | '{{1623,623}}'::int[] AS uni, "
+            f"'{{123,623,445}}'::int[] & '{{1623,623}}'::int[] AS inter, "
+            f"{probe}::int[] @@ '1&(2|4)' AS m, "
+            f"'1&(2|4)'::query_int AS q"
+        )
+    return pg_sql(spark, " UNION ALL ".join(parts) + " ORDER BY k")
+
+
+@suite.add(
     "dialect_chkpass",
     oracle="""
     SELECT CAST(c_custkey AS INTEGER) AS c_custkey,

@@ -1,0 +1,131 @@
+"""contrib/intarray operators + query_int (_int_op.c, _int_bool.c):
+the scalar half of the reference's own regress expectations
+(contrib/intarray/expected/_int.out) replays through pg_sql — array
++/-/|/& semantics (order/dup rules, sorted-distinct unions and
+intersections), the query_int grammar and its canonical infix display,
+and the @@/~~ match operators folding to pure JVM array_contains
+logic."""
+
+import os
+import re
+
+import pytest
+
+from greengage_spark.dialect.transpiler import pg_sql
+
+INT_OUT = "/root/reference/contrib/intarray/expected/_int.out"
+
+_SKIP = re.compile(
+    r"(?is)\bfrom\b|\binto\b|^\s*(create|insert|copy|explain|set|reset|drop|"
+    r"vacuum|analyze)\b|\\copy"
+)
+
+
+def _parse_regress(path):
+    if not os.path.exists(path):
+        return []
+    lines = open(path).read().split("\n")
+    cases = []
+    i = 0
+    while i < len(lines):
+        ln = lines[i]
+        if not re.match(r"(?i)^select\b", ln):
+            i += 1
+            continue
+        sql = [ln]
+        while not re.search(r";\s*(--.*)?$", sql[-1]):
+            i += 1
+            sql.append(lines[i])
+        stmt = re.sub(r";\s*(--.*)?$", "", " ".join(sql)).strip()
+        i += 1
+        if _SKIP.search(stmt):
+            continue
+        if i < len(lines) and lines[i].startswith("ERROR"):
+            cases.append((stmt, ValueError))
+            i += 1
+            continue
+        if i + 2 >= len(lines) or not lines[i + 1].startswith("-"):
+            continue
+        value_rows = []
+        j = i + 2
+        while j < len(lines) and not re.match(r"^\(\d+ rows?\)", lines[j]):
+            value_rows.append(lines[j].strip())
+            j += 1
+        i = j + 1
+        if len(value_rows) == 1:
+            cases.append((stmt, value_rows[0]))
+    return cases
+
+
+_CASES = [
+    c for c in _parse_regress(INT_OUT)
+    # the GiST/GIN index-ops sections and non-intarray surfaces stay out
+    if re.search(r"(?i)::int\[\]|::query_int|query_int|\[\]::", c[0])
+]
+
+
+def _fmt(v):
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, list):
+        return "{" + ",".join(_fmt(x) for x in v) + "}"
+    return str(v)
+
+
+@pytest.mark.skipif(not _CASES, reason="reference _int.out unavailable")
+def test_replay_reference_intarray_regress(spark):
+    assert len(_CASES) >= 40, f"only {len(_CASES)} cases parsed"
+    failures = []
+    for stmt, expect in _CASES:
+        try:
+            rows = pg_sql(spark, stmt).collect()
+            got = _fmt(rows[0][0]) if rows else "<no rows>"
+        except Exception as e:
+            got = e
+        if expect is ValueError:
+            if not isinstance(got, Exception):
+                failures.append(f"{stmt!r}: expected error, got {got!r}")
+        elif isinstance(got, Exception):
+            failures.append(f"{stmt!r}: raised {got}")
+        elif got != expect:
+            failures.append(f"{stmt!r}: got {got!r} want {expect!r}")
+    assert not failures, (
+        f"{len(failures)}/{len(_CASES)} mismatches:\n" + "\n".join(failures[:25])
+    )
+
+
+class TestQueryIntMatch:
+    def test_match_over_column_data(self, spark):
+        df = pg_sql(
+            spark,
+            "SELECT g, array(g, g + 1, g * 2) AS a "
+            "FROM generate_series(1, 20) g",
+        )
+        df.createOrReplaceTempView("ia")
+        rows = pg_sql(
+            spark,
+            "SELECT g FROM ia WHERE (a)::int[] @@ '4&(5|8)' ORDER BY g",
+        ).collect()
+        # a = {g, g+1, 2g}: contains 4&5 at g=4; 4&8 at g=4 too;
+        # g=3 -> {3,4,6} has 4 but not 5/8; g=2 -> {2,3,4} same
+        assert [r.g for r in rows] == [4]
+
+    def test_plan_has_no_udf(self, spark):
+        df = pg_sql(
+            spark, "SELECT '{1,2,3}'::int[] @@ '1&(2|4)' AS m"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_query_int_column_rejects(self, spark):
+        with pytest.raises(NotImplementedError, match="literal"):
+            pg_sql(spark, "SELECT (q)::query_int FROM t")
+
+    def test_bad_query_rejects(self, spark):
+        with pytest.raises(ValueError, match="bad query_int"):
+            pg_sql(spark, "SELECT '1&'::query_int AS q")
+        with pytest.raises(ValueError, match="bad query_int"):
+            pg_sql(spark, "SELECT '(1'::query_int AS q")
