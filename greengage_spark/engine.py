@@ -771,6 +771,49 @@ class GreengageEngine:
             return self.spark.createDataFrame(
                 [(nparts,)], "pg_prewarm bigint"
             )
+        # contrib/pgstattuple (pgstattuple.c): tuple-level statistics.
+        # COW-manifest analog: live = the current manifest's parquet
+        # files, dead = superseded data files still on disk (what VACUUM
+        # would reclaim); free_space is 0 — parquet files are packed.
+        m_pst = re.match(
+            r"(?is)^select\s+\*\s+from\s+pgstattuple\s*\(\s*'([\w.]+)'\s*\)"
+            r"\s*;?\s*$",
+            stmt,
+        )
+        if m_pst:
+            name = m_pst.group(1).split(".")[-1].lower()
+            st = self._storage(name)
+            live = {os.path.realpath(f) for f in st.files()}
+            all_parquet = set()
+            for base, _dirs, fnames in os.walk(st.root):
+                for fn in fnames:
+                    if fn.endswith(".parquet"):
+                        all_parquet.add(os.path.realpath(os.path.join(base, fn)))
+            dead = sorted(all_parquet - live)
+
+            def total(paths):
+                return sum(os.path.getsize(p) for p in paths
+                           if os.path.exists(p))
+
+            live_len, dead_len = total(live), total(dead)
+            table_len = live_len + dead_len
+            tuple_count = self.ddl.table(name).count()
+            dead_count = (
+                self.spark.read.parquet(*dead).count() if dead else 0
+            )
+            pct = lambda part: (
+                round(100.0 * part / table_len, 2) if table_len else 0.0
+            )
+            return self.spark.createDataFrame(
+                [(
+                    table_len, tuple_count, live_len, pct(live_len),
+                    dead_count, dead_len, pct(dead_len), 0, 0.0,
+                )],
+                "table_len bigint, tuple_count bigint, tuple_len bigint, "
+                "tuple_percent double, dead_tuple_count bigint, "
+                "dead_tuple_len bigint, dead_tuple_percent double, "
+                "free_space bigint, free_percent double",
+            )
         # gp_parallel_retrieve_cursor's wait function (the extension's
         # gp_wait_parallel_retrieve_cursor): materialization is eager
         # here, so it reports the retrieval state without blocking

@@ -118,12 +118,54 @@ def execute_vacuum_analyze(engine, stmt: str):
             raise ValueError(f"unknown table {table!r}")
         if with_analyze:
             _analyze(engine, table, cols)
-        return None  # dead-tuple reclamation is a no-op under COW manifests
+        if m.group(2):  # VACUUM FULL: rewrite + reclaim (vacuum.c)
+            if engine._txn is not None:
+                raise ValueError(
+                    "VACUUM cannot run inside a transaction block"
+                )
+            for name in [table] if table else list(engine.ddl.tables):
+                _vacuum_full(engine, name)
+        # plain VACUUM: dead-tuple reclamation is a no-op under COW
+        # manifests (superseded files stay until VACUUM FULL, which is
+        # the rewrite+reclaim path — pgstattuple reports them as dead)
+        return None
     m = _ANALYZE.match(stmt)
     if not m:
         raise NotImplementedError("ANALYZE [VERBOSE] [table [(cols)]]")
     _analyze(engine, m.group(3), m.group(4))
     return None
+
+
+def _vacuum_full(engine, name: str) -> None:
+    """VACUUM FULL (vacuum.c full_vacuum_rel → cluster.c rewrite): the
+    live rows rewrite into FRESH data files, then every superseded
+    parquet file and every old manifest version is deleted — the
+    reclamation pgstattuple reports as dead space.  PG takes ACCESS
+    EXCLUSIVE here; the analog caveat is that DataFrames captured
+    before the VACUUM must not be re-evaluated afterwards (their lazy
+    plans reference the reclaimed files)."""
+    import os
+
+    st = engine._storage(name)
+    st.replace(st.df())  # COW: new segment files + a new manifest first
+    live = {os.path.realpath(f) for f in st.files()}
+    for base, _dirs, fnames in os.walk(st.root):
+        for fn in fnames:
+            full = os.path.realpath(os.path.join(base, fn))
+            if fn.endswith(".parquet") and full not in live:
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
+            elif (
+                fn.startswith("v") and fn.endswith(".json")
+                and fn[1:-5].isdigit() and int(fn[1:-5]) < st.version
+            ):
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
+    engine._register(name)
 
 
 def _analyze(engine, table: str | None, cols_raw: str | None) -> None:

@@ -734,6 +734,55 @@ def stat_statements(spark, sf_dir):
 
 
 @suite.add(
+    "pgstattuple_vacuum",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('fresh',        CAST(60 AS BIGINT), CAST(0  AS BIGINT), CAST(100.0 AS DOUBLE)),
+      ('deleted',      CAST(30 AS BIGINT), CAST(60 AS BIGINT), NULL),
+      ('vacuum_full',  CAST(30 AS BIGINT), CAST(0  AS BIGINT), CAST(100.0 AS DOUBLE))
+    ) AS t(phase, tuple_count, dead_tuple_count, tuple_percent)
+    ORDER BY phase
+    """,
+    doc="contrib/pgstattuple (pgstattuple.c) + VACUUM FULL reclamation "
+        "(vacuum.c full_vacuum_rel): tuple statistics over the COW "
+        "manifest — live = the current manifest's parquet files, dead = "
+        "superseded data files still on disk; VACUUM FULL rewrites live "
+        "rows into fresh files and deletes every superseded file and "
+        "old manifest version (refused inside a transaction block, PG's "
+        "error verbatim). The oracle pins the three-phase lifecycle: "
+        "fresh table all-live, post-DELETE dead files visible, "
+        "post-VACUUM-FULL reclaimed.",
+    tags=("engine", "introspection"),
+)
+def pgstattuple_vacuum(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_pstt_"))
+    eng.execute("CREATE TABLE pstt (x int8, v text)")
+    eng.execute(
+        "INSERT INTO pstt SELECT g, 'v' || g FROM generate_series(1, 60) g"
+    )
+
+    def snap(phase):
+        r = eng.execute("SELECT * FROM pgstattuple('pstt')").collect()[0]
+        return (
+            phase, r.tuple_count, r.dead_tuple_count,
+            r.tuple_percent if r.dead_tuple_count == 0 else None,
+        )
+
+    rows = [snap("fresh")]
+    eng.execute("DELETE FROM pstt WHERE x <= 30")
+    rows.append(snap("deleted"))
+    eng.execute("VACUUM FULL pstt")
+    rows.append(snap("vacuum_full"))
+    return spark.createDataFrame(
+        rows,
+        "phase string, tuple_count bigint, dead_tuple_count bigint, "
+        "tuple_percent double",
+    ).orderBy("phase")
+
+
+@suite.add(
     "create_aggregate_ddl",
     oracle="""
     SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents

@@ -270,3 +270,67 @@ class TestPgPrewarm:
         eng.execute("CREATE TABLE warmx (k int8)")
         with _p.raises(ValueError, match="invalid prewarm mode"):
             eng.execute("SELECT pg_prewarm('warmx', 'osmosis')")
+
+
+class TestPgstattupleVacuumFull:
+    """contrib/pgstattuple (pgstattuple.c) over COW manifests: live =
+    the current manifest's files, dead = superseded files on disk;
+    VACUUM FULL rewrites live rows to fresh files and reclaims."""
+
+    @pytest.fixture()
+    def eng(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        e = GreengageEngine(spark, str(tmp_path / "wh"))
+        e.execute("CREATE TABLE pst (x int8, v text)")
+        e.execute(
+            "INSERT INTO pst SELECT g, 'v' || g "
+            "FROM generate_series(1, 100) g"
+        )
+        return e
+
+    def test_fresh_table_all_live(self, eng):
+        r = eng.execute("SELECT * FROM pgstattuple('pst')").collect()[0]
+        assert r.tuple_count == 100
+        assert r.dead_tuple_count == 0 and r.dead_tuple_len == 0
+        assert r.tuple_percent == 100.0
+        assert r.table_len == r.tuple_len > 0
+        assert r.free_space == 0
+
+    def test_delete_leaves_dead_files(self, eng):
+        eng.execute("DELETE FROM pst WHERE x <= 50")
+        r = eng.execute("SELECT * FROM pgstattuple('pst')").collect()[0]
+        assert r.tuple_count == 50
+        assert r.dead_tuple_count == 100  # the superseded full files
+        assert r.dead_tuple_len > 0
+        assert 0 < r.tuple_percent < 100
+
+    def test_vacuum_full_reclaims(self, eng):
+        eng.execute("DELETE FROM pst WHERE x <= 50")
+        eng.execute("UPDATE pst SET v = 'z' WHERE x = 60")
+        eng.execute("VACUUM FULL pst")
+        r = eng.execute("SELECT * FROM pgstattuple('pst')").collect()[0]
+        assert r.tuple_count == 50
+        assert r.dead_tuple_count == 0 and r.dead_tuple_len == 0
+        assert r.tuple_percent == 100.0
+        # table fully readable afterwards
+        got = eng.execute(
+            "SELECT v FROM pst WHERE x = 60"
+        ).collect()[0].v
+        assert got == "z"
+
+    def test_plain_vacuum_keeps_dead(self, eng):
+        eng.execute("DELETE FROM pst WHERE x <= 10")
+        eng.execute("VACUUM pst")
+        r = eng.execute("SELECT * FROM pgstattuple('pst')").collect()[0]
+        assert r.dead_tuple_count > 0  # no-op under COW, documented
+
+    def test_vacuum_full_rejects_in_txn(self, eng):
+        eng.execute("BEGIN")
+        with pytest.raises(ValueError, match="transaction block"):
+            eng.execute("VACUUM FULL pst")
+        eng.execute("ROLLBACK")
+
+    def test_unknown_table_errors(self, eng):
+        with pytest.raises(ValueError, match="unknown table"):
+            eng.execute("SELECT * FROM pgstattuple('nope')")
