@@ -1,0 +1,38 @@
+"""Registry lint: no driver-red-by-shape rows can ever ship again.
+
+The driver's canonicalizer sorts result columns with a pandas lexsort
+before hashing; raw ARRAY / MAP / STRUCT cells are unhashable there and
+turn a value-correct query into a red CORRECTNESS row (CORRECTNESS_r06
+``dialect_array_funcs`` the first time, CORRECTNESS_r11
+``dialect_intarray_query`` the second).  This lint walks every
+registered query's *analyzed* schema (plan-time only, nothing executes)
+and fails on any top-level complex-typed output column for queries the
+driver hash-compares (i.e. those with an oracle_sql entry).
+Serialize with array_to_string / to_json instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+from greengage_spark.plans.registry import all_queries, oracle_sql
+
+_QUERIES = all_queries()
+_ORACLED = set(oracle_sql())
+
+
+@pytest.mark.parametrize("name", sorted(n for n in _QUERIES if n in _ORACLED))
+def test_no_complex_toplevel_columns(spark, sf_dir, name):
+    df = _QUERIES[name].fn(spark, sf_dir)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name} returns complex-typed top-level column(s) {bad}; the "
+        "driver canonicalizer cannot lexsort these — serialize with "
+        "array_to_string(...) / to_json(...) and match the oracle"
+    )
