@@ -1746,6 +1746,68 @@ def external_gpfdist_unload(spark, sf_dir):
 
 
 @suite.add(
+    "external_s3_unload",
+    oracle="""
+    SELECT n_nationkey AS k, n_name AS v FROM nation ORDER BY k
+    """,
+    doc="WRITABLE s3:// external table — parallel unload to S3 "
+        "(gpcontrib/gpcloud gpwriter.cpp; s3interface.cpp multipart "
+        "call sequence; s3conf.cpp INI config): INSERT INTO the external "
+        "table streams each input partition out as its own object "
+        "<prefix><segid><8hex>.csv.gz (genUniqueKeyName naming, "
+        "autocompress gzip default) through a SigV4-signed multipart "
+        "upload (POST ?uploads / PUT ?partNumber / POST ?uploadId), then "
+        "reads back through the READABLE s3 path (key listing fanned "
+        "across tasks, one GET per object — s3bucket_reader.cpp's model). "
+        "The serving side is the bundled S3-compatible fixture daemon "
+        "(sources/s3_rest.serve_s3), which RECOMPUTES every request's "
+        "SigV4 signature against the configured secret. The driver never "
+        "touches data; its only results are the count row and the "
+        "metadata-only key listing.",
+    tags=("engine", "external", "unload"),
+)
+def external_s3_unload(spark, sf_dir):
+    import os
+
+    from greengage_spark.engine import GreengageEngine
+    from greengage_spark.sources.s3_rest import serve_s3
+
+    root = tempfile.mkdtemp(prefix="gg_s3_unload_")
+    os.makedirs(os.path.join(root, "bkt"))
+    srv, port = serve_s3(root)
+    try:
+        confpath = os.path.join(root, "s3.conf")
+        with open(confpath, "w") as fh:
+            fh.write(
+                "[default]\naccessid=test_access\nsecret=test_secret\n"
+                "encryption=false\n"
+            )
+        eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_s3u_"))
+        nation = cat(spark, sf_dir).table("nation").select(
+            F.col("n_nationkey").cast("long"), "n_name"
+        )
+        nation.createOrReplaceTempView("nation_s3_src")
+        eng.execute(
+            f"CREATE WRITABLE EXTERNAL TABLE nation_s3_out (k int8, v text) "
+            f"LOCATION ('s3://127.0.0.1:{port}/bkt/nation/ config={confpath}') "
+            f"FORMAT 'CSV'"
+        )
+        eng.execute("INSERT INTO nation_s3_out SELECT * FROM nation_s3_src")
+        eng.execute(
+            f"CREATE EXTERNAL TABLE nation_s3_back (k int8, v text) LOCATION "
+            f"('s3://127.0.0.1:{port}/bkt/nation/ config={confpath}') "
+            f"FORMAT 'CSV'"
+        )
+        # materialize before the server shuts down (the view is lazy)
+        rows = eng.execute(
+            "SELECT k, v FROM nation_s3_back ORDER BY k"
+        ).collect()
+    finally:
+        srv.shutdown()
+    return spark.createDataFrame(rows, "k bigint, v string")
+
+
+@suite.add(
     "external_gpfdists_scan",
     oracle="""
     SELECT CAST(g AS BIGINT) AS k, 'tls-' || g AS v

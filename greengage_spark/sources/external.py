@@ -403,10 +403,24 @@ def parse_create_external(stmt: str) -> ExternalTableDef:
                 "s3 external tables take exactly one LOCATION URI"
             )
         if writable:
-            raise NotImplementedError(
-                "WRITABLE s3 external tables (gpwriter.cpp): unload via "
-                "copy_to(df, 's3a://bucket/prefix', ...) once hadoop-aws "
-                "jars are present"
+            # gpcloud parallel unload (gpwriter.cpp): one multipart PUT
+            # session per input partition through the pure-Python REST
+            # client (or s3a on jar-equipped clusters via copy_to)
+            from greengage_spark.sources.s3_ext import (
+                S3WritableExternalTable,
+                parse_s3_url,
+            )
+
+            wtab = S3WritableExternalTable(
+                location=parse_s3_url(raw_uris[0]),
+                schema=schema,
+                fmt=fmt,
+                delimiter=delimiter,
+                null_str=null_str,
+                header=header,
+            )
+            return ExternalTableDef(
+                name=name, writable=True, table=wtab, fmt=fmt, header=header
             )
         from greengage_spark.sources.s3_ext import S3ExternalTable, parse_s3_url
 

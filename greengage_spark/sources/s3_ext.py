@@ -23,8 +23,10 @@ machinery are hadoop-aws's job.  ``s3a_options`` emits PER-BUCKET
 ``fs.s3a.bucket.<bucket>.*`` keys so two external tables with
 different credentials coexist in one session.  When the hadoop-aws
 jars are absent from the Spark build (they are not bundled with
-pyspark), ``read`` rejects loudly up front instead of failing deep in
-a task.
+pyspark), ``read`` falls back to the pure-Python REST reader and
+WRITABLE tables always unload through the pure-Python multipart
+writer below — gpcloud's own curl-based model (see
+``greengage_spark.sources.s3_rest``).
 """
 
 from __future__ import annotations
@@ -33,7 +35,8 @@ import configparser
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 @dataclass
@@ -179,18 +182,18 @@ class S3ExternalTable:
     _conf_override: dict = field(default_factory=dict)  # tests
 
     def read(self, spark: SparkSession) -> DataFrame:
-        if not s3a_available(spark):
-            raise NotImplementedError(
-                "s3:// external tables need the hadoop-aws jars on the "
-                "Spark classpath (spark.jars.packages "
-                "org.apache.hadoop:hadoop-aws:<hadoop version>); they are "
-                "not bundled with this sandbox's pyspark build"
-            )
         conf = self._conf_override or parse_s3_config(
             self.location.config_path, self.location.section
         )
         if not conf.get("accessid") and not self._conf_override:
             raise ValueError("FATAL: access id not set")  # s3conf.cpp:162
+        if not s3a_available(spark):
+            # no hadoop-aws jars: fall back to the pure-Python REST
+            # reader — gpcloud's OWN model (s3bucket_reader.cpp lists the
+            # prefix's keys once, then fans whole keys across segments;
+            # no byte-range splitting). s3a remains the preferred path on
+            # real clusters because it splits large objects and retries.
+            return _rest_read(spark, self, conf)
         path, opts = s3a_options(self.location, conf)
         hconf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
         for k, v in opts.items():
@@ -207,3 +210,231 @@ class S3ExternalTable:
             reject_limit=self.reject_limit,
             reject_percent=self.reject_percent,
         ).read(spark)
+
+
+def _rest_params(loc: S3Location, conf: dict) -> dict:
+    """Resolve the REST client constructor kwargs from LOCATION + config
+    (same version-1/version-2 endpoint rules as ``s3a_options``)."""
+    https = conf.get("encryption", "true").strip().lower() in ("true", "1", "on")
+    if loc.version == "1":
+        region = loc.region or conf.get("region", "") or "us-east-1"
+        host = (
+            "s3.amazonaws.com"
+            if region in ("us-east-1", "external-1")
+            else f"s3-{region}.amazonaws.com"
+        )
+    else:
+        region, host = loc.region or conf.get("region", "") or "us-east-1", loc.endpoint
+    return {
+        "endpoint": host,
+        "access_key": conf.get("accessid", ""),
+        "secret": conf.get("secret", ""),
+        "region": region,
+        "token": conf.get("token", ""),
+        "https": https,
+    }
+
+
+def _maybe_gunzip(blob: bytes) -> bytes:
+    """gpcloud's reader sniffs the gzip magic (s3common_reader.cpp
+    checkCompressionType) instead of trusting the key suffix."""
+    if blob[:2] == b"\x1f\x8b":
+        import gzip
+
+        return gzip.decompress(blob)
+    return blob
+
+
+def _rest_read(spark: SparkSession, tab: "S3ExternalTable", conf: dict) -> DataFrame:
+    """List keys once (driver, metadata-only — the gpcloud master's
+    getListBucket), then one GET per key ON THE EXECUTORS; parse lines
+    through the same from_csv + SREH lane as the http reader."""
+    from greengage_spark.sources.external import CORRUPT_COL, RejectLimitExceeded
+    from greengage_spark.sources.s3_rest import S3RestClient
+
+    loc = tab.location
+    params = _rest_params(loc, conf)
+    client = S3RestClient(**params)
+    keys = [k for k, size in client.list_keys(loc.bucket, loc.prefix) if size > 0]
+    schema = tab.schema
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    sep = tab.delimiter or ("\t" if tab.fmt == "text" else ",")
+    bucket, skip_header = loc.bucket, tab.header
+
+    def run(batches):
+        import pandas as pd
+
+        cl = S3RestClient(**params)
+        for pdf in batches:
+            for i in pdf["i"]:
+                text = _maybe_gunzip(cl.get_object(bucket, keys[int(i)])).decode(
+                    "utf-8"
+                )
+                lines = text.splitlines()
+                if skip_header and lines:
+                    lines = lines[1:]
+                yield pd.DataFrame({"line": lines})
+
+    if not keys:
+        empty = spark.createDataFrame([], schema)
+        return empty
+    lines = (
+        spark.range(len(keys))
+        .select(F.col("id").cast("int").alias("i"))
+        .repartition(len(keys), "i")
+        .mapInPandas(run, "line string")
+    )
+    full = StructType(schema.fields + [StructField(CORRUPT_COL, StringType(), True)])
+    opts = {
+        "sep": sep,
+        "nullValue": tab.null_str or ("\\N" if tab.fmt == "text" else ""),
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": CORRUPT_COL,
+    }
+    df = lines.select(
+        F.from_csv(F.col("line"), full.simpleString(), opts).alias("r")
+    ).select("r.*")
+    if tab.reject_limit is not None:
+        df = df.cache()
+        bad = df.filter(F.col(CORRUPT_COL).isNotNull()).count()
+        if tab.reject_percent:
+            total = df.count()
+            if total and 100.0 * bad / total > tab.reject_limit:
+                raise RejectLimitExceeded(
+                    f"{bad}/{total} rows rejected > {tab.reject_limit}%"
+                )
+        elif bad > tab.reject_limit:
+            raise RejectLimitExceeded(
+                f"{bad} rows rejected > limit {tab.reject_limit}"
+            )
+    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+@dataclass
+class S3WritableExternalTable:
+    """CREATE WRITABLE EXTERNAL TABLE ... LOCATION ('s3://endpoint/bucket/
+    prefix config=...') — parallel unload to S3 (gpcloud gpwriter.cpp;
+    s3common_writer.cpp; s3key_writer.cpp multipart machinery).
+
+    Each input partition writes its OWN object named
+    ``<prefix><segid><8-hex-random>.<fmt>[.gz]`` (gpwriter.cpp
+    genUniqueKeyName: segment id + random + format, '.gz' appended when
+    autocompress — the default — is on, gpwriter.cpp:83), streamed as a
+    multipart upload: POST ?uploads, one PUT ?partNumber per ~chunksize
+    bytes (s3conf.cpp default 64 MB), POST ?uploadId to complete, DELETE
+    to abort on error (s3interface.cpp call sequence).  Rows never pass
+    through the driver; the only driver-side result is the single-row
+    count aggregate.  At 100 TB this is unload at scan speed bounded by
+    S3 PUT throughput per prefix — the reference's own model."""
+
+    location: S3Location
+    schema: str | StructType
+    fmt: str = "csv"
+    delimiter: str | None = None
+    null_str: str = ""
+    header: bool = False
+    _conf_override: dict = field(default_factory=dict)  # tests
+
+    def write(self, df: DataFrame) -> int:
+        from greengage_spark.sources.gpfdist import render_unload_lines
+        from greengage_spark.sources.s3_rest import S3RestClient
+
+        conf = self._conf_override or parse_s3_config(
+            self.location.config_path, self.location.section
+        )
+        if not conf.get("accessid") and not self._conf_override:
+            raise ValueError("FATAL: access id not set")  # s3conf.cpp:162
+        schema = self.schema
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        if len(df.columns) != len(schema.fields):
+            raise ValueError(
+                f"INSERT has {len(df.columns)} expressions for "
+                f"{len(schema.fields)} columns"
+            )
+        aligned = df.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(df.columns, schema.fields)
+            ]
+        )
+        lines = render_unload_lines(aligned, self.fmt, self.delimiter, self.null_str)
+        params = _rest_params(self.location, conf)
+        autocompress = (
+            conf.get("autocompress", "true").strip().lower() in ("true", "1", "on")
+        )
+        # s3conf.cpp: chunksize default 64 MB (each chunk = one PUT part);
+        # real S3 requires >= 5 MB for non-final parts, the local fixture
+        # does not care, so tests may shrink it to force multi-part paths
+        chunk_bytes = int(conf.get("chunksize", str(64 * 1024 * 1024)))
+        bucket, prefix, fmt = self.location.bucket, self.location.prefix, self.fmt
+
+        def run(batches):
+            import os as _os
+            import zlib
+
+            import pandas as pd
+            from pyspark import TaskContext
+
+            # true partition id from the TaskContext, never a
+            # spark_partition_id() column (constant-folds on
+            # LocalRelation plans — see gpfdist writer)
+            seg = TaskContext.get().partitionId()
+            cl = S3RestClient(**params)
+            ext = fmt + (".gz" if autocompress else "")
+            # genUniqueKeyName: retry until the key does not exist
+            while True:
+                key = f"{prefix}{seg}{_os.urandom(4).hex()}.{ext}"
+                if not cl.key_exists(bucket, key):
+                    break
+            # gzip wrapper via windowBits 16+15 (compress_writer.cpp
+            # S3_DEFLATE_WINDOWSBITS: gzip header+trailer, not zlib)
+            comp = (
+                zlib.compressobj(zlib.Z_DEFAULT_COMPRESSION, zlib.DEFLATED, 16 + 15)
+                if autocompress
+                else None
+            )
+            upload_id = None
+            etags: list[str] = []
+            buf = bytearray()
+            sent = 0
+
+            def flush(final: bool = False):
+                nonlocal upload_id
+                while len(buf) >= chunk_bytes or (final and buf):
+                    if upload_id is None:
+                        upload_id = cl.initiate_upload(bucket, key)
+                    part = bytes(buf[:chunk_bytes]) if not final else bytes(buf)
+                    del buf[: len(part)]
+                    etags.append(
+                        cl.upload_part(bucket, key, upload_id, len(etags) + 1, part)
+                    )
+
+            try:
+                for pdf in batches:
+                    for ln in pdf["line"]:
+                        raw = (ln + "\n").encode("utf-8")
+                        buf.extend(comp.compress(raw) if comp else raw)
+                        sent += 1
+                        if len(buf) >= chunk_bytes:
+                            flush()
+                if sent:
+                    if comp:
+                        buf.extend(comp.flush())
+                    flush(final=True)
+                    cl.complete_upload(bucket, key, upload_id, etags)
+            except BaseException:
+                if upload_id is not None:
+                    cl.abort_upload(bucket, key, upload_id)
+                raise
+            if sent:
+                yield pd.DataFrame({"seg": [seg], "rows": [sent]})
+
+        counts = (
+            lines.mapInPandas(run, "seg int, rows long")
+            .groupBy()
+            .agg(F.coalesce(F.sum("rows"), F.lit(0)).alias("n"))
+            .collect()
+        )
+        return int(counts[0]["n"])

@@ -1,0 +1,443 @@
+"""Pure-Python S3 REST client + local S3-compatible fixture daemon.
+
+Reference surface: gpcontrib/gpcloud — the reference's S3 connector is
+itself a plain REST client (libcurl + hand-rolled SIGV4 in
+src/s3interface.cpp / src/s3http_headers.cpp / src/s3utils.cpp sha256 +
+hmac).  This module is the same idea in stdlib Python so WRITABLE s3
+external tables work without hadoop-aws jars:
+
+* ``sign_v4`` — AWS Signature Version 4 (the public algorithm from the
+  AWS documentation; same construction gpcloud's SignRequestV4 performs
+  in s3utils.cpp).
+* ``S3RestClient`` — multipart upload (POST ?uploads → PUT ?partNumber=
+  N&uploadId= → POST ?uploadId= with the CompleteMultipartUpload XML,
+  DELETE to abort — the exact call sequence of s3interface.cpp
+  getUploadId/uploadPartOfData/completeMultiPart/abortUpload), plus
+  HEAD (checkKeyExistence), GET (fetchData) and bucket listing
+  (getListBucket) for the read-back path.
+* ``serve_s3`` — a threading HTTP daemon implementing that subset of
+  the S3 REST API over a local directory, used by tests and registry
+  rows (the gpfdist serve_directory precedent).  It RECOMPUTES the
+  SigV4 signature of every request against the configured secret and
+  rejects mismatches, so client signing is actually verified.
+
+Scale: the client runs ON EXECUTORS (one multipart session per input
+partition, one GET per object key); the driver never touches data.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import hmac
+import http.client
+import re
+import urllib.parse
+import xml.etree.ElementTree as ET
+
+_ALGO = "AWS4-HMAC-SHA256"
+EMPTY_SHA256 = hashlib.sha256(b"").hexdigest()
+
+
+def _hmac(key: bytes, msg: str) -> bytes:
+    return hmac.new(key, msg.encode("utf-8"), hashlib.sha256).digest()
+
+
+def _uri_encode(s: str, encode_slash: bool = True) -> str:
+    safe = "-_.~" if encode_slash else "-_.~/"
+    return urllib.parse.quote(s, safe=safe)
+
+
+def canonical_query(query: str) -> str:
+    """Sorted, URI-encoded canonical query string (empty values kept)."""
+    if not query:
+        return ""
+    pairs = []
+    for tok in query.split("&"):
+        k, _, v = tok.partition("=")
+        pairs.append((_uri_encode(urllib.parse.unquote(k)),
+                      _uri_encode(urllib.parse.unquote(v))))
+    return "&".join(f"{k}={v}" for k, v in sorted(pairs))
+
+
+def sign_v4(
+    method: str,
+    path: str,
+    query: str,
+    headers: dict[str, str],
+    payload_hash: str,
+    region: str,
+    access_key: str,
+    secret: str,
+    amzdate: str,
+    service: str = "s3",
+) -> str:
+    """Return the Authorization header value for one request.
+
+    ``headers`` must already contain host and x-amz-* headers; every
+    header passed is signed (S3 requires host + x-amz-date +
+    x-amz-content-sha256 at minimum)."""
+    datestamp = amzdate[:8]
+    lower = {k.lower(): " ".join(v.split()) for k, v in headers.items()}
+    signed_names = ";".join(sorted(lower))
+    canon_headers = "".join(f"{k}:{lower[k]}\n" for k in sorted(lower))
+    canonical = "\n".join(
+        [
+            method.upper(),
+            _uri_encode(path, encode_slash=False) or "/",
+            canonical_query(query),
+            canon_headers,
+            signed_names,
+            payload_hash,
+        ]
+    )
+    scope = f"{datestamp}/{region}/{service}/aws4_request"
+    to_sign = "\n".join(
+        [_ALGO, amzdate, scope, hashlib.sha256(canonical.encode()).hexdigest()]
+    )
+    k = _hmac(("AWS4" + secret).encode(), datestamp)
+    for part in (region, service, "aws4_request"):
+        k = _hmac(k, part)
+    sig = hmac.new(k, to_sign.encode(), hashlib.sha256).hexdigest()
+    return (
+        f"{_ALGO} Credential={access_key}/{scope}, "
+        f"SignedHeaders={signed_names}, Signature={sig}"
+    )
+
+
+class S3RestClient:
+    """Minimal signed S3 REST client (the gpcloud s3interface call set).
+
+    Path-style addressing only — gpcloud's own layout
+    (s3://endpoint/bucket/prefix)."""
+
+    def __init__(
+        self,
+        endpoint: str,
+        access_key: str,
+        secret: str,
+        region: str = "us-east-1",
+        token: str = "",
+        https: bool = False,
+    ):
+        self.endpoint = endpoint
+        self.access_key = access_key
+        self.secret = secret
+        self.region = region or "us-east-1"
+        self.token = token
+        self.https = https
+
+    # -- plumbing ----------------------------------------------------------
+    def _request(
+        self, method: str, path: str, query: str = "", body: bytes = b""
+    ) -> tuple[int, dict, bytes]:
+        payload_hash = hashlib.sha256(body).hexdigest()
+        amzdate = datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y%m%dT%H%M%SZ"
+        )
+        headers = {
+            "host": self.endpoint,
+            "x-amz-date": amzdate,
+            "x-amz-content-sha256": payload_hash,
+        }
+        if self.token:
+            headers["x-amz-security-token"] = self.token
+        headers["authorization"] = sign_v4(
+            method, path, query, headers, payload_hash,
+            self.region, self.access_key, self.secret, amzdate,
+        )
+        conn_cls = (
+            http.client.HTTPSConnection if self.https else http.client.HTTPConnection
+        )
+        conn = conn_cls(self.endpoint, timeout=60)
+        try:
+            url = path + ("?" + query if query else "")
+            conn.request(method, url, body=body, headers=headers)
+            resp = conn.getresponse()
+            data = resp.read()
+            return resp.status, dict(resp.getheaders()), data
+        finally:
+            conn.close()
+
+    @staticmethod
+    def _die(what: str, status: int, data: bytes):
+        raise IOError(f"S3 {what} failed: HTTP {status} {data[:300]!r}")
+
+    # -- object ops (s3interface.cpp call surface) --------------------------
+    def key_exists(self, bucket: str, key: str) -> bool:
+        status, _, _ = self._request("HEAD", f"/{bucket}/{key}")
+        return status == 200
+
+    def get_object(self, bucket: str, key: str) -> bytes:
+        status, _, data = self._request("GET", f"/{bucket}/{key}")
+        if status != 200:
+            self._die(f"GET {key}", status, data)
+        return data
+
+    def list_keys(self, bucket: str, prefix: str) -> list[tuple[str, int]]:
+        """ListObjectsV2 (name, size) pairs under prefix, all pages."""
+        out: list[tuple[str, int]] = []
+        token = ""
+        while True:
+            q = "list-type=2&prefix=" + urllib.parse.quote(prefix, safe="")
+            if token:
+                q += "&continuation-token=" + urllib.parse.quote(token, safe="")
+            status, _, data = self._request("GET", f"/{bucket}", q)
+            if status != 200:
+                self._die(f"LIST {prefix}", status, data)
+            ns = {"s3": "http://s3.amazonaws.com/doc/2006-03-01/"}
+            root = ET.fromstring(data)
+            strip = "{%s}" % ns["s3"] if root.tag.startswith("{") else ""
+            for c in root.iter(f"{strip}Contents"):
+                out.append(
+                    (c.find(f"{strip}Key").text,
+                     int(c.find(f"{strip}Size").text or 0))
+                )
+            trunc = root.find(f"{strip}IsTruncated")
+            if trunc is None or (trunc.text or "").lower() != "true":
+                return out
+            token = root.find(f"{strip}NextContinuationToken").text
+
+    # -- multipart upload ----------------------------------------------------
+    def initiate_upload(self, bucket: str, key: str) -> str:
+        status, _, data = self._request("POST", f"/{bucket}/{key}", "uploads=")
+        if status != 200:
+            self._die(f"initiate {key}", status, data)
+        m = re.search(rb"<UploadId>([^<]+)</UploadId>", data)
+        if not m:
+            raise IOError(f"no UploadId in {data[:300]!r}")
+        return m.group(1).decode()
+
+    def upload_part(
+        self, bucket: str, key: str, upload_id: str, part_number: int, data: bytes
+    ) -> str:
+        q = f"partNumber={part_number}&uploadId={urllib.parse.quote(upload_id, safe='')}"
+        status, headers, body = self._request("PUT", f"/{bucket}/{key}", q, data)
+        if status != 200:
+            self._die(f"part {part_number} of {key}", status, body)
+        etag = {k.lower(): v for k, v in headers.items()}.get("etag", "")
+        return etag.strip('"')
+
+    def complete_upload(
+        self, bucket: str, key: str, upload_id: str, etags: list[str]
+    ) -> None:
+        # s3interface.cpp completeMultiPart body shape
+        parts = "".join(
+            f"  <Part>\n    <PartNumber>{i + 1}</PartNumber>\n"
+            f"    <ETag>{e}</ETag>\n  </Part>\n"
+            for i, e in enumerate(etags)
+        )
+        body = (
+            "<CompleteMultipartUpload>\n" + parts + "</CompleteMultipartUpload>"
+        ).encode()
+        q = "uploadId=" + urllib.parse.quote(upload_id, safe="")
+        status, _, data = self._request("POST", f"/{bucket}/{key}", q, body)
+        if status != 200:
+            self._die(f"complete {key}", status, data)
+
+    def abort_upload(self, bucket: str, key: str, upload_id: str) -> None:
+        q = "uploadId=" + urllib.parse.quote(upload_id, safe="")
+        self._request("DELETE", f"/{bucket}/{key}", q)
+
+
+# ---------------------------------------------------------------------------
+# local S3-compatible fixture daemon
+# ---------------------------------------------------------------------------
+
+
+def serve_s3(
+    root: str,
+    access_key: str = "test_access",
+    secret: str = "test_secret",
+    region: str = "us-east-1",
+    port: int = 0,
+):
+    """Start a daemon-thread S3-compatible server over ``root``.
+
+    Objects live at root/<bucket>/<key>; in-flight multipart parts are
+    held in memory.  Every request's SigV4 signature is RECOMPUTED from
+    the configured secret and mismatches get 403 — the fixture verifies
+    real signing, not just header presence.  Returns (server, port)."""
+    import os
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    lock = threading.Lock()
+    uploads: dict[str, dict[int, bytes]] = {}  # uploadId -> part# -> bytes
+    upload_keys: dict[str, tuple[str, str]] = {}  # uploadId -> (bucket, key)
+    seq = [0]
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):  # quiet
+            pass
+
+        # -- auth ------------------------------------------------------------
+        def _verify(self, body: bytes) -> bool:
+            auth = self.headers.get("Authorization", "")
+            m = re.match(
+                rf"^{_ALGO} Credential=([^/]+)/(\d{{8}})/([^/]+)/s3/aws4_request, "
+                r"SignedHeaders=([^,]+), Signature=([0-9a-f]+)$",
+                auth,
+            )
+            if not m or m.group(1) != access_key:
+                return False
+            amzdate = self.headers.get("x-amz-date", "")
+            payload_hash = self.headers.get("x-amz-content-sha256", "")
+            if hashlib.sha256(body).hexdigest() != payload_hash:
+                return False
+            parsed = urllib.parse.urlsplit(self.path)
+            signed = {
+                name: self.headers.get(name, "")
+                for name in m.group(4).split(";")
+            }
+            expect = sign_v4(
+                self.command, urllib.parse.unquote(parsed.path),
+                parsed.query, signed, payload_hash,
+                m.group(3), access_key, secret, amzdate,
+            )
+            return hmac.compare_digest(expect, auth)
+
+        # -- helpers -----------------------------------------------------------
+        def _reply(self, status: int, body: bytes = b"", headers: dict | None = None):
+            self.send_response(status)
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _split(self):
+            parsed = urllib.parse.urlsplit(self.path)
+            segs = urllib.parse.unquote(parsed.path).lstrip("/").split("/", 1)
+            bucket = segs[0]
+            key = segs[1] if len(segs) > 1 else ""
+            q = urllib.parse.parse_qs(parsed.query, keep_blank_values=True)
+            return bucket, key, q
+
+        def _body(self) -> bytes:
+            n = int(self.headers.get("Content-Length") or 0)
+            return self.rfile.read(n) if n else b""
+
+        def _objpath(self, bucket: str, key: str) -> str:
+            p = os.path.realpath(os.path.join(root, bucket, key))
+            if not p.startswith(os.path.realpath(root) + os.sep):
+                raise PermissionError(key)
+            return p
+
+        # -- verbs ------------------------------------------------------------
+        def do_HEAD(self):
+            if not self._verify(self._body()):
+                return self._reply(403)
+            bucket, key, _ = self._split()
+            p = self._objpath(bucket, key)
+            if os.path.isfile(p):
+                self._reply(200, headers={"Content-Length-Hint": "0"})
+            else:
+                self._reply(404)
+
+        def do_GET(self):
+            body = self._body()
+            if not self._verify(body):
+                return self._reply(403)
+            bucket, key, q = self._split()
+            if not key and "list-type" in q:
+                prefix = q.get("prefix", [""])[0]
+                bdir = os.path.join(root, bucket)
+                found = []
+                for dirpath, _, files in os.walk(bdir):
+                    for fn in files:
+                        full = os.path.join(dirpath, fn)
+                        rel = os.path.relpath(full, bdir).replace(os.sep, "/")
+                        if rel.startswith(prefix):
+                            found.append((rel, os.path.getsize(full)))
+                found.sort()
+                xml = ["<?xml version='1.0'?>",
+                       "<ListBucketResult>",
+                       "<IsTruncated>false</IsTruncated>"]
+                for rel, size in found:
+                    xml.append(
+                        f"<Contents><Key>{rel}</Key><Size>{size}</Size></Contents>"
+                    )
+                xml.append("</ListBucketResult>")
+                return self._reply(200, "".join(xml).encode())
+            p = self._objpath(bucket, key)
+            if not os.path.isfile(p):
+                return self._reply(404)
+            with open(p, "rb") as fh:
+                self._reply(200, fh.read())
+
+        def do_POST(self):
+            body = self._body()
+            if not self._verify(body):
+                return self._reply(403)
+            bucket, key, q = self._split()
+            if "uploads" in q:
+                with lock:
+                    seq[0] += 1
+                    uid = f"upload-{seq[0]:06d}"
+                    uploads[uid] = {}
+                    upload_keys[uid] = (bucket, key)
+                xml = (
+                    "<?xml version='1.0'?><InitiateMultipartUploadResult>"
+                    f"<Bucket>{bucket}</Bucket><Key>{key}</Key>"
+                    f"<UploadId>{uid}</UploadId>"
+                    "</InitiateMultipartUploadResult>"
+                )
+                return self._reply(200, xml.encode())
+            if "uploadId" in q:
+                uid = q["uploadId"][0]
+                with lock:
+                    parts = uploads.pop(uid, None)
+                    upload_keys.pop(uid, None)
+                if parts is None:
+                    return self._reply(404)
+                blob = b"".join(parts[i] for i in sorted(parts))
+                p = self._objpath(bucket, key)
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                with open(p, "wb") as fh:
+                    fh.write(blob)
+                xml = (
+                    "<?xml version='1.0'?><CompleteMultipartUploadResult>"
+                    f"<Key>{key}</Key></CompleteMultipartUploadResult>"
+                )
+                return self._reply(200, xml.encode())
+            self._reply(400)
+
+        def do_PUT(self):
+            body = self._body()
+            if not self._verify(body):
+                return self._reply(403)
+            bucket, key, q = self._split()
+            if "partNumber" in q and "uploadId" in q:
+                uid = q["uploadId"][0]
+                pn = int(q["partNumber"][0])
+                with lock:
+                    if uid not in uploads:
+                        return self._reply(404)
+                    uploads[uid][pn] = body
+                etag = hashlib.md5(body).hexdigest()
+                return self._reply(200, headers={"ETag": f'"{etag}"'})
+            # plain PUT object
+            p = self._objpath(bucket, key)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "wb") as fh:
+                fh.write(body)
+            self._reply(200, headers={"ETag": f'"{hashlib.md5(body).hexdigest()}"'})
+
+        def do_DELETE(self):
+            if not self._verify(self._body()):
+                return self._reply(403)
+            _, _, q = self._split()
+            if "uploadId" in q:
+                with lock:
+                    uploads.pop(q["uploadId"][0], None)
+                    upload_keys.pop(q["uploadId"][0], None)
+                return self._reply(204)
+            self._reply(400)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]

@@ -154,23 +154,27 @@ class TestS3DDLAndReject:
                 "('s3://h/b1/p', 's3://h/b2/p') FORMAT 'CSV'"
             )
 
-    def test_writable_reject(self):
-        with pytest.raises(NotImplementedError, match="WRITABLE s3"):
-            parse_create_external(
-                "CREATE WRITABLE EXTERNAL TABLE t (k int) LOCATION "
-                "('s3://h/b/p') FORMAT 'CSV'"
-            )
+    def test_writable_parses_to_writer(self):
+        from greengage_spark.sources.s3_ext import S3WritableExternalTable
 
-    def test_read_rejects_without_jars(self, spark):
-        # this sandbox's pyspark has no hadoop-aws — the loud-reject path
-        # IS the expected behavior here; on a real cluster the same call
-        # proceeds into the s3a reader
+        etd = parse_create_external(
+            "CREATE WRITABLE EXTERNAL TABLE t (k int) LOCATION "
+            "('s3://h/b/p') FORMAT 'CSV'"
+        )
+        assert etd.writable
+        assert isinstance(etd.table, S3WritableExternalTable)
+        assert etd.table.location.bucket == "b"
+
+    def test_read_falls_back_to_rest_without_jars(self, spark):
+        # this sandbox's pyspark has no hadoop-aws — the pure-Python REST
+        # reader (gpcloud's own model) takes over; an unreachable endpoint
+        # surfaces as a connection error, never a deep task failure
         tab = S3ExternalTable(
-            location=parse_s3_url("s3://h/b/p"),
+            location=parse_s3_url("s3://127.0.0.1:1/b/p"),
             schema="k int",
-            _conf_override={"accessid": "A", "secret": "S"},
+            _conf_override={"accessid": "A", "secret": "S", "encryption": "false"},
         )
         if s3a_available(spark):
-            pytest.skip("hadoop-aws present; reject path not reachable")
-        with pytest.raises(NotImplementedError, match="hadoop-aws"):
+            pytest.skip("hadoop-aws present; fallback path not reachable")
+        with pytest.raises(OSError):
             tab.read(spark)
