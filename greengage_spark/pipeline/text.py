@@ -111,7 +111,35 @@ SCRIPT_BLOCKS: dict[str, str] = {
     "kana": "぀-ゟ゠-ヿ",
     "hangul": "가-힯ᄀ-ᇿ㄰-㆏",
     "arabic": "؀-ۿݐ-ݿ",
+    "thai": "ก-๛",
+    "hebrew": "֑-״",
+    "devanagari": "ऀ-ॿ",
+    "greek": "Ά-Ͽἀ-῾",
+    "cyrillic": "Ѐ-ӿԀ-ԯ",
+    "bengali": "ঀ-৿",
+    "tamil": "ஂ-௺",
 }
+
+# Ordered script→language rules: (lang, block, num, den) fires when
+# cnt(block) > 0 AND cnt(block) * num >= nonspace_chars * den.  Japanese
+# leads (kana ≥5%; Han alone is ambiguous with Chinese); the rest need
+# ≥30% of non-space chars in the block.  Cyrillic maps to 'ru' — the
+# dominant Cyrillic-script language and the one with an embedded marker
+# inventory; uk/bg/sr would need their own function-word lists (the
+# marker path still wins for Latin-transliterated text).
+SCRIPT_RULES: list[tuple[str, str, int, int]] = [
+    ("ja", "kana", 20, 1),
+    ("zh", "han", 10, 3),
+    ("ko", "hangul", 10, 3),
+    ("ar", "arabic", 10, 3),
+    ("th", "thai", 10, 3),
+    ("he", "hebrew", 10, 3),
+    ("hi", "devanagari", 10, 3),
+    ("el", "greek", 10, 3),
+    ("ru", "cyrillic", 10, 3),
+    ("bn", "bengali", 10, 3),
+    ("ta", "tamil", 10, 3),
+]
 
 # For the 14 languages whose full function-word vocabularies the engine
 # already embeds (the snowball stopword lists, byte-equal to the
@@ -159,6 +187,13 @@ LANGID_FIXTURES: list[tuple[int, str]] = [
               "was not for nothing"),
     (9000010, "The word 中文 appears here but the text is mostly not "
               "that script at all"),
+    (9000011, "ข้อความนี้เป็นภาษาไทยสำหรับทดสอบระบบใหม่ของเรา"),
+    (9000012, "זהו טקסט בעברית כדי לבדוק את המערכת החדשה שלנו"),
+    (9000013, "यह प्रणाली के परीक्षण के लिए हिंदी में एक पाठ है"),
+    (9000014, "αυτό είναι ένα κείμενο στα ελληνικά για τη δοκιμή του συστήματος"),
+    (9000015, "это текст на русском языке для проверки новой системы"),
+    (9000016, "এটি নতুন সিস্টেম পরীক্ষার জন্য বাংলা ভাষায় একটি লেখা"),
+    (9000017, "இது புதிய அமைப்பை சோதிக்க தமிழில் எழுதப்பட்ட உரை"),
 ]
 
 
@@ -209,31 +244,25 @@ def _script_count(t: Column, block: str) -> Column:
 
 def script_language(t: Column) -> tuple[Column, Column]:
     """Unicode-script classification for the languages whitespace
-    tokenization can't reach (zh/ja/ar/ko): (lang or NULL, script char
-    count).  Integer-only threshold arithmetic so a SQL oracle
-    reproduces it exactly — Japanese needs ≥5% kana (Han alone is
-    ambiguous with Chinese); the others need ≥30% of non-space chars."""
+    tokenization can't reach (or whose script is decisive on its own):
+    (lang or NULL, script char count).  Integer-only threshold
+    arithmetic (SCRIPT_RULES) so a SQL oracle reproduces it exactly."""
     nonspace = F.length(F.regexp_replace(t, r"\s", ""))
-    han = _script_count(t, "han")
-    kana = _script_count(t, "kana")
-    hangul = _script_count(t, "hangul")
-    arabic = _script_count(t, "arabic")
-    lang = (
-        F.when((kana > 0) & (kana * 20 >= nonspace), F.lit("ja"))
-        .when((han > 0) & (han * 10 >= nonspace * 3), F.lit("zh"))
-        .when((hangul > 0) & (hangul * 10 >= nonspace * 3), F.lit("ko"))
-        .when((arabic > 0) & (arabic * 10 >= nonspace * 3), F.lit("ar"))
-    )
-    hits = (
-        F.when(lang == "ja", han + kana)
-        .when(lang == "zh", han)
-        .when(lang == "ko", hangul)
-        .when(lang == "ar", arabic)
-    )
+    cnt = {b: _script_count(t, b) for b in SCRIPT_BLOCKS}
+    lang = F.lit(None).cast("string")
+    first = True
+    for lg, block, num, den in SCRIPT_RULES:
+        cond = (cnt[block] > 0) & (cnt[block] * num >= nonspace * den)
+        lang = F.when(cond, F.lit(lg)) if first else lang.when(cond, F.lit(lg))
+        first = False
+    hits = F.when(lang == "ja", cnt["han"] + cnt["kana"])
+    for lg, block, _, _ in SCRIPT_RULES:
+        if lg != "ja":
+            hits = hits.when(lang == lg, cnt[block])
     return lang, hits
 
 
-def script_language_sql(text_expr: str) -> str:
+def script_language_sql(text_expr: str) -> tuple[str, str]:
     """The script stage as portable SQL (DuckDB RE2) — embedded by the
     registry oracle so query and oracle share one rule table."""
 
@@ -244,18 +273,15 @@ def script_language_sql(text_expr: str) -> str:
         )
 
     ns = f"length(regexp_replace({text_expr}, '\\s', '', 'g'))"
+    lang_arms, hit_arms = [], []
+    for lg, block, num, den in SCRIPT_RULES:
+        cond = f"{cnt(block)} > 0 AND {cnt(block)} * {num} >= {ns} * {den}"
+        lang_arms.append(f"WHEN {cond} THEN '{lg}'")
+        hit = f"{cnt('han')} + {cnt('kana')}" if lg == "ja" else cnt(block)
+        hit_arms.append(f"WHEN {cond} THEN {hit}")
     return (
-        f"CASE WHEN {cnt('kana')} > 0 AND {cnt('kana')} * 20 >= {ns} THEN 'ja' "
-        f"WHEN {cnt('han')} > 0 AND {cnt('han')} * 10 >= {ns} * 3 THEN 'zh' "
-        f"WHEN {cnt('hangul')} > 0 AND {cnt('hangul')} * 10 >= {ns} * 3 THEN 'ko' "
-        f"WHEN {cnt('arabic')} > 0 AND {cnt('arabic')} * 10 >= {ns} * 3 THEN 'ar' "
-        f"END",
-        f"CASE WHEN {cnt('kana')} > 0 AND {cnt('kana')} * 20 >= {ns} "
-        f"THEN {cnt('han')} + {cnt('kana')} "
-        f"WHEN {cnt('han')} > 0 AND {cnt('han')} * 10 >= {ns} * 3 THEN {cnt('han')} "
-        f"WHEN {cnt('hangul')} > 0 AND {cnt('hangul')} * 10 >= {ns} * 3 THEN {cnt('hangul')} "
-        f"WHEN {cnt('arabic')} > 0 AND {cnt('arabic')} * 10 >= {ns} * 3 THEN {cnt('arabic')} "
-        f"END",
+        "CASE " + " ".join(lang_arms) + " END",
+        "CASE " + " ".join(hit_arms) + " END",
     )
 
 

@@ -44,6 +44,8 @@ def test_script_based_language_id(spark):
         9000001: "zh", 9000002: "ja", 9000003: "ar", 9000004: "ko",
         9000005: "pl", 9000006: "cs", 9000007: "id", 9000008: "vi",
         9000009: "en", 9000010: "en",  # sub-threshold CJK → marker path
+        9000011: "th", 9000012: "he", 9000013: "hi", 9000014: "el",
+        9000015: "ru", 9000016: "bn", 9000017: "ta",
     }
     # script-identified docs report script char counts as hits
     assert out[9000001][1] > 10 and out[9000004][1] > 10
