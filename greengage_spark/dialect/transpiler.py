@@ -3942,6 +3942,55 @@ _TSVECTOR_SQL = (
 )
 
 
+_TSEARCH2_SIMPLE = {
+    # contrib/tsearch2/tsearch2--1.0.sql legacy names → modern API
+    "rank_cd": "ts_rank_cd",
+    "headline": "ts_headline",
+    "lexize": "ts_lexize",
+    "stat": "ts_stat",
+}
+
+_TSEARCH2_REJECT = {
+    # tsearch2's session-state machinery has no modern analog by design
+    # (set_curcfg/set_curdict/set_curprs were dropped in PG 8.3's core
+    # text search); reject loudly instead of silently mis-parsing
+    "set_curcfg", "set_curdict", "set_curprs", "show_curcfg",
+    "reset_tsearch", "get_covers",
+}
+
+
+def _pass_tsearch2_aliases(toks: list[str]) -> list[str]:
+    """contrib/tsearch2 compatibility: the legacy alias names over the
+    modern text-search API (tsearch2--1.0.sql: rank→ts_rank,
+    rank_cd→ts_rank_cd, headline→ts_headline, lexize→ts_lexize,
+    stat→ts_stat).  ``rank(`` maps only when it takes ≥2 arguments and
+    is neither a window call (followed by OVER) nor a hypothetical-set
+    WITHIN GROUP form — those keep their core meanings."""
+    out = list(toks)
+    for i, t in enumerate(out):
+        if not _is_ident(t) or i + 1 >= len(out) or out[i + 1] != "(":
+            continue
+        # a qualified name (x.rank) is a column access, never the alias
+        if i > 0 and out[i - 1] == ".":
+            continue
+        low = t.lower()
+        if low in _TSEARCH2_SIMPLE:
+            out[i] = _TSEARCH2_SIMPLE[low]
+        elif low in _TSEARCH2_REJECT:
+            raise NotImplementedError(
+                f"tsearch2 session-state function {low}() has no modern "
+                "analog (dropped with PG 8.3 core text search); specify "
+                "the configuration per-call instead"
+            )
+        elif low == "rank":
+            close = _args_span(out, i + 1)
+            nargs = len(_split_args(out[i + 2 : close]))
+            after = out[close + 1].lower() if close + 1 < len(out) else ""
+            if nargs >= 2 and after not in ("over", "within"):
+                out[i] = "ts_rank"
+    return out
+
+
 def _pass_text_search(toks: list[str]) -> list[str]:
     """SQL surface for text search (tsvector.c / tsquery.c, 'simple'
     config): ``to_tsvector([cfg,] x)`` → lexeme-array expression;
@@ -8970,6 +9019,7 @@ def transpile(sql: str) -> str:
     toks = _pass_fetch_first(toks)
     toks = _pass_regex_ops(toks)
     toks = _pass_pow_xor(toks)
+    toks = _pass_tsearch2_aliases(toks)
     toks = _pass_text_search(toks)
     toks = _pass_prefix_math_ops(toks)
     toks = _pass_factorial(toks)

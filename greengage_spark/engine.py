@@ -1116,6 +1116,9 @@ class GreengageEngine:
                 from greengage_spark.operators.crosstab import expand_crosstab
 
                 stmt = expand_crosstab(self, stmt)
+            # tsearch2 compat: legacy stat('query') is ts_stat (the
+            # FROM-position SRF expands pre-transpile, so alias here too)
+            stmt = re.sub(r"(?i)(?<![\w.])stat\s*\(\s*'", "ts_stat('", stmt)
             if re.search(
                 r"(?i)\b(ts_stat|connectby|normal_rand)\s*\(", stmt
             ):

@@ -682,6 +682,62 @@ def text_search_rank(spark, sf_dir):
 
 
 @suite.add(
+    "dialect_tsearch2_compat",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 300
+    ), n AS (
+      SELECT doc_id, len(list_filter(toks, x -> x = 'data')) AS occ
+      FROM t
+    )
+    SELECT doc_id,
+           round(COALESCE(0.1 * list_sum(list_transform(range(1, occ + 1),
+                                                        j -> 1.0/(j*j))), 0)
+                 / 1.64493406685, 6) AS rank_legacy,
+           round(0.1 * occ, 6) AS rank_cd_legacy,
+           'a quick brown <b>fox</b> jumps' AS headline_legacy,
+           'jump' AS lexize_legacy
+    FROM n
+    """,
+    doc="contrib/tsearch2 compatibility layer (tsearch2--1.0.sql): the "
+        "legacy alias names rank/rank_cd/headline/lexize/stat resolve to "
+        "the modern ts_* API in the transpiler (_pass_tsearch2_aliases); "
+        "rank( maps only for >=2-arg non-window non-WITHIN-GROUP calls, "
+        "so core rank() OVER and hypothetical-set rank keep their "
+        "meanings; session-state functions (set_curcfg et al., dropped "
+        "with PG 8.3 core tsearch) reject loudly. The rank oracle is "
+        "tsrank.c calc_rank_or's closed form for a single all-D-weight "
+        "lexeme: 0.1 * sum(1/j^2 over occurrences) / (pi^2/6); rank_cd's "
+        "is weight x occurrences (each occurrence its own cover).",
+    tags=("dialect", "contrib", "text"),
+)
+def dialect_tsearch2_compat(spark, sf_dir):
+    from greengage_spark.dialect import pg_sql
+    from greengage_spark.plans.common import cat
+
+    cat(spark, sf_dir).table("documents").filter(
+        F.col("doc_id") < 300
+    ).createOrReplaceTempView("ts2_docs")
+    return pg_sql(
+        spark,
+        "SELECT doc_id, "
+        "round(rank(to_tsvector('simple', text), "
+        "           to_tsquery('simple', 'data'))::numeric, 6)::float8 "
+        "  AS rank_legacy, "
+        "round(rank_cd(to_tsvector(text), to_tsquery('data'))::numeric, 6)"
+        "::float8 AS rank_cd_legacy, "
+        "headline('a quick brown fox jumps', to_tsquery('fox')) "
+        "  AS headline_legacy, "
+        "array_to_string(lexize('english_stem', 'jumping'), ',') "
+        "  AS lexize_legacy "
+        "FROM ts2_docs",
+    )
+
+
+@suite.add(
     "text_search_stat",
     oracle="""
     WITH toks AS (

@@ -1,0 +1,97 @@
+"""contrib/tsearch2 compatibility aliases (tsearch2--1.0.sql).
+
+The legacy names rank/rank_cd/headline/lexize/stat map onto the modern
+ts_* stack; session-state machinery (set_curcfg et al.) rejects loudly.
+Core meanings of rank() OVER and hypothetical-set rank(x) WITHIN GROUP
+must survive the aliasing untouched.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from greengage_spark.dialect.transpiler import pg_sql, transpile
+
+
+class TestAliases:
+    def test_rank_two_args_maps(self, spark):
+        r = pg_sql(
+            spark,
+            "SELECT rank(to_tsvector('simple', 'aa bb aa'), "
+            "to_tsquery('simple', 'aa')) AS r",
+        ).collect()[0]
+        ts = pg_sql(
+            spark,
+            "SELECT ts_rank(to_tsvector('simple', 'aa bb aa'), "
+            "to_tsquery('simple', 'aa')) AS r",
+        ).collect()[0]
+        assert r.r == ts.r > 0
+
+    def test_rank_cd_maps(self, spark):
+        # tsearch2 regress shape: rank_cd over a to_tsvector'd poem
+        r = pg_sql(
+            spark,
+            "SELECT rank_cd(to_tsvector('Erosion It took the sea a "
+            "thousand years, A thousand years to trace'), "
+            "to_tsquery('sea')) AS r",
+        ).collect()[0]
+        assert r.r == pytest.approx(0.1)
+
+    def test_headline_maps(self, spark):
+        r = pg_sql(
+            spark,
+            "SELECT headline('a quick brown fox jumps', "
+            "to_tsquery('fox')) AS h",
+        ).collect()[0]
+        assert r.h == "a quick brown <b>fox</b> jumps"
+
+    def test_lexize_maps(self, spark):
+        r = pg_sql(
+            spark,
+            "SELECT array_to_string(lexize('english_stem', 'jumping'), ',') AS l",
+        ).collect()[0]
+        assert r.l == "jump"
+
+    def test_stat_maps_through_engine(self, spark):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_ts2_"))
+        eng.execute("CREATE TABLE ts2docs (id int, body text)")
+        eng.execute(
+            "INSERT INTO ts2docs VALUES (1, 'data and data'), (2, 'data only')"
+        )
+        rows = eng.execute(
+            "SELECT word, ndoc, nentry FROM "
+            "stat('SELECT to_tsvector(body) FROM ts2docs') "
+            "WHERE word = 'data'"
+        ).collect()
+        assert [(r.word, r.ndoc, r.nentry) for r in rows] == [("data", 2, 3)]
+
+
+class TestCoreMeaningsPreserved:
+    def test_window_rank_untouched(self, spark):
+        out = transpile("SELECT rank() OVER (ORDER BY x) FROM t")
+        assert "ts_rank" not in out
+
+    def test_hypothetical_rank_untouched(self, spark):
+        rows = pg_sql(
+            spark,
+            "SELECT rank(2) WITHIN GROUP (ORDER BY x) AS r "
+            "FROM (SELECT 1 AS x UNION ALL SELECT 3) t",
+        ).collect()
+        assert rows[0].r == 2
+
+    def test_qualified_rank_column_untouched(self):
+        out = transpile("SELECT t.rank(0) FROM t")
+        assert "ts_rank" not in out
+
+
+class TestRejects:
+    @pytest.mark.parametrize(
+        "fn", ["set_curcfg", "set_curdict", "set_curprs", "reset_tsearch"]
+    )
+    def test_session_state_rejects(self, fn):
+        with pytest.raises(NotImplementedError, match="tsearch2"):
+            transpile(f"SELECT {fn}('default')")
