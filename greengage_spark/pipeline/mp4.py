@@ -46,6 +46,72 @@ def encode_mp4_mjpeg(
     machinery the way an inter-coded track would)."""
     if not frames:
         raise ValueError("encode_mp4_mjpeg needs at least one frame")
+    sample_entry = _box(
+        b"jpeg", _visual_sample_fields(width, height)
+    )
+    return _encode_mp4_video(
+        sample_entry, frames, width, height, timescale, frame_delta, sync_every
+    )
+
+
+def _visual_sample_fields(width: int, height: int) -> bytes:
+    """VisualSampleEntry fixed fields (§12.1.3) shared by every video
+    sample-entry fourcc."""
+    return (
+        b"\x00" * 6 + struct.pack(">H", 1)      # reserved, data_ref_index
+        + b"\x00" * 16                            # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4 + struct.pack(">H", 1)      # reserved, frame_count
+        + b"\x00" * 32                            # compressorname
+        + struct.pack(">Hh", 0x0018, -1)          # depth, pre_defined
+    )
+
+
+def encode_mp4_avc1(
+    samples: list[bytes],
+    width: int,
+    height: int,
+    profile: int = 66,
+    compat: int = 0xC0,
+    level: int = 30,
+    timescale: int = 1000,
+    frame_delta: int = 40,
+    sync_every: int = 3,
+) -> bytes:
+    """Single-track avc1 (H.264-in-MP4) fixture: a real avcC
+    AVCDecoderConfigurationRecord (ISO/IEC 14496-15 §5.3.3.1 —
+    configurationVersion, profile/compat/level, lengthSizeMinusOne,
+    one SPS + one PPS) over opaque sample bytes.  The container and
+    sample tables are fully real; the bitstream is not decodable and
+    is never claimed to be (decode keeps its loud reject)."""
+    if not samples:
+        raise ValueError("encode_mp4_avc1 needs at least one sample")
+    # minimal deterministic SPS/PPS shells: NAL headers 0x67/0x68 with
+    # the profile/compat/level bytes the record also carries
+    sps = bytes([0x67, profile, compat, level, 0xAC, 0xD9, 0x40, 0x50])
+    pps = bytes([0x68, 0xCE, 0x38, 0x80])
+    avcc = _box(
+        b"avcC",
+        bytes([1, profile, compat, level, 0xFF])   # version, P/C/L, len-1=3
+        + bytes([0xE1]) + struct.pack(">H", len(sps)) + sps  # 1 SPS
+        + bytes([1]) + struct.pack(">H", len(pps)) + pps,    # 1 PPS
+    )
+    sample_entry = _box(b"avc1", _visual_sample_fields(width, height) + avcc)
+    return _encode_mp4_video(
+        sample_entry, samples, width, height, timescale, frame_delta, sync_every
+    )
+
+
+def _encode_mp4_video(
+    sample_entry: bytes,
+    frames: list[bytes],
+    width: int,
+    height: int,
+    timescale: int,
+    frame_delta: int,
+    sync_every: int,
+) -> bytes:
     n = len(frames)
     duration = n * frame_delta
 
@@ -54,16 +120,6 @@ def encode_mp4_mjpeg(
     chunk_offset = len(ftyp) + 8  # first sample byte inside mdat
 
     # --- stbl ------------------------------------------------------------
-    sample_entry = _box(
-        b"jpeg",
-        b"\x00" * 6 + struct.pack(">H", 1)      # reserved, data_ref_index
-        + b"\x00" * 16                            # pre_defined/reserved
-        + struct.pack(">HH", width, height)
-        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
-        + b"\x00" * 4 + struct.pack(">H", 1)      # reserved, frame_count
-        + b"\x00" * 32                            # compressorname
-        + struct.pack(">Hh", 0x0018, -1),         # depth, pre_defined
-    )
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, frame_delta))
     syncs = list(range(1, n + 1, sync_every))
@@ -208,6 +264,20 @@ def _parse_trak(data: bytes, start: int, end: int) -> dict:
             (n_entries,) = struct.unpack_from(">I", data, a + 4)
             if n_entries >= 1:
                 tr["codec"] = data[a + 12 : a + 16].decode("latin1")
+                # avc1 (14496-15): the avcC child box inside the
+                # VisualSampleEntry (78 fixed bytes, §12.1.3) carries the
+                # AVCDecoderConfigurationRecord → RFC 6381 codec string
+                # 'avc1.PPCCLL' + profile/level — enough to triage or
+                # sample a 100 TB video corpus without decoding anything
+                if tr["codec"] == "avc1":
+                    (esize,) = struct.unpack_from(">I", data, a + 8)
+                    children = _find(data, a + 8 + 86, a + 8 + esize, b"avcC")
+                    if children:
+                        ca, _cb = children
+                        prof, compat, lvl = data[ca + 1], data[ca + 2], data[ca + 3]
+                        tr["codec_string"] = f"avc1.{prof:02X}{compat:02X}{lvl:02X}"
+                        tr["avc_profile"] = prof
+                        tr["avc_level"] = lvl
         stsz = _find(data, *stbl, b"stsz")
         if stsz:
             a, _ = stsz
@@ -292,6 +362,32 @@ def extract_keyframes(data: bytes, track_index: int = 0) -> list[bytes]:
         off, size = samples[s - 1]
         out.append(data[off : off + size])
     return out
+
+
+def keyframe_sizes(data: bytes, track_index: int = 0) -> list[int]:
+    """Per-keyframe byte sizes of one track — sample-table metadata
+    only, no sample bytes are copied (the triage/sampling primitive for
+    compressed-codec tracks whose bitstreams don't decode here)."""
+    if _find(data, 0, len(data), b"moof") is not None:
+        raise NotImplementedError("fragmented MP4 (moof)")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    traks = [(a, b) for fc, a, b in _walk(data, *moov) if fc == b"trak"]
+    if track_index >= len(traks):
+        raise ValueError(f"mp4: no track {track_index}")
+    mdia = _find(data, *traks[track_index], b"mdia")
+    minf = _find(data, *mdia, b"minf")
+    stbl = _find(data, *minf, b"stbl")
+    samples = _sample_table(data, *stbl)
+    stss = _find(data, *stbl, b"stss")
+    if stss:
+        a, _ = stss
+        (cnt,) = struct.unpack_from(">I", data, a + 4)
+        sync = struct.unpack_from(f">{cnt}I", data, a + 8)
+    else:
+        sync = range(1, len(samples) + 1)
+    return [samples[s - 1][1] for s in sync]
 
 
 def decode_mp4_keyframe_features(data: bytes) -> list[dict]:

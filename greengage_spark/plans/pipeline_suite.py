@@ -779,7 +779,19 @@ def multimodal_jpeg_decode(spark, sf_dir):
            CAST(g % 6 + 2 AS BIGINT) AS n_samples,
            CAST(CAST(ceil((g % 6 + 2) / 3.0) AS INTEGER) AS BIGINT)
                AS n_sync_samples,
-           CAST((g * 17) % 256 AS DOUBLE) AS first_kf_mean
+           CAST((g * 17) % 256 AS DOUBLE) AS first_kf_mean,
+           'avc1.' || lpad(upper(to_hex(CASE g % 3 WHEN 0 THEN 66
+                                        WHEN 1 THEN 77 ELSE 100 END)), 2, '0')
+                   || 'C0'
+                   || lpad(upper(to_hex(30 + (g % 2) * 10)), 2, '0')
+               AS avc_codec_string,
+           CAST(CASE g % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END
+                AS BIGINT) AS avc_profile,
+           CAST(30 + (g % 2) * 10 AS BIGINT) AS avc_level,
+           CAST(len(range(0, g % 4 + 2, 2)) AS BIGINT) AS avc_kf_count,
+           CAST(list_sum(list_transform(range(0, g % 4 + 2, 2),
+                                        j -> (g*13 + j*7) % 90 + 10))
+                AS BIGINT) AS avc_kf_bytes
     FROM generate_series(1, 20) t(g) ORDER BY media_id
     """,
     doc="MP4 / ISO BMFF container (pipeline/mp4.py — clean-room ISO/IEC "
@@ -804,7 +816,9 @@ def multimodal_mp4_metadata(spark, sf_dir):
         from greengage_spark.pipeline.jpeg import encode_jpeg
         from greengage_spark.pipeline.mp4 import (
             decode_mp4_keyframe_features,
+            encode_mp4_avc1,
             encode_mp4_mjpeg,
+            keyframe_sizes,
             parse_mp4,
         )
 
@@ -827,14 +841,30 @@ def multimodal_mp4_metadata(spark, sf_dir):
                 meta = parse_mp4(blob)
                 t = meta["tracks"][0]
                 kf0 = decode_mp4_keyframe_features(blob)[0]
+                # avc1 triage lane: real avcC record + sample tables over
+                # opaque bitstream bytes (decode keeps its loud reject)
+                n2 = g % 4 + 2
+                avc = encode_mp4_avc1(
+                    [b"\x00" * ((g * 13 + j * 7) % 90 + 10) for j in range(n2)],
+                    w, h,
+                    profile={0: 66, 1: 77, 2: 100}[g % 3],
+                    level=30 + (g % 2) * 10,
+                    sync_every=2,
+                )
+                ta = parse_mp4(avc)["tracks"][0]
+                ksz = keyframe_sizes(avc)
                 rows.append((
                     g, meta["duration_ms"], t["width"], t["height"],
                     t["codec"], t["n_samples"], t["n_sync_samples"],
                     kf0["mean_r"],
+                    ta["codec_string"], ta["avc_profile"], ta["avc_level"],
+                    len(ksz), sum(ksz),
                 ))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "duration_ms", "width", "height", "codec",
                 "n_samples", "n_sync_samples", "first_kf_mean",
+                "avc_codec_string", "avc_profile", "avc_level",
+                "avc_kf_count", "avc_kf_bytes",
             ])
 
     return (
@@ -844,7 +874,9 @@ def multimodal_mp4_metadata(spark, sf_dir):
             fabricate_and_parse,
             "media_id long, duration_ms long, width long, height long, "
             "codec string, n_samples long, n_sync_samples long, "
-            "first_kf_mean double",
+            "first_kf_mean double, avc_codec_string string, "
+            "avc_profile long, avc_level long, avc_kf_count long, "
+            "avc_kf_bytes long",
         )
         .orderBy("media_id")
     )

@@ -81,3 +81,51 @@ class TestContainer:
         mp4 = encode_mp4_mjpeg(_mjpeg(2), 24, 16)
         with pytest.raises(ValueError, match="bad box size"):
             parse_mp4(mp4[: len(mp4) - 40])
+
+
+class TestAvc1:
+    """avc1 triage metadata (ISO/IEC 14496-15 avcC record): codec
+    string, profile/level, per-keyframe byte sizes — no decode."""
+
+    def _avc(self, **kw):
+        from greengage_spark.pipeline.mp4 import encode_mp4_avc1
+
+        samples = [b"\x01" * 30, b"\x02" * 44, b"\x03" * 52, b"\x04" * 28]
+        return encode_mp4_avc1(samples, 64, 48, **kw)
+
+    def test_codec_string_profile_level(self):
+        from greengage_spark.pipeline.mp4 import parse_mp4
+
+        t = parse_mp4(self._avc(profile=100, compat=0xC0, level=41))["tracks"][0]
+        assert t["codec"] == "avc1"
+        assert t["codec_string"] == "avc1.64C029"   # High@4.1, RFC 6381 hex
+        assert (t["avc_profile"], t["avc_level"]) == (100, 41)
+
+    def test_baseline_default(self):
+        from greengage_spark.pipeline.mp4 import parse_mp4
+
+        t = parse_mp4(self._avc())["tracks"][0]
+        assert t["codec_string"] == "avc1.42C01E"   # Baseline@3.0
+
+    def test_keyframe_sizes_match_stss(self):
+        from greengage_spark.pipeline.mp4 import keyframe_sizes
+
+        # sync_every=3 over 4 samples → samples 1 and 4 (sizes 30, 28)
+        assert keyframe_sizes(self._avc()) == [30, 28]
+
+    def test_keyframe_sizes_no_stss_is_every_sample(self):
+        from greengage_spark.pipeline.mp4 import keyframe_sizes
+
+        assert keyframe_sizes(self._avc(sync_every=1)) == [30, 44, 52, 28]
+
+    def test_decode_still_rejects(self):
+        from greengage_spark.pipeline.mp4 import decode_mp4_keyframe_features
+
+        with pytest.raises(NotImplementedError, match="avc1"):
+            decode_mp4_keyframe_features(self._avc())
+
+    def test_keyframe_bytes_are_the_samples(self):
+        from greengage_spark.pipeline.mp4 import extract_keyframes
+
+        kfs = extract_keyframes(self._avc(sync_every=1))
+        assert kfs[1] == b"\x02" * 44
