@@ -142,6 +142,19 @@ def main() -> None:
                 "sf": sf,
                 "passes": pass_totals,
                 "calibration": calibration,
+                # Normalized movement: value x (REF_NUMPY_MS / measured
+                # numpy ms).  REF_NUMPY_MS is pinned to round-11's idle-box
+                # probe (BENCH_r11.json calibration.numpy_matmul_ms = 9.7),
+                # so value_norm is comparable across rounds without a judge
+                # re-run; the pin and the rule live in SCALE.md.
+                "value_norm": round(
+                    sum(timings.values()) * 9.7 / numpy_ms, 3
+                ),
+                "value_norm_14q": round(
+                    sum(timings[n] for n in STABLE_14Q if n in timings)
+                    * 9.7 / numpy_ms, 3
+                ),
+                "ref_numpy_ms": 9.7,
                 "loadavg_before": [round(x, 2) for x in loadavg_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "cpus": os.cpu_count(),

@@ -3959,6 +3959,37 @@ _TSEARCH2_REJECT = {
 }
 
 
+_LO_FUNCS = {
+    # pg_proc large-object client API + contrib/lo (lo--1.1.sql)
+    "lo_creat", "lo_create", "lo_open", "lo_close", "lo_unlink",
+    "lo_import", "lo_export", "lo_put", "lo_get", "loread", "lowrite",
+    "lo_lseek", "lo_lseek64", "lo_tell", "lo_tell64", "lo_truncate",
+    "lo_truncate64", "lo_from_bytea", "lo_oid", "lo_manage",
+}
+
+
+def _pass_reject_large_objects(toks: list[str]) -> list[str]:
+    """Large objects (pg_largeobject + contrib/lo) are out of scope by
+    design: OLTP-ish chunked mutable blobs have no analog over immutable
+    parquet — store blobs in a binary column instead.  Reject loudly by
+    name so a ported schema fails with a contract, not a parse error."""
+    for i, t in enumerate(toks):
+        if (
+            _is_ident(t)
+            and t.lower() in _LO_FUNCS
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+            and (i == 0 or toks[i - 1] != ".")
+        ):
+            raise NotImplementedError(
+                f"large-object function {t.lower()}() (pg_largeobject / "
+                "contrib/lo) is not supported: large objects are mutable "
+                "chunked OLTP storage with no parquet analog — store the "
+                "payload in a bytea/binary column"
+            )
+    return toks
+
+
 def _pass_tsearch2_aliases(toks: list[str]) -> list[str]:
     """contrib/tsearch2 compatibility: the legacy alias names over the
     modern text-search API (tsearch2--1.0.sql: rank→ts_rank,
@@ -9019,6 +9050,7 @@ def transpile(sql: str) -> str:
     toks = _pass_fetch_first(toks)
     toks = _pass_regex_ops(toks)
     toks = _pass_pow_xor(toks)
+    toks = _pass_reject_large_objects(toks)
     toks = _pass_tsearch2_aliases(toks)
     toks = _pass_text_search(toks)
     toks = _pass_prefix_math_ops(toks)

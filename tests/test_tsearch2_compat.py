@@ -95,3 +95,26 @@ class TestRejects:
     def test_session_state_rejects(self, fn):
         with pytest.raises(NotImplementedError, match="tsearch2"):
             transpile(f"SELECT {fn}('default')")
+
+
+class TestLargeObjectRejects:
+    """contrib/lo + pg_largeobject API: loud contract, not a parse error."""
+
+    @pytest.mark.parametrize(
+        "expr",
+        [
+            "SELECT lo_creat(-1)",
+            "SELECT lo_import('/tmp/x')",
+            "SELECT lo_get(12345)",
+            "SELECT lo_manage()",
+            "SELECT lowrite(0, 'x'::bytea)",
+        ],
+    )
+    def test_lo_rejects(self, expr):
+        with pytest.raises(NotImplementedError, match="large-object"):
+            transpile(expr)
+
+    def test_lo_named_column_untouched(self):
+        # only CALLS reject; identifiers that merely share a name pass
+        out = transpile("SELECT t.lo_import FROM t")
+        assert "lo_import" in out
