@@ -1,0 +1,1101 @@
+"""Clean-room H.264 (ITU-T Rec. H.264 / ISO 14496-10) Baseline I-frames.
+
+Scope — the honest subset that closes the avc1 keyframe-decode gap for
+triage/sampling of video corpora (the reference ships no video codec
+either; this mirrors the repo's clean-room JPEG lane):
+
+* NAL layer: Annex B start codes, emulation prevention (clause 7.4.1),
+  RBSP trailing bits.
+* Headers: SPS / PPS / IDR slice header parse AND write (Baseline:
+  CAVLC, frame_mbs_only, 4:2:0).
+* Macroblocks: **I_PCM** (lossless, spec-exact) and **I_16x16** with
+  CAVLC residuals (clause 9.2 tables in h264_tables.py), all four
+  Intra_16x16 luma prediction modes and all four chroma modes on the
+  decode side; the fixture encoder emits DC prediction.
+* Transforms: the 4x4 integer core transform, the 4x4 luma-DC and 2x2
+  chroma-DC Hadamard stages, flat (default) scaling lists.
+* Out of scope, rejected loudly: CABAC, inter slices, I_NxN (I_4x4)
+  macroblocks, interlace (MBAFF/fields), high-profile features
+  (8x8 transform, scaling matrices, >8-bit), multiple slices.
+
+In-loop deblocking: the fixture encoder signals
+disable_deblocking_filter_idc = 1, so its streams reconstruct exactly.
+Foreign streams that enable the filter decode to PRE-DEBLOCK pixels and
+``decode_h264_iframe`` flags it (``deblocking_skipped``) rather than
+pretending filter-exact output.
+
+Verification basis (no reference decoder exists in this sandbox): the
+published clause-9.2 worked example is pinned bit-exact through both
+encoder and decoder, every VLC table is structurally validated
+(prefix-free + complete), and encode→decode round trips are pixel-exact
+for I_PCM (any content) and for flat-color I_16x16 across the QP range
+(tests/test_h264.py).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from greengage_spark.pipeline.h264_tables import (
+    COEFF_TOKEN_BY_CONTEXT,
+    COEFF_TOKEN_DECODE,
+    RUN_BEFORE,
+    RUN_BEFORE_DECODE,
+    TOTAL_ZEROS,
+    TOTAL_ZEROS_CDC,
+    TOTAL_ZEROS_CDC_DECODE,
+    TOTAL_ZEROS_DECODE,
+)
+
+# --------------------------------------------------------------------------
+# bitstream
+# --------------------------------------------------------------------------
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits: list[str] = []
+
+    def u(self, value: int, n: int) -> None:
+        self.bits.append(format(value, f"0{n}b") if n else "")
+
+    def flag(self, v: int) -> None:
+        self.bits.append("1" if v else "0")
+
+    def ue(self, v: int) -> None:
+        # Exp-Golomb (clause 9.1): leading zeros + 1 + suffix
+        code = v + 1
+        n = code.bit_length()
+        self.bits.append("0" * (n - 1) + format(code, "b"))
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def raw(self, bits: str) -> None:
+        self.bits.append(bits)
+
+    def byte_align(self, pad: str = "0") -> None:
+        n = (8 - len("".join(self.bits)) % 8) % 8
+        self.bits.append(pad * n)
+
+    def rbsp_trailing(self) -> None:
+        self.bits.append("1")
+        self.byte_align()
+
+    def bytes(self) -> bytes:
+        s = "".join(self.bits)
+        assert len(s) % 8 == 0, "not byte aligned"
+        return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+class BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def flag(self) -> int:
+        return self.u(1)
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("h264: bad exp-Golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) >> 1 if k % 2 else -(k >> 1)
+
+    def byte_align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def bits_left(self) -> int:
+        return len(self.data) * 8 - self.pos
+
+    def vlc(self, decode_map: dict, max_len: int = 20) -> int | tuple:
+        """Match the next prefix-free codeword against a decode map."""
+        bits = ""
+        for _ in range(max_len):
+            bits += str(self.u(1))
+            if bits in decode_map:
+                return decode_map[bits]
+        raise ValueError(f"h264: no VLC match for {bits!r}")
+
+
+def rbsp_to_ebsp(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention bytes (7.4.1)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def ebsp_to_rbsp(ebsp: bytes) -> bytes:
+    """Strip emulation-prevention bytes."""
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(ebsp):
+        b = ebsp[i]
+        if zeros >= 2 and b == 3 and i + 1 < len(ebsp) and ebsp[i + 1] <= 3:
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def nal(nal_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
+    return bytes([(ref_idc << 5) | nal_type]) + rbsp_to_ebsp(rbsp)
+
+
+def split_annexb(data: bytes) -> list[bytes]:
+    """Split an Annex B byte stream into NAL units (EBSP, no start code)."""
+    out = []
+    i = 0
+    n = len(data)
+    starts = []
+    while i < n - 2:
+        if data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 1:
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    for j, s in enumerate(starts):
+        e = (starts[j + 1] - 3) if j + 1 < len(starts) else n
+        while e > s and data[e - 1] == 0:  # trailing_zero_8bits
+            e -= 1
+        out.append(data[s:e])
+    return out
+
+
+# --------------------------------------------------------------------------
+# parameter sets and slice header
+# --------------------------------------------------------------------------
+
+_HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135}
+
+
+@dataclass
+class SPS:
+    profile_idc: int = 66
+    level_idc: int = 30
+    log2_max_frame_num: int = 4
+    pic_order_cnt_type: int = 2
+    width_mbs: int = 0
+    height_mbs: int = 0
+    frame_mbs_only: int = 1
+    crop: tuple[int, int, int, int] = (0, 0, 0, 0)  # l, r, t, b (in units)
+    log2_max_poc_lsb: int = 4
+
+    @property
+    def width(self) -> int:
+        return self.width_mbs * 16 - 2 * (self.crop[0] + self.crop[1])
+
+    @property
+    def height(self) -> int:
+        return self.height_mbs * 16 - 2 * (self.crop[2] + self.crop[3])
+
+
+def write_sps(sps: SPS) -> bytes:
+    w = BitWriter()
+    w.u(sps.profile_idc, 8)
+    w.u(0xC0 if sps.profile_idc == 66 else 0, 8)  # constraint_set0/1
+    w.u(sps.level_idc, 8)
+    w.ue(0)  # sps_id
+    w.ue(sps.log2_max_frame_num - 4)
+    w.ue(sps.pic_order_cnt_type)
+    if sps.pic_order_cnt_type == 0:
+        w.ue(sps.log2_max_poc_lsb - 4)
+    w.ue(1)  # max_num_ref_frames
+    w.flag(0)  # gaps_in_frame_num_value_allowed
+    w.ue(sps.width_mbs - 1)
+    w.ue(sps.height_mbs - 1)
+    w.flag(sps.frame_mbs_only)
+    w.flag(1)  # direct_8x8_inference
+    cropping = any(sps.crop)
+    w.flag(1 if cropping else 0)
+    if cropping:
+        for c in sps.crop:
+            w.ue(c)
+    w.flag(0)  # vui_parameters_present
+    w.rbsp_trailing()
+    return w.bytes()
+
+
+def parse_sps(rbsp: bytes) -> SPS:
+    r = BitReader(rbsp)
+    profile = r.u(8)
+    r.u(8)  # constraint flags
+    level = r.u(8)
+    r.ue()  # sps_id
+    if profile in _HIGH_PROFILES:
+        chroma_format = r.ue()
+        if chroma_format == 3:
+            r.flag()
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.flag()  # qpprime_y_zero_transform_bypass
+        if r.flag():  # seq_scaling_matrix_present
+            raise NotImplementedError(
+                "h264: seq scaling matrices (High profile) not supported"
+            )
+        if chroma_format != 1:
+            raise NotImplementedError("h264: only 4:2:0 chroma supported")
+    log2_mfn = r.ue() + 4
+    poc_type = r.ue()
+    log2_poc = 4
+    if poc_type == 0:
+        log2_poc = r.ue() + 4
+    elif poc_type == 1:
+        r.flag()
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.flag()
+    wmbs = r.ue() + 1
+    hmbs = r.ue() + 1
+    frame_mbs_only = r.flag()
+    if not frame_mbs_only:
+        raise NotImplementedError("h264: interlaced (fields/MBAFF) streams")
+    r.flag()  # direct_8x8
+    crop = (0, 0, 0, 0)
+    if r.flag():
+        crop = (r.ue(), r.ue(), r.ue(), r.ue())
+    return SPS(
+        profile_idc=profile, level_idc=level, log2_max_frame_num=log2_mfn,
+        pic_order_cnt_type=poc_type, width_mbs=wmbs, height_mbs=hmbs,
+        frame_mbs_only=frame_mbs_only, crop=crop, log2_max_poc_lsb=log2_poc,
+    )
+
+
+@dataclass
+class PPS:
+    entropy_coding_mode: int = 0  # 0 = CAVLC
+    pic_init_qp: int = 26
+    chroma_qp_index_offset: int = 0
+    deblocking_filter_control_present: int = 1
+
+
+def write_pps(pps: PPS) -> bytes:
+    w = BitWriter()
+    w.ue(0)  # pps_id
+    w.ue(0)  # sps_id
+    w.flag(pps.entropy_coding_mode)
+    w.flag(0)  # bottom_field_pic_order_in_frame_present
+    w.ue(0)  # num_slice_groups_minus1
+    w.ue(0)  # num_ref_idx_l0_default_active_minus1
+    w.ue(0)  # num_ref_idx_l1_default_active_minus1
+    w.flag(0)  # weighted_pred
+    w.u(0, 2)  # weighted_bipred_idc
+    w.se(pps.pic_init_qp - 26)
+    w.se(0)  # pic_init_qs
+    w.se(pps.chroma_qp_index_offset)
+    w.flag(pps.deblocking_filter_control_present)
+    w.flag(0)  # constrained_intra_pred
+    w.flag(0)  # redundant_pic_cnt_present
+    w.rbsp_trailing()
+    return w.bytes()
+
+
+def parse_pps(rbsp: bytes) -> PPS:
+    r = BitReader(rbsp)
+    r.ue()
+    r.ue()
+    entropy = r.flag()
+    if entropy:
+        raise NotImplementedError("h264: CABAC entropy coding (CAVLC only)")
+    r.flag()
+    if r.ue() != 0:
+        raise NotImplementedError("h264: slice groups (FMO)")
+    r.ue()
+    r.ue()
+    r.flag()
+    r.u(2)
+    qp = r.se() + 26
+    r.se()
+    cqpo = r.se()
+    deblock_present = r.flag()
+    r.flag()
+    r.flag()
+    return PPS(
+        entropy_coding_mode=entropy, pic_init_qp=qp,
+        chroma_qp_index_offset=cqpo,
+        deblocking_filter_control_present=deblock_present,
+    )
+
+
+# --------------------------------------------------------------------------
+# transforms + quantization (clause 8.5, flat scaling lists)
+# --------------------------------------------------------------------------
+
+ZIGZAG_4x4 = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
+
+# normAdjust4x4 (dequant V) and the JM forward multipliers MF, by qP % 6
+# and coefficient-position class (A = corners, B = centers, C = the rest)
+_POS_CLASS = np.array(
+    [[0, 2, 0, 2], [2, 1, 2, 1], [0, 2, 0, 2], [2, 1, 2, 1]]
+)  # 0=A, 1=B, 2=C
+_V = np.array([
+    [10, 16, 13], [11, 18, 14], [13, 20, 16],
+    [14, 23, 18], [16, 25, 20], [18, 29, 23],
+])
+_MF = np.array([
+    [13107, 5243, 8066], [11916, 4660, 7490], [10082, 4194, 6554],
+    [9362, 3647, 5825], [8192, 3355, 5243], [7282, 2893, 4559],
+])
+
+
+def _fwd_core(block: np.ndarray) -> np.ndarray:
+    """Forward 4x4 integer transform (JM: Cf X Cf^T)."""
+    c = np.array([[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]])
+    return c @ block.astype(np.int64) @ c.T
+
+
+def _inv_core(block: np.ndarray) -> np.ndarray:
+    """Inverse 4x4 transform (8.5.12.2), result scaled by 64 (caller
+    applies (x + 32) >> 6)."""
+    d = block.astype(np.int64)
+    e = np.empty_like(d)
+    # horizontal
+    for i in range(4):
+        e0 = d[i, 0] + d[i, 2]
+        e1 = d[i, 0] - d[i, 2]
+        e2 = (d[i, 1] >> 1) - d[i, 3]
+        e3 = d[i, 1] + (d[i, 3] >> 1)
+        e[i] = [e0 + e3, e1 + e2, e1 - e2, e0 - e3]
+    f = np.empty_like(e)
+    for j in range(4):
+        g0 = e[0, j] + e[2, j]
+        g1 = e[0, j] - e[2, j]
+        g2 = (e[1, j] >> 1) - e[3, j]
+        g3 = e[1, j] + (e[3, j] >> 1)
+        f[:, j] = [g0 + g3, g1 + g2, g1 - g2, g0 - g3]
+    return f
+
+
+_H4 = np.array([[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]])
+_H2 = np.array([[1, 1], [1, -1]])
+
+
+def quant_4x4(coeffs: np.ndarray, qp: int) -> np.ndarray:
+    mf = _MF[qp % 6][_POS_CLASS]
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3  # intra rounding
+    return (np.sign(coeffs) * ((np.abs(coeffs) * mf + f) >> qbits)).astype(
+        np.int64
+    )
+
+
+def dequant_4x4(levels: np.ndarray, qp: int) -> np.ndarray:
+    v = _V[qp % 6][_POS_CLASS]
+    d = levels.astype(np.int64) * v
+    d <<= qp // 6
+    return d
+
+
+def quant_dc(coeffs: np.ndarray, qp: int) -> np.ndarray:
+    mf00 = int(_MF[qp % 6][0])
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3
+    return (
+        np.sign(coeffs) * ((np.abs(coeffs) * mf00 + 2 * f) >> (qbits + 1))
+    ).astype(np.int64)
+
+
+def dequant_luma_dc(f: np.ndarray, qp: int) -> np.ndarray:
+    """8.5.10: inverse-Hadamarded luma DC → dequantized DC values."""
+    v00 = int(_V[qp % 6][0])
+    if qp >= 12:
+        return (f * v00) << (qp // 6 - 2)
+    return (f * v00 + (1 << (1 - qp // 6))) >> (2 - qp // 6)
+
+
+def dequant_chroma_dc(f: np.ndarray, qp: int) -> np.ndarray:
+    # 8.5.8: ((f * LevelScale(qP%6,0,0)) << (qP/6)) >> 5 — LevelScale
+    # carries the x16 flat weightScale; _V is normAdjust alone, so the
+    # shift nets to >> 1
+    v00 = int(_V[qp % 6][0])
+    return ((f * v00) << (qp // 6)) >> 1
+
+
+_CHROMA_QP = [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37,
+              38, 38, 38, 39, 39, 39, 39]
+
+
+def chroma_qp(qp_y: int, offset: int = 0) -> int:
+    qpi = max(0, min(51, qp_y + offset))
+    return qpi if qpi < 30 else _CHROMA_QP[qpi - 30]
+
+
+# --------------------------------------------------------------------------
+# CAVLC residual blocks (clause 9.2)
+# --------------------------------------------------------------------------
+
+
+def _ctx_of(nc: int) -> int:
+    if nc == -1:
+        return 4
+    if nc < 2:
+        return 0
+    if nc < 4:
+        return 1
+    if nc < 8:
+        return 2
+    return 3
+
+
+def write_residual_cavlc(w: BitWriter, coeffs: list[int], nc: int) -> int:
+    """Encode one scan-ordered coefficient list; returns TotalCoeff."""
+    max_n = len(coeffs)
+    nz = [i for i, c in enumerate(coeffs) if c]
+    total = len(nz)
+    t1s = 0
+    for i in reversed(nz):
+        if abs(coeffs[i]) == 1 and t1s < 3:
+            t1s += 1
+        else:
+            break
+    table = COEFF_TOKEN_BY_CONTEXT[_ctx_of(nc)]
+    w.raw(table[(t1s, total)])
+    if total == 0:
+        return 0
+    levels = [coeffs[i] for i in reversed(nz)]  # highest frequency first
+    suffix_len = 1 if (total > 10 and t1s < 3) else 0
+    for i, lv in enumerate(levels):
+        if i < t1s:
+            w.flag(0 if lv > 0 else 1)
+            continue
+        level_code = 2 * lv - 2 if lv > 0 else -2 * lv - 1
+        if i == t1s and t1s < 3:
+            level_code -= 2
+        if suffix_len == 0:
+            if level_code < 14:
+                w.raw("0" * level_code + "1")
+            elif level_code < 30:
+                w.raw("0" * 14 + "1")
+                w.u(level_code - 14, 4)
+            elif level_code < 30 + 4096:
+                w.raw("0" * 15 + "1")
+                w.u(level_code - 30, 12)
+            else:
+                raise NotImplementedError("h264 encoder: level too large")
+        else:
+            if level_code < (15 << suffix_len):
+                w.raw("0" * (level_code >> suffix_len) + "1")
+                w.u(level_code & ((1 << suffix_len) - 1), suffix_len)
+            elif level_code < (15 << suffix_len) + 4096:
+                w.raw("0" * 15 + "1")
+                w.u(level_code - (15 << suffix_len), 12)
+            else:
+                raise NotImplementedError("h264 encoder: level too large")
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(lv) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    total_zeros = (nz[-1] + 1) - total
+    if total < max_n:
+        if nc == -1:
+            w.raw(TOTAL_ZEROS_CDC[total][total_zeros])
+        else:
+            w.raw(TOTAL_ZEROS[total][total_zeros])
+    zeros_left = total_zeros
+    for i in range(total - 1):
+        hi = nz[-(i + 1)]
+        lo = nz[-(i + 2)]
+        run = hi - lo - 1
+        if zeros_left > 0:
+            w.raw(RUN_BEFORE[min(zeros_left, 7)][run])
+        zeros_left -= run
+    return total
+
+
+def read_residual_cavlc(r: BitReader, max_n: int, nc: int) -> tuple[list[int], int]:
+    """Decode one coefficient list (scan order); returns (coeffs, TotalCoeff)."""
+    t1s, total = r.vlc(COEFF_TOKEN_DECODE[_ctx_of(nc)])
+    coeffs = [0] * max_n
+    if total == 0:
+        return coeffs, 0
+    levels = []
+    suffix_len = 1 if (total > 10 and t1s < 3) else 0
+    for i in range(total):
+        if i < t1s:
+            levels.append(1 - 2 * r.u(1))
+            continue
+        prefix = 0
+        while r.u(1) == 0:
+            prefix += 1
+            if prefix > 31:
+                raise ValueError("h264: bad level prefix")
+        if prefix == 14 and suffix_len == 0:
+            size = 4
+        elif prefix >= 15:
+            size = prefix - 3
+        else:
+            size = suffix_len
+        level_code = min(15, prefix) << suffix_len
+        if size > 0:
+            level_code += r.u(size)
+        if prefix >= 15 and suffix_len == 0:
+            level_code += 15
+        if prefix >= 16:
+            level_code += (1 << (prefix - 3)) - 4096
+        if i == t1s and t1s < 3:
+            level_code += 2
+        lv = (level_code + 2) >> 1 if level_code % 2 == 0 else -((level_code + 1) >> 1)
+        levels.append(lv)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(lv) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    if total < max_n:
+        if nc == -1:
+            total_zeros = r.vlc(TOTAL_ZEROS_CDC_DECODE[total])
+        else:
+            total_zeros = r.vlc(TOTAL_ZEROS_DECODE[total])
+    else:
+        total_zeros = 0
+    runs = []
+    zeros_left = total_zeros
+    for _ in range(total - 1):
+        run = r.vlc(RUN_BEFORE_DECODE[min(zeros_left, 7)]) if zeros_left > 0 else 0
+        runs.append(run)
+        zeros_left -= run
+    runs.append(zeros_left)
+    pos = total + total_zeros - 1
+    for i in range(total):
+        coeffs[pos] = levels[i]
+        pos -= 1 + runs[i]
+    return coeffs, total
+
+
+# --------------------------------------------------------------------------
+# intra prediction (8.3.3 / 8.3.4)
+# --------------------------------------------------------------------------
+
+
+def _pred16(plane: np.ndarray, mx: int, my: int, mode: int) -> np.ndarray:
+    """Intra_16x16 prediction at MB pixel origin (mx, my): 0=V 1=H 2=DC
+    3=Plane."""
+    top = plane[my - 1, mx : mx + 16].astype(np.int64) if my > 0 else None
+    left = plane[my : my + 16, mx - 1].astype(np.int64) if mx > 0 else None
+    if mode == 0:
+        if top is None:
+            raise ValueError("h264: Intra16x16 V without top neighbor")
+        return np.tile(top, (16, 1))
+    if mode == 1:
+        if left is None:
+            raise ValueError("h264: Intra16x16 H without left neighbor")
+        return np.tile(left[:, None], (1, 16))
+    if mode == 2:
+        if top is not None and left is not None:
+            dc = (int(top.sum()) + int(left.sum()) + 16) >> 5
+        elif top is not None:
+            dc = (int(top.sum()) + 8) >> 4
+        elif left is not None:
+            dc = (int(left.sum()) + 8) >> 4
+        else:
+            dc = 128
+        return np.full((16, 16), dc, np.int64)
+    if mode == 3:
+        if top is None or left is None or mx == 0 or my == 0:
+            raise ValueError("h264: Intra16x16 Plane needs both neighbors")
+        p = plane.astype(np.int64)
+        h = sum((x + 1) * (p[my - 1, mx + 8 + x] - p[my - 1, mx + 6 - x])
+                for x in range(8))
+        v = sum((y + 1) * (p[my + 8 + y, mx - 1] - p[my + 6 - y, mx - 1])
+                for y in range(8))
+        a = 16 * (p[my + 15, mx - 1] + p[my - 1, mx + 15])
+        b = (5 * h + 32) >> 6
+        c = (5 * v + 32) >> 6
+        ys, xs = np.mgrid[0:16, 0:16]
+        return np.clip((a + b * (xs - 7) + c * (ys - 7) + 16) >> 5, 0, 255)
+    raise ValueError(f"h264: bad Intra16x16 mode {mode}")
+
+
+def _pred_chroma(plane: np.ndarray, mx: int, my: int, mode: int) -> np.ndarray:
+    """Intra chroma 8x8 prediction: 0=DC 1=H 2=V 3=Plane (8.3.4)."""
+    have_top, have_left = my > 0, mx > 0
+    top = plane[my - 1, mx : mx + 8].astype(np.int64) if have_top else None
+    left = plane[my : my + 8, mx - 1].astype(np.int64) if have_left else None
+    if mode == 0:
+        out = np.empty((8, 8), np.int64)
+        for by in (0, 4):
+            for bx in (0, 4):
+                t = top[bx : bx + 4] if have_top else None
+                l = left[by : by + 4] if have_left else None
+                if bx == by:  # corner blocks use both when available
+                    if t is not None and l is not None:
+                        dc = (int(t.sum()) + int(l.sum()) + 4) >> 3
+                    elif t is not None:
+                        dc = (int(t.sum()) + 2) >> 2
+                    elif l is not None:
+                        dc = (int(l.sum()) + 2) >> 2
+                    else:
+                        dc = 128
+                elif bx == 4:  # top-right prefers top
+                    if t is not None:
+                        dc = (int(t.sum()) + 2) >> 2
+                    elif l is not None:
+                        dc = (int(l.sum()) + 2) >> 2
+                    else:
+                        dc = 128
+                else:  # bottom-left prefers left
+                    if l is not None:
+                        dc = (int(l.sum()) + 2) >> 2
+                    elif t is not None:
+                        dc = (int(t.sum()) + 2) >> 2
+                    else:
+                        dc = 128
+                out[by : by + 4, bx : bx + 4] = dc
+        return out
+    if mode == 1:
+        if left is None:
+            raise ValueError("h264: chroma H without left neighbor")
+        return np.tile(left[:, None], (1, 8))
+    if mode == 2:
+        if top is None:
+            raise ValueError("h264: chroma V without top neighbor")
+        return np.tile(top, (8, 1))
+    if mode == 3:
+        if top is None or left is None:
+            raise ValueError("h264: chroma Plane needs both neighbors")
+        p = plane.astype(np.int64)
+        h = sum((x + 1) * (p[my - 1, mx + 4 + x] - p[my - 1, mx + 2 - x])
+                for x in range(4))
+        v = sum((y + 1) * (p[my + 4 + y, mx - 1] - p[my + 2 - y, mx - 1])
+                for y in range(4))
+        a = 16 * (p[my + 7, mx - 1] + p[my - 1, mx + 7])
+        b = (17 * h + 16) >> 5
+        c = (17 * v + 16) >> 5
+        ys, xs = np.mgrid[0:8, 0:8]
+        return np.clip((a + b * (xs - 3) + c * (ys - 3) + 16) >> 5, 0, 255)
+    raise ValueError(f"h264: bad chroma mode {mode}")
+
+
+def _blk_xy(blk: int) -> tuple[int, int]:
+    """luma4x4BlkIdx → (x, y) pixel offset inside the MB (6.4.3)."""
+    x = ((blk // 4) % 2) * 8 + (blk % 2) * 4
+    y = ((blk // 4) // 2) * 8 + ((blk % 4) // 2) * 4
+    return x, y
+
+
+# --------------------------------------------------------------------------
+# frame codec
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _NCtx:
+    """Per-4x4-block TotalCoeff grids for nC derivation (9.2.1)."""
+
+    wmbs: int
+    hmbs: int
+    luma: np.ndarray = field(init=False)
+    chroma: np.ndarray = field(init=False)
+
+    def __post_init__(self):
+        self.luma = np.full((self.hmbs * 4, self.wmbs * 4), -1, np.int32)
+        self.chroma = np.full((2, self.hmbs * 2, self.wmbs * 2), -1, np.int32)
+
+    @staticmethod
+    def _nc(grid: np.ndarray, bx: int, by: int) -> int:
+        na = grid[by, bx - 1] if bx > 0 else -1
+        nb = grid[by - 1, bx] if by > 0 else -1
+        if na >= 0 and nb >= 0:
+            return (na + nb + 1) >> 1
+        if na >= 0:
+            return int(na)
+        if nb >= 0:
+            return int(nb)
+        return 0
+
+    def luma_nc(self, bx: int, by: int) -> int:
+        return self._nc(self.luma, bx, by)
+
+    def chroma_nc(self, comp: int, bx: int, by: int) -> int:
+        return self._nc(self.chroma[comp], bx, by)
+
+
+def _zig(block4: np.ndarray) -> list[int]:
+    flat = block4.reshape(16)
+    return [int(flat[i]) for i in ZIGZAG_4x4]
+
+
+def _unzig(coeffs: list[int]) -> np.ndarray:
+    out = np.zeros(16, np.int64)
+    for k, idx in enumerate(ZIGZAG_4x4):
+        out[idx] = coeffs[k]
+    return out.reshape(4, 4)
+
+
+def encode_h264_iframe(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    qp: int = 26,
+    pcm: bool = False,
+) -> bytes:
+    """One Baseline IDR frame as an Annex B stream (SPS + PPS + IDR).
+
+    ``pcm=True`` emits all-I_PCM macroblocks (lossless for any input);
+    otherwise I_16x16 DC-prediction CAVLC (flat regions reconstruct
+    exactly; textured content is quantized like any codec).  Dimensions
+    must be multiples of 16 (the fixture encoder does not crop)."""
+    h, w = y.shape
+    if h % 16 or w % 16:
+        raise ValueError("h264 fixture encoder: dimensions must be 16-aligned")
+    if cb.shape != (h // 2, w // 2) or cr.shape != (h // 2, w // 2):
+        raise ValueError("h264: chroma planes must be half-size (4:2:0)")
+    wmbs, hmbs = w // 16, h // 16
+    sps = SPS(width_mbs=wmbs, height_mbs=hmbs)
+    pps = PPS(pic_init_qp=qp)
+
+    sw = BitWriter()
+    # slice_header (7.3.3): IDR, I slice
+    sw.ue(0)  # first_mb_in_slice
+    sw.ue(7)  # slice_type I (all slices in picture)
+    sw.ue(0)  # pps_id
+    sw.u(0, sps.log2_max_frame_num)  # frame_num
+    sw.ue(0)  # idr_pic_id
+    # poc_type 2: nothing
+    sw.flag(0)  # no_output_of_prior_pics
+    sw.flag(0)  # long_term_reference
+    sw.se(0)  # slice_qp_delta
+    sw.ue(1)  # disable_deblocking_filter_idc = 1 (off → exact recon)
+
+    recon_y = np.zeros((h, w), np.uint8)
+    recon_cb = np.zeros((h // 2, w // 2), np.uint8)
+    recon_cr = np.zeros((h // 2, w // 2), np.uint8)
+    nctx = _NCtx(wmbs, hmbs)
+    qpc = chroma_qp(qp)
+
+    for mby in range(hmbs):
+        for mbx in range(wmbs):
+            if pcm:
+                sw.ue(25)  # mb_type I_PCM
+                sw.byte_align()
+                my, mx = mby * 16, mbx * 16
+                for row in y[my : my + 16, mx : mx + 16]:
+                    for s in row:
+                        sw.u(int(s), 8)
+                for plane in (cb, cr):
+                    for row in plane[my // 2 : my // 2 + 8,
+                                     mx // 2 : mx // 2 + 8]:
+                        for s in row:
+                            sw.u(int(s), 8)
+                recon_y[my : my + 16, mx : mx + 16] = y[my : my + 16, mx : mx + 16]
+                recon_cb[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = cb[
+                    my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8
+                ]
+                recon_cr[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = cr[
+                    my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8
+                ]
+                nctx.luma[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
+                nctx.chroma[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+                continue
+            _encode_mb_i16(
+                sw, y, cb, cr, recon_y, recon_cb, recon_cr,
+                mbx, mby, qp, qpc, nctx,
+            )
+    sw.rbsp_trailing()
+    return (
+        b"\x00\x00\x00\x01" + nal(7, write_sps(sps))
+        + b"\x00\x00\x00\x01" + nal(8, write_pps(pps))
+        + b"\x00\x00\x00\x01" + nal(5, sw.bytes())
+    )
+
+
+def _encode_mb_i16(sw, y, cb, cr, ry, rcb, rcr, mbx, mby, qp, qpc, nctx):
+    """I_16x16, DC luma + DC chroma prediction, full CBP when any
+    residual survives quantization."""
+    mx, my = mbx * 16, mby * 16
+    pred = _pred16(ry, mx, my, 2)
+    resid = y[my : my + 16, mx : mx + 16].astype(np.int64) - pred
+    # forward-transform all 16 4x4 blocks
+    blocks = {}
+    dc_vals = np.zeros((4, 4), np.int64)
+    for blk in range(16):
+        bx, by = _blk_xy(blk)
+        c = _fwd_core(resid[by : by + 4, bx : bx + 4])
+        dc_vals[by // 4, bx // 4] = c[0, 0]
+        blocks[blk] = c
+    dc_t = (_H4 @ dc_vals @ _H4) // 2
+    dc_q = quant_dc(dc_t, qp)
+    ac_q = {blk: quant_4x4(blocks[blk], qp) for blk in range(16)}
+    cbp_luma = 0
+    for blk in range(16):
+        z = _zig(ac_q[blk])[1:]
+        if any(z):
+            cbp_luma = 15
+            break
+
+    # chroma
+    ch_dc_q, ch_ac_q = [], []
+    any_chroma_ac = False
+    any_chroma_dc = False
+    for comp, (src, rec) in enumerate(((cb, rcb), (cr, rcr))):
+        cmx, cmy = mx // 2, my // 2
+        cpred = _pred_chroma(rec, cmx, cmy, 0)
+        cres = src[cmy : cmy + 8, cmx : cmx + 8].astype(np.int64) - cpred
+        cblocks = {}
+        cdc = np.zeros((2, 2), np.int64)
+        for blk in range(4):
+            bx, by = (blk % 2) * 4, (blk // 2) * 4
+            c = _fwd_core(cres[by : by + 4, bx : bx + 4])
+            cdc[by // 4, bx // 4] = c[0, 0]
+            cblocks[blk] = c
+        cdc_t = _H2 @ cdc @ _H2
+        cdc_q = quant_dc(cdc_t, qpc)
+        cac_q = {b: quant_4x4(cblocks[b], qpc) for b in range(4)}
+        if (cdc_q != 0).any():
+            any_chroma_dc = True
+        if any(any(_zig(cac_q[b])[1:]) for b in range(4)):
+            any_chroma_ac = True
+        ch_dc_q.append(cdc_q)
+        ch_ac_q.append(cac_q)
+    cbp_chroma = 2 if any_chroma_ac else (1 if any_chroma_dc else 0)
+
+    # mb_type: I_16x16 with pred mode 2 (DC): 1 + 2 + 4*cbp_chroma + 12*(luma?1:0)
+    mb_type = 1 + 2 + 4 * cbp_chroma + (12 if cbp_luma else 0)
+    sw.ue(mb_type)
+    sw.ue(0)  # intra_chroma_pred_mode DC
+    sw.se(0)  # mb_qp_delta
+    # Intra16x16DCLevel: 16 coeffs, nC as for luma blk 0
+    nc = nctx.luma_nc(mbx * 4, mby * 4)
+    write_residual_cavlc(sw, _zig(dc_q), nc)
+    # decode-side reconstruction of DC (encoder mirrors decoder exactly)
+    dc_rec = dequant_luma_dc(_H4 @ dc_q @ _H4, qp)
+    for blk in range(16):
+        bx, by = _blk_xy(blk)
+        gx, gy = mbx * 4 + bx // 4, mby * 4 + by // 4
+        if cbp_luma:
+            zc = _zig(ac_q[blk])
+            nc = nctx.luma_nc(gx, gy)
+            total = write_residual_cavlc(sw, zc[1:], nc)
+            nctx.luma[gy, gx] = total
+            d = dequant_4x4(ac_q[blk], qp)
+        else:
+            nctx.luma[gy, gx] = 0
+            d = np.zeros((4, 4), np.int64)
+        d[0, 0] = dc_rec[by // 4, bx // 4]
+        r = (_inv_core(d) + 32) >> 6
+        ry[my + by : my + by + 4, mx + bx : mx + bx + 4] = np.clip(
+            pred[by : by + 4, bx : bx + 4] + r, 0, 255
+        )
+    # chroma residuals: DC blocks then AC blocks (7.3.5.3.3 order)
+    if cbp_chroma:
+        for comp in range(2):
+            write_residual_cavlc(
+                sw,
+                [int(ch_dc_q[comp][0, 0]), int(ch_dc_q[comp][0, 1]),
+                 int(ch_dc_q[comp][1, 0]), int(ch_dc_q[comp][1, 1])],
+                -1,
+            )
+    for comp, rec in enumerate((rcb, rcr)):
+        cmx, cmy = mx // 2, my // 2
+        cpred = _pred_chroma(rec, cmx, cmy, 0)
+        cdc_rec = dequant_chroma_dc(_H2 @ ch_dc_q[comp] @ _H2, qpc) \
+            if cbp_chroma else np.zeros((2, 2), np.int64)
+        for blk in range(4):
+            bx, by = (blk % 2) * 4, (blk // 2) * 4
+            gx, gy = mbx * 2 + blk % 2, mby * 2 + blk // 2
+            if cbp_chroma == 2:
+                zc = _zig(ch_ac_q[comp][blk])
+                nc = nctx.chroma_nc(comp, gx, gy)
+                total = write_residual_cavlc(sw, zc[1:], nc)
+                nctx.chroma[comp, gy, gx] = total
+                d = dequant_4x4(ch_ac_q[comp][blk], qpc)
+            else:
+                nctx.chroma[comp, gy, gx] = 0
+                d = np.zeros((4, 4), np.int64)
+            d[0, 0] = cdc_rec[by // 4, bx // 4]
+            r = (_inv_core(d) + 32) >> 6
+            rec[cmy + by : cmy + by + 4, cmx + bx : cmx + bx + 4] = np.clip(
+                cpred[by : by + 4, bx : bx + 4] + r, 0, 255
+            )
+
+
+def decode_h264_iframe(
+    data: bytes | list[bytes],
+    sps: SPS | None = None,
+    pps: PPS | None = None,
+) -> dict:
+    """Decode one Baseline CAVLC IDR frame.
+
+    ``data`` is an Annex B stream or a list of NAL units (EBSP).
+    Returns {y, cb, cr (uint8 arrays), width, height, qp,
+    deblocking_skipped}.  CABAC / inter slices / I_NxN reject loudly."""
+    nals = split_annexb(data) if isinstance(data, (bytes, bytearray)) else data
+    slice_nal = None
+    for unit in nals:
+        ntype = unit[0] & 0x1F
+        rbsp = ebsp_to_rbsp(unit[1:])
+        if ntype == 7:
+            sps = parse_sps(rbsp)
+        elif ntype == 8:
+            pps = parse_pps(rbsp)
+        elif ntype in (1, 5):
+            if ntype == 1:
+                raise NotImplementedError(
+                    "h264: non-IDR slice (inter prediction) — I-frames only"
+                )
+            slice_nal = rbsp
+    if sps is None or pps is None or slice_nal is None:
+        raise ValueError("h264: need SPS, PPS and one IDR slice")
+
+    r = BitReader(slice_nal)
+    first_mb = r.ue()
+    slice_type = r.ue()
+    if slice_type % 5 != 2:
+        raise NotImplementedError("h264: only I slices are supported")
+    if first_mb != 0:
+        raise NotImplementedError("h264: multi-slice pictures")
+    r.ue()  # pps_id
+    r.u(sps.log2_max_frame_num)  # frame_num
+    r.ue()  # idr_pic_id
+    if sps.pic_order_cnt_type == 0:
+        r.u(sps.log2_max_poc_lsb)
+    r.flag()  # no_output_of_prior_pics
+    r.flag()  # long_term_reference
+    qp = pps.pic_init_qp + r.se()
+    deblocking_skipped = False
+    if pps.deblocking_filter_control_present:
+        idc = r.ue()
+        if idc != 1:
+            r.se()
+            r.se()
+            deblocking_skipped = True
+    else:
+        deblocking_skipped = True
+
+    wmbs, hmbs = sps.width_mbs, sps.height_mbs
+    w, h = wmbs * 16, hmbs * 16
+    ry = np.zeros((h, w), np.uint8)
+    rcb = np.zeros((h // 2, w // 2), np.uint8)
+    rcr = np.zeros((h // 2, w // 2), np.uint8)
+    nctx = _NCtx(wmbs, hmbs)
+
+    for mby in range(hmbs):
+        for mbx in range(wmbs):
+            mb_type = r.ue()
+            if mb_type == 25:  # I_PCM
+                r.byte_align()
+                my, mx = mby * 16, mbx * 16
+                for yy in range(16):
+                    for xx in range(16):
+                        ry[my + yy, mx + xx] = r.u(8)
+                for plane in (rcb, rcr):
+                    for yy in range(8):
+                        for xx in range(8):
+                            plane[my // 2 + yy, mx // 2 + xx] = r.u(8)
+                nctx.luma[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
+                nctx.chroma[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+                continue
+            if mb_type == 0:
+                raise NotImplementedError(
+                    "h264: I_NxN (Intra_4x4) macroblocks not supported — "
+                    "I_16x16 and I_PCM only"
+                )
+            if mb_type > 25:
+                raise ValueError(f"h264: bad I-slice mb_type {mb_type}")
+            pred_mode = (mb_type - 1) % 4
+            cbp_chroma = ((mb_type - 1) // 4) % 3
+            cbp_luma = 15 if mb_type >= 13 else 0
+            chroma_mode = r.ue()
+            qp = (qp + r.se()) % 52  # mb_qp_delta (7.4.5: mod-52 wrap)
+            qpc = chroma_qp(qp, pps.chroma_qp_index_offset)
+
+            mx, my = mbx * 16, mby * 16
+            pred = _pred16(ry, mx, my, pred_mode)
+            nc = nctx.luma_nc(mbx * 4, mby * 4)
+            dc_coeffs, _ = read_residual_cavlc(r, 16, nc)
+            dc_q = _unzig(dc_coeffs)
+            dc_rec = dequant_luma_dc(_H4 @ dc_q @ _H4, qp)
+            ac = {}
+            for blk in range(16):
+                bx, by = _blk_xy(blk)
+                gx, gy = mbx * 4 + bx // 4, mby * 4 + by // 4
+                if cbp_luma:
+                    nc = nctx.luma_nc(gx, gy)
+                    coeffs, total = read_residual_cavlc(r, 15, nc)
+                    nctx.luma[gy, gx] = total
+                    ac[blk] = _unzig([0] + coeffs)
+                else:
+                    nctx.luma[gy, gx] = 0
+                    ac[blk] = np.zeros((4, 4), np.int64)
+            ch_dc = []
+            if cbp_chroma:
+                for comp in range(2):
+                    coeffs, _ = read_residual_cavlc(r, 4, -1)
+                    ch_dc.append(np.array(coeffs, np.int64).reshape(2, 2))
+            else:
+                ch_dc = [np.zeros((2, 2), np.int64)] * 2
+            ch_ac = [[], []]
+            for comp in range(2):
+                for blk in range(4):
+                    gx, gy = mbx * 2 + blk % 2, mby * 2 + blk // 2
+                    if cbp_chroma == 2:
+                        nc = nctx.chroma_nc(comp, gx, gy)
+                        coeffs, total = read_residual_cavlc(r, 15, nc)
+                        nctx.chroma[comp, gy, gx] = total
+                        ch_ac[comp].append(_unzig([0] + coeffs))
+                    else:
+                        nctx.chroma[comp, gy, gx] = 0
+                        ch_ac[comp].append(np.zeros((4, 4), np.int64))
+
+            # reconstruct luma
+            for blk in range(16):
+                bx, by = _blk_xy(blk)
+                d = dequant_4x4(ac[blk], qp)
+                d[0, 0] = dc_rec[by // 4, bx // 4]
+                res = (_inv_core(d) + 32) >> 6
+                ry[my + by : my + by + 4, mx + bx : mx + bx + 4] = np.clip(
+                    pred[by : by + 4, bx : bx + 4] + res, 0, 255
+                )
+            # reconstruct chroma
+            for comp, rec in enumerate((rcb, rcr)):
+                cmx, cmy = mx // 2, my // 2
+                cpred = _pred_chroma(rec, cmx, cmy, chroma_mode)
+                cdc_rec = dequant_chroma_dc(_H2 @ ch_dc[comp] @ _H2, qpc)
+                for blk in range(4):
+                    bx, by = (blk % 2) * 4, (blk // 2) * 4
+                    d = dequant_4x4(ch_ac[comp][blk], qpc)
+                    d[0, 0] = cdc_rec[by // 4, bx // 4]
+                    res = (_inv_core(d) + 32) >> 6
+                    rec[cmy + by : cmy + by + 4, cmx + bx : cmx + bx + 4] = (
+                        np.clip(cpred[by : by + 4, bx : bx + 4] + res, 0, 255)
+                    )
+
+    cl, crr, ct, cbm = sps.crop
+    return {
+        "y": ry[2 * ct : h - 2 * cbm, 2 * cl : w - 2 * crr],
+        "cb": rcb[ct : h // 2 - cbm, cl : w // 2 - crr],
+        "cr": rcr[ct : h // 2 - cbm, cl : w // 2 - crr],
+        "width": w - 2 * (cl + crr),
+        "height": h - 2 * (ct + cbm),
+        "qp": qp,
+        "deblocking_skipped": deblocking_skipped,
+    }

@@ -4,12 +4,13 @@
 The reference has no video codec either — this closes the repo's
 multimodal video gap at the honest level: REAL container parsing
 (box walk, movie/track/media headers, the full sample-table machinery
-stsd/stts/stsc/stsz/stco/stss) and REAL keyframe byte extraction,
-with pixel decode delegated to the existing clean-room JPEG lane for
-motion-JPEG tracks ('jpeg' sample entries).  Compressed-codec tracks
-(avc1/hev1/vp09...) parse to metadata and raw sample bytes; their
-BITSTREAM decode rejects loudly (a clean-room H.264 decoder is out of
-scope, never faked).
+stsd/stts/stsc/stsz/stco/stss) and REAL keyframe byte extraction.
+Pixel decode is delegated to the clean-room image lanes: the JPEG
+decoder for motion-JPEG tracks ('jpeg' sample entries) and the
+Baseline-CAVLC H.264 I-frame decoder (pipeline/h264.py) for avc1
+tracks.  Other compressed codecs (hev1/vp09/...) and avc1 features
+outside the Baseline-I subset (CABAC, inter slices, I_NxN) parse to
+metadata and raw sample bytes and reject decode loudly.
 
 ``encode_mp4_mjpeg`` fabricates a valid single-track motion-JPEG file
 (ftyp + mdat + moov) so executors can build test corpora; round trips
@@ -78,19 +79,22 @@ def encode_mp4_avc1(
     timescale: int = 1000,
     frame_delta: int = 40,
     sync_every: int = 3,
+    sps_nal: bytes | None = None,
+    pps_nal: bytes | None = None,
 ) -> bytes:
     """Single-track avc1 (H.264-in-MP4) fixture: a real avcC
     AVCDecoderConfigurationRecord (ISO/IEC 14496-15 §5.3.3.1 —
     configurationVersion, profile/compat/level, lengthSizeMinusOne,
-    one SPS + one PPS) over opaque sample bytes.  The container and
-    sample tables are fully real; the bitstream is not decodable and
-    is never claimed to be (decode keeps its loud reject)."""
+    one SPS + one PPS).  With the default placeholder parameter sets
+    the samples are opaque metadata-only bytes; ``encode_mp4_h264``
+    passes REAL SPS/PPS and real IDR samples for decodable tracks."""
     if not samples:
         raise ValueError("encode_mp4_avc1 needs at least one sample")
     # minimal deterministic SPS/PPS shells: NAL headers 0x67/0x68 with
-    # the profile/compat/level bytes the record also carries
-    sps = bytes([0x67, profile, compat, level, 0xAC, 0xD9, 0x40, 0x50])
-    pps = bytes([0x68, 0xCE, 0x38, 0x80])
+    # the profile/compat/level bytes the record also carries; callers
+    # muxing REAL bitstreams pass the true parameter-set NALs instead
+    sps = sps_nal or bytes([0x67, profile, compat, level, 0xAC, 0xD9, 0x40, 0x50])
+    pps = pps_nal or bytes([0x68, 0xCE, 0x38, 0x80])
     avcc = _box(
         b"avcC",
         bytes([1, profile, compat, level, 0xFF])   # version, P/C/L, len-1=3
@@ -273,11 +277,29 @@ def _parse_trak(data: bytes, start: int, end: int) -> dict:
                     (esize,) = struct.unpack_from(">I", data, a + 8)
                     children = _find(data, a + 8 + 86, a + 8 + esize, b"avcC")
                     if children:
-                        ca, _cb = children
+                        ca, cb = children
                         prof, compat, lvl = data[ca + 1], data[ca + 2], data[ca + 3]
                         tr["codec_string"] = f"avc1.{prof:02X}{compat:02X}{lvl:02X}"
                         tr["avc_profile"] = prof
                         tr["avc_level"] = lvl
+                        tr["nal_length_size"] = (data[ca + 4] & 3) + 1
+                        # parameter-set NALs (14496-15 §5.3.3.1 layout)
+                        sps_list, pps_list = [], []
+                        p = ca + 5
+                        n_sps = data[p] & 0x1F
+                        p += 1
+                        for _ in range(n_sps):
+                            (ln,) = struct.unpack_from(">H", data, p)
+                            sps_list.append(data[p + 2 : p + 2 + ln])
+                            p += 2 + ln
+                        n_pps = data[p]
+                        p += 1
+                        for _ in range(n_pps):
+                            (ln,) = struct.unpack_from(">H", data, p)
+                            pps_list.append(data[p + 2 : p + 2 + ln])
+                            p += 2 + ln
+                        tr["avc_sps"] = sps_list
+                        tr["avc_pps"] = pps_list
         stsz = _find(data, *stbl, b"stsz")
         if stsz:
             a, _ = stsz
@@ -390,20 +412,96 @@ def keyframe_sizes(data: bytes, track_index: int = 0) -> list[int]:
     return [samples[s - 1][1] for s in sync]
 
 
+def encode_mp4_h264(
+    planes: list[tuple],
+    width: int,
+    height: int,
+    qp: int = 16,
+    pcm: bool = False,
+    frame_delta: int = 40,
+    sync_every: int = 3,
+) -> bytes:
+    """Mux REAL Baseline H.264 IDR frames (pipeline/h264.py) into an
+    avc1 track: each (y, cb, cr) tuple encodes to one IDR NAL; SPS/PPS
+    ride the avcC record; samples are 4-byte-length-prefixed NAL units
+    (ISO 14496-15 sample format)."""
+    from greengage_spark.pipeline.h264 import (
+        encode_h264_iframe,
+        split_annexb,
+    )
+
+    samples, sps_nal, pps_nal, prof, lvl = [], None, None, 66, 30
+    for y, cb, cr in planes:
+        nals = split_annexb(encode_h264_iframe(y, cb, cr, qp=qp, pcm=pcm))
+        for unit in nals:
+            ntype = unit[0] & 0x1F
+            if ntype == 7:
+                sps_nal = unit
+                prof, lvl = unit[1], unit[3]
+            elif ntype == 8:
+                pps_nal = unit
+            elif ntype == 5:
+                samples.append(struct.pack(">I", len(unit)) + unit)
+    return encode_mp4_avc1(
+        samples, width, height, profile=prof, level=lvl,
+        frame_delta=frame_delta, sync_every=sync_every,
+        sps_nal=sps_nal, pps_nal=pps_nal,
+    )
+
+
+def _avc_sample_nals(sample: bytes, length_size: int) -> list[bytes]:
+    """Split a 14496-15 length-prefixed sample into NAL units."""
+    out, p = [], 0
+    while p + length_size <= len(sample):
+        ln = int.from_bytes(sample[p : p + length_size], "big")
+        p += length_size
+        out.append(sample[p : p + ln])
+        p += ln
+    return out
+
+
 def decode_mp4_keyframe_features(data: bytes) -> list[dict]:
-    """Decode each keyframe through the clean-room image lane; only
-    motion-JPEG tracks decode to pixels (compressed codecs raise)."""
+    """Decode each keyframe through the clean-room image lanes:
+    motion-JPEG tracks through pipeline/jpeg.py, Baseline-CAVLC avc1
+    I-frames through pipeline/h264.py (CABAC / inter / I_NxN streams
+    reject loudly from inside the H.264 lane)."""
     meta = parse_mp4(data)
     video = [t for t in meta["tracks"] if t.get("handler") == "vide"]
     if not video:
         raise ValueError("mp4: no video track")
     codec = video[0].get("codec", "")
-    if codec != "jpeg":
-        raise NotImplementedError(
-            f"mp4 codec {codec!r}: motion-JPEG tracks decode; compressed "
-            "bitstreams (avc1/hev1/...) parse to metadata + sample bytes "
-            "only"
-        )
-    from greengage_spark.pipeline.jpeg import decode_jpeg
+    if codec == "jpeg":
+        from greengage_spark.pipeline.jpeg import decode_jpeg
 
-    return [decode_jpeg(k) for k in extract_keyframes(data)]
+        return [decode_jpeg(k) for k in extract_keyframes(data)]
+    if codec == "avc1":
+        from greengage_spark.pipeline.h264 import (
+            decode_h264_iframe,
+            ebsp_to_rbsp,
+            parse_pps,
+            parse_sps,
+        )
+
+        tr = video[0]
+        if not tr.get("avc_sps") or not tr.get("avc_pps"):
+            raise ValueError("mp4: avc1 track without avcC parameter sets")
+        sps = parse_sps(ebsp_to_rbsp(tr["avc_sps"][0][1:]))
+        pps = parse_pps(ebsp_to_rbsp(tr["avc_pps"][0][1:]))
+        out = []
+        for kf in extract_keyframes(data):
+            nals = _avc_sample_nals(kf, tr.get("nal_length_size", 4))
+            d = decode_h264_iframe(nals, sps=sps, pps=pps)
+            y = d["y"].astype("float64")
+            out.append({
+                "width": d["width"], "height": d["height"], "qp": d["qp"],
+                "mean_y": float(y.mean()),
+                "mean_cb": float(d["cb"].astype("float64").mean()),
+                "mean_cr": float(d["cr"].astype("float64").mean()),
+                "deblocking_skipped": d["deblocking_skipped"],
+            })
+        return out
+    raise NotImplementedError(
+        f"mp4 codec {codec!r}: motion-JPEG and Baseline-CAVLC avc1 "
+        "I-frames decode; other compressed bitstreams (hev1/vp09/...) "
+        "parse to metadata + sample bytes only"
+    )

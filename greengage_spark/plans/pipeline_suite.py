@@ -769,6 +769,95 @@ def multimodal_jpeg_decode(spark, sf_dir):
 
 
 @suite.add(
+    "multimodal_h264_keyframe_decode",
+    oracle="""
+    SELECT CAST(g AS BIGINT) AS media_id,
+           'avc1.42C01E' AS codec_string,
+           CAST(CAST(ceil((g % 3 + 2) / 2.0) AS INTEGER) AS BIGINT)
+               AS n_keyframes,
+           CAST((g * 31) % 256 AS DOUBLE) AS kf0_mean_y,
+           CASE WHEN g % 3 + 2 >= 3
+                THEN CAST((g * 31 + 80) % 256 AS DOUBLE) END AS kf1_mean_y,
+           CAST(127.5 AS DOUBLE) AS pcm_mean_y,
+           CAST(126 AS DOUBLE) AS pcm_mean_cb,
+           CAST(128 AS DOUBLE) AS pcm_mean_cr
+    FROM generate_series(1, 16) t(g) ORDER BY media_id
+    """,
+    doc="REAL Baseline H.264 I-frame decode inside avc1 MP4s "
+        "(pipeline/h264.py — clean-room ITU-T H.264: NAL layer, "
+        "SPS/PPS/slice headers, I_PCM and CAVLC I_16x16 macroblocks, "
+        "the 4x4 integer transforms and intra prediction; clause-9.2 "
+        "VLC tables pinned against the published worked example). The "
+        "query fabricates per-row avc1 files ON THE EXECUTORS: flat "
+        "I_16x16 frames at QP 16 (flat blocks reconstruct exactly — "
+        "closed-form keyframe means) plus one all-I_PCM file whose luma "
+        "is a full 256-residue cycle (mean exactly 127.5 for every "
+        "pattern offset) and chroma fixed 4-step cycles (126 / 128). "
+        "CABAC / inter / I_NxN streams keep loud rejects.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_h264_keyframe_decode(spark, sf_dir):
+    def fabricate_and_decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from greengage_spark.pipeline.mp4 import (
+            decode_mp4_keyframe_features,
+            encode_mp4_h264,
+            parse_mp4,
+        )
+
+        for pdf in batches:
+            rows = []
+            for g in pdf["id"]:
+                g = int(g)
+                n = g % 3 + 2
+                frames = []
+                for j in range(n):
+                    v = (g * 31 + j * 40) % 256
+                    frames.append((
+                        np.full((32, 32), v, np.uint8),
+                        np.full((16, 16), v, np.uint8),
+                        np.full((16, 16), v, np.uint8),
+                    ))
+                blob = encode_mp4_h264(frames, 32, 32, qp=16, sync_every=2)
+                t = parse_mp4(blob)["tracks"][0]
+                feats = decode_mp4_keyframe_features(blob)
+                # one all-I_PCM file: luma walks a full 256-residue cycle
+                k = np.arange(256).reshape(16, 16)
+                y = ((g * 7 + k) % 256).astype(np.uint8)
+                kc = np.arange(64).reshape(8, 8)
+                cb = ((kc * 4) % 256).astype(np.uint8)
+                cr = ((kc * 4 + 2) % 256).astype(np.uint8)
+                pcm_blob = encode_mp4_h264(
+                    [(y, cb, cr)], 16, 16, pcm=True, sync_every=1
+                )
+                pcm = decode_mp4_keyframe_features(pcm_blob)[0]
+                rows.append((
+                    g, t["codec_string"], len(feats),
+                    feats[0]["mean_y"],
+                    feats[1]["mean_y"] if len(feats) > 1 else None,
+                    pcm["mean_y"], pcm["mean_cb"], pcm["mean_cr"],
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "codec_string", "n_keyframes", "kf0_mean_y",
+                "kf1_mean_y", "pcm_mean_y", "pcm_mean_cb", "pcm_mean_cr",
+            ])
+
+    return (
+        spark.range(1, 17)
+        .repartition(8)
+        .mapInPandas(
+            fabricate_and_decode,
+            "media_id long, codec_string string, n_keyframes long, "
+            "kf0_mean_y double, kf1_mean_y double, pcm_mean_y double, "
+            "pcm_mean_cb double, pcm_mean_cr double",
+        )
+        .orderBy("media_id")
+    )
+
+
+@suite.add(
     "multimodal_mp4_metadata",
     oracle="""
     SELECT CAST(g AS BIGINT) AS media_id,

@@ -1,0 +1,280 @@
+"""Clean-room H.264 Baseline I-frame lane (pipeline/h264.py).
+
+Verification basis (no reference decoder exists in this sandbox):
+structural validation of every CAVLC table, the published clause-9.2
+worked example pinned bit-exact through encoder AND decoder, lossless
+I_PCM round trips over arbitrary content, flat-color I_16x16 exactness
+at low/mid QP, randomized residual-block round trips across every nC
+context, and loud-reject contracts for everything out of scope.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from greengage_spark.pipeline import h264_tables as T
+from greengage_spark.pipeline.h264 import (
+    BitReader,
+    BitWriter,
+    PPS,
+    SPS,
+    decode_h264_iframe,
+    ebsp_to_rbsp,
+    encode_h264_iframe,
+    parse_pps,
+    parse_sps,
+    rbsp_to_ebsp,
+    read_residual_cavlc,
+    split_annexb,
+    write_pps,
+    write_residual_cavlc,
+    write_sps,
+)
+
+
+def _assert_prefix_free(codes):
+    codes = sorted(codes)
+    for a, b in zip(codes, codes[1:]):
+        assert not b.startswith(a), f"{a!r} is a prefix of {b!r}"
+
+
+class TestTables:
+    """Structural spec-table validation: unique, prefix-free, complete."""
+
+    @pytest.mark.parametrize("ctx", [0, 1, 2, 3, 4])
+    def test_coeff_token_prefix_free(self, ctx):
+        tab = T.COEFF_TOKEN_BY_CONTEXT[ctx]
+        assert len(set(tab.values())) == len(tab)
+        _assert_prefix_free(list(tab.values()))
+
+    @pytest.mark.parametrize("ctx", [0, 1, 2])
+    def test_coeff_token_complete(self, ctx):
+        tab = T.COEFF_TOKEN_BY_CONTEXT[ctx]
+        expect = {(0, 0)} | {
+            (t1, tc) for tc in range(1, 17) for t1 in range(min(tc, 3) + 1)
+        }
+        assert set(tab) == expect
+
+    def test_chroma_dc_complete(self):
+        tab = T.COEFF_TOKEN_BY_CONTEXT[4]
+        expect = {(0, 0)} | {
+            (t1, tc) for tc in range(1, 5) for t1 in range(min(tc, 3) + 1)
+        }
+        assert set(tab) == expect
+
+    @pytest.mark.parametrize("tc", sorted(T.TOTAL_ZEROS))
+    def test_total_zeros_prefix_free_and_sized(self, tc):
+        codes = T.TOTAL_ZEROS[tc]
+        assert len(codes) == 16 - tc + 1  # total_zeros in 0..16-tc
+        assert len(set(codes)) == len(codes)
+        _assert_prefix_free(codes)
+
+    @pytest.mark.parametrize("tc", [1, 2, 3])
+    def test_total_zeros_cdc(self, tc):
+        codes = T.TOTAL_ZEROS_CDC[tc]
+        assert len(codes) == 4 - tc + 1
+        _assert_prefix_free(codes)
+
+    @pytest.mark.parametrize("zl", sorted(T.RUN_BEFORE))
+    def test_run_before_prefix_free(self, zl):
+        codes = T.RUN_BEFORE[zl]
+        assert len(codes) == (zl + 1 if zl < 7 else 15)
+        _assert_prefix_free(codes)
+
+
+class TestPublishedExample:
+    """The clause-9.2 worked example reproduced in every CAVLC text:
+    zigzag coefficients 0,3,0,1,-1,-1,0,1 (nC = 0) encode to exactly
+    000010001110010111101101 — TotalCoeff 5, TrailingOnes 3,
+    total_zeros 3."""
+
+    BITS = "000010001110010111101101"
+    COEFFS = [0, 3, 0, 1, -1, -1, 0, 1] + [0] * 8
+
+    def test_encode_bit_exact(self):
+        w = BitWriter()
+        total = write_residual_cavlc(w, self.COEFFS, nc=0)
+        assert total == 5
+        assert "".join(w.bits) == self.BITS
+
+    def test_decode_bit_exact(self):
+        pad = self.BITS + "0" * ((8 - len(self.BITS) % 8) % 8)
+        data = bytes(int(pad[i : i + 8], 2) for i in range(0, len(pad), 8))
+        coeffs, total = read_residual_cavlc(BitReader(data), 16, nc=0)
+        assert total == 5
+        assert coeffs == self.COEFFS
+
+
+class TestResidualRoundTrip:
+    """Randomized encode→decode equality across every nC context."""
+
+    @pytest.mark.parametrize("nc", [-1, 0, 2, 3, 4, 5, 7, 8, 16])
+    def test_round_trip(self, nc):
+        rng = np.random.default_rng(nc + 100)
+        max_n = 4 if nc == -1 else 16
+        for _ in range(300):
+            n_nz = int(rng.integers(0, max_n + 1))
+            coeffs = [0] * max_n
+            pos = rng.permutation(max_n)[:n_nz]
+            for p in pos:
+                coeffs[int(p)] = int(rng.integers(1, 18)) * (
+                    1 if rng.integers(2) else -1
+                )
+            w = BitWriter()
+            write_residual_cavlc(w, coeffs, nc)
+            w.byte_align()
+            out, total = read_residual_cavlc(BitReader(w.bytes()), max_n, nc)
+            assert out == coeffs, (nc, coeffs, out)
+            assert total == n_nz
+
+    def test_large_levels_escape_path(self):
+        for lv in (15, 30, 200, 2000, 2047):
+            coeffs = [lv, -lv] + [0] * 14
+            w = BitWriter()
+            write_residual_cavlc(w, coeffs, 0)
+            w.byte_align()
+            out, _ = read_residual_cavlc(BitReader(w.bytes()), 16, 0)
+            assert out == coeffs
+
+
+class TestBitstream:
+    def test_emulation_prevention_round_trip(self):
+        for payload in (b"\x00\x00\x00\x00\x01", b"\x00\x00\x02",
+                        b"\x00\x00\x03\x00\x00\x00", b"ab\x00\x00"):
+            assert ebsp_to_rbsp(rbsp_to_ebsp(payload)) == payload
+
+    def test_exp_golomb_round_trip(self):
+        w = BitWriter()
+        for v in range(64):
+            w.ue(v)
+        for v in range(-31, 32):
+            w.se(v)
+        w.byte_align()
+        r = BitReader(w.bytes())
+        assert [r.ue() for _ in range(64)] == list(range(64))
+        assert [r.se() for _ in range(63)] == list(range(-31, 32))
+
+    def test_sps_pps_round_trip(self):
+        sps = SPS(width_mbs=5, height_mbs=3, crop=(0, 2, 0, 4))
+        got = parse_sps(write_sps(sps))
+        assert (got.width_mbs, got.height_mbs) == (5, 3)
+        assert got.crop == (0, 2, 0, 4)
+        assert got.width == 5 * 16 - 4 and got.height == 3 * 16 - 8
+        pps = parse_pps(write_pps(PPS(pic_init_qp=30)))
+        assert pps.pic_init_qp == 30 and pps.entropy_coding_mode == 0
+
+    def test_split_annexb(self):
+        data = b"\x00\x00\x00\x01\x67abc\x00\x00\x01\x68de"
+        units = split_annexb(data)
+        assert units == [b"\x67abc", b"\x68de"]
+
+
+class TestFrameCodec:
+    def test_ipcm_lossless_any_content(self):
+        rng = np.random.default_rng(3)
+        y = rng.integers(0, 256, (48, 32), np.uint8)
+        cb = rng.integers(0, 256, (24, 16), np.uint8)
+        cr = rng.integers(0, 256, (24, 16), np.uint8)
+        out = decode_h264_iframe(encode_h264_iframe(y, cb, cr, pcm=True))
+        assert (out["y"] == y).all()
+        assert (out["cb"] == cb).all() and (out["cr"] == cr).all()
+        assert not out["deblocking_skipped"]
+
+    @pytest.mark.parametrize("qp", [10, 16, 20])
+    @pytest.mark.parametrize("v", [0, 7, 63, 128, 200, 255])
+    def test_i16_flat_exact_low_qp(self, qp, v):
+        y = np.full((32, 32), v, np.uint8)
+        c = np.full((16, 16), v, np.uint8)
+        out = decode_h264_iframe(encode_h264_iframe(y, c, c, qp=qp))
+        assert (out["y"] == y).all(), (qp, v)
+        assert (out["cb"] == c).all() and (out["cr"] == c).all()
+
+    def test_i16_textured_bounded_error(self):
+        rng = np.random.default_rng(1)
+        y = (rng.integers(0, 60, (48, 48)) + 90).astype(np.uint8)
+        c = (rng.integers(0, 60, (24, 24)) + 90).astype(np.uint8)
+        out = decode_h264_iframe(encode_h264_iframe(y, c, c, qp=16))
+        assert np.abs(out["y"].astype(int) - y.astype(int)).max() <= 8
+        assert np.abs(out["cb"].astype(int) - c.astype(int)).max() <= 8
+
+    def test_i16_multi_mb_gradient(self):
+        # gradients exercise non-DC residuals, nC neighbor contexts and
+        # multiple flat/coded CBP combinations across a 4x3 MB grid
+        ys, xs = np.mgrid[0:48, 0:64]
+        y = ((xs * 3 + ys * 2) % 256).astype(np.uint8)
+        c = ((xs[:24, :32] + ys[:24, :32]) % 256).astype(np.uint8)
+        out = decode_h264_iframe(encode_h264_iframe(y, c, c, qp=12))
+        assert np.abs(out["y"].astype(int) - y.astype(int)).max() <= 6
+
+    def test_decode_is_deterministic(self):
+        rng = np.random.default_rng(9)
+        y = (rng.integers(0, 120, (32, 32)) + 60).astype(np.uint8)
+        c = (rng.integers(0, 120, (16, 16)) + 60).astype(np.uint8)
+        s = encode_h264_iframe(y, c, c, qp=24)
+        a, b = decode_h264_iframe(s), decode_h264_iframe(s)
+        assert (a["y"] == b["y"]).all() and (a["cb"] == b["cb"]).all()
+
+    def test_mixed_pcm_and_coded_not_supported_shapes(self):
+        with pytest.raises(ValueError, match="16-aligned"):
+            encode_h264_iframe(
+                np.zeros((20, 32), np.uint8),
+                np.zeros((10, 16), np.uint8),
+                np.zeros((10, 16), np.uint8),
+            )
+
+
+class TestRejects:
+    def _stream(self):
+        y = np.full((16, 16), 99, np.uint8)
+        c = np.full((8, 8), 99, np.uint8)
+        return encode_h264_iframe(y, c, c, qp=16)
+
+    def test_cabac_rejects(self):
+        w = BitWriter()
+        w.ue(0)
+        w.ue(0)
+        w.flag(1)  # entropy_coding_mode = CABAC
+        w.rbsp_trailing()
+        with pytest.raises(NotImplementedError, match="CABAC"):
+            parse_pps(w.bytes())
+
+    def test_interlaced_rejects(self):
+        sps = SPS(width_mbs=1, height_mbs=1)
+        rbsp = bytearray(write_sps(sps))
+        # flip frame_mbs_only by rewriting the SPS with the flag cleared
+        w = BitWriter()
+        w.u(66, 8); w.u(0xC0, 8); w.u(30, 8)
+        w.ue(0); w.ue(0); w.ue(2); w.ue(1); w.flag(0)
+        w.ue(0); w.ue(0)
+        w.flag(0)  # frame_mbs_only = 0
+        w.flag(0)  # mb_adaptive
+        w.flag(1); w.flag(0); w.flag(0)
+        w.rbsp_trailing()
+        with pytest.raises(NotImplementedError, match="interlaced"):
+            parse_sps(w.bytes())
+
+    def test_non_idr_slice_rejects(self):
+        stream = self._stream()
+        units = split_annexb(stream)
+        hacked = [u if (u[0] & 0x1F) != 5 else bytes([0x61]) + u[1:]
+                  for u in units]
+        with pytest.raises(NotImplementedError, match="non-IDR"):
+            decode_h264_iframe(hacked)
+
+    def test_i4x4_rejects(self):
+        # craft a slice whose first mb_type is 0 (I_NxN)
+        from greengage_spark.pipeline.h264 import nal
+
+        sps = SPS(width_mbs=1, height_mbs=1)
+        w = BitWriter()
+        w.ue(0); w.ue(7); w.ue(0)
+        w.u(0, sps.log2_max_frame_num)
+        w.ue(0); w.flag(0); w.flag(0); w.se(0); w.ue(1)
+        w.ue(0)  # mb_type I_NxN
+        w.rbsp_trailing()
+        stream = (b"\x00\x00\x00\x01" + nal(7, write_sps(sps))
+                  + b"\x00\x00\x00\x01" + nal(8, write_pps(PPS()))
+                  + b"\x00\x00\x00\x01" + nal(5, w.bytes()))
+        with pytest.raises(NotImplementedError, match="I_NxN"):
+            decode_h264_iframe(stream)

@@ -71,10 +71,18 @@ class TestContainer:
     def test_compressed_codec_rejects_decode_but_parses(self):
         mp4 = bytearray(encode_mp4_mjpeg(_mjpeg(2), 24, 16))
         i = bytes(mp4).find(b"jpeg", 100)  # the stsd sample-entry fourcc
-        mp4[i : i + 4] = b"avc1"
+        mp4[i : i + 4] = b"hev1"
         meta = parse_mp4(bytes(mp4))
-        assert meta["tracks"][0]["codec"] == "avc1"
-        with pytest.raises(NotImplementedError, match="avc1"):
+        assert meta["tracks"][0]["codec"] == "hev1"
+        with pytest.raises(NotImplementedError, match="hev1"):
+            decode_mp4_keyframe_features(bytes(mp4))
+
+    def test_avc1_without_parameter_sets_rejects_decode(self):
+        # a relabeled track has no avcC → loud contract, not a mis-decode
+        mp4 = bytearray(encode_mp4_mjpeg(_mjpeg(2), 24, 16))
+        i = bytes(mp4).find(b"jpeg", 100)
+        mp4[i : i + 4] = b"avc1"
+        with pytest.raises(ValueError, match="avcC"):
             decode_mp4_keyframe_features(bytes(mp4))
 
     def test_truncated_box_loud(self):
@@ -118,10 +126,12 @@ class TestAvc1:
 
         assert keyframe_sizes(self._avc(sync_every=1)) == [30, 44, 52, 28]
 
-    def test_decode_still_rejects(self):
+    def test_placeholder_bitstream_rejects_decode(self):
+        # fixture avcC carries placeholder SPS bytes — the H.264 lane
+        # fails loudly parsing them rather than fabricating pixels
         from greengage_spark.pipeline.mp4 import decode_mp4_keyframe_features
 
-        with pytest.raises(NotImplementedError, match="avc1"):
+        with pytest.raises((ValueError, NotImplementedError)):
             decode_mp4_keyframe_features(self._avc())
 
     def test_keyframe_bytes_are_the_samples(self):
@@ -129,3 +139,46 @@ class TestAvc1:
 
         kfs = extract_keyframes(self._avc(sync_every=1))
         assert kfs[1] == b"\x02" * 44
+
+
+class TestH264InMp4:
+    """Real Baseline H.264 IDR frames muxed into avc1 and decoded back
+    through the container + bitstream lanes."""
+
+    def test_flat_i16_means_exact(self):
+        import numpy as np
+
+        from greengage_spark.pipeline.mp4 import (
+            decode_mp4_keyframe_features,
+            encode_mp4_h264,
+            parse_mp4,
+        )
+
+        frames = [
+            (np.full((32, 32), v, np.uint8), np.full((16, 16), v, np.uint8),
+             np.full((16, 16), v, np.uint8))
+            for v in (30, 70, 110, 150)
+        ]
+        blob = encode_mp4_h264(frames, 32, 32, qp=16, sync_every=2)
+        t = parse_mp4(blob)["tracks"][0]
+        assert t["codec_string"] == "avc1.42C01E"
+        assert t["avc_sps"] and t["avc_pps"]
+        feats = decode_mp4_keyframe_features(blob)
+        assert [f["mean_y"] for f in feats] == [30.0, 110.0]
+        assert all(not f["deblocking_skipped"] for f in feats)
+
+    def test_pcm_in_mp4_pixel_means(self):
+        import numpy as np
+
+        from greengage_spark.pipeline.mp4 import (
+            decode_mp4_keyframe_features,
+            encode_mp4_h264,
+        )
+
+        rng = np.random.default_rng(11)
+        y = rng.integers(0, 256, (16, 16), np.uint8)
+        c = rng.integers(0, 256, (8, 8), np.uint8)
+        blob = encode_mp4_h264([(y, c, c)], 16, 16, pcm=True, sync_every=1)
+        f = decode_mp4_keyframe_features(blob)[0]
+        assert f["mean_y"] == pytest.approx(float(y.mean()), abs=1e-12)
+        assert f["mean_cb"] == pytest.approx(float(c.mean()), abs=1e-12)
