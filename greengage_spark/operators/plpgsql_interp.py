@@ -799,6 +799,37 @@ def _lookup(env, name):
 
 _LEVELS = ("exception", "notice", "warning", "info", "log", "debug")
 
+# PG Appendix A: the condition-name <-> SQLSTATE pairs the regress and
+# common handlers use; unknown errcodes pass through verbatim
+_SQLSTATE_BY_NAME = {
+    "division_by_zero": "22012",
+    "null_value_not_allowed": "22004",
+    "numeric_value_out_of_range": "22003",
+    "invalid_text_representation": "22p02",
+    "unique_violation": "23505",
+    "check_violation": "23514",
+    "not_null_violation": "23502",
+    "foreign_key_violation": "23503",
+    "raise_exception": "p0001",
+    "no_data_found": "p0002",
+    "too_many_rows": "p0003",
+    "assert_failure": "p0004",
+    "case_not_found": "20000",
+    "invalid_parameter_value": "22023",
+    "syntax_error": "42601",
+    "undefined_object": "42704",
+    "feature_not_supported": "0a000",
+    "invalid_cursor_name": "34000",
+    "duplicate_cursor": "42p03",
+    "statement_too_complex": "54001",
+    "string_data_right_truncation": "22001",
+    "substring_error": "22011",
+    "program_limit_exceeded": "54000",
+    "datetime_field_overflow": "22008",
+    "routine_exception": "39000",
+}
+_NAME_BY_SQLSTATE = {v: k for k, v in _SQLSTATE_BY_NAME.items()}
+
 
 class _StmtParser:
     def __init__(self, toks: list[str], allow_sql: bool = False):
@@ -841,7 +872,56 @@ class _StmtParser:
 
     # ---- block & statements ----
 
+    def _peek_label(self) -> bool:
+        return (
+            self.peek() == "<"
+            and self.peek(1) == "<"
+            and self.peek(3) == ">"
+            and self.peek(4) == ">"
+        )
+
+    def _take_label(self) -> str:
+        self.take()
+        self.take()
+        label = self.take().lower()
+        self.expect(">", ">")
+        return label
+
+    def _end_label(self, label, what: str) -> None:
+        """Optional trailing label after END [LOOP] (pl_gram.y
+        opt_label): must match the construct's own label.  Only eaten
+        when followed by ';' or end-of-body, so a missing semicolon
+        never swallows the next statement's identifier."""
+        t = self.peek()
+        if (
+            t is not None
+            and _is_ident(t)
+            and (self.peek(1) is None or self.peek(1) == ";")
+        ):
+            got = self.take().lower()
+            if label is None:
+                raise PlPgSQLError(
+                    "syntax_error",
+                    f'end label "{got}" specified for unlabeled {what}',
+                )
+            if got != label:
+                raise PlPgSQLError(
+                    "syntax_error",
+                    f'end label "{got}" differs from label "{label}"',
+                )
+
+    def _claim_label(self):
+        lbl = getattr(self, "_next_label", None)
+        self._next_label = None
+        return lbl
+
+    def _end_loop(self, label) -> None:
+        self.expect("end", "loop")
+        self._end_label(label, "loop")
+        self.opt_semi()
+
     def parse_block(self):
+        label = self._take_label() if self._peek_label() else None
         decls = []
         if self.peek_low() == "declare":
             self.take()
@@ -854,16 +934,32 @@ class _StmtParser:
             self.take()
             while self.peek_low() == "when":
                 self.take()
-                conds = [self.take().lower()]
+                conds = [self._handler_cond()]
                 while self.peek_low() == "or":
                     self.take()
-                    conds.append(self.take().lower())
+                    conds.append(self._handler_cond())
                 self.expect("then")
                 hbody = self._stmts(until=("when", "end"))
                 handlers.append((frozenset(conds), hbody))
         self.expect("end")
+        self._end_label(label, "block")
         self.opt_semi()
-        return ("block", decls, body, handlers)
+        block = ("block", decls, body, handlers)
+        return ("labeled", label, block) if label else block
+
+    def _handler_cond(self) -> str:
+        """One EXCEPTION WHEN condition: a name or SQLSTATE 'xxxxx'
+        (pl_gram.y proc_condition); stored lowercased so matching can
+        compare both the raised condition name and its SQLSTATE."""
+        t = self.take().lower()
+        if t == "sqlstate":
+            lit = self.take()
+            if not lit.startswith("'"):
+                raise NotImplementedError(
+                    "plpgsql: SQLSTATE handler needs a string literal"
+                )
+            return lit[1:-1].lower()
+        return t
 
     def _decl(self):
         name = self.take().lower()
@@ -936,6 +1032,27 @@ class _StmtParser:
             self.casts[name] = lambda v: v
             self.records.add(name)
             return ("var", name, lambda v: v, None)
+        if self.peek() == "%" or (
+            self.peek() == "." and self.peek(2) == "%"
+        ):
+            # name tbl[.col]%TYPE|%ROWTYPE (pl_comp.c plpgsql_parse_
+            # wordtype/wordrowtype): the referenced type lives in the
+            # catalog; values arrive already typed from SQL, so the
+            # variable takes an identity cast (ROWTYPE acts as RECORD)
+            if self.peek() == ".":
+                self.take()
+                self.take()
+            self.take()  # '%'
+            kind = self.take().lower()
+            if kind not in ("type", "rowtype"):
+                raise NotImplementedError(
+                    f"plpgsql: %{kind} declaration not supported"
+                )
+            self.expect(";")
+            self.casts[name] = lambda v: v
+            if kind == "rowtype":
+                self.records.add(name)
+            return ("var", name, lambda v: v, None)
         if tname == "double" and self.peek_low() == "precision":
             self.take()
         if self.peek() == "(":  # varchar(10), numeric(10,2)
@@ -987,8 +1104,9 @@ class _StmtParser:
         self.casts[name] = cast
         return ("var", name, cast, init)
 
-    def peek(self):
-        return self.toks[self.pos] if self.pos < len(self.toks) else None
+    def peek(self, off: int = 0):
+        i = self.pos + off
+        return self.toks[i] if i < len(self.toks) else None
 
     def _stmts(self, until: tuple[str, ...]):
         out = []
@@ -1005,16 +1123,13 @@ class _StmtParser:
     def _stmt(self):
         t = self.peek_low()
         # <<label>> before a loop or block (pl_gram.y opt_loop_label)
-        if (
-            t == "<"
-            and self.peek_low(1) == "<"
-            and self.peek_low(3) == ">"
-            and self.peek_low(4) == ">"
-        ):
-            self.take()
-            self.take()
-            label = self.take().lower()
-            self.expect(">", ">")
+        if self._peek_label():
+            save = self.pos
+            label = self._take_label()
+            if self.peek_low() in ("begin", "declare"):
+                self.pos = save  # parse_block consumes its own label
+                return self.parse_block()
+            self._next_label = label
             inner = self._stmt()
             if inner[0] not in (
                 "while", "forrange", "foreach", "forquery",
@@ -1047,17 +1162,17 @@ class _StmtParser:
             return self._foreach()
         if t == "while":
             self.take()
+            _lbl = self._claim_label()
             cond = self.expr()
             self.expect("loop")
             body = self._stmts(until=("end",))
-            self.expect("end", "loop")
-            self.opt_semi()
+            self._end_loop(_lbl)
             return ("while", cond, body)
         if t == "loop":
             self.take()
+            _lbl = self._claim_label()
             body = self._stmts(until=("end",))
-            self.expect("end", "loop")
-            self.opt_semi()
+            self._end_loop(_lbl)
             return ("while", lambda env: True, body)
         if t in ("exit", "continue"):
             self.take()
@@ -1257,6 +1372,13 @@ class _StmtParser:
         self.take()
         if head == "open":
             name = self.take().lower()
+            # OPEN c [NO] SCROLL FOR (pl_gram.y opt_scrollable — the
+            # retained-extent portals scroll either way)
+            if self.peek_low() == "no" and self.peek_low(1) == "scroll":
+                self.take()
+                self.take()
+            elif self.peek_low() == "scroll":
+                self.take()
             if self.peek_low() == "for":
                 self.take()
                 if self.peek_low() == "execute":
@@ -1363,6 +1485,7 @@ class _StmtParser:
 
     def _for(self):
         self.expect("for")
+        _lbl = self._claim_label()
         var = self.take().lower()
         self.expect("in")
         reverse = False
@@ -1394,8 +1517,7 @@ class _StmtParser:
                         break
             self.expect("loop")
             body = self._stmts(until=("end",))
-            self.expect("end", "loop")
-            self.opt_semi()
+            self._end_loop(_lbl)
             self.records.add(var)
             return ("forcursor", var, cname, args, body)
         if self.peek_low() in ("select", "with", "values", "table") and not reverse:
@@ -1408,8 +1530,7 @@ class _StmtParser:
             sql, _ = self._raw_until({"loop"})
             self.expect("loop")
             body = self._stmts(until=("end",))
-            self.expect("end", "loop")
-            self.opt_semi()
+            self._end_loop(_lbl)
             self.records.add(var)  # loop target behaves as a record
             return ("forquery", var, sql, body)
         if self.peek_low() == "execute" and not reverse:
@@ -1430,8 +1551,7 @@ class _StmtParser:
                     using.append(self.expr())
             self.expect("loop")
             body = self._stmts(until=("end",))
-            self.expect("end", "loop")
-            self.opt_semi()
+            self._end_loop(_lbl)
             self.records.add(var)
             return ("forquery_dyn", var, e, body, using)
         lo = self.expr()
@@ -1448,12 +1568,12 @@ class _StmtParser:
             step = self.expr()
         self.expect("loop")
         body = self._stmts(until=("end",))
-        self.expect("end", "loop")
-        self.opt_semi()
+        self._end_loop(_lbl)
         return ("forrange", var, lo, hi, step, reverse, body)
 
     def _foreach(self):
         self.expect("foreach")
+        _lbl = self._claim_label()
         var = self.take().lower()
         if self.peek_low() == "slice":
             raise NotImplementedError(
@@ -1463,8 +1583,7 @@ class _StmtParser:
         arr = self.expr()
         self.expect("loop")
         body = self._stmts(until=("end",))
-        self.expect("end", "loop")
-        self.opt_semi()
+        self._end_loop(_lbl)
         return ("foreach", var, arr, body)
 
     def _raise(self):
@@ -1474,20 +1593,52 @@ class _StmtParser:
             level = self.take().lower()
         fmt = None
         args = []
+        cond = "raise_exception"
+        opts: list = []
         if self.peek_low() != ";":
-            ft = self.take()
-            if not ft.startswith("'"):
-                # RAISE division_by_zero; — condition-name form
-                self.expect(";")
-                return ("raise", level, None, [], ft.lower())
-            fmt = ft[1:-1].replace("''", "'")
-            while self.peek_low() == ",":
-                self.take()
-                args.append(self.expr())
             if self.peek_low() == "using":
-                raise NotImplementedError("plpgsql: RAISE ... USING")
+                pass  # bare RAISE ... USING opts
+            else:
+                ft = self.take()
+                if _is_ident(ft) and ft.lower() == "sqlstate" \
+                        and self.peek() is not None \
+                        and self.peek().startswith("'"):
+                    # RAISE SQLSTATE 'xxxxx' [USING ...] (pl_gram.y)
+                    cond = self.take()[1:-1].lower()
+                    fmt = None
+                elif not ft.startswith("'"):
+                    # RAISE division_by_zero [USING ...]; — condition form
+                    cond = ft.lower()
+                    fmt = None
+                else:
+                    fmt = ft[1:-1].replace("''", "'")
+                    while self.peek_low() == ",":
+                        self.take()
+                        args.append(self.expr())
+            if self.peek_low() == "using":
+                # RAISE ... USING option = expr [, ...] (pl_gram.y
+                # stmt_raise opt_raise_using): MESSAGE/DETAIL/HINT/
+                # ERRCODE[/COLUMN/CONSTRAINT/...] — evaluated at run time
+                self.take()
+                while True:
+                    opt = self.take().lower()
+                    if opt not in ("message", "detail", "hint", "errcode",
+                                   "column", "constraint", "datatype",
+                                   "table", "schema"):
+                        raise NotImplementedError(
+                            f"plpgsql: unrecognized RAISE option {opt!r}"
+                        )
+                    self.expect("=")
+                    opts.append((opt, self.expr()))
+                    if self.peek_low() != ",":
+                        break
+                    self.take()
         self.expect(";")
-        return ("raise", level, fmt, args, "raise_exception")
+        if fmt is None and cond == "raise_exception" and not opts \
+                and level == "exception":
+            # bare RAISE: re-throw the handler's current error
+            return ("raise_rethrow",)
+        return ("raise", level, fmt, args, cond, opts)
 
 
 # ---------------------------------------------------------------------------
@@ -1575,8 +1726,17 @@ def _exec_stmt(s, env, label=None):  # noqa: C901 - pl_exec.c dispatch
     elif kind == "continue":
         if s[1] is None or s[1](env) is True:
             raise _Continue(s[2] if len(s) > 2 else None)
+    elif kind == "raise_rethrow":
+        err = env.get("__cur_err__")
+        if err is None:
+            raise PlPgSQLError(
+                "stacked_diagnostics_accessed_without_active_handler",
+                "RAISE without parameters cannot be used outside an "
+                "exception handler",
+            )
+        raise err
     elif kind == "raise":
-        _, level, fmt, args, cond = s
+        _, level, fmt, args, cond, opts = s
         if fmt is not None:
             vals = [a(env) for a in args]
             msg = ""
@@ -1597,8 +1757,27 @@ def _exec_stmt(s, env, label=None):  # noqa: C901 - pl_exec.c dispatch
                 i += 1
         else:
             msg = cond
+        detail = hint = None
+        for opt, e in opts:
+            v = e(env)
+            if opt == "message":
+                if fmt is not None:
+                    raise PlPgSQLError(
+                        "syntax_error",
+                        "RAISE option already specified: MESSAGE",
+                    )
+                msg = _to_text(v)
+            elif opt == "errcode":
+                cond = _to_text(v).lower()
+            elif opt == "detail":
+                detail = _to_text(v)
+            elif opt == "hint":
+                hint = _to_text(v)
         if level == "exception":
-            raise PlPgSQLError(cond, msg)
+            err = PlPgSQLError(cond, msg)
+            err.detail, err.hint = detail, hint
+            err.sqlstate = _SQLSTATE_BY_NAME.get(cond, cond)
+            raise err
         env.setdefault("__notices__", []).append((level, msg))
     elif kind == "null":
         pass
@@ -2054,11 +2233,23 @@ def _exec_block(block, env):
         raise
     except Exception as e:  # noqa: BLE001 - WHEN others is the contract
         cond = _condition_of(e)
+        state = getattr(e, "sqlstate", None) or _SQLSTATE_BY_NAME.get(cond)
+        names = {cond}
+        if state:
+            names.add(state)
+            mapped = _NAME_BY_SQLSTATE.get(state)
+            if mapped:
+                names.add(mapped)
         for conds, hbody in handlers:
-            if "others" in conds or cond in conds:
+            if "others" in conds or names & conds:
                 env["sqlerrm"] = str(e)
-                env["sqlstate"] = cond
-                _exec_stmts(hbody, env)
+                env["sqlstate"] = state.upper() if state else cond
+                prev = env.get("__cur_err__")
+                env["__cur_err__"] = e
+                try:
+                    _exec_stmts(hbody, env)
+                finally:
+                    env["__cur_err__"] = prev
                 return
         raise
 
@@ -2082,7 +2273,7 @@ def run_block(
     conflict resolution follows use_variable, not PG's default error —
     documented divergence).  RAISE NOTICE/... levels append to
     ``notices`` as (level, message).  A bare RETURN ends the block."""
-    toks = _tokenize(body.strip().rstrip(";"))
+    toks = _tokenize(_strip_pragmas(body).strip().rstrip(";"))
     p = _StmtParser(toks, allow_sql=True)
     block = p.parse_block()
     if p.pos != len(p.toks):
@@ -2095,7 +2286,7 @@ def run_block(
     if cursor_factory is not None:
         env["__cursor_factory__"] = cursor_factory
     try:
-        _exec_block(block, env)
+        _exec_stmt(block, env)
     except _Return:
         pass  # DO blocks discard RETURN
     except _Exit:
@@ -2108,12 +2299,35 @@ def run_block(
         ) from None
 
 
+_PRAGMA_RE = re.compile(
+    r"(?im)^\s*#(print_strict_params\s+(?:on|off)|variable_conflict\s+\w+)\s*$"
+)
+
+
+def _strip_pragmas(body: str) -> str:
+    """PL/pgSQL compiler options (pl_comp.c #option lines):
+    print_strict_params only changes error verbosity — accepted and
+    dropped; variable_conflict error/use_variable match this
+    interpreter's resolution order (variables win); use_column would
+    silently change semantics, so it rejects loudly."""
+    def repl(m):
+        opt = m.group(1).lower().split()
+        if opt[0] == "variable_conflict" and opt[1] == "use_column":
+            raise NotImplementedError(
+                "plpgsql: #variable_conflict use_column — this "
+                "interpreter resolves names variable-first "
+                "(use_variable); use_column would silently diverge"
+            )
+        return ""
+    return _PRAGMA_RE.sub(repl, body)
+
+
 def compile_plpgsql(body: str, arg_names: list[str]):
     """Compile a procedural PL/pgSQL body to a Python callable (the
     Python-UDF slow path).  Parsed once; each call runs the statement
     tree against a fresh env seeded with the arguments (by name and as
     $n positional params)."""
-    toks = _tokenize(body.strip().rstrip(";"))
+    toks = _tokenize(_strip_pragmas(body).strip().rstrip(";"))
     p = _StmtParser(toks)
     block = p.parse_block()
     if p.pos != len(p.toks):
@@ -2128,7 +2342,7 @@ def compile_plpgsql(body: str, arg_names: list[str]):
             env[f"${i}"] = v
             env[n] = v
         try:
-            _exec_block(block, env)
+            _exec_stmt(block, env)
         except _Return as r:
             return r.value
         except _Exit:

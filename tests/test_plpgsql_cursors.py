@@ -203,7 +203,9 @@ class TestGetDiagnostics:
         )
         row = eng.execute("SELECT msg, state FROM diag3").collect()[0]
         assert row.msg == "boom 42"
-        assert row.state == "raise_exception"
+        # PG returns the 5-char SQLSTATE (P0001 = raise_exception), not
+        # the condition name — pinned to the reference's own value
+        assert row.state == "P0001"
 
 
 class TestFound:
