@@ -1137,7 +1137,7 @@ class GreengageEngine:
             if any(getattr(f, "setof", False) for f in self.functions.values()):
                 from greengage_spark.operators.udf_ddl import expand_table_macros
 
-                stmt = expand_table_macros(stmt, self.functions)
+                stmt = expand_table_macros(stmt, self.functions, engine=self)
             for nm, mvd in self.matviews.items():
                 if not mvd["populated"] and re.search(
                     rf"(?i)\b{re.escape(nm)}\b", stmt

@@ -832,10 +832,12 @@ _NAME_BY_SQLSTATE = {v: k for k, v in _SQLSTATE_BY_NAME.items()}
 
 
 class _StmtParser:
-    def __init__(self, toks: list[str], allow_sql: bool = False):
+    def __init__(self, toks: list[str], allow_sql: bool = False,
+                 allow_setof: bool = False):
         self.toks = toks
         self.pos = 0
         self.allow_sql = allow_sql  # driver-side (DO block): SQL hook ok
+        self.allow_setof = allow_setof  # RETURN NEXT/QUERY accumulate
         self.casts: dict[str, object] = {}  # var -> declared-type cast fn
         self.records: set[str] = set()  # vars declared RECORD
         self.cursor_names: set[str] = set()  # declared bound cursors
@@ -1142,10 +1144,36 @@ class _StmtParser:
         if t == "return":
             self.take()
             if self.peek_low() in ("next", "query"):
-                raise NotImplementedError(
-                    "plpgsql interpreter: RETURN NEXT/QUERY — SETOF bodies "
-                    "lower to inline table macros (udf_ddl)"
-                )
+                if not self.allow_setof:
+                    raise NotImplementedError(
+                        "plpgsql interpreter: RETURN NEXT/QUERY — SETOF "
+                        "bodies lower to inline table macros (udf_ddl) or "
+                        "run through the driver-side SETOF interpreter"
+                    )
+                which = self.take().lower()
+                if which == "next":
+                    e = self.expr()
+                    self.expect(";")
+                    return ("return_next", e)
+                if not self.allow_sql:
+                    raise NotImplementedError(
+                        "plpgsql: RETURN QUERY needs the SQL engine"
+                    )
+                if self.peek_low() == "execute":
+                    self.take()
+                    e = self.expr()
+                    using: list = []
+                    if self.peek_low() == "using":
+                        self.take()
+                        using.append(self.expr())
+                        while self.peek_low() == ",":
+                            self.take()
+                            using.append(self.expr())
+                    self.expect(";")
+                    return ("return_query_dyn", e, using)
+                sql, _ = self._raw_until({";"})
+                self.expect(";")
+                return ("return_query", sql)
             if self.peek_low() == ";":
                 self.take()
                 return ("return", None)
@@ -1726,6 +1754,24 @@ def _exec_stmt(s, env, label=None):  # noqa: C901 - pl_exec.c dispatch
     elif kind == "continue":
         if s[1] is None or s[1](env) is True:
             raise _Continue(s[2] if len(s) > 2 else None)
+    elif kind == "return_next":
+        # exec_stmt_return_next: append to the function's tuplestore
+        env.setdefault("__setof__", []).append(s[1](env))
+    elif kind == "return_query":
+        rows, _rc = _run_sql(env, _interpolate(s[1], env))
+        env.setdefault("__setof__", []).extend(rows)
+        env["found"] = len(rows) > 0
+    elif kind == "return_query_dyn":
+        sql = s[1](env)
+        if sql is None:
+            raise PlPgSQLError(
+                "null_value_not_allowed", "EXECUTE of a null query string"
+            )
+        for i, ue in enumerate(s[2], 1):
+            sql = _substitute_dollar_param(sql, i, _sql_literal(ue(env)))
+        rows, _rc = _run_sql(env, sql)
+        env.setdefault("__setof__", []).extend(rows)
+        env["found"] = len(rows) > 0
     elif kind == "raise_rethrow":
         err = env.get("__cur_err__")
         if err is None:
@@ -2257,6 +2303,52 @@ def _exec_block(block, env):
 # ---------------------------------------------------------------------------
 # public entry
 # ---------------------------------------------------------------------------
+
+
+def run_setof(
+    body: str,
+    sql_hook,
+    args: list | None = None,
+    arg_names: list[str] | None = None,
+    notices: list | None = None,
+) -> list:
+    """Run a RETURNS SETOF plpgsql body driver-side and return the
+    accumulated result rows (pl_exec.c: RETURN NEXT / RETURN QUERY
+    append to a tuplestore; the function materializes before the
+    caller reads it).  Rows are whatever RETURN NEXT appended (scalars
+    or record Rows) plus every RETURN QUERY result row, in order."""
+    toks = _tokenize(_strip_pragmas(body).strip().rstrip(";"))
+    p = _StmtParser(toks, allow_sql=True, allow_setof=True)
+    block = p.parse_block()
+    if p.pos != len(p.toks):
+        raise NotImplementedError(
+            f"plpgsql: trailing tokens after END: {p.toks[p.pos:p.pos + 5]}"
+        )
+    env: dict = {"found": False, "__rowcount__": 0, "__sql__": sql_hook,
+                 "__setof__": []}
+    if notices is not None:
+        env["__notices__"] = notices
+    for i, v in enumerate(args or [], 1):
+        env[f"${i}"] = v
+    for n, v in zip([a.lower() for a in (arg_names or [])], args or []):
+        env[n] = v
+    try:
+        _exec_stmt(block, env)
+    except _Return:
+        pass  # bare RETURN ends a SETOF function
+    return env["__setof__"]
+
+
+def parse_setof(body: str) -> None:
+    """Parse-only probe: raises if the body is outside the interpreter's
+    SETOF subset (used by udf_ddl to decide the execution strategy)."""
+    toks = _tokenize(_strip_pragmas(body).strip().rstrip(";"))
+    p = _StmtParser(toks, allow_sql=True, allow_setof=True)
+    p.parse_block()
+    if p.pos != len(p.toks):
+        raise NotImplementedError(
+            f"plpgsql: trailing tokens after END: {p.toks[p.pos:p.pos + 5]}"
+        )
 
 
 def run_block(

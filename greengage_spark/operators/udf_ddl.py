@@ -93,6 +93,10 @@ class FunctionDef:
     # form): (query-string expression text, [USING expression texts]);
     # evaluated at macro-expansion time with the call-site arguments
     dyn_query: tuple | None = None
+    # procedural SETOF body outside the inline-lowering subset: runs
+    # through the driver-side interpreter (plpgsql_interp.run_setof) at
+    # macro-expansion time, materializing rows like PG's tuplestore
+    interp_setof: bool = False
 
 
 _CREATE_FN = re.compile(
@@ -149,6 +153,7 @@ def parse_create_function(stmt: str) -> tuple[FunctionDef, bool]:
         )
     body = body.strip()
     dyn_query_val = None
+    interp_setof_val = False
     if setof:
         # SETOF/TABLE: the body IS a query.  LANGUAGE sql bodies are the
         # query verbatim; plpgsql bodies are BEGIN RETURN QUERY <q>;
@@ -162,116 +167,9 @@ def parse_create_function(stmt: str) -> tuple[FunctionDef, bool]:
                 "functions (operators.tablefunc)"
             )
         if lang == "plpgsql":
-            mb = re.match(
-                r"(?is)^(?:declare\b.*?)?\bbegin\b(.*)\bend$",
-                body.rstrip(";").strip(),
-                re.DOTALL,
+            body, dyn_query_val, interp_setof_val = _lower_setof_plpgsql(
+                body, m.group(2)
             )
-            if not mb:
-                raise NotImplementedError(
-                    "SETOF plpgsql body must be [DECLARE ...] BEGIN "
-                    "RETURN QUERY / FOR ... RETURN NEXT ...; END"
-                )
-            queries = []
-            dyn = None
-            colname = m.group(2).rsplit(".", 1)[-1]
-            sts = _split_stmts(mb.group(1))
-            j = 0
-            while j < len(sts):
-                st = sts[j]
-                mdq = re.match(
-                    r"(?is)^return\s+query\s+execute\s+(.+)$", st, re.DOTALL
-                )
-                if mdq:
-                    # pl_exec.c:145 exec_stmt_return_query (dynamic form):
-                    # the query-string expression resolves at macro
-                    # expansion time against the call-site arguments
-                    if dyn is not None or queries:
-                        raise NotImplementedError(
-                            "SETOF plpgsql: a dynamic RETURN QUERY EXECUTE "
-                            "must be the body's only result statement"
-                        )
-                    dyn = _split_using(mdq.group(1).strip())
-                    j += 1
-                    continue
-                mq = re.match(r"(?is)^return\s+query\s+(.+)$", st, re.DOTALL)
-                if mq:
-                    if dyn is not None:
-                        raise NotImplementedError(
-                            "SETOF plpgsql: mixing RETURN QUERY and "
-                            "RETURN QUERY EXECUTE is not supported"
-                        )
-                    queries.append(mq.group(1).strip())
-                    j += 1
-                    continue
-                if re.match(r"(?is)^return$", st):
-                    j += 1  # bare RETURN ends the function
-                    continue
-                # FOR v IN a .. b LOOP RETURN NEXT expr; END LOOP —
-                # exec_stmt_fori + exec_stmt_return_next, lowered to a
-                # generate_series scan (plpgsql.sql test_ret_set_scalar);
-                # FOR rec IN <query> LOOP RETURN NEXT rec; END LOOP is the
-                # query itself (test_table_func_rec/_row)
-                mfr = re.match(
-                    r"(?is)^for\s+(\w+)\s+in\s+(reverse\s+)?(.+?)\s+loop\s+"
-                    r"return\s+next\s+(.+)$",
-                    st,
-                    re.DOTALL,
-                )
-                if (
-                    mfr
-                    and j + 1 < len(sts)
-                    and re.match(r"(?is)^end\s+loop$", sts[j + 1])
-                ):
-                    var = mfr.group(1)
-                    rev = bool(mfr.group(2))
-                    src = mfr.group(3).strip()
-                    retex = mfr.group(4).strip()
-                    mrange = re.match(
-                        r"(?is)^(.+?)\s*\.\.\s*(.+?)(?:\s+by\s+(.+))?$", src
-                    )
-                    if mrange:
-                        lo, hi = mrange.group(1).strip(), mrange.group(2).strip()
-                        stp = (mrange.group(3) or "1").strip()
-                        if rev:
-                            stp = f"-({stp})"
-                        queries.append(
-                            f"SELECT ({retex}) AS {colname} FROM "
-                            f"generate_series(({lo}), ({hi}), ({stp})) "
-                            f"AS __ggfor({var})"
-                        )
-                    else:
-                        if retex.rstrip(";").strip().lower() != var.lower():
-                            raise NotImplementedError(
-                                "SETOF plpgsql FOR-over-query must RETURN "
-                                "NEXT the loop record itself"
-                            )
-                        if not re.match(r"(?is)^\(?\s*select\b", src):
-                            raise NotImplementedError(
-                                "SETOF plpgsql FOR source must be a range "
-                                "a .. b or a SELECT"
-                            )
-                        queries.append(src)
-                    j += 2
-                    continue
-                raise NotImplementedError(
-                    "SETOF plpgsql supports RETURN QUERY and "
-                    "FOR ... LOOP RETURN NEXT ...; END LOOP bodies"
-                )
-            if dyn is not None:
-                dyn_query_val = dyn
-                body = ""  # resolved per call site (expand_table_macros)
-            elif not queries:
-                raise NotImplementedError("SETOF plpgsql body has no RETURN QUERY")
-            else:
-                body = (
-                    queries[0]
-                    if len(queries) == 1
-                    else " UNION ALL ".join(
-                        f"SELECT * FROM ({q}) __ggq{k}"
-                        for k, q in enumerate(queries)
-                    )
-                )
         elif not re.match(r"(?is)^\s*(select|with|values|table)\b", body):
             raise NotImplementedError(
                 "RETURNS SETOF LANGUAGE sql body must be a query"
@@ -286,9 +184,142 @@ def parse_create_function(stmt: str) -> tuple[FunctionDef, bool]:
             body=body,
             setof=setof,
             dyn_query=dyn_query_val,
+            interp_setof=interp_setof_val,
         ),
         bool(m.group(1)),
     )
+
+
+def _lower_setof_plpgsql(body: str, fname: str):
+    """SETOF plpgsql lowering: inline table-macro rewrite first (the
+    fast path — the query inlines into Catalyst); bodies outside that
+    subset fall back to the driver-side interpreter when they parse
+    in SETOF mode (pl_exec.c's materialize-into-tuplestore model),
+    else the inline rewrite's loud reject stands."""
+    try:
+        b, dyn = _lower_setof_plpgsql_inline(body, fname)
+        return b, dyn, False
+    except NotImplementedError:
+        from greengage_spark.operators.plpgsql_interp import parse_setof
+
+        parse_setof(body)  # re-raises the interpreter's own reject
+        return body, None, True
+
+
+def _lower_setof_plpgsql_inline(body: str, fname: str):
+    """The inline table-macro rewrite for SETOF plpgsql bodies
+    (queries inline into Catalyst — the fast path); raises
+    NotImplementedError for bodies outside the subset."""
+    mb = re.match(
+        r"(?is)^(?:declare\b.*?)?\bbegin\b(.*)\bend$",
+        body.rstrip(";").strip(),
+        re.DOTALL,
+    )
+    if not mb:
+        raise NotImplementedError(
+            "SETOF plpgsql body must be [DECLARE ...] BEGIN "
+            "RETURN QUERY / FOR ... RETURN NEXT ...; END"
+        )
+    queries = []
+    dyn = None
+    colname = fname.rsplit(".", 1)[-1]
+    sts = _split_stmts(mb.group(1))
+    j = 0
+    while j < len(sts):
+        st = sts[j]
+        mdq = re.match(
+            r"(?is)^return\s+query\s+execute\s+(.+)$", st, re.DOTALL
+        )
+        if mdq:
+            # pl_exec.c:145 exec_stmt_return_query (dynamic form):
+            # the query-string expression resolves at macro
+            # expansion time against the call-site arguments
+            if dyn is not None or queries:
+                raise NotImplementedError(
+                    "SETOF plpgsql: a dynamic RETURN QUERY EXECUTE "
+                    "must be the body's only result statement"
+                )
+            dyn = _split_using(mdq.group(1).strip())
+            j += 1
+            continue
+        mq = re.match(r"(?is)^return\s+query\s+(.+)$", st, re.DOTALL)
+        if mq:
+            if dyn is not None:
+                raise NotImplementedError(
+                    "SETOF plpgsql: mixing RETURN QUERY and "
+                    "RETURN QUERY EXECUTE is not supported"
+                )
+            queries.append(mq.group(1).strip())
+            j += 1
+            continue
+        if re.match(r"(?is)^return$", st):
+            j += 1  # bare RETURN ends the function
+            continue
+        # FOR v IN a .. b LOOP RETURN NEXT expr; END LOOP —
+        # exec_stmt_fori + exec_stmt_return_next, lowered to a
+        # generate_series scan (plpgsql.sql test_ret_set_scalar);
+        # FOR rec IN <query> LOOP RETURN NEXT rec; END LOOP is the
+        # query itself (test_table_func_rec/_row)
+        mfr = re.match(
+            r"(?is)^for\s+(\w+)\s+in\s+(reverse\s+)?(.+?)\s+loop\s+"
+            r"return\s+next\s+(.+)$",
+            st,
+            re.DOTALL,
+        )
+        if (
+            mfr
+            and j + 1 < len(sts)
+            and re.match(r"(?is)^end\s+loop$", sts[j + 1])
+        ):
+            var = mfr.group(1)
+            rev = bool(mfr.group(2))
+            src = mfr.group(3).strip()
+            retex = mfr.group(4).strip()
+            mrange = re.match(
+                r"(?is)^(.+?)\s*\.\.\s*(.+?)(?:\s+by\s+(.+))?$", src
+            )
+            if mrange:
+                lo, hi = mrange.group(1).strip(), mrange.group(2).strip()
+                stp = (mrange.group(3) or "1").strip()
+                if rev:
+                    stp = f"-({stp})"
+                queries.append(
+                    f"SELECT ({retex}) AS {colname} FROM "
+                    f"generate_series(({lo}), ({hi}), ({stp})) "
+                    f"AS __ggfor({var})"
+                )
+            else:
+                if retex.rstrip(";").strip().lower() != var.lower():
+                    raise NotImplementedError(
+                        "SETOF plpgsql FOR-over-query must RETURN "
+                        "NEXT the loop record itself"
+                    )
+                if not re.match(r"(?is)^\(?\s*select\b", src):
+                    raise NotImplementedError(
+                        "SETOF plpgsql FOR source must be a range "
+                        "a .. b or a SELECT"
+                    )
+                queries.append(src)
+            j += 2
+            continue
+        raise NotImplementedError(
+            "SETOF plpgsql supports RETURN QUERY and "
+            "FOR ... LOOP RETURN NEXT ...; END LOOP bodies"
+        )
+    if dyn is not None:
+        return "", dyn
+    elif not queries:
+        raise NotImplementedError("SETOF plpgsql body has no RETURN QUERY")
+    else:
+        body = (
+            queries[0]
+            if len(queries) == 1
+            else " UNION ALL ".join(
+                f"SELECT * FROM ({q}) __ggq{k}"
+                for k, q in enumerate(queries)
+            )
+        )
+    return body, None
 
 
 def _substitute_positional(expr: str, arg_names: list[str]) -> str:
@@ -742,7 +773,7 @@ def _resolve_dyn_query(fd, args: list[str]) -> str:
     return sql
 
 
-def expand_table_macros(sql: str, functions: dict) -> str:
+def expand_table_macros(sql: str, functions: dict, engine=None) -> str:
     """Expand FROM-position calls to RETURNS SETOF functions into inline
     subqueries — PG's inline_set_returning_function
     (optimizer/util/clauses.c): ``FROM f(a, b) AS t(c1, c2)`` becomes
@@ -781,7 +812,9 @@ def expand_table_macros(sql: str, functions: dict) -> str:
             if mal and mal.group(1).lower() not in _FROM_KEYWORDS:
                 alias, collist = mal.group(1), mal.group(2) or ""
                 rest = rest[mal.end() :]
-            if getattr(fd, "dyn_query", None):
+            if getattr(fd, "interp_setof", False):
+                body = _run_interp_setof(fd, args, engine)
+            elif getattr(fd, "dyn_query", None):
                 body = _resolve_dyn_query(fd, args)
             else:
                 body = fd.body
@@ -802,6 +835,75 @@ def expand_table_macros(sql: str, functions: dict) -> str:
         if not changed:
             break
     return sql
+
+
+def _run_interp_setof(fd: FunctionDef, args: list[str], engine) -> str:
+    """Execute an interpreter-backed SETOF function driver-side and
+    inline its materialized rows as a VALUES relation — the analog of
+    PG's tuplestore materialization for non-inlinable SRFs
+    (pl_exec.c exec_stmt_return_next/return_query).  Arguments must be
+    constant expressions (they evaluate once, driver-side; a LATERAL
+    column reference cannot reach a driver-run interpreter)."""
+    if engine is None:
+        raise NotImplementedError(
+            f"SETOF plpgsql function {fd.name} runs through the "
+            "driver-side interpreter and needs engine context"
+        )
+    from greengage_spark.operators.plpgsql_interp import (
+        _sql_literal,
+        run_setof,
+    )
+
+    vals = []
+    for a in args:
+        try:
+            row = engine.execute(f"SELECT ({a}) AS __v").collect()
+        except Exception as e:
+            raise NotImplementedError(
+                f"SETOF plpgsql function {fd.name}: arguments must be "
+                f"constant expressions (got {a!r}: {e})"
+            ) from e
+        vals.append(row[0][0])
+
+    def hook(sql: str):
+        engine.last_rowcount = None
+        df = engine.execute(sql)
+        if df is not None:
+            rows = df.collect()
+            hook.rowcount = len(rows)
+            return rows
+        hook.rowcount = engine.last_rowcount
+        return []
+
+    notices: list = []
+    rows = run_setof(fd.body, hook, vals, fd.arg_names, notices=notices)
+    engine.notices.extend(msg for _lvl, msg in notices)
+    leaf = fd.name.rsplit(".", 1)[-1]
+    # single-column query rows unwrap to scalars so RETURN NEXT <expr>
+    # and RETURN QUERY <1-col select> compose (PG checks the structures
+    # against the declared result type; here the declared SETOF element
+    # is scalar whenever any RETURN NEXT appended a scalar)
+    rows = [
+        r[0] if hasattr(r, "__fields__") and len(r.__fields__) == 1 else r
+        for r in rows
+    ]
+    shapes = {tuple(getattr(r, "__fields__", ())) for r in rows}
+    if len(shapes) > 1:
+        raise ValueError(
+            f"SETOF plpgsql function {fd.name}: appended row structures "
+            f"do not match ({sorted(shapes)})"
+        )
+    if not rows:
+        return f"SELECT NULL AS {leaf} WHERE 1 = 0"
+    if hasattr(rows[0], "__fields__"):
+        cols = list(rows[0].__fields__)
+        values = ", ".join(
+            "(" + ", ".join(_sql_literal(r[c]) for c in cols) + ")"
+            for r in rows
+        )
+        return f"SELECT * FROM (VALUES {values}) AS __ggsetof({', '.join(cols)})"
+    values = ", ".join(f"({_sql_literal(v)})" for v in rows)
+    return f"SELECT * FROM (VALUES {values}) AS __ggsetof({leaf})"
 
 
 def register_function(spark: SparkSession, fd: FunctionDef, transpile) -> None:

@@ -202,4 +202,75 @@ class TestAudit:
             else:
                 silent.append((name, msg))
         assert not silent, silent
-        assert ok >= 100  # round-12 floor; regressions would drop this
+        assert ok >= 115  # round-12 floor; regressions would drop this
+
+
+class TestInterpSetof:
+    """SETOF plpgsql bodies OUTSIDE the inline-lowering subset run
+    through the driver-side interpreter (run_setof) and materialize as
+    a VALUES relation — pl_exec.c's tuplestore model."""
+
+    @pytest.fixture()
+    def eng(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        return GreengageEngine(spark, str(tmp_path))
+
+    def test_conditional_return_next(self, eng):
+        eng.execute(
+            "CREATE FUNCTION pick_odds(n int) RETURNS SETOF int AS $$ "
+            "DECLARE i int; BEGIN "
+            "FOR i IN 1 .. n LOOP "
+            "  IF i % 2 = 1 THEN RETURN NEXT i * 10; END IF; "
+            "END LOOP; RETURN; END $$ LANGUAGE plpgsql"
+        )
+        rows = eng.execute(
+            "SELECT * FROM pick_odds(5) ORDER BY 1"
+        ).collect()
+        assert [r[0] for r in rows] == [10, 30, 50]
+
+    def test_mixed_next_and_query(self, eng):
+        eng.execute("CREATE TABLE st_t (v int)")
+        eng.execute("INSERT INTO st_t VALUES (7), (8)")
+        eng.execute(
+            "CREATE FUNCTION mixed_out() RETURNS SETOF int AS $$ BEGIN "
+            "RETURN NEXT 1; RETURN QUERY SELECT v FROM st_t; "
+            "RETURN NEXT 99; RETURN; END $$ LANGUAGE plpgsql"
+        )
+        rows = eng.execute("SELECT * FROM mixed_out() ORDER BY 1").collect()
+        assert [r[0] for r in rows] == [1, 7, 8, 99]
+
+    def test_record_rows_with_filter(self, eng):
+        eng.execute("CREATE TABLE st_r (a int, b text)")
+        eng.execute("INSERT INTO st_r VALUES (1, 'x'), (2, 'y'), (3, 'z')")
+        eng.execute(
+            "CREATE FUNCTION big_rows() RETURNS SETOF st_r AS $$ "
+            "DECLARE r record; BEGIN "
+            "FOR r IN SELECT a, b FROM st_r ORDER BY a LOOP "
+            "  IF r.a >= 2 THEN RETURN NEXT r; END IF; "
+            "END LOOP; RETURN; END $$ LANGUAGE plpgsql"
+        )
+        rows = eng.execute(
+            "SELECT a, b FROM big_rows() ORDER BY a"
+        ).collect()
+        assert [(r.a, r.b) for r in rows] == [(2, "y"), (3, "z")]
+
+    def test_empty_result(self, eng):
+        eng.execute(
+            "CREATE FUNCTION nothing_out() RETURNS SETOF int AS $$ BEGIN "
+            "RETURN; END $$ LANGUAGE plpgsql"
+        )
+        assert eng.execute("SELECT * FROM nothing_out()").collect() == []
+
+    def test_lateral_args_reject_loudly(self, eng):
+        eng.execute("CREATE TABLE st_l (v int)")
+        eng.execute("INSERT INTO st_l VALUES (1)")
+        eng.execute(
+            "CREATE FUNCTION twice(n int) RETURNS SETOF int AS $$ "
+            "DECLARE i int; BEGIN "
+            "FOR i IN 1 .. n LOOP "
+            "IF true THEN RETURN NEXT i; END IF; "
+            "END LOOP; RETURN; END $$ LANGUAGE plpgsql"
+        )
+        with pytest.raises(NotImplementedError, match="constant"):
+            eng.execute("SELECT * FROM st_l, twice(st_l.v)")

@@ -5,7 +5,9 @@ extracts every ``CREATE [OR REPLACE] FUNCTION ... LANGUAGE plpgsql``
 body and feeds it to ``compile_plpgsql`` — the exact parse/compile
 entry the engine uses.  Each body is classified:
 
-* ok              — parses into a statement tree
+* ok              — parses into a statement tree (the DO-block tier
+                    includes the SETOF mode: RETURN NEXT / RETURN QUERY
+                    accumulate through run_setof)
 * loud-reject     — NotImplementedError / PlPgSQLError naming the gap
 * parse-error     — any other exception (a silent-divergence candidate:
                     the construct should become a loud reject)
@@ -126,7 +128,7 @@ def _classify(body: str, args: list[str], allow_sql: bool):
         if allow_sql:
             # the DO-block / driver-side tier: SQL statements allowed
             toks = _tokenize(_strip_pragmas(body).strip().rstrip(";"))
-            p = _StmtParser(toks, allow_sql=True)
+            p = _StmtParser(toks, allow_sql=True, allow_setof=True)
             p.parse_block()
             if p.pos != len(p.toks):
                 raise NotImplementedError(
