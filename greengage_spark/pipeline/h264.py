@@ -8,15 +8,18 @@ either; this mirrors the repo's clean-room JPEG lane):
   RBSP trailing bits.
 * Headers: SPS / PPS / IDR slice header parse AND write (Baseline:
   CAVLC, frame_mbs_only, 4:2:0).
-* Macroblocks: **I_PCM** (lossless, spec-exact) and **I_16x16** with
-  CAVLC residuals (clause 9.2 tables in h264_tables.py), all four
-  Intra_16x16 luma prediction modes and all four chroma modes on the
-  decode side; the fixture encoder emits DC prediction.
+* Macroblocks: **I_PCM** (lossless, spec-exact), **I_16x16** and
+  **I_NxN (Intra_4x4)** with CAVLC residuals (clause 9.2 tables in
+  h264_tables.py).  Decode supports all four Intra_16x16 modes, all
+  nine Intra_4x4 modes (8.3.1.2 incl. the top-right substitution
+  rule) and all four chroma modes; the fixture encoder emits DC
+  prediction in each macroblock type.
 * Transforms: the 4x4 integer core transform, the 4x4 luma-DC and 2x2
-  chroma-DC Hadamard stages, flat (default) scaling lists.
-* Out of scope, rejected loudly: CABAC, inter slices, I_NxN (I_4x4)
-  macroblocks, interlace (MBAFF/fields), high-profile features
-  (8x8 transform, scaling matrices, >8-bit), multiple slices.
+  chroma-DC Hadamard stages, flat (default) scaling lists; the me(v)
+  coded_block_pattern mapping (Table 9-4 intra column).
+* Out of scope, rejected loudly: CABAC, inter slices, interlace
+  (MBAFF/fields), high-profile features (8x8 transform, scaling
+  matrices, >8-bit), multiple slices.
 
 In-loop deblocking: the fixture encoder signals
 disable_deblocking_filter_idc = 1, so its streams reconstruct exactly.
@@ -757,13 +760,16 @@ def encode_h264_iframe(
     cr: np.ndarray,
     qp: int = 26,
     pcm: bool = False,
+    i4x4: bool = False,
 ) -> bytes:
     """One Baseline IDR frame as an Annex B stream (SPS + PPS + IDR).
 
     ``pcm=True`` emits all-I_PCM macroblocks (lossless for any input);
-    otherwise I_16x16 DC-prediction CAVLC (flat regions reconstruct
-    exactly; textured content is quantized like any codec).  Dimensions
-    must be multiples of 16 (the fixture encoder does not crop)."""
+    ``i4x4=True`` emits I_NxN macroblocks (DC prediction per 4x4
+    block); otherwise I_16x16 DC-prediction CAVLC.  Flat regions
+    reconstruct exactly at low/mid QP; textured content is quantized
+    like any codec.  Dimensions must be multiples of 16 (the fixture
+    encoder does not crop)."""
     h, w = y.shape
     if h % 16 or w % 16:
         raise ValueError("h264 fixture encoder: dimensions must be 16-aligned")
@@ -816,10 +822,16 @@ def encode_h264_iframe(
                 nctx.luma[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
                 nctx.chroma[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
                 continue
-            _encode_mb_i16(
-                sw, y, cb, cr, recon_y, recon_cb, recon_cr,
-                mbx, mby, qp, qpc, nctx,
-            )
+            if i4x4:
+                _encode_mb_i4(
+                    sw, y, cb, cr, recon_y, recon_cb, recon_cr,
+                    mbx, mby, qp, qpc, nctx, w, h,
+                )
+            else:
+                _encode_mb_i16(
+                    sw, y, cb, cr, recon_y, recon_cb, recon_cr,
+                    mbx, mby, qp, qpc, nctx,
+                )
     sw.rbsp_trailing()
     return (
         b"\x00\x00\x00\x01" + nal(7, write_sps(sps))
@@ -997,6 +1009,9 @@ def decode_h264_iframe(
     rcb = np.zeros((h // 2, w // 2), np.uint8)
     rcr = np.zeros((h // 2, w // 2), np.uint8)
     nctx = _NCtx(wmbs, hmbs)
+    # per-4x4 Intra_4x4 prediction modes (8.3.1.1): blocks of non-I4x4
+    # macroblocks and out-of-picture neighbors predict as DC (2)
+    mode4 = np.full((hmbs * 4, wmbs * 4), 2, np.int8)
 
     for mby in range(hmbs):
         for mbx in range(wmbs):
@@ -1014,11 +1029,11 @@ def decode_h264_iframe(
                 nctx.luma[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
                 nctx.chroma[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
                 continue
-            if mb_type == 0:
-                raise NotImplementedError(
-                    "h264: I_NxN (Intra_4x4) macroblocks not supported — "
-                    "I_16x16 and I_PCM only"
+            if mb_type == 0:  # I_NxN = Intra_4x4 (Baseline: no 8x8 tf)
+                qp = _decode_mb_i4(
+                    r, ry, rcb, rcr, mbx, mby, qp, pps, nctx, mode4, w, h
                 )
+                continue
             if mb_type > 25:
                 raise ValueError(f"h264: bad I-slice mb_type {mb_type}")
             pred_mode = (mb_type - 1) % 4
@@ -1099,3 +1114,376 @@ def decode_h264_iframe(
         "qp": qp,
         "deblocking_skipped": deblocking_skipped,
     }
+
+
+# --------------------------------------------------------------------------
+# Intra_4x4 (I_NxN) macroblocks — clause 8.3.1
+# --------------------------------------------------------------------------
+
+I4_MODES = ("V", "H", "DC", "DDL", "DDR", "VR", "HD", "VL", "HU")
+
+
+def _pred4(plane: np.ndarray, gx: int, gy: int, mode: int, avail) -> np.ndarray:
+    """Intra_4x4 prediction (8.3.1.2) for the block at pixel (gx, gy).
+    ``avail(px, py)`` reports whether the reconstructed sample at that
+    position exists in decoding order (6.4.11 neighbor availability);
+    p[x,-1] for x = 4..7 substitutes p[3,-1] when only the top-right is
+    missing — the spec's own extension rule."""
+    p = plane.astype(np.int64)
+    have_top = avail(gx, gy - 1)
+    have_left = avail(gx - 1, gy)
+    have_tl = avail(gx - 1, gy - 1)
+    top = p[gy - 1, gx : gx + 4] if have_top else None
+    left = p[gy : gy + 4, gx - 1] if have_left else None
+    tl = int(p[gy - 1, gx - 1]) if have_tl else 0
+    top8 = None
+    if have_top:
+        ext = [
+            int(p[gy - 1, gx + 4 + k])
+            if avail(gx + 4 + k, gy - 1)
+            else int(top[3])
+            for k in range(4)
+        ]
+        top8 = np.concatenate([top, np.array(ext, np.int64)])
+    out = np.empty((4, 4), np.int64)
+    if mode == 0:  # Vertical
+        if not have_top:
+            raise ValueError("h264: Intra4x4 V without top neighbor")
+        return np.tile(top, (4, 1))
+    if mode == 1:  # Horizontal
+        if not have_left:
+            raise ValueError("h264: Intra4x4 H without left neighbor")
+        return np.tile(left[:, None], (1, 4))
+    if mode == 2:  # DC
+        if have_top and have_left:
+            dc = (int(top.sum()) + int(left.sum()) + 4) >> 3
+        elif have_top:
+            dc = (int(top.sum()) + 2) >> 2
+        elif have_left:
+            dc = (int(left.sum()) + 2) >> 2
+        else:
+            dc = 128
+        return np.full((4, 4), dc, np.int64)
+    if mode == 3:  # Diagonal-Down-Left
+        if not have_top:
+            raise ValueError("h264: Intra4x4 DDL without top neighbor")
+        t = top8
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    out[y, x] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    out[y, x] = (t[x + y] + 2 * t[x + y + 1] + t[x + y + 2] + 2) >> 2
+        return out
+    if mode == 4:  # Diagonal-Down-Right
+        if not (have_top and have_left and have_tl):
+            raise ValueError("h264: Intra4x4 DDR needs left+top+corner")
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    a = tl if x - y - 2 < 0 else int(top[x - y - 2])
+                    b = tl if x - y - 1 < 0 else int(top[x - y - 1])
+                    out[y, x] = (a + 2 * b + int(top[x - y]) + 2) >> 2
+                elif x < y:
+                    a = tl if y - x - 2 < 0 else int(left[y - x - 2])
+                    b = tl if y - x - 1 < 0 else int(left[y - x - 1])
+                    out[y, x] = (a + 2 * b + int(left[y - x]) + 2) >> 2
+                else:
+                    out[y, x] = (int(top[0]) + 2 * tl + int(left[0]) + 2) >> 2
+        return out
+    if mode == 5:  # Vertical-Right
+        if not (have_top and have_left and have_tl):
+            raise ValueError("h264: Intra4x4 VR needs left+top+corner")
+        tt = [tl] + [int(v) for v in top]  # tt[i] = p[i-1, -1]
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    i = x - (y >> 1)
+                    out[y, x] = (tt[i] + tt[i + 1] + 1) >> 1
+                elif z >= 0:
+                    i = x - (y >> 1)
+                    out[y, x] = (tt[i - 1] + 2 * tt[i] + tt[i + 1] + 2) >> 2
+                elif z == -1:
+                    out[y, x] = (int(left[0]) + 2 * tl + int(top[0]) + 2) >> 2
+                else:
+                    out[y, x] = (
+                        int(left[y - 1]) + 2 * int(left[y - 2])
+                        + (tl if y - 3 < 0 else int(left[y - 3])) + 2
+                    ) >> 2
+        return out
+    if mode == 6:  # Horizontal-Down
+        if not (have_top and have_left and have_tl):
+            raise ValueError("h264: Intra4x4 HD needs left+top+corner")
+        ll = [tl] + [int(v) for v in left]  # ll[i] = p[-1, i-1]
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    i = y - (x >> 1)
+                    out[y, x] = (ll[i] + ll[i + 1] + 1) >> 1
+                elif z >= 0:
+                    i = y - (x >> 1)
+                    out[y, x] = (ll[i - 1] + 2 * ll[i] + ll[i + 1] + 2) >> 2
+                elif z == -1:
+                    out[y, x] = (int(top[0]) + 2 * tl + int(left[0]) + 2) >> 2
+                else:
+                    out[y, x] = (
+                        int(top[x - 1]) + 2 * int(top[x - 2])
+                        + (tl if x - 3 < 0 else int(top[x - 3])) + 2
+                    ) >> 2
+        return out
+    if mode == 7:  # Vertical-Left
+        if not have_top:
+            raise ValueError("h264: Intra4x4 VL without top neighbor")
+        t = top8
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    out[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    out[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return out
+    if mode == 8:  # Horizontal-Up
+        if not have_left:
+            raise ValueError("h264: Intra4x4 HU without left neighbor")
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                i = y + (x >> 1)
+                if z > 5:
+                    out[y, x] = int(left[3])
+                elif z == 5:
+                    out[y, x] = (int(left[2]) + 3 * int(left[3]) + 2) >> 2
+                elif z % 2 == 0:
+                    out[y, x] = (int(left[i]) + int(left[i + 1]) + 1) >> 1
+                else:
+                    out[y, x] = (
+                        int(left[i]) + 2 * int(left[i + 1]) + int(left[i + 2]) + 2
+                    ) >> 2
+        return out
+    raise ValueError(f"h264: bad Intra4x4 mode {mode}")
+
+
+def _mb_avail(w: int, h: int, mx: int, my: int, blk_order: int):
+    """Availability predicate for samples seen from the block with
+    in-MB index ``blk_order`` of the MB at (mx, my): everything in
+    earlier MBs (raster order) plus earlier blocks of this MB
+    (6.4.11 + raster MB decoding order, single slice)."""
+
+    def avail(px: int, py: int) -> bool:
+        if px < 0 or py < 0 or px >= w or py >= h:
+            return False
+        if py < my:
+            return True  # previous MB pixel rows fully decoded
+        if py < my + 16 and px < mx:
+            return True  # left MBs in the current MB row
+        if px >= mx + 16 or py >= my + 16:
+            return False  # right/below MBs not yet decoded
+        bx, by = (px - mx) // 4, (py - my) // 4
+        return _BLK_ORDER[(bx, by)] < blk_order
+
+    return avail
+
+
+# blk (x,y in 4x4 units) -> decoding-order index (6.4.3 inverse scan)
+_BLK_ORDER = {}
+for _b in range(16):
+    _x, _y = _blk_xy(_b)
+    _BLK_ORDER[(_x // 4, _y // 4)] = _b
+
+
+def _decode_mb_i4(r, ry, rcb, rcr, mbx, mby, qp, pps, nctx, mode4, w, h):
+    """One I_NxN (Intra_4x4) macroblock: per-block predicted modes
+    (7.3.5.1 prev_intra4x4_pred_mode_flag / rem), me(v) coded_block_
+    pattern via Table 9-4, LumaLevel4x4 16-coeff residuals, shared
+    chroma machinery.  Returns the (possibly delta'd) QP."""
+    from greengage_spark.pipeline.h264_tables import CBP_INTRA
+
+    mx, my = mbx * 16, mby * 16
+    modes = []
+    for blk in range(16):
+        bx, by = _blk_xy(blk)
+        gx4, gy4 = mbx * 4 + bx // 4, mby * 4 + by // 4
+        pa = int(mode4[gy4, gx4 - 1]) if gx4 > 0 else None
+        pb = int(mode4[gy4 - 1, gx4]) if gy4 > 0 else None
+        pred = 2 if (pa is None or pb is None) else min(pa, pb)
+        if r.flag():
+            mode = pred
+        else:
+            rem = r.u(3)
+            mode = rem if rem < pred else rem + 1
+        modes.append(mode)
+        mode4[gy4, gx4] = mode
+    chroma_mode = r.ue()
+    cbp_code = r.ue()
+    if cbp_code >= len(CBP_INTRA):
+        raise ValueError(f"h264: bad coded_block_pattern code {cbp_code}")
+    cbp = CBP_INTRA[cbp_code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp:
+        qp = (qp + r.se()) % 52
+    qpc = chroma_qp(qp, pps.chroma_qp_index_offset)
+    # parse all residuals first (bitstream order), reconstruct after —
+    # intra prediction needs earlier blocks' reconstructed samples
+    lum = {}
+    for blk in range(16):
+        bx, by = _blk_xy(blk)
+        gx4, gy4 = mbx * 4 + bx // 4, mby * 4 + by // 4
+        if cbp_luma & (1 << (blk // 4)):
+            nc = nctx.luma_nc(gx4, gy4)
+            coeffs, total = read_residual_cavlc(r, 16, nc)
+            nctx.luma[gy4, gx4] = total
+            lum[blk] = _unzig(coeffs)
+        else:
+            nctx.luma[gy4, gx4] = 0
+            lum[blk] = None
+    ch_dc = []
+    if cbp_chroma:
+        for comp in range(2):
+            coeffs, _ = read_residual_cavlc(r, 4, -1)
+            ch_dc.append(np.array(coeffs, np.int64).reshape(2, 2))
+    else:
+        ch_dc = [np.zeros((2, 2), np.int64)] * 2
+    ch_ac = [[], []]
+    for comp in range(2):
+        for blk in range(4):
+            gx2, gy2 = mbx * 2 + blk % 2, mby * 2 + blk // 2
+            if cbp_chroma == 2:
+                nc = nctx.chroma_nc(comp, gx2, gy2)
+                coeffs, total = read_residual_cavlc(r, 15, nc)
+                nctx.chroma[comp, gy2, gx2] = total
+                ch_ac[comp].append(_unzig([0] + coeffs))
+            else:
+                nctx.chroma[comp, gy2, gx2] = 0
+                ch_ac[comp].append(np.zeros((4, 4), np.int64))
+    # luma reconstruction in block decoding order
+    for blk in range(16):
+        bx, by = _blk_xy(blk)
+        gx, gy = mx + bx, my + by
+        pred = _pred4(ry, gx, gy, modes[blk], _mb_avail(w, h, mx, my, blk))
+        if lum[blk] is not None:
+            res = (_inv_core(dequant_4x4(lum[blk], qp)) + 32) >> 6
+        else:
+            res = 0
+        ry[gy : gy + 4, gx : gx + 4] = np.clip(pred + res, 0, 255)
+    # chroma reconstruction (shared semantics with I_16x16)
+    for comp, rec in enumerate((rcb, rcr)):
+        cmx, cmy = mx // 2, my // 2
+        cpred = _pred_chroma(rec, cmx, cmy, chroma_mode)
+        cdc_rec = dequant_chroma_dc(_H2 @ ch_dc[comp] @ _H2, qpc)
+        for blk in range(4):
+            bx, by = (blk % 2) * 4, (blk // 2) * 4
+            d = dequant_4x4(ch_ac[comp][blk], qpc)
+            d[0, 0] = cdc_rec[by // 4, bx // 4]
+            res = (_inv_core(d) + 32) >> 6
+            rec[cmy + by : cmy + by + 4, cmx + bx : cmx + bx + 4] = np.clip(
+                cpred[by : by + 4, bx : bx + 4] + res, 0, 255
+            )
+    return qp
+
+
+def _encode_mb_i4(sw, y, cb, cr, ry, rcb, rcr, mbx, mby, qp, qpc, nctx, w, h):
+    """I_NxN with DC prediction per 4x4 block (the fixture encoder's
+    one mode; decode handles all nine).  Mirrors the decoder exactly:
+    each block's prediction reads the running reconstruction."""
+    from greengage_spark.pipeline.h264_tables import CBP_INTRA_INV
+
+    mx, my = mbx * 16, mby * 16
+    # transform/quant per block against the running recon — two passes:
+    # the first computes residuals block-by-block (prediction depends on
+    # earlier blocks' recon, which depends on their quantized residual)
+    lum_q = {}
+    recon_res = {}
+    for blk in range(16):
+        bx, by = _blk_xy(blk)
+        gx, gy = mx + bx, my + by
+        pred = _pred4(ry, gx, gy, 2, _mb_avail(w, h, mx, my, blk))
+        resid = y[gy : gy + 4, gx : gx + 4].astype(np.int64) - pred
+        q = quant_4x4(_fwd_core(resid), qp)
+        lum_q[blk] = q
+        res = (_inv_core(dequant_4x4(q, qp)) + 32) >> 6
+        ry[gy : gy + 4, gx : gx + 4] = np.clip(pred + res, 0, 255)
+    cbp_luma = 0
+    for blk in range(16):
+        if any(_zig(lum_q[blk])):
+            cbp_luma |= 1 << (blk // 4)
+    # blocks inside uncoded 8x8s carry no residual by construction here
+    # (their quantized coeffs are all zero when the bit is unset)
+
+    # chroma: same machinery as the I_16x16 encoder
+    ch_dc_q, ch_ac_q, ch_pred = [], [], []
+    any_dc = any_ac = False
+    for comp, (src, rec) in enumerate(((cb, rcb), (cr, rcr))):
+        cmx, cmy = mx // 2, my // 2
+        cpred = _pred_chroma(rec, cmx, cmy, 0)
+        cres = src[cmy : cmy + 8, cmx : cmx + 8].astype(np.int64) - cpred
+        cdc = np.zeros((2, 2), np.int64)
+        cblocks = {}
+        for blk in range(4):
+            bx, by = (blk % 2) * 4, (blk // 2) * 4
+            c = _fwd_core(cres[by : by + 4, bx : bx + 4])
+            cdc[by // 4, bx // 4] = c[0, 0]
+            cblocks[blk] = c
+        cdc_q = quant_dc(_H2 @ cdc @ _H2, qpc)
+        cac_q = {b: quant_4x4(cblocks[b], qpc) for b in range(4)}
+        if (cdc_q != 0).any():
+            any_dc = True
+        if any(any(_zig(cac_q[b])[1:]) for b in range(4)):
+            any_ac = True
+        ch_dc_q.append(cdc_q)
+        ch_ac_q.append(cac_q)
+        ch_pred.append(cpred)
+    cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+    cbp = cbp_luma | (cbp_chroma << 4)
+
+    sw.ue(0)  # mb_type I_NxN
+    for blk in range(16):
+        # all-DC fixture: predicted mode is always 2 here, so one
+        # prev_intra4x4_pred_mode_flag bit per block
+        sw.flag(1)
+    sw.ue(0)  # intra_chroma_pred_mode DC
+    sw.ue(CBP_INTRA_INV[cbp])
+    if cbp:
+        sw.se(0)  # mb_qp_delta
+    for blk in range(16):
+        bx, by = _blk_xy(blk)
+        gx4, gy4 = mbx * 4 + bx // 4, mby * 4 + by // 4
+        if cbp_luma & (1 << (blk // 4)):
+            nc = nctx.luma_nc(gx4, gy4)
+            total = write_residual_cavlc(sw, _zig(lum_q[blk]), nc)
+            nctx.luma[gy4, gx4] = total
+        else:
+            nctx.luma[gy4, gx4] = 0
+    if cbp_chroma:
+        for comp in range(2):
+            write_residual_cavlc(
+                sw,
+                [int(ch_dc_q[comp][0, 0]), int(ch_dc_q[comp][0, 1]),
+                 int(ch_dc_q[comp][1, 0]), int(ch_dc_q[comp][1, 1])],
+                -1,
+            )
+    for comp, rec in enumerate((rcb, rcr)):
+        cmx, cmy = mx // 2, my // 2
+        cpred = ch_pred[comp]
+        cdc_rec = dequant_chroma_dc(_H2 @ ch_dc_q[comp] @ _H2, qpc) \
+            if cbp_chroma else np.zeros((2, 2), np.int64)
+        for blk in range(4):
+            bx, by = (blk % 2) * 4, (blk // 2) * 4
+            gx2, gy2 = mbx * 2 + blk % 2, mby * 2 + blk // 2
+            if cbp_chroma == 2:
+                nc = nctx.chroma_nc(comp, gx2, gy2)
+                total = write_residual_cavlc(
+                    sw, _zig(ch_ac_q[comp][blk])[1:], nc
+                )
+                nctx.chroma[comp, gy2, gx2] = total
+                d = dequant_4x4(ch_ac_q[comp][blk], qpc)
+            else:
+                nctx.chroma[comp, gy2, gx2] = 0
+                d = np.zeros((4, 4), np.int64)
+            d[0, 0] = cdc_rec[by // 4, bx // 4]
+            res = (_inv_core(d) + 32) >> 6
+            rec[cmy + by : cmy + by + 4, cmx + bx : cmx + bx + 4] = np.clip(
+                cpred[by : by + 4, bx : bx + 4] + res, 0, 255
+            )

@@ -418,6 +418,7 @@ def encode_mp4_h264(
     height: int,
     qp: int = 16,
     pcm: bool = False,
+    i4x4: bool = False,
     frame_delta: int = 40,
     sync_every: int = 3,
 ) -> bytes:
@@ -432,7 +433,9 @@ def encode_mp4_h264(
 
     samples, sps_nal, pps_nal, prof, lvl = [], None, None, 66, 30
     for y, cb, cr in planes:
-        nals = split_annexb(encode_h264_iframe(y, cb, cr, qp=qp, pcm=pcm))
+        nals = split_annexb(
+            encode_h264_iframe(y, cb, cr, qp=qp, pcm=pcm, i4x4=i4x4)
+        )
         for unit in nals:
             ntype = unit[0] & 0x1F
             if ntype == 7:

@@ -780,13 +780,14 @@ def multimodal_jpeg_decode(spark, sf_dir):
                 THEN CAST((g * 31 + 80) % 256 AS DOUBLE) END AS kf1_mean_y,
            CAST(127.5 AS DOUBLE) AS pcm_mean_y,
            CAST(126 AS DOUBLE) AS pcm_mean_cb,
-           CAST(128 AS DOUBLE) AS pcm_mean_cr
+           CAST(128 AS DOUBLE) AS pcm_mean_cr,
+           CAST((g * 53) % 256 AS DOUBLE) AS i4_mean_y
     FROM generate_series(1, 16) t(g) ORDER BY media_id
     """,
     doc="REAL Baseline H.264 I-frame decode inside avc1 MP4s "
         "(pipeline/h264.py — clean-room ITU-T H.264: NAL layer, "
-        "SPS/PPS/slice headers, I_PCM and CAVLC I_16x16 macroblocks, "
-        "the 4x4 integer transforms and intra prediction; clause-9.2 "
+        "SPS/PPS/slice headers, I_PCM, CAVLC I_16x16 and I_NxN (Intra_4x4) macroblocks, "
+        "the 4x4 transforms and nine-mode intra prediction; clause-9.2 "
         "VLC tables pinned against the published worked example). The "
         "query fabricates per-row avc1 files ON THE EXECUTORS: flat "
         "I_16x16 frames at QP 16 (flat blocks reconstruct exactly — "
@@ -833,15 +834,26 @@ def multimodal_h264_keyframe_decode(spark, sf_dir):
                     [(y, cb, cr)], 16, 16, pcm=True, sync_every=1
                 )
                 pcm = decode_mp4_keyframe_features(pcm_blob)[0]
+                # I_NxN (Intra_4x4) lane: flat frames reconstruct exactly
+                v4 = (g * 53) % 256
+                i4_blob = encode_mp4_h264(
+                    [(np.full((16, 16), v4, np.uint8),
+                      np.full((8, 8), v4, np.uint8),
+                      np.full((8, 8), v4, np.uint8))],
+                    16, 16, qp=12, sync_every=1, i4x4=True,
+                )
+                i4 = decode_mp4_keyframe_features(i4_blob)[0]
                 rows.append((
                     g, t["codec_string"], len(feats),
                     feats[0]["mean_y"],
                     feats[1]["mean_y"] if len(feats) > 1 else None,
                     pcm["mean_y"], pcm["mean_cb"], pcm["mean_cr"],
+                    i4["mean_y"],
                 ))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "codec_string", "n_keyframes", "kf0_mean_y",
                 "kf1_mean_y", "pcm_mean_y", "pcm_mean_cb", "pcm_mean_cr",
+                "i4_mean_y",
             ])
 
     return (
@@ -851,7 +863,7 @@ def multimodal_h264_keyframe_decode(spark, sf_dir):
             fabricate_and_decode,
             "media_id long, codec_string string, n_keyframes long, "
             "kf0_mean_y double, kf1_mean_y double, pcm_mean_y double, "
-            "pcm_mean_cb double, pcm_mean_cr double",
+            "pcm_mean_cb double, pcm_mean_cr double, i4_mean_y double",
         )
         .orderBy("media_id")
     )

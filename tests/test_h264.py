@@ -262,8 +262,8 @@ class TestRejects:
         with pytest.raises(NotImplementedError, match="non-IDR"):
             decode_h264_iframe(hacked)
 
-    def test_i4x4_rejects(self):
-        # craft a slice whose first mb_type is 0 (I_NxN)
+    def test_bad_mb_type_rejects(self):
+        # craft a slice whose first mb_type is 26 (out of I-slice range)
         from greengage_spark.pipeline.h264 import nal
 
         sps = SPS(width_mbs=1, height_mbs=1)
@@ -271,10 +271,120 @@ class TestRejects:
         w.ue(0); w.ue(7); w.ue(0)
         w.u(0, sps.log2_max_frame_num)
         w.ue(0); w.flag(0); w.flag(0); w.se(0); w.ue(1)
-        w.ue(0)  # mb_type I_NxN
+        w.ue(26)  # invalid I-slice mb_type
         w.rbsp_trailing()
         stream = (b"\x00\x00\x00\x01" + nal(7, write_sps(sps))
                   + b"\x00\x00\x00\x01" + nal(8, write_pps(PPS()))
                   + b"\x00\x00\x00\x01" + nal(5, w.bytes()))
-        with pytest.raises(NotImplementedError, match="I_NxN"):
+        with pytest.raises(ValueError, match="mb_type"):
             decode_h264_iframe(stream)
+
+
+class TestIntra4x4:
+    """I_NxN macroblocks: nine-mode prediction, Table 9-4 CBP mapping,
+    per-block CAVLC residuals, running in-MB reconstruction order."""
+
+    def test_cbp_intra_is_permutation(self):
+        from greengage_spark.pipeline.h264_tables import (
+            CBP_INTRA,
+            CBP_INTRA_INV,
+        )
+
+        assert sorted(CBP_INTRA) == list(range(48))
+        assert all(CBP_INTRA[CBP_INTRA_INV[v]] == v for v in range(48))
+
+    @pytest.mark.parametrize("qp", [10, 16])
+    @pytest.mark.parametrize("v", [0, 63, 128, 255])
+    def test_flat_exact_low_qp(self, qp, v):
+        y = np.full((32, 48), v, np.uint8)
+        c = np.full((16, 24), v, np.uint8)
+        out = decode_h264_iframe(encode_h264_iframe(y, c, c, qp=qp, i4x4=True))
+        assert (out["y"] == y).all() and (out["cb"] == c).all()
+
+    def test_textured_bounded(self):
+        rng = np.random.default_rng(4)
+        y = (rng.integers(0, 60, (48, 48)) + 90).astype(np.uint8)
+        c = (rng.integers(0, 60, (24, 24)) + 90).astype(np.uint8)
+        out = decode_h264_iframe(encode_h264_iframe(y, c, c, qp=8, i4x4=True))
+        assert np.abs(out["y"].astype(int) - y.astype(int)).max() <= 4
+        assert np.abs(out["cb"].astype(int) - c.astype(int)).max() <= 4
+
+    def test_gradient_multi_mb(self):
+        ys, xs = np.mgrid[0:48, 0:64]
+        y = ((xs * 3 + ys * 2) % 256).astype(np.uint8)
+        c = ((xs[:24, :32] + ys[:24, :32]) % 256).astype(np.uint8)
+        out = decode_h264_iframe(encode_h264_iframe(y, c, c, qp=12, i4x4=True))
+        assert np.abs(out["y"].astype(int) - y.astype(int)).max() <= 4
+
+    # ---- prediction-mode unit behavior -----------------------------------
+    def _plane(self):
+        # 12x12 plane with a decoded border around the 4x4 target at (4,4)
+        p = np.zeros((12, 12), np.uint8)
+        p[3, :] = np.arange(12) * 10 + 5        # top row
+        p[:, 3] = np.arange(12) * 7 + 3         # left col
+        p[3, 3] = 50                            # corner
+        return p
+
+    def _avail_all(self, px, py):
+        return 0 <= px < 12 and 0 <= py < 12 and (py < 4 or px < 4)
+
+    def test_mode_v_h_dc_exact(self):
+        from greengage_spark.pipeline.h264 import _pred4
+
+        p = self._plane()
+        v = _pred4(p, 4, 4, 0, self._avail_all)
+        assert (v == np.tile(p[3, 4:8].astype(int), (4, 1))).all()
+        hh = _pred4(p, 4, 4, 1, self._avail_all)
+        assert (hh == np.tile(p[4:8, 3].astype(int)[:, None], (1, 4))).all()
+        dc = _pred4(p, 4, 4, 2, self._avail_all)
+        expect = (int(p[3, 4:8].astype(int).sum())
+                  + int(p[4:8, 3].astype(int).sum()) + 4) >> 3
+        assert (dc == expect).all()
+
+    def test_ddl_hand_vector(self):
+        from greengage_spark.pipeline.h264 import _pred4
+
+        # constant top row → every 3-tap average is the constant
+        p = np.full((12, 12), 0, np.uint8)
+        p[3, :] = 80
+        avail = lambda px, py: 0 <= px < 12 and py == 3
+        out = _pred4(p, 4, 4, 3, avail)
+        assert (out == 80).all()
+
+    @pytest.mark.parametrize("mode", [3, 4, 5, 6, 7, 8])
+    def test_filter_modes_constant_invariance(self, mode):
+        """Every directional filter is a weighted average with weights
+        summing to a power of two — constant neighbors must predict the
+        constant exactly (catches off-by-one index/rounding errors)."""
+        from greengage_spark.pipeline.h264 import _pred4
+
+        p = np.full((12, 12), 173, np.uint8)
+        out = _pred4(p, 4, 4, mode, self._avail_all)
+        assert (out == 173).all(), mode
+
+    def test_top_right_substitution(self):
+        from greengage_spark.pipeline.h264 import _pred4
+
+        # DDL with top available but top-right not: p[3,-1] replicates
+        p = np.zeros((12, 12), np.uint8)
+        p[3, 4:8] = (10, 20, 30, 40)
+        avail = lambda px, py: py == 3 and 4 <= px < 8
+        out = _pred4(p, 4, 4, 3, avail)
+        # bottom-right sample uses only replicated p[3,-1]=40 → 40
+        assert out[3, 3] == 40
+
+    def test_decode_order_availability(self):
+        from greengage_spark.pipeline.h264 import _mb_avail
+
+        avail = _mb_avail(64, 64, 16, 16, _blk_order_of(5))
+        # block 5 is at (x=4..7, y=4..7) within the MB: block 4 (0..3,4..7)
+        # is decoded (order 4 < 5); block 6 is not
+        assert avail(16 + 3, 16 + 4)       # inside block 4
+        assert not avail(16 + 8, 16 + 4)   # inside block 6 (order 6)
+        assert avail(16 + 8, 16 + 3)       # inside block 1 (order 1)
+        assert avail(15, 16 + 10)          # left MB
+        assert not avail(32, 16)           # right MB not decoded
+
+
+def _blk_order_of(blk):
+    return blk
