@@ -592,6 +592,44 @@ class _ExprParser:
                     _cmp(l(env), b(env), lambda x, y: x <= y),
                 )
             )(left, lo, hi)
+        neg_in = False
+        if self.peek_low() == "not" and (
+            self.pos + 1 < len(self.toks)
+            and _is_ident(self.toks[self.pos + 1])
+            and self.toks[self.pos + 1].lower() == "in"
+        ):
+            self.take()
+            neg_in = True
+        if self.peek_low() == "in":
+            # expr [NOT] IN (e1, e2, ...) — scalar list form (the SQL
+            # semantics: NULL operand → NULL; a NULL member means a
+            # non-match can never be FALSE, only NULL)
+            self.take()
+            self.expect("(")
+            items = [self._additive()]
+            while self.peek() == ",":
+                self.take()
+                items.append(self._additive())
+            self.expect(")")
+
+            def _in(l, es, neg):
+                def run(env):
+                    v = l(env)
+                    if v is None:
+                        return None
+                    vals = [e(env) for e in es]
+                    hit = any(
+                        _cmp(v, x, lambda a, b: a == b) is True for x in vals
+                    )
+                    if hit:
+                        return not neg
+                    if any(x is None for x in vals):
+                        return None
+                    return neg
+
+                return run
+
+            return _in(left, items, neg_in)
         return left
 
     def _additive(self):

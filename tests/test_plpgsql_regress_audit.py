@@ -274,3 +274,20 @@ class TestInterpSetof:
         )
         with pytest.raises(NotImplementedError, match="constant"):
             eng.execute("SELECT * FROM st_l, twice(st_l.v)")
+
+
+class TestInLists:
+    """expr [NOT] IN (list) with SQL NULL semantics (the regress's
+    tg_backlink_set/tg_slotlink_set shape)."""
+
+    def test_in_and_not_in(self):
+        f = _call("begin if $1 in ('PS','HS') then return 'link'; "
+                  "end if; return 'other'; end", "PS", argnames=["t"])
+        assert f == "link"
+        assert _call("begin return 5 not in (1, 2, 3); end") is True
+        assert _call("begin return 2 not in (1, 2, 3); end") is False
+
+    def test_in_null_semantics(self):
+        assert _call("begin return 1 in (1, null); end") is True
+        assert _call("begin return 7 in (1, null); end") is None
+        assert _call("begin return null in (1, 2); end") is None
