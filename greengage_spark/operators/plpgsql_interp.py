@@ -1190,6 +1190,12 @@ class _StmtParser:
                     )
                 which = self.take().lower()
                 if which == "next":
+                    if self.peek_low() == ";":
+                        # bare RETURN NEXT: append the OUT-parameter
+                        # tuple (pl_exec.c exec_stmt_return_next with
+                        # out-param result descriptors)
+                        self.take()
+                        return ("return_next_out",)
                     e = self.expr()
                     self.expect(";")
                     return ("return_next", e)
@@ -1795,6 +1801,16 @@ def _exec_stmt(s, env, label=None):  # noqa: C901 - pl_exec.c dispatch
     elif kind == "return_next":
         # exec_stmt_return_next: append to the function's tuplestore
         env.setdefault("__setof__", []).append(s[1](env))
+    elif kind == "return_next_out":
+        outs = env.get("__out_names__")
+        if not outs:
+            raise PlPgSQLError(
+                "syntax_error",
+                "RETURN NEXT without an expression needs OUT parameters",
+            )
+        env.setdefault("__setof__", []).append(
+            {n: env.get(n) for n in outs}
+        )
     elif kind == "return_query":
         rows, _rc = _run_sql(env, _interpolate(s[1], env))
         env.setdefault("__setof__", []).extend(rows)
@@ -2348,6 +2364,8 @@ def run_setof(
     sql_hook,
     args: list | None = None,
     arg_names: list[str] | None = None,
+    out_names: list[str] | None = None,
+    param_order: list[str] | None = None,
     notices: list | None = None,
 ) -> list:
     """Run a RETURNS SETOF plpgsql body driver-side and return the
@@ -2356,6 +2374,15 @@ def run_setof(
     caller reads it).  Rows are whatever RETURN NEXT appended (scalars
     or record Rows) plus every RETURN QUERY result row, in order."""
     toks = _tokenize(_strip_pragmas(body).strip().rstrip(";"))
+    if param_order:
+        # PG substitutes $n with the n-th declared parameter (IN and
+        # OUT both count); string literals are single tokens, untouched
+        toks = [
+            param_order[int(t[1:]) - 1]
+            if re.fullmatch(r"\$\d+", t) and 0 < int(t[1:]) <= len(param_order)
+            else t
+            for t in toks
+        ]
     p = _StmtParser(toks, allow_sql=True, allow_setof=True)
     block = p.parse_block()
     if p.pos != len(p.toks):
@@ -2364,6 +2391,10 @@ def run_setof(
         )
     env: dict = {"found": False, "__rowcount__": 0, "__sql__": sql_hook,
                  "__setof__": []}
+    if out_names:
+        env["__out_names__"] = [n.lower() for n in out_names]
+        for n in env["__out_names__"]:
+            env[n] = None
     if notices is not None:
         env["__notices__"] = notices
     for i, v in enumerate(args or [], 1):

@@ -97,6 +97,12 @@ class FunctionDef:
     # through the driver-side interpreter (plpgsql_interp.run_setof) at
     # macro-expansion time, materializing rows like PG's tuplestore
     interp_setof: bool = False
+    # OUT/INOUT parameter names: result columns for RETURNS [SETOF]
+    # record functions; bare RETURN NEXT appends their current values
+    out_names: list | None = None
+    # every parameter (IN and OUT) in declaration order — PG numbers
+    # $n across both kinds
+    param_order: list | None = None
 
 
 _CREATE_FN = re.compile(
@@ -128,17 +134,38 @@ def parse_create_function(stmt: str) -> tuple[FunctionDef, bool]:
         raise NotImplementedError("function body required")
     if m.group("quoted") or m.group("quoted2"):
         body = body.replace("''", "'")
-    arg_names, arg_types = [], []
+    arg_names, arg_types, out_names = [], [], []
+    param_order = []  # ALL parameters in declaration order ($n numbering)
     args_raw = m.group(3).strip()
     if args_raw:
-        for k, a in enumerate(args_raw.split(",")):
+        k_in = 0
+        for a in args_raw.split(","):
             parts = a.strip().split()
+            mode = "in"
+            while parts and parts[0].lower() in (
+                "in", "out", "inout", "variadic"
+            ):
+                if parts[0].lower() in ("out", "inout"):
+                    mode = parts[0].lower()
+                parts.pop(0)
+            if mode == "out":
+                # OUT parameters are result columns, not call arguments
+                # (functioncmds.c: they shape the record return type)
+                oname = (parts[0].lower() if len(parts) >= 2
+                         else f"column{len(out_names) + 1}")
+                out_names.append(oname)
+                param_order.append(oname)
+                continue
+            k_in += 1
+            if mode == "inout":
+                out_names.append(parts[0].lower())
             if len(parts) >= 2:
                 arg_names.append(parts[0])
                 arg_types.append(_spark_type(" ".join(parts[1:])))
             else:  # unnamed arg: positional only
-                arg_names.append(f"__a{k + 1}")
+                arg_names.append(f"__a{k_in}")
                 arg_types.append(_spark_type(parts[0]))
+            param_order.append(arg_names[-1].lower())
     lang = m.group(9).lower()
     if lang in ("plpythonu", "plpython3u", "plpython2u"):
         lang = "plpythonu"
@@ -185,6 +212,8 @@ def parse_create_function(stmt: str) -> tuple[FunctionDef, bool]:
             setof=setof,
             dyn_query=dyn_query_val,
             interp_setof=interp_setof_val,
+            out_names=out_names,
+            param_order=param_order,
         ),
         bool(m.group(1)),
     )
@@ -876,27 +905,58 @@ def _run_interp_setof(fd: FunctionDef, args: list[str], engine) -> str:
         return []
 
     notices: list = []
-    rows = run_setof(fd.body, hook, vals, fd.arg_names, notices=notices)
+    rows = run_setof(fd.body, hook, vals, fd.arg_names,
+                     out_names=fd.out_names, param_order=fd.param_order,
+                     notices=notices)
     engine.notices.extend(msg for _lvl, msg in notices)
     leaf = fd.name.rsplit(".", 1)[-1]
-    # single-column query rows unwrap to scalars so RETURN NEXT <expr>
+
+    def _shape(r):
+        if isinstance(r, dict):
+            return tuple(r)
+        return tuple(getattr(r, "__fields__", ()))
+
+    # single-column record rows unwrap to scalars so RETURN NEXT <expr>
     # and RETURN QUERY <1-col select> compose (PG checks the structures
     # against the declared result type; here the declared SETOF element
-    # is scalar whenever any RETURN NEXT appended a scalar)
-    rows = [
-        r[0] if hasattr(r, "__fields__") and len(r.__fields__) == 1 else r
-        for r in rows
-    ]
-    shapes = {tuple(getattr(r, "__fields__", ())) for r in rows}
+    # is scalar whenever any RETURN NEXT appended a scalar) — unless the
+    # function declares OUT columns, whose record shape is the contract
+    if not fd.out_names:
+        rows = [r[0] if len(_shape(r)) == 1 else r for r in rows]
+    else:
+        # OUT parameters define the record contract: RETURN QUERY rows
+        # map to the OUT columns positionally (pl_exec.c coerces the
+        # query's tupdesc to the function's result rowtype)
+        relabeled = []
+        for r in rows:
+            sh = _shape(r)
+            if tuple(fd.out_names) == sh:
+                relabeled.append(r)
+            elif len(sh) == len(fd.out_names):
+                vals = [r[c] for c in sh]
+                relabeled.append(dict(zip(fd.out_names, vals)))
+            elif not sh and len(fd.out_names) == 1:
+                relabeled.append({fd.out_names[0]: r})
+            else:
+                raise ValueError(
+                    f"SETOF plpgsql function {fd.name}: query row has "
+                    f"{len(sh)} column(s), result type expects "
+                    f"{len(fd.out_names)}"
+                )
+        rows = relabeled
+    shapes = {_shape(r) for r in rows}
     if len(shapes) > 1:
         raise ValueError(
             f"SETOF plpgsql function {fd.name}: appended row structures "
             f"do not match ({sorted(shapes)})"
         )
     if not rows:
-        return f"SELECT NULL AS {leaf} WHERE 1 = 0"
-    if hasattr(rows[0], "__fields__"):
-        cols = list(rows[0].__fields__)
+        cols = fd.out_names or [leaf]
+        nulls = ", ".join(f"NULL AS {c}" for c in cols)
+        return f"SELECT {nulls} WHERE 1 = 0"
+    first = _shape(rows[0])
+    if first:
+        cols = list(first)
         values = ", ".join(
             "(" + ", ".join(_sql_literal(r[c]) for c in cols) + ")"
             for r in rows

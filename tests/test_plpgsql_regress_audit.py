@@ -202,7 +202,7 @@ class TestAudit:
             else:
                 silent.append((name, msg))
         assert not silent, silent
-        assert ok >= 115  # round-12 floor; regressions would drop this
+        assert ok >= 125  # round-12 floor; regressions would drop this
 
 
 class TestInterpSetof:
@@ -291,3 +291,45 @@ class TestInLists:
         assert _call("begin return 1 in (1, null); end") is True
         assert _call("begin return 7 in (1, null); end") is None
         assert _call("begin return null in (1, 2); end") is None
+
+
+class TestOutParams:
+    """OUT/INOUT parameters + bare RETURN NEXT (the regress's f1 /
+    ret_query1 / tftest shapes): OUT names become result columns and
+    $n numbering spans IN and OUT parameters."""
+
+    @pytest.fixture()
+    def eng(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        return GreengageEngine(spark, str(tmp_path))
+
+    def test_single_out_scalar(self, eng):
+        eng.execute(
+            "CREATE FUNCTION f1o(IN i int, OUT j int) RETURNS SETOF int "
+            "AS $$ BEGIN j := i + 1; RETURN NEXT; j := i + 2; "
+            "RETURN NEXT; RETURN; END $$ LANGUAGE plpgsql"
+        )
+        rows = eng.execute("SELECT * FROM f1o(10) ORDER BY 1").collect()
+        assert [r.j for r in rows] == [11, 12]
+
+    def test_two_out_record(self, eng):
+        eng.execute(
+            "CREATE FUNCTION tfo(IN a1 int, OUT a int, OUT b int) "
+            "RETURNS SETOF record AS $$ BEGIN "
+            "a := a1; b := a1 + 1; RETURN NEXT; "
+            "a := a1 * 10; b := a1 * 10 + 1; RETURN NEXT; END $$ "
+            "LANGUAGE plpgsql"
+        )
+        rows = eng.execute("SELECT a, b FROM tfo(5) ORDER BY a").collect()
+        assert [(r.a, r.b) for r in rows] == [(5, 6), (50, 51)]
+
+    def test_positional_refs_to_out(self, eng):
+        # ret_query1 shape: $1/$2 assign the OUT params, then RETURN QUERY
+        eng.execute(
+            "CREATE FUNCTION rq1(OUT x int, OUT y int) RETURNS SETOF "
+            "record AS $$ BEGIN $1 := -1; $2 := -2; RETURN NEXT; "
+            "RETURN QUERY SELECT 1, 10; END $$ LANGUAGE plpgsql"
+        )
+        rows = eng.execute("SELECT x, y FROM rq1() ORDER BY x").collect()
+        assert [(r.x, r.y) for r in rows] == [(-1, -2), (1, 10)]
