@@ -203,6 +203,7 @@ class GreengageEngine:
         self.sequences = SequenceManager(warehouse)
         self.functions: dict = {}  # name → FunctionDef (CREATE FUNCTION)
         self._txn: dict | None = None  # BEGIN snapshot (see _begin_txn)
+        self._loaded_modules: set[str] = set()
         from greengage_spark.dialect.gucs import GucManager
 
         self.gucs = GucManager(spark)
@@ -1013,6 +1014,20 @@ class GreengageEngine:
             return self._copy(stmt)
         if head == "explain":
             return self._explain(stmt)
+        if head == "load":
+            # contrib module loading (commands/extension LOAD): modules
+            # whose behavior this engine models activate; others reject
+            m = re.match(r"(?is)^load\s+'([^']+)'\s*$", stmt)
+            if not m:
+                raise NotImplementedError("LOAD 'module'")
+            mod = m.group(1).rsplit("/", 1)[-1]
+            if mod == "auto_explain":
+                self._loaded_modules.add("auto_explain")
+                return None
+            raise NotImplementedError(
+                f"LOAD {mod!r}: only auto_explain is modeled (server-side "
+                "C modules have no Spark analog)"
+            )
         if head == "with" and not re.match(r"(?is)^\s*with\s+recursive\b", stmt):
             wcte = self._try_wcte(stmt)
             if wcte is not _NOT_WCTE:
@@ -1165,7 +1180,9 @@ class GreengageEngine:
                     r"__information_schema_\1",
                     stmt,
                 )
-            return pg_sql(self.spark, self._mark_geo_columns(stmt))
+            df = pg_sql(self.spark, self._mark_geo_columns(stmt))
+            self._auto_explain(df, stmt)
+            return df
         if re.match(r"(?is)^create\s+(constraint\s+)?trigger\b", stmt):
             # trigger.c: row/statement triggers change DML semantics —
             # accepting one silently would hide behavior, so reject
@@ -1652,6 +1669,37 @@ class GreengageEngine:
             )
 
         return _NEXTVAL.sub(_repl, stmt)
+
+    def _auto_explain(self, df: DataFrame, stmt: str) -> None:
+        """contrib/auto_explain (auto_explain.c): when loaded and
+        auto_explain.log_min_duration >= 0, append the query's physical
+        plan to ``notices`` (PG logs it server-side).  Divergence,
+        documented: plans here are LAZY — execution happens when the
+        caller collects — so the threshold acts as an on/off switch and
+        the duration line reads n/a; auto_explain.log_analyze would need
+        eager double execution and rejects loudly when set on."""
+        if "auto_explain" not in self._loaded_modules:
+            return
+        try:
+            thresh = int(
+                self.gucs.values.get("auto_explain.log_min_duration", "-1")
+            )
+        except ValueError:
+            thresh = -1
+        if thresh < 0:
+            return
+        if self.gucs.values.get(
+            "auto_explain.log_analyze", "off"
+        ).lower() in ("on", "true", "1"):
+            raise NotImplementedError(
+                "auto_explain.log_analyze: plans are lazy here; timing "
+                "would require eager double execution"
+            )
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        self.notices.append(
+            "duration: n/a (lazy)  plan:\n"
+            f"Query Text: {stmt.strip()}\n{plan.rstrip()}"
+        )
 
     def _explain(self, stmt: str) -> DataFrame:
         """EXPLAIN [ANALYZE] [VERBOSE] query (commands/explain.c): one

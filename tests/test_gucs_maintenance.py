@@ -334,3 +334,47 @@ class TestPgstattupleVacuumFull:
     def test_unknown_table_errors(self, eng):
         with pytest.raises(ValueError, match="unknown table"):
             eng.execute("SELECT * FROM pgstattuple('nope')")
+
+
+class TestAutoExplain:
+    """contrib/auto_explain (auto_explain.c): LOAD + threshold GUC →
+    plans appended to notices; log_analyze rejects loudly (plans are
+    lazy here — no double execution)."""
+
+    def test_load_and_log(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path))
+        eng.execute("CREATE TABLE ae_t (v int)")
+        eng.execute("INSERT INTO ae_t VALUES (1), (2)")
+        eng.execute("SELECT * FROM ae_t")          # not loaded: no log
+        assert not any("plan:" in n for n in eng.notices)
+        eng.execute("LOAD 'auto_explain'")
+        eng.execute("SELECT * FROM ae_t")          # threshold default -1
+        assert not any("plan:" in n for n in eng.notices)
+        eng.execute("SET auto_explain.log_min_duration = 0")
+        eng.execute("SELECT v FROM ae_t WHERE v > 1").collect()
+        logged = [n for n in eng.notices if "plan:" in n]
+        assert logged and "Query Text: SELECT v FROM ae_t" in logged[0]
+
+    def test_log_analyze_rejects(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path))
+        eng.execute("CREATE TABLE ae_u (v int)")
+        eng.execute("LOAD 'auto_explain'")
+        eng.execute("SET auto_explain.log_min_duration = 0")
+        eng.execute("SET auto_explain.log_analyze = on")
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="log_analyze"):
+            eng.execute("SELECT * FROM ae_u")
+
+    def test_unknown_module_rejects(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path))
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="pg_prewarm"):
+            eng.execute("LOAD 'pg_prewarm'")
