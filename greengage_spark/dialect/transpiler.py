@@ -6290,6 +6290,18 @@ _INLINE_FN_TEMPLATES: dict[tuple[str, int], str] = {
     ("subarray", 3): "slice({0}, {1}, {2})",
     # single-role session: every oid maps to the session user (acl.c)
     ("pg_get_userbyid", 1): "current_user()",
+    # ---- contrib/sslinfo (sslinfo.c): this session is not a libpq TLS
+    # connection, so the truthful answers are false/NULL (the same
+    # values PG returns on a non-SSL connection)
+    ("ssl_is_used", 0): "FALSE",
+    ("ssl_version", 0): "CAST(NULL AS STRING)",
+    ("ssl_cipher", 0): "CAST(NULL AS STRING)",
+    ("ssl_client_cert_present", 0): "FALSE",
+    ("ssl_client_serial", 0): "CAST(NULL AS DECIMAL(38,0))",
+    ("ssl_client_dn", 0): "CAST(NULL AS STRING)",
+    ("ssl_issuer_dn", 0): "CAST(NULL AS STRING)",
+    ("ssl_client_dn_field", 1): "CAST(NULL AS STRING)",
+    ("ssl_issuer_field", 1): "CAST(NULL AS STRING)",
     # ---- json.c json_object: text[] pairs / (keys, values) → json ----
     ("json_object", 1): (
         "to_json(map_from_arrays("

@@ -378,3 +378,34 @@ class TestAutoExplain:
 
         with _pytest.raises(NotImplementedError, match="pg_prewarm"):
             eng.execute("LOAD 'pg_prewarm'")
+
+
+class TestSslinfoPrewarm:
+    def test_sslinfo_truthful_constants(self, spark):
+        from greengage_spark.dialect.transpiler import pg_sql
+
+        r = pg_sql(
+            spark,
+            "SELECT ssl_is_used() AS u, ssl_client_cert_present() AS p, "
+            "ssl_version() AS v, ssl_client_dn_field('commonName') AS f",
+        ).collect()[0]
+        assert (r.u, r.p, r.v, r.f) == (False, False, None, None)
+
+    def test_pg_prewarm_caches(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path))
+        eng.execute("CREATE TABLE pw_t (v int)")
+        eng.execute("INSERT INTO pw_t VALUES (1), (2), (3)")
+        n = eng.execute("SELECT pg_prewarm('pw_t')").collect()[0][0]
+        assert n >= 1
+        n2 = eng.execute("SELECT pg_prewarm('pw_t', 'read')").collect()[0][0]
+        assert n2 >= 1
+
+    def test_pg_prewarm_unknown_relation(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+        import pytest as _pytest
+
+        eng = GreengageEngine(spark, str(tmp_path))
+        with _pytest.raises(Exception, match="nope"):
+            eng.execute("SELECT pg_prewarm('nope')")
