@@ -1,0 +1,339 @@
+"""Greenplum MapReduce (gpcontrib/gpmapreduce) — YAML job specs on Spark.
+
+Reference: gpcontrib/gpmapreduce — the reference ships a client tool
+that turns a YAML document (VERSION / DEFINE / EXECUTE, documented in
+the public Greenplum MapReduce specification) into SQL over the
+cluster.  Demo specs: gpcontrib/gpmapreduce/demo/*.yml; the regress
+battery's shapes live in gpcontrib/gpmapreduce/yml_in/*.source.
+
+Spark mapping — each spec element becomes a DataFrame stage:
+
+* ``INPUT``  TABLE/QUERY → engine table / dialect query; FILE →
+  ``spark.read`` over the path part (the ``host:`` prefix of the
+  reference's per-segment file URIs is dropped — locality is the
+  scheduler's job here), with declared COLUMNS or the documented
+  default ``value text``.
+* ``MAP``    LANGUAGE python: the FUNCTION body is a generator that
+  yields one list/dict per output row (the reference's plpythonu
+  contract).  It compiles ONCE per executor and streams Arrow batches
+  through ``mapInPandas`` — rows never pass through the driver.
+* ``REDUCE`` built-ins IDENTITY/SUM/AVG/COUNT/MIN/MAX become native
+  groupBy aggregates (JVM hash aggregation, 2-stage); custom REDUCEs
+  (INITIALIZE / TRANSITION [/ CONSOLIDATE / FINALIZE], python) fold
+  per key group via ``applyInPandas`` — CONSOLIDATE is what Spark's
+  partial aggregation would call, but a black-box python transition
+  cannot be split safely, so the fold runs post-shuffle per key
+  (documented; built-ins are the scale path).
+* ``OUTPUT`` TABLE → an engine table (REPLACE/APPEND); FILE → CSV;
+  no TARGET → the result DataFrame returns to the caller (STDOUT).
+
+Perl MAP/TRANSITION functions reject loudly pointing at the PL/Perl
+coprocess lane (operators/plforeign) — wiring row-at-a-time perl into
+a mapreduce hot path would hide a 100× slowdown.
+"""
+
+from __future__ import annotations
+
+import re
+import textwrap
+
+from pyspark.sql import DataFrame, functions as F
+
+_BUILTIN_REDUCES = {"IDENTITY", "SUM", "AVG", "COUNT", "MIN", "MAX"}
+
+_TYPE_MAP = {
+    "text": "string", "varchar": "string", "char": "string",
+    "integer": "int", "int": "int", "int4": "int", "int8": "bigint",
+    "bigint": "bigint", "smallint": "smallint", "float": "double",
+    "float8": "double", "double": "double", "real": "float",
+    "numeric": "decimal(38,6)", "boolean": "boolean", "date": "date",
+    "timestamp": "timestamp", "point": "string",
+}
+
+
+def _col_decl(entry) -> tuple[str, str]:
+    """'name type' (string or 1-key dict) → (name, spark type)."""
+    if isinstance(entry, dict):
+        (name, typ), = entry.items()
+        parts = [name, str(typ)]
+    else:
+        parts = str(entry).split(None, 1)
+    name = parts[0].strip()
+    typ = (parts[1] if len(parts) > 1 else "text").strip().lower()
+    return name, _TYPE_MAP.get(typ.split("(")[0], "string")
+
+
+def _columns(spec, default) -> list[tuple[str, str]]:
+    cols = spec if spec else default
+    return [_col_decl(c) for c in cols]
+
+
+def _compile_py(name: str, params: list[str], body: str):
+    """Compile a python MAP/TRANSITION body the way the reference's
+    plpythonu wrapper does: parameters become locals, the body may
+    yield (generator) or return."""
+    src = f"def {name}({', '.join(params)}):\n" + textwrap.indent(
+        textwrap.dedent(body).rstrip() or "pass", "    "
+    )
+    scope: dict = {}
+    exec(src, scope)  # noqa: S102 — the YAML spec IS user code by contract
+    return scope[name]
+
+
+class MapReduceSpec:
+    """Parsed YAML job: inputs/maps/reduces/outputs by name + runs."""
+
+    def __init__(self, doc: dict):
+        self.inputs: dict = {}
+        self.maps: dict = {}
+        self.transitions: dict = {}
+        self.reduces: dict = {}
+        self.outputs: dict = {}
+        self.runs: list = []
+        for item in doc.get("DEFINE", []) or []:
+            (kind, spec), = item.items()
+            name = spec.get("NAME")
+            if kind == "INPUT":
+                self.inputs[name] = spec
+            elif kind == "MAP":
+                self.maps[name] = spec
+            elif kind in ("TRANSITION", "CONSOLIDATE", "FINALIZE"):
+                self.transitions[name] = spec
+            elif kind == "REDUCE":
+                self.reduces[name] = spec
+            elif kind == "OUTPUT":
+                self.outputs[name] = spec
+            else:
+                raise NotImplementedError(f"gpmapreduce: DEFINE {kind}")
+        for item in doc.get("EXECUTE", []) or []:
+            (kind, spec), = item.items()
+            if kind != "RUN":
+                raise NotImplementedError(f"gpmapreduce: EXECUTE {kind}")
+            self.runs.append(spec)
+
+
+def _lang_of(spec) -> str:
+    return str(spec.get("LANGUAGE", "python")).lower()
+
+
+def _require_python(spec, what: str) -> None:
+    lang = _lang_of(spec)
+    if lang.rstrip("u") in ("python", "plpythonu", "plpython"):
+        return
+    if lang.rstrip("u") in ("perl", "plperl"):
+        raise NotImplementedError(
+            f"gpmapreduce: LANGUAGE perl {what} — perl runs row-at-a-time "
+            "through a coprocess here (operators/plforeign); rewrite the "
+            "function in python for the Arrow-batched lane"
+        )
+    raise NotImplementedError(f"gpmapreduce: LANGUAGE {lang} {what}")
+
+
+def run_mapreduce(engine, yaml_text: str) -> DataFrame | None:
+    """Execute a Greenplum MapReduce YAML document; returns the last
+    RUN's result DataFrame when it has no OUTPUT TARGET (= STDOUT)."""
+    import yaml
+
+    doc = yaml.safe_load(yaml_text)
+    if not isinstance(doc, dict):
+        raise ValueError("gpmapreduce: spec must be a YAML mapping")
+    spec = MapReduceSpec(doc)
+    result = None
+    for run in spec.runs:
+        result = _run_one(engine, spec, run)
+    return result
+
+
+def _run_one(engine, spec: MapReduceSpec, run: dict) -> DataFrame | None:
+    df = _load_input(engine, spec, run.get("SOURCE"))
+    if run.get("MAP"):
+        df = _apply_map(engine, spec, df, run["MAP"])
+    if run.get("REDUCE"):
+        df = _apply_reduce(engine, spec, df, run["REDUCE"])
+    target = run.get("TARGET")
+    if target:
+        return _write_output(engine, spec, df, target)
+    return df
+
+
+def _load_input(engine, spec: MapReduceSpec, name: str) -> DataFrame:
+    src = spec.inputs.get(name)
+    if src is None:
+        # SOURCE may name an engine table directly (the tool allows it)
+        return engine.execute(f"SELECT * FROM {name}")
+    if src.get("TABLE"):
+        return engine.execute(f"SELECT * FROM {src['TABLE']}")
+    if src.get("QUERY"):
+        return engine.execute(src["QUERY"])
+    if src.get("FILE"):
+        files = src["FILE"]
+        if isinstance(files, str):
+            files = [files]
+        paths = [str(f).split(":", 1)[-1] for f in files]
+        cols = _columns(src.get("COLUMNS"), ["value text"])
+        schema = ", ".join(f"{n} {t}" for n, t in cols)
+        delim = src.get("DELIMITER") or "\t"
+        if len(cols) == 1:
+            return engine.spark.read.schema(schema).text(paths).toDF(cols[0][0])
+        return engine.spark.read.schema(schema).option("sep", delim).csv(paths)
+    if src.get("EXEC"):
+        raise NotImplementedError(
+            "gpmapreduce: INPUT EXEC runs shell commands; use the "
+            "EXECUTE-protocol external tables (gated) instead"
+        )
+    raise NotImplementedError(f"gpmapreduce: INPUT {sorted(src)} form")
+
+
+def _apply_map(engine, spec: MapReduceSpec, df: DataFrame, name: str) -> DataFrame:
+    mp = spec.maps.get(name)
+    if mp is None:
+        raise ValueError(f"gpmapreduce: MAP {name!r} not defined")
+    _require_python(mp, "MAP functions")
+    params = [_col_decl(c)[0] for c in (
+        mp.get("PARAMETERS") if isinstance(mp.get("PARAMETERS"), list)
+        else [mp["PARAMETERS"]] if mp.get("PARAMETERS")
+        else ["key text", "value text"]
+    )]
+    rets = _columns(mp.get("RETURNS"), ["key text", "value text"])
+    ret_names = [n for n, _ in rets]
+    out_schema = ", ".join(f"{n} {t}" for n, t in rets)
+    body = mp["FUNCTION"]
+    missing = [p for p in params if p not in df.columns]
+    if missing:
+        raise ValueError(
+            f"gpmapreduce: MAP {name!r} parameters {missing} not in "
+            f"source columns {df.columns}"
+        )
+
+    def run(batches):
+        import pandas as pd
+
+        fn = _compile_py("_gg_map", params, body)
+        for pdf in batches:
+            rows = []
+            for tup in pdf[params].itertuples(index=False):
+                out = fn(*tup)
+                for r in out if out is not None else ():
+                    if isinstance(r, dict):
+                        rows.append([r.get(c) for c in ret_names])
+                    else:
+                        rows.append(list(r))
+            yield pd.DataFrame(rows, columns=ret_names)
+
+    return df.select(*params).mapInPandas(run, out_schema)
+
+
+def _apply_reduce(engine, spec: MapReduceSpec, df: DataFrame, name: str) -> DataFrame:
+    upper = str(name).upper()
+    if upper in _BUILTIN_REDUCES:
+        if upper == "IDENTITY":
+            return df
+        if "value" not in df.columns:
+            raise ValueError(
+                "gpmapreduce: built-in REDUCE needs a 'value' column"
+            )
+        keys = [c for c in df.columns if c != "value"]
+        agg = {
+            "SUM": F.sum, "AVG": F.avg, "COUNT": F.count,
+            "MIN": F.min, "MAX": F.max,
+        }[upper]("value").alias("value")
+        return df.groupBy(*keys).agg(agg)
+    rd = spec.reduces.get(name)
+    if rd is None:
+        raise ValueError(f"gpmapreduce: REDUCE {name!r} not defined")
+    trans = spec.transitions.get(rd.get("TRANSITION"))
+    if trans is None:
+        raise ValueError(
+            f"gpmapreduce: TRANSITION {rd.get('TRANSITION')!r} not defined"
+        )
+    _require_python(trans, "TRANSITION functions")
+    fin = spec.transitions.get(rd.get("FINALIZE")) if rd.get("FINALIZE") else None
+    if fin is not None:
+        _require_python(fin, "FINALIZE functions")
+    tparams = [_col_decl(c)[0] for c in (
+        trans.get("PARAMETERS") if isinstance(trans.get("PARAMETERS"), list)
+        else [trans["PARAMETERS"]]
+    )]
+    if len(tparams) < 2:
+        raise ValueError("gpmapreduce: TRANSITION takes (state, value...)")
+    value_cols = tparams[1:]
+    keys = rd.get("KEYS")
+    keys = ([_col_decl(k)[0] for k in keys] if keys
+            else [c for c in df.columns if c not in value_cols])
+    init = rd.get("INITIALIZE")
+    tbody = trans["FUNCTION"]
+    fbody = fin["FUNCTION"] if fin is not None else None
+    fparams = (
+        [_col_decl(c)[0] for c in (
+            fin.get("PARAMETERS") if isinstance(fin.get("PARAMETERS"), list)
+            else [fin["PARAMETERS"]]
+        )] if fin is not None else None
+    )
+    # result type: the TRANSITION's RETURNS (or FINALIZE's), default value text
+    out_decl = (fin or trans).get("RETURNS")
+    out_cols = _columns(
+        out_decl if isinstance(out_decl, list) else
+        [out_decl] if out_decl else None,
+        ["value text"],
+    )
+    vname, vtype = out_cols[0]
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name in keys
+    )
+    out_schema = key_schema + (", " if key_schema else "") + f"{vname} {vtype}"
+
+    def fold(pdf):
+        import pandas as pd
+
+        tfn = _compile_py("_gg_trans", tparams, tbody)
+        ffn = _compile_py("_gg_final", fparams, fbody) if fbody else None
+        state = _parse_init(init)
+        for tup in pdf[value_cols].itertuples(index=False):
+            state = tfn(state, *tup)
+        if ffn is not None:
+            state = ffn(state)
+        head = [pdf[k].iloc[0] for k in keys]
+        return pd.DataFrame([head + [state]], columns=keys + [vname])
+
+    return df.groupBy(*keys).applyInPandas(fold, out_schema)
+
+
+def _parse_init(init):
+    if init is None:
+        return None
+    s = str(init).strip().strip("'")
+    if re.fullmatch(r"-?\d+", s):
+        return int(s)
+    if re.fullmatch(r"-?\d*\.\d+", s):
+        return float(s)
+    return s
+
+
+def _write_output(engine, spec: MapReduceSpec, df: DataFrame, target: str):
+    out = spec.outputs.get(target)
+    if out is None:
+        raise ValueError(f"gpmapreduce: OUTPUT {target!r} not defined")
+    mode = str(out.get("MODE", "REPLACE")).upper()
+    if out.get("TABLE"):
+        name = out["TABLE"]
+        if mode == "REPLACE" or name not in engine.ddl.tables:
+            df.createOrReplaceTempView(f"__ggmr_{name}")
+            if name in engine.ddl.tables:
+                engine.execute(f"DROP TABLE {name}")
+            engine.execute(
+                f"CREATE TABLE {name} AS SELECT * FROM __ggmr_{name}"
+            )
+        else:
+            df.createOrReplaceTempView(f"__ggmr_{name}")
+            engine.execute(
+                f"INSERT INTO {name} SELECT * FROM __ggmr_{name}"
+            )
+        return None
+    if out.get("FILE"):
+        path = str(out["FILE"]).split(":", 1)[-1]
+        df.write.mode(
+            "overwrite" if mode == "REPLACE" else "append"
+        ).option("sep", str(out.get("DELIMITER") or "\t")).csv(path)
+        return None
+    raise NotImplementedError(f"gpmapreduce: OUTPUT {sorted(out)} form")

@@ -2167,3 +2167,62 @@ def script_copy_stdin(spark, sf_dir):
         "\\.\n"
     )
     return eng.execute("SELECT id, dname, headcount FROM depts ORDER BY id")
+
+
+@suite.add(
+    "gpmapreduce_wordcount",
+    oracle=r"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS key
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT key, CAST(COUNT(*) AS BIGINT) AS value
+    FROM words GROUP BY key HAVING COUNT(*) >= 5 ORDER BY key
+    """,
+    doc="Greenplum MapReduce YAML jobs (gpcontrib/gpmapreduce; demo/"
+        "2_wordcount.yml shape): VERSION/DEFINE/EXECUTE specs run as "
+        "DataFrame stages — INPUT QUERY through the engine, the python "
+        "MAP generator compiled once per executor and streamed through "
+        "mapInPandas (rows never visit the driver), built-in REDUCE SUM "
+        "as a native 2-stage groupBy aggregate. The oracle re-derives "
+        "the wordcount with DuckDB list functions over the same "
+        "whitespace tokenization.",
+    tags=("engine", "pipeline", "udf"),
+)
+def gpmapreduce_wordcount(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+    from greengage_spark.operators.gpmapreduce import run_mapreduce
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_mr_"))
+    cat(spark, sf_dir).table("documents").filter(
+        F.col("doc_id") < 200
+    ).select("text").createOrReplaceTempView("mr_documents")
+    spec = """
+VERSION: 1.0.0.1
+DEFINE:
+  - INPUT:
+      NAME: docs_in
+      QUERY: SELECT text FROM mr_documents
+  - MAP:
+      NAME: wordsplit
+      LANGUAGE: python
+      PARAMETERS: text text
+      RETURNS:
+        - key text
+        - value integer
+      FUNCTION: |
+        for word in text.split():
+          yield [word, 1]
+EXECUTE:
+  - RUN:
+      SOURCE: docs_in
+      MAP: wordsplit
+      REDUCE: SUM
+"""
+    df = run_mapreduce(eng, spec)  # REDUCE SUM already aggregated
+    return (
+        df.select("key", F.col("value").cast("long").alias("value"))
+        .filter(F.col("value") >= 5)
+        .orderBy("key")
+    )

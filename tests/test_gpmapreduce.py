@@ -1,0 +1,202 @@
+"""Greenplum MapReduce YAML jobs (operators/gpmapreduce.py).
+
+Reference: gpcontrib/gpmapreduce demo/regress specs — INPUT TABLE/
+QUERY/FILE, python MAP generators, built-in and custom REDUCEs
+(INITIALIZE/TRANSITION/FINALIZE), OUTPUT TABLE/FILE, EXECUTE RUN.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from greengage_spark.operators.gpmapreduce import run_mapreduce
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    from greengage_spark.engine import GreengageEngine
+
+    e = GreengageEngine(spark, str(tmp_path))
+    e.execute("CREATE TABLE mr_docs (doc text)")
+    e.execute(
+        "INSERT INTO mr_docs VALUES ('the quick fox'), "
+        "('the lazy dog the end')"
+    )
+    return e
+
+
+WORDSPLIT = """
+DEFINE:
+  - INPUT:
+      NAME: docs_in
+      QUERY: SELECT doc FROM mr_docs
+  - MAP:
+      NAME: wordsplit
+      LANGUAGE: python
+      PARAMETERS: doc text
+      RETURNS:
+        - key text
+        - value integer
+      FUNCTION: |
+        for word in doc.split():
+          yield [word, 1]
+EXECUTE:
+  - RUN:
+      SOURCE: docs_in
+      MAP: wordsplit
+      REDUCE: {reduce}
+"""
+
+
+class TestMapReduce:
+    def test_wordcount_builtin_sum(self, eng):
+        df = run_mapreduce(eng, WORDSPLIT.format(reduce="SUM"))
+        out = sorted((r.key, r.value) for r in df.collect())
+        assert ("the", 3) in out and ("fox", 1) in out
+        assert len(out) == 6
+
+    def test_identity_reduce(self, eng):
+        df = run_mapreduce(eng, WORDSPLIT.format(reduce="IDENTITY"))
+        assert df.count() == 8  # one row per word occurrence
+
+    def test_custom_reduce_with_finalize(self, eng):
+        spec = """
+DEFINE:
+  - INPUT:
+      NAME: src
+      TABLE: mr_docs
+  - MAP:
+      NAME: wordsplit
+      PARAMETERS: doc text
+      RETURNS: [key text, value integer]
+      FUNCTION: |
+        for word in doc.split():
+          yield [word, 1]
+  - TRANSITION:
+      NAME: myadd
+      PARAMETERS: [state integer, value integer]
+      RETURNS: value integer
+      FUNCTION: |
+        return state + value
+  - FINALIZE:
+      NAME: myfmt
+      PARAMETERS: state integer
+      RETURNS: value text
+      FUNCTION: |
+        return 'n=' + str(state)
+  - REDUCE:
+      NAME: mysum
+      INITIALIZE: '0'
+      TRANSITION: myadd
+      FINALIZE: myfmt
+EXECUTE:
+  - RUN:
+      SOURCE: src
+      MAP: wordsplit
+      REDUCE: mysum
+"""
+        df = run_mapreduce(eng, spec)
+        out = dict((r.key, r.value) for r in df.collect())
+        assert out["the"] == "n=3" and out["dog"] == "n=1"
+
+    def test_file_input_and_table_output(self, eng, tmp_path):
+        p = tmp_path / "log.txt"
+        p.write_text("alpha\nbeta\nalpha\n")
+        spec = f"""
+DEFINE:
+  - INPUT:
+      NAME: logs
+      FILE: host1:{p}
+  - MAP:
+      NAME: ident
+      PARAMETERS: value text
+      RETURNS: [key text, value integer]
+      FUNCTION: |
+        yield [value, 1]
+  - OUTPUT:
+      NAME: out_t
+      TABLE: mr_counts
+EXECUTE:
+  - RUN:
+      SOURCE: logs
+      MAP: ident
+      REDUCE: SUM
+      TARGET: out_t
+"""
+        run_mapreduce(eng, spec)
+        rows = dict(
+            (r.key, r.value)
+            for r in eng.execute("SELECT key, value FROM mr_counts").collect()
+        )
+        assert rows == {"alpha": 2, "beta": 1}
+
+    def test_map_dict_rows_and_keys_override(self, eng):
+        spec = """
+DEFINE:
+  - INPUT:
+      NAME: src
+      TABLE: mr_docs
+  - MAP:
+      NAME: lens
+      PARAMETERS: doc text
+      RETURNS: [bucket text, word text, value integer]
+      FUNCTION: |
+        for w in doc.split():
+          yield {'bucket': 'long' if len(w) > 3 else 'short',
+                 'word': w, 'value': len(w)}
+  - TRANSITION:
+      NAME: tmax
+      PARAMETERS: [state integer, value integer]
+      RETURNS: value integer
+      FUNCTION: |
+        return value if state is None or value > state else state
+  - REDUCE:
+      NAME: maxlen
+      TRANSITION: tmax
+      KEYS: [bucket text]
+EXECUTE:
+  - RUN:
+      SOURCE: src
+      MAP: lens
+      REDUCE: maxlen
+"""
+        df = run_mapreduce(eng, spec)
+        out = dict((r.bucket, r.value) for r in df.collect())
+        assert out["long"] == 5  # 'quick' = 5
+        assert out["short"] == 3
+
+    def test_perl_rejects_loudly(self, eng):
+        spec = """
+DEFINE:
+  - INPUT:
+      NAME: src
+      TABLE: mr_docs
+  - MAP:
+      NAME: grep_map
+      LANGUAGE: perl
+      FUNCTION: |
+        return [];
+EXECUTE:
+  - RUN:
+      SOURCE: src
+      MAP: grep_map
+      REDUCE: IDENTITY
+"""
+        with pytest.raises(NotImplementedError, match="perl"):
+            run_mapreduce(eng, spec)
+
+    def test_unknown_map_errors(self, eng):
+        spec = """
+DEFINE:
+  - INPUT:
+      NAME: src
+      TABLE: mr_docs
+EXECUTE:
+  - RUN:
+      SOURCE: src
+      MAP: nope
+"""
+        with pytest.raises(ValueError, match="nope"):
+            run_mapreduce(eng, spec)
