@@ -200,3 +200,49 @@ EXECUTE:
 """
         with pytest.raises(ValueError, match="nope"):
             run_mapreduce(eng, spec)
+
+
+class TestMultiRun:
+    """Chained RUNs through OUTPUT TABLEs — the yml_in pagerank shape
+    (init run writes a table, later runs read it back)."""
+
+    def test_two_stage_pipeline(self, eng):
+        spec = """
+DEFINE:
+  - INPUT:
+      NAME: src
+      TABLE: mr_docs
+  - MAP:
+      NAME: wordsplit
+      PARAMETERS: doc text
+      RETURNS: [key text, value integer]
+      FUNCTION: |
+        for word in doc.split():
+          yield [word, 1]
+  - OUTPUT:
+      NAME: stage1
+      TABLE: mr_stage1
+  - INPUT:
+      NAME: counted
+      QUERY: SELECT key, value FROM mr_stage1
+  - MAP:
+      NAME: bucketize
+      PARAMETERS: [key text, value integer]
+      RETURNS: [key text, value integer]
+      FUNCTION: |
+        yield ['rare' if value == 1 else 'common', 1]
+EXECUTE:
+  - RUN:
+      SOURCE: src
+      MAP: wordsplit
+      REDUCE: SUM
+      TARGET: stage1
+  - RUN:
+      SOURCE: counted
+      MAP: bucketize
+      REDUCE: SUM
+"""
+        df = run_mapreduce(eng, spec)
+        out = dict((r.key, r.value) for r in df.collect())
+        # 6 distinct words: 'the' (3x) is common, the other 5 are rare
+        assert out == {"rare": 5, "common": 1}
