@@ -388,3 +388,39 @@ class TestIntra4x4:
 
 def _blk_order_of(blk):
     return blk
+
+
+class TestRobustness:
+    """Foreign/corrupt bitstreams must fail loudly and boundedly —
+    never hang, never fabricate pixels."""
+
+    def test_random_bytes_raise_cleanly(self):
+        rng = np.random.default_rng(99)
+        for trial in range(50):
+            junk = bytes(rng.integers(0, 256, int(rng.integers(8, 400))).astype("uint8"))
+            stream = b"\x00\x00\x00\x01" + junk
+            with pytest.raises((ValueError, NotImplementedError, IndexError)):
+                decode_h264_iframe(stream)
+
+    def test_truncated_valid_stream_raises(self):
+        y = np.full((16, 16), 50, np.uint8)
+        c = np.full((8, 8), 50, np.uint8)
+        stream = encode_h264_iframe(y, c, c, qp=16)
+        for cut in (len(stream) // 2, len(stream) - 5):
+            with pytest.raises((ValueError, IndexError, NotImplementedError)):
+                decode_h264_iframe(stream[:cut])
+
+    def test_bitflips_never_hang(self):
+        rng = np.random.default_rng(5)
+        y = (rng.integers(0, 200, (32, 32)) + 20).astype(np.uint8)
+        c = (rng.integers(0, 200, (16, 16)) + 20).astype(np.uint8)
+        stream = bytearray(encode_h264_iframe(y, c, c, qp=12))
+        hdr = len(stream) - 60
+        for trial in range(60):
+            mut = bytearray(stream)
+            pos = int(rng.integers(hdr, len(stream)))
+            mut[pos] ^= 1 << int(rng.integers(0, 8))
+            try:
+                decode_h264_iframe(bytes(mut))
+            except (ValueError, NotImplementedError, IndexError, KeyError):
+                pass  # loud failure is acceptable; silence/hang is not
