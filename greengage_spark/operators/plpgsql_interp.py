@@ -157,11 +157,29 @@ _TOKEN_RE = re.compile(
 )
 
 
+_DOLLAR_TAG_RE = re.compile(r"\$([A-Za-z_][\w]*)?\$")
+
+
 def _tokenize(src: str) -> list[str]:
     src = re.sub(r"/\*.*?\*/", " ", src, flags=re.DOTALL)
     toks: list[str] = []
     pos = 0
     while pos < len(src):
+        dm = _DOLLAR_TAG_RE.match(src, pos)
+        if dm and not re.match(r"\$\d", src[pos:]):
+            # $tag$ ... $tag$ dollar quoting (scan.l xdolq): normalize
+            # to a plain ''-doubled literal token so every downstream
+            # consumer sees one string
+            tag = dm.group(0)
+            end = src.find(tag, dm.end())
+            if end < 0:
+                raise NotImplementedError(
+                    f"plpgsql: unterminated dollar quote {tag}"
+                )
+            body = src[dm.end() : end]
+            toks.append("'" + body.replace("'", "''") + "'")
+            pos = end + len(tag)
+            continue
         m = _TOKEN_RE.match(src, pos)
         if not m:
             raise NotImplementedError(
