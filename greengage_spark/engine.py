@@ -198,6 +198,7 @@ class GreengageEngine:
         from greengage_spark.operators.sequence import SequenceManager
 
         self.spark = spark
+        self.warehouse = warehouse
         self.ddl = DDLCatalog(spark, warehouse)
         self.views: dict[str, str] = {}  # name → PG-dialect defining query
         self.sequences = SequenceManager(warehouse)
@@ -750,6 +751,22 @@ class GreengageEngine:
             from greengage_spark.operators.prepared import execute_cursor_stmt
 
             return execute_cursor_stmt(self, stmt)
+        # generic file-access functions (utils/adt/genfile.c:
+        # pg_read_file / pg_ls_dir / pg_stat_file): superuser-only in
+        # PG; here gated by an explicit session opt-in, with relative
+        # paths resolved under the engine's data directory (PG's own
+        # data-dir restriction)
+        m_gf = re.match(
+            r"(?is)^select\s+(?:\*\s+from\s+)?"
+            r"(pg_read_file|pg_ls_dir|pg_stat_file)\s*\(\s*'([^']+)'\s*"
+            r"(?:,\s*(\d+)\s*,\s*(\d+)\s*)?\)\s*(?:as\s+\w+\s*)?;?\s*$",
+            stmt,
+        )
+        if m_gf:
+            return self._genfile(
+                m_gf.group(1).lower(), m_gf.group(2),
+                m_gf.group(3), m_gf.group(4),
+            )
         # contrib/pg_prewarm (pg_prewarm.c): load a relation into cache.
         # Spark's buffer cache analog is the block manager — cacheTable
         # + an eager materialization; returns the number of cached
@@ -1699,6 +1716,59 @@ class GreengageEngine:
         self.notices.append(
             "duration: n/a (lazy)  plan:\n"
             f"Query Text: {stmt.strip()}\n{plan.rstrip()}"
+        )
+
+    def _genfile(self, fn: str, path: str, off, length) -> DataFrame:
+        """pg_read_file / pg_ls_dir / pg_stat_file (genfile.c).
+        Superuser-only in PG — here an explicit opt-in (SET
+        greengage.enable_server_file_access = on); relative paths
+        resolve under the engine data directory and may not escape it
+        (genfile.c convert_and_check_filename)."""
+        import os
+
+        if self.gucs.values.get(
+            "greengage.enable_server_file_access", "off"
+        ).lower() not in ("on", "true", "1"):
+            raise PermissionError(
+                "server file access functions read the engine host's "
+                "filesystem; enable with SET "
+                "greengage.enable_server_file_access = on"
+            )
+        base = os.path.realpath(self.warehouse)
+        full = path if os.path.isabs(path) else os.path.join(base, path)
+        full = os.path.realpath(full)
+        if not os.path.isabs(path) and not (
+            full == base or full.startswith(base + os.sep)
+        ):
+            raise PermissionError(
+                f'path must be inside the data directory: "{path}"'
+            )
+        if fn == "pg_read_file":
+            with open(full, "r", errors="replace") as fh:
+                if off is not None:
+                    fh.seek(int(off))
+                    data = fh.read(int(length))
+                else:
+                    data = fh.read()
+            return self.spark.createDataFrame(
+                [(data,)], "pg_read_file string"
+            )
+        if fn == "pg_ls_dir":
+            names = sorted(os.listdir(full))
+            return self.spark.createDataFrame(
+                [(n,) for n in names], "pg_ls_dir string"
+            )
+        st = os.stat(full)
+        import datetime as _dt
+
+        def _ts(v):
+            return _dt.datetime.fromtimestamp(v)
+
+        return self.spark.createDataFrame(
+            [(st.st_size, _ts(st.st_atime), _ts(st.st_mtime),
+              os.path.isdir(full))],
+            "size bigint, access timestamp, modification timestamp, "
+            "isdir boolean",
         )
 
     def _explain(self, stmt: str) -> DataFrame:

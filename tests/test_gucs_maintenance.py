@@ -409,3 +409,42 @@ class TestSslinfoPrewarm:
         eng = GreengageEngine(spark, str(tmp_path))
         with _pytest.raises(Exception, match="nope"):
             eng.execute("SELECT pg_prewarm('nope')")
+
+
+class TestGenfile:
+    """pg_read_file / pg_ls_dir / pg_stat_file (genfile.c): gated by
+    session opt-in; relative paths locked to the data directory."""
+
+    @pytest.fixture()
+    def feng(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        e = GreengageEngine(spark, str(tmp_path))
+        (tmp_path / "note.txt").write_text("hello file world")
+        return e
+
+    def test_gated_by_default(self, feng):
+        import pytest as _pytest
+
+        with _pytest.raises(PermissionError, match="enable_server_file"):
+            feng.execute("SELECT pg_read_file('note.txt')")
+
+    def test_read_ls_stat(self, feng):
+        feng.execute("SET greengage.enable_server_file_access = on")
+        txt = feng.execute("SELECT pg_read_file('note.txt')").collect()[0][0]
+        assert txt == "hello file world"
+        part = feng.execute(
+            "SELECT pg_read_file('note.txt', 6, 4)"
+        ).collect()[0][0]
+        assert part == "file"
+        names = [r[0] for r in feng.execute("SELECT pg_ls_dir('.')").collect()]
+        assert "note.txt" in names
+        st = feng.execute("SELECT * FROM pg_stat_file('note.txt')").collect()[0]
+        assert st.size == 16 and st.isdir is False
+
+    def test_escape_rejected(self, feng):
+        import pytest as _pytest
+
+        feng.execute("SET greengage.enable_server_file_access = on")
+        with _pytest.raises(PermissionError, match="data directory"):
+            feng.execute("SELECT pg_read_file('../../../etc/hostname')")
