@@ -258,6 +258,14 @@ def decode_media(data: bytes) -> dict:
         from greengage_spark.pipeline.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:4] == b"fLaC":
+        from greengage_spark.pipeline.flac import flac_features
+
+        return flac_features(data)
     if len(data) >= 12 and data[4:8] == b"ftyp":
-        raise NotImplementedError("MP4/ISO-BMFF decode requires ffmpeg (not bundled)")
+        from greengage_spark.pipeline.mp4 import parse_mp4
+
+        meta = parse_mp4(data)
+        meta["kind"] = "mp4"
+        return meta
     raise NotImplementedError(f"unknown media magic {data[:4]!r}")

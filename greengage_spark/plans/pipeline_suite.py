@@ -769,6 +769,71 @@ def multimodal_jpeg_decode(spark, sf_dir):
 
 
 @suite.add(
+    "multimodal_flac_roundtrip",
+    oracle="""
+    SELECT CAST(g AS BIGINT) AS media_id,
+           CAST(1000 + 2 * g AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(0 AS DOUBLE) AS mean,
+           CAST(g * 100 AS DOUBLE) AS rms,
+           CAST(g * 100 AS DOUBLE) AS peak,
+           TRUE AS lossless
+    FROM generate_series(1, 16) t(g) ORDER BY media_id
+    """,
+    doc="clean-room FLAC codec (pipeline/flac.py — the published "
+        "xiph.org format: STREAMINFO, frame headers with CRC-8/CRC-16, "
+        "CONSTANT/VERBATIM/FIXED/LPC subframes, Rice partitions, stereo "
+        "decorrelation on decode). The query fabricates square-wave PCM "
+        "ON THE EXECUTORS, encodes, decodes, and asserts LOSSLESSNESS "
+        "sample-for-sample (the lossless flag IS the check) — a square "
+        "wave of amplitude a has mean 0, rms a and peak a exactly, so "
+        "the oracle is closed-form.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_flac_roundtrip(spark, sf_dir):
+    def fabricate(batches):
+        import numpy as np
+        import pandas as pd
+
+        from greengage_spark.pipeline.flac import (
+            decode_flac,
+            encode_flac,
+            flac_features,
+        )
+
+        for pdf in batches:
+            rows = []
+            for g in pdf["id"]:
+                g = int(g)
+                n = 1000 + 2 * g
+                a = g * 100
+                x = np.where(np.arange(n) % 2 == 0, a, -a).astype(np.int32)
+                blob = encode_flac(x, sample_rate=8000, blocksize=256)
+                d = decode_flac(blob)
+                f = flac_features(blob)
+                rows.append((
+                    g, f["n_samples"], f["sample_rate"], f["mean"],
+                    f["rms"], f["peak"],
+                    bool((d["samples"][:, 0] == x).all()),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_samples", "sample_rate", "mean", "rms",
+                "peak", "lossless",
+            ])
+
+    return (
+        spark.range(1, 17)
+        .repartition(8)
+        .mapInPandas(
+            fabricate,
+            "media_id long, n_samples long, sample_rate long, "
+            "mean double, rms double, peak double, lossless boolean",
+        )
+        .orderBy("media_id")
+    )
+
+
+@suite.add(
     "multimodal_h264_keyframe_decode",
     oracle="""
     SELECT CAST(g AS BIGINT) AS media_id,

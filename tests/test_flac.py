@@ -1,0 +1,149 @@
+"""Clean-room FLAC codec (pipeline/flac.py).
+
+Losslessness makes verification absolute: decode(encode(x)) == x for
+arbitrary 16-bit PCM.  CRC implementations are pinned against the
+published CRC-8/SMBUS and CRC-16/BUYPASS check values; stereo
+decorrelation and escape-coded residuals are exercised with hand-built
+frames the fixture encoder never emits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from greengage_spark.pipeline.flac import (
+    _write_signed,
+    _write_utf8_number,
+    crc8,
+    crc16,
+    decode_flac,
+    encode_flac,
+    flac_features,
+)
+from greengage_spark.pipeline.h264 import BitWriter
+
+
+class TestCrc:
+    def test_published_check_values(self):
+        assert crc8(b"123456789") == 0xF4       # CRC-8/SMBUS
+        assert crc16(b"123456789") == 0xFEE8    # CRC-16/BUYPASS
+
+
+class TestLossless:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_noise_round_trip(self, seed):
+        rng = np.random.default_rng(seed)
+        x = rng.integers(-32768, 32768, 3000).astype(np.int32)
+        out = decode_flac(encode_flac(x, blocksize=512))
+        assert (out["samples"][:, 0] == x).all()
+
+    def test_tonal_and_ramp(self):
+        sine = (np.sin(np.arange(5000) * 0.05) * 20000).astype(np.int32)
+        ramp = (np.arange(-1000, 1000) * 15).astype(np.int32)
+        for x in (sine, ramp):
+            out = decode_flac(encode_flac(x, blocksize=1024))
+            assert (out["samples"][:, 0] == x).all()
+
+    def test_constant_and_silence(self):
+        for v in (0, 17, -32768, 32767):
+            x = np.full(700, v, np.int32)
+            out = decode_flac(encode_flac(x, blocksize=256))
+            assert (out["samples"][:, 0] == x).all()
+
+    def test_stereo_independent(self):
+        rng = np.random.default_rng(7)
+        st = np.stack(
+            [(np.sin(np.arange(2500) * 0.02) * 9000).astype(np.int32),
+             rng.integers(-500, 500, 2500).astype(np.int32)],
+            axis=1,
+        )
+        out = decode_flac(encode_flac(st, sample_rate=44100))
+        assert (out["samples"] == st).all()
+        assert out["sample_rate"] == 44100 and out["channels"] == 2
+
+    def test_partial_final_frame(self):
+        x = np.arange(1000, dtype=np.int32)  # not a blocksize multiple
+        out = decode_flac(encode_flac(x, blocksize=300))
+        assert (out["samples"][:, 0] == x).all()
+
+    def test_features_shape(self):
+        x = np.full(800, 100, np.int32)
+        f = flac_features(encode_flac(x, sample_rate=8000))
+        assert f["kind"] == "flac"
+        assert f["n_samples"] == 800 and f["duration_s"] == 0.1
+        assert f["mean"] == 100.0 and f["rms"] == 100.0
+
+
+def _handmade_stereo(ch_code: int, left, right) -> bytes:
+    """Build a one-frame stereo stream with a decorrelated channel
+    assignment (the fixture encoder emits only independent channels)."""
+    n = len(left)
+    si = BitWriter()
+    si.u(n, 16); si.u(n, 16); si.u(0, 24); si.u(0, 24)
+    si.u(8000, 20); si.u(1, 3); si.u(15, 5); si.u(n, 36)
+    si.raw("0" * 128)
+    info = si.bytes()
+    if ch_code == 8:      # left/side
+        a, b = left, [l - r for l, r in zip(left, right)]
+        abits, bbits = 16, 17
+    elif ch_code == 9:    # right/side (stored side, right)
+        a, b = [l - r for l, r in zip(left, right)], right
+        abits, bbits = 17, 16
+    else:                 # mid/side
+        a = [(l + r) >> 1 for l, r in zip(left, right)]
+        b = [l - r for l, r in zip(left, right)]
+        abits, bbits = 16, 17
+    w = BitWriter()
+    w.u(0x3FFE, 14); w.u(0, 1); w.u(0, 1)
+    w.u(7, 4)         # 16-bit blocksize at end
+    w.u(0, 4)         # rate from STREAMINFO
+    w.u(ch_code, 4)
+    w.u(4, 3)         # 16-bit samples
+    w.u(0, 1)
+    _write_utf8_number(w, 0)
+    w.u(n - 1, 16)
+    hdr = w.bytes()
+    w.u(crc8(hdr), 8)
+    for chan, bits in ((a, abits), (b, bbits)):
+        w.u(0, 1); w.u(1, 6); w.u(0, 1)  # VERBATIM
+        for v in chan:
+            _write_signed(w, v, bits)
+    w.byte_align()
+    body = w.bytes()
+    return (b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + info
+            + body + crc16(body).to_bytes(2, "big"))
+
+
+class TestDecorrelatedDecode:
+    @pytest.mark.parametrize("ch_code", [8, 9, 10])
+    def test_stereo_modes(self, ch_code):
+        rng = np.random.default_rng(ch_code)
+        left = [int(v) for v in rng.integers(-30000, 30000, 64)]
+        right = [int(v) for v in rng.integers(-30000, 30000, 64)]
+        out = decode_flac(_handmade_stereo(ch_code, left, right))
+        assert out["samples"][:, 0].tolist() == left
+        assert out["samples"][:, 1].tolist() == right
+
+
+class TestRejects:
+    def test_bad_magic(self):
+        with pytest.raises(ValueError, match="fLaC"):
+            decode_flac(b"flaC" + b"\x00" * 40)
+
+    def test_corrupt_frame_crc(self):
+        x = np.arange(500, dtype=np.int32)
+        blob = bytearray(encode_flac(x, blocksize=256))
+        blob[-1] ^= 0xFF  # trash the final frame's CRC-16
+        with pytest.raises(ValueError, match="CRC"):
+            decode_flac(bytes(blob))
+
+    def test_range_checked(self):
+        with pytest.raises(ValueError, match="16-bit"):
+            encode_flac(np.array([40000], np.int64))
+
+    def test_decode_media_dispatch(self):
+        from greengage_spark.pipeline.codecs import decode_media
+
+        f = decode_media(encode_flac(np.full(80, 5, np.int32)))
+        assert f["kind"] == "flac" and f["n_samples"] == 80

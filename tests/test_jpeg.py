@@ -213,11 +213,23 @@ class TestDispatchAndRejects:
         with pytest.raises(NotImplementedError, match="precision 12"):
             decode_jpeg_pixels(bytes(blob))
 
-    def test_mp4_still_rejects(self):
+    def test_mp4_routes_to_container_parser(self):
+        # ftyp blobs now dispatch to the clean-room ISO-BMFF parser; a
+        # headerless stub fails ITS contract (no moov), not a blanket
+        # reject
         from greengage_spark.pipeline.codecs import decode_media
 
-        with pytest.raises(NotImplementedError, match="MP4"):
+        with pytest.raises(ValueError, match="moov"):
             decode_media(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16)
+
+    def test_mp4_metadata_through_decode_media(self):
+        from greengage_spark.pipeline.codecs import decode_media
+        from greengage_spark.pipeline.mp4 import encode_mp4_mjpeg
+
+        blob = encode_mp4_mjpeg([b"x" * 40] * 2, 16, 16)
+        meta = decode_media(blob)
+        assert meta["kind"] == "mp4"
+        assert meta["tracks"][0]["codec"] == "jpeg"
 
     def test_truncated_stream_loud(self):
         blob = encode_jpeg(np.full((16, 16), 9, dtype=np.uint8))
