@@ -114,11 +114,8 @@ def _write_utf8_number(w: BitWriter, v: int) -> None:
     if v < 0x80:
         w.u(v, 8)
         return
-    # choose the shortest multi-byte form
-    for n in range(1, 7):
-        if v < (1 << (5 * n + 6 - (n - 1))):
-            pass
-    chunks = []
+    # shortest multi-byte form: n continuation bytes carry 6 bits each,
+    # the lead byte carries (6 - n)
     n = 1
     while v >= (1 << (6 - n + 6 * n)) and n < 6:
         n += 1
@@ -225,12 +222,29 @@ def decode_flac(data: bytes) -> dict:
         raise ValueError("flac: missing fLaC stream marker")
     pos = 4
     info = None
+    tags: dict[str, str] = {}
     while True:
         hdr = data[pos : pos + 4]
         last = hdr[0] >> 7
         btype = hdr[0] & 0x7F
         (blen,) = struct.unpack(">I", b"\x00" + hdr[1:4])
         body = data[pos + 4 : pos + 4 + blen]
+        if btype == 4:
+            # VORBIS_COMMENT (the Xiph comment spec): LE-framed
+            # vendor string + KEY=value pairs — the corpus metadata
+            # (artist/title/album) audio pipelines filter on
+            p2 = 0
+            (vlen,) = struct.unpack_from("<I", body, p2)
+            p2 += 4 + vlen
+            (ncomm,) = struct.unpack_from("<I", body, p2)
+            p2 += 4
+            for _ in range(ncomm):
+                (clen,) = struct.unpack_from("<I", body, p2)
+                p2 += 4
+                kv = body[p2 : p2 + clen].decode("utf-8", "replace")
+                p2 += clen
+                k, _, v = kv.partition("=")
+                tags[k.lower()] = v
         if btype == 0:
             r = BitReader(body)
             r.u(16)
@@ -270,6 +284,7 @@ def decode_flac(data: bytes) -> dict:
         "channels": info["channels"],
         "bits_per_sample": info["bps"],
         "total_samples": info["total"],
+        "tags": tags,
         "kind": "flac",
     }
 

@@ -147,3 +147,27 @@ class TestRejects:
 
         f = decode_media(encode_flac(np.full(80, 5, np.int32)))
         assert f["kind"] == "flac" and f["n_samples"] == 80
+
+
+class TestVorbisComments:
+    def test_tags_decode(self):
+        import struct
+
+        x = np.full(100, 3, np.int32)
+        blob = bytearray(encode_flac(x))
+        # splice a VORBIS_COMMENT block after STREAMINFO: flip the
+        # STREAMINFO last-block flag, append the comment block
+        assert blob[4] == 0x80
+        blob[4] = 0x00
+        vendor = b"gg"
+        comments = [b"ARTIST=Ada", b"title=Notes"]
+        body = struct.pack("<I", len(vendor)) + vendor
+        body += struct.pack("<I", len(comments))
+        for c in comments:
+            body += struct.pack("<I", len(c)) + c
+        si_end = 8 + 34
+        block = bytes([0x84]) + len(body).to_bytes(3, "big") + body
+        stream = bytes(blob[:si_end]) + block + bytes(blob[si_end:])
+        out = decode_flac(stream)
+        assert out["tags"] == {"artist": "Ada", "title": "Notes"}
+        assert (out["samples"][:, 0] == x).all()
