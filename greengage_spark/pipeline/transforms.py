@@ -1,0 +1,101 @@
+"""Image resize + video frame sampling — the remaining multimodal
+pipeline primitives (decode and feature-extract live in codecs/jpeg/
+mp4/flac; these are the transform stages a training-data pipeline runs
+between them).
+
+Pure-numpy resize (no image libraries in this container): nearest
+neighbor (the dataset-thumbnail workhorse — exact, no resampling
+assumptions) and bilinear (align_corners=False convention, the one
+tensor libraries default to).  Frame sampling works on the MP4 sample
+tables directly — stride or count based, on ANY track, decoding only
+what was sampled.
+
+Both ride the executor-side mapInPandas lane: blobs in, blobs/features
+out, driver untouched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W[, C]) array: out[y, x] =
+    src[floor((y + .5) * H/out_h), floor((x + .5) * W/out_w)] — the
+    pixel-center mapping, so upscales are exact block replication and
+    downscales pick spatially-centered samples."""
+    h, w = img.shape[:2]
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return img[ys][:, xs]
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize (align_corners=False): source coordinate of
+    output pixel p is (p + .5) * scale - .5, clamped; the four
+    neighbors blend by fractional distance.  uint8 in → uint8 out
+    (round-half-away like the codecs in this package)."""
+    h, w = img.shape[:2]
+    fy = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None]
+    wx = (fx - x0)[None, :]
+    if img.ndim == 3:
+        wy = wy[..., None]
+        wx = wx[..., None]
+    a = img[y0][:, x0].astype(np.float64)
+    b = img[y0][:, x1].astype(np.float64)
+    c = img[y1][:, x0].astype(np.float64)
+    d = img[y1][:, x1].astype(np.float64)
+    out = (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+           + c * wy * (1 - wx) + d * wy * wx)
+    if img.dtype == np.uint8:
+        return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    return out
+
+
+def sample_frames(
+    data: bytes,
+    every: int | None = None,
+    count: int | None = None,
+    track_index: int = 0,
+) -> list[tuple[int, bytes]]:
+    """Sample (frame_index, sample_bytes) from an MP4 track straight off
+    the sample tables — stride-based (``every`` k-th frame) or evenly
+    spaced (``count`` frames across the track).  Only sampled bytes are
+    sliced; nothing decodes here."""
+    from greengage_spark.pipeline.mp4 import _find, _sample_table, _walk
+
+    if (every is None) == (count is None):
+        raise ValueError("sample_frames: exactly one of every/count")
+    if _find(data, 0, len(data), b"moof") is not None:
+        raise NotImplementedError("fragmented MP4 (moof)")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    traks = [(a, b) for fc, a, b in _walk(data, *moov) if fc == b"trak"]
+    if track_index >= len(traks):
+        raise ValueError(f"mp4: no track {track_index}")
+    mdia = _find(data, *traks[track_index], b"mdia")
+    minf = _find(data, *mdia, b"minf")
+    stbl = _find(data, *minf, b"stbl")
+    samples = _sample_table(data, *stbl)
+    n = len(samples)
+    if every is not None:
+        if every < 1:
+            raise ValueError("sample_frames: every must be >= 1")
+        idxs = list(range(0, n, every))
+    else:
+        if count < 1:
+            raise ValueError("sample_frames: count must be >= 1")
+        count = min(count, n)
+        idxs = sorted({int(i * n / count) for i in range(count)})
+    out = []
+    for i in idxs:
+        off, size = samples[i]
+        out.append((i, data[off : off + size]))
+    return out

@@ -769,6 +769,136 @@ def multimodal_jpeg_decode(spark, sf_dir):
 
 
 @suite.add(
+    "multimodal_resize",
+    oracle="""
+    SELECT CAST(g AS BIGINT) AS media_id,
+           CAST((g % 5 + 2) * 4 AS BIGINT) AS out_h,
+           CAST((g % 3 + 2) * 4 AS BIGINT) AS out_w,
+           CAST((g * 23) % 256 AS DOUBLE) AS nn_mean,
+           CAST((g * 23) % 256 AS DOUBLE) AS bl_mean
+    FROM generate_series(1, 16) t(g) ORDER BY media_id
+    """,
+    doc="image resize (pipeline/transforms.py — pure-numpy nearest "
+        "neighbor with pixel-center mapping and bilinear with the "
+        "align_corners=False convention; no image libraries in this "
+        "container). The query fabricates solid-color JPEGs ON THE "
+        "EXECUTORS (DC-8 tables → exact pixels), decodes, resizes with "
+        "BOTH kernels to per-row target dims, and emits the means — "
+        "flat images resize to the same flat value exactly under any "
+        "correct interpolation, so the oracle is closed-form.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_resize(spark, sf_dir):
+    def fabricate(batches):
+        import numpy as np
+        import pandas as pd
+
+        from greengage_spark.pipeline.jpeg import decode_jpeg_pixels, encode_jpeg
+        from greengage_spark.pipeline.transforms import (
+            resize_bilinear,
+            resize_nearest,
+        )
+
+        dc8 = np.ones((8, 8), dtype=np.int32)
+        dc8[0, 0] = 8
+        for pdf in batches:
+            rows = []
+            for g in pdf["id"]:
+                g = int(g)
+                v = (g * 23) % 256
+                src = decode_jpeg_pixels(
+                    encode_jpeg(np.full((32, 40), v, np.uint8),
+                                qtables=(dc8, dc8))
+                )
+                oh, ow = (g % 5 + 2) * 4, (g % 3 + 2) * 4
+                nn = resize_nearest(src, oh, ow)
+                bl = resize_bilinear(src, oh, ow)
+                rows.append((
+                    g, nn.shape[0], nn.shape[1],
+                    float(nn.mean()), float(bl.mean()),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "out_h", "out_w", "nn_mean", "bl_mean",
+            ])
+
+    return (
+        spark.range(1, 17)
+        .repartition(8)
+        .mapInPandas(
+            fabricate,
+            "media_id long, out_h long, out_w long, "
+            "nn_mean double, bl_mean double",
+        )
+        .orderBy("media_id")
+    )
+
+
+@suite.add(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT CAST(g AS BIGINT) AS media_id,
+           CAST(CAST(ceil((g % 5 + 6) / 2.0) AS INTEGER) AS BIGINT)
+               AS n_sampled,
+           CAST((g * 17) % 256 AS DOUBLE) AS first_mean,
+           CAST((g * 17 + (((g % 5 + 6) - 1) // 2 * 2) * 30) % 256
+                AS DOUBLE) AS last_mean
+    FROM generate_series(1, 16) t(g) ORDER BY media_id
+    """,
+    doc="video frame sampling (pipeline/transforms.sample_frames): "
+        "stride/count sampling straight off the MP4 sample tables — "
+        "only the sampled bytes are sliced, nothing else decodes. The "
+        "query fabricates n-frame solid-color MJPEG files ON THE "
+        "EXECUTORS, samples every 2nd frame, decodes just those through "
+        "the JPEG lane, and emits the first/last sampled-frame means "
+        "(frame j's color is (g*17 + j*30) % 256 by construction).",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    def fabricate(batches):
+        import numpy as np
+        import pandas as pd
+
+        from greengage_spark.pipeline.jpeg import decode_jpeg_pixels, encode_jpeg
+        from greengage_spark.pipeline.mp4 import encode_mp4_mjpeg
+        from greengage_spark.pipeline.transforms import sample_frames
+
+        dc8 = np.ones((8, 8), dtype=np.int32)
+        dc8[0, 0] = 8
+        for pdf in batches:
+            rows = []
+            for g in pdf["id"]:
+                g = int(g)
+                n = g % 5 + 6
+                frames = [
+                    encode_jpeg(
+                        np.full((16, 16), (g * 17 + j * 30) % 256, np.uint8),
+                        qtables=(dc8, dc8),
+                    )
+                    for j in range(n)
+                ]
+                blob = encode_mp4_mjpeg(frames, 16, 16)
+                sampled = sample_frames(blob, every=2)
+                decoded = [
+                    float(decode_jpeg_pixels(b).mean()) for _, b in sampled
+                ]
+                rows.append((g, len(sampled), decoded[0], decoded[-1]))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_sampled", "first_mean", "last_mean",
+            ])
+
+    return (
+        spark.range(1, 17)
+        .repartition(8)
+        .mapInPandas(
+            fabricate,
+            "media_id long, n_sampled long, first_mean double, "
+            "last_mean double",
+        )
+        .orderBy("media_id")
+    )
+
+
+@suite.add(
     "multimodal_flac_roundtrip",
     oracle="""
     SELECT CAST(g AS BIGINT) AS media_id,

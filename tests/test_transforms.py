@@ -1,0 +1,85 @@
+"""Image resize + MP4 frame sampling (pipeline/transforms.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from greengage_spark.pipeline.transforms import (
+    resize_bilinear,
+    resize_nearest,
+    sample_frames,
+)
+
+
+class TestResize:
+    def test_nearest_block_replication(self):
+        img = np.array([[10, 20], [30, 40]], np.uint8)
+        up = resize_nearest(img, 4, 4)
+        assert (up == np.array(
+            [[10, 10, 20, 20], [10, 10, 20, 20],
+             [30, 30, 40, 40], [30, 30, 40, 40]], np.uint8)).all()
+
+    def test_nearest_downscale_centers(self):
+        img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        dn = resize_nearest(img, 2, 2)
+        # pixel centers at source rows/cols 1 and 3
+        assert (dn == img[[1, 3]][:, [1, 3]]).all()
+
+    @pytest.mark.parametrize("fn", [resize_nearest, resize_bilinear])
+    def test_flat_invariance(self, fn):
+        flat = np.full((13, 9), 201, np.uint8)
+        for oh, ow in ((1, 1), (5, 17), (26, 18), (100, 3)):
+            out = fn(flat, oh, ow)
+            assert out.shape == (oh, ow) and (out == 201).all()
+
+    def test_bilinear_midpoint(self):
+        img = np.array([[0, 100]], np.uint8)
+        # 1x2 → 1x4: centers at source x = 0, 0.5, 1 (clamped edges)
+        out = resize_bilinear(img, 1, 4)
+        assert out[0, 0] == 0 and out[0, 3] == 100
+        assert out[0, 1] == 25 and out[0, 2] == 75
+
+    def test_rgb_channels(self):
+        rgb = np.zeros((8, 8, 3), np.uint8)
+        rgb[..., 0] = 50
+        rgb[..., 2] = 250
+        out = resize_bilinear(rgb, 4, 12)
+        assert out.shape == (4, 12, 3)
+        assert (out[..., 0] == 50).all() and (out[..., 2] == 250).all()
+
+    def test_identity_size(self):
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (9, 7), np.uint8)
+        assert (resize_nearest(img, 9, 7) == img).all()
+        assert (resize_bilinear(img, 9, 7) == img).all()
+
+
+class TestFrameSample:
+    def _blob(self, n=10):
+        from greengage_spark.pipeline.mp4 import encode_mp4_mjpeg
+
+        self.frames = [bytes([i]) * (20 + i) for i in range(n)]
+        return encode_mp4_mjpeg(self.frames, 16, 16)
+
+    def test_stride(self):
+        s = sample_frames(self._blob(), every=3)
+        assert [i for i, _ in s] == [0, 3, 6, 9]
+        assert all(b == self.frames[i] for i, b in s)
+
+    def test_count_even_spacing(self):
+        s = sample_frames(self._blob(10), count=5)
+        assert [i for i, _ in s] == [0, 2, 4, 6, 8]
+
+    def test_count_exceeding_frames_clamps(self):
+        s = sample_frames(self._blob(4), count=99)
+        assert [i for i, _ in s] == [0, 1, 2, 3]
+
+    def test_bad_args(self):
+        blob = self._blob(3)
+        with pytest.raises(ValueError, match="exactly one"):
+            sample_frames(blob)
+        with pytest.raises(ValueError, match="exactly one"):
+            sample_frames(blob, every=2, count=2)
+        with pytest.raises(ValueError, match=">= 1"):
+            sample_frames(blob, every=0)
