@@ -58,7 +58,7 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return out
 
 
-def sample_frames(
+def sample_mp4_frames(
     data: bytes,
     every: int | None = None,
     count: int | None = None,
@@ -71,7 +71,7 @@ def sample_frames(
     from greengage_spark.pipeline.mp4 import _find, _sample_table, _walk
 
     if (every is None) == (count is None):
-        raise ValueError("sample_frames: exactly one of every/count")
+        raise ValueError("sample_mp4_frames: exactly one of every/count")
     if _find(data, 0, len(data), b"moof") is not None:
         raise NotImplementedError("fragmented MP4 (moof)")
     moov = _find(data, 0, len(data), b"moov")
@@ -87,11 +87,11 @@ def sample_frames(
     n = len(samples)
     if every is not None:
         if every < 1:
-            raise ValueError("sample_frames: every must be >= 1")
+            raise ValueError("sample_mp4_frames: every must be >= 1")
         idxs = list(range(0, n, every))
     else:
         if count < 1:
-            raise ValueError("sample_frames: count must be >= 1")
+            raise ValueError("sample_mp4_frames: count must be >= 1")
         count = min(count, n)
         idxs = sorted({int(i * n / count) for i in range(count)})
     out = []

@@ -844,7 +844,7 @@ def multimodal_resize(spark, sf_dir):
                 AS DOUBLE) AS last_mean
     FROM generate_series(1, 16) t(g) ORDER BY media_id
     """,
-    doc="video frame sampling (pipeline/transforms.sample_frames): "
+    doc="video frame sampling (pipeline/transforms.sample_mp4_frames): "
         "stride/count sampling straight off the MP4 sample tables — "
         "only the sampled bytes are sliced, nothing else decodes. The "
         "query fabricates n-frame solid-color MJPEG files ON THE "
@@ -860,7 +860,7 @@ def multimodal_frame_sample(spark, sf_dir):
 
         from greengage_spark.pipeline.jpeg import decode_jpeg_pixels, encode_jpeg
         from greengage_spark.pipeline.mp4 import encode_mp4_mjpeg
-        from greengage_spark.pipeline.transforms import sample_frames
+        from greengage_spark.pipeline.transforms import sample_mp4_frames
 
         dc8 = np.ones((8, 8), dtype=np.int32)
         dc8[0, 0] = 8
@@ -877,7 +877,7 @@ def multimodal_frame_sample(spark, sf_dir):
                     for j in range(n)
                 ]
                 blob = encode_mp4_mjpeg(frames, 16, 16)
-                sampled = sample_frames(blob, every=2)
+                sampled = sample_mp4_frames(blob, every=2)
                 decoded = [
                     float(decode_jpeg_pixels(b).mean()) for _, b in sampled
                 ]

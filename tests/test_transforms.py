@@ -8,7 +8,7 @@ import pytest
 from greengage_spark.pipeline.transforms import (
     resize_bilinear,
     resize_nearest,
-    sample_frames,
+    sample_mp4_frames,
 )
 
 
@@ -63,23 +63,23 @@ class TestFrameSample:
         return encode_mp4_mjpeg(self.frames, 16, 16)
 
     def test_stride(self):
-        s = sample_frames(self._blob(), every=3)
+        s = sample_mp4_frames(self._blob(), every=3)
         assert [i for i, _ in s] == [0, 3, 6, 9]
         assert all(b == self.frames[i] for i, b in s)
 
     def test_count_even_spacing(self):
-        s = sample_frames(self._blob(10), count=5)
+        s = sample_mp4_frames(self._blob(10), count=5)
         assert [i for i, _ in s] == [0, 2, 4, 6, 8]
 
     def test_count_exceeding_frames_clamps(self):
-        s = sample_frames(self._blob(4), count=99)
+        s = sample_mp4_frames(self._blob(4), count=99)
         assert [i for i, _ in s] == [0, 1, 2, 3]
 
     def test_bad_args(self):
         blob = self._blob(3)
         with pytest.raises(ValueError, match="exactly one"):
-            sample_frames(blob)
+            sample_mp4_frames(blob)
         with pytest.raises(ValueError, match="exactly one"):
-            sample_frames(blob, every=2, count=2)
+            sample_mp4_frames(blob, every=2, count=2)
         with pytest.raises(ValueError, match=">= 1"):
-            sample_frames(blob, every=0)
+            sample_mp4_frames(blob, every=0)
