@@ -171,3 +171,89 @@ class TestVorbisComments:
         out = decode_flac(stream)
         assert out["tags"] == {"artist": "Ada", "title": "Notes"}
         assert (out["samples"][:, 0] == x).all()
+
+
+def _mono_stream(subframe_bits_fn, n: int) -> bytes:
+    """One-frame mono 16-bit stream whose subframe is written by the
+    caller (exercises decoder paths the fixture encoder never emits)."""
+    si = BitWriter()
+    si.u(n, 16); si.u(n, 16); si.u(0, 24); si.u(0, 24)
+    si.u(8000, 20); si.u(0, 3); si.u(15, 5); si.u(n, 36)
+    si.raw("0" * 128)
+    info = si.bytes()
+    w = BitWriter()
+    w.u(0x3FFE, 14); w.u(0, 1); w.u(0, 1)
+    w.u(7, 4); w.u(0, 4); w.u(0, 4); w.u(4, 3); w.u(0, 1)
+    _write_utf8_number(w, 0)
+    w.u(n - 1, 16)
+    hdr = w.bytes()
+    w.u(crc8(hdr), 8)
+    subframe_bits_fn(w)
+    w.byte_align()
+    body = w.bytes()
+    return (b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + info
+            + body + crc16(body).to_bytes(2, "big"))
+
+
+class TestDecoderOnlyPaths:
+    def test_lpc_subframe(self):
+        # order-1 LPC, coefficient 1, shift 0: x[i] = x[i-1] + resid[i]
+        expect = [5, 7, 9, 11, 13, 15, 17, 19]
+
+        def sub(w):
+            w.u(0, 1); w.u(0b100000, 6); w.u(0, 1)   # LPC order 1
+            _write_signed(w, 5, 16)                   # warmup
+            w.u(3, 4)                                 # precision-1 = 3 → 4
+            _write_signed(w, 0, 5)                    # shift 0
+            _write_signed(w, 1, 4)                    # coef = 1
+            w.u(0, 2); w.u(0, 4); w.u(2, 4)           # rice param 2
+            for _ in range(7):                        # resid = +2 each
+                w.raw("0" * 1 + "1")                  # zigzag(2)=4: q=1
+                w.u(0, 2)                             # low bits 00
+        out = decode_flac(_mono_stream(sub, 8))
+        assert out["samples"][:, 0].tolist() == expect
+
+    def test_rice2_method(self):
+        vals = [3, -4, 0, 7]
+
+        def sub(w):
+            w.u(0, 1); w.u(8, 6); w.u(0, 1)  # FIXED order 0
+            w.u(1, 2)                         # method 01 = 5-bit Rice2
+            w.u(0, 4)                         # partition order 0
+            w.u(2, 5)                         # param 2
+            for v in vals:
+                u = (v << 1) if v >= 0 else ((-v << 1) - 1)
+                w.raw("0" * (u >> 2) + "1")
+                w.u(u & 3, 2)
+        out = decode_flac(_mono_stream(sub, 4))
+        assert out["samples"][:, 0].tolist() == vals
+
+    def test_wasted_bits(self):
+        # CONSTANT 48 stored as 3 with 4 wasted bits (48 = 3 << 4)
+        def sub(w):
+            w.u(0, 1); w.u(0, 6)
+            w.u(1, 1)                 # wasted-bits flag
+            w.raw("0" * 3 + "1")      # unary 3 → wasted = 4
+            _write_signed(w, 3, 12)   # eff bps = 16 - 4
+        out = decode_flac(_mono_stream(sub, 6))
+        assert out["samples"][:, 0].tolist() == [48] * 6
+
+    def test_multi_partition_residual(self):
+        # FIXED order 0, partition order 1 (two partitions, params 0 and 1)
+        vals = [1, 1, -2, -2]
+
+        def sub(w):
+            w.u(0, 1); w.u(8, 6); w.u(0, 1)
+            w.u(0, 2)
+            w.u(1, 4)                # partition order 1 → 2 partitions
+            w.u(0, 4)                # part 1: param 0
+            for v in vals[:2]:
+                u = (v << 1) if v >= 0 else ((-v << 1) - 1)
+                w.raw("0" * u + "1")
+            w.u(1, 4)                # part 2: param 1
+            for v in vals[2:]:
+                u = (v << 1) if v >= 0 else ((-v << 1) - 1)
+                w.raw("0" * (u >> 1) + "1")
+                w.u(u & 1, 1)
+        out = decode_flac(_mono_stream(sub, 4))
+        assert out["samples"][:, 0].tolist() == vals
