@@ -542,6 +542,11 @@ class _ExprParser:
         self.pos += 1
         return t
 
+    def peek_at_next_is_paren(self) -> bool:
+        return (
+            self.pos + 1 < len(self.toks) and self.toks[self.pos + 1] == "("
+        )
+
     def expect(self, tok: str) -> None:
         t = self.take()
         if (t.lower() if _is_ident(t) else t) != tok:
@@ -737,6 +742,20 @@ class _ExprParser:
         if t == "(":
             self.take()
             e = self.parse()
+            if self.peek() == ",":
+                # row constructor (a, b, ...) — PG's anonymous record;
+                # fields surface as f1..fn (parse_expr.c transformRowExpr)
+                items = [e]
+                while self.peek() == ",":
+                    self.take()
+                    items.append(self.parse())
+                self.expect(")")
+
+                def _row(env, _items=tuple(items)):
+                    return {f"f{i + 1}": it(env)
+                            for i, it in enumerate(_items)}
+
+                return _row
             self.expect(")")
             return e
         if t.startswith("'"):
@@ -751,6 +770,19 @@ class _ExprParser:
             self.take()
             return lambda env, _n=t: env[_n]
         low = t.lower()
+        if low == "row" and self.peek_at_next_is_paren():
+            self.take()
+            self.take()  # '('
+            items = [self.parse()]
+            while self.peek() == ",":
+                self.take()
+                items.append(self.parse())
+            self.expect(")")
+
+            def _rowkw(env, _items=tuple(items)):
+                return {f"f{i + 1}": it(env) for i, it in enumerate(_items)}
+
+            return _rowkw
         if low == "null":
             self.take()
             return lambda env: None
