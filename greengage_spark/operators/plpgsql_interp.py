@@ -526,9 +526,10 @@ _MUL_OPS = {
 class _ExprParser:
     """Pratt parser over the shared token list; returns closures."""
 
-    def __init__(self, toks: list[str], pos: int):
+    def __init__(self, toks: list[str], pos: int, allow_sql: bool = False):
         self.toks = toks
         self.pos = pos
+        self.allow_sql = allow_sql
 
     def peek(self) -> str | None:
         return self.toks[self.pos] if self.pos < len(self.toks) else None
@@ -741,6 +742,45 @@ class _ExprParser:
             raise NotImplementedError("plpgsql: unexpected end of expression")
         if t == "(":
             self.take()
+            if self.peek() is not None and _is_ident(self.peek()) \
+                    and self.peek().lower() in ("select", "with"):
+                # scalar subquery (pl_exec.c evaluates every expression
+                # through SPI, so (SELECT ...) just works in PG) — here
+                # it routes through the SQL hook, driver-side only
+                if not self.allow_sql:
+                    raise NotImplementedError(
+                        "plpgsql: scalar subquery needs the SQL engine — "
+                        "available in DO blocks / driver-side functions"
+                    )
+                depth, j = 1, self.pos
+                while j < len(self.toks):
+                    if self.toks[j] == "(":
+                        depth += 1
+                    elif self.toks[j] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                if depth:
+                    raise NotImplementedError(
+                        "plpgsql: unterminated scalar subquery"
+                    )
+                sql = " ".join(self.toks[self.pos : j])
+                self.pos = j + 1
+
+                def _subq(env, _sql=sql):
+                    rows, _rc = _run_sql(env, _interpolate(_sql, env))
+                    if not rows:
+                        return None
+                    if len(rows) > 1:
+                        raise PlPgSQLError(
+                            "cardinality_violation",
+                            "more than one row returned by a subquery "
+                            "used as an expression",
+                        )
+                    return rows[0][0]
+
+                return _subq
             e = self.parse()
             if self.peek() == ",":
                 # row constructor (a, b, ...) — PG's anonymous record;
@@ -951,7 +991,7 @@ class _StmtParser:
                 )
 
     def expr(self):
-        ep = _ExprParser(self.toks, self.pos)
+        ep = _ExprParser(self.toks, self.pos, allow_sql=self.allow_sql)
         e = ep.parse()
         self.pos = ep.pos
         return e

@@ -367,3 +367,40 @@ class TestRowConstructors:
         )
         rows = eng.execute("SELECT f1, f2 FROM pairs(5) ORDER BY f1").collect()
         assert [(r.f1, r.f2) for r in rows] == [(1, 1), (3, 9), (5, 25)]
+
+
+class TestScalarSubqueries:
+    """(SELECT ...) as an expression — PG evaluates every plpgsql
+    expression through SPI, so this just works there; here it routes
+    through the SQL hook (driver-side only, loud reject in row UDFs)."""
+
+    def test_assignment_and_arith(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path))
+        eng.execute("CREATE TABLE ssq_t (v int)")
+        eng.execute("INSERT INTO ssq_t VALUES (3), (4), (5)")
+        eng.execute(
+            "DO $$ DECLARE total int; BEGIN "
+            "total := (SELECT sum(v) FROM ssq_t) + 100; "
+            "INSERT INTO ssq_t VALUES (total); END $$"
+        )
+        rows = sorted(r.v for r in eng.execute("SELECT v FROM ssq_t").collect())
+        assert rows == [3, 4, 5, 112]
+
+    def test_multi_row_subquery_errors(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+        from greengage_spark.operators.plpgsql_interp import PlPgSQLError
+
+        eng = GreengageEngine(spark, str(tmp_path))
+        eng.execute("CREATE TABLE ssq_m (v int)")
+        eng.execute("INSERT INTO ssq_m VALUES (1), (2)")
+        with pytest.raises(PlPgSQLError, match="more than one row"):
+            eng.execute(
+                "DO $$ DECLARE x int; BEGIN "
+                "x := (SELECT v FROM ssq_m); END $$"
+            )
+
+    def test_row_udf_rejects(self):
+        with pytest.raises(NotImplementedError, match="scalar subquery"):
+            compile_plpgsql("begin return (select 1); end", [])
