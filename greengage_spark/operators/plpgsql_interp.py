@@ -855,6 +855,20 @@ class _ExprParser:
                 self.expect(")")
                 fn = _FUNCS.get(low)
                 if fn is None:
+                    if self.allow_sql:
+                        # unknown function driver-side: evaluate through
+                        # the SQL hook — PG runs EVERY plpgsql expression
+                        # through SPI, so user functions just resolve
+                        def _sqlfn(env, _name=low, _a=tuple(args)):
+                            vals = ", ".join(
+                                _sql_literal(g(env)) for g in _a
+                            )
+                            rows, _rc = _run_sql(
+                                env, f"SELECT {_name}({vals})"
+                            )
+                            return rows[0][0] if rows else None
+
+                        return _sqlfn
                     raise NotImplementedError(
                         f"plpgsql interpreter: function {low!r} not in the "
                         "supported subset"

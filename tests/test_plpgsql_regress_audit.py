@@ -202,7 +202,7 @@ class TestAudit:
             else:
                 silent.append((name, msg))
         assert not silent, silent
-        assert ok >= 130  # round-12 floor; regressions would drop this
+        assert ok >= 140  # round-12 floor; regressions would drop this
 
 
 class TestInterpSetof:
@@ -404,3 +404,46 @@ class TestScalarSubqueries:
     def test_row_udf_rejects(self):
         with pytest.raises(NotImplementedError, match="scalar subquery"):
             compile_plpgsql("begin return (select 1); end", [])
+
+
+class TestUserFunctionCalls:
+    """Unknown functions in driver-side expressions resolve through the
+    SQL hook — PG evaluates every plpgsql expression via SPI, so
+    user-created and core functions alike just work; row UDFs keep the
+    loud interpreter-subset reject."""
+
+    def test_do_block_calls_user_function(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path))
+        eng.execute(
+            "CREATE FUNCTION dbl(x int) RETURNS int AS $$ BEGIN "
+            "RETURN x * 2; END $$ LANGUAGE plpgsql"
+        )
+        eng.execute("CREATE TABLE ufc_t (v int)")
+        eng.execute(
+            "DO $$ DECLARE y int; BEGIN y := dbl(7) + 1; "
+            "INSERT INTO ufc_t VALUES (y); END $$"
+        )
+        assert eng.execute("SELECT v FROM ufc_t").collect()[0].v == 15
+
+    def test_setof_interp_calls_user_function(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path))
+        eng.execute(
+            "CREATE FUNCTION sq(x int) RETURNS int AS $$ BEGIN "
+            "RETURN x * x; END $$ LANGUAGE plpgsql"
+        )
+        eng.execute(
+            "CREATE FUNCTION squares(n int) RETURNS SETOF int AS $$ "
+            "DECLARE i int; BEGIN FOR i IN 1 .. n LOOP "
+            "IF i > 1 THEN RETURN NEXT sq(i); END IF; "
+            "END LOOP; RETURN; END $$ LANGUAGE plpgsql"
+        )
+        rows = eng.execute("SELECT * FROM squares(4) ORDER BY 1").collect()
+        assert [r[0] for r in rows] == [4, 9, 16]
+
+    def test_row_udf_still_rejects(self):
+        with pytest.raises(NotImplementedError, match="supported subset"):
+            compile_plpgsql("begin return myfn(1); end", [])()
