@@ -1263,7 +1263,8 @@ class GreengageEngine:
         prev = self._track_rowcount
         self._track_rowcount = True
         try:
-            run_block(body, hook, notices, cursor_factory=cursor_factory)
+            run_block(body, hook, notices, cursor_factory=cursor_factory,
+                      types=self._composite_types())
         finally:
             self._track_rowcount = prev
         self.notices.extend(msg for _lvl, msg in notices)
@@ -1770,6 +1771,21 @@ class GreengageEngine:
             "size bigint, access timestamp, modification timestamp, "
             "isdir boolean",
         )
+
+    def _composite_types(self) -> dict:
+        """{type name: [field names]} from recorded CREATE TYPE AS
+        definitions (typecmds.c DefineCompositeType) — the plpgsql
+        interpreter uses it for ::composite casts of record values."""
+        out = {}
+        for key, cols in self.misc_ddl.items():
+            if isinstance(key, tuple) and key[0] == "composite_type":
+                names = []
+                for c in str(cols).split(","):
+                    parts = c.strip().split()
+                    if parts:
+                        names.append(parts[0].lower())
+                out[key[1].lower()] = names
+        return out
 
     def _explain(self, stmt: str) -> DataFrame:
         """EXPLAIN [ANALYZE] [VERBOSE] query (commands/explain.c): one

@@ -714,10 +714,38 @@ class _ExprParser:
                     continue
                 cast = _CASTS.get(tname)
                 if cast is None:
-                    raise NotImplementedError(
-                        f"plpgsql: cast to {tname!r} not supported"
-                    )
-                e = (lambda inner, c: lambda env: c(inner(env)))(e, cast)
+                    # composite-type cast: relabel a record/row-ctor
+                    # value to the recorded type's field names (the
+                    # engine seeds env['__types__'] from CREATE TYPE AS)
+                    def _comp_cast(env, _inner=e, _t=tname):
+                        fields = (env.get("__types__") or {}).get(_t)
+                        if fields is None:
+                            raise NotImplementedError(
+                                f"plpgsql: cast to {_t!r} not supported"
+                            )
+                        v = _inner(env)
+                        if v is None:
+                            return None
+                        if isinstance(v, dict):
+                            vals = list(v.values())
+                        elif hasattr(v, "__fields__"):
+                            vals = [v[c] for c in v.__fields__]
+                        else:
+                            raise PlPgSQLError(
+                                "cannot_coerce",
+                                f"cannot cast scalar to composite {_t}",
+                            )
+                        if len(vals) != len(fields):
+                            raise PlPgSQLError(
+                                "cannot_coerce",
+                                f"cannot cast: {len(vals)} fields vs "
+                                f"{len(fields)} in {_t}",
+                            )
+                        return dict(zip(fields, vals))
+
+                    e = _comp_cast
+                else:
+                    e = (lambda inner, c: lambda env: c(inner(env)))(e, cast)
             elif t == "[":
                 self.take()
                 idx = self.parse()
@@ -2471,6 +2499,7 @@ def run_setof(
     out_names: list[str] | None = None,
     param_order: list[str] | None = None,
     notices: list | None = None,
+    types: dict | None = None,
 ) -> list:
     """Run a RETURNS SETOF plpgsql body driver-side and return the
     accumulated result rows (pl_exec.c: RETURN NEXT / RETURN QUERY
@@ -2495,6 +2524,8 @@ def run_setof(
         )
     env: dict = {"found": False, "__rowcount__": 0, "__sql__": sql_hook,
                  "__setof__": []}
+    if types:
+        env["__types__"] = types
     if out_names:
         env["__out_names__"] = [n.lower() for n in out_names]
         for n in env["__out_names__"]:
@@ -2529,6 +2560,7 @@ def run_block(
     sql_hook,
     notices: list | None = None,
     cursor_factory=None,
+    types: dict | None = None,
 ) -> None:
     """Execute a DO-block body driver-side (commands/functioncmds.c
     ExecuteDoStmt → plpgsql): full interpreter plus the SQL statements —
@@ -2546,6 +2578,8 @@ def run_block(
             f"plpgsql: trailing tokens after END: {p.toks[p.pos:p.pos + 5]}"
         )
     env = {"__sql__": sql_hook, "found": False, "__rowcount__": 0}
+    if types:
+        env["__types__"] = types
     if notices is not None:
         env["__notices__"] = notices
     if cursor_factory is not None:

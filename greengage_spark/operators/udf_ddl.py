@@ -907,7 +907,7 @@ def _run_interp_setof(fd: FunctionDef, args: list[str], engine) -> str:
     notices: list = []
     rows = run_setof(fd.body, hook, vals, fd.arg_names,
                      out_names=fd.out_names, param_order=fd.param_order,
-                     notices=notices)
+                     notices=notices, types=engine._composite_types())
     engine.notices.extend(msg for _lvl, msg in notices)
     leaf = fd.name.rsplit(".", 1)[-1]
 

@@ -447,3 +447,59 @@ class TestUserFunctionCalls:
     def test_row_udf_still_rejects(self):
         with pytest.raises(NotImplementedError, match="supported subset"):
             compile_plpgsql("begin return myfn(1); end", [])()
+
+
+class TestCompositeCasts:
+    """(1, 'x')::comptype relabels a record to the recorded CREATE TYPE
+    AS field names (typecmds.c DefineCompositeType + the compos regress
+    shapes); unknown types still reject loudly at evaluation."""
+
+    def test_cast_and_field_access(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path))
+        eng.execute("CREATE TYPE pairt AS (x int, y varchar)")
+        eng.execute("CREATE TABLE cc_t (x int, y text)")
+        eng.execute(
+            "DO $$ DECLARE v record; BEGIN "
+            "v := (7, 'hi')::pairt; "
+            "INSERT INTO cc_t VALUES (v.x, v.y); END $$"
+        )
+        r = eng.execute("SELECT x, y FROM cc_t").collect()[0]
+        assert (r.x, r.y) == (7, "hi")
+
+    def test_setof_return_next_composite(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path))
+        eng.execute("CREATE TYPE duot AS (a int, b int)")
+        eng.execute(
+            "CREATE FUNCTION duos(n int) RETURNS SETOF duot AS $$ "
+            "DECLARE i int; BEGIN FOR i IN 1 .. n LOOP "
+            "IF true THEN RETURN NEXT (i, i + 100)::duot; END IF; "
+            "END LOOP; RETURN; END $$ LANGUAGE plpgsql"
+        )
+        rows = eng.execute("SELECT a, b FROM duos(3) ORDER BY a").collect()
+        assert [(r.a, r.b) for r in rows] == [(1, 101), (2, 102), (3, 103)]
+
+    def test_unknown_type_loud(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path))
+        with pytest.raises(NotImplementedError, match="nosucht"):
+            eng.execute(
+                "DO $$ DECLARE v record; BEGIN "
+                "v := (1, 2)::nosucht; END $$"
+            )
+
+    def test_field_count_mismatch_loud(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+        from greengage_spark.operators.plpgsql_interp import PlPgSQLError
+
+        eng = GreengageEngine(spark, str(tmp_path))
+        eng.execute("CREATE TYPE triot AS (a int, b int, c int)")
+        with pytest.raises(PlPgSQLError, match="cannot cast"):
+            eng.execute(
+                "DO $$ DECLARE v record; BEGIN "
+                "v := (1, 2)::triot; END $$"
+            )
