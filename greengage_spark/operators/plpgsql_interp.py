@@ -1404,7 +1404,7 @@ class _StmtParser:
         if t == "get":
             return self._get_diag()
         if t in ("perform", "select", "insert", "update", "delete", "execute",
-                 "open", "fetch", "close", "move"):
+                 "open", "fetch", "close", "move", "set", "reset"):
             if not self.allow_sql:
                 raise NotImplementedError(
                     f"plpgsql interpreter: {t.upper()} needs the SQL engine "
@@ -1537,9 +1537,14 @@ class _StmtParser:
             text, _ = self._raw_until({";"})
             self.expect(";")
             return ("sql_perform", "SELECT " + text)
-        if head in ("insert", "update", "delete"):
+        if head in ("insert", "update", "delete", "set", "reset"):
+            # SET/RESET run through the engine like any SPI statement
+            # (pl_exec.c treats them as plain SQL)
             text, _ = self._raw_until({";"})
             self.expect(";")
+            if head in ("set", "reset"):
+                # token re-join spaces dotted GUC names; re-tighten
+                text = re.sub(r"\s*\.\s*", ".", text)
             return ("sql_perform", text)
         if head == "execute":
             self.take()

@@ -503,3 +503,20 @@ class TestCompositeCasts:
                 "DO $$ DECLARE v record; BEGIN "
                 "v := (1, 2)::triot; END $$"
             )
+
+
+class TestSetInBody:
+    """SET/RESET as SQL statements inside plpgsql bodies (pl_exec.c
+    treats them as plain SPI statements)."""
+
+    def test_set_and_reset(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path))
+        eng.execute(
+            "DO $$ BEGIN SET greengage.audit_flag = 'yes'; END $$"
+        )
+        assert eng.execute(
+            "SHOW greengage.audit_flag"
+        ).collect()[0][0] == "yes"
+        eng.execute("DO $$ BEGIN RESET greengage.audit_flag; END $$")
