@@ -3942,6 +3942,10 @@ _TSVECTOR_SQL = (
 )
 
 
+# user CREATE FUNCTION names (engine-refreshed per statement) — compat
+# aliases must never hijack a user-defined function of the same name
+USER_FUNCTION_NAMES: set[str] = set()
+
 _TSEARCH2_SIMPLE = {
     # contrib/tsearch2/tsearch2--1.0.sql legacy names → modern API
     "rank_cd": "ts_rank_cd",
@@ -4005,6 +4009,8 @@ def _pass_tsearch2_aliases(toks: list[str]) -> list[str]:
         if i > 0 and out[i - 1] == ".":
             continue
         low = t.lower()
+        if low in USER_FUNCTION_NAMES:
+            continue
         if low in _TSEARCH2_SIMPLE:
             out[i] = _TSEARCH2_SIMPLE[low]
         elif low in _TSEARCH2_REJECT:

@@ -183,14 +183,29 @@ def _normalize_statement(sql: str) -> str:
     return re.sub(r"\s+", " ", s)
 
 
+def _sub_outside_strings(pattern: str, repl: str, stmt: str) -> str:
+    """``re.sub`` applied only OUTSIDE single-/dollar-quoted literals —
+    a raw regex over the whole statement corrupts string payloads
+    (e.g. SELECT 'nested stat(...) call')."""
+    # the dollar-tag group matches empty (not optional) so the \2
+    # backreference participates for plain $$...$$ quoting too
+    parts = re.split(
+        r"('(?:[^']|'')*'|\$([A-Za-z_]\w*|)\$.*?\$\2\$)",
+        stmt,
+        flags=re.DOTALL,
+    )
+    # re.split with 2 groups yields triples (text, literal, dollar-tag);
+    # the tag is a sub-capture of the literal — emit it once only
+    return "".join(
+        re.sub(pattern, repl, p) if i % 3 == 0 else (p or "" if i % 3 == 1 else "")
+        for i, p in enumerate(parts)
+    )
+
+
 def _strip_public_schema(stmt: str) -> str:
     """pg_dump qualifies every object as ``public.x``; the engine's
     namespace is flat, so the prefix drops — outside string literals."""
-    parts = re.split(r"('(?:[^']|'')*')", stmt)
-    return "".join(
-        p if i % 2 else re.sub(r"(?i)\bpublic\s*\.\s*", "", p)
-        for i, p in enumerate(parts)
-    )
+    return _sub_outside_strings(r"(?i)\bpublic\s*\.\s*", "", stmt)
 
 
 class GreengageEngine:
@@ -422,6 +437,11 @@ class GreengageEngine:
         df.createOrReplaceTempView("pg_stat_statements")
 
     def _execute_stmt(self, sql: str) -> DataFrame | None:
+        # compat aliases (tsearch2 et al.) must never hijack a
+        # user-defined function of the same name
+        from greengage_spark.dialect import transpiler as _tp
+
+        _tp.USER_FUNCTION_NAMES = {n.lower() for n in self.functions}
         stmt = _strip_public_schema(sql.strip().rstrip(";"))
         stmt = self._flatten_schemas(stmt)
         head = stmt.split(None, 2)[0].lower() if stmt else ""
@@ -1149,8 +1169,15 @@ class GreengageEngine:
 
                 stmt = expand_crosstab(self, stmt)
             # tsearch2 compat: legacy stat('query') is ts_stat (the
-            # FROM-position SRF expands pre-transpile, so alias here too)
-            stmt = re.sub(r"(?i)(?<![\w.])stat\s*\(\s*'", "ts_stat('", stmt)
+            # FROM-position SRF expands pre-transpile, so alias here
+            # too) — only outside string literals, and never when the
+            # user defined their own stat() function
+            if "stat" not in self.functions:
+                # the '...' argument is the NEXT split segment, so the
+                # quote shows up as segment end, not a lookahead match
+                stmt = _sub_outside_strings(
+                    r"(?i)(?<![\w.])stat\s*\(\s*\Z", "ts_stat(", stmt
+                )
             if re.search(
                 r"(?i)\b(ts_stat|connectby|normal_rand)\s*\(", stmt
             ):
@@ -1738,9 +1765,9 @@ class GreengageEngine:
         base = os.path.realpath(self.warehouse)
         full = path if os.path.isabs(path) else os.path.join(base, path)
         full = os.path.realpath(full)
-        if not os.path.isabs(path) and not (
-            full == base or full.startswith(base + os.sep)
-        ):
+        # genfile.c convert_and_check_filename: absolute paths are
+        # contained too — an opt-in GUC must not grant /etc/passwd reads
+        if not (full == base or full.startswith(base + os.sep)):
             raise PermissionError(
                 f'path must be inside the data directory: "{path}"'
             )

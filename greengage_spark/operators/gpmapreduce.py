@@ -233,10 +233,19 @@ def _apply_reduce(engine, spec: MapReduceSpec, df: DataFrame, name: str) -> Data
                 "gpmapreduce: built-in REDUCE needs a 'value' column"
             )
         keys = [c for c in df.columns if c != "value"]
-        agg = {
-            "SUM": F.sum, "AVG": F.avg, "COUNT": F.count,
-            "MIN": F.min, "MAX": F.max,
-        }[upper]("value").alias("value")
+        # COUNT counts input ROWS per key (Greenplum MapReduce semantics),
+        # not non-NULL values; SUM/AVG need an explicit numeric cast —
+        # the default MAP value column is text, and Spark's implicit
+        # string coercion on aggregates is version-dependent
+        val = F.col("value")
+        if upper in ("SUM", "AVG") and dict(df.dtypes)["value"] == "string":
+            val = val.cast("double")
+        if upper == "COUNT":
+            agg = F.count(F.lit(1)).alias("value")
+        else:
+            agg = {
+                "SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max,
+            }[upper](val).alias("value")
         return df.groupBy(*keys).agg(agg)
     rd = spec.reduces.get(name)
     if rd is None:

@@ -266,7 +266,10 @@ def decode_flac(data: bytes) -> dict:
         raise ValueError("flac: missing STREAMINFO")
     channels_out: list[list[int]] = []
     got = 0
-    while got < info["total"]:
+    # STREAMINFO total_samples=0 is spec-legal "unknown length"
+    # (streamed encodes): decode frames to end-of-data instead
+    unknown_len = info["total"] == 0
+    while (pos < len(data)) if unknown_len else (got < info["total"]):
         frame, consumed = _decode_frame(data, pos, info)
         pos += consumed
         for i, chan in enumerate(frame):
@@ -274,7 +277,12 @@ def decode_flac(data: bytes) -> dict:
                 channels_out.append([])
             channels_out[i].extend(chan)
         got += len(frame[0])
-    n = info["total"]
+    if not channels_out:
+        raise ValueError(
+            "flac: stream contains no audio frames (unknown-length "
+            "STREAMINFO and no frame data)"
+        )
+    n = got if unknown_len else info["total"]
     samples = np.stack(
         [np.array(c[:n], np.int64) for c in channels_out], axis=1
     ).astype(np.int32)
@@ -283,7 +291,7 @@ def decode_flac(data: bytes) -> dict:
         "sample_rate": info["sample_rate"],
         "channels": info["channels"],
         "bits_per_sample": info["bps"],
-        "total_samples": info["total"],
+        "total_samples": n,
         "tags": tags,
         "kind": "flac",
     }

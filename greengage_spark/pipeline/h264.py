@@ -31,8 +31,9 @@ Verification basis (no reference decoder exists in this sandbox): the
 published clause-9.2 worked example is pinned bit-exact through both
 encoder and decoder, every VLC table is structurally validated
 (prefix-free + complete), and encode→decode round trips are pixel-exact
-for I_PCM (any content) and for flat-color I_16x16 across the QP range
-(tests/test_h264.py).
+for I_PCM (any content) and for flat-color I_16x16 at low QP (<= 20;
+above that chroma DC quantization drifts) — tests/test_h264.py pins
+QP 10/16/20.
 """
 
 from __future__ import annotations

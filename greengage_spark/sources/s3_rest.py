@@ -128,10 +128,37 @@ class S3RestClient:
         self.https = https
 
     # -- plumbing ----------------------------------------------------------
+    MAX_RETRIES = 3  # gpcloud's S3_REQUEST_MAX_RETRIES retry loops
+
     def _request(
         self, method: str, path: str, query: str = "", body: bytes = b""
     ) -> tuple[int, dict, bytes]:
+        """One signed request, with a bounded retry on transient
+        connection-level failures (reset / broken pipe / short read
+        before a response arrives) — the same recovery gpcloud performs
+        per chunk (s3interface.cpp S3_REQUEST_MAX_RETRIES).  Re-issuing
+        is safe: a request whose response was never read either never
+        reached S3 or is idempotent at the S3 level (PUT part / GET /
+        HEAD / DELETE; POST initiate just mints a fresh id, POST
+        complete re-asserts the same part list)."""
         payload_hash = hashlib.sha256(body).hexdigest()
+        last_err: Exception | None = None
+        for attempt in range(self.MAX_RETRIES):
+            try:
+                return self._request_once(method, path, query, body, payload_hash)
+            except (ConnectionError, http.client.HTTPException, TimeoutError) as e:
+                last_err = e
+                import time
+
+                time.sleep(0.05 * (2**attempt))
+        raise IOError(
+            f"S3 {method} {path} failed after {self.MAX_RETRIES} attempts: "
+            f"{last_err!r}"
+        )
+
+    def _request_once(
+        self, method: str, path: str, query: str, body: bytes, payload_hash: str
+    ) -> tuple[int, dict, bytes]:
         amzdate = datetime.datetime.now(datetime.timezone.utc).strftime(
             "%Y%m%dT%H%M%SZ"
         )
@@ -151,7 +178,11 @@ class S3RestClient:
         )
         conn = conn_cls(self.endpoint, timeout=60)
         try:
-            url = path + ("?" + query if query else "")
+            # the wire path must be the SAME percent-encoding sign_v4
+            # canonicalizes — raw spaces / '#' / '?' / non-ASCII in a
+            # key would malform the request line or break the signature
+            enc_path = _uri_encode(path, encode_slash=False) or "/"
+            url = enc_path + ("?" + query if query else "")
             conn.request(method, url, body=body, headers=headers)
             resp = conn.getresponse()
             data = resp.read()
@@ -437,7 +468,12 @@ def serve_s3(
                 return self._reply(204)
             self._reply(400)
 
-    srv = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    class Server(ThreadingHTTPServer):
+        # a 32-thread executor fan-out can burst-connect faster than the
+        # accept loop drains; the default backlog of 5 drops connections
+        request_queue_size = 128
+
+    srv = Server(("127.0.0.1", port), Handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, srv.server_address[1]

@@ -45,6 +45,30 @@ class TestLossless:
             out = decode_flac(encode_flac(x, blocksize=1024))
             assert (out["samples"][:, 0] == x).all()
 
+    def test_unknown_length_stream_decodes_to_eof(self):
+        # STREAMINFO total_samples=0 is spec-legal "unknown length"
+        # (streamed encodes): the decoder must decode frames to
+        # end-of-data, not return zero samples or crash in np.stack
+        x = (np.sin(np.arange(2000) * 0.03) * 12000).astype(np.int32)
+        blob = bytearray(encode_flac(x, blocksize=512))
+        # total_samples is bits 108..143 of the 34-byte STREAMINFO
+        # (after 4-byte magic + 4-byte block header): low nibble of
+        # byte 21 plus bytes 22..25
+        blob[21] &= 0xF0
+        blob[22:26] = b"\x00\x00\x00\x00"
+        out = decode_flac(bytes(blob))
+        assert (out["samples"][:, 0] == x).all()
+        assert out["total_samples"] == len(x)
+
+    def test_unknown_length_no_frames_rejects(self):
+        x = np.zeros(16, np.int32)
+        blob = bytearray(encode_flac(x, blocksize=16))
+        blob[21] &= 0xF0
+        blob[22:26] = b"\x00\x00\x00\x00"
+        # truncate right after the metadata: magic+header+34 bytes
+        with pytest.raises(ValueError, match="no audio frames"):
+            decode_flac(bytes(blob[:42]))
+
     def test_constant_and_silence(self):
         for v in (0, 17, -32768, 32767):
             x = np.full(700, v, np.int32)

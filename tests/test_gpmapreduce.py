@@ -57,6 +57,25 @@ class TestMapReduce:
         assert ("the", 3) in out and ("fox", 1) in out
         assert len(out) == 6
 
+    def test_count_counts_rows_including_nulls(self, eng):
+        # Greenplum MapReduce COUNT counts input rows per key, not
+        # non-NULL values — a MAP emitting NULL values must still count
+        yml = WORDSPLIT.format(reduce="COUNT").replace(
+            "yield [word, 1]", "yield [word, None]"
+        ).replace("value integer", "value text")
+        df = run_mapreduce(eng, yml)
+        out = dict((r.key, r.value) for r in df.collect())
+        assert out["the"] == 3 and out["fox"] == 1
+
+    def test_sum_on_text_value_casts(self, eng):
+        # the default text-typed value column must SUM numerically
+        yml = WORDSPLIT.format(reduce="SUM").replace(
+            "yield [word, 1]", "yield [word, '2']"
+        ).replace("value integer", "value text")
+        df = run_mapreduce(eng, yml)
+        out = dict((r.key, r.value) for r in df.collect())
+        assert out["the"] == 6.0 and out["dog"] == 2.0
+
     def test_identity_reduce(self, eng):
         df = run_mapreduce(eng, WORDSPLIT.format(reduce="IDENTITY"))
         assert df.count() == 8  # one row per word occurrence

@@ -448,3 +448,19 @@ class TestGenfile:
         feng.execute("SET greengage.enable_server_file_access = on")
         with _pytest.raises(PermissionError, match="data directory"):
             feng.execute("SELECT pg_read_file('../../../etc/hostname')")
+
+    def test_absolute_path_escape_rejected(self, feng):
+        # genfile.c contains ABSOLUTE paths too — the opt-in GUC must
+        # not grant arbitrary host reads like pg_read_file('/etc/passwd')
+        import pytest as _pytest
+
+        feng.execute("SET greengage.enable_server_file_access = on")
+        with _pytest.raises(PermissionError, match="data directory"):
+            feng.execute("SELECT pg_read_file('/etc/passwd')")
+
+    def test_absolute_path_inside_datadir_ok(self, feng, tmp_path):
+        feng.execute("SET greengage.enable_server_file_access = on")
+        txt = feng.execute(
+            f"SELECT pg_read_file('{tmp_path}/note.txt')"
+        ).collect()[0][0]
+        assert txt == "hello file world"

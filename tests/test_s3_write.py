@@ -97,6 +97,60 @@ class TestRestClient:
         assert cl.get_object("bkt", "a/x.csv") == b"hello,world\n"
         assert cl.list_keys("bkt", "a/") == [("a/x.csv", 12)]
 
+    def test_special_char_keys_roundtrip(self, s3srv):
+        # keys with spaces / '+' / '#' / '?' / non-ASCII must be
+        # percent-encoded ONCE, identically on the wire and in the
+        # SigV4 canonical URI (the fixture recomputes the signature,
+        # so a mismatch would 403)
+        _, port = s3srv
+        cl = _client(port)
+        for key in [
+            "dir with space/a b.csv",
+            "plus+key.csv",
+            "hash#frag.csv",
+            "quest?ion.csv",
+            "uniécode/文件.csv",
+            "pct%25literal.csv",
+        ]:
+            uid = cl.initiate_upload("bkt", key)
+            e1 = cl.upload_part("bkt", key, uid, 1, b"payload")
+            cl.complete_upload("bkt", key, uid, [e1])
+            assert cl.key_exists("bkt", key), key
+            assert cl.get_object("bkt", key) == b"payload", key
+
+    def test_retry_recovers_from_connection_reset(self, s3srv, monkeypatch):
+        # kill-a-connection-mid-part: the first attempt raises
+        # ConnectionResetError, the bounded retry re-issues and succeeds
+        # (gpcloud s3interface.cpp S3_REQUEST_MAX_RETRIES behavior)
+        _, port = s3srv
+        cl = _client(port)
+        real_once = cl._request_once
+        fails = {"n": 1}
+
+        def flaky(method, path, query, body, payload_hash):
+            if fails["n"] > 0:
+                fails["n"] -= 1
+                raise ConnectionResetError(104, "Connection reset by peer")
+            return real_once(method, path, query, body, payload_hash)
+
+        monkeypatch.setattr(cl, "_request_once", flaky)
+        uid = cl.initiate_upload("bkt", "retry.csv")
+        e1 = cl.upload_part("bkt", "retry.csv", uid, 1, b"survived")
+        cl.complete_upload("bkt", "retry.csv", uid, [e1])
+        assert cl.get_object("bkt", "retry.csv") == b"survived"
+        assert fails["n"] == 0
+
+    def test_retry_is_bounded(self, s3srv, monkeypatch):
+        _, port = s3srv
+        cl = _client(port)
+
+        def always_reset(method, path, query, body, payload_hash):
+            raise ConnectionResetError(104, "Connection reset by peer")
+
+        monkeypatch.setattr(cl, "_request_once", always_reset)
+        with pytest.raises(IOError, match="after 3 attempts"):
+            cl.key_exists("bkt", "never.csv")
+
     def test_abort_leaves_nothing(self, s3srv):
         _, port = s3srv
         cl = _client(port)

@@ -70,6 +70,28 @@ class TestAliases:
         assert [(r.word, r.ndoc, r.nentry) for r in rows] == [("data", 2, 3)]
 
 
+    def test_stat_in_string_literal_untouched(self, spark):
+        # the alias must not rewrite the INSIDE of string literals
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_ts2lit_"))
+        r = eng.execute(
+            "SELECT 'nested stat(''q'') call' AS s"
+        ).collect()[0]
+        assert r.s == "nested stat('q') call"
+
+    def test_user_defined_stat_not_hijacked(self, spark):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_ts2udf_"))
+        eng.execute(
+            "CREATE FUNCTION stat(x text) RETURNS int AS "
+            "$$ SELECT length(x) $$ LANGUAGE sql"
+        )
+        r = eng.execute("SELECT stat('abcd') AS n").collect()[0]
+        assert r.n == 4
+
+
 class TestCoreMeaningsPreserved:
     def test_window_rank_untouched(self, spark):
         out = transpile("SELECT rank() OVER (ORDER BY x) FROM t")
