@@ -218,6 +218,9 @@ class GreengageEngine:
         self.views: dict[str, str] = {}  # name → PG-dialect defining query
         self.sequences = SequenceManager(warehouse)
         self.functions: dict = {}  # name → FunctionDef (CREATE FUNCTION)
+        # name → Python callable: the plpgsql interpreter's per-row
+        # user-function resolution (resolves at call time, like SPI)
+        self.pl_registry: dict = {}
         self._txn: dict | None = None  # BEGIN snapshot (see _begin_txn)
         self._loaded_modules: set[str] = set()
         from greengage_spark.dialect.gucs import GucManager
@@ -704,6 +707,26 @@ class GreengageEngine:
             if m.group(3) not in self.functions and not m.group(2):
                 raise ValueError(f"unknown function {m.group(3)!r}")
             self.functions.pop(m.group(3), None)
+            if self.pl_registry.pop(m.group(3).lower(), None) is not None:
+                # registered UDF closures pickle a SNAPSHOT of the
+                # registry; re-register survivors so their snapshot no
+                # longer resolves the dropped name (PG errors at next
+                # execution too)
+                from greengage_spark.operators.udf_ddl import (
+                    register_function,
+                )
+
+                for fd in self.functions.values():
+                    if getattr(fd, "language", None) in (
+                        "plpgsql", "sql", "plpythonu",
+                    ):
+                        try:
+                            register_function(
+                                self.spark, fd, transpile,
+                                registry=self.pl_registry,
+                            )
+                        except Exception:  # noqa: BLE001 — best effort
+                            pass
             return None
         if re.match(r"(?is)^create\s+(temp(orary)?\s+)?sequence\b", stmt):
             return self._create_sequence(stmt)
@@ -1340,6 +1363,9 @@ class GreengageEngine:
         self.matviews = snap.get("matviews", {})
         self.domains = snap.get("domains", {})
         self.functions = snap["functions"]
+        for k in list(self.pl_registry):
+            if k not in {n.lower() for n in self.functions}:
+                self.pl_registry.pop(k, None)
         for name in created:
             shutil.rmtree(f"{self.ddl.root}/{name}", ignore_errors=True)
             try:
@@ -1533,7 +1559,7 @@ class GreengageEngine:
         fd, replace = parse_create_function(stmt)
         if fd.name in self.functions and not replace:
             raise ValueError(f"function {fd.name!r} already exists")
-        register_function(self.spark, fd, transpile)
+        register_function(self.spark, fd, transpile, registry=self.pl_registry)
         self.functions[fd.name] = fd
         return None
 

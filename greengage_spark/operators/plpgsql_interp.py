@@ -160,11 +160,66 @@ _TOKEN_RE = re.compile(
 _DOLLAR_TAG_RE = re.compile(r"\$([A-Za-z_][\w]*)?\$")
 
 
+_ESTRING_ESC = {
+    "b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t",
+    "\\": "\\", "'": "'",
+}
+
+
+def _scan_estring(src: str, pos: int) -> tuple[str, int]:
+    """Scan an E'...' literal starting at the quote (scan.l xe rules):
+    backslash escapes incl. octal \\nnn and hex \\xHH; returns the
+    decoded value and the position after the closing quote."""
+    j, buf = pos + 1, []
+    n = len(src)
+    while j < n:
+        c = src[j]
+        if c == "'":
+            if src[j + 1 : j + 2] == "'":
+                buf.append("'")
+                j += 2
+                continue
+            return "".join(buf), j + 1
+        if c == "\\" and j + 1 < n:
+            nxt = src[j + 1]
+            if nxt in _ESTRING_ESC:
+                buf.append(_ESTRING_ESC[nxt])
+                j += 2
+                continue
+            mo = re.match(r"[0-7]{1,3}", src[j + 1 :])
+            if mo:
+                buf.append(chr(int(mo.group(0), 8)))
+                j += 1 + len(mo.group(0))
+                continue
+            mx = re.match(r"x([0-9A-Fa-f]{1,2})", src[j + 1 :])
+            if mx:
+                buf.append(chr(int(mx.group(1), 16)))
+                j += 1 + len(mx.group(0))
+                continue
+            mu = re.match(r"u([0-9A-Fa-f]{4})|U([0-9A-Fa-f]{8})", src[j + 1 :])
+            if mu:
+                buf.append(chr(int(mu.group(1) or mu.group(2), 16)))
+                j += 1 + len(mu.group(0))
+                continue
+            buf.append(nxt)  # unknown escape: the char itself (scan.l)
+            j += 2
+            continue
+        buf.append(c)
+        j += 1
+    raise NotImplementedError("plpgsql: unterminated E'' string")
+
+
 def _tokenize(src: str) -> list[str]:
     src = re.sub(r"/\*.*?\*/", " ", src, flags=re.DOTALL)
     toks: list[str] = []
     pos = 0
     while pos < len(src):
+        if src[pos] in "eE" and src[pos + 1 : pos + 2] == "'":
+            # E'...' escape string: decode now, emit a plain ''-doubled
+            # literal so every downstream consumer sees one string token
+            val, pos = _scan_estring(src, pos + 1)
+            toks.append("'" + val.replace("'", "''") + "'")
+            continue
         dm = _DOLLAR_TAG_RE.match(src, pos)
         if dm and not re.match(r"\$\d", src[pos:]):
             # $tag$ ... $tag$ dollar quoting (scan.l xdolq): normalize
@@ -692,60 +747,74 @@ class _ExprParser:
             return self._unary()
         return self._postfix()
 
+    def _finish_cast(self, e):
+        """Type-name suffix of a cast (`::t` already consumed, or the
+        `AS` of CAST(x AS t)): reads the type name (+ multiword tails,
+        precision parens, [] suffix) and returns the wrapped expr."""
+        tname = self.take().lower()
+        # multiword type names (gram.y SimpleTypename)
+        if tname == "double" and self.peek_low() == "precision":
+            self.take()
+        elif tname in ("character", "char") and self.peek_low() == "varying":
+            self.take()
+            tname = "varchar"
+        # swallow precision/length parens and [] array suffix
+        if self.peek() == "(":
+            depth = 0
+            while True:
+                tk = self.take()
+                depth += tk == "(" and 1 or (tk == ")" and -1 or 0)
+                if depth == 0:
+                    break
+        if tname in ("timestamp", "time") and self.peek_low() in (
+            "with", "without"
+        ):
+            self.take()
+            self.expect("time")
+            self.expect("zone")
+        if self.peek() == "[":
+            self.take()
+            self.expect("]")
+            return e  # array cast: elements keep their runtime types
+        cast = _CASTS.get(tname)
+        if cast is None:
+
+            def _comp_cast2(env, _inner=e, _t=tname):
+                fields = (env.get("__types__") or {}).get(_t)
+                if fields is None:
+                    raise NotImplementedError(
+                        f"plpgsql: cast to {_t!r} not supported"
+                    )
+                v = _inner(env)
+                if v is None:
+                    return None
+                if isinstance(v, dict):
+                    vals = list(v.values())
+                elif hasattr(v, "__fields__"):
+                    vals = [v[c] for c in v.__fields__]
+                else:
+                    raise PlPgSQLError(
+                        "cannot_coerce",
+                        f"cannot cast scalar to composite {_t}",
+                    )
+                if len(vals) != len(fields):
+                    raise PlPgSQLError(
+                        "cannot_coerce",
+                        f"cannot cast: {len(vals)} fields vs "
+                        f"{len(fields)} in {_t}",
+                    )
+                return dict(zip(fields, vals))
+
+            return _comp_cast2
+        return (lambda inner, c: lambda env: c(inner(env)))(e, cast)
+
     def _postfix(self):
         e = self._primary()
         while True:
             t = self.peek()
             if t == "::":
                 self.take()
-                tname = self.take().lower()
-                # swallow precision/length parens and [] array suffix
-                if self.peek() == "(":
-                    depth = 0
-                    while True:
-                        tk = self.take()
-                        depth += tk == "(" and 1 or (tk == ")" and -1 or 0)
-                        if depth == 0:
-                            break
-                if self.peek() == "[":
-                    self.take()
-                    self.expect("]")
-                    e = (lambda inner: lambda env: inner(env))(e)
-                    continue
-                cast = _CASTS.get(tname)
-                if cast is None:
-                    # composite-type cast: relabel a record/row-ctor
-                    # value to the recorded type's field names (the
-                    # engine seeds env['__types__'] from CREATE TYPE AS)
-                    def _comp_cast(env, _inner=e, _t=tname):
-                        fields = (env.get("__types__") or {}).get(_t)
-                        if fields is None:
-                            raise NotImplementedError(
-                                f"plpgsql: cast to {_t!r} not supported"
-                            )
-                        v = _inner(env)
-                        if v is None:
-                            return None
-                        if isinstance(v, dict):
-                            vals = list(v.values())
-                        elif hasattr(v, "__fields__"):
-                            vals = [v[c] for c in v.__fields__]
-                        else:
-                            raise PlPgSQLError(
-                                "cannot_coerce",
-                                f"cannot cast scalar to composite {_t}",
-                            )
-                        if len(vals) != len(fields):
-                            raise PlPgSQLError(
-                                "cannot_coerce",
-                                f"cannot cast: {len(vals)} fields vs "
-                                f"{len(fields)} in {_t}",
-                            )
-                        return dict(zip(fields, vals))
-
-                    e = _comp_cast
-                else:
-                    e = (lambda inner, c: lambda env: c(inner(env)))(e, cast)
+                e = self._finish_cast(e)
             elif t == "[":
                 self.take()
                 idx = self.parse()
@@ -773,13 +842,10 @@ class _ExprParser:
             if self.peek() is not None and _is_ident(self.peek()) \
                     and self.peek().lower() in ("select", "with"):
                 # scalar subquery (pl_exec.c evaluates every expression
-                # through SPI, so (SELECT ...) just works in PG) — here
-                # it routes through the SQL hook, driver-side only
-                if not self.allow_sql:
-                    raise NotImplementedError(
-                        "plpgsql: scalar subquery needs the SQL engine — "
-                        "available in DO blocks / driver-side functions"
-                    )
+                # through SPI, so (SELECT ...) just works in PG) — via
+                # the SQL hook driver-side; in the row tier _run_sql
+                # falls back to the FROM-less simple-expression
+                # evaluator and anything else raises loudly at run time
                 depth, j = 1, self.pos
                 while j < len(self.toks):
                     if self.toks[j] == "(":
@@ -797,7 +863,7 @@ class _ExprParser:
                 self.pos = j + 1
 
                 def _subq(env, _sql=sql):
-                    rows, _rc = _run_sql(env, _interpolate(_sql, env))
+                    rows, _rc = _run_sql(env, _interpolate(_sql, env), vars_visible=True)
                     if not rows:
                         return None
                     if len(rows) > 1:
@@ -870,6 +936,15 @@ class _ExprParser:
                     items.append(self.parse())
             self.expect("]")
             return lambda env, _it=items: [f(env) for f in _it]
+        if _is_ident(t) and t.lower() == "cast" and self.peek_at_next_is_paren():
+            # CAST(x AS type) — same machinery as ::type (gram.y Typecast)
+            self.take()
+            self.take()  # (
+            e = self.parse()
+            self.expect("as")
+            e = self._finish_cast(e)
+            self.expect(")")
+            return e
         if _is_ident(t):
             self.take()
             if self.peek() == "(":
@@ -897,10 +972,23 @@ class _ExprParser:
                             return rows[0][0] if rows else None
 
                         return _sqlfn
-                    raise NotImplementedError(
-                        f"plpgsql interpreter: function {low!r} not in the "
-                        "supported subset"
-                    )
+
+                    # row tier: defer to the CREATE FUNCTION registry at
+                    # call time — PG also resolves at execution, not at
+                    # plpgsql compile (pl_comp.c builds expr plans lazily)
+                    def _userfn(env, _name=low, _a=tuple(args)):
+                        reg = env.get("__functions__") or {}
+                        f = reg.get(_name)
+                        if f is None:
+                            raise PlPgSQLError(
+                                "undefined_function",
+                                f"function {_name}() is neither a "
+                                "built-in of the plpgsql interpreter nor "
+                                "a registered row-tier CREATE FUNCTION",
+                            )
+                        return f(*(g(env) for g in _a))
+
+                    return _userfn
                 return lambda env, _f=fn, _a=args: _f(*(g(env) for g in _a))
             return lambda env, _n=low: _lookup(env, _n)
         raise NotImplementedError(f"plpgsql expression: unexpected token {t!r}")
@@ -997,6 +1085,8 @@ _SQLSTATE_BY_NAME = {
     "program_limit_exceeded": "54000",
     "datetime_field_overflow": "22008",
     "routine_exception": "39000",
+    "undefined_function": "42883",
+    "array_subscript_error": "2202e",
 }
 _NAME_BY_SQLSTATE = {v: k for k, v in _SQLSTATE_BY_NAME.items()}
 
@@ -1406,6 +1496,14 @@ class _StmtParser:
         if t in ("perform", "select", "insert", "update", "delete", "execute",
                  "open", "fetch", "close", "move", "set", "reset"):
             if not self.allow_sql:
+                if t in ("perform", "select", "execute"):
+                    # row-tier simple-SQL lane: compiles here, and at
+                    # run time _run_sql (no engine hook on an executor)
+                    # evaluates FROM-less SELECT expression lists
+                    # in-process — the pl_exec.c exec_eval_simple_expr
+                    # fast path; anything needing a table scan raises
+                    # loudly at execution
+                    return self._sql_stmt(t)
                 raise NotImplementedError(
                     f"plpgsql interpreter: {t.upper()} needs the SQL engine "
                     "— not available inside a row UDF; use LANGUAGE sql, a "
@@ -1429,9 +1527,11 @@ class _StmtParser:
             self.expect(";")
             return ("assign_field", name, field, e)
         if self.peek_low() == "[":
-            self.take()
-            idx = self.expr()
-            self.expect("]")
+            idxs = []
+            while self.peek_low() == "[":
+                self.take()
+                idxs.append(self.expr())
+                self.expect("]")
             if self.peek_low() not in (":=", "="):
                 raise NotImplementedError(
                     f"plpgsql: statement not understood at {name!r}["
@@ -1439,7 +1539,7 @@ class _StmtParser:
             self.take()
             e = self.expr()
             self.expect(";")
-            return ("assign_idx", name, idx, e)
+            return ("assign_idx", name, idxs, e)
         if self.peek_low() not in (":=", "="):
             raise NotImplementedError(f"plpgsql: statement not understood at {name!r}")
         self.take()
@@ -1784,16 +1884,23 @@ class _StmtParser:
         self.expect("foreach")
         _lbl = self._claim_label()
         var = self.take().lower()
+        slice_n = 0
         if self.peek_low() == "slice":
-            raise NotImplementedError(
-                "plpgsql: FOREACH ... SLICE (multi-dim arrays are 1-D here)"
-            )
+            # FOREACH x SLICE n IN ARRAY (pl_gram.y foreach_slice):
+            # n must be an integer literal
+            self.take()
+            n_tok = self.take()
+            if not n_tok.isdigit():
+                raise NotImplementedError(
+                    "plpgsql: FOREACH SLICE takes an integer constant"
+                )
+            slice_n = int(n_tok)
         self.expect("in", "array")
         arr = self.expr()
         self.expect("loop")
         body = self._stmts(until=("end",))
         self._end_loop(_lbl)
-        return ("foreach", var, arr, body)
+        return ("foreach", var, arr, body, slice_n)
 
     def _raise(self):
         self.expect("raise")
@@ -1855,6 +1962,43 @@ class _StmtParser:
 # ---------------------------------------------------------------------------
 
 
+def _foreach_slices(arr, n: int):
+    """FOREACH iteration items (pl_exec.c exec_stmt_foreach_a): SLICE 0
+    walks every base element in storage order (multi-dim arrays
+    flatten); SLICE n yields n-dimensional sub-arrays; SLICE ndims
+    yields the whole array once."""
+    if arr is None:
+        return []
+    if n == 0:
+        out: list = []
+
+        def flat(a):
+            for x in a:
+                if isinstance(x, list):
+                    flat(x)
+                else:
+                    out.append(x)
+
+        flat(arr)
+        return out
+    d, probe = 0, arr
+    while isinstance(probe, list):
+        d += 1
+        probe = probe[0] if probe else None
+    if n > d:
+        raise PlPgSQLError(
+            "array_subscript_error",
+            f"slice dimension ({n}) is out of the valid range 0..{d}",
+        )
+    cur = [arr]
+    for _ in range(d - n):
+        nxt: list = []
+        for a in cur:
+            nxt.extend(a)
+        cur = nxt
+    return cur
+
+
 def _exec_stmts(stmts, env):
     for s in stmts:
         _exec_stmt(s, env)
@@ -1906,9 +2050,11 @@ def _exec_stmt(s, env, label=None):  # noqa: C901 - pl_exec.c dispatch
         # exec_set_found: every FOR statement sets FOUND on ≥1 iteration
         env["found"] = _run_loop(it, var, body, env, label) > 0
     elif kind == "foreach":
-        _, var, arr_e, body = s
+        var, arr_e, body = s[1], s[2], s[3]
+        slice_n = s[4] if len(s) > 4 else 0
         arr = arr_e(env)
-        env["found"] = _run_loop(arr or [], var, body, env, label) > 0
+        items = _foreach_slices(arr, slice_n)
+        env["found"] = _run_loop(items, var, body, env, label) > 0
     elif kind == "while":
         _, cond, body = s
         n = 0
@@ -1949,7 +2095,7 @@ def _exec_stmt(s, env, label=None):  # noqa: C901 - pl_exec.c dispatch
             {n: env.get(n) for n in outs}
         )
     elif kind == "return_query":
-        rows, _rc = _run_sql(env, _interpolate(s[1], env))
+        rows, _rc = _run_sql(env, _interpolate(s[1], env), vars_visible=True)
         env.setdefault("__setof__", []).extend(rows)
         env["found"] = len(rows) > 0
     elif kind == "return_query_dyn":
@@ -2021,12 +2167,12 @@ def _exec_stmt(s, env, label=None):  # noqa: C901 - pl_exec.c dispatch
     elif kind == "block":
         _exec_block(s, env)
     elif kind == "sql_perform":
-        rows, rc = _run_sql(env, _interpolate(s[1], env))
+        rows, rc = _run_sql(env, _interpolate(s[1], env), vars_visible=True)
         # exec_set_found: PERFORM/DML set FOUND from rows processed
         env["found"] = (rc > 0) if rc is not None else bool(rows)
     elif kind == "sql_select_into":
         _, sql, vars_, strict = s
-        rows, _rc = _run_sql(env, _interpolate(sql, env))
+        rows, _rc = _run_sql(env, _interpolate(sql, env), vars_visible=True)
         env["found"] = bool(rows)
         _assign_into(rows, vars_, strict, env)
     elif kind == "sql_execute":
@@ -2047,7 +2193,7 @@ def _exec_stmt(s, env, label=None):  # noqa: C901 - pl_exec.c dispatch
             _assign_into(rows, vars_, strict, env)
     elif kind == "forquery":
         _, var, sql, body = s
-        rows, _rc = _run_sql(env, _interpolate(sql, env))
+        rows, _rc = _run_sql(env, _interpolate(sql, env), vars_visible=True)
         n = _run_loop(rows, var, body, env, label)
         env["found"] = n > 0  # exec_stmt_fors sets FOUND on ≥1 iteration
     elif kind == "forquery_dyn":
@@ -2166,18 +2312,35 @@ def _exec_stmt(s, env, label=None):  # noqa: C901 - pl_exec.c dispatch
         rec[field] = e(env)
         env[name] = rec
     elif kind == "assign_idx":
-        _, name, idx_e, e = s
-        idx = idx_e(env)
-        if idx is None or idx < 1:
-            raise PlPgSQLError(
-                "array_subscript_error", f"invalid array subscript {idx}"
-            )
+        _, name, idx_es, e = s
+        idxs = [ie(env) for ie in idx_es]
+        for ix in idxs:
+            if ix is None or ix < 1:
+                raise PlPgSQLError(
+                    "array_subscript_error", f"invalid array subscript {ix}"
+                )
         cur = _lookup(env, name)
         arr = list(cur) if cur is not None else []
-        if idx > len(arr):
-            arr.extend([None] * (idx - len(arr)))  # PG NULL-pads growth
-        arr[idx - 1] = e(env)
         env[name] = arr
+        tgt = arr
+        for ix in idxs[:-1]:
+            if ix > len(tgt) or not isinstance(tgt[ix - 1], list):
+                raise PlPgSQLError(
+                    "array_subscript_error",
+                    "array subscript out of range",  # PG: multi-dim
+                    # arrays cannot grow by element assignment
+                )
+            inner = list(tgt[ix - 1])
+            tgt[ix - 1] = inner
+            tgt = inner
+        last = idxs[-1]
+        if last > len(tgt):
+            if len(idxs) > 1:
+                raise PlPgSQLError(
+                    "array_subscript_error", "array subscript out of range"
+                )
+            tgt.extend([None] * (last - len(tgt)))  # PG NULL-pads 1-D growth
+        tgt[last - 1] = e(env)
     elif kind == "case_stmt":
         _, subject, arms, els = s
         matched = False
@@ -2218,17 +2381,94 @@ def _sql_hook(env):
     return h
 
 
-def _run_sql(env, sql):
+def _run_sql(env, sql, vars_visible: bool = False):
     """Run one SQL statement through the hook; returns (rows, rowcount).
     rowcount is the processed-row count when the hook reports one
     (engine DO-block hooks set ``hook.rowcount`` per call — None means
     the DML shape's count is unknown), else len(rows).  Feeds GET
-    DIAGNOSTICS row_count (pl_exec.c exec_stmt_getdiag)."""
-    hook = _sql_hook(env)
+    DIAGNOSTICS row_count (pl_exec.c exec_stmt_getdiag).
+
+    Without a hook (row-UDF tier, running on an executor with no
+    SparkSession), FROM-less SELECT expression lists evaluate
+    in-process — the pl_exec.c exec_eval_simple_expr fast path.
+    ``vars_visible`` exposes plpgsql variables to the expressions
+    (true for statements PG plans with the function's param list;
+    false for EXECUTE strings, which PG gives no variable access)."""
+    hook = env.get("__sql__")
+    if hook is None:
+        rows = _eval_simple_select(sql, env if vars_visible else {})
+        env["__rowcount__"] = len(rows)
+        return rows, len(rows)
     rows = hook(sql)
     rc = hook.rowcount if hasattr(hook, "rowcount") else len(rows)
     env["__rowcount__"] = rc
     return rows, rc
+
+
+class _SimpleRow(tuple):
+    """One result row of the in-process simple-SELECT evaluator:
+    positional like a tuple, field access via __fields__ (the shape
+    _assign_into and _field already understand)."""
+
+    __fields__: list
+
+    def __new__(cls, vals, names):
+        r = super().__new__(cls, vals)
+        r.__fields__ = names
+        return r
+
+
+def _eval_simple_select(sql: str, env) -> list:
+    """Evaluate a FROM-less ``SELECT expr [AS name][, ...]`` with the
+    interpreter's own expression engine — what pl_exec.c
+    exec_simple_check_plan qualifies for exec_eval_simple_expr.  Any
+    other SQL shape (FROM, DML, CTEs) raises loudly: a row UDF runs on
+    an executor with no SparkSession to delegate to."""
+    m = re.match(r"(?is)^\s*select\s+(.*)$", sql.strip().rstrip(";"))
+    if m is None:
+        head = sql.strip().split(None, 1)[0] if sql.strip() else ""
+        raise NotImplementedError(
+            f"plpgsql row tier: {head.upper()} is not available inside a "
+            "row UDF — only FROM-less SELECT expressions evaluate "
+            "in-process (exec_eval_simple_expr); use a DO block or a "
+            "SETOF table macro for statements that need the SQL engine"
+        )
+    toks = _tokenize(m.group(1))
+    p = _ExprParser(toks, 0)
+    exprs, names = [], []
+
+    def _not_simple(at) -> NotImplementedError:
+        return NotImplementedError(
+            "plpgsql row tier: this SELECT needs the SQL engine "
+            f"(at {at!r}) — only FROM-less expression lists evaluate "
+            "in-process (exec_eval_simple_expr); use a DO block or a "
+            "SETOF table macro"
+        )
+
+    try:
+        while True:
+            e = p.parse()
+            alias = None
+            if p.peek_low() == "as":
+                p.take()
+                alias = p.take().lower()
+            elif (
+                p.peek() is not None
+                and _is_ident(p.peek())
+                and p.peek_low() != "from"
+            ):
+                alias = p.take().lower()
+            exprs.append(e)
+            names.append(alias or f"?column?{len(exprs)}")
+            if p.peek() == ",":
+                p.take()
+                continue
+            break
+    except NotImplementedError:
+        raise _not_simple(" ".join(toks[max(0, p.pos - 1):p.pos + 3])) from None
+    if p.pos != len(toks):
+        raise _not_simple(" ".join(toks[p.pos:p.pos + 4]))
+    return [_SimpleRow([f(env) for f in exprs], names)]
 
 
 def _cursor_of(env, name) -> _PlCursor:
@@ -2626,29 +2866,91 @@ def _strip_pragmas(body: str) -> str:
     return _PRAGMA_RE.sub(repl, body)
 
 
-def compile_plpgsql(body: str, arg_names: list[str]):
+def compile_simple_sql_function(body: str, arg_names: list[str]):
+    """Compile a LANGUAGE sql body of the FROM-less simple-SELECT shape
+    to a Python callable for the row-tier function registry — so
+    interpreted plpgsql can call LANGUAGE sql helpers per row (PG
+    resolves such calls through SPI; same values).  Raises
+    NotImplementedError for bodies needing the engine."""
+    m = re.match(r"(?is)^\s*select\s+(.*)$", body.strip().rstrip(";"))
+    if m is None:
+        raise NotImplementedError(
+            "row-tier registry: LANGUAGE sql body is not a SELECT"
+        )
+    toks = _tokenize(m.group(1))
+    if any(
+        _is_ident(t) and t.lower() in ("from", "where", "union", "group")
+        for t in toks
+    ):
+        raise NotImplementedError(
+            "row-tier registry: LANGUAGE sql body needs the engine"
+        )
+    lowered = [a.lower() for a in arg_names]
+    # parse once at compile time (the same lazy-vs-eager tradeoff PG
+    # makes with fn_extra caching)
+    p = _ExprParser(toks, 0)
+    e = p.parse()
+    if p.pos != len(toks):
+        raise NotImplementedError(
+            "row-tier registry: LANGUAGE sql body is not a single "
+            "simple expression"
+        )
+
+    def call(*args):
+        env = {}
+        for i, (n, v) in enumerate(zip(lowered, args), 1):
+            env[f"${i}"] = v
+            env[n] = v
+        return e(env)
+
+    return call
+
+
+def compile_plpgsql(
+    body: str,
+    arg_names: list[str],
+    setof: bool = False,
+    out_names: list[str] | None = None,
+    functions: dict | None = None,
+):
     """Compile a procedural PL/pgSQL body to a Python callable (the
     Python-UDF slow path).  Parsed once; each call runs the statement
     tree against a fresh env seeded with the arguments (by name and as
-    $n positional params)."""
+    $n positional params).
+
+    ``setof`` compiles RETURN NEXT bodies: the callable returns the
+    accumulated list (pl_exec.c tuplestore; SQL-free SETOF bodies can
+    thereby run per-row on executors and explode).  ``functions`` is a
+    name → callable registry for user-function calls inside expressions
+    (resolved at call time, like PG's lazy expression plans)."""
     toks = _tokenize(_strip_pragmas(body).strip().rstrip(";"))
-    p = _StmtParser(toks)
+    p = _StmtParser(toks, allow_setof=setof)
     block = p.parse_block()
     if p.pos != len(p.toks):
         raise NotImplementedError(
             f"plpgsql: trailing tokens after END: {p.toks[p.pos:p.pos + 5]}"
         )
     lowered = [a.lower() for a in arg_names]
+    louts = [n.lower() for n in (out_names or [])]
 
     def call(*args):
         env = {"found": False, "__rowcount__": 0}
+        if functions is not None:
+            env["__functions__"] = functions
+        if setof:
+            env["__setof__"] = []
+            if louts:
+                env["__out_names__"] = louts
+                for n in louts:
+                    env[n] = None
         for i, (n, v) in enumerate(zip(lowered, args), 1):
             env[f"${i}"] = v
             env[n] = v
         try:
             _exec_stmt(block, env)
         except _Return as r:
-            return r.value
+            if not setof:
+                return r.value
         except _Exit:
             raise PlPgSQLError(
                 "syntax_error", "EXIT cannot be used outside a loop"
@@ -2657,9 +2959,12 @@ def compile_plpgsql(body: str, arg_names: list[str]):
             raise PlPgSQLError(
                 "syntax_error", "CONTINUE cannot be used outside a loop"
             ) from None
-        raise PlPgSQLError(
-            "routine_exception",
-            "control reached end of function without RETURN",
-        )
+        else:
+            if not setof:
+                raise PlPgSQLError(
+                    "routine_exception",
+                    "control reached end of function without RETURN",
+                )
+        return env["__setof__"]
 
     return call

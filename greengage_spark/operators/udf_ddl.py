@@ -966,14 +966,43 @@ def _run_interp_setof(fd: FunctionDef, args: list[str], engine) -> str:
     return f"SELECT * FROM (VALUES {values}) AS __ggsetof({leaf})"
 
 
-def register_function(spark: SparkSession, fd: FunctionDef, transpile) -> None:
+def _registry_add(registry, fd: FunctionDef) -> None:
+    """Best-effort row-tier callable for the function registry, so
+    interpreted plpgsql bodies can call this function per row on an
+    executor (PG resolves such calls through SPI at execution)."""
+    if registry is None or fd.setof:
+        return
+    from greengage_spark.operators.plpgsql_interp import (
+        compile_plpgsql,
+        compile_simple_sql_function,
+    )
+
+    try:
+        if fd.language == "plpgsql":
+            registry[fd.name.lower()] = compile_plpgsql(
+                fd.body, fd.arg_names, functions=registry
+            )
+        elif fd.language == "sql":
+            registry[fd.name.lower()] = compile_simple_sql_function(
+                fd.body, fd.arg_names
+            )
+    except Exception:  # noqa: BLE001
+        # not row-callable: calls raise undefined_function loudly
+        registry.pop(fd.name.lower(), None)
+
+
+def register_function(
+    spark: SparkSession, fd: FunctionDef, transpile, registry: dict | None = None
+) -> None:
     """Register on the session: sql/plpgsql → Spark SQL-defined function
     (inlines into Catalyst); plpythonu → Python UDF.  SETOF table macros
     have no session-side object — they expand inline at query time
-    (expand_table_macros)."""
+    (expand_table_macros).  ``registry`` (name → Python callable) feeds
+    the plpgsql interpreter's per-row function resolution."""
     if fd.setof:
         return
     if fd.language in ("sql", "plpgsql"):
+        _registry_add(registry, fd)
         if fd.language == "plpgsql":
             try:
                 expr = plpgsql_to_expr(fd.body)
@@ -986,7 +1015,9 @@ def register_function(spark: SparkSession, fd: FunctionDef, transpile) -> None:
                     compile_plpgsql,
                 )
 
-                fd.pyfn = compile_plpgsql(fd.body, fd.arg_names)
+                fd.pyfn = compile_plpgsql(
+                    fd.body, fd.arg_names, functions=registry
+                )
                 cast = _PY_CASTS.get(fd.ret_type)
                 fn = fd.pyfn
                 if cast is not None:
@@ -1029,6 +1060,8 @@ def register_function(spark: SparkSession, fd: FunctionDef, transpile) -> None:
     ns: dict = {}
     exec(src, ns)  # noqa: S102 - the user's own CREATE FUNCTION body
     fd.pyfn = ns["__gg_fn"]
+    if registry is not None:
+        registry[fd.name.lower()] = fd.pyfn
     cast = _PY_CASTS.get(fd.ret_type)
     fn = fd.pyfn
     if cast is not None:

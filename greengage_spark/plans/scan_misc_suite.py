@@ -1478,6 +1478,60 @@ def create_function_plpgsql_exception(spark, sf_dir):
 
 
 @suite.add(
+    "create_function_plpgsql_rowtier",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(6 * (3 * (o_orderkey % 7) + 1)
+                + CASE WHEN o_orderkey % 3 = 0 THEN -5
+                       ELSE 100 // (o_orderkey % 3) END
+                + (o_orderkey % 10) AS BIGINT) AS q
+    FROM orders WHERE o_orderkey < 300
+    """,
+    doc="plpgsql per-ROW tier (pl_exec.c exec_eval_simple_expr / "
+        "exec_stmt_block): an interpreted body running as a Python UDF "
+        "on executors with (a) FROM-less SELECT ... INTO — the "
+        "simple-expression fast path PG itself uses, (b) a call into "
+        "another CREATE FUNCTION resolved at call time through the "
+        "row-tier registry (SPI-at-execution analog), (c) FOREACH over "
+        "an array literal, (d) an EXCEPTION division_by_zero handler, "
+        "(e) a FROM-less scalar subquery. Oracle re-derives the closed "
+        "form with PG truncating integer division (all operands "
+        "positive, so DuckDB // matches).",
+    tags=("udf", "engine", "plpgsql"),
+)
+def create_function_plpgsql_rowtier(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_plrow_"))
+    cat(spark, sf_dir).table("orders").filter(
+        F.col("o_orderkey") < 300
+    ).createOrReplaceTempView("plrow_src_orders")
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION triple(t int8) RETURNS int8 AS "
+        "$$ SELECT t * 3 $$ LANGUAGE sql"
+    )
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION quirk(n int8) RETURNS int8 AS $$\n"
+        "DECLARE v int8; total int8 := 0; x int8;\n"
+        "BEGIN\n"
+        "  SELECT triple(n % 7) + 1 INTO v;\n"
+        "  FOREACH x IN ARRAY array[1, 2, 3] LOOP\n"
+        "    total := total + x * v;\n"
+        "  END LOOP;\n"
+        "  BEGIN\n"
+        "    total := total + 100 / (n % 3);\n"
+        "  EXCEPTION WHEN division_by_zero THEN\n"
+        "    total := total - 5;\n"
+        "  END;\n"
+        "  RETURN total + (SELECT n % 10);\n"
+        "END;\n$$ LANGUAGE plpgsql"
+    )
+    return eng.execute(
+        "SELECT o_orderkey, quirk(o_orderkey) AS q FROM plrow_src_orders"
+    )
+
+
+@suite.add(
     "create_function_setof",
     oracle="""
     SELECT t.n_name, t.n_regionkey

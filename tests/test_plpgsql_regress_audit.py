@@ -401,9 +401,15 @@ class TestScalarSubqueries:
                 "x := (SELECT v FROM ssq_m); END $$"
             )
 
-    def test_row_udf_rejects(self):
-        with pytest.raises(NotImplementedError, match="scalar subquery"):
-            compile_plpgsql("begin return (select 1); end", [])
+    def test_row_udf_simple_subquery_evaluates(self):
+        # FROM-less scalar subqueries run in-process in the row tier
+        # (pl_exec.c exec_eval_simple_expr fast path)
+        assert compile_plpgsql("begin return (select 1 + 2); end", [])() == 3
+
+    def test_row_udf_table_subquery_rejects_at_runtime(self):
+        f = compile_plpgsql("begin return (select max(v) from t); end", [])
+        with pytest.raises(NotImplementedError, match="SQL engine"):
+            f()
 
 
 class TestUserFunctionCalls:
@@ -444,9 +450,18 @@ class TestUserFunctionCalls:
         rows = eng.execute("SELECT * FROM squares(4) ORDER BY 1").collect()
         assert [r[0] for r in rows] == [4, 9, 16]
 
-    def test_row_udf_still_rejects(self):
-        with pytest.raises(NotImplementedError, match="supported subset"):
+    def test_row_udf_unregistered_function_raises_at_call(self):
+        # resolution is deferred to call time (PG builds expression
+        # plans lazily too); an unregistered name raises 42883-style
+        from greengage_spark.operators.plpgsql_interp import PlPgSQLError
+
+        with pytest.raises(PlPgSQLError, match="myfn"):
             compile_plpgsql("begin return myfn(1); end", [])()
+
+    def test_row_udf_registered_function_resolves(self):
+        reg = {"myfn": lambda v: v * 7}
+        f = compile_plpgsql("begin return myfn(3) + 1; end", [], functions=reg)
+        assert f() == 22
 
 
 class TestCompositeCasts:
@@ -520,3 +535,228 @@ class TestSetInBody:
             "SHOW greengage.audit_flag"
         ).collect()[0][0] == "yes"
         eng.execute("DO $$ BEGIN RESET greengage.audit_flag; END $$")
+
+
+class TestRowTierSimpleSql:
+    """The per-row simple-SQL lane (pl_exec.c exec_eval_simple_expr):
+    FROM-less SELECT INTO / PERFORM / EXECUTE / scalar subqueries
+    evaluate in-process inside a row UDF; table access raises loudly."""
+
+    def test_select_into_and_perform(self):
+        f = compile_plpgsql(
+            """
+            DECLARE x int; y int;
+            BEGIN
+              SELECT a * 2, a + 1 INTO x, y;
+              PERFORM 1 + 1;
+              RETURN x + y;
+            END""",
+            ["a"],
+        )
+        assert f(10) == 31
+
+    def test_old_style_select_into(self):
+        f = compile_plpgsql(
+            "DECLARE x text; BEGIN SELECT INTO x a || '!'; RETURN x; END",
+            ["a"],
+        )
+        assert f("hi") == "hi!"
+
+    def test_execute_dynamic_simple(self):
+        f = compile_plpgsql(
+            "DECLARE r int; BEGIN EXECUTE 'SELECT 2 + ' || a INTO r; "
+            "RETURN r; END",
+            ["a"],
+        )
+        assert f(5) == 7
+
+    def test_execute_does_not_see_variables(self):
+        # PG gives EXECUTE strings no access to plpgsql variables
+        from greengage_spark.operators.plpgsql_interp import PlPgSQLError
+
+        f = compile_plpgsql(
+            "DECLARE a int := 1; r int; "
+            "BEGIN EXECUTE 'SELECT a' INTO r; RETURN r; END",
+            [],
+        )
+        with pytest.raises(PlPgSQLError, match="does not exist"):
+            f()
+
+    def test_table_select_raises_at_runtime(self):
+        f = compile_plpgsql(
+            "DECLARE v int; BEGIN SELECT INTO v max(a) FROM t; "
+            "RETURN v; END",
+            [],
+        )
+        with pytest.raises(NotImplementedError, match="SQL engine"):
+            f()
+
+    def test_insert_still_rejects_at_compile(self):
+        with pytest.raises(NotImplementedError, match="INSERT"):
+            compile_plpgsql("BEGIN INSERT INTO t VALUES (1); END", [])
+
+    def test_strict_into_passes_single_row(self):
+        f = compile_plpgsql(
+            "DECLARE v int; BEGIN SELECT a + 1 INTO STRICT v; "
+            "RETURN v; END",
+            ["a"],
+        )
+        assert f(1) == 2
+
+
+class TestRowTierSetof:
+    """SQL-free SETOF bodies compile to a list-returning callable
+    (pl_exec.c tuplestore) — runnable per-row on executors."""
+
+    def test_return_next_accumulates(self):
+        f = compile_plpgsql(
+            "BEGIN FOR i IN 1..n LOOP RETURN NEXT i * i; END LOOP; "
+            "RETURN; END",
+            ["n"],
+            setof=True,
+        )
+        assert f(4) == [1, 4, 9, 16]
+
+    def test_setof_without_final_return(self):
+        f = compile_plpgsql(
+            "BEGIN RETURN NEXT 1; RETURN NEXT 2; END", [], setof=True
+        )
+        assert f() == [1, 2]
+
+    def test_return_query_still_rejects(self):
+        with pytest.raises(NotImplementedError, match="RETURN QUERY"):
+            compile_plpgsql(
+                "BEGIN RETURN QUERY SELECT * FROM t; END", [], setof=True
+            )
+
+
+class TestRowTierCastAndStrings:
+    def test_cast_as_syntax(self):
+        f = compile_plpgsql(
+            "BEGIN RETURN CAST(a AS TEXT) || CAST('5' AS int); END", ["a"]
+        )
+        assert f(3) == "35"
+
+    def test_cast_double_precision(self):
+        f = compile_plpgsql(
+            "BEGIN RETURN CAST(a AS double precision) / 2; END", ["a"]
+        )
+        assert f(5) == 2.5
+
+    def test_estring_escapes(self):
+        f = compile_plpgsql(r"BEGIN RETURN E'foo\\bar\041baz'; END", [])
+        assert f() == "foo\\bar!baz"
+        g = compile_plpgsql(
+            r"BEGIN RETURN replace(E'a\nb', E'\n', '-'); END", []
+        )
+        assert g() == "a-b"
+
+
+class TestRowTierArrays:
+    def test_foreach_slice(self):
+        f = compile_plpgsql(
+            """
+            DECLARE s int[]; total int := 0;
+            BEGIN
+              FOREACH s SLICE 1 IN ARRAY arr LOOP
+                total := total + s[1];
+              END LOOP;
+              RETURN total;
+            END""",
+            ["arr"],
+        )
+        assert f([[1, 2], [10, 20]]) == 11
+
+    def test_foreach_slice_zero_flattens(self):
+        f = compile_plpgsql(
+            "DECLARE x int; t int := 0; BEGIN FOREACH x IN ARRAY arr "
+            "LOOP t := t + x; END LOOP; RETURN t; END",
+            ["arr"],
+        )
+        assert f([[1, 2], [3, 4]]) == 10
+
+    def test_foreach_slice_out_of_range(self):
+        from greengage_spark.operators.plpgsql_interp import PlPgSQLError
+
+        f = compile_plpgsql(
+            "DECLARE s int[]; BEGIN FOREACH s SLICE 3 IN ARRAY arr "
+            "LOOP NULL; END LOOP; RETURN 0; END",
+            ["arr"],
+        )
+        with pytest.raises(PlPgSQLError, match="slice dimension"):
+            f([[1, 2]])
+
+    def test_multidim_subscript_assignment(self):
+        f = compile_plpgsql(
+            """
+            DECLARE arr text[]; i int;
+            BEGIN
+              arr := array[array['foo','bar'], array['baz','quux']];
+              i := 1;
+              arr[(SELECT i)][(SELECT i+1)] := (SELECT 'fool');
+              RETURN arr;
+            END""",
+            [],
+        )
+        assert f() == [["foo", "fool"], ["baz", "quux"]]
+
+
+class TestRowTierEngineEndToEnd:
+    """The whole lane through the engine: a procedural plpgsql function
+    with loops + EXCEPTION + simple SELECT INTO + a registry-resolved
+    helper, executed per row as a Spark Python UDF."""
+
+    def test_rowtier_function_per_row(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path))
+        eng.execute(
+            "CREATE FUNCTION triple(x int) RETURNS int AS "
+            "$$ SELECT x * 3 $$ LANGUAGE sql"
+        )
+        eng.execute(
+            """
+CREATE FUNCTION rowtier(n int) RETURNS int AS $$
+DECLARE total int := 0; v int; i int;
+BEGIN
+  FOR i IN 1..n LOOP
+    SELECT triple(i) + 1 INTO v;
+    total := total + v;
+  END LOOP;
+  BEGIN
+    total := total / (n - n);
+  EXCEPTION WHEN division_by_zero THEN
+    total := total + 100;
+  END;
+  RETURN total;
+END $$ LANGUAGE plpgsql"""
+        )
+        eng.execute("CREATE TABLE rt (k int)")
+        eng.execute("INSERT INTO rt VALUES (1), (2), (3)")
+        rows = eng.execute(
+            "SELECT k, rowtier(k) AS r FROM rt ORDER BY k"
+        ).collect()
+        assert [(r.k, r.r) for r in rows] == [(1, 104), (2, 111), (3, 121)]
+
+    def test_dropped_function_unresolves(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path))
+        eng.execute(
+            "CREATE FUNCTION h(x int) RETURNS int AS "
+            "$$ SELECT x + 1 $$ LANGUAGE sql"
+        )
+        eng.execute(
+            "CREATE FUNCTION useh(x int) RETURNS int AS $$\n"
+            "DECLARE i int := 0; r int := 0;\nBEGIN\n"
+            "  WHILE i < 2 LOOP r := h(r); i := i + 1; END LOOP;\n"
+            "  RETURN r;\nEND $$ LANGUAGE plpgsql"
+        )
+        eng.execute("CREATE TABLE uh (k int)")
+        eng.execute("INSERT INTO uh VALUES (5)")
+        assert eng.execute(
+            "SELECT useh(k) AS r FROM uh"
+        ).collect()[0].r == 2
+        eng.execute("DROP FUNCTION h")
+        with pytest.raises(Exception, match="neither a built-in"):
+            eng.execute("SELECT useh(k) AS r FROM uh").collect()

@@ -225,14 +225,17 @@ class TestPlpgsql:
         with pytest.raises(Exception, match="without RETURN"):
             eng.execute("SELECT only_pos(-1) AS v").collect()
 
-    def test_unsupported_bodies_rejected_loudly(self, eng):
-        # statements needing the SQL engine can't run inside a row UDF
-        with pytest.raises(NotImplementedError, match="plpgsql"):
-            eng.execute(
-                "CREATE FUNCTION qsel(x int4) RETURNS int4 AS $$\n"
-                "DECLARE v int4;\nBEGIN\n  SELECT INTO v max(a) FROM t;\n"
-                "  RETURN v;\nEND;\n$$ LANGUAGE plpgsql"
-            )
+    def test_unsupported_bodies_reject_at_execution(self, eng):
+        # statements needing a table scan can't run inside a row UDF:
+        # CREATE succeeds (PG validates lazily too), the CALL raises
+        # loudly naming the gap
+        eng.execute(
+            "CREATE FUNCTION qsel(x int4) RETURNS int4 AS $$\n"
+            "DECLARE v int4;\nBEGIN\n  SELECT INTO v max(a) FROM t;\n"
+            "  RETURN v;\nEND;\n$$ LANGUAGE plpgsql"
+        )
+        with pytest.raises(Exception, match="SQL engine"):
+            eng.execute("SELECT qsel(1) AS r").collect()
 
     def test_declared_variables_and_assignments(self, eng):
         """exec_stmt_assign subset: straight-line variable code folds to

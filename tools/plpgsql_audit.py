@@ -115,7 +115,7 @@ def extract_functions(text: str):
         yield m.group("name"), args, m.group("ret").strip(), body
 
 
-def _classify(body: str, args: list[str], allow_sql: bool):
+def _classify(body: str, args: list[str], allow_sql: bool, setof: bool = False):
     from greengage_spark.operators.plpgsql_interp import (
         PlPgSQLError,
         _StmtParser,
@@ -135,7 +135,10 @@ def _classify(body: str, args: list[str], allow_sql: bool):
                     f"plpgsql: trailing tokens after END: {p.toks[p.pos:p.pos+5]}"
                 )
         else:
-            compile_plpgsql(body, args)
+            # the per-row tier: compile exactly the way udf_ddl's
+            # register_function does (SETOF bodies compile with the
+            # RETURN NEXT accumulator — SQL-free ones run per row)
+            compile_plpgsql(body, args, setof=setof)
         return "ok", None
     except (NotImplementedError, PlPgSQLError) as e:
         return "loud-reject", str(e)[:72]
@@ -157,8 +160,9 @@ def main() -> dict:
             for c in tiers.values():
                 c["trigger (out of scope)"] += 1
             continue
+        setof = ret.lower().startswith("setof")
         for tier, allow in (("row-UDF", False), ("DO-block", True)):
-            kind, msg = _classify(body, args, allow)
+            kind, msg = _classify(body, args, allow, setof=setof)
             tiers[tier][kind] += 1
             if tier == "DO-block" and kind == "loud-reject":
                 reasons[msg] += 1
