@@ -175,8 +175,248 @@ def _encode_mp4_video(
 
 
 # ---------------------------------------------------------------------------
-# parser
+# fragmented files (ISO 14496-12 §8.8 — the DASH/CMAF movie-fragment
+# layout: moov carries mvex/trex defaults and an EMPTY sample table;
+# samples live in per-fragment moof(mfhd+traf(tfhd+tfdt+trun)) + mdat)
 # ---------------------------------------------------------------------------
+
+# sample_flags bit fields (§8.8.3.1)
+_SF_NON_SYNC = 0x00010000  # sample_is_non_sync_sample
+_SF_SYNC = 0x02000000      # sample_depends_on = 2 (independent)
+_SF_NON_SYNC_DEP = 0x01010000  # depends-on-others + non-sync
+
+
+def _encode_mp4_video_fragmented(
+    sample_entry: bytes,
+    frames: list[bytes],
+    width: int,
+    height: int,
+    timescale: int,
+    frame_delta: int,
+    sync_every: int,
+    frames_per_fragment: int,
+) -> bytes:
+    """ftyp + moov(mvex/trex, empty stbl) + N × [moof + mdat], the
+    default-base-is-moof addressing CMAF mandates."""
+    if not frames:
+        raise ValueError("fragmented mp4 needs at least one frame")
+    ftyp = _box(
+        b"ftyp", b"iso5" + struct.pack(">I", 512) + b"iso5iso6cmfcmp41"
+    )
+    # --- moov with an empty sample table + fragment defaults ----------
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    empty = struct.pack(">I", 0)
+    stbl = _box(
+        b"stbl",
+        stsd
+        + _full(b"stts", 0, 0, empty)
+        + _full(b"stsc", 0, 0, empty)
+        + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + _full(b"stco", 0, 0, empty),
+    )
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = _box(b"dinf", _full(
+        b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")
+    ))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdhd = _full(
+        b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, timescale, 0, 0x55C4, 0)
+    )
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd", 0, 3,
+        struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", 0)
+        + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0) + _MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    trex = _full(
+        b"trex", 0, 0,
+        struct.pack(
+            ">IIIII", 1, 1, frame_delta, 0, _SF_NON_SYNC_DEP
+        ),  # track, desc idx, dur, size, flags defaults (§8.8.3)
+    )
+    mvex = _box(b"mvex", trex)
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, 0)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8 + _MATRIX + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd + mvex + trak)
+    # --- fragments -----------------------------------------------------
+    out = [ftyp, moov]
+    seq, sample_no, t = 0, 0, 0
+    for fs in range(0, len(frames), frames_per_fragment):
+        chunk = frames[fs : fs + frames_per_fragment]
+        seq += 1
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        # tfhd: default-base-is-moof (0x20000) + default-sample-duration
+        tfhd = _full(
+            b"tfhd", 0, 0x020008, struct.pack(">II", 1, frame_delta)
+        )
+        tfdt = _full(b"tfdt", 1, 0, struct.pack(">Q", t))
+        t += frame_delta * len(chunk)
+        # trun: data-offset (0x1) + sample-size (0x200) + sample-flags
+        # (0x400); data_offset is patched after moof size is known
+        entries = b""
+        for f in chunk:
+            sample_no += 1
+            flags = (
+                _SF_SYNC
+                if (sample_no - 1) % sync_every == 0
+                else _SF_NON_SYNC_DEP
+            )
+            entries += struct.pack(">II", len(f), flags)
+        trun_payload = (
+            struct.pack(">I", len(chunk))
+            + struct.pack(">i", 0)  # placeholder data_offset
+            + entries
+        )
+        trun = _full(b"trun", 0, 0x000601, trun_payload)
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        moof = _box(b"moof", mfhd + traf)
+        # data_offset: from moof start to the first sample byte (mdat
+        # payload starts 8 bytes into the mdat box, right after moof)
+        data_offset = len(moof) + 8
+        off_pos = moof.rfind(trun_payload) + 4
+        moof = (
+            moof[:off_pos] + struct.pack(">i", data_offset)
+            + moof[off_pos + 4:]
+        )
+        out.append(moof)
+        out.append(_box(b"mdat", b"".join(chunk)))
+    return b"".join(out)
+
+
+def encode_mp4_fragmented_mjpeg(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    timescale: int = 1000,
+    frame_delta: int = 40,
+    sync_every: int = 3,
+    frames_per_fragment: int = 4,
+) -> bytes:
+    """Fragmented (CMAF-shaped) motion-JPEG fixture."""
+    sample_entry = _box(b"jpeg", _visual_sample_fields(width, height))
+    return _encode_mp4_video_fragmented(
+        sample_entry, frames, width, height, timescale, frame_delta,
+        sync_every, frames_per_fragment,
+    )
+
+
+def _fragment_samples(data: bytes, track_id: int):
+    """Resolve (offset, size, is_sync) for every sample carried in
+    movie fragments of one track (§8.8: tfhd defaults + trun entries;
+    base offsets via explicit base-data-offset or default-base-is-moof;
+    the §8.8.7 legacy implicit chaining is supported as
+    previous-traf-end within one moof, moof-start for the first traf).
+    trex defaults (moov/mvex) seed duration/size/flags."""
+    trex_defaults: dict = {}
+    moov = _find(data, 0, len(data), b"moov")
+    if moov:
+        mvex = _find(data, *moov, b"mvex")
+        if mvex:
+            for fc, a, b in _walk(data, *mvex):
+                if fc == b"trex":
+                    tid, _di, _dur, dsize, dflags = struct.unpack_from(
+                        ">IIIII", data, a + 4
+                    )
+                    if tid == track_id:
+                        trex_defaults = {"size": dsize, "flags": dflags}
+    samples: list[tuple[int, int, bool]] = []
+    for fc, moof_a, moof_b in _walk(data, 0, len(data)):
+        if fc != b"moof":
+            continue
+        moof_start = moof_a - 8
+        prev_end = None  # implicit chaining within this moof
+        for tfc, traf_a, traf_b in _walk(data, moof_a, moof_b):
+            if tfc != b"traf":
+                continue
+            tfhd = _find(data, traf_a, traf_b, b"tfhd")
+            if tfhd is None:
+                raise ValueError("mp4: traf without tfhd")
+            a, _ = tfhd
+            flags = int.from_bytes(data[a + 1 : a + 4], "big")
+            p = a + 4
+            (tid,) = struct.unpack_from(">I", data, p)
+            p += 4
+            base = None
+            if flags & 0x000001:  # base-data-offset-present
+                (base,) = struct.unpack_from(">Q", data, p)
+                p += 8
+            if flags & 0x000002:  # sample-description-index
+                p += 4
+            def_dur = def_size = def_flags = None
+            if flags & 0x000008:
+                (def_dur,) = struct.unpack_from(">I", data, p)
+                p += 4
+            if flags & 0x000010:
+                (def_size,) = struct.unpack_from(">I", data, p)
+                p += 4
+            if flags & 0x000020:
+                (def_flags,) = struct.unpack_from(">I", data, p)
+                p += 4
+            if base is None:
+                if flags & 0x020000:  # default-base-is-moof
+                    base = moof_start
+                else:
+                    base = prev_end if prev_end is not None else moof_start
+            if def_size is None:
+                def_size = trex_defaults.get("size")
+            if def_flags is None:
+                def_flags = trex_defaults.get("flags")
+            pos = base
+            for rfc, run_a, run_b in _walk(data, traf_a, traf_b):
+                if rfc != b"trun":
+                    continue
+                ra = run_a
+                rver = data[ra]
+                rflags = int.from_bytes(data[ra + 1 : ra + 4], "big")
+                (count,) = struct.unpack_from(">I", data, ra + 4)
+                q = ra + 8
+                if rflags & 0x000001:  # data-offset-present
+                    (doff,) = struct.unpack_from(">i", data, q)
+                    q += 4
+                    pos = base + doff
+                first_flags = None
+                if rflags & 0x000004:  # first-sample-flags
+                    (first_flags,) = struct.unpack_from(">I", data, q)
+                    q += 4
+                for i in range(count):
+                    if rflags & 0x000100:  # sample-duration
+                        q += 4
+                    if rflags & 0x000200:  # sample-size
+                        (size,) = struct.unpack_from(">I", data, q)
+                        q += 4
+                    else:
+                        size = def_size
+                    if rflags & 0x000400:  # sample-flags
+                        (sflags,) = struct.unpack_from(">I", data, q)
+                        q += 4
+                    elif i == 0 and first_flags is not None:
+                        sflags = first_flags
+                    else:
+                        sflags = def_flags
+                    if rflags & 0x000800:  # composition offset
+                        q += 4
+                    if size is None:
+                        raise ValueError(
+                            "mp4: trun sample without a size (no "
+                            "per-sample, tfhd or trex default)"
+                        )
+                    is_sync = sflags is None or not (sflags & _SF_NON_SYNC)
+                    if tid == track_id:
+                        samples.append((pos, size, is_sync))
+                    pos += size
+                _ = rver
+            prev_end = pos
+    return samples
 
 
 def _walk(data: bytes, start: int, end: int):
@@ -209,18 +449,20 @@ _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf", b"edts"}
 
 def parse_mp4(data: bytes) -> dict:
     """Container metadata: movie duration/timescale, per-track codec,
-    dimensions, sample/sync counts.  Fragmented files (moof) and
-    encrypted tracks reject loudly."""
+    dimensions, sample/sync counts.  Fragmented files (moof, §8.8)
+    resolve sample/sync counts from the movie fragments; encrypted
+    tracks reject loudly."""
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise ValueError("not an ISO BMFF file (missing ftyp)")
-    if _find(data, 0, len(data), b"moof") is not None:
-        raise NotImplementedError(
-            "fragmented MP4 (moof): progressive moov-indexed files only"
-        )
+    fragmented = _find(data, 0, len(data), b"moof") is not None
     moov = _find(data, 0, len(data), b"moov")
     if moov is None:
         raise ValueError("mp4: no moov box")
-    out: dict = {"brand": data[8:12].decode("latin1"), "tracks": []}
+    out: dict = {
+        "brand": data[8:12].decode("latin1"),
+        "tracks": [],
+        "fragmented": fragmented,
+    }
     mvhd = _find(data, *moov, b"mvhd")
     if mvhd:
         a, _b = mvhd
@@ -234,7 +476,14 @@ def parse_mp4(data: bytes) -> dict:
     for fc, a, b in _walk(data, *moov):
         if fc != b"trak":
             continue
-        out["tracks"].append(_parse_trak(data, a, b))
+        tr = _parse_trak(data, a, b)
+        if fragmented:
+            frag = _fragment_samples(data, tr.get("track_id", 1))
+            tr["n_samples"] = tr.get("n_samples", 0) + len(frag)
+            tr["n_sync_samples"] = tr.get("n_sync_samples", 0) + sum(
+                1 for _o, _s, sync in frag if sync
+            )
+        out["tracks"].append(tr)
     return out
 
 
@@ -357,11 +606,11 @@ def _sample_table(data: bytes, stbl_a: int, stbl_b: int):
     return samples
 
 
-def extract_keyframes(data: bytes, track_index: int = 0) -> list[bytes]:
-    """Sync-sample bytes of one track (stss indices over the resolved
-    chunk layout; no stss = every sample, §8.6.2)."""
-    if _find(data, 0, len(data), b"moof") is not None:
-        raise NotImplementedError("fragmented MP4 (moof)")
+def _sync_samples(data: bytes, track_index: int):
+    """(offset, size) of every SYNC sample of one track, progressive
+    (stbl) and fragmented (moof) layouts combined: stss indices over
+    the resolved chunk layout (no stss = every sample, §8.6.2), then
+    trun sample_flags over the fragment layout (§8.8.8)."""
     moov = _find(data, 0, len(data), b"moov")
     if moov is None:
         raise ValueError("mp4: no moov box")
@@ -379,37 +628,35 @@ def extract_keyframes(data: bytes, track_index: int = 0) -> list[bytes]:
         sync = struct.unpack_from(f">{cnt}I", data, a + 8)
     else:
         sync = range(1, len(samples) + 1)
-    out = []
-    for s in sync:  # 1-based sample numbers
-        off, size = samples[s - 1]
-        out.append(data[off : off + size])
+    out = [samples[s - 1] for s in sync]  # 1-based sample numbers
+    if _find(data, 0, len(data), b"moof") is not None:
+        tkhd = _find(data, *traks[track_index], b"tkhd")
+        tid = 1
+        if tkhd:
+            a, _ = tkhd
+            base = a + 4 + (8 if data[a] == 0 else 16)
+            (tid,) = struct.unpack_from(">I", data, base)
+        out.extend(
+            (off, size)
+            for off, size, is_sync in _fragment_samples(data, tid)
+            if is_sync
+        )
     return out
+
+
+def extract_keyframes(data: bytes, track_index: int = 0) -> list[bytes]:
+    """Sync-sample bytes of one track, progressive or fragmented."""
+    return [
+        data[off : off + size]
+        for off, size in _sync_samples(data, track_index)
+    ]
 
 
 def keyframe_sizes(data: bytes, track_index: int = 0) -> list[int]:
     """Per-keyframe byte sizes of one track — sample-table metadata
     only, no sample bytes are copied (the triage/sampling primitive for
     compressed-codec tracks whose bitstreams don't decode here)."""
-    if _find(data, 0, len(data), b"moof") is not None:
-        raise NotImplementedError("fragmented MP4 (moof)")
-    moov = _find(data, 0, len(data), b"moov")
-    if moov is None:
-        raise ValueError("mp4: no moov box")
-    traks = [(a, b) for fc, a, b in _walk(data, *moov) if fc == b"trak"]
-    if track_index >= len(traks):
-        raise ValueError(f"mp4: no track {track_index}")
-    mdia = _find(data, *traks[track_index], b"mdia")
-    minf = _find(data, *mdia, b"minf")
-    stbl = _find(data, *minf, b"stbl")
-    samples = _sample_table(data, *stbl)
-    stss = _find(data, *stbl, b"stss")
-    if stss:
-        a, _ = stss
-        (cnt,) = struct.unpack_from(">I", data, a + 4)
-        sync = struct.unpack_from(f">{cnt}I", data, a + 8)
-    else:
-        sync = range(1, len(samples) + 1)
-    return [samples[s - 1][1] for s in sync]
+    return [size for _off, size in _sync_samples(data, track_index)]
 
 
 def encode_mp4_h264(

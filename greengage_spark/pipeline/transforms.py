@@ -16,6 +16,8 @@ out, driver untouched.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 
@@ -68,12 +70,15 @@ def sample_mp4_frames(
     the sample tables — stride-based (``every`` k-th frame) or evenly
     spaced (``count`` frames across the track).  Only sampled bytes are
     sliced; nothing decodes here."""
-    from greengage_spark.pipeline.mp4 import _find, _sample_table, _walk
+    from greengage_spark.pipeline.mp4 import (
+        _find,
+        _fragment_samples,
+        _sample_table,
+        _walk,
+    )
 
     if (every is None) == (count is None):
         raise ValueError("sample_mp4_frames: exactly one of every/count")
-    if _find(data, 0, len(data), b"moof") is not None:
-        raise NotImplementedError("fragmented MP4 (moof)")
     moov = _find(data, 0, len(data), b"moov")
     if moov is None:
         raise ValueError("mp4: no moov box")
@@ -84,6 +89,18 @@ def sample_mp4_frames(
     minf = _find(data, *mdia, b"minf")
     stbl = _find(data, *minf, b"stbl")
     samples = _sample_table(data, *stbl)
+    if _find(data, 0, len(data), b"moof") is not None:
+        # fragmented layout (§8.8): samples continue in moof/traf/trun
+        tkhd = _find(data, *traks[track_index], b"tkhd")
+        tid = 1
+        if tkhd:
+            a, _ = tkhd
+            (tid,) = struct.unpack_from(
+                ">I", data, a + 4 + (8 if data[a] == 0 else 16)
+            )
+        samples = samples + [
+            (off, size) for off, size, _sync in _fragment_samples(data, tid)
+        ]
     n = len(samples)
     if every is not None:
         if every < 1:

@@ -841,7 +841,12 @@ def multimodal_resize(spark, sf_dir):
                AS n_sampled,
            CAST((g * 17) % 256 AS DOUBLE) AS first_mean,
            CAST((g * 17 + (((g % 5 + 6) - 1) // 2 * 2) * 30) % 256
-                AS DOUBLE) AS last_mean
+                AS DOUBLE) AS last_mean,
+           CAST(CAST(ceil((g % 5 + 6) / 2.0) AS INTEGER) AS BIGINT)
+               AS frag_n_sampled,
+           CAST((g * 17) % 256 AS DOUBLE) AS frag_first_mean,
+           CAST((g * 17 + (((g % 5 + 6) - 1) // 2 * 2) * 30) % 256
+                AS DOUBLE) AS frag_last_mean
     FROM generate_series(1, 16) t(g) ORDER BY media_id
     """,
     doc="video frame sampling (pipeline/transforms.sample_mp4_frames): "
@@ -850,7 +855,11 @@ def multimodal_resize(spark, sf_dir):
         "query fabricates n-frame solid-color MJPEG files ON THE "
         "EXECUTORS, samples every 2nd frame, decodes just those through "
         "the JPEG lane, and emits the first/last sampled-frame means "
-        "(frame j's color is (g*17 + j*30) % 256 by construction).",
+        "(frame j's color is (g*17 + j*30) % 256 by construction). r13: "
+        "the same frames re-muxed as a FRAGMENTED (moof/traf/trun, "
+        "§8.8) file must sample to identical counts and means — "
+        "sampling reads the trun entries instead of stsz/stco, still "
+        "slicing only the sampled bytes.",
     tags=("pipeline", "multimodal"),
 )
 def multimodal_frame_sample(spark, sf_dir):
@@ -859,7 +868,10 @@ def multimodal_frame_sample(spark, sf_dir):
         import pandas as pd
 
         from greengage_spark.pipeline.jpeg import decode_jpeg_pixels, encode_jpeg
-        from greengage_spark.pipeline.mp4 import encode_mp4_mjpeg
+        from greengage_spark.pipeline.mp4 import (
+            encode_mp4_fragmented_mjpeg,
+            encode_mp4_mjpeg,
+        )
         from greengage_spark.pipeline.transforms import sample_mp4_frames
 
         dc8 = np.ones((8, 8), dtype=np.int32)
@@ -881,9 +893,20 @@ def multimodal_frame_sample(spark, sf_dir):
                 decoded = [
                     float(decode_jpeg_pixels(b).mean()) for _, b in sampled
                 ]
-                rows.append((g, len(sampled), decoded[0], decoded[-1]))
+                frag = encode_mp4_fragmented_mjpeg(
+                    frames, 16, 16, frames_per_fragment=3
+                )
+                fsampled = sample_mp4_frames(frag, every=2)
+                fdecoded = [
+                    float(decode_jpeg_pixels(b).mean()) for _, b in fsampled
+                ]
+                rows.append((
+                    g, len(sampled), decoded[0], decoded[-1],
+                    len(fsampled), fdecoded[0], fdecoded[-1],
+                ))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "n_sampled", "first_mean", "last_mean",
+                "frag_n_sampled", "frag_first_mean", "frag_last_mean",
             ])
 
     return (
@@ -892,7 +915,8 @@ def multimodal_frame_sample(spark, sf_dir):
         .mapInPandas(
             fabricate,
             "media_id long, n_sampled long, first_mean double, "
-            "last_mean double",
+            "last_mean double, frag_n_sampled long, "
+            "frag_first_mean double, frag_last_mean double",
         )
         .orderBy("media_id")
     )
@@ -1087,7 +1111,11 @@ def multimodal_h264_keyframe_decode(spark, sf_dir):
            CAST(len(range(0, g % 4 + 2, 2)) AS BIGINT) AS avc_kf_count,
            CAST(list_sum(list_transform(range(0, g % 4 + 2, 2),
                                         j -> (g*13 + j*7) % 90 + 10))
-                AS BIGINT) AS avc_kf_bytes
+                AS BIGINT) AS avc_kf_bytes,
+           CAST(g % 6 + 2 AS BIGINT) AS frag_n_samples,
+           CAST(CAST(ceil((g % 6 + 2) / 3.0) AS INTEGER) AS BIGINT)
+               AS frag_n_sync_samples,
+           CAST((g * 17) % 256 AS DOUBLE) AS frag_kf0_mean
     FROM generate_series(1, 20) t(g) ORDER BY media_id
     """,
     doc="MP4 / ISO BMFF container (pipeline/mp4.py — clean-room ISO/IEC "
@@ -1099,9 +1127,13 @@ def multimodal_h264_keyframe_decode(spark, sf_dir):
         "(solid-color frames, DC-8 tables → exact means), parses them "
         "back, and decodes the first keyframe; the oracle knows the "
         "closed-form durations, dimensions, sample/sync counts, and "
-        "frame-0 mean. Fragmented (moof) files and compressed bitstreams "
-        "(avc1/hev1) keep loud rejects — container metadata and sample "
-        "bytes are served for those, pixels are not.",
+        "frame-0 mean. r13: fragmented (moof/traf/trun, §8.8) files "
+        "parse too — the same frames re-muxed CMAF-style "
+        "(default-base-is-moof, trex defaults, per-sample trun flags) "
+        "must yield identical sample/sync counts and a pixel-identical "
+        "first keyframe. Compressed non-Baseline bitstreams (hev1/...) "
+        "keep loud decode rejects — container metadata and sample bytes "
+        "are served, pixels are not.",
     tags=("pipeline", "multimodal"),
 )
 def multimodal_mp4_metadata(spark, sf_dir):
@@ -1113,6 +1145,7 @@ def multimodal_mp4_metadata(spark, sf_dir):
         from greengage_spark.pipeline.mp4 import (
             decode_mp4_keyframe_features,
             encode_mp4_avc1,
+            encode_mp4_fragmented_mjpeg,
             encode_mp4_mjpeg,
             keyframe_sizes,
             parse_mp4,
@@ -1149,18 +1182,30 @@ def multimodal_mp4_metadata(spark, sf_dir):
                 )
                 ta = parse_mp4(avc)["tracks"][0]
                 ksz = keyframe_sizes(avc)
+                # the same frames re-muxed as a CMAF-style fragmented
+                # file: counts and the first keyframe must round-trip
+                frag = encode_mp4_fragmented_mjpeg(
+                    frames, w, h, sync_every=3, frames_per_fragment=2
+                )
+                fmeta = parse_mp4(frag)
+                ftr = fmeta["tracks"][0]
+                assert fmeta["fragmented"] is True
+                fkf0 = decode_mp4_keyframe_features(frag)[0]
                 rows.append((
                     g, meta["duration_ms"], t["width"], t["height"],
                     t["codec"], t["n_samples"], t["n_sync_samples"],
                     kf0["mean_r"],
                     ta["codec_string"], ta["avc_profile"], ta["avc_level"],
                     len(ksz), sum(ksz),
+                    ftr["n_samples"], ftr["n_sync_samples"],
+                    fkf0["mean_r"],
                 ))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "duration_ms", "width", "height", "codec",
                 "n_samples", "n_sync_samples", "first_kf_mean",
                 "avc_codec_string", "avc_profile", "avc_level",
                 "avc_kf_count", "avc_kf_bytes",
+                "frag_n_samples", "frag_n_sync_samples", "frag_kf0_mean",
             ])
 
     return (
@@ -1172,7 +1217,8 @@ def multimodal_mp4_metadata(spark, sf_dir):
             "codec string, n_samples long, n_sync_samples long, "
             "first_kf_mean double, avc_codec_string string, "
             "avc_profile long, avc_level long, avc_kf_count long, "
-            "avc_kf_bytes long",
+            "avc_kf_bytes long, frag_n_samples long, "
+            "frag_n_sync_samples long, frag_kf0_mean double",
         )
         .orderBy("media_id")
     )
