@@ -21,19 +21,24 @@ either; this mirrors the repo's clean-room JPEG lane):
   (MBAFF/fields), high-profile features (8x8 transform, scaling
   matrices, >8-bit), multiple slices.
 
-In-loop deblocking: the fixture encoder signals
-disable_deblocking_filter_idc = 1, so its streams reconstruct exactly.
-Foreign streams that enable the filter decode to PRE-DEBLOCK pixels and
-``decode_h264_iframe`` flags it (``deblocking_skipped``) rather than
-pretending filter-exact output.
+In-loop deblocking (clause 8.7): implemented for the all-intra case —
+bS 4 on macroblock edges / 3 on internal 4x4 edges (8.7.2.1 intra
+rules), Table 8-16/8-17 thresholds, slice alpha/beta offsets, strong
+and normal filters for luma and 4:2:0 chroma, I_PCM macroblocks
+filtering as QPY = 0.  Streams signalling
+disable_deblocking_filter_idc = 0 (or omitting the control block)
+decode filter-applied; idc = 1 decodes unfiltered; the fixture encoder
+emits either via ``deblock=``.
 
 Verification basis (no reference decoder exists in this sandbox): the
 published clause-9.2 worked example is pinned bit-exact through both
 encoder and decoder, every VLC table is structurally validated
-(prefix-free + complete), and encode→decode round trips are pixel-exact
+(prefix-free + complete), encode→decode round trips are pixel-exact
 for I_PCM (any content) and for flat-color I_16x16 at low QP (<= 20;
 above that chroma DC quantization drifts) — tests/test_h264.py pins
-QP 10/16/20.
+QP 10/16/20 — and the 8.7 filter equations are pinned against
+hand-computed p'/q' values (uniform content is a fixed point of every
+filter equation, so flat-color exactness holds with the filter on).
 """
 
 from __future__ import annotations
@@ -762,6 +767,7 @@ def encode_h264_iframe(
     qp: int = 26,
     pcm: bool = False,
     i4x4: bool = False,
+    deblock: bool = False,
 ) -> bytes:
     """One Baseline IDR frame as an Annex B stream (SPS + PPS + IDR).
 
@@ -770,7 +776,12 @@ def encode_h264_iframe(
     block); otherwise I_16x16 DC-prediction CAVLC.  Flat regions
     reconstruct exactly at low/mid QP; textured content is quantized
     like any codec.  Dimensions must be multiples of 16 (the fixture
-    encoder does not crop)."""
+    encoder does not crop).
+
+    ``deblock=True`` signals disable_deblocking_filter_idc = 0, so the
+    decoder runs the clause-8.7 in-loop filter on the output (uniform
+    regions are a fixed point of every 8.7 filter equation, so
+    flat-color round trips stay pixel-exact either way)."""
     h, w = y.shape
     if h % 16 or w % 16:
         raise ValueError("h264 fixture encoder: dimensions must be 16-aligned")
@@ -791,7 +802,12 @@ def encode_h264_iframe(
     sw.flag(0)  # no_output_of_prior_pics
     sw.flag(0)  # long_term_reference
     sw.se(0)  # slice_qp_delta
-    sw.ue(1)  # disable_deblocking_filter_idc = 1 (off → exact recon)
+    if deblock:
+        sw.ue(0)  # disable_deblocking_filter_idc = 0 (filter on)
+        sw.se(0)  # slice_alpha_c0_offset_div2
+        sw.se(0)  # slice_beta_offset_div2
+    else:
+        sw.ue(1)  # disable_deblocking_filter_idc = 1 (off → exact recon)
 
     recon_y = np.zeros((h, w), np.uint8)
     recon_cb = np.zeros((h // 2, w // 2), np.uint8)
@@ -951,6 +967,149 @@ def _encode_mb_i16(sw, y, cb, cr, ry, rcb, rcr, mbx, mby, qp, qpc, nctx):
             )
 
 
+def _clip3(lo, hi, v):
+    return np.minimum(np.maximum(v, lo), hi)
+
+
+def _deblock_edge(plane, vertical, pos, start, n, bs, qpav, off_a, off_b,
+                  chroma):
+    """Filter one 4x4-aligned edge (clause 8.7.2.3/8.7.2.4): ``pos`` is
+    the first q-sample column (vertical) or row (horizontal); ``n``
+    sample lines cross the edge.  In-place, vectorized per edge."""
+    from greengage_spark.pipeline.h264_tables import (
+        DEBLOCK_ALPHA,
+        DEBLOCK_BETA,
+        DEBLOCK_TC0,
+    )
+
+    idx_a = min(max(qpav + off_a, 0), 51)
+    idx_b = min(max(qpav + off_b, 0), 51)
+    alpha, beta = DEBLOCK_ALPHA[idx_a], DEBLOCK_BETA[idx_b]
+    if alpha == 0 or beta == 0:
+        return
+    if vertical:
+        seg = plane[start : start + n, pos - 4 : pos + 4].astype(np.int32)
+    else:
+        seg = plane[pos - 4 : pos + 4, start : start + n].astype(np.int32).T
+    p3, p2, p1, p0 = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
+    q0, q1, q2, q3 = seg[:, 4], seg[:, 5], seg[:, 6], seg[:, 7]
+    fs = (
+        (np.abs(p0 - q0) < alpha)
+        & (np.abs(p1 - p0) < beta)
+        & (np.abs(q1 - q0) < beta)
+    )
+    if not fs.any():
+        return
+    out = seg.copy()
+    ap, aq = np.abs(p2 - p0), np.abs(q2 - q0)
+    if bs < 4:
+        tc0 = DEBLOCK_TC0[bs - 1][idx_a]
+        if chroma:
+            tc = np.full(n, tc0 + 1)
+        else:
+            tc = tc0 + (ap < beta).astype(np.int32) + (aq < beta).astype(
+                np.int32
+            )
+        delta = _clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+        out[:, 3] = np.where(fs, _clip3(0, 255, p0 + delta), p0)
+        out[:, 4] = np.where(fs, _clip3(0, 255, q0 - delta), q0)
+        if not chroma:
+            dp1 = _clip3(
+                -tc0, tc0, (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1
+            )
+            dq1 = _clip3(
+                -tc0, tc0, (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1
+            )
+            out[:, 2] = np.where(fs & (ap < beta), p1 + dp1, p1)
+            out[:, 5] = np.where(fs & (aq < beta), q1 + dq1, q1)
+    else:  # bS == 4 (8.7.2.4)
+        if chroma:
+            out[:, 3] = np.where(fs, (2 * p1 + p0 + q1 + 2) >> 2, p0)
+            out[:, 4] = np.where(fs, (2 * q1 + q0 + p1 + 2) >> 2, q0)
+        else:
+            small = np.abs(p0 - q0) < ((alpha >> 2) + 2)
+            sp = fs & (ap < beta) & small
+            sq = fs & (aq < beta) & small
+            weak_p = (2 * p1 + p0 + q1 + 2) >> 2
+            weak_q = (2 * q1 + q0 + p1 + 2) >> 2
+            out[:, 3] = np.where(
+                sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                np.where(fs, weak_p, p0),
+            )
+            out[:, 2] = np.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+            out[:, 1] = np.where(
+                sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2
+            )
+            out[:, 4] = np.where(
+                sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                np.where(fs, weak_q, q0),
+            )
+            out[:, 5] = np.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+            out[:, 6] = np.where(
+                sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2
+            )
+    out = np.clip(out, 0, 255).astype(plane.dtype)
+    if vertical:
+        plane[start : start + n, pos - 4 : pos + 4] = out
+    else:
+        plane[pos - 4 : pos + 4, start : start + n] = out.T
+
+
+def _deblock_frame(ry, rcb, rcr, qp_map, wmbs, hmbs, off_a, off_b,
+                   chroma_off):
+    """In-loop deblocking for an all-intra picture (clause 8.7):
+    macroblocks in raster order, vertical edges left-to-right then
+    horizontal top-to-bottom, using already-filtered samples.  bS
+    derivation (8.7.2.1) for intra: 4 on macroblock edges, 3 on
+    internal 4x4 edges.  I_PCM macroblocks filter with QPY = 0."""
+    for mby in range(hmbs):
+        for mbx in range(wmbs):
+            qp_cur = int(qp_map[mby, mbx])
+            qc_cur = chroma_qp(qp_cur, chroma_off)
+            # --- luma vertical, then horizontal ------------------------
+            for horiz in (False, True):
+                for k, off in enumerate((0, 4, 8, 12)):
+                    if horiz:
+                        pos, nb = mby * 16 + off, (mby - 1, mbx)
+                    else:
+                        pos, nb = mbx * 16 + off, (mby, mbx - 1)
+                    if k == 0:
+                        if pos == 0:
+                            continue
+                        qpav = (int(qp_map[nb]) + qp_cur + 1) >> 1
+                        bs = 4
+                    else:
+                        qpav, bs = qp_cur, 3
+                    _deblock_edge(
+                        ry, not horiz, pos,
+                        (mbx if horiz else mby) * 16, 16,
+                        bs, qpav, off_a, off_b, chroma=False,
+                    )
+            # --- chroma (4:2:0 — edges at chroma offsets 0 and 4) ------
+            for plane in (rcb, rcr):
+                for horiz in (False, True):
+                    for k, off in enumerate((0, 4)):
+                        if horiz:
+                            pos, nb = mby * 8 + off, (mby - 1, mbx)
+                        else:
+                            pos, nb = mbx * 8 + off, (mby, mbx - 1)
+                        if k == 0:
+                            if pos == 0:
+                                continue
+                            qpav = (
+                                chroma_qp(int(qp_map[nb]), chroma_off)
+                                + qc_cur + 1
+                            ) >> 1
+                            bs = 4
+                        else:
+                            qpav, bs = qc_cur, 3
+                        _deblock_edge(
+                            plane, not horiz, pos,
+                            (mbx if horiz else mby) * 8, 8,
+                            bs, qpav, off_a, off_b, chroma=True,
+                        )
+
+
 def decode_h264_iframe(
     data: bytes | list[bytes],
     sps: SPS | None = None,
@@ -994,15 +1153,17 @@ def decode_h264_iframe(
     r.flag()  # no_output_of_prior_pics
     r.flag()  # long_term_reference
     qp = pps.pic_init_qp + r.se()
-    deblocking_skipped = False
+    # deblocking control (7.3.3): idc 0 = filter on, 1 = off, 2 = on
+    # except across slice boundaries (identical here — single-slice
+    # pictures only); an absent control block means on, zero offsets
+    deblock_on, off_a, off_b = True, 0, 0
     if pps.deblocking_filter_control_present:
         idc = r.ue()
-        if idc != 1:
-            r.se()
-            r.se()
-            deblocking_skipped = True
-    else:
-        deblocking_skipped = True
+        if idc == 1:
+            deblock_on = False
+        else:
+            off_a = 2 * r.se()  # slice_alpha_c0_offset_div2
+            off_b = 2 * r.se()  # slice_beta_offset_div2
 
     wmbs, hmbs = sps.width_mbs, sps.height_mbs
     w, h = wmbs * 16, hmbs * 16
@@ -1013,6 +1174,9 @@ def decode_h264_iframe(
     # per-4x4 Intra_4x4 prediction modes (8.3.1.1): blocks of non-I4x4
     # macroblocks and out-of-picture neighbors predict as DC (2)
     mode4 = np.full((hmbs * 4, wmbs * 4), 2, np.int8)
+    # per-MB luma QP for the deblocking filter (8.7.2: I_PCM counts
+    # as QPY = 0 there, though the running predictor is unchanged)
+    qp_map = np.zeros((hmbs, wmbs), np.int32)
 
     for mby in range(hmbs):
         for mbx in range(wmbs):
@@ -1029,11 +1193,13 @@ def decode_h264_iframe(
                             plane[my // 2 + yy, mx // 2 + xx] = r.u(8)
                 nctx.luma[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
                 nctx.chroma[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+                qp_map[mby, mbx] = 0  # 8.7.2: I_PCM filters as QPY = 0
                 continue
             if mb_type == 0:  # I_NxN = Intra_4x4 (Baseline: no 8x8 tf)
                 qp = _decode_mb_i4(
                     r, ry, rcb, rcr, mbx, mby, qp, pps, nctx, mode4, w, h
                 )
+                qp_map[mby, mbx] = qp
                 continue
             if mb_type > 25:
                 raise ValueError(f"h264: bad I-slice mb_type {mb_type}")
@@ -1042,6 +1208,7 @@ def decode_h264_iframe(
             cbp_luma = 15 if mb_type >= 13 else 0
             chroma_mode = r.ue()
             qp = (qp + r.se()) % 52  # mb_qp_delta (7.4.5: mod-52 wrap)
+            qp_map[mby, mbx] = qp
             qpc = chroma_qp(qp, pps.chroma_qp_index_offset)
 
             mx, my = mbx * 16, mby * 16
@@ -1105,6 +1272,11 @@ def decode_h264_iframe(
                         np.clip(cpred[by : by + 4, bx : bx + 4] + res, 0, 255)
                     )
 
+    if deblock_on:
+        _deblock_frame(
+            ry, rcb, rcr, qp_map, wmbs, hmbs, off_a, off_b,
+            pps.chroma_qp_index_offset,
+        )
     cl, crr, ct, cbm = sps.crop
     return {
         "y": ry[2 * ct : h - 2 * cbm, 2 * cl : w - 2 * crr],
@@ -1113,7 +1285,9 @@ def decode_h264_iframe(
         "width": w - 2 * (cl + crr),
         "height": h - 2 * (ct + cbm),
         "qp": qp,
-        "deblocking_skipped": deblocking_skipped,
+        # filter-enabled streams now decode through clause 8.7; the
+        # flag is kept for schema compatibility and is always False
+        "deblocking_skipped": False,
     }
 
 

@@ -15,6 +15,11 @@ metadata and raw sample bytes and reject decode loudly.
 ``encode_mp4_mjpeg`` fabricates a valid single-track motion-JPEG file
 (ftyp + mdat + moov) so executors can build test corpora; round trips
 through ``extract_keyframes`` + the JPEG decoder are pixel-exact.
+
+Fragmented files (§8.8 moof/traf/trun — the DASH/CMAF layout) parse,
+extract, and sample through the same API: trex defaults, tfhd flags,
+per-sample trun entries, default-base-is-moof and explicit base
+offsets; ``encode_mp4_fragmented_mjpeg`` builds fixtures.
 """
 
 from __future__ import annotations
@@ -666,6 +671,7 @@ def encode_mp4_h264(
     qp: int = 16,
     pcm: bool = False,
     i4x4: bool = False,
+    deblock: bool = False,
     frame_delta: int = 40,
     sync_every: int = 3,
 ) -> bytes:
@@ -681,7 +687,9 @@ def encode_mp4_h264(
     samples, sps_nal, pps_nal, prof, lvl = [], None, None, 66, 30
     for y, cb, cr in planes:
         nals = split_annexb(
-            encode_h264_iframe(y, cb, cr, qp=qp, pcm=pcm, i4x4=i4x4)
+            encode_h264_iframe(
+                y, cb, cr, qp=qp, pcm=pcm, i4x4=i4x4, deblock=deblock
+            )
         )
         for unit in nals:
             ntype = unit[0] & 0x1F

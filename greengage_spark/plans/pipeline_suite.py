@@ -1000,7 +1000,8 @@ def multimodal_flac_roundtrip(spark, sf_dir):
            CAST(127.5 AS DOUBLE) AS pcm_mean_y,
            CAST(126 AS DOUBLE) AS pcm_mean_cb,
            CAST(128 AS DOUBLE) AS pcm_mean_cr,
-           CAST((g * 53) % 256 AS DOUBLE) AS i4_mean_y
+           CAST((g * 53) % 256 AS DOUBLE) AS i4_mean_y,
+           CAST((g * 31) % 256 AS DOUBLE) AS deblock_kf0_mean_y
     FROM generate_series(1, 16) t(g) ORDER BY media_id
     """,
     doc="REAL Baseline H.264 I-frame decode inside avc1 MP4s "
@@ -1013,7 +1014,11 @@ def multimodal_flac_roundtrip(spark, sf_dir):
         "closed-form keyframe means) plus one all-I_PCM file whose luma "
         "is a full 256-residue cycle (mean exactly 127.5 for every "
         "pattern offset) and chroma fixed 4-step cycles (126 / 128). "
-        "CABAC / inter / I_NxN streams keep loud rejects.",
+        "r13: a deblock-ENABLED re-encode of frame 0 "
+        "(disable_deblocking_filter_idc = 0 → the clause-8.7 in-loop "
+        "filter runs) must decode to the same exact mean — uniform "
+        "content is a fixed point of every 8.7 filter equation. "
+        "CABAC / inter streams keep loud rejects.",
     tags=("pipeline", "multimodal"),
 )
 def multimodal_h264_keyframe_decode(spark, sf_dir):
@@ -1062,17 +1067,24 @@ def multimodal_h264_keyframe_decode(spark, sf_dir):
                     16, 16, qp=12, sync_every=1, i4x4=True,
                 )
                 i4 = decode_mp4_keyframe_features(i4_blob)[0]
+                # clause-8.7 filter-enabled stream: flat frames are a
+                # fixed point of the filter, so the mean is exact
+                db_blob = encode_mp4_h264(
+                    frames[:1], 32, 32, qp=16, sync_every=1, deblock=True
+                )
+                db = decode_mp4_keyframe_features(db_blob)[0]
+                assert db["deblocking_skipped"] is False
                 rows.append((
                     g, t["codec_string"], len(feats),
                     feats[0]["mean_y"],
                     feats[1]["mean_y"] if len(feats) > 1 else None,
                     pcm["mean_y"], pcm["mean_cb"], pcm["mean_cr"],
-                    i4["mean_y"],
+                    i4["mean_y"], db["mean_y"],
                 ))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "codec_string", "n_keyframes", "kf0_mean_y",
                 "kf1_mean_y", "pcm_mean_y", "pcm_mean_cb", "pcm_mean_cr",
-                "i4_mean_y",
+                "i4_mean_y", "deblock_kf0_mean_y",
             ])
 
     return (
@@ -1082,7 +1094,8 @@ def multimodal_h264_keyframe_decode(spark, sf_dir):
             fabricate_and_decode,
             "media_id long, codec_string string, n_keyframes long, "
             "kf0_mean_y double, kf1_mean_y double, pcm_mean_y double, "
-            "pcm_mean_cb double, pcm_mean_cr double, i4_mean_y double",
+            "pcm_mean_cb double, pcm_mean_cr double, i4_mean_y double, "
+            "deblock_kf0_mean_y double",
         )
         .orderBy("media_id")
     )

@@ -424,3 +424,229 @@ class TestRobustness:
                 decode_h264_iframe(bytes(mut))
             except (ValueError, NotImplementedError, IndexError, KeyError):
                 pass  # loud failure is acceptable; silence/hang is not
+
+
+class TestDeblocking:
+    """Clause 8.7 in-loop filter: Table 8-16/8-17 structure, the
+    normal/strong filter equations pinned against hand-computed values,
+    fixed-point behavior on uniform content, and end-to-end decode of
+    filter-enabled streams."""
+
+    def test_tables_structure(self):
+        from greengage_spark.pipeline.h264_tables import (
+            DEBLOCK_ALPHA,
+            DEBLOCK_BETA,
+            DEBLOCK_TC0,
+        )
+
+        assert len(DEBLOCK_ALPHA) == 52 and len(DEBLOCK_BETA) == 52
+        assert all(len(r) == 52 for r in DEBLOCK_TC0)
+        # published anchors: first active indexA and the 51 endpoints
+        assert DEBLOCK_ALPHA[15] == 0 and DEBLOCK_ALPHA[16] == 4
+        assert DEBLOCK_ALPHA[51] == 255 and DEBLOCK_BETA[51] == 18
+        assert [r[51] for r in DEBLOCK_TC0] == [13, 17, 25]
+        assert [
+            next(i for i, v in enumerate(r) if v) for r in DEBLOCK_TC0
+        ] == [23, 21, 17]
+        for r in [DEBLOCK_ALPHA, DEBLOCK_BETA, *DEBLOCK_TC0]:
+            assert all(a <= b for a, b in zip(r, r[1:]))
+
+    def test_uniform_content_is_fixed_point(self):
+        # every 8.7 filter equation returns v for all-equal inputs
+        import numpy as np
+
+        from greengage_spark.pipeline.h264 import _deblock_edge
+
+        for v in (0, 77, 255):
+            plane = np.full((16, 32), v, np.uint8)
+            for bs in (3, 4):
+                for chroma in (False, True):
+                    _deblock_edge(
+                        plane, True, 16, 0, 16, bs, 40, 0, 0, chroma
+                    )
+            assert (plane == v).all(), v
+
+    def test_bs4_weak_luma_hand_computed(self):
+        # |p0-q0| = 10 >= (alpha>>2)+2 at qp 30 -> weak filter:
+        # p0' = (2p1+p0+q1+2)>>2, q0' = (2q1+q0+p1+2)>>2 (8.7.2.4)
+        import numpy as np
+
+        from greengage_spark.pipeline.h264 import _deblock_edge
+
+        plane = np.zeros((4, 16), np.uint8)
+        plane[:, :8] = 60
+        plane[:, 8:] = 70
+        _deblock_edge(plane, True, 8, 0, 4, 4, 30, 0, 0, False)
+        assert plane[0, 7] == (2 * 60 + 60 + 70 + 2) // 4  # 63
+        assert plane[0, 8] == (2 * 70 + 70 + 60 + 2) // 4  # 68
+        assert plane[0, 6] == 60 and plane[0, 9] == 70  # weak: p1/q1 keep
+
+    def test_bs4_strong_luma_hand_computed(self):
+        # small step (|p0-q0| < (alpha>>2)+2, ap/aq < beta) -> strong
+        # filter rewrites p0/p1/p2 per 8.7.2.4
+        import numpy as np
+
+        from greengage_spark.pipeline.h264 import _deblock_edge
+
+        plane = np.zeros((1, 16), np.uint8)
+        plane[:, :8] = 60
+        plane[:, 8:] = 64
+        _deblock_edge(plane, True, 8, 0, 1, 4, 30, 0, 0, False)
+        p3 = p2 = p1 = p0 = 60
+        q3 = q2 = q1 = q0 = 64
+        assert plane[0, 7] == (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+        assert plane[0, 6] == (p2 + p1 + p0 + q0 + 2) >> 2
+        assert plane[0, 5] == (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+        assert plane[0, 8] == (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+
+    def test_bs3_normal_filter_hand_computed(self):
+        # bS=3 internal edge at qp 30: tc0 = TC0[2][30], luma tc adds
+        # the ap/aq terms; delta = clip(((q0-p0)<<2 + (p1-q1) + 4)>>3)
+        import numpy as np
+
+        from greengage_spark.pipeline.h264 import _deblock_edge
+        from greengage_spark.pipeline.h264_tables import DEBLOCK_TC0
+
+        plane = np.zeros((1, 16), np.uint8)
+        plane[:, :8] = 60
+        plane[:, 8:] = 66
+        _deblock_edge(plane, True, 8, 0, 1, 3, 30, 0, 0, False)
+        tc0 = DEBLOCK_TC0[2][30]
+        tc = tc0 + 1 + 1  # ap = aq = 0 < beta
+        delta = max(-tc, min(tc, (((66 - 60) << 2) + (60 - 66) + 4) >> 3))
+        assert plane[0, 7] == 60 + delta
+        assert plane[0, 8] == 66 - delta
+
+    def test_chroma_bs4_hand_computed(self):
+        import numpy as np
+
+        from greengage_spark.pipeline.h264 import _deblock_edge
+
+        plane = np.zeros((2, 16), np.uint8)
+        plane[:, :8] = 100
+        plane[:, 8:] = 106
+        _deblock_edge(plane, True, 8, 0, 2, 4, 30, 0, 0, True)
+        assert plane[0, 7] == (2 * 100 + 100 + 106 + 2) >> 2
+        assert plane[0, 8] == (2 * 106 + 106 + 100 + 2) >> 2
+        assert plane[0, 6] == 100  # chroma never touches p1
+
+    def test_real_edge_not_filtered(self):
+        # |p0-q0| >= alpha: content edge, filter must leave it alone
+        import numpy as np
+
+        from greengage_spark.pipeline.h264 import _deblock_edge
+
+        plane = np.zeros((4, 16), np.uint8)
+        plane[:, 8:] = 200
+        before = plane.copy()
+        _deblock_edge(plane, True, 8, 0, 4, 4, 30, 0, 0, False)
+        assert (plane == before).all()
+
+    def test_flat_roundtrip_exact_with_filter_on(self):
+        import numpy as np
+
+        from greengage_spark.pipeline.h264 import (
+            decode_h264_iframe,
+            encode_h264_iframe,
+        )
+
+        # the documented exactness range (<= 20; above that the 91s come
+        # from chroma/DC quantization, filter or not)
+        for qp in (10, 16, 20):
+            y = np.full((32, 48), 90, np.uint8)
+            c = np.full((16, 24), 90, np.uint8)
+            d = decode_h264_iframe(
+                encode_h264_iframe(y, c, c, qp=qp, deblock=True)
+            )
+            assert (d["y"] == 90).all() and (d["cb"] == 90).all(), qp
+            assert d["deblocking_skipped"] is False
+
+    def test_pcm_with_filter_on_stays_exact(self):
+        # I_PCM filters as QPY = 0 -> alpha/beta index 0 -> no-op
+        import numpy as np
+
+        from greengage_spark.pipeline.h264 import (
+            decode_h264_iframe,
+            encode_h264_iframe,
+        )
+
+        rng = np.random.default_rng(17)
+        y = rng.integers(0, 256, (32, 32), np.uint8)
+        c = rng.integers(0, 256, (16, 16), np.uint8)
+        d = decode_h264_iframe(
+            encode_h264_iframe(y, c, c, pcm=True, deblock=True)
+        )
+        assert (d["y"] == y).all() and (d["cb"] == c).all()
+
+    def test_filter_smooths_mb_edge_step(self):
+        import numpy as np
+
+        from greengage_spark.pipeline.h264 import (
+            decode_h264_iframe,
+            encode_h264_iframe,
+        )
+
+        y = np.hstack([
+            np.full((16, 16), 60, np.uint8), np.full((16, 16), 70, np.uint8)
+        ])
+        c = np.full((8, 16), 65, np.uint8)
+        off = decode_h264_iframe(encode_h264_iframe(y, c, c, qp=30))
+        on = decode_h264_iframe(
+            encode_h264_iframe(y, c, c, qp=30, deblock=True)
+        )
+        step = lambda d: abs(int(d["y"][0, 16]) - int(d["y"][0, 15]))  # noqa: E731
+        assert step(on) < step(off)
+        # interior samples away from any edge are untouched
+        assert on["y"][0, 0] == off["y"][0, 0]
+
+    def test_slice_offsets_parsed(self):
+        # nonzero alpha/beta offsets shift the thresholds; a stream
+        # with offsets -6/-6 filters less than one with 0/0
+        import numpy as np
+
+        from greengage_spark.pipeline.h264 import (
+            BitReader,
+            BitWriter,
+            decode_h264_iframe,
+            encode_h264_iframe,
+            ebsp_to_rbsp,
+            nal,
+            rbsp_to_ebsp,
+            split_annexb,
+        )
+
+        y = np.hstack([
+            np.full((16, 16), 60, np.uint8), np.full((16, 16), 70, np.uint8)
+        ])
+        c = np.full((8, 16), 65, np.uint8)
+        blob = encode_h264_iframe(y, c, c, qp=30, deblock=True)
+        nals = split_annexb(blob)
+        # rewrite the slice header: idc=0, offsets -3/-3 (div2 units)
+        rewritten = []
+        for unit in nals:
+            if unit[0] & 0x1F != 5:
+                rewritten.append(unit)
+                continue
+            rb = ebsp_to_rbsp(unit[1:])
+            r = BitReader(rb)
+            w = BitWriter()
+            for _ in range(3):
+                w.ue(r.ue())      # first_mb, slice_type, pps_id
+            w.u(r.u(4), 4)        # frame_num (log2_max_frame_num = 4)
+            w.ue(r.ue())          # idr_pic_id
+            w.flag(r.flag())
+            w.flag(r.flag())
+            w.se(r.se())          # slice_qp_delta
+            assert r.ue() == 0    # idc was 0
+            r.se(), r.se()        # old offsets
+            w.ue(0)
+            w.se(-3)
+            w.se(-3)
+            # copy remaining bits verbatim
+            while r.bits_left() > 0:
+                w.u(r.u(1), 1)
+            rewritten.append(nal(5, bytes(0)) * 0 + b"\x65" + rbsp_to_ebsp(w.bytes())[0:])
+        d0 = decode_h264_iframe(blob)
+        dneg = decode_h264_iframe(rewritten)
+        step = lambda d: abs(int(d["y"][0, 16]) - int(d["y"][0, 15]))  # noqa: E731
+        assert step(dneg) >= step(d0)
