@@ -123,10 +123,9 @@ SCRIPT_BLOCKS: dict[str, str] = {
 # Ordered script→language rules: (lang, block, num, den) fires when
 # cnt(block) > 0 AND cnt(block) * num >= nonspace_chars * den.  Japanese
 # leads (kana ≥5%; Han alone is ambiguous with Chinese); the rest need
-# ≥30% of non-space chars in the block.  Cyrillic maps to 'ru' — the
-# dominant Cyrillic-script language and the one with an embedded marker
-# inventory; uk/bg/sr would need their own function-word lists (the
-# marker path still wins for Latin-transliterated text).
+# ≥30% of non-space chars in the block.  The Cyrillic rule does not
+# commit to 'ru' — it disambiguates ru/uk/bg/sr by alphabet inventory
+# (see _CYR_* below), still join-free.
 SCRIPT_RULES: list[tuple[str, str, int, int]] = [
     ("ja", "kana", 20, 1),
     ("zh", "han", 10, 3),
@@ -140,6 +139,21 @@ SCRIPT_RULES: list[tuple[str, str, int, int]] = [
     ("bn", "bengali", 10, 3),
     ("ta", "tamil", 10, 3),
 ]
+
+# Cyrillic-script language discrimination (alphabet inventories are
+# public orthography): Serbian's ј љ њ ћ ђ џ and Ukrainian's і ї є ґ
+# occur in no other Cyrillic orthography considered here; Bulgarian
+# uses ъ as a full VOWEL (~2% of running letters) while the Russian
+# hard sign is vanishingly rare, and ы / э / ё are Russian-only.
+# Ordered first-match: sr, uk, then bg when ъ outnumbers the
+# Russian-only letters, else ru.  Languages not claimed (Belarusian,
+# Macedonian, Kazakh, ...) fall to their nearest orthographic neighbor.
+CYRILLIC_RULES: list[tuple[str, str]] = [
+    ("sr", "јљњћђџЈЉЊЋЂЏ"),
+    ("uk", "іїєґІЇЄҐ"),
+]
+_CYR_BG = "ъЪ"
+_CYR_RU_ONLY = "ыэёЫЭЁ"
 
 # For the 14 languages whose full function-word vocabularies the engine
 # already embeds (the snowball stopword lists, byte-equal to the
@@ -194,6 +208,14 @@ LANGID_FIXTURES: list[tuple[int, str]] = [
     (9000015, "это текст на русском языке для проверки новой системы"),
     (9000016, "এটি নতুন সিস্টেম পরীক্ষার জন্য বাংলা ভাষায় একটি লেখা"),
     (9000017, "இது புதிய அமைப்பை சோதிக்க தமிழில் எழுதப்பட்ட உரை"),
+    # Cyrillic disambiguation (r13): uk by і/ї/є, bg by vowel-ъ with no
+    # ы/э/ё, sr by ј/њ/ђ; 9000015 above stays the ru control (э + ы)
+    (9000018, "це текст українською мовою для перевірки нової системи "
+              "та її роботи"),
+    (9000019, "това е текст на български език за проверка на новата "
+              "система и нейната работа"),
+    (9000020, "ово је текст на српском језику за проверу новог система "
+              "и његовог рада"),
 ]
 
 
@@ -242,6 +264,25 @@ def _script_count(t: Column, block: str) -> Column:
     )
 
 
+def _chars_count(t: Column, chars: str) -> Column:
+    return F.length(t) - F.length(F.regexp_replace(t, f"[{chars}]", ""))
+
+
+def _cyrillic_lang(t: Column) -> Column:
+    """ru/uk/bg/sr by alphabet inventory (CYRILLIC_RULES) — pure JVM
+    regexp counts, the SQL twin below mirrors it clause for clause."""
+    out = None
+    for lg, chars in CYRILLIC_RULES:
+        cond = _chars_count(t, chars) >= 1
+        out = F.when(cond, F.lit(lg)) if out is None else out.when(
+            cond, F.lit(lg)
+        )
+    bg = (_chars_count(t, _CYR_BG) >= 1) & (
+        _chars_count(t, _CYR_BG) > _chars_count(t, _CYR_RU_ONLY)
+    )
+    return out.when(bg, F.lit("bg")).otherwise(F.lit("ru"))
+
+
 def script_language(t: Column) -> tuple[Column, Column]:
     """Unicode-script classification for the languages whitespace
     tokenization can't reach (or whose script is decisive on its own):
@@ -253,11 +294,18 @@ def script_language(t: Column) -> tuple[Column, Column]:
     first = True
     for lg, block, num, den in SCRIPT_RULES:
         cond = (cnt[block] > 0) & (cnt[block] * num >= nonspace * den)
-        lang = F.when(cond, F.lit(lg)) if first else lang.when(cond, F.lit(lg))
+        val = _cyrillic_lang(t) if block == "cyrillic" else F.lit(lg)
+        lang = F.when(cond, val) if first else lang.when(cond, val)
         first = False
     hits = F.when(lang == "ja", cnt["han"] + cnt["kana"])
     for lg, block, _, _ in SCRIPT_RULES:
-        if lg != "ja":
+        if lg == "ja":
+            continue
+        if block == "cyrillic":
+            hits = hits.when(
+                lang.isin("ru", "uk", "bg", "sr"), cnt[block]
+            )
+        else:
             hits = hits.when(lang == lg, cnt[block])
     return lang, hits
 
@@ -272,11 +320,26 @@ def script_language_sql(text_expr: str) -> tuple[str, str]:
             f"'[{SCRIPT_BLOCKS[block]}]', '', 'g')))"
         )
 
+    def ccnt(chars: str) -> str:
+        return (
+            f"(length({text_expr}) - length(regexp_replace({text_expr}, "
+            f"'[{chars}]', '', 'g')))"
+        )
+
+    cyr_arms = " ".join(
+        f"WHEN {ccnt(chars)} >= 1 THEN '{lg}'" for lg, chars in CYRILLIC_RULES
+    )
+    cyr_case = (
+        f"CASE {cyr_arms} WHEN {ccnt(_CYR_BG)} >= 1 AND "
+        f"{ccnt(_CYR_BG)} > {ccnt(_CYR_RU_ONLY)} THEN 'bg' "
+        "ELSE 'ru' END"
+    )
     ns = f"length(regexp_replace({text_expr}, '\\s', '', 'g'))"
     lang_arms, hit_arms = [], []
     for lg, block, num, den in SCRIPT_RULES:
         cond = f"{cnt(block)} > 0 AND {cnt(block)} * {num} >= {ns} * {den}"
-        lang_arms.append(f"WHEN {cond} THEN '{lg}'")
+        val = cyr_case if block == "cyrillic" else f"'{lg}'"
+        lang_arms.append(f"WHEN {cond} THEN {val}")
         hit = f"{cnt('han')} + {cnt('kana')}" if lg == "ja" else cnt(block)
         hit_arms.append(f"WHEN {cond} THEN {hit}")
     return (

@@ -46,9 +46,39 @@ def test_script_based_language_id(spark):
         9000009: "en", 9000010: "en",  # sub-threshold CJK → marker path
         9000011: "th", 9000012: "he", 9000013: "hi", 9000014: "el",
         9000015: "ru", 9000016: "bn", 9000017: "ta",
+        9000018: "uk", 9000019: "bg", 9000020: "sr",
     }
     # script-identified docs report script char counts as hits
     assert out[9000001][1] > 10 and out[9000004][1] > 10
+
+
+def test_cyrillic_disambiguation_rules(spark):
+    """ru/uk/bg/sr by alphabet inventory (join-free JVM expressions):
+    Serbian ј/љ/њ/ћ/ђ/џ, Ukrainian і/ї/є/ґ, Bulgarian vowel-ъ vs the
+    Russian-only ы/э/ё; everything else Cyrillic stays ru."""
+    from greengage_spark.pipeline.text import language_id
+
+    docs = spark.createDataFrame(
+        [
+            # Russian with an actual hard sign (объект) — ъ present but
+            # outnumbered by ы/э/ё, must stay ru
+            (1, "этот объект был создан для проверки правильных правил"),
+            # Bulgarian: ъ all over, no ы/э/ё
+            (2, "първата българска версия на съобщението беше съвсем кратка"),
+            # Ukrainian
+            (3, "українська мова має свої власні літери і це їх відрізняє"),
+            # Serbian
+            (4, "његова књига је најбоља у целој џепној библиотеци"),
+            # plain shared-alphabet Cyrillic defaults to ru
+            (5, "слово на кирилице без характерних букв останется как есть"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.lang_guess
+        for r in language_id(docs, "doc_id", "text", spark).collect()
+    }
+    assert out == {1: "ru", 2: "bg", 3: "uk", 4: "sr", 5: "ru"}
 
 
 def test_latin_inventories_full(spark):
