@@ -281,3 +281,114 @@ class TestDecoderOnlyPaths:
                 w.u(u & 1, 1)
         out = decode_flac(_mono_stream(sub, 4))
         assert out["samples"][:, 0].tolist() == vals
+
+
+class TestLpcEncoder:
+    """r13 encoder depth: LPC (Levinson-Durbin to order 8, quantized
+    coefficients, decoder-exact shifted-integer residuals) and
+    partitioned Rice.  Losslessness stays absolute; compression on
+    correlated signals must beat the FIXED-only encoder."""
+
+    def _fixed_only(self, x, **kw):
+        # disable the LPC lane to measure the old encoder's ratio
+        import greengage_spark.pipeline.flac as flac
+
+        orig = flac._lpc_candidates
+        flac._lpc_candidates = lambda chan: []
+        try:
+            return encode_flac(x, **kw)
+        finally:
+            flac._lpc_candidates = orig
+
+    def test_lpc_streams_are_lossless(self):
+        rng = np.random.default_rng(5)
+        walk = np.cumsum(rng.normal(0, 300, 12000)).clip(-30000, 30000)
+        for x in (
+            (np.sin(np.arange(12000) * 0.05) * 20000).astype(np.int32),
+            walk.astype(np.int32),
+            rng.integers(-32768, 32768, 12000).astype(np.int32),
+        ):
+            out = decode_flac(encode_flac(x, blocksize=4096))
+            assert (out["samples"][:, 0] == x).all()
+
+    def test_lpc_subframes_actually_used(self):
+        # a strongly autocorrelated signal must pick LPC (stype >= 32
+        # appears in the stream); verify by forcing FIXED-only and
+        # seeing a larger stream
+        x = (np.sin(np.arange(20000) * 0.037) * 18000).astype(np.int32)
+        full = encode_flac(x, blocksize=4096)
+        fixed = self._fixed_only(x, blocksize=4096)
+        # FIXED-2 is already close to optimal for a pure sine; LPC must
+        # still win measurably (measured ~0.86x)
+        assert len(full) < len(fixed) * 0.92, (len(full), len(fixed))
+        assert (decode_flac(full)["samples"][:, 0] == x).all()
+
+    def test_compression_ratio_targets(self):
+        x = (np.sin(np.arange(20000) * 0.05) * 20000).astype(np.int32)
+        blob = encode_flac(x, blocksize=4096)
+        assert len(blob) / (2 * len(x)) < 0.25  # FIXED-only was ~0.30
+        rng = np.random.default_rng(7)
+        walk = np.cumsum(rng.normal(0, 300, 20000)).clip(-30000, 30000)
+        blob2 = encode_flac(walk.astype(np.int32), blocksize=4096)
+        assert len(blob2) / (2 * len(walk)) < 0.75
+
+    def test_partitioned_rice_on_variance_burst(self):
+        # half-quiet, half-loud block: partitioning lets each half use
+        # its own Rice parameter; the stream must decode losslessly and
+        # beat a stream re-encoded at tiny blocksize granularity
+        rng = np.random.default_rng(9)
+        quiet = rng.integers(-40, 40, 2048)
+        loud = rng.integers(-20000, 20000, 2048)
+        x = np.concatenate([quiet, loud]).astype(np.int32)
+        blob = encode_flac(x, blocksize=4096)
+        out = decode_flac(blob)
+        assert (out["samples"][:, 0] == x).all()
+        # the residual writer must have chosen a nonzero partition order
+        # (structural: single-partition cost of this block is strictly
+        # larger; assert via total size against a forced single part)
+        import greengage_spark.pipeline.flac as flac
+
+        orig = flac._write_residual
+
+        def single_part(w, resid, bps, order=0, blocksize=None):
+            zig = np.array([flac._zigzag(v) for v in resid], np.int64)
+            param, _ = flac._best_rice_param(zig)
+            w.u(0, 2)
+            w.u(0, 4)
+            w.u(param, 4)
+            for v in resid:
+                u = flac._zigzag(v)
+                q, low = u >> param, u & ((1 << param) - 1)
+                w.raw("0" * q + "1")
+                if param:
+                    w.u(low, param)
+
+        flac._write_residual = single_part
+        try:
+            blob1 = encode_flac(x, blocksize=4096)
+        finally:
+            flac._write_residual = orig
+        assert len(blob) < len(blob1), (len(blob), len(blob1))
+
+    def test_noise_never_expands_much(self):
+        rng = np.random.default_rng(11)
+        x = rng.integers(-32768, 32768, 8192).astype(np.int32)
+        blob = encode_flac(x, blocksize=4096)
+        assert len(blob) / (2 * len(x)) < 1.1
+        assert (decode_flac(blob)["samples"][:, 0] == x).all()
+
+    def test_quantize_lpc_bounds(self):
+        from greengage_spark.pipeline.flac import _quantize_lpc
+
+        q, shift = _quantize_lpc(np.array([1.99, -0.5, 0.001]), 14)
+        assert 0 <= shift <= 15
+        assert all(-(1 << 13) <= v <= (1 << 13) - 1 for v in q)
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_stereo_lpc_lossless(self, seed):
+        rng = np.random.default_rng(seed)
+        l = (np.sin(np.arange(6000) * 0.02) * 15000).astype(np.int32)
+        r = np.cumsum(rng.normal(0, 200, 6000)).clip(-20000, 20000).astype(np.int32)
+        st = np.stack([l, r], axis=1)
+        out = decode_flac(encode_flac(st, blocksize=2048))
+        assert (out["samples"] == st).all()
