@@ -173,9 +173,27 @@ def _load_input(engine, spec: MapReduceSpec, name: str) -> DataFrame:
         cols = _columns(src.get("COLUMNS"), ["value text"])
         schema = ", ".join(f"{n} {t}" for n, t in cols)
         delim = src.get("DELIMITER") or "\t"
-        if len(cols) == 1:
+        err_limit = src.get("ERROR_LIMIT")
+        if err_limit is None and len(cols) == 1:
             return engine.spark.read.schema(schema).text(paths).toDF(cols[0][0])
-        return engine.spark.read.schema(schema).option("sep", delim).csv(paths)
+        if err_limit is None:
+            return engine.spark.read.schema(schema).option("sep", delim).csv(paths)
+        # ERROR_LIMIT n — the reference lowers INPUT FILE to an external
+        # table with SEGMENT REJECT LIMIT n (mapred.c:2664); reuse the
+        # same SREH machinery: PERMISSIVE read, corrupt-record column as
+        # the error log, distributed bad-row count against the limit
+        from greengage_spark.sources.external import ExternalTable
+
+        fmt = str(src.get("FORMAT") or "TEXT").lower()
+        ext = ExternalTable(
+            schema=schema,
+            location=paths,
+            fmt="csv" if fmt == "csv" else "text",
+            delimiter=src.get("DELIMITER") or ("," if fmt == "csv" else "\t"),
+            null_str=src.get("NULL") or ("" if fmt == "csv" else "\\N"),
+            reject_limit=int(err_limit),
+        )
+        return ext.read(engine.spark)
     if src.get("EXEC"):
         raise NotImplementedError(
             "gpmapreduce: INPUT EXEC runs shell commands; use the "

@@ -265,3 +265,70 @@ EXECUTE:
         out = dict((r.key, r.value) for r in df.collect())
         # 6 distinct words: 'the' (3x) is common, the other 5 are rare
         assert out == {"rare": 5, "common": 1}
+
+
+WORDSPLIT_FILE = """
+DEFINE:
+  - INPUT:
+      NAME: file_in
+      FILE: localhost:{path}
+      COLUMNS:
+        - word text
+        - n integer
+      FORMAT: TEXT
+      DELIMITER: "\\t"
+      ERROR_LIMIT: {limit}
+  - MAP:
+      NAME: passthru
+      LANGUAGE: python
+      PARAMETERS:
+        - word text
+        - n integer
+      RETURNS:
+        - key text
+        - value integer
+      FUNCTION: |
+        yield [word, n]
+EXECUTE:
+  - RUN:
+      SOURCE: file_in
+      MAP: passthru
+      REDUCE: SUM
+"""
+
+
+class TestErrorLimit:
+    """INPUT FILE + ERROR_LIMIT n — the reference lowers it to an
+    external table with SEGMENT REJECT LIMIT n (mapred.c:2664, the
+    yml_in regress shapes); poisoned rows drop up to the limit, the
+    job errors past it."""
+
+    def _write(self, tmp_path, rows):
+        p = tmp_path / "mr_in.txt"
+        p.write_text("\n".join(rows) + "\n")
+        return str(p)
+
+    def test_poisoned_rows_within_limit_drop(self, eng, tmp_path):
+        path = self._write(tmp_path, [
+            "alpha\t1", "beta\t2", "alpha\tnot_a_number", "alpha\t3",
+        ])
+        df = run_mapreduce(
+            eng, WORDSPLIT_FILE.format(path=path, limit=2)
+        )
+        out = dict((r.key, r.value) for r in df.collect())
+        assert out == {"alpha": 4, "beta": 2}
+
+    def test_reject_limit_exceeded_errors(self, eng, tmp_path):
+        from greengage_spark.sources.external import RejectLimitExceeded
+
+        path = self._write(tmp_path, [
+            "alpha\t1", "bad\tx", "worse\ty", "worst\tz",
+        ])
+        with pytest.raises(RejectLimitExceeded, match="rejected"):
+            run_mapreduce(eng, WORDSPLIT_FILE.format(path=path, limit=2))
+
+    def test_clean_file_unaffected(self, eng, tmp_path):
+        path = self._write(tmp_path, ["a\t1", "b\t2", "a\t5"])
+        df = run_mapreduce(eng, WORDSPLIT_FILE.format(path=path, limit=1))
+        out = dict((r.key, r.value) for r in df.collect())
+        assert out == {"a": 6, "b": 2}
