@@ -1827,8 +1827,9 @@ class _StmtParser:
             self.expect("loop")
             body = self._stmts(until=("end",))
             self._end_loop(_lbl)
+            scalar = var in self.casts and var not in self.records
             self.records.add(var)
-            return ("forcursor", var, cname, args, body)
+            return ("forcursor", var, cname, args, body, scalar)
         if self.peek_low() in ("select", "with", "values", "table") and not reverse:
             # FOR rec IN <query> LOOP (exec_stmt_fors) — SQL hook path
             if not self.allow_sql:
@@ -1840,8 +1841,12 @@ class _StmtParser:
             self.expect("loop")
             body = self._stmts(until=("end",))
             self._end_loop(_lbl)
-            self.records.add(var)  # loop target behaves as a record
-            return ("forquery", var, sql, body)
+            # a declared SCALAR target takes the single result column
+            # (exec_stmt_fors → exec_assign_value); RECORD/undeclared
+            # targets take the whole row
+            scalar = var in self.casts and var not in self.records
+            self.records.add(var)
+            return ("forquery", var, sql, body, scalar)
         if self.peek_low() == "execute" and not reverse:
             # FOR rec IN EXECUTE expr LOOP (exec_stmt_dynfors)
             if not self.allow_sql:
@@ -1861,8 +1866,9 @@ class _StmtParser:
             self.expect("loop")
             body = self._stmts(until=("end",))
             self._end_loop(_lbl)
+            scalar = var in self.casts and var not in self.records
             self.records.add(var)
-            return ("forquery_dyn", var, e, body, using)
+            return ("forquery_dyn", var, e, body, using, scalar)
         lo = self.expr()
         if self.peek() != "..":
             raise NotImplementedError(
@@ -2192,12 +2198,14 @@ def _exec_stmt(s, env, label=None):  # noqa: C901 - pl_exec.c dispatch
         if vars_:
             _assign_into(rows, vars_, strict, env)
     elif kind == "forquery":
-        _, var, sql, body = s
+        var, sql, body = s[1], s[2], s[3]
         rows, _rc = _run_sql(env, _interpolate(sql, env), vars_visible=True)
+        if len(s) > 4 and s[4]:
+            rows = [_scalar_row(r, var) for r in rows]
         n = _run_loop(rows, var, body, env, label)
         env["found"] = n > 0  # exec_stmt_fors sets FOUND on ≥1 iteration
     elif kind == "forquery_dyn":
-        _, var, e, body = s[0], s[1], s[2], s[3]
+        var, e, body = s[1], s[2], s[3]
         using = s[4] if len(s) > 4 else []
         sql = e(env)
         if sql is None:
@@ -2207,10 +2215,13 @@ def _exec_stmt(s, env, label=None):  # noqa: C901 - pl_exec.c dispatch
         for i, ue in enumerate(using, 1):
             sql = _substitute_dollar_param(sql, i, _sql_literal(ue(env)))
         rows, _rc = _run_sql(env, sql)
+        if len(s) > 5 and s[5]:
+            rows = [_scalar_row(r, var) for r in rows]
         n = _run_loop(rows, var, body, env, label)
         env["found"] = n > 0
     elif kind == "forcursor":
-        _, var, cname, args, body = s
+        var, cname, args, body = s[1], s[2], s[3], s[4]
+        scalar_t = s[5] if len(s) > 5 else False
         cur = _cursor_of(env, cname)
         if cur.portal is not None:
             raise PlPgSQLError(
@@ -2223,7 +2234,7 @@ def _exec_stmt(s, env, label=None):  # noqa: C901 - pl_exec.c dispatch
                 r = portal.fetch(1)
                 if not r:
                     return
-                yield r[0]
+                yield _scalar_row(r[0], var) if scalar_t else r[0]
 
         try:
             env["found"] = _run_loop(_rows(), var, body, env, label) > 0
@@ -2648,6 +2659,21 @@ def _sql_literal(v) -> str:
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     return repr(v)
+
+
+def _scalar_row(row, var: str):
+    """FOR <scalar var> IN <query>: the single result column assigns to
+    the variable (pl_exec.c exec_stmt_fors with a scalar target); more
+    than one column is the reference's own error shape."""
+    if hasattr(row, "__fields__") or isinstance(row, (tuple, list)):
+        if len(row) != 1:
+            raise PlPgSQLError(
+                "datatype_mismatch",
+                f'FOR loop variable "{var}" is a scalar but the query '
+                f"returns {len(row)} columns",
+            )
+        return row[0]
+    return row
 
 
 def _run_loop(it, var, body, env, label=None):

@@ -103,6 +103,10 @@ class FunctionDef:
     # every parameter (IN and OUT) in declaration order — PG numbers
     # $n across both kinds
     param_order: list | None = None
+    # Spark element type for RETURNS SETOF <scalar>: enables the
+    # per-ROW lane (SQL-free bodies run as an array UDF on executors
+    # and explode laterally when call-site args reference columns)
+    ret_elem: str | None = None
 
 
 _CREATE_FN = re.compile(
@@ -113,6 +117,19 @@ _CREATE_FN = re.compile(
     r"(?:\s+as\s+(\$[\w]*\$(?P<dollar2>.*?)\$[\w]*\$|'(?P<quoted2>(?:[^']|'')*)'))?"
     r"\s*(immutable|stable|volatile|strict|\s)*$"
 )
+
+
+def _setof_elem_type(ret: str) -> str | None:
+    """Spark element type for RETURNS SETOF <scalar>; None for
+    record/composite/TABLE(...) shapes (those stay on the driver-side
+    interpreter path)."""
+    r = ret.strip().lower()
+    if r == "record" or r.startswith("table"):
+        return None
+    try:
+        return _spark_type(ret)
+    except Exception:  # noqa: BLE001 — unknown type: no row lane
+        return None
 
 
 def parse_create_function(stmt: str) -> tuple[FunctionDef, bool]:
@@ -214,6 +231,7 @@ def parse_create_function(stmt: str) -> tuple[FunctionDef, bool]:
             interp_setof=interp_setof_val,
             out_names=out_names,
             param_order=param_order,
+            ret_elem=_setof_elem_type(m.group(5)) if setof else None,
         ),
         bool(m.group(1)),
     )
@@ -842,7 +860,29 @@ def expand_table_macros(sql: str, functions: dict, engine=None) -> str:
                 alias, collist = mal.group(1), mal.group(2) or ""
                 rest = rest[mal.end() :]
             if getattr(fd, "interp_setof", False):
-                body = _run_interp_setof(fd, args, engine)
+                try:
+                    body = _run_interp_setof(fd, args, engine)
+                except NotImplementedError:
+                    # non-constant (per-row) arguments: if the body is
+                    # SQL-free it can run ON EXECUTORS as an array UDF
+                    # and explode laterally — the real per-row SETOF
+                    # lane (pl_exec.c SRF calls with lateral references)
+                    sub = _rowtier_setof_subquery(fd, args, engine)
+                    if sub is None or m.group(1) != ",":
+                        raise
+                    col = name
+                    if collist:
+                        col = collist.strip(" ()").split(",")[0].strip()
+                    elif alias:
+                        col = alias
+                    sql = (
+                        sql[: m.start(1)]
+                        + f", LATERAL (SELECT explode({sub}) AS {col}) "
+                        + f"AS {alias or name}"
+                        + rest
+                    )
+                    changed = True
+                    continue
             elif getattr(fd, "dyn_query", None):
                 body = _resolve_dyn_query(fd, args)
             else:
@@ -854,16 +894,42 @@ def expand_table_macros(sql: str, functions: dict, engine=None) -> str:
                         body = re.sub(
                             rf"(?i)\b{re.escape(an)}\b", f"({args[j]})", body
                         )
+            # PG function-in-FROM calls are implicitly LATERAL
+            # (ParseFuncOrColumn/transformRangeFunction); Spark needs
+            # the keyword for correlated references to prior FROM items
+            lat = "LATERAL " if m.group(1) == "," else ""
             sql = (
                 sql[: m.start(1)]
                 + m.group(1)
-                + f" ({body}) AS {alias or name}{collist}"
+                + f" {lat}({body}) AS {alias or name}{collist}"
                 + rest
             )
             changed = True
         if not changed:
             break
     return sql
+
+
+def _rowtier_setof_subquery(fd: FunctionDef, args: list[str], engine):
+    """Per-row SETOF lane: compile the body SQL-free with the RETURN
+    NEXT accumulator (compile_plpgsql setof=True), register it as an
+    ARRAY-returning UDF, and return the call text for a lateral
+    explode.  None when the body needs the SQL engine or returns a
+    non-scalar set (those keep the constant-args driver path)."""
+    if engine is None or not getattr(fd, "ret_elem", None):
+        return None
+    from greengage_spark.operators.plpgsql_interp import compile_plpgsql
+
+    try:
+        gen = compile_plpgsql(
+            fd.body, fd.arg_names, setof=True,
+            functions=getattr(engine, "pl_registry", None),
+        )
+    except Exception:  # noqa: BLE001 — outside the row subset
+        return None
+    udf_name = f"__gg_srf_{fd.name.lower()}"
+    engine.spark.udf.register(udf_name, gen, f"array<{fd.ret_elem}>")
+    return f"{udf_name}({', '.join(args)})"
 
 
 def _run_interp_setof(fd: FunctionDef, args: list[str], engine) -> str:

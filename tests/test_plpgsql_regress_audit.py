@@ -262,9 +262,12 @@ class TestInterpSetof:
         )
         assert eng.execute("SELECT * FROM nothing_out()").collect() == []
 
-    def test_lateral_args_reject_loudly(self, eng):
+    def test_lateral_args_run_per_row(self, eng):
+        # r13: per-row SETOF arguments work — SQL-free procedural
+        # bodies run on executors as an array UDF and explode laterally
+        # (PG's implicitly-LATERAL function-in-FROM)
         eng.execute("CREATE TABLE st_l (v int)")
-        eng.execute("INSERT INTO st_l VALUES (1)")
+        eng.execute("INSERT INTO st_l VALUES (1), (3)")
         eng.execute(
             "CREATE FUNCTION twice(n int) RETURNS SETOF int AS $$ "
             "DECLARE i int; BEGIN "
@@ -272,8 +275,10 @@ class TestInterpSetof:
             "IF true THEN RETURN NEXT i; END IF; "
             "END LOOP; RETURN; END $$ LANGUAGE plpgsql"
         )
-        with pytest.raises(NotImplementedError, match="constant"):
-            eng.execute("SELECT * FROM st_l, twice(st_l.v)")
+        rows = eng.execute(
+            "SELECT v, t FROM st_l, twice(st_l.v) AS x(t) ORDER BY v, t"
+        ).collect()
+        assert [(r.v, r.t) for r in rows] == [(1, 1), (3, 1), (3, 2), (3, 3)]
 
 
 class TestInLists:

@@ -563,3 +563,75 @@ class TestPlpgsqlArrayLiterals:
             "SELECT array_to_string(arrfn(), ',') AS v"
         ).collect()[0].v
         assert got == "7,1,2"
+
+
+class TestSetofPerRow:
+    """SETOF functions with per-row (lateral) arguments — PG's
+    function-in-FROM is implicitly LATERAL (transformRangeFunction).
+    Inline-lowerable bodies expand to correlated Catalyst subqueries;
+    procedural SQL-free bodies run as an array UDF on executors and
+    explode (the r13 row-tier SETOF lane)."""
+
+    @pytest.fixture()
+    def seng(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        e = GreengageEngine(spark, str(tmp_path))
+        e.execute("CREATE TABLE srf_t (k int)")
+        e.execute("INSERT INTO srf_t VALUES (2), (3)")
+        return e
+
+    def test_inline_body_lateral(self, seng):
+        seng.execute(
+            "CREATE FUNCTION squares(n int) RETURNS SETOF int AS $$\n"
+            "DECLARE i int;\nBEGIN\n  FOR i IN 1..n LOOP\n"
+            "    RETURN NEXT i * i;\n  END LOOP;\n  RETURN;\n"
+            "END $$ LANGUAGE plpgsql"
+        )
+        rows = seng.execute(
+            "SELECT k, v FROM srf_t, squares(k) AS s(v) ORDER BY k, v"
+        ).collect()
+        assert [(r.k, r.v) for r in rows] == [
+            (2, 1), (2, 4), (3, 1), (3, 4), (3, 9)
+        ]
+
+    def test_procedural_body_rowtier_lateral(self, seng):
+        # WHILE + state: outside the inline subset, runs per row on
+        # executors through compile_plpgsql(setof=True)
+        seng.execute(
+            "CREATE FUNCTION collatz(n int) RETURNS SETOF int AS $$\n"
+            "DECLARE v int := n;\nBEGIN\n  WHILE v <> 1 LOOP\n"
+            "    RETURN NEXT v;\n"
+            "    IF v % 2 = 0 THEN v := v / 2; ELSE v := 3 * v + 1; "
+            "END IF;\n  END LOOP;\n  RETURN NEXT 1;\n"
+            "END $$ LANGUAGE plpgsql"
+        )
+        rows = seng.execute(
+            "SELECT k, v FROM srf_t, collatz(k) AS c(v) ORDER BY k, v"
+        ).collect()
+        assert [(r.k, r.v) for r in rows] == sorted(
+            [(2, 2), (2, 1)] + [(3, x) for x in (3, 10, 5, 16, 8, 4, 2, 1)]
+        )
+        # constant args keep the driver path and identical results
+        rows = seng.execute("SELECT * FROM collatz(6) AS t(v)").collect()
+        assert [r.v for r in rows] == [6, 3, 10, 5, 16, 8, 4, 2, 1]
+
+    def test_sql_needing_body_still_rejects_lateral(self, seng):
+        # RETURN QUERY needs the engine: per-row args stay an honest
+        # loud reject (the body cannot run on an executor)
+        seng.execute("CREATE TABLE srf_aux (v int)")
+        seng.execute("INSERT INTO srf_aux VALUES (10), (20)")
+        seng.execute(
+            "CREATE FUNCTION qset(n int) RETURNS SETOF int AS $$\n"
+            "DECLARE x int;\nBEGIN\n"
+            "  FOR x IN SELECT v FROM srf_aux LOOP\n"
+            "    RETURN NEXT x + n;\n  END LOOP;\n  RETURN;\n"
+            "END $$ LANGUAGE plpgsql"
+        )
+        # constant arg: fine through the driver interpreter
+        rows = seng.execute("SELECT * FROM qset(1) AS t(v)").collect()
+        assert sorted(r.v for r in rows) == [11, 21]
+        with pytest.raises(Exception, match="constant"):
+            seng.execute(
+                "SELECT k, v FROM srf_t, qset(k) AS q(v)"
+            ).collect()
