@@ -836,7 +836,11 @@ def expand_table_macros(sql: str, functions: dict, engine=None) -> str:
     for _ in range(10):
         changed = False
         for name, fd in macros.items():
-            m = re.search(rf"(?is)\b(from|join|,)\s+{re.escape(name)}\s*\(", sql)
+            # NB: \b applies to the keywords only — a comma preceded by
+            # ')' (e.g. "... AS s(c), f(x)") has no word boundary
+            m = re.search(
+                rf"(?is)(\bfrom|\bjoin|,)\s+{re.escape(name)}\s*\(", sql
+            )
             if not m:
                 continue
             i, depth, q = m.end(), 1, None

@@ -1567,6 +1567,61 @@ def create_function_setof(spark, sf_dir):
 
 
 @suite.add(
+    "function_setof_lateral",
+    oracle="""
+    SELECT n.n_nationkey,
+           CAST(g * g AS BIGINT) AS sq,
+           CAST(w AS BIGINT) AS walk
+    FROM nation n,
+         UNNEST(range(1, CAST(n.n_regionkey + 2 AS BIGINT))) AS t(g),
+         UNNEST(CASE n.n_nationkey % 3
+                WHEN 0 THEN [8, 4, 2, 1]
+                WHEN 1 THEN [1]
+                ELSE [2, 1] END) AS s(w)
+    ORDER BY n_nationkey, sq, walk
+    """,
+    doc="SETOF functions with PER-ROW (lateral) arguments — PG's "
+        "function-in-FROM is implicitly LATERAL "
+        "(parse_clause.c transformRangeFunction). Two lanes, both in "
+        "one query: squares(n_regionkey+1) has an inline-lowerable "
+        "body → a correlated Catalyst subquery with the LATERAL "
+        "keyword (zero Python); halving(n_nationkey%3) has a WHILE "
+        "loop with state (outside the inline subset) → "
+        "compile_plpgsql(setof=True) runs it per row on executors as "
+        "an array UDF exploded laterally. Oracle re-derives both with "
+        "generate_series / unnest.",
+    tags=("udf", "engine", "plpgsql"),
+)
+def function_setof_lateral(spark, sf_dir):
+    from greengage_spark.engine import GreengageEngine
+
+    eng = GreengageEngine(spark, tempfile.mkdtemp(prefix="gg_setofl_"))
+    cat(spark, sf_dir).table("nation").createOrReplaceTempView("nation")
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION squares(n int8) RETURNS SETOF int8 "
+        "AS $$\nDECLARE i int8;\nBEGIN\n  FOR i IN 1..n LOOP\n"
+        "    RETURN NEXT i * i;\n  END LOOP;\n  RETURN;\nEND;\n"
+        "$$ LANGUAGE plpgsql"
+    )
+    eng.execute(
+        # halving chain 8 -> 4 -> 2 -> 1 keyed on n % 3: 0 -> start 8,
+        # 1 -> start 1, 2 -> start 2 (deterministic small sets)
+        "CREATE OR REPLACE FUNCTION halving(k int8) RETURNS SETOF int8 "
+        "AS $$\nDECLARE v int8;\nBEGIN\n"
+        "  IF k = 0 THEN v := 8; ELSIF k = 1 THEN v := 1; "
+        "ELSE v := 2; END IF;\n"
+        "  WHILE v >= 1 LOOP\n    RETURN NEXT v;\n    v := v / 2;\n"
+        "    EXIT WHEN v < 1;\n  END LOOP;\nEND;\n$$ LANGUAGE plpgsql"
+    )
+    return eng.execute(
+        "SELECT n.n_nationkey, sq, walk "
+        "FROM nation n, squares(n.n_regionkey + 1) AS s(sq), "
+        "halving(n.n_nationkey % 3) AS h(walk) "
+        "ORDER BY n_nationkey, sq, walk"
+    )
+
+
+@suite.add(
     "txn_rollback_dml",
     oracle="""
     SELECT n_nationkey, n_name,
