@@ -1559,7 +1559,10 @@ class GreengageEngine:
         fd, replace = parse_create_function(stmt)
         if fd.name in self.functions and not replace:
             raise ValueError(f"function {fd.name!r} already exists")
-        register_function(self.spark, fd, transpile, registry=self.pl_registry)
+        register_function(
+            self.spark, fd, transpile, registry=self.pl_registry,
+            composite_types=self._composite_types(),
+        )
         self.functions[fd.name] = fd
         return None
 

@@ -936,6 +936,21 @@ class _ExprParser:
                     items.append(self.parse())
             self.expect("]")
             return lambda env, _it=items: [f(env) for f in _it]
+        if (
+            _is_ident(t)
+            and self.peek_at_next_is_paren()
+            and t.lower() in ("substring", "trim", "position", "overlay")
+        ):
+            # SQL-92 keyword argument forms (gram.y
+            # func_expr_common_subexpr); plain comma forms rewind to
+            # the generic call path
+            save = self.pos
+            self.take()
+            self.take()  # (
+            sp = self._special_sqlform(t.lower())
+            if sp is not None:
+                return sp
+            self.pos = save
         if _is_ident(t) and t.lower() == "cast" and self.peek_at_next_is_paren():
             # CAST(x AS type) — same machinery as ::type (gram.y Typecast)
             self.take()
@@ -992,6 +1007,110 @@ class _ExprParser:
                 return lambda env, _f=fn, _a=args: _f(*(g(env) for g in _a))
             return lambda env, _n=low: _lookup(env, _n)
         raise NotImplementedError(f"plpgsql expression: unexpected token {t!r}")
+
+    def _special_sqlform(self, low: str):
+        """substring(x FROM a [FOR b]) / trim([leading|trailing|both]
+        [chars] FROM s) / position(a IN b) / overlay(s PLACING r FROM
+        a [FOR b]) — the SQL-92 keyword forms.  Returns None when the
+        call uses the plain comma form (caller rewinds)."""
+        if low == "trim":
+            side = "both"
+            if self.peek_low() in ("leading", "trailing", "both"):
+                side = self.take().lower()
+            chars = None
+            if self.peek_low() != "from" and self.peek() != ")":
+                chars = self.parse()
+            if self.peek_low() == "from":
+                self.take()
+                sarg = self.parse()
+            elif chars is not None and self.peek() == ")":
+                if side == "both" and self.toks[self.pos - 1] != ")":
+                    pass
+                sarg, chars = chars, None
+            else:
+                return None
+            self.expect(")")
+
+            def runt(env, _s=sarg, _c=chars, _side=side):
+                v = _s(env)
+                if v is None:
+                    return None
+                c = _c(env) if _c is not None else None
+                if _side == "leading":
+                    return v.lstrip(c)
+                if _side == "trailing":
+                    return v.rstrip(c)
+                return v.strip(c)
+
+            return runt
+        if low == "position":
+            a = self._additive()
+            if self.peek_low() != "in":
+                return None
+            self.take()
+            b = self.parse()
+            self.expect(")")
+
+            def runp(env, _a=a, _b=b):
+                av, bv = _a(env), _b(env)
+                if av is None or bv is None:
+                    return None
+                return bv.find(av) + 1
+
+            return runp
+        sarg = self.parse()
+        if low == "overlay":
+            if self.peek_low() != "placing":
+                return None
+            self.take()
+            r = self.parse()
+            self.expect("from")
+            a = self.parse()
+            b = None
+            if self.peek_low() == "for":
+                self.take()
+                b = self.parse()
+            self.expect(")")
+
+            def runo(env, _s=sarg, _r=r, _a=a, _b=b):
+                sv, rv, av = _s(env), _r(env), _a(env)
+                if sv is None or rv is None or av is None:
+                    return None
+                bv = _b(env) if _b is not None else len(rv)
+                i = int(av) - 1
+                return sv[:i] + rv + sv[i + int(bv):]
+
+            return runo
+        # substring
+        if self.peek_low() not in ("from", "for"):
+            return None
+        a = None
+        if self.peek_low() == "from":
+            self.take()
+            a = self.parse()
+        b = None
+        if self.peek_low() == "for":
+            self.take()
+            b = self.parse()
+        self.expect(")")
+
+        def runs(env, _s=sarg, _a=a, _b=b):
+            sv = _s(env)
+            if sv is None:
+                return None
+            av = _a(env) if _a is not None else 1
+            if isinstance(av, str):
+                # substring(string FROM pattern): POSIX regex — the
+                # first parenthesized group when present (varlena.c
+                # textregexsubstr)
+                m = re.search(av, sv)
+                if not m:
+                    return None
+                return m.group(1) if m.groups() else m.group(0)
+            bv = _b(env) if _b is not None else None
+            return _pg_substr(sv, int(av), None if bv is None else int(bv))
+
+        return runs
 
     def _case(self):
         self.expect("case")
@@ -1093,7 +1212,8 @@ _NAME_BY_SQLSTATE = {v: k for k, v in _SQLSTATE_BY_NAME.items()}
 
 class _StmtParser:
     def __init__(self, toks: list[str], allow_sql: bool = False,
-                 allow_setof: bool = False):
+                 allow_setof: bool = False,
+                 composite_types: set | frozenset = frozenset()):
         self.toks = toks
         self.pos = 0
         self.allow_sql = allow_sql  # driver-side (DO block): SQL hook ok
@@ -1101,6 +1221,21 @@ class _StmtParser:
         self.casts: dict[str, object] = {}  # var -> declared-type cast fn
         self.records: set[str] = set()  # vars declared RECORD
         self.cursor_names: set[str] = set()  # declared bound cursors
+        # CREATE TYPE AS names (engine-provided): vars of these types
+        # declare as records with the type's field names; a dict maps
+        # name -> [field names] so INTO targets can relabel plain rows
+        if isinstance(composite_types, dict):
+            self.composite_fields = {
+                str(k).lower(): [str(f).lower() for f in (v or [])]
+                for k, v in composite_types.items()
+            }
+        else:
+            self.composite_fields = {
+                str(t).lower(): None for t in composite_types
+            }
+        self.composite_types = set(self.composite_fields)
+        # per-VARIABLE composite field names (for INTO relabeling)
+        self.var_fields: dict[str, list | None] = {}
 
     def peek_low(self, off: int = 0) -> str | None:
         i = self.pos + off
@@ -1283,17 +1418,43 @@ class _StmtParser:
         tname = self.take().lower()
         if tname == "refcursor":
             # unbound cursor variable (pl_comp.c REFCURSOR): OPEN ... FOR
-            # binds the query later
+            # binds the query later.  An initializer names the portal
+            # (PG: a refcursor's value IS the portal name) — parsed and
+            # discarded: retained-extent portals are per-variable here,
+            # so the name has no cross-statement meaning
+            if self.peek_low() in (":=", "=", "default"):
+                self.take()
+                self.expr()
             self.expect(";")
             self.casts[name] = lambda v: v
             return ("cursor_decl", name, [], None)
-        if tname == "record":
-            # RECORD vars hold whole result rows (pl_comp.c); only the
-            # SQL-hook statements can populate them
+        if tname == "record" or tname in self.composite_types:
+            # RECORD vars (and vars of CREATE TYPE AS composites) hold
+            # whole result rows (pl_comp.c); composite-typed vars
+            # relabel plain rows to the type's field names on
+            # assignment (exec_assign_value's row coercion)
+            fields = self.composite_fields.get(tname)
+            self.var_fields[name] = fields
+
+            def _reccast(v, _f=fields):
+                if (
+                    _f
+                    and v is not None
+                    and not isinstance(v, dict)
+                    and hasattr(v, "__len__")
+                    and len(v) == len(_f)
+                ):
+                    return dict(zip(_f, v))
+                return v
+
+            init = None
+            if self.peek_low() in (":=", "=", "default"):
+                self.take()
+                init = self.expr()
             self.expect(";")
-            self.casts[name] = lambda v: v
+            self.casts[name] = _reccast
             self.records.add(name)
-            return ("var", name, lambda v: v, None)
+            return ("var", name, _reccast, init)
         if self.peek() == "%" or (
             self.peek() == "." and self.peek(2) == "%"
         ):
@@ -1543,10 +1704,38 @@ class _StmtParser:
         if self.peek_low() not in (":=", "="):
             raise NotImplementedError(f"plpgsql: statement not understood at {name!r}")
         self.take()
+        if self._rhs_has_from():
+            # x := expr FROM tbl ... — PG evaluates assignment RHS as a
+            # SELECT (pl_exec.c exec_assign_expr prefixes 'SELECT '),
+            # so a FROM clause is legal; needs the SQL engine at run
+            # time (the row tier's fallback rejects FROM loudly)
+            text, _ = self._raw_until({";"})
+            self.expect(";")
+            return ("assign_query", name, "SELECT " + text,
+                    self.casts.get(name))
         e = self.expr()
         self.expect(";")
         cast = self.casts.get(name)
         return ("assign", name, e, cast)
+
+    def _rhs_has_from(self) -> bool:
+        """Lookahead: a TOP-LEVEL FROM before the ';' (extract/substring/
+        trim keep their FROM inside parens, so depth-0 only)."""
+        depth, i = 0, self.pos
+        while i < len(self.toks):
+            t = self.toks[i]
+            low = t.lower() if _is_ident(t) else t
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0:
+                if low == ";":
+                    return False
+                if low == "from":
+                    return True
+            i += 1
+        return False
 
     def _case_stmt(self):
         """Statement-level CASE (pl_gram.y stmt_case): searched or with
@@ -1614,8 +1803,9 @@ class _StmtParser:
             self.pos += 1
         return " ".join(out), None
 
-    def _into_vars(self) -> tuple[list[tuple[str, bool]], bool]:
-        """Parse [STRICT] var[, var...] after INTO."""
+    def _into_vars(self) -> tuple[list[tuple], bool]:
+        """Parse [STRICT] var[, var...] after INTO; each target carries
+        (name, is_record, composite_field_names|None)."""
         strict = False
         if self.peek_low() == "strict":
             self.take()
@@ -1624,7 +1814,10 @@ class _StmtParser:
         while self.peek_low() == ",":
             self.take()
             out.append((self.take().lower(), False))
-        return [(n, n in self.records) for n, _ in out], strict
+        return [
+            (n, n in self.records, self.var_fields.get(n))
+            for n, _ in out
+        ], strict
 
     def _sql_stmt(self, head: str):
         """Driver-side SQL statements (DO blocks only): PERFORM,
@@ -1732,7 +1925,7 @@ class _StmtParser:
             self.expect(";")
             return ("close", name)
         # FETCH / MOVE [direction [FROM|IN]] cursor [INTO vars]
-        direction, count = self._fetch_direction()
+        direction, count = self._fetch_direction(is_move=head == "move")
         name = self.take().lower()
         vars_, _strict = [], False
         if head == "fetch":
@@ -1742,19 +1935,67 @@ class _StmtParser:
         return ("fetch" if head == "fetch" else "move", name, direction,
                 count, vars_)
 
-    def _fetch_direction(self):
-        """pl_gram.y read_fetch_direction: plpgsql FETCH moves at most one
-        row — NEXT/PRIOR/FIRST/LAST/ABSOLUTE n/RELATIVE n/FORWARD/
-        BACKWARD; the multi-row SQL count forms are rejected."""
+    def _count_expr(self):
+        """Count expression of a FETCH/MOVE direction, read up to the
+        FROM/IN keyword (pl_gram.y read_sql_expression2 analog) — a
+        plain self.expr() would swallow IN as the membership operator
+        in ``move relative 2 in c``."""
+        out, depth = [], 0
+        while self.pos < len(self.toks):
+            t = self.toks[self.pos]
+            low = t.lower() if _is_ident(t) else t
+            if depth == 0 and low in ("from", "in", ";"):
+                break
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            out.append(t)
+            self.pos += 1
+        p = _ExprParser(out, 0)
+        e = p.parse()
+        if p.pos != len(out):
+            raise NotImplementedError(
+                "plpgsql: FETCH/MOVE count expression"
+            )
+        return e
+
+    def _fetch_direction(self, is_move: bool = False):
+        """pl_gram.y read_fetch_direction: plpgsql FETCH moves at most
+        one row — NEXT/PRIOR/FIRST/LAST/ABSOLUTE n/RELATIVE n/FORWARD/
+        BACKWARD; MOVE additionally takes the multi-row count forms
+        FORWARD/BACKWARD n|ALL (complain_invalid_fetch rejects those
+        for FETCH only)."""
         t = self.peek_low()
         direction, count = "next", None
-        if t in ("next", "prior", "first", "last", "forward", "backward"):
+        if t in ("next", "prior", "first", "last"):
             self.take()
             direction = t
+        elif t in ("forward", "backward"):
+            self.take()
+            direction = t
+            nxt = self.peek()
+            nlow = self.peek_low()
+            has_count = nlow == "all" or (
+                nxt is not None
+                and (nxt[0].isdigit() or nxt in ("-", "+", "("))
+            )
+            if has_count:
+                if not is_move:
+                    raise NotImplementedError(
+                        "plpgsql FETCH fetches one row — multi-row "
+                        "count directions are MOVE / SQL-level FETCH "
+                        "only (pl_gram.y complain_invalid_fetch)"
+                    )
+                if nlow == "all":
+                    self.take()
+                    count = "all"
+                else:
+                    count = self._count_expr()
         elif t in ("absolute", "relative"):
             self.take()
             direction = t
-            count = self.expr()
+            count = self._count_expr()
         elif t is not None and (t.isdigit() or t == "all"):
             raise NotImplementedError(
                 "plpgsql FETCH fetches one row — multi-row count "
@@ -1792,10 +2033,28 @@ class _StmtParser:
         self.expect(";")
         return ("getdiag", stacked, items)
 
+    def _for_targets(self) -> list[str]:
+        """FOR target list (pl_gram.y for_variable): one RECORD/scalar
+        or a comma-separated scalar list; label-qualified names
+        (lbl.var) resolve to the variable (flat env)."""
+        names = []
+        while True:
+            n = self.take().lower()
+            while self.peek() == "." and self.peek_low(1) is not None:
+                self.take()
+                n = self.take().lower()
+            names.append(n)
+            if self.peek() == ",":
+                self.take()
+                continue
+            return names
+
     def _for(self):
         self.expect("for")
         _lbl = self._claim_label()
-        var = self.take().lower()
+        targets = self._for_targets()
+        var = targets[0]
+        multi = len(targets) > 1
         self.expect("in")
         reverse = False
         if self.peek_low() == "reverse":
@@ -1827,6 +2086,8 @@ class _StmtParser:
             self.expect("loop")
             body = self._stmts(until=("end",))
             self._end_loop(_lbl)
+            if multi:
+                return ("forcursor", targets, cname, args, body, False)
             scalar = var in self.casts and var not in self.records
             self.records.add(var)
             return ("forcursor", var, cname, args, body, scalar)
@@ -1841,6 +2102,10 @@ class _StmtParser:
             self.expect("loop")
             body = self._stmts(until=("end",))
             self._end_loop(_lbl)
+            if multi:
+                # comma-separated scalar targets take result columns
+                # positionally (pl_gram.y for_variable list form)
+                return ("forquery", targets, sql, body, False)
             # a declared SCALAR target takes the single result column
             # (exec_stmt_fors → exec_assign_value); RECORD/undeclared
             # targets take the whole row
@@ -1866,9 +2131,16 @@ class _StmtParser:
             self.expect("loop")
             body = self._stmts(until=("end",))
             self._end_loop(_lbl)
+            if multi:
+                return ("forquery_dyn", targets, e, body, using, False)
             scalar = var in self.casts and var not in self.records
             self.records.add(var)
             return ("forquery_dyn", var, e, body, using, scalar)
+        if multi:
+            raise PlPgSQLError(
+                "syntax_error",
+                "integer FOR loop must have only one target variable",
+            )
         lo = self.expr()
         if self.peek() != "..":
             raise NotImplementedError(
@@ -1889,7 +2161,8 @@ class _StmtParser:
     def _foreach(self):
         self.expect("foreach")
         _lbl = self._claim_label()
-        var = self.take().lower()
+        targets = self._for_targets()
+        var = targets if len(targets) > 1 else targets[0]
         slice_n = 0
         if self.peek_low() == "slice":
             # FOREACH x SLICE n IN ARRAY (pl_gram.y foreach_slice):
@@ -1901,6 +2174,11 @@ class _StmtParser:
                     "plpgsql: FOREACH SLICE takes an integer constant"
                 )
             slice_n = int(n_tok)
+            if isinstance(var, list):
+                raise PlPgSQLError(
+                    "syntax_error",
+                    "FOREACH ... SLICE loop variable must not be a list",
+                )
         self.expect("in", "array")
         arr = self.expr()
         self.expect("loop")
@@ -2176,6 +2454,15 @@ def _exec_stmt(s, env, label=None):  # noqa: C901 - pl_exec.c dispatch
         rows, rc = _run_sql(env, _interpolate(s[1], env), vars_visible=True)
         # exec_set_found: PERFORM/DML set FOUND from rows processed
         env["found"] = (rc > 0) if rc is not None else bool(rows)
+    elif kind == "assign_query":
+        _, name, sql, cast = s
+        rows, _rc = _run_sql(env, _interpolate(sql, env), vars_visible=True)
+        if len(rows) > 1:
+            raise PlPgSQLError(
+                "cardinality_violation", "query returned more than one row"
+            )
+        v = rows[0][0] if rows else None
+        env[name] = cast(v) if cast is not None and v is not None else v
     elif kind == "sql_select_into":
         _, sql, vars_, strict = s
         rows, _rc = _run_sql(env, _interpolate(sql, env), vars_visible=True)
@@ -2245,6 +2532,30 @@ def _exec_stmt(s, env, label=None):  # noqa: C901 - pl_exec.c dispatch
     elif kind in ("fetch", "move"):
         _, name, direction, count_e, vars_ = s
         portal = _portal_of(env, name)
+        if direction in ("forward", "backward") and count_e is not None:
+            # MOVE FORWARD/BACKWARD n|ALL (SPI_scroll_cursor_move):
+            # count moves position like RELATIVE ±n — FOUND reflects
+            # landing on a valid row; ALL runs to the end and FOUND
+            # reflects whether any rows were passed
+            sign = 1 if direction == "forward" else -1
+            if count_e == "all":
+                moved = 0
+                step = portal.fetch if sign > 0 else portal.fetch_backward
+                while step(1):
+                    moved += 1
+                env["found"] = moved > 0
+                env["__rowcount__"] = moved
+                return
+            k = count_e(env)
+            if k is None:
+                raise PlPgSQLError(
+                    "null_value_not_allowed",
+                    "MOVE direction count cannot be null",
+                )
+            rows = portal.fetch_relative(sign * int(k))
+            env["found"] = bool(rows)
+            env["__rowcount__"] = len(rows)
+            return
         if direction in ("next", "forward"):
             rows = portal.fetch(1)
         elif direction in ("prior", "backward"):
@@ -2575,7 +2886,8 @@ def _substitute_dollar_param(sql: str, n: int, lit: str) -> str:
 def _assign_into(rows, vars_, strict, env):
     """INTO assignment (exec_stmt_execsql): STRICT demands exactly one
     row; otherwise zero rows leave NULLs; a single RECORD target takes
-    the whole row, scalars take columns positionally."""
+    the whole row (relabeled to its composite type's field names when
+    declared with one), scalars take columns positionally."""
     if strict and len(rows) != 1:
         raise PlPgSQLError(
             "no_data_found" if not rows else "too_many_rows",
@@ -2583,10 +2895,19 @@ def _assign_into(rows, vars_, strict, env):
         )
     row = rows[0] if rows else None
     if len(vars_) == 1 and vars_[0][1]:
+        fields = vars_[0][2] if len(vars_[0]) > 2 else None
+        if (
+            fields
+            and row is not None
+            and not isinstance(row, dict)
+            and hasattr(row, "__len__")
+            and len(row) == len(fields)
+        ):
+            row = dict(zip(fields, row))
         env[vars_[0][0]] = row
         return
-    for i, (name, _is_rec) in enumerate(vars_):
-        env[name] = None if row is None else row[i]
+    for i, var in enumerate(vars_):
+        env[var[0]] = None if row is None else row[i]
 
 
 def _interpolate(sql: str, env) -> str:
@@ -2678,6 +2999,7 @@ def _scalar_row(row, var: str):
 
 def _run_loop(it, var, body, env, label=None):
     n = 0
+    multi = isinstance(var, (list, tuple))
     for v in it:
         n += 1
         if n > _ITERATION_CAP:
@@ -2685,7 +3007,20 @@ def _run_loop(it, var, body, env, label=None):
                 "statement_too_complex",
                 f"loop exceeded {_ITERATION_CAP} iterations (runaway guard)",
             )
-        env[var] = v
+        if multi:
+            vals = list(v.values()) if isinstance(v, dict) else (
+                list(v) if hasattr(v, "__len__") else [v]
+            )
+            if len(vals) != len(var):
+                raise PlPgSQLError(
+                    "datatype_mismatch",
+                    f"number of FOR target variables ({len(var)}) does "
+                    f"not match number of result columns ({len(vals)})",
+                )
+            for nm, val in zip(var, vals):
+                env[nm] = val
+        else:
+            env[var] = v
         try:
             _exec_stmts(body, env)
         except _Continue as c:
@@ -2787,7 +3122,8 @@ def run_setof(
             else t
             for t in toks
         ]
-    p = _StmtParser(toks, allow_sql=True, allow_setof=True)
+    p = _StmtParser(toks, allow_sql=True, allow_setof=True,
+                    composite_types=types or {})
     block = p.parse_block()
     if p.pos != len(p.toks):
         raise NotImplementedError(
@@ -2842,7 +3178,8 @@ def run_block(
     documented divergence).  RAISE NOTICE/... levels append to
     ``notices`` as (level, message).  A bare RETURN ends the block."""
     toks = _tokenize(_strip_pragmas(body).strip().rstrip(";"))
-    p = _StmtParser(toks, allow_sql=True)
+    p = _StmtParser(toks, allow_sql=True,
+                    composite_types=types or {})
     block = p.parse_block()
     if p.pos != len(p.toks):
         raise NotImplementedError(
@@ -2938,6 +3275,7 @@ def compile_plpgsql(
     setof: bool = False,
     out_names: list[str] | None = None,
     functions: dict | None = None,
+    composite_types: dict | None = None,
 ):
     """Compile a procedural PL/pgSQL body to a Python callable (the
     Python-UDF slow path).  Parsed once; each call runs the statement
@@ -2950,7 +3288,8 @@ def compile_plpgsql(
     name → callable registry for user-function calls inside expressions
     (resolved at call time, like PG's lazy expression plans)."""
     toks = _tokenize(_strip_pragmas(body).strip().rstrip(";"))
-    p = _StmtParser(toks, allow_setof=setof)
+    p = _StmtParser(toks, allow_setof=setof,
+                    composite_types=composite_types or {})
     block = p.parse_block()
     if p.pos != len(p.toks):
         raise NotImplementedError(
@@ -2963,6 +3302,8 @@ def compile_plpgsql(
         env = {"found": False, "__rowcount__": 0}
         if functions is not None:
             env["__functions__"] = functions
+        if composite_types:
+            env["__types__"] = composite_types
         if setof:
             env["__setof__"] = []
             if louts:

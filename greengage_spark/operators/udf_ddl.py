@@ -928,6 +928,10 @@ def _rowtier_setof_subquery(fd: FunctionDef, args: list[str], engine):
         gen = compile_plpgsql(
             fd.body, fd.arg_names, setof=True,
             functions=getattr(engine, "pl_registry", None),
+            composite_types=(
+                engine._composite_types()
+                if hasattr(engine, "_composite_types") else None
+            ),
         )
     except Exception:  # noqa: BLE001 — outside the row subset
         return None
@@ -1036,7 +1040,7 @@ def _run_interp_setof(fd: FunctionDef, args: list[str], engine) -> str:
     return f"SELECT * FROM (VALUES {values}) AS __ggsetof({leaf})"
 
 
-def _registry_add(registry, fd: FunctionDef) -> None:
+def _registry_add(registry, fd: FunctionDef, composite_types=None) -> None:
     """Best-effort row-tier callable for the function registry, so
     interpreted plpgsql bodies can call this function per row on an
     executor (PG resolves such calls through SPI at execution)."""
@@ -1050,7 +1054,8 @@ def _registry_add(registry, fd: FunctionDef) -> None:
     try:
         if fd.language == "plpgsql":
             registry[fd.name.lower()] = compile_plpgsql(
-                fd.body, fd.arg_names, functions=registry
+                fd.body, fd.arg_names, functions=registry,
+                composite_types=composite_types,
             )
         elif fd.language == "sql":
             registry[fd.name.lower()] = compile_simple_sql_function(
@@ -1062,7 +1067,11 @@ def _registry_add(registry, fd: FunctionDef) -> None:
 
 
 def register_function(
-    spark: SparkSession, fd: FunctionDef, transpile, registry: dict | None = None
+    spark: SparkSession,
+    fd: FunctionDef,
+    transpile,
+    registry: dict | None = None,
+    composite_types: dict | None = None,
 ) -> None:
     """Register on the session: sql/plpgsql → Spark SQL-defined function
     (inlines into Catalyst); plpythonu → Python UDF.  SETOF table macros
@@ -1072,7 +1081,7 @@ def register_function(
     if fd.setof:
         return
     if fd.language in ("sql", "plpgsql"):
-        _registry_add(registry, fd)
+        _registry_add(registry, fd, composite_types)
         if fd.language == "plpgsql":
             try:
                 expr = plpgsql_to_expr(fd.body)
@@ -1086,7 +1095,8 @@ def register_function(
                 )
 
                 fd.pyfn = compile_plpgsql(
-                    fd.body, fd.arg_names, functions=registry
+                    fd.body, fd.arg_names, functions=registry,
+                    composite_types=composite_types,
                 )
                 cast = _PY_CASTS.get(fd.ret_type)
                 fn = fd.pyfn

@@ -765,3 +765,244 @@ END $$ LANGUAGE plpgsql"""
         eng.execute("DROP FUNCTION h")
         with pytest.raises(Exception, match="neither a built-in"):
             eng.execute("SELECT useh(k) AS r FROM uh").collect()
+
+
+class TestMultiScalarFor:
+    """FOR a, b, c IN <query> — comma-separated scalar targets take
+    result columns positionally (pl_gram.y for_variable list form; the
+    for_vect regress shape)."""
+
+    def test_for_multi_scalars(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path))
+        eng.execute("CREATE TABLE mfv (g int)")
+        eng.execute("INSERT INTO mfv VALUES (1), (2), (3)")
+        notices = eng.execute(
+            "DO $$ DECLARE a integer; b varchar; c varchar; BEGIN "
+            "FOR a, b, c IN SELECT g, 'BB', 'CC' FROM mfv ORDER BY g "
+            "LOOP RAISE NOTICE '% % %', a, b, c; END LOOP; END $$"
+        )
+        _ = notices
+
+    def test_multi_target_interp(self):
+        from greengage_spark.operators.plpgsql_interp import run_block
+
+        notices = []
+        run_block(
+            "declare a int; b text; begin "
+            "for a, b in select 1, 'x' loop "
+            "raise notice '%/%', a, b; end loop; end",
+            lambda sql: [(1, "x"), (2, "y")],
+            notices=notices,
+        )
+        assert [m for _, m in notices] == ["1/x", "2/y"]
+
+    def test_column_count_mismatch_errors(self):
+        from greengage_spark.operators.plpgsql_interp import (
+            PlPgSQLError,
+            run_block,
+        )
+
+        with pytest.raises(PlPgSQLError, match="does not match"):
+            run_block(
+                "declare a int; b text; begin "
+                "for a, b in select 1 loop null; end loop; end",
+                lambda sql: [(1,)],
+            )
+
+    def test_range_for_rejects_multi(self):
+        from greengage_spark.operators.plpgsql_interp import PlPgSQLError
+
+        with pytest.raises(PlPgSQLError, match="one target"):
+            compile_plpgsql(
+                "declare a int; b int; begin "
+                "for a, b in 1..3 loop null; end loop; return 0; end", []
+            )
+
+    def test_foreach_multi_over_composites(self):
+        from greengage_spark.operators.plpgsql_interp import run_block
+
+        notices = []
+        run_block(
+            "declare x int; y int; begin "
+            "foreach x, y in array array[(10,20),(40,69)] loop "
+            "raise notice 'x = %, y = %', x, y; end loop; end",
+            lambda sql: [],
+            notices=notices,
+        )
+        assert [m for _, m in notices] == ["x = 10, y = 20", "x = 40, y = 69"]
+
+
+class TestMoveCountDirections:
+    """MOVE FORWARD/BACKWARD n|ALL (SPI_scroll_cursor_move) — the
+    sc_test regress shapes; FETCH keeps rejecting multi-row counts
+    (complain_invalid_fetch)."""
+
+    def _gs10(self, sql):
+        return [(i,) for i in range(1, 11)]
+
+    def test_move_relative_loop(self):
+        from greengage_spark.operators.plpgsql_interp import run_setof
+
+        out = run_setof(
+            "declare c cursor for select * from gs10; x integer; begin "
+            "open c; loop move relative 2 in c; "
+            "if not found then exit; end if; "
+            "fetch next from c into x; "
+            "if found then return next x; end if; end loop; close c; end",
+            self._gs10,
+        )
+        assert out == [3, 6, 9]  # plpgsql.out sc_test expected rows
+
+    def test_move_forward_all_then_fetch_backward(self):
+        from greengage_spark.operators.plpgsql_interp import run_setof
+
+        out = run_setof(
+            "declare c cursor for select * from gs10; x integer; begin "
+            "open c; move forward all in c; "
+            "fetch backward from c into x; "
+            "if found then return next x; end if; close c; end",
+            self._gs10,
+        )
+        assert out == [10]
+
+    def test_move_backward_count(self):
+        from greengage_spark.operators.plpgsql_interp import run_setof
+
+        out = run_setof(
+            "declare c refcursor; x integer; begin "
+            "open c scroll for execute 'select f1 from gs10'; "
+            "fetch last from c into x; while found loop "
+            "return next x; move backward 2 from c; "
+            "fetch relative -1 from c into x; end loop; close c; end",
+            self._gs10,
+        )
+        assert out == [10, 7, 4, 1]
+
+    def test_fetch_count_still_rejects(self):
+        from greengage_spark.operators.plpgsql_interp import run_block
+
+        with pytest.raises(NotImplementedError, match="one row"):
+            run_block(
+                "declare c refcursor; x int; begin "
+                "fetch forward 3 from c into x; end",
+                lambda sql: [],
+            )
+
+    def test_refcursor_initializer_parses(self):
+        f = compile_plpgsql(
+            "declare c refcursor := 'fooled_ya'; begin return 1; end", []
+        )
+        assert f() == 1
+
+
+class TestAssignFromQuery:
+    """x := expr FROM tbl ... — PG executes assignment RHS as a SELECT
+    (exec_assign_expr prefixes 'SELECT'), so FROM is legal; needs the
+    SQL engine (the pslot_slotlink_view regress shape)."""
+
+    def test_assign_from(self):
+        from greengage_spark.operators.plpgsql_interp import run_block
+
+        notices = []
+        run_block(
+            "declare retval text; begin "
+            "retval := comment from Hub H where H.name = 'x'; "
+            "raise notice '%', retval; end",
+            lambda sql: [("base hub",)],
+            notices=notices,
+        )
+        assert notices == [("notice", "base hub")]
+
+    def test_assign_from_multirow_errors(self):
+        from greengage_spark.operators.plpgsql_interp import (
+            PlPgSQLError,
+            run_block,
+        )
+
+        with pytest.raises(PlPgSQLError, match="more than one row"):
+            run_block(
+                "declare r text; begin r := v from t; end",
+                lambda sql: [("a",), ("b",)],
+            )
+
+    def test_assign_from_zero_rows_is_null(self):
+        from greengage_spark.operators.plpgsql_interp import run_block
+
+        notices = []
+        run_block(
+            "declare r text; begin r := v from t; "
+            "raise notice '%', coalesce(r, '<null>'); end",
+            lambda sql: [],
+            notices=notices,
+        )
+        assert notices == [("notice", "<null>")]
+
+    def test_row_tier_rejects_at_exec(self):
+        f = compile_plpgsql(
+            "declare r text; begin r := c from t; return r; end", []
+        )
+        with pytest.raises(NotImplementedError, match="SQL engine"):
+            f()
+
+    def test_extract_from_stays_expression(self):
+        # extract/substring/trim keep FROM inside parens — no rewrite
+        f = compile_plpgsql(
+            "begin return substring('abcdef' from 2 for 3); end", []
+        )
+        assert f() == "bcd"
+
+
+class TestCompositeTypeDecls:
+    """DECLARE v <composite>: vars of CREATE TYPE AS types act as
+    records with the type's field names (the execute_into_test /
+    compos regress shapes)."""
+
+    def test_into_relabels_fields(self):
+        from greengage_spark.operators.plpgsql_interp import run_block
+
+        notices = []
+        run_block(
+            "declare v eitype; begin select 1, 'aa' into v; "
+            "raise notice '% %', v.i, v.y; end",
+            lambda sql: [(1, "aa")],
+            notices=notices,
+            types={"eitype": ["i", "y"]},
+        )
+        assert notices == [("notice", "1 aa")]
+
+    def test_engine_composite_declare(self, spark, tmp_path):
+        from greengage_spark.engine import GreengageEngine
+
+        eng = GreengageEngine(spark, str(tmp_path))
+        eng.execute("CREATE TYPE pairt AS (a int, b text)")
+        eng.execute("CREATE TABLE ctd (x int)")
+        eng.execute(
+            "DO $$ DECLARE v pairt; BEGIN "
+            "SELECT 5, 'hi' INTO v; "
+            "INSERT INTO ctd VALUES (v.a); END $$"
+        )
+        assert eng.execute("SELECT x FROM ctd").collect()[0].x == 5
+
+
+class TestSql92KeywordForms:
+    """substring/trim/position/overlay SQL-92 keyword argument forms
+    (gram.y func_expr_common_subexpr) in interpreter expressions."""
+
+    @pytest.mark.parametrize("expr,expected", [
+        ("substring('abcdef' from 2 for 3)", "bcd"),
+        ("substring('abcdef' from 3)", "cdef"),
+        ("substring('foobar' from 'o(b.)r')", "ba"),  # regex form
+        ("substring('abcdef', 2, 3)", "bcd"),          # comma form intact
+        ("trim(both 'x' from 'xxhixx')", "hi"),
+        ("trim(leading from '  hi ')", "hi "),
+        ("trim(trailing 'z' from 'hizz')", "hi"),
+        ("trim('  hi  ')", "hi"),
+        ("position('b' in 'abc')", 2),
+        ("position('q' in 'abc')", 0),
+        ("overlay('abcdef' placing 'XX' from 2 for 3)", "aXXef"),
+        ("overlay('abcdef' placing 'XX' from 2)", "aXXdef"),
+    ])
+    def test_forms(self, expr, expected):
+        assert _call(f"begin return {expr}; end") == expected

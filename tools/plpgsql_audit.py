@@ -115,7 +115,43 @@ def extract_functions(text: str):
         yield m.group("name"), args, m.group("ret").strip(), body
 
 
-def _classify(body: str, args: list[str], allow_sql: bool, setof: bool = False):
+_TYPE_RE = re.compile(
+    r"(?is)^create\s+type\s+([\w.]+)\s+as\s*\((.*)\)\s*$"
+)
+
+
+def extract_composite_types(text: str) -> dict:
+    """CREATE TYPE name AS (f1 t1, ...) definitions from the regress
+    file — the engine would have executed these before the functions,
+    so the audit models compilation with the same type context."""
+    out = {}
+    for stmt in split_statements(text):
+        m = _TYPE_RE.match(stmt)
+        if not m:
+            continue
+        fields = []
+        depth = 0
+        cur = ""
+        for ch in m.group(2):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                fields.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        if cur.strip():
+            fields.append(cur)
+        out[m.group(1).lower().split(".")[-1]] = [
+            f.strip().split()[0].lower() for f in fields if f.strip()
+        ]
+    return out
+
+
+def _classify(body: str, args: list[str], allow_sql: bool, setof: bool = False,
+              types: dict | None = None):
     from greengage_spark.operators.plpgsql_interp import (
         PlPgSQLError,
         _StmtParser,
@@ -128,7 +164,8 @@ def _classify(body: str, args: list[str], allow_sql: bool, setof: bool = False):
         if allow_sql:
             # the DO-block / driver-side tier: SQL statements allowed
             toks = _tokenize(_strip_pragmas(body).strip().rstrip(";"))
-            p = _StmtParser(toks, allow_sql=True, allow_setof=True)
+            p = _StmtParser(toks, allow_sql=True, allow_setof=True,
+                            composite_types=types or {})
             p.parse_block()
             if p.pos != len(p.toks):
                 raise NotImplementedError(
@@ -138,7 +175,8 @@ def _classify(body: str, args: list[str], allow_sql: bool, setof: bool = False):
             # the per-row tier: compile exactly the way udf_ddl's
             # register_function does (SETOF bodies compile with the
             # RETURN NEXT accumulator — SQL-free ones run per row)
-            compile_plpgsql(body, args, setof=setof)
+            compile_plpgsql(body, args, setof=setof,
+                            composite_types=types)
         return "ok", None
     except (NotImplementedError, PlPgSQLError) as e:
         return "loud-reject", str(e)[:72]
@@ -149,6 +187,7 @@ def _classify(body: str, args: list[str], allow_sql: bool, setof: bool = False):
 def main() -> dict:
     path = sys.argv[1] if len(sys.argv) > 1 else REGRESS
     text = open(path).read()
+    types = extract_composite_types(text)
     tiers = {
         "row-UDF": collections.Counter(),
         "DO-block": collections.Counter(),
@@ -162,7 +201,7 @@ def main() -> dict:
             continue
         setof = ret.lower().startswith("setof")
         for tier, allow in (("row-UDF", False), ("DO-block", True)):
-            kind, msg = _classify(body, args, allow, setof=setof)
+            kind, msg = _classify(body, args, allow, setof=setof, types=types)
             tiers[tier][kind] += 1
             if tier == "DO-block" and kind == "loud-reject":
                 reasons[msg] += 1
