@@ -2718,7 +2718,13 @@ def _run_sql(env, sql, vars_visible: bool = False):
     false for EXECUTE strings, which PG gives no variable access)."""
     hook = env.get("__sql__")
     if hook is None:
-        rows = _eval_simple_select(sql, env if vars_visible else {})
+        if vars_visible:
+            scope = env
+        else:
+            # EXECUTE strings see no plpgsql variables (PG scoping),
+            # but registered functions still resolve
+            scope = {"__functions__": env.get("__functions__") or {}}
+        rows = _eval_simple_select(sql, scope)
         env["__rowcount__"] = len(rows)
         return rows, len(rows)
     rows = hook(sql)
