@@ -29,6 +29,16 @@ like there, keep it off the hot path.
 Expressions compile once (at CREATE FUNCTION time) to closure trees
 with SQL three-valued logic; variables live in a per-call dict env.
 An iteration cap guards runaway WHILE loops on executors.
+
+Row-tier simple-SQL lane (r13): inside a row UDF (no engine hook),
+FROM-less ``SELECT expr [INTO]`` / ``PERFORM`` / ``EXECUTE`` / scalar
+subqueries evaluate IN-PROCESS through the expression engine — the
+pl_exec.c exec_eval_simple_expr fast path; anything needing a table
+scan raises loudly at execution.  User-function calls resolve at call
+time through a name → callable registry (``functions=`` /
+env ``__functions__``), and ``compile_plpgsql(setof=True)`` compiles
+RETURN NEXT bodies to list-returning callables so SQL-free SETOF
+functions can run per row on executors.
 """
 
 from __future__ import annotations

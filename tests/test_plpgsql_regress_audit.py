@@ -1,4 +1,4 @@
-"""Round-12 PL/pgSQL surface extensions + the regress compile audit.
+"""PL/pgSQL surface extensions (rounds 12-13) + the regress compile audit.
 
 The audit (tools/plpgsql_audit.py) replays every LANGUAGE plpgsql body
 from the reference's own regress battery through the interpreter's
