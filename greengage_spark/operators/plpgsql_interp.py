@@ -160,6 +160,7 @@ _TOKEN_RE = re.compile(
     | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
     | (?P<dots>\.\.)
     | (?P<param>\$\d+)
+    | (?P<qident>"[^"]*")
     | (?P<ident>[a-zA-Z_][\w$]*)
     | (?P<op>:=|<>|!=|<=|>=|\|\||::|[-+*/%<>=(),;\[\].])
     """,
@@ -2930,6 +2931,26 @@ def _interpolate(sql: str, env) -> str:
     """Substitute plpgsql variables referenced in a SQL statement with
     literals (PG binds them as executor params — same values).  Scalar
     env entries only; quote-aware, one pass."""
+    # quoted block-label qualification ("outer".rec.field,
+    # pl_qual_names): PG resolves it against the LABELED block's
+    # variable, which a flat per-call env cannot represent when an
+    # inner block shadows the name — reject loudly instead of
+    # inlining the wrong (innermost) value
+    if '"' in sql:
+        for r in env:
+            if str(r).startswith(("__", "$")):
+                continue
+            if re.search(
+                r'"[A-Za-z_]\w*"\s*\.\s*' + re.escape(str(r))
+                + r'\s*\.',
+                sql,
+            ):
+                raise NotImplementedError(
+                    'plpgsql: block-label-qualified record reference '
+                    f'("label".{r}.field) needs lexical block '
+                    'scoping — this interpreter resolves names in a '
+                    'flat per-call env'
+                )
     mapping = {}
     rec_map = {}
     for k, v in env.items():
