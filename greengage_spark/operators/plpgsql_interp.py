@@ -1439,6 +1439,18 @@ class _StmtParser:
             self.expect(";")
             self.casts[name] = lambda v: v
             return ("cursor_decl", name, [], None)
+        if tname in self.composite_types and self.peek() == "[":
+            # array of composites (xy_tuple[]): a plain array var —
+            # elements keep whatever row shape SQL delivers
+            self.take()
+            self.expect("]")
+            init = None
+            if self.peek_low() in (":=", "=", "default"):
+                self.take()
+                init = self.expr()
+            self.expect(";")
+            self.casts[name] = lambda v: v
+            return ("var", name, lambda v: v, init)
         if tname == "record" or tname in self.composite_types:
             # RECORD vars (and vars of CREATE TYPE AS composites) hold
             # whole result rows (pl_comp.c); composite-typed vars
