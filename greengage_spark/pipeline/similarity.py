@@ -83,15 +83,75 @@ def brute_force_topk(
     k: int = 10,
     round_to: int = 4,
 ) -> DataFrame:
-    """Exact cosine top-k per query.  Queries broadcast; scores rounded so
-    ranking is reproducible across engines; ties broken by corpus id."""
-    cross = corpus.crossJoin(F.broadcast(queries))
-    scored = cross.select(
-        F.col(query_id),
-        F.col(corpus_id),
-        F.round(cosine(F.col(query_vec), F.col(corpus_vec)), round_to).alias("cos_sim"),
+    """Exact cosine top-k per query — blocked GEMM.
+
+    The (small) query matrix collects once and ships in the task
+    closure — the same data movement as the broadcast crossJoin this
+    replaces, with the same contract: the QUERY side must be small, the
+    corpus side streams.  Corpus partitions arrive as Arrow batches and
+    score with ONE BLAS matmul per batch instead of per-pair Catalyst
+    expression evaluation (~10-50× less compute for the same exact
+    scores); each batch emits only its own top-k per query (a row
+    beaten by k others in its batch cannot be in the global top-k), so
+    the global window ranks k × batches survivors — bounded, same as
+    two_stage_topk.  Scores rounded so ranking is reproducible across
+    engines; ties broken by corpus id."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q_type = queries.schema[query_id].dataType
+    c_type = corpus.schema[corpus_id].dataType
+    schema = StructType([
+        StructField(query_id, q_type),
+        StructField(corpus_id, c_type),
+        StructField("cos_sim", DoubleType()),
+    ])
+    qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        from pyspark.sql.types import IntegerType
+
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], StructType(schema.fields + [StructField("rk", IntegerType())])
+        )
+    qids = [r[0] for r in qrows]
+    qm = np.array([list(r[1]) for r in qrows], np.float64)
+    qnorm = np.linalg.norm(qm, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    qn_t = (qm / qnorm[:, None]).T  # (dim × n_q)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = np.array(pdf[corpus_vec].tolist(), np.float64)
+            cn = np.linalg.norm(cm, axis=1)
+            cn[cn == 0] = 1.0
+            sim = np.round((cm / cn[:, None]) @ qn_t, round_to)
+            ids = pdf[corpus_id].to_numpy()
+            kk = min(k, sim.shape[0])
+            out_q, out_c, out_s = [], [], []
+            for j in range(sim.shape[1]):
+                col = sim[:, j]
+                top = np.lexsort((ids, -col))[:kk]  # score desc, id asc
+                out_q.extend([qids[j]] * len(top))
+                out_c.extend(ids[top].tolist())
+                out_s.extend(col[top].tolist())
+            yield pd.DataFrame(
+                {query_id: out_q, corpus_id: out_c, "cos_sim": out_s}
+            )
+
+    scored = corpus.select(corpus_id, corpus_vec).mapInPandas(score, schema)
+    w_global = Window.partitionBy(query_id).orderBy(
+        F.desc("cos_sim"), F.asc(corpus_id)
     )
-    return two_stage_topk(scored, query_id, corpus_id, k)
+    return (
+        scored.withColumn("rk", F.row_number().over(w_global))
+        .filter(F.col("rk") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rk")
+    )
 
 
 def sign_bucket(vec: Column, bits: int = 8) -> Column:

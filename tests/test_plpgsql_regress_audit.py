@@ -202,7 +202,7 @@ class TestAudit:
             else:
                 silent.append((name, msg))
         assert not silent, silent
-        assert ok >= 140  # round-12 floor; regressions would drop this
+        assert ok >= 160  # round-13 floor; regressions would drop this
 
 
 class TestInterpSetof:
