@@ -195,10 +195,31 @@ def _load_input(engine, spec: MapReduceSpec, name: str) -> DataFrame:
         )
         return ext.read(engine.spark)
     if src.get("EXEC"):
-        raise NotImplementedError(
-            "gpmapreduce: INPUT EXEC runs shell commands; use the "
-            "EXECUTE-protocol external tables (gated) instead"
+        # mapred.c lowers INPUT EXEC to CREATE EXTERNAL WEB TABLE ...
+        # EXECUTE '<cmd>' (mapred.c:2677); same lowering here, behind
+        # the same trust-boundary opt-in the engine's DDL uses
+        if engine.gucs.current(
+            "greengage.enable_external_execute"
+        ).lower() not in ("on", "true", "1"):
+            raise PermissionError(
+                "gpmapreduce INPUT EXEC runs shell commands on "
+                "executors; enable with SET "
+                "greengage.enable_external_execute = on"
+            )
+        from greengage_spark.sources.external import ExecuteExternalTable
+
+        cols = _columns(src.get("COLUMNS"), ["value text"])
+        schema = ", ".join(f"{n} {t}" for n, t in cols)
+        fmt = str(src.get("FORMAT") or "TEXT").lower()
+        tab = ExecuteExternalTable(
+            command=src["EXEC"],
+            schema=schema,
+            fmt="csv" if fmt == "csv" else "text",
+            delimiter=src.get("DELIMITER"),
+            null_str=src.get("NULL") or "",
+            n_segments=int(src.get("SEGMENTS") or 4),
         )
+        return tab.read(engine.spark)
     raise NotImplementedError(f"gpmapreduce: INPUT {sorted(src)} form")
 
 

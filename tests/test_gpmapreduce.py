@@ -332,3 +332,38 @@ class TestErrorLimit:
         df = run_mapreduce(eng, WORDSPLIT_FILE.format(path=path, limit=1))
         out = dict((r.key, r.value) for r in df.collect())
         assert out == {"a": 6, "b": 2}
+
+
+class TestExecInput:
+    """INPUT EXEC — mapred.c lowers it to CREATE EXTERNAL WEB TABLE ...
+    EXECUTE '<cmd>' (mapred.c:2677); gated by the same trust-boundary
+    opt-in as the engine's EXECUTE-protocol DDL."""
+
+    EXEC_SPEC = """
+DEFINE:
+  - INPUT:
+      NAME: cmd_in
+      EXEC: echo one && echo two && echo one
+      SEGMENTS: 1
+  - MAP:
+      NAME: ident
+      PARAMETERS: value text
+      RETURNS: [key text, value integer]
+      FUNCTION: |
+        yield [value, 1]
+EXECUTE:
+  - RUN:
+      SOURCE: cmd_in
+      MAP: ident
+      REDUCE: SUM
+"""
+
+    def test_gated_by_default(self, eng):
+        with pytest.raises(PermissionError, match="enable_external_execute"):
+            run_mapreduce(eng, self.EXEC_SPEC)
+
+    def test_exec_input_runs_when_enabled(self, eng):
+        eng.execute("SET greengage.enable_external_execute = on")
+        df = run_mapreduce(eng, self.EXEC_SPEC)
+        out = dict((r.key, r.value) for r in df.collect())
+        assert out == {"one": 2, "two": 1}
