@@ -280,7 +280,21 @@ def _to_text(v):
 def _num2(a, b, op):
     if a is None or b is None:
         return None
-    return op(a, b)
+    import datetime as _dt
+
+    # date/timestamp arithmetic (timestamp.c / date.c):
+    # date - date -> integer days; date +/- int -> date;
+    # datetime difference stays a timedelta (interval)
+    a_is_date = isinstance(a, _dt.date) and not isinstance(a, _dt.datetime)
+    b_is_date = isinstance(b, _dt.date) and not isinstance(b, _dt.datetime)
+    if a_is_date and isinstance(b, int):
+        b = _dt.timedelta(days=b)
+    elif b_is_date and isinstance(a, int):
+        a = _dt.timedelta(days=a)
+    r = op(a, b)
+    if a_is_date and b_is_date and isinstance(r, _dt.timedelta):
+        return r.days
+    return r
 
 
 def _div(a, b):
@@ -390,6 +404,80 @@ def _cast_bool(v):
     return bool(v)
 
 
+def _cast_date(v):
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.date()
+    if isinstance(v, _dt.date):
+        return v
+    return _dt.date.fromisoformat(str(v).strip())
+
+
+def _cast_timestamp(v):
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
+    return _dt.datetime.fromisoformat(str(v).strip())
+
+
+def _date_part(field, v):
+    """extract/date_part over date/timestamp values (timestamp.c
+    timestamp_part / date.c): float8 result, PG field names; naive
+    timestamps count epoch as UTC (PG timestamp-without-tz rule)."""
+    import calendar
+    import datetime as _dt
+
+    if field is None or v is None:
+        return None
+    f = str(field).lower()
+    if isinstance(v, str):
+        v = _cast_timestamp(v) if len(v) > 10 else _cast_date(v)
+    is_dt = isinstance(v, _dt.datetime)
+    if f == "epoch":
+        if is_dt:
+            if v.tzinfo is not None:
+                return v.timestamp()
+            return float(calendar.timegm(v.timetuple())) + v.microsecond / 1e6
+        return float(calendar.timegm(_dt.datetime(v.year, v.month, v.day).timetuple()))
+    if f == "year":
+        return float(v.year)
+    if f == "month":
+        return float(v.month)
+    if f == "day":
+        return float(v.day)
+    if f == "hour":
+        return float(v.hour) if is_dt else 0.0
+    if f in ("minute", "minutes"):
+        return float(v.minute) if is_dt else 0.0
+    if f in ("second", "seconds"):
+        return (v.second + v.microsecond / 1e6) if is_dt else 0.0
+    if f == "dow":
+        return float((v.weekday() + 1) % 7)  # Sunday = 0
+    if f == "isodow":
+        return float(v.weekday() + 1)  # Monday = 1
+    if f == "doy":
+        return float(v.timetuple().tm_yday)
+    if f == "quarter":
+        return float((v.month - 1) // 3 + 1)
+    if f == "week":
+        return float(v.isocalendar()[1])
+    if f == "isoyear":
+        return float(v.isocalendar()[0])
+    if f == "century":
+        return float((v.year + 99) // 100)
+    if f == "decade":
+        return float(v.year // 10)
+    if f == "millennium":
+        return float((v.year + 999) // 1000)
+    raise NotImplementedError(
+        f"plpgsql: extract/date_part field {f!r} not supported"
+    )
+
+
 _CASTS = {
     "int": _cast_int, "int2": _cast_int, "int4": _cast_int,
     "int8": _cast_int, "integer": _cast_int, "bigint": _cast_int,
@@ -400,6 +488,8 @@ _CASTS = {
     "text": _to_text, "varchar": _to_text, "char": _to_text,
     "bpchar": _to_text,
     "bool": _cast_bool, "boolean": _cast_bool,
+    "date": _cast_date, "timestamp": _cast_timestamp,
+    "timestamptz": _cast_timestamp,
 }
 
 
@@ -552,6 +642,7 @@ _FUNCS = {
     "ln": _strict(math.log),
     "log": _strict(math.log10),  # PG single-arg log = log10
     "sign": _strict(lambda v: float((v > 0) - (v < 0))),
+    "date_part": _strict(_date_part),
     "pi": lambda: math.pi,
     "array_length": _strict(lambda a, d: len(a) if d == 1 and a else None),
     "array_upper": _strict(lambda a, d: len(a) if d == 1 and a else None),
@@ -950,7 +1041,9 @@ class _ExprParser:
         if (
             _is_ident(t)
             and self.peek_at_next_is_paren()
-            and t.lower() in ("substring", "trim", "position", "overlay")
+            and t.lower() in (
+                "substring", "trim", "position", "overlay", "extract"
+            )
         ):
             # SQL-92 keyword argument forms (gram.y
             # func_expr_common_subexpr); plain comma forms rewind to
@@ -962,6 +1055,18 @@ class _ExprParser:
             if sp is not None:
                 return sp
             self.pos = save
+        if (
+            _is_ident(t)
+            and t.lower() in ("date", "timestamp", "timestamptz")
+            and self.pos + 1 < len(self.toks)
+            and self.toks[self.pos + 1].startswith(chr(39))
+        ):
+            # typed literal (gram.y AexprConst: Typename Sconst)
+            cast = _CASTS[t.lower()]
+            self.take()
+            lit = self.take()
+            val = cast(lit[1:-1].replace(chr(39) * 2, chr(39)))
+            return lambda env, _v=val: _v
         if _is_ident(t) and t.lower() == "cast" and self.peek_at_next_is_paren():
             # CAST(x AS type) — same machinery as ::type (gram.y Typecast)
             self.take()
@@ -1024,6 +1129,16 @@ class _ExprParser:
         [chars] FROM s) / position(a IN b) / overlay(s PLACING r FROM
         a [FOR b]) — the SQL-92 keyword forms.  Returns None when the
         call uses the plain comma form (caller rewinds)."""
+        if low == "extract":
+            # extract(FIELD FROM expr) -> date_part (gram.y EXTRACT)
+            fld = self.take()
+            fld = fld[1:-1] if fld.startswith(chr(39)) else fld.lower()
+            if self.peek_low() != "from":
+                return None
+            self.take()
+            src = self.parse()
+            self.expect(")")
+            return lambda env, _f=fld, _e=src: _date_part(_f, _e(env))
         if low == "trim":
             side = "both"
             if self.peek_low() in ("leading", "trailing", "both"):

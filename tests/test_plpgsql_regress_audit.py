@@ -1006,3 +1006,65 @@ class TestSql92KeywordForms:
     ])
     def test_forms(self, expr, expected):
         assert _call(f"begin return {expr}; end") == expected
+
+
+class TestDateTimeExpressions:
+    """date/timestamp support in interpreter expressions (r13):
+    extract/date_part (timestamp.c timestamp_part), typed literals
+    (gram.y AexprConst), ::date/::timestamp casts, and date arithmetic
+    (date - date = days, date +/- int)."""
+
+    def test_extract_fields(self):
+        import datetime as dt
+
+        g = compile_plpgsql("begin return extract(year from d); end", ["d"])
+        assert g(dt.date(2021, 7, 8)) == 2021.0
+        assert _call(
+            "begin return extract(epoch from "
+            "timestamp '1970-01-01 00:01:00'); end"
+        ) == 60.0
+        assert _call(
+            "begin return extract(dow from date '2026-08-16'); end"
+        ) == 0.0  # a Sunday
+        assert _call(
+            "begin return extract(quarter from date '2020-08-01'); end"
+        ) == 3.0
+
+    def test_date_part_comma_form(self):
+        assert _call(
+            "begin return date_part('month', date '2020-05-06'); end"
+        ) == 5.0
+
+    def test_unknown_field_rejects(self):
+        with pytest.raises(NotImplementedError, match="timezone_hour"):
+            _call(
+                "begin return extract(timezone_hour from "
+                "timestamp '2020-01-01 00:00:00'); end"
+            )
+
+    def test_date_arithmetic(self):
+        import datetime as dt
+
+        assert _call(
+            "begin return date '2020-03-01' - date '2020-01-01'; end"
+        ) == 60
+        f = compile_plpgsql("begin return x::date + 7; end", ["x"])
+        assert f("2020-02-28") == dt.date(2020, 3, 6)
+
+    def test_date_comparison_and_declare(self):
+        import datetime as dt
+
+        f = compile_plpgsql(
+            "declare cutoff date := '2020-01-01'; begin "
+            "if d >= cutoff then return 'new'; end if; "
+            "return 'old'; end",
+            ["d"],
+        )
+        assert f(dt.date(2021, 1, 1)) == "new"
+        assert f(dt.date(2019, 1, 1)) == "old"
+
+    def test_timestamp_cast_and_second(self):
+        assert _call(
+            "begin return extract(second from "
+            "'2020-01-01 10:20:30.5'::timestamp); end"
+        ) == 30.5
