@@ -141,15 +141,22 @@ SCRIPT_RULES: list[tuple[str, str, int, int]] = [
 ]
 
 # Cyrillic-script language discrimination (alphabet inventories are
-# public orthography): Serbian's ј љ њ ћ ђ џ and Ukrainian's і ї є ґ
-# occur in no other Cyrillic orthography considered here; Bulgarian
-# uses ъ as a full VOWEL (~2% of running letters) while the Russian
-# hard sign is vanishingly rare, and ы / э / ё are Russian-only.
-# Ordered first-match: sr, uk, then bg when ъ outnumbers the
-# Russian-only letters, else ru.  Languages not claimed (Belarusian,
-# Macedonian, Kazakh, ...) fall to their nearest orthographic neighbor.
+# public orthography).  Ordered first-match over letters unique to (or
+# decisive for) each orthography:
+#   mk: ѓ ќ ѕ occur only in Macedonian (ј љ њ џ are shared with Serbian,
+#       so mk is tested first on its exclusive letters);
+#   sr: ћ ђ are Serbian-only; ј љ њ џ shared with mk but mk already ran;
+#   kk: қ ң ү ұ һ ә are Kazakh-only (і is shared with uk/be);
+#   be: ў occurs only in Belarusian;
+#   uk: ї є ґ are Ukrainian-only; і shared with be/kk but those ran;
+# then Bulgarian uses ъ as a full VOWEL (~2% of running letters) while
+# the Russian hard sign is vanishingly rare, and ы / э / ё are
+# Russian-only: bg when ъ outnumbers the Russian-only letters, else ru.
 CYRILLIC_RULES: list[tuple[str, str]] = [
+    ("mk", "ѓќѕЃЌЅ"),
     ("sr", "јљњћђџЈЉЊЋЂЏ"),
+    ("kk", "қңүұһәҚҢҮҰҺӘ"),
+    ("be", "ўЎ"),
     ("uk", "іїєґІЇЄҐ"),
 ]
 _CYR_BG = "ъЪ"
@@ -216,6 +223,13 @@ LANGID_FIXTURES: list[tuple[int, str]] = [
               "система и нейната работа"),
     (9000020, "ово је текст на српском језику за проверу новог система "
               "и његовог рада"),
+    # r14: be by ў, mk by ќ/ѓ/ѕ, kk by қ/ң/ү/ұ/ә
+    (9000021, "гэта тэкст на беларускай мове для праверкі новых "
+              "магчымасцяў сістэмы і яе працы"),
+    (9000022, "ова е текст на македонски јазик и ќе го провериме "
+              "новиот систем и неговата работа"),
+    (9000023, "бұл жаңа жүйені тексеру үшін қазақ тіліндегі мәтін "
+              "және оның жұмысы"),
 ]
 
 
@@ -268,33 +282,64 @@ def _chars_count(t: Column, chars: str) -> Column:
     return F.length(t) - F.length(F.regexp_replace(t, f"[{chars}]", ""))
 
 
-def _cyrillic_lang(t: Column) -> Column:
-    """ru/uk/bg/sr by alphabet inventory (CYRILLIC_RULES) — pure JVM
-    regexp counts, the SQL twin below mirrors it clause for clause."""
+def _cyrillic_lang_from_counts() -> Column:
+    """Cyrillic-language CASE over the pre-materialized ``__cyr_*``
+    count columns (CYRILLIC_RULES) — the SQL twin below mirrors it
+    clause for clause."""
     out = None
-    for lg, chars in CYRILLIC_RULES:
-        cond = _chars_count(t, chars) >= 1
+    for lg, _ in CYRILLIC_RULES:
+        cond = F.col(f"__cyr_{lg}") >= 1
         out = F.when(cond, F.lit(lg)) if out is None else out.when(
             cond, F.lit(lg)
         )
-    bg = (_chars_count(t, _CYR_BG) >= 1) & (
-        _chars_count(t, _CYR_BG) > _chars_count(t, _CYR_RU_ONLY)
+    bg = (F.col("__cyr_bg") >= 1) & (
+        F.col("__cyr_bg") > F.col("__cyr_ru_only")
     )
     return out.when(bg, F.lit("bg")).otherwise(F.lit("ru"))
 
 
-def script_language(t: Column) -> tuple[Column, Column]:
-    """Unicode-script classification for the languages whitespace
-    tokenization can't reach (or whose script is decisive on its own):
-    (lang or NULL, script char count).  Integer-only threshold
-    arithmetic (SCRIPT_RULES) so a SQL oracle reproduces it exactly."""
-    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
-    cnt = {b: _script_count(t, b) for b in SCRIPT_BLOCKS}
+def script_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stage 1 of script classification: materialize every per-block
+    (and per-Cyrillic-inventory) regexp character count ONCE as a narrow
+    intermediate projection.  Two reasons, both scale-motivated:
+
+    - each count feeds several CASE references downstream; inlining the
+      regexp_replace into every reference evaluates it up to 3× per row;
+    - the merged rules CASE with ~17 inlined regexps per branch exceeds
+      Janino's 64 KB per-method limit and knocks the stage out of
+      whole-stage codegen (observed r13).  Over attribute references the
+      generated methods stay small.  CollapseProject will not re-inline
+      these aliases: each is non-cheap and multiply referenced.
+    """
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(F.regexp_replace(t, r"\s", "")).alias("__ns"),
+        *[_script_count(t, b).alias(f"__cnt_{b}") for b in SCRIPT_BLOCKS],
+        *[
+            _chars_count(t, chars).alias(f"__cyr_{lg}")
+            for lg, chars in CYRILLIC_RULES
+        ],
+        _chars_count(t, _CYR_BG).alias("__cyr_bg"),
+        _chars_count(t, _CYR_RU_ONLY).alias("__cyr_ru_only"),
+    )
+
+
+_CYR_LANGS = tuple(lg for lg, _ in CYRILLIC_RULES) + ("bg", "ru")
+
+
+def script_language_from_counts() -> tuple[Column, Column]:
+    """Stage 2: the script→language decision CASE over the columns
+    script_counts() produced: (lang or NULL, script char count).
+    Integer-only threshold arithmetic (SCRIPT_RULES) so a SQL oracle
+    reproduces it exactly."""
+    nonspace = F.col("__ns")
+    cnt = {b: F.col(f"__cnt_{b}") for b in SCRIPT_BLOCKS}
     lang = F.lit(None).cast("string")
     first = True
     for lg, block, num, den in SCRIPT_RULES:
         cond = (cnt[block] > 0) & (cnt[block] * num >= nonspace * den)
-        val = _cyrillic_lang(t) if block == "cyrillic" else F.lit(lg)
+        val = _cyrillic_lang_from_counts() if block == "cyrillic" else F.lit(lg)
         lang = F.when(cond, val) if first else lang.when(cond, val)
         first = False
     hits = F.when(lang == "ja", cnt["han"] + cnt["kana"])
@@ -302,9 +347,7 @@ def script_language(t: Column) -> tuple[Column, Column]:
         if lg == "ja":
             continue
         if block == "cyrillic":
-            hits = hits.when(
-                lang.isin("ru", "uk", "bg", "sr"), cnt[block]
-            )
+            hits = hits.when(lang.isin(*_CYR_LANGS), cnt[block])
         else:
             hits = hits.when(lang == lg, cnt[block])
     return lang, hits
@@ -365,8 +408,8 @@ def language_id(df: DataFrame, id_col: str, text_col: str, spark) -> DataFrame:
         .groupBy(id_col)
         .agg(F.min("lang").alias("__mk_lang"), F.max("hits").alias("__mk_hits"))
     )
-    s_lang, s_hits = script_language(F.col(text_col))
-    base = df.select(
+    s_lang, s_hits = script_language_from_counts()
+    base = script_counts(df, id_col, text_col).select(
         F.col(id_col),
         s_lang.alias("__sc_lang"),
         s_hits.alias("__sc_hits"),

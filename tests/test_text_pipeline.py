@@ -47,6 +47,7 @@ def test_script_based_language_id(spark):
         9000011: "th", 9000012: "he", 9000013: "hi", 9000014: "el",
         9000015: "ru", 9000016: "bn", 9000017: "ta",
         9000018: "uk", 9000019: "bg", 9000020: "sr",
+        9000021: "be", 9000022: "mk", 9000023: "kk",
     }
     # script-identified docs report script char counts as hits
     assert out[9000001][1] > 10 and out[9000004][1] > 10
@@ -79,6 +80,56 @@ def test_cyrillic_disambiguation_rules(spark):
         for r in language_id(docs, "doc_id", "text", spark).collect()
     }
     assert out == {1: "ru", 2: "bg", 3: "uk", 4: "sr", 5: "ru"}
+
+
+def test_cyrillic_neighbor_rules(spark):
+    """r14: be/mk/kk claimed by their own exclusive letters (be ў,
+    mk ѓ/ќ/ѕ ordered before sr's shared ј/љ/њ/џ, kk қ/ң/ү/ұ/һ/ә
+    ordered before uk's shared і)."""
+    from greengage_spark.pipeline.text import language_id
+
+    docs = spark.createDataFrame(
+        [
+            # Belarusian: ў (і alone would hit uk; ў is tested first)
+            (1, "гэта была вялікая колькасць новых магчымасцяў і ідэй"),
+            # Macedonian: ќ fires before the shared-with-sr ј
+            (2, "ова е текст на македонски јазик и ќе го провериме"),
+            # Kazakh: қ/ң/ү/ұ/ә fire before the shared-with-uk і
+            (3, "бұл жаңа жүйені тексеру үшін қазақ тіліндегі мәтін"),
+            # Serbian with only shared letters (ј, no ћ/ђ and no ѓ/ќ/ѕ)
+            # stays sr — mk's exclusive letters did not fire
+            (4, "ова је текст који нема никакве посебне знакове"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.lang_guess
+        for r in language_id(docs, "doc_id", "text", spark).collect()
+    }
+    assert out == {1: "be", 2: "mk", 3: "kk", 4: "sr"}
+
+
+def test_script_stage_codegen_survives(spark):
+    """Plan pin for the r13 regression: the script-rules CASE evaluates
+    over materialized count columns, not inlined regexps — the projection
+    that produces __sc_lang must reference `__cnt_*` attributes (keeping
+    every generated method under Janino's 64 KB limit) and the final
+    CASE expression must not re-inline regexp_replace."""
+    from greengage_spark.pipeline.text import language_id
+
+    docs = spark.createDataFrame(
+        [(1, "hello world")], "doc_id long, text string"
+    )
+    out = language_id(docs, "doc_id", "text", spark)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    # stage-1 aliases survive optimization (CollapseProject must not
+    # fold the multiply-referenced regexp counts back into the CASE)
+    assert "__cnt_han" in opt and "__ns" in opt
+    case_lines = [
+        ln for ln in opt.splitlines() if "CASE WHEN" in ln and "__cnt_" in ln
+    ]
+    assert case_lines, opt
+    assert all("regexp_replace" not in ln for ln in case_lines), case_lines[0]
 
 
 def test_latin_inventories_full(spark):
