@@ -3942,9 +3942,27 @@ _TSVECTOR_SQL = (
 )
 
 
-# user CREATE FUNCTION names (engine-refreshed per statement) — compat
-# aliases must never hijack a user-defined function of the same name
-USER_FUNCTION_NAMES: set[str] = set()
+# user CREATE FUNCTION names — compat aliases must never hijack a
+# user-defined function of the same name.  A ContextVar (not a module
+# global): each engine scopes its own set for the duration of one
+# statement via user_functions_ctx(), so multiple GreengageEngine
+# instances in one process (or concurrent sessions on different
+# threads) can no longer clobber each other mid-statement.
+import contextlib
+from contextvars import ContextVar
+
+_USER_FUNCTION_NAMES: ContextVar[frozenset[str]] = ContextVar(
+    "greengage_user_function_names", default=frozenset()
+)
+
+
+@contextlib.contextmanager
+def user_functions_ctx(names):
+    token = _USER_FUNCTION_NAMES.set(frozenset(n.lower() for n in names))
+    try:
+        yield
+    finally:
+        _USER_FUNCTION_NAMES.reset(token)
 
 _TSEARCH2_SIMPLE = {
     # contrib/tsearch2/tsearch2--1.0.sql legacy names → modern API
@@ -4009,7 +4027,7 @@ def _pass_tsearch2_aliases(toks: list[str]) -> list[str]:
         if i > 0 and out[i - 1] == ".":
             continue
         low = t.lower()
-        if low in USER_FUNCTION_NAMES:
+        if low in _USER_FUNCTION_NAMES.get():
             continue
         if low in _TSEARCH2_SIMPLE:
             out[i] = _TSEARCH2_SIMPLE[low]

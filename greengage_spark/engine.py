@@ -441,10 +441,15 @@ class GreengageEngine:
 
     def _execute_stmt(self, sql: str) -> DataFrame | None:
         # compat aliases (tsearch2 et al.) must never hijack a
-        # user-defined function of the same name
-        from greengage_spark.dialect import transpiler as _tp
+        # user-defined function of the same name; the ContextVar scope
+        # is per-engine per-statement, so concurrent engines can't
+        # clobber each other
+        from greengage_spark.dialect.transpiler import user_functions_ctx
 
-        _tp.USER_FUNCTION_NAMES = {n.lower() for n in self.functions}
+        with user_functions_ctx(self.functions):
+            return self._execute_stmt_inner(sql)
+
+    def _execute_stmt_inner(self, sql: str) -> DataFrame | None:
         stmt = _strip_public_schema(sql.strip().rstrip(";"))
         stmt = self._flatten_schemas(stmt)
         head = stmt.split(None, 2)[0].lower() if stmt else ""
@@ -716,6 +721,7 @@ class GreengageEngine:
                     register_function,
                 )
 
+                ctypes = self._composite_types()
                 for fd in self.functions.values():
                     if getattr(fd, "language", None) in (
                         "plpgsql", "sql", "plpythonu",
@@ -724,9 +730,18 @@ class GreengageEngine:
                             register_function(
                                 self.spark, fd, transpile,
                                 registry=self.pl_registry,
+                                composite_types=ctypes,
                             )
-                        except Exception:  # noqa: BLE001 — best effort
-                            pass
+                        except Exception as exc:  # noqa: BLE001
+                            # best effort, but never silently: a survivor
+                            # that fails to recompile keeps its previous
+                            # (stale-registry) registration
+                            import logging
+
+                            logging.getLogger(__name__).warning(
+                                "re-register of %s after DROP FUNCTION "
+                                "failed: %s", fd.name, exc,
+                            )
             return None
         if re.match(r"(?is)^create\s+(temp(orary)?\s+)?sequence\b", stmt):
             return self._create_sequence(stmt)
@@ -1559,6 +1574,12 @@ class GreengageEngine:
         fd, replace = parse_create_function(stmt)
         if fd.name in self.functions and not replace:
             raise ValueError(f"function {fd.name!r} already exists")
+        # the statement-level pass treats the $$-quoted body as a
+        # literal, so pg_dump's public. qualifiers inside SQL bodies
+        # survive to macro-expansion / Spark registration where no
+        # further stripping happens — strip them here instead
+        if fd.language in ("sql", "plpgsql"):
+            fd.body = _strip_public_schema(fd.body)
         register_function(
             self.spark, fd, transpile, registry=self.pl_registry,
             composite_types=self._composite_types(),

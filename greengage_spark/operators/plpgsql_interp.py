@@ -2227,7 +2227,8 @@ class _StmtParser:
             if multi:
                 return ("forcursor", targets, cname, args, body, False)
             scalar = var in self.casts and var not in self.records
-            self.records.add(var)
+            if not scalar:
+                self.records.add(var)
             return ("forcursor", var, cname, args, body, scalar)
         if self.peek_low() in ("select", "with", "values", "table") and not reverse:
             # FOR rec IN <query> LOOP (exec_stmt_fors) — SQL hook path
@@ -2248,7 +2249,8 @@ class _StmtParser:
             # (exec_stmt_fors → exec_assign_value); RECORD/undeclared
             # targets take the whole row
             scalar = var in self.casts and var not in self.records
-            self.records.add(var)
+            if not scalar:
+                self.records.add(var)
             return ("forquery", var, sql, body, scalar)
         if self.peek_low() == "execute" and not reverse:
             # FOR rec IN EXECUTE expr LOOP (exec_stmt_dynfors)
@@ -2272,7 +2274,8 @@ class _StmtParser:
             if multi:
                 return ("forquery_dyn", targets, e, body, using, False)
             scalar = var in self.casts and var not in self.records
-            self.records.add(var)
+            if not scalar:
+                self.records.add(var)
             return ("forquery_dyn", var, e, body, using, scalar)
         if multi:
             raise PlPgSQLError(
