@@ -35,6 +35,13 @@ class TableSpec:
     dist_keys: tuple[str, ...] = ()  # empty + not replicated = random
     replicated: bool = False
     sort_keys: tuple[str, ...] = ()  # v5 AO tables can declare sort order
+    # fact=True: apply the load-time hash repartition (the reference's
+    # segment distribution).  r14: dimension-scale tables skip it — the
+    # planner broadcasts them at join sites anyway, and an Exchange
+    # feeding a BroadcastExchange is a pure waste (observed in every
+    # r13 TPC-H plan: guide §2.4 "remove shuffles outright").  Their
+    # dist_keys stay declared for distribute()/motion operators.
+    fact: bool = False
 
 
 TABLES: dict[str, TableSpec] = {
@@ -48,10 +55,10 @@ TABLES: dict[str, TableSpec] = {
     "supplier": TableSpec("supplier", ("s_suppkey",)),
     "part": TableSpec("part", ("p_partkey",)),
     "orders": TableSpec("orders", ("o_orderkey",)),
-    "lineitem": TableSpec("lineitem", ("l_orderkey",)),
-    "events": TableSpec("events", ("user_id",), sort_keys=("ts",)),
-    "documents": TableSpec("documents", ("doc_id",)),
-    "embeddings": TableSpec("embeddings", ("vec_id",)),
+    "lineitem": TableSpec("lineitem", ("l_orderkey",), fact=True),
+    "events": TableSpec("events", ("user_id",), sort_keys=("ts",), fact=True),
+    "documents": TableSpec("documents", ("doc_id",), fact=True),
+    "embeddings": TableSpec("embeddings", ("vec_id",), fact=True),
 }
 
 
@@ -89,7 +96,6 @@ class Catalog:
         self.spark = spark
         self.sf_dir = sf_dir
         self._cache: dict[str, DataFrame] = {}
-        self._warmed: set[str] = set()
 
     def table(self, name: str) -> DataFrame:
         """Load + apply the table's distribution policy.
@@ -109,7 +115,17 @@ class Catalog:
         if name not in self._cache:
             df = load_table(self.spark, self.sf_dir, name)
             spec = TABLES.get(name)
-            if spec is not None and not spec.replicated:
+            # r14: only FACT tables get the load-time repartition.  The
+            # single-row-group testdata makes their scans serial, so the
+            # repartition buys 32-way parallelism for the CPU-heavy work
+            # above them.  Dimension-scale tables skip it: wherever the
+            # planner broadcasts them the repartition was a wasted full
+            # shuffle (Exchange under BroadcastExchange in every r13
+            # TPC-H plan), and wherever a shuffle join really needs a
+            # distribution, ENSURE_REQUIREMENTS inserts the same exchange
+            # after filters/pruning — never more bytes than the load-time
+            # one (guide §2.4).
+            if spec is not None and not spec.replicated and spec.fact:
                 par = self.spark.sparkContext.defaultParallelism
                 if spec.dist_keys:
                     df = df.repartition(par, *[F.col(c) for c in spec.dist_keys])
@@ -119,14 +135,15 @@ class Catalog:
         return self._cache[name]
 
     def warm(self, names: list[str] | None = None) -> None:
-        """Persist + materialize tables (bench steady-state: the reference
-        equivalent is data already resident on segments before queries)."""
+        """Materialize table schemas/footers once (the QD relcache role).
+
+        r14: no persist().  The old behavior cached every base table in
+        memory before the bench's timed passes, which the optimization
+        round rules correctly classify as result caching, not steady
+        state — every bench invocation must compute from the parquet
+        inputs (OPTIMIZATION_r14.md, "Bench methodology fix")."""
         for name in names or TABLES:
-            df = self.table(name)
-            if name not in self._warmed:
-                df.persist()
-                df.count()
-                self._warmed.add(name)
+            self.table(name)
 
     def dim(self, name: str) -> DataFrame:
         """A table with its distribution policy applied to a join site:

@@ -340,9 +340,15 @@ def substring_span_dedup(
     Shape (never all-pairs, no corpus-global sort):
 
     1. each document emits its ``window``-token rolling windows with
-       positions — one posexplode, all Column expressions;
-    2. windows repeated anywhere (count >= 2 over the md5 of the window
-       text) are found with ONE 2-stage hash aggregate, then joined back
+       positions — one posexplode, all Column expressions.  Each
+       window's digest is a (xxhash64, murmur3) struct over the window
+       text — r14: replaces md5, whose 32-char hex string cost more CPU
+       to compute and ~3x more bytes to shuffle than the 12-byte pair
+       (guide §2.3 "narrower types"; the digest is internal — only
+       repeated-window detection uses it — and 96 bits keeps collision
+       odds negligible even at 10^12-window corpora, ~1e-5);
+    2. windows repeated anywhere (count >= 2 over the window digest)
+       are found with ONE 2-stage hash aggregate, then joined back
        — candidates ∝ true duplicates, exactly the suffix-array
        economics of the paper but in relational form;
     3. overlapping duplicate windows merge into maximal spans inside
@@ -370,7 +376,13 @@ def substring_span_dedup(
                 ),
             ).otherwise(F.expr("array()").cast("array<string>"))
         ).alias("pos", "win"),
-    ).select(F.col(id_col), F.col("pos"), F.md5("win").alias("h"))
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.struct(
+            F.xxhash64("win").alias("x"), F.hash("win").alias("m")
+        ).alias("h"),
+    )
 
     dup = (
         wins.groupBy("h")

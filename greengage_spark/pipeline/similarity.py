@@ -42,31 +42,27 @@ def two_stage_topk(
 ) -> DataFrame:
     """Per-query top-k without a single-task bottleneck.
 
-    A bare ``Window.partitionBy(query_id)`` serializes each query's entire
-    candidate list into one task — fine when queries are many and buckets
-    small, a straggler when one query's bucket is huge.  Two stages cap it:
+    One ``row_number`` window filtered to ``rk <= k``: Spark ≥3.5 derives
+    a WindowGroupLimit pair from this pattern (InferWindowGroupLimit) —
+    a PARTIAL WindowGroupLimit runs in every map task BEFORE the
+    exchange, pruning each task's slice to ≤k rows per query (a row
+    beaten by k others in its own partition cannot be in the global
+    top-k), so the per-query task after the single exchange ranks at
+    most k × num_partitions survivors — bounded, independent of bucket
+    or corpus size.
 
-    1. local: rank within (query, physical-partition) — every task prunes
-       its own slice to ≤k rows per query (a row beaten by k others in its
-       own partition cannot be in the global top-k);
-    2. global: rank the ≤ k × num_partitions survivors per query.
-
-    The global window's input is bounded by k×P, independent of bucket or
-    corpus size — the property that survives a 100× scale-up.  Ordering is
-    total (score desc, corpus id asc), so results are deterministic and
-    identical to the single-window plan.
+    r13 implemented the same bound manually with a second window keyed
+    on (query, spark_partition_id); that plan paid an EXTRA exchange +
+    two extra sorts for a prune the engine already performs (observed in
+    the r13 plans: the manual local stage itself carried a partial
+    WindowGroupLimit).  r14 drops the manual stage: one Exchange instead
+    of two, two Sorts instead of four, identical rows (total order:
+    score desc, corpus id asc).  Pinned in tests/test_plan_shapes.py.
     """
     order = [F.desc("cos_sim"), F.asc(corpus_id)]
-    local = scored.withColumn("__pid", F.spark_partition_id())
-    w_local = Window.partitionBy(query_id, "__pid").orderBy(*order)
-    pruned = (
-        local.withColumn("__lrk", F.row_number().over(w_local))
-        .filter(F.col("__lrk") <= k)
-        .drop("__pid", "__lrk")
-    )
-    w_global = Window.partitionBy(query_id).orderBy(*order)
+    w = Window.partitionBy(query_id).orderBy(*order)
     return (
-        pruned.withColumn("rk", F.row_number().over(w_global))
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(query_id, corpus_id, "cos_sim", "rk")
     )
@@ -226,7 +222,12 @@ def ivf_topk(
     cell(s) with an array_sort over per-centroid scores — no shuffle of
     the corpus or the query set (a window keyed on the row id would
     reshuffle the entire input just to rank 8 candidates per row).
-    Candidate scoring is an equi-join on cell id, so per-query work ∝
+    (r14 note: a variant that collected the centroids to the driver and
+    inlined them as a literal array column was measured ~35% SLOWER per
+    invocation — the separate TakeOrdered collect job plus rebuilding a
+    128-literal expression tree per call cost more than the in-DAG
+    one-row broadcast it replaced; the in-DAG fold stays.)  Candidate
+    scoring is an equi-join on cell id, so per-query work ∝
     corpus/n_cells × n_probe instead of the full corpus — the structure
     that keeps ANN tractable at 10^9+ vectors.  At 100 TB the cell id
     also becomes the storage partition key, so a probe prunes files,

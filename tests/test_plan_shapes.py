@@ -160,20 +160,22 @@ class TestDynamicPartitionPruning:
         # one partial+final aggregate pair over the shingles, not two
         assert plan.count("HashAggregate") <= 2 or plan.count("ObjectHashAggregate") <= 2
 
-    def test_similarity_topk_two_stage_window(self, spark, sf_dir):
+    def test_similarity_topk_bounded_window(self, spark, sf_dir):
         """Per-query top-k must NOT funnel a query's full candidate list
-        through one task: the plan carries a local window keyed by
-        (query, spark_partition_id) that prunes to <=k per task before the
-        small global per-query window (similarity.two_stage_topk)."""
+        through one task: the single row_number window must carry the
+        WindowGroupLimit pushdown — a PARTIAL group-limit in every map
+        task prunes to <=k rows per query BEFORE the exchange, so the
+        per-query task ranks at most k x P survivors (r14: replaces the
+        manual two-window prune, which paid an extra exchange + two
+        extra sorts for the same bound)."""
         from greengage_spark.plans.pipeline_suite import suite as ps
 
         df = ps.queries["similarity_lsh_topk"].fn(spark, sf_dir)
         plan = physical(df)
-        assert plan.count("Window") >= 2  # local prune + global rank
-        assert "SPARK_PARTITION_ID" in plan or "__pid" in plan
-        # the global window's input is the pruned stream, bounded by k*P
-        local_idx = plan.find("__pid")
-        assert local_idx != -1
+        assert plan.count("WindowGroupLimit") >= 2  # partial + final
+        assert "Partial" in plan[plan.find("WindowGroupLimit"):]
+        # exactly one global rank window per topk (no manual local stage)
+        assert plan.count("Window [") == 1
 
     def test_ivf_assignment_map_only(self, spark, sf_dir):
         """IVF cell assignment must be a pure array expression over the
@@ -191,10 +193,10 @@ class TestDynamicPartitionPruning:
             query_id="qid", query_vec="qvec", k=5,
         )
         plan = physical(df)
-        # assignment itself adds no Window; the two Window nodes present
-        # are the two_stage_topk local+global rank ("Window [" excludes
-        # the WindowGroupLimit pushdown nodes Spark derives from them)
-        assert plan.count("Window [") == 2
+        # assignment itself adds no Window; the one Window node present
+        # is the top-k global rank ("Window [" excludes the
+        # WindowGroupLimit pushdown nodes Spark derives from it)
+        assert plan.count("Window [") == 1
         # every join in the plan is broadcast (centroid fold + probe join
         # + query-side candidate join) — no shuffle joins
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
