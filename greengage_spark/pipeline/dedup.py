@@ -179,9 +179,15 @@ def dedup_clusters(
     buckets, so components are cliques-of-cliques — typically 2-4
     rounds).  Convergence is detected with a 1-row aggregate (labels
     only ever decrease, so an unchanged label-sum is a fixpoint) — one
-    cheap action per round, no change-join.  Labels persist per round
-    and the previous round unpersists, keeping lineage bounded exactly
-    like the recursive-CTE driver loop (operators/recursive.py).
+    cheap action per round, no change-join.  Each round's labels are
+    localCheckpoint()ed (r14): persist alone kept the FULL logical plan
+    chained across rounds, so the returned plan grew quadratically
+    (observed: a 9.7 MB plan string with ~2,700 nested aggregates after
+    convergence at sf0.01 — pure optimizer overhead per round, guide
+    §5/§3.3 "very large plans: truncate with localCheckpoint").  The
+    checkpoint materializes the same rows and cuts lineage to a
+    LogicalRDD, exactly like the recursive-CTE driver loop
+    (operators/recursive.py).
     """
     from pyspark import StorageLevel
 
@@ -195,7 +201,7 @@ def dedup_clusters(
         edges.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iter):
@@ -212,10 +218,9 @@ def dedup_clusters(
                     labels["lbl"], F.coalesce(neigh["nl"], labels["lbl"])
                 ).alias("lbl"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break

@@ -397,16 +397,26 @@ def language_id(df: DataFrame, id_col: str, text_col: str, spark) -> DataFrame:
     marker-hit argmax over the broadcast function-word table.  Ties →
     lexicographically smallest lang; nothing hit → 'und'."""
     scores = language_scores(df, id_col, text_col, spark)
-    # pick largest-hits then smallest-lang (a max(struct(hits, lang))
-    # one-shot would break ties toward the LARGEST lang string):
-    ranked = scores.groupBy(id_col).agg(
-        F.max("hits").alias("__best_hits")
-    )
+    # pick largest-hits then smallest-lang in ONE aggregate:
+    # min(struct(-hits, lang)) orders by hits DESC then lang ASC, so the
+    # struct minimum IS the argmax with the right tie-break.  r13
+    # computed max(hits) per doc, equality-joined it back, and
+    # re-aggregated — two extra aggregates and a join the planner ran as
+    # a SortMergeJoin (guide §2.4: the whole argmax needs no join).
     picked = (
-        scores.join(ranked, id_col)
-        .filter(F.col("hits") == F.col("__best_hits"))
-        .groupBy(id_col)
-        .agg(F.min("lang").alias("__mk_lang"), F.max("hits").alias("__mk_hits"))
+        scores.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("hits")).alias("nh"), F.col("lang").alias("lg")
+                )
+            ).alias("__w")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__w.lg").alias("__mk_lang"),
+            (-F.col("__w.nh")).alias("__mk_hits"),
+        )
     )
     s_lang, s_hits = script_language_from_counts()
     base = script_counts(df, id_col, text_col).select(

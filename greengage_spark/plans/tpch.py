@@ -685,7 +685,16 @@ def q17_small_qty_revenue(spark, sf_dir):
 )
 def q18_large_volume_customer(spark, sf_dir):
     c = cat(spark, sf_dir)
-    l = c.table("lineitem")
+    # shared 2-column lineitem subtree for the HAVING pre-agg AND the
+    # main join: identical canonical subtrees -> AQE exchange reuse, one
+    # lineitem scan+shuffle instead of two (guide §2.4; same pattern as
+    # q21).  isnotnull(l_orderkey) is oracle-exact: NULL never joins and
+    # never matches IN.
+    l = (
+        c.table("lineitem")
+        .select("l_orderkey", "l_quantity")
+        .filter(F.col("l_orderkey").isNotNull())
+    )
     big = (
         l.groupBy("l_orderkey")
         .agg(F.sum(money("l_quantity")).alias("sq"))
@@ -821,7 +830,19 @@ def q21_waiting_supplier(spark, sf_dir):
     # Suppliers per order are bounded (≤7 in TPC-H), so the collected
     # top-2 array is O(1) per order at any scale.
     c = cat(spark, sf_dir)
-    l = c.table("lineitem")
+    # One shared lineitem subtree for BOTH consumers (the stats pre-agg
+    # and the l1 probe side).  The explicit isnotnull filters replicate
+    # what the join sides infer anyway, so the two subtrees canonicalize
+    # identically and ReuseExchange ships lineitem through ONE scan +
+    # ONE shuffle instead of two (guide §2.4; r13 plan showed two full
+    # scan+exchange chains differing only by an inferred IsNotNull).
+    # Semantics are oracle-exact: a NULL l_suppkey can never satisfy
+    # `l2.l_suppkey <> l1.l_suppkey`, and NULL l_orderkey never joins.
+    l = (
+        c.table("lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .filter(F.col("l_suppkey").isNotNull() & F.col("l_orderkey").isNotNull())
+    )
     per_supp = l.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("supp_max_sd")
     )
