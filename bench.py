@@ -133,7 +133,14 @@ def main() -> None:
     }
     timings: dict[str, float] = {}
     pass_totals: list[float] = []
+    pass_calibs: list[float] = []
     for _ in range(passes):
+        # per-pass box-speed sample: the box's speed can swing 5-50x
+        # MID-RUN (observed calib 10 -> 492 ms between passes), so one
+        # pre-run calibration cannot adjudicate a slow artifact alone.
+        t0 = time.time()
+        (a @ b).sum()
+        pass_calibs.append(round((time.time() - t0) * 1000, 1))
         pass_t0 = time.time()
         for name in names:
             spark.sparkContext.setJobDescription(f"bench:{name}")
@@ -163,6 +170,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "passes": pass_totals,
+                "pass_calibs_numpy_ms": pass_calibs,
                 "calibration": calibration,
                 # Normalized movement: value x (REF_NUMPY_MS / measured
                 # numpy ms).  REF_NUMPY_MS is pinned to round-11's idle-box
