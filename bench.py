@@ -154,6 +154,16 @@ def main() -> None:
         pass_totals.append(round(time.time() - pass_t0, 3))
     spark.sparkContext.setJobDescription(None)
 
+    # Normalization divisor: the FASTEST box-speed sample seen across the
+    # run (pre-run probe + per-pass samples).  Per-query values are
+    # best-of-5 across passes, i.e. they come from the fastest window the
+    # box offered — dividing by a slow pre-run probe when later passes ran
+    # on a fast box would overstate value_norm absurdly (observed: probe
+    # 222 ms, pass samples 499 -> 16 ms, which would "normalize" 20 s to
+    # 0.9 s).  min() picks the box speed the bests were achieved at; on a
+    # uniformly fast box it equals the old probe, so history is comparable.
+    calib_norm_ms = min(pass_calibs + [numpy_ms])
+
     # Contention telemetry: loadavg before/after plus every per-pass total,
     # so a slow artifact is adjudicable from the JSON alone (an idle box
     # shows loadavg ~<= cpus and tight pass spread; a contended box shows
@@ -172,19 +182,20 @@ def main() -> None:
                 "passes": pass_totals,
                 "pass_calibs_numpy_ms": pass_calibs,
                 "calibration": calibration,
-                # Normalized movement: value x (REF_NUMPY_MS / measured
-                # numpy ms).  REF_NUMPY_MS is pinned to round-11's idle-box
-                # probe (BENCH_r11.json calibration.numpy_matmul_ms = 9.7),
-                # so value_norm is comparable across rounds without a judge
+                # Normalized movement: value x (REF_NUMPY_MS / calib_norm).
+                # REF_NUMPY_MS is pinned to round-11's idle-box probe
+                # (BENCH_r11.json calibration.numpy_matmul_ms = 9.7), so
+                # value_norm is comparable across rounds without a judge
                 # re-run; the pin and the rule live in SCALE.md.
                 "value_norm": round(
-                    sum(timings.values()) * 9.7 / numpy_ms, 3
+                    sum(timings.values()) * 9.7 / calib_norm_ms, 3
                 ),
                 "value_norm_14q": round(
                     sum(timings[n] for n in STABLE_14Q if n in timings)
-                    * 9.7 / numpy_ms, 3
+                    * 9.7 / calib_norm_ms, 3
                 ),
                 "ref_numpy_ms": 9.7,
+                "calib_norm_ms": round(calib_norm_ms, 1),
                 # r14+: no base-table persist, clearCache between query
                 # executions — every timed invocation computes from parquet
                 # (OPTIMIZATION_r14.md "Bench methodology fix").
