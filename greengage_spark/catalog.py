@@ -134,6 +134,31 @@ class Catalog:
             self._cache[name] = df
         return self._cache[name]
 
+    def raw(self, name: str) -> DataFrame:
+        """Load WITHOUT the fact-table distribution repartition.
+
+        For consumers the load-time exchange cannot help and only costs
+        (guide §2.4 "remove shuffles outright"):
+
+        * global-limit subtrees (``orderBy().limit(n)`` → TakeOrdered):
+          Spark takes the per-partition top-n on the scan side and merges
+          n·P rows — putting a corpus-wide hash exchange UNDER the limit
+          shuffles the whole table to produce n rows (observed in the r14
+          ivf centroid-fold plan);
+        * selectively-filtered small sides that feed a broadcast: the
+          filter pushes into the scan, so the repartition is an Exchange
+          directly under a BroadcastExchange — the same waste this round
+          removed for dimension tables.
+
+        Heavy per-row compute over the full fact table should keep using
+        :meth:`table` (at sf the single-row-group file is unsplittable,
+        so the repartition is what buys scan-side parallelism there).
+        """
+        key = f"__raw__{name}"
+        if key not in self._cache:
+            self._cache[key] = load_table(self.spark, self.sf_dir, name)
+        return self._cache[key]
+
     def warm(self, names: list[str] | None = None) -> None:
         """Materialize table schemas/footers once (the QD relcache role).
 

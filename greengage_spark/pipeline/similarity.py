@@ -199,6 +199,7 @@ def ivf_topk(
     centroids: str = "first",
     seed: int = 42,
     train_fraction: float = 1.0,
+    centroid_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into inverted-file cells by
     nearest centroid, probe only ``n_probe`` cells per query.
@@ -232,6 +233,15 @@ def ivf_topk(
     that keeps ANN tractable at 10^9+ vectors.  At 100 TB the cell id
     also becomes the storage partition key, so a probe prunes files,
     not just rows.
+
+    ``centroid_corpus`` (optional): same rows as ``corpus`` but without
+    any caller-side repartition, for the ``"first"`` centroid fold only.
+    The fold is ``orderBy(id).limit(n_cells)`` → TakeOrderedAndProject,
+    which takes the per-partition top-n on the scan side and merges
+    n_cells·P rows — an upstream hash exchange under it shuffles the
+    ENTIRE corpus to produce n_cells rows (guide §2.4; observed in the
+    r14 before-plan).  Scoring still uses ``corpus`` (its distribution
+    parallelizes the per-row assignment work).
     """
     from pyspark import StorageLevel
 
@@ -261,8 +271,9 @@ def ivf_topk(
         # TakeOrdered over the whole corpus — fold to ONE row holding the
         # centroid array and persist so the two broadcast consumers
         # trigger it once
+        cent_src = centroid_corpus if centroid_corpus is not None else corpus
         cent_arr = (
-            corpus.orderBy(F.col(corpus_id)).limit(n_cells)
+            cent_src.orderBy(F.col(corpus_id)).limit(n_cells)
             .select(F.col(corpus_id).alias("__cent_id"), F.col(corpus_vec).alias("__cent_vec"))
             .agg(
                 F.array_sort(

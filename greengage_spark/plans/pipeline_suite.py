@@ -417,8 +417,12 @@ def dedup_embedding_cosine(spark, sf_dir):
     tags=("pipeline", "similarity", "bench"),
 )
 def similarity_bruteforce_topk(spark, sf_dir):
-    e = cat(spark, sf_dir).table("embeddings")
-    q = e.filter(F.col("vec_id") < 3).select(
+    c = cat(spark, sf_dir)
+    e = c.table("embeddings")
+    # query side: selective filter that pushes into the scan — built from
+    # the RAW load so the 3 collected rows don't pay the corpus-wide
+    # load repartition (an extra full-shuffle stage in the collect job)
+    q = c.raw("embeddings").filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     return brute_force_topk(
@@ -457,8 +461,12 @@ def similarity_bruteforce_topk(spark, sf_dir):
     tags=("pipeline", "similarity", "bench"),
 )
 def similarity_lsh_topk(spark, sf_dir):
-    e = cat(spark, sf_dir).table("embeddings")
-    q = e.filter(F.col("vec_id") < 20).select(
+    c = cat(spark, sf_dir)
+    e = c.table("embeddings")
+    # query side: pushed-filter 20-row broadcast side — RAW load, so the
+    # plan has no Exchange directly under its BroadcastExchange (the
+    # same §2.4 waste the r14 catalog change removed for dimensions)
+    q = c.raw("embeddings").filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     return lsh_bucketed_topk(
@@ -1333,13 +1341,21 @@ def multimodal_frame_sampling(spark, sf_dir):
 def similarity_ivf_topk(spark, sf_dir):
     from greengage_spark.pipeline.similarity import ivf_topk
 
-    e = cat(spark, sf_dir).table("embeddings")
-    q = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)).select(
+    c = cat(spark, sf_dir)
+    e = c.table("embeddings")
+    raw = c.raw("embeddings")
+    # query side: pushed-filter 10-row broadcast side — RAW load (no
+    # Exchange under its BroadcastExchange); centroid fold: TakeOrdered
+    # needs no pre-shuffle, so the RAW load drops the corpus-wide
+    # exchange from the 8-row centroid subtree (guide §2.4).  Scoring
+    # keeps the distributed `e`.
+    q = raw.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     return ivf_topk(
         e, q, corpus_id="vec_id", corpus_vec="embedding",
         query_id="qid", query_vec="qv", k=5, n_cells=8, n_probe=2,
+        centroid_corpus=raw,
     )
 
 

@@ -201,6 +201,24 @@ class TestDynamicPartitionPruning:
         # + query-side candidate join) — no shuffle joins
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
+    def test_similarity_small_sides_skip_load_repartition(self, spark, sf_dir):
+        """The similarity queries' SMALL subtrees must not pay the
+        corpus-wide load repartition (r14, guide §2.4):
+
+        * ivf centroid fold (orderBy().limit(8) → TakeOrdered) takes the
+          per-partition top-n scan-side — an exchange under it shuffles
+          the whole corpus for an 8-row result;
+        * the pushed-filter query sides feed broadcasts — an Exchange
+          directly under a BroadcastExchange is a wasted full shuffle.
+
+        Pin: exactly TWO hash shuffles remain per query — the corpus
+        scoring repartition and the top-k ENSURE_REQUIREMENTS exchange."""
+        from greengage_spark.plans.pipeline_suite import suite as ps
+
+        for name in ("similarity_ivf_topk", "similarity_lsh_topk"):
+            plan = physical(ps.queries[name].fn(spark, sf_dir))
+            assert plan.count("Exchange hashpartitioning") == 2, name
+
     def test_domain_mix_zero_shuffle(self, spark, sf_dir):
         """domain_mix is one projection + filter at the scan — ANY
         exchange in the plan means the sampler started shuffling a
