@@ -292,6 +292,14 @@ def _connectby_repl(engine, m: re.Match) -> str:
             # becomes the 100 TB bottleneck (round-7 verdict item #2).
             if frontier_rows <= _BROADCAST_FRONTIER_MAX:
                 fr = F.broadcast(fr)
+            # localCheckpoint (NOT persist): persist keeps the full
+            # chained logical plan, so level N's analysis/optimization and
+            # the CacheManager's sameResult lookups walk N nested join
+            # plans — measured catastrophically super-linear (a depth-60
+            # chain took >20 min; with truncated lineage the same walk is
+            # seconds).  The lazy checkpoint truncates each level to a
+            # LogicalRDD; the stats action below materializes it, exactly
+            # like the dedup_clusters / recursive-CTE loops.
             nxt = (
                 edges.join(fr, edges["__p"] == F.col("__fk"))
                 .select(
@@ -303,7 +311,7 @@ def _connectby_repl(engine, m: re.Match) -> str:
                         F.array(F.col("__k").cast("string")),
                     ).alias("__path"),
                 )
-            ).persist()
+            ).localCheckpoint(eager=False)
             # ONE action per level: row count + cycle count together.
             # Cycle check is element-wise (NOT substring: '1' vs '11'
             # must not falsely fire — the regress "falsely detected
@@ -325,7 +333,6 @@ def _connectby_repl(engine, m: re.Match) -> str:
             if (stats["__cyc"] or 0) > 0:
                 raise ValueError("infinite recursion detected")
             if stats["__n"] == 0:
-                nxt.unpersist()
                 break
             levels.append(nxt)
             frontier = nxt
@@ -342,13 +349,12 @@ def _connectby_repl(engine, m: re.Match) -> str:
             sel.append(
                 F.array_join(F.col("__path"), delim).alias(cols[3][0])
             )
-        # pin the result (executor-side checkpoint) so the per-level
-        # caches can be released below
+        # pin the result (executor-side checkpoint); the per-level
+        # checkpoint blocks are reclaimed by the ContextCleaner once the
+        # level references go out of scope
         res = out.select(sel).localCheckpoint(eager=True)
     finally:
         edges.unpersist()
-        for lv in levels[1:]:
-            lv.unpersist()
     view = f"__gg_connectby_{next(_uid)}"
     res.createOrReplaceTempView(view)
     return f"{view} AS {m.group('alias')}"

@@ -268,3 +268,26 @@ class TestConnectbyLargeFrontier:
             "AS t(keyid text, parent_keyid text, level int)"
         ).collect()
         assert len(calls) >= 1
+
+    def test_deep_chain_levels_are_lineage_truncated(self, eng):
+        """r14: per-level persist kept the full chained logical plan, so
+        level N's analysis + CacheManager sameResult lookups walked N
+        nested join plans — a depth-15 chain took 107 s and depth 30
+        never finished in 10 min.  With per-level localCheckpoint
+        (lineage truncated to a LogicalRDD) the walk is linear in depth;
+        this depth-25 chain completes in seconds.  Regression guard:
+        under the old code this test effectively hangs (>500 s)."""
+        eng.execute("CREATE TABLE cbdeep (keyid text, parent_keyid text)")
+        rows = ["('c00', NULL)"]
+        for i in range(1, 26):
+            rows.append(f"('c{i:02d}', 'c{i-1:02d}')")
+            rows.append(f"('c{i:02d}x', 'c{i-1:02d}')")  # leaf sibling
+        eng.execute("INSERT INTO cbdeep VALUES " + ", ".join(rows))
+        got = eng.execute(
+            "SELECT * FROM connectby('cbdeep','keyid','parent_keyid',"
+            "'c00',0,'/') AS t(keyid text, parent_keyid text, level int, "
+            "branch text) ORDER BY level, keyid"
+        ).collect()
+        assert len(got) == 51  # chain of 26 + 25 leaf siblings
+        assert got[-1]["level"] == 25
+        assert got[-1]["branch"].count("/") == got[-1]["level"]
