@@ -269,8 +269,8 @@ def ivf_topk(
     elif centroids == "first":
         # the centroid table is n_cells rows but its subplan is a
         # TakeOrdered over the whole corpus — fold to ONE row holding the
-        # centroid array and persist so the two broadcast consumers
-        # trigger it once
+        # centroid array and localCheckpoint so the two broadcast
+        # consumers see a LogicalRDD leaf instead of the fold subplan
         cent_src = centroid_corpus if centroid_corpus is not None else corpus
         cent_arr = (
             cent_src.orderBy(F.col(corpus_id)).limit(n_cells)
@@ -280,7 +280,7 @@ def ivf_topk(
                     F.collect_list(F.struct(F.col("__cent_id"), F.col("__cent_vec")))
                 ).alias("__cents")
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
     else:
         raise ValueError(f"centroids must be 'first' or 'kmeans': {centroids!r}")
