@@ -151,12 +151,18 @@ def minhash_dedup_pairs(
     )
     # signatures feed two branches (banding and set sizes) whose column
     # pruning produces different exchanges — ReuseExchange cannot merge
-    # them, so persist the (tiny: one ~200-byte row per document)
+    # them, so materialize the (tiny: one ~200-byte row per document)
     # signature table rather than re-running the K-min aggregation over
-    # the much larger shingle stream
-    sigs = minhash_signatures(sh, id_col, num_hashes).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # the much larger shingle stream.  localCheckpoint, not persist
+    # (r14): both consumers and everything joined downstream carried the
+    # full signature subplan (SortAggregate over the shingle cache)
+    # through analysis and CacheManager sameResult lookups; the
+    # checkpoint truncates it to a LogicalRDD leaf.  The BOUNDED per-doc
+    # row width makes the non-recomputable checkpoint safe; the
+    # corpus-scale shingle stream above deliberately keeps persist
+    # (fault-tolerant recompute + columnar cache — the same trade
+    # measured and kept for the spans window stream).
+    sigs = minhash_signatures(sh, id_col, num_hashes).localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     sizes = sigs.select(id_col, "sz")
     return jaccard_verify(cand, sh, id_col, threshold, sizes=sizes)
