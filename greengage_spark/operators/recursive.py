@@ -52,14 +52,19 @@ def recursive_cte(
     frontier = (seed if union_all else seed.dropDuplicates()).localCheckpoint(eager=True)
     parts = [frontier]
     for _ in range(max_iterations):
-        acc = reduce(DataFrame.unionAll, parts)
         nxt = step(frontier)
         if not union_all:
             # worktable semantics: only rows not already accumulated feed
-            # the next iteration (subtract = EXCEPT DISTINCT).
-            nxt = nxt.subtract(acc)
+            # the next iteration (subtract = EXCEPT DISTINCT).  Only this
+            # mode needs the accumulated union INSIDE the loop; UNION ALL
+            # builds it once at return (r14: constructing the k-leg union
+            # Dataset per level re-ran Catalyst analysis on a growing
+            # plan every iteration — quadratic driver work that was never
+            # executed mid-loop).
+            nxt = nxt.subtract(reduce(DataFrame.unionAll, parts))
         frontier = nxt.localCheckpoint(eager=True)
         if frontier.isEmpty():
+            acc = reduce(DataFrame.unionAll, parts)
             return acc if len(parts) == 1 else acc.coalesce(npart)
         parts.append(frontier)
     raise RuntimeError(f"recursive_cte did not converge in {max_iterations} iterations")
