@@ -31,13 +31,24 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle) pairs: distinct k-word shingles per document."""
+    """(id, shingle) pairs: distinct k-word shingles per document.
+
+    Distinctness is PER DOCUMENT, so it is enforced with array_distinct
+    on the per-document shingle array BEFORE the explode — a pure map.
+    r15: replaces ``.distinct()`` after the explode, which hash-shuffled
+    the entire corpus-scale shingle stream on (id, shingle) to remove
+    duplicates that never leave their document (guide §2.4 "remove
+    shuffles outright").  The map-only form also preserves the source's
+    partitioning (documents are hash-distributed on the id at load), so
+    the downstream per-document signature aggregation needs no exchange
+    either.  Rows are identical: each document's distinct shingles,
+    exactly once."""
     toks = F.split(F.col(text_col), " ")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
-    return df.select(F.col(id_col), F.explode(sh).alias("shingle")).distinct()
+    return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def minhash_signatures(

@@ -38,7 +38,8 @@ HEADLINE = [
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", default=None)
-    ap.add_argument("--tag", default=None, help="capture plan to plans/r14/<name>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="capture plan to plans/<round>/<name>_<tag>.txt")
+    ap.add_argument("--round", default="r15", help="plans/<round>/ output dir")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--action", choices=["noop", "collect", "both"], default="noop")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -58,12 +59,13 @@ def main() -> None:
         fn = qs[name].fn
         # plan capture (before any warmup so AQE shows the initial plan)
         if args.tag:
-            os.makedirs("/root/repo/plans/r14", exist_ok=True)
+            plan_dir = f"/root/repo/plans/{args.round}"
+            os.makedirs(plan_dir, exist_ok=True)
             df = fn(spark, args.sf)
             buf = io.StringIO()
             with redirect_stdout(buf):
                 df.explain("formatted")
-            with open(f"/root/repo/plans/r14/{name}_{args.tag}.txt", "w") as f:
+            with open(f"{plan_dir}/{name}_{args.tag}.txt", "w") as f:
                 f.write(buf.getvalue())
             spark.catalog.clearCache()
         rec: dict = {"name": name}
