@@ -106,7 +106,21 @@ def q3_shipping_priority(spark, sf_dir):
     c = cat(spark, sf_dir)
     cust = c.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = c.table("orders").filter(F.col("o_orderdate") < ts("1998-03-15"))
-    line = c.table("lineitem").filter(F.col("l_shipdate") > ts("1998-03-15"))
+    # lineitem routing policy (r15, guide §2.4): this consumer is a
+    # single-use, SELECTIVELY-FILTERED filter→equi-join subtree with no
+    # per-row compute above the scan, so it loads RAW.  The load-time
+    # dist-key repartition cannot help it: if the planner broadcasts the
+    # filtered side (it does at bench SF) the repartition is an Exchange
+    # feeding a BroadcastExchange — pure waste; if at production SF it
+    # sort-merge-joins instead, ENSURE_REQUIREMENTS inserts the same
+    # hash exchange ABOVE the pushed filter — never more bytes than the
+    # load-time one.  Interleaved A/B at sf0.1: 0.88x, faster on all 7
+    # reps.  The selectivity condition matters: q5's UNFILTERED lineitem
+    # measured 1.07x slower raw (the whole scan funnels through one task
+    # on the unsplittable local input), so unfiltered subtrees and
+    # compute-heavy consumers (q1/q6/q18/q21, q9's probe anchor) keep
+    # table() — there the repartition buys scan-side parallelism.
+    line = c.raw("lineitem").filter(F.col("l_shipdate") > ts("1998-03-15"))
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(line, F.col("o_orderkey") == line.l_orderkey)
@@ -188,6 +202,11 @@ def q5_local_supplier(spark, sf_dir):
     return (
         c.table("customer")
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        # table(), not raw(): q5's lineitem is UNFILTERED, so a raw load
+        # would funnel the whole fact scan through one task (unsplittable
+        # single-row-group input) just to feed the broadcast build —
+        # measured 1.07x SLOWER interleaved.  The q3 routing policy
+        # applies only to selectively-filtered single-use subtrees.
         .join(c.table("lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             supplier,
@@ -422,7 +441,9 @@ def q10_returned_items(spark, sf_dir):
     orders = c.table("orders").filter(
         (F.col("o_orderdate") >= ts("1996-01-01")) & (F.col("o_orderdate") < ts("1996-04-01"))
     )
-    line = c.table("lineitem").filter(F.col("l_returnflag") == "R")
+    # RAW load: selectively-filtered single-use join subtree — q3's
+    # routing policy (see q3_shipping_priority).  Interleaved A/B 0.94x.
+    line = c.raw("lineitem").filter(F.col("l_returnflag") == "R")
     return (
         c.table("customer")
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
