@@ -141,17 +141,22 @@ def main() -> None:
         t0 = time.time()
         (a @ b).sum()
         pass_calibs.append(round((time.time() - t0) * 1000, 1))
-        pass_t0 = time.time()
+        # r15 (ADVICE r14): pass totals accumulate per-query elapsed
+        # only — the clearCache+GC housekeeping between queries runs
+        # outside every timed window, so pass totals are comparable to
+        # the sum of per-query timings (and to pre-r14 pass totals).
+        pass_total = 0.0
         for name in names:
             spark.sparkContext.setJobDescription(f"bench:{name}")
             t0 = time.time()
             df = qs[name].fn(spark, sf_dir)
             df.collect()
             elapsed = round(time.time() - t0, 3)
+            pass_total += elapsed
             _between_queries()
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
-        pass_totals.append(round(time.time() - pass_t0, 3))
+        pass_totals.append(round(pass_total, 3))
     spark.sparkContext.setJobDescription(None)
 
     # Normalization divisor: the FASTEST box-speed sample seen across the
@@ -202,7 +207,16 @@ def main() -> None:
                 "methodology": "cold-cache-r14",
                 "loadavg_before": [round(x, 2) for x in loadavg_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
-                "cpus": os.cpu_count(),
+                # r15: report the EFFECTIVE parallelism the run used, not
+                # the box's core count — the driver's scaling check
+                # compares runs at different $SPARK_GRAFT_CPUS, and the
+                # r14 report of os.cpu_count() (always 32) false-flagged
+                # the 8-core run as ignoring the env (VERDICT r14).
+                "cpus": int(
+                    os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
+                ),
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "host_cpus": os.cpu_count(),
             }
         )
     )

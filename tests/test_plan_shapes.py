@@ -143,6 +143,21 @@ class TestDynamicPartitionPruning:
         # collect_list top-2 stats aggregate is present
         assert "collect_list" in plan or "sort_array" in plan
 
+    @pytest.mark.parametrize(
+        "name", ["q21_waiting_supplier", "q18_large_volume_customer"]
+    )
+    def test_canonical_fact_subtree_reused_at_runtime(self, spark, sf_dir, name):
+        """r14 made both lineitem consumers in q21/q18 byte-identical
+        canonical subtrees so AQE's ReuseExchange serves them from ONE
+        fact scan+shuffle.  The static plan cannot show this — reuse
+        only appears in the EXECUTED adaptive plan — so run the query
+        and pin the runtime artifact (r14 verdict item #3)."""
+        q = all_queries()[name].fn(spark, sf_dir)
+        q.collect()
+        plan = physical(q)
+        assert "isFinalPlan=true" in plan, name
+        assert "ReusedExchange" in plan, name
+
     def test_minhash_single_shingle_aggregation(self, spark, sf_dir):
         """MinHash signatures and shingle-set sizes come out of ONE
         groupBy over the (persisted) shingle stream — jaccard_verify must
