@@ -42,6 +42,13 @@ def two_stage_topk(
 ) -> DataFrame:
     """Per-query top-k without a single-task bottleneck.
 
+    Naming note (r15, ADVICE r14): the name survives from the r13
+    MANUAL two-stage implementation; since r14 the second (partial)
+    stage is engine-derived — InferWindowGroupLimit plants a partial
+    WindowGroupLimit below the exchange, so the written plan is a single
+    window.  The name is kept because the *executed* plan is still two
+    stages and callers/tests reference it.
+
     One ``row_number`` window filtered to ``rk <= k``: Spark ≥3.5 derives
     a WindowGroupLimit pair from this pattern (InferWindowGroupLimit) —
     a PARTIAL WindowGroupLimit runs in every map task BEFORE the

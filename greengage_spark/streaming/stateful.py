@@ -1,7 +1,8 @@
 """Stateful streaming operators: dedup, custom per-key state.
 
 Streaming dedup = the pipeline dedup surface applied online:
-``dropDuplicates`` with a watermark bounds state by the lateness horizon.
+``dropDuplicatesWithinWatermark`` bounds dedup state by the lateness
+horizon (plain ``dropDuplicates`` never expires business-keyed state).
 ``running_stats_per_key`` shows the applyInPandasWithState shape for
 operators Spark lacks (online aggregates, CDC-style merge, feature
 accumulation) — the streaming sibling of the batch TableFunction
@@ -20,9 +21,22 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 def streaming_dedup(
     df: DataFrame, key_cols: list[str], ts_col: str, watermark: str
 ) -> DataFrame:
-    """Exactly-once rows per key within the watermark horizon."""
+    """Exactly-once rows per key within the watermark horizon.
+
+    r15: ``dropDuplicatesWithinWatermark`` instead of ``dropDuplicates``.
+    Plain dropDuplicates only expires state when the EVENT-TIME column is
+    part of the dedup keys; keyed on business ids (the call signature
+    here) its state grew monotonically with stream length — measured in
+    tests/test_streaming_state_bound.py: 80/80 input rows resident after
+    8 micro-batches under a 30 s watermark.  WithinWatermark evicts each
+    key once the watermark passes it, which is exactly the horizon
+    contract this function documents; duplicates farther apart than the
+    watermark are treated as new events (the only behavior a
+    bounded-state dedup can promise at 100 TB)."""
     if df.isStreaming:
-        return df.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
     return df.dropDuplicates(key_cols)
 
 

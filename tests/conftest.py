@@ -5,6 +5,14 @@ import pytest
 
 sys.path.insert(0, "/root/repo")
 
+# Tests run on sf0.001 fixtures where per-stage scheduling overhead, not
+# data volume, dominates: the same suite measured 94s/module at
+# local[32] vs 62s at local[4] (r15).  Default the TEST session to 4
+# cores — an explicit SPARK_GRAFT_CPUS in the environment still wins
+# (setdefault), and bench.py/production paths are unaffected (they read
+# the env at their own entry points).
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 

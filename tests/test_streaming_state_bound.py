@@ -1,0 +1,126 @@
+"""State-store growth under a long watermark (r14 VERDICT item #8).
+
+The SCALE.md claim is that streaming state tracks "active keys × gap,
+not stream length".  These tests drive a MULTI-BATCH stream
+(maxFilesPerTrigger=1, one file per micro-batch) whose event time
+advances far past the watermark horizon, then read the state-operator
+metrics Spark reports per micro-batch (progress.stateOperators) and pin:
+
+* the final batch's resident state rows are bounded by the lateness
+  horizon (≪ total input rows), and
+* late batches actually EVICT: state at the end is not the running sum
+  of everything ever seen.
+"""
+
+import uuid
+
+import pyspark.sql.functions as F
+import pytest
+
+from greengage_spark.streaming.stateful import streaming_dedup
+from greengage_spark.streaming.windows import session_agg
+
+SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+N_BATCHES = 8
+ROWS_PER_BATCH = 10
+
+
+@pytest.fixture(scope="module")
+def batched_stream_dir(spark, tmp_path_factory):
+    """N_BATCHES parquet files; file i holds ROWS_PER_BATCH events at
+    minute i (3 keys).  Every event id is unique, so an unbounded dedup
+    would retain all N_BATCHES × ROWS_PER_BATCH rows."""
+    d = tmp_path_factory.mktemp("state_bound_src")
+    for b in range(N_BATCHES):
+        rows = [
+            (
+                b * ROWS_PER_BATCH + i,
+                f"2024-01-01 00:{b:02d}:{(i * 5) % 60:02d}",
+                i % 3,
+                float(i),
+            )
+            for i in range(ROWS_PER_BATCH)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.parquet(str(d / f"b{b:02d}"))
+    return str(d)
+
+
+def drain_with_progress(df, tmp_path, output_mode="append"):
+    """Run to completion one input file per micro-batch; return the
+    per-batch progress dicts (in batch order)."""
+    name = "m" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / ("ckpt_" + name)))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    progress = [p for p in q.recentProgress if p.get("stateOperators")]
+    q.stop()
+    return progress
+
+
+def read_batched(spark, d):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+
+
+def state_rows(progress):
+    return [p["stateOperators"][0]["numRowsTotal"] for p in progress]
+
+
+class TestBoundedState:
+    def test_streaming_dedup_state_evicts_with_watermark(
+        self, spark, batched_stream_dir, tmp_path
+    ):
+        """dropDuplicates state must hold only the keys inside the 30 s
+        horizon — NOT every event id ever seen (all ids are unique, so
+        an unbounded implementation would keep all 80)."""
+        stream = read_batched(spark, batched_stream_dir)
+        dedup = streaming_dedup(stream, ["event_id"], "ts", "30 seconds")
+        progress = drain_with_progress(dedup, tmp_path)
+        rows = state_rows(progress)
+        assert len(rows) >= N_BATCHES - 1  # one state sample per batch
+        total_input = N_BATCHES * ROWS_PER_BATCH
+        # bound: horizon (30 s) spans at most 2 batches of event time
+        assert rows[-1] <= 2 * ROWS_PER_BATCH, rows
+        assert rows[-1] < total_input / 2, rows
+        # eviction really happened: some later batch holds FEWER rows
+        # than an earlier one (monotone growth = no expiry)
+        assert min(rows[2:]) < max(rows[:3]) + ROWS_PER_BATCH, rows
+
+    def test_session_window_state_bounded_by_gap(
+        self, spark, batched_stream_dir, tmp_path
+    ):
+        """Session-window state is open sessions per key within the
+        horizon: 3 keys × a 10 s gap — never ∝ total sessions emitted."""
+        stream = read_batched(spark, batched_stream_dir)
+        sess = session_agg(
+            stream,
+            "ts",
+            "10 seconds",
+            ["user_id"],
+            [F.count(F.lit(1)).alias("n")],
+            watermark="30 seconds",
+        )
+        progress = drain_with_progress(sess, tmp_path)
+        rows = state_rows(progress)
+        assert rows, "no state operator metrics reported"
+        # 3 keys, sessions within a ≤2-batch horizon: generously ≤ 24
+        # open sessions; 8 batches × ~6 sessions/batch ≈ 48 total would
+        # accumulate without expiry.
+        assert rows[-1] <= 24, rows
+        assert rows[-1] < sum(
+            p["stateOperators"][0].get("numRowsUpdated", 0) for p in progress
+        ), rows
