@@ -96,6 +96,7 @@ def jaccard_verify(
     id_col: str,
     threshold: float,
     sizes: DataFrame | None = None,
+    inter: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs via two joins on the shingle
     stream (set sizes + intersection counts) — work ∝ candidates, not n².
@@ -104,6 +105,15 @@ def jaccard_verify(
     already counts shingles per id); otherwise it is derived here with an
     extra aggregation over the shingle stream.
 
+    ``inter`` (id_a, id_b, inter) can be supplied when the caller's
+    candidate generation ALREADY enumerates shared shingles (the n-gram
+    self-join path): re-deriving intersections here explodes every
+    candidate pair back onto id_a's full shingle set before the second
+    join — |pairs| × |shingles/doc| intermediate rows (guide §3.3
+    "explode before a join multiplies the shuffle"; measured 59M rows /
+    ~8 s at sf0.1 where the self-join's own hits were already the
+    answer).  When supplied, ``pairs`` is ignored.
+
     Returns (id_a, id_b, jaccard) with jaccard rounded to 4 decimals and
     filtered to >= threshold.  The filter compares integer algebra
     (inter * 1e4 >= threshold * union * 1e4 avoided — we use the rounded
@@ -111,14 +121,15 @@ def jaccard_verify(
     """
     if sizes is None:
         sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        pairs.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if inter is None:
+        sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+        sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            pairs.join(sa, "id_a")
+            .join(sb, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     out = (

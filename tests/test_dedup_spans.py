@@ -70,3 +70,35 @@ def test_plan_no_corpus_wide_window(spark):
     assert "SinglePartition" not in plan
     assert "windowspecdefinition" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_jaccard_verify_precomputed_inter_matches_pairs_path(spark):
+    """r15: the n-gram path hands jaccard_verify its self-join hit
+    counts directly (inter=) instead of letting it re-explode candidate
+    pairs onto the shingle stream — both paths must produce identical
+    (id_a, id_b, jaccard) rows."""
+    from greengage_spark.pipeline.dedup import jaccard_verify, word_shingles
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "a completely different document about spark plans"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    hits = sa.join(sb, "shingle").filter(F.col("id_a") < F.col("id_b"))
+    inter = hits.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+    pairs = hits.select("id_a", "id_b").distinct()
+
+    via_pairs = sorted(
+        map(tuple, jaccard_verify(pairs, sh, "doc_id", 0.5).collect())
+    )
+    via_inter = sorted(
+        map(tuple, jaccard_verify(None, sh, "doc_id", 0.5, inter=inter).collect())
+    )
+    assert via_pairs == via_inter
+    assert via_pairs  # fixture really produces near-dup pairs
