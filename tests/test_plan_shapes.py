@@ -143,20 +143,29 @@ class TestDynamicPartitionPruning:
         # collect_list top-2 stats aggregate is present
         assert "collect_list" in plan or "sort_array" in plan
 
-    @pytest.mark.parametrize(
-        "name", ["q21_waiting_supplier", "q18_large_volume_customer"]
-    )
-    def test_canonical_fact_subtree_reused_at_runtime(self, spark, sf_dir, name):
-        """r14 made both lineitem consumers in q21/q18 byte-identical
+    def test_canonical_fact_subtree_reused_at_runtime(self, spark, sf_dir):
+        """r14 made both lineitem consumers in q21 byte-identical
         canonical subtrees so AQE's ReuseExchange serves them from ONE
         fact scan+shuffle.  The static plan cannot show this — reuse
         only appears in the EXECUTED adaptive plan — so run the query
-        and pin the runtime artifact (r14 verdict item #3)."""
-        q = all_queries()[name].fn(spark, sf_dir)
+        and pin the runtime artifact (r14 verdict item #3).  (q18 was
+        pinned too until r15 removed its second lineitem consumer
+        entirely — the HAVING pre-aggregate's sum is now projected
+        directly, see test below.)"""
+        q = all_queries()["q21_waiting_supplier"].fn(spark, sf_dir)
         q.collect()
         plan = physical(q)
-        assert "isFinalPlan=true" in plan, name
-        assert "ReusedExchange" in plan, name
+        assert "isFinalPlan=true" in plan
+        assert "ReusedExchange" in plan
+
+    def test_q18_single_lineitem_consumer(self, spark, sf_dir):
+        """r15: q18 projects the HAVING pre-aggregate's quantity sum
+        instead of re-joining lineitem to re-sum it — the plan must
+        contain exactly ONE lineitem scan and no semi join."""
+        q = all_queries()["q18_large_volume_customer"].fn(spark, sf_dir)
+        plan = physical(q)
+        assert plan.count("lineitem.parquet") == 1
+        assert "LeftSemi" not in plan
 
     def test_minhash_single_shingle_aggregation(self, spark, sf_dir):
         """MinHash signatures and shingle-set sizes come out of ONE
