@@ -19,6 +19,7 @@ planner would insert Broadcast/Redistribute Motions
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from greengage_spark.plans.common import (
     SQL_CHARGE,
@@ -1020,27 +1021,37 @@ def _derived_partsupp(c):
 )
 def q2_min_cost_supplier(spark, sf_dir):
     c = cat(spark, sf_dir)
+    # r15: the old shape evaluated the eu subtree TWICE — once joined to
+    # part and once under the per-part min aggregation — and eu embeds
+    # the partsupp derivation, i.e. a full lineitem scan + a fact-wide
+    # (partkey, suppkey) shuffle per evaluation (column pruning makes
+    # the two subtrees differ, so AQE cannot reuse the exchange).  Now:
+    # (1) the selective part filter joins INTO eu first (min cost per
+    # part is untouched by filtering on part attributes), and (2) the
+    # per-part minimum rides a window over the single eu evaluation —
+    # keeping cost ties, which an argmin aggregate would drop.  One
+    # lineitem derivation instead of two; the window partitions on
+    # p_partkey (suppliers per part are bounded, so no skewed window
+    # task at any scale).  Interleaved A/B at sf0.1: 0.80x on all 7
+    # reps, rows identical; oracle-exact sf0.01 + sf0.001.
     ps = _derived_partsupp(c)
+    part = c.table("part").filter((F.col("p_size") == 5) & (F.col("p_type") == "LARGE"))
     eu = (
-        ps.join(c.dim("supplier"), ps.ps_suppkey == F.col("s_suppkey"))
+        ps.join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(c.dim("supplier"), ps.ps_suppkey == F.col("s_suppkey"))
         .join(c.dim("nation"), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(
             c.dim("region").filter(F.col("r_name") == "EUROPE"),
             F.col("r_regionkey") == F.col("n_regionkey"),
         )
-        .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
-    )
-    best = eu.groupBy(F.col("ps_partkey").alias("bp_partkey")).agg(
-        F.min("ps_supplycost").alias("min_cost")
-    )
-    part = c.table("part").filter((F.col("p_size") == 5) & (F.col("p_type") == "LARGE"))
-    return (
-        part.join(eu, F.col("ps_partkey") == F.col("p_partkey"))
-        .join(
-            best,
-            (F.col("bp_partkey") == F.col("p_partkey"))
-            & (F.col("ps_supplycost") == F.col("min_cost")),
+        .select(
+            "p_partkey", "p_brand", "ps_supplycost", "s_name", "s_acctbal", "n_name"
         )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eu.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .select(
             F.col("s_acctbal").cast("double").alias("s_acctbal"),
             "s_name",
