@@ -6,8 +6,11 @@ block): INSERT / DELETE / UPDATE whose source, predicate, or assignment is
 a UNION / INTERSECT / EXCEPT [ALL] query.  Each block runs through
 ``GreengageEngine.execute`` on Spark AND through DuckDB; every SELECT's
 result must match as a sorted multiset.  The reference wraps blocks in
-begin..rollback — we rebuild the two tables per test instead (no
-transactions), which reproduces the same starting state.
+begin..rollback — r15: we do the same (engine BEGIN/ROLLBACK manifest
+snapshots around a module-scoped warehouse), which reproduces the same
+starting state per block AND exercises the transaction surface; the
+pre-r15 shape rebuilt both warehouses per test (~3.5 s x 58 tests of
+setup — the most expensive module in the suite).
 
 Excluded blocks, with reasons:
 - union_test27 (insert violating a NOT NULL constraint) — constraint
@@ -26,7 +29,7 @@ equivalent.
 
 from __future__ import annotations
 
-import re
+
 from decimal import Decimal
 
 import duckdb
@@ -458,11 +461,15 @@ def warehouse(tmp_path_factory):
     return tmp_path_factory.mktemp("union_dml")
 
 
-@pytest.fixture()
-def engines(spark, warehouse, request):
-    # brackets in pytest node names are glob metacharacters to Spark paths
-    safe = re.sub(r"\W+", "_", request.node.name)
-    eng = GreengageEngine(spark, str(warehouse / safe))
+@pytest.fixture(scope="module")
+def base_engines(spark, warehouse):
+    """ONE engine + DuckDB twin with the _SETUP tables loaded.  r15: the
+    per-test fixture used to rebuild both warehouses from scratch —
+    ~3.5 s x 58 tests of pure setup, the single most expensive module in
+    the suite (7 min).  Tests now isolate via the engine's own
+    BEGIN/ROLLBACK manifest snapshots (O(tables), no data I/O), which
+    doubles as a live exercise of the transaction surface."""
+    eng = GreengageEngine(spark, str(warehouse / "wh"))
     con = duckdb.connect()
     con.execute("SET default_null_order='nulls_last_on_asc_first_on_desc'")
     for sql, duck in _SETUP:
@@ -470,6 +477,16 @@ def engines(spark, warehouse, request):
         con.execute(duck or sql)
     yield eng, con
     con.close()
+
+
+@pytest.fixture()
+def engines(base_engines):
+    eng, con = base_engines
+    eng.execute("BEGIN")
+    con.execute("BEGIN TRANSACTION")
+    yield eng, con
+    eng.execute("ROLLBACK")
+    con.execute("ROLLBACK")
 
 
 def _norm(rows):
