@@ -190,8 +190,27 @@ def r_adjacent_discrete(a: Column, b: Column) -> Column:
     return r_adjacent(a, b)
 
 
+def _bind2c(a: Column, b: Column, fn) -> Column:
+    """Bind two operand expressions ONCE via a one-element zip_with
+    lambda — the Column-API twin of the SQL emitters' ``_bind2`` below.
+
+    r15 (guide §7.3): compound combinators reference each operand struct
+    10+ times; with inline constructor operands every reference
+    duplicates the whole operand tree, so the expression grows
+    multiplicatively and Catalyst analysis time explodes (measured: one
+    inline ``r_intersect`` of two ``int4range`` constructors cost ~15 s
+    of driver-side planning).  Inside the lambda the operands are lambda
+    variables — leaves — so each operand tree appears exactly once."""
+    return F.zip_with(F.array(a), F.array(b), fn)[0]
+
+
 def r_intersect(a: Column, b: Column) -> Column:
-    """``a * b`` (range_intersect): max lower bound, min upper bound."""
+    """``a * b`` (range_intersect): max lower bound, min upper bound.
+    Operands bind once (see _bind2c)."""
+    return _bind2c(a, b, _intersect_impl)
+
+
+def _intersect_impl(a: Column, b: Column) -> Column:
     use_a_lo = ~_lower_le(a, b)
     use_a_hi = ~_upper_ge(a, b)
     lo = F.when(use_a_lo, a["lo"]).otherwise(b["lo"])
@@ -216,7 +235,12 @@ def r_intersect(a: Column, b: Column) -> Column:
 def r_union(a: Column, b: Column) -> Column:
     """``a + b`` (range_union).  PG raises when the result would not be
     contiguous; here the union of non-touching ranges is flagged by a
-    runtime error the same way (raise_error)."""
+    runtime error the same way (raise_error).  Operands bind once (see
+    _bind2c)."""
+    return _bind2c(a, b, _union_impl)
+
+
+def _union_impl(a: Column, b: Column) -> Column:
     contiguous = (
         a["empty"] | b["empty"] | r_overlaps(a, b) | r_adjacent(a, b)
     )
