@@ -107,21 +107,17 @@ def q3_shipping_priority(spark, sf_dir):
     c = cat(spark, sf_dir)
     cust = c.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = c.table("orders").filter(F.col("o_orderdate") < ts("1998-03-15"))
-    # lineitem routing policy (r15, guide §2.4): this consumer is a
-    # single-use, SELECTIVELY-FILTERED filter→equi-join subtree with no
-    # per-row compute above the scan, so it loads RAW.  The load-time
-    # dist-key repartition cannot help it: if the planner broadcasts the
-    # filtered side (it does at bench SF) the repartition is an Exchange
-    # feeding a BroadcastExchange — pure waste; if at production SF it
-    # sort-merge-joins instead, ENSURE_REQUIREMENTS inserts the same
-    # hash exchange ABOVE the pushed filter — never more bytes than the
-    # load-time one.  Interleaved A/B at sf0.1: 0.88x, faster on all 7
-    # reps.  The selectivity condition matters: q5's UNFILTERED lineitem
-    # measured 1.07x slower raw (the whole scan funnels through one task
-    # on the unsplittable local input), so unfiltered subtrees and
-    # compute-heavy consumers (q1/q6/q18/q21, q9's probe anchor) keep
-    # table() — there the repartition buys scan-side parallelism.
-    line = c.raw("lineitem").filter(F.col("l_shipdate") > ts("1998-03-15"))
+    # lineitem routing: table(), NOT raw() — measured both ways (r15).
+    # A raw load drops the Exchange under the BroadcastExchange at
+    # sf0.1 (A/B 0.88x there), but at sf1 the SAME change is 2.08x
+    # SLOWER (interleaved, all reps): the filtered fact outgrows the
+    # broadcast threshold while the raw scan's parallelism stays at
+    # input-split count, so the scan+filter becomes the critical path
+    # feeding the join exchange.  The load-time repartition is what
+    # keeps the fact-side work wide at every SF — an sf0.1-only win is
+    # exactly what this round must not take (q5/q4 measured the same
+    # direction; the r15 work log has the full matrix).
+    line = c.table("lineitem").filter(F.col("l_shipdate") > ts("1998-03-15"))
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(line, F.col("o_orderkey") == line.l_orderkey)
@@ -203,11 +199,11 @@ def q5_local_supplier(spark, sf_dir):
     return (
         c.table("customer")
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        # table(), not raw(): q5's lineitem is UNFILTERED, so a raw load
-        # would funnel the whole fact scan through one task (unsplittable
-        # single-row-group input) just to feed the broadcast build —
-        # measured 1.07x SLOWER interleaved.  The q3 routing policy
-        # applies only to selectively-filtered single-use subtrees.
+        # table(), not raw(): a raw load funnels the fact scan through
+        # the input-split count just to feed the broadcast build —
+        # measured 1.07x slower here at sf0.1, and the same routing on
+        # q3's FILTERED lineitem inverted to 2.08x slower at sf1 (see
+        # the q3 note).
         .join(c.table("lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             supplier,
@@ -442,9 +438,9 @@ def q10_returned_items(spark, sf_dir):
     orders = c.table("orders").filter(
         (F.col("o_orderdate") >= ts("1996-01-01")) & (F.col("o_orderdate") < ts("1996-04-01"))
     )
-    # RAW load: selectively-filtered single-use join subtree — q3's
-    # routing policy (see q3_shipping_priority).  Interleaved A/B 0.94x.
-    line = c.raw("lineitem").filter(F.col("l_returnflag") == "R")
+    # table(), not raw(): see the q3 routing note — raw loads win ~6% at
+    # sf0.1 but invert hard at sf1 (q3 measured 2.08x slower raw).
+    line = c.table("lineitem").filter(F.col("l_returnflag") == "R")
     return (
         c.table("customer")
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
