@@ -520,11 +520,14 @@ def range_type_ops(spark, sf_dir):
     # NAMED column before deriving from it.  Inlined, every r["lo"] /
     # inter["hi"] reference duplicated the whole struct-constructor
     # expression tree (and inter embeds r and base, multiplying again) —
-    # Catalyst spent 15-19 s of DRIVER time analyzing one query.  With
-    # the structs as attributes the derived fields reference leaves;
-    # CollapseProject deliberately keeps multi-referenced non-trivial
-    # producer expressions staged, so the plan stays small.  Measured:
-    # plan build 18.96 s -> 0.92 s, identical rows.
+    # Catalyst spent 15 s of DRIVER time planning this one query inside
+    # the 236-query sweep session (plan build 1.9 s -> 1.3 s in an
+    # otherwise idle session; the blow-up compounds with driver heap
+    # pressure).  With the structs as attributes the derived fields
+    # reference leaves; CollapseProject deliberately keeps
+    # multi-referenced non-trivial producer expressions staged, so the
+    # plan stays half the size (35k -> 17.7k explain chars), identical
+    # rows.  Evidence: plans/r15/range_type_ops_{before,after}.txt.
     l = l.withColumn(
         "__r", int4range(F.col("l_linenumber"), F.col("q"))
     ).withColumn("__base", int4range(F.lit(4), F.lit(30)))

@@ -1,0 +1,53 @@
+"""Measure driver-side plan-build time for range_type_ops and dump the plan.
+
+Usage: python tools/probe_range_plan.py <label>
+Writes plans/r15/range_type_ops_<label>.txt (explain formatted + build time).
+Run once on the before-variant (git checkout eb5925e^ -- the module) and once
+on HEAD to produce the plans/r15 before/after pair.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from greengage_spark.session import get_spark  # noqa: E402
+from greengage_spark.plans.functions_suite import range_type_ops  # noqa: E402
+
+
+def main():
+    label = sys.argv[1] if len(sys.argv) > 1 else "after"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark(app_name="probe-range-plan")
+    spark.sparkContext.setJobDescription(f"probe_range_plan:{label}")
+
+    # Warm-up pass: catalog load + JVM/Catalyst JIT, so the timed pass
+    # isolates per-query analysis/planning (plan_scan.py measures builds
+    # inside one hot session the same way).
+    warm = range_type_ops(spark, sf_dir)
+    warm._sc._jvm.PythonSQLUtils.explainString(
+        warm._jdf.queryExecution(), "formatted"
+    )
+
+    t0 = time.monotonic()
+    df = range_type_ops(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    build_s = time.monotonic() - t0
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", "r15", f"range_type_ops_{label}.txt",
+    )
+    with open(out, "w") as f:
+        f.write(f"-- range_type_ops ({label}): DataFrame construction + plan "
+                f"build (analyze/optimize/physical-plan) took {build_s:.2f} s\n"
+                f"-- explain-string length: {len(explained)} chars\n\n")
+        f.write(explained)
+    print(f"{label}: build {build_s:.2f} s, plan {len(explained)} chars -> {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
