@@ -867,24 +867,46 @@ def q21_waiting_supplier(spark, sf_dir):
     per_supp = l.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("supp_max_sd")
     )
-    stats = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("nsupp"),
-        F.slice(
-            F.sort_array(
-                F.collect_list(F.struct("supp_max_sd", "l_suppkey")), asc=False
-            ),
-            1,
-            2,
-        ).alias("top2"),
-    ).select(
-        F.col("l_orderkey").alias("st_orderkey"),
-        "nsupp",
-        # try_element_at: single-supplier orders have a 1-element top2;
-        # plain [1] indexing would raise under ANSI mode (Spark 4 default)
-        # if the optimizer ever evaluated it before the nsupp >= 2 filter.
-        F.try_element_at(F.col("top2"), F.lit(1))["supp_max_sd"].alias("sd1"),
-        F.try_element_at(F.col("top2"), F.lit(1))["l_suppkey"].alias("sk1"),
-        F.try_element_at(F.col("top2"), F.lit(2))["supp_max_sd"].alias("sd2"),
+    # Top-2 per order WITHOUT collect_list (r15).  The old shape —
+    # sort_array(collect_list(struct))[1:2] — is a TypedImperativeAggregate
+    # (ObjectHashAggregate): past 128 distinct keys per task it ALWAYS
+    # falls back to sort-based aggregation with a per-group
+    # serialize/deserialize of the ArrayBuffer buffer
+    # (SortBasedAggregator.findNextSortedGroup) — an interpretive,
+    # allocation-heavy path outside whole-stage codegen.  Thread dumps of
+    # a loaded long-lived session (the bench) showed all 32 task threads
+    # pinned in exactly that fallback while q21 ran 8-25x its isolated
+    # time: the object churn amplifies GC/CPU pressure that codegen
+    # stages shrug off.  row_number + count over per-order windows keep
+    # the whole chain in codegen (the windows and the conditional-max
+    # pivot ride the existing hashpartitioning(l_orderkey) — zero new
+    # exchanges, one in-partition sort of the per-(order,supp) stream).
+    # Result-identical: sort_array desc orders struct(sd, sk) by sd DESC
+    # then sk DESC — exactly w_rank's ordering; per_supp has one row per
+    # (order, supp), so row_number is deterministic; single-supplier
+    # orders get sd2 = NULL from the conditional max over no rk=2 row,
+    # matching try_element_at(top2, 2) on a 1-element array.
+    w_rank = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("supp_max_sd"), F.desc("l_suppkey")
+    )
+    w_all = Window.partitionBy("l_orderkey")
+    ranked = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_max_sd",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("nsupp"),
+    )
+    stats = (
+        ranked.filter(F.col("rk") <= 2)
+        .groupBy("l_orderkey")
+        .agg(
+            F.max("nsupp").alias("nsupp"),
+            F.max(F.when(F.col("rk") == 1, F.col("supp_max_sd"))).alias("sd1"),
+            F.max(F.when(F.col("rk") == 1, F.col("l_suppkey"))).alias("sk1"),
+            F.max(F.when(F.col("rk") == 2, F.col("supp_max_sd"))).alias("sd2"),
+        )
+        .select(F.col("l_orderkey").alias("st_orderkey"), "nsupp", "sd1", "sk1", "sd2")
     )
     l1 = l.select(
         F.col("l_orderkey").alias("k1_orderkey"),

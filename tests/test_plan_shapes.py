@@ -140,8 +140,13 @@ class TestDynamicPartitionPruning:
         q = all_queries()["q21_waiting_supplier"].fn(spark, sf_dir)
         plan = physical(q)
         assert "LeftSemi" not in plan and "LeftAnti" not in plan
-        # collect_list top-2 stats aggregate is present
-        assert "collect_list" in plan or "sort_array" in plan
+        # r15: top-2 stats ride codegen windows + a conditional-max pivot
+        # — the collect_list ObjectHashAggregate (whose >128-key
+        # sort-based fallback is an interpretive, allocation-heavy path)
+        # must NOT reappear
+        assert "row_number" in plan
+        assert "ObjectHashAggregate" not in plan
+        assert "collect_list" not in plan
 
     def test_canonical_fact_subtree_reused_at_runtime(self, spark, sf_dir):
         """r14 made both lineitem consumers in q21 byte-identical
