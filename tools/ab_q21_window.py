@@ -2,7 +2,10 @@
 ObjectHashAggregate (old) vs row_number/count windows + conditional-max
 pivot (new), measured BOTH isolated and in a full-pass-polluted session
 (the condition that exposed the old shape collapsing into its >128-key
-sort-based fallback).  Asserts result equality before timing."""
+sort-based fallback).  Asserts result equality before timing.
+
+Usage: [AB_SF_DIR=/tmp/gg_sf1] python tools/ab_q21_window.py"""
+import os, sys, time
 sys.path.insert(0, '/root/repo')
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -11,7 +14,7 @@ from greengage_spark.plans.registry import all_queries
 import numpy as np
 spark = get_spark('ab-q21-window')
 q = all_queries()
-sf = '/root/testdata/sf0.1'
+sf = os.environ.get('AB_SF_DIR', '/root/testdata/sf0.1')
 a=np.random.rand(512,512); b=np.random.rand(512,512)
 def calib():
     best=1e9
